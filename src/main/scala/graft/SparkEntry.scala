@@ -1,13 +1,683 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.expressions.Window
+
+import graft.model._
+import graft.functions.{TypedAttrs, TextFunctions, VectorFunctions}
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each `queries` entry exercises one operator from SURVEY.md §2 (or one
+  * of the training-pipeline extensions) against the driver parquet tables;
+  * `oracleSql` holds the DuckDB-equivalent SQL for the hash compare.
+  * Column names/types are aligned on both sides; doubles are only emitted
+  * when both engines compute them with identical elementwise arithmetic;
+  * order-sensitive aggregates go through DECIMAL (exact, order-independent).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** events.parquet carries TIMESTAMP(NANOS) which Spark has no native type
+    * for (SPARK-40819): read nanos as long and truncate to micros exactly
+    * (integer division — the ns epoch ~1.7e18 overflows double precision).
+    * DuckDB oracles read the same column as TIMESTAMP_NS; both engines
+    * therefore agree at micro/milli granularity.
+    */
+  private def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(spark, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The reference's core analytics loop: multi-dimensional binning of the
+    * events stream + the deferred count aggregation
+    * (DataBinningProcessor.java:251-266 + implied sum).
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val ev = withGeo(events(spark, dir))
+    Binning.binAndCount(
+      ev,
+      Seq(
+        DateBinner("time", "ts", DateGranularity.DAY),
+        LiteralBinner("type", "event_type"),
+        NumericBinner("val", "value", 2),
+        GeoTileBinner("geo", "lat", "lon", 3),
+        MergedBinner("daytype", Seq("time", "type"))
+      )
+    )
+  }
+
+  /** Deterministic synthetic lat/lon for the geo binner (events has no geo
+    * columns) — integer-derived doubles, reproducible bit-for-bit in SQL.
+    */
+  private def withGeo(ev: DataFrame): DataFrame =
+    ev.withColumn("lat", (col("user_id") * 7 % 160).cast(DoubleType) - 80.0 + 0.5)
+      .withColumn("lon", (col("event_id") * 13 % 360).cast(DoubleType) - 180.0 + 0.5)
+
+  private val geoSqlLat = "(CAST((user_id * 7) % 160 AS DOUBLE) - 80.0 + 0.5)"
+  private val geoSqlLon = "(CAST((event_id * 13) % 360 AS DOUBLE) - 180.0 + 0.5)"
+
+  /** Slippy-tile SQL for one zoom level, mirroring Binning.geoTileId. */
+  private def tileSql(z: Int): String = {
+    val n = s"power(2.0, $z)"
+    val latRad = s"($geoSqlLat * pi() / 180.0)"
+    val x0 = s"floor(($geoSqlLon + 180.0) / 360.0 * $n)"
+    val y0 = s"floor((1.0 - ln(tan($latRad) + 1.0 / cos($latRad)) / pi()) / 2.0 * $n)"
+    val x = s"CAST(least(greatest($x0, 0.0), $n - 1) AS BIGINT)"
+    val y = s"CAST(least(greatest($y0, 0.0), $n - 1) AS BIGINT)"
+    s"'$z/' || CAST($x AS VARCHAR) || '/' || CAST($y AS VARCHAR)"
+  }
+
+  private val securityCfg = SecurityConfig(
+    levelsToConvertTo = Seq("ALPHA", "BRAVO", "CHARLIE"),
+    levelsCanReceive = Seq("ALPHA", "BRAVO", "CHARLIE"),
+    abbreviatedLevelsCanReceive = Seq("A", "B", "C"),
+    compartments = Seq("CMPA", "CMPB"),
+    disseminationControls = Seq("DCA", "DCB"),
+    releasabilities = Seq("XX", "YY"),
+    delim = "_"
+  )
+
+  // ------------------------------------------------------------------ queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- relational headline (scan + hash agg, DECIMAL-exact sums)
+    "q1_agg" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.filter(col("l_shipdate") <= lit("1998-09-02").cast(TimestampType))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("sum_qty"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("sum_base_price"),
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(DecimalType(28, 4)))
+            .cast(DecimalType(38, 4)).as("sum_disc_price"),
+          count(lit(1)).as("count_order")
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // ---- join headline (broadcast dims, DECIMAL-exact revenue)
+    "q3_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(DecimalType(28, 4)))
+            .cast(DecimalType(38, 4)).as("revenue")
+        )
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // ---- typed projection (BetterAttributesToJSON, SURVEY §2 rows 6-10)
+    "typed_projection" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val withAttrs = c.select(
+        col("c_custkey"),
+        map(
+          lit("name"), col("c_name"),
+          lit("key"), col("c_custkey").cast(StringType),
+          lit("bal"), col("c_acctbal").cast(StringType),
+          lit("active"), when(col("c_custkey") % 2 === 0, "true").otherwise("no")
+        ).as("attributes")
+      )
+      TypedAttrs.project(
+        withAttrs,
+        "attributes",
+        TypedProjection(
+          strings = Seq("name", "nickname"),
+          booleans = Seq("active"),
+          ints = Seq("key"),
+          doubles = Seq("bal")
+        ),
+        passthrough = Seq("c_custkey")
+      ).orderBy("c_custkey")
+    }),
+
+    // ---- epoch-millis → ISO-8601 $date string (BetterAttributesToJSON.java:271-293)
+    "epoch_iso" -> ((s, dir) => {
+      val ev = events(s, dir)
+      ev.select(
+        col("event_id"),
+        unix_millis(col("ts")).as("epoch_ms"),
+        TypedAttrs.isoMillis(
+          TypedAttrs.epochMillisAttr(unix_millis(col("ts")).cast(StringType))
+        ).as("iso")
+      ).orderBy("event_id")
+    }),
+
+    // ---- array-sum folds (BetterAttributesToJSON.java:295-335)
+    "attr_array_sums" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val withAttrs = li.select(
+        col("l_orderkey"),
+        col("l_linenumber"),
+        map(
+          lit("readings"),
+          concat(lit("["), col("l_quantity").cast(StringType), lit(","),
+            col("l_tax").cast(StringType), lit("]")),
+          lit("hits"),
+          concat(lit("["), col("l_linenumber").cast(StringType), lit(",2]"))
+        ).as("attributes")
+      )
+      withAttrs.select(
+        col("l_orderkey"),
+        col("l_linenumber"),
+        TypedAttrs.doubleArraySum(element_at(col("attributes"), "readings")).as("rsum"),
+        TypedAttrs.intArraySum(element_at(col("attributes"), "hits")).as("hsum")
+      ).orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // ---- binning: literal (DataBinningProcessor.java:165-169 + count agg)
+    "bin_literal" -> ((s, dir) => {
+      Binning.binAndCount(events(s, dir), Seq(LiteralBinner("type", "event_type")))
+        .orderBy("name")
+    }),
+
+    // ---- binning: date hierarchy (DataBinningProcessor.java:151-164)
+    "bin_date" -> ((s, dir) => {
+      Binning.binAndCount(events(s, dir), Seq(DateBinner("time", "ts", DateGranularity.DAY)))
+        .orderBy("name")
+    }),
+
+    // ---- binning: numeric hierarchy (DataBinningProcessor.java:170-178)
+    "bin_numeric" -> ((s, dir) => {
+      Binning.binAndCount(events(s, dir), Seq(NumericBinner("val", "value", 2)))
+        .orderBy("name")
+    }),
+
+    // ---- binning: geo tiles (DataBinningProcessor.java:179-197)
+    "bin_geotile" -> ((s, dir) => {
+      Binning.binAndCount(withGeo(events(s, dir)), Seq(GeoTileBinner("geo", "lat", "lon", 3)))
+        .orderBy("name")
+    }),
+
+    // ---- binning: merged cross-product (DataBinningProcessor.java:198-214)
+    "bin_merged" -> ((s, dir) => {
+      Binning.binAndCount(
+        events(s, dir),
+        Seq(
+          DateBinner("time", "ts", DateGranularity.DAY),
+          LiteralBinner("type", "event_type"),
+          MergedBinner("daytype", Seq("time", "type"))
+        )
+      ).orderBy("name")
+    }),
+
+    // ---- security marking parse (ConvertSecurityMarkingAndAttrListIntoJson.java:179-280)
+    "security_classification" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val marked = c.select(
+        col("c_custkey"),
+        when(col("c_custkey") % 4 === 0, "A_CMPA_XX")
+          .when(col("c_custkey") % 4 === 1, "BRAVO_CMPB")
+          .when(col("c_custkey") % 4 === 2, "C_DCA_YY")
+          .otherwise("JUNKX").as("marking")
+      )
+      val cls = SecurityMarking.classification(col("marking"), securityCfg)
+      marked.select(
+        col("c_custkey"),
+        col("marking"),
+        array_join(cls.getField("levels"), ",").as("levels"),
+        array_join(cls.getField("compartments"), ",").as("compartments"),
+        array_join(cls.getField("releasabilities"), ",").as("releasabilities"),
+        array_join(cls.getField("disseminationControls"), ",").as("dissem")
+      ).orderBy("c_custkey")
+    }),
+
+    // ---- merge: collapse batch per key ($set last-wins / $inc / $addToSet $each)
+    //      (PartialUpdateMongo.java:301-425)
+    "merge_collapse" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(
+        col("l_orderkey"),
+        col("l_linenumber"),
+        col("l_returnflag").as("status"),
+        col("l_quantity").cast(DecimalType(18, 2)).as("qty"),
+        col("l_linestatus").as("tag")
+      )
+      val spec = MergeSpec(
+        keyFields = Seq("l_orderkey"),
+        fields = Seq(
+          MergeFieldSpec("status", MergeOp.Set),
+          MergeFieldSpec("qty", MergeOp.Inc),
+          MergeFieldSpec("tag", MergeOp.AddToSet)
+        )
+      )
+      Merge.collapseIncoming(li, spec, "l_linenumber")
+        .select(
+          col("l_orderkey"),
+          col("status"),
+          col("qty").cast(DecimalType(38, 2)).as("qty"),
+          array_join(array_sort(col("tag")), ",").as("tags")
+        )
+        .orderBy("l_orderkey")
+    }),
+
+    // ---- merge: full upsert into state (bulk unordered upsert,
+    //      PartialUpdateMongo.java:431-453)
+    "merge_upsert" -> ((s, dir) => {
+      val state = t(s, dir, "orders").select(
+        col("o_orderkey"),
+        col("o_orderstatus"),
+        lit(0).cast(DecimalType(18, 2)).as("qty")
+      )
+      val incoming = t(s, dir, "lineitem").select(
+        col("l_orderkey").as("o_orderkey"),
+        col("l_returnflag").as("o_orderstatus"),
+        col("l_quantity").cast(DecimalType(18, 2)).as("qty"),
+        col("l_linenumber").as("seq")
+      )
+      val spec = MergeSpec(
+        keyFields = Seq("o_orderkey"),
+        fields = Seq(
+          MergeFieldSpec("o_orderstatus", MergeOp.Set),
+          MergeFieldSpec("qty", MergeOp.Inc)
+        )
+      )
+      Merge.upsertBatch(state, incoming, spec, "seq").state
+        .select(
+          col("o_orderkey"),
+          col("o_orderstatus"),
+          col("qty").cast(DecimalType(38, 2)).as("qty")
+        )
+        .orderBy("o_orderkey")
+    }),
+
+    // ---- merge: modified-count routing (PartialUpdateMongo.java:253-275)
+    "merge_routes" -> ((s, dir) => {
+      val state = t(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus"))
+      val incoming = t(s, dir, "lineitem").select(
+        col("l_orderkey").as("o_orderkey"),
+        col("l_returnflag").as("o_orderstatus"),
+        col("l_linenumber").as("seq")
+      )
+      val spec = MergeSpec(
+        keyFields = Seq("o_orderkey"),
+        fields = Seq(MergeFieldSpec("o_orderstatus", MergeOp.Set))
+      )
+      Merge.upsertBatch(state, incoming, spec, "seq").routes
+        .orderBy("o_orderkey")
+    }),
+
+    // ---- duplicate-check routing (PutMongoWithDuplicateCheck.java:117-167)
+    "duplicate_check" -> ((s, dir) => {
+      val incoming = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"))
+      val existing = t(s, dir, "orders")
+        .filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey").as("l_orderkey"))
+      DuplicateCheck.route(incoming, existing, Seq("l_orderkey"), "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // ---- dedup: exact (hash-groupBy on normalized text)
+    "dedup_exact" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Dedup.exact(d, "text", "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("source")
+    }),
+
+    // ---- text quality scoring
+    "text_quality" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(
+        col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        round(TextFunctions.punctRatio(col("text")), 4).as("punct_ratio"),
+        round(TextFunctions.stopwordRatio(col("text")), 4).as("stopword_ratio"),
+        TextFunctions.qualityScore(col("text")).as("quality")
+      ).orderBy("doc_id")
+    }),
+
+    // ---- token counting (whitespace + BPE-ish)
+    "token_count" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(
+        col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("ws_tokens"),
+        TextFunctions.bpeishTokenCount(col("text")).as("bpeish_tokens"),
+        TextFunctions.charCount(col("text")).as("n_chars")
+      ).orderBy("doc_id")
+    }),
+
+    // ---- language-ID heuristic
+    "lang_id" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(
+        col("doc_id"),
+        TextFunctions.langId(col("text")).as("pred_lang")
+      ).orderBy("doc_id")
+    }),
+
+    // ---- ANN: exact top-k by dot product. Both engines left-fold the
+    //      elementwise double products (Spark `aggregate`, DuckDB
+    //      `list_sum`), so the doubles are bitwise-reproducible.
+    "ann_topk_dot" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val scored = emb.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(
+          col("query_id"),
+          col("vec_id").as("neighbor_id"),
+          VectorFunctions.dot(col("qv"), col("embedding")).as("dot")
+        )
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("dot").desc, col("neighbor_id").asc)
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- sessionization (gap-based; streaming analogue in graft.streaming)
+    "sessionize" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val prev = lag(col("ts"), 1).over(w)
+      ev.select(
+        col("user_id"),
+        when(prev.isNull || unix_millis(col("ts")) - unix_millis(prev) > 1800000L, 1L)
+          .otherwise(0L).as("new_session")
+      ).groupBy("user_id")
+        .agg(sum(col("new_session")).as("sessions"))
+        .orderBy("user_id")
+    }),
+
+    // ---- dedup: MinHash+LSH near-dup pairs (no SQL oracle: hash-dependent;
+    //      rows-only check + unit-tested invariants)
+    "dedup_minhash_pairs" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Dedup.minHashDupPairs(d, "text", "doc_id", numHashes = 32, bands = 8, threshold = 0.5)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ---- dedup: SimHash near-dup pairs (rows-only)
+    "dedup_simhash_pairs" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Dedup.simHashDupPairs(d, "text", "doc_id", maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ---- dedup: exact n-gram Jaccard pairs (inverted-index join)
+    "ngram_jaccard_pairs" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Dedup.ngramJaccardPairs(d, "text", "doc_id", n = 3, threshold = 0.5)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("id_a", "id_b")
+    })
+  )
+
+  // ------------------------------------------------------------------ oracles
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
+        | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,4))) AS DECIMAL(38,4)) AS sum_disc_price,
+        | CAST(COUNT(*) AS BIGINT) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_join" ->
+      """SELECT l.l_orderkey AS l_orderkey,
+        | CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(28,4))) AS DECIMAL(38,4)) AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |GROUP BY l.l_orderkey
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "typed_projection" ->
+      """SELECT c_custkey,
+        | c_name AS name,
+        | '' AS nickname,
+        | (c_custkey % 2 = 0) AS active,
+        | CAST(c_custkey AS INTEGER) AS key,
+        | c_acctbal AS bal,
+        | 'success' AS _route,
+        | CAST(NULL AS VARCHAR) AS _error
+        |FROM customer
+        |ORDER BY c_custkey""".stripMargin,
+
+    "epoch_iso" ->
+      """SELECT event_id,
+        | epoch_ms(ts) AS epoch_ms,
+        | strftime(make_timestamp(epoch_ms(ts) * 1000), '%Y-%m-%dT%H:%M:%S.%g') || 'Z' AS iso
+        |FROM events
+        |ORDER BY event_id""".stripMargin,
+
+    "attr_array_sums" ->
+      """SELECT l_orderkey, l_linenumber,
+        | l_quantity + l_tax AS rsum,
+        | CAST(l_linenumber + 2 AS BIGINT) AS hsum
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "bin_literal" ->
+      """SELECT 'type.' || event_type AS name, CAST(COUNT(*) AS BIGINT) AS count
+        |FROM events GROUP BY 1 ORDER BY name""".stripMargin,
+
+    "bin_date" ->
+      """SELECT name, CAST(COUNT(*) AS BIGINT) AS count FROM (
+        | SELECT 'time.' || strftime(ts, '%Y') AS name FROM events
+        | UNION ALL SELECT 'time.' || strftime(ts, '%Y-%m') FROM events
+        | UNION ALL SELECT 'time.' || strftime(ts, '%Y-%m-%d') FROM events
+        |) GROUP BY name ORDER BY name""".stripMargin,
+
+    "bin_numeric" ->
+      """SELECT name, CAST(COUNT(*) AS BIGINT) AS count FROM (
+        | SELECT 'val.L0.' || CAST(CAST(FLOOR(value / 1) AS BIGINT) * 1 AS VARCHAR) AS name FROM events
+        | UNION ALL SELECT 'val.L1.' || CAST(CAST(FLOOR(value / 10) AS BIGINT) * 10 AS VARCHAR) FROM events
+        | UNION ALL SELECT 'val.L2.' || CAST(CAST(FLOOR(value / 100) AS BIGINT) * 100 AS VARCHAR) FROM events
+        |) GROUP BY name ORDER BY name""".stripMargin,
+
+    "bin_geotile" -> {
+      val arms = (0 to 3).map { z =>
+        s"SELECT 'geo.' || ${tileSql(z)} AS name FROM events"
+      }.mkString("\n UNION ALL ")
+      s"""SELECT name, CAST(COUNT(*) AS BIGINT) AS count FROM (
+         | $arms
+         |) GROUP BY name ORDER BY name""".stripMargin
+    },
+
+    "bin_merged" ->
+      """SELECT name, CAST(COUNT(*) AS BIGINT) AS count FROM (
+        | SELECT 'time.' || strftime(ts, '%Y') AS name FROM events
+        | UNION ALL SELECT 'time.' || strftime(ts, '%Y-%m') FROM events
+        | UNION ALL SELECT 'time.' || strftime(ts, '%Y-%m-%d') FROM events
+        | UNION ALL SELECT 'type.' || event_type FROM events
+        | UNION ALL SELECT 'daytype.time.' || strftime(ts, '%Y') || '|type.' || event_type FROM events
+        | UNION ALL SELECT 'daytype.time.' || strftime(ts, '%Y-%m') || '|type.' || event_type FROM events
+        | UNION ALL SELECT 'daytype.time.' || strftime(ts, '%Y-%m-%d') || '|type.' || event_type FROM events
+        |) GROUP BY name ORDER BY name""".stripMargin,
+
+    "security_classification" ->
+      """SELECT c_custkey,
+        | CASE c_custkey % 4 WHEN 0 THEN 'A_CMPA_XX' WHEN 1 THEN 'BRAVO_CMPB'
+        |                    WHEN 2 THEN 'C_DCA_YY' ELSE 'JUNKX' END AS marking,
+        | CASE c_custkey % 4 WHEN 0 THEN 'ALPHA' WHEN 1 THEN 'BRAVO'
+        |                    WHEN 2 THEN 'CHARLIE' ELSE '' END AS levels,
+        | CASE c_custkey % 4 WHEN 0 THEN 'CMPA' ELSE '' END AS compartments,
+        | CASE c_custkey % 4 WHEN 0 THEN 'XX' WHEN 2 THEN 'YY' ELSE '' END AS releasabilities,
+        | CASE c_custkey % 4 WHEN 0 THEN 'DCB' WHEN 2 THEN 'DCA' ELSE '' END AS dissem
+        |FROM customer
+        |ORDER BY c_custkey""".stripMargin,
+
+    "merge_collapse" ->
+      """SELECT l_orderkey,
+        | arg_max(l_returnflag, printf('%012d|%s', l_linenumber, l_returnflag)) AS status,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS qty,
+        | array_to_string(list_sort(list_distinct(list(l_linestatus))), ',') AS tags
+        |FROM lineitem
+        |GROUP BY l_orderkey
+        |ORDER BY l_orderkey""".stripMargin,
+
+    "merge_upsert" ->
+      """SELECT COALESCE(o.o_orderkey, i.o_orderkey) AS o_orderkey,
+        | COALESCE(i.status, o.o_orderstatus) AS o_orderstatus,
+        | CAST(COALESCE(i.qty, 0) AS DECIMAL(38,2)) AS qty
+        |FROM orders o
+        |FULL OUTER JOIN (
+        | SELECT l_orderkey AS o_orderkey,
+        |        arg_max(l_returnflag, printf('%012d|%s', l_linenumber, l_returnflag)) AS status,
+        |        SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+        | FROM lineitem GROUP BY 1
+        |) i ON o.o_orderkey = i.o_orderkey
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "merge_routes" ->
+      """SELECT i.o_orderkey AS o_orderkey,
+        | CASE WHEN o.o_orderkey IS NULL THEN 'success'
+        |      WHEN i.status IS DISTINCT FROM o.o_orderstatus THEN 'success'
+        |      ELSE 'success-unmodified' END AS _route
+        |FROM (
+        | SELECT l_orderkey AS o_orderkey, arg_max(l_returnflag, printf('%012d|%s', l_linenumber, l_returnflag)) AS status
+        | FROM lineitem GROUP BY 1
+        |) i
+        |LEFT JOIN orders o ON i.o_orderkey = o.o_orderkey
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "duplicate_check" ->
+      """SELECT l.l_orderkey, l.l_linenumber,
+        | CASE WHEN e.ok IS NOT NULL OR l.rn > 1 THEN 'already-exists'
+        |      ELSE 'success' END AS _route
+        |FROM (
+        | SELECT l_orderkey, l_linenumber,
+        |        ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS rn
+        | FROM lineitem
+        |) l
+        |LEFT JOIN (SELECT DISTINCT o_orderkey AS ok FROM orders WHERE o_orderkey % 3 = 0) e
+        |  ON l.l_orderkey = e.ok
+        |ORDER BY l.l_orderkey, l.l_linenumber""".stripMargin,
+
+    "dedup_exact" ->
+      """WITH norm AS (
+        | SELECT doc_id, source,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[[:punct:]]', '', 'g'), '\s+', ' ', 'g')) AS nt
+        | FROM documents
+        |), kept AS (
+        | SELECT doc_id, source, ROW_NUMBER() OVER (PARTITION BY nt ORDER BY doc_id) AS rn FROM norm
+        |)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |FROM kept WHERE rn = 1 GROUP BY source ORDER BY source""".stripMargin,
+
+    "text_quality" ->
+      """WITH f AS (
+        | SELECT doc_id, text,
+        |  len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS n_tokens,
+        |  CASE WHEN length(text) > 0
+        |       THEN CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)
+        |       ELSE 0.0 END AS punct_ratio,
+        |  list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '') AS toks
+        | FROM documents
+        |), g AS (
+        | SELECT doc_id, n_tokens, punct_ratio,
+        |  CASE WHEN len(toks) > 0
+        |       THEN CAST(len(list_filter(toks, t -> t IN ('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','be','this','are','was','from'))) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+        |       ELSE 0.0 END AS stopword_ratio
+        | FROM f
+        |)
+        |SELECT doc_id,
+        | CAST(n_tokens AS BIGINT) AS n_tokens,
+        | round(punct_ratio, 4) AS punct_ratio,
+        | round(stopword_ratio, 4) AS stopword_ratio,
+        | round((CASE WHEN n_tokens BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END) * 0.4
+        |     + (CASE WHEN stopword_ratio BETWEEN 0.01 AND 0.8 THEN 1.0 ELSE 0.0 END) * 0.4
+        |     + (CASE WHEN punct_ratio < 0.2 THEN 1.0 ELSE 0.0 END) * 0.2, 2) AS quality
+        |FROM g ORDER BY doc_id""".stripMargin,
+
+    "token_count" ->
+      """SELECT doc_id,
+        | CAST(len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS BIGINT) AS ws_tokens,
+        | CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpeish_tokens,
+        | CAST(length(text) AS BIGINT) AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "lang_id" ->
+      """WITH f AS (
+        | SELECT doc_id,
+        |  list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '') AS toks
+        | FROM documents
+        |), sc AS (
+        | SELECT doc_id,
+        |  len(list_filter(toks, t -> t IN ('the','and','of','to','is'))) AS s_en,
+        |  len(list_filter(toks, t -> t IN ('el','la','de','que','los'))) AS s_es,
+        |  len(list_filter(toks, t -> t IN ('le','la','les','des','est'))) AS s_fr,
+        |  len(list_filter(toks, t -> t IN ('der','die','das','und','ist'))) AS s_de
+        | FROM f
+        |)
+        |SELECT doc_id,
+        | CASE WHEN s_en > 0 AND s_en = greatest(s_en, s_es, s_fr, s_de) THEN 'en'
+        |      WHEN s_es > 0 AND s_es = greatest(s_en, s_es, s_fr, s_de) THEN 'es'
+        |      WHEN s_fr > 0 AND s_fr = greatest(s_en, s_es, s_fr, s_de) THEN 'fr'
+        |      WHEN s_de > 0 AND s_de = greatest(s_en, s_es, s_fr, s_de) THEN 'de'
+        |      ELSE 'und' END AS pred_lang
+        |FROM sc ORDER BY doc_id""".stripMargin,
+
+    "ann_topk_dot" ->
+      """WITH q AS (
+        | SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5
+        |), s AS (
+        | SELECT q.query_id, e.vec_id AS neighbor_id,
+        |  list_sum(list_transform(list_zip(q.qv, e.embedding),
+        |    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) AS dot
+        | FROM embeddings e, q WHERE e.vec_id <> q.query_id
+        |)
+        |SELECT query_id, neighbor_id, CAST(dot AS DOUBLE) AS dot,
+        | CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id) AS INTEGER) AS rank
+        |FROM s
+        |QUALIFY rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "sessionize" ->
+      """SELECT user_id,
+        | CAST(SUM(CASE WHEN prev IS NULL OR epoch_ms(ts) - epoch_ms(prev) > 1800000 THEN 1 ELSE 0 END) AS BIGINT) AS sessions
+        |FROM (
+        | SELECT user_id, ts, LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        | FROM events
+        |)
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "ngram_jaccard_pairs" ->
+      """WITH toks AS (
+        | SELECT doc_id,
+        |  list_filter(string_split_regex(trim(regexp_replace(regexp_replace(lower(text), '[[:punct:]]', '', 'g'), '\s+', ' ', 'g')), '\s+'), t -> t <> '') AS ts
+        | FROM documents
+        |), sh AS (
+        | SELECT doc_id,
+        |  CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+        |       ELSE list_distinct(list_transform(range(1, len(ts) - 1), i -> array_to_string(ts[i:i+2], ' ')))
+        |  END AS grams
+        | FROM toks
+        |), inv AS (
+        | SELECT doc_id, grams, unnest(grams) AS g FROM sh
+        |), pairs AS (
+        | SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.grams AS ga, b.grams AS gb
+        | FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+        |)
+        |SELECT id_a, id_b,
+        | round(CAST(len(list_intersect(ga, gb)) AS DOUBLE) / CAST(len(list_distinct(list_concat(ga, gb))) AS DOUBLE), 4) AS jaccard
+        |FROM pairs
+        |WHERE CAST(len(list_intersect(ga, gb)) AS DOUBLE) / CAST(len(list_distinct(list_concat(ga, gb))) AS DOUBLE) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin
+  )
 }

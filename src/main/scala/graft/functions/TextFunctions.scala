@@ -1,0 +1,137 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Text-analysis primitives for large-scale training-data pipelines:
+ * token counting, quality scoring, language-ID heuristic, document
+ * fingerprinting. All pure built-in-expression columns (codegen'd,
+ * narrow, no UDFs) so a 100 TB corpus pass is a single map stage with
+ * full predicate pushdown upstream.
+ */
+object TextFunctions {
+
+  /** Whitespace tokens. Empty/blank text → empty array (split of "" yields
+    * [""] — filtered out).
+    */
+  def tokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => t =!= "")
+
+  def tokenCount(text: Column): Column = size(tokens(text)).cast(LongType)
+
+  /** BPE-ish subword count: alphanumeric runs + individual non-space
+    * symbols — the coarse shape of a GPT-2-style pre-tokenizer, kept
+    * RE2-compatible (no lookarounds) so oracles can reproduce it.
+    */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+      .cast(LongType)
+
+  def charCount(text: Column): Column = length(text).cast(LongType)
+
+  /** Ratio of punctuation chars to total chars; null-safe, 0 for empty. */
+  def punctRatio(text: Column): Column = {
+    val punct = length(regexp_replace(text, "[^\\p{Punct}]", ""))
+    when(length(text) > 0, punct.cast(DoubleType) / length(text).cast(DoubleType))
+      .otherwise(lit(0.0))
+  }
+
+  /** Mean token length — a cheap fluency proxy. */
+  def meanTokenLen(text: Column): Column = {
+    val ts = tokens(text)
+    when(size(ts) > 0,
+      aggregate(ts, lit(0L), (acc, t) => acc + length(t)).cast(DoubleType) /
+        size(ts).cast(DoubleType)
+    ).otherwise(lit(0.0))
+  }
+
+  /** Default English stopword set for the ratio feature (public list). */
+  val Stopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that",
+    "for", "on", "with", "as", "at", "by", "be", "this", "are", "was", "from"
+  )
+
+  /** Fraction of tokens that are stopwords (lowercased exact match). */
+  def stopwordRatio(text: Column, stopwords: Seq[String] = Stopwords): Column = {
+    val ts = tokens(lower(text))
+    val sw = size(filter(ts, t => t.isin(stopwords.map(lit): _*)))
+    when(size(ts) > 0, sw.cast(DoubleType) / size(ts).cast(DoubleType))
+      .otherwise(lit(0.0))
+  }
+
+  /** Composite quality score in [0,1]: rewards mid-length docs with a
+    * healthy stopword ratio and low punctuation density. Weights are a
+    * deterministic, documented heuristic (pipeline filter, not a model).
+    */
+  def qualityScore(text: Column): Column = {
+    val lenOk = when(tokenCount(text).between(5, 100000), lit(1.0)).otherwise(lit(0.0))
+    val sw = stopwordRatio(text)
+    val swOk = when(sw.between(0.01, 0.8), lit(1.0)).otherwise(lit(0.0))
+    val punctOk = when(punctRatio(text) < 0.2, lit(1.0)).otherwise(lit(0.0))
+    round((lenOk * 0.4 + swOk * 0.4 + punctOk * 0.2), 2)
+  }
+
+  /** Language-ID marker words: a tiny deterministic n-gram/stopword
+    * heuristic (public fastText-style idea reduced to marker tokens).
+    * Returns the language whose marker-hit count is highest; ties and
+    * zero hits → "und".
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is"),
+    "es" -> Seq("el", "la", "de", "que", "los"),
+    "fr" -> Seq("le", "la", "les", "des", "est"),
+    "de" -> Seq("der", "die", "das", "und", "ist")
+  )
+
+  def langId(text: Column): Column = {
+    val ts = tokens(lower(text))
+    val scores = LangMarkers.map { case (lang, markers) =>
+      lang -> size(filter(ts, t => t.isin(markers.map(lit): _*)))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    // first language reaching the max wins (deterministic order)
+    scores.foldRight(lit("und")) { case ((lang, s), els) =>
+      when(s > 0 && s === best, lit(lang)).otherwise(els)
+    }
+  }
+
+  /** 64-bit FNV-1a over the UTF-8 bytes of the normalized text — a
+    * deterministic rolling document fingerprint (public FNV constants).
+    * Built from xxhash64 would be cheaper, but FNV is trivially
+    * reproducible in any oracle; we expose both.
+    */
+  def fingerprintXx(text: Column, seed: Int = 42): Column =
+    xxhash64(normalizeForFingerprint(text))
+
+  /** Normalization for fingerprinting: lowercase, collapse whitespace,
+    * strip punctuation — so near-identical docs collide.
+    */
+  def normalizeForFingerprint(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[\\p{Punct}]", ""), "\\s+", " "))
+
+  /** Word n-grams (shingles) of the normalized text, for MinHash/Jaccard. */
+  def shingles(text: Column, n: Int): Column = {
+    val ts = tokens(normalizeForFingerprint(text))
+    when(size(ts) < n, array(concat_ws(" ", ts)))
+      .otherwise(
+        transform(
+          sequence(lit(0), size(ts) - n),
+          i => concat_ws(" ", slice(ts, i + 1, lit(n)))
+        )
+      )
+  }
+
+  /** Character n-grams of the normalized text. */
+  def charShingles(text: Column, n: Int): Column = {
+    val norm = normalizeForFingerprint(text)
+    when(length(norm) <= n, array(norm))
+      .otherwise(
+        transform(
+          sequence(lit(1), length(norm) - n + 1),
+          i => norm.substr(i, lit(n))
+        )
+      )
+  }
+}

@@ -1,0 +1,82 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Dense-vector primitives over `ARRAY<FLOAT>`/`ARRAY<DOUBLE>` embedding
+ * columns, expressed with `zip_with`/`aggregate` so they stay inside
+ * codegen — no UDFs, no Breeze, works on any Spark cluster untouched.
+ */
+object VectorFunctions {
+
+  /** Σ aᵢ·bᵢ in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0),
+      (acc, x) => acc + x
+    )
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity; 0.0 when either norm is 0. */
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val nn = norm(a) * norm(b)
+    when(nn > 0.0, d / nn).otherwise(lit(0.0))
+  }
+
+  def l2Distance(a: Column, b: Column): Column =
+    sqrt(
+      aggregate(
+        zip_with(a, b, (x, y) => {
+          val diff = x.cast(DoubleType) - y.cast(DoubleType)
+          diff * diff
+        }),
+        lit(0.0),
+        (acc, x) => acc + x
+      )
+    )
+
+  /** Exact dot product in DECIMAL — order-independent and bit-reproducible
+    * across engines (used by correctness oracles; double-precision `dot`
+    * is the fast path).
+    */
+  def dotDecimal(a: Column, b: Column, scale: Int = 12): Column = {
+    val dec = DecimalType(38, scale)
+    aggregate(
+      zip_with(a, b, (x, y) => (x.cast(DoubleType) * y.cast(DoubleType)).cast(dec)),
+      lit(java.math.BigDecimal.ZERO).cast(dec),
+      // decimal + widens precision/scale; re-cast each step so the merge
+      // lambda's type matches the accumulator type exactly
+      (acc, x) => (acc + x).cast(dec),
+      acc => acc.cast(dec)
+    )
+  }
+
+  /** Sign-random-projection bucket id: hash the vector's sign pattern
+    * against `bits` pseudo-random hyperplanes derived from `seed`. Used
+    * for LSH-bucketed ANN (cosine). Hyperplane components are deterministic
+    * ±1 patterns from xxhash64(dimension, plane, seed) — cheap, codegen'd.
+    */
+  def srpBucket(vec: Column, bits: Int, seed: Int): Column = {
+    val bitCols = (0 until bits).map { p =>
+      // hyperplane p: component i has sign +1 iff xxhash64(i, p, seed) is even
+      val proj = aggregate(
+        zip_with(
+          vec,
+          sequence(lit(0), size(vec) - 1),
+          (x, i) =>
+            when(pmod(xxhash64(i, lit(p), lit(seed)), lit(2L)) === 0,
+              x.cast(DoubleType)).otherwise(-x.cast(DoubleType))
+        ),
+        lit(0.0),
+        (acc, x) => acc + x
+      )
+      when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }
+    bitCols.reduce((a, b) => a + b)
+  }
+}

@@ -1,0 +1,243 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions
+
+/**
+ * Corpus deduplication for training-data pipelines, at five fidelity
+ * levels: exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine.
+ *
+ * Scale notes (100 TB):
+ *  - exact: one hash-shuffle on a 64-bit fingerprint (not the full text —
+ *    the shuffle carries 8 bytes + ids, not documents).
+ *  - MinHash+LSH: signatures are computed narrowly (xxhash64 per shingle,
+ *    codegen'd); candidate generation explodes BANDS rows per doc (small
+ *    constant) and shuffles on the band hash — only docs sharing a band
+ *    bucket ever meet, so the O(n²) pair space is never materialized.
+ *  - SimHash: one 64-bit signature per doc; near-dup = bucket on
+ *    rotated/banded bits.
+ *  - embedding-cosine: SRP-LSH buckets bound the pair space the same way.
+ */
+object Dedup {
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact dedup on normalized content: keep the first doc (by `idCol`)
+    * per fingerprint. Shuffles 8-byte hashes, not documents.
+    */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val fp = xxhash64(normalizeForFingerprint(col(textCol)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("_fp").orderBy(col(idCol))
+    df.withColumn("_fp", fp)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_fp", "_rn")
+  }
+
+  /** Exact-dup groups: fingerprint → ids (for reporting/inspection). */
+  def exactGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(
+        xxhash64(normalizeForFingerprint(col(textCol))).as("fp"),
+        col(idCol)
+      )
+      .groupBy("fp")
+      .agg(count(lit(1)).as("n"), sort_array(collect_list(col(idCol))).as("ids"))
+      .filter(col("n") > 1)
+
+  // -------------------------------------------------------------- MinHash
+
+  /** MinHash signature: k permutations approximated as
+    * hᵢ(s) = xxhash64(shingle, seed=i); signature[i] = min over shingles.
+    * All built-ins → codegen'd, narrow.
+    */
+  def minHashSignature(text: Column, numHashes: Int, shingleSize: Int = 3): Column = {
+    val sh = array_distinct(shingles(text, shingleSize))
+    val sigs = (0 until numHashes).map { i =>
+      array_min(transform(sh, s => xxhash64(s, lit(i))))
+    }
+    array(sigs: _*)
+  }
+
+  /** LSH band keys: split the signature into `bands` bands of `rowsPerBand`
+    * and hash each band. Two docs sharing any band key are candidates.
+    */
+  def lshBandKeys(signature: Column, bands: Int, rowsPerBand: Int): Column = {
+    val keys = (0 until bands).map { b =>
+      val bandSlice = slice(signature, b * rowsPerBand + 1, rowsPerBand)
+      struct(lit(b).as("band"), xxhash64(to_json(struct(bandSlice.as("s")))).as("h"))
+    }
+    array(keys: _*)
+  }
+
+  /** Candidate near-dup pairs via MinHash+LSH, verified with the exact
+    * signature-overlap estimate. Returns (id_a, id_b, est_jaccard) with
+    * id_a < id_b, est_jaccard >= threshold.
+    */
+  def minHashDupPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.7,
+      shingleSize: Int = 3
+  ): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rowsPerBand = numHashes / bands
+    val sigs = df.select(
+      col(idCol).as("id"),
+      minHashSignature(col(textCol), numHashes, shingleSize).as("sig")
+    )
+    val banded = sigs.select(
+      col("id"), col("sig"),
+      explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("bk")
+    )
+    val a = banded.select(col("bk"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("bk"), col("id").as("id_b"), col("sig").as("sig_b"))
+    val est = {
+      val matches = size(filter(
+        zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+        x => x
+      ))
+      matches.cast(DoubleType) / lit(numHashes.toDouble)
+    }
+    a.join(b, Seq("bk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), est.as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+      .distinct()
+  }
+
+  /** Dedup via MinHash: drop every doc that has a near-dup with a smaller
+    * id (connected via at least one LSH candidate pair).
+    */
+  def minHashDedup(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.7
+  ): DataFrame = {
+    val losers = minHashDupPairs(df, textCol, idCol, numHashes, bands, threshold)
+      .select(col("id_b").as(idCol)).distinct()
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
+  // -------------------------------------------------------------- SimHash
+
+  /** 64-bit SimHash over word shingles: for each bit position, sum ±1
+    * votes from each shingle's xxhash64; bit = 1 iff the vote is positive.
+    */
+  def simHash(text: Column, shingleSize: Int = 2): Column = {
+    val hs = transform(array_distinct(shingles(text, shingleSize)), s => xxhash64(s))
+    val bits = (0 until 64).map { i =>
+      val vote = aggregate(
+        hs,
+        lit(0L),
+        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)
+      )
+      when(vote > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a + b)
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs: band the 64-bit signature into 4×16-bit
+    * blocks (any pair within Hamming distance 3 shares at least one exact
+    * block — pigeonhole), bucket-join on blocks, verify with bit_count.
+    */
+  def simHashDupPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      maxHamming: Int = 3
+  ): DataFrame = {
+    val sigs = df.select(col(idCol).as("id"), simHash(col(textCol)).as("sig"))
+    val blocks = (0 until 4).map { b =>
+      struct(lit(b).as("blk"), shiftright(col("sig"), b * 16).bitwiseAND(0xFFFFL).as("v"))
+    }
+    val banded = sigs.select(col("id"), col("sig"), explode(array(blocks: _*)).as("bk"))
+    val a = banded.select(col("bk"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("bk"), col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("bk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(
+        col("id_a"), col("id_b"),
+        hamming64(col("sig_a"), col("sig_b")).as("hamming")
+      )
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  // -------------------------------------------------- n-gram Jaccard (exact)
+
+  /** Exact n-gram Jaccard similarity between all candidate pairs produced
+    * by a cheap blocking key (default: shared rare shingle). For bounded
+    * corpora / verification of the MinHash estimate.
+    */
+  def jaccard(aTokens: Column, bTokens: Column): Column = {
+    val inter = size(array_intersect(aTokens, bTokens))
+    val uni = size(array_union(aTokens, bTokens))
+    when(uni > 0, inter.cast(DoubleType) / uni.cast(DoubleType)).otherwise(lit(0.0))
+  }
+
+  /** Exact pairwise n-gram Jaccard over docs sharing at least one shingle
+    * (inverted-index join — never a full cross product).
+    */
+  def ngramJaccardPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 3,
+      threshold: Double = 0.5
+  ): DataFrame = {
+    val withSh = df.select(
+      col(idCol).as("id"),
+      array_distinct(shingles(col(textCol), n)).as("sh")
+    )
+    val inv = withSh.select(col("id"), col("sh"), explode(col("sh")).as("g"))
+    val a = inv.select(col("g"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = inv.select(col("g"), col("id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("g"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .distinct()
+      .filter(col("jaccard") >= threshold)
+  }
+
+  // ------------------------------------------------- embedding near-dup
+
+  /** Embedding-cosine near-dup pairs, SRP-LSH bucketed: only vectors in
+    * the same sign-projection bucket are compared (probe = exact cosine).
+    */
+  def embeddingDupPairs(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      threshold: Double = 0.95,
+      bits: Int = 12,
+      seed: Int = 42
+  ): DataFrame = {
+    val bucketed = df.select(
+      col(idCol).as("id"),
+      col(vecCol).as("v"),
+      VectorFunctions.srpBucket(col(vecCol), bits, seed).as("bucket")
+    )
+    val a = bucketed.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = bucketed.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(
+        col("id_a"), col("id_b"),
+        VectorFunctions.cosine(col("v_a"), col("v_b")).as("cosine")
+      )
+      .filter(col("cosine") >= threshold)
+  }
+}

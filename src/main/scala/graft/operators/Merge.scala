@@ -1,0 +1,176 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+import graft.model._
+
+/**
+ * Keyed partial merge/upsert — the Spark re-expression of the reference's
+ * PartialUpdateMongo (PartialUpdateMongo.java:282-496). Mongo was the
+ * reference's state store; here state is any DataFrame (a Delta/parquet
+ * table at scale) and a whole micro-batch of updates is applied as ONE
+ * join — the batch analogue of the reference's unordered bulk write
+ * (`ordered(false)`, PartialUpdateMongo.java:451).
+ *
+ * Op semantics (PartialUpdateMongo.java:301-425):
+ *  - $set         last-write-wins field replace
+ *  - $addToSet    set-insert (scalar) / set-union ($each arrays), i.e.
+ *                 array_distinct(array_union(...)) — idempotent
+ *  - $inc         arithmetic add
+ *  - $currentDate server-now timestamp
+ *
+ * Scale notes: incoming updates are first COLLAPSED per key (partial
+ * aggregation — $inc sums, $set keeps last, $addToSet unions), so the
+ * state join sees at most one row per key regardless of update skew.
+ * The join itself is a standard equi-join Catalyst can plan as broadcast
+ * (small update batch — the common case) or shuffle with AQE skew
+ * handling. No driver-side loops, no per-record round trips.
+ */
+object Merge {
+
+  /** Collapse a batch of incoming updates to one row per key, respecting
+    * per-op semantics. `orderCol` defines "last" for $set (the reference
+    * applies updates in FlowFile arrival order; a batch needs an explicit
+    * order column, e.g. a sequence number or event time).
+    */
+  def collapseIncoming(
+      incoming: DataFrame,
+      spec: MergeSpec,
+      orderCol: String
+  ): DataFrame = {
+    val aggs = spec.fields.map { f =>
+      val c = col(f.propertyName)
+      f.op match {
+        // tie-break on the value itself so "last" is deterministic even
+        // when the order column has duplicates within a key
+        case MergeOp.Set => max_by(c, struct(col(orderCol), c)).as(f.propertyName)
+        case MergeOp.Inc => sum(c).as(f.propertyName)
+        case MergeOp.AddToSet =>
+          incoming.schema(f.propertyName).dataType match {
+            case _: ArrayType => // $each: union all arrays
+              array_distinct(flatten(collect_list(c))).as(f.propertyName)
+            case _ => collect_set(c).as(f.propertyName)
+          }
+        case MergeOp.CurrentDate =>
+          // value is produced at merge time; keep a placeholder
+          first(lit(true)).as(f.propertyName)
+      }
+    }
+    if (spec.keyFields.isEmpty) incoming.agg(aggs.head, aggs.tail: _*)
+    else incoming.groupBy(spec.keyFields.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Normalize epoch-millis longs to timestamps inside array-of-struct
+    * elements for the given keys — the reference's `fixTimestampsInside`
+    * applies this to any struct key whose lowercased name contains "time"
+    * (PartialUpdateMongo.java:646-672); we take the key list explicitly
+    * (configurable key-pattern per SURVEY §7.5 #4) and cast safely.
+    */
+  def normalizeTimestamps(arr: Column, timeKeys: Seq[String]): Column =
+    timeKeys.foldLeft(arr) { (a, k) =>
+      transform(a, x => x.withField(k, timestamp_millis(x.getField(k).cast(LongType))))
+    }
+
+  /** Keys for the reference's lowercase-contains-"time" heuristic. */
+  def timeLikeKeys(elementType: StructType): Seq[String] =
+    elementType.fields.collect {
+      case f if f.name.toLowerCase.contains("time") && f.dataType == LongType => f.name
+    }.toSeq
+
+  /** Result of a merge: the new state plus per-key routing info
+    * (`_route` = success | success-unmodified per modified-count,
+    * PartialUpdateMongo.java:253-275).
+    */
+  final case class MergeResult(state: DataFrame, routes: DataFrame)
+
+  /** Apply one collapsed update batch to `state`. Full-outer join on the
+    * key fields; upsert inserts unmatched incoming rows
+    * (UpdateOneModel(upsert=true), PartialUpdateMongo.java:445-449).
+    * `updateMany=false` restricts the update to one state row per key
+    * (`updateOne`, PartialUpdateMongo.java:471) via row_number.
+    */
+  def merge(
+      state: DataFrame,
+      collapsed: DataFrame,
+      spec: MergeSpec
+  ): MergeResult = {
+    require(spec.keyFields.nonEmpty, "merge requires key fields (empty = match-all; use crossJoin explicitly)")
+    val keys = spec.keyFields
+    val upd = spec.fields.map(_.propertyName)
+
+    // single-mode: only the first state row per key is eligible for update
+    val st0 =
+      if (spec.updateMany) state.withColumn("_upd_eligible", lit(true))
+      else {
+        val w = Window.partitionBy(keys.map(col): _*).orderBy(keys.map(col): _*)
+        state.withColumn("_upd_eligible", row_number().over(w) === 1)
+      }
+
+    val inc = collapsed.select(
+      keys.map(col) ++ upd.map(n => col(n).as(s"_in_$n")): _*
+    ).withColumn("_in_present", lit(true))
+
+    val joined = st0.join(inc, keys, "full_outer")
+
+    val stateCols = state.columns.toSeq
+    val eligible = coalesce(col("_upd_eligible"), lit(false))
+    val matched = col("_in_present").isNotNull && eligible
+    val inserted = col("_upd_eligible").isNull // no state row for this key
+
+    val fieldExprs: Map[String, Column] = spec.fields.map { f =>
+      val n = f.propertyName
+      val stV = if (stateCols.contains(n)) col(n) else lit(null)
+      val inV = col(s"_in_$n")
+      val merged = f.op match {
+        case MergeOp.Set => when(inV.isNotNull, inV).otherwise(stV)
+        case MergeOp.Inc =>
+          coalesce(stV, lit(0L)) + coalesce(inV, lit(0L))
+        case MergeOp.AddToSet =>
+          val arrType = collapsed.schema(n).dataType
+          array_distinct(
+            concat(
+              coalesce(stV.cast(arrType), array().cast(arrType)),
+              coalesce(inV, array().cast(arrType))
+            )
+          )
+        case MergeOp.CurrentDate => current_timestamp()
+      }
+      n -> when(matched || inserted, merged).otherwise(stV)
+    }.toMap
+
+    val outCols = stateCols.map { n =>
+      fieldExprs.getOrElse(n, col(n)).as(n)
+    } ++ upd.filterNot(stateCols.contains).map(n => fieldExprs(n).as(n))
+
+    // modified-count routing: matched + any field value actually changed
+    val changed = spec.fields.map { f =>
+      val n = f.propertyName
+      val stV = if (stateCols.contains(n)) col(n) else lit(null)
+      f.op match {
+        case MergeOp.CurrentDate => lit(true)
+        case _ => !(fieldExprs(n) <=> stV)
+      }
+    }.reduceOption(_ || _).getOrElse(lit(false))
+
+    val route =
+      when(inserted || (matched && changed), Route.Success)
+        .otherwise(when(matched, Route.SuccessUnmodified).otherwise(Route.Success))
+
+    val routes = joined
+      .filter(col("_in_present").isNotNull)
+      .select(keys.map(col) :+ route.as(Route.RouteCol): _*)
+
+    val newState = joined.select(outCols: _*)
+    MergeResult(newState, routes)
+  }
+
+  /** Convenience: collapse + merge in one call. */
+  def upsertBatch(
+      state: DataFrame,
+      incoming: DataFrame,
+      spec: MergeSpec,
+      orderCol: String
+  ): MergeResult = merge(state, collapseIncoming(incoming, spec, orderCol), spec)
+}
