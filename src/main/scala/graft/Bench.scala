@@ -7,6 +7,14 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // byte-based AQE coalescing under-parallelizes CPU-heavy text stages
+      // on small local files; 16k floor keeps them spread across cores
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16k")
+      // InferFiltersFromGenerate clones the full generator-input expression
+      // tree (regex tokenization) into a scan-level filter — pure overhead
+      // for our explode pipelines, whose generators drop nothing
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

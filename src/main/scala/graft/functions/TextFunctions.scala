@@ -111,9 +111,19 @@ object TextFunctions {
   def normalizeForFingerprint(text: Column): Column =
     trim(regexp_replace(regexp_replace(lower(text), "[\\p{Punct}]", ""), "\\s+", " "))
 
-  /** Word n-grams (shingles) of the normalized text, for MinHash/Jaccard. */
-  def shingles(text: Column, n: Int): Column = {
-    val ts = tokens(normalizeForFingerprint(text))
+  /** Word n-grams (shingles) of the normalized text, for MinHash/Jaccard.
+    *
+    * NOTE for hot paths: higher-order functions are interpreted (no
+    * codegen/CSE), so pass a *materialized* token column via
+    * `shinglesFromTokens` when the shingles feed many downstream
+    * expressions — inlining this tree N times recomputes the regex
+    * normalization N times per row.
+    */
+  def shingles(text: Column, n: Int): Column =
+    shinglesFromTokens(tokens(normalizeForFingerprint(text)), n)
+
+  /** Shingles from an already-computed token array column. */
+  def shinglesFromTokens(ts: Column, n: Int): Column =
     when(size(ts) < n, array(concat_ws(" ", ts)))
       .otherwise(
         transform(
@@ -121,7 +131,6 @@ object TextFunctions {
           i => concat_ws(" ", slice(ts, i + 1, lit(n)))
         )
       )
-  }
 
   /** Character n-grams of the normalized text. */
   def charShingles(text: Column, n: Int): Column = {

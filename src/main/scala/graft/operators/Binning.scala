@@ -139,13 +139,40 @@ object Binning {
     registry.toSeq
   }
 
+  /** Stage one materialized ARRAY<STRING> column per binner
+    * (`_bin_<name>`). MergedBinner references the *attributes* of its
+    * constituents rather than re-inlining their expression trees —
+    * higher-order functions are interpreted (no codegen CSE), so an
+    * inlined tree would recompute every constituent per merged element.
+    */
+  def withBinArrays(df: DataFrame, specs: Seq[BinnerSpec]): (DataFrame, Seq[String]) = {
+    val names = specs.map(_.binName)
+    val staged = specs.foldLeft(df) { (d, spec) =>
+      val c = spec match {
+        case DateBinner(name, field, g) => dateBinNames(name, col(field), g)
+        case LiteralBinner(name, field) => literalBinNames(name, col(field))
+        case NumericBinner(name, field, maxLevel) => numericBinNames(name, col(field), maxLevel)
+        case GeoTileBinner(name, latF, lonF, maxLevel) => geoTileBinNames(name, col(latF), col(lonF), maxLevel)
+        case MergedBinner(name, parts) =>
+          val missing = parts.filterNot(p => specs.takeWhile(_ != spec).exists(_.binName == p))
+          require(
+            missing.isEmpty,
+            s"MergedBinner $name references undefined/forward binners: ${missing.mkString(",")}"
+          )
+          mergedBinNames(name, parts.map(p => col(s"_bin_$p")))
+      }
+      d.withColumn(s"_bin_${spec.binName}", c)
+    }
+    (staged, names.map(n => s"_bin_$n"))
+  }
+
   /** Record → N `{name, count: 1}` rows (the reference's bin fan-out,
     * DataBinningProcessor.java:251-266). Narrow: explode of a concatenated
     * name array, no shuffle.
     */
   def fanOut(df: DataFrame, specs: Seq[BinnerSpec]): DataFrame = {
-    val allNames = concat(compile(specs).map(_._2): _*)
-    df.select(explode(allNames).as("name")).select(
+    val (staged, binCols) = withBinArrays(df, specs)
+    staged.select(explode(concat(binCols.map(col): _*)).as("name")).select(
       col("name"),
       lit(1L).as("count")
     )
@@ -162,10 +189,11 @@ object Binning {
     * (levels × binners), so the array never explodes memory at scale.
     */
   def binsPerRecord(df: DataFrame, specs: Seq[BinnerSpec], recordKey: String): DataFrame = {
-    val allNames = concat(compile(specs).map(_._2): _*)
-    df.select(
+    val (staged, binCols) = withBinArrays(df, specs)
+    staged.select(
       col(recordKey),
-      transform(allNames, nm => struct(nm.as("name"), lit(1L).as("count"))).as("bins")
+      transform(concat(binCols.map(col): _*),
+        nm => struct(nm.as("name"), lit(1L).as("count"))).as("bins")
     )
   }
 }

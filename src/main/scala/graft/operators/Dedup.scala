@@ -67,8 +67,9 @@ object Dedup {
     */
   def lshBandKeys(signature: Column, bands: Int, rowsPerBand: Int): Column = {
     val keys = (0 until bands).map { b =>
-      val bandSlice = slice(signature, b * rowsPerBand + 1, rowsPerBand)
-      struct(lit(b).as("band"), xxhash64(to_json(struct(bandSlice.as("s")))).as("h"))
+      // xxhash64 hashes array columns natively — no JSON serialization
+      struct(lit(b).as("band"),
+        xxhash64(slice(signature, b * rowsPerBand + 1, rowsPerBand)).as("h"))
     }
     array(keys: _*)
   }
@@ -88,10 +89,25 @@ object Dedup {
   ): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rowsPerBand = numHashes / bands
-    val sigs = df.select(
-      col(idCol).as("id"),
-      minHashSignature(col(textCol), numHashes, shingleSize).as("sig")
-    )
+    // signatures via explode + hash aggregate: higher-order functions are
+    // interpreted (no codegen), so k array_min(transform(...)) lambdas per
+    // row would re-walk the shingles k times. Exploding once and taking k
+    // codegen'd min()s gets map-side partial aggregation; each doc lives in
+    // one partition, so the shuffle carries exactly one (id, k longs) row
+    // per doc.
+    val sigs = df
+      .select(col(idCol).as("id"), col(textCol).as("_txt"))
+      // decouple CPU parallelism from input split count: tokenization is
+      // ms/doc, and a small unsplittable parquet file would otherwise pin
+      // the whole corpus to one task. The shuffle carries (id, text) once.
+      .repartition(col("id"))
+      .select(col("id"),
+        tokens(normalizeForFingerprint(col("_txt"))).as("_ts"))
+      .select(col("id"),
+        explode(array_distinct(shinglesFromTokens(col("_ts"), shingleSize))).as("_g"))
+      .groupBy("id")
+      .agg(array((0 until numHashes).map(i =>
+        min(xxhash64(col("_g"), lit(i)))): _*).as("sig"))
     val banded = sigs.select(
       col("id"), col("sig"),
       explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("bk")
@@ -133,8 +149,14 @@ object Dedup {
   /** 64-bit SimHash over word shingles: for each bit position, sum ±1
     * votes from each shingle's xxhash64; bit = 1 iff the vote is positive.
     */
-  def simHash(text: Column, shingleSize: Int = 2): Column = {
-    val hs = transform(array_distinct(shingles(text, shingleSize)), s => xxhash64(s))
+  def simHash(text: Column, shingleSize: Int = 2): Column =
+    simHashFromHashes(transform(array_distinct(shingles(text, shingleSize)), s => xxhash64(s)))
+
+  /** SimHash from a *materialized* shingle-hash array column (see the
+    * staging note on TextFunctions.shingles — pass an attribute, not a
+    * derived expression, or it is re-evaluated 64 times per row).
+    */
+  def simHashFromHashes(hs: Column): Column = {
     val bits = (0 until 64).map { i =>
       val vote = aggregate(
         hs,
@@ -159,7 +181,22 @@ object Dedup {
       idCol: String,
       maxHamming: Int = 3
   ): DataFrame = {
-    val sigs = df.select(col(idCol).as("id"), simHash(col(textCol)).as("sig"))
+    // explode + codegen'd hash aggregate (see minHashDupPairs note): 64
+    // bit-vote sums per doc in one partial-aggregated pass, vs 64
+    // interpreted aggregate() lambdas per row
+    val hashed = df
+      .select(col(idCol).as("id"), col(textCol).as("_txt"))
+      .repartition(col("id"))  // split-independent parallelism (see minHashDupPairs)
+      .select(col("id"),
+        tokens(normalizeForFingerprint(col("_txt"))).as("_ts"))
+      .select(col("id"),
+        explode(array_distinct(shinglesFromTokens(col("_ts"), 2))).as("_g"))
+      .select(col("id"), xxhash64(col("_g")).as("_h"))
+    val sigExpr = (0 until 64).map { i =>
+      when(sum(when(shiftright(col("_h"), i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)) > 0,
+        shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val sigs = hashed.groupBy("id").agg(sigExpr.as("sig"))
     val blocks = (0 until 4).map { b =>
       struct(lit(b).as("blk"), shiftright(col("sig"), b * 16).bitwiseAND(0xFFFFL).as("v"))
     }
@@ -198,17 +235,44 @@ object Dedup {
       n: Int = 3,
       threshold: Double = 0.5
   ): DataFrame = {
-    val withSh = df.select(
-      col(idCol).as("id"),
-      array_distinct(shingles(col(textCol), n)).as("sh")
-    )
-    val inv = withSh.select(col("id"), col("sh"), explode(col("sh")).as("g"))
-    val a = inv.select(col("g"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = inv.select(col("g"), col("id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("g"))
+    val withSh = df
+      .select(col(idCol).as("id"), col(textCol).as("_txt"))
+      .repartition(col("id"))  // split-independent parallelism (see minHashDupPairs)
+      .select(col("id"),
+        tokens(normalizeForFingerprint(col("_txt"))).as("_ts"))
+      .select(col("id"), array_distinct(shinglesFromTokens(col("_ts"), n)).as("sh"))
+    // |A ∩ B| falls straight out of the inverted-index join: each shared
+    // distinct shingle contributes exactly one joined row. The shuffle
+    // carries (id, shingle) pairs and counts — never the arrays — and
+    // |A ∪ B| = |A| + |B| − |A ∩ B|, so no pairwise array math at all.
+    // shuffle 8-byte shingle hashes, not strings. 64-bit collisions can in
+    // principle overcount the intersection by 1; at ~2⁻⁶⁴ per shingle pair
+    // this is noise.
+    //
+    // Set sizes are deliberately computed as an AGGREGATE over the
+    // exploded rows, not size(sh) carried through the join: a join-side
+    // column derived directly from the tokenization tree lets constraint
+    // inference (isnotnull) substitute the whole regex/shingle expression
+    // into a scan-level filter — recomputing tokenization per doc at the
+    // scan. Constraint substitution cannot cross an Aggregate. The
+    // groupBy("id") also reuses inv's id-hash partitioning: no extra
+    // shuffle, and AQE broadcasts the (id, n) side of the size joins.
+    val inv = withSh
+      .select(col("id"), explode(col("sh")).as("g"))
+      .select(col("id"), xxhash64(col("g")).as("h"))
+    val sizes = inv.groupBy("id").agg(count(lit(1)).as("n"))
+    val a = inv.select(col("h"), col("id").as("id_a"))
+    val b = inv.select(col("h"), col("id").as("id_b"))
+    a.join(b, Seq("h"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
-      .distinct()
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("id").as("id_a"), col("n").as("na")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("n").as("nb")), Seq("id_b"))
+      .select(
+        col("id_a"), col("id_b"),
+        (col("inter").cast(DoubleType) /
+          (col("na") + col("nb") - col("inter")).cast(DoubleType)).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
