@@ -40,16 +40,19 @@ object TypedAttrs {
     coalesce(lower(c) === "true", lit(false))
 
   /** Integer.parseInt; missing/malformed → null (malformed routes to
-    * failure in strict mode — see [[project]]'s route column).
+    * failure in strict mode — see [[project]]'s route column). try_cast,
+    * not cast: Spark 4 ANSI mode makes a plain cast THROW on malformed
+    * input, but the reference catches NumberFormatException and routes —
+    * null + the route column is the faithful mapping.
     */
-  def intAttr(c: Column): Column = c.cast(IntegerType)
+  def intAttr(c: Column): Column = c.try_cast(IntegerType)
 
-  def longAttr(c: Column): Column = c.cast(LongType)
+  def longAttr(c: Column): Column = c.try_cast(LongType)
 
-  def doubleAttr(c: Column): Column = c.cast(DoubleType)
+  def doubleAttr(c: Column): Column = c.try_cast(DoubleType)
 
   /** Epoch-millis string → TimestampType (UTC session TZ assumed). */
-  def epochMillisAttr(c: Column): Column = timestamp_millis(c.cast(LongType))
+  def epochMillisAttr(c: Column): Column = timestamp_millis(c.try_cast(LongType))
 
   /** Render a timestamp as the reference's `$date` ISO string. */
   def isoMillis(ts: Column): Column = date_format(ts, IsoMillisFormat)
@@ -104,7 +107,7 @@ object TypedAttrs {
     val attrs = col(attrsCol)
     def present(k: String): Column = element_at(attrs, k).isNotNull
     def malformed(k: String, t: DataType): Column =
-      present(k) && element_at(attrs, k).cast(t).isNull
+      present(k) && element_at(attrs, k).try_cast(t).isNull
     val badInt = cfg.ints.map(malformed(_, IntegerType))
     val badDouble = cfg.doubles.map(malformed(_, DoubleType))
     val badEpoch = cfg.epochMillisDates.map(malformed(_, LongType))

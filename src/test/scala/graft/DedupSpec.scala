@@ -1,0 +1,75 @@
+package graft
+
+import graft.operators.{Dedup, DuplicateCheck}
+import graft.model.Route
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val doc = "the quick brown fox jumps over the lazy dog again and again today"
+  private def docs = Seq(
+    (1L, doc),
+    (2L, doc + "!!"),            // exact dup after punctuation strip
+    (3L, doc.replace("lazy", "sleepy")), // near dup
+    (4L, "completely different content about spark query engines at scale")
+  ).toDF("id", "text")
+
+  test("exact dedup keeps first id per normalized fingerprint") {
+    val kept = Dedup.exact(docs, "text", "id").select("id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 3L, 4L))
+  }
+
+  test("exactGroups reports dup groups only") {
+    val g = Dedup.exactGroups(docs, "text", "id").select("ids").as[Seq[Long]].collect()
+    assert(g.toSeq == Seq(Seq(1L, 2L)))
+  }
+
+  test("minhash finds planted near-dups and not unrelated docs") {
+    val pairs = Dedup.minHashDupPairs(docs, "text", "id", numHashes = 32, bands = 16, threshold = 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minHashDedup drops the larger id of each dup pair") {
+    val kept = Dedup.minHashDedup(docs, "text", "id", 32, 16, 0.9).select("id").as[Long].collect().toSet
+    assert(kept.contains(1L) && !kept.contains(2L))
+  }
+
+  test("simhash: identical normalized docs have identical signatures (hamming 0)") {
+    val pairs = Dedup.simHashDupPairs(docs, "text", "id", maxHamming = 3)
+      .as[(Long, Long, Int)].collect()
+    val m = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(m((1L, 2L)) == 0)
+  }
+
+  test("ngram jaccard: exact value for identical docs; one-word swap scores below 1") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "text", "id", n = 3, threshold = 0.3)
+      .as[(Long, Long, Double)].collect()
+    val m = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(m((1L, 2L)) == 1.0)
+    assert(m((1L, 3L)) > 0.3 && m((1L, 3L)) < 1.0)
+  }
+
+  test("embedding near-dup: identical vectors pair at cosine 1") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.5f)),
+      (2L, Array(1.0f, 0.0f, 0.5f)),
+      (3L, Array(-1.0f, 2.0f, 0.0f))
+    ).toDF("id", "v")
+    val pairs = Dedup.embeddingDupPairs(vecs, "v", "id", threshold = 0.99, bits = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("duplicate-check routes: existing key and intra-batch dups -> already-exists") {
+    val incoming = Seq((1L, 1), (1L, 2), (2L, 1)).toDF("k", "seq")
+    val existing = Seq(Tuple1(2L)).toDF("k")
+    val out = DuplicateCheck.route(incoming, existing, Seq("k"), "seq")
+      .select("k", "seq", Route.RouteCol).as[(Long, Int, String)].collect().toSet
+    assert(out == Set(
+      (1L, 1, Route.Success),
+      (1L, 2, Route.AlreadyExists),
+      (2L, 1, Route.AlreadyExists)))
+  }
+}

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.model._
+import graft.operators.Merge
+
+/** PartialUpdateMongo merge semantics (SURVEY §2, §7.5 #3-#5). */
+class MergeOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def incoming = Seq(
+    (1L, "a", 10L, "t1", 1),
+    (1L, "b", 5L, "t2", 2),  // later seq: $set keeps "b"
+    (2L, "c", 7L, "t1", 1)
+  ).toDF("k", "s", "n", "tag", "seq")
+
+  private val spec = MergeSpec(
+    keyFields = Seq("k"),
+    fields = Seq(
+      MergeFieldSpec("s", MergeOp.Set),
+      MergeFieldSpec("n", MergeOp.Inc),
+      MergeFieldSpec("tag", MergeOp.AddToSet)))
+
+  test("collapseIncoming: $set last-wins by order col, $inc sums, $addToSet collects set") {
+    val out = Merge.collapseIncoming(incoming, spec, "seq")
+      .select($"k", $"s", $"n", array_sort($"tag").as("tag"))
+      .as[(Long, String, Long, Seq[String])].collect().sortBy(_._1)
+    assert(out(0) == ((1L, "b", 15L, Seq("t1", "t2"))))
+    assert(out(1) == ((2L, "c", 7L, Seq("t1"))))
+  }
+
+  test("collapseIncoming $set tie-break on equal order values is deterministic (max value)") {
+    val dup = Seq((1L, "x", 1), (1L, "z", 1), (1L, "y", 1)).toDF("k", "s", "seq")
+    val out = Merge.collapseIncoming(dup,
+      MergeSpec(Seq("k"), Seq(MergeFieldSpec("s", MergeOp.Set))), "seq")
+    assert(out.select("s").as[String].collect()(0) == "z")
+  }
+
+  test("merge: upsert inserts unmatched, updates matched, $inc adds to state") {
+    val state = Seq((1L, "old", 100L), (9L, "keep", 1L)).toDF("k", "s", "n")
+    val collapsed = Merge.collapseIncoming(incoming,
+      MergeSpec(Seq("k"), Seq(MergeFieldSpec("s", MergeOp.Set), MergeFieldSpec("n", MergeOp.Inc))),
+      "seq")
+    val res = Merge.merge(state, collapsed,
+      MergeSpec(Seq("k"), Seq(MergeFieldSpec("s", MergeOp.Set), MergeFieldSpec("n", MergeOp.Inc))))
+    val m = res.state.select("k", "s", "n").as[(Long, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(m(1L) == (("b", 115L))) // updated: set wins, inc added
+    assert(m(2L) == (("c", 7L)))   // inserted
+    assert(m(9L) == (("keep", 1L))) // untouched
+  }
+
+  test("merge routes: changed -> success, no-op -> success-unmodified") {
+    val state = Seq((1L, "b"), (2L, "x")).toDF("k", "s")
+    val collapsed = Seq((1L, "b"), (2L, "y"), (3L, "new")).toDF("k", "s")
+    val res = Merge.merge(state, collapsed, MergeSpec(Seq("k"), Seq(MergeFieldSpec("s", MergeOp.Set))))
+    val m = res.routes.as[(Long, String)].collect().toMap
+    assert(m(1L) == Route.SuccessUnmodified) // same value -> modifiedCount 0
+    assert(m(2L) == Route.Success)
+    assert(m(3L) == Route.Success)           // insert
+  }
+
+  test("$addToSet is idempotent: merging the same values twice changes nothing") {
+    val state = Seq((1L, Seq("a", "b"))).toDF("k", "tags")
+    val inc = Seq((1L, Seq("b", "c"))).toDF("k", "tags")
+    val spec = MergeSpec(Seq("k"), Seq(MergeFieldSpec("tags", MergeOp.AddToSet)))
+    val once = Merge.merge(state, inc, spec).state
+    val twice = Merge.merge(once, inc, spec).state
+    assert(rows(once.select($"k", array_sort($"tags"))) == rows(twice.select($"k", array_sort($"tags"))))
+    assert(once.select(array_sort($"tags")).as[Seq[String]].collect()(0) == Seq("a", "b", "c"))
+  }
+
+  test("parent.child dot notation: exactly 2 segments enforced") {
+    val e = intercept[IllegalArgumentException] { MergeFieldSpec("a.b.c", MergeOp.Set) }
+    assert(e.getMessage.contains("2 segments"))
+    MergeFieldSpec("a.b", MergeOp.Set) // fine
+  }
+
+  test("normalizeTimestamps converts epoch-long '*time*' keys in struct arrays") {
+    val df = Seq(1).toDF("i").select(
+      array(struct(lit(1455494400000L).as("updateTime"), lit("x").as("v"))).as("arr"))
+    val out = df.select(Merge.normalizeTimestamps($"arr", Seq("updateTime")).as("arr"))
+    val ts = out.select(element_at($"arr", 1).getField("updateTime")).collect()(0).getTimestamp(0)
+    assert(ts.toInstant.toString == "2016-02-15T00:00:00Z")
+  }
+
+  test("timeLikeKeys finds lowercase-contains-time long fields") {
+    import org.apache.spark.sql.types._
+    val st = StructType(Seq(
+      StructField("updateTime", LongType), StructField("name", StringType),
+      StructField("TIMESTAMP", LongType), StructField("timeStr", StringType)))
+    assert(Merge.timeLikeKeys(st) == Seq("updateTime", "TIMESTAMP"))
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+
+class TextVectorFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("token counts: whitespace, bpe-ish, chars") {
+    val out = Seq("Hello, world! 42").toDF("t").select(
+      TF.tokenCount($"t"), TF.bpeishTokenCount($"t"), TF.charCount($"t"))
+      .as[(Long, Long, Long)].collect()(0)
+    assert(out == ((3L, 5L, 16L))) // bpe-ish: Hello , world ! 42
+  }
+
+  test("empty text: zero tokens, zero ratios") {
+    val out = Seq("", "   ").toDF("t").select(
+      TF.tokenCount($"t"), TF.punctRatio($"t"), TF.stopwordRatio($"t"))
+      .as[(Long, Double, Double)].collect()
+    assert(out.forall(r => r._1 == 0L && r._3 == 0.0))
+  }
+
+  test("stopword ratio and quality score") {
+    val good = "the cat sat on the mat and it was a good day for sitting outside"
+    val out = Seq(good).toDF("t").select(TF.stopwordRatio($"t"), TF.qualityScore($"t"))
+      .as[(Double, Double)].collect()(0)
+    assert(out._1 > 0.2 && out._1 < 0.8)
+    assert(out._2 == 1.0)
+  }
+
+  test("langId picks marker-heaviest language; no markers -> und") {
+    val out = Seq("the cat and the dog", "el gato de la casa que", "zzz qqq").toDF("t")
+      .select(TF.langId($"t")).as[String].collect().toSeq
+    assert(out == Seq("en", "es", "und"))
+  }
+
+  test("fingerprint normalization: case/punct/whitespace-insensitive") {
+    val out = Seq("Hello,  World!", "hello world").toDF("t")
+      .select(TF.fingerprintXx($"t")).as[Long].collect()
+    assert(out(0) == out(1))
+  }
+
+  test("shingles: word n-grams; short docs collapse to one shingle") {
+    val out = Seq("a b c d", "a b").toDF("t")
+      .select(TF.shingles($"t", 3)).as[Seq[String]].collect()
+    assert(out(0) == Seq("a b c", "b c d"))
+    assert(out(1) == Seq("a b"))
+  }
+
+  test("vector dot/norm/cosine/l2") {
+    val df = Seq((Array(3.0f, 4.0f), Array(4.0f, 3.0f))).toDF("a", "b")
+    val out = df.select(
+      VF.dot($"a", $"b"), VF.norm($"a"), VF.cosine($"a", $"a"), VF.l2Distance($"a", $"b"))
+      .as[(Double, Double, Double, Double)].collect()(0)
+    assert(out._1 == 24.0)
+    assert(out._2 == 5.0)
+    assert(math.abs(out._3 - 1.0) < 1e-12)
+    assert(math.abs(out._4 - math.sqrt(2.0)) < 1e-12)
+  }
+
+  test("cosine of zero vector is 0, not NaN") {
+    val df = Seq((Array(0.0f, 0.0f), Array(1.0f, 1.0f))).toDF("a", "b")
+    assert(df.select(VF.cosine($"a", $"b")).as[Double].collect()(0) == 0.0)
+  }
+}
