@@ -7,6 +7,8 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // events.parquet carries TIMESTAMP(NANOS) (see SparkEntry.events)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // byte-based AQE coalescing under-parallelizes CPU-heavy text stages
       // on small local files; 16k floor keeps them spread across cores
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16k")
@@ -18,6 +20,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warm-up: session/codegen/scan initialization must not be charged to
+    // whichever query happens to run first
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+    new java.io.File(sfDir).listFiles((_, n) => n.endsWith(".parquet"))
+      .foreach(f => spark.read.parquet(f.getPath).count())
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

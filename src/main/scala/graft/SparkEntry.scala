@@ -397,6 +397,88 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // ---- binning: multiple-output mode — one row per record with its
+    //      bounded bin array (DataBinningProcessor.java:292-306)
+    "bins_per_record" -> ((s, dir) => {
+      val ev = events(s, dir)
+      Binning.binsPerRecord(ev, Seq(
+        DateBinner("time", "ts", DateGranularity.DAY),
+        LiteralBinner("type", "event_type")), "event_id")
+        .select(
+          col("event_id"),
+          array_join(transform(col("bins"), b => b.getField("name")), "|").as("bin_names"),
+          size(col("bins")).cast(LongType).as("n_bins"))
+        .orderBy("event_id")
+    }),
+
+    // ---- document fingerprinting: rolling 64-bit hash of normalized text;
+    //      dup-group size histogram (oracle groups by normalized text —
+    //      identical groups iff the fingerprint is collision-free)
+    "doc_fingerprint" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(TextFunctions.fingerprintXx(col("text")).as("fp"))
+        .groupBy("fp").agg(count(lit(1)).as("group_size"))
+        .groupBy("group_size").agg(count(lit(1)).as("n_groups"))
+        .orderBy("group_size")
+    }),
+
+    // ---- ANN: IVF with nprobe = #centroids scans every partition, so it
+    //      must EXACTLY equal brute force — the oracle is the brute-force
+    //      cosine top-k (left-fold double arithmetic on both engines)
+    "ann_ivf_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val cents = Similarity.seedCentroids(emb, "id", "vec", 4)
+      val assigned = Similarity.assignToCentroids(emb, "vec", cents)
+      val q = t(s, dir, "embeddings").filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.ivfTopK(assigned, "id", "vec", cents, q, "qid", "qvec", k = 10, nprobe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- merge: nested parent.child $set (PartialUpdateMongo.java:537-589)
+    "merge_nested" -> ((s, dir) => {
+      val state = t(s, dir, "orders").select(
+        col("o_orderkey"),
+        struct(col("o_orderstatus").as("status"), col("o_totalprice").as("total")).as("info"))
+      val incoming = t(s, dir, "lineitem").select(
+        col("l_orderkey").as("o_orderkey"),
+        col("l_returnflag").as("info.status"),
+        col("l_linenumber").as("seq"))
+      val spec = MergeSpec(Seq("o_orderkey"), Seq(MergeFieldSpec("info.status", MergeOp.Set)))
+      Merge.upsertBatch(state, incoming, spec, "seq").state
+        .select(
+          col("o_orderkey"),
+          col("info.status").as("status"),
+          col("info.total").as("total"))
+        .orderBy("o_orderkey")
+    }),
+
+    // ---- dedup: embedding-cosine near-dup via SRP-LSH buckets. The
+    //      synthetic embeddings have no natural near-dups (max pair cosine
+    //      ~0.49), so exact duplicates are planted under shifted ids;
+    //      rows-only check (bucket membership is hash-dependent).
+    "dedup_embedding_pairs" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val planted = emb.filter(col("vec_id") < 10)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      Dedup.embeddingDupPairs(emb.union(planted), "embedding", "vec_id",
+          threshold = 0.999, bits = 8)
+        .select(col("id_a"), col("id_b"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ---- multimodal: partition-batched feature extraction over binary
+    //      media (stub decode kernel, real plumbing; rows-only check —
+    //      features are hash-derived)
+    "media_features" -> ((s, dir) => {
+      val media = Multimodal.syntheticMedia(s, 500)
+      Multimodal.extractFeatures(media, dim = 8)
+        .select(col("media_id"), col("n_bytes"), element_at(col("features"), 1).as("f0"))
+        .orderBy("media_id")
+    }),
+
     // ---- dedup: MinHash+LSH near-dup pairs (no SQL oracle: hash-dependent;
     //      rows-only check + unit-tested invariants)
     "dedup_minhash_pairs" -> ((s, dir) => {
@@ -656,6 +738,56 @@ object SparkEntry {
         | FROM events
         |)
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "bins_per_record" ->
+      """SELECT event_id,
+        | 'time.' || strftime(ts, '%Y') || '|time.' || strftime(ts, '%Y-%m')
+        |   || '|time.' || strftime(ts, '%Y-%m-%d') || '|type.' || event_type AS bin_names,
+        | CAST(4 AS BIGINT) AS n_bins
+        |FROM events
+        |ORDER BY event_id""".stripMargin,
+
+    "doc_fingerprint" ->
+      """WITH norm AS (
+        | SELECT trim(regexp_replace(regexp_replace(lower(text), '[[:punct:]]', '', 'g'), '\s+', ' ', 'g')) AS nt
+        | FROM documents
+        |), g AS (
+        | SELECT CAST(count(*) AS BIGINT) AS group_size FROM norm GROUP BY nt
+        |)
+        |SELECT group_size, CAST(count(*) AS BIGINT) AS n_groups
+        |FROM g GROUP BY group_size ORDER BY group_size""".stripMargin,
+
+    "ann_ivf_topk" ->
+      """WITH q AS (
+        | SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3
+        |), s AS (
+        | SELECT q.query_id, e.vec_id AS neighbor_id,
+        |  list_sum(list_transform(list_zip(q.qv, e.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) AS d,
+        |  list_sum(list_transform(list_zip(q.qv, q.qv), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) AS na,
+        |  list_sum(list_transform(list_zip(e.embedding, e.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) AS nb
+        | FROM embeddings e, q WHERE e.vec_id <> q.query_id
+        |), c AS (
+        | SELECT query_id, neighbor_id,
+        |  CASE WHEN sqrt(na) * sqrt(nb) > 0.0 THEN d / (sqrt(na) * sqrt(nb)) ELSE 0.0 END AS cosine
+        | FROM s
+        |)
+        |SELECT query_id, neighbor_id, cosine,
+        | CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+        |FROM c
+        |QUALIFY rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "merge_nested" ->
+      """SELECT COALESCE(o.o_orderkey, i.k) AS o_orderkey,
+        | COALESCE(i.status, o.o_orderstatus) AS status,
+        | o.o_totalprice AS total
+        |FROM orders o
+        |FULL OUTER JOIN (
+        | SELECT l_orderkey AS k,
+        |        arg_max(l_returnflag, printf('%012d|%s', l_linenumber, l_returnflag)) AS status
+        | FROM lineitem GROUP BY 1
+        |) i ON o.o_orderkey = i.k
+        |ORDER BY o_orderkey""".stripMargin,
 
     "ngram_jaccard_pairs" ->
       """WITH toks AS (

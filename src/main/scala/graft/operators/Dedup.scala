@@ -289,18 +289,36 @@ object Dedup {
       bits: Int = 12,
       seed: Int = 42
   ): DataFrame = {
-    val bucketed = df.select(
-      col(idCol).as("id"),
-      col(vecCol).as("v"),
-      VectorFunctions.srpBucket(col(vecCol), bits, seed).as("bucket")
-    )
-    val a = bucketed.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
-    val b = bucketed.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+    // SRP buckets + norms via posexplode + codegen'd hash aggregate (the
+    // interpreted per-row srpBucket fold re-walks the vector once per
+    // hyperplane); norms are computed ONCE per vector here, so the pair
+    // verify below folds only the dot product.
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .repartition(col("id")) // split-independent parallelism (see minHashDupPairs)
+    val exploded = base
+      .select(col("id"), posexplode(col("v")).as(Seq("i", "x")))
+      .select(col("id"), col("i"), col("x").cast(DoubleType).as("x"))
+    val planeBits = (0 until bits).map { p =>
+      val signed = when(
+        pmod(xxhash64(col("i"), lit(p), lit(seed)), lit(2L)) === 0, col("x"))
+        .otherwise(-col("x"))
+      when(sum(signed) >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }
+    val sigs = exploded.groupBy("id").agg(
+      planeBits.reduce(_ + _).as("bucket"),
+      sqrt(sum(col("x") * col("x"))).as("nrm"))
+    val bucketed = base.join(sigs, Seq("id"))
+    val a = bucketed.select(col("bucket"), col("id").as("id_a"),
+      col("v").as("v_a"), col("nrm").as("n_a"))
+    val b = bucketed.select(col("bucket"), col("id").as("id_b"),
+      col("v").as("v_b"), col("nrm").as("n_b"))
+    val nn = col("n_a") * col("n_b")
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(
         col("id_a"), col("id_b"),
-        VectorFunctions.cosine(col("v_a"), col("v_b")).as("cosine")
+        when(nn > 0.0, VectorFunctions.dot(col("v_a"), col("v_b")) / nn)
+          .otherwise(lit(0.0)).as("cosine")
       )
       .filter(col("cosine") >= threshold)
   }

@@ -30,6 +30,12 @@ import graft.model._
  */
 object Merge {
 
+  /** Reference a possibly-dotted FLAT column name literally (backticks):
+    * the reference's update payload carries `parent.child` as a flat JSON
+    * key (PartialUpdateMongo.java:537-543); only the STATE side is nested.
+    */
+  private def fcol(n: String): Column = col(s"`$n`")
+
   /** Collapse a batch of incoming updates to one row per key, respecting
     * per-op semantics. `orderCol` defines "last" for $set (the reference
     * applies updates in FlowFile arrival order; a batch needs an explicit
@@ -41,7 +47,7 @@ object Merge {
       orderCol: String
   ): DataFrame = {
     val aggs = spec.fields.map { f =>
-      val c = col(f.propertyName)
+      val c = fcol(f.propertyName)
       f.op match {
         // tie-break on the value itself so "last" is deterministic even
         // when the order column has duplicates within a key
@@ -109,7 +115,7 @@ object Merge {
       }
 
     val inc = collapsed.select(
-      keys.map(col) ++ upd.map(n => col(n).as(s"_in_$n")): _*
+      keys.map(col) ++ upd.map(n => fcol(n).as(s"_in_$n")): _*
     ).withColumn("_in_present", lit(true))
 
     val joined = st0.join(inc, keys, "full_outer")
@@ -119,10 +125,20 @@ object Merge {
     val matched = col("_in_present").isNotNull && eligible
     val inserted = col("_upd_eligible").isNull // no state row for this key
 
+    // state-side value of a field: dotted names address a nested struct
+    // child (the reference's exactly-2-segment parent.child,
+    // PartialUpdateMongo.java:537-543); flat names a top-level column
+    def stateValue(f: MergeFieldSpec): Column = f.segments match {
+      case Array(parent, child) if stateCols.contains(parent) =>
+        col(parent).getField(child)
+      case Array(n) if stateCols.contains(n) => col(n)
+      case _ => lit(null)
+    }
+
     val fieldExprs: Map[String, Column] = spec.fields.map { f =>
       val n = f.propertyName
-      val stV = if (stateCols.contains(n)) col(n) else lit(null)
-      val inV = col(s"_in_$n")
+      val stV = stateValue(f)
+      val inV = fcol(s"_in_$n")
       val merged = f.op match {
         case MergeOp.Set => when(inV.isNotNull, inV).otherwise(stV)
         case MergeOp.Inc =>
@@ -140,17 +156,47 @@ object Merge {
       n -> when(matched || inserted, merged).otherwise(stV)
     }.toMap
 
+    val flatNames = spec.fields.filter(_.segments.length == 1).map(_.propertyName)
+    val byParent = spec.fields.filter(_.segments.length == 2).groupBy(_.segments(0))
+    def freshStruct(children: Seq[MergeFieldSpec]): Column =
+      struct(children.map(f => fieldExprs(f.propertyName).as(f.segments(1))): _*)
+    // null-parent replacement matching the EXISTING parent's full shape:
+    // merged children take their merged value, siblings null — must be
+    // type-identical to the withField branch
+    def freshStructLike(pt: StructType, children: Seq[MergeFieldSpec]): Column = {
+      val existing = pt.fields.map { fld =>
+        children.find(_.segments(1) == fld.name)
+          .map(f => fieldExprs(f.propertyName))
+          .getOrElse(lit(null).cast(fld.dataType))
+          .as(fld.name)
+      }
+      val added = children.filterNot(f => pt.fieldNames.contains(f.segments(1)))
+        .map(f => fieldExprs(f.propertyName).as(f.segments(1)))
+      struct(existing ++ added: _*)
+    }
+
     val outCols = stateCols.map { n =>
-      fieldExprs.getOrElse(n, col(n)).as(n)
-    } ++ upd.filterNot(stateCols.contains).map(n => fieldExprs(n).as(n))
+      if (flatNames.contains(n)) fieldExprs(n).as(n)
+      else byParent.get(n) match {
+        case Some(children) =>
+          // null parent (inserted row / null struct) cannot take withField
+          val pt = state.schema(n).dataType.asInstanceOf[StructType]
+          val updatedStruct = children.foldLeft(col(n)) { (st, f) =>
+            st.withField(f.segments(1), fieldExprs(f.propertyName))
+          }
+          when(col(n).isNull, freshStructLike(pt, children))
+            .otherwise(updatedStruct).as(n)
+        case None => col(n).as(n)
+      }
+    } ++ flatNames.filterNot(stateCols.contains).map(n => fieldExprs(n).as(n)) ++
+      byParent.keys.toSeq.filterNot(stateCols.contains).sorted
+        .map(p => freshStruct(byParent(p)).as(p))
 
     // modified-count routing: matched + any field value actually changed
     val changed = spec.fields.map { f =>
-      val n = f.propertyName
-      val stV = if (stateCols.contains(n)) col(n) else lit(null)
       f.op match {
         case MergeOp.CurrentDate => lit(true)
-        case _ => !(fieldExprs(n) <=> stV)
+        case _ => !(fieldExprs(f.propertyName) <=> stateValue(f))
       }
     }.reduceOption(_ || _).getOrElse(lit(false))
 

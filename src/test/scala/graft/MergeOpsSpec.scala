@@ -70,6 +70,20 @@ class MergeOpsSpec extends SparkSpec {
     assert(once.select(array_sort($"tags")).as[Seq[String]].collect()(0) == Seq("a", "b", "c"))
   }
 
+  test("parent.child $set updates the nested struct field, preserving siblings") {
+    val state = Seq((1L, ("old", 9L)), (2L, ("keep", 1L))).toDF("k", "info")
+      .select($"k", $"info._1".as("status"), $"info._2".as("score"))
+      .select($"k", struct($"status", $"score").as("info"))
+    val incoming = Seq((1L, "new"), (3L, "ins")).toDF("k", "info.status")
+    val spec = MergeSpec(Seq("k"), Seq(MergeFieldSpec("info.status", MergeOp.Set)))
+    val res = Merge.merge(state, incoming, spec).state
+    val m = res.select($"k", $"info.status").as[(Long, String)].collect().toMap
+    assert(m(1L) == "new" && m(2L) == "keep" && m(3L) == "ins")
+    // sibling field survives the withField update
+    val score = res.filter($"k" === 1L).select($"info.score").as[Long].collect()(0)
+    assert(score == 9L)
+  }
+
   test("parent.child dot notation: exactly 2 segments enforced") {
     val e = intercept[IllegalArgumentException] { MergeFieldSpec("a.b.c", MergeOp.Set) }
     assert(e.getMessage.contains("2 segments"))

@@ -1,0 +1,114 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.model._
+import graft.streaming.{SocketBroadcastSink, StreamingOps}
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("binCountsStream: windowed watermarked counts over MemoryStream") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val df = mem.toDF().toDF("ts", "etype")
+    val out = StreamingOps.binCountsStream(
+      df, Seq(LiteralBinner("e", "etype")), "ts",
+      watermarkDelay = "0 seconds", windowLen = "1 hour")
+    val q = out.writeStream.format("memory").queryName("bin_counts")
+      .outputMode("complete").start()
+    try {
+      mem.addData(
+        (Timestamp.valueOf("2024-01-01 10:05:00"), "click"),
+        (Timestamp.valueOf("2024-01-01 10:25:00"), "click"),
+        (Timestamp.valueOf("2024-01-01 11:05:00"), "view"))
+      q.processAllAvailable()
+      val rows = spark.table("bin_counts")
+        .select(col("window.start").cast("string"), col("name"), col("count"))
+        .as[(String, String, Long)].collect().toSet
+      assert(rows == Set(
+        ("2024-01-01 10:00:00", "e.click", 2L),
+        ("2024-01-01 11:00:00", "e.view", 1L)))
+    } finally q.stop()
+  }
+
+  test("mergeStream: state accumulates across micro-batches via foreachBatch merge") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-merge-stream").toString
+    val mem = MemoryStream[(Long, String, Long, Int)]
+    val df = mem.toDF().toDF("k", "s", "n", "seq")
+    val spec = MergeSpec(Seq("k"),
+      Seq(MergeFieldSpec("s", MergeOp.Set), MergeFieldSpec("n", MergeOp.Inc)))
+    val q = StreamingOps.mergeStream(df, spec, "seq", s"$dir/state", s"$dir/ckpt")
+    try {
+      mem.addData((1L, "a", 10L, 1), (2L, "b", 5L, 1))
+      q.processAllAvailable()
+      mem.addData((1L, "c", 7L, 2)) // second batch: $set -> c, $inc 10+7
+      q.processAllAvailable()
+      val state = spark.read.parquet(s"$dir/state")
+        .select("k", "s", "n").as[(Long, String, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(state(1L) == (("c", 17L)))
+      assert(state(2L) == (("b", 5L)))
+    } finally q.stop()
+  }
+
+  test("socket sink (batch): emit with event column, send without; client per partition") {
+    val df = Seq(("m1", "evA"), ("m2", null), ("m3", "evB"))
+      .toDF("msg", "ev").repartition(2)
+    SocketBroadcastSink.broadcast(df, () => RecordingClient.make(), "msg", Some("ev"))
+    val got = RecordingClient.drain()
+    assert(got.toSet == Set("emit:evA:m1", "send:m2", "emit:evB:m3"))
+  }
+
+  test("socket sink (streaming): ForeachWriter delivers each row once") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val q = mem.toDF().toDF("msg").writeStream
+      .foreach(SocketBroadcastSink.writer(() => RecordingClient.make(), "msg"))
+      .start()
+    try {
+      mem.addData("x", "y")
+      q.processAllAvailable()
+      assert(RecordingClient.drain().toSet == Set("send:x", "send:y"))
+    } finally q.stop()
+  }
+
+  test("routeTo fans one routed stream into per-route sinks") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-routes").toString
+    val mem = MemoryStream[(Long, String)]
+    val routed = mem.toDF().toDF("k", Route.RouteCol)
+    val qs = StreamingOps.routeTo(routed, Map(
+      Route.Success -> ((w: org.apache.spark.sql.streaming.DataStreamWriter[Row]) =>
+        w.format("memory").queryName("r_success").start()),
+      Route.Failure -> ((w: org.apache.spark.sql.streaming.DataStreamWriter[Row]) =>
+        w.format("memory").queryName("r_failure").start())), dir)
+    try {
+      mem.addData((1L, Route.Success), (2L, Route.Failure), (3L, Route.Success))
+      qs.foreach(_.processAllAvailable())
+      assert(spark.table("r_success").count() == 2)
+      assert(spark.table("r_failure").count() == 1)
+    } finally qs.foreach(_.stop())
+  }
+}
+
+/** Serializable recording double for the socket client: records land in a
+  * JVM-global buffer (tests run local, executors share the JVM).
+  */
+object RecordingClient {
+  private val buf = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  def make(): SocketBroadcastSink.MessageClient = new SocketBroadcastSink.MessageClient {
+    override def emit(event: String, message: String): Unit = buf.add(s"emit:$event:$message")
+    override def send(message: String): Unit = buf.add(s"send:$message")
+    override def close(): Unit = ()
+  }
+  def drain(): Seq[String] = {
+    val out = scala.collection.mutable.Buffer.empty[String]
+    while (!buf.isEmpty) out += buf.poll()
+    out.toSeq
+  }
+}
