@@ -41,11 +41,27 @@ object Merge {
     * applies updates in FlowFile arrival order; a batch needs an explicit
     * order column, e.g. a sequence number or event time).
     */
+  /** Expand the reference's `propertyName = "*"` whole-doc mode
+    * (PartialUpdateMongo.java:304-305): the operation applies to every
+    * non-key incoming column.
+    */
+  private def expandStar(spec: MergeSpec, incoming: DataFrame): MergeSpec =
+    if (!spec.fields.exists(_.propertyName == "*")) spec
+    else {
+      val starOps = spec.fields.filter(_.propertyName == "*").map(_.op)
+      require(starOps.size == 1 && spec.fields.size == 1,
+        "'*' whole-doc mode cannot be combined with per-field specs")
+      val cols = incoming.columns.toSeq
+        .filterNot(spec.keyFields.contains)
+      spec.copy(fields = cols.map(MergeFieldSpec(_, starOps.head)))
+    }
+
   def collapseIncoming(
       incoming: DataFrame,
-      spec: MergeSpec,
+      spec0: MergeSpec,
       orderCol: String
   ): DataFrame = {
+    val spec = expandStar(spec0, incoming.drop(orderCol))
     val aggs = spec.fields.map { f =>
       val c = fcol(f.propertyName)
       f.op match {
@@ -100,8 +116,9 @@ object Merge {
   def merge(
       state: DataFrame,
       collapsed: DataFrame,
-      spec: MergeSpec
+      spec0: MergeSpec
   ): MergeResult = {
+    val spec = expandStar(spec0, collapsed)
     require(spec.keyFields.nonEmpty, "merge requires key fields (empty = match-all; use crossJoin explicitly)")
     val keys = spec.keyFields
     val upd = spec.fields.map(_.propertyName)

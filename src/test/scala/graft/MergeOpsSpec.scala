@@ -90,6 +90,26 @@ class MergeOpsSpec extends SparkSpec {
     MergeFieldSpec("a.b", MergeOp.Set) // fine
   }
 
+  test("'*' whole-doc mode applies the op to every non-key incoming column") {
+    val state = Seq((1L, "old", 9L)).toDF("k", "s", "n")
+    val incoming = Seq((1L, "new", 5L, 1), (2L, "ins", 7L, 1)).toDF("k", "s", "n", "seq")
+    val spec = MergeSpec(Seq("k"), Seq(MergeFieldSpec("*", MergeOp.Set)))
+    val res = Merge.upsertBatch(state, incoming, spec, "seq").state
+    val m = res.select("k", "s", "n").as[(Long, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(m(1L) == (("new", 5L)) && m(2L) == (("ins", 7L)))
+  }
+
+  test("'*' mode cannot combine with per-field specs") {
+    val incoming = Seq((1L, "x", 1)).toDF("k", "s", "seq")
+    val spec = MergeSpec(Seq("k"),
+      Seq(MergeFieldSpec("*", MergeOp.Set), MergeFieldSpec("s", MergeOp.Set)))
+    val e = intercept[IllegalArgumentException] {
+      Merge.collapseIncoming(incoming, spec, "seq")
+    }
+    assert(e.getMessage.contains("whole-doc"))
+  }
+
   test("normalizeTimestamps converts epoch-long '*time*' keys in struct arrays") {
     val df = Seq(1).toDF("i").select(
       array(struct(lit(1455494400000L).as("updateTime"), lit("x").as("v"))).as("arr"))
