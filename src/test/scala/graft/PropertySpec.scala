@@ -1,0 +1,77 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.apache.spark.sql.functions._
+import graft.model._
+import graft.operators.{Binning, Dedup, Merge}
+
+/** Property-based invariants (SURVEY §5.2): scalacheck-generated inputs,
+  * algebraic laws the operators must satisfy regardless of data. (Raw
+  * Gen sampling — the scalatest/scalacheck bridge isn't a dependency.)
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private val wordGen = Gen.oneOf("alpha", "beta", "gamma", "delta", "x", "the")
+  private val docGen = Gen.listOfN(12, wordGen).map(_.mkString(" "))
+
+  test("bin-count invariant: Σ counts = rows × levels for every binner") {
+    samples(Gen.nonEmptyListOf(Gen.chooseNum(-9999.0, 9999.0)), 5).foreach { vs =>
+      val df = vs.toDF("v")
+      val total = Binning.binAndCount(df, Seq(NumericBinner("n", "v", 2)))
+        .agg(coalesce(sum("count"), lit(0L))).as[Long].collect()(0)
+      assert(total == vs.size.toLong * 3, s"vs=$vs") // levels 0..2
+    }
+  }
+
+  test("$inc collapse is order-independent (sum associativity/commutativity)") {
+    samples(Gen.listOfN(8, Gen.chooseNum(-1000L, 1000L)), 5).foreach { ns =>
+      val spec = MergeSpec(Seq("k"), Seq(MergeFieldSpec("n", MergeOp.Inc)))
+      def collapse(order: List[Long]): Long =
+        Merge.collapseIncoming(
+          order.zipWithIndex.map { case (n, i) => (1L, n, i) }.toDF("k", "n", "seq"),
+          spec, "seq")
+          .select("n").as[Long].collect()(0)
+      assert(collapse(ns) == collapse(ns.reverse), s"ns=$ns")
+      assert(collapse(ns) == ns.sum, s"ns=$ns")
+    }
+  }
+
+  test("$addToSet merge is idempotent and order-insensitive") {
+    samples(Gen.listOfN(6, Gen.oneOf("a", "b", "c", "d")), 5).foreach { tags =>
+      val state = Seq((1L, Seq("a"))).toDF("k", "tags")
+      val inc = Seq((1L, tags)).toDF("k", "tags")
+      val spec = MergeSpec(Seq("k"), Seq(MergeFieldSpec("tags", MergeOp.AddToSet)))
+      val once = Merge.merge(state, inc, spec).state
+        .select(array_sort($"tags")).as[Seq[String]].collect()(0)
+      val twice = Merge.merge(Merge.merge(state, inc, spec).state, inc, spec).state
+        .select(array_sort($"tags")).as[Seq[String]].collect()(0)
+      assert(once == twice, s"tags=$tags")
+      assert(once.toSet == (tags.toSet + "a"), s"tags=$tags")
+    }
+  }
+
+  test("exact dedup is idempotent and stable") {
+    samples(Gen.listOfN(8, docGen), 5).foreach { docs =>
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      val d1 = Dedup.exact(df, "text", "id")
+      val d2 = Dedup.exact(d1, "text", "id")
+      assert(d1.count() == d2.count(), s"docs=$docs")
+      assert(rows(d1.select("id")) == rows(d2.select("id")), s"docs=$docs")
+    }
+  }
+
+  test("minhash signature overlap estimate is within [0,1] and 1 for identical docs") {
+    samples(docGen, 5).foreach { doc =>
+      val df = Seq((1L, doc), (2L, doc)).toDF("id", "text")
+      val pairs = Dedup.minHashDupPairs(df, "text", "id", 16, 8, 0.0)
+        .select("est_jaccard").as[Double].collect()
+      assert(pairs.forall(e => e >= 0.0 && e <= 1.0), s"doc=$doc")
+      assert(pairs.contains(1.0), s"doc=$doc")
+    }
+  }
+}

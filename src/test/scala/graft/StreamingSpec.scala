@@ -77,6 +77,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionize stream: flatMapGroupsWithState closes sessions on gap") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Sessionize
+    val mem = MemoryStream[Sessionize.Event]
+    // two bursts 10 min apart in ONE batch: first session closes inline
+    mem.addData(
+      Sessionize.Event(1L, Timestamp.valueOf("2024-01-01 10:00:00")),
+      Sessionize.Event(1L, Timestamp.valueOf("2024-01-01 10:00:30")),
+      Sessionize.Event(1L, Timestamp.valueOf("2024-01-01 10:10:00")))
+    val out = Sessionize.sessions(mem.toDS(), gapMs = 60000L)
+    // AvailableNow: drain and stop — a processing-time-timeout query would
+    // otherwise keep scheduling empty batches to poll timeouts
+    val q = out.writeStream.format("memory").queryName("sessions_out")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination(60000L)
+      val closed = spark.table("sessions_out")
+        .as[Sessionize.ClosedSession].collect()
+      assert(closed.length == 1)
+      assert(closed(0).events == 2 &&
+        closed(0).endMs - closed(0).startMs == 30000L)
+    } finally q.stop()
+  }
+
   test("routeTo fans one routed stream into per-route sinks") {
     implicit val sqlCtx = spark.sqlContext
     val dir = Files.createTempDirectory("graft-routes").toString
