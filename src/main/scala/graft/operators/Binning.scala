@@ -78,7 +78,10 @@ object Binning {
   def geoTileId(lat: Column, lon: Column, zoom: Int): Column = {
     val n = lit(math.pow(2.0, zoom))
     val x0 = floor((lon + lit(180.0)) / lit(360.0) * n)
-    val latRad = radians(lat)
+    // clamp to the WebMercator domain: at the poles tan/log is singular and
+    // Spark's log returns NULL for non-positive input (vs NaN natively)
+    val latRad = radians(least(greatest(lat, lit(-graft.plans.GeoTile.MaxLat)),
+      lit(graft.plans.GeoTile.MaxLat)))
     val y0 = floor(
       (lit(1.0) - log(tan(latRad) + lit(1.0) / cos(latRad)) / lit(math.Pi)) /
         lit(2.0) * n
