@@ -1,0 +1,15 @@
+package graft
+
+/** The driver smoke-checks SparkEntry.entry(spark) returns rows — pin that
+  * here so a refactor can't silently break the flagship query.
+  */
+class EntrySmokeSpec extends SparkSpec {
+  test("flagship entry query runs and returns bins with positive counts") {
+    val out = SparkEntry.entry(spark)
+    assert(out.columns.toSeq == Seq("name", "count"))
+    val n = out.count()
+    assert(n > 0)
+    import org.apache.spark.sql.functions._
+    assert(out.filter(col("count") <= 0).count() == 0)
+  }
+}

@@ -40,6 +40,19 @@ class SourcesSinksSpec extends SparkSpec {
       Map("filename" -> "b.bin")))
   }
 
+  test("explodeJsonArray: bulk JSON array input -> one row per document") {
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("v", StringType)))
+    val df = Seq(
+      (1, """[{"k":1,"v":"a"},{"k":2,"v":"b"}]"""),
+      (2, """[{"k":3,"v":"c"}]""")
+    ).toDF("src", "payload")
+    val out = SourcesSinks.explodeJsonArray(df, "payload", schema)
+      .select($"src", $"_doc_idx", $"_doc.k", $"_doc.v")
+      .as[(Int, Int, Long, String)].collect().toSet
+    assert(out == Set((1, 0, 1L, "a"), (1, 1, 2L, "b"), (2, 0, 3L, "c")))
+  }
+
   test("writeJsonRecords round-trips rows with filename + mime metadata") {
     val dir = Files.createTempDirectory("graft-sink").toString + "/out"
     val df = Seq((1L, "x"), (2L, "y")).toDF("k", "v")
