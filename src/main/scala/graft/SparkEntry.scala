@@ -479,6 +479,19 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // ---- composite training-data pipeline: quality-filter documents then
+    //      aggregate per source (filter pushdown + hash agg)
+    "quality_filter" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.withColumn("q", TextFunctions.qualityScore(col("text")))
+        .filter(col("q") >= 0.8)
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(TextFunctions.tokenCount(col("text"))).as("total_tokens"))
+        .orderBy("source")
+    }),
+
     // ---- dedup: MinHash+LSH near-dup pairs (no SQL oracle: hash-dependent;
     //      rows-only check + unit-tested invariants)
     "dedup_minhash_pairs" -> ((s, dir) => {
@@ -738,6 +751,33 @@ object SparkEntry {
         | FROM events
         |)
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "quality_filter" ->
+      """WITH f AS (
+        | SELECT source,
+        |  len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS n_tokens,
+        |  CASE WHEN length(text) > 0
+        |       THEN CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)
+        |       ELSE 0.0 END AS punct_ratio,
+        |  list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '') AS toks
+        | FROM documents
+        |), g AS (
+        | SELECT source, n_tokens, punct_ratio,
+        |  CASE WHEN len(toks) > 0
+        |       THEN CAST(len(list_filter(toks, t -> t IN ('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','be','this','are','was','from'))) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+        |       ELSE 0.0 END AS stopword_ratio
+        | FROM f
+        |), q AS (
+        | SELECT source, n_tokens,
+        |  round((CASE WHEN n_tokens BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END) * 0.4
+        |      + (CASE WHEN stopword_ratio BETWEEN 0.01 AND 0.8 THEN 1.0 ELSE 0.0 END) * 0.4
+        |      + (CASE WHEN punct_ratio < 0.2 THEN 1.0 ELSE 0.0 END) * 0.2, 2) AS quality
+        | FROM g
+        |)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+        |FROM q WHERE quality >= 0.8
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     "bins_per_record" ->
       """SELECT event_id,

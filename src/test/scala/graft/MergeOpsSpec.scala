@@ -90,6 +90,52 @@ class MergeOpsSpec extends SparkSpec {
     MergeFieldSpec("a.b", MergeOp.Set) // fine
   }
 
+  test("$addToSet $each over struct arrays unions set-wise (object-array shape)") {
+    val state = Seq((1L, Seq(("a", 1L)))).toDF("k", "items")
+    val inc = Seq((1L, Seq(("a", 1L), ("b", 2L)))).toDF("k", "items")
+    val spec = MergeSpec(Seq("k"), Seq(MergeFieldSpec("items", MergeOp.AddToSet)))
+    val out = Merge.merge(state, inc, spec).state
+      .select(array_sort($"items")).as[Seq[(String, Long)]].collect()(0)
+    assert(out == Seq(("a", 1L), ("b", 2L))) // duplicate struct dropped
+  }
+
+  test("$currentDate sets a server-now timestamp on matched and inserted rows") {
+    val state = Seq((1L, "x")).toDF("k", "s")
+    val inc = Seq((1L, true), (2L, true)).toDF("k", "touched")
+    val spec = MergeSpec(Seq("k"), Seq(MergeFieldSpec("touched", MergeOp.CurrentDate)))
+    val out = Merge.merge(state, inc, spec).state
+    val ts = out.select($"touched".cast("long")).as[Long].collect()
+    val now = System.currentTimeMillis() / 1000
+    assert(ts.length == 2 && ts.forall(t => math.abs(t - now) < 300))
+  }
+
+  test("updateOne mode: only the first state row per key is updated") {
+    val state = Seq((1L, 10, "a"), (1L, 20, "b"), (2L, 30, "c")).toDF("k", "ord", "s")
+    val inc = Seq((1L, "upd")).toDF("k", "s")
+    val spec = MergeSpec(Seq("k"), Seq(MergeFieldSpec("s", MergeOp.Set)), updateMany = false)
+    val out = Merge.merge(state, inc, spec).state
+      .select("k", "s").as[(Long, String)].collect().toSeq
+    // exactly ONE of key 1's rows took the update (updateOne semantics)
+    assert(out.count(r => r._1 == 1L && r._2 == "upd") == 1)
+    assert(out.count(_._1 == 1L) == 2)
+    assert(out.contains((2L, "c")))
+  }
+
+  test("normalizeTimestamps composes with $addToSet for the reference's object-array path") {
+    val state = Seq((1L, Seq((1455494400000L, "x")))).toDF("k", "events")
+      .select($"k", transform($"events",
+        e => struct(timestamp_millis(e.getField("_1")).as("eventTime"), e.getField("_2").as("v"))).as("events"))
+    val incRaw = Seq((1L, Seq((1455580800000L, "y")))).toDF("k", "events")
+      .select($"k", transform($"events",
+        e => struct(e.getField("_1").as("eventTime"), e.getField("_2").as("v"))).as("events"))
+    val inc = incRaw.select($"k",
+      Merge.normalizeTimestamps($"events", Seq("eventTime")).as("events"))
+    val spec = MergeSpec(Seq("k"), Seq(MergeFieldSpec("events", MergeOp.AddToSet)))
+    val out = Merge.merge(state, inc, spec).state
+      .select(size($"events")).as[Int].collect()(0)
+    assert(out == 2)
+  }
+
   test("'*' whole-doc mode applies the op to every non-key incoming column") {
     val state = Seq((1L, "old", 9L)).toDF("k", "s", "n")
     val incoming = Seq((1L, "new", 5L, 1), (2L, "ins", 7L, 1)).toDF("k", "s", "n", "seq")
