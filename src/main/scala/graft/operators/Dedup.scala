@@ -20,6 +20,17 @@ import graft.functions.VectorFunctions
  *  - SimHash: one 64-bit signature per doc; near-dup = bucket on
  *    rotated/banded bits.
  *  - embedding-cosine: SRP-LSH buckets bound the pair space the same way.
+ *  - n-gram Jaccard is the one EXACT pair op and is inherently
+ *    output-bound: on a corpus with dup clusters of size k, every cluster
+ *    contributes k²/2 true pairs, so no candidate scheme can make it
+ *    subquadratic in cluster size. Measured at 10× (50k docs, 10-copy
+ *    clusters): exact 2.9s / minhash 7.3s / simhash 4.9s scale ~linearly,
+ *    ngram grows with the pair count (43s). PPJoin prefix filtering was
+ *    tried and REJECTED: rarest-first prefixes don't shrink candidates
+ *    when clusters share their rare shingles (the common dup shape), and
+ *    the rank/collect/verify machinery cost 2.4× the codegen'd count-join
+ *    it replaced. At 100 TB, use minHashDupPairs for discovery and
+ *    reserve ngramJaccardPairs for bounded corpora / verification.
  */
 object Dedup {
 
