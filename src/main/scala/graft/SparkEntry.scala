@@ -429,7 +429,7 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
       val cents = Similarity.seedCentroids(emb, "id", "vec", 4)
-      val assigned = Similarity.assignToCentroids(emb, "vec", cents)
+      val assigned = Similarity.assignToCentroids(emb, "id", "vec", cents)
       val q = t(s, dir, "embeddings").filter(col("vec_id") < 3)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       Similarity.ivfTopK(assigned, "id", "vec", cents, q, "qid", "qvec", k = 10, nprobe = 4)

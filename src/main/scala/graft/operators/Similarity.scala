@@ -49,17 +49,20 @@ object Similarity {
   }
 
   /** Assign every vector to the nearest of `centroids` (id, vec) by
-    * cosine. One narrow pass; centroids broadcast.
+    * cosine. One narrow pass; centroids broadcast. The argmax window is
+    * keyed on `corpusId` alone — partitioning by every corpus column
+    * would shuffle-hash the embedding arrays themselves.
     */
   def assignToCentroids(
       corpus: DataFrame,
+      corpusId: String,
       corpusVec: String,
       centroids: DataFrame, // columns: centroid_id, centroid_vec
       metric: (Column, Column) => Column = cosine
   ): DataFrame = {
     val scored = corpus.join(broadcast(centroids))
       .withColumn("_sim", metric(col(corpusVec), col("centroid_vec")))
-    val w = Window.partitionBy(corpus.columns.head, corpus.columns: _*)
+    val w = Window.partitionBy(col(corpusId))
       .orderBy(col("_sim").desc, col("centroid_id").asc)
     scored.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)

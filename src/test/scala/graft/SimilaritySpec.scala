@@ -22,7 +22,7 @@ class SimilaritySpec extends SparkSpec {
   test("ivf with nprobe = #centroids equals brute force") {
     val q = Seq((1L, Array(1.0f, 0.0f))).toDF("qid", "qvec")
     val cents = Similarity.seedCentroids(corpus, "id", "vec", 2)
-    val assigned = Similarity.assignToCentroids(corpus, "vec", cents)
+    val assigned = Similarity.assignToCentroids(corpus, "id", "vec", cents)
     val ivf = Similarity.ivfTopK(assigned, "id", "vec", cents, q, "qid", "qvec", 2, nprobe = 2)
       .select("neighbor_id", "rank").as[(Long, Int)].collect().sortBy(_._2)
     val bf = Similarity.bruteForceTopK(corpus, "id", "vec", q, "qid", "qvec", 2)
@@ -32,7 +32,7 @@ class SimilaritySpec extends SparkSpec {
 
   test("assignToCentroids: every corpus row gets exactly one centroid") {
     val cents = Similarity.seedCentroids(corpus, "id", "vec", 2)
-    val assigned = Similarity.assignToCentroids(corpus, "vec", cents)
+    val assigned = Similarity.assignToCentroids(corpus, "id", "vec", cents)
     assert(assigned.count() == 4)
     assert(assigned.columns.contains("centroid_id"))
   }

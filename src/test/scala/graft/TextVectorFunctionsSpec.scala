@@ -34,6 +34,12 @@ class TextVectorFunctionsSpec extends SparkSpec {
     assert(out == Seq("en", "es", "und"))
   }
 
+  test("meanTokenLen: average token length, 0 for empty") {
+    val out = Seq("ab abcd", "").toDF("t").select(TF.meanTokenLen($"t"))
+      .as[Double].collect()
+    assert(out(0) == 3.0 && out(1) == 0.0)
+  }
+
   test("fingerprint normalization: case/punct/whitespace-insensitive") {
     val out = Seq("Hello,  World!", "hello world").toDF("t")
       .select(TF.fingerprintXx($"t")).as[Long].collect()
