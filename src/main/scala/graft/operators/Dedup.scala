@@ -37,16 +37,17 @@ object Dedup {
   // ---------------------------------------------------------------- exact
 
   /** Exact dedup on normalized content: keep the first doc (by `idCol`)
-    * per fingerprint. Shuffles 8-byte hashes, not documents.
+    * per fingerprint. Hash aggregate (min_by), not a window: a window
+    * would sort every partition by fingerprint; the argmin needs no sort
+    * and partial-aggregates map-side.
     */
   def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val fp = xxhash64(normalizeForFingerprint(col(textCol)))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("_fp").orderBy(col(idCol))
+    val cols = df.columns.toSeq
     df.withColumn("_fp", fp)
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
-      .drop("_fp", "_rn")
+      .groupBy("_fp")
+      .agg(min_by(struct(cols.map(col): _*), col(idCol)).as("_row"))
+      .select(cols.map(n => col(s"_row.$n").as(n)): _*)
   }
 
   /** Exact-dup groups: fingerprint → ids (for reporting/inspection). */
