@@ -496,7 +496,10 @@ object SparkEntry {
     //      rows-only check + unit-tested invariants)
     "dedup_minhash_pairs" -> ((s, dir) => {
       val d = t(s, dir, "documents")
-      Dedup.minHashDupPairs(d, "text", "doc_id", numHashes = 32, bands = 8, threshold = 0.5)
+      // 16 hashes / 8 bands = 2 rows per band: candidate recall at J=0.5 is
+      // 1-(1-0.5²)⁸ ≈ 0.90 (vs 0.40 with 4 rows per band) at half the
+      // signature cost — the right LSH shape for this threshold
+      Dedup.minHashDupPairs(d, "text", "doc_id", numHashes = 16, bands = 8, threshold = 0.5)
         .orderBy("id_a", "id_b")
     }),
 
