@@ -416,6 +416,8 @@ object SparkEntry {
     //      identical groups iff the fingerprint is collision-free)
     "doc_fingerprint" -> ((s, dir) => {
       val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .repartition(col("doc_id")) // split-independent parallelism for the regex chain
       d.select(TextFunctions.fingerprintXx(col("text")).as("fp"))
         .groupBy("fp").agg(count(lit(1)).as("group_size"))
         .groupBy("group_size").agg(count(lit(1)).as("n_groups"))
@@ -483,6 +485,8 @@ object SparkEntry {
     //      aggregate per source (filter pushdown + hash agg)
     "quality_filter" -> ((s, dir) => {
       val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+        .repartition(col("doc_id")) // split-independent parallelism for the regex chain
       d.withColumn("q", TextFunctions.qualityScore(col("text")))
         .filter(col("q") >= 0.8)
         .groupBy(col("source"))
