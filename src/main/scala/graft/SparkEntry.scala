@@ -96,10 +96,13 @@ object SparkEntry {
       li.filter(col("l_shipdate") <= lit("1998-09-02").cast(TimestampType))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("sum_qty"),
-          sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("sum_base_price"),
+          // DECIMAL internally (order-independent exact sums); final outputs
+          // cast to DOUBLE — every value is an exact scaled integer < 2^53,
+          // so decimal→double is exact and bit-identical in Spark and DuckDB
+          sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_qty"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_base_price"),
           sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(DecimalType(28, 4)))
-            .cast(DecimalType(38, 4)).as("sum_disc_price"),
+            .cast(DoubleType).as("sum_disc_price"),
           count(lit(1)).as("count_order")
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -114,8 +117,9 @@ object SparkEntry {
         .join(broadcast(c), o("o_custkey") === c("c_custkey"))
         .groupBy(col("l_orderkey"))
         .agg(
+          // exact DECIMAL sum, DOUBLE on output (exact: scaled int < 2^53)
           sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(DecimalType(28, 4)))
-            .cast(DecimalType(38, 4)).as("revenue")
+            .cast(DoubleType).as("revenue")
         )
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)
@@ -259,7 +263,7 @@ object SparkEntry {
         .select(
           col("l_orderkey"),
           col("status"),
-          col("qty").cast(DecimalType(38, 2)).as("qty"),
+          col("qty").cast(DoubleType).as("qty"),
           array_join(array_sort(col("tag")), ",").as("tags")
         )
         .orderBy("l_orderkey")
@@ -290,7 +294,7 @@ object SparkEntry {
         .select(
           col("o_orderkey"),
           col("o_orderstatus"),
-          col("qty").cast(DecimalType(38, 2)).as("qty")
+          col("qty").cast(DoubleType).as("qty")
         )
         .orderBy("o_orderkey")
     }),
@@ -528,9 +532,9 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
-        | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,4))) AS DECIMAL(38,4)) AS sum_disc_price,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS sum_disc_price,
         | CAST(COUNT(*) AS BIGINT) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -539,7 +543,7 @@ object SparkEntry {
 
     "q3_join" ->
       """SELECT l.l_orderkey AS l_orderkey,
-        | CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(28,4))) AS DECIMAL(38,4)) AS revenue
+        | CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS revenue
         |FROM lineitem l
         |JOIN orders o ON l.l_orderkey = o.o_orderkey
         |JOIN customer c ON o.o_custkey = c.c_custkey
@@ -627,7 +631,7 @@ object SparkEntry {
     "merge_collapse" ->
       """SELECT l_orderkey,
         | arg_max(l_returnflag, printf('%012d|%s', l_linenumber, l_returnflag)) AS status,
-        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS qty,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
         | array_to_string(list_sort(list_distinct(list(l_linestatus))), ',') AS tags
         |FROM lineitem
         |GROUP BY l_orderkey
@@ -636,7 +640,7 @@ object SparkEntry {
     "merge_upsert" ->
       """SELECT COALESCE(o.o_orderkey, i.o_orderkey) AS o_orderkey,
         | COALESCE(i.status, o.o_orderstatus) AS o_orderstatus,
-        | CAST(COALESCE(i.qty, 0) AS DECIMAL(38,2)) AS qty
+        | CAST(COALESCE(i.qty, 0) AS DOUBLE) AS qty
         |FROM orders o
         |FULL OUTER JOIN (
         | SELECT l_orderkey AS o_orderkey,
