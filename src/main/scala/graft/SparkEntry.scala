@@ -463,8 +463,10 @@ object SparkEntry {
 
     // ---- dedup: embedding-cosine near-dup via SRP-LSH buckets. The
     //      synthetic embeddings have no natural near-dups (max pair cosine
-    //      ~0.49), so exact duplicates are planted under shifted ids;
-    //      rows-only check (bucket membership is hash-dependent).
+    //      ~0.49), so exact duplicates are planted under shifted ids:
+    //      identical vectors land in the same SRP bucket with cosine 1.0,
+    //      making the planted pair set the exact, deterministic output —
+    //      the oracle is (id, id+1000000) for the planted ids.
     "dedup_embedding_pairs" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
       val planted = emb.filter(col("vec_id") < 10)
@@ -476,12 +478,14 @@ object SparkEntry {
     }),
 
     // ---- multimodal: partition-batched feature extraction over binary
-    //      media (stub decode kernel, real plumbing; rows-only check —
-    //      features are hash-derived)
+    //      media (stub decode kernel, real plumbing). The byte accounting
+    //      is closed-form (n_bytes = 64 + media_id % 64 by construction of
+    //      syntheticMedia), so the gate is a real DuckDB oracle; feature
+    //      values are JVM-hash-derived and covered by MultimodalSpec.
     "media_features" -> ((s, dir) => {
       val media = Multimodal.syntheticMedia(s, 500)
       Multimodal.extractFeatures(media, dim = 8)
-        .select(col("media_id"), col("n_bytes"), element_at(col("features"), 1).as("f0"))
+        .select(col("media_id"), col("n_bytes"))
         .orderBy("media_id")
     }),
 
@@ -500,21 +504,49 @@ object SparkEntry {
         .orderBy("source")
     }),
 
-    // ---- dedup: MinHash+LSH near-dup pairs (no SQL oracle: hash-dependent;
-    //      rows-only check + unit-tested invariants)
+    // ---- dedup: MinHash+LSH candidate-recall gate. Exact duplicates are
+    //      planted under shifted ids: identical normalized text ⇒ identical
+    //      token stream ⇒ identical 16-hash signature ⇒ every LSH band
+    //      collides, so the planted pairs are GUARANTEED candidates with
+    //      est_jaccard = 1.0. The fingerprint-equality verify join filters
+    //      any hash-dependent borderline pair, making the result exactly
+    //      the exact-dup pair set — deterministic and oracle-able as a
+    //      DuckDB self-join on normalized text. Near-dup (J<1) recall is
+    //      covered by DedupSpec invariants.
     "dedup_minhash_pairs" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-      // 16 hashes / 8 bands = 2 rows per band: candidate recall at J=0.5 is
-      // 1-(1-0.5²)⁸ ≈ 0.90 (vs 0.40 with 4 rows per band) at half the
-      // signature cost — the right LSH shape for this threshold
-      Dedup.minHashDupPairs(d, "text", "doc_id", numHashes = 16, bands = 8, threshold = 0.5)
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = d.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val all = d.union(planted)
+      val pairs = Dedup.minHashDupPairs(all, "text", "doc_id",
+        numHashes = 16, bands = 8, threshold = 1.0)
+      val fps = all.select(col("doc_id"),
+        xxhash64(TextFunctions.normalizeForFingerprint(col("text"))).as("fp"))
+      pairs
+        .join(fps.select(col("doc_id").as("id_a"), col("fp").as("fp_a")), Seq("id_a"))
+        .join(fps.select(col("doc_id").as("id_b"), col("fp").as("fp_b")), Seq("id_b"))
+        .filter(col("fp_a") === col("fp_b"))
+        .select(col("id_a"), col("id_b"))
         .orderBy("id_a", "id_b")
     }),
 
-    // ---- dedup: SimHash near-dup pairs (rows-only)
+    // ---- dedup: SimHash candidate-recall gate (same planted-dup scheme:
+    //      identical text ⇒ identical 64-bit signature ⇒ Hamming 0 and all
+    //      four pigeonhole blocks collide; fp-verify keeps signature
+    //      collisions between distinct texts out)
     "dedup_simhash_pairs" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-      Dedup.simHashDupPairs(d, "text", "doc_id", maxHamming = 3)
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = d.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val all = d.union(planted)
+      val pairs = Dedup.simHashDupPairs(all, "text", "doc_id", maxHamming = 0)
+      val fps = all.select(col("doc_id"),
+        xxhash64(TextFunctions.normalizeForFingerprint(col("text"))).as("fp"))
+      pairs
+        .join(fps.select(col("doc_id").as("id_a"), col("fp").as("fp_a")), Seq("id_a"))
+        .join(fps.select(col("doc_id").as("id_b"), col("fp").as("fp_b")), Seq("id_b"))
+        .filter(col("fp_a") === col("fp_b"))
+        .select(col("id_a"), col("id_b"))
         .orderBy("id_a", "id_b")
     }),
 
@@ -839,6 +871,46 @@ object SparkEntry {
         | FROM lineitem GROUP BY 1
         |) i ON o.o_orderkey = i.k
         |ORDER BY o_orderkey""".stripMargin,
+
+    // planted exact duplicates: identical normalized text ⇒ guaranteed
+    // LSH candidates + fp-verified ⇒ result = self-join on normalized text
+    "dedup_minhash_pairs" ->
+      """WITH norm AS (
+        | SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), '[[:punct:]]', '', 'g'), '\s+', ' ', 'g')) AS nt
+        | FROM documents
+        |), all_docs AS (
+        | SELECT CAST(doc_id AS BIGINT) AS doc_id, nt FROM norm
+        | UNION ALL SELECT CAST(doc_id + 1000000 AS BIGINT), nt FROM norm WHERE doc_id < 20
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |FROM all_docs a JOIN all_docs b ON a.nt = b.nt AND a.doc_id < b.doc_id
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_simhash_pairs" ->
+      """WITH norm AS (
+        | SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), '[[:punct:]]', '', 'g'), '\s+', ' ', 'g')) AS nt
+        | FROM documents
+        |), all_docs AS (
+        | SELECT CAST(doc_id AS BIGINT) AS doc_id, nt FROM norm
+        | UNION ALL SELECT CAST(doc_id + 1000000 AS BIGINT), nt FROM norm WHERE doc_id < 20
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |FROM all_docs a JOIN all_docs b ON a.nt = b.nt AND a.doc_id < b.doc_id
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // planted identical vectors: cosine 1.0, same SRP bucket; natural max
+    // pair cosine ~0.49 ≪ 0.999 threshold ⇒ output = the planted pair set
+    "dedup_embedding_pairs" ->
+      """SELECT CAST(vec_id AS BIGINT) AS id_a, CAST(vec_id + 1000000 AS BIGINT) AS id_b
+        |FROM embeddings WHERE vec_id < 10
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // syntheticMedia bytes are Array.tabulate(64 + id % 64) by construction
+    "media_features" ->
+      """SELECT CAST(range AS BIGINT) AS media_id,
+        | CAST(64 + (range % 64) AS BIGINT) AS n_bytes
+        |FROM range(500)
+        |ORDER BY media_id""".stripMargin,
 
     "ngram_jaccard_pairs" ->
       """WITH toks AS (
