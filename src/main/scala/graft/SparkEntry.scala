@@ -366,24 +366,17 @@ object SparkEntry {
       ).orderBy("doc_id")
     }),
 
-    // ---- ANN: exact top-k by dot product. Both engines left-fold the
-    //      elementwise double products (Spark `aggregate`, DuckDB
-    //      `list_sum`), so the doubles are bitwise-reproducible.
+    // ---- ANN: exact top-k by dot product, k-bounded two-stage reduction
+    //      (graft_topk aggregate — no all-rows window shuffle). Both
+    //      engines left-fold the elementwise double products (Spark
+    //      `aggregate`, DuckDB `list_sum`), so the doubles are bitwise-
+    //      reproducible.
     "ann_topk_dot" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-      val scored = emb.crossJoin(broadcast(q))
-        .filter(col("vec_id") =!= col("query_id"))
-        .select(
-          col("query_id"),
-          col("vec_id").as("neighbor_id"),
-          VectorFunctions.dot(col("qv"), col("embedding")).as("dot")
-        )
-      val w = Window.partitionBy("query_id")
-        .orderBy(col("dot").desc, col("neighbor_id").asc)
-      scored.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 10)
+      Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, "query_id", "qv",
+          k = 10, metric = VectorFunctions.dot, scoreName = "dot")
         .orderBy("query_id", "rank")
     }),
 

@@ -1,28 +1,57 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
 import graft.functions.VectorFunctions._
+import graft.plans.TopKAggregate
 
 /**
  * Approximate-nearest-neighbor search over an embedding column.
  *
  * Two paths:
- *  - `bruteForceTopK`: exact cosine top-k — the correctness baseline.
- *    A broadcast of the (small) query set against the (huge) corpus:
- *    narrow scan + per-partition top-k via window; at 100 TB this is one
- *    pass over the corpus with no corpus-side shuffle (queries broadcast,
- *    the final top-k reduction shuffles only k rows per query).
+ *  - `bruteForceTopK`: exact top-k — the correctness baseline. Queries
+ *    broadcast against the corpus (one narrow scan), then a two-stage
+ *    top-k via the bounded `graft_topk` aggregate: map-side partial
+ *    aggregation truncates each input partition to k rows per query, so
+ *    the final shuffle carries #partitions × k rows per query — never the
+ *    scored corpus. At 100 TB this is one pass over the corpus with a
+ *    k-bounded reduction.
  *  - `ivfTopK`: IVF-style pruning — corpus pre-assigned to the nearest of
- *    C centroids (one narrow pass, assignment persisted with the data at
- *    real scale); a query probes only its `nprobe` nearest centroids'
- *    partitions, cutting the scanned fraction to ~nprobe/C.
+ *    C centroids (one narrow pass, zero shuffles; assignment persisted
+ *    with the data at real scale); a query probes only its `nprobe`
+ *    nearest centroids' partitions, cutting the scanned fraction to
+ *    ~nprobe/C, with the same k-bounded reduction.
+ *
+ * Ids must be numeric (the rank tie-break negates them inside the
+ * lexicographic top-k struct).
  */
 object Similarity {
 
-  /** Exact top-k by cosine for each query row. `queries` is expected to be
-    * small (broadcast); `corpus` is the big side.
+  /** Two-stage top-k over `scored(query_id, neighbor_id, <score>)`:
+    * bounded heap per (query, input partition) map-side, final merge of
+    * the k-row survivors — the plan a `row_number` window can't produce
+    * (a window shuffles every scored row to one task per query).
+    */
+  private def topKPerQuery(scored: DataFrame, scoreCol: String, k: Int): DataFrame = {
+    TopKAggregate.register(scored.sparkSession)
+    val ranked = scored
+      .groupBy("query_id")
+      .agg(call_function("graft_topk",
+        struct(col(scoreCol), (-col("neighbor_id")).as("_nid")), lit(k)).as("_top"))
+      .select(col("query_id"), posexplode(col("_top")).as(Seq("_pos", "_e")))
+    ranked.select(
+      col("query_id"),
+      (-col("_e._nid")).as("neighbor_id"),
+      col(s"_e.$scoreCol").as(scoreCol),
+      (col("_pos") + 1).cast(IntegerType).as("rank"))
+  }
+
+  /** Exact top-k for each query row by `metric` (default cosine).
+    * `queries` is expected to be small (broadcast); `corpus` is the big
+    * side. Output: query_id, neighbor_id, <scoreName>, rank (1-based,
+    * ties broken by ascending neighbor id).
     */
   def bruteForceTopK(
       corpus: DataFrame,
@@ -31,27 +60,30 @@ object Similarity {
       queries: DataFrame,
       queryId: String,
       queryVec: String,
-      k: Int
+      k: Int,
+      metric: (Column, Column) => Column = cosine,
+      scoreName: String = "cosine"
   ): DataFrame = {
     val scored = corpus
       .join(broadcast(queries))
       .select(
         col(queryId).as("query_id"),
         col(corpusId).as("neighbor_id"),
-        cosine(col(queryVec), col(corpusVec)).as("cosine")
+        metric(col(queryVec), col(corpusVec)).as(scoreName)
       )
       .filter(col("query_id") =!= col("neighbor_id"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    topKPerQuery(scored, scoreName, k)
   }
 
-  /** Assign every vector to the nearest of `centroids` (id, vec) by
-    * cosine. One narrow pass; centroids broadcast. The argmax window is
-    * keyed on `corpusId` alone — partitioning by every corpus column
-    * would shuffle-hash the embedding arrays themselves.
+  /** Assign every vector to the nearest of `centroids` (centroid_id,
+    * centroid_vec) by `metric`. C is tiny and driver-known (it comes from
+    * [[seedCentroids]]`.limit(c)`), so the centroid set is collected —
+    * metadata-sized, like building a broadcast — and the assignment
+    * becomes a narrow per-row argmax expression: zero joins, zero
+    * shuffles. (The previous corpus×C join + `row_number` window
+    * re-shuffled the whole corpus, embedding payloads included, to
+    * compute per-row-local information.) Ties go to the smallest
+    * centroid id; centroid ids are emitted as BIGINT.
     */
   def assignToCentroids(
       corpus: DataFrame,
@@ -60,13 +92,23 @@ object Similarity {
       centroids: DataFrame, // columns: centroid_id, centroid_vec
       metric: (Column, Column) => Column = cosine
   ): DataFrame = {
-    val scored = corpus.join(broadcast(centroids))
-      .withColumn("_sim", metric(col(corpusVec), col("centroid_vec")))
-    val w = Window.partitionBy(col(corpusId))
-      .orderBy(col("_sim").desc, col("centroid_id").asc)
-    scored.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
-      .drop("_sim", "_rn", "centroid_vec")
+    val elemType = centroids.schema("centroid_vec").dataType
+      .asInstanceOf[ArrayType].elementType
+    val cents = centroids
+      .select(col("centroid_id").cast(LongType), col("centroid_vec"))
+      .collect()
+    require(cents.nonEmpty, "assignToCentroids: empty centroid set")
+    def vecLit(r: Row): Column = elemType match {
+      case FloatType  => typedlit(r.getSeq[Float](1))
+      case DoubleType => typedlit(r.getSeq[Double](1))
+      case t => throw new IllegalArgumentException(s"unsupported embedding element type $t")
+    }
+    // lexicographic max of (sim, -centroid_id) = best sim, smallest id on tie
+    val candidates = cents.map { r =>
+      struct(metric(col(corpusVec), vecLit(r)).as("sim"),
+        lit(-r.getLong(0)).as("negId"))
+    }
+    corpus.withColumn("centroid_id", -array_max(array(candidates.toSeq: _*)).getField("negId"))
   }
 
   /** IVF top-k: probe only the `nprobe` centroids nearest to each query.
@@ -84,16 +126,17 @@ object Similarity {
       k: Int,
       nprobe: Int
   ): DataFrame = {
-    // nprobe nearest centroids per query (tiny: queries × centroids)
+    // nprobe nearest centroids per query — a queries × C expression, tiny
+    // on both sides, so the window's shuffle moves q×C rows (fine)
     val qc = queries.join(broadcast(centroids))
       .withColumn("_sim", cosine(col(queryVec), col("centroid_vec")))
     val wq = Window.partitionBy(queryId)
       .orderBy(col("_sim").desc, col("centroid_id").asc)
     val probes = qc.withColumn("_rn", row_number().over(wq))
       .filter(col("_rn") <= nprobe)
-      .select(col(queryId), col(queryVec), col("centroid_id"))
+      .select(col(queryId), col(queryVec), col("centroid_id").cast(LongType))
 
-    // scan only the probed partitions of the corpus
+    // scan only the probed partitions of the corpus; k-bounded reduction
     val scored = assigned
       .join(broadcast(probes), Seq("centroid_id"))
       .select(
@@ -102,9 +145,7 @@ object Similarity {
         cosine(col(queryVec), col(corpusVec)).as("cosine")
       )
       .filter(col("query_id") =!= col("neighbor_id"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    topKPerQuery(scored, "cosine", k)
   }
 
   /** Deterministic centroid seeding without a kmeans dependency: take the

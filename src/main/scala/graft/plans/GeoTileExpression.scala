@@ -94,6 +94,8 @@ object GeoTile {
   * expressions into the session's function registry.
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction(GeoTile.functionDescriptor)
+    ext.injectFunction(TopKAggregate.functionDescriptor)
+  }
 }

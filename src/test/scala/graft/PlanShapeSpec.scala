@@ -53,6 +53,32 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.split("HashAggregate").length - 1 >= 2, plan) // partial + final
   }
 
+  test("centroid assignment is narrow: no Exchange, no join in the plan") {
+    import graft.operators.Similarity
+    val emb = t("embeddings").select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val cents = Similarity.seedCentroids(emb, "id", "vec", 4)
+    val assigned = Similarity.assignToCentroids(emb, "id", "vec", cents)
+    val plan = physical(assigned)
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("ANN top-k reduction is k-bounded: partial graft_topk before the exchange") {
+    import graft.operators.Similarity
+    import graft.functions.VectorFunctions
+    val emb = t("embeddings")
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val topk = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, "query_id", "qv",
+      k = 10, metric = VectorFunctions.dot, scoreName = "dot")
+    val plan = physical(topk)
+    // two-phase aggregation: a partial ObjectHashAggregate/SortAggregate of
+    // graft_topk runs map-side, so the exchange carries ≤ k rows per query
+    // per input partition — not every scored row
+    assert(plan.split("graft_topk").length - 1 >= 2, plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("typed projection stays inside whole-stage codegen (no UDFs)") {
     import graft.functions.TypedAttrs
     val df = t("customer").select(
