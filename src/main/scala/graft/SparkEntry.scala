@@ -454,6 +454,101 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // ---- merge: $addToSet $each scalar-array union
+    //      (PartialUpdateMongo.java:331-340,399-409)
+    "merge_addtoset_each" -> ((s, dir) => {
+      val state = t(s, dir, "orders").select(
+        col("o_orderkey"), array(col("o_orderstatus")).as("codes"))
+      val incoming = t(s, dir, "lineitem").select(
+        col("l_orderkey").as("o_orderkey"),
+        array(col("l_returnflag"), col("l_linestatus")).as("codes"),
+        col("l_linenumber").as("seq"))
+      val spec = MergeSpec(Seq("o_orderkey"), Seq(MergeFieldSpec("codes", MergeOp.AddToSet)))
+      Merge.upsertBatch(state, incoming, spec, "seq").state
+        .select(col("o_orderkey"), array_join(array_sort(col("codes")), ",").as("codes"))
+        .orderBy("o_orderkey")
+    }),
+
+    // ---- merge: $addToSet $each object-array union with
+    //      fixTimestampsInside on *time* long keys
+    //      (PartialUpdateMongo.java:319-330,386-398,646-672)
+    "merge_addtoset_structs" -> ((s, dir) => {
+      val state = t(s, dir, "orders").select(
+        col("o_orderkey"),
+        array(struct(col("o_orderstatus").as("tag"),
+          timestamp_millis(col("o_orderkey") * 1000).as("etime"))).as("evts"))
+      val raw = t(s, dir, "lineitem").select(
+        col("l_orderkey").as("o_orderkey"),
+        array(struct(col("l_returnflag").as("tag"),
+          (col("l_linenumber") * 1000L).cast(LongType).as("etime"))).as("evts"),
+        col("l_linenumber").as("seq"))
+      // fixTimestampsInside: keys matched by the *time* heuristic get their
+      // epoch-millis longs normalized to timestamps before the set-union
+      val elemType = raw.schema("evts").dataType
+        .asInstanceOf[ArrayType].elementType.asInstanceOf[StructType]
+      val incoming = raw.withColumn("evts",
+        Merge.normalizeTimestamps(col("evts"), Merge.timeLikeKeys(elemType)))
+      val spec = MergeSpec(Seq("o_orderkey"), Seq(MergeFieldSpec("evts", MergeOp.AddToSet)))
+      Merge.upsertBatch(state, incoming, spec, "seq").state
+        .select(col("o_orderkey"),
+          array_join(array_sort(transform(col("evts"), x =>
+            concat_ws("@", x.getField("tag"),
+              unix_millis(x.getField("etime")).cast(StringType)))), ",").as("evts"))
+        .orderBy("o_orderkey")
+    }),
+
+    // ---- merge: $addToSet parent.child array via withField
+    //      (PartialUpdateMongo.java:604-636,710-734)
+    "merge_addtoset_nested" -> ((s, dir) => {
+      val state = t(s, dir, "orders").select(
+        col("o_orderkey"),
+        struct(array(col("o_orderstatus")).as("tags"),
+          col("o_totalprice").as("total")).as("info"))
+      val incoming = t(s, dir, "lineitem").select(
+        col("l_orderkey").as("o_orderkey"),
+        array(col("l_returnflag"), col("l_linestatus")).as("info.tags"),
+        col("l_linenumber").as("seq"))
+      val spec = MergeSpec(Seq("o_orderkey"), Seq(MergeFieldSpec("info.tags", MergeOp.AddToSet)))
+      Merge.upsertBatch(state, incoming, spec, "seq").state
+        .select(col("o_orderkey"),
+          array_join(array_sort(col("info.tags")), ",").as("tags"),
+          col("info.total").as("total"))
+        .orderBy("o_orderkey")
+    }),
+
+    // ---- merge: '*' whole-doc mode — the op applies to every non-key
+    //      incoming column (PartialUpdateMongo.java:304-305)
+    "merge_star" -> ((s, dir) => {
+      val state = t(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus"))
+      val incoming = t(s, dir, "lineitem").select(
+        col("l_orderkey").as("o_orderkey"),
+        col("l_returnflag").as("o_orderstatus"),
+        col("l_partkey").as("ref"),
+        col("l_linenumber").as("seq"))
+      val spec = MergeSpec(Seq("o_orderkey"), Seq(MergeFieldSpec("*", MergeOp.Set)))
+      Merge.upsertBatch(state, incoming, spec, "seq").state
+        .select(col("o_orderkey"), col("o_orderstatus"), col("ref"))
+        .orderBy("o_orderkey")
+    }),
+
+    // ---- merge: single-update mode — at most one state row per key is
+    //      updated, deterministically the full-row lexicographic minimum
+    //      (updateOne vs updateMany, PartialUpdateMongo.java:456-487)
+    "merge_single" -> ((s, dir) => {
+      val state = t(s, dir, "lineitem").select(
+        col("l_orderkey").as("k"),
+        col("l_linenumber").cast(LongType).as("line"),
+        col("l_returnflag").as("status"))
+      val incoming = t(s, dir, "orders")
+        .select(col("o_orderkey").as("k"), col("o_orderstatus").as("status"))
+        .withColumn("seq", lit(0))
+      val spec = MergeSpec(Seq("k"), Seq(MergeFieldSpec("status", MergeOp.Set)),
+        updateMany = false)
+      Merge.upsertBatch(state, incoming, spec, "seq").state
+        .select(col("k"), col("line"), col("status"))
+        .orderBy("k", "line", "status")
+    }),
+
     // ---- dedup: embedding-cosine near-dup via SRP-LSH buckets. The
     //      synthetic embeddings have no natural near-dups (max pair cosine
     //      ~0.49), so exact duplicates are planted under shifted ids:
@@ -864,6 +959,78 @@ object SparkEntry {
         | FROM lineitem GROUP BY 1
         |) i ON o.o_orderkey = i.k
         |ORDER BY o_orderkey""".stripMargin,
+
+    "merge_addtoset_each" ->
+      """SELECT COALESCE(o.o_orderkey, i.k) AS o_orderkey,
+        | array_to_string(list_sort(list_distinct(list_concat(
+        |   CASE WHEN o.o_orderkey IS NOT NULL THEN [o.o_orderstatus] ELSE [] END,
+        |   CASE WHEN i.k IS NOT NULL THEN i.vals ELSE [] END))), ',') AS codes
+        |FROM orders o
+        |FULL OUTER JOIN (
+        | SELECT l_orderkey AS k,
+        |        list_distinct(flatten(list([l_returnflag, l_linestatus]))) AS vals
+        | FROM lineitem GROUP BY 1
+        |) i ON o.o_orderkey = i.k
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "merge_addtoset_structs" ->
+      """SELECT COALESCE(o.o_orderkey, i.k) AS o_orderkey,
+        | array_to_string(list_sort(list_distinct(list_concat(
+        |   CASE WHEN o.o_orderkey IS NOT NULL
+        |        THEN [o.o_orderstatus || '@' || CAST(o.o_orderkey * 1000 AS VARCHAR)] ELSE [] END,
+        |   CASE WHEN i.k IS NOT NULL THEN i.vals ELSE [] END))), ',') AS evts
+        |FROM orders o
+        |FULL OUTER JOIN (
+        | SELECT l_orderkey AS k,
+        |        list_distinct(list(l_returnflag || '@' || CAST(l_linenumber * 1000 AS VARCHAR))) AS vals
+        | FROM lineitem GROUP BY 1
+        |) i ON o.o_orderkey = i.k
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "merge_addtoset_nested" ->
+      """SELECT COALESCE(o.o_orderkey, i.k) AS o_orderkey,
+        | array_to_string(list_sort(list_distinct(list_concat(
+        |   CASE WHEN o.o_orderkey IS NOT NULL THEN [o.o_orderstatus] ELSE [] END,
+        |   CASE WHEN i.k IS NOT NULL THEN i.vals ELSE [] END))), ',') AS tags,
+        | o.o_totalprice AS total
+        |FROM orders o
+        |FULL OUTER JOIN (
+        | SELECT l_orderkey AS k,
+        |        list_distinct(flatten(list([l_returnflag, l_linestatus]))) AS vals
+        | FROM lineitem GROUP BY 1
+        |) i ON o.o_orderkey = i.k
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "merge_star" ->
+      """SELECT COALESCE(o.o_orderkey, i.k) AS o_orderkey,
+        | COALESCE(i.status, o.o_orderstatus) AS o_orderstatus,
+        | i.ref AS ref
+        |FROM orders o
+        |FULL OUTER JOIN (
+        | SELECT l_orderkey AS k,
+        |        arg_max(l_returnflag, printf('%012d|%s', l_linenumber, l_returnflag)) AS status,
+        |        arg_max(l_partkey, printf('%012d|%020d', l_linenumber, l_partkey)) AS ref
+        | FROM lineitem GROUP BY 1
+        |) i ON o.o_orderkey = i.k
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "merge_single" ->
+      """WITH st AS (
+        | SELECT l_orderkey AS k, CAST(l_linenumber AS BIGINT) AS line, l_returnflag AS status,
+        |        ROW_NUMBER() OVER (PARTITION BY l_orderkey
+        |                           ORDER BY l_orderkey, l_linenumber, l_returnflag) AS rn
+        | FROM lineitem
+        |), i AS (
+        | SELECT o_orderkey AS k, o_orderstatus AS status FROM orders
+        |)
+        |SELECT s.k AS k, s.line AS line,
+        | CASE WHEN s.rn = 1 THEN COALESCE(i.status, s.status) ELSE s.status END AS status
+        |FROM st s LEFT JOIN i ON s.k = i.k
+        |UNION ALL
+        |SELECT i.k, CAST(NULL AS BIGINT) AS line, i.status
+        |FROM i LEFT JOIN (SELECT DISTINCT l_orderkey FROM lineitem) l ON i.k = l.l_orderkey
+        |WHERE l.l_orderkey IS NULL
+        |ORDER BY k, line, status""".stripMargin,
 
     // planted exact duplicates: identical normalized text ⇒ guaranteed
     // LSH candidates + fp-verified ⇒ result = self-join on normalized text

@@ -123,11 +123,15 @@ object Merge {
     val keys = spec.keyFields
     val upd = spec.fields.map(_.propertyName)
 
-    // single-mode: only the first state row per key is eligible for update
+    // single-mode: only the first state row per key is eligible for update.
+    // "First" is the full-row lexicographic minimum — a total order, so the
+    // chosen row is deterministic (the reference's updateOne picks whatever
+    // Mongo matches first; we pin it down)
     val st0 =
       if (spec.updateMany) state.withColumn("_upd_eligible", lit(true))
       else {
-        val w = Window.partitionBy(keys.map(col): _*).orderBy(keys.map(col): _*)
+        val w = Window.partitionBy(keys.map(col): _*)
+          .orderBy(state.columns.map(col).toSeq: _*)
         state.withColumn("_upd_eligible", row_number().over(w) === 1)
       }
 
