@@ -48,11 +48,45 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       mem.addData((1L, "c", 7L, 2)) // second batch: $set -> c, $inc 10+7
       q.processAllAvailable()
-      val state = spark.read.parquet(s"$dir/state")
+      val state = StreamingOps.readState(spark, s"$dir/state").get
         .select("k", "s", "n").as[(Long, String, Long)].collect()
         .map(r => r._1 -> ((r._2, r._3))).toMap
       assert(state(1L) == (("c", 17L)))
       assert(state(2L) == (("b", 5L)))
+    } finally q.stop()
+  }
+
+  test("mergeStreamIncremental: per-batch emissions cover only the batch's keys") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-merge-inc").toString
+    val mem = MemoryStream[(Long, String, Long, String, Int)]
+    val df = mem.toDF().toDF("k", "s", "n", "tag", "seq")
+    val spec = MergeSpec(Seq("k"), Seq(
+      MergeFieldSpec("s", MergeOp.Set),
+      MergeFieldSpec("n", MergeOp.Inc),
+      MergeFieldSpec("tag", MergeOp.AddToSet)))
+    val merged = StreamingOps.mergeStreamIncremental(df, spec, "seq")
+    val batches = scala.collection.mutable.Buffer.empty[Set[(Long, String, Long, Set[String])]]
+    val q = merged.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        batches += b.select(col("k"), col("s"), col("n"), col("tag"))
+          .as[(Long, String, Long, Seq[String])].collect()
+          .map(r => (r._1, r._2, r._3, r._4.toSet)).toSet
+        ()
+      }
+      .start()
+    try {
+      mem.addData((1L, "a", 10L, "x", 1), (2L, "b", 5L, "y", 1))
+      q.processAllAvailable()
+      mem.addData((1L, "c", 7L, "z", 2)) // only key 1 in this batch
+      q.processAllAvailable()
+      assert(batches.head == Set(
+        (1L, "a", 10L, Set("x")), (2L, "b", 5L, Set("y"))))
+      // update mode re-emits ONLY the keys the batch touched — the state
+      // store merges key 1 incrementally, key 2's state is never read
+      assert(batches(1) == Set((1L, "c", 17L, Set("x", "z"))))
     } finally q.stop()
   }
 
