@@ -412,9 +412,8 @@ object SparkEntry {
     //      dup-group size histogram (oracle groups by normalized text —
     //      identical groups iff the fingerprint is collision-free)
     "doc_fingerprint" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-        .select(col("doc_id"), col("text"))
-        .repartition(col("doc_id")) // split-independent parallelism for the regex chain
+      val d = graft.engine.Partitioning.spreadByKey(
+        t(s, dir, "documents").select(col("doc_id"), col("text")), col("doc_id"))
       d.select(TextFunctions.fingerprintXx(col("text")).as("fp"))
         .groupBy("fp").agg(count(lit(1)).as("group_size"))
         .groupBy("group_size").agg(count(lit(1)).as("n_groups"))
@@ -580,9 +579,8 @@ object SparkEntry {
     // ---- composite training-data pipeline: quality-filter documents then
     //      aggregate per source (filter pushdown + hash agg)
     "quality_filter" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-        .select(col("doc_id"), col("source"), col("text"))
-        .repartition(col("doc_id")) // split-independent parallelism for the regex chain
+      val d = graft.engine.Partitioning.spreadByKey(
+        t(s, dir, "documents").select(col("doc_id"), col("source"), col("text")), col("doc_id"))
       d.withColumn("q", TextFunctions.qualityScore(col("text")))
         .filter(col("q") >= 0.8)
         .groupBy(col("source"))

@@ -1,0 +1,29 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+
+/**
+ * Parallelism helpers for CPU-heavy pipeline heads.
+ *
+ * Local/small-file reality: parquet row groups are unsplittable, so a
+ * 1.5 MB documents file arrives as ONE input partition and a regex-heavy
+ * map stage serializes on one core. At 100 TB the opposite holds: input
+ * splits outnumber cores and a pipeline-head `repartition` is a full
+ * payload shuffle bought for nothing.
+ *
+ * [[spreadByKey]] resolves the tension by looking at the ACTUAL scan
+ * parallelism: it repartitions only when the input has fewer partitions
+ * than the session's default parallelism — a no-op exactly where the
+ * shuffle would be a scale bug.
+ */
+object Partitioning {
+
+  /** Hash-repartition `df` by `key` IFF its scan parallelism is below the
+    * session default — local small files get their CPU spread, big inputs
+    * keep their splits and pay no shuffle.
+    */
+  def spreadByKey(df: DataFrame, key: Column): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(key) else df
+  }
+}

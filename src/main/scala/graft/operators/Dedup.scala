@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import graft.engine.Partitioning
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions
 
@@ -107,12 +108,11 @@ object Dedup {
     // codegen'd min()s gets map-side partial aggregation; each doc lives in
     // one partition, so the shuffle carries exactly one (id, k longs) row
     // per doc.
-    val sigs = df
-      .select(col(idCol).as("id"), col(textCol).as("_txt"))
-      // decouple CPU parallelism from input split count: tokenization is
-      // ms/doc, and a small unsplittable parquet file would otherwise pin
-      // the whole corpus to one task. The shuffle carries (id, text) once.
-      .repartition(col("id"))
+    // decouple CPU parallelism from input split count when (and only
+    // when) the scan under-parallelizes — see Partitioning.spreadByKey:
+    // a no-op at real scale, a (id, text)-once shuffle on small files
+    val sigs = Partitioning.spreadByKey(
+        df.select(col(idCol).as("id"), col(textCol).as("_txt")), col("id"))
       .select(col("id"),
         tokens(normalizeForFingerprint(col("_txt"))).as("_ts"))
       .select(col("id"),
@@ -196,9 +196,8 @@ object Dedup {
     // explode + codegen'd hash aggregate (see minHashDupPairs note): 64
     // bit-vote sums per doc in one partial-aggregated pass, vs 64
     // interpreted aggregate() lambdas per row
-    val hashed = df
-      .select(col(idCol).as("id"), col(textCol).as("_txt"))
-      .repartition(col("id"))  // split-independent parallelism (see minHashDupPairs)
+    val hashed = Partitioning.spreadByKey(
+        df.select(col(idCol).as("id"), col(textCol).as("_txt")), col("id"))
       .select(col("id"),
         tokens(normalizeForFingerprint(col("_txt"))).as("_ts"))
       .select(col("id"),
@@ -247,9 +246,8 @@ object Dedup {
       n: Int = 3,
       threshold: Double = 0.5
   ): DataFrame = {
-    val withSh = df
-      .select(col(idCol).as("id"), col(textCol).as("_txt"))
-      .repartition(col("id"))  // split-independent parallelism (see minHashDupPairs)
+    val withSh = Partitioning.spreadByKey(
+        df.select(col(idCol).as("id"), col(textCol).as("_txt")), col("id"))
       .select(col("id"),
         tokens(normalizeForFingerprint(col("_txt"))).as("_ts"))
       .select(col("id"), array_distinct(shinglesFromTokens(col("_ts"), n)).as("sh"))
@@ -305,8 +303,8 @@ object Dedup {
     // interpreted per-row srpBucket fold re-walks the vector once per
     // hyperplane); norms are computed ONCE per vector here, so the pair
     // verify below folds only the dot product.
-    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .repartition(col("id")) // split-independent parallelism (see minHashDupPairs)
+    val base = Partitioning.spreadByKey(
+      df.select(col(idCol).as("id"), col(vecCol).as("v")), col("id"))
     val exploded = base
       .select(col("id"), posexplode(col("v")).as(Seq("i", "x")))
       .select(col("id"), col("i"), col("x").cast(DoubleType).as("x"))

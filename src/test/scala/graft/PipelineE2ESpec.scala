@@ -65,7 +65,8 @@ class PipelineE2ESpec extends SparkSpec {
       q.processAllAvailable()
       mem.addData((Timestamp.valueOf("2024-03-15 11:00:00"), "click"))
       q.processAllAvailable()
-      val state = spark.read.parquet(s"$dir/state").as[(String, Long)].collect().toMap
+      val state = StreamingOps.readState(spark, s"$dir/state").get
+        .as[(String, Long)].collect().toMap
       assert(state("type.click") == 2L)
       assert(state("time.2024-03-15") == 2L)
     } finally q.stop()
