@@ -57,21 +57,22 @@ object TypedAttrs {
   /** Render a timestamp as the reference's `$date` ISO string. */
   def isoMillis(ts: Column): Column = date_format(ts, IsoMillisFormat)
 
-  /** JSON array string "[1.5,2.5]" → 4.0 (fold with +). */
+  import org.apache.spark.sql.graft.ColumnBridge
+
+  /** JSON array string "[1.5,2.5]" → 4.0. A native single-pass codegen'd
+    * expression (graft.plans.JsonDoubleArraySum) — no per-row Jackson
+    * parse, no interpreted fold. Malformed input (or any malformed
+    * element) → null, which [[project]] routes to failure like the
+    * reference's catch block.
+    */
   def doubleArraySum(c: Column): Column =
-    aggregate(
-      from_json(c, ArrayType(DoubleType)),
-      lit(0.0),
-      (acc, x) => acc + coalesce(x, lit(0.0))
-    )
+    ColumnBridge.column(
+      graft.plans.JsonDoubleArraySum(ColumnBridge.expression(c)))
 
   /** JSON array string "[1,2,3]" → 6L. */
   def intArraySum(c: Column): Column =
-    aggregate(
-      from_json(c, ArrayType(LongType)),
-      lit(0L),
-      (acc, x) => acc + coalesce(x, lit(0L))
-    )
+    ColumnBridge.column(
+      graft.plans.JsonLongArraySum(ColumnBridge.expression(c)))
 
   /** Project typed columns out of a `MAP<STRING,STRING>` attributes column
     * per the config. Returns the list of aliased columns (caller composes
