@@ -576,6 +576,35 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // ---- multimodal: bounded frame-sampling explode (stub slicer; the
+    //      slice boundaries are closed-form in (media_id, frame_idx), so
+    //      the explode shape and byte accounting get a real oracle)
+    "media_frames" -> ((s, dir) => {
+      val media = Multimodal.syntheticMedia(s, 500)
+      Multimodal.sampleFrames(media, 4)
+        .select(col("media_id"), col("frame_idx"),
+          length(col("frame_bytes")).cast(LongType).as("n_bytes"))
+        .orderBy("media_id", "frame_idx")
+    }),
+
+    // ---- multimodal: metadata-only resize — never touches the binary
+    //      column (plan-level proof in MultimodalSpec); pure arithmetic,
+    //      fully oracle-able
+    "media_resize" -> ((s, dir) => {
+      val media = Multimodal.syntheticMedia(s, 500)
+        .withColumn("meta", struct(
+          col("meta.mime").as("mime"),
+          (col("media_id") % 1000 + 100).cast(IntegerType).as("width"),
+          (col("media_id") % 700 + 50).cast(IntegerType).as("height"),
+          col("meta.durationMs").as("durationMs"),
+          col("meta.codec").as("codec")))
+      Multimodal.resizeMeta(media, 512)
+        .select(col("media_id"),
+          col("resized_meta.width").as("w"),
+          col("resized_meta.height").as("h"))
+        .orderBy("media_id")
+    }),
+
     // ---- composite training-data pipeline: quality-filter documents then
     //      aggregate per source (filter pushdown + hash agg)
     "quality_filter" -> ((s, dir) => {
@@ -1062,6 +1091,35 @@ object SparkEntry {
       """SELECT CAST(vec_id AS BIGINT) AS id_a, CAST(vec_id + 1000000 AS BIGINT) AS id_b
         |FROM embeddings WHERE vec_id < 10
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // stub slicer copies [i*len/n, max((i+1)*len/n, i*len/n+1)); len ≥ 64
+    // and n = 4 keep the max() arm inactive, so frame sizes are the
+    // integer-division differences
+    "media_frames" ->
+      """WITH m AS (
+        | SELECT range AS media_id, 64 + (range % 64) AS len FROM range(500)
+        |)
+        |SELECT CAST(m.media_id AS BIGINT) AS media_id,
+        | CAST(f.range AS INTEGER) AS frame_idx,
+        | CAST((f.range + 1) * m.len // 4 - f.range * m.len // 4 AS BIGINT) AS n_bytes
+        |FROM m, range(4) f
+        |ORDER BY media_id, frame_idx""".stripMargin,
+
+    // Spark's double→int cast truncates; FLOOR matches for the positive
+    // dims here, and the double arithmetic is elementwise-identical
+    "media_resize" ->
+      """WITH m AS (
+        | SELECT range AS media_id,
+        |        CAST(range % 1000 + 100 AS INTEGER) AS w0,
+        |        CAST(range % 700 + 50 AS INTEGER) AS h0
+        | FROM range(500)
+        |)
+        |SELECT CAST(media_id AS BIGINT) AS media_id,
+        | CAST(FLOOR(w0 * (CASE WHEN greatest(w0, h0) > 512
+        |                       THEN 512.0 / greatest(w0, h0) ELSE 1.0 END)) AS INTEGER) AS w,
+        | CAST(FLOOR(h0 * (CASE WHEN greatest(w0, h0) > 512
+        |                       THEN 512.0 / greatest(w0, h0) ELSE 1.0 END)) AS INTEGER) AS h
+        |FROM m ORDER BY media_id""".stripMargin,
 
     // syntheticMedia bytes are Array.tabulate(64 + id % 64) by construction
     "media_features" ->
