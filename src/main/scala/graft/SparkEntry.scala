@@ -530,6 +530,28 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // ---- merge: $currentDate through the time seam — matched/inserted
+    //      keys get "now" (a literal here, so the op is deterministic and
+    //      oracle-able), untouched state keeps its timestamp
+    //      (PartialUpdateMongo.java:313-314,378-381)
+    "merge_currentdate" -> ((s, dir) => {
+      val state = t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_orderstatus"),
+        timestamp_millis(lit(0L)).as("touched"))
+      val incoming = t(s, dir, "lineitem").select(
+        col("l_orderkey").as("o_orderkey"),
+        col("l_returnflag").as("o_orderstatus"),
+        col("l_linenumber").as("seq"))
+      val spec = MergeSpec(Seq("o_orderkey"), Seq(
+        MergeFieldSpec("o_orderstatus", MergeOp.Set),
+        MergeFieldSpec("touched", MergeOp.CurrentDate)))
+      Merge.upsertBatch(state, incoming, spec, "seq",
+          now = lit("2026-01-02 03:04:05").cast(TimestampType)).state
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          unix_millis(col("touched")).as("touched_ms"))
+        .orderBy("o_orderkey")
+    }),
+
     // ---- merge: single-update mode — at most one state row per key is
     //      updated, deterministically the full-row lexicographic minimum
     //      (updateOne vs updateMany, PartialUpdateMongo.java:456-487)
@@ -1037,6 +1059,19 @@ object SparkEntry {
         | SELECT l_orderkey AS k,
         |        arg_max(l_returnflag, printf('%012d|%s', l_linenumber, l_returnflag)) AS status,
         |        arg_max(l_partkey, printf('%012d|%020d', l_linenumber, l_partkey)) AS ref
+        | FROM lineitem GROUP BY 1
+        |) i ON o.o_orderkey = i.k
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "merge_currentdate" ->
+      """SELECT o.o_orderkey AS o_orderkey,
+        | COALESCE(i.status, o.o_orderstatus) AS o_orderstatus,
+        | CASE WHEN i.k IS NOT NULL
+        |      THEN epoch_ms(TIMESTAMP '2026-01-02 03:04:05') ELSE 0 END AS touched_ms
+        |FROM orders o
+        |LEFT JOIN (
+        | SELECT l_orderkey AS k,
+        |        arg_max(l_returnflag, printf('%012d|%s', l_linenumber, l_returnflag)) AS status
         | FROM lineitem GROUP BY 1
         |) i ON o.o_orderkey = i.k
         |ORDER BY o_orderkey""".stripMargin,

@@ -116,7 +116,8 @@ object Merge {
   def merge(
       state: DataFrame,
       collapsed: DataFrame,
-      spec0: MergeSpec
+      spec0: MergeSpec,
+      now: Column = current_timestamp()
   ): MergeResult = {
     val spec = expandStar(spec0, collapsed)
     require(spec.keyFields.nonEmpty, "merge requires key fields (empty = match-all; use crossJoin explicitly)")
@@ -172,7 +173,10 @@ object Merge {
               coalesce(inV, array().cast(arrType))
             )
           )
-        case MergeOp.CurrentDate => current_timestamp()
+        // `now` is a seam (default = server now, the reference semantics,
+        // PartialUpdateMongo.java:378-381): a literal makes the op
+        // deterministic for replay/tests/oracles
+        case MergeOp.CurrentDate => now
       }
       n -> when(matched || inserted, merged).otherwise(stV)
     }.toMap
@@ -238,6 +242,7 @@ object Merge {
       state: DataFrame,
       incoming: DataFrame,
       spec: MergeSpec,
-      orderCol: String
-  ): MergeResult = merge(state, collapseIncoming(incoming, spec, orderCol), spec)
+      orderCol: String,
+      now: Column = current_timestamp()
+  ): MergeResult = merge(state, collapseIncoming(incoming, spec, orderCol), spec, now)
 }
