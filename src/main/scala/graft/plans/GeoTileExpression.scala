@@ -97,5 +97,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction(GeoTile.functionDescriptor)
     ext.injectFunction(TopKAggregate.functionDescriptor)
+    ext.injectFunction(JsonNumArraySum.doubleDescriptor)
+    ext.injectFunction(JsonNumArraySum.longDescriptor)
   }
 }

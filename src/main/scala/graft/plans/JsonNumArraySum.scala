@@ -66,6 +66,27 @@ case class JsonLongArraySum(child: Expression) extends JsonNumArraySumBase {
 
 object JsonNumArraySum {
 
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+  val doubleDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_json_double_sum"),
+    new ExpressionInfo(classOf[JsonDoubleArraySum].getName, "graft_json_double_sum"),
+    { children =>
+      require(children.size == 1, "graft_json_double_sum(str) takes 1 argument")
+      JsonDoubleArraySum(children.head)
+    }
+  )
+
+  val longDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_json_long_sum"),
+    new ExpressionInfo(classOf[JsonLongArraySum].getName, "graft_json_long_sum"),
+    { children =>
+      require(children.size == 1, "graft_json_long_sum(str) takes 1 argument")
+      JsonLongArraySum(children.head)
+    }
+  )
+
   /** null ⇒ malformed (whole-sum null); `[]` ⇒ 0. */
   def sumDouble(s: UTF8String): java.lang.Double = {
     val toks = tokens(s)

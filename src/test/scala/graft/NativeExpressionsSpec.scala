@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.TypedAttrs
+import graft.plans.TopKAggregate
+
+/** Unit coverage for the engine's native Catalyst expressions beyond the
+  * plan-shape assertions: value semantics, null/malformed behavior, and
+  * the partial/merge/serialize path of the bounded top-k aggregate.
+  */
+class NativeExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("JsonDoubleArraySum: values, empty, null elements, malformed, null input") {
+    val df = Seq(
+      ("[1.5,2.5]", 1), ("[]", 2), ("[1.5, null, 2]", 3),
+      ("garbage", 4), ("[1,oops]", 5), (null: String, 6), ("  [ 1.25 ,2 ] ", 7)
+    ).toDF("s", "id")
+    val got = df.select(col("id"), TypedAttrs.doubleArraySum(col("s")).as("v"))
+      .as[(Int, Option[Double])].collect().toMap
+    assert(got(1).contains(4.0))
+    assert(got(2).contains(0.0))
+    assert(got(3).contains(3.5)) // null element contributes 0
+    assert(got(4).isEmpty)       // not an array
+    assert(got(5).isEmpty)       // malformed element nulls the WHOLE sum
+    assert(got(6).isEmpty)
+    assert(got(7).contains(3.25)) // whitespace tolerated
+  }
+
+  test("JsonLongArraySum: ints sum; a non-integral element nulls the sum") {
+    val df = Seq(("[1,2,3]", 1), ("[1,2.5]", 2), ("[null,4]", 3)).toDF("s", "id")
+    val got = df.select(col("id"), TypedAttrs.intArraySum(col("s")).as("v"))
+      .as[(Int, Option[Long])].collect().toMap
+    assert(got(1).contains(6L))
+    assert(got(2).isEmpty) // reference casts to Integer and throws -> failure
+    assert(got(3).contains(4L))
+  }
+
+  test("array sums stay inside whole-stage codegen") {
+    val df = spark.range(10)
+      .select(concat(lit("["), col("id"), lit("]")).as("s"))
+    val q = df.select(TypedAttrs.doubleArraySum(col("s")).as("v"))
+    assert(q.queryExecution.executedPlan.toString.contains("*(1)"),
+      q.queryExecution.executedPlan.toString)
+    assert(q.agg(sum("v")).as[Double].collect().head == 45.0)
+  }
+
+  test("graft_topk: descending order, tie-break, k > group size, shuffle survival") {
+    TopKAggregate.register(spark)
+    // force a real exchange so partial buffers serialize/merge
+    val df = spark.range(100).select(
+      (col("id") % 3).as("g"),
+      (col("id") % 10).cast(DoubleType).as("score"),
+      col("id").as("nid"))
+      .repartition(7)
+    val top = df.groupBy("g")
+      .agg(call_function("graft_topk",
+        struct(col("score"), (-col("nid")).as("n")), lit(4)).as("t"))
+      .select(col("g"), transform(col("t"),
+        e => struct(e.getField("score"), (-e.getField("n")).as("nid"))).as("t"))
+      .as[(Long, Seq[(Double, Long)])].collect().toMap
+    // group 0: ids 0,3,...,99; scores id%10; max score 9 at ids 9,39,69,99
+    assert(top(0L) == Seq((9.0, 9L), (9.0, 39L), (9.0, 69L), (9.0, 99L)))
+    // k larger than distinct rows: a 2-row group returns 2
+    val small = Seq((1L, 5.0, 10L), (1L, 3.0, 11L)).toDF("g", "score", "nid")
+    val gotSmall = small.groupBy("g")
+      .agg(call_function("graft_topk",
+        struct(col("score"), (-col("nid")).as("n")), lit(4)).as("t"))
+      .select(size(col("t"))).as[Int].collect()
+    assert(gotSmall.toSeq == Seq(2))
+  }
+
+  test("graft_topk rejects non-struct input and non-positive k") {
+    TopKAggregate.register(spark)
+    val df = Seq((1, 2.0)).toDF("g", "x")
+    intercept[Exception] {
+      df.groupBy("g").agg(call_function("graft_topk", col("x"), lit(3))).collect()
+    }
+    intercept[Exception] {
+      df.groupBy("g")
+        .agg(call_function("graft_topk", struct(col("x")), lit(0))).collect()
+    }
+  }
+}
