@@ -203,8 +203,12 @@ object Dedup {
       .select(col("id"),
         explode(array_distinct(shinglesFromTokens(col("_ts"), 2))).as("_g"))
       .select(col("id"), xxhash64(col("_g")).as("_h"))
+    // branchless votes: the ±1 vote sum is 2·popcount − n, so bit i is set
+    // iff 2·Σ((h>>i)&1) > n — 64 shift-and-add sums instead of 64
+    // conditionals per exploded shingle row
+    val n = count(lit(1))
     val sigExpr = (0 until 64).map { i =>
-      when(sum(when(shiftright(col("_h"), i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)) > 0,
+      when(sum(shiftright(col("_h"), i).bitwiseAND(1L)) * 2 > n,
         shiftleft(lit(1L), i)).otherwise(lit(0L))
     }.reduce(_ + _)
     val sigs = hashed.groupBy("id").agg(sigExpr.as("sig"))
