@@ -125,6 +125,50 @@ object SparkEntry {
         .limit(10)
     }),
 
+    // ---- bulk path: JSON array column → one row per document with
+    //      _doc_idx (PartialUpdateMongo.java:210-239)
+    "json_bulk_explode" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val arr = concat(
+        lit("[{\"ln\":"), col("l_linenumber"),
+        lit(",\"f\":\""), col("l_returnflag"),
+        lit("\"},{\"ln\":"), col("l_linenumber") + 100,
+        lit(",\"f\":\""), col("l_linestatus"), lit("\"}]"))
+      val df = li.select(col("l_orderkey"), col("l_linenumber").as("seq"), arr.as("docs"))
+      graft.sources.SourcesSinks.explodeJsonArray(df, "docs", StructType(Seq(
+        StructField("ln", IntegerType), StructField("f", StringType))))
+        .select(col("l_orderkey"), col("seq"), col("_doc_idx"),
+          col("_doc.ln").as("ln"), col("_doc.f").as("f"))
+        .orderBy("l_orderkey", "seq", "_doc_idx")
+    }),
+
+    // ---- charset-aware whole-record text scan (SURVEY §2.2: configurable
+    //      decode charset): latin-1 bytes with a non-ASCII char round-trip
+    "text_scan_charset" -> ((s, dir) => {
+      val out = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_latin1_scan.txt")
+      val lines = (0 until 200).map(i => s"reg-é-$i")
+      java.nio.file.Files.write(out,
+        lines.mkString("\n").getBytes(java.nio.charset.Charset.forName("ISO-8859-1")))
+      graft.sources.SourcesSinks.readTextRecords(s, out.toString, "ISO-8859-1")
+        .orderBy("content")
+    }),
+
+    // ---- bin sink single-mode round-trip: bin-<name>.json filenames +
+    //      mime metadata (DataBinningProcessor.java:272-291), written and
+    //      read back through the JSON record sink
+    "bin_sink_roundtrip" -> ((s, dir) => {
+      val bins = Binning.binAndCount(events(s, dir), Seq(LiteralBinner("type", "event_type")))
+      val out = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_bin_sink").toString
+      graft.sources.SourcesSinks.writeBinRecords(bins, out)
+      s.read.schema(StructType(Seq(
+          StructField("name", StringType), StructField("count", LongType),
+          StructField("filename", StringType), StructField("mime_type", StringType))))
+        .json(out)
+        .orderBy("name")
+    }),
+
     // ---- typed projection (BetterAttributesToJSON, SURVEY §2 rows 6-10)
     "typed_projection" -> ((s, dir) => {
       val c = t(s, dir, "customer")
@@ -720,6 +764,24 @@ object SparkEntry {
         |GROUP BY l.l_orderkey
         |ORDER BY revenue DESC, l_orderkey
         |LIMIT 10""".stripMargin,
+
+    "json_bulk_explode" ->
+      """SELECT l_orderkey, l_linenumber AS seq, CAST(0 AS INTEGER) AS _doc_idx,
+        | l_linenumber AS ln, l_returnflag AS f FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, CAST(1 AS INTEGER),
+        | l_linenumber + 100, l_linestatus FROM lineitem
+        |ORDER BY l_orderkey, seq, _doc_idx""".stripMargin,
+
+    "text_scan_charset" ->
+      """SELECT 'reg-é-' || CAST(range AS VARCHAR) AS content
+        |FROM range(200) ORDER BY content""".stripMargin,
+
+    "bin_sink_roundtrip" ->
+      """SELECT 'type.' || event_type AS name, CAST(COUNT(*) AS BIGINT) AS count,
+        | 'bin-type.' || event_type || '.json' AS filename,
+        | 'application/json' AS mime_type
+        |FROM events GROUP BY event_type ORDER BY name""".stripMargin,
 
     "typed_projection" ->
       """SELECT c_custkey,
