@@ -685,6 +685,29 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // ---- the full training-data prep pipeline, composed through the
+    //      Pipeline/relationship-routing layer: exact dedup → quality
+    //      routing (success/failure) → success branch → per-source stats
+    "pipeline_train_prep" -> ((s, dir) => {
+      import graft.engine.{Partitioning, Pipeline}
+      val docs = Partitioning.spreadByKey(
+        t(s, dir, "documents").select(col("doc_id"), col("source"), col("text")),
+        col("doc_id"))
+      val dedup: DataFrame => DataFrame = d => Dedup.exact(d, "text", "doc_id")
+      val qualityRoute: DataFrame => DataFrame = d => d
+        .withColumn("q", TextFunctions.qualityScore(col("text")))
+        .withColumn(Route.RouteCol,
+          when(col("q") >= 0.8, Route.Success).otherwise(Route.Failure))
+        .withColumn(Route.ErrorCol, lit(null).cast(StringType))
+      val stats: DataFrame => DataFrame = d => d
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextFunctions.tokenCount(col("text"))).as("total_tokens"))
+      Pipeline(dedup, qualityRoute, Pipeline.route(Route.Success), stats)
+        .run(docs)
+        .orderBy("source")
+    }),
+
     // ---- dedup: MinHash+LSH candidate-recall gate. Exact duplicates are
     //      planted under shifted ids: identical normalized text ⇒ identical
     //      token stream ⇒ identical 16-hash signature ⇒ every LSH band
@@ -1003,6 +1026,41 @@ object SparkEntry {
         |       ELSE 0.0 END AS punct_ratio,
         |  list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '') AS toks
         | FROM documents
+        |), g AS (
+        | SELECT source, n_tokens, punct_ratio,
+        |  CASE WHEN len(toks) > 0
+        |       THEN CAST(len(list_filter(toks, t -> t IN ('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','be','this','are','was','from'))) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+        |       ELSE 0.0 END AS stopword_ratio
+        | FROM f
+        |), q AS (
+        | SELECT source, n_tokens,
+        |  round((CASE WHEN n_tokens BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END) * 0.4
+        |      + (CASE WHEN stopword_ratio BETWEEN 0.01 AND 0.8 THEN 1.0 ELSE 0.0 END) * 0.4
+        |      + (CASE WHEN punct_ratio < 0.2 THEN 1.0 ELSE 0.0 END) * 0.2, 2) AS quality
+        | FROM g
+        |)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+        |FROM q WHERE quality >= 0.8
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    "pipeline_train_prep" ->
+      """WITH norm AS (
+        | SELECT doc_id, source, text,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[[:punct:]]', '', 'g'), '\s+', ' ', 'g')) AS nt
+        | FROM documents
+        |), kept AS (
+        | SELECT doc_id, source, text,
+        |        ROW_NUMBER() OVER (PARTITION BY nt ORDER BY doc_id) AS rn
+        | FROM norm
+        |), f AS (
+        | SELECT source,
+        |  len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS n_tokens,
+        |  CASE WHEN length(text) > 0
+        |       THEN CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)
+        |       ELSE 0.0 END AS punct_ratio,
+        |  list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '') AS toks
+        | FROM kept WHERE rn = 1
         |), g AS (
         | SELECT source, n_tokens, punct_ratio,
         |  CASE WHEN len(toks) > 0
