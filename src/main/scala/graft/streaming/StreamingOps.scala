@@ -74,6 +74,19 @@ object StreamingOps {
     * Returns the streaming DataFrame of (keys, merged fields); write it
     * with `outputMode("update")` to any keyed sink.
     */
+  /** Pre-explode an array-valued `$addToSet $each` field so the
+    * incremental merge can treat it as scalar `$addToSet` (collect_set
+    * keeps the streaming state bounded by DISTINCT values — the property
+    * an array-buffering aggregate cannot give). One row per element;
+    * other columns duplicate, which is harmless for Set/Inc fields only
+    * when the duplication is keyed — so this helper is for pipelines
+    * whose spec is the $each field (plus keys/order) alone, the
+    * reference's own shape for array payloads
+    * (PartialUpdateMongo.java:399-409).
+    */
+  def explodeEachField(incoming: DataFrame, field: String): DataFrame =
+    incoming.withColumn(field, explode_outer(col(field)))
+
   def mergeStreamIncremental(
       incoming: DataFrame,
       spec: MergeSpec,
@@ -88,7 +101,7 @@ object StreamingOps {
         require(!incoming.schema(f.propertyName).dataType.isInstanceOf[
           org.apache.spark.sql.types.ArrayType],
           s"$$addToSet $$each (array field '${f.propertyName}') needs mergeStream " +
-            "or a pre-explode: unbounded collect_list state would grow with duplicates")
+            "or explodeEachField: unbounded collect_list state would grow with duplicates")
     }
     val (dateFields, aggFields) = spec.fields.partition(_.op == MergeOp.CurrentDate)
     val aggs = aggFields.map { f =>

@@ -90,6 +90,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("mergeStreamIncremental: exploded $each arrays union as bounded sets") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-merge-each").toString
+    val mem = MemoryStream[(Long, Seq[String], Int)]
+    val df = StreamingOps.explodeEachField(
+      mem.toDF().toDF("k", "tags", "seq"), "tags")
+    val spec = MergeSpec(Seq("k"), Seq(MergeFieldSpec("tags", MergeOp.AddToSet)))
+    val merged = StreamingOps.mergeStreamIncremental(df, spec, "seq")
+    val last = scala.collection.mutable.Map.empty[Long, Set[String]]
+    val q = merged.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        b.select(col("k"), col("tags")).as[(Long, Seq[String])].collect()
+          .foreach { case (k, t) => last(k) = t.toSet }
+        ()
+      }
+      .start()
+    try {
+      mem.addData((1L, Seq("a", "b"), 1))
+      q.processAllAvailable()
+      mem.addData((1L, Seq("b", "c"), 2)) // set-union, duplicates collapse
+      q.processAllAvailable()
+      assert(last(1L) == Set("a", "b", "c"))
+    } finally q.stop()
+  }
+
   test("socket sink (batch): emit with event column, send without; client per partition") {
     val df = Seq(("m1", "evA"), ("m2", null), ("m3", "evB"))
       .toDF("msg", "ev").repartition(2)
