@@ -754,6 +754,24 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // ---- dedup: connected components over exact-dup pairs — transitive
+    //      cluster labels (comp = min reachable id); planted dups give the
+    //      deterministic pair set, the oracle is the per-group min id
+    "dedup_components" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = d.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val all = d.union(planted)
+      val fps = all.select(col("doc_id"),
+        xxhash64(TextFunctions.normalizeForFingerprint(col("text"))).as("fp"))
+      val pairs = fps.select(col("fp"), col("doc_id").as("id_a"))
+        .join(fps.select(col("fp"), col("doc_id").as("id_b")), Seq("fp"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"))
+      Dedup.connectedComponents(pairs)
+        .orderBy("id")
+    }),
+
     // ---- dedup: exact n-gram Jaccard pairs (inverted-index join)
     "ngram_jaccard_pairs" -> ((s, dir) => {
       val d = t(s, dir, "documents")
@@ -1239,6 +1257,20 @@ object SparkEntry {
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b
         |FROM all_docs a JOIN all_docs b ON a.nt = b.nt AND a.doc_id < b.doc_id
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_components" ->
+      """WITH norm AS (
+        | SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), '[[:punct:]]', '', 'g'), '\s+', ' ', 'g')) AS nt
+        | FROM documents
+        |), all_docs AS (
+        | SELECT CAST(doc_id AS BIGINT) AS doc_id, nt FROM norm
+        | UNION ALL SELECT CAST(doc_id + 1000000 AS BIGINT), nt FROM norm WHERE doc_id < 20
+        |), g AS (
+        | SELECT doc_id, min(doc_id) OVER (PARTITION BY nt) AS comp,
+        |        count(*) OVER (PARTITION BY nt) AS n
+        | FROM all_docs
+        |)
+        |SELECT doc_id AS id, comp FROM g WHERE n > 1 ORDER BY id""".stripMargin,
 
     // planted identical vectors: cosine 1.0, same SRP bucket; natural max
     // pair cosine ~0.49 ≪ 0.999 threshold ⇒ output = the planted pair set

@@ -156,6 +156,60 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  // --------------------------------------------- dup-cluster components
+
+  /** Connected components over a candidate-pair edge list — the
+    * transitive closure a real dedup needs: "keep one doc per CLUSTER",
+    * where near-dup pairs chain (a~b, b~c ⇒ {a,b,c}), not just one doc
+    * per pair. Returns (id, comp) for every node appearing in `pairs`,
+    * comp = the minimum id reachable from the node.
+    *
+    * Algorithm: iterative min-label propagation (the hash-join form of
+    * MapReduce connected components): each round every node takes the min
+    * of its own label and its neighbors' labels; converges in O(cluster
+    * diameter) rounds — dup clusters from LSH candidates are near-cliques,
+    * so 2-3 rounds in practice, `maxIter` as a backstop. Each round is
+    * one shuffle of the EDGE list (ids only, never payloads), and the
+    * lineage is cut with localCheckpoint so plans don't grow with rounds.
+    * At 100 TB the pair list is output-bound (∝ actual duplication), so
+    * the iteration runs on a table orders of magnitude smaller than the
+    * corpus.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var comp = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint()
+    var i = 0
+    var converged = false
+    while (!converged && i < maxIter) {
+      val nbrMin = edges.join(comp, edges("dst") === comp("id"))
+        .groupBy(col("src")).agg(min(col("comp")).as("nbr"))
+      val next = comp.join(nbrMin, comp("id") === nbrMin("src"), "left")
+        .select(col("id"), least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"))
+        .localCheckpoint()
+      converged = next.join(comp.withColumnRenamed("comp", "prev"), "id")
+        .filter(col("comp") =!= col("prev")).isEmpty
+      comp = next
+      i += 1
+    }
+    comp
+  }
+
+  /** Cluster-aware dedup: keep every row not in any dup cluster plus the
+    * minimum-id representative of each cluster.
+    */
+  def dedupByComponents(df: DataFrame, pairs: DataFrame, idCol: String): DataFrame = {
+    val losers = connectedComponents(pairs)
+      .filter(col("id") =!= col("comp"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   // -------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash over word shingles: for each bit position, sum ±1

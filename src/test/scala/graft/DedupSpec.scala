@@ -72,4 +72,21 @@ class DedupSpec extends SparkSpec {
       (1L, 2, Route.AlreadyExists),
       (2L, 1, Route.AlreadyExists)))
   }
+
+  test("connectedComponents: multi-hop chains merge to the min id") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("dedupByComponents keeps cluster representatives and untouched rows") {
+    import spark.implicits._
+    val df = Seq(1L, 2L, 3L, 4L, 10L, 11L, 99L).toDF("id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id_a", "id_b")
+    val kept = Dedup.dedupByComponents(df, pairs, "id").as[Long].collect().toSet
+    assert(kept == Set(1L, 10L, 99L))
+  }
 }
