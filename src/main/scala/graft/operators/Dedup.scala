@@ -98,7 +98,8 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 16,
       threshold: Double = 0.7,
-      shingleSize: Int = 3
+      shingleSize: Int = 3,
+      maxBucketSize: Option[Int] = None
   ): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rowsPerBand = numHashes / bands
@@ -120,10 +121,11 @@ object Dedup {
       .groupBy("id")
       .agg(array((0 until numHashes).map(i =>
         min(xxhash64(col("_g"), lit(i)))): _*).as("sig"))
-    val banded = sigs.select(
+    val banded0 = sigs.select(
       col("id"), col("sig"),
       explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("bk")
     )
+    val banded = capBuckets(banded0, maxBucketSize)
     val a = banded.select(col("bk"), col("id").as("id_a"), col("sig").as("sig_a"))
     val b = banded.select(col("bk"), col("id").as("id_b"), col("sig").as("sig_b"))
     val est = {
@@ -139,6 +141,26 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
       .distinct()
   }
+
+  /** Hot-bucket cap — the LSH skew guard. A boilerplate cluster of m
+    * near-identical docs puts all m in the same band bucket, and the
+    * bucket self-join goes m²: at 100 TB one million-doc template cluster
+    * is 10¹² candidate pairs. Production dedup caps the bucket size:
+    * buckets larger than the cap are dropped from CANDIDATE GENERATION
+    * (their members still pair through their other, more selective
+    * bands, and a cluster that saturates every band is boilerplate you
+    * detect with exactGroups/fingerprints, not pairwise). The size table
+    * is an aggregate on the already-partitioned band keys — one reused
+    * shuffle, no payloads. None = no cap, identical plan to before.
+    */
+  private def capBuckets(
+      banded: DataFrame, maxBucketSize: Option[Int], keyCol: String = "bk"): DataFrame =
+    maxBucketSize match {
+      case None => banded
+      case Some(cap) =>
+        val sizes = banded.groupBy(keyCol).agg(count(lit(1)).as("_n"))
+        banded.join(sizes.filter(col("_n") <= cap), Seq(keyCol)).drop("_n")
+    }
 
   /** Dedup via MinHash: drop every doc that has a near-dup with a smaller
     * id (connected via at least one LSH candidate pair).
@@ -245,7 +267,8 @@ object Dedup {
       df: DataFrame,
       textCol: String,
       idCol: String,
-      maxHamming: Int = 3
+      maxHamming: Int = 3,
+      maxBucketSize: Option[Int] = None
   ): DataFrame = {
     // explode + codegen'd hash aggregate (see minHashDupPairs note): 64
     // bit-vote sums per doc in one partial-aggregated pass, vs 64
@@ -269,7 +292,9 @@ object Dedup {
     val blocks = (0 until 4).map { b =>
       struct(lit(b).as("blk"), shiftright(col("sig"), b * 16).bitwiseAND(0xFFFFL).as("v"))
     }
-    val banded = sigs.select(col("id"), col("sig"), explode(array(blocks: _*)).as("bk"))
+    val banded = capBuckets(
+      sigs.select(col("id"), col("sig"), explode(array(blocks: _*)).as("bk")),
+      maxBucketSize)
     val a = banded.select(col("bk"), col("id").as("id_a"), col("sig").as("sig_a"))
     val b = banded.select(col("bk"), col("id").as("id_b"), col("sig").as("sig_b"))
     a.join(b, Seq("bk"))
@@ -355,7 +380,8 @@ object Dedup {
       idCol: String,
       threshold: Double = 0.95,
       bits: Int = 12,
-      seed: Int = 42
+      seed: Int = 42,
+      maxBucketSize: Option[Int] = None
   ): DataFrame = {
     // SRP buckets + norms via posexplode + codegen'd hash aggregate (the
     // interpreted per-row srpBucket fold re-walks the vector once per
@@ -375,7 +401,7 @@ object Dedup {
     val sigs = exploded.groupBy("id").agg(
       planeBits.reduce(_ + _).as("bucket"),
       sqrt(sum(col("x") * col("x"))).as("nrm"))
-    val bucketed = base.join(sigs, Seq("id"))
+    val bucketed = capBuckets(base.join(sigs, Seq("id")), maxBucketSize, "bucket")
     val a = bucketed.select(col("bucket"), col("id").as("id_a"),
       col("v").as("v_a"), col("nrm").as("n_a"))
     val b = bucketed.select(col("bucket"), col("id").as("id_b"),

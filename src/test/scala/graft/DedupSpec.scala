@@ -89,4 +89,22 @@ class DedupSpec extends SparkSpec {
     val kept = Dedup.dedupByComponents(df, pairs, "id").as[Long].collect().toSet
     assert(kept == Set(1L, 10L, 99L))
   }
+
+  test("hot-bucket cap bounds the candidate space on boilerplate clusters") {
+    import spark.implicits._
+    // 30 identical docs (one boilerplate cluster) + 2 distinct dups
+    val docs = ((0 until 30).map(i => (i.toLong, "the same boilerplate text body " * 3)) ++
+      Seq((100L, "a unique pair of words here now"), (101L, "a unique pair of words here now")))
+      .toDF("doc_id", "text")
+    val uncapped = Dedup.minHashDupPairs(docs, "text", "doc_id",
+      numHashes = 16, bands = 8, threshold = 1.0)
+    // 30-doc cluster contributes 30*29/2 = 435 pairs + the planted pair
+    assert(uncapped.count() == 436)
+    val capped = Dedup.minHashDupPairs(docs, "text", "doc_id",
+      numHashes = 16, bands = 8, threshold = 1.0, maxBucketSize = Some(10))
+    // boilerplate buckets (30 members) are dropped from candidate
+    // generation; the small-cluster pair survives through its own buckets
+    assert(capped.as[(Long, Long, Double)].collect().map(r => (r._1, r._2)).toSet ==
+      Set((100L, 101L)))
+  }
 }
