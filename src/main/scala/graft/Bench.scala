@@ -25,7 +25,9 @@ object Bench {
     spark.range(1000000L).selectExpr("sum(id)").collect()
     new java.io.File(sfDir).listFiles((_, n) => n.endsWith(".parquet"))
       .foreach(f => spark.read.parquet(f.getPath).count())
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // sorted order: deterministic run sequence so per-query numbers are
+    // comparable across rounds (Map iteration order is arbitrary)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop write forces full evaluation of every output column — a bare
       // .count() lets Catalyst prune projections and EliminateSorts drop
@@ -36,7 +38,7 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // belt-and-braces: also persist the JSON where the driver can read it

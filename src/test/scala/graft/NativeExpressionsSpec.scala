@@ -71,6 +71,28 @@ class NativeExpressionsSpec extends SparkSpec {
     assert(gotSmall.toSeq == Seq(2))
   }
 
+  test("graft_topk equals the row_number window on pseudo-random data") {
+    import org.apache.spark.sql.expressions.Window
+    TopKAggregate.register(spark)
+    val df = spark.range(5000).select(
+      (col("id") % 13).as("g"),
+      (pmod(xxhash64(col("id")), lit(97L))).cast(DoubleType).as("score"),
+      col("id").as("nid"))
+      .repartition(11)
+    val w = Window.partitionBy("g").orderBy(col("score").desc, col("nid").asc)
+    val viaWindow = df.withColumn("r", row_number().over(w)).filter(col("r") <= 7)
+      .select("g", "score", "nid", "r")
+      .as[(Long, Double, Long, Int)].collect().toSet
+    val viaTopK = df.groupBy("g")
+      .agg(call_function("graft_topk",
+        struct(col("score"), (-col("nid")).as("n")), lit(7)).as("t"))
+      .select(col("g"), posexplode(col("t")).as(Seq("p", "e")))
+      .select(col("g"), col("e.score"), (-col("e.n")).as("nid"),
+        (col("p") + 1).cast("int").as("r"))
+      .as[(Long, Double, Long, Int)].collect().toSet
+    assert(viaTopK == viaWindow)
+  }
+
   test("graft_topk rejects non-struct input and non-positive k") {
     TopKAggregate.register(spark)
     val df = Seq((1, 2.0)).toDF("g", "x")
