@@ -33,7 +33,10 @@ object Bench {
       // .count() lets Catalyst prune projections and EliminateSorts drop
       // sorts, benchmarking narrow queries as little more than a scan
       try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
-      catch { case _: Throwable => () }
+      catch { case e: Throwable =>
+        // a failed query must not silently score as near-zero seconds
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

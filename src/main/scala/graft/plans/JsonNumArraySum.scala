@@ -87,6 +87,12 @@ object JsonNumArraySum {
     }
   )
 
+  /** Imperative registration for an existing session (tests, notebooks). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    Seq(doubleDescriptor, longDescriptor).foreach { case (ident, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    }
+
   /** null ⇒ malformed (whole-sum null); `[]` ⇒ 0. */
   def sumDouble(s: UTF8String): java.lang.Double = {
     val toks = tokens(s)

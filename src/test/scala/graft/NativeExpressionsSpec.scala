@@ -93,6 +93,25 @@ class NativeExpressionsSpec extends SparkSpec {
     assert(viaTopK == viaWindow)
   }
 
+  test("all native functions are SQL-callable once registered") {
+    import graft.plans.{GeoTile, JsonNumArraySum}
+    GeoTile.register(spark)
+    TopKAggregate.register(spark)
+    JsonNumArraySum.register(spark)
+    val row = spark.sql(
+      """SELECT graft_geotile(CAST(51.5 AS DOUBLE), CAST(-0.1 AS DOUBLE), 4) AS tile,
+        |       graft_json_double_sum('[1.5,2.5]') AS ds,
+        |       graft_json_long_sum('[1,2,3]') AS ls""".stripMargin).collect().head
+    assert(row.getString(0) == "4/7/5")
+    assert(row.getDouble(1) == 4.0)
+    assert(row.getLong(2) == 6L)
+    val agg = spark.sql(
+      """SELECT graft_topk(struct(x, -id), 2) AS t FROM
+        |  (SELECT explode(sequence(1, 9)) AS id, CAST(pmod(id * 7, 10) AS DOUBLE) AS x)
+        |""".stripMargin).collect().head
+    assert(agg.getSeq[org.apache.spark.sql.Row](0).length == 2)
+  }
+
   test("graft_topk rejects non-struct input and non-positive k") {
     TopKAggregate.register(spark)
     val df = Seq((1, 2.0)).toDF("g", "x")
