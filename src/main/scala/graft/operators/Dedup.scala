@@ -21,6 +21,10 @@ import graft.functions.VectorFunctions
  *  - SimHash: one 64-bit signature per doc; near-dup = bucket on
  *    rotated/banded bits.
  *  - embedding-cosine: SRP-LSH buckets bound the pair space the same way.
+ *  - self-joins (bucket candidates, inverted index) reference their
+ *    signature subtree twice, but AQE's exchange reuse executes it ONCE
+ *    (verified on the final adaptive plans: the band/index exchange shows
+ *    as ReusedExchange on the second branch).
  *  - n-gram Jaccard is the one EXACT pair op and is inherently
  *    output-bound: on a corpus with dup clusters of size k, every cluster
  *    contributes k²/2 true pairs, so no candidate scheme can make it
