@@ -240,6 +240,13 @@ object SparkEntry {
         .orderBy("name")
     }),
 
+    // ---- binning: full date hierarchy down to MIN (granularity default
+    //      for invalid configs, DataBinningProcessor.java:154-159)
+    "bin_date_min" -> ((s, dir) => {
+      Binning.binAndCount(events(s, dir), Seq(DateBinner("t", "ts", DateGranularity.MIN)))
+        .orderBy("name")
+    }),
+
     // ---- binning: numeric hierarchy (DataBinningProcessor.java:170-178)
     "bin_numeric" -> ((s, dir) => {
       Binning.binAndCount(events(s, dir), Seq(NumericBinner("val", "value", 2)))
@@ -859,6 +866,15 @@ object SparkEntry {
         | SELECT 'time.' || strftime(ts, '%Y') AS name FROM events
         | UNION ALL SELECT 'time.' || strftime(ts, '%Y-%m') FROM events
         | UNION ALL SELECT 'time.' || strftime(ts, '%Y-%m-%d') FROM events
+        |) GROUP BY name ORDER BY name""".stripMargin,
+
+    "bin_date_min" ->
+      """SELECT name, CAST(COUNT(*) AS BIGINT) AS count FROM (
+        | SELECT 't.' || strftime(ts, '%Y') AS name FROM events
+        | UNION ALL SELECT 't.' || strftime(ts, '%Y-%m') FROM events
+        | UNION ALL SELECT 't.' || strftime(ts, '%Y-%m-%d') FROM events
+        | UNION ALL SELECT 't.' || strftime(ts, '%Y-%m-%d-%H') FROM events
+        | UNION ALL SELECT 't.' || strftime(ts, '%Y-%m-%d-%H-%M') FROM events
         |) GROUP BY name ORDER BY name""".stripMargin,
 
     "bin_numeric" ->
