@@ -12,4 +12,11 @@ class EntrySmokeSpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     assert(out.filter(col("count") <= 0).count() == 0)
   }
+
+  test("every gate query has a DuckDB oracle (no silent rows-only drift)") {
+    assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet,
+      "queries and oracleSql keys must match: " +
+        (SparkEntry.queries.keySet diff SparkEntry.oracleSql.keySet) + " / " +
+        (SparkEntry.oracleSql.keySet diff SparkEntry.queries.keySet))
+  }
 }
