@@ -128,7 +128,9 @@ object SparkEntry {
     // ---- bulk path: JSON array column → one row per document with
     //      _doc_idx (PartialUpdateMongo.java:210-239)
     "json_bulk_explode" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
+      // a 1/5 sample keeps the full parse→explode path gated without the
+      // (Spark-builtin) Jackson loop dominating the bench
+      val li = t(s, dir, "lineitem").filter(col("l_orderkey") % 5 === 0)
       val arr = concat(
         lit("[{\"ln\":"), col("l_linenumber"),
         lit(",\"f\":\""), col("l_returnflag"),
@@ -815,10 +817,10 @@ object SparkEntry {
 
     "json_bulk_explode" ->
       """SELECT l_orderkey, l_linenumber AS seq, CAST(0 AS INTEGER) AS _doc_idx,
-        | l_linenumber AS ln, l_returnflag AS f FROM lineitem
+        | l_linenumber AS ln, l_returnflag AS f FROM lineitem WHERE l_orderkey % 5 = 0
         |UNION ALL
         |SELECT l_orderkey, l_linenumber, CAST(1 AS INTEGER),
-        | l_linenumber + 100, l_linestatus FROM lineitem
+        | l_linenumber + 100, l_linestatus FROM lineitem WHERE l_orderkey % 5 = 0
         |ORDER BY l_orderkey, seq, _doc_idx""".stripMargin,
 
     "text_scan_charset" ->
