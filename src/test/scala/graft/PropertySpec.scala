@@ -74,4 +74,22 @@ class PropertySpec extends SparkSpec {
       assert(pairs.contains(1.0), s"doc=$doc")
     }
   }
+
+  test("json array-sum expressions match driver-side sums on generated arrays") {
+    val gen = Gen.listOfN(200, Gen.listOf(Gen.chooseNum(-1000000, 1000000)))
+    val lists = gen.pureApply(Gen.Parameters.default, Seed(42L))
+    val rows = lists.zipWithIndex.map { case (xs, i) =>
+      (i, "[" + xs.mkString(",") + "]", xs.map(_.toLong).sum, xs.map(_.toDouble).sum)
+    }
+    val df = rows.toDF("id", "s", "lsum", "dsum")
+    import graft.functions.TypedAttrs
+    val bad = df.select(
+        col("id"),
+        TypedAttrs.intArraySum(col("s")).as("l"),
+        TypedAttrs.doubleArraySum(col("s")).as("d"),
+        col("lsum"), col("dsum"))
+      .filter(col("l") =!= col("lsum") || col("d") =!= col("dsum"))
+      .count()
+    assert(bad == 0)
+  }
 }
