@@ -79,6 +79,35 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("merge collapse partial-aggregates map-side before its exchange") {
+    import graft.operators.Merge
+    val li = t("lineitem").select(
+      col("l_orderkey"), col("l_linenumber"),
+      col("l_returnflag").as("status"), col("l_quantity").as("qty"))
+    val spec = MergeSpec(Seq("l_orderkey"), Seq(
+      MergeFieldSpec("status", MergeOp.Set), MergeFieldSpec("qty", MergeOp.Inc)))
+    val plan = physical(Merge.collapseIncoming(li, spec, "l_linenumber"))
+    // partial (pre-shuffle) + final aggregate: the update skew guard — the
+    // exchange carries at most one row per (key, mapper)
+    val firstExchange = plan.indexOf("Exchange")
+    val firstAgg = plan.indexOf("Aggregate")
+    assert(firstExchange >= 0 && firstAgg >= 0, plan)
+    assert(plan.split("Aggregate").length - 1 >= 2, plan)
+    // plans print top-down: the FINAL aggregate appears before the
+    // exchange, and a second (partial) aggregate appears after it
+    assert(plan.indexOf("Aggregate", firstExchange) > firstExchange, plan)
+  }
+
+  test("duplicate-check existence join broadcasts the small key side") {
+    import graft.operators.DuplicateCheck
+    val incoming = t("lineitem").select(col("l_orderkey"), col("l_linenumber"))
+    val existing = t("orders").filter(col("o_orderkey") % 3 === 0)
+      .select(col("o_orderkey").as("l_orderkey"))
+    val plan = physical(
+      DuplicateCheck.route(incoming, existing, Seq("l_orderkey"), "l_linenumber"))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("typed projection stays inside whole-stage codegen (no UDFs)") {
     import graft.functions.TypedAttrs
     val df = t("customer").select(
