@@ -105,18 +105,16 @@ object TextFunctions {
   def fingerprintXx(text: Column, seed: Int = 42): Column =
     xxhash64(normalizeForFingerprint(text))
 
-  /** The 32 ASCII characters of Java's `\p{Punct}` class. */
-  private val PunctChars = "!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~"
-
-  /** Normalization for fingerprinting: lowercase, collapse whitespace,
-    * strip punctuation — so near-identical docs collide. Punctuation
-    * stripping uses `translate` (a codegen'd char-table lookup — \p{Punct}
-    * is a fixed 32-char ASCII set), leaving one regex pass instead of two;
-    * this chain dominates every text-pipeline head, so the regex count is
-    * the per-row cost at 100 TB.
+  /** Normalization for fingerprinting: lowercase, strip punctuation,
+    * collapse whitespace — so near-identical docs collide. A native
+    * single-pass codegen'd expression (graft.plans.NormalizeText): this
+    * chain heads every text pipeline, so its per-row cost IS the 100 TB
+    * map-stage cost; one byte scan replaces four string passes + a regex.
     */
-  def normalizeForFingerprint(text: Column): Column =
-    trim(regexp_replace(translate(lower(text), PunctChars, ""), "\\s+", " "))
+  def normalizeForFingerprint(text: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.plans.NormalizeText(ColumnBridge.expression(text)))
+  }
 
   /** Word n-grams (shingles) of the normalized text, for MinHash/Jaccard.
     *

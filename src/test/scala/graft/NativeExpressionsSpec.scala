@@ -71,6 +71,27 @@ class NativeExpressionsSpec extends SparkSpec {
     assert(gotSmall.toSeq == Seq(2))
   }
 
+  test("NormalizeText equals the composed builtin chain on real docs and edge cases") {
+    import graft.functions.TextFunctions
+    val composed = (c: org.apache.spark.sql.Column) =>
+      trim(regexp_replace(translate(lower(c),
+        "!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~", ""), "\\s+", " "))
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("text"))
+    val edges = Seq(
+      "", " ", "...", " . ", "a . b", "\tA.B\r\n C\f", "ÉLÄN—ok",
+      "x ", "a  b   c", "[{}]!?", "é È ü ẞ", "多 言語 テキスト。",
+      "mixed CASE with  punct!!! and\ttabs"
+    ).toDF("text")
+    for (df <- Seq(docs, edges)) {
+      val bad = df.filter(
+        !(TextFunctions.normalizeForFingerprint(col("text")) <=> composed(col("text"))))
+      assert(bad.count() == 0,
+        bad.select(col("text"), TextFunctions.normalizeForFingerprint(col("text")),
+          composed(col("text"))).collect().take(3).mkString("\n"))
+    }
+  }
+
   test("graft_topk equals the row_number window on pseudo-random data") {
     import org.apache.spark.sql.expressions.Window
     TopKAggregate.register(spark)
