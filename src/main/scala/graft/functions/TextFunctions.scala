@@ -13,11 +13,15 @@ import org.apache.spark.sql.types._
  */
 object TextFunctions {
 
-  /** Whitespace tokens. Empty/blank text → empty array (split of "" yields
-    * [""] — filtered out).
+  /** Whitespace tokens: the maximal non-`\s` runs, empty/blank text →
+    * empty array. A native single-pass codegen'd expression
+    * (graft.plans.WhitespaceTokens) — no per-row regex; equivalence with
+    * `filter(split(trim(text), "\s+"), _ != "")` is spec-pinned.
     */
-  def tokens(text: Column): Column =
-    filter(split(trim(text), "\\s+"), t => t =!= "")
+  def tokens(text: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.plans.WhitespaceTokens(ColumnBridge.expression(text)))
+  }
 
   def tokenCount(text: Column): Column = size(tokens(text)).cast(LongType)
 

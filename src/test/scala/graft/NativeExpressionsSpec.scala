@@ -92,6 +92,25 @@ class NativeExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("WhitespaceTokens equals the composed split chain on real docs and edge cases") {
+    import graft.functions.TextFunctions
+    val composed = (c: org.apache.spark.sql.Column) =>
+      filter(split(trim(c), "\\s+"), t => t =!= "")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("text"))
+    val edges = Seq(
+      "", " ", "a", " a ", "a b", "a  b", "\ta\r\nb\f c", "é ü ẞ",
+      "多言語 テキスト", "trailing ", " leading"
+    ).toDF("text")
+    for (df <- Seq(docs, edges)) {
+      val bad = df.filter(
+        !(TextFunctions.tokens(col("text")) <=> composed(col("text"))))
+      assert(bad.count() == 0,
+        bad.select(col("text"), TextFunctions.tokens(col("text")),
+          composed(col("text"))).collect().take(3).mkString("\n"))
+    }
+  }
+
   test("graft_topk equals the row_number window on pseudo-random data") {
     import org.apache.spark.sql.expressions.Window
     TopKAggregate.register(spark)
