@@ -131,15 +131,15 @@ object TextFunctions {
   def shingles(text: Column, n: Int): Column =
     shinglesFromTokens(tokens(normalizeForFingerprint(text)), n)
 
-  /** Shingles from an already-computed token array column. */
-  def shinglesFromTokens(ts: Column, n: Int): Column =
-    when(size(ts) < n, array(concat_ws(" ", ts)))
-      .otherwise(
-        transform(
-          sequence(lit(0), size(ts) - n),
-          i => concat_ws(" ", slice(ts, i + 1, lit(n)))
-        )
-      )
+  /** Shingles from an already-computed token array column. A native
+    * single-pass codegen'd expression (graft.plans.WordShingles) — the
+    * composed transform/slice/concat_ws HOF chain is interpreted and this
+    * feeds the explode at every shingle-dedup head.
+    */
+  def shinglesFromTokens(ts: Column, n: Int): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.plans.WordShingles(ColumnBridge.expression(ts), n))
+  }
 
   /** Character n-grams of the normalized text. */
   def charShingles(text: Column, n: Int): Column = {

@@ -111,6 +111,25 @@ class NativeExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("WordShingles equals the composed HOF chain on real docs and edge cases") {
+    import graft.functions.TextFunctions
+    def composed(ts: org.apache.spark.sql.Column, n: Int) =
+      when(size(ts) < n, array(concat_ws(" ", ts)))
+        .otherwise(transform(sequence(lit(0), size(ts) - n),
+          i => concat_ws(" ", slice(ts, i + 1, lit(n)))))
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(TextFunctions.tokens(col("text")).as("ts"))
+    val edges = Seq(Seq.empty[String], Seq("a"), Seq("a", "b"), Seq("a", "b", "c"),
+      Seq("a", "b", "c", "d"), Seq("é", "多", "x")).toDF("ts")
+    for (df <- Seq(docs, edges); n <- Seq(1, 2, 3, 5)) {
+      val bad = df.filter(
+        !(TextFunctions.shinglesFromTokens(col("ts"), n) <=> composed(col("ts"), n)))
+      assert(bad.count() == 0, s"n=$n: " +
+        bad.select(col("ts"), TextFunctions.shinglesFromTokens(col("ts"), n),
+          composed(col("ts"), n)).collect().take(3).mkString("\n"))
+    }
+  }
+
   test("graft_topk equals the row_number window on pseudo-random data") {
     import org.apache.spark.sql.expressions.Window
     TopKAggregate.register(spark)
