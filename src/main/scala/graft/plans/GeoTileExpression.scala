@@ -94,10 +94,26 @@ object GeoTile {
   * expressions into the session's function registry.
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
-    ext.injectFunction(GeoTile.functionDescriptor)
-    ext.injectFunction(TopKAggregate.functionDescriptor)
-    ext.injectFunction(JsonNumArraySum.doubleDescriptor)
-    ext.injectFunction(JsonNumArraySum.longDescriptor)
-  }
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    GraftExtensions.descriptors.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  /** Every native function the engine ships. */
+  val descriptors: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    Seq(
+      GeoTile.functionDescriptor,
+      TopKAggregate.functionDescriptor,
+      JsonNumArraySum.doubleDescriptor,
+      JsonNumArraySum.longDescriptor,
+      NormalizeText.functionDescriptor,
+      WhitespaceTokens.functionDescriptor,
+      WordShingles.functionDescriptor)
+
+  /** Imperative all-at-once registration for an existing session. */
+  def registerAll(spark: SparkSession): Unit =
+    descriptors.foreach { case (ident, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    }
 }

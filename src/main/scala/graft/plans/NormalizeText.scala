@@ -42,6 +42,18 @@ case class NormalizeText(child: Expression) extends UnaryExpression {
 
 object NormalizeText {
 
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+  val functionDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_normalize_text"),
+    new ExpressionInfo(classOf[NormalizeText].getName, "graft_normalize_text"),
+    { children =>
+      require(children.size == 1, "graft_normalize_text(str) takes 1 argument")
+      NormalizeText(children.head)
+    }
+  )
+
   /** The 32 chars of `\p{Punct}`: 33-47, 58-64, 91-96, 123-126. */
   @inline private def isPunct(b: Byte): Boolean =
     (b >= '!' && b <= '/') || (b >= ':' && b <= '@') ||

@@ -37,6 +37,18 @@ case class WhitespaceTokens(child: Expression) extends UnaryExpression {
 
 object WhitespaceTokens {
 
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+  val functionDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_ws_tokens"),
+    new ExpressionInfo(classOf[WhitespaceTokens].getName, "graft_ws_tokens"),
+    { children =>
+      require(children.size == 1, "graft_ws_tokens(str) takes 1 argument")
+      WhitespaceTokens(children.head)
+    }
+  )
+
   @inline private def isWs(b: Byte): Boolean =
     b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
 

@@ -42,6 +42,23 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
 
 object WordShingles {
 
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.{ExpressionInfo, Literal}
+
+  val functionDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_word_shingles"),
+    new ExpressionInfo(classOf[WordShingles].getName, "graft_word_shingles"),
+    { children =>
+      require(children.size == 2, "graft_word_shingles(tokens, n) takes 2 arguments")
+      val n = children(1) match {
+        case Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"graft_word_shingles: n must be a literal integer, got $other")
+      }
+      WordShingles(children.head, n)
+    }
+  )
+
   private val Space = UTF8String.fromString(" ")
 
   private def join(ts: Array[UTF8String], from: Int, len: Int): UTF8String =

@@ -153,17 +153,21 @@ class NativeExpressionsSpec extends SparkSpec {
   }
 
   test("all native functions are SQL-callable once registered") {
-    import graft.plans.{GeoTile, JsonNumArraySum}
-    GeoTile.register(spark)
-    TopKAggregate.register(spark)
-    JsonNumArraySum.register(spark)
+    graft.plans.GraftExtensions.registerAll(spark)
     val row = spark.sql(
       """SELECT graft_geotile(CAST(51.5 AS DOUBLE), CAST(-0.1 AS DOUBLE), 4) AS tile,
         |       graft_json_double_sum('[1.5,2.5]') AS ds,
-        |       graft_json_long_sum('[1,2,3]') AS ls""".stripMargin).collect().head
+        |       graft_json_long_sum('[1,2,3]') AS ls,
+        |       graft_normalize_text('  Hello,  WORLD! ') AS norm,
+        |       graft_ws_tokens(' a  b ') AS toks,
+        |       graft_word_shingles(array('a','b','c'), 2) AS sh""".stripMargin)
+      .collect().head
     assert(row.getString(0) == "4/7/5")
     assert(row.getDouble(1) == 4.0)
     assert(row.getLong(2) == 6L)
+    assert(row.getString(3) == "hello world")
+    assert(row.getSeq[String](4) == Seq("a", "b"))
+    assert(row.getSeq[String](5) == Seq("a b", "b c"))
     val agg = spark.sql(
       """SELECT graft_topk(struct(x, -id), 2) AS t FROM
         |  (SELECT explode(sequence(1, 9)) AS id, CAST(pmod(id * 7, 10) AS DOUBLE) AS x)
