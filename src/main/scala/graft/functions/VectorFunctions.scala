@@ -11,13 +11,16 @@ import org.apache.spark.sql.types._
  */
 object VectorFunctions {
 
-  /** Σ aᵢ·bᵢ in double precision. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-      lit(0.0),
-      (acc, x) => acc + x
-    )
+  /** Σ aᵢ·bᵢ in double precision. A native single-loop codegen'd
+    * expression (graft.plans.DotProduct) — the composed
+    * aggregate(zip_with(...)) fold is interpreted; same left-to-right
+    * accumulation, so results are bitwise-identical (spec-pinned).
+    */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.plans.DotProduct(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

@@ -109,7 +109,8 @@ object GraftExtensions {
       JsonNumArraySum.longDescriptor,
       NormalizeText.functionDescriptor,
       WhitespaceTokens.functionDescriptor,
-      WordShingles.functionDescriptor)
+      WordShingles.functionDescriptor,
+      DotProduct.functionDescriptor)
 
   /** Imperative all-at-once registration for an existing session. */
   def registerAll(spark: SparkSession): Unit =

@@ -130,6 +130,28 @@ class NativeExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("DotProduct is bitwise-equal to the composed fold on real embeddings and edges") {
+    import graft.functions.VectorFunctions
+    val composed = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+        lit(0.0), (acc, x) => acc + x)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val pairs = emb.select(col("vec_id"), col("embedding").as("a"))
+      .crossJoin(broadcast(emb.filter(col("vec_id") < 3).select(col("embedding").as("b"))))
+    val bad = pairs.filter(
+      !(VectorFunctions.dot(col("a"), col("b")) <=> composed(col("a"), col("b"))))
+    assert(bad.count() == 0)
+    // nulls and length mismatch -> null, matching zip_with's null padding
+    val edges = Seq(
+      (Seq(1.0f, 2.0f), Seq(3.0f, 4.0f)),
+      (Seq(1.0f), Seq(1.0f, 2.0f)),
+      (Seq.empty[Float], Seq.empty[Float])
+    ).toDF("a", "b")
+    val got = edges.select(VectorFunctions.dot(col("a"), col("b")))
+      .as[Option[Double]].collect().toSeq
+    assert(got == Seq(Some(11.0), None, Some(0.0)))
+  }
+
   test("graft_topk equals the row_number window on pseudo-random data") {
     import org.apache.spark.sql.expressions.Window
     TopKAggregate.register(spark)
