@@ -35,9 +35,15 @@ object TextFunctions {
 
   def charCount(text: Column): Column = length(text).cast(LongType)
 
-  /** Ratio of punctuation chars to total chars; null-safe, 0 for empty. */
+  /** Ratio of punctuation chars to total chars; null-safe, 0 for empty.
+    * The numerator is the native single-pass graft.plans.PunctCount
+    * (equivalent to counting what `regexp_replace(text, "[^\p{Punct}]",
+    * "")` leaves behind).
+    */
   def punctRatio(text: Column): Column = {
-    val punct = length(regexp_replace(text, "[^\\p{Punct}]", ""))
+    import org.apache.spark.sql.graft.ColumnBridge
+    val punct = ColumnBridge.column(
+      graft.plans.PunctCount(ColumnBridge.expression(text)))
     when(length(text) > 0, punct.cast(DoubleType) / length(text).cast(DoubleType))
       .otherwise(lit(0.0))
   }

@@ -110,7 +110,8 @@ object GraftExtensions {
       NormalizeText.functionDescriptor,
       WhitespaceTokens.functionDescriptor,
       WordShingles.functionDescriptor,
-      DotProduct.functionDescriptor)
+      DotProduct.functionDescriptor,
+      PunctCount.functionDescriptor)
 
   /** Imperative all-at-once registration for an existing session. */
   def registerAll(spark: SparkSession): Unit =

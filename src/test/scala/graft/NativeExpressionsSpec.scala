@@ -130,6 +130,24 @@ class NativeExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("PunctCount equals the regex-based count on real docs and edge cases") {
+    val composed = (c: org.apache.spark.sql.Column) =>
+      length(regexp_replace(c, "[^\\p{Punct}]", ""))
+    val native = (c: org.apache.spark.sql.Column) =>
+      org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.plans.PunctCount(org.apache.spark.sql.graft.ColumnBridge.expression(c)))
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("text"))
+    val edges = Seq("", "...", "a.b,c", "é—ü", "多。言", "[{}]!?", "no punct here")
+      .toDF("text")
+    for (df <- Seq(docs, edges)) {
+      val bad = df.filter(!(native(col("text")) <=> composed(col("text"))))
+      assert(bad.count() == 0,
+        bad.select(col("text"), native(col("text")), composed(col("text")))
+          .collect().take(3).mkString("\n"))
+    }
+  }
+
   test("DotProduct is bitwise-equal to the composed fold on real embeddings and edges") {
     import graft.functions.VectorFunctions
     val composed = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
