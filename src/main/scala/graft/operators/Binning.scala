@@ -76,6 +76,20 @@ object Binning {
     * public slippy-map convention.)
     */
   def geoTileId(lat: Column, lon: Column, zoom: Int): Column = {
+    // the native codegen'd expression (graft.plans.GeoTile) — one node per
+    // tile id vs ~10 composed builtins; GeoTileExpressionSpec pins the
+    // bit-identical equivalence with the composed form
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.plans.GeoTile(
+      ColumnBridge.expression(lat.cast(DoubleType)),
+      ColumnBridge.expression(lon.cast(DoubleType)),
+      ColumnBridge.expression(lit(zoom))))
+  }
+
+  /** The composed-builtin tile id, kept as the reference implementation
+    * the equivalence spec checks the native expression against.
+    */
+  def geoTileIdComposed(lat: Column, lon: Column, zoom: Int): Column = {
     val n = lit(math.pow(2.0, zoom))
     val x0 = floor((lon + lit(180.0)) / lit(360.0) * n)
     // clamp to the WebMercator domain: at the poles tan/log is singular and

@@ -22,7 +22,7 @@ class GeoTileExpressionSpec extends SparkSpec {
       .toDF("lat", "lon")
     for (z <- 0 to 4) {
       val both = pts.select(
-        Binning.geoTileId(col("lat"), col("lon"), z).as("builtin"),
+        Binning.geoTileIdComposed(col("lat"), col("lon"), z).as("builtin"),
         call_function("graft_geotile", col("lat"), col("lon"), lit(z)).as("native"))
       assert(both.filter(col("builtin") =!= col("native")).count() == 0, s"zoom $z")
     }
