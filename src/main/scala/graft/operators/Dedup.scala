@@ -69,14 +69,15 @@ object Dedup {
 
   /** MinHash signature: k permutations approximated as
     * hᵢ(s) = xxhash64(shingle, seed=i); signature[i] = min over shingles.
-    * All built-ins → codegen'd, narrow.
+    * A native one-pass expression (graft.plans.MinHashSig) — the composed
+    * k × array_min(transform(...)) chain re-walks the shingles k times
+    * interpreted; equivalence is spec-pinned bit-for-bit.
     */
   def minHashSignature(text: Column, numHashes: Int, shingleSize: Int = 3): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
     val sh = array_distinct(shingles(text, shingleSize))
-    val sigs = (0 until numHashes).map { i =>
-      array_min(transform(sh, s => xxhash64(s, lit(i))))
-    }
-    array(sigs: _*)
+    ColumnBridge.column(
+      graft.plans.MinHashSig(ColumnBridge.expression(sh), numHashes))
   }
 
   /** LSH band keys: split the signature into `bands` bands of `rowsPerBand`
@@ -244,20 +245,14 @@ object Dedup {
   def simHash(text: Column, shingleSize: Int = 2): Column =
     simHashFromHashes(transform(array_distinct(shingles(text, shingleSize)), s => xxhash64(s)))
 
-  /** SimHash from a *materialized* shingle-hash array column (see the
-    * staging note on TextFunctions.shingles — pass an attribute, not a
-    * derived expression, or it is re-evaluated 64 times per row).
+  /** SimHash from a shingle-hash array column. A native one-pass
+    * expression (graft.plans.SimHash64) — the composed 64 interpreted
+    * aggregate() folds re-walked the array 64 times per row; equivalence
+    * (including the null-element −1 vote) is spec-pinned.
     */
   def simHashFromHashes(hs: Column): Column = {
-    val bits = (0 until 64).map { i =>
-      val vote = aggregate(
-        hs,
-        lit(0L),
-        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)
-      )
-      when(vote > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
-    }
-    bits.reduce((a, b) => a + b)
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.plans.SimHash64(ColumnBridge.expression(hs)))
   }
 
   /** Hamming distance between two 64-bit signatures. */

@@ -111,7 +111,9 @@ object GraftExtensions {
       WhitespaceTokens.functionDescriptor,
       WordShingles.functionDescriptor,
       DotProduct.functionDescriptor,
-      PunctCount.functionDescriptor)
+      PunctCount.functionDescriptor,
+      SimHash64.functionDescriptor,
+      MinHashSig.functionDescriptor)
 
   /** Imperative all-at-once registration for an existing session. */
   def registerAll(spark: SparkSession): Unit =

@@ -170,6 +170,41 @@ class NativeExpressionsSpec extends SparkSpec {
     assert(got == Seq(Some(11.0), None, Some(0.0)))
   }
 
+  test("MinHashSig and SimHash64 equal their composed forms bit-for-bit") {
+    import graft.functions.TextFunctions
+    import graft.operators.Dedup
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("text"))
+    // composed MinHash: k interpreted array_min(transform(...)) slots
+    val sh = array_distinct(TextFunctions.shingles(col("text"), 3))
+    val composedSig = array((0 until 16).map(i =>
+      array_min(transform(sh, s => xxhash64(s, lit(i))))): _*)
+    val badM = docs.filter(
+      !(Dedup.minHashSignature(col("text"), 16) <=> composedSig))
+    assert(badM.count() == 0,
+      badM.select(Dedup.minHashSignature(col("text"), 16), composedSig)
+        .collect().take(2).mkString("\n"))
+    // composed SimHash: 64 interpreted vote folds (incl. null = -1 vote)
+    val hs = transform(sh, s => xxhash64(s))
+    val composedSim = (0 until 64).map { i =>
+      val vote = aggregate(hs, lit(0L), (acc, h) =>
+        acc + when(shiftright(h, i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+      when(vote > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val badS = docs.filter(
+      !(Dedup.simHashFromHashes(hs) <=> composedSim))
+    assert(badS.count() == 0)
+    val withNull = Seq(Seq[java.lang.Long](5L, null, 7L)).toDF("hs")
+    val gotNull = withNull.select(
+      Dedup.simHashFromHashes(col("hs")),
+      (0 until 64).map { i =>
+        val vote = aggregate(col("hs"), lit(0L), (acc, h) =>
+          acc + when(shiftright(h, i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+        when(vote > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+      }.reduce(_ + _)).as[(Long, Long)].collect().head
+    assert(gotNull._1 == gotNull._2)
+  }
+
   test("graft_topk equals the row_number window on pseudo-random data") {
     import org.apache.spark.sql.expressions.Window
     TopKAggregate.register(spark)
