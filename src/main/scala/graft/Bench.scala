@@ -27,22 +27,29 @@ object Bench {
       .foreach(f => spark.read.parquet(f.getPath).count())
     // sorted order: deterministic run sequence so per-query numbers are
     // comparable across rounds (Map iteration order is arbitrary)
+    val runsPerQuery = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop write forces full evaluation of every output column — a bare
-      // .count() lets Catalyst prune projections and EliminateSorts drop
-      // sorts, benchmarking narrow queries as little more than a scan
-      try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
-      catch { case e: Throwable =>
-        // a failed query must not silently score as near-zero seconds
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
-      name -> (System.nanoTime() - t0) / 1e9
+      // median of N runs: single-shot numbers carry JIT/GC noise that made
+      // round-over-round per-query deltas untrustworthy
+      val times = (0 until runsPerQuery).map { _ =>
+        val t0 = System.nanoTime()
+        // noop write forces full evaluation of every output column — a bare
+        // .count() lets Catalyst prune projections and EliminateSorts drop
+        // sorts, benchmarking narrow queries as little more than a scan
+        try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
+        catch { case e: Throwable =>
+          // a failed query must not silently score as near-zero seconds
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      name -> times(times.length / 2)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs""" +
+      s""","runs_per_query":$runsPerQuery,"stat":"median","sf":"$sfDir"}"""
     println(line)
     // belt-and-braces: also persist the JSON where the driver can read it
     // even if stdout is decorated by the launcher

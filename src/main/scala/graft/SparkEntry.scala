@@ -145,11 +145,13 @@ object SparkEntry {
     }),
 
     // ---- charset-aware whole-record text scan (SURVEY §2.2: configurable
-    //      decode charset): latin-1 bytes with a non-ASCII char round-trip
+    //      decode charset): latin-1 bytes with a non-ASCII char round-trip.
+    //      Content carries spaces, commas, and double quotes to pin the
+    //      WHOLE-record contract (no delimiter split, no quote handling)
     "text_scan_charset" -> ((s, dir) => {
       val out = java.nio.file.Paths.get(
         System.getProperty("java.io.tmpdir"), "graft_latin1_scan.txt")
-      val lines = (0 until 200).map(i => s"reg-é-$i")
+      val lines = (0 until 200).map(i => s"""reg é "qu,ote" $i""")
       java.nio.file.Files.write(out,
         lines.mkString("\n").getBytes(java.nio.charset.Charset.forName("ISO-8859-1")))
       graft.sources.SourcesSinks.readTextRecords(s, out.toString, "ISO-8859-1")
@@ -169,6 +171,37 @@ object SparkEntry {
           StructField("filename", StringType), StructField("mime_type", StringType))))
         .json(out)
         .orderBy("name")
+    }),
+
+    // ---- single-doc JSON record read (Document.parse analogue,
+    //      PartialUpdateMongo.java:241): jsonl fixture → typed columns
+    "json_records_read" -> ((s, dir) => {
+      val out = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_jsonl_read.jsonl")
+      val lines = (0 until 300).map(i => s"""{"i":$i,"name":"n-$i","score":$i.5}""")
+      java.nio.file.Files.write(out,
+        lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      graft.sources.SourcesSinks.readJsonRecords(s, out.toString, StructType(Seq(
+          StructField("i", LongType),
+          StructField("name", StringType),
+          StructField("score", DoubleType))))
+        .orderBy("i")
+    }),
+
+    // ---- select-all fallback: an EMPTY typed projection passes the whole
+    //      attribute map through (BetterAttributesToJSON.java:221-223);
+    //      serialized via to_json so both engines hash a plain string
+    "typed_projection_selectall" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val withAttrs = c.select(
+        col("c_custkey"),
+        map(lit("name"), col("c_name"),
+          lit("key"), col("c_custkey").cast(StringType)).as("attributes"))
+      TypedAttrs.project(withAttrs, "attributes", TypedProjection(),
+          passthrough = Seq("c_custkey"))
+        .select(col("c_custkey"), to_json(col("attributes")).as("attrs_json"),
+          col(Route.RouteCol), col(Route.ErrorCol))
+        .orderBy("c_custkey")
     }),
 
     // ---- typed projection (BetterAttributesToJSON, SURVEY §2 rows 6-10)
@@ -208,7 +241,14 @@ object SparkEntry {
       ).orderBy("event_id")
     }),
 
-    // ---- array-sum folds (BetterAttributesToJSON.java:295-335)
+    // ---- array-sum folds (BetterAttributesToJSON.java:295-335).
+    //      BENCH NOTE: most of this gate's wall time is the FIXTURE — the
+    //      per-row concat() building the JSON array strings the operator
+    //      then parses (decimal→string casts dominate; measured by timing
+    //      the fixture select alone). The operator itself (native
+    //      JsonNumArraySum) is ~3× faster than the from_json form per its
+    //      introducing commit; the fixture is kept inline because the
+    //      driver tables carry no pre-built JSON attribute column.
     "attr_array_sums" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
       val withAttrs = li.select(
@@ -605,8 +645,10 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
-    // ---- merge: single-update mode — at most one state row per key is
-    //      updated, deterministically the full-row lexicographic minimum
+    // ---- merge: single-update mode — one state row per key is updated,
+    //      deterministically the lexicographic minimum over orderable
+    //      columns; content-identical copies of that row update together
+    //      (bag semantics — see Merge.markEligible)
     //      (updateOne vs updateMany, PartialUpdateMongo.java:456-487)
     "merge_single" -> ((s, dir) => {
       val state = t(s, dir, "lineitem").select(
@@ -824,7 +866,7 @@ object SparkEntry {
         |ORDER BY l_orderkey, seq, _doc_idx""".stripMargin,
 
     "text_scan_charset" ->
-      """SELECT 'reg-é-' || CAST(range AS VARCHAR) AS content
+      """SELECT 'reg é "qu,ote" ' || CAST(range AS VARCHAR) AS content
         |FROM range(200) ORDER BY content""".stripMargin,
 
     "bin_sink_roundtrip" ->
@@ -832,6 +874,19 @@ object SparkEntry {
         | 'bin-type.' || event_type || '.json' AS filename,
         | 'application/json' AS mime_type
         |FROM events GROUP BY event_type ORDER BY name""".stripMargin,
+
+    "json_records_read" ->
+      """SELECT range AS i, 'n-' || CAST(range AS VARCHAR) AS name,
+        | range + 0.5 AS score
+        |FROM range(300) ORDER BY i""".stripMargin,
+
+    "typed_projection_selectall" ->
+      """SELECT c_custkey,
+        | '{"name":"' || c_name || '","key":"' || CAST(c_custkey AS VARCHAR) || '"}' AS attrs_json,
+        | 'success' AS _route,
+        | CAST(NULL AS VARCHAR) AS _error
+        |FROM customer
+        |ORDER BY c_custkey""".stripMargin,
 
     "typed_projection" ->
       """SELECT c_custkey,
@@ -1232,17 +1287,23 @@ object SparkEntry {
         |) i ON o.o_orderkey = i.k
         |ORDER BY o_orderkey""".stripMargin,
 
+    // eligibility = the lexicographic-minimum state row per key; rows
+    // FULLY identical to that minimum update together (a DataFrame is a
+    // bag — content-identical copies carry no identity to split a tie on,
+    // unlike Mongo documents with _id). tie key mirrors Spark's struct
+    // ordering via zero-padded printf
     "merge_single" ->
       """WITH st AS (
         | SELECT l_orderkey AS k, CAST(l_linenumber AS BIGINT) AS line, l_returnflag AS status,
-        |        ROW_NUMBER() OVER (PARTITION BY l_orderkey
-        |                           ORDER BY l_orderkey, l_linenumber, l_returnflag) AS rn
+        |        printf('%020d|%s', l_linenumber, l_returnflag) AS tie,
+        |        min(printf('%020d|%s', l_linenumber, l_returnflag))
+        |          OVER (PARTITION BY l_orderkey) AS mintie
         | FROM lineitem
         |), i AS (
         | SELECT o_orderkey AS k, o_orderstatus AS status FROM orders
         |)
         |SELECT s.k AS k, s.line AS line,
-        | CASE WHEN s.rn = 1 THEN COALESCE(i.status, s.status) ELSE s.status END AS status
+        | CASE WHEN s.tie = s.mintie THEN COALESCE(i.status, s.status) ELSE s.status END AS status
         |FROM st s LEFT JOIN i ON s.k = i.k
         |UNION ALL
         |SELECT i.k, CAST(NULL AS BIGINT) AS line, i.status

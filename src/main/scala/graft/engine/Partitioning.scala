@@ -21,8 +21,14 @@ object Partitioning {
   /** Hash-repartition `df` by `key` IFF its scan parallelism is below the
     * session default — local small files get their CPU spread, big inputs
     * keep their splits and pay no shuffle.
+    *
+    * Streaming DataFrames pass through unchanged: the partition probe
+    * (`df.rdd`) would throw on an unstarted streaming plan, and a
+    * micro-batch's parallelism is the source's to decide — so the helper
+    * is a no-op there rather than a constraint.
     */
   def spreadByKey(df: DataFrame, key: Column): DataFrame = {
+    if (df.isStreaming) return df
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(key) else df
   }

@@ -63,10 +63,22 @@ object TextFunctions {
     "for", "on", "with", "as", "at", "by", "be", "this", "are", "was", "from"
   )
 
+  /** Hit counts for N marker sets in one token walk — the native
+    * graft.plans.MarkerCounts expression (ARRAY<INT>, element i = tokens
+    * contained in sets(i)). The composed `size(filter(ts, isin(...)))`
+    * form is an interpreted HOF with no codegen/CSE, re-walking the token
+    * array once per set.
+    */
+  def markerCounts(tokensCol: Column, sets: Seq[Seq[String]]): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(
+      graft.plans.MarkerCounts(ColumnBridge.expression(tokensCol), sets))
+  }
+
   /** Fraction of tokens that are stopwords (lowercased exact match). */
   def stopwordRatio(text: Column, stopwords: Seq[String] = Stopwords): Column = {
     val ts = tokens(lower(text))
-    val sw = size(filter(ts, t => t.isin(stopwords.map(lit): _*)))
+    val sw = element_at(markerCounts(ts, Seq(stopwords)), 1)
     when(size(ts) > 0, sw.cast(DoubleType) / size(ts).cast(DoubleType))
       .otherwise(lit(0.0))
   }
@@ -96,9 +108,13 @@ object TextFunctions {
   )
 
   def langId(text: Column): Column = {
-    val ts = tokens(lower(text))
-    val scores = LangMarkers.map { case (lang, markers) =>
-      lang -> size(filter(ts, t => t.isin(markers.map(lit): _*)))
+    // all four marker sets counted in ONE native token walk; the repeated
+    // element_at references below share the MarkerCounts subtree via
+    // whole-stage-codegen subexpression elimination (everything here is
+    // codegen'd — the previous interpreted HOF filters were not CSE-able)
+    val counts = markerCounts(tokens(lower(text)), LangMarkers.map(_._2))
+    val scores = LangMarkers.zipWithIndex.map { case ((lang, _), i) =>
+      lang -> element_at(counts, i + 1)
     }
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
     // first language reaching the max wins (deterministic order)

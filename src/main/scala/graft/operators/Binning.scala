@@ -40,8 +40,15 @@ object Binning {
   )
 
   def dateBinNames(binName: String, ts: Column, g: DateGranularity.Value): Column = {
-    val levels = dateFormats.takeWhile(_._1.id <= g.id).map { case (_, fmt) =>
-      concat_ws(".", lit(binName), date_format(ts, fmt))
+    // every coarser level is a string PREFIX of the finest one (the format
+    // literals nest: yyyy ⊂ yyyy-MM ⊂ ...), so format ONCE at the target
+    // granularity and take substrings — one DateTimeFormatter pass per row
+    // instead of one per level (codegen CSE shares the date_format subtree
+    // across the substring references)
+    val levels0 = dateFormats.takeWhile(_._1.id <= g.id)
+    val finest = date_format(ts, levels0.last._2)
+    val levels = levels0.map { case (_, fmt) =>
+      concat(lit(s"$binName."), substring(finest, 1, fmt.length))
     }
     when(ts.isNull, array().cast(ArrayType(StringType)))
       .otherwise(array(levels: _*))
@@ -121,6 +128,20 @@ object Binning {
     * `<binName>.<a>|<b>` (DataBinningProcessor.java:198-214).
     */
   def mergedBinNames(binName: String, constituents: Seq[Column]): Column = {
+    require(constituents.nonEmpty, s"MergedBinner $binName has no constituents")
+    // native one-pass cross product (graft.plans.CrossConcat): the composed
+    // flatten(transform(acc, a => transform(next, b => concat(a,"|",b))))
+    // reduce is an interpreted HOF chain re-evaluated per row per element;
+    // BinningSpec pins the equivalence against that composed form
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.plans.CrossConcat(
+      s"$binName.", "|", constituents.map(ColumnBridge.expression)))
+  }
+
+  /** The composed-HOF merged binner, kept as the reference implementation
+    * the equivalence spec checks the native CrossConcat against.
+    */
+  def mergedBinNamesComposed(binName: String, constituents: Seq[Column]): Column = {
     require(constituents.nonEmpty, s"MergedBinner $binName has no constituents")
     val crossed = constituents.reduceLeft { (acc, next) =>
       flatten(transform(acc, a => transform(next, b => concat(a, lit("|"), b))))

@@ -269,9 +269,13 @@ object Dedup {
       maxHamming: Int = 3,
       maxBucketSize: Option[Int] = None
   ): DataFrame = {
-    // explode + codegen'd hash aggregate (see minHashDupPairs note): 64
-    // bit-vote sums per doc in one partial-aggregated pass, vs 64
-    // interpreted aggregate() lambdas per row
+    // explode + collect_list + ONE native SimHash64 pass per doc. The
+    // 64-sum bit-vote aggregate this replaces was shuffle-equivalent (one
+    // 8-byte hash per shingle either way) but paid 64 agg-buffer updates
+    // per exploded shingle row; collect_list partial-aggregates map-side
+    // (one append per row), the per-doc list is bounded by shingle count,
+    // and the vote loop runs once per doc inside codegen. Bit-for-bit
+    // equivalence with the vote-sum form is pinned in DedupSpec.
     val hashed = Partitioning.spreadByKey(
         df.select(col(idCol).as("id"), col(textCol).as("_txt")), col("id"))
       .select(col("id"),
@@ -279,15 +283,9 @@ object Dedup {
       .select(col("id"),
         explode(array_distinct(shinglesFromTokens(col("_ts"), 2))).as("_g"))
       .select(col("id"), xxhash64(col("_g")).as("_h"))
-    // branchless votes: the ±1 vote sum is 2·popcount − n, so bit i is set
-    // iff 2·Σ((h>>i)&1) > n — 64 shift-and-add sums instead of 64
-    // conditionals per exploded shingle row
-    val n = count(lit(1))
-    val sigExpr = (0 until 64).map { i =>
-      when(sum(shiftright(col("_h"), i).bitwiseAND(1L)) * 2 > n,
-        shiftleft(lit(1L), i)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    val sigs = hashed.groupBy("id").agg(sigExpr.as("sig"))
+    val sigs = hashed.groupBy("id")
+      .agg(collect_list(col("_h")).as("_hs"))
+      .select(col("id"), simHashFromHashes(col("_hs")).as("sig"))
     val blocks = (0 until 4).map { b =>
       struct(lit(b).as("blk"), shiftright(col("sig"), b * 16).bitwiseAND(0xFFFFL).as("v"))
     }
@@ -372,6 +370,16 @@ object Dedup {
 
   /** Embedding-cosine near-dup pairs, SRP-LSH bucketed: only vectors in
     * the same sign-projection bucket are compared (probe = exact cosine).
+    *
+    * `maxBucketSize` CAVEAT — unlike the MinHash/SimHash paths, each
+    * vector here has exactly ONE bucket, so capping a hot bucket removes
+    * its members from near-dup detection entirely (no other band to pair
+    * through). A secondary projection would not rescue them: vectors
+    * co-bucketed because they are near-identical stay co-bucketed under
+    * ANY sign projection, so a genuinely hot bucket re-buckets hot. An
+    * over-cap SRP bucket means embedding boilerplate — detect it by
+    * bucket-size report / exact fingerprints, as with text boilerplate
+    * (see capBuckets). Leave the cap off unless that trade is intended.
     */
   def embeddingDupPairs(
       df: DataFrame,

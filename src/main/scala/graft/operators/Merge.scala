@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types._
 import graft.model._
 
@@ -107,11 +106,43 @@ object Merge {
     */
   final case class MergeResult(state: DataFrame, routes: DataFrame)
 
+  /** Single-mode eligibility: flag one state row per key (`_upd_eligible`)
+    * as the update target. The reference's updateOne takes whatever Mongo
+    * matches first; we pin a DETERMINISTIC row — the lexicographic
+    * minimum over the ORDERABLE state columns (MAP-typed columns cannot
+    * be sorted — RowOrdering.isOrderable — and are excluded; rows
+    * identical on every orderable column are indistinguishable in any
+    * total order and update together). Lexicographic, not a hash pick,
+    * so external systems (and the DuckDB oracle) can reproduce the choice.
+    *
+    * Shape: an ARGMIN AGGREGATE + key join, not a window. The window form
+    * shuffled the ENTIRE state payload and sorted every partition by all
+    * columns per merge; the argmin partial-aggregates map-side, so the
+    * exchange carries one (key, min-tie) row per key per partition and
+    * the join side is metadata-sized. (Struct min buffers are not
+    * hash-aggregable, so Spark plans SortAggregate — the residual cost is
+    * a LOCAL sort of each partition's projected tie columns by group key,
+    * the same shape as the collapse stage's max_by; no full-state payload
+    * shuffle-and-sort remains.) PlanShapeSpec pins the no-Window shape
+    * and the two-phase partial aggregation.
+    */
+  private[graft] def markEligible(state: DataFrame, keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.RowOrdering
+    val orderable = state.schema.fields
+      .filter(f => RowOrdering.isOrderable(f.dataType)).map(_.name).toSeq
+    val tie = struct(orderable.map(col): _*)
+    val mins = state.groupBy(keys.map(col): _*).agg(min(tie).as("_min_tie"))
+    state.join(mins, keys, "left")
+      .withColumn("_upd_eligible", tie <=> col("_min_tie"))
+      .drop("_min_tie")
+  }
+
   /** Apply one collapsed update batch to `state`. Full-outer join on the
     * key fields; upsert inserts unmatched incoming rows
     * (UpdateOneModel(upsert=true), PartialUpdateMongo.java:445-449).
     * `updateMany=false` restricts the update to one state row per key
-    * (`updateOne`, PartialUpdateMongo.java:471) via row_number.
+    * (`updateOne`, PartialUpdateMongo.java:471) via a sort-free argmin
+    * over the orderable state columns.
     */
   def merge(
       state: DataFrame,
@@ -124,17 +155,9 @@ object Merge {
     val keys = spec.keyFields
     val upd = spec.fields.map(_.propertyName)
 
-    // single-mode: only the first state row per key is eligible for update.
-    // "First" is the full-row lexicographic minimum — a total order, so the
-    // chosen row is deterministic (the reference's updateOne picks whatever
-    // Mongo matches first; we pin it down)
     val st0 =
       if (spec.updateMany) state.withColumn("_upd_eligible", lit(true))
-      else {
-        val w = Window.partitionBy(keys.map(col): _*)
-          .orderBy(state.columns.map(col).toSeq: _*)
-        state.withColumn("_upd_eligible", row_number().over(w) === 1)
-      }
+      else markEligible(state, keys)
 
     val inc = collapsed.select(
       keys.map(col) ++ upd.map(n => fcol(n).as(s"_in_$n")): _*

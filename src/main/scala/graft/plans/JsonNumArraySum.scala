@@ -93,6 +93,38 @@ object JsonNumArraySum {
       spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
     }
 
+  /** Strict JSON number grammar (RFC 8259 §6):
+    * `-?(0|[1-9][0-9]*)(\.[0-9]+)?([eE][+-]?[0-9]+)?`. Guards the
+    * parseDouble/parseLong calls below, which are laxer than Jackson —
+    * they accept "NaN", "Infinity", "1.5f", hex floats, leading '+',
+    * ".5"/"1." — so e.g. "[Infinity]" must route to failure (null), not
+    * sum to Infinity.
+    */
+  private def isJsonNumber(t: String): Boolean = {
+    val n = t.length
+    var i = 0
+    if (n == 0) return false
+    if (t.charAt(i) == '-') i += 1
+    if (i >= n) return false
+    val c = t.charAt(i)
+    if (c == '0') i += 1
+    else if (c >= '1' && c <= '9') {
+      while (i < n && t.charAt(i) >= '0' && t.charAt(i) <= '9') i += 1
+    } else return false
+    if (i < n && t.charAt(i) == '.') {
+      i += 1
+      if (i >= n || t.charAt(i) < '0' || t.charAt(i) > '9') return false
+      while (i < n && t.charAt(i) >= '0' && t.charAt(i) <= '9') i += 1
+    }
+    if (i < n && (t.charAt(i) == 'e' || t.charAt(i) == 'E')) {
+      i += 1
+      if (i < n && (t.charAt(i) == '+' || t.charAt(i) == '-')) i += 1
+      if (i >= n || t.charAt(i) < '0' || t.charAt(i) > '9') return false
+      while (i < n && t.charAt(i) >= '0' && t.charAt(i) <= '9') i += 1
+    }
+    i == n
+  }
+
   /** null ⇒ malformed (whole-sum null); `[]` ⇒ 0. */
   def sumDouble(s: UTF8String): java.lang.Double = {
     val toks = tokens(s)
@@ -102,6 +134,7 @@ object JsonNumArraySum {
     while (i < toks.length) {
       val t = toks(i)
       if (t != "null") {
+        if (!isJsonNumber(t)) return null
         try sum += java.lang.Double.parseDouble(t)
         catch { case _: NumberFormatException => return null }
       }
@@ -118,6 +151,7 @@ object JsonNumArraySum {
     while (i < toks.length) {
       val t = toks(i)
       if (t != "null") {
+        if (!isJsonNumber(t)) return null
         try sum += java.lang.Long.parseLong(t)
         catch { case _: NumberFormatException => return null }
       }

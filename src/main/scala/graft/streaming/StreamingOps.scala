@@ -130,7 +130,12 @@ object StreamingOps {
     * swaps the `_CURRENT` pointer (FileContext rename with OVERWRITE is
     * atomic on HDFS/local) — a crash at any point leaves the previous
     * state intact and the checkpoint replays the batch. Versions older
-    * than the previous one are pruned.
+    * than the previous one are pruned. Replay is IDEMPOTENT: version
+    * names are the batch id, so if a crash lands after commitVersion but
+    * before the streaming checkpoint commits, the replayed batch sees
+    * `_CURRENT` already at `v{batchId}` (which includes it) and skips the
+    * merge — re-merging would double-apply non-idempotent ops ($inc sums
+    * twice, $each appends twice).
     *
     * Note the I/O profile: O(|state|) per batch (read + rewrite). That is
     * inherent to a full-table file target, not to this operator — use
@@ -153,29 +158,58 @@ object StreamingOps {
       .option("checkpointLocation", checkpointPath)
       .trigger(trigger)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        val state = readState(spark, statePath).getOrElse(
-          spark.createDataFrame(spark.sparkContext.emptyRDD[Row], batch.schema))
-        val merged = Merge.upsertBatch(state, batch.toDF(), spec, orderCol).state
-        val version = s"v$batchId"
-        merged.write.mode("overwrite").parquet(s"$statePath/$version")
-        commitVersion(spark, statePath, version, keepFrom = batchId - 1)
-        ()
+        applyMergeBatch(spark, batch.toDF(), batchId, spec, orderCol, statePath)
       }
       .start()
   }
 
-  /** Resolve the current state version via the `_CURRENT` pointer. */
-  def readState(spark: SparkSession, statePath: String): Option[DataFrame] = {
+  /** One micro-batch of [[mergeStream]]: merge into the current state
+    * version and commit `v{batchId}`. Replay guard: `_CURRENT` at a
+    * version >= this batch id means the batch was already merged (crash
+    * between commitVersion and the checkpoint commit) — skip instead of
+    * double-applying $inc/$each. Factored out of foreachBatch so the
+    * at-least-once contract is directly testable.
+    */
+  def applyMergeBatch(
+      spark: SparkSession,
+      batch: DataFrame,
+      batchId: Long,
+      spec: MergeSpec,
+      orderCol: String,
+      statePath: String
+  ): Unit = {
+    if (!currentVersionId(spark, statePath).exists(_ >= batchId)) {
+      val state = readState(spark, statePath).getOrElse(
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], batch.schema))
+      val merged = Merge.upsertBatch(state, batch, spec, orderCol).state
+      val version = s"v$batchId"
+      merged.write.mode("overwrite").parquet(s"$statePath/$version")
+      commitVersion(spark, statePath, version, keepFrom = batchId - 1)
+    }
+  }
+
+  /** The version name `_CURRENT` points at, if any. */
+  private def currentVersionName(spark: SparkSession, statePath: String): Option[String] = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     val cur = new org.apache.hadoop.fs.Path(statePath, "_CURRENT")
     if (!fs.exists(cur)) None
     else {
       val in = fs.open(cur)
-      val version = try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
-      Some(spark.read.parquet(s"$statePath/$version"))
+      Some(try scala.io.Source.fromInputStream(in).mkString.trim finally in.close())
     }
   }
+
+  /** The numeric batch id of the committed version, if any. */
+  def currentVersionId(spark: SparkSession, statePath: String): Option[Long] =
+    currentVersionName(spark, statePath)
+      .filter(v => v.startsWith("v") && v.drop(1).forall(_.isDigit))
+      .map(_.drop(1).toLong)
+
+  /** Resolve the current state version via the `_CURRENT` pointer. */
+  def readState(spark: SparkSession, statePath: String): Option[DataFrame] =
+    currentVersionName(spark, statePath)
+      .map(version => spark.read.parquet(s"$statePath/$version"))
 
   /** Atomically point `_CURRENT` at `version`; prune versions < keepFrom. */
   private def commitVersion(

@@ -60,6 +60,38 @@ class BinningSpec extends SparkSpec {
     assert(m("m.t.2024|e.view") == 1L)
   }
 
+  test("native CrossConcat merged binner equals the composed HOF form") {
+    // three constituents (incl. a multi-element date hierarchy and an
+    // empty array from a null field) — element-order and empty semantics
+    // must match the interpreted flatten/transform reduce exactly
+    val df = Seq(
+      (Some("click"), Some(ts), 42.0),
+      (None, Some(ts), 7.0),          // null literal -> empty constituent
+      (Some("view"), None, 420.0)     // null ts -> empty constituent
+    ).toDF("etype", "ts", "value")
+    val parts = Seq(
+      Binning.dateBinNames("t", col("ts"), DateGranularity.DAY),
+      Binning.literalBinNames("e", col("etype")),
+      Binning.numericBinNames("v", col("value"), 1))
+    val native = df.select(Binning.mergedBinNames("m", parts).as("a"))
+      .as[Seq[String]].collect().toSeq
+    val composed = df.select(Binning.mergedBinNamesComposed("m", parts).as("a"))
+      .as[Seq[String]].collect().toSeq
+    assert(native == composed)
+    assert(native.head.nonEmpty && native(1).isEmpty && native(2).isEmpty)
+  }
+
+  test("date binner prefix-substring form equals per-level date_format") {
+    val g = DateGranularity.MIN
+    val perLevel = array(
+      Seq("yyyy", "yyyy-MM", "yyyy-MM-dd", "yyyy-MM-dd-HH", "yyyy-MM-dd-HH-mm")
+        .map(f => concat(lit("t."), date_format(col("ts"), f))): _*)
+    val got = events.select(Binning.dateBinNames("t", col("ts"), g).as("a"))
+      .as[Seq[String]].collect().toSeq
+    val want = events.select(perLevel.as("a")).as[Seq[String]].collect().toSeq
+    assert(got == want)
+  }
+
   test("merged binner forward reference fails at config compile") {
     val e = intercept[IllegalArgumentException] {
       Binning.fanOut(events, Seq(MergedBinner("m", Seq("nope")), LiteralBinner("nope", "etype")))

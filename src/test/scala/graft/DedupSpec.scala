@@ -43,6 +43,21 @@ class DedupSpec extends SparkSpec {
     assert(m((1L, 2L)) == 0)
   }
 
+  test("pipeline signature (collect_list + native SimHash64) equals per-row simHash") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions
+    // the distributed pipeline's signature path: explode + xxhash64 +
+    // collect_list + one native SimHash64 pass — must be bit-identical to
+    // the per-row convenience column (vote counting is order-independent)
+    val viaPipeline = docs
+      .select(col("id"), explode(array_distinct(TextFunctions.shingles(col("text"), 2))).as("g"))
+      .select(col("id"), xxhash64(col("g")).as("h"))
+      .groupBy("id").agg(collect_list(col("h")).as("hs"))
+      .select(col("id"), Dedup.simHashFromHashes(col("hs")).as("sig"))
+    val direct = docs.select(col("id"), Dedup.simHash(col("text"), 2).as("sig2"))
+    assert(viaPipeline.join(direct, "id").filter(col("sig") =!= col("sig2")).isEmpty)
+  }
+
   test("ngram jaccard: exact value for identical docs; one-word swap scores below 1") {
     val pairs = Dedup.ngramJaccardPairs(docs, "text", "id", n = 3, threshold = 0.3)
       .as[(Long, Long, Double)].collect()

@@ -121,6 +121,20 @@ class MergeOpsSpec extends SparkSpec {
     assert(out.contains((2L, "c")))
   }
 
+  test("updateOne mode works when state carries an unorderable MAP column") {
+    import org.apache.spark.sql.functions.{map, lit}
+    // the eligibility argmin must skip MAP-typed columns (unsortable —
+    // the previous all-columns window orderBy failed at analysis here)
+    val state = Seq((1L, 10, "a"), (1L, 20, "b"), (2L, 30, "c")).toDF("k", "ord", "s")
+      .withColumn("attrs", map(lit("x"), $"s"))
+    val inc = Seq((1L, "upd")).toDF("k", "s")
+    val spec = MergeSpec(Seq("k"), Seq(MergeFieldSpec("s", MergeOp.Set)), updateMany = false)
+    val out = Merge.merge(state, inc, spec).state
+      .select("k", "ord", "s").as[(Long, Int, String)].collect().toSeq
+    // deterministically the orderable-minimum row (ord 10) takes the update
+    assert(out.toSet == Set((1L, 10, "upd"), (1L, 20, "b"), (2L, 30, "c")))
+  }
+
   test("normalizeTimestamps composes with $addToSet for the reference's object-array path") {
     val state = Seq((1L, Seq((1455494400000L, "x")))).toDF("k", "events")
       .select($"k", transform($"events",

@@ -46,6 +46,58 @@ class NativeExpressionsSpec extends SparkSpec {
     assert(q.agg(sum("v")).as[Double].collect().head == 45.0)
   }
 
+  test("JsonNumArraySum rejects non-JSON numeric spellings (strict RFC 8259)") {
+    // Double.parseDouble is laxer than Jackson: these must all null the
+    // sum (route to failure), not parse
+    val bad = Seq("[Infinity]", "[-Infinity]", "[NaN]", "[1.5f]", "[1.5d]",
+      "[+1]", "[.5]", "[1.]", "[0x1p3]", "[01]", "[1e]", "[e5]")
+    val badGot = bad.toDF("s")
+      .select(TypedAttrs.doubleArraySum(col("s")).as("v"))
+      .as[Option[Double]].collect()
+    assert(badGot.forall(_.isEmpty), bad.zip(badGot).toString)
+    // valid JSON spellings still sum
+    val good = Seq(("[1e5]", 100000.0), ("[-0.5e-2]", -0.005), ("[0.25,0.75]", 1.0),
+      ("[0]", 0.0), ("[-0.5,0.5]", 0.0), ("[12e+1]", 120.0))
+    val goodGot = good.map(_._1).toDF("s")
+      .select(TypedAttrs.doubleArraySum(col("s")).as("v"))
+      .as[Option[Double]].collect()
+    good.zip(goodGot).foreach { case ((s, want), got) =>
+      assert(got.contains(want), s"$s -> $got, want $want")
+    }
+    // long path: leading '+' now rejected too
+    val lg = Seq("[+5]", "[5]").toDF("s")
+      .select(TypedAttrs.intArraySum(col("s")).as("v")).as[Option[Long]].collect()
+    assert(lg(0).isEmpty && lg(1).contains(5L))
+  }
+
+  test("MarkerCounts equals the composed filter/isin counts; shared tokens count in each set") {
+    import graft.functions.TextFunctions
+    val docs = Seq(
+      "the cat and the dog is on la mesa",
+      "la la land der die das und est",     // "la" is an es AND fr marker
+      "", "   ", "no markers here at all",
+      "THE UPPER case der"
+    ).toDF("text")
+    val sets = TextFunctions.LangMarkers.map(_._2)
+    def ts = TextFunctions.tokens(lower(col("text")))
+    val native = docs
+      .select(TextFunctions.markerCounts(ts, sets).as("c"))
+      .as[Seq[Int]].collect().toSeq
+    val composed = docs
+      .select(array(sets.map(s =>
+        size(filter(ts, t => t.isin(s.map(lit): _*)))): _*).as("c"))
+      .as[Seq[Int]].collect().toSeq
+    assert(native == composed, s"native=$native composed=$composed")
+    // and it stays inside whole-stage codegen (non-foldable source — a
+    // literal table constant-folds to a LocalTableScan)
+    val plan = spark.range(10)
+      .select(concat(lit("the la der x"), col("id")).as("text"))
+      .select(TextFunctions.markerCounts(
+        TextFunctions.tokens(lower(col("text"))), sets).as("c"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)"), plan)
+  }
+
   test("graft_topk: descending order, tie-break, k > group size, shuffle survival") {
     TopKAggregate.register(spark)
     // force a real exchange so partial buffers serialize/merge

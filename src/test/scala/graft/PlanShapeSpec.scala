@@ -108,6 +108,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("single-mode merge eligibility is a partial-aggregated argmin, not a Window") {
+    import graft.operators.Merge
+    val state = t("lineitem").select(
+      col("l_orderkey").as("k"), col("l_linenumber").as("line"),
+      col("l_returnflag").as("status"))
+    val elig = physical(Merge.markEligible(state, Seq("k")))
+    // no Window (the old form shuffled + sorted the whole state payload by
+    // every column); the argmin is two-phase — a partial aggregate runs
+    // map-side so the exchange carries one row per (key, partition)
+    assert(!elig.contains("Window"), elig)
+    assert(elig.contains("partial_min"), elig)
+    // and the full single-mode merge never reintroduces a window
+    val incoming = t("orders")
+      .select(col("o_orderkey").as("k"), col("o_orderstatus").as("status"))
+      .withColumn("seq", lit(0))
+    val spec = MergeSpec(Seq("k"), Seq(MergeFieldSpec("status", MergeOp.Set)),
+      updateMany = false)
+    assert(!physical(Merge.upsertBatch(state, incoming, spec, "seq").state)
+      .contains("Window"))
+  }
+
   test("typed projection stays inside whole-stage codegen (no UDFs)") {
     import graft.functions.TypedAttrs
     val df = t("customer").select(

@@ -27,6 +27,21 @@ class SourcesSinksSpec extends SparkSpec {
     assert(rows.toSeq == Seq("café crème", "número dos"))
   }
 
+  test("readTextRecords keeps the WHOLE record: spaces, commas, quotes, tabs") {
+    val dir = Files.createTempDirectory("graft-src2").toString
+    val f = new java.io.File(dir, "whole.txt")
+    val lines = Seq(
+      """plain words with   runs of spaces""",
+      """"quoted start" and , commas, everywhere""",
+      "tab\tseparated stays intact",
+      """ leading and trailing spaces """)
+    java.nio.file.Files.write(f.toPath,
+      lines.mkString("\n").getBytes(Charset.forName("UTF-8")))
+    val rows = SourcesSinks.readTextRecords(spark, f.toString)
+      .as[String].collect().sorted
+    assert(rows.toSeq == lines.sorted)
+  }
+
   test("readAttributeRecords: jsonl -> MAP<STRING,STRING> attributes column") {
     val dir = Files.createTempDirectory("graft-attrs").toString
     val f = new java.io.File(dir, "attrs.jsonl")

@@ -56,6 +56,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("applyMergeBatch: batch replay is idempotent ($inc not double-applied)") {
+    val statePath = Files.createTempDirectory("graft-replay-state").toString
+    val spec = MergeSpec(Seq("k"), Seq(MergeFieldSpec("v", MergeOp.Inc)))
+    def readV(k: Long): Long = StreamingOps.readState(spark, statePath).get
+      .filter($"k" === k).select($"v".cast("long")).as[Long].collect().head
+    val b0 = Seq((1L, 10L, 0)).toDF("k", "v", "seq")
+    StreamingOps.applyMergeBatch(spark, b0, 0L, spec, "seq", statePath)
+    assert(readV(1L) == 10L)
+    // crash-window replay of the SAME batch id: must be a no-op
+    StreamingOps.applyMergeBatch(spark, b0, 0L, spec, "seq", statePath)
+    assert(readV(1L) == 10L)
+    // next batch applies normally
+    StreamingOps.applyMergeBatch(spark,
+      Seq((1L, 5L, 0)).toDF("k", "v", "seq"), 1L, spec, "seq", statePath)
+    assert(readV(1L) == 15L)
+    // replay of an OLDER batch id after progress: also a no-op
+    StreamingOps.applyMergeBatch(spark, b0, 1L, spec, "seq", statePath)
+    assert(readV(1L) == 15L)
+    assert(StreamingOps.currentVersionId(spark, statePath).contains(1L))
+  }
+
   test("mergeStreamIncremental: per-batch emissions cover only the batch's keys") {
     implicit val sqlCtx = spark.sqlContext
     val dir = Files.createTempDirectory("graft-merge-inc").toString
