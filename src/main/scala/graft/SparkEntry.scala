@@ -450,6 +450,20 @@ object SparkEntry {
       ).orderBy("doc_id")
     }),
 
+    // ---- repetition quality signals (the public Gopher/RefinedWeb rule
+    //      family): duplicate-line fraction + most-common token / 2-gram
+    //      dominance, all narrow one-pass per row
+    "text_repetition" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(
+        col("doc_id"),
+        round(TextFunctions.duplicateLineFraction(col("text")), 4).as("dup_line_frac"),
+        TextFunctions.maxTokenFreq(col("text")).as("top_tok"),
+        round(TextFunctions.topTokenRatio(col("text")), 4).as("top_tok_ratio"),
+        round(TextFunctions.topNgramRatio(col("text"), 2), 4).as("top_2gram_ratio")
+      ).orderBy("doc_id")
+    }),
+
     // ---- language-ID heuristic
     "lang_id" -> ((s, dir) => {
       val d = t(s, dir, "documents")
@@ -1062,6 +1076,32 @@ object SparkEntry {
         | CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpeish_tokens,
         | CAST(length(text) AS BIGINT) AS n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // mode() count == max multiplicity regardless of which tied value
+    // mode picks; list_aggregate(NULL-safe: empty list -> NULL mode -> 0)
+    "text_repetition" ->
+      """WITH base AS (
+        | SELECT doc_id, string_split(text, chr(10)) AS ls,
+        |        list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '') AS ts
+        | FROM documents
+        |), g AS (
+        | SELECT doc_id, ls, ts,
+        |  CASE WHEN len(ts) < 2 THEN [array_to_string(ts, ' ')]
+        |       ELSE list_transform(range(1, len(ts)), i -> array_to_string(ts[i:i+1], ' ')) END AS gs
+        | FROM base
+        |)
+        |SELECT doc_id,
+        | round(CASE WHEN len(ls) > 0
+        |            THEN CAST(len(ls) - len(list_distinct(ls)) AS DOUBLE) / CAST(len(ls) AS DOUBLE)
+        |            ELSE 0.0 END, 4) AS dup_line_frac,
+        | CAST(len(list_filter(ts, x -> x = list_aggregate(ts, 'mode'))) AS INTEGER) AS top_tok,
+        | round(CASE WHEN len(ts) > 0
+        |            THEN CAST(len(list_filter(ts, x -> x = list_aggregate(ts, 'mode'))) AS DOUBLE) / CAST(len(ts) AS DOUBLE)
+        |            ELSE 0.0 END, 4) AS top_tok_ratio,
+        | round(CASE WHEN len(ts) >= 2
+        |            THEN CAST(len(list_filter(gs, x -> x = list_aggregate(gs, 'mode'))) AS DOUBLE) / CAST(len(gs) AS DOUBLE)
+        |            ELSE 0.0 END, 4) AS top_2gram_ratio
+        |FROM g ORDER BY doc_id""".stripMargin,
 
     "lang_id" ->
       """WITH f AS (

@@ -95,6 +95,57 @@ object TextFunctions {
     round((lenOk * 0.4 + swOk * 0.4 + punctOk * 0.2), 2)
   }
 
+  // ------------------------------------------------ repetition signals
+  // The public Gopher/MassiveText & RefinedWeb pipelines filter documents
+  // by internal repetition; these are the two core signals, computed
+  // narrowly per row (no shuffle, native one-pass primitives).
+
+  /** Fraction of lines that are duplicates of another line:
+    * (n_lines − n_distinct_lines) / n_lines; 0 for empty/blank input.
+    * Lines are '\n'-separated verbatim (no trimming), so reproducible by
+    * any engine's string_split.
+    */
+  def duplicateLineFraction(text: Column): Column = {
+    val lines = split(text, "\n", -1)
+    val n = size(lines)
+    when(n > 0,
+      (n - size(array_distinct(lines))).cast(DoubleType) / n.cast(DoubleType))
+      .otherwise(lit(0.0))
+  }
+
+  /** Multiplicity of the most frequent whitespace token of the lowercased
+    * text — the native one-pass graft.plans.TopTokenFreq. 0 for empty.
+    */
+  def maxTokenFreq(text: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(
+      graft.plans.TopTokenFreq(ColumnBridge.expression(tokens(lower(text)))))
+  }
+
+  /** Fraction of tokens taken by the single most frequent token — the
+    * "most common word" dominance ratio; 0 for empty.
+    */
+  def topTokenRatio(text: Column): Column = {
+    val ts = tokens(lower(text))
+    when(size(ts) > 0,
+      maxTokenFreq(text).cast(DoubleType) / size(ts).cast(DoubleType))
+      .otherwise(lit(0.0))
+  }
+
+  /** Fraction of word n-grams taken by the most frequent n-gram (the
+    * Gopher top-2-gram/3-gram rule shape); 0 when fewer than n tokens
+    * (a doc too short to have an n-gram is not "repetitive").
+    */
+  def topNgramRatio(text: Column, n: Int): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val ts = tokens(lower(text))
+    val sh = shinglesFromTokens(ts, n)
+    val top = ColumnBridge.column(
+      graft.plans.TopTokenFreq(ColumnBridge.expression(sh)))
+    when(size(ts) >= n, top.cast(DoubleType) / size(sh).cast(DoubleType))
+      .otherwise(lit(0.0))
+  }
+
   /** Language-ID marker words: a tiny deterministic n-gram/stopword
     * heuristic (public fastText-style idea reduced to marker tokens).
     * Returns the language whose marker-hit count is highest; ties and

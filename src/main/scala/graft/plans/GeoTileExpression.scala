@@ -113,7 +113,8 @@ object GraftExtensions {
       DotProduct.functionDescriptor,
       PunctCount.functionDescriptor,
       SimHash64.functionDescriptor,
-      MinHashSig.functionDescriptor)
+      MinHashSig.functionDescriptor,
+      TopTokenFreq.functionDescriptor)
 
   /** Imperative all-at-once registration for an existing session. */
   def registerAll(spark: SparkSession): Unit =

@@ -34,6 +34,26 @@ class TextVectorFunctionsSpec extends SparkSpec {
     assert(out == Seq("en", "es", "und"))
   }
 
+  test("repetition signals: duplicate lines, top-token and top-2gram dominance") {
+    val repetitive = "buy now\nbuy now\nbuy now\nlimited offer"
+    val clean = "a quick brown fox jumps over one lazy dog"
+    val out = Seq(repetitive, clean, "", "word").toDF("t").select(
+      TF.duplicateLineFraction($"t"),
+      TF.maxTokenFreq($"t"),
+      TF.topTokenRatio($"t"),
+      TF.topNgramRatio($"t", 2))
+      .as[(Double, Int, Double, Double)].collect()
+    // repetitive: 4 lines, 2 dup copies of "buy now"; tokens: buy×3 now×3
+    // limited offer → 8 tokens, top 3; 2-grams: 7, "buy now"×3
+    assert(out(0) == ((0.5, 3, 0.375, 3.0 / 7.0)))
+    // clean: all distinct
+    assert(out(1)._1 == 0.0 && out(1)._2 == 1 && out(1)._4 == 1.0 / 8.0)
+    // empty: all zero
+    assert(out(2) == ((0.0, 0, 0.0, 0.0)))
+    // single token: no 2-gram exists -> ratio 0, not 1
+    assert(out(3) == ((0.0, 1, 1.0, 0.0)))
+  }
+
   test("meanTokenLen: average token length, 0 for empty") {
     val out = Seq("ab abcd", "").toDF("t").select(TF.meanTokenLen($"t"))
       .as[Double].collect()
