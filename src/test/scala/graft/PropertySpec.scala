@@ -75,6 +75,47 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("CrossConcat equals the composed HOF cross product on generated arrays") {
+    val arrGen = Gen.listOf(Gen.oneOf("a", "bb", "", "é", "x|y"))
+    val tripleGen = Gen.zip(arrGen, arrGen, arrGen)
+    samples(tripleGen, 8).foreach { case (a, b, c) =>
+      val df = Seq((a, b, c)).toDF("a", "b", "c")
+      val parts = Seq(col("a"), col("b"), col("c"))
+      val native = df.select(Binning.mergedBinNames("m", parts))
+        .as[Seq[String]].collect()(0)
+      val composed = df.select(Binning.mergedBinNamesComposed("m", parts))
+        .as[Seq[String]].collect()(0)
+      assert(native == composed, s"a=$a b=$b c=$c")
+    }
+  }
+
+  test("MarkerCounts invariants: bounded by token count, zero on marker-free docs") {
+    import graft.functions.{TextFunctions => TF}
+    val sets = TF.LangMarkers.map(_._2)
+    samples(Gen.listOfN(10, Gen.oneOf("the", "la", "der", "qqq", "zz")), 8).foreach { toks =>
+      val df = Seq(toks.mkString(" ")).toDF("t")
+      val counts = df.select(TF.markerCounts(TF.tokens(lower($"t")), sets))
+        .as[Seq[Int]].collect()(0)
+      assert(counts.length == sets.length)
+      assert(counts.forall(c => c >= 0 && c <= toks.length), s"toks=$toks")
+      // "la" belongs to es AND fr: both counts include every "la"
+      val la = toks.count(_ == "la")
+      assert(counts(1) >= la && counts(2) >= la, s"toks=$toks counts=$counts")
+    }
+  }
+
+  test("TopTokenFreq: equals driver-side max multiplicity; bounded by n") {
+    import org.apache.spark.sql.graft.ColumnBridge
+    samples(Gen.listOfN(12, Gen.oneOf("a", "b", "c")), 8).foreach { toks =>
+      val df = Seq(toks).toDF("ts")
+      val got = df.select(ColumnBridge.column(
+          graft.plans.TopTokenFreq(ColumnBridge.expression($"ts"))))
+        .as[Int].collect()(0)
+      val want = if (toks.isEmpty) 0 else toks.groupBy(identity).values.map(_.size).max
+      assert(got == want, s"toks=$toks")
+    }
+  }
+
   test("json array-sum expressions match driver-side sums on generated arrays") {
     val gen = Gen.listOfN(200, Gen.listOf(Gen.chooseNum(-1000000, 1000000)))
     val lists = gen.pureApply(Gen.Parameters.default, Seed(42L))
