@@ -837,6 +837,33 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // ---- decontamination: flag docs sharing any word n-gram with a
+    //      probe (benchmark) corpus — broadcast semi-join on shingle
+    //      hashes; probes = the first 10 docs, so overlap is deterministic
+    "decontamination" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val probes = d.filter(col("doc_id") < 10).select(col("text"))
+      Decontamination.contaminationFlags(d, "text", "doc_id", probes, "text", n = 3)
+        .select(col("doc_id"), col("contaminated"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- PII redaction: plant deterministic email/phone/IP spans, then
+    //      count and redact them (patterns are RE2-compatible so DuckDB
+    //      computes the identical spans)
+    "pii_redaction" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = d.withColumn("text", concat(col("text"),
+        lit(" contact user"), col("doc_id").cast(StringType), lit("@example.com or 555-123-4567 at 10.0.0."),
+        (col("doc_id") % 256).cast(StringType)))
+      planted.select(
+        col("doc_id"),
+        TextFunctions.patternCount(col("text"), TextFunctions.EmailPattern).as("n_email"),
+        TextFunctions.patternCount(col("text"), TextFunctions.PhonePattern).as("n_phone"),
+        length(TextFunctions.redact(col("text"))).cast(LongType).as("redacted_len")
+      ).orderBy("doc_id")
+    }),
+
     // ---- dedup: exact n-gram Jaccard pairs (inverted-index join)
     "ngram_jaccard_pairs" -> ((s, dir) => {
       val d = t(s, dir, "documents")
@@ -1433,6 +1460,45 @@ object SparkEntry {
         | CAST(64 + (range % 64) AS BIGINT) AS n_bytes
         |FROM range(500)
         |ORDER BY media_id""".stripMargin,
+
+    "decontamination" ->
+      """WITH toks AS (
+        | SELECT doc_id,
+        |  list_filter(string_split_regex(trim(regexp_replace(regexp_replace(lower(text), '[[:punct:]]', '', 'g'), '\s+', ' ', 'g')), '\s+'), t -> t <> '') AS ts
+        | FROM documents
+        |), sh AS (
+        | SELECT doc_id,
+        |  CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+        |       ELSE list_distinct(list_transform(range(1, len(ts) - 1), i -> array_to_string(ts[i:i+2], ' ')))
+        |  END AS grams
+        | FROM toks
+        |), probe AS (
+        | SELECT DISTINCT unnest(grams) AS g FROM sh WHERE doc_id < 10
+        |), docg AS (
+        | SELECT doc_id, unnest(grams) AS g FROM sh
+        |), hits AS (
+        | SELECT DISTINCT docg.doc_id FROM docg JOIN probe USING (g)
+        |)
+        |SELECT s.doc_id, (h.doc_id IS NOT NULL) AS contaminated
+        |FROM sh s LEFT JOIN hits h ON s.doc_id = h.doc_id
+        |ORDER BY s.doc_id""".stripMargin,
+
+    "pii_redaction" -> {
+      val em = TextFunctions.EmailPattern
+      val ph = TextFunctions.PhonePattern
+      val ip = TextFunctions.Ipv4Pattern
+      s"""WITH p AS (
+         | SELECT doc_id,
+         |  text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or 555-123-4567 at 10.0.0.' || CAST(doc_id % 256 AS VARCHAR) AS t
+         | FROM documents
+         |)
+         |SELECT doc_id,
+         | CAST(len(regexp_extract_all(t, '$em')) AS BIGINT) AS n_email,
+         | CAST(len(regexp_extract_all(t, '$ph')) AS BIGINT) AS n_phone,
+         | CAST(length(regexp_replace(regexp_replace(regexp_replace(t,
+         |   '$em', '[EMAIL]', 'g'), '$ph', '[PHONE]', 'g'), '$ip', '[IP]', 'g')) AS BIGINT) AS redacted_len
+         |FROM p ORDER BY doc_id""".stripMargin
+    },
 
     "ngram_jaccard_pairs" ->
       """WITH toks AS (

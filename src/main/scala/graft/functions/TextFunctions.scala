@@ -193,6 +193,45 @@ object TextFunctions {
     ColumnBridge.column(graft.plans.NormalizeText(ColumnBridge.expression(text)))
   }
 
+  // -------------------------------------------------- PII redaction
+  // Public-pipeline hygiene (the C4/RefinedWeb preprocessing family):
+  // replace well-formed PII spans before training. Patterns are kept
+  // RE2-compatible (no lookarounds, no backreferences) so external
+  // engines and oracles can reproduce the exact spans.
+
+  /** Email addresses (pragmatic RFC-lite pattern). */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** North-American-style phone numbers: optional +1, separators -,., or
+    * space, e.g. 555-123-4567 / (555) 123 4567.
+    */
+  val PhonePattern = "\\(?[0-9]{3}\\)?[-. ][0-9]{3}[-. ][0-9]{4}"
+
+  /** IPv4 literals (dotted quads; no range validation — redaction leans
+    * conservative).
+    */
+  val Ipv4Pattern = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  /** Default redaction table: pattern → replacement token. */
+  val DefaultRedactions: Seq[(String, String)] = Seq(
+    EmailPattern -> "[EMAIL]",
+    PhonePattern -> "[PHONE]",
+    Ipv4Pattern -> "[IP]"
+  )
+
+  /** Replace each pattern with its token, applied in order (earlier
+    * patterns win on overlapping spans). Narrow, codegen'd
+    * regexp_replace chain — one map stage at any scale.
+    */
+  def redact(text: Column, redactions: Seq[(String, String)] = DefaultRedactions): Column =
+    redactions.foldLeft(text) { case (t, (pat, repl)) =>
+      regexp_replace(t, pat, repl)
+    }
+
+  /** Count of matches of one pattern (audit/reporting side of redaction). */
+  def patternCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0))).cast(LongType)
+
   /** Word n-grams (shingles) of the normalized text, for MinHash/Jaccard.
     *
     * NOTE for hot paths: higher-order functions are interpreted (no

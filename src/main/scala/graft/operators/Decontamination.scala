@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.engine.Partitioning
+import graft.functions.TextFunctions._
+
+/**
+ * Benchmark decontamination — flag/remove training documents that share
+ * word n-grams with an evaluation ("probe") corpus. The standard
+ * public-pipeline step (GPT-3/Gopher/Llama papers all describe n-gram
+ * overlap decontamination) and a natural companion to [[Dedup]]: same
+ * shingle machinery, but the comparison set is external.
+ *
+ * Scale notes (100 TB): the probe side is benchmark data — tiny relative
+ * to the corpus — so its distinct shingle-hash set is aggregated once and
+ * BROADCAST; the corpus side is a narrow explode into a broadcast
+ * left-semi join (no shuffle of corpus shingles, no pair materialization).
+ * Shingle hashes are 8-byte xxhash64 values, never strings; a hash
+ * collision can flag a clean doc at ~2⁻⁶⁴ per shingle pair — noise, and
+ * conservative in the safe direction (over-removal).
+ */
+object Decontamination {
+
+  /** Distinct 64-bit shingle hashes of a probe corpus (the broadcast-able
+    * contamination reference set).
+    */
+  def probeShingleHashes(probes: DataFrame, textCol: String, n: Int): DataFrame =
+    probes
+      .select(explode(array_distinct(shingles(col(textCol), n))).as("_g"))
+      .select(xxhash64(col("_g")).as("h"))
+      .distinct()
+
+  /** Every document, plus a `contaminated` flag: true iff the doc shares
+    * at least one word n-gram with the probe corpus.
+    */
+  def contaminationFlags(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      probes: DataFrame,
+      probeTextCol: String,
+      n: Int = 8
+  ): DataFrame = {
+    val probeHashes = probeShingleHashes(probes, probeTextCol, n)
+    val hits = Partitioning.spreadByKey(
+        docs.select(col(idCol).as("id"), col(textCol).as("_txt")), col("id"))
+      .select(col("id"), explode(array_distinct(shingles(col("_txt"), n))).as("_g"))
+      .select(col("id"), xxhash64(col("_g")).as("h"))
+      .join(broadcast(probeHashes), Seq("h"), "left_semi")
+      .select(col("id").as(idCol)).distinct()
+      .withColumn("_hit", lit(true))
+    docs.join(hits, Seq(idCol), "left")
+      .withColumn("contaminated", coalesce(col("_hit"), lit(false)))
+      .drop("_hit")
+  }
+
+  /** Drop contaminated documents (the apply step). */
+  def decontaminate(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      probes: DataFrame,
+      probeTextCol: String,
+      n: Int = 8
+  ): DataFrame =
+    contaminationFlags(docs, textCol, idCol, probes, probeTextCol, n)
+      .filter(!col("contaminated"))
+      .drop("contaminated")
+}

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Decontamination
+
+class DecontaminationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog tonight"),
+    (2L, "an entirely different body of training text material"),
+    (3L, "we mention the lazy dog tonight in passing here too"), // shares a 3-gram with #1
+    (4L, "short doc")
+  ).toDF("doc_id", "text")
+
+  test("contaminationFlags: docs sharing an n-gram with the probe set are flagged") {
+    val probes = Seq("nothing matches here except the lazy dog tonight phrase").toDF("text")
+    val out = Decontamination.contaminationFlags(docs, "text", "doc_id", probes, "text", n = 3)
+      .select("doc_id", "contaminated").as[(Long, Boolean)].collect().toMap
+    assert(out(1L) && out(3L), out.toString)   // both contain "lazy dog tonight"
+    assert(!out(2L) && !out(4L), out.toString)
+  }
+
+  test("decontaminate drops flagged docs and keeps the rest") {
+    val probes = Seq("the lazy dog tonight").toDF("text")
+    val kept = Decontamination.decontaminate(docs, "text", "doc_id", probes, "text", n = 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 4L))
+  }
+
+  test("empty probe corpus flags nothing") {
+    val probes = Seq.empty[String].toDF("text")
+    val out = Decontamination.contaminationFlags(docs, "text", "doc_id", probes, "text", n = 3)
+      .select("contaminated").as[Boolean].collect()
+    assert(out.forall(!_))
+  }
+
+  test("probe shingle set broadcasts (plan shape)") {
+    val probes = Seq("the lazy dog tonight").toDF("text")
+    val plan = Decontamination.contaminationFlags(docs, "text", "doc_id", probes, "text", n = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"), plan)
+  }
+}

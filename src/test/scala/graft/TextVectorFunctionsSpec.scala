@@ -60,6 +60,21 @@ class TextVectorFunctionsSpec extends SparkSpec {
     assert(out(0) == 3.0 && out(1) == 0.0)
   }
 
+  test("PII redaction: emails, phones, IPs replaced; counts match") {
+    val t = "write bob.smith+x@corp.example.org or call (555) 123 4567; host 192.168.0.1 ok"
+    val out = Seq(t).toDF("t").select(
+      TF.redact($"t"),
+      TF.patternCount($"t", TF.EmailPattern),
+      TF.patternCount($"t", TF.PhonePattern),
+      TF.patternCount($"t", TF.Ipv4Pattern))
+      .as[(String, Long, Long, Long)].collect()(0)
+    assert(out._1 == "write [EMAIL] or call [PHONE]; host [IP] ok", out._1)
+    assert((out._2, out._3, out._4) == ((1L, 1L, 1L)))
+    // clean text passes through untouched
+    val clean = "no personal data in this sentence at all"
+    assert(Seq(clean).toDF("t").select(TF.redact($"t")).as[String].collect()(0) == clean)
+  }
+
   test("fingerprint normalization: case/punct/whitespace-insensitive") {
     val out = Seq("Hello,  World!", "hello world").toDF("t")
       .select(TF.fingerprintXx($"t")).as[Long].collect()
