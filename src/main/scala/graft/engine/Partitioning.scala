@@ -32,4 +32,27 @@ object Partitioning {
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(key) else df
   }
+
+  /** Persist `df` as a BUCKETED (and bucket-sorted) parquet table: every
+    * later equi-join or aggregation on `keys` between tables bucketed the
+    * same way is exchange-free — the co-located-join contract for state
+    * tables that are merged every batch (write the shuffle once, reuse it
+    * every read). Bucket pruning also applies to point lookups on the
+    * bucket keys. `PlanShapeSpec` asserts the no-Exchange join plan.
+    */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      path: String,
+      keys: Seq[String],
+      numBuckets: Int
+  ): Unit = {
+    require(keys.nonEmpty, "bucketed write requires at least one key")
+    df.write.mode("overwrite")
+      .option("path", path)
+      .bucketBy(numBuckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+  }
 }

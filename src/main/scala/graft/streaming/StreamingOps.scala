@@ -230,6 +230,27 @@ object StreamingOps {
     }
   }
 
+  /** Streaming exact dedup: drop records whose normalized-content
+    * fingerprint already appeared within the watermark horizon — the
+    * streaming face of Dedup.exact. `dropDuplicatesWithinWatermark`
+    * bounds the fingerprint state by the horizon (at 100 TB/day the
+    * forever-dedup alternative is an external state table + the batch
+    * DuplicateCheck; unbounded in-store dedup state is a leak, not a
+    * feature). State carries the 8-byte fingerprint, never the text.
+    */
+  def dedupStream(
+      records: DataFrame,
+      textCol: String,
+      tsCol: String,
+      watermarkDelay: String = "10 minutes"
+  ): DataFrame =
+    records
+      .withColumn("_fp",
+        xxhash64(graft.functions.TextFunctions.normalizeForFingerprint(col(textCol))))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("_fp")
+      .drop("_fp")
+
   /** Route a streaming DataFrame by its `_route` column into per-route
     * sinks — the NiFi relationship fan-out (SURVEY §1.3). Stateless
     * filters on one source; Spark runs them as independent queries.

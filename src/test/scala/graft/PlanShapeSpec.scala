@@ -129,6 +129,29 @@ class PlanShapeSpec extends SparkSpec {
       .contains("Window"))
   }
 
+  test("bucketed state tables join exchange-free (co-located join contract)") {
+    import graft.engine.Partitioning
+    val wh = java.nio.file.Files.createTempDirectory("graft-bucketed").toString
+    val a = t("orders").select(col("o_orderkey"), col("o_orderstatus"))
+    val b = t("orders").select(col("o_orderkey"), col("o_totalprice"))
+    Partitioning.writeBucketed(a, "g_bucket_a", s"$wh/a", Seq("o_orderkey"), 4)
+    Partitioning.writeBucketed(b, "g_bucket_b", s"$wh/b", Seq("o_orderkey"), 4)
+    val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val joined = spark.table("g_bucket_a").join(spark.table("g_bucket_b"), "o_orderkey")
+      val plan = physical(joined)
+      // both sides scan pre-bucketed files with matching distribution: the
+      // shuffle was paid ONCE at write time, the join replans none
+      assert(!plan.contains("Exchange"), plan)
+      assert(joined.count() == a.count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+      spark.sql("DROP TABLE IF EXISTS g_bucket_a")
+      spark.sql("DROP TABLE IF EXISTS g_bucket_b")
+    }
+  }
+
   test("typed projection stays inside whole-stage codegen (no UDFs)") {
     import graft.functions.TypedAttrs
     val df = t("customer").select(

@@ -56,6 +56,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupStream: fingerprint-duplicate records drop within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val df = mem.toDF().toDF("id", "text", "ts")
+    val out = StreamingOps.dedupStream(df, "text", "ts", "1 hour")
+    val q = out.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, "Hello, World!", Timestamp.valueOf("2024-01-01 10:00:00")),
+        (2L, "hello world", Timestamp.valueOf("2024-01-01 10:01:00")), // dup after normalize
+        (3L, "something else entirely", Timestamp.valueOf("2024-01-01 10:02:00")))
+      q.processAllAvailable()
+      mem.addData( // dup of #1 in a later batch, still inside the horizon
+        (4L, "HELLO world!!", Timestamp.valueOf("2024-01-01 10:03:00")),
+        (5L, "a genuinely new record", Timestamp.valueOf("2024-01-01 10:04:00")))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_stream").select("id").as[Long].collect().toSet
+      assert(ids == Set(1L, 3L, 5L), ids.toString)
+    } finally q.stop()
+  }
+
   test("applyMergeBatch: batch replay is idempotent ($inc not double-applied)") {
     val statePath = Files.createTempDirectory("graft-replay-state").toString
     val spec = MergeSpec(Seq("k"), Seq(MergeFieldSpec("v", MergeOp.Inc)))
