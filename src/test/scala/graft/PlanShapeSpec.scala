@@ -129,6 +129,21 @@ class PlanShapeSpec extends SparkSpec {
       .contains("Window"))
   }
 
+  test("simhash signatures: partial-aggregated collect_list + one native pass, no Window") {
+    import graft.operators.Dedup
+    val d = t("documents").select(col("doc_id"), col("text"))
+    val q = Dedup.simHashDupPairs(d, "text", "doc_id", maxHamming = 0)
+    val plan = physical(q)
+    // two-phase ObjectHashAggregate: partial collect_list runs map-side
+    // (one append per exploded shingle row), the merged per-doc list gets
+    // ONE graft_simhash64 pass — not 64 agg-buffer updates per row.
+    // (The native expression lives in the aggregate's resultExpressions,
+    // which the physical string omits — assert it on the logical plan.)
+    assert(plan.contains("partial_collect_list"), plan)
+    assert(q.queryExecution.optimizedPlan.toString.contains("graft_simhash64"))
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("bucketed state tables join exchange-free (co-located join contract)") {
     import graft.engine.Partitioning
     val wh = java.nio.file.Files.createTempDirectory("graft-bucketed").toString
