@@ -28,6 +28,7 @@ object Bench {
     // sorted order: deterministic run sequence so per-query numbers are
     // comparable across rounds (Map iteration order is arbitrary)
     val runsPerQuery = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    require(runsPerQuery >= 1, s"SPARK_GRAFT_BENCH_RUNS must be >= 1, got $runsPerQuery")
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // median of N runs: single-shot numbers carry JIT/GC noise that made
       // round-over-round per-query deltas untrustworthy

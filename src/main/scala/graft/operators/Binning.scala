@@ -40,15 +40,19 @@ object Binning {
   )
 
   def dateBinNames(binName: String, ts: Column, g: DateGranularity.Value): Column = {
-    // every coarser level is a string PREFIX of the finest one (the format
-    // literals nest: yyyy ⊂ yyyy-MM ⊂ ...), so format ONCE at the target
-    // granularity and take substrings — one DateTimeFormatter pass per row
-    // instead of one per level (codegen CSE shares the date_format subtree
-    // across the substring references)
+    // every coarser level is a '-'-separated-field PREFIX of the finest
+    // one (the format literals nest: yyyy ⊂ yyyy-MM ⊂ ...), so format
+    // ONCE at the target granularity and take the first k fields with
+    // substring_index — one DateTimeFormatter pass per row instead of one
+    // per level (codegen CSE shares the date_format subtree). Field-based
+    // cutting, not fixed offsets: java.time's "yyyy" is year-of-era
+    // (never negative) rendered with EXCEEDS_PAD, so an out-of-range year
+    // prints as e.g. "+56000" — wider than 4 chars but still the first
+    // '-'-field, binning identically to the per-level form.
     val levels0 = dateFormats.takeWhile(_._1.id <= g.id)
     val finest = date_format(ts, levels0.last._2)
-    val levels = levels0.map { case (_, fmt) =>
-      concat(lit(s"$binName."), substring(finest, 1, fmt.length))
+    val levels = levels0.zipWithIndex.map { case (_, i) =>
+      concat(lit(s"$binName."), substring_index(finest, "-", i + 1))
     }
     when(ts.isNull, array().cast(ArrayType(StringType)))
       .otherwise(array(levels: _*))

@@ -220,7 +220,7 @@ object Merge {
       }
       val added = children.filterNot(f => pt.fieldNames.contains(f.segments(1)))
         .map(f => fieldExprs(f.propertyName).as(f.segments(1)))
-      struct(existing ++ added: _*)
+      struct(existing.toIndexedSeq ++ added: _*)
     }
 
     val outCols = stateCols.map { n =>

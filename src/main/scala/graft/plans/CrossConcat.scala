@@ -49,7 +49,14 @@ case class CrossConcat(prefix: String, sep: String, children: Seq[Expression])
   def cross(arrs: Array[ArrayData]): GenericArrayData = {
     var total = 1L
     var k = 0
-    while (k < arrs.length) { total *= arrs(k).numElements(); k += 1 }
+    while (k < arrs.length) {
+      total *= arrs(k).numElements()
+      // fail loudly instead of truncating: a cross product this size is a
+      // config error (bin arrays are levels × binners, i.e. tiny)
+      if (total > Int.MaxValue) throw new IllegalArgumentException(
+        s"graft_cross_concat: cross product exceeds ${Int.MaxValue} elements")
+      k += 1
+    }
     if (total == 0) return new GenericArrayData(Array.empty[Any])
     val n = total.toInt
     val out = new Array[Any](n)

@@ -35,6 +35,8 @@ import graft.operators.{Binning, Merge}
  */
 object StreamingOps {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Streaming windowed bin counts: fan out bin names (narrow, stateless)
     * then count per (window, name) with a watermark.
     */
@@ -178,13 +180,25 @@ object StreamingOps {
       orderCol: String,
       statePath: String
   ): Unit = {
-    if (!currentVersionId(spark, statePath).exists(_ >= batchId)) {
-      val state = readState(spark, statePath).getOrElse(
-        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], batch.schema))
-      val merged = Merge.upsertBatch(state, batch, spec, orderCol).state
-      val version = s"v$batchId"
-      merged.write.mode("overwrite").parquet(s"$statePath/$version")
-      commitVersion(spark, statePath, version, keepFrom = batchId - 1)
+    currentVersionId(spark, statePath) match {
+      case Some(cur) if cur >= batchId =>
+        // crash-replay of the previous batch is expected (cur == batchId);
+        // anything further behind means a NEW checkpoint was pointed at an
+        // OLD statePath — every batch would be skipped forever, so shout
+        val msg = s"mergeStream: skipping batch $batchId — state at v$cur already includes it" +
+          (if (cur > batchId)
+            s". batchId is ${cur - batchId} behind the committed version: this looks like a " +
+              "fresh checkpoint reusing an existing statePath; merges will be skipped until " +
+              s"batchIds pass v$cur. Use a fresh statePath (or restore the old checkpoint)."
+          else "")
+        log.warn(msg)
+      case _ =>
+        val state = readState(spark, statePath).getOrElse(
+          spark.createDataFrame(spark.sparkContext.emptyRDD[Row], batch.schema))
+        val merged = Merge.upsertBatch(state, batch, spec, orderCol).state
+        val version = s"v$batchId"
+        merged.write.mode("overwrite").parquet(s"$statePath/$version")
+        commitVersion(spark, statePath, version, keepFrom = batchId - 1)
     }
   }
 
@@ -200,10 +214,13 @@ object StreamingOps {
     }
   }
 
-  /** The numeric batch id of the committed version, if any. */
+  /** The numeric batch id of the committed version, if any. A malformed
+    * pointer (e.g. a bare "v" — note `"".forall(_.isDigit)` is vacuously
+    * true) is treated as absent rather than thrown on.
+    */
   def currentVersionId(spark: SparkSession, statePath: String): Option[Long] =
     currentVersionName(spark, statePath)
-      .filter(v => v.startsWith("v") && v.drop(1).forall(_.isDigit))
+      .filter(v => v.length > 1 && v.startsWith("v") && v.drop(1).forall(_.isDigit))
       .map(_.drop(1).toLong)
 
   /** Resolve the current state version via the `_CURRENT` pointer. */
@@ -225,7 +242,8 @@ object StreamingOps {
     val fs = org.apache.hadoop.fs.FileSystem.get(conf)
     fs.listStatus(new Path(statePath)).foreach { st =>
       val n = st.getPath.getName
-      if (n.startsWith("v") && n.drop(1).forall(_.isDigit) && n.drop(1).toLong < keepFrom)
+      if (n.length > 1 && n.startsWith("v") && n.drop(1).forall(_.isDigit) &&
+          n.drop(1).toLong < keepFrom)
         fs.delete(st.getPath, true)
     }
   }
