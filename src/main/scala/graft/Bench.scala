@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -20,6 +21,19 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // optional stage profile: per-stage executor run time + task count to
+    // stderr — the single-task-stage check is the first diagnostic for any
+    // per-query regression (a 1-task stage = a serialization bug)
+    if (sys.env.contains("SPARK_GRAFT_BENCH_STAGES")) {
+      spark.sparkContext.addSparkListener(new SparkListener {
+        override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+          val si = sc.stageInfo
+          System.err.println(f"[stage] id=${si.stageId}%4d tasks=${si.numTasks}%4d " +
+            f"runTime=${si.taskMetrics.executorRunTime / 1e3}%8.2fs " +
+            f"cpuTime=${si.taskMetrics.executorCpuTime / 1e9}%8.2fs ${si.name.take(80)}")
+        }
+      })
+    }
     // warm-up: session/codegen/scan initialization must not be charged to
     // whichever query happens to run first
     spark.range(1000000L).selectExpr("sum(id)").collect()
@@ -29,9 +43,16 @@ object Bench {
     // comparable across rounds (Map iteration order is arbitrary)
     val runsPerQuery = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     require(runsPerQuery >= 1, s"SPARK_GRAFT_BENCH_RUNS must be >= 1, got $runsPerQuery")
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional comma-separated filter for iterating on single queries
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = selected.map { case (name, fn) =>
       // median of N runs: single-shot numbers carry JIT/GC noise that made
-      // round-over-round per-query deltas untrustworthy
+      // round-over-round per-query deltas untrustworthy. min is recorded
+      // alongside so cross-round comparisons can split machine noise from
+      // real regressions without a re-run (min is the low-noise floor).
+      var failed = false
       val times = (0 until runsPerQuery).map { _ =>
         val t0 = System.nanoTime()
         // noop write forces full evaluation of every output column — a bare
@@ -39,17 +60,27 @@ object Bench {
         // sorts, benchmarking narrow queries as little more than a scan
         try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
         catch { case e: Throwable =>
-          // a failed query must not silently score as near-zero seconds
+          // a failed query must not score as a plausible-looking time
+          failed = true
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
         (System.nanoTime() - t0) / 1e9
       }.sorted
-      name -> times(times.length / 2)
+      (name, times(times.length / 2), times.head, failed)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val ok = results.filterNot(_._4)
+    def jmap(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // failed queries report null (never a fake elapsed time) and are listed
+    // by name; total covers only successful queries
+    val qs = results.map { case (k, med, _, f) =>
+      s"\"" + k + "\":" + (if (f) "null" else med.toString)
+    }.mkString("{", ",", "}")
+    val mins = jmap(ok.map(r => r._1 -> r._3))
+    val failedNames = results.filter(_._4).map("\"" + _._1 + "\"").mkString("[", ",", "]")
+    val total = if (ok.nonEmpty) ok.map(_._2).sum else 0.0
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs""" +
+      s""","queries_min":$mins,"failed_queries":$failedNames""" +
       s""","runs_per_query":$runsPerQuery,"stat":"median","sf":"$sfDir"}"""
     println(line)
     // belt-and-braces: also persist the JSON where the driver can read it

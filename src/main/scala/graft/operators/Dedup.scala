@@ -22,9 +22,15 @@ import graft.functions.VectorFunctions
  *    rotated/banded bits.
  *  - embedding-cosine: SRP-LSH buckets bound the pair space the same way.
  *  - self-joins (bucket candidates, inverted index) reference their
- *    signature subtree twice, but AQE's exchange reuse executes it ONCE
- *    (verified on the final adaptive plans: the band/index exchange shows
- *    as ReusedExchange on the second branch).
+ *    signature subtree twice. At scale the band join is an SMJ whose
+ *    hash(bk) exchange sits above the signature projection and is
+ *    ReusedExchange'd on the second branch — signatures compute ONCE.
+ *    When AQE downgrades to a broadcast join (small corpora), the
+ *    scan+repartition is still reused but the per-row signature runs
+ *    once per branch; we deliberately do NOT pin the exchange with an
+ *    explicit repartition(bk), because a user-origin shuffle disables
+ *    AQE's OptimizeSkewedJoin partition splitting — and band-bucket
+ *    skew is exactly where that mitigation matters.
  *  - n-gram Jaccard is the one EXACT pair op and is inherently
  *    output-bound: on a corpus with dup clusters of size k, every cluster
  *    contributes k²/2 true pairs, so no candidate scheme can make it
@@ -71,13 +77,24 @@ object Dedup {
     * hᵢ(s) = xxhash64(shingle, seed=i); signature[i] = min over shingles.
     * A native one-pass expression (graft.plans.MinHashSig) — the composed
     * k × array_min(transform(...)) chain re-walks the shingles k times
-    * interpreted; equivalence is spec-pinned bit-for-bit.
+    * interpreted; equivalence is spec-pinned bit-for-bit. NULL for a doc
+    * with no shingles (null/empty text).
     */
   def minHashSignature(text: Column, numHashes: Int, shingleSize: Int = 3): Column = {
     import org.apache.spark.sql.graft.ColumnBridge
     val sh = array_distinct(shingles(text, shingleSize))
     ColumnBridge.column(
       graft.plans.MinHashSig(ColumnBridge.expression(sh), numHashes))
+  }
+
+  /** Count of equal signature slots — the MinHash similarity numerator.
+    * Native codegen'd pass (graft.plans.SigOverlap); the zip_with+filter
+    * composition it replaces is an interpreted HOF per candidate pair.
+    */
+  def signatureOverlap(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.plans.SigOverlap(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
   }
 
   /** LSH band keys: split the signature into `bands` bands of `rowsPerBand`
@@ -108,24 +125,28 @@ object Dedup {
   ): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rowsPerBand = numHashes / bands
-    // signatures via explode + hash aggregate: higher-order functions are
-    // interpreted (no codegen), so k array_min(transform(...)) lambdas per
-    // row would re-walk the shingles k times. Exploding once and taking k
-    // codegen'd min()s gets map-side partial aggregation; each doc lives in
-    // one partition, so the shuffle carries exactly one (id, k longs) row
-    // per doc.
+    // the signature is a pure function of ONE document's shingles, so it
+    // is computed per row by the native one-pass MinHashSig — fully
+    // NARROW: no explode, no aggregation, no shuffled row per doc. (The
+    // earlier explode + k codegen'd min()s shape existed because the
+    // composed HOF form is interpreted; the native expression makes the
+    // narrow shape the fast one too.)
+    //
+    // Deliberately NO `filter(sig.isNotNull)` here: predicate pushdown
+    // substitutes the alias through the Project and clones the ENTIRE
+    // signature tree into a scan-level filter — doubling the per-row
+    // hash work. Null signatures (shingle-less docs) are harmless
+    // downstream: their band hashes are the constant seed bucket, so
+    // they only ever meet each other, and the est verify evaluates
+    // null ≥ threshold → null → filtered. Same rows dropped, zero extra
+    // CPU.
     // decouple CPU parallelism from input split count when (and only
     // when) the scan under-parallelizes — see Partitioning.spreadByKey:
     // a no-op at real scale, a (id, text)-once shuffle on small files
     val sigs = Partitioning.spreadByKey(
         df.select(col(idCol).as("id"), col(textCol).as("_txt")), col("id"))
       .select(col("id"),
-        tokens(normalizeForFingerprint(col("_txt"))).as("_ts"))
-      .select(col("id"),
-        explode(array_distinct(shinglesFromTokens(col("_ts"), shingleSize))).as("_g"))
-      .groupBy("id")
-      .agg(array((0 until numHashes).map(i =>
-        min(xxhash64(col("_g"), lit(i)))): _*).as("sig"))
+        minHashSignature(col("_txt"), numHashes, shingleSize).as("sig"))
     val banded0 = sigs.select(
       col("id"), col("sig"),
       explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("bk")
@@ -133,13 +154,10 @@ object Dedup {
     val banded = capBuckets(banded0, maxBucketSize)
     val a = banded.select(col("bk"), col("id").as("id_a"), col("sig").as("sig_a"))
     val b = banded.select(col("bk"), col("id").as("id_b"), col("sig").as("sig_b"))
-    val est = {
-      val matches = size(filter(
-        zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
-        x => x
-      ))
-      matches.cast(DoubleType) / lit(numHashes.toDouble)
-    }
+    // native codegen'd overlap count — one pass per candidate pair (the
+    // zip_with+filter composition is interpreted, no codegen)
+    val est = signatureOverlap(col("sig_a"), col("sig_b"))
+      .cast(DoubleType) / lit(numHashes.toDouble)
     a.join(b, Seq("bk"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), est.as("est_jaccard"))
@@ -255,6 +273,17 @@ object Dedup {
     ColumnBridge.column(graft.plans.SimHash64(ColumnBridge.expression(hs)))
   }
 
+  /** SimHash straight from a shingle STRING array — hash + vote in one
+    * native pass (graft.plans.SimHashFromShingles); bit-identical to
+    * simHashFromHashes(transform(sh, xxhash64)) but with no interpreted
+    * transform. NULL for an empty shingle array (doc dropped, matching
+    * the explode pipeline's no-rows-no-group behavior).
+    */
+  def simHashOfShingles(sh: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.plans.SimHashFromShingles(ColumnBridge.expression(sh)))
+  }
+
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
@@ -269,23 +298,20 @@ object Dedup {
       maxHamming: Int = 3,
       maxBucketSize: Option[Int] = None
   ): DataFrame = {
-    // explode + collect_list + ONE native SimHash64 pass per doc. The
-    // 64-sum bit-vote aggregate this replaces was shuffle-equivalent (one
-    // 8-byte hash per shingle either way) but paid 64 agg-buffer updates
-    // per exploded shingle row; collect_list partial-aggregates map-side
-    // (one append per row), the per-doc list is bounded by shingle count,
-    // and the vote loop runs once per doc inside codegen. Bit-for-bit
-    // equivalence with the vote-sum form is pinned in DedupSpec.
-    val hashed = Partitioning.spreadByKey(
+    // fully NARROW signature: one native hash+vote pass per row
+    // (SimHashFromShingles) — no explode, no collect_list, no shuffled
+    // bytes per shingle. (The earlier explode → xxhash64 → partial
+    // collect_list → SimHash64 shape shuffled ~8 bytes per shingle per
+    // doc only to reassemble values that were already colocated.)
+    // Bit-for-bit equivalence with that form is pinned in DedupSpec.
+    // No `filter(sig.isNotNull)`: pushdown would clone the signature
+    // tree into the scan (see minHashDupPairs); null-sig docs bucket on
+    // null block values, and their pairs die at the hamming verify
+    // (null ≤ maxHamming → null → filtered).
+    val sigs = Partitioning.spreadByKey(
         df.select(col(idCol).as("id"), col(textCol).as("_txt")), col("id"))
       .select(col("id"),
-        tokens(normalizeForFingerprint(col("_txt"))).as("_ts"))
-      .select(col("id"),
-        explode(array_distinct(shinglesFromTokens(col("_ts"), 2))).as("_g"))
-      .select(col("id"), xxhash64(col("_g")).as("_h"))
-    val sigs = hashed.groupBy("id")
-      .agg(collect_list(col("_h")).as("_hs"))
-      .select(col("id"), simHashFromHashes(col("_hs")).as("sig"))
+        simHashOfShingles(array_distinct(shingles(col("_txt"), 2))).as("sig"))
     val blocks = (0 until 4).map { b =>
       struct(lit(b).as("blk"), shiftright(col("sig"), b * 16).bitwiseAND(0xFFFFL).as("v"))
     }

@@ -114,6 +114,8 @@ object GraftExtensions {
       PunctCount.functionDescriptor,
       SimHash64.functionDescriptor,
       MinHashSig.functionDescriptor,
+      SimHashFromShingles.functionDescriptor,
+      SigOverlap.functionDescriptor,
       TopTokenFreq.functionDescriptor)
 
   /** Imperative all-at-once registration for an existing session. */

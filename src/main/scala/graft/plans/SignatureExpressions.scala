@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -10,12 +10,16 @@ import org.apache.spark.unsafe.hash.Murmur3_x86_32
 import org.apache.spark.unsafe.types.UTF8String
 
 /**
- * Per-row signature primitives for the CONVENIENCE Column APIs
- * (`Dedup.simHash`, `Dedup.minHashSignature`). The distributed pipelines
- * (`simHashDupPairs` / `minHashDupPairs`) deliberately use explode +
- * codegen'd hash aggregates instead — map-side partial aggregation is
- * the right shape at scale — but a user hashing one column inline should
- * not pay an interpreted 64-lambda fold per row.
+ * Per-row signature primitives. The distributed dedup pipelines
+ * (`minHashDupPairs` / `simHashDupPairs`) route through these: a
+ * signature is a pure function of one document's shingles, so computing
+ * it per row in one codegen'd pass is NARROW — zero shuffle, zero
+ * aggregation state — strictly better at any scale than the earlier
+ * explode + hash-aggregate shape (which still paid one shuffled row per
+ * doc plus per-shingle agg-buffer updates). The composed-builtin
+ * equivalents (k interpreted `array_min(transform(...))` lambdas, 64
+ * `aggregate()` vote folds) re-walk the shingle array k times with no
+ * codegen; equivalence is spec-pinned bit-for-bit.
  */
 
 /** 64-bit SimHash from a shingle-hash array: bit i is set iff more
@@ -167,5 +171,133 @@ object MinHashSig {
     }
     if (!any) return null
     new GenericArrayData(mins.map(v => v: Any))
+  }
+}
+
+/** Count of equal slots between two signature arrays — the MinHash
+  * similarity estimate numerator, in one codegen'd pass. Equivalent to
+  * `size(filter(zip_with(a, b, (x, y) => x === y), p => p))`, which is
+  * interpreted (HOFs get no codegen): positions where either side is a
+  * null element (or past the shorter array's end — zip_with's null
+  * padding) yield a null comparison and are not counted.
+  */
+case class SigOverlap(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_sig_overlap"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_sig_overlap requires (ARRAY<BIGINT>, ARRAY<BIGINT>), got ($l, $r)")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SigOverlap.count(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.plans.SigOverlap.count($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object SigOverlap {
+
+  val functionDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_sig_overlap"),
+    new ExpressionInfo(classOf[SigOverlap].getName, "graft_sig_overlap"),
+    { children =>
+      require(children.size == 2, "graft_sig_overlap(a, b) takes 2 arguments")
+      SigOverlap(children.head, children(1))
+    }
+  )
+
+  def count(a: ArrayData, b: ArrayData): Int = {
+    val m = math.min(a.numElements(), b.numElements())
+    var n = 0
+    var i = 0
+    while (i < m) {
+      if (!a.isNullAt(i) && !b.isNullAt(i) && a.getLong(i) == b.getLong(i)) n += 1
+      i += 1
+    }
+    n
+  }
+}
+
+/** 64-bit SimHash straight from a shingle STRING array: hash + bit vote
+  * in one pass, making the whole signature a narrow per-row column (the
+  * explode → xxhash64 → collect_list shape shuffled ~8 bytes per shingle
+  * per doc to reassemble what was already colocated). Bit-identical to
+  * `SimHash64(transform(arr, s => xxhash64(s)))`: elements hash with
+  * XXH64 seed 42; a null element mirrors `xxhash64(null)` = the seed
+  * itself (42) and votes accordingly. An EMPTY array returns null so
+  * callers drop shingle-less docs exactly as the explode form did (no
+  * rows → no group).
+  */
+case class SimHashFromShingles(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_simhash_shingles"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_simhash_shingles requires ARRAY<STRING>, got $t")
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    if (arr.numElements() == 0) null else SimHashFromShingles.sig(arr)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      if ($c.numElements() == 0) { ${ev.isNull} = true; }
+      else { ${ev.value} = graft.plans.SimHashFromShingles.sig($c); }""")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SimHashFromShingles {
+
+  val functionDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_simhash_shingles"),
+    new ExpressionInfo(classOf[SimHashFromShingles].getName, "graft_simhash_shingles"),
+    { children =>
+      require(children.size == 1, "graft_simhash_shingles(shingles) takes 1 argument")
+      SimHashFromShingles(children.head)
+    }
+  )
+
+  def sig(arr: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    val m = arr.numElements()
+    var i = 0
+    while (i < m) {
+      // xxhash64(null) evaluates to the seed (42): Spark's hash expressions
+      // skip null children, leaving the running hash at its seed value
+      val h = if (arr.isNullAt(i)) 42L
+        else org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUTF8String(arr.getUTF8String(i), 42L)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (2 * votes(b) > m) out |= (1L << b)
+      b += 1
+    }
+    out
   }
 }

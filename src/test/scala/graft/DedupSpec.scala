@@ -46,7 +46,7 @@ class DedupSpec extends SparkSpec {
   test("pipeline signature (collect_list + native SimHash64) equals per-row simHash") {
     import org.apache.spark.sql.functions._
     import graft.functions.TextFunctions
-    // the distributed pipeline's signature path: explode + xxhash64 +
+    // the old distributed signature path: explode + xxhash64 +
     // collect_list + one native SimHash64 pass — must be bit-identical to
     // the per-row convenience column (vote counting is order-independent)
     val viaPipeline = docs
@@ -56,6 +56,60 @@ class DedupSpec extends SparkSpec {
       .select(col("id"), Dedup.simHashFromHashes(col("hs")).as("sig"))
     val direct = docs.select(col("id"), Dedup.simHash(col("text"), 2).as("sig2"))
     assert(viaPipeline.join(direct, "id").filter(col("sig") =!= col("sig2")).isEmpty)
+  }
+
+  test("narrow native SimHashFromShingles equals the explode+collect_list pipeline") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions
+    // the NEW per-row signature (hash+vote in one native pass) must be
+    // bit-identical on real data to the explode pipeline it replaced
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id").as("id"), col("text"))
+    val viaPipeline = d
+      .select(col("id"), explode(array_distinct(TextFunctions.shingles(col("text"), 2))).as("g"))
+      .select(col("id"), xxhash64(col("g")).as("h"))
+      .groupBy("id").agg(collect_list(col("h")).as("hs"))
+      .select(col("id"), Dedup.simHashFromHashes(col("hs")).as("sig"))
+    val narrow = d.select(col("id"),
+      Dedup.simHashOfShingles(array_distinct(TextFunctions.shingles(col("text"), 2))).as("sig2"))
+      .filter(col("sig2").isNotNull)
+    // identical doc coverage (shingle-less docs dropped by both)...
+    assert(narrow.count() == viaPipeline.count())
+    // ...and identical signatures doc-for-doc
+    assert(viaPipeline.join(narrow, "id").filter(col("sig") =!= col("sig2")).isEmpty)
+  }
+
+  test("narrow native MinHashSig pipeline equals the explode+min-agg pipeline") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions
+    val k = 16
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id").as("id"), col("text"))
+    val viaAgg = d
+      .select(col("id"), explode(array_distinct(TextFunctions.shingles(col("text"), 3))).as("g"))
+      .groupBy("id")
+      .agg(array((0 until k).map(i => min(xxhash64(col("g"), lit(i)))): _*).as("sig"))
+    val narrow = d
+      .select(col("id"), Dedup.minHashSignature(col("text"), k, 3).as("sig2"))
+      .filter(col("sig2").isNotNull)
+    assert(narrow.count() == viaAgg.count())
+    assert(viaAgg.join(narrow, "id").filter(col("sig") =!= col("sig2")).isEmpty)
+  }
+
+  test("native signatureOverlap equals the zip_with+filter composition") {
+    import org.apache.spark.sql.functions._
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id").as("id"), col("text"))
+    val sigs = d.select(col("id"), Dedup.minHashSignature(col("text"), 16, 3).as("sig"))
+      .filter(col("sig").isNotNull).limit(50)
+    val a = sigs.select(col("id").as("ia"), col("sig").as("sa"))
+    val b = sigs.select(col("id").as("ib"), col("sig").as("sb"))
+    val pairs = a.crossJoin(b).filter(col("ia") < col("ib"))
+    val viaHof = size(filter(zip_with(col("sa"), col("sb"), (x, y) => x === y), p => p))
+    val mism = pairs
+      .select(Dedup.signatureOverlap(col("sa"), col("sb")).as("nat"), viaHof.as("hof"))
+      .filter(col("nat") =!= col("hof"))
+    assert(mism.isEmpty)
   }
 
   test("ngram jaccard: exact value for identical docs; one-word swap scores below 1") {

@@ -129,18 +129,32 @@ class PlanShapeSpec extends SparkSpec {
       .contains("Window"))
   }
 
-  test("simhash signatures: partial-aggregated collect_list + one native pass, no Window") {
+  test("simhash signatures are NARROW: one native per-row pass, no agg/shuffle before banding") {
     import graft.operators.Dedup
     val d = t("documents").select(col("doc_id"), col("text"))
     val q = Dedup.simHashDupPairs(d, "text", "doc_id", maxHamming = 0)
+    val opt = q.queryExecution.optimizedPlan.toString
     val plan = physical(q)
-    // two-phase ObjectHashAggregate: partial collect_list runs map-side
-    // (one append per exploded shingle row), the merged per-doc list gets
-    // ONE graft_simhash64 pass — not 64 agg-buffer updates per row.
-    // (The native expression lives in the aggregate's resultExpressions,
-    // which the physical string omits — assert it on the logical plan.)
-    assert(plan.contains("partial_collect_list"), plan)
-    assert(q.queryExecution.optimizedPlan.toString.contains("graft_simhash64"))
+    // the signature is a per-row native expression — the plan must carry
+    // NO collect_list (the old reassembly shuffle) and no Window; the only
+    // aggregate left is the final distinct()
+    assert(opt.contains("graft_simhash_shingles"), opt)
+    assert(!plan.contains("collect_list"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("minhash pair plan: narrow native signatures, codegen'd overlap verify, no HOF") {
+    import graft.operators.Dedup
+    val d = t("documents").select(col("doc_id"), col("text"))
+    val q = Dedup.minHashDupPairs(d, "text", "doc_id", numHashes = 16, bands = 8,
+      threshold = 1.0)
+    val opt = q.queryExecution.optimizedPlan.toString
+    // per-row native signature (no explode+agg reassembly), native
+    // overlap count — no interpreted zip_with/filter HOF per candidate
+    assert(opt.contains("graft_minhash_sig"), opt)
+    assert(opt.contains("graft_sig_overlap"), opt)
+    assert(!opt.contains("zip_with"), opt)
+    val plan = physical(q)
     assert(!plan.contains("Window"), plan)
   }
 
