@@ -33,6 +33,16 @@ object Decontamination {
 
   /** Every document, plus a `contaminated` flag: true iff the doc shares
     * at least one word n-gram with the probe corpus.
+    *
+    * `maxBroadcastProbeHashes` guards the broadcast: the explicit
+    * `broadcast()` hint overrides every planner size check, so a
+    * pathologically large probe corpus (someone points "probes" at
+    * another 100 TB corpus) would OOM the driver on collect. The probe
+    * hash set is counted once — one cheap job over the PROBE side only,
+    * never the corpus — and past the cap the semi-join falls back to a
+    * plain shuffle semi-join (correct at any size; the corpus explode
+    * then shuffles on the 8-byte hash). The default cap (10M hashes ≈
+    * 80 MB of longs) stays comfortably inside executor/driver memory.
     */
   def contaminationFlags(
       docs: DataFrame,
@@ -40,14 +50,19 @@ object Decontamination {
       idCol: String,
       probes: DataFrame,
       probeTextCol: String,
-      n: Int = 8
+      n: Int = 8,
+      maxBroadcastProbeHashes: Long = 10000000L
   ): DataFrame = {
     val probeHashes = probeShingleHashes(probes, probeTextCol, n)
-    val hits = Partitioning.spreadByKey(
+    val corpusShingles = Partitioning.spreadByKey(
         docs.select(col(idCol).as("id"), col(textCol).as("_txt")), col("id"))
       .select(col("id"), explode(array_distinct(shingles(col("_txt"), n))).as("_g"))
       .select(col("id"), xxhash64(col("_g")).as("h"))
-      .join(broadcast(probeHashes), Seq("h"), "left_semi")
+    val probeSide =
+      if (probeHashes.count() <= maxBroadcastProbeHashes) broadcast(probeHashes)
+      else probeHashes
+    val hits = corpusShingles
+      .join(probeSide, Seq("h"), "left_semi")
       .select(col("id").as(idCol)).distinct()
       .withColumn("_hit", lit(true))
     docs.join(hits, Seq(idCol), "left")

@@ -234,12 +234,19 @@ object Dedup {
     while (!converged && i < maxIter) {
       val nbrMin = edges.join(comp, edges("dst") === comp("id"))
         .groupBy(col("src")).agg(min(col("comp")).as("nbr"))
+      // the change flag rides the round's own projection, so ONE action
+      // does everything: counting changed rows materializes the (lazy)
+      // checkpoint — every partition is computed and cached, lineage is
+      // cut — and decides convergence. The earlier shape paid a second
+      // job per round: a full next⋈prev join just to ask "did anything
+      // move?".
       val next = comp.join(nbrMin, comp("id") === nbrMin("src"), "left")
-        .select(col("id"), least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"))
-        .localCheckpoint()
-      converged = next.join(comp.withColumnRenamed("comp", "prev"), "id")
-        .filter(col("comp") =!= col("prev")).isEmpty
-      comp = next
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"),
+          (coalesce(col("nbr"), col("comp")) < col("comp")).as("_chg"))
+        .localCheckpoint(eager = false)
+      converged = next.filter(col("_chg")).count() == 0L
+      comp = next.drop("_chg")
       i += 1
     }
     comp

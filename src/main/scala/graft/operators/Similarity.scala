@@ -75,40 +75,62 @@ object Similarity {
     topKPerQuery(scored, scoreName, k)
   }
 
+  /** Similarity metric for centroid assignment (a closed enum, not a
+    * Column function, so the assignment can run as ONE native expression
+    * with the centroid matrix attached as data — see below).
+    */
+  sealed trait CentroidMetric
+  object CentroidMetric {
+    case object Cosine extends CentroidMetric
+    case object Dot extends CentroidMetric
+  }
+
   /** Assign every vector to the nearest of `centroids` (centroid_id,
-    * centroid_vec) by `metric`. C is tiny and driver-known (it comes from
+    * centroid_vec) by `metric`. C is driver-known (it comes from
     * [[seedCentroids]]`.limit(c)`), so the centroid set is collected —
     * metadata-sized, like building a broadcast — and the assignment
-    * becomes a narrow per-row argmax expression: zero joins, zero
-    * shuffles. (The previous corpus×C join + `row_number` window
-    * re-shuffled the whole corpus, embedding payloads included, to
-    * compute per-row-local information.) Ties go to the smallest
-    * centroid id; centroid ids are emitted as BIGINT.
+    * becomes a narrow per-row argmax: zero joins, zero shuffles. (The
+    * original corpus×C join + `row_number` window re-shuffled the whole
+    * corpus, embedding payloads included, to compute per-row-local
+    * information.)
+    *
+    * The argmax is ONE native expression (graft.plans.NearestCentroid)
+    * carrying the C×dim matrix as a flat object reference: the earlier
+    * form inlined C vector literals into an `array_max(array(struct...))`
+    * tree, which is O(C) analysis/codegen work and breaks codegen's
+    * 64 KB/constant-pool limits at C in the thousands; this one stays a
+    * single call at any C (spec-pinned at C=1024). Ties go to the
+    * smallest centroid id; centroid ids are emitted as BIGINT.
     */
   def assignToCentroids(
       corpus: DataFrame,
       corpusId: String,
       corpusVec: String,
       centroids: DataFrame, // columns: centroid_id, centroid_vec
-      metric: (Column, Column) => Column = cosine
+      metric: CentroidMetric = CentroidMetric.Cosine
   ): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
     val elemType = centroids.schema("centroid_vec").dataType
       .asInstanceOf[ArrayType].elementType
     val cents = centroids
       .select(col("centroid_id").cast(LongType), col("centroid_vec"))
       .collect()
     require(cents.nonEmpty, "assignToCentroids: empty centroid set")
-    def vecLit(r: Row): Column = elemType match {
-      case FloatType  => typedlit(r.getSeq[Float](1))
-      case DoubleType => typedlit(r.getSeq[Double](1))
+    val ids = cents.map(_.getLong(0)).toSeq
+    def vecOf(r: Row): Seq[Double] = elemType match {
+      case FloatType  => r.getSeq[Float](1).map(_.toDouble)
+      case DoubleType => r.getSeq[Double](1)
       case t => throw new IllegalArgumentException(s"unsupported embedding element type $t")
     }
-    // lexicographic max of (sim, -centroid_id) = best sim, smallest id on tie
-    val candidates = cents.map { r =>
-      struct(metric(col(corpusVec), vecLit(r)).as("sim"),
-        lit(-r.getLong(0)).as("negId"))
-    }
-    corpus.withColumn("centroid_id", -array_max(array(candidates.toSeq: _*)).getField("negId"))
+    val rows = cents.map(vecOf)
+    val dim = rows.head.length
+    require(rows.forall(_.length == dim),
+      "assignToCentroids: centroid vectors must share one dimensionality")
+    val expr = graft.plans.NearestCentroid(
+      ColumnBridge.expression(col(corpusVec)),
+      ids, rows.toSeq.flatten, dim,
+      useCosine = metric == CentroidMetric.Cosine)
+    corpus.withColumn("centroid_id", ColumnBridge.column(expr))
   }
 
   /** IVF top-k: probe only the `nprobe` centroids nearest to each query.

@@ -152,7 +152,8 @@ object StreamingOps {
       orderCol: String,
       statePath: String,
       checkpointPath: String,
-      trigger: Trigger = Trigger.ProcessingTime(0L)
+      trigger: Trigger = Trigger.ProcessingTime(0L),
+      stateBuckets: Option[Int] = None
   ): StreamingQuery = {
     val spark = incoming.sparkSession
     incoming.writeStream
@@ -160,7 +161,8 @@ object StreamingOps {
       .option("checkpointLocation", checkpointPath)
       .trigger(trigger)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        applyMergeBatch(spark, batch.toDF(), batchId, spec, orderCol, statePath)
+        applyMergeBatch(spark, batch.toDF(), batchId, spec, orderCol, statePath,
+          stateBuckets)
       }
       .start()
   }
@@ -171,6 +173,19 @@ object StreamingOps {
     * between commitVersion and the checkpoint commit) — skip instead of
     * double-applying $inc/$each. Factored out of foreachBatch so the
     * at-least-once contract is directly testable.
+    *
+    * `stateBuckets = Some(n)`: state versions are written BUCKETED (and
+    * bucket-sorted) on the merge keys via a per-version catalog table —
+    * the recurring-join contract of [[graft.engine.Partitioning
+    * .writeBucketed]]. Every batch's merge re-joins the whole state on
+    * exactly those keys, so an unbucketed state pays a full state
+    * shuffle per batch forever; bucketing pays the shuffle once at
+    * write, and each subsequent merge reads the state side exchange-free
+    * (only the small batch side shuffles, to the bucket count). Commit
+    * and replay semantics are unchanged — `_CURRENT` stays the single
+    * commit marker; a crash between table write and commit leaves an
+    * orphan table for the uncommitted version, which the replay simply
+    * overwrites.
     */
   def applyMergeBatch(
       spark: SparkSession,
@@ -178,7 +193,8 @@ object StreamingOps {
       batchId: Long,
       spec: MergeSpec,
       orderCol: String,
-      statePath: String
+      statePath: String,
+      stateBuckets: Option[Int] = None
   ): Unit = {
     currentVersionId(spark, statePath) match {
       case Some(cur) if cur >= batchId =>
@@ -193,14 +209,40 @@ object StreamingOps {
           else "")
         log.warn(msg)
       case _ =>
-        val state = readState(spark, statePath).getOrElse(
+        // the state side reads through the versioned TABLE when bucketed
+        // (bucket metadata lives in the catalog, not the parquet files);
+        // _CURRENT still decides WHICH version is committed state
+        val state = (stateBuckets match {
+          case Some(_) => currentVersionId(spark, statePath)
+            .map(v => spark.table(stateTableName(statePath, v)))
+          case None => readState(spark, statePath)
+        }).getOrElse(
           spark.createDataFrame(spark.sparkContext.emptyRDD[Row], batch.schema))
         val merged = Merge.upsertBatch(state, batch, spec, orderCol).state
         val version = s"v$batchId"
-        merged.write.mode("overwrite").parquet(s"$statePath/$version")
+        stateBuckets match {
+          case Some(n) =>
+            merged.write.mode("overwrite")
+              .option("path", s"$statePath/$version")
+              .bucketBy(n, spec.keyFields.head, spec.keyFields.tail: _*)
+              .sortBy(spec.keyFields.head, spec.keyFields.tail: _*)
+              .format("parquet")
+              .saveAsTable(stateTableName(statePath, batchId))
+          case None =>
+            merged.write.mode("overwrite").parquet(s"$statePath/$version")
+        }
         commitVersion(spark, statePath, version, keepFrom = batchId - 1)
+        // drop catalog entries for pruned versions (dirs already deleted)
+        if (stateBuckets.isDefined && batchId >= 2)
+          spark.sql(s"DROP TABLE IF EXISTS ${stateTableName(statePath, batchId - 2)}")
     }
   }
+
+  /** Catalog table name for a bucketed state version: stable per
+    * (statePath, version) so replays resolve the same table.
+    */
+  def stateTableName(statePath: String, version: Long): String =
+    s"graft_merge_state_${java.lang.Integer.toHexString(statePath.hashCode)}_v$version"
 
   /** The version name `_CURRENT` points at, if any. */
   private def currentVersionName(spark: SparkSession, statePath: String): Option[String] = {

@@ -41,4 +41,23 @@ class DecontaminationSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastExchange"), plan)
   }
+
+  test("oversized probe set takes the shuffle semi-join fallback, never the broadcast hint") {
+    val probes = Seq("the lazy dog tonight phrase appears here").toDF("text")
+    val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // disable size-based auto-broadcast so the assertion isolates the
+      // HINT: past the cap the plan must carry no forced broadcast (the
+      // planner may still choose one from real stats — that's safe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val flagged = Decontamination.contaminationFlags(
+        docs, "text", "doc_id", probes, "text", n = 3,
+        maxBroadcastProbeHashes = 1L)
+      assert(!flagged.queryExecution.executedPlan.toString.contains("BroadcastExchange"))
+      // and the fallback is still correct
+      val out = flagged.select("doc_id", "contaminated")
+        .as[(Long, Boolean)].collect().toMap
+      assert(out(1L) && out(3L) && !out(2L) && !out(4L), out.toString)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+  }
 }

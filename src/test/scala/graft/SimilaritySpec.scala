@@ -64,4 +64,58 @@ class SimilaritySpec extends SparkSpec {
     assert(assigned.count() == 4)
     assert(assigned.columns.contains("centroid_id"))
   }
+
+  test("native assignment equals the composed array_max(struct(cosine, -id)) form") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFunctions
+    // the inlined-literals form NearestCentroid replaced — pinned
+    // equivalent on real embeddings (same dot arithmetic, same nan-safe
+    // lexicographic tie-break)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val cents = Similarity.seedCentroids(emb, "id", "vec", 7)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val candidates = cents.map { case (cid, cv) =>
+      struct(VectorFunctions.cosine(col("vec"), typedlit(cv)).as("sim"),
+        lit(-cid).as("negId"))
+    }
+    val composed = emb.withColumn("composed_id",
+      -array_max(array(candidates.toSeq: _*)).getField("negId"))
+    val centsDf = cents.toSeq.toDF("centroid_id", "centroid_vec")
+    val native = Similarity.assignToCentroids(emb, "id", "vec", centsDf)
+    val joined = composed.select(col("id"), col("composed_id"))
+      .join(native.select(col("id"), col("centroid_id")), "id")
+    assert(joined.filter(col("composed_id") =!= col("centroid_id")).isEmpty)
+  }
+
+  test("assignment scales to C=1024 with a zero-shuffle plan and correct argmax") {
+    import org.apache.spark.sql.functions._
+    // 1024 axis-aligned-ish centroids in 8 dims, deterministic values;
+    // corpus vectors constructed to sit unambiguously nearest a known one
+    // v(1)/v(0) = c/1024 is unique per centroid, so directions are
+    // provably distinct (cosine 1.0 only with the matching centroid)
+    val dim = 8
+    def centVec(c: Int): Array[Float] =
+      Array.tabulate(dim)(i =>
+        if (i == 0) 1f else if (i == 1) c / 1024f
+        else (((c + i) % 7).toFloat + 1f) / 7f)
+    val cents = (0 until 1024).map(c => (c.toLong, centVec(c)))
+      .toDF("centroid_id", "centroid_vec")
+    // corpus = exact copies of 50 of the centroids
+    val corpus = (0 until 50).map { j =>
+      val c = j * 20
+      (j.toLong, c.toLong, centVec(c))
+    }.toDF("id", "expected", "vec")
+    val assigned = Similarity.assignToCentroids(corpus, "id", "vec", cents)
+    // the plan stays narrow at C=1024: no join, no exchange, and ONE
+    // expression node (no O(C) literal tree)
+    val plan = assigned.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(2000))
+    assert(!plan.contains("Join"), plan.take(2000))
+    val bad = assigned.filter(col("centroid_id") =!= col("expected"))
+    // a copied centroid vector can only lose to a colinear centroid with
+    // a smaller id; the value pattern makes directions distinct, so the
+    // assignment must be exact
+    assert(bad.isEmpty)
+  }
 }
