@@ -440,6 +440,22 @@ object SparkEntry {
     }),
 
     // ---- token counting (whitespace + BPE-ish)
+    // ---- Gopher structural quality rules: the four published document
+    //      filters (symbol ratio, bullet lines, ellipsis lines, alpha
+    //      words), all narrow codegen'd builtins with RE2-compatible
+    //      patterns so the oracle reproduces exact counts
+    "text_gopher_quality" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(
+        col("doc_id"),
+        round(TextFunctions.symbolToWordRatio(col("text")), 4).as("symbol_ratio"),
+        round(TextFunctions.bulletLineFraction(col("text")), 4).as("bullet_frac"),
+        round(TextFunctions.ellipsisLineFraction(col("text")), 4).as("ellipsis_frac"),
+        round(TextFunctions.alphaWordRatio(col("text")), 4).as("alpha_ratio"),
+        TextFunctions.gopherStructuralPass(col("text")).as("keep")
+      ).orderBy("doc_id")
+    }),
+
     "token_count" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       d.select(
@@ -538,6 +554,22 @@ object SparkEntry {
       val q = t(s, dir, "embeddings").filter(col("vec_id") < 3)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       Similarity.ivfTopK(assigned, "id", "vec", cents, q, "qid", "qvec", k = 10, nprobe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- ANN: LSH-bucketed top-k. Queries are exact copies of corpus
+    //      vectors (shifted ids): an identical vector lands in the SAME
+    //      SRP bucket by construction, and its cosine (≈1, computed with
+    //      the shared left-fold arithmetic) is the true top-1 — so the
+    //      pruned LSH scan and the oracle's full scan agree exactly
+    "ann_lsh_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val q = emb.filter(col("id") < 5)
+        .select((col("id") + 1000000L).as("qid"), col("vec").as("qvec"))
+      Similarity.lshTopK(emb, "id", "vec", q, "qid", "qvec",
+          k = 1, bits = 8, seed = 42)
         .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
         .orderBy("query_id", "rank")
     }),
@@ -1097,6 +1129,34 @@ object SparkEntry {
         |     + (CASE WHEN punct_ratio < 0.2 THEN 1.0 ELSE 0.0 END) * 0.2, 2) AS quality
         |FROM g ORDER BY doc_id""".stripMargin,
 
+    "text_gopher_quality" ->
+      """WITH m AS (
+        | SELECT doc_id,
+        |  CAST(len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS BIGINT) AS n_tok,
+        |  CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE) AS n_hash,
+        |  CAST(length(text) - length(replace(text, '...', '')) AS DOUBLE) / 3.0 AS n_ell,
+        |  CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+        |  CAST(len(regexp_extract_all(text, '(?m)^[ \t]*[-*•]')) AS BIGINT) AS n_bullet,
+        |  CAST(len(regexp_extract_all(text, '(?m)(\.\.\.|…)[ \t]*$')) AS BIGINT) AS n_elline,
+        |  CAST(len(regexp_extract_all(text, '\S*[A-Za-z]\S*')) AS BIGINT) AS n_alpha
+        | FROM documents
+        |), r AS (
+        | SELECT doc_id,
+        |  CASE WHEN n_tok > 0 THEN (n_hash + n_ell) / CAST(n_tok AS DOUBLE) ELSE 0.0 END AS symbol_ratio,
+        |  CASE WHEN n_lines > 0 THEN CAST(n_bullet AS DOUBLE) / CAST(n_lines AS DOUBLE) ELSE 0.0 END AS bullet_frac,
+        |  CASE WHEN n_lines > 0 THEN CAST(n_elline AS DOUBLE) / CAST(n_lines AS DOUBLE) ELSE 0.0 END AS ellipsis_frac,
+        |  CASE WHEN n_tok > 0 THEN CAST(n_alpha AS DOUBLE) / CAST(n_tok AS DOUBLE) ELSE 0.0 END AS alpha_ratio
+        | FROM m
+        |)
+        |SELECT doc_id,
+        | ROUND(symbol_ratio, 4) AS symbol_ratio,
+        | ROUND(bullet_frac, 4) AS bullet_frac,
+        | ROUND(ellipsis_frac, 4) AS ellipsis_frac,
+        | ROUND(alpha_ratio, 4) AS alpha_ratio,
+        | (symbol_ratio <= 0.1 AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3
+        |   AND alpha_ratio >= 0.8) AS keep
+        |FROM r ORDER BY doc_id""".stripMargin,
+
     "token_count" ->
       """SELECT doc_id,
         | CAST(len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS BIGINT) AS ws_tokens,
@@ -1273,6 +1333,28 @@ object SparkEntry {
         | CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
         |FROM c
         |QUALIFY rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // full-scan top-1: the planted identical twin is the true nearest
+    // neighbor, so the pruned LSH result equals the exhaustive oracle
+    "ann_lsh_topk" ->
+      """WITH q AS (
+        | SELECT vec_id + 1000000 AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5
+        |), s AS (
+        | SELECT q.query_id, e.vec_id AS neighbor_id,
+        |  list_sum(list_transform(list_zip(q.qv, e.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) AS d,
+        |  list_sum(list_transform(list_zip(q.qv, q.qv), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) AS na,
+        |  list_sum(list_transform(list_zip(e.embedding, e.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) AS nb
+        | FROM embeddings e, q
+        |), c AS (
+        | SELECT query_id, neighbor_id,
+        |  CASE WHEN sqrt(na) * sqrt(nb) > 0.0 THEN d / (sqrt(na) * sqrt(nb)) ELSE 0.0 END AS cosine
+        | FROM s
+        |)
+        |SELECT query_id, neighbor_id, cosine,
+        | CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+        |FROM c
+        |QUALIFY rank <= 1
         |ORDER BY query_id, rank""".stripMargin,
 
     "merge_nested" ->

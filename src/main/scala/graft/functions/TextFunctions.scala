@@ -146,6 +146,56 @@ object TextFunctions {
       .otherwise(lit(0.0))
   }
 
+  // ------------------------------------------- Gopher structural rules
+  // The four structural document filters published in the Gopher/
+  // MassiveText appendix (symbol-to-word ratio, bullet lines, ellipsis
+  // lines, alpha-word ratio). All narrow codegen'd builtins; patterns
+  // kept RE2-compatible so oracles reproduce the exact counts.
+
+  /** (#'#' chars + #'...' occurrences) / words — the Gopher symbol-to-
+    * word ratio (docs over 0.1 are filtered). Ellipsis occurrences are
+    * counted non-overlapping via replace-length arithmetic.
+    */
+  def symbolToWordRatio(text: Column): Column = {
+    val hashes = (length(text) - length(replace(text, lit("#"), lit("")))).cast(DoubleType)
+    val ellipses =
+      (length(text) - length(replace(text, lit("..."), lit("")))).cast(DoubleType) / 3.0
+    val n = tokenCount(text)
+    when(n > 0, (hashes + ellipses) / n.cast(DoubleType)).otherwise(lit(0.0))
+  }
+
+  /** Fraction of lines starting (after indent) with a bullet marker. */
+  def bulletLineFraction(text: Column): Column = {
+    val n = size(split(text, "\n", -1))
+    val bullets = size(regexp_extract_all(text, lit("(?m)^[ \\t]*[-*\u2022]"), lit(0)))
+    when(n > 0, bullets.cast(DoubleType) / n.cast(DoubleType)).otherwise(lit(0.0))
+  }
+
+  /** Fraction of lines ending with an ellipsis. */
+  def ellipsisLineFraction(text: Column): Column = {
+    val n = size(split(text, "\n", -1))
+    val ell = size(regexp_extract_all(text, lit("(?m)(\\.\\.\\.|\u2026)[ \\t]*$"), lit(0)))
+    when(n > 0, ell.cast(DoubleType) / n.cast(DoubleType)).otherwise(lit(0.0))
+  }
+
+  /** Fraction of words containing at least one ASCII letter (Gopher
+    * removes docs under 0.8).
+    */
+  def alphaWordRatio(text: Column): Column = {
+    val n = tokenCount(text)
+    val alpha = size(regexp_extract_all(text, lit("\\S*[A-Za-z]\\S*"), lit(0)))
+    when(n > 0, alpha.cast(DoubleType) / n.cast(DoubleType)).otherwise(lit(0.0))
+  }
+
+  /** The conjunction of the four structural rules at the published
+    * thresholds — true = keep.
+    */
+  def gopherStructuralPass(text: Column): Column =
+    symbolToWordRatio(text) <= 0.1 &&
+      bulletLineFraction(text) <= 0.9 &&
+      ellipsisLineFraction(text) <= 0.3 &&
+      alphaWordRatio(text) >= 0.8
+
   /** Language-ID marker words: a tiny deterministic n-gram/stopword
     * heuristic (public fastText-style idea reduced to marker tokens).
     * Returns the language whose marker-hit count is highest; ties and

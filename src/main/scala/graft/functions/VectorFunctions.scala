@@ -59,27 +59,19 @@ object VectorFunctions {
     )
   }
 
-  /** Sign-random-projection bucket id: hash the vector's sign pattern
-    * against `bits` pseudo-random hyperplanes derived from `seed`. Used
-    * for LSH-bucketed ANN (cosine). Hyperplane components are deterministic
-    * ±1 patterns from xxhash64(dimension, plane, seed) — cheap, codegen'd.
+  /** Sign-random-projection bucket id: the vector's sign pattern against
+    * `bits` pseudo-random hyperplanes derived from `seed`. Used for
+    * LSH-bucketed ANN (cosine). A native expression
+    * (graft.plans.SrpBucket) — the composed per-plane aggregate/zip_with
+    * fold is interpreted and re-hashes (dim, plane, seed) per row, while
+    * the ±1 sign matrix is data-independent; the native form computes it
+    * once per task and the per-row cost is bits × dim double adds.
+    * Equivalence (including null-element and empty-vector parity) is
+    * spec-pinned.
     */
   def srpBucket(vec: Column, bits: Int, seed: Int): Column = {
-    val bitCols = (0 until bits).map { p =>
-      // hyperplane p: component i has sign +1 iff xxhash64(i, p, seed) is even
-      val proj = aggregate(
-        zip_with(
-          vec,
-          sequence(lit(0), size(vec) - 1),
-          (x, i) =>
-            when(pmod(xxhash64(i, lit(p), lit(seed)), lit(2L)) === 0,
-              x.cast(DoubleType)).otherwise(-x.cast(DoubleType))
-        ),
-        lit(0.0),
-        (acc, x) => acc + x
-      )
-      when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
-    }
-    bitCols.reduce((a, b) => a + b)
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(
+      graft.plans.SrpBucket(ColumnBridge.expression(vec), bits, seed))
   }
 }

@@ -170,6 +170,54 @@ object Similarity {
     topKPerQuery(scored, "cosine", k)
   }
 
+  /** LSH-bucketed ANN top-k (cosine): corpus vectors bucket by
+    * sign-random-projection (ONE narrow native pass — at scale the bucket
+    * id is persisted with the data, like the IVF assignment); each query
+    * probes its own bucket, plus every single-bit-flip neighbor bucket
+    * when `multiProbe` is set (standard multi-probe LSH: the flipped
+    * buckets are exactly the ones a near-neighbor most likely landed in,
+    * so recall rises without adding hash tables). Candidates get exact
+    * cosine; the reduction is the same k-bounded two-stage `graft_topk`
+    * as brute force — the exchange carries ≤ k rows per query per
+    * partition, never the scored candidates.
+    *
+    * Scan fraction ≈ (1 + multiProbe·bits)/2^bits of the corpus per
+    * query; like every single-table LSH, recall is probabilistic for
+    * genuinely-near (not identical) vectors — raise `multiProbe` or
+    * lower `bits` to trade scan for recall. Identical vectors are ALWAYS
+    * found (identical bucket).
+    */
+  def lshTopK(
+      corpus: DataFrame,
+      corpusId: String,
+      corpusVec: String,
+      queries: DataFrame,
+      queryId: String,
+      queryVec: String,
+      k: Int,
+      bits: Int = 12,
+      seed: Int = 42,
+      multiProbe: Boolean = true
+  ): DataFrame = {
+    val bucketed = corpus.withColumn("_bk", srpBucket(col(corpusVec), bits, seed))
+    val qb = queries.withColumn("_qb", srpBucket(col(queryVec), bits, seed))
+    val probeSet =
+      if (!multiProbe) array(col("_qb"))
+      else array((col("_qb") +: (0 until bits).map(p =>
+        col("_qb").bitwiseXOR(lit(1L << p)))): _*)
+    val probes = qb.select(
+      col(queryId), col(queryVec),
+      explode(probeSet).as("_bk"))
+    val scored = bucketed
+      .join(broadcast(probes), Seq("_bk"))
+      .select(
+        col(queryId).as("query_id"),
+        col(corpusId).as("neighbor_id"),
+        cosine(col(queryVec), col(corpusVec)).as("cosine"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+    topKPerQuery(scored, "cosine", k)
+  }
+
   /** Deterministic centroid seeding without a kmeans dependency: take the
     * `c` corpus vectors with the smallest xxhash64(id) — uniform pseudo-
     * random, reproducible, one pass.

@@ -116,6 +116,7 @@ object GraftExtensions {
       MinHashSig.functionDescriptor,
       SimHashFromShingles.functionDescriptor,
       SigOverlap.functionDescriptor,
+      SrpBucket.functionDescriptor,
       TopTokenFreq.functionDescriptor)
 
   /** Imperative all-at-once registration for an existing session. */

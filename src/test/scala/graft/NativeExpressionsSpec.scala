@@ -257,6 +257,42 @@ class NativeExpressionsSpec extends SparkSpec {
     assert(gotNull._1 == gotNull._2)
   }
 
+  test("SrpBucket equals the composed per-plane fold bit-for-bit") {
+    import graft.functions.VectorFunctions
+    def composed(vec: org.apache.spark.sql.Column, bits: Int, seed: Int) = {
+      val bitCols = (0 until bits).map { p =>
+        val proj = aggregate(
+          zip_with(vec, sequence(lit(0), size(vec) - 1),
+            (x, i) => when(pmod(xxhash64(i, lit(p), lit(seed)), lit(2L)) === 0,
+              x.cast(DoubleType)).otherwise(-x.cast(DoubleType))),
+          lit(0.0), (acc, x) => acc + x)
+        when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+      }
+      bitCols.reduce(_ + _)
+    }
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("embedding").as("v"))
+    val bad = emb.filter(
+      !(VectorFunctions.srpBucket(col("v"), 12, 42) <=> composed(col("v"), 12, 42)))
+    assert(bad.count() == 0)
+    // edge parity: null element → every plane's fold nulls → bucket 0;
+    // empty vector → null-padded zip → bucket 0; null vector → null
+    val edges = Seq(
+      Seq[java.lang.Float](1.0f, null, 2.0f),
+      Seq.empty[java.lang.Float],
+      null
+    ).toDF("v")
+    val got = edges.select(
+      VectorFunctions.srpBucket(col("v"), 12, 42),
+      composed(col("v"), 12, 42)).as[(Option[Long], Option[Long])].collect().toSeq
+    assert(got.take(2).forall(p => p._1 == p._2), got.toString)
+    assert(got.take(2).forall(_._1.contains(0L)))
+    // documented divergence: composed three-valued logic "buckets" a NULL
+    // vector at 0; the native expression propagates null (saner — a null
+    // vector has no bucket)
+    assert(got(2)._1.isEmpty && got(2)._2.contains(0L), got.toString)
+  }
+
   test("graft_topk equals the row_number window on pseudo-random data") {
     import org.apache.spark.sql.expressions.Window
     TopKAggregate.register(spark)

@@ -79,6 +79,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("LSH top-k: corpus buckets narrowly, probes broadcast, reduction k-bounded") {
+    import graft.operators.Similarity
+    val emb = t("embeddings").select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val q = emb.filter(col("id") < 3)
+      .select((col("id") + 1000000L).as("qid"), col("vec").as("qvec"))
+    val topk = Similarity.lshTopK(emb, "id", "vec", q, "qid", "qvec", k = 5, bits = 8)
+    val plan = physical(topk)
+    // query probes broadcast to the corpus (never a corpus shuffle for
+    // the candidate join), two-phase k-bounded top-k, no Window
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.split("graft_topk").length - 1 >= 2, plan)
+    assert(!plan.contains("Window"), plan)
+    // the corpus branch below the candidate join carries no Exchange:
+    // bucket assignment is a narrow native expression at the scan
+    assert(topk.queryExecution.optimizedPlan.toString.contains("graft_srp_bucket"))
+  }
+
   test("merge collapse partial-aggregates map-side before its exchange") {
     import graft.operators.Merge
     val li = t("lineitem").select(

@@ -65,6 +65,31 @@ class SimilaritySpec extends SparkSpec {
     assert(assigned.columns.contains("centroid_id"))
   }
 
+  test("lshTopK: identical vectors are always found; multi-probe recovers near neighbors") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val q = emb.filter(col("id") < 5)
+      .select((col("id") + 1000000L).as("qid"), col("vec").as("qvec"))
+    // top-1 for an exact-copy query is its twin (same bucket guaranteed)
+    val top1 = Similarity.lshTopK(emb, "id", "vec", q, "qid", "qvec",
+        k = 1, bits = 8, multiProbe = false)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    assert(top1 == (0 until 5).map(i => (i + 1000000L) -> i.toLong).toMap, top1.toString)
+    // multi-probe candidates are a superset of single-probe candidates
+    val single = Similarity.lshTopK(emb, "id", "vec", q, "qid", "qvec",
+      k = 20, bits = 8, multiProbe = false)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val multi = Similarity.lshTopK(emb, "id", "vec", q, "qid", "qvec",
+      k = 20, bits = 8, multiProbe = true)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(multi.size >= single.size)
+    // every single-probe result whose multi-probe query returned a full k
+    // either survives or was outranked — spot-check the containment on
+    // the twin pairs, which can never be outranked
+    assert((0 until 5).forall(i => multi.contains((i + 1000000L, i.toLong))))
+  }
+
   test("native assignment equals the composed array_max(struct(cosine, -id)) form") {
     import org.apache.spark.sql.functions._
     import graft.functions.VectorFunctions

@@ -54,6 +54,27 @@ class TextVectorFunctionsSpec extends SparkSpec {
     assert(out(3) == ((0.0, 1, 1.0, 0.0)))
   }
 
+  test("Gopher structural rules: symbol ratio, bullet/ellipsis lines, alpha words") {
+    val bullety = "- item one\n- item two\n  * item three\nplain line"
+    val elliptic = "to be continued...\nand then...\nthe end"
+    val symbolic = "## head ## tag # x ..." // 5 '#' + 1 '...' over 7 words
+    val numeric = "12 34 56 ab"             // 1 alpha word of 4
+    val clean = "a perfectly ordinary sentence"
+    val out = Seq(bullety, elliptic, symbolic, numeric, clean, "").toDF("t").select(
+      TF.symbolToWordRatio($"t"), TF.bulletLineFraction($"t"),
+      TF.ellipsisLineFraction($"t"), TF.alphaWordRatio($"t"),
+      TF.gopherStructuralPass($"t"))
+      .as[(Double, Double, Double, Double, Boolean)].collect()
+    // 3 of 4 bullet lines (under 0.9), but the bare markers are non-alpha
+    // words: alpha 8/11 < 0.8 correctly fails the doc overall
+    assert(out(0)._2 == 0.75 && out(0)._4 == 8.0 / 11.0 && !out(0)._5)
+    assert(out(1)._3 == 2.0 / 3.0 && !out(1)._5) // ellipsis lines over 0.3
+    assert(out(2)._1 == 6.0 / 7.0 && !out(2)._5) // symbol-heavy
+    assert(out(3)._4 == 0.25 && !out(3)._5)      // alpha-poor
+    assert(out(4) == ((0.0, 0.0, 0.0, 1.0, true)))
+    assert(out(5) == ((0.0, 0.0, 0.0, 0.0, false))) // empty: alpha 0 < 0.8
+  }
+
   test("meanTokenLen: average token length, 0 for empty") {
     val out = Seq("ab abcd", "").toDF("t").select(TF.meanTokenLen($"t"))
       .as[Double].collect()
