@@ -440,6 +440,18 @@ object SparkEntry {
     }),
 
     // ---- token counting (whitespace + BPE-ish)
+    // ---- deterministic stratified sampling: the training-mix step.
+    //      Membership is a pure function of (doc_id, salt) via FNV-1a —
+    //      the one hash here that is portable SQL, so the oracle
+    //      recomputes the EXACT sample (not a statistical check)
+    "stratified_sample" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Sampling.stratifiedSample(d, "doc_id", "lang",
+          Map("en" -> 1.0, "zh" -> 0.75), defaultFraction = 0.5)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy("doc_id")
+    }),
+
     // ---- Gopher structural quality rules: the four published document
     //      filters (symbol ratio, bullet lines, ellipsis lines, alpha
     //      words), all narrow codegen'd builtins with RE2-compatible
@@ -851,6 +863,32 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // ---- dedup: winnowing partial-overlap pairs. Planted exact dups ⇒
+    //      identical normalized text ⇒ identical fingerprint sets ⇒
+    //      guaranteed ≥1 shared fingerprint for docs with ≥ k normalized
+    //      chars; fp-verify keeps chance 8-gram overlaps between distinct
+    //      texts out, so the result is the exact-dup pair set over docs
+    //      long enough to fingerprint
+    "winnow_overlap" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = d.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val all = d.union(planted)
+      // k=12: chance 12-char normalized overlaps between unrelated docs
+      // are rare, keeping the (output-bound) pair space small; planted
+      // identical docs still share their whole fingerprint set
+      val pairs = Dedup.winnowOverlapPairs(all, "text", "doc_id",
+        k = 12, w = 8, minShared = 1)
+      val fps = all.select(col("doc_id"),
+        xxhash64(TextFunctions.normalizeForFingerprint(col("text"))).as("fp"))
+      pairs
+        .join(fps.select(col("doc_id").as("id_a"), col("fp").as("fp_a")), Seq("id_a"))
+        .join(fps.select(col("doc_id").as("id_b"), col("fp").as("fp_b")), Seq("id_b"))
+        .filter(col("fp_a") === col("fp_b"))
+        .select(col("id_a"), col("id_b"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // ---- dedup: connected components over exact-dup pairs — transitive
     //      cluster labels (comp = min reachable id); planted dups give the
     //      deterministic pair set, the oracle is the per-group min id
@@ -1128,6 +1166,23 @@ object SparkEntry {
         |     + (CASE WHEN stopword_ratio BETWEEN 0.01 AND 0.8 THEN 1.0 ELSE 0.0 END) * 0.4
         |     + (CASE WHEN punct_ratio < 0.2 THEN 1.0 ELSE 0.0 END) * 0.2, 2) AS quality
         |FROM g ORDER BY doc_id""".stripMargin,
+
+    // FNV-1a 64 reproduced in SQL: HUGEINT arithmetic mod 2^64; the XOR
+    // touches only the low byte, so it splits as (h//256)*256 + xor(h%256)
+    "stratified_sample" ->
+      """WITH h AS (
+        | SELECT doc_id, lang, source,
+        |  CAST(list_reduce(
+        |    list_prepend(CAST('14695981039346656037' AS HUGEINT),
+        |      list_transform(range(1, length(s) + 1), i -> CAST(ascii(s[i]) AS HUGEINT))),
+        |    (acc, b) -> ((acc // 256) * 256 + xor(CAST(acc % 256 AS BIGINT), CAST(b AS BIGINT)))
+        |                * 1099511628211 % CAST('18446744073709551616' AS HUGEINT)
+        |  ) % 1024 AS BIGINT) AS bucket
+        | FROM (SELECT doc_id, lang, source, doc_id::VARCHAR || ':graft' AS s FROM documents)
+        |)
+        |SELECT doc_id, lang, source FROM h
+        |WHERE bucket < CASE lang WHEN 'en' THEN 1024 WHEN 'zh' THEN 768 ELSE 512 END
+        |ORDER BY doc_id""".stripMargin,
 
     "text_gopher_quality" ->
       """WITH m AS (
@@ -1484,6 +1539,22 @@ object SparkEntry {
         |)
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b
         |FROM all_docs a JOIN all_docs b ON a.nt = b.nt AND a.doc_id < b.doc_id
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // same exact-dup self-join as the minhash gate, restricted to docs
+    // with at least k=12 normalized chars (shorter docs have no k-grams,
+    // hence no fingerprints to share)
+    "winnow_overlap" ->
+      """WITH norm AS (
+        | SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), '[[:punct:]]', '', 'g'), '\s+', ' ', 'g')) AS nt
+        | FROM documents
+        |), all_docs AS (
+        | SELECT CAST(doc_id AS BIGINT) AS doc_id, nt FROM norm
+        | UNION ALL SELECT CAST(doc_id + 1000000 AS BIGINT), nt FROM norm WHERE doc_id < 20
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |FROM all_docs a JOIN all_docs b
+        |  ON a.nt = b.nt AND a.doc_id < b.doc_id AND length(a.nt) >= 12
         |ORDER BY id_a, id_b""".stripMargin,
 
     "dedup_components" ->

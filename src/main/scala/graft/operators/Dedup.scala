@@ -399,6 +399,51 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  // --------------------------------------- winnowing (partial overlap)
+
+  /** Winnowing fingerprints of the normalized text (MOSS local
+    * fingerprinting — graft.plans.Winnow): distinct selected k-gram
+    * hashes with the guarantee that any shared normalized substring of
+    * length ≥ w+k−1 shares a fingerprint. The primitive for PARTIAL
+    * overlap (quotes, containment, boilerplate spans), where whole-doc
+    * MinHash/SimHash sketches wash out.
+    */
+  def winnowFingerprints(text: Column, k: Int = 8, w: Int = 8): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.plans.Winnow(
+      ColumnBridge.expression(normalizeForFingerprint(text)), k, w))
+  }
+
+  /** Document pairs sharing ≥ `minShared` winnow fingerprints — the
+    * overlap-detection join. Same inverted-index shape as
+    * [[ngramJaccardPairs]]: fingerprints explode narrowly (density
+    * ~2/(w+1) per char bounds the postings), the shuffle carries
+    * (8-byte hash, id), the pair count is a codegen'd count join, and
+    * `maxPostings` caps boilerplate fingerprints exactly like LSH
+    * hot buckets. Output: (id_a, id_b, shared) with id_a < id_b.
+    */
+  def winnowOverlapPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int = 8,
+      w: Int = 8,
+      minShared: Int = 2,
+      maxPostings: Option[Int] = None
+  ): DataFrame = {
+    val fps = Partitioning.spreadByKey(
+        df.select(col(idCol).as("id"), col(textCol).as("_txt")), col("id"))
+      .select(col("id"), explode(winnowFingerprints(col("_txt"), k, w)).as("fp"))
+    val posted = capBuckets(fps, maxPostings, "fp")
+    val a = posted.select(col("fp"), col("id").as("id_a"))
+    val b = posted.select(col("fp"), col("id").as("id_b"))
+    a.join(b, Seq("fp"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   // ------------------------------------------------- embedding near-dup
 
   /** Embedding-cosine near-dup pairs, SRP-LSH bucketed: only vectors in

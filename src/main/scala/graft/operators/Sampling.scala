@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deterministic sampling for training-data curation — the "mix 50% of
+ * web, all of books, 10% of logs" step of assembling a training set.
+ *
+ * Decisions are pure functions of (key, salt): `keep ⇔ low 10 bits of
+ * FNV-1a(key ++ ':' ++ salt) < fraction × 1024`. That buys, at any
+ * scale:
+ *  - reproducibility: re-running, re-partitioning, or re-reading the
+ *    corpus yields the SAME sample (unlike `df.sample`, which is
+ *    seed+partition-layout dependent);
+ *  - stability under appends: a doc's fate never changes when other
+ *    docs arrive, so incremental pipelines can sample micro-batches
+ *    independently and the union equals sampling the union;
+ *  - narrowness: one codegen'd hash per row, no shuffle, filter pushes
+ *    to the scan;
+ *  - auditability: any engine can recompute membership (FNV-1a is
+ *    portable SQL — see graft.plans.FnvHash64 — and the driver gate's
+ *    DuckDB oracle recomputes the exact sample).
+ *
+ * Fraction granularity is 1/1024 (documented; low bits of the hash are
+ * signed/unsigned-agnostic, which is what makes the decision portable).
+ * Change `salt` to draw an independent sample.
+ */
+object Sampling {
+
+  val Buckets = 1024
+
+  /** The sampling bucket in [0, 1024) for a key — low 10 hash bits. */
+  def sampleBucket(key: Column, salt: String): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val h = ColumnBridge.column(graft.plans.FnvHash64(
+      ColumnBridge.expression(concat(key.cast("string"), lit(":" + salt)))))
+    h.bitwiseAND(lit((Buckets - 1).toLong))
+  }
+
+  private def threshold(fraction: Double): Long = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction must be in [0,1], got $fraction")
+    math.round(fraction * Buckets)
+  }
+
+  /** Keep a deterministic `fraction` of rows, decided per `keyCol`. */
+  def deterministicSample(
+      df: DataFrame,
+      keyCol: String,
+      fraction: Double,
+      salt: String = "graft"
+  ): DataFrame =
+    df.filter(sampleBucket(col(keyCol), salt) < threshold(fraction))
+
+  /** Per-stratum fractions (e.g. per source/language), one narrow pass:
+    * rows in a stratum listed in `fractions` sample at that rate, others
+    * at `defaultFraction`. Strata are driver-known configuration (like
+    * binner specs), so the thresholds compile to a codegen'd CASE chain —
+    * no join.
+    */
+  def stratifiedSample(
+      df: DataFrame,
+      keyCol: String,
+      strataCol: String,
+      fractions: Map[String, Double],
+      defaultFraction: Double = 0.0,
+      salt: String = "graft"
+  ): DataFrame = {
+    val thr = fractions.toSeq.sortBy(_._1).foldRight(
+      lit(threshold(defaultFraction))) { case ((stratum, frac), els) =>
+      when(col(strataCol) === stratum, lit(threshold(frac))).otherwise(els)
+    }
+    df.filter(sampleBucket(col(keyCol), salt) < thr)
+  }
+}

@@ -117,6 +117,8 @@ object GraftExtensions {
       SimHashFromShingles.functionDescriptor,
       SigOverlap.functionDescriptor,
       SrpBucket.functionDescriptor,
+      FnvHash64.functionDescriptor,
+      Winnow.functionDescriptor,
       TopTokenFreq.functionDescriptor)
 
   /** Imperative all-at-once registration for an existing session. */

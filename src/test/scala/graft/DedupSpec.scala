@@ -131,6 +131,37 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("winnowing: the MOSS guarantee — shared spans >= w+k-1 share a fingerprint") {
+    import org.apache.spark.sql.functions._
+    val k = 8; val w = 8
+    // normalized-stable text (lowercase, single spaces, no punctuation)
+    val sharedSpan = "this exact span of text is long enough to be caught by winnowing every time"
+    val a = s"totally unrelated opening words then $sharedSpan and some trailing content"
+    val b = s"different document start here $sharedSpan with another ending altogether"
+    // no 8-char substring in common with a or b (short gibberish tokens;
+    // a first draft used prose and was correctly paired via a single
+    // shared 8-gram — "document" — which is exactly the guarantee)
+    val c = "zq xv jk wp mn bt ld rg fy cs hw qa ze rt yu io pl km nb vc xs wd"
+    val df = Seq((1L, a), (2L, b), (3L, c)).toDF("id", "text")
+    val fps = df.select(col("id"), Dedup.winnowFingerprints(col("text"), k, w).as("fps"))
+      .as[(Long, Seq[Long])].collect().toMap
+    // guarantee: the shared span exceeds w+k-1 chars, so a and b intersect
+    assert(fps(1L).toSet.intersect(fps(2L).toSet).nonEmpty)
+    // density sanity: selected count is bounded by the window count
+    assert(fps(1L).size <= a.length - k + 1)
+    // identical text -> identical sets; short text -> empty
+    val edge = Seq((10L, a), (11L, a), (12L, "tiny")).toDF("id", "text")
+      .select(col("id"), Dedup.winnowFingerprints(col("text"), k, w).as("fps"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(edge(10L) == edge(11L))
+    assert(edge(12L).isEmpty)
+    // overlap pairs: (a, b) found via their shared span; c pairs with no one
+    val pairs = Dedup.winnowOverlapPairs(df, "text", "id", k, w, minShared = 1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
   test("duplicate-check routes: existing key and intra-batch dups -> already-exists") {
     val incoming = Seq((1L, 1), (1L, 2), (2L, 1)).toDF("k", "seq")
     val existing = Seq(Tuple1(2L)).toDF("k")

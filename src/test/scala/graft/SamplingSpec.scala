@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Sampling
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("FnvHash64 matches the published FNV-1a test vectors") {
+    val got = Seq("", "a", "foobar").toDF("s")
+      .select(org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.plans.FnvHash64(
+          org.apache.spark.sql.graft.ColumnBridge.expression(col("s")))))
+      .as[Long].collect().toSeq
+    assert(got == Seq(0xcbf29ce484222325L, 0xaf63dc4c8601ec8cL, 0x85944171f73967e8L),
+      got.map(_.toHexString).toString)
+  }
+
+  test("deterministic sample: stable across runs and under appends; fraction roughly holds") {
+    val df = spark.range(10000).toDF("id")
+    val s1 = Sampling.deterministicSample(df, "id", 0.25).as[Long].collect().toSet
+    val s2 = Sampling.deterministicSample(df, "id", 0.25).as[Long].collect().toSet
+    assert(s1 == s2)
+    // append-stability: sampling a subset then the rest = sampling the union
+    val lo = Sampling.deterministicSample(df.filter($"id" < 5000), "id", 0.25)
+      .as[Long].collect().toSet
+    val hi = Sampling.deterministicSample(df.filter($"id" >= 5000), "id", 0.25)
+      .as[Long].collect().toSet
+    assert((lo ++ hi) == s1)
+    // 1/1024-granular threshold: expect ~2500, generous tolerance
+    assert(s1.size > 2000 && s1.size < 3000, s1.size.toString)
+    // independent salt draws a genuinely different sample
+    val other = Sampling.deterministicSample(df, "id", 0.25, salt = "other")
+      .as[Long].collect().toSet
+    assert(other != s1)
+    // fraction bounds behave
+    assert(Sampling.deterministicSample(df, "id", 1.0).count() == 10000)
+    assert(Sampling.deterministicSample(df, "id", 0.0).count() == 0)
+  }
+
+  test("stratified sample applies per-stratum fractions in one narrow pass") {
+    val df = spark.range(6000).select(
+      col("id"),
+      when(col("id") % 3 === 0, "a").when(col("id") % 3 === 1, "b")
+        .otherwise("c").as("stratum"))
+    val out = Sampling.stratifiedSample(df, "id", "stratum",
+      Map("a" -> 1.0, "b" -> 0.5), defaultFraction = 0.0)
+    val counts = out.groupBy("stratum").count()
+      .as[(String, Long)].collect().toMap
+    assert(counts("a") == 2000)                       // all of a
+    assert(counts("b") > 800 && counts("b") < 1200)   // ~half of b
+    assert(!counts.contains("c"))                     // none of c
+    // narrow: no join, no exchange — the thresholds compile to a CASE
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Exchange"), plan)
+  }
+}
