@@ -863,6 +863,18 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // ---- dedup: paragraph/span-level intra-corpus dedup (the C4/
+    //      RefinedWeb step document-level dedup can't see). A planted
+    //      boilerplate sentence heads every doc; only its global first
+    //      occurrence survives, and whatever sentences the corpus
+    //      naturally repeats dedup identically in both engines
+    "paragraph_dedup" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("shared boilerplate notice. "), col("text")).as("text"))
+      Dedup.paragraphDedup(d, "text", "doc_id", sep = ". ")
+        .orderBy("doc_id")
+    }),
+
     // ---- dedup: winnowing partial-overlap pairs. Planted exact dups ⇒
     //      identical normalized text ⇒ identical fingerprint sets ⇒
     //      guaranteed ≥1 shared fingerprint for docs with ≥ k normalized
@@ -1540,6 +1552,31 @@ object SparkEntry {
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b
         |FROM all_docs a JOIN all_docs b ON a.nt = b.nt AND a.doc_id < b.doc_id
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // first-occurrence-wins over normalized sentences; blank (normalize
+    // to '') spans are structural and always kept
+    "paragraph_dedup" ->
+      """WITH d AS (
+        | SELECT doc_id, 'shared boilerplate notice. ' || text AS text FROM documents
+        |), p AS (
+        | SELECT doc_id, generate_subscripts(string_split(text, '. '), 1) AS pos,
+        |        unnest(string_split(text, '. ')) AS para
+        | FROM d
+        |), n AS (
+        | SELECT doc_id, pos, para,
+        |  trim(regexp_replace(regexp_replace(lower(para), '[[:punct:]]', '', 'g'), '\s+', ' ', 'g')) AS nt
+        | FROM p
+        |), k AS (
+        | SELECT doc_id, pos, para, nt,
+        |  ROW_NUMBER() OVER (PARTITION BY nt ORDER BY doc_id, pos) AS rn
+        | FROM n
+        |)
+        |SELECT d.doc_id AS doc_id, COALESCE(g.cleaned, '') AS cleaned
+        |FROM d LEFT JOIN (
+        | SELECT doc_id, string_agg(para, '. ' ORDER BY pos) AS cleaned
+        | FROM k WHERE nt = '' OR rn = 1 GROUP BY doc_id
+        |) g ON d.doc_id = g.doc_id
+        |ORDER BY 1""".stripMargin,
 
     // same exact-dup self-join as the minhash gate, restricted to docs
     // with at least k=12 normalized chars (shorter docs have no k-grams,

@@ -399,6 +399,62 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  // ------------------------------------- paragraph-level dedup (intra-corpus)
+
+  /** Remove duplicated paragraphs across the corpus, keeping each
+    * paragraph's FIRST occurrence (by (doc_id, position)) — the C4/
+    * RefinedWeb span-dedup step: boilerplate paragraphs (nav text, legal
+    * footers) repeat across thousands of documents that are NOT
+    * whole-doc duplicates, so document-level dedup never sees them.
+    *
+    * Returns (idCol, cleaned text) for every input doc (docs reduced to
+    * nothing keep an empty string — row count is preserved for auditing;
+    * filter on `length > 0` to drop hollowed docs).
+    *
+    * Scale shape: paragraphs explode narrowly with their position; the
+    * duplicate-detection aggregate shuffles (8-byte fingerprint, id,
+    * pos) — never paragraph text; the keep-set (one row per SURVIVING
+    * duplicated paragraph occurrence, typically tiny) joins back; and
+    * reassembly groups the kept paragraphs per doc — the one text
+    * shuffle, inherent to reordering (a doc's paragraphs must reunite).
+    * Normalization is fingerprint-only: the OUTPUT text is the verbatim
+    * paragraph, so cleaning is non-destructive.
+    */
+  def paragraphDedup(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      sep: String = "\n\n"
+  ): DataFrame = {
+    val exploded = Partitioning.spreadByKey(
+        df.select(col(idCol).as("id"), col(textCol).as("_txt")), col("id"))
+      .select(col("id"),
+        posexplode(split(col("_txt"), java.util.regex.Pattern.quote(sep), -1))
+          .as(Seq("pos", "para")))
+      .withColumn("_nrm", normalizeForFingerprint(col("para")))
+      .withColumn("fp", xxhash64(col("_nrm")))
+    // first occurrence per fingerprint = min (id, pos); carried as a
+    // hash-aggregated struct so the shuffle is one row per distinct fp
+    val firsts = exploded
+      .groupBy("fp")
+      .agg(min(struct(col("id"), col("pos"))).as("first"))
+      .select(col("fp"), col("first.id").as("fid"), col("first.pos").as("fpos"))
+    // blank paragraphs (normalize to "") are document STRUCTURE, not
+    // repeatable content — always kept, never cross-doc deduped
+    val kept = exploded
+      .join(firsts, Seq("fp"))
+      .filter(col("_nrm") === "" ||
+        (col("id") === col("fid") && col("pos") === col("fpos")))
+    kept
+      .groupBy("id")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("para")))),
+          x => x.getField("para")),
+        sep).as("cleaned"))
+      .join(df.select(col(idCol).as("id")), Seq("id"), "right")
+      .select(col("id").as(idCol), coalesce(col("cleaned"), lit("")).as("cleaned"))
+  }
+
   // --------------------------------------- winnowing (partial overlap)
 
   /** Winnowing fingerprints of the normalized text (MOSS local

@@ -131,6 +131,32 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("paragraphDedup: first occurrence survives, blanks kept, hollow docs audit as empty") {
+    import org.apache.spark.sql.functions._
+    val boiler = "subscribe to our newsletter"
+    val df = Seq(
+      (1L, s"unique opening here\n\n$boiler\n\nunique closing there"),
+      (2L, s"$boiler\n\nsome genuine content"),
+      (3L, s"$boiler"),                          // hollow after dedup
+      (4L, s"one thing\n\n\n\nanother thing")    // blank paragraph preserved
+    ).toDF("id", "text")
+    val out = Dedup.paragraphDedup(df, "text", "id")
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == s"unique opening here\n\n$boiler\n\nunique closing there")
+    assert(out(2L) == "some genuine content")
+    assert(out(3L) == "")
+    assert(out(4L) == "one thing\n\n\n\nanother thing")
+    // near-identical boilerplate (case/punct variants) dedups too
+    val variant = Seq(
+      (10L, "Subscribe to our newsletter!"),
+      (11L, "subscribe to our newsletter")
+    ).toDF("id", "text")
+    val v = Dedup.paragraphDedup(variant, "text", "id")
+      .as[(Long, String)].collect().toMap
+    assert(v(10L) == "Subscribe to our newsletter!") // first kept VERBATIM
+    assert(v(11L) == "")
+  }
+
   test("winnowing: the MOSS guarantee — shared spans >= w+k-1 share a fingerprint") {
     import org.apache.spark.sql.functions._
     val k = 8; val w = 8
