@@ -515,6 +515,30 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- as-of join: each click matched to the user's latest preceding
+    //      view (point-in-time lookup). Right side pre-deduped to one row
+    //      per (user, ts) with a deterministic argmax so both engines
+    //      agree on duplicate timestamps; DuckDB's native ASOF JOIN is
+    //      the oracle
+    "asof_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("view_id"),
+          max_by(col("value"), col("event_id")).as("view_value"))
+      AsOf.joinBackward(clicks, views, Seq("user_id"), "ts", "ts",
+          payloadCols = Seq("view_id", "view_value"))
+        .select(
+          col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          col("matched.view_id").as("matched_view_id"),
+          col("matched.view_value").as("matched_value"),
+          unix_micros(col("matched._t")).as("matched_ts_us"))
+        .orderBy("event_id")
+    }),
+
     // ---- sessionization (gap-based; streaming analogue in graft.streaming)
     "sessionize" -> ((s, dir) => {
       val ev = events(s, dir)
@@ -1292,6 +1316,23 @@ object SparkEntry {
         |FROM s
         |QUALIFY rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
+
+    // DuckDB's native ASOF JOIN is the oracle; timestamps are micro-
+    // aligned in the data so nanos-vs-micros truncation cannot disagree
+    "asof_join" ->
+      """WITH l AS (
+        | SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+        |), r AS (
+        | SELECT user_id, ts, max(event_id) AS view_id, arg_max(value, event_id) AS view_value
+        | FROM events WHERE event_type = 'view' GROUP BY 1, 2
+        |)
+        |SELECT l.event_id AS event_id, l.user_id AS user_id,
+        | epoch_us(l.ts) AS ts_us,
+        | r.view_id AS matched_view_id,
+        | r.view_value AS matched_value,
+        | epoch_us(r.ts) AS matched_ts_us
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY 1""".stripMargin,
 
     "sessionize" ->
       """SELECT user_id,

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.AsOf
+
+class AsOfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def left = Seq(
+    (1L, "u1", 100L),
+    (2L, "u1", 205L),
+    (3L, "u1", 50L),   // before any right row
+    (4L, "u2", 100L)   // key with no right rows at all
+  ).toDF("id", "user", "t")
+
+  private def right = Seq(
+    ("u1", 100L, 10.0, 7L),  // exactly at left #1's ts -> inclusive match
+    ("u1", 100L, 99.0, 9L),  // same ts, larger tie-break -> wins
+    ("u1", 200L, 20.0, 11L)
+  ).toDF("user", "rt", "v", "seq")
+
+  test("backward as-of: inclusive bound, latest-preceding, nulls when nothing precedes") {
+    val out = AsOf.joinBackward(left, right, Seq("user"), "t", "rt",
+        tieBreak = Some("seq"))
+      .select(col("id"), col("matched._t").as("mt"), col("matched.v").as("mv"))
+      .as[(Long, Option[Long], Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == ((Some(100L), Some(99.0)))) // inclusive + tie-break by seq
+    assert(out(2L) == ((Some(200L), Some(20.0))))
+    assert(out(3L) == ((None, None)))
+    assert(out(4L) == ((None, None)))
+  }
+
+  test("tolerance nulls stale matches") {
+    val out = AsOf.joinBackward(left, right, Seq("user"), "t", "rt",
+        tieBreak = Some("seq"), tolerance = Some(lit(4L)))
+      .select(col("id"), col("matched._t").as("mt"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(out(1L).contains(100L)) // age 0 <= 4
+    assert(out(2L).isEmpty)        // age 5 > 4
+  }
+
+  test("one shuffle per side: the plan sorts within key partitions, no range join") {
+    val q = AsOf.joinBackward(left, right, Seq("user"), "t", "rt")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan) // tagged union, not a join at all
+    assert(plan.contains("Window"), plan)
+  }
+}
