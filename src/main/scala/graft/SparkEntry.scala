@@ -515,6 +515,21 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- salted skew join: result must be EXACTLY the plain join's
+    //      (salting redistributes work, never changes the multiset);
+    //      the oracle is the unsalted SQL join
+    "salted_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      val o = t(s, dir, "orders").select(
+        col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
+      graft.engine.Partitioning.saltedJoin(li, o, Seq("l_orderkey"), salts = 8)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(DecimalType(38, 2))).cast(DoubleType).as("qty"))
+        .orderBy("o_orderstatus")
+    }),
+
     // ---- as-of join: each click matched to the user's latest preceding
     //      view (point-in-time lookup). Right side pre-deduped to one row
     //      per (user, ts) with a deterministic argmax so both engines
@@ -1316,6 +1331,12 @@ object SparkEntry {
         |FROM s
         |QUALIFY rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
+
+    "salted_join" ->
+      """SELECT o.o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        | CAST(CAST(sum(CAST(l.l_quantity AS DECIMAL(38,2))) AS DECIMAL(38,2)) AS DOUBLE) AS qty
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // DuckDB's native ASOF JOIN is the oracle; timestamps are micro-
     // aligned in the data so nanos-vs-micros truncation cannot disagree

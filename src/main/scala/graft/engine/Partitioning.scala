@@ -33,6 +33,46 @@ object Partitioning {
     if (df.rdd.getNumPartitions < target) df.repartition(key) else df
   }
 
+  /** Salted equi-join for skewed keys: a hot join key concentrates its
+    * rows in one shuffle partition and serializes the join on one task;
+    * salting splits each key into `salts` sub-keys — the big side salts
+    * each row deterministically (hash of the full row, so identical
+    * reruns salt identically and the result is reproducible), the small
+    * side replicates `salts`× — and the join runs on (keys, salt) with
+    * the hot key's rows spread over `salts` tasks. The result multiset
+    * is EXACTLY the unsalted join's (each (big, small) row pair meets on
+    * precisely one salt value; spec-pinned).
+    *
+    * Use when a specific key set is known-hot and AQE's skew-join
+    * splitting can't kick in (e.g. the shuffle feeding a user-origin
+    * repartition, or pre-AQE engines). Cost: small side ×`salts`
+    * (keep it broadcast-small or salts modest). Inner and left_outer
+    * only: right/full outer would duplicate unmatched small rows across
+    * salts.
+    *
+    * NOTE: rows that are fully identical on the big side share a salt
+    * (the hash is deterministic), so a hot key whose rows are all
+    * IDENTICAL stays skewed — that shape is exact-duplicate data and
+    * wants deduplication, not a join trick.
+    */
+  def saltedJoin(
+      big: DataFrame,
+      small: DataFrame,
+      keys: Seq[String],
+      salts: Int,
+      joinType: String = "inner"
+  ): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(salts > 0, s"salts must be positive, got $salts")
+    require(Seq("inner", "left", "left_outer").contains(joinType),
+      s"saltedJoin supports inner/left_outer, got $joinType")
+    val bigS = big.withColumn("_salt",
+      pmod(xxhash64(struct(big.columns.map(col): _*)), lit(salts.toLong)))
+    val smallS = small.withColumn("_salt",
+      explode(sequence(lit(0L), lit(salts.toLong - 1L))))
+    bigS.join(smallS, keys :+ "_salt", joinType).drop("_salt")
+  }
+
   /** Persist `df` as a BUCKETED (and bucket-sorted) parquet table: every
     * later equi-join or aggregation on `keys` between tables bucketed the
     * same way is exchange-free — the co-located-join contract for state

@@ -198,6 +198,29 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("salted join: identical multiset to the plain join; hot key spreads over salts") {
+    import graft.engine.Partitioning
+    val li = t("lineitem").select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+    val o = t("orders").select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
+    val plain = li.join(o, Seq("l_orderkey"))
+    val salted = Partitioning.saltedJoin(li, o, Seq("l_orderkey"), salts = 8)
+    // multiset equality both ways (columns align by name)
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+    // left_outer preserves unmatched big-side rows exactly once
+    val oSub = o.filter(col("l_orderkey") % 2 === 0)
+    val plainL = li.join(oSub, Seq("l_orderkey"), "left_outer")
+    val saltedL = Partitioning.saltedJoin(li, oSub, Seq("l_orderkey"), 8, "left_outer")
+    assert(saltedL.exceptAll(plainL).isEmpty && plainL.exceptAll(saltedL).isEmpty)
+    // a hot key's rows really do land on multiple salts (the point)
+    val hot = li.limit(0).sparkSession.range(1000)
+      .select(lit(7L).as("k"), col("id"))
+    val saltsSeen = hot.withColumn("_salt",
+        pmod(xxhash64(struct(col("k"), col("id"))), lit(8L)))
+      .select(countDistinct(col("_salt"))).as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      .collect().head
+    assert(saltsSeen == 8L)
+  }
+
   test("typed projection stays inside whole-stage codegen (no UDFs)") {
     import graft.functions.TypedAttrs
     val df = t("customer").select(
