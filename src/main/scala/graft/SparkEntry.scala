@@ -515,6 +515,35 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- curation: top-k docs per stratum via the k-bounded graft_topk
+    //      aggregate (the shuffle carries ≤ k rows per source per
+    //      partition — a row_number window would shuffle every doc)
+    "top_docs_per_source" -> ((s, dir) => {
+      graft.plans.TopKAggregate.register(s)
+      val d = t(s, dir, "documents")
+      val scored = d.select(col("source"), col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"))
+      scored.groupBy("source")
+        .agg(call_function("graft_topk",
+          struct(col("n_tokens"), (-col("doc_id")).as("nid")), lit(3)).as("t"))
+        .select(col("source"), posexplode(col("t")).as(Seq("p", "e")))
+        .select(col("source"), (-col("e.nid")).as("doc_id"),
+          col("e.n_tokens").as("n_tokens"),
+          (col("p") + 1).cast(IntegerType).as("rank"))
+        .orderBy("source", "rank")
+    }),
+
+    // ---- dataset profiling: one-scan numeric column stats with exact
+    //      (decimal-accumulated) means and exact interpolated quantiles —
+    //      both engines share the quantile definition, so the oracle is
+    //      value-exact
+    "profile_numeric" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      Profile.numeric(li,
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .orderBy("col_name")
+    }),
+
     // ---- salted skew join: result must be EXACTLY the plain join's
     //      (salting redistributes work, never changes the multiset);
     //      the oracle is the unsalted SQL join
@@ -1331,6 +1360,32 @@ object SparkEntry {
         |FROM s
         |QUALIFY rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
+
+    "top_docs_per_source" ->
+      """SELECT source, doc_id, n_tokens, rank FROM (
+        | SELECT source, doc_id, n_tokens,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_tokens DESC, doc_id) AS INTEGER) AS rank
+        | FROM (
+        |  SELECT source, doc_id,
+        |   CAST(len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        | )
+        |)
+        |WHERE rank <= 3 ORDER BY source, rank""".stripMargin,
+
+    "profile_numeric" ->
+      (Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax").map { c =>
+        s"""SELECT '$c' AS col_name,
+           | CAST(count($c) AS BIGINT) AS n,
+           | CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls,
+           | CAST(min($c) AS DOUBLE) AS min, CAST(max($c) AS DOUBLE) AS max,
+           | CASE WHEN count($c) > 0
+           |      THEN CAST(CAST(sum(CAST($c AS DECIMAL(38,2))) AS DOUBLE) AS DOUBLE) / count($c)
+           |      ELSE NULL END AS mean,
+           | quantile_cont($c, 0.25) AS p25, quantile_cont($c, 0.5) AS p50,
+           | quantile_cont($c, 0.75) AS p75, quantile_cont($c, 0.9) AS p90
+           |FROM lineitem""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")),
 
     "salted_join" ->
       """SELECT o.o_orderstatus, CAST(count(*) AS BIGINT) AS n,
