@@ -515,6 +515,19 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- partitioned sink roundtrip: Hive-style partition layout is the
+    //      at-scale routing sink (one directory per route/stratum, later
+    //      reads prune partitions — pruning plan-spec'd in PlanShapeSpec)
+    "partitioned_sink_roundtrip" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+      val out = java.nio.file.Files.createTempDirectory("graft-partsink").toString
+      d.write.mode("overwrite").partitionBy("lang").parquet(out)
+      s.read.parquet(out)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"))
+        .orderBy("lang")
+    }),
+
     // ---- curation: top-k docs per stratum via the k-bounded graft_topk
     //      aggregate (the shuffle carries ≤ k rows per source per
     //      partition — a row_number window would shuffle every doc)
@@ -629,7 +642,10 @@ object SparkEntry {
     "ann_ivf_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
-      val cents = Similarity.seedCentroids(emb, "id", "vec", 4)
+      // seeded + one Lloyd refinement: exercises the trained-index path;
+      // nprobe = C keeps the result exact whatever the centroids are
+      val cents = Similarity.refineCentroids(emb, "id", "vec",
+        Similarity.seedCentroids(emb, "id", "vec", 4), iterations = 1)
       val assigned = Similarity.assignToCentroids(emb, "id", "vec", cents)
       val q = t(s, dir, "embeddings").filter(col("vec_id") < 3)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
@@ -1360,6 +1376,10 @@ object SparkEntry {
         |FROM s
         |QUALIFY rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
+
+    "partitioned_sink_roundtrip" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "top_docs_per_source" ->
       """SELECT source, doc_id, n_tokens, rank FROM (

@@ -218,6 +218,50 @@ object Similarity {
     topKPerQuery(scored, "cosine", k)
   }
 
+  /** Lloyd refinement of seeded centroids (k-means iterations): assign
+    * (narrow native NearestCentroid pass) → recompute each centroid as
+    * its cluster's element-wise mean → repeat. Each iteration is one
+    * corpus pass: assignment adds NO shuffle; the mean is a
+    * (centroid_id, dim_index) hash aggregate over posexploded elements —
+    * the shuffle carries (cid, i, partial sum/count), never vectors.
+    * Empty clusters keep their previous centroid (the standard fix).
+    * Centroid ids are preserved, so probe routing stays stable across
+    * refinements.
+    */
+  def refineCentroids(
+      corpus: DataFrame,
+      corpusId: String,
+      corpusVec: String,
+      centroids: DataFrame,
+      iterations: Int = 3,
+      metric: CentroidMetric = CentroidMetric.Cosine
+  ): DataFrame = {
+    val elemType = corpus.schema(corpusVec).dataType
+      .asInstanceOf[ArrayType].elementType
+    var cents = centroids
+    for (_ <- 0 until iterations) {
+      val assigned = assignToCentroids(corpus, corpusId, corpusVec, cents, metric)
+      val means = assigned
+        .select(col("centroid_id"), posexplode(col(corpusVec)).as(Seq("i", "x")))
+        .groupBy(col("centroid_id"), col("i"))
+        .agg(avg(col("x").cast(DoubleType)).as("m"))
+        .groupBy(col("centroid_id"))
+        .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("ims"))
+        .select(col("centroid_id"),
+          transform(col("ims"), e => e.getField("m").cast(elemType))
+            .as("centroid_vec"))
+      // empty clusters: keep the old centroid (left join, coalesce)
+      cents = cents.select(col("centroid_id"), col("centroid_vec").as("_old"))
+        .join(means, Seq("centroid_id"), "left")
+        .select(col("centroid_id"),
+          coalesce(col("centroid_vec"), col("_old")).as("centroid_vec"))
+      // each iteration collects C vectors driver-side anyway (metadata
+      // scale); localCheckpoint keeps the plan from nesting per iteration
+      cents = cents.localCheckpoint()
+    }
+    cents
+  }
+
   /** Deterministic centroid seeding without a kmeans dependency: take the
     * `c` corpus vectors with the smallest xxhash64(id) — uniform pseudo-
     * random, reproducible, one pass.

@@ -198,6 +198,20 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("partition-column filter prunes partitions at the scan (no data read for other routes)") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-prune").toString
+    t("documents").select(col("doc_id"), col("lang"))
+      .write.mode("overwrite").partitionBy("lang").parquet(wh)
+    val q = spark.read.parquet(wh).filter(col("lang") === "en")
+    val plan = physical(q)
+    // the lang predicate lands in PartitionFilters (directory pruning),
+    // not in PushedFilters/data filters — other languages' files are
+    // never opened
+    assert(plan.contains("PartitionFilters: [isnotnull(lang"), plan)
+    assert(q.queryExecution.executedPlan.toString.contains("(lang#") ||
+      plan.contains("= en"), plan)
+  }
+
   test("salted join: identical multiset to the plain join; hot key spreads over salts") {
     import graft.engine.Partitioning
     val li = t("lineitem").select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))

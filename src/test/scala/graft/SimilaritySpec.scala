@@ -90,6 +90,37 @@ class SimilaritySpec extends SparkSpec {
     assert((0 until 5).forall(i => multi.contains((i + 1000000L, i.toLong))))
   }
 
+  test("refineCentroids converges onto well-separated clusters and keeps empty-cluster ids") {
+    import org.apache.spark.sql.functions._
+    // three tight clusters around orthogonal axes; seeds deliberately
+    // poor (two seeds in one cluster, one in another, none in the third
+    // cluster's direction gets... the refinement must still partition
+    // cleanly by nearest-mean geometry)
+    val vecs = (0 until 30).map { i =>
+      val axis = i % 3
+      val v = Array(0.05f, 0.05f, 0.05f)
+      v(axis) = 1.0f + 0.01f * (i / 3)
+      (i.toLong, v)
+    }.toDF("id", "vec")
+    val seeds = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)),   // same direction as seed 0
+      (2L, Array(0.0f, 1.0f, 0.0f))
+    ).toDF("centroid_id", "centroid_vec")
+    val refined = Similarity.refineCentroids(vecs, "id", "vec", seeds, iterations = 3)
+    assert(refined.count() == 3) // ids preserved, including any emptied cluster
+    val assigned = Similarity.assignToCentroids(vecs, "id", "vec", refined)
+    // refined centroids separate at least two of the three clusters into
+    // distinct cells (3 seeds, 2 distinct directions: the duplicate seed
+    // pair splits or empties, never crashes)
+    val cells = assigned.select("centroid_id").distinct().count()
+    assert(cells >= 2)
+    // every vector of cluster 1 (y-axis) lands in the same cell
+    val yCells = assigned.filter($"id" % 3 === 1)
+      .select("centroid_id").distinct().count()
+    assert(yCells == 1)
+  }
+
   test("native assignment equals the composed array_max(struct(cosine, -id)) form") {
     import org.apache.spark.sql.functions._
     import graft.functions.VectorFunctions
