@@ -452,6 +452,14 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- corpus token frequencies: the canonical wordcount with a
+    //      deterministic top-N cut (freq desc, token asc)
+    "token_frequencies" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      TextFunctions.tokenFrequencies(d, "text", topN = 25)
+        .orderBy(col("freq").desc, col("token"))
+    }),
+
     // ---- Gopher structural quality rules: the four published document
     //      filters (symbol ratio, bullet lines, ellipsis lines, alpha
     //      words), all narrow codegen'd builtins with RE2-compatible
@@ -1279,6 +1287,16 @@ object SparkEntry {
         |SELECT doc_id, lang, source FROM h
         |WHERE bucket < CASE lang WHEN 'en' THEN 1024 WHEN 'zh' THEN 768 ELSE 512 END
         |ORDER BY doc_id""".stripMargin,
+
+    "token_frequencies" ->
+      """SELECT token, CAST(count(*) AS BIGINT) AS freq
+        |FROM (
+        | SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '')) AS token
+        | FROM documents
+        |)
+        |GROUP BY token
+        |ORDER BY freq DESC, token
+        |LIMIT 25""".stripMargin,
 
     "text_gopher_quality" ->
       """WITH m AS (

@@ -224,6 +224,22 @@ object TextFunctions {
     }
   }
 
+  /** Corpus-level token frequency table — the canonical wordcount, the
+    * raw material for stopword discovery and Zipf diagnostics. One
+    * explode + map-side-combined hash aggregate; `topN` with a
+    * lexicographic tie-break so the cut is deterministic.
+    */
+  def tokenFrequencies(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      topN: Int
+  ): org.apache.spark.sql.DataFrame =
+    df.select(explode(tokens(lower(col(textCol)))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token"))
+      .limit(topN)
+
   /** 64-bit FNV-1a over the UTF-8 bytes of the normalized text — a
     * deterministic rolling document fingerprint (public FNV constants).
     * Built from xxhash64 would be cheaper, but FNV is trivially

@@ -266,9 +266,16 @@ object Dedup {
 
   /** 64-bit SimHash over word shingles: for each bit position, sum ±1
     * votes from each shingle's xxhash64; bit = 1 iff the vote is positive.
+    * Routed through the native one-pass SimHashFromShingles (the
+    * composed transform+xxhash64 chain is an interpreted HOF); the
+    * shingle-less-doc convention of this convenience API (empty → 0L,
+    * matching the historical composed fold) is preserved — codegen CSE
+    * shares the shingle subtree between the guard and the signature.
     */
-  def simHash(text: Column, shingleSize: Int = 2): Column =
-    simHashFromHashes(transform(array_distinct(shingles(text, shingleSize)), s => xxhash64(s)))
+  def simHash(text: Column, shingleSize: Int = 2): Column = {
+    val sh = array_distinct(shingles(text, shingleSize))
+    when(size(sh) === 0, lit(0L)).otherwise(simHashOfShingles(sh))
+  }
 
   /** SimHash from a shingle-hash array column. A native one-pass
     * expression (graft.plans.SimHash64) — the composed 64 interpreted
