@@ -44,7 +44,14 @@ object Profile {
         ") AS (col_name, v)")
     val hist = stacked.groupBy(col("col_name"), col("v"))
       .agg(count(lit(1)).as("cnt"))
-    hist.groupBy(col("col_name"))
+    // pin the final exchange by column: the statistics aggregate is
+    // CPU-heavy per group (percentile buffer merges) with ≤ #cols groups
+    // over byte-tiny histogram rows, so AQE's byte-based coalescing
+    // serializes every column into ONE task (measured 3.5 s of the
+    // gate's 4.5 s); hashing by col_name runs the columns' merges in
+    // parallel at any scale — histogram volume is bounded by Σ distinct
+    // values, so skew/coalesce heuristics have nothing to add here
+    hist.repartition(col("col_name")).groupBy(col("col_name"))
       .agg(
         sum(when(col("v").isNotNull, col("cnt")).otherwise(0L)).as("n"),
         sum(when(col("v").isNull, col("cnt")).otherwise(0L)).as("nulls"),
