@@ -993,6 +993,27 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // ---- winnowing containment fraction: identical normalized docs have
+    //      identical fingerprint SETS, so shared = |fps_a| = |fps_b| and
+    //      containment = shared / min(...) is exactly 1.0 — the oracle
+    //      pins the fraction plumbing on the deterministic planted pairs
+    "winnow_containment" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = d.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val all = d.union(planted)
+      val pairs = Dedup.winnowOverlapPairs(all, "text", "doc_id",
+        k = 12, w = 8, minShared = 1)
+      val fps = all.select(col("doc_id"),
+        xxhash64(TextFunctions.normalizeForFingerprint(col("text"))).as("fp"))
+      pairs
+        .join(fps.select(col("doc_id").as("id_a"), col("fp").as("fp_a")), Seq("id_a"))
+        .join(fps.select(col("doc_id").as("id_b"), col("fp").as("fp_b")), Seq("id_b"))
+        .filter(col("fp_a") === col("fp_b"))
+        .select(col("id_a"), col("id_b"), col("containment"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // ---- dedup: connected components over exact-dup pairs — transitive
     //      cluster labels (comp = min reachable id); planted dups give the
     //      deterministic pair set, the oracle is the per-group min id
@@ -1745,6 +1766,21 @@ object SparkEntry {
         | UNION ALL SELECT CAST(doc_id + 1000000 AS BIGINT), nt FROM norm WHERE doc_id < 20
         |)
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |FROM all_docs a JOIN all_docs b
+        |  ON a.nt = b.nt AND a.doc_id < b.doc_id AND length(a.nt) >= 12
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // identical normalized text ⇒ identical winnow fingerprint sets ⇒
+    // containment exactly 1.0 (shared = |fps| on both sides)
+    "winnow_containment" ->
+      """WITH norm AS (
+        | SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), '[[:punct:]]', '', 'g'), '\s+', ' ', 'g')) AS nt
+        | FROM documents
+        |), all_docs AS (
+        | SELECT CAST(doc_id AS BIGINT) AS doc_id, nt FROM norm
+        | UNION ALL SELECT CAST(doc_id + 1000000 AS BIGINT), nt FROM norm WHERE doc_id < 20
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(1.0 AS DOUBLE) AS containment
         |FROM all_docs a JOIN all_docs b
         |  ON a.nt = b.nt AND a.doc_id < b.doc_id AND length(a.nt) >= 12
         |ORDER BY id_a, id_b""".stripMargin,

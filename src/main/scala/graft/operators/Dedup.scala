@@ -99,6 +99,16 @@ object Dedup {
 
   /** LSH band keys: split the signature into `bands` bands of `rowsPerBand`
     * and hash each band. Two docs sharing any band key are candidates.
+    *
+    * A NULL signature (shingle-less doc) yields a NULL key array, so the
+    * downstream explode emits ZERO candidate rows for it. Without the
+    * guard, `xxhash64` of a null band slice is the constant seed — every
+    * empty/short doc lands in the same bucket in EVERY band, and m such
+    * docs materialize m²/2 joined rows before the verify filter drops
+    * them (the hot-bucket pathology in its worst form: at 100 TB a
+    * million empty docs is 10¹² rows). The guard lives INSIDE the
+    * generator input — not a `Filter` on the signature, which predicate
+    * pushdown would clone (signature tree and all) into the scan.
     */
   def lshBandKeys(signature: Column, bands: Int, rowsPerBand: Int): Column = {
     val keys = (0 until bands).map { b =>
@@ -106,7 +116,7 @@ object Dedup {
       struct(lit(b).as("band"),
         xxhash64(slice(signature, b * rowsPerBand + 1, rowsPerBand)).as("h"))
     }
-    array(keys: _*)
+    when(signature.isNotNull, array(keys: _*))
   }
 
   /** Candidate near-dup pairs via MinHash+LSH, verified with the exact
@@ -135,11 +145,9 @@ object Dedup {
     // Deliberately NO `filter(sig.isNotNull)` here: predicate pushdown
     // substitutes the alias through the Project and clones the ENTIRE
     // signature tree into a scan-level filter — doubling the per-row
-    // hash work. Null signatures (shingle-less docs) are harmless
-    // downstream: their band hashes are the constant seed bucket, so
-    // they only ever meet each other, and the est verify evaluates
-    // null ≥ threshold → null → filtered. Same rows dropped, zero extra
-    // CPU.
+    // hash work. Null signatures (shingle-less docs) instead emit no
+    // band keys at all (lshBandKeys null-guards its key array), so the
+    // explode drops them with zero extra CPU and zero candidate rows.
     // decouple CPU parallelism from input split count when (and only
     // when) the scan under-parallelizes — see Partitioning.spreadByKey:
     // a no-op at real scale, a (id, text)-once shuffle on small files
@@ -319,9 +327,11 @@ object Dedup {
     // doc only to reassemble values that were already colocated.)
     // Bit-for-bit equivalence with that form is pinned in DedupSpec.
     // No `filter(sig.isNotNull)`: pushdown would clone the signature
-    // tree into the scan (see minHashDupPairs); null-sig docs bucket on
-    // null block values, and their pairs die at the hamming verify
-    // (null ≤ maxHamming → null → filtered).
+    // tree into the scan (see minHashDupPairs). Null-sig docs emit no
+    // block rows at all (the null-guard wraps the explode INPUT): struct
+    // comparison treats null block values as EQUAL, so without the guard
+    // every shingle-less doc co-buckets with every other in all four
+    // blocks — m²/2 joined rows before the hamming verify drops them.
     val sigs = Partitioning.spreadByKey(
         df.select(col(idCol).as("id"), col(textCol).as("_txt")), col("id"))
       .select(col("id"),
@@ -330,7 +340,8 @@ object Dedup {
       struct(lit(b).as("blk"), shiftright(col("sig"), b * 16).bitwiseAND(0xFFFFL).as("v"))
     }
     val banded = capBuckets(
-      sigs.select(col("id"), col("sig"), explode(array(blocks: _*)).as("bk")),
+      sigs.select(col("id"), col("sig"),
+        explode(when(col("sig").isNotNull, array(blocks: _*))).as("bk")),
       maxBucketSize)
     val a = banded.select(col("bk"), col("id").as("id_a"), col("sig").as("sig_a"))
     val b = banded.select(col("bk"), col("id").as("id_b"), col("sig").as("sig_b"))
@@ -483,7 +494,16 @@ object Dedup {
     * ~2/(w+1) per char bounds the postings), the shuffle carries
     * (8-byte hash, id), the pair count is a codegen'd count join, and
     * `maxPostings` caps boilerplate fingerprints exactly like LSH
-    * hot buckets. Output: (id_a, id_b, shared) with id_a < id_b.
+    * hot buckets. Output: (id_a, id_b, shared, containment) with
+    * id_a < id_b; `containment` = shared / min(|fps_a|, |fps_b|), the
+    * asymmetric-overlap signal a raw count can't give (a short quote
+    * fully contained in a long doc shares FEW fingerprints but nearly
+    * ALL of its own — containment ≈ 1 while any symmetric measure
+    * vanishes with the length ratio). Set sizes are an AGGREGATE over
+    * the exploded rows, not `size(...)` carried through the join
+    * (constraint inference cannot cross an Aggregate — see
+    * [[ngramJaccardPairs]]), and they are computed BEFORE the postings
+    * cap so the denominator is the doc's true fingerprint count.
     */
   def winnowOverlapPairs(
       df: DataFrame,
@@ -497,6 +517,7 @@ object Dedup {
     val fps = Partitioning.spreadByKey(
         df.select(col(idCol).as("id"), col(textCol).as("_txt")), col("id"))
       .select(col("id"), explode(winnowFingerprints(col("_txt"), k, w)).as("fp"))
+    val sizes = fps.groupBy("id").agg(count(lit(1)).as("nf"))
     val posted = capBuckets(fps, maxPostings, "fp")
     val a = posted.select(col("fp"), col("id").as("id_a"))
     val b = posted.select(col("fp"), col("id").as("id_b"))
@@ -505,6 +526,11 @@ object Dedup {
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
+      .join(sizes.select(col("id").as("id_a"), col("nf").as("_na")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("nf").as("_nb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("shared"),
+        (col("shared").cast(DoubleType) /
+          least(col("_na"), col("_nb")).cast(DoubleType)).as("containment"))
   }
 
   // ------------------------------------------------- embedding near-dup
@@ -531,25 +557,23 @@ object Dedup {
       seed: Int = 42,
       maxBucketSize: Option[Int] = None
   ): DataFrame = {
-    // SRP buckets + norms via posexplode + codegen'd hash aggregate (the
-    // interpreted per-row srpBucket fold re-walks the vector once per
-    // hyperplane); norms are computed ONCE per vector here, so the pair
-    // verify below folds only the dot product.
+    // bucket + norm in ONE narrow projection: the native SrpBucket pass
+    // (cached ±1 sign matrix, same expression the ANN path uses —
+    // Similarity.lshTopK) replaces the posexplode + per-plane aggregate
+    // shape this path predated. Same xxhash64(i, p, seed) sign chain and
+    // left-to-right accumulation as the aggregate form, so buckets are
+    // bit-identical (spec-pinned); the norm is the native dot's single
+    // codegen'd loop. No explode, no aggregation, no shuffle to build
+    // the signature. Null/empty vectors are filtered up front — the
+    // aggregate form dropped them implicitly (no exploded rows → no
+    // group); a raw-column size filter is scan-pushable and cheap.
     val base = Partitioning.spreadByKey(
       df.select(col(idCol).as("id"), col(vecCol).as("v")), col("id"))
-    val exploded = base
-      .select(col("id"), posexplode(col("v")).as(Seq("i", "x")))
-      .select(col("id"), col("i"), col("x").cast(DoubleType).as("x"))
-    val planeBits = (0 until bits).map { p =>
-      val signed = when(
-        pmod(xxhash64(col("i"), lit(p), lit(seed)), lit(2L)) === 0, col("x"))
-        .otherwise(-col("x"))
-      when(sum(signed) >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
-    }
-    val sigs = exploded.groupBy("id").agg(
-      planeBits.reduce(_ + _).as("bucket"),
-      sqrt(sum(col("x") * col("x"))).as("nrm"))
-    val bucketed = capBuckets(base.join(sigs, Seq("id")), maxBucketSize, "bucket")
+      .filter(col("v").isNotNull && size(col("v")) > 0)
+    val bucketed0 = base.select(col("id"), col("v"),
+      VectorFunctions.srpBucket(col("v"), bits, seed).as("bucket"),
+      VectorFunctions.norm(col("v")).as("nrm"))
+    val bucketed = capBuckets(bucketed0, maxBucketSize, "bucket")
     val a = bucketed.select(col("bucket"), col("id").as("id_a"),
       col("v").as("v_a"), col("nrm").as("n_a"))
     val b = bucketed.select(col("bucket"), col("id").as("id_b"),

@@ -188,6 +188,88 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("null-signature docs generate ZERO candidate rows (no seed-constant hot bucket)") {
+    import org.apache.spark.sql.functions._
+    // m shingle-less docs (NULL text → null signature; empty STRINGS get
+    // a real [""] shingle and are genuine exact dups) used to share the
+    // constant-seed bucket in EVERY band — m²/2 joined rows materialized
+    // before the verify filter. The null-guard in the band-key arrays
+    // must drop them at the explode: zero candidates, not m².
+    val empties = (1L to 40L).map(i => (i, null: String)) :+ (100L, doc) :+ (101L, doc)
+    val df = empties.toDF("id", "text")
+    // candidate rows BEFORE the verify filter: band join + id ordering only
+    val sigs = df.select(col("id"),
+      Dedup.minHashSignature(col("text"), 32, 3).as("sig"))
+    val banded = sigs.select(col("id"),
+      explode(Dedup.lshBandKeys(col("sig"), 16, 2)).as("bk"))
+    val cands = banded.select(col("bk"), col("id").as("id_a"))
+      .join(banded.select(col("bk"), col("id").as("id_b")), Seq("bk"))
+      .filter(col("id_a") < col("id_b"))
+    // only the two real docs meet; none of the 40 empties appears at all
+    assert(cands.filter(col("id_a") <= 40L || col("id_b") <= 40L).isEmpty)
+    // end-to-end both paths: real dups still found, empties produce nothing
+    val mh = Dedup.minHashDupPairs(df, "text", "id", 32, 16, threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(mh == Set((100L, 101L)))
+    val sh = Dedup.simHashDupPairs(df, "text", "id", maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(sh == Set((100L, 101L)))
+  }
+
+  test("embedding SRP buckets: native SrpBucket equals the posexplode+aggregate form") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DoubleType
+    import graft.functions.VectorFunctions
+    // embeddingDupPairs now rides the native pass; pin bit-parity with
+    // the aggregate shape it replaced (same xxhash64(i, p, seed) sign
+    // chain, same left-to-right accumulation) on real embeddings
+    val bits = 8; val seed = 42
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("v"))
+    val viaAgg = emb
+      .select(col("id"), posexplode(col("v")).as(Seq("i", "x")))
+      .select(col("id"), col("i"), col("x").cast(DoubleType).as("x"))
+      .groupBy("id")
+      .agg((0 until bits).map { p =>
+        val signed = when(
+          pmod(xxhash64(col("i"), lit(p), lit(seed)), lit(2L)) === 0, col("x"))
+          .otherwise(-col("x"))
+        when(sum(signed) >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+      }.reduce(_ + _).as("bucket"))
+    val native = emb.select(col("id"),
+      VectorFunctions.srpBucket(col("v"), bits, seed).as("bucket2"))
+    assert(native.count() == viaAgg.count())
+    assert(viaAgg.join(native, "id").filter(col("bucket") =!= col("bucket2")).isEmpty)
+  }
+
+  test("winnow containment: identical docs score 1.0; a contained quote scores ~1 while shared count stays small") {
+    import org.apache.spark.sql.functions._
+    val k = 8; val w = 8
+    val quote = "the five boxing wizards jump quickly over the crooked fence tonight"
+    val filler = (1 to 40).map(i => s"unrelated sentence number $i about completely different things").mkString(" ")
+    val df = Seq(
+      (1L, quote),                      // the short quote
+      (2L, s"$filler $quote $filler"),  // long doc CONTAINING the quote
+      (3L, quote)                       // identical twin of 1
+    ).toDF("id", "text")
+    val pairs = Dedup.winnowOverlapPairs(df, "text", "id", k, w, minShared = 1)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(p => (p._1, p._2) -> (p._3, p._4)).toMap
+    // identical docs: same fingerprint set -> containment exactly 1.0
+    assert(pairs((1L, 3L))._2 == 1.0)
+    // contained quote: the quote's fingerprints all appear in the long
+    // doc (MOSS selection is positional-window-local over the same
+    // substring... minus boundary windows), so containment is high even
+    // though shared is a tiny fraction of the long doc's fingerprints
+    val (shared12, cont12) = pairs((1L, 2L))
+    assert(cont12 >= 0.5, s"containment $cont12")
+    // while the symmetric view is diluted: the long doc has many more
+    // fingerprints than are shared
+    val nfLong = df.filter(col("id") === 2L)
+      .select(size(Dedup.winnowFingerprints(col("text"), k, w))).as[Int].head()
+    assert(shared12 < nfLong / 2, s"shared $shared12 vs long-doc fps $nfLong")
+  }
+
   test("duplicate-check routes: existing key and intra-batch dups -> already-exists") {
     val incoming = Seq((1L, 1), (1L, 2), (2L, 1)).toDF("k", "seq")
     val existing = Seq(Tuple1(2L)).toDF("k")
