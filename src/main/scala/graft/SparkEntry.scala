@@ -604,6 +604,28 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // ---- as-of join, FORWARD: each click's NEXT view at-or-after it
+    //      (attribution / time-to-next-event) — same tagged-union merge
+    //      run in descending ts order; DuckDB ASOF with l.ts <= r.ts
+    "asof_join_forward" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("view_id"),
+          max_by(col("value"), col("event_id")).as("view_value"))
+      AsOf.joinForward(clicks, views, Seq("user_id"), "ts", "ts",
+          payloadCols = Seq("view_id", "view_value"))
+        .select(
+          col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          col("matched.view_id").as("matched_view_id"),
+          col("matched.view_value").as("matched_value"),
+          unix_micros(col("matched._t")).as("matched_ts_us"))
+        .orderBy("event_id")
+    }),
+
     // ---- sessionization (gap-based; streaming analogue in graft.streaming)
     "sessionize" -> ((s, dir) => {
       val ev = events(s, dir)
@@ -658,6 +680,30 @@ object SparkEntry {
       val q = t(s, dir, "embeddings").filter(col("vec_id") < 3)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       Similarity.ivfTopK(assigned, "id", "vec", cents, q, "qid", "qvec", k = 10, nprobe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- ANN: IVF with PHYSICAL partition pruning — the corpus is
+    //      persisted partitionBy(centroid_id) and the probe ids become a
+    //      literal IN on the partition column, so unprobed directories
+    //      are never read (PlanShapeSpec pins PartitionFilters + the
+    //      file-count reduction). Queries are exact copies of corpus
+    //      vectors: the twin's assigned centroid IS the query's rank-1
+    //      probe (bitwise-identical cosine arithmetic on both paths), so
+    //      the nprobe=2-of-8 pruned scan still finds the true top-1 and
+    //      the full-scan oracle agrees exactly
+    "ann_ivf_partitioned" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val cents = Similarity.seedCentroids(emb, "id", "vec", 8)
+      val assigned = Similarity.assignToCentroids(emb, "id", "vec", cents)
+      val out = java.nio.file.Files.createTempDirectory("graft-ivfpart").toString
+      Similarity.writeAssigned(assigned, out)
+      val q = emb.filter(col("id") < 5)
+        .select((col("id") + 1000000L).as("qid"), col("vec").as("qvec"))
+      Similarity.ivfTopKPartitioned(out, "id", "vec", cents, q, "qid", "qvec",
+          k = 1, nprobe = 2)
         .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
         .orderBy("query_id", "rank")
     }),
@@ -1469,6 +1515,24 @@ object SparkEntry {
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
         |ORDER BY 1""".stripMargin,
 
+    // forward direction: DuckDB ASOF picks the NEAREST row satisfying the
+    // inequality, so l.ts <= r.ts is exactly earliest-at-or-after; the
+    // right side is pre-deduped per (user_id, ts) for determinism
+    "asof_join_forward" ->
+      """WITH l AS (
+        | SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+        |), r AS (
+        | SELECT user_id, ts, max(event_id) AS view_id, arg_max(value, event_id) AS view_value
+        | FROM events WHERE event_type = 'view' GROUP BY 1, 2
+        |)
+        |SELECT l.event_id AS event_id, l.user_id AS user_id,
+        | epoch_us(l.ts) AS ts_us,
+        | r.view_id AS matched_view_id,
+        | r.view_value AS matched_value,
+        | epoch_us(r.ts) AS matched_ts_us
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts
+        |ORDER BY 1""".stripMargin,
+
     "sessionize" ->
       """SELECT user_id,
         | CAST(SUM(CASE WHEN prev IS NULL OR epoch_ms(ts) - epoch_ms(prev) > 1800000 THEN 1 ELSE 0 END) AS BIGINT) AS sessions
@@ -1576,6 +1640,30 @@ object SparkEntry {
         | CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
         |FROM c
         |QUALIFY rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // full-scan top-1: the planted identical twin is the true nearest
+    // neighbor and its assigned centroid is always probed (bitwise-equal
+    // cosine on the assign and probe paths), so the partition-pruned
+    // result equals the exhaustive oracle
+    "ann_ivf_partitioned" ->
+      """WITH q AS (
+        | SELECT vec_id + 1000000 AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5
+        |), s AS (
+        | SELECT q.query_id, e.vec_id AS neighbor_id,
+        |  list_sum(list_transform(list_zip(q.qv, e.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) AS d,
+        |  list_sum(list_transform(list_zip(q.qv, q.qv), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) AS na,
+        |  list_sum(list_transform(list_zip(e.embedding, e.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) AS nb
+        | FROM embeddings e, q
+        |), c AS (
+        | SELECT query_id, neighbor_id,
+        |  CASE WHEN sqrt(na) * sqrt(nb) > 0.0 THEN d / (sqrt(na) * sqrt(nb)) ELSE 0.0 END AS cosine
+        | FROM s
+        |)
+        |SELECT query_id, neighbor_id, cosine,
+        | CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+        |FROM c
+        |QUALIFY rank <= 1
         |ORDER BY query_id, rank""".stripMargin,
 
     // full-scan top-1: the planted identical twin is the true nearest

@@ -137,6 +137,26 @@ object Similarity {
     * `assigned` = corpus with a `centroid_id` column (from
     * [[assignToCentroids]], precomputed/persisted at scale).
     */
+  /** The per-query probe set: each query's `nprobe` nearest centroids —
+    * (queryId, queryVec, centroid_id). A queries × C expression, tiny on
+    * both sides, so the window's shuffle moves q×C rows (fine).
+    */
+  private def probeSet(
+      centroids: DataFrame,
+      queries: DataFrame,
+      queryId: String,
+      queryVec: String,
+      nprobe: Int
+  ): DataFrame = {
+    val qc = queries.join(broadcast(centroids))
+      .withColumn("_sim", cosine(col(queryVec), col("centroid_vec")))
+    val wq = Window.partitionBy(queryId)
+      .orderBy(col("_sim").desc, col("centroid_id").asc)
+    qc.withColumn("_rn", row_number().over(wq))
+      .filter(col("_rn") <= nprobe)
+      .select(col(queryId), col(queryVec), col("centroid_id").cast(LongType))
+  }
+
   def ivfTopK(
       assigned: DataFrame,
       corpusId: String,
@@ -148,18 +168,73 @@ object Similarity {
       k: Int,
       nprobe: Int
   ): DataFrame = {
-    // nprobe nearest centroids per query — a queries × C expression, tiny
-    // on both sides, so the window's shuffle moves q×C rows (fine)
-    val qc = queries.join(broadcast(centroids))
-      .withColumn("_sim", cosine(col(queryVec), col("centroid_vec")))
-    val wq = Window.partitionBy(queryId)
-      .orderBy(col("_sim").desc, col("centroid_id").asc)
-    val probes = qc.withColumn("_rn", row_number().over(wq))
-      .filter(col("_rn") <= nprobe)
-      .select(col(queryId), col(queryVec), col("centroid_id").cast(LongType))
-
-    // scan only the probed partitions of the corpus; k-bounded reduction
+    val probes = probeSet(centroids, queries, queryId, queryVec, nprobe)
+    // keep only the probed partitions of the corpus; k-bounded reduction.
+    // NOTE: with an in-memory `assigned` this join FILTERS a full corpus
+    // scan — the physical scan-fraction win needs the corpus persisted
+    // partitioned by centroid_id; see [[ivfTopKPartitioned]].
     val scored = assigned
+      .join(broadcast(probes), Seq("centroid_id"))
+      .select(
+        col(queryId).as("query_id"),
+        col(corpusId).as("neighbor_id"),
+        cosine(col(queryVec), col(corpusVec)).as("cosine")
+      )
+      .filter(col("query_id") =!= col("neighbor_id"))
+    topKPerQuery(scored, "cosine", k)
+  }
+
+  /** Persist an assigned corpus PARTITIONED by `centroid_id` — the
+    * physical layout that makes IVF's pruning real: each centroid's
+    * vectors land in their own `centroid_id=<id>/` directory, so a probe
+    * that touches `nprobe` of `C` centroids LISTS (and reads) only
+    * nprobe/C of the files. Without this layout the probe join filters
+    * rows but still scans the whole corpus — at 100 TB, IVF's entire
+    * value is this layout. One full shuffle-free pass: `partitionBy` on
+    * an existing column writes each input split's rows to its partition
+    * dirs directly.
+    */
+  def writeAssigned(assigned: DataFrame, path: String): Unit =
+    assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+
+  /** IVF top-k over a corpus persisted by [[writeAssigned]]: the probed
+    * centroid ids become a LITERAL IN-predicate on the partition column,
+    * so pruning happens at file-listing time — the scan's
+    * `PartitionFilters` (plan-spec'd), not a post-scan row filter.
+    *
+    * The probe set is collected driver-side to build the literal list:
+    * it is metadata-sized (≤ |queries| × nprobe ids — the same scale as
+    * the centroid matrix [[assignToCentroids]] already collects), and a
+    * literal predicate prunes STATICALLY at planning; the join-based
+    * alternative (dynamic partition pruning) only prunes at runtime when
+    * DPP conditions line up. One extra tiny job (the probe window over
+    * q×C rows) buys a corpus scan of nprobe/C of the files.
+    */
+  def ivfTopKPartitioned(
+      assignedPath: String,
+      corpusId: String,
+      corpusVec: String,
+      centroids: DataFrame,
+      queries: DataFrame,
+      queryId: String,
+      queryVec: String,
+      k: Int,
+      nprobe: Int
+  ): DataFrame = {
+    val spark = queries.sparkSession
+    val probes = probeSet(centroids, queries, queryId, queryVec, nprobe)
+      .localCheckpoint() // probes are reused: once collected (ids), once joined
+    val probedIds = probes.select(col("centroid_id")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    require(probedIds.nonEmpty, "ivfTopKPartitioned: empty probe set")
+    val corpus = spark.read.parquet(assignedPath)
+      // literal IN on the partition column → PartitionFilters → unprobed
+      // directories are never listed, let alone read
+      .filter(col("centroid_id").isin(probedIds: _*))
+      // partition-dir values read back as the inferred type; normalize to
+      // BIGINT for the probe join (cast of a partition attr stays prunable)
+      .withColumn("centroid_id", col("centroid_id").cast(LongType))
+    val scored = corpus
       .join(broadcast(probes), Seq("centroid_id"))
       .select(
         col(queryId).as("query_id"),

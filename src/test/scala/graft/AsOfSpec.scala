@@ -40,6 +40,28 @@ class AsOfSpec extends SparkSpec {
     assert(out(2L).isEmpty)        // age 5 > 4
   }
 
+  test("forward as-of: inclusive bound, earliest-following, nulls when nothing follows") {
+    val out = AsOf.joinForward(left, right, Seq("user"), "t", "rt",
+        tieBreak = Some("seq"))
+      .select(col("id"), col("matched._t").as("mt"), col("matched.v").as("mv"))
+      .as[(Long, Option[Long], Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == ((Some(100L), Some(99.0)))) // inclusive + same tie-break rule
+    assert(out(2L) == ((None, None)))             // nothing at/after 205
+    assert(out(3L) == ((Some(100L), Some(99.0)))) // earliest-after, not latest
+    assert(out(4L) == ((None, None)))
+  }
+
+  test("forward tolerance nulls matches too far ahead") {
+    val fwdLeft = Seq((1L, "u1", 95L), (2L, "u1", 150L)).toDF("id", "user", "t")
+    val out = AsOf.joinForward(fwdLeft, right, Seq("user"), "t", "rt",
+        tieBreak = Some("seq"), tolerance = Some(lit(10L)))
+      .select(col("id"), col("matched._t").as("mt"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(out(1L).contains(100L)) // lookahead 5 <= 10
+    assert(out(2L).isEmpty)        // nearest-after is 200: lookahead 50 > 10
+  }
+
   test("one shuffle per side: the plan sorts within key partitions, no range join") {
     val q = AsOf.joinBackward(left, right, Seq("user"), "t", "rt")
     val plan = q.queryExecution.executedPlan.toString

@@ -212,6 +212,52 @@ class PlanShapeSpec extends SparkSpec {
       plan.contains("= en"), plan)
   }
 
+  test("IVF partitioned probe: PartitionFilters on centroid_id; reads < nprobe/C of the files") {
+    import graft.operators.Similarity
+    val emb = t("embeddings").select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val c = 8; val nprobe = 2
+    val cents = Similarity.seedCentroids(emb, "id", "vec", c)
+    val assigned = Similarity.assignToCentroids(emb, "id", "vec", cents)
+    val out = java.nio.file.Files.createTempDirectory("graft-ivfplan").toString
+    Similarity.writeAssigned(assigned, out)
+    // every centroid got at least one file (so pruning is observable)
+    val allParts = new java.io.File(out).listFiles()
+      .count(_.getName.startsWith("centroid_id="))
+    assert(allParts == c, s"expected $c partition dirs, got $allParts")
+    val q = emb.filter(col("id") === 0L)
+      .select((col("id") + 1000000L).as("qid"), col("vec").as("qvec"))
+    val topk = Similarity.ivfTopKPartitioned(out, "id", "vec", cents, q,
+      "qid", "qvec", k = 1, nprobe = nprobe)
+    val plan = physical(topk)
+    // the probed-id literal IN lands in PartitionFilters — directory
+    // pruning, not a post-scan row filter
+    assert(plan.contains("PartitionFilters: [") &&
+      plan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("centroid_id"), plan)
+    // and the scan really opens only the probed directories: numFiles
+    // after execution = files under nprobe dirs (1 query ⇒ ≤ nprobe ids)
+    topk.collect()
+    // the scan sits under AQE wrappers (AdaptiveSparkPlanExec holds its
+    // final plan out-of-tree; QueryStageExec holds its stage plan)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case s: FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(scans)
+    }
+    val scan = scans(topk.queryExecution.executedPlan)
+      .find(_.toString.contains("centroid_id")).get
+    val filesRead = scan.metrics("numFiles").value
+    val filesTotal = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("centroid_id="))
+      .map(_.listFiles().count(_.getName.endsWith(".parquet"))).sum
+    assert(filesRead <= filesTotal * nprobe / c,
+      s"read $filesRead of $filesTotal files — pruning not physical")
+  }
+
   test("salted join: identical multiset to the plain join; hot key spreads over salts") {
     import graft.engine.Partitioning
     val li = t("lineitem").select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
