@@ -41,7 +41,10 @@ object Bench {
       .foreach(f => spark.read.parquet(f.getPath).count())
     // sorted order: deterministic run sequence so per-query numbers are
     // comparable across rounds (Map iteration order is arbitrary)
-    val runsPerQuery = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    // 5 runs by default: r4's noise adjudication leaned on queries_min,
+    // and 3 runs can all land inside one co-tenant load burst (the r4
+    // merge-family false alarm did exactly that)
+    val runsPerQuery = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt
     require(runsPerQuery >= 1, s"SPARK_GRAFT_BENCH_RUNS must be >= 1, got $runsPerQuery")
     // optional comma-separated filter for iterating on single queries
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).toSet)

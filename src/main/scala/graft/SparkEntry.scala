@@ -486,6 +486,22 @@ object SparkEntry {
       ).orderBy("doc_id")
     }),
 
+    // ---- CJK-robust token count: each CJK codepoint counts as one
+    //      token, Latin runs count once. The gate APPENDS a fixed mixed
+    //      CJK/Latin suffix to every doc (the synthetic corpus is
+    //      Latin-only), so the CJK arithmetic is really exercised; the
+    //      oracle mirrors the rule with explicit-range RE2 classes
+    "token_count_cjk" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val mixed = concat(col("text"), lit(" 你好世界 abc漢字です test"))
+      d.select(
+        col("doc_id"),
+        TextFunctions.tokenCountCjk(mixed).as("cjk_tokens"),
+        TextFunctions.tokenCountCjk(col("text")).as("plain_tokens"),
+        TextFunctions.tokenCount(col("text")).as("ws_tokens")
+      ).orderBy("doc_id")
+    }),
+
     // ---- repetition quality signals (the public Gopher/RefinedWeb rule
     //      family): duplicate-line fraction + most-common token / 2-gram
     //      dominance, all narrow one-pass per row
@@ -1399,6 +1415,23 @@ object SparkEntry {
         | CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpeish_tokens,
         | CAST(length(text) AS BIGINT) AS n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // rule mirrored with explicit codepoint ranges (same ranges as
+    // graft.plans.CjkTokenCount — NOT \p{Han}, whose script table could
+    // drift between engines): tokens = CJK codepoints, each counted
+    // once, + maximal runs of non-ws non-CJK codepoints
+    "token_count_cjk" ->
+      """WITH m AS (
+        | SELECT doc_id, text, text || ' 你好世界 abc漢字です test' AS mixed
+        | FROM documents
+        |)
+        |SELECT doc_id,
+        | CAST(len(regexp_extract_all(mixed, '[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}\x{AC00}-\x{D7AF}\x{F900}-\x{FAFF}\x{20000}-\x{2FFFF}]'))
+        |    + len(regexp_extract_all(mixed, '[^ \t\n\x{0B}\f\r\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}\x{AC00}-\x{D7AF}\x{F900}-\x{FAFF}\x{20000}-\x{2FFFF}]+')) AS BIGINT) AS cjk_tokens,
+        | CAST(len(regexp_extract_all(text, '[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}\x{AC00}-\x{D7AF}\x{F900}-\x{FAFF}\x{20000}-\x{2FFFF}]'))
+        |    + len(regexp_extract_all(text, '[^ \t\n\x{0B}\f\r\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}\x{AC00}-\x{D7AF}\x{F900}-\x{FAFF}\x{20000}-\x{2FFFF}]+')) AS BIGINT) AS plain_tokens,
+        | CAST(len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS BIGINT) AS ws_tokens
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     // mode() count == max multiplicity regardless of which tied value
     // mode picks; list_aggregate(NULL-safe: empty list -> NULL mode -> 0)

@@ -25,6 +25,19 @@ object TextFunctions {
 
   def tokenCount(text: Column): Column = size(tokens(text)).cast(LongType)
 
+  /** CJK-robust token count (graft.plans.CjkTokenCount): whitespace runs
+    * count once, each CJK codepoint counts individually — the public
+    * Gopher/C4 practice for non-space-delimited languages, where plain
+    * whitespace counting scores an unsegmented paragraph as ~1 token and
+    * silently misgrades every length-based quality rule. Equal to
+    * [[tokenCount]] on CJK-free text (spec-pinned); use it wherever a
+    * token count feeds a filter over a multilingual mix.
+    */
+  def tokenCountCjk(text: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.plans.CjkTokenCount(ColumnBridge.expression(text)))
+  }
+
   /** BPE-ish subword count: alphanumeric runs + individual non-space
     * symbols — the coarse shape of a GPT-2-style pre-tokenizer, kept
     * RE2-compatible (no lookarounds) so oracles can reproduce it.

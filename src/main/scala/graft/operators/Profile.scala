@@ -71,4 +71,54 @@ object Profile {
         element_at(col("pct"), 3).as("p75"),
         element_at(col("pct"), 4).as("p90"))
   }
+
+  /** The scale path: same profile shape with `approx_percentile`
+    * (GK sketch, rank error ≤ 1/`accuracy`) instead of exact
+    * percentiles. The exact form's final merge is one task PER COLUMN
+    * over that column's value histogram — for a genuinely continuous
+    * column |distinct| ≈ |rows| and that task swallows the column at
+    * scale. The sketch buffer is bounded (O(accuracy·log n)) and
+    * PARTIAL-AGGREGABLE, so the heavy work happens map-side in the one
+    * stacked scan and the final merge combines small sketches — no
+    * histogram shuffle at all, no per-column row funnel.
+    *
+    * Use [[numeric]] when percentiles must be value-exact (its results
+    * are engine-reproducible and oracle-gated — and fine whenever
+    * |distinct values| per column is bounded, e.g. prices, counts,
+    * enums); use this for continuous/high-cardinality columns or when
+    * the profile is advisory. Counts/min/max/mean are exact in BOTH
+    * (same decimal-accumulated mean); only the percentiles are
+    * approximate here. Accuracy bounds vs the exact form are
+    * spec-pinned on the driver tables.
+    */
+  def numericApprox(
+      df: DataFrame, cols: Seq[String], sumScale: Int = 2,
+      accuracy: Int = 10000): DataFrame = {
+    require(cols.nonEmpty, "profile requires at least one column")
+    val dec = DecimalType(38, sumScale)
+    val stacked = df.selectExpr(
+      s"stack(${cols.length}, " +
+        cols.map(c => s"'$c', CAST($c AS DOUBLE)").mkString(", ") +
+        ") AS (col_name, v)")
+    stacked.groupBy(col("col_name"))
+      .agg(
+        count(col("v")).as("n"),
+        sum(when(col("v").isNull, 1L).otherwise(0L)).as("nulls"),
+        min(col("v")).as("min"),
+        max(col("v")).as("max"),
+        sum(col("v").cast(dec)).cast(DoubleType).as("sm"),
+        expr(s"approx_percentile(v, array(0.25, 0.5, 0.75, 0.9), $accuracy)")
+          .as("pct"))
+      .select(
+        col("col_name"),
+        col("n"),
+        col("nulls"),
+        col("min"),
+        col("max"),
+        when(col("n") > 0, col("sm") / col("n")).as("mean"),
+        element_at(col("pct"), 1).as("p25"),
+        element_at(col("pct"), 2).as("p50"),
+        element_at(col("pct"), 3).as("p75"),
+        element_at(col("pct"), 4).as("p90"))
+  }
 }

@@ -119,7 +119,8 @@ object GraftExtensions {
       SrpBucket.functionDescriptor,
       FnvHash64.functionDescriptor,
       Winnow.functionDescriptor,
-      TopTokenFreq.functionDescriptor)
+      TopTokenFreq.functionDescriptor,
+      CjkTokenCount.functionDescriptor)
 
   /** Imperative all-at-once registration for an existing session. */
   def registerAll(spark: SparkSession): Unit =

@@ -25,4 +25,35 @@ class ProfileSpec extends SparkSpec {
       .collect().head
     assert(z.getLong(1) == 0 && z.isNullAt(5))
   }
+
+  test("approx profile: exact counts/range/mean, percentiles within sketch bounds, partial-aggregable plan") {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val exact = Profile.numeric(li, cols)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val q = Profile.numericApprox(li, cols, accuracy = 10000)
+    val approx = q.collect().map(r => r.getString(0) -> r).toMap
+    for (c <- cols) {
+      val (e, a) = (exact(c), approx(c))
+      // everything but the percentiles is EXACT (same decimal mean)
+      assert(a.getLong(1) == e.getLong(1) && a.getLong(2) == e.getLong(2))
+      assert(a.getDouble(3) == e.getDouble(3) && a.getDouble(4) == e.getDouble(4))
+      assert(a.getDouble(5) == e.getDouble(5), s"$c mean")
+      // percentiles: GK rank error n/accuracy ⇒ tiny value drift; bound
+      // it at 5% of the column range (loose, deterministic)
+      val range = e.getDouble(4) - e.getDouble(3)
+      for (i <- 6 to 9)
+        assert(math.abs(a.getDouble(i) - e.getDouble(i)) <= range * 0.05,
+          s"$c pct idx $i: approx ${a.getDouble(i)} vs exact ${e.getDouble(i)}")
+    }
+    // the scale property: ONE two-phase hash/object aggregate — partial
+    // sketches map-side, no value-histogram shuffle, no per-column
+    // repartition stage (the exact form's scale ceiling)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.split("ObjectHashAggregate|SortAggregate|HashAggregate").length - 1 >= 2, plan)
+    // the exact percentile aggregate is absent (negative lookbehind:
+    // "approx_percentile(v" must not count as a match)
+    assert(!java.util.regex.Pattern.compile("(?<!approx_)percentile\\(v")
+      .matcher(plan).find(), plan)
+  }
 }

@@ -124,4 +124,37 @@ class TextVectorFunctionsSpec extends SparkSpec {
     val df = Seq((Array(0.0f, 0.0f), Array(1.0f, 1.0f))).toDF("a", "b")
     assert(df.select(VF.cosine($"a", $"b")).as[Double].collect()(0) == 0.0)
   }
+
+  test("CJK token count: each CJK codepoint is a token; Latin runs count once") {
+    import graft.functions.TextFunctions
+    val cases = Seq(
+      ("hello world", 2L),                    // pure Latin = ws tokens
+      ("你好世界", 4L),                        // unsegmented Han: 4, not 1
+      ("abc漢字def", 4L),                      // CJK breaks a Latin run
+      ("hello 世界 ok", 4L),
+      ("ひらがなとカタカナ", 9L),               // kana count individually
+      ("한국어 텍스트", 6L),                    // Hangul syllables
+      ("𠀀x", 2L),                  // U+20000 (supplementary plane)
+      ("  \t\n ", 0L),
+      ("", 0L)
+    )
+    val out = cases.zipWithIndex.map { case ((s, _), i) => (i.toLong, s) }
+      .toDF("i", "s")
+      .select($"i", TextFunctions.tokenCountCjk($"s").as("n"))
+      .as[(Long, Long)].collect().toMap
+    cases.zipWithIndex.foreach { case ((s, want), i) =>
+      assert(out(i.toLong) == want, s"'$s': got ${out(i.toLong)}, want $want")
+    }
+    // CJK-free text: identical to the whitespace count on real docs
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val mism = d.select(
+        TextFunctions.tokenCount($"text").as("ws"),
+        TextFunctions.tokenCountCjk($"text").as("cjk"))
+      .filter($"ws" =!= $"cjk")
+    assert(mism.isEmpty)
+    // null text -> null, not a crash
+    val n = Seq[(Long, String)]((1L, null)).toDF("i", "s")
+      .select(TextFunctions.tokenCountCjk($"s")).collect()(0)
+    assert(n.isNullAt(0))
+  }
 }
