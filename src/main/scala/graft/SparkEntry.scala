@@ -570,6 +570,19 @@ object SparkEntry {
         .orderBy("source", "rank")
     }),
 
+    // ---- sequence packing: concat-and-chunk token-budget packs per
+    //      source (window running sum — exact integer arithmetic, so the
+    //      DuckDB oracle reproduces every assignment)
+    "pack_by_budget" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"))
+      Packing.packByTokenBudget(d, col("n_tokens"), "doc_id", budget = 512L,
+          strataCols = Seq("source"))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("pack_id"), col("pack_offset"))
+        .orderBy("doc_id")
+    }),
+
     // ---- dataset profiling: one-scan numeric column stats with exact
     //      (decimal-accumulated) means and exact interpolated quantiles —
     //      both engines share the quantile definition, so the oracle is
@@ -1510,6 +1523,22 @@ object SparkEntry {
         | )
         |)
         |WHERE rank <= 3 ORDER BY source, rank""".stripMargin,
+
+    "pack_by_budget" ->
+      """WITH d AS (
+        | SELECT doc_id, source,
+        |  CAST(len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS BIGINT) AS n_tokens
+        | FROM documents
+        |), c AS (
+        | SELECT doc_id, source, n_tokens,
+        |  SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS prev
+        | FROM d
+        |)
+        |SELECT doc_id, source, n_tokens,
+        | CAST(prev // 512 AS BIGINT) AS pack_id,
+        | CAST(prev % 512 AS BIGINT) AS pack_offset
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "profile_numeric" ->
       (Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax").map { c =>

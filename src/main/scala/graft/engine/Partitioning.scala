@@ -23,14 +23,50 @@ object Partitioning {
     * keep their splits and pay no shuffle.
     *
     * Streaming DataFrames pass through unchanged: the partition probe
-    * (`df.rdd`) would throw on an unstarted streaming plan, and a
-    * micro-batch's parallelism is the source's to decide — so the helper
-    * is a no-op there rather than a constraint.
+    * would throw on an unstarted streaming plan, and a micro-batch's
+    * parallelism is the source's to decide — so the helper is a no-op
+    * there rather than a constraint.
+    *
+    * The parallelism probe prefers FILE STATISTICS over `df.rdd`: when
+    * every leaf is a file relation, the split count is estimated from
+    * (total bytes, file count) with Spark's own maxSplitBytes formula —
+    * logical-plan metadata only, no separate non-AQE physical planning
+    * of the whole query per call (which `df.rdd` forces). Non-file leaves
+    * (literal/local test data) fall back to `df.rdd`, where planning is
+    * as cheap as the data.
     */
   def spreadByKey(df: DataFrame, key: Column): DataFrame = {
     if (df.isStreaming) return df
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(key) else df
+    if (scanParallelism(df) < target) df.repartition(key) else df
+  }
+
+  /** Estimated scan parallelism. File-backed plans replicate
+    * `FilePartition.maxSplitBytes` bin-packing arithmetic: splits ≈
+    * ceil((bytes + openCost·files) / maxSplitBytes) with maxSplitBytes =
+    * min(maxPartitionBytes, max(openCost, perCore share)). The estimate
+    * can exceed the real split count when row groups are unsplittable
+    * (small local files) — conservative in the right direction: both
+    * sides of the comparison are then "starved", and the repartition
+    * fires exactly as before.
+    */
+  private def scanParallelism(df: DataFrame): Int = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val leaves = df.queryExecution.optimizedPlan.collectLeaves()
+    val fsRels = leaves.collect {
+      case l: LogicalRelation if l.relation.isInstanceOf[HadoopFsRelation] =>
+        l.relation.asInstanceOf[HadoopFsRelation]
+    }
+    if (fsRels.nonEmpty && fsRels.size == leaves.size) {
+      val conf = df.sparkSession.sessionState.conf
+      val openCost = conf.filesOpenCostInBytes
+      val defaultParallelism = df.sparkSession.sparkContext.defaultParallelism
+      val totalBytes = fsRels.map(r =>
+        r.location.sizeInBytes + openCost * math.max(1, r.location.inputFiles.length)).sum
+      val maxSplit = math.min(conf.filesMaxPartitionBytes,
+        math.max(openCost, totalBytes / defaultParallelism))
+      math.max(1, math.ceil(totalBytes.toDouble / maxSplit).toInt)
+    } else df.rdd.getNumPartitions
   }
 
   /** Salted equi-join for skewed keys: a hot join key concentrates its

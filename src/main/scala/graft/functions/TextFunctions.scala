@@ -100,8 +100,9 @@ object TextFunctions {
     * healthy stopword ratio and low punctuation density. Weights are a
     * deterministic, documented heuristic (pipeline filter, not a model).
     */
-  def qualityScore(text: Column): Column = {
-    val lenOk = when(tokenCount(text).between(5, 100000), lit(1.0)).otherwise(lit(0.0))
+  def qualityScore(text: Column, cjkAware: Boolean = false): Column = {
+    val n = if (cjkAware) tokenCountCjk(text) else tokenCount(text)
+    val lenOk = when(n.between(5, 100000), lit(1.0)).otherwise(lit(0.0))
     val sw = stopwordRatio(text)
     val swOk = when(sw.between(0.01, 0.8), lit(1.0)).otherwise(lit(0.0))
     val punctOk = when(punctRatio(text) < 0.2, lit(1.0)).otherwise(lit(0.0))
@@ -169,11 +170,11 @@ object TextFunctions {
     * word ratio (docs over 0.1 are filtered). Ellipsis occurrences are
     * counted non-overlapping via replace-length arithmetic.
     */
-  def symbolToWordRatio(text: Column): Column = {
+  def symbolToWordRatio(text: Column, cjkAware: Boolean = false): Column = {
     val hashes = (length(text) - length(replace(text, lit("#"), lit("")))).cast(DoubleType)
     val ellipses =
       (length(text) - length(replace(text, lit("..."), lit("")))).cast(DoubleType) / 3.0
-    val n = tokenCount(text)
+    val n = if (cjkAware) tokenCountCjk(text) else tokenCount(text)
     when(n > 0, (hashes + ellipses) / n.cast(DoubleType)).otherwise(lit(0.0))
   }
 
@@ -191,23 +192,48 @@ object TextFunctions {
     when(n > 0, ell.cast(DoubleType) / n.cast(DoubleType)).otherwise(lit(0.0))
   }
 
-  /** Fraction of words containing at least one ASCII letter (Gopher
-    * removes docs under 0.8).
+  /** The CJK codepoint class of graft.plans.CjkTokenCount, as a Java/
+    * RE2-compatible character-class body (no \p{Han} — explicit ranges
+    * keep the rule reproducible across engines).
     */
-  def alphaWordRatio(text: Column): Column = {
-    val n = tokenCount(text)
-    val alpha = size(regexp_extract_all(text, lit("\\S*[A-Za-z]\\S*"), lit(0)))
-    when(n > 0, alpha.cast(DoubleType) / n.cast(DoubleType)).otherwise(lit(0.0))
+  private val CjkClass =
+    "\\x{3040}-\\x{30FF}\\x{3400}-\\x{4DBF}\\x{4E00}-\\x{9FFF}" +
+      "\\x{AC00}-\\x{D7AF}\\x{F900}-\\x{FAFF}\\x{20000}-\\x{2FFFF}"
+
+  /** Fraction of words containing at least one ASCII letter (Gopher
+    * removes docs under 0.8). `cjkAware`: words segment per
+    * [[tokenCountCjk]] (each CJK codepoint is its own word) and every
+    * CJK codepoint counts as alphabetic — without this an unsegmented
+    * Chinese paragraph scores ~0 and the alpha rule silently removes
+    * the language from the mix.
+    */
+  def alphaWordRatio(text: Column, cjkAware: Boolean = false): Column = {
+    if (!cjkAware) {
+      val n = tokenCount(text)
+      val alpha = size(regexp_extract_all(text, lit("\\S*[A-Za-z]\\S*"), lit(0)))
+      when(n > 0, alpha.cast(DoubleType) / n.cast(DoubleType)).otherwise(lit(0.0))
+    } else {
+      val n = tokenCountCjk(text)
+      // alpha tokens under CJK segmentation: CJK codepoints (each its own
+      // word, all alphabetic) + non-ws non-CJK runs containing a letter
+      val alpha =
+        size(regexp_extract_all(text, lit(s"[$CjkClass]"), lit(0))) +
+          size(regexp_extract_all(text,
+            lit(s"[^\\s$CjkClass]*[A-Za-z][^\\s$CjkClass]*"), lit(0)))
+      when(n > 0, alpha.cast(DoubleType) / n.cast(DoubleType)).otherwise(lit(0.0))
+    }
   }
 
   /** The conjunction of the four structural rules at the published
-    * thresholds — true = keep.
+    * thresholds — true = keep. `cjkAware` routes the word-based rules
+    * through the CJK-robust counter (the line-based rules are
+    * script-independent already).
     */
-  def gopherStructuralPass(text: Column): Column =
-    symbolToWordRatio(text) <= 0.1 &&
+  def gopherStructuralPass(text: Column, cjkAware: Boolean = false): Column =
+    symbolToWordRatio(text, cjkAware) <= 0.1 &&
       bulletLineFraction(text) <= 0.9 &&
       ellipsisLineFraction(text) <= 0.3 &&
-      alphaWordRatio(text) >= 0.8
+      alphaWordRatio(text, cjkAware) >= 0.8
 
   /** Language-ID marker words: a tiny deterministic n-gram/stopword
     * heuristic (public fastText-style idea reduced to marker tokens).

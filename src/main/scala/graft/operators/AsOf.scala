@@ -77,6 +77,55 @@ object AsOf {
     joinDirectional(left, right, keys, leftTs, rightTs, payloadCols,
       tieBreak, tolerance, forward = true)
 
+  /** Nearest as-of: the right row closest to `leftTs` in EITHER
+    * direction (backward wins exact-distance ties — the convention that
+    * keeps pure-lookup semantics stable when a right row sits at
+    * exactly `leftTs` ± the same gap). Composed from the two
+    * directional merges — two key shuffles instead of one, but each is
+    * the same payload-once tagged union; the arbitration is a narrow
+    * per-row comparison of the two candidate structs. `tolerance`
+    * bounds the distance on both sides.
+    */
+  def joinNearest(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      payloadCols: Seq[String] = Seq.empty,
+      tieBreak: Option[String] = None,
+      tolerance: Option[Column] = None
+  ): DataFrame = {
+    val back = joinDirectional(left, right, keys, leftTs, rightTs,
+      payloadCols, tieBreak, tolerance, forward = false)
+      .withColumnRenamed("matched", "_mb")
+    val fwd = joinDirectional(left, right, keys, leftTs, rightTs,
+        payloadCols, tieBreak, tolerance, forward = true)
+      .select((keys.map(col) :+ col(leftTs) :+ col("matched").as("_mf")): _*)
+    // re-join on (keys, leftTs): both sides carry one row per original
+    // left row — but only if (keys, leftTs) is unique; duplicated left
+    // rows would cross-match. Guard by folding the forward pass's match
+    // per (keys, ts): all duplicates of a left row get the same answer
+    // anyway (the merge is a pure function of (keys, ts)).
+    val joinCols = keys :+ leftTs
+    val fwdDistinct = fwd.groupBy(joinCols.map(col): _*)
+      .agg(first(col("_mf")).as("_mf"))
+    // both distances are nonnegative BY DIRECTION (backward matches at
+    // _t <= leftTs, forward at _t >= leftTs), so plain subtraction in
+    // the ts column's own type compares exactly — numeric ts diff as
+    // numbers, TIMESTAMP diff as microsecond intervals; no lossy casts
+    val bdist = col(leftTs) - col("_mb._t")
+    val fdist = col("_mf._t") - col(leftTs)
+    val leftCols = left.columns.toSeq
+    back.join(fwdDistinct, joinCols)
+      .withColumn("matched",
+        when(col("_mb").isNull, col("_mf"))
+          .when(col("_mf").isNull, col("_mb"))
+          .when(fdist < bdist, col("_mf"))
+          .otherwise(col("_mb")))
+      .select(leftCols.map(col) :+ col("matched"): _*)
+  }
+
   private def joinDirectional(
       left: DataFrame,
       right: DataFrame,

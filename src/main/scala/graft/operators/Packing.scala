@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/**
+ * Sequence packing for training-data preparation: assign documents to
+ * fixed-token-budget packs — the "concatenate and chunk" step that turns
+ * a curated corpus into training sequences (every GPT-style pipeline
+ * ends with it; packing density directly sets tokens-per-step).
+ *
+ * Semantics: within each stratum, documents are laid out in `orderCol`
+ * order on one conceptual token tape; a document belongs to the pack its
+ * FIRST token falls into (`pack_id = floor(preceding_tokens / budget)`).
+ * This is the deterministic concat-and-chunk rule, not bin packing: a
+ * doc can straddle a boundary (its tail spills into the next pack, as
+ * the training tokenizer's chunker would), packs average exactly
+ * `budget` tokens, and the assignment is reproducible by any engine
+ * with a window sum — no greedy state machine, no first-fit heuristics.
+ *
+ * Scale shape: one shuffle on the strata (inherent — packing is
+ * ORDER-defined within a stratum, so the stratum's docs must meet), a
+ * per-partition sort by `orderCol`, and a running sum; token counts ride
+ * along as longs. Strata bound the sort: pack within (source, shard) —
+ * never one global stratum — and each task sorts only its strata. The
+ * window here IS the algorithm (a running total), not a reduction a
+ * hash aggregate could do.
+ */
+object Packing {
+
+  /** Adds `pack_id` (0-based within the stratum) and `pack_offset` (the
+    * doc's first-token position within its pack). `tokens` is the
+    * per-doc token count column (e.g. `TextFunctions.tokenCount` — or
+    * `tokenCountCjk` for multilingual mixes, computed upstream so the
+    * count is visible to the caller too).
+    */
+  def packByTokenBudget(
+      df: DataFrame,
+      tokens: Column,
+      orderCol: String,
+      budget: Long,
+      strataCols: Seq[String] = Seq.empty
+  ): DataFrame = {
+    require(budget > 0, s"token budget must be positive, got $budget")
+    val w = (if (strataCols.nonEmpty)
+        Window.partitionBy(strataCols.map(col): _*)
+      else Window.partitionBy())
+      .orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // integer `div`, not Column `/` (double division — rounds past 2^53,
+    // and a training corpus CAN exceed 9e15 cumulative tokens)
+    df.withColumn("_prev", (sum(tokens).over(w) - tokens).cast(LongType))
+      .withColumn("pack_id", expr(s"_prev div ${budget}L"))
+      .withColumn("pack_offset", (col("_prev") % budget).cast(LongType))
+      .drop("_prev")
+  }
+
+  /** Pack-level summary: docs per pack and total tokens STARTING in each
+    * pack (boundary-straddling tails count toward the pack they start
+    * in). The aggregate reuses the packing exchange when composed
+    * directly on [[packByTokenBudget]]'s output.
+    */
+  def packSummary(
+      packed: DataFrame,
+      tokens: Column,
+      strataCols: Seq[String] = Seq.empty
+  ): DataFrame =
+    packed.groupBy((strataCols :+ "pack_id").map(col): _*)
+      .agg(count(lit(1)).as("n_docs"), sum(tokens).as("n_tokens"))
+}

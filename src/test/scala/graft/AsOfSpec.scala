@@ -62,6 +62,31 @@ class AsOfSpec extends SparkSpec {
     assert(out(2L).isEmpty)        // nearest-after is 200: lookahead 50 > 10
   }
 
+  test("nearest as-of: closer side wins, backward wins exact ties, tolerance bounds both") {
+    val nl = Seq(
+      (1L, "u1", 120L), // back 100 (dist 20) vs fwd 200 (dist 80) -> back
+      (2L, "u1", 190L), // back 100 (90) vs fwd 200 (10) -> fwd
+      (3L, "u1", 150L), // equidistant (50/50) -> backward convention
+      (4L, "u1", 30L),  // nothing before -> fwd 100
+      (5L, "u2", 10L)   // no right rows at all
+    ).toDF("id", "user", "t")
+    val out = AsOf.joinNearest(nl, right, Seq("user"), "t", "rt",
+        tieBreak = Some("seq"))
+      .select(col("id"), col("matched._t").as("mt"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(out(1L).contains(100L))
+    assert(out(2L).contains(200L))
+    assert(out(3L).contains(100L)) // tie -> backward
+    assert(out(4L).contains(100L))
+    assert(out(5L).isEmpty)
+    val tol = AsOf.joinNearest(nl, right, Seq("user"), "t", "rt",
+        tieBreak = Some("seq"), tolerance = Some(lit(15L)))
+      .select(col("id"), col("matched._t").as("mt"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(tol(2L).contains(200L)) // 10 <= 15
+    assert(tol(1L).isEmpty)        // 20 > 15 both ways
+  }
+
   test("one shuffle per side: the plan sorts within key partitions, no range join") {
     val q = AsOf.joinBackward(left, right, Seq("user"), "t", "rt")
     val plan = q.queryExecution.executedPlan.toString

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Packing
+
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("concat-and-chunk: pack by first-token position, straddlers spill, strata independent") {
+    val d = Seq(
+      // stratum a: tokens 6,3,4 with budget 8 → prev 0,6,9
+      (1L, "a", 6L), (2L, "a", 3L), (3L, "a", 4L),
+      // stratum b: one doc larger than the budget still gets a pack
+      (10L, "b", 20L), (11L, "b", 1L)
+    ).toDF("id", "src", "n")
+    val out = Packing.packByTokenBudget(d, col("n"), "id", budget = 8L,
+        strataCols = Seq("src"))
+      .select("id", "pack_id", "pack_offset")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == ((0L, 0L)))
+    assert(out(2L) == ((0L, 6L))) // starts inside pack 0, tail spills into 1
+    assert(out(3L) == ((1L, 1L))) // first token at position 9
+    assert(out(10L) == ((0L, 0L)))
+    assert(out(11L) == ((2L, 4L))) // prev 20 → pack 2, offset 4
+    // summary: token totals by starting pack
+    val s = Packing.packSummary(
+        Packing.packByTokenBudget(d, col("n"), "id", 8L, Seq("src")),
+        col("n"), Seq("src"))
+      .select("src", "pack_id", "n_docs", "n_tokens")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(s.contains(("a", 0L, 2L, 9L)))
+    assert(s.contains(("a", 1L, 1L, 4L)))
+  }
+
+  test("single global stratum works and ordering is total") {
+    val d = (1L to 100L).map(i => (i, 10L)).toDF("id", "n")
+    val out = Packing.packByTokenBudget(d, col("n"), "id", budget = 35L)
+      .select("id", "pack_id").as[(Long, Long)].collect().toMap
+    // doc i has prev = 10(i-1); pack = floor(10(i-1)/35)
+    (1L to 100L).foreach { i =>
+      assert(out(i) == (10 * (i - 1)) / 35, s"doc $i")
+    }
+  }
+}

@@ -157,4 +157,25 @@ class TextVectorFunctionsSpec extends SparkSpec {
       .select(TextFunctions.tokenCountCjk($"s")).collect()(0)
     assert(n.isNullAt(0))
   }
+
+  test("cjkAware Gopher rules keep an unsegmented Chinese doc the default rules misgrade") {
+    import graft.functions.TextFunctions
+    // a perfectly ordinary Chinese paragraph: one whitespace token under
+    // the default counter (fails the alpha rule at ~0), dozens of tokens
+    // under the CJK counter (passes everything)
+    val zh = "这是一个完全正常的中文段落没有任何质量问题应该被保留在训练数据中"
+    val en = "this is a perfectly normal english paragraph with no quality problems at all"
+    val df = Seq((1L, zh), (2L, en)).toDF("id", "text")
+    val out = df.select($"id",
+        TextFunctions.gopherStructuralPass($"text").as("plain"),
+        TextFunctions.gopherStructuralPass($"text", cjkAware = true).as("cjk"),
+        TextFunctions.alphaWordRatio($"text", cjkAware = true).as("alpha"))
+      .as[(Long, Boolean, Boolean, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(!out(1L)._2, "default rules should (wrongly) reject the zh doc")
+    assert(out(1L)._3, "cjkAware rules should keep it")
+    assert(out(1L)._4 == 1.0) // every CJK codepoint is an alpha word
+    // Latin text: both modes agree
+    assert(out(2L)._2 && out(2L)._3)
+  }
 }
