@@ -452,6 +452,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- quality-weighted sampling: keep probability = fraction ×
+    //      length weight (longer docs kept more) — per-row FNV threshold,
+    //      exact member set recomputed by the oracle
+    "weighted_sample" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"))
+      Sampling.weightedSample(d, "doc_id",
+          least(col("n_tokens").cast(DoubleType) / lit(1000.0), lit(1.0)),
+          fraction = 0.5)
+        .orderBy("doc_id")
+    }),
+
     // ---- corpus token frequencies: the canonical wordcount with a
     //      deterministic top-N cut (freq desc, token asc)
     "token_frequencies" -> ((s, dir) => {
@@ -1382,6 +1394,28 @@ object SparkEntry {
         |)
         |SELECT doc_id, lang, source FROM h
         |WHERE bucket < CASE lang WHEN 'en' THEN 1024 WHEN 'zh' THEN 768 ELSE 512 END
+        |ORDER BY doc_id""".stripMargin,
+
+    // threshold arithmetic mirrored step for step: clamp(n_tok/1000) in
+    // double, × (0.5·1024), floor — identical elementwise ops ⇒ identical
+    // member set
+    "weighted_sample" ->
+      """WITH d AS (
+        | SELECT doc_id, source,
+        |  CAST(len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS BIGINT) AS n_tokens
+        | FROM documents
+        |), h AS (
+        | SELECT doc_id, source, n_tokens,
+        |  CAST(list_reduce(
+        |    list_prepend(CAST('14695981039346656037' AS HUGEINT),
+        |      list_transform(range(1, length(s) + 1), i -> CAST(ascii(s[i]) AS HUGEINT))),
+        |    (acc, b) -> ((acc // 256) * 256 + xor(CAST(acc % 256 AS BIGINT), CAST(b AS BIGINT)))
+        |                * 1099511628211 % CAST('18446744073709551616' AS HUGEINT)
+        |  ) % 1024 AS BIGINT) AS bucket
+        | FROM (SELECT doc_id, source, n_tokens, doc_id::VARCHAR || ':graft' AS s FROM d)
+        |)
+        |SELECT doc_id, source, n_tokens FROM h
+        |WHERE bucket < CAST(FLOOR(LEAST(CAST(n_tokens AS DOUBLE) / 1000.0, 1.0) * 512.0) AS BIGINT)
         |ORDER BY doc_id""".stripMargin,
 
     "token_frequencies" ->

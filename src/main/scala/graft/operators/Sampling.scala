@@ -72,4 +72,28 @@ object Sampling {
     }
     df.filter(sampleBucket(col(keyCol), salt) < thr)
   }
+
+  /** Quality-weighted sampling — the "sample good docs more" mixing
+    * step: each row keeps with probability `fraction × clamp(weight,
+    * 0, 1)`, where `weight` is any per-row column (a quality score, a
+    * length-based weight, an upstream model signal). Same deterministic
+    * FNV decision as the other samplers — append-stable, shuffle-free,
+    * engine-recomputable — with the per-row threshold
+    * `floor(clamp(weight)·fraction·1024)` computed in plain double
+    * arithmetic so an oracle reproduces the exact member set. Rows with
+    * null weight drop (null threshold → null comparison → filtered):
+    * an unscored doc is not silently kept.
+    */
+  def weightedSample(
+      df: DataFrame,
+      keyCol: String,
+      weight: Column,
+      fraction: Double,
+      salt: String = "graft"
+  ): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction must be in [0,1], got $fraction")
+    val w = least(greatest(weight.cast("double"), lit(0.0)), lit(1.0))
+    val thr = floor(w * lit(fraction * Buckets)).cast("long")
+    df.filter(sampleBucket(col(keyCol), salt) < thr)
+  }
 }

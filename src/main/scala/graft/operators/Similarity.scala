@@ -337,6 +337,30 @@ object Similarity {
     cents
   }
 
+  /** End-to-end IVF index build: seed `c` centroids deterministically,
+    * refine with `iterations` Lloyd passes, assign the corpus, persist
+    * it partitioned by `centroid_id` at `path` (the [[writeAssigned]]
+    * layout [[ivfTopKPartitioned]] probes), and return the centroids —
+    * the one artifact the query side still needs. Cost: `iterations + 1`
+    * corpus passes (each narrow) + one partitioned write; at 100 TB this
+    * is the offline "build index" job you run once per corpus version,
+    * after which every query reads nprobe/C of the files.
+    */
+  def buildIvfIndex(
+      corpus: DataFrame,
+      corpusId: String,
+      corpusVec: String,
+      c: Int,
+      iterations: Int,
+      path: String,
+      metric: CentroidMetric = CentroidMetric.Cosine
+  ): DataFrame = {
+    val cents = refineCentroids(corpus, corpusId, corpusVec,
+      seedCentroids(corpus, corpusId, corpusVec, c), iterations, metric)
+    writeAssigned(assignToCentroids(corpus, corpusId, corpusVec, cents, metric), path)
+    cents
+  }
+
   /** Deterministic centroid seeding without a kmeans dependency: take the
     * `c` corpus vectors with the smallest xxhash64(id) — uniform pseudo-
     * random, reproducible, one pass.

@@ -54,4 +54,38 @@ class SamplingSpec extends SparkSpec {
     val plan = out.queryExecution.executedPlan.toString
     assert(!plan.contains("Join") && !plan.contains("Exchange"), plan)
   }
+
+  test("weighted sample: probability scales with the weight, nulls drop, stays narrow") {
+    val df = spark.range(10000).select(col("id"),
+      (col("id") % 4).cast("double").as("w4")) // weights 0,1,2,3 (clamped to 1)
+    // weight 1.0 everywhere == plain deterministic sample at the fraction
+    val plain = Sampling.deterministicSample(df, "id", 0.5)
+      .select("id").as[Long].collect().toSet
+    val unit = Sampling.weightedSample(df, "id", lit(1.0), 0.5)
+      .select("id").as[Long].collect().toSet
+    assert(unit == plain)
+    // weight 0 drops everything; over-1 weights clamp to the fraction
+    assert(Sampling.weightedSample(df, "id", lit(0.0), 0.5).count() == 0)
+    val clamped = Sampling.weightedSample(df, "id", col("w4"), 0.5)
+      .select("id").as[Long].collect().toSet
+    // rows with w4 == 0 never appear; w4 >= 1 behaves like weight 1
+    assert(!clamped.exists(_ % 4 == 0))
+    assert(clamped == plain.filter(_ % 4 != 0))
+    // half weight ⇒ a SUBSET of the full-weight sample (threshold only
+    // shrinks), at roughly half the rate
+    val half = Sampling.weightedSample(df, "id", lit(0.5), 0.5)
+      .select("id").as[Long].collect().toSet
+    assert(half.subsetOf(plain))
+    assert(half.size > plain.size / 3 && half.size < 2 * plain.size / 3)
+    // null weight drops, not keeps
+    val withNull = df.select(col("id"),
+      when(col("id") < 5000, lit(1.0)).as("w")) // null for id >= 5000
+    val nn = Sampling.weightedSample(withNull, "id", col("w"), 1.0)
+      .select("id").as[Long].collect()
+    assert(nn.forall(_ < 5000) && nn.nonEmpty)
+    // still narrow: codegen'd hash + filter, no join/exchange
+    val plan = Sampling.weightedSample(df, "id", col("w4"), 0.5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Exchange"), plan)
+  }
 }

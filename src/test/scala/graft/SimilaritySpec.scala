@@ -174,4 +174,25 @@ class SimilaritySpec extends SparkSpec {
     // assignment must be exact
     assert(bad.isEmpty)
   }
+
+  test("buildIvfIndex: one call builds the partitioned layout ivfTopKPartitioned probes exactly") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val path = java.nio.file.Files.createTempDirectory("graft-ivfbuild").toString
+    val cents = Similarity.buildIvfIndex(emb, "id", "vec", c = 4, iterations = 1, path)
+    assert(cents.count() == 4)
+    // the written layout is the partitionBy(centroid_id) contract
+    val dirs = new java.io.File(path).listFiles()
+      .count(_.getName.startsWith("centroid_id="))
+    assert(dirs > 0 && dirs <= 4)
+    // identical-twin queries find themselves through the pruned probe
+    val q = emb.filter(col("id") < 3)
+      .select((col("id") + 1000000L).as("qid"), col("vec").as("qvec"))
+    val top = Similarity.ivfTopKPartitioned(path, "id", "vec", cents, q,
+        "qid", "qvec", k = 1, nprobe = 1)
+      .select(col("query_id"), col("neighbor_id"))
+      .as[(Long, Long)].collect().toMap
+    (0L until 3L).foreach(i => assert(top(i + 1000000L) == i))
+  }
 }
