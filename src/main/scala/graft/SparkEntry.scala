@@ -537,6 +537,24 @@ object SparkEntry {
       ).orderBy("doc_id")
     }),
 
+    // ---- script-aware language ID: zh/ja/ko by codepoint class (marker
+    //      words can't see non-space-delimited languages), Latin falls
+    //      through to the marker heuristic. The gate splices CJK blocks
+    //      onto a short prefix of every 4th doc so each script branch is
+    //      really exercised against the oracle
+    "lang_id_script" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val zh = " 这是一段中文文本用于检测语言识别功能的正确性需要足够多的汉字"
+      val ja = " これはにほんごのテキストですかなもじがたくさんふくまれています"
+      val ko = " 이것은한국어텍스트입니다한글음절이충분히많이포함되어있습니다"
+      val mixed = when(col("doc_id") % 4 === 0, concat(substring(col("text"), 1, 20), lit(zh)))
+        .when(col("doc_id") % 4 === 1, concat(substring(col("text"), 1, 20), lit(ja)))
+        .when(col("doc_id") % 4 === 2, concat(substring(col("text"), 1, 20), lit(ko)))
+        .otherwise(col("text"))
+      d.select(col("doc_id"),
+        TextFunctions.langIdWithScript(mixed).as("pred_lang")).orderBy("doc_id")
+    }),
+
     // ---- ANN: exact top-k by dot product, k-bounded two-stage reduction
     //      (graft_topk aggregate — no all-rows window shuffle). Both
     //      engines left-fold the elementwise double products (Spark
@@ -1521,6 +1539,48 @@ object SparkEntry {
         |)
         |SELECT doc_id,
         | CASE WHEN s_en > 0 AND s_en = greatest(s_en, s_es, s_fr, s_de) THEN 'en'
+        |      WHEN s_es > 0 AND s_es = greatest(s_en, s_es, s_fr, s_de) THEN 'es'
+        |      WHEN s_fr > 0 AND s_fr = greatest(s_en, s_es, s_fr, s_de) THEN 'fr'
+        |      WHEN s_de > 0 AND s_de = greatest(s_en, s_es, s_fr, s_de) THEN 'de'
+        |      ELSE 'und' END AS pred_lang
+        |FROM sc ORDER BY doc_id""".stripMargin,
+
+    // script rules mirrored with the same explicit codepoint ranges and
+    // the same fraction arithmetic; the fall-through repeats the marker
+    // CASE of the lang_id oracle
+    "lang_id_script" ->
+      """WITH m AS (
+        | SELECT doc_id,
+        |  CASE CAST(doc_id % 4 AS INTEGER)
+        |   WHEN 0 THEN substr(text, 1, 20) || ' 这是一段中文文本用于检测语言识别功能的正确性需要足够多的汉字'
+        |   WHEN 1 THEN substr(text, 1, 20) || ' これはにほんごのテキストですかなもじがたくさんふくまれています'
+        |   WHEN 2 THEN substr(text, 1, 20) || ' 이것은한국어텍스트입니다한글음절이충분히많이포함되어있습니다'
+        |   ELSE text END AS t
+        | FROM documents
+        |), c AS (
+        | SELECT doc_id, t,
+        |  CAST(len(regexp_extract_all(t, '[^ \t\n\x{0B}\f\r]')) AS DOUBLE) AS nonws,
+        |  CAST(len(regexp_extract_all(t, '[\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}\x{F900}-\x{FAFF}\x{20000}-\x{2FFFF}]')) AS DOUBLE) AS han,
+        |  CAST(len(regexp_extract_all(t, '[\x{3040}-\x{30FF}]')) AS DOUBLE) AS kana,
+        |  CAST(len(regexp_extract_all(t, '[\x{AC00}-\x{D7AF}]')) AS DOUBLE) AS hangul
+        | FROM m
+        |), f AS (
+        | SELECT doc_id, nonws, han, kana, hangul,
+        |  list_filter(string_split_regex(trim(lower(t)), '\s+'), x -> x <> '') AS toks
+        | FROM c
+        |), sc AS (
+        | SELECT doc_id, nonws, han, kana, hangul,
+        |  len(list_filter(toks, x -> x IN ('the','and','of','to','is'))) AS s_en,
+        |  len(list_filter(toks, x -> x IN ('el','la','de','que','los'))) AS s_es,
+        |  len(list_filter(toks, x -> x IN ('le','la','les','des','est'))) AS s_fr,
+        |  len(list_filter(toks, x -> x IN ('der','die','das','und','ist'))) AS s_de
+        | FROM f
+        |)
+        |SELECT doc_id,
+        | CASE WHEN nonws > 0 AND kana / nonws > 0.05 AND (han + kana) / nonws >= 0.3 THEN 'ja'
+        |      WHEN nonws > 0 AND hangul / nonws >= 0.3 THEN 'ko'
+        |      WHEN nonws > 0 AND han / nonws >= 0.3 THEN 'zh'
+        |      WHEN s_en > 0 AND s_en = greatest(s_en, s_es, s_fr, s_de) THEN 'en'
         |      WHEN s_es > 0 AND s_es = greatest(s_en, s_es, s_fr, s_de) THEN 'es'
         |      WHEN s_fr > 0 AND s_fr = greatest(s_en, s_es, s_fr, s_de) THEN 'fr'
         |      WHEN s_de > 0 AND s_de = greatest(s_en, s_es, s_fr, s_de) THEN 'de'

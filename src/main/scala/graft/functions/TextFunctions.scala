@@ -263,6 +263,35 @@ object TextFunctions {
     }
   }
 
+  /** Script-aware language ID: CJK scripts are decided by CODEPOINT
+    * CLASS (marker words can't see a language whose words aren't
+    * space-delimited — [[langId]] scores every CJK doc "und"), then
+    * non-CJK text falls through to the marker heuristic. Rules, on
+    * fractions of non-whitespace codepoints (all counts are explicit
+    * codepoint-range regex counts, so an oracle reproduces them):
+    *  - kana present (> 5%) and Han+kana ≥ 30% → "ja" (kana is unique
+    *    to Japanese; Japanese prose mixes kanji with kana);
+    *  - Hangul ≥ 30% → "ko";
+    *  - Han ≥ 30% → "zh" (no kana, majority ideographs);
+    *  - otherwise → [[langId]].
+    */
+  def langIdWithScript(text: Column): Column = {
+    val Ws = " \\t\\n\\x0B\\f\\r"
+    val Han = "\\x{3400}-\\x{4DBF}\\x{4E00}-\\x{9FFF}\\x{F900}-\\x{FAFF}\\x{20000}-\\x{2FFFF}"
+    val Kana = "\\x{3040}-\\x{30FF}"
+    val Hangul = "\\x{AC00}-\\x{D7AF}"
+    def cnt(cls: String) =
+      size(regexp_extract_all(text, lit(s"[$cls]"), lit(0))).cast(DoubleType)
+    val nonWs = cnt(s"^$Ws")
+    val han = cnt(Han)
+    val kana = cnt(Kana)
+    val hangul = cnt(Hangul)
+    when(nonWs > 0 && kana / nonWs > 0.05 && (han + kana) / nonWs >= 0.3, lit("ja"))
+      .when(nonWs > 0 && hangul / nonWs >= 0.3, lit("ko"))
+      .when(nonWs > 0 && han / nonWs >= 0.3, lit("zh"))
+      .otherwise(langId(text))
+  }
+
   /** Corpus-level token frequency table — the canonical wordcount, the
     * raw material for stopword discovery and Zipf diagnostics. One
     * explode + map-side-combined hash aggregate; `topN` with a

@@ -158,6 +158,23 @@ class TextVectorFunctionsSpec extends SparkSpec {
     assert(n.isNullAt(0))
   }
 
+  test("script-aware langId: zh/ja/ko by codepoint class, Latin falls through to markers") {
+    import graft.functions.TextFunctions
+    val cases = Seq(
+      (1L, "这是一段很长的中文文本没有任何假名只有汉字", "zh"),
+      (2L, "これはにほんごのテキストですかなまる", "ja"),        // kana-heavy
+      (3L, "日本語の文章は漢字とかなを混ぜて書きます", "ja"),    // kanji + kana
+      (4L, "이것은 한국어 텍스트입니다 한글 음절", "ko"),
+      (5L, "the quick brown fox and the lazy dog", "en"),
+      (6L, "el perro y el gato de la casa que los", "es"),
+      (7L, "xq zt vw", "und")
+    ).toDF("id", "text", "want")
+    val out = cases.select($"id", $"want",
+        TextFunctions.langIdWithScript($"text").as("got"))
+      .as[(Long, String, String)].collect()
+    out.foreach { case (i, want, got) => assert(got == want, s"case $i: $got != $want") }
+  }
+
   test("cjkAware Gopher rules keep an unsegmented Chinese doc the default rules misgrade") {
     import graft.functions.TextFunctions
     // a perfectly ordinary Chinese paragraph: one whitespace token under
