@@ -50,26 +50,34 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    val results = selected.map { case (name, fn) =>
-      // median of N runs: single-shot numbers carry JIT/GC noise that made
-      // round-over-round per-query deltas untrustworthy. min is recorded
-      // alongside so cross-round comparisons can split machine noise from
-      // real regressions without a re-run (min is the low-noise floor).
-      var failed = false
-      val times = (0 until runsPerQuery).map { _ =>
-        val t0 = System.nanoTime()
-        // noop write forces full evaluation of every output column — a bare
-        // .count() lets Catalyst prune projections and EliminateSorts drop
-        // sorts, benchmarking narrow queries as little more than a scan
-        try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
-        catch { case e: Throwable =>
-          // a failed query must not score as a plausible-looking time
-          failed = true
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        }
-        (System.nanoTime() - t0) / 1e9
-      }.sorted
-      (name, times(times.length / 2), times.head, failed)
+    // INTERLEAVED runs: pass r runs every query once, then pass r+1 —
+    // NOT N consecutive runs per query. A co-tenant load burst then hits
+    // one pass of many queries instead of every run of one query, so
+    // per-query medians/mins stay comparable across rounds (the r4/r5
+    // "regressions" were exactly consecutive-run bursts).
+    val times = Array.fill(selected.length)(Vector.empty[Double])
+    val failed = Array.fill(selected.length)(false)
+    for (_ <- 0 until runsPerQuery; i <- selected.indices) {
+      val (name, fn) = selected(i)
+      val t0 = System.nanoTime()
+      // noop write forces full evaluation of every output column — a bare
+      // .count() lets Catalyst prune projections and EliminateSorts drop
+      // sorts, benchmarking narrow queries as little more than a scan
+      try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
+      catch { case e: Throwable =>
+        // a failed query must not score as a plausible-looking time
+        failed(i) = true
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      }
+      times(i) :+= (System.nanoTime() - t0) / 1e9
+    }
+    // median of N runs: single-shot numbers carry JIT/GC noise that made
+    // round-over-round per-query deltas untrustworthy. min is recorded
+    // alongside so cross-round comparisons can split machine noise from
+    // real regressions without a re-run (min is the low-noise floor).
+    val results = selected.indices.map { i =>
+      val ts = times(i).sorted
+      (selected(i)._1, ts(ts.length / 2), ts.head, failed(i))
     }
     val ok = results.filterNot(_._4)
     def jmap(rs: Seq[(String, Double)]): String =
@@ -84,7 +92,7 @@ object Bench {
     val total = if (ok.nonEmpty) ok.map(_._2).sum else 0.0
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs""" +
       s""","queries_min":$mins,"failed_queries":$failedNames""" +
-      s""","runs_per_query":$runsPerQuery,"stat":"median","sf":"$sfDir"}"""
+      s""","runs_per_query":$runsPerQuery,"stat":"median","interleaved":true,"sf":"$sfDir"}"""
     println(line)
     // belt-and-braces: also persist the JSON where the driver can read it
     // even if stdout is decorated by the launcher

@@ -488,6 +488,27 @@ object SparkEntry {
       ).orderBy("doc_id")
     }),
 
+    // ---- CJK-aware Gopher/quality rules: the word-based rules routed
+    //      through the CJK-robust counter + the stopword-free quality
+    //      score. The gate APPENDS a fixed mixed CJK/Latin suffix to
+    //      every doc (same splice as token_count_cjk) so the CJK
+    //      arithmetic is really exercised against the oracle's
+    //      explicit-range counts
+    "text_gopher_quality_cjk" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val mixed = concat(col("text"), lit(" 你好世界 abc漢字です test"))
+      d.select(
+        col("doc_id"),
+        TextFunctions.tokenCountCjk(mixed).as("cjk_tokens"),
+        round(TextFunctions.symbolToWordRatio(mixed, cjkAware = true), 4)
+          .as("symbol_ratio"),
+        round(TextFunctions.alphaWordRatio(mixed, cjkAware = true), 4)
+          .as("alpha_ratio"),
+        TextFunctions.gopherStructuralPass(mixed, cjkAware = true).as("keep"),
+        TextFunctions.qualityScore(mixed, cjkAware = true).as("quality")
+      ).orderBy("doc_id")
+    }),
+
     "token_count" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       d.select(
@@ -624,6 +645,21 @@ object SparkEntry {
         .orderBy("col_name")
     }),
 
+    // ---- scale-path profiling: the partial-aggregable approx_percentile
+    //      form. Sketch percentiles can't be hash-compared across
+    //      engines, so the gate projects them OUT and oracles the exact
+    //      columns (counts/min/max/decimal-accumulated mean — identical
+    //      arithmetic in both forms); the sketch's accuracy bounds are
+    //      spec-pinned in ProfileSpec
+    "profile_numeric_approx" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      Profile.numericApprox(li,
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .select(col("col_name"), col("n"), col("nulls"),
+          col("min"), col("max"), col("mean"))
+        .orderBy("col_name")
+    }),
+
     // ---- salted skew join: result must be EXACTLY the plain join's
     //      (salting redistributes work, never changes the multiset);
     //      the oracle is the unsalted SQL join
@@ -675,6 +711,30 @@ object SparkEntry {
         .agg(max(col("event_id")).as("view_id"),
           max_by(col("value"), col("event_id")).as("view_value"))
       AsOf.joinForward(clicks, views, Seq("user_id"), "ts", "ts",
+          payloadCols = Seq("view_id", "view_value"))
+        .select(
+          col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          col("matched.view_id").as("matched_view_id"),
+          col("matched.view_value").as("matched_value"),
+          unix_micros(col("matched._t")).as("matched_ts_us"))
+        .orderBy("event_id")
+    }),
+
+    // ---- as-of join, NEAREST: the view closest to each click in EITHER
+    //      direction, backward winning exact-distance ties — ONE key
+    //      shuffle (two windows over the same tagged union). The oracle
+    //      composes DuckDB's backward + forward ASOF with the same
+    //      arbitration rule in SQL
+    "asof_join_nearest" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("view_id"),
+          max_by(col("value"), col("event_id")).as("view_value"))
+      AsOf.joinNearest(clicks, views, Seq("user_id"), "ts", "ts",
           payloadCols = Seq("view_id", "view_value"))
         .select(
           col("event_id"), col("user_id"),
@@ -1433,7 +1493,7 @@ object SparkEntry {
         | FROM (SELECT doc_id, source, n_tokens, doc_id::VARCHAR || ':graft' AS s FROM d)
         |)
         |SELECT doc_id, source, n_tokens FROM h
-        |WHERE bucket < CAST(FLOOR(LEAST(CAST(n_tokens AS DOUBLE) / 1000.0, 1.0) * 512.0) AS BIGINT)
+        |WHERE bucket < CAST(ROUND(LEAST(CAST(n_tokens AS DOUBLE) / 1000.0, 1.0) * 512.0) AS BIGINT)
         |ORDER BY doc_id""".stripMargin,
 
     "token_frequencies" ->
@@ -1472,6 +1532,46 @@ object SparkEntry {
         | ROUND(alpha_ratio, 4) AS alpha_ratio,
         | (symbol_ratio <= 0.1 AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3
         |   AND alpha_ratio >= 0.8) AS keep
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    // CJK-aware variants: token counts and alpha words mirrored with the
+    // same explicit codepoint ranges as graft.plans.CjkTokenCount (each
+    // CJK codepoint = one word, and alphabetic); quality drops the
+    // English-stopword component (weights 0.6 len / 0.4 punct)
+    "text_gopher_quality_cjk" ->
+      """WITH m AS (
+        | SELECT doc_id, text || ' 你好世界 abc漢字です test' AS t FROM documents
+        |), c AS (
+        | SELECT doc_id, t,
+        |  CAST(len(regexp_extract_all(t, '[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}\x{AC00}-\x{D7AF}\x{F900}-\x{FAFF}\x{20000}-\x{2FFFF}]'))
+        |     + len(regexp_extract_all(t, '[^ \t\n\x{0B}\f\r\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}\x{AC00}-\x{D7AF}\x{F900}-\x{FAFF}\x{20000}-\x{2FFFF}]+')) AS BIGINT) AS n_tok,
+        |  CAST(len(regexp_extract_all(t, '[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}\x{AC00}-\x{D7AF}\x{F900}-\x{FAFF}\x{20000}-\x{2FFFF}]'))
+        |     + len(regexp_extract_all(t, '[^ \t\n\x{0B}\f\r\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}\x{AC00}-\x{D7AF}\x{F900}-\x{FAFF}\x{20000}-\x{2FFFF}]*[A-Za-z][^ \t\n\x{0B}\f\r\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}\x{AC00}-\x{D7AF}\x{F900}-\x{FAFF}\x{20000}-\x{2FFFF}]*')) AS BIGINT) AS n_alpha,
+        |  CAST(length(t) - length(replace(t, '#', '')) AS DOUBLE) AS n_hash,
+        |  CAST(length(t) - length(replace(t, '...', '')) AS DOUBLE) / 3.0 AS n_ell,
+        |  CAST(len(string_split(t, chr(10))) AS BIGINT) AS n_lines,
+        |  CAST(len(regexp_extract_all(t, '(?m)^[ \t]*[-*•]')) AS BIGINT) AS n_bullet,
+        |  CAST(len(regexp_extract_all(t, '(?m)(\.\.\.|…)[ \t]*$')) AS BIGINT) AS n_elline,
+        |  CASE WHEN length(t) > 0
+        |       THEN CAST(length(regexp_replace(t, '[^[:punct:]]', '', 'g')) AS DOUBLE) / CAST(length(t) AS DOUBLE)
+        |       ELSE 0.0 END AS punct_ratio
+        | FROM m
+        |), r AS (
+        | SELECT doc_id, n_tok, punct_ratio,
+        |  CASE WHEN n_tok > 0 THEN (n_hash + n_ell) / CAST(n_tok AS DOUBLE) ELSE 0.0 END AS symbol_ratio,
+        |  CASE WHEN n_lines > 0 THEN CAST(n_bullet AS DOUBLE) / CAST(n_lines AS DOUBLE) ELSE 0.0 END AS bullet_frac,
+        |  CASE WHEN n_lines > 0 THEN CAST(n_elline AS DOUBLE) / CAST(n_lines AS DOUBLE) ELSE 0.0 END AS ellipsis_frac,
+        |  CASE WHEN n_tok > 0 THEN CAST(n_alpha AS DOUBLE) / CAST(n_tok AS DOUBLE) ELSE 0.0 END AS alpha_ratio
+        | FROM c
+        |)
+        |SELECT doc_id,
+        | n_tok AS cjk_tokens,
+        | ROUND(symbol_ratio, 4) AS symbol_ratio,
+        | ROUND(alpha_ratio, 4) AS alpha_ratio,
+        | (symbol_ratio <= 0.1 AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3
+        |   AND alpha_ratio >= 0.8) AS keep,
+        | ROUND((CASE WHEN n_tok BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END) * 0.6
+        |     + (CASE WHEN punct_ratio < 0.2 THEN 1.0 ELSE 0.0 END) * 0.4, 2) AS quality
         |FROM r ORDER BY doc_id""".stripMargin,
 
     "token_count" ->
@@ -1648,6 +1748,20 @@ object SparkEntry {
            |FROM lineitem""".stripMargin
       }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")),
 
+    // exact columns of the sketch-path profile (percentiles projected out
+    // — a GK sketch is not hash-comparable across engines)
+    "profile_numeric_approx" ->
+      (Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax").map { c =>
+        s"""SELECT '$c' AS col_name,
+           | CAST(count($c) AS BIGINT) AS n,
+           | CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls,
+           | CAST(min($c) AS DOUBLE) AS min, CAST(max($c) AS DOUBLE) AS max,
+           | CASE WHEN count($c) > 0
+           |      THEN CAST(CAST(sum(CAST($c AS DECIMAL(38,2))) AS DOUBLE) AS DOUBLE) / count($c)
+           |      ELSE NULL END AS mean
+           |FROM lineitem""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")),
+
     "salted_join" ->
       """SELECT o.o_orderstatus, CAST(count(*) AS BIGINT) AS n,
         | CAST(CAST(sum(CAST(l.l_quantity AS DECIMAL(38,2))) AS DECIMAL(38,2)) AS DOUBLE) AS qty
@@ -1687,6 +1801,42 @@ object SparkEntry {
         | r.view_value AS matched_value,
         | epoch_us(r.ts) AS matched_ts_us
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts
+        |ORDER BY 1""".stripMargin,
+
+    // nearest = backward ASOF + forward ASOF + the engine's arbitration
+    // rule verbatim: forward wins iff strictly closer (backward wins
+    // ties); a missing side falls to the other; both missing -> NULLs.
+    // l.event_id is unique per click, so the b/f recombination join is
+    // exact (the engine needs no such join — one shuffle, two windows)
+    "asof_join_nearest" ->
+      """WITH l AS (
+        | SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+        |), r AS (
+        | SELECT user_id, ts, max(event_id) AS view_id, arg_max(value, event_id) AS view_value
+        | FROM events WHERE event_type = 'view' GROUP BY 1, 2
+        |), b AS (
+        | SELECT l.event_id, l.user_id, l.ts,
+        |        r.view_id AS bid, r.view_value AS bval, r.ts AS bts
+        | FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+        |), f AS (
+        | SELECT l.event_id, r.view_id AS fid, r.view_value AS fval, r.ts AS fts
+        | FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts
+        |)
+        |SELECT b.event_id AS event_id, b.user_id AS user_id,
+        | epoch_us(b.ts) AS ts_us,
+        | CASE WHEN b.bts IS NULL THEN f.fid
+        |      WHEN f.fts IS NULL THEN b.bid
+        |      WHEN epoch_us(f.fts) - epoch_us(b.ts) < epoch_us(b.ts) - epoch_us(b.bts) THEN f.fid
+        |      ELSE b.bid END AS matched_view_id,
+        | CASE WHEN b.bts IS NULL THEN f.fval
+        |      WHEN f.fts IS NULL THEN b.bval
+        |      WHEN epoch_us(f.fts) - epoch_us(b.ts) < epoch_us(b.ts) - epoch_us(b.bts) THEN f.fval
+        |      ELSE b.bval END AS matched_value,
+        | CASE WHEN b.bts IS NULL THEN epoch_us(f.fts)
+        |      WHEN f.fts IS NULL THEN epoch_us(b.bts)
+        |      WHEN epoch_us(f.fts) - epoch_us(b.ts) < epoch_us(b.ts) - epoch_us(b.bts) THEN epoch_us(f.fts)
+        |      ELSE epoch_us(b.bts) END AS matched_ts_us
+        |FROM b JOIN f ON b.event_id = f.event_id
         |ORDER BY 1""".stripMargin,
 
     "sessionize" ->

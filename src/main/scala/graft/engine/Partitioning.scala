@@ -49,6 +49,16 @@ object Partitioning {
     * (small local files) — conservative in the right direction: both
     * sides of the comparison are then "starved", and the repartition
     * fires exactly as before.
+    *
+    * CONTRACT: the stats come from the relation's WHOLE file listing —
+    * partition pruning and pushed filters in `df`'s own plan are not
+    * subtracted, so a heavily pruned scan is overestimated and
+    * [[spreadByKey]] may skip a repartition the pruned input would have
+    * wanted (perf-only: work still distributes over the real splits).
+    * Call it on unpruned base scans — the shape of every current call
+    * site (the Dedup/text pipeline heads, which scan the full corpus).
+    * `location.inputFiles` also forces a file listing per call; fine for
+    * pipeline heads, not for per-batch loops.
     */
   private def scanParallelism(df: DataFrame): Int = {
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}

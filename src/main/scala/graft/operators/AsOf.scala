@@ -80,11 +80,16 @@ object AsOf {
   /** Nearest as-of: the right row closest to `leftTs` in EITHER
     * direction (backward wins exact-distance ties — the convention that
     * keeps pure-lookup semantics stable when a right row sits at
-    * exactly `leftTs` ± the same gap). Composed from the two
-    * directional merges — two key shuffles instead of one, but each is
-    * the same payload-once tagged union; the arbitration is a narrow
-    * per-row comparison of the two candidate structs. `tolerance`
-    * bounds the distance on both sides.
+    * exactly `leftTs` ± the same gap). ONE key shuffle: both directional
+    * merges run as two windows over the SAME tagged union — identical
+    * `partitionBy`, opposite `orderBy` — so Spark plans one Exchange
+    * feeding two Sort+Window passes (no second shuffle, no
+    * recombination join; the earlier composed form paid two union
+    * shuffles plus a join — and its inner equi-join dropped left rows
+    * with null keys/ts, which this form preserves like the directional
+    * joins do). The arbitration is a narrow per-row comparison of the
+    * two candidate structs. `tolerance` bounds the distance on both
+    * sides.
     */
   def joinNearest(
       left: DataFrame,
@@ -96,47 +101,57 @@ object AsOf {
       tieBreak: Option[String] = None,
       tolerance: Option[Column] = None
   ): DataFrame = {
-    val back = joinDirectional(left, right, keys, leftTs, rightTs,
-      payloadCols, tieBreak, tolerance, forward = false)
-      .withColumnRenamed("matched", "_mb")
-    val fwd = joinDirectional(left, right, keys, leftTs, rightTs,
-        payloadCols, tieBreak, tolerance, forward = true)
-      .select((keys.map(col) :+ col(leftTs) :+ col("matched").as("_mf")): _*)
-    // re-join on (keys, leftTs): both sides carry one row per original
-    // left row — but only if (keys, leftTs) is unique; duplicated left
-    // rows would cross-match. Guard by folding the forward pass's match
-    // per (keys, ts): all duplicates of a left row get the same answer
-    // anyway (the merge is a pure function of (keys, ts)).
-    val joinCols = keys :+ leftTs
-    val fwdDistinct = fwd.groupBy(joinCols.map(col): _*)
-      .agg(first(col("_mf")).as("_mf"))
+    val (unioned, leftCols) =
+      taggedUnion(left, right, keys, leftTs, rightTs, payloadCols, tieBreak)
+    val wb = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_t").asc, col("_side"), col("_tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_t").desc, col("_side"), col("_tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = unioned
+      .withColumn("_mb", last(col("_m"), ignoreNulls = true).over(wb))
+      .withColumn("_mf", last(col("_m"), ignoreNulls = true).over(wf))
+      .filter(col("_side") === 1)
+    val bounded = tolerance match {
+      case Some(tol) => carried
+        .withColumn("_mb", when(col("_mb._t") >= col("_t") - tol, col("_mb")))
+        .withColumn("_mf", when(col("_mf._t") <= col("_t") + tol, col("_mf")))
+      case None => carried
+    }
     // both distances are nonnegative BY DIRECTION (backward matches at
     // _t <= leftTs, forward at _t >= leftTs), so plain subtraction in
     // the ts column's own type compares exactly — numeric ts diff as
-    // numbers, TIMESTAMP diff as microsecond intervals; no lossy casts
-    val bdist = col(leftTs) - col("_mb._t")
-    val fdist = col("_mf._t") - col(leftTs)
-    val leftCols = left.columns.toSeq
-    back.join(fwdDistinct, joinCols)
+    // numbers, TIMESTAMP diff as microsecond intervals; no lossy casts.
+    // Null-ts left rows: both distances go null, the comparison is
+    // false, and the backward candidate wins — same rows out as the
+    // directional joins (nothing dropped).
+    val bdist = col("_t") - col("_mb._t")
+    val fdist = col("_mf._t") - col("_t")
+    bounded
       .withColumn("matched",
         when(col("_mb").isNull, col("_mf"))
           .when(col("_mf").isNull, col("_mb"))
           .when(fdist < bdist, col("_mf"))
           .otherwise(col("_mb")))
-      .select(leftCols.map(col) :+ col("matched"): _*)
+      .select(leftCols.map(n => col(s"_l.$n").as(n)) :+ col("matched"): _*)
   }
 
-  private def joinDirectional(
+  /** The tagged union both directions merge over: right rows carry their
+    * match struct in `_m`, left rows carry their full row in `_l`; `_t`
+    * is the event time, `_side` orders right before left at equal ts
+    * (inclusive match), `_tie` makes duplicate-timestamp right rows
+    * deterministic. Returns (union, left column names).
+    */
+  private def taggedUnion(
       left: DataFrame,
       right: DataFrame,
       keys: Seq[String],
       leftTs: String,
       rightTs: String,
       payloadCols: Seq[String],
-      tieBreak: Option[String],
-      tolerance: Option[Column],
-      forward: Boolean
-  ): DataFrame = {
+      tieBreak: Option[String]
+  ): (DataFrame, Seq[String]) = {
     require(keys.nonEmpty, "as-of join requires at least one key column")
     val payload =
       if (payloadCols.nonEmpty) payloadCols
@@ -162,7 +177,22 @@ object AsOf {
         struct(leftCols.map(col): _*).as("_l")): _*)
     val r = r0.withColumn("_l",
       lit(null).cast(StructType(left.schema.fields)))
+    (l.unionByName(r), leftCols)
+  }
 
+  private def joinDirectional(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      payloadCols: Seq[String],
+      tieBreak: Option[String],
+      tolerance: Option[Column],
+      forward: Boolean
+  ): DataFrame = {
+    val (unioned, leftCols) =
+      taggedUnion(left, right, keys, leftTs, rightTs, payloadCols, tieBreak)
     // backward walks time ascending (last right seen = most recent
     // before the left row); forward walks DESCENDING (last right seen =
     // earliest at-or-after). In both, right sorts before left at equal
@@ -172,7 +202,7 @@ object AsOf {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(tsOrder, col("_side"), col("_tie"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = l.unionByName(r)
+    val carried = unioned
       .withColumn("_match", last(col("_m"), ignoreNulls = true).over(w))
       .filter(col("_side") === 1)
     val bounded = tolerance match {

@@ -35,15 +35,26 @@ object Packing {
     * per-doc token count column (e.g. `TextFunctions.tokenCount` — or
     * `tokenCountCjk` for multilingual mixes, computed upstream so the
     * count is visible to the caller too).
+    *
+    * `strataCols` is REQUIRED at scale: an empty list means ONE global
+    * stratum — `Window.partitionBy()` with every row through a single
+    * task, a driver-adjacent funnel at 100 TB. That path is refused
+    * unless the caller passes `allowGlobal = true` (small/test corpora
+    * where a single sorted tape is genuinely wanted).
     */
   def packByTokenBudget(
       df: DataFrame,
       tokens: Column,
       orderCol: String,
       budget: Long,
-      strataCols: Seq[String] = Seq.empty
+      strataCols: Seq[String] = Seq.empty,
+      allowGlobal: Boolean = false
   ): DataFrame = {
     require(budget > 0, s"token budget must be positive, got $budget")
+    require(strataCols.nonEmpty || allowGlobal,
+      "packByTokenBudget with no strataCols sorts EVERY row in one task " +
+        "(a global single-stratum window); pass strata (e.g. source/shard) " +
+        "or allowGlobal = true if the corpus is known to be small")
     val w = (if (strataCols.nonEmpty)
         Window.partitionBy(strataCols.map(col): _*)
       else Window.partitionBy())

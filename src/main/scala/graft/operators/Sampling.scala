@@ -79,10 +79,13 @@ object Sampling {
     * length-based weight, an upstream model signal). Same deterministic
     * FNV decision as the other samplers — append-stable, shuffle-free,
     * engine-recomputable — with the per-row threshold
-    * `floor(clamp(weight)·fraction·1024)` computed in plain double
-    * arithmetic so an oracle reproduces the exact member set. Rows with
-    * null weight drop (null threshold → null comparison → filtered):
-    * an unscored doc is not silently kept.
+    * `round(clamp(weight)·fraction·1024)` computed in plain double
+    * arithmetic so an oracle reproduces the exact member set. The
+    * rounding rule matches [[deterministicSample]]'s `round` exactly, so
+    * `weight = 1.0` keeps the SAME rows as a plain sample at every
+    * fraction (spec-pinned; a floor here diverged for fractions where
+    * round ≠ floor). Rows with null weight drop (null threshold → null
+    * comparison → filtered): an unscored doc is not silently kept.
     */
   def weightedSample(
       df: DataFrame,
@@ -93,7 +96,7 @@ object Sampling {
   ): DataFrame = {
     require(fraction >= 0.0 && fraction <= 1.0, s"fraction must be in [0,1], got $fraction")
     val w = least(greatest(weight.cast("double"), lit(0.0)), lit(1.0))
-    val thr = floor(w * lit(fraction * Buckets)).cast("long")
+    val thr = round(w * lit(fraction * Buckets)).cast("long")
     df.filter(sampleBucket(col(keyCol), salt) < thr)
   }
 }

@@ -73,18 +73,31 @@ object CjkTokenCount {
     (cp >= 0xF900 && cp <= 0xFAFF) || // CJK Compatibility Ideographs
     (cp >= 0x20000 && cp <= 0x2FFFF)  // Ext B..F (supplementary planes)
 
+  /** Allocation-free: decodes codepoints straight off the UTF-8 bytes
+    * (valid UTF-8 is the UTF8String contract) — no per-row String. The
+    * other native text expressions here are byte-walks too; this one sits
+    * on the token-count path every multilingual quality rule calls, so a
+    * per-row decode allocation would be the map-stage cost at 100 TB.
+    */
   def count(s: UTF8String): Long = {
-    val str = s.toString
-    val len = str.length
+    val nb = s.numBytes
     var i = 0
     var n = 0L
     var inRun = false
-    while (i < len) {
-      val cp = str.codePointAt(i)
+    while (i < nb) {
+      val b0 = s.getByte(i) & 0xFF
+      var cp = b0
+      var width = 1
+      if (b0 >= 0xF0) { width = 4; cp = b0 & 0x07 }
+      else if (b0 >= 0xE0) { width = 3; cp = b0 & 0x0F }
+      else if (b0 >= 0xC0) { width = 2; cp = b0 & 0x1F }
+      var j = i + 1
+      val end = if (i + width <= nb) i + width else nb
+      while (j < end) { cp = (cp << 6) | (s.getByte(j) & 0x3F); j += 1 }
       if (isWs(cp)) inRun = false
       else if (isCjk(cp)) { n += 1; inRun = false }
       else if (!inRun) { n += 1; inRun = true }
-      i += Character.charCount(cp)
+      i += width
     }
     n
   }

@@ -120,7 +120,8 @@ object GraftExtensions {
       FnvHash64.functionDescriptor,
       Winnow.functionDescriptor,
       TopTokenFreq.functionDescriptor,
-      CjkTokenCount.functionDescriptor)
+      CjkTokenCount.functionDescriptor,
+      ScriptCounts.functionDescriptor)
 
   /** Imperative all-at-once registration for an existing session. */
   def registerAll(spark: SparkSession): Unit =

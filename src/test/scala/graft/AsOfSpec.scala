@@ -87,10 +87,36 @@ class AsOfSpec extends SparkSpec {
     assert(tol(1L).isEmpty)        // 20 > 15 both ways
   }
 
+  test("nearest preserves left rows with null ts or null keys (no recombination join)") {
+    // the earlier composed form recombined via an inner equi-join that
+    // silently dropped such rows; the single-shuffle form keeps them with
+    // the same matched-or-null semantics as the directional joins
+    val nl = Seq(
+      (1L, Some("u1"), Some(120L)), // normal: back 100 wins
+      (2L, Some("u1"), None),       // null ts
+      (3L, None, Some(100L))        // null key
+    ).toDF("id", "user", "t")
+    val out = AsOf.joinNearest(nl, right, Seq("user"), "t", "rt",
+        tieBreak = Some("seq"))
+      .select(col("id"), col("matched._t").as("mt"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(out.keySet == Set(1L, 2L, 3L), "every left row must survive")
+    assert(out(1L).contains(100L))
+    assert(out(3L).isEmpty) // no right rows under a null key
+  }
+
   test("one shuffle per side: the plan sorts within key partitions, no range join") {
     val q = AsOf.joinBackward(left, right, Seq("user"), "t", "rt")
     val plan = q.queryExecution.executedPlan.toString
     assert(!plan.contains("Join"), plan) // tagged union, not a join at all
     assert(plan.contains("Window"), plan)
+  }
+
+  test("nearest is ONE key shuffle: two windows share the exchange, no join") {
+    val q = AsOf.joinNearest(left, right, Seq("user"), "t", "rt")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+    val shuffles = "Exchange".r.findAllIn(plan).size
+    assert(shuffles == 1, s"expected exactly 1 Exchange, got $shuffles:\n$plan")
   }
 }

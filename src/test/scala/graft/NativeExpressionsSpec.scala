@@ -315,6 +315,66 @@ class NativeExpressionsSpec extends SparkSpec {
     assert(viaTopK == viaWindow)
   }
 
+  test("CjkTokenCount byte walk equals the String/codePointAt reference incl. supplementary planes") {
+    import graft.plans.CjkTokenCount
+    import org.apache.spark.unsafe.types.UTF8String
+    // the pre-round-6 reference implementation: decode via String (one
+    // allocation per row); the shipped byte walk must count identically
+    def ref(s: String): Long = {
+      var i = 0; var n = 0L; var inRun = false
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        val ws = cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0B ||
+          cp == '\f' || cp == '\r'
+        if (ws) inRun = false
+        else if (CjkTokenCount.isCjk(cp)) { n += 1; inRun = false }
+        else if (!inRun) { n += 1; inRun = true }
+        i += Character.charCount(cp)
+      }
+      n
+    }
+    val cases = Seq(
+      "", " ", "hello world", "你好世界", "abc漢字です test",
+      "𠀀𠀁 ext-b", // U+20000 U+20001: 4-byte UTF-8, CJK Ext B
+      "𠀀x𠀁", "é ü ẞ", "한국어 텍스트", "カタカナ ひらがな",
+      "ab\fc", "混ぜ書きmixed漢字and한글", "😀 emoji 😀"
+    )
+    cases.foreach(s =>
+      assert(CjkTokenCount.count(UTF8String.fromString(s)) == ref(s), s"'$s'"))
+    // through the full expression path (codegen) too
+    val df = cases.zipWithIndex.map { case (s, i) => (i, s) }.toDF("i", "s")
+    val got = df.select(col("i"),
+        graft.functions.TextFunctions.tokenCountCjk(col("s")).as("n"))
+      .as[(Int, Long)].collect().toMap
+    cases.zipWithIndex.foreach { case (s, i) => assert(got(i) == ref(s), s"'$s'") }
+  }
+
+  test("ScriptCounts equals per-class codepoint counts in one walk") {
+    import graft.plans.ScriptCounts
+    import org.apache.spark.unsafe.types.UTF8String
+    def classCounts(s: String): (Long, Long, Long, Long) = {
+      val cps = s.codePoints().toArray
+      def ws(cp: Int) = cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0B ||
+        cp == '\f' || cp == '\r'
+      def han(cp: Int) = (cp >= 0x3400 && cp <= 0x4DBF) ||
+        (cp >= 0x4E00 && cp <= 0x9FFF) || (cp >= 0xF900 && cp <= 0xFAFF) ||
+        (cp >= 0x20000 && cp <= 0x2FFFF)
+      (cps.count(cp => !ws(cp)).toLong, cps.count(han).toLong,
+        cps.count(cp => cp >= 0x3040 && cp <= 0x30FF).toLong,
+        cps.count(cp => cp >= 0xAC00 && cp <= 0xD7AF).toLong)
+    }
+    val cases = Seq(
+      "", " \t\n", "hello", "你好 world", "カナと漢字", "한국어 abc",
+      "𠀀 ext-b", "これはにほんごのテキストです", "😀 emoji")
+    cases.foreach { s =>
+      val arr = ScriptCounts.count(UTF8String.fromString(s))
+      val (nw, h, k, hg) = classCounts(s)
+      assert(arr.getLong(0) == nw && arr.getLong(1) == h &&
+        arr.getLong(2) == k && arr.getLong(3) == hg,
+        s"'$s': got ${arr.array.mkString(",")}, want ($nw,$h,$k,$hg)")
+    }
+  }
+
   test("all native functions are SQL-callable once registered") {
     graft.plans.GraftExtensions.registerAll(spark)
     val row = spark.sql(

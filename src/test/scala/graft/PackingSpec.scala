@@ -32,9 +32,16 @@ class PackingSpec extends SparkSpec {
     assert(s.contains(("a", 1L, 1L, 4L)))
   }
 
-  test("single global stratum works and ordering is total") {
+  test("global stratum is refused by default (single-task sort) and needs allowGlobal") {
     val d = (1L to 100L).map(i => (i, 10L)).toDF("id", "n")
-    val out = Packing.packByTokenBudget(d, col("n"), "id", budget = 35L)
+    // the scale guard: no strata = one global Window.partitionBy() =
+    // every row through a single task — refuse unless explicitly allowed
+    val e = intercept[IllegalArgumentException] {
+      Packing.packByTokenBudget(d, col("n"), "id", budget = 35L)
+    }
+    assert(e.getMessage.contains("one task"))
+    val out = Packing.packByTokenBudget(d, col("n"), "id", budget = 35L,
+        allowGlobal = true)
       .select("id", "pack_id").as[(Long, Long)].collect().toMap
     // doc i has prev = 10(i-1); pack = floor(10(i-1)/35)
     (1L to 100L).foreach { i =>

@@ -64,6 +64,14 @@ class SamplingSpec extends SparkSpec {
     val unit = Sampling.weightedSample(df, "id", lit(1.0), 0.5)
       .select("id").as[Long].collect().toSet
     assert(unit == plain)
+    // ...at EVERY fraction, including ones where round != floor (0.0005 ×
+    // 1024 = 0.512 → threshold 1): both samplers share the round rule
+    val tinyPlain = Sampling.deterministicSample(df, "id", 0.0005)
+      .select("id").as[Long].collect().toSet
+    val tinyUnit = Sampling.weightedSample(df, "id", lit(1.0), 0.0005)
+      .select("id").as[Long].collect().toSet
+    assert(tinyUnit == tinyPlain)
+    assert(tinyPlain.nonEmpty) // threshold rounds UP to 1: bucket 0 kept
     // weight 0 drops everything; over-1 weights clamp to the fraction
     assert(Sampling.weightedSample(df, "id", lit(0.0), 0.5).count() == 0)
     val clamped = Sampling.weightedSample(df, "id", col("w4"), 0.5)

@@ -195,4 +195,22 @@ class TextVectorFunctionsSpec extends SparkSpec {
     // Latin text: both modes agree
     assert(out(2L)._2 && out(2L)._3)
   }
+
+  test("qualityScore cjkAware drops the English-stopword component entirely") {
+    import graft.functions.TextFunctions
+    // unsegmented Chinese: ~1 whitespace token (fails length), 0 stopword
+    // hits — the plain score punishes both; cjkAware must not re-penalize
+    // via the (English) stopword list it can't satisfy
+    val zh = "这是一个完全正常的中文段落没有任何质量问题应该被保留在训练数据中"
+    val en = "this is a perfectly normal english paragraph with the usual stopwords in it"
+    val df = Seq((1L, zh), (2L, en)).toDF("id", "text")
+    val out = df.select($"id",
+        TextFunctions.qualityScore($"text").as("plain"),
+        TextFunctions.qualityScore($"text", cjkAware = true).as("cjk"))
+      .as[(Long, Double, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L)._1 <= 0.2, "plain score wrongly near-zeroes the zh doc")
+    assert(out(1L)._2 == 1.0, "cjkAware: length + punct pass, no stopword term")
+    // English doc scores full marks under both weightings
+    assert(out(2L)._1 == 1.0 && out(2L)._2 == 1.0)
+  }
 }
