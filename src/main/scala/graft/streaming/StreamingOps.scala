@@ -290,6 +290,106 @@ object StreamingOps {
     }
   }
 
+  /** Streaming as-of lookup: enrich each micro-batch against the
+    * VERSIONED state table at event time — the continuous face of
+    * [[graft.operators.AsOf.joinBackward]] (feature lookup at event
+    * time, price as-of trade) over the same `_CURRENT`-versioned state
+    * directory [[mergeStream]] maintains. Each batch runs the batch
+    * as-of merge (one key shuffle over batch+state) and writes
+    * `outPath/batch=<id>/` — per-batch work ∝ batch ∪ state keys, the
+    * same profile as the batch operator.
+    *
+    * Replay determinism: the batch's first attempt PINS the state
+    * version it enriched against (a marker under
+    * `outPath/_state_versions/`, written BEFORE the data so a crash at
+    * any point replays against the SAME version even after the state
+    * advances) and the data write is a whole-directory overwrite — so
+    * at-least-once replays are idempotent bit-for-bit. A pinned version
+    * already pruned by the merge stream's retention falls back to the
+    * current version with a warning (retention bounds the replay
+    * window; widen `keepFrom` upstream if replays can lag further).
+    *
+    * Requires a committed state version (`_CURRENT` present): without
+    * one the match-struct schema is unknowable and emitting a
+    * different schema per batch would poison the output table.
+    */
+  def asOfEnrichStream(
+      incoming: DataFrame,
+      statePath: String,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      outPath: String,
+      checkpointPath: String,
+      payloadCols: Seq[String] = Seq.empty,
+      tolerance: Option[org.apache.spark.sql.Column] = None,
+      trigger: Trigger = Trigger.ProcessingTime(0L)
+  ): StreamingQuery = {
+    val spark = incoming.sparkSession
+    incoming.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointPath)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        applyAsOfEnrichBatch(spark, batch.toDF(), batchId, statePath, keys,
+          leftTs, rightTs, outPath, payloadCols, tolerance)
+      }
+      .start()
+  }
+
+  /** One micro-batch of [[asOfEnrichStream]]; factored out so the pin/
+    * replay contract is directly testable.
+    */
+  def applyAsOfEnrichBatch(
+      spark: SparkSession,
+      batch: DataFrame,
+      batchId: Long,
+      statePath: String,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      outPath: String,
+      payloadCols: Seq[String] = Seq.empty,
+      tolerance: Option[org.apache.spark.sql.Column] = None
+  ): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val marker = new Path(s"$outPath/_state_versions/batch-$batchId")
+    val pinned: Option[Long] =
+      if (!fs.exists(marker)) None
+      else {
+        val in = fs.open(marker)
+        val s = try scala.io.Source.fromInputStream(in).mkString.trim
+        finally in.close()
+        if (s.nonEmpty && s.forall(_.isDigit)) Some(s.toLong) else None
+      }
+    val current = currentVersionId(spark, statePath)
+    require(pinned.nonEmpty || current.nonEmpty,
+      s"asOfEnrichStream needs a committed state version at $statePath " +
+        "(run the state-building merge first)")
+    val version = pinned match {
+      case Some(v) if fs.exists(new Path(s"$statePath/v$v")) => v
+      case Some(v) =>
+        log.warn(s"asOfEnrichStream: pinned state v$v for batch $batchId was " +
+          s"pruned; re-enriching against current v${current.get} — replay is " +
+          "no longer bit-identical (retention bounds the replay window)")
+        current.get
+      case None => current.get
+    }
+    if (pinned.isEmpty || pinned.get != version) {
+      // pin BEFORE the data write: a crash between the two replays
+      // against the recorded version, never a newer one
+      val out = fs.create(marker, true)
+      try out.write(version.toString.getBytes("UTF-8")) finally out.close()
+    }
+    val state = spark.read.parquet(s"$statePath/v$version")
+    graft.operators.AsOf
+      .joinBackward(batch, state, keys, leftTs, rightTs, payloadCols,
+        tolerance = tolerance)
+      .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+  }
+
   /** Streaming exact dedup: drop records whose normalized-content
     * fingerprint already appeared within the watermark horizon — the
     * streaming face of Dedup.exact. `dropDuplicatesWithinWatermark`

@@ -162,6 +162,58 @@ class StreamingSpec extends SparkSpec {
     assert(!spark.catalog.tableExists(StreamingOps.stateTableName(statePath, 0L)))
   }
 
+  test("asOfEnrichStream: event-time lookup against versioned state; replay pins the version") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-asof-stream").toString
+    val statePath = s"$dir/state"
+    val outPath = s"$dir/out"
+    // state versions through the SAME versioned machinery the merge
+    // stream uses: keyed on (k, rt) so each version holds the full
+    // price history per key
+    val spec = MergeSpec(Seq("k", "rt"), Seq(MergeFieldSpec("price", MergeOp.Set)))
+    StreamingOps.applyMergeBatch(spark,
+      Seq(("u1", 100L, 10.0, 0)).toDF("k", "rt", "price", "seq"),
+      0L, spec, "seq", statePath) // -> v0: (u1, 100, 10.0)
+
+    val mem = MemoryStream[(Long, String, Long)]
+    val df = mem.toDF().toDF("id", "k", "t")
+    val q = StreamingOps.asOfEnrichStream(df, statePath, Seq("k"), "t", "rt",
+      outPath, s"$dir/ckpt", payloadCols = Seq("price"))
+    try {
+      mem.addData((1L, "u1", 150L), (2L, "u1", 50L)) // batch 0 against v0
+      q.processAllAvailable()
+      // state advances to v1: a newer price at rt=140
+      StreamingOps.applyMergeBatch(spark,
+        Seq(("u1", 140L, 20.0, 1)).toDF("k", "rt", "price", "seq"),
+        1L, spec, "seq", statePath)
+      mem.addData((3L, "u1", 160L)) // batch 1 against v1
+      q.processAllAvailable()
+    } finally q.stop()
+    def readOut(): Map[Long, Option[Double]] =
+      spark.read.parquet(outPath)
+        .select($"id", $"matched.price".as("p"))
+        .as[(Long, Option[Double])].collect().toMap
+    val out = readOut()
+    assert(out(1L).contains(10.0)) // as-of 150 in v0 -> rt 100
+    assert(out(2L).isEmpty)        // nothing at/before 50
+    assert(out(3L).contains(20.0)) // as-of 160 in v1 -> rt 140 wins
+    // crash-window REPLAY of batch 0 after the state advanced: the pinned
+    // marker re-enriches against v0, not v1 — output bit-identical
+    StreamingOps.applyAsOfEnrichBatch(spark,
+      Seq((1L, "u1", 150L), (2L, "u1", 50L)).toDF("id", "k", "t"),
+      0L, statePath, Seq("k"), "t", "rt", outPath, payloadCols = Seq("price"))
+    val replayed = readOut()
+    assert(replayed(1L).contains(10.0), "replay must pin v0 (current v1 would give 20.0)")
+    assert(replayed(2L).isEmpty && replayed(3L).contains(20.0))
+    // no committed state at a fresh path -> hard error, not schema drift
+    val e = intercept[IllegalArgumentException] {
+      StreamingOps.applyAsOfEnrichBatch(spark,
+        Seq((1L, "u1", 150L)).toDF("id", "k", "t"),
+        0L, s"$dir/nostate", Seq("k"), "t", "rt", s"$dir/out2")
+    }
+    assert(e.getMessage.contains("committed state"))
+  }
+
   test("mergeStreamIncremental: per-batch emissions cover only the batch's keys") {
     implicit val sqlCtx = spark.sqlContext
     val dir = Files.createTempDirectory("graft-merge-inc").toString
