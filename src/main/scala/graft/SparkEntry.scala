@@ -464,6 +464,36 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- DSIR-style importance scoring: per-doc target-vs-raw
+    //      log-likelihood ratio over FNV-hashed token buckets. Weights
+    //      are ln-ratios rounded to 6dp and carried as DECIMAL, so the
+    //      per-doc sums are order-independent and the oracle recomputes
+    //      the EXACT scores (the FNV bucket per token is portable SQL)
+    "dsir_scores" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(col("doc_id") < 2000)
+      val target = d.filter(col("source") === "src0")
+      val w = ImportanceScoring.importanceWeights(target, d, "text")
+      ImportanceScoring.scoreDocs(
+          d.filter(col("doc_id") < 500), "doc_id", "text", w)
+        .orderBy("doc_id")
+    }),
+
+    // ---- 8-bit embedding quantization: affine per-vector codes +
+    //      (offset, scale); exact elementwise double arithmetic, so the
+    //      oracle reproduces every code. Flattened to (vec_id, pos, q)
+    //      scalars for the hash compare
+    "embedding_quantize" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      emb.select(col("vec_id"),
+          graft.functions.VectorFunctions.quantize8(col("embedding")).as("qv"))
+        .select(col("vec_id"), col("qv.offset").as("offset"),
+          col("qv.scale").as("scale"),
+          posexplode(col("qv.q")).as(Seq("pos", "q")))
+        .select(col("vec_id"), col("pos").cast(IntegerType).as("pos"),
+          col("q"), col("offset"), col("scale"))
+        .orderBy("vec_id", "pos")
+    }),
+
     // ---- corpus token frequencies: the canonical wordcount with a
     //      deterministic top-N cut (freq desc, token asc)
     "token_frequencies" -> ((s, dir) => {
@@ -1495,6 +1525,69 @@ object SparkEntry {
         |SELECT doc_id, source, n_tokens FROM h
         |WHERE bucket < CAST(ROUND(LEAST(CAST(n_tokens AS DOUBLE) / 1000.0, 1.0) * 512.0) AS BIGINT)
         |ORDER BY doc_id""".stripMargin,
+
+    // same FNV-1a-per-token bucket (computed once per DISTINCT token —
+    // the synthetic vocabulary is small), same add-one ln-ratio weights
+    // rounded to 6dp, same decimal per-doc sums
+    "dsir_scores" ->
+      """WITH base AS (
+        | SELECT doc_id, source,
+        |  list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS toks
+        | FROM documents WHERE doc_id < 2000
+        |), tok AS (
+        | SELECT doc_id, source, unnest(toks) AS token FROM base
+        |), vb AS (
+        | SELECT token,
+        |  CAST(list_reduce(
+        |    list_prepend(CAST('14695981039346656037' AS HUGEINT),
+        |      list_transform(range(1, length(s) + 1), i -> CAST(ascii(s[i]) AS HUGEINT))),
+        |    (acc, b) -> ((acc // 256) * 256 + xor(CAST(acc % 256 AS BIGINT), CAST(b AS BIGINT)))
+        |                * 1099511628211 % CAST('18446744073709551616' AS HUGEINT)
+        |  ) % 1024 AS BIGINT) AS bucket
+        | FROM (SELECT DISTINCT token, token || ':dsir' AS s FROM tok)
+        |), tk AS (
+        | SELECT t.doc_id, t.source, v.bucket FROM tok t JOIN vb v ON t.token = v.token
+        |), tc AS (
+        | SELECT bucket, count(*) AS tcnt FROM tk WHERE source = 'src0' GROUP BY 1
+        |), rc AS (
+        | SELECT bucket, count(*) AS rcnt FROM tk GROUP BY 1
+        |), w AS (
+        | SELECT b.bucket,
+        |  CAST(round(
+        |    ln((COALESCE(tc.tcnt, 0) + 1) / CAST((SELECT count(*) FROM tk WHERE source = 'src0') + 1024 AS DOUBLE))
+        |  - ln((COALESCE(rc.rcnt, 0) + 1) / CAST((SELECT count(*) FROM tk) + 1024 AS DOUBLE)), 6) AS DECIMAL(38,6)) AS weight
+        | FROM (SELECT unnest(range(0, 1024)) AS bucket) b
+        | LEFT JOIN tc ON b.bucket = tc.bucket
+        | LEFT JOIN rc ON b.bucket = rc.bucket
+        |)
+        |SELECT k.doc_id, CAST(sum(w.weight) AS DECIMAL(38,6)) AS dsir_score
+        |FROM tk k JOIN w ON k.bucket = w.bucket
+        |WHERE k.doc_id < 500
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // identical elementwise affine-code arithmetic; both engines round
+    // half away from zero on the (always nonnegative) scaled values
+    "embedding_quantize" ->
+      """WITH e AS (
+        | SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+        |), m AS (
+        | SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx FROM e
+        |), q AS (
+        | SELECT vec_id,
+        |  CASE WHEN mx > mn
+        |       THEN list_transform(v, x -> CAST(round((x - mn) * 255.0 / (mx - mn)) AS INTEGER))
+        |       ELSE list_transform(v, x -> 0) END AS qs,
+        |  mn AS "offset",
+        |  CASE WHEN mx > mn THEN (mx - mn) / 255.0 ELSE 0.0 END AS scale
+        | FROM m
+        |), x AS (
+        | SELECT vec_id, qs, "offset", scale,
+        |        unnest(generate_series(1, len(qs))) AS p
+        | FROM q
+        |)
+        |SELECT vec_id, CAST(p - 1 AS INTEGER) AS pos, CAST(qs[p] AS INTEGER) AS q,
+        |       "offset", scale
+        |FROM x ORDER BY vec_id, pos""".stripMargin,
 
     "token_frequencies" ->
       """SELECT token, CAST(count(*) AS BIGINT) AS freq

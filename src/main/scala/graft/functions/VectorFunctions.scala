@@ -59,6 +59,37 @@ object VectorFunctions {
     )
   }
 
+  /** Per-vector affine 8-bit quantization: `q_i = round((v_i − min) ·
+    * 255 / (max − min))` in [0, 255], plus the `(offset = min, scale =
+    * (max − min)/255)` pair that dequantizes it. The storage-scale lever
+    * for embedding corpora — a 100 TB float32 embedding store drops to
+    * ~25 TB plus two doubles per vector, and IVF/LSH candidate scans read
+    * a quarter of the bytes; re-rank the short candidate list against the
+    * float vectors when exactness matters. All elementwise double
+    * arithmetic (min/max over the same floats, identical expression
+    * order), so any engine reproduces the exact codes — oracle-gated, not
+    * approximately checked. A constant vector (max == min) quantizes to
+    * all-zero codes with scale 0 and dequantizes exactly.
+    */
+  def quantize8(vec: Column): Column = {
+    val d = transform(vec, x => x.cast(DoubleType))
+    val mn = array_min(d)
+    val mx = array_max(d)
+    struct(
+      when(mx > mn,
+        transform(d, x => round((x - mn) * lit(255.0) / (mx - mn)).cast(IntegerType)))
+        .otherwise(transform(d, _ => lit(0))).as("q"),
+      mn.as("offset"),
+      when(mx > mn, (mx - mn) / lit(255.0)).otherwise(lit(0.0)).as("scale"))
+  }
+
+  /** Inverse of [[quantize8]]: `v̂_i = offset + q_i · scale`. Per-element
+    * reconstruction error is at most scale/2 (spec-pinned).
+    */
+  def dequantize8(qv: Column): Column =
+    transform(qv.getField("q"),
+      q => qv.getField("offset") + q.cast(DoubleType) * qv.getField("scale"))
+
   /** Sign-random-projection bucket id: the vector's sign pattern against
     * `bits` pseudo-random hyperplanes derived from `seed`. Used for
     * LSH-bucketed ANN (cosine). A native expression

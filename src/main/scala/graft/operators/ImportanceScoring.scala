@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+
+import graft.functions.TextFunctions
+
+/**
+ * Data-selection importance scoring over hashed n-gram features — the
+ * published DSIR idea (Data Selection via Importance Resampling, Xie et
+ * al. 2023) reduced to its deterministic core: score each raw document by
+ * how target-like its token distribution is,
+ *
+ *   score(doc) = Σ_tokens [ ln p̂_target(bucket(tok)) − ln p̂_raw(bucket(tok)) ],
+ *
+ * with token features hashed into a fixed bucket table (FNV-1a, the
+ * engine's portable hash — any engine recomputes the features) and
+ * add-one-smoothed bucket probabilities. High scores = looks like the
+ * target corpus; feed them to [[Sampling.weightedSample]] (after a
+ * monotone squash) or a threshold filter to assemble the mix.
+ *
+ * Scale shape: the weights build is two explode+count passes compressed
+ * to ≤ `buckets` rows each (map-side combined, 8-byte bucket keys — the
+ * corpora cross the wire as bucket histograms, never tokens); scoring is
+ * one narrow explode + a BROADCAST join against the `buckets`-row weight
+ * table + a map-side-combined per-doc sum. Nothing here shuffles tokens.
+ *
+ * Determinism across engines (oracle-gated): each bucket weight is a
+ * double ln-ratio ROUNDED to 6 decimals and carried as DECIMAL(38,6), so
+ * per-doc sums are order-independent exact decimal adds — the one place
+ * float summation order could diverge is removed; a last-ulp ln()
+ * difference between libm implementations is absorbed by the rounding.
+ */
+object ImportanceScoring {
+
+  val DefaultBuckets = 1024
+
+  /** Feature bucket of one token: low bits of FNV-1a(token ++ ':' ++
+    * salt) — same decision function family as [[Sampling.sampleBucket]],
+    * portable SQL. `buckets` must be a power of two.
+    */
+  def tokenBucket(token: Column, buckets: Int, salt: String): Column = {
+    require(buckets > 0 && (buckets & (buckets - 1)) == 0,
+      s"buckets must be a power of two, got $buckets")
+    import org.apache.spark.sql.graft.ColumnBridge
+    val h = ColumnBridge.column(graft.plans.FnvHash64(
+      ColumnBridge.expression(concat(token, lit(":" + salt)))))
+    h.bitwiseAND(lit((buckets - 1).toLong))
+  }
+
+  /** (bucket, cnt) histogram of a corpus's hashed token features — the
+    * only pass over the text; everything downstream is ≤ `buckets` rows.
+    */
+  def hashedBucketCounts(
+      df: DataFrame,
+      textCol: String,
+      buckets: Int = DefaultBuckets,
+      salt: String = "dsir"
+  ): DataFrame =
+    df.select(explode(TextFunctions.tokens(lower(col(textCol)))).as("token"))
+      .select(tokenBucket(col("token"), buckets, salt).as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("cnt"))
+
+  /** The per-bucket log-likelihood-ratio weight table: one row per
+    * bucket in [0, buckets), weight = ln((tc+1)/(T_t+B)) −
+    * ln((rc+1)/(T_r+B)) as DECIMAL(38,6). The two `.collect()`s pull
+    * single-row totals (scalar metadata, not data) — this is an offline
+    * weights build, same driver profile as the IVF centroid fit.
+    */
+  def importanceWeights(
+      target: DataFrame,
+      raw: DataFrame,
+      textCol: String,
+      buckets: Int = DefaultBuckets,
+      salt: String = "dsir"
+  ): DataFrame = {
+    val spark = target.sparkSession
+    val tc = hashedBucketCounts(target, textCol, buckets, salt)
+    val rc = hashedBucketCounts(raw, textCol, buckets, salt)
+    val tTot = tc.agg(coalesce(sum(col("cnt")), lit(0L))).collect()(0).getLong(0)
+    val rTot = rc.agg(coalesce(sum(col("cnt")), lit(0L))).collect()(0).getLong(0)
+    spark.range(buckets).select(col("id").as("bucket"))
+      .join(tc.withColumnRenamed("cnt", "tcnt"), Seq("bucket"), "left")
+      .join(rc.withColumnRenamed("cnt", "rcnt"), Seq("bucket"), "left")
+      .select(
+        col("bucket"),
+        round(
+          log((coalesce(col("tcnt"), lit(0L)) + 1).cast(DoubleType) /
+            lit((tTot + buckets).toDouble)) -
+            log((coalesce(col("rcnt"), lit(0L)) + 1).cast(DoubleType) /
+              lit((rTot + buckets).toDouble)),
+          6).cast(DecimalType(38, 6)).as("weight"))
+  }
+
+  /** Per-document importance score: Σ weight(bucket(token)) as
+    * DECIMAL(38,6). One narrow explode, a broadcast join on the
+    * `buckets`-row table, one map-side-combined sum — token payloads
+    * never shuffle. Documents with zero tokens produce no row (they have
+    * no distribution to score); left-join the result back if every id
+    * must survive.
+    */
+  def scoreDocs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      weights: DataFrame,
+      buckets: Int = DefaultBuckets,
+      salt: String = "dsir"
+  ): DataFrame =
+    docs
+      .select(col(idCol),
+        explode(TextFunctions.tokens(lower(col(textCol)))).as("token"))
+      .select(col(idCol), tokenBucket(col("token"), buckets, salt).as("bucket"))
+      .join(broadcast(weights), Seq("bucket"))
+      .groupBy(col(idCol))
+      .agg(sum(col("weight")).cast(DecimalType(38, 6)).as("dsir_score"))
+}

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.ImportanceScoring
+
+class ImportanceScoringSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dsir scores rank target-like docs above off-target docs") {
+    val target = Seq.tabulate(20)(i =>
+      (i.toLong, "spark shuffle partition join scan")).toDF("id", "text")
+    val offTopic = Seq.tabulate(20)(i =>
+      ((100 + i).toLong, "cat dog fish bird mouse")).toDF("id", "text")
+    val raw = target.union(offTopic)
+    val w = ImportanceScoring.importanceWeights(target, raw, "text", buckets = 256)
+    // one weight per bucket, none null (add-one smoothing covers misses)
+    assert(w.count() == 256)
+    assert(w.filter(col("weight").isNull).count() == 0)
+    val scored = ImportanceScoring.scoreDocs(raw, "id", "text", w, buckets = 256)
+      .as[(Long, java.math.BigDecimal)].collect()
+      .map(r => r._1 -> r._2.doubleValue).toMap
+    assert(scored.size == 40)
+    // target vocabulary scores positive (more likely under target than
+    // raw), off-topic vocabulary negative — the resampling signal
+    assert(scored(0L) > 0, s"target doc score ${scored(0L)}")
+    assert(scored(100L) < 0, s"off-topic doc score ${scored(100L)}")
+    assert(scored(0L) > scored(100L))
+    // scoring joins the bucket table BROADCAST — token rows never shuffle
+    // for the join (the per-doc sum's partial agg is the only exchange)
+    val plan = ImportanceScoring.scoreDocs(raw, "id", "text", w, buckets = 256)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoop") ||
+      plan.contains("broadcast"), plan)
+  }
+
+  test("empty target corpus still yields finite smoothed weights") {
+    val empty = Seq.empty[(Long, String)].toDF("id", "text")
+    val raw = Seq((1L, "a b c")).toDF("id", "text")
+    val w = ImportanceScoring.importanceWeights(empty, raw, "text", buckets = 64)
+    assert(w.count() == 64)
+    assert(w.filter(col("weight").isNull).count() == 0)
+  }
+
+  test("buckets must be a power of two") {
+    intercept[IllegalArgumentException] {
+      ImportanceScoring.tokenBucket(lit("x"), 100, "dsir")
+    }
+  }
+}

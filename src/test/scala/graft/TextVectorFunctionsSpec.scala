@@ -213,4 +213,31 @@ class TextVectorFunctionsSpec extends SparkSpec {
     // English doc scores full marks under both weightings
     assert(out(2L)._1 == 1.0 && out(2L)._2 == 1.0)
   }
+
+  test("quantize8/dequantize8: codes in [0,255], reconstruction within scale/2") {
+    import graft.functions.VectorFunctions
+    val df = Seq(
+      (1L, Seq(0.0f, 0.5f, 1.0f, -1.0f)),
+      (2L, Seq(3.25f, 3.25f, 3.25f)), // constant vector: scale 0, exact
+      (3L, Seq(-2.0f, 7.5f, 0.125f, 100.0f, -33.3f))
+    ).toDF("id", "v")
+    val out = df.select($"id", $"v", VectorFunctions.quantize8($"v").as("qv"))
+      .select($"id", $"v", $"qv.q".as("q"), $"qv.scale".as("scale"),
+        VectorFunctions.dequantize8($"qv").as("vhat"))
+      .as[(Long, Seq[Float], Seq[Int], Double, Seq[Double])].collect()
+    out.foreach { case (id, v, q, scale, vhat) =>
+      assert(q.forall(c => c >= 0 && c <= 255), s"row $id codes $q")
+      v.zip(vhat).foreach { case (orig, rec) =>
+        assert(math.abs(orig.toDouble - rec) <= scale / 2 + 1e-12,
+          s"row $id: $orig vs $rec at scale $scale")
+      }
+      // min and max land exactly on codes 0 and 255 (affine endpoints)
+      if (scale > 0) {
+        assert(q.contains(0) && q.contains(255), s"row $id codes $q")
+      }
+    }
+    val const = out.find(_._1 == 2L).get
+    assert(const._3.forall(_ == 0) && const._4 == 0.0)
+    assert(const._5.forall(_ == 3.25))
+  }
 }
