@@ -72,15 +72,11 @@ object VectorFunctions {
     * all-zero codes with scale 0 and dequantizes exactly.
     */
   def quantize8(vec: Column): Column = {
-    val d = transform(vec, x => x.cast(DoubleType))
-    val mn = array_min(d)
-    val mx = array_max(d)
-    struct(
-      when(mx > mn,
-        transform(d, x => round((x - mn) * lit(255.0) / (mx - mn)).cast(IntegerType)))
-        .otherwise(transform(d, _ => lit(0))).as("q"),
-      mn.as("offset"),
-      when(mx > mn, (mx - mn) / lit(255.0)).otherwise(lit(0.0)).as("scale"))
+    // native one-pass codegen'd expression (graft.plans.Quantize8): the
+    // composed transform/array_min/array_max chain is four interpreted
+    // HOF walks per row — bit-parity with it is spec-pinned
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.plans.Quantize8(ColumnBridge.expression(vec)))
   }
 
   /** Inverse of [[quantize8]]: `v̂_i = offset + q_i · scale`. Per-element

@@ -121,7 +121,8 @@ object GraftExtensions {
       Winnow.functionDescriptor,
       TopTokenFreq.functionDescriptor,
       CjkTokenCount.functionDescriptor,
-      ScriptCounts.functionDescriptor)
+      ScriptCounts.functionDescriptor,
+      Quantize8.functionDescriptor)
 
   /** Imperative all-at-once registration for an existing session. */
   def registerAll(spark: SparkSession): Unit =

@@ -375,6 +375,39 @@ class NativeExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("Quantize8 equals the composed min/max/transform chain on real embeddings and edges") {
+    import graft.functions.VectorFunctions
+    // the pre-native composed form, kept here as the reference semantics
+    def composed(vec: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val d = transform(vec, x => x.cast(DoubleType))
+      val mn = array_min(d)
+      val mx = array_max(d)
+      struct(
+        when(mx > mn,
+          transform(d, x => round((x - mn) * lit(255.0) / (mx - mn)).cast(IntegerType)))
+          .otherwise(transform(d, _ => lit(0))).as("q"),
+        mn.as("offset"),
+        when(mx > mn, (mx - mn) / lit(255.0)).otherwise(lit(0.0)).as("scale"))
+    }
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("embedding").as("v"))
+    val edges = Seq(
+      Seq(0.0f, 0.5f, -1.0f), Seq(3.25f), Seq.empty[Float],
+      Seq(7.0f, 7.0f, 7.0f), Seq(-2.5f, 100.25f, 0.0f, -33.0f)
+    ).toDF("v")
+    val withNulls = Seq(
+      (1L, Array[java.lang.Float](1.0f, null, 3.0f)),
+      (2L, Array[java.lang.Float](null, null))
+    ).toDF("i", "v")
+    for (df <- Seq(emb, edges, withNulls.select(col("v")))) {
+      val bad = df.filter(
+        !(VectorFunctions.quantize8(col("v")) <=> composed(col("v"))))
+      assert(bad.count() == 0,
+        bad.select(col("v"), VectorFunctions.quantize8(col("v")),
+          composed(col("v"))).collect().take(3).mkString("\n"))
+    }
+  }
+
   test("all native functions are SQL-callable once registered") {
     graft.plans.GraftExtensions.registerAll(spark)
     val row = spark.sql(
