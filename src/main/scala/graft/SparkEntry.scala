@@ -478,6 +478,22 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- quantized ANN: exact top-k by the QDot integer kernel over
+    //      8-bit codes (the bandwidth-saving candidate scan) — the
+    //      affine expansion is a fixed-order formula, so the oracle
+    //      recomputes the EXACT scores, not an approximation bound
+    "ann_topk_quantized" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qemb = emb.select(col("vec_id"),
+        graft.functions.VectorFunctions.quantize8(col("embedding")).as("qv"))
+      val q = qemb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("qv").as("qqv"))
+      Similarity.bruteForceTopK(qemb, "vec_id", "qv", q, "query_id", "qqv",
+          k = 10, metric = graft.functions.VectorFunctions.quantizedDot,
+          scoreName = "qdot")
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- 8-bit embedding quantization: affine per-vector codes +
     //      (offset, scale); exact elementwise double arithmetic, so the
     //      oracle reproduces every code. Flattened to (vec_id, pos, q)
@@ -1564,6 +1580,39 @@ object SparkEntry {
         |FROM tk k JOIN w ON k.bucket = w.bucket
         |WHERE k.doc_id < 500
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // same quantization arithmetic as embedding_quantize, then the QDot
+    // expansion MIRRORED term-for-term (sa·sb·Σqaqb + sa·ob·Σqa +
+    // sb·oa·Σqb + n·oa·ob, integer sums cast to DOUBLE) — fixed order,
+    // bitwise-reproducible
+    "ann_topk_quantized" ->
+      """WITH e AS (
+        | SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+        |), m AS (
+        | SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx FROM e
+        |), q AS (
+        | SELECT vec_id,
+        |  CASE WHEN mx > mn
+        |       THEN list_transform(v, x -> CAST(round((x - mn) * 255.0 / (mx - mn)) AS BIGINT))
+        |       ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS qs,
+        |  mn AS o,
+        |  CASE WHEN mx > mn THEN (mx - mn) / 255.0 ELSE 0.0 END AS s,
+        |  len(v) AS n
+        | FROM m
+        |), sc AS (
+        | SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |  a.s * b.s * CAST(list_sum(list_transform(list_zip(a.qs, b.qs), p -> p[1] * p[2])) AS DOUBLE)
+        |  + a.s * b.o * CAST(list_sum(a.qs) AS DOUBLE)
+        |  + b.s * a.o * CAST(list_sum(b.qs) AS DOUBLE)
+        |  + a.n * a.o * b.o AS qdot
+        | FROM q a JOIN q b ON b.vec_id <> a.vec_id
+        | WHERE a.vec_id < 5
+        |)
+        |SELECT query_id, neighbor_id, CAST(qdot AS DOUBLE) AS qdot,
+        | CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY qdot DESC, neighbor_id) AS INTEGER) AS rank
+        |FROM sc
+        |QUALIFY rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
 
     // identical elementwise affine-code arithmetic; both engines round
     // half away from zero on the (always nonnegative) scaled values

@@ -86,6 +86,22 @@ object VectorFunctions {
     transform(qv.getField("q"),
       q => qv.getField("offset") + q.cast(DoubleType) * qv.getField("scale"))
 
+  /** Dot product of two [[quantize8]] structs WITHOUT dequantizing —
+    * the quantized ANN scan kernel (graft.plans.QDot): the per-pair loop
+    * is integer multiply-adds over the 8-bit codes (a quarter of
+    * float32's memory traffic, the bandwidth-bound resource of a
+    * 100 TB candidate scan) plus four exact affine correction terms in a
+    * fixed order, so the score is deterministic and oracle-reproducible.
+    * Equals `dot(dequantize8(a), dequantize8(b))` up to the affine
+    * expansion's floating-point regrouping (spec-bounded); use the float
+    * vectors to re-rank the short top-k list when exactness matters.
+    */
+  def quantizedDot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.plans.QDot(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
+
   /** Sign-random-projection bucket id: the vector's sign pattern against
     * `bits` pseudo-random hyperplanes derived from `seed`. Used for
     * LSH-bucketed ANN (cosine). A native expression

@@ -122,7 +122,8 @@ object GraftExtensions {
       TopTokenFreq.functionDescriptor,
       CjkTokenCount.functionDescriptor,
       ScriptCounts.functionDescriptor,
-      Quantize8.functionDescriptor)
+      Quantize8.functionDescriptor,
+      QDot.functionDescriptor)
 
   /** Imperative all-at-once registration for an existing session. */
   def registerAll(spark: SparkSession): Unit =

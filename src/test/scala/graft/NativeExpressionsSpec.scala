@@ -408,6 +408,38 @@ class NativeExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("QDot equals the dequantized dot up to affine regrouping; null on malformed pairs") {
+    import graft.functions.VectorFunctions
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter(col("vec_id") < 40)
+      .select(col("vec_id"), VectorFunctions.quantize8(col("embedding")).as("qv"))
+    val pairs = emb.select(col("vec_id").as("ia"), col("qv").as("qa"))
+      .join(emb.select(col("vec_id").as("ib"), col("qv").as("qb")),
+        col("ia") < col("ib"))
+    val out = pairs.select(
+        VectorFunctions.quantizedDot(col("qa"), col("qb")).as("fast"),
+        graft.functions.VectorFunctions.dot(
+          VectorFunctions.dequantize8(col("qa")),
+          VectorFunctions.dequantize8(col("qb"))).as("ref"))
+      .as[(Double, Double)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (fast, ref) =>
+      // same value up to float regrouping of the affine expansion
+      assert(math.abs(fast - ref) <= 1e-9 * (1.0 + math.abs(ref)), s"$fast vs $ref")
+    }
+    // dimension mismatch and null codes -> null, not a wrong number
+    val a2 = Seq(Seq(1.0f, 2.0f)).toDF("v").select(VectorFunctions.quantize8(col("v")).as("q2"))
+    val a3 = Seq(Seq(1.0f, 2.0f, 3.0f)).toDF("v").select(VectorFunctions.quantize8(col("v")).as("q3"))
+    val mm = a2.crossJoin(a3)
+      .select(VectorFunctions.quantizedDot(col("q2"), col("q3"))).collect()(0)
+    assert(mm.isNullAt(0))
+    val withNull = Seq(Tuple1(Array[java.lang.Float](1.0f, null, 3.0f))).toDF("v")
+      .select(VectorFunctions.quantize8(col("v")).as("qn"))
+    val nn = withNull.crossJoin(a3)
+      .select(VectorFunctions.quantizedDot(col("qn"), col("q3"))).collect()(0)
+    assert(nn.isNullAt(0))
+  }
+
   test("all native functions are SQL-callable once registered") {
     graft.plans.GraftExtensions.registerAll(spark)
     val row = spark.sql(
