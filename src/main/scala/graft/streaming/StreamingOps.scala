@@ -411,6 +411,97 @@ object StreamingOps {
       .dropDuplicatesWithinWatermark("_fp")
       .drop("_fp")
 
+  /** Streaming exact dedup with a PERSISTENT fingerprint store — the
+    * forever-dedup [[dedupStream]]'s scaladoc points at: state is the
+    * versioned fingerprint table (8-byte fingerprints only, never text),
+    * so duplicates are dropped across the corpus's entire history, not a
+    * watermark horizon. Each batch: fingerprint → keep the min-`idCol`
+    * row per in-batch fingerprint (the [[graft.operators.Dedup]] keep
+    * rule, deterministic under replay) → anti-join against the store →
+    * write survivors to `outPath/batch=<id>/` → commit the union as the
+    * next state version.
+    *
+    * Ordering is crash-safe: survivors are written BEFORE the state
+    * version commits, and the replay guard (same `_CURRENT` version
+    * protocol as [[applyMergeBatch]]) skips a batch the state already
+    * includes — so a crash in the commit-to-checkpoint window replays to
+    * a no-op with the survivors already on disk, and a crash before the
+    * commit replays the full batch against the OLD state (same result;
+    * the survivor write is a whole-directory overwrite).
+    *
+    * Scale: per-batch cost is one fingerprint scan of the batch plus an
+    * equi-join against the store on the 8-byte fingerprint, and an
+    * O(|state|) rewrite of the fingerprint table (8 bytes/doc — 1 TB of
+    * state per ~125 billion documents; swap the body for a Delta/Iceberg
+    * MERGE when the rewrite dominates).
+    */
+  def dedupStreamPersistent(
+      incoming: DataFrame,
+      textCol: String,
+      idCol: String,
+      statePath: String,
+      outPath: String,
+      checkpointPath: String,
+      trigger: Trigger = Trigger.ProcessingTime(0L)
+  ): StreamingQuery = {
+    val spark = incoming.sparkSession
+    incoming.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointPath)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        applyDedupBatch(spark, batch.toDF(), batchId, textCol, idCol,
+          statePath, outPath)
+      }
+      .start()
+  }
+
+  /** One micro-batch of [[dedupStreamPersistent]]; factored out so the
+    * replay contract is directly testable.
+    */
+  def applyDedupBatch(
+      spark: SparkSession,
+      batch: DataFrame,
+      batchId: Long,
+      textCol: String,
+      idCol: String,
+      statePath: String,
+      outPath: String
+  ): Unit = {
+    currentVersionId(spark, statePath) match {
+      case Some(cur) if cur >= batchId =>
+        log.warn(s"dedupStreamPersistent: skipping batch $batchId — state at " +
+          s"v$cur already includes it (survivors were written before the commit)")
+      case _ =>
+        import org.apache.spark.sql.functions._
+        val fp = xxhash64(
+          graft.functions.TextFunctions.normalizeForFingerprint(col(textCol)))
+        val stamped = batch.withColumn("_fp", fp)
+        // deterministic in-batch keep: min idCol per fingerprint — replays
+        // of the same batch pick the same survivors regardless of
+        // partitioning (arrival-order dropDuplicates would not)
+        val inBatch = stamped
+          .groupBy(col("_fp"))
+          .agg(min_by(struct(batch.columns.map(col): _*), col(idCol)).as("_r"))
+          .select(col("_fp") +: batch.columns.map(c => col(s"_r.$c").as(c)): _*)
+        val state = readState(spark, statePath)
+        val fresh = state match {
+          case Some(st) => inBatch.join(st, Seq("_fp"), "left_anti")
+          case None => inBatch
+        }
+        // survivors FIRST (so the replay-skip branch always has them),
+        // then the fingerprint union as the next committed version
+        fresh.drop("_fp").write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+        val newState = state match {
+          case Some(st) => st.unionByName(fresh.select(col("_fp"))).distinct()
+          case None => fresh.select(col("_fp"))
+        }
+        val version = s"v$batchId"
+        newState.write.mode("overwrite").parquet(s"$statePath/$version")
+        commitVersion(spark, statePath, version, keepFrom = batchId - 1)
+    }
+  }
+
   /** Route a streaming DataFrame by its `_route` column into per-route
     * sinks — the NiFi relationship fan-out (SURVEY §1.3). Stateless
     * filters on one source; Spark runs them as independent queries.

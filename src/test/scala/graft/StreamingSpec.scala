@@ -214,6 +214,37 @@ class StreamingSpec extends SparkSpec {
     assert(e.getMessage.contains("committed state"))
   }
 
+  test("dedupStreamPersistent: dups drop across batches forever; replay is a no-op") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-dedup-persist").toString
+    val mem = MemoryStream[(Long, String)]
+    val df = mem.toDF().toDF("id", "text")
+    val q = StreamingOps.dedupStreamPersistent(df, "text", "id",
+      s"$dir/state", s"$dir/out", s"$dir/ckpt")
+    try {
+      // batch 0: ids 1,2 are dups after normalization -> min id (1) kept
+      mem.addData((1L, "Hello, World!"), (2L, "hello world"), (3L, "other"))
+      q.processAllAvailable()
+      // batch 1: id 4 duplicates batch 0's fingerprint — NO watermark
+      // horizon, the persistent store still remembers it
+      mem.addData((4L, "HELLO world!!"), (5L, "brand new"))
+      q.processAllAvailable()
+    } finally q.stop()
+    def outIds() = spark.read.parquet(s"$dir/out")
+      .select("id").as[Long].collect().toSet
+    assert(outIds() == Set(1L, 3L, 5L))
+    // crash-window replay of batch 1 after its commit: the version guard
+    // skips the merge and the survivors written pre-commit stand
+    StreamingOps.applyDedupBatch(spark,
+      Seq((4L, "HELLO world!!"), (5L, "brand new")).toDF("id", "text"),
+      1L, "text", "id", s"$dir/state", s"$dir/out")
+    assert(outIds() == Set(1L, 3L, 5L))
+    assert(StreamingOps.currentVersionId(spark, s"$dir/state").contains(1L))
+    // state carries fingerprints only — 8 bytes/doc, never text
+    val stateCols = StreamingOps.readState(spark, s"$dir/state").get.columns.toSeq
+    assert(stateCols == Seq("_fp"))
+  }
+
   test("mergeStreamIncremental: per-batch emissions cover only the batch's keys") {
     implicit val sqlCtx = spark.sqlContext
     val dir = Files.createTempDirectory("graft-merge-inc").toString
