@@ -291,4 +291,43 @@ class PlanShapeSpec extends SparkSpec {
     // whole-stage-codegen'd operators render with a "*(n)" stage prefix
     assert(plan.contains("*(1)"), plan)
   }
+
+  test("dsir scoring: doc filter pushes to the scan, weight table joins broadcast") {
+    import graft.operators.ImportanceScoring
+    val d = t("documents").filter(col("doc_id") < 2000)
+    val w = ImportanceScoring.importanceWeights(
+      d.filter(col("source") === "src0"), d, "text", buckets = 256)
+    val q = ImportanceScoring.scoreDocs(
+      d.filter(col("doc_id") < 500), "doc_id", "text", w, buckets = 256)
+    val plan = physical(q)
+    // the corpus filter reaches the parquet scan — at 100 TB the scoring
+    // pass reads only the candidate slice (both the 2000 and 500 bounds
+    // land in PushedFilters)
+    assert(plan.contains("LessThan(doc_id,500)") &&
+      plan.contains("PushedFilters: [IsNotNull(doc_id)"), plan)
+    // the <=B-row weight table broadcasts; exploded token rows are never
+    // the shuffled side of the join
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("quantized ANN: queries broadcast, reduction k-bounded, no window") {
+    import graft.functions.VectorFunctions
+    import graft.operators.Similarity
+    val emb = t("embeddings")
+    val qemb = emb.select(col("vec_id"),
+      VectorFunctions.quantize8(col("embedding")).as("qv"))
+    val q = Similarity.bruteForceTopK(
+      qemb, "vec_id", "qv",
+      qemb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("qv").as("qqv")),
+      "query_id", "qqv", k = 10,
+      metric = VectorFunctions.quantizedDot, scoreName = "qdot")
+    val plan = physical(q)
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"), plan)
+    // k-bounded two-stage reduction: partial graft_topk below the
+    // exchange, no all-rows row_number window
+    assert(plan.contains("partial_graft_topk"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
 }
