@@ -1881,6 +1881,7 @@ object SparkEntry {
         s"""SELECT '$c' AS col_name,
            | CAST(count($c) AS BIGINT) AS n,
            | CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls,
+           | CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
            | CAST(min($c) AS DOUBLE) AS min, CAST(max($c) AS DOUBLE) AS max,
            | CASE WHEN count($c) > 0
            |      THEN CAST(CAST(sum(CAST($c AS DECIMAL(38,2))) AS DOUBLE) AS DOUBLE) / count($c)

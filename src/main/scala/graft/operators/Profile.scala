@@ -55,6 +55,10 @@ object Profile {
       .agg(
         sum(when(col("v").isNotNull, col("cnt")).otherwise(0L)).as("n"),
         sum(when(col("v").isNull, col("cnt")).otherwise(0L)).as("nulls"),
+        // distincts are FREE here: the first stage is a value histogram,
+        // so exact cardinality is just its non-null row count — no
+        // second count(DISTINCT) expansion of the scan
+        count(when(col("v").isNotNull, lit(1))).as("n_distinct"),
         min(col("v")).as("min"),
         max(col("v")).as("max"),
         sum(col("v").cast(dec) * col("cnt")).cast(DoubleType).as("sm"),
@@ -63,6 +67,7 @@ object Profile {
         col("col_name"),
         col("n"),
         col("nulls"),
+        col("n_distinct"),
         col("min"),
         col("max"),
         when(col("n") > 0, col("sm") / col("n")).as("mean"),

@@ -14,16 +14,22 @@ class ProfileSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r).toMap
     val x = p("x")
     assert(x.getLong(1) == 4 && x.getLong(2) == 1)      // n, nulls
-    assert(x.getDouble(3) == 1.0 && x.getDouble(4) == 4.0)
-    assert(x.getDouble(5) == 2.5)                        // mean over non-null
-    assert(x.getDouble(7) == 2.5)                        // p50 of 1,2,3,4
+    assert(x.getLong(3) == 4)                            // n_distinct (free from the histogram)
+    assert(x.getDouble(4) == 1.0 && x.getDouble(5) == 4.0)
+    assert(x.getDouble(6) == 2.5)                        // mean over non-null
+    assert(x.getDouble(8) == 2.5)                        // p50 of 1,2,3,4
     val y = p("y")
     assert(y.getLong(1) == 4 && y.getLong(2) == 1)
-    assert(y.getDouble(5) == 30.0)
+    assert(y.getLong(3) == 4)
+    assert(y.getDouble(6) == 30.0)
+    // duplicated values: n counts rows, n_distinct counts values
+    val d = Profile.numeric(
+        Seq(1.0, 1.0, 2.0).toDF("w"), Seq("w")).collect().head
+    assert(d.getLong(1) == 3 && d.getLong(3) == 2)
     // all-null column profiles to null stats, not a crash
     val z = Profile.numeric(df.withColumn("z", lit(null).cast("double")), Seq("z"))
       .collect().head
-    assert(z.getLong(1) == 0 && z.isNullAt(5))
+    assert(z.getLong(1) == 0 && z.getLong(3) == 0 && z.isNullAt(6))
   }
 
   test("approx profile: exact counts/range/mean, percentiles within sketch bounds, partial-aggregable plan") {
@@ -35,16 +41,17 @@ class ProfileSpec extends SparkSpec {
     val approx = q.collect().map(r => r.getString(0) -> r).toMap
     for (c <- cols) {
       val (e, a) = (exact(c), approx(c))
-      // everything but the percentiles is EXACT (same decimal mean)
+      // everything but the percentiles is EXACT (same decimal mean);
+      // exact layout has n_distinct at idx 3, approx layout does not
       assert(a.getLong(1) == e.getLong(1) && a.getLong(2) == e.getLong(2))
-      assert(a.getDouble(3) == e.getDouble(3) && a.getDouble(4) == e.getDouble(4))
-      assert(a.getDouble(5) == e.getDouble(5), s"$c mean")
+      assert(a.getDouble(3) == e.getDouble(4) && a.getDouble(4) == e.getDouble(5))
+      assert(a.getDouble(5) == e.getDouble(6), s"$c mean")
       // percentiles: GK rank error n/accuracy ⇒ tiny value drift; bound
       // it at 5% of the column range (loose, deterministic)
-      val range = e.getDouble(4) - e.getDouble(3)
+      val range = e.getDouble(5) - e.getDouble(4)
       for (i <- 6 to 9)
-        assert(math.abs(a.getDouble(i) - e.getDouble(i)) <= range * 0.05,
-          s"$c pct idx $i: approx ${a.getDouble(i)} vs exact ${e.getDouble(i)}")
+        assert(math.abs(a.getDouble(i) - e.getDouble(i + 1)) <= range * 0.05,
+          s"$c pct idx $i: approx ${a.getDouble(i)} vs exact ${e.getDouble(i + 1)}")
     }
     // the scale property: ONE two-phase hash/object aggregate — partial
     // sketches map-side, no value-histogram shuffle, no per-column
