@@ -581,6 +581,20 @@ object SparkEntry {
       ).orderBy("doc_id")
     }),
 
+    // ---- text shape: mean token length (fluency proxy) + character
+    //      5-gram shingle count/first over the normalized text — integer
+    //      sums divided in double, so both engines agree exactly
+    "text_shape" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val sh = TextFunctions.charShingles(col("text"), 5)
+      d.select(
+        col("doc_id"),
+        round(TextFunctions.meanTokenLen(col("text")), 4).as("mean_tok_len"),
+        size(sh).cast(LongType).as("n_5grams"),
+        element_at(sh, 1).as("first_5gram")
+      ).orderBy("doc_id")
+    }),
+
     // ---- repetition quality signals (the public Gopher/RefinedWeb rule
     //      family): duplicate-line fraction + most-common token / 2-gram
     //      dominance, all narrow one-pass per row
@@ -1739,6 +1753,23 @@ object SparkEntry {
         |    + len(regexp_extract_all(text, '[^ \t\n\x{0B}\f\r\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}\x{AC00}-\x{D7AF}\x{F900}-\x{FAFF}\x{20000}-\x{2FFFF}]+')) AS BIGINT) AS plain_tokens,
         | CAST(len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS BIGINT) AS ws_tokens
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    // integer length sums divided in double; shingles over the same
+    // normalize chain the fingerprint/dedup oracles use
+    "text_shape" ->
+      """WITH f AS (
+        | SELECT doc_id,
+        |  list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS toks,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[[:punct:]]', '', 'g'), '\s+', ' ', 'g')) AS nt
+        | FROM documents
+        |)
+        |SELECT doc_id,
+        | CASE WHEN len(toks) > 0
+        |      THEN round(CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / CAST(len(toks) AS DOUBLE), 4)
+        |      ELSE 0.0 END AS mean_tok_len,
+        | CAST(CASE WHEN length(nt) <= 5 THEN 1 ELSE length(nt) - 4 END AS BIGINT) AS n_5grams,
+        | CASE WHEN length(nt) <= 5 THEN nt ELSE substr(nt, 1, 5) END AS first_5gram
+        |FROM f ORDER BY doc_id""".stripMargin,
 
     // mode() count == max multiplicity regardless of which tied value
     // mode picks; list_aggregate(NULL-safe: empty list -> NULL mode -> 0)
