@@ -154,7 +154,11 @@ object Similarity {
       .orderBy(col("_sim").desc, col("centroid_id").asc)
     qc.withColumn("_rn", row_number().over(wq))
       .filter(col("_rn") <= nprobe)
-      .select(col(queryId), col(queryVec), col("centroid_id").cast(LongType))
+      // keep EVERY query column (a caller may carry a separate scoring
+      // representation, e.g. quantize8 codes, alongside the float vec
+      // the probe selection uses), normalize the id type for the join
+      .withColumn("centroid_id", col("centroid_id").cast(LongType))
+      .drop("_sim", "_rn", "centroid_vec")
   }
 
   def ivfTopK(
@@ -219,7 +223,10 @@ object Similarity {
       queryId: String,
       queryVec: String,
       k: Int,
-      nprobe: Int
+      nprobe: Int,
+      metric: (Column, Column) => Column = cosine,
+      scoreName: String = "cosine",
+      queryScoreVec: Option[String] = None
   ): DataFrame = {
     val spark = queries.sparkSession
     val probes = probeSet(centroids, queries, queryId, queryVec, nprobe)
@@ -234,15 +241,20 @@ object Similarity {
       // partition-dir values read back as the inferred type; normalize to
       // BIGINT for the probe join (cast of a partition attr stays prunable)
       .withColumn("centroid_id", col("centroid_id").cast(LongType))
+    // probes always select by FLOAT-vector cosine against the centroids;
+    // the candidate scan scores with `metric` over `queryScoreVec` (or
+    // the probe vector) vs the stored corpus column — the seam that lets
+    // a quantize8-coded corpus ride the same pruned index (QDot scan,
+    // quarter the bytes; float vectors only for re-rank)
     val scored = corpus
       .join(broadcast(probes), Seq("centroid_id"))
       .select(
         col(queryId).as("query_id"),
         col(corpusId).as("neighbor_id"),
-        cosine(col(queryVec), col(corpusVec)).as("cosine")
+        metric(col(queryScoreVec.getOrElse(queryVec)), col(corpusVec)).as(scoreName)
       )
       .filter(col("query_id") =!= col("neighbor_id"))
-    topKPerQuery(scored, "cosine", k)
+    topKPerQuery(scored, scoreName, k)
   }
 
   /** LSH-bucketed ANN top-k (cosine): corpus vectors bucket by

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, StructField, StructType}
 
 /**
  * Exact dot product of two [[Quantize8]]-coded vectors WITHOUT
@@ -33,14 +33,25 @@ case class QDot(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_qdot"
 
+  // structural match, nullability-insensitive: a quantize8 struct read
+  // back from parquet resurfaces with every field nullable
+  private def isQuantStruct(t: DataType): Boolean = t match {
+    case StructType(Array(
+        StructField("q", ArrayType(IntegerType, _), _, _),
+        StructField("offset", DoubleType, _, _),
+        StructField("scale", DoubleType, _, _))) => true
+    case _ => false
+  }
+
   override def checkInputDataTypes(): TypeCheckResult =
-    if (left.dataType == Quantize8.OutType && right.dataType == Quantize8.OutType)
+    if (isQuantStruct(left.dataType) && isQuantStruct(right.dataType))
       TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
       s"graft_qdot requires two graft_quantize8 structs, got " +
         s"${left.dataType} and ${right.dataType}")
 
   def qdot(a: InternalRow, b: InternalRow): java.lang.Double = {
+    if (a.isNullAt(0) || b.isNullAt(0) || a.isNullAt(2) || b.isNullAt(2)) return null
     val qa = a.getArray(0)
     val qb = b.getArray(0)
     val n = qa.numElements()

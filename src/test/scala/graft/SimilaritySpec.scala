@@ -195,4 +195,52 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     (0L until 3L).foreach(i => assert(top(i + 1000000L) == i))
   }
+
+  test("quantize8 corpus rides the partitioned IVF index: pruning holds, QDot scores the scan") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFunctions
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val cents = Similarity.seedCentroids(emb, "id", "vec", 8)
+    val assigned = Similarity.assignToCentroids(emb, "id", "vec", cents)
+    // persist QUANTIZED codes under the same partitionBy(centroid_id)
+    // contract — a quarter of the candidate-scan bytes
+    val path = java.nio.file.Files.createTempDirectory("graft-ivfq").toString
+    Similarity.writeAssigned(
+      assigned.select(col("id"),
+        VectorFunctions.quantize8(col("vec")).as("qv"), col("centroid_id")),
+      path)
+    // queries carry the float vec (probe selection) AND their codes
+    // (candidate scoring) — the queryScoreVec seam
+    val q = emb.filter(col("id") < 3)
+      .select((col("id") + 1000000L).as("qid"), col("vec").as("qvec"),
+        VectorFunctions.quantize8(col("vec")).as("qqv"))
+    val res = Similarity.ivfTopKPartitioned(path, "id", "qv", cents, q,
+      "qid", "qvec", k = 3, nprobe = 2,
+      metric = VectorFunctions.quantizedDot, scoreName = "qdot",
+      queryScoreVec = Some("qqv"))
+    // partition pruning is unchanged by the payload representation
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [centroid_id"), plan)
+    val rows = res.select(col("query_id"), col("neighbor_id"), col("qdot"))
+      .as[(Long, Long, Double)].collect()
+    assert(rows.nonEmpty && rows.map(_._1).distinct.length == 3)
+    // scores are true QDot values: recompute for each returned pair
+    val codes = emb.select(col("id"),
+        VectorFunctions.quantize8(col("vec")).as("qv")).collect()
+      .map(r => r.getLong(0) -> r.getStruct(1)).toMap
+    val recompute = q.select(col("qid"), col("qqv")).collect()
+      .map(r => r.getLong(0) -> r.getStruct(1)).toMap
+    def qdotOf(a: org.apache.spark.sql.Row, b: org.apache.spark.sql.Row): Double = {
+      val (qa, qb) = (a.getSeq[Int](0), b.getSeq[Int](0))
+      val (oa, sa) = (a.getDouble(1), a.getDouble(2))
+      val (ob, sb) = (b.getDouble(1), b.getDouble(2))
+      val sqq = qa.zip(qb).map { case (x, y) => x.toLong * y }.sum
+      sa * sb * sqq + sa * ob * qa.map(_.toLong).sum +
+        sb * oa * qb.map(_.toLong).sum + qa.length * oa * ob
+    }
+    rows.foreach { case (qid, nid, got) =>
+      assert(got == qdotOf(recompute(qid), codes(nid)), s"($qid,$nid)")
+    }
+  }
 }
