@@ -490,10 +490,14 @@ object StreamingOps {
           case None => inBatch
         }
         // survivors FIRST (so the replay-skip branch always has them),
-        // then the fingerprint union as the next committed version
+        // then the fingerprint union as the next committed version.
+        // No distinct() on the union: the store is distinct by induction
+        // (in-batch keep-one + the anti-join make `fresh`'s fingerprints
+        // unique AND disjoint from it), so the state rewrite is a
+        // shuffle-free copy+append, not a full re-shuffle per batch
         fresh.drop("_fp").write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
         val newState = state match {
-          case Some(st) => st.unionByName(fresh.select(col("_fp"))).distinct()
+          case Some(st) => st.unionByName(fresh.select(col("_fp")))
           case None => fresh.select(col("_fp"))
         }
         val version = s"v$batchId"
