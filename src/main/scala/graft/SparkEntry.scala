@@ -1192,6 +1192,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- dedup: corpus-wide boilerplate-line removal. The planted
+    //      sentence heads EVERY doc (⇒ > maxDocs distinct docs), so it
+    //      is stripped from all of them — plus any sentence the corpus
+    //      naturally repeats across more than maxDocs docs
+    "boilerplate_removal" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("shared boilerplate notice. "), col("text")).as("text"))
+      Dedup.boilerplateRemove(d, "text", "doc_id", maxDocs = 5, sep = ". ")
+        .orderBy("doc_id")
+    }),
+
     // ---- dedup: winnowing partial-overlap pairs. Planted exact dups ⇒
     //      identical normalized text ⇒ identical fingerprint sets ⇒
     //      guaranteed ≥1 shared fingerprint for docs with ≥ k normalized
@@ -2296,6 +2307,31 @@ object SparkEntry {
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b
         |FROM all_docs a JOIN all_docs b ON a.nt = b.nt AND a.doc_id < b.doc_id
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // a non-blank normalized line in > 5 distinct docs is removed from
+    // every doc; blank (normalize to '') spans always kept
+    "boilerplate_removal" ->
+      """WITH d AS (
+        | SELECT doc_id, 'shared boilerplate notice. ' || text AS text FROM documents
+        |), p AS (
+        | SELECT doc_id, generate_subscripts(string_split(text, '. '), 1) AS pos,
+        |        unnest(string_split(text, '. ')) AS line
+        | FROM d
+        |), n AS (
+        | SELECT doc_id, pos, line,
+        |  trim(regexp_replace(regexp_replace(lower(line), '[[:punct:]]', '', 'g'), '\s+', ' ', 'g')) AS nt
+        | FROM p
+        |), banned AS (
+        | SELECT nt FROM n WHERE nt <> '' GROUP BY nt
+        | HAVING count(DISTINCT doc_id) > 5
+        |)
+        |SELECT d.doc_id AS doc_id, COALESCE(g.cleaned, '') AS cleaned
+        |FROM d LEFT JOIN (
+        | SELECT doc_id, string_agg(line, '. ' ORDER BY pos) AS cleaned
+        | FROM n WHERE nt = '' OR nt NOT IN (SELECT nt FROM banned)
+        | GROUP BY doc_id
+        |) g ON d.doc_id = g.doc_id
+        |ORDER BY 1""".stripMargin,
 
     // first-occurrence-wins over normalized sentences; blank (normalize
     // to '') spans are structural and always kept

@@ -473,6 +473,58 @@ object Dedup {
       .select(col("id").as(idCol), coalesce(col("cleaned"), lit("")).as("cleaned"))
   }
 
+  /** Corpus-wide boilerplate-line removal (the CCNet/RefinedWeb cleanup
+    * family): a non-blank line whose NORMALIZED form appears in more
+    * than `maxDocs` distinct documents is removed from EVERY document
+    * (unlike [[paragraphDedup]], which keeps the first occurrence —
+    * boilerplate headers/footers/cookie banners carry no information in
+    * any copy). Output: one row per input doc, `(idCol, cleaned)`; docs
+    * hollowed to nothing come back as `""`.
+    *
+    * Scale shape: the ban-list aggregation shuffles `(fp, id)` pairs
+    * (16 bytes, never line text) through an explicit two-phase
+    * distinct-then-count, and the ban list itself — lines repeated
+    * across > `maxDocs` docs — is tiny by construction, so AQE turns
+    * the anti-join into a broadcast at runtime. Reassembly pays the one
+    * inherent text shuffle (a doc's lines must reunite). Blank lines
+    * (normalize to "") are document structure: never counted, never
+    * banned, always kept.
+    */
+  def boilerplateRemove(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      maxDocs: Int,
+      sep: String = "\n"
+  ): DataFrame = {
+    val exploded = Partitioning.spreadByKey(
+        df.select(col(idCol).as("id"), col(textCol).as("_txt")), col("id"))
+      .select(col("id"),
+        posexplode(split(col("_txt"), java.util.regex.Pattern.quote(sep), -1))
+          .as(Seq("pos", "line")))
+      .withColumn("_nrm", normalizeForFingerprint(col("line")))
+      .withColumn("fp", xxhash64(col("_nrm")))
+    // distinct docs per fingerprint, two-phase: the (fp, id) distinct
+    // partial-aggregates map-side, then the count is a second narrow agg
+    val banned = exploded
+      .filter(col("_nrm") =!= "")
+      .select("fp", "id").distinct()
+      .groupBy("fp").count()
+      .filter(col("count") > maxDocs)
+      .select("fp")
+    // blanks survive automatically: their fp never enters `banned`
+    // (filtered above), and no non-blank line normalizes to ""
+    val kept = exploded.join(banned, Seq("fp"), "left_anti")
+    kept
+      .groupBy("id")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+          x => x.getField("line")),
+        sep).as("cleaned"))
+      .join(df.select(col(idCol).as("id")), Seq("id"), "right")
+      .select(col("id").as(idCol), coalesce(col("cleaned"), lit("")).as("cleaned"))
+  }
+
   // --------------------------------------- winnowing (partial overlap)
 
   /** Winnowing fingerprints of the normalized text (MOSS local

@@ -157,6 +157,34 @@ class DedupSpec extends SparkSpec {
     assert(v(11L) == "")
   }
 
+  test("boilerplateRemove: lines over the doc-count threshold vanish from EVERY doc") {
+    val boiler = "all rights reserved"
+    val docs = (1L to 6L).map(i => (i, s"body of document $i\n$boiler")) :+
+      (7L, s"$boiler") :+                  // hollow after removal
+      (8L, "rare line\n\nwith a blank")    // blank line preserved
+    val df = docs.toDF("id", "text")
+    val out = Dedup.boilerplateRemove(df, "text", "id", maxDocs = 5)
+      .as[(Long, String)].collect().toMap
+    (1L to 6L).foreach(i => assert(out(i) == s"body of document $i"))
+    assert(out(7L) == "")
+    assert(out(8L) == "rare line\n\nwith a blank")
+    // under the threshold nothing is removed — even repeated lines
+    val few = Seq((1L, "shared line\nown text a"), (2L, "shared line\nown text b"))
+      .toDF("id", "text")
+    val kept = Dedup.boilerplateRemove(few, "text", "id", maxDocs = 5)
+      .as[(Long, String)].collect().toMap
+    assert(kept(1L) == "shared line\nown text a")
+    assert(kept(2L) == "shared line\nown text b")
+    // normalization: case/punct variants count as the same line and are
+    // ALL removed (no first-occurrence exemption, unlike paragraphDedup)
+    val variants = (1L to 6L).map(i =>
+      (i, s"keep me $i\n" + (if (i % 2 == 0) "Visit Our Site!" else "visit our site")))
+      .toDF("id", "text")
+    val v = Dedup.boilerplateRemove(variants, "text", "id", maxDocs = 5)
+      .as[(Long, String)].collect().toMap
+    (1L to 6L).foreach(i => assert(v(i) == s"keep me $i"))
+  }
+
   test("winnowing: the MOSS guarantee — shared spans >= w+k-1 share a fingerprint") {
     import org.apache.spark.sql.functions._
     val k = 8; val w = 8
