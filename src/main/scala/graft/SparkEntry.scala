@@ -1056,6 +1056,22 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // ---- dedup: SemDeDup — k-means clusters, within-cluster cosine
+    //      pairs. Planted exact copies share their argmax centroid, so
+    //      the within-cluster scan finds every planted pair; the corpus
+    //      max natural pairwise cosine is ~0.51 (measured), so at
+    //      threshold 0.999 the planted set IS the full answer and the
+    //      cluster-straddle recall trade can't bite
+    "semantic_dedup_pairs" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val planted = emb.filter(col("vec_id") < 10)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      Dedup.semanticDupPairs(emb.union(planted), "embedding", "vec_id",
+          threshold = 0.999, numClusters = 8, iterations = 1)
+        .select(col("id_a"), col("id_b"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // ---- multimodal: partition-batched feature extraction over binary
     //      media (stub decode kernel, real plumbing). The byte accounting
     //      is closed-form (n_bytes = 64 + media_id % 64 by construction of
@@ -2406,6 +2422,13 @@ object SparkEntry {
     // planted identical vectors: cosine 1.0, same SRP bucket; natural max
     // pair cosine ~0.49 ≪ 0.999 threshold ⇒ output = the planted pair set
     "dedup_embedding_pairs" ->
+      """SELECT CAST(vec_id AS BIGINT) AS id_a, CAST(vec_id + 1000000 AS BIGINT) AS id_b
+        |FROM embeddings WHERE vec_id < 10
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // the planted exact copies are the only pairs at cosine >= 0.999
+    // (max natural pairwise cosine ~0.51); see the queries-side comment
+    "semantic_dedup_pairs" ->
       """SELECT CAST(vec_id AS BIGINT) AS id_a, CAST(vec_id + 1000000 AS BIGINT) AS id_b
         |FROM embeddings WHERE vec_id < 10
         |ORDER BY id_a, id_b""".stripMargin,

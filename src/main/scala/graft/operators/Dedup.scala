@@ -640,4 +640,53 @@ object Dedup {
       )
       .filter(col("cosine") >= threshold)
   }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic near-dup
+    * pairs via k-means clustering + WITHIN-cluster cosine pruning.
+    * Clusters come from the same Lloyd pipeline the IVF index uses
+    * ([[Similarity.seedCentroids]] + [[Similarity.refineCentroids]]);
+    * assignment is the narrow native argmax (zero shuffles), and the
+    * pair scan is a self-join on `centroid_id` — only same-cluster
+    * vectors ever meet. Output: `(id_a, id_b, cosine)` with
+    * `id_a < id_b` and `cosine >= threshold`.
+    *
+    * Scale shape: the pair space is Σ|cluster|² — the SemDeDup design
+    * point. Size `numClusters` ∝ corpus so clusters stay bounded (the
+    * paper runs ~100k clusters at web scale); the join shuffles vectors
+    * on `centroid_id` once, inherent to meeting in a cluster. By
+    * construction pairs STRADDLING a cluster boundary are missed — the
+    * published recall trade; near-identical vectors (the dedup target)
+    * share an argmax. For LSH-bucketed recall instead, use
+    * [[embeddingDupPairs]]; compose either with [[dedupByComponents]]
+    * to keep one representative per duplicate group.
+    */
+  def semanticDupPairs(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      threshold: Double = 0.95,
+      numClusters: Int = 64,
+      iterations: Int = 1
+  ): DataFrame = {
+    val base = Partitioning.spreadByKey(
+      df.select(col(idCol).as("id"), col(vecCol).as("v")), col("id"))
+      .filter(col("v").isNotNull && size(col("v")) > 0)
+    val cents = Similarity.refineCentroids(base, "id", "v",
+      Similarity.seedCentroids(base, "id", "v", numClusters), iterations)
+    val assigned = Similarity.assignToCentroids(base, "id", "v", cents)
+      .withColumn("nrm", VectorFunctions.norm(col("v")))
+    val a = assigned.select(col("centroid_id"), col("id").as("id_a"),
+      col("v").as("v_a"), col("nrm").as("n_a"))
+    val b = assigned.select(col("centroid_id"), col("id").as("id_b"),
+      col("v").as("v_b"), col("nrm").as("n_b"))
+    val nn = col("n_a") * col("n_b")
+    a.join(b, Seq("centroid_id"))
+      .filter(col("id_a") < col("id_b"))
+      .select(
+        col("id_a"), col("id_b"),
+        when(nn > 0.0, VectorFunctions.dot(col("v_a"), col("v_b")) / nn)
+          .otherwise(lit(0.0)).as("cosine")
+      )
+      .filter(col("cosine") >= threshold)
+  }
 }

@@ -131,6 +131,39 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("semanticDupPairs: within-cluster cosine pairs; straddle trade documented") {
+    // two well-separated directions; dups planted in each
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f, 0.0f, 0.0f)),   // exact copy of 1
+      (3L, Array(0.99f, 0.01f, 0.0f, 0.0f)), // near-dup of 1
+      (4L, Array(0.0f, 0.0f, 1.0f, 0.0f)),
+      (5L, Array(0.0f, 0.0f, 1.0f, 0.0f)),   // exact copy of 4
+      (6L, Array(0.0f, 1.0f, 0.0f, 0.0f))    // lone direction
+    ).toDF("id", "v")
+    // one cluster = exhaustive within-cluster scan: pins the cosine
+    // threshold semantics independent of seeding. cos(1,3) ≈ 0.99995
+    val all = Dedup.semanticDupPairs(vecs, "v", "id",
+        threshold = 0.99, numClusters = 1, iterations = 1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(all == Set((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L)))
+    val strict = Dedup.semanticDupPairs(vecs, "v", "id",
+        threshold = 0.99999, numClusters = 1, iterations = 1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(strict == Set((1L, 2L), (4L, 5L))) // exact copies only
+    // multi-cluster: EXACT copies share an argmax whatever the (hash-
+    // random) seeds picked, so they are always found; nothing pairs
+    // across orthogonal directions (threshold kills cross pairs even
+    // when clustering lumps them together)
+    val pairs = Dedup.semanticDupPairs(vecs, "v", "id",
+        threshold = 0.99, numClusters = 3, iterations = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((4L, 5L)))
+    val xdir = Set(1L, 2L, 3L)
+    assert(pairs.forall { case (a, b) =>
+      xdir.contains(a) == xdir.contains(b) })
+  }
+
   test("paragraphDedup: first occurrence survives, blanks kept, hollow docs audit as empty") {
     import org.apache.spark.sql.functions._
     val boiler = "subscribe to our newsletter"
