@@ -1056,6 +1056,23 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // ---- retrieval: BM25 top-k per query (lexical complement to the
+    //      ANN gates). idf rounds to 6dp, each term contribution to 9dp
+    //      DECIMAL, the per-doc score is an exact decimal sum — so the
+    //      oracle reproduces scores bit-for-bit in any summation order;
+    //      (score DESC, doc_id ASC) totally orders ranks on both sides
+    "bm25_topk" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val queries = Seq(
+        (0L, "spark window merge"),
+        (1L, "customer order batch stream"),
+        (2L, "hash join table scan")).toDF("query_id", "qtext")
+      Retrieval.bm25TopK(docs, "doc_id", "text",
+          queries, "query_id", "qtext", k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- dedup: SemDeDup — k-means clusters, within-cluster cosine
     //      pairs. Planted exact copies share their argmax centroid, so
     //      the within-cluster scan finds every planted pair; the corpus
@@ -2425,6 +2442,56 @@ object SparkEntry {
       """SELECT CAST(vec_id AS BIGINT) AS id_a, CAST(vec_id + 1000000 AS BIGINT) AS id_b
         |FROM embeddings WHERE vec_id < 10
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // BM25 mirrored term-for-term: same tokenizer fragment as
+    // dsir_scores, idf = round(ln((N-df+.5)/(df+.5)+1), 6), tfnorm in
+    // the written operation order, contributions rounded to 9dp DECIMAL
+    // and summed exactly
+    "bm25_topk" ->
+      """WITH d AS (
+        | SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS toks
+        | FROM documents
+        |), dl AS (
+        | SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d
+        |), tok AS (
+        | SELECT doc_id, unnest(toks) AS term FROM d
+        |), tf AS (
+        | SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+        |), df AS (
+        | SELECT term, count(*) AS df FROM tf GROUP BY 1
+        |), st AS (
+        | SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl
+        |), q AS (
+        | SELECT * FROM (VALUES
+        |   (0, 'spark window merge'),
+        |   (1, 'customer order batch stream'),
+        |   (2, 'hash join table scan')) AS v(query_id, qtext)
+        |), qt AS (
+        | SELECT query_id,
+        |  unnest(list_distinct(list_filter(string_split_regex(trim(lower(qtext)), '\s+'), x -> x <> ''))) AS term
+        | FROM q
+        |), sc AS (
+        | SELECT qt.query_id, tf.doc_id AS neighbor_id,
+        |  sum(CAST(round(
+        |    round(ln((CAST(st.n_docs AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
+        |              / (CAST(df.df AS DOUBLE) + 0.5) + 1.0), 6)
+        |    * (CAST(tf.tf AS DOUBLE) * 2.2
+        |       / (CAST(tf.tf AS DOUBLE)
+        |          + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl.dl AS DOUBLE)
+        |              / (CAST(st.sum_dl AS DOUBLE) / CAST(st.n_docs AS DOUBLE))))))
+        |  , 9) AS DECIMAL(38,9))) AS score
+        | FROM qt
+        | JOIN tf ON qt.term = tf.term
+        | JOIN df ON qt.term = df.term
+        | JOIN dl ON tf.doc_id = dl.doc_id, st
+        | GROUP BY 1, 2
+        |)
+        |SELECT CAST(query_id AS BIGINT) AS query_id, neighbor_id,
+        | CAST(score AS DECIMAL(38,9)) AS score,
+        | CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INTEGER) AS rank
+        |FROM sc
+        |QUALIFY rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
 
     // the planted exact copies are the only pairs at cosine >= 0.999
     // (max natural pairwise cosine ~0.51); see the queries-side comment

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Retrieval
+
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (1L, "apple banana apple"),
+    (2L, "banana cherry"),
+    (3L, "apple apple apple apple"),
+    (4L, "dog")
+  ).toDF("doc_id", "text")
+
+  test("bm25TopK: term-frequency saturation ranks, non-matching docs absent") {
+    val q = Seq((10L, "apple")).toDF("query_id", "qtext")
+    val out = Retrieval.bm25TopK(corpus, "doc_id", "text", q,
+        "query_id", "qtext", k = 10)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().sortBy(_._3)
+    // only docs containing 'apple'; tf=4 in the all-apple doc outranks tf=2
+    assert(out.map(_._2).toSeq == Seq(3L, 1L))
+    assert(out.map(_._3).toSeq == Seq(1, 2))
+  }
+
+  test("bm25TopK: multi-term queries sum contributions; absent terms add nothing") {
+    val q = Seq(
+      (10L, "banana cherry"),
+      (11L, "zebra")  // vocabulary miss: no result rows at all
+    ).toDF("query_id", "qtext")
+    val out = Retrieval.bm25TopK(corpus, "doc_id", "text", q,
+        "query_id", "qtext", k = 10)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect()
+    val q10 = out.filter(_._1 == 10L).sortBy(_._3).map(_._2).toSeq
+    assert(q10 == Seq(2L, 1L)) // both terms beat banana-only
+    assert(!out.exists(_._1 == 11L))
+  }
+
+  test("bm25TopK: k bounds the result; repeated query terms count once") {
+    val q = Seq((10L, "apple apple banana")).toDF("query_id", "qtext")
+    val k1 = Retrieval.bm25TopK(corpus, "doc_id", "text", q,
+        "query_id", "qtext", k = 1)
+      .select("neighbor_id").as[Long].collect().toSeq
+    assert(k1.length == 1)
+    // same scores as the distinct-term query => same ranking
+    val qd = Seq((10L, "apple banana")).toDF("query_id", "qtext")
+    val full = Retrieval.bm25TopK(corpus, "doc_id", "text", q,
+        "query_id", "qtext", k = 10)
+      .select("neighbor_id", "score").as[(Long, java.math.BigDecimal)].collect().toMap
+    val dist = Retrieval.bm25TopK(corpus, "doc_id", "text", qd,
+        "query_id", "qtext", k = 10)
+      .select("neighbor_id", "score").as[(Long, java.math.BigDecimal)].collect().toMap
+    assert(full == dist)
+  }
+}
