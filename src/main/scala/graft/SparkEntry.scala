@@ -1056,6 +1056,17 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // ---- RAG chunking: sliding token windows (32-token chunks, 8
+    //      carried over, stride 24); last window is the first to reach
+    //      the doc end. Entirely narrow — the oracle replays the same
+    //      integer window arithmetic over the same tokenizer
+    "doc_chunks" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      Packing.chunkByTokens(d, "text", "doc_id",
+          chunkTokens = 32, overlapTokens = 8)
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
     // ---- retrieval: BM25 top-k per query (lexical complement to the
     //      ANN gates). idf rounds to 6dp, each term contribution to 9dp
     //      DECIMAL, the per-doc score is an exact decimal sum — so the
@@ -2442,6 +2453,25 @@ object SparkEntry {
       """SELECT CAST(vec_id AS BIGINT) AS id_a, CAST(vec_id + 1000000 AS BIGINT) AS id_b
         |FROM embeddings WHERE vec_id < 10
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // nchunks = 1 + ceil(max(0, n-32)/24) in integer arithmetic; list
+    // slices clamp at the doc end on both engines
+    "doc_chunks" ->
+      """WITH d AS (
+        | SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+        | FROM documents
+        |), n AS (
+        | SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM d WHERE len(toks) > 0
+        |), c AS (
+        | SELECT doc_id, toks, n, 1 + (GREATEST(n - 32, 0) + 23) // 24 AS nchunks FROM n
+        |), e AS (
+        | SELECT doc_id, toks, n, unnest(range(nchunks)) AS chunk_idx FROM c
+        |)
+        |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        | array_to_string(toks[(chunk_idx * 24 + 1):(LEAST(chunk_idx * 24 + 32, n))], ' ') AS chunk_text,
+        | CAST(LEAST(chunk_idx * 24 + 32, n) - chunk_idx * 24 AS BIGINT) AS n_tokens
+        |FROM e
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
 
     // BM25 mirrored term-for-term: same tokenizer fragment as
     // dsir_scores, idf = round(ln((N-df+.5)/(df+.5)+1), 6), tfnorm in

@@ -80,4 +80,56 @@ object Packing {
   ): DataFrame =
     packed.groupBy((strataCols :+ "pack_id").map(col): _*)
       .agg(count(lit(1)).as("n_docs"), sum(tokens).as("n_tokens"))
+
+  /** RAG-style sliding-window chunking: split each document into
+    * overlapping windows of `chunkTokens` whitespace tokens with
+    * `overlapTokens` carried between consecutive chunks. Output: one
+    * row per chunk — `(<idCol>, chunk_idx, chunk_text, n_tokens)` —
+    * where `chunk_text` rejoins the window's tokens with single spaces
+    * (the retrieval-index normalization; original inter-token
+    * whitespace is not preserved). Window starts step by
+    * `chunkTokens - overlapTokens`; the LAST window is the first one
+    * reaching the document's end, so no trailing chunk is pure overlap
+    * of its predecessor. Zero-token docs yield no rows (left-join back
+    * if every id must survive).
+    *
+    * Scale shape: entirely NARROW — tokenize, a per-row
+    * `sequence(0, numChunks-1)` explode, and a `slice` per chunk; no
+    * shuffle anywhere, so it composes with a downstream repartition or
+    * write without constraining the plan. Chunk counts use integer
+    * arithmetic on longs (`div`), exact at any document length.
+    */
+  def chunkByTokens(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      chunkTokens: Int,
+      overlapTokens: Int = 0
+  ): DataFrame = {
+    require(chunkTokens > 0, "chunkByTokens: chunkTokens must be positive")
+    require(overlapTokens >= 0 && overlapTokens < chunkTokens,
+      s"chunkByTokens: overlapTokens must be in [0, chunkTokens) — " +
+        s"got $overlapTokens of $chunkTokens (a stride of zero never advances)")
+    val stride = chunkTokens - overlapTokens
+    val toks = df.select(col(idCol),
+      graft.functions.TextFunctions.tokens(col(textCol)).as("_toks"))
+      .withColumn("_n", size(col("_toks")).cast(LongType))
+      // 1 + ceil(max(0, n - chunk) / stride), in exact integer div
+      .withColumn("_nchunks",
+        when(col("_n") === 0, lit(0L)).otherwise(
+          expr(s"1L + (greatest(_n - ${chunkTokens}L, 0L) + ${stride - 1}L) div ${stride}L")))
+    toks
+      // _n = 0 would make sequence(0, -1) DESCEND ([0, -1]) — zero-token
+      // docs are dropped here, which is also the documented contract
+      .filter(col("_n") > 0)
+      .select(col(idCol),
+        explode(sequence(lit(0L), col("_nchunks") - 1)).as("chunk_idx"),
+        col("_toks"))
+      .withColumn("_win",
+        slice(col("_toks"), (col("chunk_idx") * stride + 1).cast("int"),
+          lit(chunkTokens)))
+      .select(col(idCol), col("chunk_idx"),
+        array_join(col("_win"), " ").as("chunk_text"),
+        size(col("_win")).cast(LongType).as("n_tokens"))
+  }
 }

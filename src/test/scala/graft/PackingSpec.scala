@@ -48,4 +48,32 @@ class PackingSpec extends SparkSpec {
       assert(out(i) == (10 * (i - 1)) / 35, s"doc $i")
     }
   }
+
+  test("chunkByTokens: sliding windows overlap by the carry, last window reaches the end") {
+    val d = Seq(
+      (1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"), // 10 tokens
+      (2L, "a b c"),                          // shorter than one chunk
+      (3L, ""),                               // zero tokens → no rows
+      (4L, "  x   y  ")                       // ragged whitespace
+    ).toDF("id", "text")
+    val out = Packing.chunkByTokens(d, "text", "id", chunkTokens = 4, overlapTokens = 1)
+      .select("id", "chunk_idx", "chunk_text", "n_tokens")
+      .as[(Long, Long, String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(r => (r._3, r._4)).toSeq).toMap
+    // stride 3: starts 0,3,6 — start 6 reaches token 10, so 3 chunks
+    assert(out(1L) == Seq(
+      ("t1 t2 t3 t4", 4L), ("t4 t5 t6 t7", 4L), ("t7 t8 t9 t10", 4L)))
+    assert(out(2L) == Seq(("a b c", 3L)))
+    assert(!out.contains(3L))
+    assert(out(4L) == Seq(("x y", 2L)))
+    // no-overlap mode tiles exactly; the tail chunk is the remainder
+    val tiled = Packing.chunkByTokens(d.filter(col("id") === 1L), "text", "id",
+        chunkTokens = 4, overlapTokens = 0)
+      .select("chunk_text", "n_tokens").as[(String, Long)].collect().toSeq
+    assert(tiled == Seq(("t1 t2 t3 t4", 4L), ("t5 t6 t7 t8", 4L), ("t9 t10", 2L)))
+    // a zero stride can never advance — refused
+    intercept[IllegalArgumentException] {
+      Packing.chunkByTokens(d, "text", "id", chunkTokens = 4, overlapTokens = 4)
+    }
+  }
 }
