@@ -330,4 +330,43 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("partial_graft_topk"), plan)
     assert(!plan.contains("Window"), plan)
   }
+
+  test("chunking is entirely narrow: no Exchange, no Window, generator fan-out only") {
+    import graft.operators.Packing
+    val q = Packing.chunkByTokens(
+      t("documents").select(col("doc_id"), col("text")),
+      "text", "doc_id", chunkTokens = 32, overlapTokens = 8)
+    val plan = physical(q)
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("Generate"), plan) // the sequence explode
+    // only the two consumed columns are read
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"), plan)
+  }
+
+  test("bm25: query terms broadcast against the postings; top-k is heap-bounded, no window") {
+    import graft.operators.Retrieval
+    import spark.implicits._
+    val queries = Seq((0L, "spark window merge")).toDF("query_id", "qtext")
+    val q = Retrieval.bm25TopK(
+      t("documents").select(col("doc_id"), col("text")),
+      "doc_id", "text", queries, "query_id", "qtext", k = 10)
+    val plan = physical(q)
+    // the postings side never re-shuffles to meet the queries
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("partial_graft_topk"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("boilerplate removal: ban-list aggregation is two-phase and carries ids, not text") {
+    import graft.operators.Dedup
+    val q = Dedup.boilerplateRemove(
+      t("documents").select(col("doc_id"), col("text")),
+      "text", "doc_id", maxDocs = 5, sep = ". ")
+    val plan = physical(q)
+    // the (fp, id) distinct partial-aggregates map-side before its exchange
+    assert(plan.contains("partial_count") || plan.contains("HashAggregate"), plan)
+    // no cartesian anywhere in the reassembly
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
