@@ -464,6 +464,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- domain-mixture resampling: keep the largest subcorpus whose
+    //      source shares match the 3:1:1 target. src0 binds (keeps all
+    //      of itself relative to its weight), src1/src2 thin to 1/3;
+    //      unlisted sources drop. Same per-doc FNV membership as the
+    //      other samplers, so the oracle recomputes the exact rows
+    "mix_to_target" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("source"))
+      Sampling.mixToTarget(d, "doc_id", "source",
+          Map("src0" -> 3.0, "src1" -> 1.0, "src2" -> 1.0))
+        .orderBy("doc_id")
+    }),
+
     // ---- DSIR-style importance scoring: per-doc target-vs-raw
     //      log-likelihood ratio over FNV-hashed token buckets. Weights
     //      are ln-ratios rounded to 6dp and carried as DECIMAL, so the
@@ -1609,6 +1621,35 @@ object SparkEntry {
         |)
         |SELECT doc_id, source, n_tokens FROM h
         |WHERE bucket < CAST(ROUND(LEAST(CAST(n_tokens AS DOUBLE) / 1000.0, 1.0) * 512.0) AS BIGINT)
+        |ORDER BY doc_id""".stripMargin,
+
+    // T = min(n/p) over the target strata, threshold = round(p·T/n·1024)
+    // in the same written order; membership by the same FNV bucket
+    "mix_to_target" ->
+      """WITH d AS (
+        | SELECT doc_id, source FROM documents
+        |), p AS (
+        | SELECT * FROM (VALUES ('src0', 3.0), ('src1', 1.0), ('src2', 1.0)) AS v(source, p)
+        |), j AS (
+        | SELECT c.source, c.n, CAST(p.p AS DOUBLE) AS p
+        | FROM (SELECT source, count(*) AS n FROM d GROUP BY 1) c JOIN p USING (source)
+        |), t AS (
+        | SELECT min(CAST(n AS DOUBLE) / p) AS T FROM j
+        |), thr AS (
+        | SELECT source, CAST(ROUND(p * (SELECT T FROM t) / CAST(n AS DOUBLE) * 1024) AS BIGINT) AS thr
+        | FROM j
+        |), h AS (
+        | SELECT doc_id, source,
+        |  CAST(list_reduce(
+        |    list_prepend(CAST('14695981039346656037' AS HUGEINT),
+        |      list_transform(range(1, length(s) + 1), i -> CAST(ascii(s[i]) AS HUGEINT))),
+        |    (acc, b) -> ((acc // 256) * 256 + xor(CAST(acc % 256 AS BIGINT), CAST(b AS BIGINT)))
+        |                * 1099511628211 % CAST('18446744073709551616' AS HUGEINT)
+        |  ) % 1024 AS BIGINT) AS bucket
+        | FROM (SELECT doc_id, source, doc_id::VARCHAR || ':graft' AS s FROM d)
+        |)
+        |SELECT h.doc_id, h.source FROM h JOIN thr ON h.source = thr.source
+        |WHERE h.bucket < thr.thr
         |ORDER BY doc_id""".stripMargin,
 
     // same FNV-1a-per-token bucket (computed once per DISTINCT token —

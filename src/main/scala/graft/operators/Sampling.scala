@@ -99,4 +99,49 @@ object Sampling {
     val thr = round(w * lit(fraction * Buckets)).cast("long")
     df.filter(sampleBucket(col(keyCol), salt) < thr)
   }
+
+  /** Resample to a target domain MIXTURE (the application step of
+    * DoReMi-style domain reweighting): given proportional target
+    * weights `targets(stratum) = p` — any positive scale, they need
+    * not sum to 1 — keep the largest subcorpus whose stratum shares
+    * match the target. With stratum counts `n_s`, the achievable total
+    * is `T = min_s(n_s / p_s)` and each stratum keeps fraction
+    * `f_s = p_s·T / n_s`; the binding (scarcest-relative-to-target)
+    * stratum keeps everything. Strata absent from `targets` are
+    * dropped; target strata absent from the DATA are ignored in the
+    * binding computation (you can't bind on zero rows).
+    *
+    * Membership is the same per-key FNV decision as the other
+    * samplers (append-stable at fixed counts, engine-recomputable;
+    * realized shares quantize to the 1/1024 bucket grid). Unlike them
+    * it needs the counts: one count-only aggregation per call, then the
+    * per-stratum thresholds — a ≤|targets|-row table — broadcast back,
+    * so rows still never shuffle. The threshold arithmetic is
+    * fixed-order double (`round(p·T / n × 1024)`), reproducible
+    * bit-for-bit by an external engine.
+    */
+  def mixToTarget(
+      df: DataFrame,
+      keyCol: String,
+      strataCol: String,
+      targets: Map[String, Double],
+      salt: String = "graft"
+  ): DataFrame = {
+    require(targets.nonEmpty, "mixToTarget: targets must be non-empty")
+    require(targets.values.forall(_ > 0.0),
+      "mixToTarget: target weights must be positive (omit a stratum to drop it)")
+    import df.sparkSession.implicits._
+    val tgt = targets.toSeq.sortBy(_._1).toDF("_stratum", "_p")
+    val counts = df.groupBy(col(strataCol).as("_stratum"))
+      .agg(count(lit(1)).as("_n"))
+    val joined = counts.join(tgt, Seq("_stratum"))
+    val tRow = joined.agg(min(col("_n").cast("double") / col("_p")).as("_T"))
+    val thr = joined.crossJoin(tRow).select(
+      col("_stratum"),
+      round(col("_p") * col("_T") / col("_n").cast("double") * Buckets)
+        .cast("long").as("_thr"))
+    df.join(broadcast(thr), df(strataCol) === col("_stratum"))
+      .filter(sampleBucket(col(keyCol), salt) < col("_thr"))
+      .drop("_stratum", "_thr")
+  }
 }

@@ -96,4 +96,35 @@ class SamplingSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Join") && !plan.contains("Exchange"), plan)
   }
+
+  test("mixToTarget: binding stratum keeps all, others match deterministicSample, unlisted drop") {
+    // a: 1000 rows, b: 500 rows, c unlisted. Equal targets → b binds
+    // (T = 500), a thins to 1/2, c drops entirely.
+    val df = ((1L to 1000L).map(i => (i, "a")) ++
+      (1001L to 1500L).map(i => (i, "b")) ++
+      (1501L to 1600L).map(i => (i, "c"))).toDF("id", "src")
+    val out = Sampling.mixToTarget(df, "id", "src",
+        Map("a" -> 1.0, "b" -> 1.0))
+      .select("id", "src").as[(Long, String)].collect()
+    val bySrc = out.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(bySrc("b") == (1001L to 1500L).toSet) // binding: keeps everything
+    assert(!bySrc.contains("c"))
+    // stratum a keeps EXACTLY the plain deterministic 1/2 sample — the
+    // mixture decision is the same FNV membership at the derived fraction
+    val plain = Sampling.deterministicSample(
+        df.filter(col("src") === "a"), "id", 0.5)
+      .select("id").as[Long].collect().toSet
+    assert(bySrc("a") == plain)
+    // weights are proportional, not normalized: scaling both changes nothing
+    val scaled = Sampling.mixToTarget(df, "id", "src",
+        Map("a" -> 7.0, "b" -> 7.0))
+      .select("id").as[Long].collect().toSet
+    assert(scaled == out.map(_._1).toSet)
+    intercept[IllegalArgumentException] {
+      Sampling.mixToTarget(df, "id", "src", Map("a" -> 0.0))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.mixToTarget(df, "id", "src", Map.empty[String, Double])
+    }
+  }
 }
