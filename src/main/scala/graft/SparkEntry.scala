@@ -1068,6 +1068,14 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // ---- vector-store QC: per-dimension embedding profile (dead dims,
+    //      scale drift). Decimal-accumulated first/second moments, std
+    //      derived in a fixed double order — exactly reproducible
+    "profile_vector" -> ((s, dir) => {
+      Profile.vector(t(s, dir, "embeddings"), "embedding")
+        .orderBy("dim")
+    }),
+
     // ---- RAG chunking: sliding token windows (32-token chunks, 8
     //      carried over, stride 24); last window is the first to reach
     //      the doc end. Entirely narrow — the oracle replays the same
@@ -2494,6 +2502,24 @@ object SparkEntry {
       """SELECT CAST(vec_id AS BIGINT) AS id_a, CAST(vec_id + 1000000 AS BIGINT) AS id_b
         |FROM embeddings WHERE vec_id < 10
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // float→double is exact, x and x² sum as DECIMAL(38,9), mean/std
+    // derive in the same written double order
+    "profile_vector" ->
+      """WITH x AS (
+        | SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+        |        CAST(unnest(embedding) AS DOUBLE) AS x
+        | FROM embeddings
+        |)
+        |SELECT CAST(dim AS INTEGER) AS dim, CAST(count(*) AS BIGINT) AS n,
+        | min(x) AS min, max(x) AS max,
+        | CAST(sum(CAST(x AS DECIMAL(38,9))) AS DOUBLE) / count(*) AS mean,
+        | sqrt(GREATEST(
+        |   CAST(sum(CAST(x * x AS DECIMAL(38,9))) AS DOUBLE) / count(*)
+        |   - (CAST(sum(CAST(x AS DECIMAL(38,9))) AS DOUBLE) / count(*))
+        |     * (CAST(sum(CAST(x AS DECIMAL(38,9))) AS DOUBLE) / count(*)), 0.0)) AS std
+        |FROM x GROUP BY 1
+        |ORDER BY 1""".stripMargin,
 
     // nchunks = 1 + ceil(max(0, n-32)/24) in integer arithmetic; list
     // slices clamp at the doc end on both engines

@@ -126,4 +126,41 @@ object Profile {
         element_at(col("pct"), 3).as("p75"),
         element_at(col("pct"), 4).as("p90"))
   }
+
+  /** Per-DIMENSION profile of an `Array[Float|Double]` embedding
+    * column — the vector-store QC pass (dead dimensions, scale drift,
+    * collapsed variance) run before indexing or quantizing a corpus:
+    * one row per dimension index — (dim, n, min, max, mean, std).
+    *
+    * Shape: `posexplode` fans each vector into (dim, value) pairs,
+    * then ONE hash aggregate with map-side partial combine — each task
+    * reduces its rows to `dim` groups before the (tiny, ≤ dim rows per
+    * task) shuffle; nothing else moves. Means and second moments
+    * accumulate in DECIMAL (order-independent, engine-reproducible);
+    * std derives as sqrt(E[x²] − mean²) in a fixed double order, with
+    * the tiny-negative guard for zero-variance dimensions.
+    * `sumScale = 9` covers float inputs: x and x² are exact doubles,
+    * and the decimal cast rounds identically in any half-up engine.
+    */
+  def vector(df: DataFrame, vecCol: String, sumScale: Int = 9): DataFrame = {
+    val dec = DecimalType(38, sumScale)
+    val x = col("x").cast(DoubleType)
+    df.select(posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .groupBy(col("dim"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(x).as("min"),
+        max(x).as("max"),
+        sum(x.cast(dec)).cast(DoubleType).as("_sm"),
+        sum((x * x).cast(dec)).cast(DoubleType).as("_sq"))
+      .select(
+        col("dim"),
+        col("n"),
+        col("min"),
+        col("max"),
+        (col("_sm") / col("n")).as("mean"),
+        sqrt(greatest(
+          col("_sq") / col("n") - (col("_sm") / col("n")) * (col("_sm") / col("n")),
+          lit(0.0))).as("std"))
+  }
 }

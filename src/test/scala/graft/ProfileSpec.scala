@@ -63,4 +63,26 @@ class ProfileSpec extends SparkSpec {
     assert(!java.util.regex.Pattern.compile("(?<!approx_)percentile\\(v")
       .matcher(plan).find(), plan)
   }
+
+  test("vector profile: per-dimension moments, zero-variance dims guard, partial-agg plan") {
+    val df = Seq(
+      Tuple1(Array(1.0f, 0.0f, 5.0f)),
+      Tuple1(Array(3.0f, 0.0f, -5.0f)),
+      Tuple1(Array(5.0f, 0.0f, 0.0f))
+    ).toDF("v")
+    val got = Profile.vector(df, "v")
+      .select("dim", "n", "min", "max", "mean", "std")
+      .as[(Int, Long, Double, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(0) == ((0, 3L, 1.0, 5.0, 3.0, math.sqrt(35.0 / 3.0 - 9.0))))
+    // dead dimension: exactly zero variance, no NaN from the E[x²]−mean²
+    // cancellation (decimal sums make it exactly 0 here)
+    assert(got(1) == ((1, 3L, 0.0, 0.0, 0.0, 0.0)))
+    assert(got(2)._5 == 0.0 && math.abs(got(2)._6 - math.sqrt(50.0 / 3.0)) < 1e-12)
+    // one two-phase aggregate over the exploded pairs: partial combine
+    // map-side, no repartition, no second shuffle
+    val plan = Profile.vector(df, "v").queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"), plan)
+    assert(plan.split("Exchange").length - 1 == 1, plan)
+  }
 }
