@@ -1104,6 +1104,25 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- dedup: edit-distance verification of candidate pairs (the
+    //      exact post-LSH arbiter). Planted tail-modified copies score
+    //      high, cross pairs low; the oracle recomputes the identical
+    //      levenshtein ratio, so the threshold cut agrees exactly
+    "edit_sim_pairs" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val modified = d.filter(col("doc_id") < 15)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit(" some extra tail words")).as("text"))
+      val all = d.union(modified)
+      val cands = d.filter(col("doc_id") < 15)
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 1000000L).as("id_b"))
+        .union(d.filter(col("doc_id") < 15)
+          .select(col("doc_id").as("id_a"),
+            ((col("doc_id") + 1L) % 15 + 1000000L).as("id_b")))
+      Dedup.editSimilarityPairs(cands, all, "text", "doc_id", threshold = 0.8)
+        .orderBy("id_a", "id_b")
+    }),
+
     // ---- dedup: SemDeDup — k-means clusters, within-cluster cosine
     //      pairs. Planted exact copies share their argmax centroid, so
     //      the within-cluster scan finds every planted pair; the corpus
@@ -2589,6 +2608,31 @@ object SparkEntry {
         |FROM sc
         |QUALIFY rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
+
+    // identical levenshtein + length arithmetic in the written order;
+    // the >= cut compares the same doubles on both engines
+    "edit_sim_pairs" ->
+      """WITH d AS (
+        | SELECT doc_id, text FROM documents
+        |), m AS (
+        | SELECT doc_id + 1000000 AS doc_id, text || ' some extra tail words' AS text
+        | FROM d WHERE doc_id < 15
+        |), a AS (
+        | SELECT * FROM d UNION ALL SELECT * FROM m
+        |), c AS (
+        | SELECT doc_id AS id_a, doc_id + 1000000 AS id_b FROM d WHERE doc_id < 15
+        | UNION ALL
+        | SELECT doc_id AS id_a, (doc_id + 1) % 15 + 1000000 AS id_b FROM d WHERE doc_id < 15
+        |), s AS (
+        | SELECT c.id_a, c.id_b,
+        |  CASE WHEN GREATEST(length(ta.text), length(tb.text)) = 0 THEN 1.0
+        |       ELSE 1.0 - CAST(levenshtein(ta.text, tb.text) AS DOUBLE)
+        |            / CAST(GREATEST(length(ta.text), length(tb.text)) AS DOUBLE) END AS edit_sim
+        | FROM c JOIN a ta ON c.id_a = ta.doc_id JOIN a tb ON c.id_b = tb.doc_id
+        |)
+        |SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b, edit_sim
+        |FROM s WHERE edit_sim >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // the planted exact copies are the only pairs at cosine >= 0.999
     // (max natural pairwise cosine ~0.51); see the queries-side comment

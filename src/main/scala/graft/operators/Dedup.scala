@@ -641,6 +641,40 @@ object Dedup {
       .filter(col("cosine") >= threshold)
   }
 
+  /** Edit-similarity verification of candidate duplicate pairs — the
+    * exact final arbiter run AFTER a sketch pass ([[minHashDupPairs]],
+    * [[simHashDupPairs]], [[semanticDupPairs]]) has bounded the pair
+    * space: `edit_sim = 1 − levenshtein(a, b) / max(len(a), len(b))`,
+    * keeping pairs at or above `threshold`. Levenshtein is O(|a|·|b|)
+    * PER PAIR — that is the point of running it last; never feed it a
+    * raw self-join.
+    *
+    * Scale shape: two broadcast-eligible equi-joins rehydrate the pair
+    * ids with text (the only text movement, proportional to the
+    * candidate set, not the corpus), then the similarity is one narrow
+    * codegen'd pass per pair. Output: `(id_a, id_b, edit_sim)`.
+    */
+  def editSimilarityPairs(
+      pairs: DataFrame,
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      threshold: Double = 0.9
+  ): DataFrame = {
+    val d = docs.select(col(idCol).as("_eid"), col(textCol).as("_etxt"))
+    val sim = lit(1.0) - levenshtein(col("_ta"), col("_tb")).cast("double") /
+      greatest(length(col("_ta")), length(col("_tb"))).cast("double")
+    pairs
+      .join(d, col("id_a") === col("_eid"))
+      .withColumnRenamed("_etxt", "_ta").drop("_eid")
+      .join(d, col("id_b") === col("_eid"))
+      .withColumnRenamed("_etxt", "_tb").drop("_eid")
+      .select(col("id_a"), col("id_b"),
+        when(greatest(length(col("_ta")), length(col("_tb"))) === 0, lit(1.0))
+          .otherwise(sim).as("edit_sim"))
+      .filter(col("edit_sim") >= threshold)
+  }
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic near-dup
     * pairs via k-means clustering + WITHIN-cluster cosine pruning.
     * Clusters come from the same Lloyd pipeline the IVF index uses

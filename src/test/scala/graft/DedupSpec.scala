@@ -131,6 +131,22 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("editSimilarityPairs: exact arbiter on candidate pairs; empty texts equal") {
+    val docs = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "the quick brown fax"),   // 1 edit of 19 chars → 18/19 ≈ 0.947
+      (3L, "completely different words here"),
+      (4L, ""), (5L, "")
+    ).toDF("id", "text")
+    val cands = Seq((1L, 2L), (1L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val out = Dedup.editSimilarityPairs(cands, docs, "text", "id", threshold = 0.9)
+      .select("id_a", "id_b", "edit_sim")
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(out.keySet == Set((1L, 2L), (4L, 5L))) // (1,3) is dissimilar
+    assert(math.abs(out((1L, 2L)) - (1.0 - 1.0 / 19.0)) < 1e-12)
+    assert(out((4L, 5L)) == 1.0) // zero-length pair: defined equal, no NaN
+  }
+
   test("semanticDupPairs: within-cluster cosine pairs; straddle trade documented") {
     // two well-separated directions; dups planted in each
     val vecs = Seq(
