@@ -52,11 +52,53 @@ object Retrieval {
     val toks = docs.select(col(idCol).as("id"),
       TextFunctions.tokens(lower(col(textCol))).as("_toks"))
     // postings: the one aggregation that shuffles term text
-    val tf = toks
-      .select(col("id"), explode(col("_toks")).as("term"))
-      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
-    // doc length is narrow; corpus scalars are one tiny agg row
+    val tf = buildPostings(docs, idCol, textCol)
+    // doc length is narrow; corpus scalars are one tiny agg row.
+    // Computed from the raw token arrays, so zero-token docs COUNT
+    // toward N/avgdl here (unlike the postings-derived form).
     val doclen = toks.select(col("id"), size(col("_toks")).cast(LongType).as("dl"))
+    rankPostings(tf, doclen, queries, queryIdCol, queryTextCol, k, k1, b)
+  }
+
+  /** The BM25 postings table for a document corpus: `(term, id, tf)` —
+    * one map-side-combined aggregation; what [[bm25TopKFromPostings]]
+    * scores against and what the streaming index maintains
+    * incrementally ([[graft.streaming.StreamingOps.bm25IndexStream]]).
+    */
+  def buildPostings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"),
+        explode(TextFunctions.tokens(lower(col(textCol)))).as("term"))
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+
+  /** BM25 top-k against a PREBUILT postings table (e.g. the committed
+    * version of the streaming index). Document length derives from the
+    * postings themselves (`dl = Σ_t tf`), so docs that produced zero
+    * tokens are absent from N/avgdl — identical results to
+    * [[bm25TopK]] whenever every doc has at least one token.
+    */
+  def bm25TopKFromPostings(
+      postings: DataFrame,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryTextCol: String,
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75
+  ): DataFrame = {
+    val doclen = postings.groupBy("id").agg(sum(col("tf")).as("dl"))
+    rankPostings(postings, doclen, queries, queryIdCol, queryTextCol, k, k1, b)
+  }
+
+  private def rankPostings(
+      tf: DataFrame,
+      doclen: DataFrame,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryTextCol: String,
+      k: Int,
+      k1: Double,
+      b: Double
+  ): DataFrame = {
     val stats = doclen.agg(
       count(lit(1)).as("n_docs"),
       sum(col("dl")).as("sum_dl"))
@@ -86,7 +128,7 @@ object Retrieval {
       .agg(sum(contrib).as("score"))
       .select(col("query_id"), col("neighbor_id"),
         col("score").cast(DecimalType(38, 9)).as("score"))
-    graft.plans.TopKAggregate.register(docs.sparkSession)
+    graft.plans.TopKAggregate.register(tf.sparkSession)
     scored
       .groupBy("query_id")
       .agg(call_function("graft_topk",

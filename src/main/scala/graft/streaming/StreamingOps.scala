@@ -506,6 +506,73 @@ object StreamingOps {
     }
   }
 
+  /** Incrementally maintained BM25 postings index — the continuous
+    * face of [[graft.operators.Retrieval]]: each micro-batch of NEW
+    * documents tokenizes once, aggregates to its own postings slice
+    * `(term, id, tf)`, and appends to the versioned state table;
+    * [[graft.operators.Retrieval.bm25TopKFromPostings]] over
+    * [[readState]] serves queries against any committed version.
+    * APPEND-ONLY contract: doc ids are assumed new (re-ingesting an id
+    * double-counts its terms — route re-ingests through
+    * [[dedupStreamPersistent]] first, or rebuild the index).
+    *
+    * Same `_CURRENT` version protocol and crash-replay guard as the
+    * merge/dedup streams: a batch already covered by the committed
+    * version no-ops. Per-batch work is one scan of the batch plus an
+    * O(|state|) rewrite of the postings table (inherent to a full-table
+    * file target; the rows are (term-hashable, 8-byte id, count) — swap
+    * in a MERGE-capable table format when the rewrite dominates).
+    */
+  def bm25IndexStream(
+      incoming: DataFrame,
+      textCol: String,
+      idCol: String,
+      statePath: String,
+      checkpointPath: String,
+      trigger: Trigger = Trigger.ProcessingTime(0L)
+  ): StreamingQuery = {
+    val spark = incoming.sparkSession
+    incoming.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointPath)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        applyBm25IndexBatch(spark, batch.toDF(), batchId, textCol, idCol,
+          statePath)
+      }
+      .start()
+  }
+
+  /** One micro-batch of [[bm25IndexStream]]; factored out so the replay
+    * contract is directly testable.
+    */
+  def applyBm25IndexBatch(
+      spark: SparkSession,
+      batch: DataFrame,
+      batchId: Long,
+      textCol: String,
+      idCol: String,
+      statePath: String
+  ): Unit = {
+    currentVersionId(spark, statePath) match {
+      case Some(cur) if cur >= batchId =>
+        log.warn(s"bm25IndexStream: skipping batch $batchId — index at " +
+          s"v$cur already includes it")
+      case _ =>
+        val slice = graft.operators.Retrieval
+          .buildPostings(batch, idCol, textCol)
+        // append-only: batch ids are new, so the union IS the new index
+        // (no re-aggregation of historical postings)
+        val newState = readState(spark, statePath) match {
+          case Some(st) => st.unionByName(slice)
+          case None => slice
+        }
+        val version = s"v$batchId"
+        newState.write.mode("overwrite").parquet(s"$statePath/$version")
+        commitVersion(spark, statePath, version, keepFrom = batchId - 1)
+    }
+  }
+
   /** Route a streaming DataFrame by its `_route` column into per-route
     * sinks — the NiFi relationship fan-out (SURVEY §1.3). Stateless
     * filters on one source; Spark runs them as independent queries.

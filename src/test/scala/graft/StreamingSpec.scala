@@ -245,6 +245,44 @@ class StreamingSpec extends SparkSpec {
     assert(stateCols == Seq("_fp"))
   }
 
+  test("bm25IndexStream: incremental postings equal the batch build; replay no-ops") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-bm25-stream").toString
+    val mem = MemoryStream[(Long, String)]
+    val df = mem.toDF().toDF("id", "text")
+    val q = StreamingOps.bm25IndexStream(df, "text", "id",
+      s"$dir/state", s"$dir/ckpt")
+    val docs = Seq(
+      (1L, "apple banana apple"), (2L, "banana cherry"),
+      (3L, "apple apple apple apple"), (4L, "dog"))
+    try {
+      mem.addData(docs(0), docs(1))
+      q.processAllAvailable()
+      mem.addData(docs(2), docs(3))
+      q.processAllAvailable()
+    } finally q.stop()
+    // the committed index is EXACTLY the batch-built postings of the union
+    val state = StreamingOps.readState(spark, s"$dir/state").get
+    val batchBuilt = graft.operators.Retrieval.buildPostings(
+      docs.toDF("id", "text"), "id", "text")
+    assert(state.collect().map(_.toSeq).toSet ==
+      batchBuilt.collect().map(_.toSeq).toSet)
+    // and scoring from the index matches the one-shot batch scorer
+    val queries = Seq((10L, "apple banana")).toDF("query_id", "qtext")
+    val fromIndex = graft.operators.Retrieval.bm25TopKFromPostings(
+        state, queries, "query_id", "qtext", k = 10)
+      .collect().map(_.toSeq).toSet
+    val oneShot = graft.operators.Retrieval.bm25TopK(
+        docs.toDF("id", "text"), "id", "text", queries, "query_id", "qtext", k = 10)
+      .collect().map(_.toSeq).toSet
+    assert(fromIndex == oneShot)
+    // crash-window replay of batch 1: the version guard skips the append
+    StreamingOps.applyBm25IndexBatch(spark,
+      Seq(docs(2), docs(3)).toDF("id", "text"), 1L, "text", "id", s"$dir/state")
+    assert(StreamingOps.readState(spark, s"$dir/state").get.count() == state.count())
+    assert(StreamingOps.currentVersionId(spark, s"$dir/state").contains(1L))
+  }
+
   test("mergeStreamIncremental: per-batch emissions cover only the batch's keys") {
     implicit val sqlCtx = spark.sqlContext
     val dir = Files.createTempDirectory("graft-merge-inc").toString
