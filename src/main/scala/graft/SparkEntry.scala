@@ -1068,6 +1068,18 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // ---- embedding standardization: per-dimension z-scores against
+    //      the vector profile (narrow literal-array transform, no join);
+    //      flattened to scalars for the hash compare
+    "embedding_standardize" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val prof = Profile.vector(emb, "embedding")
+      Profile.standardizeVectors(
+          emb.select(col("vec_id"), col("embedding")), "embedding", prof)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "z")))
+        .orderBy("vec_id", "dim")
+    }),
+
     // ---- vector-store QC: per-dimension embedding profile (dead dims,
     //      scale drift). Decimal-accumulated first/second moments, std
     //      derived in a fixed double order — exactly reproducible
@@ -2521,6 +2533,27 @@ object SparkEntry {
       """SELECT CAST(vec_id AS BIGINT) AS id_a, CAST(vec_id + 1000000 AS BIGINT) AS id_b
         |FROM embeddings WHERE vec_id < 10
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // same profile arithmetic as profile_vector, then z = (x-mean)/std
+    // per element in the written order; dead dims (std=0) map to 0
+    "embedding_standardize" ->
+      """WITH x AS (
+        | SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+        |        CAST(unnest(embedding) AS DOUBLE) AS x
+        | FROM embeddings
+        |), p AS (
+        | SELECT dim,
+        |  CAST(sum(CAST(x AS DECIMAL(38,9))) AS DOUBLE) / count(*) AS mean,
+        |  sqrt(GREATEST(
+        |    CAST(sum(CAST(x * x AS DECIMAL(38,9))) AS DOUBLE) / count(*)
+        |    - (CAST(sum(CAST(x AS DECIMAL(38,9))) AS DOUBLE) / count(*))
+        |      * (CAST(sum(CAST(x AS DECIMAL(38,9))) AS DOUBLE) / count(*)), 0.0)) AS std
+        | FROM x GROUP BY 1
+        |)
+        |SELECT x.vec_id, CAST(x.dim AS INTEGER) AS dim,
+        | CASE WHEN p.std = 0.0 THEN 0.0 ELSE (x.x - p.mean) / p.std END AS z
+        |FROM x JOIN p USING (dim)
+        |ORDER BY vec_id, dim""".stripMargin,
 
     // float→double is exact, x and x² sum as DECIMAL(38,9), mean/std
     // derive in the same written double order

@@ -163,4 +163,39 @@ object Profile {
           col("_sq") / col("n") - (col("_sm") / col("n")) * (col("_sm") / col("n")),
           lit(0.0))).as("std"))
   }
+
+  /** Per-dimension z-score standardization of an embedding column
+    * against a [[vector]] profile — the preprocessing pass before
+    * quantization or distance work when dimensions carry different
+    * scales. The profile is dim-rows-sized metadata: it collects to two
+    * literal arrays (the [[Similarity.assignToCentroids]] convention —
+    * building a broadcast, not a data-path collect), so the transform
+    * is one NARROW codegen'd `transform` per row — zero joins, zero
+    * shuffles. Dead dimensions (std = 0) map to 0.0 rather than
+    * NaN/Inf: a constant carries no signal either way. Output replaces
+    * `vecCol` with `Array[Double]` z-scores; every arithmetic step is
+    * fixed-order double, so an external engine reproduces the exact
+    * values from the same profile definition.
+    */
+  def standardizeVectors(
+      df: DataFrame,
+      vecCol: String,
+      profile: DataFrame
+  ): DataFrame = {
+    val rows = profile.select(col("dim"), col("mean"), col("std"))
+      .collect().sortBy(_.getInt(0))
+    require(rows.nonEmpty, "standardizeVectors: empty profile")
+    require(rows.map(_.getInt(0)).toSeq == rows.indices.toSeq,
+      "standardizeVectors: profile dims must be contiguous from 0")
+    val means = array(rows.map(r => lit(r.getDouble(1))): _*)
+    val stds = array(rows.map(r => lit(r.getDouble(2))): _*)
+    df.withColumn(vecCol,
+      zip_with(col(vecCol).cast(ArrayType(DoubleType)),
+        sequence(lit(0), lit(rows.length - 1)),
+        (x, i) => {
+          val m = element_at(means, i + 1)
+          val s = element_at(stds, i + 1)
+          when(s === 0.0, lit(0.0)).otherwise((x - m) / s)
+        }))
+  }
 }

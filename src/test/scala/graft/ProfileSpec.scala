@@ -85,4 +85,24 @@ class ProfileSpec extends SparkSpec {
     assert(plan.contains("HashAggregate"), plan)
     assert(plan.split("Exchange").length - 1 == 1, plan)
   }
+
+  test("standardizeVectors: z-scores, dead dims to 0, narrow literal-array transform") {
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(3.0f, 0.0f)),
+      (3L, Array(5.0f, 0.0f))
+    ).toDF("id", "v")
+    val prof = Profile.vector(df, "v")
+    val out = Profile.standardizeVectors(df, "v", prof)
+      .select("id", "v").as[(Long, Seq[Double])].collect().toMap
+    val std0 = math.sqrt(35.0 / 3.0 - 9.0)
+    assert(math.abs(out(1L)(0) - (1.0 - 3.0) / std0) < 1e-12)
+    assert(math.abs(out(3L)(0) - (5.0 - 3.0) / std0) < 1e-12)
+    // dead dimension: 0, never NaN
+    assert(out.values.forall(v => v(1) == 0.0 && !v.exists(_.isNaN)))
+    // the transform is narrow — the profile rides as literals, no join
+    val plan = Profile.standardizeVectors(df, "v", prof)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Exchange"), plan)
+  }
 }
