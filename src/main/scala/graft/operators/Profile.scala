@@ -189,13 +189,21 @@ object Profile {
       "standardizeVectors: profile dims must be contiguous from 0")
     val means = array(rows.map(r => lit(r.getDouble(1))): _*)
     val stds = array(rows.map(r => lit(r.getDouble(2))): _*)
+    val standardized = zip_with(col(vecCol).cast(ArrayType(DoubleType)),
+      sequence(lit(0), lit(rows.length - 1)),
+      (x, i) => {
+        val m = element_at(means, i + 1)
+        val s = element_at(stds, i + 1)
+        when(s === 0.0, lit(0.0)).otherwise((x - m) / s)
+      })
+    // a vector whose length differs from the profile is malformed input:
+    // zip_with would silently null-pad or fabricate trailing zeros, so
+    // fail the row loudly instead of emitting plausible-looking output
     df.withColumn(vecCol,
-      zip_with(col(vecCol).cast(ArrayType(DoubleType)),
-        sequence(lit(0), lit(rows.length - 1)),
-        (x, i) => {
-          val m = element_at(means, i + 1)
-          val s = element_at(stds, i + 1)
-          when(s === 0.0, lit(0.0)).otherwise((x - m) / s)
-        }))
+      when(size(col(vecCol)) === rows.length, standardized)
+        .otherwise(raise_error(concat(
+          lit("standardizeVectors: vector length "),
+          size(col(vecCol)).cast(StringType),
+          lit(s" != profile dimensionality ${rows.length}")))))
   }
 }

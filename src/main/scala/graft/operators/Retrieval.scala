@@ -49,15 +49,18 @@ object Retrieval {
       k1: Double = 1.2,
       b: Double = 0.75
   ): DataFrame = {
-    val toks = docs.select(col(idCol).as("id"),
-      TextFunctions.tokens(lower(col(textCol))).as("_toks"))
-    // postings: the one aggregation that shuffles term text
+    // ONE tokenize pass (inside buildPostings): per-doc length and the
+    // corpus token total both derive from the postings (dl = Σ_t tf),
+    // and N comes from a count-only scan that never parses text — an
+    // earlier form tokenized the corpus twice (doclen branch + postings
+    // branch share no exchange, so both ran the full map stage).
+    // Zero-token docs still count toward N/avgdl (they contribute 0
+    // tokens and can't match a query, so dl-from-postings is exact).
     val tf = buildPostings(docs, idCol, textCol)
-    // doc length is narrow; corpus scalars are one tiny agg row.
-    // Computed from the raw token arrays, so zero-token docs COUNT
-    // toward N/avgdl here (unlike the postings-derived form).
-    val doclen = toks.select(col("id"), size(col("_toks")).cast(LongType).as("dl"))
-    rankPostings(tf, doclen, queries, queryIdCol, queryTextCol, k, k1, b)
+    val doclen = tf.groupBy("id").agg(sum(col("tf")).as("dl"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(tf.agg(coalesce(sum(col("tf")), lit(0L)).as("sum_dl")))
+    rankPostings(tf, doclen, stats, queries, queryIdCol, queryTextCol, k, k1, b)
   }
 
   /** The BM25 postings table for a document corpus: `(term, id, tf)` —
@@ -86,12 +89,16 @@ object Retrieval {
       b: Double = 0.75
   ): DataFrame = {
     val doclen = postings.groupBy("id").agg(sum(col("tf")).as("dl"))
-    rankPostings(postings, doclen, queries, queryIdCol, queryTextCol, k, k1, b)
+    val stats = doclen.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("sum_dl"))
+    rankPostings(postings, doclen, stats, queries, queryIdCol, queryTextCol, k, k1, b)
   }
 
   private def rankPostings(
       tf: DataFrame,
       doclen: DataFrame,
+      stats: DataFrame, // one row: (n_docs, sum_dl)
       queries: DataFrame,
       queryIdCol: String,
       queryTextCol: String,
@@ -99,9 +106,6 @@ object Retrieval {
       k1: Double,
       b: Double
   ): DataFrame = {
-    val stats = doclen.agg(
-      count(lit(1)).as("n_docs"),
-      sum(col("dl")).as("sum_dl"))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val qterms = queries.select(
       col(queryIdCol).as("query_id"),
@@ -128,16 +132,8 @@ object Retrieval {
       .agg(sum(contrib).as("score"))
       .select(col("query_id"), col("neighbor_id"),
         col("score").cast(DecimalType(38, 9)).as("score"))
-    graft.plans.TopKAggregate.register(tf.sparkSession)
-    scored
-      .groupBy("query_id")
-      .agg(call_function("graft_topk",
-        struct(col("score"), (-col("neighbor_id")).as("_nid")), lit(k)).as("_top"))
-      .select(col("query_id"), posexplode(col("_top")).as(Seq("_pos", "_e")))
-      .select(
-        col("query_id"),
-        (-col("_e._nid")).as("neighbor_id"),
-        col("_e.score").as("score"),
-        (col("_pos") + 1).cast(IntegerType).as("rank"))
+    // the ANN surface's k-bounded heap reduction — one shared rank-order
+    // convention (score desc, ties to the ascending id)
+    Similarity.topKPerQuery(scored, "score", k)
   }
 }

@@ -114,11 +114,12 @@ object Sampling {
     * Membership is the same per-key FNV decision as the other
     * samplers (append-stable at fixed counts, engine-recomputable;
     * realized shares quantize to the 1/1024 bucket grid). Unlike them
-    * it needs the counts: one count-only aggregation per call, then the
-    * per-stratum thresholds — a ≤|targets|-row table — broadcast back,
-    * so rows still never shuffle. The threshold arithmetic is
-    * fixed-order double (`round(p·T / n × 1024)`), reproducible
-    * bit-for-bit by an external engine.
+    * it needs the counts: ONE count-only aggregation runs eagerly at
+    * call time (the thresholds are ≤ |targets| rows of driver
+    * metadata), and membership is then the [[stratifiedSample]] shape —
+    * a codegen'd CASE chain, no join, rows never shuffle. The threshold
+    * arithmetic is fixed-order double (`round(p·T / n × 1024)`),
+    * reproducible bit-for-bit by an external engine.
     */
   def mixToTarget(
       df: DataFrame,
@@ -136,12 +137,22 @@ object Sampling {
       .agg(count(lit(1)).as("_n"))
     val joined = counts.join(tgt, Seq("_stratum"))
     val tRow = joined.agg(min(col("_n").cast("double") / col("_p")).as("_T"))
-    val thr = joined.crossJoin(tRow).select(
-      col("_stratum"),
-      round(col("_p") * col("_T") / col("_n").cast("double") * Buckets)
-        .cast("long").as("_thr"))
-    df.join(broadcast(thr), df(strataCol) === col("_stratum"))
-      .filter(sampleBucket(col(keyCol), salt) < col("_thr"))
-      .drop("_stratum", "_thr")
+    // materialize the thresholds NOW: ≤ |targets| rows of metadata, one
+    // counting job. (Leaving them lazy embedded `joined` — and its full
+    // count aggregation — in TWO plan branches plus the membership
+    // filter, so the corpus was scanned three times per action; the
+    // arithmetic is unchanged, it just runs once, driver-visible.)
+    val thrRows = joined.crossJoin(tRow).select(
+        col("_stratum"),
+        round(col("_p") * col("_T") / col("_n").cast("double") * Buckets)
+          .cast("long").as("_thr"))
+      .collect()
+    // membership is the stratifiedSample shape: a codegen'd CASE chain
+    // over driver-known thresholds — no join, rows never shuffle
+    val thrCase = thrRows.sortBy(_.getString(0)).foldRight(lit(-1L): Column) {
+      case (r, els) =>
+        when(col(strataCol) === r.getString(0), lit(r.getLong(1))).otherwise(els)
+    }
+    df.filter(sampleBucket(col(keyCol), salt) < thrCase)
   }
 }

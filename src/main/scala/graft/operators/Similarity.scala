@@ -34,7 +34,7 @@ object Similarity {
     * the k-row survivors — the plan a `row_number` window can't produce
     * (a window shuffles every scored row to one task per query).
     */
-  private def topKPerQuery(scored: DataFrame, scoreCol: String, k: Int): DataFrame = {
+  private[operators] def topKPerQuery(scored: DataFrame, scoreCol: String, k: Int): DataFrame = {
     TopKAggregate.register(scored.sparkSession)
     val ranked = scored
       .groupBy("query_id")

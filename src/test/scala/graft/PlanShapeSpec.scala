@@ -364,8 +364,14 @@ class PlanShapeSpec extends SparkSpec {
       t("documents").select(col("doc_id"), col("text")),
       "text", "doc_id", maxDocs = 5, sep = ". ")
     val plan = physical(q)
-    // the (fp, id) distinct partial-aggregates map-side before its exchange
-    assert(plan.contains("partial_count") || plan.contains("HashAggregate"), plan)
+    // the ban-list exchanges partition on the fingerprint and carry only
+    // (fp, id) — never the line text (the reassembly exchange on id is
+    // the one place text legitimately moves)
+    val fpExchanges = plan.split("\n").filter(_.contains("Exchange hashpartitioning(fp"))
+    assert(fpExchanges.nonEmpty, plan)
+    assert(fpExchanges.forall(l => !l.contains("line#")), plan)
+    // the doc-count is two-phase: partial count below its exchange
+    assert(plan.contains("partial_count"), plan)
     // no cartesian anywhere in the reassembly
     assert(!plan.contains("CartesianProduct"), plan)
   }

@@ -126,5 +126,10 @@ class SamplingSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Sampling.mixToTarget(df, "id", "src", Map.empty[String, Double])
     }
+    // membership is narrow: thresholds collected at call time compile to
+    // a CASE chain — the sampling pass itself has no join, no exchange
+    val plan = Sampling.mixToTarget(df, "id", "src", Map("a" -> 1.0, "b" -> 1.0))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Exchange"), plan)
   }
 }
