@@ -490,6 +490,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- CCNet-style bigram-LM quality scoring: add-one-smoothed
+    //      bucket-bigram model trained on the src0 slice, docs scored by
+    //      mean transition log-prob (6dp-rounded, decimal-summed — the
+    //      dsir convention, so the oracle reproduces scores exactly)
+    "lm_scores" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(col("doc_id") < 2000)
+      val target = d.filter(col("source") === "src0")
+      ImportanceScoring.lmScoreDocs(
+          d.filter(col("doc_id") < 500), "doc_id", "text", target, "text")
+        .orderBy("doc_id")
+    }),
+
     // ---- quantized ANN: exact top-k by the QDot integer kernel over
     //      8-bit codes (the bandwidth-saving candidate scan) — the
     //      affine expansion is a fixed-order formula, so the oracle
@@ -1729,6 +1741,50 @@ object SparkEntry {
         |FROM tk k JOIN w ON k.bucket = w.bucket
         |WHERE k.doc_id < 500
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // same FNV-per-distinct-token buckets as dsir_scores; bigrams by
+    // adjacent positions; P(c|p) = (c2+1)/(c1+1024) rounded to 6dp
+    // DECIMAL, summed exactly; mean = CAST(sum AS DOUBLE)/n
+    "lm_scores" ->
+      """WITH base AS (
+        | SELECT doc_id, source,
+        |  list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS toks
+        | FROM documents WHERE doc_id < 2000
+        |), tok AS (
+        | SELECT doc_id, source, generate_subscripts(toks, 1) AS pos, unnest(toks) AS token
+        | FROM base
+        |), vb AS (
+        | SELECT token,
+        |  CAST(list_reduce(
+        |    list_prepend(CAST('14695981039346656037' AS HUGEINT),
+        |      list_transform(range(1, length(s) + 1), i -> CAST(ascii(s[i]) AS HUGEINT))),
+        |    (acc, b) -> ((acc // 256) * 256 + xor(CAST(acc % 256 AS BIGINT), CAST(b AS BIGINT)))
+        |                * 1099511628211 % CAST('18446744073709551616' AS HUGEINT)
+        |  ) % 1024 AS BIGINT) AS bucket
+        | FROM (SELECT DISTINCT token, token || ':dsir' AS s FROM tok)
+        |), tb AS (
+        | SELECT t.doc_id, t.source, t.pos, v.bucket FROM tok t JOIN vb v ON t.token = v.token
+        |), bg AS (
+        | SELECT a.doc_id, a.source, a.bucket AS bp, b.bucket AS bc
+        | FROM tb a JOIN tb b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |), c2 AS (
+        | SELECT bp, bc, count(*) AS c2 FROM bg WHERE source = 'src0' GROUP BY 1, 2
+        |), c1 AS (
+        | SELECT bp, sum(c2) AS c1 FROM c2 GROUP BY 1
+        |), sc AS (
+        | SELECT g.doc_id,
+        |  CAST(round(ln((COALESCE(c2.c2, 0) + 1)
+        |    / CAST(COALESCE(c1.c1, 0) + 1024 AS DOUBLE)), 6) AS DECIMAL(38,6)) AS w
+        | FROM bg g
+        | LEFT JOIN c2 ON g.bp = c2.bp AND g.bc = c2.bc
+        | LEFT JOIN c1 ON g.bp = c1.bp
+        | WHERE g.doc_id < 500
+        |)
+        |SELECT doc_id, CAST(sum(w) AS DECIMAL(38,6)) AS lm_sum,
+        | CAST(count(*) AS BIGINT) AS n_bigrams,
+        | CAST(sum(w) AS DOUBLE) / count(*) AS mean_logp
+        |FROM sc GROUP BY 1
+        |ORDER BY 1""".stripMargin,
 
     // same quantization arithmetic as embedding_quantize, then the QDot
     // expansion MIRRORED term-for-term (sa·sb·Σqaqb + sa·ob·Σqa +

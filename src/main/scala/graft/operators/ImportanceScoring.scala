@@ -116,4 +116,90 @@ object ImportanceScoring {
       .join(broadcast(weights), Seq("bucket"))
       .groupBy(col(idCol))
       .agg(sum(col("weight")).cast(DecimalType(38, 6)).as("dsir_score"))
+
+  // ------------------------------------------ bucketed-bigram LM score
+
+  /** The hashed-bucket token sequence of a text — the shared front of
+    * the bigram LM train and score passes. One narrow transform per
+    * row; order preserved (bigrams need it, unlike the bag-of-buckets
+    * DSIR features).
+    */
+  private def bucketSeq(text: Column, buckets: Int, salt: String): Column =
+    transform(TextFunctions.tokens(lower(text)),
+      t => tokenBucket(t, buckets, salt))
+
+  /** Exploded (bp, bc) bucket-bigram pairs of a corpus, with the
+    * caller's id columns carried through. Docs with < 2 tokens produce
+    * no pairs.
+    */
+  private def bigramPairs(
+      df: DataFrame,
+      carryCols: Seq[String],
+      textCol: String,
+      buckets: Int,
+      salt: String
+  ): DataFrame = {
+    val b = bucketSeq(col(textCol), buckets, salt)
+    val n = size(b)
+    val pairs = zip_with(
+      slice(b, lit(1), greatest(n - 1, lit(0))),
+      slice(b, lit(2), greatest(n - 1, lit(0))),
+      (x, y) => struct(x.as("bp"), y.as("bc")))
+    df.select(carryCols.map(col) :+ explode(pairs).as("_pair"): _*)
+      .select(carryCols.map(col) :+ col("_pair.bp") :+ col("_pair.bc"): _*)
+  }
+
+  /** CCNet-style target-LM quality scoring, reduced to its
+    * deterministic core: an add-one-smoothed BIGRAM model over hashed
+    * token buckets, trained on a target (high-quality) corpus, scoring
+    * each doc by its mean token-transition log-likelihood
+    *
+    *   mean_logp(doc) = (1/|bigrams|) Σ ln((c₂(bp,bc)+1)/(c₁(bp)+B))
+    *
+    * — the published perplexity-filter idea (CCNet, Wenzek et al.
+    * 2020) with the KenLM stand-in made engine-reproducible: hashed
+    * buckets (FNV-1a) instead of a vocabulary, each per-bigram log-prob
+    * rounded to 6 decimals and summed as exact DECIMAL. Low scores =
+    * unlike the target (high perplexity) — filter or downweight them.
+    *
+    * Scale shape: training compresses the target to an OBSERVED-bigram
+    * count table (≤ B² rows — size `buckets` so that broadcast fits;
+    * 1024² longs ≈ 24 MB) plus its ≤ B-row context marginal, both
+    * map-side-combined; scoring is one narrow transform + explode, two
+    * broadcast joins, one per-doc sum. Tokens never shuffle. Docs with
+    * < 2 tokens produce no row (nothing to score); left-join back if
+    * every id must survive.
+    *
+    * Output: (idCol, lm_sum DECIMAL(38,6), n_bigrams, mean_logp) —
+    * `mean_logp` = CAST(lm_sum AS DOUBLE)/n_bigrams, one correctly-
+    * rounded division after the exact decimal sum.
+    */
+  def lmScoreDocs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      target: DataFrame,
+      targetTextCol: String,
+      buckets: Int = DefaultBuckets,
+      salt: String = "dsir"
+  ): DataFrame = {
+    val c2 = bigramPairs(target, Seq.empty, targetTextCol, buckets, salt)
+      .groupBy("bp", "bc").agg(count(lit(1)).as("c2"))
+    // context marginal derived from the pair counts — no second text pass
+    val c1 = c2.groupBy("bp").agg(sum(col("c2")).as("c1"))
+    val w = round(
+      log((coalesce(col("c2"), lit(0L)) + 1).cast(DoubleType) /
+        (coalesce(col("c1"), lit(0L)) + buckets).cast(DoubleType)),
+      6).cast(DecimalType(38, 6))
+    bigramPairs(docs, Seq(idCol), textCol, buckets, salt)
+      .join(broadcast(c2), Seq("bp", "bc"), "left")
+      .join(broadcast(c1), Seq("bp"), "left")
+      .select(col(idCol), w.as("_w"))
+      .groupBy(col(idCol))
+      .agg(sum(col("_w")).cast(DecimalType(38, 6)).as("lm_sum"),
+        count(lit(1)).as("n_bigrams"))
+      .select(col(idCol), col("lm_sum"), col("n_bigrams"),
+        (col("lm_sum").cast(DoubleType) / col("n_bigrams").cast(DoubleType))
+          .as("mean_logp"))
+  }
 }

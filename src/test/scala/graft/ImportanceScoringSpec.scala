@@ -41,6 +41,28 @@ class ImportanceScoringSpec extends SparkSpec {
     assert(w.filter(col("weight").isNull).count() == 0)
   }
 
+  test("bigram LM: target-like transitions outscore scrambled and off-target docs") {
+    val target = Seq.tabulate(20)(i =>
+      (i.toLong, "the quick brown fox jumps over the lazy dog")).toDF("id", "text")
+    val docs = Seq(
+      (100L, "the quick brown fox jumps"),     // target word ORDER
+      (101L, "fox the jumps quick brown"),     // same words, scrambled transitions
+      (102L, "zq xv jk wp mn"),                // off-vocabulary entirely
+      (103L, "solo")                           // < 2 tokens: no row
+    ).toDF("id", "text")
+    val out = ImportanceScoring.lmScoreDocs(docs, "id", "text", target, "text")
+      .select("id", "n_bigrams", "mean_logp")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(100L)._1 == 4L)
+    assert(out(100L)._2 > out(101L)._2, s"order must matter: $out")
+    assert(out(100L)._2 > out(102L)._2, s"target transitions beat off-vocab: $out")
+    assert(!out.contains(103L))
+    // deterministic: same inputs, same scores
+    val again = ImportanceScoring.lmScoreDocs(docs, "id", "text", target, "text")
+      .select("id", "mean_logp").as[(Long, Double)].collect().toMap
+    assert(out.forall { case (id, (_, m)) => again(id) == m })
+  }
+
   test("buckets must be a power of two") {
     intercept[IllegalArgumentException] {
       ImportanceScoring.tokenBucket(lit("x"), 100, "dsir")
