@@ -843,6 +843,16 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // ---- funnel analysis: strict-progress min-chain over the event
+    //      log (view → click → purchase), ONE groupBy(user) + narrow
+    //      array fold; micros on both sides so ts comparisons agree
+    "funnel_reach" -> ((s, dir) => {
+      val ev = events(s, dir).withColumn("tsm", unix_micros(col("ts")))
+      Funnel.reach(ev, "user_id", "tsm", "event_type",
+          Seq("view", "click", "purchase"))
+        .orderBy("step")
+    }),
+
     // ---- binning: multiple-output mode — one row per record with its
     //      bounded bin array (DataBinningProcessor.java:292-306)
     "bins_per_record" -> ((s, dir) => {
@@ -2203,6 +2213,26 @@ object SparkEntry {
         |      ELSE epoch_us(b.bts) END AS matched_ts_us
         |FROM b JOIN f ON b.event_id = f.event_id
         |ORDER BY 1""".stripMargin,
+
+    // t1 = min view; t2 = min click after t1; t3 = min purchase after
+    // t2 — the same strict min-chain, counted per step
+    "funnel_reach" ->
+      """WITH e AS (
+        | SELECT user_id, epoch_us(ts) AS m, event_type AS et FROM events
+        | WHERE event_type IN ('view', 'click', 'purchase')
+        |), u1 AS (
+        | SELECT user_id, min(m) AS t1 FROM e WHERE et = 'view' GROUP BY 1
+        |), u2 AS (
+        | SELECT e.user_id, min(e.m) AS t2 FROM e JOIN u1 ON e.user_id = u1.user_id
+        | WHERE e.et = 'click' AND e.m > u1.t1 GROUP BY 1
+        |), u3 AS (
+        | SELECT e.user_id, min(e.m) AS t3 FROM e JOIN u2 ON e.user_id = u2.user_id
+        | WHERE e.et = 'purchase' AND e.m > u2.t2 GROUP BY 1
+        |)
+        |SELECT 1 AS step, 'view' AS step_name, (SELECT count(*) FROM u1) AS users
+        |UNION ALL SELECT 2, 'click', (SELECT count(*) FROM u2)
+        |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM u3)
+        |ORDER BY step""".stripMargin,
 
     "sessionize" ->
       """SELECT user_id,
