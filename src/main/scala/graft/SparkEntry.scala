@@ -853,6 +853,14 @@ object SparkEntry {
         .orderBy("step")
     }),
 
+    // ---- cohort retention: first-activity-week cohorts × activity
+    //      offsets, exact integer week arithmetic on micros
+    "cohort_retention" -> ((s, dir) => {
+      val ev = events(s, dir).withColumn("tsm", unix_micros(col("ts")))
+      Funnel.cohortRetention(ev, "user_id", "tsm", periodLength = 604800000000L)
+        .orderBy("cohort_period", "offset")
+    }),
+
     // ---- binning: multiple-output mode — one row per record with its
     //      bounded bin array (DataBinningProcessor.java:292-306)
     "bins_per_record" -> ((s, dir) => {
@@ -2213,6 +2221,19 @@ object SparkEntry {
         |      ELSE epoch_us(b.bts) END AS matched_ts_us
         |FROM b JOIN f ON b.event_id = f.event_id
         |ORDER BY 1""".stripMargin,
+
+    // the (user, week) distinct matrix joined to each user's min week;
+    // floor-division weeks, so no calendar rules to disagree on
+    "cohort_retention" ->
+      """WITH uw AS (
+        | SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS w FROM events
+        |), c AS (
+        | SELECT user_id, min(w) AS cw FROM uw GROUP BY 1
+        |)
+        |SELECT c.cw AS cohort_period, uw.w - c.cw AS offset, CAST(count(*) AS BIGINT) AS users
+        |FROM uw JOIN c ON uw.user_id = c.user_id
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
 
     // t1 = min view; t2 = min click after t1; t3 = min purchase after
     // t2 — the same strict min-chain, counted per step

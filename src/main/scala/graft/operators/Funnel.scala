@@ -81,4 +81,34 @@ object Funnel {
       .selectExpr(s"stack(${steps.length}, $stacked) AS (step, step_name, users)")
       .select(col("step"), col("step_name"), col("users").cast(LongType))
   }
+
+  /** Cohort retention over an event log: users are cohorted by the
+    * PERIOD of their first activity (period = floor(ts / periodLength),
+    * exact integer division — no calendar rules to disagree on), and
+    * each (cohort, offset) cell counts the cohort's users active
+    * `offset` periods later. Output: `(cohort_period, offset, users)`
+    * with offset 0 = the cohort size itself.
+    *
+    * Scale shape: one distinct over (user, period) — the activity
+    * matrix, map-side combined, 16 bytes/row; the cohort assignment is
+    * a min-aggregate re-join on the user id (AQE broadcasts the cohort
+    * side when it fits); the final cell count is a count over the
+    * already-distinct matrix, no countDistinct expansion.
+    */
+  def cohortRetention(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      periodLength: Long
+  ): DataFrame = {
+    require(periodLength > 0, "cohortRetention: periodLength must be positive")
+    val uw = events
+      .select(col(userCol).as("user"),
+        expr(s"$tsCol div ${periodLength}L").as("w"))
+      .distinct()
+    val cohort = uw.groupBy("user").agg(min(col("w")).as("cw"))
+    uw.join(cohort, Seq("user"))
+      .groupBy(col("cw").as("cohort_period"), (col("w") - col("cw")).as("offset"))
+      .agg(count(lit(1)).as("users"))
+  }
 }

@@ -40,4 +40,22 @@ class FunnelSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), plan)
   }
+
+  test("cohortRetention: first-period cohorts, offsets count returning users") {
+    // period length 10: u1 first at period 1, returns at 2 and 4;
+    // u2 first at period 1, never returns; u3 first at period 2
+    val ev = Seq(
+      (1L, 10L), (1L, 12L), (1L, 25L), (1L, 44L),
+      (2L, 15L),
+      (3L, 20L), (3L, 29L)
+    ).toDF("user_id", "tsm")
+    val r = Funnel.cohortRetention(ev, "user_id", "tsm", periodLength = 10L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(r == Set(
+      (1L, 0L, 2L), // cohort 1: u1, u2
+      (1L, 1L, 1L), // u1 at period 2
+      (1L, 3L, 1L), // u1 at period 4
+      (2L, 0L, 1L)  // cohort 2: u3 (both its events in period 2 dedup)
+    ))
+  }
 }
