@@ -853,6 +853,14 @@ object SparkEntry {
         .orderBy("step")
     }),
 
+    // ---- path analysis: top-10 3-step event-type sequences; order by
+    //      (ts, event_id) is total, so paths agree exactly
+    "event_paths" -> ((s, dir) => {
+      val ev = events(s, dir).withColumn("tsm", unix_micros(col("ts")))
+      Funnel.topPaths(ev, "user_id", "tsm", "event_type", "event_id", n = 3, k = 10)
+        .orderBy(col("cnt").desc, col("path"))
+    }),
+
     // ---- cohort retention: first-activity-week cohorts × activity
     //      offsets, exact integer week arithmetic on micros
     "cohort_retention" -> ((s, dir) => {
@@ -2221,6 +2229,22 @@ object SparkEntry {
         |      ELSE epoch_us(b.bts) END AS matched_ts_us
         |FROM b JOIN f ON b.event_id = f.event_id
         |ORDER BY 1""".stripMargin,
+
+    // per-user type sequences ordered by (micros, event_id) — a total
+    // order — then 3-gram windows counted; (cnt DESC, path) totally
+    // orders the cut
+    "event_paths" ->
+      """WITH s AS (
+        | SELECT user_id, list(event_type ORDER BY epoch_us(ts), event_id) AS types
+        | FROM events GROUP BY 1
+        |), p AS (
+        | SELECT array_to_string(types[i:i+2], ' ') AS path
+        | FROM (SELECT types, unnest(range(1, len(types) - 1)) AS i
+        |       FROM s WHERE len(types) >= 3)
+        |), c AS (
+        | SELECT path, CAST(count(*) AS BIGINT) AS cnt FROM p GROUP BY 1
+        |)
+        |SELECT path, cnt FROM c ORDER BY cnt DESC, path LIMIT 10""".stripMargin,
 
     // the (user, week) distinct matrix joined to each user's min week;
     // floor-division weeks, so no calendar rules to disagree on

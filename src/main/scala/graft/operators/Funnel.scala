@@ -111,4 +111,42 @@ object Funnel {
       .groupBy(col("cw").as("cohort_period"), (col("w") - col("cw")).as("offset"))
       .agg(count(lit(1)).as("users"))
   }
+
+  /** Top-k most frequent length-`n` event paths (consecutive event-type
+    * sequences per user, ordered by `(tsCol, tieCol)` — pass a unique
+    * tie column so equal timestamps order identically everywhere).
+    * Users with fewer than `n` events contribute nothing. Output:
+    * `(path, cnt)`, space-joined types, ties at the cut broken by path.
+    *
+    * Scale shape: one `groupBy(user)` (map-side combined collect), the
+    * native WordShingles pass over each type sequence, a
+    * partial-aggregated path count, and a `TakeOrdered` top-k — no
+    * global sort materializes. Per-user state is that user's event-type
+    * list; cap pathological users upstream.
+    */
+  def topPaths(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      tieCol: String,
+      n: Int,
+      k: Int
+  ): DataFrame = {
+    require(n >= 2, "topPaths: a path needs at least 2 steps")
+    val seqs = events
+      .groupBy(col(userCol).as("user"))
+      .agg(sort_array(collect_list(struct(
+        col(tsCol).as("t"), col(tieCol).as("tb"), col(typeCol).as("et")))).as("_ev"))
+      .select(transform(col("_ev"), e => e.getField("et")).as("_types"))
+    seqs
+      // WordShingles joins a SHORT array into one truncated path — drop
+      // sub-n users instead (a 1-event "path" is not a path)
+      .select(explode(when(size(col("_types")) >= n,
+          graft.functions.TextFunctions.shinglesFromTokens(col("_types"), n))
+        .otherwise(array().cast("array<string>"))).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("path").asc)
+      .limit(k)
+  }
 }

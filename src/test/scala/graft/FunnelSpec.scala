@@ -58,4 +58,21 @@ class FunnelSpec extends SparkSpec {
       (2L, 0L, 1L)  // cohort 2: u3 (both its events in period 2 dedup)
     ))
   }
+
+  test("topPaths: windows per user in (ts, tie) order; sub-n users drop; k cuts with a total order") {
+    val ev = Seq(
+      // u1: a b c d -> paths "a b c", "b c d"
+      (1L, 10L, 1L, "a"), (1L, 20L, 2L, "b"), (1L, 30L, 3L, "c"), (1L, 40L, 4L, "d"),
+      // u2: a b c -> "a b c" (tie at ts 20 resolved by tie col: b before c)
+      (2L, 10L, 5L, "a"), (2L, 20L, 6L, "b"), (2L, 20L, 7L, "c"),
+      // u3: only 2 events -> nothing
+      (3L, 10L, 8L, "a"), (3L, 20L, 9L, "b")
+    ).toDF("user_id", "tsm", "eid", "et")
+    val out = Funnel.topPaths(ev, "user_id", "tsm", "et", "eid", n = 3, k = 10)
+      .as[(String, Long)].collect().toSet
+    assert(out == Set(("a b c", 2L), ("b c d", 1L)))
+    val k1 = Funnel.topPaths(ev, "user_id", "tsm", "et", "eid", n = 3, k = 1)
+      .as[(String, Long)].collect().toSeq
+    assert(k1 == Seq(("a b c", 2L)))
+  }
 }
