@@ -42,22 +42,38 @@ object Funnel {
     require(steps.distinct.length == steps.length,
       "funnel: repeated step types are ambiguous — rename upstream")
     val k = steps.length
-    val lists = steps.zipWithIndex.map { case (s, i) =>
-      collect_list(when(col(typeCol) === s, col(tsCol))).as(s"_l$i")
-    }
-    val grouped = events
-      .filter(col(typeCol).isin(steps: _*))
+    val stepArr = array(steps.map(lit): _*)
+    // ONE sorted fold, linear in the user's event count. (An earlier
+    // per-step array_min/filter chain nested each step's whole subtree
+    // inside the next filter lambda — interpreted HOFs get no CSE, so
+    // per-user cost multiplied across steps; a bot user with 1000
+    // events per step of a 5-step funnel was ~10^12 comparisons.)
+    // The fold IS the min-chain: ascending (ts, type) order means the
+    // first step-i event with ts strictly past t_{i-1} is exactly
+    // min{ts > t_{i-1}}, and equal-ts events are skipped by the strict
+    // `>` whatever their sort position — order-insensitive, so no tie
+    // column is needed. Null users/timestamps drop up front: a null
+    // user is not a user, a null timestamp can't order.
+    val evs = sort_array(collect_list(struct(
+      col(tsCol).as("t"), col(typeCol).as("et"))))
+    val tsDataType = events.select(col(tsCol)).schema.head.dataType
+    val init = struct(lit(0).as("d"), lit(null).cast(tsDataType).as("last"))
+    val fold = aggregate(
+      col("_ev"),
+      init,
+      (acc, e) => when(
+        acc.getField("d") < k &&
+          e.getField("et") === element_at(stepArr, acc.getField("d") + 1) &&
+          (acc.getField("d") === 0 || e.getField("t") > acc.getField("last")),
+        struct((acc.getField("d") + 1).as("d"), e.getField("t").as("last")))
+        .otherwise(acc),
+      acc => acc.getField("d").cast(LongType))
+    events
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull &&
+        col(typeCol).isin(steps: _*))
       .groupBy(col(userCol).as("user"))
-      .agg(lists.head, lists.tail: _*)
-    // the chain: min of step-i events after t_{i-1}. A null prev makes
-    // the filter predicate null (dropped) -> empty list -> null min, so
-    // a broken chain stays broken without special-casing.
-    val ts: Seq[Column] = (1 until k).scanLeft(array_min(col("_l0"))) {
-      (prev, i) => array_min(filter(col(s"_l$i"), x => x > prev))
-    }
-    grouped.select(
-      col("user"),
-      ts.map(t => when(t.isNotNull, 1L).otherwise(0L)).reduce(_ + _).as("depth"))
+      .agg(evs.as("_ev"))
+      .select(col("user"), fold.as("depth"))
   }
 
   /** Funnel reach: exactly one row per step — `(step 1-based,
@@ -74,20 +90,27 @@ object Funnel {
     val d = depths(events, userCol, tsCol, typeCol, steps)
     val sums = steps.indices.map(i =>
       sum(when(col("depth") >= i + 1, 1L).otherwise(0L)).as(s"_s$i"))
-    val stacked = steps.zipWithIndex.map { case (s, i) =>
-      s"${i + 1}, '${s.replace("'", "''")}', coalesce(_s$i, 0L)"
-    }.mkString(", ")
+    // rows built with Column APIs, not a selectExpr string — step names
+    // are user data and SQL-literal escaping rules are not ours to
+    // reimplement (an apostrophe or trailing backslash would corrupt
+    // the parse or the name)
+    val rows = steps.zipWithIndex.map { case (s, i) =>
+      struct(lit(i + 1).as("step"), lit(s).as("step_name"),
+        coalesce(col(s"_s$i"), lit(0L)).cast(LongType).as("users"))
+    }
     d.agg(sums.head, sums.tail: _*)
-      .selectExpr(s"stack(${steps.length}, $stacked) AS (step, step_name, users)")
-      .select(col("step"), col("step_name"), col("users").cast(LongType))
+      .select(explode(array(rows: _*)).as("_r"))
+      .select(col("_r.step"), col("_r.step_name"), col("_r.users"))
   }
 
   /** Cohort retention over an event log: users are cohorted by the
-    * PERIOD of their first activity (period = floor(ts / periodLength),
-    * exact integer division — no calendar rules to disagree on), and
-    * each (cohort, offset) cell counts the cohort's users active
-    * `offset` periods later. Output: `(cohort_period, offset, users)`
-    * with offset 0 = the cohort size itself.
+    * PERIOD of their first activity (period = ts div periodLength —
+    * integer division TRUNCATING TOWARD ZERO, matching SQL `//`; for
+    * the epoch-based nonnegative timestamps this is floor, and there
+    * are no calendar rules to disagree on), and each (cohort, offset)
+    * cell counts the cohort's users active `offset` periods later.
+    * Output: `(cohort_period, offset, users)` with offset 0 = the
+    * cohort size itself. Null users/timestamps are dropped up front.
     *
     * Scale shape: one distinct over (user, period) — the activity
     * matrix, map-side combined, 16 bytes/row; the cohort assignment is
@@ -103,8 +126,9 @@ object Funnel {
   ): DataFrame = {
     require(periodLength > 0, "cohortRetention: periodLength must be positive")
     val uw = events
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull)
       .select(col(userCol).as("user"),
-        expr(s"$tsCol div ${periodLength}L").as("w"))
+        expr(s"`$tsCol` div ${periodLength}L").as("w"))
       .distinct()
     val cohort = uw.groupBy("user").agg(min(col("w")).as("cw"))
     uw.join(cohort, Seq("user"))

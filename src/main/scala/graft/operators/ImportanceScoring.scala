@@ -139,13 +139,18 @@ object ImportanceScoring {
       buckets: Int,
       salt: String
   ): DataFrame = {
-    val b = bucketSeq(col(textCol), buckets, salt)
-    val n = size(b)
+    // materialize the bucket sequence ONCE per row before slicing: the
+    // tokenize+hash transform is an interpreted HOF with no CSE, so
+    // referencing it from four places (two slices, two size calls)
+    // would re-run the dominant per-row cost ~4x
+    val seeded = df.select(
+      carryCols.map(col) :+ bucketSeq(col(textCol), buckets, salt).as("_b"): _*)
+    val n = size(col("_b"))
     val pairs = zip_with(
-      slice(b, lit(1), greatest(n - 1, lit(0))),
-      slice(b, lit(2), greatest(n - 1, lit(0))),
+      slice(col("_b"), lit(1), greatest(n - 1, lit(0))),
+      slice(col("_b"), lit(2), greatest(n - 1, lit(0))),
       (x, y) => struct(x.as("bp"), y.as("bc")))
-    df.select(carryCols.map(col) :+ explode(pairs).as("_pair"): _*)
+    seeded.select(carryCols.map(col) :+ explode(pairs).as("_pair"): _*)
       .select(carryCols.map(col) :+ col("_pair.bp") :+ col("_pair.bc"): _*)
   }
 

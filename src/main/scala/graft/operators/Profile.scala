@@ -198,9 +198,13 @@ object Profile {
       })
     // a vector whose length differs from the profile is malformed input:
     // zip_with would silently null-pad or fabricate trailing zeros, so
-    // fail the row loudly instead of emitting plausible-looking output
+    // fail the row loudly instead of emitting plausible-looking output.
+    // A NULL vector passes through as null (size(null) is null, which
+    // must not fall into the error branch — an absent embedding is a
+    // fact, not a malformation)
     df.withColumn(vecCol,
-      when(size(col(vecCol)) === rows.length, standardized)
+      when(col(vecCol).isNull, lit(null).cast(ArrayType(DoubleType)))
+        .when(size(col(vecCol)) === rows.length, standardized)
         .otherwise(raise_error(concat(
           lit("standardizeVectors: vector length "),
           size(col(vecCol)).cast(StringType),

@@ -21,6 +21,11 @@ class FunnelSpec extends SparkSpec {
       // u5: backtracking re-view then a later full run
       (5L, 10L, "view"), (5L, 20L, "click"), (5L, 15L, "view"), (5L, 25L, "buy")
     ).toDF("user_id", "ts", "event_type")
+      // null user / null ts rows drop up front (a null user is not a
+      // user; a null ts can't order) — must not crash or form a group
+      .unionByName(Seq[(java.lang.Long, java.lang.Long, String)](
+        (null, 10L, "view"), (6L, null, "view"))
+        .toDF("user_id", "ts", "event_type"))
     val d = Funnel.depths(ev, "user_id", "ts", "event_type", steps)
       .as[(Long, Long)].collect().toMap
     assert(d == Map(1L -> 3L, 2L -> 1L, 3L -> 1L, 5L -> 3L))

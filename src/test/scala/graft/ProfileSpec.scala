@@ -100,6 +100,18 @@ class ProfileSpec extends SparkSpec {
     assert(math.abs(out(3L)(0) - (5.0 - 3.0) / std0) < 1e-12)
     // dead dimension: 0, never NaN
     assert(out.values.forall(v => v(1) == 0.0 && !v.exists(_.isNaN)))
+    // a NULL vector passes through as null (absent, not malformed);
+    // a wrong-LENGTH vector fails loudly
+    val withNull = Seq((10L, null: Array[Float]), (11L, Array(1.0f, 2.0f)))
+      .toDF("id", "v")
+    val nn = Profile.standardizeVectors(withNull, "v", prof)
+      .select("id", "v").as[(Long, Option[Seq[Double]])].collect().toMap
+    assert(nn(10L).isEmpty && nn(11L).isDefined)
+    val bad = Seq((12L, Array(1.0f, 2.0f, 3.0f))).toDF("id", "v")
+    val e = intercept[Exception] {
+      Profile.standardizeVectors(bad, "v", prof).collect()
+    }
+    assert(e.getMessage.contains("profile dimensionality"), e.getMessage)
     // the transform is narrow — the profile rides as literals, no join
     val plan = Profile.standardizeVectors(df, "v", prof)
       .queryExecution.executedPlan.toString
