@@ -853,6 +853,20 @@ object SparkEntry {
         .orderBy("step")
     }),
 
+    // ---- hopping-window counts: 1h windows sliding every 30min via
+    //      Spark's native window(); each event lands in exactly
+    //      size/slide epoch-aligned windows, which the oracle explodes
+    //      arithmetically
+    "hopping_window_counts" -> ((s, dir) => {
+      val ev = events(s, dir)
+      ev.groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(unix_micros(col("w.start")).as("w_start"),
+          col("event_type"), col("cnt"))
+        .orderBy("w_start", "event_type")
+    }),
+
     // ---- path analysis: top-10 3-step event-type sequences; order by
     //      (ts, event_id) is total, so paths agree exactly
     "event_paths" -> ((s, dir) => {
@@ -2229,6 +2243,19 @@ object SparkEntry {
         |      ELSE epoch_us(b.bts) END AS matched_ts_us
         |FROM b JOIN f ON b.event_id = f.event_id
         |ORDER BY 1""".stripMargin,
+
+    // every event belongs to the two slide-aligned window starts
+    // (m//slide - k)*slide for k in {0,1}; pure integer micros
+    "hopping_window_counts" ->
+      """WITH e AS (
+        | SELECT epoch_us(ts) AS m, event_type FROM events
+        |), w AS (
+        | SELECT (m // 1800000000 - k.k) * 1800000000 AS w_start, event_type
+        | FROM e, (SELECT unnest(range(2)) AS k) k
+        |)
+        |SELECT w_start, event_type, CAST(count(*) AS BIGINT) AS cnt
+        |FROM w GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
 
     // per-user type sequences ordered by (micros, event_id) — a total
     // order — then 3-gram windows counted; (cnt DESC, path) totally
