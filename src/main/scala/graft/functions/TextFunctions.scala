@@ -398,15 +398,14 @@ object TextFunctions {
     ColumnBridge.column(graft.plans.WordShingles(ColumnBridge.expression(ts), n))
   }
 
-  /** Character n-grams of the normalized text. */
+  /** Character n-grams of the normalized text. A native single-pass
+    * expression (graft.plans.CharShingles): the composed
+    * transform/sequence/substr chain was interpreted AND quadratic —
+    * char-indexed `substr` re-scans from the string head per shingle.
+    */
   def charShingles(text: Column, n: Int): Column = {
-    val norm = normalizeForFingerprint(text)
-    when(length(norm) <= n, array(norm))
-      .otherwise(
-        transform(
-          sequence(lit(1), length(norm) - n + 1),
-          i => norm.substr(i, lit(n))
-        )
-      )
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.plans.CharShingles(
+      ColumnBridge.expression(normalizeForFingerprint(text)), n))
   }
 }

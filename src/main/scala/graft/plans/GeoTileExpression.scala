@@ -110,6 +110,7 @@ object GraftExtensions {
       NormalizeText.functionDescriptor,
       WhitespaceTokens.functionDescriptor,
       WordShingles.functionDescriptor,
+      CharShingles.functionDescriptor,
       DotProduct.functionDescriptor,
       PunctCount.functionDescriptor,
       SimHash64.functionDescriptor,

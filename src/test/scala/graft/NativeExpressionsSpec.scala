@@ -440,6 +440,31 @@ class NativeExpressionsSpec extends SparkSpec {
     assert(nn.isNullAt(0))
   }
 
+  test("CharShingles equals the composed substr chain incl. multibyte and supplementary chars") {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.graft.ColumnBridge
+    def native(s: Column, n: Int): Column =
+      ColumnBridge.column(graft.plans.CharShingles(ColumnBridge.expression(s), n))
+    def composed(s: Column, n: Int): Column =
+      when(length(s) <= n, array(s))
+        .otherwise(transform(sequence(lit(1), length(s) - n + 1),
+          i => s.substr(i, lit(n))))
+    val cases = Seq(
+      "",                        // empty: one empty shingle
+      "ab",                      // shorter than n
+      "abcde",                   // exactly n
+      "abcdefgh",                // ascii
+      "héllo wörld",             // 2-byte chars
+      "中文字符串测试",            // 3-byte CJK
+      "a😀b😁cdef" // 4-byte supplementary (emoji)
+    ).toDF("s")
+    val both = cases.select(
+      native(col("s"), 5).as("nat"),
+      composed(col("s"), 5).as("cmp"))
+      .as[(Seq[String], Seq[String])].collect()
+    both.foreach { case (nat, cmp) => assert(nat == cmp, s"$nat != $cmp") }
+  }
+
   test("all native functions are SQL-callable once registered") {
     graft.plans.GraftExtensions.registerAll(spark)
     val row = spark.sql(
