@@ -283,6 +283,38 @@ class StreamingSpec extends SparkSpec {
     assert(StreamingOps.currentVersionId(spark, s"$dir/state").contains(1L))
   }
 
+  test("funnel stream: keyed state advances the strict chain; agrees with batch on ordered arrival") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String)]
+    val df = mem.toDF().toDF("user_id", "ts", "event_type")
+    val steps = Seq("view", "click", "buy")
+    val q = graft.streaming.FunnelStream.progressDF(
+        df, "user_id", "ts", "event_type", steps)
+      .writeStream.format("memory").queryName("funnel_progress")
+      .outputMode("append").start()
+    val b0 = Seq((1L, 10L, "view"), (1L, 20L, "click"),
+      (2L, 10L, "view"), (3L, 10L, "error"))
+    val b1 = Seq((1L, 30L, "buy"), (2L, 15L, "view"), // re-view: no change
+      (2L, 20L, "click"), (4L, 5L, "click"))          // click-first: no progress
+    try {
+      mem.addData(b0: _*); q.processAllAvailable()
+      mem.addData(b1: _*); q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("funnel_progress")
+      .select("userId", "depth").as[(Long, Int)].collect()
+    // emissions: only changed users, once per changing batch
+    assert(out.toSet == Set((1L, 2), (2L, 1), (1L, 3), (2L, 2)))
+    // final state agrees with the batch operator over the full history
+    val batch = graft.operators.Funnel.depths(
+        (b0 ++ b1).toDF("user_id", "ts", "event_type"),
+        "user_id", "ts", "event_type", steps)
+      .as[(Long, Long)].collect().toMap
+    val finalDepths = out.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    // users that never progressed (depth 0) emit nothing in streaming;
+    // the batch side reports them as 0 — align on the progressed set
+    assert(finalDepths == batch.filter(_._2 > 0).map { case (u, d) => u -> d.toInt })
+  }
+
   test("mergeStreamIncremental: per-batch emissions cover only the batch's keys") {
     implicit val sqlCtx = spark.sqlContext
     val dir = Files.createTempDirectory("graft-merge-inc").toString
