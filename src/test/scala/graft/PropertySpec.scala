@@ -133,4 +133,66 @@ class PropertySpec extends SparkSpec {
       .count()
     assert(bad == 0)
   }
+
+  test("chunkByTokens laws: tiling reconstructs, chunks bounded, overlap carried") {
+    import graft.operators.Packing
+    samples(Gen.listOfN(40, wordGen), 5).zipWithIndex.foreach { case (ws, i) =>
+      val text = ws.mkString(" ")
+      val df = Seq((1L, text)).toDF("id", "text")
+      // overlap 0: chunks tile the token sequence exactly
+      val tiled = Packing.chunkByTokens(df, "text", "id", 7, 0)
+        .orderBy("chunk_idx").select("chunk_text").as[String].collect()
+      assert(tiled.flatMap(_.split(" ")).toSeq == ws, s"case $i")
+      // every chunk is within budget and non-empty
+      val withOv = Packing.chunkByTokens(df, "text", "id", 7, 3)
+        .orderBy("chunk_idx")
+        .select("chunk_text", "n_tokens").as[(String, Long)].collect()
+      assert(withOv.forall { case (t, n) => n >= 1 && n <= 7 && t.split(" ").length == n })
+      // consecutive full chunks share exactly `overlap` tokens
+      withOv.map(_._1.split(" ").toSeq).toSeq.sliding(2).foreach {
+        case Seq(a, b) if a.length == 7 => assert(a.takeRight(3) == b.take(3))
+        case _ =>
+      }
+    }
+  }
+
+  test("boilerplateRemove law: every output line came from that doc, order kept") {
+    import graft.operators.Dedup
+    val lineGen = Gen.listOfN(5, wordGen).map(_.mkString(" "))
+    samples(Gen.listOfN(6, Gen.listOfN(4, lineGen)), 3).foreach { docs =>
+      val df = docs.zipWithIndex.map { case (ls, i) => (i.toLong, ls.mkString("\n")) }
+        .toDF("id", "text")
+      val out = Dedup.boilerplateRemove(df, "text", "id", maxDocs = 3)
+        .as[(Long, String)].collect().toMap
+      docs.zipWithIndex.foreach { case (ls, i) =>
+        val kept = out(i.toLong).split("\n", -1).filter(_.nonEmpty).toSeq
+        // subsequence of the original line sequence (order and multiplicity)
+        var rest = ls
+        kept.foreach { k =>
+          val at = rest.indexOf(k)
+          assert(at >= 0, s"line '$k' not in doc $i remainder")
+          rest = rest.drop(at + 1)
+        }
+      }
+    }
+  }
+
+  test("funnel depth laws: bounded by k, monotone under event append") {
+    import graft.operators.Funnel
+    val steps = Seq("a", "b", "c")
+    val evGen = Gen.listOfN(12,
+      Gen.zip(Gen.chooseNum(1L, 3L), Gen.chooseNum(0L, 20L), Gen.oneOf("a", "b", "c", "z")))
+    samples(evGen, 5).foreach { evs =>
+      val df = evs.toDF("u", "t", "et")
+      val d1 = Funnel.depths(df, "u", "t", "et", steps)
+        .as[(Long, Long)].collect().toMap
+      assert(d1.values.forall(d => d >= 0 && d <= 3))
+      // appending more events can only hold or deepen every user's funnel
+      val extra = Seq((1L, 21L, "b"), (2L, 22L, "c"), (3L, 23L, "a"))
+      val d2 = Funnel.depths(df.unionByName(extra.toDF("u", "t", "et")),
+          "u", "t", "et", steps)
+        .as[(Long, Long)].collect().toMap
+      d1.foreach { case (u, d) => assert(d2(u) >= d, s"user $u regressed: $d -> ${d2(u)}") }
+    }
+  }
 }
