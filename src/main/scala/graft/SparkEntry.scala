@@ -1120,6 +1120,17 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // ---- winsorization: clip at exact 5th/95th percentiles (the same
+    //      histogram-percentile path as profile_numeric, already proven
+    //      value-identical to quantile_cont)
+    "winsorize" -> ((s, dir) => {
+      Profile.winsorize(
+          t(s, dir, "lineitem")
+            .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice")),
+          "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
     // ---- embedding standardization: per-dimension z-scores against
     //      the vector profile (narrow literal-array transform, no join);
     //      flattened to scalars for the hash compare
@@ -2691,6 +2702,22 @@ object SparkEntry {
       """SELECT CAST(vec_id AS BIGINT) AS id_a, CAST(vec_id + 1000000 AS BIGINT) AS id_b
         |FROM embeddings WHERE vec_id < 10
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // quantile_cont shares Spark percentile's linear interpolation
+    // (proven by profile_numeric); the clip compares the same doubles
+    "winsorize" ->
+      """WITH b AS (
+        | SELECT quantile_cont(l_extendedprice, 0.05) AS lo,
+        |        quantile_cont(l_extendedprice, 0.95) AS hi
+        | FROM lineitem
+        |)
+        |SELECT l_orderkey, l_linenumber,
+        | CASE WHEN l_extendedprice IS NULL THEN NULL
+        |      WHEN l_extendedprice < b.lo THEN b.lo
+        |      WHEN l_extendedprice > b.hi THEN b.hi
+        |      ELSE l_extendedprice END AS l_extendedprice
+        |FROM lineitem, b
+        |ORDER BY 1, 2""".stripMargin,
 
     // same profile arithmetic as profile_vector, then z = (x-mean)/std
     // per element in the written order; dead dims (std=0) map to 0

@@ -164,6 +164,35 @@ object Profile {
           lit(0.0))).as("std"))
   }
 
+  /** Winsorize a numeric column at exact percentile bounds — the
+    * outlier-clipping step before scale-sensitive downstream work
+    * (means, regressions, quantization ranges). Bounds come from the
+    * same value-histogram percentile path as [[numeric]] (exact,
+    * engine-reproducible — NOT a sketch), collected as two doubles of
+    * driver metadata; the clip itself is a narrow codegen'd
+    * `CASE WHEN` — no join, no shuffle, nulls pass through unclipped.
+    * Replaces `colName` in place.
+    */
+  def winsorize(
+      df: DataFrame,
+      colName: String,
+      loP: Double = 0.05,
+      hiP: Double = 0.95
+  ): DataFrame = {
+    require(loP >= 0 && hiP <= 1 && loP <= hiP,
+      s"winsorize: need 0 <= loP <= hiP <= 1, got ($loP, $hiP)")
+    val bounds = df.groupBy(col(colName).cast(DoubleType).as("v"))
+      .agg(count(lit(1)).as("cnt"))
+      .agg(expr(s"percentile(v, array($loP, $hiP), cnt)").as("b"))
+      .collect()(0).getSeq[Double](0)
+    val (lo, hi) = (bounds(0), bounds(1))
+    df.withColumn(colName,
+      when(col(colName).isNull, col(colName))
+        .when(col(colName) < lo, lit(lo).cast(df.schema(colName).dataType))
+        .when(col(colName) > hi, lit(hi).cast(df.schema(colName).dataType))
+        .otherwise(col(colName)))
+  }
+
   /** Per-dimension z-score standardization of an embedding column
     * against a [[vector]] profile — the preprocessing pass before
     * quantization or distance work when dimensions carry different

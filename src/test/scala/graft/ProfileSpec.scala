@@ -86,6 +86,23 @@ class ProfileSpec extends SparkSpec {
     assert(plan.split("Exchange").length - 1 == 1, plan)
   }
 
+  test("winsorize: clips at exact percentile bounds, nulls untouched, clip is narrow") {
+    val df = ((1 to 100).map(i => (i.toLong, Some(i.toDouble))) :+
+      (101L, None: Option[Double])).toDF("id", "x")
+    val out = Profile.winsorize(df, "x", 0.10, 0.90)
+      .as[(Long, Option[Double])].collect().toMap
+    // exact percentile of 1..100 at .10/.90 ≈ 10.9 / 90.1 (linear interp)
+    def near(a: Option[Double], b: Double) = a.exists(v => math.abs(v - b) < 1e-9)
+    assert(near(out(1L), 10.9) && near(out(5L), 10.9))
+    assert(near(out(100L), 90.1) && near(out(95L), 90.1))
+    assert(out(50L).contains(50.0)) // interior untouched
+    assert(out(101L).isEmpty)       // null passes through
+    // the clip phase itself is narrow (bounds were collected up front)
+    val plan = Profile.winsorize(df, "x", 0.10, 0.90)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Exchange"), plan)
+  }
+
   test("standardizeVectors: z-scores, dead dims to 0, narrow literal-array transform") {
     val df = Seq(
       (1L, Array(1.0f, 0.0f)),
