@@ -2259,7 +2259,7 @@ object SparkEntry {
     // (m//slide - k)*slide for k in {0,1}; pure integer micros
     "hopping_window_counts" ->
       """WITH e AS (
-        | SELECT epoch_us(ts) AS m, event_type FROM events
+        | SELECT epoch_us(ts) AS m, event_type FROM events WHERE ts IS NOT NULL
         |), w AS (
         | SELECT (m // 1800000000 - k.k) * 1800000000 AS w_start, event_type
         | FROM e, (SELECT unnest(range(2)) AS k) k

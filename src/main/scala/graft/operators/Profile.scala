@@ -173,6 +173,23 @@ object Profile {
     * `CASE WHEN` — no join, no shuffle, nulls pass through unclipped.
     * Replaces `colName` in place.
     */
+  /** Exact percentiles of one column via the value-histogram path (the
+    * [[numeric]] shape: distinct values + frequencies, then the
+    * frequency-weighted exact `percentile`). Null when the column has
+    * no non-null values.
+    */
+  def exactPercentiles(
+      df: DataFrame,
+      colName: String,
+      probs: Seq[Double]
+  ): Option[Seq[Double]] = {
+    val row = df.groupBy(col(colName).cast(DoubleType).as("v"))
+      .agg(count(lit(1)).as("cnt"))
+      .agg(expr(s"percentile(v, array(${probs.mkString(", ")}), cnt)").as("b"))
+      .collect()(0)
+    if (row.isNullAt(0)) None else Some(row.getSeq[Double](0))
+  }
+
   def winsorize(
       df: DataFrame,
       colName: String,
@@ -181,16 +198,26 @@ object Profile {
   ): DataFrame = {
     require(loP >= 0 && hiP <= 1 && loP <= hiP,
       s"winsorize: need 0 <= loP <= hiP <= 1, got ($loP, $hiP)")
-    val bounds = df.groupBy(col(colName).cast(DoubleType).as("v"))
-      .agg(count(lit(1)).as("cnt"))
-      .agg(expr(s"percentile(v, array($loP, $hiP), cnt)").as("b"))
-      .collect()(0).getSeq[Double](0)
-    val (lo, hi) = (bounds(0), bounds(1))
-    df.withColumn(colName,
-      when(col(colName).isNull, col(colName))
-        .when(col(colName) < lo, lit(lo).cast(df.schema(colName).dataType))
-        .when(col(colName) > hi, lit(hi).cast(df.schema(colName).dataType))
-        .otherwise(col(colName)))
+    // interpolated bounds are doubles: casting them back into an
+    // integer/decimal column would ROUND the bound (HALF_UP can land
+    // the "floor" above unclipped values) — refuse rather than clip at
+    // a value that is not the stated percentile
+    require(df.schema(colName).dataType == DoubleType ||
+      df.schema(colName).dataType == FloatType,
+      s"winsorize: $colName must be float/double — interpolated bounds " +
+        "don't round-trip through integer or decimal types")
+    exactPercentiles(df, colName, Seq(loP, hiP)) match {
+      // no non-null values -> nothing to bound, nothing to clip
+      case None => df
+      case Some(Seq(lo, hi)) =>
+        df.withColumn(colName,
+          when(col(colName).isNull, col(colName))
+            .when(col(colName) < lo, lit(lo).cast(df.schema(colName).dataType))
+            .when(col(colName) > hi, lit(hi).cast(df.schema(colName).dataType))
+            .otherwise(col(colName)))
+      case Some(other) => throw new IllegalStateException(
+        s"winsorize: expected 2 bounds, got $other")
+    }
   }
 
   /** Per-dimension z-score standardization of an embedding column

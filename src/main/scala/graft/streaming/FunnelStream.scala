@@ -65,7 +65,13 @@ object FunnelStream {
       }
   }
 
-  /** Convenience: DataFrame-in (userCol, tsCol long, typeCol). */
+  /** Convenience: DataFrame-in (userCol, tsCol, typeCol). Null
+    * users/timestamps drop up front — the batch operator's rule; the
+    * typed FEvent has primitive fields, so an unfiltered null would
+    * kill the query at deserialization. A TimestampType ts converts at
+    * MICROSECOND precision (a bare long cast would truncate timestamps
+    * to seconds and stall strict `>` chains on sub-second funnels).
+    */
   def progressDF(
       df: DataFrame,
       userCol: String,
@@ -74,10 +80,16 @@ object FunnelStream {
       steps: Seq[String]
   ): DataFrame = {
     import df.sparkSession.implicits._
+    import org.apache.spark.sql.types.TimestampType
+    val tsExpr = df.schema(tsCol).dataType match {
+      case TimestampType => unix_micros(col(tsCol))
+      case _ => col(tsCol).cast("long")
+    }
     progress(
-      df.select(col(userCol).cast("long").as("userId"),
-        col(tsCol).cast("long").as("ts"),
-        col(typeCol).as("eventType")).as[FEvent],
+      df.filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+        .select(col(userCol).cast("long").as("userId"),
+          tsExpr.as("ts"),
+          col(typeCol).as("eventType")).as[FEvent],
       steps).toDF()
   }
 }

@@ -474,6 +474,7 @@ class NativeExpressionsSpec extends SparkSpec {
         |       graft_normalize_text('  Hello,  WORLD! ') AS norm,
         |       graft_ws_tokens(' a  b ') AS toks,
         |       graft_word_shingles(array('a','b','c'), 2) AS sh,
+        |       graft_char_shingles('abcd', 2) AS csh,
         |       graft_top_token_freq(array('a','b','a','a')) AS tf""".stripMargin)
       .collect().head
     assert(row.getString(0) == "4/7/5")
@@ -482,7 +483,8 @@ class NativeExpressionsSpec extends SparkSpec {
     assert(row.getString(3) == "hello world")
     assert(row.getSeq[String](4) == Seq("a", "b"))
     assert(row.getSeq[String](5) == Seq("a b", "b c"))
-    assert(row.getInt(6) == 3)
+    assert(row.getSeq[String](6) == Seq("ab", "bc", "cd"))
+    assert(row.getInt(7) == 3)
     val agg = spark.sql(
       """SELECT graft_topk(struct(x, -id), 2) AS t FROM
         |  (SELECT explode(sequence(1, 9)) AS id, CAST(pmod(id * 7, 10) AS DOUBLE) AS x)

@@ -315,6 +315,22 @@ class StreamingSpec extends SparkSpec {
     assert(finalDepths == batch.filter(_._2 > 0).map { case (u, d) => u -> d.toInt })
   }
 
+  test("funnel stream DF wrapper: nulls drop, timestamps keep microsecond precision") {
+    // flatMapGroupsWithState also runs in batch mode (empty initial
+    // state) — lets the wrapper's edge handling pin without a stream
+    val df = Seq[(java.lang.Long, java.lang.Long, String)](
+      (1L, 1200000L, "view"), (1L, 1700000L, "click"), // 1.2 s and 1.7 s
+      (null, 10L, "view"), (2L, null, "view"))
+      .toDF("u", "tsm", "et")
+      .withColumn("ts", timestamp_micros(col("tsm")))
+    val out = graft.streaming.FunnelStream
+      .progressDF(df, "u", "ts", "et", Seq("view", "click"))
+      .select("userId", "depth").as[(Long, Int)].collect().toSet
+    // a seconds-truncating cast would stall u1 at depth 1 (both events
+    // land on second 1); null user / null ts rows must not crash
+    assert(out == Set((1L, 2)))
+  }
+
   test("mergeStreamIncremental: per-batch emissions cover only the batch's keys") {
     implicit val sqlCtx = spark.sqlContext
     val dir = Files.createTempDirectory("graft-merge-inc").toString
