@@ -853,6 +853,18 @@ object SparkEntry {
         .orderBy("step")
     }),
 
+    // ---- JSON-path extraction over the event props column: codegen'd
+    //      get_json_object + grouped integer aggregates
+    "props_extract_agg" -> ((s, dir) => {
+      val ev = events(s, dir)
+      ev.select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+        .groupBy("event_type")
+        .agg(count(col("k")).as("n"), sum(col("k")).as("k_sum"),
+          max(col("k")).as("k_max"))
+        .orderBy("event_type")
+    }),
+
     // ---- hopping-window counts: 1h windows sliding every 30min via
     //      Spark's native window(); each event lands in exactly
     //      size/slide epoch-aligned windows, which the oracle explodes
@@ -2253,6 +2265,17 @@ object SparkEntry {
         |      WHEN epoch_us(f.fts) - epoch_us(b.ts) < epoch_us(b.ts) - epoch_us(b.bts) THEN epoch_us(f.fts)
         |      ELSE epoch_us(b.bts) END AS matched_ts_us
         |FROM b JOIN f ON b.event_id = f.event_id
+        |ORDER BY 1""".stripMargin,
+
+    // json_extract mirrors get_json_object on plain integer fields;
+    // integer sums are exact in both engines
+    "props_extract_agg" ->
+      """WITH e AS (
+        | SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events
+        |)
+        |SELECT event_type, CAST(count(k) AS BIGINT) AS n,
+        | CAST(sum(k) AS BIGINT) AS k_sum, CAST(max(k) AS BIGINT) AS k_max
+        |FROM e GROUP BY 1
         |ORDER BY 1""".stripMargin,
 
     // every event belongs to the two slide-aligned window starts
