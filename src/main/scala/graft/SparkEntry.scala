@@ -2751,11 +2751,11 @@ object SparkEntry {
         | FROM embeddings
         |), p AS (
         | SELECT dim,
-        |  CAST(sum(CAST(x AS DECIMAL(38,9))) AS DOUBLE) / count(*) AS mean,
+        |  CAST(sum(CAST(round(x, 9) AS DECIMAL(38,9))) AS DOUBLE) / count(*) AS mean,
         |  sqrt(GREATEST(
-        |    CAST(sum(CAST(x * x AS DECIMAL(38,9))) AS DOUBLE) / count(*)
-        |    - (CAST(sum(CAST(x AS DECIMAL(38,9))) AS DOUBLE) / count(*))
-        |      * (CAST(sum(CAST(x AS DECIMAL(38,9))) AS DOUBLE) / count(*)), 0.0)) AS std
+        |    CAST(sum(CAST(round(x * x, 9) AS DECIMAL(38,9))) AS DOUBLE) / count(*)
+        |    - (CAST(sum(CAST(round(x, 9) AS DECIMAL(38,9))) AS DOUBLE) / count(*))
+        |      * (CAST(sum(CAST(round(x, 9) AS DECIMAL(38,9))) AS DOUBLE) / count(*)), 0.0)) AS std
         | FROM x GROUP BY 1
         |)
         |SELECT x.vec_id, CAST(x.dim AS INTEGER) AS dim,
@@ -2773,11 +2773,11 @@ object SparkEntry {
         |)
         |SELECT CAST(dim AS INTEGER) AS dim, CAST(count(*) AS BIGINT) AS n,
         | min(x) AS min, max(x) AS max,
-        | CAST(sum(CAST(x AS DECIMAL(38,9))) AS DOUBLE) / count(*) AS mean,
+        | CAST(sum(CAST(round(x, 9) AS DECIMAL(38,9))) AS DOUBLE) / count(*) AS mean,
         | sqrt(GREATEST(
-        |   CAST(sum(CAST(x * x AS DECIMAL(38,9))) AS DOUBLE) / count(*)
-        |   - (CAST(sum(CAST(x AS DECIMAL(38,9))) AS DOUBLE) / count(*))
-        |     * (CAST(sum(CAST(x AS DECIMAL(38,9))) AS DOUBLE) / count(*)), 0.0)) AS std
+        |   CAST(sum(CAST(round(x * x, 9) AS DECIMAL(38,9))) AS DOUBLE) / count(*)
+        |   - (CAST(sum(CAST(round(x, 9) AS DECIMAL(38,9))) AS DOUBLE) / count(*))
+        |     * (CAST(sum(CAST(round(x, 9) AS DECIMAL(38,9))) AS DOUBLE) / count(*)), 0.0)) AS std
         |FROM x GROUP BY 1
         |ORDER BY 1""".stripMargin,
 

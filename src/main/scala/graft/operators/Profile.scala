@@ -140,7 +140,12 @@ object Profile {
     * std derives as sqrt(E[x²] − mean²) in a fixed double order, with
     * the tiny-negative guard for zero-variance dimensions.
     * `sumScale = 9` covers float inputs: x and x² are exact doubles,
-    * and the decimal cast rounds identically in any half-up engine.
+    * ROUNDED to the scale explicitly before the decimal cast — a raw
+    * double→DECIMAL cast is HALF_UP in Spark but HALF_EVEN in DuckDB,
+    * and float data is full of short dyadics that tie exactly at the
+    * scale digit (0.1494140625 flipped this gate at sf0.1); `round()`
+    * is half-away-from-zero in both engines, so rounding first makes
+    * the cast input a non-tie and the sums engine-exact.
     */
   def vector(df: DataFrame, vecCol: String, sumScale: Int = 9): DataFrame = {
     val dec = DecimalType(38, sumScale)
@@ -151,8 +156,8 @@ object Profile {
         count(lit(1)).as("n"),
         min(x).as("min"),
         max(x).as("max"),
-        sum(x.cast(dec)).cast(DoubleType).as("_sm"),
-        sum((x * x).cast(dec)).cast(DoubleType).as("_sq"))
+        sum(round(x, sumScale).cast(dec)).cast(DoubleType).as("_sm"),
+        sum(round(x * x, sumScale).cast(dec)).cast(DoubleType).as("_sq"))
       .select(
         col("dim"),
         col("n"),
