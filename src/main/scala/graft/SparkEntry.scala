@@ -109,6 +109,27 @@ object SparkEntry {
     }),
 
     // ---- join headline (broadcast dims, DECIMAL-exact revenue)
+    // ---- relational headline: 5-table join with two broadcast dims
+    //      and a shuffle pair — the multi-join reorder/broadcast shape
+    //      a warehouse query planner must get right
+    "q5_multi_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast(DecimalType(28, 4))).cast(DoubleType).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("r_name", "n_name")
+    }),
+
     "q3_join" -> ((s, dir) => {
       val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
       val o = t(s, dir, "orders")
@@ -1487,6 +1508,20 @@ object SparkEntry {
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    // same decimal-summed revenue expression as q3_join, grouped by
+    // region/nation over the full 5-table join
+    "q5_multi_join" ->
+      """SELECT r.r_name AS r_name, n.n_name AS n_name,
+        | CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS revenue,
+        | CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
 
     "q3_join" ->
       """SELECT l.l_orderkey AS l_orderkey,
