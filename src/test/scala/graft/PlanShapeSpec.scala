@@ -331,6 +331,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("5-table join: dims broadcast, facts shuffle once each, aggregate is two-phase") {
+    val c = t("customer"); val o = t("orders"); val li = t("lineitem")
+    val n = t("nation"); val r = t("region")
+    val q = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_items"))
+    val plan = physical(q)
+    // both dimension joins broadcast; no dimension ever shuffles
+    assert(plan.split("BroadcastHashJoin").length - 1 >= 2, plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the count partial-aggregates below its exchange
+    assert(plan.contains("partial_count"), plan)
+  }
+
   test("chunking is entirely narrow: no Exchange, no Window, generator fan-out only") {
     import graft.operators.Packing
     val q = Packing.chunkByTokens(
