@@ -1231,6 +1231,21 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // ---- retrieval: conjunctive (AND) BM25 — docs must match EVERY
+    //      query term; the matched-term count falls out of the scoring
+    //      aggregate and compares against the per-query term total
+    "bm25_topk_all" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val queries = Seq(
+        (0L, "spark window merge"),
+        (1L, "customer order batch stream"),
+        (2L, "hash join table scan")).toDF("query_id", "qtext")
+      Retrieval.bm25TopK(docs, "doc_id", "text",
+          queries, "query_id", "qtext", k = 10, requireAllTerms = true)
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- dedup: SemDeDup — k-means clusters, within-cluster cosine
     //      pairs. Planted exact copies share their argmax centroid, so
     //      the within-cluster scan finds every planted pair; the corpus
@@ -2882,6 +2897,58 @@ object SparkEntry {
         | CAST(score AS DECIMAL(38,9)) AS score,
         | CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INTEGER) AS rank
         |FROM sc
+        |QUALIFY rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // the disjunctive bm25_topk oracle + a matched-term count compared
+    // against each query's distinct-term total (AND semantics)
+    "bm25_topk_all" ->
+      """WITH d AS (
+        | SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS toks
+        | FROM documents
+        |), dl AS (
+        | SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d
+        |), tok AS (
+        | SELECT doc_id, unnest(toks) AS term FROM d
+        |), tf AS (
+        | SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+        |), df AS (
+        | SELECT term, count(*) AS df FROM tf GROUP BY 1
+        |), st AS (
+        | SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl
+        |), q AS (
+        | SELECT * FROM (VALUES
+        |   (0, 'spark window merge'),
+        |   (1, 'customer order batch stream'),
+        |   (2, 'hash join table scan')) AS v(query_id, qtext)
+        |), qt AS (
+        | SELECT query_id,
+        |  unnest(list_distinct(list_filter(string_split_regex(trim(lower(qtext)), '\s+'), x -> x <> ''))) AS term
+        | FROM q
+        |), qn AS (
+        | SELECT query_id, count(*) AS nq FROM qt GROUP BY 1
+        |), sc AS (
+        | SELECT qt.query_id, tf.doc_id AS neighbor_id,
+        |  sum(CAST(round(
+        |    round(ln((CAST(st.n_docs AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
+        |              / (CAST(df.df AS DOUBLE) + 0.5) + 1.0), 6)
+        |    * (CAST(tf.tf AS DOUBLE) * 2.2
+        |       / (CAST(tf.tf AS DOUBLE)
+        |          + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl.dl AS DOUBLE)
+        |              / (CAST(st.sum_dl AS DOUBLE) / CAST(st.n_docs AS DOUBLE))))))
+        |  , 9) AS DECIMAL(38,9))) AS score,
+        |  count(*) AS nmatched
+        | FROM qt
+        | JOIN tf ON qt.term = tf.term
+        | JOIN df ON qt.term = df.term
+        | JOIN dl ON tf.doc_id = dl.doc_id, st
+        | GROUP BY 1, 2
+        |)
+        |SELECT CAST(sc.query_id AS BIGINT) AS query_id, sc.neighbor_id,
+        | CAST(sc.score AS DECIMAL(38,9)) AS score,
+        | CAST(ROW_NUMBER() OVER (PARTITION BY sc.query_id ORDER BY sc.score DESC, sc.neighbor_id) AS INTEGER) AS rank
+        |FROM sc JOIN qn ON sc.query_id = qn.query_id
+        |WHERE sc.nmatched = qn.nq
         |QUALIFY rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
 

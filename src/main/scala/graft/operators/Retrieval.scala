@@ -47,7 +47,8 @@ object Retrieval {
       queryTextCol: String,
       k: Int,
       k1: Double = 1.2,
-      b: Double = 0.75
+      b: Double = 0.75,
+      requireAllTerms: Boolean = false
   ): DataFrame = {
     // ONE tokenize pass (inside buildPostings): per-doc length and the
     // corpus token total both derive from the postings (dl = Σ_t tf),
@@ -60,7 +61,8 @@ object Retrieval {
     val doclen = tf.groupBy("id").agg(sum(col("tf")).as("dl"))
     val stats = docs.agg(count(lit(1)).as("n_docs"))
       .crossJoin(tf.agg(coalesce(sum(col("tf")), lit(0L)).as("sum_dl")))
-    rankPostings(tf, doclen, stats, queries, queryIdCol, queryTextCol, k, k1, b)
+    rankPostings(tf, doclen, stats, queries, queryIdCol, queryTextCol, k, k1, b,
+      requireAllTerms)
   }
 
   /** The BM25 postings table for a document corpus: `(term, id, tf)` —
@@ -86,13 +88,15 @@ object Retrieval {
       queryTextCol: String,
       k: Int,
       k1: Double = 1.2,
-      b: Double = 0.75
+      b: Double = 0.75,
+      requireAllTerms: Boolean = false
   ): DataFrame = {
     val doclen = postings.groupBy("id").agg(sum(col("tf")).as("dl"))
     val stats = doclen.agg(
       count(lit(1)).as("n_docs"),
       sum(col("dl")).as("sum_dl"))
-    rankPostings(postings, doclen, stats, queries, queryIdCol, queryTextCol, k, k1, b)
+    rankPostings(postings, doclen, stats, queries, queryIdCol, queryTextCol,
+      k, k1, b, requireAllTerms)
   }
 
   private def rankPostings(
@@ -104,7 +108,8 @@ object Retrieval {
       queryTextCol: String,
       k: Int,
       k1: Double,
-      b: Double
+      b: Double,
+      requireAllTerms: Boolean
   ): DataFrame = {
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val qterms = queries.select(
@@ -123,15 +128,23 @@ object Retrieval {
     val tfnorm = tfd * lit(k1 + 1.0) /
       (tfd + lit(k1) * (lit(1.0) - lit(b) + lit(b) * (col("dl").cast(DoubleType) / avgdl)))
     val contrib = round(idf6 * tfnorm, 9).cast(DecimalType(38, 9))
-    val scored = broadcast(qterms)
+    val scoredBase = broadcast(qterms)
       .join(tf, Seq("term"))
       .join(df, Seq("term"))
       .join(doclen, Seq("id"))
       .crossJoin(broadcast(stats))
       .groupBy(col("query_id"), col("id").as("neighbor_id"))
-      .agg(sum(contrib).as("score"))
-      .select(col("query_id"), col("neighbor_id"),
-        col("score").cast(DecimalType(38, 9)).as("score"))
+      .agg(sum(contrib).as("score"), count(lit(1)).as("_nmatched"))
+    // AND semantics: keep docs matching EVERY distinct query term —
+    // the matched-term count falls out of the scoring aggregate free,
+    // and the per-query term totals are a metadata-sized broadcast
+    val filtered = if (requireAllTerms) {
+      val nq = qterms.groupBy("query_id").agg(count(lit(1)).as("_nq"))
+      scoredBase.join(broadcast(nq), Seq("query_id"))
+        .filter(col("_nmatched") === col("_nq"))
+    } else scoredBase
+    val scored = filtered.select(col("query_id"), col("neighbor_id"),
+      col("score").cast(DecimalType(38, 9)).as("score"))
     // the ANN surface's k-bounded heap reduction — one shared rank-order
     // convention (score desc, ties to the ascending id)
     Similarity.topKPerQuery(scored, "score", k)

@@ -38,6 +38,29 @@ class RetrievalSpec extends SparkSpec {
     assert(!out.exists(_._1 == 11L))
   }
 
+  test("bm25TopK requireAllTerms: conjunctive matching, vocabulary misses kill the query") {
+    val q = Seq(
+      (10L, "apple banana"),   // only doc 1 has both
+      (11L, "apple zebra")     // zebra unseen -> AND can never hold
+    ).toDF("query_id", "qtext")
+    val out = Retrieval.bm25TopK(corpus, "doc_id", "text", q,
+        "query_id", "qtext", k = 10, requireAllTerms = true)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(out == Set((10L, 1L)))
+    // scores of surviving docs equal the disjunctive scorer's
+    val or = Retrieval.bm25TopK(corpus, "doc_id", "text", q,
+        "query_id", "qtext", k = 10)
+      .select("query_id", "neighbor_id", "score")
+      .as[(Long, Long, java.math.BigDecimal)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val and = Retrieval.bm25TopK(corpus, "doc_id", "text", q,
+        "query_id", "qtext", k = 10, requireAllTerms = true)
+      .select("query_id", "neighbor_id", "score")
+      .as[(Long, Long, java.math.BigDecimal)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    and.foreach { case (key, s) => assert(or(key) == s) }
+  }
+
   test("bm25TopK: k bounds the result; repeated query terms count once") {
     val q = Seq((10L, "apple apple banana")).toDF("query_id", "qtext")
     val k1 = Retrieval.bm25TopK(corpus, "doc_id", "text", q,
