@@ -850,6 +850,40 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // ---- range join: the non-equi-join trap (p BETWEEN s AND e falls
+    //      back to a nested-loop join) rewritten as a bucketed EQUI-join;
+    //      order days vs lineitem ship windows [ship, ship + quantity days]
+    "range_join_points" -> ((s, dir) => {
+      val epoch = to_date(lit("1970-01-01"))
+      val pts = t(s, dir, "orders")
+        .select(datediff(to_date(col("o_orderdate")), epoch).cast(LongType).as("day"))
+        .distinct()
+      val iv = t(s, dir, "lineitem")
+        .select(datediff(to_date(col("l_shipdate")), epoch).cast(LongType).as("ship_day"),
+          col("l_quantity").cast(LongType).as("_q"))
+        .select(col("ship_day"), (col("ship_day") + col("_q")).as("end_day"))
+      RangeJoin.joinPointInterval(pts, "day", iv, "ship_day", "end_day",
+          bucketWidth = 32L)
+        .groupBy("day").agg(count(lit(1)).as("n"))
+        .orderBy("day")
+    }),
+
+    // ---- interval overlap join: keyed, each overlapping pair emitted
+    //      once via the first-common-bucket rule (no distinct pass)
+    "interval_overlap_join" -> ((s, dir) => {
+      val epoch = to_date(lit("1970-01-01"))
+      val iv = t(s, dir, "lineitem").filter(col("l_partkey") < 200)
+        .select(col("l_partkey").as("k"),
+          datediff(to_date(col("l_shipdate")), epoch).cast(LongType).as("s_day"),
+          col("l_quantity").cast(LongType).as("_q"))
+        .select(col("k"), col("s_day"), (col("s_day") + col("_q")).as("e_day"))
+      val b = iv.select(col("k"), col("s_day").as("bs"), col("e_day").as("be"))
+      RangeJoin.joinIntervalOverlap(iv, "s_day", "e_day", b, "bs", "be",
+          bucketWidth = 32L, keys = Seq("k"))
+        .groupBy("k").agg(count(lit(1)).as("n"))
+        .orderBy("k")
+    }),
+
     // ---- sessionization (gap-based; streaming analogue in graft.streaming)
     "sessionize" -> ((s, dir) => {
       val ev = events(s, dir)
@@ -1209,6 +1243,31 @@ object SparkEntry {
         (2L, "hash join table scan")).toDF("query_id", "qtext")
       Retrieval.bm25TopK(docs, "doc_id", "text",
           queries, "query_id", "qtext", k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- hybrid retrieval: RRF fusion of a dense ANN list and a
+    //      lexical BM25 list over the SAME corpus id space (doc_id ==
+    //      vec_id in the testdata) — rank-based, so the incomparable
+    //      score scales never need calibration
+    "hybrid_rrf_topk" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val dense = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        q, "query_id", "qv", k = 10,
+        metric = VectorFunctions.dot, scoreName = "dot")
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val queries = Seq(
+        (0L, "spark window merge"),
+        (1L, "customer order batch stream"),
+        (2L, "hash join table scan"),
+        (3L, "stream state checkpoint"),
+        (4L, "partition shuffle sort")).toDF("query_id", "qtext")
+      val lexical = Retrieval.bm25TopK(docs, "doc_id", "text",
+        queries, "query_id", "qtext", k = 10)
+      Retrieval.rrfFuse(Seq(dense, lexical), k = 10)
         .orderBy("query_id", "rank")
     }),
 
@@ -2317,6 +2376,33 @@ object SparkEntry {
         |FROM b JOIN f ON b.event_id = f.event_id
         |ORDER BY 1""".stripMargin,
 
+    // DuckDB plans the raw range predicate directly (IEJoin); the hash
+    // compare checks the bucketed equi-join rewrite against it.
+    "range_join_points" ->
+      """WITH p AS (
+        | SELECT DISTINCT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day
+        | FROM orders
+        |), iv AS (
+        | SELECT date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS ship_day,
+        |        CAST(l_quantity AS BIGINT) AS q
+        | FROM lineitem
+        |)
+        |SELECT p.day AS day, CAST(count(*) AS BIGINT) AS n
+        |FROM p JOIN iv ON p.day >= iv.ship_day AND p.day <= iv.ship_day + iv.q
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "interval_overlap_join" ->
+      """WITH iv AS (
+        | SELECT l_partkey AS k,
+        |        date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS s,
+        |        date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+        |          + CAST(l_quantity AS BIGINT) AS e
+        | FROM lineitem WHERE l_partkey < 200
+        |)
+        |SELECT a.k AS k, CAST(count(*) AS BIGINT) AS n
+        |FROM iv a JOIN iv b ON a.k = b.k AND a.s <= b.e AND b.s <= a.e
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // json_extract mirrors get_json_object on plain integer fields;
     // integer sums are exact in both engines
     "props_extract_agg" ->
@@ -2897,6 +2983,82 @@ object SparkEntry {
         | CAST(score AS DECIMAL(38,9)) AS score,
         | CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INTEGER) AS rank
         |FROM sc
+        |QUALIFY rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // The dense CTE is the ann_topk_dot oracle; the lexical chain is the
+    // bm25_topk oracle with the 5-query fusion query set; rrf fuses the
+    // two ranked lists with exact DECIMAL(38,12) contribution sums.
+    "hybrid_rrf_topk" ->
+      """WITH qv AS (
+        | SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 5
+        |), ds AS (
+        | SELECT qv.query_id, e.vec_id AS neighbor_id,
+        |  list_sum(list_transform(list_zip(qv.qvec, e.embedding),
+        |    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) AS dot
+        | FROM embeddings e, qv WHERE e.vec_id <> qv.query_id
+        |), dense AS (
+        | SELECT query_id, neighbor_id,
+        |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id) AS rank
+        | FROM ds QUALIFY rank <= 10
+        |), d AS (
+        | SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS toks
+        | FROM documents
+        |), dl AS (
+        | SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d
+        |), tok AS (
+        | SELECT doc_id, unnest(toks) AS term FROM d
+        |), tf AS (
+        | SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+        |), df AS (
+        | SELECT term, count(*) AS df FROM tf GROUP BY 1
+        |), st AS (
+        | SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl
+        |), q AS (
+        | SELECT * FROM (VALUES
+        |   (0, 'spark window merge'),
+        |   (1, 'customer order batch stream'),
+        |   (2, 'hash join table scan'),
+        |   (3, 'stream state checkpoint'),
+        |   (4, 'partition shuffle sort')) AS v(query_id, qtext)
+        |), qt AS (
+        | SELECT query_id,
+        |  unnest(list_distinct(list_filter(string_split_regex(trim(lower(qtext)), '\s+'), x -> x <> ''))) AS term
+        | FROM q
+        |), sc AS (
+        | SELECT qt.query_id, tf.doc_id AS neighbor_id,
+        |  sum(CAST(round(
+        |    round(ln((CAST(st.n_docs AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
+        |              / (CAST(df.df AS DOUBLE) + 0.5) + 1.0), 6)
+        |    * (CAST(tf.tf AS DOUBLE) * 2.2
+        |       / (CAST(tf.tf AS DOUBLE)
+        |          + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl.dl AS DOUBLE)
+        |              / (CAST(st.sum_dl AS DOUBLE) / CAST(st.n_docs AS DOUBLE))))))
+        |  , 9) AS DECIMAL(38,9))) AS score
+        | FROM qt
+        | JOIN tf ON qt.term = tf.term
+        | JOIN df ON qt.term = df.term
+        | JOIN dl ON tf.doc_id = dl.doc_id, st
+        | GROUP BY 1, 2
+        |), lexical AS (
+        | SELECT CAST(query_id AS BIGINT) AS query_id, neighbor_id,
+        |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+        | FROM sc QUALIFY rank <= 10
+        |), contribs AS (
+        | SELECT query_id, neighbor_id,
+        |  CAST(round(CAST(1.0 AS DOUBLE) / (60.0 + CAST(rank AS DOUBLE)), 12) AS DECIMAL(38,12)) AS c
+        | FROM dense
+        | UNION ALL
+        | SELECT query_id, neighbor_id,
+        |  CAST(round(CAST(1.0 AS DOUBLE) / (60.0 + CAST(rank AS DOUBLE)), 12) AS DECIMAL(38,12)) AS c
+        | FROM lexical
+        |), fused AS (
+        | SELECT query_id, neighbor_id, CAST(sum(c) AS DECIMAL(38,12)) AS score
+        | FROM contribs GROUP BY 1, 2
+        |)
+        |SELECT query_id, neighbor_id, score,
+        | CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INTEGER) AS rank
+        |FROM fused
         |QUALIFY rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
 

@@ -149,4 +149,44 @@ object Retrieval {
     // convention (score desc, ties to the ascending id)
     Similarity.topKPerQuery(scored, "score", k)
   }
+
+  /** Reciprocal-rank-fusion of ranked retrieval lists (Cormack et al.,
+    * SIGIR 2009): fused(d) = Σ_lists w_l / (rrfK + rank_l(d)), the
+    * standard hybrid-search combiner for a lexical [[bm25TopK]] run and
+    * a dense [[Similarity]] ANN run over the same corpus — rank-based,
+    * so the lists' incomparable score scales never need calibration.
+    *
+    * Inputs are ranked lists `(query_id, neighbor_id, rank)` — the
+    * exact output shape of [[bm25TopK]] and every `Similarity` top-k —
+    * so each list is already k-bounded per query: the fuse shuffles at
+    * most `Σ k_l` id+rank rows per query (no text, no vectors), the
+    * group-by partial-aggregates map-side, and the final cut is the
+    * same k-bounded `graft_topk` heap as the inputs. Missing docs
+    * simply contribute nothing (no outer-join null handling needed).
+    *
+    * Determinism: each contribution `w / (rrfK + rank)` is one IEEE
+    * division of exact operands rounded to 12 dp, and the fused score
+    * is an exact DECIMAL(38,12) sum — order-independent, reproducible
+    * by any engine (the BM25 scoring convention above). Ties break to
+    * the ascending neighbor id.
+    */
+  def rrfFuse(
+      lists: Seq[DataFrame],
+      k: Int,
+      rrfK: Int = 60,
+      weights: Seq[Double] = Seq.empty
+  ): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
+    val ws = if (weights.isEmpty) Seq.fill(lists.size)(1.0) else weights
+    require(ws.size == lists.size,
+      s"got ${ws.size} weights for ${lists.size} lists")
+    val contribs = lists.zip(ws).map { case (df, w) =>
+      df.select(col("query_id"), col("neighbor_id"),
+        round(lit(w) / (lit(rrfK) + col("rank").cast(DoubleType)), 12)
+          .cast(DecimalType(38, 12)).as("_contrib"))
+    }.reduce(_ unionByName _)
+    val fused = contribs.groupBy("query_id", "neighbor_id")
+      .agg(sum(col("_contrib")).cast(DecimalType(38, 12)).as("score"))
+    Similarity.topKPerQuery(fused, "score", k)
+  }
 }

@@ -392,4 +392,51 @@ class PlanShapeSpec extends SparkSpec {
     // no cartesian anywhere in the reassembly
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("range join gate shape: parquet-backed bucketed join is equi, never nested-loop") {
+    import graft.operators.RangeJoin
+    import org.apache.spark.sql.types.LongType
+    val epoch = to_date(lit("1970-01-01"))
+    val pts = t("orders")
+      .select(datediff(to_date(col("o_orderdate")), epoch).cast(LongType).as("day"))
+      .distinct()
+    val iv = t("lineitem")
+      .select(datediff(to_date(col("l_shipdate")), epoch).cast(LongType).as("ship_day"),
+        col("l_quantity").cast(LongType).as("_q"))
+      .select(col("ship_day"), (col("ship_day") + col("_q")).as("end_day"))
+    val q = RangeJoin.joinPointInterval(pts, "day", iv, "ship_day", "end_day",
+      bucketWidth = 32L)
+    val plan = physical(q)
+    // the whole point of the bucketing: Catalyst gets an equality key,
+    // so the range predicate never degenerates to a nested loop
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the scan reads only the two columns each side needs
+    assert(plan.contains("ReadSchema: struct<l_quantity:double,l_shipdate:timestamp_ntz>"), plan)
+    assert(plan.contains("ReadSchema: struct<o_orderdate:timestamp_ntz>"), plan)
+  }
+
+  test("rrf fusion: id+rank rows only cross the fuse shuffle; final cut is heap-bounded") {
+    import graft.operators.{Retrieval, Similarity}
+    import graft.functions.VectorFunctions
+    import spark.implicits._
+    val emb = t("embeddings")
+    val q = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val dense = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      q, "query_id", "qv", k = 5, metric = VectorFunctions.dot, scoreName = "dot")
+    val queries = Seq((0L, "spark window merge")).toDF("query_id", "qtext")
+    val lexical = Retrieval.bm25TopK(
+      t("documents").select(col("doc_id"), col("text")),
+      "doc_id", "text", queries, "query_id", "qtext", k = 5)
+    val plan = physical(Retrieval.rrfFuse(Seq(dense, lexical), k = 5))
+    // fused top-k is the bounded heap, not a window over the union
+    assert(plan.contains("partial_graft_topk"), plan)
+    assert(!plan.contains("Window"), plan)
+    // no embedding payload crosses ANY exchange in the fusion plan —
+    // vectors die at the dense list's own reduction, text at bm25's
+    val exchanges = plan.split("\n").filter(_.contains("Exchange hashpartitioning"))
+    assert(exchanges.nonEmpty, plan)
+    assert(exchanges.forall(l => !l.contains("embedding#") && !l.contains("text#")), plan)
+  }
 }

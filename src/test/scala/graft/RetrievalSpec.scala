@@ -77,4 +77,36 @@ class RetrievalSpec extends SparkSpec {
       .select("neighbor_id", "score").as[(Long, java.math.BigDecimal)].collect().toMap
     assert(full == dist)
   }
+
+  test("rrfFuse: hand-computed fusion of two ranked lists") {
+    // query 0: doc 7 is rank 1 in both lists; doc 8 rank 2 dense only;
+    // doc 9 rank 2 lexical only -> fused order 7, then 8/9 tied broken
+    // by ascending id.
+    val dense = Seq((0L, 7L, 1), (0L, 8L, 2)).toDF("query_id", "neighbor_id", "rank")
+    val lexical = Seq((0L, 7L, 1), (0L, 9L, 2)).toDF("query_id", "neighbor_id", "rank")
+    val out = Retrieval.rrfFuse(Seq(dense, lexical), k = 10)
+      .orderBy("rank")
+      .select("neighbor_id", "score", "rank")
+      .as[(Long, java.math.BigDecimal, Int)].collect()
+    assert(out.map(_._1).toSeq == Seq(7L, 8L, 9L))
+    val c1 = BigDecimal(1.0 / 61.0).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val c2 = BigDecimal(1.0 / 62.0).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    assert(BigDecimal(out(0)._2) == c1 + c1)
+    assert(BigDecimal(out(1)._2) == c2)
+    assert(BigDecimal(out(2)._2) == c2)
+    assert(out.map(_._3).toSeq == Seq(1, 2, 3))
+  }
+
+  test("rrfFuse: weights scale contributions; single-list fusion is rank-preserving") {
+    val dense = Seq((0L, 7L, 1), (0L, 8L, 2)).toDF("query_id", "neighbor_id", "rank")
+    val lexical = Seq((0L, 8L, 1)).toDF("query_id", "neighbor_id", "rank")
+    // heavy lexical weight flips doc 8 above doc 7
+    val out = Retrieval.rrfFuse(Seq(dense, lexical), k = 10,
+        weights = Seq(1.0, 100.0))
+      .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
+    assert(out == Seq(8L, 7L))
+    val single = Retrieval.rrfFuse(Seq(dense), k = 10)
+      .orderBy("rank").select("neighbor_id", "rank").as[(Long, Int)].collect().toSeq
+    assert(single == Seq((7L, 1), (8L, 2)))
+  }
 }
