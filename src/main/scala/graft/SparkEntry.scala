@@ -1198,6 +1198,32 @@ object SparkEntry {
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
+    // ---- quantile bucketing: exact-decile discretization (bounds as
+    //      driver metadata, narrow comparison fold — the winsorize
+    //      convention); occupancy counts per bucket
+    "quantile_buckets" -> ((s, dir) => {
+      Profile.quantileBuckets(
+          t(s, dir, "lineitem").select(col("l_extendedprice")),
+          "l_extendedprice", q = 10)
+        .filter(col("bucket").isNotNull)
+        .groupBy("bucket").agg(count(lit(1)).as("n"))
+        .orderBy("bucket")
+    }),
+
+    // ---- outlier flagging: z-score (decimal-exact moments, 6 dp
+    //      quantized stats) + Tukey fences from exact quartiles;
+    //      flag counts per return flag
+    "outlier_flags" -> ((s, dir) => {
+      Profile.outlierFlags(
+          t(s, dir, "lineitem").select(col("l_returnflag"), col("l_extendedprice")),
+          "l_extendedprice")
+        .groupBy("l_returnflag")
+        .agg(sum(when(col("z_outlier"), 1L).otherwise(0L)).as("n_z"),
+          sum(when(col("iqr_outlier"), 1L).otherwise(0L)).as("n_iqr"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    }),
+
     // ---- embedding standardization: per-dimension z-scores against
     //      the vector profile (narrow literal-array transform, no join);
     //      flattened to scalars for the hash compare
@@ -2877,6 +2903,60 @@ object SparkEntry {
         |      ELSE l_extendedprice END AS l_extendedprice
         |FROM lineitem, b
         |ORDER BY 1, 2""".stripMargin,
+
+    // decile bounds via quantile_cont (parity with Spark's exact
+    // percentile proven by the winsorize gate); bucket = Σ [x >= b_i]
+    "quantile_buckets" ->
+      """WITH b AS (
+        | SELECT quantile_cont(l_extendedprice, 0.1) AS b1,
+        |        quantile_cont(l_extendedprice, 0.2) AS b2,
+        |        quantile_cont(l_extendedprice, 0.3) AS b3,
+        |        quantile_cont(l_extendedprice, 0.4) AS b4,
+        |        quantile_cont(l_extendedprice, 0.5) AS b5,
+        |        quantile_cont(l_extendedprice, 0.6) AS b6,
+        |        quantile_cont(l_extendedprice, 0.7) AS b7,
+        |        quantile_cont(l_extendedprice, 0.8) AS b8,
+        |        quantile_cont(l_extendedprice, 0.9) AS b9
+        | FROM lineitem
+        |)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n FROM (
+        | SELECT CAST(
+        |   (CASE WHEN l_extendedprice >= b.b1 THEN 1 ELSE 0 END)
+        | + (CASE WHEN l_extendedprice >= b.b2 THEN 1 ELSE 0 END)
+        | + (CASE WHEN l_extendedprice >= b.b3 THEN 1 ELSE 0 END)
+        | + (CASE WHEN l_extendedprice >= b.b4 THEN 1 ELSE 0 END)
+        | + (CASE WHEN l_extendedprice >= b.b5 THEN 1 ELSE 0 END)
+        | + (CASE WHEN l_extendedprice >= b.b6 THEN 1 ELSE 0 END)
+        | + (CASE WHEN l_extendedprice >= b.b7 THEN 1 ELSE 0 END)
+        | + (CASE WHEN l_extendedprice >= b.b8 THEN 1 ELSE 0 END)
+        | + (CASE WHEN l_extendedprice >= b.b9 THEN 1 ELSE 0 END) AS BIGINT) AS bucket
+        | FROM lineitem, b
+        | WHERE l_extendedprice IS NOT NULL
+        |)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the operator's exact arithmetic chain: decimal sums (doubles
+    // rounded before the cast), mean/std quantized to 6 dp, Tukey
+    // fences from quantile_cont quartiles in the same written order
+    "outlier_flags" ->
+      """WITH st AS (
+        | SELECT count(l_extendedprice) AS n,
+        |  CAST(sum(CAST(round(l_extendedprice, 4) AS DECIMAL(38,4))) AS DOUBLE) AS s,
+        |  CAST(sum(CAST(round(l_extendedprice * l_extendedprice, 8) AS DECIMAL(38,8))) AS DOUBLE) AS ss,
+        |  quantile_cont(l_extendedprice, 0.25) AS q1,
+        |  quantile_cont(l_extendedprice, 0.75) AS q3
+        | FROM lineitem
+        |), d AS (
+        | SELECT round(s / n, 6) AS mean,
+        |  round(sqrt(greatest(0.0, ss / n - (s / n) * (s / n))), 6) AS std,
+        |  q1 - 1.5 * (q3 - q1) AS lo, q3 + 1.5 * (q3 - q1) AS hi
+        | FROM st
+        |)
+        |SELECT l_returnflag,
+        | CAST(sum(CASE WHEN abs(l_extendedprice - d.mean) > 3.0 * d.std THEN 1 ELSE 0 END) AS BIGINT) AS n_z,
+        | CAST(sum(CASE WHEN l_extendedprice < d.lo OR l_extendedprice > d.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_iqr,
+        | CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem, d GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // same profile arithmetic as profile_vector, then z = (x-mean)/std
     // per element in the written order; dead dims (std=0) map to 0

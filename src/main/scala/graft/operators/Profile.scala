@@ -271,4 +271,101 @@ object Profile {
           size(col(vecCol)).cast(StringType),
           lit(s" != profile dimensionality ${rows.length}")))))
   }
+
+  /** Assign every row to one of `q` equal-probability buckets `[0, q)`
+    * by the column's own EXACT quantile bounds — the discretization
+    * step for stratified curation and per-decile quality reporting.
+    * Bounds at probabilities i/q (i = 1..q-1) come from the same
+    * histogram-based [[exactPercentiles]] as [[winsorize]] (driver
+    * metadata, one aggregate pass); the assignment is a NARROW
+    * codegen'd comparison fold `bucket = Σ_i [x >= b_i]` — monotone,
+    * zero joins, zero shuffles. Values at an interpolated bound land in
+    * the upper bucket (>=); nulls map to a null bucket. A constant
+    * column collapses to ONE occupied bucket (every bound equals the
+    * value, so every row counts all q−1 bounds) — the honest answer for
+    * a column with no spread.
+    */
+  def quantileBuckets(
+      df: DataFrame,
+      colName: String,
+      q: Int,
+      outCol: String = "bucket"
+  ): DataFrame = {
+    require(q >= 2, s"quantileBuckets: need q >= 2, got $q")
+    exactPercentiles(df, colName, (1 until q).map(_ / q.toDouble)) match {
+      case None => df.withColumn(outCol, lit(null).cast(LongType))
+      case Some(bounds) =>
+        val x = col(colName).cast(DoubleType)
+        val bucket = bounds.map(b => when(x >= b, 1L).otherwise(0L))
+          .reduce(_ + _)
+        df.withColumn(outCol, when(x.isNull, lit(null).cast(LongType))
+          .otherwise(bucket))
+    }
+  }
+
+  /** Flag outliers in `colName` by BOTH standard recipes — z-score
+    * (|x − mean| > t·σ, population σ) and Tukey fences (outside
+    * [q1 − k·iqr, q3 + k·iqr]) — as two boolean columns (`z_outlier`,
+    * `iqr_outlier`; nulls flag null). Stats are one aggregate pass:
+    * Σx and Σx² accumulate in DECIMAL (`sumScale` ≥ the data's decimal
+    * places, `2·sumScale` for the squares — doubles are rounded there
+    * first, the only rounding in the chain), quartiles ride the
+    * [[exactPercentiles]] histogram; both reduce order-independently.
+    * The derived mean and σ are QUANTIZED to 6 dp (half-away, DuckDB's
+    * `round`): the one step engines can disagree on is the big
+    * DECIMAL→DOUBLE cast (correctly-rounded in the JVM, double-divided
+    * in some engines — a 1-ulp wobble), and quantizing the derived
+    * stats makes the flag boundary bit-identical everywhere, so an
+    * external engine reproduces the exact flag set, not an
+    * approximation of it. The flag pass itself is narrow: stats are
+    * driver metadata, no join, no second shuffle.
+    */
+  def outlierFlags(
+      df: DataFrame,
+      colName: String,
+      zThreshold: Double = 3.0,
+      iqrK: Double = 1.5,
+      sumScale: Int = 4
+  ): DataFrame = {
+    val x = col(colName).cast(DoubleType)
+    val sumT = DecimalType(38, sumScale)
+    val sqScale = math.min(2 * sumScale, 18)
+    val sqT = DecimalType(38, sqScale)
+    // ONE pass: moments and quartiles both reduce over the value
+    // HISTOGRAM (Σ round(v,s)·cnt ≡ the row-level decimal sum, round
+    // being per-value), so the scan and the value shuffle run once —
+    // not once for the moments and again for the percentiles.
+    val statsRow = df.groupBy(x.as("v")).agg(count(lit(1)).as("cnt"))
+      .agg(
+        sum(when(col("v").isNotNull, col("cnt"))).as("n"),
+        sum(round(col("v"), sumScale).cast(sumT) * col("cnt")).as("s"),
+        sum(round(col("v") * col("v"), sqScale).cast(sqT) * col("cnt")).as("ss"),
+        expr("percentile(v, array(0.25, 0.75), cnt)").as("qs"))
+      .collect()(0)
+    if (statsRow.isNullAt(0) || statsRow.getLong(0) == 0 || statsRow.isNullAt(3)) {
+      df.withColumn("z_outlier", lit(null).cast(BooleanType))
+        .withColumn("iqr_outlier", lit(null).cast(BooleanType))
+    } else {
+      val n = statsRow.getLong(0)
+      val quartiles = Some(statsRow.getSeq[Double](3))
+      def round6(d: Double): Double =
+        java.math.BigDecimal.valueOf(d)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      val s = statsRow.getDecimal(1).doubleValue()
+      val ss = statsRow.getDecimal(2).doubleValue()
+      val mean = round6(s / n)
+      val variance = math.max(0.0, ss / n - (s / n) * (s / n))
+      val std = round6(math.sqrt(variance))
+      val Seq(q1, q3) = quartiles.get
+      val iqr = q3 - q1
+      val lo = q1 - iqrK * iqr
+      val hi = q3 + iqrK * iqr
+      df.withColumn("z_outlier",
+          when(x.isNull, lit(null).cast(BooleanType))
+            .otherwise(abs(x - mean) > zThreshold * std))
+        .withColumn("iqr_outlier",
+          when(x.isNull, lit(null).cast(BooleanType))
+            .otherwise(x < lo || x > hi))
+    }
+  }
 }

@@ -134,4 +134,51 @@ class ProfileSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Join") && !plan.contains("Exchange"), plan)
   }
+
+  test("quantileBuckets: quartile assignment on a hand computable column") {
+    // values 1..8, q=4 -> bounds at p=.25/.5/.75 = 2.75, 4.5, 6.25
+    val df = (1 to 8).map(_.toDouble).toDF("x")
+    val out = Profile.quantileBuckets(df, "x", q = 4)
+      .select("x", "bucket").as[(Double, Long)].collect().toMap
+    assert(out == Map(1.0 -> 0L, 2.0 -> 0L, 3.0 -> 1L, 4.0 -> 1L,
+      5.0 -> 2L, 6.0 -> 2L, 7.0 -> 3L, 8.0 -> 3L))
+    // nulls bucket to null; constant column occupies exactly one bucket
+    val withNull = Seq(Some(1.0), None, Some(2.0)).toDF("x")
+    val nb = Profile.quantileBuckets(withNull, "x", q = 2)
+      .select("bucket").as[Option[Long]].collect()
+    assert(nb.count(_.isEmpty) == 1)
+    val const = Seq.fill(5)(7.0).toDF("x")
+    val cb = Profile.quantileBuckets(const, "x", q = 10)
+      .select("bucket").as[Long].collect().toSet
+    assert(cb.size == 1)
+    // the assignment is narrow: bounds are literals, no join, no shuffle
+    val plan = Profile.quantileBuckets(df, "x", q = 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Exchange"), plan)
+  }
+
+  test("outlierFlags: planted outlier flags both ways, bulk does not") {
+    // 100 values at ~10 plus one at 1000: z and iqr both catch it
+    val df = ((1 to 100).map(i => 10.0 + (i % 5) * 0.1) :+ 1000.0).toDF("x")
+    val out = Profile.outlierFlags(df, "x")
+      .select("x", "z_outlier", "iqr_outlier")
+      .as[(Double, Boolean, Boolean)].collect()
+    val (planted, bulk) = out.partition(_._1 == 1000.0)
+    assert(planted.length == 1 && planted.head._2 && planted.head._3)
+    assert(bulk.forall(r => !r._2 && !r._3))
+    // nulls flag null; an all-null column yields null flags everywhere
+    val withNull = Seq(Some(1.0), None).toDF("x")
+    val nf = Profile.outlierFlags(withNull, "x")
+      .select("z_outlier").as[Option[Boolean]].collect()
+    assert(nf.count(_.isEmpty) == 1)
+    val allNull = Seq[Option[Double]](None, None).toDF("x")
+    val an = Profile.outlierFlags(allNull, "x")
+      .select("z_outlier", "iqr_outlier")
+      .as[(Option[Boolean], Option[Boolean])].collect()
+    assert(an.forall(r => r._1.isEmpty && r._2.isEmpty))
+    // the flag pass is narrow: stats are driver metadata, no join
+    val plan = Profile.outlierFlags(df, "x")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Exchange"), plan)
+  }
 }
