@@ -1297,6 +1297,26 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- MMR diversified re-rank: greedy λ·relevance − (1−λ)·max-sim
+    //      selection over the dense top-10 (candidates re-joined to
+    //      their vectors; λ = 0.5 — dyadic, so 1−λ is exact in any
+    //      engine's literal arithmetic)
+    "mmr_rerank" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val dense = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        q, "query_id", "qv", k = 10,
+        metric = VectorFunctions.dot, scoreName = "dot")
+      val cands = dense.join(
+        emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("vec")),
+        Seq("neighbor_id"))
+      Similarity.mmrRerank(
+          cands.select(col("query_id"), col("neighbor_id"), col("dot"), col("vec")),
+          m = 5, lambda = 0.5, scoreCol = "dot")
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- dedup: edit-distance verification of candidate pairs (the
     //      exact post-LSH arbiter). Planted tail-modified copies score
     //      high, cross pairs low; the oracle recomputes the identical
@@ -3141,6 +3161,46 @@ object SparkEntry {
         |FROM fused
         |QUALIFY rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
+
+    // The greedy MMR selection unrolled as m=5 CTE steps: each step
+    // picks the per-query argmax of 0.5*score - 0.5*best (ties to the
+    // ascending id) and folds the new candidate-to-selected dot into
+    // `best` via GREATEST — exactly the kernel's incremental max.
+    "mmr_rerank" -> {
+      def ddot(a: String, b: String) =
+        s"list_sum(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+      val m = 5
+      val steps = (1 to m).map { t =>
+        s""" s$t AS (
+           | SELECT * FROM r${t - 1}
+           | QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY 0.5*score - 0.5*best DESC, id) = 1
+           |), r$t AS (
+           | SELECT r.query_id, r.id, r.score, r.vec,
+           |  GREATEST(r.best, ${ddot("r.vec", "s.vec")}) AS best
+           | FROM r${t - 1} r JOIN s$t s ON r.query_id = s.query_id AND r.id <> s.id
+           |)""".stripMargin
+      }.mkString(",\n")
+      val finals = (1 to m).map { t =>
+        s"SELECT query_id, id AS neighbor_id, 0.5*score - 0.5*best AS mmr, $t AS rank FROM s$t"
+      }.mkString("\n UNION ALL\n")
+      s"""WITH q AS (
+         | SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5
+         |), sall AS (
+         | SELECT q.query_id, e.vec_id AS id,
+         |  ${ddot("q.qv", "e.embedding")} AS score, e.embedding AS vec
+         | FROM embeddings e, q WHERE e.vec_id <> q.query_id
+         |), cand AS (
+         | SELECT query_id, id, CAST(score AS DOUBLE) AS score, vec
+         | FROM sall
+         | QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, id) <= 10
+         |), r0 AS (
+         | SELECT query_id, id, score, vec, 0.0 AS best FROM cand
+         |),
+         |$steps
+         |SELECT query_id, neighbor_id, mmr, CAST(rank AS INTEGER) AS rank FROM (
+         |$finals
+         |) ORDER BY query_id, rank""".stripMargin
+    },
 
     // the disjunctive bm25_topk oracle + a matched-term count compared
     // against each query's distinct-term total (AND semantics)

@@ -391,4 +391,47 @@ object Similarity {
         col(corpusId).as("centroid_id"),
         col(corpusVec).as("centroid_vec")
       )
+
+  /** MMR-diversified re-rank of a top-k candidate list (Carbonell &
+    * Goldstein, SIGIR 1998): from `candidates(query_id, neighbor_id,
+    * <scoreCol>, <vecCol>)` — a retrieval top-k joined back to its
+    * vectors — greedily select `m` per query maximizing
+    * `λ·score − (1−λ)·max sim to the already-selected`. Output:
+    * `(query_id, neighbor_id, mmr, rank)` in selection order.
+    *
+    * Scale shape: candidates are k-bounded per query (they came from a
+    * top-k), so the single groupBy shuffles at most k×(id, score, vec)
+    * rows per query and the greedy O(m·k·dim) kernel
+    * ([[graft.plans.MmrSelect]], codegen'd) runs once per QUERY row —
+    * the corpus-scale work already happened upstream. The candidate
+    * list is sorted ascending by id before selection so tie-breaks are
+    * deterministic; arithmetic is fixed-order IEEE throughout, so the
+    * driver gate's DuckDB oracle replays the exact selection by
+    * unrolling the m greedy steps as CTEs.
+    */
+  def mmrRerank(
+      candidates: DataFrame,
+      m: Int,
+      lambda: Double,
+      useCosine: Boolean = false,
+      scoreCol: String = "score",
+      vecCol: String = "vec"
+  ): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val packed = candidates
+      .groupBy("query_id")
+      .agg(sort_array(collect_list(struct(
+        col("neighbor_id").cast(LongType).as("id"),
+        col(scoreCol).cast(DoubleType).as("score"),
+        col(vecCol).as("vec")))).as("_cand"))
+    val selected = ColumnBridge.column(graft.plans.MmrSelect(
+      ColumnBridge.expression(col("_cand")), m, lambda, useCosine))
+    packed
+      .select(col("query_id"), posexplode(selected).as(Seq("_pos", "_e")))
+      .select(
+        col("query_id"),
+        col("_e.neighbor_id").as("neighbor_id"),
+        col("_e.mmr").as("mmr"),
+        (col("_pos") + 1).cast(IntegerType).as("rank"))
+  }
 }

@@ -243,4 +243,52 @@ class SimilaritySpec extends SparkSpec {
       assert(got == qdotOf(recompute(qid), codes(nid)), s"($qid,$nid)")
     }
   }
+
+  test("mmrRerank: diversification beats a near-duplicate, hand-computed values") {
+    // id 2 is a near-dup of id 1: relevance order (1,2,3) but MMR
+    // order (1,3,2) at lambda 0.5 — the penalty term kicks the dup out
+    val cands = Seq(
+      (0L, 1L, 1.0, Array(1.0, 0.0)),
+      (0L, 2L, 0.99, Array(1.0, 0.01)),
+      (0L, 3L, 0.5, Array(0.0, 1.0))
+    ).toDF("query_id", "neighbor_id", "score", "vec")
+    val out = Similarity.mmrRerank(cands, m = 3, lambda = 0.5)
+      .orderBy("rank")
+      .select("neighbor_id", "mmr", "rank")
+      .as[(Long, Double, Int)].collect().toSeq
+    assert(out.map(_._1) == Seq(1L, 3L, 2L))
+    assert(out(0)._2 == 0.5 * 1.0 - 0.5 * 0.0)
+    assert(out(1)._2 == 0.5 * 0.5 - 0.5 * 0.0)
+    assert(out(2)._2 == 0.5 * 0.99 - 0.5 * 1.0) // penalty = dot vs id 1
+    assert(out.map(_._3) == Seq(1, 2, 3))
+  }
+
+  test("mmrRerank: ties to smallest id; null vectors excluded; m caps at n") {
+    val cands = Seq(
+      (0L, 6L, 1.0, Array(1.0, 0.0)),
+      (0L, 5L, 1.0, Array(1.0, 0.0)),
+      (1L, 7L, 2.0, null.asInstanceOf[Array[Double]]),
+      (1L, 8L, 1.0, Array(0.0, 1.0))
+    ).toDF("query_id", "neighbor_id", "score", "vec")
+    val out = Similarity.mmrRerank(cands, m = 5, lambda = 0.5)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    // query 0: equal (score, vec) -> id 5 first; both selected (m > n)
+    assert(out.contains((0L, 5L, 1)) && out.contains((0L, 6L, 2)))
+    // query 1: the null-vec candidate is excluded entirely
+    assert(out.contains((1L, 8L, 1)) && !out.exists(r => r._1 == 1L && r._2 == 7L))
+  }
+
+  test("mmrRerank cosine: scale-invariant penalty picks the orthogonal doc") {
+    // id 2's vector is a SCALED copy of id 1's: cosine penalty 1.0
+    // regardless of magnitude, so id 3 (orthogonal) ranks second
+    val cands = Seq(
+      (0L, 1L, 1.0, Array(2.0, 0.0)),
+      (0L, 2L, 0.9, Array(10.0, 0.0)),
+      (0L, 3L, 0.4, Array(0.0, 0.5))
+    ).toDF("query_id", "neighbor_id", "score", "vec")
+    val out = Similarity.mmrRerank(cands, m = 3, lambda = 0.5, useCosine = true)
+      .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
+    assert(out == Seq(1L, 3L, 2L))
+  }
 }
