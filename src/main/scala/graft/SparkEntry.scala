@@ -1579,6 +1579,29 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // ---- dedup APPLY with a quality policy: planted copies carry two
+    //      extra punctuation chars (same fingerprint after
+    //      normalization, LONGER raw text), so the quality argmax keeps
+    //      the planted copy over the original — min-id would not
+    "dedup_keep_best" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = d.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit("!!")).as("text"))
+      val all = d.union(planted)
+      val fps = all.select(col("doc_id"),
+        xxhash64(TextFunctions.normalizeForFingerprint(col("text"))).as("fp"))
+      val pairs = fps.select(col("fp"), col("doc_id").as("id_a"))
+        .join(fps.select(col("fp"), col("doc_id").as("id_b")), Seq("fp"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"))
+      val comps = Dedup.connectedComponents(pairs)
+      Dedup.keepClusterRepresentatives(
+          all.withColumn("q", length(col("text"))), "doc_id", comps, "q")
+        .select(col("doc_id"))
+        .orderBy("doc_id")
+    }),
+
     // ---- decontamination: flag docs sharing any word n-gram with a
     //      probe (benchmark) corpus — broadcast semi-join on shingle
     //      hashes; probes = the first 10 docs, so overlap is deterministic
@@ -2900,6 +2923,26 @@ object SparkEntry {
         | FROM all_docs
         |)
         |SELECT doc_id AS id, comp FROM g WHERE n > 1 ORDER BY id""".stripMargin,
+
+    // exact-dup clusters = equal normalized text; the representative is
+    // the (length DESC, id ASC) argmax, singletons pass through
+    "dedup_keep_best" ->
+      """WITH norm AS (
+        | SELECT doc_id, text FROM documents
+        | UNION ALL
+        | SELECT CAST(doc_id + 1000000 AS BIGINT), text || '!!' FROM documents WHERE doc_id < 20
+        |), g AS (
+        | SELECT doc_id,
+        |  count(*) OVER (PARTITION BY nt) AS n,
+        |  ROW_NUMBER() OVER (PARTITION BY nt ORDER BY length(text) DESC, doc_id) AS rn
+        | FROM (
+        |  SELECT doc_id, text,
+        |   trim(regexp_replace(regexp_replace(lower(text), '[[:punct:]]', '', 'g'), '\s+', ' ', 'g')) AS nt
+        |  FROM norm
+        | )
+        |)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id FROM g WHERE n = 1 OR rn = 1
+        |ORDER BY doc_id""".stripMargin,
 
     // planted identical vectors: cosine 1.0, same SRP bucket; natural max
     // pair cosine ~0.49 ≪ 0.999 threshold ⇒ output = the planted pair set

@@ -270,6 +270,39 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Quality-aware cluster retention — the dedup APPLY step when "keep
+    * the minimum id" ([[dedupByComponents]]) is the wrong policy: per
+    * dup cluster keep the argmax of `(qualityCol, then smallest id)`
+    * (the longest / highest-scoring copy survives, deterministically),
+    * and every unclustered row passes through untouched.
+    *
+    * `components` is [[connectedComponents]] output `(id, comp)` — ids
+    * only, so the membership join shuffles 16-byte rows against the
+    * corpus; representative election is a two-phase `max(struct(quality,
+    * -id))` partial aggregate over CLUSTERED rows only (cluster members
+    * are the small minority in a deduplicated corpus, and the
+    * unclustered majority skips the election join entirely via the
+    * null-comp fast path).
+    */
+  def keepClusterRepresentatives(
+      df: DataFrame,
+      idCol: String,
+      components: DataFrame,
+      qualityCol: String
+  ): DataFrame = {
+    val comp = components.select(col("id").as(idCol), col("comp"))
+    val joined = df.join(comp, Seq(idCol), "left")
+    val clustered = joined.filter(col("comp").isNotNull)
+    val reps = clustered
+      .groupBy(col("comp"))
+      .agg(max(struct(col(qualityCol).as("_q"), (-col(idCol)).as("_nid"))).as("_best"))
+      .select(col("comp"), (-col("_best._nid")).as("_rep"))
+    val keepers = clustered.join(reps, Seq("comp"))
+      .filter(col(idCol) === col("_rep"))
+      .drop("comp", "_rep")
+    joined.filter(col("comp").isNull).drop("comp").unionByName(keepers)
+  }
+
   // -------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash over word shingles: for each bit position, sum ±1

@@ -375,6 +375,20 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(1L, 10L, 99L))
   }
 
+  test("keepClusterRepresentatives: quality argmax with id tie-break, singletons untouched") {
+    import spark.implicits._
+    // cluster {1,2,3}: q = (5,9,9) -> id 2 (max q, tie to smaller id);
+    // cluster {10,11}: q = (1,7)   -> id 11 (min-id policy would keep 10);
+    // 99 is unclustered and passes through with its columns intact
+    val df = Seq((1L, 5L, "a"), (2L, 9L, "b"), (3L, 9L, "c"),
+      (10L, 1L, "d"), (11L, 7L, "e"), (99L, 0L, "f")).toDF("id", "q", "payload")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(pairs)
+    val kept = Dedup.keepClusterRepresentatives(df, "id", comps, "q")
+      .select("id", "payload").as[(Long, String)].collect().toSet
+    assert(kept == Set((2L, "b"), (11L, "e"), (99L, "f")))
+  }
+
   test("hot-bucket cap bounds the candidate space on boilerplate clusters") {
     import spark.implicits._
     // 30 identical docs (one boilerplate cluster) + 2 distinct dups
