@@ -1579,6 +1579,14 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // ---- deterministic train/val/test split: one portable FNV bucket
+    //      per key, disjoint CASE ranges (819/922/1024 = round(cum·1024))
+    "hash_split" -> ((s, dir) => {
+      Sampling.splitByHash(t(s, dir, "documents").select(col("doc_id")),
+          "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .orderBy("doc_id")
+    }),
+
     // ---- dedup APPLY with a quality policy: planted copies carry two
     //      extra punctuation chars (same fingerprint after
     //      normalization, LONGER raw text), so the quality argmax keeps
@@ -2923,6 +2931,25 @@ object SparkEntry {
         | FROM all_docs
         |)
         |SELECT doc_id AS id, comp FROM g WHERE n > 1 ORDER BY id""".stripMargin,
+
+    // the weighted_sample FNV fragment; boundaries are the operator's
+    // round(cum·1024) values spelled as literals
+    "hash_split" ->
+      """WITH h AS (
+        | SELECT doc_id,
+        |  CAST(list_reduce(
+        |    list_prepend(CAST('14695981039346656037' AS HUGEINT),
+        |      list_transform(range(1, length(s) + 1), i -> CAST(ascii(s[i]) AS HUGEINT))),
+        |    (acc, b) -> ((acc // 256) * 256 + xor(CAST(acc % 256 AS BIGINT), CAST(b AS BIGINT)))
+        |                * 1099511628211 % CAST('18446744073709551616' AS HUGEINT)
+        |  ) % 1024 AS BIGINT) AS bucket
+        | FROM (SELECT doc_id, doc_id::VARCHAR || ':graft' AS s FROM documents)
+        |)
+        |SELECT doc_id,
+        | CASE WHEN bucket < 819 THEN 'train'
+        |      WHEN bucket < 922 THEN 'val'
+        |      WHEN bucket < 1024 THEN 'test' END AS split
+        |FROM h ORDER BY doc_id""".stripMargin,
 
     // exact-dup clusters = equal normalized text; the representative is
     // the (length DESC, id ASC) argmax, singletons pass through

@@ -73,6 +73,41 @@ object Sampling {
     df.filter(sampleBucket(col(keyCol), salt) < thr)
   }
 
+  /** Deterministic DISJOINT splits (train/val/test): one portable FNV
+    * bucket per key decides every membership at once — labels are
+    * stable across runs, engines, and repartitioning, and because a
+    * label's bucket range only ever extends when its cumulative
+    * fraction grows, growing the train share never moves a row OUT of
+    * train (the leakage-safety property ad-hoc `rand()` splits lack).
+    * Boundaries are `round(cumFraction · 1024)` in the written order;
+    * fractions summing to 1 cover every row, a shortfall leaves a
+    * null-labeled holdout, and null keys label null. Narrow codegen'd
+    * pass — no shuffle, no join.
+    */
+  def splitByHash(
+      df: DataFrame,
+      keyCol: String,
+      splits: Seq[(String, Double)],
+      salt: String = "graft",
+      outCol: String = "split"
+  ): DataFrame = {
+    require(splits.nonEmpty, "splitByHash: need at least one split")
+    splits.foreach { case (name, f) =>
+      require(f >= 0.0 && f <= 1.0, s"splitByHash: fraction for '$name' out of [0,1]: $f")
+    }
+    val cum = splits.map(_._2).scanLeft(0.0)(_ + _).drop(1)
+    require(cum.last <= 1.0 + 1e-9,
+      s"splitByHash: fractions sum to ${cum.last} > 1")
+    val bounds = cum.map(c => math.round(math.min(c, 1.0) * Buckets))
+    val label = splits.map(_._1).zip(bounds)
+      .foldRight(lit(null).cast("string")) { case ((name, bound), els) =>
+        when(col("_graft_sb") < bound, lit(name)).otherwise(els)
+      }
+    df.withColumn("_graft_sb", sampleBucket(col(keyCol), salt))
+      .withColumn(outCol, label)
+      .drop("_graft_sb")
+  }
+
   /** Quality-weighted sampling — the "sample good docs more" mixing
     * step: each row keeps with probability `fraction × clamp(weight,
     * 0, 1)`, where `weight` is any per-row column (a quality score, a

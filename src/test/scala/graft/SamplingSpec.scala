@@ -132,4 +132,36 @@ class SamplingSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Join") && !plan.contains("Exchange"), plan)
   }
+
+  test("splitByHash: disjoint exhaustive labels; train == deterministicSample; stable under growth") {
+    import spark.implicits._
+    val df = (1L to 2000L).toDF("id")
+    val out = Sampling.splitByHash(df, "id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select("id", "split").as[(Long, Option[String])].collect()
+    // fractions sum to 1 -> every row labeled, shares roughly honored
+    assert(out.forall(_._2.isDefined))
+    val byLabel = out.groupBy(_._2.get).view.mapValues(_.length).toMap
+    assert(byLabel.keySet == Set("train", "val", "test"))
+    assert(byLabel("train") > 1400 && byLabel("train") < 1800)
+    // the train split IS deterministicSample(0.8): same bucket rule
+    val direct = Sampling.deterministicSample(df, "id", 0.8)
+      .select("id").as[Long].collect().toSet
+    assert(out.filter(_._2.contains("train")).map(_._1).toSet == direct)
+    // growing train's share only ADDS rows to train (leakage safety)
+    val grown = Sampling.splitByHash(df, "id", Seq("train" -> 0.9, "rest" -> 0.1))
+      .filter(col("split") === "train").select("id").as[Long].collect().toSet
+    assert(direct.subsetOf(grown))
+    // a fraction shortfall leaves a null holdout; overshoot is rejected
+    val hold = Sampling.splitByHash(df, "id", Seq("train" -> 0.5))
+      .select("split").as[Option[String]].collect()
+    assert(hold.exists(_.isEmpty) && hold.exists(_.contains("train")))
+    intercept[IllegalArgumentException] {
+      Sampling.splitByHash(df, "id", Seq("a" -> 0.8, "b" -> 0.3))
+    }
+    // narrow: no join, no exchange
+    val plan = Sampling.splitByHash(df, "id", Seq("a" -> 0.5, "b" -> 0.5))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Exchange"), plan)
+  }
 }
