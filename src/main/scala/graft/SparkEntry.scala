@@ -1210,6 +1210,16 @@ object SparkEntry {
         .orderBy("bucket")
     }),
 
+    // ---- robust scaling: (x − median)/iqr with exact-percentile
+    //      driver-metadata bounds, narrow per-row division
+    "robust_scale" -> ((s, dir) => {
+      Profile.robustScale(
+          t(s, dir, "lineitem")
+            .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice")),
+          "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
     // ---- outlier flagging: z-score (decimal-exact moments, 6 dp
     //      quantized stats) + Tukey fences from exact quartiles;
     //      flag counts per return flag
@@ -3024,6 +3034,22 @@ object SparkEntry {
         | WHERE l_extendedprice IS NOT NULL
         |)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // quantile_cont == Spark exact percentile (winsorize-proven); the
+    // scale step is one fixed-order division, identical in any engine
+    "robust_scale" ->
+      """WITH b AS (
+        | SELECT quantile_cont(l_extendedprice, 0.25) AS q1,
+        |        quantile_cont(l_extendedprice, 0.5) AS med,
+        |        quantile_cont(l_extendedprice, 0.75) AS q3
+        | FROM lineitem
+        |)
+        |SELECT l_orderkey, l_linenumber, l_extendedprice,
+        | CASE WHEN l_extendedprice IS NULL THEN NULL
+        |      WHEN b.q3 - b.q1 = 0.0 THEN 0.0
+        |      ELSE (l_extendedprice - b.med) / (b.q3 - b.q1) END AS scaled
+        |FROM lineitem, b
+        |ORDER BY 1, 2""".stripMargin,
 
     // the operator's exact arithmetic chain: decimal sums (doubles
     // rounded before the cast), mean/std quantized to 6 dp, Tukey

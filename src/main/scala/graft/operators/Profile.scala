@@ -303,6 +303,35 @@ object Profile {
     }
   }
 
+  /** Robust scaling `(x − median) / iqr` — the outlier-insensitive
+    * normalization (scikit-learn's RobustScaler) for columns where mean
+    * and σ are dragged by the tails the [[outlierFlags]] pass finds.
+    * Median and quartiles come from the same exact histogram pass as
+    * [[winsorize]] (driver metadata, one aggregate); the transform is
+    * one narrow fixed-order IEEE division per row, so an external
+    * engine reproduces the exact scaled values. A zero IQR (no spread)
+    * maps every value to 0.0 — a constant column carries no signal at
+    * any scale (the [[standardizeVectors]] dead-dimension convention);
+    * nulls pass through null.
+    */
+  def robustScale(
+      df: DataFrame,
+      colName: String,
+      outCol: String = "scaled"
+  ): DataFrame = {
+    exactPercentiles(df, colName, Seq(0.25, 0.5, 0.75)) match {
+      case None => df.withColumn(outCol, lit(null).cast(DoubleType))
+      case Some(Seq(q1, med, q3)) =>
+        val iqr = q3 - q1
+        val x = col(colName).cast(DoubleType)
+        df.withColumn(outCol,
+          when(x.isNull, lit(null).cast(DoubleType))
+            .otherwise(if (iqr == 0.0) lit(0.0) else (x - med) / iqr))
+      case Some(other) => throw new IllegalStateException(
+        s"robustScale: expected 3 bounds, got $other")
+    }
+  }
+
   /** Flag outliers in `colName` by BOTH standard recipes — z-score
     * (|x − mean| > t·σ, population σ) and Tukey fences (outside
     * [q1 − k·iqr, q3 + k·iqr]) — as two boolean columns (`z_outlier`,

@@ -157,6 +157,26 @@ class ProfileSpec extends SparkSpec {
     assert(!plan.contains("Join") && !plan.contains("Exchange"), plan)
   }
 
+  test("robustScale: (x - median)/iqr with exact bounds; zero-iqr and nulls safe") {
+    // 1..8: q1 = 2.75, med = 4.5, q3 = 6.25 -> iqr = 3.5
+    val df = (1 to 8).map(_.toDouble).toDF("x")
+    val out = Profile.robustScale(df, "x")
+      .select("x", "scaled").as[(Double, Double)].collect().toMap
+    assert(out(1.0) == (1.0 - 4.5) / 3.5)
+    assert(out(8.0) == (8.0 - 4.5) / 3.5)
+    assert(out(4.0) == (4.0 - 4.5) / 3.5)
+    val const = Seq(7.0, 7.0, 7.0).toDF("x")
+    assert(Profile.robustScale(const, "x")
+      .select("scaled").as[Double].collect().forall(_ == 0.0))
+    val withNull = Seq(Some(1.0), None, Some(3.0)).toDF("x")
+    val nn = Profile.robustScale(withNull, "x")
+      .select("scaled").as[Option[Double]].collect()
+    assert(nn.count(_.isEmpty) == 1)
+    val plan = Profile.robustScale(df, "x")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Exchange"), plan)
+  }
+
   test("outlierFlags: planted outlier flags both ways, bulk does not") {
     // 100 values at ~10 plus one at 1000: z and iqr both catch it
     val df = ((1 to 100).map(i => 10.0 + (i % 5) * 0.1) :+ 1000.0).toDF("x")
