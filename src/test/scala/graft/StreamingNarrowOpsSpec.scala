@@ -62,4 +62,24 @@ class StreamingNarrowOpsSpec extends SparkSpec {
     assert(json ==
       """{"levels":["ALPHA"],"compartments":["CMP"],"releasabilities":["XX"],"disseminationControls":["DCB"]}""")
   }
+
+  test("splitByHash assigns identical labels on a stream (no shuffle, no state)") {
+    import graft.operators.Sampling
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Long]
+    val out = Sampling.splitByHash(mem.toDF().toDF("id"), "id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    assert(out.isStreaming)
+    val q = out.writeStream.format("memory").queryName("stream_split").start()
+    try {
+      mem.addData(1L to 200L: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("stream_split")
+        .select("id", "split").as[(Long, String)].collect().toMap
+      val batch = Sampling.splitByHash((1L to 200L).toDF("id"), "id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select("id", "split").as[(Long, String)].collect().toMap
+      assert(streamed == batch)
+    } finally q.stop()
+  }
 }
