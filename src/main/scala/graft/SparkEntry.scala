@@ -1620,6 +1620,37 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- composed curation pipeline: quality-policy dedup → hash
+    //      split (train share) → per-source token packing — three
+    //      operators chained exactly as a user would chain them; the
+    //      oracle concatenates the three proven CTE chains
+    "pipeline_curation" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"), col("source"))
+      val planted = d.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit("!!")).as("text"), col("source"))
+      val all = d.union(planted)
+      val fps = all.select(col("doc_id"),
+        xxhash64(TextFunctions.normalizeForFingerprint(col("text"))).as("fp"))
+      val pairs = fps.select(col("fp"), col("doc_id").as("id_a"))
+        .join(fps.select(col("fp"), col("doc_id").as("id_b")), Seq("fp"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"))
+      val kept = Dedup.keepClusterRepresentatives(
+        all.withColumn("q", length(col("text"))), "doc_id",
+        Dedup.connectedComponents(pairs), "q")
+      val train = Sampling.splitByHash(kept, "doc_id",
+          Seq("train" -> 0.8, "holdout" -> 0.2))
+        .filter(col("split") === "train")
+      val staged = train.select(col("doc_id"), col("source"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"))
+      Packing.packByTokenBudget(staged, col("n_tokens"), "doc_id", budget = 512L,
+          strataCols = Seq("source"))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("pack_id"), col("pack_offset"))
+        .orderBy("doc_id")
+    }),
+
     // ---- decontamination: flag docs sharing any word n-gram with a
     //      probe (benchmark) corpus — broadcast semi-join on shingle
     //      hashes; probes = the first 10 docs, so overlap is deterministic
@@ -2960,6 +2991,48 @@ object SparkEntry {
         |      WHEN bucket < 922 THEN 'val'
         |      WHEN bucket < 1024 THEN 'test' END AS split
         |FROM h ORDER BY doc_id""".stripMargin,
+
+    // the dedup_keep_best chain → the hash_split FNV fragment (train
+    // bucket < 819) → the pack_by_budget running-sum chain, verbatim
+    "pipeline_curation" ->
+      """WITH all_docs AS (
+        | SELECT doc_id, text, source FROM documents
+        | UNION ALL
+        | SELECT CAST(doc_id + 1000000 AS BIGINT), text || '!!', source FROM documents WHERE doc_id < 20
+        |), g AS (
+        | SELECT doc_id, text, source,
+        |  count(*) OVER (PARTITION BY nt) AS n,
+        |  ROW_NUMBER() OVER (PARTITION BY nt ORDER BY length(text) DESC, doc_id) AS rn
+        | FROM (
+        |  SELECT doc_id, text, source,
+        |   trim(regexp_replace(regexp_replace(lower(text), '[[:punct:]]', '', 'g'), '\s+', ' ', 'g')) AS nt
+        |  FROM all_docs
+        | )
+        |), kept AS (
+        | SELECT doc_id, text, source FROM g WHERE n = 1 OR rn = 1
+        |), h AS (
+        | SELECT doc_id, text, source,
+        |  CAST(list_reduce(
+        |    list_prepend(CAST('14695981039346656037' AS HUGEINT),
+        |      list_transform(range(1, length(s) + 1), i -> CAST(ascii(s[i]) AS HUGEINT))),
+        |    (acc, b) -> ((acc // 256) * 256 + xor(CAST(acc % 256 AS BIGINT), CAST(b AS BIGINT)))
+        |                * 1099511628211 % CAST('18446744073709551616' AS HUGEINT)
+        |  ) % 1024 AS BIGINT) AS bucket
+        | FROM (SELECT doc_id, text, source, doc_id::VARCHAR || ':graft' AS s FROM kept)
+        |), train AS (
+        | SELECT doc_id, source,
+        |  CAST(len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS BIGINT) AS n_tokens
+        | FROM h WHERE bucket < 819
+        |), c AS (
+        | SELECT doc_id, source, n_tokens,
+        |  SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS prev
+        | FROM train
+        |)
+        |SELECT doc_id, source, n_tokens,
+        | CAST(prev // 512 AS BIGINT) AS pack_id,
+        | CAST(prev % 512 AS BIGINT) AS pack_offset
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     // exact-dup clusters = equal normalized text; the representative is
     // the (length DESC, id ASC) argmax, singletons pass through
