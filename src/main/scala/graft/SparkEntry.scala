@@ -1210,6 +1210,16 @@ object SparkEntry {
         .orderBy("bucket")
     }),
 
+    // ---- percent-rank / ECDF transform: below-count over the value
+    //      histogram, rank ratio = one exact-long division
+    "percent_rank" -> ((s, dir) => {
+      Profile.percentRank(
+          t(s, dir, "lineitem")
+            .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice")),
+          "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
     // ---- robust scaling: (x − median)/iqr with exact-percentile
     //      driver-metadata bounds, narrow per-row division
     "robust_scale" -> ((s, dir) => {
@@ -3107,6 +3117,17 @@ object SparkEntry {
         | WHERE l_extendedprice IS NOT NULL
         |)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // rank() ties at the group minimum == the below-count + 1; the
+    // ratio is spelled as the same explicit long division the operator
+    // performs (not the percent_rank builtin, whose internal arithmetic
+    // is unspecified)
+    "percent_rank" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice,
+        | CAST(rank() OVER (ORDER BY l_extendedprice) - 1 AS DOUBLE)
+        |   / CAST(count(*) OVER () - 1 AS DOUBLE) AS pct_rank
+        |FROM lineitem
+        |ORDER BY 1, 2""".stripMargin,
 
     // quantile_cont == Spark exact percentile (winsorize-proven); the
     // scale step is one fixed-order division, identical in any engine

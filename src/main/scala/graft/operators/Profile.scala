@@ -303,6 +303,45 @@ object Profile {
     }
   }
 
+  /** Empirical-CDF transform: adds `outCol = #rows-with-smaller-value /
+    * (n − 1)` — SQL `percent_rank`, ties sharing the tie group's
+    * minimum rank — the scale-free normalization that puts quality
+    * scores from heterogeneous sources on one [0, 1] axis before
+    * cross-source curation cuts. Nulls rank null; a single-row (or
+    * single-value) column ranks 0.
+    *
+    * Shape: the below-count reduces over the value HISTOGRAM (the
+    * [[numeric]] convention — a `percent_rank` window over raw rows
+    * funnels EVERY row to one task; here only |distinct| histogram rows
+    * pass through the single-partition running sum, and the per-row
+    * assignment is a shuffle join on the 8-byte value). Like the exact
+    * percentile path, a genuinely continuous ultra-high-cardinality
+    * column degenerates toward row count — sample or bucket first at
+    * that point. The rank ratio is one division of exact longs, so any
+    * engine reproduces the doubles bit-for-bit.
+    */
+  def percentRank(
+      df: DataFrame,
+      colName: String,
+      outCol: String = "pct_rank"
+  ): DataFrame = {
+    val x = col(colName).cast(DoubleType)
+    val hist = df.filter(x.isNotNull).groupBy(x.as("v")).agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("v")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val below = hist
+      .withColumn("_below", coalesce(sum(col("cnt")).over(w), lit(0L)))
+      .crossJoin(broadcast(hist.agg(sum(col("cnt")).as("_n"))))
+      .select(col("v"), col("_below"), col("_n"))
+    df.join(below, x === col("v"), "left")
+      .withColumn(outCol,
+        when(x.isNull, lit(null).cast(DoubleType))
+          .when(col("_n") > 1L,
+            col("_below").cast(DoubleType) / (col("_n") - 1L).cast(DoubleType))
+          .otherwise(lit(0.0)))
+      .drop("v", "_below", "_n")
+  }
+
   /** Robust scaling `(x − median) / iqr` — the outlier-insensitive
     * normalization (scikit-learn's RobustScaler) for columns where mean
     * and σ are dragged by the tails the [[outlierFlags]] pass finds.

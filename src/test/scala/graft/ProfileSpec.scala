@@ -157,6 +157,23 @@ class ProfileSpec extends SparkSpec {
     assert(!plan.contains("Join") && !plan.contains("Exchange"), plan)
   }
 
+  test("percentRank: ECDF with min-rank ties; nulls and single-value safe") {
+    val df = Seq(10.0, 20.0, 20.0, 40.0).toDF("x")
+    val out = Profile.percentRank(df, "x")
+      .select("x", "pct_rank").as[(Double, Double)].collect()
+    val byVal = out.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byVal(10.0) == Set(0.0))
+    assert(byVal(20.0) == Set(1.0 / 3.0)) // both ties share the min rank
+    assert(byVal(40.0) == Set(1.0))
+    val withNull = Seq(Some(1.0), None).toDF("x")
+    val nn = Profile.percentRank(withNull, "x")
+      .select("pct_rank").as[Option[Double]].collect()
+    assert(nn.count(_.isEmpty) == 1)
+    val single = Seq(5.0, 5.0).toDF("x")
+    assert(Profile.percentRank(single, "x")
+      .select("pct_rank").as[Double].collect().forall(_ == 0.0))
+  }
+
   test("robustScale: (x - median)/iqr with exact bounds; zero-iqr and nulls safe") {
     // 1..8: q1 = 2.75, med = 4.5, q3 = 6.25 -> iqr = 3.5
     val df = (1 to 8).map(_.toDouble).toDF("x")
