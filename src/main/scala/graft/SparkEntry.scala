@@ -485,6 +485,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- exactly-N deterministic sample: the 200 docs with the
+    //      LARGEST full 64-bit FNV hash (signed order), reduced through
+    //      the bounded graft_topk heap — no global sort; the oracle
+    //      recomputes the hashes (signed reinterpretation of the
+    //      HUGEINT fold) and takes the same top 200
+    "sample_exact_n" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("lang"), col("source"))
+      Sampling.sampleExactN(d, "doc_id", n = 200, salt = "exact")
+        .orderBy("doc_id")
+    }),
+
     // ---- domain-mixture resampling: keep the largest subcorpus whose
     //      source shares match the 3:1:1 target. src0 binds (keeps all
     //      of itself relative to its weight), src1/src2 thin to 1/3;
@@ -607,6 +618,32 @@ object SparkEntry {
         TextFunctions.tokenCount(col("text")).as("ws_tokens"),
         TextFunctions.bpeishTokenCount(col("text")).as("bpeish_tokens"),
         TextFunctions.charCount(col("text")).as("n_chars")
+      ).orderBy("doc_id")
+    }),
+
+    // ---- token-budget truncation: first 16 whitespace tokens,
+    //      re-joined with single spaces (documented normalization);
+    //      n_kept is the min of the token count and the budget
+    "truncate_tokens" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(
+        col("doc_id"),
+        TextFunctions.truncateToTokens(col("text"), 16).as("head16"),
+        least(TextFunctions.tokenCount(col("text")), lit(16L)).as("n_kept")
+      ).orderBy("doc_id")
+    }),
+
+    // ---- within-doc duplicate-line removal: the gate doubles every
+    //      doc (text\ntext — the corpus has no natural intra-doc dup
+    //      lines) so the first-occurrence fold does real work; the
+    //      oracle keeps lines whose first list_position equals their
+    //      index — the same first-occurrence rule
+    "dedup_lines_in_doc" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val doubled = concat(col("text"), lit("\n"), col("text"))
+      d.select(
+        col("doc_id"),
+        TextFunctions.dedupLinesInDoc(doubled).as("clean")
       ).orderBy("doc_id")
     }),
 
@@ -765,6 +802,16 @@ object SparkEntry {
         .orderBy("col_name")
     }),
 
+    // ---- per-group numeric profile: the stratified twin of
+    //      profile_numeric — per (source, lang) value histograms, exact
+    //      percentiles via the histogram form (quantile_cont parity),
+    //      decimal-exact means
+    "profile_by_group" -> ((s, dir) => {
+      Profile.numericByGroup(t(s, dir, "documents"),
+          Seq("source", "lang"), "n_chars")
+        .orderBy("source", "lang")
+    }),
+
     // ---- salted skew join: result must be EXACTLY the plain join's
     //      (salting redistributes work, never changes the multiset);
     //      the oracle is the unsalted SQL join
@@ -848,6 +895,20 @@ object SparkEntry {
           col("matched.view_value").as("matched_value"),
           unix_micros(col("matched._t")).as("matched_ts_us"))
         .orderBy("event_id")
+    }),
+
+    // ---- point-in-time snapshot: latest event per user at or before
+    //      the Jan-15 cutoff — one partial-aggregable max(struct) per
+    //      key after the pushed ts filter; the oracle ranks by the same
+    //      (ts desc, event_id desc) total order
+    "snapshot_at" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .withColumn("tsm", unix_micros(col("ts")))
+        .select(col("user_id"), col("tsm"), col("event_id"),
+          col("event_type"), col("value"))
+      AsOf.snapshotAt(ev, Seq("user_id"), "tsm", lit(1705276800000000L),
+          tieBreak = "event_id", payloadCols = Seq("event_type", "value"))
+        .orderBy("user_id")
     }),
 
     // ---- range join: the non-equi-join trap (p BETWEEN s AND e falls
@@ -1974,6 +2035,31 @@ object SparkEntry {
         |WHERE bucket < CAST(ROUND(LEAST(CAST(n_tokens AS DOUBLE) / 1000.0, 1.0) * 512.0) AS BIGINT)
         |ORDER BY doc_id""".stripMargin,
 
+    // full 64-bit FNV fold (same HUGEINT fragment as the bucket
+    // samplers), reinterpreted as signed BIGINT — Spark's Long wrap —
+    // then top-200 by (hash desc, doc_id desc), the operator's exact
+    // total order
+    "sample_exact_n" ->
+      """WITH h AS (
+        | SELECT doc_id, lang, source,
+        |  list_reduce(
+        |    list_prepend(CAST('14695981039346656037' AS HUGEINT),
+        |      list_transform(range(1, length(s) + 1), i -> CAST(ascii(s[i]) AS HUGEINT))),
+        |    (acc, b) -> ((acc // 256) * 256 + xor(CAST(acc % 256 AS BIGINT), CAST(b AS BIGINT)))
+        |                * 1099511628211 % CAST('18446744073709551616' AS HUGEINT)
+        |  ) AS hh
+        | FROM (SELECT doc_id, lang, source, doc_id::VARCHAR || ':exact' AS s FROM documents)
+        |), sgn AS (
+        | SELECT doc_id, lang, source,
+        |  CAST(hh - CASE WHEN hh >= CAST('9223372036854775808' AS HUGEINT)
+        |            THEN CAST('18446744073709551616' AS HUGEINT)
+        |            ELSE CAST(0 AS HUGEINT) END AS BIGINT) AS hs
+        | FROM h
+        |)
+        |SELECT doc_id, lang, source FROM sgn
+        |QUALIFY row_number() OVER (ORDER BY hs DESC, doc_id DESC) <= 200
+        |ORDER BY doc_id""".stripMargin,
+
     // T = min(n/p) over the target strata, threshold = round(p·T/n·1024)
     // in the same written order; membership by the same FNV bucket
     "mix_to_target" ->
@@ -2228,6 +2314,32 @@ object SparkEntry {
         | CAST(length(text) AS BIGINT) AS n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // same whitespace tokenization, first 16 list elements re-joined
+    // with single spaces — identical normalization on both sides
+    "truncate_tokens" ->
+      """WITH tk AS (
+        | SELECT doc_id,
+        |  list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS ts
+        | FROM documents
+        |)
+        |SELECT doc_id,
+        | array_to_string(ts[1:16], ' ') AS head16,
+        | CAST(least(len(ts), 16) AS BIGINT) AS n_kept
+        |FROM tk ORDER BY doc_id""".stripMargin,
+
+    // keep lines whose FIRST occurrence index equals their own index
+    // (list_position returns the first 1-based match; the lambda index
+    // is 1-based) — the same first-occurrence-in-order rule as the
+    // operator's fold
+    "dedup_lines_in_doc" ->
+      """WITH d AS (
+        | SELECT doc_id, string_split(text || chr(10) || text, chr(10)) AS l
+        | FROM documents
+        |)
+        |SELECT doc_id,
+        | array_to_string(list_filter(l, (x, i) -> list_position(l, x) = i), chr(10)) AS clean
+        |FROM d ORDER BY doc_id""".stripMargin,
+
     // rule mirrored with explicit codepoint ranges (same ranges as
     // graft.plans.CjkTokenCount — NOT \p{Han}, whose script table could
     // drift between engines): tokens = CJK codepoints, each counted
@@ -2427,6 +2539,25 @@ object SparkEntry {
            |FROM lineitem""".stripMargin
       }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")),
 
+    // per-group twin of the profile_numeric oracle: quantile_cont per
+    // (source, lang) == Spark's exact histogram percentile; the mean is
+    // the same decimal-sum / double-division written order
+    "profile_by_group" ->
+      """SELECT source, lang,
+        | CAST(count(n_chars) AS BIGINT) AS n,
+        | CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls,
+        | CAST(count(DISTINCT n_chars) AS BIGINT) AS n_distinct,
+        | CAST(min(n_chars) AS DOUBLE) AS min, CAST(max(n_chars) AS DOUBLE) AS max,
+        | CASE WHEN count(n_chars) > 0
+        |      THEN CAST(sum(CAST(n_chars AS DECIMAL(38,2))) AS DOUBLE) / count(n_chars)
+        |      ELSE NULL END AS mean,
+        | quantile_cont(CAST(n_chars AS DOUBLE), 0.25) AS p25,
+        | quantile_cont(CAST(n_chars AS DOUBLE), 0.5) AS p50,
+        | quantile_cont(CAST(n_chars AS DOUBLE), 0.75) AS p75,
+        | quantile_cont(CAST(n_chars AS DOUBLE), 0.9) AS p90
+        |FROM documents GROUP BY source, lang
+        |ORDER BY source, lang""".stripMargin,
+
     "salted_join" ->
       """SELECT o.o_orderstatus, CAST(count(*) AS BIGINT) AS n,
         | CAST(CAST(sum(CAST(l.l_quantity AS DECIMAL(38,2))) AS DECIMAL(38,2)) AS DOUBLE) AS qty
@@ -2503,6 +2634,19 @@ object SparkEntry {
         |      ELSE epoch_us(b.bts) END AS matched_ts_us
         |FROM b JOIN f ON b.event_id = f.event_id
         |ORDER BY 1""".stripMargin,
+
+    // latest row per user at the cutoff, ranked by the operator's exact
+    // (ts desc, event_id desc) total order; value passes through
+    // untouched so doubles compare bitwise
+    "snapshot_at" ->
+      """WITH e AS (
+        | SELECT user_id, epoch_us(ts) AS tsm, event_id, event_type, value
+        | FROM events WHERE ts IS NOT NULL
+        |)
+        |SELECT user_id, tsm, event_id, event_type, value FROM e
+        |WHERE tsm <= 1705276800000000
+        |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY tsm DESC, event_id DESC) = 1
+        |ORDER BY user_id""".stripMargin,
 
     // DuckDB plans the raw range predicate directly (IEJoin); the hash
     // compare checks the bucketed equi-join rewrite against it.

@@ -136,6 +136,40 @@ object TextFunctions {
       .otherwise(lit(0.0))
   }
 
+  /** Remove duplicate lines WITHIN a document, keeping each line's first
+    * occurrence in order — the transform twin of
+    * [[duplicateLineFraction]] (that one measures, this one repairs; the
+    * cross-corpus variant is `Dedup.boilerplateLines`). Lines are
+    * '\n'-separated verbatim (no trimming), so any engine's string_split
+    * reproduces the result. Narrow per-row work, no shuffle.
+    *
+    * Implementation folds the line array once, appending each line not
+    * yet seen — a single `aggregate` pass over ONE split evaluation
+    * (a filter-by-first-index form re-evaluates the split inside the
+    * interpreted lambda per element). O(L²) line comparisons per doc in
+    * line count L, which is the right trade below ~10⁴ lines; docs
+    * beyond that should be exploded and reduced instead.
+    */
+  def dedupLinesInDoc(text: Column): Column = {
+    val lines = split(text, "\n", -1)
+    val deduped = aggregate(
+      lines,
+      array().cast(ArrayType(StringType)),
+      (acc, x) => when(array_contains(acc, x), acc).otherwise(concat(acc, array(x))))
+    array_join(deduped, "\n")
+  }
+
+  /** Truncate to the first `maxTokens` whitespace tokens, re-joined with
+    * single spaces — the max-sequence-length clamp of training prep.
+    * NOTE: re-joining NORMALIZES whitespace (runs collapse to one
+    * space); token content and order are preserved exactly. Narrow,
+    * no shuffle; empty/blank text stays "".
+    */
+  def truncateToTokens(text: Column, maxTokens: Int): Column = {
+    require(maxTokens > 0, s"truncateToTokens: maxTokens must be positive, got $maxTokens")
+    array_join(slice(tokens(text), 1, maxTokens), " ")
+  }
+
   /** Multiplicity of the most frequent whitespace token of the lowercased
     * text — the native one-pass graft.plans.TopTokenFreq. 0 for empty.
     */

@@ -180,6 +180,46 @@ object AsOf {
     (l.unionByName(r), leftCols)
   }
 
+  /** Point-in-time SNAPSHOT: the latest row per key at or before `at` —
+    * the one-sided companion to [[joinBackward]] ("state of the world
+    * at T" over a changelog: latest feature row per entity, last known
+    * status per device, the training-set freeze at a cutoff).
+    *
+    * Shape: the `tsCol <= at` filter pushes to the scan (on a
+    * time-partitioned table this prunes every partition past T), then
+    * ONE argmax per key through [[graft.plans.TopKAggregate]]'s bounded
+    * heap at k=1 — a TypedImperativeAggregate, so the plan is an
+    * ObjectHashAggregate with map-side partial combine (a plain
+    * `max(struct)` has an immutable struct buffer and silently falls
+    * back to SortAggregate): each input partition reduces to ONE
+    * candidate per key before the only shuffle, with no window and no
+    * sort of any kind. Determinism: the heap's struct comparison is
+    * lexicographic (ts, then tieBreak), so with `tieBreak` unique per
+    * (key, ts) — e.g. an event id — the winner is total-order defined
+    * and payload columns never arbitrate.
+    */
+  def snapshotAt(
+      df: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      at: Column,
+      tieBreak: String,
+      payloadCols: Seq[String]
+  ): DataFrame = {
+    require(keys.nonEmpty, "snapshotAt requires key columns")
+    graft.plans.TopKAggregate.register(df.sparkSession)
+    val ordered = col(tsCol).as("_t") +: col(tieBreak).as("_tb") +:
+      payloadCols.map(c => col(c).as(c))
+    df.filter(col(tsCol) <= at)
+      .groupBy(keys.map(col): _*)
+      .agg(element_at(
+        call_function("graft_topk", struct(ordered: _*), lit(1)), 1).as("_m"))
+      .select(
+        keys.map(col) ++
+          (col("_m._t").as(tsCol) +: col("_m._tb").as(tieBreak) +:
+            payloadCols.map(c => col(s"_m.$c").as(c))): _*)
+  }
+
   private def joinDirectional(
       left: DataFrame,
       right: DataFrame,

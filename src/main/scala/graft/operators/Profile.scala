@@ -127,6 +127,56 @@ object Profile {
         element_at(col("pct"), 4).as("p90"))
   }
 
+  /** Per-GROUP numeric profile of one value column — the stratified
+    * twin of [[numeric]]: one row per distinct `groupCols` combination
+    * with (n, nulls, n_distinct, min, max, mean, p25, p50, p75, p90).
+    * This is the "does src2's length distribution look like src0's"
+    * question every per-domain curation cut starts from.
+    *
+    * Same two-stage shape as [[numeric]], keyed by (group, value): the
+    * first aggregate collapses rows to the per-group value HISTOGRAM
+    * with map-side partial combine, so the shuffle carries at most
+    * Σ|distinct values per group| rows, and the percentile merge in
+    * stage two works over histogram entries, not raw rows. Groups hash
+    * across the cluster independently — no single-task funnel. The
+    * same caveat as [[numeric]] applies: a genuinely continuous value
+    * column degenerates the histogram toward row count — route those
+    * to [[numericApprox]]'s sketch.
+    */
+  def numericByGroup(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      sumScale: Int = 2
+  ): DataFrame = {
+    require(groupCols.nonEmpty, "numericByGroup requires group columns")
+    val dec = DecimalType(38, sumScale)
+    val hist = df
+      .groupBy(groupCols.map(col) :+ col(valueCol).cast(DoubleType).as("v"): _*)
+      .agg(count(lit(1)).as("cnt"))
+    hist.groupBy(groupCols.map(col): _*)
+      .agg(
+        sum(when(col("v").isNotNull, col("cnt")).otherwise(0L)).as("n"),
+        sum(when(col("v").isNull, col("cnt")).otherwise(0L)).as("nulls"),
+        count(when(col("v").isNotNull, lit(1))).as("n_distinct"),
+        min(col("v")).as("min"),
+        max(col("v")).as("max"),
+        sum(col("v").cast(dec) * col("cnt")).cast(DoubleType).as("sm"),
+        expr("percentile(v, array(0.25, 0.5, 0.75, 0.9), cnt)").as("pct"))
+      .select(
+        groupCols.map(col) ++ Seq(
+          col("n"),
+          col("nulls"),
+          col("n_distinct"),
+          col("min"),
+          col("max"),
+          when(col("n") > 0, col("sm") / col("n")).as("mean"),
+          element_at(col("pct"), 1).as("p25"),
+          element_at(col("pct"), 2).as("p50"),
+          element_at(col("pct"), 3).as("p75"),
+          element_at(col("pct"), 4).as("p90")): _*)
+  }
+
   /** Per-DIMENSION profile of an `Array[Float|Double]` embedding
     * column — the vector-store QC pass (dead dimensions, scale drift,
     * collapsed variance) run before indexing or quantizing a corpus:

@@ -135,6 +135,43 @@ object Sampling {
     df.filter(sampleBucket(col(keyCol), salt) < thr)
   }
 
+  /** Exactly-`n` deterministic global sample: the n rows whose full
+    * 64-bit `FNV-1a(key ++ ':' ++ salt)` hash is LARGEST (signed
+    * comparison; among equal hashes the larger key wins, so the order
+    * is total — a 64-bit collision is ~n²/2⁶⁴). Fraction-based
+    * sampling can't hit an exact count; bottom-k-by-hash can, and
+    * stays deterministic under re-partitioning and appends-then-
+    * resample-the-union (a row's hash never moves).
+    *
+    * Scale shape: the selection reduces through
+    * [[graft.plans.TopKAggregate]]'s bounded heap — map-side partial
+    * top-n per input partition, so the shuffle carries at most
+    * n·partitions candidate rows and there is NO global sort. The n
+    * selected keys then broadcast back as a left-semi join. `n` is
+    * therefore driver-bounded metadata: fine for the "give me exactly
+    * 100k eval docs" shape this exists for; for samples too large to
+    * broadcast, use [[deterministicSample]] and accept the ±binomial
+    * count.
+    */
+  def sampleExactN(
+      df: DataFrame,
+      keyCol: String,
+      n: Int,
+      salt: String = "graft"
+  ): DataFrame = {
+    require(n > 0, s"sampleExactN: n must be positive, got $n")
+    import org.apache.spark.sql.graft.ColumnBridge
+    graft.plans.TopKAggregate.register(df.sparkSession)
+    val h = ColumnBridge.column(graft.plans.FnvHash64(
+      ColumnBridge.expression(concat(col(keyCol).cast("string"), lit(":" + salt)))))
+    val winners = df
+      .select(h.as("_h"), col(keyCol).as("_k"))
+      .agg(call_function("graft_topk", struct(col("_h"), col("_k")), lit(n)).as("_t"))
+      .select(explode(col("_t")).as("_e"))
+      .select(col("_e._k").as(keyCol))
+    df.join(broadcast(winners), Seq(keyCol), "left_semi")
+  }
+
   /** Resample to a target domain MIXTURE (the application step of
     * DoReMi-style domain reweighting): given proportional target
     * weights `targets(stratum) = p` — any positive scale, they need

@@ -119,4 +119,24 @@ class AsOfSpec extends SparkSpec {
     val shuffles = "Exchange".r.findAllIn(plan).size
     assert(shuffles == 1, s"expected exactly 1 Exchange, got $shuffles:\n$plan")
   }
+
+  test("snapshotAt: latest row per key at the cutoff, ties by tieBreak; no window sort") {
+    val log = Seq(
+      (1L, 10L, 100L, "a"), (1L, 20L, 101L, "b"), (1L, 20L, 102L, "c"),
+      (1L, 30L, 103L, "late"),
+      (2L, 40L, 104L, "only-after"),
+      (3L, 5L, 105L, "x")
+    ).toDF("user", "t", "seq", "payload")
+    val out = AsOf.snapshotAt(log, Seq("user"), "t", lit(25L),
+        tieBreak = "seq", payloadCols = Seq("payload"))
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    // user 1: t=20 wins over t=10; seq 102 wins the t=20 tie; t=30 is past T
+    // user 2: nothing at or before T -> absent; user 3: its only row
+    assert(out.toSeq == Seq((1L, 20L, 102L, "c"), (3L, 5L, 105L, "x")))
+    // one partial-aggregable max per key: HashAggregate, no Window/Sort
+    val plan = AsOf.snapshotAt(log, Seq("user"), "t", lit(25L),
+        tieBreak = "seq", payloadCols = Seq("payload"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window") && !plan.contains("Sort"), plan)
+  }
 }

@@ -218,4 +218,27 @@ class ProfileSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Join") && !plan.contains("Exchange"), plan)
   }
+
+  test("numericByGroup: per-group stats match the single-group global profile") {
+    val df = Seq(
+      ("a", Some(1.0)), ("a", Some(2.0)), ("a", Some(2.0)), ("a", None),
+      ("b", Some(10.0))
+    ).toDF("g", "x")
+    val rows = Profile.numericByGroup(df, Seq("g"), "x")
+      .orderBy("g").collect()
+    assert(rows.length == 2)
+    val a = rows(0)
+    assert(a.getAs[Long]("n") == 3 && a.getAs[Long]("nulls") == 1 &&
+      a.getAs[Long]("n_distinct") == 2)
+    assert(a.getAs[Double]("min") == 1.0 && a.getAs[Double]("max") == 2.0)
+    assert(math.abs(a.getAs[Double]("mean") - 5.0 / 3.0) < 1e-12)
+    assert(a.getAs[Double]("p50") == 2.0) // percentile over {1,2,2}
+    val b = rows(1)
+    assert(b.getAs[Long]("n") == 1 && b.getAs[Double]("p25") == 10.0)
+    // one-group input reproduces the global numeric() stats
+    val g = Profile.numeric(df.filter($"g" === "a").select("x"), Seq("x")).collect()(0)
+    assert(g.getAs[Long]("n") == a.getAs[Long]("n") &&
+      g.getAs[Double]("p75") == a.getAs[Double]("p75") &&
+      g.getAs[Double]("mean") == a.getAs[Double]("mean"))
+  }
 }

@@ -164,4 +164,30 @@ class SamplingSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Join") && !plan.contains("Exchange"), plan)
   }
+
+  test("sampleExactN: exact count, equals brute-force top-n by hash, layout-stable") {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val df = spark.range(5000).toDF("id")
+    val out = Sampling.sampleExactN(df, "id", n = 37, salt = "s")
+      .select("id").as[Long].collect().toSet
+    assert(out.size == 37)
+    // brute force: rank every row by (hash desc, key desc), take 37
+    val h = ColumnBridge.column(graft.plans.FnvHash64(
+      ColumnBridge.expression(concat($"id".cast("string"), lit(":s")))))
+    val brute = df.select($"id", h.as("h"))
+      .orderBy(col("h").desc, col("id").desc).limit(37)
+      .select("id").as[Long].collect().toSet
+    assert(out == brute)
+    // partition layout does not change the sample
+    val re = Sampling.sampleExactN(df.repartition(13), "id", n = 37, salt = "s")
+      .select("id").as[Long].collect().toSet
+    assert(re == out)
+    // n >= rows keeps everything; the selection reduces through the
+    // bounded heap + broadcast semi-join, never a global Sort
+    assert(Sampling.sampleExactN(df, "id", n = 10000).count() == 5000)
+    val plan = Sampling.sampleExactN(df, "id", n = 37)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Sort"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
 }

@@ -240,4 +240,29 @@ class TextVectorFunctionsSpec extends SparkSpec {
     assert(const._3.forall(_ == 0) && const._4 == 0.0)
     assert(const._5.forall(_ == 3.25))
   }
+
+  test("dedupLinesInDoc: first occurrences in order; blank lines and nulls safe") {
+    val out = Seq(
+      "a\nb\na\nc\nb",   // interior dups
+      "x\n\nx\n\ny",      // duplicate blank lines collapse too
+      "solo",
+      ""
+    ).toDF("t").select(TF.dedupLinesInDoc($"t")).as[String].collect().toSeq
+    assert(out == Seq("a\nb\nc", "x\n\ny", "solo", ""))
+    // self-concat recovers a dup-free original exactly (the gate's form)
+    val round = Seq("l1\nl2\nl3").toDF("t")
+      .select(TF.dedupLinesInDoc(concat($"t", lit("\n"), $"t")))
+      .as[String].collect()(0)
+    assert(round == "l1\nl2\nl3")
+    val nul = Seq[Option[String]](None).toDF("t")
+      .select(TF.dedupLinesInDoc($"t")).as[Option[String]].collect()(0)
+    assert(nul.isEmpty)
+  }
+
+  test("truncateToTokens: budget clamp, whitespace normalization, short docs intact") {
+    val out = Seq("  a   b\tc d ", "one two", "", "   ").toDF("t")
+      .select(TF.truncateToTokens($"t", 3)).as[String].collect().toSeq
+    assert(out == Seq("a b c", "one two", "", ""))
+    intercept[IllegalArgumentException] { TF.truncateToTokens(lit("x"), 0) }
+  }
 }
