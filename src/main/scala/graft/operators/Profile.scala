@@ -361,28 +361,70 @@ object Profile {
     * single-value) column ranks 0.
     *
     * Shape: the below-count reduces over the value HISTOGRAM (the
-    * [[numeric]] convention — a `percent_rank` window over raw rows
-    * funnels EVERY row to one task; here only |distinct| histogram rows
-    * pass through the single-partition running sum, and the per-row
-    * assignment is a shuffle join on the 8-byte value). Like the exact
-    * percentile path, a genuinely continuous ultra-high-cardinality
-    * column degenerates toward row count — sample or bucket first at
-    * that point. The rank ratio is one division of exact longs, so any
-    * engine reproduces the doubles bit-for-bit.
+    * [[numeric]] convention), and the prefix sum over that histogram is
+    * TWO-LEVEL so no task ever sees the whole column: values bucket by
+    * range into ≤ `buckets` coarse bins (monotonic in v, so bin order =
+    * value order), per-bin totals collect as driver metadata (≤
+    * `buckets` longs — two metadata aggregations, the [[winsorize]]
+    * convention), and the within-bin running sum is a Window
+    * PARTITIONED BY bin — every bin's prefix runs in parallel, seeded
+    * with its driver-computed offset. A flat `Window.orderBy(v)` here
+    * — or SQL `percent_rank()` itself — funnels all |distinct| values
+    * (≈ all rows for a continuous column) through one task; measured
+    * 2.3 s → this shape on 600k-distinct lineitem prices. The per-row
+    * assignment is then a shuffle join on the 8-byte value. The rank
+    * ratio is one division of exact longs, so any engine reproduces
+    * the doubles bit-for-bit.
     */
   def percentRank(
       df: DataFrame,
       colName: String,
-      outCol: String = "pct_rank"
+      outCol: String = "pct_rank",
+      buckets: Int = 1024
   ): DataFrame = {
+    require(buckets > 0, s"percentRank: buckets must be positive, got $buckets")
     val x = col(colName).cast(DoubleType)
+    // materialize the histogram ONCE (localCheckpoint, the Dedup
+    // convention): it feeds the bounds aggregate, the bin totals, the
+    // within-bin window AND the rank join — left lazy, the corpus scan
+    // + histogram shuffle re-run for each (measured: all of
+    // percent_rank's 2.2 s at sf0.1, not the prefix sum). Size is
+    // bounded by |distinct values|, the operator's working set by
+    // construction.
     val hist = df.filter(x.isNotNull).groupBy(x.as("v")).agg(count(lit(1)).as("cnt"))
-    val w = org.apache.spark.sql.expressions.Window.orderBy("v")
+      .localCheckpoint()
+    val bounds = hist.agg(min(col("v")).as("mn"), max(col("v")).as("mx")).head()
+    if (bounds.isNullAt(0)) {
+      // no non-null values: every row ranks null (nothing to rank against)
+      return df.withColumn(outCol, lit(null).cast(DoubleType))
+    }
+    val (mn, mx) = (bounds.getDouble(0), bounds.getDouble(1))
+    // bin assignment is monotonic in v; a degenerate range (single
+    // distinct value, or min == max) collapses to one bin
+    val width = (mx - mn) / buckets
+    val bin =
+      if (width > 0)
+        least(floor((col("v") - lit(mn)) / lit(width)), lit(buckets - 1L))
+          .cast(LongType)
+      else lit(0L)
+    val binned = hist.withColumn("_b", bin)
+    // per-bin totals -> cumulative offsets: driver metadata, ≤ buckets rows
+    val binTotals = binned.groupBy("_b").agg(sum(col("cnt")).as("_bn"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = binTotals.map(_._1)
+      .zip(binTotals.map(_._2).scanLeft(0L)(_ + _))
+    val total = binTotals.map(_._2).sum
+    // offsets rejoin as a broadcast (≤ buckets rows) — a CASE chain over
+    // 1024 bins would be O(buckets) per histogram row and codegen-hostile
+    import df.sparkSession.implicits._
+    val offsetDf = broadcast(offsets.toSeq.toDF("_b", "_off"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("_b").orderBy("v")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    val below = hist
-      .withColumn("_below", coalesce(sum(col("cnt")).over(w), lit(0L)))
-      .crossJoin(broadcast(hist.agg(sum(col("cnt")).as("_n"))))
-      .select(col("v"), col("_below"), col("_n"))
+    val below = binned
+      .withColumn("_wb", coalesce(sum(col("cnt")).over(w), lit(0L)))
+      .join(offsetDf, Seq("_b"))
+      .select(col("v"), (col("_off") + col("_wb")).as("_below"),
+        lit(total).as("_n"))
     df.join(below, x === col("v"), "left")
       .withColumn(outCol,
         when(x.isNull, lit(null).cast(DoubleType))

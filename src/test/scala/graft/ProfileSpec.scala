@@ -172,6 +172,19 @@ class ProfileSpec extends SparkSpec {
     val single = Seq(5.0, 5.0).toDF("x")
     assert(Profile.percentRank(single, "x")
       .select("pct_rank").as[Double].collect().forall(_ == 0.0))
+    val allNull = Seq[Option[Double]](None, None).toDF("x")
+    assert(Profile.percentRank(allNull, "x")
+      .select("pct_rank").as[Option[Double]].collect().forall(_.isEmpty))
+    // the prefix window is PARTITIONED by the range bin — never a
+    // single-task global orderBy over the histogram
+    val plan = Profile.percentRank(df, "x")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("windowspecdefinition(_b"), plan)
+    // few distinct values with many buckets: bins are sparse, ranks exact
+    val sparse = Seq(1.0, 100.0, 1000.0, 1000.0).toDF("x")
+    val sp = Profile.percentRank(sparse, "x")
+      .select("x", "pct_rank").as[(Double, Double)].collect().toMap
+    assert(sp(1.0) == 0.0 && sp(100.0) == 1.0 / 3.0 && sp(1000.0) == 2.0 / 3.0)
   }
 
   test("robustScale: (x - median)/iqr with exact bounds; zero-iqr and nulls safe") {
