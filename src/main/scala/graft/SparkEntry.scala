@@ -718,6 +718,19 @@ object SparkEntry {
         TextFunctions.langIdWithScript(mixed).as("pred_lang")).orderBy("doc_id")
     }),
 
+    // ---- per-doc language purity: per-LINE langId majority + fraction.
+    //      The corpus is single-line, so the gate builds 3-line docs
+    //      (text, a French marker line, text) — non-fr docs land at
+    //      2/3 purity, fr docs at 1.0, and ties exercise the (cnt,
+    //      lang) struct-max tie-break the oracle mirrors
+    "lang_purity" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val mixed = concat(col("text"), lit("\nle la les des est\n"), col("text"))
+      TextFunctions.langPurity(
+          d.select(col("doc_id"), mixed.as("mix")), "doc_id", "mix")
+        .orderBy("doc_id")
+    }),
+
     // ---- ANN: exact top-k by dot product, k-bounded two-stage reduction
     //      (graft_topk aggregate — no all-rows window shuffle). Both
     //      engines left-fold the elementwise double products (Spark
@@ -2462,6 +2475,47 @@ object SparkEntry {
         |      WHEN s_de > 0 AND s_de = greatest(s_en, s_es, s_fr, s_de) THEN 'de'
         |      ELSE 'und' END AS pred_lang
         |FROM sc ORDER BY doc_id""".stripMargin,
+
+    // per-line langId (same marker CASE as the lang_id oracle), majority
+    // by (cnt desc, lang desc) — the operator's struct-max tie-break;
+    // purity is the same long->double division order
+    "lang_purity" ->
+      """WITH l AS (
+        | SELECT doc_id, line FROM (
+        |  SELECT doc_id,
+        |   unnest(string_split(text || chr(10) || 'le la les des est' || chr(10) || text,
+        |     chr(10))) AS line
+        |  FROM documents)
+        | WHERE trim(line) <> ''
+        |), f AS (
+        | SELECT doc_id,
+        |  list_filter(string_split_regex(trim(lower(line)), '\s+'), t -> t <> '') AS toks
+        | FROM l
+        |), sc AS (
+        | SELECT doc_id,
+        |  len(list_filter(toks, t -> t IN ('the','and','of','to','is'))) AS s_en,
+        |  len(list_filter(toks, t -> t IN ('el','la','de','que','los'))) AS s_es,
+        |  len(list_filter(toks, t -> t IN ('le','la','les','des','est'))) AS s_fr,
+        |  len(list_filter(toks, t -> t IN ('der','die','das','und','ist'))) AS s_de
+        | FROM f
+        |), cl AS (
+        | SELECT doc_id,
+        |  CASE WHEN s_en > 0 AND s_en = greatest(s_en, s_es, s_fr, s_de) THEN 'en'
+        |       WHEN s_es > 0 AND s_es = greatest(s_en, s_es, s_fr, s_de) THEN 'es'
+        |       WHEN s_fr > 0 AND s_fr = greatest(s_en, s_es, s_fr, s_de) THEN 'fr'
+        |       WHEN s_de > 0 AND s_de = greatest(s_en, s_es, s_fr, s_de) THEN 'de'
+        |       ELSE 'und' END AS ll
+        | FROM sc
+        |), c AS (
+        | SELECT doc_id, ll, count(*) AS cnt FROM cl GROUP BY 1, 2
+        |), m AS (
+        | SELECT doc_id, ll, cnt, sum(cnt) OVER (PARTITION BY doc_id) AS total FROM c
+        |)
+        |SELECT doc_id, ll AS majority_lang,
+        | CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE) AS purity
+        |FROM m
+        |QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, ll DESC) = 1
+        |ORDER BY doc_id""".stripMargin,
 
     "ann_topk_dot" ->
       """WITH q AS (

@@ -306,6 +306,45 @@ object TextFunctions {
     }
   }
 
+  /** Per-document language PURITY: classify every non-blank LINE with
+    * [[langId]], return one row per doc with the majority line language
+    * and `purity` = majority-line count / classified lines — the
+    * mixed-language-document signal (a doc-level [[langId]] can't see
+    * that a "mostly English" page carries a third of its lines in
+    * another language; concatenated boilerplate and bilingual pages
+    * both surface here). Docs with no non-blank lines are absent from
+    * the output (nothing to classify).
+    *
+    * Shape: explode to lines (the only fan-out; line classification is
+    * the same one-pass codegen'd marker walk), reduce to per-(doc,
+    * lang) counts with map-side combine — at most |langs|+1 rows per
+    * doc cross the wire — then one argmax per doc. Ties break toward
+    * the lexicographically LARGER language code ((cnt, lang) struct
+    * max), deterministic and engine-reproducible; purity is one
+    * fixed-order long→double division.
+    */
+  def langPurity(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String
+  ): org.apache.spark.sql.DataFrame = {
+    val perLine = df
+      .select(col(idCol), explode(split(col(textCol), "\n", -1)).as("_line"))
+      .filter(trim(col("_line")) =!= "")
+      .select(col(idCol), langId(col("_line")).as("_ll"))
+    perLine.groupBy(col(idCol), col("_ll"))
+      .agg(count(lit(1)).as("_cnt"))
+      .groupBy(col(idCol))
+      .agg(
+        max(struct(col("_cnt"), col("_ll"))).as("_m"),
+        sum(col("_cnt")).as("_total"))
+      .select(
+        col(idCol),
+        col("_m._ll").as("majority_lang"),
+        (col("_m._cnt").cast(DoubleType) / col("_total").cast(DoubleType))
+          .as("purity"))
+  }
+
   /** Script-aware language ID: CJK scripts are decided by CODEPOINT
     * CLASS (marker words can't see a language whose words aren't
     * space-delimited — [[langId]] scores every CJK doc "und"), then

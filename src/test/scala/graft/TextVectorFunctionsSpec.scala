@@ -259,6 +259,21 @@ class TextVectorFunctionsSpec extends SparkSpec {
     assert(nul.isEmpty)
   }
 
+  test("langPurity: per-line majority + fraction; ties break to larger lang; blank-only docs absent") {
+    val docs = Seq(
+      (1L, "the cat is on the mat\nthe dog is here\nle chat est la"), // 2 en, 1 fr
+      (2L, "le la les\nder und das"),                                  // 1 fr, 1 de tie -> fr
+      (3L, "\n  \n"),                                                  // nothing to classify
+      (4L, "zzz qqq")                                                  // no markers -> und
+    ).toDF("id", "t")
+    val out = TF.langPurity(docs, "id", "t")
+      .as[(Long, String, Double)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 4L)) // doc 3 absent
+    assert(out(0)._2 == "en" && math.abs(out(0)._3 - 2.0 / 3.0) < 1e-15)
+    assert(out(1)._2 == "fr" && out(1)._3 == 0.5) // (1,'fr') beats (1,'de')
+    assert(out(2)._2 == "und" && out(2)._3 == 1.0)
+  }
+
   test("truncateToTokens: budget clamp, whitespace normalization, short docs intact") {
     val out = Seq("  a   b\tc d ", "one two", "", "   ").toDF("t")
       .select(TF.truncateToTokens($"t", 3)).as[String].collect().toSeq
