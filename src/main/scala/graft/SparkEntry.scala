@@ -1294,6 +1294,16 @@ object SparkEntry {
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
+    // ---- per-group percent rank: within-source ECDF normalization;
+    //      the oracle spells the same rank()−1 over n−1 long division
+    //      per partition
+    "percent_rank_by_group" -> ((s, dir) => {
+      Profile.percentRankByGroup(
+          t(s, dir, "documents").select(col("doc_id"), col("source"), col("n_chars")),
+          Seq("source"), "n_chars")
+        .orderBy("doc_id")
+    }),
+
     // ---- robust scaling: (x − median)/iqr with exact-percentile
     //      driver-metadata bounds, narrow per-row division
     "robust_scale" -> ((s, dir) => {
@@ -3326,6 +3336,17 @@ object SparkEntry {
         |   / CAST(count(*) OVER () - 1 AS DOUBLE) AS pct_rank
         |FROM lineitem
         |ORDER BY 1, 2""".stripMargin,
+
+    // within-partition twin: rank()−1 ties at the group minimum == the
+    // below-count; n−1 per source; same exact-long division
+    "percent_rank_by_group" ->
+      """SELECT doc_id, source, n_chars,
+        | CASE WHEN count(*) OVER (PARTITION BY source) > 1
+        |  THEN CAST(rank() OVER (PARTITION BY source ORDER BY CAST(n_chars AS DOUBLE)) - 1 AS DOUBLE)
+        |     / CAST(count(*) OVER (PARTITION BY source) - 1 AS DOUBLE)
+        |  ELSE 0.0 END AS pct_rank
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
 
     // quantile_cont == Spark exact percentile (winsorize-proven); the
     // scale step is one fixed-order division, identical in any engine

@@ -318,7 +318,7 @@ object TextFunctions {
     * Shape: explode to lines (the only fan-out; line classification is
     * the same one-pass codegen'd marker walk), reduce to per-(doc,
     * lang) counts with map-side combine — at most |langs|+1 rows per
-    * doc cross the wire — then one argmax per doc. Ties break toward
+    * doc cross the wire — then one heap argmax per doc. Ties break toward
     * the lexicographically LARGER language code ((cnt, lang) struct
     * max), deterministic and engine-reproducible; purity is one
     * fixed-order long→double division.
@@ -328,6 +328,7 @@ object TextFunctions {
       idCol: String,
       textCol: String
   ): org.apache.spark.sql.DataFrame = {
+    graft.plans.TopKAggregate.register(df.sparkSession)
     val perLine = df
       .select(col(idCol), explode(split(col(textCol), "\n", -1)).as("_line"))
       .filter(trim(col("_line")) =!= "")
@@ -336,7 +337,11 @@ object TextFunctions {
       .agg(count(lit(1)).as("_cnt"))
       .groupBy(col(idCol))
       .agg(
-        max(struct(col("_cnt"), col("_ll"))).as("_m"),
+        // k=1 heap argmax (the snapshotAt convention): a max(struct)
+        // with a string field has an immutable buffer and falls back to
+        // SortAggregate; the typed heap keeps an ObjectHashAggregate
+        element_at(call_function("graft_topk",
+          struct(col("_cnt"), col("_ll")), lit(1)), 1).as("_m"),
         sum(col("_cnt")).as("_total"))
       .select(
         col(idCol),

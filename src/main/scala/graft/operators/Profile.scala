@@ -154,7 +154,11 @@ object Profile {
     val hist = df
       .groupBy(groupCols.map(col) :+ col(valueCol).cast(DoubleType).as("v"): _*)
       .agg(count(lit(1)).as("cnt"))
-    hist.groupBy(groupCols.map(col): _*)
+    // pin the final exchange by group (the [[numeric]] fix): the
+    // percentile merge is CPU-heavy per group over byte-tiny histogram
+    // rows, so AQE's byte-based coalescing would serialize every group
+    // into one task; hashing by the group keys keeps the merges parallel
+    hist.repartition(groupCols.map(col): _*).groupBy(groupCols.map(col): _*)
       .agg(
         sum(when(col("v").isNotNull, col("cnt")).otherwise(0L)).as("n"),
         sum(when(col("v").isNull, col("cnt")).otherwise(0L)).as("nulls"),
@@ -432,6 +436,52 @@ object Profile {
             col("_below").cast(DoubleType) / (col("_n") - 1L).cast(DoubleType))
           .otherwise(lit(0.0)))
       .drop("v", "_below", "_n")
+  }
+
+  /** Per-GROUP percent rank: [[percentRank]] computed independently
+    * within each `groupCols` stratum — the within-source score
+    * normalization that makes quality cuts comparable across domains
+    * (a 90th-percentile doc IN ITS SOURCE stays 90th-percentile no
+    * matter how the sources' absolute scales differ).
+    *
+    * Shape: one histogram keyed by (group, value), then BOTH running
+    * below-counts and group totals ride one window exchange partitioned
+    * by the group — strata rank in parallel, and only histogram rows
+    * (Σ per-group distincts) flow through it. The per-group prefix runs
+    * in ONE task per stratum: right when strata are numerous and
+    * per-stratum value cardinality is bounded (the domain/language
+    * split this exists for); a single near-continuous stratum is the
+    * degenerate case [[percentRank]]'s two-level bucketing handles —
+    * use that per stratum instead. Rank ratio is the same exact-long
+    * division, engine-reproducible bit-for-bit.
+    */
+  def percentRankByGroup(
+      df: DataFrame,
+      groupCols: Seq[String],
+      colName: String,
+      outCol: String = "pct_rank"
+  ): DataFrame = {
+    require(groupCols.nonEmpty, "percentRankByGroup requires group columns")
+    val x = col(colName).cast(DoubleType)
+    val gs = groupCols.map(col)
+    val hist = df.filter(x.isNotNull)
+      .groupBy(gs :+ x.as("_vx"): _*).agg(count(lit(1)).as("cnt"))
+    val wBelow = org.apache.spark.sql.expressions.Window
+      .partitionBy(gs: _*).orderBy("_vx")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(gs: _*)
+    val below = hist
+      .withColumn("_below", coalesce(sum(col("cnt")).over(wBelow), lit(0L)))
+      .withColumn("_n", sum(col("cnt")).over(wAll))
+      .select(gs ++ Seq(col("_vx"), col("_below"), col("_n")): _*)
+    df.withColumn("_vx", x)
+      .join(below, groupCols :+ "_vx", "left")
+      .withColumn(outCol,
+        when(x.isNull, lit(null).cast(DoubleType))
+          .when(col("_n") > 1L,
+            col("_below").cast(DoubleType) / (col("_n") - 1L).cast(DoubleType))
+          .otherwise(lit(0.0)))
+      .drop("_vx", "_below", "_n")
   }
 
   /** Robust scaling `(x − median) / iqr` — the outlier-insensitive

@@ -187,6 +187,34 @@ class ProfileSpec extends SparkSpec {
     assert(sp(1.0) == 0.0 && sp(100.0) == 1.0 / 3.0 && sp(1000.0) == 2.0 / 3.0)
   }
 
+  test("percentRankByGroup: independent ECDFs per stratum; null and singleton groups safe") {
+    val df = Seq(
+      ("a", Some(10.0)), ("a", Some(20.0)), ("a", Some(20.0)), ("a", Some(40.0)),
+      ("b", Some(100.0)), ("b", Some(200.0)),
+      ("c", Some(7.0)),            // singleton group -> 0.0
+      ("a", None)                  // null value -> null rank
+    ).toDF("g", "x")
+    val out = Profile.percentRankByGroup(df, Seq("g"), "x")
+      .select("g", "x", "pct_rank")
+      .as[(String, Option[Double], Option[Double])].collect()
+    val a = out.filter(r => r._1 == "a" && r._2.isDefined)
+      .map(r => r._2.get -> r._3.get).toMap
+    assert(a(10.0) == 0.0 && a(20.0) == 1.0 / 3.0 && a(40.0) == 1.0)
+    val b = out.filter(_._1 == "b").map(r => r._2.get -> r._3.get).toMap
+    assert(b(100.0) == 0.0 && b(200.0) == 1.0)
+    assert(out.find(_._1 == "c").get._3.contains(0.0))
+    assert(out.exists(r => r._1 == "a" && r._2.isEmpty && r._3.isEmpty))
+    // matches the global percentRank when there is exactly one stratum
+    val one = df.filter($"g" === "a").withColumn("k", lit("only"))
+    val viaGroup = Profile.percentRankByGroup(one, Seq("k"), "x")
+      .select("x", "pct_rank").as[(Option[Double], Option[Double])]
+      .collect().toSet
+    val global = Profile.percentRank(one, "x")
+      .select("x", "pct_rank").as[(Option[Double], Option[Double])]
+      .collect().toSet
+    assert(viaGroup == global)
+  }
+
   test("robustScale: (x - median)/iqr with exact bounds; zero-iqr and nulls safe") {
     // 1..8: q1 = 2.75, med = 4.5, q3 = 6.25 -> iqr = 3.5
     val df = (1 to 8).map(_.toDouble).toDF("x")
