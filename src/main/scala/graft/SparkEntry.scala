@@ -86,6 +86,46 @@ object SparkEntry {
     delim = "_"
   )
 
+  // ---- shared fixtures + literal-table formatters for the retrieval /
+  //      scoring gates: the gate query computes the idf/weight table
+  //      ONCE on the driver (exact integer counts, one JVM ln, 6dp
+  //      quantize), registers the VALUES rows in GateTables, and the
+  //      oracle builders below interpolate the identical rows — no
+  //      engine-evaluated transcendental ever enters the hash compare.
+
+  private def bm25GateQueries3(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(
+      (0L, "spark window merge"),
+      (1L, "customer order batch stream"),
+      (2L, "hash join table scan")).toDF("query_id", "qtext")
+  }
+
+  private def bm25GateQueries5(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(
+      (0L, "spark window merge"),
+      (1L, "customer order batch stream"),
+      (2L, "hash join table scan"),
+      (3L, "stream state checkpoint"),
+      (4L, "partition shuffle sort")).toDF("query_id", "qtext")
+  }
+
+  private def idfValuesRows(idf: Seq[(String, java.math.BigDecimal)]): String =
+    idf.map { case (t, v) =>
+      s"(${GateTables.sqlStr(t)}, CAST('${v.toPlainString}' AS DOUBLE))"
+    }.mkString(",\n   ")
+
+  private def dsirWeightRows(lits: IndexedSeq[java.math.BigDecimal]): String =
+    lits.zipWithIndex.map { case (w, b) =>
+      s"($b, CAST('${w.toPlainString}' AS DECIMAL(38,6)))"
+    }.mkString(",\n   ")
+
+  private def lmWeightRows(wt: Seq[(Long, Long, java.math.BigDecimal)]): String =
+    wt.map { case (a, b, w) =>
+      s"($a, $b, CAST('${w.toPlainString}' AS DECIMAL(38,6)))"
+    }.mkString(",\n   ")
+
   // ------------------------------------------------------------------ queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -509,14 +549,18 @@ object SparkEntry {
     }),
 
     // ---- DSIR-style importance scoring: per-doc target-vs-raw
-    //      log-likelihood ratio over FNV-hashed token buckets. Weights
-    //      are ln-ratios rounded to 6dp and carried as DECIMAL, so the
-    //      per-doc sums are order-independent and the oracle recomputes
-    //      the EXACT scores (the FNV bucket per token is portable SQL)
+    //      log-likelihood ratio over FNV-hashed token buckets. The 1024
+    //      bucket weights are computed ONCE on the driver from exact
+    //      collected histograms and fed to BOTH engines as the same 6dp
+    //      DECIMAL literal table (no libm ln in the compared surface —
+    //      see bm25_topk); per-doc sums are order-independent exact
+    //      decimal adds, so the oracle recomputes the EXACT scores
     "dsir_scores" -> ((s, dir) => {
       val d = t(s, dir, "documents").filter(col("doc_id") < 2000)
       val target = d.filter(col("source") === "src0")
-      val w = ImportanceScoring.importanceWeights(target, d, "text")
+      val lits = ImportanceScoring.importanceWeightLiterals(target, d, "text")
+      GateTables.put("dsir_w", dsirWeightRows(lits))
+      val w = ImportanceScoring.weightsTableFromLiterals(s, lits)
       ImportanceScoring.scoreDocs(
           d.filter(col("doc_id") < 500), "doc_id", "text", w)
         .orderBy("doc_id")
@@ -524,13 +568,17 @@ object SparkEntry {
 
     // ---- CCNet-style bigram-LM quality scoring: add-one-smoothed
     //      bucket-bigram model trained on the src0 slice, docs scored by
-    //      mean transition log-prob (6dp-rounded, decimal-summed — the
-    //      dsir convention, so the oracle reproduces scores exactly)
+    //      mean transition log-prob. The (c2+1, c1+B) → weight table is
+    //      computed ONCE on the driver and fed to BOTH engines as the
+    //      same 6dp DECIMAL literal table (counts stay engine-side and
+    //      exact; no libm ln in the compared surface — see bm25_topk)
     "lm_scores" -> ((s, dir) => {
       val d = t(s, dir, "documents").filter(col("doc_id") < 2000)
       val target = d.filter(col("source") === "src0")
-      ImportanceScoring.lmScoreDocs(
-          d.filter(col("doc_id") < 500), "doc_id", "text", target, "text")
+      val wt = ImportanceScoring.lmWeightLiterals(target, "text")
+      GateTables.put("lm_wt", lmWeightRows(wt))
+      ImportanceScoring.lmScoreDocsWithTable(
+          d.filter(col("doc_id") < 500), "doc_id", "text", target, "text", wt)
         .orderBy("doc_id")
     }),
 
@@ -1360,19 +1408,22 @@ object SparkEntry {
     }),
 
     // ---- retrieval: BM25 top-k per query (lexical complement to the
-    //      ANN gates). idf rounds to 6dp, each term contribution to 9dp
-    //      DECIMAL, the per-doc score is an exact decimal sum — so the
-    //      oracle reproduces scores bit-for-bit in any summation order;
+    //      ANN gates). The per-term idf is computed ONCE on the driver
+    //      from exact integer counts (N, df) and fed to BOTH engines as
+    //      the same 6dp literal table (no libm ln in the compared
+    //      surface — a last-ulp ln difference between DuckDB builds
+    //      flipped the rounded digit in round 6); each term contribution
+    //      rounds to 9dp DECIMAL and the per-doc score is an exact
+    //      decimal sum, so the oracle reproduces scores bit-for-bit;
     //      (score DESC, doc_id ASC) totally orders ranks on both sides
     "bm25_topk" -> ((s, dir) => {
       import s.implicits._
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val queries = Seq(
-        (0L, "spark window merge"),
-        (1L, "customer order batch stream"),
-        (2L, "hash join table scan")).toDF("query_id", "qtext")
-      Retrieval.bm25TopK(docs, "doc_id", "text",
-          queries, "query_id", "qtext", k = 10)
+      val queries = bm25GateQueries3(s)
+      val idf = Retrieval.queryIdfLiterals(docs, "text", queries, "qtext")
+      GateTables.put("bm25_idf_q3", idfValuesRows(idf))
+      Retrieval.bm25TopKWithIdf(docs, "doc_id", "text",
+          queries, "query_id", "qtext", idf, k = 10)
         .orderBy("query_id", "rank")
     }),
 
@@ -1389,14 +1440,13 @@ object SparkEntry {
         q, "query_id", "qv", k = 10,
         metric = VectorFunctions.dot, scoreName = "dot")
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val queries = Seq(
-        (0L, "spark window merge"),
-        (1L, "customer order batch stream"),
-        (2L, "hash join table scan"),
-        (3L, "stream state checkpoint"),
-        (4L, "partition shuffle sort")).toDF("query_id", "qtext")
-      val lexical = Retrieval.bm25TopK(docs, "doc_id", "text",
-        queries, "query_id", "qtext", k = 10)
+      val queries = bm25GateQueries5(s)
+      // driver-computed idf literals keep the lexical leg's ln out of
+      // the hash-compared surface (see bm25_topk)
+      val idf = Retrieval.queryIdfLiterals(docs, "text", queries, "qtext")
+      GateTables.put("bm25_idf_q5", idfValuesRows(idf))
+      val lexical = Retrieval.bm25TopKWithIdf(docs, "doc_id", "text",
+        queries, "query_id", "qtext", idf, k = 10)
       Retrieval.rrfFuse(Seq(dense, lexical), k = 10)
         .orderBy("query_id", "rank")
     }),
@@ -1446,12 +1496,12 @@ object SparkEntry {
     "bm25_topk_all" -> ((s, dir) => {
       import s.implicits._
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val queries = Seq(
-        (0L, "spark window merge"),
-        (1L, "customer order batch stream"),
-        (2L, "hash join table scan")).toDF("query_id", "qtext")
-      Retrieval.bm25TopK(docs, "doc_id", "text",
-          queries, "query_id", "qtext", k = 10, requireAllTerms = true)
+      val queries = bm25GateQueries3(s)
+      // same driver-computed idf discipline as bm25_topk
+      val idf = Retrieval.queryIdfLiterals(docs, "text", queries, "qtext")
+      GateTables.put("bm25_idf_q3", idfValuesRows(idf))
+      Retrieval.bm25TopKWithIdf(docs, "doc_id", "text",
+          queries, "query_id", "qtext", idf, k = 10, requireAllTerms = true)
         .orderBy("query_id", "rank")
     }),
 
@@ -1783,6 +1833,254 @@ object SparkEntry {
 
   // ------------------------------------------------------------------ oracles
 
+  // ---- retrieval/scoring oracle builders. Portable form: the idf /
+  //      weight table is the driver-computed literal VALUES the gate
+  //      query registered in GateTables (Verify dumps oracleSql AFTER
+  //      running every query, so the rows are always present in the
+  //      driver flow). Fallback (oracleSql inspected standalone): the
+  //      engine-ln formula — locally correct, but a last-ulp libm
+  //      difference can flip the 6dp-rounded digit across DuckDB
+  //      builds, so the hardened path is the literal table.
+
+  private val bm25Q3Values =
+    """(0, 'spark window merge'),
+      |   (1, 'customer order batch stream'),
+      |   (2, 'hash join table scan')""".stripMargin
+
+  private val bm25Q5Values =
+    """(0, 'spark window merge'),
+      |   (1, 'customer order batch stream'),
+      |   (2, 'hash join table scan'),
+      |   (3, 'stream state checkpoint'),
+      |   (4, 'partition shuffle sort')""".stripMargin
+
+  /** The BM25 lexical-chain CTE definitions (`d` … `sc`, plus `qn` when
+    * `requireAll`), composable into a larger WITH list. `idfRows`:
+    * Some(valuesRows) → literal `idft` table; None → engine-ln idft.
+    */
+  private def bm25ChainSql(
+      queryValues: String, idfRows: Option[String], requireAll: Boolean): String = {
+    val idfCte = idfRows match {
+      case Some(rows) =>
+        s"""idft AS (
+           | SELECT * FROM (VALUES
+           |   $rows) AS v(term, idf)
+           |)""".stripMargin
+      case None =>
+        """idft AS (
+          | SELECT df.term,
+          |  round(ln((CAST(st.n_docs AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
+          |            / (CAST(df.df AS DOUBLE) + 0.5) + 1.0), 6) AS idf
+          | FROM df, st
+          |)""".stripMargin
+    }
+    val qnCte = if (requireAll)
+      """, qn AS (
+        | SELECT query_id, count(*) AS nq FROM qt GROUP BY 1
+        |)""".stripMargin
+    else ""
+    val matched = if (requireAll) ",\n  count(*) AS nmatched" else ""
+    s"""d AS (
+       | SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS toks
+       | FROM documents
+       |), dl AS (
+       | SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d
+       |), tok AS (
+       | SELECT doc_id, unnest(toks) AS term FROM d
+       |), tf AS (
+       | SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+       |), df AS (
+       | SELECT term, count(*) AS df FROM tf GROUP BY 1
+       |), st AS (
+       | SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl
+       |), q AS (
+       | SELECT * FROM (VALUES
+       |   $queryValues) AS v(query_id, qtext)
+       |), qt AS (
+       | SELECT query_id,
+       |  unnest(list_distinct(list_filter(string_split_regex(trim(lower(qtext)), '\\s+'), x -> x <> ''))) AS term
+       | FROM q
+       |)$qnCte, $idfCte, sc AS (
+       | SELECT qt.query_id, tf.doc_id AS neighbor_id,
+       |  sum(CAST(round(
+       |    idft.idf
+       |    * (CAST(tf.tf AS DOUBLE) * 2.2
+       |       / (CAST(tf.tf AS DOUBLE)
+       |          + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl.dl AS DOUBLE)
+       |              / (CAST(st.sum_dl AS DOUBLE) / CAST(st.n_docs AS DOUBLE))))))
+       |  , 9) AS DECIMAL(38,9))) AS score$matched
+       | FROM qt
+       | JOIN tf ON qt.term = tf.term
+       | JOIN idft ON qt.term = idft.term
+       | JOIN dl ON tf.doc_id = dl.doc_id, st
+       | GROUP BY 1, 2
+       |)""".stripMargin
+  }
+
+  private def bm25TopKOracle(
+      queryValues: String, idfKey: String, requireAll: Boolean): String = {
+    val chain = bm25ChainSql(queryValues, GateTables.get(idfKey), requireAll)
+    if (requireAll)
+      s"""WITH $chain
+         |SELECT CAST(sc.query_id AS BIGINT) AS query_id, sc.neighbor_id,
+         | CAST(sc.score AS DECIMAL(38,9)) AS score,
+         | CAST(ROW_NUMBER() OVER (PARTITION BY sc.query_id ORDER BY sc.score DESC, sc.neighbor_id) AS INTEGER) AS rank
+         |FROM sc JOIN qn ON sc.query_id = qn.query_id
+         |WHERE sc.nmatched = qn.nq
+         |QUALIFY rank <= 10
+         |ORDER BY query_id, rank""".stripMargin
+    else
+      s"""WITH $chain
+         |SELECT CAST(query_id AS BIGINT) AS query_id, neighbor_id,
+         | CAST(score AS DECIMAL(38,9)) AS score,
+         | CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INTEGER) AS rank
+         |FROM sc
+         |QUALIFY rank <= 10
+         |ORDER BY query_id, rank""".stripMargin
+  }
+
+  private def hybridRrfOracle(): String = {
+    val chain = bm25ChainSql(bm25Q5Values, GateTables.get("bm25_idf_q5"),
+      requireAll = false)
+    s"""WITH qv AS (
+       | SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 5
+       |), ds AS (
+       | SELECT qv.query_id, e.vec_id AS neighbor_id,
+       |  list_sum(list_transform(list_zip(qv.qvec, e.embedding),
+       |    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) AS dot
+       | FROM embeddings e, qv WHERE e.vec_id <> qv.query_id
+       |), dense AS (
+       | SELECT query_id, neighbor_id,
+       |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id) AS rank
+       | FROM ds QUALIFY rank <= 10
+       |), $chain, lexical AS (
+       | SELECT CAST(query_id AS BIGINT) AS query_id, neighbor_id,
+       |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+       | FROM sc QUALIFY rank <= 10
+       |), contribs AS (
+       | SELECT query_id, neighbor_id,
+       |  CAST(round(CAST(1.0 AS DOUBLE) / (60.0 + CAST(rank AS DOUBLE)), 12) AS DECIMAL(38,12)) AS c
+       | FROM dense
+       | UNION ALL
+       | SELECT query_id, neighbor_id,
+       |  CAST(round(CAST(1.0 AS DOUBLE) / (60.0 + CAST(rank AS DOUBLE)), 12) AS DECIMAL(38,12)) AS c
+       | FROM lexical
+       |), fused AS (
+       | SELECT query_id, neighbor_id, CAST(sum(c) AS DECIMAL(38,12)) AS score
+       | FROM contribs GROUP BY 1, 2
+       |)
+       |SELECT query_id, neighbor_id, score,
+       | CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INTEGER) AS rank
+       |FROM fused
+       |QUALIFY rank <= 10
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** Shared FNV-1a bucket CTE fragment (per DISTINCT token). */
+  private val fnvBucketExpr =
+    """CAST(list_reduce(
+      |    list_prepend(CAST('14695981039346656037' AS HUGEINT),
+      |      list_transform(range(1, length(s) + 1), i -> CAST(ascii(s[i]) AS HUGEINT))),
+      |    (acc, b) -> ((acc // 256) * 256 + xor(CAST(acc % 256 AS BIGINT), CAST(b AS BIGINT)))
+      |                * 1099511628211 % CAST('18446744073709551616' AS HUGEINT)
+      |  ) % 1024 AS BIGINT) AS bucket""".stripMargin
+
+  private def dsirOracle(): String = {
+    val wCte = GateTables.get("dsir_w") match {
+      case Some(rows) =>
+        s"""w AS (
+           | SELECT * FROM (VALUES
+           |   $rows) AS v(bucket, weight)
+           |)""".stripMargin
+      case None =>
+        """w AS (
+          | SELECT b.bucket,
+          |  CAST(round(
+          |    ln((COALESCE(tc.tcnt, 0) + 1) / CAST((SELECT count(*) FROM tk WHERE source = 'src0') + 1024 AS DOUBLE))
+          |  - ln((COALESCE(rc.rcnt, 0) + 1) / CAST((SELECT count(*) FROM tk) + 1024 AS DOUBLE)), 6) AS DECIMAL(38,6)) AS weight
+          | FROM (SELECT unnest(range(0, 1024)) AS bucket) b
+          | LEFT JOIN tc ON b.bucket = tc.bucket
+          | LEFT JOIN rc ON b.bucket = rc.bucket
+          |)""".stripMargin
+    }
+    s"""WITH base AS (
+       | SELECT doc_id, source,
+       |  list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS toks
+       | FROM documents WHERE doc_id < 2000
+       |), tok AS (
+       | SELECT doc_id, source, unnest(toks) AS token FROM base
+       |), vb AS (
+       | SELECT token,
+       |  $fnvBucketExpr
+       | FROM (SELECT DISTINCT token, token || ':dsir' AS s FROM tok)
+       |), tk AS (
+       | SELECT t.doc_id, t.source, v.bucket FROM tok t JOIN vb v ON t.token = v.token
+       |), tc AS (
+       | SELECT bucket, count(*) AS tcnt FROM tk WHERE source = 'src0' GROUP BY 1
+       |), rc AS (
+       | SELECT bucket, count(*) AS rcnt FROM tk GROUP BY 1
+       |), $wCte
+       |SELECT k.doc_id, CAST(sum(w.weight) AS DECIMAL(38,6)) AS dsir_score
+       |FROM tk k JOIN w ON k.bucket = w.bucket
+       |WHERE k.doc_id < 500
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  private def lmOracle(): String = {
+    val (wtCte, scCte) = GateTables.get("lm_wt") match {
+      case Some(rows) =>
+        (s""", wt AS (
+            | SELECT * FROM (VALUES
+            |   $rows) AS v(a, b, w)
+            |)""".stripMargin,
+          """sc AS (
+            | SELECT g.doc_id, wt.w AS w
+            | FROM bg g
+            | LEFT JOIN c2 ON g.bp = c2.bp AND g.bc = c2.bc
+            | LEFT JOIN c1 ON g.bp = c1.bp
+            | JOIN wt ON wt.a = COALESCE(c2.c2, 0) + 1 AND wt.b = COALESCE(c1.c1, 0) + 1024
+            | WHERE g.doc_id < 500
+            |)""".stripMargin)
+      case None =>
+        ("",
+          """sc AS (
+            | SELECT g.doc_id,
+            |  CAST(round(ln((COALESCE(c2.c2, 0) + 1)
+            |    / CAST(COALESCE(c1.c1, 0) + 1024 AS DOUBLE)), 6) AS DECIMAL(38,6)) AS w
+            | FROM bg g
+            | LEFT JOIN c2 ON g.bp = c2.bp AND g.bc = c2.bc
+            | LEFT JOIN c1 ON g.bp = c1.bp
+            | WHERE g.doc_id < 500
+            |)""".stripMargin)
+    }
+    s"""WITH base AS (
+       | SELECT doc_id, source,
+       |  list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS toks
+       | FROM documents WHERE doc_id < 2000
+       |), tok AS (
+       | SELECT doc_id, source, generate_subscripts(toks, 1) AS pos, unnest(toks) AS token
+       | FROM base
+       |), vb AS (
+       | SELECT token,
+       |  $fnvBucketExpr
+       | FROM (SELECT DISTINCT token, token || ':dsir' AS s FROM tok)
+       |), tb AS (
+       | SELECT t.doc_id, t.source, t.pos, v.bucket FROM tok t JOIN vb v ON t.token = v.token
+       |), bg AS (
+       | SELECT a.doc_id, a.source, a.bucket AS bp, b.bucket AS bc
+       | FROM tb a JOIN tb b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+       |), c2 AS (
+       | SELECT bp, bc, count(*) AS c2 FROM bg WHERE source = 'src0' GROUP BY 1, 2
+       |), c1 AS (
+       | SELECT bp, sum(c2) AS c1 FROM c2 GROUP BY 1
+       |)$wtCte, $scCte
+       |SELECT doc_id, CAST(sum(w) AS DECIMAL(38,6)) AS lm_sum,
+       | CAST(count(*) AS BIGINT) AS n_bigrams,
+       | CAST(sum(w) AS DOUBLE) / count(*) AS mean_logp
+       |FROM sc GROUP BY 1
+       |ORDER BY 1""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -2113,87 +2411,17 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
 
     // same FNV-1a-per-token bucket (computed once per DISTINCT token —
-    // the synthetic vocabulary is small), same add-one ln-ratio weights
-    // rounded to 6dp, same decimal per-doc sums
-    "dsir_scores" ->
-      """WITH base AS (
-        | SELECT doc_id, source,
-        |  list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS toks
-        | FROM documents WHERE doc_id < 2000
-        |), tok AS (
-        | SELECT doc_id, source, unnest(toks) AS token FROM base
-        |), vb AS (
-        | SELECT token,
-        |  CAST(list_reduce(
-        |    list_prepend(CAST('14695981039346656037' AS HUGEINT),
-        |      list_transform(range(1, length(s) + 1), i -> CAST(ascii(s[i]) AS HUGEINT))),
-        |    (acc, b) -> ((acc // 256) * 256 + xor(CAST(acc % 256 AS BIGINT), CAST(b AS BIGINT)))
-        |                * 1099511628211 % CAST('18446744073709551616' AS HUGEINT)
-        |  ) % 1024 AS BIGINT) AS bucket
-        | FROM (SELECT DISTINCT token, token || ':dsir' AS s FROM tok)
-        |), tk AS (
-        | SELECT t.doc_id, t.source, v.bucket FROM tok t JOIN vb v ON t.token = v.token
-        |), tc AS (
-        | SELECT bucket, count(*) AS tcnt FROM tk WHERE source = 'src0' GROUP BY 1
-        |), rc AS (
-        | SELECT bucket, count(*) AS rcnt FROM tk GROUP BY 1
-        |), w AS (
-        | SELECT b.bucket,
-        |  CAST(round(
-        |    ln((COALESCE(tc.tcnt, 0) + 1) / CAST((SELECT count(*) FROM tk WHERE source = 'src0') + 1024 AS DOUBLE))
-        |  - ln((COALESCE(rc.rcnt, 0) + 1) / CAST((SELECT count(*) FROM tk) + 1024 AS DOUBLE)), 6) AS DECIMAL(38,6)) AS weight
-        | FROM (SELECT unnest(range(0, 1024)) AS bucket) b
-        | LEFT JOIN tc ON b.bucket = tc.bucket
-        | LEFT JOIN rc ON b.bucket = rc.bucket
-        |)
-        |SELECT k.doc_id, CAST(sum(w.weight) AS DECIMAL(38,6)) AS dsir_score
-        |FROM tk k JOIN w ON k.bucket = w.bucket
-        |WHERE k.doc_id < 500
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the synthetic vocabulary is small); the 1024-row weight table is
+    // the gate-registered driver-computed literal VALUES (identical
+    // rows feed the Spark plan); same decimal per-doc sums
+    "dsir_scores" -> dsirOracle(),
 
     // same FNV-per-distinct-token buckets as dsir_scores; bigrams by
-    // adjacent positions; P(c|p) = (c2+1)/(c1+1024) rounded to 6dp
-    // DECIMAL, summed exactly; mean = CAST(sum AS DOUBLE)/n
-    "lm_scores" ->
-      """WITH base AS (
-        | SELECT doc_id, source,
-        |  list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS toks
-        | FROM documents WHERE doc_id < 2000
-        |), tok AS (
-        | SELECT doc_id, source, generate_subscripts(toks, 1) AS pos, unnest(toks) AS token
-        | FROM base
-        |), vb AS (
-        | SELECT token,
-        |  CAST(list_reduce(
-        |    list_prepend(CAST('14695981039346656037' AS HUGEINT),
-        |      list_transform(range(1, length(s) + 1), i -> CAST(ascii(s[i]) AS HUGEINT))),
-        |    (acc, b) -> ((acc // 256) * 256 + xor(CAST(acc % 256 AS BIGINT), CAST(b AS BIGINT)))
-        |                * 1099511628211 % CAST('18446744073709551616' AS HUGEINT)
-        |  ) % 1024 AS BIGINT) AS bucket
-        | FROM (SELECT DISTINCT token, token || ':dsir' AS s FROM tok)
-        |), tb AS (
-        | SELECT t.doc_id, t.source, t.pos, v.bucket FROM tok t JOIN vb v ON t.token = v.token
-        |), bg AS (
-        | SELECT a.doc_id, a.source, a.bucket AS bp, b.bucket AS bc
-        | FROM tb a JOIN tb b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
-        |), c2 AS (
-        | SELECT bp, bc, count(*) AS c2 FROM bg WHERE source = 'src0' GROUP BY 1, 2
-        |), c1 AS (
-        | SELECT bp, sum(c2) AS c1 FROM c2 GROUP BY 1
-        |), sc AS (
-        | SELECT g.doc_id,
-        |  CAST(round(ln((COALESCE(c2.c2, 0) + 1)
-        |    / CAST(COALESCE(c1.c1, 0) + 1024 AS DOUBLE)), 6) AS DECIMAL(38,6)) AS w
-        | FROM bg g
-        | LEFT JOIN c2 ON g.bp = c2.bp AND g.bc = c2.bc
-        | LEFT JOIN c1 ON g.bp = c1.bp
-        | WHERE g.doc_id < 500
-        |)
-        |SELECT doc_id, CAST(sum(w) AS DECIMAL(38,6)) AS lm_sum,
-        | CAST(count(*) AS BIGINT) AS n_bigrams,
-        | CAST(sum(w) AS DOUBLE) / count(*) AS mean_logp
-        |FROM sc GROUP BY 1
-        |ORDER BY 1""".stripMargin,
+    // adjacent positions; the (c2+1, c1+1024) → weight lookups are the
+    // gate-registered driver-computed literal VALUES (identical rows
+    // feed the Spark plan — counts stay engine-side and exact); summed
+    // exactly; mean = CAST(sum AS DOUBLE)/n
+    "lm_scores" -> lmOracle(),
 
     // same quantization arithmetic as embedding_quantize, then the QDot
     // expansion MIRRORED term-for-term (sa·sb·Σqaqb + sa·ob·Σqa +
@@ -3446,130 +3674,17 @@ object SparkEntry {
         |ORDER BY doc_id, chunk_idx""".stripMargin,
 
     // BM25 mirrored term-for-term: same tokenizer fragment as
-    // dsir_scores, idf = round(ln((N-df+.5)/(df+.5)+1), 6), tfnorm in
+    // dsir_scores; the idf table is the gate-registered driver-computed
+    // literal VALUES (identical rows feed the Spark plan), tfnorm in
     // the written operation order, contributions rounded to 9dp DECIMAL
     // and summed exactly
-    "bm25_topk" ->
-      """WITH d AS (
-        | SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS toks
-        | FROM documents
-        |), dl AS (
-        | SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d
-        |), tok AS (
-        | SELECT doc_id, unnest(toks) AS term FROM d
-        |), tf AS (
-        | SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
-        |), df AS (
-        | SELECT term, count(*) AS df FROM tf GROUP BY 1
-        |), st AS (
-        | SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl
-        |), q AS (
-        | SELECT * FROM (VALUES
-        |   (0, 'spark window merge'),
-        |   (1, 'customer order batch stream'),
-        |   (2, 'hash join table scan')) AS v(query_id, qtext)
-        |), qt AS (
-        | SELECT query_id,
-        |  unnest(list_distinct(list_filter(string_split_regex(trim(lower(qtext)), '\s+'), x -> x <> ''))) AS term
-        | FROM q
-        |), sc AS (
-        | SELECT qt.query_id, tf.doc_id AS neighbor_id,
-        |  sum(CAST(round(
-        |    round(ln((CAST(st.n_docs AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
-        |              / (CAST(df.df AS DOUBLE) + 0.5) + 1.0), 6)
-        |    * (CAST(tf.tf AS DOUBLE) * 2.2
-        |       / (CAST(tf.tf AS DOUBLE)
-        |          + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl.dl AS DOUBLE)
-        |              / (CAST(st.sum_dl AS DOUBLE) / CAST(st.n_docs AS DOUBLE))))))
-        |  , 9) AS DECIMAL(38,9))) AS score
-        | FROM qt
-        | JOIN tf ON qt.term = tf.term
-        | JOIN df ON qt.term = df.term
-        | JOIN dl ON tf.doc_id = dl.doc_id, st
-        | GROUP BY 1, 2
-        |)
-        |SELECT CAST(query_id AS BIGINT) AS query_id, neighbor_id,
-        | CAST(score AS DECIMAL(38,9)) AS score,
-        | CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INTEGER) AS rank
-        |FROM sc
-        |QUALIFY rank <= 10
-        |ORDER BY query_id, rank""".stripMargin,
+    "bm25_topk" -> bm25TopKOracle(bm25Q3Values, "bm25_idf_q3", requireAll = false),
 
     // The dense CTE is the ann_topk_dot oracle; the lexical chain is the
-    // bm25_topk oracle with the 5-query fusion query set; rrf fuses the
-    // two ranked lists with exact DECIMAL(38,12) contribution sums.
-    "hybrid_rrf_topk" ->
-      """WITH qv AS (
-        | SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 5
-        |), ds AS (
-        | SELECT qv.query_id, e.vec_id AS neighbor_id,
-        |  list_sum(list_transform(list_zip(qv.qvec, e.embedding),
-        |    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) AS dot
-        | FROM embeddings e, qv WHERE e.vec_id <> qv.query_id
-        |), dense AS (
-        | SELECT query_id, neighbor_id,
-        |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id) AS rank
-        | FROM ds QUALIFY rank <= 10
-        |), d AS (
-        | SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS toks
-        | FROM documents
-        |), dl AS (
-        | SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d
-        |), tok AS (
-        | SELECT doc_id, unnest(toks) AS term FROM d
-        |), tf AS (
-        | SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
-        |), df AS (
-        | SELECT term, count(*) AS df FROM tf GROUP BY 1
-        |), st AS (
-        | SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl
-        |), q AS (
-        | SELECT * FROM (VALUES
-        |   (0, 'spark window merge'),
-        |   (1, 'customer order batch stream'),
-        |   (2, 'hash join table scan'),
-        |   (3, 'stream state checkpoint'),
-        |   (4, 'partition shuffle sort')) AS v(query_id, qtext)
-        |), qt AS (
-        | SELECT query_id,
-        |  unnest(list_distinct(list_filter(string_split_regex(trim(lower(qtext)), '\s+'), x -> x <> ''))) AS term
-        | FROM q
-        |), sc AS (
-        | SELECT qt.query_id, tf.doc_id AS neighbor_id,
-        |  sum(CAST(round(
-        |    round(ln((CAST(st.n_docs AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
-        |              / (CAST(df.df AS DOUBLE) + 0.5) + 1.0), 6)
-        |    * (CAST(tf.tf AS DOUBLE) * 2.2
-        |       / (CAST(tf.tf AS DOUBLE)
-        |          + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl.dl AS DOUBLE)
-        |              / (CAST(st.sum_dl AS DOUBLE) / CAST(st.n_docs AS DOUBLE))))))
-        |  , 9) AS DECIMAL(38,9))) AS score
-        | FROM qt
-        | JOIN tf ON qt.term = tf.term
-        | JOIN df ON qt.term = df.term
-        | JOIN dl ON tf.doc_id = dl.doc_id, st
-        | GROUP BY 1, 2
-        |), lexical AS (
-        | SELECT CAST(query_id AS BIGINT) AS query_id, neighbor_id,
-        |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
-        | FROM sc QUALIFY rank <= 10
-        |), contribs AS (
-        | SELECT query_id, neighbor_id,
-        |  CAST(round(CAST(1.0 AS DOUBLE) / (60.0 + CAST(rank AS DOUBLE)), 12) AS DECIMAL(38,12)) AS c
-        | FROM dense
-        | UNION ALL
-        | SELECT query_id, neighbor_id,
-        |  CAST(round(CAST(1.0 AS DOUBLE) / (60.0 + CAST(rank AS DOUBLE)), 12) AS DECIMAL(38,12)) AS c
-        | FROM lexical
-        |), fused AS (
-        | SELECT query_id, neighbor_id, CAST(sum(c) AS DECIMAL(38,12)) AS score
-        | FROM contribs GROUP BY 1, 2
-        |)
-        |SELECT query_id, neighbor_id, score,
-        | CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INTEGER) AS rank
-        |FROM fused
-        |QUALIFY rank <= 10
-        |ORDER BY query_id, rank""".stripMargin,
+    // bm25_topk oracle with the 5-query fusion query set (same
+    // gate-registered literal idf discipline); rrf fuses the two ranked
+    // lists with exact DECIMAL(38,12) contribution sums.
+    "hybrid_rrf_topk" -> hybridRrfOracle(),
 
     // The greedy MMR selection unrolled as m=5 CTE steps: each step
     // picks the per-query argmax of 0.5*score - 0.5*best (ties to the
@@ -3613,55 +3728,7 @@ object SparkEntry {
 
     // the disjunctive bm25_topk oracle + a matched-term count compared
     // against each query's distinct-term total (AND semantics)
-    "bm25_topk_all" ->
-      """WITH d AS (
-        | SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS toks
-        | FROM documents
-        |), dl AS (
-        | SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d
-        |), tok AS (
-        | SELECT doc_id, unnest(toks) AS term FROM d
-        |), tf AS (
-        | SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
-        |), df AS (
-        | SELECT term, count(*) AS df FROM tf GROUP BY 1
-        |), st AS (
-        | SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl
-        |), q AS (
-        | SELECT * FROM (VALUES
-        |   (0, 'spark window merge'),
-        |   (1, 'customer order batch stream'),
-        |   (2, 'hash join table scan')) AS v(query_id, qtext)
-        |), qt AS (
-        | SELECT query_id,
-        |  unnest(list_distinct(list_filter(string_split_regex(trim(lower(qtext)), '\s+'), x -> x <> ''))) AS term
-        | FROM q
-        |), qn AS (
-        | SELECT query_id, count(*) AS nq FROM qt GROUP BY 1
-        |), sc AS (
-        | SELECT qt.query_id, tf.doc_id AS neighbor_id,
-        |  sum(CAST(round(
-        |    round(ln((CAST(st.n_docs AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
-        |              / (CAST(df.df AS DOUBLE) + 0.5) + 1.0), 6)
-        |    * (CAST(tf.tf AS DOUBLE) * 2.2
-        |       / (CAST(tf.tf AS DOUBLE)
-        |          + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl.dl AS DOUBLE)
-        |              / (CAST(st.sum_dl AS DOUBLE) / CAST(st.n_docs AS DOUBLE))))))
-        |  , 9) AS DECIMAL(38,9))) AS score,
-        |  count(*) AS nmatched
-        | FROM qt
-        | JOIN tf ON qt.term = tf.term
-        | JOIN df ON qt.term = df.term
-        | JOIN dl ON tf.doc_id = dl.doc_id, st
-        | GROUP BY 1, 2
-        |)
-        |SELECT CAST(sc.query_id AS BIGINT) AS query_id, sc.neighbor_id,
-        | CAST(sc.score AS DECIMAL(38,9)) AS score,
-        | CAST(ROW_NUMBER() OVER (PARTITION BY sc.query_id ORDER BY sc.score DESC, sc.neighbor_id) AS INTEGER) AS rank
-        |FROM sc JOIN qn ON sc.query_id = qn.query_id
-        |WHERE sc.nmatched = qn.nq
-        |QUALIFY rank <= 10
-        |ORDER BY query_id, rank""".stripMargin,
+    "bm25_topk_all" -> bm25TopKOracle(bm25Q3Values, "bm25_idf_q3", requireAll = true),
 
     // identical levenshtein + length arithmetic in the written order;
     // the >= cut compares the same doubles on both engines

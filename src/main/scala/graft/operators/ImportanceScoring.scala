@@ -94,6 +94,55 @@ object ImportanceScoring {
           6).cast(DecimalType(38, 6)).as("weight"))
   }
 
+  /** The per-bucket weight values of [[importanceWeights]], computed ON
+    * THE DRIVER: the two corpora compress to ≤`buckets`-row bucket
+    * histograms (collected — driver metadata, same profile as the IVF
+    * centroid fit), and the ln-ratio runs once per bucket JVM-side with
+    * the identical operand order (`java.lang.Math.log`, HALF_UP 6dp) —
+    * so the values EQUAL the engine-side table, but a gate built from
+    * them carries no libm call in its hash-compared surface (round 6:
+    * a last-ulp `ln` difference between DuckDB builds flipped rounded
+    * digits in all five ln-dependent gates). Index = bucket id.
+    */
+  def importanceWeightLiterals(
+      target: DataFrame,
+      raw: DataFrame,
+      textCol: String,
+      buckets: Int = DefaultBuckets,
+      salt: String = "dsir"
+  ): IndexedSeq[java.math.BigDecimal] = {
+    def hist(df: DataFrame): Map[Long, Long] =
+      hashedBucketCounts(df, textCol, buckets, salt)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val tc = hist(target)
+    val rc = hist(raw)
+    val tTot = tc.values.sum
+    val rTot = rc.values.sum
+    (0 until buckets).map { bkt =>
+      // mirrors importanceWeights' column expression operand-for-operand
+      val x = (tc.getOrElse(bkt.toLong, 0L) + 1).toDouble / (tTot + buckets).toDouble
+      val y = (rc.getOrElse(bkt.toLong, 0L) + 1).toDouble / (rTot + buckets).toDouble
+      java.math.BigDecimal.valueOf(math.log(x) - math.log(y))
+        .setScale(6, java.math.RoundingMode.HALF_UP)
+    }
+  }
+
+  /** The literal weight table as a DataFrame `(bucket, weight
+    * DECIMAL(38,6))` — drop-in for [[scoreDocs]]' `weights` argument.
+    */
+  def weightsTableFromLiterals(
+      spark: org.apache.spark.sql.SparkSession,
+      lits: IndexedSeq[java.math.BigDecimal]
+  ): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val schema = StructType(Seq(
+      StructField("bucket", LongType, nullable = false),
+      StructField("weight", DecimalType(38, 6), nullable = false)))
+    val rows = lits.zipWithIndex.map { case (w, i) => Row(i.toLong, w) }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
   /** Per-document importance score: Σ weight(bucket(token)) as
     * DECIMAL(38,6). One narrow explode, a broadcast join on the
     * `buckets`-row table, one map-side-combined sum — token payloads
@@ -200,6 +249,87 @@ object ImportanceScoring {
       .join(broadcast(c2), Seq("bp", "bc"), "left")
       .join(broadcast(c1), Seq("bp"), "left")
       .select(col(idCol), w.as("_w"))
+      .groupBy(col(idCol))
+      .agg(sum(col("_w")).cast(DecimalType(38, 6)).as("lm_sum"),
+        count(lit(1)).as("n_bigrams"))
+      .select(col(idCol), col("lm_sum"), col("n_bigrams"),
+        (col("lm_sum").cast(DoubleType) / col("n_bigrams").cast(DoubleType))
+          .as("mean_logp"))
+  }
+
+  /** The complete `(a, b) → weight` lookup table for the bigram LM,
+    * computed ON THE DRIVER: `a = c2+1` (smoothed bigram count), `b =
+    * c1+buckets` (smoothed context total), `weight = round₆(ln(a/b))`
+    * — identical values to [[lmScoreDocs]]' engine-side `ln` (same
+    * operand order, `java.lang.Math.log`, HALF_UP 6dp). "Complete"
+    * means every lookup a scoring pass can hit: each observed
+    * `(c2+1, c1+B)`, each context's unobserved-bigram `(1, c1+B)`, and
+    * the unknown-context default `(1, B)`. The table is tiny — distinct
+    * (count, total) COMBINATIONS, not distinct bigrams — because count
+    * values repeat heavily (Zipf); collecting the observed-bigram table
+    * (≤ B² rows, B-sized in practice) is the same driver profile as the
+    * DSIR histogram collect.
+    */
+  def lmWeightLiterals(
+      target: DataFrame,
+      targetTextCol: String,
+      buckets: Int = DefaultBuckets,
+      salt: String = "dsir"
+  ): Seq[(Long, Long, java.math.BigDecimal)] = {
+    val c2rows = bigramPairs(target, Seq.empty, targetTextCol, buckets, salt)
+      .groupBy("bp", "bc").agg(count(lit(1)).as("c2"))
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val c1Map = c2rows.groupBy(_._1).map { case (bp, xs) => bp -> xs.map(_._2).sum }
+    val keys =
+      c2rows.map { case (bp, c2) => (c2 + 1, c1Map(bp) + buckets) }.toSet ++
+        c1Map.values.map(c1 => (1L, c1 + buckets)) +
+        ((1L, buckets.toLong))
+    keys.toSeq.sorted.map { case (a, b) =>
+      // mirrors lmScoreDocs' weight column operand-for-operand
+      val w = java.math.BigDecimal.valueOf(math.log(a.toDouble / b.toDouble))
+        .setScale(6, java.math.RoundingMode.HALF_UP)
+      (a, b, w)
+    }
+  }
+
+  /** [[lmScoreDocs]] with the log-prob weights supplied as the
+    * driver-computed literal table from [[lmWeightLiterals]] instead of
+    * an engine-side `ln` — the gate-portable form. The exact integer
+    * counts (c2, c1) are still computed engine-side; only the
+    * transcendental is replaced by a broadcast lookup on
+    * `(c2+1, c1+buckets)`. Scores are identical whenever the literals
+    * came from the same target corpus.
+    */
+  def lmScoreDocsWithTable(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      target: DataFrame,
+      targetTextCol: String,
+      wt: Seq[(Long, Long, java.math.BigDecimal)],
+      buckets: Int = DefaultBuckets,
+      salt: String = "dsir"
+  ): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val spark = docs.sparkSession
+    val schema = StructType(Seq(
+      StructField("_a", LongType, nullable = false),
+      StructField("_b", LongType, nullable = false),
+      StructField("_w", DecimalType(38, 6), nullable = false)))
+    val wtDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(wt.map { case (a, b, w) => Row(a, b, w) }, 1),
+      schema)
+    val c2 = bigramPairs(target, Seq.empty, targetTextCol, buckets, salt)
+      .groupBy("bp", "bc").agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy("bp").agg(sum(col("c2")).as("c1"))
+    bigramPairs(docs, Seq(idCol), textCol, buckets, salt)
+      .join(broadcast(c2), Seq("bp", "bc"), "left")
+      .join(broadcast(c1), Seq("bp"), "left")
+      .select(col(idCol),
+        (coalesce(col("c2"), lit(0L)) + 1).cast(LongType).as("_a"),
+        (coalesce(col("c1"), lit(0L)) + buckets).cast(LongType).as("_b"))
+      .join(broadcast(wtDf), Seq("_a", "_b"))
       .groupBy(col(idCol))
       .agg(sum(col("_w")).cast(DecimalType(38, 6)).as("lm_sum"),
         count(lit(1)).as("n_bigrams"))

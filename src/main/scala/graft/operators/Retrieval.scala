@@ -24,11 +24,16 @@ import graft.functions.TextFunctions
  * postings again; the per-(query, doc) reduction and the k-bounded
  * `graft_topk` heap aggregate the small scored slice.
  *
- * Determinism: idf is rounded to 6 dp (`ln` is the one libm-dependent
- * step), each per-term contribution to 9 dp, and the per-doc score is
- * an EXACT DECIMAL(38,9) sum of those contributions — so an external
- * engine re-running the same formula reproduces scores bit-for-bit
- * regardless of summation order (the `dsir_scores` convention).
+ * Determinism: idf is rounded to 6 dp, each per-term contribution to
+ * 9 dp, and the per-doc score is an EXACT DECIMAL(38,9) sum of those
+ * contributions — so an external engine re-running the same formula
+ * reproduces scores bit-for-bit regardless of summation order (the
+ * `dsir_scores` convention). `ln` is the one libm-dependent step, and
+ * rounding does NOT make it portable (a last-ulp difference near a
+ * 0.5e-6 boundary flips the rounded digit — observed across DuckDB
+ * builds in round 6): hash-compared gates must use
+ * [[queryIdfLiterals]] + [[bm25TopKWithIdf]], which evaluate `ln` once
+ * on the driver and feed both engines the identical literal table.
  */
 object Retrieval {
 
@@ -75,6 +80,73 @@ object Retrieval {
         explode(TextFunctions.tokens(lower(col(textCol)))).as("term"))
       .groupBy("id", "term").agg(count(lit(1)).as("tf"))
 
+  /** The 6dp idf literals for a metadata-sized query set, computed ON
+    * THE DRIVER from exact integer counts (N, per-term df): idf(t) =
+    * round₆(ln((N − df + 0.5)/(df + 0.5) + 1)). Values are IDENTICAL to
+    * the engine-side formula ([[bm25TopK]] mirrors the same operand
+    * order through `java.lang.Math.log` and a HALF_UP 6dp round), but
+    * the transcendental runs exactly once, JVM-side — so a gate built
+    * from these literals carries no libm dependence in its
+    * hash-compared surface (a last-ulp `ln` difference between DuckDB
+    * builds flipped the rounded digit in round 6). Two metadata-sized
+    * collects: the distinct query terms, and their df counts.
+    */
+  def queryIdfLiterals(
+      docs: DataFrame,
+      textCol: String,
+      queries: DataFrame,
+      queryTextCol: String
+  ): Seq[(String, java.math.BigDecimal)] = {
+    val nDocs = docs.count()
+    val terms = queries
+      .select(explode(array_distinct(TextFunctions.tokens(lower(col(queryTextCol)))))
+        .as("term"))
+      .distinct().collect().map(_.getString(0)).toSeq.sorted
+    val dfMap = docs
+      .select(explode(array_distinct(TextFunctions.tokens(lower(col(textCol)))))
+        .as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    terms.map { t =>
+      val df = dfMap.getOrElse(t, 0L).toDouble
+      // operand order mirrors rankPostings' idf6 column exactly
+      val raw = math.log((nDocs.toDouble - df + 0.5) / (df + 0.5) + 1.0)
+      t -> java.math.BigDecimal.valueOf(raw)
+        .setScale(6, java.math.RoundingMode.HALF_UP)
+    }
+  }
+
+  /** [[bm25TopK]] with the idf table supplied as driver-computed
+    * literals (from [[queryIdfLiterals]]) instead of an engine-side
+    * `ln` — the gate-portable form; scores are identical whenever the
+    * literals were computed over the same corpus.
+    */
+  def bm25TopKWithIdf(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryTextCol: String,
+      idf: Seq[(String, java.math.BigDecimal)],
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      requireAllTerms: Boolean = false
+  ): DataFrame = {
+    val tf = buildPostings(docs, idCol, textCol)
+    val doclen = tf.groupBy("id").agg(sum(col("tf")).as("dl"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(tf.agg(coalesce(sum(col("tf")), lit(0L)).as("sum_dl")))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val idfTable = idf.map { case (t, v) => (t, v.doubleValue()) }
+      .toDF("term", "idf")
+    rankPostings(tf, doclen, stats, queries, queryIdCol, queryTextCol, k, k1, b,
+      requireAllTerms, idfTable = Some(idfTable))
+  }
+
   /** BM25 top-k against a PREBUILT postings table (e.g. the committed
     * version of the streaming index). Document length derives from the
     * postings themselves (`dl = Σ_t tf`), so docs that produced zero
@@ -109,9 +181,9 @@ object Retrieval {
       k: Int,
       k1: Double,
       b: Double,
-      requireAllTerms: Boolean
+      requireAllTerms: Boolean,
+      idfTable: Option[DataFrame] = None // (term, idf DOUBLE) literals
   ): DataFrame = {
-    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val qterms = queries.select(
       col(queryIdCol).as("query_id"),
       explode(array_distinct(TextFunctions.tokens(lower(col(queryTextCol)))))
@@ -127,10 +199,17 @@ object Retrieval {
     val tfd = col("tf").cast(DoubleType)
     val tfnorm = tfd * lit(k1 + 1.0) /
       (tfd + lit(k1) * (lit(1.0) - lit(b) + lit(b) * (col("dl").cast(DoubleType) / avgdl)))
-    val contrib = round(idf6 * tfnorm, 9).cast(DecimalType(38, 9))
-    val scoredBase = broadcast(qterms)
-      .join(tf, Seq("term"))
-      .join(df, Seq("term"))
+    // idf: either the engine formula joined per-term df, or a
+    // driver-computed literal table (the gate-portable path — the
+    // query-term idf set is metadata-sized, so the join broadcasts)
+    val (idfCol, joinIdf) = idfTable match {
+      case Some(t) => (col("idf"), (d: DataFrame) => d.join(broadcast(t), Seq("term")))
+      case None =>
+        val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        (idf6, (d: DataFrame) => d.join(df, Seq("term")))
+    }
+    val contrib = round(idfCol * tfnorm, 9).cast(DecimalType(38, 9))
+    val scoredBase = joinIdf(broadcast(qterms).join(tf, Seq("term")))
       .join(doclen, Seq("id"))
       .crossJoin(broadcast(stats))
       .groupBy(col("query_id"), col("id").as("neighbor_id"))

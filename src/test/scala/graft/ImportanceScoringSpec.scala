@@ -68,4 +68,56 @@ class ImportanceScoringSpec extends SparkSpec {
       ImportanceScoring.tokenBucket(lit("x"), 100, "dsir")
     }
   }
+
+  test("importanceWeightLiterals ≡ engine-ln importanceWeights, bit for bit") {
+    // the gate-portability contract: the driver-computed weight table
+    // (JVM ln over collected exact histograms) reproduces the
+    // engine-side table value-for-value, so scoreDocs over the literal
+    // table is a drop-in for the ln path
+    val target = Seq.tabulate(10)(i =>
+      (i.toLong, "spark shuffle partition join")).toDF("id", "text")
+    val raw = target.union(Seq.tabulate(10)(i =>
+      ((100 + i).toLong, "cat dog fish bird")).toDF("id", "text"))
+    val lits = ImportanceScoring.importanceWeightLiterals(target, raw, "text",
+      buckets = 256)
+    assert(lits.size == 256 && lits.forall(_.scale == 6))
+    val engine = ImportanceScoring.importanceWeights(target, raw, "text",
+        buckets = 256)
+      .as[(Long, java.math.BigDecimal)].collect()
+      .map(r => r._1 -> r._2).toMap
+    assert((0 until 256).forall(b =>
+      engine(b.toLong).compareTo(lits(b)) == 0))
+    val viaLit = ImportanceScoring.scoreDocs(raw, "id", "text",
+        ImportanceScoring.weightsTableFromLiterals(spark, lits), buckets = 256)
+      .as[(Long, java.math.BigDecimal)].collect().toSet
+    val viaLn = ImportanceScoring.scoreDocs(raw, "id", "text",
+        ImportanceScoring.importanceWeights(target, raw, "text", buckets = 256),
+        buckets = 256)
+      .as[(Long, java.math.BigDecimal)].collect().toSet
+    assert(viaLit == viaLn)
+  }
+
+  test("lmWeightLiterals + lmScoreDocsWithTable ≡ engine-ln lmScoreDocs") {
+    val target = Seq.tabulate(10)(i =>
+      (i.toLong, "the quick brown fox jumps over the lazy dog")).toDF("id", "text")
+    val docs = Seq(
+      (100L, "the quick brown fox jumps"),
+      (101L, "fox the jumps quick brown"),
+      (102L, "zq xv jk wp mn"),
+      (103L, "solo")
+    ).toDF("id", "text")
+    val wt = ImportanceScoring.lmWeightLiterals(target, "text", buckets = 256)
+    // covers the unknown-context default and all observed contexts
+    assert(wt.exists { case (a, b, _) => a == 1L && b == 256L })
+    assert(wt.forall(_._3.scale == 6))
+    val viaTable = ImportanceScoring.lmScoreDocsWithTable(docs, "id", "text",
+        target, "text", wt, buckets = 256)
+      .select("id", "lm_sum", "n_bigrams", "mean_logp")
+      .as[(Long, java.math.BigDecimal, Long, Double)].collect().toSet
+    val viaLn = ImportanceScoring.lmScoreDocs(docs, "id", "text",
+        target, "text", buckets = 256)
+      .select("id", "lm_sum", "n_bigrams", "mean_logp")
+      .as[(Long, java.math.BigDecimal, Long, Double)].collect().toSet
+    assert(viaTable == viaLn)
+  }
 }

@@ -109,4 +109,36 @@ class RetrievalSpec extends SparkSpec {
       .orderBy("rank").select("neighbor_id", "rank").as[(Long, Int)].collect().toSeq
     assert(single == Seq((7L, 1), (8L, 2)))
   }
+
+  test("queryIdfLiterals + bm25TopKWithIdf ≡ engine-ln bm25TopK, bit for bit") {
+    // the gate-portability contract: the driver-computed 6dp idf table
+    // (one JVM ln per term) reproduces the engine-side formula exactly,
+    // so the literal-table scorer is a drop-in for bm25TopK — in both
+    // disjunctive and conjunctive modes
+    val q = Seq(
+      (10L, "apple banana"),
+      (11L, "cherry dog apple"),
+      (12L, "zebra")).toDF("query_id", "qtext")
+    val idf = Retrieval.queryIdfLiterals(corpus, "text", q, "qtext")
+    // every distinct query term present, 6dp scale
+    assert(idf.map(_._1).toSet ==
+      Set("apple", "banana", "cherry", "dog", "zebra"))
+    assert(idf.forall(_._2.scale == 6))
+    for (requireAll <- Seq(false, true)) {
+      val viaLn = Retrieval.bm25TopK(corpus, "doc_id", "text", q,
+          "query_id", "qtext", k = 10, requireAllTerms = requireAll)
+        .select("query_id", "neighbor_id", "score", "rank")
+        .as[(Long, Long, java.math.BigDecimal, Int)].collect().toSet
+      val viaTable = Retrieval.bm25TopKWithIdf(corpus, "doc_id", "text", q,
+          "query_id", "qtext", idf, k = 10, requireAllTerms = requireAll)
+        .select("query_id", "neighbor_id", "score", "rank")
+        .as[(Long, Long, java.math.BigDecimal, Int)].collect().toSet
+      assert(viaTable == viaLn, s"requireAllTerms=$requireAll")
+    }
+    // the literal idf join broadcasts (metadata-sized table)
+    val plan = Retrieval.bm25TopKWithIdf(corpus, "doc_id", "text", q,
+        "query_id", "qtext", idf, k = 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Broadcast"), plan)
+  }
 }
