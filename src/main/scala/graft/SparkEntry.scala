@@ -1505,6 +1505,32 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- retrieval over the STREAMING-BUILT index: two micro-batch
+    //      slices flow through applyBm25IndexBatch (the bm25IndexStream
+    //      foreachBatch body — versioned state + _CURRENT commit), then
+    //      the committed postings are scored with bm25TopKFromPostings.
+    //      No zero-token docs exist in the corpus, so postings-derived
+    //      (N, avgdl) equal the corpus stats and the bm25_topk oracle
+    //      chain is the exact oracle; same literal-idf discipline
+    "bm25_topk_indexed" -> ((s, dir) => {
+      import graft.streaming.StreamingOps
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val queries = bm25GateQueries3(s)
+      val statePath = java.nio.file.Files
+        .createTempDirectory("graft_bm25idx").toString
+      StreamingOps.applyBm25IndexBatch(s,
+        docs.filter(col("doc_id") % 2 === 0), 0L, "text", "doc_id", statePath)
+      StreamingOps.applyBm25IndexBatch(s,
+        docs.filter(col("doc_id") % 2 =!= 0), 1L, "text", "doc_id", statePath)
+      val postings = StreamingOps.readState(s, statePath)
+        .getOrElse(sys.error(s"no committed bm25 index at $statePath"))
+      val idf = Retrieval.queryIdfLiterals(docs, "text", queries, "qtext")
+      GateTables.put("bm25_idf_q3i", idfValuesRows(idf))
+      Retrieval.bm25TopKFromPostingsWithIdf(postings,
+          queries, "query_id", "qtext", idf, k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- dedup: SemDeDup — k-means clusters, within-cluster cosine
     //      pairs. Planted exact copies share their argmax centroid, so
     //      the within-cluster scan finds every planted pair; the corpus
@@ -3729,6 +3755,12 @@ object SparkEntry {
     // the disjunctive bm25_topk oracle + a matched-term count compared
     // against each query's distinct-term total (AND semantics)
     "bm25_topk_all" -> bm25TopKOracle(bm25Q3Values, "bm25_idf_q3", requireAll = true),
+
+    // scoring the streaming-built committed index == scoring the corpus
+    // directly (append-only slices partition the corpus; no zero-token
+    // docs), so the oracle is the bm25_topk chain with this gate's own
+    // registered idf table
+    "bm25_topk_indexed" -> bm25TopKOracle(bm25Q3Values, "bm25_idf_q3i", requireAll = false),
 
     // identical levenshtein + length arithmetic in the written order;
     // the >= cut compares the same doubles on both engines

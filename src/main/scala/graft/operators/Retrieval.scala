@@ -171,6 +171,33 @@ object Retrieval {
       k, k1, b, requireAllTerms)
   }
 
+  /** [[bm25TopKFromPostings]] with driver-computed idf literals — the
+    * gate-portable form for scoring a committed (e.g. streaming-built)
+    * index; see [[bm25TopKWithIdf]].
+    */
+  def bm25TopKFromPostingsWithIdf(
+      postings: DataFrame,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryTextCol: String,
+      idf: Seq[(String, java.math.BigDecimal)],
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      requireAllTerms: Boolean = false
+  ): DataFrame = {
+    val doclen = postings.groupBy("id").agg(sum(col("tf")).as("dl"))
+    val stats = doclen.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("sum_dl"))
+    val spark = postings.sparkSession
+    import spark.implicits._
+    val idfTable = idf.map { case (t, v) => (t, v.doubleValue()) }
+      .toDF("term", "idf")
+    rankPostings(postings, doclen, stats, queries, queryIdCol, queryTextCol,
+      k, k1, b, requireAllTerms, idfTable = Some(idfTable))
+  }
+
   private def rankPostings(
       tf: DataFrame,
       doclen: DataFrame,

@@ -140,5 +140,16 @@ class RetrievalSpec extends SparkSpec {
         "query_id", "qtext", idf, k = 10)
       .queryExecution.executedPlan.toString
     assert(plan.contains("Broadcast"), plan)
+    // the prebuilt-postings scorer agrees when every doc has tokens
+    val viaPostings = Retrieval.bm25TopKFromPostingsWithIdf(
+        Retrieval.buildPostings(corpus, "doc_id", "text"),
+        q, "query_id", "qtext", idf, k = 10)
+      .select("query_id", "neighbor_id", "score", "rank")
+      .as[(Long, Long, java.math.BigDecimal, Int)].collect().toSet
+    val direct = Retrieval.bm25TopKWithIdf(corpus, "doc_id", "text", q,
+        "query_id", "qtext", idf, k = 10)
+      .select("query_id", "neighbor_id", "score", "rank")
+      .as[(Long, Long, java.math.BigDecimal, Int)].collect().toSet
+    assert(viaPostings == direct)
   }
 }
