@@ -3670,13 +3670,14 @@ object SparkEntry {
         |        CAST(unnest(embedding) AS DOUBLE) AS x
         | FROM embeddings
         |)
-        |SELECT CAST(dim AS INTEGER) AS dim, CAST(count(*) AS BIGINT) AS n,
+        |SELECT CAST(dim AS INTEGER) AS dim, CAST(count(x) AS BIGINT) AS n,
+        | CAST(count(*) - count(x) AS BIGINT) AS nulls,
         | min(x) AS min, max(x) AS max,
-        | CAST(sum(CAST(round(x, 9) AS DECIMAL(38,9))) AS DOUBLE) / count(*) AS mean,
+        | CAST(sum(CAST(round(x, 9) AS DECIMAL(38,9))) AS DOUBLE) / count(x) AS mean,
         | sqrt(GREATEST(
-        |   CAST(sum(CAST(round(x * x, 9) AS DECIMAL(38,9))) AS DOUBLE) / count(*)
-        |   - (CAST(sum(CAST(round(x, 9) AS DECIMAL(38,9))) AS DOUBLE) / count(*))
-        |     * (CAST(sum(CAST(round(x, 9) AS DECIMAL(38,9))) AS DOUBLE) / count(*)), 0.0)) AS std
+        |   CAST(sum(CAST(round(x * x, 9) AS DECIMAL(38,9))) AS DOUBLE) / count(x)
+        |   - (CAST(sum(CAST(round(x, 9) AS DECIMAL(38,9))) AS DOUBLE) / count(x))
+        |     * (CAST(sum(CAST(round(x, 9) AS DECIMAL(38,9))) AS DOUBLE) / count(x)), 0.0)) AS std
         |FROM x GROUP BY 1
         |ORDER BY 1""".stripMargin,
 

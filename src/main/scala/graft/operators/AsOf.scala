@@ -123,17 +123,20 @@ object AsOf {
     // _t <= leftTs, forward at _t >= leftTs), so plain subtraction in
     // the ts column's own type compares exactly — numeric ts diff as
     // numbers, TIMESTAMP diff as microsecond intervals; no lossy casts.
-    // Null-ts left rows: both distances go null, the comparison is
-    // false, and the backward candidate wins — same rows out as the
-    // directional joins (nothing dropped).
+    // Null-ts left rows have no position in time: the leading isNotNull
+    // guard forces a null match (without it the desc window's
+    // nulls-last placement hands them the minimum-ts right row via _mf)
+    // — row preserved, matched null, same convention as the directional
+    // joins.
     val bdist = col("_t") - col("_mb._t")
     val fdist = col("_mf._t") - col("_t")
     bounded
       .withColumn("matched",
-        when(col("_mb").isNull, col("_mf"))
-          .when(col("_mf").isNull, col("_mb"))
-          .when(fdist < bdist, col("_mf"))
-          .otherwise(col("_mb")))
+        when(col("_t").isNotNull,
+          when(col("_mb").isNull, col("_mf"))
+            .when(col("_mf").isNull, col("_mb"))
+            .when(fdist < bdist, col("_mf"))
+            .otherwise(col("_mb"))))
       .select(leftCols.map(n => col(s"_l.$n").as(n)) :+ col("matched"): _*)
   }
 
@@ -242,8 +245,13 @@ object AsOf {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(tsOrder, col("_side"), col("_tie"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // null-ts left rows have no position in time → null match. Backward
+    // gets this for free (asc sorts nulls FIRST: nothing precedes), but
+    // forward's desc order sorts nulls LAST, where the running last()
+    // would hand them the minimum-ts right row — guard explicitly.
     val carried = unioned
-      .withColumn("_match", last(col("_m"), ignoreNulls = true).over(w))
+      .withColumn("_match",
+        when(col("_t").isNotNull, last(col("_m"), ignoreNulls = true).over(w)))
       .filter(col("_side") === 1)
     val bounded = tolerance match {
       case Some(tol) if forward =>

@@ -184,7 +184,8 @@ object Profile {
   /** Per-DIMENSION profile of an `Array[Float|Double]` embedding
     * column — the vector-store QC pass (dead dimensions, scale drift,
     * collapsed variance) run before indexing or quantizing a corpus:
-    * one row per dimension index — (dim, n, min, max, mean, std).
+    * one row per dimension index — (dim, n non-null, nulls, min, max,
+    * mean, std).
     *
     * Shape: `posexplode` fans each vector into (dim, value) pairs,
     * then ONE hash aggregate with map-side partial combine — each task
@@ -207,7 +208,12 @@ object Profile {
     df.select(posexplode(col(vecCol)).as(Seq("dim", "x")))
       .groupBy(col("dim"))
       .agg(
-        count(lit(1)).as("n"),
+        // n counts NON-NULL elements only — sum/min/max skip nulls, so
+        // a count(*) denominator would silently deflate mean/std on
+        // vectors containing null elements (the numeric() convention:
+        // n + an explicit nulls column)
+        count(when(x.isNotNull, lit(1))).as("n"),
+        sum(when(x.isNull, 1L).otherwise(0L)).as("nulls"),
         min(x).as("min"),
         max(x).as("max"),
         sum(round(x, sumScale).cast(dec)).cast(DoubleType).as("_sm"),
@@ -215,6 +221,7 @@ object Profile {
       .select(
         col("dim"),
         col("n"),
+        col("nulls"),
         col("min"),
         col("max"),
         (col("_sm") / col("n")).as("mean"),

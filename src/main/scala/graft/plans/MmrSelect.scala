@@ -34,9 +34,12 @@ import org.apache.spark.sql.types._
  * step is fixed-order IEEE, so an external engine replays the exact
  * selection (the gate's DuckDB oracle unrolls the m steps as CTEs).
  *
- * Candidates with a null/length-mismatched vector are EXCLUDED before
- * selection (a vector that can't enter the sim term can't be
- * diversified against); a null candidate array returns null.
+ * Candidates with a null vector, or whose length differs from the
+ * expected dimensionality, are EXCLUDED before selection (a vector
+ * that can't enter the sim term can't be diversified against); the
+ * expected dimensionality is the MODE of candidate vector lengths
+ * (smallest wins ties) so one malformed candidate can never evict the
+ * well-formed rest; a null candidate array returns null.
  */
 case class MmrSelect(
     child: Expression,
@@ -76,11 +79,33 @@ case class MmrSelect(
   def select(candidates: ArrayData): ArrayData = {
     val fl = vecIsFloat
     val nIn = candidates.numElements()
-    // parse + drop null/malformed-vector candidates (dim = first seen)
+    // expected dimensionality = the MODE of candidate vector lengths
+    // (smallest length wins ties, deterministically) — taking the first
+    // seen length let a single malformed-length first candidate
+    // silently exclude every well-formed one
+    val lens = new java.util.HashMap[Integer, Integer]()
+    var c0 = 0
+    while (c0 < nIn) {
+      if (!candidates.isNullAt(c0)) {
+        val row = candidates.getStruct(c0, 3)
+        if (!row.isNullAt(0) && !row.isNullAt(1) && !row.isNullAt(2))
+          lens.merge(row.getArray(2).numElements(),
+            1, (a: Integer, b: Integer) => Integer.valueOf(a.intValue + b.intValue))
+      }
+      c0 += 1
+    }
+    var dim = -1
+    var dimCnt = 0
+    val it = lens.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val (len, cnt) = (e.getKey.intValue(), e.getValue.intValue())
+      if (cnt > dimCnt || (cnt == dimCnt && len < dim)) { dim = len; dimCnt = cnt }
+    }
+    // parse + drop null/malformed-vector candidates
     val ids = new Array[Long](nIn)
     val scores = new Array[Double](nIn)
     val vecs = new Array[Array[Double]](nIn)
-    var dim = -1
     var n = 0
     var c = 0
     while (c < nIn) {
@@ -89,7 +114,6 @@ case class MmrSelect(
         if (!row.isNullAt(0) && !row.isNullAt(1) && !row.isNullAt(2)) {
           val va = row.getArray(2)
           val len = va.numElements()
-          if (dim < 0) dim = len
           if (len == dim && dim > 0) {
             var ok = true
             val v = new Array[Double](len)

@@ -102,7 +102,23 @@ class AsOfSpec extends SparkSpec {
       .as[(Long, Option[Long])].collect().toMap
     assert(out.keySet == Set(1L, 2L, 3L), "every left row must survive")
     assert(out(1L).contains(100L))
+    // a null-ts row has no position in time: matched must be null (the
+    // desc window's nulls-last placement would otherwise hand it the
+    // minimum-ts right row through the forward candidate)
+    assert(out(2L).isEmpty)
     assert(out(3L).isEmpty) // no right rows under a null key
+    // same convention in BOTH directional joins (forward is the exposed
+    // case — its desc order sorts null ts last, after every right row)
+    for (dir <- Seq("fwd", "back")) {
+      val d = if (dir == "fwd")
+        AsOf.joinForward(nl, right, Seq("user"), "t", "rt", tieBreak = Some("seq"))
+      else
+        AsOf.joinBackward(nl, right, Seq("user"), "t", "rt", tieBreak = Some("seq"))
+      val m = d.select(col("id"), col("matched._t").as("mt"))
+        .as[(Long, Option[Long])].collect().toMap
+      assert(m(2L).isEmpty, s"$dir: null-ts row must match nothing")
+      assert(m.keySet == Set(1L, 2L, 3L), s"$dir: rows preserved")
+    }
   }
 
   test("one shuffle per side: the plan sorts within key partitions, no range join") {

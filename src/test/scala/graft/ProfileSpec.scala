@@ -86,6 +86,23 @@ class ProfileSpec extends SparkSpec {
     assert(plan.split("Exchange").length - 1 == 1, plan)
   }
 
+  test("vector profile: null elements excluded from n, counted in nulls, mean undeflated") {
+    // sum/min/max skip nulls, so n must too — otherwise a null element
+    // deflates mean and std silently (the numeric() convention)
+    val df = Seq(
+      Tuple1(Array[java.lang.Float](1.0f, 2.0f)),
+      Tuple1(Array[java.lang.Float](3.0f, null)),
+      Tuple1(Array[java.lang.Float](5.0f, 4.0f))
+    ).toDF("v")
+    val got = Profile.vector(df, "v")
+      .select("dim", "n", "nulls", "mean", "std")
+      .as[(Int, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(0) == ((0, 3L, 0L, 3.0, math.sqrt(35.0 / 3.0 - 9.0))))
+    assert(got(1)._2 == 2L && got(1)._3 == 1L)
+    assert(got(1)._4 == 3.0, s"mean over the 2 non-null values: ${got(1)}")
+  }
+
   test("winsorize: clips at exact percentile bounds, nulls untouched, clip is narrow") {
     val df = ((1 to 100).map(i => (i.toLong, Some(i.toDouble))) :+
       (101L, None: Option[Double])).toDF("id", "x")

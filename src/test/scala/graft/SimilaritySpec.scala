@@ -279,6 +279,21 @@ class SimilaritySpec extends SparkSpec {
     assert(out.contains((1L, 8L, 1)) && !out.exists(r => r._1 == 1L && r._2 == 7L))
   }
 
+  test("mmrRerank: one malformed-length candidate never evicts the well-formed rest") {
+    // candidate id 1 sorts FIRST (ascending id) and has the wrong
+    // length — dimensionality is the mode of candidate lengths, so ids
+    // 2..4 survive and id 1 is the one excluded
+    val cands = Seq(
+      (0L, 1L, 9.0, Array(1.0, 0.0, 0.0)), // malformed: 3-dim
+      (0L, 2L, 1.0, Array(1.0, 0.0)),
+      (0L, 3L, 0.8, Array(0.0, 1.0)),
+      (0L, 4L, 0.5, Array(1.0, 1.0))
+    ).toDF("query_id", "neighbor_id", "score", "vec")
+    val out = Similarity.mmrRerank(cands, m = 4, lambda = 0.5)
+      .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
+    assert(out == Seq(2L, 3L, 4L), s"got $out")
+  }
+
   test("mmrRerank cosine: scale-invariant penalty picks the orthogonal doc") {
     // id 2's vector is a SCALED copy of id 1's: cosine penalty 1.0
     // regardless of magnitude, so id 3 (orthogonal) ranks second
