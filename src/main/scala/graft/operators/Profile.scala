@@ -249,18 +249,84 @@ object Profile {
       colName: String,
       probs: Seq[Double]
   ): Option[Seq[Double]] = {
-    val row = df.groupBy(col(colName).cast(DoubleType).as("v"))
-      .agg(count(lit(1)).as("cnt"))
-      .agg(expr(s"percentile(v, array(${probs.mkString(", ")}), cnt)").as("b"))
-      .collect()(0)
+    val row = exactPercentileAgg(df, colName, probs).collect()(0)
     if (row.isNullAt(0)) None else Some(row.getSeq[Double](0))
   }
+
+  /** The one-row exact aggregate behind [[exactPercentiles]] — factored
+    * out so the property that keeps the family viable at scale is
+    * directly assertable in specs: the `percentile` aggregate reduces
+    * the distinct-VALUE histogram (post-groupBy, frequency-weighted),
+    * never raw rows — its single-reduce working set is ∝ |distinct
+    * values|, the operator's contract (bounded-cardinality columns;
+    * continuous columns route via [[approxPercentiles]]).
+    */
+  private[graft] def exactPercentileAgg(
+      df: DataFrame,
+      colName: String,
+      probs: Seq[Double]
+  ): DataFrame =
+    df.groupBy(col(colName).cast(DoubleType).as("v"))
+      .agg(count(lit(1)).as("cnt"))
+      .agg(expr(s"percentile(v, array(${probs.mkString(", ")}), cnt)").as("b"))
+
+  /** SKETCH-based percentile bounds — the scale path of
+    * [[exactPercentiles]] for genuinely continuous columns: the exact
+    * path reduces a distinct-value histogram whose FINAL-MERGE memory
+    * is ∝ |distinct values| (fine for bounded-cardinality columns,
+    * hostile at 100× on a continuous one), while `approx_percentile`'s
+    * mergeable sketch holds ≤ `accuracy` samples at every stage
+    * regardless of cardinality. Bounds are approximate (rank error ≤
+    * 1/accuracy, and the sketch returns an observed value rather than
+    * interpolating between two) — for clipping/scaling BOUNDS that is
+    * the right trade; everything downstream of the bounds stays narrow
+    * and exact relative to them. Null when the column has no non-null
+    * values.
+    */
+  def approxPercentiles(
+      df: DataFrame,
+      colName: String,
+      probs: Seq[Double],
+      accuracy: Int = 10000
+  ): Option[Seq[Double]] = {
+    val row = approxPercentileAgg(df, colName, probs, accuracy).collect()(0)
+    if (row.isNullAt(0)) None else Some(row.getSeq[Double](0))
+  }
+
+  /** The one-row sketch aggregate behind [[approxPercentiles]] —
+    * factored out so the plan shape (grand aggregate over raw rows, NO
+    * distinct-value groupBy) is directly assertable in specs.
+    */
+  private[graft] def approxPercentileAgg(
+      df: DataFrame,
+      colName: String,
+      probs: Seq[Double],
+      accuracy: Int
+  ): DataFrame = {
+    require(accuracy > 0, s"approxPercentiles: accuracy must be positive")
+    df.select(col(colName).cast(DoubleType).as("v"))
+      .agg(expr(
+        s"approx_percentile(v, array(${probs.mkString(", ")}), $accuracy)")
+        .as("b"))
+  }
+
+  private def percentileBounds(
+      df: DataFrame,
+      colName: String,
+      probs: Seq[Double],
+      approxBounds: Boolean,
+      accuracy: Int
+  ): Option[Seq[Double]] =
+    if (approxBounds) approxPercentiles(df, colName, probs, accuracy)
+    else exactPercentiles(df, colName, probs)
 
   def winsorize(
       df: DataFrame,
       colName: String,
       loP: Double = 0.05,
-      hiP: Double = 0.95
+      hiP: Double = 0.95,
+      approxBounds: Boolean = false, // sketch bounds: the continuous-column scale path
+      accuracy: Int = 10000
   ): DataFrame = {
     require(loP >= 0 && hiP <= 1 && loP <= hiP,
       s"winsorize: need 0 <= loP <= hiP <= 1, got ($loP, $hiP)")
@@ -272,7 +338,7 @@ object Profile {
       df.schema(colName).dataType == FloatType,
       s"winsorize: $colName must be float/double — interpolated bounds " +
         "don't round-trip through integer or decimal types")
-    exactPercentiles(df, colName, Seq(loP, hiP)) match {
+    percentileBounds(df, colName, Seq(loP, hiP), approxBounds, accuracy) match {
       // no non-null values -> nothing to bound, nothing to clip
       case None => df
       case Some(Seq(lo, hi)) =>
@@ -350,10 +416,13 @@ object Profile {
       df: DataFrame,
       colName: String,
       q: Int,
-      outCol: String = "bucket"
+      outCol: String = "bucket",
+      approxBounds: Boolean = false, // sketch bounds: the continuous-column scale path
+      accuracy: Int = 10000
   ): DataFrame = {
     require(q >= 2, s"quantileBuckets: need q >= 2, got $q")
-    exactPercentiles(df, colName, (1 until q).map(_ / q.toDouble)) match {
+    percentileBounds(df, colName, (1 until q).map(_ / q.toDouble),
+        approxBounds, accuracy) match {
       case None => df.withColumn(outCol, lit(null).cast(LongType))
       case Some(bounds) =>
         val x = col(colName).cast(DoubleType)
@@ -505,9 +574,12 @@ object Profile {
   def robustScale(
       df: DataFrame,
       colName: String,
-      outCol: String = "scaled"
+      outCol: String = "scaled",
+      approxBounds: Boolean = false, // sketch bounds: the continuous-column scale path
+      accuracy: Int = 10000
   ): DataFrame = {
-    exactPercentiles(df, colName, Seq(0.25, 0.5, 0.75)) match {
+    percentileBounds(df, colName, Seq(0.25, 0.5, 0.75),
+        approxBounds, accuracy) match {
       case None => df.withColumn(outCol, lit(null).cast(DoubleType))
       case Some(Seq(q1, med, q3)) =>
         val iqr = q3 - q1
@@ -542,22 +614,35 @@ object Profile {
       colName: String,
       zThreshold: Double = 3.0,
       iqrK: Double = 1.5,
-      sumScale: Int = 4
+      sumScale: Int = 4,
+      approxBounds: Boolean = false, // sketch quartiles: the continuous-column scale path
+      accuracy: Int = 10000
   ): DataFrame = {
     val x = col(colName).cast(DoubleType)
     val sumT = DecimalType(38, sumScale)
     val sqScale = math.min(2 * sumScale, 18)
     val sqT = DecimalType(38, sqScale)
-    // ONE pass: moments and quartiles both reduce over the value
-    // HISTOGRAM (Σ round(v,s)·cnt ≡ the row-level decimal sum, round
-    // being per-value), so the scan and the value shuffle run once —
-    // not once for the moments and again for the percentiles.
-    val statsRow = df.groupBy(x.as("v")).agg(count(lit(1)).as("cnt"))
-      .agg(
-        sum(when(col("v").isNotNull, col("cnt"))).as("n"),
-        sum(round(col("v"), sumScale).cast(sumT) * col("cnt")).as("s"),
-        sum(round(col("v") * col("v"), sqScale).cast(sqT) * col("cnt")).as("ss"),
-        expr("percentile(v, array(0.25, 0.75), cnt)").as("qs"))
+    // ONE pass either way. Exact: moments and quartiles both reduce
+    // over the value HISTOGRAM (Σ round(v,s)·cnt ≡ the row-level
+    // decimal sum, round being per-value), so the scan and the value
+    // shuffle run once — not once for the moments and again for the
+    // percentiles. Approx: no histogram at all — moments sum raw rows
+    // and the quartiles ride approx_percentile's bounded-memory sketch
+    // in the SAME aggregate, so no stage's memory scales with
+    // |distinct values|.
+    val statsRow = (if (approxBounds)
+      df.select(x.as("v")).agg(
+        count(col("v")).as("n"),
+        sum(round(col("v"), sumScale).cast(sumT)).as("s"),
+        sum(round(col("v") * col("v"), sqScale).cast(sqT)).as("ss"),
+        expr(s"approx_percentile(v, array(0.25, 0.75), $accuracy)").as("qs"))
+    else
+      df.groupBy(x.as("v")).agg(count(lit(1)).as("cnt"))
+        .agg(
+          sum(when(col("v").isNotNull, col("cnt"))).as("n"),
+          sum(round(col("v"), sumScale).cast(sumT) * col("cnt")).as("s"),
+          sum(round(col("v") * col("v"), sqScale).cast(sqT) * col("cnt")).as("ss"),
+          expr("percentile(v, array(0.25, 0.75), cnt)").as("qs")))
       .collect()(0)
     if (statsRow.isNullAt(0) || statsRow.getLong(0) == 0 || statsRow.isNullAt(3)) {
       df.withColumn("z_outlier", lit(null).cast(BooleanType))

@@ -86,6 +86,52 @@ class ProfileSpec extends SparkSpec {
     assert(plan.split("Exchange").length - 1 == 1, plan)
   }
 
+  test("approx-bounds variants: sketch bounds track exact, no value histogram in the plan") {
+    // the scale path for continuous columns: exact percentile's final
+    // merge is ∝ |distinct values|; the sketch holds ≤ accuracy samples
+    val df = (1 to 1000).map(i => (i.toLong, i.toDouble)).toDF("id", "x")
+    // with accuracy ≥ n the sketch is rank-exact but returns an
+    // OBSERVED value (no interpolation): bounds land on a value
+    // adjacent to the exact interpolated one
+    val exactW = Profile.winsorize(df, "x", 0.10, 0.90)
+      .as[(Long, Double)].collect().toMap
+    val approxW = Profile.winsorize(df, "x", 0.10, 0.90, approxBounds = true)
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(approxW(1L) - exactW(1L)) <= 1.0)     // low clip
+    assert(math.abs(approxW(1000L) - exactW(1000L)) <= 1.0) // high clip
+    assert(approxW(500L) == 500.0)                        // interior untouched
+    val exactR = Profile.robustScale(df, "x").as[(Long, Double, Double)].collect()
+      .map(r => r._1 -> r._3).toMap
+    val approxR = Profile.robustScale(df, "x", approxBounds = true)
+      .as[(Long, Double, Double)].collect().map(r => r._1 -> r._3).toMap
+    // median/iqr shift by < one value step on this data -> scaled values agree closely
+    assert(math.abs(approxR(500L) - exactR(500L)) < 0.01)
+    // quantile buckets: every row within one bucket of the exact assignment
+    val exactQ = Profile.quantileBuckets(df, "x", 4)
+      .as[(Long, Double, Long)].collect().map(r => r._1 -> r._3).toMap
+    val approxQ = Profile.quantileBuckets(df, "x", 4, approxBounds = true)
+      .as[(Long, Double, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(exactQ.keySet == approxQ.keySet)
+    assert(exactQ.forall { case (id, b) => math.abs(approxQ(id) - b) <= 1 })
+    // outlier flags: same flag set here (bounds sit far from any data boundary)
+    val planted = df.union(Seq((9999L, 1e6)).toDF("id", "x"))
+    val exactO = Profile.outlierFlags(planted, "x")
+      .select("id", "z_outlier", "iqr_outlier")
+      .as[(Long, Boolean, Boolean)].collect().toSet
+    val approxO = Profile.outlierFlags(planted, "x", approxBounds = true)
+      .select("id", "z_outlier", "iqr_outlier")
+      .as[(Long, Boolean, Boolean)].collect().toSet
+    assert(exactO == approxO)
+    // plan shape: the sketch path is a grand aggregate over raw rows —
+    // no distinct-value groupBy anywhere, no exact percentile aggregate
+    val plan = Profile.approxPercentileAgg(df, "x", Seq(0.25, 0.5), 10000)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("approx_percentile"), plan)
+    assert(!plan.contains("keys=[v"), plan)
+    assert(!java.util.regex.Pattern.compile("(?<!approx_)percentile\\(v")
+      .matcher(plan).find(), plan)
+  }
+
   test("vector profile: null elements excluded from n, counted in nulls, mean undeflated") {
     // sum/min/max skip nulls, so n must too — otherwise a null element
     // deflates mean and std silently (the numeric() convention)
