@@ -283,6 +283,86 @@ class StreamingSpec extends SparkSpec {
     assert(StreamingOps.currentVersionId(spark, s"$dir/state").contains(1L))
   }
 
+  // simulate the TORN-commit crash window: the new state version's data
+  // is fully written but `_CURRENT` still points at the previous version
+  // (the process died between the parquet write and the pointer rename)
+  private def tearCommit(dir: String, backTo: String): Unit = {
+    // rewind through the same FS layer the commit uses (keeps the local
+    // FS checksum sidecar consistent — a real crash never wrote v-next)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$dir/_CURRENT"), true)
+    try out.write(backTo.getBytes("UTF-8")) finally out.close()
+  }
+
+  test("dedupStreamPersistent torn commit: replay against the OLD state converges bit-identically") {
+    val dir = Files.createTempDirectory("graft-dedup-torn").toString
+    val b0 = Seq((1L, "Hello, World!"), (2L, "hello world"), (3L, "other"))
+    val b1 = Seq((4L, "HELLO world!!"), (5L, "brand new"))
+    StreamingOps.applyDedupBatch(spark, b0.toDF("id", "text"),
+      0L, "text", "id", s"$dir/state", s"$dir/out")
+    StreamingOps.applyDedupBatch(spark, b1.toDF("id", "text"),
+      1L, "text", "id", s"$dir/state", s"$dir/out")
+    def survivors() = spark.read.parquet(s"$dir/out")
+      .select("id", "text").as[(Long, String)].collect().toSet
+    def stateFps() = StreamingOps.readState(spark, s"$dir/state").get
+      .as[Long].collect().toSet
+    val committedOut = survivors()
+    val committedState = stateFps()
+    assert(committedOut.map(_._1) == Set(1L, 3L, 5L))
+    // tear: v1 data exists on disk, but the pointer never moved
+    tearCommit(s"$dir/state", "v0")
+    assert(StreamingOps.currentVersionId(spark, s"$dir/state").contains(0L))
+    // the torn store still serves CONSISTENT reads: the committed view is
+    // v0 (3 fingerprints), the orphaned v1 directory is invisible to it
+    assert(stateFps().size == 2) // b0 had ids 1,2 collide -> 2 fingerprints
+    // restart replays batch 1 in full: guard sees v0 < 1 so it does NOT
+    // skip; it re-dedups against the OLD state, overwrites the survivor
+    // dir and the orphaned v1 wholesale, and re-commits
+    StreamingOps.applyDedupBatch(spark, b1.toDF("id", "text"),
+      1L, "text", "id", s"$dir/state", s"$dir/out")
+    assert(StreamingOps.currentVersionId(spark, s"$dir/state").contains(1L))
+    assert(survivors() == committedOut, "replay must converge to the same survivors")
+    assert(stateFps() == committedState, "replay must converge to the same state")
+    // and a SECOND replay after convergence is the no-op branch
+    StreamingOps.applyDedupBatch(spark, b1.toDF("id", "text"),
+      1L, "text", "id", s"$dir/state", s"$dir/out")
+    assert(survivors() == committedOut && stateFps() == committedState)
+  }
+
+  test("bm25IndexStream torn commit: replay rebuilds the version; committed index scores identically") {
+    val dir = Files.createTempDirectory("graft-bm25-torn").toString
+    val b0 = Seq((1L, "apple banana apple"), (2L, "banana cherry"))
+    val b1 = Seq((3L, "apple apple apple apple"), (4L, "dog"))
+    StreamingOps.applyBm25IndexBatch(spark, b0.toDF("id", "text"),
+      0L, "text", "id", s"$dir/state")
+    StreamingOps.applyBm25IndexBatch(spark, b1.toDF("id", "text"),
+      1L, "text", "id", s"$dir/state")
+    val queries = Seq((10L, "apple banana")).toDF("query_id", "qtext")
+    def postings() = StreamingOps.readState(spark, s"$dir/state").get
+      .collect().map(_.toSeq).toSet
+    def scores() = graft.operators.Retrieval.bm25TopKFromPostings(
+        StreamingOps.readState(spark, s"$dir/state").get,
+        queries, "query_id", "qtext", k = 10)
+      .collect().map(_.toSeq).toSet
+    val committedPostings = postings()
+    val committedScores = scores()
+    // tear: v1 parquet is on disk, pointer still says v0
+    tearCommit(s"$dir/state", "v0")
+    assert(StreamingOps.currentVersionId(spark, s"$dir/state").contains(0L))
+    // the torn window serves v0: scoring works and sees only batch-0 docs
+    val tornScores = scores()
+    assert(tornScores.nonEmpty && tornScores != committedScores,
+      "torn window must serve the OLD committed version, not the orphan")
+    // restart replays batch 1: guard does not skip, the orphaned v1 is
+    // overwritten from the v0 base, and the commit completes
+    StreamingOps.applyBm25IndexBatch(spark, b1.toDF("id", "text"),
+      1L, "text", "id", s"$dir/state")
+    assert(StreamingOps.currentVersionId(spark, s"$dir/state").contains(1L))
+    assert(postings() == committedPostings, "replay must rebuild identical postings")
+    assert(scores() == committedScores, "committed index must score identically after replay")
+  }
+
   test("funnel stream: keyed state advances the strict chain; agrees with batch on ordered arrival") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Long, String)]
