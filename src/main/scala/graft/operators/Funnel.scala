@@ -21,8 +21,8 @@ import org.apache.spark.sql.types.LongType
  * combined — only step events move, as (user, ts) pairs); the chain is
  * then a narrow `array_min`/`filter` fold per user. No window, no
  * per-user sort task, no per-step shuffle. Per-user state is bounded
- * by that user's step-event count; for pathological hot users cap
- * upstream (the same discipline as the dedup postings caps).
+ * by that user's step-event count; `maxEventsPerUser` caps it in the
+ * aggregate itself (the same discipline as the dedup postings caps).
  */
 object Funnel {
 
@@ -30,17 +30,33 @@ object Funnel {
     * users with NO step event at all produce no row (they never enter
     * the filtered scan); left-join against the user dimension if zero
     * rows must surface.
+    *
+    * `maxEventsPerUser` is the hot-user guard: when set, each user
+    * keeps only the EARLIEST `cap` events of each step inside a
+    * bounded `graft_bottomk` heap — per-user aggregation state is then
+    * ≤ k·cap rows at every stage (map-side partials included), so one
+    * 10⁶-event bot cannot blow up its task. Semantics under the cap
+    * are a strict LOWER BOUND on the true depth, and EXACT for every
+    * user whose per-step event counts are all ≤ cap: whenever the
+    * capped chain advances, the kept earliest-`cap` set provably
+    * contains min{ts > tᵢ₋₁} (anything smaller than a kept element is
+    * itself kept), so the chain advances with the TRUE tᵢ — the only
+    * possible error is a stall at a step where the user had > cap
+    * events, all of whose kept timestamps are ≤ tᵢ₋₁.
     */
   def depths(
       events: DataFrame,
       userCol: String,
       tsCol: String,
       typeCol: String,
-      steps: Seq[String]
+      steps: Seq[String],
+      maxEventsPerUser: Option[Int] = None
   ): DataFrame = {
     require(steps.nonEmpty, "funnel: steps must be non-empty")
     require(steps.distinct.length == steps.length,
       "funnel: repeated step types are ambiguous — rename upstream")
+    maxEventsPerUser.foreach(c => require(c >= 1,
+      s"funnel: maxEventsPerUser must be >= 1, got $c"))
     val k = steps.length
     val stepArr = array(steps.map(lit): _*)
     // ONE sorted fold, linear in the user's event count. (An earlier
@@ -68,12 +84,35 @@ object Funnel {
         struct((acc.getField("d") + 1).as("d"), e.getField("t").as("last")))
         .otherwise(acc),
       acc => acc.getField("d").cast(LongType))
-    events
+    val stepEvents = events
       .filter(col(userCol).isNotNull && col(tsCol).isNotNull &&
         col(typeCol).isin(steps: _*))
-      .groupBy(col(userCol).as("user"))
-      .agg(evs.as("_ev"))
-      .select(col("user"), fold.as("depth"))
+    val grouped = maxEventsPerUser match {
+      case None =>
+        stepEvents
+          .groupBy(col(userCol).as("user"))
+          .agg(evs.as("_ev"))
+      case Some(cap) =>
+        // bounded per-(user, step) heaps: each graft_bottomk aggregate
+        // holds at most `cap` (t) rows per user AT EVERY STAGE (the
+        // heap partial-aggregates map-side), then the kept slices
+        // reassemble into the same sorted (t, et) list the fold expects
+        graft.plans.TopKAggregate.register(events.sparkSession)
+        val perStep = steps.zipWithIndex.map { case (s, i) =>
+          call_function("graft_bottomk",
+            when(col(typeCol) === s, struct(col(tsCol).as("t"))),
+            lit(cap)).as(s"_e$i")
+        }
+        stepEvents
+          .groupBy(col(userCol).as("user"))
+          .agg(perStep.head, perStep.tail: _*)
+          .select(col("user"), sort_array(concat(
+            steps.zipWithIndex.map { case (s, i) =>
+              transform(col(s"_e$i"),
+                e => struct(e.getField("t").as("t"), lit(s).as("et")))
+            }: _*)).as("_ev"))
+    }
+    grouped.select(col("user"), fold.as("depth"))
   }
 
   /** Funnel reach: exactly one row per step — `(step 1-based,
@@ -85,9 +124,10 @@ object Funnel {
       userCol: String,
       tsCol: String,
       typeCol: String,
-      steps: Seq[String]
+      steps: Seq[String],
+      maxEventsPerUser: Option[Int] = None
   ): DataFrame = {
-    val d = depths(events, userCol, tsCol, typeCol, steps)
+    val d = depths(events, userCol, tsCol, typeCol, steps, maxEventsPerUser)
     val sums = steps.indices.map(i =>
       sum(when(col("depth") >= i + 1, 1L).otherwise(0L)).as(s"_s$i"))
     // rows built with Column APIs, not a selectExpr string — step names

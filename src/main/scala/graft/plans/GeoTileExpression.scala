@@ -105,6 +105,7 @@ object GraftExtensions {
     Seq(
       GeoTile.functionDescriptor,
       TopKAggregate.functionDescriptor,
+      TopKAggregate.bottomKDescriptor,
       JsonNumArraySum.doubleDescriptor,
       JsonNumArraySum.longDescriptor,
       NormalizeText.functionDescriptor,

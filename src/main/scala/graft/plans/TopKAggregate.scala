@@ -15,7 +15,10 @@ import org.apache.spark.sql.types._
 /**
  * `graft_topk(struct, k)` — bounded top-k aggregate: keeps the k LARGEST
  * struct values (lexicographic field order) in a size-k heap and returns
- * them as an array sorted descending.
+ * them as an array sorted descending. The `smallest = true` face is
+ * registered as `graft_bottomk(struct, k)`: the k SMALLEST values,
+ * returned ascending — the "earliest k by timestamp" shape the funnel
+ * hot-user guard needs.
  *
  * This is the aggregate Spark's built-ins can't express: `collect_list`
  * buffers every row before the final sort/slice, and a `row_number`
@@ -31,6 +34,7 @@ import org.apache.spark.sql.types._
 case class TopKAggregate(
     left: Expression,
     right: Expression,
+    smallest: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[mutable.PriorityQueue[InternalRow]]
@@ -40,27 +44,33 @@ case class TopKAggregate(
 
   private lazy val k: Int = right.eval().asInstanceOf[Number].intValue()
 
-  /** Ascending lexicographic ordering over the struct's fields. */
-  private lazy val ord: Ordering[InternalRow] =
-    InterpretedOrdering.forSchema(structType.fields.map(_.dataType).toIndexedSeq)
+  /** Ordering under which the KEPT values are the k largest: plain
+    * ascending lexicographic for top-k, reversed for bottom-k (the k
+    * smallest are the k largest under the reverse order).
+    */
+  private lazy val ord: Ordering[InternalRow] = {
+    val asc = InterpretedOrdering.forSchema(
+      structType.fields.map(_.dataType).toIndexedSeq)
+    if (smallest) asc.reverse else asc
+  }
 
   override def checkInputDataTypes(): TypeCheckResult = {
     if (!left.dataType.isInstanceOf[StructType])
       TypeCheckResult.TypeCheckFailure(
-        s"graft_topk requires a STRUCT first argument, got ${left.dataType}")
+        s"$prettyName requires a STRUCT first argument, got ${left.dataType}")
     else if (!right.foldable ||
         !Seq[DataType](ByteType, ShortType, IntegerType, LongType).contains(right.dataType))
-      TypeCheckResult.TypeCheckFailure("graft_topk requires a literal integer k")
+      TypeCheckResult.TypeCheckFailure(s"$prettyName requires a literal integer k")
     else if (right.eval() == null || right.eval().asInstanceOf[Number].intValue() <= 0)
-      TypeCheckResult.TypeCheckFailure("graft_topk requires k > 0")
+      TypeCheckResult.TypeCheckFailure(s"$prettyName requires k > 0")
     else TypeCheckResult.TypeCheckSuccess
   }
 
   override def dataType: DataType = ArrayType(left.dataType, containsNull = false)
   override def nullable: Boolean = false
-  override def prettyName: String = "graft_topk"
+  override def prettyName: String = if (smallest) "graft_bottomk" else "graft_topk"
 
-  // min-heap: head is the SMALLEST of the k kept values — the eviction test
+  // heap head is the WEAKEST of the k kept values under `ord` — the eviction test
   override def createAggregationBuffer(): mutable.PriorityQueue[InternalRow] =
     mutable.PriorityQueue.empty(ord.reverse)
 
@@ -126,10 +136,20 @@ object TopKAggregate {
     }
   )
 
+  val bottomKDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_bottomk"),
+    new ExpressionInfo(classOf[TopKAggregate].getName, "graft_bottomk"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2, "graft_bottomk(struct, k) takes 2 arguments")
+      TopKAggregate(children(0), children(1), smallest = true).toAggregateExpression()
+    }
+  )
+
   /** Imperative registration for an existing session (idempotent). */
   def register(spark: SparkSession): Unit = {
-    val (ident, info, builder) = functionDescriptor
-    spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    Seq(functionDescriptor, bottomKDescriptor).foreach { case (ident, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    }
   }
 
   /** k must be a foldable literal: `Literal(10)`. */

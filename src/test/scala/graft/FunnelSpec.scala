@@ -46,6 +46,52 @@ class FunnelSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("maxEventsPerUser: bot user bounded, normal users exact, capped depth is a lower bound") {
+    // normal users (per-step counts <= cap) + one bot with 100k step
+    // events — the uncapped path would collect all 100k into one list;
+    // the capped path's per-user state is <= k*cap rows at every stage
+    val normals = Seq(
+      (1L, 10L, "view"), (1L, 20L, "click"), (1L, 30L, "buy"),
+      (2L, 10L, "click"), (2L, 20L, "view"),
+      (3L, 10L, "view"), (3L, 10L, "click"))
+    // bot: 100k interleaved view/click and one final buy — the true
+    // chain (view@0, click@1, buy@200000) lives in the earliest events
+    // of each step, so the capped depth must still be exactly 3
+    val bot = (0 until 100000).map(i =>
+      (99L, i.toLong, if (i % 2 == 0) "view" else "click")) :+
+      (99L, 200000L, "buy")
+    val ev = (normals ++ bot).toDF("user_id", "ts", "event_type")
+    val capped = Funnel.depths(ev, "user_id", "ts", "event_type", steps,
+        maxEventsPerUser = Some(8))
+      .as[(Long, Long)].collect().toMap
+    assert(capped == Map(1L -> 3L, 2L -> 1L, 3L -> 1L, 99L -> 3L))
+    // reach rides the same guard
+    val r = Funnel.reach(ev, "user_id", "ts", "event_type", steps,
+        maxEventsPerUser = Some(8))
+      .as[(Int, String, Long)].collect().sortBy(_._1).toSeq
+    assert(r == Seq((1, "view", 4L), (2, "click", 2L), (3, "buy", 2L)))
+    // the documented stall: step-2 events all EARLIER than the step-1
+    // match except ones beyond the cap -> capped depth undercounts
+    // (lower bound), never overcounts
+    val stall = ((1 to 100).map(i => (7L, i.toLong, "click")) :+
+      (7L, 50L, "view")).toDF("user_id", "ts", "event_type")
+    val stallTrue = Funnel.depths(stall, "user_id", "ts", "event_type", steps)
+      .as[(Long, Long)].collect().toMap
+    val stallCapped = Funnel.depths(stall, "user_id", "ts", "event_type", steps,
+        maxEventsPerUser = Some(3))
+      .as[(Long, Long)].collect().toMap
+    assert(stallTrue(7L) == 2L && stallCapped(7L) == 1L)
+    // plan shape: the bounded heap partial-aggregates map-side (two
+    // graft_bottomk phases around the user exchange), and no collect_list
+    // of the raw event stream survives anywhere
+    val plan = Funnel.depths(ev, "user_id", "ts", "event_type", steps,
+        maxEventsPerUser = Some(8))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_graft_bottomk"), plan)
+    assert(!plan.contains("collect_list"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("cohortRetention: first-period cohorts, offsets count returning users") {
     // period length 10: u1 first at period 1, returns at 2 and 4;
     // u2 first at period 1, never returns; u3 first at period 2
