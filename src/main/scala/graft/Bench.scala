@@ -81,23 +81,28 @@ object Bench {
     // round-over-round per-query deltas untrustworthy. min is recorded
     // alongside so cross-round comparisons can split machine noise from
     // real regressions without a re-run (min is the low-noise floor).
+    // p25 sits between them: with 5 runs the min is ONE sample, so a
+    // lucky (or load-burst-free) outlier can move it alone — p25 (the
+    // second-lowest at n=5) needs two concordant samples, letting a
+    // flagged round self-adjudicate bursts without a judge re-run
     val results = selected.indices.map { i =>
       val ts = times(i).sorted
-      (selected(i)._1, ts(ts.length / 2), ts.head, failed(i))
+      (selected(i)._1, ts(ts.length / 2), ts.head, ts((ts.length - 1) / 4), failed(i))
     }
-    val ok = results.filterNot(_._4)
+    val ok = results.filterNot(_._5)
     def jmap(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     // failed queries report null (never a fake elapsed time) and are listed
     // by name; total covers only successful queries
-    val qs = results.map { case (k, med, _, f) =>
+    val qs = results.map { case (k, med, _, _, f) =>
       s"\"" + k + "\":" + (if (f) "null" else med.toString)
     }.mkString("{", ",", "}")
     val mins = jmap(ok.map(r => r._1 -> r._3))
-    val failedNames = results.filter(_._4).map("\"" + _._1 + "\"").mkString("[", ",", "]")
+    val p25s = jmap(ok.map(r => r._1 -> r._4))
+    val failedNames = results.filter(_._5).map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val total = if (ok.nonEmpty) ok.map(_._2).sum else 0.0
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs""" +
-      s""","queries_min":$mins,"failed_queries":$failedNames""" +
+      s""","queries_min":$mins,"queries_p25":$p25s,"failed_queries":$failedNames""" +
       s""","runs_per_query":$runsPerQuery,"stat":"median","interleaved":"two-block","sf":"$sfDir"}"""
     println(line)
     // belt-and-braces: also persist the JSON where the driver can read it
