@@ -12,22 +12,219 @@ import org.apache.spark.sql.types._
  * Shape: ONE stacked scan unpivots the columns to (col_name, value)
  * rows, a distributed hash aggregate compresses them to a value
  * HISTOGRAM (map-side partial combine — the only pass over the data),
- * and the statistics reduce over the histogram: `percentile(v, p, cnt)`
- * with frequencies is value-identical to percentile over raw rows but
- * runs on |distinct values| rows instead of |rows| (the raw form
- * funnels every row of a group into one reducer — 8× slower on the
- * driver gates, unboundedly worse at scale; for genuinely continuous
- * ultra-high-cardinality columns the histogram degenerates toward row
- * count and an approx_percentile swap is the escape hatch — not
- * oracle-able, so the gate keeps the exact form).
+ * moments reduce over the histogram in parallel, and exact percentiles
+ * come from DISTRIBUTED SELECTION over it: range-bucket the histogram,
+ * locate each target rank's bucket from driver-side cumulative bucket
+ * totals (≤ `buckets` rows of metadata per column), and sort only the
+ * few buckets that contain ranks. No stage ever funnels a column's
+ * whole value set into one task — per-task work is bounded by
+ * max(|histogram partition|, |one bucket's distinct values|), and a
+ * pathological bucket re-buckets recursively (each level divides the
+ * value RANGE by `buckets`, so depth is log_buckets of the range/gap
+ * ratio — ≤ 2 on real data). This is what keeps the exact family
+ * viable on continuous columns at 100×, where the old single-reduce
+ * `percentile(v, p, cnt)` final merge (memory and time ∝ |distinct
+ * values|) was the documented scale ceiling.
  *
  * Determinism across engines (oracle-gated, not approximate): means
  * accumulate in DECIMAL (a double sum depends on reduction order);
- * Spark's exact `percentile` shares its linear-interpolation definition
- * with DuckDB's `quantile_cont` — verified value-identical on the
- * driver gates.
+ * selection reproduces Spark `percentile`'s interpolation arithmetic
+ * bit-for-bit ([[interpolateRanks]]), which in turn is value-identical
+ * to DuckDB's `quantile_cont` — verified on the driver gates.
  */
 object Profile {
+
+  /** Per-group metadata the selection needs: total non-null count,
+    * distinct non-null value count, and the value range.
+    */
+  private case class GroupStats(n: Long, distinct: Long, mn: Double, mx: Double)
+
+  /** Exact order statistics per group over a `(g, v, cnt)` value
+    * histogram (v non-null) — distributed selection by iterative range
+    * narrowing. Returns the value at each requested 0-based rank.
+    *
+    * Level 1 is BATCHED across groups: one bucket-totals aggregate
+    * (per-group range bucketing via a literal when-chain — groups are
+    * few by construction: profiled columns), one driver pass over the
+    * ≤ groups·buckets totals to locate ranks, one batched collect of
+    * every rank-bearing bucket small enough to sort directly. Oversized
+    * buckets (value mass concentrated in 1/buckets of the range)
+    * recurse individually — each level shrinks the candidate range by
+    * `buckets`×, so termination is immediate in practice and guaranteed
+    * in general (a width-0 or sub-threshold slice sorts directly).
+    * Driver memory is bounded by `directThreshold` values per collected
+    * bucket plus the bucket-totals metadata — never a column's full
+    * distinct set.
+    */
+  private def groupedOrderStats(
+      hist: DataFrame,
+      stats: Map[String, GroupStats],
+      ranks: Map[String, Seq[Long]],
+      buckets: Int = 1024,
+      directThreshold: Long = 1L << 16
+  ): Map[(String, Long), Double] = {
+    val spark = hist.sparkSession
+    val out = scala.collection.mutable.Map.empty[(String, Long), Double]
+
+    // pick ranked values out of one group's ascending (v, cnt) run
+    def pick(g: String, rows: Iterator[(Double, Long)], offset: Long,
+        rs: Seq[Long]): Unit = {
+      val targets = rs.sorted.iterator
+      if (!targets.hasNext) return
+      var target = targets.next()
+      var done = false
+      var cum = offset
+      while (!done && rows.hasNext) {
+        val (v, cnt) = rows.next()
+        cum += cnt
+        while (!done && target < cum) {
+          out += (g, target) -> v
+          if (targets.hasNext) target = targets.next() else done = true
+        }
+      }
+    }
+
+    // recursive narrow over ONE group's sub-histogram (rare past level 1)
+    def narrow(g: String, h: DataFrame, rs: Seq[Long], offset: Long,
+        distinct: Long, mn: Double, mx: Double): Unit = {
+      val width = (mx - mn) / buckets
+      if (distinct <= directThreshold || !(width > 0)) {
+        // driver-side sort: the slice is ≤ directThreshold rows, so
+        // sorting locally beats a range-partitioned engine sort job
+        pick(g, h.select("v", "cnt").collect()
+          .map(r => (r.getDouble(0), r.getLong(1))).sortBy(_._1).iterator,
+          offset, rs)
+      } else {
+        val bin = least(floor((col("v") - lit(mn)) / lit(width)),
+          lit(buckets - 1L)).cast(LongType)
+        val totals = h.groupBy(bin.as("_b"))
+          .agg(sum(col("cnt")).as("_n"), count(lit(1)).as("_d"),
+            min(col("v")).as("_mn"), max(col("v")).as("_mx"))
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getDouble(3), r.getDouble(4)))
+          .sortBy(_._1)
+        var cum = offset
+        val located = totals.map { case (b, n, d, bmn, bmx) =>
+          val start = cum; cum += n; (b, start, n, d, bmn, bmx)
+        }
+        for ((b, start, n, d, bmn, bmx) <- located) {
+          val mine = rs.filter(r => r >= start && r < start + n)
+          if (mine.nonEmpty)
+            narrow(g, h.filter(bin === b), mine, start, d, bmn, bmx)
+        }
+      }
+    }
+
+    val active = ranks.toSeq
+      .map { case (g, rs) => g -> rs.distinct }
+      .filter { case (g, rs) => rs.nonEmpty && stats.contains(g) }
+    if (active.isEmpty) return Map.empty
+
+    // groups that sort directly vs groups that bucket
+    val (direct, binned) = active.partition { case (g, _) =>
+      val s = stats(g)
+      s.distinct <= directThreshold || !((s.mx - s.mn) / buckets > 0)
+    }
+    if (direct.nonEmpty) {
+      // batched: one collect covers every direct group
+      val directRows = hist.filter(col("g").isin(direct.map(_._1): _*))
+        .select("g", "v", "cnt").collect()
+        .map(r => (r.getString(0), (r.getDouble(1), r.getLong(2))))
+        .groupBy(_._1)
+      for ((g, rs) <- direct)
+        pick(g, directRows.getOrElse(g, Array.empty[(String, (Double, Long))])
+          .map(_._2).sortBy(_._1).iterator, 0L, rs)
+    }
+
+    if (binned.nonEmpty) {
+      // level-1 bucket assignment for ALL binned groups in one pass:
+      // per-group (mn, width) as literal CASE arms keyed on g (groups
+      // are few by construction — profiled columns)
+      val mnExpr = coalesce(binned.map { case (g, _) =>
+        when(col("g") === g, lit(stats(g).mn)) }: _*)
+      val widthExpr = coalesce(binned.map { case (g, _) =>
+        when(col("g") === g, lit((stats(g).mx - stats(g).mn) / buckets))
+      }: _*)
+      val bin = least(floor((col("v") - mnExpr) / widthExpr),
+        lit(buckets - 1L)).cast(LongType)
+      val gSet = binned.map(_._1)
+      val lvl1 = hist.filter(col("g").isin(gSet: _*))
+        .groupBy(col("g"), bin.as("_b"))
+        .agg(sum(col("cnt")).as("_n"), count(lit(1)).as("_d"),
+          min(col("v")).as("_mn"), max(col("v")).as("_mx"))
+        .collect()
+        .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4), r.getDouble(5))))
+        .groupBy(_._1).map { case (g, rows) => g -> rows.map(_._2).sortBy(_._1) }
+      // locate each rank's bucket from cumulative totals (driver metadata)
+      case class Need(g: String, b: Long, start: Long, d: Long,
+          mn: Double, mx: Double, rs: Seq[Long])
+      val needs = binned.flatMap { case (g, rs) =>
+        var cum = 0L
+        lvl1(g).flatMap { case (b, n, d, bmn, bmx) =>
+          val start = cum; cum += n
+          val mine = rs.filter(r => r >= start && r < start + n)
+          if (mine.nonEmpty) Some(Need(g, b, start, d, bmn, bmx, mine)) else None
+        }
+      }
+      val (small, large) = needs.partition(_.d <= directThreshold)
+      if (small.nonEmpty) {
+        // ONE batched collect of every small rank-bearing bucket,
+        // sorted driver-side (each bucket ≤ directThreshold values)
+        val keep = small.map(n => col("g") === n.g && bin === n.b)
+          .reduce(_ || _)
+        val rows = hist.filter(col("g").isin(gSet: _*)).filter(keep)
+          .select(col("g"), bin.as("_b"), col("v"), col("cnt")).collect()
+          .map(r => ((r.getString(0), r.getLong(1)), (r.getDouble(2), r.getLong(3))))
+          .groupBy(_._1)
+        for (n <- small) {
+          require(rows.contains((n.g, n.b)),
+            "selection invariant violated: a located bucket vanished")
+          pick(n.g, rows((n.g, n.b)).map(_._2).sortBy(_._1).iterator,
+            n.start, n.rs)
+        }
+      }
+      for (n <- large)
+        narrow(n.g, hist.filter(col("g") === n.g && bin === n.b),
+          n.rs, n.start, n.d, n.mn, n.mx)
+    }
+    out.toMap
+  }
+
+  /** Reproduce Spark `percentile`'s linear interpolation BIT-FOR-BIT
+    * from order statistics: position = (n−1)·p (long × double), value =
+    * (⌈pos⌉ − pos)·v⌊pos⌋ + (pos − ⌊pos⌋)·v⌈pos⌉, with the two no-op
+    * short-circuits. Keeping the arithmetic identical to the engine
+    * aggregate (and thus to DuckDB's `quantile_cont`, verified on the
+    * driver gates) is what lets selection replace the aggregate without
+    * moving a single compared decimal.
+    */
+  private def interpolateRanks(
+      n: Long, probs: Seq[Double], at: Long => Double): Seq[Double] = {
+    val maxPosition = n - 1
+    probs.map { p =>
+      val position = maxPosition * p
+      val lower = math.floor(position).toLong
+      val higher = math.ceil(position).toLong
+      val lowerKey = at(lower)
+      if (higher == lower) lowerKey
+      else {
+        val higherKey = at(higher)
+        if (higherKey == lowerKey) lowerKey
+        else (higher - position) * lowerKey + (position - lower) * higherKey
+      }
+    }
+  }
+
+  /** The 0-based ranks [[interpolateRanks]] will ask for. */
+  private def ranksFor(n: Long, probs: Seq[Double]): Seq[Long] = {
+    val maxPosition = n - 1
+    probs.flatMap { p =>
+      val position = maxPosition * p
+      Seq(math.floor(position).toLong, math.ceil(position).toLong)
+    }.distinct
+  }
 
   /** Numeric profile of `cols` (must be castable to double): one row per
     * column — (col_name, n non-null, nulls, min, max, mean, p25, p50,
@@ -37,21 +234,19 @@ object Profile {
     */
   def numeric(df: DataFrame, cols: Seq[String], sumScale: Int = 2): DataFrame = {
     require(cols.nonEmpty, "profile requires at least one column")
+    val spark = df.sparkSession
     val dec = DecimalType(38, sumScale)
+    val probs = Seq(0.25, 0.5, 0.75, 0.9)
     val stacked = df.selectExpr(
       s"stack(${cols.length}, " +
         cols.map(c => s"'$c', CAST($c AS DOUBLE)").mkString(", ") +
-        ") AS (col_name, v)")
-    val hist = stacked.groupBy(col("col_name"), col("v"))
+        ") AS (g, v)")
+    // the ONE pass over the data — materialized because moments, bucket
+    // totals and the rank-bearing bucket collects all reduce over it
+    val hist = stacked.groupBy(col("g"), col("v"))
       .agg(count(lit(1)).as("cnt"))
-    // pin the final exchange by column: the statistics aggregate is
-    // CPU-heavy per group (percentile buffer merges) with ≤ #cols groups
-    // over byte-tiny histogram rows, so AQE's byte-based coalescing
-    // serializes every column into ONE task (measured 3.5 s of the
-    // gate's 4.5 s); hashing by col_name runs the columns' merges in
-    // parallel at any scale — histogram volume is bounded by Σ distinct
-    // values, so skew/coalesce heuristics have nothing to add here
-    hist.repartition(col("col_name")).groupBy(col("col_name"))
+      .localCheckpoint()
+    val moments = hist.groupBy(col("g"))
       .agg(
         sum(when(col("v").isNotNull, col("cnt")).otherwise(0L)).as("n"),
         sum(when(col("v").isNull, col("cnt")).otherwise(0L)).as("nulls"),
@@ -61,20 +256,46 @@ object Profile {
         count(when(col("v").isNotNull, lit(1))).as("n_distinct"),
         min(col("v")).as("min"),
         max(col("v")).as("max"),
-        sum(col("v").cast(dec) * col("cnt")).cast(DoubleType).as("sm"),
-        expr("percentile(v, array(0.25, 0.5, 0.75, 0.9), cnt)").as("pct"))
-      .select(
-        col("col_name"),
-        col("n"),
-        col("nulls"),
-        col("n_distinct"),
-        col("min"),
-        col("max"),
-        when(col("n") > 0, col("sm") / col("n")).as("mean"),
-        element_at(col("pct"), 1).as("p25"),
-        element_at(col("pct"), 2).as("p50"),
-        element_at(col("pct"), 3).as("p75"),
-        element_at(col("pct"), 4).as("p90"))
+        sum(col("v").cast(dec) * col("cnt")).as("sm"))
+      .collect()
+      .map(r => r.getString(0) -> r).toMap
+    val nonNull = hist.filter(col("v").isNotNull)
+    val stats = moments.collect { case (g, r) if r.getLong(1) > 0 =>
+      g -> GroupStats(r.getLong(1), r.getLong(3), r.getDouble(4), r.getDouble(5))
+    }
+    val ranks = stats.map { case (g, s) => g -> ranksFor(s.n, probs) }
+    val sel = groupedOrderStats(nonNull, stats, ranks)
+    // assemble driver-side: the profile is ≤ #cols rows of metadata.
+    // mean replicates the old engine arithmetic exactly — decimal sum
+    // → double cast → double/long divide
+    val rows: Seq[org.apache.spark.sql.Row] =
+      moments.keys.toSeq.sorted.map { g =>
+        val r = moments(g)
+        val n = r.getLong(1)
+        if (n == 0L)
+          org.apache.spark.sql.Row(g, n, r.getLong(2), r.getLong(3),
+            null, null, null, null, null, null, null)
+        else {
+          val ps = interpolateRanks(n, probs, rk => sel((g, rk)))
+          val mean = r.getDecimal(6).doubleValue() / n
+          org.apache.spark.sql.Row(g, n, r.getLong(2), r.getLong(3),
+            r.getDouble(4), r.getDouble(5), mean, ps(0), ps(1), ps(2), ps(3))
+        }
+      }
+    val schema = StructType(Seq(
+      StructField("col_name", StringType),
+      StructField("n", LongType),
+      StructField("nulls", LongType),
+      StructField("n_distinct", LongType, nullable = false),
+      StructField("min", DoubleType),
+      StructField("max", DoubleType),
+      StructField("mean", DoubleType),
+      StructField("p25", DoubleType),
+      StructField("p50", DoubleType),
+      StructField("p75", DoubleType),
+      StructField("p90", DoubleType)))
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava, schema)
   }
 
   /** The scale path: same profile shape with `approx_percentile`
@@ -248,27 +469,41 @@ object Profile {
       df: DataFrame,
       colName: String,
       probs: Seq[Double]
-  ): Option[Seq[Double]] = {
-    val row = exactPercentileAgg(df, colName, probs).collect()(0)
-    if (row.isNullAt(0)) None else Some(row.getSeq[Double](0))
-  }
+  ): Option[Seq[Double]] =
+    exactPercentilesImpl(df, colName, probs, 1024, 1L << 16)
 
-  /** The one-row exact aggregate behind [[exactPercentiles]] — factored
-    * out so the property that keeps the family viable at scale is
-    * directly assertable in specs: the `percentile` aggregate reduces
-    * the distinct-VALUE histogram (post-groupBy, frequency-weighted),
-    * never raw rows — its single-reduce working set is ∝ |distinct
-    * values|, the operator's contract (bounded-cardinality columns;
-    * continuous columns route via [[approxPercentiles]]).
+  /** [[exactPercentiles]] with the selection knobs exposed — specs
+    * shrink `directThreshold` to force multi-level narrowing on small
+    * data. The histogram + distributed-selection design (see the
+    * object scaladoc) replaced the single-reduce `percentile(v, p,
+    * cnt)` aggregate: same values bit-for-bit ([[interpolateRanks]]),
+    * but no stage's memory is ∝ |distinct values| any more.
     */
-  private[graft] def exactPercentileAgg(
+  private[graft] def exactPercentilesImpl(
       df: DataFrame,
       colName: String,
-      probs: Seq[Double]
-  ): DataFrame =
-    df.groupBy(col(colName).cast(DoubleType).as("v"))
-      .agg(count(lit(1)).as("cnt"))
-      .agg(expr(s"percentile(v, array(${probs.mkString(", ")}), cnt)").as("b"))
+      probs: Seq[Double],
+      buckets: Int,
+      directThreshold: Long
+  ): Option[Seq[Double]] = {
+    val hist = df
+      .select(lit("c").as("g"), col(colName).cast(DoubleType).as("v"))
+      .filter(col("v").isNotNull)
+      .groupBy(col("g"), col("v")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val m = hist
+      .agg(sum(col("cnt")).as("n"), count(lit(1)).as("d"),
+        min(col("v")).as("mn"), max(col("v")).as("mx"))
+      .collect()(0)
+    if (m.isNullAt(0) || m.getLong(0) == 0L) None
+    else {
+      val n = m.getLong(0)
+      val stats = Map("c" -> GroupStats(n, m.getLong(1), m.getDouble(2), m.getDouble(3)))
+      val sel = groupedOrderStats(hist, stats,
+        Map("c" -> ranksFor(n, probs)), buckets, directThreshold)
+      Some(interpolateRanks(n, probs, rk => sel(("c", rk))))
+    }
+  }
 
   /** SKETCH-based percentile bounds — the scale path of
     * [[exactPercentiles]] for genuinely continuous columns: the exact
@@ -622,34 +857,49 @@ object Profile {
     val sumT = DecimalType(38, sumScale)
     val sqScale = math.min(2 * sumScale, 18)
     val sqT = DecimalType(38, sqScale)
-    // ONE pass either way. Exact: moments and quartiles both reduce
-    // over the value HISTOGRAM (Σ round(v,s)·cnt ≡ the row-level
-    // decimal sum, round being per-value), so the scan and the value
-    // shuffle run once — not once for the moments and again for the
-    // percentiles. Approx: no histogram at all — moments sum raw rows
-    // and the quartiles ride approx_percentile's bounded-memory sketch
-    // in the SAME aggregate, so no stage's memory scales with
-    // |distinct values|.
-    val statsRow = (if (approxBounds)
-      df.select(x.as("v")).agg(
+    // ONE data pass either way. Exact: moments reduce over the value
+    // HISTOGRAM (Σ round(v,s)·cnt ≡ the row-level decimal sum, round
+    // being per-value) and the quartiles come from distributed
+    // selection over the SAME checkpointed histogram — the scan and the
+    // value shuffle run once, and no stage funnels the distinct-value
+    // set into one task. Approx: no histogram at all — moments sum raw
+    // rows and the quartiles ride approx_percentile's bounded-memory
+    // sketch in the SAME aggregate.
+    val (statsRow, quartilesOpt) = if (approxBounds) {
+      val r = df.select(x.as("v")).agg(
         count(col("v")).as("n"),
         sum(round(col("v"), sumScale).cast(sumT)).as("s"),
         sum(round(col("v") * col("v"), sqScale).cast(sqT)).as("ss"),
         expr(s"approx_percentile(v, array(0.25, 0.75), $accuracy)").as("qs"))
-    else
-      df.groupBy(x.as("v")).agg(count(lit(1)).as("cnt"))
-        .agg(
-          sum(when(col("v").isNotNull, col("cnt"))).as("n"),
-          sum(round(col("v"), sumScale).cast(sumT) * col("cnt")).as("s"),
-          sum(round(col("v") * col("v"), sqScale).cast(sqT) * col("cnt")).as("ss"),
-          expr("percentile(v, array(0.25, 0.75), cnt)").as("qs")))
-      .collect()(0)
-    if (statsRow.isNullAt(0) || statsRow.getLong(0) == 0 || statsRow.isNullAt(3)) {
+        .collect()(0)
+      (r, if (r.isNullAt(3)) None else Some(r.getSeq[Double](3)))
+    } else {
+      val hist = df.select(lit("c").as("g"), x.as("v"))
+        .groupBy(col("g"), col("v")).agg(count(lit(1)).as("cnt"))
+        .localCheckpoint()
+      val r = hist.agg(
+        sum(when(col("v").isNotNull, col("cnt"))).as("n"),
+        sum(round(col("v"), sumScale).cast(sumT) * col("cnt")).as("s"),
+        sum(round(col("v") * col("v"), sqScale).cast(sqT) * col("cnt")).as("ss"),
+        count(when(col("v").isNotNull, lit(1))).as("d"),
+        min(col("v")).as("mn"), max(col("v")).as("mx"))
+        .collect()(0)
+      val qs = if (r.isNullAt(0) || r.getLong(0) == 0L) None else {
+        val n = r.getLong(0)
+        val probs = Seq(0.25, 0.75)
+        val stats = Map("c" -> GroupStats(n, r.getLong(3),
+          r.getDouble(4), r.getDouble(5)))
+        val sel = groupedOrderStats(hist.filter(col("v").isNotNull),
+          stats, Map("c" -> ranksFor(n, probs)))
+        Some(interpolateRanks(n, probs, rk => sel(("c", rk))))
+      }
+      (r, qs)
+    }
+    if (statsRow.isNullAt(0) || statsRow.getLong(0) == 0 || quartilesOpt.isEmpty) {
       df.withColumn("z_outlier", lit(null).cast(BooleanType))
         .withColumn("iqr_outlier", lit(null).cast(BooleanType))
     } else {
       val n = statsRow.getLong(0)
-      val quartiles = Some(statsRow.getSeq[Double](3))
       def round6(d: Double): Double =
         java.math.BigDecimal.valueOf(d)
           .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
@@ -658,7 +908,7 @@ object Profile {
       val mean = round6(s / n)
       val variance = math.max(0.0, ss / n - (s / n) * (s / n))
       val std = round6(math.sqrt(variance))
-      val Seq(q1, q3) = quartiles.get
+      val Seq(q1, q3) = quartilesOpt.get
       val iqr = q3 - q1
       val lo = q1 - iqrK * iqr
       val hi = q3 + iqrK * iqr

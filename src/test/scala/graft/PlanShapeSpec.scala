@@ -440,24 +440,4 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchanges.forall(l => !l.contains("embedding#") && !l.contains("text#")), plan)
   }
 
-  test("exact percentiles reduce the VALUE HISTOGRAM, not raw rows") {
-    import graft.operators.Profile
-    // the property that keeps the winsorize/robustScale/quantileBuckets/
-    // outlierFlags family viable at scale: the single-reduce percentile
-    // aggregate consumes (v, cnt) pairs from a two-phase distinct-value
-    // groupBy, so its working set is ∝ |distinct values|, never rows
-    val plan = physical(Profile.exactPercentileAgg(
-      t("lineitem"), "l_quantity", Seq(0.25, 0.5, 0.75)))
-    // stage 1: the histogram — a two-phase (partial + final) groupBy on
-    // the cast value, emitting (v, cnt) pairs
-    assert(plan.contains("functions=[count(1)], output=[v#"), plan)
-    assert(plan.split("HashAggregate").length - 1 >= 2, plan)
-    // stage 2: the exact percentile aggregate takes the FREQUENCY as its
-    // third argument — it reduces histogram entries, not raw rows
-    assert(java.util.regex.Pattern.compile(
-      "percentile\\(v#\\d+, .*cnt#\\d+").matcher(plan).find(), plan)
-    // and no exact percentile ever sees an un-aggregated scan column
-    assert(!java.util.regex.Pattern.compile(
-      "percentile\\(l_quantity").matcher(plan).find(), plan)
-  }
 }

@@ -86,6 +86,57 @@ class ProfileSpec extends SparkSpec {
     assert(plan.split("Exchange").length - 1 == 1, plan)
   }
 
+  test("distributed selection: bit-identical to the engine percentile aggregate, under forced narrowing") {
+    // exact percentiles now come from bucketed selection over the value
+    // histogram (no stage ∝ |distinct values|); the contract is
+    // BIT-FOR-BIT equality with Spark's percentile aggregate — same
+    // order statistics, same interpolation arithmetic. Tiny buckets +
+    // directThreshold force the bucket walk and the recursive narrow
+    // even on small data, covering every code path.
+    val probs = Seq(0.0, 0.01, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0)
+    def reference(df: org.apache.spark.sql.DataFrame, c: String): Seq[Double] =
+      df.select(col(c).cast("double").as("v")).filter(col("v").isNotNull)
+        .agg(expr(s"percentile(v, array(${probs.mkString(", ")}))"))
+        .collect()(0).getSeq[Double](0)
+    val datasets = Seq(
+      // dups + interpolation between distinct values
+      (1 to 100).map(i => (i % 17).toDouble) ++ Seq(3.0, 3.0, 3.0),
+      // huge-outlier skew: 99% of distinct values land in bucket 0 of
+      // the first level -> nested re-bucketing must engage
+      (1 to 500).map(_.toDouble / 1000.0) :+ 1e12,
+      // negatives + irregular gaps
+      Seq(-5.5, -2.25, 0.0, 0.125, 7.75, 1000.0, -999.0),
+      // single distinct value (width 0 -> direct sort path)
+      Seq.fill(10)(42.0),
+      // two values straddling every prob
+      Seq(1.0, 2.0))
+    for ((data, i) <- datasets.zipWithIndex) {
+      val df = data.toDF("x")
+      val got = Profile.exactPercentilesImpl(df, "x", probs,
+        buckets = 4, directThreshold = 2L)
+      assert(got.isDefined, s"dataset $i")
+      val want = reference(df, "x")
+      assert(got.get == want, s"dataset $i: ${got.get} vs $want")
+      // and the default knobs agree too
+      assert(Profile.exactPercentiles(df, "x", probs).get == want, s"dataset $i defaults")
+    }
+    // all-null and empty inputs profile to None, not a crash
+    assert(Profile.exactPercentiles(
+      Seq[Option[Double]](None, None).toDF("x"), "x", probs).isEmpty)
+    assert(Profile.exactPercentiles(
+      Seq.empty[Double].toDF("x"), "x", probs).isEmpty)
+    // numeric() rides the same machinery: percentile columns match the
+    // engine reference on a real table
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val prof = Profile.numeric(li, Seq("l_extendedprice", "l_quantity"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val wantLi = li.select(expr(
+      "percentile(cast(l_extendedprice as double), array(0.25, 0.5, 0.75, 0.9))"))
+      .collect()(0).getSeq[Double](0)
+    val e = prof("l_extendedprice")
+    assert(Seq(e.getDouble(7), e.getDouble(8), e.getDouble(9), e.getDouble(10)) == wantLi)
+  }
+
   test("approx-bounds variants: sketch bounds track exact, no value histogram in the plan") {
     // the scale path for continuous columns: exact percentile's final
     // merge is ∝ |distinct values|; the sketch holds ≤ accuracy samples
