@@ -126,6 +126,21 @@ object SparkEntry {
       s"($a, $b, CAST('${w.toPlainString}' AS DECIMAL(38,6)))"
     }.mkString(",\n   ")
 
+  /** Deterministic pseudo weight table for the quality_margin gate —
+    * a Weyl sequence over the bucket index mapped into [−1, 1] at 3dp,
+    * carried at the serving table's 6dp scale. Exercises the full
+    * serving path with a weight per bucket (trained weights would be
+    * mostly-zero under L2 on the tiny gate slice, leaving the join
+    * surface untested); train→serve parity is spec-pinned instead.
+    */
+  private lazy val qmGateWeights: IndexedSeq[java.math.BigDecimal] =
+    (0 until QualityModel.DefaultBuckets).map { b =>
+      java.math.BigDecimal.valueOf(b * 2654435761L % 2001L - 1000L, 3)
+        .setScale(6)
+    }
+
+  private val qmGateBias = new java.math.BigDecimal("0.250000")
+
   // ------------------------------------------------------------------ queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -580,6 +595,31 @@ object SparkEntry {
       ImportanceScoring.lmScoreDocsWithTable(
           d.filter(col("doc_id") < 500), "doc_id", "text", target, "text", wt)
         .orderBy("doc_id")
+    }),
+
+    // ---- fastText-style linear quality classifier, SERVING path:
+    //      margin = bias + Σ cnt_b·w_b over hashed token buckets with a
+    //      deterministic literal weight table (Weyl-sequence pseudo
+    //      weights — the gate exercises featurize/join/sum/left-join
+    //      plumbing; trained-weight parity is spec-pinned). All
+    //      arithmetic is exact DECIMAL; the same VALUES rows feed the
+    //      oracle via GateTables
+    "quality_margin" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(col("doc_id") < 1000)
+      GateTables.put("qm_w", dsirWeightRows(qmGateWeights))
+      QualityModel.scoreMargin(d, "doc_id", "text",
+          qmGateWeights, qmGateBias)
+        .orderBy("doc_id")
+    }),
+
+    // ---- collocation mining: top-k bigrams by LIFT (= exp(PMI), the
+    //      same ranking with no transcendental) — counts are exact
+    //      integers, the lift is the fixed operand tree
+    //      (c_xy·N)/(c_x·c_y) in doubles, ties total-ordered by the
+    //      bigram itself
+    "collocations_topk" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(col("doc_id") < 2000)
+      Collocations.topBigramsByLift(d, "text", k = 50, minCount = 5L)
     }),
 
     // ---- quantized ANN: exact top-k by the QDot integer kernel over
@@ -2052,6 +2092,52 @@ object SparkEntry {
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  private def qualityMarginOracle(): String = {
+    val wCte = GateTables.get("qm_w") match {
+      case Some(rows) =>
+        s"""w AS (
+           | SELECT * FROM (VALUES
+           |   $rows) AS v(bucket, weight)
+           |)""".stripMargin
+      case None =>
+        // fallback mirrors qmGateWeights' Weyl formula with exact
+        // integer ops and an exact decimal scale-down (never a
+        // double→decimal cast, whose rounding mode differs)
+        """w AS (
+          | SELECT b.bucket,
+          |  CAST((b.bucket * 2654435761 % 2001 - 1000)
+          |    * CAST('0.001' AS DECIMAL(38,6)) AS DECIMAL(38,6)) AS weight
+          | FROM (SELECT unnest(range(0, 1024)) AS bucket) b
+          |)""".stripMargin
+    }
+    // per-OCCURRENCE weight sums (no cnt·weight product: DuckDB decimal
+    // multiplication can widen past 38 and fall back to double) — the
+    // value is identical to Spark's Σ cnt·w, purely decimal adds here
+    s"""WITH base AS (
+       | SELECT doc_id,
+       |  list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS toks
+       | FROM documents WHERE doc_id < 1000
+       |), tok AS (
+       | SELECT doc_id, unnest(toks) AS token FROM base
+       |), vb AS (
+       | SELECT token,
+       |  $fnvBucketExpr
+       | FROM (SELECT DISTINCT token, token || ':qm' AS s FROM tok)
+       |), tk AS (
+       | SELECT t.doc_id, v.bucket FROM tok t JOIN vb v ON t.token = v.token
+       |), $wCte, dot AS (
+       | SELECT k.doc_id, sum(w.weight) AS d
+       | FROM tk k JOIN w ON k.bucket = w.bucket
+       | GROUP BY 1
+       |)
+       |SELECT b.doc_id,
+       | CAST(COALESCE(dot.d, 0) + CAST('0.250000' AS DECIMAL(38,6))
+       |   AS DECIMAL(38,6)) AS margin
+       |FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id < 1000) b
+       |LEFT JOIN dot ON b.doc_id = dot.doc_id
+       |ORDER BY 1""".stripMargin
+  }
+
   private def lmOracle(): String = {
     val (wtCte, scCte) = GateTables.get("lm_wt") match {
       case Some(rows) =>
@@ -2448,6 +2534,48 @@ object SparkEntry {
     // feed the Spark plan — counts stay engine-side and exact); summed
     // exactly; mean = CAST(sum AS DOUBLE)/n
     "lm_scores" -> lmOracle(),
+
+    // same FNV-per-distinct-token buckets as dsir_scores (salt ':qm');
+    // the 1024-row weight table is the gate-registered literal VALUES;
+    // margin = bias + exact decimal dot, zero-token docs keep the bias
+    // via the left join
+    "quality_margin" -> qualityMarginOracle(),
+
+    // adjacent-position bigrams (lm_scores' bg pattern on raw tokens),
+    // marginals and total reduced from the bigram histogram, lift as
+    // the fixed operand tree (c_xy·N)/(c_x·c_y) in doubles — identical
+    // IEEE ops on identical integer operands; ties total-ordered by
+    // (w1, w2) on both sides
+    "collocations_topk" ->
+      """WITH base AS (
+        | SELECT doc_id,
+        |  list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS toks
+        | FROM documents WHERE doc_id < 2000
+        |), tok AS (
+        | SELECT doc_id, generate_subscripts(toks, 1) AS pos, unnest(toks) AS token
+        | FROM base
+        |), bg AS (
+        | SELECT a.token AS w1, b.token AS w2
+        | FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |), hist AS (
+        | SELECT w1, w2, count(*) AS c_xy FROM bg GROUP BY 1, 2
+        |), fx AS (
+        | SELECT w1, CAST(sum(c_xy) AS BIGINT) AS c_x FROM hist GROUP BY 1
+        |), fy AS (
+        | SELECT w2, CAST(sum(c_xy) AS BIGINT) AS c_y FROM hist GROUP BY 1
+        |), tot AS (
+        | SELECT CAST(sum(c_xy) AS BIGINT) AS n FROM hist
+        |)
+        |SELECT h.w1, h.w2, h.c_xy, fx.c_x, fy.c_y,
+        | (CAST(h.c_xy AS DOUBLE) * CAST(tot.n AS DOUBLE))
+        |   / (CAST(fx.c_x AS DOUBLE) * CAST(fy.c_y AS DOUBLE)) AS lift
+        |FROM hist h
+        |JOIN fx USING (w1)
+        |JOIN fy USING (w2)
+        |CROSS JOIN tot
+        |WHERE h.c_xy >= 5
+        |ORDER BY lift DESC, w1, w2
+        |LIMIT 50""".stripMargin,
 
     // same quantization arithmetic as embedding_quantize, then the QDot
     // expansion MIRRORED term-for-term (sa·sb·Σqaqb + sa·ob·Σqa +

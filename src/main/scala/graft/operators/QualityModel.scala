@@ -1,0 +1,153 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+import graft.functions.TextFunctions
+
+/**
+ * Model-based quality filtering — the fastText-style linear classifier
+ * over hashed bag-of-token features that CCNet/RefinedWeb-class
+ * curation pipelines run between the heuristic gates and the mix
+ * (public idea: Joulin et al. 2016 "Bag of Tricks", CCNet's quality
+ * model), split into its two deterministic halves:
+ *
+ *  - SERVING (`scoreMargin`): margin(doc) = bias + Σ_b cnt_b · w_b over
+ *    a literal weight table carried as DECIMAL(38,6) — order-free exact
+ *    decimal sums, no transcendental, hash-gate-able across engines.
+ *    `scoreProbability` applies the sigmoid on top for thresholding
+ *    (transcendental — spec territory, never in a compared surface).
+ *  - TRAINING (`trainLogistic`): Spark MLlib logistic regression over
+ *    the SAME hashed features; the fitted coefficients quantize to the
+ *    serving table, so train → serve is one quantization step with
+ *    spec-pinned parity (margins match MLlib's rawPrediction).
+ *
+ * Scale shape: featurization is one narrow explode compressed to
+ * per-doc bucket counts by a map-side-combined aggregate (tokens never
+ * shuffle — (id, bucket, cnt) rows do); scoring joins the ≤`buckets`-row
+ * weight table BROADCAST and sums map-side. Training fits on per-doc
+ * sparse vectors of bounded width (`buckets`), the standard
+ * driver-orchestrated offline profile (same as the IVF centroid fit).
+ *
+ * Reference parity note: the reference bundle has no model-based
+ * scoring — this is part of the LLM-pipeline surface the engine adds
+ * beyond it (SURVEY §3).
+ */
+object QualityModel {
+
+  val DefaultBuckets: Int = ImportanceScoring.DefaultBuckets
+
+  /** Hashed bag-of-tokens features: `(id, bucket, cnt)` — one row per
+    * document × distinct feature bucket. Documents with no tokens
+    * produce no rows (nothing to featurize).
+    */
+  def hashedTokenFeatures(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      buckets: Int = DefaultBuckets,
+      salt: String = "qm"
+  ): DataFrame =
+    docs
+      .select(col(idCol),
+        explode(TextFunctions.tokens(lower(col(textCol)))).as("token"))
+      .select(col(idCol),
+        ImportanceScoring.tokenBucket(col("token"), buckets, salt).as("bucket"))
+      .groupBy(col(idCol), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Linear margin per document against a literal weight table:
+    * `(id, margin DECIMAL(38,6))`, margin = bias + Σ cnt_b · w_b. All
+    * arithmetic is exact decimal (the weights were quantized at build
+    * time), so the result is engine-reproducible bit-for-bit. Documents
+    * with no tokens score `bias` exactly (the empty sum) — they rejoin
+    * via a left join so the classifier never silently drops rows.
+    */
+  def scoreMargin(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      weights: IndexedSeq[java.math.BigDecimal],
+      bias: java.math.BigDecimal,
+      buckets: Int = DefaultBuckets,
+      salt: String = "qm"
+  ): DataFrame = {
+    require(weights.length == buckets,
+      s"scoreMargin: got ${weights.length} weights for $buckets buckets")
+    val spark = docs.sparkSession
+    val w = ImportanceScoring.weightsTableFromLiterals(spark, weights)
+    val scored = hashedTokenFeatures(docs, idCol, textCol, buckets, salt)
+      .join(broadcast(w), Seq("bucket"))
+      .groupBy(col(idCol))
+      .agg(sum(col("cnt") * col("weight")).as("_dot"))
+    docs.select(col(idCol)).distinct()
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        (coalesce(col("_dot"), lit(java.math.BigDecimal.ZERO)) +
+          lit(bias)).cast(DecimalType(38, 6)).as("margin"))
+  }
+
+  /** Sigmoid probability on top of the margin: `(id, margin, prob)`.
+    * The sigmoid is a transcendental — serving/thresholding only, never
+    * part of a hash-compared gate surface.
+    */
+  def scoreProbability(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      weights: IndexedSeq[java.math.BigDecimal],
+      bias: java.math.BigDecimal,
+      buckets: Int = DefaultBuckets,
+      salt: String = "qm"
+  ): DataFrame =
+    scoreMargin(docs, idCol, textCol, weights, bias, buckets, salt)
+      .withColumn("prob",
+        lit(1.0) / (lit(1.0) + exp(-col("margin").cast(DoubleType))))
+
+  /** Fit a logistic-regression quality model with Spark MLlib over the
+    * hashed features and return `(weights, bias)` quantized to the 6dp
+    * DECIMAL serving table [[scoreMargin]] consumes. `labels` maps
+    * `idCol` to a 0/1 quality label (join-keyed, so the training set
+    * can be a labeled subsample of the corpus).
+    */
+  def trainLogistic(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      labels: DataFrame, // (idCol, label double 0/1)
+      labelCol: String = "label",
+      buckets: Int = DefaultBuckets,
+      salt: String = "qm",
+      maxIter: Int = 50,
+      regParam: Double = 1e-4
+  ): (IndexedSeq[java.math.BigDecimal], java.math.BigDecimal) = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val feats = hashedTokenFeatures(docs, idCol, textCol, buckets, salt)
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("bucket"), col("cnt"))))
+        .as("_f"))
+      .join(labels.select(col(idCol), col(labelCol).cast(DoubleType)
+        .as("label")), Seq(idCol))
+    val training = feats
+      .select(col("label"), col("_f"))
+      .as[(Double, Seq[(Long, Long)])]
+      .map { case (label, f) =>
+        (label, org.apache.spark.ml.linalg.Vectors.sparse(buckets,
+          f.map(_._1.toInt).toArray, f.map(_._2.toDouble).toArray))
+      }
+      .toDF("label", "features")
+    val model = new org.apache.spark.ml.classification.LogisticRegression()
+      .setMaxIter(maxIter)
+      .setRegParam(regParam)
+      .setStandardization(false)
+      .fit(training)
+    val q = (0 until buckets).map { i =>
+      java.math.BigDecimal.valueOf(model.coefficients(i))
+        .setScale(6, java.math.RoundingMode.HALF_UP)
+    }
+    (q, java.math.BigDecimal.valueOf(model.intercept)
+      .setScale(6, java.math.RoundingMode.HALF_UP))
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.QualityModel
+
+class QualityModelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val B = QualityModel.DefaultBuckets
+  private def dec(s: String) = new java.math.BigDecimal(s)
+
+  test("scoreMargin: exact decimal dot + bias; empty/null docs keep the bias; broadcast join") {
+    // uniform weights make the margin hand-computable without knowing
+    // the hash: bias + 0.5 · token_count
+    val w = IndexedSeq.fill(B)(dec("0.500000"))
+    val docs = Seq(
+      (1L, "alpha beta gamma"),     // 3 tokens -> 0.25 + 1.5
+      (2L, "  alpha  "),            // 1 token  -> 0.25 + 0.5
+      (3L, ""),                     // 0 tokens -> bias exactly
+      (4L, null.asInstanceOf[String]) // null text -> bias too
+    ).toDF("doc_id", "text")
+    val got = QualityModel.scoreMargin(docs, "doc_id", "text", w, dec("0.250000"))
+      .collect().map(r => r.getLong(0) -> r.getDecimal(1).toPlainString).toMap
+    assert(got == Map(
+      1L -> "1.750000", 2L -> "0.750000", 3L -> "0.250000", 4L -> "0.250000"))
+    // weight sign flows through: a negative table scores below bias
+    val neg = QualityModel.scoreMargin(docs, "doc_id", "text",
+        IndexedSeq.fill(B)(dec("-1.000000")), dec("0.000000"))
+      .collect().map(r => r.getLong(0) -> r.getDecimal(1).doubleValue()).toMap
+    assert(neg(1L) == -3.0 && neg(3L) == 0.0)
+    // plan: the weight table joins BROADCAST and tokens never shuffle —
+    // every exchange carries (id, bucket) feature rows at most
+    val plan = QualityModel.scoreMargin(docs, "doc_id", "text", w, dec("0"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"), plan)
+    val exchanges = plan.split("\n").filter(_.contains("Exchange hashpartitioning"))
+    assert(exchanges.forall(l => !l.contains("token#")), plan)
+  }
+
+  test("trainLogistic: MLlib fit separates a planted signal; quantized serving margins track rawPrediction") {
+    // planted vocabulary: "good" docs carry quality tokens, "bad" docs
+    // carry spam tokens — linearly separable by construction
+    val goodWords = Seq("insight", "thorough", "evidence", "careful")
+    val badWords = Seq("clickbait", "spamspam", "scamword", "junktext")
+    val rng = new scala.util.Random(7)
+    val docs = (0 until 200).map { i =>
+      val vocab = if (i % 2 == 0) goodWords else badWords
+      val text = Seq.fill(8)(vocab(rng.nextInt(vocab.length))).mkString(" ")
+      (i.toLong, text, if (i % 2 == 0) 1.0 else 0.0)
+    }
+    val df = docs.map(d => (d._1, d._2)).toDF("doc_id", "text")
+    val labels = docs.map(d => (d._1, d._3)).toDF("doc_id", "label")
+    val (w, b) = QualityModel.trainLogistic(df, "doc_id", "text", labels)
+    assert(w.length == B)
+    // serving margins vs a direct in-JVM replay of the same features:
+    // quantization moves each weight < 0.5e-6, docs have 8 tokens, so
+    // the served margin sits within 8 * 0.5e-6 + 0.5e-6 of the float one
+    val margins = QualityModel.scoreMargin(df, "doc_id", "text", w, b)
+      .collect().map(r => r.getLong(0) -> r.getDecimal(1).doubleValue()).toMap
+    // the classifier separates: every good doc above every bad doc
+    val goodMin = docs.filter(_._3 == 1.0).map(d => margins(d._1)).min
+    val badMax = docs.filter(_._3 == 0.0).map(d => margins(d._1)).max
+    assert(goodMin > badMax,
+      s"margins must separate the planted signal: goodMin=$goodMin badMax=$badMax")
+    // and the sigmoid face thresholds at 0.5 where the margin is 0
+    val probs = QualityModel.scoreProbability(df, "doc_id", "text", w, b)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    docs.foreach { d =>
+      assert((probs(d._1) > 0.5) == (margins(d._1) > 0.0), s"doc ${d._1}")
+    }
+  }
+}
