@@ -597,6 +597,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- temperature-scaled source mixing (mT5/XLM-R α-sampling):
+    //      p_s ∝ √n_s flattens the source skew; thresholds and FNV
+    //      membership are exactly mixToTarget's, and √ is IEEE-correct
+    //      in both engines so the oracle recomputes the same thresholds
+    "temperature_mix" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("source"))
+      Sampling.temperatureMix(d, "doc_id", "source", alpha = 0.5)
+        .orderBy("doc_id")
+    }),
+
     // ---- fastText-style linear quality classifier, SERVING path:
     //      margin = bias + Σ cnt_b·w_b over hashed token buckets with a
     //      deterministic literal weight table (Weyl-sequence pseudo
@@ -2534,6 +2544,34 @@ object SparkEntry {
     // feed the Spark plan — counts stay engine-side and exact); summed
     // exactly; mean = CAST(sum AS DOUBLE)/n
     "lm_scores" -> lmOracle(),
+
+    // mix_to_target's membership chain with p = sqrt(n) — sqrt is
+    // IEEE-correctly-rounded in both engines, every other op is the
+    // identical fixed-order double arithmetic
+    "temperature_mix" ->
+      """WITH d AS (
+        | SELECT doc_id, source FROM documents
+        |), j AS (
+        | SELECT c.source, c.n, sqrt(CAST(c.n AS DOUBLE)) AS p
+        | FROM (SELECT source, count(*) AS n FROM d GROUP BY 1) c
+        |), t AS (
+        | SELECT min(CAST(n AS DOUBLE) / p) AS T FROM j
+        |), thr AS (
+        | SELECT source, CAST(ROUND(p * (SELECT T FROM t) / CAST(n AS DOUBLE) * 1024) AS BIGINT) AS thr
+        | FROM j
+        |), h AS (
+        | SELECT doc_id, source,
+        |  CAST(list_reduce(
+        |    list_prepend(CAST('14695981039346656037' AS HUGEINT),
+        |      list_transform(range(1, length(s) + 1), i -> CAST(ascii(s[i]) AS HUGEINT))),
+        |    (acc, b) -> ((acc // 256) * 256 + xor(CAST(acc % 256 AS BIGINT), CAST(b AS BIGINT)))
+        |                * 1099511628211 % CAST('18446744073709551616' AS HUGEINT)
+        |  ) % 1024 AS BIGINT) AS bucket
+        | FROM (SELECT doc_id, source, doc_id::VARCHAR || ':graft' AS s FROM d)
+        |)
+        |SELECT h.doc_id, h.source FROM h JOIN thr ON h.source = thr.source
+        |WHERE h.bucket < thr.thr
+        |ORDER BY doc_id""".stripMargin,
 
     // same FNV-per-distinct-token buckets as dsir_scores (salt ':qm');
     // the 1024-row weight table is the gate-registered literal VALUES;

@@ -227,4 +227,40 @@ object Sampling {
     }
     df.filter(sampleBucket(col(keyCol), salt) < thrCase)
   }
+
+  /** Temperature-scaled source mixing — the α-sampling of mT5/XLM-R
+    * (public idea: Xue et al. 2021 §3.2; Conneau et al. 2020 §3):
+    * stratum weights p_s ∝ n_s^α flatten the natural source skew, so
+    * low-resource strata keep everything while each larger stratum
+    * thins to (n_min/n_s)^(1−α) — α = 1 keeps the natural mix, α → 0
+    * approaches uniform-by-stratum. Membership, thresholds, and
+    * determinism are EXACTLY [[mixToTarget]]'s (this is that operator
+    * with the weight table derived from the strata counts themselves);
+    * the extra stratum-count aggregate is one map-side-combined job —
+    * the standard offline mix-assembly profile.
+    *
+    * α = 0.5 computes p_s via `sqrt` (IEEE-correctly-rounded by
+    * definition, so an oracle reproduces the thresholds bit-for-bit);
+    * other α go through `pow`, which carries no such guarantee — fine
+    * for serving, keep it out of hash-compared gate surfaces.
+    */
+  def temperatureMix(
+      df: DataFrame,
+      keyCol: String,
+      strataCol: String,
+      alpha: Double,
+      salt: String = "graft"
+  ): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0,
+      s"temperatureMix: alpha must be in (0, 1], got $alpha")
+    val counts = df.groupBy(col(strataCol).cast("string").as("_s"))
+      .agg(count(lit(1)).as("_n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val weights = counts.map { case (s, n) =>
+      s -> (if (alpha == 0.5) math.sqrt(n.toDouble)
+            else math.pow(n.toDouble, alpha))
+    }.toMap
+    if (weights.isEmpty) df.filter(lit(false))
+    else mixToTarget(df, keyCol, strataCol, weights, salt)
+  }
 }

@@ -133,6 +133,39 @@ class SamplingSpec extends SparkSpec {
     assert(!plan.contains("Join") && !plan.contains("Exchange"), plan)
   }
 
+  test("temperatureMix: alpha flattens source skew; equals mixToTarget at sqrt weights; alpha=1 is identity") {
+    // a: 1600 rows, b: 400 rows. alpha=0.5: p ∝ √n → b (smallest) keeps
+    // all, a keeps (√(n_a)·T)/n_a = √(400/1600) = 1/2 of itself
+    val df = ((1L to 1600L).map(i => (i, "a")) ++
+      (1601L to 2000L).map(i => (i, "b"))).toDF("id", "src")
+    val out = Sampling.temperatureMix(df, "id", "src", alpha = 0.5)
+      .select("id", "src").as[(Long, String)].collect()
+    val bySrc = out.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(bySrc("b") == (1601L to 2000L).toSet) // low-resource keeps all
+    // a's kept fraction lands at the derived 1/2 (FNV thresholds are
+    // exact bucket counts, so the realized fraction tracks closely)
+    assert(math.abs(bySrc("a").size / 1600.0 - 0.5) < 0.05,
+      s"got ${bySrc("a").size}")
+    // exactly the mixToTarget membership at the sqrt weight table
+    val viaTarget = Sampling.mixToTarget(df, "id", "src",
+        Map("a" -> math.sqrt(1600.0), "b" -> math.sqrt(400.0)))
+      .select("id").as[Long].collect().toSet
+    assert(out.map(_._1).toSet == viaTarget)
+    // alpha = 1 reproduces the natural mix: everything survives
+    assert(Sampling.temperatureMix(df, "id", "src", alpha = 1.0).count() == 2000L)
+    // flattening is monotone in alpha: smaller alpha keeps less of the
+    // dominant stratum (b always keeps all as the binding stratum)
+    val sharper = Sampling.temperatureMix(df, "id", "src", alpha = 0.25)
+      .filter(col("src") === "a").count()
+    assert(sharper < bySrc("a").size)
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureMix(df, "id", "src", alpha = 0.0)
+    }
+    // empty input -> empty output, no crash on the empty weight table
+    assert(Sampling.temperatureMix(df.filter(lit(false)), "id", "src", 0.5)
+      .count() == 0L)
+  }
+
   test("splitByHash: disjoint exhaustive labels; train == deterministicSample; stable under growth") {
     import spark.implicits._
     val df = (1L to 2000L).toDF("id")
