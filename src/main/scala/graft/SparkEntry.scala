@@ -597,6 +597,34 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- streaming persistent dedup, REPLAYED batch path: two
+    //      micro-batches build the versioned fingerprint store (batch 1
+    //      then replays into the no-op guard in-gate), survivors read
+    //      from the partitioned output. The oracle recomputes the
+    //      batch-ordered keep rule (per-batch min-id per normalized
+    //      text, batch 1 anti-joined against batch 0's store) — the one
+    //      other streaming family whose read path is batch-gateable
+    //      (after bm25_topk_indexed)
+    "dedup_stream_replayed" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+        .filter(col("doc_id") < 2000)
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-dedup-gate").toString
+      val b0 = d.filter(col("doc_id") < 1000)
+      val b1 = d.filter(col("doc_id") >= 1000)
+      graft.streaming.StreamingOps.applyDedupBatch(s, b0, 0L,
+        "text", "doc_id", s"$work/state", s"$work/out")
+      graft.streaming.StreamingOps.applyDedupBatch(s, b1, 1L,
+        "text", "doc_id", s"$work/state", s"$work/out")
+      // crash-window replay: the guard must no-op, survivors stand
+      graft.streaming.StreamingOps.applyDedupBatch(s, b1, 1L,
+        "text", "doc_id", s"$work/state", s"$work/out")
+      s.read.parquet(s"$work/out")
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")
+    }),
+
     // ---- temperature-scaled source mixing (mT5/XLM-R α-sampling):
     //      p_s ∝ √n_s flattens the source skew; thresholds and FNV
     //      membership are exactly mixToTarget's, and √ is IEEE-correct
@@ -2544,6 +2572,34 @@ object SparkEntry {
     // feed the Spark plan — counts stay engine-side and exact); summed
     // exactly; mean = CAST(sum AS DOUBLE)/n
     "lm_scores" -> lmOracle(),
+
+    // dedup_exact's proven normalization, applied batch-ordered: batch
+    // 0 keeps min-id per normalized text; batch 1 keeps min-id per
+    // text among ids whose text is absent from batch 0's store (the
+    // replayed third apply is a no-op by the version guard, so the
+    // two-batch rule IS the final state)
+    "dedup_stream_replayed" ->
+      """WITH norm AS (
+        | SELECT doc_id, source,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[[:punct:]]', '', 'g'), '\s+', ' ', 'g')) AS nt
+        | FROM documents WHERE doc_id < 2000
+        |), b0 AS (
+        | SELECT * FROM norm WHERE doc_id < 1000
+        |), b1 AS (
+        | SELECT * FROM norm WHERE doc_id >= 1000
+        |), k0 AS (
+        | SELECT doc_id, source FROM (
+        |  SELECT doc_id, source, ROW_NUMBER() OVER (PARTITION BY nt ORDER BY doc_id) AS rn
+        |  FROM b0) WHERE rn = 1
+        |), k1 AS (
+        | SELECT doc_id, source FROM (
+        |  SELECT doc_id, source, ROW_NUMBER() OVER (PARTITION BY nt ORDER BY doc_id) AS rn
+        |  FROM b1 WHERE nt NOT IN (SELECT nt FROM b0)) WHERE rn = 1
+        |)
+        |SELECT doc_id, source FROM k0
+        |UNION ALL
+        |SELECT doc_id, source FROM k1
+        |ORDER BY doc_id""".stripMargin,
 
     // mix_to_target's membership chain with p = sqrt(n) — sqrt is
     // IEEE-correctly-rounded in both engines, every other op is the
