@@ -597,6 +597,42 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- streaming as-of enrichment, PINNED batch path: the merge
+    //      stream builds committed state v0 from the deduped views,
+    //      applyAsOfEnrichBatch enriches the clicks against it (run
+    //      TWICE — the replay must pin v0 and overwrite bit-identical
+    //      output), result read from the per-batch directory. Third
+    //      streaming family with a driver-gated read path; the oracle
+    //      is asof_join's proven DuckDB ASOF chain
+    "asof_enrich_stream" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("view_id"),
+          max_by(col("value"), col("event_id")).as("view_value"))
+        .withColumn("_ord", col("view_id"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-asof-gate").toString
+      graft.streaming.StreamingOps.applyMergeBatch(s, views, 0L,
+        MergeSpec(Seq("user_id", "ts"), Seq(MergeFieldSpec("*", MergeOp.Set))),
+        "_ord", s"$work/state")
+      graft.streaming.StreamingOps.applyAsOfEnrichBatch(s, clicks, 0L,
+        s"$work/state", Seq("user_id"), "ts", "ts", s"$work/out",
+        Seq("view_id", "view_value"))
+      graft.streaming.StreamingOps.applyAsOfEnrichBatch(s, clicks, 0L,
+        s"$work/state", Seq("user_id"), "ts", "ts", s"$work/out",
+        Seq("view_id", "view_value"))
+      s.read.parquet(s"$work/out/batch=0")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          col("matched.view_id").as("matched_view_id"),
+          col("matched.view_value").as("matched_value"),
+          unix_micros(col("matched._t")).as("matched_ts_us"))
+        .orderBy("event_id")
+    }),
+
     // ---- streaming persistent dedup, REPLAYED batch path: two
     //      micro-batches build the versioned fingerprint store (batch 1
     //      then replays into the no-op guard in-gate), survivors read
@@ -2572,6 +2608,24 @@ object SparkEntry {
     // feed the Spark plan — counts stay engine-side and exact); summed
     // exactly; mean = CAST(sum AS DOUBLE)/n
     "lm_scores" -> lmOracle(),
+
+    // the streaming enrich applies the SAME backward as-of semantics
+    // against the committed state the merge batch built from the
+    // deduped views — so the oracle is asof_join's chain verbatim
+    "asof_enrich_stream" ->
+      """WITH l AS (
+        | SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+        |), r AS (
+        | SELECT user_id, ts, max(event_id) AS view_id, arg_max(value, event_id) AS view_value
+        | FROM events WHERE event_type = 'view' GROUP BY 1, 2
+        |)
+        |SELECT l.event_id AS event_id, l.user_id AS user_id,
+        | epoch_us(l.ts) AS ts_us,
+        | r.view_id AS matched_view_id,
+        | r.view_value AS matched_value,
+        | epoch_us(r.ts) AS matched_ts_us
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY 1""".stripMargin,
 
     // dedup_exact's proven normalization, applied batch-ordered: batch
     // 0 keeps min-id per normalized text; batch 1 keeps min-id per
