@@ -661,6 +661,63 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- streaming versioned merge, COMMITTED batch path (§2 row 46):
+    //      two micro-batch slices of lineitem upsert into the versioned
+    //      state store ($set last-wins, $inc, $addToSet $each), batch 1
+    //      then replays into the version guard's no-op branch, and the
+    //      result reads the committed v1 through _CURRENT. Because the
+    //      batches split on the order column itself (b1's seqs all past
+    //      b0's) and $addToSet membership is batch-order-free, the
+    //      two-step merge collapses to merge_collapse's one-shot oracle
+    //      — same SQL, entirely different (stateful) code path
+    "merge_stream_versioned" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(
+        col("l_orderkey"),
+        col("l_linenumber"),
+        col("l_returnflag").as("status"),
+        col("l_quantity").cast(DecimalType(18, 2)).as("qty"),
+        array(col("l_linestatus")).as("tag"))
+      val spec = MergeSpec(
+        keyFields = Seq("l_orderkey"),
+        fields = Seq(
+          MergeFieldSpec("status", MergeOp.Set),
+          MergeFieldSpec("qty", MergeOp.Inc),
+          MergeFieldSpec("tag", MergeOp.AddToSet)))
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-mergestream-gate").toString
+      val b0 = li.filter(col("l_linenumber") <= 2)
+      val b1 = li.filter(col("l_linenumber") > 2)
+      graft.streaming.StreamingOps.applyMergeBatch(s, b0, 0L, spec,
+        "l_linenumber", s"$work/state")
+      graft.streaming.StreamingOps.applyMergeBatch(s, b1, 1L, spec,
+        "l_linenumber", s"$work/state")
+      // crash-window replay: the version guard must no-op
+      graft.streaming.StreamingOps.applyMergeBatch(s, b1, 1L, spec,
+        "l_linenumber", s"$work/state")
+      graft.streaming.StreamingOps.readState(s, s"$work/state").get
+        .select(
+          col("l_orderkey"),
+          col("status"),
+          col("qty").cast(DoubleType).as("qty"),
+          array_join(array_sort(col("tag")), ",").as("tags"))
+        .orderBy("l_orderkey")
+    }),
+
+    // ---- streaming funnel progress, BATCH-MODE path:
+    //      flatMapGroupsWithState runs in batch mode with empty initial
+    //      state, so a single-batch feed of the whole history IS the
+    //      stream operator's exact fold (sorted within group, strict
+    //      min-chain) — per-user final depth; users that never reach
+    //      step 1 emit nothing. Cross-batch folding stays spec-pinned
+    "funnel_stream_depths" -> ((s, dir) => {
+      val ev = events(s, dir)
+      graft.streaming.FunnelStream.progressDF(ev, "user_id", "ts",
+          "event_type", Seq("view", "click", "purchase"))
+        .select(col("userId").as("user_id"), col("depth"),
+          col("lastTs").as("last_ts_us"))
+        .orderBy("user_id")
+    }),
+
     // ---- temperature-scaled source mixing (mT5/XLM-R α-sampling):
     //      p_s ∝ √n_s flattens the source skew; thresholds and FNV
     //      membership are exactly mixToTarget's, and √ is IEEE-correct
@@ -2654,6 +2711,42 @@ object SparkEntry {
         |UNION ALL
         |SELECT doc_id, source FROM k1
         |ORDER BY doc_id""".stripMargin,
+
+    // the two-batch versioned merge collapses to the one-shot collapse
+    // (batches split on the order column; $inc sums and $addToSet
+    // membership are batch-order-free) — merge_collapse's oracle, with
+    // the stateful store + replay guard exercised on the Spark side
+    "merge_stream_versioned" ->
+      """SELECT l_orderkey,
+        | arg_max(l_returnflag, printf('%012d|%s', l_linenumber, l_returnflag)) AS status,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+        | array_to_string(list_sort(list_distinct(list(l_linestatus))), ',') AS tags
+        |FROM lineitem
+        |GROUP BY l_orderkey
+        |ORDER BY l_orderkey""".stripMargin,
+
+    // per-user min-chain depths (funnel_reach's u1/u2/u3 chain, kept at
+    // user granularity): depth = furthest step reached, last_ts = the
+    // advancing event's timestamp; depth-0 users emit nothing
+    "funnel_stream_depths" ->
+      """WITH e AS (
+        | SELECT user_id, epoch_us(ts) AS m, event_type AS et FROM events
+        | WHERE event_type IN ('view', 'click', 'purchase')
+        |), u1 AS (
+        | SELECT user_id, min(m) AS t1 FROM e WHERE et = 'view' GROUP BY 1
+        |), u2 AS (
+        | SELECT e.user_id, min(e.m) AS t2 FROM e JOIN u1 ON e.user_id = u1.user_id
+        | WHERE e.et = 'click' AND e.m > u1.t1 GROUP BY 1
+        |), u3 AS (
+        | SELECT e.user_id, min(e.m) AS t3 FROM e JOIN u2 ON e.user_id = u2.user_id
+        | WHERE e.et = 'purchase' AND e.m > u2.t2 GROUP BY 1
+        |)
+        |SELECT u1.user_id,
+        | CAST(CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2 ELSE 1 END AS INTEGER) AS depth,
+        | COALESCE(t3, t2, t1) AS last_ts_us
+        |FROM u1 LEFT JOIN u2 ON u1.user_id = u2.user_id
+        |         LEFT JOIN u3 ON u1.user_id = u3.user_id
+        |ORDER BY u1.user_id""".stripMargin,
 
     // mix_to_target's membership chain with p = sqrt(n) — sqrt is
     // IEEE-correctly-rounded in both engines, every other op is the
