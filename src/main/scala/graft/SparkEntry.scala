@@ -728,6 +728,35 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- per-group quota cap: the 100 LONGEST docs per source
+    //      (n_chars desc, ties to the larger doc_id — the heap's
+    //      descending total order); a bounded heap per group, never a
+    //      per-group window over the corpus
+    "quota_per_source" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Sampling.quotaPerGroup(d, "doc_id", "source", "n_chars",
+          n = 100, keepSmallest = false)
+        .orderBy("source", "rank")
+    }),
+
+    // ---- deterministic proportional interleave (epoch schedule):
+    //      pos = (2r−1)/(2n_g) per source — within-group ranks via the
+    //      two-level bucketed prefix, pos one exact IEEE division
+    "epoch_schedule" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Sampling.epochSchedule(d, "doc_id", "source")
+        .orderBy("doc_id")
+    }),
+
+    // ---- vocabulary coverage: top-1000 vocab by corpus frequency
+    //      (boundary ties to ascending term), per-doc OOV rate as one
+    //      exact division; zero-token docs report a null rate
+    "vocab_oov" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Vocab.oovStats(d, "doc_id", "text", Vocab.topTerms(d, "text", 1000))
+        .orderBy("doc_id")
+    }),
+
     // ---- fastText-style linear quality classifier, SERVING path:
     //      margin = bias + Σ cnt_b·w_b over hashed token buckets with a
     //      deterministic literal weight table (Weyl-sequence pseudo
@@ -2775,6 +2804,55 @@ object SparkEntry {
         |SELECT h.doc_id, h.source FROM h JOIN thr ON h.source = thr.source
         |WHERE h.bucket < thr.thr
         |ORDER BY doc_id""".stripMargin,
+
+    // the quota heap's descending total order is (n_chars DESC,
+    // doc_id DESC) — a QUALIFY-style row_number cut on the same keys
+    "quota_per_source" ->
+      """SELECT source, doc_id, CAST(rn AS INTEGER) AS rank
+        |FROM (
+        | SELECT source, doc_id,
+        |  ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id DESC) AS rn
+        | FROM documents)
+        |WHERE rn <= 100
+        |ORDER BY source, rank""".stripMargin,
+
+    // per-source rank by ascending doc_id; pos = (2r−1)/(2n) as the
+    // identical exact-integer IEEE division
+    "epoch_schedule" ->
+      """SELECT source, doc_id, CAST(rn AS BIGINT) AS rank,
+        | CAST(2*rn - 1 AS DOUBLE) / CAST(2*cnt AS DOUBLE) AS pos
+        |FROM (
+        | SELECT source, doc_id,
+        |  ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn,
+        |  COUNT(*) OVER (PARTITION BY source) AS cnt
+        | FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    // whitespace tokens of lowercased text (the library-wide rule);
+    // the vocab cut's boundary ties break to ascending term on both
+    // sides; zero-token docs restore via the left join with null rate
+    "vocab_oov" ->
+      """WITH d AS (
+        | SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS toks
+        | FROM documents
+        |), tok AS (
+        | SELECT doc_id, unnest(toks) AS term FROM d
+        |), vocab AS (
+        | SELECT term FROM (
+        |  SELECT term, count(*) AS cnt FROM tok GROUP BY 1
+        |  ORDER BY cnt DESC, term ASC LIMIT 1000)
+        |), pd AS (
+        | SELECT tok.doc_id, count(*) AS nt,
+        |  sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS n_o
+        | FROM tok LEFT JOIN vocab v ON tok.term = v.term
+        | GROUP BY 1
+        |)
+        |SELECT doc.doc_id,
+        | CAST(COALESCE(pd.nt, 0) AS BIGINT) AS n_tokens,
+        | CAST(COALESCE(pd.n_o, 0) AS BIGINT) AS n_oov,
+        | CASE WHEN pd.nt > 0 THEN CAST(pd.n_o AS DOUBLE) / CAST(pd.nt AS DOUBLE) END AS oov_rate
+        |FROM documents doc LEFT JOIN pd ON doc.doc_id = pd.doc_id
+        |ORDER BY doc.doc_id""".stripMargin,
 
     // same FNV-per-distinct-token buckets as dsir_scores (salt ':qm');
     // the 1024-row weight table is the gate-registered literal VALUES;

@@ -263,4 +263,108 @@ object Sampling {
     if (weights.isEmpty) df.filter(lit(false))
     else mixToTarget(df, keyCol, strataCol, weights, salt)
   }
+
+  /** Per-group quota cap — "at most n docs per domain/source", the
+    * web-curation guard against a handful of hosts dominating the mix
+    * (the C4/CCNet per-host cap, applied as an exact deterministic
+    * rule). Keeps the n rows per group that sort FIRST by `(orderCol,
+    * key)` — ascending when `keepSmallest` (first-n by id, best-n by
+    * loss), descending otherwise (longest / highest-score first; ties
+    * then favor the LARGER key, the heap's own direction, so the order
+    * stays total either way). Rows with a null group, order, or key
+    * drop (no defined position in a quota). Output: `(groupCol,
+    * keyCol, rank 1..n)` — ids only; join back on the key for
+    * payloads, so the heap never carries text.
+    *
+    * Scale shape: a bounded heap per group
+    * ([[graft.plans.TopKAggregate]]) — map-side partials cap each
+    * input partition at n candidates per group before the shuffle, so
+    * at most n·partitions (order, key) pairs move per group and no
+    * per-group sort of the full membership ever runs (a
+    * `row_number().over(partitionBy(group))` window would hash the
+    * whole corpus into |groups| tasks — the hot-domain task gets the
+    * hot domain's every row). n is quota-sized driver metadata; the
+    * group count is unbounded.
+    */
+  def quotaPerGroup(
+      df: DataFrame,
+      keyCol: String,
+      groupCol: String,
+      orderCol: String,
+      n: Int,
+      keepSmallest: Boolean = true
+  ): DataFrame = {
+    require(n > 0, s"quotaPerGroup: n must be positive, got $n")
+    graft.plans.TopKAggregate.register(df.sparkSession)
+    val fn = if (keepSmallest) "graft_bottomk" else "graft_topk"
+    df.select(col(groupCol), col(orderCol).as("_o"), col(keyCol).as("_k"))
+      .filter(col(groupCol).isNotNull && col("_o").isNotNull &&
+        col("_k").isNotNull)
+      .groupBy(groupCol)
+      .agg(call_function(fn, struct(col("_o"), col("_k")), lit(n)).as("_t"))
+      .select(col(groupCol), posexplode(col("_t")).as(Seq("_pos", "_e")))
+      .select(col(groupCol), col("_e._k").as(keyCol),
+        (col("_pos") + 1).cast("int").as("rank"))
+  }
+
+  /** Deterministic proportional interleave — the "epoch schedule" that
+    * orders a mixed corpus so every training prefix carries each
+    * source at its corpus proportion (stride scheduling over sources):
+    * the row of 1-based within-group rank r (by ascending key) in a
+    * group of n_g rows gets `pos = (2r − 1) / (2·n_g) ∈ (0, 1)`, and
+    * reading in pos order interleaves the groups proportionally — no
+    * "all of source A, then all of B" pathology, no RNG. `pos` is one
+    * IEEE division of exact integers (engine-reproducible); readers
+    * range-partition on it rather than materializing a global sort.
+    * Keys must be unique within their group (they are ids); null
+    * key/group rows drop. Output: `(groupCol, keyCol, rank, pos)` —
+    * ids only, join back for payloads.
+    *
+    * Scale shape: within-group ranks come from a TWO-LEVEL bucketed
+    * prefix (the percentRank design, on integer keys): key-range
+    * bucket counts per group reduce map-side, per-group offsets ride a
+    * window over the COUNT table (≤ groups×buckets rows — histogram
+    * rows, never the corpus), and `row_number` runs per (group,
+    * bucket) — bounded partitions, so no per-group window ever sees a
+    * whole group.
+    */
+  def epochSchedule(
+      df: DataFrame,
+      keyCol: String,
+      groupCol: String,
+      buckets: Int = 1024
+  ): DataFrame = {
+    require(buckets > 0, s"epochSchedule: buckets must be positive, got $buckets")
+    import org.apache.spark.sql.expressions.Window
+    val base = df
+      .select(col(groupCol).as("_g"), col(keyCol).cast("long").as("_k"))
+      .filter(col("_g").isNotNull && col("_k").isNotNull)
+    val b = base.agg(min(col("_k")).as("mn"), max(col("_k")).as("mx")).head()
+    val out = (g: Column, k: Column, rank: Column, pos: Column) => Seq(
+      g.as(groupCol), k.as(keyCol), rank.as("rank"), pos.as("pos"))
+    if (b.isNullAt(0))
+      return base.select(out(col("_g"), col("_k"), lit(0L), lit(0.0)): _*)
+        .limit(0)
+    val (mn, mx) = (b.getLong(0), b.getLong(1))
+    // integer bucket width (ceil): bins stay in [0, buckets), assignment
+    // is exact integer arithmetic — no FP boundary jitter
+    val width = math.max(1L, (mx - mn) / buckets + 1)
+    val binned = base.withColumn("_b", expr(s"(_k - $mn) div $width"))
+    val cnts = binned.groupBy("_g", "_b").agg(count(lit(1)).as("_c"))
+    // both windows share the one exchange on _g; only histogram rows flow
+    val wOff = Window.partitionBy("_g").orderBy("_b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = cnts
+      .withColumn("_off", coalesce(sum(col("_c")).over(wOff), lit(0L)))
+      .withColumn("_ng", sum(col("_c")).over(Window.partitionBy("_g")))
+      .select(col("_g"), col("_b"), col("_off"), col("_ng"))
+    val wRn = Window.partitionBy("_g", "_b").orderBy("_k")
+    val rank = (col("_off") + col("_rn")).as("_rank") // 1-based
+    binned.withColumn("_rn", row_number().over(wRn).cast("long"))
+      .join(offs, Seq("_g", "_b"))
+      .select(col("_g"), col("_k"), rank, col("_ng"))
+      .select(out(col("_g"), col("_k"), col("_rank"),
+        (lit(2L) * col("_rank") - 1L).cast("double") /
+          (lit(2L) * col("_ng")).cast("double")): _*)
+  }
 }

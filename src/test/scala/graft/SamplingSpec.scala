@@ -223,4 +223,76 @@ class SamplingSpec extends SparkSpec {
     assert(!plan.contains("Sort"), plan)
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("quotaPerGroup: equals the row_number cut both directions; nulls drop; heap-reduced plan") {
+    val df = Seq(
+      ("a", 1L, 10L), ("a", 2L, 30L), ("a", 3L, 30L), ("a", 4L, 20L),
+      ("b", 5L, 5L), ("b", 6L, 7L),
+      ("c", 7L, 1L)
+    ).toDF("g", "id", "score")
+    // keepSmallest: (score asc, id asc)
+    val lo = Sampling.quotaPerGroup(df, "id", "g", "score", n = 2)
+      .as[(String, Long, Int)].collect().toSet
+    assert(lo == Set(("a", 1L, 1), ("a", 4L, 2), ("b", 5L, 1), ("b", 6L, 2),
+      ("c", 7L, 1)), lo.toString)
+    // keepLargest: (score desc, id desc) — the tie at 30 favors id 3
+    val hi = Sampling.quotaPerGroup(df, "id", "g", "score", n = 2,
+      keepSmallest = false).as[(String, Long, Int)].collect().toSet
+    assert(hi == Set(("a", 3L, 1), ("a", 2L, 2), ("b", 6L, 1), ("b", 5L, 2),
+      ("c", 7L, 1)), hi.toString)
+    // null group / order / key rows drop
+    val withNulls = df.union(Seq(
+      (null, 8L, 1L), ("a", 9L, -99L), ("b", 10L, 2L)
+    ).toDF("g", "id", "score"))
+      .withColumn("score", when($"id" === 9L, lit(null)).otherwise($"score"))
+    val n2 = Sampling.quotaPerGroup(withNulls, "id", "g", "score", n = 2)
+      .as[(String, Long, Int)].collect().toSet
+    assert(n2 == Set(("a", 1L, 1), ("a", 4L, 2), ("b", 10L, 1), ("b", 5L, 2),
+      ("c", 7L, 1)), n2.toString)
+    // the reduction is the bounded heap: partial-aggregated, no Window,
+    // no Sort of the membership
+    val plan = Sampling.quotaPerGroup(df, "id", "g", "score", n = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft_bottomk"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("Sort"), plan)
+  }
+
+  test("epochSchedule: rank/pos equal the window brute force; prefixes stay proportional; windows stay bucket-bounded") {
+    // skewed groups: 400 of 'big', 40 of 'mid', 4 of 'small'
+    val rows = (0L until 400L).map(i => ("big", i * 3)) ++
+      (0L until 40L).map(i => ("mid", i * 17 + 1)) ++
+      (0L until 4L).map(i => ("small", i * 111 + 2))
+    val df = rows.toDF("g", "id")
+    val out = Sampling.epochSchedule(df, "id", "g", buckets = 8)
+      .as[(String, Long, Long, Double)].collect()
+    assert(out.length == rows.length)
+    // brute force via a per-group window
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("g").orderBy("id")
+    val brute = df
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("ng", count(lit(1)).over(Window.partitionBy("g")))
+      .select($"g", $"id", $"rank",
+        (lit(2L) * $"rank" - 1L).cast("double") /
+          (lit(2L) * $"ng").cast("double"))
+      .as[(String, Long, Long, Double)].collect().toSet
+    assert(out.toSet == brute)
+    // proportionality: any pos-prefix carries each group near its share
+    val firstHalf = out.filter(_._4 < 0.5)
+    val bigShare = firstHalf.count(_._1 == "big").toDouble / firstHalf.length
+    assert(math.abs(bigShare - 400.0 / 444.0) < 0.02, bigShare.toString)
+    // every row_number window partitions by (group, bucket), never the
+    // group alone — the corpus-sized partition the design forbids
+    val plan = Sampling.epochSchedule(df, "id", "g", buckets = 8)
+      .queryExecution.optimizedPlan.toString
+    val rnWindows = plan.linesIterator.filter(_.contains("row_number"))
+    assert(rnWindows.forall(l => l.contains("_b")), plan)
+    // null key/group rows drop
+    val withNull = df.union(Seq(("x", null.asInstanceOf[java.lang.Long]))
+      .map(t => (t._1, t._2: java.lang.Long)).toDF("g", "id"))
+    assert(Sampling.epochSchedule(withNull, "id", "g").count() == rows.length)
+    // empty input returns the right (empty) shape
+    assert(Sampling.epochSchedule(df.filter(lit(false)), "id", "g").count() == 0)
+  }
 }

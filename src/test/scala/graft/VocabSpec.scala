@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Vocab
+
+class VocabSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("topTerms: frequency cut with boundary ties to ascending term") {
+    val docs = Seq(
+      "the cat sat", "the dog sat", "the cat ran", "a bird"
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    // counts: the=3, cat=2, sat=2, a=1, bird=1, dog=1, ran=1
+    val top3 = Vocab.topTerms(docs, "text", 3).as[(String, Long)].collect()
+    assert(top3.toSeq == Seq(("the", 3L), ("cat", 2L), ("sat", 2L)))
+    // the v=5 boundary sits inside the count-1 tie: term asc decides
+    val top5 = Vocab.topTerms(docs, "text", 5).as[(String, Long)].collect()
+    assert(top5.toSeq == Seq(("the", 3L), ("cat", 2L), ("sat", 2L),
+      ("a", 1L), ("bird", 1L)))
+    // case-folded: "The" and "the" count together
+    val folded = Vocab.topTerms(Seq((0L, "The the THE")).toDF("id", "text"),
+      "text", 1).as[(String, Long)].collect()
+    assert(folded.toSeq == Seq(("the", 3L)))
+  }
+
+  test("oovStats: exact counts, one-division rate, zero-token docs report null") {
+    val docs = Seq(
+      (0L, "the cat sat on the mat"), // 6 tokens, oov: sat on mat → depends on vocab
+      (1L, "zzz qqq"),                // fully OOV for a small vocab
+      (2L, ""),                       // zero tokens
+      (3L, "the the the")             // fully covered
+    ).toDF("id", "text")
+    val vocab = Seq("the", "cat").toDF("term")
+    val out = Vocab.oovStats(docs, "id", "text", vocab)
+      .orderBy("id")
+      .as[(Long, Long, Long, Option[Double])].collect().toSeq
+    assert(out == Seq(
+      (0L, 6L, 3L, Some(3.0 / 6.0)),
+      (1L, 2L, 2L, Some(1.0)),
+      (2L, 0L, 0L, None),
+      (3L, 3L, 0L, Some(0.0))), out.toString)
+  }
+
+  test("oovStats composes with topTerms; vocab side broadcasts") {
+    val docs = Seq(
+      (0L, "alpha beta gamma"), (1L, "alpha beta"), (2L, "alpha delta")
+    ).toDF("id", "text")
+    // top-2 vocab: alpha=3, beta=2
+    val out = Vocab.oovStats(docs, "id", "text",
+        Vocab.topTerms(docs, "text", 2))
+      .orderBy("id").as[(Long, Long, Long, Option[Double])].collect().toSeq
+    assert(out == Seq(
+      (0L, 3L, 1L, Some(1.0 / 3.0)),
+      (1L, 2L, 0L, Some(0.0)),
+      (2L, 2L, 1L, Some(0.5))), out.toString)
+    val plan = Vocab.oovStats(docs, "id", "text", Vocab.topTerms(docs, "text", 2))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+}
