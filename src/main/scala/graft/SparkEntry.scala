@@ -748,6 +748,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- duplicated-substring mass: 40-char windows at stride 20
+    //      over normalized text; a window counts when its content
+    //      occurs in ≥2 distinct docs. Windows travel as xxhash64
+    //      fingerprints Spark-side; the oracle compares the exact
+    //      substr windows — equal modulo 64-bit collisions (~2⁻⁶⁵)
+    "dup_window_stats" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Dedup.duplicatedWindowStats(d, "doc_id", "text",
+          window = 40, stride = 20)
+        .orderBy("doc_id")
+    }),
+
     // ---- vocabulary coverage: top-1000 vocab by corpus frequency
     //      (boundary ties to ascending term), per-doc OOV rate as one
     //      exact division; zero-token docs report a null rate
@@ -2827,6 +2839,35 @@ object SparkEntry {
         |  COUNT(*) OVER (PARTITION BY source) AS cnt
         | FROM documents)
         |ORDER BY doc_id""".stripMargin,
+
+    // exact substr windows over the shared dedup normalization; 1-based
+    // positions 1, 21, 41… mirror the 0-based stride-20 filter; text at
+    // or under 40 chars is one whole-text window (range over
+    // greatest(len-38, 2) yields exactly [1] there, and the CASE keeps
+    // the window the full text)
+    "dup_window_stats" ->
+      """WITH norm AS (
+        | SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), '[[:punct:]]', '', 'g'), '\s+', ' ', 'g')) AS nt
+        | FROM documents
+        |), w AS (
+        | SELECT doc_id,
+        |  CASE WHEN length(nt) <= 40 THEN nt ELSE substr(nt, CAST(p AS INTEGER), 40) END AS win
+        | FROM norm, UNNEST(range(1, greatest(length(nt) - 38, 2), 20)) AS t(p)
+        |), pd AS (
+        | SELECT doc_id, win, count(*) AS c FROM w GROUP BY 1, 2
+        |), dup AS (
+        | SELECT win FROM pd GROUP BY win HAVING count(*) > 1
+        |), st AS (
+        | SELECT pd.doc_id, sum(pd.c) AS nw,
+        |  sum(CASE WHEN dup.win IS NOT NULL THEN pd.c ELSE 0 END) AS nd
+        | FROM pd LEFT JOIN dup ON pd.win = dup.win GROUP BY 1
+        |)
+        |SELECT d.doc_id,
+        | CAST(COALESCE(st.nw, 0) AS BIGINT) AS n_windows,
+        | CAST(COALESCE(st.nd, 0) AS BIGINT) AS n_dup_windows,
+        | CASE WHEN st.nw > 0 THEN CAST(st.nd AS DOUBLE) / CAST(st.nw AS DOUBLE) END AS dup_ratio
+        |FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     // whitespace tokens of lowercased text (the library-wide rule);
     // the vocab cut's boundary ties break to ascending term on both

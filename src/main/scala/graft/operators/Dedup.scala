@@ -756,4 +756,60 @@ object Dedup {
       )
       .filter(col("cosine") >= threshold)
   }
+
+  /** Per-document duplicated-substring statistics — the windowed
+    * approximation of suffix-array exact-substring dedup (public idea:
+    * Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better": long verbatim cross-document substrings are the
+    * memorization signal document-level dedup misses). Slides a
+    * `window`-char frame at `stride` over the NORMALIZED text (the
+    * exact-dedup normalization, [[TextFunctions.normalizeForFingerprint]])
+    * and reports, per doc: total windows, windows whose content occurs
+    * in ≥ 2 DISTINCT documents, and their ratio — the "copied mass"
+    * score to gate removal/masking on. Text shorter than the window is
+    * one whole-text window, so exact short duplicates still register.
+    *
+    * Scale shape: windows leave the row as 8-byte `xxhash64`
+    * fingerprints (one narrow [[TextFunctions.charShingles]] walk +
+    * stride filter; window TEXT never shuffles), the per-(doc, window)
+    * histogram is map-side combined, the cross-doc test reduces the
+    * HISTOGRAM (rows = distinct windows per doc), and the dup set
+    * equi-joins back on the fingerprint. A 64-bit collision
+    * (~n²/2⁶⁵ over distinct windows) counts one window pair as
+    * duplicated; the suffix-array exactness this trades away needs
+    * stride=1 and unbounded match extension — tune `stride` toward 1
+    * when recall matters more than cost (cost ∝ len/stride per doc).
+    */
+  def duplicatedWindowStats(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      window: Int = 50,
+      stride: Int = 25
+  ): DataFrame = {
+    require(window > 0, s"duplicatedWindowStats: window must be positive, got $window")
+    require(stride > 0, s"duplicatedWindowStats: stride must be positive, got $stride")
+    val sh = docs
+      .select(col(idCol).as("_id"),
+        posexplode(charShingles(col(textCol), window)).as(Seq("_p", "_s")))
+      .filter(col("_p") % stride === 0)
+      .select(col("_id"), xxhash64(col("_s")).as("_h"))
+    val perDoc = sh.groupBy("_id", "_h").agg(count(lit(1)).as("_c"))
+    val dup = perDoc.groupBy("_h").agg(count(lit(1)).as("_d"))
+      .filter(col("_d") > 1)
+      .select(col("_h"), lit(true).as("_isdup"))
+    val stats = perDoc.join(dup, Seq("_h"), "left")
+      .groupBy("_id").agg(
+        sum(col("_c")).as("_nw"),
+        sum(when(col("_isdup"), col("_c")).otherwise(0L)).as("_nd"))
+    docs.select(col(idCol).as("_id"))
+      .join(stats, Seq("_id"), "left")
+      .select(
+        col("_id").as(idCol),
+        coalesce(col("_nw"), lit(0L)).cast(LongType).as("n_windows"),
+        coalesce(col("_nd"), lit(0L)).cast(LongType).as("n_dup_windows"),
+        when(col("_nw") > 0L,
+          col("_nd").cast(DoubleType) / col("_nw").cast(DoubleType))
+          .as("dup_ratio"))
+  }
 }

@@ -406,4 +406,56 @@ class DedupSpec extends SparkSpec {
     assert(capped.as[(Long, Long, Double)].collect().map(r => (r._1, r._2)).toSet ==
       Set((100L, 101L)))
   }
+
+  test("duplicatedWindowStats: cross-doc windows count, within-doc repeats alone don't, short/null texts behave") {
+    val shared = "abcdefghij" * 4 // 40 normalized chars — one full window
+    val docs = Seq(
+      // doc 0 and 1 share a 40-char run at window-aligned positions
+      (0L, shared + " unique tail zero zero zero zero zero"),
+      (1L, shared + " other ending entirely different here"),
+      // doc 2: internal repetition only — its window content appears
+      // nowhere else, so no window is cross-doc duplicated
+      (2L, "xyxyxyxyxy" * 8),
+      // doc 3: short text (< window) — one whole-text window, unique
+      (3L, "tiny"),
+      // docs 4/5: identical SHORT texts — whole-text windows match
+      (4L, "same short text"),
+      (5L, "same short text"),
+      (6L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicatedWindowStats(docs, "doc_id", "text",
+        window = 40, stride = 20)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Option[Double])].collect().toSeq
+    val byId = out.map(r => r._1 -> r).toMap
+    // docs 0/1: the stride lands windows at 0 and 20; position 0 is the
+    // shared 40-char run in both docs → at least one dup window each
+    assert(byId(0L)._3 >= 1 && byId(1L)._3 >= 1, out.toString)
+    // internal-only repetition: no cross-doc dup
+    assert(byId(2L)._3 == 0, byId(2L).toString)
+    // short unique text: one window, zero dups
+    assert(byId(3L) == ((3L, 1L, 0L, Some(0.0))), byId(3L).toString)
+    // identical short texts: whole-text windows are cross-doc dups
+    assert(byId(4L) == ((4L, 1L, 1L, Some(1.0))), byId(4L).toString)
+    assert(byId(5L) == ((5L, 1L, 1L, Some(1.0))), byId(5L).toString)
+    // null text: zero windows, no defined ratio
+    assert(byId(6L) == ((6L, 0L, 0L, None)), byId(6L).toString)
+    // brute force over exact window STRINGS equals the hashed pipeline
+    val brute = {
+      val norm = docs.select($"doc_id",
+        graft.functions.TextFunctions.normalizeForFingerprint($"text").as("nt"))
+        .as[(Long, String)].collect().filter(_._2 != null)
+      val wins = norm.flatMap { case (id, nt) =>
+        if (nt.length <= 40) Seq(id -> nt)
+        else (0 to nt.length - 40 by 20).map(p => id -> nt.substring(p, p + 40))
+      }
+      val dupSet = wins.distinct.groupBy(_._2).filter(_._2.length > 1).keySet
+      wins.groupBy(_._1).map { case (id, ws) =>
+        id -> ((ws.length.toLong, ws.count(w => dupSet(w._2)).toLong))
+      }
+    }
+    out.filter(_._2 > 0).foreach { case (id, nw, nd, _) =>
+      assert(brute(id) == ((nw, nd)), s"doc $id: got ($nw,$nd) want ${brute(id)}")
+    }
+  }
 }
