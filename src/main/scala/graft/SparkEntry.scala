@@ -748,6 +748,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- key-concentration diagnostic: top-25 hottest user_ids with
+    //      exact counts and share/cum_share as exact-integer divisions
+    //      — the pre-join salting decision, reduced from the key
+    //      histogram with a TakeOrdered cut
+    "key_concentration" -> ((s, dir) => {
+      val ev = events(s, dir)
+      Profile.keyConcentration(ev, "user_id", k = 25)
+        .orderBy("rank")
+    }),
+
     // ---- duplicated-substring mass: 40-char windows at stride 20
     //      over normalized text; a window counts when its content
     //      occurs in ≥2 distinct docs. Windows travel as xxhash64
@@ -2839,6 +2849,22 @@ object SparkEntry {
         |  COUNT(*) OVER (PARTITION BY source) AS cnt
         | FROM documents)
         |ORDER BY doc_id""".stripMargin,
+
+    // (cnt DESC, key ASC) is a unique ordering, so the default RANGE
+    // running-sum frame equals Spark's explicit ROWS frame
+    "key_concentration" ->
+      """WITH h AS (
+        | SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS cnt
+        | FROM events WHERE user_id IS NOT NULL GROUP BY 1
+        |), tot AS (SELECT sum(cnt) AS t FROM h
+        |), top AS (
+        | SELECT key, cnt FROM h ORDER BY cnt DESC, key ASC LIMIT 25
+        |)
+        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, key ASC) AS INTEGER) AS rank,
+        | key, cnt,
+        | CAST(cnt AS DOUBLE) / CAST(t AS DOUBLE) AS share,
+        | CAST(SUM(cnt) OVER (ORDER BY cnt DESC, key ASC) AS DOUBLE) / CAST(t AS DOUBLE) AS cum_share
+        |FROM top, tot ORDER BY rank""".stripMargin,
 
     // exact substr windows over the shared dedup normalization; 1-based
     // positions 1, 21, 41… mirror the 0-based stride-20 filter; text at

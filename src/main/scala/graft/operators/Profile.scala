@@ -920,4 +920,40 @@ object Profile {
             .otherwise(x < lo || x > hi))
     }
   }
+
+  /** Key-concentration diagnostic — the "do I need to salt this key?"
+    * report before a big join/groupBy: the top-`k` hottest keys with
+    * exact counts, each key's share of all rows, and the cumulative
+    * share through that rank. A top-1 share near a partition's worth of
+    * the data means the shuffle on this key funnels into one task
+    * (route it through [[graft.engine.Partitioning.saltedJoin]] or cap
+    * it with [[Sampling.quotaPerGroup]]); a flat curve means plain hash
+    * partitioning is fine. Null keys are excluded (they don't join).
+    *
+    * Scale shape: ONE map-side-combined key histogram; the total and
+    * the top-k cut both reduce the histogram (TakeOrdered, ties broken
+    * by ascending key — no global sort), and rank/cumulative windows
+    * run on the ≤ k-row result. Shares are exact-integer IEEE
+    * divisions, engine-reproducible.
+    */
+  def keyConcentration(df: DataFrame, keyCol: String, k: Int = 20): DataFrame = {
+    require(k > 0, s"keyConcentration: k must be positive, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val hist = df.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol).cast(StringType).as("key"))
+      .agg(count(lit(1)).as("cnt"))
+    val total = hist.agg(coalesce(sum(col("cnt")), lit(0L)).as("_tot"))
+    val top = hist.orderBy(col("cnt").desc, col("key").asc).limit(k)
+    // rank + running count over the k-row cut: a single bounded partition
+    val w = Window.orderBy(col("cnt").desc, col("key").asc)
+    top
+      .withColumn("rank", row_number().over(w).cast(IntegerType))
+      .withColumn("_cum", sum(col("cnt")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(total))
+      .select(
+        col("rank"), col("key"), col("cnt"),
+        (col("cnt").cast(DoubleType) / col("_tot").cast(DoubleType)).as("share"),
+        (col("_cum").cast(DoubleType) / col("_tot").cast(DoubleType)).as("cum_share"))
+  }
 }

@@ -396,4 +396,31 @@ class ProfileSpec extends SparkSpec {
       g.getAs[Double]("p75") == a.getAs[Double]("p75") &&
       g.getAs[Double]("mean") == a.getAs[Double]("mean"))
   }
+
+  test("keyConcentration: exact top-k shares, count ties break to ascending key, nulls excluded") {
+    // 10×a, 5×b, 5×c, 2×d, plus nulls that must not count
+    val rows = Seq.fill(10)("a") ++ Seq.fill(5)("c") ++ Seq.fill(5)("b") ++
+      Seq.fill(2)("d") ++ Seq(null, null)
+    val df = rows.toDF("k")
+    val out = Profile.keyConcentration(df, "k", k = 3)
+      .as[(Int, String, Long, Double, Double)].collect().toSeq
+    // total = 22 non-null; the 5-count tie resolves b before c
+    assert(out == Seq(
+      (1, "a", 10L, 10.0 / 22.0, 10.0 / 22.0),
+      (2, "b", 5L, 5.0 / 22.0, 15.0 / 22.0),
+      (3, "c", 5L, 5.0 / 22.0, 20.0 / 22.0)), out.toString)
+    // k beyond the distinct-key count returns every key, cum → 1.0
+    val all = Profile.keyConcentration(df, "k", k = 10)
+      .as[(Int, String, Long, Double, Double)].collect().toSeq
+    assert(all.length == 4 && all.last._5 == 1.0, all.toString)
+    // non-string keys stringify
+    val nums = Profile.keyConcentration(
+      Seq(7L, 7L, 8L).toDF("k"), "k", k = 2)
+      .as[(Int, String, Long, Double, Double)].collect().toSeq
+    assert(nums.map(r => (r._1, r._2, r._3)) == Seq((1, "7", 2L), (2, "8", 1L)))
+    // the cut is a TakeOrdered over the histogram, not a global Sort of rows
+    val plan = Profile.keyConcentration(df, "k", k = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
 }
