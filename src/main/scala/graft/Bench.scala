@@ -8,8 +8,6 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      // events.parquet carries TIMESTAMP(NANOS) (see SparkEntry.events)
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // byte-based AQE coalescing under-parallelizes CPU-heavy text stages
       // on small local files; 16k floor keeps them spread across cores
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16k")
@@ -18,6 +16,7 @@ object Bench {
       // for our explode pipelines, whose generators drop nothing
       .config("spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

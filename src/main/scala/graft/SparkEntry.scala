@@ -23,16 +23,28 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.parquet carries TIMESTAMP(NANOS) which Spark has no native type
-    * for (SPARK-40819): read nanos as long and truncate to micros exactly
-    * (integer division — the ns epoch ~1.7e18 overflows double precision).
-    * DuckDB oracles read the same column as TIMESTAMP_NS; both engines
-    * therefore agree at micro/milli granularity.
+  /** Schema-adaptive events reader. The driver has regenerated
+    * events.parquet across rounds with different `ts` physical types:
+    *   - TIMESTAMP(NANOS): Spark has no native type (SPARK-40819) — with
+    *     `nanosAsLong` the column arrives as LongType; truncate to micros
+    *     exactly (integer division — the ns epoch ~1.7e18 overflows double
+    *     precision).
+    *   - timestamp[us] (current): arrives as TimestampType or
+    *     TimestampNTZType depending on isAdjustedToUTC / inferTimestampNTZ;
+    *     use as-is, normalized to the session-UTC TimestampType.
+    * DuckDB oracles read the same column as TIMESTAMP / TIMESTAMP_NS; both
+    * engines agree at micro/milli granularity either way.
     */
-  private def events(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = t(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType    => raw
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case other => throw new IllegalStateException(
+        s"events.ts: unexpected parquet-read dtype $other (expected LongType/Timestamp/TimestampNTZ)")
+    }
   }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

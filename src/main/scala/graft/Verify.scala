@@ -14,8 +14,6 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      // events.parquet carries TIMESTAMP(NANOS) (see SparkEntry.events)
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // byte-based AQE coalescing under-parallelizes CPU-heavy text stages
       // on small local files; 16k floor keeps them spread across cores
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16k")

@@ -33,9 +33,7 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("bin fan-out is narrow: no Exchange below the count aggregate's shuffle") {
-    val ev = t("events").select(
-      timestamp_micros(expr("ts div 1000")).as("ts"),
-      col("event_type"))
+    val ev = SparkEntry.events(spark, dir).select(col("ts"), col("event_type"))
     val q = Binning.binAndCount(ev, Seq(
       DateBinner("t", "ts", DateGranularity.DAY),
       LiteralBinner("e", "event_type")))
