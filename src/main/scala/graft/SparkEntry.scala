@@ -123,9 +123,13 @@ object SparkEntry {
       (4L, "partition shuffle sort")).toDF("query_id", "qtext")
   }
 
+  /** idf literal VALUES rows as scaled integers (idf × 10⁶, BIGINT) —
+    * the exact-integer bm25 oracle arithmetic consumes these; no double
+    * ever enters the compared surface.
+    */
   private def idfValuesRows(idf: Seq[(String, java.math.BigDecimal)]): String =
     idf.map { case (t, v) =>
-      s"(${GateTables.sqlStr(t)}, CAST('${v.toPlainString}' AS DOUBLE))"
+      s"(${GateTables.sqlStr(t)}, ${Retrieval.idfScaled6(v)})"
     }.mkString(",\n   ")
 
   private def dsirWeightRows(lits: IndexedSeq[java.math.BigDecimal]): String =
@@ -800,10 +804,60 @@ object SparkEntry {
     //      oracle via GateTables
     "quality_margin" -> ((s, dir) => {
       val d = t(s, dir, "documents").filter(col("doc_id") < 1000)
-      GateTables.put("qm_w", dsirWeightRows(qmGateWeights))
       QualityModel.scoreMargin(d, "doc_id", "text",
           qmGateWeights, qmGateBias)
         .orderBy("doc_id")
+    }),
+
+    // ---- staged diagnostics for the retrieval/scoring hash divergence
+    //      (round-7 verdict #2). The driver reds gates whose machinery
+    //      is individually green elsewhere (FNV fold: green in
+    //      hash_split etc.; wide DECIMAL: green in profile_*; the one
+    //      feature unique to the red set is the literal weight/idf
+    //      VALUES table), so each stage isolates one component; the
+    //      first red stage in CORRECTNESS_r08 names the divergent
+    //      machinery:
+    //        qm_diag_tokens  — tokenization alone (regex split)
+    //        qm_diag_buckets — + the FNV-1a fold to buckets
+    //        qm_diag_weights — the decimal VALUES literal table alone
+    //                          (data-independent; oracle always eager)
+    //        bm25_diag_idf   — a run-time-registered GateTables VALUES
+    //                          table alone (red/err here ⇒ registered
+    //                          tables never reach the driver's oracle
+    //                          consumption — hypothesis (ii))
+    //      quality_margin itself is the final stage (adds the weight
+    //      join + exact decimal sums).
+    "qm_diag_tokens" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(col("doc_id") < 1000)
+      val toks = TextFunctions.tokens(lower(col("text")))
+      d.select(col("doc_id"),
+          size(toks).cast(LongType).as("n_tokens"),
+          coalesce(aggregate(toks, lit(0L), (acc, x) => acc + length(x)),
+            lit(0L)).as("sum_len"))
+        .orderBy("doc_id")
+    }),
+
+    "qm_diag_buckets" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(col("doc_id") < 1000)
+      d.select(explode(TextFunctions.tokens(lower(col("text")))).as("token"))
+        .select(ImportanceScoring.tokenBucket(col("token"),
+          QualityModel.DefaultBuckets, "qm").as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+        .orderBy("bucket")
+    }),
+
+    "qm_diag_weights" -> ((s, dir) =>
+      ImportanceScoring.weightsTableFromLiterals(s, qmGateWeights)
+        .orderBy("bucket")),
+
+    "bm25_diag_idf" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val queries = bm25GateQueries3(s)
+      val idf = Retrieval.queryIdfLiterals(docs, "text", queries, "qtext")
+      GateTables.put("bm25_idf_q3", idfValuesRows(idf))
+      idf.map { case (tm, v) => (tm, Retrieval.idfScaled6(v)) }
+        .toDF("term", "idf_s").orderBy("term")
     }),
 
     // ---- collocation mining: top-k bigrams by LIFT (= exp(PMI), the
@@ -2115,25 +2169,28 @@ object SparkEntry {
       |   (4, 'partition shuffle sort')""".stripMargin
 
   /** The BM25 lexical-chain CTE definitions (`d` … `sc`, plus `qn` when
-    * `requireAll`), composable into a larger WITH list. `idfRows`:
-    * Some(valuesRows) → literal `idft` table; None → engine-ln idft.
+    * `requireAll`), composable into a larger WITH list. `idfRows` is
+    * the literal `(term, idf_s BIGINT ×10⁶)` table the gate query
+    * registered — REQUIRED: there is deliberately no engine-side `ln`
+    * fallback (round-7 verdict #4); [[gateTableOrError]] turns an
+    * unregistered table into a loud oracle-side failure instead of a
+    * silent value divergence.
+    *
+    * The per-term contribution mirrors Retrieval.rankPostings'
+    * gate-portable path operand for operand: numerator a =
+    * idf_s·tf·(10⁶+K1)·10⁶·sum_dl·10³, denominator d = tf·10¹²·sum_dl
+    * + K1·(10⁶−B)·10⁶·sum_dl + K1·B·dl·n_docs (K1 = 1200000, B =
+    * 750000), contribution = ⌊(2a+d)/(2d)⌋ — HALF_UP 9dp rounding in
+    * pure HUGEINT arithmetic, value-identical in any engine. No double
+    * and no `round()` anywhere in the compared surface.
     */
   private def bm25ChainSql(
-      queryValues: String, idfRows: Option[String], requireAll: Boolean): String = {
-    val idfCte = idfRows match {
-      case Some(rows) =>
-        s"""idft AS (
-           | SELECT * FROM (VALUES
-           |   $rows) AS v(term, idf)
-           |)""".stripMargin
-      case None =>
-        """idft AS (
-          | SELECT df.term,
-          |  round(ln((CAST(st.n_docs AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
-          |            / (CAST(df.df AS DOUBLE) + 0.5) + 1.0), 6) AS idf
-          | FROM df, st
-          |)""".stripMargin
-    }
+      queryValues: String, idfRows: String, requireAll: Boolean): String = {
+    val idfCte =
+      s"""idft AS (
+         | SELECT * FROM (VALUES
+         |   $idfRows) AS v(term, idf_s)
+         |)""".stripMargin
     val qnCte = if (requireAll)
       """, qn AS (
         | SELECT query_id, count(*) AS nq FROM qt GROUP BY 1
@@ -2160,26 +2217,46 @@ object SparkEntry {
        | SELECT query_id,
        |  unnest(list_distinct(list_filter(string_split_regex(trim(lower(qtext)), '\\s+'), x -> x <> ''))) AS term
        | FROM q
-       |)$qnCte, $idfCte, sc AS (
-       | SELECT qt.query_id, tf.doc_id AS neighbor_id,
-       |  sum(CAST(round(
-       |    idft.idf
-       |    * (CAST(tf.tf AS DOUBLE) * 2.2
-       |       / (CAST(tf.tf AS DOUBLE)
-       |          + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl.dl AS DOUBLE)
-       |              / (CAST(st.sum_dl AS DOUBLE) / CAST(st.n_docs AS DOUBLE))))))
-       |  , 9) AS DECIMAL(38,9))) AS score$matched
+       |)$qnCte, $idfCte, scx AS (
+       | SELECT qt.query_id, tf.doc_id,
+       |  CAST(idft.idf_s AS HUGEINT) * tf.tf * 2200000 * 1000000
+       |    * st.sum_dl * 1000 AS a,
+       |  CAST(tf.tf AS HUGEINT) * 1000000000000 * st.sum_dl
+       |    + CAST(300000000000 AS HUGEINT) * st.sum_dl
+       |    + CAST(900000000000 AS HUGEINT) * dl.dl * st.n_docs AS d
        | FROM qt
        | JOIN tf ON qt.term = tf.term
        | JOIN idft ON qt.term = idft.term
        | JOIN dl ON tf.doc_id = dl.doc_id, st
+       |), sc AS (
+       | SELECT query_id, doc_id AS neighbor_id,
+       |  CAST(CAST(sum((2 * a + d) // (2 * d)) AS DECIMAL(28,0))
+       |    * CAST('0.000000001' AS DECIMAL(9,9)) AS DECIMAL(38,9)) AS score$matched
+       | FROM scx
        | GROUP BY 1, 2
        |)""".stripMargin
   }
 
+  /** The registered gate-table rows for `key`, or a loud single-row
+    * oracle failure. There is deliberately NO value fallback: an
+    * oracle_sql.json produced without running the gate queries must
+    * fail by NAME in the driver's correctness report, never silently
+    * diverge on a re-derived (ln-based) surface — that exact silent
+    * path is round 6/7's standing hash-red hypothesis (ii).
+    */
+  private def gateTableOrError(key: String): Either[String, String] =
+    GateTables.get(key).toRight(
+      s"SELECT error('gate table $key not registered: oracle_sql.json was " +
+        "generated without running the gate queries first (Verify runs " +
+        "queries, then dumps oracles)')")
+
   private def bm25TopKOracle(
       queryValues: String, idfKey: String, requireAll: Boolean): String = {
-    val chain = bm25ChainSql(queryValues, GateTables.get(idfKey), requireAll)
+    val rows = gateTableOrError(idfKey) match {
+      case Left(err) => return err
+      case Right(r) => r
+    }
+    val chain = bm25ChainSql(queryValues, rows, requireAll)
     if (requireAll)
       s"""WITH $chain
          |SELECT CAST(sc.query_id AS BIGINT) AS query_id, sc.neighbor_id,
@@ -2200,8 +2277,11 @@ object SparkEntry {
   }
 
   private def hybridRrfOracle(): String = {
-    val chain = bm25ChainSql(bm25Q5Values, GateTables.get("bm25_idf_q5"),
-      requireAll = false)
+    val rows = gateTableOrError("bm25_idf_q5") match {
+      case Left(err) => return err
+      case Right(r) => r
+    }
+    val chain = bm25ChainSql(bm25Q5Values, rows, requireAll = false)
     s"""WITH qv AS (
        | SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 5
        |), ds AS (
@@ -2219,11 +2299,13 @@ object SparkEntry {
        | FROM sc QUALIFY rank <= 10
        |), contribs AS (
        | SELECT query_id, neighbor_id,
-       |  CAST(round(CAST(1.0 AS DOUBLE) / (60.0 + CAST(rank AS DOUBLE)), 12) AS DECIMAL(38,12)) AS c
+       |  CAST(CAST((2000000000000 + (60 + rank)) // (2 * (60 + rank)) AS DECIMAL(25,0))
+       |    * CAST('0.000000000001' AS DECIMAL(12,12)) AS DECIMAL(38,12)) AS c
        | FROM dense
        | UNION ALL
        | SELECT query_id, neighbor_id,
-       |  CAST(round(CAST(1.0 AS DOUBLE) / (60.0 + CAST(rank AS DOUBLE)), 12) AS DECIMAL(38,12)) AS c
+       |  CAST(CAST((2000000000000 + (60 + rank)) // (2 * (60 + rank)) AS DECIMAL(25,0))
+       |    * CAST('0.000000000001' AS DECIMAL(12,12)) AS DECIMAL(38,12)) AS c
        | FROM lexical
        |), fused AS (
        | SELECT query_id, neighbor_id, CAST(sum(c) AS DECIMAL(38,12)) AS score
@@ -2246,22 +2328,15 @@ object SparkEntry {
       |  ) % 1024 AS BIGINT) AS bucket""".stripMargin
 
   private def dsirOracle(): String = {
-    val wCte = GateTables.get("dsir_w") match {
-      case Some(rows) =>
+    // no ln-based fallback (round-7 verdict #4): an unregistered weight
+    // table fails by name, never silently re-derives the weights
+    val wCte = gateTableOrError("dsir_w") match {
+      case Left(err) => return err
+      case Right(rows) =>
         s"""w AS (
            | SELECT * FROM (VALUES
            |   $rows) AS v(bucket, weight)
            |)""".stripMargin
-      case None =>
-        """w AS (
-          | SELECT b.bucket,
-          |  CAST(round(
-          |    ln((COALESCE(tc.tcnt, 0) + 1) / CAST((SELECT count(*) FROM tk WHERE source = 'src0') + 1024 AS DOUBLE))
-          |  - ln((COALESCE(rc.rcnt, 0) + 1) / CAST((SELECT count(*) FROM tk) + 1024 AS DOUBLE)), 6) AS DECIMAL(38,6)) AS weight
-          | FROM (SELECT unnest(range(0, 1024)) AS bucket) b
-          | LEFT JOIN tc ON b.bucket = tc.bucket
-          | LEFT JOIN rc ON b.bucket = rc.bucket
-          |)""".stripMargin
     }
     s"""WITH base AS (
        | SELECT doc_id, source,
@@ -2287,23 +2362,14 @@ object SparkEntry {
   }
 
   private def qualityMarginOracle(): String = {
-    val wCte = GateTables.get("qm_w") match {
-      case Some(rows) =>
-        s"""w AS (
-           | SELECT * FROM (VALUES
-           |   $rows) AS v(bucket, weight)
-           |)""".stripMargin
-      case None =>
-        // fallback mirrors qmGateWeights' Weyl formula with exact
-        // integer ops and an exact decimal scale-down (never a
-        // double→decimal cast, whose rounding mode differs)
-        """w AS (
-          | SELECT b.bucket,
-          |  CAST((b.bucket * 2654435761 % 2001 - 1000)
-          |    * CAST('0.001' AS DECIMAL(38,6)) AS DECIMAL(38,6)) AS weight
-          | FROM (SELECT unnest(range(0, 1024)) AS bucket) b
-          |)""".stripMargin
-    }
+    // qmGateWeights is deterministic and data-independent, so the
+    // literal table is computed EAGERLY here — no run-time registration,
+    // no fallback branch (round-7 verdict #4)
+    val wCte =
+      s"""w AS (
+         | SELECT * FROM (VALUES
+         |   ${dsirWeightRows(qmGateWeights)}) AS v(bucket, weight)
+         |)""".stripMargin
     // per-OCCURRENCE weight sums (no cnt·weight product: DuckDB decimal
     // multiplication can widen past 38 and fall back to double) — the
     // value is identical to Spark's Σ cnt·w, purely decimal adds here
@@ -2333,32 +2399,26 @@ object SparkEntry {
   }
 
   private def lmOracle(): String = {
-    val (wtCte, scCte) = GateTables.get("lm_wt") match {
-      case Some(rows) =>
-        (s""", wt AS (
-            | SELECT * FROM (VALUES
-            |   $rows) AS v(a, b, w)
-            |)""".stripMargin,
-          """sc AS (
-            | SELECT g.doc_id, wt.w AS w
-            | FROM bg g
-            | LEFT JOIN c2 ON g.bp = c2.bp AND g.bc = c2.bc
-            | LEFT JOIN c1 ON g.bp = c1.bp
-            | JOIN wt ON wt.a = COALESCE(c2.c2, 0) + 1 AND wt.b = COALESCE(c1.c1, 0) + 1024
-            | WHERE g.doc_id < 500
-            |)""".stripMargin)
-      case None =>
-        ("",
-          """sc AS (
-            | SELECT g.doc_id,
-            |  CAST(round(ln((COALESCE(c2.c2, 0) + 1)
-            |    / CAST(COALESCE(c1.c1, 0) + 1024 AS DOUBLE)), 6) AS DECIMAL(38,6)) AS w
-            | FROM bg g
-            | LEFT JOIN c2 ON g.bp = c2.bp AND g.bc = c2.bc
-            | LEFT JOIN c1 ON g.bp = c1.bp
-            | WHERE g.doc_id < 500
-            |)""".stripMargin)
+    // no ln-based fallback (round-7 verdict #4): an unregistered weight
+    // table fails by name, never silently re-derives the weights
+    val rows = gateTableOrError("lm_wt") match {
+      case Left(err) => return err
+      case Right(r) => r
     }
+    val wtCte =
+      s""", wt AS (
+         | SELECT * FROM (VALUES
+         |   $rows) AS v(a, b, w)
+         |)""".stripMargin
+    val scCte =
+      """sc AS (
+        | SELECT g.doc_id, wt.w AS w
+        | FROM bg g
+        | LEFT JOIN c2 ON g.bp = c2.bp AND g.bc = c2.bc
+        | LEFT JOIN c1 ON g.bp = c1.bp
+        | JOIN wt ON wt.a = COALESCE(c2.c2, 0) + 1 AND wt.b = COALESCE(c1.c1, 0) + 1024
+        | WHERE g.doc_id < 500
+        |)""".stripMargin
     s"""WITH base AS (
        | SELECT doc_id, source,
        |  list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS toks
@@ -2938,6 +2998,50 @@ object SparkEntry {
     // margin = bias + exact decimal dot, zero-token docs keep the bias
     // via the left join
     "quality_margin" -> qualityMarginOracle(),
+
+    // staged divergence diagnostics — see the matching `queries` block
+    "qm_diag_tokens" ->
+      s"""WITH base AS (
+         | SELECT doc_id,
+         |  list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS toks
+         | FROM documents WHERE doc_id < 1000
+         |)
+         |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         | CAST(COALESCE(list_sum(list_transform(toks, x -> length(x))), 0) AS BIGINT) AS sum_len
+         |FROM base ORDER BY 1""".stripMargin,
+
+    "qm_diag_buckets" ->
+      s"""WITH base AS (
+         | SELECT doc_id,
+         |  list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS toks
+         | FROM documents WHERE doc_id < 1000
+         |), tok AS (
+         | SELECT doc_id, unnest(toks) AS token FROM base
+         |), vb AS (
+         | SELECT token,
+         |  $fnvBucketExpr
+         | FROM (SELECT DISTINCT token, token || ':qm' AS s FROM tok)
+         |), tk AS (
+         | SELECT t.doc_id, v.bucket FROM tok t JOIN vb v ON t.token = v.token
+         |)
+         |SELECT bucket, CAST(count(*) AS BIGINT) AS cnt
+         |FROM tk GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "qm_diag_weights" ->
+      s"""SELECT CAST(bucket AS BIGINT) AS bucket,
+         | CAST(weight AS DECIMAL(38,6)) AS weight
+         |FROM (VALUES
+         |   ${dsirWeightRows(qmGateWeights)}) AS v(bucket, weight)
+         |ORDER BY 1""".stripMargin,
+
+    "bm25_diag_idf" -> (gateTableOrError("bm25_idf_q3") match {
+      case Left(err) => err
+      case Right(rows) =>
+        s"""SELECT term, CAST(idf_s AS BIGINT) AS idf_s
+           |FROM (VALUES
+           |   $rows) AS v(term, idf_s)
+           |ORDER BY 1""".stripMargin
+    }),
 
     // adjacent-position bigrams (lm_scores' bg pattern on raw tokens),
     // marginals and total reduced from the bigram histogram, lift as

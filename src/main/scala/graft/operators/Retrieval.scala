@@ -141,11 +141,17 @@ object Retrieval {
       .crossJoin(tf.agg(coalesce(sum(col("tf")), lit(0L)).as("sum_dl")))
     val spark = docs.sparkSession
     import spark.implicits._
-    val idfTable = idf.map { case (t, v) => (t, v.doubleValue()) }
-      .toDF("term", "idf")
+    val idfTable = idf.map { case (t, v) => (t, idfScaled6(v)) }
+      .toDF("term", "idf_s")
     rankPostings(tf, doclen, stats, queries, queryIdCol, queryTextCol, k, k1, b,
       requireAllTerms, idfTable = Some(idfTable))
   }
+
+  /** The 6dp idf literal as a scaled integer (idf × 10⁶) — the form the
+    * exact-integer gate arithmetic consumes on both engines.
+    */
+  def idfScaled6(v: java.math.BigDecimal): Long =
+    v.movePointRight(6).longValueExact()
 
   /** BM25 top-k against a PREBUILT postings table (e.g. the committed
     * version of the streaming index). Document length derives from the
@@ -192,8 +198,8 @@ object Retrieval {
       sum(col("dl")).as("sum_dl"))
     val spark = postings.sparkSession
     import spark.implicits._
-    val idfTable = idf.map { case (t, v) => (t, v.doubleValue()) }
-      .toDF("term", "idf")
+    val idfTable = idf.map { case (t, v) => (t, idfScaled6(v)) }
+      .toDF("term", "idf_s")
     rankPostings(postings, doclen, stats, queries, queryIdCol, queryTextCol,
       k, k1, b, requireAllTerms, idfTable = Some(idfTable))
   }
@@ -209,7 +215,7 @@ object Retrieval {
       k1: Double,
       b: Double,
       requireAllTerms: Boolean,
-      idfTable: Option[DataFrame] = None // (term, idf DOUBLE) literals
+      idfTable: Option[DataFrame] = None // (term, idf_s BIGINT ×10⁶) literals
   ): DataFrame = {
     val qterms = queries.select(
       col(queryIdCol).as("query_id"),
@@ -229,18 +235,53 @@ object Retrieval {
     // idf: either the engine formula joined per-term df, or a
     // driver-computed literal table (the gate-portable path — the
     // query-term idf set is metadata-sized, so the join broadcasts)
-    val (idfCol, joinIdf) = idfTable match {
-      case Some(t) => (col("idf"), (d: DataFrame) => d.join(broadcast(t), Seq("term")))
+    val joined = idfTable match {
+      case Some(t) => broadcast(qterms).join(tf, Seq("term"))
+        .join(broadcast(t), Seq("term"))
       case None =>
         val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
-        (idf6, (d: DataFrame) => d.join(df, Seq("term")))
+        broadcast(qterms).join(tf, Seq("term")).join(df, Seq("term"))
     }
-    val contrib = round(idfCol * tfnorm, 9).cast(DecimalType(38, 9))
-    val scoredBase = joinIdf(broadcast(qterms).join(tf, Seq("term")))
-      .join(doclen, Seq("id"))
-      .crossJoin(broadcast(stats))
-      .groupBy(col("query_id"), col("id").as("neighbor_id"))
-      .agg(sum(contrib).as("score"), count(lit(1)).as("_nmatched"))
+    val withStats = joined.join(doclen, Seq("id")).crossJoin(broadcast(stats))
+    val scoredBase = idfTable match {
+      case Some(_) =>
+        // Gate-portable path: the per-term contribution is ONE exact
+        // rational — tfnorm's num/den scaled by 10¹²·sum_dl — numerator
+        // idf_s·tf·(10⁶+K1)·10⁶·sum_dl·10³, denominator tf·10¹²·sum_dl
+        // + K1·(10⁶−B)·sum_dl + K1·B·dl·n_docs (K1 = k1·10⁶, B = b·10⁶,
+        // exact integers) — rounded HALF_UP to 9dp in pure integer
+        // arithmetic: ⌊(2a + d) / (2d)⌋ for positive a/d. No double
+        // ever enters the compared surface, so the value is identical
+        // in ANY engine's integer/decimal arithmetic — a
+        // `round(double, 9)` here differs across libm/duckdb builds the
+        // same way `ln` does (round-6/round-7 verdicts). DECIMAL(38,0)
+        // carries the ~10³² intermediates (HUGEINT on the oracle side).
+        val bd = java.math.BigDecimal.valueOf(_: Double)
+        val K1 = bd(k1).movePointRight(6).longValueExact()
+        val B = bd(b).movePointRight(6).longValueExact()
+        val d38 = DecimalType(38, 0)
+        withStats
+          .withColumn("_a",
+            col("idf_s").cast(d38) * col("tf").cast(d38) *
+              lit(1000000L + K1) * lit(1000000L) * col("sum_dl").cast(d38) *
+              lit(1000L))
+          .withColumn("_d",
+            col("tf").cast(d38) * lit(1000000000000L) * col("sum_dl").cast(d38) +
+              lit(K1 * (1000000L - B)) * col("sum_dl").cast(d38) +
+              lit(K1 * B) * col("dl").cast(d38) * col("n_docs").cast(d38))
+          .withColumn("_cs", expr("(2 * _a + _d) div (2 * _d)"))
+          .groupBy(col("query_id"), col("id").as("neighbor_id"))
+          .agg(sum(col("_cs")).as("_ss"), count(lit(1)).as("_nmatched"))
+          .withColumn("score",
+            (col("_ss").cast(DecimalType(28, 0)) *
+              lit(new java.math.BigDecimal("0.000000001")))
+              .cast(DecimalType(38, 9)))
+      case None =>
+        val contrib = round(idf6 * tfnorm, 9).cast(DecimalType(38, 9))
+        withStats
+          .groupBy(col("query_id"), col("id").as("neighbor_id"))
+          .agg(sum(contrib).as("score"), count(lit(1)).as("_nmatched"))
+    }
     // AND semantics: keep docs matching EVERY distinct query term —
     // the matched-term count falls out of the scoring aggregate free,
     // and the per-query term totals are a metadata-sized broadcast
@@ -286,10 +327,20 @@ object Retrieval {
     val ws = if (weights.isEmpty) Seq.fill(lists.size)(1.0) else weights
     require(ws.size == lists.size,
       s"got ${ws.size} weights for ${lists.size} lists")
+    // each contribution w/(rrfK + rank) is rounded HALF_UP to 12dp in
+    // EXACT integer arithmetic — ⌊(2·w₆·10⁶ + d) / (2·d)⌋ with w₆ =
+    // w·10⁶ exact — then rescaled to DECIMAL(38,12); `round(double,12)`
+    // here would re-import the cross-build libm/rounding divergence the
+    // bm25 surface just evicted (round-7 verdict #3)
     val contribs = lists.zip(ws).map { case (df, w) =>
+      val w6 = java.math.BigDecimal.valueOf(w).movePointRight(6).longValueExact()
       df.select(col("query_id"), col("neighbor_id"),
-        round(lit(w) / (lit(rrfK) + col("rank").cast(DoubleType)), 12)
-          .cast(DecimalType(38, 12)).as("_contrib"))
+          (lit(rrfK.toLong) + col("rank").cast(LongType)).as("_d"))
+        .withColumn("_cs", expr(s"(${2L * w6 * 1000000L} + _d) div (2 * _d)"))
+        .select(col("query_id"), col("neighbor_id"),
+          (col("_cs").cast(DecimalType(25, 0)) *
+            lit(new java.math.BigDecimal("0.000000000001")))
+            .cast(DecimalType(38, 12)).as("_contrib"))
     }.reduce(_ unionByName _)
     val fused = contribs.groupBy("query_id", "neighbor_id")
       .agg(sum(col("_contrib")).cast(DecimalType(38, 12)).as("score"))
