@@ -27,15 +27,32 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // fail FAST and LOUDLY on testdata schema drift — in round 7 a
+    // regenerated events.parquet silently dropped 22 queries from the
+    // correctness report (each threw at plan time, was caught below,
+    // and simply never produced a result directory)
+    TableSchemas.check(spark, sfDir)
+    val failed = scala.collection.mutable.ListBuffer.empty[String]
+    var ok = 0
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        ok += 1
+      } catch { case e: Throwable =>
+        failed += name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // one unmissable summary line — a plan-time breakage must never
+    // again read as "queries disappeared"
+    if (failed.nonEmpty)
+      System.err.println(
+        s"[verify] SUMMARY: $ok ok, ${failed.size} FAILED: ${failed.sorted.mkString(", ")}")
+    else
+      System.err.println(s"[verify] SUMMARY: $ok ok, 0 failed")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
