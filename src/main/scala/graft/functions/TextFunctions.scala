@@ -481,9 +481,9 @@ object TextFunctions {
     * transform/sequence/substr chain was interpreted AND quadratic —
     * char-indexed `substr` re-scans from the string head per shingle.
     */
-  def charShingles(text: Column, n: Int): Column = {
+  def charShingles(text: Column, n: Int, stride: Int = 1): Column = {
     import org.apache.spark.sql.graft.ColumnBridge
     ColumnBridge.column(graft.plans.CharShingles(
-      ColumnBridge.expression(normalizeForFingerprint(text)), n))
+      ColumnBridge.expression(normalizeForFingerprint(text)), n, stride))
   }
 }

@@ -789,10 +789,12 @@ object Dedup {
   ): DataFrame = {
     require(window > 0, s"duplicatedWindowStats: window must be positive, got $window")
     require(stride > 0, s"duplicatedWindowStats: stride must be positive, got $stride")
+    // stride-aware generator: every stride-th window is emitted
+    // directly (no explode-then-filter — that form built ~stride×
+    // wasted window strings per doc before dropping them)
     val sh = docs
       .select(col(idCol).as("_id"),
-        posexplode(charShingles(col(textCol), window)).as(Seq("_p", "_s")))
-      .filter(col("_p") % stride === 0)
+        explode(charShingles(col(textCol), window, stride)).as("_s"))
       .select(col("_id"), xxhash64(col("_s")).as("_h"))
     val perDoc = sh.groupBy("_id", "_h").agg(count(lit(1)).as("_c"))
     val dup = perDoc.groupBy("_h").agg(count(lit(1)).as("_d"))

@@ -19,9 +19,11 @@ import org.apache.spark.unsafe.types.UTF8String
  * computed once and each shingle is a zero-copy byte-range view into
  * the input's backing array.
  */
-case class CharShingles(child: Expression, n: Int) extends UnaryExpression {
+case class CharShingles(child: Expression, n: Int, stride: Int = 1)
+    extends UnaryExpression {
 
   require(n > 0, "shingle size must be positive")
+  require(stride > 0, "stride must be positive")
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "graft_char_shingles"
@@ -33,10 +35,10 @@ case class CharShingles(child: Expression, n: Int) extends UnaryExpression {
   }
 
   override protected def nullSafeEval(input: Any): Any =
-    CharShingles.shingles(input.asInstanceOf[UTF8String], n)
+    CharShingles.shingles(input.asInstanceOf[UTF8String], n, stride)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.plans.CharShingles.shingles($c, $n)")
+    defineCodeGen(ctx, ev, c => s"graft.plans.CharShingles.shingles($c, $n, $stride)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -51,17 +53,26 @@ object CharShingles {
     FunctionIdentifier("graft_char_shingles"),
     new ExpressionInfo(classOf[CharShingles].getName, "graft_char_shingles"),
     { children =>
-      require(children.size == 2, "graft_char_shingles(s, n) takes 2 arguments")
-      val n = children(1) match {
+      require(children.size == 2 || children.size == 3,
+        "graft_char_shingles(s, n[, stride]) takes 2 or 3 arguments")
+      def intLit(e: Expression, what: String): Int = e match {
         case Literal(v: Int, _) => v
         case other => throw new IllegalArgumentException(
-          s"graft_char_shingles: n must be a literal integer, got $other")
+          s"graft_char_shingles: $what must be a literal integer, got $other")
       }
-      CharShingles(children.head, n)
+      val n = intLit(children(1), "n")
+      val stride = if (children.size == 3) intLit(children(2), "stride") else 1
+      CharShingles(children.head, n, stride)
     }
   )
 
-  def shingles(s: UTF8String, n: Int): GenericArrayData = {
+  /** Every `stride`-th window emitted DIRECTLY — the strided caller
+    * previously exploded all m−n+1 windows and filtered `pos % stride
+    * == 0`, materializing ~stride× wasted window strings per char
+    * (round-7 verdict #7). Result is identical to that filter by
+    * construction: window i here starts at char i·stride.
+    */
+  def shingles(s: UTF8String, n: Int, stride: Int = 1): GenericArrayData = {
     val bytes = s.getBytes // materializes once; offsets below index into it
     val nb = bytes.length
     // char start offsets (one pass over the bytes)
@@ -75,11 +86,13 @@ object CharShingles {
     }
     offs(m) = nb
     if (m <= n) return new GenericArrayData(Array[Any](s))
-    val out = new Array[Any](m - n + 1)
+    val out = new Array[Any]((m - n) / stride + 1)
     var i = 0
-    while (i <= m - n) {
-      out(i) = UTF8String.fromBytes(bytes, offs(i), offs(i + n) - offs(i))
+    var p = 0
+    while (p <= m - n) {
+      out(i) = UTF8String.fromBytes(bytes, offs(p), offs(p + n) - offs(p))
       i += 1
+      p += stride
     }
     new GenericArrayData(out)
   }

@@ -465,6 +465,33 @@ class NativeExpressionsSpec extends SparkSpec {
     both.foreach { case (nat, cmp) => assert(nat == cmp, s"$nat != $cmp") }
   }
 
+  test("strided CharShingles equals explode-then-filter on every stride incl. multibyte") {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.graft.ColumnBridge
+    def native(s: Column, n: Int, stride: Int): Column =
+      ColumnBridge.column(graft.plans.CharShingles(
+        ColumnBridge.expression(s), n, stride))
+    val cases = Seq(
+      "",
+      "ab",
+      "abcde",
+      "abcdefghijklmnop",
+      "héllo wörld wändering", // 2-byte chars
+      "中文字符串测试一二三四五六七八九十", // 3-byte CJK
+      "a😀b😁cdefghij😂klm" // 4-byte supplementary
+    ).toDF("s")
+    for (n <- Seq(3, 5); stride <- Seq(1, 2, 3, 7)) {
+      val both = cases.select(
+        native(col("s"), n, stride).as("nat"),
+        filter(transform(native(col("s"), n, 1),
+          (x, i) => when(i % stride === 0, x)), _.isNotNull).as("flt"))
+        .as[(Seq[String], Seq[String])].collect()
+      both.foreach { case (nat, flt) =>
+        assert(nat == flt, s"n=$n stride=$stride: $nat != $flt")
+      }
+    }
+  }
+
   test("all native functions are SQL-callable once registered") {
     graft.plans.GraftExtensions.registerAll(spark)
     val row = spark.sql(
