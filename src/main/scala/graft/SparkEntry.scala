@@ -1125,6 +1125,48 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- length-bucketed batching (padding efficiency for UNPACKED
+    //      loaders): bucket by token-count range, batch bucket-mates in
+    //      deterministic id order — within-bucket ranks via the
+    //      two-level bucketed prefix (no whole-bucket window). Pure
+    //      integer assignment; the oracle recomputes it exactly
+    "length_bucket_batches" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(col("doc_id") < 2000)
+      Packing.lengthBucketBatches(d, "doc_id", "text",
+          bucketWidth = 64, batchSize = 32)
+        .orderBy("doc_id")
+    }),
+
+    // ---- per-batch padding accounting over the same assignment:
+    //      pad_waste = max_tokens·n_docs − sum_tokens, all integers
+    "padding_waste" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(col("doc_id") < 2000)
+      Packing.paddingWaste(
+          Packing.lengthBucketBatches(d, "doc_id", "text", 64, 32))
+        .orderBy("bucket", "batch_idx")
+    }),
+
+    // ---- corpus distribution drift (crawl-snapshot / source-mix shift
+    //      guard): per-bucket cross-normalized gap |a·N_b − c·N_a| over
+    //      the shared FNV bucket histograms — exact integers, no KL/ln;
+    //      top-20 divergent buckets, ties to the ascending bucket
+    "corpus_drift" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(col("doc_id") < 2000)
+      ImportanceScoring.histogramDrift(
+          d.filter(col("source") === "src0"),
+          d.filter(col("source") =!= "src0"), "text")
+        .orderBy(col("gap").desc, col("bucket")).limit(20)
+    }),
+
+    // ---- corpus-level scaled L1 drift: Σgap/(N_a·N_b) ∈ [0,2] at 9dp
+    //      via the exact-integer HALF_UP division (retrieval convention)
+    "corpus_drift_l1" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(col("doc_id") < 2000)
+      ImportanceScoring.l1Drift(ImportanceScoring.histogramDrift(
+        d.filter(col("source") === "src0"),
+        d.filter(col("source") =!= "src0"), "text"))
+    }),
+
     // ---- dataset profiling: one-scan numeric column stats with exact
     //      (decimal-accumulated) means and exact interpolated quantiles —
     //      both engines share the quantile definition, so the oracle is
@@ -2327,6 +2369,50 @@ object SparkEntry {
       |                * 1099511628211 % CAST('18446744073709551616' AS HUGEINT)
       |  ) % 1024 AS BIGINT) AS bucket""".stripMargin
 
+  /** Shared corpus-drift CTE chain (A = the src0 slice, B = the rest of
+    * doc_id < 2000): per-side FNV bucket histograms, full join, totals
+    * `t(na, nb)`, and per-bucket cross-normalized gap |a·N_b − c·N_a|
+    * in HUGEINT as `g(bucket, cnt_a, cnt_b, gap)` — composed with a
+    * gate-specific final SELECT (exact integers end to end).
+    */
+  private def corpusDriftSql(finalSelect: String): String =
+    s"""WITH da AS (
+       | SELECT list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS toks
+       | FROM documents WHERE doc_id < 2000 AND source = 'src0'
+       |), db AS (
+       | SELECT list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS toks
+       | FROM documents WHERE doc_id < 2000 AND source <> 'src0'
+       |), toka AS (
+       | SELECT unnest(toks) AS token FROM da
+       |), tokb AS (
+       | SELECT unnest(toks) AS token FROM db
+       |), vba AS (
+       | SELECT token,
+       |  $fnvBucketExpr
+       | FROM (SELECT DISTINCT token, token || ':drift' AS s FROM toka)
+       |), vbb AS (
+       | SELECT token,
+       |  $fnvBucketExpr
+       | FROM (SELECT DISTINCT token, token || ':drift' AS s FROM tokb)
+       |), ca AS (
+       | SELECT v.bucket, count(*) AS cnt
+       | FROM toka tk JOIN vba v ON tk.token = v.token GROUP BY 1
+       |), cb AS (
+       | SELECT v.bucket, count(*) AS cnt
+       | FROM tokb tk JOIN vbb v ON tk.token = v.token GROUP BY 1
+       |), j AS (
+       | SELECT COALESCE(ca.bucket, cb.bucket) AS bucket,
+       |  COALESCE(ca.cnt, 0) AS cnt_a, COALESCE(cb.cnt, 0) AS cnt_b
+       | FROM ca FULL JOIN cb ON ca.bucket = cb.bucket
+       |), t AS (
+       | SELECT sum(cnt_a) AS na, sum(cnt_b) AS nb FROM j
+       |), g AS (
+       | SELECT bucket, cnt_a, cnt_b,
+       |  abs(CAST(cnt_a AS HUGEINT) * t.nb - CAST(cnt_b AS HUGEINT) * t.na) AS gap
+       | FROM j, t
+       |)
+       |$finalSelect""".stripMargin
+
   private def dsirOracle(): String = {
     // no ln-based fallback (round-7 verdict #4): an unregistered weight
     // table fails by name, never silently re-derives the weights
@@ -3457,6 +3543,49 @@ object SparkEntry {
         | CAST(prev // 512 AS BIGINT) AS pack_id,
         | CAST(prev % 512 AS BIGINT) AS pack_offset
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "length_bucket_batches" ->
+      """WITH d AS (
+        | SELECT doc_id,
+        |  CAST(len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS BIGINT) AS n
+        | FROM documents WHERE doc_id < 2000
+        |), r AS (
+        | SELECT doc_id, n, n // 64 AS bucket,
+        |  ROW_NUMBER() OVER (PARTITION BY n // 64 ORDER BY doc_id) - 1 AS rk
+        | FROM d
+        |)
+        |SELECT doc_id, n AS n_tokens, CAST(bucket AS BIGINT) AS bucket,
+        | CAST(rk // 32 AS BIGINT) AS batch_idx, CAST(rk % 32 AS BIGINT) AS slot
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    "padding_waste" ->
+      """WITH d AS (
+        | SELECT doc_id,
+        |  CAST(len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS BIGINT) AS n
+        | FROM documents WHERE doc_id < 2000
+        |), r AS (
+        | SELECT doc_id, n, n // 64 AS bucket,
+        |  ROW_NUMBER() OVER (PARTITION BY n // 64 ORDER BY doc_id) - 1 AS rk
+        | FROM d
+        |)
+        |SELECT CAST(bucket AS BIGINT) AS bucket,
+        | CAST(rk // 32 AS BIGINT) AS batch_idx,
+        | CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(max(n) AS BIGINT) AS max_tokens,
+        | CAST(sum(n) AS BIGINT) AS sum_tokens,
+        | CAST(max(n) * count(*) - sum(n) AS BIGINT) AS pad_waste
+        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "corpus_drift" -> corpusDriftSql(
+      """SELECT bucket, cnt_a, cnt_b, CAST(gap AS DECIMAL(38,0)) AS gap
+        |FROM g ORDER BY gap DESC, bucket LIMIT 20""".stripMargin),
+
+    "corpus_drift_l1" -> corpusDriftSql(
+      """SELECT CAST(t.na AS BIGINT) AS n_a, CAST(t.nb AS BIGINT) AS n_b,
+        | CAST(CAST((2 * (sg.s * 1000000000) + CAST(t.na AS HUGEINT) * t.nb)
+        |        // (2 * (CAST(t.na AS HUGEINT) * t.nb)) AS DECIMAL(28,0))
+        |   * CAST('0.000000001' AS DECIMAL(9,9)) AS DECIMAL(38,9)) AS l1_drift
+        |FROM t, (SELECT sum(gap) AS s FROM g) sg""".stripMargin),
 
     "profile_numeric" ->
       (Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax").map { c =>

@@ -63,6 +63,71 @@ object ImportanceScoring {
       .groupBy("bucket")
       .agg(count(lit(1)).as("cnt"))
 
+  /** Two-corpus hashed-token-distribution drift, fully EXACT (no KL, no
+    * ln): for bucket b with counts a (corpus A), c (corpus B) and
+    * corpus totals N_a / N_b, the cross-normalized gap
+    * `|a·N_b − c·N_a|` compares the bucket's SHARE of each corpus
+    * without a division — an exact integer any engine reproduces
+    * bit-for-bit. [[l1Drift]] reduces the gaps to the corpus-level
+    * scaled L1 distance Σgap / (N_a·N_b) ∈ [0, 2], rounded HALF_UP to
+    * 9dp in pure integer arithmetic (the retrieval-gate convention).
+    * This is the distribution-shift guard a continuously-ingesting
+    * curation pipeline runs between crawl snapshots / source-mix
+    * revisions — KL would need `ln`, which is exactly what the
+    * hash-compared gate surfaces evict.
+    *
+    * Scale shape: each corpus compresses to a ≤`buckets`-row histogram
+    * map-side before anything joins (token payloads never shuffle); the
+    * drift arithmetic then runs on histogram rows only, in
+    * DECIMAL(38,0) (counts ~10¹³ × totals ~10¹³ stay well inside 38
+    * digits).
+    */
+  def histogramDrift(
+      corpusA: DataFrame,
+      corpusB: DataFrame,
+      textCol: String,
+      buckets: Int = DefaultBuckets,
+      salt: String = "drift"
+  ): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val ha = hashedBucketCounts(corpusA, textCol, buckets, salt)
+      .withColumnRenamed("cnt", "cnt_a")
+    val hb = hashedBucketCounts(corpusB, textCol, buckets, salt)
+      .withColumnRenamed("cnt", "cnt_b")
+    val joined = ha.join(hb, Seq("bucket"), "full")
+      .select(col("bucket"),
+        coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),
+        coalesce(col("cnt_b"), lit(0L)).as("cnt_b"))
+    val totals = joined.agg(sum(col("cnt_a")).as("_na"), sum(col("cnt_b")).as("_nb"))
+    joined.crossJoin(broadcast(totals))
+      .withColumn("gap",
+        abs(col("cnt_a").cast(d38) * col("_nb").cast(d38) -
+          col("cnt_b").cast(d38) * col("_na").cast(d38)))
+      .select(col("bucket"), col("cnt_a"), col("cnt_b"), col("gap"))
+  }
+
+  /** Corpus-level scaled L1 drift over [[histogramDrift]]'s output:
+    * one row `(n_a, n_b, l1_drift DECIMAL(38,9))` with l1_drift =
+    * HALF_UP₉(Σgap / (N_a·N_b)) computed as ⌊(2·S·10⁹ + D)/(2·D)⌋ in
+    * DECIMAL(38,0) — no double anywhere (S ≤ 2·N_a·N_b keeps S·10⁹
+    * inside 38 digits up to ~10¹⁴-token corpora per side).
+    */
+  def l1Drift(drift: DataFrame): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    drift.agg(
+        sum(col("cnt_a")).cast(d38).as("_na"),
+        sum(col("cnt_b")).cast(d38).as("_nb"),
+        sum(col("gap")).as("_s"))
+      .withColumn("_d", col("_na") * col("_nb"))
+      .withColumn("_cs", expr("(2 * (_s * 1000000000) + _d) div (2 * _d)"))
+      .select(
+        col("_na").cast(LongType).as("n_a"),
+        col("_nb").cast(LongType).as("n_b"),
+        (col("_cs").cast(DecimalType(28, 0)) *
+          lit(new java.math.BigDecimal("0.000000001")))
+          .cast(DecimalType(38, 9)).as("l1_drift"))
+  }
+
   /** The per-bucket log-likelihood-ratio weight table: one row per
     * bucket in [0, buckets), weight = ln((tc+1)/(T_t+B)) −
     * ln((rc+1)/(T_r+B)) as DECIMAL(38,6). The two `.collect()`s pull

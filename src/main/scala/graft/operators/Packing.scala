@@ -81,6 +81,73 @@ object Packing {
     packed.groupBy((strataCols :+ "pack_id").map(col): _*)
       .agg(count(lit(1)).as("n_docs"), sum(tokens).as("n_tokens"))
 
+  /** Length-bucketed batch assignment — the padding-efficiency step for
+    * UNPACKED loaders (fine-tune / eval / reward-model batches, where
+    * documents stay separate sequences and short+long partners waste
+    * pad tokens): bucket documents by token-count range (`bucket =
+    * n_tokens div bucketWidth`), then batch bucket-mates in
+    * deterministic ascending-id order, `batchSize` at a time. Output:
+    * `(<idCol>, n_tokens, bucket, batch_idx, slot)` — batch_idx 0-based
+    * within the bucket, slot 0-based within the batch. A batch's pad
+    * waste is bounded by `(bucketWidth−1)·batchSize` tokens by
+    * construction (all partners share a length range).
+    *
+    * Scale shape: length-buckets are FEW and HUGE at corpus scale
+    * (most of a web corpus lands in a handful of ranges), so the naive
+    * `Window.partitionBy(bucket)` row_number is exactly the skew
+    * funnel to avoid — within-bucket ranks use the TWO-LEVEL bucketed
+    * prefix design ([[Sampling.withinGroupRanks]]): id-range sub-bucket
+    * counts reduce map-side, offsets ride a window over histogram rows
+    * only, and `row_number` runs per (bucket, id-sub-bucket). One
+    * tokenize pass; ids+counts are all that shuffle.
+    */
+  def lengthBucketBatches(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      bucketWidth: Int = 64,
+      batchSize: Int = 32,
+      rankBuckets: Int = 1024
+  ): DataFrame = {
+    require(bucketWidth > 0, s"lengthBucketBatches: bucketWidth must be positive, got $bucketWidth")
+    require(batchSize > 0, s"lengthBucketBatches: batchSize must be positive, got $batchSize")
+    val base = docs.select(
+        col(idCol).cast(LongType).as("_k"),
+        graft.functions.TextFunctions.tokenCount(col(textCol)).as("_n"))
+      .withColumn("_g", expr(s"_n div ${bucketWidth}L"))
+      .filter(col("_k").isNotNull)
+    Sampling.withinGroupRanks(base.select(col("_g"), col("_k"), col("_n")), rankBuckets) match {
+      case None => base.select(
+        col("_k").as(idCol), col("_n").as("n_tokens"),
+        col("_g").as("bucket"), lit(0L).as("batch_idx"), lit(0L).as("slot"))
+        .limit(0)
+      case Some(ranked) =>
+        ranked
+          .withColumn("_rk0", col("_rank") - 1L)
+          .select(
+            col("_k").as(idCol),
+            col("_n").as("n_tokens"),
+            col("_g").as("bucket"),
+            expr(s"_rk0 div ${batchSize}L").as("batch_idx"),
+            (col("_rk0") % batchSize).cast(LongType).as("slot"))
+    }
+  }
+
+  /** Per-batch padding accounting over [[lengthBucketBatches]]' output:
+    * `(bucket, batch_idx, n_docs, max_tokens, sum_tokens, pad_waste)`
+    * where `pad_waste = max_tokens·n_docs − sum_tokens` — the pad
+    * tokens a rectangular batch tensor spends. Pure integer aggregate
+    * of an already-shuffled assignment (reuses its exchange when
+    * composed directly).
+    */
+  def paddingWaste(batches: DataFrame): DataFrame =
+    batches.groupBy(col("bucket"), col("batch_idx"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("n_tokens")).as("max_tokens"),
+        sum(col("n_tokens")).as("sum_tokens"))
+      .withColumn("pad_waste",
+        (col("max_tokens") * col("n_docs") - col("sum_tokens")).cast(LongType))
+
   /** RAG-style sliding-window chunking: split each document into
     * overlapping windows of `chunkTokens` whitespace tokens with
     * `overlapTokens` carried between consecutive chunks. Output: one

@@ -335,16 +335,39 @@ object Sampling {
       buckets: Int = 1024
   ): DataFrame = {
     require(buckets > 0, s"epochSchedule: buckets must be positive, got $buckets")
-    import org.apache.spark.sql.expressions.Window
     val base = df
       .select(col(groupCol).as("_g"), col(keyCol).cast("long").as("_k"))
       .filter(col("_g").isNotNull && col("_k").isNotNull)
-    val b = base.agg(min(col("_k")).as("mn"), max(col("_k")).as("mx")).head()
     val out = (g: Column, k: Column, rank: Column, pos: Column) => Seq(
       g.as(groupCol), k.as(keyCol), rank.as("rank"), pos.as("pos"))
-    if (b.isNullAt(0))
-      return base.select(out(col("_g"), col("_k"), lit(0L), lit(0.0)): _*)
-        .limit(0)
+    withinGroupRanks(base, buckets) match {
+      case None =>
+        base.select(out(col("_g"), col("_k"), lit(0L), lit(0.0)): _*).limit(0)
+      case Some(ranked) =>
+        ranked.select(out(col("_g"), col("_k"), col("_rank"),
+          (lit(2L) * col("_rank") - 1L).cast("double") /
+            (lit(2L) * col("_ng")).cast("double")): _*)
+    }
+  }
+
+  /** Within-group 1-based ranks by ascending integer key, TWO-LEVEL
+    * bucketed (the percentRank design): key-range bucket counts per
+    * group reduce map-side, per-group offsets ride a window over the
+    * COUNT table (≤ groups×buckets rows — histogram rows, never the
+    * corpus), and `row_number` runs per (group, bucket) — bounded
+    * partitions, so no task ever windows a whole group. Input must
+    * provide non-null `_g` (group) and `_k` (long key, unique within
+    * group); any other columns ride through untouched (no join-back
+    * needed). Output adds `_rank` and the group size `_ng`. None on an
+    * empty input (no key range to bucket).
+    */
+  private[operators] def withinGroupRanks(
+      base: DataFrame,
+      buckets: Int
+  ): Option[DataFrame] = {
+    import org.apache.spark.sql.expressions.Window
+    val b = base.agg(min(col("_k")).as("mn"), max(col("_k")).as("mx")).head()
+    if (b.isNullAt(0)) return None
     val (mn, mx) = (b.getLong(0), b.getLong(1))
     // integer bucket width (ceil): bins stay in [0, buckets), assignment
     // is exact integer arithmetic — no FP boundary jitter
@@ -359,12 +382,9 @@ object Sampling {
       .withColumn("_ng", sum(col("_c")).over(Window.partitionBy("_g")))
       .select(col("_g"), col("_b"), col("_off"), col("_ng"))
     val wRn = Window.partitionBy("_g", "_b").orderBy("_k")
-    val rank = (col("_off") + col("_rn")).as("_rank") // 1-based
-    binned.withColumn("_rn", row_number().over(wRn).cast("long"))
+    Some(binned.withColumn("_rn", row_number().over(wRn).cast("long"))
       .join(offs, Seq("_g", "_b"))
-      .select(col("_g"), col("_k"), rank, col("_ng"))
-      .select(out(col("_g"), col("_k"), col("_rank"),
-        (lit(2L) * col("_rank") - 1L).cast("double") /
-          (lit(2L) * col("_ng")).cast("double")): _*)
+      .withColumn("_rank", col("_off") + col("_rn")) // 1-based
+      .select(base.columns.map(col) ++ Seq(col("_rank"), col("_ng")): _*))
   }
 }

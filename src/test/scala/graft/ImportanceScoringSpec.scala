@@ -120,4 +120,38 @@ class ImportanceScoringSpec extends SparkSpec {
       .as[(Long, java.math.BigDecimal, Long, Double)].collect().toSet
     assert(viaTable == viaLn)
   }
+
+  test("histogramDrift: identical corpora drift 0; disjoint corpora drift 2") {
+    val a = Seq((1L, "aa bb cc"), (2L, "aa bb")).toDF("id", "text")
+    val same = ImportanceScoring.l1Drift(
+        ImportanceScoring.histogramDrift(a, a, "text"))
+      .select("n_a", "n_b", "l1_drift")
+      .as[(Long, Long, java.math.BigDecimal)].head()
+    assert(same._1 == 5L && same._2 == 5L)
+    assert(same._3.compareTo(java.math.BigDecimal.ZERO) == 0)
+    // token-disjoint corpora: every bucket one-sided → Σ|a·Nb − c·Na| =
+    // 2·Na·Nb exactly (assuming no FNV bucket collision between the two
+    // tiny vocabularies — verified by the exact value)
+    val b = Seq((1L, "xx yy zz xx")).toDF("id", "text")
+    val far = ImportanceScoring.l1Drift(
+        ImportanceScoring.histogramDrift(a, b, "text"))
+      .select("l1_drift").as[java.math.BigDecimal].head()
+    assert(far.compareTo(new java.math.BigDecimal("2.000000000")) == 0)
+  }
+
+  test("histogramDrift gaps are the exact hand-computed integers") {
+    // A: aa×3, bb×1 (Na=4); B: aa×1, bb×3 (Nb=4)
+    // bucket(aa): |3·4 − 1·4| = 8; bucket(bb): |1·4 − 3·4| = 8; l1 = 16/16 = 1
+    val a = Seq((1L, "aa aa aa bb")).toDF("id", "text")
+    val b = Seq((1L, "aa bb bb bb")).toDF("id", "text")
+    val gaps = ImportanceScoring.histogramDrift(a, b, "text")
+      .select("cnt_a", "cnt_b", "gap")
+      .as[(Long, Long, java.math.BigDecimal)].collect().toSet
+    assert(gaps.map(g => (g._1, g._2, g._3.longValueExact())) ==
+      Set((3L, 1L, 8L), (1L, 3L, 8L)))
+    val l1 = ImportanceScoring.l1Drift(
+        ImportanceScoring.histogramDrift(a, b, "text"))
+      .select("l1_drift").as[java.math.BigDecimal].head()
+    assert(l1.compareTo(new java.math.BigDecimal("1.000000000")) == 0)
+  }
 }

@@ -76,4 +76,56 @@ class PackingSpec extends SparkSpec {
       Packing.chunkByTokens(d, "text", "id", chunkTokens = 4, overlapTokens = 4)
     }
   }
+
+  test("lengthBucketBatches: bucket by n div width, batch in id order, waste bounded") {
+    // widths: ids 1..5 have 1,2,3,9,10 tokens; width 8 → bucket 0 for
+    // n<8 (ids 1,2,3), bucket 1 for 9,10 (ids 4,5); batchSize 2 splits
+    // bucket 0 into batches [1,2] and [3]
+    val d = Seq(
+      (1L, "a"), (2L, "a b"), (3L, "a b c"),
+      (4L, "a b c d e f g h i"), (5L, "a b c d e f g h i j")
+    ).toDF("doc_id", "text")
+    val out = Packing.lengthBucketBatches(d, "doc_id", "text",
+        bucketWidth = 8, batchSize = 2)
+      .select("doc_id", "n_tokens", "bucket", "batch_idx", "slot")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(out(1L) == ((1L, 0L, 0L, 0L)))
+    assert(out(2L) == ((2L, 0L, 0L, 1L)))
+    assert(out(3L) == ((3L, 0L, 1L, 0L)))
+    assert(out(4L) == ((9L, 1L, 0L, 0L)))
+    assert(out(5L) == ((10L, 1L, 0L, 1L)))
+    // padding accounting: batch (0,0) pads 1 (max 2 over {1,2});
+    // singleton batches pad 0; batch (1,0) pads 1 (max 10 over {9,10})
+    val waste = Packing.paddingWaste(
+        Packing.lengthBucketBatches(d, "doc_id", "text", 8, 2))
+      .select("bucket", "batch_idx", "n_docs", "max_tokens", "sum_tokens", "pad_waste")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(waste == Set(
+      (0L, 0L, 2L, 2L, 3L, 1L),
+      (0L, 1L, 1L, 3L, 3L, 0L),
+      (1L, 0L, 2L, 10L, 19L, 1L)))
+    // within-bucket waste bound: (width−1)·batchSize
+    waste.foreach { case (_, _, _, _, _, w) => assert(w <= 7L * 2L) }
+  }
+
+  test("lengthBucketBatches ranks match a brute-force window at scale shape") {
+    val d = (1L to 200L).map(i => (i, ("w " * (i % 37 + 1).toInt).trim))
+      .toDF("doc_id", "text")
+    val fast = Packing.lengthBucketBatches(d, "doc_id", "text",
+        bucketWidth = 8, batchSize = 4, rankBuckets = 4)
+      .select("doc_id", "bucket", "batch_idx", "slot")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    import org.apache.spark.sql.expressions.Window
+    val brute = d
+      .withColumn("n", graft.functions.TextFunctions.tokenCount(col("text")))
+      .withColumn("bucket", expr("n div 8L"))
+      .withColumn("rk",
+        row_number().over(Window.partitionBy("bucket").orderBy("doc_id")) - 1)
+      .select(col("doc_id"), col("bucket"),
+        expr("rk div 4").cast("long").as("batch_idx"),
+        (col("rk") % 4).cast("long").as("slot"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(fast == brute)
+  }
 }
