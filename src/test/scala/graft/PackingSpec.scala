@@ -127,5 +127,13 @@ class PackingSpec extends SparkSpec {
         (col("rk") % 4).cast("long").as("slot"))
       .as[(Long, Long, Long, Long)].collect().toSet
     assert(fast == brute)
+    // every row_number window partitions by (length-bucket, id-range
+    // sub-bucket), never the length-bucket alone — length-buckets are
+    // few and huge at corpus scale, the exact skew funnel forbidden here
+    val plan = Packing.lengthBucketBatches(d, "doc_id", "text",
+        bucketWidth = 8, batchSize = 4, rankBuckets = 4)
+      .queryExecution.optimizedPlan.toString
+    val rnWindows = plan.linesIterator.filter(_.contains("row_number")).toSeq
+    assert(rnWindows.nonEmpty && rnWindows.forall(_.contains("_b")), plan)
   }
 }
