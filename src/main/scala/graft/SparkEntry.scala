@@ -1167,6 +1167,28 @@ object SparkEntry {
         d.filter(col("source") =!= "src0"), "text"))
     }),
 
+    // ---- STREAMING drift guard: batch 0 commits the src0 reference
+    //      histogram (versioned state, replayed as a no-op), batch 1
+    //      scores the rest against the COMMITTED reference (run TWICE —
+    //      the replay must pin v0 and overwrite bit-identically);
+    //      result read from the per-batch directory. Oracle is
+    //      corpus_drift's proven chain — the streaming path must equal
+    //      the batch operator exactly
+    "drift_stream" -> ((s, dir) => {
+      import graft.streaming.StreamingOps
+      val d = t(s, dir, "documents").filter(col("doc_id") < 2000)
+      val ref = d.filter(col("source") === "src0")
+      val nxt = d.filter(col("source") =!= "src0")
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-drift-stream").toString
+      StreamingOps.applyDriftBatch(s, ref, 0L, "text", s"$work/state", s"$work/out")
+      StreamingOps.applyDriftBatch(s, ref, 0L, "text", s"$work/state", s"$work/out")
+      StreamingOps.applyDriftBatch(s, nxt, 1L, "text", s"$work/state", s"$work/out")
+      StreamingOps.applyDriftBatch(s, nxt, 1L, "text", s"$work/state", s"$work/out")
+      s.read.parquet(s"$work/out/batch=1")
+        .orderBy(col("gap").desc, col("bucket")).limit(20)
+    }),
+
     // ---- dataset profiling: one-scan numeric column stats with exact
     //      (decimal-accumulated) means and exact interpolated quantiles —
     //      both engines share the quantile definition, so the oracle is
@@ -3577,6 +3599,11 @@ object SparkEntry {
         |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "corpus_drift" -> corpusDriftSql(
+      """SELECT bucket, cnt_a, cnt_b, CAST(gap AS DECIMAL(38,0)) AS gap
+        |FROM g ORDER BY gap DESC, bucket LIMIT 20""".stripMargin),
+
+    // streaming drift equals the batch operator exactly — same oracle
+    "drift_stream" -> corpusDriftSql(
       """SELECT bucket, cnt_a, cnt_b, CAST(gap AS DECIMAL(38,0)) AS gap
         |FROM g ORDER BY gap DESC, bucket LIMIT 20""".stripMargin),
 

@@ -88,13 +88,20 @@ object ImportanceScoring {
       textCol: String,
       buckets: Int = DefaultBuckets,
       salt: String = "drift"
-  ): DataFrame = {
+  ): DataFrame =
+    driftFromHistograms(
+      hashedBucketCounts(corpusA, textCol, buckets, salt),
+      hashedBucketCounts(corpusB, textCol, buckets, salt))
+
+  /** [[histogramDrift]]'s arithmetic over PRE-BUILT `(bucket, cnt)`
+    * histograms — the form the streaming drift guard reuses against a
+    * committed reference histogram
+    * ([[graft.streaming.StreamingOps.applyDriftBatch]]).
+    */
+  def driftFromHistograms(histA: DataFrame, histB: DataFrame): DataFrame = {
     val d38 = DecimalType(38, 0)
-    val ha = hashedBucketCounts(corpusA, textCol, buckets, salt)
-      .withColumnRenamed("cnt", "cnt_a")
-    val hb = hashedBucketCounts(corpusB, textCol, buckets, salt)
-      .withColumnRenamed("cnt", "cnt_b")
-    val joined = ha.join(hb, Seq("bucket"), "full")
+    val joined = histA.withColumnRenamed("cnt", "cnt_a")
+      .join(histB.withColumnRenamed("cnt", "cnt_b"), Seq("bucket"), "full")
       .select(col("bucket"),
         coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),
         coalesce(col("cnt_b"), lit(0L)).as("cnt_b"))

@@ -573,6 +573,52 @@ object StreamingOps {
     }
   }
 
+  /** Streaming corpus-drift guard — the distribution-shift monitor a
+    * continuously-ingesting curation pipeline runs against its accepted
+    * snapshot. The FIRST batch commits the reference token-bucket
+    * histogram as versioned state (`_CURRENT`-pointed, the merge-store
+    * convention); every later batch compresses to its own histogram
+    * map-side and scores against the COMMITTED reference with the exact
+    * integer drift arithmetic
+    * ([[graft.operators.ImportanceScoring.driftFromHistograms]] — per-
+    * bucket cross-normalized gap, no KL/ln), writing per-batch drift
+    * rows to `outPath/batch=<id>/`.
+    *
+    * Replay idempotence, both roles: a replayed reference batch no-ops
+    * (the version guard sees `_CURRENT` at its own id), and a replayed
+    * scoring batch recomputes against the PINNED committed version and
+    * overwrites its own directory bit-identically. State is a
+    * ≤`buckets`-row histogram — metadata-sized at any corpus scale;
+    * token payloads never cross a shuffle on either path.
+    */
+  def applyDriftBatch(
+      spark: SparkSession,
+      batch: DataFrame,
+      batchId: Long,
+      textCol: String,
+      statePath: String,
+      outPath: String,
+      buckets: Int = graft.operators.ImportanceScoring.DefaultBuckets,
+      salt: String = "drift"
+  ): Unit = {
+    import graft.operators.ImportanceScoring
+    val hist = ImportanceScoring.hashedBucketCounts(batch, textCol, buckets, salt)
+    currentVersionId(spark, statePath) match {
+      case None =>
+        val version = s"v$batchId"
+        hist.write.mode("overwrite").parquet(s"$statePath/$version")
+        commitVersion(spark, statePath, version, keepFrom = batchId)
+      case Some(cur) if cur >= batchId =>
+        log.warn(s"driftStream: batch $batchId is not newer than the " +
+          s"committed reference v$cur — skipping (replay no-op)")
+      case Some(_) =>
+        val reference = readState(spark, statePath).getOrElse(
+          sys.error(s"driftStream: _CURRENT exists but no state at $statePath"))
+        ImportanceScoring.driftFromHistograms(reference, hist)
+          .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+    }
+  }
+
   /** Route a streaming DataFrame by its `_route` column into per-route
     * sinks — the NiFi relationship fan-out (SURVEY §1.3). Stateless
     * filters on one source; Spark runs them as independent queries.

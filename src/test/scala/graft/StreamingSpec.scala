@@ -536,6 +536,34 @@ class StreamingSpec extends SparkSpec {
       assert(spark.table("r_failure").count() == 1)
     } finally qs.foreach(_.stop())
   }
+
+  test("drift stream: reference commits once (replay no-ops), scoring equals the batch operator and replays bit-identically") {
+    import graft.operators.ImportanceScoring
+    val work = Files.createTempDirectory("graft-drift-spec").toString
+    val ref = Seq((1L, "aa aa aa bb")).toDF("id", "text")
+    val nxt = Seq((2L, "aa bb bb bb")).toDF("id", "text")
+    StreamingOps.applyDriftBatch(spark, ref, 0L, "text", s"$work/state", s"$work/out")
+    // replaying the reference batch must NOT overwrite the committed state
+    StreamingOps.applyDriftBatch(spark, nxt, 0L, "text", s"$work/state", s"$work/out")
+    val committed = StreamingOps.readState(spark, s"$work/state").get
+      .as[(Long, Long)].collect().toMap
+    // still the aa×3, bb×1 reference histogram, not nxt's
+    assert(committed.values.toSeq.sorted == Seq(1L, 3L))
+    StreamingOps.applyDriftBatch(spark, nxt, 1L, "text", s"$work/state", s"$work/out")
+    val first = spark.read.parquet(s"$work/out/batch=1")
+      .select("bucket", "cnt_a", "cnt_b", "gap")
+      .as[(Long, Long, Long, java.math.BigDecimal)].collect().toSet
+    // the streaming score must equal the batch operator on the same corpora
+    val batchForm = ImportanceScoring.histogramDrift(ref, nxt, "text")
+      .as[(Long, Long, Long, java.math.BigDecimal)].collect().toSet
+    assert(first == batchForm)
+    // replay: recomputes against the PINNED v0 and overwrites identically
+    StreamingOps.applyDriftBatch(spark, nxt, 1L, "text", s"$work/state", s"$work/out")
+    val replayed = spark.read.parquet(s"$work/out/batch=1")
+      .select("bucket", "cnt_a", "cnt_b", "gap")
+      .as[(Long, Long, Long, java.math.BigDecimal)].collect().toSet
+    assert(replayed == first)
+  }
 }
 
 /** Serializable recording double for the socket client: records land in a
