@@ -1146,6 +1146,20 @@ object SparkEntry {
         .orderBy("bucket", "batch_idx")
     }),
 
+    // ---- outlier-length removal: keep docs inside the exact
+    //      [p5, p95] token-count band (Profile.bandFilter — the filter
+    //      twin of winsorize, riding the same distributed-selection
+    //      percentile machinery the profile gates prove)
+    "length_band_filter" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(col("doc_id") < 2000)
+        .select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).as("n_tokens"))
+        .withColumn("_n", col("n_tokens").cast(DoubleType))
+      Profile.bandFilter(d, "_n", 0.05, 0.95)
+        .select(col("doc_id"), col("n_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // ---- corpus distribution drift (crawl-snapshot / source-mix shift
     //      guard): per-bucket cross-normalized gap |a·N_b − c·N_a| over
     //      the shared FNV bucket histograms — exact integers, no KL/ln;
@@ -3597,6 +3611,21 @@ object SparkEntry {
         | CAST(sum(n) AS BIGINT) AS sum_tokens,
         | CAST(max(n) * count(*) - sum(n) AS BIGINT) AS pad_waste
         |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "length_band_filter" ->
+      """WITH d AS (
+        | SELECT doc_id,
+        |  CAST(len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS BIGINT) AS n
+        | FROM documents WHERE doc_id < 2000
+        |), b AS (
+        | SELECT quantile_cont(CAST(n AS DOUBLE), 0.05) AS lo,
+        |  quantile_cont(CAST(n AS DOUBLE), 0.95) AS hi
+        | FROM d
+        |)
+        |SELECT doc_id, n AS n_tokens
+        |FROM d, b
+        |WHERE CAST(n AS DOUBLE) >= lo AND CAST(n AS DOUBLE) <= hi
+        |ORDER BY doc_id""".stripMargin,
 
     "corpus_drift" -> corpusDriftSql(
       """SELECT bucket, cnt_a, cnt_b, CAST(gap AS DECIMAL(38,0)) AS gap

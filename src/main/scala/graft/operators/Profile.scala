@@ -587,6 +587,38 @@ object Profile {
     }
   }
 
+  /** Keep only rows whose `colName` lies inside the [loP, hiP]
+    * interpolated-percentile band — the FILTER twin of [[winsorize]]
+    * (outlier-length / outlier-score removal, the curation step that
+    * drops degenerate-length documents instead of clipping a feature).
+    * Same bounds machinery (distributed-selection exact percentiles, or
+    * the sketch switch at scale), same float/double restriction (an
+    * interpolated bound doesn't round-trip through integer types), and
+    * nulls DROP: a row with no value has no place in a value band.
+    */
+  def bandFilter(
+      df: DataFrame,
+      colName: String,
+      loP: Double = 0.05,
+      hiP: Double = 0.95,
+      approxBounds: Boolean = false,
+      accuracy: Int = 10000
+  ): DataFrame = {
+    require(loP >= 0 && hiP <= 1 && loP <= hiP,
+      s"bandFilter: need 0 <= loP <= hiP <= 1, got ($loP, $hiP)")
+    require(df.schema(colName).dataType == DoubleType ||
+      df.schema(colName).dataType == FloatType,
+      s"bandFilter: $colName must be float/double — interpolated bounds " +
+        "don't round-trip through integer or decimal types")
+    percentileBounds(df, colName, Seq(loP, hiP), approxBounds, accuracy) match {
+      case None => df.limit(0) // no non-null values -> empty band
+      case Some(Seq(lo, hi)) =>
+        df.filter(col(colName) >= lo && col(colName) <= hi)
+      case Some(other) => throw new IllegalStateException(
+        s"bandFilter: expected 2 bounds, got $other")
+    }
+  }
+
   /** Per-dimension z-score standardization of an embedding column
     * against a [[vector]] profile — the preprocessing pass before
     * quantization or distance work when dimensions carry different

@@ -217,6 +217,25 @@ class ProfileSpec extends SparkSpec {
     assert(!plan.contains("Join") && !plan.contains("Exchange"), plan)
   }
 
+  test("bandFilter: keeps exactly the in-band rows, drops nulls, filter is narrow") {
+    val df = ((1 to 100).map(i => (i.toLong, Some(i.toDouble))) :+
+      (101L, None: Option[Double])).toDF("id", "x")
+    val kept = Profile.bandFilter(df, "x", 0.10, 0.90)
+      .select("id").as[Long].collect().toSet
+    // bounds 10.9 / 90.1 (same interpolation as winsorize) → ids 11..90
+    assert(kept == (11L to 90L).toSet)
+    // null row dropped (no value, no band membership); empty input → empty
+    assert(!kept.contains(101L))
+    assert(Profile.bandFilter(df.filter(lit(false)), "x").count() == 0)
+    // integer columns refused — an interpolated bound isn't an int
+    intercept[IllegalArgumentException] {
+      Profile.bandFilter(df.select(col("id").as("x")), "x")
+    }
+    val plan = Profile.bandFilter(df, "x", 0.10, 0.90)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Exchange"), plan)
+  }
+
   test("standardizeVectors: z-scores, dead dims to 0, narrow literal-array transform") {
     val df = Seq(
       (1L, Array(1.0f, 0.0f)),
