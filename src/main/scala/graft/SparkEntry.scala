@@ -2198,6 +2198,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- graded contamination: per-doc fraction of distinct n-grams
+    //      shared with the probe set (the threshold-able memorization
+    //      signal; contaminated == ratio > 0). Counts are exact longs,
+    //      the ratio one IEEE division — oracle recomputes exactly
+    "ngram_overlap_ratio" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val probes = d.filter(col("doc_id") < 10).select(col("text"))
+      Decontamination.overlapStats(d, "text", "doc_id", probes, "text", n = 3)
+        .orderBy("doc_id")
+    }),
+
     // ---- PII redaction: plant deterministic email/phone/IP spans, then
     //      count and redact them (patterns are RE2-compatible so DuckDB
     //      computes the identical spans)
@@ -4667,6 +4678,30 @@ object SparkEntry {
         |SELECT s.doc_id, (h.doc_id IS NOT NULL) AS contaminated
         |FROM sh s LEFT JOIN hits h ON s.doc_id = h.doc_id
         |ORDER BY s.doc_id""".stripMargin,
+
+    "ngram_overlap_ratio" ->
+      """WITH toks AS (
+        | SELECT doc_id,
+        |  list_filter(string_split_regex(trim(regexp_replace(regexp_replace(lower(text), '[[:punct:]]', '', 'g'), '\s+', ' ', 'g')), '\s+'), t -> t <> '') AS ts
+        | FROM documents
+        |), sh AS (
+        | SELECT doc_id,
+        |  CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+        |       ELSE list_distinct(list_transform(range(1, len(ts) - 1), i -> array_to_string(ts[i:i+2], ' ')))
+        |  END AS grams
+        | FROM toks
+        |), probe AS (
+        | SELECT DISTINCT unnest(grams) AS g FROM sh WHERE doc_id < 10
+        |), docg AS (
+        | SELECT doc_id, unnest(grams) AS g FROM sh
+        |)
+        |SELECT d.doc_id,
+        | CAST(count(*) AS BIGINT) AS n_ngrams,
+        | CAST(sum(CASE WHEN p.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+        | CAST(sum(CASE WHEN p.g IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |   / CAST(count(*) AS DOUBLE) AS overlap_ratio
+        |FROM docg d LEFT JOIN probe p ON d.g = p.g
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "pii_redaction" -> {
       val em = TextFunctions.EmailPattern

@@ -60,4 +60,24 @@ class DecontaminationSpec extends SparkSpec {
       assert(out(1L) && out(3L) && !out(2L) && !out(4L), out.toString)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
   }
+
+  test("overlapStats grades partial contamination; flag equals ratio > 0") {
+    val probes = Seq("the lazy dog tonight").toDF("text")
+    val out = Decontamination.overlapStats(docs, "text", "doc_id", probes, "text", n = 3)
+      .select("doc_id", "n_ngrams", "n_overlap", "overlap_ratio")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    // doc 1: 10 tokens → 8 distinct trigrams; probe contributes
+    // exactly "the lazy dog" and "lazy dog tonight" → 2/8
+    assert(out(1L)._2 == 8L && out(1L)._3 == 2L && out(1L)._4 == 0.25)
+    // doc 3 shares the same two trigrams among its 8
+    assert(out(3L)._3 == 2L && out(3L)._4 == 0.25)
+    assert(out(2L)._3 == 0L && out(2L)._4 == 0.0)
+    // short doc: one sub-n gram ("short doc"), no overlap
+    assert(out(4L)._2 == 1L && out(4L)._3 == 0L)
+    // consistency with the boolean operator
+    val flags = Decontamination.contaminationFlags(
+        docs, "text", "doc_id", probes, "text", n = 3)
+      .select("doc_id", "contaminated").as[(Long, Boolean)].collect().toMap
+    out.values.foreach { case (id, _, ov, _) => assert(flags(id) == (ov > 0L)) }
+  }
 }
