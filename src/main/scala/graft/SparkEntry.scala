@@ -157,6 +157,13 @@ object SparkEntry {
 
   private val qmGateBias = new java.math.BigDecimal("0.250000")
 
+  /** Decomposed-combining-char suffix for the nfc_normalize gate: the
+    * driver corpus is ASCII, so the gate plants e+ACUTE, a+RING,
+    * o+DIAERESIS — NFC composes all three (" café ångström", 3 chars
+    * shorter). Shared verbatim by the Spark query and the oracle SQL.
+    */
+  private val nfcGateSuffix = " café ångström"
+
   // ------------------------------------------------------------------ queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2195,6 +2202,23 @@ object SparkEntry {
       val probes = d.filter(col("doc_id") < 10).select(col("text"))
       Decontamination.contaminationFlags(d, "text", "doc_id", probes, "text", n = 3)
         .select(col("doc_id"), col("contaminated"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- Unicode NFC normalization (native NfcNormalize expression):
+    //      decomposed combining sequences (planted deterministically —
+    //      the driver corpus is ASCII) compose to their canonical
+    //      precomposed forms; DuckDB's nfc_normalize computes the
+    //      identical TR15 form, so lengths and tails compare exactly
+    "nfc_normalize" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(col("doc_id") < 500)
+      val raw = concat(col("text"), lit(nfcGateSuffix))
+      d.select(col("doc_id"),
+          length(raw).cast(LongType).as("len_before"),
+          TextFunctions.nfcNormalize(raw).as("_norm"))
+        .select(col("doc_id"), col("len_before"),
+          length(col("_norm")).cast(LongType).as("len_after"),
+          expr("right(_norm, 10)").as("tail"))
         .orderBy("doc_id")
     }),
 
@@ -4678,6 +4702,17 @@ object SparkEntry {
         |SELECT s.doc_id, (h.doc_id IS NOT NULL) AS contaminated
         |FROM sh s LEFT JOIN hits h ON s.doc_id = h.doc_id
         |ORDER BY s.doc_id""".stripMargin,
+
+    "nfc_normalize" ->
+      s"""WITH d AS (
+         | SELECT doc_id, text || '$nfcGateSuffix' AS s
+         | FROM documents WHERE doc_id < 500
+         |)
+         |SELECT doc_id,
+         | CAST(length(s) AS BIGINT) AS len_before,
+         | CAST(length(nfc_normalize(s)) AS BIGINT) AS len_after,
+         | right(nfc_normalize(s), 10) AS tail
+         |FROM d ORDER BY doc_id""".stripMargin,
 
     "ngram_overlap_ratio" ->
       """WITH toks AS (

@@ -481,6 +481,17 @@ object TextFunctions {
     * transform/sequence/substr chain was interpreted AND quadratic —
     * char-indexed `substr` re-scans from the string head per shingle.
     */
+  /** Unicode NFC canonical-composition normalization (native
+    * graft.plans.NfcNormalize) — run it ahead of any dedup/fingerprint
+    * pass on multilingual text: decomposed "e +  ́" and precomposed "é"
+    * hash differently but read identically. Near-free on clean data
+    * (isNormalized short-circuits).
+    */
+  def nfcNormalize(text: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.plans.NfcNormalize(ColumnBridge.expression(text)))
+  }
+
   def charShingles(text: Column, n: Int, stride: Int = 1): Column = {
     import org.apache.spark.sql.graft.ColumnBridge
     ColumnBridge.column(graft.plans.CharShingles(

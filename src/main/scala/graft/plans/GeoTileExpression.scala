@@ -125,7 +125,8 @@ object GraftExtensions {
       CjkTokenCount.functionDescriptor,
       ScriptCounts.functionDescriptor,
       Quantize8.functionDescriptor,
-      QDot.functionDescriptor)
+      QDot.functionDescriptor,
+      NfcNormalize.functionDescriptor)
 
   /** Imperative all-at-once registration for an existing session. */
   def registerAll(spark: SparkSession): Unit =

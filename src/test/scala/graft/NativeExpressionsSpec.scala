@@ -465,6 +465,34 @@ class NativeExpressionsSpec extends SparkSpec {
     both.foreach { case (nat, cmp) => assert(nat == cmp, s"$nat != $cmp") }
   }
 
+  test("NfcNormalize composes decomposed sequences; ASCII and precomposed pass through untouched") {
+    import org.apache.spark.sql.graft.ColumnBridge
+    def nfc(c: org.apache.spark.sql.Column) =
+      ColumnBridge.column(graft.plans.NfcNormalize(ColumnBridge.expression(c)))
+    // explicit escapes: a toolchain could silently precompose pasted text
+    val dec = "decomposed e\u0301 a\u030A o\u0308"
+    val pre = "decomposed \u00e9 \u00e5 \u00f6"
+    val rows = Seq(
+      "plain ascii",
+      "precomposed \u00e9\u00e5\u00f6",
+      dec,
+      "mixed caf\u00e9 cafe\u0301",
+      "" // empty
+    ).toDF("s")
+    val out = rows.select(col("s"), nfc(col("s")).as("n"))
+      .as[(String, String)].collect().toMap
+    out.foreach { case (s, n) =>
+      assert(n == java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC),
+        s"mismatch for ${s.codePoints().toArray.toSeq}")
+    }
+    // composition really happened: 3 combining marks fold away
+    assert(dec.length == pre.length + 3)
+    assert(out(dec) == pre)
+    // null passes through
+    val nn = Seq[Option[String]](None).toDF("s").select(nfc(col("s"))).collect()(0)
+    assert(nn.isNullAt(0))
+  }
+
   test("strided CharShingles equals explode-then-filter on every stride incl. multibyte") {
     import org.apache.spark.sql.Column
     import org.apache.spark.sql.graft.ColumnBridge
