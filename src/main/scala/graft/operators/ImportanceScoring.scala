@@ -99,14 +99,22 @@ object ImportanceScoring {
     * ([[graft.streaming.StreamingOps.applyDriftBatch]]).
     */
   def driftFromHistograms(histA: DataFrame, histB: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val d38 = DecimalType(38, 0)
     val joined = histA.withColumnRenamed("cnt", "cnt_a")
       .join(histB.withColumnRenamed("cnt", "cnt_b"), Seq("bucket"), "full")
       .select(col("bucket"),
         coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),
         coalesce(col("cnt_b"), lit(0L)).as("cnt_b"))
-    val totals = joined.agg(sum(col("cnt_a")).as("_na"), sum(col("cnt_b")).as("_nb"))
-    joined.crossJoin(broadcast(totals))
+    // corpus totals via a single-partition window over the HISTOGRAM
+    // (≤ 2·buckets rows — bounded by construction, never the corpus):
+    // an agg + crossJoin(broadcast) here would duplicate the whole
+    // upstream tokenize+histogram subplan (Catalyst doesn't reuse
+    // common DataFrame lineage) — two full corpus scans at 100 TB
+    val w = Window.partitionBy(lit(1))
+    joined
+      .withColumn("_na", sum(col("cnt_a")).over(w))
+      .withColumn("_nb", sum(col("cnt_b")).over(w))
       .withColumn("gap",
         abs(col("cnt_a").cast(d38) * col("_nb").cast(d38) -
           col("cnt_b").cast(d38) * col("_na").cast(d38)))
