@@ -802,6 +802,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- language-agnostic stopword discovery: top-k terms by
+    //      DOCUMENT frequency (ties to the ascending term) — exact
+    //      integer histogram, TakeOrdered cut
+    "stopword_df_topk" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Vocab.topDocFrequencyTerms(d, "doc_id", "text", k = 30)
+        .orderBy(col("df").desc, col("term").asc)
+    }),
+
     // ---- fastText-style linear quality classifier, SERVING path:
     //      margin = bias + Σ cnt_b·w_b over hashed token buckets with a
     //      deterministic literal weight table (Weyl-sequence pseudo
@@ -3149,6 +3158,17 @@ object SparkEntry {
         | CASE WHEN pd.nt > 0 THEN CAST(pd.n_o AS DOUBLE) / CAST(pd.nt AS DOUBLE) END AS oov_rate
         |FROM documents doc LEFT JOIN pd ON doc.doc_id = pd.doc_id
         |ORDER BY doc.doc_id""".stripMargin,
+
+    "stopword_df_topk" ->
+      """WITH d AS (
+        | SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS toks
+        | FROM documents
+        |), tok AS (
+        | SELECT DISTINCT doc_id, unnest(toks) AS term FROM d
+        |)
+        |SELECT term, CAST(count(*) AS BIGINT) AS df
+        |FROM tok GROUP BY 1
+        |ORDER BY df DESC, term ASC LIMIT 30""".stripMargin,
 
     // same FNV-per-distinct-token buckets as dsir_scores (salt ':qm');
     // the 1024-row weight table is the gate-registered literal VALUES;

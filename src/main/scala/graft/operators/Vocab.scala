@@ -41,6 +41,34 @@ object Vocab {
       .limit(v)
   }
 
+  /** Top-`k` terms by DOCUMENT frequency (the fraction-of-docs signal,
+    * not raw occurrence count): `(term, df)`, ties at the boundary
+    * broken by ascending term. This is language-agnostic stopword
+    * DISCOVERY — the terms appearing in nearly every document are the
+    * corpus's function words whatever its language mix, which feeds
+    * [[graft.functions.TextFunctions.stopwordRatio]]-style quality
+    * rules without a hand-curated list.
+    *
+    * Scale shape: one tokenize pass, per-doc distinct terms reduce
+    * map-side into the (term, df) histogram, and the top-k cut is a
+    * `TakeOrdered` — no global sort, terms cross the wire once.
+    */
+  def topDocFrequencyTerms(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int
+  ): DataFrame = {
+    require(k > 0, s"topDocFrequencyTerms: k must be positive, got $k")
+    docs
+      .select(col(idCol).as("_id"),
+        explode(array_distinct(TextFunctions.tokens(lower(col(textCol)))))
+          .as("term"))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("term").asc)
+      .limit(k)
+  }
+
   /** Per-document vocabulary coverage against a (small, broadcast)
     * vocab table with a `term` column: `(idCol, n_tokens, n_oov,
     * oov_rate)`. `oov_rate = n_oov / n_tokens` is one IEEE division of

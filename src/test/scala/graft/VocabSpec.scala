@@ -57,4 +57,19 @@ class VocabSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("topDocFrequencyTerms counts docs not occurrences; ties break to the term; cut is TakeOrdered") {
+    val docs = Seq(
+      (0L, "aa aa aa bb"), // aa×3 occurrences but df 1
+      (1L, "bb cc"),
+      (2L, "bb cc dd")
+    ).toDF("id", "text")
+    val out = Vocab.topDocFrequencyTerms(docs, "id", "text", k = 3)
+      .as[(String, Long)].collect().toSeq
+    // df: bb=3, cc=2, aa=1, dd=1 → top3 ties (aa,dd) break to "aa"
+    assert(out == Seq(("bb", 3L), ("cc", 2L), ("aa", 1L)), out.toString)
+    val plan = Vocab.topDocFrequencyTerms(docs, "id", "text", k = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
 }
