@@ -2172,6 +2172,22 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- composed batch-prep pipeline: outlier-length band filter →
+    //      length-bucketed batching — the unpacked-loader prep chain,
+    //      two round-8 operators composed as a user would compose them;
+    //      the oracle concatenates their two proven chains
+    "pipeline_batch_prep" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(col("doc_id") < 2000)
+        .select(col("doc_id"), col("text"),
+          TextFunctions.tokenCount(col("text")).as("n_tokens"))
+        .withColumn("_n", col("n_tokens").cast(DoubleType))
+      val banded = Profile.bandFilter(d, "_n", 0.05, 0.95)
+        .select(col("doc_id"), col("text"))
+      Packing.lengthBucketBatches(banded, "doc_id", "text",
+          bucketWidth = 64, batchSize = 32)
+        .orderBy("doc_id")
+    }),
+
     // ---- composed curation pipeline: quality-policy dedup → hash
     //      split (train share) → per-source token packing — three
     //      operators chained exactly as a user would chain them; the
@@ -3634,6 +3650,27 @@ object SparkEntry {
         | CAST(prev // 512 AS BIGINT) AS pack_id,
         | CAST(prev % 512 AS BIGINT) AS pack_offset
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "pipeline_batch_prep" ->
+      """WITH d0 AS (
+        | SELECT doc_id,
+        |  CAST(len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS BIGINT) AS n
+        | FROM documents WHERE doc_id < 2000
+        |), b AS (
+        | SELECT quantile_cont(CAST(n AS DOUBLE), 0.05) AS lo,
+        |  quantile_cont(CAST(n AS DOUBLE), 0.95) AS hi
+        | FROM d0
+        |), d AS (
+        | SELECT doc_id, n FROM d0, b
+        | WHERE CAST(n AS DOUBLE) >= lo AND CAST(n AS DOUBLE) <= hi
+        |), r AS (
+        | SELECT doc_id, n, n // 64 AS bucket,
+        |  ROW_NUMBER() OVER (PARTITION BY n // 64 ORDER BY doc_id) - 1 AS rk
+        | FROM d
+        |)
+        |SELECT doc_id, n AS n_tokens, CAST(bucket AS BIGINT) AS bucket,
+        | CAST(rk // 32 AS BIGINT) AS batch_idx, CAST(rk % 32 AS BIGINT) AS slot
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     "length_bucket_batches" ->
       """WITH d AS (
