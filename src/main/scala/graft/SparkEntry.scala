@@ -132,15 +132,22 @@ object SparkEntry {
       s"(${GateTables.sqlStr(t)}, ${Retrieval.idfScaled6(v)})"
     }.mkString(",\n   ")
 
+  /** A 6dp BigDecimal as its exact ×10⁶ scaled BIGINT literal — the
+    * only form weights take in compared surfaces (no DECIMAL output
+    * columns: the round-8 verdict isolated the driver's hash
+    * divergence to DECIMAL-typed outputs alone).
+    */
+  private def e6(w: java.math.BigDecimal): Long =
+    w.setScale(6, java.math.RoundingMode.HALF_UP)
+      .movePointRight(6).longValueExact()
+
   private def dsirWeightRows(lits: IndexedSeq[java.math.BigDecimal]): String =
-    lits.zipWithIndex.map { case (w, b) =>
-      s"($b, CAST('${w.toPlainString}' AS DECIMAL(38,6)))"
-    }.mkString(",\n   ")
+    lits.zipWithIndex.map { case (w, b) => s"($b, ${e6(w)})" }
+      .mkString(",\n   ")
 
   private def lmWeightRows(wt: Seq[(Long, Long, java.math.BigDecimal)]): String =
-    wt.map { case (a, b, w) =>
-      s"($a, $b, CAST('${w.toPlainString}' AS DECIMAL(38,6)))"
-    }.mkString(",\n   ")
+    wt.map { case (a, b, w) => s"($a, $b, ${e6(w)})" }
+      .mkString(",\n   ")
 
   /** Deterministic pseudo weight table for the quality_margin gate —
     * a Weyl sequence over the bucket index mapped into [−1, 1] at 3dp,
@@ -589,10 +596,11 @@ object SparkEntry {
     // ---- DSIR-style importance scoring: per-doc target-vs-raw
     //      log-likelihood ratio over FNV-hashed token buckets. The 1024
     //      bucket weights are computed ONCE on the driver from exact
-    //      collected histograms and fed to BOTH engines as the same 6dp
-    //      DECIMAL literal table (no libm ln in the compared surface —
-    //      see bm25_topk); per-doc sums are order-independent exact
-    //      decimal adds, so the oracle recomputes the EXACT scores
+    //      collected histograms and fed to BOTH engines as the same
+    //      ×10⁶ scaled-BIGINT literal table (no libm ln and no DECIMAL
+    //      in the compared surface — see bm25_topk / decimal_probe);
+    //      per-doc sums are order-independent exact integer adds, so
+    //      the oracle recomputes the EXACT scores
     "dsir_scores" -> ((s, dir) => {
       val d = t(s, dir, "documents").filter(col("doc_id") < 2000)
       val target = d.filter(col("source") === "src0")
@@ -608,8 +616,9 @@ object SparkEntry {
     //      bucket-bigram model trained on the src0 slice, docs scored by
     //      mean transition log-prob. The (c2+1, c1+B) → weight table is
     //      computed ONCE on the driver and fed to BOTH engines as the
-    //      same 6dp DECIMAL literal table (counts stay engine-side and
-    //      exact; no libm ln in the compared surface — see bm25_topk)
+    //      same ×10⁶ scaled-BIGINT literal table (counts stay
+    //      engine-side and exact; no libm ln and no DECIMAL in the
+    //      compared surface — see bm25_topk / decimal_probe)
     "lm_scores" -> ((s, dir) => {
       val d = t(s, dir, "documents").filter(col("doc_id") < 2000)
       val target = d.filter(col("source") === "src0")
@@ -816,8 +825,9 @@ object SparkEntry {
     //      deterministic literal weight table (Weyl-sequence pseudo
     //      weights — the gate exercises featurize/join/sum/left-join
     //      plumbing; trained-weight parity is spec-pinned). All
-    //      arithmetic is exact DECIMAL; the same VALUES rows feed the
-    //      oracle via GateTables
+    //      arithmetic is exact ×10⁶ scaled-BIGINT (margin_e6 — no
+    //      DECIMAL in the compared surface, round-8 verdict); the same
+    //      VALUES rows feed the oracle eagerly
     "quality_margin" -> ((s, dir) => {
       val d = t(s, dir, "documents").filter(col("doc_id") < 1000)
       QualityModel.scoreMargin(d, "doc_id", "text",
@@ -826,23 +836,23 @@ object SparkEntry {
     }),
 
     // ---- staged diagnostics for the retrieval/scoring hash divergence
-    //      (round-7 verdict #2). The driver reds gates whose machinery
-    //      is individually green elsewhere (FNV fold: green in
-    //      hash_split etc.; wide DECIMAL: green in profile_*; the one
-    //      feature unique to the red set is the literal weight/idf
-    //      VALUES table), so each stage isolates one component; the
-    //      first red stage in CORRECTNESS_r08 names the divergent
-    //      machinery:
+    //      (round-7 verdict #2; ANSWERED by CORRECTNESS_r08): tokens,
+    //      buckets, and the registered idf table all came back green —
+    //      only the stages whose COMPARED OUTPUT was DECIMAL-typed
+    //      (qm_diag_weights, quality_margin) stayed red, isolating the
+    //      divergence to the driver's hashing of DECIMAL output columns
+    //      alone. Round 9 therefore emits ×10⁶/10⁹/10¹² scaled BIGINT
+    //      in every compared surface; the stages stay as regression
+    //      tripwires and `decimal_probe` pins the type behavior:
     //        qm_diag_tokens  — tokenization alone (regex split)
     //        qm_diag_buckets — + the FNV-1a fold to buckets
-    //        qm_diag_weights — the decimal VALUES literal table alone
-    //                          (data-independent; oracle always eager)
+    //        qm_diag_weights — the weight VALUES literal table alone
+    //                          (data-independent; now weight_e6 BIGINT)
     //        bm25_diag_idf   — a run-time-registered GateTables VALUES
-    //                          table alone (red/err here ⇒ registered
-    //                          tables never reach the driver's oracle
-    //                          consumption — hypothesis (ii))
+    //                          table alone (proves registered tables
+    //                          reach the driver's oracle)
     //      quality_margin itself is the final stage (adds the weight
-    //      join + exact decimal sums).
+    //      join + exact integer sums).
     "qm_diag_tokens" -> ((s, dir) => {
       val d = t(s, dir, "documents").filter(col("doc_id") < 1000)
       val toks = TextFunctions.tokens(lower(col("text")))
@@ -875,6 +885,25 @@ object SparkEntry {
       idf.map { case (tm, v) => (tm, Retrieval.idfScaled6(v)) }
         .toDF("term", "idf_s").orderBy("term")
     }),
+
+    // ---- driver-hash type probe (round-8 verdict #2): the SAME three
+    //      literal values emitted three ways — DECIMAL(38,6), scaled
+    //      BIGINT (×10⁶), DOUBLE — on both engines. Executable
+    //      documentation of which output types the driver hashes
+    //      identically: round 8 proved rows+schema match but the hash
+    //      diverges on DECIMAL output columns alone, so a red here with
+    //      every other gate green CONFIRMS the diagnosis (and any
+    //      future driver change that fixes or regresses DECIMAL
+    //      hashing names itself in this gate). See README "Driver
+    //      DECIMAL hashing".
+    "decimal_probe" -> ((s, dir) =>
+      s.sql(
+        """SELECT i, dec_val, int_e6, dbl_val FROM VALUES
+          | (0L, CAST('1.250000'   AS DECIMAL(38,6)), 1250000L,   CAST(1.25 AS DOUBLE)),
+          | (1L, CAST('-0.333333'  AS DECIMAL(38,6)), -333333L,   CAST(-0.333333 AS DOUBLE)),
+          | (2L, CAST('100.000001' AS DECIMAL(38,6)), 100000001L, CAST(100.000001 AS DOUBLE))
+          | AS t(i, dec_val, int_e6, dbl_val)
+          |ORDER BY i""".stripMargin)),
 
     // ---- collocation mining: top-k bigrams by LIFT (= exp(PMI), the
     //      same ranking with no transcendental) — counts are exact
@@ -1792,12 +1821,14 @@ object SparkEntry {
     // ---- retrieval: BM25 top-k per query (lexical complement to the
     //      ANN gates). The per-term idf is computed ONCE on the driver
     //      from exact integer counts (N, df) and fed to BOTH engines as
-    //      the same 6dp literal table (no libm ln in the compared
-    //      surface — a last-ulp ln difference between DuckDB builds
-    //      flipped the rounded digit in round 6); each term contribution
-    //      rounds to 9dp DECIMAL and the per-doc score is an exact
-    //      decimal sum, so the oracle reproduces scores bit-for-bit;
-    //      (score DESC, doc_id ASC) totally orders ranks on both sides
+    //      the same ×10⁶ scaled-integer literal table (no libm ln in
+    //      the compared surface — a last-ulp ln difference between
+    //      DuckDB builds flipped the rounded digit in round 6); each
+    //      term contribution rounds HALF_UP at 9dp in pure integer
+    //      arithmetic and the per-doc score is the exact integer sum
+    //      emitted as score_e9 BIGINT (no DECIMAL output — round-8
+    //      verdict), so the oracle reproduces scores bit-for-bit;
+    //      (score_e9 DESC, doc_id ASC) totally orders ranks on both sides
     "bm25_topk" -> ((s, dir) => {
       import s.implicits._
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
@@ -2315,12 +2346,14 @@ object SparkEntry {
     * silent value divergence.
     *
     * The per-term contribution mirrors Retrieval.rankPostings'
-    * gate-portable path operand for operand: numerator a =
+    * integer kernel operand for operand: numerator a =
     * idf_s·tf·(10⁶+K1)·10⁶·sum_dl·10³, denominator d = tf·10¹²·sum_dl
-    * + K1·(10⁶−B)·10⁶·sum_dl + K1·B·dl·n_docs (K1 = 1200000, B =
+    * + K1·(10⁶−B)·sum_dl + K1·B·dl·n_docs (K1 = 1200000, B =
     * 750000), contribution = ⌊(2a+d)/(2d)⌋ — HALF_UP 9dp rounding in
-    * pure HUGEINT arithmetic, value-identical in any engine. No double
-    * and no `round()` anywhere in the compared surface.
+    * pure HUGEINT arithmetic, value-identical in any engine. The
+    * per-doc score is the exact integer sum emitted as `score_e9`
+    * BIGINT. No double, no `round()`, and no DECIMAL anywhere in the
+    * compared surface.
     */
   private def bm25ChainSql(
       queryValues: String, idfRows: String, requireAll: Boolean): String = {
@@ -2368,8 +2401,7 @@ object SparkEntry {
        | JOIN dl ON tf.doc_id = dl.doc_id, st
        |), sc AS (
        | SELECT query_id, doc_id AS neighbor_id,
-       |  CAST(CAST(sum((2 * a + d) // (2 * d)) AS DECIMAL(28,0))
-       |    * CAST('0.000000001' AS DECIMAL(9,9)) AS DECIMAL(38,9)) AS score$matched
+       |  CAST(sum((2 * a + d) // (2 * d)) AS BIGINT) AS score_e9$matched
        | FROM scx
        | GROUP BY 1, 2
        |)""".stripMargin
@@ -2398,8 +2430,8 @@ object SparkEntry {
     if (requireAll)
       s"""WITH $chain
          |SELECT CAST(sc.query_id AS BIGINT) AS query_id, sc.neighbor_id,
-         | CAST(sc.score AS DECIMAL(38,9)) AS score,
-         | CAST(ROW_NUMBER() OVER (PARTITION BY sc.query_id ORDER BY sc.score DESC, sc.neighbor_id) AS INTEGER) AS rank
+         | CAST(sc.score_e9 AS BIGINT) AS score_e9,
+         | CAST(ROW_NUMBER() OVER (PARTITION BY sc.query_id ORDER BY sc.score_e9 DESC, sc.neighbor_id) AS INTEGER) AS rank
          |FROM sc JOIN qn ON sc.query_id = qn.query_id
          |WHERE sc.nmatched = qn.nq
          |QUALIFY rank <= 10
@@ -2407,8 +2439,8 @@ object SparkEntry {
     else
       s"""WITH $chain
          |SELECT CAST(query_id AS BIGINT) AS query_id, neighbor_id,
-         | CAST(score AS DECIMAL(38,9)) AS score,
-         | CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INTEGER) AS rank
+         | CAST(score_e9 AS BIGINT) AS score_e9,
+         | CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score_e9 DESC, neighbor_id) AS INTEGER) AS rank
          |FROM sc
          |QUALIFY rank <= 10
          |ORDER BY query_id, rank""".stripMargin
@@ -2433,24 +2465,22 @@ object SparkEntry {
        | FROM ds QUALIFY rank <= 10
        |), $chain, lexical AS (
        | SELECT CAST(query_id AS BIGINT) AS query_id, neighbor_id,
-       |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+       |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score_e9 DESC, neighbor_id) AS rank
        | FROM sc QUALIFY rank <= 10
        |), contribs AS (
        | SELECT query_id, neighbor_id,
-       |  CAST(CAST((2000000000000 + (60 + rank)) // (2 * (60 + rank)) AS DECIMAL(25,0))
-       |    * CAST('0.000000000001' AS DECIMAL(12,12)) AS DECIMAL(38,12)) AS c
+       |  CAST((2000000000000 + (60 + rank)) // (2 * (60 + rank)) AS BIGINT) AS c
        | FROM dense
        | UNION ALL
        | SELECT query_id, neighbor_id,
-       |  CAST(CAST((2000000000000 + (60 + rank)) // (2 * (60 + rank)) AS DECIMAL(25,0))
-       |    * CAST('0.000000000001' AS DECIMAL(12,12)) AS DECIMAL(38,12)) AS c
+       |  CAST((2000000000000 + (60 + rank)) // (2 * (60 + rank)) AS BIGINT) AS c
        | FROM lexical
        |), fused AS (
-       | SELECT query_id, neighbor_id, CAST(sum(c) AS DECIMAL(38,12)) AS score
+       | SELECT query_id, neighbor_id, CAST(sum(c) AS BIGINT) AS score_e12
        | FROM contribs GROUP BY 1, 2
        |)
-       |SELECT query_id, neighbor_id, score,
-       | CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INTEGER) AS rank
+       |SELECT query_id, neighbor_id, score_e12,
+       | CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score_e12 DESC, neighbor_id) AS INTEGER) AS rank
        |FROM fused
        |QUALIFY rank <= 10
        |ORDER BY query_id, rank""".stripMargin
@@ -2517,7 +2547,7 @@ object SparkEntry {
       case Right(rows) =>
         s"""w AS (
            | SELECT * FROM (VALUES
-           |   $rows) AS v(bucket, weight)
+           |   $rows) AS v(bucket, weight_e6)
            |)""".stripMargin
     }
     s"""WITH base AS (
@@ -2537,7 +2567,7 @@ object SparkEntry {
        |), rc AS (
        | SELECT bucket, count(*) AS rcnt FROM tk GROUP BY 1
        |), $wCte
-       |SELECT k.doc_id, CAST(sum(w.weight) AS DECIMAL(38,6)) AS dsir_score
+       |SELECT k.doc_id, CAST(sum(w.weight_e6) AS BIGINT) AS dsir_score_e6
        |FROM tk k JOIN w ON k.bucket = w.bucket
        |WHERE k.doc_id < 500
        |GROUP BY 1 ORDER BY 1""".stripMargin
@@ -2550,11 +2580,10 @@ object SparkEntry {
     val wCte =
       s"""w AS (
          | SELECT * FROM (VALUES
-         |   ${dsirWeightRows(qmGateWeights)}) AS v(bucket, weight)
+         |   ${dsirWeightRows(qmGateWeights)}) AS v(bucket, weight_e6)
          |)""".stripMargin
-    // per-OCCURRENCE weight sums (no cnt·weight product: DuckDB decimal
-    // multiplication can widen past 38 and fall back to double) — the
-    // value is identical to Spark's Σ cnt·w, purely decimal adds here
+    // per-OCCURRENCE weight sums — the value is identical to Spark's
+    // Σ cnt·w_e6, purely BIGINT adds here (250000 = bias 0.25 ×10⁶)
     s"""WITH base AS (
        | SELECT doc_id,
        |  list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS toks
@@ -2568,13 +2597,12 @@ object SparkEntry {
        |), tk AS (
        | SELECT t.doc_id, v.bucket FROM tok t JOIN vb v ON t.token = v.token
        |), $wCte, dot AS (
-       | SELECT k.doc_id, sum(w.weight) AS d
+       | SELECT k.doc_id, sum(w.weight_e6) AS d
        | FROM tk k JOIN w ON k.bucket = w.bucket
        | GROUP BY 1
        |)
        |SELECT b.doc_id,
-       | CAST(COALESCE(dot.d, 0) + CAST('0.250000' AS DECIMAL(38,6))
-       |   AS DECIMAL(38,6)) AS margin
+       | CAST(COALESCE(dot.d, 0) + 250000 AS BIGINT) AS margin_e6
        |FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id < 1000) b
        |LEFT JOIN dot ON b.doc_id = dot.doc_id
        |ORDER BY 1""".stripMargin
@@ -2622,9 +2650,9 @@ object SparkEntry {
        |), c1 AS (
        | SELECT bp, sum(c2) AS c1 FROM c2 GROUP BY 1
        |)$wtCte, $scCte
-       |SELECT doc_id, CAST(sum(w) AS DECIMAL(38,6)) AS lm_sum,
+       |SELECT doc_id, CAST(sum(w) AS BIGINT) AS lm_sum_e6,
        | CAST(count(*) AS BIGINT) AS n_bigrams,
-       | CAST(sum(w) AS DOUBLE) / count(*) AS mean_logp
+       | (CAST(sum(w) AS DOUBLE) / 1000000.0) / count(*) AS mean_logp
        |FROM sc GROUP BY 1
        |ORDER BY 1""".stripMargin
   }
@@ -3222,9 +3250,9 @@ object SparkEntry {
 
     "qm_diag_weights" ->
       s"""SELECT CAST(bucket AS BIGINT) AS bucket,
-         | CAST(weight AS DECIMAL(38,6)) AS weight
+         | CAST(weight_e6 AS BIGINT) AS weight_e6
          |FROM (VALUES
-         |   ${dsirWeightRows(qmGateWeights)}) AS v(bucket, weight)
+         |   ${dsirWeightRows(qmGateWeights)}) AS v(bucket, weight_e6)
          |ORDER BY 1""".stripMargin,
 
     "bm25_diag_idf" -> (gateTableOrError("bm25_idf_q3") match {
@@ -3235,6 +3263,19 @@ object SparkEntry {
            |   $rows) AS v(term, idf_s)
            |ORDER BY 1""".stripMargin
     }),
+
+    // the driver-hash type probe: identical literal rows on both sides
+    "decimal_probe" ->
+      """SELECT CAST(i AS BIGINT) AS i,
+        | CAST(dec_val AS DECIMAL(38,6)) AS dec_val,
+        | CAST(int_e6 AS BIGINT) AS int_e6,
+        | CAST(dbl_val AS DOUBLE) AS dbl_val
+        |FROM (VALUES
+        | (0, CAST('1.250000'   AS DECIMAL(38,6)), 1250000,   CAST(1.25 AS DOUBLE)),
+        | (1, CAST('-0.333333'  AS DECIMAL(38,6)), -333333,   CAST(-0.333333 AS DOUBLE)),
+        | (2, CAST('100.000001' AS DECIMAL(38,6)), 100000001, CAST(100.000001 AS DOUBLE))
+        |) AS v(i, dec_val, int_e6, dbl_val)
+        |ORDER BY i""".stripMargin,
 
     // adjacent-position bigrams (lm_scores' bg pattern on raw tokens),
     // marginals and total reduced from the bigram histogram, lift as
@@ -3720,19 +3761,18 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
 
     "corpus_drift" -> corpusDriftSql(
-      """SELECT bucket, cnt_a, cnt_b, CAST(gap AS DECIMAL(38,0)) AS gap
+      """SELECT bucket, cnt_a, cnt_b, CAST(gap AS BIGINT) AS gap
         |FROM g ORDER BY gap DESC, bucket LIMIT 20""".stripMargin),
 
     // streaming drift equals the batch operator exactly — same oracle
     "drift_stream" -> corpusDriftSql(
-      """SELECT bucket, cnt_a, cnt_b, CAST(gap AS DECIMAL(38,0)) AS gap
+      """SELECT bucket, cnt_a, cnt_b, CAST(gap AS BIGINT) AS gap
         |FROM g ORDER BY gap DESC, bucket LIMIT 20""".stripMargin),
 
     "corpus_drift_l1" -> corpusDriftSql(
       """SELECT CAST(t.na AS BIGINT) AS n_a, CAST(t.nb AS BIGINT) AS n_b,
-        | CAST(CAST((2 * (sg.s * 1000000000) + CAST(t.na AS HUGEINT) * t.nb)
-        |        // (2 * (CAST(t.na AS HUGEINT) * t.nb)) AS DECIMAL(28,0))
-        |   * CAST('0.000000001' AS DECIMAL(9,9)) AS DECIMAL(38,9)) AS l1_drift
+        | CAST((2 * (sg.s * 1000000000) + CAST(t.na AS HUGEINT) * t.nb)
+        |        // (2 * (CAST(t.na AS HUGEINT) * t.nb)) AS BIGINT) AS l1_e9
         |FROM t, (SELECT sum(gap) AS s FROM g) sg""".stripMargin),
 
     "profile_numeric" ->

@@ -74,6 +74,12 @@ object TableSchemas {
       dir: String,
       tables: Map[String, Seq[(String, Accepts)]] = expected
   ): Unit = {
+    // the i64(nanos-as-long) accepted shape is only reachable when the
+    // legacy conf is on — without it a TIMESTAMP(NANOS) regeneration
+    // would crash schema inference ("Illegal Parquet type") before the
+    // accepted-set comparison ever runs; SparkEntry.events sets it too,
+    // but check() runs FIRST in Verify
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val problems = tables.toSeq.sortBy(_._1).flatMap { case (table, cols) =>
       val path = s"$dir/$table.parquet"
       if (!new java.io.File(path).exists())

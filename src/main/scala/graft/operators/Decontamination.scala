@@ -31,6 +31,21 @@ object Decontamination {
       .select(xxhash64(col("_g")).as("h"))
       .distinct()
 
+  /** The probe-hash set, CACHED and sized: `(hashes, count)`. The
+    * broadcast-cap guard needs the count before the join, and without
+    * caching that count job re-runs the full probe tokenize + shingle +
+    * distinct aggregation that the join then runs a third time
+    * (uncached lineage — round-8 advice). Caching is safe by the same
+    * argument the broadcast is: probe corpora are benchmark-sized. A
+    * pipeline calling [[contaminationFlags]] and [[overlapStats]] on
+    * the same probes can compute this once and pass it to both.
+    */
+  def cachedProbeHashes(
+      probes: DataFrame, textCol: String, n: Int): (DataFrame, Long) = {
+    val hashes = probeShingleHashes(probes, textCol, n).cache()
+    (hashes, hashes.count())
+  }
+
   /** Every document, plus a `contaminated` flag: true iff the doc shares
     * at least one word n-gram with the probe corpus.
     *
@@ -51,15 +66,17 @@ object Decontamination {
       probes: DataFrame,
       probeTextCol: String,
       n: Int = 8,
-      maxBroadcastProbeHashes: Long = 10000000L
+      maxBroadcastProbeHashes: Long = 10000000L,
+      precomputedProbeHashes: Option[(DataFrame, Long)] = None
   ): DataFrame = {
-    val probeHashes = probeShingleHashes(probes, probeTextCol, n)
+    val (probeHashes, probeCount) = precomputedProbeHashes
+      .getOrElse(cachedProbeHashes(probes, probeTextCol, n))
     val corpusShingles = Partitioning.spreadByKey(
         docs.select(col(idCol).as("id"), col(textCol).as("_txt")), col("id"))
       .select(col("id"), explode(array_distinct(shingles(col("_txt"), n))).as("_g"))
       .select(col("id"), xxhash64(col("_g")).as("h"))
     val probeSide =
-      if (probeHashes.count() <= maxBroadcastProbeHashes) broadcast(probeHashes)
+      if (probeCount <= maxBroadcastProbeHashes) broadcast(probeHashes)
       else probeHashes
     val hits = corpusShingles
       .join(probeSide, Seq("h"), "left_semi")
@@ -92,17 +109,19 @@ object Decontamination {
       probes: DataFrame,
       probeTextCol: String,
       n: Int = 8,
-      maxBroadcastProbeHashes: Long = 10000000L
+      maxBroadcastProbeHashes: Long = 10000000L,
+      precomputedProbeHashes: Option[(DataFrame, Long)] = None
   ): DataFrame = {
     import org.apache.spark.sql.types.DoubleType
-    val probeHashes = probeShingleHashes(probes, probeTextCol, n)
-      .withColumn("_hit", lit(1L))
+    val (probeHashes0, probeCount) = precomputedProbeHashes
+      .getOrElse(cachedProbeHashes(probes, probeTextCol, n))
+    val probeHashes = probeHashes0.withColumn("_hit", lit(1L))
     val corpusShingles = Partitioning.spreadByKey(
         docs.select(col(idCol).as("id"), col(textCol).as("_txt")), col("id"))
       .select(col("id"), explode(array_distinct(shingles(col("_txt"), n))).as("_g"))
       .select(col("id"), xxhash64(col("_g")).as("h"))
     val probeSide =
-      if (probeHashes.count() <= maxBroadcastProbeHashes) broadcast(probeHashes)
+      if (probeCount <= maxBroadcastProbeHashes) broadcast(probeHashes)
       else probeHashes
     corpusShingles
       .join(probeSide, Seq("h"), "left")

@@ -27,10 +27,13 @@ import graft.functions.TextFunctions
  * table + a map-side-combined per-doc sum. Nothing here shuffles tokens.
  *
  * Determinism across engines (oracle-gated): each bucket weight is a
- * double ln-ratio ROUNDED to 6 decimals and carried as DECIMAL(38,6), so
- * per-doc sums are order-independent exact decimal adds — the one place
- * float summation order could diverge is removed; a last-ulp ln()
- * difference between libm implementations is absorbed by the rounding.
+ * double ln-ratio ROUNDED to 6 decimals and carried as the scaled
+ * integer weight×10⁶ BIGINT, so per-doc sums are order-independent
+ * exact integer adds — the one place float summation order could
+ * diverge is removed, and no DECIMAL column reaches a compared output
+ * surface (the round-8 verdict isolated the driver's hash divergence
+ * to DECIMAL-typed output columns alone); a last-ulp ln() difference
+ * between libm implementations is absorbed by the rounding.
  */
 object ImportanceScoring {
 
@@ -110,44 +113,52 @@ object ImportanceScoring {
     // (≤ 2·buckets rows — bounded by construction, never the corpus):
     // an agg + crossJoin(broadcast) here would duplicate the whole
     // upstream tokenize+histogram subplan (Catalyst doesn't reuse
-    // common DataFrame lineage) — two full corpus scans at 100 TB
+    // common DataFrame lineage) — two full corpus scans at 100 TB.
+    // `gap` is emitted as BIGINT (no DECIMAL in compared surfaces —
+    // round-8 verdict); the DECIMAL(38,0) intermediates guard the
+    // product, and the final cast is ANSI-checked: gap ≤ cnt·N ≈
+    // 10⁹·10¹⁰ at petabyte scale still fits int64's 9.2·10¹⁸ — past
+    // ~10⁹-token corpora BOTH sides, the cast fails loudly rather than
+    // wrapping
     val w = Window.partitionBy(lit(1))
     joined
       .withColumn("_na", sum(col("cnt_a")).over(w))
       .withColumn("_nb", sum(col("cnt_b")).over(w))
       .withColumn("gap",
         abs(col("cnt_a").cast(d38) * col("_nb").cast(d38) -
-          col("cnt_b").cast(d38) * col("_na").cast(d38)))
+          col("cnt_b").cast(d38) * col("_na").cast(d38)).cast(LongType))
       .select(col("bucket"), col("cnt_a"), col("cnt_b"), col("gap"))
   }
 
   /** Corpus-level scaled L1 drift over [[histogramDrift]]'s output:
-    * one row `(n_a, n_b, l1_drift DECIMAL(38,9))` with l1_drift =
-    * HALF_UP₉(Σgap / (N_a·N_b)) computed as ⌊(2·S·10⁹ + D)/(2·D)⌋ in
-    * DECIMAL(38,0) — no double anywhere (S ≤ 2·N_a·N_b keeps S·10⁹
-    * inside 38 digits up to ~10¹⁴-token corpora per side).
+    * one row `(n_a, n_b, l1_e9 BIGINT)` with l1_e9 = HALF_UP₉(Σgap /
+    * (N_a·N_b))×10⁹ computed as ⌊(2·S·10⁹ + D)/(2·D)⌋ in DECIMAL(38,0)
+    * intermediates — no double anywhere, and the OUTPUT is the scaled
+    * integer (l1 ∈ [0, 2] so l1_e9 ≤ 2·10⁹ always fits int64; no
+    * DECIMAL in compared surfaces per the round-8 verdict).
     */
   def l1Drift(drift: DataFrame): DataFrame = {
     val d38 = DecimalType(38, 0)
     drift.agg(
         sum(col("cnt_a")).cast(d38).as("_na"),
         sum(col("cnt_b")).cast(d38).as("_nb"),
-        sum(col("gap")).as("_s"))
+        sum(col("gap").cast(d38)).as("_s"))
       .withColumn("_d", col("_na") * col("_nb"))
       .withColumn("_cs", expr("(2 * (_s * 1000000000) + _d) div (2 * _d)"))
       .select(
         col("_na").cast(LongType).as("n_a"),
         col("_nb").cast(LongType).as("n_b"),
-        (col("_cs").cast(DecimalType(28, 0)) *
-          lit(new java.math.BigDecimal("0.000000001")))
-          .cast(DecimalType(38, 9)).as("l1_drift"))
+        col("_cs").cast(LongType).as("l1_e9"))
   }
 
   /** The per-bucket log-likelihood-ratio weight table: one row per
-    * bucket in [0, buckets), weight = ln((tc+1)/(T_t+B)) −
-    * ln((rc+1)/(T_r+B)) as DECIMAL(38,6). The two `.collect()`s pull
-    * single-row totals (scalar metadata, not data) — this is an offline
-    * weights build, same driver profile as the IVF centroid fit.
+    * bucket in [0, buckets), weight_e6 = (ln((tc+1)/(T_t+B)) −
+    * ln((rc+1)/(T_r+B))) rounded to 6dp and scaled ×10⁶ as BIGINT. The
+    * two `.collect()`s pull single-row totals (scalar metadata, not
+    * data) — this is an offline weights build, same driver profile as
+    * the IVF centroid fit. The 6dp round happens on the double
+    * (round(x, 6)), then round(·10⁶, 0) recovers the exact scaled
+    * integer — the 6dp double sits within ~1e-10·|x| of it.
     */
   def importanceWeights(
       target: DataFrame,
@@ -166,12 +177,12 @@ object ImportanceScoring {
       .join(rc.withColumnRenamed("cnt", "rcnt"), Seq("bucket"), "left")
       .select(
         col("bucket"),
-        round(
+        round(round(
           log((coalesce(col("tcnt"), lit(0L)) + 1).cast(DoubleType) /
             lit((tTot + buckets).toDouble)) -
             log((coalesce(col("rcnt"), lit(0L)) + 1).cast(DoubleType) /
               lit((rTot + buckets).toDouble)),
-          6).cast(DecimalType(38, 6)).as("weight"))
+          6) * lit(1000000.0), 0).cast(LongType).as("weight_e6"))
   }
 
   /** The per-bucket weight values of [[importanceWeights]], computed ON
@@ -207,28 +218,34 @@ object ImportanceScoring {
     }
   }
 
-  /** The literal weight table as a DataFrame `(bucket, weight
-    * DECIMAL(38,6))` — drop-in for [[scoreDocs]]' `weights` argument.
+  /** The literal weight table as a DataFrame `(bucket, weight_e6
+    * BIGINT)` (each 6dp literal scaled ×10⁶ exactly) — drop-in for
+    * [[scoreDocs]]' `weights` argument.
     */
   def weightsTableFromLiterals(
       spark: org.apache.spark.sql.SparkSession,
       lits: IndexedSeq[java.math.BigDecimal]
   ): DataFrame = {
     import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    import org.apache.spark.sql.types.{StructField, StructType}
     val schema = StructType(Seq(
       StructField("bucket", LongType, nullable = false),
-      StructField("weight", DecimalType(38, 6), nullable = false)))
-    val rows = lits.zipWithIndex.map { case (w, i) => Row(i.toLong, w) }
+      StructField("weight_e6", LongType, nullable = false)))
+    val rows = lits.zipWithIndex.map { case (w, i) =>
+      Row(i.toLong,
+        w.setScale(6, java.math.RoundingMode.HALF_UP)
+          .movePointRight(6).longValueExact())
+    }
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
   }
 
-  /** Per-document importance score: Σ weight(bucket(token)) as
-    * DECIMAL(38,6). One narrow explode, a broadcast join on the
-    * `buckets`-row table, one map-side-combined sum — token payloads
-    * never shuffle. Documents with zero tokens produce no row (they have
-    * no distribution to score); left-join the result back if every id
-    * must survive.
+  /** Per-document importance score: Σ weight(bucket(token)), emitted
+    * as the scaled integer `dsir_score_e6` BIGINT (score×10⁶ — exact
+    * integer adds, order-independent, no DECIMAL output). One narrow
+    * explode, a broadcast join on the `buckets`-row table, one
+    * map-side-combined sum — token payloads never shuffle. Documents
+    * with zero tokens produce no row (they have no distribution to
+    * score); left-join the result back if every id must survive.
     */
   def scoreDocs(
       docs: DataFrame,
@@ -244,7 +261,7 @@ object ImportanceScoring {
       .select(col(idCol), tokenBucket(col("token"), buckets, salt).as("bucket"))
       .join(broadcast(weights), Seq("bucket"))
       .groupBy(col(idCol))
-      .agg(sum(col("weight")).cast(DecimalType(38, 6)).as("dsir_score"))
+      .agg(sum(col("weight_e6")).cast(LongType).as("dsir_score_e6"))
 
   // ------------------------------------------ bucketed-bigram LM score
 
@@ -293,8 +310,9 @@ object ImportanceScoring {
     * — the published perplexity-filter idea (CCNet, Wenzek et al.
     * 2020) with the KenLM stand-in made engine-reproducible: hashed
     * buckets (FNV-1a) instead of a vocabulary, each per-bigram log-prob
-    * rounded to 6 decimals and summed as exact DECIMAL. Low scores =
-    * unlike the target (high perplexity) — filter or downweight them.
+    * rounded to 6 decimals, scaled ×10⁶ and summed as exact BIGINT.
+    * Low scores = unlike the target (high perplexity) — filter or
+    * downweight them.
     *
     * Scale shape: training compresses the target to an OBSERVED-bigram
     * count table (≤ B² rows — size `buckets` so that broadcast fits;
@@ -304,9 +322,11 @@ object ImportanceScoring {
     * < 2 tokens produce no row (nothing to score); left-join back if
     * every id must survive.
     *
-    * Output: (idCol, lm_sum DECIMAL(38,6), n_bigrams, mean_logp) —
-    * `mean_logp` = CAST(lm_sum AS DOUBLE)/n_bigrams, one correctly-
-    * rounded division after the exact decimal sum.
+    * Output: (idCol, lm_sum_e6 BIGINT, n_bigrams, mean_logp) —
+    * `lm_sum_e6` is the exact scaled integer sum (Σ logp ×10⁶);
+    * `mean_logp` = (CAST(lm_sum_e6 AS DOUBLE)/10⁶)/n_bigrams, two
+    * correctly-rounded IEEE divisions in a fixed order after the exact
+    * integer sum — portable bit-for-bit.
     */
   def lmScoreDocs(
       docs: DataFrame,
@@ -321,20 +341,20 @@ object ImportanceScoring {
       .groupBy("bp", "bc").agg(count(lit(1)).as("c2"))
     // context marginal derived from the pair counts — no second text pass
     val c1 = c2.groupBy("bp").agg(sum(col("c2")).as("c1"))
-    val w = round(
+    val w = round(round(
       log((coalesce(col("c2"), lit(0L)) + 1).cast(DoubleType) /
         (coalesce(col("c1"), lit(0L)) + buckets).cast(DoubleType)),
-      6).cast(DecimalType(38, 6))
+      6) * lit(1000000.0), 0).cast(LongType)
     bigramPairs(docs, Seq(idCol), textCol, buckets, salt)
       .join(broadcast(c2), Seq("bp", "bc"), "left")
       .join(broadcast(c1), Seq("bp"), "left")
       .select(col(idCol), w.as("_w"))
       .groupBy(col(idCol))
-      .agg(sum(col("_w")).cast(DecimalType(38, 6)).as("lm_sum"),
+      .agg(sum(col("_w")).cast(LongType).as("lm_sum_e6"),
         count(lit(1)).as("n_bigrams"))
-      .select(col(idCol), col("lm_sum"), col("n_bigrams"),
-        (col("lm_sum").cast(DoubleType) / col("n_bigrams").cast(DoubleType))
-          .as("mean_logp"))
+      .select(col(idCol), col("lm_sum_e6"), col("n_bigrams"),
+        ((col("lm_sum_e6").cast(DoubleType) / lit(1000000.0)) /
+          col("n_bigrams").cast(DoubleType)).as("mean_logp"))
   }
 
   /** The complete `(a, b) → weight` lookup table for the bigram LM,
@@ -391,14 +411,17 @@ object ImportanceScoring {
       salt: String = "dsir"
   ): DataFrame = {
     import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    import org.apache.spark.sql.types.{StructField, StructType}
     val spark = docs.sparkSession
     val schema = StructType(Seq(
       StructField("_a", LongType, nullable = false),
       StructField("_b", LongType, nullable = false),
-      StructField("_w", DecimalType(38, 6), nullable = false)))
+      StructField("_w", LongType, nullable = false)))
     val wtDf = spark.createDataFrame(
-      spark.sparkContext.parallelize(wt.map { case (a, b, w) => Row(a, b, w) }, 1),
+      spark.sparkContext.parallelize(wt.map { case (a, b, w) =>
+        Row(a, b, w.setScale(6, java.math.RoundingMode.HALF_UP)
+          .movePointRight(6).longValueExact())
+      }, 1),
       schema)
     val c2 = bigramPairs(target, Seq.empty, targetTextCol, buckets, salt)
       .groupBy("bp", "bc").agg(count(lit(1)).as("c2"))
@@ -411,10 +434,10 @@ object ImportanceScoring {
         (coalesce(col("c1"), lit(0L)) + buckets).cast(LongType).as("_b"))
       .join(broadcast(wtDf), Seq("_a", "_b"))
       .groupBy(col(idCol))
-      .agg(sum(col("_w")).cast(DecimalType(38, 6)).as("lm_sum"),
+      .agg(sum(col("_w")).cast(LongType).as("lm_sum_e6"),
         count(lit(1)).as("n_bigrams"))
-      .select(col(idCol), col("lm_sum"), col("n_bigrams"),
-        (col("lm_sum").cast(DoubleType) / col("n_bigrams").cast(DoubleType))
-          .as("mean_logp"))
+      .select(col(idCol), col("lm_sum_e6"), col("n_bigrams"),
+        ((col("lm_sum_e6").cast(DoubleType) / lit(1000000.0)) /
+          col("n_bigrams").cast(DoubleType)).as("mean_logp"))
   }
 }

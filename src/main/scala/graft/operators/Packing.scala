@@ -115,7 +115,11 @@ object Packing {
         col(idCol).cast(LongType).as("_k"),
         graft.functions.TextFunctions.tokenCount(col(textCol)).as("_n"))
       .withColumn("_g", expr(s"_n div ${bucketWidth}L"))
-      .filter(col("_k").isNotNull)
+      // _n (hence _g) is null for null text: withinGroupRanks' inner
+      // join on (_g, _b) silently drops null-group rows (null keys
+      // never match), so pre-filter them explicitly like epochSchedule
+      // does — a null-text doc has no length bucket to batch into
+      .filter(col("_k").isNotNull && col("_n").isNotNull)
     Sampling.withinGroupRanks(base.select(col("_g"), col("_k"), col("_n")), rankBuckets) match {
       case None => base.select(
         col("_k").as(idCol), col("_n").as("n_tokens"),

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 import graft.functions.TextFunctions
 
@@ -14,8 +14,10 @@ import graft.functions.TextFunctions
  * model), split into its two deterministic halves:
  *
  *  - SERVING (`scoreMargin`): margin(doc) = bias + Σ_b cnt_b · w_b over
- *    a literal weight table carried as DECIMAL(38,6) — order-free exact
- *    decimal sums, no transcendental, hash-gate-able across engines.
+ *    a literal weight table carried as the scaled integer w×10⁶ BIGINT
+ *    — order-free exact integer sums, no transcendental, no DECIMAL
+ *    output column (the round-8 verdict isolated the driver's hash
+ *    divergence to DECIMAL outputs), hash-gate-able across engines.
  *    `scoreProbability` applies the sigmoid on top for thresholding
  *    (transcendental — spec territory, never in a compared surface).
  *  - TRAINING (`trainLogistic`): Spark MLlib logistic regression over
@@ -58,11 +60,13 @@ object QualityModel {
       .agg(count(lit(1)).as("cnt"))
 
   /** Linear margin per document against a literal weight table:
-    * `(id, margin DECIMAL(38,6))`, margin = bias + Σ cnt_b · w_b. All
-    * arithmetic is exact decimal (the weights were quantized at build
-    * time), so the result is engine-reproducible bit-for-bit. Documents
-    * with no tokens score `bias` exactly (the empty sum) — they rejoin
-    * via a left join so the classifier never silently drops rows.
+    * `(id, margin_e6 BIGINT)` with margin_e6 = (bias + Σ cnt_b · w_b)
+    * ×10⁶. All arithmetic is exact integer (the weights were quantized
+    * to 6dp at build time and carried ×10⁶), so the result is
+    * engine-reproducible bit-for-bit with no DECIMAL in the compared
+    * surface. Documents with no tokens score `bias` exactly (the empty
+    * sum) — they rejoin via a left join so the classifier never
+    * silently drops rows.
     */
   def scoreMargin(
       docs: DataFrame,
@@ -77,20 +81,22 @@ object QualityModel {
       s"scoreMargin: got ${weights.length} weights for $buckets buckets")
     val spark = docs.sparkSession
     val w = ImportanceScoring.weightsTableFromLiterals(spark, weights)
+    val biasE6 = bias.setScale(6, java.math.RoundingMode.HALF_UP)
+      .movePointRight(6).longValueExact()
     val scored = hashedTokenFeatures(docs, idCol, textCol, buckets, salt)
       .join(broadcast(w), Seq("bucket"))
       .groupBy(col(idCol))
-      .agg(sum(col("cnt") * col("weight")).as("_dot"))
+      .agg(sum(col("cnt") * col("weight_e6")).as("_dot"))
     docs.select(col(idCol)).distinct()
       .join(scored, Seq(idCol), "left")
       .select(col(idCol),
-        (coalesce(col("_dot"), lit(java.math.BigDecimal.ZERO)) +
-          lit(bias)).cast(DecimalType(38, 6)).as("margin"))
+        (coalesce(col("_dot"), lit(0L)) + lit(biasE6))
+          .cast(LongType).as("margin_e6"))
   }
 
-  /** Sigmoid probability on top of the margin: `(id, margin, prob)`.
-    * The sigmoid is a transcendental — serving/thresholding only, never
-    * part of a hash-compared gate surface.
+  /** Sigmoid probability on top of the margin: `(id, margin_e6,
+    * prob)`. The sigmoid is a transcendental — serving/thresholding
+    * only, never part of a hash-compared gate surface.
     */
   def scoreProbability(
       docs: DataFrame,
@@ -103,7 +109,8 @@ object QualityModel {
   ): DataFrame =
     scoreMargin(docs, idCol, textCol, weights, bias, buckets, salt)
       .withColumn("prob",
-        lit(1.0) / (lit(1.0) + exp(-col("margin").cast(DoubleType))))
+        lit(1.0) / (lit(1.0) +
+          exp(-(col("margin_e6").cast(DoubleType) / lit(1000000.0)))))
 
   /** Fit a logistic-regression quality model with Spark MLlib over the
     * hashed features and return `(weights, bias)` quantized to the 6dp

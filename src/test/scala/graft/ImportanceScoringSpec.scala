@@ -15,10 +15,10 @@ class ImportanceScoringSpec extends SparkSpec {
     val w = ImportanceScoring.importanceWeights(target, raw, "text", buckets = 256)
     // one weight per bucket, none null (add-one smoothing covers misses)
     assert(w.count() == 256)
-    assert(w.filter(col("weight").isNull).count() == 0)
+    assert(w.filter(col("weight_e6").isNull).count() == 0)
     val scored = ImportanceScoring.scoreDocs(raw, "id", "text", w, buckets = 256)
-      .as[(Long, java.math.BigDecimal)].collect()
-      .map(r => r._1 -> r._2.doubleValue).toMap
+      .as[(Long, Long)].collect()
+      .map(r => r._1 -> r._2).toMap
     assert(scored.size == 40)
     // target vocabulary scores positive (more likely under target than
     // raw), off-topic vocabulary negative — the resampling signal
@@ -38,7 +38,7 @@ class ImportanceScoringSpec extends SparkSpec {
     val raw = Seq((1L, "a b c")).toDF("id", "text")
     val w = ImportanceScoring.importanceWeights(empty, raw, "text", buckets = 64)
     assert(w.count() == 64)
-    assert(w.filter(col("weight").isNull).count() == 0)
+    assert(w.filter(col("weight_e6").isNull).count() == 0)
   }
 
   test("bigram LM: target-like transitions outscore scrambled and off-target docs") {
@@ -83,17 +83,17 @@ class ImportanceScoringSpec extends SparkSpec {
     assert(lits.size == 256 && lits.forall(_.scale == 6))
     val engine = ImportanceScoring.importanceWeights(target, raw, "text",
         buckets = 256)
-      .as[(Long, java.math.BigDecimal)].collect()
+      .as[(Long, Long)].collect()
       .map(r => r._1 -> r._2).toMap
     assert((0 until 256).forall(b =>
-      engine(b.toLong).compareTo(lits(b)) == 0))
+      engine(b.toLong) == lits(b).movePointRight(6).longValueExact()))
     val viaLit = ImportanceScoring.scoreDocs(raw, "id", "text",
         ImportanceScoring.weightsTableFromLiterals(spark, lits), buckets = 256)
-      .as[(Long, java.math.BigDecimal)].collect().toSet
+      .as[(Long, Long)].collect().toSet
     val viaLn = ImportanceScoring.scoreDocs(raw, "id", "text",
         ImportanceScoring.importanceWeights(target, raw, "text", buckets = 256),
         buckets = 256)
-      .as[(Long, java.math.BigDecimal)].collect().toSet
+      .as[(Long, Long)].collect().toSet
     assert(viaLit == viaLn)
   }
 
@@ -112,12 +112,12 @@ class ImportanceScoringSpec extends SparkSpec {
     assert(wt.forall(_._3.scale == 6))
     val viaTable = ImportanceScoring.lmScoreDocsWithTable(docs, "id", "text",
         target, "text", wt, buckets = 256)
-      .select("id", "lm_sum", "n_bigrams", "mean_logp")
-      .as[(Long, java.math.BigDecimal, Long, Double)].collect().toSet
+      .select("id", "lm_sum_e6", "n_bigrams", "mean_logp")
+      .as[(Long, Long, Long, Double)].collect().toSet
     val viaLn = ImportanceScoring.lmScoreDocs(docs, "id", "text",
         target, "text", buckets = 256)
-      .select("id", "lm_sum", "n_bigrams", "mean_logp")
-      .as[(Long, java.math.BigDecimal, Long, Double)].collect().toSet
+      .select("id", "lm_sum_e6", "n_bigrams", "mean_logp")
+      .as[(Long, Long, Long, Double)].collect().toSet
     assert(viaTable == viaLn)
   }
 
@@ -125,18 +125,18 @@ class ImportanceScoringSpec extends SparkSpec {
     val a = Seq((1L, "aa bb cc"), (2L, "aa bb")).toDF("id", "text")
     val same = ImportanceScoring.l1Drift(
         ImportanceScoring.histogramDrift(a, a, "text"))
-      .select("n_a", "n_b", "l1_drift")
-      .as[(Long, Long, java.math.BigDecimal)].head()
+      .select("n_a", "n_b", "l1_e9")
+      .as[(Long, Long, Long)].head()
     assert(same._1 == 5L && same._2 == 5L)
-    assert(same._3.compareTo(java.math.BigDecimal.ZERO) == 0)
+    assert(same._3 == 0L)
     // token-disjoint corpora: every bucket one-sided → Σ|a·Nb − c·Na| =
     // 2·Na·Nb exactly (assuming no FNV bucket collision between the two
     // tiny vocabularies — verified by the exact value)
     val b = Seq((1L, "xx yy zz xx")).toDF("id", "text")
     val far = ImportanceScoring.l1Drift(
         ImportanceScoring.histogramDrift(a, b, "text"))
-      .select("l1_drift").as[java.math.BigDecimal].head()
-    assert(far.compareTo(new java.math.BigDecimal("2.000000000")) == 0)
+      .select("l1_e9").as[Long].head()
+    assert(far == 2000000000L)
   }
 
   test("histogramDrift gaps are the exact hand-computed integers") {
@@ -146,12 +146,11 @@ class ImportanceScoringSpec extends SparkSpec {
     val b = Seq((1L, "aa bb bb bb")).toDF("id", "text")
     val gaps = ImportanceScoring.histogramDrift(a, b, "text")
       .select("cnt_a", "cnt_b", "gap")
-      .as[(Long, Long, java.math.BigDecimal)].collect().toSet
-    assert(gaps.map(g => (g._1, g._2, g._3.longValueExact())) ==
-      Set((3L, 1L, 8L), (1L, 3L, 8L)))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(gaps == Set((3L, 1L, 8L), (1L, 3L, 8L)))
     val l1 = ImportanceScoring.l1Drift(
         ImportanceScoring.histogramDrift(a, b, "text"))
-      .select("l1_drift").as[java.math.BigDecimal].head()
-    assert(l1.compareTo(new java.math.BigDecimal("1.000000000")) == 0)
+      .select("l1_e9").as[Long].head()
+    assert(l1 == 1000000000L)
   }
 }

@@ -9,9 +9,9 @@ class QualityModelSpec extends SparkSpec {
   private val B = QualityModel.DefaultBuckets
   private def dec(s: String) = new java.math.BigDecimal(s)
 
-  test("scoreMargin: exact decimal dot + bias; empty/null docs keep the bias; broadcast join") {
+  test("scoreMargin: exact integer dot + bias (×10⁶); empty/null docs keep the bias; broadcast join") {
     // uniform weights make the margin hand-computable without knowing
-    // the hash: bias + 0.5 · token_count
+    // the hash: bias + 0.5 · token_count, as margin_e6 = (…)×10⁶
     val w = IndexedSeq.fill(B)(dec("0.500000"))
     val docs = Seq(
       (1L, "alpha beta gamma"),     // 3 tokens -> 0.25 + 1.5
@@ -20,14 +20,14 @@ class QualityModelSpec extends SparkSpec {
       (4L, null.asInstanceOf[String]) // null text -> bias too
     ).toDF("doc_id", "text")
     val got = QualityModel.scoreMargin(docs, "doc_id", "text", w, dec("0.250000"))
-      .collect().map(r => r.getLong(0) -> r.getDecimal(1).toPlainString).toMap
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(
-      1L -> "1.750000", 2L -> "0.750000", 3L -> "0.250000", 4L -> "0.250000"))
+      1L -> 1750000L, 2L -> 750000L, 3L -> 250000L, 4L -> 250000L))
     // weight sign flows through: a negative table scores below bias
     val neg = QualityModel.scoreMargin(docs, "doc_id", "text",
         IndexedSeq.fill(B)(dec("-1.000000")), dec("0.000000"))
-      .collect().map(r => r.getLong(0) -> r.getDecimal(1).doubleValue()).toMap
-    assert(neg(1L) == -3.0 && neg(3L) == 0.0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(neg(1L) == -3000000L && neg(3L) == 0L)
     // plan: the weight table joins BROADCAST and tokens never shuffle —
     // every exchange carries (id, bucket) feature rows at most
     val plan = QualityModel.scoreMargin(docs, "doc_id", "text", w, dec("0"))
@@ -56,7 +56,7 @@ class QualityModelSpec extends SparkSpec {
     // quantization moves each weight < 0.5e-6, docs have 8 tokens, so
     // the served margin sits within 8 * 0.5e-6 + 0.5e-6 of the float one
     val margins = QualityModel.scoreMargin(df, "doc_id", "text", w, b)
-      .collect().map(r => r.getLong(0) -> r.getDecimal(1).doubleValue()).toMap
+      .collect().map(r => r.getLong(0) -> r.getLong(1) / 1e6).toMap
     // the classifier separates: every good doc above every bad doc
     val goodMin = docs.filter(_._3 == 1.0).map(d => margins(d._1)).min
     val badMax = docs.filter(_._3 == 0.0).map(d => margins(d._1)).max

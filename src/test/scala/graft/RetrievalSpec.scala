@@ -50,13 +50,13 @@ class RetrievalSpec extends SparkSpec {
     // scores of surviving docs equal the disjunctive scorer's
     val or = Retrieval.bm25TopK(corpus, "doc_id", "text", q,
         "query_id", "qtext", k = 10)
-      .select("query_id", "neighbor_id", "score")
-      .as[(Long, Long, java.math.BigDecimal)].collect()
+      .select("query_id", "neighbor_id", "score_e9")
+      .as[(Long, Long, Long)].collect()
       .map(r => (r._1, r._2) -> r._3).toMap
     val and = Retrieval.bm25TopK(corpus, "doc_id", "text", q,
         "query_id", "qtext", k = 10, requireAllTerms = true)
-      .select("query_id", "neighbor_id", "score")
-      .as[(Long, Long, java.math.BigDecimal)].collect()
+      .select("query_id", "neighbor_id", "score_e9")
+      .as[(Long, Long, Long)].collect()
       .map(r => (r._1, r._2) -> r._3).toMap
     and.foreach { case (key, s) => assert(or(key) == s) }
   }
@@ -71,10 +71,10 @@ class RetrievalSpec extends SparkSpec {
     val qd = Seq((10L, "apple banana")).toDF("query_id", "qtext")
     val full = Retrieval.bm25TopK(corpus, "doc_id", "text", q,
         "query_id", "qtext", k = 10)
-      .select("neighbor_id", "score").as[(Long, java.math.BigDecimal)].collect().toMap
+      .select("neighbor_id", "score_e9").as[(Long, Long)].collect().toMap
     val dist = Retrieval.bm25TopK(corpus, "doc_id", "text", qd,
         "query_id", "qtext", k = 10)
-      .select("neighbor_id", "score").as[(Long, java.math.BigDecimal)].collect().toMap
+      .select("neighbor_id", "score_e9").as[(Long, Long)].collect().toMap
     assert(full == dist)
   }
 
@@ -86,14 +86,17 @@ class RetrievalSpec extends SparkSpec {
     val lexical = Seq((0L, 7L, 1), (0L, 9L, 2)).toDF("query_id", "neighbor_id", "rank")
     val out = Retrieval.rrfFuse(Seq(dense, lexical), k = 10)
       .orderBy("rank")
-      .select("neighbor_id", "score", "rank")
-      .as[(Long, java.math.BigDecimal, Int)].collect()
+      .select("neighbor_id", "score_e12", "rank")
+      .as[(Long, Long, Int)].collect()
     assert(out.map(_._1).toSeq == Seq(7L, 8L, 9L))
+    // contribution = HALF_UP₁₂(1/(60+rank)) ×10¹² as an exact integer
     val c1 = BigDecimal(1.0 / 61.0).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+      .*(BigDecimal(10).pow(12)).toLongExact
     val c2 = BigDecimal(1.0 / 62.0).setScale(12, BigDecimal.RoundingMode.HALF_UP)
-    assert(BigDecimal(out(0)._2) == c1 + c1)
-    assert(BigDecimal(out(1)._2) == c2)
-    assert(BigDecimal(out(2)._2) == c2)
+      .*(BigDecimal(10).pow(12)).toLongExact
+    assert(out(0)._2 == c1 + c1)
+    assert(out(1)._2 == c2)
+    assert(out(2)._2 == c2)
     assert(out.map(_._3).toSeq == Seq(1, 2, 3))
   }
 
@@ -127,12 +130,12 @@ class RetrievalSpec extends SparkSpec {
     for (requireAll <- Seq(false, true)) {
       val viaLn = Retrieval.bm25TopK(corpus, "doc_id", "text", q,
           "query_id", "qtext", k = 10, requireAllTerms = requireAll)
-        .select("query_id", "neighbor_id", "score", "rank")
-        .as[(Long, Long, java.math.BigDecimal, Int)].collect().toSet
+        .select("query_id", "neighbor_id", "score_e9", "rank")
+        .as[(Long, Long, Long, Int)].collect().toSet
       val viaTable = Retrieval.bm25TopKWithIdf(corpus, "doc_id", "text", q,
           "query_id", "qtext", idf, k = 10, requireAllTerms = requireAll)
-        .select("query_id", "neighbor_id", "score", "rank")
-        .as[(Long, Long, java.math.BigDecimal, Int)].collect().toSet
+        .select("query_id", "neighbor_id", "score_e9", "rank")
+        .as[(Long, Long, Long, Int)].collect().toSet
       assert(viaTable == viaLn, s"requireAllTerms=$requireAll")
     }
     // the literal idf join broadcasts (metadata-sized table)
@@ -144,12 +147,12 @@ class RetrievalSpec extends SparkSpec {
     val viaPostings = Retrieval.bm25TopKFromPostingsWithIdf(
         Retrieval.buildPostings(corpus, "doc_id", "text"),
         q, "query_id", "qtext", idf, k = 10)
-      .select("query_id", "neighbor_id", "score", "rank")
-      .as[(Long, Long, java.math.BigDecimal, Int)].collect().toSet
+      .select("query_id", "neighbor_id", "score_e9", "rank")
+      .as[(Long, Long, Long, Int)].collect().toSet
     val direct = Retrieval.bm25TopKWithIdf(corpus, "doc_id", "text", q,
         "query_id", "qtext", idf, k = 10)
-      .select("query_id", "neighbor_id", "score", "rank")
-      .as[(Long, Long, java.math.BigDecimal, Int)].collect().toSet
+      .select("query_id", "neighbor_id", "score_e9", "rank")
+      .as[(Long, Long, Long, Int)].collect().toSet
     assert(viaPostings == direct)
   }
 }

@@ -552,16 +552,16 @@ class StreamingSpec extends SparkSpec {
     StreamingOps.applyDriftBatch(spark, nxt, 1L, "text", s"$work/state", s"$work/out")
     val first = spark.read.parquet(s"$work/out/batch=1")
       .select("bucket", "cnt_a", "cnt_b", "gap")
-      .as[(Long, Long, Long, java.math.BigDecimal)].collect().toSet
+      .as[(Long, Long, Long, Long)].collect().toSet
     // the streaming score must equal the batch operator on the same corpora
     val batchForm = ImportanceScoring.histogramDrift(ref, nxt, "text")
-      .as[(Long, Long, Long, java.math.BigDecimal)].collect().toSet
+      .as[(Long, Long, Long, Long)].collect().toSet
     assert(first == batchForm)
     // replay: recomputes against the PINNED v0 and overwrites identically
     StreamingOps.applyDriftBatch(spark, nxt, 1L, "text", s"$work/state", s"$work/out")
     val replayed = spark.read.parquet(s"$work/out/batch=1")
       .select("bucket", "cnt_a", "cnt_b", "gap")
-      .as[(Long, Long, Long, java.math.BigDecimal)].collect().toSet
+      .as[(Long, Long, Long, Long)].collect().toSet
     assert(replayed == first)
   }
 }
