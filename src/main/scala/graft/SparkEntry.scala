@@ -6,7 +6,7 @@ import org.apache.spark.sql.types._
 import org.apache.spark.sql.expressions.Window
 
 import graft.model._
-import graft.functions.{TypedAttrs, TextFunctions, VectorFunctions}
+import graft.functions.{DomainFunctions, TypedAttrs, TextFunctions, VectorFunctions}
 import graft.operators._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -163,6 +163,145 @@ object SparkEntry {
     }
 
   private val qmGateBias = new java.math.BigDecimal("0.250000")
+
+  /** WordPiece-style gate vocabulary over the synthetic corpus's
+    * lexicon: multi-char start pieces, `##`-marked multi-char
+    * continuations, and all single letters in both positions (so every
+    * ASCII word segments without UNK — the UNK codepoint fallback is
+    * spec-pinned instead, since the gate corpus is pure lowercase
+    * ASCII). Greedy longest-match makes e.g. "window" → wind + ##ow =
+    * 2, "column" → co + ##l + ##umn = 3.
+    */
+  private val subwordGateVocab: Seq[String] = Seq(
+    "scan", "wind", "sort", "str", "sp", "qu", "ba", "me", "fi", "gr",
+    "ta", "co", "va", "key", "jo", "ha", "the", "ag", "or", "pa", "sl",
+    "fa", "ve", "du", "ro", "da", "bi", "sm", "li", "wi",
+    "##an", "##ow", "##der", "##ble", "##ery", "##oup", "##eam", "##ge",
+    "##in", "##sh", "##ne", "##rt", "##ark", "##tch", "##ctor", "##umn",
+    "##lue", "##lter", "##ter", "##all", "##ig", "##ata", "##ue",
+    "##ine", "##dow", "##up") ++
+    ('a' to 'z').map(_.toString) ++ ('a' to 'z').map("##" + _)
+
+  /** The gate vocabulary as `(piece, cont)` VALUES rows — continuation
+    * marker stripped into a boolean, the form the recursive oracle CTE
+    * consumes.
+    */
+  private def subwordVocabRows: String = subwordGateVocab.map { p =>
+    if (p.startsWith("##")) s"('${p.substring(2)}', true)"
+    else s"('$p', false)"
+  }.mkString(",\n   ")
+
+  /** Deterministic synthetic URLs for the domain gates — the testdata
+    * carries no URL column, so BOTH engines construct the identical
+    * string from (doc_id, source) with this shared SQL fragment
+    * (portable: CASE + `||` + CAST AS STRING). The six shapes exercise
+    * scheme/schemeless, userinfo, port, query/fragment cut, deep
+    * subdomains, a trailing-dot host, a multi-label public suffix
+    * (co.uk, github.io), and a suffix-less single-label host.
+    */
+  private val domainGateUrlSql =
+    """CASE CAST(doc_id % 6 AS INT)
+      | WHEN 0 THEN 'https://www.' || source || '.com/page/' || CAST(doc_id AS STRING)
+      | WHEN 1 THEN 'http://blog.' || source || '.co.uk/' || CAST(doc_id AS STRING) || '?q=1'
+      | WHEN 2 THEN 'https://user:pw@' || source || '.org:8443/x#frag'
+      | WHEN 3 THEN source || '.github.io/repo'
+      | WHEN 4 THEN 'https://a.b.' || source || '.com.'
+      | ELSE 'http://localhost:8080/health'
+      |END""".stripMargin
+
+  /** Plain public-suffix rules for the domain gates (most-labels rule
+    * wins: `co.uk` beats `uk`, `github.io` beats `io`).
+    */
+  private val domainGateRules =
+    Seq("com", "org", "co.uk", "uk", "io", "github.io")
+
+  private val domainGateBlocklist =
+    Seq("src3.com", "src7.co.uk", "src11.org")
+
+  /** The oracle's replay of UrlParse.host + RegisteredDomain over the
+    * shared synthetic URLs: one regex for the host (scheme optional,
+    * greedy userinfo, port/path cut), trailing-dot strip, then
+    * suffix-rule resolution by list slicing — most-labels matching rule
+    * via max(k), last-label default, suffix-only → NULL. Yields
+    * `dom(doc_id, url, host, domain)`.
+    */
+  private def domainChainSql(where: String): String =
+    s"""d AS (
+       | SELECT doc_id, source, $domainGateUrlSql AS url
+       | FROM documents$where
+       |), h AS (
+       | SELECT doc_id, url,
+       |  NULLIF(regexp_replace(lower(regexp_extract(url,
+       |    '^(?:[A-Za-z][A-Za-z0-9+.-]*://)?(?:[^/?#]*@)?([^/?#:]+)', 1)),
+       |    '\\.$$', ''), '') AS host
+       | FROM d
+       |), labels AS (
+       | SELECT doc_id, url, host, string_split(host, '.') AS ls FROM h
+       |), rules(s, k) AS (
+       | SELECT * FROM (VALUES ${domainGateRules.map(r =>
+            s"('$r', ${r.count(_ == '.') + 1})").mkString(", ")}) v
+       |), m AS (
+       | SELECT l.doc_id, max(r.k) AS bestk
+       | FROM labels l JOIN rules r
+       |   ON len(l.ls) >= r.k
+       |  AND array_to_string(list_slice(l.ls, len(l.ls) - r.k + 1, len(l.ls)), '.') = r.s
+       | GROUP BY 1
+       |), dom AS (
+       | SELECT l.doc_id, l.url, l.host,
+       |  CASE
+       |   WHEN l.host IS NULL THEN NULL
+       |   WHEN m.bestk IS NOT NULL THEN
+       |     CASE WHEN len(l.ls) > m.bestk
+       |       THEN array_to_string(list_slice(l.ls, len(l.ls) - m.bestk, len(l.ls)), '.')
+       |       ELSE NULL END
+       |   ELSE CASE WHEN len(l.ls) >= 2
+       |     THEN array_to_string(list_slice(l.ls, len(l.ls) - 1, len(l.ls)), '.')
+       |     ELSE NULL END
+       |  END AS domain
+       | FROM labels l LEFT JOIN m ON l.doc_id = m.doc_id
+       |)""".stripMargin
+
+  /** The recursive greedy-longest-match subword chain (DuckDB `WITH
+    * RECURSIVE` — compose as `WITH RECURSIVE $chain …`): per-position,
+    * advance by the LONGEST vocab piece matching at `pos` with the
+    * right continuation class (`cont = (pos > 1)`), else by one
+    * character counting one UNK — exactly graft.plans.SubwordCount's
+    * loop. Runs over DISTINCT words (`dw`), ≤ word-length steps each;
+    * `ns` re-joins per-occurrence: `(doc_id, source, subword_tokens,
+    * ws_tokens)`.
+    */
+  private def subwordChainSql(where: String): String =
+    s"""v AS (
+       | SELECT * FROM (VALUES
+       |   $subwordVocabRows) AS t(piece, cont)
+       |), d AS (
+       | SELECT doc_id, source,
+       |  list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS toks
+       | FROM documents$where
+       |), w AS (
+       | SELECT doc_id, unnest(toks) AS wd FROM d
+       |), dw AS (
+       | SELECT DISTINCT wd FROM w
+       |), seg AS (
+       | SELECT wd, CAST(1 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS cnt FROM dw
+       | UNION ALL
+       | SELECT wd, pos + adv, cnt + 1 FROM (
+       |  SELECT wd, pos, cnt,
+       |   COALESCE((SELECT max(length(v.piece)) FROM v
+       |     WHERE v.cont = (pos > 1)
+       |      AND substr(wd, pos, length(v.piece)) = v.piece), 1) AS adv
+       |  FROM seg WHERE pos <= length(wd))
+       |), wc AS (
+       | SELECT wd, max(cnt) AS n_sub FROM seg WHERE pos > length(wd) GROUP BY 1
+       |), ns AS (
+       | SELECT d.doc_id, any_value(d.source) AS source,
+       |  CAST(COALESCE(sum(wc.n_sub), 0) AS BIGINT) AS subword_tokens,
+       |  CAST(count(w.wd) AS BIGINT) AS ws_tokens
+       | FROM d
+       | LEFT JOIN w ON d.doc_id = w.doc_id
+       | LEFT JOIN wc ON w.wd = wc.wd
+       | GROUP BY 1
+       |)""".stripMargin
 
   /** Decomposed-combining-char suffix for the nfc_normalize gate: the
     * driver corpus is ASCII, so the gate plants e+ACUTE, a+RING,
@@ -1000,6 +1139,61 @@ object SparkEntry {
         TextFunctions.bpeishTokenCount(col("text")).as("bpeish_tokens"),
         TextFunctions.charCount(col("text")).as("n_chars")
       ).orderBy("doc_id")
+    }),
+
+    // ---- vocabulary-driven SUBWORD token count (WordPiece greedy
+    //      longest-match, ##-marked continuations, per-codepoint UNK
+    //      fallback): pure deterministic string/integer work, so the
+    //      oracle replays the greedy loop as a recursive CTE over the
+    //      DISTINCT words (bounded: word length iterations per word)
+    "subword_count" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(col("doc_id") < 1000)
+      d.select(col("doc_id"),
+          TextFunctions.tokenCountSubword(col("text"), subwordGateVocab)
+            .as("subword_tokens"),
+          TextFunctions.tokenCount(col("text")).as("ws_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- packing under a SUBWORD budget: the pack_by_budget chain with
+    //      the model-vocab counter plugged in (the counter a training
+    //      pipeline actually budgets in — whitespace counts misprice
+    //      context windows); same concat-and-chunk rule per source
+    "pack_by_budget_subword" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        TextFunctions.tokenCountSubword(col("text"), subwordGateVocab)
+          .as("n_sub"))
+      Packing.packByTokenBudget(d, col("n_sub"), "doc_id", budget = 512L,
+          strataCols = Seq("source"))
+        .select(col("doc_id"), col("source"), col("n_sub"),
+          col("pack_id"), col("pack_offset"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- registered-domain extraction (public-suffix rules): host
+    //      parse + most-labels suffix resolution over deterministic
+    //      synthetic URLs both engines construct identically; pure
+    //      string work, oracle replays it with one regex + list slicing
+    "domain_extract" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(col("doc_id") < 1000)
+        .withColumn("url", expr(domainGateUrlSql))
+      d.select(col("doc_id"), col("url"),
+          DomainFunctions.urlHost(col("url")).as("host"),
+          DomainFunctions.registeredDomain(col("url"), domainGateRules)
+            .as("domain"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- per-domain curation: blocklist drop (unattributable hosts
+    //      conservatively dropped too) composed with the per-group
+    //      quota cap (graft_bottomk — k-bounded heap, no whole-domain
+    //      window)
+    "domain_filter" -> ((s, dir) => {
+      val d = t(s, dir, "documents").withColumn("url", expr(domainGateUrlSql))
+      val kept = DomainFunctions.dropBlockedDomains(
+        d, "url", domainGateRules, domainGateBlocklist)
+      Sampling.quotaPerGroup(kept, "doc_id", "domain", "doc_id", n = 10)
+        .orderBy("domain", "rank")
     }),
 
     // ---- token-budget truncation: first 16 whitespace tokens,
@@ -3454,6 +3648,47 @@ object SparkEntry {
         | CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpeish_tokens,
         | CAST(length(text) AS BIGINT) AS n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the recursive CTE replays SubwordCount's greedy loop exactly —
+    // see subwordChainSql
+    "subword_count" ->
+      s"""WITH RECURSIVE ${subwordChainSql(" WHERE doc_id < 1000")}
+         |SELECT doc_id, subword_tokens, ws_tokens
+         |FROM ns ORDER BY doc_id""".stripMargin,
+
+    // pack_by_budget's window chain with the subword counter plugged in
+    "pack_by_budget_subword" ->
+      s"""WITH RECURSIVE ${subwordChainSql("")}, c AS (
+         | SELECT doc_id, source, subword_tokens AS n_sub,
+         |  SUM(subword_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |    - subword_tokens AS prev
+         | FROM ns
+         |)
+         |SELECT doc_id, source, n_sub,
+         | CAST(prev // 512 AS BIGINT) AS pack_id,
+         | CAST(prev % 512 AS BIGINT) AS pack_offset
+         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // the regex + list-slicing replay of host parse + suffix rules
+    "domain_extract" ->
+      s"""WITH ${domainChainSql(" WHERE doc_id < 1000")}
+         |SELECT doc_id, url, host, domain
+         |FROM dom ORDER BY doc_id""".stripMargin,
+
+    // blocklist drop (nulls dropped too) + smallest-10-per-domain quota
+    "domain_filter" ->
+      s"""WITH ${domainChainSql("")}, kept AS (
+         | SELECT doc_id, domain FROM dom
+         | WHERE domain IS NOT NULL
+         |  AND domain NOT IN (${domainGateBlocklist.map(b => s"'$b'").mkString(", ")})
+         |), r AS (
+         | SELECT domain, doc_id,
+         |  ROW_NUMBER() OVER (PARTITION BY domain ORDER BY doc_id) AS rk
+         | FROM kept
+         |)
+         |SELECT domain, doc_id, CAST(rk AS INTEGER) AS rank
+         |FROM r WHERE rk <= 10 ORDER BY domain, rank""".stripMargin,
 
     // same whitespace tokenization, first 16 list elements re-joined
     // with single spaces — identical normalization on both sides

@@ -1,0 +1,54 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Domain-level curation columns — the C4/RefinedWeb per-domain steps:
+ * registered-domain extraction (public-suffix rules), blocklist
+ * filtering, and the per-domain quota composition with
+ * [[graft.operators.Sampling.quotaPerGroup]].
+ */
+object DomainFunctions {
+
+  /** Lowercased URL host (scheme optional; see graft.plans.UrlParse for
+    * the exact documented rule). Null for null/hostless input.
+    */
+  def urlHost(url: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.plans.UrlHost(ColumnBridge.expression(url)))
+  }
+
+  /** Registered domain (`<label>.<public suffix>`) under a plain
+    * suffix-rule list — most-labels rule wins, unmatched hosts fall
+    * back to the last-label default, suffix-only hosts → null.
+    */
+  def registeredDomain(url: Column, rules: Seq[String]): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(
+      graft.plans.RegisteredDomain(ColumnBridge.expression(url), rules))
+  }
+
+  /** Drop rows whose registered domain is on the blocklist OR has no
+    * registered domain at all (conservative: unparseable/suffix-only
+    * hosts are not attributable, and a blocklist pipeline should not
+    * pass what it cannot attribute). The blocklist is policy metadata —
+    * broadcast by size.
+    */
+  def dropBlockedDomains(
+      df: DataFrame,
+      urlCol: String,
+      rules: Seq[String],
+      blocklist: Seq[String]
+  ): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val block = blocklist.map(_.toLowerCase(java.util.Locale.ROOT))
+      .toDF("_blocked_domain")
+    df.withColumn("_dom", registeredDomain(col(urlCol), rules))
+      .filter(col("_dom").isNotNull)
+      .join(broadcast(block), col("_dom") === col("_blocked_domain"),
+        "left_anti")
+      .withColumnRenamed("_dom", "domain")
+  }
+}

@@ -46,6 +46,20 @@ object TextFunctions {
     size(regexp_extract_all(text, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
       .cast(LongType)
 
+  /** Vocabulary-driven subword token count (WordPiece greedy
+    * longest-match; `##`-prefixed vocab entries are continuation
+    * pieces, unmatched positions fall back to one token per codepoint)
+    * — the counter to budget packing/batching/truncation in when the
+    * training tokenizer's vocab is available. Native single-pass
+    * expression (graft.plans.SubwordCount); deterministic integer and
+    * string work only, so oracles replay it exactly.
+    */
+  def tokenCountSubword(text: Column, vocab: Seq[String]): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(
+      graft.plans.SubwordCount(ColumnBridge.expression(text), vocab))
+  }
+
   def charCount(text: Column): Column = length(text).cast(LongType)
 
   /** Ratio of punctuation chars to total chars; null-safe, 0 for empty.

@@ -126,7 +126,10 @@ object GraftExtensions {
       ScriptCounts.functionDescriptor,
       Quantize8.functionDescriptor,
       QDot.functionDescriptor,
-      NfcNormalize.functionDescriptor)
+      NfcNormalize.functionDescriptor,
+      SubwordCount.functionDescriptor,
+      UrlHost.functionDescriptor,
+      RegisteredDomain.functionDescriptor)
 
   /** Imperative all-at-once registration for an existing session. */
   def registerAll(spark: SparkSession): Unit =
