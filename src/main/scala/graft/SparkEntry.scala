@@ -218,6 +218,19 @@ object SparkEntry {
   private val domainGateBlocklist =
     Seq("src3.com", "src7.co.uk", "src11.org")
 
+  /** URL variants for the url_dedup gate: three raw spellings — scheme
+    * + bare path, uppercase host + trailing slash, schemeless + port +
+    * query + fragment — that all canonicalize to
+    * `ex<id%5>.com/p/<id%50>`, so every group of ids sharing id%50
+    * collapses to its minimum regardless of spelling.
+    */
+  private val urlDedupUrlSql =
+    """CASE CAST(doc_id % 3 AS INT)
+      | WHEN 0 THEN 'https://ex' || CAST(doc_id % 5 AS STRING) || '.com/p/' || CAST(doc_id % 50 AS STRING)
+      | WHEN 1 THEN 'http://EX' || CAST(doc_id % 5 AS STRING) || '.COM/p/' || CAST(doc_id % 50 AS STRING) || '/'
+      | ELSE 'ex' || CAST(doc_id % 5 AS STRING) || '.com:8080/p/' || CAST(doc_id % 50 AS STRING) || '?utm=x#f'
+      |END""".stripMargin
+
   /** The oracle's replay of UrlParse.host + RegisteredDomain over the
     * shared synthetic URLs: one regex for the host (scheme optional,
     * greedy userinfo, port/path cut), trailing-dot strip, then
@@ -720,6 +733,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- exactly-N PER GROUP (stratified fixed-size draw): the 5
+    //      largest-FNV keys per source via the per-group graft_topk
+    //      heap — no per-group window/sort; the oracle recomputes the
+    //      signed hashes and ranks (hash DESC, id DESC) per source
+    "sample_exact_n_per_group" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("source"))
+      Sampling.sampleExactNPerGroup(d, "doc_id", "source", n = 5,
+          salt = "exactg")
+        .orderBy("source", "rank")
+    }),
+
     // ---- domain-mixture resampling: keep the largest subcorpus whose
     //      source shares match the 3:1:1 target. src0 binds (keeps all
     //      of itself relative to its weight), src1/src2 thin to 1/3;
@@ -1044,6 +1068,18 @@ object SparkEntry {
           | AS t(i, dec_val, int_e6, dbl_val)
           |ORDER BY i""".stripMargin)),
 
+    // ---- keyword extraction: top-3 distinctive terms per doc by
+    //      tf·(N/df) — the transcendental-free tf-idf rank (ln is
+    //      monotone, so the keyword ORDER is identical); score_e6 via
+    //      the exact integer rounding kernel, per-doc cut through the
+    //      bounded heap with score+term packed in the key
+    "distinctive_terms" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(col("doc_id") < 500)
+        .select(col("doc_id"), col("text"))
+      Vocab.distinctiveTerms(d, "doc_id", "text", k = 3)
+        .orderBy("doc_id", "rank")
+    }),
+
     // ---- collocation mining: top-k bigrams by LIFT (= exp(PMI), the
     //      same ranking with no transcendental) — counts are exact
     //      integers, the lift is the fixed operand tree
@@ -1194,6 +1230,19 @@ object SparkEntry {
         d, "url", domainGateRules, domainGateBlocklist)
       Sampling.quotaPerGroup(kept, "doc_id", "domain", "doc_id", n = 10)
         .orderBy("domain", "rank")
+    }),
+
+    // ---- URL-level exact dedup (the C4 dedup key): three raw
+    //      spellings per canonical URL collapse to the min doc_id;
+    //      canonicalization is pure string work the oracle replays with
+    //      two regexes
+    "url_dedup" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .withColumn("url", expr(urlDedupUrlSql))
+        .select(col("doc_id"), col("url"))
+      DomainFunctions.dedupByUrl(d, "url", "doc_id")
+        .select(col("doc_id"), col("canonical_url"))
+        .orderBy("doc_id")
     }),
 
     // ---- token-budget truncation: first 16 whitespace tokens,
@@ -3151,6 +3200,31 @@ object SparkEntry {
         |QUALIFY row_number() OVER (ORDER BY hs DESC, doc_id DESC) <= 200
         |ORDER BY doc_id""".stripMargin,
 
+    // same signed-FNV recomputation, ranked per source (hash DESC,
+    // id DESC — the graft_topk struct order)
+    "sample_exact_n_per_group" ->
+      """WITH h AS (
+        | SELECT doc_id, source,
+        |  list_reduce(
+        |    list_prepend(CAST('14695981039346656037' AS HUGEINT),
+        |      list_transform(range(1, length(s) + 1), i -> CAST(ascii(s[i]) AS HUGEINT))),
+        |    (acc, b) -> ((acc // 256) * 256 + xor(CAST(acc % 256 AS BIGINT), CAST(b AS BIGINT)))
+        |                * 1099511628211 % CAST('18446744073709551616' AS HUGEINT)
+        |  ) AS hh
+        | FROM (SELECT doc_id, source, doc_id::VARCHAR || ':exactg' AS s FROM documents)
+        |), sgn AS (
+        | SELECT doc_id, source,
+        |  CAST(hh - CASE WHEN hh >= CAST('9223372036854775808' AS HUGEINT)
+        |            THEN CAST('18446744073709551616' AS HUGEINT)
+        |            ELSE CAST(0 AS HUGEINT) END AS BIGINT) AS hs
+        | FROM h
+        |)
+        |SELECT source, doc_id,
+        | CAST(row_number() OVER (PARTITION BY source ORDER BY hs DESC, doc_id DESC) AS INTEGER) AS rank
+        |FROM sgn
+        |QUALIFY rank <= 5
+        |ORDER BY source, rank""".stripMargin,
+
     // T = min(n/p) over the target strata, threshold = round(p·T/n·1024)
     // in the same written order; membership by the same FNV bucket
     "mix_to_target" ->
@@ -3471,6 +3545,31 @@ object SparkEntry {
         |) AS v(i, dec_val, int_e6, dbl_val)
         |ORDER BY i""".stripMargin,
 
+    // tf·(N/df) distinctive-term rank via the same HALF_UP integer
+    // kernel; (score DESC, term ASC) totally orders on both sides
+    "distinctive_terms" ->
+      """WITH d AS (
+        | SELECT doc_id,
+        |  list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS toks
+        | FROM documents WHERE doc_id < 500
+        |), tok AS (
+        | SELECT doc_id, unnest(toks) AS term FROM d
+        |), tf AS (
+        | SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+        |), dft AS (
+        | SELECT term, count(*) AS df FROM tf GROUP BY 1
+        |), st AS (
+        | SELECT count(*) AS n FROM d
+        |), sc AS (
+        | SELECT tf.doc_id, tf.term,
+        |  CAST((2 * tf.tf * st.n * 1000000 + dft.df) // (2 * dft.df) AS BIGINT) AS score_e6
+        | FROM tf JOIN dft ON tf.term = dft.term, st
+        |)
+        |SELECT doc_id, term, score_e6,
+        | CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score_e6 DESC, term ASC) AS INTEGER) AS rank
+        |FROM sc QUALIFY rank <= 3
+        |ORDER BY doc_id, rank""".stripMargin,
+
     // adjacent-position bigrams (lm_scores' bg pattern on raw tokens),
     // marginals and total reduced from the bigram histogram, lift as
     // the fixed operand tree (c_xy·N)/(c_x·c_y) in doubles — identical
@@ -3675,6 +3774,25 @@ object SparkEntry {
       s"""WITH ${domainChainSql(" WHERE doc_id < 1000")}
          |SELECT doc_id, url, host, domain
          |FROM dom ORDER BY doc_id""".stripMargin,
+
+    // canonical = lowercased host (regex parse, trailing-dot strip) ||
+    // path (scheme/userinfo/port/query/fragment dropped, trailing
+    // slashes stripped); keeper = min doc_id per canonical
+    "url_dedup" ->
+      s"""WITH d AS (
+         | SELECT doc_id, $urlDedupUrlSql AS url FROM documents
+         |), c AS (
+         | SELECT doc_id,
+         |  regexp_replace(lower(regexp_extract(url,
+         |    '^(?:[A-Za-z][A-Za-z0-9+.-]*://)?(?:[^/?#]*@)?([^/?#:]+)', 1)), '\\.$$', '')
+         |  || regexp_replace(COALESCE(regexp_extract(url,
+         |    '^(?:[A-Za-z][A-Za-z0-9+.-]*://)?[^/?#]*(/[^?#]*)?', 1), ''), '/+$$', '')
+         |  AS canonical_url
+         | FROM d
+         |)
+         |SELECT min(doc_id) AS doc_id, canonical_url
+         |FROM c GROUP BY canonical_url
+         |ORDER BY doc_id""".stripMargin,
 
     // blocklist drop (nulls dropped too) + smallest-10-per-domain quota
     "domain_filter" ->

@@ -29,6 +29,30 @@ object DomainFunctions {
       graft.plans.RegisteredDomain(ColumnBridge.expression(url), rules))
   }
 
+  /** Canonical URL for URL-level dedup (the C4 dedup key): lowercased
+    * host + path, scheme/userinfo/port/query/fragment dropped,
+    * trailing slashes stripped; null for hostless input.
+    */
+  def canonicalUrl(url: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.plans.CanonicalUrl(ColumnBridge.expression(url)))
+  }
+
+  /** URL-level exact dedup: keep one row per canonical URL — the
+    * smallest `keyCol` wins (deterministic). Rows with no canonical
+    * form (hostless) are KEPT (they cannot collide on a URL they don't
+    * have). Output adds `canonical_url`. One hash-aggregate shuffle on
+    * the canonical key; the winner set semi-joins back, so full rows
+    * never shuffle.
+    */
+  def dedupByUrl(df: DataFrame, urlCol: String, keyCol: String): DataFrame = {
+    val withC = df.withColumn("canonical_url", canonicalUrl(col(urlCol)))
+    val winners = withC.filter(col("canonical_url").isNotNull)
+      .groupBy("canonical_url").agg(min(col(keyCol)).as(keyCol))
+    withC.filter(col("canonical_url").isNull)
+      .unionByName(withC.join(winners, Seq("canonical_url", keyCol), "left_semi"))
+  }
+
   /** Drop rows whose registered domain is on the blocklist OR has no
     * registered domain at all (conservative: unparseable/suffix-only
     * hosts are not attributable, and a blocklist pipeline should not

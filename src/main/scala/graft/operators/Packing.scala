@@ -107,13 +107,17 @@ object Packing {
       textCol: String,
       bucketWidth: Int = 64,
       batchSize: Int = 32,
-      rankBuckets: Int = 1024
+      rankBuckets: Int = 1024,
+      // pluggable counter (default whitespace): pass e.g.
+      // TextFunctions.tokenCountSubword(_, vocab) or tokenCountCjk to
+      // bucket in the units the loader actually pads in
+      tokenCounter: Column => Column = graft.functions.TextFunctions.tokenCount
   ): DataFrame = {
     require(bucketWidth > 0, s"lengthBucketBatches: bucketWidth must be positive, got $bucketWidth")
     require(batchSize > 0, s"lengthBucketBatches: batchSize must be positive, got $batchSize")
     val base = docs.select(
         col(idCol).cast(LongType).as("_k"),
-        graft.functions.TextFunctions.tokenCount(col(textCol)).as("_n"))
+        tokenCounter(col(textCol)).as("_n"))
       .withColumn("_g", expr(s"_n div ${bucketWidth}L"))
       // _n (hence _g) is null for null text: withinGroupRanks' inner
       // join on (_g, _b) silently drops null-group rows (null keys
@@ -169,6 +173,14 @@ object Packing {
     * shuffle anywhere, so it composes with a downstream repartition or
     * write without constraining the plan. Chunk counts use integer
     * arithmetic on longs (`div`), exact at any document length.
+    *
+    * Counter pluggability boundary: the budget consumers
+    * ([[packByTokenBudget]], [[lengthBucketBatches]]) accept any
+    * per-doc COUNT column (whitespace / CJK / subword); chunking and
+    * truncation slice at token POSITIONS, which a count can't provide —
+    * a subword-budget chunker would need the segmentation offsets, not
+    * just the total, so these two stay whitespace-token-based by
+    * design.
     */
   def chunkByTokens(
       df: DataFrame,

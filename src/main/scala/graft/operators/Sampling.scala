@@ -172,6 +172,35 @@ object Sampling {
     df.join(broadcast(winners), Seq(keyCol), "left_semi")
   }
 
+  /** Exactly n rows PER GROUP, deterministically: the stratified twin
+    * of [[sampleExactN]] — within each group, the n keys with the
+    * largest full 64-bit FNV hash (signed order) win. Groups smaller
+    * than n keep everything. Output: `(<groupCol>, <keyCol>, rank)`
+    * with rank 1-based by descending hash — semantically a uniform
+    * without-replacement draw per stratum, reproducible by any engine
+    * that recomputes the hash.
+    *
+    * Scale shape: one map-side-combined `graft_topk` heap per group —
+    * the shuffle carries at most n·partitions candidate (hash, key)
+    * pairs per group and there is NO per-group window or sort (the
+    * [[quotaPerGroup]] machinery with the hash as the order column).
+    * n is quota-sized metadata; the group count is unbounded.
+    */
+  def sampleExactNPerGroup(
+      df: DataFrame,
+      keyCol: String,
+      groupCol: String,
+      n: Int,
+      salt: String = "graft"
+  ): DataFrame = {
+    require(n > 0, s"sampleExactNPerGroup: n must be positive, got $n")
+    import org.apache.spark.sql.graft.ColumnBridge
+    val h = ColumnBridge.column(graft.plans.FnvHash64(
+      ColumnBridge.expression(concat(col(keyCol).cast("string"), lit(":" + salt)))))
+    quotaPerGroup(df.withColumn("_fnv", h), keyCol, groupCol, "_fnv", n,
+      keepSmallest = false)
+  }
+
   /** Resample to a target domain MIXTURE (the application step of
     * DoReMi-style domain reweighting): given proportional target
     * weights `targets(stratum) = p` — any positive scale, they need

@@ -69,6 +69,55 @@ object Vocab {
       .limit(k)
   }
 
+  /** Top-`k` DISTINCTIVE terms per document — keyword extraction by
+    * tf·(N/df), the transcendental-free tf-idf rank (N/df is the
+    * idf's argument; `ln` is monotone, so ranking by tf·N/df equals
+    * ranking by tf·exp(idf) — the keyword ORDER is what extraction
+    * needs, calibrated idf values are not). Output: `(<idCol>, term,
+    * score_e6, rank)` with score_e6 = HALF_UP₆(tf·N/df)×10⁶ as exact
+    * BIGINT (the library's integer rounding kernel — ⌊(2a+d)/(2d)⌋
+    * with a = tf·N·10⁶, d = df — so any engine reproduces both value
+    * and order); rank 1-based by (score desc, term asc).
+    *
+    * Scale shape: one tokenize pass into map-side-combined `(id, term,
+    * tf)` postings; per-term df joins AQE-broadcast when the
+    * vocabulary fits; N rides a 1-row broadcast; the per-doc top-k cut
+    * is the bounded `graft_bottomk` heap on (−score, term) — no
+    * per-doc window or sort.
+    */
+  def distinctiveTerms(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      minDf: Long = 1L
+  ): DataFrame = {
+    require(k > 0, s"distinctiveTerms: k must be positive, got $k")
+    val tf = docs
+      .select(col(idCol),
+        explode(TextFunctions.tokens(lower(col(textCol)))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    // tf·N·10⁶ in long arithmetic: guarded by ANSI overflow past
+    // ~10¹⁰·doc-length corpora — switch the kernel to DECIMAL(38,0)
+    // if that bound is ever real
+    val scored = tf.join(df, Seq("term")).crossJoin(broadcast(n))
+      .withColumn("score_e6",
+        expr("(2 * tf * n_docs * 1000000 + df) div (2 * df)"))
+    // score+term ride INSIDE the heap key (no post-hoc rejoin, which
+    // would duplicate the postings lineage); ties on equal score break
+    // to the ascending term via the struct's lexicographic order
+    val packed = scored.select(col(idCol),
+      struct(col("score_e6"), col("term")).as("_kt"),
+      (-col("score_e6")).as("_neg"))
+    Sampling.quotaPerGroup(packed, "_kt", idCol, "_neg", k,
+        keepSmallest = true)
+      .select(col(idCol), col("_kt.term").as("term"),
+        col("_kt.score_e6").as("score_e6"), col("rank"))
+  }
+
   /** Per-document vocabulary coverage against a (small, broadcast)
     * vocab table with a `term` column: `(idCol, n_tokens, n_oov,
     * oov_rate)`. `oov_rate = n_oov / n_tokens` is one IEEE division of

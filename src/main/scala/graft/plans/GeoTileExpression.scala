@@ -129,7 +129,8 @@ object GraftExtensions {
       NfcNormalize.functionDescriptor,
       SubwordCount.functionDescriptor,
       UrlHost.functionDescriptor,
-      RegisteredDomain.functionDescriptor)
+      RegisteredDomain.functionDescriptor,
+      CanonicalUrl.functionDescriptor)
 
   /** Imperative all-at-once registration for an existing session. */
   def registerAll(spark: SparkSession): Unit =

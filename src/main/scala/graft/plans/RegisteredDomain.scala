@@ -41,19 +41,24 @@ import org.apache.spark.unsafe.types.UTF8String
  */
 object UrlParse {
 
+  /** `url` with a leading `[A-Za-z][A-Za-z0-9+.-]*://` scheme stripped
+    * (ASCII classes only — oracle-regex parity), else unchanged.
+    */
+  def afterScheme(url: String): String = {
+    val n = url.length
+    if (n > 0 && isAlpha(url.charAt(0))) {
+      var i = 1
+      while (i < n && isSchemeChar(url.charAt(i))) i += 1
+      if (i + 2 < n && url.charAt(i) == ':' && url.charAt(i + 1) == '/' &&
+          url.charAt(i + 2) == '/')
+        return url.substring(i + 3)
+    }
+    url
+  }
+
   /** Lowercased host per the documented rule, or null. */
   def host(url: String): String = {
-    var s = url
-    // strip scheme: [A-Za-z][A-Za-z0-9+.-]*://
-    var i = 0
-    val n = s.length
-    if (n > 0 && isAlpha(s.charAt(0))) {
-      i = 1
-      while (i < n && isSchemeChar(s.charAt(i))) i += 1
-      if (i + 2 < n && s.charAt(i) == ':' && s.charAt(i + 1) == '/' &&
-          s.charAt(i + 2) == '/')
-        s = s.substring(i + 3)
-    }
+    val s = afterScheme(url)
     // authority ends at the first of / ? #
     var end = 0
     val m = s.length
@@ -114,6 +119,73 @@ object UrlHost {
     { children =>
       require(children.size == 1, "graft_url_host(url) takes 1 argument")
       UrlHost(children.head)
+    }
+  )
+}
+
+/**
+ * Canonical URL for URL-level deduplication (the C4 dedup key): `host`
+ * per [[UrlParse.host]] (lowercased, trailing dot stripped) joined with
+ * the PATH with scheme/userinfo/port/query/fragment dropped and
+ * trailing slashes stripped — so `https://A.com/x/`,
+ * `http://a.com/x?utm=1` and `a.com/x#frag` all canonicalize to
+ * `a.com/x`. Path case is preserved (paths are case-sensitive on most
+ * servers; hosts are not). Null/hostless input → null.
+ */
+case class CanonicalUrl(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_canonical_url"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_canonical_url requires a STRING argument, got ${child.dataType}")
+
+  override def nullable: Boolean = true
+
+  def canonical(url: String): String = {
+    val h = UrlParse.host(url)
+    if (h == null) return null
+    // path: after the authority, up to the first of ? #
+    val s = UrlParse.afterScheme(url)
+    var a = 0
+    val m = s.length
+    while (a < m && s.charAt(a) != '/' && s.charAt(a) != '?' &&
+      s.charAt(a) != '#') a += 1
+    var end = a
+    while (end < m && s.charAt(end) != '?' && s.charAt(end) != '#') end += 1
+    var path = s.substring(a, end)
+    while (path.endsWith("/")) path = path.substring(0, path.length - 1)
+    h + path
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val c = canonical(input.asInstanceOf[UTF8String].toString)
+    if (c == null) null else UTF8String.fromString(c)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("canonicalUrl", this, classOf[CanonicalUrl].getName)
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""String graftCanon = $ref.canonical($c.toString());
+         |if (graftCanon == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(graftCanon); }
+         |""".stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object CanonicalUrl {
+  val functionDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_canonical_url"),
+    new ExpressionInfo(classOf[CanonicalUrl].getName, "graft_canonical_url"),
+    { children =>
+      require(children.size == 1, "graft_canonical_url(url) takes 1 argument")
+      CanonicalUrl(children.head)
     }
   )
 }

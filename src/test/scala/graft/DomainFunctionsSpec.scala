@@ -54,6 +54,34 @@ class DomainFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("canonicalUrl: spelling variants collapse; path case preserved; hostless null") {
+    def canon(u: String): Option[String] = {
+      val r = Seq(Tuple1(u)).toDF("u")
+        .select(DomainFunctions.canonicalUrl(col("u"))).collect()(0)
+      if (r.isNullAt(0)) None else Some(r.getString(0))
+    }
+    assert(canon("https://ex.com/p/7") == Some("ex.com/p/7"))
+    assert(canon("http://EX.COM/p/7/") == Some("ex.com/p/7"))
+    assert(canon("ex.com:8080/p/7?utm=x#f") == Some("ex.com/p/7"))
+    assert(canon("https://user@ex.com./p/7//") == Some("ex.com/p/7"))
+    assert(canon("https://ex.com/P/Q") == Some("ex.com/P/Q")) // path case kept
+    assert(canon("https://ex.com") == Some("ex.com"))         // empty path
+    assert(canon("https://") == None)
+  }
+
+  test("dedupByUrl: min key wins per canonical; hostless rows survive") {
+    val df = Seq(
+      (3L, "https://ex.com/p"),
+      (1L, "http://EX.com/p/"),
+      (2L, "ex.com:80/p?x=1"),
+      (7L, "https://other.com/q"),
+      (9L, "https://")          // hostless: kept
+    ).toDF("id", "url")
+    val out = DomainFunctions.dedupByUrl(df, "url", "id")
+      .select("id").as[Long].collect().toSet
+    assert(out == Set(1L, 7L, 9L))
+  }
+
   test("dropBlockedDomains: blocked and unattributable rows drop; domain column lands") {
     val df = Seq(
       (1L, "https://www.good.com/a"),

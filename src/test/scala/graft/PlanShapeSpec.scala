@@ -438,4 +438,34 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchanges.forall(l => !l.contains("embedding#") && !l.contains("text#")), plan)
   }
 
+  test("subword count is a narrow codegen'd scalar: no Exchange, in a WholeStageCodegen span") {
+    import graft.functions.TextFunctions
+    val d = t("documents")
+      .select(col("doc_id"),
+        TextFunctions.tokenCountSubword(col("text"), Seq("scan", "##an", "a"))
+          .as("n_sub"))
+    val plan = physical(d)
+    assert(!plan.contains("Exchange"), plan)
+    // the `*(n)` operator prefix marks the whole-stage-codegen span
+    assert(plan.contains("*(1) Project"), plan)
+    // only the two needed columns reach the scan
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string"), plan)
+  }
+
+  test("domain filter: blocklist broadcast, quota via bounded heap, no text across exchanges") {
+    import graft.functions.DomainFunctions
+    import graft.operators.Sampling
+    val d = t("documents")
+      .withColumn("url", concat(lit("https://www."), col("source"), lit(".com/x")))
+    val kept = DomainFunctions.dropBlockedDomains(d, "url",
+      Seq("com"), Seq("src3.com"))
+    val plan = physical(Sampling.quotaPerGroup(kept, "doc_id", "domain", "doc_id", 5))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("partial_graft_bottomk") || plan.contains("graft_bottomk"), plan)
+    assert(!plan.contains("Window"), plan)
+    // the quota shuffle carries (domain, id) rows — never document text
+    val exchanges = plan.split("\n").filter(_.contains("Exchange hashpartitioning"))
+    assert(exchanges.forall(l => !l.contains("text#")), plan)
+  }
+
 }

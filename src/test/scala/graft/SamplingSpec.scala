@@ -224,6 +224,32 @@ class SamplingSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("sampleExactNPerGroup: exactly n per group, brute-force parity, small groups keep all") {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val df = spark.range(1000)
+      .select($"id", ($"id" % 4).cast("string").as("g"))
+      .union(Seq((9999L, "tiny"), (9998L, "tiny")).toDF("id", "g"))
+    val out = Sampling.sampleExactNPerGroup(df, "id", "g", n = 7, salt = "s")
+      .select("g", "id", "rank").as[(String, Long, Int)].collect()
+    val byG = out.groupBy(_._1)
+    assert(byG("0").length == 7 && byG("3").length == 7)
+    assert(byG("tiny").map(_._2).toSet == Set(9999L, 9998L)) // < n keeps all
+    // ranks are 1..k per group
+    byG.values.foreach(rows => assert(rows.map(_._3).sorted.toSeq == (1 to rows.length)))
+    // brute-force parity on one group: top-7 by (hash desc, id desc)
+    val h = ColumnBridge.column(graft.plans.FnvHash64(
+      ColumnBridge.expression(concat($"id".cast("string"), lit(":s")))))
+    val brute = df.filter($"g" === "2").select($"id", h.as("h"))
+      .orderBy(col("h").desc, col("id").desc).limit(7)
+      .select("id").as[Long].collect().toSet
+    assert(byG("2").map(_._2).toSet == brute)
+    // per-group heap, not a window
+    val plan = Sampling.sampleExactNPerGroup(df, "id", "g", n = 7)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("graft_topk"), plan)
+  }
+
   test("quotaPerGroup: equals the row_number cut both directions; nulls drop; heap-reduced plan") {
     val df = Seq(
       ("a", 1L, 10L), ("a", 2L, 30L), ("a", 3L, 30L), ("a", 4L, 20L),

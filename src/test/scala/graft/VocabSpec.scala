@@ -72,4 +72,36 @@ class VocabSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
+
+  test("distinctiveTerms: tf·N/df rank, exact scaled scores, ties to ascending term, heap not window") {
+    import graft.operators.Vocab
+    // N=4 docs; "rare" df=1, "mid" df=2, "the" df=4
+    val docs = Seq(
+      (1L, "the rare rare mid"),
+      (2L, "the mid"),
+      (3L, "the the"),
+      (4L, "the")
+    ).toDF("id", "text")
+    val out = Vocab.distinctiveTerms(docs, "id", "text", k = 2)
+      .select("id", "term", "score_e6", "rank")
+      .as[(Long, String, Long, Int)].collect()
+      .groupBy(_._1)
+    // doc 1: rare tf=2 df=1 -> 2*4/1=8; mid tf=1 df=2 -> 2; the tf=1 df=4 -> 1
+    assert(out(1L).sortBy(_._4).map(t => (t._2, t._3)).toSeq ==
+      Seq(("rare", 8000000L), ("mid", 2000000L)))
+    // doc 3: the tf=2 df=4 -> 2*4/4=2 -> only term
+    assert(out(3L).map(t => (t._2, t._3)).toSeq == Seq(("the", 2000000L)))
+    // doc 2: mid 1*4/2=2, the 1*4/4=1 — tie-free; check order
+    assert(out(2L).sortBy(_._4).map(_._2).toSeq == Seq("mid", "the"))
+    // tie case: two terms with identical (tf, df) order by term asc
+    val tied = Seq((1L, "bb aa")).toDF("id", "text")
+    val tt = Vocab.distinctiveTerms(tied, "id", "text", k = 2)
+      .orderBy("rank").select("term").as[String].collect().toSeq
+    assert(tt == Seq("aa", "bb"))
+    // per-doc cut is the bounded heap, not a window
+    val plan = Vocab.distinctiveTerms(docs, "id", "text", k = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("graft_bottomk"), plan)
+  }
 }
