@@ -239,17 +239,24 @@ object Retrieval {
         .join(broadcast(t), Seq("term"))
       case None =>
         val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        broadcast(qterms).join(tf, Seq("term")).join(df, Seq("term"))
+    }
+    // ONE stats crossJoin serves both the engine-ln idf (needs n_docs)
+    // and the integer kernel (needs n_docs + sum_dl) — referencing
+    // `stats` twice would duplicate its postings-sum lineage, i.e. a
+    // second full tokenize pass (Catalyst doesn't reuse DataFrame
+    // lineage)
+    val withStats0 = joined.join(doclen, Seq("id")).crossJoin(broadcast(stats))
+    val withStats = idfTable match {
+      case Some(_) => withStats0
+      case None =>
         val idf6 = round(
           log((col("n_docs").cast(DoubleType) - col("df").cast(DoubleType) + 0.5) /
             (col("df").cast(DoubleType) + 0.5) + 1.0), 6)
-        broadcast(qterms).join(tf, Seq("term")).join(df, Seq("term"))
-          .crossJoin(broadcast(stats.select(col("n_docs").as("_n0"))))
-          .withColumnRenamed("_n0", "n_docs")
-          .withColumn("idf_s",
-            round(idf6 * lit(1000000.0), 0).cast(LongType))
-          .drop("df", "n_docs")
+        withStats0
+          .withColumn("idf_s", round(idf6 * lit(1000000.0), 0).cast(LongType))
+          .drop("df")
     }
-    val withStats = joined.join(doclen, Seq("id")).crossJoin(broadcast(stats))
     // The per-term contribution is ONE exact integer rational —
     // tfnorm's num/den scaled by 10¹²·sum_dl — numerator
     // idf_s·tf·(10⁶+K1)·10⁶·sum_dl·10³, denominator tf·10¹²·sum_dl
