@@ -231,6 +231,23 @@ object SparkEntry {
       | ELSE 'ex' || CAST(doc_id % 5 AS STRING) || '.com:8080/p/' || CAST(doc_id % 50 AS STRING) || '?utm=x#f'
       |END""".stripMargin
 
+  /** Synthetic multi-line doc for the c4_line_clean gate — the corpus
+    * text is single-line, so BOTH engines append the same extra lines /
+    * doc-level poison from (doc_id, text) with this shared fragment.
+    * The five shapes exercise: a too-short line (< 3 words), a kept
+    * terminal-punctuation line, the case-insensitive "lorem ipsum" doc
+    * drop, a no-terminal-punctuation line, and the curly-brace doc
+    * drop.
+    */
+  private val c4GateTextSql =
+    """CASE CAST(doc_id % 5 AS INT)
+      | WHEN 0 THEN text || chr(10) || 'Tiny.'
+      | WHEN 1 THEN text || chr(10) || 'This appended line ends well.'
+      | WHEN 2 THEN text || ' LoReM ipsum dolor'
+      | WHEN 3 THEN text || chr(10) || 'no terminal punctuation here'
+      | ELSE text || chr(10) || '{ "json": 1 }'
+      |END""".stripMargin
+
   /** The oracle's replay of UrlParse.host + RegisteredDomain over the
     * shared synthetic URLs: one regex for the host (scheme optional,
     * greedy userinfo, port/path cut), trailing-dot strip, then
@@ -1243,6 +1260,55 @@ object SparkEntry {
       DomainFunctions.dedupByUrl(d, "url", "doc_id")
         .select(col("doc_id"), col("canonical_url"))
         .orderBy("doc_id")
+    }),
+
+    // ---- corpus composition by registered domain: per-domain doc and
+    //      token mass + exact ppm share (HALF_UP integer kernel); the
+    //      grand total rides a window over the ≤#domains histogram
+    //      rows, never a second corpus pass
+    "domain_composition" -> ((s, dir) => {
+      val d = t(s, dir, "documents").withColumn("url", expr(domainGateUrlSql))
+      DomainFunctions.domainComposition(
+        d, "url", TextFunctions.tokenCount(col("text")), domainGateRules)
+    }),
+
+    // ---- C4 line-level cleaning (the public C4 recipe): keep lines
+    //      with ≥3 words ending in terminal punctuation; doc drops on
+    //      lorem-ipsum / curly-brace / zero kept lines. The shared
+    //      c4GateTextSql fragment plants each rule's trigger
+    "c4_line_clean" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(col("doc_id") < 2000)
+        .withColumn("_t", expr(c4GateTextSql))
+      val kept = TextFunctions.c4KeptLines(col("_t"), minWordsPerLine = 3)
+      d.select(
+          col("doc_id"),
+          array_join(kept, "\n").as("clean"),
+          size(kept).cast(LongType).as("kept_lines"),
+          size(split(col("_t"), "\n", -1)).cast(LongType).as("total_lines"),
+          TextFunctions.c4DocPass(col("_t"), kept, minKeptLines = 1)
+            .as("doc_pass"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- BPE merge-candidate statistics: adjacent character pairs
+    //      weighted by the distinct-word histogram (the classic BPE
+    //      compression, distributed) — top-50 by (count desc, a, b)
+    //      through a TakeOrdered bounded heap
+    "bpe_pair_stats" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(col("doc_id") < 2000)
+      Vocab.bpePairStats(d, "text", k = 50)
+    }),
+
+    // ---- deterministic corpus shuffle: a total, engine-reproducible
+    //      training-order permutation — rank under (signed FNV, key)
+    //      via hash-bucketed two-level ranks (no global sort; the sort
+    //      key IS a hash, so buckets are balanced at any skew)
+    "corpus_shuffle" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(col("doc_id") < 2000)
+        .select(col("doc_id"))
+      Sampling.deterministicShuffle(d, "doc_id", salt = "shuffle")
+        .select(col("doc_id"), col("pos"))
+        .orderBy("pos")
     }),
 
     // ---- token-budget truncation: first 16 whitespace tokens,
@@ -3793,6 +3859,97 @@ object SparkEntry {
          |SELECT min(doc_id) AS doc_id, canonical_url
          |FROM c GROUP BY canonical_url
          |ORDER BY doc_id""".stripMargin,
+
+    // per-domain histogram joined back for token mass; the ppm share is
+    // the same HALF_UP integer kernel ((2·s·10⁶ + t) // (2·t)); null
+    // domains fold into the '(none)' sentinel so row order never
+    // depends on an engine's null-placement default
+    "domain_composition" ->
+      s"""WITH ${domainChainSql("")}, j AS (
+         | SELECT COALESCE(dom.domain, '(none)') AS domain,
+         |  len(list_filter(string_split_regex(trim(d2.text), '\\s+'), x -> x <> '')) AS n_tokens
+         | FROM dom JOIN documents d2 ON dom.doc_id = d2.doc_id
+         |), per AS (
+         | SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+         | FROM j GROUP BY 1
+         |), tot AS (
+         | SELECT CAST(sum(n_tokens) AS BIGINT) AS t FROM per
+         |)
+         |SELECT domain, n_docs, n_tokens,
+         | CAST((2 * n_tokens * 1000000 + tot.t) // (2 * tot.t) AS BIGINT) AS share_ppm
+         |FROM per, tot
+         |ORDER BY n_tokens DESC, domain""".stripMargin,
+
+    // the C4 line rules replayed verbatim: ≥3 nonempty whitespace
+    // tokens AND a terminal-punctuation tail after rtrim; doc drops on
+    // case-insensitive 'lorem ipsum', a curly brace, or zero kept lines
+    "c4_line_clean" ->
+      s"""WITH d AS (
+         | SELECT doc_id, $c4GateTextSql AS t
+         | FROM documents WHERE doc_id < 2000
+         |), l AS (
+         | SELECT doc_id, t, string_split(t, chr(10)) AS lines FROM d
+         |), k AS (
+         | SELECT doc_id, t, lines,
+         |  list_filter(lines, x ->
+         |    len(list_filter(string_split_regex(trim(x), '\\s+'), w -> w <> '')) >= 3
+         |    AND regexp_matches(rtrim(x), '[.!?"]$$')) AS kept
+         | FROM l
+         |)
+         |SELECT doc_id,
+         | COALESCE(array_to_string(kept, chr(10)), '') AS clean,
+         | CAST(len(kept) AS BIGINT) AS kept_lines,
+         | CAST(len(lines) AS BIGINT) AS total_lines,
+         | ((NOT contains(lower(t), 'lorem ipsum'))
+         |   AND (NOT contains(t, '{')) AND len(kept) >= 1) AS doc_pass
+         |FROM k ORDER BY doc_id""".stripMargin,
+
+    // distinct-word histogram → character-pair explosion over the
+    // HISTOGRAM rows only (the BPE compression), weighted sums, same
+    // (count desc, a, b) cut; substr is char-based in both engines
+    "bpe_pair_stats" ->
+      """WITH d AS (
+        | SELECT list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS toks
+        | FROM documents WHERE doc_id < 2000
+        |), tok AS (
+        | SELECT unnest(toks) AS w FROM d
+        |), wc AS (
+        | SELECT w, count(*) AS wc FROM tok GROUP BY 1
+        |), p AS (
+        | SELECT wc,
+        |  unnest(list_transform(range(1, length(w)),
+        |    i -> [substr(w, i, 1), substr(w, i + 1, 1)])) AS pr
+        | FROM wc WHERE length(w) >= 2
+        |)
+        |SELECT pr[1] AS a, pr[2] AS b, CAST(sum(wc) AS BIGINT) AS pair_count
+        |FROM p GROUP BY 1, 2
+        |ORDER BY pair_count DESC, a, b
+        |LIMIT 50""".stripMargin,
+
+    // same signed-FNV recomputation as the exact samplers, then the
+    // global rank under (hash asc, doc_id asc) — the operator's exact
+    // total order
+    "corpus_shuffle" ->
+      """WITH h AS (
+        | SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST('14695981039346656037' AS HUGEINT),
+        |      list_transform(range(1, length(s) + 1), i -> CAST(ascii(s[i]) AS HUGEINT))),
+        |    (acc, b) -> ((acc // 256) * 256 + xor(CAST(acc % 256 AS BIGINT), CAST(b AS BIGINT)))
+        |                * 1099511628211 % CAST('18446744073709551616' AS HUGEINT)
+        |  ) AS hh
+        | FROM (SELECT doc_id, 'shuffle:' || doc_id::VARCHAR AS s
+        |       FROM documents WHERE doc_id < 2000)
+        |), sgn AS (
+        | SELECT doc_id,
+        |  CAST(hh - CASE WHEN hh >= CAST('9223372036854775808' AS HUGEINT)
+        |            THEN CAST('18446744073709551616' AS HUGEINT)
+        |            ELSE CAST(0 AS HUGEINT) END AS BIGINT) AS hs
+        | FROM h
+        |)
+        |SELECT doc_id, CAST(row_number() OVER (ORDER BY hs, doc_id) AS BIGINT) AS pos
+        |FROM sgn ORDER BY pos""".stripMargin,
 
     // blocklist drop (nulls dropped too) + smallest-10-per-domain quota
     "domain_filter" ->

@@ -75,4 +75,45 @@ object DomainFunctions {
         "left_anti")
       .withColumnRenamed("_dom", "domain")
   }
+
+  /** Corpus composition by registered domain — the "what's in the
+    * crawl" report every curation run starts from: `(domain, n_docs,
+    * n_tokens, share_ppm)`, ordered by token mass (desc, then domain).
+    * Unattributable rows (no registered domain) group under the
+    * `"(none)"` sentinel so row ordering never depends on an engine's
+    * null-placement default. `share_ppm` is the exact parts-per-million
+    * token share under the library-wide HALF_UP integer rounding
+    * kernel: `(2·n_tokens·10⁶ + total) div (2·total)` — BIGINT-safe to
+    * ~9.2×10¹² total tokens, far past any single report's range.
+    *
+    * Scale shape: one map-side-combined aggregation to the per-domain
+    * histogram (domains, not docs, cross the wire); the grand total
+    * rides a window over the HISTOGRAM rows only (the bounded-rows
+    * justification of the drift operators — never a second corpus
+    * pass, never a crossJoin duplicating lineage).
+    */
+  def domainComposition(
+      df: DataFrame,
+      urlCol: String,
+      tokenCountCol: Column,
+      rules: Seq[String]
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = df
+      .select(
+        coalesce(registeredDomain(col(urlCol), rules), lit("(none)"))
+          .as("domain"),
+        tokenCountCol.cast("long").as("_nt"))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_docs"), sum(col("_nt")).as("n_tokens"))
+    per
+      .withColumn("_tot",
+        sum(col("n_tokens")).over(
+          Window.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
+      .withColumn("share_ppm",
+        expr("CAST((n_tokens * 2000000 + _tot) div (2 * _tot) AS BIGINT)"))
+      .drop("_tot")
+      .orderBy(col("n_tokens").desc, col("domain"))
+  }
 }

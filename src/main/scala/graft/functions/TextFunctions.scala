@@ -173,6 +173,33 @@ object TextFunctions {
     array_join(deduped, "\n")
   }
 
+  /** The surviving lines of the C4 line-level cleaning recipe (the
+    * public C4 rules: a line is kept iff it carries at least
+    * `minWordsPerLine` whitespace tokens AND — after right-trimming
+    * spaces — ends in a terminal punctuation mark `. ! ?` or `"`).
+    * Lines are '\n'-separated verbatim. Pure string work on built-in
+    * expressions (narrow, no shuffle), reproducible by any engine's
+    * string_split + regex.
+    */
+  def c4KeptLines(text: Column, minWordsPerLine: Int = 3): Column = {
+    require(minWordsPerLine >= 0,
+      s"c4KeptLines: minWordsPerLine must be >= 0, got $minWordsPerLine")
+    filter(split(text, "\n", -1), l =>
+      (size(tokens(l)) >= minWordsPerLine) && rtrim(l).rlike("[.!?\"]$"))
+  }
+
+  /** The C4 document-level gate composed over [[c4KeptLines]]: a doc
+    * passes iff its ORIGINAL text contains neither "lorem ipsum"
+    * (case-insensitive) nor a curly brace, and at least `minKeptLines`
+    * lines survive the line filter. The page-drop half of the C4
+    * recipe — apply it to the same `keptLines` array the clean text is
+    * rebuilt from, so the two halves never re-split.
+    */
+  def c4DocPass(text: Column, keptLines: Column, minKeptLines: Int = 1): Column =
+    !lower(text).contains("lorem ipsum") &&
+      !text.contains("{") &&
+      (size(keptLines) >= minKeptLines)
+
   /** Truncate to the first `maxTokens` whitespace tokens, re-joined with
     * single spaces — the max-sequence-length clamp of training prep.
     * NOTE: re-joining NORMALIZES whitespace (runs collapse to one

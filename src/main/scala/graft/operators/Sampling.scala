@@ -379,6 +379,61 @@ object Sampling {
     }
   }
 
+  /** Deterministic global training-order permutation: every row gets a
+    * unique 1-based `pos`, the row's rank under the total order
+    * (FNV-1a(salt ++ ':' ++ key) signed-ascending, then key) — the
+    * document-level corpus shuffle of training prep, reproducible by
+    * any engine (re-running, re-partitioning, or re-reading yields the
+    * SAME permutation, unlike `orderBy(rand())`). Change `salt` for an
+    * independent epoch order.
+    *
+    * Scale shape — the two-level rank, with the hash itself as the
+    * balancer: rows bucket by the hash's high 10 bits (monotone in
+    * signed order, uniform by construction — the sort key IS a hash,
+    * so bucket sizes are balanced at any corpus skew, and unlike
+    * [[withinGroupRanks]] no min/max pre-pass is needed to find the
+    * key range). Per-bucket counts prefix-sum into offsets over ≤1024
+    * histogram rows; `row_number` runs per bucket ordered by (hash,
+    * key) — ties between colliding hashes break by key, so the
+    * permutation is total and engine-reproducible. No task ever sorts
+    * the whole corpus; nothing wider than the (bucket, count)
+    * histogram crosses the driver.
+    */
+  def deterministicShuffle(
+      df: DataFrame,
+      keyCol: String,
+      salt: String = "graft"
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.graft.ColumnBridge
+    // salt as PREFIX, unlike the membership samplers' suffix: FNV-1a
+    // folds bytes left-to-right, so a suffix only perturbs the last
+    // multiply — the hash's HIGH bits (which this operator sorts by)
+    // barely move, and two salts would draw near-identical orders. A
+    // prefix avalanches through every subsequent byte. (The samplers
+    // keep the suffix: they read the LOW bits, which the final
+    // multiply does scramble.)
+    val h = ColumnBridge.column(graft.plans.FnvHash64(
+      ColumnBridge.expression(
+        concat(lit(salt + ":"), col(keyCol).cast("string")))))
+    // high 10 bits of the SIGNED hash, shifted into [0, 1024): monotone
+    // in signed order, so bucket-offset + within-bucket rank = global rank
+    val withH = df.withColumn("_h", h)
+      .withColumn("_b", shiftright(col("_h"), 54) + lit(512L))
+    val cnts = withH.groupBy("_b").agg(count(lit(1)).as("_c"))
+    val wOff = Window.orderBy("_b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = cnts
+      .withColumn("_off", coalesce(sum(col("_c")).over(wOff), lit(0L)))
+      .select("_b", "_off")
+    val wRn = Window.partitionBy("_b").orderBy(col("_h"), col(keyCol))
+    withH
+      .withColumn("_rn", row_number().over(wRn).cast("long"))
+      .join(offs, Seq("_b"))
+      .withColumn("pos", col("_off") + col("_rn"))
+      .drop("_h", "_b", "_rn", "_off")
+  }
+
   /** Within-group 1-based ranks by ascending integer key, TWO-LEVEL
     * bucketed (the percentRank design): key-range bucket counts per
     * group reduce map-side, per-group offsets ride a window over the

@@ -151,4 +151,39 @@ object Vocab {
           col("_no").cast(DoubleType) / col("_nt").cast(DoubleType))
           .as("oov_rate"))
   }
+
+  /** Adjacent-symbol-pair statistics — the counting step of one BPE
+    * merge iteration (the public byte-pair-encoding tokenizer-training
+    * algorithm) run at corpus scale: `(a, b, pair_count)`, the top `k`
+    * pairs by (count desc, a, b), where `pair_count` weights each
+    * distinct word's character pairs by the word's corpus frequency.
+    * The winning pair is the next merge a BPE trainer would apply.
+    *
+    * Scale shape — the classic BPE compression, distributed: the
+    * corpus first reduces to its distinct-WORD histogram (one tokenize
+    * pass, map-side-combined counts — distinct words ≪ corpus tokens,
+    * so this is the only stage that touches every token), then the
+    * character-pair explosion runs over the histogram rows only and
+    * re-aggregates into the pair histogram. The final cut is a
+    * `TakeOrdered` bounded heap, never a global sort. Tokenization is
+    * the library-wide whitespace rule over lowercased text; pair
+    * extraction is `substr` character arithmetic both Spark and any
+    * oracle engine define identically.
+    */
+  def bpePairStats(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k > 0, s"bpePairStats: k must be positive, got $k")
+    val words = docs
+      .select(explode(TextFunctions.tokens(lower(col(textCol)))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+    words
+      .filter(length(col("w")) >= 2)
+      .select(col("wc"), explode(expr(
+        "transform(sequence(1, char_length(w) - 1), " +
+          "i -> struct(substr(w, i, 1) AS a, substr(w, i + 1, 1) AS b))"))
+        .as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum(col("wc")).as("pair_count"))
+      .orderBy(col("pair_count").desc, col("a"), col("b"))
+      .limit(k)
+  }
 }

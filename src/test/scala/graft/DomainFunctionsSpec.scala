@@ -98,4 +98,22 @@ class DomainFunctionsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("Broadcast"), plan)
   }
+
+  test("domainComposition: exact ppm shares, '(none)' sentinel, token-mass order") {
+    val df = Seq(
+      (1L, "https://a.good.com/x", 10L),
+      (2L, "https://good.com/y", 30L),
+      (3L, "https://other.org/z", 40L),
+      (4L, "http://localhost/", 20L)      // unattributable
+    ).toDF("id", "url", "nt")
+    val out = DomainFunctions.domainComposition(df, "url", col("nt"), rules)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    // good.com (2 docs, 40) ties other.org (1 doc, 40) → domain asc;
+    // shares of total 100 in exact ppm, summing to 10⁶
+    assert(out == Seq(
+      ("good.com", 2L, 40L, 400000L),
+      ("other.org", 1L, 40L, 400000L),
+      ("(none)", 1L, 20L, 200000L)), out.toString)
+    assert(out.map(_._4).sum == 1000000L)
+  }
 }

@@ -321,4 +321,31 @@ class SamplingSpec extends SparkSpec {
     // empty input returns the right (empty) shape
     assert(Sampling.epochSchedule(df.filter(lit(false)), "id", "g").count() == 0)
   }
+
+  test("deterministicShuffle: a total permutation matching the brute-force (hash, key) order; layout-stable; bucket-bounded windows") {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val df = spark.range(0, 500).toDF("id")
+    val out = Sampling.deterministicShuffle(df, "id", "s1")
+    // positions are exactly 1..n (a permutation, no gaps/dups)
+    assert(out.select("pos").as[Long].collect().sorted.toSeq == (1L to 500L))
+    // brute force: driver-side sort by (signed hash, key)
+    val h = ColumnBridge.column(graft.plans.FnvHash64(
+      ColumnBridge.expression(concat(lit("s1:"), $"id".cast("string")))))
+    val ref = df.withColumn("_h", h).as[(Long, Long)].collect()
+      .sortBy { case (id, hh) => (hh, id) }.map(_._1).toSeq
+    val got = out.orderBy("pos").select("id").as[Long].collect().toSeq
+    assert(got == ref)
+    // re-partitioning must not change the permutation
+    val got2 = Sampling.deterministicShuffle(df.repartition(7), "id", "s1")
+      .orderBy("pos").select("id").as[Long].collect().toSeq
+    assert(got2 == ref)
+    // an independent salt draws an independent order
+    val got3 = Sampling.deterministicShuffle(df, "id", "s2")
+      .orderBy("pos").select("id").as[Long].collect().toSeq
+    assert(got3 != ref)
+    // the row_number window partitions by the hash bucket, never global
+    val plan = out.queryExecution.optimizedPlan.toString
+    val rnWindows = plan.linesIterator.filter(_.contains("row_number")).toSeq
+    assert(rnWindows.nonEmpty && rnWindows.forall(_.contains("_b")), plan)
+  }
 }

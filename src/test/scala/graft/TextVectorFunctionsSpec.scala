@@ -280,4 +280,33 @@ class TextVectorFunctionsSpec extends SparkSpec {
     assert(out == Seq("a b c", "one two", "", ""))
     intercept[IllegalArgumentException] { TF.truncateToTokens(lit("x"), 0) }
   }
+
+  test("c4KeptLines/c4DocPass: the C4 line rules and page drops") {
+    val docs = Seq(
+      (0L, "This line ends well.\nTiny.\nno terminal mark here\n" +
+        "She said \"stop\"\nTrailing spaces okay.   "),
+      (1L, "Lorem IPSUM dolor sit amet."),       // page drop: lorem ipsum (any case)
+      (2L, "A valid sentence right here.\n{ \"j\": 1 }"), // page drop: curly brace
+      (3L, "nothing survives this one")          // page drop: zero kept lines
+    ).toDF("id", "text")
+    val kept = TF.c4KeptLines($"text")
+    val out = docs.select($"id", array_join(kept, "|").as("clean"),
+        TF.c4DocPass($"text", kept).as("pass"))
+      .orderBy("id").as[(Long, String, Boolean)].collect().toSeq
+    // doc 0: short line, no-terminal line drop; quote-tail and
+    // trailing-space lines survive
+    assert(out(0) == ((0L,
+      "This line ends well.|She said \"stop\"|Trailing spaces okay.   ", true)),
+      out(0).toString)
+    // the lorem/brace drops are PAGE-level: kept lines still report,
+    // the pass flag falls
+    assert(out(1) == ((1L, "Lorem IPSUM dolor sit amet.", false)))
+    assert(out(2) == ((2L, "A valid sentence right here.", false)))
+    assert(out(3) == ((3L, "", false)))
+    // minWordsPerLine is a real knob: at 4, the 3-word quote line drops
+    val kept4 = TF.c4KeptLines($"text", minWordsPerLine = 4)
+    val c0 = docs.filter($"id" === 0L)
+      .select(array_join(kept4, "|")).as[String].head()
+    assert(c0 == "This line ends well.")
+  }
 }

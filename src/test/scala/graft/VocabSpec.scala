@@ -41,6 +41,26 @@ class VocabSpec extends SparkSpec {
       (3L, 3L, 0L, Some(0.0))), out.toString)
   }
 
+  test("bpePairStats: word-frequency-weighted character pairs, tie order, single-char words skipped") {
+    val docs = Seq(
+      (0L, "ab AB abc"),  // folded: ab×2, abc×1
+      (1L, "xy xz a q")   // xy×1, xz×1; 'a'/'q' too short to pair
+    ).toDF("id", "text")
+    val out = Vocab.bpePairStats(docs, "text", k = 10)
+      .as[(String, String, Long)].collect().toSeq
+    // (a,b): 2 from 'ab' + 1 from 'abc' = 3; the count-1 tie orders by (a, b)
+    assert(out == Seq(
+      ("a", "b", 3L), ("b", "c", 1L), ("x", "y", 1L), ("x", "z", 1L)), out.toString)
+    // the cut is a bounded heap (TakeOrdered), never a global sort
+    val plan = Vocab.bpePairStats(docs, "text", k = 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrdered"), plan)
+    // k truncates inside a tie deterministically
+    val top2 = Vocab.bpePairStats(docs, "text", k = 2)
+      .as[(String, String, Long)].collect().toSeq
+    assert(top2 == Seq(("a", "b", 3L), ("b", "c", 1L)), top2.toString)
+  }
+
   test("oovStats composes with topTerms; vocab side broadcasts") {
     val docs = Seq(
       (0L, "alpha beta gamma"), (1L, "alpha beta"), (2L, "alpha delta")
