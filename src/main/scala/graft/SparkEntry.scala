@@ -248,6 +248,22 @@ object SparkEntry {
       | ELSE text || chr(10) || '{ "json": 1 }'
       |END""".stripMargin
 
+  /** Synthetic duplicated substrings for the dup_window_removal gate:
+    * docs ≡1 (mod 4) append one copy of a shared 12-token phrase, docs
+    * ≡2 append it twice back-to-back — so the gate exercises cross-doc
+    * cuts, WITHIN-doc cuts (the second copy), junction windows
+    * (phrase-suffix + phrase-prefix strings shared by every ≡2 doc),
+    * and coverage merging of overlapping duplicated windows.
+    */
+  private val dupRemovalTextSql = {
+    val p = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    s"""CASE CAST(doc_id % 4 AS INT)
+       | WHEN 1 THEN text || ' $p'
+       | WHEN 2 THEN text || ' $p $p'
+       | ELSE text
+       |END""".stripMargin
+  }
+
   /** The oracle's replay of UrlParse.host + RegisteredDomain over the
     * shared synthetic URLs: one regex for the host (scheme optional,
     * greedy userinfo, port/path cut), trailing-dot strip, then
@@ -1309,6 +1325,34 @@ object SparkEntry {
       Sampling.deterministicShuffle(d, "doc_id", salt = "shuffle")
         .select(col("doc_id"), col("pos"))
         .orderBy("pos")
+    }),
+
+    // ---- exact-substring removal (the Lee et al. windowed
+    //      approximation): duplicated 10-token windows cut from all
+    //      but the first (id, start) occurrence, overlaps merged by
+    //      position coverage; the shared fragment plants cross-doc and
+    //      within-doc duplicated phrases
+    "dup_window_removal" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(col("doc_id") < 1000)
+        .select(col("doc_id"), expr(dupRemovalTextSql).as("_t"))
+      Dedup.removeDuplicatedWindows(d, "doc_id", "_t", window = 10)
+        .orderBy("doc_id")
+    }),
+
+    // ---- corpus snapshot diff: added/removed/changed/unchanged by
+    //      normalized-content fingerprint across two snapshots built
+    //      from the same shared rules (≡0 removed, ≡1 edited, ≡2
+    //      cloned under shifted ids)
+    "corpus_diff" -> ((s, dir) => {
+      val old = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val neu = old.filter(col("doc_id") % 10 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 10 === 1,
+            concat(col("text"), lit(" changed marker"))).otherwise(col("text")))
+        .unionByName(old.filter(col("doc_id") % 10 === 2)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(lit("brand new doc "), col("text")).as("text")))
+      Snapshot.diff(old, neu, "doc_id", "text").orderBy("doc_id")
     }),
 
     // ---- token-budget truncation: first 16 whitespace tokens,
@@ -3950,6 +3994,81 @@ object SparkEntry {
         |)
         |SELECT doc_id, CAST(row_number() OVER (ORDER BY hs, doc_id) AS BIGINT) AS pos
         |FROM sgn ORDER BY pos""".stripMargin,
+
+    // the removal replayed on window STRINGS (the operator's xxhash64
+    // is equality-of-content modulo 64-bit collisions): keeper = rn 1
+    // under (doc_id, start) per window, later occurrences become
+    // [s, min(s+10, n)) cuts, coverage positions anti-join the token
+    // positions, and the survivors re-join with single spaces
+    "dup_window_removal" ->
+      s"""WITH d AS (
+         | SELECT doc_id, $dupRemovalTextSql AS t
+         | FROM documents WHERE doc_id < 1000
+         |), tk AS (
+         | SELECT doc_id, list_filter(string_split_regex(trim(t), '\\s+'), x -> x <> '') AS toks
+         | FROM d
+         |), w AS (
+         | SELECT doc_id, len(toks) AS n, CAST(p AS BIGINT) AS s,
+         |  array_to_string(list_slice(toks, CAST(p + 1 AS BIGINT), CAST(p + 10 AS BIGINT)), ' ') AS win
+         | FROM tk, UNNEST(range(0, greatest(len(toks) - 10, 0) + 1)) AS u(p)
+         | WHERE len(toks) > 0
+         |), r AS (
+         | SELECT doc_id, n, s,
+         |  row_number() OVER (PARTITION BY win ORDER BY doc_id, s) AS rn,
+         |  count(*) OVER (PARTITION BY win) AS c
+         | FROM w
+         |), cuts AS (
+         | SELECT doc_id, s, least(s + 10, n) AS e FROM r WHERE c > 1 AND rn > 1
+         |), cov AS (
+         | SELECT DISTINCT doc_id, CAST(q AS BIGINT) AS pos
+         | FROM cuts, UNNEST(range(s, e)) AS v(q)
+         |), tokpos AS (
+         | SELECT doc_id, CAST(generate_subscripts(toks, 1) - 1 AS BIGINT) AS pos,
+         |  unnest(toks) AS tok
+         | FROM tk
+         |), keptt AS (
+         | SELECT tp.doc_id, tp.pos, tp.tok
+         | FROM tokpos tp LEFT JOIN cov
+         |   ON tp.doc_id = cov.doc_id AND tp.pos = cov.pos
+         | WHERE cov.pos IS NULL
+         |), agg AS (
+         | SELECT doc_id, array_to_string(list(tok ORDER BY pos), ' ') AS clean,
+         |  count(*) AS kept
+         | FROM keptt GROUP BY doc_id
+         |)
+         |SELECT tk.doc_id,
+         | COALESCE(agg.clean, '') AS clean,
+         | CAST(len(tk.toks) - COALESCE(agg.kept, 0) AS BIGINT) AS n_removed
+         |FROM tk LEFT JOIN agg ON tk.doc_id = agg.doc_id
+         |ORDER BY tk.doc_id""".stripMargin,
+
+    // both snapshots rebuilt from the same modular rules; content
+    // identity compared on the NORMALIZED strings (the operator
+    // fingerprints the same normalization)
+    "corpus_diff" ->
+      """WITH oldd AS (
+        | SELECT doc_id, text FROM documents
+        |), newd AS (
+        | SELECT doc_id,
+        |  CASE WHEN doc_id % 10 = 1 THEN text || ' changed marker' ELSE text END AS text
+        | FROM documents WHERE doc_id % 10 <> 0
+        | UNION ALL
+        | SELECT doc_id + 1000000 AS doc_id, 'brand new doc ' || text AS text
+        | FROM documents WHERE doc_id % 10 = 2
+        |), onorm AS (
+        | SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), '[[:punct:]]', '', 'g'), '\s+', ' ', 'g')) AS nt
+        | FROM oldd
+        |), nnorm AS (
+        | SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), '[[:punct:]]', '', 'g'), '\s+', ' ', 'g')) AS nt
+        | FROM newd
+        |)
+        |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        | CASE WHEN n.doc_id IS NULL THEN 'removed'
+        |      WHEN o.doc_id IS NULL THEN 'added'
+        |      WHEN o.nt = n.nt THEN 'unchanged'
+        |      ELSE 'changed' END AS status
+        |FROM onorm o FULL OUTER JOIN nnorm n ON o.doc_id = n.doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     // blocklist drop (nulls dropped too) + smallest-10-per-domain quota
     "domain_filter" ->

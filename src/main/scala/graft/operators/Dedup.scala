@@ -814,4 +814,76 @@ object Dedup {
           col("_nd").cast(DoubleType) / col("_nw").cast(DoubleType))
           .as("dup_ratio"))
   }
+
+  /** Cross-document exact-substring REMOVAL — the transform twin of
+    * [[duplicatedWindowStats]] (that one measures, this one repairs;
+    * public idea: Lee et al. 2022's suffix-array dedup, approximated
+    * with fixed token windows the way Spark can express it): every
+    * `window`-token span whose content occurs anywhere else in the
+    * corpus is cut from all but its FIRST occurrence (smallest
+    * (id, start) — within-doc repeats cut too), and each doc's text is
+    * rebuilt from the surviving tokens. Overlapping duplicated windows
+    * merge through position coverage, so a duplicated run longer than
+    * `window` is excised wholesale, not window-by-window. Docs shorter
+    * than the window form one whole-text window — exact short
+    * duplicates still dedup. Output keeps `idCol` and adds `clean`
+    * (tokens re-joined with single spaces — the library's documented
+    * whitespace normalization) and `n_removed` (tokens cut).
+    *
+    * Scale shape: windows leave the row as (id, start, 8-byte
+    * xxhash64) — window TEXT never shuffles; the keeper election is
+    * one min-struct aggregate on the fingerprint; only DUPLICATED
+    * occurrences (the rare case) flow onward, collapse to per-doc cut
+    * lists, and join back for a narrow per-row rebuild (an
+    * index-coverage lambda over the token array — O(tokens × cuts)
+    * per doc, bounded by the doc's own duplication). Window hashing is
+    * O(len · window) chars per doc — the stride-1 exactness cost; the
+    * cheaper screen is running [[duplicatedWindowStats]] first and
+    * feeding only high-`dup_ratio` docs here. A 64-bit collision
+    * cuts a non-duplicated span (~n²/2⁶⁵ over distinct windows).
+    */
+  def removeDuplicatedWindows(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      window: Int = 50
+  ): DataFrame = {
+    require(window > 0, s"removeDuplicatedWindows: window must be positive, got $window")
+    val base = docs.select(col(idCol).as("_id"),
+      tokens(col(textCol)).as("_toks"))
+    val wins = base
+      .withColumn("_n", size(col("_toks")))
+      .filter(col("_n") > 0)
+      .select(col("_id"), col("_n"), explode(expr(
+        s"transform(sequence(0, greatest(_n - $window, 0)), " +
+          s"i -> struct(i AS s, xxhash64(concat_ws(' ', slice(_toks, i + 1, $window))) AS h))"))
+        .as("_w"))
+      .select(col("_id"), col("_n"),
+        col("_w.s").cast(LongType).as("_s"), col("_w.h").as("_h"))
+    // keeper = first occurrence corpus-wide; only duplicated windows
+    // (count > 1) produce cuts, so unique windows never leave the agg
+    val keep = wins.groupBy("_h").agg(
+        min(struct(col("_id"), col("_s"))).as("_k"),
+        count(lit(1)).as("_c"))
+      .filter(col("_c") > 1)
+      .select(col("_h"), col("_k._id").as("_kid"), col("_k._s").as("_ks"))
+    val cuts = wins.join(keep, Seq("_h"))
+      .filter(!(col("_id") === col("_kid") && col("_s") === col("_ks")))
+      .select(col("_id"), col("_s"),
+        least(col("_s") + lit(window.toLong), col("_n").cast(LongType)).as("_e"))
+    val ranges = cuts.groupBy("_id")
+      .agg(collect_list(struct(col("_s"), col("_e"))).as("_cuts"))
+    base.join(ranges, Seq("_id"), "left")
+      .withColumn("_kept",
+        when(col("_cuts").isNull, col("_toks")).otherwise(
+          filter(col("_toks"), (_, i) =>
+            !exists(col("_cuts"), r =>
+              r.getField("_s") <= i.cast(LongType) &&
+                i.cast(LongType) < r.getField("_e")))))
+      .select(
+        col("_id").as(idCol),
+        array_join(col("_kept"), " ").as("clean"),
+        (size(col("_toks")) - size(col("_kept"))).cast(LongType)
+          .as("n_removed"))
+  }
 }

@@ -458,4 +458,39 @@ class DedupSpec extends SparkSpec {
       assert(brute(id) == ((nw, nd)), s"doc $id: got ($nw,$nd) want ${brute(id)}")
     }
   }
+
+  test("removeDuplicatedWindows: first occurrence survives, later spans cut, overlaps merge, short and within-doc dups handled") {
+    val phrase = "p1 p2 p3 p4 p5 p6" // 6 tokens; window = 4
+    val docs = Seq(
+      (1L, s"unique one text $phrase"),            // keeper (smallest id)
+      (2L, s"other words here $phrase tail bits"), // phrase span cut
+      (3L, "tiny dup"), (4L, "tiny dup"),          // whole-text windows: id 4 cut fully
+      (5L, "totally distinct content"),
+      (6L, "x1 x2 x3 x4 x1 x2 x3 x4")              // WITHIN-doc repeat: 2nd copy cut
+    ).toDF("id", "text")
+    val out = Dedup.removeDuplicatedWindows(docs, "id", "text", window = 4)
+      .orderBy("id").as[(Long, String, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, s"unique one text $phrase", 0L),
+      // overlapping duplicated windows (starts 3,4,5) merge to one
+      // 6-token excision — not three ragged 4-token holes
+      (2L, "other words here tail bits", 6L),
+      (3L, "tiny dup", 0L),
+      (4L, "", 2L),
+      (5L, "totally distinct content", 0L),
+      (6L, "x1 x2 x3 x4", 4L)), out.toString)
+  }
+
+  test("snapshot diff: added/removed/changed/unchanged by normalized content") {
+    import graft.operators.Snapshot
+    val old = Seq((1L, "Hello, world!"), (2L, "two two"), (3L, "three"))
+      .toDF("id", "text")
+    val neu = Seq((1L, "hello world"), (2L, "two TWO changed"), (4L, "four"))
+      .toDF("id", "text")
+    val out = Snapshot.diff(old, neu, "id", "text")
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    // punctuation/case-only edits normalize away → unchanged
+    assert(out == Seq((1L, "unchanged"), (2L, "changed"),
+      (3L, "removed"), (4L, "added")), out.toString)
+  }
 }
