@@ -830,17 +830,20 @@ object Dedup {
     * (tokens re-joined with single spaces — the library's documented
     * whitespace normalization) and `n_removed` (tokens cut).
     *
-    * Scale shape: windows leave the row as (id, start, 8-byte
-    * xxhash64) — window TEXT never shuffles; the keeper election is
-    * one min-struct aggregate on the fingerprint; only DUPLICATED
-    * occurrences (the rare case) flow onward, collapse to per-doc cut
-    * lists, and join back for a narrow per-row rebuild (an
-    * index-coverage lambda over the token array — O(tokens × cuts)
-    * per doc, bounded by the doc's own duplication). Window hashing is
-    * O(len · window) chars per doc — the stride-1 exactness cost; the
-    * cheaper screen is running [[duplicatedWindowStats]] first and
-    * feeding only high-`dup_ratio` docs here. A 64-bit collision
-    * cuts a non-duplicated span (~n²/2⁶⁵ over distinct windows).
+    * Scale shape: windows leave the row as (id, start, 8-byte rolling
+    * fingerprint) — window TEXT never shuffles; the fingerprints come
+    * from ONE [[graft.plans.TokenWindowHashes]] pass (each token
+    * hashed once, consecutive windows roll in O(1) — O(tokens) per
+    * doc, not the O(tokens × window) a rebuild-the-window-string form
+    * pays); the keeper election is one min-struct aggregate on the
+    * fingerprint; only DUPLICATED occurrences (the rare case) flow
+    * onward, collapse to per-doc cut lists, and join back for a
+    * narrow per-row rebuild (an index-coverage lambda over the token
+    * array — O(tokens × cuts) per doc, bounded by the doc's own
+    * duplication). The cheaper screen is running
+    * [[duplicatedWindowStats]] first and feeding only
+    * high-`dup_ratio` docs here. A 64-bit collision cuts a
+    * non-duplicated span (~n²/2⁶⁵ over distinct windows).
     */
   def removeDuplicatedWindows(
       docs: DataFrame,
@@ -851,15 +854,15 @@ object Dedup {
     require(window > 0, s"removeDuplicatedWindows: window must be positive, got $window")
     val base = docs.select(col(idCol).as("_id"),
       tokens(col(textCol)).as("_toks"))
+    import org.apache.spark.sql.graft.ColumnBridge
+    val winHashes = ColumnBridge.column(graft.plans.TokenWindowHashes(
+      ColumnBridge.expression(col("_toks")), window))
     val wins = base
       .withColumn("_n", size(col("_toks")))
       .filter(col("_n") > 0)
-      .select(col("_id"), col("_n"), explode(expr(
-        s"transform(sequence(0, greatest(_n - $window, 0)), " +
-          s"i -> struct(i AS s, xxhash64(concat_ws(' ', slice(_toks, i + 1, $window))) AS h))"))
-        .as("_w"))
+      .select(col("_id"), col("_n"), explode(winHashes).as("_w"))
       .select(col("_id"), col("_n"),
-        col("_w.s").cast(LongType).as("_s"), col("_w.h").as("_h"))
+        col("_w.s").as("_s"), col("_w.h").as("_h"))
     // keeper = first occurrence corpus-wide; only duplicated windows
     // (count > 1) produce cuts, so unique windows never leave the agg
     val keep = wins.groupBy("_h").agg(

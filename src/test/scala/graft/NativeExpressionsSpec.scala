@@ -558,4 +558,36 @@ class NativeExpressionsSpec extends SparkSpec {
         .agg(call_function("graft_topk", struct(col("x")), lit(0))).collect()
     }
   }
+
+  test("TokenWindowHashes: rolling equals the direct polynomial; equal token spans hash equal; short/empty shapes") {
+    import org.apache.spark.sql.graft.ColumnBridge
+    import graft.plans.{FnvHash64, TokenWindowHashes}
+    import org.apache.spark.unsafe.types.UTF8String
+    val toks = Seq("ab", "cd", "ab", "cd", "ab", "x", "ab", "cd", "ab")
+    val w = 3
+    val df = Seq(Tuple1(toks)).toDF("t")
+    val out = df.select(explode(ColumnBridge.column(TokenWindowHashes(
+        ColumnBridge.expression(col("t")), w))).as("p"))
+      .select(col("p.s"), col("p.h")).as[(Long, Long)].collect().toSeq
+    assert(out.map(_._1) == (0L until 7L))
+    // direct O(n·w) reference: H = Σ h(tok)·B^(w-1-j), wrapping
+    def th(s: String) = FnvHash64.hash(UTF8String.fromString(s))
+    val direct = toks.sliding(w).map(
+      _.foldLeft(0L)((acc, t) => acc * TokenWindowHashes.Base + th(t))).toSeq
+    assert(out.map(_._2) == direct)
+    // equality semantics: windows 0 and 6 are both (ab, cd, ab) — same
+    // hash; neighbours differ
+    assert(out(0)._2 == out(6)._2)
+    assert(out(0)._2 != out(1)._2)
+    // short array: one whole-array window at start 0; empty: none
+    val short = Seq(Tuple1(Seq("only", "two"))).toDF("t")
+      .select(ColumnBridge.column(TokenWindowHashes(
+        ColumnBridge.expression(col("t")), w)).as("a"))
+      .selectExpr("size(a)", "a[0].s").as[(Int, Long)].head()
+    assert(short == ((1, 0L)))
+    val empty = Seq(Tuple1(Seq.empty[String])).toDF("t")
+      .select(size(ColumnBridge.column(TokenWindowHashes(
+        ColumnBridge.expression(col("t")), w)))).as[Int].head()
+    assert(empty == 0)
+  }
 }
