@@ -2560,6 +2560,27 @@ object SparkEntry {
     //      length-bucketed batching — the unpacked-loader prep chain,
     //      two round-8 operators composed as a user would compose them;
     //      the oracle concatenates their two proven chains
+    // ---- composed C4-curation pipeline: line-level clean → page
+    //      gate → exact-substring removal → token accounting. After
+    //      the C4 pass, every ≡1 (mod 5) doc's clean text is the SAME
+    //      appended line, so the removal stage does real cross-doc
+    //      work on the pipeline's own output — the operators compose,
+    //      not just coexist
+    "pipeline_c4_dedup" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(col("doc_id") < 1000)
+        .withColumn("_t", expr(c4GateTextSql))
+      val kept = TextFunctions.c4KeptLines(col("_t"), minWordsPerLine = 3)
+      val cleaned = d
+        .select(col("doc_id"), array_join(kept, "\n").as("_c"),
+          TextFunctions.c4DocPass(col("_t"), kept, minKeptLines = 1).as("_p"))
+        .filter(col("_p"))
+        .select(col("doc_id"), col("_c"))
+      Dedup.removeDuplicatedWindows(cleaned, "doc_id", "_c", window = 10)
+        .select(col("doc_id"), col("clean"), col("n_removed"),
+          TextFunctions.tokenCount(col("clean")).as("n_tokens"))
+        .orderBy("doc_id")
+    }),
+
     "pipeline_batch_prep" -> ((s, dir) => {
       val d = t(s, dir, "documents").filter(col("doc_id") < 2000)
         .select(col("doc_id"), col("text"),
@@ -4320,6 +4341,64 @@ object SparkEntry {
         | CAST(prev // 512 AS BIGINT) AS pack_id,
         | CAST(prev % 512 AS BIGINT) AS pack_offset
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // the two proven CTE chains concatenated: c4 line/page rules into
+    // the window-removal replay (window STRINGS, hash-family-agnostic);
+    // n_tokens of the rebuilt clean text = surviving token count by
+    // construction (single-space re-join of nonempty tokens)
+    "pipeline_c4_dedup" ->
+      s"""WITH d AS (
+         | SELECT doc_id, $c4GateTextSql AS t
+         | FROM documents WHERE doc_id < 1000
+         |), k AS (
+         | SELECT doc_id, t,
+         |  list_filter(string_split(t, chr(10)), x ->
+         |    len(list_filter(string_split_regex(trim(x), '\\s+'), w -> w <> '')) >= 3
+         |    AND regexp_matches(rtrim(x), '[.!?"]$$')) AS kept
+         | FROM d
+         |), c AS (
+         | SELECT doc_id, COALESCE(array_to_string(kept, chr(10)), '') AS ct
+         | FROM k
+         | WHERE (NOT contains(lower(t), 'lorem ipsum'))
+         |   AND (NOT contains(t, '{')) AND len(kept) >= 1
+         |), tk AS (
+         | SELECT doc_id, list_filter(string_split_regex(trim(ct), '\\s+'), x -> x <> '') AS toks
+         | FROM c
+         |), w AS (
+         | SELECT doc_id, len(toks) AS n, CAST(p AS BIGINT) AS s,
+         |  array_to_string(list_slice(toks, CAST(p + 1 AS BIGINT), CAST(p + 10 AS BIGINT)), ' ') AS win
+         | FROM tk, UNNEST(range(0, greatest(len(toks) - 10, 0) + 1)) AS u(p)
+         | WHERE len(toks) > 0
+         |), r AS (
+         | SELECT doc_id, n, s,
+         |  row_number() OVER (PARTITION BY win ORDER BY doc_id, s) AS rn,
+         |  count(*) OVER (PARTITION BY win) AS c
+         | FROM w
+         |), cuts AS (
+         | SELECT doc_id, s, least(s + 10, n) AS e FROM r WHERE c > 1 AND rn > 1
+         |), cov AS (
+         | SELECT DISTINCT doc_id, CAST(q AS BIGINT) AS pos
+         | FROM cuts, UNNEST(range(s, e)) AS v(q)
+         |), tokpos AS (
+         | SELECT doc_id, CAST(generate_subscripts(toks, 1) - 1 AS BIGINT) AS pos,
+         |  unnest(toks) AS tok
+         | FROM tk
+         |), keptt AS (
+         | SELECT tp.doc_id, tp.pos, tp.tok
+         | FROM tokpos tp LEFT JOIN cov
+         |   ON tp.doc_id = cov.doc_id AND tp.pos = cov.pos
+         | WHERE cov.pos IS NULL
+         |), agg AS (
+         | SELECT doc_id, array_to_string(list(tok ORDER BY pos), ' ') AS clean,
+         |  count(*) AS kept
+         | FROM keptt GROUP BY doc_id
+         |)
+         |SELECT tk.doc_id,
+         | COALESCE(agg.clean, '') AS clean,
+         | CAST(len(tk.toks) - COALESCE(agg.kept, 0) AS BIGINT) AS n_removed,
+         | CAST(COALESCE(agg.kept, 0) AS BIGINT) AS n_tokens
+         |FROM tk LEFT JOIN agg ON tk.doc_id = agg.doc_id
+         |ORDER BY tk.doc_id""".stripMargin,
 
     "pipeline_batch_prep" ->
       """WITH d0 AS (

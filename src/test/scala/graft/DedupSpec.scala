@@ -481,6 +481,27 @@ class DedupSpec extends SparkSpec {
       (6L, "x1 x2 x3 x4", 4L)), out.toString)
   }
 
+  test("C4 clean composes into window removal: shared surviving lines dedup across docs") {
+    import graft.functions.{TextFunctions => TF}
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "junk line\nShared good sentence here okay.\n{"), // brace: page drop
+      (2L, "junk line\nShared good sentence here okay."),    // pass, keeper
+      (3L, "other junk\nShared good sentence here okay."),   // pass, deduped away
+      (4L, "Another unique keeper line stays.")              // pass, untouched
+    ).toDF("id", "text")
+    val kept = TF.c4KeptLines($"text")
+    val cleaned = docs.select($"id", array_join(kept, "\n").as("c"),
+        TF.c4DocPass($"text", kept).as("p"))
+      .filter($"p").select($"id", $"c")
+    val out = Dedup.removeDuplicatedWindows(cleaned, "id", "c", window = 3)
+      .orderBy("id").as[(Long, String, Long)].collect().toSeq
+    assert(out == Seq(
+      (2L, "Shared good sentence here okay.", 0L),
+      (3L, "", 5L),
+      (4L, "Another unique keeper line stays.", 0L)), out.toString)
+  }
+
   test("snapshot diff: added/removed/changed/unchanged by normalized content") {
     import graft.operators.Snapshot
     val old = Seq((1L, "Hello, world!"), (2L, "two two"), (3L, "three"))
