@@ -177,6 +177,68 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("removeDuplicatedWindows laws: ordered subsequence, n_removed accounting, whole-copy erasure") {
+    import graft.operators.Dedup
+    val docGen = Gen.listOfN(8, Gen.listOfN(9, wordGen).map(_.mkString(" ")))
+    samples(docGen, 3).foreach { texts =>
+      // append one exact copy of doc 0 under the largest id: the law
+      // says the COPY must vanish entirely (its every window is a dup
+      // of the keeper's) while doc 0 survives untouched by that copy
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) } :+
+        (99L, texts.head)
+      val df = docs.toDF("id", "text")
+      val out = Dedup.removeDuplicatedWindows(df, "id", "text", window = 4)
+        .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      docs.foreach { case (id, orig) =>
+        val (clean, nRemoved) = out(id)
+        val origToks = orig.split("\\s+").filter(_.nonEmpty).toSeq
+        val keptToks = clean.split("\\s+").filter(_.nonEmpty).toSeq
+        // clean is an ordered subsequence of the original tokens
+        var rest = origToks
+        keptToks.foreach { k =>
+          val at = rest.indexOf(k)
+          assert(at >= 0, s"token '$k' not in doc $id remainder")
+          rest = rest.drop(at + 1)
+        }
+        // accounting: removed + kept = original
+        assert(nRemoved == origToks.size - keptToks.size, s"doc $id")
+      }
+      assert(out(99L)._1 == "", s"exact copy survived: ${out(99L)}")
+    }
+  }
+
+  test("deterministicShuffle law: output positions are exactly 1..n at any size") {
+    import graft.operators.Sampling
+    Seq(0, 1, 7, 100).foreach { n =>
+      val df = spark.range(0, n).toDF("id")
+      val pos = Sampling.deterministicShuffle(df, "id", "law")
+        .select("pos").as[Long].collect().sorted.toSeq
+      assert(pos == (1L to n.toLong), s"n=$n: $pos")
+    }
+  }
+
+  test("TokenWindowHashes law: rolling equals the direct polynomial on generated arrays") {
+    import org.apache.spark.sql.graft.ColumnBridge
+    import graft.plans.{FnvHash64, TokenWindowHashes}
+    import org.apache.spark.unsafe.types.UTF8String
+    val arrGen = Gen.chooseNum(0, 14).flatMap(n => Gen.listOfN(n, wordGen))
+    samples(arrGen, 8).foreach { toks =>
+      val w = 3
+      val got = Seq(Tuple1(toks)).toDF("t")
+        .select(ColumnBridge.column(TokenWindowHashes(
+          ColumnBridge.expression(col("t")), w)).as("a"))
+        .selectExpr("transform(a, p -> p.h)").as[Seq[Long]].head()
+      def th(s: String) = FnvHash64.hash(UTF8String.fromString(s))
+      def direct(ts: Seq[String]) =
+        ts.foldLeft(0L)((acc, t) => acc * TokenWindowHashes.Base + th(t))
+      val want =
+        if (toks.isEmpty) Seq.empty[Long]
+        else if (toks.size <= w) Seq(direct(toks))
+        else toks.sliding(w).map(direct).toSeq
+      assert(got == want, s"toks=$toks")
+    }
+  }
+
   test("funnel depth laws: bounded by k, monotone under event append") {
     import graft.operators.Funnel
     val steps = Seq("a", "b", "c")
