@@ -1339,6 +1339,30 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- streaming exact-substring removal: batch 0 establishes the
+    //      window-fingerprint store, batch 1 cuts against store AND
+    //      in-batch keepers, then replays into the version guard's
+    //      no-op branch; the oracle replays the two-batch protocol on
+    //      window strings
+    "window_dedup_stream" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(col("doc_id") < 1000)
+        .select(col("doc_id"), expr(dupRemovalTextSql).as("_t"))
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-windedup-gate").toString
+      val b0 = d.filter(col("doc_id") < 500)
+      val b1 = d.filter(col("doc_id") >= 500)
+      graft.streaming.StreamingOps.applyWindowDedupBatch(s, b0, 0L,
+        "_t", "doc_id", s"$work/state", s"$work/out", 10)
+      graft.streaming.StreamingOps.applyWindowDedupBatch(s, b1, 1L,
+        "_t", "doc_id", s"$work/state", s"$work/out", 10)
+      // crash-window replay: the guard must no-op, survivors stand
+      graft.streaming.StreamingOps.applyWindowDedupBatch(s, b1, 1L,
+        "_t", "doc_id", s"$work/state", s"$work/out", 10)
+      s.read.parquet(s"$work/out")
+        .select(col("doc_id"), col("clean"), col("n_removed"))
+        .orderBy("doc_id")
+    }),
+
     // ---- corpus snapshot diff: added/removed/changed/unchanged by
     //      normalized-content fingerprint across two snapshots built
     //      from the same shared rules (≡0 removed, ≡1 edited, ≡2
@@ -4040,6 +4064,67 @@ object SparkEntry {
          | FROM w
          |), cuts AS (
          | SELECT doc_id, s, least(s + 10, n) AS e FROM r WHERE c > 1 AND rn > 1
+         |), cov AS (
+         | SELECT DISTINCT doc_id, CAST(q AS BIGINT) AS pos
+         | FROM cuts, UNNEST(range(s, e)) AS v(q)
+         |), tokpos AS (
+         | SELECT doc_id, CAST(generate_subscripts(toks, 1) - 1 AS BIGINT) AS pos,
+         |  unnest(toks) AS tok
+         | FROM tk
+         |), keptt AS (
+         | SELECT tp.doc_id, tp.pos, tp.tok
+         | FROM tokpos tp LEFT JOIN cov
+         |   ON tp.doc_id = cov.doc_id AND tp.pos = cov.pos
+         | WHERE cov.pos IS NULL
+         |), agg AS (
+         | SELECT doc_id, array_to_string(list(tok ORDER BY pos), ' ') AS clean,
+         |  count(*) AS kept
+         | FROM keptt GROUP BY doc_id
+         |)
+         |SELECT tk.doc_id,
+         | COALESCE(agg.clean, '') AS clean,
+         | CAST(len(tk.toks) - COALESCE(agg.kept, 0) AS BIGINT) AS n_removed
+         |FROM tk LEFT JOIN agg ON tk.doc_id = agg.doc_id
+         |ORDER BY tk.doc_id""".stripMargin,
+
+    // the two-batch streaming protocol replayed on window strings:
+    // batch 0 is the plain removal; batch 1 cuts both store matches
+    // (any batch-0 window, keeper or not) and in-batch non-keepers
+    "window_dedup_stream" ->
+      s"""WITH d AS (
+         | SELECT doc_id, $dupRemovalTextSql AS t
+         | FROM documents WHERE doc_id < 1000
+         |), tk AS (
+         | SELECT doc_id, list_filter(string_split_regex(trim(t), '\\s+'), x -> x <> '') AS toks
+         | FROM d
+         |), w AS (
+         | SELECT doc_id, len(toks) AS n, CAST(p AS BIGINT) AS s,
+         |  array_to_string(list_slice(toks, CAST(p + 1 AS BIGINT), CAST(p + 10 AS BIGINT)), ' ') AS win
+         | FROM tk, UNNEST(range(0, greatest(len(toks) - 10, 0) + 1)) AS u(p)
+         | WHERE len(toks) > 0
+         |), w0 AS (SELECT * FROM w WHERE doc_id < 500
+         |), w1 AS (SELECT * FROM w WHERE doc_id >= 500
+         |), r0 AS (
+         | SELECT doc_id, n, s,
+         |  row_number() OVER (PARTITION BY win ORDER BY doc_id, s) AS rn,
+         |  count(*) OVER (PARTITION BY win) AS c
+         | FROM w0
+         |), cuts0 AS (
+         | SELECT doc_id, s, least(s + 10, n) AS e FROM r0 WHERE c > 1 AND rn > 1
+         |), state0 AS (SELECT DISTINCT win FROM w0
+         |), r1 AS (
+         | SELECT doc_id, n, s, win,
+         |  row_number() OVER (PARTITION BY win ORDER BY doc_id, s) AS rn,
+         |  count(*) OVER (PARTITION BY win) AS c
+         | FROM w1
+         |), cuts1 AS (
+         | SELECT DISTINCT doc_id, s, least(s + 10, n) AS e FROM (
+         |  SELECT doc_id, s, n FROM r1 WHERE c > 1 AND rn > 1
+         |  UNION
+         |  SELECT r1.doc_id, r1.s, r1.n FROM r1 JOIN state0 USING (win)
+         | ) x
+         |), cuts AS (
+         | SELECT * FROM cuts0 UNION SELECT * FROM cuts1
          |), cov AS (
          | SELECT DISTINCT doc_id, CAST(q AS BIGINT) AS pos
          | FROM cuts, UNNEST(range(s, e)) AS v(q)

@@ -854,26 +854,52 @@ object Dedup {
     require(window > 0, s"removeDuplicatedWindows: window must be positive, got $window")
     val base = docs.select(col(idCol).as("_id"),
       tokens(col(textCol)).as("_toks"))
+    val wins = tokenWindowFingerprints(base, window)
+    rebuildWithoutSpans(base, nonKeeperSpans(wins, window), idCol)
+  }
+
+  /** The sliding-window fingerprints of a `(_id, _toks)` frame:
+    * `(_id, _n, _s, _h)` — one [[graft.plans.TokenWindowHashes]] pass
+    * per doc (see [[removeDuplicatedWindows]]'s scale notes). Shared
+    * with the streaming window dedup, which cuts against a persistent
+    * fingerprint store as well as in-batch keepers.
+    */
+  private[graft] def tokenWindowFingerprints(
+      base: DataFrame, window: Int): DataFrame = {
     import org.apache.spark.sql.graft.ColumnBridge
     val winHashes = ColumnBridge.column(graft.plans.TokenWindowHashes(
       ColumnBridge.expression(col("_toks")), window))
-    val wins = base
+    base
       .withColumn("_n", size(col("_toks")))
       .filter(col("_n") > 0)
       .select(col("_id"), col("_n"), explode(winHashes).as("_w"))
       .select(col("_id"), col("_n"),
         col("_w.s").as("_s"), col("_w.h").as("_h"))
-    // keeper = first occurrence corpus-wide; only duplicated windows
-    // (count > 1) produce cuts, so unique windows never leave the agg
+  }
+
+  /** Cut spans `(_id, _s, _e)` for every duplicated-window occurrence
+    * EXCEPT the corpus-wide keeper (min (id, start) per fingerprint);
+    * only duplicated fingerprints (count > 1) leave the aggregate.
+    */
+  private[graft] def nonKeeperSpans(
+      wins: DataFrame, window: Int): DataFrame = {
     val keep = wins.groupBy("_h").agg(
         min(struct(col("_id"), col("_s"))).as("_k"),
         count(lit(1)).as("_c"))
       .filter(col("_c") > 1)
       .select(col("_h"), col("_k._id").as("_kid"), col("_k._s").as("_ks"))
-    val cuts = wins.join(keep, Seq("_h"))
+    wins.join(keep, Seq("_h"))
       .filter(!(col("_id") === col("_kid") && col("_s") === col("_ks")))
       .select(col("_id"), col("_s"),
         least(col("_s") + lit(window.toLong), col("_n").cast(LongType)).as("_e"))
+  }
+
+  /** Rebuild each doc of `base` (`_id`, `_toks`) without the tokens any
+    * `cuts` span `(_id, _s, _e)` covers: `(idCol, clean, n_removed)`.
+    * Overlapping spans merge through the per-position coverage test.
+    */
+  private[graft] def rebuildWithoutSpans(
+      base: DataFrame, cuts: DataFrame, idCol: String): DataFrame = {
     val ranges = cuts.groupBy("_id")
       .agg(collect_list(struct(col("_s"), col("_e"))).as("_cuts"))
     base.join(ranges, Seq("_id"), "left")

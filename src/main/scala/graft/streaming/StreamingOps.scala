@@ -506,6 +506,95 @@ object StreamingOps {
     }
   }
 
+  /** Streaming exact-substring removal with a persistent WINDOW
+    * fingerprint store — the continuous face of
+    * [[graft.operators.Dedup.removeDuplicatedWindows]]: each batch's
+    * duplicated window-token spans are cut against (a) every window
+    * the corpus has EVER shipped (the versioned fingerprint store) and
+    * (b) earlier in-batch occurrences (the same min-(id, start) keeper
+    * rule); cleaned docs write to `outPath/batch=<id>/`, and the
+    * batch's own ORIGINAL (pre-cut) window fingerprints commit as the
+    * next state version — a future verbatim copy of anything seen here
+    * excises even when this batch's own copy was itself cut.
+    *
+    * Same `_CURRENT` crash-replay protocol as the merge/dedup streams:
+    * survivors write before the commit, replayed batches no-op. State
+    * is 8 bytes per distinct window fingerprint, never text; the state
+    * rewrite stays distinct by induction (batch fingerprints anti-join
+    * the store before the union — no per-batch distinct over history).
+    */
+  def windowDedupStreamPersistent(
+      incoming: DataFrame,
+      textCol: String,
+      idCol: String,
+      statePath: String,
+      outPath: String,
+      checkpointPath: String,
+      window: Int = 50,
+      trigger: Trigger = Trigger.ProcessingTime(0L)
+  ): StreamingQuery = {
+    val spark = incoming.sparkSession
+    incoming.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointPath)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        applyWindowDedupBatch(spark, batch.toDF(), batchId, textCol, idCol,
+          statePath, outPath, window)
+      }
+      .start()
+  }
+
+  /** One micro-batch of [[windowDedupStreamPersistent]]; factored out
+    * so the replay contract is directly testable.
+    */
+  def applyWindowDedupBatch(
+      spark: SparkSession,
+      batch: DataFrame,
+      batchId: Long,
+      textCol: String,
+      idCol: String,
+      statePath: String,
+      outPath: String,
+      windowSize: Int = 50
+  ): Unit = {
+    currentVersionId(spark, statePath) match {
+      case Some(cur) if cur >= batchId =>
+        log.warn(s"windowDedupStreamPersistent: skipping batch $batchId — " +
+          s"state at v$cur already includes it")
+      case _ =>
+        import org.apache.spark.sql.functions._
+        import graft.operators.Dedup
+        val base = batch.select(col(idCol).as("_id"),
+          graft.functions.TextFunctions.tokens(col(textCol)).as("_toks"))
+        val wins = Dedup.tokenWindowFingerprints(base, windowSize)
+        val inBatch = Dedup.nonKeeperSpans(wins, windowSize)
+        val state = readState(spark, statePath)
+        val cuts = state match {
+          case Some(st) =>
+            // anything the store has seen cuts UNCONDITIONALLY — the
+            // historical keeper already shipped in an earlier batch
+            val fromState = wins.join(st, Seq("_h"), "left_semi")
+              .select(col("_id"), col("_s"),
+                least(col("_s") + lit(windowSize.toLong), col("_n").cast("long"))
+                  .as("_e"))
+            inBatch.unionByName(fromState).dropDuplicates("_id", "_s")
+          case None => inBatch
+        }
+        val out = Dedup.rebuildWithoutSpans(base, cuts, idCol)
+        out.write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+        val batchFps = wins.select(col("_h")).distinct()
+        val newState = state match {
+          case Some(st) =>
+            st.unionByName(batchFps.join(st, Seq("_h"), "left_anti"))
+          case None => batchFps
+        }
+        val version = s"v$batchId"
+        newState.write.mode("overwrite").parquet(s"$statePath/$version")
+        commitVersion(spark, statePath, version, keepFrom = batchId - 1)
+    }
+  }
+
   /** Incrementally maintained BM25 postings index — the continuous
     * face of [[graft.operators.Retrieval]]: each micro-batch of NEW
     * documents tokenizes once, aggregates to its own postings slice

@@ -245,6 +245,44 @@ class StreamingSpec extends SparkSpec {
     assert(stateCols == Seq("_fp"))
   }
 
+  test("windowDedupStreamPersistent: spans cut against the store forever; replay is a no-op; state is fingerprints only") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-windedup-persist").toString
+    val mem = MemoryStream[(Long, String)]
+    val df = mem.toDF().toDF("id", "text")
+    val q = StreamingOps.windowDedupStreamPersistent(df, "text", "id",
+      s"$dir/state", s"$dir/out", s"$dir/ckpt", window = 3)
+    val phrase = "s1 s2 s3 s4"
+    try {
+      // batch 0: ids 1 and 2 share the 4-token phrase; 1 is the keeper
+      mem.addData((1L, s"a b $phrase"), (2L, s"c d $phrase e"))
+      q.processAllAvailable()
+      // batch 1: id 3 repeats the phrase — the STORE cuts it even
+      // though batch 0's keeper is long gone; id 4 is untouched
+      mem.addData((3L, s"f g $phrase"), (4L, "h i j k"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.read.parquet(s"$dir/out")
+      .select("id", "clean", "n_removed").as[(Long, String, Long)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == (("a b " + phrase, 0L)))
+    assert(out(2L) == (("c d e", 4L)))
+    assert(out(3L) == (("f g", 4L)))
+    assert(out(4L) == (("h i j k", 0L)))
+    // crash-window replay of batch 1 after its commit: guard no-ops
+    StreamingOps.applyWindowDedupBatch(spark,
+      Seq((3L, s"f g $phrase"), (4L, "h i j k")).toDF("id", "text"),
+      1L, "text", "id", s"$dir/state", s"$dir/out", 3)
+    val replayed = spark.read.parquet(s"$dir/out")
+      .select("id", "clean", "n_removed").as[(Long, String, Long)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(replayed == out)
+    assert(StreamingOps.currentVersionId(spark, s"$dir/state").contains(1L))
+    // state carries 8-byte window fingerprints only, never text
+    val st = StreamingOps.readState(spark, s"$dir/state").get
+    assert(st.columns.toSeq == Seq("_h"))
+  }
+
   test("bm25IndexStream: incremental postings equal the batch build; replay no-ops") {
     implicit val sqlCtx = spark.sqlContext
     val dir = Files.createTempDirectory("graft-bm25-stream").toString
