@@ -1886,6 +1886,19 @@ object SparkEntry {
         .orderBy("group_size")
     }),
 
+    // ---- exact fixed-point k-means step (the IVF training pass, made
+    //      hash-verifiable): e6 floor-quantized components, integer L2
+    //      argmin with ties to the smallest centroid id, per-position
+    //      BIGINT sums + cluster sizes — every compared value integral
+    "kmeans_iter_exact" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val seeds = emb.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("centroid_id"),
+          col("embedding").as("centroid_vec"))
+      Similarity.kmeansIterationExact(emb, "vec_id", "embedding", seeds)
+        .orderBy("centroid_id", "pos")
+    }),
+
     // ---- ANN: IVF with nprobe = #centroids scans every partition, so it
     //      must EXACTLY equal brute force — the oracle is the brute-force
     //      cosine top-k (left-fold double arithmetic on both engines)
@@ -4894,6 +4907,39 @@ object SparkEntry {
         |)
         |SELECT group_size, CAST(count(*) AS BIGINT) AS n_groups
         |FROM g GROUP BY group_size ORDER BY group_size""".stripMargin,
+
+    // identical floor-e6 quantization (one IEEE product then floor —
+    // no round-mode trap), exact integer distances, argmin by
+    // (dist, cid), integer sums — every value compared is a BIGINT/INT
+    "kmeans_iter_exact" ->
+      """WITH e AS (
+        | SELECT vec_id,
+        |  list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS a
+        | FROM embeddings
+        |), c AS (
+        | SELECT vec_id AS cid, a AS cv FROM e WHERE vec_id < 4
+        |), d AS (
+        | SELECT e.vec_id, c.cid,
+        |  list_sum(list_transform(range(1, len(e.a) + 1),
+        |    i -> (e.a[i] - c.cv[i]) * (e.a[i] - c.cv[i]))) AS dist
+        | FROM e, c
+        |), w AS (
+        | SELECT vec_id, cid,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        | FROM d
+        |), asg AS (
+        | SELECT e.vec_id, w.cid, e.a FROM w JOIN e USING (vec_id) WHERE rn = 1
+        |), ex AS (
+        | SELECT cid, CAST(generate_subscripts(a, 1) - 1 AS INT) AS pos,
+        |  unnest(a) AS x
+        | FROM asg
+        |)
+        |SELECT cid AS centroid_id, pos,
+        | CAST(sum(x) AS BIGINT) AS sum_e6,
+        | CAST(count(*) AS BIGINT) AS n_assigned
+        |FROM ex GROUP BY 1, 2
+        |ORDER BY centroid_id, pos""".stripMargin,
 
     "ann_ivf_topk" ->
       """WITH q AS (

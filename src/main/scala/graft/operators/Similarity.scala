@@ -349,6 +349,55 @@ object Similarity {
     cents
   }
 
+  /** One EXACT k-means (Lloyd) assignment-and-sum step in fixed-point
+    * integer arithmetic — the hash-verifiable twin of
+    * [[refineCentroids]] (whose double `avg` is order-dependent across
+    * partitions, so its centroid VALUES can never be bit-compared by
+    * an external engine). Components quantize to e6 fixed point via
+    * `floor(x·10⁶)` — floor, not round: the product is ONE IEEE double
+    * op identical in any engine, and floor is unambiguous where
+    * round's half-even/half-up split is the classic cross-engine trap.
+    * Distances are exact `Σ(a−c)²` BIGINTs, argmin ties break to the
+    * smallest centroid id, and the refreshed centroid leaves as
+    * per-position integer sums + cluster sizes `(centroid_id, pos,
+    * sum_e6, n_assigned)` — the caller divides (or feeds the sums into
+    * the next iteration), keeping every compared value integral.
+    *
+    * Scale shape: centroids broadcast (C is driver metadata), the
+    * assignment pass is narrow, and the shuffle carries (cid, pos,
+    * partial sum) histogram rows — map-side combined, never vectors.
+    * Overflow headroom: |x| ≤ 10⁶·max|v|, so Σ(a−c)² fits BIGINT to
+    * ~10⁴ dimensions at unit-scale embeddings.
+    */
+  def kmeansIterationExact(
+      corpus: DataFrame,
+      corpusId: String,
+      corpusVec: String,
+      centroids: DataFrame // columns: centroid_id, centroid_vec
+  ): DataFrame = {
+    val toE6 = (c: Column) => transform(c,
+      v => floor(v.cast(DoubleType) * 1000000d).cast(LongType))
+    val corp = corpus.select(col(corpusId).as("_id"),
+      toE6(col(corpusVec)).as("_a"))
+    val cents = broadcast(centroids.select(
+      col("centroid_id").cast(LongType).as("_cid"),
+      toE6(col("centroid_vec")).as("_c")))
+    val dist = aggregate(
+      zip_with(col("_a"), col("_c"), (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, d) => acc + d)
+    corp.crossJoin(cents)
+      .select(col("_id"), col("_a"), col("_cid"), dist.as("_d"))
+      .groupBy(col("_id"))
+      .agg(min_by(struct(col("_cid").as("cid"), col("_a").as("a")),
+        struct(col("_d"), col("_cid"))).as("_w"))
+      .select(col("_w.cid").as("_cid"), posexplode(col("_w.a")).as(Seq("pos", "x")))
+      .groupBy(col("_cid"), col("pos"))
+      .agg(sum(col("x")).as("sum_e6"), count(lit(1)).as("n_assigned"))
+      .select(col("_cid").as("centroid_id"),
+        col("pos").cast(IntegerType).as("pos"),
+        col("sum_e6"), col("n_assigned"))
+  }
+
   /** End-to-end IVF index build: seed `c` centroids deterministically,
     * refine with `iterations` Lloyd passes, assign the corpus, persist
     * it partitioned by `centroid_id` at `path` (the [[writeAssigned]]

@@ -294,6 +294,34 @@ class SimilaritySpec extends SparkSpec {
     assert(out == Seq(2L, 3L, 4L), s"got $out")
   }
 
+  test("kmeansIterationExact: integer assignment + sums; ties to smallest cid; centroids broadcast") {
+    import org.apache.spark.sql.functions._
+    val vecs = Seq(
+      (0L, Array(0.0f, 0.0f)),   // seed A
+      (1L, Array(1.0f, 1.0f)),   // seed B
+      (2L, Array(0.1f, 0.1f)),   // → A
+      (3L, Array(0.9f, 1.1f)),   // → B
+      (4L, Array(0.5f, 0.5f))    // EQUIDISTANT in e6 space → tie → A (cid 0)
+    ).toDF("id", "vec")
+    val seeds = vecs.filter($"id" < 2)
+      .select($"id".as("centroid_id"), $"vec".as("centroid_vec"))
+    val out = Similarity.kmeansIterationExact(vecs, "id", "vec", seeds)
+      .orderBy("centroid_id", "pos")
+      .as[(Long, Int, Long, Long)].collect().toSeq
+    // cluster A = {0, 2, 4}: sums (0 + 100000 + 500000) per dim;
+    // cluster B = {1, 3}: dim0 1000000 + 899999 (floor of 0.9f·10⁶ —
+    // 0.9f widens to 0.89999997…), dim1 1000000 + 1100000
+    val b0 = math.floor(0.9f.toDouble * 1000000).toLong
+    val b1 = math.floor(1.1f.toDouble * 1000000).toLong
+    assert(out == Seq(
+      (0L, 0, 600000L, 3L), (0L, 1, 600000L, 3L),
+      (1L, 0, 1000000L + b0, 2L), (1L, 1, 1000000L + b1, 2L)), out.toString)
+    // the centroid side broadcasts — assignment adds no shuffle
+    val plan = Similarity.kmeansIterationExact(vecs, "id", "vec", seeds)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Broadcast"), plan)
+  }
+
   test("mmrRerank cosine: scale-invariant penalty picks the orthogonal doc") {
     // id 2's vector is a SCALED copy of id 1's: cosine penalty 1.0
     // regardless of magnitude, so id 3 (orthogonal) ranks second
