@@ -1363,6 +1363,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- span-level decontamination: probe docs (≡0 mod 37) donate
+    //      their lowercased 8-token windows; matching spans cut from
+    //      every doc (the probes themselves empty out), punctuation
+    //      kept so match positions align with the original tokens
+    "probe_overlap_removal" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(col("doc_id") < 1000)
+        .select(col("doc_id"), col("text"))
+      val probes = t(s, dir, "documents")
+        .filter(col("doc_id") % 37 === 0).select(col("text"))
+      Decontamination.removeProbeOverlaps(
+          d, "doc_id", "text", probes, "text", window = 8)
+        .orderBy("doc_id")
+    }),
+
     // ---- corpus snapshot diff: added/removed/changed/unchanged by
     //      normalized-content fingerprint across two snapshots built
     //      from the same shared rules (≡0 removed, ≡1 edited, ≡2
@@ -4099,6 +4113,54 @@ object SparkEntry {
          | CAST(len(tk.toks) - COALESCE(agg.kept, 0) AS BIGINT) AS n_removed
          |FROM tk LEFT JOIN agg ON tk.doc_id = agg.doc_id
          |ORDER BY tk.doc_id""".stripMargin,
+
+    // probe windows on LOWERCASED tokens (punctuation kept — position
+    // alignment), matches become cut spans, same coverage rebuild
+    "probe_overlap_removal" ->
+      """WITH d AS (
+        | SELECT doc_id, text FROM documents WHERE doc_id < 1000
+        |), tk AS (
+        | SELECT doc_id,
+        |  list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks,
+        |  list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS ltoks
+        | FROM d
+        |), pr AS (
+        | SELECT list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS lt
+        | FROM documents WHERE doc_id % 37 = 0
+        |), pw AS (
+        | SELECT DISTINCT
+        |  array_to_string(list_slice(lt, CAST(p + 1 AS BIGINT), CAST(p + 8 AS BIGINT)), ' ') AS win
+        | FROM pr, UNNEST(range(0, greatest(len(lt) - 8, 0) + 1)) AS u(p)
+        | WHERE len(lt) > 0
+        |), w AS (
+        | SELECT doc_id, len(ltoks) AS n, CAST(p AS BIGINT) AS s,
+        |  array_to_string(list_slice(ltoks, CAST(p + 1 AS BIGINT), CAST(p + 8 AS BIGINT)), ' ') AS win
+        | FROM tk, UNNEST(range(0, greatest(len(ltoks) - 8, 0) + 1)) AS u(p)
+        | WHERE len(ltoks) > 0
+        |), cuts AS (
+        | SELECT doc_id, s, least(s + 8, n) AS e FROM w JOIN pw USING (win)
+        |), cov AS (
+        | SELECT DISTINCT doc_id, CAST(q AS BIGINT) AS pos
+        | FROM cuts, UNNEST(range(s, e)) AS v(q)
+        |), tokpos AS (
+        | SELECT doc_id, CAST(generate_subscripts(toks, 1) - 1 AS BIGINT) AS pos,
+        |  unnest(toks) AS tok
+        | FROM tk
+        |), keptt AS (
+        | SELECT tp.doc_id, tp.pos, tp.tok
+        | FROM tokpos tp LEFT JOIN cov
+        |   ON tp.doc_id = cov.doc_id AND tp.pos = cov.pos
+        | WHERE cov.pos IS NULL
+        |), agg AS (
+        | SELECT doc_id, array_to_string(list(tok ORDER BY pos), ' ') AS clean,
+        |  count(*) AS kept
+        | FROM keptt GROUP BY doc_id
+        |)
+        |SELECT tk.doc_id,
+        | COALESCE(agg.clean, '') AS clean,
+        | CAST(len(tk.toks) - COALESCE(agg.kept, 0) AS BIGINT) AS n_removed
+        |FROM tk LEFT JOIN agg ON tk.doc_id = agg.doc_id
+        |ORDER BY tk.doc_id""".stripMargin,
 
     // the two-batch streaming protocol replayed on window strings:
     // batch 0 is the plain removal; batch 1 cuts both store matches

@@ -147,4 +147,56 @@ object Decontamination {
     contaminationFlags(docs, textCol, idCol, probes, probeTextCol, n)
       .filter(!col("contaminated"))
       .drop("contaminated")
+
+  /** SPAN-level decontamination — cut every `window`-token span that
+    * matches a probe window, keeping the rest of the document (the
+    * surgical alternative to [[decontaminate]]'s whole-doc drop when
+    * benchmark text was quoted inside otherwise-good pages). Returns
+    * `(idCol, clean, n_removed)`; overlapping matches merge by
+    * position coverage like
+    * [[graft.operators.Dedup.removeDuplicatedWindows]].
+    *
+    * Matching tokenizes LOWERCASED text (case-blind like the flag
+    * path) but — unlike the flags, which hash fully normalized
+    * shingles — keeps punctuation: normalization can delete whole
+    * tokens (a pure-punctuation token normalizes away), and a removal
+    * needs its match positions to align 1:1 with the original token
+    * stream it cuts. Lowercasing preserves token boundaries exactly,
+    * so the lowercase match span IS the original-case cut span.
+    *
+    * Scale shape: both sides run the one-pass rolling
+    * [[graft.plans.TokenWindowHashes]]; the probe window set
+    * aggregates once and broadcasts under the same cap as the flag
+    * path (plain semi-join fallback above it); corpus windows leave
+    * the row as 8-byte fingerprints; the rebuild is the narrow
+    * index-coverage lambda.
+    */
+  def removeProbeOverlaps(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      probes: DataFrame,
+      probeTextCol: String,
+      window: Int = 13,
+      maxBroadcastProbeWindows: Long = 10000000L
+  ): DataFrame = {
+    require(window > 0, s"removeProbeOverlaps: window must be positive, got $window")
+    val base = docs.select(col(idCol).as("_id"),
+      tokens(col(textCol)).as("_toks"),
+      tokens(lower(col(textCol))).as("_ltoks"))
+    val wins = Dedup.tokenWindowFingerprints(
+      base.select(col("_id"), col("_ltoks").as("_toks")), window)
+    val probeFps = Dedup.tokenWindowFingerprints(
+        probes.select(lit(0L).as("_id"),
+          tokens(lower(col(probeTextCol))).as("_toks")), window)
+      .select(col("_h")).distinct().cache()
+    val probeSide =
+      if (probeFps.count() <= maxBroadcastProbeWindows) broadcast(probeFps)
+      else probeFps
+    val cuts = wins.join(probeSide, Seq("_h"), "left_semi")
+      .select(col("_id"), col("_s"),
+        least(col("_s") + lit(window.toLong), col("_n").cast("long")).as("_e"))
+    Dedup.rebuildWithoutSpans(
+      base.select(col("_id"), col("_toks")), cuts, idCol)
+  }
 }

@@ -80,4 +80,20 @@ class DecontaminationSpec extends SparkSpec {
       .select("doc_id", "contaminated").as[(Long, Boolean)].collect().toMap
     out.values.foreach { case (id, _, ov, _) => assert(flags(id) == (ov > 0L)) }
   }
+
+  test("removeProbeOverlaps: matched spans cut case-blind, original case kept, clean docs untouched") {
+    val probes = Seq("THE LAZY DOG tonight").toDF("text")
+    val out = Decontamination.removeProbeOverlaps(
+        docs, "doc_id", "text", probes, "text", window = 3)
+      .orderBy("doc_id").as[(Long, String, Long)].collect().toSeq
+    // doc 1: lowercase windows [the lazy dog][lazy dog tonight] match →
+    //   coverage tokens 6..9; the surviving text keeps ORIGINAL case
+    assert(out(0) == ((1L, "the quick brown fox jumps over", 4L)), out(0).toString)
+    // doc 2: no probe overlap — byte-identical
+    assert(out(1) == ((2L, "an entirely different body of training text material", 0L)))
+    // doc 3: same phrase mid-doc → interior cut, flanks survive
+    assert(out(2) == ((3L, "we mention in passing here too", 4L)), out(2).toString)
+    // doc 4: shorter than the window, no match
+    assert(out(3) == ((4L, "short doc", 0L)))
+  }
 }
