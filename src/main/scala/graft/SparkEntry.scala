@@ -1363,6 +1363,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- deterministic balanced sharding: shuffle order + exact
+    //      token prefix sums → shard = tape_pos div budget; the
+    //      two-level prefix carries token sums, no global window
+    "shard_by_budget" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(col("doc_id") < 2000)
+        .select(col("doc_id"), col("text"))
+      Packing.shardByTokenBudget(d, "doc_id",
+          TextFunctions.tokenCount(col("text")), budget = 2000L,
+          salt = "shard")
+        .select(col("doc_id"), col("tape_pos"), col("shard"))
+        .orderBy("doc_id")
+    }),
+
     // ---- span-level decontamination: probe docs (≡0 mod 37) donate
     //      their lowercased 8-token windows; matching spans cut from
     //      every doc (the probes themselves empty out), punctuation
@@ -4113,6 +4126,36 @@ object SparkEntry {
          | CAST(len(tk.toks) - COALESCE(agg.kept, 0) AS BIGINT) AS n_removed
          |FROM tk LEFT JOIN agg ON tk.doc_id = agg.doc_id
          |ORDER BY tk.doc_id""".stripMargin,
+
+    // same signed-FNV order as corpus_shuffle (prefix salt 'shard:'),
+    // exact token prefix sums via one window, integer div for shards
+    "shard_by_budget" ->
+      """WITH h AS (
+        | SELECT doc_id,
+        |  CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS nt,
+        |  list_reduce(
+        |    list_prepend(CAST('14695981039346656037' AS HUGEINT),
+        |      list_transform(range(1, length(s) + 1), i -> CAST(ascii(s[i]) AS HUGEINT))),
+        |    (acc, b) -> ((acc // 256) * 256 + xor(CAST(acc % 256 AS BIGINT), CAST(b AS BIGINT)))
+        |                * 1099511628211 % CAST('18446744073709551616' AS HUGEINT)
+        |  ) AS hh
+        | FROM (SELECT doc_id, text, 'shard:' || doc_id::VARCHAR AS s
+        |       FROM documents WHERE doc_id < 2000)
+        |), sgn AS (
+        | SELECT doc_id, nt,
+        |  CAST(hh - CASE WHEN hh >= CAST('9223372036854775808' AS HUGEINT)
+        |            THEN CAST('18446744073709551616' AS HUGEINT)
+        |            ELSE CAST(0 AS HUGEINT) END AS BIGINT) AS hs
+        | FROM h
+        |), tape AS (
+        | SELECT doc_id,
+        |  CAST(COALESCE(SUM(nt) OVER (ORDER BY hs, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tape_pos
+        | FROM sgn
+        |)
+        |SELECT doc_id, tape_pos,
+        | CAST(tape_pos // 2000 AS BIGINT) AS shard
+        |FROM tape ORDER BY doc_id""".stripMargin,
 
     // probe windows on LOWERCASED tokens (punctuation kept — position
     // alignment), matches become cut spans, same coverage rebuild

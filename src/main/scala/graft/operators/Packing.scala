@@ -215,4 +215,55 @@ object Packing {
         array_join(col("_win"), " ").as("chunk_text"),
         size(col("_win")).cast(LongType).as("n_tokens"))
   }
+
+  /** Deterministic balanced sharding — the data-loader prep step:
+    * every doc gets a `shard` id so that consecutive docs IN THE
+    * REPRODUCIBLE SHUFFLE ORDER (the
+    * [[Sampling.deterministicShuffle]] total order: FNV(salt:key)
+    * signed-ascending, then key) fill shards of ≈`budget` tokens —
+    * `shard = tape_pos div budget`, where `tape_pos` is the exact
+    * count of tokens preceding the doc on the conceptual tape. One
+    * operator gives training-order randomization AND balanced output
+    * files; re-running at any partitioning reproduces the same
+    * layout, so shard manifests are stable artifacts.
+    *
+    * Scale shape — the same two-level prefix as the shuffle, carrying
+    * token sums: rows bucket by the hash's high 10 bits (uniform by
+    * construction), per-bucket token totals prefix-sum into bucket
+    * offsets over ≤1024 histogram rows, and the within-bucket running
+    * sum windows by bucket ordered by (hash, key) — no task ever
+    * windows the whole corpus. Output adds `tape_pos` and `shard`
+    * (both BIGINT, exact integer arithmetic).
+    */
+  def shardByTokenBudget(
+      df: DataFrame,
+      keyCol: String,
+      tokensCol: Column,
+      budget: Long,
+      salt: String = "graft"
+  ): DataFrame = {
+    require(budget > 0, s"shardByTokenBudget: budget must be positive, got $budget")
+    import org.apache.spark.sql.graft.ColumnBridge
+    val h = ColumnBridge.column(graft.plans.FnvHash64(
+      ColumnBridge.expression(
+        concat(lit(salt + ":"), col(keyCol).cast("string")))))
+    val withH = df
+      .withColumn("_nt", tokensCol.cast(LongType))
+      .withColumn("_h", h)
+      .withColumn("_b", shiftright(col("_h"), 54) + lit(512L))
+    val cnts = withH.groupBy("_b").agg(sum(col("_nt")).as("_ts"))
+    val wOff = Window.orderBy("_b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = cnts
+      .withColumn("_toff", coalesce(sum(col("_ts")).over(wOff), lit(0L)))
+      .select("_b", "_toff")
+    val wRun = Window.partitionBy("_b").orderBy(col("_h"), col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    withH
+      .withColumn("_prev", coalesce(sum(col("_nt")).over(wRun), lit(0L)))
+      .join(offs, Seq("_b"))
+      .withColumn("tape_pos", col("_toff") + col("_prev"))
+      .withColumn("shard", expr(s"CAST(tape_pos div ${budget}L AS BIGINT)"))
+      .drop("_h", "_b", "_prev", "_toff", "_nt")
+  }
 }

@@ -136,4 +136,36 @@ class PackingSpec extends SparkSpec {
     val rnWindows = plan.linesIterator.filter(_.contains("row_number")).toSeq
     assert(rnWindows.nonEmpty && rnWindows.forall(_.contains("_b")), plan)
   }
+
+  test("shardByTokenBudget: equals the brute-force prefix sum over the shuffle order; layout-stable; bucket-bounded windows") {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val docs = (0L until 300L).map(i => (i, ("w " * ((i % 17).toInt + 1)).trim))
+      .toDF("id", "text")
+    val nt = graft.functions.TextFunctions.tokenCount($"text")
+    val out = Packing.shardByTokenBudget(docs, "id", nt, budget = 100L, salt = "s")
+      .select("id", "tape_pos", "shard").as[(Long, Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    // brute force: driver-side (hash, id) order, running token sum
+    val h = ColumnBridge.column(graft.plans.FnvHash64(
+      ColumnBridge.expression(concat(lit("s:"), $"id".cast("string")))))
+    val rows = docs.select($"id", nt.as("nt")).withColumn("_h", h)
+      .as[(Long, Long, Long)].collect().sortBy { case (id, _, hh) => (hh, id) }
+    var acc = 0L
+    val ref = rows.map { case (id, n, _) =>
+      val r = (id, acc, acc / 100L); acc += n; r
+    }.sortBy(_._1).toSeq
+    assert(out == ref)
+    // partitioning must not change the layout
+    val out2 = Packing.shardByTokenBudget(docs.repartition(7), "id", nt,
+        budget = 100L, salt = "s")
+      .select("id", "tape_pos", "shard").as[(Long, Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(out2 == ref)
+    // the running-sum window partitions by the hash bucket, never global
+    val plan = Packing.shardByTokenBudget(docs, "id", nt, 100L, "s")
+      .queryExecution.optimizedPlan.toString
+    val runWindows = plan.linesIterator
+      .filter(l => l.contains("windowspecdefinition") && l.contains("_h")).toSeq
+    assert(runWindows.nonEmpty && runWindows.forall(_.contains("_b")), plan)
+  }
 }
