@@ -1363,6 +1363,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- C4 policy filters: sentence counting (terminal-punct runs)
+    //      + exact-token badword blocking; the fragment plants a
+    //      blocked token on ≡0 docs and extra sentences on ≡1, and
+    //      "classify" proves substring non-matching
+    "c4_policy_filters" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(col("doc_id") < 2000)
+        .withColumn("_t", expr(
+          """CASE CAST(doc_id % 3 AS INT)
+            | WHEN 0 THEN text || ' verboten classify.'
+            | WHEN 1 THEN text || ' One more sentence here. And another one.'
+            | ELSE text
+            |END""".stripMargin))
+      val blocked = Seq("VERBOTEN", "forbiddenterm")
+      val bad = TextFunctions.hasBlockedWord(col("_t"), blocked)
+      val ns = TextFunctions.sentenceCount(col("_t"))
+      d.select(col("doc_id"), ns.as("n_sentences"), bad.as("has_blocked"),
+          (!bad && (ns >= 2L)).as("keep"))
+        .orderBy("doc_id")
+    }),
+
     // ---- deterministic balanced sharding: shuffle order + exact
     //      token prefix sums → shard = tape_pos div budget; the
     //      two-level prefix carries token sums, no global window
@@ -4126,6 +4146,30 @@ object SparkEntry {
          | CAST(len(tk.toks) - COALESCE(agg.kept, 0) AS BIGINT) AS n_removed
          |FROM tk LEFT JOIN agg ON tk.doc_id = agg.doc_id
          |ORDER BY tk.doc_id""".stripMargin,
+
+    // same regex, same lowercase exact-token block list; 'classify.'
+    // strips to 'classify.' token — list_has_any is exact-element, so
+    // the planted near-miss never trips the block
+    "c4_policy_filters" ->
+      """WITH d AS (
+        | SELECT doc_id,
+        |  CASE CAST(doc_id % 3 AS INT)
+        |   WHEN 0 THEN text || ' verboten classify.'
+        |   WHEN 1 THEN text || ' One more sentence here. And another one.'
+        |   ELSE text
+        |  END AS t
+        | FROM documents WHERE doc_id < 2000
+        |), f AS (
+        | SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t, '[^.!?]*[.!?]+')) AS BIGINT) AS n_sentences,
+        |  list_has_any(
+        |    list_filter(string_split_regex(trim(lower(t)), '\s+'), x -> x <> ''),
+        |    ['verboten', 'forbiddenterm']) AS has_blocked
+        | FROM d
+        |)
+        |SELECT doc_id, n_sentences, has_blocked,
+        | ((NOT has_blocked) AND n_sentences >= 2) AS keep
+        |FROM f ORDER BY doc_id""".stripMargin,
 
     // same signed-FNV order as corpus_shuffle (prefix salt 'shard:'),
     // exact token prefix sums via one window, integer div for shards

@@ -200,6 +200,27 @@ object TextFunctions {
       !text.contains("{") &&
       (size(keptLines) >= minKeptLines)
 
+  /** Sentence count: maximal runs of non-terminal characters closed by
+    * a run of terminal punctuation (`. ! ?`) — text after the last
+    * terminal mark doesn't count, matching the C4 recipe's
+    * sentence-per-page rule (pages need ≥ N sentences). One RE2-safe
+    * regex (no lookaround), reproducible by any engine's
+    * regexp_extract_all.
+    */
+  def sentenceCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[^.!?]*[.!?]+"), lit(0)))
+      .cast(LongType)
+
+  /** True iff any whitespace token of the lowercased text equals a
+    * blocked term — the C4 "bad words" page filter (list-driven policy
+    * drop). Exact token match, not substring: "class" must not trip a
+    * block on "ass". The list is policy metadata (a literal array in
+    * the plan); lowercase it once here.
+    */
+  def hasBlockedWord(text: Column, blocked: Seq[String]): Column =
+    arrays_overlap(tokens(lower(text)),
+      array(blocked.map(b => lit(b.toLowerCase(java.util.Locale.ROOT))): _*))
+
   /** Truncate to the first `maxTokens` whitespace tokens, re-joined with
     * single spaces — the max-sequence-length clamp of training prep.
     * NOTE: re-joining NORMALIZES whitespace (runs collapse to one

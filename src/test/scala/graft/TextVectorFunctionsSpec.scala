@@ -309,4 +309,25 @@ class TextVectorFunctionsSpec extends SparkSpec {
       .select(array_join(kept4, "|")).as[String].head()
     assert(c0 == "This line ends well.")
   }
+
+  test("sentenceCount and hasBlockedWord: the C4 policy primitives") {
+    val rows = Seq(
+      (0L, "One. Two! Three? trailing tail without mark"),
+      (1L, "no terminal marks at all"),
+      (2L, "Ellipsis... counts once. Right."),
+      (3L, "Contains a BadWord here."),
+      (4L, "classify is not a blocked substring match.")
+    ).toDF("id", "t")
+    val out = rows.select($"id", TF.sentenceCount($"t").as("n"),
+        TF.hasBlockedWord($"t", Seq("badword", "ass")).as("b"))
+      .orderBy("id").as[(Long, Long, Boolean)].collect().toSeq
+    // ids: sentences / blocked
+    assert(out == Seq(
+      (0L, 3L, false),
+      (1L, 0L, false),
+      (2L, 3L, false),  // "Ellipsis..." is ONE terminal run, then two more
+      (3L, 1L, true),   // case-blind exact token (BadWord -> badword)
+      (4L, 1L, false)), // "classify" must not trip the "ass" block
+      out.toString)
+  }
 }
