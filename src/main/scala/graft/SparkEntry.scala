@@ -2617,6 +2617,32 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- leakage-safe grouped split: the split KEY is the domain
+    //      (source), so near-dup docs inside one domain can never
+    //      straddle train/test — the standard guard against
+    //      split leakage that per-doc hashing cannot give
+    "grouped_split" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("source"))
+      Sampling.splitByHash(d, "source",
+          Seq("train" -> 0.8, "test" -> 0.2), salt = "gsplit")
+        .orderBy("doc_id")
+    }),
+
+    // ---- materialized training sequences: pack assignment → the
+    //      actual concatenated sequence per pack (order-total via
+    //      sorted structs, EOS separator), each group ≈budget tokens
+    //      by construction
+    "pack_materialize" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(col("doc_id") < 2000)
+        .select(col("doc_id"), col("source"), col("text"),
+          TextFunctions.tokenCount(col("text")).as("nt"))
+      val packed = Packing.packByTokenBudget(d, col("nt"), "doc_id",
+        budget = 500L, strataCols = Seq("source"))
+      Packing.materializePacks(packed, "text", col("nt"), "doc_id",
+          Seq("source"))
+        .orderBy("source", "pack_id")
+    }),
+
     // ---- dedup APPLY with a quality policy: planted copies carry two
     //      extra punctuation chars (same fingerprint after
     //      normalization, LONGER raw text), so the quality argmax keeps
@@ -5398,6 +5424,44 @@ object SparkEntry {
         |      WHEN bucket < 922 THEN 'val'
         |      WHEN bucket < 1024 THEN 'test' END AS split
         |FROM h ORDER BY doc_id""".stripMargin,
+
+    // FNV of the SOURCE (not the doc id) — every doc of one source
+    // lands in one split; same bucket bounds as hash_split's 0.8 cut
+    "grouped_split" ->
+      """WITH h AS (
+        | SELECT doc_id, source,
+        |  CAST(list_reduce(
+        |    list_prepend(CAST('14695981039346656037' AS HUGEINT),
+        |      list_transform(range(1, length(s) + 1), i -> CAST(ascii(s[i]) AS HUGEINT))),
+        |    (acc, b) -> ((acc // 256) * 256 + xor(CAST(acc % 256 AS BIGINT), CAST(b AS BIGINT)))
+        |                * 1099511628211 % CAST('18446744073709551616' AS HUGEINT)
+        |  ) % 1024 AS BIGINT) AS bucket
+        | FROM (SELECT doc_id, source, source || ':gsplit' AS s FROM documents)
+        |)
+        |SELECT doc_id, source,
+        | CASE WHEN bucket < 819 THEN 'train'
+        |      WHEN bucket < 1024 THEN 'test' END AS split
+        |FROM h ORDER BY doc_id""".stripMargin,
+
+    // the pack_by_budget running-sum chain, then string_agg in doc_id
+    // order with the same EOS separator — n_tokens is the member sum
+    "pack_materialize" ->
+      """WITH d AS (
+        | SELECT doc_id, source, text,
+        |  CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS nt
+        | FROM documents WHERE doc_id < 2000
+        |), p AS (
+        | SELECT doc_id, source, text, nt,
+        |  CAST((SUM(nt) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - nt) // 500 AS BIGINT) AS pack_id
+        | FROM d
+        |)
+        |SELECT source, pack_id,
+        | CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(nt) AS BIGINT) AS n_tokens,
+        | string_agg(text, ' <eos> ' ORDER BY doc_id) AS seq
+        |FROM p GROUP BY 1, 2
+        |ORDER BY source, pack_id""".stripMargin,
 
     // the dedup_keep_best chain → the hash_split FNV fragment (train
     // bucket < 819) → the pack_by_budget running-sum chain, verbatim

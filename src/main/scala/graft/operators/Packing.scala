@@ -68,6 +68,40 @@ object Packing {
       .drop("_prev")
   }
 
+  /** Materialize the packed TRAINING SEQUENCES from
+    * [[packByTokenBudget]]'s assignment: one row per (strata, pack_id)
+    * with the member texts concatenated in `orderCol` order around the
+    * `eos` separator — the actual sequence a data loader tokenizes —
+    * plus `n_docs` and the exact member token sum. The missing last
+    * step between a pack ASSIGNMENT and a training shard file.
+    *
+    * Scale shape: the groupBy rides the same (strata) exchange the
+    * packing window created (composed directly, Catalyst reuses it);
+    * each group materializes ≈`budget` tokens of text by construction
+    * — a pack is budget-bounded, so no group ever exceeds ~budget
+    * tokens plus one straddling tail, and `collect_list` state is
+    * bounded the same way. `sort_array` on (order, text) structs makes
+    * the concatenation order total without a per-group window.
+    */
+  def materializePacks(
+      packed: DataFrame,
+      textCol: String,
+      tokens: Column,
+      orderCol: String,
+      strataCols: Seq[String] = Seq.empty,
+      eos: String = " <eos> "
+  ): DataFrame =
+    packed
+      .groupBy((strataCols :+ "pack_id").map(col): _*)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(tokens).cast(LongType).as("n_tokens"),
+        array_join(
+          transform(
+            sort_array(collect_list(struct(col(orderCol), col(textCol)))),
+            e => e.getField(textCol)),
+          eos).as("seq"))
+
   /** Pack-level summary: docs per pack and total tokens STARTING in each
     * pack (boundary-straddling tails count toward the pack they start
     * in). The aggregate reuses the packing exchange when composed

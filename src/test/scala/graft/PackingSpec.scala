@@ -137,6 +137,24 @@ class PackingSpec extends SparkSpec {
     assert(rnWindows.nonEmpty && rnWindows.forall(_.contains("_b")), plan)
   }
 
+  test("materializePacks: EOS-joined member texts in order; straddlers stay in their start pack") {
+    val d = Seq(
+      (1L, "s", "a b c", 3L),   // pack 0: tokens 0-2
+      (2L, "s", "d e", 2L),     // pack 0: starts at 3 (straddles into 5+)
+      (3L, "s", "f", 1L),       // pack 1: starts at 5
+      (4L, "t", "x y", 2L)      // other stratum, own pack 0
+    ).toDF("id", "src", "text", "nt")
+    val packed = Packing.packByTokenBudget(d, $"nt", "id", budget = 5L,
+      strataCols = Seq("src"))
+    val out = Packing.materializePacks(packed, "text", $"nt", "id", Seq("src"))
+      .orderBy("src", "pack_id")
+      .as[(String, Long, Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      ("s", 0L, 2L, 5L, "a b c <eos> d e"),
+      ("s", 1L, 1L, 1L, "f"),
+      ("t", 0L, 1L, 2L, "x y")), out.toString)
+  }
+
   test("shardByTokenBudget: equals the brute-force prefix sum over the shuffle order; layout-stable; bucket-bounded windows") {
     import org.apache.spark.sql.graft.ColumnBridge
     val docs = (0L until 300L).map(i => (i, ("w " * ((i % 17).toInt + 1)).trim))
