@@ -1946,6 +1946,21 @@ object SparkEntry {
         .orderBy("centroid_id", "pos")
     }),
 
+    // ---- TWO chained exact k-means steps: iteration-1 sums → integer
+    //      centroids (sum div n, trunc-toward-zero on BOTH engines) →
+    //      iteration-2 sums — the training loop closes without ever
+    //      leaving exact arithmetic
+    "kmeans_two_iter" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val seeds = emb.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("centroid_id"),
+          col("embedding").as("centroid_vec"))
+      val s1 = Similarity.kmeansIterationExact(emb, "vec_id", "embedding", seeds)
+      Similarity.kmeansIterationExactE6(emb, "vec_id", "embedding",
+          Similarity.kmeansCentroidsFromSums(s1))
+        .orderBy("centroid_id", "pos")
+    }),
+
     // ---- ANN: IVF with nprobe = #centroids scans every partition, so it
     //      must EXACTLY equal brute force — the oracle is the brute-force
     //      cosine top-k (left-fold double arithmetic on both engines)
@@ -5114,6 +5129,61 @@ object SparkEntry {
         | CAST(sum(x) AS BIGINT) AS sum_e6,
         | CAST(count(*) AS BIGINT) AS n_assigned
         |FROM ex GROUP BY 1, 2
+        |ORDER BY centroid_id, pos""".stripMargin,
+
+    // round 1 replayed, means by trunc-div (// truncates toward zero in
+    // DuckDB exactly like Spark's div — pinned for negative sums),
+    // round 2 against the integer centroids
+    "kmeans_two_iter" ->
+      """WITH e AS (
+        | SELECT vec_id,
+        |  list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS a
+        | FROM embeddings
+        |), c1 AS (
+        | SELECT vec_id AS cid, a AS cv FROM e WHERE vec_id < 4
+        |), d1 AS (
+        | SELECT e.vec_id, c1.cid,
+        |  list_sum(list_transform(range(1, len(e.a) + 1),
+        |    i -> (e.a[i] - c1.cv[i]) * (e.a[i] - c1.cv[i]))) AS dist
+        | FROM e, c1
+        |), w1 AS (
+        | SELECT vec_id, cid,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        | FROM d1
+        |), a1 AS (
+        | SELECT e.vec_id, w1.cid, e.a FROM w1 JOIN e USING (vec_id) WHERE rn = 1
+        |), ex1 AS (
+        | SELECT cid, CAST(generate_subscripts(a, 1) - 1 AS INT) AS pos,
+        |  unnest(a) AS x
+        | FROM a1
+        |), s1 AS (
+        | SELECT cid, pos, CAST(sum(x) AS BIGINT) AS sum_e6,
+        |  CAST(count(*) AS BIGINT) AS n
+        | FROM ex1 GROUP BY cid, pos
+        |), c2 AS (
+        | SELECT cid, list(CAST(sum_e6 // n AS BIGINT) ORDER BY pos) AS cv
+        | FROM s1 GROUP BY cid
+        |), d2 AS (
+        | SELECT e.vec_id, c2.cid,
+        |  list_sum(list_transform(range(1, len(e.a) + 1),
+        |    i -> (e.a[i] - c2.cv[i]) * (e.a[i] - c2.cv[i]))) AS dist
+        | FROM e, c2
+        |), w2 AS (
+        | SELECT vec_id, cid,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        | FROM d2
+        |), a2 AS (
+        | SELECT e.vec_id, w2.cid, e.a FROM w2 JOIN e USING (vec_id) WHERE rn = 1
+        |), ex2 AS (
+        | SELECT cid, CAST(generate_subscripts(a, 1) - 1 AS INT) AS pos,
+        |  unnest(a) AS x
+        | FROM a2
+        |)
+        |SELECT cid AS centroid_id, pos,
+        | CAST(sum(x) AS BIGINT) AS sum_e6,
+        | CAST(count(*) AS BIGINT) AS n_assigned
+        |FROM ex2 GROUP BY 1, 2
         |ORDER BY centroid_id, pos""".stripMargin,
 
     "ann_ivf_topk" ->

@@ -374,14 +374,55 @@ object Similarity {
       corpusId: String,
       corpusVec: String,
       centroids: DataFrame // columns: centroid_id, centroid_vec
+  ): DataFrame =
+    kmeansStepE6(corpus, corpusId, corpusVec,
+      centroids.select(col("centroid_id").cast(LongType).as("_cid"),
+        toE6(col("centroid_vec")).as("_c")))
+
+  /** [[kmeansIterationExact]] against centroids ALREADY in e6 integer
+    * space — the shape [[kmeansCentroidsFromSums]] emits, so
+    * iterations chain without ever leaving exact arithmetic:
+    * `step1 = kmeansIterationExact(corpus, seeds)`,
+    * `step2 = kmeansIterationExactE6(corpus, kmeansCentroidsFromSums(step1))`.
+    */
+  def kmeansIterationExactE6(
+      corpus: DataFrame,
+      corpusId: String,
+      corpusVec: String,
+      centroidsE6: DataFrame // columns: centroid_id, centroid_e6: array<long>
+  ): DataFrame =
+    kmeansStepE6(corpus, corpusId, corpusVec,
+      centroidsE6.select(col("centroid_id").cast(LongType).as("_cid"),
+        col("centroid_e6").as("_c")))
+
+  /** Integer e6 centroids from a [[kmeansIterationExact]] sums table:
+    * per-position mean = `sum_e6 div n_assigned` — integer division
+    * truncating toward zero, which Spark's `div` and DuckDB's `//`
+    * agree on for NEGATIVE sums too (both truncate; a floor-division
+    * engine would diverge on negative components, so the direction is
+    * part of the operator contract). Output `(centroid_id,
+    * centroid_e6: array<long>)`, positions sorted.
+    */
+  def kmeansCentroidsFromSums(sums: DataFrame): DataFrame =
+    sums
+      .groupBy(col("centroid_id"))
+      .agg(array_sort(collect_list(struct(col("pos"),
+        expr("CAST(sum_e6 div n_assigned AS BIGINT)").as("m")))).as("_ims"))
+      .select(col("centroid_id"),
+        transform(col("_ims"), e => e.getField("m")).as("centroid_e6"))
+
+  private def toE6(c: Column): Column = transform(c,
+    v => floor(v.cast(DoubleType) * 1000000d).cast(LongType))
+
+  private def kmeansStepE6(
+      corpus: DataFrame,
+      corpusId: String,
+      corpusVec: String,
+      cents0: DataFrame // (_cid, _c: array<long>)
   ): DataFrame = {
-    val toE6 = (c: Column) => transform(c,
-      v => floor(v.cast(DoubleType) * 1000000d).cast(LongType))
     val corp = corpus.select(col(corpusId).as("_id"),
       toE6(col(corpusVec)).as("_a"))
-    val cents = broadcast(centroids.select(
-      col("centroid_id").cast(LongType).as("_cid"),
-      toE6(col("centroid_vec")).as("_c")))
+    val cents = broadcast(cents0)
     val dist = aggregate(
       zip_with(col("_a"), col("_c"), (x, y) => (x - y) * (x - y)),
       lit(0L), (acc, d) => acc + d)

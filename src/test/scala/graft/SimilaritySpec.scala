@@ -322,6 +322,32 @@ class SimilaritySpec extends SparkSpec {
     assert(plan.contains("Broadcast"), plan)
   }
 
+  test("kmeans chain: sums → integer centroids → second exact iteration; trunc-div pinned on negatives") {
+    import org.apache.spark.sql.functions._
+    val vecs = Seq(
+      (0L, Array(0.0f, 0.0f)), (1L, Array(1.0f, 1.0f)),
+      (2L, Array(0.1f, 0.1f)), (3L, Array(0.9f, 1.1f)),
+      (4L, Array(0.5f, 0.5f))
+    ).toDF("id", "vec")
+    val seeds = vecs.filter($"id" < 2)
+      .select($"id".as("centroid_id"), $"vec".as("centroid_vec"))
+    val s1 = Similarity.kmeansIterationExact(vecs, "id", "vec", seeds)
+    val s2 = Similarity.kmeansIterationExactE6(vecs, "id", "vec",
+      Similarity.kmeansCentroidsFromSums(s1))
+    // on this toy layout the round-2 centroids reproduce the same
+    // assignment, so the two sums tables are identical (a fixed point)
+    assert(s2.orderBy("centroid_id", "pos")
+      .as[(Long, Int, Long, Long)].collect().toSeq ==
+      s1.orderBy("centroid_id", "pos")
+        .as[(Long, Int, Long, Long)].collect().toSeq)
+    // negative sums divide toward ZERO (the DuckDB `//` direction) —
+    // -7 div 2 must be -3, not floor's -4
+    val neg = Seq((0L, 0, -7L, 2L)).toDF("centroid_id", "pos", "sum_e6", "n_assigned")
+    val c = Similarity.kmeansCentroidsFromSums(neg)
+      .select("centroid_e6").as[Seq[Long]].head()
+    assert(c == Seq(-3L), c.toString)
+  }
+
   test("mmrRerank cosine: scale-invariant penalty picks the orthogonal doc") {
     // id 2's vector is a SCALED copy of id 1's: cosine penalty 1.0
     // regardless of magnitude, so id 3 (orthogonal) ranks second
