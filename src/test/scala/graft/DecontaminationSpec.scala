@@ -95,5 +95,10 @@ class DecontaminationSpec extends SparkSpec {
     assert(out(2) == ((3L, "we mention in passing here too", 4L)), out(2).toString)
     // doc 4: shorter than the window, no match
     assert(out(3) == ((4L, "short doc", 0L)))
+    // the probe window set broadcasts (policy/benchmark metadata)
+    val plan = Decontamination.removeProbeOverlaps(
+        docs, "doc_id", "text", probes, "text", window = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
   }
 }
