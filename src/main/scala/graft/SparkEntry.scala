@@ -2624,6 +2624,25 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // ---- soft dedup: near-dup clusters DOWN-WEIGHTED, not dropped —
+    //      weight_e6 = 10⁶ div cluster_size, so every cluster totals
+    //      ≈10⁶ gradient mass; same planted-copy input as
+    //      dedup_components, singletons keep weight 10⁶
+    "soft_dedup_weights" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = d.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val all = d.union(planted)
+      val fps = all.select(col("doc_id"),
+        xxhash64(TextFunctions.normalizeForFingerprint(col("text"))).as("fp"))
+      val pairs = fps.select(col("fp"), col("doc_id").as("id_a"))
+        .join(fps.select(col("fp"), col("doc_id").as("id_b")), Seq("fp"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"))
+      Dedup.softDedupWeights(all, pairs, "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // ---- deterministic train/val/test split: one portable FNV bucket
     //      per key, disjoint CASE ranges (819/922/1024 = round(cum·1024))
     "hash_split" -> ((s, dir) => {
@@ -5475,6 +5494,23 @@ object SparkEntry {
         | FROM all_docs
         |)
         |SELECT doc_id AS id, comp FROM g WHERE n > 1 ORDER BY id""".stripMargin,
+
+    // cluster sizes straight off the normalized-content partition
+    // (count includes singletons); 10⁶ // n is the exact weight
+    "soft_dedup_weights" ->
+      """WITH norm AS (
+        | SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), '[[:punct:]]', '', 'g'), '\s+', ' ', 'g')) AS nt
+        | FROM documents
+        |), all_docs AS (
+        | SELECT CAST(doc_id AS BIGINT) AS doc_id, nt FROM norm
+        | UNION ALL SELECT CAST(doc_id + 1000000 AS BIGINT), nt FROM norm WHERE doc_id < 20
+        |), g AS (
+        | SELECT doc_id, count(*) OVER (PARTITION BY nt) AS n FROM all_docs
+        |)
+        |SELECT doc_id,
+        | CAST(n AS BIGINT) AS cluster_size,
+        | CAST(1000000 // n AS BIGINT) AS weight_e6
+        |FROM g ORDER BY doc_id""".stripMargin,
 
     // the weighted_sample FNV fragment; boundaries are the operator's
     // round(cum·1024) values spelled as literals

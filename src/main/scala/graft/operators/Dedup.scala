@@ -815,6 +815,37 @@ object Dedup {
           .as("dup_ratio"))
   }
 
+  /** Soft dedup — DOWN-WEIGHT near-duplicate clusters instead of
+    * dropping them (the public soft-dedup practice: a k-copy cluster
+    * should contribute about one document's gradient mass in
+    * aggregate, not k× and not zero): every doc gets its
+    * `cluster_size` (1 when un-clustered) and the exact integer
+    * training weight `weight_e6 = 10⁶ div cluster_size`, so a cluster
+    * totals ≈10⁶ regardless of k. Feed `weight_e6` to
+    * [[Sampling.weightedSample]] or export it with the shard manifest.
+    *
+    * `pairs` is any dup-pair table ([[minHashDupPairs]],
+    * [[simHashDupPairs]], exact-fingerprint self-join …); components
+    * come from [[connectedComponents]]. Scale: components/sizes carry
+    * ids only; the join back to `df` is on the id — full rows never
+    * shuffle twice.
+    */
+  def softDedupWeights(
+      df: DataFrame,
+      pairs: DataFrame,
+      idCol: String
+  ): DataFrame = {
+    val comps = connectedComponents(pairs)
+    val sizes = comps.groupBy("comp").agg(count(lit(1)).as("_n"))
+    val weights = comps.join(sizes, Seq("comp"))
+      .select(col("id").as(idCol), col("_n"))
+    df.select(col(idCol))
+      .join(weights, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("_n"), lit(1L)).cast(LongType).as("cluster_size"),
+        expr("CAST(1000000 div coalesce(_n, 1) AS BIGINT)").as("weight_e6"))
+  }
+
   /** Cross-document exact-substring REMOVAL — the transform twin of
     * [[duplicatedWindowStats]] (that one measures, this one repairs;
     * public idea: Lee et al. 2022's suffix-array dedup, approximated

@@ -481,6 +481,19 @@ class DedupSpec extends SparkSpec {
       (6L, "x1 x2 x3 x4", 4L)), out.toString)
   }
 
+  test("softDedupWeights: cluster mass sums to ~1e6, singletons keep full weight") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq(1L, 2L, 3L, 4L, 5L).toDF("id")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b") // {1,2,3} one cluster
+    val out = Dedup.softDedupWeights(docs, pairs, "id")
+      .orderBy("id").as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 3L, 333333L), (2L, 3L, 333333L), (3L, 3L, 333333L),
+      (4L, 1L, 1000000L), (5L, 1L, 1000000L)), out.toString)
+    // the 3-cluster's total mass is 999999 ≈ one doc's worth
+    assert(out.filter(_._2 == 3L).map(_._3).sum == 999999L)
+  }
+
   test("C4 clean composes into window removal: shared surviving lines dedup across docs") {
     import graft.functions.{TextFunctions => TF}
     import org.apache.spark.sql.functions._
