@@ -1315,6 +1315,15 @@ object SparkEntry {
       Vocab.bpePairStats(d, "text", k = 50)
     }),
 
+    // ---- one APPLIED BPE merge round: the winning pair merges
+    //      (leftmost-nonoverlapping substring replace — the BPE tie
+    //      rule, identical in both engines) and the NEXT round's pair
+    //      stats emit with the merged symbol spelled out
+    "bpe_merge_round2" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(col("doc_id") < 2000)
+      Vocab.bpeNextPairStats(d, "text", k = 50)
+    }),
+
     // ---- deterministic corpus shuffle: a total, engine-reproducible
     //      training-order permutation — rank under (signed FNV, key)
     //      via hash-bucketed two-level ranks (no global sort; the sort
@@ -4133,6 +4142,45 @@ object SparkEntry {
         |)
         |SELECT pr[1] AS a, pr[2] AS b, CAST(sum(wc) AS BIGINT) AS pair_count
         |FROM p GROUP BY 1, 2
+        |ORDER BY pair_count DESC, a, b
+        |LIMIT 50""".stripMargin,
+
+    // winning pair by (count desc, a, b); replace() is
+    // leftmost-nonoverlapping in both engines; chr(1) stands in for
+    // the merged symbol during the recount and translates back on emit
+    "bpe_merge_round2" ->
+      """WITH d AS (
+        | SELECT list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS toks
+        | FROM documents WHERE doc_id < 2000
+        |), tok AS (
+        | SELECT unnest(toks) AS w FROM d
+        |), wc AS (
+        | SELECT w, count(*) AS wc FROM tok GROUP BY 1
+        |), p1 AS (
+        | SELECT wc,
+        |  unnest(list_transform(range(1, length(w)),
+        |    i -> [substr(w, i, 1), substr(w, i + 1, 1)])) AS pr
+        | FROM wc WHERE length(w) >= 2
+        |), s1 AS (
+        | SELECT pr[1] AS a, pr[2] AS b, CAST(sum(wc) AS BIGINT) AS c
+        | FROM p1 GROUP BY 1, 2
+        |), win AS (
+        | SELECT a, b FROM s1 ORDER BY c DESC, a, b LIMIT 1
+        |), w2 AS (
+        | SELECT replace(wc.w, win.a || win.b, chr(1)) AS w, wc.wc,
+        |  win.a AS wa, win.b AS wb
+        | FROM wc, win
+        |), p2 AS (
+        | SELECT wc, wa, wb,
+        |  unnest(list_transform(range(1, length(w)),
+        |    i -> [substr(w, i, 1), substr(w, i + 1, 1)])) AS pr
+        | FROM w2 WHERE length(w) >= 2
+        |)
+        |SELECT
+        | CASE WHEN pr[1] = chr(1) THEN wa || wb ELSE pr[1] END AS a,
+        | CASE WHEN pr[2] = chr(1) THEN wa || wb ELSE pr[2] END AS b,
+        | CAST(sum(wc) AS BIGINT) AS pair_count
+        |FROM p2 GROUP BY 1, 2
         |ORDER BY pair_count DESC, a, b
         |LIMIT 50""".stripMargin,
 

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
 
@@ -172,9 +172,57 @@ object Vocab {
     */
   def bpePairStats(docs: DataFrame, textCol: String, k: Int): DataFrame = {
     require(k > 0, s"bpePairStats: k must be positive, got $k")
-    val words = docs
+    pairStatsOfWords(wordHistogram(docs, textCol), k)
+  }
+
+  /** One APPLIED BPE merge round — the loop-closing companion of
+    * [[bpePairStats]] (which only counts): take the winning pair
+    * (count desc, then (a, b) — the total order both engines agree
+    * on), merge every leftmost-nonoverlapping occurrence inside every
+    * distinct word, and return the NEXT round's pair statistics, with
+    * the merged symbol spelled out (so the pair ("t", "he") can win
+    * round 2). This is exactly one iteration of the public BPE
+    * trainer, distributed.
+    *
+    * Implementation note: the merge applies as a plain substring
+    * `replace(w, a||b, <sentinel>)` over the word histogram — both
+    * Spark and DuckDB's `replace` substitute leftmost-nonoverlapping
+    * occurrences left to right, which IS the BPE tie rule — with a
+    * U+0001 sentinel standing for the merged symbol during the
+    * re-count (corpus tokens are whitespace-split text; a U+0001
+    * control char cannot survive tokenization as part of a word, so
+    * the sentinel is collision-free). The winning pair is ONE
+    * driver-side `head()` on the k=1 stats — metadata scale, like the
+    * samplers' count pre-passes.
+    */
+  def bpeNextPairStats(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k > 0, s"bpeNextPairStats: k must be positive, got $k")
+    val words = wordHistogram(docs, textCol)
+    val top = pairStatsOfWords(words, 1).head()
+    val (a, b) = (top.getString(0), top.getString(1))
+    val mergedSym = a + b
+    val sentinel = "\u0001"
+    val w2 = words.select(
+      replace(col("w"), lit(a + b), lit(sentinel)).as("w"), col("wc"))
+    val sym = (c: Column) =>
+      when(c === sentinel, lit(mergedSym)).otherwise(c)
+    w2.filter(length(col("w")) >= 2)
+      .select(col("wc"), explode(expr(
+        "transform(sequence(1, char_length(w) - 1), " +
+          "i -> struct(substr(w, i, 1) AS a, substr(w, i + 1, 1) AS b))"))
+        .as("p"))
+      .groupBy(sym(col("p.a")).as("a"), sym(col("p.b")).as("b"))
+      .agg(sum(col("wc")).as("pair_count"))
+      .orderBy(col("pair_count").desc, col("a"), col("b"))
+      .limit(k)
+  }
+
+  private def wordHistogram(docs: DataFrame, textCol: String): DataFrame =
+    docs
       .select(explode(TextFunctions.tokens(lower(col(textCol)))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("wc"))
+
+  private def pairStatsOfWords(words: DataFrame, k: Int): DataFrame =
     words
       .filter(length(col("w")) >= 2)
       .select(col("wc"), explode(expr(
@@ -185,5 +233,4 @@ object Vocab {
       .agg(sum(col("wc")).as("pair_count"))
       .orderBy(col("pair_count").desc, col("a"), col("b"))
       .limit(k)
-  }
 }

@@ -61,6 +61,29 @@ class VocabSpec extends SparkSpec {
     assert(top2 == Seq(("a", "b", 3L), ("b", "c", 1L)), top2.toString)
   }
 
+  test("bpeNextPairStats: winning pair merges leftmost-nonoverlapping; merged symbol re-pairs by name") {
+    // round 1: (a,b) wins with 4 (from 'ab'×2, 'abc', 'xab');
+    // round 2: 'ab'→<ab> leaves pairs (<ab>,c) from 'abc' and
+    // (x,<ab>) from 'xab' — the merged symbol re-pairs under its name
+    val docs = Seq(
+      (0L, "ab ab abc xab"),
+      (1L, "aaa")             // non-overlap probe: merge (a,a) would hit once
+    ).toDF("id", "text")
+    val out = Vocab.bpeNextPairStats(docs, "text", k = 10)
+      .as[(String, String, Long)].collect().toSeq
+    // 'aaa' contributes (a,a)=2 in round 1, so round-1 winner is still
+    // (a,b)=4; after the merge: (a,a)=2 from 'aaa' unchanged, plus the
+    // two merged-symbol pairs, ties ordered by (a, b)
+    assert(out == Seq(
+      ("a", "a", 2L), ("ab", "c", 1L), ("x", "ab", 1L)), out.toString)
+    // and if (a,a) itself wins, 'aaa' merges ONCE (leftmost), leaving
+    // (<aa>, a) — the non-overlap rule
+    val solo = Seq((0L, "aaa aaa")).toDF("id", "text")
+    val out2 = Vocab.bpeNextPairStats(solo, "text", k = 10)
+      .as[(String, String, Long)].collect().toSeq
+    assert(out2 == Seq(("aa", "a", 2L)), out2.toString)
+  }
+
   test("oovStats composes with topTerms; vocab side broadcasts") {
     val docs = Seq(
       (0L, "alpha beta gamma"), (1L, "alpha beta"), (2L, "alpha delta")
