@@ -1324,6 +1324,55 @@ object SparkEntry {
       Vocab.bpeNextPairStats(d, "text", k = 50)
     }),
 
+    // ---- exact phrase search: rolling-fingerprint candidates (zero
+    //      corpus shuffle — the phrase hash is a driver-computed
+    //      literal) + collision-proof slice verify; the shared
+    //      dup-removal fragment plants the needle once on ≡1 docs and
+    //      twice on ≡2
+    "phrase_match" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(col("doc_id") < 2000)
+        .select(col("doc_id"), expr(dupRemovalTextSql).as("_t"))
+      Retrieval.phraseMatch(d, "doc_id", "_t",
+          "gamma delta epsilon zeta eta theta")
+        .orderBy("doc_id")
+    }),
+
+    // ---- per-domain TOKEN budget: crawl-order (doc_id) retention
+    //      while the domain's running token total stays ≤ 200 — the
+    //      token-mass sibling of domain_filter's doc-count cap; the
+    //      within-group prefix sums ride the two-level bucketed
+    //      machinery, never a whole-domain window
+    "domain_token_quota" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .withColumn("url", expr(domainGateUrlSql))
+        .withColumn("domain",
+          DomainFunctions.registeredDomain(col("url"), domainGateRules))
+        .filter(col("domain").isNotNull)
+      Sampling.tokenQuotaPerGroup(d, "doc_id", "domain",
+          TextFunctions.tokenCount(col("text")), budget = 200L)
+        .orderBy("doc_id")
+    }),
+
+    // ---- fuzzy cross-corpus decontamination: MinHash near-dup flags
+    //      against a probe corpus (docs ≡0 mod 41 donate themselves as
+    //      probes — exact copies, threshold 1.0), fingerprint-verified
+    //      so signature collisions stay out of the compared surface
+    //      (the dedup_minhash_pairs convention)
+    "neardup_decontam" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val probes = d.filter(col("doc_id") % 41 === 0).select(col("text"))
+      val flags = Decontamination.nearDupFlags(d, "text", "doc_id",
+        probes, "text", numHashes = 16, bands = 8, threshold = 1.0)
+      val probeFp = d.filter(col("doc_id") % 41 === 0)
+        .select(TextFunctions.fingerprintXx(col("text")).as("_fp")).distinct()
+      val fps = d.select(col("doc_id"),
+        TextFunctions.fingerprintXx(col("text")).as("_fp"))
+      flags.join(fps, Seq("doc_id"))
+        .join(probeFp, Seq("_fp"), "left_semi")
+        .select(col("doc_id"), col("max_overlap"))
+        .orderBy("doc_id")
+    }),
+
     // ---- deterministic corpus shuffle: a total, engine-reproducible
     //      training-order permutation — rank under (signed FNV, key)
     //      via hash-bucketed two-level ranks (no global sort; the sort
@@ -4183,6 +4232,61 @@ object SparkEntry {
         |FROM p2 GROUP BY 1, 2
         |ORDER BY pair_count DESC, a, b
         |LIMIT 50""".stripMargin,
+
+    // phrase occurrences replayed on the window STRINGS (the
+    // dup_window_removal convention — join-by-space is injective over
+    // whitespace tokens): every 6-token window equal to the needle,
+    // counted and min-positioned per doc
+    "phrase_match" ->
+      s"""WITH d AS (
+         | SELECT doc_id, $dupRemovalTextSql AS t
+         | FROM documents WHERE doc_id < 2000
+         |), tk AS (
+         | SELECT doc_id, list_filter(string_split_regex(trim(t), '\\s+'), x -> x <> '') AS toks
+         | FROM d
+         |), w AS (
+         | SELECT doc_id, CAST(p AS BIGINT) AS s,
+         |  array_to_string(list_slice(toks, CAST(p + 1 AS BIGINT), CAST(p + 6 AS BIGINT)), ' ') AS win
+         | FROM tk, UNNEST(range(0, greatest(len(toks) - 6, 0) + 1)) AS u(p)
+         | WHERE len(toks) > 0
+         |)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits, min(s) AS first_pos
+         |FROM w WHERE win = 'gamma delta epsilon zeta eta theta'
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // same registered-domain chain as domain_extract, token counts by
+    // the shared whitespace rule, then ONE ordered window sum per
+    // domain — the budget rule is pure integer accounting
+    "domain_token_quota" ->
+      s"""WITH ${domainChainSql("")}, nt AS (
+         | SELECT doc_id,
+         |  CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+         | FROM documents
+         |), j AS (
+         | SELECT dom.domain, dom.doc_id, nt.n_tokens,
+         |  sum(nt.n_tokens) OVER (PARTITION BY dom.domain ORDER BY dom.doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+         | FROM dom JOIN nt ON dom.doc_id = nt.doc_id
+         | WHERE dom.domain IS NOT NULL
+         |)
+         |SELECT domain, doc_id, n_tokens, cum_tokens,
+         | (cum_tokens <= 200) AS keep
+         |FROM j ORDER BY doc_id""".stripMargin,
+
+    // planted exact-copy probes at threshold 1.0 + fp verification ⇒
+    // flagged docs = docs whose normalized text equals a probe's, each
+    // at full signature agreement (identical raw text ⇒ identical
+    // shingle set ⇒ identical signature)
+    "neardup_decontam" ->
+      """WITH norm AS (
+        | SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), '[[:punct:]]', '', 'g'), '\s+', ' ', 'g')) AS nt
+        | FROM documents
+        |), p AS (
+        | SELECT DISTINCT nt FROM norm WHERE doc_id % 41 = 0
+        |)
+        |SELECT n.doc_id, CAST(16 AS BIGINT) AS max_overlap
+        |FROM norm n JOIN p ON n.nt = p.nt
+        |ORDER BY doc_id""".stripMargin,
 
     // same signed-FNV recomputation as the exact samplers, then the
     // global rank under (hash asc, doc_id asc) — the operator's exact

@@ -87,6 +87,79 @@ object Decontamination {
       .drop("_hit")
   }
 
+  /** FUZZY cross-corpus decontamination: corpus documents that are
+    * MinHash near-duplicates of any probe document — the near-dup
+    * complement of [[contaminationFlags]]' exact n-gram membership
+    * (a lightly paraphrased or truncated benchmark item shares few
+    * exact 8-gram hashes but keeps a high Jaccard over character
+    * shingles; both screens run in real curation). Returns only the
+    * flagged docs: `(<idCol>, n_probe_hits BIGINT, max_overlap
+    * BIGINT)` — distinct probes matched, and the best signature
+    * agreement count (out of `numHashes`; the estimated Jaccard is
+    * `max_overlap / numHashes`, left as an exact integer surface).
+    *
+    * Scale shape: both sides build narrow native MinHash signatures
+    * (no shuffle); candidates come from the banded LSH key join, so
+    * corpus docs only ever pair with probes sharing a band bucket.
+    * The probe side is benchmark-sized and BROADCAST under the same
+    * defensive cap as the n-gram screens (counted once on the probe
+    * side only; past the cap the join falls back to a hash shuffle on
+    * the band key — correct at any size). Per-pair verification is
+    * the codegen'd signature-overlap count; per-doc reduction
+    * combines map-side.
+    */
+  def nearDupFlags(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      probes: DataFrame,
+      probeTextCol: String,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.7,
+      shingleSize: Int = 3,
+      maxBroadcastProbes: Long = 1000000L
+  ): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"nearDupFlags: threshold must be in (0, 1], got $threshold")
+    val rowsPerBand = numHashes / bands
+    // agreement bar: smallest overlap whose estimate reaches threshold
+    val minOverlap = math.ceil(threshold * numHashes - 1e-9).toLong
+    // probe identity = fingerprint of the normalized text (stable across
+    // retries/layouts, unlike monotonically_increasing_id), deduped so a
+    // benchmark item present twice counts once in n_probe_hits
+    val probeSigs = probes
+      .select(fingerprintXx(col(probeTextCol)).as("_pid"),
+        Dedup.minHashSignature(col(probeTextCol), numHashes, shingleSize)
+          .as("_psig"))
+      .dropDuplicates("_pid")
+      .select(col("_pid"), col("_psig"),
+        explode(Dedup.lshBandKeys(col("_psig"), bands, rowsPerBand)).as("bk"))
+      .cache()
+    val probeCount = probeSigs.count()
+    val probeSide =
+      if (probeCount <= maxBroadcastProbes) broadcast(probeSigs)
+      else probeSigs
+    val corpusSigs = Partitioning.spreadByKey(
+        docs.select(col(idCol).as("_id"), col(textCol).as("_txt")), col("_id"))
+      .select(col("_id"),
+        Dedup.minHashSignature(col("_txt"), numHashes, shingleSize).as("_sig"))
+      .select(col("_id"), col("_sig"),
+        explode(Dedup.lshBandKeys(col("_sig"), bands, rowsPerBand)).as("bk"))
+    corpusSigs.join(probeSide, Seq("bk"))
+      .select(col("_id"), col("_pid"),
+        Dedup.signatureOverlap(col("_sig"), col("_psig")).cast("long")
+          .as("_ov"))
+      .filter(col("_ov") >= minOverlap)
+      // a (doc, probe) pair seen through several bands counts once
+      .groupBy(col("_id"), col("_pid")).agg(max(col("_ov")).as("_ov"))
+      .groupBy(col("_id"))
+      .agg(count(lit(1)).cast("long").as("n_probe_hits"),
+        max(col("_ov")).as("max_overlap"))
+      .withColumnRenamed("_id", idCol)
+  }
+
   /** Per-document n-gram overlap ratio against the probe corpus — the
     * GRADED contamination/memorization signal ([[contaminationFlags]]'
     * boolean is `overlap_ratio > 0`): `(id, n_ngrams, n_overlap,

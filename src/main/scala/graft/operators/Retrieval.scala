@@ -353,4 +353,66 @@ object Retrieval {
       .agg(sum(col("_contrib")).cast(LongType).as("score_e12"))
     Similarity.topKPerQuery(fused, "score_e12", k)
   }
+
+  /** Exact phrase search: documents containing the token sequence
+    * `phrase` (whitespace tokenization on both sides), with occurrence
+    * count and first match position. The quote-detection / boilerplate-
+    * attribution primitive next to BM25's bag-of-words ranking — e.g.
+    * finding every crawl document that embeds a known license banner or
+    * a benchmark prompt verbatim.
+    *
+    * Scale shape: ZERO shuffles on the corpus. Candidates come from the
+    * O(tokens) rolling fingerprint ([[graft.plans.TokenWindowHashes]],
+    * window = phrase length) compared against the phrase's own
+    * fingerprint computed ONCE on the driver with the same kernel — a
+    * narrow per-row array filter against a literal, no join. Each
+    * (rare) hash candidate is then verified collision-proof by slicing
+    * the token array at the candidate start and comparing to the
+    * literal phrase tokens, so the output is exact sequence equality,
+    * not a probabilistic hit. Only matching docs survive the final
+    * narrow filter; nothing aggregates globally.
+    *
+    * Docs shorter than the phrase cannot match (the kernel's whole-array
+    * short window is eliminated by the slice verify). Output:
+    * `(<idCol>, n_hits BIGINT, first_pos BIGINT)` — positions are
+    * 0-based token offsets; docs with no match are absent.
+    */
+  def phraseMatch(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      phrase: String
+  ): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val pt = phrase.trim.split("\\s+").filter(_.nonEmpty)
+    require(pt.nonEmpty, "phraseMatch: phrase must contain at least one token")
+    val w = pt.length
+    // the phrase's fingerprint, via the SAME rolling kernel the corpus
+    // side runs — one driver-side eval on the phrase tokens
+    val ph = graft.plans.TokenWindowHashes
+      .roll(new GenericArrayData(
+        pt.map(tk => UTF8String.fromString(tk).asInstanceOf[Any])), w)
+      .getStruct(0, 2).getLong(1)
+    val phraseArr = array(pt.map(lit(_)): _*)
+    val base = df.select(col(idCol),
+      TextFunctions.tokens(col(textCol)).as("_toks"))
+    val withWins = base.withColumn("_wins", ColumnBridge.column(
+      graft.plans.TokenWindowHashes(
+        ColumnBridge.expression(col("_toks")), w)))
+    withWins
+      // hash prefilter: narrow, against a literal — no shuffle
+      .withColumn("_cand", filter(col("_wins"), x => x.getField("h") === lit(ph)))
+      .filter(size(col("_cand")) > 0)
+      // collision-proof verify on the (rare) candidates only
+      .withColumn("_hits", filter(col("_cand"), x =>
+        slice(col("_toks"), (x.getField("s") + lit(1L)).cast("int"), lit(w))
+          === phraseArr))
+      .filter(size(col("_hits")) > 0)
+      .select(col(idCol),
+        size(col("_hits")).cast(LongType).as("n_hits"),
+        array_min(transform(col("_hits"), x => x.getField("s")))
+          .cast(LongType).as("first_pos"))
+  }
 }

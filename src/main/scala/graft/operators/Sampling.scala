@@ -336,6 +336,69 @@ object Sampling {
         (col("_pos") + 1).cast("int").as("rank"))
   }
 
+  /** Per-group TOKEN budget cap — "at most `budget` tokens per
+    * domain/source", the token-mass sibling of [[quotaPerGroup]]'s
+    * doc-count cap: training mixes are budgeted in tokens, and a
+    * 10-doc cap still lets one host land 10 book-length pages. Rows
+    * are taken in ascending `keyCol` order within their group (crawl /
+    * priority order — callers encode "best first" in the key) and a
+    * row KEEPS while the group's running token total through it stays
+    * ≤ `budget`; the first row past the line (and everything after it)
+    * drops. Output: `(groupCol, keyCol, n_tokens, cum_tokens BIGINT,
+    * keep BOOLEAN)` — the full accounting surface, so callers can also
+    * read the spill mass. Rows with a null group, key, or token count
+    * drop (no defined position in a budget). Keys must be unique
+    * within their group.
+    *
+    * Scale shape: the inclusive within-group prefix sum comes from the
+    * TWO-LEVEL bucketed design (the percentRank/shardByTokenBudget
+    * machinery): key-range buckets' token sums per group reduce
+    * map-side, per-group bucket offsets ride a window over the SUM
+    * table (≤ groups×buckets histogram rows, never the corpus), and
+    * the running sum runs per (group, bucket) — bounded partitions, so
+    * a hot domain never funnels through one task the way a plain
+    * `sum().over(partitionBy(group))` window would.
+    */
+  def tokenQuotaPerGroup(
+      df: DataFrame,
+      keyCol: String,
+      groupCol: String,
+      tokensCol: Column,
+      budget: Long,
+      buckets: Int = 1024
+  ): DataFrame = {
+    require(budget > 0, s"tokenQuotaPerGroup: budget must be positive, got $budget")
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(groupCol).as("_g"),
+        col(keyCol).cast("long").as("_k"),
+        tokensCol.cast("long").as("_nt"))
+      .filter(col("_g").isNotNull && col("_k").isNotNull &&
+        col("_nt").isNotNull)
+    val out = (d: DataFrame) => d.select(
+      col("_g").as(groupCol), col("_k").as(keyCol),
+      col("_nt").as("n_tokens"), col("_cum").as("cum_tokens"),
+      (col("_cum") <= budget).as("keep"))
+    val b = base.agg(min(col("_k")).as("mn"), max(col("_k")).as("mx")).head()
+    if (b.isNullAt(0)) return out(base.withColumn("_cum", col("_nt")).limit(0))
+    val (mn, mx) = (b.getLong(0), b.getLong(1))
+    val width = math.max(1L, (mx - mn) / buckets + 1)
+    val binned = base.withColumn("_b", expr(s"(_k - $mn) div $width"))
+    val sums = binned.groupBy("_g", "_b").agg(sum(col("_nt")).as("_ts"))
+    // prior-bucket offsets: a window over histogram rows only
+    val wOff = Window.partitionBy("_g").orderBy("_b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = sums
+      .withColumn("_toff", coalesce(sum(col("_ts")).over(wOff), lit(0L)))
+      .select("_g", "_b", "_toff")
+    // inclusive running sum inside the bounded (group, bucket) slice
+    val wRun = Window.partitionBy("_g", "_b").orderBy("_k")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    out(binned
+      .withColumn("_run", sum(col("_nt")).over(wRun))
+      .join(offs, Seq("_g", "_b"))
+      .withColumn("_cum", col("_toff") + col("_run")))
+  }
+
   /** Deterministic proportional interleave — the "epoch schedule" that
     * orders a mixed corpus so every training prefix carries each
     * source at its corpus proportion (stride scheduling over sources):

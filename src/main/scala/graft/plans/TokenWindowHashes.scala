@@ -51,10 +51,15 @@ case class TokenWindowHashes(child: Expression, window: Int)
   }
 
   override protected def nullSafeEval(input: Any): Any =
-    TokenWindowHashes.eval(input.asInstanceOf[ArrayData], window)
+    TokenWindowHashes.roll(input.asInstanceOf[ArrayData], window)
 
+  // The static helper must NOT be named `eval`: the case class inherits
+  // Expression.eval, so Scala suppresses the companion's static
+  // forwarder for that name and the generated Java resolves to the
+  // instance method — Janino then fails the stage and Spark silently
+  // interprets the WHOLE plan (observed in the round-9 verify logs).
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.plans.TokenWindowHashes.eval($c, $window)")
+    defineCodeGen(ctx, ev, c => s"graft.plans.TokenWindowHashes.roll($c, $window)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -67,7 +72,7 @@ object TokenWindowHashes {
     */
   val Base: Long = FnvHash64.Prime
 
-  def eval(arr: ArrayData, w: Int): GenericArrayData = {
+  def roll(arr: ArrayData, w: Int): GenericArrayData = {
     val n = arr.numElements()
     if (n == 0) return new GenericArrayData(Array.empty[Any])
     val hs = new Array[Long](n)

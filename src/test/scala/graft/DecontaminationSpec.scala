@@ -101,4 +101,39 @@ class DecontaminationSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("nearDupFlags: threshold gating, distinct-probe counting, duplicate probes collapse, clean docs absent") {
+    import graft.operators.Decontamination
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet " +
+      "kilo lima mike november oscar papa quebec romeo sierra tango"
+    val near = base.replace("tango", "zulu")           // one word differs
+    val docs = Seq(
+      (1L, base),                                      // exact probe copy
+      (2L, near),                                      // near-dup of the probe
+      (3L, "completely different text about unrelated things entirely " +
+        "with many other words to shingle properly here today")
+    ).toDF("doc_id", "text")
+    val probes = Seq(base, base, near).toDF("text")    // duplicate probe text
+    // threshold 1.0: only the exact copy survives
+    val exact = Decontamination.nearDupFlags(docs, "text", "doc_id",
+        probes, "text", numHashes = 32, bands = 8, threshold = 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // docs 1 and 2 are each an exact copy of a probe text (near is the
+    // third probe); the unrelated doc never flags, and the duplicate
+    // base probe counts ONCE (n_probe_hits = 1 at full agreement)
+    assert(exact == Set((1L, 1L, 32L), (2L, 1L, 32L)), exact.toString)
+    // moderate threshold: the near-dup flags too, the unrelated doc never
+    val fuzzy = Decontamination.nearDupFlags(docs, "text", "doc_id",
+        probes, "text", numHashes = 32, bands = 8, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val fuzzyIds = fuzzy.map(_._1)
+    assert(fuzzyIds == Set(1L, 2L), fuzzy.toString)
+    // doc 1 at threshold 0.5 sees BOTH distinct probe texts
+    assert(fuzzy.find(_._1 == 1L).get._2 == 2L, fuzzy.toString)
+    // the probe side broadcasts under the cap
+    val plan = Decontamination.nearDupFlags(docs, "text", "doc_id",
+        probes, "text", numHashes = 32, bands = 8, threshold = 0.5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Broadcast"), plan)
+  }
 }

@@ -590,4 +590,73 @@ class NativeExpressionsSpec extends SparkSpec {
         ColumnBridge.expression(col("t")), w)))).as[Int].head()
     assert(empty == 0)
   }
+
+  test("every native expression survives whole-stage codegen with fallback disabled") {
+    // spark.sql.codegen.fallback=false turns a Janino compile error into
+    // a thrown exception instead of a SILENT interpreted fallback — the
+    // failure mode round 9 caught on TokenWindowHashes, whose companion
+    // helper was named `eval` and therefore got no static forwarder
+    // (the case class inherits Expression.eval), breaking the generated
+    // Java for every plan that used it while all results stayed right.
+    import org.apache.spark.sql.graft.ColumnBridge
+    import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+    import graft.operators.Dedup
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val df = Seq(
+        (1L, "the quick brown fox jumps over the lazy dog",
+         "https://user:pw@www.example.co.uk:8443/a?b#c",
+         Seq(1.0f, 2.0f, 3.0f), Seq(0.5f, -1.0f, 2.0f), "[1,2,3]"),
+        (2L, "pack my box with five dozen 你好 jugs",
+         "http://sub.test.github.io/x",
+         Seq(-1.0f, 0.0f, 1.0f), Seq(2.0f, 2.0f, 2.0f), "[4.5]")
+      ).toDF("id", "text", "url", "va", "vb", "js")
+      val out = df.select(
+        TF.tokens($"text").as("toks"),
+        TF.tokenCountCjk($"text").as("cjk"),
+        TF.tokenCountSubword($"text", Seq("the", "qu", "##ick")).as("sub"),
+        TF.normalizeForFingerprint($"text").as("norm"),
+        TF.nfcNormalize($"text").as("nfc"),
+        TF.charShingles($"text", 3, 2).as("csh"),
+        TF.shingles($"text", 2).as("wsh"),
+        TF.maxTokenFreq($"text").as("mtf"),
+        TF.punctRatio($"text").as("pr"),
+        TF.langId($"text").as("lang"),
+        Dedup.minHashSignature($"text", 16).as("mh"),
+        Dedup.simHash($"text").as("sh64"),
+        Dedup.winnowFingerprints($"text").as("wfp"),
+        ColumnBridge.column(graft.plans.TokenWindowHashes(
+          ColumnBridge.expression(TF.tokens($"text")), 3)).as("twh"),
+        ColumnBridge.column(graft.plans.FnvHash64(
+          ColumnBridge.expression($"text"))).as("fnv"),
+        VF.dot($"va", $"vb").as("dp"),
+        VF.quantize8($"va").as("q8"),
+        VF.quantizedDot(VF.quantize8($"va"), VF.quantize8($"vb")).as("qd"),
+        VF.srpBucket($"va", 4, 7).as("srp"),
+        graft.functions.DomainFunctions.urlHost($"url").as("host"),
+        graft.functions.DomainFunctions
+          .registeredDomain($"url", Seq("co.uk", "github.io", "com")).as("dom"),
+        graft.functions.TypedAttrs.doubleArraySum($"js").as("dsum"),
+        ColumnBridge.column(graft.plans.GeoTile(
+          ColumnBridge.expression(lit(51.5)),
+          ColumnBridge.expression(lit(-0.1)),
+          ColumnBridge.expression(lit(6)))).as("tile"))
+      val rows = out.collect()
+      assert(rows.length == 2)
+      // and the overlap/crossconcat pair expressions on derived columns
+      val pairs = out.select(
+        Dedup.signatureOverlap($"mh", $"mh").as("ov"),
+        ColumnBridge.column(graft.plans.CrossConcat("p", "|", Seq(
+          ColumnBridge.expression(array(lit("a"), lit("b"))),
+          ColumnBridge.expression(array(lit("x")))))).as("cc"))
+        .collect()
+      assert(pairs.length == 2)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+        case None => spark.conf.unset("spark.sql.codegen.fallback")
+      }
+    }
+  }
 }

@@ -155,4 +155,31 @@ class RetrievalSpec extends SparkSpec {
       .as[(Long, Long, Long, Int)].collect().toSet
     assert(viaPostings == direct)
   }
+
+  test("phraseMatch: exact sequence hits with overlap, shorts excluded, counts and first positions") {
+    import graft.operators.Retrieval
+    val docs = Seq(
+      (1L, "x y a b c z a b c"),        // two hits of "a b c" at 2 and 6
+      (2L, "a b"),                      // shorter than the phrase
+      (3L, "a b c"),                    // exact-length doc, one hit at 0
+      (4L, "c b a"),                    // same bag, wrong order
+      (5L, "a a a a"),                  // overlap probe for "a a"
+      (6L, "")                          // empty
+    ).toDF("doc_id", "text")
+    val rows = Retrieval.phraseMatch(docs, "doc_id", "text", "a b c")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows == Set((1L, 2L, 2L), (3L, 1L, 0L)), rows.toString)
+    // overlapping occurrences each count
+    val ov = Retrieval.phraseMatch(docs, "doc_id", "text", "a a")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(ov == Set((5L, 3L, 0L)), ov.toString)
+    // single-token phrase degenerates to token occurrence counting
+    val one = Retrieval.phraseMatch(docs, "doc_id", "text", "c")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(one == Set((1L, 2L, 4L), (3L, 1L, 2L), (4L, 1L, 0L)), one.toString)
+    // zero corpus shuffle: no Exchange in the physical plan
+    val plan = Retrieval.phraseMatch(docs, "doc_id", "text", "a b c")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
 }

@@ -348,4 +348,45 @@ class SamplingSpec extends SparkSpec {
     val rnWindows = plan.linesIterator.filter(_.contains("row_number")).toSeq
     assert(rnWindows.nonEmpty && rnWindows.forall(_.contains("_b")), plan)
   }
+
+  test("tokenQuotaPerGroup: inclusive running totals in key order, boundary keeps, nulls drop") {
+    val df = Seq(
+      ("a", 1L, 50L), ("a", 2L, 100L), ("a", 3L, 50L), ("a", 4L, 1L),
+      ("b", 5L, 300L), ("b", 6L, 1L),
+      ("c", 7L, 200L)
+    ).toDF("g", "id", "nt")
+    val got = Sampling.tokenQuotaPerGroup(df, "id", "g", $"nt", budget = 200L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4))).toSet
+    assert(got == Set(
+      ("a", 1L, 50L, 50L, true),
+      ("a", 2L, 100L, 150L, true),
+      ("a", 3L, 50L, 200L, true),    // hits the budget exactly: keeps
+      ("a", 4L, 1L, 201L, false),    // first token past the line drops
+      ("b", 5L, 300L, 300L, false),  // one oversized head row drops alone
+      ("b", 6L, 1L, 301L, false),
+      ("c", 7L, 200L, 200L, true)
+    ), got.toString)
+    // null group / key / tokens rows drop
+    val withNulls = Seq(
+      (Option("a"), Option(1L), Option(10L)),
+      (None, Option(2L), Option(10L)),
+      (Option("a"), None, Option(10L)),
+      (Option("a"), Option(3L), None)
+    ).toDF("g", "id", "nt")
+    assert(Sampling.tokenQuotaPerGroup(withNulls, "id", "g", $"nt", 100L)
+      .count() == 1L)
+    // empty input yields an empty, correctly-shaped frame
+    val empty = Sampling.tokenQuotaPerGroup(df.limit(0), "id", "g", $"nt", 10L)
+    assert(empty.columns.toSeq ==
+      Seq("g", "id", "n_tokens", "cum_tokens", "keep"))
+    assert(empty.count() == 0L)
+    // the running-sum window partitions by (group, bucket), never the
+    // bare group — the hot-domain funnel guard
+    val plan = Sampling.tokenQuotaPerGroup(df, "id", "g", $"nt", 200L)
+      .queryExecution.optimizedPlan.toString
+    val wins = plan.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(wins.nonEmpty, plan)
+    assert(wins.exists(l => l.contains("_g") && l.contains("_b")), plan)
+  }
 }
