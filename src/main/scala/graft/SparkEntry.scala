@@ -1421,6 +1421,29 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- streaming per-source token budget: batch 0 consumes, batch 1
+    //      keeps only what the carried per-group consumed-token state
+    //      still allows, then a replayed batch 1 hits the version
+    //      guard's no-op branch; keys ascend across batches, so the
+    //      stream must equal the single-pass quota over the union
+    "token_quota_stream" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(col("doc_id") < 2000)
+        .select(col("doc_id"), col("source"), col("text"))
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-tquota-gate").toString
+      val b0 = d.filter(col("doc_id") < 500)
+      val b1 = d.filter(col("doc_id") >= 500)
+      def step(b: DataFrame, id: Long): Unit =
+        graft.streaming.StreamingOps.applyTokenQuotaBatch(s, b, id,
+          "source", "doc_id", TextFunctions.tokenCount(col("text")),
+          600L, s"$work/state", s"$work/out")
+      step(b0, 0L); step(b1, 1L); step(b1, 1L) // replay must no-op
+      s.read.parquet(s"$work/out")
+        .select(col("source"), col("doc_id"), col("n_tokens"),
+          col("cum_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // ---- C4 policy filters: sentence counting (terminal-punct runs)
     //      + exact-token badword blocking; the fragment plants a
     //      blocked token on ≡0 docs and extra sentences on ≡1, and
@@ -2017,6 +2040,25 @@ object SparkEntry {
       Similarity.kmeansIterationExactE6(emb, "vec_id", "embedding",
           Similarity.kmeansCentroidsFromSums(s1))
         .orderBy("centroid_id", "pos")
+    }),
+
+    // ---- ANN index-quality evaluation: recall@10 of a 1-probe IVF
+    //      scan vs the exhaustive neighbor set, all in e6 integer
+    //      space (trained centroids from one exact k-means step) — a
+    //      genuinely approximate scan whose recall loss is itself
+    //      deterministic and oracle-replayable
+    "ann_recall_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val seeds = emb.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("centroid_id"),
+          col("embedding").as("centroid_vec"))
+      val s1 = Similarity.kmeansIterationExact(emb, "vec_id", "embedding", seeds)
+      val cents = Similarity.kmeansCentroidsFromSums(s1)
+      val q = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.ivfRecallExactE6(emb, "vec_id", "embedding", cents,
+          q, "qid", "qvec", k = 10)
+        .orderBy("query_id")
     }),
 
     // ---- ANN: IVF with nprobe = #centroids scans every partition, so it
@@ -2780,6 +2822,38 @@ object SparkEntry {
       Dedup.removeDuplicatedWindows(cleaned, "doc_id", "_c", window = 10)
         .select(col("doc_id"), col("clean"), col("n_removed"),
           TextFunctions.tokenCount(col("clean")).as("n_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- composed training-mix manifest: per-source token budget →
+    //      soft dedup weighting over the kept set (planted dupsrc
+    //      clones form real 2-clusters) → deterministic training-order
+    //      position — the "build the mix" chain a pretraining run
+    //      consumes, each link individually gate-proven
+    "pipeline_mix_manifest" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(col("doc_id") < 2000)
+        .select(col("doc_id"), col("source"), col("text"))
+      val clones = t(s, dir, "documents").filter(col("doc_id") < 30)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          lit("dupsrc").as("source"), col("text"))
+      val all = d.union(clones)
+      val quota = Sampling.tokenQuotaPerGroup(all, "doc_id", "source",
+          TextFunctions.tokenCount(col("text")), budget = 600L)
+        .filter(col("keep"))
+        .select(col("doc_id"), col("source"), col("n_tokens"))
+      val kept = quota.join(all.select(col("doc_id"), col("text")), Seq("doc_id"))
+      val fps = kept.select(col("doc_id"),
+        xxhash64(TextFunctions.normalizeForFingerprint(col("text"))).as("fp"))
+      val pairs = fps.select(col("fp"), col("doc_id").as("id_a"))
+        .join(fps.select(col("fp"), col("doc_id").as("id_b")), Seq("fp"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"))
+      val weights = Dedup.softDedupWeights(kept.select(col("doc_id")), pairs, "doc_id")
+      val pos = Sampling.deterministicShuffle(
+        quota.select(col("doc_id")), "doc_id", salt = "mix")
+      quota.join(weights, Seq("doc_id")).join(pos, Seq("doc_id"))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("cluster_size"), col("weight_e6"), col("pos"))
         .orderBy("doc_id")
     }),
 
@@ -4359,6 +4433,23 @@ object SparkEntry {
          |FROM tk LEFT JOIN agg ON tk.doc_id = agg.doc_id
          |ORDER BY tk.doc_id""".stripMargin,
 
+    // batches ascend in doc_id, so the two-batch stream equals ONE
+    // single-pass per-source quota over the union — the same window
+    // sum as domain_token_quota, kept rows only
+    "token_quota_stream" ->
+      """WITH nt AS (
+        | SELECT doc_id, source,
+        |  CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+        | FROM documents WHERE doc_id < 2000
+        |), q AS (
+        | SELECT source, doc_id, n_tokens,
+        |  sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        | FROM nt
+        |)
+        |SELECT source, doc_id, n_tokens, cum_tokens
+        |FROM q WHERE cum_tokens <= 600 ORDER BY doc_id""".stripMargin,
+
     // same regex, same lowercase exact-token block list; 'classify.'
     // strips to 'classify.' token — list_has_any is exact-element, so
     // the planted near-miss never trips the block
@@ -4859,6 +4950,57 @@ object SparkEntry {
          |FROM tk LEFT JOIN agg ON tk.doc_id = agg.doc_id
          |ORDER BY tk.doc_id""".stripMargin,
 
+    // the three proven chains concatenated: the per-source window-sum
+    // budget, kept-set cluster sizes by normalized text, and the
+    // signed-FNV order over the kept ids (prefix salt 'mix:')
+    "pipeline_mix_manifest" ->
+      """WITH d AS (
+        | SELECT CAST(doc_id AS BIGINT) AS doc_id, source, text
+        | FROM documents WHERE doc_id < 2000
+        | UNION ALL
+        | SELECT CAST(doc_id + 1000000 AS BIGINT), 'dupsrc', text
+        | FROM documents WHERE doc_id < 30
+        |), nt AS (
+        | SELECT doc_id, source,
+        |  CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[[:punct:]]', '', 'g'), '\s+', ' ', 'g')) AS ntext
+        | FROM d
+        |), q AS (
+        | SELECT doc_id, source, n_tokens, ntext,
+        |  sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        | FROM nt
+        |), kept AS (
+        | SELECT doc_id, source, n_tokens, ntext FROM q WHERE cum <= 600
+        |), g AS (
+        | SELECT doc_id, source, n_tokens,
+        |  count(*) OVER (PARTITION BY ntext) AS cs
+        | FROM kept
+        |), h AS (
+        | SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST('14695981039346656037' AS HUGEINT),
+        |      list_transform(range(1, length(s) + 1), i -> CAST(ascii(s[i]) AS HUGEINT))),
+        |    (acc, b) -> ((acc // 256) * 256 + xor(CAST(acc % 256 AS BIGINT), CAST(b AS BIGINT)))
+        |                * 1099511628211 % CAST('18446744073709551616' AS HUGEINT)
+        |  ) AS hh
+        | FROM (SELECT doc_id, 'mix:' || doc_id::VARCHAR AS s FROM kept)
+        |), sgn AS (
+        | SELECT doc_id,
+        |  CAST(hh - CASE WHEN hh >= CAST('9223372036854775808' AS HUGEINT)
+        |            THEN CAST('18446744073709551616' AS HUGEINT)
+        |            ELSE CAST(0 AS HUGEINT) END AS BIGINT) AS hs
+        | FROM h
+        |), p AS (
+        | SELECT doc_id, row_number() OVER (ORDER BY hs, doc_id) AS pos FROM sgn
+        |)
+        |SELECT g.doc_id, g.source, g.n_tokens,
+        | CAST(g.cs AS BIGINT) AS cluster_size,
+        | CAST(1000000 // g.cs AS BIGINT) AS weight_e6,
+        | CAST(p.pos AS BIGINT) AS pos
+        |FROM g JOIN p ON g.doc_id = p.doc_id
+        |ORDER BY g.doc_id""".stripMargin,
+
     "pipeline_batch_prep" ->
       """WITH d0 AS (
         | SELECT doc_id,
@@ -5356,6 +5498,94 @@ object SparkEntry {
         | CAST(count(*) AS BIGINT) AS n_assigned
         |FROM ex2 GROUP BY 1, 2
         |ORDER BY centroid_id, pos""".stripMargin,
+
+    // the kmeans_two_iter centroid chain (seeds < 4, one exact
+    // iteration, trunc-div means), then integer-L2 assignment, 1-probe
+    // candidate ranking, the exhaustive reference, and the per-query
+    // intersection count — every step exact BIGINT with (dist, id)
+    // tie-breaks on both engines
+    "ann_recall_ivf" ->
+      """WITH e AS (
+        | SELECT vec_id,
+        |  list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS a
+        | FROM embeddings
+        |), c1 AS (
+        | SELECT vec_id AS cid, a AS cv FROM e WHERE vec_id < 4
+        |), d1 AS (
+        | SELECT e.vec_id, c1.cid,
+        |  list_sum(list_transform(range(1, len(e.a) + 1),
+        |    i -> (e.a[i] - c1.cv[i]) * (e.a[i] - c1.cv[i]))) AS dist
+        | FROM e, c1
+        |), w1 AS (
+        | SELECT vec_id, cid,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        | FROM d1
+        |), a1 AS (
+        | SELECT e.vec_id, w1.cid, e.a FROM w1 JOIN e USING (vec_id) WHERE rn = 1
+        |), ex1 AS (
+        | SELECT cid, CAST(generate_subscripts(a, 1) - 1 AS INT) AS pos,
+        |  unnest(a) AS x
+        | FROM a1
+        |), s1 AS (
+        | SELECT cid, pos, CAST(sum(x) AS BIGINT) AS sum_e6,
+        |  CAST(count(*) AS BIGINT) AS n
+        | FROM ex1 GROUP BY cid, pos
+        |), c2 AS (
+        | SELECT cid, list(CAST(sum_e6 // n AS BIGINT) ORDER BY pos) AS cv
+        | FROM s1 GROUP BY cid
+        |), d2 AS (
+        | SELECT e.vec_id, c2.cid,
+        |  list_sum(list_transform(range(1, len(e.a) + 1),
+        |    i -> (e.a[i] - c2.cv[i]) * (e.a[i] - c2.cv[i]))) AS dist
+        | FROM e, c2
+        |), asg AS (
+        | SELECT vec_id, cid FROM (
+        |  SELECT vec_id, cid,
+        |   row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        |  FROM d2) WHERE rn = 1
+        |), q AS (
+        | SELECT vec_id AS qid, a AS qa FROM e WHERE vec_id < 8
+        |), qd AS (
+        | SELECT q.qid, c2.cid,
+        |  list_sum(list_transform(range(1, len(q.qa) + 1),
+        |    i -> (q.qa[i] - c2.cv[i]) * (q.qa[i] - c2.cv[i]))) AS dist
+        | FROM q, c2
+        |), qasg AS (
+        | SELECT qid, cid AS qcid FROM (
+        |  SELECT qid, cid,
+        |   row_number() OVER (PARTITION BY qid ORDER BY dist, cid) AS rn
+        |  FROM qd) WHERE rn = 1
+        |), pd AS (
+        | SELECT q.qid, e.vec_id AS nid, asg.cid AS ncid,
+        |  list_sum(list_transform(range(1, len(q.qa) + 1),
+        |    i -> (q.qa[i] - e.a[i]) * (q.qa[i] - e.a[i]))) AS dist
+        | FROM q CROSS JOIN e JOIN asg ON e.vec_id = asg.vec_id
+        | WHERE e.vec_id <> q.qid
+        |), exk AS (
+        | SELECT qid, nid FROM (
+        |  SELECT qid, nid,
+        |   row_number() OVER (PARTITION BY qid ORDER BY dist, nid) AS rn
+        |  FROM pd) WHERE rn <= 10
+        |), apd AS (
+        | SELECT pd.qid, pd.nid, pd.dist
+        | FROM pd JOIN qasg ON pd.qid = qasg.qid AND pd.ncid = qasg.qcid
+        |), ap AS (
+        | SELECT qid, nid FROM (
+        |  SELECT qid, nid,
+        |   row_number() OVER (PARTITION BY qid ORDER BY dist, nid) AS rn
+        |  FROM apd) WHERE rn <= 10
+        |), h AS (
+        | SELECT ap.qid, count(*) AS n_hits
+        | FROM ap JOIN exk ON ap.qid = exk.qid AND ap.nid = exk.nid
+        | GROUP BY 1
+        |)
+        |SELECT q.qid AS query_id,
+        | CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+        | CAST(10 AS BIGINT) AS k,
+        | CAST(COALESCE(h.n_hits, 0) * 1000000 // 10 AS BIGINT) AS recall_ppm
+        |FROM q LEFT JOIN h ON q.qid = h.qid
+        |ORDER BY query_id""".stripMargin,
 
     "ann_ivf_topk" ->
       """WITH q AS (

@@ -439,6 +439,90 @@ object Similarity {
         col("sum_e6"), col("n_assigned"))
   }
 
+  /** Recall@k of a 1-probe IVF scan against the exact neighbor set —
+    * the index-quality EVALUATION an ANN deployment runs before
+    * trusting a pruned index, kept ENTIRELY in e6 integer space
+    * (vectors floor-scaled ×10⁶, squared-L2 distances as exact BIGINT)
+    * so the approximate side is engine-reproducible: assignment,
+    * probing, candidate ranking, and the exhaustive reference all use
+    * the same integer arithmetic with (distance, id) total tie-breaks.
+    * With nprobe = 1 the scan is genuinely approximate — recall < 1
+    * when a true neighbor lives across a centroid boundary — and the
+    * measured loss is a deterministic property of (corpus, centroids,
+    * queries), not of a run.
+    *
+    * Output: `(query_id, n_hits BIGINT, k BIGINT, recall_ppm BIGINT)`
+    * — `n_hits` = |approx ∩ exact| top-k sets, `recall_ppm` =
+    * n_hits·10⁶ div k (exact integer; no doubles in the surface).
+    *
+    * Scale shape: centroids broadcast (the assignment is a per-row
+    * argmin over the broadcast matrix — the corpus never shuffles for
+    * it); queries are eval-sized and broadcast to both the bucket
+    * join and the exhaustive scan; per-query sets reduce through the
+    * k-bounded heap. The exhaustive reference is one full corpus scan
+    * per evaluation — the cost of measuring recall at all; run it on
+    * a query SAMPLE, which is what the queries frame is.
+    */
+  def ivfRecallExactE6(
+      corpus: DataFrame,
+      corpusId: String,
+      corpusVec: String,
+      centroidsE6: DataFrame, // (centroid_id, centroid_e6: array<long>)
+      queries: DataFrame,
+      queryId: String,
+      queryVec: String,
+      k: Int
+  ): DataFrame = {
+    require(k > 0, s"ivfRecallExactE6: k must be positive, got $k")
+    val cents = broadcast(centroidsE6.select(
+      col("centroid_id").cast(LongType).as("_cid"),
+      col("centroid_e6").as("_c")))
+    val l2 = (a: Column, b: Column) => aggregate(
+      zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, d) => acc + d)
+    val corp = corpus.select(col(corpusId).as("_id"),
+      toE6(col(corpusVec)).as("_a"))
+    val assigned = corp.crossJoin(cents)
+      .select(col("_id"), col("_a"), col("_cid"),
+        l2(col("_a"), col("_c")).as("_d"))
+      .groupBy("_id")
+      .agg(min_by(struct(col("_cid"), col("_a")),
+        struct(col("_d"), col("_cid"))).as("_w"))
+      .select(col("_id"), col("_w._cid").as("_acid"), col("_w._a").as("_a"))
+    val qAssigned = queries
+      .select(col(queryId).as("_qid"), toE6(col(queryVec)).as("_qa"))
+      .crossJoin(cents)
+      .select(col("_qid"), col("_qa"), col("_cid"),
+        l2(col("_qa"), col("_c")).as("_d"))
+      .groupBy("_qid")
+      .agg(min_by(struct(col("_cid"), col("_qa")),
+        struct(col("_d"), col("_cid"))).as("_w"))
+      .select(col("_qid"), col("_w._cid").as("_qcid"), col("_w._qa").as("_qa"))
+    val qdist = l2(col("_qa"), col("_a"))
+    val approxScored = assigned
+      .join(broadcast(qAssigned), col("_acid") === col("_qcid"))
+      .filter(col("_qid") =!= col("_id"))
+      .select(col("_qid").as("query_id"), col("_id").as("neighbor_id"),
+        (lit(0L) - qdist).as("_negd"))
+    val approx = topKPerQuery(approxScored, "_negd", k)
+      .select(col("query_id"), col("neighbor_id"))
+    val exactScored = assigned.crossJoin(broadcast(qAssigned))
+      .filter(col("_qid") =!= col("_id"))
+      .select(col("_qid").as("query_id"), col("_id").as("neighbor_id"),
+        (lit(0L) - qdist).as("_negd"))
+    val exact = topKPerQuery(exactScored, "_negd", k)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = approx.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).cast(LongType).as("_h"))
+    qAssigned.select(col("_qid").as("query_id"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("_h"), lit(0L)).as("n_hits"),
+        lit(k.toLong).as("k"),
+        expr(s"CAST(coalesce(_h, 0) * 1000000 div $k AS BIGINT)")
+          .as("recall_ppm"))
+  }
+
   /** End-to-end IVF index build: seed `c` centroids deterministically,
     * refine with `iterations` Lloyd passes, assign the corpus, persist
     * it partitioned by `centroid_id` at `path` (the [[writeAssigned]]

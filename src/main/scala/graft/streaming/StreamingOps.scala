@@ -506,6 +506,76 @@ object StreamingOps {
     }
   }
 
+  /** Streaming per-group TOKEN budget — the continuous face of
+    * [[graft.operators.Sampling.tokenQuotaPerGroup]]: each micro-batch
+    * keeps a group's rows while the group's running token total (across
+    * EVERY batch so far, dropped rows included — the same
+    * crawl-order-prefix rule as the batch operator) stays ≤ `budget`.
+    * Feeding the batches in ascending key order reproduces the batch
+    * operator on the concatenated input EXACTLY (parity is spec-pinned).
+    *
+    * State is the per-group consumed-token table `(_g, consumed)` — ≤
+    * |groups| rows, metadata-sized next to the corpus — versioned and
+    * committed under the `_CURRENT` protocol with the same crash-replay
+    * guard as the merge/dedup streams (kept rows are written BEFORE the
+    * version commit, so a replayed batch no-ops with its output
+    * already on disk). Within a batch the prefix sums ride the batch
+    * operator's two-level bucketed machinery; the state join adds one
+    * broadcast-sized offset per group.
+    *
+    * Output per batch at `outPath/batch=<id>`: the kept rows as
+    * `(<groupCol>, <keyCol>, n_tokens, cum_tokens)` with `cum_tokens`
+    * the GLOBAL running total through the row.
+    */
+  def applyTokenQuotaBatch(
+      spark: SparkSession,
+      batch: DataFrame,
+      batchId: Long,
+      groupCol: String,
+      keyCol: String,
+      tokensCol: org.apache.spark.sql.Column,
+      budget: Long,
+      statePath: String,
+      outPath: String
+  ): Unit = {
+    currentVersionId(spark, statePath) match {
+      case Some(cur) if cur >= batchId =>
+        log.warn(s"tokenQuotaStream: skipping batch $batchId — state at " +
+          s"v$cur already includes it (kept rows were written before the commit)")
+      case _ =>
+        import org.apache.spark.sql.functions._
+        val q = graft.operators.Sampling.tokenQuotaPerGroup(
+          batch, keyCol, groupCol, tokensCol, budget)
+        val state = readState(spark, statePath) // (_g, consumed)
+        val withOff = state match {
+          case Some(st) =>
+            q.join(broadcast(st.withColumnRenamed("_g", groupCol)),
+                Seq(groupCol), "left")
+              .withColumn("_off", coalesce(col("consumed"), lit(0L)))
+          case None => q.withColumn("_off", lit(0L))
+        }
+        val kept = withOff
+          .filter(col("_off") + col("cum_tokens") <= budget)
+          .select(col(groupCol), col(keyCol), col("n_tokens"),
+            (col("_off") + col("cum_tokens")).as("cum_tokens"))
+        kept.write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+        // consumed accumulates ALL seen tokens (kept or dropped): the
+        // batch rule's cum counts dropped rows, so the stream must too
+        val batchTotals = q.groupBy(col(groupCol).as("_g"))
+          .agg(sum(col("n_tokens")).as("_bt"))
+        val newState = state match {
+          case Some(st) => st.join(batchTotals, Seq("_g"), "full")
+            .select(col("_g"),
+              (coalesce(col("consumed"), lit(0L)) +
+                coalesce(col("_bt"), lit(0L))).as("consumed"))
+          case None => batchTotals.select(col("_g"), col("_bt").as("consumed"))
+        }
+        val version = s"v$batchId"
+        newState.write.mode("overwrite").parquet(s"$statePath/$version")
+        commitVersion(spark, statePath, version, keepFrom = batchId - 1)
+    }
+  }
+
   /** Streaming exact-substring removal with a persistent WINDOW
     * fingerprint store — the continuous face of
     * [[graft.operators.Dedup.removeDuplicatedWindows]]: each batch's

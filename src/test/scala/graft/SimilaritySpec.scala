@@ -360,4 +360,45 @@ class SimilaritySpec extends SparkSpec {
       .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
     assert(out == Seq(1L, 3L, 2L))
   }
+
+  test("ivfRecallExactE6: perfect recall when buckets align, measured loss across a boundary, self excluded") {
+    import graft.operators.Similarity
+    // two tight clusters around (0,0) and (10,10); centroids at the
+    // cluster centers -> 1-probe candidates = own cluster only
+    val corpus = Seq(
+      (1L, Seq(0.0f, 0.1f)), (2L, Seq(0.1f, 0.0f)), (3L, Seq(0.2f, 0.2f)),
+      (11L, Seq(10.0f, 10.1f)), (12L, Seq(10.1f, 10.0f)), (13L, Seq(9.9f, 9.9f)),
+      // a straggler geometrically nearer cluster A's members than 13 is
+      // to 11, but assigned to B's centroid (closer to (10,10))
+      (21L, Seq(6.0f, 6.0f))
+    ).toDF("id", "vec")
+    val cents = Seq(
+      (0L, Seq(0L, 0L)), (1L, Seq(10000000L, 10000000L))
+    ).toDF("centroid_id", "centroid_e6")
+    val q = Seq((1L, Seq(0.0f, 0.1f))).toDF("qid", "qvec")
+    // k = 3: exact neighbors of q are {2, 3, 21}? no — 21 is at distance
+    // sqrt(72) from q, farther than 2 and 3 but nearer than cluster B;
+    // exact top-3 = {2, 3, 21}, approx (bucket 0) = {2, 3} -> 2 hits
+    val got = Similarity.ivfRecallExactE6(corpus, "id", "vec", cents,
+        q, "qid", "qvec", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, 2L, 3L, 666666L)), got.mkString(","))
+    // with the straggler probing its own bucket as a query, recall is
+    // still well-defined (its bucket holds cluster B -> some hits)
+    val q2 = Seq((21L, Seq(6.0f, 6.0f))).toDF("qid", "qvec")
+    val g2 = Similarity.ivfRecallExactE6(corpus, "id", "vec", cents,
+        q2, "qid", "qvec", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    // 21's exact top-2 are cluster B members? dist(21, B) = sqrt(32) <
+    // dist(21, A) = sqrt(72): exact = {11..13} subset; approx bucket B
+    // contains them -> full recall
+    assert(g2.toSeq == Seq((21L, 2L, 1000000L)), g2.mkString(","))
+    // k larger than the corpus: hits bounded by available neighbors
+    val g3 = Similarity.ivfRecallExactE6(corpus, "id", "vec", cents,
+        q, "qid", "qvec", k = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // q's bucket holds only {2, 3} besides itself (21 assigned to B):
+    // approx caps at 2 hits however large k grows
+    assert(g3 == Seq((1L, 2L)), g3.mkString(","))
+  }
 }

@@ -602,6 +602,39 @@ class StreamingSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect().toSet
     assert(replayed == first)
   }
+
+  test("token quota stream: equals the single-pass batch quota, blown budgets stay blown, replay no-ops") {
+    import graft.streaming.StreamingOps
+    import graft.operators.Sampling
+    val rows = Seq(
+      ("a", 1L, 100L), ("a", 2L, 100L), ("a", 3L, 500L), ("a", 4L, 10L),
+      ("b", 5L, 50L), ("b", 6L, 50L), ("b", 7L, 50L)
+    ).toDF("g", "id", "nt")
+    val work = java.nio.file.Files.createTempDirectory("tquota-spec").toString
+    def step(ids: Seq[Long], batchId: Long): Unit =
+      StreamingOps.applyTokenQuotaBatch(spark,
+        rows.filter($"id".isin(ids: _*)), batchId,
+        "g", "id", $"nt", budget = 250L, s"$work/state", s"$work/out")
+    step(Seq(1L, 2L, 5L), 0L)
+    step(Seq(3L, 4L, 6L, 7L), 1L)
+    val got = spark.read.parquet(s"$work/out")
+      .select("g", "id", "n_tokens", "cum_tokens")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // single-pass reference over the union, same budget
+    val ref = Sampling.tokenQuotaPerGroup(rows, "id", "g", $"nt", 250L)
+      .filter($"keep")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == ref, s"stream=$got ref=$ref")
+    // group a: 100+100 kept in batch 0; id 3 (500) blows the budget in
+    // batch 1 and id 4's 10 tokens must NOT sneak in after it (dropped
+    // tokens count into the running total — the batch rule)
+    assert(got.map(_._2) == Set(1L, 2L, 5L, 6L, 7L), got.toString)
+    // replay of batch 1 no-ops (same _CURRENT version)
+    step(Seq(3L, 4L, 6L, 7L), 1L)
+    val again = spark.read.parquet(s"$work/out")
+      .collect().length
+    assert(again == got.size, s"replay changed output: $again vs ${got.size}")
+  }
 }
 
 /** Serializable recording double for the socket client: records land in a
@@ -619,4 +652,5 @@ object RecordingClient {
     while (!buf.isEmpty) out += buf.poll()
     out.toSeq
   }
+
 }
