@@ -2743,6 +2743,60 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- dedup health report: cluster-size histogram of the planted
+    //      dup graph (docs <5 appear in triplicate, 5..19 in duplicate)
+    "dup_cluster_sizes" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val c1 = d.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val c2 = d.filter(col("doc_id") < 5)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+      val all = d.union(c1).union(c2)
+      val fps = all.select(col("doc_id"),
+        xxhash64(TextFunctions.normalizeForFingerprint(col("text"))).as("fp"))
+      val pairs = fps.select(col("fp"), col("doc_id").as("id_a"))
+        .join(fps.select(col("fp"), col("doc_id").as("id_b")), Seq("fp"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"))
+      Dedup.clusterSizeHistogram(pairs).orderBy("cluster_size")
+    }),
+
+    // ---- tokenizer sizing: corpus coverage of the top-k vocabularies
+    //      (count desc, term asc), exact integer ppm
+    "vocab_coverage" -> ((s, dir) => {
+      Vocab.coverageCurve(
+          t(s, dir, "documents").filter(col("doc_id") < 2000),
+          "text", Seq(5, 10, 20))
+        .orderBy("k")
+    }),
+
+    // ---- per-probe leakage report: probes are half-a-document plus a
+    //      novel tail, so each probe's 3-gram leak fraction sits
+    //      strictly between 0 and 1 — the graded "which eval items are
+    //      compromised" surface
+    "probe_leak_report" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(col("doc_id") < 2000)
+        .select(col("doc_id"), col("text"))
+      val toks = TextFunctions.tokens(col("text"))
+      val half = slice(toks, lit(1),
+        greatest((size(toks) / 2).cast("int"), lit(1)))
+      val probes = d.filter(col("doc_id") % 23 === 0)
+        .select(col("doc_id").as("probe_id"),
+          concat(array_join(half, " "), lit(" zzzq1 zzzq2 zzzq3")).as("ptext"))
+      Decontamination.probeLeakReport(d, "text", probes,
+          "probe_id", "ptext", n = 3)
+        .orderBy("probe_id")
+    }),
+
+    // ---- per-group exact embedding centroids (e6 integer space):
+    //      the SemDeDup cluster-mean / drift-reference primitive
+    "group_centroids_e6" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select((col("vec_id") % 5).as("grp"), col("embedding"))
+      Profile.groupCentroidsE6(emb, "grp", "embedding")
+        .orderBy("grp", "pos")
+    }),
+
     // ---- deterministic train/val/test split: one portable FNV bucket
     //      per key, disjoint CASE ranges (819/922/1024 = round(cum·1024))
     "hash_split" -> ((s, dir) => {
@@ -5893,6 +5947,98 @@ object SparkEntry {
         | CAST(n AS BIGINT) AS cluster_size,
         | CAST(1000000 // n AS BIGINT) AS weight_e6
         |FROM g ORDER BY doc_id""".stripMargin,
+
+    // planted multiplicities by normalized text: c>=2 groups are the
+    // clusters; histogram of their sizes
+    "dup_cluster_sizes" ->
+      """WITH norm AS (
+        | SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), '[[:punct:]]', '', 'g'), '\s+', ' ', 'g')) AS nt
+        | FROM documents
+        |), all_docs AS (
+        | SELECT CAST(doc_id AS BIGINT) AS doc_id, nt FROM norm
+        | UNION ALL SELECT CAST(doc_id + 1000000 AS BIGINT), nt FROM norm WHERE doc_id < 20
+        | UNION ALL SELECT CAST(doc_id + 2000000 AS BIGINT), nt FROM norm WHERE doc_id < 5
+        |), g AS (
+        | SELECT nt, count(*) AS c FROM all_docs GROUP BY nt HAVING count(*) >= 2
+        |)
+        |SELECT CAST(c AS BIGINT) AS cluster_size,
+        | CAST(count(*) AS BIGINT) AS n_clusters,
+        | CAST(c * count(*) AS BIGINT) AS n_docs
+        |FROM g GROUP BY c ORDER BY cluster_size""".stripMargin,
+
+    // same lowercased whitespace histogram as token_frequencies; the
+    // rank order (count desc, term asc) is total on both sides
+    "vocab_coverage" ->
+      """WITH h AS (
+        | SELECT t AS w, count(*) AS wc FROM (
+        |  SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')) AS t
+        |  FROM documents WHERE doc_id < 2000
+        | ) GROUP BY 1
+        |), r AS (
+        | SELECT w, wc, row_number() OVER (ORDER BY wc DESC, w) AS rn FROM h
+        |), tot AS (
+        | SELECT CAST(sum(wc) AS BIGINT) AS total FROM h
+        |), ks(k) AS (
+        | SELECT * FROM (VALUES (5), (10), (20)) v
+        |)
+        |SELECT CAST(ks.k AS BIGINT) AS k,
+        | CAST(COALESCE(sum(r.wc), 0) AS BIGINT) AS covered_tokens,
+        | CAST(any_value(tot.total) AS BIGINT) AS total_tokens,
+        | CAST(COALESCE(sum(r.wc), 0) * 1000000 // greatest(any_value(tot.total), 1) AS BIGINT) AS coverage_ppm
+        |FROM ks CROSS JOIN tot LEFT JOIN r ON r.rn <= ks.k
+        |GROUP BY ks.k ORDER BY k""".stripMargin,
+
+    // probes replayed as half-doc + novel tail; 3-gram leak counts on
+    // the window strings (whole-text shingle for <3-token inputs —
+    // the shingles() short contract)
+    "probe_leak_report" ->
+      """WITH tk AS (
+        | SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS ts
+        | FROM documents WHERE doc_id < 2000
+        |), p AS (
+        | SELECT doc_id AS probe_id,
+        |  list_filter(string_split_regex(
+        |    trim(array_to_string(ts[1:greatest(len(ts) // 2, 1)], ' ') || ' zzzq1 zzzq2 zzzq3'),
+        |    '\s+'), x -> x <> '') AS pts
+        | FROM tk WHERE doc_id % 23 = 0
+        |), pg AS (
+        | SELECT probe_id, unnest(list_distinct(
+        |   CASE WHEN len(pts) < 3 THEN [array_to_string(pts, ' ')]
+        |        ELSE list_transform(range(1, len(pts) - 1), i -> array_to_string(pts[i:i+2], ' '))
+        |   END)) AS g
+        | FROM p
+        |), cg AS (
+        | SELECT DISTINCT unnest(
+        |   CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+        |        ELSE list_transform(range(1, len(ts) - 1), i -> array_to_string(ts[i:i+2], ' '))
+        |   END) AS g
+        | FROM tk
+        |), j AS (
+        | SELECT pg.probe_id, CASE WHEN cg.g IS NOT NULL THEN 1 ELSE 0 END AS hit
+        | FROM pg LEFT JOIN cg ON pg.g = cg.g
+        |)
+        |SELECT probe_id, CAST(count(*) AS BIGINT) AS n_ngrams,
+        | CAST(sum(hit) AS BIGINT) AS n_leaked,
+        | CAST(sum(hit) * 1000000 // count(*) AS BIGINT) AS leak_ppm
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // e6 floor quantization + exact integer sums; mean by trunc-div
+    // (// ≡ Spark div, pinned by the k-means family)
+    "group_centroids_e6" ->
+      """WITH e AS (
+        | SELECT vec_id % 5 AS grp,
+        |  list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS a
+        | FROM embeddings
+        |), ex AS (
+        | SELECT grp, CAST(generate_subscripts(a, 1) - 1 AS INT) AS pos,
+        |  unnest(a) AS x
+        | FROM e
+        |)
+        |SELECT grp, pos, CAST(sum(x) AS BIGINT) AS sum_e6,
+        | CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(x) // count(*) AS BIGINT) AS mean_e6
+        |FROM ex GROUP BY 1, 2 ORDER BY grp, pos""".stripMargin,
 
     // the weighted_sample FNV fragment; boundaries are the operator's
     // round(cum·1024) values spelled as literals

@@ -87,6 +87,52 @@ object Decontamination {
       .drop("_hit")
   }
 
+  /** Per-PROBE leakage report — for each probe (benchmark) document,
+    * how much of it already lives in the corpus: `(<probeIdCol>,
+    * n_ngrams, n_leaked, leak_ppm BIGINT)` over the probe's DISTINCT
+    * word n-grams. [[contaminationFlags]] answers "which corpus docs
+    * to drop"; this answers "which eval items are compromised" — the
+    * report an eval owner reads before trusting a benchmark number.
+    *
+    * Scale shape: INVERTED from the corpus-side screens. The probe
+    * hash set broadcasts (same defensive cap) into the corpus scan,
+    * which emits only MATCHED hashes — a set bounded by the PROBE
+    * size, not the corpus — deduped and joined back probe-side; the
+    * corpus never shuffles its shingles and nothing corpus-scale
+    * aggregates. leak_ppm is exact integer (n_leaked·10⁶ div
+    * n_ngrams; n_ngrams ≥ 1 by construction — every probe with text
+    * yields at least the whole-text shingle).
+    */
+  def probeLeakReport(
+      docs: DataFrame,
+      textCol: String,
+      probes: DataFrame,
+      probeIdCol: String,
+      probeTextCol: String,
+      n: Int = 8,
+      maxBroadcastProbeHashes: Long = 10000000L
+  ): DataFrame = {
+    val pg = probes.select(col(probeIdCol).as("_pid"),
+        explode(array_distinct(shingles(col(probeTextCol), n))).as("_g"))
+      .select(col("_pid"), xxhash64(col("_g")).as("_h"))
+    val pHashes = pg.select(col("_h")).distinct().cache()
+    val pCount = pHashes.count()
+    val probeSide =
+      if (pCount <= maxBroadcastProbeHashes) broadcast(pHashes) else pHashes
+    val corpusHashes = docs
+      .select(explode(array_distinct(shingles(col(textCol), n))).as("_g"))
+      .select(xxhash64(col("_g")).as("_h"))
+    val matched = corpusHashes.join(probeSide, Seq("_h"), "left_semi")
+      .distinct()
+      .withColumn("_hit", lit(true))
+    pg.join(matched, Seq("_h"), "left")
+      .groupBy(col("_pid"))
+      .agg(count(lit(1)).cast("long").as("n_ngrams"),
+        sum(when(col("_hit"), 1L).otherwise(0L)).cast("long").as("n_leaked"))
+      .select(col("_pid").as(probeIdCol), col("n_ngrams"), col("n_leaked"),
+        expr("CAST(n_leaked * 1000000 div n_ngrams AS BIGINT)").as("leak_ppm"))
+  }
+
   /** FUZZY cross-corpus decontamination: corpus documents that are
     * MinHash near-duplicates of any probe document — the near-dup
     * complement of [[contaminationFlags]]' exact n-gram membership

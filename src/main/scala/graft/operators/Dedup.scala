@@ -830,6 +830,22 @@ object Dedup {
     * ids only; the join back to `df` is on the id — full rows never
     * shuffle twice.
     */
+  /** Duplicate-cluster SIZE histogram — the dedup health report
+    * ("how much of the corpus is 2-copies vs 1000-copy boilerplate"):
+    * `(cluster_size, n_clusters, n_docs)` over the connected dup
+    * graph. Docs in no pair are singletons and do not appear (their
+    * mass is `|df| − Σ n_docs`, driver arithmetic). Scale shape: the
+    * same min-label CC as every dedup path, then two histogram-sized
+    * aggregations — nothing corpus-scale after the pairs.
+    */
+  def clusterSizeHistogram(pairs: DataFrame): DataFrame =
+    connectedComponents(pairs)
+      .groupBy(col("comp")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).cast(LongType).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).cast(LongType).as("n_docs"))
+
   def softDedupWeights(
       df: DataFrame,
       pairs: DataFrame,

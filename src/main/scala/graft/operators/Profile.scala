@@ -988,4 +988,33 @@ object Profile {
         (col("cnt").cast(DoubleType) / col("_tot").cast(DoubleType)).as("share"),
         (col("_cum").cast(DoubleType) / col("_tot").cast(DoubleType)).as("cum_share"))
   }
+
+  /** Per-group EXACT embedding centroid in e6 integer space — domain/
+    * source-level embedding summaries (the SemDeDup cluster-mean and
+    * drift-reference primitive) with engine-reproducible arithmetic:
+    * vectors floor-quantize to ×10⁶ BIGINT, per-position sums are
+    * exact, and the mean is one trunc-toward-zero integer division
+    * (Spark `div` ≡ DuckDB `//`, pinned for negative sums by the
+    * k-means family). Output: `(<groupCol>, pos, sum_e6, n, mean_e6)`.
+    * Rows with a null group or vector drop.
+    *
+    * Scale shape: one narrow quantize + posexplode, then a single
+    * map-side-combined aggregation whose key space is groups × dim —
+    * histogram-sized rows shuffle, never vectors.
+    */
+  def groupCentroidsE6(
+      df: DataFrame,
+      groupCol: String,
+      vecCol: String
+  ): DataFrame =
+    df.filter(col(groupCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(groupCol).as("_g"),
+        posexplode(transform(col(vecCol),
+          v => floor(v.cast(DoubleType) * 1000000d).cast(LongType)))
+          .as(Seq("pos", "_x")))
+      .groupBy(col("_g"), col("pos"))
+      .agg(sum(col("_x")).as("sum_e6"), count(lit(1)).as("n"))
+      .select(col("_g").as(groupCol), col("pos").cast(IntegerType).as("pos"),
+        col("sum_e6"), col("n"),
+        expr("CAST(sum_e6 div n AS BIGINT)").as("mean_e6"))
 }

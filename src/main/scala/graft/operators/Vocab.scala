@@ -217,6 +217,41 @@ object Vocab {
       .limit(k)
   }
 
+  /** Vocabulary coverage curve — for each requested vocabulary size
+    * `k`, the fraction of ALL token occurrences covered by the k most
+    * frequent terms (count desc, term asc: a total order) — the
+    * tokenizer-sizing analysis ("how large a vocab covers 95% of the
+    * corpus"). Output: `(k, covered_tokens, total_tokens, coverage_ppm
+    * BIGINT)`, coverage_ppm = covered·10⁶ div max(total, 1).
+    *
+    * Scale shape: the only corpus-scale stage is the map-side-combined
+    * term histogram (the [[topTerms]] shuffle); the top-max(k) cut is a
+    * TakeOrdered bounded heap — no global sort — and the rank window
+    * runs over those ≤ max(k) driver-bounded rows only; the grand
+    * total is a 1-row aggregate of histogram rows.
+    */
+  def coverageCurve(docs: DataFrame, textCol: String, ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ > 0),
+      s"coverageCurve: ks must be positive, got $ks")
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val hist = wordHistogram(docs, textCol)
+    val total = Option(hist.agg(sum(col("wc"))).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    val maxK = ks.max
+    val top = hist.orderBy(col("wc").desc, col("w")).limit(maxK)
+      .withColumn("_r",
+        row_number().over(Window.orderBy(col("wc").desc, col("w"))).cast("long"))
+    ks.distinct.sorted.map(_.toLong).toDF("k")
+      .join(top, col("_r") <= col("k"), "left")
+      .groupBy("k").agg(coalesce(sum(col("wc")), lit(0L)).as("covered_tokens"))
+      .select(col("k"), col("covered_tokens"),
+        lit(total).as("total_tokens"),
+        expr(s"CAST(covered_tokens * 1000000 div ${math.max(total, 1L)}L AS BIGINT)")
+          .as("coverage_ppm"))
+  }
+
   private def wordHistogram(docs: DataFrame, textCol: String): DataFrame =
     docs
       .select(explode(TextFunctions.tokens(lower(col(textCol)))).as("w"))

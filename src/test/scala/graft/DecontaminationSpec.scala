@@ -136,4 +136,20 @@ class DecontaminationSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("Broadcast"), plan)
   }
+
+  test("probeLeakReport: fully-leaked, partial, and novel probes grade correctly") {
+    import graft.operators.Decontamination
+    val docs = Seq((1L, "w1 w2 w3 w4 w5 w6 w7 w8")).toDF("doc_id", "text")
+    val probes = Seq(
+      (10L, "w2 w3 w4 w5"),          // both its 3-grams present in doc 1
+      (11L, "w4 w5 w6 x1 x2"),       // "w4 w5 w6" leaked, the two x-grams not
+      (12L, "n1 n2 n3 n4")           // fully novel
+    ).toDF("probe_id", "ptext")
+    val m = Decontamination.probeLeakReport(docs, "text", probes,
+        "probe_id", "ptext", n = 3)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(m(10L) == ((2L, 2L, 1000000L)), m.toString)   // "w2 w3 w4","w3 w4 w5"
+    assert(m(11L) == ((3L, 1L, 333333L)), m.toString)
+    assert(m(12L) == ((2L, 0L, 0L)), m.toString)
+  }
 }

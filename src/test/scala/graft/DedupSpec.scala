@@ -527,4 +527,11 @@ class DedupSpec extends SparkSpec {
     assert(out == Seq((1L, "unchanged"), (2L, "changed"),
       (3L, "removed"), (4L, "added")), out.toString)
   }
+
+  test("clusterSizeHistogram: sizes from the component graph, singletons absent") {
+    val pairs = Seq((1L, 2L), (3L, 4L), (4L, 5L), (7L, 8L)).toDF("id_a", "id_b")
+    val got = Dedup.clusterSizeHistogram(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((2L, 2L, 4L), (3L, 1L, 3L)), got.toString)
+  }
 }

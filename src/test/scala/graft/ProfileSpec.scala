@@ -442,4 +442,26 @@ class ProfileSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
+
+  test("groupCentroidsE6: exact sums, trunc-toward-zero means on negatives, null rows drop") {
+    import graft.operators.Profile
+    val df = Seq(
+      (Option("a"), Option(Seq(1.0f, -0.5f))),
+      (Option("a"), Option(Seq(0.0f, -0.6f))),
+      (Option("b"), Option(Seq(2.0f, 2.0f))),
+      (None, Option(Seq(9.0f, 9.0f))),
+      (Option("c"), None)
+    ).toDF("g", "vec")
+    val got = Profile.groupCentroidsE6(df, "g", "vec")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    // a/pos1: floor(-0.5·10⁶) = -500000, floor(-0.6f widened = -0.600000023…·10⁶)
+    // = -600001 → sum -1100001; div 2 TRUNCATES toward zero → -550000
+    // (floor division would give -550001 — the direction is the contract)
+    assert(got == Set(
+      ("a", 0, 1000000L, 2L, 500000L),
+      ("a", 1, -1100001L, 2L, -550000L),
+      ("b", 0, 2000000L, 1L, 2000000L),
+      ("b", 1, 2000000L, 1L, 2000000L)
+    ), got.toString)
+  }
 }

@@ -147,4 +147,17 @@ class VocabSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan)
     assert(plan.contains("graft_bottomk"), plan)
   }
+
+  test("coverageCurve: exact cumulative coverage under (count desc, term asc); k past the vocab covers all") {
+    import graft.operators.Vocab
+    // freqs: a=4, b=3, c=2, d=1 -> total 10
+    val docs = Seq("a a b c", "a A b B c d").toDF("text")
+    val got = Vocab.coverageCurve(docs, "text", Seq(1, 2, 99))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set(
+      (1L, 4L, 10L, 400000L),
+      (2L, 7L, 10L, 700000L),
+      (99L, 10L, 10L, 1000000L)
+    ), got.toString)
+  }
 }
