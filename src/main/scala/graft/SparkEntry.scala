@@ -464,6 +464,24 @@ object SparkEntry {
         .orderBy("name")
     }),
 
+    // ---- tabular CSV sink → declared-schema source roundtrip: the
+    //      crawl-manifest interchange path; the label column embeds
+    //      delimiter and quote characters so RFC 4180 quoting is what
+    //      the gate actually exercises
+    "csv_roundtrip" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(col("doc_id") < 300)
+        .select(col("doc_id"), col("source"),
+          concat(col("source"), lit(",\"tricky\" value")).as("label"),
+          TextFunctions.tokenCount(col("text")).as("n_tokens"))
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-csv-gate").toString
+      graft.sources.SourcesSinks.writeCsvRecords(d, out)
+      graft.sources.SourcesSinks.readCsvRecords(s, out, StructType(Seq(
+          StructField("doc_id", LongType), StructField("source", StringType),
+          StructField("label", StringType), StructField("n_tokens", LongType))))
+        .orderBy("doc_id")
+    }),
+
     // ---- single-doc JSON record read (Document.parse analogue,
     //      PartialUpdateMongo.java:241): jsonl fixture → typed columns
     "json_records_read" -> ((s, dir) => {
@@ -5947,6 +5965,14 @@ object SparkEntry {
         | CAST(n AS BIGINT) AS cluster_size,
         | CAST(1000000 // n AS BIGINT) AS weight_e6
         |FROM g ORDER BY doc_id""".stripMargin,
+
+    // roundtrip identity: the oracle recomputes the written columns
+    // straight from parquet
+    "csv_roundtrip" ->
+      """SELECT doc_id, source,
+        | source || ',"tricky" value' AS label,
+        | CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+        |FROM documents WHERE doc_id < 300 ORDER BY doc_id""".stripMargin,
 
     // planted multiplicities by normalized text: c>=2 groups are the
     // clusters; histogram of their sizes

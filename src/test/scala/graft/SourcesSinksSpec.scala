@@ -88,4 +88,26 @@ class SourcesSinksSpec extends SparkSpec {
     val names = back.select("filename").as[String].collect().sorted
     assert(names.toSeq == Seq("bin-e.click.json", "bin-t.2024.json"))
   }
+
+  test("csv roundtrip: delimiters, quotes, spaces and nulls survive; declared schema types hold") {
+    import graft.sources.SourcesSinks
+    import org.apache.spark.sql.types._
+    val df = Seq(
+      (1L, Option("a,b"), Option("say \"hi\""), Option(10L)),
+      (2L, Option("  padded  "), None, Option(0L)),
+      (3L, None, Option("plain"), None)
+    ).toDF("id", "c1", "c2", "n")
+    val out = java.nio.file.Files.createTempDirectory("csv-rt").toString
+    SourcesSinks.writeCsvRecords(df, out)
+    val back = SourcesSinks.readCsvRecords(spark, out, StructType(Seq(
+        StructField("id", LongType), StructField("c1", StringType),
+        StructField("c2", StringType), StructField("n", LongType))))
+      .collect().map(r => (r.getLong(0),
+        Option(r.getString(1)), Option(r.getString(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
+    val orig = df.collect().map(r => (r.getLong(0),
+      Option(r.getString(1)), Option(r.getString(2)),
+      if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
+    assert(back == orig, s"back=$back orig=$orig")
+  }
 }
