@@ -264,6 +264,33 @@ object SparkEntry {
        |END""".stripMargin
   }
 
+  /** The frozen BPE merge list for the encode gate — the corpus's own
+    * top character pairs (bpe_pair_stats order) plus two second-round
+    * merges built on them ("er"+... style), in rank order. Literal on
+    * BOTH sides (the qm_diag_weights discipline), so the oracle folds
+    * the identical replace chain.
+    */
+  private val bpeGateMerges: Seq[(String, String)] = Seq(
+    "e" -> "r",   // er: the corpus's top pair
+    "o" -> "r",   // or
+    "i" -> "n",   // in
+    "o" -> "w",   // ow
+    "s" -> "t",   // st
+    "er" -> "g",  // rank-4 merge consuming a rank-0 product ("merge")
+    "st" -> "r",  // "stream"
+    "a" -> "t")   // at
+
+  /** The DuckDB replay of [[graft.functions.TextFunctions.bpeTokenCount]]'s
+    * per-word merge chain: spell the word as space-joined characters,
+    * fold the same ranked replaces. `w` is the surrounding lambda's
+    * variable.
+    */
+  private val bpeEncodeChainSql: String =
+    bpeGateMerges.foldLeft(
+      "list_aggregate(string_split(w, ''), 'string_agg', ' ')") {
+      case (s, (a, b)) => s"replace($s, '$a $b', '$a$b')"
+    }
+
   /** The oracle's replay of UrlParse.host + RegisteredDomain over the
     * shared synthetic URLs: one regex for the host (scheme optional,
     * greedy userinfo, port/path cut), trailing-dot strip, then
@@ -1342,6 +1369,22 @@ object SparkEntry {
       Vocab.bpeNextPairStats(d, "text", k = 50)
     }),
 
+    // ---- BPE ENCODE applied to the corpus: a frozen ranked merge
+    //      list (rank-order global replace — the trainer's own
+    //      leftmost-nonoverlapping tie rule) spells each word as
+    //      symbols and counts them. The serving-side closure of the
+    //      bpe_pair_stats / bpe_merge_round2 trainer loop: the merges
+    //      are the corpus's own top pairs, frozen as literals so both
+    //      engines fold the identical chain
+    "bpe_encode_count" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(col("doc_id") < 2000)
+      d.select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).as("word_tokens"),
+          TextFunctions.bpeTokenCount(col("text"), bpeGateMerges)
+            .as("bpe_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // ---- exact phrase search: rolling-fingerprint candidates (zero
     //      corpus shuffle — the phrase hash is a driver-computed
     //      literal) + collision-proof slice verify; the shared
@@ -1369,6 +1412,25 @@ object SparkEntry {
       Sampling.tokenQuotaPerGroup(d, "doc_id", "domain",
           TextFunctions.tokenCount(col("text")), budget = 200L)
         .orderBy("doc_id")
+    }),
+
+    // ---- UniMax budget allocation: per-source token totals waterfill
+    //      under a 2-epoch cap, smallest-first, integer floor division
+    //      throughout. Token mass is planted exponentially skewed
+    //      (×2^(source_suffix mod 5)) so SOME sources epoch-cap and the
+    //      rolled-forward budget share-limits the rest — both branches
+    //      of the allocation rule are in the compared surface; the
+    //      total budget is half the (weighted) corpus so the shape
+    //      holds at every scale factor
+    "unimax_budget" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("source"),
+        (TextFunctions.tokenCount(col("text")) *
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(substring(source, 4) AS INT) % 5)"))
+          .as("_nt"))
+      val total = d.agg(sum(col("_nt"))).head().getLong(0)
+      Sampling.unimaxBudgets(d, "source", col("_nt"),
+          totalBudget = math.max(1L, total / 2), maxEpochs = 2L)
+        .orderBy("source")
     }),
 
     // ---- fuzzy cross-corpus decontamination: MinHash near-dup flags
@@ -2386,6 +2448,21 @@ object SparkEntry {
       Packing.chunkByTokens(d, "text", "doc_id",
           chunkTokens = 32, overlapTokens = 8)
         .orderBy("doc_id", "chunk_idx")
+    }),
+
+    // ---- sentence segmentation: the corpus text carries no
+    //      punctuation, so terminators are PLANTED by plain substring
+    //      replace (' value ' → ' value. ', ' query ' → ' query? ' —
+    //      leftmost-nonoverlapping, identical in both engines), then
+    //      the regex-portable boundary rule (terminator + spaces, no
+    //      lookbehind) explodes each doc into indexed sentences
+    "sentence_chunks" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(col("doc_id") < 500)
+        .select(col("doc_id"),
+          replace(replace(col("text"), lit(" value "), lit(" value. ")),
+            lit(" query "), lit(" query? ")).as("_t"))
+      Packing.sentenceChunks(d, "doc_id", "_t")
+        .orderBy("doc_id", "sentence_idx")
     }),
 
     // ---- retrieval: BM25 top-k per query (lexical complement to the
@@ -4379,6 +4456,24 @@ object SparkEntry {
         |ORDER BY pair_count DESC, a, b
         |LIMIT 50""".stripMargin,
 
+    // the encode chain folded verbatim (bpeEncodeChainSql — the same
+    // ranked literal merges as the Spark expression tree): symbols per
+    // word = spaces + 1 after the chain, summed per doc; word_tokens is
+    // the shared whitespace rule on the raw text
+    "bpe_encode_count" ->
+      s"""WITH d AS (
+         | SELECT doc_id,
+         |  list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS rawts,
+         |  list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS ws
+         | FROM documents WHERE doc_id < 2000
+         |)
+         |SELECT doc_id,
+         | CAST(len(rawts) AS BIGINT) AS word_tokens,
+         | CAST(coalesce(list_sum(list_transform(ws, w ->
+         |   1 + length($bpeEncodeChainSql)
+         |     - length(replace($bpeEncodeChainSql, ' ', '')))), 0) AS BIGINT) AS bpe_tokens
+         |FROM d ORDER BY doc_id""".stripMargin,
+
     // phrase occurrences replayed on the window STRINGS (the
     // dup_window_removal convention — join-by-space is injective over
     // whitespace tokens): every 6-token window equal to the needle,
@@ -4418,6 +4513,38 @@ object SparkEntry {
          |SELECT domain, doc_id, n_tokens, cum_tokens,
          | (cum_tokens <= 200) AS keep
          |FROM j ORDER BY doc_id""".stripMargin,
+
+    // the UniMax waterfill as a recursive CTE: groups ordered by
+    // (weighted token total asc, source asc), each step takes
+    // min(n·2, remaining // groups_left) in BIGINT floor division —
+    // the operator's exact sequential rule
+    "unimax_budget" ->
+      """WITH RECURSIVE nt AS (
+        | SELECT source,
+        |  CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''))
+        |    * (CAST(1 AS BIGINT) << (CAST(substr(source, 4) AS INT) % 5)) AS BIGINT) AS w
+        | FROM documents
+        |), g AS (
+        | SELECT source, CAST(sum(w) AS BIGINT) AS n FROM nt GROUP BY 1
+        |), tot AS (
+        | SELECT greatest(CAST(sum(n) AS BIGINT) // 2, 1) AS B FROM g
+        |), ordered AS (
+        | SELECT source, n, row_number() OVER (ORDER BY n, source) AS i,
+        |  count(*) OVER () AS L
+        | FROM g
+        |), alloc AS (
+        | SELECT o.i, o.source, o.n, o.L,
+        |  least(o.n * 2, t.B // o.L) AS b,
+        |  t.B - least(o.n * 2, t.B // o.L) AS rem
+        | FROM ordered o, tot t WHERE o.i = 1
+        | UNION ALL
+        | SELECT o.i, o.source, o.n, o.L,
+        |  least(o.n * 2, a.rem // (o.L - a.i)),
+        |  a.rem - least(o.n * 2, a.rem // (o.L - a.i))
+        | FROM ordered o JOIN alloc a ON o.i = a.i + 1
+        |)
+        |SELECT source, n AS n_tokens, CAST(b AS BIGINT) AS budget
+        |FROM alloc ORDER BY source""".stripMargin,
 
     // planted exact-copy probes at threshold 1.0 + fp verification ⇒
     // flagged docs = docs whose normalized text equals a probe's, each
@@ -6358,6 +6485,26 @@ object SparkEntry {
         | CAST(LEAST(chunk_idx * 24 + 32, n) - chunk_idx * 24 AS BIGINT) AS n_tokens
         |FROM e
         |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // same planted terminators (plain leftmost-nonoverlapping replace),
+    // same sentinel rewrite of `terminator + spaces` (chr(1) — no
+    // lookbehind, RE2-safe), blank fragments filtered BEFORE indexing
+    "sentence_chunks" ->
+      """WITH m AS (
+        | SELECT doc_id,
+        |  string_split(regexp_replace(
+        |    replace(replace(text, ' value ', ' value. '), ' query ', ' query? '),
+        |    '([.!?]) +', '\1' || chr(1), 'g'), chr(1)) AS raw
+        | FROM documents WHERE doc_id < 500
+        |), f AS (
+        | SELECT doc_id, list_filter(raw, s -> trim(s) <> '') AS ls FROM m
+        |), e AS (
+        | SELECT doc_id, ls, unnest(range(len(ls))) AS i FROM f
+        |)
+        |SELECT doc_id, CAST(i AS BIGINT) AS sentence_idx,
+        | ls[i + 1] AS sentence,
+        | CAST(len(list_filter(string_split_regex(trim(ls[i + 1]), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+        |FROM e ORDER BY doc_id, sentence_idx""".stripMargin,
 
     // BM25 mirrored term-for-term: same tokenizer fragment as
     // dsir_scores; the idf table is the gate-registered driver-computed

@@ -559,4 +559,44 @@ object TextFunctions {
     ColumnBridge.column(graft.plans.CharShingles(
       ColumnBridge.expression(normalizeForFingerprint(text)), n, stride))
   }
+
+  /** BPE ENCODE token count — apply a learned merge list to every word
+    * and count the resulting subword symbols. This is the serving-side
+    * companion of the trainer loop ([[graft.operators.Vocab.bpePairStats]]
+    * learns the next merge; this applies a frozen ranked list): each
+    * word is spelled as space-separated symbols ("hello" → "h e l l o")
+    * and the merges run IN RANK ORDER, each as one global
+    * leftmost-nonoverlapping `replace("a b" → "ab")` — the same
+    * substitution rule the trainer uses
+    * ([[graft.operators.Vocab.bpeNextPairStats]]), so encode and learn
+    * share one tie-break. The symbol count per word is then
+    * spaces + 1, summed over the doc.
+    *
+    * Rank-order global application is the documented semantics (one
+    * pass per merge); the classical re-scan-for-lowest-rank encoder
+    * can differ only when a LATER-rank merge creates an occurrence of
+    * an EARLIER-rank pair — we define the operator without that
+    * back-edge so both engines replay it with plain `replace` chains.
+    *
+    * Scale shape: per-row HOF arithmetic only (no shuffle, no UDF, no
+    * state); the merge list is a compile-time literal folded into the
+    * expression tree, so a 100 TB pass is one map stage.
+    */
+  def bpeTokenCount(text: Column, merges: Seq[(String, String)]): Column = {
+    require(merges.nonEmpty, "bpeTokenCount: merge list must be non-empty")
+    require(merges.forall { case (a, b) =>
+        a.nonEmpty && b.nonEmpty && !a.contains(" ") && !b.contains(" ") },
+      s"bpeTokenCount: merge symbols must be non-empty and space-free, got $merges")
+    val perWord = (w: Column) => {
+      val spelled = array_join(split(w, ""), " ")
+      val merged = merges.foldLeft(spelled) { case (s, (a, b)) =>
+        replace(s, lit(a + " " + b), lit(a + b))
+      }
+      length(merged) - length(replace(merged, lit(" "), lit(""))) + lit(1)
+    }
+    coalesce(
+      aggregate(transform(tokens(lower(text)), perWord), lit(0L),
+        (acc, x) => acc + x.cast(LongType)),
+      lit(0L))
+  }
 }

@@ -250,6 +250,33 @@ object Packing {
         size(col("_win")).cast(LongType).as("n_tokens"))
   }
 
+  /** Sentence segmentation — explode each document into its sentences
+    * with a stable 0-based index, the unit RAG pipelines and
+    * sentence-level dedup/quality filters work at. The boundary rule
+    * is deliberately regex-portable (no lookbehind, which RE2-based
+    * engines lack): a terminator `[.!?]` followed by spaces ends a
+    * sentence, implemented by rewriting `([.!?]) +` to the terminator
+    * plus a U+0001 sentinel (a control char that cannot survive inside
+    * text tokens) and splitting on the sentinel — the inter-sentence
+    * spaces are consumed, which is the intended normalization. Blank
+    * fragments drop; `sentence_idx` numbers the KEPT sentences.
+    * Output: `(idCol, sentence_idx, sentence, n_tokens)`.
+    *
+    * Scale shape: per-row split + posexplode — one map stage, no
+    * shuffle, no UDF; fan-out is bounded by the doc's own sentence
+    * count.
+    */
+  def sentenceChunks(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sentinel = "\u0001"
+    val marked = regexp_replace(col(textCol), "([.!?]) +", "$1" + sentinel)
+    val kept = filter(split(marked, sentinel), s => trim(s) =!= "")
+    df.select(col(idCol), posexplode(kept).as(Seq("sentence_idx", "sentence")))
+      .select(col(idCol),
+        col("sentence_idx").cast(LongType).as("sentence_idx"),
+        col("sentence"),
+        graft.functions.TextFunctions.tokenCount(col("sentence")).as("n_tokens"))
+  }
+
   /** Deterministic balanced sharding — the data-loader prep step:
     * every doc gets a `shard` id so that consecutive docs IN THE
     * REPRODUCIBLE SHUFFLE ORDER (the

@@ -497,6 +497,63 @@ object Sampling {
       .drop("_h", "_b", "_rn", "_off")
   }
 
+  /** UniMax per-group budget allocation (public algorithm: Chung,
+    * Garcia, Roberts et al. 2023, "UniMax: Fairer and More Effective
+    * Language Sampling for Large-Scale Multilingual Pretraining"):
+    * spread a total token budget across groups (languages, domains)
+    * so no group repeats more than `maxEpochs` passes over its own
+    * data and the leftover budget spreads evenly. Visiting groups from
+    * SMALLEST token count upward (ties by group name — a total order),
+    * each group gets `min(n_g · maxEpochs, remaining // groups_left)`;
+    * what a small group cannot absorb rolls forward to the larger
+    * ones. Integer arithmetic throughout (floor division), so any
+    * engine replays the allocation bit-for-bit (the driver gate's
+    * DuckDB oracle walks the same waterfill as a recursive CTE).
+    *
+    * Output: one row per group — `(groupCol, n_tokens, budget)`.
+    *
+    * Scale shape: the only corpus-scale stage is the map-side-combined
+    * per-group token sum (result ≤ #groups rows — language/domain
+    * cardinality, metadata scale); the waterfill itself is a
+    * sequential fold over those rows on the driver, the same
+    * collect-the-histogram discipline as [[mixToTarget]] /
+    * [[temperatureMix]]. Apply the returned budgets with
+    * [[tokenQuotaPerGroup]]-style cumulative cuts to materialize the
+    * mix.
+    */
+  def unimaxBudgets(
+      df: DataFrame,
+      groupCol: String,
+      tokensCol: Column,
+      totalBudget: Long,
+      maxEpochs: Long
+  ): DataFrame = {
+    require(totalBudget > 0, s"unimaxBudgets: totalBudget must be positive, got $totalBudget")
+    require(maxEpochs > 0, s"unimaxBudgets: maxEpochs must be positive, got $maxEpochs")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = df
+      .select(col(groupCol).cast("string").as("_g"), tokensCol.cast("long").as("_nt"))
+      .filter(col("_g").isNotNull && col("_nt").isNotNull)
+      .groupBy("_g").agg(sum(col("_nt")).as("_n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (g, n) => (n, g) }
+    val total = counts.length
+    var rem = totalBudget
+    val rows = counts.zipWithIndex.map { case ((g, n), i) =>
+      // epoch cap with overflow guard: at petabyte scale n·E can pass
+      // Long.MaxValue; the cap then never binds, which is the intent
+      val epochCap =
+        if (maxEpochs != 0L && n > Long.MaxValue / maxEpochs) Long.MaxValue
+        else n * maxEpochs
+      val share = rem / (total - i)
+      val b = math.min(epochCap, share)
+      rem -= b
+      (g, n, b)
+    }
+    rows.toSeq.toDF(groupCol, "n_tokens", "budget")
+  }
+
   /** Within-group 1-based ranks by ascending integer key, TWO-LEVEL
     * bucketed (the percentRank design): key-range bucket counts per
     * group reduce map-side, per-group offsets ride a window over the

@@ -186,4 +186,26 @@ class PackingSpec extends SparkSpec {
       .filter(l => l.contains("windowspecdefinition") && l.contains("_h")).toSeq
     assert(runWindows.nonEmpty && runWindows.forall(_.contains("_b")), plan)
   }
+
+  test("sentenceChunks: terminator+spaces splits, spaces consumed, blanks drop, indices over kept") {
+    val d = Seq(
+      (0L, "One two. Three four?  Five!"),  // 3 sentences, double space ok
+      (1L, "no terminator here"),           // 1 sentence
+      (2L, "Trailing dot. "),               // trailing blank fragment drops
+      (3L, ""),                             // empty doc → no rows
+      (4L, "a.b stays one")                 // dot NOT followed by space: no split
+    ).toDF("id", "t")
+    val out = Packing.sentenceChunks(d, "id", "t")
+      .as[(Long, Long, String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(r => (r._3, r._4)).toSeq).toMap
+    assert(out(0L) == Seq(("One two.", 2L), ("Three four?", 2L), ("Five!", 1L)), out.toString)
+    assert(out(1L) == Seq(("no terminator here", 3L)))
+    assert(out(2L) == Seq(("Trailing dot.", 2L)))
+    assert(!out.contains(3L))
+    assert(out(4L) == Seq(("a.b stays one", 3L)))
+    // no shuffle: single map stage (explode), no Exchange in the plan
+    val plan = Packing.sentenceChunks(d, "id", "t")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
 }

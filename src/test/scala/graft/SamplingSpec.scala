@@ -389,4 +389,34 @@ class SamplingSpec extends SparkSpec {
     assert(wins.nonEmpty, plan)
     assert(wins.exists(l => l.contains("_g") && l.contains("_b")), plan)
   }
+
+  test("unimaxBudgets: smallest-first waterfill, epoch cap binds then budget rolls forward") {
+    import graft.operators.Sampling
+    // group token totals: a=10, b=100, c=1000; budget 500, 2 epochs.
+    // visit a (share 500/3=166 > cap 20 → 20, rem 480), b (share
+    // 480/2=240 > cap 200 → 200, rem 280), c (share 280/1=280 < cap → 280)
+    val d = Seq(
+      ("a", 4L), ("a", 6L),
+      ("b", 100L),
+      ("c", 999L), ("c", 1L),
+      (null.asInstanceOf[String], 50L) // null group drops
+    ).toDF("g", "nt")
+    val out = Sampling.unimaxBudgets(d, "g", col("nt"), totalBudget = 500L, maxEpochs = 2L)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out == Map("a" -> ((10L, 20L)), "b" -> ((100L, 200L)), "c" -> ((1000L, 280L))), out.toString)
+    // allocations never exceed the total
+    assert(out.values.map(_._2).sum <= 500L)
+    // ties in token count order by group name: equal-size groups still
+    // produce a deterministic (identical-share) allocation
+    val tied = Seq(("x", 10L), ("y", 10L)).toDF("g", "nt")
+    val t2 = Sampling.unimaxBudgets(tied, "g", col("nt"), 10L, 5L)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(t2 == Map("x" -> 5L, "y" -> 5L), t2.toString)
+    intercept[IllegalArgumentException] {
+      Sampling.unimaxBudgets(d, "g", col("nt"), 0L, 2L)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.unimaxBudgets(d, "g", col("nt"), 10L, 0L)
+    }
+  }
 }

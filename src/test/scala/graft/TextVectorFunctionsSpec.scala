@@ -330,4 +330,27 @@ class TextVectorFunctionsSpec extends SparkSpec {
       (4L, 1L, false)), // "classify" must not trip the "ass" block
       out.toString)
   }
+
+  test("bpeTokenCount: rank-order merges, leftmost-nonoverlapping, case-folded, empty→0") {
+    val merges = Seq("t" -> "h", "th" -> "e", "l" -> "l")
+    val d = Seq(
+      (0L, "THE the"),    // t h e → th e → the: 1 symbol, twice
+      (1L, "hello"),      // h e l l o → h e ll o: 4 (only l+l fires)
+      (2L, "lll"),        // l l l → ll l: leftmost-nonoverlap, 2 symbols
+      (3L, "a"),          // single char: 1
+      (4L, ""),           // blank → 0 tokens
+      (5L, "theta")       // t h e t a → th e t a → the t a: 3
+    ).toDF("id", "t")
+    val out = d.select($"id",
+        TF.bpeTokenCount($"t", merges).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(0L -> 2L, 1L -> 4L, 2L -> 2L, 3L -> 1L, 4L -> 0L, 5L -> 3L), out.toString)
+    // merge symbols must be space-free and non-empty
+    intercept[IllegalArgumentException] {
+      TF.bpeTokenCount($"t", Seq("a b" -> "c"))
+    }
+    intercept[IllegalArgumentException] {
+      TF.bpeTokenCount($"t", Seq.empty)
+    }
+  }
 }
