@@ -291,6 +291,15 @@ object SparkEntry {
       case (s, (a, b)) => s"replace($s, '$a $b', '$a$b')"
     }
 
+  /** The DuckDB replay of [[graft.functions.LayoutFunctions.zorderKey]]:
+    * the same flat sum of shift/mask terms, generated from the same
+    * (bits) parameter.
+    */
+  private def zorderSqlExpr(x: String, y: String, bits: Int): String =
+    ((0 until bits).map(i => s"((($x >> $i) & 1) << ${2 * i})") ++
+      (0 until bits).map(i => s"((($y >> $i) & 1) << ${2 * i + 1})"))
+      .mkString(" + ")
+
   /** The oracle's replay of UrlParse.host + RegisteredDomain over the
     * shared synthetic URLs: one regex for the host (scheme optional,
     * greedy userinfo, port/path cut), trailing-dot strip, then
@@ -761,6 +770,22 @@ object SparkEntry {
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"))
         .orderBy("source")
+    }),
+
+    // ---- prefix-containment dedup: planted 12-token truncations
+    //      (doc_id ≡5 mod 37, id+3e6) must pair with their originals;
+    //      NATURAL first-8-token collisions are in-scope too — the
+    //      oracle replays the full contract (strict prefix, dup ≥ 8
+    //      tokens) via a hash join on the same prefix key
+    "prefix_dedup_pairs" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(col("doc_id") < 2000)
+        .select(col("doc_id"), col("text"))
+      val planted = d.filter(col("doc_id") % 37 === 5)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          array_join(slice(TextFunctions.tokens(col("text")), 1, 12), " ")
+            .as("text"))
+      Dedup.prefixDupPairs(d.unionByName(planted), "text", "doc_id", k = 8)
+        .orderBy("dup_id", "of_id")
     }),
 
     // ---- text quality scoring
@@ -2050,6 +2075,21 @@ object SparkEntry {
         .select(unix_micros(col("w.start")).as("w_start"),
           col("event_type"), col("cnt"))
         .orderBy("w_start", "event_type")
+    }),
+
+    // ---- Z-order layout key: interleave (user_id, epoch-minute) bits
+    //      — the multi-dimensional clustering key a 100 TB table sorts
+    //      or range-partitions its files by, so min/max file stats
+    //      prune user AND time predicates at once. Branch-free integer
+    //      bit arithmetic, bit-replayable by any engine
+    "zorder_layout" -> ((s, dir) => {
+      val ev = events(s, dir).filter(col("event_id") < 2000)
+        .select(col("event_id"), col("user_id"),
+          expr("unix_micros(ts) div 60000000").as("tmin"))
+      ev.select(col("event_id"),
+          graft.functions.LayoutFunctions
+            .zorderKey(col("user_id"), col("tmin"), bits = 31).as("zkey"))
+        .orderBy("event_id")
     }),
 
     // ---- path analysis: top-10 3-step event-type sequences; order by
@@ -3666,6 +3706,33 @@ object SparkEntry {
         |)
         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
         |FROM kept WHERE rn = 1 GROUP BY source ORDER BY source""".stripMargin,
+
+    // the full prefix contract replayed: same planted truncations, a
+    // hash join on the first-8-token key (the operator's bucket), the
+    // same exact slice verify and strict length inequality
+    "prefix_dedup_pairs" ->
+      """WITH d AS (
+        | SELECT doc_id, text FROM documents WHERE doc_id < 2000
+        |), pt AS (
+        | SELECT doc_id + 3000000 AS doc_id,
+        |  array_to_string(list_slice(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), 1, 12), ' ') AS text
+        | FROM d WHERE doc_id % 37 = 5
+        |), al AS (
+        | SELECT * FROM d UNION ALL SELECT * FROM pt
+        |), tk AS (
+        | SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+        | FROM al
+        |), keyed AS (
+        | SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n,
+        |  array_to_string(list_slice(toks, 1, 8), ' ') AS pfx
+        | FROM tk WHERE len(toks) >= 8
+        |)
+        |SELECT a.doc_id AS dup_id, b.doc_id AS of_id,
+        | a.n AS dup_tokens, b.n AS of_tokens
+        |FROM keyed a JOIN keyed b
+        |  ON a.pfx = b.pfx AND a.n < b.n
+        | AND array_to_string(a.toks, ' ') = array_to_string(list_slice(b.toks, 1, CAST(a.n AS INT)), ' ')
+        |ORDER BY dup_id, of_id""".stripMargin,
 
     "text_quality" ->
       """WITH f AS (
@@ -5471,6 +5538,14 @@ object SparkEntry {
         |SELECT w_start, event_type, CAST(count(*) AS BIGINT) AS cnt
         |FROM w GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
+
+    // the Morton key replayed as the same generated shift/mask sum
+    // (zorderSqlExpr — one builder feeds both engines' expressions)
+    "zorder_layout" ->
+      s"""SELECT event_id,
+         | CAST(${zorderSqlExpr("user_id", "(epoch_us(ts) // 60000000)", 31)} AS BIGINT) AS zkey
+         |FROM events WHERE event_id < 2000
+         |ORDER BY event_id""".stripMargin,
 
     // per-user type sequences ordered by (micros, event_id) — a total
     // order — then 3-gram windows counted; (cnt DESC, path) totally

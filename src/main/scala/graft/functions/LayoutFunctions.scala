@@ -1,0 +1,43 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/**
+ * Data-LAYOUT keys for scan pruning at scale. A 100 TB table is only
+ * fast if most queries never read most files: sorting (or
+ * range-partitioning the final write) by an interleaved-bit key
+ * co-locates rows that are close in EVERY dimension, so min/max file
+ * statistics prune multi-dimensional predicates — the classic Z-order
+ * clustering trick (public technique: Morton 1966 ordering; used by
+ * analytic stores for multi-column data skipping).
+ *
+ * Pure integer bit arithmetic (shift/mask/add), codegen'd, no shuffle —
+ * the ordering/partitioning that CONSUMES the key decides the layout
+ * cost. Any engine replays the key bit-for-bit.
+ */
+object LayoutFunctions {
+
+  /** Morton/Z-order key: interleave the low `bits` bits of two
+    * non-negative integer dimensions — x in the even result bits, y in
+    * the odd. Inputs must be pre-quantized by the caller (bucket ids,
+    * epoch buckets, quantized coordinates); bits above `bits` are
+    * ignored (documented truncation), negatives are a caller error the
+    * key does not mask (two's-complement high bits are dropped like any
+    * other overflow, keeping the expression branch-free).
+    *
+    * The expression is a flat sum of `2·bits` shift/mask terms — wide
+    * but branchless and fully inside whole-stage codegen; `bits ≤ 31`
+    * keeps the result in the positive BIGINT range.
+    */
+  def zorderKey(x: Column, y: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, s"zorderKey: bits must be in [1, 31], got $bits")
+    val xl = x.cast(LongType)
+    val yl = y.cast(LongType)
+    val terms =
+      (0 until bits).map(i => shiftleft(shiftright(xl, i).bitwiseAND(lit(1L)), 2 * i)) ++
+      (0 until bits).map(i => shiftleft(shiftright(yl, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    terms.reduce(_ + _)
+  }
+}

@@ -71,6 +71,51 @@ object Dedup {
       .agg(count(lit(1)).as("n"), sort_array(collect_list(col(idCol))).as("ids"))
       .filter(col("n") > 1)
 
+  /** Prefix-containment dup pairs — (dup_id, of_id, dup_tokens,
+    * of_tokens) where the dup's WHOLE token sequence is a strict prefix
+    * of the other doc's (truncated re-crawls, partially-streamed copies
+    * — near-dup sketches under-weight these because the length gap
+    * dilutes Jaccard). Detection contract: the dup must have at least
+    * `k` tokens; candidates bucket on the xxhash64 of the first `k`
+    * tokens joined by ' ' (injective over whitespace tokens), so a
+    * prefix and its container always share a bucket and the pair space
+    * is bucket-bounded, never O(n²). The verify step compares the dup's
+    * space-joined tokens against the container's first-n_dup slice
+    * exactly — hash collisions never reach the output. Equal-length
+    * (identical) docs are excluded: that is [[exact]]'s job.
+    *
+    * Scale shape: one shuffle on the 8-byte prefix fingerprint; token
+    * arrays ride the join the same way LSH signatures do (the exchange
+    * under the self-join is reused — tokenization runs once). Hot
+    * prefix buckets (boilerplate openings) go m² like any LSH bucket —
+    * `maxBucketSize` is the same skew guard as [[minHashDupPairs]]'s.
+    */
+  def prefixDupPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int = 16,
+      maxBucketSize: Option[Int] = None
+  ): DataFrame = {
+    require(k >= 1, s"prefixDupPairs: k must be positive, got $k")
+    val toks = df.select(col(idCol).as("_id"), tokens(col(textCol)).as("_ts"))
+      // _ntok, not _n: capBuckets' internal size column is _n and its
+      // drop("_n") would take this one with it
+      .withColumn("_ntok", size(col("_ts")).cast(LongType))
+      .filter(col("_ntok") >= k)
+      .withColumn("_fp", xxhash64(array_join(slice(col("_ts"), 1, k), " ")))
+    val keyed = capBuckets(toks, maxBucketSize, keyCol = "_fp")
+    val a = keyed.select(col("_fp"), col("_id").as("dup_id"),
+      col("_ts").as("_ta"), col("_ntok").as("dup_tokens"))
+    val b = keyed.select(col("_fp"), col("_id").as("of_id"),
+      col("_ts").as("_tb"), col("_ntok").as("of_tokens"))
+    a.join(b, Seq("_fp"))
+      .filter(col("dup_tokens") < col("of_tokens"))
+      .filter(array_join(col("_ta"), " ") ===
+        array_join(slice(col("_tb"), lit(1), col("dup_tokens").cast("int")), " "))
+      .select(col("dup_id"), col("of_id"), col("dup_tokens"), col("of_tokens"))
+  }
+
   // -------------------------------------------------------------- MinHash
 
   /** MinHash signature: k permutations approximated as

@@ -534,4 +534,29 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got == Set((2L, 2L, 4L), (3L, 1L, 3L)), got.toString)
   }
+
+  test("prefixDupPairs: strict prefixes only, min-k contract, collisions verified away") {
+    val d = Seq(
+      (1L, "a b c d e f"),          // prefix of 2 and 3
+      (2L, "a b c d e f g h"),      // prefix of 3
+      (3L, "a b c d e f g h i j"),
+      (4L, "a b c d e f"),          // EQUAL to 1 → excluded (exact's job)
+      (5L, "a b c x y z"),          // shares only first 3 tokens → no pair at k=4
+      (6L, "a b c"),                // under k tokens → never a dup
+      (7L, "q r s t u v w")         // unrelated
+    ).toDF("id", "t")
+    val got = Dedup.prefixDupPairs(d, "t", "id", k = 4)
+      .select("dup_id", "of_id", "dup_tokens", "of_tokens")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 2L, 6L, 8L), (1L, 3L, 6L, 10L), (2L, 3L, 8L, 10L),
+      (4L, 2L, 6L, 8L), (4L, 3L, 6L, 10L)), got.toString)
+    // hot-bucket cap drops oversized prefix buckets from candidate gen
+    val capped = Dedup.prefixDupPairs(d, "t", "id", k = 4, maxBucketSize = Some(2))
+      .collect()
+    assert(capped.isEmpty, capped.mkString(","))
+    intercept[IllegalArgumentException] {
+      Dedup.prefixDupPairs(d, "t", "id", k = 0)
+    }
+  }
 }
