@@ -1858,6 +1858,34 @@ object SparkEntry {
         .orderBy(col("gap").desc, col("bucket")).limit(20)
     }),
 
+    // ---- event-time watermark + late-data drops, replayed as the
+    //      deterministic batch protocol: three time-ordered batches
+    //      (event_id ranges), with a planted subset (≡3 mod 97)
+    //      DELIVERED one batch late — rows older than the committed
+    //      watermark (max event time − 30 min) drop; hourly tumbling
+    //      counts accumulate in versioned state. Batch 1 replays to
+    //      prove the no-op guard
+    "late_data_stream" -> ((s, dir) => {
+      import graft.streaming.StreamingOps
+      val ev = events(s, dir).filter(col("event_id") < 900)
+        .select(col("event_id"), expr("unix_micros(ts)").as("us"),
+          expr("least(event_id div 300 + " +
+            "CASE WHEN event_id % 97 = 3 THEN 1 ELSE 0 END, 2)").as("b"))
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-late-stream").toString
+      val (winUs, lagUs) = (3600000000L, 1800000000L)
+      for (b <- 0L to 2L) {
+        StreamingOps.applyLateWindowBatch(s, ev.filter(col("b") === b), b,
+          "us", winUs, lagUs, s"$work/state", s"$work/out")
+        if (b == 1L)
+          StreamingOps.applyLateWindowBatch(s, ev.filter(col("b") === b), b,
+            "us", winUs, lagUs, s"$work/state", s"$work/out")
+      }
+      StreamingOps.readState(s, s"$work/state").get
+        .filter(col("w_start").isNotNull)
+        .orderBy("w_start")
+    }),
+
     // ---- dataset profiling: one-scan numeric column stats with exact
     //      (decimal-accumulated) means and exact interpolated quantiles —
     //      both engines share the quantile definition, so the oracle is
@@ -5343,6 +5371,29 @@ object SparkEntry {
     "drift_stream" -> corpusDriftSql(
       """SELECT bucket, cnt_a, cnt_b, CAST(gap AS BIGINT) AS gap
         |FROM g ORDER BY gap DESC, bucket LIMIT 20""".stripMargin),
+
+    // the watermark protocol replayed in closed form: wm after batch b =
+    // running max event time − 30 min over batches ≤ b; a row is kept
+    // iff it is not older than the wm committed BEFORE its batch; kept
+    // rows roll into hourly tumbling windows
+    "late_data_stream" ->
+      """WITH e AS (
+        | SELECT event_id, epoch_us(ts) AS us,
+        |  least(event_id // 300 + CASE WHEN event_id % 97 = 3 THEN 1 ELSE 0 END, 2) AS b
+        | FROM events WHERE event_id < 900 AND ts IS NOT NULL
+        |), bm AS (
+        | SELECT b, max(us) AS mx FROM e GROUP BY b
+        |), wm AS (
+        | SELECT b, max(mx) OVER (ORDER BY b
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1800000000 AS wm_after
+        | FROM bm
+        |), kept AS (
+        | SELECT e.us FROM e LEFT JOIN wm ON wm.b = e.b - 1
+        | WHERE wm.wm_after IS NULL OR e.us >= wm.wm_after
+        |)
+        |SELECT (us // 3600000000) * 3600000000 AS w_start,
+        | CAST(count(*) AS BIGINT) AS cnt
+        |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "corpus_drift_l1" -> corpusDriftSql(
       """SELECT CAST(t.na AS BIGINT) AS n_a, CAST(t.nb AS BIGINT) AS n_b,

@@ -778,6 +778,82 @@ object StreamingOps {
     }
   }
 
+  /** One micro-batch of event-time WINDOWED COUNTS under an explicit
+    * watermark — the deterministic replay of Spark's
+    * `withWatermark(...).groupBy(window(...))` semantics, factored as a
+    * testable batch protocol like the dedup/quota/drift streams:
+    *
+    *  - the watermark BEFORE this batch is the committed state's:
+    *    `max event time seen across all prior batches − lagUs`
+    *    (−∞ before the first batch);
+    *  - rows with `ts < watermark` are LATE and dropped — but they
+    *    still advance the event-time tracker, exactly like Spark's
+    *    global max-event-time watermark (the tracker sees every row;
+    *    only the stateful operator drops);
+    *  - surviving rows increment their tumbling window
+    *    `w_start = ts div windowUs × windowUs`;
+    *  - the new state (window counts + the advanced watermark) commits
+    *    under the `_CURRENT` version protocol with the same crash-replay
+    *    guard as the other streams (per-batch increments are written to
+    *    `outPath/batch=<id>` BEFORE the commit, so a replayed batch
+    *    no-ops with its output already on disk).
+    *
+    * State layout: `(w_start, cnt)` rows, plus ONE sentinel row with
+    * `w_start IS NULL` carrying the watermark in `cnt`. State size is
+    * bounded by the window cardinality (event-time horizon / windowUs),
+    * metadata-scale; each batch is one map-side-combined count plus a
+    * histogram-sized merge — the corpus never re-shuffles.
+    */
+  def applyLateWindowBatch(
+      spark: SparkSession,
+      batch: DataFrame,
+      batchId: Long,
+      tsUsCol: String,
+      windowUs: Long,
+      lagUs: Long,
+      statePath: String,
+      outPath: String
+  ): Unit = {
+    require(windowUs > 0, s"applyLateWindowBatch: windowUs must be positive, got $windowUs")
+    require(lagUs >= 0, s"applyLateWindowBatch: lagUs must be non-negative, got $lagUs")
+    import spark.implicits._
+    currentVersionId(spark, statePath) match {
+      case Some(cur) if cur >= batchId =>
+        log.warn(s"lateWindowStream: skipping batch $batchId — state at " +
+          s"v$cur already includes it (increments were written before the commit)")
+      case _ =>
+        val state = readState(spark, statePath)
+        val wmPrev: Long = state
+          .flatMap(_.filter(col("w_start").isNull)
+            .select(col("cnt")).head(1).headOption.map(_.getLong(0)))
+          .getOrElse(Long.MinValue)
+        val counts = state
+          .map(_.filter(col("w_start").isNotNull))
+          .getOrElse(Seq.empty[(Long, Long)].toDF("w_start", "cnt"))
+        val rows = batch
+          .select(col(tsUsCol).cast("long").as("_us"))
+          .filter(col("_us").isNotNull)
+        // the event-time tracker sees EVERY row, late ones included
+        val mx = Option(rows.agg(max(col("_us"))).head().get(0))
+          .map(_.asInstanceOf[Long])
+        val wmNew = mx.map(m => math.max(wmPrev, m - lagUs)).getOrElse(wmPrev)
+        val inc = rows.filter(col("_us") >= wmPrev)
+          .select((expr(s"_us div ${windowUs}L") * windowUs).as("w_start"))
+          .groupBy("w_start").agg(count(lit(1)).as("cnt"))
+        // increments FIRST (the replay-skip branch's contract) …
+        inc.write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+        // … then the merged counts + advanced watermark as the next version
+        val merged = counts.unionByName(inc)
+          .groupBy("w_start").agg(sum(col("cnt")).as("cnt"))
+        val wmRow = spark.range(1).select(
+          lit(null).cast("long").as("w_start"), lit(wmNew).as("cnt"))
+        val version = s"v$batchId"
+        merged.unionByName(wmRow)
+          .write.mode("overwrite").parquet(s"$statePath/$version")
+        commitVersion(spark, statePath, version, keepFrom = batchId - 1)
+    }
+  }
+
   /** Route a streaming DataFrame by its `_route` column into per-route
     * sinks — the NiFi relationship fan-out (SURVEY §1.3). Stateless
     * filters on one source; Spark runs them as independent queries.

@@ -635,6 +635,41 @@ class StreamingSpec extends SparkSpec {
       .collect().length
     assert(again == got.size, s"replay changed output: $again vs ${got.size}")
   }
+
+  test("late window stream: watermark advances on every row, late rows drop, replay no-ops") {
+    val work = Files.createTempDirectory("late-window-spec").toString
+    // window 100, lag 50 (us scale irrelevant — pure integers)
+    def step(ts: Seq[Long], batchId: Long): Unit =
+      StreamingOps.applyLateWindowBatch(spark, ts.toDF("us"), batchId,
+        "us", windowUs = 100L, lagUs = 50L, s"$work/state", s"$work/out")
+    def state(): (Map[Long, Long], Long) = {
+      val st = StreamingOps.readState(spark, s"$work/state").get.collect()
+      (st.filter(!_.isNullAt(0)).map(r => r.getLong(0) -> r.getLong(1)).toMap,
+        st.find(_.isNullAt(0)).get.getLong(1))
+    }
+    // batch 0: max 220 → wm 170; everything keeps (no prior wm)
+    step(Seq(10L, 120L, 220L), 0L)
+    assert(state() == (Map(0L -> 1L, 100L -> 1L, 200L -> 1L), 170L), state().toString)
+    // batch 1: 160 is LATE (< wm 170) and drops — but still advances
+    // nothing (max is 230); 175 and 230 keep. wm → 180
+    step(Seq(160L, 175L, 230L), 1L)
+    assert(state() == (Map(0L -> 1L, 100L -> 2L, 200L -> 2L), 180L), state().toString)
+    // a late row beyond every kept row still drives the tracker: 400
+    // is kept, 100 is late, wm jumps to 350
+    step(Seq(100L, 400L), 2L)
+    assert(state() == (Map(0L -> 1L, 100L -> 2L, 200L -> 2L, 400L -> 1L), 350L), state().toString)
+    // empty batch: wm and counts unchanged, version still commits
+    step(Seq.empty, 3L)
+    assert(state() == (Map(0L -> 1L, 100L -> 2L, 200L -> 2L, 400L -> 1L), 350L))
+    assert(StreamingOps.currentVersionId(spark, s"$work/state").contains(3L))
+    // replay of batch 2 against the NEWER state no-ops
+    step(Seq(100L, 400L), 2L)
+    assert(state()._1(400L) == 1L)
+    // per-batch increments were written before each commit
+    val inc1 = spark.read.parquet(s"$work/out/batch=1")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc1 == Map(100L -> 1L, 200L -> 1L), inc1.toString)
+  }
 }
 
 /** Serializable recording double for the socket client: records land in a
