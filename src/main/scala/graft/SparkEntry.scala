@@ -291,6 +291,39 @@ object SparkEntry {
       case (s, (a, b)) => s"replace($s, '$a $b', '$a$b')"
     }
 
+  /** The UniMax waterfill CTE chain shared by the unimax_budget /
+    * unimax_mix oracles: per-doc weighted token counts (`nt`), group
+    * totals (`g`), the half-corpus budget (`tot`), the (n asc, source
+    * asc) visit order (`ordered`), and the sequential allocation as a
+    * recursive CTE (`alloc`) — min(n·2, remaining // groups_left) in
+    * BIGINT floor division, the operator's exact rule.
+    */
+  private val unimaxAllocSql: String =
+    """WITH RECURSIVE nt AS (
+      | SELECT doc_id, source,
+      |  CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''))
+      |    * (CAST(1 AS BIGINT) << (CAST(substr(source, 4) AS INT) % 5)) AS BIGINT) AS w
+      | FROM documents
+      |), g AS (
+      | SELECT source, CAST(sum(w) AS BIGINT) AS n FROM nt GROUP BY 1
+      |), tot AS (
+      | SELECT greatest(CAST(sum(n) AS BIGINT) // 2, 1) AS B FROM g
+      |), ordered AS (
+      | SELECT source, n, row_number() OVER (ORDER BY n, source) AS i,
+      |  count(*) OVER () AS L
+      | FROM g
+      |), alloc AS (
+      | SELECT o.i, o.source, o.n, o.L,
+      |  least(o.n * 2, t.B // o.L) AS b,
+      |  t.B - least(o.n * 2, t.B // o.L) AS rem
+      | FROM ordered o, tot t WHERE o.i = 1
+      | UNION ALL
+      | SELECT o.i, o.source, o.n, o.L,
+      |  least(o.n * 2, a.rem // (o.L - a.i)),
+      |  a.rem - least(o.n * 2, a.rem // (o.L - a.i))
+      | FROM ordered o JOIN alloc a ON o.i = a.i + 1
+      |)""".stripMargin
+
   /** The DuckDB replay of [[graft.functions.LayoutFunctions.zorderKey]]:
     * the same flat sum of shift/mask terms, generated from the same
     * (bits) parameter.
@@ -1455,6 +1488,28 @@ object SparkEntry {
       val total = d.agg(sum(col("_nt"))).head().getLong(0)
       Sampling.unimaxBudgets(d, "source", col("_nt"),
           totalBudget = math.max(1L, total / 2), maxEpochs = 2L)
+        .orderBy("source")
+    }),
+
+    // ---- UniMax APPLIED: the allocated per-source budgets cut the
+    //      corpus in crawl (doc_id) order via the per-group quota CASE
+    //      chain — the end-to-end "assemble the mix" step; per-source
+    //      kept docs and token mass are the compared surface
+    "unimax_mix" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        (TextFunctions.tokenCount(col("text")) *
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(substring(source, 4) AS INT) % 5)"))
+          .as("_nt"))
+      val total = d.agg(sum(col("_nt"))).head().getLong(0)
+      val budgets = Sampling.unimaxBudgets(d, "source", col("_nt"),
+          totalBudget = math.max(1L, total / 2), maxEpochs = 2L)
+        .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+      Sampling.tokenQuotaPerGroupBudgets(d, "doc_id", "source",
+          col("_nt"), budgets)
+        .filter(col("keep"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("kept_docs"),
+          sum(col("n_tokens")).as("kept_tokens"))
         .orderBy("source")
     }),
 
@@ -4614,32 +4669,24 @@ object SparkEntry {
     // min(n·2, remaining // groups_left) in BIGINT floor division —
     // the operator's exact sequential rule
     "unimax_budget" ->
-      """WITH RECURSIVE nt AS (
-        | SELECT source,
-        |  CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''))
-        |    * (CAST(1 AS BIGINT) << (CAST(substr(source, 4) AS INT) % 5)) AS BIGINT) AS w
-        | FROM documents
-        |), g AS (
-        | SELECT source, CAST(sum(w) AS BIGINT) AS n FROM nt GROUP BY 1
-        |), tot AS (
-        | SELECT greatest(CAST(sum(n) AS BIGINT) // 2, 1) AS B FROM g
-        |), ordered AS (
-        | SELECT source, n, row_number() OVER (ORDER BY n, source) AS i,
-        |  count(*) OVER () AS L
-        | FROM g
-        |), alloc AS (
-        | SELECT o.i, o.source, o.n, o.L,
-        |  least(o.n * 2, t.B // o.L) AS b,
-        |  t.B - least(o.n * 2, t.B // o.L) AS rem
-        | FROM ordered o, tot t WHERE o.i = 1
-        | UNION ALL
-        | SELECT o.i, o.source, o.n, o.L,
-        |  least(o.n * 2, a.rem // (o.L - a.i)),
-        |  a.rem - least(o.n * 2, a.rem // (o.L - a.i))
-        | FROM ordered o JOIN alloc a ON o.i = a.i + 1
-        |)
-        |SELECT source, n AS n_tokens, CAST(b AS BIGINT) AS budget
-        |FROM alloc ORDER BY source""".stripMargin,
+      s"""$unimaxAllocSql
+         |SELECT source, n AS n_tokens, CAST(b AS BIGINT) AS budget
+         |FROM alloc ORDER BY source""".stripMargin,
+
+    // the same waterfill feeding a per-source cumulative cut in doc_id
+    // order — the quota CASE chain replayed as one ordered window sum
+    "unimax_mix" ->
+      s"""$unimaxAllocSql, c AS (
+         | SELECT source, doc_id, w,
+         |  sum(w) OVER (PARTITION BY source ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         | FROM nt
+         |)
+         |SELECT c.source, CAST(count(*) AS BIGINT) AS kept_docs,
+         | CAST(sum(c.w) AS BIGINT) AS kept_tokens
+         |FROM c JOIN alloc a ON a.source = c.source
+         |WHERE c.cum <= a.b
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // planted exact-copy probes at threshold 1.0 + fp verification ⇒
     // flagged docs = docs whose normalized text equals a probe's, each

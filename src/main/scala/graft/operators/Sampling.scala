@@ -368,6 +368,50 @@ object Sampling {
       buckets: Int = 1024
   ): DataFrame = {
     require(budget > 0, s"tokenQuotaPerGroup: budget must be positive, got $budget")
+    tokenQuotaCore(df, keyCol, groupCol, tokensCol, lit(budget), buckets)
+  }
+
+  /** [[tokenQuotaPerGroup]] with a PER-GROUP budget table — the apply
+    * step for [[unimaxBudgets]]' allocations (each language/domain gets
+    * its own token cap). Budgets are driver-known metadata (≤ #groups
+    * entries), folded into a codegen'd CASE chain like [[mixToTarget]]'s
+    * thresholds — no join, nothing extra shuffles. Groups ABSENT from
+    * the map drop entirely (an allocation of zero). Same output,
+    * ordering, and two-level prefix machinery as the single-budget
+    * form.
+    */
+  def tokenQuotaPerGroupBudgets(
+      df: DataFrame,
+      keyCol: String,
+      groupCol: String,
+      tokensCol: Column,
+      budgets: Map[String, Long],
+      buckets: Int = 1024
+  ): DataFrame = {
+    require(budgets.nonEmpty, "tokenQuotaPerGroupBudgets: budgets must be non-empty")
+    require(budgets.values.forall(_ >= 0),
+      s"tokenQuotaPerGroupBudgets: budgets must be non-negative, got $budgets")
+    val budgetCase = budgets.toSeq.sortBy(_._1)
+      .foldRight(lit(null).cast("long"): Column) { case ((g, b), els) =>
+        when(col("_g") === g, lit(b)).otherwise(els)
+      }
+    tokenQuotaCore(
+      df.filter(col(groupCol).isin(budgets.keys.toSeq: _*)),
+      keyCol, groupCol, tokensCol, budgetCase, buckets)
+  }
+
+  /** Shared body of the token-quota pair: inclusive within-group prefix
+    * sums via the two-level bucketed design, then `keep ⇔ cum ≤ budget`
+    * where `budgetCol` may reference `_g` (the per-group CASE chain).
+    */
+  private def tokenQuotaCore(
+      df: DataFrame,
+      keyCol: String,
+      groupCol: String,
+      tokensCol: Column,
+      budgetCol: Column,
+      buckets: Int
+  ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val base = df.select(col(groupCol).as("_g"),
         col(keyCol).cast("long").as("_k"),
@@ -377,7 +421,7 @@ object Sampling {
     val out = (d: DataFrame) => d.select(
       col("_g").as(groupCol), col("_k").as(keyCol),
       col("_nt").as("n_tokens"), col("_cum").as("cum_tokens"),
-      (col("_cum") <= budget).as("keep"))
+      (col("_cum") <= budgetCol).as("keep"))
     val b = base.agg(min(col("_k")).as("mn"), max(col("_k")).as("mx")).head()
     if (b.isNullAt(0)) return out(base.withColumn("_cum", col("_nt")).limit(0))
     val (mn, mx) = (b.getLong(0), b.getLong(1))

@@ -419,4 +419,34 @@ class SamplingSpec extends SparkSpec {
       Sampling.unimaxBudgets(d, "g", col("nt"), 10L, 0L)
     }
   }
+
+  test("tokenQuotaPerGroupBudgets: per-group caps, absent groups drop, matches single-budget form") {
+    import graft.operators.Sampling
+    val d = Seq(
+      ("a", 1L, 100L), ("a", 2L, 100L), ("a", 3L, 100L),
+      ("b", 4L, 100L), ("b", 5L, 100L), ("b", 6L, 100L),
+      ("c", 7L, 100L) // absent from the budget map → drops
+    ).toDF("g", "id", "nt")
+    val got = Sampling.tokenQuotaPerGroupBudgets(d, "id", "g", col("nt"),
+        Map("a" -> 250L, "b" -> 100L))
+      .as[(String, Long, Long, Long, Boolean)].collect()
+      .map(r => r._2 -> r._5).toMap
+    assert(got == Map(1L -> true, 2L -> true, 3L -> false,
+      4L -> true, 5L -> false, 6L -> false), got.toString)
+    // a uniform budget map reproduces the single-budget operator exactly
+    val uni = Sampling.tokenQuotaPerGroupBudgets(d, "id", "g", col("nt"),
+        Map("a" -> 250L, "b" -> 250L, "c" -> 250L))
+      .as[(String, Long, Long, Long, Boolean)].collect().toSet
+    val ref = Sampling.tokenQuotaPerGroup(d, "id", "g", col("nt"), 250L)
+      .as[(String, Long, Long, Long, Boolean)].collect().toSet
+    assert(uni == ref, s"uni=$uni ref=$ref")
+    // zero budget keeps nothing from its group but is legal
+    val z = Sampling.tokenQuotaPerGroupBudgets(d, "id", "g", col("nt"),
+        Map("a" -> 0L))
+      .filter(col("keep")).count()
+    assert(z == 0L)
+    intercept[IllegalArgumentException] {
+      Sampling.tokenQuotaPerGroupBudgets(d, "id", "g", col("nt"), Map.empty)
+    }
+  }
 }
