@@ -2588,6 +2588,16 @@ object SparkEntry {
         .orderBy("doc_id", "sentence_idx")
     }),
 
+    // ---- content-defined chunking: gear-rule boundaries from the FNV
+    //      of each local token bigram (mod 16) — insertion-resilient
+    //      chunks for chunk-level dedup, vs doc_chunks' fixed windows
+    "cdc_chunks" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(col("doc_id") < 500)
+        .select(col("doc_id"), col("text"))
+      Packing.cdcChunks(d, "doc_id", "text", divisor = 16)
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
     // ---- retrieval: BM25 top-k per query (lexical complement to the
     //      ANN gates). The per-term idf is computed ONCE on the driver
     //      from exact integer counts (N, df) and fed to BOTH engines as
@@ -3407,6 +3417,19 @@ object SparkEntry {
        |QUALIFY rank <= 10
        |ORDER BY query_id, rank""".stripMargin
   }
+
+  /** FNV-1a of an arbitrary string SQL expression, reduced mod `m` —
+    * the parameterized sibling of [[fnvBucketExpr]] (same byte fold,
+    * caller-chosen input and modulus). `input` is inlined twice
+    * (length + indexing), so keep it a cheap expression.
+    */
+  private def fnvModSql(input: String, m: Long): String =
+    s"""(list_reduce(
+       |    list_prepend(CAST('14695981039346656037' AS HUGEINT),
+       |      list_transform(range(1, length($input) + 1), i -> CAST(ascii(($input)[i]) AS HUGEINT))),
+       |    (acc, b) -> ((acc // 256) * 256 + xor(CAST(acc % 256 AS BIGINT), CAST(b AS BIGINT)))
+       |                * 1099511628211 % CAST('18446744073709551616' AS HUGEINT)
+       |  ) % $m)""".stripMargin
 
   /** Shared FNV-1a bucket CTE fragment (per DISTINCT token). */
   private val fnvBucketExpr =
@@ -6678,6 +6701,37 @@ object SparkEntry {
         | ls[i + 1] AS sentence,
         | CAST(len(list_filter(string_split_regex(trim(ls[i + 1]), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
         |FROM e ORDER BY doc_id, sentence_idx""".stripMargin,
+
+    // the gear rule replayed per DISTINCT bigram (the FNV fold is the
+    // expensive bit — dedup it), then the running boundary count and
+    // per-chunk reassembly in token order
+    "cdc_chunks" ->
+      s"""WITH d AS (
+         | SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS toks
+         | FROM documents WHERE doc_id < 500
+         |), e AS (
+         | SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS p FROM d WHERE len(toks) > 0
+         |), f AS (
+         | SELECT doc_id, p, toks[p] AS t,
+         |  CASE WHEN p = 1 THEN NULL ELSE toks[p - 1] || ' ' || toks[p] || ':cdc' END AS bg
+         | FROM e
+         |), bgs AS (
+         | SELECT bg, ${fnvModSql("bg", 16L)} AS hm
+         | FROM (SELECT DISTINCT bg FROM f WHERE bg IS NOT NULL)
+         |), fl AS (
+         | SELECT f.doc_id, f.p, f.t,
+         |  CASE WHEN f.bg IS NULL THEN 0 WHEN b.hm = 0 THEN 1 ELSE 0 END AS flag
+         | FROM f LEFT JOIN bgs b ON f.bg = b.bg
+         |), c AS (
+         | SELECT doc_id, p, t,
+         |  sum(flag) OVER (PARTITION BY doc_id ORDER BY p
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS chunk
+         | FROM fl
+         |)
+         |SELECT doc_id, CAST(chunk AS BIGINT) AS chunk_idx,
+         | string_agg(t, ' ' ORDER BY p) AS chunk_text,
+         | CAST(count(*) AS BIGINT) AS n_tokens
+         |FROM c GROUP BY 1, 2 ORDER BY doc_id, chunk_idx""".stripMargin,
 
     // BM25 mirrored term-for-term: same tokenizer fragment as
     // dsir_scores; the idf table is the gate-registered driver-computed

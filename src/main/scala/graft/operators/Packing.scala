@@ -250,6 +250,62 @@ object Packing {
         size(col("_win")).cast(LongType).as("n_tokens"))
   }
 
+  /** Content-defined chunking (CDC) over the token stream — the
+    * dedup-friendly alternative to [[chunkByTokens]]' fixed windows
+    * (public technique: gear/Rabin content-defined chunking from
+    * storage dedup, applied to token sequences). Token j (1-based,
+    * j ≥ 2) STARTS a new chunk iff
+    * `FNV-1a(t_{j-1} ⧺ ' ' ⧺ t_j ⧺ ':salt') mod divisor == 0` — the
+    * boundary depends only on its local 2-token context, so inserting
+    * or deleting tokens moves ONLY the boundaries whose context
+    * changed, and identical passages shared by two docs chunk
+    * identically wherever they sit (fixed-width chunking shifts every
+    * downstream boundary, defeating chunk-level dedup). Expected chunk
+    * length ≈ `divisor` tokens (power of two, so the signed-long low
+    * bits equal the unsigned mod any engine computes).
+    *
+    * Deliberately NO min/max chunk clamps: the clamped variant threads
+    * state through the whole doc (a sequential scan), while the pure
+    * gear rule stays embarrassingly parallel; compose with
+    * [[chunkByTokens]] on oversized chunks if a hard cap is needed.
+    *
+    * Scale shape: one exchange on the doc id (inherent — a doc's
+    * tokens must meet to reassemble chunks); the running boundary
+    * count windows per doc, bounded by the doc's own length, never the
+    * corpus. Output: `(idCol, chunk_idx, chunk_text, n_tokens)`.
+    */
+  def cdcChunks(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      divisor: Int = 16,
+      salt: String = "cdc"
+  ): DataFrame = {
+    require(divisor >= 2 && (divisor & (divisor - 1)) == 0,
+      s"cdcChunks: divisor must be a power of two >= 2, got $divisor")
+    import org.apache.spark.sql.graft.ColumnBridge
+    val fnv = (s: Column) =>
+      ColumnBridge.column(graft.plans.FnvHash64(ColumnBridge.expression(s)))
+    val tok = df.select(col(idCol),
+        posexplode(graft.functions.TextFunctions.tokens(col(textCol)))
+          .as(Seq("_pos", "_t")))
+    val w = Window.partitionBy(idCol).orderBy("_pos")
+    val h = fnv(concat(col("_prev"), lit(" "), col("_t"), lit(":" + salt)))
+    val flag = when(col("_prev").isNull, lit(0L))
+      .otherwise(when(h.bitwiseAND(lit((divisor - 1).toLong)) === 0, lit(1L))
+        .otherwise(lit(0L)))
+    tok
+      .withColumn("_prev", lag(col("_t"), 1).over(w))
+      .withColumn("_chunk",
+        sum(flag).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(idCol), col("_chunk").as("chunk_idx"))
+      .agg(
+        array_join(transform(
+            sort_array(collect_list(struct(col("_pos"), col("_t")))),
+            e => e.getField("_t")), " ").as("chunk_text"),
+        count(lit(1)).as("n_tokens"))
+  }
+
   /** Sentence segmentation — explode each document into its sentences
     * with a stable 0-based index, the unit RAG pipelines and
     * sentence-level dedup/quality filters work at. The boundary rule

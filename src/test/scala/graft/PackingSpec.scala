@@ -187,6 +187,40 @@ class PackingSpec extends SparkSpec {
     assert(runWindows.nonEmpty && runWindows.forall(_.contains("_b")), plan)
   }
 
+  test("cdcChunks: gear boundaries are local — an insertion moves only its own chunk") {
+    import graft.operators.Packing
+    val base = (1 to 200).map(i => s"w$i").mkString(" ")
+    // the same text with 3 tokens injected near the front: every chunk
+    // whose 2-token contexts are untouched must survive VERBATIM
+    val shifted = ((1 to 5).map(i => s"w$i") ++ Seq("x1", "x2", "x3") ++
+      (6 to 200).map(i => s"w$i")).mkString(" ")
+    val d = Seq((1L, base), (2L, shifted)).toDF("id", "t")
+    val out = Packing.cdcChunks(d, "id", "t", divisor = 8)
+      .as[(Long, Long, String, Long)].collect()
+    val c1 = out.filter(_._1 == 1L).map(_._3).toSet
+    val c2 = out.filter(_._1 == 2L).map(_._3).toSet
+    // fixed-width chunking would share ~nothing after the insertion;
+    // CDC shares every chunk strictly after the perturbed region
+    val shared = c1.intersect(c2)
+    assert(shared.nonEmpty, s"no shared chunks:\n$c1\n$c2")
+    // everything in the doc tail (well past the insertion) is shared
+    val tailChunks = c1.filter(_.contains("w190"))
+    assert(tailChunks.nonEmpty && tailChunks.subsetOf(shared), s"tail not shared: $tailChunks vs $shared")
+    // chunks tile the doc: concatenating in chunk_idx order rebuilds it
+    val rebuilt = out.filter(_._1 == 1L).sortBy(_._2).map(_._3).mkString(" ")
+    assert(rebuilt == base)
+    // token counts sum to the doc's
+    assert(out.filter(_._1 == 1L).map(_._4).sum == 200L)
+    // boundary rate is in a sane band (the w1..w200 bigrams are highly
+    // similar strings — FNV low bits run hot on them, so the band is
+    // wide; the 1/divisor expectation is an iid idealization)
+    val n1 = out.count(_._1 == 1L)
+    assert(n1 >= 5 && n1 <= 100, s"chunk count $n1 implausible for divisor 8 over 200 tokens")
+    intercept[IllegalArgumentException] {
+      Packing.cdcChunks(d, "id", "t", divisor = 12) // not a power of two
+    }
+  }
+
   test("sentenceChunks: terminator+spaces splits, spaces consumed, blanks drop, indices over kept") {
     val d = Seq(
       (0L, "One two. Three four?  Five!"),  // 3 sentences, double space ok
