@@ -3221,6 +3221,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- n-gram novelty: the new-information rate per doc in crawl
+    //      order — distinct word trigrams first seen by this doc over
+    //      its total; re-crawls/boilerplate → 0, fresh content → high
+    "ngram_novelty" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(col("doc_id") < 2000)
+        .select(col("doc_id"), col("text"))
+      Vocab.ngramNovelty(d, "doc_id", "text", n = 3)
+        .orderBy("doc_id")
+    }),
+
     // ---- PII redaction: plant deterministic email/phone/IP spans, then
     //      count and redact them (patterns are RE2-compatible so DuckDB
     //      computes the identical spans)
@@ -6919,6 +6929,33 @@ object SparkEntry {
         | CAST(sum(CASE WHEN p.g IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
         |   / CAST(count(*) AS DOUBLE) AS overlap_ratio
         |FROM docg d LEFT JOIN probe p ON d.g = p.g
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the same normalized-trigram fragment as ngram_overlap_ratio;
+    // first-seen = min doc_id per gram STRING (the fingerprint join is
+    // collision-tolerant by the dedup-family convention)
+    "ngram_novelty" ->
+      """WITH toks AS (
+        | SELECT doc_id,
+        |  list_filter(string_split_regex(trim(regexp_replace(regexp_replace(lower(text), '[[:punct:]]', '', 'g'), '\s+', ' ', 'g')), '\s+'), t -> t <> '') AS ts
+        | FROM documents WHERE doc_id < 2000
+        |), sh AS (
+        | SELECT doc_id,
+        |  CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+        |       ELSE list_distinct(list_transform(range(1, len(ts) - 1), i -> array_to_string(ts[i:i+2], ' ')))
+        |  END AS grams
+        | FROM toks
+        |), docg AS (
+        | SELECT doc_id, unnest(grams) AS g FROM sh
+        |), firsts AS (
+        | SELECT g, min(doc_id) AS fst FROM docg GROUP BY 1
+        |)
+        |SELECT d.doc_id,
+        | CAST(sum(CASE WHEN f.fst = d.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS novel_ngrams,
+        | CAST(count(*) AS BIGINT) AS total_ngrams,
+        | CAST(CAST(sum(CASE WHEN f.fst = d.doc_id THEN 1 ELSE 0 END) AS BIGINT) * 1000000
+        |   // greatest(count(*), 1) AS BIGINT) AS novelty_ppm
+        |FROM docg d JOIN firsts f ON d.g = f.g
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "pii_redaction" -> {

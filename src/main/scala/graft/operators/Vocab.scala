@@ -252,6 +252,39 @@ object Vocab {
           .as("coverage_ppm"))
   }
 
+  /** N-gram NOVELTY per document — what fraction of a doc's distinct
+    * word n-grams appear in NO earlier doc (crawl order by `idCol`):
+    * the "new information rate" curation signal. A re-crawl or
+    * boilerplate page scores near zero; fresh content scores high —
+    * the streaming-order complement of the pairwise dedup detectors.
+    * Output: `(idCol, novel_ngrams, total_ngrams, novelty_ppm)` with
+    * `novelty_ppm = novel·10⁶ div max(total, 1)` (exact integers).
+    * Shingling is the library-wide normalized word-n-gram rule
+    * ([[graft.functions.TextFunctions.shingles]] — docs shorter than
+    * `n` tokens contribute their whole token run as one shingle).
+    *
+    * Scale shape: distinct shingles explode as 8-byte xxhash64
+    * fingerprints (ids+hashes shuffle, never text — the dedup-family
+    * convention, collision-tolerant by the same 2⁻⁶⁴ argument); the
+    * first-seen table is one map-side-combined `min` per fingerprint,
+    * and the join back rides the same fingerprint exchange.
+    */
+  def ngramNovelty(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"ngramNovelty: n must be positive, got $n")
+    val g = docs.select(col(idCol).cast("long").as("_id"),
+        explode(array_distinct(TextFunctions.shingles(col(textCol), n))).as("_s"))
+      .select(col("_id"), xxhash64(col("_s")).as("_fp"))
+    val firsts = g.groupBy("_fp").agg(min(col("_id")).as("_first"))
+    g.join(firsts, Seq("_fp"))
+      .groupBy(col("_id"))
+      .agg(
+        sum(when(col("_first") === col("_id"), 1L).otherwise(0L)).as("novel_ngrams"),
+        count(lit(1)).as("total_ngrams"))
+      .select(col("_id").as(idCol), col("novel_ngrams"), col("total_ngrams"),
+        expr("CAST(novel_ngrams * 1000000 div greatest(total_ngrams, 1L) AS BIGINT)")
+          .as("novelty_ppm"))
+  }
+
   private def wordHistogram(docs: DataFrame, textCol: String): DataFrame =
     docs
       .select(explode(TextFunctions.tokens(lower(col(textCol)))).as("w"))

@@ -160,4 +160,26 @@ class VocabSpec extends SparkSpec {
       (99L, 10L, 10L, 1000000L)
     ), got.toString)
   }
+
+  test("ngramNovelty: first-seen by crawl order; re-crawls score zero; short docs = one shingle") {
+    val d = Seq(
+      (1L, "a b c d e"),    // bigrams: ab bc cd de — all novel
+      (2L, "a b c d e"),    // exact re-crawl → 0 novel of 4
+      (3L, "c d x y"),      // cd seen (doc 1); dx xy novel → 2/3
+      (4L, "z")             // shorter than n → the whole-run shingle, novel
+    ).toDF("id", "t")
+    val got = Vocab.ngramNovelty(d, "id", "t", n = 2)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == Map(
+      1L -> ((4L, 4L, 1000000L)),
+      2L -> ((0L, 4L, 0L)),
+      3L -> ((2L, 3L, 666666L)),
+      4L -> ((1L, 1L, 1000000L))), got.toString)
+    // repeated n-grams inside ONE doc count once (distinct per doc)
+    val rep = Seq((1L, "p q p q p q")).toDF("id", "t")
+    val r1 = Vocab.ngramNovelty(rep, "id", "t", n = 2)
+      .as[(Long, Long, Long, Long)].head()
+    assert(r1 == ((1L, 2L, 2L, 1000000L)), r1.toString) // distinct {p q, q p}
+  }
 }
