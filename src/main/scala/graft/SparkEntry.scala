@@ -2016,6 +2016,27 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // ---- as-of with a STALENESS BOUND (merge_asof's tolerance): the
+    //      latest preceding view still matches only while it is ≤ 30
+    //      minutes old — staler lookups null out, rows stay
+    "asof_join_tolerance" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("view_id"))
+      AsOf.joinBackward(clicks, views, Seq("user_id"), "ts", "ts",
+          payloadCols = Seq("view_id"),
+          tolerance = Some(expr("INTERVAL 30 MINUTE")))
+        .select(
+          col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          col("matched.view_id").as("matched_view_id"),
+          unix_micros(col("matched._t")).as("matched_ts_us"))
+        .orderBy("event_id")
+    }),
+
     // ---- as-of join, FORWARD: each click's NEXT view at-or-after it
     //      (attribution / time-to-next-event) — same tagged-union merge
     //      run in descending ts order; DuckDB ASOF with l.ts <= r.ts
@@ -5549,6 +5570,24 @@ object SparkEntry {
         | r.view_id AS matched_view_id,
         | r.view_value AS matched_value,
         | epoch_us(r.ts) AS matched_ts_us
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY 1""".stripMargin,
+
+    // the backward match is the LATEST preceding row, so a staleness
+    // bound is a post-filter: no closer match can exist behind it
+    "asof_join_tolerance" ->
+      """WITH l AS (
+        | SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+        |), r AS (
+        | SELECT user_id, ts, max(event_id) AS view_id
+        | FROM events WHERE event_type = 'view' GROUP BY 1, 2
+        |)
+        |SELECT l.event_id AS event_id, l.user_id AS user_id,
+        | epoch_us(l.ts) AS ts_us,
+        | CASE WHEN r.ts IS NOT NULL AND l.ts - r.ts <= INTERVAL 30 MINUTE
+        |      THEN r.view_id END AS matched_view_id,
+        | CASE WHEN r.ts IS NOT NULL AND l.ts - r.ts <= INTERVAL 30 MINUTE
+        |      THEN epoch_us(r.ts) END AS matched_ts_us
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
         |ORDER BY 1""".stripMargin,
 

@@ -257,4 +257,37 @@ class PropertySpec extends SparkSpec {
       d1.foreach { case (u, d) => assert(d2(u) >= d, s"user $u regressed: $d -> ${d2(u)}") }
     }
   }
+
+  test("bpeTokenCount laws: bounded by [word count, char count]; merges only shrink") {
+    import graft.functions.TextFunctions
+    val merges = Seq("t" -> "h", "th" -> "e", "a" -> "l", "al" -> "p")
+    samples(docGen, 8).foreach { text =>
+      val df = Seq((1L, text)).toDF("id", "t")
+      val (words, chars, bpe, bpePrefix) = df.select(
+          TextFunctions.tokenCount($"t"),
+          TextFunctions.charCount($"t") - TextFunctions.tokenCount($"t") + 1,
+          TextFunctions.bpeTokenCount($"t", merges),
+          TextFunctions.bpeTokenCount($"t", merges.take(2)))
+        .as[(Long, Long, Long, Long)].head()
+      // every word is ≥1 symbol; no word exceeds its own char count
+      assert(bpe >= words, s"$text: bpe=$bpe words=$words")
+      assert(bpe <= chars + words, s"$text: bpe=$bpe chars=$chars")
+      // applying MORE merges never increases the symbol count
+      assert(bpe <= bpePrefix, s"$text: full=$bpe prefix=$bpePrefix")
+    }
+  }
+
+  test("cdcChunks laws: tiling reconstructs, token counts sum, chunk_idx dense from 0") {
+    import graft.operators.Packing
+    samples(Gen.listOfN(60, wordGen), 6).zipWithIndex.foreach { case (ws, i) =>
+      val text = ws.mkString(" ")
+      val out = Packing.cdcChunks(Seq((1L, text)).toDF("id", "t"), "id", "t", divisor = 4)
+        .orderBy("chunk_idx")
+        .select("chunk_idx", "chunk_text", "n_tokens")
+        .as[(Long, String, Long)].collect()
+      assert(out.flatMap(_._2.split(" ")).toSeq == ws, s"case $i")
+      assert(out.map(_._3).sum == ws.length.toLong, s"case $i")
+      assert(out.map(_._1).toSeq == out.indices.map(_.toLong), s"case $i")
+    }
+  }
 }
