@@ -821,6 +821,20 @@ object SparkEntry {
         .orderBy("dup_id", "of_id")
     }),
 
+    // ---- the suffix mirror: planted 12-token TAIL truncations
+    //      (doc_id ≡11 mod 37, id+4e6) pair with their originals on the
+    //      last-8-token key
+    "suffix_dedup_pairs" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(col("doc_id") < 2000)
+        .select(col("doc_id"), col("text"))
+      val planted = d.filter(col("doc_id") % 37 === 11)
+        .select((col("doc_id") + 4000000L).as("doc_id"),
+          array_join(slice(TextFunctions.tokens(col("text")), -12, 12), " ")
+            .as("text"))
+      Dedup.suffixDupPairs(d.unionByName(planted), "text", "doc_id", k = 8)
+        .orderBy("dup_id", "of_id")
+    }),
+
     // ---- text quality scoring
     "text_quality" -> ((s, dir) => {
       val d = t(s, dir, "documents")
@@ -2194,6 +2208,25 @@ object SparkEntry {
           graft.functions.LayoutFunctions
             .zorderKey(col("user_id"), col("tmin"), bits = 31).as("zkey"))
         .orderBy("event_id")
+    }),
+
+    // ---- the z-order "so what": per z-RANGE file stats. Group rows by
+    //      zkey div 2^20 (a simulated file of the z-sorted layout) and
+    //      emit each file's (user, minute) min/max — the bounds a scan
+    //      planner prunes with; the compared surface IS the locality
+    //      property (tight per-file ranges in BOTH dimensions)
+    "zorder_pruning" -> ((s, dir) => {
+      val ev = events(s, dir).filter(col("event_id") < 2000)
+        .select(col("event_id"), col("user_id"),
+          expr("unix_micros(ts) div 60000000").as("tmin"))
+      ev.select(col("user_id"), col("tmin"),
+          graft.functions.LayoutFunctions
+            .zorderKey(col("user_id"), col("tmin"), bits = 31).as("zkey"))
+        .groupBy(expr("zkey div 1048576").as("zfile"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("user_id")).as("u_min"), max(col("user_id")).as("u_max"),
+          min(col("tmin")).as("t_min"), max(col("tmin")).as("t_max"))
+        .orderBy("zfile")
     }),
 
     // ---- path analysis: top-10 3-step event-type sequences; order by
@@ -3869,6 +3902,34 @@ object SparkEntry {
         |FROM keyed a JOIN keyed b
         |  ON a.pfx = b.pfx AND a.n < b.n
         | AND array_to_string(a.toks, ' ') = array_to_string(list_slice(b.toks, 1, CAST(a.n AS INT)), ' ')
+        |ORDER BY dup_id, of_id""".stripMargin,
+
+    // the suffix mirror: anchor and verify slices taken from the END
+    "suffix_dedup_pairs" ->
+      """WITH d AS (
+        | SELECT doc_id, text FROM documents WHERE doc_id < 2000
+        |), pt AS (
+        | SELECT doc_id + 4000000 AS doc_id,
+        |  array_to_string(list_slice(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''),
+        |    greatest(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) - 11, 1),
+        |    len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''))), ' ') AS text
+        | FROM d WHERE doc_id % 37 = 11
+        |), al AS (
+        | SELECT * FROM d UNION ALL SELECT * FROM pt
+        |), tk AS (
+        | SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+        | FROM al
+        |), keyed AS (
+        | SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n,
+        |  array_to_string(list_slice(toks, len(toks) - 7, len(toks)), ' ') AS sfx
+        | FROM tk WHERE len(toks) >= 8
+        |)
+        |SELECT a.doc_id AS dup_id, b.doc_id AS of_id,
+        | a.n AS dup_tokens, b.n AS of_tokens
+        |FROM keyed a JOIN keyed b
+        |  ON a.sfx = b.sfx AND a.n < b.n
+        | AND array_to_string(a.toks, ' ')
+        |     = array_to_string(list_slice(b.toks, CAST(b.n - a.n + 1 AS INT), CAST(b.n AS INT)), ' ')
         |ORDER BY dup_id, of_id""".stripMargin,
 
     "text_quality" ->
@@ -5716,6 +5777,19 @@ object SparkEntry {
          | CAST(${zorderSqlExpr("user_id", "(epoch_us(ts) // 60000000)", 31)} AS BIGINT) AS zkey
          |FROM events WHERE event_id < 2000
          |ORDER BY event_id""".stripMargin,
+
+    // same generated key, grouped into simulated z-sorted files with
+    // per-file min/max bounds in both dimensions
+    "zorder_pruning" ->
+      s"""WITH z AS (
+         | SELECT user_id, (epoch_us(ts) // 60000000) AS tmin,
+         |  CAST(${zorderSqlExpr("user_id", "(epoch_us(ts) // 60000000)", 31)} AS BIGINT) AS zkey
+         | FROM events WHERE event_id < 2000
+         |)
+         |SELECT zkey // 1048576 AS zfile, CAST(count(*) AS BIGINT) AS n_rows,
+         | min(user_id) AS u_min, max(user_id) AS u_max,
+         | min(tmin) AS t_min, max(tmin) AS t_max
+         |FROM z GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // per-user type sequences ordered by (micros, event_id) — a total
     // order — then 3-gram windows counted; (cnt DESC, path) totally

@@ -98,12 +98,48 @@ object Dedup {
       maxBucketSize: Option[Int] = None
   ): DataFrame = {
     require(k >= 1, s"prefixDupPairs: k must be positive, got $k")
+    containmentDupPairs(df, textCol, idCol, k, maxBucketSize, fromEnd = false)
+  }
+
+  /** Suffix-containment dup pairs — the mirror of [[prefixDupPairs]]
+    * for truncated HEADS (stream tails, pages whose boilerplate top was
+    * stripped differently): the dup's whole token sequence is a strict
+    * SUFFIX of the other doc's. Candidates bucket on the LAST-`k`-token
+    * fingerprint; everything else (contract, verify, skew guard, scale
+    * shape) is the prefix operator's.
+    */
+  def suffixDupPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int = 16,
+      maxBucketSize: Option[Int] = None
+  ): DataFrame = {
+    require(k >= 1, s"suffixDupPairs: k must be positive, got $k")
+    containmentDupPairs(df, textCol, idCol, k, maxBucketSize, fromEnd = true)
+  }
+
+  /** Shared body of the prefix/suffix containment detectors: bucket on
+    * the anchored k-token slice's fingerprint, verify the dup against
+    * the container's same-anchored n_dup-token slice.
+    */
+  private def containmentDupPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int,
+      maxBucketSize: Option[Int],
+      fromEnd: Boolean
+  ): DataFrame = {
+    // anchored slice: first n tokens, or last n when fromEnd
+    val anchored = (ts: Column, n: Column) =>
+      if (fromEnd) slice(ts, -n.cast("int"), n.cast("int")) else slice(ts, lit(1), n.cast("int"))
     val toks = df.select(col(idCol).as("_id"), tokens(col(textCol)).as("_ts"))
       // _ntok, not _n: capBuckets' internal size column is _n and its
       // drop("_n") would take this one with it
       .withColumn("_ntok", size(col("_ts")).cast(LongType))
       .filter(col("_ntok") >= k)
-      .withColumn("_fp", xxhash64(array_join(slice(col("_ts"), 1, k), " ")))
+      .withColumn("_fp", xxhash64(array_join(anchored(col("_ts"), lit(k)), " ")))
     val keyed = capBuckets(toks, maxBucketSize, keyCol = "_fp")
     val a = keyed.select(col("_fp"), col("_id").as("dup_id"),
       col("_ts").as("_ta"), col("_ntok").as("dup_tokens"))
@@ -112,7 +148,7 @@ object Dedup {
     a.join(b, Seq("_fp"))
       .filter(col("dup_tokens") < col("of_tokens"))
       .filter(array_join(col("_ta"), " ") ===
-        array_join(slice(col("_tb"), lit(1), col("dup_tokens").cast("int")), " "))
+        array_join(anchored(col("_tb"), col("dup_tokens")), " "))
       .select(col("dup_id"), col("of_id"), col("dup_tokens"), col("of_tokens"))
   }
 

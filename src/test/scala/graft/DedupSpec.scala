@@ -559,4 +559,17 @@ class DedupSpec extends SparkSpec {
       Dedup.prefixDupPairs(d, "t", "id", k = 0)
     }
   }
+
+  test("suffixDupPairs: strict suffixes only, mirrors the prefix contract") {
+    val d = Seq(
+      (1L, "c d e f g h"),          // suffix of 2
+      (2L, "a b c d e f g h"),
+      (3L, "x y e f g h"),          // same last-4 anchor, NOT a suffix of 2
+      (4L, "e f g h"),              // suffix of 1, 2, and 3
+      (5L, "q r s t")               // unrelated
+    ).toDF("id", "t")
+    val got = Dedup.suffixDupPairs(d, "t", "id", k = 4)
+      .select("dup_id", "of_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L), (4L, 1L), (4L, 2L), (4L, 3L)), got.toString)
+  }
 }
