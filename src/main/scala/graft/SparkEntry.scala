@@ -1457,6 +1457,24 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- tokenizer fertility per source: subword-to-word ratio (ppm)
+    //      under the frozen merge list — the "which domains does this
+    //      tokenizer tax" audit (multilingual pipelines balance budgets
+    //      in subwords, and fertility skew silently re-weights sources)
+    "tokenizer_fertility" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(col("doc_id") < 2000)
+      d.select(col("source"),
+          TextFunctions.tokenCount(col("text")).as("_w"),
+          TextFunctions.bpeTokenCount(col("text"), bpeGateMerges).as("_b"))
+        .groupBy(col("source"))
+        .agg(sum(col("_w")).as("word_tokens"),
+          sum(col("_b")).as("bpe_tokens"))
+        .select(col("source"), col("word_tokens"), col("bpe_tokens"),
+          expr("CAST(bpe_tokens * 1000000 div greatest(word_tokens, 1L) AS BIGINT)")
+            .as("fertility_ppm"))
+        .orderBy("source")
+    }),
+
     // ---- exact phrase search: rolling-fingerprint candidates (zero
     //      corpus shuffle — the phrase hash is a driver-computed
     //      literal) + collision-proof slice verify; the shared
@@ -1925,6 +1943,18 @@ object SparkEntry {
       StreamingOps.applyDriftBatch(s, nxt, 1L, "text", s"$work/state", s"$work/out")
       s.read.parquet(s"$work/out/batch=1")
         .orderBy(col("gap").desc, col("bucket")).limit(20)
+    }),
+
+    // ---- drift timeline: scaled-L1 distance between consecutive DAYS
+    //      of the event-type distribution — the monitoring series a
+    //      continuously-ingesting pipeline alerts on; pure integers
+    //      (the corpus_drift arithmetic per day pair)
+    "drift_timeline" -> ((s, dir) => {
+      val ev = events(s, dir).select(
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        col("event_type"))
+      ImportanceScoring.driftTimeline(ev, "event_type", col("day"))
+        .orderBy("period")
     }),
 
     // ---- event-time watermark + late-data drops, replayed as the
@@ -4739,6 +4769,27 @@ object SparkEntry {
          |     - length(replace($bpeEncodeChainSql, ' ', '')))), 0) AS BIGINT) AS bpe_tokens
          |FROM d ORDER BY doc_id""".stripMargin,
 
+    // per-doc counts as in bpe_encode_count, summed per source; the
+    // ratio is exact scaled-integer division
+    "tokenizer_fertility" ->
+      s"""WITH d AS (
+         | SELECT source,
+         |  list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS rawts,
+         |  list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS ws
+         | FROM documents WHERE doc_id < 2000
+         |), c AS (
+         | SELECT source,
+         |  CAST(len(rawts) AS BIGINT) AS w,
+         |  CAST(coalesce(list_sum(list_transform(ws, w ->
+         |    1 + length($bpeEncodeChainSql)
+         |      - length(replace($bpeEncodeChainSql, ' ', '')))), 0) AS BIGINT) AS b
+         | FROM d
+         |)
+         |SELECT source, CAST(sum(w) AS BIGINT) AS word_tokens,
+         | CAST(sum(b) AS BIGINT) AS bpe_tokens,
+         | CAST(CAST(sum(b) AS BIGINT) * 1000000 // greatest(CAST(sum(w) AS BIGINT), 1) AS BIGINT) AS fertility_ppm
+         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // phrase occurrences replayed on the window STRINGS (the
     // dup_window_removal convention — join-by-space is injective over
     // whitespace tokens): every 6-token window equal to the needle,
@@ -5533,6 +5584,44 @@ object SparkEntry {
     "drift_stream" -> corpusDriftSql(
       """SELECT bucket, cnt_a, cnt_b, CAST(gap AS BIGINT) AS gap
         |FROM g ORDER BY gap DESC, bucket LIMIT 20""".stripMargin),
+
+    // per-day FNV-bucket histograms of the event-type token (the shared
+    // fnvBucketExpr), consecutive-day pairs, cross-normalized gaps
+    // summed and HALF_UP₉-scaled — all HUGEINT integers
+    "drift_timeline" ->
+      s"""WITH e AS (
+         | SELECT epoch_us(ts) // 86400000000 AS p, lower(event_type) AS token
+         | FROM events WHERE ts IS NOT NULL
+         |), vb AS (
+         | SELECT token,
+         |  $fnvBucketExpr
+         | FROM (SELECT DISTINCT token, token || ':drift' AS s FROM e)
+         |), h AS (
+         | SELECT e.p, vb.bucket, CAST(count(*) AS BIGINT) AS cnt
+         | FROM e JOIN vb ON e.token = vb.token GROUP BY 1, 2
+         |), tot AS (
+         | SELECT p, CAST(sum(cnt) AS BIGINT) AS n FROM h GROUP BY 1
+         |), pairs AS (
+         | SELECT c.p AS p, pr.n AS n_prev, c.n AS n_cur
+         | FROM tot c JOIN tot pr ON pr.p = c.p - 1
+         |), bk AS (
+         | SELECT DISTINCT pa.p, h.bucket FROM pairs pa
+         | JOIN h ON h.p = pa.p OR h.p = pa.p - 1
+         |), j AS (
+         | SELECT bk.p, bk.bucket,
+         |  coalesce(a.cnt, 0) AS ca, coalesce(b.cnt, 0) AS cb
+         | FROM bk
+         | LEFT JOIN h a ON a.p = bk.p - 1 AND a.bucket = bk.bucket
+         | LEFT JOIN h b ON b.p = bk.p AND b.bucket = bk.bucket
+         |), g AS (
+         | SELECT j.p, t.n_prev, t.n_cur,
+         |  sum(abs(CAST(j.ca AS HUGEINT) * t.n_cur - CAST(j.cb AS HUGEINT) * t.n_prev)) AS s
+         | FROM j JOIN pairs t ON t.p = j.p GROUP BY 1, 2, 3
+         |)
+         |SELECT p AS period, n_prev, n_cur,
+         | CAST((2 * (s * 1000000000) + CAST(n_prev AS HUGEINT) * n_cur)
+         |   // (2 * CAST(n_prev AS HUGEINT) * n_cur) AS BIGINT) AS l1_e9
+         |FROM g ORDER BY 1""".stripMargin,
 
     // the watermark protocol replayed in closed form: wm after batch b =
     // running max event time − 30 min over batches ≤ b; a row is kept

@@ -130,6 +130,53 @@ object ImportanceScoring {
       .select(col("bucket"), col("cnt_a"), col("cnt_b"), col("gap"))
   }
 
+  /** Drift TIMELINE — the monitoring face of [[histogramDrift]]: the
+    * scaled L1 distance between each CONSECUTIVE pair of periods
+    * (crawl snapshots, ingest days). Output one row per period with an
+    * existing predecessor: `(period, n_prev, n_cur, l1_e9 BIGINT)` —
+    * the same HALF_UP₉ pure-integer arithmetic as [[l1Drift]], no
+    * doubles, no DECIMAL in the compared surface.
+    *
+    * Scale shape: ONE tokenize pass builds the (period, bucket, cnt)
+    * histogram map-side (≤ periods×buckets rows — metadata next to the
+    * corpus); the consecutive-pair comparison is the histogram
+    * full-joined against itself shifted by one period, so text never
+    * shuffles and no period is re-scanned.
+    */
+  def driftTimeline(
+      docs: DataFrame,
+      textCol: String,
+      periodCol: Column,
+      buckets: Int = DefaultBuckets,
+      salt: String = "drift"
+  ): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val hist = docs.select(periodCol.cast(LongType).as("_p"),
+        explode(TextFunctions.tokens(lower(col(textCol)))).as("token"))
+      .filter(col("_p").isNotNull)
+      .select(col("_p"), tokenBucket(col("token"), buckets, salt).as("bucket"))
+      .groupBy("_p", "bucket").agg(count(lit(1)).as("cnt"))
+    val totals = hist.groupBy("_p").agg(sum(col("cnt")).as("n"))
+    // periods whose immediate predecessor exists, with both totals
+    val pairs = totals.select((col("_p") + 1).as("_p"), col("n").as("n_prev"))
+      .join(totals.select(col("_p"), col("n").as("n_cur")), Seq("_p"))
+    val a = hist.select((col("_p") + 1).as("_p"), col("bucket"), col("cnt").as("cnt_a"))
+    val b = hist.select(col("_p"), col("bucket"), col("cnt").as("cnt_b"))
+    a.join(b, Seq("_p", "bucket"), "full")
+      .select(col("_p"), col("bucket"),
+        coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),
+        coalesce(col("cnt_b"), lit(0L)).as("cnt_b"))
+      .join(pairs, Seq("_p")) // drops the phantom endpoints
+      .withColumn("_gap",
+        abs(col("cnt_a").cast(d38) * col("n_cur").cast(d38) -
+          col("cnt_b").cast(d38) * col("n_prev").cast(d38)))
+      .groupBy(col("_p"), col("n_prev"), col("n_cur"))
+      .agg(sum(col("_gap")).as("_s"))
+      .withColumn("_d", col("n_prev").cast(d38) * col("n_cur").cast(d38))
+      .select(col("_p").as("period"), col("n_prev"), col("n_cur"),
+        expr("CAST((2 * (_s * 1000000000) + _d) div (2 * _d) AS BIGINT)").as("l1_e9"))
+  }
+
   /** Corpus-level scaled L1 drift over [[histogramDrift]]'s output:
     * one row `(n_a, n_b, l1_e9 BIGINT)` with l1_e9 = HALF_UP₉(Σgap /
     * (N_a·N_b))×10⁹ computed as ⌊(2·S·10⁹ + D)/(2·D)⌋ in DECIMAL(38,0)

@@ -153,4 +153,26 @@ class ImportanceScoringSpec extends SparkSpec {
       .select("l1_e9").as[Long].head()
     assert(l1 == 1000000000L)
   }
+
+  test("driftTimeline: consecutive pairs only, equals pairwise l1Drift, gaps skip") {
+    import org.apache.spark.sql.functions._
+    // periods 1, 2, 3 and an isolated 7 (no predecessor/successor pair)
+    val d = Seq(
+      (1L, "aa aa bb"), (2L, "aa bb bb"), (3L, "aa bb bb"),
+      (7L, "cc cc cc")
+    ).flatMap { case (p, t) => Seq((p, t)) }.toDF("p", "text")
+    val got = ImportanceScoring.driftTimeline(d, "text", col("p"), buckets = 64)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // only periods 2 and 3 have predecessors; 7 does not (4..7 absent)
+    assert(got.keySet == Set(2L, 3L), got.toString)
+    // identical consecutive corpora (2 vs 3) drift exactly 0
+    assert(got(3L) == ((3L, 3L, 0L)), got.toString)
+    // 1 vs 2 equals the pairwise operator on the same slices
+    val ref = ImportanceScoring.l1Drift(ImportanceScoring.histogramDrift(
+        d.filter(col("p") === 1).select("text"),
+        d.filter(col("p") === 2).select("text"), "text", buckets = 64))
+      .select("l1_e9").as[Long].head()
+    assert(got(2L) == ((3L, 3L, ref)), s"timeline=${got(2L)} pairwise=$ref")
+  }
 }
