@@ -1945,6 +1945,30 @@ object SparkEntry {
         .orderBy(col("gap").desc, col("bucket")).limit(20)
     }),
 
+    // ---- streaming IVF index: batch 0 trains + commits the quantizer
+    //      (replay no-ops), each batch appends assigned postings as a
+    //      committed version; the query runs against committed state
+    //      with nprobe = C so the result is EXACTLY brute force — the
+    //      oracle is the ann_ivf_topk brute-force cosine top-k
+    "ann_index_stream" -> ((s, dir) => {
+      import graft.streaming.StreamingOps
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-ann-stream").toString
+      val even = emb.filter(col("id") % 2 === 0)
+      StreamingOps.applyAnnIndexBatch(s, even, 0L, "id", "vec", c = 4, s"$work/state")
+      StreamingOps.applyAnnIndexBatch(s, even, 0L, "id", "vec", c = 4, s"$work/state")
+      StreamingOps.applyAnnIndexBatch(s, emb.filter(col("id") % 2 === 1),
+        1L, "id", "vec", c = 4, s"$work/state")
+      val q = t(s, dir, "embeddings").filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      StreamingOps.queryAnnIndex(s, s"$work/state", q, "qid", "qvec",
+          "id", "vec", k = 10, nprobe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- drift timeline: scaled-L1 distance between consecutive DAYS
     //      of the event-type distribution — the monitoring series a
     //      continuously-ingesting pipeline alerts on; pure integers
@@ -5584,6 +5608,29 @@ object SparkEntry {
     "drift_stream" -> corpusDriftSql(
       """SELECT bucket, cnt_a, cnt_b, CAST(gap AS BIGINT) AS gap
         |FROM g ORDER BY gap DESC, bucket LIMIT 20""".stripMargin),
+
+    // the committed index holds the WHOLE corpus after both batches and
+    // nprobe = C disables pruning loss, so the streaming query equals
+    // the exhaustive scan — the ann_ivf_topk oracle verbatim
+    "ann_index_stream" ->
+      """WITH q AS (
+        | SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3
+        |), s AS (
+        | SELECT q.query_id, e.vec_id AS neighbor_id,
+        |  list_sum(list_transform(list_zip(q.qv, e.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) AS d,
+        |  list_sum(list_transform(list_zip(q.qv, q.qv), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) AS na,
+        |  list_sum(list_transform(list_zip(e.embedding, e.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) AS nb
+        | FROM embeddings e, q WHERE e.vec_id <> q.query_id
+        |), c AS (
+        | SELECT query_id, neighbor_id,
+        |  CASE WHEN sqrt(na) * sqrt(nb) > 0.0 THEN d / (sqrt(na) * sqrt(nb)) ELSE 0.0 END AS cosine
+        | FROM s
+        |)
+        |SELECT query_id, neighbor_id, cosine,
+        | CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+        |FROM c
+        |QUALIFY rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
 
     // per-day FNV-bucket histograms of the event-type token (the shared
     // fnvBucketExpr), consecutive-day pairs, cross-normalized gaps

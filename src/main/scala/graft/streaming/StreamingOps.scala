@@ -778,6 +778,85 @@ object StreamingOps {
     }
   }
 
+  /** One micro-batch of a STREAMING IVF index build — the embedding
+    * sibling of [[applyBm25IndexBatch]]: batch 0 trains the coarse
+    * quantizer (hash-seeded + one Lloyd refinement on that batch) and
+    * commits it ONCE — the drift-reference protocol, so replays no-op
+    * and every later batch assigns against the same frozen centroids;
+    * each batch then appends its assigned vectors as the next committed
+    * postings version (`_CURRENT` protocol, crash-replay guarded).
+    * Queries ([[queryAnnIndex]]) read committed state only, so a torn
+    * batch never serves. Appends are append-only — re-ingested ids are
+    * the caller's to dedup (compose with [[applyDedupBatch]]).
+    *
+    * Scale note: the versioned-postings rewrite is a parquet overwrite
+    * (the dedupStreamPersistent trade — swap for a Delta/Iceberg append
+    * at real scale, or persist via
+    * [[graft.operators.Similarity.ivfTopKPartitioned]]'s
+    * partitionBy(centroid_id) layout for the physical scan-pruning win).
+    */
+  def applyAnnIndexBatch(
+      spark: SparkSession,
+      batch: DataFrame,
+      batchId: Long,
+      idCol: String,
+      vecCol: String,
+      c: Int,
+      statePath: String
+  ): Unit = {
+    import graft.operators.Similarity
+    val centPath = s"$statePath/centroids"
+    val postPath = s"$statePath/postings"
+    currentVersionId(spark, postPath) match {
+      case Some(cur) if cur >= batchId =>
+        log.warn(s"annIndexStream: skipping batch $batchId — postings at " +
+          s"v$cur already include it")
+      case _ =>
+        if (currentVersionId(spark, centPath).isEmpty) {
+          require(batchId == 0L,
+            s"annIndexStream: no committed centroids at batch $batchId — batch 0 trains them")
+          val cents = Similarity.refineCentroids(batch, idCol, vecCol,
+            Similarity.seedCentroids(batch, idCol, vecCol, c), iterations = 1)
+          cents.write.mode("overwrite").parquet(s"$centPath/v0")
+          commitVersion(spark, centPath, "v0", keepFrom = 0L)
+        }
+        val cents = readState(spark, centPath).getOrElse(
+          sys.error(s"annIndexStream: _CURRENT exists but no centroids at $centPath"))
+        val assigned = Similarity.assignToCentroids(
+          batch.select(col(idCol), col(vecCol)), idCol, vecCol, cents)
+        val newPost = readState(spark, postPath) match {
+          case Some(st) => st.unionByName(assigned)
+          case None => assigned
+        }
+        val version = s"v$batchId"
+        newPost.write.mode("overwrite").parquet(s"$postPath/$version")
+        commitVersion(spark, postPath, version, keepFrom = batchId - 1)
+    }
+  }
+
+  /** Top-k cosine retrieval against the COMMITTED streaming IVF index
+    * ([[applyAnnIndexBatch]]) — frozen centroids + latest postings
+    * version through [[graft.operators.Similarity.ivfTopK]].
+    */
+  def queryAnnIndex(
+      spark: SparkSession,
+      statePath: String,
+      queries: DataFrame,
+      queryId: String,
+      queryVec: String,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nprobe: Int
+  ): DataFrame = {
+    val cents = readState(spark, s"$statePath/centroids").getOrElse(
+      sys.error(s"queryAnnIndex: no committed centroids under $statePath"))
+    val post = readState(spark, s"$statePath/postings").getOrElse(
+      sys.error(s"queryAnnIndex: no committed postings under $statePath"))
+    graft.operators.Similarity.ivfTopK(
+      post, idCol, vecCol, cents, queries, queryId, queryVec, k, nprobe)
+  }
+
   /** One micro-batch of event-time WINDOWED COUNTS under an explicit
     * watermark — the deterministic replay of Spark's
     * `withWatermark(...).groupBy(window(...))` semantics, factored as a

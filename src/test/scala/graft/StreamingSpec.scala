@@ -636,6 +636,42 @@ class StreamingSpec extends SparkSpec {
     assert(again == got.size, s"replay changed output: $again vs ${got.size}")
   }
 
+  test("ann index stream: quantizer trains once, postings append, replay no-ops, query equals batch IVF") {
+    import graft.operators.Similarity
+    val vecs = (1L to 40L).map(i =>
+      (i, Array(i.toFloat, (i % 7).toFloat, 1.0f)))
+    val df = vecs.toDF("id", "vec")
+    val work = Files.createTempDirectory("ann-stream-spec").toString
+    val state = s"$work/state"
+    def step(pred: org.apache.spark.sql.Column, b: Long): Unit =
+      StreamingOps.applyAnnIndexBatch(spark, df.filter(pred), b, "id", "vec", c = 3, state)
+    step($"id" % 2 === 0, 0L)
+    step($"id" % 2 === 0, 0L) // replay no-op
+    step($"id" % 2 === 1, 1L)
+    // postings hold every vector exactly once
+    val post = StreamingOps.readState(spark, s"$state/postings").get
+    assert(post.count() == 40L)
+    assert(post.select("id").distinct().count() == 40L)
+    // the query against committed state equals batch ivfTopK with the
+    // same frozen centroids over the full corpus
+    val cents = StreamingOps.readState(spark, s"$state/centroids").get
+    val q = df.filter($"id" <= 2).select($"id".as("qid"), $"vec".as("qvec"))
+    val got = StreamingOps.queryAnnIndex(spark, state, q, "qid", "qvec",
+        "id", "vec", k = 5, nprobe = 3)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val ref = Similarity.ivfTopK(
+        Similarity.assignToCentroids(df, "id", "vec", cents),
+        "id", "vec", cents, q, "qid", "qvec", k = 5, nprobe = 3)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == ref, s"stream=$got batch=$ref")
+    // a fresh state path must start at batch 0 (no quantizer yet)
+    intercept[IllegalArgumentException] {
+      StreamingOps.applyAnnIndexBatch(spark, df, 5L, "id", "vec", 3, s"$work/fresh")
+    }
+  }
+
   test("late window stream: watermark advances on every row, late rows drop, replay no-ops") {
     val work = Files.createTempDirectory("late-window-spec").toString
     // window 100, lag 50 (us scale irrelevant — pure integers)
