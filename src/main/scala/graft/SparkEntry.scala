@@ -2009,6 +2009,25 @@ object SparkEntry {
         .orderBy("w_start")
     }),
 
+    // ---- MASS-weighted percentiles: doc-length percentiles weighted
+    //      by token count — "the median TOKEN lives in a doc of length
+    //      X", which under size skew sits far from the doc-weighted
+    //      median; exact data values at rank floor(q·(W−1)), no
+    //      interpolation, hash-safe integers
+    "weighted_percentiles" -> ((s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "documents")
+        .select(col("n_chars"),
+          TextFunctions.tokenCount(col("text")).as("_w"))
+      val probs = Seq(0.1, 0.5, 0.9, 0.99)
+      val vals = Profile.weightedPercentiles(d, "n_chars", col("_w"), probs)
+        .getOrElse(sys.error("weighted_percentiles: empty corpus"))
+      probs.map(p => math.round(p * 1000000))
+        .zip(vals.map(_.toLong))
+        .toDF("p_ppm", "value")
+        .orderBy("p_ppm")
+    }),
+
     // ---- dataset profiling: one-scan numeric column stats with exact
     //      (decimal-accumulated) means and exact interpolated quantiles —
     //      both engines share the quantile definition, so the oracle is
@@ -5608,6 +5627,31 @@ object SparkEntry {
     "drift_stream" -> corpusDriftSql(
       """SELECT bucket, cnt_a, cnt_b, CAST(gap AS BIGINT) AS gap
         |FROM g ORDER BY gap DESC, bucket LIMIT 20""".stripMargin),
+
+    // the mass-weighted rank rule replayed: cumulative token weight
+    // over ascending value, smallest value whose cum exceeds
+    // floor(q·(W−1)) — same IEEE multiply+floor on a literal q
+    "weighted_percentiles" ->
+      """WITH w AS (
+        | SELECT CAST(n_chars AS DOUBLE) AS v,
+        |  CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS wt
+        | FROM documents
+        |), w2 AS (
+        | SELECT v, wt FROM w WHERE v IS NOT NULL AND wt > 0
+        |), tot AS (
+        | SELECT CAST(sum(wt) AS BIGINT) AS W FROM w2
+        |), c AS (
+        | SELECT v, CAST(sum(wt) AS BIGINT) AS cnt FROM w2 GROUP BY 1
+        |), r AS (
+        | SELECT v, sum(cnt) OVER (ORDER BY v
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        | FROM c
+        |), probs(p_ppm, q) AS (
+        | SELECT * FROM (VALUES (100000, 0.1), (500000, 0.5), (900000, 0.9), (990000, 0.99)) x
+        |)
+        |SELECT CAST(p.p_ppm AS BIGINT) AS p_ppm,
+        | CAST((SELECT min(r.v) FROM r, tot WHERE r.cum > floor(p.q * (tot.W - 1))) AS BIGINT) AS value
+        |FROM probs p ORDER BY 1""".stripMargin,
 
     // the committed index holds the WHOLE corpus after both batches and
     // nprobe = C disables pruning loss, so the streaming query equals

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -502,6 +502,53 @@ object Profile {
       val sel = groupedOrderStats(hist, stats,
         Map("c" -> ranksFor(n, probs)), buckets, directThreshold)
       Some(interpolateRanks(n, probs, rk => sel(("c", rk))))
+    }
+  }
+
+  /** Exact WEIGHTED percentiles — the value at 0-based weighted rank
+    * `⌊q·(W−1)⌋`, W = Σweight: the MASS-weighted view of a
+    * distribution ("the median TOKEN lives in a doc of length X"),
+    * which under size skew sits far from the doc-weighted percentile
+    * ([[exactPercentiles]] is the weight≡1 special case of the rank
+    * rule, minus interpolation). No interpolation: the result is an
+    * exact data value, so integer-valued columns stay oracle/hash-safe.
+    * Weights cast to long; null/zero/negative-weight rows are ignored
+    * (a row with no mass has no position on the mass axis). None when
+    * nothing carries weight.
+    *
+    * Scale shape: identical to [[exactPercentiles]] — the
+    * distinct-value histogram carries WEIGHT SUMS as multiplicities
+    * (map-side combined; one pass over the column), and the
+    * distributed range-narrowing selection touches histogram slices
+    * only.
+    */
+  def weightedPercentiles(
+      df: DataFrame,
+      colName: String,
+      weight: Column,
+      probs: Seq[Double]
+  ): Option[Seq[Double]] = {
+    require(probs.nonEmpty && probs.forall(p => p >= 0.0 && p <= 1.0),
+      s"weightedPercentiles: probs must be in [0,1], got $probs")
+    val hist = df
+      .select(lit("c").as("g"), col(colName).cast(DoubleType).as("v"),
+        weight.cast(LongType).as("_w"))
+      .filter(col("v").isNotNull && col("_w").isNotNull && col("_w") > 0)
+      .groupBy(col("g"), col("v")).agg(sum(col("_w")).as("cnt"))
+      .localCheckpoint()
+    val m = hist
+      .agg(sum(col("cnt")).as("n"), count(lit(1)).as("d"),
+        min(col("v")).as("mn"), max(col("v")).as("mx"))
+      .collect()(0)
+    if (m.isNullAt(0) || m.getLong(0) == 0L) None
+    else {
+      val w = m.getLong(0)
+      val stats = Map("c" -> GroupStats(w, m.getLong(1), m.getDouble(2), m.getDouble(3)))
+      // floor(q·(W−1)) in IEEE doubles — one multiply + floor, the same
+      // bits in any engine (the oracle recomputes the identical rank)
+      val rks = probs.map(q => math.floor(q * (w - 1).toDouble).toLong)
+      val sel = groupedOrderStats(hist, stats, Map("c" -> rks))
+      Some(rks.map(r => sel(("c", r))))
     }
   }
 

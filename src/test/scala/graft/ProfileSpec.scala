@@ -464,4 +464,27 @@ class ProfileSpec extends SparkSpec {
       ("b", 1, 2000000L, 1L, 2000000L)
     ), got.toString)
   }
+
+  test("weightedPercentiles: mass-weighted ranks; weight≡1 degenerates to plain order stats") {
+    import graft.operators.Profile
+    import org.apache.spark.sql.functions._
+    // value 10 carries 1 unit of mass, value 100 carries 99 → W=100;
+    // rank(q=0.5) = floor(0.5·99) = 49 → inside value 100's mass
+    val d = Seq((10.0, 1L), (100.0, 99L)).toDF("v", "w")
+    val got = Profile.weightedPercentiles(d, "v", col("w"), Seq(0.0, 0.005, 0.5, 1.0)).get
+    assert(got == Seq(10.0, 10.0, 100.0, 100.0), got.toString)
+    // zero/negative/null weights carry no mass
+    val z = Seq((5.0, 0L), (7.0, 3L), (9.0, -2L)).toDF("v", "w")
+    assert(Profile.weightedPercentiles(z, "v", col("w"), Seq(0.0, 1.0)).get == Seq(7.0, 7.0))
+    assert(Profile.weightedPercentiles(
+      Seq((5.0, 0L)).toDF("v", "w"), "v", col("w"), Seq(0.5)).isEmpty)
+    // weight ≡ 1: the value at rank floor(q·(n−1)) of the sorted column
+    val vs = Seq(3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0)
+    val u = vs.map((_, 1L)).toDF("v", "w")
+    val sorted = vs.sorted
+    val qs = Seq(0.0, 0.25, 0.5, 0.75, 1.0)
+    val gotU = Profile.weightedPercentiles(u, "v", col("w"), qs).get
+    val refU = qs.map(q => sorted(math.floor(q * (vs.length - 1)).toInt))
+    assert(gotU == refU, s"got=$gotU ref=$refU")
+  }
 }
