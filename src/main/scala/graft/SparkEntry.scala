@@ -324,6 +324,39 @@ object SparkEntry {
       | FROM ordered o JOIN alloc a ON o.i = a.i + 1
       |)""".stripMargin
 
+  /** The PageRank oracle with the iterations UNROLLED as CTE pairs
+    * (c_i, r_i) — the MMR greedy-unroll precedent; every step is the
+    * operator's exact integer arithmetic (floor division throughout).
+    */
+  private def pagerankOracleSql(iterations: Int, dampingPpm: Long): String = {
+    val steps = (1 to iterations).map { i =>
+      val prev = if (i == 1) "r0" else s"r${i - 1}"
+      s"""c$i AS (
+         | SELECT e.dst AS v, sum((r.r * $dampingPpm // 1000000) // od.od) AS cin
+         | FROM e JOIN $prev r ON r.v = e.src JOIN od ON od.s = e.src GROUP BY 1
+         |), r$i AS (
+         | SELECT nodes.v,
+         |  CAST((CAST(1000000000 AS BIGINT) * ${1000000L - dampingPpm}) // (nn.n * 1000000) + coalesce(c$i.cin, 0) AS BIGINT) AS r
+         | FROM nodes CROSS JOIN nn LEFT JOIN c$i ON c$i.v = nodes.v
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH d AS (
+       | SELECT doc_id, source FROM documents
+       |), e AS (
+       | SELECT a.source AS src, b.source AS dst
+       | FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
+       |), nodes AS (
+       | SELECT DISTINCT v FROM (SELECT src AS v FROM e UNION ALL SELECT dst FROM e)
+       |), nn AS (
+       | SELECT CAST(count(*) AS BIGINT) AS n FROM nodes
+       |), od AS (
+       | SELECT src AS s, CAST(count(*) AS BIGINT) AS od FROM e GROUP BY 1
+       |), r0 AS (
+       | SELECT v, CAST(1000000000 // nn.n AS BIGINT) AS r FROM nodes CROSS JOIN nn
+       |), $steps
+       |SELECT v AS node, r AS rank_ppb FROM r$iterations ORDER BY node""".stripMargin
+  }
+
   /** The DuckDB replay of [[graft.functions.LayoutFunctions.zorderKey]]:
     * the same flat sum of shift/mask terms, generated from the same
     * (bits) parameter.
@@ -1967,6 +2000,20 @@ object SparkEntry {
           "id", "vec", k = 10, nprobe = 4)
         .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
         .orderBy("query_id", "rank")
+    }),
+
+    // ---- link-graph centrality: integer-scaled PageRank (3 rounds,
+    //      d=0.85) over the source-transition graph (edge per
+    //      consecutive doc_id pair) — the Common-Crawl-style domain
+    //      quality prior, exact BIGINT arithmetic end to end
+    "pagerank_sources" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("source"))
+      val e = d.join(
+          d.select((col("doc_id") - 1).as("doc_id"), col("source").as("_dst")),
+          Seq("doc_id"))
+        .select(col("source").as("src"), col("_dst").as("dst"))
+      graft.operators.Graph.pageRankScaled(e, "src", "dst", iterations = 3)
+        .orderBy("node")
     }),
 
     // ---- drift timeline: scaled-L1 distance between consecutive DAYS
@@ -5627,6 +5674,9 @@ object SparkEntry {
     "drift_stream" -> corpusDriftSql(
       """SELECT bucket, cnt_a, cnt_b, CAST(gap AS BIGINT) AS gap
         |FROM g ORDER BY gap DESC, bucket LIMIT 20""".stripMargin),
+
+    // 3 unrolled power-iteration rounds in pure BIGINT floor division
+    "pagerank_sources" -> pagerankOracleSql(iterations = 3, dampingPpm = 850000L),
 
     // the mass-weighted rank rule replayed: cumulative token weight
     // over ascending value, smallest value whose cum exceeds
