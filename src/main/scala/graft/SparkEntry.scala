@@ -2002,6 +2002,35 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- UniMax ON A STREAM: the waterfill allocation enforced by the
+    //      per-group-budgets quota protocol over two crawl-order
+    //      batches (batch 1 replays to prove the no-op guard) — kept
+    //      rows across batches must equal the single-pass unimax_mix
+    //      cut, which is exactly what the oracle recomputes
+    "unimax_quota_stream" -> ((s, dir) => {
+      import graft.streaming.StreamingOps
+      val d = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        (TextFunctions.tokenCount(col("text")) *
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(substring(source, 4) AS INT) % 5)"))
+          .as("_nt"))
+      val total = d.agg(sum(col("_nt"))).head().getLong(0)
+      val budgets = Sampling.unimaxBudgets(d, "source", col("_nt"),
+          totalBudget = math.max(1L, total / 2), maxEpochs = 2L)
+        .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-unimax-stream").toString
+      def step(pred: Column, b: Long): Unit =
+        StreamingOps.applyTokenQuotaBudgetsBatch(s, d.filter(pred), b,
+          "source", "doc_id", col("_nt"), budgets,
+          s"$work/state", s"$work/out")
+      step(col("doc_id") < 250, 0L)
+      step(col("doc_id") >= 250, 1L)
+      step(col("doc_id") >= 250, 1L)
+      s.read.parquet(s"$work/out")
+        .select(col("source"), col("doc_id"), col("n_tokens"), col("cum_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // ---- link-graph centrality: integer-scaled PageRank (3 rounds,
     //      d=0.85) over the source-transition graph (edge per
     //      consecutive doc_id pair) — the Common-Crawl-style domain
@@ -2770,6 +2799,31 @@ object SparkEntry {
         .select(col("doc_id"), col("text"))
       Packing.cdcChunks(d, "doc_id", "text", divisor = 16)
         .orderBy("doc_id", "chunk_idx")
+    }),
+
+    // ---- CDC's payoff in the compared surface: docs ≡9 mod 31 gain a
+    //      3-token-prefixed VARIANT (id+5e6); chunk-level exact dedup
+    //      over the gear chunks still finds most of each variant's
+    //      token mass duplicated (fixed windows would find ~none after
+    //      the shift). Per-doc duplicated-chunk accounting
+    "pipeline_cdc_dedup" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(col("doc_id") < 500)
+        .select(col("doc_id"), col("text"))
+      val variants = d.filter(col("doc_id") % 31 === 9)
+        .select((col("doc_id") + 5000000L).as("doc_id"),
+          concat(lit("zz yy xx "), col("text")).as("text"))
+      val chunks = Packing.cdcChunks(d.unionByName(variants), "doc_id", "text",
+        divisor = 16)
+      val shared = chunks
+        .groupBy(col("chunk_text"))
+        .agg(countDistinct(col("doc_id")).as("_nd"))
+        .filter(col("_nd") > 1)
+        .select(col("chunk_text"))
+      chunks.join(shared, Seq("chunk_text"), "left_semi")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("dup_chunks"),
+          sum(col("n_tokens")).as("dup_tokens"))
+        .orderBy("doc_id")
     }),
 
     // ---- retrieval: BM25 top-k per query (lexical complement to the
@@ -3601,6 +3655,36 @@ object SparkEntry {
        |QUALIFY rank <= 10
        |ORDER BY query_id, rank""".stripMargin
   }
+
+  /** The CDC gear-rule CTE chain over a caller-supplied `(doc_id,
+    * text)` CTE named `src`: tokens, positions, per-DISTINCT-bigram FNV
+    * (the fold is the expensive bit — dedup it), boundary flags, and
+    * the running chunk index as `c(doc_id, p, t, chunk)` — composed
+    * with a gate-specific final SELECT.
+    */
+  private def cdcChainSql(divisor: Long): String =
+    s"""d AS (
+       | SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS toks
+       | FROM src
+       |), e AS (
+       | SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS p FROM d WHERE len(toks) > 0
+       |), f AS (
+       | SELECT doc_id, p, toks[p] AS t,
+       |  CASE WHEN p = 1 THEN NULL ELSE toks[p - 1] || ' ' || toks[p] || ':cdc' END AS bg
+       | FROM e
+       |), bgs AS (
+       | SELECT bg, ${fnvModSql("bg", divisor)} AS hm
+       | FROM (SELECT DISTINCT bg FROM f WHERE bg IS NOT NULL)
+       |), fl AS (
+       | SELECT f.doc_id, f.p, f.t,
+       |  CASE WHEN f.bg IS NULL THEN 0 WHEN b.hm = 0 THEN 1 ELSE 0 END AS flag
+       | FROM f LEFT JOIN bgs b ON f.bg = b.bg
+       |), c AS (
+       | SELECT doc_id, p, t,
+       |  sum(flag) OVER (PARTITION BY doc_id ORDER BY p
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS chunk
+       | FROM fl
+       |)""".stripMargin
 
   /** FNV-1a of an arbitrary string SQL expression, reduced mod `m` —
     * the parameterized sibling of [[fnvBucketExpr]] (same byte fold,
@@ -5678,6 +5762,20 @@ object SparkEntry {
     // 3 unrolled power-iteration rounds in pure BIGINT floor division
     "pagerank_sources" -> pagerankOracleSql(iterations = 3, dampingPpm = 850000L),
 
+    // the stream equals the single pass when fed in key order: the same
+    // waterfill + per-source cumulative cut, emitting the kept rows
+    "unimax_quota_stream" ->
+      s"""$unimaxAllocSql, c AS (
+         | SELECT source, doc_id, w,
+         |  CAST(sum(w) OVER (PARTITION BY source ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         | FROM nt
+         |)
+         |SELECT c.source, c.doc_id, c.w AS n_tokens, c.cum AS cum_tokens
+         |FROM c JOIN alloc a ON a.source = c.source
+         |WHERE c.cum <= a.b
+         |ORDER BY doc_id""".stripMargin,
+
     // the mass-weighted rank rule replayed: cumulative token weight
     // over ascending value, smallest value whose cum exceeds
     // floor(q·(W−1)) — same IEEE multiply+floor on a literal q
@@ -7055,36 +7153,36 @@ object SparkEntry {
         | CAST(len(list_filter(string_split_regex(trim(ls[i + 1]), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
         |FROM e ORDER BY doc_id, sentence_idx""".stripMargin,
 
-    // the gear rule replayed per DISTINCT bigram (the FNV fold is the
-    // expensive bit — dedup it), then the running boundary count and
-    // per-chunk reassembly in token order
+    // the gear rule replayed per DISTINCT bigram (cdcChainSql), then
+    // the per-chunk reassembly in token order
     "cdc_chunks" ->
-      s"""WITH d AS (
-         | SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS toks
-         | FROM documents WHERE doc_id < 500
-         |), e AS (
-         | SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS p FROM d WHERE len(toks) > 0
-         |), f AS (
-         | SELECT doc_id, p, toks[p] AS t,
-         |  CASE WHEN p = 1 THEN NULL ELSE toks[p - 1] || ' ' || toks[p] || ':cdc' END AS bg
-         | FROM e
-         |), bgs AS (
-         | SELECT bg, ${fnvModSql("bg", 16L)} AS hm
-         | FROM (SELECT DISTINCT bg FROM f WHERE bg IS NOT NULL)
-         |), fl AS (
-         | SELECT f.doc_id, f.p, f.t,
-         |  CASE WHEN f.bg IS NULL THEN 0 WHEN b.hm = 0 THEN 1 ELSE 0 END AS flag
-         | FROM f LEFT JOIN bgs b ON f.bg = b.bg
-         |), c AS (
-         | SELECT doc_id, p, t,
-         |  sum(flag) OVER (PARTITION BY doc_id ORDER BY p
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS chunk
-         | FROM fl
-         |)
+      s"""WITH src AS (
+         | SELECT doc_id, text FROM documents WHERE doc_id < 500
+         |), ${cdcChainSql(16L)}
          |SELECT doc_id, CAST(chunk AS BIGINT) AS chunk_idx,
          | string_agg(t, ' ' ORDER BY p) AS chunk_text,
          | CAST(count(*) AS BIGINT) AS n_tokens
          |FROM c GROUP BY 1, 2 ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // the same chain over corpus + shifted variants; chunk strings
+    // shared by >1 doc mark their member tokens as duplicated mass
+    "pipeline_cdc_dedup" ->
+      s"""WITH src AS (
+         | SELECT doc_id, text FROM documents WHERE doc_id < 500
+         | UNION ALL
+         | SELECT doc_id + 5000000, 'zz yy xx ' || text
+         | FROM documents WHERE doc_id < 500 AND doc_id % 31 = 9
+         |), ${cdcChainSql(16L)}, ch AS (
+         | SELECT doc_id, chunk, string_agg(t, ' ' ORDER BY p) AS chunk_text,
+         |  CAST(count(*) AS BIGINT) AS n_tokens
+         | FROM c GROUP BY 1, 2
+         |), shared AS (
+         | SELECT chunk_text FROM ch GROUP BY 1 HAVING count(DISTINCT doc_id) > 1
+         |)
+         |SELECT ch.doc_id, CAST(count(*) AS BIGINT) AS dup_chunks,
+         | CAST(sum(ch.n_tokens) AS BIGINT) AS dup_tokens
+         |FROM ch JOIN shared s ON ch.chunk_text = s.chunk_text
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // BM25 mirrored term-for-term: same tokenizer fragment as
     // dsir_scores; the idf table is the gate-registered driver-computed

@@ -576,6 +576,70 @@ object StreamingOps {
     }
   }
 
+  /** [[applyTokenQuotaBatch]] with PER-GROUP budgets — the streaming
+    * face of [[graft.operators.Sampling.tokenQuotaPerGroupBudgets]],
+    * i.e. how a [[graft.operators.Sampling.unimaxBudgets]] allocation
+    * is enforced on a live ingest: each group keeps rows while its
+    * running token total (across every batch, dropped rows included)
+    * stays within ITS OWN budget; groups absent from the map drop.
+    * Same consumed-token state table, `_CURRENT` protocol, and
+    * crash-replay guard as the single-budget form; the budget lookup
+    * is the driver-known CASE chain, no extra join.
+    */
+  def applyTokenQuotaBudgetsBatch(
+      spark: SparkSession,
+      batch: DataFrame,
+      batchId: Long,
+      groupCol: String,
+      keyCol: String,
+      tokensCol: org.apache.spark.sql.Column,
+      budgets: Map[String, Long],
+      statePath: String,
+      outPath: String
+  ): Unit = {
+    require(budgets.nonEmpty, "applyTokenQuotaBudgetsBatch: budgets must be non-empty")
+    currentVersionId(spark, statePath) match {
+      case Some(cur) if cur >= batchId =>
+        log.warn(s"tokenQuotaStream(budgets): skipping batch $batchId — state at " +
+          s"v$cur already includes it (kept rows were written before the commit)")
+      case _ =>
+        import org.apache.spark.sql.functions._
+        val budgetCase = budgets.toSeq.sortBy(_._1)
+          .foldRight(lit(-1L): org.apache.spark.sql.Column) { case ((g, b), els) =>
+            when(col(groupCol) === g, lit(b)).otherwise(els)
+          }
+        // the within-batch cumulative machinery (keep column recomputed
+        // below against the offset + per-group budget)
+        val q = graft.operators.Sampling.tokenQuotaPerGroupBudgets(
+          batch, keyCol, groupCol, tokensCol, budgets)
+        val state = readState(spark, statePath) // (_g, consumed)
+        val withOff = state match {
+          case Some(st) =>
+            q.join(broadcast(st.withColumnRenamed("_g", groupCol)),
+                Seq(groupCol), "left")
+              .withColumn("_off", coalesce(col("consumed"), lit(0L)))
+          case None => q.withColumn("_off", lit(0L))
+        }
+        val kept = withOff
+          .filter(col("_off") + col("cum_tokens") <= budgetCase)
+          .select(col(groupCol), col(keyCol), col("n_tokens"),
+            (col("_off") + col("cum_tokens")).as("cum_tokens"))
+        kept.write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+        val batchTotals = q.groupBy(col(groupCol).as("_g"))
+          .agg(sum(col("n_tokens")).as("_bt"))
+        val newState = state match {
+          case Some(st) => st.join(batchTotals, Seq("_g"), "full")
+            .select(col("_g"),
+              (coalesce(col("consumed"), lit(0L)) +
+                coalesce(col("_bt"), lit(0L))).as("consumed"))
+          case None => batchTotals.select(col("_g"), col("_bt").as("consumed"))
+        }
+        val version = s"v$batchId"
+        newState.write.mode("overwrite").parquet(s"$statePath/$version")
+        commitVersion(spark, statePath, version, keepFrom = batchId - 1)
+    }
+  }
+
   /** Streaming exact-substring removal with a persistent WINDOW
     * fingerprint store — the continuous face of
     * [[graft.operators.Dedup.removeDuplicatedWindows]]: each batch's

@@ -636,6 +636,33 @@ class StreamingSpec extends SparkSpec {
     assert(again == got.size, s"replay changed output: $again vs ${got.size}")
   }
 
+  test("token quota stream with per-group budgets: equals the single-pass budgets cut; replay no-ops") {
+    import graft.operators.Sampling
+    val rows = Seq(
+      ("a", 1L, 100L), ("a", 2L, 100L), ("a", 3L, 100L),
+      ("b", 4L, 50L), ("b", 5L, 50L), ("b", 6L, 50L),
+      ("c", 7L, 10L) // absent from the budget map → never kept
+    ).toDF("g", "id", "nt")
+    val budgets = Map("a" -> 250L, "b" -> 100L)
+    val work = Files.createTempDirectory("tquota-budgets-spec").toString
+    def step(ids: Seq[Long], batchId: Long): Unit =
+      StreamingOps.applyTokenQuotaBudgetsBatch(spark,
+        rows.filter($"id".isin(ids: _*)), batchId,
+        "g", "id", $"nt", budgets, s"$work/state", s"$work/out")
+    step(Seq(1L, 4L), 0L)
+    step(Seq(2L, 3L, 5L, 6L, 7L), 1L)
+    step(Seq(2L, 3L, 5L, 6L, 7L), 1L) // replay no-op
+    val got = spark.read.parquet(s"$work/out")
+      .select("g", "id", "n_tokens", "cum_tokens")
+      .as[(String, Long, Long, Long)].collect().toSet
+    val ref = Sampling.tokenQuotaPerGroupBudgets(rows, "id", "g", $"nt", budgets)
+      .filter($"keep")
+      .as[(String, Long, Long, Long, Boolean)].collect()
+      .map(r => (r._1, r._2, r._3, r._4)).toSet
+    assert(got == ref, s"stream=$got ref=$ref")
+    assert(got.map(_._2) == Set(1L, 2L, 4L, 5L), got.toString)
+  }
+
   test("ann index stream: quantizer trains once, postings append, replay no-ops, query equals batch IVF") {
     import graft.operators.Similarity
     val vecs = (1L to 40L).map(i =>
