@@ -2848,6 +2848,31 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- retrieval EVALUATION: MRR / hits@10 / precision@10 of the
+    //      BM25 top-10 against conjunctive-containment relevance (a
+    //      doc is relevant iff it contains EVERY query term) — the
+    //      rank-based metrics are exact scaled integers
+    "ranking_metrics" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val queries = bm25GateQueries3(s)
+      val idf = Retrieval.queryIdfLiterals(docs, "text", queries, "qtext")
+      GateTables.put("bm25_idf_rm", idfValuesRows(idf))
+      val ranked = Retrieval.bm25TopKWithIdf(docs, "doc_id", "text",
+        queries, "query_id", "qtext", idf, k = 10)
+      val qterms = queries.select(col("query_id"),
+        explode(array_distinct(split(col("qtext"), " "))).as("term"))
+      val nq = qterms.groupBy("query_id").agg(count(lit(1)).as("_nq"))
+      val dterms = docs.select(col("doc_id"),
+        explode(array_distinct(TextFunctions.tokens(lower(col("text"))))).as("term"))
+      val rel = qterms.join(dterms, Seq("term"))
+        .groupBy("query_id", "doc_id").agg(count(lit(1)).as("_m"))
+        .join(nq, Seq("query_id")).filter(col("_m") === col("_nq"))
+        .select(col("query_id"), col("doc_id"))
+      Retrieval.rankingMetrics(ranked, rel, k = 10)
+        .orderBy("query_id")
+    }),
+
     // ---- hybrid retrieval: RRF fusion of a dense ANN list and a
     //      lexical BM25 list over the SAME corpus id space (doc_id ==
     //      vec_id in the testdata) — rank-based, so the incomparable
@@ -3614,6 +3639,58 @@ object SparkEntry {
          |FROM sc
          |QUALIFY rank <= 10
          |ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** The ranking_metrics oracle: the bm25 chain's top-10 as `ranked`,
+    * conjunctive term containment as `rel`, then the exact rank
+    * arithmetic (mrr_e6 = 10⁶ // first-relevant-rank, precision ppm).
+    */
+  private def rankingMetricsOracle(): String = {
+    val rows = gateTableOrError("bm25_idf_rm") match {
+      case Left(err) => return err
+      case Right(r) => r
+    }
+    val chain = bm25ChainSql(bm25Q3Values, rows, requireAll = false)
+    s"""WITH $chain, ranked AS (
+       | SELECT CAST(query_id AS BIGINT) AS query_id, neighbor_id,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score_e9 DESC, neighbor_id) AS INTEGER) AS rank
+       | FROM sc QUALIFY rank <= 10
+       |), rmqt AS (
+       | SELECT * FROM (VALUES $bm25Q3Values) v(query_id, qtext)
+       |), rmqterm AS (
+       | SELECT CAST(query_id AS BIGINT) AS query_id,
+       |  unnest(list_distinct(string_split(qtext, ' '))) AS term
+       | FROM rmqt
+       |), rmnq AS (
+       | SELECT query_id, count(*) AS nqt FROM rmqterm GROUP BY 1
+       |), rmdterm AS (
+       | SELECT doc_id,
+       |  unnest(list_distinct(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> ''))) AS term
+       | FROM documents
+       |), rmm AS (
+       | SELECT q.query_id, d.doc_id, count(*) AS mm
+       | FROM rmqterm q JOIN rmdterm d USING (term) GROUP BY 1, 2
+       |), rmrel AS (
+       | SELECT rmm.query_id, rmm.doc_id FROM rmm JOIN rmnq ON rmnq.query_id = rmm.query_id
+       | WHERE rmm.mm = rmnq.nqt
+       |), rmhits AS (
+       | SELECT r.query_id, CAST(count(*) AS BIGINT) AS h, min(r.rank) AS fr
+       | FROM ranked r JOIN rmrel ON rmrel.query_id = r.query_id AND rmrel.doc_id = r.neighbor_id
+       | GROUP BY 1
+       |), rmnrel AS (
+       | SELECT query_id, CAST(count(*) AS BIGINT) AS nr FROM rmrel GROUP BY 1
+       |), rmqs AS (
+       | SELECT DISTINCT query_id FROM ranked
+       |)
+       |SELECT rmqs.query_id,
+       | CAST(coalesce(rmnrel.nr, 0) AS BIGINT) AS n_relevant,
+       | CAST(coalesce(rmhits.h, 0) AS BIGINT) AS hits_at_k,
+       | CAST(coalesce(1000000 // rmhits.fr, 0) AS BIGINT) AS mrr_e6,
+       | CAST(coalesce(rmhits.h, 0) * 1000000 // 10 AS BIGINT) AS prec_at_k_ppm
+       |FROM rmqs
+       |LEFT JOIN rmnrel ON rmnrel.query_id = rmqs.query_id
+       |LEFT JOIN rmhits ON rmhits.query_id = rmqs.query_id
+       |ORDER BY 1""".stripMargin
   }
 
   private def hybridRrfOracle(): String = {
@@ -7190,6 +7267,10 @@ object SparkEntry {
     // the written operation order, contributions rounded to 9dp DECIMAL
     // and summed exactly
     "bm25_topk" -> bm25TopKOracle(bm25Q3Values, "bm25_idf_q3", requireAll = false),
+
+    // the bm25 chain as a CTE + conjunctive containment relevance +
+    // rank-based metric arithmetic (all exact scaled integers)
+    "ranking_metrics" -> rankingMetricsOracle(),
 
     // The dense CTE is the ann_topk_dot oracle; the lexical chain is the
     // bm25_topk oracle with the 5-query fusion query set (same

@@ -323,6 +323,40 @@ object Retrieval {
     * DECIMAL output column (the BM25 scoring convention above). Ties
     * break to the ascending neighbor id.
     */
+  /** Ranking-quality metrics of a top-k list against a relevance set —
+    * the evaluation half of the retrieval family: per query,
+    * `(n_relevant, hits_at_k, mrr_e6, prec_at_k_ppm)` where
+    * `mrr_e6 = 10⁶ div rank-of-first-relevant` (0 when none ranks) and
+    * `prec_at_k_ppm = hits·10⁶ div k` — rank-based exact integers, so
+    * any engine replays them. `ranked` must carry
+    * `(query_id, neighbor_id, rank)` (the [[bm25TopK]] / ANN output
+    * shape); `relevant` carries `(query_id, doc_id)`. Every query id
+    * present in `ranked` gets a row (zero metrics when nothing
+    * relevant).
+    *
+    * Scale shape: one equi-join of the k-bounded ranked list against
+    * the relevance pairs (ids only), two metadata-sized aggregates —
+    * evaluation is rank-list-bound, never corpus-bound.
+    */
+  def rankingMetrics(ranked: DataFrame, relevant: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"rankingMetrics: k must be positive, got $k")
+    val rel = relevant
+      .select(col("query_id"), col("doc_id").as("neighbor_id")).distinct()
+    val hits = ranked.join(rel, Seq("query_id", "neighbor_id"))
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("_h"), min(col("rank")).as("_fr"))
+    val nrel = rel.groupBy("query_id").agg(count(lit(1)).as("_nr"))
+    ranked.select("query_id").distinct()
+      .join(nrel, Seq("query_id"), "left")
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("_nr"), lit(0L)).as("n_relevant"),
+        coalesce(col("_h"), lit(0L)).as("hits_at_k"),
+        coalesce(expr("CAST(1000000 div _fr AS BIGINT)"), lit(0L)).as("mrr_e6"),
+        expr(s"CAST(coalesce(_h, 0L) * 1000000 div ${k}L AS BIGINT)")
+          .as("prec_at_k_ppm"))
+  }
+
   def rrfFuse(
       lists: Seq[DataFrame],
       k: Int,

@@ -182,4 +182,30 @@ class RetrievalSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
   }
+
+  test("rankingMetrics: mrr from first relevant rank, zero-relevant queries still report") {
+    val ranked = Seq(
+      // q0: relevant at ranks 2 and 5 → mrr 1e6//2, hits 2
+      (0L, 10L, 1), (0L, 11L, 2), (0L, 12L, 3), (0L, 13L, 4), (0L, 14L, 5),
+      // q1: nothing relevant ranks → zeros (but 3 docs ARE relevant)
+      (1L, 20L, 1), (1L, 21L, 2),
+      // q2: relevant at rank 1
+      (2L, 30L, 1), (2L, 31L, 2)
+    ).toDF("query_id", "neighbor_id", "rank")
+    val rel = Seq(
+      (0L, 11L), (0L, 14L), (0L, 99L),
+      (1L, 97L), (1L, 98L), (1L, 96L),
+      (2L, 30L)
+    ).toDF("query_id", "doc_id")
+    val got = Retrieval.rankingMetrics(ranked, rel, k = 5)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got == Map(
+      0L -> ((3L, 2L, 500000L, 400000L)),
+      1L -> ((3L, 0L, 0L, 0L)),
+      2L -> ((1L, 1L, 1000000L, 200000L))), got.toString)
+    intercept[IllegalArgumentException] {
+      Retrieval.rankingMetrics(ranked, rel, k = 0)
+    }
+  }
 }
