@@ -584,6 +584,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- ORC sink → source roundtrip: the second columnar
+    //      interchange format Spark ships natively (an exchange path
+    //      for engines that can't take parquet); the oracle recomputes
+    //      the written columns straight from the parquet source, so
+    //      the roundtrip must be value-exact
+    "orc_roundtrip" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(col("doc_id") < 300)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          TextFunctions.tokenCount(col("text")).as("n_tokens"))
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-orc-gate").toString
+      d.write.mode("overwrite").orc(out)
+      s.read.orc(out).orderBy("doc_id")
+    }),
+
     // ---- single-doc JSON record read (Document.parse analogue,
     //      PartialUpdateMongo.java:241): jsonl fixture → typed columns
     "json_records_read" -> ((s, dir) => {
@@ -6816,6 +6831,13 @@ object SparkEntry {
         | CAST(n AS BIGINT) AS cluster_size,
         | CAST(1000000 // n AS BIGINT) AS weight_e6
         |FROM g ORDER BY doc_id""".stripMargin,
+
+    // roundtrip identity straight from parquet (the csv_roundtrip
+    // convention): ORC carries the values losslessly or the hash reds
+    "orc_roundtrip" ->
+      """SELECT doc_id, source, n_chars,
+        | CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+        |FROM documents WHERE doc_id < 300 ORDER BY doc_id""".stripMargin,
 
     // roundtrip identity: the oracle recomputes the written columns
     // straight from parquet
