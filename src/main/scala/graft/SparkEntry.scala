@@ -2888,6 +2888,30 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    // ---- NDCG@10 with the DCG position weights as driver-computed
+    //      ×10⁹ literals (the idf-literal discipline — no engine-side
+    //      log in the compared surface); binary conjunctive relevance
+    "ndcg_metrics" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val queries = bm25GateQueries3(s)
+      val idf = Retrieval.queryIdfLiterals(docs, "text", queries, "qtext")
+      GateTables.put("bm25_idf_ndcg", idfValuesRows(idf))
+      val ranked = Retrieval.bm25TopKWithIdf(docs, "doc_id", "text",
+        queries, "query_id", "qtext", idf, k = 10)
+      val qterms = queries.select(col("query_id"),
+        explode(array_distinct(split(col("qtext"), " "))).as("term"))
+      val nq = qterms.groupBy("query_id").agg(count(lit(1)).as("_nq"))
+      val dterms = docs.select(col("doc_id"),
+        explode(array_distinct(TextFunctions.tokens(lower(col("text"))))).as("term"))
+      val rel = qterms.join(dterms, Seq("term"))
+        .groupBy("query_id", "doc_id").agg(count(lit(1)).as("_m"))
+        .join(nq, Seq("query_id")).filter(col("_m") === col("_nq"))
+        .select(col("query_id"), col("doc_id"))
+      Retrieval.ndcgAtK(ranked, rel, k = 10)
+        .orderBy("query_id")
+    }),
+
     // ---- hybrid retrieval: RRF fusion of a dense ANN list and a
     //      lexical BM25 list over the SAME corpus id space (doc_id ==
     //      vec_id in the testdata) — rank-based, so the incomparable
@@ -3706,6 +3730,76 @@ object SparkEntry {
        |LEFT JOIN rmnrel ON rmnrel.query_id = rmqs.query_id
        |LEFT JOIN rmhits ON rmhits.query_id = rmqs.query_id
        |ORDER BY 1""".stripMargin
+  }
+
+  /** The ndcg_metrics oracle: the ranking_metrics relevance scaffold
+    * plus the driver-computed scaled DCG weight literals (both engines
+    * fold the identical table — Retrieval.dcgWeightLiteralsE9).
+    */
+  private def ndcgOracle(): String = {
+    val rows = gateTableOrError("bm25_idf_ndcg") match {
+      case Left(err) => return err
+      case Right(r) => r
+    }
+    val chain = bm25ChainSql(bm25Q3Values, rows, requireAll = false)
+    val w = graft.operators.Retrieval.dcgWeightLiteralsE9(10)
+    val wVals = w.map { case (r, v) => s"($r, ${v})" }.mkString(", ")
+    val prefix = w.scanLeft(0L) { case (acc, (_, v)) => acc + v }.tail
+    val preVals = (1 to 10).map(n => s"($n, ${prefix(n - 1)})").mkString(", ")
+    s"""WITH $chain, ranked AS (
+       | SELECT CAST(query_id AS BIGINT) AS query_id, neighbor_id,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score_e9 DESC, neighbor_id) AS INTEGER) AS rank
+       | FROM sc QUALIFY rank <= 10
+       |), rmqt AS (
+       | SELECT * FROM (VALUES $bm25Q3Values) v(query_id, qtext)
+       |), rmqterm AS (
+       | SELECT CAST(query_id AS BIGINT) AS query_id,
+       |  unnest(list_distinct(string_split(qtext, ' '))) AS term
+       | FROM rmqt
+       |), rmnq AS (
+       | SELECT query_id, count(*) AS nqt FROM rmqterm GROUP BY 1
+       |), rmdterm AS (
+       | SELECT doc_id,
+       |  unnest(list_distinct(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> ''))) AS term
+       | FROM documents
+       |), rmm AS (
+       | SELECT q.query_id, d.doc_id, count(*) AS mm
+       | FROM rmqterm q JOIN rmdterm d USING (term) GROUP BY 1, 2
+       |), rmrel AS (
+       | SELECT rmm.query_id, rmm.doc_id FROM rmm JOIN rmnq ON rmnq.query_id = rmm.query_id
+       | WHERE rmm.mm = rmnq.nqt
+       |), dw(rnk, w) AS (
+       | SELECT * FROM (VALUES $wVals) x
+       |), pre(n, v) AS (
+       | SELECT * FROM (VALUES $preVals) x
+       |), dcg AS (
+       | SELECT r.query_id, CAST(sum(dw.w) AS BIGINT) AS dcg
+       | FROM ranked r
+       | JOIN rmrel ON rmrel.query_id = r.query_id AND rmrel.doc_id = r.neighbor_id
+       | JOIN dw ON dw.rnk = r.rank
+       | GROUP BY 1
+       |), rmnrel AS (
+       | SELECT query_id, CAST(count(*) AS BIGINT) AS nr FROM rmrel GROUP BY 1
+       |), rmqs AS (
+       | SELECT DISTINCT query_id FROM ranked
+       |), base AS (
+       | SELECT rmqs.query_id,
+       |  CAST(coalesce(rmnrel.nr, 0) AS BIGINT) AS n_relevant,
+       |  CAST(coalesce(dcg.dcg, 0) AS BIGINT) AS dcg_e9
+       | FROM rmqs
+       | LEFT JOIN rmnrel ON rmnrel.query_id = rmqs.query_id
+       | LEFT JOIN dcg ON dcg.query_id = rmqs.query_id
+       |), withi AS (
+       | SELECT base.*,
+       |  CASE WHEN base.n_relevant = 0 THEN 0
+       |       WHEN base.n_relevant >= 10 THEN ${prefix.last}
+       |       ELSE (SELECT v FROM pre WHERE pre.n = base.n_relevant)
+       |  END AS idcg_e9
+       | FROM base
+       |)
+       |SELECT query_id, n_relevant, dcg_e9, CAST(idcg_e9 AS BIGINT) AS idcg_e9,
+       | CAST(CASE WHEN idcg_e9 = 0 THEN 0 ELSE dcg_e9 * 1000000 // idcg_e9 END AS BIGINT) AS ndcg_e6
+       |FROM withi ORDER BY query_id""".stripMargin
   }
 
   private def hybridRrfOracle(): String = {
@@ -7293,6 +7387,9 @@ object SparkEntry {
     // the bm25 chain as a CTE + conjunctive containment relevance +
     // rank-based metric arithmetic (all exact scaled integers)
     "ranking_metrics" -> rankingMetricsOracle(),
+
+    // same scaffold + the driver-computed scaled DCG weight literals
+    "ndcg_metrics" -> ndcgOracle(),
 
     // The dense CTE is the ann_topk_dot oracle; the lexical chain is the
     // bm25_topk oracle with the 5-query fusion query set (same

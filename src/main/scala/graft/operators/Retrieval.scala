@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -355,6 +355,59 @@ object Retrieval {
         coalesce(expr("CAST(1000000 div _fr AS BIGINT)"), lit(0L)).as("mrr_e6"),
         expr(s"CAST(coalesce(_h, 0L) * 1000000 div ${k}L AS BIGINT)")
           .as("prec_at_k_ppm"))
+  }
+
+  /** The ×10⁹-scaled DCG position weights 1/log₂(rank+1) for ranks
+    * 1..k, computed ONCE on the driver and treated as literals — the
+    * [[queryIdfLiterals]] discipline: the transcendental never runs
+    * engine-side, so NDCG's compared surface is pure integer
+    * arithmetic.
+    */
+  def dcgWeightLiteralsE9(k: Int): Seq[(Int, Long)] = {
+    require(k >= 1, s"dcgWeightLiteralsE9: k must be positive, got $k")
+    (1 to k).map { r =>
+      val w = 1.0 / (math.log(r + 1.0) / math.log(2.0))
+      r -> java.math.BigDecimal.valueOf(w)
+        .setScale(9, java.math.RoundingMode.HALF_UP)
+        .movePointRight(9).longValueExact()
+    }
+  }
+
+  /** NDCG@k with binary relevance, exact to the scaled-integer weight
+    * table: `dcg = Σ w_e9(rank of each ranked relevant doc)`, `idcg =
+    * Σ w_e9(1..min(n_relevant, k))`, `ndcg_e6 = dcg·10⁶ div idcg`
+    * (0 when the query has no relevant docs). The weight table is the
+    * driver-computed [[dcgWeightLiteralsE9]] — both engines fold the
+    * same literals, so no engine-side log ever reaches the compared
+    * surface. Input shapes as [[rankingMetrics]].
+    */
+  def ndcgAtK(ranked: DataFrame, relevant: DataFrame, k: Int): DataFrame = {
+    val w = dcgWeightLiteralsE9(k)
+    val wCase = w.foldRight(lit(0L): Column) { case ((r, v), els) =>
+      when(col("rank") === r, lit(v)).otherwise(els)
+    }
+    // idcg as a driver-known prefix-sum lookup on n_relevant
+    val prefix = w.scanLeft(0L) { case (acc, (_, v)) => acc + v }.tail
+    val idcgCase = (1 to k).foldRight(lit(prefix.last): Column) { case (n, els) =>
+      when(col("n_relevant") === n, lit(prefix(n - 1))).otherwise(els)
+    }
+    val rel = relevant
+      .select(col("query_id"), col("doc_id").as("neighbor_id")).distinct()
+    val dcg = ranked.join(rel, Seq("query_id", "neighbor_id"))
+      .select(col("query_id"), wCase.as("_w"))
+      .groupBy("query_id").agg(sum(col("_w")).as("_dcg"))
+    val nrel = rel.groupBy("query_id").agg(count(lit(1)).as("n_relevant"))
+    ranked.select("query_id").distinct()
+      .join(nrel, Seq("query_id"), "left")
+      .join(dcg, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_relevant"), lit(0L)).as("n_relevant"),
+        coalesce(col("_dcg"), lit(0L)).as("dcg_e9"))
+      .withColumn("idcg_e9",
+        when(col("n_relevant") === 0, lit(0L)).otherwise(idcgCase))
+      .withColumn("ndcg_e6",
+        when(col("idcg_e9") === 0, lit(0L))
+          .otherwise(expr("CAST(dcg_e9 * 1000000 div idcg_e9 AS BIGINT)")))
   }
 
   def rrfFuse(

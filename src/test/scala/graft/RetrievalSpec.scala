@@ -208,4 +208,35 @@ class RetrievalSpec extends SparkSpec {
       Retrieval.rankingMetrics(ranked, rel, k = 0)
     }
   }
+
+  test("ndcgAtK: literal weights, ideal ordering scores 1e6, worse orderings score less") {
+    val w = Retrieval.dcgWeightLiteralsE9(10)
+    assert(w.head == ((1, 1000000000L)))          // 1/log2(2) = 1
+    assert(w(1) == ((2, 630929754L)), w(1).toString) // 1/log2(3) HALF_UP at 9dp
+    val ranked = Seq(
+      // q0: 2 relevant at ranks 1,2 of 3 → ideal prefix → ndcg = 1e6
+      (0L, 10L, 1), (0L, 11L, 2), (0L, 12L, 3),
+      // q1: same 2 relevant but at ranks 2,3 → dcg < idcg
+      (1L, 20L, 1), (1L, 21L, 2), (1L, 22L, 3),
+      // q2: nothing relevant → zeros
+      (2L, 30L, 1)
+    ).toDF("query_id", "neighbor_id", "rank")
+    val rel = Seq(
+      (0L, 10L), (0L, 11L),
+      (1L, 21L), (1L, 22L)
+    ).toDF("query_id", "doc_id")
+    val got = Retrieval.ndcgAtK(ranked, rel, k = 10)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    val w1 = 1000000000L; val w2 = 630929754L; val w3 = 500000000L
+    assert(got(0L) == ((2L, w1 + w2, w1 + w2, 1000000L)), got.toString)
+    val dcg1 = w2 + w3
+    assert(got(1L) == ((2L, dcg1, w1 + w2, dcg1 * 1000000L / (w1 + w2))), got.toString)
+    assert(got(2L) == ((0L, 0L, 0L, 0L)), got.toString)
+    // n_relevant beyond k clamps idcg at the k-prefix sum
+    val manyRel = (100L to 120L).map(i => (0L, i)).toDF("query_id", "doc_id")
+    val clamped = Retrieval.ndcgAtK(ranked.filter($"query_id" === 0), manyRel, k = 10)
+      .select("idcg_e9").as[Long].head()
+    assert(clamped == Retrieval.dcgWeightLiteralsE9(10).map(_._2).sum, clamped.toString)
+  }
 }
