@@ -2119,6 +2119,20 @@ object SparkEntry {
         .orderBy("p_ppm")
     }),
 
+    // ---- nucleus score-mass cut: keep the docs carrying 80% of the
+    //      corpus's char mass (threshold = mass-weighted 20th
+    //      percentile with the score as its own weight); per-source
+    //      kept accounting is the compared surface
+    "score_mass_cut" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("source"), col("n_chars"))
+      Profile.scoreMassCut(d, "n_chars", keepMassPpm = 800000L)
+        .filter(col("keep"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("kept_docs"),
+          sum(col("n_chars")).as("kept_mass"))
+        .orderBy("source")
+    }),
+
     // ---- dataset profiling: one-scan numeric column stats with exact
     //      (decimal-accumulated) means and exact interpolated quantiles —
     //      both engines share the quantile definition, so the oracle is
@@ -5961,6 +5975,30 @@ object SparkEntry {
          |FROM c JOIN alloc a ON a.source = c.source
          |WHERE c.cum <= a.b
          |ORDER BY doc_id""".stripMargin,
+
+    // threshold = mass-weighted (1−p) percentile with score as its own
+    // weight (the weighted_percentiles rank rule), then keep ⇔ score≥t
+    "score_mass_cut" ->
+      """WITH w AS (
+        | SELECT source, n_chars, CAST(n_chars AS DOUBLE) AS v,
+        |  CAST(n_chars AS BIGINT) AS wt
+        | FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+        |), tot AS (
+        | SELECT CAST(sum(wt) AS BIGINT) AS W FROM w
+        |), c AS (
+        | SELECT v, CAST(sum(wt) AS BIGINT) AS cnt FROM w GROUP BY 1
+        |), r AS (
+        | SELECT v, sum(cnt) OVER (ORDER BY v
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        | FROM c
+        |), thr AS (
+        | SELECT min(r.v) AS t FROM r, tot
+        | WHERE r.cum > floor(0.2 * (tot.W - 1))
+        |)
+        |SELECT source, CAST(count(*) AS BIGINT) AS kept_docs,
+        | CAST(sum(n_chars) AS BIGINT) AS kept_mass
+        |FROM w, thr WHERE w.v >= thr.t
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the mass-weighted rank rule replayed: cumulative token weight
     // over ascending value, smallest value whose cum exceeds

@@ -552,6 +552,36 @@ object Profile {
     }
   }
 
+  /** Score-MASS cut ("nucleus" curation): keep the highest-score rows
+    * that together carry ≈`keepMassPpm` of the TOTAL score mass — the
+    * top-p idea applied to corpus curation (keep the docs holding 80 %
+    * of the quality/length mass, not the top 80 % of docs). The
+    * threshold is the mass-weighted `(1 − p)` percentile of the score
+    * with the score itself as the weight ([[weightedPercentiles]]);
+    * `keep ⇔ score ≥ t`. Kept mass can overshoot the target by the
+    * threshold value's ties (documented — exact tie accounting would
+    * reintroduce an ordered cumulative pass over the tie set; compose
+    * with a keyed quota if the budget is hard). Scores must be
+    * positive longs (a row's score IS its mass).
+    *
+    * Scale shape: the histogram + distributed selection of
+    * [[weightedPercentiles]] picks `t` (driver-metadata work), then one
+    * narrow codegen'd filter — the cut itself never shuffles.
+    */
+  def scoreMassCut(
+      df: DataFrame,
+      scoreCol: String,
+      keepMassPpm: Long
+  ): DataFrame = {
+    require(keepMassPpm >= 1 && keepMassPpm <= 1000000,
+      s"scoreMassCut: keepMassPpm must be in [1, 1e6], got $keepMassPpm")
+    val q = (1000000L - keepMassPpm).toDouble / 1000000.0
+    val t = weightedPercentiles(df, scoreCol, col(scoreCol), Seq(q))
+      .map(_.head)
+      .getOrElse(return df.withColumn("keep", lit(false)))
+    df.withColumn("keep", col(scoreCol).cast(DoubleType) >= t)
+  }
+
   /** SKETCH-based percentile bounds — the scale path of
     * [[exactPercentiles]] for genuinely continuous columns: the exact
     * path reduces a distinct-value histogram whose FINAL-MERGE memory

@@ -487,4 +487,28 @@ class ProfileSpec extends SparkSpec {
     val refU = qs.map(q => sorted(math.floor(q * (vs.length - 1)).toInt))
     assert(gotU == refU, s"got=$gotU ref=$refU")
   }
+
+  test("scoreMassCut: kept mass covers at least the target; drops come off the small tail") {
+    import graft.operators.Profile
+    import org.apache.spark.sql.functions._
+    // mass: 1000+500+300+100+60+40 = 2000; keep 80% → 1600 target
+    val d = Seq((1L, 1000L), (2L, 500L), (3L, 300L), (4L, 100L), (5L, 60L), (6L, 40L))
+      .toDF("id", "score")
+    val out = Profile.scoreMassCut(d, "score", keepMassPpm = 800000L)
+      .filter(col("keep")).select("id").as[Long].collect().toSet
+    val keptMass = Seq(1000L, 500L, 300L, 100L, 60L, 40L)
+      .zip(1L to 6L).filter(p => out.contains(p._2)).map(_._1).sum
+    assert(keptMass >= 1600L, s"kept=$out mass=$keptMass")
+    // the cut is top-down: anything kept outranks everything dropped
+    val dropped = Set(1L, 2L, 3L, 4L, 5L, 6L) -- out
+    val minKept = Seq(1000L, 500L, 300L, 100L, 60L, 40L).zip(1L to 6L)
+      .filter(p => out.contains(p._2)).map(_._1).min
+    assert(dropped.forall(i => Seq(1000L, 500L, 300L, 100L, 60L, 40L)(i.toInt - 1) < minKept))
+    // degenerate inputs: all-null scores → keep nothing, rows intact
+    val z = Seq((1L, null.asInstanceOf[java.lang.Long])).toDF("id", "score")
+    assert(Profile.scoreMassCut(z, "score", 500000L).filter(col("keep")).count() == 0)
+    intercept[IllegalArgumentException] {
+      Profile.scoreMassCut(d, "score", 0L)
+    }
+  }
 }
