@@ -3058,6 +3058,20 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // ---- multimodal exact dedup: planted byte-identical copies
+    //      (media_id ≡4 mod 17, id+1e6) collapse to their originals;
+    //      the synthetic byte generator admits NO natural dups below
+    //      id stride 64·251 = 16064, so group structure is closed-form
+    //      and the oracle is analytic (the media_features convention)
+    "media_dedup" -> ((s, dir) => {
+      val media = Multimodal.syntheticMedia(s, 500)
+      val copies = media.filter(col("media_id") % 17 === 4)
+        .withColumn("media_id", col("media_id") + 1000000L)
+      Multimodal.dedupExactBinary(media.unionByName(copies),
+          "media_id", "content")
+        .orderBy("media_id")
+    }),
+
     // ---- multimodal: bounded frame-sampling explode (stub slicer; the
     //      slice boundaries are closed-form in (media_id, frame_idx), so
     //      the explode shape and byte accounting get a real oracle)
@@ -7552,6 +7566,22 @@ object SparkEntry {
         | CAST(64 + (range % 64) AS BIGINT) AS n_bytes
         |FROM range(500)
         |ORDER BY media_id""".stripMargin,
+
+    // closed-form group structure: originals ≡4 mod 17 pair with their
+    // planted +1e6 copies (keeper = the original); everything else is
+    // a singleton — the generator admits no natural dups under id 16064
+    "media_dedup" ->
+      """WITH ids AS (
+        | SELECT CAST(range AS BIGINT) AS media_id, CAST(range AS BIGINT) AS orig
+        | FROM range(500)
+        | UNION ALL
+        | SELECT CAST(range + 1000000 AS BIGINT), CAST(range AS BIGINT)
+        | FROM range(500) WHERE range % 17 = 4
+        |)
+        |SELECT media_id,
+        | CASE WHEN orig % 17 = 4 THEN orig ELSE media_id END AS keeper_id,
+        | CAST(CASE WHEN orig % 17 = 4 THEN 2 ELSE 1 END AS BIGINT) AS group_size
+        |FROM ids ORDER BY media_id""".stripMargin,
 
     "decontamination" ->
       """WITH toks AS (

@@ -131,6 +131,26 @@ object Multimodal {
   /** Deterministic synthetic media table for tests/benches: bytes derived
     * from the id (no media libs involved).
     */
+  /** Exact multimodal dedup — identical binary payloads collapse to
+    * one keeper (re-uploaded images, mirrored videos: the highest-yield
+    * dedup in any crawled media corpus is byte-identical copies).
+    * Output: one row per input — `(idCol, keeper_id, group_size)`,
+    * keeper = min id of the payload's group. The text-dedup discipline
+    * applied to media: the shuffle carries `(xxhash64(content),
+    * length)` — 8 + 8 bytes per asset, the payload itself NEVER
+    * shuffles; collision-tolerant by the dedup-family 2⁻⁶⁴ argument
+    * (the length in the key cuts it further).
+    */
+  def dedupExactBinary(media: DataFrame, idCol: String, bytesCol: String): DataFrame = {
+    val fp = media.select(col(idCol),
+      xxhash64(col(bytesCol)).as("_fp"),
+      length(col(bytesCol)).cast("long").as("_len"))
+    val groups = fp.groupBy("_fp", "_len")
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("group_size"))
+    fp.join(groups, Seq("_fp", "_len"))
+      .select(col(idCol), col("keeper_id"), col("group_size"))
+  }
+
   def syntheticMedia(spark: org.apache.spark.sql.SparkSession, rows: Int): DataFrame = {
     import spark.implicits._
     spark.range(rows.toLong).select(col("id").as("media_id"))

@@ -50,4 +50,22 @@ class MultimodalSpec extends SparkSpec {
     val plan = out.select("media_id", "resized_meta").queryExecution.optimizedPlan.toString
     assert(!plan.contains("content"))
   }
+
+  test("dedupExactBinary: identical payloads group, keeper = min id, payload never shuffles") {
+    import graft.operators.Multimodal
+    val a = Array[Byte](1, 2, 3, 4)
+    val b = Array[Byte](9, 9)
+    val d = Seq((1L, a), (2L, b), (5L, a.clone()), (9L, a.clone()))
+      .toDF("id", "content")
+    val got = Multimodal.dedupExactBinary(d, "id", "content")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map(1L -> ((1L, 3L)), 5L -> ((1L, 3L)), 9L -> ((1L, 3L)),
+      2L -> ((2L, 1L))), got.toString)
+    // the exchange carries fingerprints + lengths, not binary payloads:
+    // no shuffle attribute is the content column
+    val plan = Multimodal.dedupExactBinary(d, "id", "content")
+      .queryExecution.executedPlan.toString
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.nonEmpty && exchanges.forall(l => !l.contains("content")), plan)
+  }
 }
