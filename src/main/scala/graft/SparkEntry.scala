@@ -2169,6 +2169,34 @@ object SparkEntry {
         .orderBy("source", "lang")
     }),
 
+    // ---- bucketed co-located join: both sides persisted bucketBy the
+    //      join key, so the shuffle was paid ONCE at write time — the
+    //      gate REQUIRES an Exchange-free join plan (a regression fails
+    //      loudly), and the compared surface is the join's values
+    "bucketed_join" -> ((s, dir) => {
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-bucketed-gate").toString
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val m = t(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.tokenCount(col("text")).as("n_tokens"))
+      s.sql("DROP TABLE IF EXISTS graft_bj_docs")
+      s.sql("DROP TABLE IF EXISTS graft_bj_meta")
+      graft.engine.Partitioning.writeBucketed(d, "graft_bj_docs", s"$work/d", Seq("doc_id"), 8)
+      graft.engine.Partitioning.writeBucketed(m, "graft_bj_meta", s"$work/m", Seq("doc_id"), 8)
+      val thr = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val j = s.table("graft_bj_docs").join(s.table("graft_bj_meta"), "doc_id")
+        val plan = j.queryExecution.executedPlan.toString
+        require(!plan.contains("Exchange"),
+          s"bucketed_join: the co-located join must be Exchange-free:\n$plan")
+        j.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+          .orderBy("source")
+      } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+    }),
+
     // ---- salted skew join: result must be EXACTLY the plain join's
     //      (salting redistributes work, never changes the multiset);
     //      the oracle is the unsalted SQL join
@@ -6099,6 +6127,13 @@ object SparkEntry {
          | CAST((2 * (s * 1000000000) + CAST(n_prev AS HUGEINT) * n_cur)
          |   // (2 * CAST(n_prev AS HUGEINT) * n_cur) AS BIGINT) AS l1_e9
          |FROM g ORDER BY 1""".stripMargin,
+
+    // the bucketed self-join is 1:1 on doc_id, so the compared surface
+    // is the per-source doc and token accounting
+    "bucketed_join" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''))) AS BIGINT) AS n_tokens
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the watermark protocol replayed in closed form: wm after batch b =
     // running max event time − 30 min over batches ≤ b; a row is kept
