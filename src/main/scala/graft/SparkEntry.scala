@@ -1247,24 +1247,55 @@ object SparkEntry {
         .toDF("term", "idf_s").orderBy("term")
     }),
 
-    // ---- driver-hash type probe (round-8 verdict #2): the SAME three
-    //      literal values emitted three ways — DECIMAL(38,6), scaled
-    //      BIGINT (×10⁶), DOUBLE — on both engines. Executable
-    //      documentation of which output types the driver hashes
-    //      identically: round 8 proved rows+schema match but the hash
-    //      diverges on DECIMAL output columns alone, so a red here with
-    //      every other gate green CONFIRMS the diagnosis (and any
-    //      future driver change that fixes or regresses DECIMAL
-    //      hashing names itself in this gate). See README "Driver
+    // ---- driver-hash type probes (round-9 verdict #1): the round-8
+    //      3-in-1 probe proved the driver's hashing diverges on SOME of
+    //      {DECIMAL, DOUBLE, BIGINT} output columns but could not name
+    //      WHICH — split into one single-value-column probe per type so
+    //      a driver red names its column. Same literal rows on both
+    //      engines. Expected matrix given the round-8 diagnosis:
+    //      _dec red, _int green, _dbl green. See README "Driver
     //      DECIMAL hashing".
-    "decimal_probe" -> ((s, dir) =>
+    "decimal_probe_dec" -> ((s, dir) =>
       s.sql(
-        """SELECT i, dec_val, int_e6, dbl_val FROM VALUES
-          | (0L, CAST('1.250000'   AS DECIMAL(38,6)), 1250000L,   CAST(1.25 AS DOUBLE)),
-          | (1L, CAST('-0.333333'  AS DECIMAL(38,6)), -333333L,   CAST(-0.333333 AS DOUBLE)),
-          | (2L, CAST('100.000001' AS DECIMAL(38,6)), 100000001L, CAST(100.000001 AS DOUBLE))
-          | AS t(i, dec_val, int_e6, dbl_val)
+        """SELECT i, dec_val FROM VALUES
+          | (0L, CAST('1.250000'   AS DECIMAL(38,6))),
+          | (1L, CAST('-0.333333'  AS DECIMAL(38,6))),
+          | (2L, CAST('100.000001' AS DECIMAL(38,6)))
+          | AS t(i, dec_val)
           |ORDER BY i""".stripMargin)),
+    "decimal_probe_int" -> ((s, dir) =>
+      s.sql(
+        """SELECT i, int_e6 FROM VALUES
+          | (0L, 1250000L), (1L, -333333L), (2L, 100000001L)
+          | AS t(i, int_e6)
+          |ORDER BY i""".stripMargin)),
+    "decimal_probe_dbl" -> ((s, dir) =>
+      s.sql(
+        """SELECT i, dbl_val FROM VALUES
+          | (0L, CAST(1.25 AS DOUBLE)),
+          | (1L, CAST(-0.333333 AS DOUBLE)),
+          | (2L, CAST(100.000001 AS DOUBLE))
+          | AS t(i, dbl_val)
+          |ORDER BY i""".stripMargin)),
+
+    // ---- driver-hash HUGEINT probe (round-10): the round-9 reds
+    //      (domain_token_quota / token_quota_stream) emitted an uncast
+    //      DuckDB window `sum(...)` — HUGEINT (int128) — in the oracle
+    //      while the Spark side emitted BIGINT; the green sibling
+    //      unimax_quota_stream CAST the identical sum to BIGINT. The
+    //      local EXCEPT-ALL compare coerces HUGEINT = BIGINT (green
+    //      locally); the driver's hasher apparently does not (red at
+    //      the driver) — the round-8 DECIMAL class again. This probe
+    //      pins it: Spark emits BIGINT sums, the oracle emits the SAME
+    //      values as an uncast DuckDB sum() (HUGEINT). Expected driver
+    //      outcome: red, with the two (now CAST-fixed) production
+    //      gates green.
+    "hugeint_probe" -> ((s, dir) =>
+      s.sql(
+        """SELECT g, sum(v) AS sum_v FROM VALUES
+          | (0L, 10L), (0L, 32L), (1L, 7L), (1L, 600L), (2L, 1L)
+          | AS t(g, v)
+          |GROUP BY g ORDER BY g""".stripMargin)),
 
     // ---- keyword extraction: top-3 distinctive terms per doc by
     //      tf·(N/df) — the transcendental-free tf-idf rank (ln is
@@ -4799,18 +4830,39 @@ object SparkEntry {
            |ORDER BY 1""".stripMargin
     }),
 
-    // the driver-hash type probe: identical literal rows on both sides
-    "decimal_probe" ->
+    // the driver-hash type probes: identical literal rows on both
+    // sides, one value column per probe so a driver red names its type
+    "decimal_probe_dec" ->
       """SELECT CAST(i AS BIGINT) AS i,
-        | CAST(dec_val AS DECIMAL(38,6)) AS dec_val,
-        | CAST(int_e6 AS BIGINT) AS int_e6,
-        | CAST(dbl_val AS DOUBLE) AS dbl_val
+        | CAST(dec_val AS DECIMAL(38,6)) AS dec_val
         |FROM (VALUES
-        | (0, CAST('1.250000'   AS DECIMAL(38,6)), 1250000,   CAST(1.25 AS DOUBLE)),
-        | (1, CAST('-0.333333'  AS DECIMAL(38,6)), -333333,   CAST(-0.333333 AS DOUBLE)),
-        | (2, CAST('100.000001' AS DECIMAL(38,6)), 100000001, CAST(100.000001 AS DOUBLE))
-        |) AS v(i, dec_val, int_e6, dbl_val)
+        | (0, CAST('1.250000'   AS DECIMAL(38,6))),
+        | (1, CAST('-0.333333'  AS DECIMAL(38,6))),
+        | (2, CAST('100.000001' AS DECIMAL(38,6)))
+        |) AS v(i, dec_val)
         |ORDER BY i""".stripMargin,
+    "decimal_probe_int" ->
+      """SELECT CAST(i AS BIGINT) AS i, CAST(int_e6 AS BIGINT) AS int_e6
+        |FROM (VALUES (0, 1250000), (1, -333333), (2, 100000001)
+        |) AS v(i, int_e6)
+        |ORDER BY i""".stripMargin,
+    "decimal_probe_dbl" ->
+      """SELECT CAST(i AS BIGINT) AS i, CAST(dbl_val AS DOUBLE) AS dbl_val
+        |FROM (VALUES
+        | (0, CAST(1.25 AS DOUBLE)),
+        | (1, CAST(-0.333333 AS DOUBLE)),
+        | (2, CAST(100.000001 AS DOUBLE))
+        |) AS v(i, dbl_val)
+        |ORDER BY i""".stripMargin,
+
+    // the driver-hash HUGEINT probe: Spark side emits BIGINT sums, this
+    // side the same values as DuckDB's native uncast sum() (HUGEINT) —
+    // red at the driver pins the round-9 token-quota divergence class
+    "hugeint_probe" ->
+      """SELECT CAST(g AS BIGINT) AS g, sum(v) AS sum_v
+        |FROM (VALUES (0, 10), (0, 32), (1, 7), (1, 600), (2, 1)
+        |) AS v(g, v)
+        |GROUP BY g ORDER BY g""".stripMargin,
 
     // tf·(N/df) distinctive-term rank via the same HALF_UP integer
     // kernel; (score DESC, term ASC) totally orders on both sides
@@ -5237,8 +5289,8 @@ object SparkEntry {
          | FROM documents
          |), j AS (
          | SELECT dom.domain, dom.doc_id, nt.n_tokens,
-         |  sum(nt.n_tokens) OVER (PARTITION BY dom.domain ORDER BY dom.doc_id
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+         |  CAST(sum(nt.n_tokens) OVER (PARTITION BY dom.domain ORDER BY dom.doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
          | FROM dom JOIN nt ON dom.doc_id = nt.doc_id
          | WHERE dom.domain IS NOT NULL
          |)
@@ -5366,8 +5418,8 @@ object SparkEntry {
         | FROM documents WHERE doc_id < 2000
         |), q AS (
         | SELECT source, doc_id, n_tokens,
-        |  sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        |  CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
         | FROM nt
         |)
         |SELECT source, doc_id, n_tokens, cum_tokens
