@@ -122,6 +122,21 @@ object Dedup {
   /** Shared body of the prefix/suffix containment detectors: bucket on
     * the anchored k-token slice's fingerprint, verify the dup against
     * the container's same-anchored n_dup-token slice.
+    *
+    * Scale shape (two-pass candidate restriction): pass 1 shuffles only
+    * `(_fp, _id, _ntok)` — 24 bytes/doc, never the text — and keeps the
+    * buckets that can actually produce a strict-containment pair:
+    * size > 1 (post cap) AND a strict length mix (a bucket whose docs
+    * all share one length cannot satisfy `dup_tokens < of_tokens`).
+    * Pass 2 broadcast-semi-joins those bucket fingerprints against the
+    * corpus, so token arrays enter the self-join's exchange only for
+    * candidate-bucket rows — the [[editSimilarityPairs]] discipline
+    * (text moves ∝ candidates, not corpus). Candidate buckets are rare
+    * by construction (anchored k-token collisions between DIFFERENT-
+    * length docs), and boilerplate saturation is removed by the cap
+    * before the mix test, so the broadcast side is a small fingerprint
+    * set; tokenization runs twice (pass 1 + pass 2), the standard
+    * recompute-over-cache trade at corpus scale.
     */
   private def containmentDupPairs(
       df: DataFrame,
@@ -140,7 +155,19 @@ object Dedup {
       .withColumn("_ntok", size(col("_ts")).cast(LongType))
       .filter(col("_ntok") >= k)
       .withColumn("_fp", xxhash64(array_join(anchored(col("_ts"), lit(k)), " ")))
-    val keyed = capBuckets(toks, maxBucketSize, keyCol = "_fp")
+    // pass 1: narrow columns only — the cap and the pair-feasibility
+    // test see (_fp, _id, _ntok), no token arrays
+    val light = capBuckets(toks.select("_fp", "_id", "_ntok"),
+      maxBucketSize, keyCol = "_fp")
+    val candBuckets = light.groupBy("_fp")
+      .agg(count(lit(1)).as("_bn"),
+        min(col("_ntok")).as("_mnn"), max(col("_ntok")).as("_mxn"))
+      .filter(col("_bn") > 1 && col("_mnn") < col("_mxn"))
+      .select("_fp")
+    // pass 2: token arrays are fetched ONLY for candidate-bucket rows
+    // (cap consistency: candidates are already cap-filtered whole
+    // buckets, so the semi-join reproduces pass 1's row set exactly)
+    val keyed = toks.join(broadcast(candBuckets), Seq("_fp"), "left_semi")
     val a = keyed.select(col("_fp"), col("_id").as("dup_id"),
       col("_ts").as("_ta"), col("_ntok").as("dup_tokens"))
     val b = keyed.select(col("_fp"), col("_id").as("of_id"),

@@ -62,6 +62,10 @@ object Graph {
       .localCheckpoint()
     val n = nodes.count()
     require(n > 0, "pageRankScaled: empty graph")
+    // n·10⁶ would overflow Long past ~9.2e12 nodes (the unimaxBudgets
+    // guard discipline); no real graph gets there, but fail loudly
+    require(n <= Long.MaxValue / 1000000L,
+      s"pageRankScaled: node count $n overflows the ppm product")
     val outdeg = e.groupBy("_s").agg(count(lit(1)).as("_od")).localCheckpoint()
     val base = (scale * (1000000L - dampingPpm)) / (n * 1000000L)
     var ranks = nodes.select(col("_v"), lit(scale / n).as("_r"))

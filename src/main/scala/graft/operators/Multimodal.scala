@@ -128,9 +128,6 @@ object Multimodal {
       col("meta.codec").as("codec")))
   }
 
-  /** Deterministic synthetic media table for tests/benches: bytes derived
-    * from the id (no media libs involved).
-    */
   /** Exact multimodal dedup — identical binary payloads collapse to
     * one keeper (re-uploaded images, mirrored videos: the highest-yield
     * dedup in any crawled media corpus is byte-identical copies).
@@ -151,6 +148,9 @@ object Multimodal {
       .select(col(idCol), col("keeper_id"), col("group_size"))
   }
 
+  /** Deterministic synthetic media table for tests/benches: bytes derived
+    * from the id (no media libs involved).
+    */
   def syntheticMedia(spark: org.apache.spark.sql.SparkSession, rows: Int): DataFrame = {
     import spark.implicits._
     spark.range(rows.toLong).select(col("id").as("media_id"))

@@ -324,7 +324,10 @@ object Packing {
     */
   def sentenceChunks(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val sentinel = "\u0001"
-    val marked = regexp_replace(col(textCol), "([.!?]) +", "$1" + sentinel)
+    // raw crawled text can carry control chars — strip any pre-existing
+    // sentinel first so it can't fabricate sentence boundaries
+    val cleaned = regexp_replace(col(textCol), sentinel, "")
+    val marked = regexp_replace(cleaned, "([.!?]) +", "$1" + sentinel)
     val kept = filter(split(marked, sentinel), s => trim(s) =!= "")
     df.select(col(idCol), posexplode(kept).as(Seq("sentence_idx", "sentence")))
       .select(col(idCol),

@@ -342,7 +342,10 @@ object Retrieval {
     require(k >= 1, s"rankingMetrics: k must be positive, got $k")
     val rel = relevant
       .select(col("query_id"), col("doc_id").as("neighbor_id")).distinct()
-    val hits = ranked.join(rel, Seq("query_id", "neighbor_id"))
+    // tolerate over-long input: metrics are @k, so ranks past k never
+    // count (else hits_at_k could exceed k and prec_at_k_ppm 10⁶)
+    val topk = ranked.filter(col("rank") <= k)
+    val hits = topk.join(rel, Seq("query_id", "neighbor_id"))
       .groupBy("query_id")
       .agg(count(lit(1)).as("_h"), min(col("rank")).as("_fr"))
     val nrel = rel.groupBy("query_id").agg(count(lit(1)).as("_nr"))

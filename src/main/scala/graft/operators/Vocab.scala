@@ -271,7 +271,10 @@ object Vocab {
     */
   def ngramNovelty(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     require(n >= 1, s"ngramNovelty: n must be positive, got $n")
-    val g = docs.select(col(idCol).cast("long").as("_id"),
+    // keep the id's ORIGINAL type: first-seen `min` is defined on
+    // strings too, and a silent long cast would collapse non-numeric
+    // ids into one null group
+    val g = docs.select(col(idCol).as("_id"),
         explode(array_distinct(TextFunctions.shingles(col(textCol), n))).as("_s"))
       .select(col("_id"), xxhash64(col("_s")).as("_fp"))
     val firsts = g.groupBy("_fp").agg(min(col("_id")).as("_first"))

@@ -572,4 +572,33 @@ class DedupSpec extends SparkSpec {
       .select("dup_id", "of_id").as[(Long, Long)].collect().toSet
     assert(got == Set((1L, 2L), (4L, 1L), (4L, 2L), (4L, 3L)), got.toString)
   }
+
+  test("containment pairs: token arrays move only under the candidate semi-join") {
+    val d = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c d e f g h"),
+      (3L, "q r s t u v")
+    ).toDF("id", "t")
+    val q = Dedup.prefixDupPairs(d, "t", "id", k = 4)
+    val plan = q.queryExecution.executedPlan.toString
+    // pass 2's candidate restriction is a BROADCAST LeftSemi — the full
+    // corpus token arrays must never ride a shuffle to reach it
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"), plan)
+    // the shuffle contract itself: every shuffle Exchange in the plan
+    // carries only narrow columns — token ARRAYS never ride a shuffle
+    // (they reach the pair join only via the candidate-restricted scan)
+    val shuffles = q.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s
+    }
+    assert(shuffles.forall(_.output.forall(a =>
+        !a.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])),
+      shuffles.map(_.output.mkString(",")).mkString("; "))
+    // pass 1 feasibility: a corpus whose shared-anchor docs all have
+    // the SAME length yields an empty candidate set (strict containment
+    // is impossible), so the pair scan has nothing to verify
+    val uniform = Seq(
+      (1L, "a b c d e f"), (2L, "a b c d e g"), (3L, "a b c d x y")
+    ).toDF("id", "t")
+    assert(Dedup.prefixDupPairs(uniform, "t", "id", k = 4).count() == 0L)
+  }
 }
