@@ -578,15 +578,37 @@ object TextFunctions {
     * an EARLIER-rank pair — we define the operator without that
     * back-edge so both engines replay it with plain `replace` chains.
     *
-    * Scale shape: per-row HOF arithmetic only (no shuffle, no UDF, no
-    * state); the merge list is a compile-time literal folded into the
-    * expression tree, so a 100 TB pass is one map stage.
+    * Scale shape: per-row native kernel (graft.plans.BpeEncodeCount) —
+    * no shuffle, no UDF, no state; the merge list rides the expression
+    * (the SubwordCount pattern) with a per-rank 64-bit char bloom so a
+    * production 32k-merge vocabulary costs O(merges) bit-tests per
+    * word, not 32k chained `replace` allocations — and stays inside
+    * whole-stage codegen where the 32k-deep replace tree could not.
+    * Parity with the reference replace-chain composition
+    * ([[bpeTokenCountReplaceChain]]) is spec-pinned.
     */
   def bpeTokenCount(text: Column, merges: Seq[(String, String)]): Column = {
     require(merges.nonEmpty, "bpeTokenCount: merge list must be non-empty")
     require(merges.forall { case (a, b) =>
         a.nonEmpty && b.nonEmpty && !a.contains(" ") && !b.contains(" ") },
       s"bpeTokenCount: merge symbols must be non-empty and space-free, got $merges")
+    import org.apache.spark.sql.graft.ColumnBridge
+    coalesce(
+      ColumnBridge.column(graft.plans.BpeEncodeCount(
+        ColumnBridge.expression(lower(text)), merges)),
+      lit(0L))
+  }
+
+  /** The pre-round-10 replace-chain form of [[bpeTokenCount]] — one
+    * Catalyst `replace` per merge folded into the expression tree.
+    * Identical semantics (the chain IS the documented contract); kept
+    * as the parity reference for the native kernel and as the
+    * composition an engine without expression extensions would run.
+    * Unusable at production merge-list sizes (a 32k-deep tree breaks
+    * codegen) — gates and serving go through [[bpeTokenCount]].
+    */
+  def bpeTokenCountReplaceChain(text: Column, merges: Seq[(String, String)]): Column = {
+    require(merges.nonEmpty, "bpeTokenCountReplaceChain: merge list must be non-empty")
     val perWord = (w: Column) => {
       val spelled = array_join(split(w, ""), " ")
       val merged = merges.foldLeft(spelled) { case (s, (a, b)) =>

@@ -128,6 +128,7 @@ object GraftExtensions {
       QDot.functionDescriptor,
       NfcNormalize.functionDescriptor,
       SubwordCount.functionDescriptor,
+      BpeEncodeCount.functionDescriptor,
       UrlHost.functionDescriptor,
       RegisteredDomain.functionDescriptor,
       CanonicalUrl.functionDescriptor)

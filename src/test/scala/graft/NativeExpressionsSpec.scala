@@ -638,6 +638,7 @@ class NativeExpressionsSpec extends SparkSpec {
         graft.functions.DomainFunctions
           .registeredDomain($"url", Seq("co.uk", "github.io", "com")).as("dom"),
         graft.functions.TypedAttrs.doubleArraySum($"js").as("dsum"),
+        TF.bpeTokenCount($"text", Seq("t" -> "h", "th" -> "e")).as("bpe"),
         ColumnBridge.column(graft.plans.GeoTile(
           ColumnBridge.expression(lit(51.5)),
           ColumnBridge.expression(lit(-0.1)),
