@@ -420,18 +420,32 @@ object Similarity {
       corpusVec: String,
       cents0: DataFrame // (_cid, _c: array<long>)
   ): DataFrame = {
+    // Centroid matrix to the driver (metadata-sized — the
+    // NearestCentroid convention the float path already uses), folded
+    // into ONE narrow per-row argmin expression: exact BIGINT squared-L2
+    // per centroid, ties to the smallest centroid id — bit-identical to
+    // the old crossJoin+min_by(struct(dist,cid)) rule, but the corpus
+    // rows never exchange before the (cid, pos) histogram aggregate
+    // (round-9 verdict #4: the groupBy(_id) re-shuffled every corpus
+    // vector once per Lloyd iteration).
+    val centRows = cents0.collect()
+    require(centRows.nonEmpty, "kmeansStepE6: empty centroid set")
+    val sorted = centRows.map { r =>
+      (r.getLong(0), r.getSeq[Long](1)) }.sortBy(_._1)
+    val dim = sorted.head._2.length
+    require(sorted.forall(_._2.length == dim),
+      s"kmeansStepE6: centroid dims differ, expected $dim")
+    val ids = sorted.map(_._1).toSeq
+    val matrix = sorted.flatMap(_._2).toSeq
+    import org.apache.spark.sql.graft.ColumnBridge
     val corp = corpus.select(col(corpusId).as("_id"),
       toE6(col(corpusVec)).as("_a"))
-    val cents = broadcast(cents0)
-    val dist = aggregate(
-      zip_with(col("_a"), col("_c"), (x, y) => (x - y) * (x - y)),
-      lit(0L), (acc, d) => acc + d)
-    corp.crossJoin(cents)
-      .select(col("_id"), col("_a"), col("_cid"), dist.as("_d"))
-      .groupBy(col("_id"))
-      .agg(min_by(struct(col("_cid").as("cid"), col("_a").as("a")),
-        struct(col("_d"), col("_cid"))).as("_w"))
-      .select(col("_w.cid").as("_cid"), posexplode(col("_w.a")).as(Seq("pos", "x")))
+    corp
+      .select(ColumnBridge.column(graft.plans.NearestCentroidE6(
+          ColumnBridge.expression(col("_a")), ids, matrix, dim)).as("_cid"),
+        col("_a"))
+      .filter(col("_cid").isNotNull) // malformed vectors get no assignment
+      .select(col("_cid"), posexplode(col("_a")).as(Seq("pos", "x")))
       .groupBy(col("_cid"), col("pos"))
       .agg(sum(col("x")).as("sum_e6"), count(lit(1)).as("n_assigned"))
       .select(col("_cid").as("centroid_id"),

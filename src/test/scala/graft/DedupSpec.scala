@@ -586,10 +586,11 @@ class DedupSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"), plan)
     // the shuffle contract itself: every shuffle Exchange in the plan
     // carries only narrow columns — token ARRAYS never ride a shuffle
-    // (they reach the pair join only via the candidate-restricted scan)
-    val shuffles = q.queryExecution.executedPlan.collect {
-      case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s
-    }
+    // (they reach the pair join only via the candidate-restricted scan);
+    // the candBuckets aggregate guarantees at least one Exchange exists,
+    // so the forall is not vacuous
+    val shuffles = shuffleExchanges(q)
+    assert(shuffles.nonEmpty, plan)
     assert(shuffles.forall(_.output.forall(a =>
         !a.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])),
       shuffles.map(_.output.mkString(",")).mkString("; "))

@@ -316,10 +316,21 @@ class SimilaritySpec extends SparkSpec {
     assert(out == Seq(
       (0L, 0, 600000L, 3L), (0L, 1, 600000L, 3L),
       (1L, 0, 1000000L + b0, 2L), (1L, 1, 1000000L + b1, 2L)), out.toString)
-    // the centroid side broadcasts — assignment adds no shuffle
-    val plan = Similarity.kmeansIterationExact(vecs, "id", "vec", seeds)
-      .queryExecution.executedPlan.toString
-    assert(plan.contains("Broadcast"), plan)
+    // the centroid matrix folds into a per-row argmin expression —
+    // assignment is join-free and the ONLY exchange is the (cid, pos)
+    // histogram aggregate's, carrying narrow columns (non-foldable
+    // corpus: a literal table constant-folds the whole assignment away)
+    val bigCorpus = spark.range(100).select(col("id"),
+      array((col("id") % 7).cast("float"), (col("id") % 3).cast("float")).as("vec"))
+    val q = Similarity.kmeansIterationExact(bigCorpus, "id", "vec", seeds)
+    val planStr = q.queryExecution.executedPlan.toString
+    assert(planStr.contains("graft_nearest_centroid_e6"), planStr)
+    assert(!planStr.contains("Join"), planStr)
+    val shuffles = shuffleExchanges(q)
+    assert(shuffles.length == 1, planStr)
+    assert(shuffles.head.output.forall(a =>
+        !a.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]),
+      shuffles.head.output.mkString(","))
   }
 
   test("kmeans chain: sums → integer centroids → second exact iteration; trunc-div pinned on negatives") {

@@ -30,4 +30,22 @@ abstract class SparkSpec extends AnyFunSuite {
     */
   def rows(df: DataFrame): Seq[Seq[Any]] =
     df.collect().toSeq.map(_.toSeq).sortBy(_.mkString("|"))
+
+  /** Shuffle Exchange nodes of a query's physical plan, unwrapping the
+    * AQE root (AdaptiveSparkPlanExec reports no children to `collect`,
+    * so a naive collect over executedPlan is VACUOUSLY empty; its
+    * `inputPlan` predates EnsureRequirements and has no Exchanges yet —
+    * `initialPlan` is the first plan that does).
+    */
+  def shuffleExchanges(df: DataFrame)
+      : Seq[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec] = {
+    val root = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.initialPlan
+      case p => p
+    }
+    root.collect {
+      case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s
+    }
+  }
 }
