@@ -298,6 +298,64 @@ object SparkEntry {
     * recursive CTE (`alloc`) — min(n·2, remaining // groups_left) in
     * BIGINT floor division, the operator's exact rule.
     */
+  /** The DuckDB replay of the PQ chain shared by the `pq_encode` /
+    * `ann_topk_pq` oracles: e6-floored embeddings (`e`), 4 subspaces of
+    * 16 dims (`sub`), seed slices from vec_id < 4 (`sd`), one exact
+    * k-means step per subspace (`pd`→`pw`→`pasg`→`pex`→`ps`), integer
+    * codebooks by trunc-div means (`pcb`), and the encode argmin
+    * against the trained codebooks (`ed`→`ew`→`pcodes`) — every value
+    * exact BIGINT, (dist, cid) tie-breaks matching the Spark kernel.
+    */
+  private val pqChainSql: String =
+    """e AS (
+      | SELECT vec_id,
+      |  list_transform(embedding,
+      |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS a
+      | FROM embeddings
+      |), js AS (
+      | SELECT unnest(generate_series(0, 3)) AS j
+      |), sub AS (
+      | SELECT e.vec_id, js.j, list_slice(e.a, js.j*16 + 1, js.j*16 + 16) AS sv
+      | FROM e, js
+      |), sd AS (
+      | SELECT j, vec_id AS cid, sv AS cv FROM sub WHERE vec_id < 4
+      |), pd AS (
+      | SELECT s.vec_id, s.j, sd.cid,
+      |  list_sum(list_transform(range(1, 17),
+      |    i -> (s.sv[i] - sd.cv[i]) * (s.sv[i] - sd.cv[i]))) AS dist
+      | FROM sub s JOIN sd ON sd.j = s.j
+      |), pw AS (
+      | SELECT vec_id, j, cid,
+      |  row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, cid) AS rn
+      | FROM pd
+      |), pasg AS (
+      | SELECT s.vec_id, s.j, pw.cid, s.sv
+      | FROM pw JOIN sub s ON s.vec_id = pw.vec_id AND s.j = pw.j
+      | WHERE pw.rn = 1
+      |), pex AS (
+      | SELECT j, cid, CAST(generate_subscripts(sv, 1) - 1 AS INT) AS pos,
+      |  unnest(sv) AS x
+      | FROM pasg
+      |), ps AS (
+      | SELECT j, cid, pos, CAST(sum(x) AS BIGINT) AS se,
+      |  CAST(count(*) AS BIGINT) AS n
+      | FROM pex GROUP BY 1, 2, 3
+      |), pcb AS (
+      | SELECT j, cid, list(CAST(se // n AS BIGINT) ORDER BY pos) AS cv
+      | FROM ps GROUP BY 1, 2
+      |), ed AS (
+      | SELECT s.vec_id, s.j, pcb.cid,
+      |  list_sum(list_transform(range(1, 17),
+      |    i -> (s.sv[i] - pcb.cv[i]) * (s.sv[i] - pcb.cv[i]))) AS dist
+      | FROM sub s JOIN pcb ON pcb.j = s.j
+      |), ew AS (
+      | SELECT vec_id, j, cid,
+      |  row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, cid) AS rn
+      | FROM ed
+      |), pcodes AS (
+      | SELECT vec_id, j, cid FROM ew WHERE rn = 1
+      |)""".stripMargin
+
   private val unimaxAllocSql: String =
     """WITH RECURSIVE nt AS (
       | SELECT doc_id, source,
@@ -1332,6 +1390,46 @@ object SparkEntry {
       Similarity.bruteForceTopK(qemb, "vec_id", "qv", q, "query_id", "qqv",
           k = 10, metric = graft.functions.VectorFunctions.quantizedDot,
           scoreName = "qdot")
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- product quantization, trained + served in e6 integer space
+    //      (round-9 verdict #5 / builder backlog): codebooks from one
+    //      exact k-means step per subspace (m=4 × 16 dims, seeds
+    //      vec_id < 4), every vector → 4 codes via the narrow per-row
+    //      argmin — the encode pass is join-free and shuffle-free
+    "pq_encode" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val seeds = emb.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("centroid_id"),
+          col("embedding").as("centroid_vec"))
+      val cb = Similarity.pqCodebooksFromSums(
+        Similarity.pqTrainSumsE6(emb, "vec_id", "embedding", seeds, m = 4))
+      Similarity.pqEncodeE6(emb, "vec_id", "embedding", cb)
+        .select(col("vec_id"), posexplode(col("codes")).as(Seq("sub_id", "code")))
+        .select(col("vec_id"), col("sub_id").cast(IntegerType).as("sub_id"),
+          col("code"))
+        .orderBy("vec_id", "sub_id")
+    }),
+
+    // ---- ADC top-k over the PQ codes: per-query distance LUTs
+    //      (driver-computed exact BIGINT — queries and codebooks are
+    //      metadata), the scan is Σ_j lut_j(code_j) per row — m map
+    //      probes, no vector arithmetic — through the k-bounded heap;
+    //      the oracle replays the identical quantized distances, so
+    //      the approximation itself is hash-verified
+    "ann_topk_pq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val seeds = emb.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("centroid_id"),
+          col("embedding").as("centroid_vec"))
+      val cb = Similarity.pqCodebooksFromSums(
+        Similarity.pqTrainSumsE6(emb, "vec_id", "embedding", seeds, m = 4))
+      val codes = Similarity.pqEncodeE6(emb, "vec_id", "embedding", cb)
+      val q = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.pqAdcTopKE6(codes, "vec_id", "codes", cb, q, "qid", "qvec",
+          k = 10)
         .orderBy("query_id", "rank")
     }),
 
@@ -4957,6 +5055,36 @@ object SparkEntry {
         |FROM sc
         |QUALIFY rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
+
+    // the shared PQ chain (train per-subspace, trunc-div codebooks,
+    // encode argmin) — final surface is the flattened codes
+    "pq_encode" ->
+      s"""WITH $pqChainSql
+         |SELECT vec_id, CAST(j AS INT) AS sub_id, CAST(cid AS BIGINT) AS code
+         |FROM pcodes ORDER BY vec_id, sub_id""".stripMargin,
+
+    // same chain, then per-query LUT distances against the codebooks
+    // and the Σ_j lut_j(code_j) ADC score — (adist, nid) tie-break on
+    // both engines, self excluded
+    "ann_topk_pq" ->
+      s"""WITH $pqChainSql, qs AS (
+         | SELECT vec_id AS qid, j, sv FROM sub WHERE vec_id < 3
+         |), lut AS (
+         | SELECT qs.qid, qs.j, pcb.cid,
+         |  list_sum(list_transform(range(1, 17),
+         |    i -> (qs.sv[i] - pcb.cv[i]) * (qs.sv[i] - pcb.cv[i]))) AS dd
+         | FROM qs JOIN pcb ON pcb.j = qs.j
+         |), sc AS (
+         | SELECT l.qid, c.vec_id AS nid, CAST(sum(l.dd) AS BIGINT) AS adist
+         | FROM pcodes c JOIN lut l ON l.j = c.j AND l.cid = c.cid
+         | WHERE c.vec_id <> l.qid
+         | GROUP BY 1, 2
+         |)
+         |SELECT qid AS query_id, nid AS neighbor_id, adist,
+         | CAST(row_number() OVER (PARTITION BY qid ORDER BY adist, nid) AS INT) AS rank
+         |FROM sc
+         |QUALIFY rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
 
     // identical elementwise affine-code arithmetic; both engines round
     // half away from zero on the (always nonnegative) scaled values

@@ -453,6 +453,221 @@ object Similarity {
         col("sum_e6"), col("n_assigned"))
   }
 
+  // ------------------------------------------------------------------
+  // Product quantization (PQ) — the standard IVF companion at 100 TB
+  // (Jégou et al. 2011, "Product Quantization for Nearest Neighbor
+  // Search"): vectors split into m subspaces, each subspace quantized
+  // to a small codebook trained by k-means, every vector stored as m
+  // 1-byte codes; queries scan codes with a per-query distance lookup
+  // table (ADC) instead of touching raw vectors. All trained and
+  // served here in e6 integer space so every step is exact BIGINT and
+  // oracle-replayable — the kmeansStepE6 discipline applied per
+  // subspace.
+  // ------------------------------------------------------------------
+
+  /** One exact k-means training step per PQ subspace, from whole-vector
+    * seeds: vectors e6-floor-quantized, split into `m` equal slices,
+    * each slice assigned to its subspace's nearest seed slice (exact
+    * BIGINT squared-L2, ties to the smallest centroid id) — all `m`
+    * assignments in ONE narrow projection (one [[graft.plans.NearestCentroidE6]]
+    * per subspace over the slice), so the only exchange is the
+    * (sub_id, centroid_id, pos) histogram aggregate, carrying scalar
+    * sums. Output: `(sub_id INT, centroid_id BIGINT, pos INT,
+    * sum_e6 BIGINT, n_assigned BIGINT)` with `pos` the WITHIN-subspace
+    * position — [[pqCodebooksFromSums]] closes the loop.
+    *
+    * Training at corpus scale runs on a sample (codebooks are model
+    * artifacts); encode ([[pqEncodeE6]]) is the full-corpus pass.
+    */
+  def pqTrainSumsE6(
+      corpus: DataFrame,
+      corpusId: String,
+      corpusVec: String,
+      seeds: DataFrame, // (centroid_id, centroid_vec) — whole vectors
+      m: Int
+  ): DataFrame = {
+    val (subdim, subCents) = collectSubspaceCentroids(
+      seeds.select(col("centroid_id").cast(LongType).as("_cid"),
+        toE6(col("centroid_vec")).as("_c")), m)
+    val dim = subdim * m
+    import org.apache.spark.sql.graft.ColumnBridge
+    val corp = corpus.select(toE6(col(corpusVec)).as("_a"))
+      .filter(size(col("_a")) === dim)
+    val codes = array((0 until m).map { j =>
+      val (ids, mat) = subCents(j)
+      ColumnBridge.column(graft.plans.NearestCentroidE6(
+        ColumnBridge.expression(slice(col("_a"), j * subdim + 1, subdim)),
+        ids, mat, subdim))
+    }: _*)
+    corp.select(codes.as("_codes"), posexplode(col("_a")).as(Seq("_p", "x")))
+      .select(
+        expr(s"CAST(_p div $subdim AS INT)").as("sub_id"),
+        element_at(col("_codes"), expr(s"CAST(_p div $subdim AS INT)") + 1)
+          .as("centroid_id"),
+        (col("_p") % subdim).cast(IntegerType).as("pos"),
+        col("x"))
+      .groupBy(col("sub_id"), col("centroid_id"), col("pos"))
+      .agg(sum(col("x")).as("sum_e6"), count(lit(1)).as("n_assigned"))
+  }
+
+  /** Integer e6 codebooks from a [[pqTrainSumsE6]] sums table —
+    * per-position mean by `div` (trunc-toward-zero, the engine-agreed
+    * direction [[kmeansCentroidsFromSums]] pins). Output:
+    * `(sub_id INT, code_id BIGINT, centroid_e6 array<BIGINT>)`.
+    */
+  def pqCodebooksFromSums(sums: DataFrame): DataFrame =
+    sums
+      .groupBy(col("sub_id"), col("centroid_id"))
+      .agg(array_sort(collect_list(struct(col("pos"),
+        expr("CAST(sum_e6 div n_assigned AS BIGINT)").as("m")))).as("_ims"))
+      .select(col("sub_id"), col("centroid_id").as("code_id"),
+        transform(col("_ims"), e => e.getField("m")).as("centroid_e6"))
+
+  /** PQ encode: every corpus vector → `m` codebook codes, as ONE narrow
+    * per-row projection (a [[graft.plans.NearestCentroidE6]] argmin per
+    * subspace, codebooks folded into the expressions driver-side) —
+    * zero joins, zero shuffles; at 100 TB this is the single map pass
+    * that turns a d×4-byte vector into m bytes. Output: `(<id>, codes
+    * array<BIGINT>)` with `codes(j)` the subspace-j code id; malformed
+    * vectors (wrong length) are dropped.
+    */
+  def pqEncodeE6(
+      corpus: DataFrame,
+      corpusId: String,
+      corpusVec: String,
+      codebooks: DataFrame // (sub_id, code_id, centroid_e6)
+  ): DataFrame = {
+    val (m, subdim, subCents) = collectCodebooks(codebooks)
+    import org.apache.spark.sql.graft.ColumnBridge
+    val corp = corpus.select(col(corpusId), toE6(col(corpusVec)).as("_a"))
+      .filter(size(col("_a")) === m * subdim)
+    val codes = array((0 until m).map { j =>
+      val (ids, mat) = subCents(j)
+      ColumnBridge.column(graft.plans.NearestCentroidE6(
+        ColumnBridge.expression(slice(col("_a"), j * subdim + 1, subdim)),
+        ids, mat, subdim))
+    }: _*)
+    corp.select(col(corpusId), codes.as("codes"))
+  }
+
+  /** ADC (asymmetric distance computation) top-k over PQ codes: per
+    * query, the exact e6 squared-L2 distance from each query SLICE to
+    * each codebook centroid is precomputed driver-side into a lookup
+    * table (m maps of code_id → BIGINT distance — queries and
+    * codebooks are both metadata-sized), and the scan scores each
+    * corpus row as `Σ_j lut(j)(codes(j))` — m map probes per row, no
+    * vector arithmetic, no corpus shuffle — then reduces through the
+    * k-bounded [[topKPerQuery]] heap. Approximation error vs the exact
+    * scan is the quantization residual, measured by [[ivfRecallExactE6]]
+    * on the same corpus. Ties break to the smallest neighbor id;
+    * self-matches are excluded. Output: `(query_id, neighbor_id,
+    * adist BIGINT, rank INT)`.
+    */
+  def pqAdcTopKE6(
+      codes: DataFrame, // (<id>, codes array<BIGINT>) from pqEncodeE6
+      codesId: String,
+      codesCol: String,
+      codebooks: DataFrame,
+      queries: DataFrame, // (<qid>, <qvec: array<float/double>>)
+      queryId: String,
+      queryVec: String,
+      k: Int
+  ): DataFrame = {
+    val (m, subdim, subCents) = collectCodebooks(codebooks)
+    val spark = codes.sparkSession
+    import spark.implicits._
+    val luts: Seq[(Long, Seq[Map[Long, Long]])] =
+      queries.select(col(queryId).cast(LongType), col(queryVec)).collect()
+        .toSeq.map { r =>
+          val qid = r.getLong(0)
+          val q = r.getSeq[Any](1).map(e6Of)
+          require(q.length == m * subdim,
+            s"pqAdcTopKE6: query $qid has dim ${q.length}, codebooks expect ${m * subdim}")
+          val lut = (0 until m).map { j =>
+            val (ids, mat) = subCents(j)
+            ids.zipWithIndex.map { case (cid, c) =>
+              var acc = 0L
+              var p = 0
+              while (p < subdim) {
+                val d = q(j * subdim + p) - mat(c * subdim + p)
+                acc += d * d
+                p += 1
+              }
+              cid -> acc
+            }.toMap
+          }
+          (qid, lut)
+        }
+    val lutDf = luts.toDF("query_id", "_lut")
+    val scored = codes.crossJoin(broadcast(lutDf))
+      .filter(col("query_id") =!= col(codesId))
+      .select(col("query_id"), col(codesId).as("neighbor_id"),
+        aggregate(sequence(lit(0), lit(m - 1)), lit(0L), (acc, j) =>
+          acc + element_at(element_at(col("_lut"), j.cast(IntegerType) + 1),
+            element_at(col(codesCol), j.cast(IntegerType) + 1)))
+          .as("_negless"))
+    topKPerQuery(scored.select(col("query_id"), col("neighbor_id"),
+        (-col("_negless")).as("_nd")), "_nd", k)
+      .select(col("query_id"), col("neighbor_id"),
+        (-col("_nd")).as("adist"), col("rank"))
+  }
+
+  /** e6 floor quantization of one numeric element — the scalar twin of
+    * [[toE6]], used when query vectors are collected driver-side.
+    */
+  private def e6Of(v: Any): Long = v match {
+    case f: Float => math.floor(f.toDouble * 1000000d).toLong
+    case d: Double => math.floor(d * 1000000d).toLong
+    case l: Long => l * 1000000L
+    case i: Int => i.toLong * 1000000L
+    case other => throw new IllegalArgumentException(
+      s"pq: unsupported vector element $other")
+  }
+
+  /** Split collected whole-vector centroids into per-subspace (ids,
+    * flat matrix) pairs; ids sorted ascending (the argmin tie order).
+    */
+  private def collectSubspaceCentroids(
+      cents: DataFrame, m: Int): (Int, IndexedSeq[(Seq[Long], Seq[Long])]) = {
+    val rows = cents.collect()
+    require(rows.nonEmpty, "pq: empty seed set")
+    val sorted = rows.map(r => (r.getLong(0), r.getSeq[Long](1))).sortBy(_._1)
+    val dim = sorted.head._2.length
+    require(sorted.forall(_._2.length == dim), "pq: seed dims differ")
+    require(m > 0 && dim % m == 0,
+      s"pq: dim $dim not divisible into $m subspaces")
+    val subdim = dim / m
+    val per = (0 until m).map { j =>
+      (sorted.map(_._1).toSeq,
+        sorted.flatMap(_._2.slice(j * subdim, (j + 1) * subdim)).toSeq)
+    }
+    (subdim, per)
+  }
+
+  /** Collect a codebooks table into per-subspace (ids, flat matrix)
+    * pairs; validates contiguous sub_ids and uniform dims.
+    */
+  private def collectCodebooks(
+      codebooks: DataFrame): (Int, Int, IndexedSeq[(Seq[Long], Seq[Long])]) = {
+    val rows = codebooks
+      .select(col("sub_id").cast(IntegerType), col("code_id").cast(LongType),
+        col("centroid_e6"))
+      .collect()
+    require(rows.nonEmpty, "pq: empty codebooks")
+    val bySub = rows.map(r => (r.getInt(0), r.getLong(1), r.getSeq[Long](2)))
+      .groupBy(_._1)
+    val m = bySub.size
+    require((0 until m).forall(bySub.contains),
+      s"pq: sub_ids not contiguous 0..${m - 1}: ${bySub.keys.toSeq.sorted}")
+    val subdim = bySub(0).head._3.length
+    val per = (0 until m).map { j =>
+      val cs = bySub(j).sortBy(_._2)
+      require(cs.forall(_._3.length == subdim), "pq: codebook dims differ")
+      (cs.map(_._2).toSeq, cs.flatMap(_._3).toSeq)
+    }
+    (m, subdim, per)
+  }
+
   /** Recall@k of a 1-probe IVF scan against the exact neighbor set —
     * the index-quality EVALUATION an ANN deployment runs before
     * trusting a pruned index, kept ENTIRELY in e6 integer space

@@ -359,6 +359,49 @@ class SimilaritySpec extends SparkSpec {
     assert(c == Seq(-3L), c.toString)
   }
 
+  test("PQ: train → codebooks → encode → ADC top-k, exact integers end-to-end") {
+    import org.apache.spark.sql.functions._
+    val vecs = Seq(
+      (0L, Array(0.0f, 0.0f, 0.0f, 0.0f)), // seed A
+      (1L, Array(1.0f, 1.0f, 1.0f, 1.0f)), // seed B
+      (2L, Array(0.1f, 0.1f, 0.9f, 0.9f)), // sub0→A, sub1→B
+      (3L, Array(0.9f, 1.1f, 0.1f, 0.0f))  // sub0→B, sub1→A
+    ).toDF("id", "vec")
+    val seeds = vecs.filter($"id" < 2)
+      .select($"id".as("centroid_id"), $"vec".as("centroid_vec"))
+    val cb = Similarity.pqCodebooksFromSums(
+      Similarity.pqTrainSumsE6(vecs, "id", "vec", seeds, m = 2))
+    // hand-computed (e6 floors: 0.1f→100000, 0.9f→899999, 1.1f→1100000;
+    // means trunc-divide)
+    val cbm = cb.collect()
+      .map(r => ((r.getInt(0), r.getLong(1)), r.getSeq[Long](2))).toMap
+    assert(cbm == Map(
+      (0, 0L) -> Seq(50000L, 50000L), (0, 1L) -> Seq(949999L, 1050000L),
+      (1, 0L) -> Seq(50000L, 0L), (1, 1L) -> Seq(949999L, 949999L)), cbm.toString)
+    val codes = Similarity.pqEncodeE6(vecs, "id", "vec", cb)
+    val cm = codes.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(cm == Map(0L -> Seq(0L, 0L), 1L -> Seq(1L, 1L),
+      2L -> Seq(0L, 1L), 3L -> Seq(1L, 0L)), cm.toString)
+    // encode over a non-foldable corpus: join-free AND shuffle-free
+    val bigCorpus = spark.range(50).select(col("id"),
+      array((col("id") % 5).cast("float"), (col("id") % 3).cast("float"),
+        (col("id") % 2).cast("float"), lit(0.5f)).as("vec"))
+    val encPlan = Similarity.pqEncodeE6(bigCorpus, "id", "vec", cb)
+    assert(shuffleExchanges(encPlan).isEmpty,
+      encPlan.queryExecution.executedPlan.toString)
+    assert(!encPlan.queryExecution.executedPlan.toString.contains("Join"),
+      encPlan.queryExecution.executedPlan.toString)
+    // ADC from query v0: adist = Σ_j lut_j(code_j), hand-computed
+    val q = vecs.filter($"id" === 0)
+      .select($"id".as("qid"), $"vec".as("qvec"))
+    val top = Similarity.pqAdcTopKE6(codes, "id", "codes", cb, q, "qid", "qvec", k = 3)
+      .orderBy("rank").as[(Long, Long, Long, Int)].collect().toSeq
+    assert(top == Seq(
+      (0L, 2L, 1809996200002L, 1),
+      (0L, 3L, 2007498100001L, 2),
+      (0L, 1L, 3809994300003L, 3)), top.toString)
+  }
+
   test("mmrRerank cosine: scale-invariant penalty picks the orthogonal doc") {
     // id 2's vector is a SCALED copy of id 1's: cosine penalty 1.0
     // regardless of magnitude, so id 3 (orthogonal) ranks second
