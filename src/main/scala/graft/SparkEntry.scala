@@ -1393,6 +1393,20 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- Dirichlet query-likelihood retrieval (round-9 verdict #6 /
+    //      builder backlog): per-term smoothed probability as ONE exact
+    //      integer rational (HALF_UP 9dp), document score = the QL
+    //      likelihood itself as a fixed-point e18 product folded in
+    //      lexicographic term order — no ln, no DECIMAL surface; the
+    //      oracle replays the identical integer fold
+    "dirichlet_topk" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(col("doc_id") < 2000)
+        .select(col("doc_id"), col("text"))
+      Retrieval.dirichletTopK(d, "doc_id", "text", bm25GateQueries3(s),
+          "query_id", "qtext", k = 10, mu = 2000L)
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- product quantization, trained + served in e6 integer space
     //      (round-9 verdict #5 / builder backlog): codebooks from one
     //      exact k-means step per subspace (m=4 × 16 dims, seeds
@@ -5053,6 +5067,58 @@ object SparkEntry {
         |SELECT query_id, neighbor_id, CAST(qdot AS DOUBLE) AS qdot,
         | CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY qdot DESC, neighbor_id) AS INTEGER) AS rank
         |FROM sc
+        |QUALIFY rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // the QL contract replayed in HUGEINT: tf/dl/|C| from one tokenize,
+    // query-term cf with absent terms at 0, the (doc × query-term)
+    // grid, r = (2a+d)//(2d), and the e18 fold via list_reduce over
+    // the lexicographic term order — (likelihood DESC, doc_id) rank
+    "dirichlet_topk" ->
+      """WITH tk AS (
+        | SELECT doc_id,
+        |  unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')) AS term
+        | FROM documents WHERE doc_id < 2000
+        |), tf AS (
+        | SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tk GROUP BY 1, 2
+        |), dl AS (
+        | SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1
+        |), cs AS (
+        | SELECT CAST(sum(tf) AS BIGINT) AS c FROM tf
+        |), qt(query_id, term) AS (
+        | SELECT * FROM (VALUES
+        |  (CAST(0 AS BIGINT), 'spark'), (CAST(0 AS BIGINT), 'window'), (CAST(0 AS BIGINT), 'merge'),
+        |  (CAST(1 AS BIGINT), 'customer'), (CAST(1 AS BIGINT), 'order'), (CAST(1 AS BIGINT), 'batch'), (CAST(1 AS BIGINT), 'stream'),
+        |  (CAST(2 AS BIGINT), 'hash'), (CAST(2 AS BIGINT), 'join'), (CAST(2 AS BIGINT), 'table'), (CAST(2 AS BIGINT), 'scan')) v
+        |), cf AS (
+        | SELECT q.term, CAST(coalesce(sum(tf.tf), 0) AS BIGINT) AS cf
+        | FROM (SELECT DISTINCT term FROM qt) q LEFT JOIN tf ON tf.term = q.term
+        | GROUP BY 1
+        |), grid AS (
+        | SELECT q.query_id, d.doc_id, d.dl, q.term, cf.cf,
+        |  CAST(coalesce(t.tf, 0) AS BIGINT) AS tf
+        | FROM dl d CROSS JOIN qt q
+        | JOIN cf ON cf.term = q.term
+        | LEFT JOIN tf t ON t.doc_id = d.doc_id AND t.term = q.term
+        |), r AS (
+        | SELECT query_id, doc_id, term,
+        |  (2 * ((tf * CAST(c AS HUGEINT) + 2000 * cf) * 1000000000)
+        |    + ((dl + 2000) * CAST(c AS HUGEINT)))
+        |   // (2 * ((dl + 2000) * CAST(c AS HUGEINT))) AS rr
+        | FROM grid, cs
+        |), fold AS (
+        | SELECT query_id, doc_id,
+        |  CAST(list_reduce(
+        |    list_prepend(CAST('1000000000000000000' AS HUGEINT),
+        |      list(CAST(rr AS HUGEINT) ORDER BY term)),
+        |    (acc, x) -> (2 * acc * x + 1000000000) // 2000000000) AS BIGINT)
+        |   AS likelihood_e18
+        | FROM r GROUP BY 1, 2
+        |)
+        |SELECT query_id, doc_id AS neighbor_id, likelihood_e18,
+        | CAST(row_number() OVER (PARTITION BY query_id
+        |   ORDER BY likelihood_e18 DESC, doc_id) AS INT) AS rank
+        |FROM fold
         |QUALIFY rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
 

@@ -209,6 +209,89 @@ object Retrieval {
       k, k1, b, requireAllTerms, idfTable = Some(idfTable))
   }
 
+  /** Dirichlet-smoothed query-likelihood retrieval (Zhai & Lafferty
+    * 2004), made hash-exact: per query term the smoothed probability
+    * `p_t(d) = (tf·|C| + μ·cf_t) / ((dl + μ)·|C|)` is ONE exact integer
+    * rational rounded HALF_UP at 9 dp (`r_t = (2a+d) div (2d)` — the
+    * BM25 kernel's rounding), and the document score is the QL
+    * LIKELIHOOD itself — `Π_t p_t(d)` — computed as a fixed-point e18
+    * product: `acc₀ = 10¹⁸; acc ← (2·acc·r_t + 10⁹) div (2·10⁹)` with
+    * the terms folded in LEXICOGRAPHIC order. The fold order and
+    * per-step HALF_UP are part of the operator contract, so any engine
+    * replays `likelihood_e18` bit-for-bit with integer arithmetic only
+    * — no `ln`, no DECIMAL in the compared surface (ranking by the
+    * likelihood is ranking by log-likelihood; the log is never needed).
+    *
+    * ALL query terms contribute (an unmatched term multiplies in its
+    * collection-probability mass — the Dirichlet semantics that makes
+    * long documents with missing terms lose to short ones); a term
+    * absent from the whole corpus zeroes every likelihood for that
+    * query (documented: QL assigns -∞ log-likelihood). Zero-token
+    * documents are excluded (nothing to retrieve). Precision bound:
+    * the e18 fixed point underflows to 0 when the running product
+    * drops below 10⁻¹⁸ — ~6 terms at p ≈ 10⁻³ — so ranks past that
+    * tie to ascending doc id; retrieval queries are short (the same
+    * metadata-sized-queries contract as [[bm25TopK]]).
+    *
+    * Scale shape: one tokenize pass (postings + dl + |C| all derive
+    * from it); the query-term cf table is metadata-sized and
+    * broadcast; the per-(doc, term) grid is |docs| × Σ|q| NARROW rows
+    * (id, dl, tf, cf — never text); the fold groups k-bounded through
+    * [[Similarity.topKPerQuery]] after one exchange on (query, doc).
+    * Output: `(query_id, neighbor_id, likelihood_e18 BIGINT, rank)`.
+    */
+  def dirichletTopK(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryTextCol: String,
+      k: Int,
+      mu: Long = 2000L
+  ): DataFrame = {
+    require(mu > 0, s"dirichletTopK: mu must be positive, got $mu")
+    val tf = buildPostings(docs, idCol, textCol)
+    val doclen = tf.groupBy("id").agg(sum(col("tf")).as("dl"))
+    val stats = tf.agg(sum(col("tf")).as("c_total"))
+    val qterms = queries.select(
+      col(queryIdCol).as("query_id"),
+      explode(array_distinct(TextFunctions.tokens(lower(col(queryTextCol)))))
+        .as("term"))
+    // collection frequency of the query terms only (metadata-sized
+    // after the semi-restriction; absent terms coalesce to cf = 0)
+    val cf = qterms.select("term").distinct()
+      .join(tf.groupBy("term").agg(sum(col("tf")).as("_cfsum")),
+        Seq("term"), "left")
+      .select(col("term"), coalesce(col("_cfsum"), lit(0L)).as("cf"))
+    val qtcf = broadcast(qterms.join(cf, Seq("term")))
+    // the full (doc × query-term) grid — unmatched terms MUST score
+    val grid = doclen.crossJoin(qtcf)
+      .join(tf.join(broadcast(qterms.select("term").distinct()),
+          Seq("term"), "left_semi"),
+        Seq("id", "term"), "left")
+      .select(col("query_id"), col("id"), col("dl"), col("term"),
+        col("cf"), coalesce(col("tf"), lit(0L)).as("tf"))
+      .crossJoin(broadcast(stats))
+    val d38 = DecimalType(38, 0)
+    val scored = grid
+      .withColumn("_a",
+        (col("tf").cast(d38) * col("c_total").cast(d38) +
+          lit(mu) * col("cf").cast(d38)) * lit(1000000000L))
+      .withColumn("_d",
+        (col("dl").cast(d38) + lit(mu)) * col("c_total").cast(d38))
+      .withColumn("_r", expr("(2 * _a + _d) div (2 * _d)"))
+      .groupBy(col("query_id"), col("id").as("neighbor_id"))
+      .agg(array_sort(collect_list(struct(col("term"), col("_r")))).as("_rs"))
+      .withColumn("likelihood_e18",
+        expr("""CAST(aggregate(_rs, CAST(1000000000000000000 AS DECIMAL(38,0)),
+               | (acc, x) -> CAST((2 * acc * x._r + 1000000000) div 2000000000
+               |   AS DECIMAL(38,0)))
+               | AS BIGINT)""".stripMargin))
+      .select(col("query_id"), col("neighbor_id"), col("likelihood_e18"))
+    Similarity.topKPerQuery(scored, "likelihood_e18", k)
+  }
+
   private def rankPostings(
       tf: DataFrame,
       doclen: DataFrame,

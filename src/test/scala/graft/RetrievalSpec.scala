@@ -239,4 +239,53 @@ class RetrievalSpec extends SparkSpec {
       .select("idcg_e9").as[Long].head()
     assert(clamped == Retrieval.dcgWeightLiteralsE9(10).map(_._2).sum, clamped.toString)
   }
+
+  test("dirichletTopK: e18 fixed-point QL likelihood, contract-model parity, semantics") {
+    val docs = Seq(
+      (1L, "a a b"),   // dl 3
+      (2L, "b c"),     // dl 2
+      (3L, "c c c c")  // dl 4
+    ).toDF("id", "text")
+    val queries = Seq((0L, "a c"), (1L, "zzz")).toDF("qid", "qtext")
+    val mu = 10L
+    val got = Retrieval.dirichletTopK(docs, "id", "text", queries,
+        "qid", "qtext", k = 3, mu = mu)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Long, Int)].collect().toSeq
+    // the contract model, replayed independently with BigInt: C = 9,
+    // cf(a)=2, cf(c)=5; r_t = (2a+d) div (2d); fold in lex term order
+    val C = BigInt(9)
+    val cf = Map("a" -> BigInt(2), "c" -> BigInt(5))
+    val dl = Map(1L -> BigInt(3), 2L -> BigInt(2), 3L -> BigInt(4))
+    val tf = Map((1L, "a") -> BigInt(2), (1L, "b") -> BigInt(1),
+      (2L, "b") -> BigInt(1), (2L, "c") -> BigInt(1),
+      (3L, "c") -> BigInt(4))
+    def lik(doc: Long, terms: Seq[String]): Long = {
+      val rs = terms.sorted.map { t =>
+        val a = (tf.getOrElse((doc, t), BigInt(0)) * C + mu * cf.getOrElse(t, BigInt(0))) * BigInt(1000000000L)
+        val d = (dl(doc) + mu) * C
+        (2 * a + d) / (2 * d)
+      }
+      rs.foldLeft(BigInt("1000000000000000000")) { (acc, r) =>
+        (2 * acc * r + BigInt(1000000000L)) / BigInt(2000000000L)
+      }.toLong
+    }
+    val expected0 = Seq(1L, 2L, 3L).map(d => d -> lik(d, Seq("a", "c")))
+      .sortBy { case (d, l) => (-l, d) }
+      .zipWithIndex.map { case ((d, l), i) => (0L, d, l, i + 1) }
+    assert(got.filter(_._1 == 0L) == expected0,
+      s"got=${got.filter(_._1 == 0L)} want=$expected0")
+    // an out-of-corpus query term zeroes every likelihood (cf = 0 and
+    // tf = 0 ⇒ r = 0); ranks fall back to ascending doc id
+    assert(got.filter(_._1 == 1L) ==
+      Seq((1L, 1L, 0L, 1), (1L, 2L, 0L, 2), (1L, 3L, 0L, 3)),
+      got.filter(_._1 == 1L).toString)
+    // matched terms genuinely outrank: doc 3 (4×'c') must beat doc 2
+    // (1×'c') on the single-term query "c"
+    val single = Seq((9L, "c")).toDF("qid", "qtext")
+    val ranks = Retrieval.dirichletTopK(docs, "id", "text", single,
+        "qid", "qtext", k = 3, mu = mu)
+      .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
+    assert(ranks.head == 3L, ranks.toString)
+  }
 }
