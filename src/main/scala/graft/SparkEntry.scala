@@ -2262,6 +2262,21 @@ object SparkEntry {
         .orderBy("p_ppm")
     }),
 
+    // ---- the same mass-weighted rank rule STRATIFIED by source
+    //      (round-9 verdict #7): per-source calibration — one global
+    //      percentile mis-prices every source whose length
+    //      distribution differs from the blend
+    "weighted_percentiles_by_source" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("source"), col("n_chars"),
+          TextFunctions.tokenCount(col("text")).as("_w"))
+      Profile.weightedPercentilesByGroup(d, "source", "n_chars", col("_w"),
+          Seq(0.1, 0.5, 0.9))
+        .select(col("source"), col("p_ppm"),
+          col("value").cast(LongType).as("value"))
+        .orderBy("source", "p_ppm")
+    }),
+
     // ---- nucleus score-mass cut: keep the docs carrying 80% of the
     //      corpus's char mass (threshold = mass-weighted 20th
     //      percentile with the score as its own weight); per-source
@@ -6312,6 +6327,32 @@ object SparkEntry {
         |SELECT CAST(p.p_ppm AS BIGINT) AS p_ppm,
         | CAST((SELECT min(r.v) FROM r, tot WHERE r.cum > floor(p.q * (tot.W - 1))) AS BIGINT) AS value
         |FROM probs p ORDER BY 1""".stripMargin,
+
+    // the same rank rule per source: per-group mass total W_g, per-group
+    // cumulative over ascending value, smallest value whose cum exceeds
+    // floor(q·(W_g−1)) — identical IEEE multiply+floor on literal q
+    "weighted_percentiles_by_source" ->
+      """WITH w AS (
+        | SELECT CAST(source AS VARCHAR) AS g, CAST(n_chars AS DOUBLE) AS v,
+        |  CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS wt
+        | FROM documents
+        |), w2 AS (
+        | SELECT g, v, wt FROM w WHERE g IS NOT NULL AND v IS NOT NULL AND wt > 0
+        |), tot AS (
+        | SELECT g, CAST(sum(wt) AS BIGINT) AS W FROM w2 GROUP BY 1
+        |), c AS (
+        | SELECT g, v, CAST(sum(wt) AS BIGINT) AS cnt FROM w2 GROUP BY 1, 2
+        |), r AS (
+        | SELECT g, v, sum(cnt) OVER (PARTITION BY g ORDER BY v
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        | FROM c
+        |), probs(p_ppm, q) AS (
+        | SELECT * FROM (VALUES (100000, 0.1), (500000, 0.5), (900000, 0.9)) x
+        |)
+        |SELECT tot.g AS source, CAST(p.p_ppm AS BIGINT) AS p_ppm,
+        | CAST((SELECT min(r.v) FROM r
+        |        WHERE r.g = tot.g AND r.cum > floor(p.q * (tot.W - 1))) AS BIGINT) AS value
+        |FROM tot, probs p ORDER BY 1, 2""".stripMargin,
 
     // the committed index holds the WHOLE corpus after both batches and
     // nprobe = C disables pruning loss, so the streaming query equals

@@ -552,6 +552,64 @@ object Profile {
     }
   }
 
+  /** [[weightedPercentiles]] stratified by a group column (round-9
+    * verdict #7): per group, the value at mass-weighted rank
+    * `floor(q·(W_g − 1))` for each requested probability — the
+    * per-source length/quality calibration a mixture pipeline needs
+    * (one global percentile mis-prices every source whose distribution
+    * differs from the blend). Output: `(<group>, p_ppm BIGINT,
+    * value DOUBLE)`, one row per (group, prob).
+    *
+    * Scale shape: ONE corpus pass builds the per-(group, value) weight
+    * histogram; per-group totals are a metadata-sized collect
+    * (#groups rows); rank selection runs through the batched
+    * [[groupedOrderStats]] distributed selection — level 1 is one
+    * bucket-totals aggregate over ALL groups together, so the group
+    * count multiplies only driver metadata, never passes over the
+    * data. Rows with null/non-positive weight or null value are
+    * excluded (the [[weightedPercentiles]] contract); a group with no
+    * surviving rows emits nothing.
+    */
+  def weightedPercentilesByGroup(
+      df: DataFrame,
+      groupCol: String,
+      colName: String,
+      weight: Column,
+      probs: Seq[Double]
+  ): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p >= 0.0 && p <= 1.0),
+      s"weightedPercentilesByGroup: probs must be in [0,1], got $probs")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val hist = df
+      .select(col(groupCol).cast(StringType).as("g"),
+        col(colName).cast(DoubleType).as("v"),
+        weight.cast(LongType).as("_w"))
+      .filter(col("g").isNotNull && col("v").isNotNull &&
+        col("_w").isNotNull && col("_w") > 0)
+      .groupBy(col("g"), col("v")).agg(sum(col("_w")).as("cnt"))
+      .localCheckpoint()
+    val statRows = hist.groupBy(col("g"))
+      .agg(sum(col("cnt")).as("n"), count(lit(1)).as("d"),
+        min(col("v")).as("mn"), max(col("v")).as("mx"))
+      .collect()
+    val stats = statRows.map { r =>
+      r.getString(0) -> GroupStats(r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))
+    }.toMap
+    // floor(q·(W_g−1)) in IEEE doubles — the weightedPercentiles rank
+    // rule, per group
+    val ranks = stats.map { case (g, s) =>
+      g -> probs.map(q => math.floor(q * (s.n - 1).toDouble).toLong)
+    }
+    val sel = groupedOrderStats(hist, stats, ranks)
+    val rows = for {
+      g <- stats.keys.toSeq.sorted
+      (q, i) <- probs.zipWithIndex
+    } yield (g, math.round(q * 1000000.0), sel((g, ranks(g)(i))))
+    rows.toDF(groupCol, "p_ppm", "value")
+  }
+
   /** Score-MASS cut ("nucleus" curation): keep the highest-score rows
     * that together carry ≈`keepMassPpm` of the TOTAL score mass — the
     * top-p idea applied to corpus curation (keep the docs holding 80 %

@@ -488,6 +488,34 @@ class ProfileSpec extends SparkSpec {
     assert(gotU == refU, s"got=$gotU ref=$refU")
   }
 
+  test("weightedPercentilesByGroup: per-group rank rule matches per-group weightedPercentiles") {
+    import graft.operators.Profile
+    import org.apache.spark.sql.functions._
+    val rows = Seq(
+      ("a", 10.0, 1L), ("a", 100.0, 99L), ("a", 50.0, 10L),
+      ("b", 3.0, 5L), ("b", 7.0, 5L),
+      ("c", 42.0, 0L) // zero-weight-only group emits nothing
+    )
+    val d = rows.toDF("g", "v", "w")
+    val probs = Seq(0.1, 0.5, 0.9)
+    val got = Profile.weightedPercentilesByGroup(d, "g", "v", col("w"), probs)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // reference: run the single-group operator on each group slice
+    for (g <- Seq("a", "b")) {
+      val slice = rows.filter(_._1 == g).map(t => (t._2, t._3)).toDF("v", "w")
+      val ref = Profile.weightedPercentiles(slice, "v", col("w"), probs).get
+      probs.zip(ref).foreach { case (q, exp) =>
+        assert(got((g, math.round(q * 1000000.0))) == exp,
+          s"g=$g q=$q got=${got((g, math.round(q * 1000000.0)))} exp=$exp")
+      }
+    }
+    assert(!got.keys.exists(_._1 == "c"), got.toString)
+    assert(got.size == 6, got.toString)
+    intercept[IllegalArgumentException] {
+      Profile.weightedPercentilesByGroup(d, "g", "v", col("w"), Seq(1.5))
+    }
+  }
+
   test("scoreMassCut: kept mass covers at least the target; drops come off the small tail") {
     import graft.operators.Profile
     import org.apache.spark.sql.functions._
