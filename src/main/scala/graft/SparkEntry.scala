@@ -415,6 +415,44 @@ object SparkEntry {
        |SELECT v AS node, r AS rank_ppb FROM r$iterations ORDER BY node""".stripMargin
   }
 
+  /** The DuckDB replay of [[graft.operators.Graph.harmonicCentralityScaled]]
+    * over the pagerank gate's source-chain graph: BFS levels unrolled as
+    * CTEs (p1..pD, each level anti-joined against every earlier level),
+    * per-level counts × `10⁶ div d`, sums cast to BIGINT (the HUGEINT
+    * lesson).
+    */
+  private def harmonicOracleSql(maxDepth: Int): String = {
+    val levels = (2 to maxDepth).map { dd =>
+      val anti = (1 until dd)
+        .map(j => s"NOT EXISTS (SELECT 1 FROM p$j WHERE p$j.u = p.u AND p$j.v = e.dst)")
+        .mkString(" AND ")
+      s"""p$dd AS (
+         | SELECT DISTINCT p.u, e.dst AS v FROM p${dd - 1} p JOIN e ON e.src = p.v
+         | WHERE p.u <> e.dst AND $anti
+         |)""".stripMargin
+    }
+    val contribs = (1 to maxDepth)
+      .map(dd => s"SELECT v, CAST(count(*) AS BIGINT) * ${1000000L / dd} AS c FROM p$dd GROUP BY 1")
+      .mkString(" UNION ALL ")
+    s"""WITH d AS (
+       | SELECT doc_id, source FROM documents
+       |), e0 AS (
+       | SELECT a.source AS src, b.source AS dst
+       | FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
+       |), e AS (
+       | SELECT DISTINCT src, dst FROM e0
+       |), nodes AS (
+       | SELECT DISTINCT v FROM (SELECT src AS v FROM e UNION ALL SELECT dst FROM e)
+       |), p1 AS (
+       | SELECT DISTINCT src AS u, dst AS v FROM e WHERE src <> dst
+       |), ${levels.mkString(", ")}, contrib AS (
+       | $contribs
+       |)
+       |SELECT nodes.v AS node,
+       | CAST(coalesce((SELECT sum(c) FROM contrib WHERE contrib.v = nodes.v), 0) AS BIGINT) AS harmonic_ppm
+       |FROM nodes ORDER BY node""".stripMargin
+  }
+
   /** The DuckDB replay of [[graft.functions.LayoutFunctions.zorderKey]]:
     * the same flat sum of shift/mask terms, generated from the same
     * (bits) parameter.
@@ -2200,6 +2238,20 @@ object SparkEntry {
           Seq("doc_id"))
         .select(col("source").as("src"), col("_dst").as("dst"))
       graft.operators.Graph.pageRankScaled(e, "src", "dst", iterations = 3)
+        .orderBy("node")
+    }),
+
+    // ---- the OTHER Common-Crawl centrality on the same source graph:
+    //      depth-3 harmonic centrality, h(v) = Σ (1e6 div d) over nodes
+    //      reaching v within d ≤ 3 — exact BFS set algebra, pure
+    //      integers, oracle unrolls the levels
+    "harmonic_centrality" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("source"))
+      val e = d.join(
+          d.select((col("doc_id") - 1).as("doc_id"), col("source").as("_dst")),
+          Seq("doc_id"))
+        .select(col("source").as("src"), col("_dst").as("dst"))
+      graft.operators.Graph.harmonicCentralityScaled(e, "src", "dst", maxDepth = 3)
         .orderBy("node")
     }),
 
@@ -6264,6 +6316,9 @@ object SparkEntry {
 
     // 3 unrolled power-iteration rounds in pure BIGINT floor division
     "pagerank_sources" -> pagerankOracleSql(iterations = 3, dampingPpm = 850000L),
+
+    // BFS levels unrolled; see harmonicOracleSql
+    "harmonic_centrality" -> harmonicOracleSql(maxDepth = 3),
 
     // the stream equals the single pass when fed in key order: the same
     // waterfill + per-source cumulative cut, emitting the kept rows

@@ -82,4 +82,72 @@ object Graph {
     }
     ranks.select(col("_v").as("node"), col("_r").as("rank_ppb"))
   }
+
+  /** Depth-bounded harmonic centrality over a directed edge list — the
+    * other centrality Common Crawl publishes per domain. For each node
+    * v, sums `10⁶ div d` over every node u ≠ v whose shortest directed
+    * path u→v has length d ≤ `maxDepth`:
+    *
+    *   h_ppm(v) = Σ_{d=1..maxDepth} |{u : d(u,v) = d}| · (10⁶ div d)
+    *
+    * The depth bound is the published practice for web-scale harmonic
+    * centrality (full all-pairs distances are quadratic; a small-d
+    * truncation already orders domains usefully because 1/d decays) and
+    * it makes the operator exactly replayable: BFS levels are set
+    * algebra, `10⁶ div d` is integer, so an oracle unrolls the levels.
+    * Self-distances are excluded (u ≠ v at every level, so a self-loop
+    * contributes nothing). Multi-edges collapse (distance semantics).
+    *
+    * Scale shape: level d is ONE shuffle of the (u, v) pair frontier
+    * joined to the edge list — ids only, never payloads — plus an
+    * anti-join against the visited pair set; `localCheckpoint` cuts the
+    * per-level lineage (the [[pageRankScaled]] discipline). The pair
+    * frontier is the inherent cost of bounded-depth BFS: it can grow
+    * toward n·(reachable-within-d) on dense graphs, which is why
+    * `maxDepth` is a required explicit parameter and the published
+    * truncations stay small. Output: `(node STRING, harmonic_ppm
+    * BIGINT)`, one row per node in the edge universe (0 when nothing
+    * reaches the node within the bound).
+    */
+  def harmonicCentralityScaled(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      maxDepth: Int
+  ): DataFrame = {
+    require(maxDepth >= 1 && maxDepth <= 8,
+      s"harmonicCentralityScaled: maxDepth must be in [1, 8], got $maxDepth")
+    val e = edges
+      .select(col(srcCol).cast("string").as("_s"), col(dstCol).cast("string").as("_d"))
+      .filter(col("_s").isNotNull && col("_d").isNotNull)
+      .distinct()
+      .localCheckpoint()
+    val nodes = e.select(col("_s").as("_v"))
+      .unionByName(e.select(col("_d").as("_v")))
+      .distinct()
+      .localCheckpoint()
+    var frontier = e.filter(col("_s") =!= col("_d"))
+      .select(col("_s").as("_u"), col("_d").as("_w"))
+      .localCheckpoint()
+    var visited = frontier
+    var contribs = Seq(frontier.groupBy(col("_w"))
+      .agg((count(lit(1)) * lit(1000000L / 1)).as("_c")))
+    for (d <- 2 to maxDepth) {
+      frontier = frontier
+        .join(e.withColumnRenamed("_s", "_w"), Seq("_w"))
+        .select(col("_u"), col("_d").as("_w"))
+        .filter(col("_u") =!= col("_w"))
+        .distinct()
+        .join(visited, Seq("_u", "_w"), "left_anti")
+        .localCheckpoint()
+      visited = visited.unionByName(frontier).localCheckpoint()
+      contribs = contribs :+ frontier.groupBy(col("_w"))
+        .agg((count(lit(1)) * lit(1000000L / d)).as("_c"))
+    }
+    val allContribs = contribs.reduce(_ unionByName _)
+      .groupBy(col("_w")).agg(sum(col("_c")).as("_h"))
+    nodes.join(allContribs.withColumnRenamed("_w", "_v"), Seq("_v"), "left")
+      .select(col("_v").as("node"),
+        coalesce(col("_h"), lit(0L)).as("harmonic_ppm"))
+  }
 }

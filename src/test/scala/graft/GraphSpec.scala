@@ -40,4 +40,32 @@ class GraphSpec extends SparkSpec {
       Graph.pageRankScaled(edges, "src", "dst", iterations = 0)
     }
   }
+
+  test("harmonicCentralityScaled: hand-computed depth-bounded distances; self-loops and multi-edges collapse") {
+    // chain a -> b -> c -> d, shortcut a -> c, self-loop b -> b,
+    // duplicate edge a -> b (must not double-count)
+    val edges = Seq(
+      ("a", "b"), ("a", "b"), ("b", "c"), ("c", "d"), ("a", "c"), ("b", "b")
+    ).toDF("src", "dst")
+    val got = Graph.harmonicCentralityScaled(edges, "src", "dst", maxDepth = 3)
+      .as[(String, Long)].collect().toMap
+    // distances: a->b=1, a->c=1 (shortcut), a->d=2, b->c=1, b->d=2, c->d=1
+    // h(a)=0; h(b)=1e6 (from a); h(c)=2·1e6 (a,b at d=1);
+    // h(d)=1e6 (c) + 2·(1e6 div 2) (a,b at d=2) = 2_000_000
+    val exp = Map("a" -> 0L, "b" -> 1000000L, "c" -> 2000000L, "d" -> 2000000L)
+    assert(got == exp, s"got=$got exp=$exp")
+    // depth 1 truncates the d=2 contributions
+    val got1 = Graph.harmonicCentralityScaled(edges, "src", "dst", maxDepth = 1)
+      .as[(String, Long)].collect().toMap
+    assert(got1 == Map("a" -> 0L, "b" -> 1000000L, "c" -> 2000000L, "d" -> 1000000L),
+      got1.toString)
+    // 1e6 div 3 = 333333 shows up at depth 3: extend the chain
+    val chain = Seq(("a", "b"), ("b", "c"), ("c", "d")).toDF("src", "dst")
+    val got3 = Graph.harmonicCentralityScaled(chain, "src", "dst", maxDepth = 3)
+      .as[(String, Long)].collect().toMap
+    assert(got3("d") == 1000000L + 500000L + 333333L, got3.toString)
+    intercept[IllegalArgumentException] {
+      Graph.harmonicCentralityScaled(edges, "src", "dst", maxDepth = 0)
+    }
+  }
 }
