@@ -453,6 +453,47 @@ object SparkEntry {
        |FROM nodes ORDER BY node""".stripMargin
   }
 
+  /** The DuckDB replay of [[graft.operators.Similarity.kCenterGreedyE6]]
+    * over the embeddings table: rounds unrolled as CTE pairs (dR =
+    * running min-distance after folding in round R's winner, sR+1 =
+    * next winner by max distance / min id), distances as exact BIGINT
+    * squared-L2 over the shared floor-e6 quantization, every list_sum
+    * cast to BIGINT (the HUGEINT lesson).
+    */
+  private def kcenterOracleSql(k: Int): String = {
+    require(k >= 2, s"kcenterOracleSql: k must be >= 2, got $k")
+    def dist(a: String, b: String): String =
+      s"CAST(list_sum(list_transform(list_zip($a, $b), z -> (z[1]-z[2])*(z[1]-z[2]))) AS BIGINT)"
+    val rounds = (2 to k).map { r =>
+      val prev = if (r == 2) "base" else s"d${r - 1}"
+      val dExpr =
+        if (r == 2) dist("b.v", s"s1.v")
+        else s"least(b.md, ${dist("b.v", s"s${r - 1}.v")})"
+      s"""d$r AS (
+         | SELECT b.id, b.v, $dExpr AS md
+         | FROM $prev b, s${r - 1} WHERE b.id <> s${r - 1}.id
+         |), s$r AS (
+         | SELECT id, v, md FROM d$r ORDER BY md DESC, id ASC LIMIT 1
+         |)""".stripMargin
+    }.mkString(", ")
+    val out = (2 to k)
+      .map(r => s"SELECT CAST($r AS BIGINT) AS rank, id AS center_id, md AS dist_sq_e12 FROM s$r")
+      .mkString(" UNION ALL ")
+    s"""WITH base AS (
+       | SELECT CAST(vec_id AS BIGINT) AS id,
+       |  list_transform(embedding,
+       |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+       | FROM embeddings
+       |), s1 AS (
+       | SELECT id, v FROM base ORDER BY id LIMIT 1
+       |), $rounds
+       |SELECT rank, center_id, dist_sq_e12 FROM (
+       | SELECT CAST(1 AS BIGINT) AS rank, id AS center_id,
+       |  CAST(0 AS BIGINT) AS dist_sq_e12 FROM s1
+       | UNION ALL $out
+       |) ORDER BY rank""".stripMargin
+  }
+
   /** The DuckDB replay of [[graft.functions.LayoutFunctions.zorderKey]]:
     * the same flat sum of shift/mask terms, generated from the same
     * (bits) parameter.
@@ -2698,6 +2739,17 @@ object SparkEntry {
           col("embedding").as("centroid_vec"))
       Similarity.kmeansIterationExact(emb, "vec_id", "embedding", seeds)
         .orderBy("centroid_id", "pos")
+    }),
+
+    // ---- k-center greedy diversity selection (Gonzalez farthest-point)
+    //      in the same e6 integer space: seed = smallest id, then 4
+    //      rounds of argmax running-min-distance with ties to the
+    //      smallest id — a deterministic diversity sample whose oracle
+    //      unrolls the rounds
+    "kcenter_diversity" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      Similarity.kCenterGreedyE6(emb, "vec_id", "embedding", k = 5)
+        .orderBy("rank")
     }),
 
     // ---- TWO chained exact k-means steps: iteration-1 sums → integer
@@ -6904,6 +6956,9 @@ object SparkEntry {
         | CAST(count(*) AS BIGINT) AS n_assigned
         |FROM ex GROUP BY 1, 2
         |ORDER BY centroid_id, pos""".stripMargin,
+
+    // farthest-point rounds unrolled; see kcenterOracleSql
+    "kcenter_diversity" -> kcenterOracleSql(k = 5),
 
     // round 1 replayed, means by trunc-div (// truncates toward zero in
     // DuckDB exactly like Spark's div — pinned for negative sums),

@@ -837,4 +837,82 @@ object Similarity {
         col("_e.mmr").as("mmr"),
         (col("_pos") + 1).cast(IntegerType).as("rank"))
   }
+
+  /** k-center greedy (farthest-point) selection in e6 integer space —
+    * the classic 2-approximation to the k-center cover (Gonzalez 1985)
+    * used as DIVERSITY sampling for training data: pick the corpus
+    * point farthest from everything already picked, k times, so the
+    * selected set spans the embedding space instead of oversampling its
+    * dense modes.
+    *
+    * Deterministic and exactly replayable: vectors e6-floor-quantized
+    * ([[kmeansIterationExactE6]]'s convention), distances exact BIGINT
+    * squared-L2, seed = smallest id, each round's winner = max running
+    * min-distance with ties to the smallest id.
+    *
+    * Scale shape: round r is ONE narrow corpus pass — the newest
+    * center's distance via [[graft.plans.MinSqDistE6]] (1-row matrix,
+    * codegen'd) folded into the running minimum — plus a k=1
+    * TakeOrdered reduction; no shuffle ever carries the corpus.
+    * `localCheckpoint` cuts the per-round lineage (the
+    * [[graft.operators.Graph.pageRankScaled]] discipline); the
+    * checkpointed set carries (id, vec, dist), which is the inherent
+    * state of k-center greedy — at 100 TB run it on the
+    * candidate/sample tier like k-means training (selection is a model
+    * artifact, not a corpus pass per output row). The k collect()s are
+    * 1 row each (the BPE winning-pair convention).
+    *
+    * Output: `(rank BIGINT, center_id BIGINT, dist_sq_e12 BIGINT)` —
+    * rank 1..k in selection order, dist_sq_e12 = the winner's min
+    * squared distance to all EARLIER centers at selection time (0 for
+    * the seed). Rows with null/malformed vectors (wrong length, null
+    * element) never qualify. Fewer than k usable rows → fewer rows out.
+    */
+  def kCenterGreedyE6(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int
+  ): DataFrame = {
+    require(k >= 1 && k <= 64, s"kCenterGreedyE6: k must be in [1, 64], got $k")
+    import org.apache.spark.sql.graft.ColumnBridge
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base0 = df
+      .select(col(idCol).cast(LongType).as("_id"), toE6(col(vecCol)).as("_v"))
+      .filter(col("_id").isNotNull && col("_v").isNotNull)
+    val seedRows = base0.orderBy(col("_id")).limit(1).collect()
+    require(seedRows.nonEmpty, "kCenterGreedyE6: empty input")
+    val seedId = seedRows.head.getLong(0)
+    val seedVec = seedRows.head.getSeq[Long](1)
+    val dim = seedVec.length
+    def distTo(c: Seq[Long]): Column = ColumnBridge.column(
+      graft.plans.MinSqDistE6(ColumnBridge.expression(col("_v")), c, dim))
+    var cur = base0
+      .filter(col("_id") =!= seedId)
+      .select(col("_id"), col("_v"), distTo(seedVec).as("_md"))
+      .filter(col("_md").isNotNull)
+      .localCheckpoint()
+    val selected = scala.collection.mutable.ArrayBuffer((seedId, 0L))
+    var exhausted = false
+    while (selected.length < k && !exhausted) {
+      val next = cur.orderBy(col("_md").desc, col("_id").asc).limit(1).collect()
+      if (next.isEmpty) exhausted = true
+      else {
+        val row = next.head
+        val nid = row.getLong(0)
+        val nvec = row.getSeq[Long](1)
+        selected += ((nid, row.getLong(2)))
+        if (selected.length < k)
+          cur = cur
+            .filter(col("_id") =!= nid)
+            .select(col("_id"), col("_v"),
+              least(col("_md"), distTo(nvec)).as("_md"))
+            .localCheckpoint()
+      }
+    }
+    selected.toSeq.zipWithIndex
+      .map { case ((id, d), i) => ((i + 1).toLong, id, d) }
+      .toDF("rank", "center_id", "dist_sq_e12")
+  }
 }

@@ -642,7 +642,11 @@ class NativeExpressionsSpec extends SparkSpec {
         ColumnBridge.column(graft.plans.GeoTile(
           ColumnBridge.expression(lit(51.5)),
           ColumnBridge.expression(lit(-0.1)),
-          ColumnBridge.expression(lit(6)))).as("tile"))
+          ColumnBridge.expression(lit(6)))).as("tile"),
+        ColumnBridge.column(graft.plans.MinSqDistE6(
+          ColumnBridge.expression(transform($"va",
+            v => floor(v.cast("double") * 1000000d).cast("long"))),
+          Seq(0L, 0L, 0L, 1000000L, 1000000L, 1000000L), 3)).as("msd"))
       val rows = out.collect()
       assert(rows.length == 2)
       // and the overlap/crossconcat pair expressions on derived columns

@@ -455,4 +455,42 @@ class SimilaritySpec extends SparkSpec {
     // approx caps at 2 hits however large k grows
     assert(g3 == Seq((1L, 2L)), g3.mkString(","))
   }
+
+  test("kCenterGreedyE6: farthest-point order, tie-breaks, exhaustion, malformed rows") {
+    import graft.operators.Similarity
+    // 1-D layout: 0.0, 0.1, 5.0, 10.0 (ids 1..4). Seed = id 1 (smallest).
+    // Round 2: farthest from 0.0 is 10.0 (id 4, d = (1e7)² = 1e14).
+    // Round 3: min-dist to {0, 10} → 0.1: 1e10? (1e5)²=1e10; 5.0: min((5e6)²,(5e6)²)=2.5e13 → id 3.
+    // Round 4: remaining 0.1 with d = (1e5)² = 1e10.
+    val d = Seq(
+      (1L, Seq(0.0f)), (2L, Seq(0.1f)), (3L, Seq(5.0f)), (4L, Seq(10.0f))
+    ).toDF("id", "vec")
+    val got = Similarity.kCenterGreedyE6(d, "id", "vec", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val e5 = 100000L // floor(0.1f·1e6) = 100000 (float 0.1 sits just above 0.1)
+    assert(got == Seq(
+      (1L, 1L, 0L),
+      (2L, 4L, 10000000L * 10000000L),
+      (3L, 3L, 5000000L * 5000000L),
+      (4L, 2L, e5 * e5)
+    ), got.toString)
+    // k beyond the corpus: stops at the corpus size
+    assert(Similarity.kCenterGreedyE6(d, "id", "vec", k = 9).count() == 4)
+    // ties on distance go to the smallest id: duplicate points
+    val tied = Seq((1L, Seq(0.0f)), (2L, Seq(1.0f)), (3L, Seq(1.0f)))
+      .toDF("id", "vec")
+    val g2 = Similarity.kCenterGreedyE6(tied, "id", "vec", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(g2 == Seq((1L, 1L), (2L, 2L), (3L, 3L)), g2.toString)
+    // malformed vectors (wrong length / null) never qualify
+    val bad = Seq(
+      (1L, Seq(0.0f, 0.0f)), (2L, Seq(3.0f)), (3L, Seq(4.0f, 4.0f))
+    ).toDF("id", "vec")
+    val g3 = Similarity.kCenterGreedyE6(bad, "id", "vec", k = 3)
+      .collect().map(_.getLong(1)).toSeq
+    assert(g3 == Seq(1L, 3L), g3.toString)
+    intercept[IllegalArgumentException] {
+      Similarity.kCenterGreedyE6(d, "id", "vec", k = 0)
+    }
+  }
 }
