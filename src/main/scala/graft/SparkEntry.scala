@@ -3841,6 +3841,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- distinct-n corpus diversity per source (Li et al. 2016):
+    //      distinct n-gram instances over total — templated sources
+    //      score low; exact integers, fp-based distinct (2⁻⁶⁴ argument)
+    "distinct_ngram_ratio" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("source"), col("text"))
+      Vocab.distinctNgramRatio(d, "source", "text", ns = Seq(1, 2))
+        .orderBy("source", "n")
+    }),
+
     // ---- PII redaction: plant deterministic email/phone/IP spans, then
     //      count and redact them (patterns are RE2-compatible so DuckDB
     //      computes the identical spans)
@@ -8098,6 +8107,30 @@ object SparkEntry {
         |   // greatest(count(*), 1) AS BIGINT) AS novelty_ppm
         |FROM docg d JOIN firsts f ON d.g = f.g
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // per n: the shared shingle rule (short docs → one whole-run
+    // shingle), distinct by exact string on the oracle side (the Spark
+    // side's xxhash64 distinct is collision-tolerant by 2⁻⁶⁴)
+    "distinct_ngram_ratio" ->
+      Seq(1, 2).map { n =>
+        s"""SELECT source, CAST($n AS BIGINT) AS n,
+           | CAST(count(DISTINCT g) AS BIGINT) AS distinct_ngrams,
+           | CAST(count(*) AS BIGINT) AS total_ngrams,
+           | CAST(CAST(count(DISTINCT g) AS BIGINT) * 1000000
+           |   // greatest(count(*), 1) AS BIGINT) AS distinct_ppm
+           |FROM (
+           | SELECT source, unnest(
+           |  CASE WHEN len(ts) < $n THEN [array_to_string(ts, ' ')]
+           |       ELSE list_transform(range(1, len(ts) - $n + 2),
+           |              i -> array_to_string(ts[i:i+${n - 1}], ' '))
+           |  END) AS g
+           | FROM (
+           |  SELECT source,
+           |   list_filter(string_split_regex(trim(regexp_replace(regexp_replace(lower(text), '[[:punct:]]', '', 'g'), '\\s+', ' ', 'g')), '\\s+'), t -> t <> '') AS ts
+           |  FROM documents
+           | )
+           |) GROUP BY source""".stripMargin
+      }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY source, n"),
 
     "pii_redaction" -> {
       val em = TextFunctions.EmailPattern

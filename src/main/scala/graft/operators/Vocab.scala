@@ -288,6 +288,53 @@ object Vocab {
           .as("novelty_ppm"))
   }
 
+  /** Distinct-n corpus diversity per group — the distinct-1/distinct-2
+    * generation-diversity metric (Li et al. 2016, "A Diversity-Promoting
+    * Objective Function for Neural Conversation Models") applied to
+    * corpus curation: per group (source), the fraction of n-gram
+    * INSTANCES that are distinct. A templated or boilerplate-heavy
+    * source scores low; diverse prose scores high — the corpus-level
+    * complement of the per-doc repetition signals. One row per
+    * (group, n): `(<group>, n, distinct_ngrams, total_ngrams,
+    * distinct_ppm)` with `distinct_ppm = distinct·10⁶ div
+    * max(total, 1)` (exact integers).
+    *
+    * Shingling is the library-wide normalized word-n-gram rule
+    * ([[graft.functions.TextFunctions.shingles]]); distinct counting
+    * rides 8-byte xxhash64 fingerprints (the [[ngramNovelty]]
+    * collision-tolerance argument).
+    *
+    * Scale shape: one tokenize+shingle pass per requested n; the
+    * exchange carries (group, fp, partial count) — map-side combine
+    * collapses each partition's repeats before the shuffle, and the
+    * second aggregate is per-group metadata. Text never shuffles.
+    */
+  def distinctNgramRatio(
+      docs: DataFrame,
+      groupCol: String,
+      textCol: String,
+      ns: Seq[Int]
+  ): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 1),
+      s"distinctNgramRatio: ns must be positive, got $ns")
+    require(ns.distinct == ns, s"distinctNgramRatio: duplicate n in $ns")
+    ns.map { n =>
+      docs
+        .select(col(groupCol).cast("string").as("_g"),
+          explode(TextFunctions.shingles(col(textCol), n)).as("_s"))
+        .select(col("_g"), xxhash64(col("_s")).as("_fp"))
+        .groupBy(col("_g"), col("_fp"))
+        .agg(count(lit(1)).as("_c"))
+        .groupBy(col("_g"))
+        .agg(sum(col("_c")).as("total_ngrams"),
+          count(lit(1)).as("distinct_ngrams"))
+        .select(col("_g").as(groupCol), lit(n.toLong).as("n"),
+          col("distinct_ngrams"), col("total_ngrams"),
+          expr("CAST(distinct_ngrams * 1000000 div greatest(total_ngrams, 1L) AS BIGINT)")
+            .as("distinct_ppm"))
+    }.reduce(_ unionByName _)
+  }
+
   private def wordHistogram(docs: DataFrame, textCol: String): DataFrame =
     docs
       .select(explode(TextFunctions.tokens(lower(col(textCol)))).as("w"))

@@ -182,4 +182,33 @@ class VocabSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].head()
     assert(r1 == ((1L, 2L, 2L, 1000000L)), r1.toString) // distinct {p q, q p}
   }
+
+  test("distinctNgramRatio: per-group distinct-over-total; repetition lowers the ratio") {
+    // group a: "x x x x" → unigram instances 4, distinct 1;
+    //          bigrams 3 instances, distinct 1 ("x x")
+    // group b: "p q r" → 3/3 unigrams, 2/2 bigrams
+    val d = Seq(("a", "x x x x"), ("b", "p q r")).toDF("src", "t")
+    val got = Vocab.distinctNgramRatio(d, "src", "t", Seq(1, 2))
+      .orderBy("src", "n")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("a", 1L, 1L, 4L, 250000L),
+      ("a", 2L, 1L, 3L, 333333L),
+      ("b", 1L, 3L, 3L, 1000000L),
+      ("b", 2L, 2L, 2L, 1000000L)
+    ), got.toString)
+    // multiple docs in one group pool their n-grams; a short doc
+    // (fewer tokens than n) contributes its whole run as one shingle
+    val m = Seq(("a", "x y"), ("a", "x y"), ("a", "z")).toDF("src", "t")
+    val g2 = Vocab.distinctNgramRatio(m, "src", "t", Seq(2))
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    // bigram multiset: {"x y", "x y", "z"} → distinct 2, total 3
+    assert(g2 == Seq(("a", 2L, 2L, 3L, 666666L)), g2.toString)
+    intercept[IllegalArgumentException] {
+      Vocab.distinctNgramRatio(d, "src", "t", Seq(1, 1))
+    }
+    intercept[IllegalArgumentException] {
+      Vocab.distinctNgramRatio(d, "src", "t", Seq.empty)
+    }
+  }
 }
