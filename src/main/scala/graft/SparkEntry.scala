@@ -2308,6 +2308,34 @@ object SparkEntry {
         .orderBy("period")
     }),
 
+    // ---- STREAMING drift timeline: the rolling-reference variant —
+    //      each day-batch scores against the PREVIOUS day's committed
+    //      histogram and then becomes the new reference; day 2 replays
+    //      to prove the no-op guard. First 4 days, exact integers; the
+    //      oracle rank-pairs the same days
+    "drift_timeline_stream" -> ((s, dir) => {
+      import graft.streaming.StreamingOps
+      val ev = events(s, dir).select(
+          expr("unix_micros(ts) div 86400000000").as("day"), col("event_type"))
+        .filter(col("day").isNotNull)
+      // ≤4 values — driver metadata (the batch-schedule convention)
+      val days = ev.select("day").distinct().orderBy("day").limit(4)
+        .collect().map(_.getLong(0)).toSeq
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-drift-timeline-stream").toString
+      for (d <- days) {
+        val b = ev.filter(col("day") === d).select(col("event_type"))
+        StreamingOps.applyDriftTimelineBatch(s, b, d, "event_type",
+          s"$work/state", s"$work/out")
+        if (days.indexOf(d) == 1)
+          StreamingOps.applyDriftTimelineBatch(s, b, d, "event_type",
+            s"$work/state", s"$work/out")
+      }
+      s.read.parquet(s"$work/out")
+        .select(col("period"), col("n_prev"), col("n_cur"), col("l1_e9"))
+        .orderBy("period")
+    }),
+
     // ---- event-time watermark + late-data drops, replayed as the
     //      deterministic batch protocol: three time-ordered batches
     //      (event_id ranges), with a planted subset (≡3 mod 97)
@@ -6530,6 +6558,50 @@ object SparkEntry {
          | CAST((2 * (s * 1000000000) + CAST(n_prev AS HUGEINT) * n_cur)
          |   // (2 * CAST(n_prev AS HUGEINT) * n_cur) AS BIGINT) AS l1_e9
          |FROM g ORDER BY 1""".stripMargin,
+
+    // the rolling-reference streaming timeline over the FIRST 4 days:
+    // batches pair by arrival RANK (the streaming semantics — equal to
+    // value-adjacency only when days are consecutive), same exact-L1
+    // arithmetic, every sum through HUGEINT then cast BIGINT
+    "drift_timeline_stream" ->
+      s"""WITH e0 AS (
+         | SELECT epoch_us(ts) // 86400000000 AS p, lower(event_type) AS token
+         | FROM events WHERE ts IS NOT NULL
+         |), days AS (
+         | SELECT p, row_number() OVER (ORDER BY p) AS rn
+         | FROM (SELECT DISTINCT p FROM e0 ORDER BY p LIMIT 4)
+         |), e AS (
+         | SELECT d.rn, e0.token FROM e0 JOIN days d ON d.p = e0.p
+         |), vb AS (
+         | SELECT token,
+         |  $fnvBucketExpr
+         | FROM (SELECT DISTINCT token, token || ':drift' AS s FROM e)
+         |), h AS (
+         | SELECT e.rn, vb.bucket, CAST(count(*) AS BIGINT) AS cnt
+         | FROM e JOIN vb ON e.token = vb.token GROUP BY 1, 2
+         |), tot AS (
+         | SELECT rn, CAST(sum(cnt) AS BIGINT) AS n FROM h GROUP BY 1
+         |), pairs AS (
+         | SELECT c.rn AS rn, pr.n AS n_prev, c.n AS n_cur
+         | FROM tot c JOIN tot pr ON pr.rn = c.rn - 1
+         |), bk AS (
+         | SELECT DISTINCT pa.rn, h.bucket FROM pairs pa
+         | JOIN h ON h.rn = pa.rn OR h.rn = pa.rn - 1
+         |), j AS (
+         | SELECT bk.rn, bk.bucket,
+         |  coalesce(a.cnt, 0) AS ca, coalesce(b.cnt, 0) AS cb
+         | FROM bk
+         | LEFT JOIN h a ON a.rn = bk.rn - 1 AND a.bucket = bk.bucket
+         | LEFT JOIN h b ON b.rn = bk.rn AND b.bucket = bk.bucket
+         |), g AS (
+         | SELECT j.rn, t.n_prev, t.n_cur,
+         |  sum(abs(CAST(j.ca AS HUGEINT) * t.n_cur - CAST(j.cb AS HUGEINT) * t.n_prev)) AS s
+         | FROM j JOIN pairs t ON t.rn = j.rn GROUP BY 1, 2, 3
+         |)
+         |SELECT d.p AS period, g.n_prev, g.n_cur,
+         | CAST((2 * (g.s * 1000000000) + CAST(g.n_prev AS HUGEINT) * g.n_cur)
+         |   // (2 * CAST(g.n_prev AS HUGEINT) * g.n_cur) AS BIGINT) AS l1_e9
+         |FROM g JOIN days d ON d.rn = g.rn ORDER BY 1""".stripMargin,
 
     // the bucketed self-join is 1:1 on doc_id, so the compared surface
     // is the per-source doc and token accounting

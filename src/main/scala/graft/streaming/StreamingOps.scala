@@ -842,6 +842,56 @@ object StreamingOps {
     }
   }
 
+  /** One micro-batch of the STREAMING drift timeline — the ROLLING
+    * variant of [[applyDriftBatch]]: instead of scoring every batch
+    * against a frozen batch-0 reference, each batch scores against the
+    * PREVIOUS batch's committed histogram (one corpus-level scaled-L1
+    * row `(period, n_prev, n_cur, l1_e9)` to `outPath/batch=<id>`,
+    * exact integers — the [[graft.operators.ImportanceScoring.driftTimeline]]
+    * arithmetic) and then commits its OWN histogram as the new rolling
+    * reference. The first batch emits nothing (no predecessor) and
+    * seeds the state.
+    *
+    * Replay idempotence: a batch at or below the committed version
+    * no-ops (its output row, if any, already stands). Torn commit: a
+    * crash between the out-write and the state commit leaves the
+    * reference at the PREVIOUS version, so the replay recomputes
+    * against the same predecessor and overwrites bit-identically
+    * before committing. State is one ≤`buckets`-row histogram —
+    * metadata-sized at any corpus scale; token payloads never shuffle.
+    */
+  def applyDriftTimelineBatch(
+      spark: SparkSession,
+      batch: DataFrame,
+      batchId: Long,
+      textCol: String,
+      statePath: String,
+      outPath: String,
+      buckets: Int = graft.operators.ImportanceScoring.DefaultBuckets,
+      salt: String = "drift"
+  ): Unit = {
+    import graft.operators.ImportanceScoring
+    val hist = ImportanceScoring.hashedBucketCounts(batch, textCol, buckets, salt)
+    currentVersionId(spark, statePath) match {
+      case Some(cur) if cur >= batchId =>
+        log.warn(s"driftTimelineStream: batch $batchId is not newer than " +
+          s"the committed rolling reference v$cur — skipping (replay no-op)")
+      case prev =>
+        prev.foreach { _ =>
+          val reference = readState(spark, statePath).getOrElse(
+            sys.error(s"driftTimelineStream: _CURRENT exists but no state at $statePath"))
+          ImportanceScoring.l1Drift(
+              ImportanceScoring.driftFromHistograms(reference, hist))
+            .select(lit(batchId).as("period"),
+              col("n_a").as("n_prev"), col("n_b").as("n_cur"), col("l1_e9"))
+            .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+        }
+        val version = s"v$batchId"
+        hist.write.mode("overwrite").parquet(s"$statePath/$version")
+        commitVersion(spark, statePath, version, keepFrom = batchId - 1)
+    }
+  }
+
   /** One micro-batch of a STREAMING IVF index build — the embedding
     * sibling of [[applyBm25IndexBatch]]: batch 0 trains the coarse
     * quantizer (hash-seeded + one Lloyd refinement on that batch) and

@@ -603,6 +603,37 @@ class StreamingSpec extends SparkSpec {
     assert(replayed == first)
   }
 
+  test("drift timeline stream: rolling reference advances per batch, equals the batch timeline, replay no-ops") {
+    import graft.operators.ImportanceScoring
+    val work = Files.createTempDirectory("graft-drift-tl-spec").toString
+    val b0 = Seq((1L, "aa aa aa bb")).toDF("id", "text")
+    val b1 = Seq((2L, "aa bb bb bb")).toDF("id", "text")
+    val b2 = Seq((3L, "cc cc aa bb")).toDF("id", "text")
+    StreamingOps.applyDriftTimelineBatch(spark, b0, 0L, "text", s"$work/state", s"$work/out")
+    // first batch seeds only: no timeline row
+    assert(!new java.io.File(s"$work/out").exists() ||
+      new java.io.File(s"$work/out").listFiles().isEmpty)
+    StreamingOps.applyDriftTimelineBatch(spark, b1, 1L, "text", s"$work/state", s"$work/out")
+    StreamingOps.applyDriftTimelineBatch(spark, b2, 2L, "text", s"$work/state", s"$work/out")
+    // a replayed old batch must neither write rows nor move the reference
+    StreamingOps.applyDriftTimelineBatch(spark, b1, 1L, "text", s"$work/state", s"$work/out")
+    val got = spark.read.parquet(s"$work/out")
+      .select("period", "n_prev", "n_cur", "l1_e9")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // parity with the batch timeline over the same periods
+    val all = Seq((0L, "aa aa aa bb"), (1L, "aa bb bb bb"), (2L, "cc cc aa bb"))
+      .toDF("p", "text")
+    val batchForm = ImportanceScoring.driftTimeline(all, "text", col("p"))
+      .select("period", "n_prev", "n_cur", "l1_e9")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == batchForm, s"got=$got batch=$batchForm")
+    assert(got.map(_._1) == Seq(1L, 2L))
+    // rolling reference is batch 2's histogram now (cc×2, aa×1, bb×1)
+    val committed = StreamingOps.readState(spark, s"$work/state").get
+      .as[(Long, Long)].collect().toMap
+    assert(committed.values.toSeq.sorted == Seq(1L, 1L, 2L))
+  }
+
   test("token quota stream: equals the single-pass batch quota, blown budgets stay blown, replay no-ops") {
     import graft.streaming.StreamingOps
     import graft.operators.Sampling
