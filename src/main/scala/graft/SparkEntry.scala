@@ -453,6 +453,40 @@ object SparkEntry {
        |FROM nodes ORDER BY node""".stripMargin
   }
 
+  /** The DuckDB replay of [[graft.operators.Graph.katzCentralityScaled]]
+    * over the pagerank gate's source-chain graph: walk-count rounds
+    * unrolled as CTEs, the same driver-side attenuation ladder folded in
+    * as literals, sums through HUGEINT then cast BIGINT.
+    */
+  private def katzOracleSql(rounds: Int, alphaPpm: Long): String = {
+    val atten = Iterator.iterate(alphaPpm)(a => a * alphaPpm / 1000000L)
+      .take(rounds).toSeq
+    val walks = (2 to rounds).map { k =>
+      s"""w$k AS (
+         | SELECT e.dst AS v, CAST(sum(w${k - 1}.w) AS BIGINT) AS w
+         | FROM e JOIN w${k - 1} ON w${k - 1}.v = e.src GROUP BY 1
+         |)""".stripMargin
+    }
+    val contribs = (1 to rounds)
+      .map(k => s"SELECT v, CAST(w AS HUGEINT) * ${atten(k - 1)} AS c FROM w$k")
+      .mkString(" UNION ALL ")
+    s"""WITH d AS (
+       | SELECT doc_id, source FROM documents
+       |), e AS (
+       | SELECT a.source AS src, b.source AS dst
+       | FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
+       |), nodes AS (
+       | SELECT DISTINCT v FROM (SELECT src AS v FROM e UNION ALL SELECT dst FROM e)
+       |), w1 AS (
+       | SELECT dst AS v, CAST(count(*) AS BIGINT) AS w FROM e GROUP BY 1
+       |), ${walks.mkString(", ")}, contrib AS (
+       | $contribs
+       |)
+       |SELECT nodes.v AS node,
+       | CAST(coalesce((SELECT sum(c) FROM contrib WHERE contrib.v = nodes.v), 0) AS BIGINT) AS katz_e6
+       |FROM nodes ORDER BY node""".stripMargin
+  }
+
   /** The DuckDB replay of [[graft.operators.Similarity.kCenterGreedyE6]]
     * over the embeddings table: rounds unrolled as CTE pairs (dR =
     * running min-distance after folding in round R's winner, sR+1 =
@@ -2293,6 +2327,20 @@ object SparkEntry {
           Seq("doc_id"))
         .select(col("source").as("src"), col("_dst").as("dst"))
       graft.operators.Graph.harmonicCentralityScaled(e, "src", "dst", maxDepth = 3)
+        .orderBy("node")
+    }),
+
+    // ---- truncated Katz centrality on the same graph: every walk in,
+    //      attenuated a_k = (a_{k-1}·α) div 1e6 (driver-side exact
+    //      ladder, α = 0.1); multi-edges count as parallel walks
+    "katz_centrality" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("source"))
+      val e = d.join(
+          d.select((col("doc_id") - 1).as("doc_id"), col("source").as("_dst")),
+          Seq("doc_id"))
+        .select(col("source").as("src"), col("_dst").as("dst"))
+      graft.operators.Graph.katzCentralityScaled(e, "src", "dst",
+          rounds = 3, alphaPpm = 100000L)
         .orderBy("node")
     }),
 
@@ -6408,6 +6456,9 @@ object SparkEntry {
 
     // BFS levels unrolled; see harmonicOracleSql
     "harmonic_centrality" -> harmonicOracleSql(maxDepth = 3),
+
+    // walk rounds unrolled; see katzOracleSql
+    "katz_centrality" -> katzOracleSql(rounds = 3, alphaPpm = 100000L),
 
     // the stream equals the single pass when fed in key order: the same
     // waterfill + per-source cumulative cut, emitting the kept rows

@@ -68,4 +68,38 @@ class GraphSpec extends SparkSpec {
       Graph.harmonicCentralityScaled(edges, "src", "dst", maxDepth = 0)
     }
   }
+
+  test("katzCentralityScaled: walk counts with multi-edges, exact attenuation ladder") {
+    // a -> b (×2, parallel walks), b -> c, c -> b (a 2-cycle feeding walks back)
+    val edges = Seq(("a", "b"), ("a", "b"), ("b", "c"), ("c", "b"))
+      .toDF("src", "dst")
+    // α = 0.5 → a1 = 500000, a2 = 250000, a3 = 125000
+    // w1: b = 3 (2 from a, 1 from c), c = 1
+    // w2: walks of length 2 ending at v = Σ_{e u→v} w1(u):
+    //   b: from c (w1=1) = 1; c: from b (w1=3) = 3
+    // w3: b: from c (w2=3) = 3; c: from b (w2=1) = 1
+    // katz(b) = 3·5e5 + 1·25e4 + 3·125e3 = 2_125_000
+    // katz(c) = 1·5e5 + 3·25e4 + 1·125e3 = 1_375_000; katz(a) = 0
+    val got = Graph.katzCentralityScaled(edges, "src", "dst",
+        rounds = 3, alphaPpm = 500000L)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("a" -> 0L, "b" -> 2125000L, "c" -> 1375000L), got.toString)
+    // truncation: one round keeps only the direct-edge term
+    val g1 = Graph.katzCentralityScaled(edges, "src", "dst",
+        rounds = 1, alphaPpm = 500000L)
+      .as[(String, Long)].collect().toMap
+    assert(g1 == Map("a" -> 0L, "b" -> 1500000L, "c" -> 500000L), g1.toString)
+    // the attenuation ladder floors: α = 0.3 → a2 = 90000 - ish?
+    // 300000·300000/1e6 = 90000 exactly; a3 = 27000
+    val g3 = Graph.katzCentralityScaled(edges, "src", "dst",
+        rounds = 3, alphaPpm = 300000L)
+      .as[(String, Long)].collect().toMap
+    assert(g3("b") == 3L * 300000L + 1L * 90000L + 3L * 27000L, g3.toString)
+    intercept[IllegalArgumentException] {
+      Graph.katzCentralityScaled(edges, "src", "dst", rounds = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Graph.katzCentralityScaled(edges, "src", "dst", rounds = 2, alphaPpm = 1000000L)
+    }
+  }
 }
