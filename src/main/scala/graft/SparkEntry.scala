@@ -528,6 +528,88 @@ object SparkEntry {
        |) ORDER BY rank""".stripMargin
   }
 
+  /** Shared WITH-chain of the ann_recall gates: e6 embeddings, 1-step
+    * trained centroids c2, corpus assignment `asg`, query sample `q` +
+    * assignment `qasg`, exact and 1-probe top-10 sets, and per-query
+    * hit counts `h(qid, n_hits)`.
+    */
+  private val annRecallChainSql: String =
+    """WITH e AS (
+        | SELECT vec_id,
+        |  list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS a
+        | FROM embeddings
+        |), c1 AS (
+        | SELECT vec_id AS cid, a AS cv FROM e WHERE vec_id < 4
+        |), d1 AS (
+        | SELECT e.vec_id, c1.cid,
+        |  list_sum(list_transform(range(1, len(e.a) + 1),
+        |    i -> (e.a[i] - c1.cv[i]) * (e.a[i] - c1.cv[i]))) AS dist
+        | FROM e, c1
+        |), w1 AS (
+        | SELECT vec_id, cid,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        | FROM d1
+        |), a1 AS (
+        | SELECT e.vec_id, w1.cid, e.a FROM w1 JOIN e USING (vec_id) WHERE rn = 1
+        |), ex1 AS (
+        | SELECT cid, CAST(generate_subscripts(a, 1) - 1 AS INT) AS pos,
+        |  unnest(a) AS x
+        | FROM a1
+        |), s1 AS (
+        | SELECT cid, pos, CAST(sum(x) AS BIGINT) AS sum_e6,
+        |  CAST(count(*) AS BIGINT) AS n
+        | FROM ex1 GROUP BY cid, pos
+        |), c2 AS (
+        | SELECT cid, list(CAST(sum_e6 // n AS BIGINT) ORDER BY pos) AS cv
+        | FROM s1 GROUP BY cid
+        |), d2 AS (
+        | SELECT e.vec_id, c2.cid,
+        |  list_sum(list_transform(range(1, len(e.a) + 1),
+        |    i -> (e.a[i] - c2.cv[i]) * (e.a[i] - c2.cv[i]))) AS dist
+        | FROM e, c2
+        |), asg AS (
+        | SELECT vec_id, cid FROM (
+        |  SELECT vec_id, cid,
+        |   row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        |  FROM d2) WHERE rn = 1
+        |), q AS (
+        | SELECT vec_id AS qid, a AS qa FROM e WHERE vec_id < 8
+        |), qd AS (
+        | SELECT q.qid, c2.cid,
+        |  list_sum(list_transform(range(1, len(q.qa) + 1),
+        |    i -> (q.qa[i] - c2.cv[i]) * (q.qa[i] - c2.cv[i]))) AS dist
+        | FROM q, c2
+        |), qasg AS (
+        | SELECT qid, cid AS qcid FROM (
+        |  SELECT qid, cid,
+        |   row_number() OVER (PARTITION BY qid ORDER BY dist, cid) AS rn
+        |  FROM qd) WHERE rn = 1
+        |), pd AS (
+        | SELECT q.qid, e.vec_id AS nid, asg.cid AS ncid,
+        |  list_sum(list_transform(range(1, len(q.qa) + 1),
+        |    i -> (q.qa[i] - e.a[i]) * (q.qa[i] - e.a[i]))) AS dist
+        | FROM q CROSS JOIN e JOIN asg ON e.vec_id = asg.vec_id
+        | WHERE e.vec_id <> q.qid
+        |), exk AS (
+        | SELECT qid, nid FROM (
+        |  SELECT qid, nid,
+        |   row_number() OVER (PARTITION BY qid ORDER BY dist, nid) AS rn
+        |  FROM pd) WHERE rn <= 10
+        |), apd AS (
+        | SELECT pd.qid, pd.nid, pd.dist
+        | FROM pd JOIN qasg ON pd.qid = qasg.qid AND pd.ncid = qasg.qcid
+        |), ap AS (
+        | SELECT qid, nid FROM (
+        |  SELECT qid, nid,
+        |   row_number() OVER (PARTITION BY qid ORDER BY dist, nid) AS rn
+        |  FROM apd) WHERE rn <= 10
+        |), h AS (
+        | SELECT ap.qid, count(*) AS n_hits
+        | FROM ap JOIN exk ON ap.qid = exk.qid AND ap.nid = exk.nid
+        | GROUP BY 1
+        |)""".stripMargin
+
   /** The DuckDB replay of [[graft.functions.LayoutFunctions.zorderKey]]:
     * the same flat sum of shift/mask terms, generated from the same
     * (bits) parameter.
@@ -2860,6 +2942,24 @@ object SparkEntry {
       Similarity.ivfRecallExactE6(emb, "vec_id", "embedding", cents,
           q, "qid", "qvec", k = 10)
         .orderBy("query_id")
+    }),
+
+    // ---- the same recall measurement STRATIFIED by the query's
+    //      assigned coarse bucket (round-9 verdict #7's recall@k per
+    //      group): WHICH index partition bleeds neighbors — the global
+    //      average hides a boundary-straddling centroid
+    "ann_recall_by_bucket" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val seeds = emb.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("centroid_id"),
+          col("embedding").as("centroid_vec"))
+      val s1 = Similarity.kmeansIterationExact(emb, "vec_id", "embedding", seeds)
+      val cents = Similarity.kmeansCentroidsFromSums(s1)
+      val q = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.ivfRecallByBucketE6(emb, "vec_id", "embedding", cents,
+          q, "qid", "qvec", k = 10)
+        .orderBy("centroid_id")
     }),
 
     // ---- ANN: IVF with nprobe = #centroids scans every partition, so it
@@ -7152,88 +7252,25 @@ object SparkEntry {
     // candidate ranking, the exhaustive reference, and the per-query
     // intersection count — every step exact BIGINT with (dist, id)
     // tie-breaks on both engines
-    "ann_recall_ivf" ->
-      """WITH e AS (
-        | SELECT vec_id,
-        |  list_transform(embedding,
-        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS a
-        | FROM embeddings
-        |), c1 AS (
-        | SELECT vec_id AS cid, a AS cv FROM e WHERE vec_id < 4
-        |), d1 AS (
-        | SELECT e.vec_id, c1.cid,
-        |  list_sum(list_transform(range(1, len(e.a) + 1),
-        |    i -> (e.a[i] - c1.cv[i]) * (e.a[i] - c1.cv[i]))) AS dist
-        | FROM e, c1
-        |), w1 AS (
-        | SELECT vec_id, cid,
-        |  row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-        | FROM d1
-        |), a1 AS (
-        | SELECT e.vec_id, w1.cid, e.a FROM w1 JOIN e USING (vec_id) WHERE rn = 1
-        |), ex1 AS (
-        | SELECT cid, CAST(generate_subscripts(a, 1) - 1 AS INT) AS pos,
-        |  unnest(a) AS x
-        | FROM a1
-        |), s1 AS (
-        | SELECT cid, pos, CAST(sum(x) AS BIGINT) AS sum_e6,
-        |  CAST(count(*) AS BIGINT) AS n
-        | FROM ex1 GROUP BY cid, pos
-        |), c2 AS (
-        | SELECT cid, list(CAST(sum_e6 // n AS BIGINT) ORDER BY pos) AS cv
-        | FROM s1 GROUP BY cid
-        |), d2 AS (
-        | SELECT e.vec_id, c2.cid,
-        |  list_sum(list_transform(range(1, len(e.a) + 1),
-        |    i -> (e.a[i] - c2.cv[i]) * (e.a[i] - c2.cv[i]))) AS dist
-        | FROM e, c2
-        |), asg AS (
-        | SELECT vec_id, cid FROM (
-        |  SELECT vec_id, cid,
-        |   row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-        |  FROM d2) WHERE rn = 1
-        |), q AS (
-        | SELECT vec_id AS qid, a AS qa FROM e WHERE vec_id < 8
-        |), qd AS (
-        | SELECT q.qid, c2.cid,
-        |  list_sum(list_transform(range(1, len(q.qa) + 1),
-        |    i -> (q.qa[i] - c2.cv[i]) * (q.qa[i] - c2.cv[i]))) AS dist
-        | FROM q, c2
-        |), qasg AS (
-        | SELECT qid, cid AS qcid FROM (
-        |  SELECT qid, cid,
-        |   row_number() OVER (PARTITION BY qid ORDER BY dist, cid) AS rn
-        |  FROM qd) WHERE rn = 1
-        |), pd AS (
-        | SELECT q.qid, e.vec_id AS nid, asg.cid AS ncid,
-        |  list_sum(list_transform(range(1, len(q.qa) + 1),
-        |    i -> (q.qa[i] - e.a[i]) * (q.qa[i] - e.a[i]))) AS dist
-        | FROM q CROSS JOIN e JOIN asg ON e.vec_id = asg.vec_id
-        | WHERE e.vec_id <> q.qid
-        |), exk AS (
-        | SELECT qid, nid FROM (
-        |  SELECT qid, nid,
-        |   row_number() OVER (PARTITION BY qid ORDER BY dist, nid) AS rn
-        |  FROM pd) WHERE rn <= 10
-        |), apd AS (
-        | SELECT pd.qid, pd.nid, pd.dist
-        | FROM pd JOIN qasg ON pd.qid = qasg.qid AND pd.ncid = qasg.qcid
-        |), ap AS (
-        | SELECT qid, nid FROM (
-        |  SELECT qid, nid,
-        |   row_number() OVER (PARTITION BY qid ORDER BY dist, nid) AS rn
-        |  FROM apd) WHERE rn <= 10
-        |), h AS (
-        | SELECT ap.qid, count(*) AS n_hits
-        | FROM ap JOIN exk ON ap.qid = exk.qid AND ap.nid = exk.nid
-        | GROUP BY 1
-        |)
-        |SELECT q.qid AS query_id,
+    "ann_recall_ivf" -> (annRecallChainSql + "\n" +
+      """SELECT q.qid AS query_id,
         | CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
         | CAST(10 AS BIGINT) AS k,
         | CAST(COALESCE(h.n_hits, 0) * 1000000 // 10 AS BIGINT) AS recall_ppm
         |FROM q LEFT JOIN h ON q.qid = h.qid
-        |ORDER BY query_id""".stripMargin,
+        |ORDER BY query_id""".stripMargin),
+
+    // the same chain grouped over the query's assigned bucket
+    "ann_recall_by_bucket" -> (annRecallChainSql + "\n" +
+      """SELECT qasg.qcid AS centroid_id,
+        | CAST(count(*) AS BIGINT) AS n_queries,
+        | CAST(sum(COALESCE(h.n_hits, 0)) AS BIGINT) AS total_hits,
+        | CAST(10 AS BIGINT) AS k,
+        | CAST(CAST(sum(COALESCE(h.n_hits, 0)) AS BIGINT) * 1000000
+        |   // (count(*) * 10) AS BIGINT) AS recall_ppm
+        |FROM q JOIN qasg ON q.qid = qasg.qid
+        |LEFT JOIN h ON q.qid = h.qid
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
 
     "ann_ivf_topk" ->
       """WITH q AS (

@@ -752,6 +752,52 @@ object Similarity {
           .as("recall_ppm"))
   }
 
+  /** [[ivfRecallExactE6]] STRATIFIED by the query's assigned coarse
+    * bucket — the index-quality breakdown that tells you WHERE a
+    * 1-probe IVF loses recall (a bucket whose centroid sits near a
+    * cluster boundary bleeds neighbors into its siblings; the global
+    * average hides it). Output: `(centroid_id, n_queries, total_hits,
+    * k, recall_ppm)` with `recall_ppm = total_hits·10⁶ div
+    * (n_queries·k)` — exact integers over the per-query recall rows.
+    *
+    * Scale shape: the per-query recall machinery is unchanged
+    * (query-sample-sized); the stratification adds one broadcast
+    * argmin over the QUERY side and a ≤C-row aggregate — no new
+    * corpus work.
+    */
+  def ivfRecallByBucketE6(
+      corpus: DataFrame,
+      corpusId: String,
+      corpusVec: String,
+      centroidsE6: DataFrame,
+      queries: DataFrame,
+      queryId: String,
+      queryVec: String,
+      k: Int
+  ): DataFrame = {
+    val perQuery = ivfRecallExactE6(corpus, corpusId, corpusVec,
+      centroidsE6, queries, queryId, queryVec, k)
+    val cents = broadcast(centroidsE6.select(
+      col("centroid_id").cast(LongType).as("_cid"),
+      col("centroid_e6").as("_c")))
+    val l2 = (a: Column, b: Column) => aggregate(
+      zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, d) => acc + d)
+    val qAssigned = queries
+      .select(col(queryId).as("query_id"), toE6(col(queryVec)).as("_qa"))
+      .crossJoin(cents)
+      .select(col("query_id"), col("_cid"), l2(col("_qa"), col("_c")).as("_d"))
+      .groupBy("query_id")
+      .agg(min_by(col("_cid"), struct(col("_d"), col("_cid"))).as("_qcid"))
+    perQuery.join(qAssigned, Seq("query_id"))
+      .groupBy(col("_qcid"))
+      .agg(count(lit(1)).as("n_queries"), sum(col("n_hits")).as("total_hits"))
+      .select(col("_qcid").as("centroid_id"),
+        col("n_queries"), col("total_hits"), lit(k.toLong).as("k"),
+        expr(s"CAST(total_hits * 1000000 div (n_queries * $k) AS BIGINT)")
+          .as("recall_ppm"))
+  }
+
   /** End-to-end IVF index build: seed `c` centroids deterministically,
     * refine with `iterations` Lloyd passes, assign the corpus, persist
     * it partitioned by `centroid_id` at `path` (the [[writeAssigned]]

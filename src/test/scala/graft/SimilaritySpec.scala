@@ -456,6 +456,32 @@ class SimilaritySpec extends SparkSpec {
     assert(g3 == Seq((1L, 2L)), g3.mkString(","))
   }
 
+  test("ivfRecallByBucketE6: aggregates the per-query recall over the query's bucket") {
+    import graft.operators.Similarity
+    val corpus = Seq(
+      (1L, Seq(0.0f, 0.1f)), (2L, Seq(0.1f, 0.0f)), (3L, Seq(0.2f, 0.2f)),
+      (11L, Seq(10.0f, 10.1f)), (12L, Seq(10.1f, 10.0f)), (13L, Seq(9.9f, 9.9f)),
+      (21L, Seq(6.0f, 6.0f))
+    ).toDF("id", "vec")
+    val cents = Seq(
+      (0L, Seq(0L, 0L)), (1L, Seq(10000000L, 10000000L))
+    ).toDF("centroid_id", "centroid_e6")
+    // queries from both clusters: 1 → bucket 0, 21 → bucket 1
+    val q = Seq((1L, Seq(0.0f, 0.1f)), (21L, Seq(6.0f, 6.0f))).toDF("qid", "qvec")
+    val perQuery = Similarity.ivfRecallExactE6(corpus, "id", "vec", cents,
+        q, "qid", "qvec", k = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byBucket = Similarity.ivfRecallByBucketE6(corpus, "id", "vec", cents,
+        q, "qid", "qvec", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+      .sortBy(_._1).toSeq
+    // each bucket holds one query; totals must equal the per-query rows
+    assert(byBucket == Seq(
+      (0L, 1L, perQuery(1L), perQuery(1L) * 1000000L / 3L),
+      (1L, 1L, perQuery(21L), perQuery(21L) * 1000000L / 3L)
+    ), s"byBucket=$byBucket perQuery=$perQuery")
+  }
+
   test("kCenterGreedyE6: farthest-point order, tie-breaks, exhaustion, malformed rows") {
     import graft.operators.Similarity
     // 1-D layout: 0.0, 0.1, 5.0, 10.0 (ids 1..4). Seed = id 1 (smallest).
