@@ -2528,6 +2528,15 @@ object SparkEntry {
         .orderBy("source", "p_ppm")
     }),
 
+    // ---- Gini of token-mass concentration across sources: the
+    //      "is one domain eating the token budget" composition
+    //      diagnostic — exact sorted-rank formula, pure integers
+    "token_gini" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("source"), TextFunctions.tokenCount(col("text")).as("_w"))
+      Profile.massGini(d, "source", col("_w"))
+    }),
+
     // ---- nucleus score-mass cut: keep the docs carrying 80% of the
     //      corpus's char mass (threshold = mass-weighted 20th
     //      percentile with the score as its own weight); per-source
@@ -6597,6 +6606,25 @@ object SparkEntry {
         | CAST(sum(n_chars) AS BIGINT) AS kept_mass
         |FROM w, thr WHERE w.v >= thr.t
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the sorted-rank Gini over per-source token masses; numerator
+    // non-negative by the ascending sort so // and div agree
+    "token_gini" ->
+      """WITH m AS (
+        | SELECT CAST(source AS VARCHAR) AS g,
+        |  CAST(sum(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''))) AS BIGINT) AS m
+        | FROM documents WHERE source IS NOT NULL GROUP BY 1
+        |), r AS (
+        | SELECT m, row_number() OVER (ORDER BY m, g) AS i FROM m
+        |), t AS (
+        | SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(m) AS BIGINT) AS s,
+        |  sum(CAST(i AS HUGEINT) * m) AS w
+        | FROM r
+        |)
+        |SELECT n AS n_groups, s AS total_mass,
+        | CAST(((2 * w - (n + 1) * CAST(s AS HUGEINT)) * 1000000)
+        |   // (CAST(n AS HUGEINT) * s) AS BIGINT) AS gini_ppm
+        |FROM t WHERE s > 0""".stripMargin,
 
     // the mass-weighted rank rule replayed: cumulative token weight
     // over ascending value, smallest value whose cum exceeds

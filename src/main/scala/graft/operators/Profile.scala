@@ -610,6 +610,47 @@ object Profile {
     rows.toDF(groupCol, "p_ppm", "value")
   }
 
+  /** Gini coefficient of mass concentration across groups — the
+    * corpus-composition diagnostic ("how concentrated is the token
+    * budget across domains/sources"): 0 = every group carries equal
+    * mass, →1 = one group carries everything. Exact integer form of
+    * the standard sorted-rank formula over per-group masses m₁ ≤ … ≤
+    * m_n (ties ordered by group for determinism):
+    *
+    *   gini_ppm = (2·Σ i·mᵢ − (n+1)·S) · 10⁶ div (n·S)
+    *
+    * Output: one row `(n_groups BIGINT, total_mass BIGINT, gini_ppm
+    * BIGINT)`; the numerator is ≥ 0 by the ascending sort, so floor
+    * and truncating division agree across engines. Null groups, null
+    * or negative weights are excluded; an empty or zero-mass input
+    * emits nothing (a Gini of nothing is undefined, not 0).
+    *
+    * Scale shape: ONE map-side-combined aggregate to per-group masses;
+    * the rank window and final fold run over #groups rows — driver
+    * metadata next to the corpus (the histogram convention), never a
+    * corpus-row window. Products ride DECIMAL(38,0).
+    */
+  def massGini(df: DataFrame, groupCol: String, weight: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d38 = DecimalType(38, 0)
+    val masses = df
+      .select(col(groupCol).cast(StringType).as("_g"),
+        weight.cast(LongType).as("_w"))
+      .filter(col("_g").isNotNull && col("_w").isNotNull && col("_w") >= 0)
+      .groupBy(col("_g")).agg(sum(col("_w")).as("_m"))
+    // single-partition window over ≤ #groups rows — bounded by
+    // construction, never the corpus
+    val w = Window.orderBy(col("_m"), col("_g"))
+    masses
+      .withColumn("_i", row_number().over(w).cast(LongType))
+      .agg(count(lit(1)).as("_n"), sum(col("_m")).as("_s"),
+        sum(col("_i").cast(d38) * col("_m").cast(d38)).as("_wsum"))
+      .filter(col("_s") > 0)
+      .select(col("_n").as("n_groups"), col("_s").as("total_mass"),
+        expr("CAST(((2 * _wsum - (_n + 1) * CAST(_s AS DECIMAL(38,0))) * 1000000) " +
+          "div (CAST(_n AS DECIMAL(38,0)) * _s) AS BIGINT)").as("gini_ppm"))
+  }
+
   /** Score-MASS cut ("nucleus" curation): keep the highest-score rows
     * that together carry ≈`keepMassPpm` of the TOTAL score mass — the
     * top-p idea applied to corpus curation (keep the docs holding 80 %

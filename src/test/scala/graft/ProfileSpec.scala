@@ -516,6 +516,31 @@ class ProfileSpec extends SparkSpec {
     }
   }
 
+  test("massGini: equal masses → 0; concentration raises it; hand-computed value") {
+    import graft.operators.Profile
+    import org.apache.spark.sql.functions._
+    // equal masses: gini = 0 exactly
+    val eq = Seq(("a", 5L), ("b", 5L), ("c", 5L)).toDF("g", "w")
+    val g0 = Profile.massGini(eq, "g", col("w"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).head
+    assert(g0 == ((3L, 15L, 0L)), g0.toString)
+    // masses 1,2,3,4 ascending: Σi·m = 1+4+9+16 = 30, S = 10, n = 4
+    // gini = (60 − 50)/40 = 0.25 → 250000 ppm
+    val d = Seq(("a", 1L), ("b", 2L), ("c", 3L), ("d", 4L)).toDF("g", "w")
+    val g1 = Profile.massGini(d, "g", col("w"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).head
+    assert(g1 == ((4L, 10L, 250000L)), g1.toString)
+    // rows pool per group before ranking; null/negative weights drop
+    val pooled = Seq(("a", 1L), ("a", 1L), ("b", -7L), ("b", 2L)).toDF("g", "w")
+    val g2 = Profile.massGini(pooled, "g", col("w"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).head
+    // masses a=2, b=2 → gini 0
+    assert(g2 == ((2L, 4L, 0L)), g2.toString)
+    // zero total mass → empty (undefined, not 0)
+    val z = Seq(("a", 0L)).toDF("g", "w")
+    assert(Profile.massGini(z, "g", col("w")).count() == 0)
+  }
+
   test("scoreMassCut: kept mass covers at least the target; drops come off the small tail") {
     import graft.operators.Profile
     import org.apache.spark.sql.functions._
