@@ -2412,6 +2412,28 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    // ---- composed centrality prior: all three link-quality signals on
+    //      the same source graph joined into one table, with an
+    //      equal-weight scale-aligned sum (rank_ppb div 1000 puts
+    //      PageRank on the ppm-ish scale of the other two) — the
+    //      quality-prior artifact a curation mixer consumes
+    "pipeline_centrality_prior" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("source"))
+      val e = d.join(
+          d.select((col("doc_id") - 1).as("doc_id"), col("source").as("_dst")),
+          Seq("doc_id"))
+        .select(col("source").as("src"), col("_dst").as("dst"))
+        .localCheckpoint() // three consumers — compute the edge list once
+      val pr = graft.operators.Graph.pageRankScaled(e, "src", "dst", 3)
+      val hc = graft.operators.Graph.harmonicCentralityScaled(e, "src", "dst", 3)
+      val kz = graft.operators.Graph.katzCentralityScaled(e, "src", "dst", 3, 100000L)
+      pr.join(hc, Seq("node")).join(kz, Seq("node"))
+        .select(col("node"), col("rank_ppb"), col("harmonic_ppm"), col("katz_e6"),
+          expr("CAST(rank_ppb div 1000 + harmonic_ppm + katz_e6 AS BIGINT)")
+            .as("prior_e6"))
+        .orderBy("node")
+    }),
+
     // ---- truncated Katz centrality on the same graph: every walk in,
     //      attenuated a_k = (a_{k-1}·α) div 1e6 (driver-side exact
     //      ladder, α = 0.1); multi-edges count as parallel walks
@@ -6568,6 +6590,15 @@ object SparkEntry {
 
     // walk rounds unrolled; see katzOracleSql
     "katz_centrality" -> katzOracleSql(rounds = 3, alphaPpm = 100000L),
+
+    // the three proven centrality chains joined as subqueries
+    "pipeline_centrality_prior" ->
+      s"""SELECT pr.node, pr.rank_ppb, hc.harmonic_ppm, kz.katz_e6,
+         | CAST(pr.rank_ppb // 1000 + hc.harmonic_ppm + kz.katz_e6 AS BIGINT) AS prior_e6
+         |FROM (${pagerankOracleSql(iterations = 3, dampingPpm = 850000L)}) pr
+         |JOIN (${harmonicOracleSql(maxDepth = 3)}) hc ON hc.node = pr.node
+         |JOIN (${katzOracleSql(rounds = 3, alphaPpm = 100000L)}) kz ON kz.node = pr.node
+         |ORDER BY pr.node""".stripMargin,
 
     // the stream equals the single pass when fed in key order: the same
     // waterfill + per-source cumulative cut, emitting the kept rows
