@@ -2941,6 +2941,16 @@ object SparkEntry {
         .orderBy("rank")
     }),
 
+    // ---- hubness diagnostic: k-NN in-degree distribution over the
+    //      evaluation sample (vec_id < 128) — heavy right tail = hub
+    //      points distorting ANN recall; exact e6 integer k-NN graph
+    "knn_hubness" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").filter(col("vec_id") < 128)
+        .select(col("vec_id"), col("embedding"))
+      Similarity.knnInDegreeE6(emb, "vec_id", "embedding", k = 5)
+        .orderBy("in_degree")
+    }),
+
     // ---- TWO chained exact k-means steps: iteration-1 sums → integer
     //      centroids (sum div n, trunc-toward-zero on BOTH engines) →
     //      iteration-2 sums — the training loop closes without ever
@@ -7250,6 +7260,31 @@ object SparkEntry {
 
     // farthest-point rounds unrolled; see kcenterOracleSql
     "kcenter_diversity" -> kcenterOracleSql(k = 5),
+
+    // the exact k-NN graph over the sample, in-degrees, histogram;
+    // ties by (dist, nid) = the heap rule
+    "knn_hubness" ->
+      """WITH e AS (
+        | SELECT CAST(vec_id AS BIGINT) AS id,
+        |  list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+        | FROM embeddings WHERE vec_id < 128
+        |), pd AS (
+        | SELECT q.id AS qid, p.id AS nid,
+        |  CAST(list_sum(list_transform(list_zip(q.v, p.v), z -> (z[1]-z[2])*(z[1]-z[2]))) AS BIGINT) AS dist
+        | FROM e q, e p WHERE q.id <> p.id
+        |), kn AS (
+        | SELECT qid, nid FROM (
+        |  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY dist, nid) AS rn
+        |  FROM pd) WHERE rn <= 5
+        |), ind AS (
+        | SELECT nid, CAST(count(*) AS BIGINT) AS c FROM kn GROUP BY 1
+        |), z AS (
+        | SELECT coalesce(ind.c, 0) AS in_degree FROM e LEFT JOIN ind ON ind.nid = e.id
+        |)
+        |SELECT CAST(in_degree AS BIGINT) AS in_degree,
+        | CAST(count(*) AS BIGINT) AS n_points
+        |FROM z GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // round 1 replayed, means by trunc-div (// truncates toward zero in
     // DuckDB exactly like Spark's div — pinned for negative sums),

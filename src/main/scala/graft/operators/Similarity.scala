@@ -884,6 +884,53 @@ object Similarity {
         (col("_pos") + 1).cast(IntegerType).as("rank"))
   }
 
+  /** HUBNESS diagnostic: the k-NN in-degree distribution of a point
+    * set — how many points count each point among their k nearest
+    * (Radovanović et al. 2010: high-dimensional spaces grow "hubs"
+    * that appear in a huge fraction of neighbor lists and distort
+    * both ANN recall and embedding-dedup clustering; a heavy right
+    * tail here is the warning). Output: `(in_degree BIGINT,
+    * n_points BIGINT)` — one row per occurring in-degree, zero
+    * included.
+    *
+    * Exact and replayable: e6 floor quantization, BIGINT squared-L2,
+    * k-NN ties to the smallest neighbor id (the [[topKPerQuery]]
+    * heap rule). Self-pairs are excluded.
+    *
+    * Scale shape: all-pairs by construction (hubness IS a property of
+    * the full k-NN graph), so run it on the evaluation SAMPLE tier
+    * like [[ivfRecallExactE6]] — the documented cost of measuring
+    * index quality, not a corpus pass. Within the sample: the scored
+    * pairs reduce through the bounded [[graft.plans.TopKAggregate]]
+    * heaps map-side (never a per-query window), and the in-degree
+    * count is one 8-byte-id exchange.
+    */
+  def knnInDegreeE6(
+      points: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int
+  ): DataFrame = {
+    require(k > 0, s"knnInDegreeE6: k must be positive, got $k")
+    val l2 = (a: Column, b: Column) => aggregate(
+      zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, d) => acc + d)
+    val p = points.select(col(idCol).cast(LongType).as("_id"),
+      toE6(col(vecCol)).as("_a"))
+    val q = p.select(col("_id").as("query_id"), col("_a").as("_qa"))
+    val scored = q.crossJoin(p)
+      .filter(col("query_id") =!= col("_id"))
+      .select(col("query_id"), col("_id").as("neighbor_id"),
+        (lit(0L) - l2(col("_qa"), col("_a"))).as("_negd"))
+    val indeg = topKPerQuery(scored, "_negd", k)
+      .groupBy(col("neighbor_id"))
+      .agg(count(lit(1)).as("_c"))
+    p.join(indeg.withColumnRenamed("neighbor_id", "_id"), Seq("_id"), "left")
+      .select(coalesce(col("_c"), lit(0L)).as("in_degree"))
+      .groupBy(col("in_degree"))
+      .agg(count(lit(1)).as("n_points"))
+  }
+
   /** k-center greedy (farthest-point) selection in e6 integer space —
     * the classic 2-approximation to the k-center cover (Gonzalez 1985)
     * used as DIVERSITY sampling for training data: pick the corpus

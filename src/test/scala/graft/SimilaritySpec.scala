@@ -482,6 +482,32 @@ class SimilaritySpec extends SparkSpec {
     ), s"byBucket=$byBucket perQuery=$perQuery")
   }
 
+  test("knnInDegreeE6: hand-computed 1-NN in-degrees; zeros included; ties to smaller id") {
+    import graft.operators.Similarity
+    // 1-D: 0, 1, 10, 11 (ids 1..4). 1-NN: 1→2, 2→1, 3→4, 4→3
+    // in-degrees all 1 → histogram {1 → 4}
+    val d = Seq((1L, Seq(0.0f)), (2L, Seq(1.0f)), (3L, Seq(10.0f)), (4L, Seq(11.0f)))
+      .toDF("id", "vec")
+    val g1 = Similarity.knnInDegreeE6(d, "id", "vec", k = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(g1 == Map(1L -> 4L), g1.toString)
+    // hub layout: 0, 2, 4 (ids 1,2,3) — everyone's 1-NN is the middle
+    // point except the middle itself (tie 1 vs 3 at dist 4e12 → smaller
+    // id 1): in-degrees 1→1, 2→2, 3→0 → histogram {0→1, 1→1, 2→1}
+    val hub = Seq((1L, Seq(0.0f)), (2L, Seq(2.0f)), (3L, Seq(4.0f)))
+      .toDF("id", "vec")
+    val g2 = Similarity.knnInDegreeE6(hub, "id", "vec", k = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(g2 == Map(0L -> 1L, 1L -> 1L, 2L -> 1L), g2.toString)
+    // k beyond the sample: every point is in every list
+    val g3 = Similarity.knnInDegreeE6(hub, "id", "vec", k = 9)
+      .as[(Long, Long)].collect().toMap
+    assert(g3 == Map(2L -> 3L), g3.toString)
+    intercept[IllegalArgumentException] {
+      Similarity.knnInDegreeE6(d, "id", "vec", k = 0)
+    }
+  }
+
   test("kCenterGreedyE6: farthest-point order, tie-breaks, exhaustion, malformed rows") {
     import graft.operators.Similarity
     // 1-D layout: 0.0, 0.1, 5.0, 10.0 (ids 1..4). Seed = id 1 (smallest).
