@@ -2460,6 +2460,31 @@ object SparkEntry {
         .orderBy("period")
     }),
 
+    // ---- STREAMING n-gram novelty: persistent fingerprint store of
+    //      every 3-gram ever seen; per batch, the new-information rate
+    //      (re-crawls score near zero). Batch 1 replays to prove the
+    //      no-op guard; oracle = first-batch-wins over the same split
+    "novelty_stream" -> ((s, dir) => {
+      import graft.streaming.StreamingOps
+      val d = t(s, dir, "documents").filter(col("doc_id") < 1500)
+        .select(col("doc_id"), col("text"),
+          expr("doc_id % 3").as("_b"))
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-novelty-stream").toString
+      for (b <- 0L to 2L) {
+        val batch = d.filter(col("_b") === b).select(col("doc_id"), col("text"))
+        StreamingOps.applyNoveltyBatch(s, batch, b, "text", n = 3,
+          s"$work/state", s"$work/out")
+        if (b == 1L)
+          StreamingOps.applyNoveltyBatch(s, batch, b, "text", n = 3,
+            s"$work/state", s"$work/out")
+      }
+      s.read.parquet(s"$work/out")
+        .select(col("batch_id"), col("novel_ngrams"),
+          col("distinct_ngrams"), col("novelty_ppm"))
+        .orderBy("batch_id")
+    }),
+
     // ---- STREAMING drift timeline: the rolling-reference variant —
     //      each day-batch scores against the PREVIOUS day's committed
     //      histogram and then becomes the new reference; day 2 replays
@@ -6778,6 +6803,33 @@ object SparkEntry {
          | CAST((2 * (s * 1000000000) + CAST(n_prev AS HUGEINT) * n_cur)
          |   // (2 * CAST(n_prev AS HUGEINT) * n_cur) AS BIGINT) AS l1_e9
          |FROM g ORDER BY 1""".stripMargin,
+
+    // first-batch-wins replay of the streaming novelty store over the
+    // same doc_id % 3 split; distinct by exact string on the oracle
+    // side (the Spark store is 8-byte fps, 2⁻⁶⁴ collision argument)
+    "novelty_stream" ->
+      """WITH toks AS (
+        | SELECT doc_id % 3 AS b,
+        |  list_filter(string_split_regex(trim(regexp_replace(regexp_replace(lower(text), '[[:punct:]]', '', 'g'), '\s+', ' ', 'g')), '\s+'), t -> t <> '') AS ts
+        | FROM documents WHERE doc_id < 1500
+        |), sh AS (
+        | SELECT b, unnest(
+        |  CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+        |       ELSE list_distinct(list_transform(range(1, len(ts) - 1), i -> array_to_string(ts[i:i+2], ' ')))
+        |  END) AS g
+        | FROM toks
+        |), bg AS (
+        | SELECT DISTINCT b, g FROM sh
+        |), firsts AS (
+        | SELECT g, min(b) AS fb FROM bg GROUP BY 1
+        |)
+        |SELECT CAST(bg.b AS BIGINT) AS batch_id,
+        | CAST(sum(CASE WHEN f.fb = bg.b THEN 1 ELSE 0 END) AS BIGINT) AS novel_ngrams,
+        | CAST(count(*) AS BIGINT) AS distinct_ngrams,
+        | CAST(CAST(sum(CASE WHEN f.fb = bg.b THEN 1 ELSE 0 END) AS BIGINT) * 1000000
+        |   // greatest(count(*), 1) AS BIGINT) AS novelty_ppm
+        |FROM bg JOIN firsts f ON bg.g = f.g
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the rolling-reference streaming timeline over the FIRST 4 days:
     // batches pair by arrival RANK (the streaming semantics — equal to

@@ -842,6 +842,65 @@ object StreamingOps {
     }
   }
 
+  /** One micro-batch of STREAMING n-gram novelty — the continuous face
+    * of [[graft.operators.Vocab.ngramNovelty]]: a persistent
+    * fingerprint store of every n-gram ever seen, and per batch one
+    * accounting row `(batch_id, novel_ngrams, distinct_ngrams,
+    * novelty_ppm)` — how much NEW information the batch carries (a
+    * re-crawl or templated feed scores near zero). The batch's novel
+    * fingerprints then append to the store as the next committed
+    * version (`_CURRENT` protocol).
+    *
+    * Replay idempotence: a batch at or below the committed version
+    * no-ops (its row was written before the commit); a torn commit
+    * replays against the OLD store and converges bit-identically (the
+    * [[applyDedupBatch]] argument). The exchange carries 8-byte
+    * fingerprints only; the store append is a shuffle-free copy+append
+    * (novel fps are distinct and disjoint from the store by
+    * construction).
+    */
+  def applyNoveltyBatch(
+      spark: SparkSession,
+      batch: DataFrame,
+      batchId: Long,
+      textCol: String,
+      n: Int,
+      statePath: String,
+      outPath: String
+  ): Unit = {
+    import spark.implicits._
+    require(n >= 1, s"applyNoveltyBatch: n must be positive, got $n")
+    currentVersionId(spark, statePath) match {
+      case Some(cur) if cur >= batchId =>
+        log.warn(s"noveltyStream: skipping batch $batchId — state at " +
+          s"v$cur already includes it")
+      case _ =>
+        val grams = batch
+          .select(explode(array_distinct(
+            graft.functions.TextFunctions.shingles(col(textCol), n))).as("_s"))
+          .select(xxhash64(col("_s")).as("_fp"))
+          .distinct()
+          .localCheckpoint()
+        val state = readState(spark, statePath)
+        val novel = (state match {
+          case Some(st) => grams.join(st, Seq("_fp"), "left_anti")
+          case None => grams
+        }).localCheckpoint()
+        val total = grams.count()
+        val nov = novel.count()
+        Seq((batchId, nov, total, nov * 1000000L / math.max(total, 1L)))
+          .toDF("batch_id", "novel_ngrams", "distinct_ngrams", "novelty_ppm")
+          .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+        val newState = state match {
+          case Some(st) => st.unionByName(novel)
+          case None => novel
+        }
+        val version = s"v$batchId"
+        newState.write.mode("overwrite").parquet(s"$statePath/$version")
+        commitVersion(spark, statePath, version, keepFrom = batchId - 1)
+    }
+  }
+
   /** One micro-batch of the STREAMING drift timeline — the ROLLING
     * variant of [[applyDriftBatch]]: instead of scoring every batch
     * against a frozen batch-0 reference, each batch scores against the

@@ -603,6 +603,28 @@ class StreamingSpec extends SparkSpec {
     assert(replayed == first)
   }
 
+  test("novelty stream: store accumulates forever, re-crawl scores zero, replay no-ops") {
+    val work = Files.createTempDirectory("graft-novelty-spec").toString
+    val b0 = Seq((1L, "p q r s")).toDF("id", "text")      // 3-grams: {p q r, q r s}
+    val b1 = Seq((2L, "q r s t")).toDF("id", "text")      // {q r s, r s t} → 1 novel
+    val b2 = Seq((3L, "p q r s")).toDF("id", "text")      // exact re-crawl → 0 novel
+    StreamingOps.applyNoveltyBatch(spark, b0, 0L, "text", 3, s"$work/state", s"$work/out")
+    StreamingOps.applyNoveltyBatch(spark, b1, 1L, "text", 3, s"$work/state", s"$work/out")
+    // replay of batch 1 must not double-append its grams
+    StreamingOps.applyNoveltyBatch(spark, b1, 1L, "text", 3, s"$work/state", s"$work/out")
+    StreamingOps.applyNoveltyBatch(spark, b2, 2L, "text", 3, s"$work/state", s"$work/out")
+    val got = spark.read.parquet(s"$work/out")
+      .select("batch_id", "novel_ngrams", "distinct_ngrams", "novelty_ppm")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (0L, 2L, 2L, 1000000L),
+      (1L, 1L, 2L, 500000L),
+      (2L, 0L, 2L, 0L)
+    ), got.toString)
+    // the store holds exactly the 3 distinct grams ever seen
+    assert(StreamingOps.readState(spark, s"$work/state").get.count() == 3)
+  }
+
   test("drift timeline stream: rolling reference advances per batch, equals the batch timeline, replay no-ops") {
     import graft.operators.ImportanceScoring
     val work = Files.createTempDirectory("graft-drift-tl-spec").toString
