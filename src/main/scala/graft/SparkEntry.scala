@@ -2575,6 +2575,15 @@ object SparkEntry {
         .orderBy("source", "p_ppm")
     }),
 
+    // ---- robust per-source length calibration: mean of n_chars inside
+    //      the per-source [p5, p95] band — the trimmed mean an outlier
+    //      page can't drag; exact rank thresholds, integer mean_e6
+    "trimmed_mean_by_source" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("source"), col("n_chars"))
+      Profile.trimmedMeanByGroup(d, "source", "n_chars", 0.05, 0.95)
+        .orderBy("source")
+    }),
+
     // ---- Gini of token-mass concentration across sources: the
     //      "is one domain eating the token budget" composition
     //      diagnostic — exact sorted-rank formula, pure integers
@@ -6671,6 +6680,32 @@ object SparkEntry {
         |SELECT source, CAST(count(*) AS BIGINT) AS kept_docs,
         | CAST(sum(n_chars) AS BIGINT) AS kept_mass
         |FROM w, thr WHERE w.v >= thr.t
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // per-source [p5, p95] thresholds by the same rank rule, then the
+    // exact integer mean of the surviving band
+    "trimmed_mean_by_source" ->
+      """WITH w2 AS (
+        | SELECT CAST(source AS VARCHAR) AS g, CAST(n_chars AS BIGINT) AS v
+        | FROM documents WHERE source IS NOT NULL AND n_chars IS NOT NULL
+        |), tot AS (
+        | SELECT g, CAST(count(*) AS BIGINT) AS n FROM w2 GROUP BY 1
+        |), c AS (
+        | SELECT g, v, CAST(count(*) AS BIGINT) AS cnt FROM w2 GROUP BY 1, 2
+        |), r AS (
+        | SELECT g, v, sum(cnt) OVER (PARTITION BY g ORDER BY v
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        | FROM c
+        |), thr AS (
+        | SELECT tot.g,
+        |  (SELECT min(r.v) FROM r WHERE r.g = tot.g AND r.cum > floor(0.05 * (tot.n - 1))) AS lo,
+        |  (SELECT min(r.v) FROM r WHERE r.g = tot.g AND r.cum > floor(0.95 * (tot.n - 1))) AS hi
+        | FROM tot
+        |)
+        |SELECT w2.g AS source, CAST(count(*) AS BIGINT) AS n_kept,
+        | CAST(CAST(sum(w2.v) AS HUGEINT) * 1000000 // count(*) AS BIGINT) AS mean_e6
+        |FROM w2 JOIN thr ON thr.g = w2.g
+        |WHERE w2.v >= thr.lo AND w2.v <= thr.hi
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the sorted-rank Gini over per-source token masses; numerator

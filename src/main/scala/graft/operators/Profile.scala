@@ -610,6 +610,62 @@ object Profile {
     rows.toDF(groupCol, "p_ppm", "value")
   }
 
+  /** Trimmed mean per group — the robust location estimate a mixture
+    * pipeline calibrates sources with (an outlier page can't drag its
+    * source's mean length/quality): per group, drop values strictly
+    * below the `loQ` percentile or above the `hiQ` percentile (both by
+    * the exact [[weightedPercentilesByGroup]] rank rule with weight ≡
+    * 1, i.e. the value at rank `floor(q·(n−1))`), then the mean of the
+    * survivors as an exact scaled integer `mean_e6 = (Σv·10⁶) div
+    * n_kept`. Values are cast to BIGINT — the operator is for
+    * NON-NEGATIVE integer measures (lengths, token counts): below zero
+    * Spark's truncating `div` and a flooring engine disagree, so the
+    * sign restriction is part of the replayability contract. Output:
+    * `(<group>, n_kept BIGINT, mean_e6 BIGINT)`.
+    *
+    * Scale shape: thresholds ride the batched distributed selection
+    * (one histogram pass + level-1 bucket totals over ALL groups
+    * together); the per-group (lo, hi) table is driver metadata
+    * broadcast into ONE filtered aggregate — two corpus passes total,
+    * no per-group scan, sums in DECIMAL(38,0).
+    */
+  def trimmedMeanByGroup(
+      df: DataFrame,
+      groupCol: String,
+      colName: String,
+      loQ: Double,
+      hiQ: Double
+  ): DataFrame = {
+    require(loQ >= 0.0 && hiQ <= 1.0 && loQ < hiQ,
+      s"trimmedMeanByGroup: need 0 <= loQ < hiQ <= 1, got ($loQ, $hiQ)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vals = df.select(col(groupCol).cast(StringType).as("_g"),
+        col(colName).cast(LongType).as("_v"))
+      .filter(col("_g").isNotNull && col("_v").isNotNull)
+    val thr = weightedPercentilesByGroup(
+        vals.select(col("_g"), col("_v")), "_g", "_v", lit(1L), Seq(loQ, hiQ))
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (g, rows) =>
+        val byP = rows.map(r => r.getLong(1) -> r.getDouble(2)).toMap
+        (g, byP(math.round(loQ * 1000000.0)).toLong,
+          byP(math.round(hiQ * 1000000.0)).toLong)
+      }.toSeq
+    if (thr.isEmpty) {
+      return Seq.empty[(String, Long, Long)]
+        .toDF(groupCol, "n_kept", "mean_e6")
+    }
+    val thrDf = broadcast(thr.toDF("_g", "_lo", "_hi"))
+    vals.join(thrDf, Seq("_g"))
+      .filter(col("_v") >= col("_lo") && col("_v") <= col("_hi"))
+      .groupBy(col("_g"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("_v")).as("_s"))
+      .select(col("_g").as(groupCol), col("n_kept"),
+        expr("CAST((CAST(_s AS DECIMAL(38,0)) * 1000000) div n_kept AS BIGINT)")
+          .as("mean_e6"))
+  }
+
   /** Gini coefficient of mass concentration across groups — the
     * corpus-composition diagnostic ("how concentrated is the token
     * budget across domains/sources"): 0 = every group carries equal

@@ -516,6 +516,32 @@ class ProfileSpec extends SparkSpec {
     }
   }
 
+  test("trimmedMeanByGroup: outliers outside the band drop; exact integer mean") {
+    import graft.operators.Profile
+    // group a: 1..10 plus outlier 1000. n = 11.
+    // p10 rank = floor(0.1·10) = 1 → lo = 2nd value = 2
+    // p90 rank = floor(0.9·10) = 9 → hi = 10th value = 10
+    // band [2, 10]: values 2..10 → sum 54, n 9, mean_e6 = 54e6 div 9 = 6e6
+    val rows = (1L to 10L).map(("a", _)) :+ (("a", 1000L))
+    val d = rows.toDF("g", "v")
+    val got = Profile.trimmedMeanByGroup(d, "g", "v", 0.1, 0.9)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("a", 9L, 6000000L)), got.toString)
+    // two groups trim independently; truncating mean division
+    val two = (rows ++ Seq(("b", 1L), ("b", 2L), ("b", 2L))).toDF("g", "v")
+    val g2 = Profile.trimmedMeanByGroup(two, "g", "v", 0.1, 0.9)
+      .orderBy("g").as[(String, Long, Long)].collect().toSeq
+    // group b: n = 3, lo rank floor(0.1·2)=0 → 1, hi rank floor(0.9·2)=1 →
+    // value at rank 1 = 2; band [1,2] keeps all → mean = 5e6/3 = 1666666
+    assert(g2 == Seq(("a", 9L, 6000000L), ("b", 3L, 1666666L)), g2.toString)
+    intercept[IllegalArgumentException] {
+      Profile.trimmedMeanByGroup(d, "g", "v", 0.9, 0.1)
+    }
+    // empty input → empty output
+    assert(Profile.trimmedMeanByGroup(
+      Seq.empty[(String, Long)].toDF("g", "v"), "g", "v", 0.1, 0.9).count() == 0)
+  }
+
   test("massGini: equal masses → 0; concentration raises it; hand-computed value") {
     import graft.operators.Profile
     import org.apache.spark.sql.functions._
