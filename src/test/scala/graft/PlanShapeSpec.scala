@@ -468,4 +468,48 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchanges.forall(l => !l.contains("text#")), plan)
   }
 
+  test("distinct-n diversity: two-phase aggregates, no text past the first exchange") {
+    import graft.operators.Vocab
+    val q = Vocab.distinctNgramRatio(t("documents"), "source", "text", Seq(2))
+    val plan = physical(q)
+    // partial + final on BOTH aggregates (per-(g,fp) count, then per-g)
+    assert(plan.split("HashAggregate").length - 1 >= 4, plan)
+    // shuffles carry (group, fingerprint, count) — never the shingle text
+    val exchanges = plan.split("\n").filter(_.contains("Exchange hashpartitioning"))
+    assert(exchanges.nonEmpty && exchanges.forall(l => !l.contains("text#") && !l.contains("_s#")), plan)
+  }
+
+  test("k-center greedy round: min-dist update is narrow over the checkpointed set") {
+    import graft.operators.Similarity
+    val emb = t("embeddings").filter(col("vec_id") < 64)
+      .select(col("vec_id"), col("embedding"))
+    // two rounds: the per-round update plan must be scan → project only
+    // (the TakeOrdered reduction is the sole wide step)
+    val sel = Similarity.kCenterGreedyE6(emb, "vec_id", "embedding", k = 3)
+    assert(sel.count() == 3)
+    // the distance expression itself stays codegen-narrow
+    import org.apache.spark.sql.graft.ColumnBridge
+    val d = emb.select(ColumnBridge.column(graft.plans.MinSqDistE6(
+      ColumnBridge.expression(transform(col("embedding"),
+        v => floor(v.cast("double") * 1000000d).cast("long"))),
+      Seq.fill(16)(0L), 16)).as("_d"))
+    val plan = physical(d)
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("mass gini: per-group aggregate is two-phase; the window runs over groups, not the corpus") {
+    import graft.operators.Profile
+    val q = Profile.massGini(
+      t("documents").select(col("source"), col("n_chars")), "source", col("n_chars"))
+    val plan = physical(q)
+    // the corpus-side aggregate partial-combines map-side
+    assert(plan.split("HashAggregate").length - 1 >= 2, plan)
+    // exactly one Window, and it consumes the per-group masses (_m), not
+    // any corpus column
+    val windows = plan.split("\n").filter(_.contains("Window"))
+    assert(windows.length >= 1, plan)
+    assert(windows.forall(l => !l.contains("n_chars#") && !l.contains("text#")), plan)
+  }
+
 }
