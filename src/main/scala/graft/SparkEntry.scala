@@ -2575,6 +2575,16 @@ object SparkEntry {
         .orderBy("source", "p_ppm")
     }),
 
+    // ---- chance-corrected agreement between two quality raters
+    //      (char-length vs token-count keep rules): Cohen's kappa over
+    //      the confusion cells, exact integers, trunc-div pinned
+    "filter_agreement_kappa" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Profile.cohenKappaE6(d,
+        col("n_chars") >= 500,
+        TextFunctions.tokenCount(col("text")) >= 80)
+    }),
+
     // ---- robust per-source length calibration: mean of n_chars inside
     //      the per-source [p5, p95] band — the trimmed mean an outlier
     //      page can't drag; exact rank thresholds, integer mean_e6
@@ -6681,6 +6691,31 @@ object SparkEntry {
         | CAST(sum(n_chars) AS BIGINT) AS kept_mass
         |FROM w, thr WHERE w.v >= thr.t
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // kappa over the confusion cells of the two keep rules; n² and the
+    // chance term ride HUGEINT; // truncates toward zero like BigInt
+    "filter_agreement_kappa" ->
+      """WITH l AS (
+        | SELECT CASE WHEN n_chars >= 500 THEN 'T' ELSE 'F' END AS a,
+        |  CASE WHEN len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) >= 80 THEN 'T' ELSE 'F' END AS b
+        | FROM documents WHERE n_chars IS NOT NULL AND text IS NOT NULL
+        |), cell AS (
+        | SELECT a, b, CAST(count(*) AS BIGINT) AS c FROM l GROUP BY 1, 2
+        |), nn AS (
+        | SELECT CAST(sum(c) AS HUGEINT) AS n FROM cell
+        |), ag AS (
+        | SELECT CAST(coalesce(sum(CASE WHEN a = b THEN c ELSE 0 END), 0) AS HUGEINT) AS agree FROM cell
+        |), ma AS (
+        | SELECT a, CAST(sum(c) AS HUGEINT) AS ca FROM cell GROUP BY 1
+        |), mb AS (
+        | SELECT b, CAST(sum(c) AS HUGEINT) AS cb FROM cell GROUP BY 1
+        |), ch AS (
+        | SELECT CAST(coalesce(sum(ma.ca * mb.cb), 0) AS HUGEINT) AS s
+        | FROM ma JOIN mb ON ma.a = mb.b
+        |)
+        |SELECT CAST(nn.n AS BIGINT) AS n, CAST(ag.agree AS BIGINT) AS n_agree,
+        | CAST(((nn.n * ag.agree - ch.s) * 1000000) // (nn.n * nn.n - ch.s) AS BIGINT) AS kappa_e6
+        |FROM nn, ag, ch WHERE nn.n > 0 AND nn.n * nn.n <> ch.s""".stripMargin,
 
     // per-source [p5, p95] thresholds by the same rank rule, then the
     // exact integer mean of the surviving band

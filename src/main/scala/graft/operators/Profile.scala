@@ -610,6 +610,51 @@ object Profile {
     rows.toDF(groupCol, "p_ppm", "value")
   }
 
+  /** Cohen's kappa between two categorical label columns — chance-
+    * corrected agreement, the standard answer to "do these two quality
+    * filters/classifiers actually agree, or do they just both say KEEP
+    * 90% of the time?" (raw agreement is inflated exactly when labels
+    * are skewed, which corpus quality labels always are). Exact
+    * integer form over the K×K confusion cell counts:
+    *
+    *   kappa_e6 = (n·agree − Σ_k na_k·nb_k) · 10⁶ div (n² − Σ_k na_k·nb_k)
+    *
+    * computed driver-side in BigInt (n² overflows int64 past ~3·10⁹
+    * rows) and truncated toward zero — the direction Spark's `div` and
+    * DuckDB's `//` share, pinned for NEGATIVE kappa (worse-than-chance)
+    * by the [[Similarity.kmeansCentroidsFromSums]] precedent. Output:
+    * one row `(n BIGINT, n_agree BIGINT, kappa_e6 BIGINT)`; a
+    * degenerate pe = 1 (both raters constant with identical marginals)
+    * emits nothing — kappa is undefined there, not 0.
+    *
+    * Scale shape: ONE map-side-combined aggregate to ≤K² confusion
+    * cells; everything after is driver metadata. Null labels on either
+    * side are excluded (no agreement is defined for a missing rating).
+    */
+  def cohenKappaE6(df: DataFrame, colA: Column, colB: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cells = df
+      .select(colA.cast(StringType).as("_a"), colB.cast(StringType).as("_b"))
+      .filter(col("_a").isNotNull && col("_b").isNotNull)
+      .groupBy(col("_a"), col("_b")).agg(count(lit(1)).as("_c"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val n = BigInt(cells.map(_._3).sum)
+    val agree = BigInt(cells.filter(c => c._1 == c._2).map(_._3).sum)
+    val na = cells.groupBy(_._1).map { case (k, v) => k -> BigInt(v.map(_._3).sum) }
+    val nb = cells.groupBy(_._2).map { case (k, v) => k -> BigInt(v.map(_._3).sum) }
+    val chance = na.map { case (k, c) => c * nb.getOrElse(k, BigInt(0)) }.sum
+    val denom = n * n - chance
+    if (n == 0 || denom == 0) {
+      Seq.empty[(Long, Long, Long)].toDF("n", "n_agree", "kappa_e6")
+    } else {
+      val kappa = (n * agree - chance) * 1000000 / denom // BigInt /: trunc toward zero
+      Seq((n.toLong, agree.toLong, kappa.toLong))
+        .toDF("n", "n_agree", "kappa_e6")
+    }
+  }
+
   /** Trimmed mean per group — the robust location estimate a mixture
     * pipeline calibrates sources with (an outlier page can't drag its
     * source's mean length/quality): per group, drop values strictly

@@ -516,6 +516,36 @@ class ProfileSpec extends SparkSpec {
     }
   }
 
+  test("cohenKappaE6: perfect, chance-level, and negative agreement; degenerate emits nothing") {
+    import graft.operators.Profile
+    import org.apache.spark.sql.functions._
+    // perfect agreement → 1e6
+    val perfect = Seq(("x", "x"), ("y", "y"), ("x", "x")).toDF("a", "b")
+    val p = Profile.cohenKappaE6(perfect, col("a"), col("b"))
+      .as[(Long, Long, Long)].head()
+    assert(p == ((3L, 3L, 1000000L)), p.toString)
+    // the classic 2×2: cells (T,T)=20 (T,F)=5 (F,T)=10 (F,F)=15, n=50
+    // agree=35; na: T=25 F=25; nb: T=30 F=20; chance=25·30+25·20=1250
+    // kappa = (50·35−1250)/(2500−1250) = 500/1250 = 0.4 → 400000
+    val cells = Seq.fill(20)(("T", "T")) ++ Seq.fill(5)(("T", "F")) ++
+      Seq.fill(10)(("F", "T")) ++ Seq.fill(15)(("F", "F"))
+    val k = Profile.cohenKappaE6(cells.toDF("a", "b"), col("a"), col("b"))
+      .as[(Long, Long, Long)].head()
+    assert(k == ((50L, 35L, 400000L)), k.toString)
+    // systematic disagreement → negative kappa (trunc toward zero)
+    val neg = Seq(("T", "F"), ("F", "T"), ("T", "F"), ("F", "T")).toDF("a", "b")
+    val kn = Profile.cohenKappaE6(neg, col("a"), col("b"))
+      .as[(Long, Long, Long)].head()
+    assert(kn == ((4L, 0L, -1000000L)), kn.toString)
+    // both raters constant and identical → pe = 1, undefined → empty
+    val const = Seq(("T", "T"), ("T", "T")).toDF("a", "b")
+    assert(Profile.cohenKappaE6(const, col("a"), col("b")).count() == 0)
+    // null labels on either side drop
+    val withNull = Seq(("T", "T"), (null, "T"), ("T", null)).toDF("a", "b")
+    val kw = Profile.cohenKappaE6(withNull, col("a"), col("b"))
+    assert(kw.count() == 0 || kw.as[(Long, Long, Long)].head()._1 == 1L)
+  }
+
   test("trimmedMeanByGroup: outliers outside the band drop; exact integer mean") {
     import graft.operators.Profile
     // group a: 1..10 plus outlier 1000. n = 11.
