@@ -2594,6 +2594,28 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // ---- ingest-gate expectation report: named range/null checks over
+    //      lineitem in ONE aggregate pass; null-valued rows FAIL their
+    //      rule (unassessable ≠ passing)
+    "expectation_report" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      Profile.expectationReport(li, Seq(
+        "quantity_range" -> (col("l_quantity") >= 1 && col("l_quantity") <= 50),
+        "shipdate_not_null" -> col("l_shipdate").isNotNull,
+        "positive_price" -> (col("l_extendedprice") > 0),
+        "tax_low" -> (col("l_tax") <= 0.05)
+      )).orderBy("rule")
+    }),
+
+    // ---- Lorenz curve of the same concentration: cumulative share of
+    //      sources vs cumulative share of tokens, ascending by mass
+    "lorenz_curve" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("source"), TextFunctions.tokenCount(col("text")).as("_w"))
+      Profile.lorenzCurve(d, "source", col("_w"))
+        .orderBy("grp_rank")
+    }),
+
     // ---- Gini of token-mass concentration across sources: the
     //      "is one domain eating the token budget" composition
     //      diagnostic — exact sorted-rank formula, pure integers
@@ -6742,6 +6764,40 @@ object SparkEntry {
         |FROM w2 JOIN thr ON thr.g = w2.g
         |WHERE w2.v >= thr.lo AND w2.v <= thr.hi
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the same four pass predicates; violation = NOT coalesce(pass, false)
+    "expectation_report" -> {
+      val rules = Seq(
+        "quantity_range" -> "l_quantity >= 1 AND l_quantity <= 50",
+        "shipdate_not_null" -> "l_shipdate IS NOT NULL",
+        "positive_price" -> "l_extendedprice > 0",
+        "tax_low" -> "l_tax <= 0.05")
+      rules.map { case (name, pred) =>
+        s"""SELECT '$name' AS rule, CAST(count(*) AS BIGINT) AS n_rows,
+           | CAST(sum(CASE WHEN NOT coalesce($pred, false) THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+           | CAST(CAST(sum(CASE WHEN NOT coalesce($pred, false) THEN 1 ELSE 0 END) AS BIGINT) * 1000000
+           |   // greatest(count(*), 1) AS BIGINT) AS violation_ppm
+           |FROM lineitem""".stripMargin
+      }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY rule")
+    },
+
+    // the pointwise Lorenz companion: same masses, cumulative shares
+    "lorenz_curve" ->
+      """WITH m AS (
+        | SELECT CAST(source AS VARCHAR) AS g,
+        |  CAST(sum(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''))) AS BIGINT) AS m
+        | FROM documents WHERE source IS NOT NULL GROUP BY 1
+        |), r AS (
+        | SELECT g, m, row_number() OVER (ORDER BY m, g) AS i,
+        |  sum(m) OVER (ORDER BY m, g ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        | FROM m
+        |), t AS (
+        | SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(m) AS BIGINT) AS s FROM m
+        |)
+        |SELECT r.g AS source, CAST(r.i AS BIGINT) AS grp_rank,
+        | CAST(r.i * 1000000 // t.n AS BIGINT) AS cum_groups_ppm,
+        | CAST(CAST(r.cum AS HUGEINT) * 1000000 // t.s AS BIGINT) AS cum_mass_ppm
+        |FROM r, t WHERE t.s > 0 ORDER BY 2""".stripMargin,
 
     // the sorted-rank Gini over per-source token masses; numerator
     // non-negative by the ascending sort so // and div agree

@@ -610,6 +610,72 @@ object Profile {
     rows.toDF(groupCol, "p_ppm", "value")
   }
 
+  /** Data-expectation validation report — the ingest-gate check a
+    * pipeline runs before accepting a batch (the "expectations" family:
+    * range checks, null rates, referential sanity): each rule is a
+    * named PASS predicate; a row violates the rule when the predicate
+    * is false OR null (an unassessable row fails — silently passing
+    * null rows is how bad batches slip through). Output: one row per
+    * rule, `(rule STRING, n_rows BIGINT, n_violations BIGINT,
+    * violation_ppm BIGINT)` with `violation_ppm = v·10⁶ div
+    * max(n, 1)`.
+    *
+    * Scale shape: ONE aggregate pass whatever the rule count — every
+    * rule folds into the same map-side-combined agg as a conditional
+    * sum; the per-rule explode happens driver-side on the single
+    * result row. Rules are plain `Column` predicates, so filter
+    * pushdown and codegen apply to the scan beneath.
+    */
+  def expectationReport(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "expectationReport: no rules")
+    require(rules.map(_._1).distinct.size == rules.size,
+      s"expectationReport: duplicate rule names in ${rules.map(_._1)}")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val aggs = count(lit(1)).as("_n") +:
+      rules.zipWithIndex.map { case ((_, pred), i) =>
+        sum(when(!coalesce(pred, lit(false)), 1L).otherwise(0L)).as(s"_v$i")
+      }
+    val row = df.agg(aggs.head, aggs.tail: _*).collect().head
+    val n = row.getLong(0)
+    rules.zipWithIndex.map { case ((name, _), i) =>
+      val v = row.getLong(i + 1)
+      (name, n, v, v * 1000000L / math.max(n, 1L))
+    }.toDF("rule", "n_rows", "n_violations", "violation_ppm")
+  }
+
+  /** Lorenz curve of mass concentration across groups — [[massGini]]'s
+    * pointwise companion (the Gini is twice the area between this curve
+    * and the diagonal): groups sorted ascending by (mass, group), each
+    * emitting its cumulative share of groups and of mass. "The bottom
+    * 80% of domains hold 12% of the tokens" reads directly off the
+    * output. Exact integers: `(group, grp_rank BIGINT, cum_groups_ppm
+    * BIGINT, cum_mass_ppm BIGINT)` with both shares `cum·10⁶ div
+    * total`. Exclusions and scale shape match [[massGini]] (one
+    * map-side-combined aggregate; the window runs over ≤ #groups rows).
+    */
+  def lorenzCurve(df: DataFrame, groupCol: String, weight: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val masses = df
+      .select(col(groupCol).cast(StringType).as("_g"),
+        weight.cast(LongType).as("_w"))
+      .filter(col("_g").isNotNull && col("_w").isNotNull && col("_w") >= 0)
+      .groupBy(col("_g")).agg(sum(col("_w")).as("_m"))
+    val w = Window.orderBy(col("_m"), col("_g"))
+    val wAll = Window.partitionBy(lit(1))
+    masses
+      .withColumn("_i", row_number().over(w).cast(LongType))
+      .withColumn("_cum", sum(col("_m")).over(
+        Window.orderBy(col("_m"), col("_g"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("_n", count(lit(1)).over(wAll))
+      .withColumn("_s", sum(col("_m")).over(wAll))
+      .filter(col("_s") > 0)
+      .select(col("_g").as(groupCol), col("_i").as("grp_rank"),
+        expr("CAST(_i * 1000000 div _n AS BIGINT)").as("cum_groups_ppm"),
+        expr("CAST(_cum * 1000000 div _s AS BIGINT)").as("cum_mass_ppm"))
+  }
+
   /** Cohen's kappa between two categorical label columns — chance-
     * corrected agreement, the standard answer to "do these two quality
     * filters/classifiers actually agree, or do they just both say KEEP

@@ -516,6 +516,49 @@ class ProfileSpec extends SparkSpec {
     }
   }
 
+  test("lorenzCurve: cumulative shares ascend to 1e6; pairs with massGini's ordering") {
+    import graft.operators.Profile
+    import org.apache.spark.sql.functions._
+    val d = Seq(("a", 1L), ("b", 2L), ("c", 3L), ("d", 4L)).toDF("g", "w")
+    val got = Profile.lorenzCurve(d, "g", col("w"))
+      .orderBy("grp_rank")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("a", 1L, 250000L, 100000L),
+      ("b", 2L, 500000L, 300000L),
+      ("c", 3L, 750000L, 600000L),
+      ("d", 4L, 1000000L, 1000000L)
+    ), got.toString)
+    // zero-mass corpus emits nothing (matches massGini)
+    assert(Profile.lorenzCurve(
+      Seq(("a", 0L)).toDF("g", "w"), "g", col("w")).count() == 0)
+  }
+
+  test("expectationReport: one pass, per-rule violation counts; null fails its rule") {
+    import graft.operators.Profile
+    import org.apache.spark.sql.functions._
+    val d = Seq[(java.lang.Long, String)](
+      (5L, "x"), (500L, "y"), (null, "z"), (7L, null)
+    ).toDF("v", "s")
+    val got = Profile.expectationReport(d, Seq(
+        "v_small" -> (col("v") < 100),
+        "s_not_null" -> col("s").isNotNull))
+      .orderBy("rule")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    // v_small: 500 fails, null v fails (unassessable) → 2 of 4
+    // s_not_null: one null s → 1 of 4
+    assert(got == Seq(
+      ("s_not_null", 4L, 1L, 250000L),
+      ("v_small", 4L, 2L, 500000L)
+    ), got.toString)
+    intercept[IllegalArgumentException] {
+      Profile.expectationReport(d, Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      Profile.expectationReport(d, Seq("a" -> lit(true), "a" -> lit(false)))
+    }
+  }
+
   test("cohenKappaE6: perfect, chance-level, and negative agreement; degenerate emits nothing") {
     import graft.operators.Profile
     import org.apache.spark.sql.functions._
