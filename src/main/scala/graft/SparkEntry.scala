@@ -2881,6 +2881,15 @@ object SparkEntry {
         .orderBy("step")
     }),
 
+    // ---- first-order Markov transition matrix over per-user event
+    //      streams: "after a view, what fraction of next actions are
+    //      purchases" — exact counts + row-normalized ppm
+    "event_transitions" -> ((s, dir) => {
+      val ev = events(s, dir).withColumn("tsm", unix_micros(col("ts")))
+      Funnel.transitionMatrix(ev, "user_id", "tsm", "event_type", "event_id")
+        .orderBy("from_type", "to_type")
+    }),
+
     // ---- JSON-path extraction over the event props column: codegen'd
     //      get_json_object + grouped integer aggregates
     "props_extract_agg" -> ((s, dir) => {
@@ -7322,6 +7331,21 @@ object SparkEntry {
         | FROM events
         |)
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // lead() over the same (ts, event_id) order; window sum through
+    // HUGEINT then cast (the row-normalizer)
+    "event_transitions" ->
+      """WITH o AS (
+        | SELECT user_id, event_type,
+        |  lead(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS nxt
+        | FROM events
+        |)
+        |SELECT event_type AS from_type, nxt AS to_type,
+        | CAST(count(*) AS BIGINT) AS n,
+        | CAST((CAST(count(*) AS HUGEINT) * 1000000)
+        |   // CAST(sum(count(*)) OVER (PARTITION BY event_type) AS HUGEINT) AS BIGINT) AS p_ppm
+        |FROM o WHERE nxt IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "quality_filter" ->
       """WITH f AS (

@@ -213,4 +213,47 @@ object Funnel {
       .orderBy(col("cnt").desc, col("path").asc)
       .limit(k)
   }
+
+  /** First-order (Markov) transition matrix over per-user event
+    * sequences — [[topPaths]]' probabilistic sibling: for every
+    * consecutive (from, to) event-type pair in each user's
+    * (ts, tie)-ordered stream, the transition count and the
+    * row-normalized probability `p_ppm = n·10⁶ div Σ_to n` — "after a
+    * view, 12% of next actions are purchases" as exact integers.
+    * Output: `(from_type, to_type, n BIGINT, p_ppm BIGINT)`.
+    *
+    * Scale shape: one `groupBy(user)` (map-side combined collect — the
+    * [[topPaths]] discipline, per-user state is that user's event
+    * types; cap pathological users upstream), a narrow adjacent-pair
+    * explode, and a partial-aggregated (from, to) count. The
+    * row-normalizing window runs over the ≤K² matrix rows — type-
+    * vocabulary metadata, never the event log.
+    */
+  def transitionMatrix(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      tieCol: String
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val seqs = events
+      .groupBy(col(userCol).as("user"))
+      .agg(sort_array(collect_list(struct(
+        col(tsCol).as("t"), col(tieCol).as("tb"), col(typeCol).as("et")))).as("_ev"))
+      .select(transform(col("_ev"), e => e.getField("et")).as("_types"))
+    val pairs = seqs
+      .filter(size(col("_types")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(_types) - 1), " +
+          "i -> struct(element_at(_types, i) AS f, element_at(_types, i + 1) AS t))"))
+        .as("_p"))
+      .groupBy(col("_p.f").as("from_type"), col("_p.t").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("from_type"))
+    pairs
+      .withColumn("_rowTotal", sum(col("n")).over(w))
+      .select(col("from_type"), col("to_type"), col("n"),
+        expr("CAST(n * 1000000 div _rowTotal AS BIGINT)").as("p_ppm"))
+  }
 }

@@ -126,4 +126,26 @@ class FunnelSpec extends SparkSpec {
       .as[(String, Long)].collect().toSeq
     assert(k1 == Seq(("a b c", 2L)))
   }
+
+  test("transitionMatrix: per-user adjacent pairs, row-normalized ppm, tie order pinned") {
+    val ev = Seq(
+      // u1: a b a c → (a,b) (b,a) (a,c)
+      (1L, 10L, 1L, "a"), (1L, 20L, 2L, "b"), (1L, 30L, 3L, "a"), (1L, 40L, 4L, "c"),
+      // u2: a b (tie at ts 20 → eid orders b before c): a b c → (a,b) (b,c)
+      (2L, 10L, 5L, "a"), (2L, 20L, 6L, "b"), (2L, 20L, 7L, "c"),
+      // u3: single event → no pairs
+      (3L, 10L, 8L, "a")
+    ).toDF("user_id", "tsm", "eid", "et")
+    val got = Funnel.transitionMatrix(ev, "user_id", "tsm", "et", "eid")
+      .orderBy("from_type", "to_type")
+      .as[(String, String, Long, Long)].collect().toSeq
+    // from a: (a,b)=2, (a,c)=1 → row total 3 → 666666 / 333333
+    // from b: (b,a)=1, (b,c)=1 → 500000 each
+    assert(got == Seq(
+      ("a", "b", 2L, 666666L),
+      ("a", "c", 1L, 333333L),
+      ("b", "a", 1L, 500000L),
+      ("b", "c", 1L, 500000L)
+    ), got.toString)
+  }
 }
