@@ -2460,6 +2460,15 @@ object SparkEntry {
         .orderBy("period")
     }),
 
+    // ---- CUSUM changepoint on the daily event-count series: WHEN did
+    //      the feed change (driftTimeline says how much) — max
+    //      |T·S_i − i·S| over period ranks, exact integers
+    "changepoint_day" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .select(expr("unix_micros(ts) div 86400000000").as("day"))
+      ImportanceScoring.cusumChangepoint(ev, col("day"))
+    }),
+
     // ---- STREAMING n-gram novelty: persistent fingerprint store of
     //      every 3-gram ever seen; per batch, the new-information rate
     //      (re-crawls score near zero). Batch 1 replays to prove the
@@ -6938,6 +6947,27 @@ object SparkEntry {
          | CAST((2 * (s * 1000000000) + CAST(n_prev AS HUGEINT) * n_cur)
          |   // (2 * CAST(n_prev AS HUGEINT) * n_cur) AS BIGINT) AS l1_e9
          |FROM g ORDER BY 1""".stripMargin,
+
+    // the same CUSUM statistic over day ranks; products in HUGEINT,
+    // argmax ties to the earliest day
+    "changepoint_day" ->
+      """WITH c AS (
+        | SELECT epoch_us(ts) // 86400000000 AS p, CAST(count(*) AS BIGINT) AS c
+        | FROM events WHERE ts IS NOT NULL GROUP BY 1
+        |), r AS (
+        | SELECT p, c, row_number() OVER (ORDER BY p) AS i,
+        |  sum(c) OVER (ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        | FROM c
+        |), t AS (
+        | SELECT CAST(count(*) AS BIGINT) AS tt, CAST(sum(c) AS BIGINT) AS s FROM c
+        |), d AS (
+        | SELECT r.p, abs(CAST(t.tt AS HUGEINT) * r.cum - CAST(r.i AS HUGEINT) * t.s) AS dd,
+        |  t.tt, t.s
+        | FROM r, t
+        |)
+        |SELECT CAST(p AS BIGINT) AS period, CAST(dd AS BIGINT) AS d_stat,
+        | tt AS n_periods, s AS total
+        |FROM d ORDER BY dd DESC, p ASC LIMIT 1""".stripMargin,
 
     // first-batch-wins replay of the streaming novelty store over the
     // same doc_id % 3 split; distinct by exact string on the oracle

@@ -184,6 +184,48 @@ object ImportanceScoring {
     * integer (l1 ∈ [0, 2] so l1_e9 ≤ 2·10⁹ always fits int64; no
     * DECIMAL in compared surfaces per the round-8 verdict).
     */
+  /** CUSUM changepoint over a counted time series — the "when did the
+    * feed change" monitor next to [[driftTimeline]]'s "how much":
+    * counts per period, then the maximum cumulative-sum deviation from
+    * a uniform rate, all exact integers:
+    *
+    *   D_i = |T·S_i − i·S|   (i = period rank 1..T, S_i = cumulative
+    *                          count, S = total, T = #periods)
+    *
+    * The argmax period is the changepoint estimate (the classic CUSUM
+    * location rule, integer-scaled by T·S instead of normalized);
+    * ties go to the EARLIEST period. Output: one row `(period BIGINT,
+    * d_stat BIGINT, n_periods BIGINT, total BIGINT)`; an empty series
+    * emits nothing.
+    *
+    * Scale shape: ONE map-side-combined count per period; ranks,
+    * cumulative sums, and the argmax run over the ≤#periods rows —
+    * series metadata, never the event log. Products ride
+    * DECIMAL(38,0) (T·S_i can pass int64 on a petabyte-year series).
+    */
+  def cusumChangepoint(events: DataFrame, periodCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d38 = DecimalType(38, 0)
+    val counts = events.select(periodCol.cast(LongType).as("_p"))
+      .filter(col("_p").isNotNull)
+      .groupBy(col("_p")).agg(count(lit(1)).as("_c"))
+    val ord = Window.orderBy(col("_p"))
+    val wAll = Window.partitionBy(lit(1))
+    counts
+      .withColumn("_i", row_number().over(ord).cast(LongType))
+      .withColumn("_cum", sum(col("_c")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("_t", count(lit(1)).over(wAll))
+      .withColumn("_s", sum(col("_c")).over(wAll))
+      .withColumn("_d",
+        abs(col("_t").cast(d38) * col("_cum").cast(d38) -
+          col("_i").cast(d38) * col("_s").cast(d38)).cast(LongType))
+      .orderBy(col("_d").desc, col("_p").asc)
+      .limit(1)
+      .select(col("_p").as("period"), col("_d").as("d_stat"),
+        col("_t").as("n_periods"), col("_s").as("total"))
+  }
+
   def l1Drift(drift: DataFrame): DataFrame = {
     val d38 = DecimalType(38, 0)
     drift.agg(

@@ -175,4 +175,28 @@ class ImportanceScoringSpec extends SparkSpec {
       .select("l1_e9").as[Long].head()
     assert(got(2L) == ((3L, 3L, ref)), s"timeline=${got(2L)} pairwise=$ref")
   }
+
+  test("cusumChangepoint: max deviation locates the rate shift; ties to the earliest period") {
+    import org.apache.spark.sql.functions._
+    // rate doubles after period 2: counts 10,10,30,30 → D = 40,80,40,0
+    def series(cs: Seq[(Long, Int)]) =
+      cs.flatMap { case (p, n) => Seq.fill(n)(p) }.toDF("p")
+    val got = ImportanceScoring.cusumChangepoint(
+        series(Seq((1L, 10), (2L, 10), (3L, 30), (4L, 30))), col("p"))
+      .as[(Long, Long, Long, Long)].head()
+    assert(got == ((2L, 80L, 4L, 80L)), got.toString)
+    // symmetric series ties at D=40 on periods 1 and 3 → earliest wins
+    val tied = ImportanceScoring.cusumChangepoint(
+        series(Seq((1L, 30), (2L, 10), (3L, 10), (4L, 30))), col("p"))
+      .as[(Long, Long, Long, Long)].head()
+    assert(tied == ((1L, 40L, 4L, 80L)), tied.toString)
+    // uniform series: D ≡ 0 everywhere → earliest period, stat 0
+    val flat = ImportanceScoring.cusumChangepoint(
+        series(Seq((1L, 5), (2L, 5), (3L, 5))), col("p"))
+      .as[(Long, Long, Long, Long)].head()
+    assert(flat == ((1L, 0L, 3L, 15L)), flat.toString)
+    // empty series emits nothing
+    assert(ImportanceScoring.cusumChangepoint(
+      Seq.empty[Long].toDF("p"), col("p")).count() == 0)
+  }
 }
