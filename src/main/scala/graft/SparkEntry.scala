@@ -2460,6 +2460,16 @@ object SparkEntry {
         .orderBy("period")
     }),
 
+    // ---- vocabulary churn timeline: exact Jaccard between consecutive
+    //      days' distinct prop-token sets — membership churn that a
+    //      frequency drift measure can't see
+    "vocab_churn_timeline" -> ((s, dir) => {
+      val ev = events(s, dir).select(
+        expr("unix_micros(ts) div 86400000000").as("day"), col("props"))
+      ImportanceScoring.vocabChurnTimeline(ev, "props", col("day"))
+        .orderBy("period")
+    }),
+
     // ---- CUSUM changepoint on the daily event-count series: WHEN did
     //      the feed change (driftTimeline says how much) — max
     //      |T·S_i − i·S| over period ranks, exact integers
@@ -6947,6 +6957,32 @@ object SparkEntry {
          | CAST((2 * (s * 1000000000) + CAST(n_prev AS HUGEINT) * n_cur)
          |   // (2 * CAST(n_prev AS HUGEINT) * n_cur) AS BIGINT) AS l1_e9
          |FROM g ORDER BY 1""".stripMargin,
+
+    // consecutive-day distinct-token Jaccard over the shared tokenize
+    // rule; exact strings on the oracle side (Spark: fps, 2⁻⁶⁴)
+    "vocab_churn_timeline" ->
+      """WITH e AS (
+        | SELECT epoch_us(ts) // 86400000000 AS p,
+        |  unnest(list_filter(string_split_regex(trim(regexp_replace(regexp_replace(lower(props), '[[:punct:]]', '', 'g'), '\s+', ' ', 'g')), '\s+'), t -> t <> '')) AS tok
+        | FROM events WHERE ts IS NOT NULL
+        |), pf AS (
+        | SELECT DISTINCT p, tok FROM e
+        |), sz AS (
+        | SELECT p, CAST(count(*) AS BIGINT) AS n FROM pf GROUP BY 1
+        |), pairs AS (
+        | SELECT c.p AS p, pr.n AS n_prev, c.n AS n_cur
+        | FROM sz c JOIN sz pr ON pr.p = c.p - 1
+        |), com AS (
+        | SELECT b.p, CAST(count(*) AS BIGINT) AS n_common
+        | FROM pf a JOIN pf b ON a.tok = b.tok AND b.p = a.p + 1
+        | GROUP BY 1
+        |)
+        |SELECT CAST(pairs.p AS BIGINT) AS period, n_prev, n_cur,
+        | CAST(coalesce(com.n_common, 0) AS BIGINT) AS n_common,
+        | CAST(coalesce(com.n_common, 0) * 1000000
+        |   // (n_prev + n_cur - coalesce(com.n_common, 0)) AS BIGINT) AS jaccard_ppm
+        |FROM pairs LEFT JOIN com ON com.p = pairs.p
+        |ORDER BY 1""".stripMargin,
 
     // the same CUSUM statistic over day ranks; products in HUGEINT,
     // argmax ties to the earliest day

@@ -184,6 +184,50 @@ object ImportanceScoring {
     * integer (l1 ∈ [0, 2] so l1_e9 ≤ 2·10⁹ always fits int64; no
     * DECIMAL in compared surfaces per the round-8 verdict).
     */
+  /** Vocabulary CHURN timeline — the set-membership complement of
+    * [[driftTimeline]] (that one sees frequency shifts; this one sees
+    * tokens appearing/disappearing even at equal mass): for each
+    * period with an immediate predecessor (period value − 1, the
+    * [[driftTimeline]] pairing), the exact Jaccard between the two
+    * periods' DISTINCT token sets as ppm:
+    *
+    *   jaccard_ppm = |A∩B| · 10⁶ div (|A| + |B| − |A∩B|)
+    *
+    * Output: `(period, n_prev, n_cur, n_common, jaccard_ppm)` — all
+    * BIGINT, set sizes over distinct tokens. Tokenization is the
+    * library-wide normalized rule; set membership rides 8-byte
+    * xxhash64 fingerprints (the dedup-family 2⁻⁶⁴ argument).
+    *
+    * Scale shape: ONE tokenize pass to the distinct (period, fp) set
+    * (map-side combined); per-period sizes and the shifted self-join
+    * both ride the same fingerprint exchange — text never shuffles,
+    * no period re-scans.
+    */
+  def vocabChurnTimeline(
+      docs: DataFrame,
+      textCol: String,
+      periodCol: Column
+  ): DataFrame = {
+    val pf = docs
+      .select(periodCol.cast(LongType).as("_p"),
+        explode(TextFunctions.tokens(lower(col(textCol)))).as("_t"))
+      .filter(col("_p").isNotNull)
+      .select(col("_p"), xxhash64(col("_t")).as("_fp"))
+      .distinct()
+      .localCheckpoint() // three consumers of one tokenize pass
+    val sizes = pf.groupBy(col("_p")).agg(count(lit(1)).as("n"))
+    val pairs = sizes.select((col("_p") + 1).as("_p"), col("n").as("n_prev"))
+      .join(sizes.select(col("_p"), col("n").as("n_cur")), Seq("_p"))
+    val common = pf.select((col("_p") + 1).as("_p"), col("_fp"))
+      .join(pf, Seq("_p", "_fp"))
+      .groupBy(col("_p")).agg(count(lit(1)).as("n_common"))
+    pairs.join(common, Seq("_p"), "left")
+      .select(col("_p").as("period"), col("n_prev"), col("n_cur"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        expr("CAST(coalesce(n_common, 0) * 1000000 div " +
+          "(n_prev + n_cur - coalesce(n_common, 0)) AS BIGINT)").as("jaccard_ppm"))
+  }
+
   /** CUSUM changepoint over a counted time series — the "when did the
     * feed change" monitor next to [[driftTimeline]]'s "how much":
     * counts per period, then the maximum cumulative-sum deviation from

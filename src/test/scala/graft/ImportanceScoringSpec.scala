@@ -176,6 +176,23 @@ class ImportanceScoringSpec extends SparkSpec {
     assert(got(2L) == ((3L, 3L, ref)), s"timeline=${got(2L)} pairwise=$ref")
   }
 
+  test("vocabChurnTimeline: consecutive-day set Jaccard; non-adjacent periods don't pair") {
+    import org.apache.spark.sql.functions._
+    val d = Seq(
+      (1L, "a b c"), (2L, "b c d"),      // J(1,2) = 2/4 = 500000
+      (2L, "b"),                          // dup tokens collapse (distinct sets)
+      (4L, "x y")                         // gap: 3 missing → 4 pairs with nothing
+    ).toDF("p", "text")
+    val got = ImportanceScoring.vocabChurnTimeline(d, "text", col("p"))
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((2L, 3L, 3L, 2L, 500000L)), got.toString)
+    // disjoint vocabularies → 0
+    val dj = Seq((1L, "a"), (2L, "b")).toDF("p", "text")
+    val g2 = ImportanceScoring.vocabChurnTimeline(dj, "text", col("p"))
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(g2 == Seq((2L, 1L, 1L, 0L, 0L)), g2.toString)
+  }
+
   test("cusumChangepoint: max deviation locates the rate shift; ties to the earliest period") {
     import org.apache.spark.sql.functions._
     // rate doubles after period 2: counts 10,10,30,30 → D = 40,80,40,0
