@@ -2900,6 +2900,32 @@ object SparkEntry {
         .orderBy("step")
     }),
 
+    // ---- session-duration distribution: the 30-min-gap sessions'
+    //      exact micro-second duration percentiles (p50/p90/p99) via
+    //      the distributed-selection rank rule — sessionize × profile
+    //      composition, pure integers
+    "session_durations" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val ev = events(s, dir).select(col("user_id"),
+        unix_micros(col("ts")).as("us"), col("event_id"))
+      val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      val prev = lag(col("us"), 1).over(w)
+      val sess = ev
+        .withColumn("_ns",
+          when(prev.isNull || col("us") - prev > 1800000000L, 1L).otherwise(0L))
+        .withColumn("_sid", sum(col("_ns")).over(w))
+        .groupBy(col("user_id"), col("_sid"))
+        .agg((max(col("us")) - min(col("us"))).as("dur"))
+      val probs = Seq(0.5, 0.9, 0.99)
+      val vals = Profile.weightedPercentiles(sess, "dur", lit(1L), probs)
+        .getOrElse(sys.error("session_durations: no sessions"))
+      probs.map(p => math.round(p * 1000000))
+        .zip(vals.map(_.toLong))
+        .toDF("p_ppm", "dur_us")
+        .orderBy("p_ppm")
+    }),
+
     // ---- first-order Markov transition matrix over per-user event
     //      streams: "after a view, what fraction of next actions are
     //      purchases" — exact counts + row-normalized ppm
@@ -7397,6 +7423,39 @@ object SparkEntry {
         | FROM events
         |)
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // the same gap rule and rank rule: sessions by 30-min cut over
+    // (us, event_id) order, then the mass-weighted percentile replay
+    // with weight ≡ 1
+    "session_durations" ->
+      """WITH e AS (
+        | SELECT user_id, epoch_us(ts) AS us, event_id FROM events WHERE ts IS NOT NULL
+        |), o AS (
+        | SELECT user_id, us, event_id,
+        |  CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
+        |       THEN 1 ELSE 0 END AS ns
+        | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        |), s AS (
+        | SELECT user_id, us,
+        |  sum(ns) OVER (PARTITION BY user_id ORDER BY us, event_id) AS sid
+        | FROM o
+        |), sess AS (
+        | SELECT user_id, sid, CAST(max(us) - min(us) AS BIGINT) AS dur
+        | FROM s GROUP BY 1, 2
+        |), c AS (
+        | SELECT CAST(dur AS DOUBLE) AS v, CAST(count(*) AS BIGINT) AS cnt FROM sess GROUP BY 1
+        |), tot AS (
+        | SELECT CAST(sum(cnt) AS BIGINT) AS W FROM c
+        |), r AS (
+        | SELECT v, sum(cnt) OVER (ORDER BY v
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        | FROM c
+        |), probs(p_ppm, q) AS (
+        | SELECT * FROM (VALUES (500000, 0.5), (900000, 0.9), (990000, 0.99)) x
+        |)
+        |SELECT CAST(p.p_ppm AS BIGINT) AS p_ppm,
+        | CAST((SELECT min(r.v) FROM r, tot WHERE r.cum > floor(p.q * (tot.W - 1))) AS BIGINT) AS dur_us
+        |FROM probs p ORDER BY 1""".stripMargin,
 
     // lead() over the same (ts, event_id) order; window sum through
     // HUGEINT then cast (the row-normalizer)
