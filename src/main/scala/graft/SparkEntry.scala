@@ -453,6 +453,29 @@ object SparkEntry {
        |FROM nodes ORDER BY node""".stripMargin
   }
 
+  /** The CUSUM changepoint replay over the daily event-count series —
+    * shared by the batch gate and the streaming gate (whose final
+    * accumulated state is the same full series).
+    */
+  private val changepointDayOracleSql: String =
+    """WITH c AS (
+      | SELECT epoch_us(ts) // 86400000000 AS p, CAST(count(*) AS BIGINT) AS c
+      | FROM events WHERE ts IS NOT NULL GROUP BY 1
+      |), r AS (
+      | SELECT p, c, row_number() OVER (ORDER BY p) AS i,
+      |  sum(c) OVER (ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      | FROM c
+      |), t AS (
+      | SELECT CAST(count(*) AS BIGINT) AS tt, CAST(sum(c) AS BIGINT) AS s FROM c
+      |), d AS (
+      | SELECT r.p, abs(CAST(t.tt AS HUGEINT) * r.cum - CAST(r.i AS HUGEINT) * t.s) AS dd,
+      |  t.tt, t.s
+      | FROM r, t
+      |)
+      |SELECT CAST(p AS BIGINT) AS period, CAST(dd AS BIGINT) AS d_stat,
+      | tt AS n_periods, s AS total
+      |FROM d ORDER BY dd DESC, p ASC LIMIT 1""".stripMargin
+
   /** The DuckDB replay of [[graft.operators.Graph.katzCentralityScaled]]
     * over the pagerank gate's source-chain graph: walk-count rounds
     * unrolled as CTEs, the same driver-side attenuation ladder folded in
@@ -2477,6 +2500,29 @@ object SparkEntry {
       val ev = events(s, dir)
         .select(expr("unix_micros(ts) div 86400000000").as("day"))
       ImportanceScoring.cusumChangepoint(ev, col("day"))
+    }),
+
+    // ---- STREAMING changepoint monitor: per-period count state merges
+    //      per batch; the last batch's emitted estimate must equal the
+    //      batch operator on the full series (the replay of batch 1
+    //      must NOT double-count — the version guard is correctness)
+    "changepoint_stream" -> ((s, dir) => {
+      import graft.streaming.StreamingOps
+      val ev = events(s, dir)
+        .select(expr("unix_micros(ts) div 86400000000").as("day"))
+        .filter(col("day").isNotNull)
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-changepoint-stream").toString
+      for (b <- 0L to 2L) {
+        val batch = ev.filter(col("day") % 3 === b)
+        StreamingOps.applyChangepointBatch(s, batch, b, "day",
+          s"$work/state", s"$work/out")
+        if (b == 1L)
+          StreamingOps.applyChangepointBatch(s, batch, b, "day",
+            s"$work/state", s"$work/out")
+      }
+      s.read.parquet(s"$work/out/batch=2")
+        .select(col("period"), col("d_stat"), col("n_periods"), col("total"))
     }),
 
     // ---- STREAMING n-gram novelty: persistent fingerprint store of
@@ -7012,24 +7058,11 @@ object SparkEntry {
 
     // the same CUSUM statistic over day ranks; products in HUGEINT,
     // argmax ties to the earliest day
-    "changepoint_day" ->
-      """WITH c AS (
-        | SELECT epoch_us(ts) // 86400000000 AS p, CAST(count(*) AS BIGINT) AS c
-        | FROM events WHERE ts IS NOT NULL GROUP BY 1
-        |), r AS (
-        | SELECT p, c, row_number() OVER (ORDER BY p) AS i,
-        |  sum(c) OVER (ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-        | FROM c
-        |), t AS (
-        | SELECT CAST(count(*) AS BIGINT) AS tt, CAST(sum(c) AS BIGINT) AS s FROM c
-        |), d AS (
-        | SELECT r.p, abs(CAST(t.tt AS HUGEINT) * r.cum - CAST(r.i AS HUGEINT) * t.s) AS dd,
-        |  t.tt, t.s
-        | FROM r, t
-        |)
-        |SELECT CAST(p AS BIGINT) AS period, CAST(dd AS BIGINT) AS d_stat,
-        | tt AS n_periods, s AS total
-        |FROM d ORDER BY dd DESC, p ASC LIMIT 1""".stripMargin,
+    "changepoint_day" -> changepointDayOracleSql,
+
+    // the accumulated state after the last batch IS the full series, so
+    // the streaming answer equals the batch oracle verbatim
+    "changepoint_stream" -> changepointDayOracleSql,
 
     // first-batch-wins replay of the streaming novelty store over the
     // same doc_id % 3 split; distinct by exact string on the oracle

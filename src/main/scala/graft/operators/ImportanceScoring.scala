@@ -247,12 +247,18 @@ object ImportanceScoring {
     * series metadata, never the event log. Products ride
     * DECIMAL(38,0) (T·S_i can pass int64 on a petabyte-year series).
     */
-  def cusumChangepoint(events: DataFrame, periodCol: Column): DataFrame = {
+  def cusumChangepoint(events: DataFrame, periodCol: Column): DataFrame =
+    cusumFromCounts(events.select(periodCol.cast(LongType).as("_p"))
+      .filter(col("_p").isNotNull)
+      .groupBy(col("_p")).agg(count(lit(1)).as("_c")))
+
+  /** [[cusumChangepoint]]'s arithmetic over an ALREADY-COUNTED series
+    * `(_p, _c)` — the form the streaming monitor's versioned count
+    * state arrives in ([[graft.streaming.StreamingOps.applyChangepointBatch]]).
+    */
+  def cusumFromCounts(counts: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val d38 = DecimalType(38, 0)
-    val counts = events.select(periodCol.cast(LongType).as("_p"))
-      .filter(col("_p").isNotNull)
-      .groupBy(col("_p")).agg(count(lit(1)).as("_c"))
     val ord = Window.orderBy(col("_p"))
     val wAll = Window.partitionBy(lit(1))
     counts

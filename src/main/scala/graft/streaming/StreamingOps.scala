@@ -842,6 +842,53 @@ object StreamingOps {
     }
   }
 
+  /** One micro-batch of STREAMING changepoint monitoring — the
+    * continuous face of
+    * [[graft.operators.ImportanceScoring.cusumChangepoint]]: versioned
+    * state is the per-period count table (series metadata, never the
+    * event log); each batch merges its own per-period counts in,
+    * commits the sum as the next version, and emits the CURRENT
+    * changepoint estimate over the accumulated series to
+    * `outPath/batch=<id>` — the alert a feed monitor re-evaluates as
+    * data arrives. After the last batch the emitted row equals the
+    * batch operator on the full series exactly.
+    *
+    * Replay idempotence: a batch at or below the committed version
+    * no-ops (the merge would double-count its events otherwise — the
+    * version guard is CORRECTNESS here, not just hygiene); a torn
+    * commit recomputes against the OLD state and overwrites
+    * bit-identically before committing.
+    */
+  def applyChangepointBatch(
+      spark: SparkSession,
+      batch: DataFrame,
+      batchId: Long,
+      periodCol: String,
+      statePath: String,
+      outPath: String
+  ): Unit = {
+    import graft.operators.ImportanceScoring
+    currentVersionId(spark, statePath) match {
+      case Some(cur) if cur >= batchId =>
+        log.warn(s"changepointStream: skipping batch $batchId — state at " +
+          s"v$cur already includes it (merging again would double-count)")
+      case _ =>
+        val own = batch.select(col(periodCol).cast("long").as("_p"))
+          .filter(col("_p").isNotNull)
+          .groupBy(col("_p")).agg(count(lit(1)).as("_c"))
+        val merged = (readState(spark, statePath) match {
+          case Some(st) => st.unionByName(own)
+            .groupBy(col("_p")).agg(sum(col("_c")).as("_c"))
+          case None => own
+        }).localCheckpoint()
+        ImportanceScoring.cusumFromCounts(merged)
+          .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+        val version = s"v$batchId"
+        merged.write.mode("overwrite").parquet(s"$statePath/$version")
+        commitVersion(spark, statePath, version, keepFrom = batchId - 1)
+    }
+  }
+
   /** One micro-batch of STREAMING n-gram novelty — the continuous face
     * of [[graft.operators.Vocab.ngramNovelty]]: a persistent
     * fingerprint store of every n-gram ever seen, and per batch one

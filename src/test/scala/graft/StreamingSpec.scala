@@ -603,6 +603,30 @@ class StreamingSpec extends SparkSpec {
     assert(replayed == first)
   }
 
+  test("changepoint stream: count state merges per batch; replay never double-counts; final equals batch") {
+    import graft.operators.ImportanceScoring
+    val work = Files.createTempDirectory("graft-cpt-spec").toString
+    def series(cs: Seq[(Long, Int)]) =
+      cs.flatMap { case (p, n) => Seq.fill(n)(p) }.toDF("p")
+    // full series: 10,10,30,30 → changepoint period 2, D = 80
+    val b0 = series(Seq((1L, 10), (3L, 15)))
+    val b1 = series(Seq((2L, 10), (3L, 15), (4L, 10)))
+    val b2 = series(Seq((4L, 20)))
+    StreamingOps.applyChangepointBatch(spark, b0, 0L, "p", s"$work/state", s"$work/out")
+    StreamingOps.applyChangepointBatch(spark, b1, 1L, "p", s"$work/state", s"$work/out")
+    // replaying batch 1 must NOT merge its counts twice
+    StreamingOps.applyChangepointBatch(spark, b1, 1L, "p", s"$work/state", s"$work/out")
+    StreamingOps.applyChangepointBatch(spark, b2, 2L, "p", s"$work/state", s"$work/out")
+    val fin = spark.read.parquet(s"$work/out/batch=2")
+      .as[(Long, Long, Long, Long)].head()
+    val batchForm = ImportanceScoring.cusumChangepoint(
+        series(Seq((1L, 10), (2L, 10), (3L, 30), (4L, 30))), col("p"))
+      .as[(Long, Long, Long, Long)].head()
+    assert(fin == batchForm && fin == ((2L, 80L, 4L, 80L)), s"fin=$fin batch=$batchForm")
+    // intermediate estimate exists per batch
+    assert(spark.read.parquet(s"$work/out/batch=0").count() == 1)
+  }
+
   test("novelty stream: store accumulates forever, re-crawl scores zero, replay no-ops") {
     val work = Files.createTempDirectory("graft-novelty-spec").toString
     val b0 = Seq((1L, "p q r s")).toDF("id", "text")      // 3-grams: {p q r, q r s}
