@@ -2672,6 +2672,17 @@ object SparkEntry {
       )).orderBy("rule")
     }),
 
+    // ---- the same expectation semantics per SOURCE: which feed ships
+    //      the violations — one aggregate pass, driver-side explode
+    "expectation_by_source" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Profile.expectationReportByGroup(d, "source", Seq(
+        "text_nonempty" -> (length(col("text")) > 0),
+        "chars_in_band" -> (col("n_chars") >= 10 && col("n_chars") <= 100000),
+        "id_present" -> col("doc_id").isNotNull
+      )).orderBy("source", "rule")
+    }),
+
     // ---- Lorenz curve of the same concentration: cumulative share of
     //      sources vs cumulative share of tokens, ascending by mass
     "lorenz_curve" -> ((s, dir) => {
@@ -6879,6 +6890,22 @@ object SparkEntry {
            |   // greatest(count(*), 1) AS BIGINT) AS violation_ppm
            |FROM lineitem""".stripMargin
       }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY rule")
+    },
+
+    // per-source rows for the same three pass predicates
+    "expectation_by_source" -> {
+      val rules = Seq(
+        "text_nonempty" -> "length(text) > 0",
+        "chars_in_band" -> "n_chars >= 10 AND n_chars <= 100000",
+        "id_present" -> "doc_id IS NOT NULL")
+      rules.map { case (name, pred) =>
+        s"""SELECT CAST(source AS VARCHAR) AS source, '$name' AS rule,
+           | CAST(count(*) AS BIGINT) AS n_rows,
+           | CAST(sum(CASE WHEN NOT coalesce($pred, false) THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+           | CAST(CAST(sum(CASE WHEN NOT coalesce($pred, false) THEN 1 ELSE 0 END) AS BIGINT) * 1000000
+           |   // greatest(count(*), 1) AS BIGINT) AS violation_ppm
+           |FROM documents WHERE source IS NOT NULL GROUP BY 1""".stripMargin
+      }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY source, rule")
     },
 
     // the pointwise Lorenz companion: same masses, cumulative shares

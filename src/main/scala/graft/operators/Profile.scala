@@ -644,6 +644,45 @@ object Profile {
     }.toDF("rule", "n_rows", "n_violations", "violation_ppm")
   }
 
+  /** [[expectationReport]] stratified by a group column — the
+    * per-source data-health matrix ("which FEED is shipping the bad
+    * rows"): same pass/violation semantics (false OR null = violation),
+    * one row per (group, rule). Output: `(<group>, rule, n_rows,
+    * n_violations, violation_ppm)`.
+    *
+    * Scale shape: still ONE aggregate pass — every rule is a
+    * conditional sum inside the same map-side-combined groupBy; the
+    * per-rule explode runs driver-side over the ≤#groups result rows
+    * (group-cardinality metadata, the per-group-budgets convention).
+    */
+  def expectationReportByGroup(
+      df: DataFrame,
+      groupCol: String,
+      rules: Seq[(String, Column)]
+  ): DataFrame = {
+    require(rules.nonEmpty, "expectationReportByGroup: no rules")
+    require(rules.map(_._1).distinct.size == rules.size,
+      s"expectationReportByGroup: duplicate rule names in ${rules.map(_._1)}")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val aggs = count(lit(1)).as("_n") +:
+      rules.zipWithIndex.map { case ((_, pred), i) =>
+        sum(when(!coalesce(pred, lit(false)), 1L).otherwise(0L)).as(s"_v$i")
+      }
+    val agg = df.filter(col(groupCol).isNotNull)
+      .groupBy(col(groupCol).cast(StringType).as("_g"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+    agg.toSeq.flatMap { r =>
+      val g = r.getString(0)
+      val n = r.getLong(1)
+      rules.zipWithIndex.map { case ((name, _), i) =>
+        val v = r.getLong(i + 2)
+        (g, name, n, v, v * 1000000L / math.max(n, 1L))
+      }
+    }.toDF(groupCol, "rule", "n_rows", "n_violations", "violation_ppm")
+  }
+
   /** Lorenz curve of mass concentration across groups — [[massGini]]'s
     * pointwise companion (the Gini is twice the area between this curve
     * and the diagonal): groups sorted ascending by (mass, group), each

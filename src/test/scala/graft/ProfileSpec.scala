@@ -559,6 +559,25 @@ class ProfileSpec extends SparkSpec {
     }
   }
 
+  test("expectationReportByGroup: per-group violation rates in one pass; null groups drop") {
+    import graft.operators.Profile
+    import org.apache.spark.sql.functions._
+    val d = Seq(
+      ("a", 5L), ("a", 500L), ("b", 7L), ("b", 9L), (null, 999L)
+    ).toDF("g", "v")
+    val got = Profile.expectationReportByGroup(d, "g",
+        Seq("v_small" -> (col("v") < 100)))
+      .orderBy("g")
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("a", "v_small", 2L, 1L, 500000L),
+      ("b", "v_small", 2L, 0L, 0L)
+    ), got.toString)
+    intercept[IllegalArgumentException] {
+      Profile.expectationReportByGroup(d, "g", Seq.empty)
+    }
+  }
+
   test("cohenKappaE6: perfect, chance-level, and negative agreement; degenerate emits nothing") {
     import graft.operators.Profile
     import org.apache.spark.sql.functions._
