@@ -3956,6 +3956,23 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // ---- capacity planning on the same planted-clone graph: docs and
+    //      chars that disappear if clusters collapse to their keeper
+    "dedup_savings" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = d.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val all = d.union(planted)
+      val fps = all.select(col("doc_id"),
+        xxhash64(TextFunctions.normalizeForFingerprint(col("text"))).as("fp"))
+      val pairs = fps.select(col("fp"), col("doc_id").as("id_a"))
+        .join(fps.select(col("fp"), col("doc_id").as("id_b")), Seq("fp"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"))
+      Dedup.savingsReport(Dedup.connectedComponents(pairs),
+        all, "doc_id", length(col("text")).cast(LongType))
+    }),
+
     // ---- soft dedup: near-dup clusters DOWN-WEIGHTED, not dropped —
     //      weight_e6 = 10⁶ div cluster_size, so every cluster totals
     //      ≈10⁶ gradient mass; same planted-copy input as
@@ -8042,6 +8059,27 @@ object SparkEntry {
         | FROM all_docs
         |)
         |SELECT doc_id AS id, comp FROM g WHERE n > 1 ORDER BY id""".stripMargin,
+
+    // keeper = min id per normalized-content partition; non-keepers of
+    // multi-doc partitions are the savings
+    "dedup_savings" ->
+      """WITH norm AS (
+        | SELECT doc_id, length(text) AS b,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[[:punct:]]', '', 'g'), '\s+', ' ', 'g')) AS nt
+        | FROM documents
+        |), all_docs AS (
+        | SELECT CAST(doc_id AS BIGINT) AS doc_id, b, nt FROM norm
+        | UNION ALL SELECT CAST(doc_id + 1000000 AS BIGINT), b, nt FROM norm WHERE doc_id < 20
+        |), g AS (
+        | SELECT doc_id, b, min(doc_id) OVER (PARTITION BY nt) AS comp,
+        |        count(*) OVER (PARTITION BY nt) AS n
+        | FROM all_docs
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(b) AS BIGINT) AS chars_total,
+        | CAST(sum(CASE WHEN n > 1 AND doc_id <> comp THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+        | CAST(sum(CASE WHEN n > 1 AND doc_id <> comp THEN b ELSE 0 END) AS BIGINT) AS chars_saved
+        |FROM g""".stripMargin,
 
     // cluster sizes straight off the normalized-content partition
     // (count includes singletons); 10⁶ // n is the exact weight

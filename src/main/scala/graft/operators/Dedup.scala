@@ -954,6 +954,38 @@ object Dedup {
       .select(col("cluster_size"), col("n_clusters"),
         (col("cluster_size") * col("n_clusters")).cast(LongType).as("n_docs"))
 
+  /** Dedup SAVINGS accounting — the capacity-planning face of
+    * [[clusterSizeHistogram]]: if every dup cluster collapsed to its
+    * keeper (min id, the library-wide keep rule), how many documents
+    * and how many bytes/chars of payload disappear. One row:
+    * `(n_docs, chars_total, n_dup_docs, chars_saved)` — all BIGINT,
+    * where `chars_*` is whatever `bytes` measures (chars, UTF-8
+    * bytes, token counts — caller's choice of cost model).
+    *
+    * Scale shape: the components table (clustered docs only) joins the
+    * (id, size) projection — ids and longs, never payloads — and two
+    * single-row aggregates crossJoin at the end (1-row broadcast).
+    */
+  def savingsReport(
+      components: DataFrame, // (id, comp) — connectedComponents output
+      docs: DataFrame,
+      idCol: String,
+      bytes: Column
+  ): DataFrame = {
+    val sized = docs.select(col(idCol).cast(LongType).as("id"),
+      bytes.cast(LongType).as("_b"))
+    val dupAgg = components.join(sized, Seq("id"))
+      .agg(
+        sum(when(col("id") =!= col("comp"), 1L).otherwise(0L)).as("n_dup_docs"),
+        sum(when(col("id") =!= col("comp"), col("_b")).otherwise(0L)).as("chars_saved"))
+    val totals = sized.agg(count(lit(1)).as("n_docs"),
+      sum(col("_b")).as("chars_total"))
+    totals.crossJoin(broadcast(dupAgg))
+      .select(col("n_docs"), col("chars_total"),
+        coalesce(col("n_dup_docs"), lit(0L)).as("n_dup_docs"),
+        coalesce(col("chars_saved"), lit(0L)).as("chars_saved"))
+  }
+
   def softDedupWeights(
       df: DataFrame,
       pairs: DataFrame,

@@ -535,6 +535,26 @@ class DedupSpec extends SparkSpec {
     assert(got == Set((2L, 2L, 4L), (3L, 1L, 3L)), got.toString)
   }
 
+  test("savingsReport: non-keeper docs and bytes counted; singletons cost nothing") {
+    import org.apache.spark.sql.functions._
+    // clusters {1,2,3} and {5,6}; singletons 4, 7
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val docs = Seq(
+      (1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L), (5L, 50L), (6L, 60L), (7L, 70L)
+    ).toDF("id", "b")
+    val got = Dedup.savingsReport(Dedup.connectedComponents(pairs),
+        docs, "id", col("b"))
+      .as[(Long, Long, Long, Long)].head()
+    // keepers: 1 and 5; saved docs: 2,3,6 → 3 docs, 20+30+60 = 110 chars
+    assert(got == ((7L, 280L, 3L, 110L)), got.toString)
+    // no pairs at all → zero savings, totals intact
+    val none = Dedup.savingsReport(
+        Dedup.connectedComponents(Seq.empty[(Long, Long)].toDF("id_a", "id_b")),
+        docs, "id", col("b"))
+      .as[(Long, Long, Long, Long)].head()
+    assert(none == ((7L, 280L, 0L, 0L)), none.toString)
+  }
+
   test("prefixDupPairs: strict prefixes only, min-k contract, collisions verified away") {
     val d = Seq(
       (1L, "a b c d e f"),          // prefix of 2 and 3
