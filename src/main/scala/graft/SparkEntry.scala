@@ -3956,6 +3956,15 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // ---- cross-source overlap matrix: distinct 3-gram containment per
+    //      source pair — mirror/syndication detection at corpus
+    //      granularity before any doc-level pair mapping
+    "source_overlap_matrix" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("source"), col("text"))
+      Dedup.sourceOverlapMatrix(d, "source", "text", n = 3)
+        .orderBy("src_a", "src_b")
+    }),
+
     // ---- capacity planning on the same planted-clone graph: docs and
     //      chars that disappear if clusters collapse to their keeper
     "dedup_savings" -> ((s, dir) => {
@@ -8059,6 +8068,32 @@ object SparkEntry {
         | FROM all_docs
         |)
         |SELECT doc_id AS id, comp FROM g WHERE n > 1 ORDER BY id""".stripMargin,
+
+    // distinct 3-grams per source (the shared shingle rule), pairwise
+    // intersection, containment over the smaller side
+    "source_overlap_matrix" ->
+      """WITH toks AS (
+        | SELECT source,
+        |  list_filter(string_split_regex(trim(regexp_replace(regexp_replace(lower(text), '[[:punct:]]', '', 'g'), '\s+', ' ', 'g')), '\s+'), t -> t <> '') AS ts
+        | FROM documents WHERE source IS NOT NULL
+        |), sh AS (
+        | SELECT source, unnest(
+        |  CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+        |       ELSE list_distinct(list_transform(range(1, len(ts) - 1), i -> array_to_string(ts[i:i+2], ' ')))
+        |  END) AS g
+        | FROM toks
+        |), pf AS (
+        | SELECT DISTINCT CAST(source AS VARCHAR) AS s, g FROM sh
+        |), sz AS (
+        | SELECT s, CAST(count(*) AS BIGINT) AS n FROM pf GROUP BY 1
+        |), i AS (
+        | SELECT a.s AS src_a, b.s AS src_b, CAST(count(*) AS BIGINT) AS n_common
+        | FROM pf a JOIN pf b ON a.g = b.g AND a.s < b.s GROUP BY 1, 2
+        |)
+        |SELECT i.src_a, i.src_b, sa.n AS n_a, sb.n AS n_b, i.n_common,
+        | CAST(i.n_common * 1000000 // least(sa.n, sb.n) AS BIGINT) AS containment_ppm
+        |FROM i JOIN sz sa ON sa.s = i.src_a JOIN sz sb ON sb.s = i.src_b
+        |ORDER BY 1, 2""".stripMargin,
 
     // keeper = min id per normalized-content partition; non-keepers of
     // multi-doc partitions are the savings

@@ -986,6 +986,51 @@ object Dedup {
         coalesce(col("chars_saved"), lit(0L)).as("chars_saved"))
   }
 
+  /** Cross-SOURCE overlap matrix — mirror-feed detection at corpus
+    * granularity (two crawls syndicating the same wire content show up
+    * here long before doc-level dedup maps every pair): for every
+    * source pair, the distinct word-n-gram sets' intersection and the
+    * CONTAINMENT ratio `inter·10⁶ div min(|A|, |B|)` (containment, not
+    * Jaccard — a small feed fully copied into a big one should score
+    * 10⁶, which symmetric Jaccard would dilute). Output: one row per
+    * unordered pair with `src_a < src_b`: `(src_a, src_b, n_a, n_b,
+    * n_common, containment_ppm)`.
+    *
+    * Scale shape: ONE shingle pass to the distinct (source, fp) set;
+    * sizes and the pair intersection ride the same 8-byte fingerprint
+    * exchange (the 2⁻⁶⁴ collision argument); output is
+    * sources²-bounded — group metadata. Text never shuffles. The
+    * fp-level self-join fans out by each gram's source count —
+    * bounded by #sources, not corpus size.
+    */
+  def sourceOverlapMatrix(
+      df: DataFrame,
+      groupCol: String,
+      textCol: String,
+      n: Int
+  ): DataFrame = {
+    require(n >= 1, s"sourceOverlapMatrix: n must be positive, got $n")
+    val pf = df
+      .select(col(groupCol).cast("string").as("_g"),
+        explode(array_distinct(shingles(col(textCol), n))).as("_s"))
+      .filter(col("_g").isNotNull)
+      .select(col("_g"), xxhash64(col("_s")).as("_fp"))
+      .distinct()
+      .localCheckpoint() // three consumers of one shingle pass
+    val sizes = pf.groupBy(col("_g")).agg(count(lit(1)).as("n"))
+    val inter = pf.select(col("_fp"), col("_g").as("src_a"))
+      .join(pf.select(col("_fp"), col("_g").as("src_b")), Seq("_fp"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.select(col("_g").as("src_a"), col("n").as("n_a")), Seq("src_a"))
+      .join(sizes.select(col("_g").as("src_b"), col("n").as("n_b")), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"), col("n_common"),
+        expr("CAST(n_common * 1000000 div least(n_a, n_b) AS BIGINT)")
+          .as("containment_ppm"))
+  }
+
   def softDedupWeights(
       df: DataFrame,
       pairs: DataFrame,

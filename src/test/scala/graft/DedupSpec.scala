@@ -535,6 +535,26 @@ class DedupSpec extends SparkSpec {
     assert(got == Set((2L, 2L, 4L), (3L, 1L, 3L)), got.toString)
   }
 
+  test("sourceOverlapMatrix: containment over the smaller side; zero-overlap pairs absent") {
+    import org.apache.spark.sql.functions._
+    val d = Seq(
+      ("a", "w x y z"),       // 2-shingles at n=2: {w x, x y, y z}
+      ("b", "w x y"),         // {w x, x y} ⊂ a → containment 1e6
+      ("c", "p q r")          // disjoint → no row with a or b
+    ).toDF("src", "t")
+    val got = Dedup.sourceOverlapMatrix(d, "src", "t", n = 2)
+      .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("a", "b", 3L, 2L, 2L, 1000000L)), got.toString)
+    // duplicate grams within a source collapse (distinct sets)
+    val rep = Seq(("a", "m n"), ("a", "m n"), ("b", "m n")).toDF("src", "t")
+    val g2 = Dedup.sourceOverlapMatrix(rep, "src", "t", n = 2)
+      .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+    assert(g2 == Seq(("a", "b", 1L, 1L, 1L, 1000000L)), g2.toString)
+    intercept[IllegalArgumentException] {
+      Dedup.sourceOverlapMatrix(d, "src", "t", n = 0)
+    }
+  }
+
   test("savingsReport: non-keeper docs and bytes counted; singletons cost nothing") {
     import org.apache.spark.sql.functions._
     // clusters {1,2,3} and {5,6}; singletons 4, 7
