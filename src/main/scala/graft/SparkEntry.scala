@@ -2164,6 +2164,32 @@ object SparkEntry {
       ).orderBy("doc_id")
     }),
 
+    // ---- Flesch reading-ease as exact scaled integers: 206.835 −
+    //      1.015·(w/s) − 84.6·(syll/w), syllables ≈ vowel groups (the
+    //      standard countable approximation), each ratio a separate
+    //      trunc-div ×1000 — deterministic on both engines
+    "readability_scores" -> ((s, dir) => {
+      // the corpus is punctuation-free, so plant deterministic sentence
+      // breaks (every 7th token ends one) — the pii_redaction
+      // planted-span precedent
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        array_join(zip_with(
+          TextFunctions.tokens(col("text")),
+          sequence(lit(1), greatest(TextFunctions.tokenCount(col("text")).cast("int"), lit(1))),
+          (tok, i) => concat(tok, when(i % 7 === 0, lit(".")).otherwise(lit("")))
+        ), " ").as("text"))
+      val d = planted.select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("w"),
+        TextFunctions.sentenceCount(col("text")).as("sn"),
+        TextFunctions.patternCount(lower(col("text")), "[aeiouy]+").as("y"))
+      d.filter(col("w") > 0 && col("sn") > 0)
+        .select(col("doc_id"), col("w").as("words"),
+          col("sn").as("sentences"), col("y").as("syllables"),
+          expr("CAST(206835 - (1015 * w) div sn - (84600 * y) div w AS BIGINT)")
+            .as("flesch_e3"))
+        .orderBy("doc_id")
+    }),
+
     // ---- repetition quality signals (the public Gopher/RefinedWeb rule
     //      family): duplicate-line fraction + most-common token / 2-gram
     //      dominance, all narrow one-pass per row
@@ -6434,6 +6460,29 @@ object SparkEntry {
 
     // mode() count == max multiplicity regardless of which tied value
     // mode picks; list_aggregate(NULL-safe: empty list -> NULL mode -> 0)
+    // words = the shared token rule, sentences = the terminal-punct
+    // spans, syllables = vowel groups of the lowercased text; both
+    // ratio divisions truncate on positive operands
+    "readability_scores" ->
+      """WITH toks AS (
+        | SELECT doc_id,
+        |  list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS ts
+        | FROM documents
+        |), p AS (
+        | SELECT doc_id, array_to_string(list_transform(range(1, len(ts) + 1),
+        |   i -> ts[i] || CASE WHEN i % 7 = 0 THEN '.' ELSE '' END), ' ') AS text
+        | FROM toks
+        |), f AS (
+        | SELECT doc_id,
+        |  CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS w,
+        |  CAST(len(regexp_extract_all(text, '[^.!?]*[.!?]+')) AS BIGINT) AS sn,
+        |  CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS y
+        | FROM p
+        |)
+        |SELECT doc_id, w AS words, sn AS sentences, y AS syllables,
+        | CAST(206835 - (1015 * w) // sn - (84600 * y) // w AS BIGINT) AS flesch_e3
+        |FROM f WHERE w > 0 AND sn > 0 ORDER BY doc_id""".stripMargin,
+
     "text_repetition" ->
       """WITH base AS (
         | SELECT doc_id, string_split(text, chr(10)) AS ls,
