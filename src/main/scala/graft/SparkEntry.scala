@@ -2497,6 +2497,36 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    // ---- per-node triangle counts + local clustering coefficient on
+    //      the undirected simplification of the source graph — the
+    //      link-farm/mirror-ring signal next to the three centralities;
+    //      exact integers (coefficient = 2·t·1e6 div d(d−1))
+    "triangle_counts" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("source"))
+      val e = d.join(
+          d.select((col("doc_id") - 1).as("doc_id"), col("source").as("_dst")),
+          Seq("doc_id"))
+        .select(col("source").as("src"), col("_dst").as("dst"))
+      graft.operators.Graph.triangleCountsScaled(e, "src", "dst")
+        .orderBy("node")
+    }),
+
+    // ---- depth-2 min-label propagation over the chain graph (edges
+    //      doc_id↔doc_id+1 where doc_id % 10 < 3, zero-padded ids so
+    //      string min = numeric min): after 2 rounds each node carries
+    //      the min id within distance 2, which the oracle states in
+    //      closed form — the bounded-rounds semantics that distinguish
+    //      LPA from full connected components
+    "label_propagation" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"))
+        .filter(col("doc_id") % 10 < 3)
+      val e = d.select(
+        lpad(col("doc_id").cast("string"), 6, "0").as("src"),
+        lpad((col("doc_id") + 1).cast("string"), 6, "0").as("dst"))
+      graft.operators.Graph.labelPropagationMin(e, "src", "dst", rounds = 2)
+        .orderBy("node")
+    }),
+
     // ---- drift timeline: scaled-L1 distance between consecutive DAYS
     //      of the event-type distribution — the monitoring series a
     //      continuously-ingesting pipeline alerts on; pure integers
@@ -6852,6 +6882,51 @@ object SparkEntry {
 
     // walk rounds unrolled; see katzOracleSql
     "katz_centrality" -> katzOracleSql(rounds = 3, alphaPpm = 100000L),
+
+    // canonical undirected edges, node-ordered triple join counts each
+    // triangle once; per-node counts via the three-corner union
+    "triangle_counts" ->
+      """WITH d AS (
+        | SELECT doc_id, source FROM documents
+        |), e0 AS (
+        | SELECT a.source AS s1, b.source AS s2
+        | FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
+        | WHERE a.source <> b.source
+        |), ce AS (
+        | SELECT DISTINCT least(s1, s2) AS u, greatest(s1, s2) AS v FROM e0
+        |), nodes AS (
+        | SELECT DISTINCT n FROM (SELECT u AS n FROM ce UNION ALL SELECT v FROM ce)
+        |), deg AS (
+        | SELECT n, CAST(count(*) AS BIGINT) AS dg
+        | FROM (SELECT u AS n FROM ce UNION ALL SELECT v AS n FROM ce) GROUP BY 1
+        |), tri AS (
+        | SELECT a.u AS x, a.v AS y, b.v AS z
+        | FROM ce a JOIN ce b ON b.u = a.v JOIN ce c ON c.u = a.u AND c.v = b.v
+        |), pn AS (
+        | SELECT n, CAST(count(*) AS BIGINT) AS t
+        | FROM (SELECT x AS n FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
+        | GROUP BY 1
+        |)
+        |SELECT nodes.n AS node, deg.dg AS degree,
+        | CAST(coalesce(pn.t, 0) AS BIGINT) AS triangles,
+        | CASE WHEN deg.dg >= 2
+        |  THEN CAST(2 * coalesce(pn.t, 0) * 1000000 // (deg.dg * (deg.dg - 1)) AS BIGINT)
+        |  ELSE CAST(0 AS BIGINT) END AS clustering_ppm
+        |FROM nodes JOIN deg ON deg.n = nodes.n LEFT JOIN pn ON pn.n = nodes.n
+        |ORDER BY node""".stripMargin,
+
+    // chain graph ⇒ the min id within distance 2 has a closed form:
+    // label(v) = max(chain_start, v − 2); chain_start = v − (v % 10)
+    // (every chain runs k0..k0+3 off the doc_id % 10 < 3 edge rule)
+    "label_propagation" ->
+      """WITH ids AS (
+        | SELECT CAST(doc_id AS BIGINT) AS i FROM documents WHERE doc_id % 10 < 3
+        |), nodes AS (
+        | SELECT DISTINCT v FROM (SELECT i AS v FROM ids UNION ALL SELECT i + 1 FROM ids)
+        |)
+        |SELECT lpad(CAST(v AS VARCHAR), 6, '0') AS node,
+        | lpad(CAST(greatest(v - (v % 10), v - 2) AS VARCHAR), 6, '0') AS label
+        |FROM nodes ORDER BY node""".stripMargin,
 
     // the three proven centrality chains joined as subqueries
     "pipeline_centrality_prior" ->

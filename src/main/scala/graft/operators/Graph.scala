@@ -152,6 +152,137 @@ object Graph {
         coalesce(col("_h"), lit(0L)).as("harmonic_ppm"))
   }
 
+  /** Per-node triangle counts + local clustering coefficient over the
+    * UNDIRECTED simplification of an edge list (direction dropped,
+    * self-loops dropped, multi-edges collapsed) — the classic
+    * link-farm / mirror-ring detector: organic web neighborhoods close
+    * triangles at predictable rates, spam cliques and syndication rings
+    * sit at the extremes, so curation uses the coefficient as another
+    * per-domain prior next to [[pageRankScaled]].
+    *
+    *   clustering_ppm(v) = (2 · t(v) · 10⁶) div (deg(v) · (deg(v) − 1))
+    *
+    * with t(v) the number of triangles through v — exact integers end
+    * to end (coefficient 0 when deg < 2).
+    *
+    * Scale shape: the standard degree-ordered orientation — each
+    * undirected edge is directed from its (degree, node)-smaller
+    * endpoint to the larger, which bounds every oriented out-list by
+    * O(√m) on any graph — then ONE self-join of the oriented list on
+    * the shared wedge center and ONE semi-join of the wedge back onto
+    * the canonical edge set closes each triangle exactly once (at its
+    * orientation-minimal vertex). Shuffles carry node-id pairs only.
+    * This is the join-algebra form of the node-iterator-++ algorithm
+    * (Schank & Wagner 2005), the shape every distributed triangle
+    * counter (including GraphX's `TriangleCount`) uses.
+    *
+    * Output: `(node STRING, degree BIGINT, triangles BIGINT,
+    * clustering_ppm BIGINT)`, one row per node in the edge universe.
+    */
+  def triangleCountsScaled(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String
+  ): DataFrame = {
+    val raw = edges
+      .select(col(srcCol).cast("string").as("_a"), col(dstCol).cast("string").as("_b"))
+      .filter(col("_a").isNotNull && col("_b").isNotNull && col("_a") =!= col("_b"))
+    // canonical undirected simple edges: (u < v), multi-edges collapsed
+    val ce = raw
+      .select(least(col("_a"), col("_b")).as("_u"), greatest(col("_a"), col("_b")).as("_v"))
+      .distinct()
+      .localCheckpoint()
+    val nodes = ce.select(col("_u").as("_n"))
+      .unionByName(ce.select(col("_v").as("_n")))
+      .distinct()
+    val deg = ce.select(col("_u").as("_n")).unionByName(ce.select(col("_v").as("_n")))
+      .groupBy("_n").agg(count(lit(1)).as("_deg"))
+      .localCheckpoint()
+    // degree-ordered orientation: (deg, node) smaller endpoint → larger
+    val oriented = ce
+      .join(deg.select(col("_n").as("_u"), col("_deg").as("_du")), Seq("_u"))
+      .join(deg.select(col("_n").as("_v"), col("_deg").as("_dv")), Seq("_v"))
+      .select(
+        when(col("_du") < col("_dv") ||
+             (col("_du") === col("_dv") && col("_u") < col("_v")), col("_u"))
+          .otherwise(col("_v")).as("_lo"),
+        when(col("_du") < col("_dv") ||
+             (col("_du") === col("_dv") && col("_u") < col("_v")), col("_v"))
+          .otherwise(col("_u")).as("_hi"))
+      .localCheckpoint()
+    // wedges at the orientation-minimal vertex; close against canonical edges
+    val wedges = oriented.select(col("_lo").as("_c"), col("_hi").as("_x"))
+      .join(oriented.select(col("_lo").as("_c"), col("_hi").as("_y")), Seq("_c"))
+      .filter(col("_x") < col("_y"))
+    val triangles = wedges
+      .join(ce.select(col("_u").as("_x"), col("_v").as("_y")), Seq("_x", "_y"), "left_semi")
+    val perNode = triangles
+      .select(explode(array(col("_c"), col("_x"), col("_y"))).as("_n"))
+      .groupBy("_n").agg(count(lit(1)).as("_t"))
+    nodes.join(deg, Seq("_n")).join(perNode, Seq("_n"), "left")
+      .select(col("_n").as("node"), col("_deg").as("degree"),
+        coalesce(col("_t"), lit(0L)).as("triangles"),
+        when(col("_deg") >= 2,
+          expr("(2 * coalesce(_t, 0L) * 1000000L) div (_deg * (_deg - 1))"))
+          .otherwise(lit(0L)).as("clustering_ppm"))
+  }
+
+  /** Synchronous min-label propagation over the undirected
+    * simplification of an edge list, a FIXED number of rounds — the
+    * depth-bounded community/component labeling a curation pipeline
+    * uses when full connected components ([[Dedup.connectedComponents]]
+    * on dedup edges) is more convergence than the use case needs:
+    * after r rounds every node carries the minimum node id within
+    * undirected distance r, so labels are exact, reproducible set
+    * algebra (and converge to connected components once r reaches the
+    * graph diameter).
+    *
+    *   l₀(v) = v;  l_{k+1}(v) = min(l_k(v), min_{u ∈ N(v)} l_k(u))
+    *
+    * Scale shape: round k is ONE shuffle — the symmetric edge list
+    * joined to the current labels (ids only, map-side-combined `min`
+    * per destination) — with `localCheckpoint` cutting the iteration
+    * lineage (the [[pageRankScaled]] discipline). Fixed `rounds` keeps
+    * the operator replayable; convergence detection is deliberately a
+    * non-goal (same trade as every operator in this file).
+    *
+    * Output: `(node STRING, label STRING)` over the edge universe.
+    */
+  def labelPropagationMin(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      rounds: Int
+  ): DataFrame = {
+    require(rounds >= 1 && rounds <= 16,
+      s"labelPropagationMin: rounds must be in [1, 16], got $rounds")
+    val raw = edges
+      .select(col(srcCol).cast("string").as("_a"), col(dstCol).cast("string").as("_b"))
+      .filter(col("_a").isNotNull && col("_b").isNotNull)
+    // symmetric simple adjacency (self-loops are harmless no-ops; drop them)
+    val sym = raw.filter(col("_a") =!= col("_b"))
+      .select(col("_a").as("_s"), col("_b").as("_d"))
+      .unionByName(raw.filter(col("_a") =!= col("_b"))
+        .select(col("_b").as("_s"), col("_a").as("_d")))
+      .distinct()
+      .localCheckpoint()
+    val nodes = raw.select(col("_a").as("_v"))
+      .unionByName(raw.select(col("_b").as("_v")))
+      .distinct()
+      .localCheckpoint()
+    var labels = nodes.select(col("_v"), col("_v").as("_l"))
+    for (_ <- 0 until rounds) {
+      val fromNbr = sym
+        .join(labels.withColumnRenamed("_v", "_s"), Seq("_s"))
+        .groupBy(col("_d")).agg(min(col("_l")).as("_nl"))
+        .select(col("_d").as("_v"), col("_nl"))
+      labels = labels.join(fromNbr, Seq("_v"), "left")
+        .select(col("_v"), least(col("_l"), coalesce(col("_nl"), col("_l"))).as("_l"))
+        .localCheckpoint()
+    }
+    labels.select(col("_v").as("node"), col("_l").as("label"))
+  }
+
   /** Truncated Katz centrality over a directed edge list — the third
     * classical link-quality prior (with [[pageRankScaled]] and
     * [[harmonicCentralityScaled]]): every walk INTO a node counts,

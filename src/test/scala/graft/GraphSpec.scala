@@ -69,6 +69,51 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("triangleCountsScaled: hand-computed triangles, direction/multi-edge/self-loop collapse") {
+    // triangle a-b-c, pendant d off a, square c-d? no: add c-e, e-a → second
+    // triangle a-c-e; noise: duplicate b->a (reversed multi-edge), self-loop c->c
+    val edges = Seq(
+      ("a", "b"), ("b", "c"), ("c", "a"), ("b", "a"), ("c", "c"),
+      ("a", "d"), ("c", "e"), ("e", "a")
+    ).toDF("src", "dst")
+    val got = Graph.triangleCountsScaled(edges, "src", "dst")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // degrees (undirected simple): a=4 (b,c,d,e), b=2, c=3 (a,b,e), d=1, e=2
+    // triangles: {a,b,c}, {a,c,e} → a:2, b:1, c:2, d:0, e:1
+    // clustering_ppm: a: 2·2·1e6 div (4·3)=333333; b: 2·1e6 div 2=1000000;
+    //                 c: 2·2·1e6 div (3·2)=666666; d: 0 (deg<2); e: 1000000
+    val exp = Map(
+      "a" -> ((4L, 2L, 333333L)), "b" -> ((2L, 1L, 1000000L)),
+      "c" -> ((3L, 2L, 666666L)), "d" -> ((1L, 0L, 0L)), "e" -> ((2L, 1L, 1000000L)))
+    assert(got == exp, s"got=$got exp=$exp")
+    // triangle-free graph: all zero triangles
+    val path = Seq(("a", "b"), ("b", "c")).toDF("src", "dst")
+    val g2 = Graph.triangleCountsScaled(path, "src", "dst")
+      .as[(String, Long, Long, Long)].collect()
+    assert(g2.forall(_._3 == 0L), g2.mkString(","))
+  }
+
+  test("labelPropagationMin: depth-bounded min labels; converges to components") {
+    // two components: chain a-b-c-d and pair x-y (direction must not matter)
+    val edges = Seq(("b", "a"), ("b", "c"), ("d", "c"), ("y", "x"))
+      .toDF("src", "dst")
+    def run(r: Int) = Graph.labelPropagationMin(edges, "src", "dst", r)
+      .as[(String, String)].collect().toMap
+    // round 1: a→a, b→a, c→b, d→c, x→x, y→x
+    assert(run(1) == Map("a" -> "a", "b" -> "a", "c" -> "b", "d" -> "c",
+      "x" -> "x", "y" -> "x"), run(1).toString)
+    // round 2: c sees b's round-1 label "a"; d sees c's "b"
+    assert(run(2) == Map("a" -> "a", "b" -> "a", "c" -> "a", "d" -> "b",
+      "x" -> "x", "y" -> "x"), run(2).toString)
+    // by round 3 (diameter) both components carry their min id
+    assert(run(3) == Map("a" -> "a", "b" -> "a", "c" -> "a", "d" -> "a",
+      "x" -> "x", "y" -> "x"), run(3).toString)
+    intercept[IllegalArgumentException] {
+      Graph.labelPropagationMin(edges, "src", "dst", 0)
+    }
+  }
+
   test("katzCentralityScaled: walk counts with multi-edges, exact attenuation ladder") {
     // a -> b (×2, parallel walks), b -> c, c -> b (a 2-cycle feeding walks back)
     val edges = Seq(("a", "b"), ("a", "b"), ("b", "c"), ("c", "b"))
