@@ -1897,6 +1897,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- blocklist phrase tagging: total overlap-counted substring
+    //      hits + distinct rules fired per doc, ONE Aho–Corasick pass
+    //      per row (O(text) regardless of list size — the shape that
+    //      survives a 10k-phrase production blocklist); nested
+    //      ("table" ⊂ "table part") and self-overlapping ("a a")
+    //      patterns exercise the automaton's output inheritance
+    "blocklist_phrases" -> ((s, dir) => {
+      val pats = Seq("table", "table part", "scan slow", "a a", "merge batch")
+      t(s, dir, "documents").select(col("doc_id"),
+          TextFunctions.multiPatternHits(col("text"), pats).as("total_hits"),
+          TextFunctions.multiPatternDistinct(col("text"), pats).as("rules_fired"))
+        .orderBy("doc_id")
+    }),
+
     // ---- per-domain TOKEN budget: crawl-order (doc_id) retention
     //      while the domain's running token total stays ≤ 200 — the
     //      token-mass sibling of domain_filter's doc-count cap; the
@@ -6076,6 +6090,26 @@ object SparkEntry {
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits, min(s) AS first_pos
          |FROM w WHERE win = 'gamma delta epsilon zeta eta theta'
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // per-pattern overlap counts replayed as a position scan (every
+    // start index checked — the oracle pays O(patterns × text) to
+    // verify the automaton's O(text) answer); rules_fired is a plain
+    // contains per pattern
+    "blocklist_phrases" ->
+      """WITH pats(p) AS (
+        | VALUES ('table'), ('table part'), ('scan slow'), ('a a'), ('merge batch')
+        |), h AS (
+        | SELECT d.doc_id,
+        |  CAST(sum(CASE WHEN length(d.text) >= length(pats.p)
+        |   THEN coalesce(list_sum(list_transform(
+        |          range(1, length(d.text) - length(pats.p) + 2),
+        |          i -> CASE WHEN substr(d.text, i, length(pats.p)) = pats.p
+        |               THEN 1 ELSE 0 END)), 0)
+        |   ELSE 0 END) AS BIGINT) AS total_hits,
+        |  CAST(sum(CASE WHEN contains(d.text, pats.p) THEN 1 ELSE 0 END) AS BIGINT) AS rules_fired
+        | FROM documents d CROSS JOIN pats GROUP BY 1
+        |)
+        |SELECT doc_id, total_hits, rules_fired FROM h ORDER BY doc_id""".stripMargin,
 
     // same registered-domain chain as domain_extract, token counts by
     // the shared whitespace rule, then ONE ordered window sum per

@@ -60,6 +60,30 @@ object TextFunctions {
       graft.plans.SubwordCount(ColumnBridge.expression(text), vocab))
   }
 
+  /** Total (position, pattern) substring matches — overlaps and nested
+    * patterns all count — via a single Aho–Corasick pass
+    * (graft.plans.MultiPatternCount): O(text) per row regardless of the
+    * pattern-list size, vs O(patterns × text) for per-pattern scans.
+    * Case-sensitive; lowercase upstream when needed.
+    */
+  def multiPatternHits(text: Column, patterns: Seq[String]): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(
+      graft.plans.MultiPatternCount(ColumnBridge.expression(text), patterns,
+        distinctMode = false))
+  }
+
+  /** Number of DISTINCT patterns occurring at least once ("how many
+    * blocklist rules fired") — same single Aho–Corasick pass as
+    * [[multiPatternHits]].
+    */
+  def multiPatternDistinct(text: Column, patterns: Seq[String]): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(
+      graft.plans.MultiPatternCount(ColumnBridge.expression(text), patterns,
+        distinctMode = true))
+  }
+
   def charCount(text: Column): Column = length(text).cast(LongType)
 
   /** Ratio of punctuation chars to total chars; null-safe, 0 for empty.

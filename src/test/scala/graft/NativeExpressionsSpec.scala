@@ -591,6 +591,53 @@ class NativeExpressionsSpec extends SparkSpec {
     assert(empty == 0)
   }
 
+  test("MultiPatternCount: overlaps, nesting, distinct mode, null text, brute-force parity") {
+    import graft.functions.TextFunctions
+    val pats = Seq("he", "she", "hers", "aa")
+    val df = Seq(
+      (1, "ushers"), (2, "aaaa"), (3, "none at all... x"), (4, null: String),
+      (5, "shehehers")
+    ).toDF("id", "text")
+    val got = df.select(col("id"),
+        TextFunctions.multiPatternHits(col("text"), pats).as("h"),
+        TextFunctions.multiPatternDistinct(col("text"), pats).as("d"))
+      .as[(Int, Option[Long], Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // ushers: she@1, he@2, hers@2 → 3 hits, 3 rules
+    assert(got(1) == ((Some(3L), Some(3L))), got(1).toString)
+    // aaaa: aa@0,1,2 (overlaps count) → 3 hits, 1 rule
+    assert(got(2) == ((Some(3L), Some(1L))), got(2).toString)
+    assert(got(3) == ((Some(0L), Some(0L))), got(3).toString)
+    assert(got(4) == ((None, None)), got(4).toString)
+    // shehehers: she@0, he@1,3,5, hers@5 → 5 hits, 3 rules
+    assert(got(5) == ((Some(5L), Some(3L))), got(5).toString)
+
+    // brute-force parity on dense binary strings (every substring
+    // position checked driver-side)
+    val bpats = Seq("ab", "ba", "aab", "bb", "aba")
+    def brute(s: String): (Long, Long) = {
+      val per = bpats.map(p =>
+        (0 to s.length - p.length).count(i => s.regionMatches(i, p, 0, p.length)))
+      (per.map(_.toLong).sum, per.count(_ > 0).toLong)
+    }
+    val strs = (0 until 64).map(n =>
+      (0 until 6).map(b => if (((n >> b) & 1) == 0) 'a' else 'b').mkString)
+    val bg = strs.toDF("text").select(col("text"),
+        TextFunctions.multiPatternHits(col("text"), bpats).as("h"),
+        TextFunctions.multiPatternDistinct(col("text"), bpats).as("d"))
+      .as[(String, Long, Long)].collect()
+    bg.foreach { case (s, h, d) =>
+      assert((h, d) == brute(s), s"$s: got ($h,$d) want ${brute(s)}")
+    }
+
+    intercept[IllegalArgumentException] {
+      TextFunctions.multiPatternHits(col("text"), Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      TextFunctions.multiPatternHits(col("text"), Seq("a", "a"))
+    }
+  }
+
   test("every native expression survives whole-stage codegen with fallback disabled") {
     // spark.sql.codegen.fallback=false turns a Janino compile error into
     // a thrown exception instead of a SILENT interpreted fallback — the
@@ -621,6 +668,8 @@ class NativeExpressionsSpec extends SparkSpec {
         TF.charShingles($"text", 3, 2).as("csh"),
         TF.shingles($"text", 2).as("wsh"),
         TF.maxTokenFreq($"text").as("mtf"),
+        TF.multiPatternHits($"text", Seq("the", "qu", "ck bro")).as("mph"),
+        TF.multiPatternDistinct($"text", Seq("the", "zzz")).as("mpd"),
         TF.punctRatio($"text").as("pr"),
         TF.langId($"text").as("lang"),
         Dedup.minHashSignature($"text", 16).as("mh"),
