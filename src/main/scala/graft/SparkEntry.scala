@@ -1897,6 +1897,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- bloom semi-join reduction: the fact side filters through a
+    //      deterministic Bloom filter of the dim keys BEFORE any
+    //      exchange (SplitMix64 + Kirsch–Mitzenmacher probes; build
+    //      collects ≤ mBits distinct positions, never dim rows); the
+    //      exact join removes false positives, so the oracle is the
+    //      plain join — the bloom stage buys only I/O
+    "bloom_join" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val c = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"), col("c_name"))
+      graft.engine.Partitioning
+        .bloomSemiJoin(o, c, "o_custkey", "c_custkey", mBits = 1 << 16, k = 7)
+        .select(col("o_orderkey"), col("o_custkey"), col("c_name"))
+        .orderBy("o_orderkey")
+    }),
+
     // ---- blocklist phrase tagging: total overlap-counted substring
     //      hits + distinct rules fired per doc, ONE Aho–Corasick pass
     //      per row (O(text) regardless of list size — the shape that
@@ -6090,6 +6107,13 @@ object SparkEntry {
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits, min(s) AS first_pos
          |FROM w WHERE win = 'gamma delta epsilon zeta eta theta'
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // the bloom filter is I/O avoidance only — the result IS the join
+    "bloom_join" ->
+      """SELECT o.o_orderkey, o.o_custkey, c.c_name
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |ORDER BY o_orderkey""".stripMargin,
 
     // per-pattern overlap counts replayed as a position scan (every
     // start index checked — the oracle pays O(patterns × text) to

@@ -119,6 +119,67 @@ object Partitioning {
     bigS.join(smallS, keys :+ "_salt", joinType).drop("_salt")
   }
 
+  /** Semi-join reduction via a deterministic Bloom filter — the join
+    * remedy for the middle regime `saltedJoin` and `broadcast()` don't
+    * cover: the dim side is too big to broadcast as rows, the fact side
+    * is huge, and most fact rows DON'T join (selective dim predicate).
+    * Build: the dim keys' probe positions (graft.plans
+    * .BloomProbePositions) are exploded and distinct-collected — the
+    * collected set is bounded by `mBits` (the filter size YOU chose to
+    * fit in memory), never by the dim row count. Probe: the fact side
+    * filters with the identical probe math (graft.plans
+    * .BloomMightContain) BEFORE its exchange, so rows that cannot join
+    * never shuffle. The exact inner join then removes false positives;
+    * false negatives are impossible, so the RESULT is bit-identical to
+    * `fact.join(dim, ...)` — the Bloom stage buys only I/O, which is
+    * why the gate oracle is the plain join.
+    *
+    * Keys must be BIGINT-castable (ids). Null fact keys drop (inner
+    * join semantics). `mBits` sizing: ~10 bits/key gives ~1% false
+    * positives with k=7 — at 10⁸ dim keys that is a 125 MB bitset where
+    * the dim ROWS would be tens of GB.
+    */
+  def bloomSemiJoin(
+      fact: DataFrame,
+      dim: DataFrame,
+      factKey: String,
+      dimKey: String,
+      mBits: Int = 1 << 20,
+      k: Int = 7
+  ): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val filtered = fact.filter(bloomKeep(dim, dimKey, col(factKey), mBits, k))
+    filtered.join(dim, filtered(factKey) === dim(dimKey))
+  }
+
+  /** The probe side of [[bloomSemiJoin]] on its own: a boolean Column
+    * over `probeKey` that is true for every key present in
+    * `dim.dimKey` (and, at the filter's false-positive rate, for some
+    * that aren't). Exposed separately so a pipeline can reuse one built
+    * filter across several fact scans.
+    */
+  def bloomKeep(
+      dim: DataFrame,
+      dimKey: String,
+      probeKey: Column,
+      mBits: Int,
+      k: Int
+  ): Column = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graft.ColumnBridge
+    import graft.plans.{BloomMightContain, BloomProbePositions}
+    val posCol = ColumnBridge.column(BloomProbePositions(
+      ColumnBridge.expression(col(dimKey).cast("long")), mBits, k))
+    val positions = dim.select(explode(posCol).as("_p"))
+      .distinct()
+      .collect()
+      .map(_.getInt(0))
+    val words = new Array[Long]((mBits + 63) / 64)
+    positions.foreach(p => words(p >>> 6) |= (1L << (p & 63)))
+    ColumnBridge.column(BloomMightContain(
+      ColumnBridge.expression(probeKey.cast("long")), words, mBits, k))
+  }
+
   /** Persist `df` as a BUCKETED (and bucket-sorted) parquet table: every
     * later equi-join or aggregation on `keys` between tables bucketed the
     * same way is exchange-free — the co-located-join contract for state

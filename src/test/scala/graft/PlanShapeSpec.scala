@@ -279,6 +279,37 @@ class PlanShapeSpec extends SparkSpec {
     assert(saltsSeen == 8L)
   }
 
+  test("bloom semi-join: bit-identical to the plain join; probe filter sits on the fact side") {
+    import graft.engine.Partitioning
+    val o = t("orders").select(col("o_orderkey"), col("o_custkey"))
+    val c = t("customer").filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"), col("c_name"))
+    val plain = o.join(c, col("o_custkey") === col("c_custkey"))
+    // deliberately undersized filter (256 bits for ~300 keys → heavy
+    // false positives): exactness must come from the join, not the bloom
+    val tiny = Partitioning.bloomSemiJoin(o, c, "o_custkey", "c_custkey",
+      mBits = 256, k = 2)
+    assert(tiny.exceptAll(plain).isEmpty && plain.exceptAll(tiny).isEmpty)
+    val sized = Partitioning.bloomSemiJoin(o, c, "o_custkey", "c_custkey",
+      mBits = 1 << 16, k = 7)
+    assert(sized.exceptAll(plain).isEmpty && plain.exceptAll(sized).isEmpty)
+    // the probe is a plain Filter on the fact branch (pre-shuffle/pre-join)
+    val pstr = sized.queryExecution.executedPlan.toString
+    assert(pstr.contains("graft_bloom_might_contain"), pstr)
+    // and it prunes for real: filter survivors ≈ joinable rows (well
+    // under the fact count), zero for a disjoint dim modulo the fp rate
+    val total = o.count()
+    val joinable = plain.count()
+    val kept = o.filter(Partitioning.bloomKeep(c, "c_custkey",
+      col("o_custkey"), 1 << 16, 7)).count()
+    assert(kept >= joinable && kept < total / 2,
+      s"kept=$kept joinable=$joinable total=$total")
+    val none = Partitioning.bloomSemiJoin(
+      o, c.select((col("c_custkey") * -1L - 1L).as("c_custkey"), col("c_name")),
+      "o_custkey", "c_custkey", mBits = 1 << 16, k = 7)
+    assert(none.count() == 0L)
+  }
+
   test("typed projection stays inside whole-stage codegen (no UDFs)") {
     import graft.functions.TypedAttrs
     val df = t("customer").select(
