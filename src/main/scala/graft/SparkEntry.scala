@@ -1897,6 +1897,34 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- homoglyph-evasion dedup: planted clones swap Latin for
+    //      Cyrillic lookalikes and sprinkle zero-width spaces (byte
+    //      fingerprints all miss them); the confusable skeleton maps
+    //      them back, so exact-dedup pairing works unchanged —
+    //      bytes_differ pins that each pair really crossed a byte
+    //      difference. Pairs join on 8-byte skeleton fingerprints (the
+    //      dedup_exact shuffle discipline), never on text
+    "homoglyph_dedup" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val spoofed = d.filter(col("doc_id") < 30).select(
+        (col("doc_id") + 1000000L).as("doc_id"),
+        regexp_replace(translate(col("text"), "aeopcxy",
+            "\u0430\u0435\u043E\u0440\u0441\u0445\u0443"),
+          " ", " \u200B").as("text"))
+      val all = d.union(spoofed)
+      val sk = all.select(col("doc_id"),
+        xxhash64(TextFunctions.confusableSkeleton(col("text"))).as("_fp"))
+      val pairs = sk.select(col("_fp"), col("doc_id").as("id_a"))
+        .join(sk.select(col("_fp"), col("doc_id").as("id_b")), Seq("_fp"))
+        .filter(col("id_a") < col("id_b"))
+      pairs
+        .join(all.select(col("doc_id").as("id_a"), col("text").as("_ta")), Seq("id_a"))
+        .join(all.select(col("doc_id").as("id_b"), col("text").as("_tb")), Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          (col("_ta") =!= col("_tb")).as("bytes_differ"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // ---- bloom semi-join reduction: the fact side filters through a
     //      deterministic Bloom filter of the dim keys BEFORE any
     //      exchange (SplitMix64 + Kirsch–Mitzenmacher probes; build
@@ -6107,6 +6135,23 @@ object SparkEntry {
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits, min(s) AS first_pos
          |FROM w WHERE win = 'gamma delta epsilon zeta eta theta'
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // the skeleton maps every planted spoof BACK to its source text, so
+    // the oracle needs no confusable table: pairs are exact-text matches
+    // over originals ∪ clones, and bytes really differ exactly when the
+    // pair mixes a spoofed and an unspoofed doc
+    "homoglyph_dedup" ->
+      """WITH base AS (
+        | SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+        |), all_docs AS (
+        | SELECT doc_id, text FROM base
+        | UNION ALL SELECT doc_id + 1000000, text FROM base WHERE doc_id < 30
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        | ((a.doc_id < 1000000) <> (b.doc_id < 1000000)) AS bytes_differ
+        |FROM all_docs a JOIN all_docs b
+        |  ON a.text = b.text AND a.doc_id < b.doc_id
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // the bloom filter is I/O avoidance only — the result IS the join
     "bloom_join" ->

@@ -84,6 +84,17 @@ object TextFunctions {
         distinctMode = true))
   }
 
+  /** Homoglyph-canonical skeleton (graft.plans.ConfusableSkeleton): a
+    * fixed TR39-subset mapping of Cyrillic/Greek Latin-lookalikes +
+    * fullwidth forms, zero-width chars stripped — run BEFORE byte-level
+    * fingerprints so spoofed copies dedup against their sources.
+    */
+  def confusableSkeleton(text: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(
+      graft.plans.ConfusableSkeleton(ColumnBridge.expression(text)))
+  }
+
   def charCount(text: Column): Column = length(text).cast(LongType)
 
   /** Ratio of punctuation chars to total chars; null-safe, 0 for empty.

@@ -638,6 +638,31 @@ class NativeExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("ConfusableSkeleton: TR39-subset homoglyphs map, zero-widths strip, ASCII passes through") {
+    import graft.functions.TextFunctions
+    val rows = Seq(
+      (1, "plain ascii stays"),
+      (2, "p\u0430y p\u0430l"),                   // Cyrillic \u0430
+      (3, "z\u200Bero\u200C wid\u200Dth\u2060\uFEFF\u00AD gone"),
+      (4, "\uFF48\uFF45\uFF4C\uFF4C\uFF4F"),       // fullwidth hello
+      (5, "nb\u00A0sp"),                          // NBSP \u2192 space
+      (6, "\u039Fmicron \u03BDu"),               // Greek \u039F, \u03BD
+      (7, null: String),
+      (8, "caf\u00E9 \u00FCnchanged")            // non-confusable kept
+    ).toDF("id", "text")
+    val got = rows.select(col("id"),
+        TextFunctions.confusableSkeleton(col("text")).as("sk"))
+      .as[(Int, Option[String])].collect().toMap
+    assert(got(1).contains("plain ascii stays"))
+    assert(got(2).contains("pay pal"), got(2).toString)
+    assert(got(3).contains("zero width gone"), got(3).toString)
+    assert(got(4).contains("hello"), got(4).toString)
+    assert(got(5).contains("nb sp"), got(5).toString)
+    assert(got(6).contains("Omicron vu"), got(6).toString)
+    assert(got(7).isEmpty)
+    assert(got(8).contains("caf\u00E9 \u00FCnchanged"), got(8).toString)
+  }
+
   test("every native expression survives whole-stage codegen with fallback disabled") {
     // spark.sql.codegen.fallback=false turns a Janino compile error into
     // a thrown exception instead of a SILENT interpreted fallback — the
@@ -670,6 +695,7 @@ class NativeExpressionsSpec extends SparkSpec {
         TF.maxTokenFreq($"text").as("mtf"),
         TF.multiPatternHits($"text", Seq("the", "qu", "ck bro")).as("mph"),
         TF.multiPatternDistinct($"text", Seq("the", "zzz")).as("mpd"),
+        TF.confusableSkeleton($"text").as("skel"),
         TF.punctRatio($"text").as("pr"),
         TF.langId($"text").as("lang"),
         Dedup.minHashSignature($"text", 16).as("mh"),
