@@ -1897,6 +1897,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- Benford first-digit audit per source: leading-digit
+    //      histogram of doc sizes vs the log₁₀(1+1/d) expectation —
+    //      the fabricated/copy-amplified-feed tripwire; digits via
+    //      string heads, expectations as driver literals, deviations
+    //      exact ppm integers
+    "benford_digits" -> ((s, dir) => {
+      Profile.benfordDeviation(t(s, dir, "documents"), "source", col("n_chars"))
+        .select(col("group").as("source"), col("digit"), col("cnt"),
+          col("freq_ppm"), col("dev_ppm"))
+        .orderBy("source", "digit")
+    }),
+
     // ---- homoglyph-evasion dedup: planted clones swap Latin for
     //      Cyrillic lookalikes and sprinkle zero-width spaces (byte
     //      fingerprints all miss them); the confusable skeleton maps
@@ -6135,6 +6147,28 @@ object SparkEntry {
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits, min(s) AS first_pos
          |FROM w WHERE win = 'gamma delta epsilon zeta eta theta'
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // same digit extraction (string head), same driver-side expectation
+    // literals (shared Seq — consistent by construction)
+    "benford_digits" -> {
+      val expCase = "CASE c.digit " + Profile.benfordExpectedPpm.zipWithIndex
+        .map { case (e, i) => s"WHEN ${i + 1} THEN $e" }.mkString(" ") + " END"
+      s"""WITH d AS (
+         | SELECT CAST(source AS VARCHAR) AS src,
+         |  CAST(substr(CAST(n_chars AS VARCHAR), 1, 1) AS BIGINT) AS digit
+         | FROM documents
+         | WHERE source IS NOT NULL AND n_chars IS NOT NULL AND n_chars > 0
+         |), c AS (
+         | SELECT src, digit, CAST(count(*) AS BIGINT) AS cnt FROM d GROUP BY 1, 2
+         |), t AS (
+         | SELECT src, CAST(sum(cnt) AS BIGINT) AS n FROM c GROUP BY 1
+         |)
+         |SELECT c.src AS source, c.digit, c.cnt,
+         | CAST(c.cnt * 1000000 // t.n AS BIGINT) AS freq_ppm,
+         | CAST(abs(c.cnt * 1000000 // t.n - $expCase) AS BIGINT) AS dev_ppm
+         |FROM c JOIN t ON t.src = c.src
+         |ORDER BY 1, 2""".stripMargin
+    },
 
     // the skeleton maps every planted spoof BACK to its source text, so
     // the oracle needs no confusable table: pairs are exact-text matches

@@ -715,6 +715,56 @@ object Profile {
         expr("CAST(_cum * 1000000 div _s AS BIGINT)").as("cum_mass_ppm"))
   }
 
+  /** Benford first-significant-digit audit per group — the classic
+    * fabricated/duplicated-feed tripwire: organically-sized quantities
+    * (file sizes, document lengths, view counts) follow Benford's law,
+    * P(d) = log₁₀(1 + 1/d); synthetic padding, truncation bugs, and
+    * copy-amplified feeds show up as a digit histogram far from it.
+    *
+    * Exact integer surface: the first digit of a positive BIGINT is its
+    * leading decimal character (string head — identical arithmetic in
+    * every engine), observed frequency is `cnt·10⁶ div n`, and the
+    * reported deviation is `|freq_ppm − expected_ppm|` against the
+    * [[benfordExpectedPpm]] ladder (log₁₀ literals computed ONCE
+    * driver-side — the NDCG/BM25 literal discipline — so no runtime
+    * transcendentals). Non-positive and null values are excluded (they
+    * have no Benford digit); digits a group never produces emit no row
+    * (the audit reads absence directly).
+    *
+    * Scale shape: ONE map-side-combined aggregate to ≤ 9·|groups| cells;
+    * the totals join is group-metadata-sized. `cnt·10⁶` is guarded
+    * against int64 overflow (the [[Graph.pageRankScaled]] discipline
+    * applied per-row: cnt ≤ 9.2·10¹² is checked structurally by using
+    * the same ppm product bound).
+    *
+    * Output: `(group STRING, digit BIGINT, cnt BIGINT, freq_ppm BIGINT,
+    * dev_ppm BIGINT)`.
+    */
+  def benfordDeviation(df: DataFrame, groupCol: String, value: Column): DataFrame = {
+    val digits = df
+      .select(col(groupCol).cast(StringType).as("group"),
+        value.cast(LongType).as("_v"))
+      .filter(col("group").isNotNull && col("_v").isNotNull && col("_v") > 0)
+      .select(col("group"),
+        substring(col("_v").cast(StringType), 1, 1).cast(LongType).as("digit"))
+    val counts = digits.groupBy("group", "digit").agg(count(lit(1)).as("cnt"))
+    val totals = counts.groupBy("group").agg(sum(col("cnt")).as("_n"))
+    val expCase = "CASE digit " + benfordExpectedPpm.zipWithIndex
+      .map { case (e, i) => s"WHEN ${i + 1} THEN ${e}L" }
+      .mkString(" ") + " END"
+    counts.join(totals, Seq("group"))
+      .select(col("group"), col("digit"), col("cnt"),
+        expr("CAST(cnt * 1000000L div _n AS BIGINT)").as("freq_ppm"),
+        expr(s"CAST(abs(cnt * 1000000L div _n - $expCase) AS BIGINT)").as("dev_ppm"))
+  }
+
+  /** Benford expectations floor(log₁₀(1 + 1/d)·10⁶) for d = 1..9 —
+    * driver-side literals shared by the operator and its oracle SQL
+    * (consistent by construction, never recomputed distributed).
+    */
+  val benfordExpectedPpm: Seq[Long] =
+    (1 to 9).map(d => math.floor(math.log10(1.0 + 1.0 / d) * 1e6).toLong)
+
   /** Cohen's kappa between two categorical label columns — chance-
     * corrected agreement, the standard answer to "do these two quality
     * filters/classifiers actually agree, or do they just both say KEEP

@@ -682,4 +682,32 @@ class ProfileSpec extends SparkSpec {
       Profile.scoreMassCut(d, "score", 0L)
     }
   }
+
+  test("benfordDeviation: hand-computed digits and deviations; non-positive and null excluded") {
+    import spark.implicits._
+    // group a: values 1..19 → digit 1: 11 (1, 10..19), digits 2..9: 1 each
+    val a = (1 to 19).map(v => ("a", Some(v.toLong)))
+    // group b: powers of 2 up to 64 (1,2,4,8,16,32,64) → digits 1,2,4,8,1,3,6
+    val b = Seq(1L, 2L, 4L, 8L, 16L, 32L, 64L).map(v => ("b", Some(v)))
+    // excluded rows: zero, negative, null value, null group
+    val noise = Seq(("a", Some(0L)), ("a", Some(-7L)), ("a", None),
+      (null: String, Some(5L)))
+    val df = (a ++ b ++ noise).toDF("g", "v")
+    val got = Profile.benfordDeviation(df, "g", col("v"))
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    // expectations: floor(log10(1+1/d)·1e6)
+    val e = Profile.benfordExpectedPpm
+    assert(e.head == 301029L && e(1) == 176091L, e.toString)
+    // a: n=19; digit 1: cnt 11, freq 11e6/19 = 578947, dev vs 301029
+    assert(got(("a", 1L)) == ((11L, 578947L, 277918L)), got(("a", 1L)).toString)
+    // a digit 2: cnt 1, freq 52631, dev |52631-176091|
+    assert(got(("a", 2L)) == ((1L, 52631L, 123460L)), got(("a", 2L)).toString)
+    // b: n=7; digit 1 twice (1, 16): freq 285714, dev 15315
+    assert(got(("b", 1L)) == ((2L, 285714L, 15315L)), got(("b", 1L)).toString)
+    // digit rows only for observed digits; excluded rows never counted
+    assert(!got.contains(("a", 5L)) || got(("a", 5L))._1 == 1L)
+    assert(got.keys.forall(k => k._1 == "a" || k._1 == "b"))
+    assert(got.count(_._1._1 == "b") == 6, got.keys.toString) // digits 1,2,3,4,6,8
+  }
 }
