@@ -2504,6 +2504,29 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- exactly-N sampling ON A STREAM: bottom-k-by-hash is a
+    //      mergeable summary (sample(A∪B) = sample(sample(A)∪B)), so
+    //      the versioned state — always ≤ n rows — re-samples
+    //      (state ∪ batch) each micro-batch; after the last batch the
+    //      state is bit-identical to the batch sampleExactN over
+    //      everything, which is exactly what the oracle recomputes
+    //      (batch 1 replays to prove the no-op guard)
+    "sample_stream" -> ((s, dir) => {
+      import graft.streaming.StreamingOps
+      val d = t(s, dir, "documents").select(col("doc_id"), col("lang"), col("source"))
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-sample-stream").toString
+      def step(pred: Column, b: Long): Unit =
+        StreamingOps.applySampleExactNBatch(s, d.filter(pred), b, "doc_id",
+          n = 150, salt = "bk", s"$work/state")
+      step(col("doc_id") < 200, 0L)
+      step(col("doc_id") >= 200 && col("doc_id") < 350, 1L)
+      step(col("doc_id") >= 200 && col("doc_id") < 350, 1L)
+      step(col("doc_id") >= 350, 2L)
+      StreamingOps.readState(s, s"$work/state").get
+        .orderBy("doc_id")
+    }),
+
     // ---- link-graph centrality: integer-scaled PageRank (3 rounds,
     //      d=0.85) over the source-transition graph (edge per
     //      consecutive doc_id pair) — the Common-Crawl-style domain
@@ -5283,6 +5306,29 @@ object SparkEntry {
         |)
         |SELECT doc_id, lang, source FROM sgn
         |QUALIFY row_number() OVER (ORDER BY hs DESC, doc_id DESC) <= 200
+        |ORDER BY doc_id""".stripMargin,
+
+    // the stream's final state IS the batch sample of everything seen —
+    // same signed-FNV top-150 as sample_exact_n, salt ':bk'
+    "sample_stream" ->
+      """WITH h AS (
+        | SELECT doc_id, lang, source,
+        |  list_reduce(
+        |    list_prepend(CAST('14695981039346656037' AS HUGEINT),
+        |      list_transform(range(1, length(s) + 1), i -> CAST(ascii(s[i]) AS HUGEINT))),
+        |    (acc, b) -> ((acc // 256) * 256 + xor(CAST(acc % 256 AS BIGINT), CAST(b AS BIGINT)))
+        |                * 1099511628211 % CAST('18446744073709551616' AS HUGEINT)
+        |  ) AS hh
+        | FROM (SELECT doc_id, lang, source, doc_id::VARCHAR || ':bk' AS s FROM documents)
+        |), sgn AS (
+        | SELECT doc_id, lang, source,
+        |  CAST(hh - CASE WHEN hh >= CAST('9223372036854775808' AS HUGEINT)
+        |            THEN CAST('18446744073709551616' AS HUGEINT)
+        |            ELSE CAST(0 AS HUGEINT) END AS BIGINT) AS hs
+        | FROM h
+        |)
+        |SELECT doc_id, lang, source FROM sgn
+        |QUALIFY row_number() OVER (ORDER BY hs DESC, doc_id DESC) <= 150
         |ORDER BY doc_id""".stripMargin,
 
     // same signed-FNV recomputation, ranked per source (hash DESC,

@@ -948,6 +948,50 @@ object StreamingOps {
     }
   }
 
+  /** One micro-batch of the STREAMING exactly-N sample — the reservoir
+    * of the deterministic-sampling family: the state is always the n
+    * keys with the LARGEST full 64-bit FNV hash (signed order, the
+    * [[graft.operators.Sampling.sampleExactN]] total order) over every
+    * row ingested so far. Bottom-k-by-hash is a MERGEABLE summary —
+    * sample(A ∪ B) = sample(sample(A) ∪ B) — so each batch just re-runs
+    * the batch operator over (committed state ∪ batch) and commits the
+    * winner set; after any prefix of the stream the state is
+    * bit-identical to the batch sample of everything seen, which is
+    * what the gate's oracle recomputes.
+    *
+    * Replay idempotence: a batch at or below the committed version
+    * no-ops (the [[applyNoveltyBatch]] guard). Torn commits cannot
+    * corrupt: state writes land at a new version directory and the
+    * `_CURRENT` pointer flips last. State is ≤ n rows — driver-bounded
+    * by construction, at any corpus scale.
+    */
+  def applySampleExactNBatch(
+      spark: SparkSession,
+      batch: DataFrame,
+      batchId: Long,
+      keyCol: String,
+      n: Int,
+      salt: String,
+      statePath: String
+  ): Unit = {
+    require(n >= 1, s"applySampleExactNBatch: n must be positive, got $n")
+    currentVersionId(spark, statePath) match {
+      case Some(cur) if cur >= batchId =>
+        log.warn(s"sampleExactNStream: skipping batch $batchId — state at " +
+          s"v$cur already includes it")
+      case _ =>
+        val cand = readState(spark, statePath) match {
+          case Some(st) => st.unionByName(batch)
+          case None => batch
+        }
+        val next = graft.operators.Sampling.sampleExactN(cand, keyCol, n, salt)
+          .localCheckpoint()
+        val version = s"v$batchId"
+        next.write.mode("overwrite").parquet(s"$statePath/$version")
+        commitVersion(spark, statePath, version, keepFrom = batchId - 1)
+    }
+  }
+
   /** One micro-batch of the STREAMING drift timeline — the ROLLING
     * variant of [[applyDriftBatch]]: instead of scoring every batch
     * against a frozen batch-0 reference, each batch scores against the

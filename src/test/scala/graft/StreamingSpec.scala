@@ -810,6 +810,38 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(inc1 == Map(100L -> 1L, 200L -> 1L), inc1.toString)
   }
+  test("exact-N sample stream: state equals the batch sample after every prefix; replay no-ops") {
+    import graft.operators.Sampling
+    val d = spark.range(500).select(col("id").as("k"), (col("id") % 7).as("g"))
+    val work = Files.createTempDirectory("graft-bk-stream").toString
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("k").as[Long].collect().toSet
+    def batchSample(pred: org.apache.spark.sql.Column): Set[Long] =
+      ids(Sampling.sampleExactN(d.filter(pred), "k", 20, "bkspec"))
+
+    StreamingOps.applySampleExactNBatch(spark, d.filter(col("k") < 200), 0L,
+      "k", 20, "bkspec", s"$work/state")
+    assert(ids(StreamingOps.readState(spark, s"$work/state").get) ==
+      batchSample(col("k") < 200))
+    // mergeability: after batch 2 the state is the sample of EVERYTHING
+    StreamingOps.applySampleExactNBatch(spark, d.filter(col("k") >= 200), 1L,
+      "k", 20, "bkspec", s"$work/state")
+    val s1 = ids(StreamingOps.readState(spark, s"$work/state").get)
+    assert(s1 == batchSample(lit(true)), s1.toString)
+    // replay no-ops: same batch id, same state
+    StreamingOps.applySampleExactNBatch(spark, d.filter(col("k") >= 200), 1L,
+      "k", 20, "bkspec", s"$work/state")
+    assert(ids(StreamingOps.readState(spark, s"$work/state").get) == s1)
+    // an empty batch advances the version without changing the winners
+    StreamingOps.applySampleExactNBatch(spark, d.filter(col("k") < 0), 2L,
+      "k", 20, "bkspec", s"$work/state")
+    assert(ids(StreamingOps.readState(spark, s"$work/state").get) == s1)
+    // non-k columns ride along untouched
+    val row = StreamingOps.readState(spark, s"$work/state").get
+      .filter(col("k") === s1.head).select("g").as[Long].collect()
+    assert(row.toSeq == Seq(s1.head % 7))
+  }
+
 }
 
 /** Serializable recording double for the socket client: records land in a
@@ -827,5 +859,6 @@ object RecordingClient {
     while (!buf.isEmpty) out += buf.poll()
     out.toSeq
   }
+
 
 }
