@@ -1897,6 +1897,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- sorted-neighborhood blocking (Hernández–Stolfo): rank by a
+    //      24-char normalized sort key through the two-level prefix,
+    //      pair within a rank window of 4, verify by fingerprint — the
+    //      ORDER-based complement to LSH blocking; planted clones sort
+    //      adjacent to their sources and pair inside the window
+    "sorted_neighborhood" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = d.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      Dedup.sortedNeighborhoodPairs(d.union(planted), "doc_id", "text",
+          keyLen = 24, window = 4)
+        .orderBy("id_a", "id_b")
+    }),
+
     // ---- Benford first-digit audit per source: leading-digit
     //      histogram of doc sizes vs the log₁₀(1+1/d) expectation —
     //      the fabricated/copy-amplified-feed tripwire; digits via
@@ -6193,6 +6207,26 @@ object SparkEntry {
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits, min(s) AS first_pos
          |FROM w WHERE win = 'gamma delta epsilon zeta eta theta'
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // the same rank-window semantics replayed with a plain window rank
+    // (oracle scale permits the global sort the operator avoids); the
+    // fingerprint verify becomes exact normalized-text equality
+    "sorted_neighborhood" ->
+      """WITH norm AS (
+        | SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), '[[:punct:]]', '', 'g'), '\s+', ' ', 'g')) AS nt
+        | FROM documents
+        |), all_docs AS (
+        | SELECT CAST(doc_id AS BIGINT) AS doc_id, nt FROM norm
+        | UNION ALL SELECT CAST(doc_id + 1000000 AS BIGINT), nt FROM norm WHERE doc_id < 20
+        |), r AS (
+        | SELECT doc_id, nt,
+        |  row_number() OVER (ORDER BY substr(nt, 1, 24), doc_id) AS rk
+        | FROM all_docs
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |FROM r a JOIN r b
+        |  ON b.rk > a.rk AND b.rk <= a.rk + 3 AND a.nt = b.nt
+        |ORDER BY 1, 2""".stripMargin,
 
     // same digit extraction (string head), same driver-side expectation
     // literals (shared Seq — consistent by construction)

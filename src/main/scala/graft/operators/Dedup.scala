@@ -90,6 +90,66 @@ object Dedup {
     * prefix buckets (boilerplate openings) go m² like any LSH bucket —
     * `maxBucketSize` is the same skew guard as [[minHashDupPairs]]'s.
     */
+  /** Sorted-neighborhood candidate pairing (Hernández & Stolfo 1995 —
+    * the classic entity-resolution blocking method, the ORDER-based
+    * complement to LSH's hash-based blocking): rank every doc by a
+    * short normalized sort key, pair docs within a rank window of
+    * `window`, and keep the pairs whose full normalized-text
+    * fingerprints agree. Where LSH needs a similarity threshold and
+    * per-band tuning, sorted-neighborhood catches near-misses that
+    * SORT together (shared prefixes, truncated copies, re-encoded
+    * feeds) with one knob.
+    *
+    * Output: `(id_a, id_b)` — id_a ranked before id_b, verified
+    * fingerprint-equal.
+    *
+    * Scale shape: the global rank over (sortKey, id) rides a two-level
+    * prefix — rows bucket by the key's FIRST character (monotone in
+    * the sort order), per-bucket counts prefix-sum into offsets
+    * (≤ |alphabet| histogram rows), `row_number` runs per bucket — so
+    * no task sorts the corpus. (Unlike [[Sampling.deterministicShuffle]]
+    * the sort key is NOT a hash, so bucket sizes follow the data's
+    * first-char skew; a range-sampled balancer is the production
+    * upgrade if one character dominates.) The windowed self-join is
+    * `window−1` rank-shifted EQUI-joins in one explode — shuffles carry
+    * (pos, id, 8-byte fingerprint), never text.
+    */
+  def sortedNeighborhoodPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      keyLen: Int,
+      window: Int
+  ): DataFrame = {
+    require(keyLen >= 1, s"sortedNeighborhoodPairs: keyLen must be >= 1, got $keyLen")
+    require(window >= 2, s"sortedNeighborhoodPairs: window must be >= 2, got $window")
+    val base = df.select(col(idCol).as("_id"),
+        normalizeForFingerprint(col(textCol)).as("_nt"))
+      .select(col("_id"), xxhash64(col("_nt")).as("_fp"),
+        substring(col("_nt"), 1, keyLen).as("_bk"))
+    val withB = base.withColumn("_b", substring(col("_bk"), 1, 1))
+    val w = org.apache.spark.sql.expressions.Window
+    val cnts = withB.groupBy("_b").agg(count(lit(1)).as("_c"))
+    val offs = cnts.withColumn("_off",
+        coalesce(sum(col("_c")).over(w.orderBy("_b")
+          .rowsBetween(w.unboundedPreceding, -1)), lit(0L)))
+      .select("_b", "_off")
+    val ranked = withB
+      .withColumn("_rn", row_number().over(
+        w.partitionBy("_b").orderBy(col("_bk"), col("_id"))).cast(LongType))
+      .join(offs, Seq("_b"))
+      .select(col("_id"), col("_fp"), (col("_off") + col("_rn")).as("_pos"))
+      .localCheckpoint()
+    val left = ranked.select(col("_id").as("id_a"), col("_fp").as("_fpa"),
+        col("_pos").as("_pa"),
+        explode(sequence(lit(1L), lit((window - 1).toLong))).as("_d"))
+      .select(col("id_a"), col("_fpa"), (col("_pa") + col("_d")).as("_pos"))
+    left.join(ranked.select(col("_id").as("id_b"), col("_fp").as("_fpb"),
+        col("_pos")), Seq("_pos"))
+      .filter(col("_fpa") === col("_fpb"))
+      .select(col("id_a"), col("id_b"))
+  }
+
   def prefixDupPairs(
       df: DataFrame,
       textCol: String,

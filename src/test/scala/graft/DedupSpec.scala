@@ -642,4 +642,34 @@ class DedupSpec extends SparkSpec {
     ).toDF("id", "t")
     assert(Dedup.prefixDupPairs(uniform, "t", "id", k = 4).count() == 0L)
   }
+
+  test("sortedNeighborhoodPairs: window-adjacent fingerprint matches; distance beyond window misses") {
+    import spark.implicits._
+    // three exact dups of "alpha beta" (ids 1, 2, 9), one lookalike sort
+    // key with different text, and noise that sorts far away
+    val d = Seq(
+      (1L, "alpha beta"),
+      (2L, "Alpha,  BETA!"),          // normalizes identically
+      (9L, "alpha beta"),
+      (3L, "alpha betz different"),   // same early prefix, different text
+      (4L, "zzz far away"),
+      (5L, "mid range row")
+    ).toDF("id", "t")
+    val got = Dedup.sortedNeighborhoodPairs(d, "id", "t", keyLen = 8, window = 4)
+      .as[(Long, Long)].collect().toSet
+    // sort order by 8-char key then id: (1, 2, 9 share "alpha be"; 3 too),
+    // so ranks cluster: all three dup pairs fall inside window 4
+    assert(got == Set((1L, 2L), (1L, 9L), (2L, 9L)), got.toString)
+    // window 2 (adjacent only): rank order is 1,2,3,9 — id 3 sits between
+    // 2 and 9, so only the adjacent dup pair (1,2) survives
+    val tight = Dedup.sortedNeighborhoodPairs(d, "id", "t", keyLen = 8, window = 2)
+      .as[(Long, Long)].collect().toSet
+    assert(tight == Set((1L, 2L)), tight.toString)
+    intercept[IllegalArgumentException] {
+      Dedup.sortedNeighborhoodPairs(d, "id", "t", keyLen = 0, window = 4)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.sortedNeighborhoodPairs(d, "id", "t", keyLen = 8, window = 1)
+    }
+  }
 }
