@@ -1897,6 +1897,27 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- EXACT set-similarity join (AllPairs/PPJoin prefix filter):
+    //      every pair with distinct-3-gram Jaccard ≥ 0.5, guaranteed
+    //      recall — candidates from the rarest-first prefix inverted
+    //      index + length filter, exact intersection verify; planted
+    //      exact clones (J = 1) and 4/5-truncated copies (J ≈ 0.8)
+    "setsim_pairs" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(col("doc_id") < 1000)
+        .select(col("doc_id"), col("text"))
+      val clones = d.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val trunc = d.filter(col("doc_id") < 20)
+        .withColumn("_ts", TextFunctions.tokens(col("text")))
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          array_join(slice(col("_ts"), lit(1),
+            greatest(expr("(size(_ts) * 4) div 5"), lit(1)).cast("int")), " ")
+            .as("text"))
+      Dedup.setSimilarityJoinPairs(d.union(clones).union(trunc),
+          "doc_id", "text", shingleSize = 3, thresholdPpm = 500000L)
+        .orderBy("id_a", "id_b")
+    }),
+
     // ---- sorted-neighborhood blocking (Hernández–Stolfo): rank by a
     //      24-char normalized sort key through the two-level prefix,
     //      pair within a rank window of 4, verify by fingerprint — the
@@ -6207,6 +6228,47 @@ object SparkEntry {
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits, min(s) AS first_pos
          |FROM w WHERE win = 'gamma delta epsilon zeta eta theta'
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // the prefix filter is recall-lossless, so the oracle IS the
+    // quadratic join: distinct 3-gram sets (the shared shingle rule over
+    // normalized text), pairwise intersections, cross-multiplied
+    // threshold, floor-div ppm
+    "setsim_pairs" ->
+      """WITH d0 AS (
+        | SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents WHERE doc_id < 1000
+        |), rawtk AS (
+        | SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS rts
+        | FROM d0
+        |), uni AS (
+        | SELECT doc_id, text FROM d0
+        | UNION ALL SELECT doc_id + 1000000, text FROM d0 WHERE doc_id < 20
+        | UNION ALL
+        |  SELECT doc_id + 2000000,
+        |   array_to_string(rts[1:greatest((len(rts) * 4) // 5, 1)], ' ')
+        |  FROM rawtk WHERE doc_id < 20
+        |), toks AS (
+        | SELECT doc_id,
+        |  list_filter(string_split_regex(trim(regexp_replace(regexp_replace(lower(text), '[[:punct:]]', '', 'g'), '\s+', ' ', 'g')), '\s+'), x -> x <> '') AS ts
+        | FROM uni
+        |), sh AS (
+        | SELECT doc_id, unnest(
+        |  CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+        |       ELSE list_distinct(list_transform(range(1, len(ts) - 1), i -> array_to_string(ts[i:i+2], ' ')))
+        |  END) AS g
+        | FROM toks
+        |), ds AS (
+        | SELECT DISTINCT doc_id, g FROM sh
+        |), sz AS (
+        | SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM ds GROUP BY 1
+        |), ix AS (
+        | SELECT a.doc_id AS ida, b.doc_id AS idb, CAST(count(*) AS BIGINT) AS i
+        | FROM ds a JOIN ds b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2
+        |)
+        |SELECT ida AS id_a, idb AS id_b,
+        | CAST(ix.i * 1000000 // (sa.n + sb.n - ix.i) AS BIGINT) AS jaccard_ppm
+        |FROM ix JOIN sz sa ON sa.doc_id = ida JOIN sz sb ON sb.doc_id = idb
+        |WHERE ix.i * 1000000 >= 500000 * (sa.n + sb.n - ix.i)
+        |ORDER BY 1, 2""".stripMargin,
 
     // the same rank-window semantics replayed with a plain window rank
     // (oracle scale permits the global sort the operator avoids); the

@@ -150,6 +150,75 @@ object Dedup {
       .select(col("id_a"), col("id_b"))
   }
 
+  /** EXACT set-similarity join with prefix filtering (the AllPairs /
+    * PPJoin family — Bayardo et al. 2007, Xiao et al. 2008): every doc
+    * pair whose distinct-shingle Jaccard meets `thresholdPpm`, with NO
+    * approximation — the exact complement to [[minHashDupPairs]] when
+    * the pipeline needs guaranteed recall at a hard threshold.
+    *
+    * The scale mechanism is the prefix-filter lemma: order each doc's
+    * shingles by a GLOBAL rarest-first order (df asc, hash asc — a
+    * total order); if J(a,b) ≥ t, the first `|x| − ⌈t·|x|⌉ + 1`
+    * shingles of a and b must intersect. Candidate generation joins
+    * the inverted index over PREFIX shingles only (a (1−t) fraction,
+    * and the RAREST ones, so postings are short exactly where they are
+    * probed), plus the standard length filter `t·max ≤ min`; the exact
+    * intersection count then verifies candidates — full shingle sets
+    * move only for the candidate set (the [[editSimilarityPairs]]
+    * discipline). False negatives are impossible (the lemma), so the
+    * result equals the quadratic join, which is what the oracle
+    * recomputes directly.
+    *
+    * All comparisons are cross-multiplied integers; `jaccard_ppm` is
+    * `|∩|·10⁶ div |∪|`. Output: `(id_a, id_b, jaccard_ppm)`, id_a < id_b.
+    */
+  def setSimilarityJoinPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int,
+      thresholdPpm: Long
+  ): DataFrame = {
+    require(shingleSize >= 1,
+      s"setSimilarityJoinPairs: shingleSize must be >= 1, got $shingleSize")
+    require(thresholdPpm > 0L && thresholdPpm <= 1000000L,
+      s"setSimilarityJoinPairs: thresholdPpm must be in (0, 1e6], got $thresholdPpm")
+    val w = org.apache.spark.sql.expressions.Window
+    val ds = df.select(col(idCol).as("_id"),
+        explode(array_distinct(shingles(col(textCol), shingleSize))).as("_s"))
+      .select(col("_id"), xxhash64(col("_s")).as("_g"))
+      .distinct()
+      .localCheckpoint() // reused: sizes, frequencies, prefix, verify
+    val sizes = ds.groupBy("_id").agg(count(lit(1)).as("_sz"))
+    val freq = ds.groupBy("_g").agg(count(lit(1)).as("_df"))
+    val pref = ds.join(freq, Seq("_g"))
+      .withColumn("_r", row_number().over(
+        w.partitionBy("_id").orderBy(col("_df"), col("_g"))).cast(LongType))
+      .join(sizes, Seq("_id"))
+      .filter(col("_r") <=
+        col("_sz") - expr(s"(($thresholdPpm * _sz) + 999999L) div 1000000L") + lit(1L))
+      .select(col("_id"), col("_g"), col("_sz"))
+    val cand = pref.select(col("_g"), col("_id").as("id_a"), col("_sz").as("_sza"))
+      .join(pref.select(col("_g"), col("_id").as("id_b"), col("_sz").as("_szb")),
+        Seq("_g"))
+      .filter(col("id_a") < col("id_b") &&
+        lit(thresholdPpm) * greatest(col("_sza"), col("_szb")) <=
+          lit(1000000L) * least(col("_sza"), col("_szb")))
+      .select("id_a", "id_b").distinct()
+      .localCheckpoint()
+    val inter = cand
+      .join(ds.select(col("_id").as("id_a"), col("_g")), Seq("id_a"))
+      .join(ds.select(col("_id").as("id_b"), col("_g")), Seq("id_b", "_g"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("_i"))
+    inter
+      .join(sizes.select(col("_id").as("id_a"), col("_sz").as("_sza")), Seq("id_a"))
+      .join(sizes.select(col("_id").as("id_b"), col("_sz").as("_szb")), Seq("id_b"))
+      .filter(col("_i") * lit(1000000L) >=
+        lit(thresholdPpm) * (col("_sza") + col("_szb") - col("_i")))
+      .select(col("id_a"), col("id_b"),
+        expr("CAST((_i * 1000000L) div (_sza + _szb - _i) AS BIGINT)").as("jaccard_ppm"))
+  }
+
   def prefixDupPairs(
       df: DataFrame,
       textCol: String,

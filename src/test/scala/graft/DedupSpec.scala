@@ -643,6 +643,48 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.prefixDupPairs(uniform, "t", "id", k = 4).count() == 0L)
   }
 
+  test("setSimilarityJoinPairs: prefix filter loses nothing — equals the driver-side quadratic join") {
+    import spark.implicits._
+    // small vocab forces heavy shingle sharing (the prefix filter's
+    // worst-ish case); planted exact clone + truncated copy
+    val words = Seq("red", "blue", "green", "stone", "river", "cloud", "night", "day")
+    val docs = (0 until 40).map { i =>
+      val toks = (0 until 12).map(j => words((i * 7 + j * j + j) % words.size))
+      (i.toLong, toks.mkString(" "))
+    }
+    val all = docs ++ Seq(
+      (100L, docs(3)._2),
+      (101L, docs(5)._2.split(" ").take(9).mkString(" ")))
+    val df = all.toDF("id", "t")
+
+    def brute(tPpm: Long): Set[(Long, Long, Long)] = {
+      def sh(s: String): Set[String] = {
+        val ts = s.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).toSeq
+        if (ts.size < 3) Set(ts.mkString(" "))
+        else ts.sliding(3).map(_.mkString(" ")).toSet
+      }
+      (for {
+        (ia, ta) <- all; (ib, tb) <- all if ia < ib
+        a = sh(ta); b = sh(tb); i = (a & b).size.toLong
+        u = a.size.toLong + b.size.toLong - i
+        if i * 1000000L >= tPpm * u
+      } yield (ia, ib, i * 1000000L / u)).toSet
+    }
+    for (tPpm <- Seq(300000L, 600000L, 900000L)) {
+      val got = Dedup.setSimilarityJoinPairs(df, "id", "t", 3, tPpm)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == brute(tPpm), s"t=$tPpm got=${got.size} want=${brute(tPpm).size}")
+    }
+    // the planted pairs really are in the t=0.6 answer
+    val got6 = Dedup.setSimilarityJoinPairs(df, "id", "t", 3, 600000L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got6.exists(p => p._1 == 3L && p._2 == 100L && p._3 == 1000000L), got6.toString)
+    assert(got6.exists(p => p._1 == 5L && p._2 == 101L), got6.toString)
+    intercept[IllegalArgumentException] {
+      Dedup.setSimilarityJoinPairs(df, "id", "t", 3, 0L)
+    }
+  }
+
   test("sortedNeighborhoodPairs: window-adjacent fingerprint matches; distance beyond window misses") {
     import spark.implicits._
     // three exact dups of "alpha beta" (ids 1, 2, 9), one lookalike sort
