@@ -1897,6 +1897,36 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- leakage-safe temporal split: train < day 20, 3-day buffer,
+    //      test ≥ day 23 (relative to the corpus's first day) — the
+    //      gap is a first-class label so the audit can SEE the buffer;
+    //      per-split counts and day ranges as the boundary audit
+    "temporal_split" -> ((s, dir) => {
+      val ev = events(s, dir).filter(col("ts").isNotNull)
+        .select(expr("unix_micros(ts) div 86400000000").as("day"))
+      val minDay = ev.agg(min(col("day"))).head().getLong(0)
+      Sampling.temporalSplit(ev, col("day"), minDay + 20L, minDay + 23L)
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_rows"), min(col("day")).as("min_day"),
+          max(col("day")).as("max_day"))
+        .orderBy("split")
+    }),
+
+    // ---- padding-optimal length buckets: exact 1-D DP (Jenks/Fisher
+    //      with the padding cost) over the token-length histogram —
+    //      corpus work is ONE histogram aggregate, the DP is driver
+    //      metadata; boundaries register as a gate table so the oracle
+    //      audits the SAME buckets (padding = GPU-hours at scale)
+    "optimal_length_buckets" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(TextFunctions.tokenCount(col("text")).as("_n"))
+      val bounds = Packing.optimalLengthBucketBounds(d, col("_n"), numBuckets = 4)
+      GateTables.put("len_buckets", bounds.zipWithIndex
+        .map { case ((lo, hi), i) => s"($i, $lo, $hi)" }.mkString(",\n   "))
+      Packing.paddingReport(d, col("_n"), bounds)
+        .orderBy("bucket")
+    }),
+
     // ---- EXACT set-similarity join (AllPairs/PPJoin prefix filter):
     //      every pair with distinct-3-gram Jaccard ≥ 0.5, guaranteed
     //      recall — candidates from the rarest-first prefix inverted
@@ -6228,6 +6258,46 @@ object SparkEntry {
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits, min(s) AS first_pos
          |FROM w WHERE win = 'gamma delta epsilon zeta eta theta'
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // same day arithmetic, same min-anchored boundaries
+    "temporal_split" ->
+      """WITH e AS (
+        | SELECT epoch_us(ts) // 86400000000 AS day FROM events WHERE ts IS NOT NULL
+        |), m AS (
+        | SELECT min(day) AS md FROM e
+        |), lab AS (
+        | SELECT CASE WHEN day < md + 20 THEN 'train'
+        |             WHEN day >= md + 23 THEN 'test'
+        |             ELSE 'gap' END AS split, day
+        | FROM e, m
+        |)
+        |SELECT split, CAST(count(*) AS BIGINT) AS n_rows,
+        | CAST(min(day) AS BIGINT) AS min_day, CAST(max(day) AS BIGINT) AS max_day
+        |FROM lab GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the registered DP boundaries replayed as a BETWEEN join + exact
+    // integer padding accounting (the gate-table discipline: an oracle
+    // generated without running the gate fails by name)
+    "optimal_length_buckets" -> (gateTableOrError("len_buckets") match {
+      case Left(err) => err
+      case Right(rows) =>
+        s"""WITH b AS (
+           | SELECT * FROM (VALUES
+           |   $rows) AS v(bucket, lo, hi)
+           |), l AS (
+           | SELECT CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS BIGINT) AS n
+           | FROM documents
+           |)
+           |SELECT CAST(b.bucket AS BIGINT) AS bucket, CAST(b.lo AS BIGINT) AS lo,
+           | CAST(b.hi AS BIGINT) AS hi,
+           | CAST(count(*) AS BIGINT) AS n_rows,
+           | CAST(sum(l.n) AS BIGINT) AS sum_tokens,
+           | CAST(count(*) * b.hi AS BIGINT) AS padded_tokens,
+           | CAST(count(*) * b.hi - sum(l.n) AS BIGINT) AS waste_tokens
+           |FROM l JOIN b ON l.n >= b.lo AND l.n <= b.hi
+           |GROUP BY b.bucket, b.lo, b.hi
+           |ORDER BY 1""".stripMargin
+    }),
 
     // the prefix filter is recall-lossless, so the oracle IS the
     // quadratic join: distinct 3-gram sets (the shared shingle rule over

@@ -216,6 +216,103 @@ object Packing {
     * just the total, so these two stay whitespace-token-based by
     * design.
     */
+  /** Padding-OPTIMAL length-bucket boundaries — the principled version
+    * of [[lengthBucketBatches]]'s fixed-width buckets: choose `numBuckets`
+    * contiguous length ranges minimizing TOTAL padding when every row
+    * pads to its bucket's max length (the dynamic-batching objective —
+    * padding is wasted compute, so at training scale percentage points
+    * of padding are GPU-hours). This is 1-D Jenks/Fisher optimal
+    * breaks with the padding cost, solved EXACTLY by dynamic
+    * programming over the length histogram:
+    *
+    *   cost(i..j) = Σ_{l ∈ [i..j]} cnt_l · (len_j − l)
+    *              = len_j·C(i..j) − S(i..j)   (prefix sums, O(1)/cell)
+    *
+    * Scale shape: the corpus-scale work is ONE map-side-combined
+    * `groupBy(length).count()` histogram; the DP runs driver-side on
+    * the ≤ `maxDistinct` distinct lengths (O(B·D²) — milliseconds at
+    * the enforced cap; sequence lengths are bounded by context windows,
+    * so D stays small at ANY corpus size, which is exactly why the
+    * histogram-then-driver-DP split is the right 100 TB shape). Ties
+    * between equal-cost splits break toward the SMALLEST split index
+    * (strict `<` improvement), making the boundaries engine-stable.
+    *
+    * Returns per-bucket `(lo, hi)` inclusive length bounds, ascending,
+    * exactly `min(numBuckets, D)` of them.
+    */
+  def optimalLengthBucketBounds(
+      df: DataFrame,
+      length: Column,
+      numBuckets: Int,
+      maxDistinct: Int = 4096
+  ): Seq[(Long, Long)] = {
+    require(numBuckets >= 1, s"optimalLengthBucketBounds: numBuckets >= 1, got $numBuckets")
+    val hist = df.select(length.cast(LongType).as("_l"))
+      .filter(col("_l").isNotNull && col("_l") >= 0L)
+      .groupBy("_l").agg(count(lit(1)).as("_c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    require(hist.nonEmpty, "optimalLengthBucketBounds: no non-null lengths")
+    require(hist.length <= maxDistinct,
+      s"optimalLengthBucketBounds: ${hist.length} distinct lengths exceeds " +
+        s"maxDistinct=$maxDistinct — bucket lengths upstream (e.g. div 8) first")
+    val d = hist.length
+    val b = math.min(numBuckets, d)
+    val lens = hist.map(_._1)
+    val cumC = hist.scanLeft(0L)(_ + _._2).tail          // counts prefix
+    val cumS = hist.scanLeft(0L)((a, h) => a + h._1 * h._2).tail // len·cnt prefix
+    def cost(i: Int, j: Int): Long = { // distinct-length indices, inclusive
+      val cc = cumC(j) - (if (i == 0) 0L else cumC(i - 1))
+      val ss = cumS(j) - (if (i == 0) 0L else cumS(i - 1))
+      lens(j) * cc - ss
+    }
+    // dp(k)(j) = min padding covering lengths [0..j] with k+1 buckets
+    val dp = Array.fill(b, d)(Long.MaxValue)
+    val cut = Array.fill(b, d)(0)
+    for (j <- 0 until d) dp(0)(j) = cost(0, j)
+    for (k <- 1 until b; j <- k until d; i <- k to j) {
+      val c = dp(k - 1)(i - 1) + cost(i, j)
+      if (c < dp(k)(j)) { dp(k)(j) = c; cut(k)(j) = i }
+    }
+    // walk back the cuts
+    val bounds = scala.collection.mutable.ListBuffer.empty[(Long, Long)]
+    var j = d - 1
+    var k = b - 1
+    while (k >= 0) {
+      val i = if (k == 0) 0 else cut(k)(j)
+      bounds.prepend((lens(i), lens(j)))
+      j = i - 1
+      k -= 1
+    }
+    bounds.toSeq
+  }
+
+  /** Per-bucket padding accounting under [[optimalLengthBucketBounds]]-
+    * style `(lo, hi)` bounds: every row pads to its bucket's `hi`.
+    * Output: `(bucket, lo, hi, n_rows, sum_tokens, padded_tokens,
+    * waste_tokens)` — all BIGINT, one corpus pass (bounds broadcast).
+    */
+  def paddingReport(
+      df: DataFrame,
+      length: Column,
+      bounds: Seq[(Long, Long)]
+  ): DataFrame = {
+    require(bounds.nonEmpty, "paddingReport: bounds must be non-empty")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bdf = bounds.zipWithIndex
+      .map { case ((lo, hi), i) => (i.toLong, lo, hi) }
+      .toDF("bucket", "lo", "hi")
+    df.select(length.cast(LongType).as("_l"))
+      .filter(col("_l").isNotNull && col("_l") >= 0L)
+      .join(broadcast(bdf), col("_l") >= col("lo") && col("_l") <= col("hi"))
+      .groupBy("bucket", "lo", "hi")
+      .agg(count(lit(1)).as("n_rows"), sum(col("_l")).as("sum_tokens"))
+      .select(col("bucket"), col("lo"), col("hi"), col("n_rows"),
+        col("sum_tokens"),
+        (col("n_rows") * col("hi")).as("padded_tokens"),
+        (col("n_rows") * col("hi") - col("sum_tokens")).as("waste_tokens"))
+  }
+
   def chunkByTokens(
       df: DataFrame,
       textCol: String,

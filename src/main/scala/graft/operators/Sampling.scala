@@ -108,6 +108,37 @@ object Sampling {
       .drop("_graft_sb")
   }
 
+  /** Leakage-safe TEMPORAL split — the time-series complement to
+    * [[splitByHash]]: when evaluation data must postdate training data
+    * (dedup/decontamination cannot fix temporal leakage — a model must
+    * not train on the future it will be tested on), rows split by an
+    * event-time column into `train` (t < trainEndExclusive), `test`
+    * (t ≥ testStartInclusive), and an explicit `gap` label for the
+    * buffer in between. The gap is first-class, not dropped silently:
+    * near-boundary rows often leak through derived features (windows,
+    * sessions, rolling stats that straddle the cut), and an audit that
+    * cannot SEE the buffer cannot check it.
+    *
+    * Narrow per-row labeling — no shuffle, no lookup; boundaries are
+    * plain literals, so any engine replays the exact member sets.
+    */
+  def temporalSplit(
+      df: DataFrame,
+      time: Column,
+      trainEndExclusive: Long,
+      testStartInclusive: Long,
+      outCol: String = "split"
+  ): DataFrame = {
+    require(testStartInclusive >= trainEndExclusive,
+      s"temporalSplit: testStart $testStartInclusive < trainEnd $trainEndExclusive " +
+        "would let test rows predate the end of training data")
+    df.withColumn(outCol,
+      when(time.isNull, lit(null).cast("string"))
+        .when(time < lit(trainEndExclusive), lit("train"))
+        .when(time >= lit(testStartInclusive), lit("test"))
+        .otherwise(lit("gap")))
+  }
+
   /** Quality-weighted sampling — the "sample good docs more" mixing
     * step: each row keeps with probability `fraction × clamp(weight,
     * 0, 1)`, where `weight` is any per-row column (a quality score, a

@@ -242,4 +242,40 @@ class PackingSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
   }
+
+  test("optimalLengthBucketBounds: exact DP optimum; degenerate and report cases") {
+    import spark.implicits._
+    // histogram: len 1 ×10, len 2 ×1, len 10 ×1, len 11 ×10. With 2
+    // buckets the enumerated optima are: split after 1 → 10, after 2 →
+    // 11, after 10 → 98. The DP must pick [(1,1),(2,11)].
+    val rows = Seq.fill(10)(1L) ++ Seq(2L, 10L) ++ Seq.fill(10)(11L)
+    val df = rows.toDF("n")
+    val bounds = Packing.optimalLengthBucketBounds(df, col("n"), 2)
+    assert(bounds == Seq((1L, 1L), (2L, 11L)), bounds.toString)
+    // B >= distinct lengths: one bucket per length, zero waste
+    val all = Packing.optimalLengthBucketBounds(df, col("n"), 10)
+    assert(all == Seq((1L, 1L), (2L, 2L), (10L, 10L), (11L, 11L)), all.toString)
+    // report: bucket 1 pads (1×9 + 10×1 + 0×10)=wait — hand-check below
+    val rep = Packing.paddingReport(df, col("n"), bounds)
+      .orderBy("bucket")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // bucket 0: 10 rows of len 1 → padded 10, waste 0
+    assert(rep(0) == ((0L, 1L, 1L, 10L, 10L, 10L, 0L)), rep(0).toString)
+    // bucket 1: lens 2,10 + 10×11 → n=12, sum=122, padded 132, waste 10
+    assert(rep(1) == ((1L, 2L, 11L, 12L, 122L, 132L, 10L)), rep(1).toString)
+    // the DP optimum beats the fixed-width alternative's waste
+    val fixedWaste = {
+      val alt = Seq((1L, 6L), (7L, 11L))
+      Packing.paddingReport(df, col("n"), alt)
+        .agg(org.apache.spark.sql.functions.sum("waste_tokens"))
+        .as[Long].collect().head
+    }
+    assert(rep.map(_._7).sum < fixedWaste, s"dp=${rep.map(_._7).sum} fixed=$fixedWaste")
+    intercept[IllegalArgumentException] {
+      Packing.optimalLengthBucketBounds(df, col("n"), 0)
+    }
+    intercept[IllegalArgumentException] {
+      Packing.optimalLengthBucketBounds(df, col("n"), 2, maxDistinct = 2)
+    }
+  }
 }

@@ -449,4 +449,25 @@ class SamplingSpec extends SparkSpec {
       Sampling.tokenQuotaPerGroupBudgets(d, "id", "g", col("nt"), Map.empty)
     }
   }
+
+  test("temporalSplit: boundary semantics, explicit gap label, null time, inverted bounds refused") {
+    import spark.implicits._
+    val d = Seq(Some(9L), Some(10L), Some(12L), Some(13L), Some(20L), None)
+      .toDF("t")
+    val got = Sampling.temporalSplit(d, col("t"), 10L, 13L)
+      .as[(Option[Long], Option[String])].collect().toMap
+    assert(got(Some(9L)).contains("train"))   // strictly before trainEnd
+    assert(got(Some(10L)).contains("gap"))    // trainEnd itself is OUT of train
+    assert(got(Some(12L)).contains("gap"))
+    assert(got(Some(13L)).contains("test"))   // testStart inclusive
+    assert(got(Some(20L)).contains("test"))
+    assert(got(None).isEmpty)                 // null time → null label
+    // zero-width gap is legal (trainEnd == testStart): nothing labels gap
+    val z = Sampling.temporalSplit(d, col("t"), 13L, 13L)
+      .filter(col("split") === "gap").count()
+    assert(z == 0L)
+    intercept[IllegalArgumentException] {
+      Sampling.temporalSplit(d, col("t"), 13L, 10L)
+    }
+  }
 }
