@@ -1897,6 +1897,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- HLL distinct-count sketch per source over 3-gram shingles:
+    //      deterministic FNV registers (bucket = low 10 bits, ρ =
+    //      leading zeros + 1) replayable bit-for-bit by the oracle —
+    //      unlike approx_count_distinct's opaque sketch; raw estimate
+    //      in pure integers, exact distinct alongside for the audit
+    "hll_distinct" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("source"),
+          explode(array_distinct(TextFunctions.shingles(col("text"), 3))).as("_g"))
+      val est = Profile.hllEstimateRaw(d, "source", col("_g"))
+      val exact = d.select(col("source").as("group"), col("_g")).distinct()
+        .groupBy("group").agg(count(lit(1)).as("exact_distinct"))
+      est.join(exact, Seq("group"))
+        .select(col("group").as("source"), col("est_distinct"), col("exact_distinct"))
+        .orderBy("source")
+    }),
+
     // ---- leakage-safe temporal split: train < day 20, 3-day buffer,
     //      test ≥ day 23 (relative to the corpus's first day) — the
     //      gap is a first-class label so the audit can SEE the buffer;
@@ -6258,6 +6275,56 @@ object SparkEntry {
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits, min(s) AS first_pos
          |FROM w WHERE win = 'gamma delta epsilon zeta eta theta'
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // the same FNV fold, the same generated ρ CASE ladder (shared
+    // verbatim from Profile.hllRhoCaseSql), the same scaled-integer
+    // indicator — registers and estimate replay bit-for-bit in HUGEINT
+    "hll_distinct" -> {
+      val rhoCase = Profile.hllRhoCaseSql("rem", 54)
+      val num = (BigInt(Profile.hllAlphaPpm1024) * BigInt(1024L * 1024L) *
+        (BigInt(1) << 63)).toString
+      s"""WITH toks AS (
+         | SELECT source,
+         |  list_filter(string_split_regex(trim(regexp_replace(regexp_replace(lower(text), '[[:punct:]]', '', 'g'), '\\s+', ' ', 'g')), '\\s+'), x -> x <> '') AS ts
+         | FROM documents WHERE source IS NOT NULL
+         |), sh AS (
+         | SELECT source, unnest(
+         |  CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+         |       ELSE list_distinct(list_transform(range(1, len(ts) - 1), i -> array_to_string(ts[i:i+2], ' ')))
+         |  END) AS g
+         | FROM toks
+         |), ds AS (
+         | SELECT DISTINCT source, g FROM sh
+         |), h AS (
+         | SELECT source,
+         |  list_reduce(
+         |    list_prepend(CAST('14695981039346656037' AS HUGEINT),
+         |      list_transform(range(1, length(s) + 1), i -> CAST(ascii(s[i]) AS HUGEINT))),
+         |    (acc, b) -> ((acc // 256) * 256 + xor(CAST(acc % 256 AS BIGINT), CAST(b AS BIGINT)))
+         |                * 1099511628211 % CAST('18446744073709551616' AS HUGEINT)
+         |  ) AS hh
+         | FROM (SELECT source, g, g || ':hll' AS s FROM ds)
+         |), reg0 AS (
+         | SELECT source, CAST(hh % 1024 AS BIGINT) AS bucket,
+         |  CAST(hh // 1024 AS BIGINT) AS rem
+         | FROM h
+         |), reg AS (
+         | SELECT source, bucket, max($rhoCase) AS m
+         | FROM reg0 GROUP BY 1, 2
+         |), sv AS (
+         | SELECT source,
+         |  CAST(sum(CAST((CAST(1 AS BIGINT) << (63 - m)) AS HUGEINT)) AS HUGEINT)
+         |   + (1024 - count(*)) * CAST('9223372036854775808' AS HUGEINT) AS s
+         | FROM reg GROUP BY 1
+         |), ex AS (
+         | SELECT source, CAST(count(*) AS BIGINT) AS exact_distinct FROM ds GROUP BY 1
+         |)
+         |SELECT sv.source,
+         | CAST(CAST('$num' AS HUGEINT) // (sv.s * 1000000) AS BIGINT) AS est_distinct,
+         | ex.exact_distinct
+         |FROM sv JOIN ex ON ex.source = sv.source
+         |ORDER BY 1""".stripMargin
+    },
 
     // same day arithmetic, same min-anchored boundaries
     "temporal_split" ->

@@ -765,6 +765,83 @@ object Profile {
   val benfordExpectedPpm: Seq[Long] =
     (1 to 9).map(d => math.floor(math.log10(1.0 + 1.0 / d) * 1e6).toLong)
 
+  /** HyperLogLog registers (Flajolet et al. 2007) over FNV-1a item
+    * hashes, per group — the mergeable distinct-count sketch, built
+    * DETERMINISTICALLY so an external engine replays every register
+    * bit-for-bit (unlike `approx_count_distinct`, whose sketch is an
+    * opaque binary): bucket = low 10 hash bits, rank ρ = leading-zero
+    * count of the remaining 54 bits + 1, register = max ρ. Registers
+    * max-merge across partitions, batches, and corpora — the property
+    * that makes ONE pass per source enough at any scale, where exact
+    * distinct needs a full shuffle of the distinct universe.
+    *
+    * Output: `(group STRING, bucket BIGINT, m_rho BIGINT)` — ≤ m rows
+    * per group (m = 1024), metadata-sized forever.
+    */
+  def hllRegisters(df: DataFrame, groupCol: String, item: Column): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val h = ColumnBridge.column(graft.plans.FnvHash64(
+      ColumnBridge.expression(concat(item.cast(StringType), lit(":hll")))))
+    df.select(col(groupCol).cast(StringType).as("group"), h.as("_h"))
+      .filter(col("group").isNotNull)
+      .select(col("group"), pmod(col("_h"), lit(1024L)).as("bucket"),
+        shiftrightunsigned(col("_h"), 10).as("_rem"))
+      .withColumn("_rho", expr(hllRhoCaseSql("_rem", 54)))
+      .groupBy("group", "bucket").agg(max(col("_rho")).as("m_rho"))
+  }
+
+  /** The raw HLL estimate per group from [[hllRegisters]] — exact
+    * integer arithmetic end to end: the indicator Σ 2^(−M_j) scales by
+    * 2⁶³ into a pure integer S (observed registers contribute
+    * 2^(63−M), the 1024−nb empty ones 2⁶³ each), and
+    *
+    *   est = (α_ppm · m² · 2⁶³) div (S · 10⁶)
+    *
+    * folds driver-side in BigInt over the ≤|groups| aggregated rows
+    * (the [[cohenKappaE6]] discipline — group-count metadata only).
+    * This is the RAW estimator: the small-range linear-counting
+    * correction needs ln(), which this engine keeps out of compared
+    * surfaces by policy; raw HLL under-reads below ~2.5m distincts,
+    * which the gate exposes by emitting the exact count alongside.
+    *
+    * Output: `(group STRING, est_distinct BIGINT)`.
+    */
+  def hllEstimateRaw(df: DataFrame, groupCol: String, item: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val d38 = DecimalType(38, 0)
+    val agg = hllRegisters(df, groupCol, item)
+      .groupBy("group")
+      .agg(sum(expr("shiftleft(1L, CAST(63 - m_rho AS INT))").cast(d38)).as("_so"),
+        count(lit(1)).as("_nb"))
+      .collect()
+    val two63 = BigInt(1) << 63
+    val num = BigInt(hllAlphaPpm1024) * BigInt(1024L * 1024L) * two63
+    val rows = agg.map { r =>
+      val so = BigInt(r.getDecimal(1).toBigInteger)
+      val s = so + BigInt(1024L - r.getLong(2)) * two63
+      (r.getString(0), (num / (s * 1000000)).toLong)
+    }.toSeq
+    rows.toDF("group", "est_distinct")
+  }
+
+  /** α_m·10⁶ for m = 1024 (the published 0.7213/(1 + 1.079/m)),
+    * floored — a driver literal shared with oracles.
+    */
+  val hllAlphaPpm1024: Long =
+    math.floor(0.7213 / (1.0 + 1.079 / 1024.0) * 1e6).toLong
+
+  /** The ρ (leading-zeros + 1) CASE ladder for a `width`-bit value as
+    * SQL text — generated once and used VERBATIM by both the Spark
+    * expression and the DuckDB oracle, so the two engines cannot
+    * disagree on rank extraction.
+    */
+  def hllRhoCaseSql(c: String, width: Int): String = {
+    val whens = (width - 1 to 0 by -1)
+      .map(b => s"WHEN $c >= ${1L << b} THEN ${width - b}")
+    s"CASE ${whens.mkString(" ")} ELSE ${width + 1} END"
+  }
+
   /** Cohen's kappa between two categorical label columns — chance-
     * corrected agreement, the standard answer to "do these two quality
     * filters/classifiers actually agree, or do they just both say KEEP
