@@ -1914,6 +1914,31 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // ---- HLL ON A STREAM: registers max-merge (associative,
+    //      commutative, idempotent), so the versioned state equals the
+    //      batch sketch of everything after every prefix — the oracle
+    //      recomputes the whole-corpus estimate; batch 1 replays to
+    //      prove the no-op guard
+    "hll_stream" -> ((s, dir) => {
+      import graft.streaming.StreamingOps
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          explode(array_distinct(TextFunctions.shingles(col("text"), 3))).as("_g"))
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-hll-stream").toString
+      def step(pred: Column, b: Long): Unit =
+        StreamingOps.applyHllBatch(s, d.filter(pred), b, "source", col("_g"),
+          s"$work/state")
+      step(col("doc_id") < 200, 0L)
+      step(col("doc_id") >= 200 && col("doc_id") < 350, 1L)
+      step(col("doc_id") >= 200 && col("doc_id") < 350, 1L)
+      step(col("doc_id") >= 350, 2L)
+      Profile.hllEstimateFromRegisters(
+          StreamingOps.readState(s, s"$work/state").get)
+        .select(col("group").as("source"), col("est_distinct"))
+        .orderBy("source")
+    }),
+
     // ---- leakage-safe temporal split: train < day 20, 3-day buffer,
     //      test ≥ day 23 (relative to the corpus's first day) — the
     //      gap is a first-class label so the audit can SEE the buffer;
@@ -4620,6 +4645,63 @@ object SparkEntry {
        |)""".stripMargin
   }
 
+  /** The DuckDB replay of the HLL sketch chain (registers through the
+    * raw estimate) over per-source distinct 3-gram shingles — shared by
+    * the batch gate (`withExact = true` adds the exact distinct count
+    * alongside) and the streaming gate (whose max-merged final state is
+    * the whole-corpus sketch).
+    */
+  private def hllOracleSql(withExact: Boolean): String = {
+    val rhoCase = Profile.hllRhoCaseSql("rem", 54)
+    val num = (BigInt(Profile.hllAlphaPpm1024) * BigInt(1024L * 1024L) *
+      (BigInt(1) << 63)).toString
+    val exCte = if (withExact)
+      """, ex AS (
+        | SELECT source, CAST(count(*) AS BIGINT) AS exact_distinct FROM ds GROUP BY 1
+        |)""".stripMargin
+    else ""
+    val exCol = if (withExact) ",\n ex.exact_distinct" else ""
+    val exJoin = if (withExact) " JOIN ex ON ex.source = sv.source" else ""
+    s"""WITH toks AS (
+       | SELECT source,
+       |  list_filter(string_split_regex(trim(regexp_replace(regexp_replace(lower(text), '[[:punct:]]', '', 'g'), '\\s+', ' ', 'g')), '\\s+'), x -> x <> '') AS ts
+       | FROM documents WHERE source IS NOT NULL
+       |), sh AS (
+       | SELECT source, unnest(
+       |  CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+       |       ELSE list_distinct(list_transform(range(1, len(ts) - 1), i -> array_to_string(ts[i:i+2], ' ')))
+       |  END) AS g
+       | FROM toks
+       |), ds AS (
+       | SELECT DISTINCT source, g FROM sh
+       |), h AS (
+       | SELECT source,
+       |  list_reduce(
+       |    list_prepend(CAST('14695981039346656037' AS HUGEINT),
+       |      list_transform(range(1, length(s) + 1), i -> CAST(ascii(s[i]) AS HUGEINT))),
+       |    (acc, b) -> ((acc // 256) * 256 + xor(CAST(acc % 256 AS BIGINT), CAST(b AS BIGINT)))
+       |                * 1099511628211 % CAST('18446744073709551616' AS HUGEINT)
+       |  ) AS hh
+       | FROM (SELECT source, g, g || ':hll' AS s FROM ds)
+       |), reg0 AS (
+       | SELECT source, CAST(hh % 1024 AS BIGINT) AS bucket,
+       |  CAST(hh // 1024 AS BIGINT) AS rem
+       | FROM h
+       |), reg AS (
+       | SELECT source, bucket, max($rhoCase) AS m
+       | FROM reg0 GROUP BY 1, 2
+       |), sv AS (
+       | SELECT source,
+       |  CAST(sum(CAST((CAST(1 AS BIGINT) << (63 - m)) AS HUGEINT)) AS HUGEINT)
+       |   + (1024 - count(*)) * CAST('9223372036854775808' AS HUGEINT) AS s
+       | FROM reg GROUP BY 1
+       |)$exCte
+       |SELECT sv.source,
+       | CAST(CAST('$num' AS HUGEINT) // (sv.s * 1000000) AS BIGINT) AS est_distinct$exCol
+       |FROM sv$exJoin
+       |ORDER BY 1""".stripMargin
+  }
+
   /** The registered gate-table rows for `key`, or a loud single-row
     * oracle failure. There is deliberately NO value fallback: an
     * oracle_sql.json produced without running the gate queries must
@@ -6279,52 +6361,10 @@ object SparkEntry {
     // the same FNV fold, the same generated ρ CASE ladder (shared
     // verbatim from Profile.hllRhoCaseSql), the same scaled-integer
     // indicator — registers and estimate replay bit-for-bit in HUGEINT
-    "hll_distinct" -> {
-      val rhoCase = Profile.hllRhoCaseSql("rem", 54)
-      val num = (BigInt(Profile.hllAlphaPpm1024) * BigInt(1024L * 1024L) *
-        (BigInt(1) << 63)).toString
-      s"""WITH toks AS (
-         | SELECT source,
-         |  list_filter(string_split_regex(trim(regexp_replace(regexp_replace(lower(text), '[[:punct:]]', '', 'g'), '\\s+', ' ', 'g')), '\\s+'), x -> x <> '') AS ts
-         | FROM documents WHERE source IS NOT NULL
-         |), sh AS (
-         | SELECT source, unnest(
-         |  CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
-         |       ELSE list_distinct(list_transform(range(1, len(ts) - 1), i -> array_to_string(ts[i:i+2], ' ')))
-         |  END) AS g
-         | FROM toks
-         |), ds AS (
-         | SELECT DISTINCT source, g FROM sh
-         |), h AS (
-         | SELECT source,
-         |  list_reduce(
-         |    list_prepend(CAST('14695981039346656037' AS HUGEINT),
-         |      list_transform(range(1, length(s) + 1), i -> CAST(ascii(s[i]) AS HUGEINT))),
-         |    (acc, b) -> ((acc // 256) * 256 + xor(CAST(acc % 256 AS BIGINT), CAST(b AS BIGINT)))
-         |                * 1099511628211 % CAST('18446744073709551616' AS HUGEINT)
-         |  ) AS hh
-         | FROM (SELECT source, g, g || ':hll' AS s FROM ds)
-         |), reg0 AS (
-         | SELECT source, CAST(hh % 1024 AS BIGINT) AS bucket,
-         |  CAST(hh // 1024 AS BIGINT) AS rem
-         | FROM h
-         |), reg AS (
-         | SELECT source, bucket, max($rhoCase) AS m
-         | FROM reg0 GROUP BY 1, 2
-         |), sv AS (
-         | SELECT source,
-         |  CAST(sum(CAST((CAST(1 AS BIGINT) << (63 - m)) AS HUGEINT)) AS HUGEINT)
-         |   + (1024 - count(*)) * CAST('9223372036854775808' AS HUGEINT) AS s
-         | FROM reg GROUP BY 1
-         |), ex AS (
-         | SELECT source, CAST(count(*) AS BIGINT) AS exact_distinct FROM ds GROUP BY 1
-         |)
-         |SELECT sv.source,
-         | CAST(CAST('$num' AS HUGEINT) // (sv.s * 1000000) AS BIGINT) AS est_distinct,
-         | ex.exact_distinct
-         |FROM sv JOIN ex ON ex.source = sv.source
-         |ORDER BY 1""".stripMargin
-    },
+    "hll_distinct" -> hllOracleSql(withExact = true),
+
+    // the stream's max-merged state equals the whole-corpus sketch
+    "hll_stream" -> hllOracleSql(withExact = false),
 
     // same day arithmetic, same min-anchored boundaries
     "temporal_split" ->

@@ -806,11 +806,18 @@ object Profile {
     *
     * Output: `(group STRING, est_distinct BIGINT)`.
     */
-  def hllEstimateRaw(df: DataFrame, groupCol: String, item: Column): DataFrame = {
-    val spark = df.sparkSession
+  def hllEstimateRaw(df: DataFrame, groupCol: String, item: Column): DataFrame =
+    hllEstimateFromRegisters(hllRegisters(df, groupCol, item))
+
+  /** The [[hllEstimateRaw]] fold from an already-built register table
+    * `(group, bucket, m_rho)` — shared with the streaming form, whose
+    * committed state IS such a table.
+    */
+  def hllEstimateFromRegisters(registers: DataFrame): DataFrame = {
+    val spark = registers.sparkSession
     import spark.implicits._
     val d38 = DecimalType(38, 0)
-    val agg = hllRegisters(df, groupCol, item)
+    val agg = registers
       .groupBy("group")
       .agg(sum(expr("shiftleft(1L, CAST(63 - m_rho AS INT))").cast(d38)).as("_so"),
         count(lit(1)).as("_nb"))

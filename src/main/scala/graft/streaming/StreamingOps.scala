@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
 import graft.model._
@@ -988,6 +988,42 @@ object StreamingOps {
           .localCheckpoint()
         val version = s"v$batchId"
         next.write.mode("overwrite").parquet(s"$statePath/$version")
+        commitVersion(spark, statePath, version, keepFrom = batchId - 1)
+    }
+  }
+
+  /** One micro-batch of the STREAMING HLL distinct sketch: the state is
+    * the per-(group, bucket) max-ρ register table — HLL's defining
+    * property is that registers MAX-MERGE, so each batch unions its own
+    * registers ([[graft.operators.Profile.hllRegisters]]) with the
+    * committed state and takes the per-bucket max. After any prefix of
+    * the stream the state is bit-identical to the batch sketch of
+    * everything ingested (associative + commutative + idempotent merge —
+    * re-delivered ITEMS are harmless by construction; re-delivered
+    * BATCHES additionally no-op via the version guard). State is
+    * ≤ 1024·|groups| rows, metadata-sized at any corpus scale.
+    */
+  def applyHllBatch(
+      spark: SparkSession,
+      batch: DataFrame,
+      batchId: Long,
+      groupCol: String,
+      item: Column,
+      statePath: String
+  ): Unit = {
+    currentVersionId(spark, statePath) match {
+      case Some(cur) if cur >= batchId =>
+        log.warn(s"hllStream: skipping batch $batchId — state at v$cur " +
+          "already includes it")
+      case _ =>
+        val fresh = graft.operators.Profile.hllRegisters(batch, groupCol, item)
+        val merged = (readState(spark, statePath) match {
+          case Some(st) => st.unionByName(fresh)
+            .groupBy("group", "bucket").agg(max(col("m_rho")).as("m_rho"))
+          case None => fresh
+        }).localCheckpoint()
+        val version = s"v$batchId"
+        merged.write.mode("overwrite").parquet(s"$statePath/$version")
         commitVersion(spark, statePath, version, keepFrom = batchId - 1)
     }
   }

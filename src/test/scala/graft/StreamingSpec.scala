@@ -810,6 +810,33 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(inc1 == Map(100L -> 1L, 200L -> 1L), inc1.toString)
   }
+  test("hll stream: max-merged registers equal the batch sketch; item re-delivery harmless; replay no-ops") {
+    import graft.operators.Profile
+    val d = spark.range(3000).select((col("id") % 2).cast("string").as("g"),
+      concat(lit("it-"), col("id")).as("x"))
+    val work = Files.createTempDirectory("graft-hll-stream").toString
+    def regs(df: org.apache.spark.sql.DataFrame): Set[(String, Long, Long)] =
+      df.as[(String, Long, Long)].collect().toSet
+    val whole = regs(Profile.hllRegisters(d, "g", col("x")))
+    // batches OVERLAP (rows 1000-1500 delivered twice): idempotent merge
+    StreamingOps.applyHllBatch(spark, d.filter(col("id") < 1500), 0L,
+      "g", col("x"), s"$work/state")
+    StreamingOps.applyHllBatch(spark, d.filter(col("id") >= 1000), 1L,
+      "g", col("x"), s"$work/state")
+    assert(regs(StreamingOps.readState(spark, s"$work/state").get) == whole)
+    // batch replay no-ops
+    StreamingOps.applyHllBatch(spark, d.filter(col("id") >= 1000), 1L,
+      "g", col("x"), s"$work/state")
+    assert(regs(StreamingOps.readState(spark, s"$work/state").get) == whole)
+    // estimate off the state equals estimate off the batch sketch
+    val se = Profile.hllEstimateFromRegisters(
+        StreamingOps.readState(spark, s"$work/state").get)
+      .as[(String, Long)].collect().toSet
+    val be = Profile.hllEstimateRaw(d, "g", col("x"))
+      .as[(String, Long)].collect().toSet
+    assert(se == be, s"stream=$se batch=$be")
+  }
+
   test("exact-N sample stream: state equals the batch sample after every prefix; replay no-ops") {
     import graft.operators.Sampling
     val d = spark.range(500).select(col("id").as("k"), (col("id") % 7).as("g"))
