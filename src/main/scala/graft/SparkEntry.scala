@@ -1914,6 +1914,23 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // ---- count-min sketch frequency audit: 4×1024 sum-merge cells
+    //      over corpus 3-gram counts; estimates for the top-10 exact
+    //      shingles carry the one-sided guarantee est ≥ exact — both
+    //      engines replay the cells from the shared FNV row-hashes
+    "cms_counts" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(explode(TextFunctions.shingles(col("text"), 3)).as("_it"))
+      val sketch = Profile.cmsSketch(toks, col("_it"))
+      val exact = toks.groupBy(col("_it")).agg(count(lit(1)).as("exact_cnt"))
+      val top = exact.orderBy(col("exact_cnt").desc, col("_it")).limit(10)
+        .select(col("_it").as("item"), col("exact_cnt"))
+      Profile.cmsEstimates(sketch, top.select(col("item")))
+        .join(top, Seq("item"))
+        .select(col("item"), col("exact_cnt"), col("cms_est"))
+        .orderBy("item")
+    }),
+
     // ---- HLL ON A STREAM: registers max-merge (associative,
     //      commutative, idempotent), so the versioned state equals the
     //      batch sketch of everything after every prefix — the oracle
@@ -6357,6 +6374,39 @@ object SparkEntry {
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits, min(s) AS first_pos
          |FROM w WHERE win = 'gamma delta epsilon zeta eta theta'
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // cells replayed from the same FNV row-hashes (fnvModSql over
+    // item ++ ':cms' ++ row); top-10 by (count desc, shingle) both sides
+    "cms_counts" -> {
+      val hm = fnvModSql("x.g || ':cms' || CAST(x.i AS VARCHAR)", 1024L)
+      s"""WITH toks AS (
+         | SELECT list_filter(string_split_regex(trim(regexp_replace(regexp_replace(lower(text), '[[:punct:]]', '', 'g'), '\\s+', ' ', 'g')), '\\s+'), x -> x <> '') AS ts
+         | FROM documents
+         |), sh AS (
+         | SELECT unnest(
+         |  CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+         |       ELSE list_transform(range(1, len(ts) - 1), i -> array_to_string(ts[i:i+2], ' '))
+         |  END) AS g
+         | FROM toks
+         |), cnt AS (
+         | SELECT g, CAST(count(*) AS BIGINT) AS c FROM sh GROUP BY 1
+         |), u AS (
+         | SELECT unnest([0, 1, 2, 3]) AS i
+         |), cells AS (
+         | SELECT x.i, $hm AS colv, CAST(sum(x.c) AS BIGINT) AS cellcnt
+         | FROM (SELECT cnt.g, cnt.c, u.i FROM cnt CROSS JOIN u) x
+         | GROUP BY 1, 2
+         |), top AS (
+         | SELECT g, c FROM cnt ORDER BY c DESC, g LIMIT 10
+         |), qaddr AS (
+         | SELECT x.g, x.c, x.i, $hm AS colv
+         | FROM (SELECT top.g, top.c, u.i FROM top CROSS JOIN u) x
+         |)
+         |SELECT q.g AS item, q.c AS exact_cnt,
+         | CAST(min(coalesce(cells.cellcnt, 0)) AS BIGINT) AS cms_est
+         |FROM qaddr q LEFT JOIN cells ON cells.i = q.i AND cells.colv = q.colv
+         |GROUP BY 1, 2 ORDER BY 1""".stripMargin
+    },
 
     // the same FNV fold, the same generated ρ CASE ladder (shared
     // verbatim from Profile.hllRhoCaseSql), the same scaled-integer

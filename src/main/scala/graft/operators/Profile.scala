@@ -832,6 +832,64 @@ object Profile {
     rows.toDF("group", "est_distinct")
   }
 
+  /** Count-min sketch cells (Cormode & Muthukrishnan 2005) over FNV
+    * row-hashes — the counting companion to [[hllRegisters]]: fixed
+    * `depth × width` cells estimate ANY item's frequency with one-sided
+    * error (estimate ≥ true count, overshoot bounded by collisions),
+    * in `depth·width` integers regardless of the item universe. Cells
+    * SUM-merge across partitions, batches, and corpora. Deterministic
+    * by construction (row i hashes `item ++ ":cms" ++ i` through the
+    * shared FNV-1a), so an external engine replays every cell.
+    *
+    * Scale shape: per-item counts first (ONE map-side-combined
+    * aggregate — the depth-fold explodes `depth` rows per DISTINCT
+    * item, not per occurrence), then a ≤ depth·width-cell aggregate.
+    *
+    * Output: `(row BIGINT, col BIGINT, cnt BIGINT)` — sparse (absent
+    * cell = 0).
+    */
+  def cmsSketch(df: DataFrame, item: Column, depth: Int = 4, width: Int = 1024): DataFrame = {
+    require(depth >= 1 && depth <= 8, s"cmsSketch: depth in [1,8], got $depth")
+    require(width >= 16, s"cmsSketch: width >= 16, got $width")
+    import org.apache.spark.sql.graft.ColumnBridge
+    val counts = df.select(item.cast(StringType).as("_it"))
+      .filter(col("_it").isNotNull)
+      .groupBy("_it").agg(count(lit(1)).as("_c"))
+    def h(i: Int): Column = pmod(ColumnBridge.column(graft.plans.FnvHash64(
+      ColumnBridge.expression(concat(col("_it"), lit(s":cms$i"))))),
+      lit(width.toLong))
+    counts
+      .select(col("_c"), explode(array((0 until depth).map(i =>
+        struct(lit(i.toLong).as("r"), h(i).as("c"))): _*)).as("_rc"))
+      .groupBy(col("_rc.r").as("row"), col("_rc.c").as("col"))
+      .agg(sum(col("_c")).as("cnt"))
+  }
+
+  /** Point estimates off a [[cmsSketch]] cell table for a set of query
+    * items: est(q) = min over rows of the addressed cell (absent = 0).
+    * `queries` must carry an `item STRING` column; the sketch is the
+    * big side only by courtesy — both are metadata-sized.
+    * Output: `(item STRING, cms_est BIGINT)`.
+    */
+  def cmsEstimates(
+      sketch: DataFrame,
+      queries: DataFrame,
+      depth: Int = 4,
+      width: Int = 1024
+  ): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    def h(i: Int): Column = pmod(ColumnBridge.column(graft.plans.FnvHash64(
+      ColumnBridge.expression(concat(col("item"), lit(s":cms$i"))))),
+      lit(width.toLong))
+    val addressed = queries.select(col("item"),
+        explode(array((0 until depth).map(i =>
+          struct(lit(i.toLong).as("r"), h(i).as("c"))): _*)).as("_rc"))
+      .select(col("item"), col("_rc.r").as("row"), col("_rc.c").as("col"))
+    addressed.join(sketch, Seq("row", "col"), "left")
+      .groupBy("item")
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
+  }
+
   /** α_m·10⁶ for m = 1024 (the published 0.7213/(1 + 1.079/m)),
     * floored — a driver literal shared with oracles.
     */

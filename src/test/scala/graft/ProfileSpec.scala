@@ -716,6 +716,38 @@ class ProfileSpec extends SparkSpec {
     assert(r1.forall(r => r._3 >= 1L && r._3 <= 55L))
   }
 
+  test("cmsSketch/cmsEstimates: one-sided guarantee, forced collisions, sum-mergeability") {
+    import spark.implicits._
+    val items = (0 until 5000).map(i => s"w-${i % 200}") // 200 distinct, 25 each
+    val df = items.toDF("x")
+    // wide sketch: estimates likely exact, NEVER below true
+    val sk = Profile.cmsSketch(df, col("x"), depth = 4, width = 1024)
+    val qs = (0 until 200 by 17).map(i => s"w-$i").toDF("item")
+    val est = Profile.cmsEstimates(sk, qs, 4, 1024)
+      .as[(String, Long)].collect().toMap
+    assert(est.values.forall(_ >= 25L), est.toString)
+    // tiny width FORCES collisions: still one-sided (>= true), some above
+    val skTiny = Profile.cmsSketch(df, col("x"), depth = 2, width = 16)
+    val estTiny = Profile.cmsEstimates(skTiny, qs, 2, 16)
+      .as[(String, Long)].collect().toMap
+    assert(estTiny.values.forall(_ >= 25L), estTiny.toString)
+    assert(estTiny.values.exists(_ > 25L), estTiny.toString)
+    // cells sum-merge: sketch(A) + sketch(B) == sketch(A ∪ B)
+    val a = df.limit(2500)
+    val b = df.exceptAll(a)
+    val merged = Profile.cmsSketch(a, col("x"))
+      .unionByName(Profile.cmsSketch(b, col("x")))
+      .groupBy("row", "col").agg(sum("cnt").as("cnt"))
+      .as[(Long, Long, Long)].collect().toSet
+    val whole = sk.as[(Long, Long, Long)].collect().toSet
+    assert(merged == whole)
+    // unknown item estimates 0 on the wide sketch (no colliding mass in
+    // at least one row, overwhelmingly)
+    val unk = Profile.cmsEstimates(sk, Seq("never-seen-xyz").toDF("item"), 4, 1024)
+      .as[(String, Long)].collect().head._2
+    assert(unk == 0L, unk.toString)
+  }
+
   test("benfordDeviation: hand-computed digits and deviations; non-positive and null excluded") {
     import spark.implicits._
     // group a: values 1..19 → digit 1: 11 (1, 10..19), digits 2..9: 1 each
