@@ -386,6 +386,39 @@ object SparkEntry {
     * (c_i, r_i) — the MMR greedy-unroll precedent; every step is the
     * operator's exact integer arithmetic (floor division throughout).
     */
+  /** [[pagerankOracleSql]] with the restart mass on one seed node — the
+    * DuckDB replay of [[graft.operators.Graph.personalizedPageRankScaled]].
+    */
+  private def pprOracleSql(iterations: Int, dampingPpm: Long, seed: String): String = {
+    val base = 1000000000L * (1000000L - dampingPpm) / 1000000L
+    val steps = (1 to iterations).map { i =>
+      val prev = if (i == 1) "r0" else s"r${i - 1}"
+      s"""c$i AS (
+         | SELECT e.dst AS v, sum((r.r * $dampingPpm // 1000000) // od.od) AS cin
+         | FROM e JOIN $prev r ON r.v = e.src JOIN od ON od.s = e.src GROUP BY 1
+         |), r$i AS (
+         | SELECT nodes.v,
+         |  CAST(CASE WHEN nodes.v = '$seed' THEN $base ELSE 0 END
+         |       + coalesce(c$i.cin, 0) AS BIGINT) AS r
+         | FROM nodes LEFT JOIN c$i ON c$i.v = nodes.v
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH d AS (
+       | SELECT doc_id, source FROM documents
+       |), e AS (
+       | SELECT a.source AS src, b.source AS dst
+       | FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
+       |), nodes AS (
+       | SELECT DISTINCT v FROM (SELECT src AS v FROM e UNION ALL SELECT dst FROM e)
+       |), od AS (
+       | SELECT src AS s, CAST(count(*) AS BIGINT) AS od FROM e GROUP BY 1
+       |), r0 AS (
+       | SELECT v, CAST(CASE WHEN v = '$seed' THEN 1000000000 ELSE 0 END AS BIGINT) AS r
+       | FROM nodes
+       |), $steps
+       |SELECT v AS node, r AS rank_ppb FROM r$iterations ORDER BY node""".stripMargin
+  }
+
   private def pagerankOracleSql(iterations: Int, dampingPpm: Long): String = {
     val steps = (1 to iterations).map { i =>
       val prev = if (i == 1) "r0" else s"r${i - 1}"
@@ -2662,6 +2695,20 @@ object SparkEntry {
           Seq("doc_id"))
         .select(col("source").as("src"), col("_dst").as("dst"))
       graft.operators.Graph.pageRankScaled(e, "src", "dst", iterations = 3)
+        .orderBy("node")
+    }),
+
+    // ---- personalized PageRank from src0 on the same graph: random
+    //      walk with restart — the "related domains" ranking relative
+    //      to a seed, exact ppb integers, oracle unrolls the rounds
+    "personalized_pagerank" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("source"))
+      val e = d.join(
+          d.select((col("doc_id") - 1).as("doc_id"), col("source").as("_dst")),
+          Seq("doc_id"))
+        .select(col("source").as("src"), col("_dst").as("dst"))
+      graft.operators.Graph.personalizedPageRankScaled(e, "src", "dst",
+          seed = "src0", iterations = 3)
         .orderBy("node")
     }),
 
@@ -7382,6 +7429,10 @@ object SparkEntry {
 
     // 3 unrolled power-iteration rounds in pure BIGINT floor division
     "pagerank_sources" -> pagerankOracleSql(iterations = 3, dampingPpm = 850000L),
+
+    // seeded power iteration unrolled; see pprOracleSql
+    "personalized_pagerank" ->
+      pprOracleSql(iterations = 3, dampingPpm = 850000L, seed = "src0"),
 
     // BFS levels unrolled; see harmonicOracleSql
     "harmonic_centrality" -> harmonicOracleSql(maxDepth = 3),

@@ -152,6 +152,58 @@ object Graph {
         coalesce(col("_h"), lit(0L)).as("harmonic_ppm"))
   }
 
+  /** Personalized PageRank — [[pageRankScaled]] with the restart mass
+    * concentrated on ONE seed node instead of spread uniformly: the
+    * standard "related domains / similar pages" primitive (random walk
+    * with restart). Same exact ppb integer arithmetic and the same
+    * one-shuffle-per-round shape; dangling mass drops identically.
+    *
+    *   rank₀(v)  = 10⁹·[v = seed]
+    *   rank'(v)  = [v = seed]·(10⁹·(10⁶−d_ppm) div 10⁶) + Σ contrib(e: e.dst=v)
+    *
+    * Output: `(node STRING, rank_ppb BIGINT)`.
+    */
+  def personalizedPageRankScaled(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      seed: String,
+      iterations: Int,
+      dampingPpm: Long = 850000L
+  ): DataFrame = {
+    require(iterations >= 1,
+      s"personalizedPageRankScaled: iterations must be >= 1, got $iterations")
+    require(dampingPpm >= 0L && dampingPpm <= 1000000L,
+      s"personalizedPageRankScaled: dampingPpm must be in [0, 1e6], got $dampingPpm")
+    val scale = 1000000000L
+    val e = edges
+      .select(col(srcCol).cast("string").as("_s"), col(dstCol).cast("string").as("_d"))
+      .filter(col("_s").isNotNull && col("_d").isNotNull)
+      .localCheckpoint()
+    val nodes = e.select(col("_s").as("_v"))
+      .unionByName(e.select(col("_d").as("_v")))
+      .distinct()
+      .localCheckpoint()
+    val outdeg = e.groupBy("_s").agg(count(lit(1)).as("_od")).localCheckpoint()
+    val base = scale * (1000000L - dampingPpm) / 1000000L
+    var ranks = nodes.select(col("_v"),
+      when(col("_v") === seed, lit(scale)).otherwise(lit(0L)).as("_r"))
+    for (_ <- 0 until iterations) {
+      val contrib = e
+        .join(ranks.withColumnRenamed("_v", "_s"), Seq("_s"))
+        .join(outdeg, Seq("_s"))
+        .select(col("_d").as("_v"),
+          expr(s"(_r * ${dampingPpm}L div 1000000L) div _od").as("_c"))
+        .groupBy("_v").agg(sum(col("_c")).as("_in"))
+      ranks = nodes.join(contrib, Seq("_v"), "left")
+        .select(col("_v"),
+          (when(col("_v") === seed, lit(base)).otherwise(lit(0L)) +
+            coalesce(col("_in"), lit(0L))).as("_r"))
+        .localCheckpoint()
+    }
+    ranks.select(col("_v").as("node"), col("_r").as("rank_ppb"))
+  }
+
   /** Per-node triangle counts + local clustering coefficient over the
     * UNDIRECTED simplification of an edge list (direction dropped,
     * self-loops dropped, multi-edges collapsed) — the classic

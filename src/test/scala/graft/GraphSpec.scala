@@ -69,6 +69,38 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("personalizedPageRankScaled: restart mass sits on the seed; hand-rolled reference") {
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"))
+      .toDF("src", "dst")
+    val got = Graph.personalizedPageRankScaled(edges, "src", "dst",
+        seed = "a", iterations = 2)
+      .as[(String, Long)].collect().toMap
+    // driver reference with the documented arithmetic
+    val es = Seq("a" -> "b", "b" -> "c", "c" -> "a", "a" -> "c")
+    val nodes = Seq("a", "b", "c")
+    val od = es.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val d = 850000L
+    val base = 1000000000L * (1000000L - d) / 1000000L
+    var r = nodes.map(v => v -> (if (v == "a") 1000000000L else 0L)).toMap
+    for (_ <- 0 until 2) {
+      val in = es.groupBy(_._2).view.mapValues(_.map { case (s, _) =>
+        (r(s) * d / 1000000L) / od(s)
+      }.sum).toMap
+      r = nodes.map(v => v -> ((if (v == "a") base else 0L) + in.getOrElse(v, 0L))).toMap
+    }
+    assert(got == r, s"got=$got ref=$r")
+    // the seed holds the restart mass: its rank dominates
+    assert(got("a") > got("b") && got("a") > got("c"), got.toString)
+    // a node unreachable from the seed decays toward zero
+    val got2 = Graph.personalizedPageRankScaled(
+        (Seq(("a", "b"), ("x", "y"))).toDF("src", "dst"), "src", "dst", "a", 3)
+      .as[(String, Long)].collect().toMap
+    assert(got2("x") == 0L && got2("y") == 0L, got2.toString)
+    intercept[IllegalArgumentException] {
+      Graph.personalizedPageRankScaled(edges, "src", "dst", "a", 0)
+    }
+  }
+
   test("triangleCountsScaled: hand-computed triangles, direction/multi-edge/self-loop collapse") {
     // triangle a-b-c, pendant d off a, square c-d? no: add c-e, e-a → second
     // triangle a-c-e; noise: duplicate b->a (reversed multi-edge), self-loop c->c
