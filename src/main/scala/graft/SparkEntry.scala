@@ -386,6 +386,38 @@ object SparkEntry {
     * (c_i, r_i) — the MMR greedy-unroll precedent; every step is the
     * operator's exact integer arithmetic (floor division throughout).
     */
+  /** The DuckDB replay of [[graft.operators.Graph.kCoreBounded]] over
+    * the source-chain graph: peel rounds unrolled as (keep-set, edge
+    * filter) CTE pairs over the symmetric simple adjacency.
+    */
+  private def kcoreOracleSql(k: Int, rounds: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      val prev = if (i == 1) "e0" else s"e${i - 1}"
+      s"""k$i AS (
+         | SELECT _s FROM (SELECT _s, count(*) AS dg FROM $prev GROUP BY 1)
+         | WHERE dg >= $k
+         |), e$i AS (
+         | SELECT p._s, p._d FROM $prev p
+         | JOIN k$i a ON a._s = p._s JOIN k$i b ON b._s = p._d
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH d AS (
+       | SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents
+       |), raw AS (
+       | SELECT 'n' || CAST(doc_id % 41 AS VARCHAR) AS s1,
+       |        'n' || CAST((doc_id * doc_id + 1) % 41 AS VARCHAR) AS s2
+       | FROM d
+       |), rawf AS (
+       | SELECT s1, s2 FROM raw WHERE s1 <> s2
+       |), ce AS (
+       | SELECT DISTINCT least(s1, s2) AS u, greatest(s1, s2) AS v FROM rawf
+       |), e0 AS (
+       | SELECT u AS _s, v AS _d FROM ce UNION ALL SELECT v, u FROM ce
+       |), $steps
+       |SELECT _s AS node, CAST(count(*) AS BIGINT) AS deg
+       |FROM e$rounds GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** [[pagerankOracleSql]] with the restart mass on one seed node — the
     * DuckDB replay of [[graft.operators.Graph.personalizedPageRankScaled]].
     */
@@ -2695,6 +2727,21 @@ object SparkEntry {
           Seq("doc_id"))
         .select(col("source").as("src"), col("_dst").as("dst"))
       graft.operators.Graph.pageRankScaled(e, "src", "dst", iterations = 3)
+        .orderBy("node")
+    }),
+
+    // ---- depth-bounded k-core peeling, 3 rounds at k=2, over the
+    //      quadratic-residue doc-id graph (the source graph is a
+    //      2-regular ring — peeling there is all-or-nothing; the QR
+    //      graph's 1/2/3 degree mix gives a real peel cascade);
+    //      oracle unrolls the rounds
+    "kcore_peel" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"))
+      val e = d.select(
+          concat(lit("n"), (col("doc_id") % 41).cast("string")).as("src"),
+          concat(lit("n"),
+            ((col("doc_id") * col("doc_id") + 1) % 41).cast("string")).as("dst"))
+      graft.operators.Graph.kCoreBounded(e, "src", "dst", k = 2, rounds = 3)
         .orderBy("node")
     }),
 
@@ -7429,6 +7476,9 @@ object SparkEntry {
 
     // 3 unrolled power-iteration rounds in pure BIGINT floor division
     "pagerank_sources" -> pagerankOracleSql(iterations = 3, dampingPpm = 850000L),
+
+    // peel rounds unrolled; see kcoreOracleSql
+    "kcore_peel" -> kcoreOracleSql(k = 2, rounds = 3),
 
     // seeded power iteration unrolled; see pprOracleSql
     "personalized_pagerank" ->

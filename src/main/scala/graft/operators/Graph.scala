@@ -279,6 +279,56 @@ object Graph {
           .otherwise(lit(0L)).as("clustering_ppm"))
   }
 
+  /** Depth-bounded k-core peeling over the undirected simplification of
+    * an edge list — the density filter of the graph-quality family:
+    * the k-core (maximal subgraph with min degree ≥ k) separates
+    * organically-linked hubs from pendant/chain spam structure, and
+    * peeling DEPTH itself is a quality signal (how many rounds a node
+    * survives). A FIXED `rounds` count keeps the operator replayable
+    * (the [[labelPropagationMin]] trade): each round drops every node
+    * whose current degree is below k, together with its edges; after
+    * enough rounds the state is exactly the k-core, and after r rounds
+    * it is the round-r peel state, which the oracle unrolls.
+    *
+    * Scale shape: round k is ONE degree aggregate over the surviving
+    * symmetric adjacency (ids only) + two semi-joins filtering edge
+    * endpoints against the keep set, `localCheckpoint` cutting the
+    * iteration lineage. Output: `(node STRING, deg BIGINT)` — degrees
+    * WITHIN the surviving subgraph after the last round; peeled and
+    * isolated nodes emit nothing.
+    */
+  def kCoreBounded(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      k: Int,
+      rounds: Int
+  ): DataFrame = {
+    require(k >= 1, s"kCoreBounded: k must be >= 1, got $k")
+    require(rounds >= 1 && rounds <= 16,
+      s"kCoreBounded: rounds must be in [1, 16], got $rounds")
+    val raw = edges
+      .select(col(srcCol).cast("string").as("_a"), col(dstCol).cast("string").as("_b"))
+      .filter(col("_a").isNotNull && col("_b").isNotNull && col("_a") =!= col("_b"))
+    val ce = raw
+      .select(least(col("_a"), col("_b")).as("_u"), greatest(col("_a"), col("_b")).as("_v"))
+      .distinct()
+    var sym = ce.select(col("_u").as("_s"), col("_v").as("_d"))
+      .unionByName(ce.select(col("_v").as("_s"), col("_u").as("_d")))
+      .localCheckpoint()
+    for (_ <- 0 until rounds) {
+      val keep = sym.groupBy("_s").agg(count(lit(1)).as("_deg"))
+        .filter(col("_deg") >= k)
+        .select(col("_s").as("_k"))
+      sym = sym
+        .join(keep.withColumnRenamed("_k", "_s"), Seq("_s"), "left_semi")
+        .join(keep.withColumnRenamed("_k", "_d"), Seq("_d"), "left_semi")
+        .localCheckpoint()
+    }
+    sym.groupBy(col("_s")).agg(count(lit(1)).as("deg"))
+      .select(col("_s").as("node"), col("deg"))
+  }
+
   /** Synchronous min-label propagation over the undirected
     * simplification of an edge list, a FIXED number of rounds — the
     * depth-bounded community/component labeling a curation pipeline

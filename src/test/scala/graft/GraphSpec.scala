@@ -126,6 +126,23 @@ class GraphSpec extends SparkSpec {
     assert(g2.forall(_._3 == 0L), g2.mkString(","))
   }
 
+  test("kCoreBounded: peeling rounds on a chain; triangle+pendant; converged core stable") {
+    // chain a-b-c-d-e, k=2: r1 peels a,e; r2 peels b,d; r3 empties
+    val chain = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")).toDF("src", "dst")
+    def run(df: org.apache.spark.sql.DataFrame, k: Int, r: Int) =
+      Graph.kCoreBounded(df, "src", "dst", k, r)
+        .as[(String, Long)].collect().toMap
+    assert(run(chain, 2, 1) == Map("b" -> 1L, "c" -> 2L, "d" -> 1L), run(chain, 2, 1).toString)
+    assert(run(chain, 2, 2).isEmpty, run(chain, 2, 2).toString)
+    // triangle + pendant, k=2: pendant peels, triangle survives at deg 2
+    val tri = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("a", "d")).toDF("src", "dst")
+    assert(run(tri, 2, 1) == Map("a" -> 2L, "b" -> 2L, "c" -> 2L), run(tri, 2, 1).toString)
+    // converged: extra rounds change nothing
+    assert(run(tri, 2, 4) == run(tri, 2, 1))
+    intercept[IllegalArgumentException] { Graph.kCoreBounded(tri, "src", "dst", 0, 1) }
+    intercept[IllegalArgumentException] { Graph.kCoreBounded(tri, "src", "dst", 2, 0) }
+  }
+
   test("labelPropagationMin: depth-bounded min labels; converges to components") {
     // two components: chain a-b-c-d and pair x-y (direction must not matter)
     val edges = Seq(("b", "a"), ("b", "c"), ("d", "c"), ("y", "x"))
