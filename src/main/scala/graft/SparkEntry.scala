@@ -1996,6 +1996,26 @@ object SparkEntry {
         .orderBy("item")
     }),
 
+    // ---- per-group exactly-N sampling ON A STREAM: the stratified
+    //      reservoir — per-group bottom-k-by-hash state re-sampled with
+    //      each batch; final state equals the batch per-group sample of
+    //      everything (batch 1 replays to prove the no-op guard)
+    "sample_group_stream" -> ((s, dir) => {
+      import graft.streaming.StreamingOps
+      val d = t(s, dir, "documents").select(col("doc_id"), col("source"))
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-sampleg-stream").toString
+      def step(pred: Column, b: Long): Unit =
+        StreamingOps.applySampleExactNPerGroupBatch(s, d.filter(pred), b,
+          "doc_id", "source", n = 4, salt = "bkg", s"$work/state")
+      step(col("doc_id") < 200, 0L)
+      step(col("doc_id") >= 200 && col("doc_id") < 350, 1L)
+      step(col("doc_id") >= 200 && col("doc_id") < 350, 1L)
+      step(col("doc_id") >= 350, 2L)
+      StreamingOps.readState(s, s"$work/state").get
+        .orderBy("source", "rank")
+    }),
+
     // ---- HLL ON A STREAM: registers max-merge (associative,
     //      commutative, idempotent), so the versioned state equals the
     //      batch sketch of everything after every prefix — the oracle
@@ -5605,6 +5625,31 @@ object SparkEntry {
         |SELECT doc_id, lang, source FROM sgn
         |QUALIFY row_number() OVER (ORDER BY hs DESC, doc_id DESC) <= 150
         |ORDER BY doc_id""".stripMargin,
+
+    // the stream's final state IS the per-group batch sample of
+    // everything seen — same signed-FNV top-4 per source, salt ':bkg'
+    "sample_group_stream" ->
+      """WITH h AS (
+        | SELECT doc_id, source,
+        |  list_reduce(
+        |    list_prepend(CAST('14695981039346656037' AS HUGEINT),
+        |      list_transform(range(1, length(s) + 1), i -> CAST(ascii(s[i]) AS HUGEINT))),
+        |    (acc, b) -> ((acc // 256) * 256 + xor(CAST(acc % 256 AS BIGINT), CAST(b AS BIGINT)))
+        |                * 1099511628211 % CAST('18446744073709551616' AS HUGEINT)
+        |  ) AS hh
+        | FROM (SELECT doc_id, source, doc_id::VARCHAR || ':bkg' AS s FROM documents)
+        |), sgn AS (
+        | SELECT doc_id, source,
+        |  CAST(hh - CASE WHEN hh >= CAST('9223372036854775808' AS HUGEINT)
+        |            THEN CAST('18446744073709551616' AS HUGEINT)
+        |            ELSE CAST(0 AS HUGEINT) END AS BIGINT) AS hs
+        | FROM h
+        |)
+        |SELECT source, doc_id,
+        | CAST(row_number() OVER (PARTITION BY source ORDER BY hs DESC, doc_id DESC) AS INTEGER) AS rank
+        |FROM sgn
+        |QUALIFY rank <= 4
+        |ORDER BY source, rank""".stripMargin,
 
     // same signed-FNV recomputation, ranked per source (hash DESC,
     // id DESC — the graft_topk struct order)

@@ -992,6 +992,46 @@ object StreamingOps {
     }
   }
 
+  /** The per-GROUP form of [[applySampleExactNBatch]] — a fixed-size
+    * deterministic reservoir per stratum (language, source, domain):
+    * the state is the per-group largest-n-by-FNV key set, which is a
+    * per-group mergeable summary for exactly the reason the global one
+    * is, so each batch re-runs
+    * [[graft.operators.Sampling.sampleExactNPerGroup]] over
+    * (state ∪ batch). State ≤ n·|groups| rows forever. The committed
+    * `rank` column is recomputed on every merge (ranks are relative to
+    * the current winner set).
+    */
+  def applySampleExactNPerGroupBatch(
+      spark: SparkSession,
+      batch: DataFrame,
+      batchId: Long,
+      keyCol: String,
+      groupCol: String,
+      n: Int,
+      salt: String,
+      statePath: String
+  ): Unit = {
+    require(n >= 1, s"applySampleExactNPerGroupBatch: n must be positive, got $n")
+    currentVersionId(spark, statePath) match {
+      case Some(cur) if cur >= batchId =>
+        log.warn(s"sampleExactNPerGroupStream: skipping batch $batchId — " +
+          s"state at v$cur already includes it")
+      case _ =>
+        val slim = batch.select(col(groupCol), col(keyCol))
+        val cand = readState(spark, statePath) match {
+          case Some(st) => st.select(col(groupCol), col(keyCol)).unionByName(slim)
+          case None => slim
+        }
+        val next = graft.operators.Sampling
+          .sampleExactNPerGroup(cand, keyCol, groupCol, n, salt)
+          .localCheckpoint()
+        val version = s"v$batchId"
+        next.write.mode("overwrite").parquet(s"$statePath/$version")
+        commitVersion(spark, statePath, version, keepFrom = batchId - 1)
+    }
+  }
+
   /** One micro-batch of the STREAMING HLL distinct sketch: the state is
     * the per-(group, bucket) max-ρ register table — HLL's defining
     * property is that registers MAX-MERGE, so each batch unions its own

@@ -810,6 +810,27 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(inc1 == Map(100L -> 1L, 200L -> 1L), inc1.toString)
   }
+  test("per-group exact-N sample stream: state equals the per-group batch sample; replay no-ops") {
+    import graft.operators.Sampling
+    val d = spark.range(600).select(col("id").as("k"), (col("id") % 5).cast("string").as("g"))
+    val work = Files.createTempDirectory("graft-bkg-stream").toString
+    def keys(df: org.apache.spark.sql.DataFrame): Set[(String, Long)] =
+      df.select("g", "k").as[(String, Long)].collect().toSet
+    StreamingOps.applySampleExactNPerGroupBatch(spark, d.filter(col("k") < 300),
+      0L, "k", "g", 3, "bkgspec", s"$work/state")
+    StreamingOps.applySampleExactNPerGroupBatch(spark, d.filter(col("k") >= 300),
+      1L, "k", "g", 3, "bkgspec", s"$work/state")
+    val streamed = keys(StreamingOps.readState(spark, s"$work/state").get)
+    val batch = keys(Sampling.sampleExactNPerGroup(d, "k", "g", 3, "bkgspec"))
+    assert(streamed == batch, s"stream=$streamed batch=$batch")
+    // every group holds exactly 3 winners
+    assert(streamed.groupBy(_._1).forall(_._2.size == 3), streamed.toString)
+    // replay no-ops
+    StreamingOps.applySampleExactNPerGroupBatch(spark, d.filter(col("k") >= 300),
+      1L, "k", "g", 3, "bkgspec", s"$work/state")
+    assert(keys(StreamingOps.readState(spark, s"$work/state").get) == streamed)
+  }
+
   test("hll stream: max-merged registers equal the batch sketch; item re-delivery harmless; replay no-ops") {
     import graft.operators.Profile
     val d = spark.range(3000).select((col("id") % 2).cast("string").as("g"),
