@@ -386,6 +386,30 @@ object SparkEntry {
     * (c_i, r_i) — the MMR greedy-unroll precedent; every step is the
     * operator's exact integer arithmetic (floor division throughout).
     */
+  /** The unrolled Hilbert xy2d bit-steps as a CTE chain over a
+    * caller-supplied `h0(carry…, hx, hy, hd)` — the DuckDB replay of
+    * [[graft.plans.HilbertKey]]: per step s = 2^(order−1−i), the rx/ry
+    * bit tests, d += s²·((3rx) XOR ry) spelled as a portable CASE, and
+    * the s-local rotate/reflect.
+    */
+  private def hilbertStepsSql(order: Int, carry: Seq[String]): String = {
+    val ccPrefix = if (carry.nonEmpty) carry.mkString(", ") + "," else ""
+    (0 until order).map { i =>
+      val s = 1L << (order - 1 - i)
+      s"""h${i + 1} AS (
+         | SELECT $ccPrefix
+         |  CAST(CASE WHEN ry = 1 THEN hx WHEN rx = 1 THEN ${s - 1} - hy ELSE hy END AS BIGINT) AS hx,
+         |  CAST(CASE WHEN ry = 1 THEN hy WHEN rx = 1 THEN ${s - 1} - hx ELSE hx END AS BIGINT) AS hy,
+         |  CAST(hd + ${s * s} * (CASE WHEN rx = 0 AND ry = 0 THEN 0 WHEN rx = 0 THEN 1
+         |                             WHEN ry = 0 THEN 3 ELSE 2 END) AS BIGINT) AS hd
+         | FROM (SELECT $ccPrefix hx, hy, hd,
+         |        CASE WHEN (hx & $s) > 0 THEN 1 ELSE 0 END AS rx,
+         |        CASE WHEN (hy & $s) > 0 THEN 1 ELSE 0 END AS ry
+         |       FROM h$i)
+         |)""".stripMargin
+    }.mkString(", ")
+  }
+
   /** The DuckDB replay of [[graft.operators.Graph.kCoreBounded]] over
     * the source-chain graph: peel rounds unrolled as (keep-set, edge
     * filter) CTE pairs over the symmetric simple adjacency.
@@ -3438,6 +3462,37 @@ object SparkEntry {
           min(col("user_id")).as("u_min"), max(col("user_id")).as("u_max"),
           min(col("tmin")).as("t_min"), max(col("tmin")).as("t_max"))
         .orderBy("zfile")
+    }),
+
+    // ---- Hilbert layout key on the same (user, minute) fixture: the
+    //      no-diagonal-jumps clustering curve — tighter per-file bounds
+    //      than Morton on box predicates; native loop expression,
+    //      oracle unrolls the 31 bit-steps as a CTE chain
+    "hilbert_layout" -> ((s, dir) => {
+      val ev = events(s, dir).filter(col("event_id") < 2000)
+        .select(col("event_id"), col("user_id"),
+          expr("unix_micros(ts) div 60000000").as("tmin"))
+      ev.select(col("event_id"),
+          graft.functions.LayoutFunctions
+            .hilbertKey(col("user_id"), col("tmin"), order = 31).as("hkey"))
+        .orderBy("event_id")
+    }),
+
+    // ---- the Hilbert "so what", mirroring zorder_pruning: per
+    //      key-range file stats — the compared surface IS the locality
+    //      property (tight per-file ranges in BOTH dimensions)
+    "hilbert_pruning" -> ((s, dir) => {
+      val ev = events(s, dir).filter(col("event_id") < 2000)
+        .select(col("event_id"), col("user_id"),
+          expr("unix_micros(ts) div 60000000").as("tmin"))
+      ev.select(col("user_id"), col("tmin"),
+          graft.functions.LayoutFunctions
+            .hilbertKey(col("user_id"), col("tmin"), order = 31).as("hkey"))
+        .groupBy(expr("hkey div 2097152").as("hfile")) // 2^21
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("user_id")).as("u_min"), max(col("user_id")).as("u_max"),
+          min(col("tmin")).as("t_min"), max(col("tmin")).as("t_max"))
+        .orderBy("hfile")
     }),
 
     // ---- path analysis: top-10 3-step event-type sequences; order by
@@ -8206,6 +8261,36 @@ object SparkEntry {
         |SELECT w_start, event_type, CAST(count(*) AS BIGINT) AS cnt
         |FROM w GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
+
+    // the Hilbert transform replayed as an unrolled 31-step CTE chain
+    // (hilbertStepsSql) — identical integer arithmetic per step
+    "hilbert_layout" -> {
+      val mask = (1L << 31) - 1L
+      s"""WITH h0 AS (
+         | SELECT event_id,
+         |  CAST(user_id & $mask AS BIGINT) AS hx,
+         |  CAST((epoch_us(ts) // 60000000) & $mask AS BIGINT) AS hy,
+         |  CAST(0 AS BIGINT) AS hd
+         | FROM events WHERE event_id < 2000
+         |), ${hilbertStepsSql(31, Seq("event_id"))}
+         |SELECT event_id, hd AS hkey FROM h31 ORDER BY event_id""".stripMargin
+    },
+
+    // same generated chain, grouped into simulated hilbert-sorted files
+    "hilbert_pruning" -> {
+      val mask = (1L << 31) - 1L
+      s"""WITH h0 AS (
+         | SELECT user_id, (epoch_us(ts) // 60000000) AS tmin,
+         |  CAST(user_id & $mask AS BIGINT) AS hx,
+         |  CAST((epoch_us(ts) // 60000000) & $mask AS BIGINT) AS hy,
+         |  CAST(0 AS BIGINT) AS hd
+         | FROM events WHERE event_id < 2000
+         |), ${hilbertStepsSql(31, Seq("user_id", "tmin"))}
+         |SELECT hd // 2097152 AS hfile, CAST(count(*) AS BIGINT) AS n_rows,
+         | min(user_id) AS u_min, max(user_id) AS u_max,
+         | min(tmin) AS t_min, max(tmin) AS t_max
+         |FROM h31 GROUP BY 1 ORDER BY 1""".stripMargin
+    },
 
     // the Morton key replayed as the same generated shift/mask sum
     // (zorderSqlExpr — one builder feeds both engines' expressions)

@@ -31,6 +31,19 @@ object LayoutFunctions {
     * but branchless and fully inside whole-stage codegen; `bits ≤ 31`
     * keeps the result in the positive BIGINT range.
     */
+  /** 2-D Hilbert index of two non-negative pre-quantized dimensions —
+    * tighter per-file bounds than [[zorderKey]] on box predicates (no
+    * diagonal jumps). Native single-pass expression
+    * (graft.plans.HilbertKey); same low-`order`-bits truncation
+    * contract as the Morton key.
+    */
+  def hilbertKey(x: Column, y: Column, order: Int): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.plans.HilbertKey(
+      ColumnBridge.expression(x.cast(LongType)),
+      ColumnBridge.expression(y.cast(LongType)), order))
+  }
+
   def zorderKey(x: Column, y: Column, bits: Int): Column = {
     require(bits >= 1 && bits <= 31, s"zorderKey: bits must be in [1, 31], got $bits")
     val xl = x.cast(LongType)

@@ -29,4 +29,36 @@ class LayoutFunctionsSpec extends SparkSpec {
     intercept[IllegalArgumentException] { LayoutFunctions.zorderKey($"x", $"y", 0) }
     intercept[IllegalArgumentException] { LayoutFunctions.zorderKey($"x", $"y", 32) }
   }
+
+  test("hilbertKey: bijective, unit-step adjacent, truncating, narrow") {
+    val p = 4
+    val n = 1L << p // 16×16 grid
+    val pts = for (x <- 0L until n; y <- 0L until n) yield (x, y)
+    val got = pts.toDF("x", "y")
+      .select($"x", $"y", LayoutFunctions.hilbertKey($"x", $"y", p).as("h"))
+      .as[(Long, Long, Long)].collect()
+    // bijective over the full grid: every d in [0, 4^p) exactly once
+    assert(got.map(_._3).sorted.toSeq == (0L until n * n).toSeq)
+    // THE Hilbert property: consecutive keys are grid neighbors
+    val byD = got.map(g => g._3 -> ((g._1, g._2))).toMap
+    (1L until n * n).foreach { d =>
+      val (x1, y1) = byD(d - 1); val (x2, y2) = byD(d)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1L, s"jump at d=$d")
+    }
+    // matches the driver-side loop reference on out-of-grid inputs too
+    // (truncation to low `order` bits)
+    val refExpr = graft.plans.HilbertKey(
+      org.apache.spark.sql.catalyst.expressions.Literal(0L),
+      org.apache.spark.sql.catalyst.expressions.Literal(0L), p)
+    val big = Seq((n + 3L, 2L * n + 5L)).toDF("x", "y")
+      .select(LayoutFunctions.hilbertKey($"x", $"y", p)).as[Long].head()
+    assert(big == refExpr.compute(3L, 5L), big.toString)
+    // narrow: no Exchange
+    val plan = pts.toDF("x", "y")
+      .select(LayoutFunctions.hilbertKey($"x", $"y", 31))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    intercept[IllegalArgumentException] { LayoutFunctions.hilbertKey($"x", $"y", 0) }
+    intercept[IllegalArgumentException] { LayoutFunctions.hilbertKey($"x", $"y", 32) }
+  }
 }

@@ -696,6 +696,7 @@ class NativeExpressionsSpec extends SparkSpec {
         TF.multiPatternHits($"text", Seq("the", "qu", "ck bro")).as("mph"),
         TF.multiPatternDistinct($"text", Seq("the", "zzz")).as("mpd"),
         TF.confusableSkeleton($"text").as("skel"),
+        graft.functions.LayoutFunctions.hilbertKey($"id", $"id" + 1L, 16).as("hk"),
         TF.punctRatio($"text").as("pr"),
         TF.langId($"text").as("lang"),
         Dedup.minHashSignature($"text", 16).as("mh"),
