@@ -386,6 +386,48 @@ object SparkEntry {
     * (c_i, r_i) — the MMR greedy-unroll precedent; every step is the
     * operator's exact integer arithmetic (floor division throughout).
     */
+  /** The quadratic set-similarity pair chain (the recall-lossless
+    * replay of [[graft.operators.Dedup.setSimilarityJoinPairs]] over
+    * the planted setsim universe): CTEs through `pr(ida, idb, i, na,
+    * nb)`, threshold-filtered at 0.5 — shared by the pair gate and the
+    * entity-resolution pipeline gate.
+    */
+  private val setsimChainSql: String =
+    """d0 AS (
+      | SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents WHERE doc_id < 1000
+      |), rawtk AS (
+      | SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS rts
+      | FROM d0
+      |), uni AS (
+      | SELECT doc_id, text FROM d0
+      | UNION ALL SELECT doc_id + 1000000, text FROM d0 WHERE doc_id < 20
+      | UNION ALL
+      |  SELECT doc_id + 2000000,
+      |   array_to_string(rts[1:greatest((len(rts) * 4) // 5, 1)], ' ')
+      |  FROM rawtk WHERE doc_id < 20
+      |), toks AS (
+      | SELECT doc_id,
+      |  list_filter(string_split_regex(trim(regexp_replace(regexp_replace(lower(text), '[[:punct:]]', '', 'g'), '\s+', ' ', 'g')), '\s+'), x -> x <> '') AS ts
+      | FROM uni
+      |), sh AS (
+      | SELECT doc_id, unnest(
+      |  CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+      |       ELSE list_distinct(list_transform(range(1, len(ts) - 1), i -> array_to_string(ts[i:i+2], ' ')))
+      |  END) AS g
+      | FROM toks
+      |), ds AS (
+      | SELECT DISTINCT doc_id, g FROM sh
+      |), sz AS (
+      | SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM ds GROUP BY 1
+      |), ix AS (
+      | SELECT a.doc_id AS ida, b.doc_id AS idb, CAST(count(*) AS BIGINT) AS i
+      | FROM ds a JOIN ds b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2
+      |), pr AS (
+      | SELECT ix.ida, ix.idb, ix.i, sa.n AS na, sb.n AS nb
+      | FROM ix JOIN sz sa ON sa.doc_id = ix.ida JOIN sz sb ON sb.doc_id = ix.idb
+      | WHERE ix.i * 1000000 >= 500000 * (sa.n + sb.n - ix.i)
+      |)""".stripMargin
+
   /** The unrolled Hilbert xy2d bit-steps as a CTE chain over a
     * caller-supplied `h0(carry…, hx, hy, hd)` — the DuckDB replay of
     * [[graft.plans.HilbertKey]]: per step s = 2^(order−1−i), the rx/ry
@@ -2114,6 +2156,31 @@ object SparkEntry {
       Dedup.setSimilarityJoinPairs(d.union(clones).union(trunc),
           "doc_id", "text", shingleSize = 3, thresholdPpm = 500000L)
         .orderBy("id_a", "id_b")
+    }),
+
+    // ---- composed ENTITY RESOLUTION: exact set-similarity pairs →
+    //      depth-4 min-label propagation over the (zero-padded) pair
+    //      graph → canonical = label holder. Bounded rounds keep the
+    //      composition replayable (the organic near-dup pairs make the
+    //      component structure a real graph, not just planted triples)
+    "pipeline_entity_resolution" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(col("doc_id") < 1000)
+        .select(col("doc_id"), col("text"))
+      val clones = d.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val trunc = d.filter(col("doc_id") < 20)
+        .withColumn("_ts", TextFunctions.tokens(col("text")))
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          array_join(slice(col("_ts"), lit(1),
+            greatest(expr("(size(_ts) * 4) div 5"), lit(1)).cast("int")), " ")
+            .as("text"))
+      val pairs = Dedup.setSimilarityJoinPairs(d.union(clones).union(trunc),
+          "doc_id", "text", shingleSize = 3, thresholdPpm = 500000L)
+        .select(lpad(col("id_a").cast("string"), 8, "0").as("a"),
+          lpad(col("id_b").cast("string"), 8, "0").as("b"))
+      graft.operators.Graph.labelPropagationMin(pairs, "a", "b", rounds = 4)
+        .select(col("node"), col("label"), (col("node") === col("label")).as("is_canonical"))
+        .orderBy("node")
     }),
 
     // ---- sorted-neighborhood blocking (Hernández–Stolfo): rank by a
@@ -6655,41 +6722,39 @@ object SparkEntry {
     // normalized text), pairwise intersections, cross-multiplied
     // threshold, floor-div ppm
     "setsim_pairs" ->
-      """WITH d0 AS (
-        | SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents WHERE doc_id < 1000
-        |), rawtk AS (
-        | SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS rts
-        | FROM d0
-        |), uni AS (
-        | SELECT doc_id, text FROM d0
-        | UNION ALL SELECT doc_id + 1000000, text FROM d0 WHERE doc_id < 20
-        | UNION ALL
-        |  SELECT doc_id + 2000000,
-        |   array_to_string(rts[1:greatest((len(rts) * 4) // 5, 1)], ' ')
-        |  FROM rawtk WHERE doc_id < 20
-        |), toks AS (
-        | SELECT doc_id,
-        |  list_filter(string_split_regex(trim(regexp_replace(regexp_replace(lower(text), '[[:punct:]]', '', 'g'), '\s+', ' ', 'g')), '\s+'), x -> x <> '') AS ts
-        | FROM uni
-        |), sh AS (
-        | SELECT doc_id, unnest(
-        |  CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
-        |       ELSE list_distinct(list_transform(range(1, len(ts) - 1), i -> array_to_string(ts[i:i+2], ' ')))
-        |  END) AS g
-        | FROM toks
-        |), ds AS (
-        | SELECT DISTINCT doc_id, g FROM sh
-        |), sz AS (
-        | SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM ds GROUP BY 1
-        |), ix AS (
-        | SELECT a.doc_id AS ida, b.doc_id AS idb, CAST(count(*) AS BIGINT) AS i
-        | FROM ds a JOIN ds b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2
-        |)
-        |SELECT ida AS id_a, idb AS id_b,
-        | CAST(ix.i * 1000000 // (sa.n + sb.n - ix.i) AS BIGINT) AS jaccard_ppm
-        |FROM ix JOIN sz sa ON sa.doc_id = ida JOIN sz sb ON sb.doc_id = idb
-        |WHERE ix.i * 1000000 >= 500000 * (sa.n + sb.n - ix.i)
-        |ORDER BY 1, 2""".stripMargin,
+      s"""WITH $setsimChainSql
+         |SELECT ida AS id_a, idb AS id_b,
+         | CAST(pr.i * 1000000 // (pr.na + pr.nb - pr.i) AS BIGINT) AS jaccard_ppm
+         |FROM pr
+         |ORDER BY 1, 2""".stripMargin,
+
+    // the same quadratic pair chain feeding 4 unrolled min-label rounds
+    // over the (zero-padded) pair graph — the generic LPA replay, not
+    // the chain-graph closed form
+    "pipeline_entity_resolution" -> {
+      val rounds = (1 to 4).map { k =>
+        s"""c$k AS (
+           | SELECT e._d AS v, min(p.l) AS ml
+           | FROM sym e JOIN l${k - 1} p ON p.v = e._s GROUP BY 1
+           |), l$k AS (
+           | SELECT p.v, least(p.l, coalesce(c$k.ml, p.l)) AS l
+           | FROM l${k - 1} p LEFT JOIN c$k ON c$k.v = p.v
+           |)""".stripMargin
+      }.mkString(", ")
+      s"""WITH $setsimChainSql, pe AS (
+         | SELECT lpad(CAST(ida AS VARCHAR), 8, '0') AS a,
+         |        lpad(CAST(idb AS VARCHAR), 8, '0') AS b
+         | FROM pr
+         |), sym AS (
+         | SELECT a AS _s, b AS _d FROM pe UNION SELECT b, a FROM pe
+         |), nodes AS (
+         | SELECT DISTINCT _s AS v FROM sym
+         |), l0 AS (
+         | SELECT v, v AS l FROM nodes
+         |), $rounds
+         |SELECT v AS node, l AS label, (v = l) AS is_canonical
+         |FROM l4 ORDER BY node""".stripMargin
+    },
 
     // the same rank-window semantics replayed with a plain window rank
     // (oracle scale permits the global sort the operator avoids); the
