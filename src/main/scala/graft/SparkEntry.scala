@@ -2158,6 +2158,16 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // ---- χ²-distinctive terms per source: group-vs-rest contingency
+    //      per term, staged floor rational (no logs), top-5 per source
+    //      by (χ² desc, term) — the classical feature-selection stat
+    //      next to the TF-IDF-flavored distinctive_terms
+    "chi2_terms" -> ((s, dir) => {
+      Vocab.chiSquareTerms(t(s, dir, "documents"), "source", "text", k = 5)
+        .select(col("group").as("source"), col("term"), col("chi2_e6"), col("rank"))
+        .orderBy("source", "rank")
+    }),
+
     // ---- composed ENTITY RESOLUTION: exact set-similarity pairs →
     //      depth-4 min-label propagation over the (zero-padded) pair
     //      graph → canonical = label holder. Bounded rounds keep the
@@ -6727,6 +6737,41 @@ object SparkEntry {
          | CAST(pr.i * 1000000 // (pr.na + pr.nb - pr.i) AS BIGINT) AS jaccard_ppm
          |FROM pr
          |ORDER BY 1, 2""".stripMargin,
+
+    // same counts, same staged floors in HUGEINT, same rank tie-break
+    "chi2_terms" ->
+      """WITH tok AS (
+        | SELECT source AS grp,
+        |  unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')) AS term
+        | FROM documents WHERE source IS NOT NULL
+        |), gt AS (
+        | SELECT grp, term, CAST(count(*) AS BIGINT) AS a FROM tok GROUP BY 1, 2
+        |), tt AS (
+        | SELECT term, CAST(sum(a) AS BIGINT) AS t_all FROM gt GROUP BY 1 HAVING sum(a) >= 1
+        |), gg AS (
+        | SELECT grp, CAST(sum(a) AS BIGINT) AS g_all FROM gt GROUP BY 1
+        |), nn AS (
+        | SELECT CAST(sum(a) AS BIGINT) AS n FROM gt
+        |), cells AS (
+        | SELECT gt.grp, gt.term, gt.a, tt.t_all - gt.a AS b, gg.g_all - gt.a AS c,
+        |  nn.n - tt.t_all - gg.g_all + gt.a AS d, nn.n
+        | FROM gt JOIN tt ON tt.term = gt.term JOIN gg ON gg.grp = gt.grp, nn
+        |), staged AS (
+        | SELECT grp, term,
+        |  abs(CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c) AS m,
+        |  CAST((a + b) AS HUGEINT) * (c + d) AS den1,
+        |  CAST((a + c) AS HUGEINT) * (b + d) AS den2, n
+        | FROM cells
+        |), scored AS (
+        | SELECT grp, term,
+        |  CAST(((CAST(n AS HUGEINT) * m) // den1) * m * 1000000 // den2 AS BIGINT) AS chi2_e6
+        | FROM staged
+        |)
+        |SELECT grp AS source, term, chi2_e6,
+        | CAST(row_number() OVER (PARTITION BY grp ORDER BY chi2_e6 DESC, term) AS INTEGER) AS rank
+        |FROM scored
+        |QUALIFY rank <= 5
+        |ORDER BY source, rank""".stripMargin,
 
     // the same quadratic pair chain feeding 4 unrolled min-label rounds
     // over the (zero-padded) pair graph — the generic LPA replay, not

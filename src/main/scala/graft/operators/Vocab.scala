@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType}
 
 import graft.functions.TextFunctions
 
@@ -67,6 +67,74 @@ object Vocab {
       .groupBy("term").agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("term").asc)
       .limit(k)
+  }
+
+  /** χ²-distinctive terms per group — the classical feature-selection
+    * statistic (group-vs-rest 2×2 contingency per term), which unlike
+    * the TF-IDF-flavored [[distinctiveTerms]] accounts for BOTH how
+    * often a term appears in the group and how much of the corpus the
+    * group is:
+    *
+    *   m = |a·d − b·c|
+    *   r₁ = (N·m) div ((a+b)(c+d))
+    *   χ²_e6(t, g) = (r₁·m·10⁶) div ((a+c)(b+d))
+    *
+    * over token-occurrence counts a (t in g), b (t elsewhere),
+    * c (other tokens in g), d (other tokens elsewhere) — a STAGED
+    * floor evaluation of N·m²·10⁶/den (single-stage would need ~10⁵⁰
+    * intermediates): every operand is a non-negative integer, both
+    * engines run the identical two floor divisions, and the stage
+    * split keeps all products inside DECIMAL(38,0)/HUGEINT up to
+    * N ≈ 3·10⁹ total tokens (ANSI-checked require; beyond that, run
+    * per-shard and merge ranks — the stat is an ORDER, not an
+    * accounting value).
+    *
+    * Scale shape: ONE map-side-combined (group, term) count aggregate;
+    * everything after runs on ≤ |groups|·|vocab| aggregated rows, where
+    * the per-group rank window is metadata-sized by construction.
+    * Output: `(group, term, chi2_e6, rank)`, rank 1..k per group by
+    * (χ² desc, term asc).
+    */
+  def chiSquareTerms(
+      docs: DataFrame,
+      groupCol: String,
+      textCol: String,
+      k: Int,
+      minCount: Long = 1L
+  ): DataFrame = {
+    require(k > 0, s"chiSquareTerms: k must be positive, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+    val gt = docs
+      .select(col(groupCol).cast(StringType).as("group"),
+        explode(TextFunctions.tokens(lower(col(textCol)))).as("term"))
+      .filter(col("group").isNotNull)
+      .groupBy("group", "term").agg(count(lit(1)).as("a"))
+    val tTot = gt.groupBy("term").agg(sum(col("a")).as("t_all"))
+      .filter(col("t_all") >= minCount)
+    val gTot = gt.groupBy("group").agg(sum(col("a")).as("g_all"))
+    val nRow = gt.agg(sum(col("a")).as("n_all"))
+    val n = nRow.head().getLong(0)
+    require(n <= 3000000000L,
+      s"chiSquareTerms: $n tokens exceeds the exact-χ² DECIMAL(38,0) bound " +
+        "(~3e9) — shard and merge ranks, or sample")
+    val scored = gt.join(tTot, Seq("term")).join(gTot, Seq("group"))
+      .select(col("group"), col("term"), col("a"),
+        (col("t_all") - col("a")).as("b"),
+        (col("g_all") - col("a")).as("c"),
+        (lit(n) - col("t_all") - col("g_all") + col("a")).as("d"))
+      .withColumn("_m", expr(
+        "abs(CAST(a AS DECIMAL(38,0)) * d - CAST(b AS DECIMAL(38,0)) * c)"))
+      .withColumn("_r1", expr(
+        s"""(CAST($n AS DECIMAL(38,0)) * _m)
+           | div (CAST((a + b) AS DECIMAL(38,0)) * (c + d))""".stripMargin))
+      .withColumn("chi2_e6", expr(
+        """CAST((CAST(_r1 AS DECIMAL(38,0)) * _m * 1000000)
+          | div (CAST((a + c) AS DECIMAL(38,0)) * (b + d))
+          | AS BIGINT)""".stripMargin))
+      .withColumn("rank", row_number().over(
+        w.partitionBy("group").orderBy(col("chi2_e6").desc, col("term"))).cast(IntegerType))
+      .filter(col("rank") <= k)
+    scored.select(col("group"), col("term"), col("chi2_e6"), col("rank"))
   }
 
   /** Top-`k` DISTINCTIVE terms per document — keyword extraction by

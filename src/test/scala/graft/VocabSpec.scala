@@ -211,4 +211,25 @@ class VocabSpec extends SparkSpec {
       Vocab.distinctNgramRatio(d, "src", "t", Seq.empty)
     }
   }
+
+  test("chiSquareTerms: hand-computed staged values, tie-broken ranks, k cut") {
+    import spark.implicits._
+    // g: [x x y], h: [y y z] → n = 6
+    val d = Seq(("g", "x x y"), ("h", "y y z")).toDF("src", "t")
+    val got = Vocab.chiSquareTerms(d, "src", "t", k = 5)
+      .as[(String, String, Long, Int)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    // x in g: a=2 b=0 c=1 d=3; m=6; r1=(6·6)//8=4; χ²e6=(4·6·1e6)//9=2666666
+    assert(got(("g", "x")) == ((2666666L, 1)), got(("g", "x")).toString)
+    // y in g: a=1 b=2 c=2 d=1; m=3; r1=18//9=2; χ²e6=6e6//9=666666
+    assert(got(("g", "y")) == ((666666L, 2)), got(("g", "y")).toString)
+    // z in h: a=1 b=0 c=2 d=3; m=3; r1=18//5=3; χ²e6=9e6//9=1000000
+    assert(got(("h", "z")) == ((1000000L, 1)), got(("h", "z")).toString)
+    assert(got(("h", "y")) == ((666666L, 2)), got(("h", "y")).toString)
+    // k cut applies
+    val top1 = Vocab.chiSquareTerms(d, "src", "t", k = 1)
+      .as[(String, String, Long, Int)].collect()
+    assert(top1.length == 2 && top1.forall(_._4 == 1))
+    intercept[IllegalArgumentException] { Vocab.chiSquareTerms(d, "src", "t", 0) }
+  }
 }
