@@ -2158,6 +2158,19 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // ---- deterministic negative sampling: 5 negatives per anchor
+    //      (docs 0..19) from the doc_id<500 pool by largest pair-FNV —
+    //      each anchor draws an independent set; anchors broadcast,
+    //      pool streams once through bounded per-anchor heaps
+    "negative_sampling" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"))
+      Sampling.negativeSamples(
+          d.filter(col("doc_id") < 20), "doc_id",
+          d.filter(col("doc_id") < 500), "doc_id",
+          k = 5, salt = "neg")
+        .orderBy("anchor", "rank")
+    }),
+
     // ---- χ²-distinctive terms per source: group-vs-rest contingency
     //      per term, staged floor rational (no logs), top-5 per source
     //      by (χ² desc, term) — the classical feature-selection stat
@@ -6737,6 +6750,37 @@ object SparkEntry {
          | CAST(pr.i * 1000000 // (pr.na + pr.nb - pr.i) AS BIGINT) AS jaccard_ppm
          |FROM pr
          |ORDER BY 1, 2""".stripMargin,
+
+    // pair-FNV recomputed per (anchor, cand), signed top-5 per anchor
+    // (hash DESC, cand DESC — the graft_topk struct order)
+    "negative_sampling" ->
+      """WITH a AS (
+        | SELECT DISTINCT CAST(doc_id AS VARCHAR) AS anchor
+        | FROM documents WHERE doc_id < 20
+        |), p AS (
+        | SELECT CAST(doc_id AS VARCHAR) AS cand FROM documents WHERE doc_id < 500
+        |), h AS (
+        | SELECT anchor, cand,
+        |  list_reduce(
+        |    list_prepend(CAST('14695981039346656037' AS HUGEINT),
+        |      list_transform(range(1, length(s) + 1), i -> CAST(ascii(s[i]) AS HUGEINT))),
+        |    (acc, b) -> ((acc // 256) * 256 + xor(CAST(acc % 256 AS BIGINT), CAST(b AS BIGINT)))
+        |                * 1099511628211 % CAST('18446744073709551616' AS HUGEINT)
+        |  ) AS hh
+        | FROM (SELECT a.anchor, p.cand, a.anchor || ':' || p.cand || ':neg' AS s
+        |       FROM a CROSS JOIN p WHERE a.anchor <> p.cand)
+        |), sgn AS (
+        | SELECT anchor, cand,
+        |  CAST(hh - CASE WHEN hh >= CAST('9223372036854775808' AS HUGEINT)
+        |            THEN CAST('18446744073709551616' AS HUGEINT)
+        |            ELSE CAST(0 AS HUGEINT) END AS BIGINT) AS hs
+        | FROM h
+        |)
+        |SELECT anchor, cand AS negative,
+        | CAST(row_number() OVER (PARTITION BY anchor ORDER BY hs DESC, cand DESC) AS INTEGER) AS rank
+        |FROM sgn
+        |QUALIFY rank <= 5
+        |ORDER BY anchor, rank""".stripMargin,
 
     // same counts, same staged floors in HUGEINT, same rank tie-break
     "chi2_terms" ->

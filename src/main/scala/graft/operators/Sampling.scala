@@ -108,6 +108,45 @@ object Sampling {
       .drop("_graft_sb")
   }
 
+  /** Deterministic NEGATIVE sampling — the contrastive-training data
+    * prep: for every anchor, the k candidates with the largest signed
+    * FNV of the PAIR string `anchor ++ ":" ++ cand ++ ":" ++ salt` (the
+    * pair hash makes each anchor draw an independent pseudo-random
+    * negative set — hashing the candidate alone would hand every anchor
+    * the same winners). Self-pairs are excluded; change `salt` for a
+    * fresh epoch of negatives. Semantically a uniform without-
+    * replacement draw per anchor, reproducible by any engine that
+    * recomputes the hash.
+    *
+    * Scale shape: the anchor set is the SMALL side by construction
+    * (broadcast cross join); the pool streams through once with a
+    * bounded per-anchor `graft_topk` heap (the [[quotaPerGroup]]
+    * machinery) — no shuffle of the pool, no |anchors|·|pool|
+    * materialization past the heaps. Output: `(anchor, negative,
+    * rank)`, rank 1..k by (hash desc, cand desc).
+    */
+  def negativeSamples(
+      anchors: DataFrame,
+      anchorCol: String,
+      pool: DataFrame,
+      candCol: String,
+      k: Int,
+      salt: String = "neg"
+  ): DataFrame = {
+    require(k > 0, s"negativeSamples: k must be positive, got $k")
+    import org.apache.spark.sql.graft.ColumnBridge
+    val a = anchors.select(col(anchorCol).cast("string").as("_anchor")).distinct()
+    val p = pool.select(col(candCol).cast("string").as("_cand"))
+    val h = ColumnBridge.column(graft.plans.FnvHash64(
+      ColumnBridge.expression(concat(col("_anchor"), lit(":"),
+        col("_cand"), lit(":" + salt)))))
+    val joined = p.crossJoin(broadcast(a))
+      .filter(col("_anchor") =!= col("_cand"))
+      .withColumn("_fnv", h)
+    quotaPerGroup(joined, "_cand", "_anchor", "_fnv", k, keepSmallest = false)
+      .select(col("_anchor").as("anchor"), col("_cand").as("negative"), col("rank"))
+  }
+
   /** Leakage-safe TEMPORAL split — the time-series complement to
     * [[splitByHash]]: when evaluation data must postdate training data
     * (dedup/decontamination cannot fix temporal leakage — a model must

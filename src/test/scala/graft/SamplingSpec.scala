@@ -450,6 +450,33 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("negativeSamples: per-anchor independence, self-exclusion, determinism, k cut") {
+    import spark.implicits._
+    val pool = spark.range(200).select(col("id").cast("string").as("c"))
+    val anchors = Seq("3", "7", "11").toDF("a")
+    val got = Sampling.negativeSamples(anchors, "a", pool, "c", k = 8)
+      .as[(String, String, Int)].collect()
+    val byAnchor = got.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byAnchor.keySet == Set("3", "7", "11"))
+    assert(byAnchor.values.forall(_.size == 8))
+    // self never appears among its own negatives
+    assert(byAnchor.forall { case (a, negs) => !negs.contains(a) })
+    // the pair hash makes the draws independent: not all sets equal
+    assert(byAnchor.values.toSet.size > 1, byAnchor.toString)
+    // deterministic across re-evaluation and repartition
+    val again = Sampling.negativeSamples(anchors, "a",
+        pool.repartition(7), "c", k = 8)
+      .as[(String, String, Int)].collect().toSet
+    assert(again == got.toSet)
+    // a different salt draws a different epoch
+    val salted = Sampling.negativeSamples(anchors, "a", pool, "c", 8, "neg2")
+      .as[(String, String, Int)].collect().toSet
+    assert(salted != got.toSet)
+    intercept[IllegalArgumentException] {
+      Sampling.negativeSamples(anchors, "a", pool, "c", 0)
+    }
+  }
+
   test("temporalSplit: boundary semantics, explicit gap label, null time, inverted bounds refused") {
     import spark.implicits._
     val d = Seq(Some(9L), Some(10L), Some(12L), Some(13L), Some(20L), None)
