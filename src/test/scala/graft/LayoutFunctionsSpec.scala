@@ -61,4 +61,26 @@ class LayoutFunctionsSpec extends SparkSpec {
     intercept[IllegalArgumentException] { LayoutFunctions.hilbertKey($"x", $"y", 0) }
     intercept[IllegalArgumentException] { LayoutFunctions.hilbertKey($"x", $"y", 32) }
   }
+
+  test("clustered write layout: repartitionByRange on the curve key yields disjoint per-file ranges") {
+    // the write-side contract both curve keys exist FOR: files of a
+    // range-partitioned, within-sorted layout carry non-overlapping
+    // key ranges, so min/max file stats prune every key predicate
+    val df = spark.range(20000).select(
+      (col("id") * 2654435761L % 1000).as("x"),
+      (col("id") * 40503L % 1000).as("y"))
+    val keyed = df.select(
+      LayoutFunctions.hilbertKey(col("x"), col("y"), 10).as("h"))
+    val ranges = keyed.repartitionByRange(8, col("h"))
+      .sortWithinPartitions("h")
+      .select(spark_partition_id().as("p"), col("h"))
+      .groupBy("p").agg(min("h").as("lo"), max("h").as("hi"))
+      .orderBy("lo")
+      .as[(Int, Long, Long)].collect()
+    assert(ranges.length > 1)
+    ranges.sliding(2).foreach {
+      case Array(a, b) => assert(a._3 <= b._2, s"overlap: $a vs $b")
+      case _ =>
+    }
+  }
 }
