@@ -2062,6 +2062,31 @@ object SparkEntry {
         .orderBy("item")
     }),
 
+    // ---- MinHash/LSH near-dup index ON A STREAM: versioned signature
+    //      + band-posting state built over two batches (batch 1 replays
+    //      to prove the no-op guard), then queried with byte-identical
+    //      clones of 15 indexed docs at minOverlap = all 16 slots —
+    //      identical normalized text ⇒ identical signature, which is
+    //      exactly the text-equality join the oracle recomputes
+    "minhash_index_stream" -> ((s, dir) => {
+      import graft.streaming.StreamingOps
+      val d = t(s, dir, "documents").filter(col("doc_id") < 500)
+        .select(col("doc_id"), col("text"))
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-mh-index").toString
+      def step(pred: Column, b: Long): Unit =
+        StreamingOps.applyMinhashIndexBatch(s, d.filter(pred), b,
+          "doc_id", "text", numHashes = 16, bands = 4, s"$work/state")
+      step(col("doc_id") < 250, 0L)
+      step(col("doc_id") >= 250, 1L)
+      step(col("doc_id") >= 250, 1L)
+      val q = d.filter(col("doc_id") < 15)
+        .select((col("doc_id") + 1000000L).as("qid"), col("text"))
+      StreamingOps.queryMinhashIndex(s, s"$work/state", q, "qid", "text",
+          numHashes = 16, bands = 4, minOverlap = 16)
+        .orderBy("query_id", "id")
+    }),
+
     // ---- per-group exactly-N sampling ON A STREAM: the stratified
     //      reservoir — per-group bottom-k-by-hash state re-sampled with
     //      each batch; final state equals the batch per-group sample of
@@ -5770,6 +5795,20 @@ object SparkEntry {
         |SELECT doc_id, lang, source FROM sgn
         |QUALIFY row_number() OVER (ORDER BY hs DESC, doc_id DESC) <= 150
         |ORDER BY doc_id""".stripMargin,
+
+    // full-overlap verification at identical signatures ⇔ identical
+    // normalized text (the dedup_minhash oracle convention): the index
+    // lookup reduces to the exact text-equality join
+    "minhash_index_stream" ->
+      """WITH norm AS (
+        | SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), '[[:punct:]]', '', 'g'), '\s+', ' ', 'g')) AS nt
+        | FROM documents WHERE doc_id < 500
+        |), q AS (
+        | SELECT CAST(doc_id + 1000000 AS BIGINT) AS query_id, nt FROM norm WHERE doc_id < 15
+        |)
+        |SELECT q.query_id, CAST(n.doc_id AS BIGINT) AS id, CAST(16 AS INTEGER) AS overlap
+        |FROM q JOIN norm n ON n.nt = q.nt
+        |ORDER BY query_id, id""".stripMargin,
 
     // the stream's final state IS the per-group batch sample of
     // everything seen — same signed-FNV top-4 per source, salt ':bkg'

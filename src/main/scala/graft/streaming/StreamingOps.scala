@@ -1032,6 +1032,89 @@ object StreamingOps {
     }
   }
 
+  /** One micro-batch of the STREAMING MinHash/LSH near-dup index — the
+    * text sibling of [[applyAnnIndexBatch]]: the state is the
+    * signature table `(id, sig)` plus band postings `(band, h, id)`
+    * ([[graft.operators.Dedup.lshBandKeys]] over the one-pass native
+    * signature). Both tables are pure per-doc functions, so the merge
+    * is a plain distinct union — idempotent under item re-delivery —
+    * and the committed index equals the batch index of everything
+    * ingested. Signatures are `numHashes` longs per doc (128 bytes at
+    * the default 16) vs kilobytes of text: the index is the thing you
+    * can afford to keep hot at 100 TB.
+    */
+  def applyMinhashIndexBatch(
+      spark: SparkSession,
+      batch: DataFrame,
+      batchId: Long,
+      idCol: String,
+      textCol: String,
+      numHashes: Int,
+      bands: Int,
+      statePath: String
+  ): Unit = {
+    require(numHashes % bands == 0,
+      "applyMinhashIndexBatch: numHashes must be divisible by bands")
+    import graft.operators.Dedup
+    currentVersionId(spark, statePath) match {
+      case Some(cur) if cur >= batchId =>
+        log.warn(s"minhashIndexStream: skipping batch $batchId — index at " +
+          s"v$cur already includes it")
+      case _ =>
+        val sigs = batch.select(col(idCol).as("id"),
+            Dedup.minHashSignature(col(textCol), numHashes).as("sig"))
+          .filter(col("sig").isNotNull)
+        val fresh = sigs.select(col("id"), col("sig"),
+            explode(Dedup.lshBandKeys(col("sig"), bands, numHashes / bands))
+              .as("_bk"))
+          .select(col("id"), col("sig"),
+            col("_bk.band").as("band"), col("_bk.h").as("h"))
+        val merged = (readState(spark, statePath) match {
+          case Some(st) => st.unionByName(fresh)
+          case None => fresh
+        }).dropDuplicates("id", "band").localCheckpoint()
+        val version = s"v$batchId"
+        merged.write.mode("overwrite").parquet(s"$statePath/$version")
+        commitVersion(spark, statePath, version, keepFrom = batchId - 1)
+    }
+  }
+
+  /** Near-dup lookup against a committed [[applyMinhashIndexBatch]]
+    * index: candidates are indexed docs sharing ANY band key with the
+    * query, verified by exact signature overlap ≥ `minOverlap` slots.
+    * Queries are the small side (broadcast); the index never rescans
+    * its text — signatures ride the postings. Output: `(query_id, id,
+    * overlap)`, one row per (query, indexed doc) pair that verifies.
+    */
+  def queryMinhashIndex(
+      spark: SparkSession,
+      statePath: String,
+      queries: DataFrame,
+      qIdCol: String,
+      qTextCol: String,
+      numHashes: Int,
+      bands: Int,
+      minOverlap: Int
+  ): DataFrame = {
+    import graft.operators.Dedup
+    val state = readState(spark, statePath).getOrElse(
+      throw new IllegalStateException(
+        s"queryMinhashIndex: no committed index at $statePath"))
+    val q = queries.select(col(qIdCol).as("query_id"),
+        Dedup.minHashSignature(col(qTextCol), numHashes).as("qsig"))
+      .filter(col("qsig").isNotNull)
+      .select(col("query_id"), col("qsig"),
+        explode(Dedup.lshBandKeys(col("qsig"), bands, numHashes / bands))
+          .as("_bk"))
+      .select(col("query_id"), col("qsig"),
+        col("_bk.band").as("band"), col("_bk.h").as("h"))
+    state.join(broadcast(q), Seq("band", "h"))
+      .select(col("query_id"), col("id"),
+        Dedup.signatureOverlap(col("qsig"), col("sig")).as("overlap"))
+      .distinct()
+      .filter(col("overlap") >= minOverlap)
+  }
+
   /** One micro-batch of the STREAMING HLL distinct sketch: the state is
     * the per-(group, bucket) max-ρ register table — HLL's defining
     * property is that registers MAX-MERGE, so each batch unions its own

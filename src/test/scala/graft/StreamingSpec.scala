@@ -831,6 +831,39 @@ class StreamingSpec extends SparkSpec {
     assert(keys(StreamingOps.readState(spark, s"$work/state").get) == streamed)
   }
 
+  test("minhash index stream: clones hit their sources at full overlap; replay no-ops; unseen text misses") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "pack my box with five dozen liquor jugs before the night falls"),
+      (3L, "sphinx of black quartz judge my vow said the old keeper twice")
+    ).toDF("id", "t")
+    val work = Files.createTempDirectory("graft-mh-spec").toString
+    StreamingOps.applyMinhashIndexBatch(spark, docs.filter(col("id") < 3), 0L,
+      "id", "t", 16, 4, s"$work/state")
+    StreamingOps.applyMinhashIndexBatch(spark, docs.filter(col("id") === 3), 1L,
+      "id", "t", 16, 4, s"$work/state")
+    // replay no-ops
+    StreamingOps.applyMinhashIndexBatch(spark, docs.filter(col("id") === 3), 1L,
+      "id", "t", 16, 4, s"$work/state")
+    val q = Seq(
+      (101L, "pack my box with five dozen liquor jugs before the night falls"),
+      (102L, "completely unrelated text with none of those words present here")
+    ).toDF("qid", "qt")
+    val hits = StreamingOps.queryMinhashIndex(spark, s"$work/state", q,
+        "qid", "qt", 16, 4, minOverlap = 16)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(hits == Set((101L, 2L, 16)), hits.toString)
+    // lowering the bar surfaces partial-band coincidences only if any
+    // band collides; the exact-match hit is always present
+    val loose = StreamingOps.queryMinhashIndex(spark, s"$work/state", q,
+        "qid", "qt", 16, 4, minOverlap = 1)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(loose.contains((101L, 2L, 16)))
+    intercept[IllegalStateException] {
+      StreamingOps.queryMinhashIndex(spark, s"$work/none", q, "qid", "qt", 16, 4, 1)
+    }
+  }
+
   test("hll stream: max-merged registers equal the batch sketch; item re-delivery harmless; replay no-ops") {
     import graft.operators.Profile
     val d = spark.range(3000).select((col("id") % 2).cast("string").as("g"),
