@@ -428,6 +428,71 @@ object SparkEntry {
       | WHERE ix.i * 1000000 >= 500000 * (sa.n + sb.n - ix.i)
       |)""".stripMargin
 
+  /** The unigram gate's piece-cost table — shared verbatim with the
+    * oracle. Pieces overlap deliberately (cust/omer vs custom+er, the
+    * tab/le split, win/dow) so the Viterbi minimum differs from a
+    * greedy longest match on real corpus words.
+    */
+  private val unigramGatePieces: Seq[(String, Long)] = Seq(
+    "cust" -> 900L, "omer" -> 900L, "custom" -> 1500L, "er" -> 400L,
+    "tab" -> 500L, "le" -> 300L, "the" -> 350L, "a" -> 700L,
+    "win" -> 520L, "dow" -> 600L, "val" -> 550L, "ue" -> 380L,
+    "s" -> 650L, "in" -> 450L, "row" -> 480L, "que" -> 560L, "ry" -> 420L)
+
+  /** The DuckDB replay of the unigram_segment gate: Viterbi positions
+    * unrolled as CTE steps over distinct words (the kCore accumulator
+    * discipline), with the SAME packed objective cost·16 + n_tokens the
+    * expression minimizes — lexicographic (cost, count) via plain
+    * integer min.
+    */
+  private def unigramOracleSql(
+      pieces: Seq[(String, Long)], unkCost: Long, maxLen: Int): String = {
+    val pieceRows = pieces
+      .map { case (p, c) => s"(${GateTables.sqlStr(p)}, ${p.length}, $c)" }
+      .mkString(",\n   ")
+    val steps = (1 to maxLen).map { p =>
+      val prev = if (p == 1) "a0" else s"a${p - 1}"
+      s"""s$p AS MATERIALIZED (
+         | SELECT word, len, min(cand) AS best FROM (
+         |  SELECT a.word, a.len,
+         |   a.best + $unkCost * 16 + 1 AS cand
+         |  FROM $prev a WHERE a.pos = ${p - 1} AND a.len >= $p
+         |  UNION ALL
+         |  SELECT a.word, a.len,
+         |   a.best + pc.cost * 16 + 1 AS cand
+         |  FROM $prev a JOIN pieces pc
+         |    ON a.pos = $p - pc.plen AND pc.plen <= $p
+         |   AND substr(a.word, $p - pc.plen + 1, pc.plen) = pc.piece
+         |  WHERE a.len >= $p
+         | ) GROUP BY 1, 2
+         |), a$p AS MATERIALIZED (
+         | SELECT * FROM $prev
+         | UNION ALL SELECT word, len, $p AS pos, best FROM s$p
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH dw AS MATERIALIZED (
+       | SELECT doc_id,
+       |  unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '')) AS word
+       | FROM documents
+       |), dwf AS (
+       | SELECT doc_id, word FROM dw WHERE length(word) <= $maxLen
+       |), pieces AS (
+       | SELECT * FROM (VALUES
+       |   $pieceRows) AS v(piece, plen, cost)
+       |), words AS MATERIALIZED (
+       | SELECT DISTINCT word, CAST(length(word) AS BIGINT) AS len FROM dwf
+       |), a0 AS MATERIALIZED (
+       | SELECT word, len, 0 AS pos, CAST(0 AS BIGINT) AS best FROM words
+       |), $steps, wstats AS (
+       | SELECT word, best // 16 AS cost, best % 16 AS nt
+       | FROM a$maxLen WHERE pos = len
+       |)
+       |SELECT d.doc_id, CAST(sum(w.cost) AS BIGINT) AS total_cost,
+       | CAST(sum(w.nt) AS BIGINT) AS total_tokens
+       |FROM dwf d JOIN wstats w ON w.word = d.word
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** The unrolled Hilbert xy2d bit-steps as a CTE chain over a
     * caller-supplied `h0(carry…, hx, hy, hd)` — the DuckDB replay of
     * [[graft.plans.HilbertKey]]: per step s = 2^(order−1−i), the rx/ry
@@ -2181,6 +2246,38 @@ object SparkEntry {
       Dedup.setSimilarityJoinPairs(d.union(clones).union(trunc),
           "doc_id", "text", shingleSize = 3, thresholdPpm = 500000L)
         .orderBy("id_a", "id_b")
+    }),
+
+    // ---- unigram-LM Viterbi segmentation (SentencePiece-unigram
+    //      inference): globally-cheapest per-word segmentation under
+    //      integer piece costs, vs WordPiece's greedy longest match —
+    //      completes the tokenizer family (BPE / WordPiece / unigram);
+    //      per-doc cost+token sums, oracle unrolls the DP positions
+    "unigram_segment" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+          explode(TextFunctions.tokens(lower(col("text")))).as("_w"))
+        .filter(length(col("_w")) <= 12)
+        .withColumn("_st", TextFunctions.unigramSegmentStats(col("_w"),
+          unigramGatePieces, unkCost = 1000L, maxWordLen = 12))
+      d.groupBy("doc_id")
+        .agg(sum(element_at(col("_st"), 1)).as("total_cost"),
+          sum(element_at(col("_st"), 2)).as("total_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- corpus size matrix: the per-source accounting every budget
+    //      decision starts from — docs, chars, BYTES (what storage
+    //      bills), whitespace tokens, and BPE-ish subword tokens (what
+    //      context windows bill) in one aggregate pass
+    "corpus_size_matrix" -> ((s, dir) => {
+      t(s, dir, "documents").filter(col("source").isNotNull)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).as("n_chars"),
+          sum(octet_length(col("text"))).as("n_bytes"),
+          sum(TextFunctions.tokenCount(col("text"))).as("n_tokens"),
+          sum(TextFunctions.bpeishTokenCount(col("text"))).as("n_bpeish"))
+        .orderBy("source")
     }),
 
     // ---- deterministic negative sampling: 5 negatives per anchor
@@ -6789,6 +6886,21 @@ object SparkEntry {
          | CAST(pr.i * 1000000 // (pr.na + pr.nb - pr.i) AS BIGINT) AS jaccard_ppm
          |FROM pr
          |ORDER BY 1, 2""".stripMargin,
+
+    // Viterbi positions unrolled; see unigramOracleSql
+    "unigram_segment" -> unigramOracleSql(unigramGatePieces, 1000L, 12),
+
+    // chars vs bytes via length/strlen, tokens via the shared split,
+    // BPE-ish via the same RE2-safe pre-tokenizer pattern
+    "corpus_size_matrix" ->
+      """SELECT source,
+        | CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(length(text)) AS BIGINT) AS n_chars,
+        | CAST(sum(strlen(text)) AS BIGINT) AS n_bytes,
+        | CAST(sum(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''))) AS BIGINT) AS n_tokens,
+        | CAST(sum(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS n_bpeish
+        |FROM documents WHERE source IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // pair-FNV recomputed per (anchor, cand), signed top-5 per anchor
     // (hash DESC, cand DESC — the graft_topk struct order)

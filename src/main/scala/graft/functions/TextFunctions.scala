@@ -95,6 +95,22 @@ object TextFunctions {
       graft.plans.ConfusableSkeleton(ColumnBridge.expression(text)))
   }
 
+  /** Unigram-LM Viterbi segmentation stats `[cost, n_tokens]` for ONE
+    * word under integer piece costs (graft.plans.UnigramSegmentWord) —
+    * the SentencePiece-unigram inference rule, globally cheapest
+    * segmentation rather than WordPiece's greedy longest match.
+    */
+  def unigramSegmentStats(
+      word: Column,
+      pieces: Seq[(String, Long)],
+      unkCost: Long,
+      maxWordLen: Int = 15
+  ): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.plans.UnigramSegmentWord(
+      ColumnBridge.expression(word), pieces, unkCost, maxWordLen))
+  }
+
   def charCount(text: Column): Column = length(text).cast(LongType)
 
   /** Ratio of punctuation chars to total chars; null-safe, 0 for empty.

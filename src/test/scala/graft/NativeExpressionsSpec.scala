@@ -663,6 +663,37 @@ class NativeExpressionsSpec extends SparkSpec {
     assert(got(8).contains("caf\u00E9 \u00FCnchanged"), got(8).toString)
   }
 
+  test("UnigramSegmentWord: Viterbi beats greedy, tie prefers fewer pieces, unk fallback, length guard") {
+    import graft.functions.TextFunctions
+    val pieces = Seq("cust" -> 900L, "omer" -> 900L, "custom" -> 1500L,
+      "er" -> 400L, "tab" -> 500L, "le" -> 300L)
+    val got = Seq("customer", "table", "xyz").toDF("w")
+      .select(col("w"),
+        TextFunctions.unigramSegmentStats(col("w"), pieces, 1000L).as("st"))
+      .as[(String, Seq[Long])].collect().toMap
+    // greedy longest-from-start would take custom+er = 1900; Viterbi
+    // finds cust+omer = 1800
+    assert(got("customer") == Seq(1800L, 2L), got("customer").toString)
+    assert(got("table") == Seq(800L, 2L), got("table").toString)
+    assert(got("xyz") == Seq(3000L, 3L), got("xyz").toString)
+    // cost tie broken toward FEWER pieces (packed objective)
+    val tie = Seq("ab").toDF("w")
+      .select(TextFunctions.unigramSegmentStats(col("w"),
+        Seq("a" -> 5L, "b" -> 5L, "ab" -> 10L), 99L).as("st"))
+      .as[Seq[Long]].collect().head
+    assert(tie == Seq(10L, 1L), tie.toString)
+    // over-long words refuse loudly (the oracle's unrolled depth)
+    val e = intercept[Exception] {
+      Seq("a" * 16).toDF("w")
+        .select(TextFunctions.unigramSegmentStats(col("w"), pieces, 1000L))
+        .collect()
+    }
+    assert(e.getMessage != null)
+    intercept[IllegalArgumentException] {
+      TextFunctions.unigramSegmentStats(col("w"), Seq.empty, 1000L)
+    }
+  }
+
   test("every native expression survives whole-stage codegen with fallback disabled") {
     // spark.sql.codegen.fallback=false turns a Janino compile error into
     // a thrown exception instead of a SILENT interpreted fallback — the
@@ -697,6 +728,8 @@ class NativeExpressionsSpec extends SparkSpec {
         TF.multiPatternDistinct($"text", Seq("the", "zzz")).as("mpd"),
         TF.confusableSkeleton($"text").as("skel"),
         graft.functions.LayoutFunctions.hilbertKey($"id", $"id" + 1L, 16).as("hk"),
+        TF.unigramSegmentStats(substring($"text", 1, 10),
+          Seq("the" -> 10L, "qu" -> 20L), 1000L).as("useg"),
         TF.punctRatio($"text").as("pr"),
         TF.langId($"text").as("lang"),
         Dedup.minHashSignature($"text", 16).as("mh"),
