@@ -507,8 +507,9 @@ object SparkEntry {
          | SELECT $ccPrefix
          |  CAST(CASE WHEN ry = 1 THEN hx WHEN rx = 1 THEN ${s - 1} - hy ELSE hy END AS BIGINT) AS hx,
          |  CAST(CASE WHEN ry = 1 THEN hy WHEN rx = 1 THEN ${s - 1} - hx ELSE hx END AS BIGINT) AS hy,
-         |  CAST(hd + ${s * s} * (CASE WHEN rx = 0 AND ry = 0 THEN 0 WHEN rx = 0 THEN 1
-         |                             WHEN ry = 0 THEN 3 ELSE 2 END) AS BIGINT) AS hd
+         |  CAST(hd + CAST(${s * s} AS BIGINT)
+         |            * (CASE WHEN rx = 0 AND ry = 0 THEN 0 WHEN rx = 0 THEN 1
+         |                    WHEN ry = 0 THEN 3 ELSE 2 END) AS BIGINT) AS hd
          | FROM (SELECT $ccPrefix hx, hy, hd,
          |        CASE WHEN (hx & $s) > 0 THEN 1 ELSE 0 END AS rx,
          |        CASE WHEN (hy & $s) > 0 THEN 1 ELSE 0 END AS ry
