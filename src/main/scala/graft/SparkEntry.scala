@@ -2128,6 +2128,34 @@ object SparkEntry {
         .orderBy("item")
     }),
 
+    // ---- count-min ON A STREAM: cells sum-merge across batches (NOT
+    //      idempotent — replay safety comes from the version guard
+    //      alone, the asymmetry vs hll_stream worth gating); final
+    //      state estimates equal the whole-corpus sketch, which the
+    //      batch oracle recomputes
+    "cms_stream" -> ((s, dir) => {
+      import graft.streaming.StreamingOps
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(TextFunctions.shingles(col("text"), 3)).as("_it"))
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-cms-stream").toString
+      def step(pred: Column, b: Long): Unit =
+        StreamingOps.applyCmsBatch(s, d.filter(pred), b, col("_it"),
+          s"$work/state")
+      step(col("doc_id") < 200, 0L)
+      step(col("doc_id") >= 200, 1L)
+      step(col("doc_id") >= 200, 1L) // replay: the guard must no-op
+      val sketch = StreamingOps.readState(s, s"$work/state").get
+      val exact = d.groupBy(col("_it")).agg(count(lit(1)).as("exact_cnt"))
+      val top = exact.orderBy(col("exact_cnt").desc, col("_it")).limit(10)
+        .select(col("_it").as("item"), col("exact_cnt"))
+      Profile.cmsEstimates(sketch, top.select(col("item")))
+        .join(top, Seq("item"))
+        .select(col("item"), col("exact_cnt"), col("cms_est"))
+        .orderBy("item")
+    }),
+
     // ---- MinHash/LSH near-dup index ON A STREAM: versioned signature
     //      + band-posting state built over two batches (batch 1 replays
     //      to prove the no-op guard), then queried with byte-identical
@@ -5332,6 +5360,37 @@ object SparkEntry {
        | FROM fl
        |)""".stripMargin
 
+  private val oracleSqlCmsCounts: String = {
+      val hm = fnvModSql("x.g || ':cms' || CAST(x.i AS VARCHAR)", 1024L)
+      s"""WITH toks AS (
+         | SELECT list_filter(string_split_regex(trim(regexp_replace(regexp_replace(lower(text), '[[:punct:]]', '', 'g'), '\\s+', ' ', 'g')), '\\s+'), x -> x <> '') AS ts
+         | FROM documents
+         |), sh AS (
+         | SELECT unnest(
+         |  CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+         |       ELSE list_transform(range(1, len(ts) - 1), i -> array_to_string(ts[i:i+2], ' '))
+         |  END) AS g
+         | FROM toks
+         |), cnt AS (
+         | SELECT g, CAST(count(*) AS BIGINT) AS c FROM sh GROUP BY 1
+         |), u AS (
+         | SELECT unnest([0, 1, 2, 3]) AS i
+         |), cells AS (
+         | SELECT x.i, $hm AS colv, CAST(sum(x.c) AS BIGINT) AS cellcnt
+         | FROM (SELECT cnt.g, cnt.c, u.i FROM cnt CROSS JOIN u) x
+         | GROUP BY 1, 2
+         |), top AS (
+         | SELECT g, c FROM cnt ORDER BY c DESC, g LIMIT 10
+         |), qaddr AS (
+         | SELECT x.g, x.c, x.i, $hm AS colv
+         | FROM (SELECT top.g, top.c, u.i FROM top CROSS JOIN u) x
+         |)
+         |SELECT q.g AS item, q.c AS exact_cnt,
+         | CAST(min(coalesce(cells.cellcnt, 0)) AS BIGINT) AS cms_est
+         |FROM qaddr q LEFT JOIN cells ON cells.i = q.i AND cells.colv = q.colv
+         |GROUP BY 1, 2 ORDER BY 1""".stripMargin
+    }
+
   /** FNV-1a of an arbitrary string SQL expression, reduced mod `m` —
     * the parameterized sibling of [[fnvBucketExpr]] (same byte fold,
     * caller-chosen input and modulus). `input` is inlined twice
@@ -6798,36 +6857,10 @@ object SparkEntry {
 
     // cells replayed from the same FNV row-hashes (fnvModSql over
     // item ++ ':cms' ++ row); top-10 by (count desc, shingle) both sides
-    "cms_counts" -> {
-      val hm = fnvModSql("x.g || ':cms' || CAST(x.i AS VARCHAR)", 1024L)
-      s"""WITH toks AS (
-         | SELECT list_filter(string_split_regex(trim(regexp_replace(regexp_replace(lower(text), '[[:punct:]]', '', 'g'), '\\s+', ' ', 'g')), '\\s+'), x -> x <> '') AS ts
-         | FROM documents
-         |), sh AS (
-         | SELECT unnest(
-         |  CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
-         |       ELSE list_transform(range(1, len(ts) - 1), i -> array_to_string(ts[i:i+2], ' '))
-         |  END) AS g
-         | FROM toks
-         |), cnt AS (
-         | SELECT g, CAST(count(*) AS BIGINT) AS c FROM sh GROUP BY 1
-         |), u AS (
-         | SELECT unnest([0, 1, 2, 3]) AS i
-         |), cells AS (
-         | SELECT x.i, $hm AS colv, CAST(sum(x.c) AS BIGINT) AS cellcnt
-         | FROM (SELECT cnt.g, cnt.c, u.i FROM cnt CROSS JOIN u) x
-         | GROUP BY 1, 2
-         |), top AS (
-         | SELECT g, c FROM cnt ORDER BY c DESC, g LIMIT 10
-         |), qaddr AS (
-         | SELECT x.g, x.c, x.i, $hm AS colv
-         | FROM (SELECT top.g, top.c, u.i FROM top CROSS JOIN u) x
-         |)
-         |SELECT q.g AS item, q.c AS exact_cnt,
-         | CAST(min(coalesce(cells.cellcnt, 0)) AS BIGINT) AS cms_est
-         |FROM qaddr q LEFT JOIN cells ON cells.i = q.i AND cells.colv = q.colv
-         |GROUP BY 1, 2 ORDER BY 1""".stripMargin
-    },
+    "cms_counts" -> oracleSqlCmsCounts,
+
+    // the sum-merged stream state equals the whole-corpus sketch
+    "cms_stream" -> oracleSqlCmsCounts,
 
     // the same FNV fold, the same generated ρ CASE ladder (shared
     // verbatim from Profile.hllRhoCaseSql), the same scaled-integer

@@ -1032,6 +1032,40 @@ object StreamingOps {
     }
   }
 
+  /** One micro-batch of the STREAMING count-min sketch: cells SUM-merge
+    * ([[applyHllBatch]]'s max-merge sibling — associative and
+    * commutative but NOT idempotent, so item re-delivery double-counts
+    * by design and only the batch-version guard provides replay
+    * safety; that asymmetry is the point of gating both). State is
+    * ≤ depth·width cells forever; after every prefix it equals the
+    * batch sketch of everything ingested.
+    */
+  def applyCmsBatch(
+      spark: SparkSession,
+      batch: DataFrame,
+      batchId: Long,
+      item: Column,
+      statePath: String,
+      depth: Int = 4,
+      width: Int = 1024
+  ): Unit = {
+    currentVersionId(spark, statePath) match {
+      case Some(cur) if cur >= batchId =>
+        log.warn(s"cmsStream: skipping batch $batchId — state at v$cur " +
+          "already includes it")
+      case _ =>
+        val fresh = graft.operators.Profile.cmsSketch(batch, item, depth, width)
+        val merged = (readState(spark, statePath) match {
+          case Some(st) => st.unionByName(fresh)
+            .groupBy("row", "col").agg(sum(col("cnt")).as("cnt"))
+          case None => fresh
+        }).localCheckpoint()
+        val version = s"v$batchId"
+        merged.write.mode("overwrite").parquet(s"$statePath/$version")
+        commitVersion(spark, statePath, version, keepFrom = batchId - 1)
+    }
+  }
+
   /** One micro-batch of the STREAMING MinHash/LSH near-dup index — the
     * text sibling of [[applyAnnIndexBatch]]: the state is the
     * signature table `(id, sig)` plus band postings `(band, h, id)`

@@ -864,6 +864,24 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("cms stream: sum-merged cells equal the batch sketch; batch replay no-ops (NOT item-idempotent)") {
+    import graft.operators.Profile
+    val d = spark.range(4000).select(concat(lit("w-"), col("id") % 150).as("x"))
+    val work = Files.createTempDirectory("graft-cms-stream-spec").toString
+    def cells(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+      df.as[(Long, Long, Long)].collect().toSet
+    val whole = cells(Profile.cmsSketch(d, col("x")))
+    StreamingOps.applyCmsBatch(spark, d.limit(1500), 0L, col("x"), s"$work/state")
+    StreamingOps.applyCmsBatch(spark, d.exceptAll(d.limit(1500)), 1L, col("x"),
+      s"$work/state")
+    assert(cells(StreamingOps.readState(spark, s"$work/state").get) == whole)
+    // batch replay no-ops via the version guard (a re-applied batch
+    // would otherwise double-count — sum-merge is not idempotent)
+    StreamingOps.applyCmsBatch(spark, d.exceptAll(d.limit(1500)), 1L, col("x"),
+      s"$work/state")
+    assert(cells(StreamingOps.readState(spark, s"$work/state").get) == whole)
+  }
+
   test("hll stream: max-merged registers equal the batch sketch; item re-delivery harmless; replay no-ops") {
     import graft.operators.Profile
     val d = spark.range(3000).select((col("id") % 2).cast("string").as("g"),
