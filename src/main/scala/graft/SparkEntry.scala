@@ -3744,6 +3744,18 @@ object SparkEntry {
         .orderBy(col("cnt").desc, col("path"))
     }),
 
+    // ---- per-user rolling 7-day activity: trailing RANGE-frame sums
+    //      over integer days so calendar gaps weigh correctly — the
+    //      burst/engagement series; the window runs over per-user-day
+    //      AGGREGATES, never raw events
+    "rolling_user_activity" -> ((s, dir) => {
+      val ev = events(s, dir).filter(col("ts").isNotNull)
+      Funnel.rollingUserActivity(ev, "user_id",
+          expr("unix_micros(ts) div 86400000000"), window = 7)
+        .filter(col("user") < 200)
+        .orderBy("user", "period")
+    }),
+
     // ---- cohort retention: first-activity-week cohorts × activity
     //      offsets, exact integer week arithmetic on micros
     "cohort_retention" -> ((s, dir) => {
@@ -8667,6 +8679,20 @@ object SparkEntry {
         | SELECT path, CAST(count(*) AS BIGINT) AS cnt FROM p GROUP BY 1
         |)
         |SELECT path, cnt FROM c ORDER BY cnt DESC, path LIMIT 10""".stripMargin,
+
+    // per-user-day counts, then the identical trailing RANGE frame
+    "rolling_user_activity" ->
+      """WITH pd AS (
+        | SELECT user_id AS "user", epoch_us(ts) // 86400000000 AS period,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        | FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        | GROUP BY 1, 2
+        |)
+        |SELECT "user", period, n_events,
+        | CAST(sum(n_events) OVER (PARTITION BY "user" ORDER BY period
+        |   RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS rolling
+        |FROM pd WHERE "user" < 200
+        |ORDER BY 1, 2""".stripMargin,
 
     // the (user, week) distinct matrix joined to each user's min week;
     // floor-division weeks, so no calendar rules to disagree on

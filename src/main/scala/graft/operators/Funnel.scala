@@ -176,6 +176,37 @@ object Funnel {
       .agg(count(lit(1)).as("users"))
   }
 
+  /** Per-user ROLLING activity: for every (user, active period), the
+    * event count inside the trailing `window`-period range — the
+    * engagement/burst series per entity (spam-burst detection, active-
+    * user windows), computed exactly over integer periods with a RANGE
+    * frame, so gaps in activity weigh correctly (a ROWS frame would
+    * ignore calendar distance).
+    *
+    * Scale shape: events compress to per-(user, period) counts FIRST
+    * (one map-side-combined aggregate, the only corpus-scale stage);
+    * the rolling window runs per user over that user's ACTIVE periods
+    * only — bounded by the observation span, not the event count.
+    * Output: `(user, period, n_events, rolling)`.
+    */
+  def rollingUserActivity(
+      events: DataFrame,
+      userCol: String,
+      periodCol: Column,
+      window: Int
+  ): DataFrame = {
+    require(window >= 1, s"rollingUserActivity: window must be >= 1, got $window")
+    val w = org.apache.spark.sql.expressions.Window
+    val perDay = events
+      .select(col(userCol).as("user"), periodCol.cast("long").as("period"))
+      .filter(col("user").isNotNull && col("period").isNotNull)
+      .groupBy("user", "period").agg(count(lit(1)).as("n_events"))
+    perDay.withColumn("rolling",
+      sum(col("n_events")).over(
+        w.partitionBy("user").orderBy("period")
+          .rangeBetween(-(window - 1).toLong, 0L)))
+  }
+
   /** Top-k most frequent length-`n` event paths (consecutive event-type
     * sequences per user, ordered by `(tsCol, tieCol)` — pass a unique
     * tie column so equal timestamps order identically everywhere).

@@ -148,4 +148,26 @@ class FunnelSpec extends SparkSpec {
       ("b", "c", 1L, 500000L)
     ), got.toString)
   }
+
+  test("rollingUserActivity: RANGE frame weighs calendar gaps; per-user isolation") {
+    import spark.implicits._
+    // user u: 2 events day 1, 1 event day 2, 3 events day 9 (a gap a
+    // ROWS frame would ignore); user v: 1 event day 2
+    val ev = Seq(
+      ("u", 1L), ("u", 1L), ("u", 2L), ("u", 9L), ("u", 9L), ("u", 9L),
+      ("v", 2L)
+    ).toDF("uid", "day")
+    val got = graft.operators.Funnel
+      .rollingUserActivity(ev, "uid", col("day"), window = 7)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("u", 1L, 2L, 2L),
+      ("u", 2L, 1L, 3L),  // days 1-2 inside the trailing week
+      ("u", 9L, 3L, 3L),  // days 1-2 AGED OUT (range 3..9) — the gap matters
+      ("v", 2L, 1L, 1L)   // other users never leak in
+    ), got.toString)
+    intercept[IllegalArgumentException] {
+      graft.operators.Funnel.rollingUserActivity(ev, "uid", col("day"), 0)
+    }
+  }
 }
