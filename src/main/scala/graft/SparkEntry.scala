@@ -839,6 +839,13 @@ object SparkEntry {
       (0 until bits).map(i => s"((($y >> $i) & 1) << ${2 * i + 1})"))
       .mkString(" + ")
 
+  /** The 3-D sibling of [[zorderSqlExpr]] (stride-3 interleave). */
+  private def zorder3SqlExpr(x: String, y: String, z: String, bits: Int): String =
+    ((0 until bits).map(i => s"((($x >> $i) & 1) << ${3 * i})") ++
+      (0 until bits).map(i => s"((($y >> $i) & 1) << ${3 * i + 1})") ++
+      (0 until bits).map(i => s"((($z >> $i) & 1) << ${3 * i + 2})"))
+      .mkString(" + ")
+
   /** The oracle's replay of UrlParse.host + RegisteredDomain over the
     * shared synthetic URLs: one regex for the host (scheme optional,
     * greedy userinfo, port/path cut), trailing-dot strip, then
@@ -3716,6 +3723,22 @@ object SparkEntry {
       ev.select(col("event_id"),
           graft.functions.LayoutFunctions
             .hilbertKey(col("user_id"), col("tmin"), order = 31).as("hkey"))
+        .orderBy("event_id")
+    }),
+
+    // ---- 3-D Morton key over (user, minute, value-band): the layout
+    //      key when queries slice three dimensions at once; same
+    //      generated bit-interleave on both sides, low-20-bit
+    //      truncation contract
+    "zorder3_layout" -> ((s, dir) => {
+      val ev = events(s, dir).filter(col("event_id") < 2000)
+        .select(col("event_id"), col("user_id"),
+          expr("unix_micros(ts) div 60000000").as("tmin"),
+          pmod(floor(col("value")).cast("long"), lit(1024L)).as("vb"))
+      ev.select(col("event_id"),
+          graft.functions.LayoutFunctions
+            .zorderKey3(col("user_id"), col("tmin"), col("vb"), bits = 20)
+            .as("zkey3"))
         .orderBy("event_id")
     }),
 
@@ -8612,6 +8635,18 @@ object SparkEntry {
         |SELECT w_start, event_type, CAST(count(*) AS BIGINT) AS cnt
         |FROM w GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
+
+    // the stride-3 interleave replayed from the shared generator; value
+    // band via floor + sign-safe modulo
+    "zorder3_layout" ->
+      s"""WITH e AS (
+         | SELECT event_id, user_id, (epoch_us(ts) // 60000000) AS tmin,
+         |  ((CAST(floor("value") AS BIGINT) % 1024) + 1024) % 1024 AS vb
+         | FROM events WHERE event_id < 2000
+         |)
+         |SELECT event_id,
+         | CAST(${zorder3SqlExpr("user_id", "tmin", "vb", 20)} AS BIGINT) AS zkey3
+         |FROM e ORDER BY event_id""".stripMargin,
 
     // the Hilbert transform replayed as an unrolled 31-step CTE chain
     // (hilbertStepsSql) — identical integer arithmetic per step

@@ -31,6 +31,22 @@ object LayoutFunctions {
     * but branchless and fully inside whole-stage codegen; `bits ≤ 31`
     * keeps the result in the positive BIGINT range.
     */
+  /** 3-D Morton key: interleave the low `bits` bits of three
+    * pre-quantized dimensions (x stride-3 offset 0, y offset 1,
+    * z offset 2) — the clustering key when queries slice THREE
+    * dimensions at once (entity × time × value band). Same truncation
+    * contract as [[zorderKey]]; `bits ≤ 20` keeps 3·bits < 63.
+    */
+  def zorderKey3(x: Column, y: Column, z: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 20, s"zorderKey3: bits must be in [1, 20], got $bits")
+    val (xl, yl, zl) = (x.cast(LongType), y.cast(LongType), z.cast(LongType))
+    val terms =
+      (0 until bits).map(i => shiftleft(shiftright(xl, i).bitwiseAND(lit(1L)), 3 * i)) ++
+      (0 until bits).map(i => shiftleft(shiftright(yl, i).bitwiseAND(lit(1L)), 3 * i + 1)) ++
+      (0 until bits).map(i => shiftleft(shiftright(zl, i).bitwiseAND(lit(1L)), 3 * i + 2))
+    terms.reduce(_ + _)
+  }
+
   /** 2-D Hilbert index of two non-negative pre-quantized dimensions —
     * tighter per-file bounds than [[zorderKey]] on box predicates (no
     * diagonal jumps). Native single-pass expression

@@ -30,6 +30,25 @@ class LayoutFunctionsSpec extends SparkSpec {
     intercept[IllegalArgumentException] { LayoutFunctions.zorderKey($"x", $"y", 32) }
   }
 
+  test("zorderKey3: stride-3 interleave matches a reference; truncation; bounds") {
+    def ref(x: Long, y: Long, z: Long, bits: Int): Long =
+      (0 until bits).map(i =>
+        (((x >> i) & 1L) << (3 * i)) | (((y >> i) & 1L) << (3 * i + 1)) |
+        (((z >> i) & 1L) << (3 * i + 2))).sum
+    val pts = for (x <- 0L to 5L; y <- 0L to 5L; z <- 0L to 5L) yield (x, y, z)
+    val got = pts.toDF("x", "y", "z")
+      .select($"x", $"y", $"z",
+        LayoutFunctions.zorderKey3($"x", $"y", $"z", 6).as("k"))
+      .as[(Long, Long, Long, Long)].collect()
+    got.foreach { case (x, y, z, k) => assert(k == ref(x, y, z, 6), s"($x,$y,$z)") }
+    // canonical: (1,0,0)→1, (0,1,0)→2, (0,0,1)→4, (1,1,1)→7
+    val m = got.map(g => (g._1, g._2, g._3) -> g._4).toMap
+    assert(m((1L, 0L, 0L)) == 1L && m((0L, 1L, 0L)) == 2L &&
+      m((0L, 0L, 1L)) == 4L && m((1L, 1L, 1L)) == 7L)
+    intercept[IllegalArgumentException] { LayoutFunctions.zorderKey3($"x", $"y", $"z", 0) }
+    intercept[IllegalArgumentException] { LayoutFunctions.zorderKey3($"x", $"y", $"z", 21) }
+  }
+
   test("hilbertKey: bijective, unit-step adjacent, truncating, narrow") {
     val p = 4
     val n = 1L << p // 16×16 grid
