@@ -2166,9 +2166,10 @@ object SparkEntry {
     // ---- MinHash/LSH near-dup index ON A STREAM: versioned signature
     //      + band-posting state built over two batches (batch 1 replays
     //      to prove the no-op guard), then queried with byte-identical
-    //      clones of 15 indexed docs at minOverlap = all 16 slots —
-    //      identical normalized text ⇒ identical signature, which is
-    //      exactly the text-equality join the oracle recomputes
+    //      clones of 15 indexed docs, fingerprint-verified (full
+    //      signature overlap alone is not equality under containment —
+    //      the planted prefix fixtures collide at all 16 slots), which
+    //      is exactly the text-equality join the oracle recomputes
     "minhash_index_stream" -> ((s, dir) => {
       import graft.streaming.StreamingOps
       val d = t(s, dir, "documents").filter(col("doc_id") < 500)
@@ -2184,7 +2185,7 @@ object SparkEntry {
       val q = d.filter(col("doc_id") < 15)
         .select((col("doc_id") + 1000000L).as("qid"), col("text"))
       StreamingOps.queryMinhashIndex(s, s"$work/state", q, "qid", "text",
-          numHashes = 16, bands = 4, minOverlap = 16)
+          numHashes = 16, bands = 4, minOverlap = 16, exactVerify = true)
         .orderBy("query_id", "id")
     }),
 

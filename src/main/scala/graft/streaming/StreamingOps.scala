@@ -1096,12 +1096,14 @@ object StreamingOps {
           s"v$cur already includes it")
       case _ =>
         val sigs = batch.select(col(idCol).as("id"),
-            Dedup.minHashSignature(col(textCol), numHashes).as("sig"))
+            Dedup.minHashSignature(col(textCol), numHashes).as("sig"),
+            xxhash64(graft.functions.TextFunctions
+              .normalizeForFingerprint(col(textCol))).as("fp"))
           .filter(col("sig").isNotNull)
-        val fresh = sigs.select(col("id"), col("sig"),
+        val fresh = sigs.select(col("id"), col("sig"), col("fp"),
             explode(Dedup.lshBandKeys(col("sig"), bands, numHashes / bands))
               .as("_bk"))
-          .select(col("id"), col("sig"),
+          .select(col("id"), col("sig"), col("fp"),
             col("_bk.band").as("band"), col("_bk.h").as("h"))
         val merged = (readState(spark, statePath) match {
           case Some(st) => st.unionByName(fresh)
@@ -1116,9 +1118,16 @@ object StreamingOps {
   /** Near-dup lookup against a committed [[applyMinhashIndexBatch]]
     * index: candidates are indexed docs sharing ANY band key with the
     * query, verified by exact signature overlap ≥ `minOverlap` slots.
-    * Queries are the small side (broadcast); the index never rescans
-    * its text — signatures ride the postings. Output: `(query_id, id,
-    * overlap)`, one row per (query, indexed doc) pair that verifies.
+    * With `exactVerify` the verification tightens to normalized-text
+    * FINGERPRINT equality — full signature overlap alone is NOT
+    * equality when one doc's shingles CONTAIN another's (the smaller
+    * set's extras can lose every per-hash min, e.g. a doc that is a
+    * strict prefix of another — a case the sf0.001 fixtures plant),
+    * so a gate whose oracle is the exact-text join must verify on the
+    * fingerprint, not the sketch. Queries are the small side
+    * (broadcast); the index never rescans its text — signatures and
+    * fingerprints ride the postings. Output: `(query_id, id,
+    * overlap)`, one row per verified (query, indexed doc) pair.
     */
   def queryMinhashIndex(
       spark: SparkSession,
@@ -1128,25 +1137,29 @@ object StreamingOps {
       qTextCol: String,
       numHashes: Int,
       bands: Int,
-      minOverlap: Int
+      minOverlap: Int,
+      exactVerify: Boolean = false
   ): DataFrame = {
     import graft.operators.Dedup
     val state = readState(spark, statePath).getOrElse(
       throw new IllegalStateException(
         s"queryMinhashIndex: no committed index at $statePath"))
     val q = queries.select(col(qIdCol).as("query_id"),
-        Dedup.minHashSignature(col(qTextCol), numHashes).as("qsig"))
+        Dedup.minHashSignature(col(qTextCol), numHashes).as("qsig"),
+        xxhash64(graft.functions.TextFunctions
+          .normalizeForFingerprint(col(qTextCol))).as("qfp"))
       .filter(col("qsig").isNotNull)
-      .select(col("query_id"), col("qsig"),
+      .select(col("query_id"), col("qsig"), col("qfp"),
         explode(Dedup.lshBandKeys(col("qsig"), bands, numHashes / bands))
           .as("_bk"))
-      .select(col("query_id"), col("qsig"),
+      .select(col("query_id"), col("qsig"), col("qfp"),
         col("_bk.band").as("band"), col("_bk.h").as("h"))
-    state.join(broadcast(q), Seq("band", "h"))
+    val verified = state.join(broadcast(q), Seq("band", "h"))
+      .filter(if (exactVerify) col("fp") === col("qfp") else lit(true))
       .select(col("query_id"), col("id"),
         Dedup.signatureOverlap(col("qsig"), col("sig")).as("overlap"))
       .distinct()
-      .filter(col("overlap") >= minOverlap)
+    verified.filter(col("overlap") >= minOverlap)
   }
 
   /** One micro-batch of the STREAMING HLL distinct sketch: the state is
