@@ -2450,6 +2450,40 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- QUALITY-priority token quota: keep the BEST docs within each
+    //      source's token budget, not the earliest — the same two-level
+    //      quota machinery fed a composite numeric order key
+    //      (quality desc, id asc) instead of crawl order; here quality
+    //      = token count (longer docs first), budget 500 tokens/source
+    "quality_token_quota" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .withColumn("_nt", TextFunctions.tokenCount(col("text")))
+        .withColumn("_ord", expr("(100000L - _nt) * 1099511627776L + doc_id"))
+      Sampling.tokenQuotaPerGroup(d, "_ord", "source", col("_nt"), budget = 500L)
+        .select(col("source"),
+          expr("_ord % 1099511627776L").as("doc_id"),
+          col("n_tokens"), col("cum_tokens"), col("keep"))
+        .orderBy("source", "doc_id")
+    }),
+
+    // ---- burstiness monitor: Fano factor (variance/mean) of the daily
+    //      count series per event type — Poisson-like feeds sit near
+    //      1e6, batchy/bursty feeds far above; exact integers via
+    //      (n·Σx² − (Σx)²) div (n·Σx)
+    "burstiness_by_type" -> ((s, dir) => {
+      val ev = events(s, dir).filter(col("ts").isNotNull)
+        .select(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("x"))
+      ev.groupBy("event_type")
+        .agg(count(lit(1)).as("n_periods"), sum(col("x")).as("total"),
+          sum(col("x") * col("x")).as("_sx2"))
+        .select(col("event_type"), col("n_periods"), col("total"),
+          expr("CAST((n_periods * _sx2 - total * total) * 1000000L div (n_periods * total) AS BIGINT)")
+            .as("fano_e6"))
+        .orderBy("event_type")
+    }),
+
     // ---- per-domain TOKEN budget: crawl-order (doc_id) retention
     //      while the domain's running token total stays ≤ 200 — the
     //      token-mass sibling of domain_filter's doc-count cap; the
@@ -7151,6 +7185,41 @@ object SparkEntry {
         | FROM documents d CROSS JOIN pats GROUP BY 1
         |)
         |SELECT doc_id, total_hits, rules_fired FROM h ORDER BY doc_id""".stripMargin,
+
+    // the same composite key, one ordered window sum per source
+    "quality_token_quota" ->
+      """WITH d AS (
+        | SELECT source, CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS nt
+        | FROM documents WHERE source IS NOT NULL AND doc_id IS NOT NULL
+        |), k AS (
+        | SELECT source, doc_id, nt,
+        |  (100000 - nt) * 1099511627776 + doc_id AS ok
+        | FROM d
+        |), c AS (
+        | SELECT source, doc_id, nt,
+        |  CAST(sum(nt) OVER (PARTITION BY source ORDER BY ok
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        | FROM k
+        |)
+        |SELECT source, doc_id, nt AS n_tokens, cum AS cum_tokens,
+        | (cum <= 500) AS keep
+        |FROM c ORDER BY source, doc_id""".stripMargin,
+
+    // per-type daily counts, then one exact rational per type
+    "burstiness_by_type" ->
+      """WITH pd AS (
+        | SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |  CAST(count(*) AS BIGINT) AS x
+        | FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+        |), agg AS (
+        | SELECT event_type, CAST(count(*) AS BIGINT) AS n_periods,
+        |  CAST(sum(x) AS BIGINT) AS total, CAST(sum(x * x) AS BIGINT) AS sx2
+        | FROM pd GROUP BY 1
+        |)
+        |SELECT event_type, n_periods, total,
+        | CAST((n_periods * sx2 - total * total) * 1000000 // (n_periods * total) AS BIGINT) AS fano_e6
+        |FROM agg ORDER BY 1""".stripMargin,
 
     // same registered-domain chain as domain_extract, token counts by
     // the shared whitespace rule, then ONE ordered window sum per
