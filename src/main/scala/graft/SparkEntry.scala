@@ -2209,6 +2209,19 @@ object SparkEntry {
         .orderBy("source", "rank")
     }),
 
+    // ---- cross-source overlap by SKETCH ALGEBRA: inclusion–exclusion
+    //      over max-merged HLL registers — pairwise shared-content
+    //      estimates from ONE corpus pass and a driver fold, where the
+    //      exact source_overlap_matrix pays a shingle pair join; raw
+    //      est_inter keeps the estimator's error bar visible
+    "hll_overlap_matrix" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("source"),
+          explode(array_distinct(TextFunctions.shingles(col("text"), 3))).as("_g"))
+      Profile.hllOverlapMatrix(d, "source", col("_g"))
+        .orderBy("src_a", "src_b")
+    }),
+
     // ---- HLL ON A STREAM: registers max-merge (associative,
     //      commutative, idempotent), so the versioned state equals the
     //      batch sketch of everything after every prefix — the oracle
@@ -5148,18 +5161,10 @@ object SparkEntry {
     * alongside) and the streaming gate (whose max-merged final state is
     * the whole-corpus sketch).
     */
-  private def hllOracleSql(withExact: Boolean): String = {
+  /** The shared register chain (toks … reg) of the HLL oracles. */
+  private def hllRegChainSql: String = {
     val rhoCase = Profile.hllRhoCaseSql("rem", 54)
-    val num = (BigInt(Profile.hllAlphaPpm1024) * BigInt(1024L * 1024L) *
-      (BigInt(1) << 63)).toString
-    val exCte = if (withExact)
-      """, ex AS (
-        | SELECT source, CAST(count(*) AS BIGINT) AS exact_distinct FROM ds GROUP BY 1
-        |)""".stripMargin
-    else ""
-    val exCol = if (withExact) ",\n ex.exact_distinct" else ""
-    val exJoin = if (withExact) " JOIN ex ON ex.source = sv.source" else ""
-    s"""WITH toks AS (
+    s"""toks AS (
        | SELECT source,
        |  list_filter(string_split_regex(trim(regexp_replace(regexp_replace(lower(text), '[[:punct:]]', '', 'g'), '\\s+', ' ', 'g')), '\\s+'), x -> x <> '') AS ts
        | FROM documents WHERE source IS NOT NULL
@@ -5187,7 +5192,59 @@ object SparkEntry {
        |), reg AS (
        | SELECT source, bucket, max($rhoCase) AS m
        | FROM reg0 GROUP BY 1, 2
-       |), sv AS (
+       |)""".stripMargin
+  }
+
+  private val hllNumLiteral: String =
+    (BigInt(Profile.hllAlphaPpm1024) * BigInt(1024L * 1024L) *
+      (BigInt(1) << 63)).toString
+
+  /** Per-pair sketch-algebra oracle: single-source estimates, max-merged
+    * union estimates, and inclusion–exclusion intersections — the same
+    * BigInt folds the operator runs driver-side, in HUGEINT.
+    */
+  private def hllOverlapOracleSql: String =
+    s"""WITH $hllRegChainSql, sv AS (
+       | SELECT source,
+       |  CAST(sum(CAST((CAST(1 AS BIGINT) << (63 - m)) AS HUGEINT)) AS HUGEINT)
+       |   + (1024 - count(*)) * CAST('9223372036854775808' AS HUGEINT) AS s
+       | FROM reg GROUP BY 1
+       |), est AS (
+       | SELECT source,
+       |  CAST(CAST('$hllNumLiteral' AS HUGEINT) // (s * 1000000) AS BIGINT) AS e
+       | FROM sv
+       |), prs AS (
+       | SELECT a.source AS sa, b.source AS sb
+       | FROM est a JOIN est b ON a.source < b.source
+       |), ureg AS (
+       | SELECT p.sa, p.sb, r.bucket, max(r.m) AS m
+       | FROM prs p JOIN reg r ON r.source = p.sa OR r.source = p.sb
+       | GROUP BY 1, 2, 3
+       |), usv AS (
+       | SELECT sa, sb,
+       |  CAST(sum(CAST((CAST(1 AS BIGINT) << (63 - m)) AS HUGEINT)) AS HUGEINT)
+       |   + (1024 - count(*)) * CAST('9223372036854775808' AS HUGEINT) AS s
+       | FROM ureg GROUP BY 1, 2
+       |), uest AS (
+       | SELECT sa, sb,
+       |  CAST(CAST('$hllNumLiteral' AS HUGEINT) // (s * 1000000) AS BIGINT) AS eu
+       | FROM usv
+       |)
+       |SELECT u.sa AS src_a, u.sb AS src_b, ea.e AS est_a, eb.e AS est_b,
+       | u.eu AS est_union, CAST(ea.e + eb.e - u.eu AS BIGINT) AS est_inter
+       |FROM uest u JOIN est ea ON ea.source = u.sa JOIN est eb ON eb.source = u.sb
+       |ORDER BY 1, 2""".stripMargin
+
+  private def hllOracleSql(withExact: Boolean): String = {
+    val num = hllNumLiteral
+    val exCte = if (withExact)
+      """, ex AS (
+        | SELECT source, CAST(count(*) AS BIGINT) AS exact_distinct FROM ds GROUP BY 1
+        |)""".stripMargin
+    else ""
+    val exCol = if (withExact) ",\n ex.exact_distinct" else ""
+    val exJoin = if (withExact) " JOIN ex ON ex.source = sv.source" else ""
+    s"""WITH $hllRegChainSql, sv AS (
        | SELECT source,
        |  CAST(sum(CAST((CAST(1 AS BIGINT) << (63 - m)) AS HUGEINT)) AS HUGEINT)
        |   + (1024 - count(*)) * CAST('9223372036854775808' AS HUGEINT) AS s
@@ -6939,6 +6996,9 @@ object SparkEntry {
 
     // the stream's max-merged state equals the whole-corpus sketch
     "hll_stream" -> hllOracleSql(withExact = false),
+
+    // per-pair sketch algebra in HUGEINT; see hllOverlapOracleSql
+    "hll_overlap_matrix" -> hllOverlapOracleSql,
 
     // same day arithmetic, same min-anchored boundaries
     "temporal_split" ->

@@ -787,7 +787,7 @@ object Profile {
       .select(col("group"), pmod(col("_h"), lit(1024L)).as("bucket"),
         shiftrightunsigned(col("_h"), 10).as("_rem"))
       .withColumn("_rho", expr(hllRhoCaseSql("_rem", 54)))
-      .groupBy("group", "bucket").agg(max(col("_rho")).as("m_rho"))
+      .groupBy("group", "bucket").agg(max(col("_rho")).cast(LongType).as("m_rho"))
   }
 
   /** The raw HLL estimate per group from [[hllRegisters]] — exact
@@ -888,6 +888,53 @@ object Profile {
     addressed.join(sketch, Seq("row", "col"), "left")
       .groupBy("item")
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
+  }
+
+  /** Cross-group distinct-OVERLAP matrix by sketch algebra — the
+    * 100 TB answer to "how much content do these sources share"
+    * WITHOUT any pair join over items: per-group [[hllRegisters]]
+    * max-merge into union sketches, and inclusion–exclusion gives
+    * `|A∩B| ≈ est(A) + est(B) − est(A∪B)` per pair. One corpus pass
+    * builds every group's registers; the pair algebra folds driver-side
+    * over ≤ 1024·|groups| register rows (group-count metadata — the
+    * [[cohenKappaE6]] discipline). Estimates share the exact
+    * [[hllEstimateRaw]] integer arithmetic, so the whole matrix is
+    * engine-replayable; `est_inter` can go slightly negative for
+    * near-disjoint pairs (estimator noise) and is deliberately emitted
+    * RAW — clamping would hide the error bar.
+    *
+    * Output: `(src_a, src_b, est_a, est_b, est_union, est_inter)`,
+    * one row per unordered group pair (src_a < src_b).
+    */
+  def hllOverlapMatrix(df: DataFrame, groupCol: String, item: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val regs = hllRegisters(df, groupCol, item).collect()
+      .groupBy(_.getString(0))
+      .map { case (g, rows) =>
+        g -> rows.map(r => r.getLong(1) -> r.getLong(2)).toMap
+      }
+    val two63 = BigInt(1) << 63
+    val num = BigInt(hllAlphaPpm1024) * BigInt(1024L * 1024L) * two63
+    def est(m: Map[Long, Long]): Long = {
+      val so = m.values.map(v => BigInt(1) << (63 - v.toInt)).sum
+      val s = so + BigInt(1024 - m.size) * two63
+      (num / (s * 1000000)).toLong
+    }
+    val singles = regs.map { case (g, m) => g -> est(m) }
+    val groups = regs.keys.toSeq.sorted
+    val rows = for {
+      i <- groups.indices
+      j <- (i + 1) until groups.size
+      a = groups(i); b = groups(j)
+    } yield {
+      val merged = (regs(a).keySet ++ regs(b).keySet).iterator
+        .map(k => k -> math.max(regs(a).getOrElse(k, 0L), regs(b).getOrElse(k, 0L)))
+        .toMap
+      val eu = est(merged)
+      (a, b, singles(a), singles(b), eu, singles(a) + singles(b) - eu)
+    }
+    rows.toDF("src_a", "src_b", "est_a", "est_b", "est_union", "est_inter")
   }
 
   /** α_m·10⁶ for m = 1024 (the published 0.7213/(1 + 1.079/m)),

@@ -748,6 +748,28 @@ class ProfileSpec extends SparkSpec {
     assert(unk == 0L, unk.toString)
   }
 
+  test("hllOverlapMatrix: inclusion-exclusion tracks known overlaps; disjoint pairs near zero") {
+    import spark.implicits._
+    // A = 0..9999, B = 5000..14999 (true overlap 5000), C disjoint 2000
+    val rows = (0 until 10000).map(i => ("A", s"it-$i")) ++
+      (5000 until 15000).map(i => ("B", s"it-$i")) ++
+      (0 until 2000).map(i => ("C", s"other-$i"))
+    val got = Profile.hllOverlapMatrix(rows.toDF("g", "x"), "g", col("x"))
+      .as[(String, String, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    val ab = got(("A", "B"))
+    // union ≈ 15000, inter ≈ 5000 — raw-HLL tolerances (~±10%)
+    assert(math.abs(ab._5 - 15000L) < 1800L, ab.toString)
+    assert(math.abs(ab._6 - 5000L) < 1800L, ab.toString)
+    // disjoint pairs estimate near zero (raw, may be slightly negative)
+    val ac = got(("A", "C"))
+    assert(math.abs(ac._6) < 1200L, ac.toString)
+    // single-source estimates equal the standalone estimator exactly
+    val solo = Profile.hllEstimateRaw(rows.toDF("g", "x"), "g", col("x"))
+      .as[(String, Long)].collect().toMap
+    assert(ab._3 == solo("A") && ab._4 == solo("B"), (ab, solo).toString)
+  }
+
   test("benfordDeviation: hand-computed digits and deviations; non-positive and null excluded") {
     import spark.implicits._
     // group a: values 1..19 → digit 1: 11 (1, 10..19), digits 2..9: 1 each
