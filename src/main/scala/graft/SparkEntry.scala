@@ -3423,6 +3423,39 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // ---- ranker agreement per source: Spearman ρ + Kendall τ between
+    //      the char-length and token-count orderings — exact scaled
+    //      integers, ranks pinned by doc_id tiebreak, τ from the
+    //      discordant-pair count (bounded-list contract)
+    "rank_correlation" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .filter(col("doc_id") < 2000)
+        .select(col("source"), col("doc_id"), col("n_chars"),
+          TextFunctions.tokenCount(col("text")).as("_y"))
+      Profile.rankCorrelationByGroup(d, "source", "doc_id", "n_chars", "_y")
+        .orderBy("source")
+    }),
+
+    // ---- exact ROC-AUC per source: does token count separate the
+    //      n_chars >= 500 keep class — Mann–Whitney from the score
+    //      histogram, ties at half weight, no pair join
+    "auc_by_source" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(col("doc_id") < 2000)
+      Profile.aucByGroup(d, "source",
+          col("n_chars") >= 500,
+          TextFunctions.tokenCount(col("text")))
+        .orderBy("source")
+    }),
+
+    // ---- numeric drift vs the src0 reference: exact two-sample KS and
+    //      1-Wasserstein over the n_chars distribution, cross-normalized
+    //      integer CDFs (no division until the scaled output)
+    "distribution_shift" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(col("doc_id") < 2000)
+      Profile.distributionShift(d, "source", "n_chars", "src0")
+        .orderBy("source")
+    }),
+
     // ---- dataset profiling: one-scan numeric column stats with exact
     //      (decimal-accumulated) means and exact interpolated quantiles —
     //      both engines share the quantile definition, so the oracle is
@@ -8236,6 +8269,108 @@ object SparkEntry {
         |FROM w2 JOIN thr ON thr.g = w2.g
         |WHERE w2.v >= thr.lo AND w2.v <= thr.hi
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Spearman from Σd² over row_number ranks (doc_id tiebreak), Kendall
+    // from the discordant pair count; trunc division pinned (// ≡ div)
+    "rank_correlation" ->
+      """WITH b AS (
+        | SELECT source AS g, doc_id AS id, CAST(n_chars AS BIGINT) AS x,
+        |  CAST(len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS BIGINT) AS y
+        | FROM documents
+        | WHERE doc_id < 2000 AND source IS NOT NULL
+        |  AND n_chars IS NOT NULL AND text IS NOT NULL
+        |), r AS (
+        | SELECT g, id,
+        |  CAST(row_number() OVER (PARTITION BY g ORDER BY x, id) AS BIGINT) AS rx,
+        |  CAST(row_number() OVER (PARTITION BY g ORDER BY y, id) AS BIGINT) AS ry
+        | FROM b
+        |), st AS (
+        | SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum((rx - ry) * (rx - ry)) AS BIGINT) AS sum_d2
+        | FROM r GROUP BY 1
+        |), di AS (
+        | SELECT a.g, CAST(count(*) AS BIGINT) AS nd
+        | FROM r a JOIN r b2 ON a.g = b2.g AND a.rx < b2.rx AND a.ry > b2.ry
+        | GROUP BY 1
+        |)
+        |SELECT st.g AS source, st.n, st.sum_d2,
+        | CAST(coalesce(di.nd, 0) AS BIGINT) AS n_discordant,
+        | CAST(((CAST(st.n AS HUGEINT) * (st.n * st.n - 1)
+        |   - 6 * CAST(st.sum_d2 AS HUGEINT)) * 1000000)
+        |   // (CAST(st.n AS HUGEINT) * (st.n * st.n - 1)) AS BIGINT) AS spearman_e6,
+        | CAST(((CAST(st.n AS HUGEINT) * (st.n - 1)
+        |   - 4 * CAST(coalesce(di.nd, 0) AS HUGEINT)) * 1000000)
+        |   // (CAST(st.n AS HUGEINT) * (st.n - 1)) AS BIGINT) AS kendall_e6
+        |FROM st LEFT JOIN di ON st.g = di.g
+        |WHERE st.n >= 2 ORDER BY 1""".stripMargin,
+
+    // Mann–Whitney U₂ from the per-group score histogram: each pos·neg
+    // pair counted twice, ties once — every quantity non-negative
+    "auc_by_source" ->
+      """WITH b AS (
+        | SELECT source AS g, (n_chars >= 500) AS y,
+        |  CAST(len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS BIGINT) AS v
+        | FROM documents
+        | WHERE doc_id < 2000 AND source IS NOT NULL
+        |  AND n_chars IS NOT NULL AND text IS NOT NULL
+        |), h AS (
+        | SELECT g, v,
+        |  CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+        |  CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS neg
+        | FROM b GROUP BY 1, 2
+        |), c AS (
+        | SELECT g, pos, neg,
+        |  CAST(coalesce(sum(neg) OVER (PARTITION BY g ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS HUGEINT) AS cumneg
+        | FROM h
+        |), a AS (
+        | SELECT g, CAST(sum(pos) AS HUGEINT) AS np, CAST(sum(neg) AS HUGEINT) AS nn,
+        |  CAST(sum(CAST(pos AS HUGEINT) * (2 * cumneg + neg)) AS HUGEINT) AS u2
+        | FROM c GROUP BY 1
+        |)
+        |SELECT g AS source, CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+        | CAST((u2 * 1000000) // (2 * np * nn) AS BIGINT) AS auc_ppm
+        |FROM a WHERE np > 0 AND nn > 0 ORDER BY 1""".stripMargin,
+
+    // exact KS max-gap and W1 integral over the merged value grid,
+    // cross-normalized integer CDFs |cum_g·n_ref − cum_ref·n_g|
+    "distribution_shift" ->
+      """WITH b AS (
+        | SELECT source AS g, CAST(n_chars AS BIGINT) AS v FROM documents
+        | WHERE doc_id < 2000 AND source IS NOT NULL AND n_chars IS NOT NULL
+        |), h AS (
+        | SELECT g, v, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1, 2
+        |), ref AS (
+        | SELECT v, c AS cr FROM h WHERE g = 'src0'
+        |), oth AS (
+        | SELECT g, v, c FROM h WHERE g <> 'src0'
+        |), gs AS (
+        | SELECT DISTINCT g FROM oth
+        |), refx AS (
+        | SELECT gs.g, ref.v, ref.cr FROM gs CROSS JOIN ref
+        |), m AS (
+        | SELECT coalesce(refx.g, oth.g) AS g, coalesce(refx.v, oth.v) AS v,
+        |  CAST(coalesce(oth.c, 0) AS BIGINT) AS cg,
+        |  CAST(coalesce(refx.cr, 0) AS BIGINT) AS cr
+        | FROM refx FULL OUTER JOIN oth ON refx.g = oth.g AND refx.v = oth.v
+        |), cw AS (
+        | SELECT g, v,
+        |  CAST(sum(cg) OVER (PARTITION BY g ORDER BY v) AS HUGEINT) AS cumg,
+        |  CAST(sum(cr) OVER (PARTITION BY g ORDER BY v) AS HUGEINT) AS cumr,
+        |  CAST(sum(cg) OVER (PARTITION BY g) AS HUGEINT) AS ng,
+        |  CAST(sum(cr) OVER (PARTITION BY g) AS HUGEINT) AS nr,
+        |  CAST(coalesce(lead(v) OVER (PARTITION BY g ORDER BY v) - v, 0) AS HUGEINT) AS gap
+        | FROM m
+        |), agg AS (
+        | SELECT g, max(ng) AS ng, max(nr) AS nr,
+        |  max(abs(cumg * nr - cumr * ng)) AS ksn,
+        |  CAST(coalesce(sum(abs(cumg * nr - cumr * ng) * gap), 0) AS HUGEINT) AS w1n
+        | FROM cw GROUP BY 1
+        |)
+        |SELECT g AS source, CAST(ng AS BIGINT) AS n, CAST(nr AS BIGINT) AS n_ref,
+        | CAST((ksn * 1000000) // (ng * nr) AS BIGINT) AS ks_ppm,
+        | CAST((w1n * 1000000) // (ng * nr) AS BIGINT) AS w1_e6
+        |FROM agg WHERE ng > 0 AND nr > 0 ORDER BY 1""".stripMargin,
 
     // the same four pass predicates; violation = NOT coalesce(pass, false)
     "expectation_report" -> {

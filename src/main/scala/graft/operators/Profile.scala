@@ -1638,4 +1638,184 @@ object Profile {
       .select(col("_g").as(groupCol), col("pos").cast(IntegerType).as("pos"),
         col("sum_e6"), col("n"),
         expr("CAST(sum_e6 div n AS BIGINT)").as("mean_e6"))
+
+  /** Rank correlation (Spearman ρ + Kendall τ-a) between two numeric
+    * measures per group — the ranker-agreement diagnostic ("do two
+    * quality scores order a source's documents the same way"; compare
+    * retrieval rankers per query by keying the group on the query id).
+    * Both coefficients are EXACT scaled integers over deterministic
+    * total orders: ranks are `row_number` ascending by `(value, id)` —
+    * the id tiebreak makes tied scores a pinned order, so the operator
+    * compares ORDERINGS, replayable on any engine. Spearman's
+    * `ρ = 1 − 6·Σd²/(n(n²−1))` and Kendall's
+    * `τ = (C − D)/(n(n−1)/2) = (n(n−1) − 4D)/(n(n−1))` (ranks are
+    * permutations, so C + D = n(n−1)/2 and only the discordant count D
+    * is measured). Both can be negative: Spark `div` and DuckDB `//`
+    * truncate toward zero identically (pinned by the kappa family).
+    * Output: `(<groupCol>, n, sum_d2, n_discordant, spearman_e6,
+    * kendall_e6)`, groups with n < 2 dropped (undefined correlation).
+    *
+    * Scale shape: this is a BOUNDED-LIST operator (per-query top-k
+    * lists, per-source calibration samples). Ranks are per-group
+    * windows and the discordant count is a per-group O(n²) pair join
+    * carrying only `(g, rx, ry)` triples — at a million-row group that
+    * join is the documented ceiling; sample or shard the group first.
+    * Products ride DECIMAL(38,0) (n³·10⁶ passes Long at n ≈ 3·10³).
+    */
+  def rankCorrelationByGroup(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      xCol: String,
+      yCol: String
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vals = df
+      .select(col(groupCol).cast(StringType).as("_g"), col(idCol).as("_id"),
+        col(xCol).cast(LongType).as("_x"), col(yCol).cast(LongType).as("_y"))
+      .filter(col("_g").isNotNull && col("_id").isNotNull &&
+        col("_x").isNotNull && col("_y").isNotNull)
+    val wx = Window.partitionBy(col("_g")).orderBy(col("_x"), col("_id"))
+    val wy = Window.partitionBy(col("_g")).orderBy(col("_y"), col("_id"))
+    val ranked = vals
+      .withColumn("_rx", row_number().over(wx).cast(LongType))
+      .withColumn("_ry", row_number().over(wy).cast(LongType))
+      .select(col("_g"), col("_rx"), col("_ry"))
+    val d38 = DecimalType(38, 0)
+    val stats = ranked.groupBy(col("_g"))
+      .agg(count(lit(1)).as("n"),
+        sum(((col("_rx") - col("_ry")) * (col("_rx") - col("_ry"))).cast(d38))
+          .cast(LongType).as("sum_d2"))
+    val a = ranked.select(col("_g"), col("_rx").as("_rxa"), col("_ry").as("_rya"))
+    val b = ranked.select(col("_g"), col("_rx").as("_rxb"), col("_ry").as("_ryb"))
+    val disc = a.join(b, Seq("_g"))
+      .filter(col("_rxa") < col("_rxb") && col("_rya") > col("_ryb"))
+      .groupBy(col("_g")).agg(count(lit(1)).as("_nd"))
+    stats.join(disc, Seq("_g"), "left")
+      .withColumn("n_discordant", coalesce(col("_nd"), lit(0L)))
+      .filter(col("n") >= 2)
+      .select(col("_g").as(groupCol), col("n"), col("sum_d2"), col("n_discordant"),
+        expr("CAST(((CAST(n AS DECIMAL(38,0)) * (n*n - 1) " +
+          "- 6 * CAST(sum_d2 AS DECIMAL(38,0))) * 1000000) " +
+          "div (CAST(n AS DECIMAL(38,0)) * (n*n - 1)) AS BIGINT)")
+          .as("spearman_e6"),
+        expr("CAST(((CAST(n AS DECIMAL(38,0)) * (n - 1) " +
+          "- 4 * CAST(n_discordant AS DECIMAL(38,0))) * 1000000) " +
+          "div (CAST(n AS DECIMAL(38,0)) * (n - 1)) AS BIGINT)")
+          .as("kendall_e6"))
+  }
+
+  /** Exact ROC-AUC per group via the Mann–Whitney U pair statistic —
+    * "how well does this score separate the keep class from the drop
+    * class, per source": AUC = P(score⁺ > score⁻) + ½·P(=), computed
+    * WITHOUT a pair join from the score histogram. Per distinct score
+    * value: `(pos, neg)` class counts; walking values ascending,
+    * `U₂ = Σ pos·(2·cumNegBelow + negAtSame)` counts each
+    * positive-negative pair twice (ties once), so
+    * `auc_ppm = U₂·10⁶ div (2·n⁺·n⁻)` — exact integers end to end,
+    * every quantity non-negative (floor ≡ trunc). Groups missing a
+    * class drop (AUC undefined). Output: `(<groupCol>, n_pos BIGINT,
+    * n_neg BIGINT, auc_ppm BIGINT)`.
+    *
+    * Scale shape: ONE map-side-combined aggregate to the per-group
+    * score histogram; the cumulative walk is a window over HISTOGRAM
+    * rows. Scores are integer measures by contract (lengths, e6-scaled
+    * qualities) — per-group distinct-score cardinality bounds the
+    * window partition, so quantize continuous scores first (the
+    * histogram convention); sums ride DECIMAL(38,0).
+    */
+  def aucByGroup(
+      df: DataFrame,
+      groupCol: String,
+      label: Column,
+      score: Column
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d38 = DecimalType(38, 0)
+    val hist = df
+      .select(col(groupCol).cast(StringType).as("_g"),
+        label.cast(BooleanType).as("_y"), score.cast(LongType).as("_v"))
+      .filter(col("_g").isNotNull && col("_y").isNotNull && col("_v").isNotNull)
+      .groupBy(col("_g"), col("_v"))
+      .agg(sum(when(col("_y"), 1L).otherwise(0L)).as("_pos"),
+        sum(when(col("_y"), 0L).otherwise(1L)).as("_neg"))
+    val w = Window.partitionBy(col("_g")).orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    hist
+      .withColumn("_cumneg", coalesce(sum(col("_neg")).over(w), lit(0L)))
+      .groupBy(col("_g"))
+      .agg(sum(col("_pos")).as("n_pos"), sum(col("_neg")).as("n_neg"),
+        sum(col("_pos").cast(d38) *
+          (lit(2L) * col("_cumneg") + col("_neg")).cast(d38)).as("_u2"))
+      .filter(col("n_pos") > 0 && col("n_neg") > 0)
+      .select(col("_g").as(groupCol), col("n_pos"), col("n_neg"),
+        expr("CAST((_u2 * 1000000) div (2 * CAST(n_pos AS DECIMAL(38,0)) " +
+          "* n_neg) AS BIGINT)").as("auc_ppm"))
+  }
+
+  /** Distribution shift of an integer measure, each group vs a
+    * REFERENCE group — the numeric sibling of the token-histogram
+    * drift family: per group, the exact two-sample Kolmogorov–Smirnov
+    * statistic `KS = max|F_g − F_ref|` and the exact 1-Wasserstein
+    * (earth-mover) distance `W₁ = ∫|F_g − F_ref| dv`, both over the
+    * merged value grid with CDFs as cross-normalized integer counts
+    * (`|cum_g·n_ref − cum_ref·n_g|` — no division until the final
+    * scaled output, so both statistics replay bit-for-bit). W₁ is in
+    * VALUE units (chars, tokens). Output per non-reference group:
+    * `(<groupCol>, n, n_ref, ks_ppm, w1_e6)`; groups or a reference
+    * with zero rows drop (the distance to nothing is undefined).
+    *
+    * Scale shape: one map-side-combined aggregate to `(g, v, c)`
+    * histograms; the reference histogram is replicated once per group
+    * (histogram rows × #groups — metadata next to the corpus) and
+    * every later stage windows HISTOGRAM rows per group. Integer
+    * measures by contract — quantize continuous values first, which
+    * also bounds the per-group window partition. Cross products ride
+    * DECIMAL(38,0) (range·n_g·n_ref ≤ 10³⁸ holds past petabyte rows).
+    */
+  def distributionShift(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      refGroup: String
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d38 = DecimalType(38, 0)
+    val hist = df
+      .select(col(groupCol).cast(StringType).as("_g"),
+        col(valueCol).cast(LongType).as("_v"))
+      .filter(col("_g").isNotNull && col("_v").isNotNull)
+      .groupBy(col("_g"), col("_v")).agg(count(lit(1)).as("_c"))
+    val ref = hist.filter(col("_g") === refGroup)
+      .select(col("_v"), col("_c").as("_cr"))
+    val oth = hist.filter(col("_g") =!= refGroup)
+    val groups = broadcast(oth.select(col("_g")).distinct())
+    val refX = groups.crossJoin(ref)
+    val merged = refX.join(oth, Seq("_g", "_v"), "full_outer")
+      .select(col("_g"), col("_v"),
+        coalesce(col("_c"), lit(0L)).as("_cg"),
+        coalesce(col("_cr"), lit(0L)).as("_crr"))
+    val wCum = Window.partitionBy(col("_g")).orderBy(col("_v"))
+    val wAll = Window.partitionBy(col("_g"))
+    val walked = merged
+      .withColumn("_cumg", sum(col("_cg")).over(wCum))
+      .withColumn("_cumr", sum(col("_crr")).over(wCum))
+      .withColumn("_ng", sum(col("_cg")).over(wAll))
+      .withColumn("_nr", sum(col("_crr")).over(wAll))
+      .withColumn("_gap",
+        coalesce(lead(col("_v"), 1).over(wCum) - col("_v"), lit(0L)))
+      .withColumn("_diff",
+        abs(col("_cumg").cast(d38) * col("_nr") -
+          col("_cumr").cast(d38) * col("_ng")))
+    walked.groupBy(col("_g"))
+      .agg(max(col("_ng")).as("n"), max(col("_nr")).as("n_ref"),
+        max(col("_diff")).as("_ksn"),
+        sum(col("_diff") * col("_gap").cast(d38)).as("_w1n"))
+      .filter(col("n") > 0 && col("n_ref") > 0)
+      .select(col("_g").as(groupCol), col("n"), col("n_ref"),
+        expr("CAST((_ksn * 1000000) div (CAST(n AS DECIMAL(38,0)) * n_ref) " +
+          "AS BIGINT)").as("ks_ppm"),
+        expr("CAST((_w1n * 1000000) div (CAST(n AS DECIMAL(38,0)) * n_ref) " +
+          "AS BIGINT)").as("w1_e6"))
+  }
 }

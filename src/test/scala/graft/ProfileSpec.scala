@@ -797,4 +797,76 @@ class ProfileSpec extends SparkSpec {
     assert(got.keys.forall(k => k._1 == "a" || k._1 == "b"))
     assert(got.count(_._1._1 == "b") == 6, got.keys.toString) // digits 1,2,3,4,6,8
   }
+
+  test("rankCorrelationByGroup: agreement, reversal, one swap, n<2 dropped") {
+    import spark.implicits._
+    val df = Seq(
+      // group a: same order → ρ = τ = 1
+      ("a", 1L, 10L, 100L), ("a", 2L, 20L, 200L), ("a", 3L, 30L, 300L),
+      // group b: reversed → ρ = τ = −1 (n=4: Σd² = 20, D = 6)
+      ("b", 1L, 1L, 40L), ("b", 2L, 2L, 30L), ("b", 3L, 3L, 20L), ("b", 4L, 4L, 10L),
+      // group c: one adjacent swap of the last two (n=3: Σd² = 2, D = 1)
+      ("c", 1L, 1L, 1L), ("c", 2L, 2L, 3L), ("c", 3L, 3L, 2L),
+      // group d: single row → dropped (correlation undefined)
+      ("d", 1L, 5L, 5L)
+    ).toDF("g", "id", "x", "y")
+    val got = Profile.rankCorrelationByGroup(df, "g", "id", "x", "y")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(got("a") == ((3L, 0L, 0L, 1000000L, 1000000L)), got("a").toString)
+    assert(got("b") == ((4L, 20L, 6L, -1000000L, -1000000L)), got("b").toString)
+    // ρ = (24 − 12)/24 = 0.5; τ = (6 − 4)/6 = 1/3 → 333333 (trunc)
+    assert(got("c") == ((3L, 2L, 1L, 500000L, 333333L)), got("c").toString)
+    assert(!got.contains("d"))
+  }
+
+  test("rankCorrelationByGroup: tied scores break by id — pinned order, not a crash") {
+    import spark.implicits._
+    // x ties everywhere: rank order = id order; y agrees with id → τ = ρ = 1
+    val df = Seq(("g", 1L, 7L, 1L), ("g", 2L, 7L, 2L), ("g", 3L, 7L, 3L))
+      .toDF("g", "id", "x", "y")
+    val r = Profile.rankCorrelationByGroup(df, "g", "id", "x", "y").collect().head
+    assert(r.getLong(4) == 1000000L && r.getLong(5) == 1000000L)
+  }
+
+  test("aucByGroup: perfect separation, ties at ½, single-class groups dropped") {
+    import spark.implicits._
+    val df = Seq(
+      // a: positives strictly above negatives → AUC 1
+      ("a", true, 10L), ("a", true, 20L), ("a", false, 1L), ("a", false, 2L),
+      // b: pos {3,1}, neg {2} → one win of two pairs → AUC 0.5
+      ("b", true, 3L), ("b", true, 1L), ("b", false, 2L),
+      // c: all mass tied at one value → AUC exactly ½
+      ("c", true, 5L), ("c", false, 5L),
+      // d: one class only → dropped
+      ("d", true, 9L)
+    ).toDF("g", "y", "v")
+    val got = Profile.aucByGroup(df, "g", col("y"), col("v"))
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("a") == ((2L, 2L, 1000000L)), got("a").toString)
+    assert(got("b") == ((2L, 1L, 500000L)), got("b").toString)
+    assert(got("c") == ((1L, 1L, 500000L)), got("c").toString)
+    assert(!got.contains("d"))
+  }
+
+  test("distributionShift: identical → zero; constant shift → W1 = shift, KS = 1 on disjoint ranges") {
+    import spark.implicits._
+    val df = Seq(
+      ("ref", 0L), ("ref", 10L),
+      // same: identical to ref → ks = w1 = 0
+      ("same", 0L), ("same", 10L),
+      // plus5: every value shifted +5 → W1 = 5, KS = ½ (interleaved steps)
+      ("plus5", 5L), ("plus5", 15L),
+      // far: disjoint above the ref range → KS = 1, W1 = 100 (means 100 apart)
+      ("far", 100L), ("far", 110L)
+    ).toDF("g", "v")
+    val got = Profile.distributionShift(df, "g", "v", "ref")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got("same") == ((2L, 2L, 0L, 0L)), got("same").toString)
+    assert(got("plus5") == ((2L, 2L, 500000L, 5000000L)), got("plus5").toString)
+    assert(got("far") == ((2L, 2L, 1000000L, 100000000L)), got("far").toString)
+    assert(!got.contains("ref")) // the reference never compares to itself
+  }
 }
