@@ -2586,6 +2586,15 @@ object SparkEntry {
         .orderBy("pos")
     }),
 
+    // ---- curriculum schedule: four exact n_chars quantile bands train
+    //      easy→hard, deterministic FNV shuffle inside each band; pos
+    //      is the 1-based global training position
+    "curriculum_order" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(col("doc_id") < 2000)
+      Sampling.curriculumOrder(d, "doc_id", "n_chars", nBands = 4)
+        .orderBy("pos")
+    }),
+
     // ---- exact-substring removal (the Lee et al. windowed
     //      approximation): duplicated 10-token windows cut from all
     //      but the first (id, start) occurrence, overlaps merged by
@@ -7394,6 +7403,42 @@ object SparkEntry {
         | FROM h
         |)
         |SELECT doc_id, CAST(row_number() OVER (ORDER BY hs, doc_id) AS BIGINT) AS pos
+        |FROM sgn ORDER BY pos""".stripMargin,
+
+    // band = exact quantile cut (quantile_cont parity), within-band
+    // order = salted FNV shuffle: the full order is ONE window over
+    // (band, signed hash, id)
+    "curriculum_order" ->
+      """WITH b AS (
+        | SELECT doc_id, CAST(n_chars AS DOUBLE) AS x FROM documents
+        | WHERE doc_id < 2000 AND doc_id IS NOT NULL AND n_chars IS NOT NULL
+        |), q AS (
+        | SELECT quantile_cont(x, 0.25) AS b1, quantile_cont(x, 0.50) AS b2,
+        |        quantile_cont(x, 0.75) AS b3 FROM b
+        |), bd AS (
+        | SELECT doc_id,
+        |  CAST((CASE WHEN x >= q.b1 THEN 1 ELSE 0 END)
+        |     + (CASE WHEN x >= q.b2 THEN 1 ELSE 0 END)
+        |     + (CASE WHEN x >= q.b3 THEN 1 ELSE 0 END) AS BIGINT) AS band
+        | FROM b, q
+        |), hh AS (
+        | SELECT doc_id, band,
+        |  list_reduce(
+        |    list_prepend(CAST('14695981039346656037' AS HUGEINT),
+        |      list_transform(range(1, length(s) + 1), i -> CAST(ascii(s[i]) AS HUGEINT))),
+        |    (acc, bb) -> ((acc // 256) * 256 + xor(CAST(acc % 256 AS BIGINT), CAST(bb AS BIGINT)))
+        |                * 1099511628211 % CAST('18446744073709551616' AS HUGEINT)
+        |  ) AS hu
+        | FROM (SELECT doc_id, band, 'curr:' || doc_id::VARCHAR AS s FROM bd)
+        |), sgn AS (
+        | SELECT doc_id, band,
+        |  CAST(hu - CASE WHEN hu >= CAST('9223372036854775808' AS HUGEINT)
+        |            THEN CAST('18446744073709551616' AS HUGEINT)
+        |            ELSE CAST(0 AS HUGEINT) END AS BIGINT) AS hs
+        | FROM hh
+        |)
+        |SELECT doc_id, band,
+        | CAST(row_number() OVER (ORDER BY band, hs, doc_id) AS BIGINT) AS pos
         |FROM sgn ORDER BY pos""".stripMargin,
 
     // the removal replayed on window STRINGS (the operator's xxhash64

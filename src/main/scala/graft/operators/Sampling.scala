@@ -668,6 +668,74 @@ object Sampling {
     rows.toSeq.toDF(groupCol, "n_tokens", "budget")
   }
 
+  /** Curriculum ordering — the easy-to-hard training schedule over a
+    * difficulty score: rows band into `nBands` EXACT score quantiles
+    * (the [[Profile.quantileBuckets]] thresholds — any engine replays
+    * the cut), bands train in ascending order, and WITHIN a band the
+    * order is a deterministic shuffle (FNV-1a of the id, salted) so no
+    * band leaks its score ordering into the batch stream. `pos` is the
+    * 1-based global training position: band offsets stack the
+    * within-band shuffled ranks, so the full order equals ORDER BY
+    * (band, signed-hash, id) — one SQL window for the oracle, replayed
+    * here without one.
+    *
+    * Output: `(<idCol>, band BIGINT, pos BIGINT)`; null ids/scores
+    * drop. Change `salt` for an independent within-band order (band
+    * membership is salt-free — it's the score cut).
+    *
+    * Scale shape: the [[deterministicShuffle]] two-level design,
+    * PARTITIONED BY BAND — per-(band, high-10-hash-bits) `row_number`
+    * over bounded partitions, within-band offsets from a window over
+    * the ≤ nBands·1024 count rows, band offsets over ≤ nBands rows
+    * (both histogram-scale), and the quantile thresholds ride
+    * [[Profile.quantileBuckets]]'s distributed selection. No stage
+    * funnels the corpus through one task.
+    */
+  def curriculumOrder(
+      df: DataFrame,
+      idCol: String,
+      scoreCol: String,
+      nBands: Int,
+      salt: String = "curr"
+  ): DataFrame = {
+    require(nBands >= 2, s"curriculumOrder: need nBands >= 2, got $nBands")
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.graft.ColumnBridge
+    val banded = Profile.quantileBuckets(
+        df.select(col(idCol), col(scoreCol))
+          .filter(col(idCol).isNotNull && col(scoreCol).isNotNull),
+        scoreCol, nBands, outCol = "band")
+      .filter(col("band").isNotNull)
+    // salt as PREFIX for the same reason deterministicShuffle prefixes:
+    // this operator sorts by the hash's HIGH bits
+    val h = ColumnBridge.column(graft.plans.FnvHash64(
+      ColumnBridge.expression(
+        concat(lit(salt + ":"), col(idCol).cast("string")))))
+    val withH = banded.withColumn("_h", h)
+      .withColumn("_hb", shiftright(col("_h"), 54) + lit(512L))
+    val cnts = withH.groupBy(col("band"), col("_hb"))
+      .agg(count(lit(1)).as("_c"))
+    val wOff = Window.partitionBy(col("band")).orderBy(col("_hb"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = cnts
+      .withColumn("_off", coalesce(sum(col("_c")).over(wOff), lit(0L)))
+      .select(col("band"), col("_hb"), col("_off"))
+    val bandTot = cnts.groupBy(col("band")).agg(sum(col("_c")).as("_bc"))
+    val wBand = Window.orderBy(col("band"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bandOffs = bandTot
+      .withColumn("_boff", coalesce(sum(col("_bc")).over(wBand), lit(0L)))
+      .select(col("band"), col("_boff"))
+    val wRn = Window.partitionBy(col("band"), col("_hb"))
+      .orderBy(col("_h"), col(idCol))
+    withH
+      .withColumn("_rn", row_number().over(wRn).cast("long"))
+      .join(offs, Seq("band", "_hb"))
+      .join(broadcast(bandOffs), Seq("band"))
+      .withColumn("pos", col("_boff") + col("_off") + col("_rn"))
+      .select(col(idCol), col("band"), col("pos"))
+  }
+
   /** Within-group 1-based ranks by ascending integer key, TWO-LEVEL
     * bucketed (the percentRank design): key-range bucket counts per
     * group reduce map-side, per-group offsets ride a window over the

@@ -497,4 +497,38 @@ class SamplingSpec extends SparkSpec {
       Sampling.temporalSplit(d, col("t"), 13L, 10L)
     }
   }
+
+  test("curriculumOrder: permutation, bands contiguous easy→hard, within-band hash order, layout-stable") {
+    import org.apache.spark.sql.graft.ColumnBridge
+    // score = id → band thresholds are the exact quartiles of 0..399
+    val df = spark.range(0, 400).toDF("id").withColumn("score", $"id")
+    val out = Sampling.curriculumOrder(df, "id", "score", nBands = 4)
+      .as[(Long, Long, Long)].collect().sortBy(_._3)
+    // pos is exactly 1..n
+    assert(out.map(_._3).toSeq == (1L to 400L))
+    // bands are ascending blocks in pos order (easy first), all 4 present
+    assert(out.map(_._2).toSeq == out.map(_._2).sorted.toSeq)
+    assert(out.map(_._2).distinct.toSeq == Seq(0L, 1L, 2L, 3L))
+    // within a band, order follows (signed FNV hash, id) — brute force one band
+    val h = ColumnBridge.column(graft.plans.FnvHash64(
+      ColumnBridge.expression(concat(lit("curr:"), $"id".cast("string")))))
+    val hashes = df.withColumn("_h", h).select("id", "_h")
+      .as[(Long, Long)].collect().toMap
+    val band0 = out.filter(_._2 == 0L).map(_._1).toSeq
+    assert(band0 == band0.sortBy(id => (hashes(id), id)))
+    // band membership is the exact quantile cut, not a hash artifact:
+    // band 0 holds the lowest quartile of scores
+    assert(band0.toSet == (0L until 100L).toSet, band0.sorted.take(5).toString)
+    // re-partitioning must not change the schedule
+    val again = Sampling.curriculumOrder(df.repartition(7), "id", "score", 4)
+      .as[(Long, Long, Long)].collect().sortBy(_._3)
+    assert(again.toSeq == out.toSeq)
+    // null scores drop; nBands < 2 refused
+    val withNull = df.withColumn("score",
+      when($"id" === 5L, lit(null)).otherwise($"score"))
+    assert(Sampling.curriculumOrder(withNull, "id", "score", 4).count() == 399L)
+    intercept[IllegalArgumentException] {
+      Sampling.curriculumOrder(df, "id", "score", 1)
+    }
+  }
 }
