@@ -3456,6 +3456,18 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // ---- reliability diagram behind the AUC: per exact score-decile
+    //      bin — size, keep-class count and rate, mean score; AUC says
+    //      the order is right, this says the levels mean something
+    "calibration_table" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(col("doc_id") < 2000)
+        .filter(col("n_chars").isNotNull && col("text").isNotNull)
+        .select((col("n_chars") >= 500).as("_y2"),
+          TextFunctions.tokenCount(col("text")).as("score"))
+      Profile.calibrationTable(d, col("_y2"), "score", nBins = 10)
+        .orderBy("bin")
+    }),
+
     // ---- numeric drift vs the src0 reference: exact two-sample KS and
     //      1-Wasserstein over the n_chars distribution, cross-normalized
     //      integer CDFs (no division until the scaled output)
@@ -8376,6 +8388,45 @@ object SparkEntry {
         |SELECT g AS source, CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
         | CAST((u2 * 1000000) // (2 * np * nn) AS BIGINT) AS auc_ppm
         |FROM a WHERE np > 0 AND nn > 0 ORDER BY 1""".stripMargin,
+
+    // exact score-decile bins (quantile_cont parity with the
+    // quantileBuckets thresholds), then one grouped pass per bin
+    "calibration_table" ->
+      """WITH b AS (
+        | SELECT (n_chars >= 500) AS y,
+        |  CAST(len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS BIGINT) AS v
+        | FROM documents
+        | WHERE doc_id < 2000 AND n_chars IS NOT NULL AND text IS NOT NULL
+        |), q AS (
+        | SELECT quantile_cont(CAST(v AS DOUBLE), 0.1) AS q1,
+        |        quantile_cont(CAST(v AS DOUBLE), 0.2) AS q2,
+        |        quantile_cont(CAST(v AS DOUBLE), 0.3) AS q3,
+        |        quantile_cont(CAST(v AS DOUBLE), 0.4) AS q4,
+        |        quantile_cont(CAST(v AS DOUBLE), 0.5) AS q5,
+        |        quantile_cont(CAST(v AS DOUBLE), 0.6) AS q6,
+        |        quantile_cont(CAST(v AS DOUBLE), 0.7) AS q7,
+        |        quantile_cont(CAST(v AS DOUBLE), 0.8) AS q8,
+        |        quantile_cont(CAST(v AS DOUBLE), 0.9) AS q9
+        | FROM b
+        |), bd AS (
+        | SELECT y, v, CAST(
+        |   (CASE WHEN v >= q.q1 THEN 1 ELSE 0 END)
+        | + (CASE WHEN v >= q.q2 THEN 1 ELSE 0 END)
+        | + (CASE WHEN v >= q.q3 THEN 1 ELSE 0 END)
+        | + (CASE WHEN v >= q.q4 THEN 1 ELSE 0 END)
+        | + (CASE WHEN v >= q.q5 THEN 1 ELSE 0 END)
+        | + (CASE WHEN v >= q.q6 THEN 1 ELSE 0 END)
+        | + (CASE WHEN v >= q.q7 THEN 1 ELSE 0 END)
+        | + (CASE WHEN v >= q.q8 THEN 1 ELSE 0 END)
+        | + (CASE WHEN v >= q.q9 THEN 1 ELSE 0 END) AS BIGINT) AS bin
+        | FROM b, q
+        |)
+        |SELECT bin, CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        | CAST(CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS HUGEINT) * 1000000
+        |   // count(*) AS BIGINT) AS pos_rate_ppm,
+        | CAST(CAST(sum(v) AS HUGEINT) * 1000000 // count(*) AS BIGINT) AS mean_score_e6
+        |FROM bd GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // exact KS max-gap and W1 integral over the merged value grid,
     // cross-normalized integer CDFs |cum_g·n_ref − cum_ref·n_g|

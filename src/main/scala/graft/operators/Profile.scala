@@ -1753,6 +1753,45 @@ object Profile {
           "* n_neg) AS BIGINT)").as("auc_ppm"))
   }
 
+  /** Calibration table for a score against a binary outcome — the
+    * reliability diagram behind [[aucByGroup]]'s single number ("the
+    * top score decile is 92 % keep-class; the bottom is 3 %"): rows
+    * bin into `nBins` EXACT score quantiles ([[quantileBuckets]]
+    * thresholds — engine-replayable cut), and each bin reports its
+    * size, positive count, positive rate, and mean score, all exact
+    * scaled integers (`div` ≡ `//` trunc parity; scores enter the
+    * mean via a DECIMAL sum). Output: `(bin BIGINT, n, n_pos,
+    * pos_rate_ppm, mean_score_e6)` — AUC says the ORDER is right;
+    * this says whether the score's LEVELS mean anything.
+    *
+    * Scale shape: the bin thresholds ride [[quantileBuckets]]'s
+    * distributed selection (histogram + bucket metadata), then ONE
+    * map-side-combined aggregate over ≤ nBins keys. Nothing
+    * corpus-scale survives the first aggregate.
+    */
+  def calibrationTable(
+      df: DataFrame,
+      label: Column,
+      scoreCol: String,
+      nBins: Int
+  ): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val rows = df
+      .select(label.cast(BooleanType).as("_y"),
+        col(scoreCol).cast(LongType).as("_v"))
+      .filter(col("_y").isNotNull && col("_v").isNotNull)
+    quantileBuckets(rows, "_v", nBins, outCol = "bin")
+      .filter(col("bin").isNotNull)
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("_y"), 1L).otherwise(0L)).as("n_pos"),
+        sum(col("_v").cast(d38)).as("_sv"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        expr("CAST((CAST(n_pos AS DECIMAL(38,0)) * 1000000) div n AS BIGINT)")
+          .as("pos_rate_ppm"),
+        expr("CAST((_sv * 1000000) div n AS BIGINT)").as("mean_score_e6"))
+  }
+
   /** Distribution shift of an integer measure, each group vs a
     * REFERENCE group — the numeric sibling of the token-histogram
     * drift family: per group, the exact two-sample Kolmogorov–Smirnov

@@ -850,6 +850,23 @@ class ProfileSpec extends SparkSpec {
     assert(!got.contains("d"))
   }
 
+  test("calibrationTable: two exact halves, rates and means hand-computed, nulls drop") {
+    import spark.implicits._
+    // scores 1..10, labels true on the top half; median bound = 5.5
+    val df = (1L to 10L).map(v => (v >= 6L, v)).toDF("y", "v")
+    val got = Profile.calibrationTable(df, col("y"), "v", nBins = 2)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got(0L) == ((5L, 0L, 0L, 3000000L)), got(0L).toString)
+    assert(got(1L) == ((5L, 5L, 1000000L, 8000000L)), got(1L).toString)
+    // null label or score rows never count
+    val withNull = df.union(Seq((null.asInstanceOf[java.lang.Boolean], 7L))
+      .toDF("y", "v").select(col("y").cast("boolean"), col("v")))
+    val n2 = Profile.calibrationTable(withNull, col("y"), "v", 2)
+      .agg(sum("n")).as[Long].collect().head
+    assert(n2 == 10L)
+  }
+
   test("distributionShift: identical → zero; constant shift → W1 = shift, KS = 1 on disjoint ranges") {
     import spark.implicits._
     val df = Seq(
