@@ -2989,6 +2989,31 @@ object SparkEntry {
         .orderBy(col("gap").desc, col("bucket")).limit(20)
     }),
 
+    // ---- streaming shift monitor: batch 0 commits the reference
+    //      n_chars histogram (replay no-ops), each later batch emits
+    //      exact KS + W1 against that frozen reference — the
+    //      "is today's feed still shaped like the reference" alert
+    "shift_stream" -> ((s, dir) => {
+      import graft.streaming.StreamingOps
+      val d = t(s, dir, "documents").filter(col("doc_id") < 2000)
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-shift-stream").toString
+      StreamingOps.applyShiftBatch(s, d.filter(col("source") === "src0"), 0L,
+        "n_chars", s"$work/state", s"$work/out")
+      StreamingOps.applyShiftBatch(s, d.filter(col("source") === "src0"), 0L,
+        "n_chars", s"$work/state", s"$work/out")
+      StreamingOps.applyShiftBatch(s, d.filter(col("source") === "src1"), 1L,
+        "n_chars", s"$work/state", s"$work/out")
+      StreamingOps.applyShiftBatch(s, d.filter(col("source") === "src1"), 1L,
+        "n_chars", s"$work/state", s"$work/out")
+      StreamingOps.applyShiftBatch(s, d.filter(col("source") === "src2"), 2L,
+        "n_chars", s"$work/state", s"$work/out")
+      s.read.parquet(s"$work/out")
+        .select(col("batch").cast(LongType).as("batch"), col("n"),
+          col("n_ref"), col("ks_ppm"), col("w1_e6"))
+        .orderBy("batch")
+    }),
+
     // ---- streaming IVF index: batch 0 trains + commits the quantizer
     //      (replay no-ops), each batch appends assigned postings as a
     //      committed version; the query runs against committed state
@@ -8427,6 +8452,47 @@ object SparkEntry {
         |   // count(*) AS BIGINT) AS pos_rate_ppm,
         | CAST(CAST(sum(v) AS HUGEINT) * 1000000 // count(*) AS BIGINT) AS mean_score_e6
         |FROM bd GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the distribution_shift chain with the streamed slices as the
+    // groups: src1 → batch 1, src2 → batch 2, reference = src0
+    "shift_stream" ->
+      """WITH b AS (
+        | SELECT source AS g, CAST(n_chars AS BIGINT) AS v FROM documents
+        | WHERE doc_id < 2000 AND source IS NOT NULL AND n_chars IS NOT NULL
+        |), h AS (
+        | SELECT g, v, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1, 2
+        |), ref AS (
+        | SELECT v, c AS cr FROM h WHERE g = 'src0'
+        |), oth AS (
+        | SELECT g, v, c FROM h WHERE g IN ('src1', 'src2')
+        |), gs AS (
+        | SELECT DISTINCT g FROM oth
+        |), refx AS (
+        | SELECT gs.g, ref.v, ref.cr FROM gs CROSS JOIN ref
+        |), m AS (
+        | SELECT coalesce(refx.g, oth.g) AS g, coalesce(refx.v, oth.v) AS v,
+        |  CAST(coalesce(oth.c, 0) AS BIGINT) AS cg,
+        |  CAST(coalesce(refx.cr, 0) AS BIGINT) AS cr
+        | FROM refx FULL OUTER JOIN oth ON refx.g = oth.g AND refx.v = oth.v
+        |), cw AS (
+        | SELECT g, v,
+        |  CAST(sum(cg) OVER (PARTITION BY g ORDER BY v) AS HUGEINT) AS cumg,
+        |  CAST(sum(cr) OVER (PARTITION BY g ORDER BY v) AS HUGEINT) AS cumr,
+        |  CAST(sum(cg) OVER (PARTITION BY g) AS HUGEINT) AS ng,
+        |  CAST(sum(cr) OVER (PARTITION BY g) AS HUGEINT) AS nr,
+        |  CAST(coalesce(lead(v) OVER (PARTITION BY g ORDER BY v) - v, 0) AS HUGEINT) AS gap
+        | FROM m
+        |), agg AS (
+        | SELECT g, max(ng) AS ng, max(nr) AS nr,
+        |  max(abs(cumg * nr - cumr * ng)) AS ksn,
+        |  CAST(coalesce(sum(abs(cumg * nr - cumr * ng) * gap), 0) AS HUGEINT) AS w1n
+        | FROM cw GROUP BY 1
+        |)
+        |SELECT CAST(CASE g WHEN 'src1' THEN 1 ELSE 2 END AS BIGINT) AS batch,
+        | CAST(ng AS BIGINT) AS n, CAST(nr AS BIGINT) AS n_ref,
+        | CAST((ksn * 1000000) // (ng * nr) AS BIGINT) AS ks_ppm,
+        | CAST((w1n * 1000000) // (ng * nr) AS BIGINT) AS w1_e6
+        |FROM agg WHERE ng > 0 AND nr > 0 ORDER BY 1""".stripMargin,
 
     // exact KS max-gap and W1 integral over the merged value grid,
     // cross-normalized integer CDFs |cum_g·n_ref − cum_ref·n_g|

@@ -1818,8 +1818,6 @@ object Profile {
       valueCol: String,
       refGroup: String
   ): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val d38 = DecimalType(38, 0)
     val hist = df
       .select(col(groupCol).cast(StringType).as("_g"),
         col(valueCol).cast(LongType).as("_v"))
@@ -1828,6 +1826,22 @@ object Profile {
     val ref = hist.filter(col("_g") === refGroup)
       .select(col("_v"), col("_c").as("_cr"))
     val oth = hist.filter(col("_g") =!= refGroup)
+    shiftFromHistograms(oth, ref, groupCol)
+  }
+
+  /** [[distributionShift]]'s histogram core — per-group KS + W1 given
+    * pre-built value histograms: `oth` as `(_g, _v, _c)` and the
+    * reference as `(_v, _cr)`. Split out so the streaming monitor can
+    * replay a batch's histogram against a COMMITTED reference state
+    * (the drift-stream convention) without re-deriving the reference.
+    */
+  private[graft] def shiftFromHistograms(
+      oth: DataFrame,
+      ref: DataFrame,
+      groupCol: String
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d38 = DecimalType(38, 0)
     val groups = broadcast(oth.select(col("_g")).distinct())
     val refX = groups.crossJoin(ref)
     val merged = refX.join(oth, Seq("_g", "_v"), "full_outer")

@@ -842,6 +842,56 @@ object StreamingOps {
     }
   }
 
+  /** One micro-batch of STREAMING numeric-shift monitoring — the
+    * continuous face of
+    * [[graft.operators.Profile.distributionShift]]: batch 0's value
+    * histogram commits as the versioned REFERENCE state (replay
+    * no-ops under the `_CURRENT` guard); every later batch builds its
+    * own histogram and emits the exact two-sample KS + 1-Wasserstein
+    * against the committed reference to `outPath/batch=<id>` as one
+    * `(n, n_ref, ks_ppm, w1_e6)` row — the "is today's feed still
+    * shaped like the reference" alert. Emission is idempotent: a
+    * replayed batch at or below the committed version skips, and a
+    * re-emitted output overwrites bit-identically (pure integer
+    * arithmetic against frozen state).
+    *
+    * Scale shape: state is the reference VALUE HISTOGRAM (integer
+    * measures by contract — quantize first; never rows), each batch
+    * pays one map-side-combined histogram aggregate, and the compare
+    * windows histogram rows only ([[Profile.shiftFromHistograms]]).
+    */
+  def applyShiftBatch(
+      spark: SparkSession,
+      batch: DataFrame,
+      batchId: Long,
+      valueCol: String,
+      statePath: String,
+      outPath: String
+  ): Unit = {
+    import graft.operators.Profile
+    val hist = batch
+      .select(col(valueCol).cast("long").as("_v"))
+      .filter(col("_v").isNotNull)
+      .groupBy(col("_v")).agg(count(lit(1)).as("_cr"))
+    currentVersionId(spark, statePath) match {
+      case None =>
+        val version = s"v$batchId"
+        hist.write.mode("overwrite").parquet(s"$statePath/$version")
+        commitVersion(spark, statePath, version, keepFrom = batchId)
+      case Some(cur) if cur >= batchId =>
+        log.warn(s"shiftStream: batch $batchId is not newer than the " +
+          s"committed reference v$cur — skipping (replay no-op)")
+      case Some(_) =>
+        val reference = readState(spark, statePath).getOrElse(
+          sys.error(s"shiftStream: _CURRENT exists but no state at $statePath"))
+        val oth = hist.select(lit("batch").as("_g"), col("_v"),
+          col("_cr").as("_c"))
+        Profile.shiftFromHistograms(oth, reference, "_gout")
+          .select(col("n"), col("n_ref"), col("ks_ppm"), col("w1_e6"))
+          .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+    }
+  }
+
   /** One micro-batch of STREAMING changepoint monitoring — the
     * continuous face of
     * [[graft.operators.ImportanceScoring.cusumChangepoint]]: versioned

@@ -603,6 +603,35 @@ class StreamingSpec extends SparkSpec {
     assert(replayed == first)
   }
 
+  test("shift stream: reference commits once (replay no-ops), KS/W1 equal the batch operator and replay bit-identically") {
+    import graft.operators.Profile
+    val work = Files.createTempDirectory("graft-shift-spec").toString
+    val ref = Seq(0L, 10L).toDF("v")
+    val nxt = Seq(5L, 15L).toDF("v") // +5 shift → KS ½, W1 = 5
+    StreamingOps.applyShiftBatch(spark, ref, 0L, "v", s"$work/state", s"$work/out")
+    // replaying batch 0 with DIFFERENT data must not move the reference
+    StreamingOps.applyShiftBatch(spark, nxt, 0L, "v", s"$work/state", s"$work/out")
+    val committed = StreamingOps.readState(spark, s"$work/state").get
+      .as[(Long, Long)].collect().toMap
+    assert(committed == Map(0L -> 1L, 10L -> 1L))
+    StreamingOps.applyShiftBatch(spark, nxt, 1L, "v", s"$work/state", s"$work/out")
+    val got = spark.read.parquet(s"$work/out/batch=1")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((2L, 2L, 500000L, 5000000L)), got.toString)
+    // streaming must equal the batch operator on the same slices
+    val batchForm = Profile.distributionShift(
+        ref.select(lit("ref").as("g"), col("v"))
+          .union(nxt.select(lit("b1").as("g"), col("v"))), "g", "v", "ref")
+      .select("n", "n_ref", "ks_ppm", "w1_e6")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == batchForm)
+    // replay overwrites bit-identically against the pinned reference
+    StreamingOps.applyShiftBatch(spark, nxt, 1L, "v", s"$work/state", s"$work/out")
+    val replayed = spark.read.parquet(s"$work/out/batch=1")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(replayed == got)
+  }
+
   test("changepoint stream: count state merges per batch; replay never double-counts; final equals batch") {
     import graft.operators.ImportanceScoring
     val work = Files.createTempDirectory("graft-cpt-spec").toString
