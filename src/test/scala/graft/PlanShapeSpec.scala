@@ -543,4 +543,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(windows.forall(l => !l.contains("n_chars#") && !l.contains("text#")), plan)
   }
 
+  test("rankCorrelationByGroup: the pair join carries only rank triples — never text or raw scores") {
+    import graft.operators.Profile
+    val d = t("documents").limit(200)
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        length(col("text")).as("_y"))
+    val plan = physical(
+      Profile.rankCorrelationByGroup(d, "source", "doc_id", "n_chars", "_y"))
+    val joins = plan.linesIterator.filter(_.contains("Join")).toSeq
+    assert(joins.nonEmpty, plan)
+    // no join condition or projection around the pair join mentions the
+    // corpus columns — only the (_g, rank, rank) triples move
+    assert(joins.forall(l => !l.contains("text#") && !l.contains("n_chars#")), plan)
+  }
+
+  test("distributionShift: the group list is broadcast; the walk windows histogram rows only") {
+    import graft.operators.Profile
+    val d = t("documents")
+    val plan = physical(Profile.distributionShift(d, "source", "n_chars", "src0"))
+    // the per-group reference replication rides a broadcast, never a shuffle
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"), plan)
+    // windows run over the (g, v) histogram — text never reaches one
+    val windows = plan.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windows.nonEmpty && windows.forall(l => !l.contains("text#")), plan)
+  }
 }
