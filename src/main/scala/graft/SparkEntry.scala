@@ -3481,6 +3481,19 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // ---- HTML stripping over a deterministically planted wrapper:
+    //      tags → spaces, entity decode (&amp; last), whitespace
+    //      collapse — the cleaned STRING is the compared surface
+    "strip_html" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(col("doc_id") < 500)
+        .filter(col("text").isNotNull)
+      val html = concat(lit("<div id=\""), col("doc_id").cast(StringType),
+        lit("\"><p>"), col("text"), lit("</p>&amp; &lt;tail&gt;</div>"))
+      d.select(col("doc_id"), TextFunctions.stripHtml(html).as("clean"))
+        .withColumn("clean_nchars", length(col("clean")).cast(LongType))
+        .orderBy("doc_id")
+    }),
+
     // ---- reliability diagram behind the AUC: per exact score-decile
     //      bin — size, keep-class count and rate, mean score; AUC says
     //      the order is right, this says the levels mean something
@@ -8413,6 +8426,25 @@ object SparkEntry {
         |SELECT g AS source, CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
         | CAST((u2 * 1000000) // (2 * np * nn) AS BIGINT) AS auc_ppm
         |FROM a WHERE np > 0 AND nn > 0 ORDER BY 1""".stripMargin,
+
+    // same replace chain: tags → spaces, literal entity decode with
+    // &amp; last, whitespace collapse, trim
+    "strip_html" ->
+      """WITH b AS (
+        | SELECT doc_id,
+        |  '<div id="' || doc_id::VARCHAR || '"><p>' || text
+        |    || '</p>&amp; &lt;tail&gt;</div>' AS h
+        | FROM documents WHERE doc_id < 500 AND text IS NOT NULL
+        |), s1 AS (
+        | SELECT doc_id, trim(regexp_replace(
+        |   replace(replace(replace(replace(replace(
+        |     regexp_replace(h, '<[^>]*>', ' ', 'g'),
+        |     '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+        |   '\s+', ' ', 'g')) AS clean
+        | FROM b
+        |)
+        |SELECT doc_id, clean, CAST(length(clean) AS BIGINT) AS clean_nchars
+        |FROM s1 ORDER BY doc_id""".stripMargin,
 
     // exact score-decile bins (quantile_cont parity with the
     // quantileBuckets thresholds), then one grouped pass per bin

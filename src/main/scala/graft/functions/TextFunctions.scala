@@ -672,4 +672,27 @@ object TextFunctions {
         (acc, x) => acc + x.cast(LongType)),
       lit(0L))
   }
+
+  /** HTML stripping — the first cleaning pass over crawled markup
+    * before any quality/dedup stage: tags (`<...>`) become spaces, the
+    * five XML entities decode, and whitespace runs collapse to one
+    * space. Entity decode is a LITERAL replace chain with `&amp;`
+    * LAST, so double-escaped text decodes one level exactly
+    * (`&amp;lt;` → `&lt;`, never `<`) — the documented, engine-
+    * replayable order (DuckDB `replace`/`regexp_replace(...,'g')`
+    * reproduce it byte-for-byte; the driver gate does). Not an HTML5
+    * parser by design: comments/script bodies survive as text, which
+    * the boilerplate/C4 line filters downstream are for.
+    *
+    * Scale shape: one narrow codegen'd projection — no shuffle, no
+    * state; pushes inside whatever scan precedes it.
+    */
+  def stripHtml(text: Column): Column = {
+    val noTags = regexp_replace(text, "<[^>]*>", " ")
+    val decoded = replace(replace(replace(replace(replace(noTags,
+      lit("&lt;"), lit("<")), lit("&gt;"), lit(">")),
+      lit("&quot;"), lit("\"")), lit("&#39;"), lit("'")),
+      lit("&amp;"), lit("&"))
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
 }

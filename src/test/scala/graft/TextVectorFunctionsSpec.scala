@@ -353,4 +353,20 @@ class TextVectorFunctionsSpec extends SparkSpec {
       TF.bpeTokenCount($"t", Seq.empty)
     }
   }
+
+  test("stripHtml: tags to spaces, one-level entity decode (&amp; last), whitespace collapse") {
+    val got = Seq(
+      "<p>hello <b>world</b></p>",
+      "a &lt;tag&gt; &amp; &quot;q&quot; &#39;s&#39;",
+      "&amp;lt; stays escaped one level",
+      "  <br/> spaced\t\nout  <hr >",
+      "plain"
+    ).toDF("t").select(TF.stripHtml($"t")).as[String].collect().toSeq
+    assert(got(0) == "hello world")
+    assert(got(1) == "a <tag> & \"q\" 's'")
+    // double-escaped decodes exactly one level: &amp;lt; → &lt;, not <
+    assert(got(2) == "&lt; stays escaped one level")
+    assert(got(3) == "spaced out")
+    assert(got(4) == "plain")
+  }
 }
