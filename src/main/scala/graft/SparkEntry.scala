@@ -938,6 +938,22 @@ object SparkEntry {
     */
   private val nfcGateSuffix = " café ångström"
 
+  /** The EXACT set of gates expected RED at the driver — the two
+    * permanent hash-divergence tripwires (round-8 DECIMAL class,
+    * round-10 HUGEINT class). Every other query is expected GREEN.
+    * [[Verify]] prints this set each run so any future
+    * CORRECTNESS_r*.json whose red set differs — a third divergence
+    * class appearing, or the driver fixing DECIMAL/HUGEINT hashing and
+    * the probes flipping green — is flagged loudly instead of read as
+    * noise. The probes' divergent output types are asserted by
+    * Verify against the written results (a probe that stopped probing
+    * would fail the run, not silently pass).
+    */
+  val expectedRedProbes: Map[String, String] = Map(
+    "decimal_probe_dec" -> "dec_val", // DECIMAL(38,6) on both engines
+    "hugeint_probe" -> "sum_v"        // Spark BIGINT vs DuckDB HUGEINT sum()
+  )
+
   // ------------------------------------------------------------------ queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -8428,7 +8444,9 @@ object SparkEntry {
         |FROM a WHERE np > 0 AND nn > 0 ORDER BY 1""".stripMargin,
 
     // same replace chain: tags → spaces, literal entity decode with
-    // &amp; last, whitespace collapse, trim
+    // &amp; last, whitespace collapse, trim; the collapse class is
+    // the explicit [ \t\n\x0B\f\r] (== Java \s) because RE2's \s
+    // excludes U+000B — both engines pin the identical literal class
     "strip_html" ->
       """WITH b AS (
         | SELECT doc_id,
@@ -8440,7 +8458,7 @@ object SparkEntry {
         |   replace(replace(replace(replace(replace(
         |     regexp_replace(h, '<[^>]*>', ' ', 'g'),
         |     '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
-        |   '\s+', ' ', 'g')) AS clean
+        |   '[ \t\n\x0B\f\r]+', ' ', 'g')) AS clean
         | FROM b
         |)
         |SELECT doc_id, clean, CAST(length(clean) AS BIGINT) AS clean_nchars

@@ -684,6 +684,12 @@ object TextFunctions {
     * parser by design: comments/script bodies survive as text, which
     * the boilerplate/C4 line filters downstream are for.
     *
+    * The collapse class is the EXPLICIT `[ \t\n\x0B\f\r]` (Java's
+    * `\s`), not a `\s` shorthand: RE2's `\s` excludes U+000B, so a
+    * shorthand would silently diverge between this operator and any
+    * RE2-based replayer (DuckDB included) on vertical-tab input. Both
+    * sides of the driver gate pin the same literal class.
+    *
     * Scale shape: one narrow codegen'd projection — no shuffle, no
     * state; pushes inside whatever scan precedes it.
     */
@@ -693,6 +699,6 @@ object TextFunctions {
       lit("&lt;"), lit("<")), lit("&gt;"), lit(">")),
       lit("&quot;"), lit("\"")), lit("&#39;"), lit("'")),
       lit("&amp;"), lit("&"))
-    trim(regexp_replace(decoded, "\\s+", " "))
+    trim(regexp_replace(decoded, "[ \\t\\n\\x0B\\f\\r]+", " "))
   }
 }

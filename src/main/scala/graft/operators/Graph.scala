@@ -106,18 +106,35 @@ object Graph {
     * frontier is the inherent cost of bounded-depth BFS: it can grow
     * toward n·(reachable-within-d) on dense graphs, which is why
     * `maxDepth` is a required explicit parameter and the published
-    * truncations stay small. Output: `(node STRING, harmonic_ppm
-    * BIGINT)`, one row per node in the edge universe (0 when nothing
-    * reaches the node within the bound).
+    * truncations stay small — AND why every level carries a frontier
+    * TRIPWIRE: after each level's checkpoint the pair count is checked
+    * against `maxFrontierPairs`, so a dense graph fails loudly with
+    * the remedy in the message instead of OOMing three levels later
+    * (the [[graft.operators.Profile.chiSquareTerms]] refusal
+    * convention). The count is free: the frontier is already
+    * eagerly checkpointed each level. Output: `(node STRING,
+    * harmonic_ppm BIGINT)`, one row per node in the edge universe (0
+    * when nothing reaches the node within the bound).
     */
   def harmonicCentralityScaled(
       edges: DataFrame,
       srcCol: String,
       dstCol: String,
-      maxDepth: Int
+      maxDepth: Int,
+      maxFrontierPairs: Long = 200000000L
   ): DataFrame = {
     require(maxDepth >= 1 && maxDepth <= 8,
       s"harmonicCentralityScaled: maxDepth must be in [1, 8], got $maxDepth")
+    require(maxFrontierPairs >= 1,
+      s"harmonicCentralityScaled: maxFrontierPairs must be >= 1, got $maxFrontierPairs")
+    def frontierTripwire(f: DataFrame, level: Int): Unit = {
+      val fc = f.count()
+      require(fc <= maxFrontierPairs,
+        s"harmonicCentralityScaled: level-$level frontier holds $fc reachable " +
+          s"(u,v) pairs > maxFrontierPairs=$maxFrontierPairs — the graph is too " +
+          "dense for this depth. Lower maxDepth, shard the graph, or raise " +
+          "maxFrontierPairs knowingly (memory/shuffle grow with the frontier).")
+    }
     val e = edges
       .select(col(srcCol).cast("string").as("_s"), col(dstCol).cast("string").as("_d"))
       .filter(col("_s").isNotNull && col("_d").isNotNull)
@@ -130,6 +147,7 @@ object Graph {
     var frontier = e.filter(col("_s") =!= col("_d"))
       .select(col("_s").as("_u"), col("_d").as("_w"))
       .localCheckpoint()
+    frontierTripwire(frontier, 1)
     var visited = frontier
     var contribs = Seq(frontier.groupBy(col("_w"))
       .agg((count(lit(1)) * lit(1000000L / 1)).as("_c")))
@@ -141,6 +159,7 @@ object Graph {
         .distinct()
         .join(visited, Seq("_u", "_w"), "left_anti")
         .localCheckpoint()
+      frontierTripwire(frontier, d)
       visited = visited.unionByName(frontier).localCheckpoint()
       contribs = contribs :+ frontier.groupBy(col("_w"))
         .agg((count(lit(1)) * lit(1000000L / d)).as("_c"))

@@ -900,7 +900,11 @@ object Similarity {
     * Scale shape: all-pairs by construction (hubness IS a property of
     * the full k-NN graph), so run it on the evaluation SAMPLE tier
     * like [[ivfRecallExactE6]] — the documented cost of measuring
-    * index quality, not a corpus pass. Within the sample: the scored
+    * index quality, not a corpus pass. The sample contract is a
+    * LOUD guard, not scaladoc: the point count is checked against
+    * `maxPoints` before the cross join, so a caller who hands the
+    * corpus to a diagnostic fails with the remedy in the message
+    * instead of launching an n² scan. Within the sample: the scored
     * pairs reduce through the bounded [[graft.plans.TopKAggregate]]
     * heaps map-side (never a per-query window), and the in-degree
     * count is one 8-byte-id exchange.
@@ -909,9 +913,17 @@ object Similarity {
       points: DataFrame,
       idCol: String,
       vecCol: String,
-      k: Int
+      k: Int,
+      maxPoints: Long = 20000L
   ): DataFrame = {
     require(k > 0, s"knnInDegreeE6: k must be positive, got $k")
+    require(maxPoints >= 2,
+      s"knnInDegreeE6: maxPoints must be >= 2, got $maxPoints")
+    val nPoints = points.count()
+    require(nPoints <= maxPoints,
+      s"knnInDegreeE6: $nPoints points > maxPoints=$maxPoints — hubness is an " +
+        "all-pairs SAMPLE-tier diagnostic (n² scored pairs). Sample the point " +
+        "set first, or raise maxPoints knowingly.")
     val l2 = (a: Column, b: Column) => aggregate(
       zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0L), (acc, d) => acc + d)

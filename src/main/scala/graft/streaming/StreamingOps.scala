@@ -875,9 +875,20 @@ object StreamingOps {
       .groupBy(col("_v")).agg(count(lit(1)).as("_cr"))
     currentVersionId(spark, statePath) match {
       case None =>
-        val version = s"v$batchId"
-        hist.write.mode("overwrite").parquet(s"$statePath/$version")
-        commitVersion(spark, statePath, version, keepFrom = batchId)
+        // An EMPTY first batch must NOT become the reference: every
+        // later batch would be dropped by the n_ref > 0 filter in
+        // shiftFromHistograms and the monitor would silently emit
+        // empty alerts forever. Skip WITHOUT committing so the first
+        // non-empty batch takes the reference slot instead.
+        if (hist.isEmpty) {
+          log.warn(s"shiftStream: batch $batchId has no non-null values " +
+            "— refusing to commit an empty reference histogram; waiting " +
+            "for the first non-empty batch")
+        } else {
+          val version = s"v$batchId"
+          hist.write.mode("overwrite").parquet(s"$statePath/$version")
+          commitVersion(spark, statePath, version, keepFrom = batchId)
+        }
       case Some(cur) if cur >= batchId =>
         log.warn(s"shiftStream: batch $batchId is not newer than the " +
           s"committed reference v$cur — skipping (replay no-op)")

@@ -69,6 +69,24 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("harmonicCentralityScaled: frontier tripwire refuses a dense graph loudly instead of OOMing") {
+    // K5 (complete digraph, 20 pairs at level 1) against a 10-pair cap:
+    // the level-1 count trips before any deeper join is launched
+    val k5 = (for { a <- 'a' to 'e'; b <- 'a' to 'e' if a != b }
+      yield (a.toString, b.toString)).toDF("src", "dst")
+    val e = intercept[IllegalArgumentException] {
+      Graph.harmonicCentralityScaled(k5, "src", "dst", maxDepth = 3,
+        maxFrontierPairs = 10L)
+    }
+    assert(e.getMessage.contains("maxFrontierPairs"), e.getMessage)
+    assert(e.getMessage.contains("Lower maxDepth"), e.getMessage)
+    // same graph under the cap computes fine (everyone reaches everyone at d=1)
+    val ok = Graph.harmonicCentralityScaled(k5, "src", "dst", maxDepth = 2,
+        maxFrontierPairs = 100L)
+      .as[(String, Long)].collect().toMap
+    assert(ok.values.toSet == Set(4000000L), ok.toString)
+  }
+
   test("personalizedPageRankScaled: restart mass sits on the seed; hand-rolled reference") {
     val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"))
       .toDF("src", "dst")

@@ -506,6 +506,12 @@ class SimilaritySpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Similarity.knnInDegreeE6(d, "id", "vec", k = 0)
     }
+    // sample contract is a loud guard, not scaladoc: 4 points > cap 3
+    val big = intercept[IllegalArgumentException] {
+      Similarity.knnInDegreeE6(d, "id", "vec", k = 1, maxPoints = 3L)
+    }
+    assert(big.getMessage.contains("maxPoints"), big.getMessage)
+    assert(big.getMessage.contains("Sample the point"), big.getMessage)
   }
 
   test("kCenterGreedyE6: farthest-point order, tie-breaks, exhaustion, malformed rows") {

@@ -632,6 +632,26 @@ class StreamingSpec extends SparkSpec {
     assert(replayed == got)
   }
 
+  test("shift stream: an all-null first batch must NOT become the reference — first non-empty batch takes the slot") {
+    val work = Files.createTempDirectory("graft-shift-empty-spec").toString
+    val empty = Seq(Option.empty[java.lang.Long]).toDF("v")
+    StreamingOps.applyShiftBatch(spark, empty, 0L, "v", s"$work/state", s"$work/out")
+    // no state committed: an empty reference would drop every later
+    // batch at the n_ref > 0 filter and the monitor would no-op forever
+    assert(StreamingOps.readState(spark, s"$work/state").isEmpty)
+    val ref = Seq(0L, 10L).toDF("v")
+    StreamingOps.applyShiftBatch(spark, ref, 1L, "v", s"$work/state", s"$work/out")
+    val committed = StreamingOps.readState(spark, s"$work/state").get
+      .as[(Long, Long)].collect().toMap
+    assert(committed == Map(0L -> 1L, 10L -> 1L))
+    // and the monitor actually fires against the late-seated reference
+    val nxt = Seq(5L, 15L).toDF("v")
+    StreamingOps.applyShiftBatch(spark, nxt, 2L, "v", s"$work/state", s"$work/out")
+    val got = spark.read.parquet(s"$work/out/batch=2")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((2L, 2L, 500000L, 5000000L)), got.toString)
+  }
+
   test("changepoint stream: count state merges per batch; replay never double-counts; final equals batch") {
     import graft.operators.ImportanceScoring
     val work = Files.createTempDirectory("graft-cpt-spec").toString
