@@ -60,10 +60,20 @@ object Bench {
     // Two blocks keep a warm consecutive run in every query's sample
     // (the min floor survives) while a burst can no longer cover both.
     val times = Array.fill(selected.length)(Vector.empty[Double])
+    val gcMs = Array.fill(selected.length)(Vector.empty[Long])
     val failed = Array.fill(selected.length)(false)
+    // per-run GC wall time (all collectors, this JVM): the r10 verdict's
+    // merge_addtoset_structs anomaly (min 2s / median 24s) was unreadable
+    // from three summary stats — per-run times + GC make every future
+    // burst self-adjudicating (high time + high GC = heap/co-tenant
+    // pressure; high time + flat GC = the plan itself)
+    import scala.jdk.CollectionConverters._
+    def gcMillis(): Long = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime.max(0L)).sum
     val blocks = Seq(runsPerQuery - runsPerQuery / 2, runsPerQuery / 2).filter(_ > 0)
     for (blockRuns <- blocks; i <- selected.indices; _ <- 0 until blockRuns) {
       val (name, fn) = selected(i)
+      val g0 = gcMillis()
       val t0 = System.nanoTime()
       // noop write forces full evaluation of every output column — a bare
       // .count() lets Catalyst prune projections and EliminateSorts drop
@@ -75,6 +85,7 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
       times(i) :+= (System.nanoTime() - t0) / 1e9
+      gcMs(i) :+= gcMillis() - g0
     }
     // median of N runs: single-shot numbers carry JIT/GC noise that made
     // round-over-round per-query deltas untrustworthy. min is recorded
@@ -98,10 +109,19 @@ object Bench {
     }.mkString("{", ",", "}")
     val mins = jmap(ok.map(r => r._1 -> r._3))
     val p25s = jmap(ok.map(r => r._1 -> r._4))
+    // raw per-run arrays IN RUN ORDER (block 1 then block 2), so a reader
+    // can see whether a slow median is one covered block (co-tenant burst)
+    // or spread across both (plan/heap); GC wall ms per run alongside
+    def jarr(f: Int => String): String = selected.indices.map { i =>
+      "\"" + selected(i)._1 + "\":[" + f(i) + "]"
+    }.mkString("{", ",", "}")
+    val runsJson = jarr(i => times(i).map(t => f"$t%.3f").mkString(","))
+    val gcJson = jarr(i => gcMs(i).mkString(","))
     val failedNames = results.filter(_._5).map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val total = if (ok.nonEmpty) ok.map(_._2).sum else 0.0
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs""" +
-      s""","queries_min":$mins,"queries_p25":$p25s,"failed_queries":$failedNames""" +
+      s""","queries_min":$mins,"queries_p25":$p25s,"queries_runs":$runsJson""" +
+      s""","queries_gc_ms":$gcJson,"failed_queries":$failedNames""" +
       s""","runs_per_query":$runsPerQuery,"stat":"median","interleaved":"two-block","sf":"$sfDir"}"""
     println(line)
     // belt-and-braces: also persist the JSON where the driver can read it

@@ -773,4 +773,37 @@ class NativeExpressionsSpec extends SparkSpec {
       }
     }
   }
+
+  test("ArrayInversions: strict merge-sort count — ties never count, nulls poison, codegen = eval") {
+    import org.apache.spark.sql.graft.ColumnBridge
+    import graft.plans.ArrayInversions
+    def inv(c: org.apache.spark.sql.Column) =
+      ColumnBridge.column(ArrayInversions(ColumnBridge.expression(c)))
+    val df = Seq(
+      (1L, Seq(1L, 2L, 3L, 4L)),        // sorted → 0
+      (2L, Seq(4L, 3L, 2L, 1L)),        // reversed → 6
+      (3L, Seq(2L, 2L, 2L)),            // all ties → 0 (strict)
+      (4L, Seq(3L, 1L, 3L, 1L)),        // pairs: (3,1)x2 + (3,1) → 3, ties (3,3)/(1,1) free
+      (5L, Seq(5L)),                    // singleton → 0
+      (6L, Seq.empty[Long])             // empty → 0
+    ).toDF("id", "a")
+    val got = df.select(col("id"), inv(col("a")).as("d"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 6L, 3L -> 0L, 4L -> 3L, 5L -> 0L, 6L -> 0L), got.toString)
+    // null array and null element both null the count
+    val nd = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(1L, null),
+        org.apache.spark.sql.Row(2L, Seq(1L, null, 2L)))),
+      StructType(Seq(StructField("id", LongType, false),
+        StructField("a", ArrayType(LongType, true), true))))
+    val gotN = nd.select(col("id"), inv(col("a")).as("d"))
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(gotN == Map(1L -> true, 2L -> true), gotN.toString)
+    // kernel parity against brute force on a pseudo-random array
+    val arr = (1 to 257).map(i => (i * 48271L) % 101L).toArray
+    val brute = (for { i <- arr.indices; j <- i + 1 until arr.length
+                       if arr(i) > arr(j) } yield 1).size.toLong
+    assert(graft.plans.ArrayInversions.countLongs(arr.clone()) == brute)
+  }
 }

@@ -820,6 +820,47 @@ class ProfileSpec extends SparkSpec {
     assert(!got.contains("d"))
   }
 
+  test("rankCorrelationByGroup: inversion-counting plan equals brute force across block/round boundaries; no join carries the rows") {
+    import spark.implicits._
+    // deterministic pseudo-random permutations via a multiplicative
+    // hash — group sizes straddle the seed block (4), one merge round
+    // (8), and a non-power-of-two tail spanning three rounds (27)
+    def perm(n: Int, salt: Long): Seq[Long] =
+      (1 to n).sortBy(i => (i * 2654435761L + salt) % 1000003L).map(_.toLong)
+    val rows = for {
+      (g, n, salt) <- Seq(("p3", 3, 1L), ("p4", 4, 2L), ("p5", 5, 3L),
+        ("p8", 8, 4L), ("p9", 9, 5L), ("p27", 27, 6L))
+      (y, i) <- perm(n, salt).zipWithIndex
+    } yield (g, i.toLong, i.toLong, y) // x = id order, y = permuted
+    val df = rows.toDF("g", "id", "x", "y")
+    val got = Profile.rankCorrelationByGroup(df, "g", "id", "x", "y",
+        seedBlockSize = 4)
+      .select("g", "n_discordant")
+      .as[(String, Long)].collect().toMap
+    // brute force over the same permutations
+    val exp = Seq(("p3", 3, 1L), ("p4", 4, 2L), ("p5", 5, 3L),
+      ("p8", 8, 4L), ("p9", 9, 5L), ("p27", 27, 6L)).map { case (g, n, salt) =>
+      val p = perm(n, salt)
+      g -> (for { i <- p.indices; j <- i + 1 until p.length
+                  if p(i) > p(j) } yield 1).size.toLong
+    }.toMap
+    assert(got == exp, s"got=$got exp=$exp")
+    // default block size must agree too (single-seed-block path)
+    val gotDefault = Profile.rankCorrelationByGroup(df, "g", "id", "x", "y")
+      .select("g", "n_discordant").as[(String, Long)].collect().toMap
+    assert(gotDefault == exp)
+    // plan shape: the discordant count must NOT ride a row-level self
+    // join — the only joins in the plan are the per-group metadata
+    // stats⋈disc assembly (key = the group column alone)
+    val plan = Profile.rankCorrelationByGroup(df, "g", "id", "x", "y", 4)
+      .queryExecution.optimizedPlan
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val joins = plan.collect { case j: Join => j }
+    assert(joins.forall(_.condition.forall(c =>
+      !c.toString.contains("_rx") && !c.toString.contains("_ry"))),
+      s"rank columns leaked into a join condition:\n$plan")
+  }
+
   test("rankCorrelationByGroup: tied scores break by id — pinned order, not a crash") {
     import spark.implicits._
     // x ties everywhere: rank order = id order; y agrees with id → τ = ρ = 1
