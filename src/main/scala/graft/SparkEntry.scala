@@ -356,6 +356,51 @@ object SparkEntry {
       | SELECT vec_id, j, cid FROM ew WHERE rn = 1
       |)""".stripMargin
 
+  /** IVF-PQ extension of [[pqChainSql]]: coarse cells = the raw e6
+    * seeds (`cc`), full-dim coarse distances (`cd`), corpus cell
+    * assignment (`casg`), per-query probe set of depth `nprobe`
+    * (`qp`), per-query subspace LUT distances (`lut2`), and the
+    * probed-cells-only ADC score (`sc`) — the SQL replay of
+    * [[graft.operators.Similarity.buildIvfPqIndex]] +
+    * [[graft.operators.Similarity.ivfPqTopKE6]], every value BIGINT
+    * with (dist, id) ties.
+    */
+  private def ivfPqChainSql(nprobe: Int): String =
+    pqChainSql + "," + s"""
+      | cc AS (
+      | SELECT vec_id AS ccid, a AS ccv FROM e WHERE vec_id < 4
+      |), cd AS (
+      | SELECT e.vec_id, cc.ccid,
+      |  list_sum(list_transform(range(1, 65),
+      |    i -> (e.a[i] - cc.ccv[i]) * (e.a[i] - cc.ccv[i]))) AS dist
+      | FROM e, cc
+      |), casg AS (
+      | SELECT vec_id, ccid FROM (
+      |  SELECT vec_id, ccid,
+      |   row_number() OVER (PARTITION BY vec_id ORDER BY dist, ccid) AS rn
+      |  FROM cd) WHERE rn = 1
+      |), qp AS (
+      | SELECT vec_id AS qid, ccid FROM (
+      |  SELECT vec_id, ccid,
+      |   row_number() OVER (PARTITION BY vec_id ORDER BY dist, ccid) AS rn
+      |  FROM cd WHERE vec_id < 3) WHERE rn <= $nprobe
+      |), qs2 AS (
+      | SELECT vec_id AS qid, j, sv FROM sub WHERE vec_id < 3
+      |), lut2 AS (
+      | SELECT qs2.qid, qs2.j, pcb.cid,
+      |  list_sum(list_transform(range(1, 17),
+      |    i -> (qs2.sv[i] - pcb.cv[i]) * (qs2.sv[i] - pcb.cv[i]))) AS dd
+      | FROM qs2 JOIN pcb ON pcb.j = qs2.j
+      |), sc AS (
+      | SELECT l.qid, c.vec_id AS nid, CAST(sum(l.dd) AS BIGINT) AS adist
+      | FROM pcodes c
+      | JOIN casg ON casg.vec_id = c.vec_id
+      | JOIN lut2 l ON l.j = c.j AND l.cid = c.cid
+      | JOIN qp ON qp.qid = l.qid AND qp.ccid = casg.ccid
+      | WHERE c.vec_id <> l.qid
+      | GROUP BY 1, 2
+      |)""".stripMargin
+
   private val unimaxAllocSql: String =
     """WITH RECURSIVE nt AS (
       | SELECT doc_id, source,
@@ -1883,6 +1928,60 @@ object SparkEntry {
       Similarity.pqAdcTopKE6(codes, "vec_id", "codes", cb, q, "qid", "qvec",
           k = 10)
         .orderBy("query_id", "rank")
+    }),
+
+    // ---- IVF-PQ: the composed physical ANN index (round-10 verdict
+    //      #4) — coarse cells = the raw e6 seed vectors (vec_id < 4),
+    //      PQ codebooks from the same seeds, ONE narrow build pass
+    //      writes (id, codes, cell) partitioned by cell, queries probe
+    //      nprobe=2 of 4 cells, ADC-score only the probed partitions;
+    //      the oracle replays cells, codes, probe sets and LUT sums
+    //      exactly, so both approximation layers are hash-verified
+    "ann_ivfpq_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val seeds = emb.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("centroid_id"),
+          col("embedding").as("centroid_vec"))
+      val cb = Similarity.pqCodebooksFromSums(
+        Similarity.pqTrainSumsE6(emb, "vec_id", "embedding", seeds, m = 4))
+      val coarse = emb.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("centroid_id"),
+          transform(col("embedding"),
+            v => floor(v.cast("double") * 1000000d).cast("long"))
+            .as("centroid_e6"))
+      val out = java.nio.file.Files.createTempDirectory("graft-ivfpq-gate").toString
+      Similarity.buildIvfPqIndex(emb, "vec_id", "embedding", coarse, cb, out)
+      val q = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.ivfPqTopKE6(out, "vec_id", coarse, cb, q, "qid", "qvec",
+          k = 10, nprobe = 2)
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- IVF-PQ recall@10 at nprobe=1: the genuinely-approximate
+    //      setting — coarse pruning AND quantization both lose — and
+    //      the loss is a deterministic property of (corpus, cells,
+    //      codebooks, queries), so the oracle reproduces the recall
+    //      numbers exactly, measured loss included
+    "ann_ivfpq_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val seeds = emb.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("centroid_id"),
+          col("embedding").as("centroid_vec"))
+      val cb = Similarity.pqCodebooksFromSums(
+        Similarity.pqTrainSumsE6(emb, "vec_id", "embedding", seeds, m = 4))
+      val coarse = emb.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("centroid_id"),
+          transform(col("embedding"),
+            v => floor(v.cast("double") * 1000000d).cast("long"))
+            .as("centroid_e6"))
+      val out = java.nio.file.Files.createTempDirectory("graft-ivfpqr-gate").toString
+      Similarity.buildIvfPqIndex(emb, "vec_id", "embedding", coarse, cb, out)
+      val q = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.ivfPqRecallE6(emb, "vec_id", "embedding", out, coarse, cb,
+          q, "qid", "qvec", k = 10, nprobe = 1)
+        .orderBy("query_id")
     }),
 
     // ---- 8-bit embedding quantization: affine per-vector codes +
@@ -6768,6 +6867,47 @@ object SparkEntry {
          |FROM sc
          |QUALIFY rank <= 10
          |ORDER BY query_id, rank""".stripMargin,
+
+    // the composed chain: coarse cells, probe depth 2, probed-cells-only
+    // ADC with (adist, nid) tie-break — both approximation layers replayed
+    "ann_ivfpq_topk" ->
+      s"""WITH ${ivfPqChainSql(2)}
+         |SELECT qid AS query_id, nid AS neighbor_id, adist,
+         | CAST(row_number() OVER (PARTITION BY qid ORDER BY adist, nid) AS INT) AS rank
+         |FROM sc
+         |QUALIFY rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // recall@10 at nprobe=1 against the exact full-dim e6 top-10 — the
+    // measured loss itself is deterministic and hash-compared
+    "ann_ivfpq_recall" ->
+      s"""WITH ${ivfPqChainSql(1)}, ap AS (
+         | SELECT qid, nid FROM (
+         |  SELECT qid, nid,
+         |   row_number() OVER (PARTITION BY qid ORDER BY adist, nid) AS rn
+         |  FROM sc) WHERE rn <= 10
+         |), pdx AS (
+         | SELECT q.vec_id AS qid, e2.vec_id AS nid,
+         |  list_sum(list_transform(range(1, 65),
+         |    i -> (q.a[i] - e2.a[i]) * (q.a[i] - e2.a[i]))) AS dist
+         | FROM e q CROSS JOIN e e2
+         | WHERE q.vec_id < 3 AND e2.vec_id <> q.vec_id
+         |), exk AS (
+         | SELECT qid, nid FROM (
+         |  SELECT qid, nid,
+         |   row_number() OVER (PARTITION BY qid ORDER BY dist, nid) AS rn
+         |  FROM pdx) WHERE rn <= 10
+         |), h AS (
+         | SELECT ap.qid, CAST(count(*) AS BIGINT) AS n_hits
+         | FROM ap JOIN exk ON ap.qid = exk.qid AND ap.nid = exk.nid
+         | GROUP BY 1
+         |)
+         |SELECT q.vec_id AS query_id, COALESCE(h.n_hits, 0) AS n_hits,
+         | CAST(10 AS BIGINT) AS k,
+         | CAST(COALESCE(h.n_hits, 0) * 1000000 // 10 AS BIGINT) AS recall_ppm
+         |FROM (SELECT vec_id FROM e WHERE vec_id < 3) q
+         |LEFT JOIN h ON h.qid = q.vec_id
+         |ORDER BY query_id""".stripMargin,
 
     // identical elementwise affine-code arithmetic; both engines round
     // half away from zero on the (always nonnegative) scaled values

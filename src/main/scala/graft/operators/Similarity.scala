@@ -576,28 +576,8 @@ object Similarity {
     val (m, subdim, subCents) = collectCodebooks(codebooks)
     val spark = codes.sparkSession
     import spark.implicits._
-    val luts: Seq[(Long, Seq[Map[Long, Long]])] =
-      queries.select(col(queryId).cast(LongType), col(queryVec)).collect()
-        .toSeq.map { r =>
-          val qid = r.getLong(0)
-          val q = r.getSeq[Any](1).map(e6Of)
-          require(q.length == m * subdim,
-            s"pqAdcTopKE6: query $qid has dim ${q.length}, codebooks expect ${m * subdim}")
-          val lut = (0 until m).map { j =>
-            val (ids, mat) = subCents(j)
-            ids.zipWithIndex.map { case (cid, c) =>
-              var acc = 0L
-              var p = 0
-              while (p < subdim) {
-                val d = q(j * subdim + p) - mat(c * subdim + p)
-                acc += d * d
-                p += 1
-              }
-              cid -> acc
-            }.toMap
-          }
-          (qid, lut)
-        }
+    val luts = adcLutsFor(collectQueriesE6(queries, queryId, queryVec),
+      m, subdim, subCents)
     val lutDf = luts.toDF("query_id", "_lut")
     val scored = codes.crossJoin(broadcast(lutDf))
       .filter(col("query_id") =!= col(codesId))
@@ -610,6 +590,59 @@ object Similarity {
         (-col("_negless")).as("_nd")), "_nd", k)
       .select(col("query_id"), col("neighbor_id"),
         (-col("_nd")).as("adist"), col("rank"))
+  }
+
+  /** Collect an eval-sized query frame to `(qid, e6 vector)` pairs —
+    * the one collect the ADC/IVF-PQ query paths share (queries are the
+    * evaluation sample by contract, never the corpus).
+    */
+  private def collectQueriesE6(
+      queries: DataFrame, queryId: String, queryVec: String): Seq[(Long, Seq[Long])] =
+    queries.select(col(queryId).cast(LongType), col(queryVec)).collect()
+      .toSeq.map(r => (r.getLong(0), r.getSeq[Any](1).map(e6Of)))
+
+  /** Per-query ADC lookup tables: m maps of code_id → exact BIGINT
+    * squared-L2 from the query's j-th slice to that codebook centroid.
+    * Driver arithmetic by design — queries and codebooks are both
+    * metadata-sized.
+    */
+  private def adcLutsFor(
+      qrows: Seq[(Long, Seq[Long])],
+      m: Int,
+      subdim: Int,
+      subCents: IndexedSeq[(Seq[Long], Seq[Long])]): Seq[(Long, Seq[Map[Long, Long]])] =
+    qrows.map { case (qid, q) =>
+      require(q.length == m * subdim,
+        s"adc: query $qid has dim ${q.length}, codebooks expect ${m * subdim}")
+      val lut = (0 until m).map { j =>
+        val (ids, mat) = subCents(j)
+        ids.zipWithIndex.map { case (cid, c) =>
+          var acc = 0L
+          var p = 0
+          while (p < subdim) {
+            val d = q(j * subdim + p) - mat(c * subdim + p)
+            acc += d * d
+            p += 1
+          }
+          cid -> acc
+        }.toMap
+      }
+      (qid, lut: Seq[Map[Long, Long]])
+    }
+
+  /** Collect whole-vector e6 centroids `(centroid_id, centroid_e6)` to
+    * (sorted ids, flat row-major matrix, dim) — the coarse-cell twin of
+    * [[collectCodebooks]].
+    */
+  private def collectE6Whole(centroidsE6: DataFrame): (Seq[Long], Seq[Long], Int) = {
+    val rows = centroidsE6
+      .select(col("centroid_id").cast(LongType), col("centroid_e6"))
+      .collect()
+    require(rows.nonEmpty, "ivfpq: empty coarse centroid set")
+    val sorted = rows.map(r => (r.getLong(0), r.getSeq[Long](1))).sortBy(_._1)
+    val dim = sorted.head._2.length
+    require(sorted.forall(_._2.length == dim), "ivfpq: coarse centroid dims differ")
+    (sorted.map(_._1).toSeq, sorted.flatMap(_._2).toSeq, dim)
   }
 
   /** e6 floor quantization of one numeric element — the scalar twin of
@@ -820,6 +853,178 @@ object Similarity {
       seedCentroids(corpus, corpusId, corpusVec, c), iterations, metric)
     writeAssigned(assignToCentroids(corpus, corpusId, corpusVec, cents, metric), path)
     cents
+  }
+
+  /** Offline IVF-PQ index build — the composed 100 TB ANN shape
+    * (Jégou et al. 2011: coarse inverted lists × product-quantized
+    * residual-free codes): ONE narrow corpus pass computes the m
+    * subspace argmins (the PQ codes, m bytes of payload per vector)
+    * PLUS the full-dimension coarse argmin (the IVF cell), both as
+    * broadcast-matrix [[graft.plans.NearestCentroidE6]] projections —
+    * no join, no shuffle except the partitioned write's own — and
+    * persists `(<id>, codes, centroid_id)` partitioned by
+    * `centroid_id`. The corpus vectors themselves are NOT stored: the
+    * index is m codes + one cell id per row, which is what makes a
+    * 100 TB float corpus servable from a few TB of codes.
+    *
+    * Exactness contract: e6 floor quantization, BIGINT squared-L2,
+    * (dist, id) argmin ties — identical to [[pqEncodeE6]] and the
+    * k-means family, so an engine replay reproduces every code and
+    * cell bit-for-bit. Wrong-length vectors drop (the pqEncode rule).
+    */
+  def buildIvfPqIndex(
+      corpus: DataFrame,
+      corpusId: String,
+      corpusVec: String,
+      centroidsE6: DataFrame, // (centroid_id, centroid_e6) coarse cells
+      codebooks: DataFrame,   // (sub_id, code_id, centroid_e6)
+      path: String
+  ): Unit = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val (m, subdim, subCents) = collectCodebooks(codebooks)
+    val (cids, cmat, cdim) = collectE6Whole(centroidsE6)
+    require(cdim == m * subdim,
+      s"buildIvfPqIndex: coarse dim $cdim != codebook dim ${m * subdim}")
+    val corp = corpus.select(col(corpusId), toE6(col(corpusVec)).as("_a"))
+      .filter(size(col("_a")) === cdim)
+    val codes = array((0 until m).map { j =>
+      val (ids, mat) = subCents(j)
+      ColumnBridge.column(graft.plans.NearestCentroidE6(
+        ColumnBridge.expression(slice(col("_a"), j * subdim + 1, subdim)),
+        ids, mat, subdim))
+    }: _*)
+    val cell = ColumnBridge.column(graft.plans.NearestCentroidE6(
+      ColumnBridge.expression(col("_a")), cids, cmat, cdim))
+    corp.select(col(corpusId), codes.as("codes"), cell.as("centroid_id"))
+      .write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+  }
+
+  /** IVF-PQ top-k over a [[buildIvfPqIndex]] index: each query probes
+    * its `nprobe` nearest coarse cells (exact e6 L2 against the
+    * metadata-sized centroid matrix, driver-side — the
+    * [[ivfTopKPartitioned]] probe convention) and ADC-scores ONLY the
+    * probed partitions' codes. The probed cell ids become a literal IN
+    * on the partition column, so pruning is physical — unprobed
+    * directories are never listed (plan-spec'd like the IVF scan);
+    * within the probed files the score is `Σ_j lut_j(code_j)` — m map
+    * probes per row against the broadcast per-query LUT, no vector
+    * arithmetic, no corpus shuffle — reduced through the k-bounded
+    * [[topKPerQuery]] heap.
+    *
+    * This is the standard serving shape at 100 TB: scan cost =
+    * (nprobe/C) × (m bytes/vector), both knobs explicit. Approximation
+    * = coarse pruning (measure with [[ivfPqRecallE6]]) on top of the
+    * PQ quantization residual ([[pqAdcTopKE6]]'s); both layers are
+    * deterministic integer arithmetic, so the result is an exact
+    * property of (corpus, centroids, codebooks, queries) — the oracle
+    * replays it value-for-value. Ties break (adist, neighbor_id);
+    * self-matches are excluded. Output: `(query_id, neighbor_id,
+    * adist BIGINT, rank INT)`.
+    */
+  def ivfPqTopKE6(
+      indexPath: String,
+      codesId: String,
+      centroidsE6: DataFrame,
+      codebooks: DataFrame,
+      queries: DataFrame,
+      queryId: String,
+      queryVec: String,
+      k: Int,
+      nprobe: Int
+  ): DataFrame = {
+    require(k > 0, s"ivfPqTopKE6: k must be positive, got $k")
+    require(nprobe > 0, s"ivfPqTopKE6: nprobe must be positive, got $nprobe")
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val (m, subdim, subCents) = collectCodebooks(codebooks)
+    val (cids, cmat, cdim) = collectE6Whole(centroidsE6)
+    require(cdim == m * subdim,
+      s"ivfPqTopKE6: coarse dim $cdim != codebook dim ${m * subdim}")
+    val qrows = collectQueriesE6(queries, queryId, queryVec)
+    val luts = adcLutsFor(qrows, m, subdim, subCents).toMap
+    val probes = qrows.flatMap { case (qid, q) =>
+      require(q.length == cdim,
+        s"ivfPqTopKE6: query $qid has dim ${q.length}, centroids expect $cdim")
+      val ranked = cids.indices.map { c =>
+        var acc = 0L
+        var p = 0
+        while (p < cdim) {
+          val d = q(p) - cmat(c * cdim + p)
+          acc += d * d
+          p += 1
+        }
+        (acc, cids(c))
+      }.sorted.take(nprobe)
+      ranked.map { case (_, cid) => (qid, cid, luts(qid)) }
+    }
+    require(probes.nonEmpty, "ivfPqTopKE6: empty probe set")
+    val probeDf = probes.toDF("query_id", "centroid_id", "_lut")
+    val probedIds = probes.map(_._2).distinct.sorted
+    val corpus = spark.read.parquet(indexPath)
+      // literal IN on the partition column → PartitionFilters → unprobed
+      // cell directories are never listed, let alone read
+      .filter(col("centroid_id").isin(probedIds: _*))
+      .withColumn("centroid_id", col("centroid_id").cast(LongType))
+    val scored = corpus
+      .join(broadcast(probeDf), Seq("centroid_id"))
+      .filter(col("query_id") =!= col(codesId))
+      .select(col("query_id"), col(codesId).as("neighbor_id"),
+        aggregate(sequence(lit(0), lit(m - 1)), lit(0L), (acc, j) =>
+          acc + element_at(element_at(col("_lut"), j.cast(IntegerType) + 1),
+            element_at(col("codes"), j.cast(IntegerType) + 1)))
+          .as("_negless"))
+    topKPerQuery(scored.select(col("query_id"), col("neighbor_id"),
+        (-col("_negless")).as("_nd")), "_nd", k)
+      .select(col("query_id"), col("neighbor_id"),
+        (-col("_nd")).as("adist"), col("rank"))
+  }
+
+  /** Recall@k of the composed IVF-PQ index against the EXACT e6
+    * neighbor sets — the eval a deployment runs before trusting both
+    * approximation layers (coarse pruning × quantization) at once.
+    * Per query: `n_hits` = |ivfpq top-k ∩ exact top-k|, `recall_ppm` =
+    * n_hits·10⁶ div k. The exact reference is one full corpus scan per
+    * evaluation over the query SAMPLE (the [[ivfRecallExactE6]]
+    * cost-of-measuring contract); the approximate side reads only the
+    * probed partitions. Output: `(query_id, n_hits BIGINT, k BIGINT,
+    * recall_ppm BIGINT)`.
+    */
+  def ivfPqRecallE6(
+      corpus: DataFrame,
+      corpusId: String,
+      corpusVec: String,
+      indexPath: String,
+      centroidsE6: DataFrame,
+      codebooks: DataFrame,
+      queries: DataFrame,
+      queryId: String,
+      queryVec: String,
+      k: Int,
+      nprobe: Int
+  ): DataFrame = {
+    val approx = ivfPqTopKE6(indexPath, corpusId, centroidsE6, codebooks,
+      queries, queryId, queryVec, k, nprobe)
+    val l2 = (a: Column, b: Column) => aggregate(
+      zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, d) => acc + d)
+    val corp = corpus.select(col(corpusId).cast(LongType).as("_nid"),
+      toE6(col(corpusVec)).as("_na"))
+    val qdf = queries.select(col(queryId).cast(LongType).as("query_id"),
+      toE6(col(queryVec)).as("_qa"))
+    val exactScored = corp.crossJoin(broadcast(qdf))
+      .filter(col("query_id") =!= col("_nid"))
+      .select(col("query_id"), col("_nid").as("neighbor_id"),
+        (lit(0L) - l2(col("_qa"), col("_na"))).as("_negd"))
+    val exact = topKPerQuery(exactScored, "_negd", k)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = approx.select(col("query_id"), col("neighbor_id"))
+      .join(exact, Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("_h"))
+    qdf.select(col("query_id"))
+      .join(hits, Seq("query_id"), "left")
+      .withColumn("n_hits", coalesce(col("_h"), lit(0L)))
+      .select(col("query_id"), col("n_hits"), lit(k.toLong).as("k"),
+        expr(s"CAST(n_hits * 1000000 div $k AS BIGINT)").as("recall_ppm"))
   }
 
   /** Deterministic centroid seeding without a kmeans dependency: take the

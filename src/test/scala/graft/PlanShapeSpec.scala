@@ -256,6 +256,53 @@ class PlanShapeSpec extends SparkSpec {
       s"read $filesRead of $filesTotal files — pruning not physical")
   }
 
+  test("IVF-PQ probe: PartitionFilters on centroid_id; only probed cell dirs are read") {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(0.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 1.0f, 1.0f, 1.0f)),
+      (2L, Array(0.1f, 0.1f, 0.9f, 0.9f)),
+      (3L, Array(0.9f, 1.1f, 0.1f, 0.0f))
+    ).toDF("id", "vec")
+    val seeds = vecs.filter(col("id") < 2)
+      .select(col("id").as("centroid_id"), col("vec").as("centroid_vec"))
+    val cb = Similarity.pqCodebooksFromSums(
+      Similarity.pqTrainSumsE6(vecs, "id", "vec", seeds, m = 2))
+    val coarse = vecs.filter(col("id") < 2).select(col("id").as("centroid_id"),
+      transform(col("vec"), v => floor(v.cast("double") * 1000000d).cast("long"))
+        .as("centroid_e6"))
+    val out = java.nio.file.Files.createTempDirectory("graft-ivfpq-plan").toString
+    Similarity.buildIvfPqIndex(vecs, "id", "vec", coarse, cb, out)
+    val q = vecs.filter(col("id") === 0L)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    val topk = Similarity.ivfPqTopKE6(out, "id", coarse, cb, q, "qid", "qvec",
+      k = 3, nprobe = 1)
+    val plan = physical(topk)
+    assert(plan.contains("PartitionFilters: [") &&
+      plan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("centroid_id"), plan)
+    topk.collect()
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case qe: QueryStageExec => scans(qe.plan)
+      case s: FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(scans)
+    }
+    val scan = scans(topk.queryExecution.executedPlan)
+      .find(_.toString.contains("centroid_id")).get
+    val filesRead = scan.metrics("numFiles").value
+    val filesCell0 = new java.io.File(s"$out/centroid_id=0").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    // 1 query × nprobe 1 → exactly the one probed cell's files
+    assert(filesRead == filesCell0,
+      s"read $filesRead files, probed cell holds $filesCell0 — pruning not physical")
+  }
+
   test("salted join: identical multiset to the plain join; hot key spreads over salts") {
     import graft.engine.Partitioning
     val li = t("lineitem").select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))

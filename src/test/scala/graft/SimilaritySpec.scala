@@ -402,6 +402,53 @@ class SimilaritySpec extends SparkSpec {
       (0L, 1L, 3809994300003L, 3)), top.toString)
   }
 
+  test("IVF-PQ: full probe equals flat ADC; single probe restricts to the probed cell; recall eval exact") {
+    import org.apache.spark.sql.functions._
+    // the PQ spec's fixture: cells {0: ids 0,2} and {1: ids 1,3} under
+    // coarse centroids = seed vectors (verified by the partition dirs)
+    val vecs = Seq(
+      (0L, Array(0.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 1.0f, 1.0f, 1.0f)),
+      (2L, Array(0.1f, 0.1f, 0.9f, 0.9f)),
+      (3L, Array(0.9f, 1.1f, 0.1f, 0.0f))
+    ).toDF("id", "vec")
+    val seeds = vecs.filter($"id" < 2)
+      .select($"id".as("centroid_id"), $"vec".as("centroid_vec"))
+    val cb = Similarity.pqCodebooksFromSums(
+      Similarity.pqTrainSumsE6(vecs, "id", "vec", seeds, m = 2))
+    val coarse = vecs.filter($"id" < 2).select($"id".as("centroid_id"),
+      transform($"vec", v => floor(v.cast("double") * 1000000d).cast("long"))
+        .as("centroid_e6"))
+    val out = java.nio.file.Files.createTempDirectory("graft-ivfpq-spec").toString
+    Similarity.buildIvfPqIndex(vecs, "id", "vec", coarse, cb, out)
+    val dirs = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("centroid_id=")).map(_.getName).sorted
+    assert(dirs.toSeq == Seq("centroid_id=0", "centroid_id=1"), dirs.toSeq.toString)
+    // full probe (nprobe = C) must equal the flat ADC scan exactly
+    val q = vecs.select($"id".as("qid"), $"vec".as("qvec"))
+    val full = Similarity.ivfPqTopKE6(out, "id", coarse, cb, q, "qid", "qvec",
+        k = 3, nprobe = 2)
+      .orderBy("query_id", "rank").as[(Long, Long, Long, Int)].collect().toSeq
+    val codes = Similarity.pqEncodeE6(vecs, "id", "vec", cb)
+    val flat = Similarity.pqAdcTopKE6(codes, "id", "codes", cb, q, "qid", "qvec", k = 3)
+      .orderBy("query_id", "rank").as[(Long, Long, Long, Int)].collect().toSeq
+    assert(full == flat, s"full=$full flat=$flat")
+    // single probe from query 0 (cell 0): the only candidate is id 2 —
+    // cell 1 is never even listed (pruning is semantic here, physical
+    // in the PlanShapeSpec twin)
+    val one = Similarity.ivfPqTopKE6(out, "id", coarse, cb,
+        q.filter($"qid" === 0L), "qid", "qvec", k = 3, nprobe = 1)
+      .as[(Long, Long, Long, Int)].collect().toSeq
+    assert(one == Seq((0L, 2L, 1809996200002L, 1)), one.toString)
+    // recall of the composed index at full probe: every query's ADC
+    // top-1 coincides with the exact e6 top-1 on this layout
+    val rec = Similarity.ivfPqRecallE6(vecs, "id", "vec", out, coarse, cb,
+        q, "qid", "qvec", k = 1, nprobe = 2)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(rec == Set((0L, 1L, 1L, 1000000L), (1L, 1L, 1L, 1000000L),
+      (2L, 1L, 1L, 1000000L), (3L, 1L, 1L, 1000000L)), rec.toString)
+  }
+
   test("mmrRerank cosine: scale-invariant penalty picks the orthogonal doc") {
     // id 2's vector is a SCALED copy of id 1's: cosine penalty 1.0
     // regardless of magnitude, so id 3 (orthogonal) ranks second
