@@ -2304,6 +2304,43 @@ object SparkEntry {
         .orderBy("query_id", "id")
     }),
 
+    // ---- streaming entity resolution (round-10 verdict #5): batch 0
+    //      commits the base corpus's gram store + canonical labels;
+    //      batch 1 streams in clones and 80%-truncations whose setsim
+    //      pairs (restricted to new-touching candidates) must merge
+    //      into the COMMITTED components via star-edge re-propagation;
+    //      batch 1 replays to prove the version guard. Emitted table =
+    //      full canonical map, oracled through the proven batch CTE
+    //      chain over the union (both schedules fully converge at 8
+    //      rounds on these star-shaped components)
+    "er_stream" -> ((s, dir) => {
+      import graft.streaming.StreamingOps
+      val base = t(s, dir, "documents").filter(col("doc_id") < 1000)
+        .select(col("doc_id"), col("text"))
+      val clones = base.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val trunc = base.filter(col("doc_id") < 20)
+        .withColumn("_ts", TextFunctions.tokens(col("text")))
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          array_join(slice(col("_ts"), lit(1),
+            greatest(expr("(size(_ts) * 4) div 5"), lit(1)).cast("int")), " ")
+            .as("text"))
+      def pad(df: DataFrame): DataFrame = df.select(
+        lpad(col("doc_id").cast("string"), 8, "0").as("doc_id"), col("text"))
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-er-stream").toString
+      def step(b: DataFrame, id: Long): Unit =
+        StreamingOps.applyErBatch(s, b, id, "doc_id", "text",
+          shingleSize = 3, thresholdPpm = 500000L, lpaRounds = 8,
+          s"$work/state", s"$work/out")
+      step(pad(base), 0L)
+      step(pad(clones.union(trunc)), 1L)
+      step(pad(clones.union(trunc)), 1L) // replay no-op
+      s.read.parquet(s"$work/out/batch=1")
+        .select(col("node"), col("label"), col("is_canonical"))
+        .orderBy("node")
+    }),
+
     // ---- per-group exactly-N sampling ON A STREAM: the stratified
     //      reservoir — per-group bottom-k-by-hash state re-sampled with
     //      each batch; final state equals the batch per-group sample of
@@ -7406,6 +7443,35 @@ object SparkEntry {
          |), $rounds
          |SELECT v AS node, l AS label, (v = l) AS is_canonical
          |FROM l4 ORDER BY node""".stripMargin
+    },
+
+    // the streaming twin replays through the SAME batch chain over the
+    // full union (incremental star-compressed propagation and the flat
+    // 8-round chain both fully converge on these components), with
+    // nodes = EVERY doc (singletons label themselves)
+    "er_stream" -> {
+      val rounds = (1 to 8).map { k =>
+        s"""c$k AS (
+           | SELECT e._d AS v, min(p.l) AS ml
+           | FROM sym e JOIN l${k - 1} p ON p.v = e._s GROUP BY 1
+           |), l$k AS (
+           | SELECT p.v, least(p.l, coalesce(c$k.ml, p.l)) AS l
+           | FROM l${k - 1} p LEFT JOIN c$k ON c$k.v = p.v
+           |)""".stripMargin
+      }.mkString(", ")
+      s"""WITH $setsimChainSql, pe AS (
+         | SELECT lpad(CAST(ida AS VARCHAR), 8, '0') AS a,
+         |        lpad(CAST(idb AS VARCHAR), 8, '0') AS b
+         | FROM pr
+         |), sym AS (
+         | SELECT a AS _s, b AS _d FROM pe UNION SELECT b, a FROM pe
+         |), nodes AS (
+         | SELECT lpad(CAST(doc_id AS VARCHAR), 8, '0') AS v FROM uni
+         |), l0 AS (
+         | SELECT v, v AS l FROM nodes
+         |), $rounds
+         |SELECT v AS node, l AS label, (v = l) AS is_canonical
+         |FROM l8 ORDER BY node""".stripMargin
     },
 
     // the same rank-window semantics replayed with a plain window rank

@@ -103,42 +103,56 @@ object Dedup {
     * Output: `(id_a, id_b)` — id_a ranked before id_b, verified
     * fingerprint-equal.
     *
-    * Scale shape: the global rank over (sortKey, id) rides a two-level
-    * prefix — rows bucket by the key's FIRST character (monotone in
-    * the sort order), per-bucket counts prefix-sum into offsets
-    * (≤ |alphabet| histogram rows), `row_number` runs per bucket — so
-    * no task sorts the corpus. (Unlike [[Sampling.deterministicShuffle]]
-    * the sort key is NOT a hash, so bucket sizes follow the data's
-    * first-char skew; a range-sampled balancer is the production
-    * upgrade if one character dominates.) The windowed self-join is
-    * `window−1` rank-shifted EQUI-joins in one explode — shuffles carry
-    * (pos, id, 8-byte fingerprint), never text.
+    * Scale shape: the global rank over (sortKey, id) rides a RANGE-
+    * SAMPLED two-level prefix — `repartitionByRange` splits the
+    * (sortKey, id) order into `buckets` sampled ranges (ids are unique,
+    * so the composite key is a total order and even a single dominant
+    * key prefix — the `h`-heavy http… shape of real crawl corpora —
+    * splits across buckets instead of funneling into one), each bucket
+    * sorts only its own slice, local positions come from
+    * `monotonically_increasing_id` over the sorted slice, and
+    * per-bucket (count, min-id) stats (≤ `buckets` metadata rows)
+    * prefix-sum into global offsets. No task ever sorts more than
+    * ~n/buckets rows, for ANY key distribution — this replaced the
+    * round-10 first-char bucketing whose sizes followed the data's
+    * first-char skew. The pair output is bucket-invariant (positions
+    * are the same global (sortKey, id) ranks either way). The windowed
+    * self-join is `window−1` rank-shifted EQUI-joins in one explode —
+    * shuffles carry (pos, id, 8-byte fingerprint), never text.
     */
   def sortedNeighborhoodPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
       keyLen: Int,
-      window: Int
+      window: Int,
+      buckets: Int = 256
   ): DataFrame = {
     require(keyLen >= 1, s"sortedNeighborhoodPairs: keyLen must be >= 1, got $keyLen")
     require(window >= 2, s"sortedNeighborhoodPairs: window must be >= 2, got $window")
+    require(buckets >= 1, s"sortedNeighborhoodPairs: buckets must be >= 1, got $buckets")
     val base = df.select(col(idCol).as("_id"),
         normalizeForFingerprint(col(textCol)).as("_nt"))
       .select(col("_id"), xxhash64(col("_nt")).as("_fp"),
         substring(col("_nt"), 1, keyLen).as("_bk"))
-    val withB = base.withColumn("_b", substring(col("_bk"), 1, 1))
+    val parted = base
+      .repartitionByRange(buckets, col("_bk"), col("_id"))
+      .sortWithinPartitions(col("_bk"), col("_id"))
+      .select(col("_id"), col("_fp"),
+        spark_partition_id().as("_p"),
+        monotonically_increasing_id().as("_mid"))
+      .localCheckpoint() // freeze partition ids + local positions
     val w = org.apache.spark.sql.expressions.Window
-    val cnts = withB.groupBy("_b").agg(count(lit(1)).as("_c"))
-    val offs = cnts.withColumn("_off",
-        coalesce(sum(col("_c")).over(w.orderBy("_b")
+    val stats = parted.groupBy(col("_p"))
+      .agg(count(lit(1)).as("_c"), min(col("_mid")).as("_m0"))
+      .withColumn("_off",
+        coalesce(sum(col("_c")).over(w.orderBy("_p")
           .rowsBetween(w.unboundedPreceding, -1)), lit(0L)))
-      .select("_b", "_off")
-    val ranked = withB
-      .withColumn("_rn", row_number().over(
-        w.partitionBy("_b").orderBy(col("_bk"), col("_id"))).cast(LongType))
-      .join(offs, Seq("_b"))
-      .select(col("_id"), col("_fp"), (col("_off") + col("_rn")).as("_pos"))
+      .select("_p", "_m0", "_off")
+    val ranked = parted
+      .join(broadcast(stats), Seq("_p"))
+      .select(col("_id"), col("_fp"),
+        (col("_off") + (col("_mid") - col("_m0")) + lit(1L)).as("_pos"))
       .localCheckpoint()
     val left = ranked.select(col("_id").as("id_a"), col("_fp").as("_fpa"),
         col("_pos").as("_pa"),
@@ -183,13 +197,40 @@ object Dedup {
       s"setSimilarityJoinPairs: shingleSize must be >= 1, got $shingleSize")
     require(thresholdPpm > 0L && thresholdPpm <= 1000000L,
       s"setSimilarityJoinPairs: thresholdPpm must be in (0, 1e6], got $thresholdPpm")
-    val w = org.apache.spark.sql.expressions.Window
     val ds = df.select(col(idCol).as("_id"),
         explode(array_distinct(shingles(col(textCol), shingleSize))).as("_s"))
       .select(col("_id"), xxhash64(col("_s")).as("_g"))
       .distinct()
+    setSimPairsFromGrams(ds, thresholdPpm)
+  }
+
+  /** Gram-level core of [[setSimilarityJoinPairs]]: exact threshold
+    * Jaccard pairs over an `(_id, _g)` distinct-gram table (optionally
+    * `(_id, _g, _new)` — see below). This is the seam the STREAMING
+    * entity-resolution op shares: its committed store IS a gram table,
+    * so the incremental join rides the identical prefix-filter plan
+    * with zero text anywhere.
+    *
+    * When the input carries a `_new BOOLEAN` column, candidate pairs
+    * are restricted to those with AT LEAST ONE new side — the
+    * incremental contract (old×old pairs were already resolved in the
+    * committed labels, so recomputing them is pure waste); the filter
+    * sits on the candidate join's output, before verification, so the
+    * intersect/verify stage only ever sees incremental candidates.
+    */
+  private[graft] def setSimPairsFromGrams(
+      grams: DataFrame,
+      thresholdPpm: Long
+  ): DataFrame = {
+    require(thresholdPpm > 0L && thresholdPpm <= 1000000L,
+      s"setSimPairsFromGrams: thresholdPpm must be in (0, 1e6], got $thresholdPpm")
+    val w = org.apache.spark.sql.expressions.Window
+    val hasNew = grams.columns.contains("_new")
+    val ds = (if (hasNew) grams.select(col("_id"), col("_g"), col("_new"))
+              else grams.select(col("_id"), col("_g"), lit(true).as("_new")))
       .localCheckpoint() // reused: sizes, frequencies, prefix, verify
-    val sizes = ds.groupBy("_id").agg(count(lit(1)).as("_sz"))
+    val sizes = ds.groupBy("_id").agg(count(lit(1)).as("_sz"),
+      max(col("_new")).as("_n"))
     val freq = ds.groupBy("_g").agg(count(lit(1)).as("_df"))
     val pref = ds.join(freq, Seq("_g"))
       .withColumn("_r", row_number().over(
@@ -197,11 +238,13 @@ object Dedup {
       .join(sizes, Seq("_id"))
       .filter(col("_r") <=
         col("_sz") - expr(s"(($thresholdPpm * _sz) + 999999L) div 1000000L") + lit(1L))
-      .select(col("_id"), col("_g"), col("_sz"))
-    val cand = pref.select(col("_g"), col("_id").as("id_a"), col("_sz").as("_sza"))
-      .join(pref.select(col("_g"), col("_id").as("id_b"), col("_sz").as("_szb")),
-        Seq("_g"))
+      .select(col("_id"), col("_g"), col("_sz"), col("_n"))
+    val cand = pref.select(col("_g"), col("_id").as("id_a"),
+        col("_sz").as("_sza"), col("_n").as("_na"))
+      .join(pref.select(col("_g"), col("_id").as("id_b"),
+        col("_sz").as("_szb"), col("_n").as("_nb")), Seq("_g"))
       .filter(col("id_a") < col("id_b") &&
+        (col("_na") || col("_nb")) &&
         lit(thresholdPpm) * greatest(col("_sza"), col("_szb")) <=
           lit(1000000L) * least(col("_sza"), col("_szb")))
       .select("id_a", "id_b").distinct()

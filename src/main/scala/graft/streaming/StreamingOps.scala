@@ -1234,6 +1234,114 @@ object StreamingOps {
     * BATCHES additionally no-op via the version guard). State is
     * ≤ 1024·|groups| rows, metadata-sized at any corpus scale.
     */
+  /** One micro-batch of STREAMING ENTITY RESOLUTION — the continuous
+    * face of the batch setsim → label-propagation pipeline (the
+    * `pipeline_entity_resolution` gate). The versioned state carries
+    * (a) every seen doc's distinct 8-byte shingle-gram hashes and (b)
+    * the committed canonical label table — ids and hashes only, never
+    * text (text is read once, in the batch's own narrow gram
+    * projection). Each batch:
+    *
+    *  1. grams the new docs; ids already in the store are dropped
+    *     (docs are immutable by id — item re-delivery is a no-op, the
+    *     novelty-store convention),
+    *  2. runs the INCREMENTAL exact set-similarity join: the batch
+    *     prefix-filter plan over old ∪ new grams with candidates
+    *     restricted to pairs touching a new doc
+    *     ([[graft.operators.Dedup.setSimPairsFromGrams]]'s `_new`
+    *     contract — resolved old×old pairs are never recomputed),
+    *  3. re-propagates min labels over (new pairs) ∪ (the committed
+    *     labels' node→label STAR edges) — the union-find step: the
+    *     stars compress every prior component to diameter 1, so
+    *     `lpaRounds` only has to cover the new merges,
+    *  4. commits grams ∪ labels as the next version and emits the
+    *     FULL canonical table (`node, label, is_canonical`, singletons
+    *     included with label = self) to `outPath/batch=<id>`.
+    *
+    * After the last batch the emitted table equals the batch pipeline
+    * over all docs, PROVIDED `lpaRounds` fully converges both
+    * schedules (near-dup components are small and star-shaped by
+    * construction; the gate runs 8 rounds over diameter ≤ 2 clusters).
+    * Labels are MIN by STRING order — callers feed order-consistent
+    * ids (the gate lpads).
+    *
+    * Replay: a batch at or below the committed version no-ops (the
+    * gram union would double rows otherwise — the guard is
+    * correctness); a torn commit recomputes against the OLD `_CURRENT`
+    * and overwrites bit-identically.
+    *
+    * Scale shape: per-batch cost = the incremental prefix-filter join
+    * (∝ new docs × matched rare-gram postings) + `lpaRounds` id-only
+    * edge shuffles + one state rewrite. The state rewrite is the
+    * cumulative-store cost the minhash index stream already carries;
+    * at 100 TB both would move to an append-log + compaction layout —
+    * the protocol (version pointer, replay guard) is unchanged by that
+    * swap.
+    */
+  def applyErBatch(
+      spark: SparkSession,
+      batch: DataFrame,
+      batchId: Long,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int,
+      thresholdPpm: Long,
+      lpaRounds: Int,
+      statePath: String,
+      outPath: String
+  ): Unit = {
+    import graft.operators.{Dedup, Graph}
+    import graft.functions.TextFunctions
+    import org.apache.spark.sql.types.{LongType, StringType}
+    currentVersionId(spark, statePath) match {
+      case Some(cur) if cur >= batchId =>
+        log.warn(s"erStream: skipping batch $batchId — state at v$cur " +
+          "already includes it (re-resolving would duplicate gram rows)")
+      case _ =>
+        val newGramsRaw = batch.select(col(idCol).cast(StringType).as("_id"),
+            explode(array_distinct(
+              TextFunctions.shingles(col(textCol), shingleSize))).as("_s"))
+          .select(col("_id"), xxhash64(col("_s")).as("_g"))
+          .distinct()
+        val old = readState(spark, statePath)
+        val oldGrams = old.map(_.filter(col("kind") === "g")
+          .select(col("id").as("_id"), col("g").as("_g")))
+        val oldLabels = old.map(_.filter(col("kind") === "l")
+          .select(col("id").as("node"), col("label")))
+        val newGrams = oldGrams match {
+          case Some(og) => newGramsRaw.join(
+            og.select(col("_id")).distinct(), Seq("_id"), "left_anti")
+          case None => newGramsRaw
+        }
+        val allGrams = (oldGrams match {
+          case Some(og) => og.withColumn("_new", lit(false))
+            .unionByName(newGrams.withColumn("_new", lit(true)))
+          case None => newGrams.withColumn("_new", lit(true))
+        }).localCheckpoint()
+        val pairs = Dedup.setSimPairsFromGrams(allGrams, thresholdPpm)
+          .select(col("id_a").as("_a"), col("id_b").as("_b"))
+        val starEdges = oldLabels.map(_.filter(col("node") =!= col("label"))
+          .select(col("node").as("_a"), col("label").as("_b")))
+        val edges = starEdges.map(pairs.unionByName(_)).getOrElse(pairs)
+        val lpa = Graph.labelPropagationMin(edges, "_a", "_b", lpaRounds)
+        val labels = allGrams.select(col("_id")).distinct()
+          .join(lpa.withColumnRenamed("node", "_id"), Seq("_id"), "left")
+          .select(col("_id").as("node"),
+            coalesce(col("label"), col("_id")).as("label"))
+          .localCheckpoint()
+        val state = allGrams.select(lit("g").as("kind"), col("_id").as("id"),
+            col("_g").as("g"), lit(null).cast(StringType).as("label"))
+          .unionByName(labels.select(lit("l").as("kind"), col("node").as("id"),
+            lit(null).cast(LongType).as("g"), col("label")))
+        val version = s"v$batchId"
+        state.write.mode("overwrite").parquet(s"$statePath/$version")
+        commitVersion(spark, statePath, version, keepFrom = batchId)
+        labels.select(col("node"), col("label"),
+            (col("node") === col("label")).as("is_canonical"))
+          .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+    }
+  }
+
   def applyHllBatch(
       spark: SparkSession,
       batch: DataFrame,

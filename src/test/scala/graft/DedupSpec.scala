@@ -714,4 +714,45 @@ class DedupSpec extends SparkSpec {
       Dedup.sortedNeighborhoodPairs(d, "id", "t", keyLen = 8, window = 1)
     }
   }
+
+  test("sortedNeighborhoodPairs: range balancer bounds partition sizes on an h-heavy corpus; pairs are bucket-invariant") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the real-crawl skew shape: EVERY key starts "http" — first-char
+    // bucketing would funnel all 800 rows into one task
+    val docs = (0L until 800L).map { i =>
+      val body = s"http example page number ${i / 2} content"
+      // punctuation-only difference → identical normalized fingerprints:
+      // 400 planted dup pairs, every sort key starting "http"
+      (i, if (i % 2 == 0) body else body + "!!")
+    }.toDF("id", "t")
+    val got = Dedup.sortedNeighborhoodPairs(docs, "id", "t",
+        keyLen = 24, window = 3, buckets = 8)
+      .as[(Long, Long)].collect().toSet
+    // ground truth: brute-force full sort + window over the same keys
+    import org.apache.spark.sql.expressions.Window
+    val keyed = docs.select(col("id"),
+      graft.functions.TextFunctions.normalizeForFingerprint(col("t")).as("nt"))
+      .select(col("id"), xxhash64(col("nt")).as("fp"),
+        substring(col("nt"), 1, 24).as("bk"))
+      .withColumn("pos", row_number().over(Window.orderBy(col("bk"), col("id"))))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    val brute = (for {
+      (ia, fa, pa) <- keyed; (ib, fb, pb) <- keyed
+      if pb > pa && pb <= pa + 2 && fa == fb
+    } yield (ia, ib)).toSet
+    assert(got == brute, s"got ${got.size} pairs, brute ${brute.size}")
+    assert(got.nonEmpty)
+    // balance: with 8 range buckets over unique (key, id) composites no
+    // bucket holds more than ~2x the even share, despite the shared
+    // first char — the property the first-char design could not give
+    val sizes = docs.select(col("id"),
+        graft.functions.TextFunctions.normalizeForFingerprint(col("t")).as("nt"))
+      .select(col("id"), substring(col("nt"), 1, 24).as("bk"))
+      .repartitionByRange(8, col("bk"), col("id"))
+      .groupBy(spark_partition_id().as("p")).count()
+      .as[(Int, Long)].collect().toMap
+    assert(sizes.values.max <= 2 * 800 / 8,
+      s"range buckets skewed: $sizes")
+  }
 }

@@ -676,6 +676,64 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$work/out/batch=0").count() == 1)
   }
 
+  test("er stream: cross-batch merges, incremental equals batch pipeline, replay + re-delivery no-op") {
+    import graft.operators.{Dedup, Graph}
+    val work = Files.createTempDirectory("graft-er-spec").toString
+    // batch 0: two distinct docs + a clone of doc 1 (in-batch merge)
+    val b0 = Seq(
+      ("00000001", "the quick brown fox jumps over the lazy dog tonight"),
+      ("00000002", "completely different text about spark shuffles and joins here"),
+      ("00000003", "the quick brown fox jumps over the lazy dog tonight")
+    ).toDF("doc_id", "text")
+    // batch 1: a truncation of doc 1 (cross-batch merge into the
+    // committed component) + a fresh singleton
+    val b1 = Seq(
+      ("00000004", "the quick brown fox jumps over the lazy dog"),
+      ("00000005", "unrelated content entirely on its own planet somewhere else")
+    ).toDF("doc_id", "text")
+    def er(b: org.apache.spark.sql.DataFrame, id: Long) =
+      StreamingOps.applyErBatch(spark, b, id, "doc_id", "text",
+        shingleSize = 3, thresholdPpm = 500000L, lpaRounds = 4,
+        s"$work/state", s"$work/out")
+    er(b0, 0L)
+    val after0 = spark.read.parquet(s"$work/out/batch=0")
+      .as[(String, String, Boolean)].collect().toSet
+    assert(after0 == Set(
+      ("00000001", "00000001", true), ("00000002", "00000002", true),
+      ("00000003", "00000001", false)), after0.toString)
+    er(b1, 1L)
+    val after1 = spark.read.parquet(s"$work/out/batch=1")
+      .as[(String, String, Boolean)].collect().toSet
+    // streaming result equals the batch pipeline over ALL docs
+    val full = b0.unionByName(b1)
+    val pairs = Dedup.setSimilarityJoinPairs(full, "doc_id", "text", 3, 500000L)
+      .select(col("id_a").as("a"), col("id_b").as("b"))
+    val batchLpa = Graph.labelPropagationMin(pairs, "a", "b", rounds = 4)
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    val expect = full.select("doc_id").as[String].collect().toSet.map { id: String =>
+      val l = batchLpa.getOrElse(id, id)
+      (id, l, id == l)
+    }
+    assert(after1 == expect, s"stream=$after1 batch=$expect")
+    // the truncation really did merge cross-batch
+    assert(after1.contains(("00000004", "00000001", false)), after1.toString)
+    // batch replay no-ops (state not doubled, output unchanged)
+    er(b1, 1L)
+    val replayed = spark.read.parquet(s"$work/out/batch=1")
+      .as[(String, String, Boolean)].collect().toSet
+    assert(replayed == after1)
+    // item re-delivery in a LATER batch: known id drops, nothing moves
+    er(b1.filter(col("doc_id") === "00000004"), 2L)
+    val after2 = spark.read.parquet(s"$work/out/batch=2")
+      .as[(String, String, Boolean)].collect().toSet
+    assert(after2 == after1, s"re-delivery moved labels: $after2")
+    val gramRows = StreamingOps.readState(spark, s"$work/state").get
+      .filter(col("kind") === "g").groupBy("id").count()
+      .as[(String, Long)].collect().toMap
+    // doc 4's grams stored once despite the re-delivery
+    assert(gramRows.keySet.size == 5)
+  }
+
   test("novelty stream: store accumulates forever, re-crawl scores zero, replay no-ops") {
     val work = Files.createTempDirectory("graft-novelty-spec").toString
     val b0 = Seq((1L, "p q r s")).toDF("id", "text")      // 3-grams: {p q r, q r s}
