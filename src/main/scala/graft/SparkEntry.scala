@@ -2341,6 +2341,27 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    // ---- streaming exact quantiles: cumulative value-histogram state,
+    //      per-batch merge + distributed selection over histogram rows;
+    //      after the final batch the emitted percentiles equal the
+    //      batch operator (and DuckDB quantile_cont) over everything
+    //      ingested — batch 1 replays to prove the no-op guard
+    "quantile_stream" -> ((s, dir) => {
+      import graft.streaming.StreamingOps
+      val d = t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-quant-stream").toString
+      def step(pred: Column, b: Long): Unit =
+        StreamingOps.applyQuantileBatch(s, d.filter(pred), b, "n_chars",
+          Seq(0.25, 0.5, 0.75, 0.9), s"$work/state", s"$work/out")
+      step(col("doc_id") < 300, 0L)
+      step(col("doc_id") >= 300, 1L)
+      step(col("doc_id") >= 300, 1L)
+      s.read.parquet(s"$work/out/batch=1")
+        .select(col("prob"), col("value"), col("n"))
+        .orderBy("prob")
+    }),
+
     // ---- per-group exactly-N sampling ON A STREAM: the stratified
     //      reservoir — per-group bottom-k-by-hash state re-sampled with
     //      each batch; final state equals the batch per-group sample of
@@ -3362,6 +3383,22 @@ object SparkEntry {
         lpad(col("doc_id").cast("string"), 6, "0").as("src"),
         lpad((col("doc_id") + 1).cast("string"), 6, "0").as("dst"))
       graft.operators.Graph.labelPropagationMin(e, "src", "dst", rounds = 2)
+        .orderBy("node")
+    }),
+
+    // ---- exact connected components: 16-node doc-id chains (diameter
+    //      15 — deep enough that the bounded-round LPA gate above could
+    //      not merge them) via convergence-checked min propagation with
+    //      pointer jumping; the converged labeling is the per-component
+    //      minimum, a pure graph property, so the oracle computes it in
+    //      closed form from the chain structure
+    "connected_components" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"))
+        .filter(col("doc_id") % 20 < 15)
+      val e = d.select(
+        lpad(col("doc_id").cast("string"), 6, "0").as("src"),
+        lpad((col("doc_id") + 1).cast("string"), 6, "0").as("dst"))
+      graft.operators.Graph.connectedComponentsMin(e, "src", "dst")
         .orderBy("node")
     }),
 
@@ -6324,6 +6361,22 @@ object SparkEntry {
         |QUALIFY row_number() OVER (ORDER BY hs DESC, doc_id DESC) <= 150
         |ORDER BY doc_id""".stripMargin,
 
+    // quantile_cont over the full quantized prefix — the identical
+    // (n−1)·p interpolation the profile family already pins across
+    // engines; n rides every row
+    "quantile_stream" ->
+      """WITH v AS (
+        | SELECT CAST(n_chars AS BIGINT) AS x FROM documents
+        | WHERE n_chars IS NOT NULL
+        |), q AS (
+        | SELECT CAST(0.25 AS DOUBLE) AS prob, quantile_cont(x, 0.25) AS value FROM v
+        | UNION ALL SELECT CAST(0.5 AS DOUBLE), quantile_cont(x, 0.5) FROM v
+        | UNION ALL SELECT CAST(0.75 AS DOUBLE), quantile_cont(x, 0.75) FROM v
+        | UNION ALL SELECT CAST(0.9 AS DOUBLE), quantile_cont(x, 0.9) FROM v
+        |)
+        |SELECT q.prob, q.value, (SELECT CAST(count(*) AS BIGINT) FROM v) AS n
+        |FROM q ORDER BY prob""".stripMargin,
+
     // full-overlap verification at identical signatures ⇔ identical
     // normalized text (the dedup_minhash oracle convention): the index
     // lookup reduces to the exact text-equality join
@@ -8487,6 +8540,20 @@ object SparkEntry {
         |)
         |SELECT lpad(CAST(v AS VARCHAR), 6, '0') AS node,
         | lpad(CAST(greatest(v - (v % 10), v - 2) AS VARCHAR), 6, '0') AS label
+        |FROM nodes ORDER BY node""".stripMargin,
+
+    // the converged labeling is the per-component minimum — a closed
+    // form on the 20-block chain fixture (block k = ids 20k..20k+15,
+    // min 20k); convergence makes the schedule irrelevant, so no
+    // round-unrolling is needed
+    "connected_components" ->
+      """WITH ids AS (
+        | SELECT CAST(doc_id AS BIGINT) AS i FROM documents WHERE doc_id % 20 < 15
+        |), nodes AS (
+        | SELECT DISTINCT v FROM (SELECT i AS v FROM ids UNION ALL SELECT i + 1 FROM ids)
+        |)
+        |SELECT lpad(CAST(v AS VARCHAR), 6, '0') AS node,
+        | lpad(CAST((v // 20) * 20 AS VARCHAR), 6, '0') AS label
         |FROM nodes ORDER BY node""".stripMargin,
 
     // the three proven centrality chains joined as subqueries

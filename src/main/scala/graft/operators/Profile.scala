@@ -485,13 +485,34 @@ object Profile {
       probs: Seq[Double],
       buckets: Int,
       directThreshold: Long
+  ): Option[Seq[Double]] =
+    exactPercentilesFromHistogram(
+      df.select(col(colName).cast(DoubleType).as("v"))
+        .filter(col("v").isNotNull)
+        .groupBy(col("v")).agg(count(lit(1)).as("cnt")),
+      probs, buckets, directThreshold)
+
+  /** [[exactPercentiles]] when the data is ALREADY a value histogram
+    * `(v, cnt)` — the entry point the STREAMING quantile monitor
+    * shares: its versioned state is exactly such a histogram, so each
+    * batch pays the distributed selection over histogram rows and
+    * never re-sees the value stream. Same interpolation arithmetic
+    * bit-for-bit ([[interpolateRanks]]); rows with null v or cnt ≤ 0
+    * are ignored; duplicate values sum.
+    */
+  def exactPercentilesFromHistogram(
+      hist: DataFrame,
+      probs: Seq[Double],
+      buckets: Int = 1024,
+      directThreshold: Long = 1L << 16
   ): Option[Seq[Double]] = {
-    val hist = df
-      .select(lit("c").as("g"), col(colName).cast(DoubleType).as("v"))
-      .filter(col("v").isNotNull)
-      .groupBy(col("g"), col("v")).agg(count(lit(1)).as("cnt"))
+    val h = hist
+      .select(lit("c").as("g"), col("v").cast(DoubleType).as("v"),
+        col("cnt").cast(LongType).as("cnt"))
+      .filter(col("v").isNotNull && col("cnt") > 0L)
+      .groupBy(col("g"), col("v")).agg(sum(col("cnt")).as("cnt"))
       .localCheckpoint()
-    val m = hist
+    val m = h
       .agg(sum(col("cnt")).as("n"), count(lit(1)).as("d"),
         min(col("v")).as("mn"), max(col("v")).as("mx"))
       .collect()(0)
@@ -499,7 +520,7 @@ object Profile {
     else {
       val n = m.getLong(0)
       val stats = Map("c" -> GroupStats(n, m.getLong(1), m.getDouble(2), m.getDouble(3)))
-      val sel = groupedOrderStats(hist, stats,
+      val sel = groupedOrderStats(h, stats,
         Map("c" -> ranksFor(n, probs)), buckets, directThreshold)
       Some(interpolateRanks(n, probs, rk => sel(("c", rk))))
     }

@@ -903,6 +903,74 @@ object StreamingOps {
     }
   }
 
+  /** One micro-batch of STREAMING EXACT QUANTILES — the continuous
+    * face of [[graft.operators.Profile.exactPercentiles]]: the
+    * versioned state is the cumulative VALUE HISTOGRAM (integer
+    * measures by contract — quantize first; never rows), each batch
+    * sum-merges its own histogram in, commits the merged table as the
+    * next version, and emits the CURRENT exact percentiles of
+    * everything ingested to `outPath/batch=<id>` as one `(prob,
+    * value, n)` row per requested probability. After any prefix the
+    * emitted values equal the batch operator over the union — the
+    * identical [[graft.operators.Profile.interpolateRanks]]
+    * arithmetic runs over the merged histogram
+    * ([[graft.operators.Profile.exactPercentilesFromHistogram]]), so
+    * DuckDB's `quantile_cont` reproduces every decimal.
+    *
+    * Replay idempotence: a batch at or below the committed version
+    * no-ops (re-merging would double-count — the guard is
+    * correctness); a torn commit recomputes against the OLD state and
+    * overwrites bit-identically.
+    *
+    * Scale shape: state is histogram rows (≤ distinct quantized
+    * values), each batch pays one map-side-combined histogram
+    * aggregate over its own rows plus distributed selection over
+    * HISTOGRAM rows — no stage ever holds the value stream.
+    */
+  def applyQuantileBatch(
+      spark: SparkSession,
+      batch: DataFrame,
+      batchId: Long,
+      valueCol: String,
+      probs: Seq[Double],
+      statePath: String,
+      outPath: String
+  ): Unit = {
+    import graft.operators.Profile
+    require(probs.nonEmpty && probs.forall(p => p >= 0d && p <= 1d),
+      s"quantileStream: probs must be in [0, 1], got $probs")
+    currentVersionId(spark, statePath) match {
+      case Some(cur) if cur >= batchId =>
+        log.warn(s"quantileStream: skipping batch $batchId — state at " +
+          s"v$cur already includes it (merging again would double-count)")
+      case _ =>
+        val own = batch
+          .select(col(valueCol).cast("long").as("v"))
+          .filter(col("v").isNotNull)
+          .groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+        val merged = (readState(spark, statePath) match {
+          case Some(st) => st.unionByName(own)
+          case None => own
+        }).groupBy(col("v")).agg(sum(col("cnt")).as("cnt"))
+          .localCheckpoint()
+        val n = merged.agg(coalesce(sum(col("cnt")), lit(0L)))
+          .collect()(0).getLong(0)
+        val version = s"v$batchId"
+        merged.write.mode("overwrite").parquet(s"$statePath/$version")
+        commitVersion(spark, statePath, version, keepFrom = batchId)
+        // an empty prefix has UNDEFINED quantiles: emit zero rows (the
+        // batch operator's Option.None face), never NaN placeholders
+        val rows = Profile.exactPercentilesFromHistogram(merged, probs) match {
+          case Some(vals) => probs.zip(vals).map { case (p, v) => (p, v, n) }
+          case None => Seq.empty[(Double, Double, Long)]
+        }
+        import spark.implicits._
+        rows.toDF("prob", "value", "n")
+          .coalesce(1)
+          .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+    }
+  }
+
   /** One micro-batch of STREAMING changepoint monitoring — the
     * continuous face of
     * [[graft.operators.ImportanceScoring.cusumChangepoint]]: versioned

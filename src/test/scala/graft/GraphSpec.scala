@@ -69,6 +69,33 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("connectedComponentsMin: exact on long chains where bounded LPA under-merges; converges in O(log d); refusal pinned") {
+    // one 16-node chain (diameter 15), one triangle, one isolated self-loop
+    val chain = (0 until 15).map(i => (f"c$i%02d", f"c${i + 1}%02d"))
+    val tri = Seq(("t1", "t2"), ("t2", "t3"), ("t3", "t1"), ("z9", "z9"))
+    val edges = (chain ++ tri).toDF("src", "dst")
+    val got = Graph.connectedComponentsMin(edges, "src", "dst")
+      .as[(String, String)].collect().toMap
+    val expect = (0 to 15).map(i => f"c$i%02d" -> "c00").toMap ++
+      Map("t1" -> "t1", "t2" -> "t1", "t3" -> "t1", "z9" -> "z9")
+    assert(got == expect, s"got=$got")
+    // bounded LPA at 4 rounds UNDER-merges the same chain — the gap
+    // this operator exists to close
+    val lpa4 = Graph.labelPropagationMin(edges, "src", "dst", rounds = 4)
+      .as[(String, String)].collect().toMap
+    assert(lpa4("c15") != "c00", lpa4.toString)
+    // pointer jumping: diameter 15 must converge within ~log2 rounds +
+    // slack — 6 rounds suffice where plain propagation needs 15
+    val fast = Graph.connectedComponentsMin(edges, "src", "dst", maxRounds = 6)
+      .as[(String, String)].collect().toMap
+    assert(fast == expect)
+    // the non-convergence refusal is loud and names the remedy
+    val e = intercept[IllegalArgumentException] {
+      Graph.connectedComponentsMin(edges, "src", "dst", maxRounds = 1)
+    }
+    assert(e.getMessage.contains("still moving"), e.getMessage)
+  }
+
   test("harmonicCentralityScaled: frontier tripwire refuses a dense graph loudly instead of OOMing") {
     // K5 (complete digraph, 20 pairs at level 1) against a 10-pair cap:
     // the level-1 count trips before any deeper join is launched

@@ -652,6 +652,38 @@ class StreamingSpec extends SparkSpec {
     assert(got == Seq((2L, 2L, 500000L, 5000000L)), got.toString)
   }
 
+  test("quantile stream: histogram state merges per batch, percentiles equal the batch operator, replay no-ops, empty prefix emits no rows") {
+    import graft.operators.Profile
+    val work = Files.createTempDirectory("graft-quant-spec").toString
+    val probs = Seq(0.25, 0.5, 0.75)
+    def step(b: org.apache.spark.sql.DataFrame, id: Long) =
+      StreamingOps.applyQuantileBatch(spark, b, id, "v", probs,
+        s"$work/state", s"$work/out")
+    // empty first batch: quantiles undefined → zero rows, state commits
+    step(Seq(Option.empty[java.lang.Long]).toDF("v"), 0L)
+    assert(spark.read.parquet(s"$work/out/batch=0").count() == 0)
+    step(Seq(1L, 2L, 3L, 4L).toDF("v"), 1L)
+    val b1 = spark.read.parquet(s"$work/out/batch=1")
+      .as[(Double, Double, Long)].collect().sortBy(_._1).toSeq
+    assert(b1 == Seq((0.25, 1.75, 4L), (0.5, 2.5, 4L), (0.75, 3.25, 4L)), b1.toString)
+    step(Seq(5L, 6L, 7L, 8L).toDF("v"), 2L)
+    val b2 = spark.read.parquet(s"$work/out/batch=2")
+      .as[(Double, Double, Long)].collect().sortBy(_._1).toSeq
+    // equals the batch operator over the full prefix, decimal for decimal
+    val batchForm = Profile.exactPercentiles(
+      (1L to 8L).toDF("v"), "v", probs).get
+    assert(b2.map(_._2) == batchForm, s"stream=$b2 batch=$batchForm")
+    assert(b2.forall(_._3 == 8L))
+    // replay: merging batch 2 again would double-count — must no-op
+    step(Seq(5L, 6L, 7L, 8L).toDF("v"), 2L)
+    val replayed = spark.read.parquet(s"$work/out/batch=2")
+      .as[(Double, Double, Long)].collect().sortBy(_._1).toSeq
+    assert(replayed == b2)
+    val state = StreamingOps.readState(spark, s"$work/state").get
+      .as[(Long, Long)].collect().toMap
+    assert(state == (1L to 8L).map(_ -> 1L).toMap, state.toString)
+  }
+
   test("changepoint stream: count state merges per batch; replay never double-counts; final equals batch") {
     import graft.operators.ImportanceScoring
     val work = Files.createTempDirectory("graft-cpt-spec").toString
