@@ -306,8 +306,8 @@ object SparkEntry {
     * against the trained codebooks (`ed`→`ew`→`pcodes`) — every value
     * exact BIGINT, (dist, cid) tie-breaks matching the Spark kernel.
     */
-  private val pqChainSql: String =
-    """e AS (
+  private def pqChainSqlTrainWhere(trainWhere: String): String =
+    s"""e AS (
       | SELECT vec_id,
       |  list_transform(embedding,
       |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS a
@@ -324,6 +324,7 @@ object SparkEntry {
       |  list_sum(list_transform(range(1, 17),
       |    i -> (s.sv[i] - sd.cv[i]) * (s.sv[i] - sd.cv[i]))) AS dist
       | FROM sub s JOIN sd ON sd.j = s.j
+      | WHERE $trainWhere
       |), pw AS (
       | SELECT vec_id, j, cid,
       |  row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, cid) AS rn
@@ -356,6 +357,8 @@ object SparkEntry {
       | SELECT vec_id, j, cid FROM ew WHERE rn = 1
       |)""".stripMargin
 
+  private val pqChainSql: String = pqChainSqlTrainWhere("TRUE")
+
   /** IVF-PQ extension of [[pqChainSql]]: coarse cells = the raw e6
     * seeds (`cc`), full-dim coarse distances (`cd`), corpus cell
     * assignment (`casg`), per-query probe set of depth `nprobe`
@@ -365,8 +368,8 @@ object SparkEntry {
     * [[graft.operators.Similarity.ivfPqTopKE6]], every value BIGINT
     * with (dist, id) ties.
     */
-  private def ivfPqChainSql(nprobe: Int): String =
-    pqChainSql + "," + s"""
+  private def ivfPqChainSql(nprobe: Int, trainWhere: String = "TRUE"): String =
+    pqChainSqlTrainWhere(trainWhere) + "," + s"""
       | cc AS (
       | SELECT vec_id AS ccid, a AS ccv FROM e WHERE vec_id < 4
       |), cd AS (
@@ -2000,6 +2003,17 @@ object SparkEntry {
         .orderBy("vec_id", "pos")
     }),
 
+    // ---- vocabulary growth curve (Heaps-law diagnostic): distinct
+    //      terms + total tokens after each id-prefix, in ONE tokenize
+    //      pass (terms reduce to first-seen id, checkpoints fold as
+    //      literals) — a flattening curve says the tail is re-crawls
+    "vocab_growth" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      Vocab.vocabGrowthCurve(d, "doc_id", "text",
+          Seq(50L, 100L, 200L, 400L))
+        .orderBy("prefix_lt")
+    }),
+
     // ---- corpus token frequencies: the canonical wordcount with a
     //      deterministic top-N cut (freq desc, token asc)
     "token_frequencies" -> ((s, dir) => {
@@ -2339,6 +2353,31 @@ object SparkEntry {
       s.read.parquet(s"$work/out/batch=1")
         .select(col("node"), col("label"), col("is_canonical"))
         .orderBy("node")
+    }),
+
+    // ---- streaming IVF-PQ index: batch 0 trains + freezes cells (e6
+    //      of the 4 smallest-id vectors) and PQ codebooks (one exact
+    //      k-means step over batch 0 only); batch 1 encodes narrowly
+    //      and appends; batch 1 replays to prove the guard; the query
+    //      rides the committed cell-partitioned codes through the
+    //      physically-pruned probe. Oracle = the IVF-PQ CTE chain with
+    //      codebook training RESTRICTED to the batch-0 prefix
+    "ann_ivfpq_stream" -> ((s, dir) => {
+      import graft.streaming.StreamingOps
+      val emb = t(s, dir, "embeddings")
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-ivfpq-stream-gate").toString
+      def step(pred: Column, b: Long): Unit =
+        StreamingOps.applyIvfPqIndexBatch(s, emb.filter(pred), b,
+          "vec_id", "embedding", c = 4, m = 4, s"$work/state")
+      step(col("vec_id") < 300, 0L)
+      step(col("vec_id") >= 300, 1L)
+      step(col("vec_id") >= 300, 1L)
+      val q = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      StreamingOps.queryIvfPqIndex(s, s"$work/state", q, "qid", "qvec",
+          "vec_id", k = 10, nprobe = 2)
+        .orderBy("query_id", "rank")
     }),
 
     // ---- streaming exact quantiles: cumulative value-histogram state,
@@ -6361,6 +6400,17 @@ object SparkEntry {
         |QUALIFY row_number() OVER (ORDER BY hs DESC, doc_id DESC) <= 150
         |ORDER BY doc_id""".stripMargin,
 
+    // the same composed chain with codebook training RESTRICTED to the
+    // batch-0 prefix (vec_id < 300) — frozen-artifact semantics replayed;
+    // coarse cells and the encode/probe stages still cover everything
+    "ann_ivfpq_stream" ->
+      s"""WITH ${ivfPqChainSql(2, "s.vec_id < 300")}
+         |SELECT qid AS query_id, nid AS neighbor_id, adist,
+         | CAST(row_number() OVER (PARTITION BY qid ORDER BY adist, nid) AS INT) AS rank
+         |FROM sc
+         |QUALIFY rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
+
     // quantile_cont over the full quantized prefix — the identical
     // (n−1)·p interpolation the profile family already pins across
     // engines; n rides every row
@@ -7022,6 +7072,21 @@ object SparkEntry {
         |SELECT vec_id, CAST(p - 1 AS INTEGER) AS pos, CAST(qs[p] AS INTEGER) AS q,
         |       "offset", scale
         |FROM x ORDER BY vec_id, pos""".stripMargin,
+
+    // correlated prefix counts over the same whitespace-token rule —
+    // the K-pass form the operator's first-seen reduction avoids
+    "vocab_growth" ->
+      """WITH tok AS (
+        | SELECT CAST(doc_id AS BIGINT) AS id,
+        |  unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '')) AS t
+        | FROM documents
+        |), cps AS (
+        | SELECT unnest([50, 100, 200, 400]) AS c
+        |)
+        |SELECT CAST(c AS BIGINT) AS prefix_lt,
+        | (SELECT CAST(count(DISTINCT t) AS BIGINT) FROM tok WHERE id < c) AS distinct_terms,
+        | (SELECT CAST(count(*) AS BIGINT) FROM tok WHERE id < c) AS total_tokens
+        |FROM cps ORDER BY prefix_lt""".stripMargin,
 
     "token_frequencies" ->
       """SELECT token, CAST(count(*) AS BIGINT) AS freq

@@ -879,12 +879,27 @@ object Similarity {
       centroidsE6: DataFrame, // (centroid_id, centroid_e6) coarse cells
       codebooks: DataFrame,   // (sub_id, code_id, centroid_e6)
       path: String
-  ): Unit = {
+  ): Unit =
+    ivfPqEncode(corpus, corpusId, corpusVec, centroidsE6, codebooks)
+      .write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+
+  /** The [[buildIvfPqIndex]] projection without the write — ONE narrow
+    * pass from `(<id>, vector)` to `(<id>, codes, centroid_id)`; the
+    * seam the STREAMING index maintenance shares (each batch encodes
+    * its own rows against the frozen artifacts and appends).
+    */
+  def ivfPqEncode(
+      corpus: DataFrame,
+      corpusId: String,
+      corpusVec: String,
+      centroidsE6: DataFrame,
+      codebooks: DataFrame
+  ): DataFrame = {
     import org.apache.spark.sql.graft.ColumnBridge
     val (m, subdim, subCents) = collectCodebooks(codebooks)
     val (cids, cmat, cdim) = collectE6Whole(centroidsE6)
     require(cdim == m * subdim,
-      s"buildIvfPqIndex: coarse dim $cdim != codebook dim ${m * subdim}")
+      s"ivfPqEncode: coarse dim $cdim != codebook dim ${m * subdim}")
     val corp = corpus.select(col(corpusId), toE6(col(corpusVec)).as("_a"))
       .filter(size(col("_a")) === cdim)
     val codes = array((0 until m).map { j =>
@@ -896,7 +911,6 @@ object Similarity {
     val cell = ColumnBridge.column(graft.plans.NearestCentroidE6(
       ColumnBridge.expression(col("_a")), cids, cmat, cdim))
     corp.select(col(corpusId), codes.as("codes"), cell.as("centroid_id"))
-      .write.mode("overwrite").partitionBy("centroid_id").parquet(path)
   }
 
   /** IVF-PQ top-k over a [[buildIvfPqIndex]] index: each query probes

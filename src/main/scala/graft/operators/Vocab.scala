@@ -320,6 +320,52 @@ object Vocab {
           .as("coverage_ppm"))
   }
 
+  /** Vocabulary GROWTH curve — distinct-term count after each corpus
+    * prefix (crawl order by `idCol`): the Heaps-law diagnostic of a
+    * training mix. A healthy diverse corpus keeps discovering terms
+    * (sublinear but unbounded growth); a curve that flattens early
+    * says the tail is re-crawls and boilerplate — the corpus-level
+    * complement of the per-doc [[ngramNovelty]] signal. Checkpoints
+    * are id thresholds (`prefix` = docs with id < c); output one row
+    * per checkpoint: `(prefix_lt, distinct_terms, total_tokens)` —
+    * both counts exact.
+    *
+    * Scale shape: ONE tokenize pass, whatever the checkpoint count —
+    * each term reduces to its FIRST-SEEN id (map-side-combined `min`)
+    * and each checkpoint's distinct count is the number of terms whose
+    * first-seen id clears it, folded as a histogram over the
+    * checkpoint LITERALS (≤ |checkpoints| rows after the term
+    * reduction); token totals ride the same pass as per-doc counts.
+    * The naive K-pass `countDistinct` per prefix never happens.
+    */
+  def vocabGrowthCurve(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      checkpoints: Seq[Long]
+  ): DataFrame = {
+    require(checkpoints.nonEmpty && checkpoints.forall(_ > 0),
+      s"vocabGrowthCurve: checkpoints must be positive, got $checkpoints")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val cps = checkpoints.distinct.sorted
+    val toks = docs
+      .select(col(idCol).cast(LongType).as("_id"),
+        explode(TextFunctions.tokens(lower(col(textCol)))).as("_t"))
+      .filter(col("_id").isNotNull)
+    val firstSeen = toks.groupBy(col("_t")).agg(min(col("_id")).as("_fs"))
+    val perDocTokens = toks.groupBy(col("_id")).agg(count(lit(1)).as("_n"))
+    val cpDf = cps.toDF("prefix_lt")
+    val terms = cpDf.join(firstSeen, col("_fs") < col("prefix_lt"), "left")
+      .groupBy("prefix_lt")
+      .agg(count(col("_t")).as("distinct_terms"))
+    val totals = cpDf.join(perDocTokens, col("_id") < col("prefix_lt"), "left")
+      .groupBy("prefix_lt")
+      .agg(coalesce(sum(col("_n")), lit(0L)).as("total_tokens"))
+    terms.join(totals, Seq("prefix_lt"))
+      .select(col("prefix_lt"), col("distinct_terms"), col("total_tokens"))
+  }
+
   /** N-gram NOVELTY per document — what fraction of a doc's distinct
     * word n-grams appear in NO earlier doc (crawl order by `idCol`):
     * the "new information rate" curation signal. A re-crawl or

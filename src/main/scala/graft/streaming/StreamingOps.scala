@@ -1564,6 +1564,116 @@ object StreamingOps {
       post, idCol, vecCol, cents, queries, queryId, queryVec, k, nprobe)
   }
 
+  /** One micro-batch of STREAMING IVF-PQ index maintenance — the
+    * composed-index sibling of [[applyAnnIndexBatch]], maintaining the
+    * [[graft.operators.Similarity.buildIvfPqIndex]] layout
+    * continuously. Batch 0 trains and FREEZES the two model artifacts
+    * from its own rows — coarse cells = the e6 vectors of the `c`
+    * SMALLEST-id rows (deterministic, engine-replayable seeding) and
+    * PQ codebooks = one exact k-means step per subspace over batch 0
+    * against those seeds — so every later batch encodes against
+    * identical artifacts (the drift-reference protocol; replays
+    * no-op). Each batch then runs the ONE-pass narrow encode
+    * ([[graft.operators.Similarity.ivfPqEncode]]: m subspace argmins +
+    * the coarse argmin, m bytes of payload per vector, floats never
+    * stored) and commits old ∪ new codes as the next version, WRITTEN
+    * PARTITIONED BY CELL so the committed version serves
+    * [[queryIvfPqIndex]]'s physically-pruned probe directly.
+    *
+    * Appends are append-only — re-ingested ids are the caller's to
+    * dedup (compose with [[applyDedupBatch]], the
+    * [[applyAnnIndexBatch]] contract). The versioned rewrite is the
+    * cumulative-store trade every index stream here makes; a
+    * Delta/Iceberg append swaps in at real scale without touching the
+    * protocol.
+    */
+  def applyIvfPqIndexBatch(
+      spark: SparkSession,
+      batch: DataFrame,
+      batchId: Long,
+      idCol: String,
+      vecCol: String,
+      c: Int,
+      m: Int,
+      statePath: String
+  ): Unit = {
+    import graft.operators.Similarity
+    require(c >= 1, s"ivfPqIndexStream: c must be >= 1, got $c")
+    require(m >= 1, s"ivfPqIndexStream: m must be >= 1, got $m")
+    val cellsPath = s"$statePath/cells"
+    val cbPath = s"$statePath/codebooks"
+    val codesPath = s"$statePath/codes"
+    currentVersionId(spark, codesPath) match {
+      case Some(cur) if cur >= batchId =>
+        log.warn(s"ivfPqIndexStream: skipping batch $batchId — codes at " +
+          s"v$cur already include it")
+      case _ =>
+        if (currentVersionId(spark, cellsPath).isEmpty) {
+          require(batchId == 0L,
+            s"ivfPqIndexStream: no committed artifacts at batch $batchId — batch 0 trains them")
+          val seeds = batch
+            .select(col(idCol).as("centroid_id"), col(vecCol).as("centroid_vec"))
+            .orderBy(col("centroid_id")).limit(c)
+          val cells = seeds.select(col("centroid_id"),
+            transform(col("centroid_vec"),
+              v => floor(v.cast("double") * 1000000d).cast("long"))
+              .as("centroid_e6"))
+          val cb = Similarity.pqCodebooksFromSums(
+            Similarity.pqTrainSumsE6(batch, idCol, vecCol, seeds, m))
+          cells.write.mode("overwrite").parquet(s"$cellsPath/v0")
+          commitVersion(spark, cellsPath, "v0", keepFrom = 0L)
+          cb.write.mode("overwrite").parquet(s"$cbPath/v0")
+          commitVersion(spark, cbPath, "v0", keepFrom = 0L)
+        }
+        val cells = readState(spark, cellsPath).getOrElse(
+          sys.error(s"ivfPqIndexStream: _CURRENT exists but no cells at $cellsPath"))
+        val cb = readState(spark, cbPath).getOrElse(
+          sys.error(s"ivfPqIndexStream: _CURRENT exists but no codebooks at $cbPath"))
+        val encoded = Similarity.ivfPqEncode(
+          batch.select(col(idCol), col(vecCol)), idCol, vecCol, cells, cb)
+        val merged = (currentVersionId(spark, codesPath) match {
+          // partition-dir values read back as the inferred type;
+          // normalize to the encoder's BIGINT before the union
+          case Some(v) => spark.read.parquet(s"$codesPath/v$v")
+            .withColumn("centroid_id",
+              col("centroid_id").cast(org.apache.spark.sql.types.LongType))
+            .unionByName(encoded)
+          case None => encoded
+        }).localCheckpoint()
+        val version = s"v$batchId"
+        merged.write.mode("overwrite").partitionBy("centroid_id")
+          .parquet(s"$codesPath/$version")
+        commitVersion(spark, codesPath, version, keepFrom = batchId - 1)
+    }
+  }
+
+  /** ADC top-k against the COMMITTED streaming IVF-PQ index
+    * ([[applyIvfPqIndexBatch]]) — frozen cells + codebooks, latest
+    * codes version, served through the physically-pruned
+    * [[graft.operators.Similarity.ivfPqTopKE6]] probe (the committed
+    * version directory IS the cell-partitioned layout).
+    */
+  def queryIvfPqIndex(
+      spark: SparkSession,
+      statePath: String,
+      queries: DataFrame,
+      queryId: String,
+      queryVec: String,
+      idCol: String,
+      k: Int,
+      nprobe: Int
+  ): DataFrame = {
+    val cells = readState(spark, s"$statePath/cells").getOrElse(
+      sys.error(s"queryIvfPqIndex: no committed cells under $statePath"))
+    val cb = readState(spark, s"$statePath/codebooks").getOrElse(
+      sys.error(s"queryIvfPqIndex: no committed codebooks under $statePath"))
+    val curId = currentVersionId(spark, s"$statePath/codes").getOrElse(
+      sys.error(s"queryIvfPqIndex: no committed codes under $statePath"))
+    graft.operators.Similarity.ivfPqTopKE6(
+      s"$statePath/codes/v$curId", idCol, cells, cb,
+      queries, queryId, queryVec, k, nprobe)
+  }
+
   /** One micro-batch of event-time WINDOWED COUNTS under an explicit
     * watermark — the deterministic replay of Spark's
     * `withWatermark(...).groupBy(window(...))` semantics, factored as a

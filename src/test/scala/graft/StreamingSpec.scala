@@ -652,6 +652,50 @@ class StreamingSpec extends SparkSpec {
     assert(got == Seq((2L, 2L, 500000L, 5000000L)), got.toString)
   }
 
+  test("ivfpq index stream: batch 0 freezes cells+codebooks, appends encode narrowly, query equals flat ADC with batch-0 artifacts, replay no-ops") {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.functions._
+    val work = Files.createTempDirectory("graft-ivfpq-stream-spec").toString
+    val all = Seq(
+      (0L, Array(0.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 1.0f, 1.0f, 1.0f)),
+      (2L, Array(0.1f, 0.1f, 0.9f, 0.9f)),
+      (3L, Array(0.9f, 1.1f, 0.1f, 0.0f))
+    ).toDF("id", "vec")
+    val b0 = all.filter(col("id") < 3)
+    val b1 = all.filter(col("id") === 3L)
+    def step(b: org.apache.spark.sql.DataFrame, id: Long) =
+      StreamingOps.applyIvfPqIndexBatch(spark, b, id, "id", "vec",
+        c = 2, m = 2, s"$work/state")
+    step(b0, 0L)
+    step(b1, 1L)
+    step(b1, 1L) // replay: codes must not double
+    val codes = spark.read.parquet(
+      s"$work/state/codes/v1")
+    assert(codes.count() == 4, codes.count().toString)
+    // query through the committed index == flat ADC against the SAME
+    // frozen batch-0 artifacts over the full corpus
+    val q = all.select(col("id").as("qid"), col("vec").as("qvec"))
+    val got = StreamingOps.queryIvfPqIndex(spark, s"$work/state",
+        q, "qid", "qvec", "id", k = 3, nprobe = 2)
+      .orderBy("query_id", "rank").as[(Long, Long, Long, Int)].collect().toSeq
+    val seeds = b0.orderBy("id").limit(2)
+      .select(col("id").as("centroid_id"), col("vec").as("centroid_vec"))
+    val cb0 = Similarity.pqCodebooksFromSums(
+      Similarity.pqTrainSumsE6(b0, "id", "vec", seeds, m = 2))
+    val flat = Similarity.pqAdcTopKE6(
+        Similarity.pqEncodeE6(all, "id", "vec", cb0), "id", "codes", cb0,
+        q, "qid", "qvec", k = 3)
+      .orderBy("query_id", "rank").as[(Long, Long, Long, Int)].collect().toSeq
+    assert(got == flat, s"stream=$got flat=$flat")
+    // training is frozen: a batch-1 item never moved the codebooks
+    val cbCommitted = spark.read.parquet(s"$work/state/codebooks/v0")
+      .collect().map(r => ((r.getInt(0), r.getLong(1)), r.getSeq[Long](2))).toMap
+    val cbExpect = cb0.collect()
+      .map(r => ((r.getInt(0), r.getLong(1)), r.getSeq[Long](2))).toMap
+    assert(cbCommitted == cbExpect)
+  }
+
   test("quantile stream: histogram state merges per batch, percentiles equal the batch operator, replay no-ops, empty prefix emits no rows") {
     import graft.operators.Profile
     val work = Files.createTempDirectory("graft-quant-spec").toString

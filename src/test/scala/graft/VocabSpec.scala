@@ -232,4 +232,29 @@ class VocabSpec extends SparkSpec {
     assert(top1.length == 2 && top1.forall(_._4 == 1))
     intercept[IllegalArgumentException] { Vocab.chiSquareTerms(d, "src", "t", 0) }
   }
+
+  test("vocabGrowthCurve: exact distinct/total per prefix; empty prefix zeros; one tokenize pass semantics") {
+    import spark.implicits._
+    val d = Seq(
+      (10L, "a b a"), (11L, "b c"), (12L, "d")
+    ).toDF("id", "t")
+    val got = Vocab.vocabGrowthCurve(d, "id", "t", Seq(5L, 11L, 12L, 100L))
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (5L, 0L, 0L),     // prefix below every id: empty, both zero
+      (11L, 2L, 3L),    // {a, b}, 3 tokens
+      (12L, 3L, 5L),    // + {c}
+      (100L, 4L, 6L)    // + {d}
+    ), got.toString)
+    // duplicate + unsorted checkpoints collapse and sort
+    val dedup = Vocab.vocabGrowthCurve(d, "id", "t", Seq(12L, 11L, 12L))
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(dedup == Seq((11L, 2L, 3L), (12L, 3L, 5L)))
+    intercept[IllegalArgumentException] {
+      Vocab.vocabGrowthCurve(d, "id", "t", Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      Vocab.vocabGrowthCurve(d, "id", "t", Seq(0L))
+    }
+  }
 }
