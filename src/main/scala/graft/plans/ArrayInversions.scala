@@ -50,6 +50,19 @@ case class ArrayInversions(child: Expression) extends UnaryExpression {
 
 object ArrayInversions {
 
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+  val functionDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_array_inversions"),
+    new ExpressionInfo(classOf[ArrayInversions].getName, "graft_array_inversions"),
+    { children =>
+      require(children.size == 1, "graft_array_inversions(arr) takes 1 argument")
+      ArrayInversions(children.head)
+    }
+  )
+
   /** Strict inversions of `a` by bottom-up merge sort; null on any
     * null element. The count fits a Long far beyond any real block
     * (k²/2 at k = 10⁶ is 5·10¹¹).

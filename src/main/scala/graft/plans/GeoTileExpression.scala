@@ -131,7 +131,8 @@ object GraftExtensions {
       BpeEncodeCount.functionDescriptor,
       UrlHost.functionDescriptor,
       RegisteredDomain.functionDescriptor,
-      CanonicalUrl.functionDescriptor)
+      CanonicalUrl.functionDescriptor,
+      ArrayInversions.functionDescriptor)
 
   /** Imperative all-at-once registration for an existing session. */
   def registerAll(spark: SparkSession): Unit =

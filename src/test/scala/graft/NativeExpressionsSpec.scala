@@ -540,6 +540,8 @@ class NativeExpressionsSpec extends SparkSpec {
     assert(row.getSeq[String](5) == Seq("a b", "b c"))
     assert(row.getSeq[String](6) == Seq("ab", "bc", "cd"))
     assert(row.getInt(7) == 3)
+    assert(spark.sql("SELECT graft_array_inversions(array(3L, 1L, 2L))")
+      .collect().head.getLong(0) == 2L)
     val agg = spark.sql(
       """SELECT graft_topk(struct(x, -id), 2) AS t FROM
         |  (SELECT explode(sequence(1, 9)) AS id, CAST(pmod(id * 7, 10) AS DOUBLE) AS x)

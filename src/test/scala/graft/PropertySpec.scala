@@ -290,4 +290,45 @@ class PropertySpec extends SparkSpec {
       assert(out.map(_._1).toSeq == out.indices.map(_.toLong), s"case $i")
     }
   }
+
+  test("ArrayInversions laws: equals brute force; reversal complements; ties never count") {
+    samples(Gen.listOfN(40, Gen.chooseNum(0L, 12L)), 8).zipWithIndex.foreach {
+      case (xs, i) =>
+        val arr = xs.toArray
+        val brute = (for { a <- arr.indices; b <- a + 1 until arr.length
+                           if arr(a) > arr(b) } yield 1).size.toLong
+        assert(graft.plans.ArrayInversions.countLongs(arr.clone()) == brute, s"case $i")
+        // inversions(xs) + inversions(reverse) = pairs of UNEQUAL values
+        val rev = (for { a <- arr.indices; b <- a + 1 until arr.length
+                         if arr(a) != arr(b) } yield 1).size.toLong
+        val both = brute +
+          graft.plans.ArrayInversions.countLongs(arr.reverse.clone())
+        assert(both == rev, s"case $i: $both != $rev")
+    }
+  }
+
+  test("rankCorrelationByGroup law: Kendall from inversion counting equals the quadratic definition for any permutation and block size") {
+    val permGen = Gen.listOfN(23, Gen.chooseNum(0L, 1000000L))
+    samples(permGen, 5).zipWithIndex.foreach { case (ys, i) =>
+      val rows = ys.zipWithIndex.map { case (y, idx) =>
+        ("g", idx.toLong, idx.toLong, y)
+      }
+      val df = rows.toDF("g", "id", "x", "y")
+      // brute-force discordant pairs over the (x-rank, y-rank) pairs —
+      // y ranks break value ties by id, mirroring the operator's window
+      val ranked = ys.zipWithIndex
+        .sortBy { case (y, idx) => (y, idx.toLong) }
+        .zipWithIndex.map { case ((_, idx), r) => idx -> (r + 1).toLong }
+        .toMap
+      val ry = (0 until ys.length).map(ranked)
+      val brute = (for { a <- ry.indices; b <- a + 1 until ry.length
+                         if ry(a) > ry(b) } yield 1).size.toLong
+      for (block <- Seq(2, 5, 4096)) {
+        val got = graft.operators.Profile
+          .rankCorrelationByGroup(df, "g", "id", "x", "y", seedBlockSize = block)
+          .select("n_discordant").as[Long].collect()(0)
+        assert(got == brute, s"case $i block $block: $got != $brute")
+      }
+    }
+  }
 }
