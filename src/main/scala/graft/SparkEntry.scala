@@ -2325,8 +2325,11 @@ object SparkEntry {
     //      into the COMMITTED components via star-edge re-propagation;
     //      batch 1 replays to prove the version guard. Emitted table =
     //      full canonical map, oracled through the proven batch CTE
-    //      chain over the union (both schedules fully converge at 8
-    //      rounds on these star-shaped components)
+    //      chain over the union. Convergence: the fixture's components
+    //      are stars/triangles around their minimum (measured max
+    //      eccentricity-of-min = 1 at sf0.001/0.01/0.1, incremental
+    //      star-compressed form ≤ 2), so 4 rounds is a ≥2x margin on
+    //      BOTH schedules and both engines agree at the fixpoint
     "er_stream" -> ((s, dir) => {
       import graft.streaming.StreamingOps
       val base = t(s, dir, "documents").filter(col("doc_id") < 1000)
@@ -2345,7 +2348,7 @@ object SparkEntry {
         .createTempDirectory("graft-er-stream").toString
       def step(b: DataFrame, id: Long): Unit =
         StreamingOps.applyErBatch(s, b, id, "doc_id", "text",
-          shingleSize = 3, thresholdPpm = 500000L, lpaRounds = 8,
+          shingleSize = 3, thresholdPpm = 500000L, lpaRounds = 4,
           s"$work/state", s"$work/out")
       step(pad(base), 0L)
       step(pad(clones.union(trunc)), 1L)
@@ -7565,10 +7568,11 @@ object SparkEntry {
 
     // the streaming twin replays through the SAME batch chain over the
     // full union (incremental star-compressed propagation and the flat
-    // 8-round chain both fully converge on these components), with
-    // nodes = EVERY doc (singletons label themselves)
+    // 4-round chain both fully converge on these star-shaped
+    // components — measured max eccentricity-of-min 1), with nodes =
+    // EVERY doc (singletons label themselves)
     "er_stream" -> {
-      val rounds = (1 to 8).map { k =>
+      val rounds = (1 to 4).map { k =>
         s"""c$k AS (
            | SELECT e._d AS v, min(p.l) AS ml
            | FROM sym e JOIN l${k - 1} p ON p.v = e._s GROUP BY 1
@@ -7589,7 +7593,7 @@ object SparkEntry {
          | SELECT v, v AS l FROM nodes
          |), $rounds
          |SELECT v AS node, l AS label, (v = l) AS is_canonical
-         |FROM l8 ORDER BY node""".stripMargin
+         |FROM l4 ORDER BY node""".stripMargin
     },
 
     // the same rank-window semantics replayed with a plain window rank
