@@ -330,13 +330,16 @@ object Vocab {
     * per checkpoint: `(prefix_lt, distinct_terms, total_tokens)` —
     * both counts exact.
     *
-    * Scale shape: ONE tokenize pass, whatever the checkpoint count —
-    * each term reduces to its FIRST-SEEN id (map-side-combined `min`)
-    * and each checkpoint's distinct count is the number of terms whose
-    * first-seen id clears it, folded as a histogram over the
-    * checkpoint LITERALS (≤ |checkpoints| rows after the term
-    * reduction); token totals ride the same pass as per-doc counts.
-    * The naive K-pass `countDistinct` per prefix never happens.
+    * Scale shape: ONE tokenize pass and ZERO joins, whatever the
+    * checkpoint count — each term reduces to its FIRST-SEEN id
+    * (map-side-combined `min`), the first-seen id folds to its
+    * checkpoint-INTERVAL index against the sorted checkpoint literals
+    * (a bounded per-row `aggregate`, no join), the interval histogram
+    * (≤ |checkpoints|+1 rows) collects as driver metadata, and each
+    * checkpoint's count is a driver prefix sum emitted as literals;
+    * token totals ride the identical shape over per-doc counts. The
+    * naive K-pass `countDistinct` per prefix never happens, and no
+    * BroadcastNestedLoop theta join appears in the plan.
     */
   def vocabGrowthCurve(
       docs: DataFrame,
@@ -349,21 +352,27 @@ object Vocab {
     val spark = docs.sparkSession
     import spark.implicits._
     val cps = checkpoints.distinct.sorted
+    val cpArr = lit(cps.toArray)
+    // interval index of a value v = #{checkpoints <= v}; v < cps(i) ⟺ idx <= i
+    def intervalIdx(v: Column): Column = aggregate(cpArr, lit(0L),
+      (acc, c) => acc + when(v >= c, 1L).otherwise(0L))
     val toks = docs
       .select(col(idCol).cast(LongType).as("_id"),
         explode(TextFunctions.tokens(lower(col(textCol)))).as("_t"))
       .filter(col("_id").isNotNull)
-    val firstSeen = toks.groupBy(col("_t")).agg(min(col("_id")).as("_fs"))
-    val perDocTokens = toks.groupBy(col("_id")).agg(count(lit(1)).as("_n"))
-    val cpDf = cps.toDF("prefix_lt")
-    val terms = cpDf.join(firstSeen, col("_fs") < col("prefix_lt"), "left")
-      .groupBy("prefix_lt")
-      .agg(count(col("_t")).as("distinct_terms"))
-    val totals = cpDf.join(perDocTokens, col("_id") < col("prefix_lt"), "left")
-      .groupBy("prefix_lt")
-      .agg(coalesce(sum(col("_n")), lit(0L)).as("total_tokens"))
-    terms.join(totals, Seq("prefix_lt"))
-      .select(col("prefix_lt"), col("distinct_terms"), col("total_tokens"))
+    def cumByInterval(perInterval: DataFrame): Seq[Long] = {
+      val m = perInterval.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      cps.indices.map(i => (0 to i).map(k => m.getOrElse(k.toLong, 0L)).sum)
+    }
+    val termCum = cumByInterval(
+      toks.groupBy(col("_t")).agg(min(col("_id")).as("_fs"))
+        .groupBy(intervalIdx(col("_fs")).as("_iv"))
+        .agg(count(lit(1)).as("_c")))
+    val tokenCum = cumByInterval(
+      toks.select(intervalIdx(col("_id")).as("_iv"))
+        .groupBy(col("_iv")).agg(count(lit(1)).as("_c")))
+    cps.indices.map(i => (cps(i), termCum(i), tokenCum(i)))
+      .toDF("prefix_lt", "distinct_terms", "total_tokens")
   }
 
   /** N-gram NOVELTY per document — what fraction of a doc's distinct
