@@ -404,6 +404,42 @@ object SparkEntry {
       | GROUP BY 1, 2
       |)""".stripMargin
 
+  /** The quadratic Kendall/Spearman definition in SQL — shared by the
+    * `rank_correlation` and `rank_correlation_blocks` oracles (the
+    * operator's seed-block size is invisible to the statistic).
+    */
+  private val rankCorrelationOracle: String =
+    """WITH b AS (
+      | SELECT source AS g, doc_id AS id, CAST(n_chars AS BIGINT) AS x,
+      |  CAST(len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS BIGINT) AS y
+      | FROM documents
+      | WHERE doc_id < 2000 AND source IS NOT NULL
+      |  AND n_chars IS NOT NULL AND text IS NOT NULL
+      |), r AS (
+      | SELECT g, id,
+      |  CAST(row_number() OVER (PARTITION BY g ORDER BY x, id) AS BIGINT) AS rx,
+      |  CAST(row_number() OVER (PARTITION BY g ORDER BY y, id) AS BIGINT) AS ry
+      | FROM b
+      |), st AS (
+      | SELECT g, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum((rx - ry) * (rx - ry)) AS BIGINT) AS sum_d2
+      | FROM r GROUP BY 1
+      |), di AS (
+      | SELECT a.g, CAST(count(*) AS BIGINT) AS nd
+      | FROM r a JOIN r b2 ON a.g = b2.g AND a.rx < b2.rx AND a.ry > b2.ry
+      | GROUP BY 1
+      |)
+      |SELECT st.g AS source, st.n, st.sum_d2,
+      | CAST(coalesce(di.nd, 0) AS BIGINT) AS n_discordant,
+      | CAST(((CAST(st.n AS HUGEINT) * (st.n * st.n - 1)
+      |   - 6 * CAST(st.sum_d2 AS HUGEINT)) * 1000000)
+      |   // (CAST(st.n AS HUGEINT) * (st.n * st.n - 1)) AS BIGINT) AS spearman_e6,
+      | CAST(((CAST(st.n AS HUGEINT) * (st.n - 1)
+      |   - 4 * CAST(coalesce(di.nd, 0) AS HUGEINT)) * 1000000)
+      |   // (CAST(st.n AS HUGEINT) * (st.n - 1)) AS BIGINT) AS kendall_e6
+      |FROM st LEFT JOIN di ON st.g = di.g
+      |WHERE st.n >= 2 ORDER BY 1""".stripMargin
+
   private val unimaxAllocSql: String =
     """WITH RECURSIVE nt AS (
       | SELECT doc_id, source,
@@ -3698,6 +3734,21 @@ object SparkEntry {
         .select(col("source"), col("doc_id"), col("n_chars"),
           TextFunctions.tokenCount(col("text")).as("_y"))
       Profile.rankCorrelationByGroup(d, "source", "doc_id", "n_chars", "_y")
+        .orderBy("source")
+    }),
+
+    // ---- same statistic with the seed block FORCED below the group
+    //      size (8 << ~500-doc sources): the discordant count runs the
+    //      full distributed plan — ArrayInversions seed blocks PLUS ~6
+    //      windowed merge rounds — and must hash identically to the
+    //      quadratic SQL definition (rank_correlation's oracle shape)
+    "rank_correlation_blocks" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .filter(col("doc_id") < 2000)
+        .select(col("source"), col("doc_id"), col("n_chars"),
+          TextFunctions.tokenCount(col("text")).as("_y"))
+      Profile.rankCorrelationByGroup(d, "source", "doc_id", "n_chars", "_y",
+          seedBlockSize = 8)
         .orderBy("source")
     }),
 
@@ -8725,37 +8776,11 @@ object SparkEntry {
 
     // Spearman from Σd² over row_number ranks (doc_id tiebreak), Kendall
     // from the discordant pair count; trunc division pinned (// ≡ div)
-    "rank_correlation" ->
-      """WITH b AS (
-        | SELECT source AS g, doc_id AS id, CAST(n_chars AS BIGINT) AS x,
-        |  CAST(len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS BIGINT) AS y
-        | FROM documents
-        | WHERE doc_id < 2000 AND source IS NOT NULL
-        |  AND n_chars IS NOT NULL AND text IS NOT NULL
-        |), r AS (
-        | SELECT g, id,
-        |  CAST(row_number() OVER (PARTITION BY g ORDER BY x, id) AS BIGINT) AS rx,
-        |  CAST(row_number() OVER (PARTITION BY g ORDER BY y, id) AS BIGINT) AS ry
-        | FROM b
-        |), st AS (
-        | SELECT g, CAST(count(*) AS BIGINT) AS n,
-        |  CAST(sum((rx - ry) * (rx - ry)) AS BIGINT) AS sum_d2
-        | FROM r GROUP BY 1
-        |), di AS (
-        | SELECT a.g, CAST(count(*) AS BIGINT) AS nd
-        | FROM r a JOIN r b2 ON a.g = b2.g AND a.rx < b2.rx AND a.ry > b2.ry
-        | GROUP BY 1
-        |)
-        |SELECT st.g AS source, st.n, st.sum_d2,
-        | CAST(coalesce(di.nd, 0) AS BIGINT) AS n_discordant,
-        | CAST(((CAST(st.n AS HUGEINT) * (st.n * st.n - 1)
-        |   - 6 * CAST(st.sum_d2 AS HUGEINT)) * 1000000)
-        |   // (CAST(st.n AS HUGEINT) * (st.n * st.n - 1)) AS BIGINT) AS spearman_e6,
-        | CAST(((CAST(st.n AS HUGEINT) * (st.n - 1)
-        |   - 4 * CAST(coalesce(di.nd, 0) AS HUGEINT)) * 1000000)
-        |   // (CAST(st.n AS HUGEINT) * (st.n - 1)) AS BIGINT) AS kendall_e6
-        |FROM st LEFT JOIN di ON st.g = di.g
-        |WHERE st.n >= 2 ORDER BY 1""".stripMargin,
+    "rank_correlation" -> rankCorrelationOracle,
+
+    // block size is invisible to the statistic: the multi-round
+    // distributed plan must reproduce the identical quadratic definition
+    "rank_correlation_blocks" -> rankCorrelationOracle,
 
     // Mann–Whitney U₂ from the per-group score histogram: each pos·neg
     // pair counted twice, ties once — every quantity non-negative
