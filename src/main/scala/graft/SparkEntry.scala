@@ -2419,6 +2419,26 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- streaming vocabulary growth: seen-term fingerprint store +
+    //      token-count sentinel; per batch one cumulative (distinct,
+    //      tokens) pair plus the batch's novel-term increment — the
+    //      continuous Heaps monitor (new_terms → 0 flags a re-crawl
+    //      tail); batch 1 replays to prove the guard
+    "vocab_growth_stream" -> ((s, dir) => {
+      import graft.streaming.StreamingOps
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-vg-stream").toString
+      def step(pred: Column, b: Long): Unit =
+        StreamingOps.applyVocabGrowthBatch(s, d.filter(pred), b, "text",
+          s"$work/state", s"$work/out")
+      step(col("doc_id") < 250, 0L)
+      step(col("doc_id") >= 250, 1L)
+      step(col("doc_id") >= 250, 1L)
+      s.read.parquet(s"$work/out/batch=1")
+        .select(col("distinct_terms"), col("total_tokens"), col("new_terms"))
+    }),
+
     // ---- streaming exact quantiles: cumulative value-histogram state,
     //      per-batch merge + distributed selection over histogram rows;
     //      after the final batch the emitted percentiles equal the
@@ -6464,6 +6484,23 @@ object SparkEntry {
          |FROM sc
          |QUALIFY rank <= 10
          |ORDER BY query_id, rank""".stripMargin,
+
+    // cumulative distinct/total over the union; the novel-term
+    // increment is the batch-1 term set anti-joined against batch 0's
+    "vocab_growth_stream" ->
+      """WITH tok AS (
+        | SELECT CAST(doc_id AS BIGINT) AS id,
+        |  unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '')) AS t
+        | FROM documents
+        |), a AS (
+        | SELECT DISTINCT t FROM tok WHERE id < 250
+        |), b AS (
+        | SELECT DISTINCT t FROM tok WHERE id >= 250
+        |)
+        |SELECT
+        | (SELECT CAST(count(DISTINCT t) AS BIGINT) FROM tok) AS distinct_terms,
+        | (SELECT CAST(count(*) AS BIGINT) FROM tok) AS total_tokens,
+        | (SELECT CAST(count(*) AS BIGINT) FROM b ANTI JOIN a USING (t)) AS new_terms""".stripMargin,
 
     // quantile_cont over the full quantized prefix — the identical
     // (n−1)·p interpolation the profile family already pins across

@@ -971,6 +971,80 @@ object StreamingOps {
     }
   }
 
+  /** One micro-batch of STREAMING VOCABULARY GROWTH — the continuous
+    * face of [[graft.operators.Vocab.vocabGrowthCurve]]: the versioned
+    * state is the SEEN-TERM fingerprint store (8-byte xxhash64 per
+    * distinct term — the novelty-store convention; terms themselves
+    * never persist) plus one null-fingerprint sentinel row carrying
+    * the cumulative token count (the late-window watermark layout).
+    * Each batch counts its tokens, anti-joins its distinct term
+    * fingerprints against the store, commits store ∪ new as the next
+    * version, and emits ONE row to `outPath/batch=<id>`:
+    * `(distinct_terms, total_tokens, new_terms)` — the first two
+    * cumulative after this batch, the third this batch's novel-term
+    * count (the per-batch Heaps increment a feed monitor alerts on: a
+    * healthy crawl keeps minting terms; new_terms → 0 says the tail
+    * is re-crawls). After any prefix the cumulative pair equals the
+    * batch operator over the union (exact over fingerprints, the
+    * dedup family's 2⁻⁶⁴ collision argument).
+    *
+    * Replay: a batch at or below the committed version no-ops (the
+    * union would re-add its terms' tokens — the guard is
+    * correctness); a torn commit recomputes against the OLD state and
+    * overwrites bit-identically.
+    *
+    * Scale shape: per-batch cost = one tokenize pass map-side-combined
+    * to distinct fingerprints + one 8-byte anti-join against the
+    * store; the store rewrite is the cumulative-store trade the
+    * novelty/minhash streams already make.
+    */
+  def applyVocabGrowthBatch(
+      spark: SparkSession,
+      batch: DataFrame,
+      batchId: Long,
+      textCol: String,
+      statePath: String,
+      outPath: String
+  ): Unit = {
+    import graft.functions.TextFunctions
+    currentVersionId(spark, statePath) match {
+      case Some(cur) if cur >= batchId =>
+        log.warn(s"vocabGrowthStream: skipping batch $batchId — state at " +
+          s"v$cur already includes it (re-merging would double-count)")
+      case _ =>
+        val toks = batch.select(
+          explode(TextFunctions.tokens(lower(col(textCol)))).as("_t"))
+        val batchTokens = toks.count()
+        val batchTerms = toks.select(xxhash64(col("_t")).as("h")).distinct()
+        val old = readState(spark, statePath)
+        val oldTerms = old.map(_.filter(col("h").isNotNull).select(col("h")))
+        val oldTokens = old.map(_.filter(col("h").isNull)
+          .select(col("cnt")).head().getLong(0)).getOrElse(0L)
+        val newTerms = (oldTerms match {
+          case Some(ot) => batchTerms.join(ot, Seq("h"), "left_anti")
+          case None => batchTerms
+        }).localCheckpoint()
+        val nNew = newTerms.count()
+        val mergedTerms = (oldTerms match {
+          case Some(ot) => ot.unionByName(newTerms)
+          case None => newTerms
+        }).localCheckpoint()
+        val nDistinct = mergedTerms.count()
+        val totalTokens = oldTokens + batchTokens
+        import spark.implicits._
+        val state = mergedTerms.select(col("h"), lit(1L).as("cnt"))
+          .unionByName(Seq((Option.empty[Long], totalTokens))
+            .toDF("h", "cnt"))
+        val version = s"v$batchId"
+        state.write.mode("overwrite").parquet(s"$statePath/$version")
+        commitVersion(spark, statePath, version, keepFrom = batchId)
+        Seq((nDistinct, totalTokens, nNew))
+          .toDF("distinct_terms", "total_tokens", "new_terms")
+          .coalesce(1)
+          .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+    }
+  }
+
   /** One micro-batch of STREAMING changepoint monitoring — the
     * continuous face of
     * [[graft.operators.ImportanceScoring.cusumChangepoint]]: versioned

@@ -696,6 +696,32 @@ class StreamingSpec extends SparkSpec {
     assert(cbCommitted == cbExpect)
   }
 
+  test("vocab growth stream: term store accumulates, new-term increments exact, replay no-ops") {
+    val work = Files.createTempDirectory("graft-vg-spec").toString
+    def step(texts: Seq[String], id: Long) =
+      StreamingOps.applyVocabGrowthBatch(spark, texts.toDF("text"), id,
+        "text", s"$work/state", s"$work/out")
+    step(Seq("a b a", "b c"), 0L)
+    val b0 = spark.read.parquet(s"$work/out/batch=0")
+      .as[(Long, Long, Long)].head()
+    assert(b0 == ((3L, 5L, 3L)), b0.toString) // {a,b,c}, 5 tokens, all new
+    step(Seq("c d"), 1L)
+    val b1 = spark.read.parquet(s"$work/out/batch=1")
+      .as[(Long, Long, Long)].head()
+    assert(b1 == ((4L, 7L, 1L)), b1.toString) // +d; c is old
+    // replay must not double-count tokens or re-mint terms
+    step(Seq("c d"), 1L)
+    val replayed = spark.read.parquet(s"$work/out/batch=1")
+      .as[(Long, Long, Long)].head()
+    assert(replayed == b1)
+    // cumulative pair equals the batch operator over the union
+    val batchForm = graft.operators.Vocab.vocabGrowthCurve(
+        Seq((0L, "a b a"), (1L, "b c"), (2L, "c d")).toDF("id", "t"),
+        "id", "t", Seq(100L))
+      .as[(Long, Long, Long)].head()
+    assert((b1._1, b1._2) == ((batchForm._2, batchForm._3)), s"$b1 vs $batchForm")
+  }
+
   test("quantile stream: histogram state merges per batch, percentiles equal the batch operator, replay no-ops, empty prefix emits no rows") {
     import graft.operators.Profile
     val work = Files.createTempDirectory("graft-quant-spec").toString
