@@ -462,8 +462,12 @@ object Graph {
         .join(labels.select(col("_v").as("_s"), col("_l")), Seq("_s"))
         .groupBy(col("_d")).agg(min(col("_l")).as("_nl"))
         .select(col("_d").as("_v"), col("_nl"))
+      // checkpoint BEFORE the self-join: the jump reads prop twice
+      // (rows + the label→label lookup), and left lazy the propagate
+      // join would execute twice per round
       val prop = labels.join(fromNbr, Seq("_v"), "left")
         .select(col("_v"), least(col("_l"), coalesce(col("_nl"), col("_l"))).as("_l"))
+        .localCheckpoint()
       val jumped = prop
         .join(prop.select(col("_v").as("_l"), col("_l").as("_l2")), Seq("_l"), "left")
         .select(col("_v"), coalesce(col("_l2"), col("_l")).as("_l"))
