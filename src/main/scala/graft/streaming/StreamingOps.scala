@@ -1403,9 +1403,15 @@ object StreamingOps {
     * After the last batch the emitted table equals the batch pipeline
     * over all docs, PROVIDED `lpaRounds` fully converges both
     * schedules (near-dup components are small and star-shaped by
-    * construction; the gate runs 8 rounds over diameter ≤ 2 clusters).
-    * Labels are MIN by STRING order — callers feed order-consistent
-    * ids (the gate lpads).
+    * construction; the gate runs 4 rounds over measured diameter ≤ 2
+    * clusters). When that proviso cannot be certified — unknown
+    * corpora, adversarial duplication chains — pass
+    * `exactComponents = true`: the union-find step runs
+    * [[graft.operators.Graph.connectedComponentsMin]] (pointer-jumped
+    * min propagation TO CONVERGENCE) instead of bounded rounds, making
+    * the canonical labels exact at any component diameter for an
+    * O(log d)-round cost. Labels are MIN by STRING order — callers
+    * feed order-consistent ids (the gate lpads).
     *
     * Replay: a batch at or below the committed version no-ops (the
     * gram union would double rows otherwise — the guard is
@@ -1430,7 +1436,8 @@ object StreamingOps {
       thresholdPpm: Long,
       lpaRounds: Int,
       statePath: String,
-      outPath: String
+      outPath: String,
+      exactComponents: Boolean = false
   ): Unit = {
     import graft.operators.{Dedup, Graph}
     import graft.functions.TextFunctions
@@ -1465,7 +1472,9 @@ object StreamingOps {
         val starEdges = oldLabels.map(_.filter(col("node") =!= col("label"))
           .select(col("node").as("_a"), col("label").as("_b")))
         val edges = starEdges.map(pairs.unionByName(_)).getOrElse(pairs)
-        val lpa = Graph.labelPropagationMin(edges, "_a", "_b", lpaRounds)
+        val lpa =
+          if (exactComponents) Graph.connectedComponentsMin(edges, "_a", "_b")
+          else Graph.labelPropagationMin(edges, "_a", "_b", lpaRounds)
         val labels = allGrams.select(col("_id")).distinct()
           .join(lpa.withColumnRenamed("node", "_id"), Seq("_id"), "left")
           .select(col("_id").as("node"),

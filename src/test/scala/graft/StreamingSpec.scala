@@ -696,6 +696,34 @@ class StreamingSpec extends SparkSpec {
     assert(cbCommitted == cbExpect)
   }
 
+  test("er stream exactComponents: a cross-batch duplication chain resolves fully where bounded LPA under-merges") {
+    // 8-token docs sliding by 2: consecutive docs share exactly half
+    // their trigram shingles (J = 0.5, at threshold), non-adjacent
+    // fall below — a pure chain, diameter 5 across the two batches
+    val words = (0 until 18).map(i => f"w$i%02d")
+    def doc(i: Int) = words.slice(2 * i, 2 * i + 8).mkString(" ")
+    val all = (0 until 6).map(i => (f"d$i", doc(i)))
+    val b0 = all.take(3).toDF("doc_id", "text")
+    val b1 = all.drop(3).toDF("doc_id", "text")
+    def er(b: org.apache.spark.sql.DataFrame, id: Long, work: String,
+           exact: Boolean) =
+      StreamingOps.applyErBatch(spark, b, id, "doc_id", "text",
+        shingleSize = 3, thresholdPpm = 500000L, lpaRounds = 1,
+        s"$work/state", s"$work/out", exactComponents = exact)
+    // bounded 1-round LPA: even batch 0's 3-doc chain under-merges
+    val wa = Files.createTempDirectory("graft-er-lpa").toString
+    er(b0, 0L, wa, exact = false); er(b1, 1L, wa, exact = false)
+    val bounded = spark.read.parquet(s"$wa/out/batch=1")
+      .as[(String, String, Boolean)].collect().map(r => r._1 -> r._2).toMap
+    assert(bounded.values.toSet.size > 1, s"expected under-merge: $bounded")
+    // exact mode: convergence-checked components — one canonical id
+    val wb = Files.createTempDirectory("graft-er-exact").toString
+    er(b0, 0L, wb, exact = true); er(b1, 1L, wb, exact = true)
+    val exactLbl = spark.read.parquet(s"$wb/out/batch=1")
+      .as[(String, String, Boolean)].collect().map(r => r._1 -> r._2).toMap
+    assert(exactLbl == (0 until 6).map(i => f"d$i" -> "d0").toMap, exactLbl.toString)
+  }
+
   test("vocab growth stream: term store accumulates, new-term increments exact, replay no-ops") {
     val work = Files.createTempDirectory("graft-vg-spec").toString
     def step(texts: Seq[String], id: Long) =
