@@ -144,11 +144,23 @@ object Dedup {
       .localCheckpoint() // freeze partition ids + local positions
     val w = org.apache.spark.sql.expressions.Window
     val stats = parted.groupBy(col("_p"))
-      .agg(count(lit(1)).as("_c"), min(col("_mid")).as("_m0"))
+      .agg(count(lit(1)).as("_c"), min(col("_mid")).as("_m0"),
+        max(col("_mid")).as("_m1"))
+      // TRIPWIRE: the rank arithmetic below assumes mono_id increments by
+      // exactly 1 per row within a partition. Spark only CONTRACTS
+      // monotone-and-unique; today's implementation is consecutive, but if
+      // that ever changes, global positions would silently corrupt the
+      // window pairs — fail loudly instead (free check in this aggregate).
+      .withColumn("_consec", col("_m1") - col("_m0") + 1 === col("_c"))
       .withColumn("_off",
         coalesce(sum(col("_c")).over(w.orderBy("_p")
           .rowsBetween(w.unboundedPreceding, -1)), lit(0L)))
-      .select("_p", "_m0", "_off")
+      .select("_p", "_m0", "_off", "_consec")
+    require(stats.filter(!col("_consec")).isEmpty,
+      "sortedNeighborhoodPairs: monotonically_increasing_id was not " +
+        "consecutive within a partition — the local-position arithmetic " +
+        "is invalid on this Spark build; switch the local rank to a " +
+        "per-partition row_number before trusting pair output")
     val ranked = parted
       .join(broadcast(stats), Seq("_p"))
       .select(col("_id"), col("_fp"),
@@ -191,7 +203,8 @@ object Dedup {
       idCol: String,
       textCol: String,
       shingleSize: Int,
-      thresholdPpm: Long
+      thresholdPpm: Long,
+      maxPrefixGramDf: Long = 100000L
   ): DataFrame = {
     require(shingleSize >= 1,
       s"setSimilarityJoinPairs: shingleSize must be >= 1, got $shingleSize")
@@ -201,7 +214,7 @@ object Dedup {
         explode(array_distinct(shingles(col(textCol), shingleSize))).as("_s"))
       .select(col("_id"), xxhash64(col("_s")).as("_g"))
       .distinct()
-    setSimPairsFromGrams(ds, thresholdPpm)
+    setSimPairsFromGrams(ds, thresholdPpm, maxPrefixGramDf)
   }
 
   /** Gram-level core of [[setSimilarityJoinPairs]]: exact threshold
@@ -220,10 +233,13 @@ object Dedup {
     */
   private[graft] def setSimPairsFromGrams(
       grams: DataFrame,
-      thresholdPpm: Long
+      thresholdPpm: Long,
+      maxPrefixGramDf: Long = 100000L
   ): DataFrame = {
     require(thresholdPpm > 0L && thresholdPpm <= 1000000L,
       s"setSimPairsFromGrams: thresholdPpm must be in (0, 1e6], got $thresholdPpm")
+    require(maxPrefixGramDf >= 1,
+      s"setSimPairsFromGrams: maxPrefixGramDf must be >= 1, got $maxPrefixGramDf")
     val w = org.apache.spark.sql.expressions.Window
     val hasNew = grams.columns.contains("_new")
     val ds = (if (hasNew) grams.select(col("_id"), col("_g"), col("_new"))
@@ -239,6 +255,22 @@ object Dedup {
       .filter(col("_r") <=
         col("_sz") - expr(s"(($thresholdPpm * _sz) + 999999L) div 1000000L") + lit(1L))
       .select(col("_id"), col("_g"), col("_sz"), col("_n"))
+      .localCheckpoint() // reused 3×: hot-gram tripwire + both join sides
+    // HOT-GRAM TRIPWIRE (the chiSquareTerms refusal convention): the
+    // candidate join below produces Σ_g pdf(g)² pairs, where pdf is the
+    // gram's PREFIX posting length. The prefix lemma keeps postings short
+    // for near-duplicate thresholds, but a low threshold over short docs
+    // can put a stop-gram in many prefixes and quadratically blow the
+    // join — refuse loudly with the remedy instead of OOMing the cluster.
+    val hottest = pref.groupBy(col("_g"))
+      .agg(count(lit(1)).as("_pdf"))
+      .agg(coalesce(max(col("_pdf")), lit(0L))).collect()(0).getLong(0)
+    require(hottest <= maxPrefixGramDf,
+      s"setSimPairsFromGrams: a prefix gram appears in $hottest doc " +
+        s"prefixes > maxPrefixGramDf=$maxPrefixGramDf — the candidate join " +
+        "would generate ~pdf² pairs for that gram. Raise thresholdPpm " +
+        "(shorter prefixes), lengthen shingles (rarer grams), or raise " +
+        "maxPrefixGramDf knowingly (shuffle grows quadratically with it).")
     val cand = pref.select(col("_g"), col("_id").as("id_a"),
         col("_sz").as("_sza"), col("_n").as("_na"))
       .join(pref.select(col("_g"), col("_id").as("id_b"),

@@ -971,7 +971,13 @@ object Similarity {
       }.sorted.take(nprobe)
       ranked.map { case (_, cid) => (qid, cid, luts(qid)) }
     }
-    require(probes.nonEmpty, "ivfPqTopKE6: empty probe set")
+    // an EMPTY query frame is a legal degenerate input (an evaluation
+    // sample can be empty): degrade to zero rows, the pqAdcTopKE6 face —
+    // the per-query requires above still reject genuinely malformed input
+    if (probes.isEmpty) {
+      return Seq.empty[(Long, Long, Long, Int)]
+        .toDF("query_id", "neighbor_id", "adist", "rank")
+    }
     val probeDf = probes.toDF("query_id", "centroid_id", "_lut")
     val probedIds = probes.map(_._2).distinct.sorted
     val corpus = spark.read.parquet(indexPath)

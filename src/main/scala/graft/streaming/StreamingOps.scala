@@ -957,7 +957,6 @@ object StreamingOps {
           .collect()(0).getLong(0)
         val version = s"v$batchId"
         merged.write.mode("overwrite").parquet(s"$statePath/$version")
-        commitVersion(spark, statePath, version, keepFrom = batchId)
         // an empty prefix has UNDEFINED quantiles: emit zero rows (the
         // batch operator's Option.None face), never NaN placeholders
         val rows = Profile.exactPercentilesFromHistogram(merged, probs) match {
@@ -968,6 +967,10 @@ object StreamingOps {
         rows.toDF("prob", "value", "n")
           .coalesce(1)
           .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+        // commit LAST: a crash before this line replays into the recompute
+        // branch (old _CURRENT) and rewrites state + output bit-identically;
+        // committing first would skip the replay with the output missing.
+        commitVersion(spark, statePath, version, keepFrom = batchId)
     }
   }
 
@@ -1012,10 +1015,18 @@ object StreamingOps {
         log.warn(s"vocabGrowthStream: skipping batch $batchId — state at " +
           s"v$cur already includes it (re-merging would double-count)")
       case _ =>
-        val toks = batch.select(
-          explode(TextFunctions.tokens(lower(col(textCol)))).as("_t"))
-        val batchTokens = toks.count()
-        val batchTerms = toks.select(xxhash64(col("_t")).as("h")).distinct()
+        // ONE tokenize pass: group straight to per-fingerprint counts so the
+        // batch token total (sum) and the distinct-term frame (keys) both
+        // come from the same map-side-combined aggregate — tokenizing twice
+        // would double the dominant cost and break the scaladoc's claim.
+        val hCounts = batch.select(
+            explode(TextFunctions.tokens(lower(col(textCol)))).as("_t"))
+          .groupBy(xxhash64(col("_t")).as("h"))
+          .agg(count(lit(1)).as("_hc"))
+          .localCheckpoint()
+        val batchTokens = hCounts.agg(coalesce(sum(col("_hc")), lit(0L)))
+          .collect()(0).getLong(0)
+        val batchTerms = hCounts.select(col("h"))
         val old = readState(spark, statePath)
         val oldTerms = old.map(_.filter(col("h").isNotNull).select(col("h")))
         val oldTokens = old.map(_.filter(col("h").isNull)
@@ -1037,11 +1048,13 @@ object StreamingOps {
             .toDF("h", "cnt"))
         val version = s"v$batchId"
         state.write.mode("overwrite").parquet(s"$statePath/$version")
-        commitVersion(spark, statePath, version, keepFrom = batchId)
         Seq((nDistinct, totalTokens, nNew))
           .toDF("distinct_terms", "total_tokens", "new_terms")
           .coalesce(1)
           .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+        // commit LAST (the applyDedupBatch order): a torn run replays into
+        // the recompute branch and rewrites state + output bit-identically.
+        commitVersion(spark, statePath, version, keepFrom = batchId)
     }
   }
 
@@ -1437,7 +1450,8 @@ object StreamingOps {
       lpaRounds: Int,
       statePath: String,
       outPath: String,
-      exactComponents: Boolean = false
+      exactComponents: Boolean = false,
+      maxPrefixGramDf: Long = 100000L
   ): Unit = {
     import graft.operators.{Dedup, Graph}
     import graft.functions.TextFunctions
@@ -1467,7 +1481,8 @@ object StreamingOps {
             .unionByName(newGrams.withColumn("_new", lit(true)))
           case None => newGrams.withColumn("_new", lit(true))
         }).localCheckpoint()
-        val pairs = Dedup.setSimPairsFromGrams(allGrams, thresholdPpm)
+        val pairs = Dedup.setSimPairsFromGrams(allGrams, thresholdPpm,
+            maxPrefixGramDf)
           .select(col("id_a").as("_a"), col("id_b").as("_b"))
         val starEdges = oldLabels.map(_.filter(col("node") =!= col("label"))
           .select(col("node").as("_a"), col("label").as("_b")))
@@ -1486,10 +1501,14 @@ object StreamingOps {
             lit(null).cast(LongType).as("g"), col("label")))
         val version = s"v$batchId"
         state.write.mode("overwrite").parquet(s"$statePath/$version")
-        commitVersion(spark, statePath, version, keepFrom = batchId)
+        // output BEFORE commitVersion (the applyDedupBatch order): a crash
+        // between the two replays into the recompute branch, which rewrites
+        // both bit-identically; the reverse order would leave _CURRENT
+        // advanced with this batch's output never produced.
         labels.select(col("node"), col("label"),
             (col("node") === col("label")).as("is_canonical"))
           .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+        commitVersion(spark, statePath, version, keepFrom = batchId)
     }
   }
 

@@ -685,6 +685,30 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("setSimilarityJoinPairs: hot-gram tripwire refuses a stop-gram blowup loudly; raising the bound admits it") {
+    import spark.implicits._
+    // STOP-GRAM fixture: short docs at a LOW threshold — prefixes cover
+    // every gram, and the shared head shingle lands in all 12 prefixes,
+    // so the candidate join would fan out quadratically on it
+    val docs = (0 until 12).map(i => (i.toLong, s"the cat sat x$i y$i"))
+    val df = docs.toDF("id", "t")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.setSimilarityJoinPairs(df, "id", "t", 3, 100000L,
+        maxPrefixGramDf = 5L).collect()
+    }
+    assert(e.getMessage.contains("maxPrefixGramDf"), e.getMessage)
+    assert(e.getMessage.contains("thresholdPpm"), e.getMessage) // remedy named
+    // the same query with the bound raised knowingly still computes the
+    // exact answer (the tripwire is a refusal, not a filter — no silent
+    // recall loss)
+    val got = Dedup.setSimilarityJoinPairs(df, "id", "t", 3, 100000L,
+      maxPrefixGramDf = 12L).count()
+    assert(got > 0L)
+    // near-dup thresholds keep prefixes rare: the default bound admits
+    // the same corpus untouched at t = 0.9
+    Dedup.setSimilarityJoinPairs(df, "id", "t", 3, 900000L).collect()
+  }
+
   test("sortedNeighborhoodPairs: window-adjacent fingerprint matches; distance beyond window misses") {
     import spark.implicits._
     // three exact dups of "alpha beta" (ids 1, 2, 9), one lookalike sort

@@ -447,6 +447,13 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect().toSet
     assert(rec == Set((0L, 1L, 1L, 1000000L), (1L, 1L, 1L, 1000000L),
       (2L, 1L, 1L, 1000000L), (3L, 1L, 1L, 1000000L)), rec.toString)
+    // EMPTY evaluation sample is a legal degenerate input: zero rows with
+    // the full result schema, the pqAdcTopKE6 face — not a hard failure
+    val none = Similarity.ivfPqTopKE6(out, "id", coarse, cb,
+      q.filter($"qid" === 999L), "qid", "qvec", k = 3, nprobe = 1)
+    assert(none.columns.toSeq == Seq("query_id", "neighbor_id", "adist", "rank"),
+      none.columns.toSeq.toString)
+    assert(none.count() == 0L)
   }
 
   test("mmrRerank cosine: scale-invariant penalty picks the orthogonal doc") {

@@ -782,6 +782,83 @@ class StreamingSpec extends SparkSpec {
     assert(state == (1L to 8L).map(_ -> 1L).toMap, state.toString)
   }
 
+  test("quantile/vocab/er streams torn commit: crash before commitVersion replays into recompute and reproduces the lost output") {
+    // the crash window the commit ORDER protects: state and output may be
+    // on disk (or not) but _CURRENT never advanced — the replay must take
+    // the recompute branch and rewrite BOTH bit-identically. (The reverse
+    // order — commit first — would leave a skipped replay with the
+    // output missing forever, which is exactly the bug this pins against.)
+    def rmrf(p: String): Unit = {
+      val f = new java.io.File(p)
+      if (f.isDirectory) f.listFiles().foreach(c => rmrf(c.getPath))
+      f.delete(); ()
+    }
+    def cpdir(src: String, dst: String): Unit = {
+      val s = new java.io.File(src); val d = new java.io.File(dst)
+      d.mkdirs()
+      s.listFiles().foreach { c =>
+        if (c.isDirectory) cpdir(c.getPath, s"$dst/${c.getName}")
+        else java.nio.file.Files.copy(c.toPath,
+          new java.io.File(d, c.getName).toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    // the crashed process never pruned v0 (pruning happens inside the
+    // commit it died before), so the simulation snapshots v0 aside before
+    // batch 1 and restores it when rewinding the pointer
+    def tear(state: String, outBatch: String): Unit = {
+      cpdir(s"$state/_v0_snapshot", s"$state/v0")
+      tearCommit(state, "v0")
+      rmrf(outBatch)
+    }
+    // quantile
+    val wq = Files.createTempDirectory("graft-quant-torn").toString
+    def qs(b: org.apache.spark.sql.DataFrame, id: Long) =
+      StreamingOps.applyQuantileBatch(spark, b, id, "v", Seq(0.5),
+        s"$wq/state", s"$wq/out")
+    qs(Seq(1L, 2L).toDF("v"), 0L)
+    cpdir(s"$wq/state/v0", s"$wq/state/_v0_snapshot")
+    qs(Seq(3L, 4L).toDF("v"), 1L)
+    val qOut = spark.read.parquet(s"$wq/out/batch=1")
+      .as[(Double, Double, Long)].collect().toSet
+    tear(s"$wq/state", s"$wq/out/batch=1")
+    qs(Seq(3L, 4L).toDF("v"), 1L)
+    assert(StreamingOps.currentVersionId(spark, s"$wq/state").contains(1L))
+    assert(spark.read.parquet(s"$wq/out/batch=1")
+      .as[(Double, Double, Long)].collect().toSet == qOut)
+    // vocab growth
+    val wv = Files.createTempDirectory("graft-vg-torn").toString
+    def vs(texts: Seq[String], id: Long) =
+      StreamingOps.applyVocabGrowthBatch(spark, texts.toDF("text"), id,
+        "text", s"$wv/state", s"$wv/out")
+    vs(Seq("a b a"), 0L)
+    cpdir(s"$wv/state/v0", s"$wv/state/_v0_snapshot")
+    vs(Seq("b c"), 1L)
+    val vOut = spark.read.parquet(s"$wv/out/batch=1")
+      .as[(Long, Long, Long)].head()
+    tear(s"$wv/state", s"$wv/out/batch=1")
+    vs(Seq("b c"), 1L)
+    assert(StreamingOps.currentVersionId(spark, s"$wv/state").contains(1L))
+    assert(spark.read.parquet(s"$wv/out/batch=1")
+      .as[(Long, Long, Long)].head() == vOut)
+    // entity resolution
+    val we = Files.createTempDirectory("graft-er-torn").toString
+    def es(b: org.apache.spark.sql.DataFrame, id: Long) =
+      StreamingOps.applyErBatch(spark, b, id, "doc_id", "text",
+        shingleSize = 3, thresholdPpm = 500000L, lpaRounds = 2,
+        s"$we/state", s"$we/out")
+    es(Seq(("d0", "a b c d e f"), ("d1", "a b c d e f")).toDF("doc_id", "text"), 0L)
+    cpdir(s"$we/state/v0", s"$we/state/_v0_snapshot")
+    es(Seq(("d2", "a b c d e f")).toDF("doc_id", "text"), 1L)
+    val eOut = spark.read.parquet(s"$we/out/batch=1")
+      .as[(String, String, Boolean)].collect().toSet
+    tear(s"$we/state", s"$we/out/batch=1")
+    es(Seq(("d2", "a b c d e f")).toDF("doc_id", "text"), 1L)
+    assert(StreamingOps.currentVersionId(spark, s"$we/state").contains(1L))
+    assert(spark.read.parquet(s"$we/out/batch=1")
+      .as[(String, String, Boolean)].collect().toSet == eOut)
+  }
+
   test("changepoint stream: count state merges per batch; replay never double-counts; final equals batch") {
     import graft.operators.ImportanceScoring
     val work = Files.createTempDirectory("graft-cpt-spec").toString
