@@ -34,6 +34,16 @@ import org.apache.spark.sql.types._
  */
 object Profile {
 
+  /** Largest measured per-group row count for which
+    * [[rankCorrelationByGroup]] assigns ranks with a plain per-group
+    * `row_number` window (one task sorts ≤ this many 32-byte rows —
+    * cheap, and half the stage count of the two-level path); above it
+    * the [[graft.operators.Sampling.withinGroupRanks]] bucketed prefix
+    * takes over so no task ever sorts a whole group. Exposed for specs
+    * via the operator's `rankWindowThreshold` parameter.
+    */
+  private val RankWindowThreshold: Long = 1L << 22
+
   /** Per-group metadata the selection needs: total non-null count,
     * distinct non-null value count, and the value range.
     */
@@ -1686,19 +1696,37 @@ object Profile {
     *     from ONE bounded [[graft.plans.ArrayInversions]] merge-sort
     *     kernel (collect_list is capped at seedBlockSize elements —
     *     never a group's rows).
-    *  2. MERGE ROUNDS: ⌈log₂(maxGroupSize/seedBlockSize)⌉ rounds of
-    *     the textbook merge step as plain WINDOW functions — round w
-    *     pairs adjacent width-w spans; every left-span element has a
-    *     smaller x-rank than every right-span element, so a right
-    *     element's discordance with the left span is `(left total) −
-    *     (left seen below my y-rank)`, two window sums over `(g,
-    *     pair)` partitions carrying 3-long rows.
+    *  2. SAME-y-BUCKET CROSS-BLOCK pairs: blocks order by block id, so
+    *     these are strict inversions of the BLOCK-ID sequence in
+    *     y-rank order within each y-bucket — one more bounded kernel
+    *     pass (`_ry` is a permutation, so a `(g, bky)` bucket holds ≤
+    *     seedBlockSize rows; strictness makes same-block pairs, which
+    *     the seed already counted, contribute zero).
+    *  3. CROSS-GRID pairs (different block AND bucket): both rank
+    *     orders are determined at (x-block, y-bucket) GRID granularity
+    *     — the count reduces entirely over the cell HISTOGRAM `(g,
+    *     blk, bky, count)`. ⌈log₂(maxBlocks)⌉ width-doubling merge
+    *     rounds, each ONE hash aggregate over histogram rows plus a
+    *     suffix sum of `rightCount × leftCountsInLaterBuckets` over ≤
+    *     maxN/seedBlockSize bucket rows per `(g, pair)` — data rows
+    *     never re-enter after the one histogram aggregate.
     *
-    * Work is O(n log n) — the cost of a sort, the floor for exact
-    * Kendall — and per-task memory is bounded by seedBlockSize, so a
-    * million-row group is ~8 window shuffles of 24-byte rows, not a
-    * 10¹² pair join. Products ride DECIMAL(38,0) (n³·10⁶ passes Long
-    * at n ≈ 3·10³).
+    * Work is O(n log n) worst-case — the cost of a sort, the floor for
+    * exact Kendall — with the log factor paid over HISTOGRAM rows
+    * (≤ min(n, blocks × buckets) cells), not data rows. Per-task
+    * memory is bounded by seedBlockSize in the seed and bucket
+    * kernels; the rank assignment is ADAPTIVE on the measured largest
+    * group: ≤ `rankWindowThreshold` (default 2²² rows) takes one plain
+    * per-group `row_number` window — a single task sorting ≤ 4M
+    * 32-byte rows, cheaper than extra stages — and larger groups ride
+    * the [[graft.operators.Sampling.withinGroupRanks]] two-level
+    * prefix (key-range balanced) so no task ever sorts a whole group.
+    * Beyond the threshold no window partition spans a group anywhere —
+    * the only `(g, pair)`-wide partitions carry bucket-histogram rows.
+    * A billion-row group is one bucketed rank pass, two bounded kernel
+    * aggregates, and ~18 rounds over the cell grid, not a 10¹⁸ pair
+    * join. Products ride DECIMAL(38,0) (n³·10⁶ passes Long at
+    * n ≈ 3·10³).
     */
   def rankCorrelationByGroup(
       df: DataFrame,
@@ -1706,7 +1734,8 @@ object Profile {
       idCol: String,
       xCol: String,
       yCol: String,
-      seedBlockSize: Int = 4096
+      seedBlockSize: Int = 4096,
+      rankWindowThreshold: Long = RankWindowThreshold
   ): DataFrame = {
     require(seedBlockSize >= 2 && seedBlockSize <= (1 << 20),
       s"rankCorrelationByGroup: seedBlockSize must be in [2, 2^20], got $seedBlockSize")
@@ -1716,12 +1745,43 @@ object Profile {
         col(xCol).cast(LongType).as("_x"), col(yCol).cast(LongType).as("_y"))
       .filter(col("_g").isNotNull && col("_id").isNotNull &&
         col("_x").isNotNull && col("_y").isNotNull)
-    val wx = Window.partitionBy(col("_g")).orderBy(col("_x"), col("_id"))
-    val wy = Window.partitionBy(col("_g")).orderBy(col("_y"), col("_id"))
-    val ranked = vals
-      .withColumn("_rx", row_number().over(wx).cast(LongType))
-      .withColumn("_ry", row_number().over(wy).cast(LongType))
-      .select(col("_g"), col("_rx"), col("_ry"))
+    // the largest group's size gates the rank strategy AND bounds the
+    // merge rounds — one metadata aggregate, before any ranking
+    val maxN: Long = Option(
+      vals.groupBy(col("_g")).count()
+        .agg(max(col("count"))).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    if (maxN == 0L) {
+      // no rows: empty result with the contract schema
+      import df.sparkSession.implicits._
+      return Seq.empty[(String, Long, Long, Long, Long, Long)]
+        .toDF(groupCol, "n", "sum_d2", "n_discordant",
+          "spearman_e6", "kendall_e6")
+    }
+    // rank assignment, ADAPTIVE on the measured group bound: small
+    // groups take the plain per-group row_number window (one task per
+    // group sorts ≤ maxN rows — fine precisely because maxN is small,
+    // and half the stage count); large groups ride the SAME two-level
+    // machinery as the merge rounds
+    // ([[graft.operators.Sampling.withinGroupRanks]], the percentRank
+    // design) so no task ever sorts a whole group. Tie-break by _id
+    // keeps both orders total either way.
+    val ranked = (if (maxN <= rankWindowThreshold) {
+      val wx = Window.partitionBy(col("_g")).orderBy(col("_x"), col("_id"))
+      val wy = Window.partitionBy(col("_g")).orderBy(col("_y"), col("_id"))
+      vals
+        .withColumn("_rx", row_number().over(wx).cast(LongType))
+        .withColumn("_ry", row_number().over(wy).cast(LongType))
+        .select(col("_g"), col("_rx"), col("_ry"))
+    } else {
+      val rankedX = graft.operators.Sampling.withinGroupRanks(
+        vals.select(col("_g"), col("_x").as("_k"), col("_id"),
+          col("_y")), 1024, tieCols = Seq("_id")).get
+      graft.operators.Sampling.withinGroupRanks(
+          rankedX.select(col("_g"), col("_y").as("_k"), col("_id"),
+            col("_rank").as("_rx")), 1024, tieCols = Seq("_id")).get
+        .select(col("_g"), col("_rx"), col("_rank").as("_ry"))
+    })
       // reused by stats + the seed pass + every merge round: cut the
       // lineage once (the pageRankScaled discipline)
       .localCheckpoint()
@@ -1732,41 +1792,65 @@ object Profile {
           .cast(LongType).as("sum_d2"))
     // ---- discordant count D by distributed inversion counting ----
     import org.apache.spark.sql.graft.ColumnBridge
-    val maxN: Long = Option(
-      ranked.groupBy(col("_g")).count()
-        .agg(max(col("count"))).head().get(0))
-      .map(_.asInstanceOf[Long]).getOrElse(0L)
-    // seed: within-block inversions of the y-rank sequence in x-rank
-    // order; the collected array is ≤ seedBlockSize by construction
+    // Every inversion pair (rx_i < rx_j, ry_i > ry_j) is counted exactly
+    // once by WHERE it lands on the (x-block, y-bucket) grid
+    // (blk = (_rx−1) div B, bky = (_ry−1) div B):
+    //   1. SAME x-block  → the seed kernel (within-block ry inversions)
+    //   2. DIFFERENT block, SAME y-bucket → different blocks order by
+    //      blk, so these are STRICT inversions of the blk sequence in
+    //      ry order within the bucket — one more bounded kernel pass
+    //      (≤ B rows per (g, bky): _ry is a permutation)
+    //   3. DIFFERENT block AND bucket → both orders are determined at
+    //      GRID granularity, so the count reduces over the (g, blk,
+    //      bky) cell HISTOGRAM: log₂(maxBlocks) merge rounds, each one
+    //      hash-aggregate over histogram rows + a suffix sum over
+    //      ≤ maxN/B bucket rows per (g, pair) — rows never re-enter
+    //      after the histogram aggregate.
+    val blkOf = expr(s"(_rx - 1) div $seedBlockSize")
+    val bkyOf = expr(s"(_ry - 1) div $seedBlockSize")
+    // 1. seed: ry-sequence inversions within each x-block (array ≤ B)
     val seedRySeq = transform(
       array_sort(collect_list(struct(col("_rx"), col("_ry")))),
       s => s.getField("_ry"))
     val seedD = ranked
-      .withColumn("_blk", expr(s"(_rx - 1) div $seedBlockSize"))
-      .groupBy(col("_g"), col("_blk"))
+      .groupBy(col("_g"), blkOf.as("_blk"))
       .agg(ColumnBridge.column(graft.plans.ArrayInversions(
         ColumnBridge.expression(seedRySeq))).as("_d"))
       .select(col("_g"), col("_d"))
-    // merge rounds: width doubles until one span covers the largest
-    // group; each round is two window sums over (g, pair) partitions
-    var partials = Seq(seedD)
-    var w = seedBlockSize.toLong
-    while (w < maxN) {
-      val pairW = 2L * w
-      val win = Window.partitionBy(col("_g"), col("_pair")).orderBy(col("_ry"))
-      val winAll = Window.partitionBy(col("_g"), col("_pair"))
-      val isLeft = when(col("_side") === 0L, 1L).otherwise(0L)
-      val roundD = ranked
-        .withColumn("_pair", expr(s"(_rx - 1) div $pairW"))
-        .withColumn("_side", expr(s"((_rx - 1) div $w) % 2"))
-        .withColumn("_cumL", sum(isLeft).over(win))
-        .withColumn("_totL", sum(isLeft).over(winAll))
-        .filter(col("_side") === 1L)
-        // left-span elements with a larger y-rank than mine — each is
-        // one discordant pair (their x-rank is smaller by construction)
-        .select(col("_g"), (col("_totL") - col("_cumL")).as("_d"))
+    // 2. blk-sequence inversions in ry order within each y-bucket —
+    // strict, so same-block pairs (already counted by the seed) add 0
+    val bktBlkSeq = transform(
+      array_sort(collect_list(struct(col("_ry"), col("_blk")))),
+      s => s.getField("_blk"))
+    val bucketD = ranked
+      .withColumn("_blk", blkOf)
+      .groupBy(col("_g"), bkyOf.as("_bky"))
+      .agg(ColumnBridge.column(graft.plans.ArrayInversions(
+        ColumnBridge.expression(bktBlkSeq))).as("_d"))
+      .select(col("_g"), col("_d"))
+    // 3. cross-grid: ONE cell histogram, then width-doubling rounds of
+    // (right-cell count) × (left-span counts in strictly later buckets)
+    val cells = ranked
+      .groupBy(col("_g"), blkOf.as("_blk"), bkyOf.as("_bky"))
+      .agg(count(lit(1)).as("_c"))
+      .localCheckpoint() // read once per round; rows never again
+    val maxBlocks = (maxN + seedBlockSize - 1) / seedBlockSize
+    var partials = Seq(seedD, bucketD)
+    var w = 1L
+    while (w < maxBlocks) {
+      val winS = Window.partitionBy(col("_g"), col("_pair"))
+        .orderBy(col("_bky"))
+        .rowsBetween(1, Window.unboundedFollowing)
+      val roundD = cells
+        .withColumn("_pair", expr(s"_blk div ${2L * w}"))
+        .withColumn("_side", expr(s"(_blk div $w) % 2"))
+        .groupBy(col("_g"), col("_pair"), col("_bky"))
+        .agg(sum(when(col("_side") === 0L, col("_c")).otherwise(0L)).as("_l"),
+          sum(when(col("_side") === 1L, col("_c")).otherwise(0L)).as("_r"))
+        .withColumn("_lafter", coalesce(sum(col("_l")).over(winS), lit(0L)))
+        .select(col("_g"), (col("_r") * col("_lafter")).as("_d"))
       partials = partials :+ roundD
-      w = pairW
+      w *= 2L
     }
     val disc = partials.reduce(_ unionByName _)
       .groupBy(col("_g")).agg(sum(col("_d")).as("_nd"))

@@ -743,13 +743,17 @@ object Sampling {
     * corpus), and `row_number` runs per (group, bucket) — bounded
     * partitions, so no task ever windows a whole group. Input must
     * provide non-null `_g` (group) and `_k` (long key, unique within
-    * group); any other columns ride through untouched (no join-back
-    * needed). Output adds `_rank` and the group size `_ng`. None on an
-    * empty input (no key range to bucket).
+    * group — or unique under `(_k, tieCols…)` when tie-break columns
+    * are supplied: ties on `_k` land in one bucket by construction, so
+    * the within-bucket `row_number` ordered by `(_k, tieCols…)` stays
+    * a total order); any other columns ride through untouched (no
+    * join-back needed). Output adds `_rank` and the group size `_ng`.
+    * None on an empty input (no key range to bucket).
     */
-  private[operators] def withinGroupRanks(
+  private[graft] def withinGroupRanks(
       base: DataFrame,
-      buckets: Int
+      buckets: Int,
+      tieCols: Seq[String] = Nil
   ): Option[DataFrame] = {
     import org.apache.spark.sql.expressions.Window
     val b = base.agg(min(col("_k")).as("mn"), max(col("_k")).as("mx")).head()
@@ -767,7 +771,8 @@ object Sampling {
       .withColumn("_off", coalesce(sum(col("_c")).over(wOff), lit(0L)))
       .withColumn("_ng", sum(col("_c")).over(Window.partitionBy("_g")))
       .select(col("_g"), col("_b"), col("_off"), col("_ng"))
-    val wRn = Window.partitionBy("_g", "_b").orderBy("_k")
+    val wRn = Window.partitionBy("_g", "_b")
+      .orderBy(col("_k") +: tieCols.map(col): _*)
     Some(binned.withColumn("_rn", row_number().over(wRn).cast("long"))
       .join(offs, Seq("_g", "_b"))
       .withColumn("_rank", col("_off") + col("_rn")) // 1-based

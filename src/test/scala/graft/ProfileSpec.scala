@@ -849,6 +849,13 @@ class ProfileSpec extends SparkSpec {
     val gotDefault = Profile.rankCorrelationByGroup(df, "g", "id", "x", "y")
       .select("g", "n_discordant").as[(String, Long)].collect().toMap
     assert(gotDefault == exp)
+    // the two-level rank path (forced by a zero threshold) must agree
+    // with the window path bit-for-bit — the adaptive switch is a plan
+    // choice, never a semantics choice
+    val gotBucketed = Profile.rankCorrelationByGroup(df, "g", "id", "x", "y",
+        seedBlockSize = 4, rankWindowThreshold = 0L)
+      .select("g", "n_discordant").as[(String, Long)].collect().toMap
+    assert(gotBucketed == exp)
     // plan shape: the discordant count must NOT ride a row-level self
     // join — the only joins in the plan are the per-group metadata
     // stats⋈disc assembly (key = the group column alone)
@@ -859,6 +866,29 @@ class ProfileSpec extends SparkSpec {
     assert(joins.forall(_.condition.forall(c =>
       !c.toString.contains("_rx") && !c.toString.contains("_ry"))),
       s"rank columns leaked into a join condition:\n$plan")
+    // bounded per-task rows on the FORCED MULTI-ROUND path, two pins:
+    // (a) the operator's own plan must contain NO window ordered by a
+    // row-level rank (_rx/_ry) — the merge rounds reduce over the grid
+    // HISTOGRAM, so the only windows left are bucket-row suffix sums
+    // ordered by _bky; (b) the rank assignment's row_number window
+    // (inside withinGroupRanks, checkpoint-hidden from (a)'s plan) must
+    // partition by (group, bucket), never the group alone.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val wins = plan.collect { case w: LWindow => w }
+    val rankOrdered = wins.filter(_.orderSpec.exists(o =>
+      Seq("_rx", "_ry").exists(o.child.toString.contains)))
+    assert(rankOrdered.isEmpty,
+      "a merge-round window orders row-level ranks (whole-span " +
+        s"single-task sort):\n${rankOrdered.map(w => (w.partitionSpec, w.orderSpec)).mkString("\n")}")
+    val rankPlan = graft.operators.Sampling.withinGroupRanks(
+      df.select(col("g").as("_g"), col("x").as("_k"), col("id").as("_id")),
+      1024, tieCols = Seq("_id")).get.queryExecution.optimizedPlan
+    val rowNum = rankPlan.collect { case w: LWindow => w }
+      .filter(_.orderSpec.exists(_.child.toString.contains("_k")))
+    assert(rowNum.nonEmpty, s"expected a row-level rank window in:\n$rankPlan")
+    assert(rowNum.forall(_.partitionSpec.size >= 2),
+      "the rank window partitions by the group alone (whole-group " +
+        s"single-task sort):\n${rowNum.map(w => (w.partitionSpec, w.orderSpec)).mkString("\n")}")
   }
 
   test("rankCorrelationByGroup: tied scores break by id — pinned order, not a crash") {
