@@ -404,6 +404,82 @@ object SparkEntry {
       | GROUP BY 1, 2
       |)""".stripMargin
 
+  /** Residual (IVFADC) IVF-PQ chain appended to [[ivfPqChainSql]]'s
+    * CTEs (reuses e/js/cc/cd/casg/qp): residuals against the assigned
+    * cell, residual-seed codebook training (seeds = residuals of
+    * vec_ids 4..7), residual codes, and per-(query, probed-cell) LUT
+    * scoring — `rsc` is the residual analogue of `sc`.
+    */
+  private def ivfPqResidualChainSql: String =
+    s"""rres AS (
+      | SELECT e.vec_id, casg.ccid,
+      |  list_transform(range(1, 65), i -> e.a[i] - cc2.ccv[i]) AS ra
+      | FROM e JOIN casg ON casg.vec_id = e.vec_id
+      | JOIN cc cc2 ON cc2.ccid = casg.ccid
+      |), rsub AS (
+      | SELECT r.vec_id, r.ccid, js.j,
+      |  list_slice(r.ra, js.j*16 + 1, js.j*16 + 16) AS sv
+      | FROM rres r, js
+      |), rsd AS (
+      | SELECT j, vec_id AS cid, sv AS cv FROM rsub WHERE vec_id IN (4, 5, 6, 7)
+      |), rpd AS (
+      | SELECT s.vec_id, s.j, rsd.cid,
+      |  list_sum(list_transform(range(1, 17),
+      |    i -> (s.sv[i] - rsd.cv[i]) * (s.sv[i] - rsd.cv[i]))) AS dist
+      | FROM rsub s JOIN rsd ON rsd.j = s.j
+      |), rpw AS (
+      | SELECT vec_id, j, cid,
+      |  row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, cid) AS rn
+      | FROM rpd
+      |), rpasg AS (
+      | SELECT s.vec_id, s.j, rpw.cid, s.sv
+      | FROM rpw JOIN rsub s ON s.vec_id = rpw.vec_id AND s.j = rpw.j
+      | WHERE rpw.rn = 1
+      |), rpex AS (
+      | SELECT j, cid, CAST(generate_subscripts(sv, 1) - 1 AS INT) AS pos,
+      |  unnest(sv) AS x
+      | FROM rpasg
+      |), rps AS (
+      | SELECT j, cid, pos, CAST(sum(x) AS BIGINT) AS se,
+      |  CAST(count(*) AS BIGINT) AS n
+      | FROM rpex GROUP BY 1, 2, 3
+      |), rpcb AS (
+      | SELECT j, cid, list(CAST(se // n AS BIGINT) ORDER BY pos) AS cv
+      | FROM rps GROUP BY 1, 2
+      |), red AS (
+      | SELECT s.vec_id, s.j, rpcb.cid,
+      |  list_sum(list_transform(range(1, 17),
+      |    i -> (s.sv[i] - rpcb.cv[i]) * (s.sv[i] - rpcb.cv[i]))) AS dist
+      | FROM rsub s JOIN rpcb ON rpcb.j = s.j
+      |), rew AS (
+      | SELECT vec_id, j, cid,
+      |  row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, cid) AS rn
+      | FROM red
+      |), rpcodes AS (
+      | SELECT vec_id, j, cid FROM rew WHERE rn = 1
+      |), rqres AS (
+      | SELECT q.vec_id AS qid, qp.ccid,
+      |  list_transform(range(1, 65), i -> q.a[i] - cc3.ccv[i]) AS qa
+      | FROM e q JOIN qp ON qp.qid = q.vec_id
+      | JOIN cc cc3 ON cc3.ccid = qp.ccid
+      |), rqsub AS (
+      | SELECT r.qid, r.ccid, js.j,
+      |  list_slice(r.qa, js.j*16 + 1, js.j*16 + 16) AS sv
+      | FROM rqres r, js
+      |), rlut AS (
+      | SELECT s.qid, s.ccid, s.j, rpcb.cid,
+      |  list_sum(list_transform(range(1, 17),
+      |    i -> (s.sv[i] - rpcb.cv[i]) * (s.sv[i] - rpcb.cv[i]))) AS dd
+      | FROM rqsub s JOIN rpcb ON rpcb.j = s.j
+      |), rsc AS (
+      | SELECT l.qid, c.vec_id AS nid, CAST(sum(l.dd) AS BIGINT) AS adist
+      | FROM rpcodes c
+      | JOIN casg ON casg.vec_id = c.vec_id
+      | JOIN rlut l ON l.j = c.j AND l.cid = c.cid AND l.ccid = casg.ccid
+      | WHERE c.vec_id <> l.qid
+      | GROUP BY 1, 2
+      |)""".stripMargin
+
   /** The quadratic Kendall/Spearman definition in SQL — shared by the
     * `rank_correlation` and `rank_correlation_blocks` oracles (the
     * operator's seed-block size is invisible to the statistic).
@@ -2021,6 +2097,61 @@ object SparkEntry {
       Similarity.ivfPqRecallE6(emb, "vec_id", "embedding", out, coarse, cb,
           q, "qid", "qvec", k = 10, nprobe = 1)
         .orderBy("query_id")
+    }),
+
+    // ---- residual (IVFADC) vs raw IVF-PQ codes, recall@10 at
+    //      IDENTICAL (m = 4, nprobe = 4 — all cells probed, so the
+    //      comparison isolates pure code quality): codes quantize
+    //      x − coarse centroid instead of x. On clustered corpora the
+    //      residual distribution concentrates and recall rises
+    //      (SimilaritySpec pins 1/3 → 3/3 hits on a two-cluster
+    //      fixture); on THIS uniform-random synthetic table the
+    //      variants differ per query but tie in aggregate — exactly
+    //      what theory predicts with nothing to concentrate. Both
+    //      chains (training, encoding, per-probed-cell query LUTs) are
+    //      deterministic integer properties of (corpus, cells,
+    //      codebooks, queries) and hash-compare against the oracle's
+    //      full replay
+    "ann_ivfpq_residual_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val coarse = emb.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("centroid_id"),
+          transform(col("embedding"),
+            v => floor(v.cast("double") * 1000000d).cast("long"))
+            .as("centroid_e6"))
+      val q = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      // raw variant (the ann_ivfpq_recall construction)
+      val rawSeeds = emb.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("centroid_id"),
+          col("embedding").as("centroid_vec"))
+      val cbRaw = Similarity.pqCodebooksFromSums(
+        Similarity.pqTrainSumsE6(emb, "vec_id", "embedding", rawSeeds, m = 4))
+      val outRaw = java.nio.file.Files
+        .createTempDirectory("graft-ivfpqrr-raw").toString
+      Similarity.buildIvfPqIndex(emb, "vec_id", "embedding", coarse, cbRaw, outRaw)
+      // residual variant: codebooks train on x − coarse(x); seeds are
+      // the residuals of vec_ids 4..7 (0..3 are the cells themselves —
+      // zero residuals would be degenerate seeds)
+      val resSeeds = Similarity.ivfResidualsE6(emb, "vec_id", "embedding", coarse)
+        .filter(col("vec_id") >= 4 && col("vec_id") < 8)
+        .select(col("vec_id").as("centroid_id"),
+          col("residual_e6").as("centroid_e6"))
+      val cbRes = Similarity.pqCodebooksFromSums(
+        Similarity.pqTrainSumsResidualE6(emb, "vec_id", "embedding",
+          coarse, resSeeds, m = 4))
+      val outRes = java.nio.file.Files
+        .createTempDirectory("graft-ivfpqrr-res").toString
+      Similarity.buildIvfPqIndex(emb, "vec_id", "embedding", coarse, cbRes,
+        outRes, residual = true)
+      val rawRec = Similarity.ivfPqRecallE6(emb, "vec_id", "embedding",
+          outRaw, coarse, cbRaw, q, "qid", "qvec", k = 10, nprobe = 4)
+        .withColumn("variant", lit("raw"))
+      val resRec = Similarity.ivfPqRecallE6(emb, "vec_id", "embedding",
+          outRes, coarse, cbRes, q, "qid", "qvec", k = 10, nprobe = 4,
+          residual = true)
+        .withColumn("variant", lit("residual"))
+      rawRec.unionByName(resRec).orderBy("variant", "query_id")
     }),
 
     // ---- 8-bit embedding quantization: affine per-vector codes +
@@ -7139,6 +7270,55 @@ object SparkEntry {
          |FROM (SELECT vec_id FROM e WHERE vec_id < 3) q
          |LEFT JOIN h ON h.qid = q.vec_id
          |ORDER BY query_id""".stripMargin,
+
+    // raw vs residual (IVFADC) codes at identical (m, nprobe): both
+    // recall chains replayed end to end — training, encoding, per-cell
+    // query LUTs — entirely in integer arithmetic
+    "ann_ivfpq_residual_recall" ->
+      s"""WITH ${ivfPqChainSql(4)}, $ivfPqResidualChainSql, pdx AS (
+         | SELECT q.vec_id AS qid, e2.vec_id AS nid,
+         |  list_sum(list_transform(range(1, 65),
+         |    i -> (q.a[i] - e2.a[i]) * (q.a[i] - e2.a[i]))) AS dist
+         | FROM e q CROSS JOIN e e2
+         | WHERE q.vec_id < 3 AND e2.vec_id <> q.vec_id
+         |), exk AS (
+         | SELECT qid, nid FROM (
+         |  SELECT qid, nid,
+         |   row_number() OVER (PARTITION BY qid ORDER BY dist, nid) AS rn
+         |  FROM pdx) WHERE rn <= 10
+         |), ap_raw AS (
+         | SELECT qid, nid FROM (
+         |  SELECT qid, nid,
+         |   row_number() OVER (PARTITION BY qid ORDER BY adist, nid) AS rn
+         |  FROM sc) WHERE rn <= 10
+         |), ap_res AS (
+         | SELECT qid, nid FROM (
+         |  SELECT qid, nid,
+         |   row_number() OVER (PARTITION BY qid ORDER BY adist, nid) AS rn
+         |  FROM rsc) WHERE rn <= 10
+         |), h_raw AS (
+         | SELECT ap_raw.qid, CAST(count(*) AS BIGINT) AS n_hits
+         | FROM ap_raw JOIN exk ON ap_raw.qid = exk.qid AND ap_raw.nid = exk.nid
+         | GROUP BY 1
+         |), h_res AS (
+         | SELECT ap_res.qid, CAST(count(*) AS BIGINT) AS n_hits
+         | FROM ap_res JOIN exk ON ap_res.qid = exk.qid AND ap_res.nid = exk.nid
+         | GROUP BY 1
+         |), recs AS (
+         | SELECT q.vec_id AS query_id, COALESCE(h_raw.n_hits, 0) AS n_hits,
+         |  'raw' AS variant
+         | FROM (SELECT vec_id FROM e WHERE vec_id < 3) q
+         | LEFT JOIN h_raw ON h_raw.qid = q.vec_id
+         | UNION ALL
+         | SELECT q.vec_id AS query_id, COALESCE(h_res.n_hits, 0) AS n_hits,
+         |  'residual' AS variant
+         | FROM (SELECT vec_id FROM e WHERE vec_id < 3) q
+         | LEFT JOIN h_res ON h_res.qid = q.vec_id
+         |)
+         |SELECT query_id, n_hits, CAST(10 AS BIGINT) AS k,
+         | CAST(n_hits * 1000000 // 10 AS BIGINT) AS recall_ppm, variant
+         |FROM recs
+         |ORDER BY variant, query_id""".stripMargin,
 
     // identical elementwise affine-code arithmetic; both engines round
     // half away from zero on the (always nonnegative) scaled values

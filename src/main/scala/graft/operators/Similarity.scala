@@ -490,16 +490,29 @@ object Similarity {
       seeds.select(col("centroid_id").cast(LongType).as("_cid"),
         toE6(col("centroid_vec")).as("_c")), m)
     val dim = subdim * m
-    import org.apache.spark.sql.graft.ColumnBridge
     val corp = corpus.select(toE6(col(corpusVec)).as("_a"))
       .filter(size(col("_a")) === dim)
+    pqTrainSumsCore(corp, m, subdim, subCents)
+  }
+
+  /** Shared body of [[pqTrainSumsE6]] / [[pqTrainSumsResidualE6]]: the
+    * subspace-argmin + per-position sums histogram over an already-e6
+    * `_a` column.
+    */
+  private def pqTrainSumsCore(
+      corpE6: DataFrame, // one column `_a`: array<BIGINT>, length m·subdim
+      m: Int,
+      subdim: Int,
+      subCents: IndexedSeq[(Seq[Long], Seq[Long])]
+  ): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
     val codes = array((0 until m).map { j =>
       val (ids, mat) = subCents(j)
       ColumnBridge.column(graft.plans.NearestCentroidE6(
         ColumnBridge.expression(slice(col("_a"), j * subdim + 1, subdim)),
         ids, mat, subdim))
     }: _*)
-    corp.select(codes.as("_codes"), posexplode(col("_a")).as(Seq("_p", "x")))
+    corpE6.select(codes.as("_codes"), posexplode(col("_a")).as(Seq("_p", "x")))
       .select(
         expr(s"CAST(_p div $subdim AS INT)").as("sub_id"),
         element_at(col("_codes"), expr(s"CAST(_p div $subdim AS INT)") + 1)
@@ -611,24 +624,33 @@ object Similarity {
       m: Int,
       subdim: Int,
       subCents: IndexedSeq[(Seq[Long], Seq[Long])]): Seq[(Long, Seq[Map[Long, Long]])] =
-    qrows.map { case (qid, q) =>
-      require(q.length == m * subdim,
-        s"adc: query $qid has dim ${q.length}, codebooks expect ${m * subdim}")
-      val lut = (0 until m).map { j =>
-        val (ids, mat) = subCents(j)
-        ids.zipWithIndex.map { case (cid, c) =>
-          var acc = 0L
-          var p = 0
-          while (p < subdim) {
-            val d = q(j * subdim + p) - mat(c * subdim + p)
-            acc += d * d
-            p += 1
-          }
-          cid -> acc
-        }.toMap
-      }
-      (qid, lut: Seq[Map[Long, Long]])
+    qrows.map { case (qid, q) => (qid, adcLutOne(qid, q, m, subdim, subCents)) }
+
+  /** One query vector's ADC LUT — the single-vector core of
+    * [[adcLutsFor]], also called per probed cell for residual queries.
+    */
+  private def adcLutOne(
+      qid: Long,
+      q: Seq[Long],
+      m: Int,
+      subdim: Int,
+      subCents: IndexedSeq[(Seq[Long], Seq[Long])]): Seq[Map[Long, Long]] = {
+    require(q.length == m * subdim,
+      s"adc: query $qid has dim ${q.length}, codebooks expect ${m * subdim}")
+    (0 until m).map { j =>
+      val (ids, mat) = subCents(j)
+      ids.zipWithIndex.map { case (cid, c) =>
+        var acc = 0L
+        var p = 0
+        while (p < subdim) {
+          val d = q(j * subdim + p) - mat(c * subdim + p)
+          acc += d * d
+          p += 1
+        }
+        cid -> acc
+      }.toMap
     }
+  }
 
   /** Collect whole-vector e6 centroids `(centroid_id, centroid_e6)` to
     * (sorted ids, flat row-major matrix, dim) — the coarse-cell twin of
@@ -878,22 +900,35 @@ object Similarity {
       corpusVec: String,
       centroidsE6: DataFrame, // (centroid_id, centroid_e6) coarse cells
       codebooks: DataFrame,   // (sub_id, code_id, centroid_e6)
-      path: String
+      path: String,
+      residual: Boolean = false // classic IVFADC: see [[ivfPqEncode]]
   ): Unit =
-    ivfPqEncode(corpus, corpusId, corpusVec, centroidsE6, codebooks)
+    ivfPqEncode(corpus, corpusId, corpusVec, centroidsE6, codebooks, residual)
       .write.mode("overwrite").partitionBy("centroid_id").parquet(path)
 
   /** The [[buildIvfPqIndex]] projection without the write — ONE narrow
     * pass from `(<id>, vector)` to `(<id>, codes, centroid_id)`; the
     * seam the STREAMING index maintenance shares (each batch encodes
     * its own rows against the frozen artifacts and appends).
+    *
+    * `residual = true` is classic IVFADC (Jégou et al. 2011 §III):
+    * codes quantize `x − coarse_centroid(x)` instead of `x` — the
+    * residual distribution concentrates near zero across cells, so the
+    * same m bytes carry more precision (measurably higher recall at
+    * identical (m, nprobe); [[ivfPqRecallE6]] quantifies it). The cost
+    * is one broadcast join against the metadata-sized centroid table
+    * and an elementwise subtract — the pass stays narrow and
+    * shuffle-free. Codebooks MUST then be residual-space
+    * ([[pqTrainSumsResidualE6]]), and the query side must build its
+    * LUTs per probed cell ([[ivfPqTopKE6]]'s matching flag).
     */
   def ivfPqEncode(
       corpus: DataFrame,
       corpusId: String,
       corpusVec: String,
       centroidsE6: DataFrame,
-      codebooks: DataFrame
+      codebooks: DataFrame,
+      residual: Boolean = false
   ): DataFrame = {
     import org.apache.spark.sql.graft.ColumnBridge
     val (m, subdim, subCents) = collectCodebooks(codebooks)
@@ -902,15 +937,74 @@ object Similarity {
       s"ivfPqEncode: coarse dim $cdim != codebook dim ${m * subdim}")
     val corp = corpus.select(col(corpusId), toE6(col(corpusVec)).as("_a"))
       .filter(size(col("_a")) === cdim)
+    val cell = ColumnBridge.column(graft.plans.NearestCentroidE6(
+      ColumnBridge.expression(col("_a")), cids, cmat, cdim))
+    val base =
+      if (!residual) corp.withColumn("_cell", cell)
+      else corp.withColumn("_cell", cell)
+        .join(broadcast(centroidsE6.select(
+          col("centroid_id").cast(LongType).as("_cell"),
+          col("centroid_e6").as("_cv"))), Seq("_cell"))
+        .withColumn("_a", zip_with(col("_a"), col("_cv"), (a, c) => a - c))
     val codes = array((0 until m).map { j =>
       val (ids, mat) = subCents(j)
       ColumnBridge.column(graft.plans.NearestCentroidE6(
         ColumnBridge.expression(slice(col("_a"), j * subdim + 1, subdim)),
         ids, mat, subdim))
     }: _*)
+    base.select(col(corpusId), codes.as("codes"), col("_cell").as("centroid_id"))
+  }
+
+  /** PQ training sums over the RESIDUAL space `x − coarse_centroid(x)`
+    * — the codebook pass that pairs with `ivfPqEncode(residual = true)`.
+    * Same contract as [[pqTrainSumsE6]] (one narrow corpus pass, the
+    * only exchange the scalar-sums histogram; run on a sample at 100 TB)
+    * except the seed table is E6 whole-vectors in residual space
+    * (`(centroid_id, centroid_e6)` — e.g. a handful of residuals taken
+    * from the corpus itself).
+    */
+  def pqTrainSumsResidualE6(
+      corpus: DataFrame,
+      corpusId: String,
+      corpusVec: String,
+      centroidsE6: DataFrame,
+      seedsE6: DataFrame, // (centroid_id, centroid_e6) residual-space
+      m: Int
+  ): DataFrame = {
+    val (subdim, subCents) = collectSubspaceCentroids(
+      seedsE6.select(col("centroid_id").cast(LongType).as("_cid"),
+        col("centroid_e6").as("_c")), m)
+    val res = ivfResidualsE6(corpus, corpusId, corpusVec, centroidsE6)
+      .filter(size(col("residual_e6")) === subdim * m)
+      .select(col("residual_e6").as("_a"))
+    pqTrainSumsCore(res, m, subdim, subCents)
+  }
+
+  /** e6 residuals of every corpus vector against its assigned coarse
+    * cell: `(<id>, residual_e6 array<BIGINT>, centroid_id)`. One narrow
+    * pass — the coarse argmin is a broadcast-matrix projection and the
+    * subtract rides a broadcast join against the metadata-sized
+    * centroid table; wrong-length vectors drop (the pqEncode rule).
+    */
+  def ivfResidualsE6(
+      corpus: DataFrame,
+      corpusId: String,
+      corpusVec: String,
+      centroidsE6: DataFrame
+  ): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val (cids, cmat, cdim) = collectE6Whole(centroidsE6)
     val cell = ColumnBridge.column(graft.plans.NearestCentroidE6(
       ColumnBridge.expression(col("_a")), cids, cmat, cdim))
-    corp.select(col(corpusId), codes.as("codes"), cell.as("centroid_id"))
+    corpus.select(col(corpusId), toE6(col(corpusVec)).as("_a"))
+      .filter(size(col("_a")) === cdim)
+      .withColumn("_cell", cell)
+      .join(broadcast(centroidsE6.select(
+        col("centroid_id").cast(LongType).as("_cell"),
+        col("centroid_e6").as("_cv"))), Seq("_cell"))
+      .select(col(corpusId),
+        zip_with(col("_a"), col("_cv"), (a, c) => a - c).as("residual_e6"),
+        col("_cell").as("centroid_id"))
   }
 
   /** IVF-PQ top-k over a [[buildIvfPqIndex]] index: each query probes
@@ -944,7 +1038,8 @@ object Similarity {
       queryId: String,
       queryVec: String,
       k: Int,
-      nprobe: Int
+      nprobe: Int,
+      residual: Boolean = false
   ): DataFrame = {
     require(k > 0, s"ivfPqTopKE6: k must be positive, got $k")
     require(nprobe > 0, s"ivfPqTopKE6: nprobe must be positive, got $nprobe")
@@ -955,7 +1050,8 @@ object Similarity {
     require(cdim == m * subdim,
       s"ivfPqTopKE6: coarse dim $cdim != codebook dim ${m * subdim}")
     val qrows = collectQueriesE6(queries, queryId, queryVec)
-    val luts = adcLutsFor(qrows, m, subdim, subCents).toMap
+    val luts = if (residual) Map.empty[Long, Seq[Map[Long, Long]]]
+               else adcLutsFor(qrows, m, subdim, subCents).toMap
     val probes = qrows.flatMap { case (qid, q) =>
       require(q.length == cdim,
         s"ivfPqTopKE6: query $qid has dim ${q.length}, centroids expect $cdim")
@@ -967,9 +1063,20 @@ object Similarity {
           acc += d * d
           p += 1
         }
-        (acc, cids(c))
+        (acc, cids(c), c)
       }.sorted.take(nprobe)
-      ranked.map { case (_, cid) => (qid, cid, luts(qid)) }
+      ranked.map { case (_, cid, cIdx) =>
+        // residual codes: the LUT must measure the QUERY'S residual
+        // against THIS probed cell — q − c_probe slice-distances to the
+        // residual-space codebooks (IVFADC's per-cell LUT; still nprobe
+        // × m metadata maps per query)
+        val lut =
+          if (residual) adcLutOne(qid,
+            (0 until cdim).map(p => q(p) - cmat(cIdx * cdim + p)),
+            m, subdim, subCents)
+          else luts(qid)
+        (qid, cid, lut)
+      }
     }
     // an EMPTY query frame is a legal degenerate input (an evaluation
     // sample can be empty): degrade to zero rows, the pqAdcTopKE6 face —
@@ -1020,10 +1127,11 @@ object Similarity {
       queryId: String,
       queryVec: String,
       k: Int,
-      nprobe: Int
+      nprobe: Int,
+      residual: Boolean = false
   ): DataFrame = {
     val approx = ivfPqTopKE6(indexPath, corpusId, centroidsE6, codebooks,
-      queries, queryId, queryVec, k, nprobe)
+      queries, queryId, queryVec, k, nprobe, residual)
     val l2 = (a: Column, b: Column) => aggregate(
       zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0L), (acc, d) => acc + d)

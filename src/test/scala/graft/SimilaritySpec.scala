@@ -456,6 +456,62 @@ class SimilaritySpec extends SparkSpec {
     assert(none.count() == 0L)
   }
 
+  test("IVF-PQ residual encoding lifts recall over raw codes at identical (m, nprobe) on a clustered corpus") {
+    import org.apache.spark.sql.functions._
+    // two tight clusters far apart: raw PQ codes are dominated by the
+    // cluster-scale coordinates, so every cluster-A vector collapses to
+    // ONE code and within-cluster ADC cannot rank neighbors (ties break
+    // by id — mostly wrong); residual codes quantize only the small
+    // offsets and recover the true neighborhood
+    def v(base: Double, off: Double) =
+      Array.fill(4)((base + off).toFloat)
+    val corpus = Seq(
+      (10L, v(0, 0.1)), (11L, v(0, 0.2)), (12L, v(0, 0.6)),
+      (13L, v(0, 0.7)), (14L, v(0, 0.8)), (15L, v(0, 0.9)),
+      (20L, v(100, 0.1)), (21L, v(100, 0.5))
+    ).toDF("id", "vec")
+    val coarse = Seq(
+      (0L, Seq.fill(4)(500000L)),        // 0.5 e6 — cluster A's center
+      (1L, Seq.fill(4)(100500000L))      // 100.5 e6 — cluster B's center
+    ).toDF("centroid_id", "centroid_e6")
+    // raw codebooks: one seed per cluster (the natural k-means outcome
+    // when clusters dominate variance)
+    val rawSeeds = corpus.filter($"id".isin(10L, 20L))
+      .select($"id".as("centroid_id"), $"vec".as("centroid_vec"))
+    val cbRaw = Similarity.pqCodebooksFromSums(
+      Similarity.pqTrainSumsE6(corpus, "id", "vec", rawSeeds, m = 2))
+    // residual codebooks: seeds are two RESIDUALS spanning the offset
+    // range (ids 10 and 15 → offsets .1 and .9)
+    val resSeeds = Similarity.ivfResidualsE6(corpus, "id", "vec", coarse)
+      .filter($"id".isin(10L, 15L))
+      .select($"id".as("centroid_id"), $"residual_e6".as("centroid_e6"))
+    val cbRes = Similarity.pqCodebooksFromSums(
+      Similarity.pqTrainSumsResidualE6(corpus, "id", "vec", coarse, resSeeds, m = 2))
+    val outRaw = java.nio.file.Files.createTempDirectory("graft-ivfpq-raw").toString
+    val outRes = java.nio.file.Files.createTempDirectory("graft-ivfpq-res").toString
+    Similarity.buildIvfPqIndex(corpus, "id", "vec", coarse, cbRaw, outRaw)
+    Similarity.buildIvfPqIndex(corpus, "id", "vec", coarse, cbRes, outRes,
+      residual = true)
+    val q = corpus.filter($"id" === 15L)
+      .select($"id".as("qid"), $"vec".as("qvec"))
+    def recall(path: String, cb: org.apache.spark.sql.DataFrame,
+               res: Boolean): Long =
+      Similarity.ivfPqRecallE6(corpus, "id", "vec", path, coarse, cb,
+          q, "qid", "qvec", k = 3, nprobe = 1, residual = res)
+        .agg(sum($"n_hits")).head().getLong(0)
+    val rRaw = recall(outRaw, cbRaw, res = false)
+    val rRes = recall(outRes, cbRes, res = true)
+    // exact top-3 of query 15 (offset .9) is {14, 13, 12}; raw codes tie
+    // every cluster-A neighbor and id-ascending picks {10, 11, 12};
+    // residual codes group {12, 13, 14} under the near-offset code
+    assert(rRaw == 1L, s"raw recall hits = $rRaw")
+    assert(rRes == 3L, s"residual recall hits = $rRes")
+    // and the residual index still prunes physically: per-cell dirs
+    val dirs = new java.io.File(outRes).listFiles()
+      .filter(_.getName.startsWith("centroid_id=")).map(_.getName).sorted
+    assert(dirs.toSeq == Seq("centroid_id=0", "centroid_id=1"), dirs.toSeq.toString)
+  }
+
   test("mmrRerank cosine: scale-invariant penalty picks the orthogonal doc") {
     // id 2's vector is a SCALED copy of id 1's: cosine penalty 1.0
     // regardless of magnitude, so id 3 (orthogonal) ranks second
