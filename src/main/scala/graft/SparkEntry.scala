@@ -2525,6 +2525,42 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    // ---- streaming ER, EXACT components: sliding 8-token windows
+    //      (step 2) of each base doc form a J = 0.5 similarity CHAIN —
+    //      adjacent windows share 4 of 6 trigrams, non-adjacent fall
+    //      below threshold — split ACROSS the two batches (windows
+    //      0–2 then 3–5), so the cross-batch merge needs the
+    //      convergence-checked exact-components path (bounded 1-round
+    //      LPA would under-merge a diameter-5 chain; the spec pins
+    //      that). Labels are exact per-component minima, which the
+    //      oracle reproduces by min-propagating to a safe round bound
+    "er_stream_exact" -> ((s, dir) => {
+      import graft.streaming.StreamingOps
+      val base = t(s, dir, "documents").filter(col("doc_id") < 5)
+        .withColumn("_ts", TextFunctions.tokens(col("text")))
+      def win(kLo: Int, kHi: Int): DataFrame = base
+        .select(col("doc_id"),
+          explode(array((kLo to kHi).map(k => lit(k)): _*)).as("_k"),
+          col("_ts"))
+        .select(
+          lpad((col("doc_id") * lit(10) + col("_k")).cast("string"), 8, "0")
+            .as("doc_id"),
+          array_join(slice(col("_ts"), col("_k") * lit(2) + lit(1), lit(8)),
+            " ").as("text"))
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-er-exact-stream").toString
+      def step(b: DataFrame, id: Long): Unit =
+        StreamingOps.applyErBatch(s, b, id, "doc_id", "text",
+          shingleSize = 3, thresholdPpm = 500000L, lpaRounds = 1,
+          s"$work/state", s"$work/out", exactComponents = true)
+      step(win(0, 2), 0L)
+      step(win(3, 5), 1L)
+      step(win(3, 5), 1L) // replay no-op
+      s.read.parquet(s"$work/out/batch=1")
+        .select(col("node"), col("label"), col("is_canonical"))
+        .orderBy("node")
+    }),
+
     // ---- streaming IVF-PQ index: batch 0 trains + freezes cells (e6
     //      of the 4 smallest-id vectors) and PQ codebooks (one exact
     //      k-means step over batch 0 only); batch 1 encodes narrowly
@@ -7862,6 +7898,65 @@ object SparkEntry {
          |), $rounds
          |SELECT v AS node, l AS label, (v = l) AS is_canonical
          |FROM l4 ORDER BY node""".stripMargin
+    },
+
+    // exact components over the FULL cross-batch pair graph: star edges
+    // preserve batch-0's (exact) merges, so the final labels equal the
+    // per-component minimum over all pairs — min-propagated to a round
+    // bound ≥ any possible diameter (30 nodes)
+    "er_stream_exact" -> {
+      // MATERIALIZED: 30 chained rounds would otherwise inline into an
+      // exponentially-expanded scan tree (the unigram-oracle precedent)
+      val rounds = (1 to 30).map { k =>
+        s"""c$k AS MATERIALIZED (
+           | SELECT e._d AS v, min(p.l) AS ml
+           | FROM sym e JOIN l${k - 1} p ON p.v = e._s GROUP BY 1
+           |), l$k AS MATERIALIZED (
+           | SELECT p.v, least(p.l, coalesce(c$k.ml, p.l)) AS l
+           | FROM l${k - 1} p LEFT JOIN c$k ON c$k.v = p.v
+           |)""".stripMargin
+      }.mkString(", ")
+      s"""WITH d0 AS (
+         | SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents WHERE doc_id < 5
+         |), rawtk AS (
+         | SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS rts
+         | FROM d0
+         |), kk AS (
+         | SELECT unnest(generate_series(0, 5)) AS k
+         |), uni AS (
+         | SELECT lpad(CAST(r.doc_id * 10 + kk.k AS VARCHAR), 8, '0') AS doc_id,
+         |  array_to_string(r.rts[kk.k*2 + 1 : kk.k*2 + 8], ' ') AS text
+         | FROM rawtk r, kk
+         |), toks AS (
+         | SELECT doc_id,
+         |  list_filter(string_split_regex(trim(regexp_replace(regexp_replace(lower(text), '[[:punct:]]', '', 'g'), '\\s+', ' ', 'g')), '\\s+'), x -> x <> '') AS ts
+         | FROM uni
+         |), sh AS (
+         | SELECT doc_id, unnest(
+         |  CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+         |       ELSE list_distinct(list_transform(range(1, len(ts) - 1), i -> array_to_string(ts[i:i+2], ' ')))
+         |  END) AS g
+         | FROM toks
+         |), ds AS (
+         | SELECT DISTINCT doc_id, g FROM sh
+         |), sz AS (
+         | SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM ds GROUP BY 1
+         |), ix AS (
+         | SELECT a.doc_id AS ida, b.doc_id AS idb, CAST(count(*) AS BIGINT) AS i
+         | FROM ds a JOIN ds b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2
+         |), pr AS (
+         | SELECT ix.ida, ix.idb
+         | FROM ix JOIN sz sa ON sa.doc_id = ix.ida JOIN sz sb ON sb.doc_id = ix.idb
+         | WHERE ix.i * 1000000 >= 500000 * (sa.n + sb.n - ix.i)
+         |), sym AS MATERIALIZED (
+         | SELECT ida AS _s, idb AS _d FROM pr UNION SELECT idb, ida FROM pr
+         |), nodes AS (
+         | SELECT doc_id AS v FROM uni
+         |), l0 AS MATERIALIZED (
+         | SELECT v, v AS l FROM nodes
+         |), $rounds
+         |SELECT v AS node, l AS label, (v = l) AS is_canonical
+         |FROM l30 ORDER BY node""".stripMargin
     },
 
     // the same rank-window semantics replayed with a plain window rank
