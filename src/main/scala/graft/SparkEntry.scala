@@ -2525,6 +2525,40 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    // ---- ER SERVING: read-only entity lookup of incoming docs
+    //      (clones + truncations) against the COMMITTED state — no
+    //      LPA, no state rewrite, no commit. The state build is keyed
+    //      on the corpus file's identity and guarded by the version
+    //      pointer, so bench re-runs measure the serving path alone
+    //      (the one-time build amortizes to the first run; min-of-runs
+    //      is serving cost, the bm25_topk_indexed discipline applied
+    //      to the lifecycle/serving split)
+    "er_serve" -> ((s, dir) => {
+      import graft.streaming.StreamingOps
+      val base = t(s, dir, "documents").filter(col("doc_id") < 1000)
+        .select(col("doc_id"), col("text"))
+      val clones = base.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val trunc = base.filter(col("doc_id") < 20)
+        .withColumn("_ts", TextFunctions.tokens(col("text")))
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          array_join(slice(col("_ts"), lit(1),
+            greatest(expr("(size(_ts) * 4) div 5"), lit(1)).cast("int")), " ")
+            .as("text"))
+      def pad(df: DataFrame): DataFrame = df.select(
+        lpad(col("doc_id").cast("string"), 8, "0").as("doc_id"), col("text"))
+      val src = new java.io.File(s"$dir/documents.parquet")
+      val work = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_er_serve_${src.length}_${src.lastModified}").toString
+      if (StreamingOps.currentVersionId(s, s"$work/state").isEmpty)
+        StreamingOps.applyErBatch(s, pad(base), 0L, "doc_id", "text",
+          shingleSize = 3, thresholdPpm = 500000L, lpaRounds = 4,
+          s"$work/state", s"$work/out")
+      StreamingOps.erResolve(s, pad(clones.union(trunc)), "doc_id", "text",
+          shingleSize = 3, thresholdPpm = 500000L, s"$work/state")
+        .orderBy("node")
+    }),
+
     // ---- streaming ER, EXACT components: sliding 8-token windows
     //      (step 2) of each base doc form a J = 0.5 similarity CHAIN —
     //      adjacent windows share 4 of 6 trigrams, non-adjacent fall
@@ -7898,6 +7932,79 @@ object SparkEntry {
          |), $rounds
          |SELECT v AS node, l AS label, (v = l) AS is_canonical
          |FROM l4 ORDER BY node""".stripMargin
+    },
+
+    // serving = min committed label among the query's >= 0.5-jaccard
+    // matches in the base corpus; committed labels are the 4-round LPA
+    // over base-only pairs (the er_stream chain restricted to batch 0)
+    "er_serve" -> {
+      val rounds = (1 to 4).map { k =>
+        s"""c$k AS (
+           | SELECT e._d AS v, min(p.l) AS ml
+           | FROM bsym e JOIN l${k - 1} p ON p.v = e._s GROUP BY 1
+           |), l$k AS (
+           | SELECT p.v, least(p.l, coalesce(c$k.ml, p.l)) AS l
+           | FROM l${k - 1} p LEFT JOIN c$k ON c$k.v = p.v
+           |)""".stripMargin
+      }.mkString(", ")
+      s"""WITH d0 AS (
+         | SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents WHERE doc_id < 1000
+         |), rawtk AS (
+         | SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS rts
+         | FROM d0
+         |), alltxt AS (
+         | SELECT doc_id, text, FALSE AS isq FROM d0
+         | UNION ALL SELECT doc_id + 1000000, text, TRUE FROM d0 WHERE doc_id < 20
+         | UNION ALL
+         |  SELECT doc_id + 2000000,
+         |   array_to_string(rts[1:greatest((len(rts) * 4) // 5, 1)], ' '), TRUE
+         |  FROM rawtk WHERE doc_id < 20
+         |), toks AS (
+         | SELECT doc_id,
+         |  list_filter(string_split_regex(trim(regexp_replace(regexp_replace(lower(text), '[[:punct:]]', '', 'g'), '\\s+', ' ', 'g')), '\\s+'), x -> x <> '') AS ts
+         | FROM alltxt
+         |), sh AS (
+         | SELECT doc_id, unnest(
+         |  CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+         |       ELSE list_distinct(list_transform(range(1, len(ts) - 1), i -> array_to_string(ts[i:i+2], ' ')))
+         |  END) AS g
+         | FROM toks
+         |), ds AS (
+         | SELECT DISTINCT doc_id, g FROM sh
+         |), sz AS (
+         | SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM ds GROUP BY 1
+         |), ix AS (
+         | SELECT a.doc_id AS ida, b.doc_id AS idb, CAST(count(*) AS BIGINT) AS i
+         | FROM ds a JOIN ds b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2
+         |), pr AS (
+         | SELECT ix.ida, ix.idb
+         | FROM ix JOIN sz sa ON sa.doc_id = ix.ida JOIN sz sb ON sb.doc_id = ix.idb
+         | WHERE ix.i * 1000000 >= 500000 * (sa.n + sb.n - ix.i)
+         |), bpe AS (
+         | SELECT lpad(CAST(ida AS VARCHAR), 8, '0') AS a,
+         |        lpad(CAST(idb AS VARCHAR), 8, '0') AS b
+         | FROM pr WHERE ida < 1000000 AND idb < 1000000
+         |), bsym AS (
+         | SELECT a AS _s, b AS _d FROM bpe UNION SELECT b, a FROM bpe
+         |), l0 AS (
+         | SELECT lpad(CAST(doc_id AS VARCHAR), 8, '0') AS v,
+         |        lpad(CAST(doc_id AS VARCHAR), 8, '0') AS l
+         | FROM d0
+         |), $rounds, qm AS (
+         | SELECT lpad(CAST(idb AS VARCHAR), 8, '0') AS qnode,
+         |        lpad(CAST(ida AS VARCHAR), 8, '0') AS bnode
+         | FROM pr WHERE ida < 1000000 AND idb >= 1000000
+         |), res AS (
+         | SELECT qm.qnode, min(l4.l) AS ml
+         | FROM qm JOIN l4 ON l4.v = qm.bnode GROUP BY 1
+         |), qn AS (
+         | SELECT lpad(CAST(doc_id AS VARCHAR), 8, '0') AS node
+         | FROM alltxt WHERE isq
+         |)
+         |SELECT qn.node, coalesce(res.ml, qn.node) AS label,
+         | (res.ml IS NOT NULL) AS matched
+         |FROM qn LEFT JOIN res ON res.qnode = qn.node
+         |ORDER BY node""".stripMargin
     },
 
     // exact components over the FULL cross-batch pair graph: star edges

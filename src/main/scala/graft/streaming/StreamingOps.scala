@@ -1512,6 +1512,90 @@ object StreamingOps {
     }
   }
 
+  /** READ-ONLY entity lookup against the committed ER state — the
+    * SERVING face of [[applyErBatch]]: resolve which canonical entity
+    * each incoming doc belongs to WITHOUT mutating state (the dry-run
+    * a router or dedup-on-ingest check runs per request). Per doc:
+    *
+    *  - an id already in the store returns its COMMITTED label
+    *    directly (docs are immutable by id — re-delivery is a lookup,
+    *    not a re-resolution);
+    *  - a new id grams its text, rides the same incremental
+    *    prefix-filter plan as the batch op (`_new` contract — store ×
+    *    store pairs never form), keeps only doc↔STORE matches at
+    *    `thresholdPpm`, and resolves to the MINIMUM committed label
+    *    among its matches (`matched = true`) or to itself
+    *    (`matched = false`).
+    *
+    * Output: `(node, label, matched)`. Cost is the serving fraction of
+    * the batch op — the candidate join over new-doc prefixes plus one
+    * label join; no LPA rounds, no state rewrite, no commit — and the
+    * result is a pure function of (batch, committed state), so bench
+    * re-runs measure serving, not lifecycle.
+    */
+  def erResolve(
+      spark: SparkSession,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int,
+      thresholdPpm: Long,
+      statePath: String,
+      maxPrefixGramDf: Long = 100000L
+  ): DataFrame = {
+    import graft.operators.Dedup
+    import graft.functions.TextFunctions
+    import org.apache.spark.sql.types.StringType
+    val st = readState(spark, statePath).getOrElse(
+      sys.error(s"erResolve: no committed ER state at $statePath"))
+    val storeGrams = st.filter(col("kind") === "g")
+      .select(col("id").as("_id"), col("g").as("_g"))
+    val labels = st.filter(col("kind") === "l")
+      .select(col("id").as("_sid"), col("label"))
+    val qGrams = batch.select(col(idCol).cast(StringType).as("_id"),
+        explode(array_distinct(
+          TextFunctions.shingles(col(textCol), shingleSize))).as("_s"))
+      .select(col("_id"), xxhash64(col("_s")).as("_g"))
+      .distinct()
+      .localCheckpoint() // reused: in-store split + the candidate join
+    // no distinct on the store side: semi/anti joins are set-semantics
+    // already, and each distinct would be one more shuffle in the
+    // serving path's fixed latency
+    val storeIds = storeGrams.select(col("_id"))
+    val inStore = qGrams.select(col("_id")).distinct()
+      .join(storeIds, Seq("_id"), "left_semi")
+    val newQ = qGrams.join(storeIds, Seq("_id"), "left_anti")
+    val all = storeGrams.withColumn("_new", lit(false))
+      .unionByName(newQ.withColumn("_new", lit(true)))
+    val pairs = Dedup.setSimPairsFromGrams(all, thresholdPpm, maxPrefixGramDf)
+    // keep doc↔store matches only (the `_new` contract already removed
+    // store×store; this drops query×query)
+    val qIds = newQ.select(col("_id")).distinct()
+    val oriented = pairs
+      .join(qIds.select(col("_id").as("id_a"), lit(true).as("_qa")),
+        Seq("id_a"), "left")
+      .join(qIds.select(col("_id").as("id_b"), lit(true).as("_qb")),
+        Seq("id_b"), "left")
+      .filter(coalesce(col("_qa"), lit(false)) =!=
+        coalesce(col("_qb"), lit(false)))
+      .select(
+        when(coalesce(col("_qa"), lit(false)), col("id_a"))
+          .otherwise(col("id_b")).as("_qid"),
+        when(coalesce(col("_qa"), lit(false)), col("id_b"))
+          .otherwise(col("id_a")).as("_sid"))
+    val resolved = oriented.join(labels, Seq("_sid"))
+      .groupBy(col("_qid")).agg(min(col("label")).as("_ml"))
+    val newOut = qIds
+      .join(resolved.withColumnRenamed("_qid", "_id"), Seq("_id"), "left")
+      .select(col("_id").as("node"),
+        coalesce(col("_ml"), col("_id")).as("label"),
+        col("_ml").isNotNull.as("matched"))
+    val storeOut = inStore
+      .join(labels.withColumnRenamed("_sid", "_id"), Seq("_id"))
+      .select(col("_id").as("node"), col("label"), lit(true).as("matched"))
+    newOut.unionByName(storeOut)
+  }
+
   def applyHllBatch(
       spark: SparkSession,
       batch: DataFrame,

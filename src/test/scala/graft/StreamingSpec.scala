@@ -724,6 +724,35 @@ class StreamingSpec extends SparkSpec {
     assert(exactLbl == (0 until 6).map(i => f"d$i" -> "d0").toMap, exactLbl.toString)
   }
 
+  test("erResolve: read-only lookup — clone matches its committed entity, novel doc self-labels, re-delivered id returns its committed label, state untouched") {
+    val work = Files.createTempDirectory("graft-er-resolve").toString
+    StreamingOps.applyErBatch(spark,
+      Seq(("d1", "alpha beta gamma delta epsilon zeta"),
+          ("d2", "alpha beta gamma delta epsilon zeta"),
+          ("d3", "totally different words entirely here now"))
+        .toDF("doc_id", "text"),
+      0L, "doc_id", "text", shingleSize = 3, thresholdPpm = 500000L,
+      lpaRounds = 2, s"$work/state", s"$work/out")
+    val stateBefore = StreamingOps.readState(spark, s"$work/state").get
+      .collect().map(_.toSeq).toSet
+    val got = StreamingOps.erResolve(spark,
+      Seq(("q1", "alpha beta gamma delta epsilon zeta"), // clone → d1's entity
+          ("q2", "nothing shared with any stored doc"),  // novel → self
+          ("d2", "alpha beta gamma delta epsilon zeta")) // re-delivery → lookup
+        .toDF("doc_id", "text"),
+      "doc_id", "text", shingleSize = 3, thresholdPpm = 500000L,
+      s"$work/state")
+      .as[(String, String, Boolean)].collect().toSet
+    assert(got == Set(
+      ("q1", "d1", true),
+      ("q2", "q2", false),
+      ("d2", "d1", true)), got.toString)
+    // read-only: neither the state rows nor the version pointer moved
+    assert(StreamingOps.readState(spark, s"$work/state").get
+      .collect().map(_.toSeq).toSet == stateBefore)
+    assert(StreamingOps.currentVersionId(spark, s"$work/state").contains(0L))
+  }
+
   test("vocab growth stream: term store accumulates, new-term increments exact, replay no-ops") {
     val work = Files.createTempDirectory("graft-vg-spec").toString
     def step(texts: Seq[String], id: Long) =
