@@ -2620,6 +2620,39 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- IVF-PQ codebook-drift monitor: cell-occupancy histograms vs
+    //      the batch-0 committed reference, exact scaled-L1 per batch.
+    //      Batch 1 (the corpus's natural second half) sits under the
+    //      re-train threshold; batch 2 plants a DRIFTED feed — 50
+    //      copies of vector 0, all funneling into one cell — and trips
+    //      the flag; batch 2 then replays to prove idempotence
+    "pq_drift_stream" -> ((s, dir) => {
+      import graft.streaming.StreamingOps
+      val emb = t(s, dir, "embeddings")
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-pqdrift-gate").toString
+      StreamingOps.applyIvfPqIndexBatch(s, emb.filter(col("vec_id") < 300),
+        0L, "vec_id", "embedding", c = 4, m = 4, s"$work/index")
+      def step(b: DataFrame, id: Long): Unit =
+        StreamingOps.applyPqDriftBatch(s, b, id, "vec_id", "embedding",
+          s"$work/index", s"$work/drift", s"$work/out",
+          retrainThresholdE9 = 750000000L)
+      step(emb.filter(col("vec_id") < 300), 0L)       // reference commits
+      step(emb.filter(col("vec_id") >= 300), 1L)      // natural feed
+      val drifted = emb.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 10000L).as("vec_id"))
+        .crossJoin(broadcast(emb.filter(col("vec_id") === 0L)
+          .select(col("embedding"))))
+      step(drifted, 2L)
+      step(drifted, 2L)                               // replay no-op
+      val b1 = s.read.parquet(s"$work/out/batch=1").withColumn("batch", lit(1L))
+      val b2 = s.read.parquet(s"$work/out/batch=2").withColumn("batch", lit(2L))
+      b1.unionByName(b2)
+        .select(col("batch"), col("n_ref"), col("n_cur"), col("l1_e9"),
+          col("retrain"))
+        .orderBy("batch")
+    }),
+
     // ---- streaming vocabulary growth: seen-term fingerprint store +
     //      token-count sentinel; per batch one cumulative (distinct,
     //      tokens) pair plus the batch's novel-term increment — the
@@ -7932,6 +7965,59 @@ object SparkEntry {
          |), $rounds
          |SELECT v AS node, l AS label, (v = l) AS is_canonical
          |FROM l4 ORDER BY node""".stripMargin
+    },
+
+    // cell-occupancy histograms from the exact e6 nearest-cell argmin,
+    // then the l1Drift integer arithmetic (cross-normalized gap sum,
+    // half-up e9 scaling) per scoring batch
+    "pq_drift_stream" -> {
+      def driftRow(batch: Int, cur: String): String =
+        s"""SELECT $batch AS batch, CAST(t.na AS BIGINT) AS n_ref,
+           | CAST(t.nb AS BIGINT) AS n_cur,
+           | CAST((2 * (g.s * 1000000000) + CAST(t.na AS HUGEINT) * t.nb)
+           |   // (2 * (CAST(t.na AS HUGEINT) * t.nb)) AS BIGINT) AS l1_e9
+           |FROM (SELECT sum(ca) AS na, sum(cb) AS nb FROM d$cur) t,
+           | (SELECT sum(abs(CAST(ca AS HUGEINT) * t2.nb
+           |     - CAST(cb AS HUGEINT) * t2.na)) AS s
+           |  FROM d$cur, (SELECT sum(ca) AS na, sum(cb) AS nb FROM d$cur) t2) g""".stripMargin
+      s"""WITH e AS (
+         | SELECT vec_id,
+         |  list_transform(embedding,
+         |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS a
+         | FROM embeddings
+         |), cc AS (
+         | SELECT vec_id AS ccid, a AS ccv FROM e WHERE vec_id < 4
+         |), cd AS (
+         | SELECT e.vec_id, cc.ccid,
+         |  list_sum(list_transform(range(1, 65),
+         |    i -> (e.a[i] - cc.ccv[i]) * (e.a[i] - cc.ccv[i]))) AS dist
+         | FROM e, cc
+         |), casg AS (
+         | SELECT vec_id, ccid FROM (
+         |  SELECT vec_id, ccid,
+         |   row_number() OVER (PARTITION BY vec_id ORDER BY dist, ccid) AS rn
+         |  FROM cd) WHERE rn = 1
+         |), href AS (
+         | SELECT ccid, CAST(count(*) AS BIGINT) AS cnt FROM casg
+         | WHERE vec_id < 300 GROUP BY 1
+         |), h1 AS (
+         | SELECT ccid, CAST(count(*) AS BIGINT) AS cnt FROM casg
+         | WHERE vec_id >= 300 GROUP BY 1
+         |), h2 AS (
+         | SELECT casg.ccid, CAST(50 AS BIGINT) AS cnt FROM casg WHERE vec_id = 0
+         |), d1 AS (
+         | SELECT coalesce(a.cnt, 0) AS ca, coalesce(b.cnt, 0) AS cb
+         | FROM href a FULL JOIN h1 b ON b.ccid = a.ccid
+         |), d2 AS (
+         | SELECT coalesce(a.cnt, 0) AS ca, coalesce(b.cnt, 0) AS cb
+         | FROM href a FULL JOIN h2 b ON b.ccid = a.ccid
+         |), rows_ AS (
+         | ${driftRow(1, "1")}
+         | UNION ALL
+         | ${driftRow(2, "2")}
+         |)
+         |SELECT batch, n_ref, n_cur, l1_e9, (l1_e9 >= 750000000) AS retrain
+         |FROM rows_ ORDER BY batch""".stripMargin
     },
 
     // serving = min committed label among the query's >= 0.5-jaccard

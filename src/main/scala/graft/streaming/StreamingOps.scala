@@ -1860,6 +1860,76 @@ object StreamingOps {
       queries, queryId, queryVec, k, nprobe)
   }
 
+  /** One micro-batch of IVF-PQ CODEBOOK-DRIFT monitoring — the rot
+    * detector for [[applyIvfPqIndexBatch]]'s batch-0-frozen artifacts:
+    * under real distribution drift, new vectors' coarse-cell
+    * assignments silently stop resembling the population the cells
+    * (and residual codebooks) were trained on, and recall decays with
+    * no error anywhere. The monitor is CELL-OCCUPANCY drift: each
+    * batch's vectors assign to their nearest committed cell (the exact
+    * e6 argmin the index itself uses), the ≤-c-row occupancy histogram
+    * of the FIRST monitored batch commits as the versioned reference,
+    * and every later batch emits one exact scaled-L1 row
+    * `(n_ref, n_cur, l1_e9, retrain)` to `outPath/batch=<id>` — the
+    * [[graft.operators.ImportanceScoring.driftFromHistograms]] /
+    * [[graft.operators.ImportanceScoring.l1Drift]] integer arithmetic,
+    * `retrain = l1_e9 ≥ retrainThresholdE9` the re-train flag a
+    * pipeline alerts on.
+    *
+    * Replay idempotence (the [[applyDriftBatch]] shape): a replayed
+    * reference batch no-ops under the `_CURRENT` guard; a replayed
+    * scoring batch recomputes against the PINNED reference and
+    * overwrites its output bit-identically. State is one ≤ c-row
+    * histogram; per-batch cost is the narrow assignment projection +
+    * a c-key aggregate — vectors never shuffle.
+    */
+  def applyPqDriftBatch(
+      spark: SparkSession,
+      batch: DataFrame,
+      batchId: Long,
+      idCol: String,
+      vecCol: String,
+      indexStatePath: String, // the applyIvfPqIndexBatch root (cells)
+      statePath: String,      // this monitor's reference store
+      outPath: String,
+      retrainThresholdE9: Long
+  ): Unit = {
+    import graft.operators.{ImportanceScoring, Similarity}
+    require(retrainThresholdE9 >= 0,
+      s"pqDriftStream: retrainThresholdE9 must be >= 0, got $retrainThresholdE9")
+    val cells = readState(spark, s"$indexStatePath/cells").getOrElse(
+      sys.error(s"pqDriftStream: no committed cells under $indexStatePath"))
+    val occ = Similarity.ivfResidualsE6(batch, idCol, vecCol, cells)
+      .groupBy(col("centroid_id").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    currentVersionId(spark, statePath) match {
+      case None =>
+        // an empty reference would null every later compare (the
+        // applyShiftBatch guard): wait for the first non-empty batch
+        if (occ.isEmpty) {
+          log.warn(s"pqDriftStream: batch $batchId has no assignable " +
+            "vectors — refusing to commit an empty reference occupancy")
+        } else {
+          val version = s"v$batchId"
+          occ.write.mode("overwrite").parquet(s"$statePath/$version")
+          commitVersion(spark, statePath, version, keepFrom = batchId)
+        }
+      case Some(cur) if cur >= batchId =>
+        log.warn(s"pqDriftStream: batch $batchId is not newer than the " +
+          s"committed reference v$cur — skipping (replay no-op)")
+      case Some(_) =>
+        val reference = readState(spark, statePath).getOrElse(
+          sys.error(s"pqDriftStream: _CURRENT exists but no state at $statePath"))
+        ImportanceScoring.l1Drift(
+            ImportanceScoring.driftFromHistograms(reference, occ))
+          .select(col("n_a").as("n_ref"), col("n_b").as("n_cur"),
+            col("l1_e9"),
+            (col("l1_e9") >= retrainThresholdE9).as("retrain"))
+          .coalesce(1)
+          .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+    }
+  }
+
   /** One micro-batch of event-time WINDOWED COUNTS under an explicit
     * watermark — the deterministic replay of Spark's
     * `withWatermark(...).groupBy(window(...))` semantics, factored as a

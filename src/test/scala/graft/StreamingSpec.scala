@@ -724,6 +724,45 @@ class StreamingSpec extends SparkSpec {
     assert(exactLbl == (0 until 6).map(i => f"d$i" -> "d0").toMap, exactLbl.toString)
   }
 
+  test("pq drift stream: stable feed under threshold, drifted feed trips retrain, replay no-ops, empty reference refused") {
+    import org.apache.spark.sql.functions.transform
+    val work = Files.createTempDirectory("graft-pqdrift-spec").toString
+    def vecs(rows: (Long, Array[Float])*) = rows.toDF("id", "vec")
+    def v(x: Double) = Array.fill(4)(x.toFloat)
+    // index: 2 cells at 0 and 100
+    StreamingOps.applyIvfPqIndexBatch(spark,
+      vecs(0L -> v(0.0), 1L -> v(100.0), 2L -> v(0.2), 3L -> v(99.8)),
+      0L, "id", "vec", c = 2, m = 2, s"$work/index")
+    def step(b: org.apache.spark.sql.DataFrame, id: Long) =
+      StreamingOps.applyPqDriftBatch(spark, b, id, "id", "vec",
+        s"$work/index", s"$work/drift", s"$work/out",
+        retrainThresholdE9 = 500000000L)
+    // an EMPTY first batch must not become the reference
+    step(vecs().select(col("id"), col("vec")), 0L)
+    assert(StreamingOps.currentVersionId(spark, s"$work/drift").isEmpty)
+    // reference: balanced 2/2 occupancy
+    step(vecs(0L -> v(0.0), 1L -> v(100.0), 2L -> v(0.2), 3L -> v(99.8)), 1L)
+    assert(StreamingOps.currentVersionId(spark, s"$work/drift").contains(1L))
+    // stable feed: same balance → l1 = 0, no flag
+    step(vecs(10L -> v(0.1), 11L -> v(99.9)), 2L)
+    val b2 = spark.read.parquet(s"$work/out/batch=2")
+      .as[(Long, Long, Long, Boolean)].head()
+    assert(b2 == ((4L, 2L, 0L, false)), b2.toString)
+    // drifted feed: everything lands in cell 0 → l1 = 1 scaled, flag
+    step(vecs(20L -> v(0.3), 21L -> v(0.4)), 3L)
+    val b3 = spark.read.parquet(s"$work/out/batch=3")
+      .as[(Long, Long, Long, Boolean)].head()
+    assert(b3 == ((4L, 2L, 1000000000L, true)), b3.toString)
+    // replay recomputes against the pinned reference bit-identically
+    step(vecs(20L -> v(0.3), 21L -> v(0.4)), 3L)
+    assert(spark.read.parquet(s"$work/out/batch=3")
+      .as[(Long, Long, Long, Boolean)].head() == b3)
+    // reference replay no-ops (the version guard)
+    step(vecs(99L -> v(50.0)), 1L)
+    assert(StreamingOps.readState(spark, s"$work/drift").get
+      .as[(Long, Long)].collect().toMap == Map(0L -> 2L, 1L -> 2L))
+  }
+
   test("erResolve: read-only lookup — clone matches its committed entity, novel doc self-labels, re-delivered id returns its committed label, state untouched") {
     val work = Files.createTempDirectory("graft-er-resolve").toString
     StreamingOps.applyErBatch(spark,
