@@ -431,6 +431,14 @@ object Graph {
     * pure property of the graph (the per-component minimum), so the
     * oracle never needs to replay the schedule.
     *
+    * Label compression: node strings dictionary-encode ONCE to their
+    * order-preserving dense rank ([[orderPreservingIdDict]] — long-min
+    * ≡ string-min, so the MIN-by-string contract survives), every
+    * round shuffles 8-byte longs only ([[ccMinRound]], spec-pinned),
+    * and the final table translates back — two joins at each end
+    * instead of full node strings through every round's edge join and
+    * self-join.
+    *
     * Output: `(node STRING, label STRING)` over the edge universe.
     */
   def connectedComponentsMin(
@@ -444,34 +452,35 @@ object Graph {
     val raw = edges
       .select(col(srcCol).cast("string").as("_a"), col(dstCol).cast("string").as("_b"))
       .filter(col("_a").isNotNull && col("_b").isNotNull)
-    val sym = raw.filter(col("_a") =!= col("_b"))
-      .select(col("_a").as("_s"), col("_b").as("_d"))
-      .unionByName(raw.filter(col("_a") =!= col("_b"))
-        .select(col("_b").as("_s"), col("_a").as("_d")))
-      .distinct()
-      .localCheckpoint()
     val nodes = raw.select(col("_a").as("_v"))
       .unionByName(raw.select(col("_b").as("_v")))
       .distinct()
       .localCheckpoint()
-    var labels = nodes.select(col("_v"), col("_v").as("_l")).localCheckpoint()
+    // LABEL COMPRESSION: dictionary-encode node strings ONCE into the
+    // order-preserving dense rank (long-min ≡ string-min, so the MIN
+    // semantics callers pin survive encoding), propagate over 8-byte
+    // longs in every round, translate back at the end. At 100× scale
+    // each round's edge join and label self-join otherwise carry full
+    // node strings — the encode pays two joins once instead.
+    val dict = orderPreservingIdDict(nodes).localCheckpoint()
+    val symL = raw.filter(col("_a") =!= col("_b"))
+      .select(col("_a"), col("_b"))
+      .join(dict.select(col("_v").as("_a"), col("_id").as("_sa")), Seq("_a"))
+      .join(dict.select(col("_v").as("_b"), col("_id").as("_sb")), Seq("_b"))
+      .select(col("_sa").as("_s"), col("_sb").as("_d"))
+    val sym = symL
+      .unionByName(symL.select(col("_d").as("_s"), col("_s").as("_d")))
+      .distinct()
+      .localCheckpoint()
+    var labels = dict.select(col("_id").as("_v"), col("_id").as("_l"))
+      .localCheckpoint()
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
-      val fromNbr = sym
-        .join(labels.select(col("_v").as("_s"), col("_l")), Seq("_s"))
-        .groupBy(col("_d")).agg(min(col("_l")).as("_nl"))
-        .select(col("_d").as("_v"), col("_nl"))
-      // checkpoint BEFORE the self-join: the jump reads prop twice
-      // (rows + the label→label lookup), and left lazy the propagate
-      // join would execute twice per round
-      val prop = labels.join(fromNbr, Seq("_v"), "left")
-        .select(col("_v"), least(col("_l"), coalesce(col("_nl"), col("_l"))).as("_l"))
-        .localCheckpoint()
-      val jumped = prop
-        .join(prop.select(col("_v").as("_l"), col("_l").as("_l2")), Seq("_l"), "left")
-        .select(col("_v"), coalesce(col("_l2"), col("_l")).as("_l"))
-        .localCheckpoint()
+      // checkpoint BEFORE the self-join (inside ccMinRound): the jump
+      // reads prop twice (rows + the label→label lookup), and left
+      // lazy the propagate join would execute twice per round
+      val jumped = ccMinRound(sym, labels)
       val changed = jumped
         .join(labels.select(col("_v"), col("_l").as("_lp")), Seq("_v"))
         .filter(col("_l") =!= col("_lp")).count()
@@ -484,7 +493,77 @@ object Graph {
         "with pointer jumping that indicates malformed input (e.g. unstable " +
         "ids), not an undersized budget; inspect the edge list or raise " +
         "maxRounds knowingly")
-    labels.select(col("_v").as("node"), col("_l").as("label"))
+    labels
+      .join(dict.select(col("_id").as("_v"), col("_v").as("node")), Seq("_v"))
+      .join(dict.select(col("_id").as("_l"), col("_v").as("label")), Seq("_l"))
+      .select(col("node"), col("label"))
+  }
+
+  /** One propagate-and-jump round over LONG-encoded labels — factored
+    * so the longs-only shuffle contract is spec-inspectable. Inputs
+    * must be checkpointed by the caller (the loop's lineage-cut
+    * discipline); the propagate result checkpoints here because the
+    * jump self-join reads it twice.
+    */
+  private[graft] def ccMinRound(sym: DataFrame, labels: DataFrame): DataFrame = {
+    val fromNbr = sym
+      .join(labels.select(col("_v").as("_s"), col("_l")), Seq("_s"))
+      .groupBy(col("_d")).agg(min(col("_l")).as("_nl"))
+      .select(col("_d").as("_v"), col("_nl"))
+    val prop = labels.join(fromNbr, Seq("_v"), "left")
+      .select(col("_v"), least(col("_l"), coalesce(col("_nl"), col("_l"))).as("_l"))
+      .localCheckpoint()
+    prop
+      .join(prop.select(col("_v").as("_l"), col("_l").as("_l2")), Seq("_l"), "left")
+      .select(col("_v"), coalesce(col("_l2"), col("_l")).as("_l"))
+      .localCheckpoint()
+  }
+
+  /** Order-preserving dense ids for a distinct single-column `_v`
+    * STRING frame: `(_v, _id)` with `_id` the 0-based rank of `_v` in
+    * string order — long-min over ids ≡ string-min over values. The
+    * rank rides the range-sampled two-level prefix (the
+    * sortedNeighborhoodPairs machinery): `repartitionByRange` splits
+    * the value order into sampled ranges, local positions come from
+    * `monotonically_increasing_id` over each sorted slice, per-slice
+    * (count, min-id) stats prefix into global offsets — no task ever
+    * sorts more than ~n/buckets values, for any distribution.
+    */
+  private[graft] def orderPreservingIdDict(
+      nodes: DataFrame,
+      buckets: Int = 0 // 0 → the session's shuffle-partition count
+  ): DataFrame = {
+    // default to the session's shuffle parallelism: a fixed large bucket
+    // count would CARRY its partitioning into every downstream round
+    // (measured 256-task stages against a 32-partition session — a 5×
+    // fixed-latency tax on every iteration at gate scale)
+    val nb = if (buckets > 0) buckets
+             else nodes.sparkSession.sessionState.conf.numShufflePartitions
+    val w = org.apache.spark.sql.expressions.Window
+    val parted = nodes
+      .repartitionByRange(nb, col("_v"))
+      .sortWithinPartitions(col("_v"))
+      .select(col("_v"), spark_partition_id().as("_p"),
+        monotonically_increasing_id().as("_mid"))
+      .localCheckpoint() // freeze partition ids + local positions
+    val stats = parted.groupBy(col("_p"))
+      .agg(count(lit(1)).as("_c"), min(col("_mid")).as("_m0"),
+        max(col("_mid")).as("_m1"))
+      .withColumn("_consec", col("_m1") - col("_m0") + 1 === col("_c"))
+      .withColumn("_off",
+        coalesce(sum(col("_c")).over(w.orderBy("_p")
+          .rowsBetween(w.unboundedPreceding, -1)), lit(0L)))
+      .select("_p", "_m0", "_off", "_consec")
+    // the same mono-id consecutiveness tripwire sortedNeighborhoodPairs
+    // pins: Spark contracts monotone-and-unique only
+    require(stats.filter(!col("_consec")).isEmpty,
+      "orderPreservingIdDict: monotonically_increasing_id was not " +
+        "consecutive within a partition — the local-position arithmetic " +
+        "is invalid on this Spark build; switch to a per-partition " +
+        "row_number before trusting the dictionary")
+    parted
+      .join(broadcast(stats), Seq("_p"))
+      .select(col("_v"), (col("_off") + (col("_mid") - col("_m0"))).as("_id"))
   }
 
   /** Truncated Katz centrality over a directed edge list — the third

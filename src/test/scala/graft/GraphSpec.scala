@@ -96,6 +96,49 @@ class GraphSpec extends SparkSpec {
     assert(e.getMessage.contains("still moving"), e.getMessage)
   }
 
+  test("connectedComponentsMin rounds shuffle longs only; the id dictionary is the order-preserving dense rank") {
+    import org.apache.spark.sql.types.{LongType, IntegerType}
+    import org.apache.spark.sql.functions._
+    // dictionary: dense 0..n-1 ranks in string order (long-min ≡
+    // string-min — the contract that lets MIN labels survive encoding)
+    val nodes = Seq("kiwi", "apple", "plum", "banana").toDF("_v")
+    val dict = Graph.orderPreservingIdDict(nodes, buckets = 2)
+      .as[(String, Long)].collect().toMap
+    assert(dict == Map("apple" -> 0L, "banana" -> 1L, "kiwi" -> 2L, "plum" -> 3L),
+      dict.toString)
+    // one propagate-and-jump round over encoded frames: every shuffle
+    // exchange carries longs/ints only — node STRINGS never re-enter
+    // the rounds (the label-compression contract)
+    val sym = Seq((2L, 0L), (0L, 2L), (1L, 3L), (3L, 1L)).toDF("_s", "_d")
+      .localCheckpoint()
+    val labels = Seq((0L, 0L), (1L, 1L), (2L, 2L), (3L, 3L)).toDF("_v", "_l")
+      .localCheckpoint()
+    val round = Graph.ccMinRound(sym, labels)
+    assert(round.schema.fields.forall(_.dataType == LongType),
+      round.schema.treeString)
+    // inspect the round's own plan BEFORE its checkpoint cuts lineage:
+    // rebuild the same frames un-checkpointed for the plan probe
+    val roundPlan = {
+      val s2 = Seq((2L, 0L), (0L, 2L)).toDF("_s", "_d")
+      val l2 = Seq((0L, 0L), (2L, 2L)).toDF("_v", "_l")
+      val fromNbr = s2
+        .join(l2.select(col("_v").as("_s"), col("_l")), Seq("_s"))
+        .groupBy(col("_d")).agg(min(col("_l")).as("_nl"))
+        .select(col("_d").as("_v"), col("_nl"))
+      l2.join(fromNbr, Seq("_v"), "left")
+        .select(col("_v"), least(col("_l"), coalesce(col("_nl"), col("_l"))).as("_l"))
+    }
+    val shuffles = shuffleExchanges(roundPlan)
+    assert(shuffles.nonEmpty)
+    assert(shuffles.forall(_.output.forall(a =>
+      a.dataType == LongType || a.dataType == IntegerType)),
+      shuffles.map(_.output.map(o => (o.name, o.dataType)).mkString(","))
+        .mkString("; "))
+    // and the round arithmetic is right: 2's label drops to 0, 3's to 1
+    assert(round.as[(Long, Long)].collect().toMap ==
+      Map(0L -> 0L, 1L -> 1L, 2L -> 0L, 3L -> 1L))
+  }
+
   test("harmonicCentralityScaled: frontier tripwire refuses a dense graph loudly instead of OOMing") {
     // K5 (complete digraph, 20 pairs at level 1) against a 10-pair cap:
     // the level-1 count trips before any deeper join is launched
