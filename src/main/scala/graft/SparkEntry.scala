@@ -3711,9 +3711,11 @@ object SparkEntry {
     "label_propagation" -> ((s, dir) => {
       val d = t(s, dir, "documents").select(col("doc_id"))
         .filter(col("doc_id") % 10 < 3)
+      // lpad 12, not 6: Spark's lpad TRUNCATES strings past the pad
+      // width, silently collapsing distinct ids >= 1e6 (sf1-sweep find)
       val e = d.select(
-        lpad(col("doc_id").cast("string"), 6, "0").as("src"),
-        lpad((col("doc_id") + 1).cast("string"), 6, "0").as("dst"))
+        lpad(col("doc_id").cast("string"), 12, "0").as("src"),
+        lpad((col("doc_id") + 1).cast("string"), 12, "0").as("dst"))
       graft.operators.Graph.labelPropagationMin(e, "src", "dst", rounds = 2)
         .orderBy("node")
     }),
@@ -3727,9 +3729,11 @@ object SparkEntry {
     "connected_components" -> ((s, dir) => {
       val d = t(s, dir, "documents").select(col("doc_id"))
         .filter(col("doc_id") % 20 < 15)
+      // lpad 12, not 6: Spark's lpad TRUNCATES strings past the pad
+      // width, silently collapsing distinct ids >= 1e6 (sf1-sweep find)
       val e = d.select(
-        lpad(col("doc_id").cast("string"), 6, "0").as("src"),
-        lpad((col("doc_id") + 1).cast("string"), 6, "0").as("dst"))
+        lpad(col("doc_id").cast("string"), 12, "0").as("src"),
+        lpad((col("doc_id") + 1).cast("string"), 12, "0").as("dst"))
       graft.operators.Graph.connectedComponentsMin(e, "src", "dst")
         .orderBy("node")
     }),
@@ -9163,8 +9167,8 @@ object SparkEntry {
         |), nodes AS (
         | SELECT DISTINCT v FROM (SELECT i AS v FROM ids UNION ALL SELECT i + 1 FROM ids)
         |)
-        |SELECT lpad(CAST(v AS VARCHAR), 6, '0') AS node,
-        | lpad(CAST(greatest(v - (v % 10), v - 2) AS VARCHAR), 6, '0') AS label
+        |SELECT lpad(CAST(v AS VARCHAR), 12, '0') AS node,
+        | lpad(CAST(greatest(v - (v % 10), v - 2) AS VARCHAR), 12, '0') AS label
         |FROM nodes ORDER BY node""".stripMargin,
 
     // the converged labeling is the per-component minimum — a closed
@@ -9177,8 +9181,8 @@ object SparkEntry {
         |), nodes AS (
         | SELECT DISTINCT v FROM (SELECT i AS v FROM ids UNION ALL SELECT i + 1 FROM ids)
         |)
-        |SELECT lpad(CAST(v AS VARCHAR), 6, '0') AS node,
-        | lpad(CAST((v // 20) * 20 AS VARCHAR), 6, '0') AS label
+        |SELECT lpad(CAST(v AS VARCHAR), 12, '0') AS node,
+        | lpad(CAST((v // 20) * 20 AS VARCHAR), 12, '0') AS label
         |FROM nodes ORDER BY node""".stripMargin,
 
     // the three proven centrality chains joined as subqueries
