@@ -408,9 +408,12 @@ object SparkEntry {
     * CTEs (reuses e/js/cc/cd/casg/qp): residuals against the assigned
     * cell, residual-seed codebook training (seeds = residuals of
     * vec_ids 4..7), residual codes, and per-(query, probed-cell) LUT
-    * scoring — `rsc` is the residual analogue of `sc`.
+    * scoring — `rsc` is the residual analogue of `sc`. `trainWhere`
+    * restricts the rows the residual CODEBOOK SUMS see (the streaming
+    * gate's frozen batch-0 artifacts); encode and probe still cover
+    * everything.
     */
-  private def ivfPqResidualChainSql: String =
+  private def ivfPqResidualChainSql(trainWhere: String = "TRUE"): String =
     s"""rres AS (
       | SELECT e.vec_id, casg.ccid,
       |  list_transform(range(1, 65), i -> e.a[i] - cc2.ccv[i]) AS ra
@@ -438,7 +441,7 @@ object SparkEntry {
       |), rpex AS (
       | SELECT j, cid, CAST(generate_subscripts(sv, 1) - 1 AS INT) AS pos,
       |  unnest(sv) AS x
-      | FROM rpasg
+      | FROM rpasg WHERE $trainWhere
       |), rps AS (
       | SELECT j, cid, pos, CAST(sum(x) AS BIGINT) AS se,
       |  CAST(count(*) AS BIGINT) AS n
@@ -2613,6 +2616,34 @@ object SparkEntry {
       step(col("vec_id") < 300, 0L)
       step(col("vec_id") >= 300, 1L)
       step(col("vec_id") >= 300, 1L)
+      val q = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      StreamingOps.queryIvfPqIndex(s, s"$work/state", q, "qid", "qvec",
+          "vec_id", k = 10, nprobe = 2)
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- streaming IVF-PQ index in RESIDUAL (IVFADC) space: batch 0
+    //      trains cells + residual-space codebooks (seeds = residuals
+    //      of rows c..2c−1 by id, the batch-gate convention) and
+    //      commits the space as the one-row `meta` artifact; batch 1
+    //      encodes residually against the frozen artifacts; the query
+    //      reads the space from `meta` — never from the caller — and
+    //      builds its LUTs per probed cell. Oracle = the residual CTE
+    //      chain with codebook training restricted to the batch-0
+    //      prefix
+    "ann_ivfpq_stream_residual" -> ((s, dir) => {
+      import graft.streaming.StreamingOps
+      val emb = t(s, dir, "embeddings")
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-ivfpq-stream-res-gate").toString
+      def step(pred: Column, b: Long): Unit =
+        StreamingOps.applyIvfPqIndexBatch(s, emb.filter(pred), b,
+          "vec_id", "embedding", c = 4, m = 4, s"$work/state",
+          residual = true)
+      step(col("vec_id") < 300, 0L)
+      step(col("vec_id") >= 300, 1L)
+      step(col("vec_id") >= 300, 1L) // replay no-op
       val q = emb.filter(col("vec_id") < 3)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       StreamingOps.queryIvfPqIndex(s, s"$work/state", q, "qid", "qvec",
@@ -6723,6 +6754,17 @@ object SparkEntry {
          |QUALIFY rank <= 10
          |ORDER BY query_id, rank""".stripMargin,
 
+    // the residual (IVFADC) chain with codebook training restricted to
+    // the batch-0 prefix — frozen residual-space artifacts replayed;
+    // residual seeds (vec_ids 4..7) live inside the prefix
+    "ann_ivfpq_stream_residual" ->
+      s"""WITH ${ivfPqChainSql(2, "s.vec_id < 300")}, ${ivfPqResidualChainSql("vec_id < 300")}
+         |SELECT qid AS query_id, nid AS neighbor_id, adist,
+         | CAST(row_number() OVER (PARTITION BY qid ORDER BY adist, nid) AS INT) AS rank
+         |FROM rsc
+         |QUALIFY rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
+
     // cumulative distinct/total over the union; the novel-term
     // increment is the batch-1 term set anti-joined against batch 0's
     "vocab_growth_stream" ->
@@ -7382,7 +7424,7 @@ object SparkEntry {
     // recall chains replayed end to end — training, encoding, per-cell
     // query LUTs — entirely in integer arithmetic
     "ann_ivfpq_residual_recall" ->
-      s"""WITH ${ivfPqChainSql(4)}, $ivfPqResidualChainSql, pdx AS (
+      s"""WITH ${ivfPqChainSql(4)}, ${ivfPqResidualChainSql()}, pdx AS (
          | SELECT q.vec_id AS qid, e2.vec_id AS nid,
          |  list_sum(list_transform(range(1, 65),
          |    i -> (q.a[i] - e2.a[i]) * (q.a[i] - e2.a[i]))) AS dist

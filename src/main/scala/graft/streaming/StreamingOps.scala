@@ -1772,6 +1772,20 @@ object StreamingOps {
     * cumulative-store trade every index stream here makes; a
     * Delta/Iceberg append swaps in at real scale without touching the
     * protocol.
+    *
+    * `residual = true` trains and encodes the classic-IVFADC way
+    * ([[graft.operators.Similarity.ivfPqEncode]]'s flag): batch 0's
+    * codebooks train over `x − coarse_centroid(x)` with
+    * deterministic residual seeds — the residuals of the NEXT `c`
+    * smallest-id rows after the cells (the cells' own residuals are
+    * zero, degenerate seeds) — and every batch's codes quantize
+    * residuals. The choice is a BATCH-0 TRAINING DECISION, so it
+    * commits as a one-row `meta` artifact next to cells/codebooks;
+    * later batches and [[queryIvfPqIndex]] read it back — an index
+    * can never be silently encoded in one space and probed in the
+    * other. Later-batch calls must pass the committed flag (loud
+    * refusal otherwise); states written before `meta` existed read as
+    * `residual = false` (the only layout that code produced).
     */
   def applyIvfPqIndexBatch(
       spark: SparkSession,
@@ -1781,7 +1795,8 @@ object StreamingOps {
       vecCol: String,
       c: Int,
       m: Int,
-      statePath: String
+      statePath: String,
+      residual: Boolean = false
   ): Unit = {
     import graft.operators.Similarity
     require(c >= 1, s"ivfPqIndexStream: c must be >= 1, got $c")
@@ -1804,19 +1819,53 @@ object StreamingOps {
             transform(col("centroid_vec"),
               v => floor(v.cast("double") * 1000000d).cast("long"))
               .as("centroid_e6"))
-          val cb = Similarity.pqCodebooksFromSums(
-            Similarity.pqTrainSumsE6(batch, idCol, vecCol, seeds, m))
+          val cb = if (!residual) {
+            Similarity.pqCodebooksFromSums(
+              Similarity.pqTrainSumsE6(batch, idCol, vecCol, seeds, m))
+          } else {
+            // residual seeds: rows c..2c−1 by id — deterministic and
+            // engine-replayable like the cells themselves; a batch too
+            // small to provide them cannot train residually
+            val headIds = batch
+              .select(col(idCol).cast(org.apache.spark.sql.types.LongType))
+              .orderBy(col(idCol)).limit(2 * c).collect().map(_.getLong(0))
+            require(headIds.length == 2 * c,
+              s"ivfPqIndexStream: residual training needs >= ${2 * c} rows " +
+                s"in batch 0 (c cells + c residual seeds), got ${headIds.length}")
+            val seedIds = headIds.drop(c)
+            val resSeeds = Similarity.ivfResidualsE6(
+                batch, idCol, vecCol, cells)
+              .filter(col(idCol).cast(org.apache.spark.sql.types.LongType)
+                .isin(seedIds: _*))
+              .select(col(idCol).as("centroid_id"),
+                col("residual_e6").as("centroid_e6"))
+            Similarity.pqCodebooksFromSums(
+              Similarity.pqTrainSumsResidualE6(
+                batch, idCol, vecCol, cells, resSeeds, m))
+          }
           cells.write.mode("overwrite").parquet(s"$cellsPath/v0")
           commitVersion(spark, cellsPath, "v0", keepFrom = 0L)
           cb.write.mode("overwrite").parquet(s"$cbPath/v0")
           commitVersion(spark, cbPath, "v0", keepFrom = 0L)
+          import spark.implicits._
+          Seq(residual).toDF("residual")
+            .write.mode("overwrite").parquet(s"$statePath/meta/v0")
+          commitVersion(spark, s"$statePath/meta", "v0", keepFrom = 0L)
+        } else {
+          val stored = ivfPqMetaResidual(spark, statePath)
+          require(residual == stored,
+            s"ivfPqIndexStream: the index at $statePath was trained with " +
+              s"residual=$stored — batch $batchId passed residual=$residual; " +
+              "codes must all live in one space (pass the committed flag, " +
+              "or train a fresh index)")
         }
         val cells = readState(spark, cellsPath).getOrElse(
           sys.error(s"ivfPqIndexStream: _CURRENT exists but no cells at $cellsPath"))
         val cb = readState(spark, cbPath).getOrElse(
           sys.error(s"ivfPqIndexStream: _CURRENT exists but no codebooks at $cbPath"))
         val encoded = Similarity.ivfPqEncode(
-          batch.select(col(idCol), col(vecCol)), idCol, vecCol, cells, cb)
+          batch.select(col(idCol), col(vecCol)), idCol, vecCol, cells, cb,
+          residual)
         val merged = (currentVersionId(spark, codesPath) match {
           // partition-dir values read back as the inferred type;
           // normalize to the encoder's BIGINT before the union
@@ -1833,11 +1882,24 @@ object StreamingOps {
     }
   }
 
+  /** The committed code-space flag of an [[applyIvfPqIndexBatch]]
+    * index: true ⇔ codes quantize residuals. States written before
+    * the `meta` artifact existed read as raw-space (the only layout
+    * that code produced).
+    */
+  private def ivfPqMetaResidual(spark: SparkSession, statePath: String): Boolean =
+    readState(spark, s"$statePath/meta")
+      .map(_.select(col("residual")).head().getBoolean(0))
+      .getOrElse(false)
+
   /** ADC top-k against the COMMITTED streaming IVF-PQ index
     * ([[applyIvfPqIndexBatch]]) — frozen cells + codebooks, latest
     * codes version, served through the physically-pruned
     * [[graft.operators.Similarity.ivfPqTopKE6]] probe (the committed
-    * version directory IS the cell-partitioned layout).
+    * version directory IS the cell-partitioned layout). The code
+    * space (raw vs residual) comes from the committed `meta`
+    * artifact, never from the caller — queries always measure in the
+    * space the codes live in.
     */
   def queryIvfPqIndex(
       spark: SparkSession,
@@ -1857,7 +1919,8 @@ object StreamingOps {
       sys.error(s"queryIvfPqIndex: no committed codes under $statePath"))
     graft.operators.Similarity.ivfPqTopKE6(
       s"$statePath/codes/v$curId", idCol, cells, cb,
-      queries, queryId, queryVec, k, nprobe)
+      queries, queryId, queryVec, k, nprobe,
+      residual = ivfPqMetaResidual(spark, statePath))
   }
 
   /** One micro-batch of IVF-PQ CODEBOOK-DRIFT monitoring — the rot

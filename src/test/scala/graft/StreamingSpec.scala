@@ -696,6 +696,66 @@ class StreamingSpec extends SparkSpec {
     assert(cbCommitted == cbExpect)
   }
 
+  test("ivfpq index stream residual: meta pins the code space, mismatched batches refuse, query equals the batch IVFADC construction") {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.functions._
+    val work = Files.createTempDirectory("graft-ivfpq-res-stream-spec").toString
+    // two tight clusters: residual codes carry the within-cluster offsets
+    val all = Seq(
+      (0L, Array(0.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(100f, 100f, 100f, 100f)),
+      (2L, Array(0.5f, 0.0f, 0.0f, 0.0f)),
+      (3L, Array(100.5f, 100f, 100f, 100f)),
+      (4L, Array(0.0f, 0.5f, 0.0f, 0.0f)),
+      (5L, Array(100f, 100.5f, 100f, 100f))
+    ).toDF("id", "vec")
+    val b0 = all.filter(col("id") < 4)
+    val b1 = all.filter(col("id") >= 4)
+    def step(b: org.apache.spark.sql.DataFrame, id: Long, res: Boolean) =
+      StreamingOps.applyIvfPqIndexBatch(spark, b, id, "id", "vec",
+        c = 2, m = 2, s"$work/state", residual = res)
+    step(b0, 0L, res = true)
+    // the space is a committed artifact, not a convention
+    assert(StreamingOps.readState(spark, s"$work/state/meta").get
+      .head().getBoolean(0))
+    // a later batch claiming the OTHER space refuses loudly
+    val ex = intercept[IllegalArgumentException](step(b1, 1L, res = false))
+    assert(ex.getMessage.contains("residual=true"), ex.getMessage)
+    step(b1, 1L, res = true)
+    step(b1, 1L, res = true) // replay: codes must not double
+    assert(spark.read.parquet(s"$work/state/codes/v1").count() == 6)
+    // query (space read from meta) == the batch IVFADC construction
+    // with identical batch-0 artifacts: cells = ids 0..1, residual
+    // seeds = residuals of ids 2..3, codebooks trained on b0 only
+    val q = all.select(col("id").as("qid"), col("vec").as("qvec"))
+    val got = StreamingOps.queryIvfPqIndex(spark, s"$work/state",
+        q, "qid", "qvec", "id", k = 3, nprobe = 2)
+      .orderBy("query_id", "rank").as[(Long, Long, Long, Int)].collect().toSeq
+    val cells = b0.orderBy("id").limit(2)
+      .select(col("id").as("centroid_id"),
+        transform(col("vec"), v => floor(v.cast("double") * 1000000d)
+          .cast("long")).as("centroid_e6"))
+    val resSeeds = Similarity.ivfResidualsE6(b0, "id", "vec", cells)
+      .filter(col("id").isin(2L, 3L))
+      .select(col("id").as("centroid_id"),
+        col("residual_e6").as("centroid_e6"))
+    val cb0 = Similarity.pqCodebooksFromSums(
+      Similarity.pqTrainSumsResidualE6(b0, "id", "vec", cells, resSeeds, m = 2))
+    val outB = Files.createTempDirectory("graft-ivfpq-res-batch").toString
+    Similarity.buildIvfPqIndex(all, "id", "vec", cells, cb0, outB,
+      residual = true)
+    val batchTopK = Similarity.ivfPqTopKE6(outB, "id", cells, cb0,
+        q, "qid", "qvec", k = 3, nprobe = 2, residual = true)
+      .orderBy("query_id", "rank").as[(Long, Long, Long, Int)].collect().toSeq
+    assert(got == batchTopK, s"stream=$got batch=$batchTopK")
+    // a batch 0 too small to seed residual codebooks refuses loudly
+    val w2 = Files.createTempDirectory("graft-ivfpq-res-small").toString
+    val tooSmall = intercept[IllegalArgumentException](
+      StreamingOps.applyIvfPqIndexBatch(spark, all.filter(col("id") < 3),
+        0L, "id", "vec", c = 2, m = 2, s"$w2/state", residual = true))
+    assert(tooSmall.getMessage.contains(">= 4 rows"), tooSmall.getMessage)
+  }
+
   test("er stream exactComponents: a cross-batch duplication chain resolves fully where bounded LPA under-merges") {
     // 8-token docs sliding by 2: consecutive docs share exactly half
     // their trigram shingles (J = 0.5, at threshold), non-adjacent
