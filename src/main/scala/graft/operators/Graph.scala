@@ -12,8 +12,90 @@ import org.apache.spark.sql.types.{DecimalType, LongType}
  * ENGINE-REPRODUCIBLE the same way the drift/retrieval families are:
  * all arithmetic in scaled BIGINT with floor division, a fixed
  * iteration count, no doubles anywhere.
+ *
+ * LABEL COMPRESSION (whole family): every iterative operator here
+ * shuffles its node-id frame once per round, so at scale the id WIDTH
+ * multiplies into O(rounds) shuffles. At or above
+ * [[Graph.GraphDictThreshold]] nodes, each operator dictionary-encodes
+ * node strings ONCE to dense longs ([[orderPreservingIdDict]] —
+ * order-preserving, so long-min ≡ string-min and MIN-label semantics
+ * survive), iterates over 8-byte longs only, and translates back at
+ * the end. Below the threshold the strings iterate as-is: the dict's
+ * fixed stages (build + encode/decode joins) cost more than the
+ * string bytes they remove when the whole label table is a few MB —
+ * the adaptive trade [[Profile.rankCorrelationByGroup]] established
+ * with its rank-window threshold.
  */
 object Graph {
+
+  /** Node count at or above which the iterative operators dictionary-
+    * encode ids to dense longs before iterating. Below it a label table
+    * is tens of MB and the dict's ~4 fixed stages dominate (measured:
+    * +3 s on a 10⁴-node sf0.1 gate); above it, id width × O(rounds)
+    * iterated shuffles dominate and 8-byte longs beat arbitrary-width
+    * strings. Exposed per-operator via the `dictThreshold` parameter
+    * (specs force each branch with 1 / Long.MaxValue).
+    */
+  val GraphDictThreshold: Long = 1L << 21
+
+  /** Adaptive dictionary gate for the iterative family: at or above
+    * `threshold` nodes build the order-preserving long dictionary
+    * (checkpointed — every caller reads it at least twice: encode and
+    * decode); below it return None and the strings iterate as-is.
+    */
+  private[graft] def graphDict(
+      nodes: DataFrame,
+      n: Long,
+      threshold: Long
+  ): Option[DataFrame] =
+    if (n >= threshold) Some(orderPreservingIdDict(nodes).localCheckpoint())
+    else None
+
+  /** Inner-join-encode string id columns to dictionary longs. The dict
+    * covers every node in the edge universe by construction, so no rows
+    * drop; it is 1:1, so edge multiplicities are preserved.
+    */
+  private[graft] def encodeIds(
+      df: DataFrame,
+      dict: DataFrame,
+      cols: Seq[String]
+  ): DataFrame =
+    cols.foldLeft(df) { (d, c) =>
+      d.join(dict.select(col("_v").as(c), col("_id").as(c + "_enc")), Seq(c))
+        .drop(c).withColumnRenamed(c + "_enc", c)
+    }
+
+  /** Translate long id columns back to node strings: for each
+    * `(idCol, outName)` pair, join the dict and surface the string as
+    * `outName`. The caller selects its output columns afterwards.
+    */
+  private[graft] def decodeIds(
+      df: DataFrame,
+      dict: DataFrame,
+      cols: Seq[(String, String)]
+  ): DataFrame =
+    cols.foldLeft(df) { case (d, (c, out)) =>
+      d.join(dict.select(col("_id").as(c), col("_v").as(out)), Seq(c))
+    }
+
+  /** One PageRank contribution round — factored lazy so the longs-only
+    * shuffle contract is spec-inspectable (the [[ccMinRound]]
+    * precedent): edges join the current ranks and out-degrees on the
+    * source, per-edge contributions map-side-combine per destination.
+    * Returns `(_v, _in)`; the caller folds in the restart mass and
+    * checkpoints (the loop's lineage-cut discipline).
+    */
+  private[graft] def contribRound(
+      e: DataFrame,
+      outdeg: DataFrame,
+      ranks: DataFrame,
+      dampingPpm: Long
+  ): DataFrame =
+    e.join(ranks.withColumnRenamed("_v", "_s"), Seq("_s"))
+      .join(outdeg, Seq("_s"))
+      .select(col("_d").as("_v"),
+        expr(s"(_r * ${dampingPpm}L div 1000000L) div _od").as("_c"))
+      .groupBy("_v").agg(sum(col("_c")).as("_in"))
 
   /** Integer-scaled PageRank over an edge list — `iterations` rounds of
     * the public power-iteration form, rank mass in parts-per-billion:
@@ -35,10 +117,12 @@ object Graph {
     * current ranks (ids + longs, never payloads) and a map-side-combined
     * sum per destination; `localCheckpoint` cuts the growing iteration
     * lineage (the [[Dedup.connectedComponents]] discipline). Node and
-    * out-degree tables build once. Fixed small `iterations` (web-rank
-    * practice: a handful of rounds already orders domains usefully);
-    * convergence detection is deliberately not built in — a fixed count
-    * is reproducible, a tolerance is not.
+    * out-degree tables build once. At ≥ `dictThreshold` nodes every
+    * round shuffles 8-byte longs only (file-header label-compression
+    * contract). Fixed small `iterations` (web-rank practice: a handful
+    * of rounds already orders domains usefully); convergence detection
+    * is deliberately not built in — a fixed count is reproducible, a
+    * tolerance is not.
     *
     * Output: `(node STRING, rank_ppb BIGINT)`.
     */
@@ -47,42 +131,65 @@ object Graph {
       srcCol: String,
       dstCol: String,
       iterations: Int,
-      dampingPpm: Long = 850000L
+      dampingPpm: Long = 850000L,
+      dictThreshold: Long = GraphDictThreshold
   ): DataFrame = {
     require(iterations >= 1, s"pageRankScaled: iterations must be >= 1, got $iterations")
     require(dampingPpm >= 0L && dampingPpm <= 1000000L,
       s"pageRankScaled: dampingPpm must be in [0, 1e6], got $dampingPpm")
     val scale = 1000000000L
-    val e = edges
+    val eS = edges
       .select(col(srcCol).cast("string").as("_s"), col(dstCol).cast("string").as("_d"))
       .filter(col("_s").isNotNull && col("_d").isNotNull)
       .localCheckpoint()
-    val nodes = e.select(col("_s").as("_v"))
-      .unionByName(e.select(col("_d").as("_v")))
+    val nodesS = eS.select(col("_s").as("_v"))
+      .unionByName(eS.select(col("_d").as("_v")))
       .distinct()
       .localCheckpoint()
-    val n = nodes.count()
+    val n = nodesS.count()
     require(n > 0, "pageRankScaled: empty graph")
     // n·10⁶ would overflow Long past ~9.2e12 nodes (the unimaxBudgets
     // guard discipline); no real graph gets there, but fail loudly
     require(n <= Long.MaxValue / 1000000L,
       s"pageRankScaled: node count $n overflows the ppm product")
+    val dictOpt = graphDict(nodesS, n, dictThreshold)
+    val (e, nodes) = dictOpt match {
+      case Some(dct) => (encodeIds(eS, dct, Seq("_s", "_d")).localCheckpoint(),
+        dct.select(col("_id").as("_v")))
+      case None => (eS, nodesS)
+    }
     val outdeg = e.groupBy("_s").agg(count(lit(1)).as("_od")).localCheckpoint()
     val base = (scale * (1000000L - dampingPpm)) / (n * 1000000L)
     var ranks = nodes.select(col("_v"), lit(scale / n).as("_r"))
     for (_ <- 0 until iterations) {
-      val contrib = e
-        .join(ranks.withColumnRenamed("_v", "_s"), Seq("_s"))
-        .join(outdeg, Seq("_s"))
-        .select(col("_d").as("_v"),
-          expr(s"(_r * ${dampingPpm}L div 1000000L) div _od").as("_c"))
-        .groupBy("_v").agg(sum(col("_c")).as("_in"))
+      val contrib = contribRound(e, outdeg, ranks, dampingPpm)
       ranks = nodes.join(contrib, Seq("_v"), "left")
         .select(col("_v"), (lit(base) + coalesce(col("_in"), lit(0L))).as("_r"))
         .localCheckpoint()
     }
-    ranks.select(col("_v").as("node"), col("_r").as("rank_ppb"))
+    dictOpt match {
+      case Some(dct) => decodeIds(ranks, dct, Seq("_v" -> "node"))
+        .select(col("node"), col("_r").as("rank_ppb"))
+      case None => ranks.select(col("_v").as("node"), col("_r").as("rank_ppb"))
+    }
   }
+
+  /** One bounded-BFS level — factored lazy for the longs-only spec pin:
+    * the (u, w) pair frontier advances one hop along the edge list,
+    * drops self-pairs, and anti-joins the visited pair set. The caller
+    * checkpoints and tripwires.
+    */
+  private[graft] def harmonicLevelRound(
+      frontier: DataFrame,
+      e: DataFrame,
+      visited: DataFrame
+  ): DataFrame =
+    frontier
+      .join(e.withColumnRenamed("_s", "_w"), Seq("_w"))
+      .select(col("_u"), col("_d").as("_w"))
+      .filter(col("_u") =!= col("_w"))
+      .distinct()
+      .join(visited, Seq("_u", "_w"), "left_anti")
 
   /** Depth-bounded harmonic centrality over a directed edge list — the
     * other centrality Common Crawl publishes per domain. For each node
@@ -102,15 +209,18 @@ object Graph {
     * Scale shape: level d is ONE shuffle of the (u, v) pair frontier
     * joined to the edge list — ids only, never payloads — plus an
     * anti-join against the visited pair set; `localCheckpoint` cuts the
-    * per-level lineage (the [[pageRankScaled]] discipline). The pair
-    * frontier is the inherent cost of bounded-depth BFS: it can grow
-    * toward n·(reachable-within-d) on dense graphs, which is why
-    * `maxDepth` is a required explicit parameter and the published
-    * truncations stay small — AND why every level carries a frontier
-    * TRIPWIRE: after each level's checkpoint the pair count is checked
-    * against `maxFrontierPairs`, so a dense graph fails loudly with
-    * the remedy in the message instead of OOMing three levels later
-    * (the [[graft.operators.Profile.chiSquareTerms]] refusal
+    * per-level lineage (the [[pageRankScaled]] discipline). At
+    * ≥ `dictThreshold` nodes the frontier pairs are PAIRS OF LONGS, not
+    * pairs of strings — on this operator the dict pays off fastest
+    * because the frontier is the node table SQUARED-ish, not the node
+    * table. The pair frontier is the inherent cost of bounded-depth
+    * BFS: it can grow toward n·(reachable-within-d) on dense graphs,
+    * which is why `maxDepth` is a required explicit parameter and the
+    * published truncations stay small — AND why every level carries a
+    * frontier TRIPWIRE: after each level's checkpoint the pair count is
+    * checked against `maxFrontierPairs`, so a dense graph fails loudly
+    * with the remedy in the message instead of OOMing three levels
+    * later (the [[graft.operators.Profile.chiSquareTerms]] refusal
     * convention). The count is free: the frontier is already
     * eagerly checkpointed each level. Output: `(node STRING,
     * harmonic_ppm BIGINT)`, one row per node in the edge universe (0
@@ -121,7 +231,8 @@ object Graph {
       srcCol: String,
       dstCol: String,
       maxDepth: Int,
-      maxFrontierPairs: Long = 200000000L
+      maxFrontierPairs: Long = 200000000L,
+      dictThreshold: Long = GraphDictThreshold
   ): DataFrame = {
     require(maxDepth >= 1 && maxDepth <= 8,
       s"harmonicCentralityScaled: maxDepth must be in [1, 8], got $maxDepth")
@@ -135,15 +246,21 @@ object Graph {
           "dense for this depth. Lower maxDepth, shard the graph, or raise " +
           "maxFrontierPairs knowingly (memory/shuffle grow with the frontier).")
     }
-    val e = edges
+    val eS = edges
       .select(col(srcCol).cast("string").as("_s"), col(dstCol).cast("string").as("_d"))
       .filter(col("_s").isNotNull && col("_d").isNotNull)
       .distinct()
       .localCheckpoint()
-    val nodes = e.select(col("_s").as("_v"))
-      .unionByName(e.select(col("_d").as("_v")))
+    val nodesS = eS.select(col("_s").as("_v"))
+      .unionByName(eS.select(col("_d").as("_v")))
       .distinct()
       .localCheckpoint()
+    val dictOpt = graphDict(nodesS, nodesS.count(), dictThreshold)
+    val (e, nodes) = dictOpt match {
+      case Some(dct) => (encodeIds(eS, dct, Seq("_s", "_d")).localCheckpoint(),
+        dct.select(col("_id").as("_v")))
+      case None => (eS, nodesS)
+    }
     var frontier = e.filter(col("_s") =!= col("_d"))
       .select(col("_s").as("_u"), col("_d").as("_w"))
       .localCheckpoint()
@@ -152,13 +269,7 @@ object Graph {
     var contribs = Seq(frontier.groupBy(col("_w"))
       .agg((count(lit(1)) * lit(1000000L / 1)).as("_c")))
     for (d <- 2 to maxDepth) {
-      frontier = frontier
-        .join(e.withColumnRenamed("_s", "_w"), Seq("_w"))
-        .select(col("_u"), col("_d").as("_w"))
-        .filter(col("_u") =!= col("_w"))
-        .distinct()
-        .join(visited, Seq("_u", "_w"), "left_anti")
-        .localCheckpoint()
+      frontier = harmonicLevelRound(frontier, e, visited).localCheckpoint()
       frontierTripwire(frontier, d)
       visited = visited.unionByName(frontier).localCheckpoint()
       contribs = contribs :+ frontier.groupBy(col("_w"))
@@ -166,16 +277,22 @@ object Graph {
     }
     val allContribs = contribs.reduce(_ unionByName _)
       .groupBy(col("_w")).agg(sum(col("_c")).as("_h"))
-    nodes.join(allContribs.withColumnRenamed("_w", "_v"), Seq("_v"), "left")
-      .select(col("_v").as("node"),
-        coalesce(col("_h"), lit(0L)).as("harmonic_ppm"))
+    val out = nodes.join(allContribs.withColumnRenamed("_w", "_v"), Seq("_v"), "left")
+      .select(col("_v"), coalesce(col("_h"), lit(0L)).as("harmonic_ppm"))
+    dictOpt match {
+      case Some(dct) => decodeIds(out, dct, Seq("_v" -> "node"))
+        .select(col("node"), col("harmonic_ppm"))
+      case None => out.select(col("_v").as("node"), col("harmonic_ppm"))
+    }
   }
 
   /** Personalized PageRank — [[pageRankScaled]] with the restart mass
     * concentrated on ONE seed node instead of spread uniformly: the
     * standard "related domains / similar pages" primitive (random walk
     * with restart). Same exact ppb integer arithmetic and the same
-    * one-shuffle-per-round shape; dangling mass drops identically.
+    * one-shuffle-per-round shape (and the same adaptive long encoding —
+    * the seed translates to its dict id once, driver-side); dangling
+    * mass drops identically.
     *
     *   rank₀(v)  = 10⁹·[v = seed]
     *   rank'(v)  = [v = seed]·(10⁹·(10⁶−d_ppm) div 10⁶) + Σ contrib(e: e.dst=v)
@@ -188,39 +305,51 @@ object Graph {
       dstCol: String,
       seed: String,
       iterations: Int,
-      dampingPpm: Long = 850000L
+      dampingPpm: Long = 850000L,
+      dictThreshold: Long = GraphDictThreshold
   ): DataFrame = {
     require(iterations >= 1,
       s"personalizedPageRankScaled: iterations must be >= 1, got $iterations")
     require(dampingPpm >= 0L && dampingPpm <= 1000000L,
       s"personalizedPageRankScaled: dampingPpm must be in [0, 1e6], got $dampingPpm")
     val scale = 1000000000L
-    val e = edges
+    val eS = edges
       .select(col(srcCol).cast("string").as("_s"), col(dstCol).cast("string").as("_d"))
       .filter(col("_s").isNotNull && col("_d").isNotNull)
       .localCheckpoint()
-    val nodes = e.select(col("_s").as("_v"))
-      .unionByName(e.select(col("_d").as("_v")))
+    val nodesS = eS.select(col("_s").as("_v"))
+      .unionByName(eS.select(col("_d").as("_v")))
       .distinct()
       .localCheckpoint()
+    val dictOpt = graphDict(nodesS, nodesS.count(), dictThreshold)
+    // in the encoded branch the seed becomes its dict id (one ≤1-row
+    // driver lookup — metadata scale); a seed absent from the graph
+    // matches nothing in either branch (-1 is outside the dense range)
+    val (e, nodes, seedLit) = dictOpt match {
+      case Some(dct) =>
+        val sid = dct.filter(col("_v") === seed).select("_id")
+          .collect().headOption.map(_.getLong(0)).getOrElse(-1L)
+        (encodeIds(eS, dct, Seq("_s", "_d")).localCheckpoint(),
+          dct.select(col("_id").as("_v")), lit(sid))
+      case None => (eS, nodesS, lit(seed))
+    }
     val outdeg = e.groupBy("_s").agg(count(lit(1)).as("_od")).localCheckpoint()
     val base = scale * (1000000L - dampingPpm) / 1000000L
     var ranks = nodes.select(col("_v"),
-      when(col("_v") === seed, lit(scale)).otherwise(lit(0L)).as("_r"))
+      when(col("_v") === seedLit, lit(scale)).otherwise(lit(0L)).as("_r"))
     for (_ <- 0 until iterations) {
-      val contrib = e
-        .join(ranks.withColumnRenamed("_v", "_s"), Seq("_s"))
-        .join(outdeg, Seq("_s"))
-        .select(col("_d").as("_v"),
-          expr(s"(_r * ${dampingPpm}L div 1000000L) div _od").as("_c"))
-        .groupBy("_v").agg(sum(col("_c")).as("_in"))
+      val contrib = contribRound(e, outdeg, ranks, dampingPpm)
       ranks = nodes.join(contrib, Seq("_v"), "left")
         .select(col("_v"),
-          (when(col("_v") === seed, lit(base)).otherwise(lit(0L)) +
+          (when(col("_v") === seedLit, lit(base)).otherwise(lit(0L)) +
             coalesce(col("_in"), lit(0L))).as("_r"))
         .localCheckpoint()
     }
-    ranks.select(col("_v").as("node"), col("_r").as("rank_ppb"))
+    dictOpt match {
+      case Some(dct) => decodeIds(ranks, dct, Seq("_v" -> "node"))
+        .select(col("node"), col("_r").as("rank_ppb"))
+      case None => ranks.select(col("_v").as("node"), col("_r").as("rank_ppb"))
+    }
   }
 
   /** Per-node triangle counts + local clustering coefficient over the
@@ -242,8 +371,14 @@ object Graph {
     * O(√m) on any graph — then ONE self-join of the oriented list on
     * the shared wedge center and ONE semi-join of the wedge back onto
     * the canonical edge set closes each triangle exactly once (at its
-    * orientation-minimal vertex). Shuffles carry node-id pairs only.
-    * This is the join-algebra form of the node-iterator-++ algorithm
+    * orientation-minimal vertex). Shuffles carry node-id pairs only —
+    * and at ≥ `dictThreshold` nodes, pairs of 8-byte LONGS: the wedge
+    * join is the widest shuffle in this file (O(Σ outdeg²) rows), so
+    * halving-or-better its bytes is the family's biggest single win.
+    * The orientation is computed on encoded ids; the dict is
+    * order-preserving, so (degree, id)-orientation picks the same
+    * edges either way and the result is branch-identical. This is the
+    * join-algebra form of the node-iterator-++ algorithm
     * (Schank & Wagner 2005), the shape every distributed triangle
     * counter (including GraphX's `TriangleCount`) uses.
     *
@@ -253,19 +388,29 @@ object Graph {
   def triangleCountsScaled(
       edges: DataFrame,
       srcCol: String,
-      dstCol: String
+      dstCol: String,
+      dictThreshold: Long = GraphDictThreshold
   ): DataFrame = {
     val raw = edges
       .select(col(srcCol).cast("string").as("_a"), col(dstCol).cast("string").as("_b"))
       .filter(col("_a").isNotNull && col("_b").isNotNull && col("_a") =!= col("_b"))
     // canonical undirected simple edges: (u < v), multi-edges collapsed
-    val ce = raw
+    val ceS = raw
       .select(least(col("_a"), col("_b")).as("_u"), greatest(col("_a"), col("_b")).as("_v"))
       .distinct()
       .localCheckpoint()
-    val nodes = ce.select(col("_u").as("_n"))
-      .unionByName(ce.select(col("_v").as("_n")))
+    val nodesS = ceS.select(col("_u").as("_n"))
+      .unionByName(ceS.select(col("_v").as("_n")))
       .distinct()
+    val dictOpt = graphDict(nodesS.select(col("_n").as("_v")), nodesS.count(),
+      dictThreshold)
+    // canonical order survives encoding (order-preserving dict), so the
+    // (_u < _v) invariant holds on longs without re-canonicalizing
+    val (ce, nodes) = dictOpt match {
+      case Some(dct) => (encodeIds(ceS, dct, Seq("_u", "_v")).localCheckpoint(),
+        dct.select(col("_id").as("_n")))
+      case None => (ceS, nodesS)
+    }
     val deg = ce.select(col("_u").as("_n")).unionByName(ce.select(col("_v").as("_n")))
       .groupBy("_n").agg(count(lit(1)).as("_deg"))
       .localCheckpoint()
@@ -290,12 +435,31 @@ object Graph {
     val perNode = triangles
       .select(explode(array(col("_c"), col("_x"), col("_y"))).as("_n"))
       .groupBy("_n").agg(count(lit(1)).as("_t"))
-    nodes.join(deg, Seq("_n")).join(perNode, Seq("_n"), "left")
-      .select(col("_n").as("node"), col("_deg").as("degree"),
+    val out = nodes.join(deg, Seq("_n")).join(perNode, Seq("_n"), "left")
+      .select(col("_n"), col("_deg").as("degree"),
         coalesce(col("_t"), lit(0L)).as("triangles"),
         when(col("_deg") >= 2,
           expr("(2 * coalesce(_t, 0L) * 1000000L) div (_deg * (_deg - 1))"))
           .otherwise(lit(0L)).as("clustering_ppm"))
+    dictOpt match {
+      case Some(dct) => decodeIds(out, dct, Seq("_n" -> "node"))
+        .select(col("node"), col("degree"), col("triangles"), col("clustering_ppm"))
+      case None => out.select(col("_n").as("node"), col("degree"),
+        col("triangles"), col("clustering_ppm"))
+    }
+  }
+
+  /** One k-core peel round — factored lazy for the longs-only spec pin:
+    * the surviving symmetric adjacency drops every edge with an
+    * endpoint below degree k. The caller checkpoints.
+    */
+  private[graft] def kCoreRound(sym: DataFrame, k: Int): DataFrame = {
+    val keep = sym.groupBy("_s").agg(count(lit(1)).as("_deg"))
+      .filter(col("_deg") >= k)
+      .select(col("_s").as("_k"))
+    sym
+      .join(keep.withColumnRenamed("_k", "_s"), Seq("_s"), "left_semi")
+      .join(keep.withColumnRenamed("_k", "_d"), Seq("_d"), "left_semi")
   }
 
   /** Depth-bounded k-core peeling over the undirected simplification of
@@ -310,18 +474,20 @@ object Graph {
     * it is the round-r peel state, which the oracle unrolls.
     *
     * Scale shape: round k is ONE degree aggregate over the surviving
-    * symmetric adjacency (ids only) + two semi-joins filtering edge
-    * endpoints against the keep set, `localCheckpoint` cutting the
-    * iteration lineage. Output: `(node STRING, deg BIGINT)` — degrees
-    * WITHIN the surviving subgraph after the last round; peeled and
-    * isolated nodes emit nothing.
+    * symmetric adjacency (ids only — 8-byte longs at ≥ `dictThreshold`
+    * nodes) + two semi-joins filtering edge endpoints against the keep
+    * set, `localCheckpoint` cutting the iteration lineage. Output:
+    * `(node STRING, deg BIGINT)` — degrees WITHIN the surviving
+    * subgraph after the last round; peeled and isolated nodes emit
+    * nothing.
     */
   def kCoreBounded(
       edges: DataFrame,
       srcCol: String,
       dstCol: String,
       k: Int,
-      rounds: Int
+      rounds: Int,
+      dictThreshold: Long = GraphDictThreshold
   ): DataFrame = {
     require(k >= 1, s"kCoreBounded: k must be >= 1, got $k")
     require(rounds >= 1 && rounds <= 16,
@@ -329,23 +495,45 @@ object Graph {
     val raw = edges
       .select(col(srcCol).cast("string").as("_a"), col(dstCol).cast("string").as("_b"))
       .filter(col("_a").isNotNull && col("_b").isNotNull && col("_a") =!= col("_b"))
-    val ce = raw
+    val ceS = raw
       .select(least(col("_a"), col("_b")).as("_u"), greatest(col("_a"), col("_b")).as("_v"))
       .distinct()
+      .localCheckpoint()
+    val nodesS = ceS.select(col("_u").as("_v"))
+      .unionByName(ceS.select(col("_v")))
+      .distinct()
+    val dictOpt = graphDict(nodesS, nodesS.count(), dictThreshold)
+    val ce = dictOpt match {
+      case Some(dct) => encodeIds(ceS, dct, Seq("_u", "_v"))
+      case None => ceS
+    }
     var sym = ce.select(col("_u").as("_s"), col("_v").as("_d"))
       .unionByName(ce.select(col("_v").as("_s"), col("_u").as("_d")))
       .localCheckpoint()
     for (_ <- 0 until rounds) {
-      val keep = sym.groupBy("_s").agg(count(lit(1)).as("_deg"))
-        .filter(col("_deg") >= k)
-        .select(col("_s").as("_k"))
-      sym = sym
-        .join(keep.withColumnRenamed("_k", "_s"), Seq("_s"), "left_semi")
-        .join(keep.withColumnRenamed("_k", "_d"), Seq("_d"), "left_semi")
-        .localCheckpoint()
+      sym = kCoreRound(sym, k).localCheckpoint()
     }
-    sym.groupBy(col("_s")).agg(count(lit(1)).as("deg"))
-      .select(col("_s").as("node"), col("deg"))
+    val out = sym.groupBy(col("_s")).agg(count(lit(1)).as("deg"))
+    dictOpt match {
+      case Some(dct) => decodeIds(out, dct, Seq("_s" -> "node"))
+        .select(col("node"), col("deg"))
+      case None => out.select(col("_s").as("node"), col("deg"))
+    }
+  }
+
+  /** One synchronous min-label round — factored lazy for the longs-only
+    * spec pin: neighbor minima fold in over the symmetric adjacency
+    * (map-side-combined `min` per destination), then each node keeps
+    * the least of its own and its neighborhood's label. The caller
+    * checkpoints.
+    */
+  private[graft] def lpaRound(sym: DataFrame, labels: DataFrame): DataFrame = {
+    val fromNbr = sym
+      .join(labels.withColumnRenamed("_v", "_s"), Seq("_s"))
+      .groupBy(col("_d")).agg(min(col("_l")).as("_nl"))
+      .select(col("_d").as("_v"), col("_nl"))
+    labels.join(fromNbr, Seq("_v"), "left")
+      .select(col("_v"), least(col("_l"), coalesce(col("_nl"), col("_l"))).as("_l"))
   }
 
   /** Synchronous min-label propagation over the undirected
@@ -363,9 +551,13 @@ object Graph {
     * Scale shape: round k is ONE shuffle — the symmetric edge list
     * joined to the current labels (ids only, map-side-combined `min`
     * per destination) — with `localCheckpoint` cutting the iteration
-    * lineage (the [[pageRankScaled]] discipline). Fixed `rounds` keeps
-    * the operator replayable; convergence detection is deliberately a
-    * non-goal (same trade as every operator in this file).
+    * lineage (the [[pageRankScaled]] discipline). At ≥ `dictThreshold`
+    * nodes the rounds carry 8-byte longs; the dict is ORDER-PRESERVING
+    * (long-min ≡ string-min), so the min-label contract survives
+    * encoding exactly — the [[connectedComponentsMin]] argument. Fixed
+    * `rounds` keeps the operator replayable; convergence detection is
+    * deliberately a non-goal (same trade as every operator in this
+    * file).
     *
     * Output: `(node STRING, label STRING)` over the edge universe.
     */
@@ -373,35 +565,44 @@ object Graph {
       edges: DataFrame,
       srcCol: String,
       dstCol: String,
-      rounds: Int
+      rounds: Int,
+      dictThreshold: Long = GraphDictThreshold
   ): DataFrame = {
     require(rounds >= 1 && rounds <= 16,
       s"labelPropagationMin: rounds must be in [1, 16], got $rounds")
     val raw = edges
       .select(col(srcCol).cast("string").as("_a"), col(dstCol).cast("string").as("_b"))
       .filter(col("_a").isNotNull && col("_b").isNotNull)
-    // symmetric simple adjacency (self-loops are harmless no-ops; drop them)
-    val sym = raw.filter(col("_a") =!= col("_b"))
-      .select(col("_a").as("_s"), col("_b").as("_d"))
-      .unionByName(raw.filter(col("_a") =!= col("_b"))
-        .select(col("_b").as("_s"), col("_a").as("_d")))
-      .distinct()
-      .localCheckpoint()
-    val nodes = raw.select(col("_a").as("_v"))
+    val nodesS = raw.select(col("_a").as("_v"))
       .unionByName(raw.select(col("_b").as("_v")))
       .distinct()
       .localCheckpoint()
+    val dictOpt = graphDict(nodesS, nodesS.count(), dictThreshold)
+    val rawW = dictOpt match {
+      case Some(dct) => encodeIds(raw, dct, Seq("_a", "_b"))
+      case None => raw
+    }
+    // symmetric simple adjacency (self-loops are harmless no-ops; drop them)
+    val sym = rawW.filter(col("_a") =!= col("_b"))
+      .select(col("_a").as("_s"), col("_b").as("_d"))
+      .unionByName(rawW.filter(col("_a") =!= col("_b"))
+        .select(col("_b").as("_s"), col("_a").as("_d")))
+      .distinct()
+      .localCheckpoint()
+    val nodes = dictOpt match {
+      case Some(dct) => dct.select(col("_id").as("_v"))
+      case None => nodesS
+    }
     var labels = nodes.select(col("_v"), col("_v").as("_l"))
     for (_ <- 0 until rounds) {
-      val fromNbr = sym
-        .join(labels.withColumnRenamed("_v", "_s"), Seq("_s"))
-        .groupBy(col("_d")).agg(min(col("_l")).as("_nl"))
-        .select(col("_d").as("_v"), col("_nl"))
-      labels = labels.join(fromNbr, Seq("_v"), "left")
-        .select(col("_v"), least(col("_l"), coalesce(col("_nl"), col("_l"))).as("_l"))
-        .localCheckpoint()
+      labels = lpaRound(sym, labels).localCheckpoint()
     }
-    labels.select(col("_v").as("node"), col("_l").as("label"))
+    dictOpt match {
+      case Some(dct) =>
+        decodeIds(labels, dct, Seq("_v" -> "node", "_l" -> "label"))
+          .select(col("node"), col("label"))
+      case None => labels.select(col("_v").as("node"), col("_l").as("label"))
+    }
   }
 
   /** EXACT connected components — min-label propagation with POINTER
@@ -431,13 +632,14 @@ object Graph {
     * pure property of the graph (the per-component minimum), so the
     * oracle never needs to replay the schedule.
     *
-    * Label compression: node strings dictionary-encode ONCE to their
-    * order-preserving dense rank ([[orderPreservingIdDict]] — long-min
-    * ≡ string-min, so the MIN-by-string contract survives), every
-    * round shuffles 8-byte longs only ([[ccMinRound]], spec-pinned),
-    * and the final table translates back — two joins at each end
-    * instead of full node strings through every round's edge join and
-    * self-join.
+    * Label compression is ADAPTIVE (`dictThreshold`, the file-header
+    * contract): at or above it, node strings dictionary-encode ONCE to
+    * their order-preserving dense rank ([[orderPreservingIdDict]] —
+    * long-min ≡ string-min, so the MIN contract survives), every round
+    * shuffles 8-byte longs only ([[ccMinRound]], spec-pinned), and the
+    * final table translates back. Below it the strings ride the same
+    * [[ccMinRound]] directly — the dict's fixed stages cost more than
+    * a few-MB label table's string bytes (measured +3 s at sf0.1).
     *
     * Output: `(node STRING, label STRING)` over the edge universe.
     */
@@ -445,7 +647,8 @@ object Graph {
       edges: DataFrame,
       srcCol: String,
       dstCol: String,
-      maxRounds: Int = 24
+      maxRounds: Int = 24,
+      dictThreshold: Long = GraphDictThreshold
   ): DataFrame = {
     require(maxRounds >= 1 && maxRounds <= 64,
       s"connectedComponentsMin: maxRounds must be in [1, 64], got $maxRounds")
@@ -456,24 +659,21 @@ object Graph {
       .unionByName(raw.select(col("_b").as("_v")))
       .distinct()
       .localCheckpoint()
-    // LABEL COMPRESSION: dictionary-encode node strings ONCE into the
-    // order-preserving dense rank (long-min ≡ string-min, so the MIN
-    // semantics callers pin survive encoding), propagate over 8-byte
-    // longs in every round, translate back at the end. At 100× scale
-    // each round's edge join and label self-join otherwise carry full
-    // node strings — the encode pays two joins once instead.
-    val dict = orderPreservingIdDict(nodes).localCheckpoint()
-    val symL = raw.filter(col("_a") =!= col("_b"))
-      .select(col("_a"), col("_b"))
-      .join(dict.select(col("_v").as("_a"), col("_id").as("_sa")), Seq("_a"))
-      .join(dict.select(col("_v").as("_b"), col("_id").as("_sb")), Seq("_b"))
-      .select(col("_sa").as("_s"), col("_sb").as("_d"))
+    val dictOpt = graphDict(nodes, nodes.count(), dictThreshold)
+    val rawW = dictOpt match {
+      case Some(dct) => encodeIds(raw.filter(col("_a") =!= col("_b"))
+        .select(col("_a"), col("_b")), dct, Seq("_a", "_b"))
+      case None => raw.filter(col("_a") =!= col("_b")).select(col("_a"), col("_b"))
+    }
+    val symL = rawW.select(col("_a").as("_s"), col("_b").as("_d"))
     val sym = symL
       .unionByName(symL.select(col("_d").as("_s"), col("_s").as("_d")))
       .distinct()
       .localCheckpoint()
-    var labels = dict.select(col("_id").as("_v"), col("_id").as("_l"))
-      .localCheckpoint()
+    var labels = (dictOpt match {
+      case Some(dct) => dct.select(col("_id").as("_v"), col("_id").as("_l"))
+      case None => nodes.select(col("_v"), col("_v").as("_l"))
+    }).localCheckpoint()
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
@@ -493,17 +693,20 @@ object Graph {
         "with pointer jumping that indicates malformed input (e.g. unstable " +
         "ids), not an undersized budget; inspect the edge list or raise " +
         "maxRounds knowingly")
-    labels
-      .join(dict.select(col("_id").as("_v"), col("_v").as("node")), Seq("_v"))
-      .join(dict.select(col("_id").as("_l"), col("_v").as("label")), Seq("_l"))
-      .select(col("node"), col("label"))
+    dictOpt match {
+      case Some(dct) =>
+        decodeIds(labels, dct, Seq("_v" -> "node", "_l" -> "label"))
+          .select(col("node"), col("label"))
+      case None => labels.select(col("_v").as("node"), col("_l").as("label"))
+    }
   }
 
-  /** One propagate-and-jump round over LONG-encoded labels — factored
-    * so the longs-only shuffle contract is spec-inspectable. Inputs
-    * must be checkpointed by the caller (the loop's lineage-cut
-    * discipline); the propagate result checkpoints here because the
-    * jump self-join reads it twice.
+  /** One propagate-and-jump round over encoded labels — factored so the
+    * longs-only shuffle contract is spec-inspectable (works identically
+    * on the small-input string branch: every step is type-agnostic min
+    * algebra). Inputs must be checkpointed by the caller (the loop's
+    * lineage-cut discipline); the propagate result checkpoints here
+    * because the jump self-join reads it twice.
     */
   private[graft] def ccMinRound(sym: DataFrame, labels: DataFrame): DataFrame = {
     val fromNbr = sym
@@ -566,6 +769,16 @@ object Graph {
       .select(col("_v"), (col("_off") + (col("_mid") - col("_m0"))).as("_id"))
   }
 
+  /** One Katz walk round — factored lazy for the longs-only spec pin:
+    * length-(k+1) walk counts per destination from the length-k counts.
+    * The caller checkpoints.
+    */
+  private[graft] def walkRound(e: DataFrame, walks: DataFrame): DataFrame =
+    e.join(walks.withColumnRenamed("_v", "_s"), Seq("_s"))
+      .groupBy(col("_d"))
+      .agg(sum(col("_w")).as("_w"))
+      .select(col("_d").as("_v"), col("_w"))
+
   /** Truncated Katz centrality over a directed edge list — the third
     * classical link-quality prior (with [[pageRankScaled]] and
     * [[harmonicCentralityScaled]]): every walk INTO a node counts,
@@ -583,9 +796,10 @@ object Graph {
     * trade [[pageRankScaled]] makes against convergence detection.
     *
     * Scale shape: round k is ONE shuffle of the edge list joined to the
-    * previous walk counts (ids + longs, never payloads) with map-side
-    * combine, `localCheckpoint` cutting the iteration lineage; the
-    * final weighted sum runs in DECIMAL(38,0) and casts to BIGINT
+    * previous walk counts (ids + longs, never payloads — 8-byte long
+    * ids at ≥ `dictThreshold` nodes) with map-side combine,
+    * `localCheckpoint` cutting the iteration lineage; the final
+    * weighted sum runs in DECIMAL(38,0) and casts to BIGINT
     * ANSI-checked (walk counts grow like λ_max^k — at web-graph scale
     * with small `rounds` the attenuated sum fits int64 comfortably;
     * overflow fails loudly rather than wrapping).
@@ -598,20 +812,27 @@ object Graph {
       srcCol: String,
       dstCol: String,
       rounds: Int,
-      alphaPpm: Long = 100000L
+      alphaPpm: Long = 100000L,
+      dictThreshold: Long = GraphDictThreshold
   ): DataFrame = {
     require(rounds >= 1 && rounds <= 8,
       s"katzCentralityScaled: rounds must be in [1, 8], got $rounds")
     require(alphaPpm > 0L && alphaPpm < 1000000L,
       s"katzCentralityScaled: alphaPpm must be in (0, 1e6), got $alphaPpm")
-    val e = edges
+    val eS = edges
       .select(col(srcCol).cast("string").as("_s"), col(dstCol).cast("string").as("_d"))
       .filter(col("_s").isNotNull && col("_d").isNotNull)
       .localCheckpoint()
-    val nodes = e.select(col("_s").as("_v"))
-      .unionByName(e.select(col("_d").as("_v")))
+    val nodesS = eS.select(col("_s").as("_v"))
+      .unionByName(eS.select(col("_d").as("_v")))
       .distinct()
       .localCheckpoint()
+    val dictOpt = graphDict(nodesS, nodesS.count(), dictThreshold)
+    val (e, nodes) = dictOpt match {
+      case Some(dct) => (encodeIds(eS, dct, Seq("_s", "_d")).localCheckpoint(),
+        dct.select(col("_id").as("_v")))
+      case None => (eS, nodesS)
+    }
     // attenuation ladder, driver-side exact integers
     val atten = Iterator.iterate(alphaPpm)(a => a * alphaPpm / 1000000L)
       .take(rounds).toSeq
@@ -619,19 +840,19 @@ object Graph {
     val d38 = DecimalType(38, 0)
     var contribs = Seq.empty[DataFrame]
     for (k <- 1 to rounds) {
-      walks = e
-        .join(walks.withColumnRenamed("_v", "_s"), Seq("_s"))
-        .groupBy(col("_d"))
-        .agg(sum(col("_w")).as("_w"))
-        .select(col("_d").as("_v"), col("_w"))
-        .localCheckpoint()
+      walks = walkRound(e, walks).localCheckpoint()
       contribs = contribs :+ walks.select(col("_v"),
         (col("_w").cast(d38) * lit(atten(k - 1)).cast(d38)).as("_c"))
     }
     val total = contribs.reduce(_ unionByName _)
       .groupBy(col("_v")).agg(sum(col("_c")).as("_k"))
-    nodes.join(total, Seq("_v"), "left")
-      .select(col("_v").as("node"),
+    val out = nodes.join(total, Seq("_v"), "left")
+      .select(col("_v"),
         coalesce(col("_k"), lit(0).cast(d38)).cast(LongType).as("katz_e6"))
+    dictOpt match {
+      case Some(dct) => decodeIds(out, dct, Seq("_v" -> "node"))
+        .select(col("node"), col("katz_e6"))
+      case None => out.select(col("_v").as("node"), col("katz_e6"))
+    }
   }
 }

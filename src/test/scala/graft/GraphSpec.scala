@@ -251,6 +251,92 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("iterative family: dict branch ≡ string branch on every operator (adaptive label compression)") {
+    // one fixture with multi-edges, a self-loop, direction, two components,
+    // and ids whose STRING order differs from insertion order — so an
+    // order-breaking dictionary would corrupt the MIN-label operators
+    val edges = Seq(
+      ("kiwi", "apple"), ("kiwi", "apple"), ("apple", "plum"),
+      ("plum", "kiwi"), ("banana", "plum"), ("plum", "plum"),
+      ("zig", "zag"), ("zag", "zig")
+    ).toDF("src", "dst")
+    def pair(lo: org.apache.spark.sql.DataFrame,
+             hi: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val a = rows(lo); val b = rows(hi)
+      assert(a == b, s"$name: dict branch diverged\nstring=$b\ndict=$a")
+      assert(a.nonEmpty, s"$name: fixture produced no rows")
+    }
+    import Graph._
+    pair(pageRankScaled(edges, "src", "dst", 3, dictThreshold = 1L),
+      pageRankScaled(edges, "src", "dst", 3, dictThreshold = Long.MaxValue), "pageRank")
+    pair(harmonicCentralityScaled(edges, "src", "dst", 3, dictThreshold = 1L),
+      harmonicCentralityScaled(edges, "src", "dst", 3, dictThreshold = Long.MaxValue),
+      "harmonic")
+    pair(personalizedPageRankScaled(edges, "src", "dst", "kiwi", 2, dictThreshold = 1L),
+      personalizedPageRankScaled(edges, "src", "dst", "kiwi", 2,
+        dictThreshold = Long.MaxValue), "ppr")
+    // a seed absent from the graph matches nothing in either branch
+    pair(personalizedPageRankScaled(edges, "src", "dst", "ghost", 2, dictThreshold = 1L),
+      personalizedPageRankScaled(edges, "src", "dst", "ghost", 2,
+        dictThreshold = Long.MaxValue), "ppr-absent-seed")
+    pair(triangleCountsScaled(edges, "src", "dst", dictThreshold = 1L),
+      triangleCountsScaled(edges, "src", "dst", dictThreshold = Long.MaxValue),
+      "triangles")
+    pair(kCoreBounded(edges, "src", "dst", 2, 2, dictThreshold = 1L),
+      kCoreBounded(edges, "src", "dst", 2, 2, dictThreshold = Long.MaxValue), "kCore")
+    pair(labelPropagationMin(edges, "src", "dst", 2, dictThreshold = 1L),
+      labelPropagationMin(edges, "src", "dst", 2, dictThreshold = Long.MaxValue), "lpa")
+    pair(connectedComponentsMin(edges, "src", "dst", dictThreshold = 1L),
+      connectedComponentsMin(edges, "src", "dst", dictThreshold = Long.MaxValue), "cc")
+    pair(katzCentralityScaled(edges, "src", "dst", 3, 500000L, dictThreshold = 1L),
+      katzCentralityScaled(edges, "src", "dst", 3, 500000L,
+        dictThreshold = Long.MaxValue), "katz")
+  }
+
+  test("factored iteration rounds shuffle longs only over encoded frames (the ccMinRound contract, whole family)") {
+    import org.apache.spark.sql.types.{LongType, IntegerType}
+    import org.apache.spark.sql.functions._
+    def pinLongsOnly(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val shuffles = shuffleExchanges(df)
+      assert(shuffles.nonEmpty, s"$name: expected at least one exchange")
+      assert(shuffles.forall(_.output.forall(a =>
+        a.dataType == LongType || a.dataType == IntegerType)),
+        s"$name: " + shuffles.map(_.output.map(o => (o.name, o.dataType))
+          .mkString(",")).mkString("; "))
+    }
+    // edge list 0→1, 1→2, 2→0 over encoded ids; state frames all longs
+    val e = Seq((0L, 1L), (1L, 2L), (2L, 0L)).toDF("_s", "_d").localCheckpoint()
+    val outdeg = e.groupBy("_s").agg(count(lit(1)).as("_od")).localCheckpoint()
+    val ranks = Seq((0L, 900L), (1L, 600L), (2L, 300L)).toDF("_v", "_r")
+      .localCheckpoint()
+    val contrib = Graph.contribRound(e, outdeg, ranks, dampingPpm = 1000000L)
+    pinLongsOnly(contrib, "contribRound")
+    // α=1, outdeg=1 everywhere: contribution is the source's whole rank
+    assert(contrib.as[(Long, Long)].collect().toMap ==
+      Map(0L -> 300L, 1L -> 900L, 2L -> 600L))
+    val walks = Seq((0L, 1L), (1L, 1L), (2L, 1L)).toDF("_v", "_w").localCheckpoint()
+    val wr = Graph.walkRound(e, walks)
+    pinLongsOnly(wr, "walkRound")
+    assert(wr.as[(Long, Long)].collect().toMap == Map(0L -> 1L, 1L -> 1L, 2L -> 1L))
+    val sym = Seq((0L, 1L), (1L, 0L), (1L, 2L), (2L, 1L)).toDF("_s", "_d")
+      .localCheckpoint()
+    val labels = Seq((0L, 0L), (1L, 1L), (2L, 2L)).toDF("_v", "_l").localCheckpoint()
+    val lr = Graph.lpaRound(sym, labels)
+    pinLongsOnly(lr, "lpaRound")
+    assert(lr.as[(Long, Long)].collect().toMap ==
+      Map(0L -> 0L, 1L -> 0L, 2L -> 1L))
+    val kr = Graph.kCoreRound(sym, k = 2)
+    pinLongsOnly(kr, "kCoreRound")
+    // only node 1 has degree 2; no edge keeps BOTH endpoints → empty
+    assert(kr.count() == 0L)
+    val frontier = Seq((0L, 1L), (1L, 2L)).toDF("_u", "_w").localCheckpoint()
+    val visited = frontier
+    val hr = Graph.harmonicLevelRound(frontier, e, visited)
+    pinLongsOnly(hr, "harmonicLevelRound")
+    // 0 reaches 2 via 1 at depth 2; 1 reaches 0 via 2 at depth 2
+    assert(hr.as[(Long, Long)].collect().toSet == Set((0L, 2L), (1L, 0L)))
+  }
+
   test("katzCentralityScaled: walk counts with multi-edges, exact attenuation ladder") {
     // a -> b (×2, parallel walks), b -> c, c -> b (a 2-cycle feeding walks back)
     val edges = Seq(("a", "b"), ("a", "b"), ("b", "c"), ("c", "b"))
