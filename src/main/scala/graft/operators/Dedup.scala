@@ -255,23 +255,31 @@ object Dedup {
       .filter(col("_r") <=
         col("_sz") - expr(s"(($thresholdPpm * _sz) + 999999L) div 1000000L") + lit(1L))
       .select(col("_id"), col("_g"), col("_sz"), col("_n"))
-      .localCheckpoint() // reused 3×: hot-gram tripwire + both join sides
-    // HOT-GRAM TRIPWIRE (the chiSquareTerms refusal convention): the
-    // candidate join below produces Σ_g pdf(g)² pairs, where pdf is the
-    // gram's PREFIX posting length. The prefix lemma keeps postings short
-    // for near-duplicate thresholds, but a low threshold over short docs
-    // can put a stop-gram in many prefixes and quadratically blow the
-    // join — refuse loudly with the remedy instead of OOMing the cluster.
-    val hottest = pref.groupBy(col("_g"))
-      .agg(count(lit(1)).as("_pdf"))
-      .agg(coalesce(max(col("_pdf")), lit(0L))).collect()(0).getLong(0)
-    require(hottest <= maxPrefixGramDf,
-      s"setSimPairsFromGrams: a prefix gram appears in $hottest doc " +
-        s"prefixes > maxPrefixGramDf=$maxPrefixGramDf — the candidate join " +
-        "would generate ~pdf² pairs for that gram. Raise thresholdPpm " +
-        "(shorter prefixes), lengthen shingles (rarer grams), or raise " +
-        "maxPrefixGramDf knowingly (shuffle grows quadratically with it).")
-    val cand = pref.select(col("_g"), col("_id").as("id_a"),
+    // HOT-GRAM TRIPWIRE (the chiSquareTerms refusal convention), in its
+    // ZERO-ACTION form: the candidate join below produces Σ_g pdf(g)²
+    // pairs, where pdf is the gram's PREFIX posting length. The prefix
+    // lemma keeps postings short for near-duplicate thresholds, but a
+    // low threshold over short docs can put a stop-gram in many prefixes
+    // and quadratically blow the join — refuse loudly with the remedy
+    // instead of OOMing the cluster. The pdf rides a `count over
+    // (partition by _g)` window on the join's LEFT side: the window
+    // needs exactly the hash-by-_g distribution the join itself needs,
+    // so it adds no extra exchange, and the `assert_true` filter
+    // evaluates inside the join stage BEFORE a hot gram's quadratic
+    // pairs emit — no separate aggregate, no driver round trip (the
+    // eager form cost a groupBy+max+collect per call: ×3 in the ER
+    // lifecycle and once per erResolve serving request).
+    val cand = pref
+      .withColumn("_pdf", count(lit(1)).over(w.partitionBy("_g")))
+      .filter(assert_true(col("_pdf") <= lit(maxPrefixGramDf),
+        concat(lit("setSimPairsFromGrams: a prefix gram appears in "),
+          col("_pdf").cast("string"),
+          lit(s" doc prefixes > maxPrefixGramDf=$maxPrefixGramDf — the " +
+            "candidate join would generate ~pdf² pairs for that gram. " +
+            "Raise thresholdPpm (shorter prefixes), lengthen shingles " +
+            "(rarer grams), or raise maxPrefixGramDf knowingly (shuffle " +
+            "grows quadratically with it)."))).isNull)
+      .select(col("_g"), col("_id").as("id_a"),
         col("_sz").as("_sza"), col("_n").as("_na"))
       .join(pref.select(col("_g"), col("_id").as("id_b"),
         col("_sz").as("_szb"), col("_n").as("_nb")), Seq("_g"))

@@ -692,12 +692,17 @@ class DedupSpec extends SparkSpec {
     // so the candidate join would fan out quadratically on it
     val docs = (0 until 12).map(i => (i.toLong, s"the cat sat x$i y$i"))
     val df = docs.toDF("id", "t")
-    val e = intercept[IllegalArgumentException] {
+    // the zero-action tripwire raises from inside the candidate join's
+    // own stage (assert_true), so the refusal surfaces as a Spark task
+    // failure wrapping the message — walk the cause chain for it
+    val e = intercept[Exception] {
       Dedup.setSimilarityJoinPairs(df, "id", "t", 3, 100000L,
         maxPrefixGramDf = 5L).collect()
     }
-    assert(e.getMessage.contains("maxPrefixGramDf"), e.getMessage)
-    assert(e.getMessage.contains("thresholdPpm"), e.getMessage) // remedy named
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(msgs.contains("maxPrefixGramDf"), msgs)
+    assert(msgs.contains("thresholdPpm"), msgs) // remedy named
     // the same query with the bound raised knowingly still computes the
     // exact answer (the tripwire is a refusal, not a filter — no silent
     // recall loss)
