@@ -2551,8 +2551,13 @@ object SparkEntry {
       def pad(df: DataFrame): DataFrame = df.select(
         lpad(col("doc_id").cast("string"), 8, "0").as("doc_id"), col("text"))
       val src = new java.io.File(s"$dir/documents.parquet")
+      // cache key = corpus identity + EVERY gate parameter that shapes
+      // the committed state (shingle/threshold/lpa/filter/pad) — a
+      // parameter edit must invalidate the cache, or serving would be
+      // compared against a mismatched store
       val work = new java.io.File(System.getProperty("java.io.tmpdir"),
-        s"graft_er_serve_${src.length}_${src.lastModified}").toString
+        s"graft_er_serve_${src.length}_${src.lastModified}" +
+          "_sh3_t500000_lpa4_f1000_p8").toString
       if (StreamingOps.currentVersionId(s, s"$work/state").isEmpty)
         StreamingOps.applyErBatch(s, pad(base), 0L, "doc_id", "text",
           shingleSize = 3, thresholdPpm = 500000L, lpaRounds = 4,

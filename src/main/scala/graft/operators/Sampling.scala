@@ -759,10 +759,25 @@ object Sampling {
     val b = base.agg(min(col("_k")).as("mn"), max(col("_k")).as("mx")).head()
     if (b.isNullAt(0)) return None
     val (mn, mx) = (b.getLong(0), b.getLong(1))
+    // the span drives every bucket assignment below; a >= 2^63 key span
+    // (arbitrary user-cast longs reach here via rankCorrelationByGroup)
+    // would wrap and silently corrupt bucket order, hence ranks — refuse
+    // loudly instead (the tripwire convention)
+    val span =
+      try Math.subtractExact(mx, mn)
+      catch {
+        case _: ArithmeticException => throw new IllegalArgumentException(
+          s"withinGroupRanks: key span [$mn, $mx] overflows int64 — the " +
+            "bucket arithmetic would corrupt rank order silently; rescale " +
+            "or monotonically remap the keys into a < 2^63 span first")
+      }
     // integer bucket width (ceil): bins stay in [0, buckets), assignment
-    // is exact integer arithmetic — no FP boundary jitter
-    val width = math.max(1L, (mx - mn) / buckets + 1)
-    val binned = base.withColumn("_b", expr(s"(_k - $mn) div $width"))
+    // is exact integer arithmetic — no FP boundary jitter. The min goes
+    // in as lit(mn), not string interpolation: Long.MinValue has no SQL
+    // long literal (the parser widens 9223372036854775808 to DECIMAL)
+    val width = math.max(1L, span / buckets + 1)
+    val binned = base.withColumn("_kk", col("_k") - lit(mn))
+      .withColumn("_b", expr(s"_kk div ${width}L"))
     val cnts = binned.groupBy("_g", "_b").agg(count(lit(1)).as("_c"))
     // both windows share the one exchange on _g; only histogram rows flow
     val wOff = Window.partitionBy("_g").orderBy("_b")

@@ -1980,6 +1980,14 @@ object StreamingOps {
       case Some(cur) if cur >= batchId =>
         log.warn(s"pqDriftStream: batch $batchId is not newer than the " +
           s"committed reference v$cur — skipping (replay no-op)")
+      case Some(_) if occ.isEmpty =>
+        // mirror the empty-REFERENCE guard: an empty scoring occupancy
+        // puts n_cur = 0 into l1Drift's `div (2·n)` — a null/failed row
+        // instead of a signal. Skip loudly; the next non-empty batch
+        // compares against the same pinned reference.
+        log.warn(s"pqDriftStream: batch $batchId has no assignable " +
+          "vectors — skipping the drift compare (an empty occupancy " +
+          "would divide the scaled-L1 by zero)")
       case Some(_) =>
         val reference = readState(spark, statePath).getOrElse(
           sys.error(s"pqDriftStream: _CURRENT exists but no state at $statePath"))

@@ -891,6 +891,25 @@ class ProfileSpec extends SparkSpec {
         s"single-task sort):\n${rowNum.map(w => (w.partitionSpec, w.orderSpec)).mkString("\n")}")
   }
 
+  test("withinGroupRanks: a >= 2^63 key span refuses loudly; extreme magnitudes under the span still rank exactly") {
+    import spark.implicits._
+    // MinValue..MaxValue span wraps subtractExact → loud refusal, not
+    // silently corrupted bucket order
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Sampling.withinGroupRanks(
+        Seq(("g", Long.MinValue, 1L), ("g", Long.MaxValue, 2L))
+          .toDF("_g", "_k", "_id"), 1024, tieCols = Seq("_id"))
+    }
+    assert(e.getMessage.contains("span"), e.getMessage)
+    assert(e.getMessage.contains("remap"), e.getMessage) // remedy named
+    // span of 2^63 - 1 (MinValue..-1) is the legal extreme: exact ranks
+    val ok = graft.operators.Sampling.withinGroupRanks(
+      Seq(("g", -1L, 2L), ("g", Long.MinValue, 1L), ("g", -5L, 3L))
+        .toDF("_g", "_k", "_id"), 1024, tieCols = Seq("_id")).get
+      .select(col("_id"), col("_rank")).as[(Long, Long)].collect().toMap
+    assert(ok == Map(1L -> 1L, 3L -> 2L, 2L -> 3L), ok.toString)
+  }
+
   test("rankCorrelationByGroup: tied scores break by id — pinned order, not a crash") {
     import spark.implicits._
     // x ties everywhere: rank order = id order; y agrees with id → τ = ρ = 1

@@ -821,6 +821,11 @@ class StreamingSpec extends SparkSpec {
     step(vecs(99L -> v(50.0)), 1L)
     assert(StreamingOps.readState(spark, s"$work/drift").get
       .as[(Long, Long)].collect().toMap == Map(0L -> 2L, 1L -> 2L))
+    // an EMPTY scoring batch skips the compare loudly (n_cur = 0 would
+    // put a zero into l1Drift's divisor) — no output row, state pinned
+    step(vecs().select(col("id"), col("vec")), 4L)
+    assert(!new java.io.File(s"$work/out/batch=4").exists())
+    assert(StreamingOps.currentVersionId(spark, s"$work/drift").contains(1L))
   }
 
   test("erResolve: read-only lookup — clone matches its committed entity, novel doc self-labels, re-delivered id returns its committed label, state untouched") {
