@@ -1923,6 +1923,178 @@ object StreamingOps {
       residual = ivfPqMetaResidual(spark, statePath))
   }
 
+  /** One micro-batch of EPOCHED IVF-PQ index maintenance — the CONSUMER
+    * of the codebook-drift retrain flag ([[applyPqDriftBatch]] emits it;
+    * nothing acted on it before this): [[applyIvfPqIndexBatch]] freezes
+    * cells + codebooks at its batch 0 forever, so under real
+    * distribution drift recall decays with no error anywhere. This
+    * orchestrator keeps EPOCH GENERATIONS of that exact index:
+    *
+    *  - epoch g is a complete [[applyIvfPqIndexBatch]] state tree at
+    *    `statePath/e<g>` (cells/codebooks/meta/codes, each under the
+    *    `_CURRENT` protocol), maintained with EPOCH-LOCAL batch ids
+    *    `batchId − since_batch` — the epoch's birth batch is its own
+    *    training batch 0, so the frozen-artifact machinery, its replay
+    *    guards, and the residual `meta` contract are reused verbatim;
+    *  - the committed pointer `statePath/epochs` holds one row
+    *    `(epoch, since_batch)`;
+    *  - each epoch carries its own drift reference `e<g>/driftref`:
+    *    the birth batch's cell-occupancy histogram against the epoch's
+    *    OWN cells (the [[applyPqDriftBatch]] reference protocol,
+    *    per-epoch).
+    *
+    * Per batch: assign the batch to the current epoch's cells (the
+    * same narrow argmin projection the index uses — vectors never
+    * shuffle), compare occupancies with the exact integer scaled-L1
+    * ([[graft.operators.ImportanceScoring.l1Drift]]), and branch on
+    * the flag — a driver-side control-flow decision, the
+    * connectedComponentsMin convergence-count shape:
+    *
+    *  - `l1_e9 < retrainThresholdE9`: the batch APPENDS into epoch g
+    *    (one narrow encode + the versioned codes merge);
+    *  - `l1_e9 ≥ retrainThresholdE9`: the batch OPENS epoch g+1 —
+    *    trains fresh cells/codebooks from its own rows (a retrain
+    *    batch too small to train refuses loudly, the
+    *    [[applyIvfPqIndexBatch]] contract) and becomes the new
+    *    epoch's first codes; its occupancy against the NEW cells
+    *    commits as the new epoch's drift reference, so the monitor
+    *    measures each epoch against the distribution it was trained
+    *    on.
+    *
+    * Old epochs remain fully servable — [[queryIvfPqEpoch]] pins any
+    * epoch — and vectors are never re-encoded (codes, not floats, are
+    * stored; re-encoding history into a new epoch is an explicit
+    * backfill job, not a steady-state cost).
+    *
+    * One timeline row `(epoch, n_ref, n_cur, l1_e9, retrained)` writes
+    * to `outPath/batch=<id>` per non-empty batch. Crash-replay: the
+    * append path writes the timeline row BEFORE the codes commit (the
+    * documented output-first order), and the retrain path commits the
+    * `epochs` pointer LAST — a torn retrain replays into the same
+    * drift compare, re-trips, and every re-done step is an idempotent
+    * overwrite or an internal-guard no-op, so the state converges
+    * bit-identically. A replayed committed batch no-ops under the
+    * epoch pointer + the epoch's codes version; empty batches skip
+    * loudly (nothing to compare or encode — the [[applyPqDriftBatch]]
+    * guard).
+    */
+  def applyIvfPqEpochBatch(
+      spark: SparkSession,
+      batch: DataFrame,
+      batchId: Long,
+      idCol: String,
+      vecCol: String,
+      c: Int,
+      m: Int,
+      statePath: String,
+      outPath: String,
+      retrainThresholdE9: Long,
+      residual: Boolean = false
+  ): Unit = {
+    import graft.operators.{ImportanceScoring, Similarity}
+    import spark.implicits._
+    require(retrainThresholdE9 >= 0,
+      s"ivfPqEpochStream: retrainThresholdE9 must be >= 0, got $retrainThresholdE9")
+    val epochsPath = s"$statePath/epochs"
+    def epochPath(g: Long) = s"$statePath/e$g"
+    // the index's own exact-argmin cell assignment, reduced to the
+    // ≤ c-row occupancy histogram (the applyPqDriftBatch projection)
+    def occAgainst(cellsPath: String): DataFrame = {
+      val cells = readState(spark, cellsPath).getOrElse(
+        sys.error(s"ivfPqEpochStream: no committed cells at $cellsPath"))
+      Similarity.ivfResidualsE6(batch, idCol, vecCol, cells)
+        .groupBy(col("centroid_id").as("bucket"))
+        .agg(count(lit(1)).as("cnt"))
+    }
+    def writeTimeline(g: Long, nRef: Long, nCur: Long, l1: Long,
+        retrained: Boolean): Unit =
+      Seq((g, nRef, nCur, l1, retrained))
+        .toDF("epoch", "n_ref", "n_cur", "l1_e9", "retrained")
+        .coalesce(1).write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+    // open epoch g at this batch: train + first codes (internal guards
+    // make a torn replay a no-op), commit the epoch's drift reference,
+    // write the timeline row, and point `epochs` at the new generation
+    // LAST — the replay guard's trigger is the final effect
+    def openEpoch(g: Long, nRef: Long, nCur: Long, l1: Long,
+        retrained: Boolean): Unit = {
+      val ep = epochPath(g)
+      applyIvfPqIndexBatch(spark, batch, 0L, idCol, vecCol, c, m, ep, residual)
+      occAgainst(s"$ep/cells")
+        .coalesce(1).write.mode("overwrite").parquet(s"$ep/driftref/v0")
+      commitVersion(spark, s"$ep/driftref", "v0", keepFrom = 0L)
+      writeTimeline(g, nRef, nCur, l1, retrained)
+      Seq((g, batchId)).toDF("epoch", "since_batch")
+        .coalesce(1).write.mode("overwrite").parquet(s"$epochsPath/v$batchId")
+      commitVersion(spark, epochsPath, s"v$batchId", keepFrom = batchId)
+    }
+    val st = readState(spark, epochsPath)
+      .map(_.select(col("epoch"), col("since_batch")).head())
+      .map(r => (r.getLong(0), r.getLong(1)))
+    st match {
+      case Some((_, since)) if batchId < since =>
+        log.warn(s"ivfPqEpochStream: batch $batchId predates the current " +
+          s"epoch (since_batch $since) — replay no-op")
+      case Some((g, since)) if currentVersionId(spark,
+          s"${epochPath(g)}/codes").exists(_ >= batchId - since) =>
+        log.warn(s"ivfPqEpochStream: skipping batch $batchId — epoch $g " +
+          "codes already include it")
+      case _ if batch.isEmpty =>
+        log.warn(s"ivfPqEpochStream: batch $batchId is empty — nothing to " +
+          (if (st.isEmpty) "open an epoch from" else "compare or encode"))
+      case None =>
+        // epoch 0 opens at the first non-empty batch; there is no prior
+        // reference, so the compare columns are zero by definition
+        openEpoch(0L, 0L, 0L, 0L, retrained = false)
+      case Some((g, since)) =>
+        val ref = readState(spark, s"${epochPath(g)}/driftref").getOrElse(
+          sys.error(s"ivfPqEpochStream: epoch $g has no drift reference — " +
+            "the epoch birth was torn before its reference commit; replay " +
+            "the birth batch"))
+        val d = ImportanceScoring.l1Drift(
+          ImportanceScoring.driftFromHistograms(ref,
+            occAgainst(s"${epochPath(g)}/cells"))).head()
+        val (nRef, nCur, l1) = (d.getLong(0), d.getLong(1), d.getLong(2))
+        if (l1 >= retrainThresholdE9) {
+          openEpoch(g + 1, nRef, nCur, l1, retrained = true)
+        } else {
+          writeTimeline(g, nRef, nCur, l1, retrained = false)
+          applyIvfPqIndexBatch(spark, batch, batchId - since, idCol, vecCol,
+            c, m, epochPath(g), residual)
+        }
+    }
+  }
+
+  /** The committed `(epoch, since_batch)` pointer of an
+    * [[applyIvfPqEpochBatch]] stream, if any epoch has opened.
+    */
+  def currentIvfPqEpoch(spark: SparkSession, statePath: String): Option[(Long, Long)] =
+    readState(spark, s"$statePath/epochs")
+      .map(_.select(col("epoch"), col("since_batch")).head())
+      .map(r => (r.getLong(0), r.getLong(1)))
+
+  /** ADC top-k against an [[applyIvfPqEpochBatch]] stream: serves the
+    * CURRENT epoch by default, or PINS any committed epoch — old
+    * generations stay fully servable (their artifact trees are never
+    * rewritten), which is what lets a pipeline cut queries over to a
+    * retrained epoch on its own schedule instead of at commit time.
+    */
+  def queryIvfPqEpoch(
+      spark: SparkSession,
+      statePath: String,
+      queries: DataFrame,
+      queryId: String,
+      queryVec: String,
+      idCol: String,
+      k: Int,
+      nprobe: Int,
+      epoch: Option[Long] = None
+  ): DataFrame = {
+    val g = epoch.orElse(currentIvfPqEpoch(spark, statePath).map(_._1)).getOrElse(
+      sys.error(s"queryIvfPqEpoch: no committed epochs under $statePath"))
+    queryIvfPqIndex(spark, s"$statePath/e$g", queries, queryId, queryVec,
+      idCol, k, nprobe)
+  }
+
   /** One micro-batch of IVF-PQ CODEBOOK-DRIFT monitoring — the rot
     * detector for [[applyIvfPqIndexBatch]]'s batch-0-frozen artifacts:
     * under real distribution drift, new vectors' coarse-cell

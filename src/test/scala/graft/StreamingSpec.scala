@@ -828,6 +828,113 @@ class StreamingSpec extends SparkSpec {
     assert(StreamingOps.currentVersionId(spark, s"$work/drift").contains(1L))
   }
 
+  test("ivfpq epoch stream: drift opens a retrain epoch, stable feeds append, old epochs stay servable, replays no-op") {
+    val work = Files.createTempDirectory("graft-pqepoch-spec").toString
+    def vecs(rows: (Long, Array[Float])*) = rows.toDF("id", "vec")
+    def v(x: Double) = Array.fill(4)(x.toFloat)
+    def step(b: org.apache.spark.sql.DataFrame, id: Long) =
+      StreamingOps.applyIvfPqEpochBatch(spark, b, id, "id", "vec",
+        c = 2, m = 2, s"$work/state", s"$work/out",
+        retrainThresholdE9 = 600000000L)
+    def timeline(id: Long) = spark.read.parquet(s"$work/out/batch=$id")
+      .select(col("epoch"), col("n_ref"), col("n_cur"), col("l1_e9"),
+        col("retrained"))
+      .as[(Long, Long, Long, Long, Boolean)].head()
+    def q1(x: Double, k: Int, nprobe: Int, epoch: Option[Long] = None) =
+      StreamingOps.queryIvfPqEpoch(spark, s"$work/state",
+          vecs(7L -> v(x)).select(col("id").as("qid"), col("vec").as("qvec")),
+          "qid", "qvec", "id", k, nprobe, epoch)
+        .select(col("neighbor_id")).as[Long].collect().toSet
+    // an empty batch before any epoch: nothing opens
+    step(vecs().select(col("id"), col("vec")), 0L)
+    assert(StreamingOps.currentIvfPqEpoch(spark, s"$work/state").isEmpty)
+    // batch 1 opens epoch 0 (cells = ids 0, 1 → the 0 / 100 clusters)
+    step(vecs(0L -> v(0.0), 1L -> v(100.0), 2L -> v(0.2), 3L -> v(99.8)), 1L)
+    assert(StreamingOps.currentIvfPqEpoch(spark, s"$work/state")
+      .contains((0L, 1L)))
+    assert(timeline(1L) == ((0L, 0L, 0L, 0L, false)))
+    // batch 2: same distribution → l1 = 0 → appends into epoch 0
+    step(vecs(4L -> v(0.1), 5L -> v(99.9)), 2L)
+    assert(StreamingOps.currentIvfPqEpoch(spark, s"$work/state")
+      .contains((0L, 1L)))
+    assert(timeline(2L) == ((0L, 4L, 2L, 0L, false)))
+    assert(q1(0.05, k = 3, nprobe = 1).contains(4L)) // the append serves
+    // batch 3: drifted cluster — all mass in one cell vs the 2/2
+    // reference → l1 = 1e9 → epoch 1 opens, trained on this batch
+    val drifted = vecs((0 until 6).map(i => (20L + i) -> v(500.0 + 2 * i)): _*)
+    step(drifted, 3L)
+    assert(StreamingOps.currentIvfPqEpoch(spark, s"$work/state")
+      .contains((1L, 3L)))
+    assert(timeline(3L) == ((1L, 4L, 6L, 1000000000L, true)))
+    // the current epoch serves the drifted distribution...
+    val nearB = StreamingOps.queryIvfPqEpoch(spark, s"$work/state",
+        vecs(8L -> v(509.0)).select(col("id").as("qid"), col("vec").as("qvec")),
+        "qid", "qvec", "id", k = 2, nprobe = 2)
+      .select(col("neighbor_id")).as[Long].collect().toSet
+    assert(nearB.nonEmpty && nearB.forall(_ >= 20L), nearB.toString)
+    // ...and epoch 0 stays fully servable, pinned explicitly
+    assert(q1(0.05, k = 3, nprobe = 1, epoch = Some(0L)).contains(4L))
+    // batch 4: the NEW distribution is now the reference → appends into
+    // epoch 1, no re-trip (the monitor measures each epoch against the
+    // distribution it trained on)
+    step(vecs((40 until 44).map(i => i.toLong -> v(500.0 + 2 * (i - 40))): _*), 4L)
+    assert(StreamingOps.currentIvfPqEpoch(spark, s"$work/state")
+      .contains((1L, 3L)))
+    val t4 = timeline(4L)
+    assert(t4._1 == 1L && !t4._5, t4.toString)
+    // replays: a retrain batch, an append batch, and a batch that
+    // predates the current epoch all no-op
+    step(drifted, 3L)
+    step(vecs(4L -> v(0.1), 5L -> v(99.9)), 2L)
+    assert(StreamingOps.currentIvfPqEpoch(spark, s"$work/state")
+      .contains((1L, 3L)))
+    assert(timeline(3L) == ((1L, 4L, 6L, 1000000000L, true)))
+  }
+
+  test("ivfpq epoch stream: the retrained epoch recovers recall the frozen index lost under drift") {
+    val work = Files.createTempDirectory("graft-pqepoch-recall").toString
+    def vecs(rows: (Long, Array[Float])*) = rows.toDF("id", "vec")
+    def v(x: Double) = Array.fill(4)(x.toFloat)
+    val a = vecs(0L -> v(0.0), 1L -> v(100.0), 2L -> v(0.2), 3L -> v(99.8))
+    val b = vecs((0 until 8).map(i => (20L + i) -> v(500.0 + 2 * i)): _*)
+    // FROZEN stream: batch-0 artifacts forever; the drifted batch
+    // appends — its codes all collapse onto the near-100 code word
+    // (the codebooks never saw the 500s), so ADC ranking degenerates
+    // to the id tie-break
+    val fr = s"$work/frozen"
+    StreamingOps.applyIvfPqIndexBatch(spark, a, 0L, "id", "vec", c = 2, m = 2, fr)
+    StreamingOps.applyIvfPqIndexBatch(spark, b, 1L, "id", "vec", c = 2, m = 2, fr)
+    // EPOCHED stream: the same feed trips a retrain epoch at batch 1
+    val ep = s"$work/epoch"
+    def step(df: org.apache.spark.sql.DataFrame, id: Long) =
+      StreamingOps.applyIvfPqEpochBatch(spark, df, id, "id", "vec",
+        c = 2, m = 2, s"$ep/state", s"$ep/out", retrainThresholdE9 = 600000000L)
+    step(a, 0L); step(b, 1L)
+    assert(StreamingOps.currentIvfPqEpoch(spark, s"$ep/state").contains((1L, 1L)))
+    // recall@4 of a drifted query, ground truth = exact top-4 within
+    // the drifted set
+    import graft.operators.Similarity
+    val q = vecs(99L -> v(513.0)).select(col("id").as("qid"), col("vec").as("qvec"))
+    val frozenHits = Similarity.ivfPqRecallE6(b, "id", "vec",
+        s"$fr/codes/v" + StreamingOps.currentVersionId(spark, s"$fr/codes").get,
+        StreamingOps.readState(spark, s"$fr/cells").get,
+        StreamingOps.readState(spark, s"$fr/codebooks").get,
+        q, "qid", "qvec", k = 4, nprobe = 2)
+      .select(col("n_hits")).as[Long].head()
+    val e1 = s"$ep/state/e1"
+    val retrainedHits = Similarity.ivfPqRecallE6(b, "id", "vec",
+        s"$e1/codes/v0",
+        StreamingOps.readState(spark, s"$e1/cells").get,
+        StreamingOps.readState(spark, s"$e1/codebooks").get,
+        q, "qid", "qvec", k = 4, nprobe = 2)
+      .select(col("n_hits")).as[Long].head()
+    // frozen: every drifted code identical → top-4 = smallest ids → 0 of
+    // the true {24,25,26,27}; retrained: codes split at the 504/506
+    // boundary → top-4 = {23,24,25,26} → 3 hits
+    assert(frozenHits == 0L, s"frozen=$frozenHits")
+    assert(retrainedHits == 3L, s"retrained=$retrainedHits")
+  }
+
   test("erResolve: read-only lookup — clone matches its committed entity, novel doc self-labels, re-delivered id returns its committed label, state untouched") {
     val work = Files.createTempDirectory("graft-er-resolve").toString
     StreamingOps.applyErBatch(spark,
