@@ -483,6 +483,61 @@ object SparkEntry {
       | GROUP BY 1, 2
       |)""".stripMargin
 
+  /** [[pqChainSqlTrainWhere]] generalized for the retrain-epoch oracle:
+    * the full PQ chain (subspace slices, seed rows, one exact k-means
+    * step, trunc-div codebooks, encode argmin) over an ARBITRARY
+    * e6-corpus CTE `(vec_id, a)`, with prefixed CTE names so the frozen
+    * and retrained chains coexist in one query. `seedWhere` picks the
+    * codebook seed rows, `trainWhere` (alias `s`) restricts the rows the
+    * k-means assignment sees (the frozen stream trains on batch 0 only);
+    * encoding always covers the whole corpus CTE. Requires the shared
+    * `js` subspace CTE (m = 4 × 16 dims).
+    */
+  private def pqChainSqlOver(px: String, corpus: String, seedWhere: String,
+      trainWhere: String): String =
+    s"""${px}sub AS (
+      | SELECT c.vec_id, js.j, list_slice(c.a, js.j*16 + 1, js.j*16 + 16) AS sv
+      | FROM $corpus c, js
+      |), ${px}sd AS (
+      | SELECT j, vec_id AS cid, sv AS cv FROM ${px}sub WHERE $seedWhere
+      |), ${px}pd AS (
+      | SELECT s.vec_id, s.j, sd.cid,
+      |  list_sum(list_transform(range(1, 17),
+      |    i -> (s.sv[i] - sd.cv[i]) * (s.sv[i] - sd.cv[i]))) AS dist
+      | FROM ${px}sub s JOIN ${px}sd sd ON sd.j = s.j
+      | WHERE $trainWhere
+      |), ${px}pw AS (
+      | SELECT vec_id, j, cid,
+      |  row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, cid) AS rn
+      | FROM ${px}pd
+      |), ${px}pasg AS (
+      | SELECT s.vec_id, s.j, w.cid, s.sv
+      | FROM ${px}pw w JOIN ${px}sub s ON s.vec_id = w.vec_id AND s.j = w.j
+      | WHERE w.rn = 1
+      |), ${px}pex AS (
+      | SELECT j, cid, CAST(generate_subscripts(sv, 1) - 1 AS INT) AS pos,
+      |  unnest(sv) AS x
+      | FROM ${px}pasg
+      |), ${px}ps AS (
+      | SELECT j, cid, pos, CAST(sum(x) AS BIGINT) AS se,
+      |  CAST(count(*) AS BIGINT) AS n
+      | FROM ${px}pex GROUP BY 1, 2, 3
+      |), ${px}pcb AS (
+      | SELECT j, cid, list(CAST(se // n AS BIGINT) ORDER BY pos) AS cv
+      | FROM ${px}ps GROUP BY 1, 2
+      |), ${px}ed AS (
+      | SELECT s.vec_id, s.j, b.cid,
+      |  list_sum(list_transform(range(1, 17),
+      |    i -> (s.sv[i] - b.cv[i]) * (s.sv[i] - b.cv[i]))) AS dist
+      | FROM ${px}sub s JOIN ${px}pcb b ON b.j = s.j
+      |), ${px}ew AS (
+      | SELECT vec_id, j, cid,
+      |  row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, cid) AS rn
+      | FROM ${px}ed
+      |), ${px}codes AS (
+      | SELECT vec_id, j, cid FROM ${px}ew WHERE rn = 1
+      |)""".stripMargin
+
   /** The quadratic Kendall/Spearman definition in SQL — shared by the
     * `rank_correlation` and `rank_correlation_blocks` oracles (the
     * operator's seed-block size is invisible to the statistic).
@@ -2687,6 +2742,93 @@ object SparkEntry {
         .select(col("batch"), col("n_ref"), col("n_cur"), col("l1_e9"),
           col("retrain"))
         .orderBy("batch")
+    }),
+
+    // ---- EPOCHED IVF-PQ index — the retrain flag's consumer: batch 0
+    //      opens epoch 0; batch 1 re-delivers the same vectors under
+    //      new ids (occupancy identical → l1 = 0 → appends); batch 2
+    //      plants the drifted feed (50 copies of vector 0, one cell
+    //      takes all the mass → l1 ≈ 1.5e9 ≥ 5e8) and OPENS epoch 1
+    //      trained on itself; batch 2 replays (no-op); batch 3 repeats
+    //      the new distribution — the retrained epoch's own reference
+    //      absorbs it (l1 = 0, no re-trip). Output = the timeline
+    "pq_retrain_epoch" -> ((s, dir) => {
+      import graft.streaming.StreamingOps
+      val emb = t(s, dir, "embeddings")
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-pqepoch-gate").toString
+      def step(b: DataFrame, id: Long): Unit =
+        StreamingOps.applyIvfPqEpochBatch(s, b, id, "vec_id", "embedding",
+          c = 4, m = 4, s"$work/state", s"$work/out",
+          retrainThresholdE9 = 500000000L)
+      def plant(offset: Long): DataFrame = emb.filter(col("vec_id") < 50)
+        .select((col("vec_id") + offset).as("vec_id"))
+        .crossJoin(broadcast(emb.filter(col("vec_id") === 0L)
+          .select(col("embedding"))))
+      step(emb.filter(col("vec_id") < 300), 0L)            // epoch 0 opens
+      step(emb.filter(col("vec_id") < 300)                 // stable re-keyed feed
+        .select((col("vec_id") + 5000L).as("vec_id"), col("embedding")), 1L)
+      step(plant(10000L), 2L)                              // trips → epoch 1
+      step(plant(10000L), 2L)                              // replay no-op
+      step(plant(20000L), 3L)                              // new normal appends
+      (0 to 3).map(i => s.read.parquet(s"$work/out/batch=$i")
+          .withColumn("batch", lit(i.toLong)))
+        .reduce(_ unionByName _)
+        .select(col("batch"), col("epoch"), col("n_ref"), col("n_cur"),
+          col("l1_e9"), col("retrained"))
+        .orderBy("batch")
+    }),
+
+    // ---- the composed-recall RECOVERY eval for the epoch stream: the
+    //      drifted corpus (every vec_id >= 300 squeezed into the 0.9
+    //      corner — exact double arithmetic both engines replay) trips
+    //      a retrain at batch 1; recall@10 of drifted queries, ground
+    //      truth = exact top-10 within the drifted set, against (a) the
+    //      FROZEN stream (batch-0 artifacts, drifted batch appended —
+    //      its codes collapse toward one code word) and (b) the
+    //      RETRAINED epoch (cells + codebooks from the drifted batch).
+    //      nprobe = c isolates pure code quality (the residual_recall
+    //      convention); both chains replay value-for-value in the
+    //      oracle. Gate-scale recovery numbers are recorded in README
+    "pq_retrain_recall" -> ((s, dir) => {
+      import graft.streaming.StreamingOps
+      import graft.operators.Similarity
+      val emb = t(s, dir, "embeddings")
+      def driftVec(c: Column): Column =
+        transform(c, x => x.cast("double") / lit(8.0d) + lit(0.9d))
+      val raw0 = emb.filter(col("vec_id") < 300)
+      val drifted = emb.filter(col("vec_id") >= 300)
+        .select((col("vec_id") + 10000L).as("vec_id"),
+          driftVec(col("embedding")).as("embedding"))
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-pqretrain-recall").toString
+      StreamingOps.applyIvfPqIndexBatch(s, raw0, 0L, "vec_id", "embedding",
+        c = 4, m = 4, s"$work/frozen")
+      StreamingOps.applyIvfPqIndexBatch(s, drifted, 1L, "vec_id", "embedding",
+        c = 4, m = 4, s"$work/frozen")
+      def step(b: DataFrame, id: Long): Unit =
+        StreamingOps.applyIvfPqEpochBatch(s, b, id, "vec_id", "embedding",
+          c = 4, m = 4, s"$work/state", s"$work/out",
+          retrainThresholdE9 = 500000000L)
+      step(raw0, 0L)
+      step(drifted, 1L) // measured l1 1.35–1.49e9 across SFs → epoch 1
+      val q = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), driftVec(col("embedding")).as("qvec"))
+      val frozen = Similarity.ivfPqRecallE6(drifted, "vec_id", "embedding",
+          s"$work/frozen/codes/v" +
+            StreamingOps.currentVersionId(s, s"$work/frozen/codes").get,
+          StreamingOps.readState(s, s"$work/frozen/cells").get,
+          StreamingOps.readState(s, s"$work/frozen/codebooks").get,
+          q, "qid", "qvec", k = 10, nprobe = 4)
+        .withColumn("variant", lit("frozen"))
+      val e1 = s"$work/state/e1"
+      val retrained = Similarity.ivfPqRecallE6(drifted, "vec_id", "embedding",
+          s"$e1/codes/v0",
+          StreamingOps.readState(s, s"$e1/cells").get,
+          StreamingOps.readState(s, s"$e1/codebooks").get,
+          q, "qid", "qvec", k = 10, nprobe = 4)
+        .withColumn("variant", lit("retrained"))
+      frozen.unionByName(retrained).orderBy("variant", "query_id")
     }),
 
     // ---- streaming vocabulary growth: seen-term fingerprint store +
@@ -8070,6 +8212,170 @@ object SparkEntry {
          |SELECT batch, n_ref, n_cur, l1_e9, (l1_e9 >= 750000000) AS retrain
          |FROM rows_ ORDER BY batch""".stripMargin
     },
+
+    // the epoch timeline replayed: occupancies against the epoch-0
+    // cells (vec_id < 4), the l1Drift integer arithmetic per batch, and
+    // `retrained` computed from the threshold exactly as the stream
+    // does. The epoch column is literal per row because the computed
+    // flags force the sequence (batch 2 is the only l1 ≥ 5e8 row, so it
+    // alone opens epoch 1); batch 0's birth row is literal zeros by the
+    // openEpoch contract. Batch 3 compares the planted 50-copy feed
+    // against epoch 1's reference — the SAME 50-copy occupancy (every
+    // copy of vector 0 assigns to one cell of the retrained index), a
+    // single-bucket 50/50 histogram
+    "pq_retrain_epoch" -> {
+      def driftRow(batch: Int, epoch: Int, cur: String): String =
+        s"""SELECT $batch AS batch, CAST($epoch AS BIGINT) AS epoch,
+           | CAST(t.na AS BIGINT) AS n_ref, CAST(t.nb AS BIGINT) AS n_cur,
+           | CAST((2 * (g.s * 1000000000) + CAST(t.na AS HUGEINT) * t.nb)
+           |   // (2 * (CAST(t.na AS HUGEINT) * t.nb)) AS BIGINT) AS l1_e9
+           |FROM (SELECT sum(ca) AS na, sum(cb) AS nb FROM d$cur) t,
+           | (SELECT sum(abs(CAST(ca AS HUGEINT) * t2.nb
+           |     - CAST(cb AS HUGEINT) * t2.na)) AS s
+           |  FROM d$cur, (SELECT sum(ca) AS na, sum(cb) AS nb FROM d$cur) t2) g""".stripMargin
+      s"""WITH e AS (
+         | SELECT vec_id,
+         |  list_transform(embedding,
+         |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS a
+         | FROM embeddings
+         |), cc AS (
+         | SELECT vec_id AS ccid, a AS ccv FROM e WHERE vec_id < 4
+         |), cd AS (
+         | SELECT e.vec_id, cc.ccid,
+         |  list_sum(list_transform(range(1, 65),
+         |    i -> (e.a[i] - cc.ccv[i]) * (e.a[i] - cc.ccv[i]))) AS dist
+         | FROM e, cc
+         |), casg AS (
+         | SELECT vec_id, ccid FROM (
+         |  SELECT vec_id, ccid,
+         |   row_number() OVER (PARTITION BY vec_id ORDER BY dist, ccid) AS rn
+         |  FROM cd) WHERE rn = 1
+         |), href AS (
+         | SELECT ccid, CAST(count(*) AS BIGINT) AS cnt FROM casg
+         | WHERE vec_id < 300 GROUP BY 1
+         |), h2 AS (
+         | SELECT casg.ccid, CAST(50 AS BIGINT) AS cnt FROM casg WHERE vec_id = 0
+         |), d1 AS (
+         | SELECT cnt AS ca, cnt AS cb FROM href
+         |), d2 AS (
+         | SELECT coalesce(a.cnt, 0) AS ca, coalesce(b.cnt, 0) AS cb
+         | FROM href a FULL JOIN h2 b ON b.ccid = a.ccid
+         |), d3 AS (
+         | SELECT CAST(50 AS BIGINT) AS ca, CAST(50 AS BIGINT) AS cb
+         |), rows_ AS (
+         | SELECT 0 AS batch, CAST(0 AS BIGINT) AS epoch, CAST(0 AS BIGINT) AS n_ref,
+         |  CAST(0 AS BIGINT) AS n_cur, CAST(0 AS BIGINT) AS l1_e9
+         | UNION ALL
+         | ${driftRow(1, 0, "1")}
+         | UNION ALL
+         | ${driftRow(2, 1, "2")}
+         | UNION ALL
+         | ${driftRow(3, 1, "3")}
+         |)
+         |SELECT CAST(batch AS BIGINT) AS batch, epoch, n_ref, n_cur, l1_e9,
+         | (batch > 0 AND l1_e9 >= 500000000) AS retrained
+         |FROM rows_ ORDER BY batch""".stripMargin
+    },
+
+    // both recall chains replayed end to end: the FROZEN chain trains
+    // codebooks on the batch-0 prefix of the union corpus and encodes
+    // everything (the ann_ivfpq_stream restriction), the RETRAINED
+    // chain trains and encodes on the drifted corpus alone (seeds = its
+    // 4 smallest ids — the applyIvfPqIndexBatch batch-0 contract at the
+    // epoch birth). nprobe = c probes every cell, so the coarse layer
+    // drops out of the replay and ADC is a pure function of
+    // (codes, codebooks, queries)
+    "pq_retrain_recall" ->
+      s"""WITH eall AS (
+         | SELECT vec_id,
+         |  list_transform(embedding,
+         |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS a
+         | FROM embeddings
+         |), re AS (
+         | SELECT vec_id, a FROM eall WHERE vec_id < 300
+         |), de AS (
+         | SELECT vec_id + 10000 AS vec_id,
+         |  list_transform(embedding,
+         |    x -> CAST(floor((CAST(x AS DOUBLE) / 8 + 0.9) * 1000000) AS BIGINT)) AS a
+         | FROM embeddings WHERE vec_id >= 300
+         |), ue AS (
+         | SELECT * FROM re UNION ALL SELECT * FROM de
+         |), qe AS (
+         | SELECT vec_id,
+         |  list_transform(embedding,
+         |    x -> CAST(floor((CAST(x AS DOUBLE) / 8 + 0.9) * 1000000) AS BIGINT)) AS a
+         | FROM embeddings WHERE vec_id < 3
+         |), js AS (
+         | SELECT unnest(generate_series(0, 3)) AS j
+         |), ${pqChainSqlOver("f", "ue", "vec_id < 4", "s.vec_id < 300")},
+         |${pqChainSqlOver("r", "de", "vec_id < 10304", "TRUE")},
+         |qsub AS (
+         | SELECT q.vec_id AS qid, js.j,
+         |  list_slice(q.a, js.j*16 + 1, js.j*16 + 16) AS sv
+         | FROM qe q, js
+         |), flut AS (
+         | SELECT s.qid, s.j, b.cid,
+         |  list_sum(list_transform(range(1, 17),
+         |    i -> (s.sv[i] - b.cv[i]) * (s.sv[i] - b.cv[i]))) AS dd
+         | FROM qsub s JOIN fpcb b ON b.j = s.j
+         |), fsc AS (
+         | SELECT l.qid, c.vec_id AS nid, CAST(sum(l.dd) AS BIGINT) AS adist
+         | FROM fcodes c JOIN flut l ON l.j = c.j AND l.cid = c.cid
+         | WHERE c.vec_id <> l.qid
+         | GROUP BY 1, 2
+         |), rlut AS (
+         | SELECT s.qid, s.j, b.cid,
+         |  list_sum(list_transform(range(1, 17),
+         |    i -> (s.sv[i] - b.cv[i]) * (s.sv[i] - b.cv[i]))) AS dd
+         | FROM qsub s JOIN rpcb b ON b.j = s.j
+         |), rsc AS (
+         | SELECT l.qid, c.vec_id AS nid, CAST(sum(l.dd) AS BIGINT) AS adist
+         | FROM rcodes c JOIN rlut l ON l.j = c.j AND l.cid = c.cid
+         | WHERE c.vec_id <> l.qid
+         | GROUP BY 1, 2
+         |), pdx AS (
+         | SELECT q.vec_id AS qid, d.vec_id AS nid,
+         |  list_sum(list_transform(range(1, 65),
+         |    i -> (q.a[i] - d.a[i]) * (q.a[i] - d.a[i]))) AS dist
+         | FROM qe q CROSS JOIN de d WHERE d.vec_id <> q.vec_id
+         |), exk AS (
+         | SELECT qid, nid FROM (
+         |  SELECT qid, nid,
+         |   row_number() OVER (PARTITION BY qid ORDER BY dist, nid) AS rn
+         |  FROM pdx) WHERE rn <= 10
+         |), ap_f AS (
+         | SELECT qid, nid FROM (
+         |  SELECT qid, nid,
+         |   row_number() OVER (PARTITION BY qid ORDER BY adist, nid) AS rn
+         |  FROM fsc) WHERE rn <= 10
+         |), ap_r AS (
+         | SELECT qid, nid FROM (
+         |  SELECT qid, nid,
+         |   row_number() OVER (PARTITION BY qid ORDER BY adist, nid) AS rn
+         |  FROM rsc) WHERE rn <= 10
+         |), h_f AS (
+         | SELECT ap_f.qid, CAST(count(*) AS BIGINT) AS n_hits
+         | FROM ap_f JOIN exk ON ap_f.qid = exk.qid AND ap_f.nid = exk.nid
+         | GROUP BY 1
+         |), h_r AS (
+         | SELECT ap_r.qid, CAST(count(*) AS BIGINT) AS n_hits
+         | FROM ap_r JOIN exk ON ap_r.qid = exk.qid AND ap_r.nid = exk.nid
+         | GROUP BY 1
+         |), recs AS (
+         | SELECT q.vec_id AS query_id, COALESCE(h_f.n_hits, 0) AS n_hits,
+         |  'frozen' AS variant
+         | FROM (SELECT vec_id FROM eall WHERE vec_id < 3) q
+         | LEFT JOIN h_f ON h_f.qid = q.vec_id
+         | UNION ALL
+         | SELECT q.vec_id AS query_id, COALESCE(h_r.n_hits, 0) AS n_hits,
+         |  'retrained' AS variant
+         | FROM (SELECT vec_id FROM eall WHERE vec_id < 3) q
+         | LEFT JOIN h_r ON h_r.qid = q.vec_id
+         |)
+         |SELECT query_id, n_hits, CAST(10 AS BIGINT) AS k,
+         | CAST(n_hits * 1000000 // 10 AS BIGINT) AS recall_ppm, variant
+         |FROM recs
+         |ORDER BY variant, query_id""".stripMargin,
 
     // serving = min committed label among the query's >= 0.5-jaccard
     // matches in the base corpus; committed labels are the 4-round LPA
