@@ -2797,7 +2797,10 @@ object SparkEntry {
       def driftVec(c: Column): Column =
         transform(c, x => x.cast("double") / lit(8.0d) + lit(0.9d))
       val raw0 = emb.filter(col("vec_id") < 300)
-      val drifted = emb.filter(col("vec_id") >= 300)
+      // fixed 200-vector drifted slice: the recovery margin is a
+      // corpus-density property (m = 4 quantization over a squeezed
+      // cloud), so the eval corpus stays scale-invariant
+      val drifted = emb.filter(col("vec_id") >= 300 && col("vec_id") < 500)
         .select((col("vec_id") + 10000L).as("vec_id"),
           driftVec(col("embedding")).as("embedding"))
       val work = java.nio.file.Files
@@ -8297,7 +8300,7 @@ object SparkEntry {
          | SELECT vec_id + 10000 AS vec_id,
          |  list_transform(embedding,
          |    x -> CAST(floor((CAST(x AS DOUBLE) / 8 + 0.9) * 1000000) AS BIGINT)) AS a
-         | FROM embeddings WHERE vec_id >= 300
+         | FROM embeddings WHERE vec_id >= 300 AND vec_id < 500
          |), ue AS (
          | SELECT * FROM re UNION ALL SELECT * FROM de
          |), qe AS (
