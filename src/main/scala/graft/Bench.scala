@@ -47,8 +47,21 @@ object Bench {
     require(runsPerQuery >= 1, s"SPARK_GRAFT_BENCH_RUNS must be >= 1, got $runsPerQuery")
     // optional comma-separated filter for iterating on single queries
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).toSet)
-    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => only.forall(_.contains(n)) }
+    // CPU-bound CALIBRATION probe: a fixed integer kernel — no I/O, no
+    // shuffle beyond the one-row final agg, no data dependence — recorded
+    // in every bench run so cross-round comparisons can DIVIDE OUT the
+    // box's momentary speed (co-tenant load) instead of inferring it from
+    // the ratio distribution (the r12 verdict had to reconstruct a 1.21×
+    // box factor that way). Not a SparkEntry gate (nothing to oracle);
+    // excluded from "total" so round totals stay comparable.
+    import org.apache.spark.sql.functions.{col, expr, xxhash64}
+    val calibration: (SparkSession, String) => org.apache.spark.sql.DataFrame =
+      (s, _) => s.range(0L, 1L << 30, 1L, s.sparkContext.defaultParallelism)
+        .select(xxhash64(col("id")).as("_h"))
+        .select(expr("bit_xor(_h)").as("h")) // xor-fold: no ANSI overflow
+    val selected =
+      (Seq("calibration_cpu" -> calibration) ++ SparkEntry.queries.toSeq.sortBy(_._1))
+        .filter { case (n, _) => only.forall(_.contains(n)) }
     // BLOCK-interleaved runs: each query runs in TWO separated
     // consecutive blocks (ceil(N/2) then floor(N/2) runs) rather than
     // one N-run burst or full per-run interleaving. Rationale, measured:
@@ -118,7 +131,8 @@ object Bench {
     val runsJson = jarr(i => times(i).map(t => f"$t%.3f").mkString(","))
     val gcJson = jarr(i => gcMs(i).mkString(","))
     val failedNames = results.filter(_._5).map("\"" + _._1 + "\"").mkString("[", ",", "]")
-    val total = if (ok.nonEmpty) ok.map(_._2).sum else 0.0
+    val okGated = ok.filterNot(_._1 == "calibration_cpu")
+    val total = if (okGated.nonEmpty) okGated.map(_._2).sum else 0.0
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs""" +
       s""","queries_min":$mins,"queries_p25":$p25s,"queries_runs":$runsJson""" +
       s""","queries_gc_ms":$gcJson,"failed_queries":$failedNames""" +
