@@ -891,6 +891,40 @@ class StreamingSpec extends SparkSpec {
     assert(timeline(3L) == ((1L, 4L, 6L, 1000000000L, true)))
   }
 
+  test("ivfpq epoch stream: residual epochs train a per-epoch meta artifact and serve in their own space") {
+    val work = Files.createTempDirectory("graft-pqepoch-res").toString
+    def vecs(rows: (Long, Array[Float])*) = rows.toDF("id", "vec")
+    def v(x: Double) = Array.fill(4)(x.toFloat)
+    def step(b: org.apache.spark.sql.DataFrame, id: Long) =
+      StreamingOps.applyIvfPqEpochBatch(spark, b, id, "id", "vec",
+        c = 2, m = 2, s"$work/state", s"$work/out",
+        retrainThresholdE9 = 600000000L, residual = true)
+    // batch 0 opens a RESIDUAL epoch 0 (needs >= 2c = 4 rows: 2 cells +
+    // 2 residual seeds — the applyIvfPqIndexBatch batch-0 contract)
+    step(vecs(0L -> v(0.0), 1L -> v(100.0), 2L -> v(0.2), 3L -> v(99.8)), 0L)
+    assert(StreamingOps.currentIvfPqEpoch(spark, s"$work/state").contains((0L, 0L)))
+    // the drifted batch opens a residual epoch 1 the same way
+    step(vecs((0 until 6).map(i => (20L + i) -> v(500.0 + 2 * i)): _*), 1L)
+    assert(StreamingOps.currentIvfPqEpoch(spark, s"$work/state").contains((1L, 1L)))
+    // each epoch's meta pins residual space; serving reads it from the
+    // epoch's own tree (never from the caller) in both generations
+    for (g <- Seq(0L, 1L)) {
+      val meta = StreamingOps.readState(spark, s"$work/state/e$g/meta").get
+        .select(col("residual")).head().getBoolean(0)
+      assert(meta, s"epoch $g meta should pin residual=true")
+    }
+    val near = StreamingOps.queryIvfPqEpoch(spark, s"$work/state",
+        vecs(9L -> v(501.0)).select(col("id").as("qid"), col("vec").as("qvec")),
+        "qid", "qvec", "id", k = 2, nprobe = 2)
+      .select(col("neighbor_id")).as[Long].collect().toSet
+    assert(near.nonEmpty && near.forall(_ >= 20L), near.toString)
+    val nearOld = StreamingOps.queryIvfPqEpoch(spark, s"$work/state",
+        vecs(9L -> v(99.9)).select(col("id").as("qid"), col("vec").as("qvec")),
+        "qid", "qvec", "id", k = 2, nprobe = 2, epoch = Some(0L))
+      .select(col("neighbor_id")).as[Long].collect().toSet
+    assert(nearOld.subsetOf(Set(0L, 1L, 2L, 3L)) && nearOld.nonEmpty, nearOld.toString)
+  }
+
   test("ivfpq epoch stream: the retrained epoch recovers recall the frozen index lost under drift") {
     val work = Files.createTempDirectory("graft-pqepoch-recall").toString
     def vecs(rows: (Long, Array[Float])*) = rows.toDF("id", "vec")
