@@ -4962,7 +4962,13 @@ object SparkEntry {
     //      making the planted pair set the exact, deterministic output —
     //      the oracle is (id, id+1000000) for the planted ids.
     "dedup_embedding_pairs" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      // corpus bounded to the base id domain: the planted-list oracle's
+      // premise is "no natural near-dups", and a key-shifted sweep table
+      // (sf1: ten identical copies at +k·10⁶) would violate it — the
+      // bound keeps the premise true at every scale (no-op at driver SFs)
+      val emb = t(s, dir, "embeddings")
+        .filter(col("vec_id") < 1000000L)
+        .select(col("vec_id"), col("embedding"))
       val planted = emb.filter(col("vec_id") < 10)
         .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
       Dedup.embeddingDupPairs(emb.union(planted), "embedding", "vec_id",
@@ -5301,7 +5307,12 @@ object SparkEntry {
     //      threshold 0.999 the planted set IS the full answer and the
     //      cluster-straddle recall trade can't bite
     "semantic_dedup_pairs" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      // same corpus bound as dedup_embedding_pairs: the planted-list
+      // oracle's "no natural near-dups" premise must hold at sweep
+      // scales too (sf1 plants ten identical copies at +k·10⁶)
+      val emb = t(s, dir, "embeddings")
+        .filter(col("vec_id") < 1000000L)
+        .select(col("vec_id"), col("embedding"))
       val planted = emb.filter(col("vec_id") < 10)
         .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
       Dedup.semanticDupPairs(emb.union(planted), "embedding", "vec_id",
@@ -8558,17 +8569,31 @@ object SparkEntry {
     // the oracle needs no confusable table: pairs are exact-text matches
     // over originals ∪ clones, and bytes really differ exactly when the
     // pair mixes a spoofed and an unspoofed doc
+    // the spoofed texts are CONSTRUCTED in SQL (same translate + the
+    // zero-width-space insertion) and bytes_differ compares the ACTUAL
+    // texts; skeleton equivalence is replayed as equality of the
+    // un-spoofed normalization (strip U+200B, map the seven planted
+    // confusables back) — faithful even when the corpus itself carries
+    // natural exact-duplicate texts (the sf1 sweep's key-shifted copies
+    // broke the old boundary-crossing bytes_differ model)
     "homoglyph_dedup" ->
       """WITH base AS (
         | SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
         |), all_docs AS (
         | SELECT doc_id, text FROM base
-        | UNION ALL SELECT doc_id + 1000000, text FROM base WHERE doc_id < 30
+        | UNION ALL
+        | SELECT doc_id + 1000000,
+        |  replace(translate(text, 'aeopcxy', 'аеорсху'), ' ', ' ' || chr(8203))
+        | FROM base WHERE doc_id < 30
+        |), norm AS (
+        | SELECT doc_id, text,
+        |  translate(replace(text, chr(8203), ''), 'аеорсху', 'aeopcxy') AS sk
+        | FROM all_docs
         |)
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        | ((a.doc_id < 1000000) <> (b.doc_id < 1000000)) AS bytes_differ
-        |FROM all_docs a JOIN all_docs b
-        |  ON a.text = b.text AND a.doc_id < b.doc_id
+        | (a.text <> b.text) AS bytes_differ
+        |FROM norm a JOIN norm b
+        |  ON a.sk = b.sk AND a.doc_id < b.doc_id
         |ORDER BY id_a, id_b""".stripMargin,
 
     // the bloom filter is I/O avoidance only — the result IS the join
