@@ -255,6 +255,9 @@ object Dedup {
       .filter(col("_r") <=
         col("_sz") - expr(s"(($thresholdPpm * _sz) + 999999L) div 1000000L") + lit(1L))
       .select(col("_id"), col("_g"), col("_sz"), col("_n"))
+      .localCheckpoint() // both candidate-join sides read pref; its own
+                         // row_number window + two joins are too much
+                         // plan to compute twice (measured)
     // HOT-GRAM TRIPWIRE (the chiSquareTerms refusal convention), in its
     // ZERO-ACTION form: the candidate join below produces Σ_g pdf(g)²
     // pairs, where pdf is the gram's PREFIX posting length. The prefix
