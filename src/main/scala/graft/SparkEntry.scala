@@ -830,6 +830,128 @@ object SparkEntry {
        |SELECT v AS node, r AS rank_ppb FROM r$iterations ORDER BY node""".stripMargin
   }
 
+  /** The ANF gates' doc-id lattice: directed edges +1 and +3 over
+    * doc_id < 3000, both endpoints in-slice — enough structure that
+    * depth-3 balls overlap and differ near the boundary, and a fixed
+    * node count at every driver scale (the sweep-stability rule).
+    */
+  private def anfLatticeEdges(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"))
+      .filter(col("doc_id") < 3000)
+    val ids = d.select(col("doc_id").as("b"))
+    d.select(col("doc_id").as("a"), (col("doc_id") + 1).as("b"))
+      .unionByName(d.select(col("doc_id").as("a"), (col("doc_id") + 3).as("b")))
+      .join(ids, Seq("b"), "left_semi")
+      .select(col("a").cast("string").as("src"), col("b").cast("string").as("dst"))
+  }
+
+  /** The DuckDB replay of [[graft.operators.Graph.anfHyperBall]] over
+    * [[anfLatticeEdges]]: register state at round t is a pure function
+    * of the EXACT ball B_t(u) (max-merge ≡ set-union), so the oracle
+    * unrolls exact reachability (b1..bD, cumulative — no anti-joins
+    * needed, balls are unions), rebuilds every node's FNV register
+    * (bucket = hh mod m, ρ over the remaining 64−log₂m bits via the
+    * shared CASE ladder), folds the per-(u, bucket) maxima through the
+    * same α_m·m²·2⁶² // (S·10⁶) integer estimate in HUGEINT, and ends
+    * with per-node est tables `est1..estD(u, e)`. Composed with a
+    * gate-specific final SELECT.
+    */
+  private def anfOracleChainSql(maxDepth: Int, m: Int): String = {
+    val log2m = java.lang.Integer.numberOfTrailingZeros(m)
+    val rhoCase = graft.operators.Profile.hllRhoCaseSql("rem", 64 - log2m)
+    val num = graft.operators.Graph.anfNumLiteral(m)
+    val two62 = (BigInt(1) << 62).toString
+    val balls = (1 to maxDepth).map { tt =>
+      s"""b$tt AS (
+         | SELECT DISTINCT u, v FROM (
+         |  SELECT u, v FROM b${tt - 1}
+         |  UNION ALL
+         |  SELECT b${tt - 1}.u AS u, e.dst AS v FROM b${tt - 1} JOIN e ON e.src = b${tt - 1}.v)
+         |)""".stripMargin
+    }
+    val ests = (1 to maxDepth).map { tt =>
+      s"""r$tt AS (
+         | SELECT b$tt.u, h.bucket, max(h.rho) AS mr
+         | FROM b$tt JOIN hr h ON h.v = b$tt.v GROUP BY 1, 2
+         |), s$tt AS (
+         | SELECT u, CAST(sum(CAST((CAST(1 AS BIGINT) << (62 - mr)) AS HUGEINT)) AS HUGEINT)
+         |  + ($m - count(*)) * CAST('$two62' AS HUGEINT) AS s
+         | FROM r$tt GROUP BY 1
+         |), est$tt AS (
+         | SELECT u, CAST(CAST('$num' AS HUGEINT) // (s * 1000000) AS BIGINT) AS e FROM s$tt
+         |)""".stripMargin
+    }
+    s"""d AS (
+       | SELECT doc_id FROM documents WHERE doc_id < 3000
+       |), e0 AS (
+       | SELECT CAST(a.doc_id AS VARCHAR) AS src, CAST(a.doc_id + 1 AS VARCHAR) AS dst
+       | FROM d a WHERE a.doc_id + 1 IN (SELECT doc_id FROM d)
+       | UNION ALL
+       | SELECT CAST(a.doc_id AS VARCHAR), CAST(a.doc_id + 3 AS VARCHAR)
+       | FROM d a WHERE a.doc_id + 3 IN (SELECT doc_id FROM d)
+       |), e AS (
+       | SELECT DISTINCT src, dst FROM e0 WHERE src <> dst
+       |), nodes AS (
+       | SELECT DISTINCT v FROM (SELECT src AS v FROM e UNION ALL SELECT dst FROM e)
+       |), b0 AS (
+       | SELECT v AS u, v FROM nodes
+       |), ${balls.mkString(", ")}, hv AS (
+       | SELECT v, list_reduce(
+       |   list_prepend(CAST('14695981039346656037' AS HUGEINT),
+       |     list_transform(range(1, length(s) + 1), i -> CAST(ascii(s[i]) AS HUGEINT))),
+       |   (acc, b) -> ((acc // 256) * 256 + xor(CAST(acc % 256 AS BIGINT), CAST(b AS BIGINT)))
+       |               * 1099511628211 % CAST('18446744073709551616' AS HUGEINT)
+       | ) AS hh
+       | FROM (SELECT v, v || ':anf' AS s FROM nodes)
+       |), hr AS (
+       | SELECT v, CAST(hh % $m AS BIGINT) AS bucket,
+       |  $rhoCase AS rho
+       | FROM (SELECT v, hh, CAST(hh // $m AS BIGINT) AS rem FROM hv)
+       |), ${ests.mkString(", ")}""".stripMargin
+  }
+
+  /** Per-node final SELECT over [[anfOracleChainSql]] — ball estimates
+    * per level plus the clamped harmonic fold, the operator's exact
+    * arithmetic in HUGEINT-safe BIGINT.
+    */
+  private def anfHyperBallOracleSql(maxDepth: Int, m: Int): String = {
+    val joins = (1 to maxDepth)
+      .map(tt => s"JOIN est$tt e$tt ON e$tt.u = n.v").mkString(" ")
+    val ballCols = (1 to maxDepth)
+      .map(tt => s"e$tt.e AS ball${tt}_est").mkString(",\n ")
+    val harmonic = (1 to maxDepth).map { tt =>
+      val prev = if (tt == 1) "1" else s"e${tt - 1}.e"
+      s"(greatest(0, e$tt.e - $prev) * 1000000) // $tt"
+    }.mkString(" + ")
+    s"""WITH ${anfOracleChainSql(maxDepth, m)}
+       |SELECT n.v AS node, $ballCols,
+       | CAST($harmonic AS BIGINT) AS harmonic_est_ppm
+       |FROM nodes n $joins
+       |ORDER BY node""".stripMargin
+  }
+
+  /** Effective-diameter final SELECT over [[anfOracleChainSql]]:
+    * HUGEINT level sums N(t), ppm shares of N(maxDepth), min-t at the
+    * 90% threshold.
+    */
+  private def anfEffDiameterOracleSql(maxDepth: Int, m: Int): String = {
+    val lv = (1 to maxDepth).map(tt =>
+      s"SELECT $tt AS t, (SELECT CAST(sum(CAST(e AS HUGEINT)) AS HUGEINT) FROM est$tt) AS np")
+      .mkString(" UNION ALL ")
+    s"""WITH ${anfOracleChainSql(maxDepth, m)}, lv AS (
+       | $lv
+       |), tot AS (
+       | SELECT np AS tt FROM lv WHERE t = $maxDepth
+       |), sh AS (
+       | SELECT t, np, CAST(np * 1000000 // tot.tt AS BIGINT) AS share_ppm FROM lv, tot
+       |), ed AS (
+       | SELECT min(t) AS eff FROM sh WHERE share_ppm >= 900000
+       |)
+       |SELECT CAST(sh.t AS BIGINT) AS t, CAST(sh.np AS BIGINT) AS npairs_est,
+       | sh.share_ppm, CAST(ed.eff AS BIGINT) AS eff_diameter
+       |FROM sh, ed ORDER BY t""".stripMargin
+  }
+
   /** The DuckDB replay of [[graft.operators.Graph.harmonicCentralityScaled]]
     * over the pagerank gate's source-chain graph: BFS levels unrolled as
     * CTEs (p1..pD, each level anti-joined against every earlier level),
@@ -3917,6 +4039,30 @@ object SparkEntry {
         lpad((col("doc_id") + 1).cast("string"), 12, "0").as("dst"))
       graft.operators.Graph.connectedComponentsMin(e, "src", "dst")
         .orderBy("node")
+    }),
+
+    // ---- HyperBall ANF over a doc-id lattice (edges +1 and +3, ids
+    //      < 3000): per-node estimated out-ball sizes at depths 1..3
+    //      from propagated deterministic-FNV register banks, plus the
+    //      derived approximate harmonic — the SCALE PATH past exact
+    //      bounded BFS (state = one 64-byte bank per node at ANY depth,
+    //      never reachable pairs). Register merge ≡ ball union, so the
+    //      oracle replays every estimate bit-for-bit from unrolled
+    //      exact reachability
+    "anf_hyperball" -> ((s, dir) => {
+      graft.operators.Graph.anfHyperBall(anfLatticeEdges(s, dir), "src", "dst",
+          maxDepth = 3, m = 64)
+        .orderBy("node")
+    }),
+
+    // ---- the ANF headline reduction: estimated reachable-pair counts
+    //      N(t) per depth, each level's ppm share of N(3), and the 90%
+    //      effective diameter; everything after the per-node table is
+    //      metadata-sized (≤ maxDepth rows)
+    "anf_effective_diameter" -> ((s, dir) => {
+      val anf = graft.operators.Graph.anfHyperBall(anfLatticeEdges(s, dir),
+        "src", "dst", maxDepth = 3, m = 64)
+      graft.operators.Graph.effectiveDiameterFromAnf(anf, maxDepth = 3)
     }),
 
     // ---- drift timeline: scaled-L1 distance between consecutive DAYS
@@ -9565,6 +9711,13 @@ object SparkEntry {
         |SELECT lpad(CAST(v AS VARCHAR), 12, '0') AS node,
         | lpad(CAST((v // 20) * 20 AS VARCHAR), 12, '0') AS label
         |FROM nodes ORDER BY node""".stripMargin,
+
+    // exact reachability unrolled, registers + estimate replayed
+    // bit-for-bit; see anfHyperBallOracleSql
+    "anf_hyperball" -> anfHyperBallOracleSql(maxDepth = 3, m = 64),
+
+    // level sums + shares + min-t over the same chain
+    "anf_effective_diameter" -> anfEffDiameterOracleSql(maxDepth = 3, m = 64),
 
     // the three proven centrality chains joined as subqueries
     "pipeline_centrality_prior" ->

@@ -855,4 +855,209 @@ object Graph {
       case None => out.select(col("_v").as("node"), col("katz_e6"))
     }
   }
+
+  /** α_m·10⁶ for the ANF register count — the published HLL constants
+    * (0.673 / 0.697 / 0.709 for m = 16/32/64, the asymptotic formula
+    * above), floored; a driver literal shared with oracles (the
+    * [[Profile.hllAlphaPpm1024]] discipline).
+    */
+  private[graft] def anfAlphaPpm(m: Int): Long = m match {
+    case 16 => 673000L
+    case 32 => 697000L
+    case 64 => 709000L
+    case _ => math.floor(0.7213 / (1.0 + 1.079 / m) * 1e6).toLong
+  }
+
+  /** The exact-integer ANF estimate numerator α_m·m²·2⁶² as a decimal
+    * string — shared verbatim with the DuckDB oracle (HUGEINT there,
+    * DECIMAL(38,0) here), so the two engines cannot disagree on the
+    * fold.
+    */
+  private[graft] def anfNumLiteral(m: Int): String =
+    (BigInt(anfAlphaPpm(m)) * BigInt(m.toLong * m) * (BigInt(1) << 62)).toString
+
+  /** The raw-HLL estimate over a register BANK column `_regs`
+    * (array<tinyint>, length m) as SQL text: the indicator Σ 2^(−M_j)
+    * scales by 2⁶² into a pure integer (register M contributes
+    * 2^(62−M); an empty slot is M = 0, i.e. 2⁶²), and
+    *
+    *   est = (α_m·m²·2⁶²) div (S · 10⁶)
+    *
+    * — all DECIMAL(38,0), integral-divided to BIGINT. Raw estimator
+    * only (no small-range correction — ln() stays out of compared
+    * surfaces by policy); raw HLL under-reads small sets, which the
+    * per-node gate documents rather than hides.
+    */
+  private[graft] def anfEstimateSql(m: Int): String =
+    s"CAST(CAST('${anfNumLiteral(m)}' AS DECIMAL(38,0)) div " +
+      "(aggregate(_regs, CAST(0 AS DECIMAL(38,0)), " +
+      "(acc, r) -> acc + CAST(shiftleft(1L, 62 - CAST(r AS INT)) AS DECIMAL(38,0))) " +
+      "* CAST(1000000 AS DECIMAL(38,0))) AS BIGINT)"
+
+  /** Initial ANF register banks, one per node: FNV-1a of the ORIGINAL
+    * node string (never the dict id — the hash must be representation-
+    * independent so the dict and string branches agree bit-for-bit),
+    * bucket = low log₂m hash bits, ρ = leading-zero rank of the
+    * remaining 64−log₂m bits, bank = m tinyints with ρ at the bucket.
+    * Input `(_v STRING)`; output `(_v, _regs ARRAY<TINYINT>)`.
+    */
+  private[graft] def anfInitRegisters(nodes: DataFrame, m: Int): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val log2m = java.lang.Integer.numberOfTrailingZeros(m)
+    val h = ColumnBridge.column(graft.plans.FnvHash64(
+      ColumnBridge.expression(concat(col("_v"), lit(":anf")))))
+    nodes
+      .select(col("_v"), pmod(h, lit(m.toLong)).as("_bkt"),
+        shiftrightunsigned(h, log2m).as("_rem"))
+      .withColumn("_rho", expr(Profile.hllRhoCaseSql("_rem", 64 - log2m)))
+      .select(col("_v"),
+        expr(s"transform(sequence(0, ${m - 1}), " +
+          "i -> CAST(IF(i = _bkt, _rho, 0) AS TINYINT))").as("_regs"))
+  }
+
+  /** One HyperBall propagation round — factored lazy for the spec pins:
+    * B_{t+1}(u) = {u} ∪ ⋃_{(u,w)∈E} B_t(w) lifts to register banks as
+    * "max-merge my neighbors' banks into mine", i.e. ONE join of the
+    * edge list to the current state on the destination (ids + m-byte
+    * banks, never payloads) and one `graft_elemmax` aggregate per
+    * node — map-side partial merge, so the shuffle carries one bank
+    * per node per input partition regardless of in-degree. The caller
+    * checkpoints.
+    */
+  private[graft] def anfRound(edgesByDst: DataFrame, state: DataFrame): DataFrame = {
+    graft.plans.ElemMaxAggregate.register(state.sparkSession)
+    val contrib = edgesByDst
+      .join(state.select(col("_n").as("_dst"), col("_regs")), Seq("_dst"))
+      .select(col("_src").as("_n"), col("_regs"))
+    state.select(col("_n"), col("_regs")).unionByName(contrib)
+      .groupBy(col("_n"))
+      .agg(call_function("graft_elemmax", col("_regs")).as("_regs"))
+  }
+
+  /** HyperBall — the approximate neighborhood function (Boldi, Rosa &
+    * Vigna 2011; Palmer et al.'s ANF, 2002): for every node u,
+    * ESTIMATED out-ball sizes |B_t(u)| = |{v : dist(u→v) ≤ t}| for
+    * t = 1..maxDepth from propagated HLL register banks, plus the
+    * derived approximate harmonic centrality
+    *
+    *   h_ppm(u) = Σ_t (max(0, est_t − est_{t−1}) · 10⁶) div t,  est₀ = 1
+    *
+    * (feed REVERSED edges to approximate the incoming-path harmonic of
+    * [[harmonicCentralityScaled]]). This is the SCALE PATH past exact
+    * bounded BFS: the exact operator's frontier is the (u, v)
+    * reachable-PAIR set — toward n·|ball| rows, the quadratic wall its
+    * frontier tripwire refuses — while HyperBall's whole state is one
+    * m-byte register bank per node, n·m bytes at ANY depth, because
+    * ball-union lifts to element-wise register max. Per round: ONE
+    * join of the edge list (pre-partitioned by destination, reused
+    * every round) to the state and one map-side-combined
+    * [[graft.plans.ElemMaxAggregate]] per node; at ≥ `dictThreshold`
+    * nodes ids ride 8-byte dict longs. Registers hash the ORIGINAL
+    * node strings, so both branches produce identical banks.
+    *
+    * Everything is exact integer arithmetic over deterministic FNV
+    * registers — register state at round t is a pure function of the
+    * exact ball B_t(u) (max-merge ≡ set-union), so an external engine
+    * replays every estimate bit-for-bit from unrolled reachability.
+    * Accuracy is the raw-HLL ±1.04/√m on LARGE balls and a documented
+    * under-read on small ones (production m = 256–1024; the negative
+    * per-level deltas that under-reads can produce are clamped at 0 on
+    * both engines).
+    *
+    * Output: `(node STRING, ball1_est..ball{maxDepth}_est BIGINT,
+    * harmonic_est_ppm BIGINT)`, one row per node in the edge universe.
+    */
+  def anfHyperBall(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      maxDepth: Int = 3,
+      m: Int = 64,
+      dictThreshold: Long = GraphDictThreshold
+  ): DataFrame = {
+    require(maxDepth >= 1 && maxDepth <= 16,
+      s"anfHyperBall: maxDepth must be in [1, 16], got $maxDepth")
+    require(m >= 16 && m <= 1024 && Integer.bitCount(m) == 1,
+      s"anfHyperBall: m must be a power of two in [16, 1024], got $m")
+    val eS = edges
+      .select(col(srcCol).cast("string").as("_src"), col(dstCol).cast("string").as("_dst"))
+      .filter(col("_src").isNotNull && col("_dst").isNotNull &&
+        col("_src") =!= col("_dst")) // self-loops: u is in every B_t(u) already
+      .distinct()
+      .localCheckpoint()
+    val nodesS = eS.select(col("_src").as("_v"))
+      .unionByName(eS.select(col("_dst").as("_v")))
+      .distinct()
+      .localCheckpoint()
+    val initS = anfInitRegisters(nodesS, m)
+    val dictOpt = graphDict(nodesS, nodesS.count(), dictThreshold)
+    val (e, state0, nodes) = dictOpt match {
+      case Some(dct) => (
+        encodeIds(eS, dct, Seq("_src", "_dst")),
+        encodeIds(initS, dct, Seq("_v")).withColumnRenamed("_v", "_n"),
+        dct.select(col("_id").as("_n")))
+      case None => (eS, initS.withColumnRenamed("_v", "_n"), nodesS.select(col("_v").as("_n")))
+    }
+    // the join side every round reuses: partitioned by destination once
+    val eByDst = e.repartition(col("_dst")).localCheckpoint()
+    var state = state0.localCheckpoint()
+    var ests = Seq.empty[DataFrame]
+    for (t <- 1 to maxDepth) {
+      state = anfRound(eByDst, state).localCheckpoint()
+      ests = ests :+ state.select(col("_n"),
+        expr(anfEstimateSql(m)).as(s"ball${t}_est"))
+    }
+    val joined = ests.reduce(_.join(_, Seq("_n")))
+    val harmonic = (1 to maxDepth).map { t =>
+      val prev = if (t == 1) "1L" else s"ball${t - 1}_est"
+      s"(greatest(0L, ball${t}_est - $prev) * 1000000L) div ${t}L"
+    }.mkString(" + ")
+    val out = nodes.join(joined, Seq("_n"))
+      .withColumn("harmonic_est_ppm", expr(s"CAST($harmonic AS BIGINT)"))
+    val cols = (1 to maxDepth).map(t => col(s"ball${t}_est")) :+ col("harmonic_est_ppm")
+    dictOpt match {
+      case Some(dct) => decodeIds(out, dct, Seq("_n" -> "node"))
+        .select(col("node") +: cols: _*)
+      case None => out.select(col("_n").as("node") +: cols: _*)
+    }
+  }
+
+  /** The global neighborhood function and effective diameter off an
+    * [[anfHyperBall]] per-node table: N(t) = Σ_u est|B_t(u)| (the
+    * estimated count of reachable pairs within t), each level's share
+    * of N(maxDepth) in ppm, and the EFFECTIVE DIAMETER — the smallest
+    * t whose cumulative pair count reaches 90% of the deepest level's
+    * (the HyperBall/ANF headline statistic; exact diameters are both
+    * uncomputable at scale and dominated by one outlier path). Sums
+    * run in DECIMAL(38,0) — int64 pair counts overflow past ~3·10⁹
+    * nodes of mutual reach — and every derived column is integer
+    * arithmetic, replayable externally.
+    *
+    * All frames after the input aggregate are ≤ maxDepth rows
+    * (metadata-sized; the broadcast joins are 1-row). Output:
+    * `(t BIGINT, npairs_est BIGINT, share_ppm BIGINT,
+    * eff_diameter BIGINT)`, one row per level.
+    */
+  def effectiveDiameterFromAnf(anf: DataFrame, maxDepth: Int): DataFrame = {
+    require(maxDepth >= 1 && maxDepth <= 16,
+      s"effectiveDiameterFromAnf: maxDepth must be in [1, 16], got $maxDepth")
+    val d38 = DecimalType(38, 0)
+    val sums = anf.agg(
+      sum(col("ball1_est").cast(d38)).as("b1"),
+      (2 to maxDepth).map(t => sum(col(s"ball${t}_est").cast(d38)).as(s"b$t")): _*)
+    val stackArgs = (1 to maxDepth).map(t => s"${t}L, b$t").mkString(", ")
+    val levels = sums.select(
+      expr(s"stack($maxDepth, $stackArgs) AS (t, _np)"))
+    val tot = sums.select(col(s"b$maxDepth").as("_tot"))
+    val shares = levels.crossJoin(broadcast(tot))
+      .select(col("t"), col("_np"),
+        expr("(_np * CAST(1000000 AS DECIMAL(38,0))) div _tot").as("share_ppm"))
+      .localCheckpoint() // two consumers: the rows and the min-t fold
+    val eff = shares.filter(col("share_ppm") >= 900000L)
+      .agg(min(col("t")).as("eff_diameter"))
+    shares.crossJoin(broadcast(eff))
+      .select(col("t"), col("_np").cast(LongType).as("npairs_est"),
+        col("share_ppm"), col("eff_diameter"))
+      .orderBy("t")
+  }
 }

@@ -370,4 +370,166 @@ class GraphSpec extends SparkSpec {
       Graph.katzCentralityScaled(edges, "src", "dst", rounds = 2, alphaPpm = 1000000L)
     }
   }
+
+  // ---- HyperBall ANF ------------------------------------------------
+
+  /** FNV-1a 64 over UTF-8 bytes as an unsigned BigInt — the oracle's
+    * replay arithmetic, re-derived independently in the test.
+    */
+  private def fnvU64(s: String): BigInt = {
+    val mask = (BigInt(1) << 64) - 1
+    var h = BigInt("14695981039346656037")
+    for (b <- s.getBytes("UTF-8")) {
+      h = ((h >> 8) << 8 | ((h & 0xff) ^ BigInt(b & 0xff))) * BigInt(1099511628211L) & mask
+    }
+    h
+  }
+
+  /** Driver-side ANF model from EXACT ball sets: registers, the scaled
+    * integer estimate, the harmonic fold — the documented arithmetic,
+    * independently of the Spark lineage.
+    */
+  private def anfModel(
+      balls: Map[String, Seq[Set[String]]], m: Int): Map[String, (Seq[Long], Long)] = {
+    val log2m = Integer.numberOfTrailingZeros(m)
+    val width = 64 - log2m
+    def reg(v: String): (Int, Int) = {
+      val h = fnvU64(v + ":anf")
+      val rem = h >> log2m
+      val rho = if (rem == 0) width + 1 else width - rem.bitLength + 1
+      ((h % m).toInt, rho)
+    }
+    val num = BigInt(Graph.anfNumLiteral(m))
+    def est(ball: Set[String]): Long = {
+      val regs = ball.toSeq.map(reg).groupBy(_._1).view.mapValues(_.map(_._2).max)
+      val s = (0 until m).map(b => BigInt(1) << (62 - regs.getOrElse(b, 0))).sum
+      (num / (s * 1000000)).toLong
+    }
+    balls.map { case (u, bs) =>
+      val ests = bs.map(est)
+      val harmonic = ests.zipWithIndex.map { case (e, i) =>
+        val prev = if (i == 0) 1L else ests(i - 1)
+        math.max(0L, e - prev) * 1000000L / (i + 1)
+      }.sum
+      u -> (ests.map(identity), harmonic)
+    }
+  }
+
+  test("anfHyperBall: estimates equal the exact-ball register replay (hand model)") {
+    // chain with a shortcut and a back edge: a->b->c->d, a->c, d->a;
+    // self-loop b->b and duplicate a->b must not change any ball
+    val edges = Seq(
+      ("a", "b"), ("a", "b"), ("b", "c"), ("c", "d"), ("a", "c"),
+      ("d", "a"), ("b", "b")
+    ).toDF("src", "dst")
+    val es = Set("a" -> "b", "b" -> "c", "c" -> "d", "a" -> "c", "d" -> "a")
+    val nodes = Set("a", "b", "c", "d")
+    def step(s: Set[String]): Set[String] =
+      s ++ es.collect { case (u, v) if s.contains(u) => v }
+    val balls = nodes.map { u =>
+      val b1 = step(Set(u)); val b2 = step(b1); val b3 = step(b2)
+      u -> Seq(b1, b2, b3)
+    }.toMap
+    val exp = anfModel(balls, m = 64)
+    val got = Graph.anfHyperBall(edges, "src", "dst", maxDepth = 3, m = 64)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((Seq(r._2, r._3, r._4), r._5))).toMap
+    assert(got == exp, s"got=$got\nexp=$exp")
+    // register growth is monotone, so per-node estimates are too
+    got.values.foreach { case (ests, _) =>
+      assert(ests == ests.sorted, ests.toString)
+    }
+    intercept[IllegalArgumentException] {
+      Graph.anfHyperBall(edges, "src", "dst", maxDepth = 3, m = 48)
+    }
+  }
+
+  test("anfHyperBall: dict branch ≡ string branch; banks hash original strings") {
+    val edges = Seq(
+      ("kiwi", "apple"), ("apple", "plum"), ("plum", "kiwi"),
+      ("banana", "plum"), ("zig", "zag"), ("zag", "zig")
+    ).toDF("src", "dst")
+    val s = rows(Graph.anfHyperBall(edges, "src", "dst", 3, 64,
+      dictThreshold = Long.MaxValue))
+    val d = rows(Graph.anfHyperBall(edges, "src", "dst", 3, 64,
+      dictThreshold = 1L))
+    assert(s.nonEmpty && s == d, s"string=$s\ndict=$d")
+  }
+
+  test("anfRound shuffles long ids + byte banks only; elemmax merges map-side") {
+    import org.apache.spark.sql.types.{LongType, IntegerType, ArrayType, ByteType}
+    import org.apache.spark.sql.functions._
+    graft.plans.ElemMaxAggregate.register(spark)
+    val e = Seq((0L, 1L), (1L, 2L)).toDF("_src", "_dst").localCheckpoint()
+    val bank = (b: Int, rho: Int) =>
+      (0 until 8).map(i => if (i == b) rho.toByte else 0.toByte)
+    val state = Seq((0L, bank(1, 3)), (1L, bank(2, 5)), (2L, bank(1, 7)))
+      .toDF("_n", "_regs").localCheckpoint()
+    val next = Graph.anfRound(e, state)
+    // node 0 absorbs node 1's bank; node 1 absorbs node 2's; 2 keeps its own
+    val m = next.as[(Long, Seq[Byte])].collect().toMap
+    assert(m(0L) == bank(1, 3).zip(bank(2, 5)).map(p => p._1 max p._2))
+    assert(m(1L) == bank(2, 5).zip(bank(1, 7)).map(p => p._1 max p._2))
+    assert(m(2L) == bank(1, 7))
+    // plan probe on un-checkpointed frames: exchanges carry longs/ints
+    // and the m-byte banks — node STRINGS never enter a round
+    val probe = {
+      val e2 = Seq((0L, 1L)).toDF("_src", "_dst")
+      val s2 = Seq((0L, bank(1, 3)), (1L, bank(2, 5))).toDF("_n", "_regs")
+      Graph.anfRound(e2, s2)
+    }
+    val shuffles = shuffleExchanges(probe)
+    assert(shuffles.nonEmpty)
+    assert(shuffles.forall(_.output.forall(a =>
+      a.dataType == LongType || a.dataType == IntegerType ||
+        a.dataType.isInstanceOf[ArrayType] &&
+          a.dataType.asInstanceOf[ArrayType].elementType == ByteType ||
+        a.dataType == org.apache.spark.sql.types.BinaryType)),
+      shuffles.map(_.output.map(o => (o.name, o.dataType)).mkString(","))
+        .mkString("; "))
+    // partial (map-side) aggregation is planned: two aggregate stages
+    val aggs = probe.queryExecution.executedPlan.toString()
+    assert(aggs.contains("graft_elemmax"), aggs)
+  }
+
+  test("graft_elemmax: cross-partition merge, null skip, length-mismatch refusal") {
+    import org.apache.spark.sql.functions._
+    graft.plans.ElemMaxAggregate.register(spark)
+    val df = Seq(
+      ("g", Some(Seq[Byte](1, 9, 0))), ("g", Some(Seq[Byte](4, 2, 0))),
+      ("g", None), ("h", Some(Seq[Byte](0, 0, 7)))
+    ).toDF("k", "_regs").repartition(4) // force merge across partials
+    val got = df.groupBy("k")
+      .agg(call_function("graft_elemmax", col("_regs")).as("r"))
+      .as[(String, Seq[Byte])].collect().toMap
+    assert(got("g") == Seq[Byte](4, 9, 0), got.toString)
+    assert(got("h") == Seq[Byte](0, 0, 7), got.toString)
+    // all-null group yields null
+    val allNull = Seq(("n", Option.empty[Seq[Byte]])).toDF("k", "_regs")
+      .groupBy("k").agg(call_function("graft_elemmax", col("_regs")).as("r"))
+      .collect()
+    assert(allNull.head.isNullAt(1))
+    // banks from different m refuse loudly
+    val bad = Seq(("g", Seq[Byte](1)), ("g", Seq[Byte](1, 2))).toDF("k", "_regs")
+    val e = intercept[Exception] {
+      bad.groupBy("k").agg(call_function("graft_elemmax", col("_regs"))).collect()
+    }
+    assert(e.getMessage != null && (e.getMessage.contains("different lengths") ||
+      (e.getCause != null && e.getCause.getMessage.contains("different lengths"))),
+      e.toString)
+  }
+
+  test("effectiveDiameterFromAnf: monotone pair counts, terminal share = 1e6, min-t contract") {
+    // directed path 0->1->...->5: N(t) grows every level through t=3
+    val edges = (0 until 5).map(i => (i.toString, (i + 1).toString)).toDF("src", "dst")
+    val anf = Graph.anfHyperBall(edges, "src", "dst", maxDepth = 3, m = 64)
+      .localCheckpoint()
+    val got = Graph.effectiveDiameterFromAnf(anf, maxDepth = 3)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    assert(got.map(_._2).toSeq == got.map(_._2).sorted.toSeq, got.mkString(","))
+    assert(got.last._3 == 1000000L, got.mkString(","))
+    val expEff = got.filter(_._3 >= 900000L).map(_._1).min
+    assert(got.forall(_._4 == expEff), got.mkString(","))
+  }
 }
