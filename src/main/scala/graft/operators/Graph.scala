@@ -917,21 +917,31 @@ object Graph {
 
   /** One HyperBall propagation round — factored lazy for the spec pins:
     * B_{t+1}(u) = {u} ∪ ⋃_{(u,w)∈E} B_t(w) lifts to register banks as
-    * "max-merge my neighbors' banks into mine", i.e. ONE join of the
-    * edge list to the current state on the destination (ids + m-byte
-    * banks, never payloads) and one `graft_elemmax` aggregate per
-    * node — map-side partial merge, so the shuffle carries one bank
-    * per node per input partition regardless of in-degree. The caller
-    * checkpoints.
+    * "max-merge my neighbors' banks into mine". Shape: join the edge
+    * list to the state on the destination (the state side projects
+    * `_n` AS the join key, so its hash partitioning carries through
+    * the alias and the pre-partitioned edge side matches — no
+    * exchange), `graft_elemmax`-aggregate the per-source neighbor
+    * banks (map-side partial merge: one bank per node per input
+    * partition regardless of in-degree — the round's ONE shuffle,
+    * bounded by touched nodes), then fold them into the state with a
+    * co-partitioned left join + elementwise `zip_with(greatest)`. The
+    * state itself never re-shuffles after round 1: it stays hash-
+    * partitioned by `_n` from round to round (the union+groupBy
+    * alternative re-exchanges all n·m state bytes EVERY round). The
+    * caller checkpoints.
     */
   private[graft] def anfRound(edgesByDst: DataFrame, state: DataFrame): DataFrame = {
     graft.plans.ElemMaxAggregate.register(state.sparkSession)
-    val contrib = edgesByDst
+    val nbr = edgesByDst
       .join(state.select(col("_n").as("_dst"), col("_regs")), Seq("_dst"))
       .select(col("_src").as("_n"), col("_regs"))
-    state.select(col("_n"), col("_regs")).unionByName(contrib)
       .groupBy(col("_n"))
-      .agg(call_function("graft_elemmax", col("_regs")).as("_regs"))
+      .agg(call_function("graft_elemmax", col("_regs")).as("_nregs"))
+    state.join(nbr, Seq("_n"), "left")
+      .select(col("_n"),
+        coalesce(expr("zip_with(_regs, _nregs, (a, b) -> greatest(a, b))"),
+          col("_regs")).as("_regs"))
   }
 
   /** HyperBall — the approximate neighborhood function (Boldi, Rosa &
@@ -950,10 +960,13 @@ object Graph {
     * m-byte register bank per node, n·m bytes at ANY depth, because
     * ball-union lifts to element-wise register max. Per round: ONE
     * join of the edge list (pre-partitioned by destination, reused
-    * every round) to the state and one map-side-combined
-    * [[graft.plans.ElemMaxAggregate]] per node; at ≥ `dictThreshold`
-    * nodes ids ride 8-byte dict longs. Registers hash the ORIGINAL
-    * node strings, so both branches produce identical banks.
+    * every round) to the state, one map-side-combined
+    * [[graft.plans.ElemMaxAggregate]] over the neighbor banks, and a
+    * co-partitioned `zip_with(greatest)` fold into the state — the
+    * state never re-shuffles after round 1 (see [[anfRound]]); at
+    * ≥ `dictThreshold` nodes ids ride 8-byte dict longs. Registers
+    * hash the ORIGINAL node strings, so both branches produce
+    * identical banks.
     *
     * Everything is exact integer arithmetic over deterministic FNV
     * registers — register state at round t is a pure function of the

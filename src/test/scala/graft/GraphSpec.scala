@@ -490,6 +490,20 @@ class GraphSpec extends SparkSpec {
     // partial (map-side) aggregation is planned: two aggregate stages
     val aggs = probe.queryExecution.executedPlan.toString()
     assert(aggs.contains("graft_elemmax"), aggs)
+    // the state never re-shuffles inside a round: with edges hash-
+    // partitioned by _dst and state by _n (both checkpointed, the
+    // operator's actual loop shape), a round adds exactly ONE shuffle
+    // exchange — the contrib aggregate's. The state⋈nbr fold join and
+    // the edge⋈state join are alias-aware co-partitioned.
+    val prePartProbe = {
+      val e2 = Seq((0L, 1L)).toDF("_src", "_dst").repartition(col("_dst"))
+        .localCheckpoint()
+      val s2 = Seq((0L, bank(1, 3)), (1L, bank(2, 5))).toDF("_n", "_regs")
+        .repartition(col("_n")).localCheckpoint()
+      Graph.anfRound(e2, s2)
+    }
+    assert(shuffleExchanges(prePartProbe).size == 1,
+      prePartProbe.queryExecution.executedPlan.toString())
   }
 
   test("graft_elemmax: cross-partition merge, null skip, length-mismatch refusal") {
