@@ -856,6 +856,75 @@ object SparkEntry {
     * with per-node est tables `est1..estD(u, e)`. Composed with a
     * gate-specific final SELECT.
     */
+  /** The [[anfLatticeEdges]] graph as a shared oracle CTE prefix
+    * (`d`, `e0`, `e`, `nodes`) — used by the ANF and random-walk
+    * replays.
+    */
+  private val anfLatticeCteSql: String =
+    """d AS (
+      | SELECT doc_id FROM documents WHERE doc_id < 3000
+      |), e0 AS (
+      | SELECT CAST(a.doc_id AS VARCHAR) AS src, CAST(a.doc_id + 1 AS VARCHAR) AS dst
+      | FROM d a WHERE a.doc_id + 1 IN (SELECT doc_id FROM d)
+      | UNION ALL
+      | SELECT CAST(a.doc_id AS VARCHAR), CAST(a.doc_id + 3 AS VARCHAR)
+      | FROM d a WHERE a.doc_id + 3 IN (SELECT doc_id FROM d)
+      |), e AS (
+      | SELECT DISTINCT src, dst FROM e0 WHERE src <> dst
+      |), nodes AS (
+      | SELECT DISTINCT v FROM (SELECT src AS v FROM e UNION ALL SELECT dst AS v FROM e)
+      |)""".stripMargin
+
+  /** FNV-1a of an arbitrary string SQL expression as a full unsigned
+    * HUGEINT — the modulus-free sibling of [[fnvModSql]]. `input` is
+    * inlined twice, so keep it a cheap expression.
+    */
+  private def fnvHugeSql(input: String): String =
+    s"""list_reduce(
+       |    list_prepend(CAST('14695981039346656037' AS HUGEINT),
+       |      list_transform(range(1, length($input) + 1), i -> CAST(ascii(($input)[i]) AS HUGEINT))),
+       |    (acc, b) -> ((acc // 256) * 256 + xor(CAST(acc % 256 AS BIGINT), CAST(b AS BIGINT)))
+       |                * 1099511628211 % CAST('18446744073709551616' AS HUGEINT)
+       |  )""".stripMargin
+
+  /** The DuckDB replay of [[graft.operators.Graph.randomWalks]] over
+    * [[anfLatticeEdges]]: the per-source destination-ordered neighbor
+    * index and out-degrees as CTEs, then each step unrolled — the
+    * walk's step-t entropy FNV recomputed from (start, k, seed, t),
+    * canonicalized by `// 2` (the unsigned-shift agreement), reduced
+    * mod the CURRENT node's out-degree, and matched against the
+    * neighbor rank. Dead ends terminate via the inner joins, exactly
+    * like the operator.
+    */
+  private def randomWalksOracleSql(steps: Int, walksPerNode: Int, seed: String): String = {
+    val stepCtes = (1 to steps).map { tt =>
+      val inp = s"w${tt - 1}.start || '#' || CAST(w${tt - 1}.k AS VARCHAR) || " +
+        s"'#' || '$seed' || '#' || '$tt'"
+      s"""w$tt AS (
+         | SELECT w${tt - 1}.start, w${tt - 1}.k, idx.dd AS cur
+         | FROM w${tt - 1} JOIN od ON od.s = w${tt - 1}.cur
+         | JOIN idx ON idx.s = w${tt - 1}.cur
+         |  AND idx.rnk = CAST((${fnvHugeSql(inp)} // 2) % od.od AS BIGINT)
+         |)""".stripMargin
+    }
+    val unions = (0 to steps)
+      .map(tt => s"SELECT start, k, $tt AS t, cur FROM w$tt")
+      .mkString(" UNION ALL ")
+    s"""WITH $anfLatticeCteSql, idx AS (
+       | SELECT src AS s, dst AS dd,
+       |  CAST(row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS BIGINT) AS rnk
+       | FROM e
+       |), od AS (
+       | SELECT s, CAST(count(*) AS BIGINT) AS od FROM idx GROUP BY 1
+       |), ks AS (
+       | SELECT unnest(range(0, $walksPerNode)) AS k
+       |), w0 AS (
+       | SELECT v AS start, CAST(k AS BIGINT) AS k, v AS cur FROM nodes, ks
+       |), ${stepCtes.mkString(", ")}
+       |SELECT start, k AS walk, CAST(t AS BIGINT) AS step, cur AS node
+       |FROM ($unions) ORDER BY start, walk, step""".stripMargin
+  }
+
   private def anfOracleChainSql(maxDepth: Int, m: Int): String = {
     val log2m = java.lang.Integer.numberOfTrailingZeros(m)
     val rhoCase = graft.operators.Profile.hllRhoCaseSql("rem", 64 - log2m)
@@ -881,19 +950,7 @@ object SparkEntry {
          | SELECT u, CAST(CAST('$num' AS HUGEINT) // (s * 1000000) AS BIGINT) AS e FROM s$tt
          |)""".stripMargin
     }
-    s"""d AS (
-       | SELECT doc_id FROM documents WHERE doc_id < 3000
-       |), e0 AS (
-       | SELECT CAST(a.doc_id AS VARCHAR) AS src, CAST(a.doc_id + 1 AS VARCHAR) AS dst
-       | FROM d a WHERE a.doc_id + 1 IN (SELECT doc_id FROM d)
-       | UNION ALL
-       | SELECT CAST(a.doc_id AS VARCHAR), CAST(a.doc_id + 3 AS VARCHAR)
-       | FROM d a WHERE a.doc_id + 3 IN (SELECT doc_id FROM d)
-       |), e AS (
-       | SELECT DISTINCT src, dst FROM e0 WHERE src <> dst
-       |), nodes AS (
-       | SELECT DISTINCT v FROM (SELECT src AS v FROM e UNION ALL SELECT dst FROM e)
-       |), b0 AS (
+    s"""$anfLatticeCteSql, b0 AS (
        | SELECT v AS u, v FROM nodes
        |), ${balls.mkString(", ")}, hv AS (
        | SELECT v, list_reduce(
@@ -4063,6 +4120,17 @@ object SparkEntry {
       val anf = graft.operators.Graph.anfHyperBall(anfLatticeEdges(s, dir),
         "src", "dst", maxDepth = 3, m = 64)
       graft.operators.Graph.effectiveDiameterFromAnf(anf, maxDepth = 3)
+    }),
+
+    // ---- deterministic uniform random walks on the same lattice: the
+    //      graph-embedding corpus generator (DeepWalk) — 2 walks × 4
+    //      steps per node, per-step entropy FNV-derived from (start,
+    //      walk, seed, step) so the oracle replays every pick; walks
+    //      terminate at dead ends (the lattice boundary)
+    "random_walks" -> ((s, dir) => {
+      graft.operators.Graph.randomWalks(anfLatticeEdges(s, dir), "src", "dst",
+          steps = 4, walksPerNode = 2)
+        .orderBy("start", "walk", "step")
     }),
 
     // ---- drift timeline: scaled-L1 distance between consecutive DAYS
@@ -9718,6 +9786,9 @@ object SparkEntry {
 
     // level sums + shares + min-t over the same chain
     "anf_effective_diameter" -> anfEffDiameterOracleSql(maxDepth = 3, m = 64),
+
+    // step-unrolled walk replay; see randomWalksOracleSql
+    "random_walks" -> randomWalksOracleSql(steps = 4, walksPerNode = 2, seed = ""),
 
     // the three proven centrality chains joined as subqueries
     "pipeline_centrality_prior" ->

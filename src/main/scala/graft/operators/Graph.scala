@@ -1073,4 +1073,128 @@ object Graph {
         col("share_ppm"), col("eff_diameter"))
       .orderBy("t")
   }
+
+  /** One random-walk advance — factored lazy for the spec pins. TWO
+    * equi-joins, deliberately: first the out-degree table (computes
+    * the step's neighbor rank `_r` from the walk's precomputed
+    * entropy), then the `(_s, _rank)`-keyed neighbor index — a
+    * one-row match per walk. The single-join alternative (join the
+    * full adjacency on `_s`, filter to the picked rank) generates
+    * deg(cur) rows per walk inside the join — quadratic pain on hub
+    * nodes, the exact skew a web graph guarantees. Walks at dead-end
+    * nodes drop out via the inner joins (walk termination).
+    */
+  private[graft] def walkStep(
+      cur: DataFrame,
+      outdeg: DataFrame,
+      nbrIdx: DataFrame,
+      t: Int
+  ): DataFrame =
+    cur
+      .join(outdeg.withColumnRenamed("_s", "_cur"), Seq("_cur"))
+      .withColumn("_r", expr(s"shiftrightunsigned(element_at(_hs, $t), 1) % _od"))
+      .drop("_od")
+      .join(nbrIdx.select(col("_s").as("_cur"), col("_rank").as("_r"),
+        col("_d").as("_nxt")), Seq("_cur", "_r"))
+      .select(col("_start"), col("_k"), col("_hs"), col("_nxt").as("_cur"))
+
+  /** Deterministic uniform random walks over a directed edge list —
+    * the graph-embedding CORPUS GENERATOR (DeepWalk, Perozzi et al.
+    * 2014; the walk corpus is what skip-gram training consumes):
+    * `walksPerNode` walks of up to `steps` steps start at every node,
+    * each step moving to a uniformly-pseudo-random out-neighbor.
+    * Multi-edges collapse first (uniform over DISTINCT neighbors);
+    * walks TERMINATE at dead-end nodes (rows stop, no self-padding).
+    *
+    * "Random" is deterministic and engine-replayable, the
+    * [[anfHyperBall]] discipline: each walk precomputes its per-step
+    * entropy h_t = FNV-1a(start ⊕ '#' ⊕ k ⊕ '#' ⊕ seed ⊕ '#' ⊕ t)
+    * ONCE from the ORIGINAL start string (never the dict id), and
+    * step t picks neighbor rank (h_t ≫ 1) mod outdeg(cur) — the
+    * unsigned right shift canonicalizes the signed 64-bit hash to a
+    * value both engines reduce identically under ANY modulus (a raw
+    * signed-vs-unsigned mod only agrees on power-of-two moduli).
+    * Neighbor ranks are the per-source `row_number` in destination
+    * order; the dictionary is order-preserving, so ranks — and hence
+    * whole walks — are identical on both branches (spec-pinned).
+    *
+    * Scale shape: the neighbor index and out-degree table build once
+    * (one window over the edge list, partitioned by source — bounded
+    * by real out-degrees); each step shuffles only the live walk
+    * state — fixed-width rows: two longs, an int, and the 8·`steps`-
+    * byte entropy array — through two equi-joins with NO degree
+    * fan-out (see [[walkStep]]), and `localCheckpoint` cuts the
+    * lineage per step. At ≥ `dictThreshold` nodes ids ride 8-byte
+    * dict longs; start/node strings translate back once at the end.
+    *
+    * Output: `(start STRING, walk BIGINT, step BIGINT, node STRING)`
+    * — step 0 is the start node itself; one row per visited position.
+    */
+  def randomWalks(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      steps: Int,
+      walksPerNode: Int = 1,
+      seed: String = "",
+      dictThreshold: Long = GraphDictThreshold
+  ): DataFrame = {
+    require(steps >= 1 && steps <= 64,
+      s"randomWalks: steps must be in [1, 64], got $steps")
+    require(walksPerNode >= 1 && walksPerNode <= 1024,
+      s"randomWalks: walksPerNode must be in [1, 1024], got $walksPerNode")
+    require(!seed.contains("#"),
+      s"randomWalks: seed must not contain '#' (the entropy separator), got '$seed'")
+    import org.apache.spark.sql.graft.ColumnBridge
+    val eS = edges
+      .select(col(srcCol).cast("string").as("_s"), col(dstCol).cast("string").as("_d"))
+      .filter(col("_s").isNotNull && col("_d").isNotNull)
+      .distinct()
+      .localCheckpoint()
+    val nodesS = eS.select(col("_s").as("_v"))
+      .unionByName(eS.select(col("_d").as("_v")))
+      .distinct()
+      .localCheckpoint()
+    // per-walk entropy from ORIGINAL strings, before any encoding
+    def h(t: Int) = ColumnBridge.column(graft.plans.FnvHash64(
+      ColumnBridge.expression(concat_ws("#", col("_v"), col("_k"),
+        lit(seed), lit(t.toString)))))
+    val walks0S = nodesS
+      .select(col("_v"), explode(expr(s"sequence(0, ${walksPerNode - 1})")).as("_k"))
+      .select(col("_v"), col("_k").cast("long").as("_k"),
+        array((1 to steps).map(h): _*).as("_hs"))
+    val dictOpt = graphDict(nodesS, nodesS.count(), dictThreshold)
+    val (e, walks0) = dictOpt match {
+      case Some(dct) => (encodeIds(eS, dct, Seq("_s", "_d")),
+        encodeIds(walks0S, dct, Seq("_v")))
+      case None => (eS, walks0S)
+    }
+    // neighbor index: rank in destination order (order-preserving dict
+    // ⇒ identical ranks either branch) + out-degrees; built once
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("_s").orderBy("_d")
+    val nbrIdx = e
+      .withColumn("_rank", (row_number().over(w) - 1).cast("long"))
+      .localCheckpoint()
+    val outdeg = e.groupBy("_s").agg(count(lit(1)).as("_od")).localCheckpoint()
+    var cur = walks0
+      .select(col("_v").as("_start"), col("_k"), col("_hs"), col("_v").as("_cur"))
+      .localCheckpoint()
+    var out = Seq(cur.select(col("_start"), col("_k"), lit(0L).as("_t"),
+      col("_cur").as("_node")))
+    for (t <- 1 to steps) {
+      cur = walkStep(cur, outdeg, nbrIdx, t).localCheckpoint()
+      out = out :+ cur.select(col("_start"), col("_k"), lit(t.toLong).as("_t"),
+        col("_cur").as("_node"))
+    }
+    val all = out.reduce(_ unionByName _)
+    dictOpt match {
+      case Some(dct) =>
+        decodeIds(all, dct, Seq("_start" -> "start", "_node" -> "node"))
+          .select(col("start"), col("_k").as("walk"), col("_t").as("step"),
+            col("node"))
+      case None => all.select(col("_start").as("start"), col("_k").as("walk"),
+        col("_t").as("step"), col("_node").as("node"))
+    }
+  }
 }
