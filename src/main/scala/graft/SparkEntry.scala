@@ -4133,6 +4133,17 @@ object SparkEntry {
         .orderBy("start", "walk", "step")
     }),
 
+    // ---- the walk corpus reduced to what an embedding trainer eats:
+    //      skip-gram (center, context) co-occurrence counts within a
+    //      2-step window — one constant-fan-out self-join collapsing
+    //      straight into a map-side-combined count
+    "walk_skipgram_pairs" -> ((s, dir) => {
+      val walks = graft.operators.Graph.randomWalks(anfLatticeEdges(s, dir),
+        "src", "dst", steps = 4, walksPerNode = 2)
+      graft.operators.Graph.skipGramPairs(walks, window = 2)
+        .orderBy("center", "context")
+    }),
+
     // ---- drift timeline: scaled-L1 distance between consecutive DAYS
     //      of the event-type distribution — the monitoring series a
     //      continuously-ingesting pipeline alerts on; pure integers
@@ -9789,6 +9800,15 @@ object SparkEntry {
 
     // step-unrolled walk replay; see randomWalksOracleSql
     "random_walks" -> randomWalksOracleSql(steps = 4, walksPerNode = 2, seed = ""),
+
+    // the walk replay piped through the window pair join
+    "walk_skipgram_pairs" ->
+      s"""WITH wk AS (${randomWalksOracleSql(steps = 4, walksPerNode = 2, seed = "")})
+         |SELECT a.node AS center, b.node AS context,
+         | CAST(count(*) AS BIGINT) AS cnt
+         |FROM wk a JOIN wk b ON b.start = a.start AND b.walk = a.walk
+         | AND b.step <> a.step AND abs(a.step - b.step) <= 2
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // the three proven centrality chains joined as subqueries
     "pipeline_centrality_prior" ->

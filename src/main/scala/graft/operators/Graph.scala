@@ -1197,4 +1197,34 @@ object Graph {
         col("_t").as("step"), col("_node").as("node"))
     }
   }
+
+  /** Skip-gram training pairs off a [[randomWalks]] corpus — the table
+    * an embedding trainer actually consumes (DeepWalk/word2vec): for
+    * every walk, every ordered (center, context) position pair within
+    * `window` steps, aggregated to `(center, context, cnt)`. Both
+    * directions appear (context before AND after the center), so cnt
+    * is symmetric on an undirected co-occurrence reading.
+    *
+    * Scale shape: ONE equi-self-join of the walk table on the walk
+    * identity — per-walk fan-out is a constant (≤ (steps+1)·2·window
+    * pairs per walk, never data-dependent), and the pair stream
+    * collapses immediately through a map-side-combined count per
+    * (center, context): the shuffle carries distinct co-occurrence
+    * pairs, not walk positions. No windows, no collect.
+    *
+    * Output: `(center STRING, context STRING, cnt BIGINT)`.
+    */
+  def skipGramPairs(walks: DataFrame, window: Int): DataFrame = {
+    require(window >= 1 && window <= 64,
+      s"skipGramPairs: window must be in [1, 64], got $window")
+    val a = walks.select(col("start").as("_ws"), col("walk").as("_wk"),
+      col("step").as("_i"), col("node").as("_c"))
+    val b = walks.select(col("start").as("_ws"), col("walk").as("_wk"),
+      col("step").as("_j"), col("node").as("_x"))
+    a.join(b, Seq("_ws", "_wk"))
+      .filter(col("_i") =!= col("_j") &&
+        abs(col("_i") - col("_j")) <= window)
+      .groupBy(col("_c").as("center"), col("_x").as("context"))
+      .agg(count(lit(1)).as("cnt"))
+  }
 }

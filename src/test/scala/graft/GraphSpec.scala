@@ -613,6 +613,30 @@ class GraphSpec extends SparkSpec {
       dt == LongType || dt.isInstanceOf[ArrayType]), nxt.schema.treeString)
   }
 
+  test("skipGramPairs: hand-counted window pairs, cross-walk aggregation, symmetry") {
+    val walks = Seq(
+      ("a", 0L, 0L, "a"), ("a", 0L, 1L, "b"), ("a", 0L, 2L, "c"), ("a", 0L, 3L, "d"),
+      ("z", 0L, 0L, "z"), ("z", 0L, 1L, "a")
+    ).toDF("start", "walk", "step", "node")
+    val got = Graph.skipGramPairs(walks, window = 2)
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val exp = Map(
+      ("a", "b") -> 1L, ("a", "c") -> 1L, ("b", "a") -> 1L, ("b", "c") -> 1L,
+      ("b", "d") -> 1L, ("c", "a") -> 1L, ("c", "b") -> 1L, ("c", "d") -> 1L,
+      ("d", "b") -> 1L, ("d", "c") -> 1L, ("z", "a") -> 1L, ("a", "z") -> 1L)
+    assert(got == exp, s"got=$got")
+    // co-occurrence is symmetric by construction
+    got.foreach { case ((c, x), n) => assert(got(((x, c))) == n) }
+    // window 1 keeps only adjacent steps
+    val w1 = Graph.skipGramPairs(walks, window = 1)
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2)).toSet
+    assert(w1 == Set(("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"),
+      ("c", "d"), ("d", "c"), ("z", "a"), ("a", "z")), w1.toString)
+    intercept[IllegalArgumentException] { Graph.skipGramPairs(walks, 0) }
+  }
+
   test("effectiveDiameterFromAnf: monotone pair counts, terminal share = 1e6, min-t contract") {
     // directed path 0->1->...->5: N(t) grows every level through t=3
     val edges = (0 until 5).map(i => (i.toString, (i + 1).toString)).toDF("src", "dst")
