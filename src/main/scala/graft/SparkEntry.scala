@@ -925,6 +925,57 @@ object SparkEntry {
        |FROM ($unions) ORDER BY start, walk, step""".stripMargin
   }
 
+  /** The DuckDB replay of [[graft.operators.Graph.node2vecWalks]] over
+    * [[anfLatticeEdges]]: per step, the deg(cur) candidate set joins in
+    * with its p/q weight (return / distance-1 via a left join on the
+    * edge set / outward), two window sums build the cumulative ladder,
+    * and the row whose [cum, cum+wt) range contains
+    * (FNV(start#k#seed#t) // 2) mod Σwt advances the walk — the
+    * operator's exact integer arithmetic, step-unrolled.
+    */
+  private def node2vecOracleSql(
+      steps: Int, walksPerNode: Int, pPpm: Long, qPpm: Long, seed: String): String = {
+    val wRet = 1000000000000L / pPpm
+    val wIn = 1000000L
+    val wOut = 1000000000000L / qPpm
+    val stepCtes = (1 to steps).map { tt =>
+      val inp = s"start || '#' || CAST(k AS VARCHAR) || '#' || '$seed' || '#' || '$tt'"
+      s"""c$tt AS (
+         | SELECT v${tt - 1}.start, v${tt - 1}.k, v${tt - 1}.prev, v${tt - 1}.cur,
+         |  idx.dd AS cand, idx.rnk,
+         |  CASE WHEN idx.dd = v${tt - 1}.prev THEN $wRet
+         |       WHEN d1.src IS NOT NULL THEN $wIn ELSE $wOut END AS wt
+         | FROM v${tt - 1} JOIN idx ON idx.s = v${tt - 1}.cur
+         | LEFT JOIN e d1 ON d1.src = v${tt - 1}.prev AND d1.dst = idx.dd
+         |), p$tt AS (
+         | SELECT start, k, cur, cand, wt,
+         |  coalesce(SUM(wt) OVER (PARTITION BY start, k ORDER BY rnk
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum,
+         |  SUM(wt) OVER (PARTITION BY start, k) AS tot
+         | FROM c$tt
+         |), r$tt AS (
+         | SELECT *, CAST((${fnvHugeSql(inp)} // 2) % tot AS BIGINT) AS r FROM p$tt
+         |), v$tt AS (
+         | SELECT start, k, cur AS prev, cand AS cur
+         | FROM r$tt WHERE r >= cum AND r < cum + wt
+         |)""".stripMargin
+    }
+    val unions = (0 to steps)
+      .map(tt => s"SELECT start, k, $tt AS t, cur FROM v$tt")
+      .mkString(" UNION ALL ")
+    s"""WITH $anfLatticeCteSql, idx AS (
+       | SELECT src AS s, dst AS dd,
+       |  CAST(row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS BIGINT) AS rnk
+       | FROM e
+       |), ks AS (
+       | SELECT unnest(range(0, $walksPerNode)) AS k
+       |), v0 AS (
+       | SELECT v AS start, CAST(k AS BIGINT) AS k, v AS prev, v AS cur FROM nodes, ks
+       |), ${stepCtes.mkString(", ")}
+       |SELECT start, k AS walk, CAST(t AS BIGINT) AS step, cur AS node
+       |FROM ($unions) ORDER BY start, walk, step""".stripMargin
+  }
+
   private def anfOracleChainSql(maxDepth: Int, m: Int): String = {
     val log2m = java.lang.Integer.numberOfTrailingZeros(m)
     val rhoCase = graft.operators.Profile.hllRhoCaseSql("rem", 64 - log2m)
@@ -4130,6 +4181,16 @@ object SparkEntry {
     "random_walks" -> ((s, dir) => {
       graft.operators.Graph.randomWalks(anfLatticeEdges(s, dir), "src", "dst",
           steps = 4, walksPerNode = 2)
+        .orderBy("start", "walk", "step")
+    }),
+
+    // ---- second-order biased walks on the same lattice: node2vec
+    //      p = 4, q = 0.25 (the outward-exploring configuration) in
+    //      exact integer weights; every weighted pick replays in the
+    //      oracle's step-unrolled cumulative ladder
+    "node2vec_walks" -> ((s, dir) => {
+      graft.operators.Graph.node2vecWalks(anfLatticeEdges(s, dir), "src", "dst",
+          steps = 4, walksPerNode = 2, pPpm = 4000000L, qPpm = 250000L)
         .orderBy("start", "walk", "step")
     }),
 
@@ -9800,6 +9861,10 @@ object SparkEntry {
 
     // step-unrolled walk replay; see randomWalksOracleSql
     "random_walks" -> randomWalksOracleSql(steps = 4, walksPerNode = 2, seed = ""),
+
+    // weighted-ladder walk replay; see node2vecOracleSql
+    "node2vec_walks" -> node2vecOracleSql(steps = 4, walksPerNode = 2,
+      pPpm = 4000000L, qPpm = 250000L, seed = ""),
 
     // the walk replay piped through the window pair join
     "walk_skipgram_pairs" ->

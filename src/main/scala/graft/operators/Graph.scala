@@ -1198,6 +1198,154 @@ object Graph {
     }
   }
 
+  /** One node2vec advance — factored lazy for the spec pins. Unlike
+    * [[walkStep]]'s rank pick, the p/q bias makes every out-neighbor's
+    * weight depend on the walk's PREVIOUS node, so the deg(cur)
+    * candidate fan-out is inherent to the semantics: candidates join
+    * in (one equi-join), the distance-1 flag comes from a left join of
+    * (prev, cand) against the edge set, and the pick is a weighted
+    * cumulative ladder — two window sums over the per-walk candidate
+    * partition (bounded by the max out-degree) selecting the row whose
+    * [cum, cum+w) range contains (h_t ≫ 1) mod Σw.
+    */
+  private[graft] def node2vecStep(
+      cur: DataFrame,
+      nbrIdx: DataFrame,
+      e: DataFrame,
+      t: Int,
+      wRet: Long,
+      wIn: Long,
+      wOut: Long
+  ): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("_start", "_k").orderBy("_rank")
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy("_start", "_k")
+    cur
+      .join(nbrIdx.select(col("_s").as("_cur"), col("_rank"),
+        col("_d").as("_cand")), Seq("_cur"))
+      .join(e.select(col("_s").as("_prev"), col("_d").as("_cand"),
+        lit(1).as("_d1")), Seq("_prev", "_cand"), "left")
+      .withColumn("_w",
+        when(col("_cand") === col("_prev"), lit(wRet))
+          .when(col("_d1").isNotNull, lit(wIn))
+          .otherwise(lit(wOut)))
+      .withColumn("_cum", coalesce(sum(col("_w"))
+        .over(w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("_tot", sum(col("_w")).over(wAll))
+      .withColumn("_r",
+        expr(s"shiftrightunsigned(element_at(_hs, $t), 1) % _tot"))
+      .filter(col("_r") >= col("_cum") && col("_r") < col("_cum") + col("_w"))
+      .select(col("_start"), col("_k"), col("_hs"),
+        col("_cur").as("_prev"), col("_cand").as("_cur"))
+  }
+
+  /** Second-order biased random walks (node2vec, Grover & Leskovec
+    * 2016) — the p/q walk flavor embedding pipelines actually tune:
+    * from (prev → cur), each out-neighbor x of cur weighs
+    *
+    *   α(x) = 1/p  if x = prev         (return)
+    *          1    if edge prev → x     (stay close: distance 1)
+    *          1/q  otherwise            (explore outward)
+    *
+    * in exact integer ppm (`wRet = 10¹² div pPpm`, `wIn = 10⁶`,
+    * `wOut = 10¹² div qPpm`), and the step picks the neighbor whose
+    * cumulative-weight range contains (h_t ≫ 1) mod Σα — the
+    * [[randomWalks]] entropy discipline (h_t precomputed from the
+    * ORIGINAL start string; the shift canonicalizes signed vs unsigned
+    * mod), so every pick replays externally. The FIRST step runs
+    * through the same machinery with prev = start and degrades to a
+    * uniform pick by construction (x = prev is impossible without
+    * self-loops, and every candidate is a neighbor of prev = cur, so
+    * all weights are wIn). Distance-1 is directed-edge membership
+    * (prev → x), the natural reading on a directed list. Multi-edges
+    * collapse; dead ends terminate walks.
+    *
+    * Scale shape: [[walkStep]]'s no-fan-out trick is UNAVAILABLE here
+    * by semantics — α depends on (prev, cur), so each step materializes
+    * deg(cur) candidates per walk (the cost every exact node2vec
+    * implementation pays; Grover & Leskovec pre-store alias tables per
+    * EDGE, the same O(Σ deg) bytes shifted to build time). Each step
+    * is two equi-joins plus two window sums over per-walk candidate
+    * partitions — bounded by max out-degree, never the graph; state
+    * stays fixed-width (two id longs + the entropy array), and the
+    * dictionary rides ids at ≥ `dictThreshold` nodes.
+    *
+    * Output: `(start STRING, walk BIGINT, step BIGINT, node STRING)`.
+    */
+  def node2vecWalks(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      steps: Int,
+      walksPerNode: Int = 1,
+      pPpm: Long = 1000000L,
+      qPpm: Long = 1000000L,
+      seed: String = "",
+      dictThreshold: Long = GraphDictThreshold
+  ): DataFrame = {
+    require(steps >= 1 && steps <= 64,
+      s"node2vecWalks: steps must be in [1, 64], got $steps")
+    require(walksPerNode >= 1 && walksPerNode <= 1024,
+      s"node2vecWalks: walksPerNode must be in [1, 1024], got $walksPerNode")
+    require(pPpm >= 1L && qPpm >= 1L,
+      s"node2vecWalks: pPpm and qPpm must be >= 1, got ($pPpm, $qPpm)")
+    require(!seed.contains("#"),
+      s"node2vecWalks: seed must not contain '#' (the entropy separator), got '$seed'")
+    import org.apache.spark.sql.graft.ColumnBridge
+    val wRet = 1000000000000L / pPpm
+    val wIn = 1000000L
+    val wOut = 1000000000000L / qPpm
+    val eS = edges
+      .select(col(srcCol).cast("string").as("_s"), col(dstCol).cast("string").as("_d"))
+      .filter(col("_s").isNotNull && col("_d").isNotNull && col("_s") =!= col("_d"))
+      .distinct()
+      .localCheckpoint()
+    val nodesS = eS.select(col("_s").as("_v"))
+      .unionByName(eS.select(col("_d").as("_v")))
+      .distinct()
+      .localCheckpoint()
+    def h(t: Int) = ColumnBridge.column(graft.plans.FnvHash64(
+      ColumnBridge.expression(concat_ws("#", col("_v"), col("_k"),
+        lit(seed), lit(t.toString)))))
+    val walks0S = nodesS
+      .select(col("_v"), explode(expr(s"sequence(0, ${walksPerNode - 1})")).as("_k"))
+      .select(col("_v"), col("_k").cast("long").as("_k"),
+        array((1 to steps).map(h): _*).as("_hs"))
+    val dictOpt = graphDict(nodesS, nodesS.count(), dictThreshold)
+    val (e, walks0) = dictOpt match {
+      case Some(dct) => (encodeIds(eS, dct, Seq("_s", "_d")).localCheckpoint(),
+        encodeIds(walks0S, dct, Seq("_v")))
+      case None => (eS, walks0S)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("_s").orderBy("_d")
+    val nbrIdx = e
+      .withColumn("_rank", (row_number().over(w) - 1).cast("long"))
+      .localCheckpoint()
+    var cur = walks0
+      .select(col("_v").as("_start"), col("_k"), col("_hs"),
+        col("_v").as("_prev"), col("_v").as("_cur"))
+      .localCheckpoint()
+    var out = Seq(cur.select(col("_start"), col("_k"), lit(0L).as("_t"),
+      col("_cur").as("_node")))
+    for (t <- 1 to steps) {
+      cur = node2vecStep(cur, nbrIdx, e, t, wRet, wIn, wOut).localCheckpoint()
+      out = out :+ cur.select(col("_start"), col("_k"), lit(t.toLong).as("_t"),
+        col("_cur").as("_node"))
+    }
+    val all = out.reduce(_ unionByName _)
+    dictOpt match {
+      case Some(dct) =>
+        decodeIds(all, dct, Seq("_start" -> "start", "_node" -> "node"))
+          .select(col("start"), col("_k").as("walk"), col("_t").as("step"),
+            col("node"))
+      case None => all.select(col("_start").as("start"), col("_k").as("walk"),
+        col("_t").as("step"), col("_node").as("node"))
+    }
+  }
+
   /** Skip-gram training pairs off a [[randomWalks]] corpus — the table
     * an embedding trainer actually consumes (DeepWalk/word2vec): for
     * every walk, every ordered (center, context) position pair within
