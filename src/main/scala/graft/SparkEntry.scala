@@ -4184,6 +4184,24 @@ object SparkEntry {
         .orderBy("start", "walk", "step")
     }),
 
+    // ---- one-row structural profile of the lattice enriched with
+    //      backward edges (doc % 5 == 0 → doc−1, so reciprocity is
+    //      nonzero): size, reciprocity, dangling share, degree
+    //      extremes, and rank-based degree assortativity riding the
+    //      proven no-pair-join rank-correlation machinery
+    "graph_profile" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"))
+        .filter(col("doc_id") < 3000)
+      val ids = d.select(col("doc_id").as("b"))
+      val e = d.select(col("doc_id").as("a"), (col("doc_id") + 1).as("b"))
+        .unionByName(d.select(col("doc_id").as("a"), (col("doc_id") + 3).as("b")))
+        .unionByName(d.filter(col("doc_id") % 5 === 0)
+          .select(col("doc_id").as("a"), (col("doc_id") - 1).as("b")))
+        .join(ids, Seq("b"), "left_semi")
+        .select(col("a").cast("string").as("src"), col("b").cast("string").as("dst"))
+      graft.operators.Graph.graphProfile(e, "src", "dst")
+    }),
+
     // ---- second-order biased walks on the same lattice: node2vec
     //      p = 4, q = 0.25 (the outward-exploring configuration) in
     //      exact integer weights; every weighted pick replays in the
@@ -9865,6 +9883,66 @@ object SparkEntry {
     // weighted-ladder walk replay; see node2vecOracleSql
     "node2vec_walks" -> node2vecOracleSql(steps = 4, walksPerNode = 2,
       pPpm = 4000000L, qPpm = 250000L, seed = ""),
+
+    // structural summary replay: degrees, reciprocity self-join, and a
+    // brute-force rank/inversion assortativity (oracle-scale only —
+    // the OPERATOR counts inversions without a pair join)
+    "graph_profile" ->
+      """WITH d AS (
+        | SELECT doc_id FROM documents WHERE doc_id < 3000
+        |), e0 AS (
+        | SELECT CAST(a.doc_id AS VARCHAR) AS src, CAST(a.doc_id + 1 AS VARCHAR) AS dst
+        | FROM d a WHERE a.doc_id + 1 IN (SELECT doc_id FROM d)
+        | UNION ALL
+        | SELECT CAST(a.doc_id AS VARCHAR), CAST(a.doc_id + 3 AS VARCHAR)
+        | FROM d a WHERE a.doc_id + 3 IN (SELECT doc_id FROM d)
+        | UNION ALL
+        | SELECT CAST(a.doc_id AS VARCHAR), CAST(a.doc_id - 1 AS VARCHAR)
+        | FROM d a WHERE a.doc_id % 5 = 0 AND a.doc_id - 1 IN (SELECT doc_id FROM d)
+        |), e AS (
+        | SELECT DISTINCT src, dst FROM e0 WHERE src <> dst
+        |), nodes AS (
+        | SELECT DISTINCT v FROM (SELECT src AS v FROM e UNION ALL SELECT dst AS v FROM e)
+        |), od AS (
+        | SELECT src, CAST(count(*) AS BIGINT) AS od FROM e GROUP BY 1
+        |), idg AS (
+        | SELECT dst, CAST(count(*) AS BIGINT) AS ind FROM e GROUP BY 1
+        |), rec AS (
+        | SELECT CAST(count(*) AS BIGINT) AS re
+        | FROM e a JOIN e b ON b.src = a.dst AND b.dst = a.src
+        |), base AS (
+        | SELECT (SELECT CAST(count(*) AS BIGINT) FROM nodes) AS n_nodes,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+        |  (SELECT re FROM rec) AS reciprocal_edges,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM od) AS nsrc,
+        |  (SELECT CAST(max(od) AS BIGINT) FROM od) AS max_outdeg,
+        |  (SELECT CAST(max(ind) AS BIGINT) FROM idg) AS max_indeg
+        |), pe AS (
+        | SELECT e.src || '#' || e.dst AS eid, od.od AS x, idg.ind AS y
+        | FROM e JOIN od ON od.src = e.src JOIN idg ON idg.dst = e.dst
+        |), rk AS (
+        | SELECT eid, CAST(row_number() OVER (ORDER BY x, eid) AS BIGINT) AS rx,
+        |  CAST(row_number() OVER (ORDER BY y, eid) AS BIGINT) AS ry
+        | FROM pe
+        |), st AS (
+        | SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum((rx - ry) * (rx - ry)) AS BIGINT) AS d2
+        | FROM rk
+        |), dc AS (
+        | SELECT CAST(count(*) AS BIGINT) AS nd
+        | FROM rk a JOIN rk b ON a.rx < b.rx AND a.ry > b.ry
+        |)
+        |SELECT b.n_nodes, b.n_edges, b.reciprocal_edges,
+        | CAST(b.reciprocal_edges * 1000000 // b.n_edges AS BIGINT) AS reciprocity_ppm,
+        | CAST(b.n_nodes - b.nsrc AS BIGINT) AS dangling_nodes,
+        | b.max_outdeg, b.max_indeg,
+        | CAST((CAST(st.n AS HUGEINT) * (st.n*st.n - 1) - 6 * CAST(st.d2 AS HUGEINT))
+        |  * 1000000 // (CAST(st.n AS HUGEINT) * (st.n*st.n - 1)) AS BIGINT)
+        |  AS assort_spearman_e6,
+        | CAST((CAST(st.n AS HUGEINT) * (st.n - 1) - 4 * CAST(dc.nd AS HUGEINT))
+        |  * 1000000 // (CAST(st.n AS HUGEINT) * (st.n - 1)) AS BIGINT)
+        |  AS assort_kendall_e6
+        |FROM base b, st, dc""".stripMargin,
 
     // the walk replay piped through the window pair join
     "walk_skipgram_pairs" ->

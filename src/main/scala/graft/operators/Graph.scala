@@ -1346,6 +1346,65 @@ object Graph {
     }
   }
 
+  /** One-row structural profile of a directed graph — the summary a
+    * link-graph curation pipeline reads BEFORE running the expensive
+    * centralities: size, reciprocity (how bidirectional the linking
+    * is), dangling share, degree extremes, and degree ASSORTATIVITY —
+    * the rank correlation between source out-degree and destination
+    * in-degree over the edges, computed by composing
+    * [[Profile.rankCorrelationByGroup]] (so the assortativity inherits
+    * the no-pair-join inversion counting; the per-edge tiebreak id is
+    * `src#dst`, making tied degrees — ubiquitous in regular regions —
+    * a pinned deterministic order on any engine).
+    *
+    * Exact integers: `reciprocity_ppm = 10⁶·|E ∩ Eᵀ| div |E|`,
+    * `dangling_nodes` = nodes with no out-edge, correlations in the
+    * ±10⁶ e6 scale. Multi-edges collapse, self-loops drop.
+    *
+    * Scale shape: degree tables are ONE map-side-combined aggregate
+    * each; reciprocity is a left-semi self-join on the (swapped) edge
+    * key — edge-partitioned, no fan-out; every post-aggregate frame is
+    * ONE row, cross-joined broadcast. Output: `(n_nodes, n_edges,
+    * reciprocal_edges, reciprocity_ppm, dangling_nodes, max_outdeg,
+    * max_indeg, assort_spearman_e6, assort_kendall_e6)`.
+    */
+  def graphProfile(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = edges
+      .select(col(srcCol).cast("string").as("_s"), col(dstCol).cast("string").as("_d"))
+      .filter(col("_s").isNotNull && col("_d").isNotNull && col("_s") =!= col("_d"))
+      .distinct()
+      .localCheckpoint()
+    val nodes = e.select(col("_s").as("_v"))
+      .unionByName(e.select(col("_d").as("_v")))
+      .distinct()
+      .localCheckpoint()
+    val outdeg = e.groupBy("_s").agg(count(lit(1)).as("_od")).localCheckpoint()
+    val indeg = e.groupBy("_d").agg(count(lit(1)).as("_id")).localCheckpoint()
+    val recip = e.join(
+        e.select(col("_d").as("_s"), col("_s").as("_d")), Seq("_s", "_d"), "left_semi")
+      .agg(count(lit(1)).as("reciprocal_edges"))
+    val basics = e.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(broadcast(nodes.agg(count(lit(1)).as("n_nodes"))))
+      .crossJoin(broadcast(outdeg.agg(count(lit(1)).as("_nsrc"),
+        max(col("_od")).as("max_outdeg"))))
+      .crossJoin(broadcast(indeg.agg(max(col("_id")).as("max_indeg"))))
+      .crossJoin(broadcast(recip))
+    val perEdge = e
+      .join(outdeg, Seq("_s")).join(indeg, Seq("_d"))
+      .select(lit("g").as("_grp"), concat(col("_s"), lit("#"), col("_d")).as("_eid"),
+        col("_od"), col("_id"))
+    val rc = Profile.rankCorrelationByGroup(perEdge, "_grp", "_eid", "_od", "_id")
+      .select(col("spearman_e6").as("assort_spearman_e6"),
+        col("kendall_e6").as("assort_kendall_e6"))
+    basics.crossJoin(broadcast(rc))
+      .select(col("n_nodes"), col("n_edges"), col("reciprocal_edges"),
+        expr("CAST(reciprocal_edges * 1000000L div n_edges AS BIGINT)")
+          .as("reciprocity_ppm"),
+        (col("n_nodes") - col("_nsrc")).as("dangling_nodes"),
+        col("max_outdeg"), col("max_indeg"),
+        col("assort_spearman_e6"), col("assort_kendall_e6"))
+  }
+
   /** Skip-gram training pairs off a [[randomWalks]] corpus — the table
     * an embedding trainer actually consumes (DeepWalk/word2vec): for
     * every walk, every ordered (center, context) position pair within

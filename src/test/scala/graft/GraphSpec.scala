@@ -702,6 +702,24 @@ class GraphSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Graph.skipGramPairs(walks, 0) }
   }
 
+  test("graphProfile: hand-computed structural summary incl. rank assortativity") {
+    // reciprocal pair a<->b, a 4-node chain tail, a self-loop and a
+    // duplicate edge that must both vanish
+    val edges = Seq(
+      ("a", "b"), ("a", "b"), ("b", "a"), ("b", "c"), ("c", "d"),
+      ("a", "c"), ("c", "c")
+    ).toDF("src", "dst")
+    val got = Graph.graphProfile(edges, "src", "dst")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // edges {a>b, b>a, b>c, c>d, a>c}: outdeg a=2 b=2 c=1 (d dangling),
+    // indeg b=1 a=1 c=2 d=1; reciprocity 2/5; per-edge (x=od(src),
+    // y=id(dst)) with src#dst tiebreak gives rank pairs
+    // (1,3)(2,1)(3,4)(4,2)(5,5): sum_d2=10 → spearman (120-60)/120;
+    // inversions of [3,1,4,2,5] = 3 → kendall (20-12)/20
+    assert(got == Seq((4L, 5L, 2L, 400000L, 1L, 2L, 2L, 500000L, 400000L)),
+      got.toString)
+  }
+
   test("effectiveDiameterFromAnf: monotone pair counts, terminal share = 1e6, min-t contract") {
     // directed path 0->1->...->5: N(t) grows every level through t=3
     val edges = (0 until 5).map(i => (i.toString, (i + 1).toString)).toDF("src", "dst")
