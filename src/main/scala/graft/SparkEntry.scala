@@ -4212,6 +4212,28 @@ object SparkEntry {
         .orderBy("start", "walk", "step")
     }),
 
+    // ---- composed GRAPH-EMBEDDING PREP: node2vec walks → skip-gram
+    //      positives (weight = co-occurrence count) ∪ deterministic
+    //      FNV negatives (3 per sampled anchor, the negative_sampling
+    //      machinery) — the labeled training table an embedding run
+    //      consumes, end to end from the edge list
+    "pipeline_graph_embedding" -> ((s, dir) => {
+      val edges = anfLatticeEdges(s, dir).localCheckpoint()
+      val walks = graft.operators.Graph.node2vecWalks(edges, "src", "dst",
+        steps = 4, walksPerNode = 1, pPpm = 4000000L, qPpm = 250000L)
+      val pos = graft.operators.Graph.skipGramPairs(walks, window = 2)
+      val nodes = edges.select(col("src").as("node"))
+        .unionByName(edges.select(col("dst").as("node"))).distinct()
+      val anchors = nodes.filter(col("node").cast("long") % 7 === 0)
+      val neg = Sampling.negativeSamples(anchors, "node", nodes, "node",
+        k = 3, salt = "gemb")
+      pos.select(col("center"), col("context").as("other"),
+          lit(1L).as("label"), col("cnt").as("weight"))
+        .unionByName(neg.select(col("anchor").as("center"),
+          col("negative").as("other"), lit(0L).as("label"), lit(1L).as("weight")))
+        .orderBy("center", "label", "other")
+    }),
+
     // ---- the walk corpus reduced to what an embedding trainer eats:
     //      skip-gram (center, context) co-occurrence counts within a
     //      2-step window — one constant-fan-out self-join collapsing
@@ -9943,6 +9965,42 @@ object SparkEntry {
         |  * 1000000 // (CAST(st.n AS HUGEINT) * (st.n - 1)) AS BIGINT)
         |  AS assort_kendall_e6
         |FROM base b, st, dc""".stripMargin,
+
+    // walks replay → pair join positives ∪ signed-FNV top-3 negatives
+    // (the negative_sampling oracle shape, salt 'gemb')
+    "pipeline_graph_embedding" ->
+      s"""WITH wk AS (${node2vecOracleSql(steps = 4, walksPerNode = 1,
+             pPpm = 4000000L, qPpm = 250000L, seed = "")}
+         |), pos AS (
+         | SELECT a.node AS center, b.node AS other, 1 AS label,
+         |  CAST(count(*) AS BIGINT) AS weight
+         | FROM wk a JOIN wk b ON b.start = a.start AND b.walk = a.walk
+         |  AND b.step <> a.step AND abs(a.step - b.step) <= 2
+         | GROUP BY 1, 2
+         |), $anfLatticeCteSql, anch AS (
+         | SELECT v AS anchor FROM nodes WHERE CAST(v AS BIGINT) % 7 = 0
+         |), hx AS (
+         | SELECT anchor, cand, ${fnvHugeSql("s")} AS hh
+         | FROM (SELECT anch.anchor, nodes.v AS cand,
+         |        anch.anchor || ':' || nodes.v || ':gemb' AS s
+         |       FROM anch CROSS JOIN nodes WHERE anch.anchor <> nodes.v)
+         |), sgn AS (
+         | SELECT anchor, cand,
+         |  CAST(hh - CASE WHEN hh >= CAST('9223372036854775808' AS HUGEINT)
+         |            THEN CAST('18446744073709551616' AS HUGEINT)
+         |            ELSE CAST(0 AS HUGEINT) END AS BIGINT) AS hs
+         | FROM hx
+         |), neg AS (
+         | SELECT anchor AS center, cand AS other, 0 AS label,
+         |  CAST(1 AS BIGINT) AS weight,
+         |  row_number() OVER (PARTITION BY anchor ORDER BY hs DESC, cand DESC) AS rnk
+         | FROM sgn QUALIFY rnk <= 3
+         |)
+         |SELECT center, other, CAST(label AS BIGINT) AS label, weight FROM (
+         | SELECT center, other, label, weight FROM pos
+         | UNION ALL
+         | SELECT center, other, label, weight FROM neg)
+         |ORDER BY center, label, other""".stripMargin,
 
     // the walk replay piped through the window pair join
     "walk_skipgram_pairs" ->
