@@ -976,6 +976,58 @@ object SparkEntry {
        |FROM ($unions) ORDER BY start, walk, step""".stripMargin
   }
 
+  /** The DuckDB replay of [[graft.operators.Graph.kTrussBounded]] over
+    * the +1/+2/+3 lattice: canonical string-ordered undirected edges,
+    * each peeling round's per-edge triangle support from the
+    * node-ordered triple join (the `triangle_counts` oracle shape —
+    * x < y < z means all three edges are already canonical), the
+    * `< k−2` filter, and one final support pass over the survivors.
+    */
+  private def ktrussOracleSql(k: Int, rounds: Int): String = {
+    def supCte(r: Int, src: String): String =
+      s"""tri$r AS (
+         | SELECT a._u AS x, a._v AS y, b._v AS z
+         | FROM $src a JOIN $src b ON b._u = a._v
+         | JOIN $src c ON c._u = a._u AND c._v = b._v
+         |), s$r AS (
+         | SELECT _u, _v, CAST(count(*) AS BIGINT) AS sup FROM (
+         |  SELECT x AS _u, y AS _v FROM tri$r
+         |  UNION ALL SELECT x, z FROM tri$r
+         |  UNION ALL SELECT y, z FROM tri$r)
+         | GROUP BY 1, 2
+         |)""".stripMargin
+    // MATERIALIZED per-round edge sets: the unrolled rounds reference
+    // t{r-1} four times each, and DuckDB's default CTE inlining would
+    // re-expand the whole chain exponentially (observed: "Too many
+    // open files" — hundreds of re-opened parquet scans)
+    val roundCtes = (1 to rounds).map { r =>
+      s"""${supCte(r, s"t${r - 1}")}, t$r AS MATERIALIZED (
+         | SELECT e._u, e._v FROM t${r - 1} e
+         | LEFT JOIN s$r s ON s._u = e._u AND s._v = e._v
+         | WHERE coalesce(s.sup, 0) >= ${k - 2}
+         |)""".stripMargin
+    }
+    s"""WITH d AS (
+       | SELECT doc_id FROM documents WHERE doc_id < 3000
+       |), e0 AS (
+       | SELECT CAST(a.doc_id AS VARCHAR) AS src, CAST(a.doc_id + 1 AS VARCHAR) AS dst
+       | FROM d a WHERE a.doc_id + 1 IN (SELECT doc_id FROM d)
+       | UNION ALL
+       | SELECT CAST(a.doc_id AS VARCHAR), CAST(a.doc_id + 2 AS VARCHAR)
+       | FROM d a WHERE a.doc_id + 2 IN (SELECT doc_id FROM d)
+       | UNION ALL
+       | SELECT CAST(a.doc_id AS VARCHAR), CAST(a.doc_id + 3 AS VARCHAR)
+       | FROM d a WHERE a.doc_id + 3 IN (SELECT doc_id FROM d)
+       |), t0 AS MATERIALIZED (
+       | SELECT DISTINCT least(src, dst) AS _u, greatest(src, dst) AS _v
+       | FROM e0 WHERE src <> dst
+       |), ${roundCtes.mkString(", ")}, ${supCte(rounds + 1, s"t$rounds")}
+       |SELECT e._u AS u, e._v AS v,
+       | CAST(coalesce(s.sup, 0) AS BIGINT) AS support
+       |FROM t$rounds e LEFT JOIN s${rounds + 1} s ON s._u = e._u AND s._v = e._v
+       |ORDER BY u, v""".stripMargin
+  }
+
   private def anfOracleChainSql(maxDepth: Int, m: Int): String = {
     val log2m = java.lang.Integer.numberOfTrailingZeros(m)
     val rhoCase = graft.operators.Profile.hllRhoCaseSql("rem", 64 - log2m)
@@ -4210,6 +4262,23 @@ object SparkEntry {
       graft.operators.Graph.node2vecWalks(anfLatticeEdges(s, dir), "src", "dst",
           steps = 4, walksPerNode = 2, pPpm = 4000000L, qPpm = 250000L)
         .orderBy("start", "walk", "step")
+    }),
+
+    // ---- bounded k-truss over the triangle-rich lattice (+1/+2/+3
+    //      edges): 3 peeling rounds at k = 4 drop every edge in fewer
+    //      than 2 triangles, recomputing support as the graph shrinks;
+    //      final support describes the OUTPUT subgraph
+    "ktruss_edges" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"))
+        .filter(col("doc_id") < 3000)
+      val ids = d.select(col("doc_id").as("b"))
+      val e = d.select(col("doc_id").as("a"), (col("doc_id") + 1).as("b"))
+        .unionByName(d.select(col("doc_id").as("a"), (col("doc_id") + 2).as("b")))
+        .unionByName(d.select(col("doc_id").as("a"), (col("doc_id") + 3).as("b")))
+        .join(ids, Seq("b"), "left_semi")
+        .select(col("a").cast("string").as("src"), col("b").cast("string").as("dst"))
+      graft.operators.Graph.kTrussBounded(e, "src", "dst", k = 4, rounds = 3)
+        .orderBy("u", "v")
     }),
 
     // ---- composed GRAPH-EMBEDDING PREP: node2vec walks → skip-gram
@@ -9965,6 +10034,9 @@ object SparkEntry {
         |  * 1000000 // (CAST(st.n AS HUGEINT) * (st.n - 1)) AS BIGINT)
         |  AS assort_kendall_e6
         |FROM base b, st, dc""".stripMargin,
+
+    // peeling rounds unrolled; see ktrussOracleSql
+    "ktruss_edges" -> ktrussOracleSql(k = 4, rounds = 3),
 
     // walks replay → pair join positives ∪ signed-FNV top-3 negatives
     // (the negative_sampling oracle shape, salt 'gemb')

@@ -1074,6 +1074,112 @@ object Graph {
       .orderBy("t")
   }
 
+  /** Triangle SUPPORT per canonical undirected edge — factored lazy
+    * for the spec pins and shared by every [[kTrussBounded]] round:
+    * the degree-ordered orientation bounds each oriented out-list by
+    * O(√m), one wedge self-join + one semi-less inner join against
+    * the canonical edge set finds each triangle once (the
+    * [[triangleCountsScaled]] shape), and each triangle credits its
+    * THREE edges (re-canonicalized `least/greatest` — orientation
+    * order is degree order, not id order). Output:
+    * `(_u, _v, _sup BIGINT)` — edges with zero support are absent.
+    */
+  private[graft] def edgeSupport(ce: DataFrame): DataFrame = {
+    val deg = ce.select(col("_u").as("_n")).unionByName(ce.select(col("_v").as("_n")))
+      .groupBy("_n").agg(count(lit(1)).as("_deg"))
+    val oriented = ce
+      .join(deg.select(col("_n").as("_u"), col("_deg").as("_du")), Seq("_u"))
+      .join(deg.select(col("_n").as("_v"), col("_deg").as("_dv")), Seq("_v"))
+      .select(
+        when(col("_du") < col("_dv") ||
+             (col("_du") === col("_dv") && col("_u") < col("_v")), col("_u"))
+          .otherwise(col("_v")).as("_lo"),
+        when(col("_du") < col("_dv") ||
+             (col("_du") === col("_dv") && col("_u") < col("_v")), col("_v"))
+          .otherwise(col("_u")).as("_hi"))
+      .localCheckpoint()
+    val triangles = oriented.select(col("_lo").as("_c"), col("_hi").as("_x"))
+      .join(oriented.select(col("_lo").as("_c"), col("_hi").as("_y")), Seq("_c"))
+      .filter(col("_x") < col("_y"))
+      .join(ce.select(col("_u").as("_x"), col("_v").as("_y")), Seq("_x", "_y"),
+        "left_semi")
+    triangles
+      .select(explode(array(
+        struct(least(col("_c"), col("_x")).as("_u"),
+          greatest(col("_c"), col("_x")).as("_v")),
+        struct(least(col("_c"), col("_y")).as("_u"),
+          greatest(col("_c"), col("_y")).as("_v")),
+        struct(col("_x").as("_u"), col("_y").as("_v")))).as("_e"))
+      .select(col("_e._u").as("_u"), col("_e._v").as("_v"))
+      .groupBy("_u", "_v").agg(count(lit(1)).as("_sup"))
+  }
+
+  /** Bounded k-truss (Cohen 2008) — the TRIANGLE-cohesion subgraph
+    * k-core can't see: each peeling round recomputes per-edge triangle
+    * support over the surviving edge set and drops every edge in fewer
+    * than k−2 triangles (a k-truss edge needs k−2 co-triangle
+    * neighbors). A star graph is a (k−1)-core at any hub degree but a
+    * 2-truss only — community detection and spam-farm filtering use
+    * exactly that separation. Fixed `rounds` (the [[kCoreBounded]]
+    * bounded-rounds trade: reproducible and replayable, no convergence
+    * detection — once stable, further rounds are no-ops), one final
+    * support pass on the survivors so the reported counts describe the
+    * OUTPUT subgraph, not the entry to the last filter.
+    *
+    * Scale shape: each round is the [[triangleCountsScaled]] wedge
+    * machinery on the CURRENT edge set — degree-ordered orientation
+    * keeps every oriented out-list O(√m), the wedge join is the wide
+    * shuffle and it SHRINKS as edges peel; ids ride 8-byte dict longs
+    * at ≥ `dictThreshold` nodes and the dict is order-preserving, so
+    * the canonical (u < v) invariant and the orientation tie-break
+    * pick identical edges on either branch. Multi-edges collapse,
+    * self-loops drop.
+    *
+    * Output: `(u STRING, v STRING, support BIGINT)` — the edges
+    * surviving `rounds` peels, with support over the output subgraph.
+    */
+  def kTrussBounded(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      k: Int,
+      rounds: Int,
+      dictThreshold: Long = GraphDictThreshold
+  ): DataFrame = {
+    require(k >= 3, s"kTrussBounded: k must be >= 3, got $k")
+    require(rounds >= 1 && rounds <= 16,
+      s"kTrussBounded: rounds must be in [1, 16], got $rounds")
+    val raw = edges
+      .select(col(srcCol).cast("string").as("_a"), col(dstCol).cast("string").as("_b"))
+      .filter(col("_a").isNotNull && col("_b").isNotNull && col("_a") =!= col("_b"))
+    val ceS = raw
+      .select(least(col("_a"), col("_b")).as("_u"), greatest(col("_a"), col("_b")).as("_v"))
+      .distinct()
+      .localCheckpoint()
+    val nodesS = ceS.select(col("_u").as("_v"))
+      .unionByName(ceS.select(col("_v")))
+      .distinct()
+    val dictOpt = graphDict(nodesS, nodesS.count(), dictThreshold)
+    var cur = (dictOpt match {
+      case Some(dct) => encodeIds(ceS, dct, Seq("_u", "_v"))
+      case None => ceS
+    }).localCheckpoint()
+    for (_ <- 0 until rounds) {
+      val sup = edgeSupport(cur)
+      cur = cur.join(sup, Seq("_u", "_v"), "left")
+        .filter(coalesce(col("_sup"), lit(0L)) >= (k - 2).toLong)
+        .select(col("_u"), col("_v"))
+        .localCheckpoint()
+    }
+    val out = cur.join(edgeSupport(cur), Seq("_u", "_v"), "left")
+      .select(col("_u"), col("_v"), coalesce(col("_sup"), lit(0L)).as("support"))
+    dictOpt match {
+      case Some(dct) => decodeIds(out, dct, Seq("_u" -> "u", "_v" -> "v"))
+        .select(col("u"), col("v"), col("support"))
+      case None => out.select(col("_u").as("u"), col("_v").as("v"), col("support"))
+    }
+  }
+
   /** One random-walk advance — factored lazy for the spec pins. TWO
     * equi-joins, deliberately: first the out-degree table (computes
     * the step's neighbor rank `_r` from the walk's precomputed

@@ -702,6 +702,42 @@ class GraphSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Graph.skipGramPairs(walks, 0) }
   }
 
+  test("kTrussBounded: K4 vs pendant triangle vs pendant edge; k separates what k-core can't") {
+    // K4 on {a,b,c,d} + triangle {d,e,f} sharing d + pendant f->g;
+    // direction/multi-edge noise must collapse
+    val k4 = for { x <- Seq("a", "b", "c", "d"); y <- Seq("a", "b", "c", "d") if x < y }
+      yield (x, y)
+    val edges = (k4 ++ Seq(("e", "d"), ("e", "f"), ("d", "f"), ("f", "g"),
+      ("a", "b"), ("g", "f"))).toDF("src", "dst")
+    def run(k: Int) = Graph.kTrussBounded(edges, "src", "dst", k, rounds = 3)
+      .as[(String, String, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    // k=4: only K4 survives (each K4 edge sits in 2 triangles; the
+    // pendant triangle's edges have support 1 and peel in round 1)
+    assert(run(4) == k4.map(_ -> 2L).toMap, run(4).toString)
+    // k=3: K4 + the pendant triangle survive; the pendant edge drops
+    val exp3 = k4.map(_ -> 2L).toMap ++
+      Map(("d", "e") -> 1L, ("e", "f") -> 1L, ("d", "f") -> 1L)
+    assert(run(3) == exp3, run(3).toString)
+    // k=5: nothing has support 3 — empty truss
+    assert(run(5).isEmpty)
+    // dict ≡ string branch
+    val d1 = Graph.kTrussBounded(edges, "src", "dst", 3, 3, dictThreshold = 1L)
+    assert(rows(d1.orderBy("u", "v")) ==
+      rows(Graph.kTrussBounded(edges, "src", "dst", 3, 3,
+        dictThreshold = Long.MaxValue).orderBy("u", "v")))
+    intercept[IllegalArgumentException] {
+      Graph.kTrussBounded(edges, "src", "dst", k = 2, rounds = 3)
+    }
+    // CASCADING peel needs the round structure: a triangle STRIP
+    // 1-2-3, 2-3-4, 3-4-5 (k=4): outer edges peel first, then the
+    // newly-exposed middle — 3 rounds drain it completely
+    val strip = Seq(("1", "2"), ("2", "3"), ("1", "3"), ("2", "4"), ("3", "4"),
+      ("3", "5"), ("4", "5")).toDF("src", "dst")
+    assert(Graph.kTrussBounded(strip, "src", "dst", 4, 3).count() == 0L)
+    // ...but a single round leaves the not-yet-exposed core edges
+    assert(Graph.kTrussBounded(strip, "src", "dst", 4, 1).count() > 0L)
+  }
+
   test("graphProfile: hand-computed structural summary incl. rank assortativity") {
     // reciprocal pair a<->b, a 4-node chain tail, a self-loop and a
     // duplicate edge that must both vanish
