@@ -885,8 +885,10 @@ object Graph {
     *
     * — all DECIMAL(38,0), integral-divided to BIGINT. Raw estimator
     * only (no small-range correction — ln() stays out of compared
-    * surfaces by policy); raw HLL under-reads small sets, which the
-    * per-node gate documents rather than hides.
+    * surfaces by policy); on sets ≪ 2.5m the raw estimate sits at its
+    * ~α·m floor (S ≈ m·2⁶² with nearly-all-empty registers), the bias
+    * linear counting corrects — measured and recorded in the README
+    * rather than hidden.
     */
   private[graft] def anfEstimateSql(m: Int): String =
     s"CAST(CAST('${anfNumLiteral(m)}' AS DECIMAL(38,0)) div " +
@@ -972,10 +974,11 @@ object Graph {
     * registers — register state at round t is a pure function of the
     * exact ball B_t(u) (max-merge ≡ set-union), so an external engine
     * replays every estimate bit-for-bit from unrolled reachability.
-    * Accuracy is the raw-HLL ±1.04/√m on LARGE balls and a documented
-    * under-read on small ones (production m = 256–1024; the negative
-    * per-level deltas that under-reads can produce are clamped at 0 on
-    * both engines).
+    * Accuracy is the raw-HLL ±1.04/√m on LARGE balls; tiny balls read
+    * the estimator's ~α·m small-range floor (measured in the README;
+    * production m = 256–1024 and web-scale balls are the operating
+    * regime). Negative per-level deltas — possible wherever estimates
+    * wobble — are clamped at 0 identically on both engines.
     *
     * Output: `(node STRING, ball1_est..ball{maxDepth}_est BIGINT,
     * harmonic_est_ppm BIGINT)`, one row per node in the edge universe.
