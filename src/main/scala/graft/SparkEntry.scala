@@ -976,6 +976,82 @@ object SparkEntry {
        |FROM ($unions) ORDER BY start, walk, step""".stripMargin
   }
 
+  /** Shared batch/stream structural-summary replay (see the
+    * graph_profile map comment).
+    */
+  private val graphProfileOracleSql: String =
+    """WITH d AS (
+        | SELECT doc_id FROM documents WHERE doc_id < 3000
+        |), e0 AS (
+        | SELECT CAST(a.doc_id AS VARCHAR) AS src, CAST(a.doc_id + 1 AS VARCHAR) AS dst
+        | FROM d a WHERE a.doc_id + 1 IN (SELECT doc_id FROM d)
+        | UNION ALL
+        | SELECT CAST(a.doc_id AS VARCHAR), CAST(a.doc_id + 3 AS VARCHAR)
+        | FROM d a WHERE a.doc_id + 3 IN (SELECT doc_id FROM d)
+        | UNION ALL
+        | SELECT CAST(a.doc_id AS VARCHAR), CAST(a.doc_id - 1 AS VARCHAR)
+        | FROM d a WHERE a.doc_id % 5 = 0 AND a.doc_id - 1 IN (SELECT doc_id FROM d)
+        |), e AS (
+        | SELECT DISTINCT src, dst FROM e0 WHERE src <> dst
+        |), nodes AS (
+        | SELECT DISTINCT v FROM (SELECT src AS v FROM e UNION ALL SELECT dst AS v FROM e)
+        |), od AS (
+        | SELECT src, CAST(count(*) AS BIGINT) AS od FROM e GROUP BY 1
+        |), idg AS (
+        | SELECT dst, CAST(count(*) AS BIGINT) AS ind FROM e GROUP BY 1
+        |), rec AS (
+        | SELECT CAST(count(*) AS BIGINT) AS re
+        | FROM e a JOIN e b ON b.src = a.dst AND b.dst = a.src
+        |), base AS (
+        | SELECT (SELECT CAST(count(*) AS BIGINT) FROM nodes) AS n_nodes,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+        |  (SELECT re FROM rec) AS reciprocal_edges,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM od) AS nsrc,
+        |  (SELECT CAST(max(od) AS BIGINT) FROM od) AS max_outdeg,
+        |  (SELECT CAST(max(ind) AS BIGINT) FROM idg) AS max_indeg
+        |), pe AS (
+        | SELECT e.src || '#' || e.dst AS eid, od.od AS x, idg.ind AS y
+        | FROM e JOIN od ON od.src = e.src JOIN idg ON idg.dst = e.dst
+        |), rk AS (
+        | SELECT eid, CAST(row_number() OVER (ORDER BY x, eid) AS BIGINT) AS rx,
+        |  CAST(row_number() OVER (ORDER BY y, eid) AS BIGINT) AS ry
+        | FROM pe
+        |), st AS (
+        | SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum((rx - ry) * (rx - ry)) AS BIGINT) AS d2
+        | FROM rk
+        |), dc AS (
+        | SELECT CAST(count(*) AS BIGINT) AS nd
+        | FROM rk a JOIN rk b ON a.rx < b.rx AND a.ry > b.ry
+        |)
+        |SELECT b.n_nodes, b.n_edges, b.reciprocal_edges,
+        | CAST(b.reciprocal_edges * 1000000 // b.n_edges AS BIGINT) AS reciprocity_ppm,
+        | CAST(b.n_nodes - b.nsrc AS BIGINT) AS dangling_nodes,
+        | b.max_outdeg, b.max_indeg,
+        | CAST((CAST(st.n AS HUGEINT) * (st.n*st.n - 1) - 6 * CAST(st.d2 AS HUGEINT))
+        |  * 1000000 // (CAST(st.n AS HUGEINT) * (st.n*st.n - 1)) AS BIGINT)
+        |  AS assort_spearman_e6,
+        | CAST((CAST(st.n AS HUGEINT) * (st.n - 1) - 4 * CAST(dc.nd AS HUGEINT))
+        |  * 1000000 // (CAST(st.n AS HUGEINT) * (st.n - 1)) AS BIGINT)
+        |  AS assort_kendall_e6
+        |FROM base b, st, dc""".stripMargin
+
+  /** The `graph_profile` gates' lattice WITH backward edges
+    * (doc % 5 == 0 → doc−1, nonzero reciprocity), numeric `(a, b)` so
+    * the streaming gate can slice batches by source id.
+    */
+  private def profileLatticeEdges(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"))
+      .filter(col("doc_id") < 3000)
+    val ids = d.select(col("doc_id").as("b"))
+    d.select(col("doc_id").as("a"), (col("doc_id") + 1).as("b"))
+      .unionByName(d.select(col("doc_id").as("a"), (col("doc_id") + 3).as("b")))
+      .unionByName(d.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id").as("a"), (col("doc_id") - 1).as("b")))
+      .join(ids, Seq("b"), "left_semi")
+      .select(col("a"), col("b"))
+  }
+
   /** The DuckDB replay of [[graft.operators.Graph.kTrussBounded]] over
     * the +1/+2/+3 lattice: canonical string-ordered undirected edges,
     * each peeling round's per-edge triangle support from the
@@ -4242,16 +4318,30 @@ object SparkEntry {
     //      extremes, and rank-based degree assortativity riding the
     //      proven no-pair-join rank-correlation machinery
     "graph_profile" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"))
-        .filter(col("doc_id") < 3000)
-      val ids = d.select(col("doc_id").as("b"))
-      val e = d.select(col("doc_id").as("a"), (col("doc_id") + 1).as("b"))
-        .unionByName(d.select(col("doc_id").as("a"), (col("doc_id") + 3).as("b")))
-        .unionByName(d.filter(col("doc_id") % 5 === 0)
-          .select(col("doc_id").as("a"), (col("doc_id") - 1).as("b")))
-        .join(ids, Seq("b"), "left_semi")
+      val e = profileLatticeEdges(s, dir)
         .select(col("a").cast("string").as("src"), col("b").cast("string").as("dst"))
       graft.operators.Graph.graphProfile(e, "src", "dst")
+    }),
+
+    // ---- the STREAMING face of graph_profile: the versioned state is
+    //      the distinct directed edge set; three batches (one replayed
+    //      — the version guard must no-op) accumulate the same lattice
+    //      and the final batch's committed one-row profile equals the
+    //      batch operator on the full edge list, which the oracle
+    //      recomputes
+    "graph_profile_stream" -> ((s, dir) => {
+      import graft.streaming.StreamingOps
+      val e = profileLatticeEdges(s, dir).localCheckpoint()
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-gprof-stream").toString
+      def step(pred: Column, b: Long): Unit =
+        StreamingOps.applyGraphProfileBatch(s, e.filter(pred), b, "a", "b",
+          s"$work/state", s"$work/out")
+      step(col("a") < 1000, 0L)
+      step(col("a") >= 1000 && col("a") < 2000, 1L)
+      step(col("a") >= 1000 && col("a") < 2000, 1L) // replay: must no-op
+      step(col("a") >= 2000, 2L)
+      s.read.parquet(s"$work/out/batch=2")
     }),
 
     // ---- second-order biased walks on the same lattice: node2vec
@@ -9978,62 +10068,11 @@ object SparkEntry {
     // structural summary replay: degrees, reciprocity self-join, and a
     // brute-force rank/inversion assortativity (oracle-scale only —
     // the OPERATOR counts inversions without a pair join)
-    "graph_profile" ->
-      """WITH d AS (
-        | SELECT doc_id FROM documents WHERE doc_id < 3000
-        |), e0 AS (
-        | SELECT CAST(a.doc_id AS VARCHAR) AS src, CAST(a.doc_id + 1 AS VARCHAR) AS dst
-        | FROM d a WHERE a.doc_id + 1 IN (SELECT doc_id FROM d)
-        | UNION ALL
-        | SELECT CAST(a.doc_id AS VARCHAR), CAST(a.doc_id + 3 AS VARCHAR)
-        | FROM d a WHERE a.doc_id + 3 IN (SELECT doc_id FROM d)
-        | UNION ALL
-        | SELECT CAST(a.doc_id AS VARCHAR), CAST(a.doc_id - 1 AS VARCHAR)
-        | FROM d a WHERE a.doc_id % 5 = 0 AND a.doc_id - 1 IN (SELECT doc_id FROM d)
-        |), e AS (
-        | SELECT DISTINCT src, dst FROM e0 WHERE src <> dst
-        |), nodes AS (
-        | SELECT DISTINCT v FROM (SELECT src AS v FROM e UNION ALL SELECT dst AS v FROM e)
-        |), od AS (
-        | SELECT src, CAST(count(*) AS BIGINT) AS od FROM e GROUP BY 1
-        |), idg AS (
-        | SELECT dst, CAST(count(*) AS BIGINT) AS ind FROM e GROUP BY 1
-        |), rec AS (
-        | SELECT CAST(count(*) AS BIGINT) AS re
-        | FROM e a JOIN e b ON b.src = a.dst AND b.dst = a.src
-        |), base AS (
-        | SELECT (SELECT CAST(count(*) AS BIGINT) FROM nodes) AS n_nodes,
-        |  (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
-        |  (SELECT re FROM rec) AS reciprocal_edges,
-        |  (SELECT CAST(count(*) AS BIGINT) FROM od) AS nsrc,
-        |  (SELECT CAST(max(od) AS BIGINT) FROM od) AS max_outdeg,
-        |  (SELECT CAST(max(ind) AS BIGINT) FROM idg) AS max_indeg
-        |), pe AS (
-        | SELECT e.src || '#' || e.dst AS eid, od.od AS x, idg.ind AS y
-        | FROM e JOIN od ON od.src = e.src JOIN idg ON idg.dst = e.dst
-        |), rk AS (
-        | SELECT eid, CAST(row_number() OVER (ORDER BY x, eid) AS BIGINT) AS rx,
-        |  CAST(row_number() OVER (ORDER BY y, eid) AS BIGINT) AS ry
-        | FROM pe
-        |), st AS (
-        | SELECT CAST(count(*) AS BIGINT) AS n,
-        |  CAST(sum((rx - ry) * (rx - ry)) AS BIGINT) AS d2
-        | FROM rk
-        |), dc AS (
-        | SELECT CAST(count(*) AS BIGINT) AS nd
-        | FROM rk a JOIN rk b ON a.rx < b.rx AND a.ry > b.ry
-        |)
-        |SELECT b.n_nodes, b.n_edges, b.reciprocal_edges,
-        | CAST(b.reciprocal_edges * 1000000 // b.n_edges AS BIGINT) AS reciprocity_ppm,
-        | CAST(b.n_nodes - b.nsrc AS BIGINT) AS dangling_nodes,
-        | b.max_outdeg, b.max_indeg,
-        | CAST((CAST(st.n AS HUGEINT) * (st.n*st.n - 1) - 6 * CAST(st.d2 AS HUGEINT))
-        |  * 1000000 // (CAST(st.n AS HUGEINT) * (st.n*st.n - 1)) AS BIGINT)
-        |  AS assort_spearman_e6,
-        | CAST((CAST(st.n AS HUGEINT) * (st.n - 1) - 4 * CAST(dc.nd AS HUGEINT))
-        |  * 1000000 // (CAST(st.n AS HUGEINT) * (st.n - 1)) AS BIGINT)
-        |  AS assort_kendall_e6
-        |FROM base b, st, dc""".stripMargin,
+    "graph_profile" -> graphProfileOracleSql,
+
+    // the accumulated stream state IS the full edge set, so the final
+    // batch's committed profile replays with the batch oracle verbatim
+    "graph_profile_stream" -> graphProfileOracleSql,
 
     // peeling rounds unrolled; see ktrussOracleSql
     "ktruss_edges" -> ktrussOracleSql(k = 4, rounds = 3),

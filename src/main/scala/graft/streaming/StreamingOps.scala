@@ -1621,6 +1621,57 @@ object StreamingOps {
     }
   }
 
+  /** One micro-batch of the STREAMING graph profile — structural
+    * monitoring of a continuously-ingested link graph: the committed
+    * state is the DISTINCT DIRECTED edge set (edge-bound, the ER-state
+    * discipline — direction matters for reciprocity and the in/out
+    * assortativity, so no canonicalization here; payloads never enter),
+    * new edges union-distinct in, and the batch writes the one-row
+    * [[graft.operators.Graph.graphProfile]] over the MERGED set to
+    * `outPath/batch=<id>` BEFORE committing state (the documented
+    * output-first crash-replay order: a torn run replays into the
+    * recompute branch and rewrites bit-identically). Replay at or
+    * below the committed version no-ops on the version guard. The
+    * final batch's profile equals the batch operator on the full
+    * accumulated edge list — the stream-vs-batch contract the gate
+    * hashes against the batch oracle.
+    *
+    * Scale shape: per batch, one union-distinct over (state ∪ fresh)
+    * edge ids and the profile's aggregates/self-join — all edge-bound;
+    * the assortativity inherits the no-pair-join inversion counting.
+    */
+  def applyGraphProfileBatch(
+      spark: SparkSession,
+      batch: DataFrame,
+      batchId: Long,
+      srcCol: String,
+      dstCol: String,
+      statePath: String,
+      outPath: String
+  ): Unit = {
+    currentVersionId(spark, statePath) match {
+      case Some(cur) if cur >= batchId =>
+        log.warn(s"graphProfileStream: skipping batch $batchId — state at " +
+          s"v$cur already includes it")
+      case _ =>
+        val fresh = batch
+          .select(col(srcCol).cast("string").as("src"),
+            col(dstCol).cast("string").as("dst"))
+          .filter(col("src").isNotNull && col("dst").isNotNull &&
+            col("src") =!= col("dst"))
+          .distinct()
+        val merged = (readState(spark, statePath) match {
+          case Some(st) => st.unionByName(fresh).distinct()
+          case None => fresh
+        }).localCheckpoint()
+        graft.operators.Graph.graphProfile(merged, "src", "dst")
+          .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+        val version = s"v$batchId"
+        merged.write.mode("overwrite").parquet(s"$statePath/$version")
+        commitVersion(spark, statePath, version, keepFrom = batchId - 1)
+    }
+  }
+
   /** One micro-batch of the STREAMING drift timeline — the ROLLING
     * variant of [[applyDriftBatch]]: instead of scoring every batch
     * against a frozen batch-0 reference, each batch scores against the

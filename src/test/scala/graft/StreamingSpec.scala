@@ -1529,6 +1529,33 @@ class StreamingSpec extends SparkSpec {
     assert(row.toSeq == Seq(s1.head % 7))
   }
 
+  test("applyGraphProfileBatch: accumulated edge-set state, replay no-op, torn-commit recovery") {
+    import graft.operators.Graph
+    val dir = Files.createTempDirectory("graft-gprof-stream").toString
+    val b0 = Seq(("a", "b"), ("b", "a"), ("b", "c")).toDF("src", "dst")
+    val b1 = Seq(("c", "d"), ("b", "c")).toDF("src", "dst") // one dup edge
+    def step(df: org.apache.spark.sql.DataFrame, b: Long): Unit =
+      StreamingOps.applyGraphProfileBatch(spark, df, b, "src", "dst",
+        s"$dir/state", s"$dir/out")
+    step(b0, 0L)
+    val p0 = rows(spark.read.parquet(s"$dir/out/batch=0"))
+    // batch-0 profile equals the batch operator on batch-0 edges
+    assert(p0 == rows(Graph.graphProfile(b0, "src", "dst")))
+    step(b1, 1L)
+    val p1 = rows(spark.read.parquet(s"$dir/out/batch=1"))
+    // the accumulated profile equals the batch operator on the union
+    assert(p1 == rows(Graph.graphProfile(b0.unionByName(b1), "src", "dst")))
+    // replay at the committed version no-ops: state version and output stand
+    step(b1, 1L)
+    assert(StreamingOps.currentVersionId(spark, s"$dir/state").contains(1L))
+    assert(rows(spark.read.parquet(s"$dir/out/batch=1")) == p1)
+    // torn commit: output written, pointer still at v0 — the replay
+    // recomputes against the OLD state and rewrites bit-identically
+    tearCommit(s"$dir/state", "v0")
+    step(b1, 1L)
+    assert(StreamingOps.currentVersionId(spark, s"$dir/state").contains(1L))
+    assert(rows(spark.read.parquet(s"$dir/out/batch=1")) == p1)
+  }
 }
 
 /** Serializable recording double for the socket client: records land in a
@@ -1546,6 +1573,4 @@ object RecordingClient {
     while (!buf.isEmpty) out += buf.poll()
     out.toSeq
   }
-
-
 }
