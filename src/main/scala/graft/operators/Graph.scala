@@ -1047,7 +1047,10 @@ object Graph {
     * uncomputable at scale and dominated by one outlier path). Sums
     * run in DECIMAL(38,0) — int64 pair counts overflow past ~3·10⁹
     * nodes of mutual reach — and every derived column is integer
-    * arithmetic, replayable externally.
+    * arithmetic, replayable externally. The BIGINT `npairs_est` output
+    * column re-imposes the int64 ceiling, so its cast is tripwired: a
+    * value past Long.MaxValue is a hard error naming the remedy (read
+    * the decimal sums), never a silent non-ANSI null.
     *
     * All frames after the input aggregate are ≤ maxDepth rows
     * (metadata-sized; the broadcast joins are 1-row). Output:
@@ -1071,8 +1074,18 @@ object Graph {
       .localCheckpoint() // two consumers: the rows and the min-t fold
     val eff = shares.filter(col("share_ppm") >= 900000L)
       .agg(min(col("t")).as("eff_diameter"))
+    // the DECIMAL(38,0) sums exist because int64 pair counts overflow
+    // past ~3e9 mutually-reachable nodes; a bare non-ANSI cast back to
+    // BIGINT would silently null at exactly that scale, so the cast is
+    // tripwired — refuse loudly with the remedy (keep decimal) named
+    val fitsInt64 = col("_np") <= lit(Long.MaxValue).cast(d38)
+    val guardedNp = when(
+      assert_true(fitsInt64, lit("effectiveDiameterFromAnf: npairs_est " +
+        "exceeds int64 — re-run consuming the DECIMAL(38,0) sums " +
+        "directly instead of the BIGINT output column")).isNull,
+      col("_np").cast(LongType))
     shares.crossJoin(broadcast(eff))
-      .select(col("t"), col("_np").cast(LongType).as("npairs_est"),
+      .select(col("t"), guardedNp.as("npairs_est"),
         col("share_ppm"), col("eff_diameter"))
       .orderBy("t")
   }
@@ -1255,9 +1268,11 @@ object Graph {
     require(!seed.contains("#"),
       s"randomWalks: seed must not contain '#' (the entropy separator), got '$seed'")
     import org.apache.spark.sql.graft.ColumnBridge
+    // self-loops dropped, matching anfHyperBall/node2vecWalks and the
+    // oracle's src <> dst edge CTE — a loop is not a pickable neighbor
     val eS = edges
       .select(col(srcCol).cast("string").as("_s"), col(dstCol).cast("string").as("_d"))
-      .filter(col("_s").isNotNull && col("_d").isNotNull)
+      .filter(col("_s").isNotNull && col("_d").isNotNull && col("_s") =!= col("_d"))
       .distinct()
       .localCheckpoint()
     val nodesS = eS.select(col("_s").as("_v"))
@@ -1324,7 +1339,8 @@ object Graph {
       t: Int,
       wRet: Long,
       wIn: Long,
-      wOut: Long
+      wOut: Long,
+      maxOutDegree: Long = Long.MaxValue
   ): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("_start", "_k").orderBy("_rank")
@@ -1333,6 +1349,18 @@ object Graph {
     cur
       .join(nbrIdx.select(col("_s").as("_cur"), col("_rank"),
         col("_d").as("_cand")), Seq("_cur"))
+      // hub tripwire, zero-action (the setsim hot-gram pattern): _rank is
+      // already materialized on the index, so the guard rides the
+      // candidate join itself — no extra exchange, no driver action. A
+      // visited node whose out-degree exceeds the knob would put
+      // deg(cur)-row window partitions × concurrent walks through one
+      // task; refuse loudly with the remedy named instead of stalling.
+      .filter(assert_true(col("_rank") < lit(maxOutDegree),
+        lit(s"node2vecWalks: a visited node's out-degree exceeds " +
+          s"maxOutDegree=$maxOutDegree — per-walk candidate windows are " +
+          "deg(cur) rows by second-order semantics; raise maxOutDegree " +
+          "deliberately, or pre-build per-edge alias tables (Grover & " +
+          "Leskovec's trade) for hub-heavy graphs")).isNull)
       .join(e.select(col("_s").as("_prev"), col("_d").as("_cand"),
         lit(1).as("_d1")), Seq("_prev", "_cand"), "left")
       .withColumn("_w",
@@ -1379,7 +1407,12 @@ object Graph {
     * is two equi-joins plus two window sums over per-walk candidate
     * partitions — bounded by max out-degree, never the graph; state
     * stays fixed-width (two id longs + the entropy array), and the
-    * dictionary rides ids at ≥ `dictThreshold` nodes.
+    * dictionary rides ids at ≥ `dictThreshold` nodes. Because one
+    * 10⁷-out-degree hub would put 10⁷-row window partitions ×
+    * concurrent walks through single tasks, a zero-action tripwire on
+    * the already-materialized `_rank` rides the candidate join and
+    * refuses any VISITED node past `maxOutDegree` (default 2²²),
+    * naming the alias-table remedy — the family's refusal convention.
     *
     * Output: `(start STRING, walk BIGINT, step BIGINT, node STRING)`.
     */
@@ -1392,14 +1425,22 @@ object Graph {
       pPpm: Long = 1000000L,
       qPpm: Long = 1000000L,
       seed: String = "",
-      dictThreshold: Long = GraphDictThreshold
+      dictThreshold: Long = GraphDictThreshold,
+      maxOutDegree: Long = 1L << 22
   ): DataFrame = {
     require(steps >= 1 && steps <= 64,
       s"node2vecWalks: steps must be in [1, 64], got $steps")
+    require(maxOutDegree >= 1L,
+      s"node2vecWalks: maxOutDegree must be >= 1, got $maxOutDegree")
     require(walksPerNode >= 1 && walksPerNode <= 1024,
       s"node2vecWalks: walksPerNode must be in [1, 1024], got $walksPerNode")
-    require(pPpm >= 1L && qPpm >= 1L,
-      s"node2vecWalks: pPpm and qPpm must be >= 1, got ($pPpm, $qPpm)")
+    // upper bound keeps wRet = 10^12/pPpm and wOut = 10^12/qPpm >= 1, so a
+    // candidate window's total weight can never integer-divide to 0 (a
+    // zero _tot would '% 0' → null in Spark, silently killing the walk,
+    // vs a division-by-zero ERROR in the oracle replay)
+    require(pPpm >= 1L && pPpm <= 1000000000000L &&
+      qPpm >= 1L && qPpm <= 1000000000000L,
+      s"node2vecWalks: pPpm and qPpm must be in [1, 10^12], got ($pPpm, $qPpm)")
     require(!seed.contains("#"),
       s"node2vecWalks: seed must not contain '#' (the entropy separator), got '$seed'")
     import org.apache.spark.sql.graft.ColumnBridge
@@ -1440,7 +1481,8 @@ object Graph {
     var out = Seq(cur.select(col("_start"), col("_k"), lit(0L).as("_t"),
       col("_cur").as("_node")))
     for (t <- 1 to steps) {
-      cur = node2vecStep(cur, nbrIdx, e, t, wRet, wIn, wOut).localCheckpoint()
+      cur = node2vecStep(cur, nbrIdx, e, t, wRet, wIn, wOut, maxOutDegree)
+        .localCheckpoint()
       out = out :+ cur.select(col("_start"), col("_k"), lit(t.toLong).as("_t"),
         col("_cur").as("_node"))
     }

@@ -68,7 +68,19 @@ case class ElemMaxAggregate(
   override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
     val v = child.eval(input)
     if (v == null) buf
-    else maxInto(buf, v.asInstanceOf[ArrayData].toByteArray())
+    else {
+      val arr = v.asInstanceOf[ArrayData]
+      // toByteArray silently reads a null slot as ρ=0 — a corrupted bank
+      // must be a hard error, not a quiet undercount
+      var i = 0
+      while (i < arr.numElements()) {
+        require(!arr.isNullAt(i),
+          s"graft_elemmax: register bank has a null slot at index $i — " +
+            "banks are fixed-width byte arrays with no null elements")
+        i += 1
+      }
+      maxInto(buf, arr.toByteArray())
+    }
   }
 
   override def merge(buf: Array[Byte], other: Array[Byte]): Array[Byte] =

@@ -1626,7 +1626,10 @@ object StreamingOps {
     * state is the DISTINCT DIRECTED edge set (edge-bound, the ER-state
     * discipline — direction matters for reciprocity and the in/out
     * assortativity, so no canonicalization here; payloads never enter),
-    * new edges union-distinct in, and the batch writes the one-row
+    * maintained DISTINCT BY INDUCTION: the batch's edges distinct
+    * in-batch, anti-join the committed state, and only the genuinely-new
+    * slice appends (see [[graphProfileMergeState]]) — never a distinct()
+    * over the accumulated set. The batch writes the one-row
     * [[graft.operators.Graph.graphProfile]] over the MERGED set to
     * `outPath/batch=<id>` BEFORE committing state (the documented
     * output-first crash-replay order: a torn run replays into the
@@ -1636,8 +1639,11 @@ object StreamingOps {
     * accumulated edge list — the stream-vs-batch contract the gate
     * hashes against the batch oracle.
     *
-    * Scale shape: per batch, one union-distinct over (state ∪ fresh)
-    * edge ids and the profile's aggregates/self-join — all edge-bound;
+    * Scale shape: per batch, one in-batch distinct + one anti-join of
+    * the (small) batch against state, then a shuffle-free copy+append
+    * state rewrite; the full-graph profile recompute over the unioned
+    * view is the operator's intended semantics (profile OF the
+    * accumulated graph) and its aggregates/self-join are all edge-bound;
     * the assortativity inherits the no-pair-join inversion counting.
     */
   def applyGraphProfileBatch(
@@ -1654,22 +1660,39 @@ object StreamingOps {
         log.warn(s"graphProfileStream: skipping batch $batchId — state at " +
           s"v$cur already includes it")
       case _ =>
-        val fresh = batch
+        val inBatch = batch
           .select(col(srcCol).cast("string").as("src"),
             col(dstCol).cast("string").as("dst"))
           .filter(col("src").isNotNull && col("dst").isNotNull &&
             col("src") =!= col("dst"))
           .distinct()
-        val merged = (readState(spark, statePath) match {
-          case Some(st) => st.unionByName(fresh).distinct()
-          case None => fresh
-        }).localCheckpoint()
+        val state = readState(spark, statePath)
+        val merged = graphProfileMergeState(state, inBatch).localCheckpoint()
         graft.operators.Graph.graphProfile(merged, "src", "dst")
           .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
         val version = s"v$batchId"
         merged.write.mode("overwrite").parquet(s"$statePath/$version")
         commitVersion(spark, statePath, version, keepFrom = batchId - 1)
     }
+  }
+
+  /** State merge for [[applyGraphProfileBatch]], exposed as a seam so the
+    * plan-shape spec can pin the contract: the store is distinct BY
+    * INDUCTION (the [[dedupStreamPersistent]] convention) — the in-batch
+    * distinct plus this anti-join make the fresh slice unique AND
+    * disjoint from the committed state, so the merged frame is a plain
+    * Union with NO distinct()/aggregate above it. The state rewrite is
+    * therefore a shuffle-free copy+append; a per-batch distinct() over
+    * the accumulated edge set would re-shuffle O(total-edges) every
+    * micro-batch — the scale-killer this shape exists to avoid.
+    */
+  private[graft] def graphProfileMergeState(
+      state: Option[DataFrame],
+      inBatch: DataFrame
+  ): DataFrame = state match {
+    case Some(st) =>
+      st.unionByName(inBatch.join(st, Seq("src", "dst"), "left_anti"))
+    case None => inBatch
   }
 
   /** One micro-batch of the STREAMING drift timeline — the ROLLING

@@ -769,4 +769,85 @@ class GraphSpec extends SparkSpec {
     val expEff = got.filter(_._3 >= 900000L).map(_._1).min
     assert(got.forall(_._4 == expEff), got.mkString(","))
   }
+
+  test("effectiveDiameterFromAnf: int64-ceiling tripwire refuses instead of nulling") {
+    // synthetic per-node table whose decimal sum exceeds Long.MaxValue:
+    // the BIGINT output cast must be a hard error naming the remedy,
+    // never a silent non-ANSI null
+    val big = Seq(
+      ("u", Long.MaxValue, Long.MaxValue),
+      ("v", Long.MaxValue, Long.MaxValue),
+      ("w", Long.MaxValue, Long.MaxValue)
+    ).toDF("node", "ball1_est", "ball2_est")
+    val e = intercept[Exception] {
+      Graph.effectiveDiameterFromAnf(big, maxDepth = 2).collect()
+    }
+    val msg = Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+    assert(msg.contains("exceeds int64"), e.toString)
+  }
+
+  test("randomWalks: self-loops are not pickable neighbors (sibling-operator and oracle consistency)") {
+    // b carries a self-loop; with the loop dropped b's only neighbor is
+    // c, so every walk through b must step to c deterministically and
+    // the result equals the run on the loop-free edge set
+    val looped = Seq(
+      ("a", "b"), ("b", "b"), ("b", "c"), ("c", "c")
+    ).toDF("src", "dst")
+    val clean = Seq(("a", "b"), ("b", "c")).toDF("src", "dst")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      rows(Graph.randomWalks(df, "src", "dst", steps = 4, walksPerNode = 2)
+        .orderBy("start", "walk", "step"))
+    val got = run(looped)
+    // c becomes a dead end once its only (self) edge drops
+    assert(got == run(clean), got.toString)
+    assert(!got.exists(r => r(3) == "c" && r(2).asInstanceOf[Long] > 2L))
+  }
+
+  test("node2vecWalks: hub-degree tripwire refuses a visited hub; param bounds pinned") {
+    // hub h has out-degree 5 > maxOutDegree = 4 and every walk from h
+    // visits it at step 1's candidate join
+    val hub = (1 to 5).map(i => ("h", s"x$i")).toDF("src", "dst")
+    val e = intercept[Exception] {
+      Graph.node2vecWalks(hub, "src", "dst", steps = 2, maxOutDegree = 4L)
+        .collect()
+    }
+    val msg = Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+    assert(msg.contains("maxOutDegree"), e.toString)
+    assert(msg.contains("alias tables"), e.toString)
+    // the same graph under the knob runs; a hub NEVER visited never trips
+    assert(Graph.node2vecWalks(hub, "src", "dst", steps = 2,
+      maxOutDegree = 5L).count() > 0L)
+    val unvisited = hub.unionByName(Seq(("a", "b")).toDF("src", "dst"))
+    // walks starting at x1..x5/b are dead ends; only h's walks see the
+    // hub window — maxOutDegree = 4 still trips because h itself walks
+    intercept[Exception] {
+      Graph.node2vecWalks(unvisited, "src", "dst", steps = 2,
+        maxOutDegree = 4L).collect()
+    }
+    // ppm params past 10^12 would integer-divide weights to 0 — refused
+    intercept[IllegalArgumentException] {
+      Graph.node2vecWalks(hub, "src", "dst", steps = 2, pPpm = 1000000000001L)
+    }
+    intercept[IllegalArgumentException] {
+      Graph.node2vecWalks(hub, "src", "dst", steps = 2, qPpm = 1000000000001L)
+    }
+    intercept[IllegalArgumentException] {
+      Graph.node2vecWalks(hub, "src", "dst", steps = 2, maxOutDegree = 0L)
+    }
+  }
+
+  test("graft_elemmax: a null register slot is a hard error, not a silent rho 0") {
+    import org.apache.spark.sql.functions._
+    graft.plans.ElemMaxAggregate.register(spark)
+    val df = Seq(("g", Seq(Some(1.toByte), None, Some(3.toByte))))
+      .toDF("k", "_regs")
+    val e = intercept[Exception] {
+      df.groupBy("k").agg(call_function("graft_elemmax", col("_regs"))).collect()
+    }
+    val msg = Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+    assert(msg.contains("null slot"), e.toString)
+  }
 }

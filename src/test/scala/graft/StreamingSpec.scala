@@ -1556,6 +1556,31 @@ class StreamingSpec extends SparkSpec {
     assert(StreamingOps.currentVersionId(spark, s"$dir/state").contains(1L))
     assert(rows(spark.read.parquet(s"$dir/out/batch=1")) == p1)
   }
+
+  test("graphProfileMergeState: distinct by induction — no aggregate above the state union") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Deduplicate, Union}
+    val dir = Files.createTempDirectory("graft-gprof-shape").toString
+    Seq(("a", "b"), ("b", "c")).toDF("src", "dst")
+      .write.parquet(s"$dir/st")
+    val st = spark.read.parquet(s"$dir/st")
+    val inBatch = Seq(("b", "c"), ("c", "d")).toDF("src", "dst").distinct()
+    val merged = StreamingOps.graphProfileMergeState(Some(st), inBatch)
+    // semantics: the union is the distinct accumulated edge set
+    assert(merged.count() == 3L && merged.distinct().count() == 3L)
+    // plan contract: the state rewrite is copy+append — NO
+    // Aggregate/Deduplicate node sits above the Union (a distinct()
+    // over the accumulated state would re-shuffle O(total) per batch)
+    val plan = merged.queryExecution.optimizedPlan
+    val aggsOverUnion = plan.collect {
+      case a: Aggregate if a.find(_.isInstanceOf[Union]).isDefined => a
+      case d: Deduplicate if d.find(_.isInstanceOf[Union]).isDefined => d
+    }
+    assert(aggsOverUnion.isEmpty, plan.toString)
+    // (the in-batch distinct MAY sit above the anti-join — Catalyst's
+    // PushDownLeftSemiAntiJoin moves the join under it — but its
+    // cardinality stays batch-bound either way; only an aggregate over
+    // the Union would re-shuffle the accumulated state)
+  }
 }
 
 /** Serializable recording double for the socket client: records land in a
