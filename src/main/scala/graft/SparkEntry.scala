@@ -2929,10 +2929,15 @@ object SparkEntry {
         lpad(col("doc_id").cast("string"), 8, "0").as("doc_id"), col("text"))
       val work = java.nio.file.Files
         .createTempDirectory("graft-er-stream").toString
+      // thread the returned state handle batch-to-batch: the committed
+      // store is consumed 3× per batch, and the handle turns those
+      // parquet re-scans into cached-block reads (bytes and protocol
+      // identical — the replay step below proves the guard still holds)
+      var h: Option[DataFrame] = None
       def step(b: DataFrame, id: Long): Unit =
-        StreamingOps.applyErBatch(s, b, id, "doc_id", "text",
+        h = StreamingOps.applyErBatch(s, b, id, "doc_id", "text",
           shingleSize = 3, thresholdPpm = 500000L, lpaRounds = 4,
-          s"$work/state", s"$work/out")
+          s"$work/state", s"$work/out", stateIn = h, cacheState = true)
       step(pad(base), 0L)
       step(pad(clones.union(trunc)), 1L)
       step(pad(clones.union(trunc)), 1L) // replay no-op
@@ -3004,10 +3009,12 @@ object SparkEntry {
             " ").as("text"))
       val work = java.nio.file.Files
         .createTempDirectory("graft-er-exact-stream").toString
+      var h: Option[DataFrame] = None
       def step(b: DataFrame, id: Long): Unit =
-        StreamingOps.applyErBatch(s, b, id, "doc_id", "text",
+        h = StreamingOps.applyErBatch(s, b, id, "doc_id", "text",
           shingleSize = 3, thresholdPpm = 500000L, lpaRounds = 1,
-          s"$work/state", s"$work/out", exactComponents = true)
+          s"$work/state", s"$work/out", exactComponents = true,
+          stateIn = h, cacheState = true)
       step(win(0, 2), 0L)
       step(win(3, 5), 1L)
       step(win(3, 5), 1L) // replay no-op
@@ -3190,6 +3197,55 @@ object SparkEntry {
           q, "qid", "qvec", k = 10, nprobe = 4)
         .withColumn("variant", lit("retrained"))
       frozen.unionByName(retrained).orderBy("variant", "query_id")
+    }),
+
+    // ---- the epoch stream's documented OFFLINE step, exercised: a
+    //      retrained epoch's corpus is only the data since its birth —
+    //      pre-drift documents are invisible to it until the explicit
+    //      backfill re-encodes their ORIGINAL vectors into the epoch's
+    //      space (codes are stored, floats are not — history must come
+    //      from the caller's corpus). Top-3 ADC rows for 3 raw queries
+    //      against epoch 1 BEFORE the backfill (pinned codes v0 —
+    //      drifted docs only) and AFTER (pre-drift ids retrievable);
+    //      the second backfill call proves replay idempotence (0 rows).
+    //      nprobe = c so the oracle replays pure code arithmetic
+    "pq_epoch_backfill" -> ((s, dir) => {
+      import graft.streaming.StreamingOps
+      import graft.operators.Similarity
+      val emb = t(s, dir, "embeddings")
+      def driftVec(c: Column): Column =
+        transform(c, x => x.cast("double") / lit(8.0d) + lit(0.9d))
+      val raw0 = emb.filter(col("vec_id") < 300)
+      val drifted = emb.filter(col("vec_id") >= 300 && col("vec_id") < 500)
+        .select((col("vec_id") + 10000L).as("vec_id"),
+          driftVec(col("embedding")).as("embedding"))
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-pqbackfill-gate").toString
+      def step(b: DataFrame, id: Long): Unit =
+        StreamingOps.applyIvfPqEpochBatch(s, b, id, "vec_id", "embedding",
+          c = 4, m = 4, s"$work/state", s"$work/out",
+          retrainThresholdE9 = 500000000L)
+      step(raw0, 0L)
+      step(drifted, 1L) // trips → epoch 1 (drift-trained artifacts)
+      val e1 = s"$work/state/e1"
+      val cells = StreamingOps.readState(s, s"$e1/cells").get
+      val cb = StreamingOps.readState(s, s"$e1/codebooks").get
+      val q = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val before = Similarity.ivfPqTopKE6(s"$e1/codes/v0", "vec_id", cells,
+          cb, q, "qid", "qvec", k = 3, nprobe = 4)
+        .withColumn("variant", lit("unbackfilled"))
+      val n1 = StreamingOps.backfillIvfPqEpoch(s, raw0, "vec_id",
+        "embedding", s"$work/state")
+      val n2 = StreamingOps.backfillIvfPqEpoch(s, raw0, "vec_id",
+        "embedding", s"$work/state")
+      require(n1 > 0L && n2 == 0L,
+        s"pq_epoch_backfill: expected (n, 0) backfill counts, got ($n1, $n2)")
+      val vAfter = StreamingOps.currentVersionId(s, s"$e1/codes").get
+      val after = Similarity.ivfPqTopKE6(s"$e1/codes/v$vAfter", "vec_id",
+          cells, cb, q, "qid", "qvec", k = 3, nprobe = 4)
+        .withColumn("variant", lit("backfilled"))
+      before.unionByName(after).orderBy("variant", "query_id", "rank")
     }),
 
     // ---- streaming vocabulary growth: seen-term fingerprint store +
@@ -4274,6 +4330,24 @@ object SparkEntry {
         lpad(col("doc_id").cast("string"), 12, "0").as("src"),
         lpad((col("doc_id") + 1).cast("string"), 12, "0").as("dst"))
       graft.operators.Graph.connectedComponentsMin(e, "src", "dst")
+        .orderBy("node")
+    }),
+
+    // ---- the SAME component query with the id dictionary FORCED
+    //      (dictThreshold = 1): every driver-scale graph is below the
+    //      2²¹ adaptive threshold, so without this gate the long-id
+    //      branch — the one every 100 TB run actually takes — would be
+    //      spec-pinned but never DuckDB-oracled. Identical oracle SQL;
+    //      value-identical to its string-branch twin by the
+    //      branch-equality contract
+    "connected_components_dict" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"))
+        .filter(col("doc_id") % 20 < 15)
+      val e = d.select(
+        lpad(col("doc_id").cast("string"), 12, "0").as("src"),
+        lpad((col("doc_id") + 1).cast("string"), 12, "0").as("dst"))
+      graft.operators.Graph.connectedComponentsMin(e, "src", "dst",
+          dictThreshold = 1L)
         .orderBy("node")
     }),
 
@@ -8876,6 +8950,62 @@ object SparkEntry {
          |FROM recs
          |ORDER BY variant, query_id""".stripMargin,
 
+    // epoch-1 codebooks trained on the drifted batch; "backfilled"
+    // scores codes over raw0 ∪ drifted, "unbackfilled" restricts to
+    // drifted ids (= the pinned pre-backfill codes version). nprobe = c
+    // makes coarse cells score-irrelevant — pure ADC arithmetic replays
+    "pq_epoch_backfill" ->
+      s"""WITH eall AS (
+         | SELECT vec_id,
+         |  list_transform(embedding,
+         |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS a
+         | FROM embeddings
+         |), re AS (
+         | SELECT vec_id, a FROM eall WHERE vec_id < 300
+         |), de AS (
+         | SELECT vec_id + 10000 AS vec_id,
+         |  list_transform(embedding,
+         |    x -> CAST(floor((CAST(x AS DOUBLE) / 8 + 0.9) * 1000000) AS BIGINT)) AS a
+         | FROM embeddings WHERE vec_id >= 300 AND vec_id < 500
+         |), ue AS (
+         | SELECT * FROM re UNION ALL SELECT * FROM de
+         |), qe AS (
+         | SELECT vec_id, a FROM eall WHERE vec_id < 3
+         |), js AS (
+         | SELECT unnest(generate_series(0, 3)) AS j
+         |), ${pqChainSqlOver("b", "ue",
+             "vec_id >= 10300 AND vec_id < 10304", "s.vec_id >= 10300")},
+         |qsub AS (
+         | SELECT q.vec_id AS qid, js.j,
+         |  list_slice(q.a, js.j*16 + 1, js.j*16 + 16) AS sv
+         | FROM qe q, js
+         |), blut AS (
+         | SELECT s.qid, s.j, b.cid,
+         |  list_sum(list_transform(range(1, 17),
+         |    i -> (s.sv[i] - b.cv[i]) * (s.sv[i] - b.cv[i]))) AS dd
+         | FROM qsub s JOIN bpcb b ON b.j = s.j
+         |), sc AS (
+         | SELECT l.qid, c.vec_id AS nid, CAST(sum(l.dd) AS BIGINT) AS adist
+         | FROM bcodes c JOIN blut l ON l.j = c.j AND l.cid = c.cid
+         | WHERE c.vec_id <> l.qid
+         | GROUP BY 1, 2
+         |), rall AS (
+         | SELECT qid, nid, adist,
+         |  row_number() OVER (PARTITION BY qid ORDER BY adist, nid) AS rn
+         | FROM sc
+         |), run AS (
+         | SELECT qid, nid, adist,
+         |  row_number() OVER (PARTITION BY qid ORDER BY adist, nid) AS rn
+         | FROM sc WHERE nid >= 10300
+         |)
+         |SELECT qid AS query_id, nid AS neighbor_id, adist,
+         | CAST(rn AS INT) AS rank, 'backfilled' AS variant
+         |FROM rall WHERE rn <= 3
+         |UNION ALL
+         |SELECT qid, nid, adist, CAST(rn AS INT), 'unbackfilled'
+         |FROM run WHERE rn <= 3
+         |ORDER BY variant, query_id, rank""".stripMargin,
+
     // serving = min committed label among the query's >= 0.5-jaccard
     // matches in the base corpus; committed labels are the 4-round LPA
     // over base-only pairs (the er_stream chain restricted to batch 0)
@@ -10042,6 +10172,18 @@ object SparkEntry {
     // min 20k); convergence makes the schedule irrelevant, so no
     // round-unrolling is needed
     "connected_components" ->
+      """WITH ids AS (
+        | SELECT CAST(doc_id AS BIGINT) AS i FROM documents WHERE doc_id % 20 < 15
+        |), nodes AS (
+        | SELECT DISTINCT v FROM (SELECT i AS v FROM ids UNION ALL SELECT i + 1 FROM ids)
+        |)
+        |SELECT lpad(CAST(v AS VARCHAR), 12, '0') AS node,
+        | lpad(CAST((v // 20) * 20 AS VARCHAR), 12, '0') AS label
+        |FROM nodes ORDER BY node""".stripMargin,
+
+    // the dict branch must be value-identical to the string branch —
+    // same oracle verbatim
+    "connected_components_dict" ->
       """WITH ids AS (
         | SELECT CAST(doc_id AS BIGINT) AS i FROM documents WHERE doc_id % 20 < 15
         |), nodes AS (

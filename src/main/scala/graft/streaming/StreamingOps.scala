@@ -1438,6 +1438,21 @@ object StreamingOps {
     * at 100 TB both would move to an append-log + compaction layout —
     * the protocol (version pointer, replay guard) is unchanged by that
     * swap.
+    *
+    * State-handle fast path (the Decontamination probe-hash-handle
+    * discipline): the committed state is consumed THREE times per batch
+    * (new-id anti-join, gram union, label star edges), each a full
+    * parquet scan of the store. A caller driving consecutive batches in
+    * one process can pass `stateIn` — the handle RETURNED by the
+    * previous call, a localCheckpoint of exactly the frame `_CURRENT`
+    * points at — and those scans become cached-block reads. With
+    * `cacheState = true` the call checkpoints and returns the new
+    * committed state (`Some`); the replay-skip branch returns `stateIn`
+    * unchanged so a driving loop can thread blindly. Purely an
+    * optimization: the version guard, commit order, and written bytes
+    * are identical with or without the handle, and a `stateIn` that is
+    * NOT the committed frame is a caller bug (the contract is the
+    * returned handle, nothing else).
     */
   def applyErBatch(
       spark: SparkSession,
@@ -1451,8 +1466,10 @@ object StreamingOps {
       statePath: String,
       outPath: String,
       exactComponents: Boolean = false,
-      maxPrefixGramDf: Long = 100000L
-  ): Unit = {
+      maxPrefixGramDf: Long = 100000L,
+      stateIn: Option[DataFrame] = None,
+      cacheState: Boolean = false
+  ): Option[DataFrame] = {
     import graft.operators.{Dedup, Graph}
     import graft.functions.TextFunctions
     import org.apache.spark.sql.types.{LongType, StringType}
@@ -1460,13 +1477,14 @@ object StreamingOps {
       case Some(cur) if cur >= batchId =>
         log.warn(s"erStream: skipping batch $batchId — state at v$cur " +
           "already includes it (re-resolving would duplicate gram rows)")
+        stateIn
       case _ =>
         val newGramsRaw = batch.select(col(idCol).cast(StringType).as("_id"),
             explode(array_distinct(
               TextFunctions.shingles(col(textCol), shingleSize))).as("_s"))
           .select(col("_id"), xxhash64(col("_s")).as("_g"))
           .distinct()
-        val old = readState(spark, statePath)
+        val old = stateIn.orElse(readState(spark, statePath))
         val oldGrams = old.map(_.filter(col("kind") === "g")
           .select(col("id").as("_id"), col("g").as("_g")))
         val oldLabels = old.map(_.filter(col("kind") === "l")
@@ -1495,10 +1513,14 @@ object StreamingOps {
           .select(col("_id").as("node"),
             coalesce(col("label"), col("_id")).as("label"))
           .localCheckpoint()
-        val state = allGrams.select(lit("g").as("kind"), col("_id").as("id"),
+        val state0 = allGrams.select(lit("g").as("kind"), col("_id").as("id"),
             col("_g").as("g"), lit(null).cast(StringType).as("label"))
           .unionByName(labels.select(lit("l").as("kind"), col("node").as("id"),
             lit(null).cast(LongType).as("g"), col("label")))
+        // checkpoint BEFORE the write so the handle and the parquet bytes
+        // come from the same materialization (both inputs are already
+        // checkpointed — this is a cheap union copy, not a recompute)
+        val state = if (cacheState) state0.localCheckpoint() else state0
         val version = s"v$batchId"
         state.write.mode("overwrite").parquet(s"$statePath/$version")
         // output BEFORE commitVersion (the applyDedupBatch order): a crash
@@ -1509,6 +1531,7 @@ object StreamingOps {
             (col("node") === col("label")).as("is_canonical"))
           .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
         commitVersion(spark, statePath, version, keepFrom = batchId)
+        if (cacheState) Some(state) else None
     }
   }
 
@@ -1875,11 +1898,18 @@ object StreamingOps {
     import graft.operators.Similarity
     require(c >= 1, s"ivfPqIndexStream: c must be >= 1, got $c")
     require(m >= 1, s"ivfPqIndexStream: m must be >= 1, got $m")
+    require(batchId >= 0 && batchId < IvfPqLocalMask,
+      s"ivfPqIndexStream: batchId must be in [0, 2^40), got $batchId")
     val cellsPath = s"$statePath/cells"
     val cbPath = s"$statePath/codebooks"
     val codesPath = s"$statePath/codes"
+    // codes version = (backfill count << 40) | stream batch id: the two
+    // writers share ONE atomic pointer (see [[backfillIvfPqIndex]]), so
+    // the stream's replay arithmetic masks the low bits and a backfill
+    // bumps the high bits — neither can collide with or silently skip
+    // the other, and _CURRENT stays the single commit point
     currentVersionId(spark, codesPath) match {
-      case Some(cur) if cur >= batchId =>
+      case Some(cur) if (cur & IvfPqLocalMask) >= batchId =>
         log.warn(s"ivfPqIndexStream: skipping batch $batchId — codes at " +
           s"v$cur already include it")
       case _ =>
@@ -1940,7 +1970,8 @@ object StreamingOps {
         val encoded = Similarity.ivfPqEncode(
           batch.select(col(idCol), col(vecCol)), idCol, vecCol, cells, cb,
           residual)
-        val merged = (currentVersionId(spark, codesPath) match {
+        val curOpt = currentVersionId(spark, codesPath)
+        val merged = (curOpt match {
           // partition-dir values read back as the inferred type;
           // normalize to the encoder's BIGINT before the union
           case Some(v) => spark.read.parquet(s"$codesPath/v$v")
@@ -1949,12 +1980,21 @@ object StreamingOps {
             .unionByName(encoded)
           case None => encoded
         }).localCheckpoint()
-        val version = s"v$batchId"
+        val high = curOpt.map(_ >> IvfPqBackfillShift).getOrElse(0L)
+        val newVer = (high << IvfPqBackfillShift) | batchId
         merged.write.mode("overwrite").partitionBy("centroid_id")
-          .parquet(s"$codesPath/$version")
-        commitVersion(spark, codesPath, version, keepFrom = batchId - 1)
+          .parquet(s"$codesPath/v$newVer")
+        commitVersion(spark, codesPath, s"v$newVer", keepFrom = newVer - 1)
     }
   }
+
+  /** Codes-version layout shared by the IVF-PQ stream and its backfill:
+    * low 40 bits = stream batch id (epoch-local for the epoched tree),
+    * high bits = completed-backfill count. One number, one `_CURRENT`
+    * pointer, zero cross-writer torn windows.
+    */
+  private[graft] val IvfPqBackfillShift: Int = 40
+  private[graft] val IvfPqLocalMask: Long = (1L << IvfPqBackfillShift) - 1
 
   /** The committed code-space flag of an [[applyIvfPqIndexBatch]]
     * index: true ⇔ codes quantize residuals. States written before
@@ -2036,9 +2076,10 @@ object StreamingOps {
     *    on.
     *
     * Old epochs remain fully servable — [[queryIvfPqEpoch]] pins any
-    * epoch — and vectors are never re-encoded (codes, not floats, are
-    * stored; re-encoding history into a new epoch is an explicit
-    * backfill job, not a steady-state cost).
+    * epoch — and vectors are never re-encoded implicitly (codes, not
+    * floats, are stored): re-encoding history into a new epoch is the
+    * explicit offline [[backfillIvfPqEpoch]] job, not a steady-state
+    * cost.
     *
     * One timeline row `(epoch, n_ref, n_cur, l1_e9, retrained)` writes
     * to `outPath/batch=<id>` per non-empty batch. Crash-replay: the
@@ -2109,7 +2150,8 @@ object StreamingOps {
         log.warn(s"ivfPqEpochStream: batch $batchId predates the current " +
           s"epoch (since_batch $since) — replay no-op")
       case Some((g, since)) if currentVersionId(spark,
-          s"${epochPath(g)}/codes").exists(_ >= batchId - since) =>
+          s"${epochPath(g)}/codes")
+          .exists(v => (v & IvfPqLocalMask) >= batchId - since) =>
         log.warn(s"ivfPqEpochStream: skipping batch $batchId — epoch $g " +
           "codes already include it")
       case _ if batch.isEmpty =>
@@ -2136,6 +2178,102 @@ object StreamingOps {
             c, m, epochPath(g), residual)
         }
     }
+  }
+
+  /** OFFLINE history backfill into an [[applyIvfPqIndexBatch]] tree —
+    * the explicit re-encode step the epoch stream documents but never
+    * ran: codes, not vectors, are stored, so data indexed under old
+    * epochs never enters a new epoch's space by itself. This job takes
+    * the ORIGINAL vectors (the caller reads its corpus — the store
+    * cannot reconstruct them from codes), drops every id the target
+    * index already holds (one anti-join — replaying the job, or feeding
+    * overlapping history slices, appends nothing twice), encodes the
+    * remainder in the index's OWN committed space (cells + codebooks +
+    * the `meta` residual flag), and commits the union as the next codes
+    * version with the BACKFILL COUNTER in the version's high bits
+    * ([[IvfPqBackfillShift]]) — the stream's batch arithmetic masks
+    * those bits, so stream replays still skip and new stream batches
+    * still append after any number of backfills.
+    *
+    * Crash-replay: the codes `_CURRENT` rename is the ONLY commit; a
+    * torn run (directory written, pointer unmoved) replays into the
+    * same anti-join against the OLD version and rewrites the new
+    * directory bit-identically before committing. A completed run
+    * replays into an empty anti-join and no-ops. History ids must be
+    * unique (refused loudly — two vectors under one id cannot both
+    * enter an index keyed on it).
+    *
+    * Scale shape: one anti-join on the id column + one narrow encode of
+    * the genuinely-missing slice; vectors shuffle once (the encode's
+    * argmin projection), the existing codes move as a copy+append.
+    * Returns the number of rows backfilled.
+    */
+  def backfillIvfPqIndex(
+      spark: SparkSession,
+      history: DataFrame,
+      idCol: String,
+      vecCol: String,
+      statePath: String
+  ): Long = {
+    import graft.operators.Similarity
+    val codesPath = s"$statePath/codes"
+    val curVer = currentVersionId(spark, codesPath).getOrElse(
+      sys.error(s"backfillIvfPqIndex: no committed codes under $statePath — " +
+        "an index must exist (and have trained artifacts) before history " +
+        "can be re-encoded into its space"))
+    val cells = readState(spark, s"$statePath/cells").getOrElse(
+      sys.error(s"backfillIvfPqIndex: no committed cells under $statePath"))
+    val cb = readState(spark, s"$statePath/codebooks").getOrElse(
+      sys.error(s"backfillIvfPqIndex: no committed codebooks under $statePath"))
+    val cur = spark.read.parquet(s"$codesPath/v$curVer")
+      .withColumn("centroid_id",
+        col("centroid_id").cast(org.apache.spark.sql.types.LongType))
+      .localCheckpoint() // consumed by the anti-join AND the union
+    val slice = history.select(col(idCol), col(vecCol))
+    val missing = slice
+      .join(cur.select(col(idCol)), Seq(idCol), "left_anti")
+      .localCheckpoint()
+    val n = missing.count()
+    if (n == 0L) {
+      log.warn(s"backfillIvfPqIndex: every history id is already indexed " +
+        s"under $statePath — no-op (completed-backfill replay, or nothing " +
+        "to do)")
+      return 0L
+    }
+    require(missing.select(col(idCol)).distinct().count() == n,
+      s"backfillIvfPqIndex: history ids must be unique — an index keyed " +
+        s"on $idCol cannot hold two vectors under one id")
+    val encoded = Similarity.ivfPqEncode(missing, idCol, vecCol, cells, cb,
+      ivfPqMetaResidual(spark, statePath))
+    val merged = cur.unionByName(encoded).localCheckpoint()
+    val newVer =
+      ((curVer >> IvfPqBackfillShift) + 1) << IvfPqBackfillShift |
+        (curVer & IvfPqLocalMask)
+    merged.write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(s"$codesPath/v$newVer")
+    commitVersion(spark, codesPath, s"v$newVer", keepFrom = curVer)
+    n
+  }
+
+  /** [[backfillIvfPqIndex]] aimed at one epoch of an
+    * [[applyIvfPqEpochBatch]] tree (default: the CURRENT epoch) — the
+    * documented offline step that lets a retrained epoch serve
+    * PRE-DRIFT documents: read the original vectors for data indexed
+    * under epochs < g, re-encode them in epoch g's space, append under
+    * the versioned protocol. Old epochs stay untouched and servable.
+    */
+  def backfillIvfPqEpoch(
+      spark: SparkSession,
+      history: DataFrame,
+      idCol: String,
+      vecCol: String,
+      statePath: String,
+      epoch: Option[Long] = None
+  ): Long = {
+    val g = epoch.orElse(currentIvfPqEpoch(spark, statePath).map(_._1))
+      .getOrElse(sys.error(
+        s"backfillIvfPqEpoch: no committed epochs under $statePath"))
+    backfillIvfPqIndex(spark, history, idCol, vecCol, s"$statePath/e$g")
   }
 
   /** The committed `(epoch, since_batch)` pointer of an

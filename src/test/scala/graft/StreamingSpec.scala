@@ -784,6 +784,48 @@ class StreamingSpec extends SparkSpec {
     assert(exactLbl == (0 until 6).map(i => f"d$i" -> "d0").toMap, exactLbl.toString)
   }
 
+  test("applyErBatch state handle: threaded fast path is byte-identical to the parquet path; replay returns the handle") {
+    val words = (0 until 18).map(i => f"w$i%02d")
+    def doc(i: Int) = words.slice(2 * i, 2 * i + 8).mkString(" ")
+    val all = (0 until 6).map(i => (f"d$i", doc(i)))
+    val b0 = all.take(3).toDF("doc_id", "text")
+    val b1 = all.drop(3).toDF("doc_id", "text")
+    // plain path (no handle)
+    val wa = Files.createTempDirectory("graft-er-plain").toString
+    def plain(b: org.apache.spark.sql.DataFrame, id: Long) =
+      StreamingOps.applyErBatch(spark, b, id, "doc_id", "text",
+        shingleSize = 3, thresholdPpm = 500000L, lpaRounds = 1,
+        s"$wa/state", s"$wa/out", exactComponents = true)
+    assert(plain(b0, 0L).isEmpty) // cacheState off -> no handle returned
+    plain(b1, 1L)
+    // handle path
+    val wb = Files.createTempDirectory("graft-er-handle").toString
+    var h: Option[org.apache.spark.sql.DataFrame] = None
+    def handled(b: org.apache.spark.sql.DataFrame, id: Long) =
+      h = StreamingOps.applyErBatch(spark, b, id, "doc_id", "text",
+        shingleSize = 3, thresholdPpm = 500000L, lpaRounds = 1,
+        s"$wb/state", s"$wb/out", exactComponents = true,
+        stateIn = h, cacheState = true)
+    handled(b0, 0L)
+    assert(h.isDefined)
+    // the handle IS the committed frame
+    assert(rows(h.get.orderBy("kind", "id", "g")) ==
+      rows(StreamingOps.readState(spark, s"$wb/state").get
+        .orderBy("kind", "id", "g")))
+    handled(b1, 1L)
+    // outputs and final state identical across paths
+    assert(rows(spark.read.parquet(s"$wb/out/batch=1").orderBy("node")) ==
+      rows(spark.read.parquet(s"$wa/out/batch=1").orderBy("node")))
+    assert(rows(StreamingOps.readState(spark, s"$wb/state").get
+        .orderBy("kind", "id", "g")) ==
+      rows(StreamingOps.readState(spark, s"$wa/state").get
+        .orderBy("kind", "id", "g")))
+    // replay at the committed version no-ops and hands the handle back
+    val before = h
+    handled(b1, 1L)
+    assert(h eq before)
+  }
+
   test("pq drift stream: stable feed under threshold, drifted feed trips retrain, replay no-ops, empty reference refused") {
     import org.apache.spark.sql.functions.transform
     val work = Files.createTempDirectory("graft-pqdrift-spec").toString
@@ -967,6 +1009,72 @@ class StreamingSpec extends SparkSpec {
     // boundary → top-4 = {23,24,25,26} → 3 hits
     assert(frozenHits == 0L, s"frozen=$frozenHits")
     assert(retrainedHits == 3L, s"retrained=$retrainedHits")
+  }
+
+  test("backfillIvfPqEpoch: history re-encodes into the epoch space; replay no-ops; stream arithmetic survives; torn commit converges") {
+    val work = Files.createTempDirectory("graft-pqbackfill-spec").toString
+    def vecs(rows: (Long, Array[Float])*) = rows.toDF("id", "vec")
+    def v(x: Double) = Array.fill(4)(x.toFloat)
+    val a = vecs(0L -> v(0.0), 1L -> v(100.0), 2L -> v(0.2), 3L -> v(99.8))
+    val b = vecs((0 until 6).map(i => (20L + i) -> v(500.0 + 2 * i)): _*)
+    def step(df: org.apache.spark.sql.DataFrame, id: Long) =
+      StreamingOps.applyIvfPqEpochBatch(spark, df, id, "id", "vec",
+        c = 2, m = 2, s"$work/state", s"$work/out",
+        retrainThresholdE9 = 600000000L)
+    step(a, 0L); step(b, 1L) // epoch 1 opens, trained on the drifted batch
+    assert(StreamingOps.currentIvfPqEpoch(spark, s"$work/state").contains((1L, 1L)))
+    val e1 = s"$work/state/e1"
+    def top(x: Double, k: Int) = StreamingOps.queryIvfPqEpoch(spark,
+        s"$work/state",
+        vecs(99L -> v(x)).select(col("id").as("qid"), col("vec").as("qvec")),
+        "qid", "qvec", "id", k, nprobe = 2)
+      .select(col("neighbor_id")).as[Long].collect().toSet
+    // pre-backfill: the retrained epoch cannot see pre-drift documents
+    assert(top(0.1, 4).forall(_ >= 20L))
+    // backfill ORIGINAL vectors; one id (20) is already indexed → skipped
+    val hist = a.unionByName(vecs(20L -> v(500.0)))
+    assert(StreamingOps.backfillIvfPqEpoch(spark, hist, "id", "vec",
+      s"$work/state") == 4L)
+    val ver = StreamingOps.currentVersionId(spark, s"$e1/codes").get
+    assert(ver == (1L << 40), s"v$ver") // backfill count in the high bits
+    assert(spark.read.parquet(s"$e1/codes/v$ver").count() == 10L)
+    // pre-drift documents are now retrievable from the current epoch
+    assert(top(0.1, 4).exists(_ < 4L), top(0.1, 4).toString)
+    // replay: nothing re-appends, the pointer is pinned
+    assert(StreamingOps.backfillIvfPqEpoch(spark, hist, "id", "vec",
+      s"$work/state") == 0L)
+    assert(StreamingOps.currentVersionId(spark, s"$e1/codes").contains(ver))
+    // a NEW stream batch after the backfill still appends (masked
+    // guard), and its replay still skips
+    step(vecs(40L -> v(520.0), 41L -> v(522.0)), 2L)
+    val ver2 = StreamingOps.currentVersionId(spark, s"$e1/codes").get
+    assert(ver2 == ((1L << 40) | 1L), s"v$ver2")
+    assert(spark.read.parquet(s"$e1/codes/v$ver2").count() == 12L)
+    step(vecs(40L -> v(520.0), 41L -> v(522.0)), 2L)
+    assert(StreamingOps.currentVersionId(spark, s"$e1/codes").contains(ver2))
+    // duplicate history ids refuse loudly
+    val dup = intercept[IllegalArgumentException](
+      StreamingOps.backfillIvfPqEpoch(spark,
+        vecs(7L -> v(1.0), 7L -> v(2.0)), "id", "vec", s"$work/state"))
+    assert(dup.getMessage.contains("unique"), dup.getMessage)
+    // torn commit: new codes dir written, pointer unmoved — the replay
+    // recomputes against the OLD version and converges
+    assert(StreamingOps.backfillIvfPqEpoch(spark, vecs(8L -> v(50.0)),
+      "id", "vec", s"$work/state") == 1L)
+    val ver3 = StreamingOps.currentVersionId(spark, s"$e1/codes").get
+    assert(ver3 == ((2L << 40) | 1L), s"v$ver3")
+    tearCommit(s"$e1/codes", s"v$ver2")
+    assert(StreamingOps.backfillIvfPqEpoch(spark, vecs(8L -> v(50.0)),
+      "id", "vec", s"$work/state") == 1L)
+    assert(StreamingOps.currentVersionId(spark, s"$e1/codes").contains(ver3))
+    assert(spark.read.parquet(s"$e1/codes/v$ver3").count() == 13L)
+    // epoch 0 was never touched by any of it
+    assert(StreamingOps.currentVersionId(spark,
+      s"$work/state/e0/codes").contains(0L))
+    // no committed codes at all refuses loudly
+    val none = intercept[RuntimeException](StreamingOps.backfillIvfPqIndex(
+      spark, a, "id", "vec", s"$work/nowhere"))
+    assert(none.getMessage.contains("no committed codes"), none.getMessage)
   }
 
   test("erResolve: read-only lookup — clone matches its committed entity, novel doc self-labels, re-delivered id returns its committed label, state untouched") {
