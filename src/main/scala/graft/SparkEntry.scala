@@ -879,6 +879,123 @@ object SparkEntry {
     * HUGEINT — the modulus-free sibling of [[fnvModSql]]. `input` is
     * inlined twice, so keep it a cheap expression.
     */
+  /** The labeled graph-embedding pair table as a reusable CTE chain
+    * ending in `lp(center, other, label, weight)` — the
+    * `pipeline_graph_embedding` construction (node2vec walk replay →
+    * window pair counts → FNV negative samples), shared verbatim by the
+    * pipeline gate's oracle and the trainer oracle so the two can never
+    * drift apart.
+    */
+  private def graphEmbeddingPairsCteSql: String =
+    s"""wk AS (${node2vecOracleSql(steps = 4, walksPerNode = 1,
+           pPpm = 4000000L, qPpm = 250000L, seed = "")}
+       |), pos AS (
+       | SELECT a.node AS center, b.node AS other, 1 AS label,
+       |  CAST(count(*) AS BIGINT) AS weight
+       | FROM wk a JOIN wk b ON b.start = a.start AND b.walk = a.walk
+       |  AND b.step <> a.step AND abs(a.step - b.step) <= 2
+       | GROUP BY 1, 2
+       |), $anfLatticeCteSql, anch AS (
+       | SELECT v AS anchor FROM nodes WHERE CAST(v AS BIGINT) % 7 = 0
+       |), hx AS (
+       | SELECT anchor, cand, ${fnvHugeSql("s")} AS hh
+       | FROM (SELECT anch.anchor, nodes.v AS cand,
+       |        anch.anchor || ':' || nodes.v || ':gemb' AS s
+       |       FROM anch CROSS JOIN nodes WHERE anch.anchor <> nodes.v)
+       |), sgn AS (
+       | SELECT anchor, cand,
+       |  CAST(hh - CASE WHEN hh >= CAST('9223372036854775808' AS HUGEINT)
+       |            THEN CAST('18446744073709551616' AS HUGEINT)
+       |            ELSE CAST(0 AS HUGEINT) END AS BIGINT) AS hs
+       | FROM hx
+       |), neg AS (
+       | SELECT anchor AS center, cand AS other, 0 AS label,
+       |  CAST(1 AS BIGINT) AS weight,
+       |  row_number() OVER (PARTITION BY anchor ORDER BY hs DESC, cand DESC) AS rnk
+       | FROM sgn QUALIFY rnk <= 3
+       |), lp AS (
+       | SELECT center, other, CAST(label AS BIGINT) AS label, weight FROM (
+       |  SELECT center, other, label, weight FROM pos
+       |  UNION ALL
+       |  SELECT center, other, label, weight FROM neg)
+       |)""".stripMargin
+
+  /** The DuckDB replay of [[graft.operators.Graph.sgnsEpochs]] over the
+    * shared labeled-pair chain: FNV init per (node, dim), the literal
+    * [[graft.operators.Graph.sigmoidTablePpm]] as a VALUES table (the
+    * GateTables no-engine-transcendental discipline), each full-batch
+    * GD epoch unrolled (dot → slot → g → per-dim deltas → grouped sums
+    * → clamped update), and the final anchor-pair dot scores off the
+    * trained table. Every operation is exact integer arithmetic on
+    * identical operands — DuckDB's `//` and `%` truncate toward zero
+    * exactly like Spark's `div`/`%`.
+    */
+  private def sgnsOracleSql(dims: Int, epochs: Int, lrPpm: Long,
+      seed: String): String = {
+    val tbl = graft.operators.Graph.sigmoidTablePpm()
+    val stVals = tbl.zipWithIndex
+      .map { case (v, i) => s"($i, $v)" }.mkString(", ")
+    val hi = 6000000000000L
+    val epochCtes = (1 to epochs).map { k =>
+      s"""s$k AS MATERIALIZED (
+         | SELECT p.center, p.other, p.label, p.weight, u.emb AS ue, v.emb AS ve,
+         |  list_sum(list_transform(range(1, ${dims + 1}),
+         |    i -> u.emb[i] * v.emb[i])) AS dot
+         | FROM lpw p JOIN em${k - 1} u ON u.node = p.center
+         | JOIN em${k - 1} v ON v.node = p.other
+         |), g$k AS (
+         | SELECT s$k.*, ($lrPpm * weight * (label * 1000000 - st.sppm)) AS sc
+         | FROM s$k JOIN st ON st.idx =
+         |  CASE WHEN dot <= ${-hi} THEN 0 WHEN dot >= $hi THEN ${tbl.length - 1}
+         |       ELSE (dot + $hi) * ${tbl.length} // ${2 * hi} END
+         |), gd$k AS (
+         | SELECT center AS node, dimi.i,
+         |  (sc * (ve[dimi.i + 1] // 1000)) // 1000000000 AS d
+         | FROM g$k, dimi
+         | UNION ALL
+         | SELECT other, dimi.i, (sc * (ue[dimi.i + 1] // 1000)) // 1000000000
+         | FROM g$k, dimi
+         |), ds$k AS MATERIALIZED (
+         | SELECT node, i, CAST(sum(d) AS BIGINT) AS dd FROM gd$k GROUP BY 1, 2
+         |), em$k AS MATERIALIZED (
+         | SELECT e.node,
+         |  list(CAST(greatest(-10000000, least(10000000,
+         |    e.emb[dimi.i + 1] + coalesce(ds.dd, 0))) AS BIGINT)
+         |    ORDER BY dimi.i) AS emb
+         | FROM em${k - 1} e CROSS JOIN dimi
+         | LEFT JOIN ds$k ds ON ds.node = e.node AND ds.i = dimi.i
+         | GROUP BY e.node
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH $graphEmbeddingPairsCteSql, lpw AS MATERIALIZED (
+       | SELECT center, other, label, least(weight, 1000) AS weight FROM lp
+       |), pn AS (
+       | SELECT DISTINCT center AS v FROM lpw
+       | UNION SELECT DISTINCT other FROM lpw
+       |), dimi AS (
+       | SELECT unnest(range(0, $dims)) AS i
+       |), em0 AS MATERIALIZED (
+       | SELECT v AS node,
+       |  list(CAST((hh // 2) % 125001 - 62500 AS BIGINT) ORDER BY i) AS emb
+       | FROM (SELECT pn.v, dimi.i, ${fnvHugeSql(
+             "pn.v || '#' || CAST(dimi.i AS VARCHAR) || '#' || '" + seed + "'")} AS hh
+       |       FROM pn, dimi)
+       | GROUP BY v
+       |), st AS (
+       | SELECT * FROM (VALUES $stVals) AS t(idx, sppm)
+       |), $epochCtes, f AS (
+       | SELECT p.center, p.label,
+       |  list_sum(list_transform(range(1, ${dims + 1}),
+       |    i -> u.emb[i] * v.emb[i])) AS dot
+       | FROM lpw p JOIN em$epochs u ON u.node = p.center
+       | JOIN em$epochs v ON v.node = p.other
+       | WHERE CAST(p.center AS BIGINT) % 7 = 0
+       |)
+       |SELECT center, label, CAST(count(*) AS BIGINT) AS n_pairs,
+       | CAST(sum(dot) AS BIGINT) AS sum_dot_e12
+       |FROM f GROUP BY 1, 2 ORDER BY center, label""".stripMargin
+  }
+
   private def fnvHugeSql(input: String): String =
     s"""list_reduce(
        |    list_prepend(CAST('14695981039346656037' AS HUGEINT),
@@ -4465,6 +4582,45 @@ object SparkEntry {
         .unionByName(neg.select(col("anchor").as("center"),
           col("negative").as("other"), lit(0L).as("label"), lit(1L).as("weight")))
         .orderBy("center", "label", "other")
+    }),
+
+    // ---- the trainer that CONSUMES that labeled table — the embedding
+    //      family's loop closed (walks → pairs → train → serve, the BPE
+    //      / k-means trainer-beside-serving convention): 2 full-batch
+    //      SGNS GD epochs in exact scaled integers (FNV init, word2vec
+    //      table sigmoid as a shared literal, native graft_elemsum
+    //      gradient merge), then per-anchor dot scores of the SAME
+    //      labeled pairs off the trained table — positives separate
+    //      from negatives, and every trained coordinate replays in the
+    //      oracle bit-for-bit
+    "embedding_train_sgns" -> ((s, dir) => {
+      val edges = anfLatticeEdges(s, dir).localCheckpoint()
+      val walks = graft.operators.Graph.node2vecWalks(edges, "src", "dst",
+        steps = 4, walksPerNode = 1, pPpm = 4000000L, qPpm = 250000L)
+      val pos = graft.operators.Graph.skipGramPairs(walks, window = 2)
+      val nodes = edges.select(col("src").as("node"))
+        .unionByName(edges.select(col("dst").as("node"))).distinct()
+      val anchors = nodes.filter(col("node").cast("long") % 7 === 0)
+      val neg = Sampling.negativeSamples(anchors, "node", nodes, "node",
+        k = 3, salt = "gemb")
+      val labeled = pos.select(col("center"), col("context").as("other"),
+          lit(1L).as("label"), least(col("cnt"), lit(1000L)).as("weight"))
+        .unionByName(neg.select(col("anchor").as("center"),
+          col("negative").as("other"), lit(0L).as("label"),
+          lit(1L).as("weight")))
+        .localCheckpoint() // trained on AND scored below
+      val emb = graft.operators.Graph.sgnsEpochs(labeled, dims = 8,
+        epochs = 2, lrPpm = 250000L, seed = "sg")
+      labeled.filter(col("center").cast("long") % 7 === 0)
+        .join(emb.select(col("node").as("center"), col("emb").as("_u")),
+          Seq("center"))
+        .join(emb.select(col("node").as("other"), col("emb").as("_v")),
+          Seq("other"))
+        .withColumn("_dot", aggregate(zip_with(col("_u"), col("_v"),
+          (a, b) => a * b), lit(0L), (acc, x) => acc + x))
+        .groupBy(col("center"), col("label"))
+        .agg(count(lit(1)).as("n_pairs"), sum(col("_dot")).as("sum_dot_e12"))
+        .orderBy("center", "label")
     }),
 
     // ---- the walk corpus reduced to what an embedding trainer eats:
@@ -10222,38 +10378,15 @@ object SparkEntry {
     // walks replay → pair join positives ∪ signed-FNV top-3 negatives
     // (the negative_sampling oracle shape, salt 'gemb')
     "pipeline_graph_embedding" ->
-      s"""WITH wk AS (${node2vecOracleSql(steps = 4, walksPerNode = 1,
-             pPpm = 4000000L, qPpm = 250000L, seed = "")}
-         |), pos AS (
-         | SELECT a.node AS center, b.node AS other, 1 AS label,
-         |  CAST(count(*) AS BIGINT) AS weight
-         | FROM wk a JOIN wk b ON b.start = a.start AND b.walk = a.walk
-         |  AND b.step <> a.step AND abs(a.step - b.step) <= 2
-         | GROUP BY 1, 2
-         |), $anfLatticeCteSql, anch AS (
-         | SELECT v AS anchor FROM nodes WHERE CAST(v AS BIGINT) % 7 = 0
-         |), hx AS (
-         | SELECT anchor, cand, ${fnvHugeSql("s")} AS hh
-         | FROM (SELECT anch.anchor, nodes.v AS cand,
-         |        anch.anchor || ':' || nodes.v || ':gemb' AS s
-         |       FROM anch CROSS JOIN nodes WHERE anch.anchor <> nodes.v)
-         |), sgn AS (
-         | SELECT anchor, cand,
-         |  CAST(hh - CASE WHEN hh >= CAST('9223372036854775808' AS HUGEINT)
-         |            THEN CAST('18446744073709551616' AS HUGEINT)
-         |            ELSE CAST(0 AS HUGEINT) END AS BIGINT) AS hs
-         | FROM hx
-         |), neg AS (
-         | SELECT anchor AS center, cand AS other, 0 AS label,
-         |  CAST(1 AS BIGINT) AS weight,
-         |  row_number() OVER (PARTITION BY anchor ORDER BY hs DESC, cand DESC) AS rnk
-         | FROM sgn QUALIFY rnk <= 3
-         |)
-         |SELECT center, other, CAST(label AS BIGINT) AS label, weight FROM (
-         | SELECT center, other, label, weight FROM pos
-         | UNION ALL
-         | SELECT center, other, label, weight FROM neg)
+      s"""WITH $graphEmbeddingPairsCteSql
+         |SELECT center, other, label, weight FROM lp
          |ORDER BY center, label, other""".stripMargin,
+
+    // the trainer replayed end to end: FNV init, 2 unrolled full-batch
+    // GD epochs over the literal sigmoid table, then the anchor-pair
+    // dot scores off the trained table; see sgnsOracleSql
+    "embedding_train_sgns" -> sgnsOracleSql(dims = 8, epochs = 2,
+      lrPpm = 250000L, seed = "sg"),
 
     // the walk replay piped through the window pair join
     "walk_skipgram_pairs" ->

@@ -1585,4 +1585,137 @@ object Graph {
       .groupBy(col("_c").as("center"), col("_x").as("context"))
       .agg(count(lit(1)).as("cnt"))
   }
+
+  /** Slot-midpoint logistic table in ppm — word2vec's precomputed
+    * EXP_TABLE (Mikolov et al. 2013's public C implementation evaluates
+    * σ only through a fixed lookup table; the training loop never calls
+    * exp): σ(x) sampled at the midpoints of `slots` equal slots over
+    * [−range, range], quantized to ×10⁶ longs. Evaluated ONCE on the
+    * JVM (StrictMath — bit-identical across platforms) and fed as the
+    * SAME literal array to the Spark plan and the oracle SQL, so no
+    * engine-evaluated transcendental ever enters a compared surface
+    * (the GateTables discipline).
+    */
+  def sigmoidTablePpm(slots: Int = 64, range: Int = 6): IndexedSeq[Long] =
+    (0 until slots).map { i =>
+      val x = -range + (i + 0.5) * (2.0 * range) / slots
+      math.round(1000000.0 / (1.0 + StrictMath.exp(-x)))
+    }
+
+  /** Skip-gram-with-negative-sampling trainer over a labeled pair table
+    * — the consumer that closes the embedding family's loop (walks →
+    * [[skipGramPairs]] positives ∪ FNV negatives → THIS → serving
+    * dot-product scores), the way the BPE and k-means families each
+    * ship their trainer next to their serving path. `epochs` rounds of
+    * FULL-BATCH gradient descent on the SGNS logistic objective
+    * (Mikolov et al. 2013; Levy & Goldberg 2014 for what the objective
+    * factorizes), with every quantity an exact scaled integer so the
+    * whole training run replays bit-for-bit on any engine:
+    *
+    *  - embeddings are d-long arrays ×10⁶ (init: FNV of
+    *    `node#dim#seed` → uniform in ±0.0625, the word2vec ±0.5/d
+    *    scale at d=8);
+    *  - σ comes from [[sigmoidTablePpm]] — the dot ×10¹² buckets into
+    *    64 slots over ±6, exactly word2vec's table lookup;
+    *  - gradient per pair: g_ppm = label·10⁶ − σ_ppm, step scale
+    *    s = lrPpm · weight · g_ppm, per-dim delta
+    *    (s · (v_i div 10³)) div 10⁹ — the div-10³ truncation drops
+    *    sub-0.001 coordinate contributions (documented precision
+    *    floor) and bounds every product inside int64
+    *    (|s| ≤ 5·10¹⁴ × |v_i div 10³| ≤ 10⁴ < 2⁶³);
+    *  - updates accumulate per node through the native `graft_elemsum`
+    *    ([[graft.plans.ElemSumAggregate]] — map-side partial, the
+    *    shuffle carries one d-array per node per partition, never one
+    *    per pair), then apply under a ±10.0 coordinate clamp (word2vec
+    *    trains unclamped; the clamp makes divergence impossible at any
+    *    lr without changing converged runs).
+    *
+    * One TIED matrix (center and context share embeddings — the GloVe
+    * symmetric reading; halves state and keeps serving one table).
+    * Label must be 0/1 and weight in [1, 1000] — enforced by a
+    * zero-action tripwire riding the epoch's own join (heavier pairs:
+    * clamp or rescale upstream; the bound is what keeps s exact).
+    *
+    * Scale shape per epoch: two hash joins of the pair table against
+    * the n·d-long embedding table, one map-side-combined elemsum, one
+    * update join — no collect, no per-dim row explosion, no window.
+    * State between epochs is exactly n·d longs, localCheckpointed so
+    * the lineage never re-runs a prior epoch.
+    *
+    * Output: `(node STRING, emb ARRAY<BIGINT>)` ×10⁶.
+    */
+  def sgnsEpochs(
+      pairs: DataFrame,
+      dims: Int,
+      epochs: Int,
+      lrPpm: Long,
+      seed: String = ""
+  ): DataFrame = {
+    require(dims >= 1 && dims <= 64,
+      s"sgnsEpochs: dims must be in [1, 64], got $dims")
+    require(epochs >= 1 && epochs <= 8,
+      s"sgnsEpochs: epochs must be in [1, 8], got $epochs")
+    require(lrPpm >= 1L && lrPpm <= 500000L,
+      s"sgnsEpochs: lrPpm must be in [1, 500000], got $lrPpm")
+    require(!seed.contains("#"),
+      s"sgnsEpochs: seed must not contain '#' (the init separator), got '$seed'")
+    import org.apache.spark.sql.graft.ColumnBridge
+    val spark = pairs.sparkSession
+    graft.plans.ElemSumAggregate.register(spark)
+    val p = pairs.select(col("center").cast("string").as("center"),
+        col("other").cast("string").as("other"),
+        col("label").cast("long").as("label"),
+        col("weight").cast("long").as("weight"))
+      .filter(assert_true(col("label").isin(0L, 1L) &&
+        col("weight") >= 1L && col("weight") <= 1000L,
+        lit("sgnsEpochs: label must be 0/1 and weight in [1, 1000] — " +
+          "clamp or rescale heavier pairs upstream (the bound keeps the " +
+          "step scale inside exact int64)")).isNull)
+      .localCheckpoint()
+    val nodes = p.select(col("center").as("_v"))
+      .unionByName(p.select(col("other").as("_v")))
+      .distinct()
+    def h(i: Int) = ColumnBridge.column(graft.plans.FnvHash64(
+      ColumnBridge.expression(concat_ws("#", col("_v"), lit(i.toString),
+        lit(seed)))))
+    val initDims = (0 until dims).map(i =>
+      shiftrightunsigned(h(i), 1) % lit(125001L) - lit(62500L))
+    var emb = nodes.select(col("_v").as("node"), array(initDims: _*).as("emb"))
+      .localCheckpoint()
+    val tbl = sigmoidTablePpm()
+    val tblCol = typedLit(tbl)
+    val hi = 6000000000000L // the table's ±6.0 range in the ×10¹² dot scale
+    val idxSql = s"CASE WHEN _dot <= ${-hi} THEN 0L " +
+      s"WHEN _dot >= $hi THEN ${tbl.length - 1}L " +
+      s"ELSE ((_dot + $hi) * ${tbl.length}L) div ${2 * hi} END"
+    def deltaExpr(vecCol: String) = expr(
+      s"transform($vecCol, vi -> (_s * (vi div 1000L)) div 1000000000L)")
+    for (_ <- 1 to epochs) {
+      val scored = p
+        .join(emb.select(col("node").as("center"), col("emb").as("_u")),
+          Seq("center"))
+        .join(emb.select(col("node").as("other"), col("emb").as("_v")),
+          Seq("other"))
+        .withColumn("_dot", aggregate(zip_with(col("_u"), col("_v"),
+          (a, b) => a * b), lit(0L), (acc, x) => acc + x))
+        .withColumn("_sig", element_at(tblCol,
+          (expr(idxSql) + lit(1L)).cast("int")))
+        .withColumn("_s",
+          lit(lrPpm) * col("weight") * (col("label") * lit(1000000L) - col("_sig")))
+        .localCheckpoint() // both delta sides read the scored pairs
+      val deltas = scored.select(col("center").as("node"), deltaExpr("_v").as("_d"))
+        .unionByName(
+          scored.select(col("other").as("node"), deltaExpr("_u").as("_d")))
+        .groupBy("node")
+        .agg(call_function("graft_elemsum", col("_d")).as("_delta"))
+      emb = emb.join(deltas, Seq("node"), "left")
+        .select(col("node"),
+          when(col("_delta").isNull, col("emb"))
+            .otherwise(zip_with(col("emb"), col("_delta"), (e, d) =>
+              greatest(lit(-10000000L), least(lit(10000000L), e + d))))
+            .as("emb"))
+        .localCheckpoint()
+    }
+    emb
+  }
 }

@@ -838,6 +838,106 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("graft_elemsum: cross-partition merge, null-array skip, null-slot and length-mismatch and overflow refusals") {
+    import org.apache.spark.sql.functions._
+    graft.plans.ElemSumAggregate.register(spark)
+    val df = Seq(
+      ("g", Some(Seq(1L, -9L, 0L))), ("g", Some(Seq(4L, 2L, 0L))),
+      ("g", None), ("h", Some(Seq(0L, 0L, 7L)))
+    ).toDF("k", "_d").repartition(4)
+    val got = df.groupBy("k")
+      .agg(call_function("graft_elemsum", col("_d")).as("r"))
+      .as[(String, Seq[Long])].collect().toMap
+    assert(got("g") == Seq(5L, -7L, 0L), got.toString)
+    assert(got("h") == Seq(0L, 0L, 7L), got.toString)
+    val allNull = Seq(("n", Option.empty[Seq[Long]])).toDF("k", "_d")
+      .groupBy("k").agg(call_function("graft_elemsum", col("_d")))
+      .collect()
+    assert(allNull.head.isNullAt(1))
+    def msgOf(e: Throwable): String = Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+    val badLen = intercept[Exception] {
+      Seq(("g", Seq(1L)), ("g", Seq(1L, 2L))).toDF("k", "_d")
+        .groupBy("k").agg(call_function("graft_elemsum", col("_d"))).collect()
+    }
+    assert(msgOf(badLen).contains("different lengths"), badLen.toString)
+    val nullSlot = intercept[Exception] {
+      Seq(("g", Seq(Some(1L), None))).toDF("k", "_d")
+        .groupBy("k").agg(call_function("graft_elemsum", col("_d"))).collect()
+    }
+    assert(msgOf(nullSlot).contains("null slot"), nullSlot.toString)
+    val over = intercept[Exception] {
+      Seq(("g", Seq(Long.MaxValue)), ("g", Seq(1L))).toDF("k", "_d")
+        .repartition(1)
+        .groupBy("k").agg(call_function("graft_elemsum", col("_d"))).collect()
+    }
+    assert(msgOf(over).contains("overflow"), over.toString)
+  }
+
+  test("sgnsEpochs: one-pair epoch matches the hand-replayed integer arithmetic") {
+    val pairs = Seq(("a", "b", 1L, 1L)).toDF("center", "other", "label", "weight")
+    val tbl = Graph.sigmoidTablePpm()
+    def init(n: String, i: Int): Long =
+      ((fnvU64(s"$n#$i#s1") >> 1) % 125001L).toLong - 62500L
+    val u0 = (0 until 2).map(i => init("a", i))
+    val v0 = (0 until 2).map(i => init("b", i))
+    val dot = u0.zip(v0).map { case (a, b) => a * b }.sum
+    val hi = 6000000000000L
+    val idx = if (dot <= -hi) 0 else if (dot >= hi) 63
+      else (((dot + hi) * 64L) / (2L * hi)).toInt
+    val s = 500000L * 1L * (1000000L - tbl(idx))
+    def step(e: Seq[Long], o: Seq[Long]): Seq[Long] = e.zip(o).map {
+      case (ei, oi) => math.max(-10000000L,
+        math.min(10000000L, ei + (s * (oi / 1000L)) / 1000000000L))
+    }
+    val exp = Map("a" -> step(u0, v0), "b" -> step(v0, u0))
+    val got = Graph.sgnsEpochs(pairs, dims = 2, epochs = 1,
+        lrPpm = 500000L, seed = "s1")
+      .as[(String, Seq[Long])].collect().toMap
+    assert(got == exp, s"got=$got exp=$exp")
+  }
+
+  test("sgnsEpochs: trained embeddings separate planted clusters; tripwires and bounds refuse") {
+    // two 3-cliques as positives, cross-cluster pairs as negatives
+    val as = Seq("a1", "a2", "a3"); val bs = Seq("b1", "b2", "b3")
+    def cliquePairs(ns: Seq[String]) = for {
+      x <- ns; y <- ns if x != y
+    } yield (x, y, 1L, 1L)
+    val cross = for { x <- as; y <- bs } yield (x, y, 0L, 1L)
+    val pairs = (cliquePairs(as) ++ cliquePairs(bs) ++ cross)
+      .toDF("center", "other", "label", "weight")
+    val emb = Graph.sgnsEpochs(pairs, dims = 8, epochs = 4, lrPpm = 250000L)
+      .as[(String, Seq[Long])].collect().toMap
+    def dot(x: String, y: String): Long =
+      emb(x).zip(emb(y)).map { case (a, b) => a * b }.sum
+    val within = (cliquePairs(as) ++ cliquePairs(bs)).map(p => dot(p._1, p._2))
+    val across = cross.map(p => dot(p._1, p._2))
+    assert(within.sum / within.size > across.sum / across.size,
+      s"within=${within.sum / within.size} across=${across.sum / across.size}")
+    // every trained coordinate respects the ±10.0 clamp
+    assert(emb.values.flatten.forall(v => v.abs <= 10000000L))
+    // tripwires: bad label / weight out of [1, 1000]
+    for (bad <- Seq(("a", "b", 2L, 1L), ("a", "b", 1L, 0L),
+        ("a", "b", 1L, 1001L))) {
+      val e = intercept[Exception] {
+        Graph.sgnsEpochs(Seq(bad).toDF("center", "other", "label", "weight"),
+          dims = 2, epochs = 1, lrPpm = 1000L).collect()
+      }
+      val msg = Option(e.getMessage).getOrElse("") +
+        Option(e.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+      assert(msg.contains("label must be 0/1"), e.toString)
+    }
+    // parameter bounds
+    intercept[IllegalArgumentException](
+      Graph.sgnsEpochs(pairs, dims = 0, epochs = 1, lrPpm = 1000L))
+    intercept[IllegalArgumentException](
+      Graph.sgnsEpochs(pairs, dims = 2, epochs = 9, lrPpm = 1000L))
+    intercept[IllegalArgumentException](
+      Graph.sgnsEpochs(pairs, dims = 2, epochs = 1, lrPpm = 500001L))
+    intercept[IllegalArgumentException](
+      Graph.sgnsEpochs(pairs, dims = 2, epochs = 1, lrPpm = 1000L, seed = "x#y"))
+  }
+
   test("graft_elemmax: a null register slot is a hard error, not a silent rho 0") {
     import org.apache.spark.sql.functions._
     graft.plans.ElemMaxAggregate.register(spark)
