@@ -1240,10 +1240,12 @@ object SparkEntry {
          | FROM b$tt JOIN hr h ON h.v = b$tt.v GROUP BY 1, 2
          |), s$tt AS (
          | SELECT u, CAST(sum(CAST((CAST(1 AS BIGINT) << (62 - mr)) AS HUGEINT)) AS HUGEINT)
-         |  + ($m - count(*)) * CAST('$two62' AS HUGEINT) AS s
+         |  + ($m - count(*)) * CAST('$two62' AS HUGEINT) AS s,
+         |  CAST($m - count(*) AS BIGINT) AS vz
          | FROM r$tt GROUP BY 1
          |), est$tt AS (
-         | SELECT u, CAST(CAST('$num' AS HUGEINT) // (s * 1000000) AS BIGINT) AS e FROM s$tt
+         | SELECT u, CAST(CAST('$num' AS HUGEINT) // (s * 1000000) AS BIGINT) AS e, vz
+         | FROM s$tt
          |)""".stripMargin
     }
     s"""$anfLatticeCteSql, b0 AS (
@@ -1272,12 +1274,25 @@ object SparkEntry {
       .map(tt => s"JOIN est$tt e$tt ON e$tt.u = n.v").mkString(" ")
     val ballCols = (1 to maxDepth)
       .map(tt => s"e$tt.e AS ball${tt}_est").mkString(",\n ")
+    // the operator's linear-counting correction off the SAME JVM-
+    // computed literal table (lc CTE below) — raw ≤ 2.5m with empty
+    // registers reads the table at V, everything else keeps raw
+    val lcCols = (1 to maxDepth).map { tt =>
+      s"CASE WHEN e$tt.e * 10 <= ${25L * m} AND e$tt.vz > 0" +
+        s" THEN (SELECT lcv FROM lc WHERE lc.vz = e$tt.vz)" +
+        s" ELSE e$tt.e END AS ball${tt}_lc_est"
+    }.mkString(",\n ")
+    val lcVals = graft.operators.Graph.anfLinearCountTable(m)
+      .zipWithIndex.map { case (v, i) => s"(${i + 1}, $v)" }.mkString(", ")
     val harmonic = (1 to maxDepth).map { tt =>
       val prev = if (tt == 1) "1" else s"e${tt - 1}.e"
       s"(greatest(0, e$tt.e - $prev) * 1000000) // $tt"
     }.mkString(" + ")
-    s"""WITH ${anfOracleChainSql(maxDepth, m)}
+    s"""WITH ${anfOracleChainSql(maxDepth, m)}, lc AS (
+       | SELECT * FROM (VALUES $lcVals) AS t(vz, lcv)
+       |)
        |SELECT n.v AS node, $ballCols,
+       | $lcCols,
        | CAST($harmonic AS BIGINT) AS harmonic_est_ppm
        |FROM nodes n $joins
        |ORDER BY node""".stripMargin

@@ -896,6 +896,19 @@ object Graph {
       "(acc, r) -> acc + CAST(shiftleft(1L, 62 - CAST(r AS INT)) AS DECIMAL(38,0))) " +
       "* CAST(1000000 AS DECIMAL(38,0))) AS BIGINT)"
 
+  /** The HLL linear-counting table lc(V) = round(m·ln(m/V)) for V ∈
+    * [1, m] — the standard small-range correction (Flajolet et al.
+    * 2007; the HyperLogLog paper applies it when the raw estimate is
+    * ≤ 2.5m and any register is empty). `ln` is banned from compared
+    * surfaces by policy, so the m transcendental evaluations happen
+    * ONCE on the JVM (StrictMath, bit-identical everywhere) and both
+    * engines read the SAME m-entry literal — the GateTables idf
+    * discipline. Index V (1-based) = the corrected estimate when V
+    * registers are empty; lc(m) = 0 (nothing seen).
+    */
+  private[graft] def anfLinearCountTable(m: Int): IndexedSeq[Long] =
+    (1 to m).map(vv => math.round(m * StrictMath.log(m.toDouble / vv)))
+
   /** Initial ANF register banks, one per node: FNV-1a of the ORIGINAL
     * node string (never the dict id — the hash must be representation-
     * independent so the dict and string branches agree bit-for-bit),
@@ -975,13 +988,19 @@ object Graph {
     * exact ball B_t(u) (max-merge ≡ set-union), so an external engine
     * replays every estimate bit-for-bit from unrolled reachability.
     * Accuracy is the raw-HLL ±1.04/√m on LARGE balls; tiny balls read
-    * the estimator's ~α·m small-range floor (measured in the README;
-    * production m = 256–1024 and web-scale balls are the operating
-    * regime). Negative per-level deltas — possible wherever estimates
-    * wobble — are clamped at 0 identically on both engines.
+    * the estimator's ~α·m small-range floor, so each level ALSO emits
+    * the standard linear-counting correction `ball{t}_lc_est`
+    * ([[anfLinearCountTable]] — applied when raw ≤ 2.5m and any
+    * register is empty, the Flajolet small-range rule; the raw column
+    * stays for consumers that want the uncorrected estimator, and the
+    * harmonic fold stays on the raw ladder so its telescoping deltas
+    * keep one consistent estimator). Negative per-level deltas —
+    * possible wherever estimates wobble — are clamped at 0 identically
+    * on both engines.
     *
     * Output: `(node STRING, ball1_est..ball{maxDepth}_est BIGINT,
-    * harmonic_est_ppm BIGINT)`, one row per node in the edge universe.
+    * ball1_lc_est..ball{maxDepth}_lc_est BIGINT, harmonic_est_ppm
+    * BIGINT)`, one row per node in the edge universe.
     */
   def anfHyperBall(
       edges: DataFrame,
@@ -1021,16 +1040,30 @@ object Graph {
     for (t <- 1 to maxDepth) {
       state = anfRound(eByDst, state).localCheckpoint()
       ests = ests :+ state.select(col("_n"),
-        expr(anfEstimateSql(m)).as(s"ball${t}_est"))
+        expr(anfEstimateSql(m)).as(s"ball${t}_est"),
+        expr("aggregate(_regs, 0L, (acc, r) -> acc + IF(r = 0, 1L, 0L))")
+          .as(s"_vz$t"))
     }
     val joined = ests.reduce(_.join(_, Seq("_n")))
     val harmonic = (1 to maxDepth).map { t =>
       val prev = if (t == 1) "1L" else s"ball${t - 1}_est"
       s"(greatest(0L, ball${t}_est - $prev) * 1000000L) div ${t}L"
     }.mkString(" + ")
+    // small-range correction off the shared literal table: raw ≤ 2.5m
+    // with empty registers reads the estimator's ~α·m floor; linear
+    // counting on the empty-register count V replaces it (raw kept —
+    // both views are the HLL contract, pick per consumer)
+    val lcCol = typedLit(anfLinearCountTable(m))
+    def lc(t: Int) =
+      when(col(s"ball${t}_est") * lit(10L) <= lit(25L * m) &&
+          col(s"_vz$t") > lit(0L),
+        element_at(lcCol, col(s"_vz$t").cast("int")))
+      .otherwise(col(s"ball${t}_est"))
     val out = nodes.join(joined, Seq("_n"))
       .withColumn("harmonic_est_ppm", expr(s"CAST($harmonic AS BIGINT)"))
-    val cols = (1 to maxDepth).map(t => col(s"ball${t}_est")) :+ col("harmonic_est_ppm")
+    val cols = (1 to maxDepth).map(t => col(s"ball${t}_est")) ++
+      (1 to maxDepth).map(t => lc(t).as(s"ball${t}_lc_est")) :+
+      col("harmonic_est_ppm")
     dictOpt match {
       case Some(dct) => decodeIds(out, dct, Seq("_n" -> "node"))
         .select(col("node") +: cols: _*)

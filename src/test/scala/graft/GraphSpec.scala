@@ -431,13 +431,31 @@ class GraphSpec extends SparkSpec {
       u -> Seq(b1, b2, b3)
     }.toMap
     val exp = anfModel(balls, m = 64)
-    val got = Graph.anfHyperBall(edges, "src", "dst", maxDepth = 3, m = 64)
-      .as[(String, Long, Long, Long, Long)].collect()
-      .map(r => r._1 -> ((Seq(r._2, r._3, r._4), r._5))).toMap
+    val out = Graph.anfHyperBall(edges, "src", "dst", maxDepth = 3, m = 64)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect()
+    val got = out.map(r => r._1 -> ((Seq(r._2, r._3, r._4), r._8))).toMap
     assert(got == exp, s"got=$got\nexp=$exp")
     // register growth is monotone, so per-node estimates are too
     got.values.foreach { case (ests, _) =>
       assert(ests == ests.sorted, ests.toString)
+    }
+    // the linear-counting columns: every ball here is tiny (≤ 4 of
+    // 2.5·64), so each corrected estimate is the table at the ball's
+    // empty-register count — which for distinct-bucket hashes is the
+    // EXACT ball size rounded through m·ln(m/(m−n))
+    val lcTbl = Graph.anfLinearCountTable(64)
+    val expLc = balls.map { case (u, bs) =>
+      u -> bs.map { ball =>
+        val buckets = ball.map(v => (fnvU64(v + ":anf") % 64).toInt).size
+        lcTbl(64 - buckets - 1) // table is 1-based on V = empty count
+      }
+    }
+    val gotLc = out.map(r => r._1 -> Seq(r._5, r._6, r._7)).toMap
+    assert(gotLc == expLc, s"gotLc=$gotLc\nexpLc=$expLc")
+    // small balls: the corrected estimate equals the true size here
+    // (distinct buckets, n ≪ m) while the raw floor sits near α·m
+    gotLc.foreach { case (u, lcs) =>
+      assert(lcs.head == balls(u).head.size.toLong, s"$u: $lcs vs ${balls(u)}")
     }
     intercept[IllegalArgumentException] {
       Graph.anfHyperBall(edges, "src", "dst", maxDepth = 3, m = 48)
