@@ -3061,15 +3061,15 @@ object SparkEntry {
         lpad(col("doc_id").cast("string"), 8, "0").as("doc_id"), col("text"))
       val work = java.nio.file.Files
         .createTempDirectory("graft-er-stream").toString
-      // thread the returned state handle batch-to-batch: the committed
-      // store is consumed 3× per batch, and the handle turns those
-      // parquet re-scans into cached-block reads (bytes and protocol
-      // identical — the replay step below proves the guard still holds)
-      var h: Option[DataFrame] = None
+      // NOT handle-threaded: at gate scale the committed state's parquet
+      // re-reads are page-cached and column-pruned, and threading the
+      // in-memory handle measured ~1.5 s SLOWER at matched calibration
+      // (README round-14 measurements) — the handle is the
+      // larger-than-page-cache path, spec-pinned, not a gate win
       def step(b: DataFrame, id: Long): Unit =
-        h = StreamingOps.applyErBatch(s, b, id, "doc_id", "text",
+        StreamingOps.applyErBatch(s, b, id, "doc_id", "text",
           shingleSize = 3, thresholdPpm = 500000L, lpaRounds = 4,
-          s"$work/state", s"$work/out", stateIn = h, cacheState = true)
+          s"$work/state", s"$work/out")
       step(pad(base), 0L)
       step(pad(clones.union(trunc)), 1L)
       step(pad(clones.union(trunc)), 1L) // replay no-op
@@ -3141,12 +3141,10 @@ object SparkEntry {
             " ").as("text"))
       val work = java.nio.file.Files
         .createTempDirectory("graft-er-exact-stream").toString
-      var h: Option[DataFrame] = None
       def step(b: DataFrame, id: Long): Unit =
-        h = StreamingOps.applyErBatch(s, b, id, "doc_id", "text",
+        StreamingOps.applyErBatch(s, b, id, "doc_id", "text",
           shingleSize = 3, thresholdPpm = 500000L, lpaRounds = 1,
-          s"$work/state", s"$work/out", exactComponents = true,
-          stateIn = h, cacheState = true)
+          s"$work/state", s"$work/out", exactComponents = true)
       step(win(0, 2), 0L)
       step(win(3, 5), 1L)
       step(win(3, 5), 1L) // replay no-op

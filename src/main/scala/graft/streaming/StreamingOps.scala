@@ -1444,11 +1444,14 @@ object StreamingOps {
     * (new-id anti-join, gram union, label star edges), each a full
     * parquet scan of the store. A caller driving consecutive batches in
     * one process can pass `stateIn` — the handle RETURNED by the
-    * previous call, a localCheckpoint of exactly the frame `_CURRENT`
-    * points at — and those scans become cached-block reads. With
-    * `cacheState = true` the call checkpoints and returns the new
-    * committed state (`Some`); the replay-skip branch returns `stateIn`
-    * unchanged so a driving loop can thread blindly. Purely an
+    * previous call: a LAZY frame over that batch's localCheckpointed
+    * inputs, row-identical to what `_CURRENT` points at, so each scan
+    * becomes an in-memory union read instead of a parquet pass (lazy
+    * deliberately — eagerly re-checkpointing the full state measured
+    * SLOWER than the page-cached parquet re-reads it replaced; README
+    * round-14 measurements). With `cacheState = true` the call returns
+    * the new committed state (`Some`); the replay-skip branch returns
+    * `stateIn` unchanged so a driving loop can thread blindly. Purely an
     * optimization: the version guard, commit order, and written bytes
     * are identical with or without the handle, and a `stateIn` that is
     * NOT the committed frame is a caller bug (the contract is the
@@ -1513,14 +1516,16 @@ object StreamingOps {
           .select(col("_id").as("node"),
             coalesce(col("label"), col("_id")).as("label"))
           .localCheckpoint()
-        val state0 = allGrams.select(lit("g").as("kind"), col("_id").as("id"),
+        // the handle stays LAZY: both union inputs (allGrams, labels) are
+        // already localCheckpointed this batch, so re-deriving the union
+        // per consumer is a cheap in-memory read — measured FASTER than
+        // eagerly checkpointing the full state again (the checkpoint
+        // materialization cost more than the page-cached, column-pruned
+        // parquet re-reads it replaced; README round-14 measurements)
+        val state = allGrams.select(lit("g").as("kind"), col("_id").as("id"),
             col("_g").as("g"), lit(null).cast(StringType).as("label"))
           .unionByName(labels.select(lit("l").as("kind"), col("node").as("id"),
             lit(null).cast(LongType).as("g"), col("label")))
-        // checkpoint BEFORE the write so the handle and the parquet bytes
-        // come from the same materialization (both inputs are already
-        // checkpointed — this is a cheap union copy, not a recompute)
-        val state = if (cacheState) state0.localCheckpoint() else state0
         val version = s"v$batchId"
         state.write.mode("overwrite").parquet(s"$statePath/$version")
         // output BEFORE commitVersion (the applyDedupBatch order): a crash
