@@ -996,6 +996,71 @@ object SparkEntry {
        |FROM f GROUP BY 1, 2 ORDER BY center, label""".stripMargin
   }
 
+  /** The DuckDB replay of [[graft.operators.Preference.bradleyTerryScaled]]
+    * over the consecutive-doc comparison log: oriented win counts →
+    * symmetric pair stats via the zero-filled reversed union + self-join,
+    * then each MM round unrolled — d = (n_ij·10¹²) // (γ_i+γ_j), D
+    * floored at 1, γ' = (W·10¹²) // D clamped to [1, 10¹²], normalize in
+    * HUGEINT with the post-normalize 1-floor. All positive integers, so
+    * `//` ≡ Spark's `div` exactly.
+    */
+  private def bradleyTerryOracleSql(rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { k =>
+      s"""dk$k AS (
+         | SELECT p.i, greatest(1, CAST(sum((p.nij * 1000000000000) // (gi.g + gj.g)) AS BIGINT)) AS D
+         | FROM ps p JOIN g${k - 1} gi ON gi.i = p.i
+         | JOIN g${k - 1} gj ON gj.i = p.j
+         | GROUP BY 1
+         |), rk$k AS (
+         | SELECT it.i,
+         |  least(1000000000000, greatest(1,
+         |    (it.wi * 1000000000000) // coalesce(d.D, 1))) AS g
+         | FROM items it LEFT JOIN dk$k d ON d.i = it.i
+         |), tk$k AS (
+         | SELECT CAST(sum(CAST(g AS HUGEINT)) AS HUGEINT) AS tot FROM rk$k
+         |), g$k AS (
+         | SELECT i, greatest(1, CAST((CAST(g AS HUGEINT) * nn.scale) // tot AS BIGINT)) AS g
+         | FROM rk$k, tk$k, nn
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH dd AS (
+       | SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
+       | FROM documents
+       | WHERE doc_id < 2000 AND source IS NOT NULL AND n_chars IS NOT NULL
+       |), cmp AS (
+       | SELECT CASE WHEN a.n_chars >= b.n_chars THEN a.source ELSE b.source END AS w,
+       |        CASE WHEN a.n_chars >= b.n_chars THEN b.source ELSE a.source END AS l
+       | FROM dd a JOIN dd b ON b.doc_id = a.doc_id + 1
+       | WHERE a.source <> b.source
+       |), w0 AS (
+       | SELECT w AS i, l AS j, CAST(count(*) AS BIGINT) AS wn FROM cmp GROUP BY 1, 2
+       |), wb AS (
+       | SELECT i, j, CAST(sum(wn) AS BIGINT) AS wij FROM (
+       |  SELECT i, j, wn FROM w0 UNION ALL SELECT j, i, 0 FROM w0)
+       | GROUP BY 1, 2
+       |), ps AS (
+       | SELECT a.i, a.j, a.wij + b.wij AS nij
+       | FROM wb a JOIN wb b ON b.i = a.j AND b.j = a.i
+       |), winz AS (
+       | SELECT w AS i, CAST(count(*) AS BIGINT) AS wi FROM cmp GROUP BY 1
+       |), items AS (
+       | SELECT u.i, coalesce(winz.wi, 0) AS wi
+       | FROM (SELECT DISTINCT i FROM
+       |        (SELECT w AS i FROM cmp UNION ALL SELECT l FROM cmp)) u
+       | LEFT JOIN winz ON winz.i = u.i
+       |), nn AS (
+       | SELECT CAST(count(*) AS BIGINT) * 1000000 AS scale FROM items
+       |), g0 AS (
+       | SELECT i, CAST(1000000 AS BIGINT) AS g FROM items
+       |), $roundCtes
+       |SELECT it.i AS item, g.g AS rating_e6, it.wi AS wins,
+       | coalesce(cmps.c, 0) AS comparisons
+       |FROM items it JOIN g$rounds g ON g.i = it.i
+       |LEFT JOIN (SELECT i, CAST(sum(nij) AS BIGINT) AS c FROM ps GROUP BY 1) cmps
+       | ON cmps.i = it.i
+       |ORDER BY item""".stripMargin
+  }
+
   private def fnvHugeSql(input: String): String =
     s"""list_reduce(
        |    list_prepend(CAST('14695981039346656037' AS HUGEINT),
@@ -4634,6 +4699,28 @@ object SparkEntry {
         .groupBy(col("center"), col("label"))
         .agg(count(lit(1)).as("n_pairs"), sum(col("_dot")).as("sum_dot_e12"))
         .orderBy("center", "label")
+    }),
+
+    // ---- pairwise-preference aggregation (the RLHF preference-data
+    //      step): Bradley–Terry strength ratings via 4 exact-integer MM
+    //      rounds over comparisons derived deterministically from the
+    //      corpus — consecutive docs compete, the longer text's SOURCE
+    //      wins — so the oracle replays every rating from the same log
+    "preference_bt" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .filter(col("doc_id") < 2000 && col("source").isNotNull &&
+          col("n_chars").isNotNull)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val cmp = d.join(d.select((col("doc_id") - 1).as("doc_id"),
+          col("source").as("_s2"), col("n_chars").as("_n2")), Seq("doc_id"))
+        .filter(col("source") =!= col("_s2"))
+        .select(
+          when(col("n_chars") >= col("_n2"), col("source"))
+            .otherwise(col("_s2")).as("winner"),
+          when(col("n_chars") >= col("_n2"), col("_s2"))
+            .otherwise(col("source")).as("loser"))
+      Preference.bradleyTerryScaled(cmp, "winner", "loser", rounds = 4)
+        .orderBy("item")
     }),
 
     // ---- the walk corpus reduced to what an embedding trainer eats:
@@ -10400,6 +10487,9 @@ object SparkEntry {
     // dot scores off the trained table; see sgnsOracleSql
     "embedding_train_sgns" -> sgnsOracleSql(dims = 8, epochs = 2,
       lrPpm = 250000L, seed = "sg"),
+
+    // the Bradley–Terry MM rounds unrolled; see bradleyTerryOracleSql
+    "preference_bt" -> bradleyTerryOracleSql(rounds = 4),
 
     // the walk replay piped through the window pair join
     "walk_skipgram_pairs" ->

@@ -1,0 +1,90 @@
+package graft
+
+import graft.operators.Preference
+import org.apache.spark.sql.functions._
+
+class PreferenceSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** The operator's exact integer arithmetic, replayed move for move. */
+  private def replay(cmp: Seq[(String, String)], rounds: Int): Map[String, Long] = {
+    val items = (cmp.map(_._1) ++ cmp.map(_._2)).distinct.sorted
+    val n = items.size.toLong
+    val wins = items.map(i => i -> cmp.count(_._1 == i).toLong).toMap
+    val oriented = cmp.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      .withDefaultValue(0L)
+    val nij = (for {
+      i <- items; j <- items if i != j
+      nn = oriented((i, j)) + oriented((j, i)) if nn > 0
+    } yield (i, j) -> nn).toMap
+    var g = items.map(_ -> 1000000L).toMap
+    for (_ <- 1 to rounds) {
+      val gp = items.map { i =>
+        val dSum = nij.collect { case ((a, b), nn) if a == i =>
+          nn * 1000000000000L / (g(i) + g(b))
+        }.sum
+        val dd = math.max(1L, dSum)
+        i -> math.min(1000000000000L,
+          math.max(1L, wins(i) * 1000000000000L / dd))
+      }.toMap
+      val tot = gp.values.map(BigInt(_)).sum
+      g = gp.map { case (i, v) =>
+        i -> math.max(1L, ((BigInt(v) * BigInt(n * 1000000L)) / tot).toLong)
+      }
+    }
+    g
+  }
+
+  test("bradleyTerryScaled: matches the hand-replayed MM arithmetic; wins/comparisons columns exact") {
+    val cmp = Seq(("a", "b"), ("a", "b"), ("a", "b"), ("b", "a"),
+      ("b", "c"), ("b", "c"), ("a", "c"))
+    val got = Preference.bradleyTerryScaled(
+        cmp.toDF("winner", "loser"), "winner", "loser", rounds = 3)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val exp = replay(cmp, 3)
+    assert(got.view.mapValues(_._1).toMap == exp, s"got=$got exp=$exp")
+    assert(got("a")._2 == 4L && got("b")._2 == 3L && got("c")._2 == 0L)
+    // comparisons = all matches the item took part in, either side
+    assert(got("a")._3 == 5L && got("b")._3 == 6L && got("c")._3 == 3L)
+    // ratings sum to n_items * 1e6 up to the per-item truncation/floor
+    val s = got.values.map(_._1).sum
+    assert(s <= 3000000L + 3 && s >= 3000000L - 3, s.toString)
+  }
+
+  test("bradleyTerryScaled: a dominant item tops the table; a never-winner floors above zero") {
+    // d beats everyone twice; c loses every match it plays
+    val cmp = (for {
+      x <- Seq("a", "b", "c"); _ <- 1 to 2
+    } yield ("d", x)) ++ Seq(("a", "b"), ("b", "a"), ("a", "c"), ("b", "c"))
+    val got = Preference.bradleyTerryScaled(
+        cmp.toDF("winner", "loser"), "winner", "loser", rounds = 6)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r._2).toMap
+    assert(got("d") == got.values.max, got.toString)
+    assert(got("c") == got.values.min && got("c") >= 1L, got.toString)
+    // a and b are symmetric by construction — identical ratings
+    assert(got("a") == got("b"), got.toString)
+  }
+
+  test("bradleyTerryScaled: null/self rows drop; tripwires and bounds refuse") {
+    val messy = Seq(("a", "b"), ("a", "a"), (null, "b"), ("b", null), ("b", "a"))
+      .toDF("winner", "loser")
+    val got = Preference.bradleyTerryScaled(messy, "winner", "loser", rounds = 2)
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r._2).toMap
+    assert(got.keySet == Set("a", "b") && got("a") == got("b"), got.toString)
+    intercept[IllegalArgumentException](
+      Preference.bradleyTerryScaled(messy, "winner", "loser", rounds = 0))
+    intercept[IllegalArgumentException](
+      Preference.bradleyTerryScaled(messy, "winner", "loser", rounds = 33))
+    // > 1e6 comparisons on one pair refuses loudly (zero-action tripwire)
+    val heavy = spark.range(1000001L)
+      .select(lit("a").as("winner"), lit("b").as("loser"))
+    val e = intercept[Exception](
+      Preference.bradleyTerryScaled(heavy, "winner", "loser", rounds = 1)
+        .collect())
+    val msg = Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).flatMap(x => Option(x.getMessage)).getOrElse("")
+    assert(msg.contains("10^6"), e.toString)
+  }
+}
