@@ -4723,6 +4723,40 @@ object SparkEntry {
         .orderBy("item")
     }),
 
+    // ---- the STREAMING face of that aggregation: the same comparison
+    //      log split across two micro-batches through the versioned
+    //      oriented-count state (counts are additive — the merge is one
+    //      sum; raw comparisons never enter state), batch 1 replayed to
+    //      prove the guard; the final batch's ratings hash against the
+    //      BATCH oracle verbatim (the stream-vs-batch contract)
+    "preference_bt_stream" -> ((s, dir) => {
+      import graft.streaming.StreamingOps
+      val d = t(s, dir, "documents")
+        .filter(col("doc_id") < 2000 && col("source").isNotNull &&
+          col("n_chars").isNotNull)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val cmp = d.join(d.select((col("doc_id") - 1).as("doc_id"),
+          col("source").as("_s2"), col("n_chars").as("_n2")), Seq("doc_id"))
+        .filter(col("source") =!= col("_s2"))
+        .select(col("doc_id"),
+          when(col("n_chars") >= col("_n2"), col("source"))
+            .otherwise(col("_s2")).as("winner"),
+          when(col("n_chars") >= col("_n2"), col("_s2"))
+            .otherwise(col("source")).as("loser"))
+        .localCheckpoint()
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-bt-stream").toString
+      def step(b: DataFrame, id: Long): Unit =
+        StreamingOps.applyBtBatch(s, b, id, "winner", "loser", rounds = 4,
+          s"$work/state", s"$work/out")
+      step(cmp.filter(col("doc_id") < 1000), 0L)
+      step(cmp.filter(col("doc_id") >= 1000), 1L)
+      step(cmp.filter(col("doc_id") >= 1000), 1L) // replay no-op
+      s.read.parquet(s"$work/out/batch=1")
+        .select(col("item"), col("rating_e6"), col("wins"), col("comparisons"))
+        .orderBy("item")
+    }),
+
     // ---- the walk corpus reduced to what an embedding trainer eats:
     //      skip-gram (center, context) co-occurrence counts within a
     //      2-step window — one constant-fan-out self-join collapsing
@@ -10490,6 +10524,10 @@ object SparkEntry {
 
     // the Bradley–Terry MM rounds unrolled; see bradleyTerryOracleSql
     "preference_bt" -> bradleyTerryOracleSql(rounds = 4),
+
+    // the accumulated stream state IS the full comparison log's count
+    // table, so the final batch's ratings replay with the batch oracle
+    "preference_bt_stream" -> bradleyTerryOracleSql(rounds = 4),
 
     // the walk replay piped through the window pair join
     "walk_skipgram_pairs" ->

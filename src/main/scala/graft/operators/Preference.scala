@@ -75,20 +75,40 @@ object Preference {
       loserCol: String,
       rounds: Int = 8
   ): DataFrame = {
-    require(rounds >= 1 && rounds <= 32,
-      s"bradleyTerryScaled: rounds must be in [1, 32], got $rounds")
-    val d38 = DecimalType(38, 0)
     val c = comparisons
       .select(col(winnerCol).cast("string").as("_w"),
         col(loserCol).cast("string").as("_l"))
       .filter(col("_w").isNotNull && col("_l").isNotNull &&
         col("_w") =!= col("_l"))
+    bradleyTerryFromCounts(
+      c.groupBy(col("_w").as("_i"), col("_l").as("_j"))
+        .agg(count(lit(1)).as("_wn")),
+      rounds)
+  }
+
+  /** [[bradleyTerryScaled]] off PRE-AGGREGATED oriented win counts
+    * `(_i, _j, _wn)` — "i beat j _wn times". The comparison log itself
+    * never has to exist in one place: counts are additive, so a
+    * streaming accumulator ([[graft.streaming.StreamingOps.applyBtBatch]])
+    * or a pre-sharded log can feed this directly. Same output, same
+    * clamps, same tripwires.
+    */
+  def bradleyTerryFromCounts(
+      orientedCounts: DataFrame,
+      rounds: Int
+  ): DataFrame = {
+    require(rounds >= 1 && rounds <= 32,
+      s"bradleyTerryScaled: rounds must be in [1, 32], got $rounds")
+    val d38 = DecimalType(38, 0)
+    // completed to BOTH orientations (zero-filled), then
+    // n_ij = w_ij + w_ji via one reversed self-join — symmetric pair
+    // stats, no window
+    val w0 = orientedCounts
+      .select(col("_i").cast("string").as("_i"),
+        col("_j").cast("string").as("_j"), col("_wn").cast("long").as("_wn"))
+      .filter(col("_i").isNotNull && col("_j").isNotNull &&
+        col("_i") =!= col("_j") && col("_wn") > 0L)
       .localCheckpoint()
-    // oriented win counts (i beat j w times), completed to BOTH
-    // orientations (zero-filled), then n_ij = w_ij + w_ji via one
-    // reversed self-join — symmetric pair stats, no window
-    val w0 = c.groupBy(col("_w").as("_i"), col("_l").as("_j"))
-      .agg(count(lit(1)).as("_wn"))
     val wBoth = w0.select(col("_i"), col("_j"), col("_wn"))
       .unionByName(w0.select(col("_j").as("_i"), col("_i").as("_j"),
         lit(0L).as("_wn")))
@@ -103,9 +123,9 @@ object Preference {
           "deduplicate or downsample the comparison log (the bound keeps " +
           "n_ij * 10^12 inside exact int64)")).isNull)
       .localCheckpoint()
-    val wins = c.groupBy(col("_w").as("_i")).agg(count(lit(1)).as("_wins"))
-    val items = c.select(col("_w").as("_i"))
-      .unionByName(c.select(col("_l").as("_i")))
+    val wins = w0.groupBy(col("_i")).agg(sum(col("_wn")).as("_wins"))
+    val items = w0.select(col("_i"))
+      .unionByName(w0.select(col("_j").as("_i")))
       .distinct()
       .join(wins, Seq("_i"), "left")
       .select(col("_i"), coalesce(col("_wins"), lit(0L)).as("_wins"))

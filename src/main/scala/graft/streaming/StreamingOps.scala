@@ -1704,6 +1704,62 @@ object StreamingOps {
     }
   }
 
+  /** One micro-batch of STREAMING Bradley–Terry preference aggregation —
+    * the continuous face of
+    * [[graft.operators.Preference.bradleyTerryScaled]]: preference logs
+    * arrive as comparison events, the committed state is the ORIENTED
+    * WIN-COUNT table `(_i, _j, _wn)` ("i beat j _wn times" — counts are
+    * additive, so the merge is one sum-aggregate; the state is
+    * pair-stats-sized, metadata next to the log, the quantile-stream
+    * histogram argument), and each batch writes the full rating table
+    * over the ACCUMULATED counts to `outPath/batch=<id>` BEFORE
+    * committing state (the output-first crash-replay order: a torn run
+    * replays into the recompute branch against the OLD state and
+    * rewrites bit-identically). Replay at or below the committed
+    * version no-ops. The final batch's ratings equal the batch operator
+    * on the concatenated log — the stream-vs-batch contract the gate
+    * hashes against the batch oracle.
+    *
+    * Scale shape: per batch, one map-side-combined count of the batch's
+    * comparisons, one sum-merge over (state ∪ batch counts) — the
+    * merge re-aggregates the pair-stat table, which is bounded by
+    * distinct compared pairs, not by log rows — and the bounded-round
+    * MM refit over those stats. Raw comparison rows never enter state.
+    */
+  def applyBtBatch(
+      spark: SparkSession,
+      batch: DataFrame,
+      batchId: Long,
+      winnerCol: String,
+      loserCol: String,
+      rounds: Int,
+      statePath: String,
+      outPath: String
+  ): Unit = {
+    currentVersionId(spark, statePath) match {
+      case Some(cur) if cur >= batchId =>
+        log.warn(s"btStream: skipping batch $batchId — state at v$cur " +
+          "already includes it")
+      case _ =>
+        val inBatch = batch
+          .select(col(winnerCol).cast("string").as("_i"),
+            col(loserCol).cast("string").as("_j"))
+          .filter(col("_i").isNotNull && col("_j").isNotNull &&
+            col("_i") =!= col("_j"))
+          .groupBy("_i", "_j").agg(count(lit(1)).as("_wn"))
+        val merged = (readState(spark, statePath) match {
+          case Some(st) => st.unionByName(inBatch)
+            .groupBy("_i", "_j").agg(sum(col("_wn")).as("_wn"))
+          case None => inBatch
+        }).localCheckpoint()
+        graft.operators.Preference.bradleyTerryFromCounts(merged, rounds)
+          .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+        val version = s"v$batchId"
+        merged.write.mode("overwrite").parquet(s"$statePath/$version")
+        commitVersion(spark, statePath, version, keepFrom = batchId - 1)
+    }
+  }
+
   /** State merge for [[applyGraphProfileBatch]], exposed as a seam so the
     * plan-shape spec can pin the contract: the store is distinct BY
     * INDUCTION (the [[dedupStreamPersistent]] convention) — the in-batch

@@ -67,6 +67,43 @@ class PreferenceSpec extends SparkSpec {
     assert(got("a") == got("b"), got.toString)
   }
 
+  test("applyBtBatch: stream ≡ batch on the concatenated log; replay no-op; torn commit converges; counts merge additively") {
+    import graft.streaming.StreamingOps
+    val b0 = Seq(("a", "b"), ("a", "b"), ("b", "c")).toDF("winner", "loser")
+    val b1 = Seq(("a", "b"), ("b", "a"), ("a", "c"), ("b", "c"))
+      .toDF("winner", "loser")
+    val all = b0.unionByName(b1)
+    val dir = java.nio.file.Files.createTempDirectory("graft-bt-spec").toString
+    def step(b: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      StreamingOps.applyBtBatch(spark, b, id, "winner", "loser", rounds = 3,
+        s"$dir/state", s"$dir/out")
+    step(b0, 0L)
+    // batch-0 ratings equal the batch operator on batch 0
+    assert(rows(spark.read.parquet(s"$dir/out/batch=0").orderBy("item")) ==
+      rows(Preference.bradleyTerryScaled(b0, "winner", "loser", rounds = 3)
+        .orderBy("item")))
+    step(b1, 1L)
+    val r1 = rows(spark.read.parquet(s"$dir/out/batch=1").orderBy("item"))
+    // the accumulated ratings equal the batch operator on the full log
+    assert(r1 == rows(Preference.bradleyTerryScaled(all, "winner", "loser",
+      rounds = 3).orderBy("item")))
+    // state holds additive oriented counts, never raw rows
+    val st = StreamingOps.readState(spark, s"$dir/state").get
+      .as[(String, String, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(st(("a", "b")) == 3L && st(("b", "c")) == 2L && st(("b", "a")) == 1L)
+    // replay no-ops; torn commit recomputes bit-identically
+    step(b1, 1L)
+    assert(StreamingOps.currentVersionId(spark, s"$dir/state").contains(1L))
+    assert(rows(spark.read.parquet(s"$dir/out/batch=1").orderBy("item")) == r1)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$dir/state/_CURRENT"), true)
+    try out.write("v0".getBytes("UTF-8")) finally out.close()
+    step(b1, 1L)
+    assert(StreamingOps.currentVersionId(spark, s"$dir/state").contains(1L))
+    assert(rows(spark.read.parquet(s"$dir/out/batch=1").orderBy("item")) == r1)
+  }
+
   test("bradleyTerryScaled: null/self rows drop; tripwires and bounds refuse") {
     val messy = Seq(("a", "b"), ("a", "a"), (null, "b"), ("b", null), ("b", "a"))
       .toDF("winner", "loser")
