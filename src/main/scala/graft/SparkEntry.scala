@@ -1004,6 +1004,31 @@ object SparkEntry {
     * HUGEINT with the post-normalize 1-floor. All positive integers, so
     * `//` ≡ Spark's `div` exactly.
     */
+  /** Mutual 3-NN edge CTE chain ending in `me(id_a, id_b)` — exact e6
+    * squared-L2 lists (ties to the smaller id, the topKPerQuery
+    * contract), reciprocity via the reversed self-join, canonical
+    * `id_a < id_b`. Shared by the edge gate and the cluster pipeline.
+    */
+  private val mutualKnnCteSql: String =
+    """e AS (
+      | SELECT CAST(vec_id AS BIGINT) AS id,
+      |  list_transform(embedding,
+      |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+      | FROM embeddings WHERE vec_id < 200
+      |), pd AS (
+      | SELECT q.id AS qid, p.id AS nid,
+      |  CAST(list_sum(list_transform(list_zip(q.v, p.v), z -> (z[1]-z[2])*(z[1]-z[2]))) AS BIGINT) AS dist
+      | FROM e q, e p WHERE q.id <> p.id
+      |), kn AS (
+      | SELECT qid, nid FROM (
+      |  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY dist, nid) AS rn
+      |  FROM pd) WHERE rn <= 3
+      |), me AS (
+      | SELECT a.qid AS id_a, a.nid AS id_b
+      | FROM kn a JOIN kn b ON b.qid = a.nid AND b.nid = a.qid
+      | WHERE a.qid < a.nid
+      |)""".stripMargin
+
   private def bradleyTerryOracleSql(rounds: Int): String = {
     val roundCtes = (1 to rounds).map { k =>
       s"""dk$k AS (
@@ -5550,6 +5575,34 @@ object SparkEntry {
     // ---- hubness diagnostic: k-NN in-degree distribution over the
     //      evaluation sample (vec_id < 128) — heavy right tail = hub
     //      points distorting ANN recall; exact e6 integer k-NN graph
+    // ---- mutual k-NN graph over embeddings (brute-force sample tier):
+    //      directed 3-NN by exact e6 squared-L2, kept iff reciprocal —
+    //      the density-robust neighborhood graph an embedding-cluster
+    //      dedup builds on (mutuality strips hub spokes)
+    "embedding_mutual_knn" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").filter(col("vec_id") < 200)
+      graft.operators.Similarity.mutualKnnEdgesE6(emb, "vec_id",
+          "embedding", k = 3)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ---- the composed embedding-cluster dedup pipeline: mutual 3-NN
+    //      edges → bounded min-label propagation → cluster labels (the
+    //      graph-first sibling of SemDeDup's within-cell pairs; nodes
+    //      with no mutual edge are implicitly their own singleton
+    //      cluster). Bounded rounds keep the schedule replayable; the
+    //      convergence-checked CC variant is one call away for unknown
+    //      diameters
+    "pipeline_embedding_clusters" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").filter(col("vec_id") < 200)
+      val e = graft.operators.Similarity.mutualKnnEdgesE6(emb, "vec_id",
+          "embedding", k = 3)
+        .select(lpad(col("id_a").cast("string"), 12, "0").as("src"),
+          lpad(col("id_b").cast("string"), 12, "0").as("dst"))
+      graft.operators.Graph.labelPropagationMin(e, "src", "dst", rounds = 8)
+        .orderBy("node")
+    }),
+
     "knn_hubness" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings").filter(col("vec_id") < 128)
         .select(col("vec_id"), col("embedding"))
@@ -11643,6 +11696,34 @@ object SparkEntry {
 
     // the exact k-NN graph over the sample, in-degrees, histogram;
     // ties by (dist, nid) = the heap rule
+    // exact e6 L2 3-NN lists, reciprocity via self-join, canonical a<b
+    "embedding_mutual_knn" ->
+      s"""WITH $mutualKnnCteSql
+         |SELECT id_a, id_b FROM me ORDER BY 1, 2""".stripMargin,
+
+    // the same edges lpad'd into the er_serve min-propagation rounds
+    "pipeline_embedding_clusters" -> {
+      val rounds = (1 to 8).map { k =>
+        s"""c$k AS (
+           | SELECT e._d AS v, min(p.l) AS ml
+           | FROM bsym e JOIN l${k - 1} p ON p.v = e._s GROUP BY 1
+           |), l$k AS (
+           | SELECT p.v, least(p.l, coalesce(c$k.ml, p.l)) AS l
+           | FROM l${k - 1} p LEFT JOIN c$k ON c$k.v = p.v
+           |)""".stripMargin
+      }.mkString(", ")
+      s"""WITH $mutualKnnCteSql, le AS (
+         | SELECT lpad(CAST(id_a AS VARCHAR), 12, '0') AS a,
+         |        lpad(CAST(id_b AS VARCHAR), 12, '0') AS b
+         | FROM me
+         |), bsym AS (
+         | SELECT a AS _s, b AS _d FROM le UNION SELECT b, a FROM le
+         |), l0 AS (
+         | SELECT v, v AS l FROM (SELECT DISTINCT _s AS v FROM bsym)
+         |), $rounds
+         |SELECT v AS node, l AS label FROM l8 ORDER BY node""".stripMargin
+    },
+
     "knn_hubness" ->
       """WITH e AS (
         | SELECT CAST(vec_id AS BIGINT) AS id,

@@ -1242,6 +1242,58 @@ object Similarity {
     * heaps map-side (never a per-query window), and the in-degree
     * count is one 8-byte-id exchange.
     */
+  /** MUTUAL k-NN graph over an embedding column in exact e6 integer
+    * space: directed edge (a → b) iff b is among a's k nearest by
+    * squared L2 (ties to the smaller id), kept iff the REVERSE edge
+    * also exists — the standard density-robust neighborhood graph
+    * (mutuality strips the asymmetric spokes hub points collect, the
+    * failure mode [[knnInDegreeE6]] diagnoses). The canonical output
+    * `(id_a < id_b)` is the edge list an embedding-cluster dedup feeds
+    * to [[graft.operators.Graph.labelPropagationMin]] /
+    * [[graft.operators.Graph.connectedComponentsMin]] — the graph-first
+    * sibling of SemDeDup's within-cell cosine pairs.
+    *
+    * Brute-force SAMPLE tier (n² scored pairs) with the
+    * [[knnInDegreeE6]] refusal: past `maxPoints` it refuses loudly —
+    * the scale path is LSH/IVF candidate generation feeding the same
+    * mutuality filter, which composes from the existing bucketed ops.
+    */
+  def mutualKnnEdgesE6(
+      points: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      maxPoints: Long = 20000L
+  ): DataFrame = {
+    require(k > 0, s"mutualKnnEdgesE6: k must be positive, got $k")
+    require(maxPoints >= 2,
+      s"mutualKnnEdgesE6: maxPoints must be >= 2, got $maxPoints")
+    val nPoints = points.count()
+    require(nPoints <= maxPoints,
+      s"mutualKnnEdgesE6: $nPoints points > maxPoints=$maxPoints — the " +
+        "mutual k-NN graph is an all-pairs SAMPLE-tier construction (n² " +
+        "scored pairs). Sample the point set first, raise maxPoints " +
+        "knowingly, or feed LSH/IVF candidate pairs through the " +
+        "mutuality filter for the scale path.")
+    val l2 = (a: Column, b: Column) => aggregate(
+      zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, d) => acc + d)
+    val p = points.select(col(idCol).cast(LongType).as("_id"),
+      toE6(col(vecCol)).as("_a"))
+    val q = p.select(col("_id").as("query_id"), col("_a").as("_qa"))
+    val scored = q.crossJoin(p)
+      .filter(col("query_id") =!= col("_id"))
+      .select(col("query_id"), col("_id").as("neighbor_id"),
+        (lit(0L) - l2(col("_qa"), col("_a"))).as("_negd"))
+    val kn = topKPerQuery(scored, "_negd", k)
+      .select(col("query_id").as("_x"), col("neighbor_id").as("_y"))
+      .localCheckpoint() // both sides of the mutuality semi-join
+    kn.join(kn.select(col("_y").as("_x"), col("_x").as("_y")),
+        Seq("_x", "_y"), "left_semi")
+      .filter(col("_x") < col("_y"))
+      .select(col("_x").as("id_a"), col("_y").as("id_b"))
+  }
+
   def knnInDegreeE6(
       points: DataFrame,
       idCol: String,

@@ -624,6 +624,40 @@ class SimilaritySpec extends SparkSpec {
     assert(big.getMessage.contains("Sample the point"), big.getMessage)
   }
 
+  test("mutualKnnEdgesE6: reciprocity strips hub spokes; canonical a<b; pipeline composes to planted clusters") {
+    import graft.operators.Similarity
+    // 1-D: two tight pairs + one outlier whose 1-NN is unreciprocated
+    // (3's nearest is 2, but 2's nearest is 1): mutual 1-NN = {(1,2), (4,5)}
+    val d = Seq((1L, Seq(0.0f)), (2L, Seq(1.0f)), (3L, Seq(4.0f)),
+      (4L, Seq(10.0f)), (5L, Seq(11.0f))).toDF("id", "vec")
+    val e1 = Similarity.mutualKnnEdgesE6(d, "id", "vec", k = 1)
+      .as[(Long, Long)].collect().toSet
+    assert(e1 == Set((1L, 2L), (4L, 5L)), e1.toString)
+    // at k = 2 the outlier reciprocates with BOTH pair-2 members
+    val e2 = Similarity.mutualKnnEdgesE6(d, "id", "vec", k = 2)
+      .as[(Long, Long)].collect().toSet
+    assert(e2.contains((1L, 2L)) && e2.contains((4L, 5L)), e2.toString)
+    assert(e2.forall(p => p._1 < p._2), e2.toString)
+    // composed clusters: mutual 1-NN edges → min-label propagation →
+    // the two planted pairs, each labeled by its minimum member
+    import org.apache.spark.sql.functions.col
+    val edges = Similarity.mutualKnnEdgesE6(d, "id", "vec", k = 1)
+      .select(col("id_a").cast("string").as("src"),
+        col("id_b").cast("string").as("dst"))
+    val labels = graft.operators.Graph
+      .labelPropagationMin(edges, "src", "dst", rounds = 4)
+      .as[(String, String)].collect().toMap
+    assert(labels == Map("1" -> "1", "2" -> "1", "4" -> "4", "5" -> "4"),
+      labels.toString)
+    intercept[IllegalArgumentException] {
+      Similarity.mutualKnnEdgesE6(d, "id", "vec", k = 0)
+    }
+    val cap = intercept[IllegalArgumentException] {
+      Similarity.mutualKnnEdgesE6(d, "id", "vec", k = 1, maxPoints = 3L)
+    }
+    assert(cap.getMessage.contains("mutuality filter"), cap.getMessage)
+  }
+
   test("kCenterGreedyE6: farthest-point order, tie-breaks, exhaustion, malformed rows") {
     import graft.operators.Similarity
     // 1-D layout: 0.0, 0.1, 5.0, 10.0 (ids 1..4). Seed = id 1 (smallest).
