@@ -2490,6 +2490,28 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- calibration eval of that classifier: margins → the shared
+    //      64-slot literal sigmoid → equal-width reliability buckets +
+    //      ECE against the n_chars >= 500 label — the check a pipeline
+    //      runs before trusting scores as probability thresholds
+    "quality_calibration" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .filter(col("doc_id") < 1000 && col("n_chars").isNotNull)
+      val m = QualityModel.scoreMargin(d, "doc_id", "text",
+        qmGateWeights, qmGateBias)
+      val tbl = graft.operators.Graph.sigmoidTablePpm()
+      val idx = expr("CASE WHEN margin_e6 <= -6000000 THEN 0L " +
+        "WHEN margin_e6 >= 6000000 THEN 63L " +
+        "ELSE ((margin_e6 + 6000000) * 64L) div 12000000L END")
+      val scored = m.join(d.select(col("doc_id"),
+          (col("n_chars") >= 500).cast("long").as("label")), Seq("doc_id"))
+        .select(element_at(typedLit(tbl), (idx + lit(1L)).cast("int"))
+          .as("prob_ppm"), col("label"))
+      QualityModel.calibrationBuckets(scored, "prob_ppm", "label",
+          buckets = 10)
+        .orderBy("bucket")
+    }),
+
     // ---- staged diagnostics for the retrieval/scoring hash divergence
     //      (round-7 verdict #2; ANSWERED by CORRECTNESS_r08): tokens,
     //      buckets, and the registered idf table all came back green —
@@ -7344,7 +7366,12 @@ object SparkEntry {
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
-  private def qualityMarginOracle(): String = {
+  /** The quality-margin chain as a CTE fragment ending in
+    * `marg(doc_id, margin_e6)` — shared by the serving gate's oracle
+    * and the calibration oracle. `docWhere` narrows the scored doc set
+    * (both sides must filter identically or margins diverge).
+    */
+  private def qualityMarginCteSql(docWhere: String = "doc_id < 1000"): String = {
     // qmGateWeights is deterministic and data-independent, so the
     // literal table is computed EAGERLY here — no run-time registration,
     // no fallback branch (round-7 verdict #4)
@@ -7355,10 +7382,10 @@ object SparkEntry {
          |)""".stripMargin
     // per-OCCURRENCE weight sums — the value is identical to Spark's
     // Σ cnt·w_e6, purely BIGINT adds here (250000 = bias 0.25 ×10⁶)
-    s"""WITH base AS (
+    s"""base AS (
        | SELECT doc_id,
        |  list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS toks
-       | FROM documents WHERE doc_id < 1000
+       | FROM documents WHERE $docWhere
        |), tok AS (
        | SELECT doc_id, unnest(toks) AS token FROM base
        |), vb AS (
@@ -7371,13 +7398,17 @@ object SparkEntry {
        | SELECT k.doc_id, sum(w.weight_e6) AS d
        | FROM tk k JOIN w ON k.bucket = w.bucket
        | GROUP BY 1
-       |)
-       |SELECT b.doc_id,
-       | CAST(COALESCE(dot.d, 0) + 250000 AS BIGINT) AS margin_e6
-       |FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id < 1000) b
-       |LEFT JOIN dot ON b.doc_id = dot.doc_id
-       |ORDER BY 1""".stripMargin
+       |), marg AS (
+       | SELECT b.doc_id,
+       |  CAST(COALESCE(dot.d, 0) + 250000 AS BIGINT) AS margin_e6
+       | FROM (SELECT DISTINCT doc_id FROM documents WHERE $docWhere) b
+       | LEFT JOIN dot ON b.doc_id = dot.doc_id
+       |)""".stripMargin
   }
+
+  private def qualityMarginOracle(): String =
+    s"""WITH ${qualityMarginCteSql()}
+       |SELECT doc_id, margin_e6 FROM marg ORDER BY 1""".stripMargin
 
   private def lmOracle(): String = {
     // no ln-based fallback (round-7 verdict #4): an unregistered weight
@@ -8187,6 +8218,42 @@ object SparkEntry {
     // margin = bias + exact decimal dot, zero-token docs keep the bias
     // via the left join
     "quality_margin" -> qualityMarginOracle(),
+
+    // margin chain (n_chars-filtered) → literal sigmoid → equal-width
+    // buckets; HUGEINT sums, // ≡ div on these non-negative operands
+    "quality_calibration" -> {
+      val st = graft.operators.Graph.sigmoidTablePpm()
+        .zipWithIndex.map { case (v, i) => s"($i, $v)" }.mkString(", ")
+      s"""WITH ${qualityMarginCteSql(
+             "doc_id < 1000 AND n_chars IS NOT NULL")}, st AS (
+         | SELECT * FROM (VALUES $st) AS t(idx, sppm)
+         |), lab AS (
+         | SELECT doc_id, CASE WHEN n_chars >= 500 THEN 1 ELSE 0 END AS y
+         | FROM documents WHERE doc_id < 1000 AND n_chars IS NOT NULL
+         |), pr AS (
+         | SELECT st.sppm AS p, lab.y
+         | FROM marg m JOIN lab ON lab.doc_id = m.doc_id
+         | JOIN st ON st.idx =
+         |  CASE WHEN m.margin_e6 <= -6000000 THEN 0
+         |       WHEN m.margin_e6 >= 6000000 THEN 63
+         |       ELSE (m.margin_e6 + 6000000) * 64 // 12000000 END
+         |), bk AS (
+         | SELECT least(9, (p * 10) // 1000000) AS bucket,
+         |  CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(y) AS BIGINT) AS n_pos,
+         |  CAST(sum(CAST(p AS HUGEINT)) // count(*) AS BIGINT) AS mean_prob_ppm,
+         |  CAST((CAST(sum(y) AS HUGEINT) * 1000000) // count(*) AS BIGINT) AS pos_rate_ppm
+         | FROM pr GROUP BY 1
+         |), bk2 AS (
+         | SELECT *, abs(mean_prob_ppm - pos_rate_ppm) AS gap_ppm FROM bk
+         |), ec AS (
+         | SELECT CAST(sum(CAST(n AS HUGEINT) * gap_ppm) // sum(n) AS BIGINT) AS ece_ppm
+         | FROM bk2
+         |)
+         |SELECT CAST(bucket AS BIGINT) AS bucket, n, n_pos, mean_prob_ppm,
+         | pos_rate_ppm, gap_ppm, ec.ece_ppm
+         |FROM bk2, ec ORDER BY bucket""".stripMargin
+    },
 
     // staged divergence diagnostics — see the matching `queries` block
     "qm_diag_tokens" ->

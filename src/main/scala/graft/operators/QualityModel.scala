@@ -157,4 +157,59 @@ object QualityModel {
     (q, java.math.BigDecimal.valueOf(model.intercept)
       .setScale(6, java.math.RoundingMode.HALF_UP))
   }
+
+  /** Reliability buckets + ECE — the CALIBRATION eval a pipeline runs
+    * before trusting a quality score as a probability threshold (the
+    * standard reliability-diagram / expected-calibration-error
+    * construction, Guo et al. 2017 "On Calibration of Modern Neural
+    * Networks"; equal-WIDTH probability bins, the paper's form — no
+    * global sort, unlike equal-count deciles). Input: one row per
+    * example with a predicted probability ×10⁶ (`probPpmCol`; map
+    * margins through the shared literal sigmoid table first — the
+    * caller chooses its link) and a 0/1 label. Output: one row per
+    * NON-EMPTY bucket `(bucket, n, n_pos, mean_prob_ppm, pos_rate_ppm,
+    * gap_ppm, ece_ppm)` — mean/rate exact floor-div integers,
+    * gap = |mean − rate|, and ece_ppm = (Σ n_b·gap_b) div N broadcast
+    * onto every row (the graphProfile one-row-stat convention; empty
+    * buckets contribute no mass to ECE by definition).
+    *
+    * A zero-action tripwire refuses probabilities outside [0, 10⁶] and
+    * labels outside {0, 1}. Scale shape: one narrow bucket projection +
+    * one map-side-combined aggregate over ≤ `buckets` groups + a 1-row
+    * broadcast — sums ride DECIMAL(38,0) so no corpus size can
+    * overflow them.
+    */
+  def calibrationBuckets(
+      scored: DataFrame,
+      probPpmCol: String,
+      labelCol: String,
+      buckets: Int = 10
+  ): DataFrame = {
+    require(buckets >= 2 && buckets <= 1000,
+      s"calibrationBuckets: buckets must be in [2, 1000], got $buckets")
+    val p = scored.select(col(probPpmCol).cast(LongType).as("_p"),
+        col(labelCol).cast(LongType).as("_y"))
+      .filter(assert_true(
+        col("_p") >= 0L && col("_p") <= 1000000L && col("_y").isin(0L, 1L),
+        lit("calibrationBuckets: prob_ppm must be in [0, 10^6] and the " +
+          "label 0/1 — map margins through a sigmoid table and binarize " +
+          "labels upstream")).isNull)
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val b = p
+      .withColumn("_b", least(lit(buckets - 1L),
+        expr(s"(_p * ${buckets}L) div 1000000L")))
+      .groupBy(col("_b").as("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("_y")).as("n_pos"),
+        sum(col("_p").cast(d38)).as("_sump"))
+      .select(col("bucket"), col("n"), col("n_pos"),
+        expr("CAST(_sump div n AS BIGINT)").as("mean_prob_ppm"),
+        expr("CAST((CAST(n_pos AS DECIMAL(38,0)) * 1000000) div n AS BIGINT)")
+          .as("pos_rate_ppm"))
+      .withColumn("gap_ppm", abs(col("mean_prob_ppm") - col("pos_rate_ppm")))
+      .localCheckpoint() // rows AND the 1-row ECE fold read the buckets
+    val ece = b.agg(
+      expr("CAST(sum(CAST(n AS DECIMAL(38,0)) * gap_ppm) div sum(n) AS BIGINT)")
+        .as("ece_ppm"))
+    b.crossJoin(broadcast(ece))
+  }
 }

@@ -69,4 +69,40 @@ class QualityModelSpec extends SparkSpec {
       assert((probs(d._1) > 0.5) == (margins(d._1) > 0.0), s"doc ${d._1}")
     }
   }
+
+  test("calibrationBuckets: hand-computed buckets, exact ECE, edge probs, tripwires") {
+    // bucket 1: probs 100000/150000 both labeled 0 → mean 125000, rate 0
+    // bucket 9: probs 950000 (y=1) and the p=10^6 edge (y=1) → mean
+    // 975000, rate 10^6, gap 25000
+    val rows = Seq((100000L, 0L), (150000L, 0L), (950000L, 1L), (1000000L, 1L))
+      .toDF("prob_ppm", "label")
+    val got = QualityModel.calibrationBuckets(rows, "prob_ppm", "label")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7))).toMap
+    // ECE = (2·125000 + 2·25000) div 4 = 75000
+    assert(got == Map(
+      1L -> ((2L, 0L, 125000L, 0L, 125000L, 75000L)),
+      9L -> ((2L, 2L, 975000L, 1000000L, 25000L, 75000L))), got.toString)
+    // a perfectly calibrated bucket has gap 0 (2 of 4 positive at p=0.5)
+    val perfect = Seq((500000L, 1L), (500000L, 0L), (500000L, 1L),
+      (500000L, 0L)).toDF("prob_ppm", "label")
+    val g2 = QualityModel.calibrationBuckets(perfect, "prob_ppm", "label")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(g2.length == 1 && g2.head._6 == 0L && g2.head._7 == 0L,
+      g2.mkString(","))
+    // out-of-range prob / non-binary label refuse loudly
+    for (bad <- Seq((1000001L, 1L), (-1L, 0L), (500000L, 2L))) {
+      val e = intercept[Exception] {
+        QualityModel.calibrationBuckets(Seq(bad).toDF("prob_ppm", "label"),
+          "prob_ppm", "label").collect()
+      }
+      val msg = Option(e.getMessage).getOrElse("") +
+        Option(e.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+      assert(msg.contains("prob_ppm must be in"), e.toString)
+    }
+    intercept[IllegalArgumentException](
+      QualityModel.calibrationBuckets(rows, "prob_ppm", "label", buckets = 1))
+    intercept[IllegalArgumentException](
+      QualityModel.calibrationBuckets(rows, "prob_ppm", "label", buckets = 1001))
+  }
 }
