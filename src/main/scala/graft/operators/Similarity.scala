@@ -1294,6 +1294,72 @@ object Similarity {
       .select(col("_x").as("id_a"), col("_y").as("id_b"))
   }
 
+  /** The PRODUCTION-path sibling of [[mutualKnnEdgesE6]]: candidates
+    * restricted to points sharing a coarse IVF cell (the SemDeDup
+    * within-cluster blocking, arXiv:2303.09540) — the exact e6 argmin
+    * assignment every IVF op here uses, then the same scoring +
+    * reciprocity filter WITHIN each cell. Pair space is Σ|cell|², not
+    * n²; a hot cell refuses through a zero-action tripwire riding the
+    * candidate join's own hash distribution (the setsim hot-gram
+    * pattern — occupancy counts on a window partitioned by the join
+    * key, no extra exchange, no driver action).
+    *
+    * Semantics: mutual k-NN of the CELL-RESTRICTED neighbor structure —
+    * cross-cell near-neighbors are invisible by design (the IVF
+    * nprobe = 1 recall trade; more/better-trained cells is the recall
+    * knob, and within a cell the lists are exact). A same-cell pair can
+    * therefore be mutual here while a closer cross-cell point would
+    * have displaced it from the unblocked lists — blocked edges are not
+    * a subset of [[mutualKnnEdgesE6]]'s, they are the blocked model's
+    * own exact answer.
+    */
+  def mutualKnnEdgesBlockedE6(
+      points: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroidsE6: DataFrame,
+      k: Int,
+      maxCellSize: Long = 100000L
+  ): DataFrame = {
+    require(k > 0, s"mutualKnnEdgesBlockedE6: k must be positive, got $k")
+    require(maxCellSize >= 2,
+      s"mutualKnnEdgesBlockedE6: maxCellSize must be >= 2, got $maxCellSize")
+    import org.apache.spark.sql.graft.ColumnBridge
+    val (cids, cmat, cdim) = collectE6Whole(centroidsE6)
+    val cell = ColumnBridge.column(graft.plans.NearestCentroidE6(
+      ColumnBridge.expression(col("_a")), cids, cmat, cdim))
+    val l2 = (a: Column, b: Column) => aggregate(
+      zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, d) => acc + d)
+    val p = points.select(col(idCol).cast(LongType).as("_id"),
+        toE6(col(vecCol)).as("_a"))
+      .filter(size(col("_a")) === cdim)
+      .withColumn("_cell", cell)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("_cell")
+    val home = p.withColumn("_occ", count(lit(1)).over(w))
+      .filter(assert_true(col("_occ") <= lit(maxCellSize),
+        lit(s"mutualKnnEdgesBlockedE6: a coarse cell holds more than " +
+          s"maxCellSize=$maxCellSize points — the within-cell candidate " +
+          "join is occupancy² pairs per cell. Train more (or better) " +
+          "cells, or raise maxCellSize knowingly.")).isNull)
+      .select(col("_cell"), col("_id"), col("_a"))
+      .localCheckpoint() // both sides of the within-cell join
+    val scored = home
+      .select(col("_cell"), col("_id").as("query_id"), col("_a").as("_qa"))
+      .join(home.select(col("_cell"), col("_id").as("neighbor_id"),
+        col("_a")), Seq("_cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (lit(0L) - l2(col("_qa"), col("_a"))).as("_negd"))
+    val kn = topKPerQuery(scored, "_negd", k)
+      .select(col("query_id").as("_x"), col("neighbor_id").as("_y"))
+      .localCheckpoint()
+    kn.join(kn.select(col("_y").as("_x"), col("_x").as("_y")),
+        Seq("_x", "_y"), "left_semi")
+      .filter(col("_x") < col("_y"))
+      .select(col("_x").as("id_a"), col("_y").as("id_b"))
+  }
+
   def knnInDegreeE6(
       points: DataFrame,
       idCol: String,

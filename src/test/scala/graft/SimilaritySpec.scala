@@ -658,6 +658,43 @@ class SimilaritySpec extends SparkSpec {
     assert(cap.getMessage.contains("mutuality filter"), cap.getMessage)
   }
 
+  test("mutualKnnEdgesBlockedE6: within-cell lists match the exact graph when cells align; hot-cell tripwire refuses") {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.functions.{col, floor, transform}
+    // clusters at 0..2 and 10..11; cells at their centers — blocked
+    // candidates = exactly the cluster members, so blocked ≡ exact
+    val d = Seq((1L, Seq(0.0f)), (2L, Seq(1.0f)), (3L, Seq(2.0f)),
+      (4L, Seq(10.0f)), (5L, Seq(11.0f))).toDF("id", "vec")
+    val cells = Seq((100L, Seq(1.0f)), (101L, Seq(10.5f)))
+      .toDF("centroid_id", "vec")
+      .select(col("centroid_id"),
+        transform(col("vec"), v => floor(v.cast("double") * 1000000d)
+          .cast("long")).as("centroid_e6"))
+    val blocked = Similarity.mutualKnnEdgesBlockedE6(d, "id", "vec",
+        cells, k = 1)
+      .as[(Long, Long)].collect().toSet
+    val exact = Similarity.mutualKnnEdgesE6(d, "id", "vec", k = 1)
+      .as[(Long, Long)].collect().toSet
+    assert(blocked == exact && blocked == Set((1L, 2L), (4L, 5L)),
+      s"blocked=$blocked exact=$exact")
+    // 3 points in one cell > maxCellSize=2 → loud refusal, not n² quietly
+    val hot = intercept[Exception] {
+      Similarity.mutualKnnEdgesBlockedE6(d, "id", "vec", cells, k = 1,
+        maxCellSize = 2L).collect()
+    }
+    val msg = Option(hot.getMessage).getOrElse("") +
+      Option(hot.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+    assert(msg.contains("maxCellSize"), hot.toString)
+    assert(msg.contains("Train more"), hot.toString)
+    intercept[IllegalArgumentException] {
+      Similarity.mutualKnnEdgesBlockedE6(d, "id", "vec", cells, k = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.mutualKnnEdgesBlockedE6(d, "id", "vec", cells, k = 1,
+        maxCellSize = 1L)
+    }
+  }
+
   test("kCenterGreedyE6: farthest-point order, tie-breaks, exhaustion, malformed rows") {
     import graft.operators.Similarity
     // 1-D layout: 0.0, 0.1, 5.0, 10.0 (ids 1..4). Seed = id 1 (smallest).
