@@ -996,14 +996,6 @@ object SparkEntry {
        |FROM f GROUP BY 1, 2 ORDER BY center, label""".stripMargin
   }
 
-  /** The DuckDB replay of [[graft.operators.Preference.bradleyTerryScaled]]
-    * over the consecutive-doc comparison log: oriented win counts →
-    * symmetric pair stats via the zero-filled reversed union + self-join,
-    * then each MM round unrolled — d = (n_ij·10¹²) // (γ_i+γ_j), D
-    * floored at 1, γ' = (W·10¹²) // D clamped to [1, 10¹²], normalize in
-    * HUGEINT with the post-normalize 1-floor. All positive integers, so
-    * `//` ≡ Spark's `div` exactly.
-    */
   /** Mutual 3-NN edge CTE chain ending in `me(id_a, id_b)` — exact e6
     * squared-L2 lists (ties to the smaller id, the topKPerQuery
     * contract), reciprocity via the reversed self-join, canonical
@@ -1029,6 +1021,52 @@ object SparkEntry {
       | WHERE a.qid < a.nid
       |)""".stripMargin
 
+  /** Shared by the one-shot and streaming calibration gates — the
+    * stream state is additive sufficient stats, so the accumulated
+    * result IS the batch result on the concatenated examples.
+    */
+  private def qualityCalibrationOracleSql: String = {
+    val st = graft.operators.Graph.sigmoidTablePpm()
+      .zipWithIndex.map { case (v, i) => s"($i, $v)" }.mkString(", ")
+    s"""WITH ${qualityMarginCteSql(
+           "doc_id < 1000 AND n_chars IS NOT NULL")}, st AS (
+       | SELECT * FROM (VALUES $st) AS t(idx, sppm)
+       |), lab AS (
+       | SELECT doc_id, CASE WHEN n_chars >= 500 THEN 1 ELSE 0 END AS y
+       | FROM documents WHERE doc_id < 1000 AND n_chars IS NOT NULL
+       |), pr AS (
+       | SELECT st.sppm AS p, lab.y
+       | FROM marg m JOIN lab ON lab.doc_id = m.doc_id
+       | JOIN st ON st.idx =
+       |  CASE WHEN m.margin_e6 <= -6000000 THEN 0
+       |       WHEN m.margin_e6 >= 6000000 THEN 63
+       |       ELSE (m.margin_e6 + 6000000) * 64 // 12000000 END
+       |), bk AS (
+       | SELECT least(9, (p * 10) // 1000000) AS bucket,
+       |  CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(y) AS BIGINT) AS n_pos,
+       |  CAST(sum(CAST(p AS HUGEINT)) // count(*) AS BIGINT) AS mean_prob_ppm,
+       |  CAST((CAST(sum(y) AS HUGEINT) * 1000000) // count(*) AS BIGINT) AS pos_rate_ppm
+       | FROM pr GROUP BY 1
+       |), bk2 AS (
+       | SELECT *, abs(mean_prob_ppm - pos_rate_ppm) AS gap_ppm FROM bk
+       |), ec AS (
+       | SELECT CAST(sum(CAST(n AS HUGEINT) * gap_ppm) // sum(n) AS BIGINT) AS ece_ppm
+       | FROM bk2
+       |)
+       |SELECT CAST(bucket AS BIGINT) AS bucket, n, n_pos, mean_prob_ppm,
+       | pos_rate_ppm, gap_ppm, ec.ece_ppm
+       |FROM bk2, ec ORDER BY bucket""".stripMargin
+  }
+
+  /** The DuckDB replay of [[graft.operators.Preference.bradleyTerryScaled]]
+    * over the consecutive-doc comparison log: oriented win counts →
+    * symmetric pair stats via the zero-filled reversed union + self-join,
+    * then each MM round unrolled — d = (n_ij·10¹²) // (γ_i+γ_j), D
+    * floored at 1, γ' = (W·10¹²) // D clamped to [1, 10¹²], normalize in
+    * HUGEINT with the post-normalize 1-floor. All positive integers, so
+    * `//` ≡ Spark's `div` exactly.
+    */
   private def bradleyTerryOracleSql(rounds: Int): String = {
     val roundCtes = (1 to rounds).map { k =>
       s"""dk$k AS (
@@ -2509,6 +2547,41 @@ object SparkEntry {
           .as("prob_ppm"), col("label"))
       QualityModel.calibrationBuckets(scored, "prob_ppm", "label",
           buckets = 10)
+        .orderBy("bucket")
+    }),
+
+    // ---- the STREAMING calibration monitor: the same scored examples
+    //      split across two batches through the ≤10-row additive
+    //      sufficient-stats state (merge = one sum; examples never
+    //      enter state), batch 1 replayed to prove the guard; the
+    //      final batch hashes against the BATCH oracle verbatim
+    "quality_calibration_stream" -> ((s, dir) => {
+      import graft.streaming.StreamingOps
+      val d = t(s, dir, "documents")
+        .filter(col("doc_id") < 1000 && col("n_chars").isNotNull)
+      val m = QualityModel.scoreMargin(d, "doc_id", "text",
+        qmGateWeights, qmGateBias)
+      val tbl = graft.operators.Graph.sigmoidTablePpm()
+      val idx = expr("CASE WHEN margin_e6 <= -6000000 THEN 0L " +
+        "WHEN margin_e6 >= 6000000 THEN 63L " +
+        "ELSE ((margin_e6 + 6000000) * 64L) div 12000000L END")
+      val scored = m.join(d.select(col("doc_id"),
+          (col("n_chars") >= 500).cast("long").as("label")), Seq("doc_id"))
+        .select(col("doc_id"),
+          element_at(typedLit(tbl), (idx + lit(1L)).cast("int"))
+            .as("prob_ppm"), col("label"))
+        .localCheckpoint()
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-calib-stream").toString
+      def step(b: DataFrame, id: Long): Unit =
+        StreamingOps.applyCalibrationBatch(s, b, id, "prob_ppm", "label",
+          buckets = 10, s"$work/state", s"$work/out")
+      step(scored.filter(col("doc_id") < 500), 0L)
+      step(scored.filter(col("doc_id") >= 500), 1L)
+      step(scored.filter(col("doc_id") >= 500), 1L) // replay no-op
+      s.read.parquet(s"$work/out/batch=1")
+        .select(col("bucket"), col("n"), col("n_pos"), col("mean_prob_ppm"),
+          col("pos_rate_ppm"), col("gap_ppm"), col("ece_ppm"))
         .orderBy("bucket")
     }),
 
@@ -8237,41 +8310,13 @@ object SparkEntry {
     // via the left join
     "quality_margin" -> qualityMarginOracle(),
 
+    // the accumulated stream state IS the full example set's stats, so
+    // the final batch replays with the batch oracle verbatim
+    "quality_calibration_stream" -> qualityCalibrationOracleSql,
+
     // margin chain (n_chars-filtered) → literal sigmoid → equal-width
     // buckets; HUGEINT sums, // ≡ div on these non-negative operands
-    "quality_calibration" -> {
-      val st = graft.operators.Graph.sigmoidTablePpm()
-        .zipWithIndex.map { case (v, i) => s"($i, $v)" }.mkString(", ")
-      s"""WITH ${qualityMarginCteSql(
-             "doc_id < 1000 AND n_chars IS NOT NULL")}, st AS (
-         | SELECT * FROM (VALUES $st) AS t(idx, sppm)
-         |), lab AS (
-         | SELECT doc_id, CASE WHEN n_chars >= 500 THEN 1 ELSE 0 END AS y
-         | FROM documents WHERE doc_id < 1000 AND n_chars IS NOT NULL
-         |), pr AS (
-         | SELECT st.sppm AS p, lab.y
-         | FROM marg m JOIN lab ON lab.doc_id = m.doc_id
-         | JOIN st ON st.idx =
-         |  CASE WHEN m.margin_e6 <= -6000000 THEN 0
-         |       WHEN m.margin_e6 >= 6000000 THEN 63
-         |       ELSE (m.margin_e6 + 6000000) * 64 // 12000000 END
-         |), bk AS (
-         | SELECT least(9, (p * 10) // 1000000) AS bucket,
-         |  CAST(count(*) AS BIGINT) AS n,
-         |  CAST(sum(y) AS BIGINT) AS n_pos,
-         |  CAST(sum(CAST(p AS HUGEINT)) // count(*) AS BIGINT) AS mean_prob_ppm,
-         |  CAST((CAST(sum(y) AS HUGEINT) * 1000000) // count(*) AS BIGINT) AS pos_rate_ppm
-         | FROM pr GROUP BY 1
-         |), bk2 AS (
-         | SELECT *, abs(mean_prob_ppm - pos_rate_ppm) AS gap_ppm FROM bk
-         |), ec AS (
-         | SELECT CAST(sum(CAST(n AS HUGEINT) * gap_ppm) // sum(n) AS BIGINT) AS ece_ppm
-         | FROM bk2
-         |)
-         |SELECT CAST(bucket AS BIGINT) AS bucket, n, n_pos, mean_prob_ppm,
-         | pos_rate_ppm, gap_ppm, ec.ece_ppm
-         |FROM bk2, ec ORDER BY bucket""".stripMargin
-    },
+    "quality_calibration" -> qualityCalibrationOracleSql,
 
     // staged divergence diagnostics — see the matching `queries` block
     "qm_diag_tokens" ->

@@ -184,6 +184,22 @@ object QualityModel {
       probPpmCol: String,
       labelCol: String,
       buckets: Int = 10
+  ): DataFrame =
+    calibrationFromStats(
+      calibrationSuffStats(scored, probPpmCol, labelCol, buckets))
+
+  /** The ADDITIVE half of [[calibrationBuckets]]: per-bucket sufficient
+    * statistics `(bucket, n, n_pos, sum_p DECIMAL(38,0))` — additive
+    * across any sharding of the examples, which is what lets the
+    * streaming monitor ([[graft.streaming.StreamingOps
+    * .applyCalibrationBatch]]) keep a ≤`buckets`-row state and merge
+    * batches with one sum. Same tripwire as the one-shot form.
+    */
+  def calibrationSuffStats(
+      scored: DataFrame,
+      probPpmCol: String,
+      labelCol: String,
+      buckets: Int = 10
   ): DataFrame = {
     require(buckets >= 2 && buckets <= 1000,
       s"calibrationBuckets: buckets must be in [2, 1000], got $buckets")
@@ -195,14 +211,20 @@ object QualityModel {
           "label 0/1 — map margins through a sigmoid table and binarize " +
           "labels upstream")).isNull)
     val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
-    val b = p
-      .withColumn("_b", least(lit(buckets - 1L),
+    p.withColumn("_b", least(lit(buckets - 1L),
         expr(s"(_p * ${buckets}L) div 1000000L")))
       .groupBy(col("_b").as("bucket"))
       .agg(count(lit(1)).as("n"), sum(col("_y")).as("n_pos"),
-        sum(col("_p").cast(d38)).as("_sump"))
+        sum(col("_p").cast(d38)).as("sum_p"))
+  }
+
+  /** The REDUCTION half: reliability rows + broadcast ECE off the
+    * sufficient statistics (possibly merged across batches).
+    */
+  def calibrationFromStats(stats: DataFrame): DataFrame = {
+    val b = stats
       .select(col("bucket"), col("n"), col("n_pos"),
-        expr("CAST(_sump div n AS BIGINT)").as("mean_prob_ppm"),
+        expr("CAST(sum_p div n AS BIGINT)").as("mean_prob_ppm"),
         expr("CAST((CAST(n_pos AS DECIMAL(38,0)) * 1000000) div n AS BIGINT)")
           .as("pos_rate_ppm"))
       .withColumn("gap_ppm", abs(col("mean_prob_ppm") - col("pos_rate_ppm")))

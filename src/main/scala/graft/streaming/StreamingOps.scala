@@ -1760,6 +1760,55 @@ object StreamingOps {
     }
   }
 
+  /** One micro-batch of STREAMING calibration monitoring — the
+    * continuous face of
+    * [[graft.operators.QualityModel.calibrationBuckets]]: scored,
+    * labeled examples arrive continuously, the committed state is the
+    * ≤`buckets`-row ADDITIVE sufficient-statistics table
+    * `(bucket, n, n_pos, sum_p)` (merge = one sum over ≤ 2·buckets
+    * rows — the quantile-stream histogram argument), and each batch
+    * writes the full reliability rows + ECE over the ACCUMULATED stats
+    * to `outPath/batch=<id>` BEFORE committing state (output-first
+    * torn-commit order; replay at or below the committed version
+    * no-ops). The final batch's rows equal the batch operator on the
+    * concatenated examples — the stream-vs-batch contract the gate
+    * hashes against the batch oracle. This is the "is my quality
+    * classifier drifting out of calibration" monitor, sitting beside
+    * the distribution-drift timeline.
+    */
+  def applyCalibrationBatch(
+      spark: SparkSession,
+      batch: DataFrame,
+      batchId: Long,
+      probPpmCol: String,
+      labelCol: String,
+      buckets: Int,
+      statePath: String,
+      outPath: String
+  ): Unit = {
+    currentVersionId(spark, statePath) match {
+      case Some(cur) if cur >= batchId =>
+        log.warn(s"calibrationStream: skipping batch $batchId — state at " +
+          s"v$cur already includes it")
+      case _ =>
+        val inBatch = graft.operators.QualityModel.calibrationSuffStats(
+          batch, probPpmCol, labelCol, buckets)
+        val merged = (readState(spark, statePath) match {
+          case Some(st) => st.unionByName(inBatch)
+            .groupBy("bucket").agg(sum(col("n")).as("n"),
+              sum(col("n_pos")).as("n_pos"),
+              sum(col("sum_p")).cast(
+                org.apache.spark.sql.types.DecimalType(38, 0)).as("sum_p"))
+          case None => inBatch
+        }).localCheckpoint()
+        graft.operators.QualityModel.calibrationFromStats(merged)
+          .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+        val version = s"v$batchId"
+        merged.write.mode("overwrite").parquet(s"$statePath/$version")
+        commitVersion(spark, statePath, version, keepFrom = batchId - 1)
+    }
+  }
+
   /** State merge for [[applyGraphProfileBatch]], exposed as a seam so the
     * plan-shape spec can pin the contract: the store is distinct BY
     * INDUCTION (the [[dedupStreamPersistent]] convention) — the in-batch

@@ -105,4 +105,39 @@ class QualityModelSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       QualityModel.calibrationBuckets(rows, "prob_ppm", "label", buckets = 1001))
   }
+
+  test("applyCalibrationBatch: stream ≡ batch on concatenated examples; replay no-op; torn commit converges") {
+    import graft.streaming.StreamingOps
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("bucket").collect().map(_.toSeq).toSeq
+    val b0 = Seq((100000L, 0L), (950000L, 1L)).toDF("prob_ppm", "label")
+    val b1 = Seq((150000L, 0L), (1000000L, 1L), (500000L, 1L))
+      .toDF("prob_ppm", "label")
+    val all = b0.unionByName(b1)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-calib-spec").toString
+    def step(b: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      StreamingOps.applyCalibrationBatch(spark, b, id, "prob_ppm", "label",
+        buckets = 10, s"$dir/state", s"$dir/out")
+    step(b0, 0L)
+    assert(rows(spark.read.parquet(s"$dir/out/batch=0")) ==
+      rows(QualityModel.calibrationBuckets(b0, "prob_ppm", "label")))
+    step(b1, 1L)
+    val r1 = rows(spark.read.parquet(s"$dir/out/batch=1"))
+    assert(r1 == rows(QualityModel.calibrationBuckets(all, "prob_ppm", "label")))
+    // state is ≤buckets rows of additive stats, never examples
+    assert(StreamingOps.readState(spark, s"$dir/state").get.count() <= 10L)
+    // replay no-op; torn commit recomputes bit-identically
+    step(b1, 1L)
+    assert(StreamingOps.currentVersionId(spark, s"$dir/state").contains(1L))
+    assert(rows(spark.read.parquet(s"$dir/out/batch=1")) == r1)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(s"$dir/state/_CURRENT"), true)
+    try out.write("v0".getBytes("UTF-8")) finally out.close()
+    step(b1, 1L)
+    assert(StreamingOps.currentVersionId(spark, s"$dir/state").contains(1L))
+    assert(rows(spark.read.parquet(s"$dir/out/batch=1")) == r1)
+  }
 }
