@@ -2374,13 +2374,15 @@ object SparkEntry {
         .createTempDirectory("graft-dedup-gate").toString
       val b0 = d.filter(col("doc_id") < 1000)
       val b1 = d.filter(col("doc_id") >= 1000)
+      // stateBuckets: the production path — the committed store reads
+      // back exchange-free under every batch's anti-join
       graft.streaming.StreamingOps.applyDedupBatch(s, b0, 0L,
-        "text", "doc_id", s"$work/state", s"$work/out")
+        "text", "doc_id", s"$work/state", s"$work/out", Some(8))
       graft.streaming.StreamingOps.applyDedupBatch(s, b1, 1L,
-        "text", "doc_id", s"$work/state", s"$work/out")
+        "text", "doc_id", s"$work/state", s"$work/out", Some(8))
       // crash-window replay: the guard must no-op, survivors stand
       graft.streaming.StreamingOps.applyDedupBatch(s, b1, 1L,
-        "text", "doc_id", s"$work/state", s"$work/out")
+        "text", "doc_id", s"$work/state", s"$work/out", Some(8))
       s.read.parquet(s"$work/out")
         .select(col("doc_id"), col("source"))
         .orderBy("doc_id")
@@ -4034,13 +4036,15 @@ object SparkEntry {
         .createTempDirectory("graft-windedup-gate").toString
       val b0 = d.filter(col("doc_id") < 500)
       val b1 = d.filter(col("doc_id") >= 500)
+      // stateBuckets: the production path — both per-batch joins read
+      // the committed store exchange-free
       graft.streaming.StreamingOps.applyWindowDedupBatch(s, b0, 0L,
-        "_t", "doc_id", s"$work/state", s"$work/out", 10)
+        "_t", "doc_id", s"$work/state", s"$work/out", 10, Some(8))
       graft.streaming.StreamingOps.applyWindowDedupBatch(s, b1, 1L,
-        "_t", "doc_id", s"$work/state", s"$work/out", 10)
+        "_t", "doc_id", s"$work/state", s"$work/out", 10, Some(8))
       // crash-window replay: the guard must no-op, survivors stand
       graft.streaming.StreamingOps.applyWindowDedupBatch(s, b1, 1L,
-        "_t", "doc_id", s"$work/state", s"$work/out", 10)
+        "_t", "doc_id", s"$work/state", s"$work/out", 10, Some(8))
       s.read.parquet(s"$work/out")
         .select(col("doc_id"), col("clean"), col("n_removed"))
         .orderBy("doc_id")
@@ -4725,7 +4729,7 @@ object SparkEntry {
         .createTempDirectory("graft-gprof-stream").toString
       def step(pred: Column, b: Long): Unit =
         StreamingOps.applyGraphProfileBatch(s, e.filter(pred), b, "a", "b",
-          s"$work/state", s"$work/out")
+          s"$work/state", s"$work/out", Some(8)) // bucketed committed store
       step(col("a") < 1000, 0L)
       step(col("a") >= 1000 && col("a") < 2000, 1L)
       step(col("a") >= 1000 && col("a") < 2000, 1L) // replay: must no-op

@@ -1699,6 +1699,9 @@ object Graph {
         col("other").cast("string").as("other"),
         col("label").cast("long").as("label"),
         col("weight").cast("long").as("weight"))
+      // a null id would pass the label/weight tripwire, enter the node
+      // universe via distinct(), and emit a spurious node=NULL embedding
+      .filter(col("center").isNotNull && col("other").isNotNull)
       .filter(assert_true(col("label").isin(0L, 1L) &&
         col("weight") >= 1L && col("weight") <= 1000L,
         lit("sgnsEpochs: label must be 0/1 and weight in [1, 1000] — " +

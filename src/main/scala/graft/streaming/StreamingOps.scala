@@ -209,32 +209,12 @@ object StreamingOps {
           else "")
         log.warn(msg)
       case _ =>
-        // the state side reads through the versioned TABLE when bucketed
-        // (bucket metadata lives in the catalog, not the parquet files);
-        // _CURRENT still decides WHICH version is committed state
-        val state = (stateBuckets match {
-          case Some(_) => currentVersionId(spark, statePath)
-            .map(v => spark.table(stateTableName(statePath, v)))
-          case None => readState(spark, statePath)
-        }).getOrElse(
-          spark.createDataFrame(spark.sparkContext.emptyRDD[Row], batch.schema))
+        val state = readVersionedState(spark, statePath, stateBuckets.isDefined)
+          .getOrElse(
+            spark.createDataFrame(spark.sparkContext.emptyRDD[Row], batch.schema))
         val merged = Merge.upsertBatch(state, batch, spec, orderCol).state
-        val version = s"v$batchId"
-        stateBuckets match {
-          case Some(n) =>
-            merged.write.mode("overwrite")
-              .option("path", s"$statePath/$version")
-              .bucketBy(n, spec.keyFields.head, spec.keyFields.tail: _*)
-              .sortBy(spec.keyFields.head, spec.keyFields.tail: _*)
-              .format("parquet")
-              .saveAsTable(stateTableName(statePath, batchId))
-          case None =>
-            merged.write.mode("overwrite").parquet(s"$statePath/$version")
-        }
-        commitVersion(spark, statePath, version, keepFrom = batchId - 1)
-        // drop catalog entries for pruned versions (dirs already deleted)
-        if (stateBuckets.isDefined && batchId >= 2)
-          spark.sql(s"DROP TABLE IF EXISTS ${stateTableName(statePath, batchId - 2)}")
+        writeVersionedState(spark, statePath, batchId, merged,
+          spec.keyFields, stateBuckets)
     }
   }
 
@@ -243,6 +223,58 @@ object StreamingOps {
     */
   def stateTableName(statePath: String, version: Long): String =
     s"graft_merge_state_${java.lang.Integer.toHexString(statePath.hashCode)}_v$version"
+
+  /** Read the committed state version — through the versioned CATALOG
+    * TABLE when the store is bucketed (bucket metadata lives in the
+    * catalog, not the parquet files; a plain-parquet read of the same
+    * directory would silently lose the exchange-free-join property).
+    * `_CURRENT` still decides WHICH version is committed state.
+    */
+  private def readVersionedState(
+      spark: SparkSession, statePath: String, bucketed: Boolean): Option[DataFrame] =
+    if (bucketed)
+      currentVersionId(spark, statePath)
+        .map(v => spark.table(stateTableName(statePath, v)))
+    else readState(spark, statePath)
+
+  /** Write + commit the next state version. `stateBuckets = Some(n)`:
+    * the version is written BUCKETED (and bucket-sorted) on `keys` via a
+    * per-version catalog table — the recurring-join contract of
+    * [[graft.engine.Partitioning.writeBucketed]]. Every subsequent batch
+    * re-joins the whole state on exactly those keys (the merge's key
+    * join, the dedup/novelty/graph-profile stores' anti-joins), so an
+    * unbucketed state pays a full state exchange per batch FOREVER;
+    * bucketing pays the bucket-id sort once at write, and each later
+    * batch reads the state side exchange-free (only the small batch side
+    * shuffles, to the bucket count). Commit and replay semantics are
+    * unchanged — `_CURRENT` stays the single commit marker; a crash
+    * between table write and commit leaves an orphan table for the
+    * uncommitted version, which the replay simply overwrites.
+    */
+  private def writeVersionedState(
+      spark: SparkSession,
+      statePath: String,
+      batchId: Long,
+      state: DataFrame,
+      keys: Seq[String],
+      stateBuckets: Option[Int]): Unit = {
+    val version = s"v$batchId"
+    stateBuckets match {
+      case Some(n) =>
+        state.write.mode("overwrite")
+          .option("path", s"$statePath/$version")
+          .bucketBy(n, keys.head, keys.tail: _*)
+          .sortBy(keys.head, keys.tail: _*)
+          .format("parquet")
+          .saveAsTable(stateTableName(statePath, batchId))
+      case None =>
+        state.write.mode("overwrite").parquet(s"$statePath/$version")
+    }
+    commitVersion(spark, statePath, version, keepFrom = batchId - 1)
+    // drop catalog entries for pruned versions (dirs already deleted)
+    if (stateBuckets.isDefined && batchId >= 2)
+      spark.sql(s"DROP TABLE IF EXISTS ${stateTableName(statePath, batchId - 2)}")
+  }
 
   /** The version name `_CURRENT` points at, if any. */
   private def currentVersionName(spark: SparkSession, statePath: String): Option[String] = {
@@ -442,7 +474,8 @@ object StreamingOps {
       statePath: String,
       outPath: String,
       checkpointPath: String,
-      trigger: Trigger = Trigger.ProcessingTime(0L)
+      trigger: Trigger = Trigger.ProcessingTime(0L),
+      stateBuckets: Option[Int] = None
   ): StreamingQuery = {
     val spark = incoming.sparkSession
     incoming.writeStream
@@ -451,13 +484,17 @@ object StreamingOps {
       .trigger(trigger)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         applyDedupBatch(spark, batch.toDF(), batchId, textCol, idCol,
-          statePath, outPath)
+          statePath, outPath, stateBuckets)
       }
       .start()
   }
 
   /** One micro-batch of [[dedupStreamPersistent]]; factored out so the
-    * replay contract is directly testable.
+    * replay contract is directly testable. `stateBuckets = Some(n)`
+    * writes the fingerprint store bucketed on `_fp` so every later
+    * batch's anti-join reads the state side exchange-free (the
+    * [[applyMergeBatch]] bucketed-state contract — without it the
+    * anti-join re-shuffles the whole committed store every micro-batch).
     */
   def applyDedupBatch(
       spark: SparkSession,
@@ -466,7 +503,8 @@ object StreamingOps {
       textCol: String,
       idCol: String,
       statePath: String,
-      outPath: String
+      outPath: String,
+      stateBuckets: Option[Int] = None
   ): Unit = {
     currentVersionId(spark, statePath) match {
       case Some(cur) if cur >= batchId =>
@@ -484,7 +522,7 @@ object StreamingOps {
           .groupBy(col("_fp"))
           .agg(min_by(struct(batch.columns.map(col): _*), col(idCol)).as("_r"))
           .select(col("_fp") +: batch.columns.map(c => col(s"_r.$c").as(c)): _*)
-        val state = readState(spark, statePath)
+        val state = readVersionedState(spark, statePath, stateBuckets.isDefined)
         val fresh = state match {
           case Some(st) => inBatch.join(st, Seq("_fp"), "left_anti")
           case None => inBatch
@@ -494,15 +532,14 @@ object StreamingOps {
         // No distinct() on the union: the store is distinct by induction
         // (in-batch keep-one + the anti-join make `fresh`'s fingerprints
         // unique AND disjoint from it), so the state rewrite is a
-        // shuffle-free copy+append, not a full re-shuffle per batch
+        // copy+append, not a full re-shuffle per batch
         fresh.drop("_fp").write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
         val newState = state match {
           case Some(st) => st.unionByName(fresh.select(col("_fp")))
           case None => fresh.select(col("_fp"))
         }
-        val version = s"v$batchId"
-        newState.write.mode("overwrite").parquet(s"$statePath/$version")
-        commitVersion(spark, statePath, version, keepFrom = batchId - 1)
+        writeVersionedState(spark, statePath, batchId, newState,
+          Seq("_fp"), stateBuckets)
     }
   }
 
@@ -665,7 +702,8 @@ object StreamingOps {
       outPath: String,
       checkpointPath: String,
       window: Int = 50,
-      trigger: Trigger = Trigger.ProcessingTime(0L)
+      trigger: Trigger = Trigger.ProcessingTime(0L),
+      stateBuckets: Option[Int] = None
   ): StreamingQuery = {
     val spark = incoming.sparkSession
     incoming.writeStream
@@ -674,13 +712,18 @@ object StreamingOps {
       .trigger(trigger)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         applyWindowDedupBatch(spark, batch.toDF(), batchId, textCol, idCol,
-          statePath, outPath, window)
+          statePath, outPath, window, stateBuckets)
       }
       .start()
   }
 
   /** One micro-batch of [[windowDedupStreamPersistent]]; factored out
-    * so the replay contract is directly testable.
+    * so the replay contract is directly testable. `stateBuckets =
+    * Some(n)` writes the window-fingerprint store bucketed on `_h` so
+    * BOTH per-batch joins against it (the semi-join that finds
+    * historical cuts and the anti-join that appends fresh fingerprints)
+    * read the state side exchange-free — the [[applyMergeBatch]]
+    * bucketed-state contract.
     */
   def applyWindowDedupBatch(
       spark: SparkSession,
@@ -690,7 +733,8 @@ object StreamingOps {
       idCol: String,
       statePath: String,
       outPath: String,
-      windowSize: Int = 50
+      windowSize: Int = 50,
+      stateBuckets: Option[Int] = None
   ): Unit = {
     currentVersionId(spark, statePath) match {
       case Some(cur) if cur >= batchId =>
@@ -703,7 +747,7 @@ object StreamingOps {
           graft.functions.TextFunctions.tokens(col(textCol)).as("_toks"))
         val wins = Dedup.tokenWindowFingerprints(base, windowSize)
         val inBatch = Dedup.nonKeeperSpans(wins, windowSize)
-        val state = readState(spark, statePath)
+        val state = readVersionedState(spark, statePath, stateBuckets.isDefined)
         val cuts = state match {
           case Some(st) =>
             // anything the store has seen cuts UNCONDITIONALLY — the
@@ -723,9 +767,8 @@ object StreamingOps {
             st.unionByName(batchFps.join(st, Seq("_h"), "left_anti"))
           case None => batchFps
         }
-        val version = s"v$batchId"
-        newState.write.mode("overwrite").parquet(s"$statePath/$version")
-        commitVersion(spark, statePath, version, keepFrom = batchId - 1)
+        writeVersionedState(spark, statePath, batchId, newState,
+          Seq("_h"), stateBuckets)
     }
   }
 
@@ -1129,7 +1172,8 @@ object StreamingOps {
       textCol: String,
       n: Int,
       statePath: String,
-      outPath: String
+      outPath: String,
+      stateBuckets: Option[Int] = None
   ): Unit = {
     import spark.implicits._
     require(n >= 1, s"applyNoveltyBatch: n must be positive, got $n")
@@ -1144,7 +1188,7 @@ object StreamingOps {
           .select(xxhash64(col("_s")).as("_fp"))
           .distinct()
           .localCheckpoint()
-        val state = readState(spark, statePath)
+        val state = readVersionedState(spark, statePath, stateBuckets.isDefined)
         val novel = (state match {
           case Some(st) => grams.join(st, Seq("_fp"), "left_anti")
           case None => grams
@@ -1158,9 +1202,8 @@ object StreamingOps {
           case Some(st) => st.unionByName(novel)
           case None => novel
         }
-        val version = s"v$batchId"
-        newState.write.mode("overwrite").parquet(s"$statePath/$version")
-        commitVersion(spark, statePath, version, keepFrom = batchId - 1)
+        writeVersionedState(spark, statePath, batchId, newState,
+          Seq("_fp"), stateBuckets)
     }
   }
 
@@ -1681,7 +1724,8 @@ object StreamingOps {
       srcCol: String,
       dstCol: String,
       statePath: String,
-      outPath: String
+      outPath: String,
+      stateBuckets: Option[Int] = None
   ): Unit = {
     currentVersionId(spark, statePath) match {
       case Some(cur) if cur >= batchId =>
@@ -1694,13 +1738,12 @@ object StreamingOps {
           .filter(col("src").isNotNull && col("dst").isNotNull &&
             col("src") =!= col("dst"))
           .distinct()
-        val state = readState(spark, statePath)
+        val state = readVersionedState(spark, statePath, stateBuckets.isDefined)
         val merged = graphProfileMergeState(state, inBatch).localCheckpoint()
         graft.operators.Graph.graphProfile(merged, "src", "dst")
           .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
-        val version = s"v$batchId"
-        merged.write.mode("overwrite").parquet(s"$statePath/$version")
-        commitVersion(spark, statePath, version, keepFrom = batchId - 1)
+        writeVersionedState(spark, statePath, batchId, merged,
+          Seq("src", "dst"), stateBuckets)
     }
   }
 
@@ -2009,7 +2052,9 @@ object StreamingOps {
     require(c >= 1, s"ivfPqIndexStream: c must be >= 1, got $c")
     require(m >= 1, s"ivfPqIndexStream: m must be >= 1, got $m")
     require(batchId >= 0 && batchId < IvfPqLocalMask,
-      s"ivfPqIndexStream: batchId must be in [0, 2^40), got $batchId")
+      s"ivfPqIndexStream: batchId must be in [0, 2^40-1) — the all-ones " +
+        s"low-bits value is reserved (it is indistinguishable from the " +
+        s"mask itself in version arithmetic) — got $batchId")
     val cellsPath = s"$statePath/cells"
     val cbPath = s"$statePath/codebooks"
     val codesPath = s"$statePath/codes"
@@ -2101,7 +2146,14 @@ object StreamingOps {
   /** Codes-version layout shared by the IVF-PQ stream and its backfill:
     * low 40 bits = stream batch id (epoch-local for the epoched tree),
     * high bits = completed-backfill count. One number, one `_CURRENT`
-    * pointer, zero cross-writer torn windows.
+    * pointer. The bit split prevents version-NUMBER collisions between
+    * the two writers; it does NOT make concurrent writes safe — each
+    * writer merges from the version it read, so whichever renames last
+    * would drop the other's rows. The stream is the primary writer;
+    * [[backfillIvfPqIndex]] re-checks the pointer against its read
+    * version immediately before commit and refuses on movement, which
+    * reduces the torn window to the rename itself — operationally,
+    * pause the stream during a backfill.
     */
   private[graft] val IvfPqBackfillShift: Int = 40
   private[graft] val IvfPqLocalMask: Long = (1L << IvfPqBackfillShift) - 1
@@ -2361,6 +2413,18 @@ object StreamingOps {
         (curVer & IvfPqLocalMask)
     merged.write.mode("overwrite").partitionBy("centroid_id")
       .parquet(s"$codesPath/v$newVer")
+    // _CURRENT is last-writer-wins: a stream batch that committed while
+    // this job encoded would be silently DROPPED by our rename (each
+    // writer merged from the version it read). Re-check the pointer
+    // against the version we merged from and refuse on movement — the
+    // torn v-directory is harmless (a re-run replays over it).
+    val verAtCommit = currentVersionId(spark, codesPath)
+    require(verAtCommit.contains(curVer),
+      s"backfillIvfPqIndex: codes _CURRENT moved v$curVer -> " +
+        s"${verAtCommit.fold("<absent>")(v => s"v$v")} while the backfill " +
+        "encoded — a concurrent stream batch committed, and renaming now " +
+        "would drop its rows. Pause the stream (or re-run the backfill; " +
+        "it merges from the new version) — refusing to commit.")
     commitVersion(spark, codesPath, s"v$newVer", keepFrom = curVer)
     n
   }

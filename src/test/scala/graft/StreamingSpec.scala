@@ -1689,6 +1689,108 @@ class StreamingSpec extends SparkSpec {
     // cardinality stays batch-bound either way; only an aggregate over
     // the Union would re-shuffle the accumulated state)
   }
+
+  private def hashExchanges(df: org.apache.spark.sql.DataFrame): Int = {
+    val p = df.queryExecution.executedPlan.toString
+    p.sliding("Exchange hash".length).count(_ == "Exchange hash")
+  }
+
+  test("applyDedupBatch bucketed: same survivors, exchange-free state-side anti-join, pruning") {
+    val dir = Files.createTempDirectory("graft-dedup-bucketed").toString
+    val b0 = Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("id", "text")
+    val b1 = Seq((3L, "alpha beta"), (4L, "epsilon zeta")).toDF("id", "text")
+    StreamingOps.applyDedupBatch(spark, b0, 0L, "text", "id",
+      s"$dir/state", s"$dir/out", Some(4))
+    StreamingOps.applyDedupBatch(spark, b1, 1L, "text", "id",
+      s"$dir/state", s"$dir/out", Some(4))
+    // semantics unchanged from the plain store: the re-crawled text drops,
+    // the store stays distinct by induction
+    assert(spark.read.parquet(s"$dir/out").select("id")
+      .as[Long].collect().toSet == Set(1L, 2L, 4L))
+    val st = spark.table(StreamingOps.stateTableName(s"$dir/state", 1L))
+    assert(st.count() == 3L && st.distinct().count() == 3L)
+    // the per-batch anti-join contract: with broadcast off, the bucketed
+    // state side replans NO exchange — only the batch side shuffles (1
+    // Exchange hash total); the same join against plain parquet pays 2
+    val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val batchFps = Seq(10L, 20L).toDF("_fp")
+      val bucketed = batchFps.join(st, Seq("_fp"), "left_anti")
+      assert(hashExchanges(bucketed) == 1,
+        bucketed.queryExecution.executedPlan.toString)
+      val plain = StreamingOps.readState(spark, s"$dir/state").get
+      val unbucketed = batchFps.join(plain, Seq("_fp"), "left_anti")
+      assert(hashExchanges(unbucketed) == 2,
+        unbucketed.queryExecution.executedPlan.toString)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+    // replay no-op + version pruning (the applyMergeBatch bucketed contract)
+    StreamingOps.applyDedupBatch(spark, b1, 1L, "text", "id",
+      s"$dir/state", s"$dir/out", Some(4))
+    assert(StreamingOps.currentVersionId(spark, s"$dir/state").contains(1L))
+    StreamingOps.applyDedupBatch(spark,
+      Seq((5L, "eta theta")).toDF("id", "text"), 2L, "text", "id",
+      s"$dir/state", s"$dir/out", Some(4))
+    assert(!new java.io.File(s"$dir/state/v0").exists())
+    assert(!spark.catalog.tableExists(
+      StreamingOps.stateTableName(s"$dir/state", 0L)))
+  }
+
+  test("window-dedup + graph-profile bucketed state: outputs unchanged, state side exchange-free") {
+    // window dedup: bucketed on _h — both per-batch joins (the semi that
+    // finds historical cuts, the anti that appends fresh fingerprints)
+    // read the state side exchange-free
+    val wd = Files.createTempDirectory("graft-wdedup-bucketed").toString
+    val toks = (1 to 12).map(i => s"t$i").mkString(" ")
+    val w0 = Seq((1L, toks)).toDF("id", "text")
+    val w1 = Seq((2L, toks + " u1 u2")).toDF("id", "text")
+    StreamingOps.applyWindowDedupBatch(spark, w0, 0L, "text", "id",
+      s"$wd/state", s"$wd/out", windowSize = 5, stateBuckets = Some(4))
+    StreamingOps.applyWindowDedupBatch(spark, w1, 1L, "text", "id",
+      s"$wd/state", s"$wd/out", windowSize = 5, stateBuckets = Some(4))
+    // doc 2 is the same token stream plus a fresh tail: the historical
+    // overlap cuts, the tail survives — same answer as the plain store
+    val wdPlain = Files.createTempDirectory("graft-wdedup-plain").toString
+    StreamingOps.applyWindowDedupBatch(spark, w0, 0L, "text", "id",
+      s"$wdPlain/state", s"$wdPlain/out", windowSize = 5)
+    StreamingOps.applyWindowDedupBatch(spark, w1, 1L, "text", "id",
+      s"$wdPlain/state", s"$wdPlain/out", windowSize = 5)
+    assert(rows(spark.read.parquet(s"$wd/out/batch=1")) ==
+      rows(spark.read.parquet(s"$wdPlain/out/batch=1")))
+
+    // graph profile: bucketed on (src, dst) — the merge seam's anti-join
+    // reads the committed edge set exchange-free
+    val gp = Files.createTempDirectory("graft-gprof-bucketed").toString
+    val e0 = Seq(("a", "b"), ("b", "c")).toDF("src", "dst")
+    val e1 = Seq(("b", "c"), ("c", "d")).toDF("src", "dst")
+    StreamingOps.applyGraphProfileBatch(spark, e0, 0L, "src", "dst",
+      s"$gp/state", s"$gp/out", Some(4))
+    StreamingOps.applyGraphProfileBatch(spark, e1, 1L, "src", "dst",
+      s"$gp/state", s"$gp/out", Some(4))
+    assert(rows(spark.read.parquet(s"$gp/out/batch=1")) ==
+      rows(graft.operators.Graph.graphProfile(e0.unionByName(e1), "src", "dst")))
+
+    val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // window-dedup store shape (key _h): semi and anti both 1 exchange
+      val wdSt = spark.table(StreamingOps.stateTableName(s"$wd/state", 1L))
+      val probeH = Seq(10L, 20L).toDF("_h")
+      assert(hashExchanges(probeH.join(wdSt, Seq("_h"), "left_semi")) == 1)
+      assert(hashExchanges(probeH.join(wdSt, Seq("_h"), "left_anti")) == 1)
+      // graph-profile store shape (keys src, dst) through the merge seam:
+      // the only hash exchanges serve the batch side (its distinct + its
+      // join shuffle); the bucketed state side adds NONE vs plain's extra
+      val gpSt = spark.table(StreamingOps.stateTableName(s"$gp/state", 1L))
+      val gpPlain = StreamingOps.readState(spark, s"$gp/state").get
+      val inB = Seq(("c", "d"), ("d", "e")).toDF("src", "dst").distinct()
+      val mBucketed = StreamingOps.graphProfileMergeState(Some(gpSt), inB)
+      val mPlain = StreamingOps.graphProfileMergeState(Some(gpPlain), inB)
+      assert(hashExchanges(mBucketed) < hashExchanges(mPlain),
+        s"bucketed:\n${mBucketed.queryExecution.executedPlan}\n" +
+          s"plain:\n${mPlain.queryExecution.executedPlan}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+  }
 }
 
 /** Serializable recording double for the socket client: records land in a
