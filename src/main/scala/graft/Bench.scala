@@ -84,21 +84,38 @@ object Bench {
     def gcMillis(): Long = java.lang.management.ManagementFactory
       .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime.max(0L)).sum
     val blocks = Seq(runsPerQuery - runsPerQuery / 2, runsPerQuery / 2).filter(_ > 0)
-    for (blockRuns <- blocks; i <- selected.indices; _ <- 0 until blockRuns) {
-      val (name, fn) = selected(i)
-      val g0 = gcMillis()
-      val t0 = System.nanoTime()
-      // noop write forces full evaluation of every output column — a bare
-      // .count() lets Catalyst prune projections and EliminateSorts drop
-      // sorts, benchmarking narrow queries as little more than a scan
-      try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
-      catch { case e: Throwable =>
-        // a failed query must not score as a plausible-looking time
-        failed(i) = true
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+    // PROBE TIMELINE (r14 lesson: one probe per sweep made a loaded
+    // closing box unadjudicable — a mid-sweep burst could not be
+    // attributed to the queries it covered). Every `probeEvery` queries
+    // within each block, one extra calibration-kernel sample records
+    // (block, last query completed, seconds): a reader maps any
+    // per-query inflation to the box speed AT THAT POINT in the sweep.
+    // ~12 samples/block on the full suite ≈ +3 s — negligible.
+    val probeEvery = sys.env.getOrElse("SPARK_GRAFT_BENCH_PROBE_EVERY", "25").toInt
+    val probeTimeline = scala.collection.mutable.ListBuffer.empty[(Int, String, Double)]
+    for ((blockRuns, bi) <- blocks.zipWithIndex; i <- selected.indices) {
+      for (_ <- 0 until blockRuns) {
+        val (name, fn) = selected(i)
+        val g0 = gcMillis()
+        val t0 = System.nanoTime()
+        // noop write forces full evaluation of every output column — a bare
+        // .count() lets Catalyst prune projections and EliminateSorts drop
+        // sorts, benchmarking narrow queries as little more than a scan
+        try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
+        catch { case e: Throwable =>
+          // a failed query must not score as a plausible-looking time
+          failed(i) = true
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        times(i) :+= (System.nanoTime() - t0) / 1e9
+        gcMs(i) :+= gcMillis() - g0
       }
-      times(i) :+= (System.nanoTime() - t0) / 1e9
-      gcMs(i) :+= gcMillis() - g0
+      if (probeEvery > 0 && i % probeEvery == probeEvery - 1) {
+        val t0 = System.nanoTime()
+        try calibration(spark, sfDir).write.mode("overwrite").format("noop").save()
+        catch { case _: Throwable => () }
+        probeTimeline += ((bi + 1, selected(i)._1, (System.nanoTime() - t0) / 1e9))
+      }
     }
     // median of N runs: single-shot numbers carry JIT/GC noise that made
     // round-over-round per-query deltas untrustworthy. min is recorded
@@ -133,9 +150,14 @@ object Bench {
     val failedNames = results.filter(_._5).map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val okGated = ok.filterNot(_._1 == "calibration_cpu")
     val total = if (okGated.nonEmpty) okGated.map(_._2).sum else 0.0
+    // [block, last-query-completed, probe seconds] in sweep order
+    val probeJson = probeTimeline.map { case (b, n, t) =>
+      f"""[$b,"$n",$t%.3f]"""
+    }.mkString("[", ",", "]")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs""" +
       s""","queries_min":$mins,"queries_p25":$p25s,"queries_runs":$runsJson""" +
       s""","queries_gc_ms":$gcJson,"failed_queries":$failedNames""" +
+      s""","probe_timeline":$probeJson""" +
       s""","runs_per_query":$runsPerQuery,"stat":"median","interleaved":"two-block","sf":"$sfDir"}"""
     println(line)
     // belt-and-braces: also persist the JSON where the driver can read it
