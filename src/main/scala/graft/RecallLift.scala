@@ -64,3 +64,51 @@ object RecallLift {
     spark.stop()
   }
 }
+
+/** Measurement main for the multi-probe mutual-k-NN recall claim: edge
+  * recall of [[graft.operators.Similarity.mutualKnnEdgesProbedE6]]
+  * against the exact sample-tier graph
+  * ([[graft.operators.Similarity.mutualKnnEdgesE6]]) at MATCHED cells,
+  * swept over nprobe — the RecallLift protocol applied to the
+  * neighborhood graph (nprobe=1 is the blocked operator by reduction).
+  * Prints one JSON line; recorded as the README recall-vs-nprobe table.
+  * Not a gate: the probed edges are already oracle-replayed by
+  * `embedding_mutual_knn_probed`.
+  */
+object MutualKnnRecall {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.operators.Similarity
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val nCells = 16
+    val cells = emb.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("centroid_id"),
+        transform(col("embedding"),
+          v => floor(v.cast("double") * 1000000d).cast("long"))
+          .as("centroid_e6"))
+    val k = 3
+    def edges(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = edges(Similarity.mutualKnnEdgesE6(emb, "vec_id",
+      "embedding", k))
+    val rows = for (np <- Seq(1, 2, 4, 8, nCells)) yield {
+      val probed = edges(Similarity.mutualKnnEdgesProbedE6(emb, "vec_id",
+        "embedding", cells, k, np))
+      val hit = (probed & exact).size
+      s""""nprobe_$np":{"edges":${probed.size},"exact_hit":$hit,""" +
+        s""""recall":${hit.toDouble / math.max(exact.size, 1)}}"""
+    }
+    println(s"""{"metric":"mutual_knn_recall","k":$k,"cells":$nCells,""" +
+      s""""exact_edges":${exact.size},""" +
+      rows.mkString(",") + s""","sf":"$sfDir"}""")
+    spark.stop()
+  }
+}

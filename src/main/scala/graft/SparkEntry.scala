@@ -5703,6 +5703,24 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // ---- the MULTI-PROBE variant: each point lists under its home
+    //      cell but queries its 2 nearest cells (the ivfTopKPartitioned
+    //      probe convention via one narrow codegen'd projection), so
+    //      cross-cell near-neighbors the nprobe=1 block cannot see
+    //      enter the candidate lists; same top-k + reciprocity filter,
+    //      nprobe=1 reduces bit-identically to the blocked gate
+    "embedding_mutual_knn_probed" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").filter(col("vec_id") < 200)
+      val cells = emb.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("centroid_id"),
+          transform(col("embedding"),
+            v => floor(v.cast("double") * 1000000d).cast("long"))
+            .as("centroid_e6"))
+      graft.operators.Similarity.mutualKnnEdgesProbedE6(emb, "vec_id",
+          "embedding", cells, k = 3, nprobe = 2)
+        .orderBy("id_a", "id_b")
+    }),
+
     // ---- the composed embedding-cluster dedup pipeline: mutual 3-NN
     //      edges → bounded min-label propagation → cluster labels (the
     //      graph-first sibling of SemDeDup's within-cell pairs; nodes
@@ -11859,6 +11877,48 @@ object SparkEntry {
         | SELECT q.id AS qid, p.id AS nid,
         |  CAST(list_sum(list_transform(list_zip(q.v, p.v), z -> (z[1]-z[2])*(z[1]-z[2]))) AS BIGINT) AS dist
         | FROM e q JOIN casg cq ON cq.id = q.id
+        | JOIN casg cp ON cp.ccid = cq.ccid
+        | JOIN e p ON p.id = cp.id
+        | WHERE q.id <> p.id
+        |), kn AS (
+        | SELECT qid, nid FROM (
+        |  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY dist, nid) AS rn
+        |  FROM pd) WHERE rn <= 3
+        |), me AS (
+        | SELECT a.qid AS id_a, a.nid AS id_b
+        | FROM kn a JOIN kn b ON b.qid = a.nid AND b.nid = a.qid
+        | WHERE a.qid < a.nid
+        |)
+        |SELECT id_a, id_b FROM me ORDER BY 1, 2""".stripMargin,
+
+    // the multi-probe variant: index side keyed on the argmin home
+    // cell (casg), query side on the 2 nearest cells (cprobe, the same
+    // (dist, ccid) ladder cut at rn <= 2), same top-3 + reciprocity
+    "embedding_mutual_knn_probed" ->
+      """WITH e AS (
+        | SELECT CAST(vec_id AS BIGINT) AS id,
+        |  list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+        | FROM embeddings WHERE vec_id < 200
+        |), cc AS (
+        | SELECT id AS ccid, v AS ccv FROM e WHERE id < 4
+        |), cd AS (
+        | SELECT e.id, cc.ccid,
+        |  list_sum(list_transform(range(1, 65),
+        |    i -> (e.v[i] - cc.ccv[i]) * (e.v[i] - cc.ccv[i]))) AS dist
+        | FROM e, cc
+        |), casg AS (
+        | SELECT id, ccid FROM (
+        |  SELECT id, ccid, row_number() OVER (PARTITION BY id ORDER BY dist, ccid) AS rn
+        |  FROM cd) WHERE rn = 1
+        |), cprobe AS (
+        | SELECT id, ccid FROM (
+        |  SELECT id, ccid, row_number() OVER (PARTITION BY id ORDER BY dist, ccid) AS rn
+        |  FROM cd) WHERE rn <= 2
+        |), pd AS (
+        | SELECT q.id AS qid, p.id AS nid,
+        |  CAST(list_sum(list_transform(list_zip(q.v, p.v), z -> (z[1]-z[2])*(z[1]-z[2]))) AS BIGINT) AS dist
+        | FROM e q JOIN cprobe cq ON cq.id = q.id
         | JOIN casg cp ON cp.ccid = cq.ccid
         | JOIN e p ON p.id = cp.id
         | WHERE q.id <> p.id

@@ -1360,6 +1360,83 @@ object Similarity {
       .select(col("_x").as("id_a"), col("_y").as("id_b"))
   }
 
+  /** MULTI-PROBE blocked mutual k-NN — [[mutualKnnEdgesBlockedE6]] with
+    * the cross-cell blind spot opened up: each point still LISTS under
+    * its single home (argmin) cell, but as a QUERY it draws candidates
+    * from its `nprobe` nearest cells (the [[ivfTopKPartitioned]] probe
+    * convention), so near-neighbors sitting just across a cell boundary
+    * become visible. `nprobe = 1` reduces bit-identically to the
+    * blocked operator; recall of the exact sample-tier graph's edges
+    * rises with nprobe (measured — see the README recall-vs-nprobe
+    * table) at candidate cost ∝ nprobe.
+    *
+    * Probe sets come from ONE narrow codegen'd projection
+    * ([[graft.plans.NearestCentroidsE6]] — element 0 is the home cell,
+    * the full array is the probe list), never a points × C window
+    * shuffle. Each (query, candidate) pair appears at most once: a
+    * candidate is keyed only under its unique home cell. The hot-cell
+    * tripwire guards HOME occupancy (the index-side lists whose size
+    * drives the quadratic term), riding the candidate join's own hash
+    * distribution exactly as in the blocked operator.
+    *
+    * Mutuality note: reciprocity is evaluated on the probed lists —
+    * edge (a, b) survives iff each ranks the other top-k within its own
+    * probed candidate set. As nprobe → C the lists converge to
+    * [[mutualKnnEdgesE6]]'s exact ones.
+    */
+  def mutualKnnEdgesProbedE6(
+      points: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroidsE6: DataFrame,
+      k: Int,
+      nprobe: Int,
+      maxCellSize: Long = 100000L
+  ): DataFrame = {
+    require(k > 0, s"mutualKnnEdgesProbedE6: k must be positive, got $k")
+    require(nprobe > 0,
+      s"mutualKnnEdgesProbedE6: nprobe must be positive, got $nprobe")
+    require(maxCellSize >= 2,
+      s"mutualKnnEdgesProbedE6: maxCellSize must be >= 2, got $maxCellSize")
+    import org.apache.spark.sql.graft.ColumnBridge
+    val (cids, cmat, cdim) = collectE6Whole(centroidsE6)
+    val probeList = ColumnBridge.column(graft.plans.NearestCentroidsE6(
+      ColumnBridge.expression(col("_a")), cids, cmat, cdim, nprobe))
+    val l2 = (a: Column, b: Column) => aggregate(
+      zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, d) => acc + d)
+    val p = points.select(col(idCol).cast(LongType).as("_id"),
+        toE6(col(vecCol)).as("_a"))
+      .filter(size(col("_a")) === cdim)
+      .withColumn("_probes", probeList)
+      .filter(col("_probes").isNotNull)
+      .localCheckpoint() // index side AND query side read it
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("_cell")
+    val home = p
+      .select(element_at(col("_probes"), 1).as("_cell"), col("_id"), col("_a"))
+      .withColumn("_occ", count(lit(1)).over(w))
+      .filter(assert_true(col("_occ") <= lit(maxCellSize),
+        lit(s"mutualKnnEdgesProbedE6: a coarse cell holds more than " +
+          s"maxCellSize=$maxCellSize points — the candidate join is " +
+          "nprobe × occupancy pairs per query against that cell's list. " +
+          "Train more (or better) cells, or raise maxCellSize knowingly."))
+        .isNull)
+      .select(col("_cell"), col("_id").as("neighbor_id"), col("_a"))
+    val q = p.select(col("_id").as("query_id"), col("_a").as("_qa"),
+      explode(col("_probes")).as("_cell"))
+    val scored = q.join(home, Seq("_cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (lit(0L) - l2(col("_qa"), col("_a"))).as("_negd"))
+    val kn = topKPerQuery(scored, "_negd", k)
+      .select(col("query_id").as("_x"), col("neighbor_id").as("_y"))
+      .localCheckpoint() // both sides of the mutuality semi-join
+    kn.join(kn.select(col("_y").as("_x"), col("_x").as("_y")),
+        Seq("_x", "_y"), "left_semi")
+      .filter(col("_x") < col("_y"))
+      .select(col("_x").as("id_a"), col("_y").as("id_b"))
+  }
+
   def knnInDegreeE6(
       points: DataFrame,
       idCol: String,

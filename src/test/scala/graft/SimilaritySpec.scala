@@ -695,6 +695,55 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("mutualKnnEdgesProbedE6: nprobe=1 reduces to blocked; nprobe=2 recovers the cross-cell pair; guards") {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.functions.{col, floor, transform}
+    // cells at 0 and 10; a planted near pair STRADDLES the boundary
+    // (4.9 homes to cell 0, 5.1 to cell 10) — invisible at nprobe=1,
+    // exactly the blind spot multi-probe exists to open
+    val d = Seq((1L, Seq(4.9f)), (2L, Seq(5.1f)), (3L, Seq(0.0f)),
+      (4L, Seq(10.0f))).toDF("id", "vec")
+    val cells = Seq((100L, Seq(0.0f)), (101L, Seq(10.0f)))
+      .toDF("centroid_id", "vec")
+      .select(col("centroid_id"),
+        transform(col("vec"), v => floor(v.cast("double") * 1000000d)
+          .cast("long")).as("centroid_e6"))
+    val blocked = Similarity.mutualKnnEdgesBlockedE6(d, "id", "vec",
+      cells, k = 1).as[(Long, Long)].collect().toSet
+    val probed1 = Similarity.mutualKnnEdgesProbedE6(d, "id", "vec",
+      cells, k = 1, nprobe = 1).as[(Long, Long)].collect().toSet
+    // nprobe=1 ≡ blocked (home lists only): the straddling pair is
+    // invisible, each point pairs within its own cell
+    assert(probed1 == blocked && blocked == Set((1L, 3L), (2L, 4L)),
+      s"probed1=$probed1 blocked=$blocked")
+    // nprobe=2 sees across the boundary and recovers the exact graph
+    val probed2 = Similarity.mutualKnnEdgesProbedE6(d, "id", "vec",
+      cells, k = 1, nprobe = 2).as[(Long, Long)].collect().toSet
+    val exact = Similarity.mutualKnnEdgesE6(d, "id", "vec", k = 1)
+      .as[(Long, Long)].collect().toSet
+    assert(probed2 == exact && exact == Set((1L, 2L)),
+      s"probed2=$probed2 exact=$exact")
+    // hot-cell tripwire guards HOME occupancy exactly as in blocked:
+    // a third point homing to cell 0 pushes its occupancy past 2
+    val d5 = d.union(Seq((5L, Seq(0.1f))).toDF("id", "vec"))
+    val hot = intercept[Exception] {
+      Similarity.mutualKnnEdgesProbedE6(d5, "id", "vec", cells, k = 1,
+        nprobe = 2, maxCellSize = 2L).collect()
+    }
+    val msg = Option(hot.getMessage).getOrElse("") +
+      Option(hot.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+    assert(msg.contains("maxCellSize"), hot.toString)
+    assert(msg.contains("Train more"), hot.toString)
+    intercept[IllegalArgumentException] {
+      Similarity.mutualKnnEdgesProbedE6(d, "id", "vec", cells, k = 0,
+        nprobe = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.mutualKnnEdgesProbedE6(d, "id", "vec", cells, k = 1,
+        nprobe = 0)
+    }
+  }
+
   test("kCenterGreedyE6: farthest-point order, tie-breaks, exhaustion, malformed rows") {
     import graft.operators.Similarity
     // 1-D layout: 0.0, 0.1, 5.0, 10.0 (ids 1..4). Seed = id 1 (smallest).
