@@ -930,7 +930,12 @@ object SparkEntry {
     * identical operands — DuckDB's `//` and `%` truncate toward zero
     * exactly like Spark's `div`/`%`.
     */
-  private def sgnsOracleSql(dims: Int, epochs: Int, lrPpm: Long,
+  /** The SGNS training CTE chain (walks → labeled pairs → init →
+    * `epochs` GD rounds), ending at `em$epochs(node, emb)` — shared by
+    * the trainer gate's scoring tail and the train→serve pipeline's
+    * retrieval tail.
+    */
+  private def sgnsTrainCteSql(dims: Int, epochs: Int, lrPpm: Long,
       seed: String): String = {
     val tbl = graft.operators.Graph.sigmoidTablePpm()
     val stVals = tbl.zipWithIndex
@@ -967,7 +972,7 @@ object SparkEntry {
          | GROUP BY e.node
          |)""".stripMargin
     }.mkString(", ")
-    s"""WITH $graphEmbeddingPairsCteSql, lpw AS MATERIALIZED (
+    s"""$graphEmbeddingPairsCteSql, lpw AS MATERIALIZED (
        | SELECT center, other, label, least(weight, 1000) AS weight FROM lp
        |), pn AS (
        | SELECT DISTINCT center AS v FROM lpw
@@ -983,7 +988,12 @@ object SparkEntry {
        | GROUP BY v
        |), st AS (
        | SELECT * FROM (VALUES $stVals) AS t(idx, sppm)
-       |), $epochCtes, f AS (
+       |), $epochCtes""".stripMargin
+  }
+
+  private def sgnsOracleSql(dims: Int, epochs: Int, lrPpm: Long,
+      seed: String): String =
+    s"""WITH ${sgnsTrainCteSql(dims, epochs, lrPpm, seed)}, f AS (
        | SELECT p.center, p.label,
        |  list_sum(list_transform(range(1, ${dims + 1}),
        |    i -> u.emb[i] * v.emb[i])) AS dot
@@ -994,7 +1004,47 @@ object SparkEntry {
        |SELECT center, label, CAST(count(*) AS BIGINT) AS n_pairs,
        | CAST(sum(dot) AS BIGINT) AS sum_dot_e12
        |FROM f GROUP BY 1, 2 ORDER BY center, label""".stripMargin
-  }
+
+  /** The train→serve pipeline oracle: the trained `em$epochs` table
+    * indexed and queried in the same exact e6 integer space —
+    * cells = the 4 smallest node ids' trained embeddings, every vector
+    * home-assigned by (dist, cell-id) argmin, queries (node % 7 = 0)
+    * probe their 2 nearest cells, exact squared-L2 top-5 with ties to
+    * the smaller neighbor id (the topKPerQuery heap rule).
+    */
+  private def sgnsServeOracleSql(dims: Int, epochs: Int, lrPpm: Long,
+      seed: String, k: Int, nprobe: Int): String =
+    s"""WITH ${sgnsTrainCteSql(dims, epochs, lrPpm, seed)}, cellt AS (
+       | SELECT CAST(node AS BIGINT) AS ccid, emb AS ccv
+       | FROM em$epochs ORDER BY CAST(node AS BIGINT) LIMIT 4
+       |), cd AS MATERIALIZED (
+       | SELECT CAST(e.node AS BIGINT) AS id, e.emb AS v, c.ccid,
+       |  list_sum(list_transform(range(1, ${dims + 1}),
+       |    i -> (e.emb[i] - c.ccv[i]) * (e.emb[i] - c.ccv[i]))) AS dist
+       | FROM em$epochs e, cellt c
+       |), homed AS (
+       | SELECT id, ccid, v FROM (
+       |  SELECT id, ccid, v,
+       |   row_number() OVER (PARTITION BY id ORDER BY dist, ccid) AS rn
+       |  FROM cd) WHERE rn = 1
+       |), qprobe AS (
+       | SELECT id, ccid, v FROM (
+       |  SELECT id, ccid, v,
+       |   row_number() OVER (PARTITION BY id ORDER BY dist, ccid) AS rn
+       |  FROM cd WHERE id % 7 = 0) WHERE rn <= $nprobe
+       |), pd AS (
+       | SELECT q.id AS query_id, h.id AS neighbor_id,
+       |  CAST(list_sum(list_transform(range(1, ${dims + 1}),
+       |    i -> (q.v[i] - h.v[i]) * (q.v[i] - h.v[i]))) AS BIGINT) AS dist_e12
+       | FROM qprobe q JOIN homed h ON h.ccid = q.ccid
+       | WHERE q.id <> h.id
+       |)
+       |SELECT query_id, neighbor_id, dist_e12, rank FROM (
+       | SELECT query_id, neighbor_id, dist_e12,
+       |  CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY dist_e12, neighbor_id) AS INTEGER) AS rank
+       | FROM pd) WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
 
   /** Mutual 3-NN edge CTE chain ending in `me(id_a, id_b)` — exact e6
     * squared-L2 lists (ties to the smaller id, the topKPerQuery
@@ -4823,6 +4873,41 @@ object SparkEntry {
         .groupBy(col("center"), col("label"))
         .agg(count(lit(1)).as("n_pairs"), sum(col("_dot")).as("sum_dot_e12"))
         .orderBy("center", "label")
+    }),
+
+    // ---- the trained embeddings SERVED — the loop closed all the way
+    //      (walks → pairs → train → index → query): the sgnsEpochs
+    //      output (born e6 BIGINT, the IVF ops' native scale) feeds
+    //      ivfTopKExactE6 — cells = the 4 smallest nodes' trained
+    //      vectors, every vector home-assigned by the exact argmin,
+    //      anchor queries (node % 7 = 0) probe their 2 nearest cells,
+    //      exact squared-L2 top-5 — and DuckDB replays training AND
+    //      retrieval end to end
+    "pipeline_train_serve_embeddings" -> ((s, dir) => {
+      val edges = anfLatticeEdges(s, dir).localCheckpoint()
+      val walks = graft.operators.Graph.node2vecWalks(edges, "src", "dst",
+        steps = 4, walksPerNode = 1, pPpm = 4000000L, qPpm = 250000L)
+      val pos = graft.operators.Graph.skipGramPairs(walks, window = 2)
+      val nodes = edges.select(col("src").as("node"))
+        .unionByName(edges.select(col("dst").as("node"))).distinct()
+      val anchors = nodes.filter(col("node").cast("long") % 7 === 0)
+      val neg = Sampling.negativeSamples(anchors, "node", nodes, "node",
+        k = 3, salt = "gemb")
+      val labeled = pos.select(col("center"), col("context").as("other"),
+          lit(1L).as("label"), least(col("cnt"), lit(1000L)).as("weight"))
+        .unionByName(neg.select(col("anchor").as("center"),
+          col("negative").as("other"), lit(0L).as("label"),
+          lit(1L).as("weight")))
+      val emb = graft.operators.Graph.sgnsEpochs(labeled, dims = 8,
+          epochs = 2, lrPpm = 250000L, seed = "sg")
+        .localCheckpoint() // corpus, cells, and queries all read it
+      val cells = emb.orderBy(col("node").cast("long")).limit(4)
+        .select(col("node").cast("long").as("centroid_id"),
+          col("emb").as("centroid_e6"))
+      val queries = emb.filter(col("node").cast("long") % 7 === 0)
+      Similarity.ivfTopKExactE6(emb, "node", "emb", cells,
+          queries, "node", "emb", k = 5, nprobe = 2)
+        .orderBy("query_id", "rank")
     }),
 
     // ---- pairwise-preference aggregation (the RLHF preference-data
@@ -10724,6 +10809,9 @@ object SparkEntry {
     // the trainer replayed end to end: FNV init, 2 unrolled full-batch
     // GD epochs over the literal sigmoid table, then the anchor-pair
     // dot scores off the trained table; see sgnsOracleSql
+    "pipeline_train_serve_embeddings" -> sgnsServeOracleSql(dims = 8,
+      epochs = 2, lrPpm = 250000L, seed = "sg", k = 5, nprobe = 2),
+
     "embedding_train_sgns" -> sgnsOracleSql(dims = 8, epochs = 2,
       lrPpm = 250000L, seed = "sg"),
 

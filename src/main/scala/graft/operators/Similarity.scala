@@ -807,6 +807,90 @@ object Similarity {
           .as("recall_ppm"))
   }
 
+  /** Exact-integer IVF top-k SERVING in e6 space — the query path for
+    * corpora whose vectors already live as e6-scaled BIGINT arrays
+    * (trained [[graft.operators.Graph.sgnsEpochs]] embeddings are born
+    * in this format): home-assign the corpus to its argmin cell
+    * ([[graft.plans.NearestCentroidE6]], one narrow projection), probe
+    * each query's `nprobe` nearest cells
+    * ([[graft.plans.NearestCentroidsE6]], one narrow projection — never
+    * a rows × C window shuffle), score candidates by exact BIGINT
+    * squared-L2 within the probed cells, and reduce through the
+    * k-bounded heap. Output `(query_id, neighbor_id, dist_e12, rank)`
+    * — every value integer, engine-replayable. Self-matches drop (a
+    * query that IS a corpus member does not retrieve itself).
+    *
+    * Both vector columns MUST be ARRAY<BIGINT> in e6 scale already —
+    * this operator never re-quantizes (the float-corpus entry points
+    * are the mutualKnn and recall ops, which floor-quantize
+    * internally); feeding raw floats fails the expression's type check
+    * loudly. Ids cast to BIGINT (the mutualKnn family's id contract).
+    *
+    * Scale shape: corpus never exchanges before the candidate join
+    * (assignment and probing are projections); the join moves each
+    * corpus row once per probing query-cell; the hot-cell tripwire
+    * refuses occupancy² blowups BEFORE pairs emit (the
+    * [[mutualKnnEdgesProbedE6]] guard, riding the join's own hash
+    * distribution). At 100 TB, persist the assignment partitioned by
+    * cell ([[writeAssigned]]) and the probe set becomes a partition
+    * filter — [[ivfTopKPartitioned]]'s layout argument applies
+    * verbatim.
+    */
+  def ivfTopKExactE6(
+      corpus: DataFrame,
+      corpusId: String,
+      corpusVec: String, // ARRAY<BIGINT>, e6-scaled
+      centroidsE6: DataFrame,
+      queries: DataFrame,
+      queryId: String,
+      queryVec: String,  // ARRAY<BIGINT>, e6-scaled
+      k: Int,
+      nprobe: Int,
+      maxCellSize: Long = 100000L
+  ): DataFrame = {
+    require(k > 0, s"ivfTopKExactE6: k must be positive, got $k")
+    require(nprobe > 0, s"ivfTopKExactE6: nprobe must be positive, got $nprobe")
+    require(maxCellSize >= 2,
+      s"ivfTopKExactE6: maxCellSize must be >= 2, got $maxCellSize")
+    import org.apache.spark.sql.graft.ColumnBridge
+    val (cids, cmat, cdim) = collectE6Whole(centroidsE6)
+    val homeCell = ColumnBridge.column(graft.plans.NearestCentroidE6(
+      ColumnBridge.expression(col("_a")), cids, cmat, cdim))
+    val probeList = ColumnBridge.column(graft.plans.NearestCentroidsE6(
+      ColumnBridge.expression(col("_qa")), cids, cmat, cdim, nprobe))
+    val l2 = (a: Column, b: Column) => aggregate(
+      zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, d) => acc + d)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("_cell")
+    val home = corpus
+      .select(col(corpusId).cast(LongType).as("_id"), col(corpusVec).as("_a"))
+      .filter(size(col("_a")) === cdim)
+      .withColumn("_cell", homeCell)
+      .filter(col("_cell").isNotNull)
+      .withColumn("_occ", count(lit(1)).over(w))
+      .filter(assert_true(col("_occ") <= lit(maxCellSize),
+        lit(s"ivfTopKExactE6: a coarse cell holds more than " +
+          s"maxCellSize=$maxCellSize vectors — the candidate join is " +
+          "nprobe × occupancy pairs per query against that cell's list. " +
+          "Train more (or better) cells, or raise maxCellSize knowingly."))
+        .isNull)
+      .select(col("_cell"), col("_id"), col("_a"))
+    val q = queries
+      .select(col(queryId).cast(LongType).as("query_id"),
+        col(queryVec).as("_qa"))
+      .filter(size(col("_qa")) === cdim)
+      .withColumn("_probes", probeList)
+      .filter(col("_probes").isNotNull)
+      .select(col("query_id"), col("_qa"), explode(col("_probes")).as("_cell"))
+    val scored = q.join(home, Seq("_cell"))
+      .filter(col("query_id") =!= col("_id"))
+      .select(col("query_id"), col("_id").as("neighbor_id"),
+        (lit(0L) - l2(col("_qa"), col("_a"))).as("_negd"))
+    topKPerQuery(scored, "_negd", k)
+      .select(col("query_id"), col("neighbor_id"),
+        (lit(0L) - col("_negd")).as("dist_e12"), col("rank"))
+  }
+
   /** [[ivfRecallExactE6]] STRATIFIED by the query's assigned coarse
     * bucket — the index-quality breakdown that tells you WHERE a
     * 1-probe IVF loses recall (a bucket whose centroid sits near a

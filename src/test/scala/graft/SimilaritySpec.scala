@@ -744,6 +744,59 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivfTopKExactE6: nprobe=C equals brute force; self excluded; trained neighbors retrieve each other") {
+    import graft.operators.{Graph, Similarity}
+    import org.apache.spark.sql.functions.col
+    // mechanical contract first: a hand-built e6 corpus, nprobe = C —
+    // the probed lists ARE the exact lists, ties to the smaller id
+    val corp = Seq(
+      (1L, Seq(0L)), (2L, Seq(1000000L)), (3L, Seq(2000000L)),
+      (4L, Seq(10000000L)), (5L, Seq(11000000L))).toDF("id", "v")
+    val cells = Seq((100L, Seq(0L)), (101L, Seq(10000000L)))
+      .toDF("centroid_id", "centroid_e6")
+    val got = Similarity.ivfTopKExactE6(corp, "id", "v", cells,
+        corp.filter(col("id") === 1L), "id", "v", k = 2, nprobe = 2)
+      .select("query_id", "neighbor_id", "dist_e12", "rank")
+      .as[(Long, Long, Long, Int)].collect().toSeq.sortBy(_._4)
+    // brute force from id 1 at 0: nearest 2 (d=1e12), then 3 (d=4e12)
+    assert(got == Seq((1L, 2L, 1000000000000L, 1),
+      (1L, 3L, 4000000000000L, 2)), got.toString)
+    // nprobe=1: only the home cell's list (ids 1,2,3) — same here
+    val home = Similarity.ivfTopKExactE6(corp, "id", "v", cells,
+        corp.filter(col("id") === 1L), "id", "v", k = 2, nprobe = 1)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(home == Set(2L, 3L), home.toString)
+    // the train→serve property the pipeline gate composes: SGNS-trained
+    // lattice embeddings retrieve GRAPH neighbors. Chain 0..29 with
+    // i—i+1 edges as positives (w=5), i—(i+15) far pairs as negatives;
+    // after 3 epochs every node's top-1 by exact L2 in the trained
+    // space must be a graph neighbor for most nodes (deterministic:
+    // hash init + fixed epochs — this is a property check, not a flake)
+    val n = 30
+    val pos = (0 until n - 1).flatMap(i => Seq(
+        (s"$i", s"${i + 1}", 1L, 8L), (s"${i + 1}", s"$i", 1L, 8L))) ++
+      (0 until n - 2).flatMap(i => Seq(
+        (s"$i", s"${i + 2}", 1L, 3L), (s"${i + 2}", s"$i", 1L, 3L)))
+    val neg = for (i <- 0 until n; d <- Seq(10, 15, 20) if i + d < n)
+      yield (s"$i", s"${i + d}", 0L, 2L)
+    val labeled = (pos ++ neg).toDF("center", "other", "label", "weight")
+    val emb = Graph.sgnsEpochs(labeled, dims = 8, epochs = 6,
+      lrPpm = 350000L, seed = "ts").localCheckpoint()
+    val tcells = emb.orderBy(col("node").cast("long")).limit(2)
+      .select(col("node").cast("long").as("centroid_id"),
+        col("emb").as("centroid_e6"))
+    val top1 = Similarity.ivfTopKExactE6(emb, "node", "emb", tcells,
+        emb, "node", "emb", k = 1, nprobe = 2)
+      .filter(col("rank") === 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    assert(top1.length == n, s"expected $n queries, got ${top1.length}")
+    val adjacent = top1.count { case (q, nb) => math.abs(q - nb) <= 2 }
+    // chance level is ~4/29; the trained space must do far better
+    assert(adjacent >= (n * 2) / 3,
+      s"only $adjacent/$n top-1 neighbors are graph-near (|d| <= 2): " +
+        top1.sortBy(_._1).mkString(", "))
+  }
+
   test("kCenterGreedyE6: farthest-point order, tie-breaks, exhaustion, malformed rows") {
     import graft.operators.Similarity
     // 1-D layout: 0.0, 0.1, 5.0, 10.0 (ids 1..4). Seed = id 1 (smallest).
