@@ -1117,7 +1117,12 @@ object SparkEntry {
     * HUGEINT with the post-normalize 1-floor. All positive integers, so
     * `//` ≡ Spark's `div` exactly.
     */
-  private def bradleyTerryOracleSql(rounds: Int): String = {
+  /** The Bradley–Terry MM machinery as a CTE chain — prelude must end
+    * defining `w0(i, j, wn)` (oriented win counts; half-units for the
+    * ties variant). Ends at `g$rounds(i, g)`; compose with
+    * [[btMmFinalSelect]] or a custom tail.
+    */
+  private def btMmCtes(rounds: Int, preludeCtes: String): String = {
     val roundCtes = (1 to rounds).map { k =>
       s"""dk$k AS (
          | SELECT p.i, greatest(1, CAST(sum((p.nij * 1000000000000) // (gi.g + gj.g)) AS BIGINT)) AS D
@@ -1136,41 +1141,138 @@ object SparkEntry {
          | FROM rk$k, tk$k, nn
          |)""".stripMargin
     }.mkString(", ")
-    s"""WITH dd AS (
-       | SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
-       | FROM documents
-       | WHERE doc_id < 2000 AND source IS NOT NULL AND n_chars IS NOT NULL
-       |), cmp AS (
-       | SELECT CASE WHEN a.n_chars >= b.n_chars THEN a.source ELSE b.source END AS w,
-       |        CASE WHEN a.n_chars >= b.n_chars THEN b.source ELSE a.source END AS l
-       | FROM dd a JOIN dd b ON b.doc_id = a.doc_id + 1
-       | WHERE a.source <> b.source
-       |), w0 AS (
-       | SELECT w AS i, l AS j, CAST(count(*) AS BIGINT) AS wn FROM cmp GROUP BY 1, 2
-       |), wb AS (
+    s"""$preludeCtes, wb AS MATERIALIZED (
        | SELECT i, j, CAST(sum(wn) AS BIGINT) AS wij FROM (
        |  SELECT i, j, wn FROM w0 UNION ALL SELECT j, i, 0 FROM w0)
        | GROUP BY 1, 2
-       |), ps AS (
+       |), ps AS MATERIALIZED (
        | SELECT a.i, a.j, a.wij + b.wij AS nij
        | FROM wb a JOIN wb b ON b.i = a.j AND b.j = a.i
        |), winz AS (
-       | SELECT w AS i, CAST(count(*) AS BIGINT) AS wi FROM cmp GROUP BY 1
-       |), items AS (
+       | SELECT i, CAST(sum(wn) AS BIGINT) AS wi FROM w0 GROUP BY 1
+       |), items AS MATERIALIZED (
        | SELECT u.i, coalesce(winz.wi, 0) AS wi
        | FROM (SELECT DISTINCT i FROM
-       |        (SELECT w AS i FROM cmp UNION ALL SELECT l FROM cmp)) u
+       |        (SELECT i FROM w0 UNION ALL SELECT j FROM w0)) u
        | LEFT JOIN winz ON winz.i = u.i
        |), nn AS (
        | SELECT CAST(count(*) AS BIGINT) * 1000000 AS scale FROM items
        |), g0 AS (
        | SELECT i, CAST(1000000 AS BIGINT) AS g FROM items
-       |), $roundCtes
-       |SELECT it.i AS item, g.g AS rating_e6, it.wi AS wins,
+       |), $roundCtes""".stripMargin
+  }
+
+  private def btMmFinalSelect(rounds: Int): String =
+    s"""SELECT it.i AS item, g.g AS rating_e6, it.wi AS wins,
        | coalesce(cmps.c, 0) AS comparisons
        |FROM items it JOIN g$rounds g ON g.i = it.i
        |LEFT JOIN (SELECT i, CAST(sum(nij) AS BIGINT) AS c FROM ps GROUP BY 1) cmps
        | ON cmps.i = it.i
+       |ORDER BY item""".stripMargin
+
+  private val btPlainPreludeSql: String =
+    """dd AS (
+      | SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
+      | FROM documents
+      | WHERE doc_id < 2000 AND source IS NOT NULL AND n_chars IS NOT NULL
+      |), cmp AS (
+      | SELECT CASE WHEN a.n_chars >= b.n_chars THEN a.source ELSE b.source END AS w,
+      |        CASE WHEN a.n_chars >= b.n_chars THEN b.source ELSE a.source END AS l
+      | FROM dd a JOIN dd b ON b.doc_id = a.doc_id + 1
+      | WHERE a.source <> b.source
+      |), w0 AS (
+      | SELECT w AS i, l AS j, CAST(count(*) AS BIGINT) AS wn FROM cmp GROUP BY 1, 2
+      |)""".stripMargin
+
+  private def bradleyTerryOracleSql(rounds: Int): String =
+    s"""WITH ${btMmCtes(rounds, btPlainPreludeSql)}
+       |${btMmFinalSelect(rounds)}""".stripMargin
+
+  /** The ties-gate prelude: length buckets (n_chars // 100) decide the
+    * outcome — equal buckets are DRAWS. Half-unit counts: decisive row
+    * = 2 to its oriented pair, tie = 1 in each orientation.
+    */
+  private val btTiesPreludeSql: String =
+    """dd AS (
+      | SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
+      | FROM documents
+      | WHERE doc_id < 2000 AND source IS NOT NULL AND n_chars IS NOT NULL
+      |), cmpt AS (
+      | SELECT a.source AS sa, b.source AS sb,
+      |  a.n_chars // 100 AS ta, b.n_chars // 100 AS tb
+      | FROM dd a JOIN dd b ON b.doc_id = a.doc_id + 1
+      | WHERE a.source <> b.source
+      |), w0 AS (
+      | SELECT i, j, CAST(sum(wn) AS BIGINT) AS wn FROM (
+      |  SELECT CASE WHEN ta >= tb THEN sa ELSE sb END AS i,
+      |         CASE WHEN ta >= tb THEN sb ELSE sa END AS j,
+      |         CASE WHEN ta = tb THEN 1 ELSE 2 END AS wn
+      |  FROM cmpt
+      |  UNION ALL
+      |  SELECT CASE WHEN ta >= tb THEN sb ELSE sa END,
+      |         CASE WHEN ta >= tb THEN sa ELSE sb END, 1
+      |  FROM cmpt WHERE ta = tb)
+      | GROUP BY 1, 2
+      |)""".stripMargin
+
+  /** The islands-gate prelude: items = source + doc parity, comparisons
+    * only between same-parity docs (d vs d+2) — the comparison graph
+    * splits into two planted islands by construction.
+    */
+  private val btIslandPreludeSql: String =
+    """dd AS (
+      | SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
+      | FROM documents
+      | WHERE doc_id < 2000 AND source IS NOT NULL AND n_chars IS NOT NULL
+      |), cmp AS (
+      | SELECT CASE WHEN a.n_chars >= b.n_chars
+      |          THEN a.source || '#' || CAST(a.doc_id % 2 AS VARCHAR)
+      |          ELSE b.source || '#' || CAST(b.doc_id % 2 AS VARCHAR) END AS w,
+      |        CASE WHEN a.n_chars >= b.n_chars
+      |          THEN b.source || '#' || CAST(b.doc_id % 2 AS VARCHAR)
+      |          ELSE a.source || '#' || CAST(a.doc_id % 2 AS VARCHAR) END AS l
+      | FROM dd a JOIN dd b ON b.doc_id = a.doc_id + 2
+      | WHERE a.source <> b.source
+      |), w0 AS (
+      | SELECT w AS i, l AS j, CAST(count(*) AS BIGINT) AS wn FROM cmp GROUP BY 1, 2
+      |)""".stripMargin
+
+  /** [[btIslandPreludeSql]] + MM rounds + min-label propagation over
+    * the compared-pair edges (the pipeline_embedding_clusters unroll —
+    * `ccRounds` ≥ the island diameter, converged well before that on
+    * this dense fixture) + component sizes and the spans-all flag.
+    */
+  private def btConnectivityOracleSql(rounds: Int, ccRounds: Int): String = {
+    val ccCtes = (1 to ccRounds).map { k =>
+      s"""c$k AS (
+         | SELECT e._d AS v, min(p.l) AS ml
+         | FROM bsym e JOIN l${k - 1} p ON p.v = e._s GROUP BY 1
+         |), l$k AS MATERIALIZED (
+         | SELECT p.v, least(p.l, coalesce(c$k.ml, p.l)) AS l
+         | FROM l${k - 1} p LEFT JOIN c$k ON c$k.v = p.v
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH ${btMmCtes(rounds, btIslandPreludeSql)}, bsym AS MATERIALIZED (
+       | SELECT i AS _s, j AS _d FROM ps
+       |), l0 AS MATERIALIZED (
+       | SELECT i AS v, i AS l FROM items
+       |), $ccCtes, comp AS MATERIALIZED (
+       | SELECT v, l FROM l$ccRounds
+       |), csz AS (
+       | SELECT l, CAST(count(*) AS BIGINT) AS n FROM comp GROUP BY 1
+       |), ctot AS (
+       | SELECT CAST(count(*) AS BIGINT) AS n FROM comp
+       |)
+       |SELECT it.i AS item, g.g AS rating_e6, it.wi AS wins,
+       | coalesce(cmps.c, 0) AS comparisons,
+       | comp.l AS component, csz.n AS component_items,
+       | csz.n = ctot.n AS spans_all
+       |FROM items it JOIN g$rounds g ON g.i = it.i
+       |LEFT JOIN (SELECT i, CAST(sum(nij) AS BIGINT) AS c FROM ps GROUP BY 1) cmps
+       | ON cmps.i = it.i
+       |JOIN comp ON comp.v = it.i
+       |JOIN csz ON csz.l = comp.l
+       |CROSS JOIN ctot
        |ORDER BY item""".stripMargin
   }
 
@@ -4929,6 +5031,60 @@ object SparkEntry {
           when(col("n_chars") >= col("_n2"), col("_s2"))
             .otherwise(col("source")).as("loser"))
       Preference.bradleyTerryScaled(cmp, "winner", "loser", rounds = 4)
+        .orderBy("item")
+    }),
+
+    // ---- the DRAWS variant: length buckets (n_chars div 100) decide —
+    //      equal buckets are planted ties, credited half a win each way
+    //      in exact half-unit counts (decisive row = 2, tie = 1 per
+    //      orientation); the plain operator cannot express a draw at
+    //      all, and the oracle replays the half-unit MM verbatim
+    "preference_bt_ties" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .filter(col("doc_id") < 2000 && col("source").isNotNull &&
+          col("n_chars").isNotNull)
+        .select(col("doc_id"), col("source"),
+          col("n_chars").cast("long").as("n_chars"))
+      val cmp = d.join(d.select((col("doc_id") - 1).as("doc_id"),
+          col("source").as("_s2"), col("n_chars").as("_n2")), Seq("doc_id"))
+        .filter(col("source") =!= col("_s2"))
+        .select(expr("n_chars div 100").as("_ta"),
+          expr("_n2 div 100").as("_tb"), col("source"), col("_s2"))
+        .select(
+          when(col("_ta") >= col("_tb"), col("source"))
+            .otherwise(col("_s2")).as("winner"),
+          when(col("_ta") >= col("_tb"), col("_s2"))
+            .otherwise(col("source")).as("loser"),
+          (col("_ta") === col("_tb")).as("is_tie"))
+      Preference.bradleyTerryScaledWithTies(cmp, "winner", "loser",
+          "is_tie", rounds = 4)
+        .orderBy("item")
+    }),
+
+    // ---- the CONNECTIVITY diagnostic over PLANTED ISLANDS: items =
+    //      source + doc parity, comparisons only between same-parity
+    //      docs (d vs d+2) — the comparison graph splits in two by
+    //      construction, each island's ratings converge independently
+    //      under the clamp, and the per-item component id + spans_all
+    //      flag expose exactly which ratings are mutually comparable
+    "preference_bt_components" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .filter(col("doc_id") < 2000 && col("source").isNotNull &&
+          col("n_chars").isNotNull)
+        .select(col("doc_id"), col("source"),
+          col("n_chars").cast("long").as("n_chars"))
+      val cmp = d.join(d.select((col("doc_id") - 2).as("doc_id"),
+          col("source").as("_s2"), col("n_chars").as("_n2")), Seq("doc_id"))
+        .filter(col("source") =!= col("_s2"))
+        .withColumn("_p", (col("doc_id") % 2).cast("string"))
+        .select(
+          when(col("n_chars") >= col("_n2"),
+            concat(col("source"), lit("#"), col("_p")))
+            .otherwise(concat(col("_s2"), lit("#"), col("_p"))).as("winner"),
+          when(col("n_chars") >= col("_n2"),
+            concat(col("_s2"), lit("#"), col("_p")))
+            .otherwise(concat(col("source"), lit("#"), col("_p"))).as("loser"))
+      Preference.ratingsWithConnectivity(cmp, "winner", "loser", rounds = 4)
         .orderBy("item")
     }),
 
@@ -10817,6 +10973,16 @@ object SparkEntry {
 
     // the Bradley–Terry MM rounds unrolled; see bradleyTerryOracleSql
     "preference_bt" -> bradleyTerryOracleSql(rounds = 4),
+
+    // half-unit counts through the same MM machinery
+    "preference_bt_ties" ->
+      s"""WITH ${btMmCtes(4, btTiesPreludeSql)}
+         |${btMmFinalSelect(4)}""".stripMargin,
+
+    // planted same-parity islands: MM ratings + min-label components
+    // + sizes + the spans-all flag
+    "preference_bt_components" -> btConnectivityOracleSql(rounds = 4,
+      ccRounds = 12),
 
     // the accumulated stream state IS the full comparison log's count
     // table, so the final batch's ratings replay with the batch oracle

@@ -86,6 +86,100 @@ object Preference {
       rounds)
   }
 
+  /** [[bradleyTerryScaled]] for logs that contain DRAWS — the half-win
+    * convention (each tie credits both sides half a win), carried in
+    * exact integers by counting in HALF-UNITS: a decisive row adds 2 to
+    * its oriented pair, a tie adds 1 in EACH orientation. BT ratings
+    * are invariant to a uniform rescaling of (n_ij, W_i) — the MM
+    * update divides W_i·10¹² by Σ n_ij·10¹²/(γ_i+γ_j) — so the doubled
+    * units change ratings only at the integer-truncation margin, and
+    * every step stays engine-replayable.
+    *
+    * `tieCol` is a BOOLEAN column: when true the row is a draw and the
+    * (winner, loser) orientation is ignored; null tie flags drop with
+    * the null-id rows. The plain [[bradleyTerryScaled]] cannot express
+    * a tie at all — encoding a draw as a decisive row biases the
+    * winner up, which is exactly the silent corruption this entry
+    * point exists to prevent.
+    *
+    * Contract shift (documented, deliberate): the output `wins` and
+    * `comparisons` columns are in half-units — `wins` = 2·(decisive
+    * wins) + ties, `comparisons` = 2·(comparisons involving the item).
+    * The tripwires likewise read in half-units, so the per-pair bound
+    * is 5·10⁵ real comparisons and the per-item bound 5·10⁵
+    * win-equivalents.
+    */
+  def bradleyTerryScaledWithTies(
+      comparisons: DataFrame,
+      winnerCol: String,
+      loserCol: String,
+      tieCol: String,
+      rounds: Int = 8
+  ): DataFrame = {
+    val c = comparisons
+      .select(col(winnerCol).cast("string").as("_w"),
+        col(loserCol).cast("string").as("_l"),
+        col(tieCol).cast("boolean").as("_t"))
+      .filter(col("_w").isNotNull && col("_l").isNotNull &&
+        col("_w") =!= col("_l") && col("_t").isNotNull)
+      .localCheckpoint() // both orientations of the tie slice read it
+    val halfUnits = c
+      .select(col("_w").as("_i"), col("_l").as("_j"),
+        when(col("_t"), lit(1L)).otherwise(lit(2L)).as("_wn"))
+      .unionByName(c.filter(col("_t"))
+        .select(col("_l").as("_i"), col("_w").as("_j"), lit(1L).as("_wn")))
+      .groupBy("_i", "_j").agg(sum(col("_wn")).as("_wn"))
+    bradleyTerryFromCounts(halfUnits, rounds)
+  }
+
+  /** [[bradleyTerryScaled]] PLUS the comparison-graph connectivity
+    * diagnostic: the [1, 10¹²] clamp makes the fit total on
+    * disconnected logs — islands silently converge to boundary
+    * ratings — so consumers need to SEE which ratings are mutually
+    * comparable. Each item gets its undirected comparison-graph
+    * component id ([[graft.operators.Graph.connectedComponentsMin]],
+    * label = min item in the component), the component's item count,
+    * and `spans_all` (component covers every compared item). Ratings
+    * are only mutually calibrated WITHIN a component; `spans_all =
+    * false` anywhere means cross-component rating comparisons are
+    * meaningless. (Undirected connectivity is the coarse necessary
+    * condition; Hunter §2's full MLE-existence condition is DIRECTED
+    * strong connectivity — an all-loser island member still pins to
+    * the clamp floor. This flag catches the structural failure class;
+    * the clamp documents the boundary behavior of the rest.)
+    *
+    * Scale shape: the CC runs over the DISTINCT compared-pair edge
+    * list (the same pair-stat compression as the fit — never log
+    * rows); the size/flag joins are item-table-sized plus one 1-row
+    * broadcast.
+    */
+  def ratingsWithConnectivity(
+      comparisons: DataFrame,
+      winnerCol: String,
+      loserCol: String,
+      rounds: Int = 8
+  ): DataFrame = {
+    val ratings = bradleyTerryScaled(comparisons, winnerCol, loserCol, rounds)
+    val e = comparisons
+      .select(col(winnerCol).cast("string").as("_a"),
+        col(loserCol).cast("string").as("_b"))
+      .filter(col("_a").isNotNull && col("_b").isNotNull &&
+        col("_a") =!= col("_b"))
+      .distinct()
+    val comp = graft.operators.Graph.connectedComponentsMin(e, "_a", "_b")
+      .select(col("node").as("item"), col("label").as("component"))
+      .localCheckpoint() // sizes, total, and the rating join all read it
+    val sizes = comp.groupBy("component")
+      .agg(count(lit(1)).as("component_items"))
+    val total = comp.agg(count(lit(1)).as("_n"))
+    ratings.join(comp, Seq("item"))
+      .join(sizes, Seq("component"))
+      .crossJoin(broadcast(total))
+      .select(col("item"), col("rating_e6"), col("wins"), col("comparisons"),
+        col("component"), col("component_items"),
+        (col("component_items") === col("_n")).as("spans_all"))
+  }
+
   /** [[bradleyTerryScaled]] off PRE-AGGREGATED oriented win counts
     * `(_i, _j, _wn)` — "i beat j _wn times". The comparison log itself
     * never has to exist in one place: counts are additive, so a

@@ -104,6 +104,75 @@ class PreferenceSpec extends SparkSpec {
     assert(rows(spark.read.parquet(s"$dir/out/batch=1").orderBy("item")) == r1)
   }
 
+  test("bradleyTerryScaledWithTies: half-win units equal the explicit half-unit counts; order win > tie > loss") {
+    // equivalence: {a beats b once, a ties b twice} must equal the
+    // half-unit count table {(a,b): 2 + 2, (b,a): 2} fed directly
+    val log = Seq(("a", "b", false), ("a", "b", true), ("b", "a", true))
+      .toDF("winner", "loser", "is_tie")
+    val viaTies = Preference.bradleyTerryScaledWithTies(log,
+        "winner", "loser", "is_tie", rounds = 3)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r._2).toMap
+    val viaCounts = Preference.bradleyTerryFromCounts(
+        Seq(("a", "b", 4L), ("b", "a", 2L)).toDF("_i", "_j", "_wn"),
+        rounds = 3)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r._2).toMap
+    assert(viaTies == viaCounts, s"ties=$viaTies counts=$viaCounts")
+    // pure-tie log: symmetric by construction, equal ratings
+    val allTie = Seq(("a", "b", true), ("a", "b", true))
+      .toDF("winner", "loser", "is_tie")
+    val sym = Preference.bradleyTerryScaledWithTies(allTie,
+        "winner", "loser", "is_tie", rounds = 4)
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r._2).toMap
+    assert(sym("a") == sym("b"), sym.toString)
+    // win > tie > loss: a beats c twice, b only ties c twice
+    val mixed = Seq(("a", "c", false), ("a", "c", false),
+      ("b", "c", true), ("b", "c", true)).toDF("winner", "loser", "is_tie")
+    val r = Preference.bradleyTerryScaledWithTies(mixed,
+        "winner", "loser", "is_tie", rounds = 6)
+      .as[(String, Long, Long, Long)].collect().map(x => x._1 -> x._2).toMap
+    assert(r("a") > r("b") && r("b") > r("c"), r.toString)
+    // null tie flags drop with the null-id rows
+    val messy = Seq(("a", "b", Some(false)), ("a", "b", None))
+      .toDF("winner", "loser", "is_tie")
+    val clean = Preference.bradleyTerryScaledWithTies(messy,
+        "winner", "loser", "is_tie", rounds = 2)
+      .as[(String, Long, Long, Long)].collect().map(x => x._1 -> x._3).toMap
+    assert(clean("a") == 2L && clean("b") == 0L, clean.toString) // one decisive row, half-units
+  }
+
+  test("ratingsWithConnectivity: planted islands get distinct components and spans_all=false; connected log flags true") {
+    val islands = Seq(("a", "b"), ("b", "a"), ("c", "d"))
+      .toDF("winner", "loser")
+    val got = Preference.ratingsWithConnectivity(islands,
+        "winner", "loser", rounds = 3)
+      .select("item", "component", "component_items", "spans_all")
+      .as[(String, String, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got.keySet == Set("a", "b", "c", "d"))
+    assert(got("a") == (("a", 2L, false)) && got("b") == (("a", 2L, false)),
+      got.toString)
+    assert(got("c") == (("c", 2L, false)) && got("d") == (("c", 2L, false)),
+      got.toString)
+    // ratings on the islands still match the plain operator (the
+    // diagnostic decorates, never perturbs)
+    val plain = Preference.bradleyTerryScaled(islands, "winner", "loser",
+        rounds = 3)
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r._2).toMap
+    val withC = Preference.ratingsWithConnectivity(islands,
+        "winner", "loser", rounds = 3)
+      .select("item", "rating_e6").as[(String, Long)].collect().toMap
+    assert(withC == plain, s"withC=$withC plain=$plain")
+    // a bridge comparison connects the graph: one component, flag true
+    val bridged = islands.unionByName(Seq(("b", "c")).toDF("winner", "loser"))
+    val all = Preference.ratingsWithConnectivity(bridged,
+        "winner", "loser", rounds = 3)
+      .select("component", "component_items", "spans_all")
+      .as[(String, Long, Boolean)].collect().toSet
+    assert(all == Set(("a", 4L, true)), all.toString)
+  }
+
   test("bradleyTerryScaled: null/self rows drop; tripwires and bounds refuse") {
     val messy = Seq(("a", "b"), ("a", "a"), (null, "b"), ("b", null), ("b", "a"))
       .toDF("winner", "loser")
