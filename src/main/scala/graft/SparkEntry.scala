@@ -1109,6 +1109,54 @@ object SparkEntry {
        |FROM bk2, ec ORDER BY bucket""".stripMargin
   }
 
+  /** The EQUAL-MASS variant: same margin → sigmoid-table prob → label
+    * prelude, bucket edges = exact interpolated quantiles of the prob
+    * distribution (`quantile_cont` ≡ the exactPercentiles arithmetic,
+    * the quantile_buckets oracle convention), membership = the same
+    * Σ(p ≥ edge) fold as `Profile.quantileBuckets`.
+    */
+  private def qualityCalibrationQuantileOracleSql(buckets: Int): String = {
+    val st = graft.operators.Graph.sigmoidTablePpm()
+      .zipWithIndex.map { case (v, i) => s"($i, $v)" }.mkString(", ")
+    val bcols = (1 until buckets)
+      .map(i => s"quantile_cont(p, ${i / buckets.toDouble}) AS b$i")
+      .mkString(", ")
+    val bexpr = (1 until buckets)
+      .map(i => s"(CASE WHEN p >= qb.b$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH ${qualityMarginCteSql(
+           "doc_id < 1000 AND n_chars IS NOT NULL")}, st AS (
+       | SELECT * FROM (VALUES $st) AS t(idx, sppm)
+       |), lab AS (
+       | SELECT doc_id, CASE WHEN n_chars >= 500 THEN 1 ELSE 0 END AS y
+       | FROM documents WHERE doc_id < 1000 AND n_chars IS NOT NULL
+       |), pr AS MATERIALIZED (
+       | SELECT st.sppm AS p, lab.y
+       | FROM marg m JOIN lab ON lab.doc_id = m.doc_id
+       | JOIN st ON st.idx =
+       |  CASE WHEN m.margin_e6 <= -6000000 THEN 0
+       |       WHEN m.margin_e6 >= 6000000 THEN 63
+       |       ELSE (m.margin_e6 + 6000000) * 64 // 12000000 END
+       |), qb AS (
+       | SELECT $bcols FROM pr
+       |), bk AS (
+       | SELECT CAST($bexpr AS BIGINT) AS bucket,
+       |  CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(y) AS BIGINT) AS n_pos,
+       |  CAST(sum(CAST(p AS HUGEINT)) // count(*) AS BIGINT) AS mean_prob_ppm,
+       |  CAST((CAST(sum(y) AS HUGEINT) * 1000000) // count(*) AS BIGINT) AS pos_rate_ppm
+       | FROM pr, qb GROUP BY 1
+       |), bk2 AS (
+       | SELECT *, abs(mean_prob_ppm - pos_rate_ppm) AS gap_ppm FROM bk
+       |), ec AS (
+       | SELECT CAST(sum(CAST(n AS HUGEINT) * gap_ppm) // sum(n) AS BIGINT) AS ece_ppm
+       | FROM bk2
+       |)
+       |SELECT bucket, n, n_pos, mean_prob_ppm,
+       | pos_rate_ppm, gap_ppm, ec.ece_ppm
+       |FROM bk2, ec ORDER BY bucket""".stripMargin
+  }
+
   /** The DuckDB replay of [[graft.operators.Preference.bradleyTerryScaled]]
     * over the consecutive-doc comparison log: oriented win counts →
     * symmetric pair stats via the zero-filled reversed union + self-join,
@@ -2700,6 +2748,29 @@ object SparkEntry {
         .select(element_at(typedLit(tbl), (idx + lit(1L)).cast("int"))
           .as("prob_ppm"), col("label"))
       QualityModel.calibrationBuckets(scored, "prob_ppm", "label",
+          buckets = 10)
+        .orderBy("bucket")
+    }),
+
+    // ---- the EQUAL-MASS variant: quantile bucket edges (the exact
+    //      two-level percentile machinery) instead of equal-width ones
+    //      — skewed score distributions pile most examples into 1-2
+    //      equal-width bins and blind the reliability diagram; deciles
+    //      spread the mass. Same reduction half, same ECE fold
+    "quality_calibration_quantile" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .filter(col("doc_id") < 1000 && col("n_chars").isNotNull)
+      val m = QualityModel.scoreMargin(d, "doc_id", "text",
+        qmGateWeights, qmGateBias)
+      val tbl = graft.operators.Graph.sigmoidTablePpm()
+      val idx = expr("CASE WHEN margin_e6 <= -6000000 THEN 0L " +
+        "WHEN margin_e6 >= 6000000 THEN 63L " +
+        "ELSE ((margin_e6 + 6000000) * 64L) div 12000000L END")
+      val scored = m.join(d.select(col("doc_id"),
+          (col("n_chars") >= 500).cast("long").as("label")), Seq("doc_id"))
+        .select(element_at(typedLit(tbl), (idx + lit(1L)).cast("int"))
+          .as("prob_ppm"), col("label"))
+      QualityModel.calibrationBucketsQuantile(scored, "prob_ppm", "label",
           buckets = 10)
         .orderBy("bucket")
     }),
@@ -8580,6 +8651,10 @@ object SparkEntry {
     // margin chain (n_chars-filtered) → literal sigmoid → equal-width
     // buckets; HUGEINT sums, // ≡ div on these non-negative operands
     "quality_calibration" -> qualityCalibrationOracleSql,
+
+    // equal-mass edges via quantile_cont, same reduction + ECE fold
+    "quality_calibration_quantile" ->
+      qualityCalibrationQuantileOracleSql(buckets = 10),
 
     // staged divergence diagnostics — see the matching `queries` block
     "qm_diag_tokens" ->

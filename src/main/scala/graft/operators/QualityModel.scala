@@ -201,21 +201,71 @@ object QualityModel {
       labelCol: String,
       buckets: Int = 10
   ): DataFrame = {
-    require(buckets >= 2 && buckets <= 1000,
-      s"calibrationBuckets: buckets must be in [2, 1000], got $buckets")
-    val p = scored.select(col(probPpmCol).cast(LongType).as("_p"),
-        col(labelCol).cast(LongType).as("_y"))
-      .filter(assert_true(
-        col("_p") >= 0L && col("_p") <= 1000000L && col("_y").isin(0L, 1L),
-        lit("calibrationBuckets: prob_ppm must be in [0, 10^6] and the " +
-          "label 0/1 — map margins through a sigmoid table and binarize " +
-          "labels upstream")).isNull)
+    val p = validatedProbs(scored, probPpmCol, labelCol, buckets)
     val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
     p.withColumn("_b", least(lit(buckets - 1L),
         expr(s"(_p * ${buckets}L) div 1000000L")))
       .groupBy(col("_b").as("bucket"))
       .agg(count(lit(1)).as("n"), sum(col("_y")).as("n_pos"),
         sum(col("_p").cast(d38)).as("sum_p"))
+  }
+
+  /** The shared tripwire projection of the calibration family:
+    * `(prob_ppm, label)` → `(_p, _y)` with loud refusal outside
+    * [0, 10⁶] × {0, 1}.
+    */
+  private def validatedProbs(
+      scored: DataFrame,
+      probPpmCol: String,
+      labelCol: String,
+      buckets: Int
+  ): DataFrame = {
+    require(buckets >= 2 && buckets <= 1000,
+      s"calibrationBuckets: buckets must be in [2, 1000], got $buckets")
+    scored.select(col(probPpmCol).cast(LongType).as("_p"),
+        col(labelCol).cast(LongType).as("_y"))
+      .filter(assert_true(
+        col("_p") >= 0L && col("_p") <= 1000000L && col("_y").isin(0L, 1L),
+        lit("calibrationBuckets: prob_ppm must be in [0, 10^6] and the " +
+          "label 0/1 — map margins through a sigmoid table and binarize " +
+          "labels upstream")).isNull)
+  }
+
+  /** EQUAL-MASS reliability buckets — [[calibrationBuckets]] with
+    * QUANTILE bucket edges instead of equal-width ones: quality
+    * classifiers produce heavily skewed score distributions, and under
+    * equal-width bins most examples land in one or two bins, leaving
+    * the reliability diagram (and ECE) blind across the operating
+    * range. Edges come from the exact-percentile machinery
+    * ([[graft.operators.Profile.quantileBuckets]], the two-level
+    * histogram selection — no global sort), bucket membership is the
+    * same Σ(p ≥ edge) fold, and the reduction half is
+    * [[calibrationFromStats]] verbatim — so `bucket` here is the
+    * quantile index and every downstream column keeps its meaning.
+    * Heavy ties can leave some quantile buckets empty (edges collide);
+    * empty buckets contribute no ECE mass, exactly as in the
+    * equal-width form.
+    *
+    * This is the BATCH eval variant: quantile edges are a function of
+    * the whole score distribution, so the per-bucket stats are NOT
+    * additive across shards — the streaming monitor stays on the
+    * equal-width form ([[calibrationSuffStats]]), whose state merges
+    * with one sum.
+    */
+  def calibrationBucketsQuantile(
+      scored: DataFrame,
+      probPpmCol: String,
+      labelCol: String,
+      buckets: Int = 10
+  ): DataFrame = {
+    val p = validatedProbs(scored, probPpmCol, labelCol, buckets)
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val bucketed = graft.operators.Profile.quantileBuckets(
+      p, "_p", buckets, "_b")
+    calibrationFromStats(bucketed
+      .groupBy(col("_b").as("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("_y")).as("n_pos"),
+        sum(col("_p").cast(d38)).as("sum_p")))
   }
 
   /** The REDUCTION half: reliability rows + broadcast ECE off the

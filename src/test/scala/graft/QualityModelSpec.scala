@@ -106,6 +106,43 @@ class QualityModelSpec extends SparkSpec {
       QualityModel.calibrationBuckets(rows, "prob_ppm", "label", buckets = 1001))
   }
 
+  test("calibrationBucketsQuantile: equal-mass edges resolve a skewed pile-up; stats and ECE keep their meaning") {
+    // a skewed score pile: 8 examples in [0, 0.08], 2 near 1.0 —
+    // equal-width deciles dump 8 of 10 examples into bucket 0
+    val skew = Seq(
+      (10000L, 0L), (20000L, 0L), (30000L, 0L), (40000L, 0L),
+      (50000L, 1L), (60000L, 0L), (70000L, 0L), (80000L, 0L),
+      (950000L, 1L), (990000L, 1L)).toDF("prob_ppm", "label")
+    val widthMax = QualityModel.calibrationBuckets(skew, "prob_ppm", "label",
+        buckets = 5)
+      .agg(max(col("n"))).as[Long].collect().head
+    assert(widthMax == 8L, widthMax.toString) // the blindness being fixed
+    val got = QualityModel.calibrationBucketsQuantile(skew, "prob_ppm",
+        "label", buckets = 5)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+      .sortBy(_._1)
+    // equal-mass: every bucket holds 2 of the 10 examples
+    assert(got.map(_._2).toSeq == Seq(2L, 2L, 2L, 2L, 2L),
+      got.mkString(","))
+    // the pile-up is resolved across 5 buckets, and the top bucket
+    // isolates the two confident positives exactly
+    val top = got.last
+    assert(top._3 == 2L && top._5 == 1000000L && top._4 == 970000L,
+      top.toString)
+    // ECE = Σ n_b·gap_b div N, identical fold to the equal-width form
+    val eceExpected = got.map(r => r._2 * r._6).sum / got.map(_._2).sum
+    assert(got.forall(_._7 == eceExpected), got.mkString(","))
+    // same tripwire as the equal-width form
+    val e = intercept[Exception] {
+      QualityModel.calibrationBucketsQuantile(
+        Seq((1000001L, 1L)).toDF("prob_ppm", "label"),
+        "prob_ppm", "label").collect()
+    }
+    val msg = Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+    assert(msg.contains("prob_ppm must be in"), e.toString)
+  }
+
   test("applyCalibrationBatch: stream ≡ batch on concatenated examples; replay no-op; torn commit converges") {
     import graft.streaming.StreamingOps
     def rows(df: org.apache.spark.sql.DataFrame) =
