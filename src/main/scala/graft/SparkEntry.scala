@@ -3788,6 +3788,68 @@ object SparkEntry {
       before.unionByName(after).orderBy("variant", "query_id", "rank")
     }),
 
+    // ---- backfill ↔ LIVE epoch stream composition: drift opens epoch
+    //      1 in-stream, history backfills into it (high bits → 1), a
+    //      NEW stream batch then appends (low bits → 1 under the mask),
+    //      its replay no-ops against the masked guard, and a repeated
+    //      backfill no-ops against the id anti-join — the version
+    //      counter and the stream's batch arithmetic interleaving
+    //      safely is the CONTRACT this gate pins; the final index holds
+    //      history + drift batch + late batch exactly once each, and
+    //      the oracle replays the whole ADC surface over that union
+    "pq_epoch_stream_backfill" -> ((s, dir) => {
+      import graft.streaming.StreamingOps
+      import graft.operators.Similarity
+      val emb = t(s, dir, "embeddings")
+      def driftVec(c: Column): Column =
+        transform(c, x => x.cast("double") / lit(8.0d) + lit(0.9d))
+      val raw0 = emb.filter(col("vec_id") < 300)
+      val drifted = emb.filter(col("vec_id") >= 300 && col("vec_id") < 500)
+        .select((col("vec_id") + 10000L).as("vec_id"),
+          driftVec(col("embedding")).as("embedding"))
+      // the post-backfill stream batch: the SAME drifted distribution
+      // (so the epoch-1 drift monitor appends instead of re-retraining)
+      // over a disjoint id slice
+      val late = emb.filter(col("vec_id") >= 100 && col("vec_id") < 300)
+        .select((col("vec_id") + 20000L).as("vec_id"),
+          driftVec(col("embedding")).as("embedding"))
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-pqinterleave-gate").toString
+      def step(b: DataFrame, id: Long): Unit =
+        StreamingOps.applyIvfPqEpochBatch(s, b, id, "vec_id", "embedding",
+          c = 4, m = 4, s"$work/state", s"$work/out",
+          retrainThresholdE9 = 500000000L)
+      step(raw0, 0L)
+      step(drifted, 1L) // trips → epoch 1
+      val n1 = StreamingOps.backfillIvfPqEpoch(s, raw0, "vec_id",
+        "embedding", s"$work/state")
+      require(n1 > 0L, s"pq_epoch_stream_backfill: backfill added $n1 rows")
+      step(late, 2L) // appends into e1 AFTER the backfill bumped high bits
+      val tl = s.read.parquet(s"$work/out/batch=2")
+        .select(col("epoch"), col("retrained")).head()
+      require(tl.getLong(0) == 1L && !tl.getBoolean(1),
+        s"pq_epoch_stream_backfill: batch 2 must APPEND to epoch 1, got $tl")
+      step(late, 2L) // replay: the masked low-bits guard must no-op
+      val e1 = s"$work/state/e1"
+      val v = StreamingOps.currentVersionId(s, s"$e1/codes").get
+      require((v >> 40) == 1L && (v & ((1L << 40) - 1)) == 1L,
+        s"pq_epoch_stream_backfill: codes version must be (backfills=1 | " +
+          s"batch=1), got $v")
+      // completed-backfill replay stays a no-op even after the stream
+      // advanced past it
+      val n2 = StreamingOps.backfillIvfPqEpoch(s, raw0, "vec_id",
+        "embedding", s"$work/state")
+      require(n2 == 0L,
+        s"pq_epoch_stream_backfill: replayed backfill must no-op, got $n2")
+      val cells = StreamingOps.readState(s, s"$e1/cells").get
+      val cb = StreamingOps.readState(s, s"$e1/codebooks").get
+      val q = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.ivfPqTopKE6(s"$e1/codes/v$v", "vec_id", cells, cb, q,
+          "qid", "qvec", k = 3, nprobe = 4)
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- streaming vocabulary growth: seen-term fingerprint store +
     //      token-count sentinel; per batch one cumulative (distinct,
     //      tokens) pair plus the batch's novel-term increment — the
@@ -9816,6 +9878,60 @@ object SparkEntry {
          |SELECT qid, nid, adist, CAST(rn AS INT), 'unbackfilled'
          |FROM run WHERE rn <= 3
          |ORDER BY variant, query_id, rank""".stripMargin,
+
+    // the interleaved tree: epoch-1 artifacts (trained on the drifted
+    // batch), codes = history ∪ drifted ∪ late batch — encode + ADC
+    // replayed over the union exactly as the backfill oracle
+    "pq_epoch_stream_backfill" ->
+      s"""WITH eall AS (
+         | SELECT vec_id,
+         |  list_transform(embedding,
+         |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS a
+         | FROM embeddings
+         |), re AS (
+         | SELECT vec_id, a FROM eall WHERE vec_id < 300
+         |), de AS (
+         | SELECT vec_id + 10000 AS vec_id,
+         |  list_transform(embedding,
+         |    x -> CAST(floor((CAST(x AS DOUBLE) / 8 + 0.9) * 1000000) AS BIGINT)) AS a
+         | FROM embeddings WHERE vec_id >= 300 AND vec_id < 500
+         |), le AS (
+         | SELECT vec_id + 20000 AS vec_id,
+         |  list_transform(embedding,
+         |    x -> CAST(floor((CAST(x AS DOUBLE) / 8 + 0.9) * 1000000) AS BIGINT)) AS a
+         | FROM embeddings WHERE vec_id >= 100 AND vec_id < 300
+         |), ue AS (
+         | SELECT * FROM re UNION ALL SELECT * FROM de
+         | UNION ALL SELECT * FROM le
+         |), qe AS (
+         | SELECT vec_id, a FROM eall WHERE vec_id < 3
+         |), js AS (
+         | SELECT unnest(generate_series(0, 3)) AS j
+         |), ${pqChainSqlOver("b", "ue",
+             "vec_id >= 10300 AND vec_id < 10304",
+             "s.vec_id >= 10300 AND s.vec_id < 10500")},
+         |qsub AS (
+         | SELECT q.vec_id AS qid, js.j,
+         |  list_slice(q.a, js.j*16 + 1, js.j*16 + 16) AS sv
+         | FROM qe q, js
+         |), blut AS (
+         | SELECT s.qid, s.j, b.cid,
+         |  list_sum(list_transform(range(1, 17),
+         |    i -> (s.sv[i] - b.cv[i]) * (s.sv[i] - b.cv[i]))) AS dd
+         | FROM qsub s JOIN bpcb b ON b.j = s.j
+         |), sc AS (
+         | SELECT l.qid, c.vec_id AS nid, CAST(sum(l.dd) AS BIGINT) AS adist
+         | FROM bcodes c JOIN blut l ON l.j = c.j AND l.cid = c.cid
+         | WHERE c.vec_id <> l.qid
+         | GROUP BY 1, 2
+         |)
+         |SELECT qid AS query_id, nid AS neighbor_id, adist,
+         | CAST(rn AS INT) AS rank
+         |FROM (
+         | SELECT qid, nid, adist,
+         |  row_number() OVER (PARTITION BY qid ORDER BY adist, nid) AS rn
+         | FROM sc)
+         |WHERE rn <= 3 ORDER BY query_id, rank""".stripMargin,
 
     // serving = min committed label among the query's >= 0.5-jaccard
     // matches in the base corpus; committed labels are the 4-round LPA
