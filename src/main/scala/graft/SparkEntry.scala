@@ -1051,6 +1051,50 @@ object SparkEntry {
     * contract), reciprocity via the reversed self-join, canonical
     * `id_a < id_b`. Shared by the edge gate and the cluster pipeline.
     */
+  /** Multi-probe mutual 3-NN edge CTE chain ending in `me(id_a, id_b)`
+    * — home assignment rn = 1, probe set rn ≤ 2, same top-3 +
+    * reciprocity as [[mutualKnnCteSql]]. Shared by the probed edge
+    * gate and the probed cluster pipeline. MATERIALIZED at the fan-out
+    * points (cd feeds two ladders; kn self-joins).
+    */
+  private val mutualKnnProbedCteSql: String =
+    """e AS (
+      | SELECT CAST(vec_id AS BIGINT) AS id,
+      |  list_transform(embedding,
+      |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+      | FROM embeddings WHERE vec_id < 200
+      |), cc AS (
+      | SELECT id AS ccid, v AS ccv FROM e WHERE id < 4
+      |), cd AS MATERIALIZED (
+      | SELECT e.id, cc.ccid,
+      |  list_sum(list_transform(range(1, 65),
+      |    i -> (e.v[i] - cc.ccv[i]) * (e.v[i] - cc.ccv[i]))) AS dist
+      | FROM e, cc
+      |), casg AS (
+      | SELECT id, ccid FROM (
+      |  SELECT id, ccid, row_number() OVER (PARTITION BY id ORDER BY dist, ccid) AS rn
+      |  FROM cd) WHERE rn = 1
+      |), cprobe AS (
+      | SELECT id, ccid FROM (
+      |  SELECT id, ccid, row_number() OVER (PARTITION BY id ORDER BY dist, ccid) AS rn
+      |  FROM cd) WHERE rn <= 2
+      |), pd AS (
+      | SELECT q.id AS qid, p.id AS nid,
+      |  CAST(list_sum(list_transform(list_zip(q.v, p.v), z -> (z[1]-z[2])*(z[1]-z[2]))) AS BIGINT) AS dist
+      | FROM e q JOIN cprobe cq ON cq.id = q.id
+      | JOIN casg cp ON cp.ccid = cq.ccid
+      | JOIN e p ON p.id = cp.id
+      | WHERE q.id <> p.id
+      |), kn AS MATERIALIZED (
+      | SELECT qid, nid FROM (
+      |  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY dist, nid) AS rn
+      |  FROM pd) WHERE rn <= 3
+      |), me AS (
+      | SELECT a.qid AS id_a, a.nid AS id_b
+      | FROM kn a JOIN kn b ON b.qid = a.nid AND b.nid = a.qid
+      | WHERE a.qid < a.nid
+      |)""".stripMargin
+
   private val mutualKnnCteSql: String =
     """e AS (
       | SELECT CAST(vec_id AS BIGINT) AS id,
@@ -6106,6 +6150,25 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings").filter(col("vec_id") < 200)
       val e = graft.operators.Similarity.mutualKnnEdgesE6(emb, "vec_id",
           "embedding", k = 3)
+        .select(lpad(col("id_a").cast("string"), 12, "0").as("src"),
+          lpad(col("id_b").cast("string"), 12, "0").as("dst"))
+      graft.operators.Graph.labelPropagationMin(e, "src", "dst", rounds = 8)
+        .orderBy("node")
+    }),
+
+    // ---- the PRODUCTION-path cluster composition: the multi-probe
+    //      blocked graph (no all-pairs anywhere) feeding the same
+    //      bounded min-label propagation — the pipeline a 100 TB
+    //      embedding-dedup actually runs
+    "pipeline_embedding_clusters_probed" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").filter(col("vec_id") < 200)
+      val cells = emb.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("centroid_id"),
+          transform(col("embedding"),
+            v => floor(v.cast("double") * 1000000d).cast("long"))
+            .as("centroid_e6"))
+      val e = graft.operators.Similarity.mutualKnnEdgesProbedE6(emb,
+          "vec_id", "embedding", cells, k = 3, nprobe = 2)
         .select(lpad(col("id_a").cast("string"), 12, "0").as("src"),
           lpad(col("id_b").cast("string"), 12, "0").as("dst"))
       graft.operators.Graph.labelPropagationMin(e, "src", "dst", rounds = 8)
@@ -12340,43 +12403,32 @@ object SparkEntry {
     // cell (casg), query side on the 2 nearest cells (cprobe, the same
     // (dist, ccid) ladder cut at rn <= 2), same top-3 + reciprocity
     "embedding_mutual_knn_probed" ->
-      """WITH e AS (
-        | SELECT CAST(vec_id AS BIGINT) AS id,
-        |  list_transform(embedding,
-        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
-        | FROM embeddings WHERE vec_id < 200
-        |), cc AS (
-        | SELECT id AS ccid, v AS ccv FROM e WHERE id < 4
-        |), cd AS (
-        | SELECT e.id, cc.ccid,
-        |  list_sum(list_transform(range(1, 65),
-        |    i -> (e.v[i] - cc.ccv[i]) * (e.v[i] - cc.ccv[i]))) AS dist
-        | FROM e, cc
-        |), casg AS (
-        | SELECT id, ccid FROM (
-        |  SELECT id, ccid, row_number() OVER (PARTITION BY id ORDER BY dist, ccid) AS rn
-        |  FROM cd) WHERE rn = 1
-        |), cprobe AS (
-        | SELECT id, ccid FROM (
-        |  SELECT id, ccid, row_number() OVER (PARTITION BY id ORDER BY dist, ccid) AS rn
-        |  FROM cd) WHERE rn <= 2
-        |), pd AS (
-        | SELECT q.id AS qid, p.id AS nid,
-        |  CAST(list_sum(list_transform(list_zip(q.v, p.v), z -> (z[1]-z[2])*(z[1]-z[2]))) AS BIGINT) AS dist
-        | FROM e q JOIN cprobe cq ON cq.id = q.id
-        | JOIN casg cp ON cp.ccid = cq.ccid
-        | JOIN e p ON p.id = cp.id
-        | WHERE q.id <> p.id
-        |), kn AS (
-        | SELECT qid, nid FROM (
-        |  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY dist, nid) AS rn
-        |  FROM pd) WHERE rn <= 3
-        |), me AS (
-        | SELECT a.qid AS id_a, a.nid AS id_b
-        | FROM kn a JOIN kn b ON b.qid = a.nid AND b.nid = a.qid
-        | WHERE a.qid < a.nid
-        |)
-        |SELECT id_a, id_b FROM me ORDER BY 1, 2""".stripMargin,
+      s"""WITH $mutualKnnProbedCteSql
+         |SELECT id_a, id_b FROM me ORDER BY 1, 2""".stripMargin,
+
+    // the PRODUCTION cluster composition: the probed edges lpad'd into
+    // the same min-propagation rounds as pipeline_embedding_clusters
+    "pipeline_embedding_clusters_probed" -> {
+      val rounds = (1 to 8).map { k =>
+        s"""c$k AS (
+           | SELECT e._d AS v, min(p.l) AS ml
+           | FROM bsym e JOIN l${k - 1} p ON p.v = e._s GROUP BY 1
+           |), l$k AS (
+           | SELECT p.v, least(p.l, coalesce(c$k.ml, p.l)) AS l
+           | FROM l${k - 1} p LEFT JOIN c$k ON c$k.v = p.v
+           |)""".stripMargin
+      }.mkString(", ")
+      s"""WITH $mutualKnnProbedCteSql, le AS (
+         | SELECT lpad(CAST(id_a AS VARCHAR), 12, '0') AS a,
+         |        lpad(CAST(id_b AS VARCHAR), 12, '0') AS b
+         | FROM me
+         |), bsym AS MATERIALIZED (
+         | SELECT a AS _s, b AS _d FROM le UNION SELECT b, a FROM le
+         |), l0 AS MATERIALIZED (
+         | SELECT v, v AS l FROM (SELECT DISTINCT _s AS v FROM bsym)
+         |), $rounds
+         |SELECT v AS node, l AS label FROM l8 ORDER BY node""".stripMargin
+    },
 
     // the same edges lpad'd into the er_serve min-propagation rounds
     "pipeline_embedding_clusters" -> {
