@@ -5189,6 +5189,42 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- the same serve surface over the PHYSICAL layout: trained
+    //      vectors persisted partitionBy(centroid_id) (writeAssignedE6)
+    //      and queried through the literal-IN partition filter — value-
+    //      identical to the in-memory path (one oracle serves both, the
+    //      connected_components_dict convention); what changes is the
+    //      I/O: unprobed cell directories are never listed
+    "pipeline_train_serve_partitioned" -> ((s, dir) => {
+      val edges = anfLatticeEdges(s, dir).localCheckpoint()
+      val walks = graft.operators.Graph.node2vecWalks(edges, "src", "dst",
+        steps = 4, walksPerNode = 1, pPpm = 4000000L, qPpm = 250000L)
+      val pos = graft.operators.Graph.skipGramPairs(walks, window = 2)
+      val nodes = edges.select(col("src").as("node"))
+        .unionByName(edges.select(col("dst").as("node"))).distinct()
+      val anchors = nodes.filter(col("node").cast("long") % 7 === 0)
+      val neg = Sampling.negativeSamples(anchors, "node", nodes, "node",
+        k = 3, salt = "gemb")
+      val labeled = pos.select(col("center"), col("context").as("other"),
+          lit(1L).as("label"), least(col("cnt"), lit(1000L)).as("weight"))
+        .unionByName(neg.select(col("anchor").as("center"),
+          col("negative").as("other"), lit(0L).as("label"),
+          lit(1L).as("weight")))
+      val emb = graft.operators.Graph.sgnsEpochs(labeled, dims = 8,
+          epochs = 2, lrPpm = 250000L, seed = "sg")
+        .localCheckpoint()
+      val cells = emb.orderBy(col("node").cast("long")).limit(4)
+        .select(col("node").cast("long").as("centroid_id"),
+          col("emb").as("centroid_e6"))
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-serve-part").toString
+      Similarity.writeAssignedE6(emb, "node", "emb", cells, work)
+      val queries = emb.filter(col("node").cast("long") % 7 === 0)
+      Similarity.ivfTopKExactE6Partitioned(work, "node", "emb", cells,
+          queries, "node", "emb", k = 5, nprobe = 2)
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- pairwise-preference aggregation (the RLHF preference-data
     //      step): Bradley–Terry strength ratings via 4 exact-integer MM
     //      rounds over comparisons derived deterministically from the
@@ -11220,6 +11256,11 @@ object SparkEntry {
     // GD epochs over the literal sigmoid table, then the anchor-pair
     // dot scores off the trained table; see sgnsOracleSql
     "pipeline_train_serve_embeddings" -> sgnsServeOracleSql(dims = 8,
+      epochs = 2, lrPpm = 250000L, seed = "sg", k = 5, nprobe = 2),
+
+    // the partitioned layout must be value-identical — same oracle
+    // verbatim (the connected_components_dict convention)
+    "pipeline_train_serve_partitioned" -> sgnsServeOracleSql(dims = 8,
       epochs = 2, lrPpm = 250000L, seed = "sg", k = 5, nprobe = 2),
 
     "embedding_train_sgns" -> sgnsOracleSql(dims = 8, epochs = 2,

@@ -891,6 +891,110 @@ object Similarity {
         (lit(0L) - col("_negd")).as("dist_e12"), col("rank"))
   }
 
+  /** Persist an e6 corpus home-assigned and PARTITIONED by its coarse
+    * cell — the physical layout that makes [[ivfTopKExactE6]]'s probe
+    * restriction REAL at 100 TB (the [[writeAssigned]] argument applied
+    * to the exact-integer family): a query that probes `nprobe` of `C`
+    * cells should list (and read) only nprobe/C of the files, which
+    * only the directory layout can deliver. One narrow pass — the
+    * assignment is the codegen'd [[graft.plans.NearestCentroidE6]]
+    * projection, and `partitionBy` on the computed column writes each
+    * input split's rows to its cell directories directly. The same
+    * hot-cell occupancy tripwire as the in-memory path runs at WRITE
+    * time (the one moment the whole cell passes through one place).
+    * Null/malformed vectors drop (no defined cell).
+    */
+  def writeAssignedE6(
+      corpus: DataFrame,
+      corpusId: String,
+      corpusVec: String, // ARRAY<BIGINT>, e6-scaled
+      centroidsE6: DataFrame,
+      path: String,
+      maxCellSize: Long = 100000L
+  ): Unit = {
+    require(maxCellSize >= 2,
+      s"writeAssignedE6: maxCellSize must be >= 2, got $maxCellSize")
+    import org.apache.spark.sql.graft.ColumnBridge
+    val (cids, cmat, cdim) = collectE6Whole(centroidsE6)
+    val cell = ColumnBridge.column(graft.plans.NearestCentroidE6(
+      ColumnBridge.expression(col(corpusVec)), cids, cmat, cdim))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("centroid_id")
+    corpus.select(col(corpusId), col(corpusVec))
+      .filter(size(col(corpusVec)) === cdim)
+      .withColumn("centroid_id", cell)
+      .filter(col("centroid_id").isNotNull)
+      .withColumn("_occ", count(lit(1)).over(w))
+      .filter(assert_true(col("_occ") <= lit(maxCellSize),
+        lit(s"writeAssignedE6: a coarse cell holds more than " +
+          s"maxCellSize=$maxCellSize vectors — every probe of that cell " +
+          "scans its whole list. Train more (or better) cells, or raise " +
+          "maxCellSize knowingly.")).isNull)
+      .drop("_occ")
+      .write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+  }
+
+  /** [[ivfTopKExactE6]] over a [[writeAssignedE6]] layout: per-query
+    * probe sets come from the same narrow
+    * [[graft.plans.NearestCentroidsE6]] projection on the QUERY side,
+    * their union collects driver-side (≤ |queries| × nprobe ids —
+    * metadata-sized by the query contract, the [[ivfTopKPartitioned]]
+    * convention) into a literal IN on the partition column, so pruning
+    * is PHYSICAL: unprobed cell directories are never listed, let
+    * alone read (`PartitionFilters`, plan-spec-pinned). Within the
+    * scanned cells the per-query restriction re-applies through the
+    * broadcast probe join, and scoring/reduction are the in-memory
+    * operator's exact L2 + k-bounded heap verbatim — same output,
+    * nprobe/C of the I/O.
+    */
+  def ivfTopKExactE6Partitioned(
+      assignedPath: String,
+      corpusId: String,
+      corpusVec: String,
+      centroidsE6: DataFrame,
+      queries: DataFrame,
+      queryId: String,
+      queryVec: String, // ARRAY<BIGINT>, e6-scaled
+      k: Int,
+      nprobe: Int
+  ): DataFrame = {
+    require(k > 0, s"ivfTopKExactE6Partitioned: k must be positive, got $k")
+    require(nprobe > 0,
+      s"ivfTopKExactE6Partitioned: nprobe must be positive, got $nprobe")
+    import org.apache.spark.sql.graft.ColumnBridge
+    val spark = queries.sparkSession
+    val (cids, cmat, cdim) = collectE6Whole(centroidsE6)
+    val probeList = ColumnBridge.column(graft.plans.NearestCentroidsE6(
+      ColumnBridge.expression(col("_qa")), cids, cmat, cdim, nprobe))
+    val q = queries
+      .select(col(queryId).cast(LongType).as("query_id"),
+        col(queryVec).as("_qa"))
+      .filter(size(col("_qa")) === cdim)
+      .withColumn("_probes", probeList)
+      .filter(col("_probes").isNotNull)
+      .select(col("query_id"), col("_qa"),
+        explode(col("_probes")).as("centroid_id"))
+      .localCheckpoint() // collected once (ids), joined once
+    val probedIds = q.select(col("centroid_id")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    require(probedIds.nonEmpty, "ivfTopKExactE6Partitioned: empty probe set")
+    val corpus = spark.read.parquet(assignedPath)
+      // literal IN on the partition column → PartitionFilters → unprobed
+      // directories are never listed, let alone read
+      .filter(col("centroid_id").isin(probedIds: _*))
+      .withColumn("centroid_id", col("centroid_id").cast(LongType))
+    val l2 = (a: Column, b: Column) => aggregate(
+      zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, d) => acc + d)
+    val scored = corpus.join(broadcast(q), Seq("centroid_id"))
+      .select(col("query_id"),
+        col(corpusId).cast(LongType).as("neighbor_id"),
+        (lit(0L) - l2(col("_qa"), col(corpusVec))).as("_negd"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+    topKPerQuery(scored, "_negd", k)
+      .select(col("query_id"), col("neighbor_id"),
+        (lit(0L) - col("_negd")).as("dist_e12"), col("rank"))
+  }
+
   /** [[ivfRecallExactE6]] STRATIFIED by the query's assigned coarse
     * bucket — the index-quality breakdown that tells you WHERE a
     * 1-probe IVF loses recall (a bucket whose centroid sits near a

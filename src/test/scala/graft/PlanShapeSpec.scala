@@ -256,6 +256,65 @@ class PlanShapeSpec extends SparkSpec {
       s"read $filesRead of $filesTotal files — pruning not physical")
   }
 
+  test("e6 IVF partitioned probe: PartitionFilters physical pruning; same answer as the in-memory operator") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    // e6 corpus on a line, 4 single-point cells — every cell non-empty
+    val corp = (0 until 16).map(i => (i.toLong, Seq(i * 1000000L)))
+      .toDF("id", "v")
+    val cells = Seq((100L, Seq(1000000L)), (101L, Seq(5000000L)),
+        (102L, Seq(9000000L)), (103L, Seq(13000000L)))
+      .toDF("centroid_id", "centroid_e6")
+    val out = java.nio.file.Files.createTempDirectory("graft-ivfe6plan").toString
+    Similarity.writeAssignedE6(corp, "id", "v", cells, out)
+    val allParts = new java.io.File(out).listFiles()
+      .count(_.getName.startsWith("centroid_id="))
+    assert(allParts == 4, s"expected 4 partition dirs, got $allParts")
+    val q = corp.filter(col("id") === 2L)
+      .select((col("id") + 1000L).as("qid"), col("v").as("qv"))
+    val topk = Similarity.ivfTopKExactE6Partitioned(out, "id", "v", cells,
+      q, "qid", "qv", k = 3, nprobe = 2)
+    val plan = physical(topk)
+    assert(plan.contains("PartitionFilters: [") &&
+      plan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("centroid_id"), plan)
+    // exact agreement with the in-memory operator at the same nprobe
+    val mem = Similarity.ivfTopKExactE6(corp, "id", "v", cells,
+        q, "qid", "qv", k = 3, nprobe = 2)
+      .select("query_id", "neighbor_id", "dist_e12", "rank")
+      .as[(Long, Long, Long, Int)].collect().toSet
+    val part = topk.select("query_id", "neighbor_id", "dist_e12", "rank")
+      .as[(Long, Long, Long, Int)].collect().toSet
+    assert(part == mem && part.nonEmpty, s"part=$part mem=$mem")
+    // physical pruning: only the 2 probed cell dirs' files are opened
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case qs: QueryStageExec => scans(qs.plan)
+      case s: FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(scans)
+    }
+    val scan = scans(topk.queryExecution.executedPlan)
+      .find(_.toString.contains("centroid_id")).get
+    val filesRead = scan.metrics("numFiles").value
+    val filesTotal = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("centroid_id="))
+      .map(_.listFiles().count(_.getName.endsWith(".parquet"))).sum
+    assert(filesRead <= filesTotal * 2 / 4,
+      s"read $filesRead of $filesTotal files — pruning not physical")
+    // write-time hot-cell tripwire
+    val hot = intercept[Exception] {
+      Similarity.writeAssignedE6(corp, "id", "v", cells,
+        java.nio.file.Files.createTempDirectory("graft-ivfe6hot").toString,
+        maxCellSize = 2L)
+    }
+    val msg = Option(hot.getMessage).getOrElse("") +
+      Option(hot.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+    assert(msg.contains("maxCellSize"), hot.toString)
+  }
+
   test("IVF-PQ probe: PartitionFilters on centroid_id; only probed cell dirs are read") {
     import graft.operators.Similarity
     import org.apache.spark.sql.functions._
