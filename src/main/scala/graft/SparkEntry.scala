@@ -5335,6 +5335,43 @@ object SparkEntry {
         .orderBy("item")
     }),
 
+    // ---- the STREAMING face of the ties variant: the same planted
+    //      length-bucket draws split across two batches — half-unit
+    //      counts stay additive, so the versioned state merge is
+    //      unchanged and the final ratings hash against the BATCH ties
+    //      oracle verbatim; batch 1 replays to prove the guard
+    "preference_bt_ties_stream" -> ((s, dir) => {
+      import graft.streaming.StreamingOps
+      val d = t(s, dir, "documents")
+        .filter(col("doc_id") < 2000 && col("source").isNotNull &&
+          col("n_chars").isNotNull)
+        .select(col("doc_id"), col("source"),
+          col("n_chars").cast("long").as("n_chars"))
+      val cmp = d.join(d.select((col("doc_id") - 1).as("doc_id"),
+          col("source").as("_s2"), col("n_chars").as("_n2")), Seq("doc_id"))
+        .filter(col("source") =!= col("_s2"))
+        .select(col("doc_id"), expr("n_chars div 100").as("_ta"),
+          expr("_n2 div 100").as("_tb"), col("source"), col("_s2"))
+        .select(col("doc_id"),
+          when(col("_ta") >= col("_tb"), col("source"))
+            .otherwise(col("_s2")).as("winner"),
+          when(col("_ta") >= col("_tb"), col("_s2"))
+            .otherwise(col("source")).as("loser"),
+          (col("_ta") === col("_tb")).as("is_tie"))
+        .localCheckpoint()
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-bt-ties-stream").toString
+      def step(b: DataFrame, id: Long): Unit =
+        StreamingOps.applyBtBatch(s, b, id, "winner", "loser", rounds = 4,
+          s"$work/state", s"$work/out", tieCol = Some("is_tie"))
+      step(cmp.filter(col("doc_id") < 1000), 0L)
+      step(cmp.filter(col("doc_id") >= 1000), 1L)
+      step(cmp.filter(col("doc_id") >= 1000), 1L) // replay no-op
+      s.read.parquet(s"$work/out/batch=1")
+        .select(col("item"), col("rating_e6"), col("wins"), col("comparisons"))
+        .orderBy("item")
+    }),
+
     // ---- the walk corpus reduced to what an embedding trainer eats:
     //      skip-gram (center, context) co-occurrence counts within a
     //      2-step window — one constant-fan-out self-join collapsing
@@ -11282,6 +11319,12 @@ object SparkEntry {
     // the accumulated stream state IS the full comparison log's count
     // table, so the final batch's ratings replay with the batch oracle
     "preference_bt_stream" -> bradleyTerryOracleSql(rounds = 4),
+
+    // stream ≡ batch on the concatenated tied log — the ties oracle
+    // verbatim
+    "preference_bt_ties_stream" ->
+      s"""WITH ${btMmCtes(4, btTiesPreludeSql)}
+         |${btMmFinalSelect(4)}""".stripMargin,
 
     // the walk replay piped through the window pair join
     "walk_skipgram_pairs" ->

@@ -1777,19 +1777,42 @@ object StreamingOps {
       loserCol: String,
       rounds: Int,
       statePath: String,
-      outPath: String
+      outPath: String,
+      tieCol: Option[String] = None
   ): Unit = {
     currentVersionId(spark, statePath) match {
       case Some(cur) if cur >= batchId =>
         log.warn(s"btStream: skipping batch $batchId — state at v$cur " +
           "already includes it")
       case _ =>
-        val inBatch = batch
-          .select(col(winnerCol).cast("string").as("_i"),
-            col(loserCol).cast("string").as("_j"))
-          .filter(col("_i").isNotNull && col("_j").isNotNull &&
-            col("_i") =!= col("_j"))
-          .groupBy("_i", "_j").agg(count(lit(1)).as("_wn"))
+        // tieCol: the half-win convention in HALF-UNITS (decisive row =
+        // 2 to its oriented pair, tie = 1 per orientation) — counts
+        // stay additive, so the versioned state merge is unchanged and
+        // the accumulated table equals
+        // [[graft.operators.Preference.bradleyTerryScaledWithTies]] on
+        // the concatenated log (the stream-vs-batch contract)
+        val inBatch = tieCol match {
+          case None => batch
+            .select(col(winnerCol).cast("string").as("_i"),
+              col(loserCol).cast("string").as("_j"))
+            .filter(col("_i").isNotNull && col("_j").isNotNull &&
+              col("_i") =!= col("_j"))
+            .groupBy("_i", "_j").agg(count(lit(1)).as("_wn"))
+          case Some(tc) =>
+            val c = batch
+              .select(col(winnerCol).cast("string").as("_w"),
+                col(loserCol).cast("string").as("_l"),
+                col(tc).cast("boolean").as("_t"))
+              .filter(col("_w").isNotNull && col("_l").isNotNull &&
+                col("_w") =!= col("_l") && col("_t").isNotNull)
+              .localCheckpoint() // both orientations of the tie slice
+            c.select(col("_w").as("_i"), col("_l").as("_j"),
+                when(col("_t"), lit(1L)).otherwise(lit(2L)).as("_wn"))
+              .unionByName(c.filter(col("_t"))
+                .select(col("_l").as("_i"), col("_w").as("_j"),
+                  lit(1L).as("_wn")))
+              .groupBy("_i", "_j").agg(sum(col("_wn")).as("_wn"))
+        }
         val merged = (readState(spark, statePath) match {
           case Some(st) => st.unionByName(inBatch)
             .groupBy("_i", "_j").agg(sum(col("_wn")).as("_wn"))

@@ -104,6 +104,31 @@ class PreferenceSpec extends SparkSpec {
     assert(rows(spark.read.parquet(s"$dir/out/batch=1").orderBy("item")) == r1)
   }
 
+  test("applyBtBatch with ties: stream ≡ the batch ties operator on the concatenated log; half-unit state") {
+    import graft.streaming.StreamingOps
+    val b0 = Seq(("a", "b", false), ("a", "b", true)).toDF("winner", "loser", "is_tie")
+    val b1 = Seq(("b", "c", true), ("a", "c", false)).toDF("winner", "loser", "is_tie")
+    val all = b0.unionByName(b1)
+    val dir = java.nio.file.Files.createTempDirectory("graft-btt-spec").toString
+    def step(b: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      StreamingOps.applyBtBatch(spark, b, id, "winner", "loser", rounds = 3,
+        s"$dir/state", s"$dir/out", tieCol = Some("is_tie"))
+    step(b0, 0L)
+    step(b1, 1L)
+    assert(rows(spark.read.parquet(s"$dir/out/batch=1").orderBy("item")) ==
+      rows(Preference.bradleyTerryScaledWithTies(all, "winner", "loser",
+        "is_tie", rounds = 3).orderBy("item")))
+    // the state carries HALF-UNIT oriented counts: a beat b once (2) +
+    // tied once (1 each way); b tied c once (1 each way); a beat c (2)
+    val st = StreamingOps.readState(spark, s"$dir/state").get
+      .as[(String, String, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(st == Map(("a", "b") -> 3L, ("b", "a") -> 1L, ("b", "c") -> 1L,
+      ("c", "b") -> 1L, ("a", "c") -> 2L), st.toString)
+    // replay no-op
+    step(b1, 1L)
+    assert(StreamingOps.currentVersionId(spark, s"$dir/state").contains(1L))
+  }
+
   test("bradleyTerryScaledWithTies: half-win units equal the explicit half-unit counts; order win > tie > loss") {
     // equivalence: {a beats b once, a ties b twice} must equal the
     // half-unit count table {(a,b): 2 + 2, (b,a): 2} fed directly
