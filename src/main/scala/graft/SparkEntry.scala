@@ -3519,7 +3519,12 @@ object SparkEntry {
       // re-reads are page-cached and column-pruned, and threading the
       // in-memory handle measured ~1.5 s SLOWER at matched calibration
       // (README round-14 measurements) — the handle is the
-      // larger-than-page-cache path, spec-pinned, not a gate win
+      // larger-than-page-cache path, spec-pinned, not a gate win.
+      // NOT bucketed either: stateBuckets = Some(8) measured 13.4 s vs
+      // 9.9 plain at matched probes (round-15 A/B) — nine bucketed
+      // catalog-table writes cost more than the avoided state-side
+      // exchanges at this state size; the option exists for states that
+      // outgrow a batch (same scale argument as the dedup stores)
       def step(b: DataFrame, id: Long): Unit =
         StreamingOps.applyErBatch(s, b, id, "doc_id", "text",
           shingleSize = 3, thresholdPpm = 500000L, lpaRounds = 4,

@@ -257,7 +257,22 @@ object StreamingOps {
       batchId: Long,
       state: DataFrame,
       keys: Seq[String],
-      stateBuckets: Option[Int]): Unit = {
+      stateBuckets: Option[Int]): Unit =
+    writeVersionedStateKeeping(spark, statePath, batchId, state, keys,
+      stateBuckets, keepFrom = batchId - 1)
+
+  /** [[writeVersionedState]] with the retention bound exposed — the ER
+    * store keeps only the current version (`keepFrom = batchId`); the
+    * dedup-family stores keep one back.
+    */
+  private def writeVersionedStateKeeping(
+      spark: SparkSession,
+      statePath: String,
+      batchId: Long,
+      state: DataFrame,
+      keys: Seq[String],
+      stateBuckets: Option[Int],
+      keepFrom: Long): Unit = {
     val version = s"v$batchId"
     stateBuckets match {
       case Some(n) =>
@@ -270,10 +285,15 @@ object StreamingOps {
       case None =>
         state.write.mode("overwrite").parquet(s"$statePath/$version")
     }
-    commitVersion(spark, statePath, version, keepFrom = batchId - 1)
+    commitVersion(spark, statePath, version, keepFrom = keepFrom)
     // drop catalog entries for pruned versions (dirs already deleted)
-    if (stateBuckets.isDefined && batchId >= 2)
-      spark.sql(s"DROP TABLE IF EXISTS ${stateTableName(statePath, batchId - 2)}")
+    if (stateBuckets.isDefined) {
+      var g = math.max(0L, batchId - 8) // bounded sweep of stale entries
+      while (g < keepFrom) {
+        spark.sql(s"DROP TABLE IF EXISTS ${stateTableName(statePath, g)}")
+        g += 1
+      }
+    }
   }
 
   /** The version name `_CURRENT` points at, if any. */
@@ -1514,7 +1534,8 @@ object StreamingOps {
       exactComponents: Boolean = false,
       maxPrefixGramDf: Long = 100000L,
       stateIn: Option[DataFrame] = None,
-      cacheState: Boolean = false
+      cacheState: Boolean = false,
+      stateBuckets: Option[Int] = None
   ): Option[DataFrame] = {
     import graft.operators.{Dedup, Graph}
     import graft.functions.TextFunctions
@@ -1530,7 +1551,8 @@ object StreamingOps {
               TextFunctions.shingles(col(textCol), shingleSize))).as("_s"))
           .select(col("_id"), xxhash64(col("_s")).as("_g"))
           .distinct()
-        val old = stateIn.orElse(readState(spark, statePath))
+        val old = stateIn.orElse(
+          readVersionedState(spark, statePath, stateBuckets.isDefined))
         val oldGrams = old.map(_.filter(col("kind") === "g")
           .select(col("id").as("_id"), col("g").as("_g")))
         val oldLabels = old.map(_.filter(col("kind") === "l")
@@ -1569,16 +1591,23 @@ object StreamingOps {
             col("_g").as("g"), lit(null).cast(StringType).as("label"))
           .unionByName(labels.select(lit("l").as("kind"), col("node").as("id"),
             lit(null).cast(LongType).as("g"), col("label")))
-        val version = s"v$batchId"
-        state.write.mode("overwrite").parquet(s"$statePath/$version")
-        // output BEFORE commitVersion (the applyDedupBatch order): a crash
-        // between the two replays into the recompute branch, which rewrites
-        // both bit-identically; the reverse order would leave _CURRENT
-        // advanced with this batch's output never produced.
+        // plain store: state write, output, commit LAST (the
+        // applyDedupBatch order). Bucketed store: output first, then the
+        // bucketed writer owns state-write+commit as one unit — a crash
+        // at any point still replays into the recompute branch and
+        // rewrites everything bit-identically (_CURRENT flips last in
+        // both orders).
+        if (stateBuckets.isEmpty)
+          state.write.mode("overwrite").parquet(s"$statePath/v$batchId")
         labels.select(col("node"), col("label"),
             (col("node") === col("label")).as("is_canonical"))
           .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
-        commitVersion(spark, statePath, version, keepFrom = batchId)
+        stateBuckets match {
+          case None =>
+            commitVersion(spark, statePath, s"v$batchId", keepFrom = batchId)
+          case Some(_) => writeVersionedStateKeeping(spark, statePath,
+            batchId, state, Seq("id"), stateBuckets, keepFrom = batchId)
+        }
         if (cacheState) Some(state) else None
     }
   }

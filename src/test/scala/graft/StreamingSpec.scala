@@ -824,6 +824,26 @@ class StreamingSpec extends SparkSpec {
     val before = h
     handled(b1, 1L)
     assert(h eq before)
+
+    // bucketed-store option: value-identical to the plain path (the
+    // gate keeps the plain store — bucketed writes MEASURED slower at
+    // gate-scale state, see the er_stream gate note — but the option's
+    // correctness is pinned here for states that outgrow a batch)
+    val wc = Files.createTempDirectory("graft-er-bucketed").toString
+    def bucketed(b: org.apache.spark.sql.DataFrame, id: Long) =
+      StreamingOps.applyErBatch(spark, b, id, "doc_id", "text",
+        shingleSize = 3, thresholdPpm = 500000L, lpaRounds = 1,
+        s"$wc/state", s"$wc/out", exactComponents = true,
+        stateBuckets = Some(4))
+    bucketed(b0, 0L)
+    bucketed(b1, 1L)
+    bucketed(b1, 1L) // replay no-op on the bucketed store too
+    assert(rows(spark.read.parquet(s"$wc/out/batch=1").orderBy("node")) ==
+      rows(spark.read.parquet(s"$wa/out/batch=1").orderBy("node")))
+    assert(rows(spark.table(StreamingOps.stateTableName(s"$wc/state", 1L))
+        .orderBy("kind", "id", "g")) ==
+      rows(StreamingOps.readState(spark, s"$wa/state").get
+        .orderBy("kind", "id", "g")))
   }
 
   test("pq drift stream: stable feed under threshold, drifted feed trips retrain, replay no-ops, empty reference refused") {
