@@ -5230,6 +5230,30 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- multi-rater consensus labeling: units = doc quartets, each
+    //      doc votes its length-bucket label — majority with ties to
+    //      the smallest label, vote share exact ppm; the annotation-QA
+    //      step that turns raw rating rows into trainable labels
+    "annotation_consensus" -> ((s, dir) => {
+      val r = t(s, dir, "documents")
+        .filter(col("doc_id") < 2000 && col("n_chars").isNotNull)
+        .select(expr("doc_id div 4").cast("string").as("unit"),
+          expr("(n_chars div 200) % 5").cast("string").as("label"))
+      Annotation.consensusLabels(r, "unit", "label").orderBy("unit")
+    }),
+
+    // ---- Krippendorff's alpha (nominal) over the same rating table:
+    //      chance-corrected agreement across variable rater counts —
+    //      exact integer marginals, the one rational step floored at e6
+    //      per unit, BigInt driver finish (the cohenKappa discipline)
+    "annotation_alpha" -> ((s, dir) => {
+      val r = t(s, dir, "documents")
+        .filter(col("doc_id") < 2000 && col("n_chars").isNotNull)
+        .select(expr("doc_id div 4").cast("string").as("unit"),
+          expr("(n_chars div 200) % 5").cast("string").as("label"))
+      Annotation.krippendorffAlphaNominalE6(r, "unit", "label")
+    }),
+
     // ---- pairwise-preference aggregation (the RLHF preference-data
     //      step): Bradley–Terry strength ratings via 4 exact-integer MM
     //      rounds over comparisons derived deterministically from the
@@ -11309,6 +11333,54 @@ object SparkEntry {
       lrPpm = 250000L, seed = "sg"),
 
     // the Bradley–Terry MM rounds unrolled; see bradleyTerryOracleSql
+    // majority with ties to the smallest label; share = exact ppm
+    "annotation_consensus" ->
+      """WITH r AS (
+        | SELECT CAST(doc_id // 4 AS VARCHAR) AS u,
+        |  CAST((n_chars // 200) % 5 AS VARCHAR) AS l
+        | FROM documents WHERE doc_id < 2000 AND n_chars IS NOT NULL
+        |), uc AS (
+        | SELECT u, l, CAST(count(*) AS BIGINT) AS c FROM r GROUP BY 1, 2
+        |), w AS (
+        | SELECT u, l, c,
+        |  row_number() OVER (PARTITION BY u ORDER BY c DESC, l) AS rn
+        | FROM uc
+        |), t AS (
+        | SELECT u, CAST(sum(c) AS BIGINT) AS n FROM uc GROUP BY 1
+        |)
+        |SELECT w.u AS unit, w.l AS label, t.n AS n_ratings,
+        | (w.c * 1000000) // t.n AS support_ppm
+        |FROM w JOIN t ON t.u = w.u WHERE rn = 1 ORDER BY unit""".stripMargin,
+
+    // exact marginals, per-unit e6-floored disagreement, alpha in ppm
+    "annotation_alpha" ->
+      """WITH r AS (
+        | SELECT CAST(doc_id // 4 AS VARCHAR) AS u,
+        |  CAST((n_chars // 200) % 5 AS VARCHAR) AS l
+        | FROM documents WHERE doc_id < 2000 AND n_chars IS NOT NULL
+        |), uc AS MATERIALIZED (
+        | SELECT u, l, CAST(count(*) AS BIGINT) AS c FROM r GROUP BY 1, 2
+        |), kept AS MATERIALIZED (
+        | SELECT u, m, ((m * m - ss) * 1000000) // (m - 1) AS do6 FROM (
+        |  SELECT u, CAST(sum(c) AS BIGINT) AS m,
+        |   CAST(sum(c * c) AS BIGINT) AS ss
+        |  FROM uc GROUP BY 1) WHERE m >= 2
+        |), tot AS (
+        | SELECT CAST(count(*) AS BIGINT) AS units, CAST(sum(m) AS BIGINT) AS n,
+        |  CAST(sum(do6) AS BIGINT) AS doe6 FROM kept
+        |), nv AS (
+        | SELECT uc.l, CAST(sum(uc.c) AS BIGINT) AS nvv
+        | FROM uc JOIN kept ON kept.u = uc.u GROUP BY 1
+        |), den AS (
+        | SELECT CAST(tot.n AS HUGEINT) * tot.n -
+        |  (SELECT sum(CAST(nvv AS HUGEINT) * nvv) FROM nv) AS d
+        | FROM tot
+        |)
+        |SELECT tot.units AS n_units, tot.n AS n_ratings, tot.doe6 AS do_e6,
+        | CAST(1000000 - (CAST(tot.doe6 AS HUGEINT) * (tot.n - 1)) // den.d
+        |   AS BIGINT) AS alpha_ppm
+        |FROM tot, den""".stripMargin,
+
     "preference_bt" -> bradleyTerryOracleSql(rounds = 4),
 
     // half-unit counts through the same MM machinery

@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+
+/**
+ * Multi-rater annotation QA — the label-quality statistics an
+ * RLHF / annotation pipeline runs before trusting human labels:
+ * per-unit consensus (what label does a unit get) and corpus-level
+ * chance-corrected agreement across ANY number of raters with missing
+ * ratings (Krippendorff's alpha — the multi-rater generalization the
+ * two-fixed-rater [[Profile.cohenKappaE6]] cannot express).
+ *
+ * Reference parity note: the reference bundle has no annotation
+ * tooling — this sits in the LLM-pipeline surface beside the
+ * eval-stats and preference families (SURVEY §3).
+ */
+object Annotation {
+
+  /** Per-unit CONSENSUS label: majority vote with ties to the
+    * lexicographically smallest label (deterministic, engine-
+    * replayable), plus the unit's rating count and the winner's vote
+    * share. Null units/labels drop (no vote is defined for a missing
+    * rating). Output: `(unit STRING, label STRING, n_ratings BIGINT,
+    * support_ppm BIGINT)` with `support_ppm = votes·10⁶ div n_ratings`.
+    *
+    * Scale shape: one map-side-combined aggregate to (unit, label)
+    * counts, then one min_by reduction per unit — never a window, never
+    * a rating-row shuffle beyond the first aggregate.
+    */
+  def consensusLabels(
+      df: DataFrame,
+      unitCol: String,
+      labelCol: String
+  ): DataFrame = {
+    val uc = df
+      .select(col(unitCol).cast(StringType).as("_u"),
+        col(labelCol).cast(StringType).as("_l"))
+      .filter(col("_u").isNotNull && col("_l").isNotNull)
+      .groupBy(col("_u"), col("_l")).agg(count(lit(1)).as("_c"))
+    uc.groupBy(col("_u"))
+      .agg(
+        min_by(struct(col("_l"), col("_c")),
+          struct((-col("_c")).as("_nc"), col("_l"))).as("_w"),
+        sum(col("_c")).as("n_ratings"))
+      .select(col("_u").as("unit"), col("_w._l").as("label"),
+        col("n_ratings"),
+        expr("(_w._c * 1000000L) div n_ratings").as("support_ppm"))
+  }
+
+  /** Krippendorff's alpha for NOMINAL data (Krippendorff 2004 §11;
+    * the 1970 coincidence-matrix construction): chance-corrected
+    * agreement over units rated by a VARIABLE number of raters, with
+    * missing ratings handled by construction — units with fewer than 2
+    * ratings carry no agreement information and drop entirely (their
+    * labels never enter the marginals either).
+    *
+    * Arithmetic, exact where the statistic allows it:
+    *
+    *  - per unit u with m_u ≥ 2 ratings and label counts n_uv, the
+    *    observed-disagreement mass is the ordered disagreeing pairs
+    *    normalized by (m_u − 1):  d_u / (m_u − 1) with
+    *    d_u = m_u² − Σ_v n_uv²  — an exact integer numerator; the ONE
+    *    rational step floors at e6 per unit:
+    *    `do_e6 += (d_u · 10⁶) div (m_u − 1)` (both engines share the
+    *    floor, bias < 10⁻⁶ per unit, recorded in the output scale);
+    *  - the coincidence marginals are EXACT integers: n_v = Σ_u n_uv,
+    *    n = Σ_u m_u (over kept units);
+    *  - alpha = 1 − D_o/D_e with D_e = (n² − Σ_v n_v²)/(n − 1), so
+    *    `alpha_ppm = 10⁶ − (do_e6 · (n − 1)) div (n² − Σ_v n_v²)` —
+    *    computed driver-side in BigInt (n² overflows int64 past ~3·10⁹
+    *    ratings), truncation toward zero (the [[Profile.cohenKappaE6]]
+    *    convention, shared with DuckDB `//` for the positive
+    *    denominator).
+    *
+    * A degenerate corpus (every kept rating the same label — D_e = 0)
+    * emits NOTHING: alpha is undefined there, not 0 (the kappa
+    * convention). Output one row:
+    * `(n_units, n_ratings, do_e6, alpha_ppm)` — all BIGINT.
+    *
+    * Scale shape: one aggregate to (unit, label) counts, one per-unit
+    * reduction, one ≤K-row label-marginal aggregate collected as
+    * driver metadata (the cohenKappa discipline) — rating rows shuffle
+    * once, as counts.
+    */
+  def krippendorffAlphaNominalE6(
+      df: DataFrame,
+      unitCol: String,
+      labelCol: String
+  ): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val uc = df
+      .select(col(unitCol).cast(StringType).as("_u"),
+        col(labelCol).cast(StringType).as("_l"))
+      .filter(col("_u").isNotNull && col("_l").isNotNull)
+      .groupBy(col("_u"), col("_l")).agg(count(lit(1)).as("_c"))
+      .localCheckpoint() // the per-unit reduction AND the marginals read it
+    val per = uc.groupBy(col("_u"))
+      .agg(sum(col("_c")).as("_m"),
+        sum(col("_c") * col("_c")).as("_ss"))
+      .filter(col("_m") >= 2L)
+      .select(col("_u"), col("_m"),
+        expr("((_m * _m - _ss) * 1000000L) div (_m - 1L)").as("_do"))
+      .localCheckpoint() // totals AND the kept-unit semi-join read it
+    val tot = per.agg(count(lit(1)).as("_units"), sum(col("_m")).as("_n"),
+      sum(col("_do")).as("_doe6")).head()
+    if (tot.isNullAt(1) || tot.getLong(1) == 0L)
+      return Seq.empty[(Long, Long, Long, Long)]
+        .toDF("n_units", "n_ratings", "do_e6", "alpha_ppm")
+    val (nUnits, n, doE6) = (tot.getLong(0), tot.getLong(1), tot.getLong(2))
+    val nv = uc.join(per.select(col("_u")), Seq("_u"), "left_semi")
+      .groupBy(col("_l")).agg(sum(col("_c")).as("_nv"))
+      .select(col("_nv")).as[Long].collect() // ≤K label marginals — metadata
+    val bn = BigInt(n)
+    val denom = bn * bn - nv.map(v => BigInt(v) * BigInt(v)).sum
+    if (denom == 0)
+      return Seq.empty[(Long, Long, Long, Long)]
+        .toDF("n_units", "n_ratings", "do_e6", "alpha_ppm")
+    val alphaPpm = BigInt(1000000) - BigInt(doE6) * (bn - 1) / denom
+    Seq((nUnits, n, doE6, alphaPpm.toLong))
+      .toDF("n_units", "n_ratings", "do_e6", "alpha_ppm")
+  }
+}
