@@ -5254,6 +5254,18 @@ object SparkEntry {
       Annotation.krippendorffAlphaNominalE6(r, "unit", "label")
     }),
 
+    // ---- the INTERVAL form over numeric ratings (quality scores:
+    //      4-vs-5 disagrees far less than 1-vs-5, invisible to the
+    //      nominal form): moment arithmetic per unit, same e6-floored
+    //      normalization, BigInt driver finish
+    "annotation_alpha_interval" -> ((s, dir) => {
+      val r = t(s, dir, "documents")
+        .filter(col("doc_id") < 2000 && col("n_chars").isNotNull)
+        .select(expr("doc_id div 4").cast("string").as("unit"),
+          expr("(n_chars div 200) % 5").as("score"))
+      Annotation.krippendorffAlphaIntervalE6(r, "unit", "score")
+    }),
+
     // ---- pairwise-preference aggregation (the RLHF preference-data
     //      step): Bradley–Terry strength ratings via 4 exact-integer MM
     //      rounds over comparisons derived deterministically from the
@@ -11375,6 +11387,31 @@ object SparkEntry {
         | SELECT CAST(tot.n AS HUGEINT) * tot.n -
         |  (SELECT sum(CAST(nvv AS HUGEINT) * nvv) FROM nv) AS d
         | FROM tot
+        |)
+        |SELECT tot.units AS n_units, tot.n AS n_ratings, tot.doe6 AS do_e6,
+        | CAST(1000000 - (CAST(tot.doe6 AS HUGEINT) * (tot.n - 1)) // den.d
+        |   AS BIGINT) AS alpha_ppm
+        |FROM tot, den""".stripMargin,
+
+    // interval distance via moments: do6 = 2(m*S2 - S1^2)*1e6 // (m-1)
+    // per unit; De = 2(n*T2 - T1^2)/(n-1) in HUGEINT
+    "annotation_alpha_interval" ->
+      """WITH r AS (
+        | SELECT CAST(doc_id // 4 AS VARCHAR) AS u,
+        |  CAST((n_chars // 200) % 5 AS BIGINT) AS v
+        | FROM documents WHERE doc_id < 2000 AND n_chars IS NOT NULL
+        |), kept AS MATERIALIZED (
+        | SELECT u, m, s1, s2,
+        |  (2 * (m * s2 - s1 * s1) * 1000000) // (m - 1) AS do6 FROM (
+        |  SELECT u, CAST(count(*) AS BIGINT) AS m, CAST(sum(v) AS BIGINT) AS s1,
+        |   CAST(sum(v * v) AS BIGINT) AS s2
+        |  FROM r GROUP BY 1) WHERE m >= 2
+        |), tot AS (
+        | SELECT CAST(count(*) AS BIGINT) AS units, CAST(sum(m) AS BIGINT) AS n,
+        |  CAST(sum(s1) AS HUGEINT) AS t1, CAST(sum(s2) AS HUGEINT) AS t2,
+        |  CAST(sum(do6) AS BIGINT) AS doe6 FROM kept
+        |), den AS (
+        | SELECT 2 * (CAST(n AS HUGEINT) * t2 - t1 * t1) AS d FROM tot
         |)
         |SELECT tot.units AS n_units, tot.n AS n_ratings, tot.doe6 AS do_e6,
         | CAST(1000000 - (CAST(tot.doe6 AS HUGEINT) * (tot.n - 1)) // den.d

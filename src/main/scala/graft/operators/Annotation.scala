@@ -122,4 +122,71 @@ object Annotation {
     Seq((nUnits, n, doE6, alphaPpm.toLong))
       .toDF("n_units", "n_ratings", "do_e6", "alpha_ppm")
   }
+
+  /** Krippendorff's alpha for INTERVAL data — numeric ratings where
+    * the SIZE of a disagreement matters (quality scores 1–5: raters
+    * saying 4 vs 5 agree far more than 1 vs 5, which the nominal form
+    * cannot see): distance δ(v, k) = (v − k)². The pair sums collapse
+    * to moments, so no label-pair table ever forms:
+    *
+    *   Σ_{v,k} n_v n_k (v − k)² = 2·(S0·S2 − S1²)
+    *   with S0 = Σn_v, S1 = Σn_v·v, S2 = Σn_v·v²
+    *
+    * per unit (observed, normalized by m_u − 1, the one e6-floored
+    * rational step — the nominal form's convention) and globally
+    * (expected, normalized by n − 1, BigInt driver finish). Ratings
+    * must be integers with |v| ≤ 10³ and units ≤ 10⁶ ratings (zero-
+    * action tripwires — keeps S0·S2 inside exact int64; rescale wider
+    * scores upstream). Units with < 2 ratings drop; a degenerate
+    * corpus (every kept rating equal — D_e = 0) emits nothing.
+    * Output: `(n_units, n_ratings, do_e6, alpha_ppm)`.
+    */
+  def krippendorffAlphaIntervalE6(
+      df: DataFrame,
+      unitCol: String,
+      valueCol: String
+  ): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val r = df
+      .select(col(unitCol).cast(StringType).as("_u"),
+        col(valueCol).cast(org.apache.spark.sql.types.LongType).as("_v"))
+      .filter(col("_u").isNotNull && col("_v").isNotNull)
+      .filter(assert_true(abs(col("_v")) <= lit(1000L),
+        lit("krippendorffAlphaIntervalE6: |rating| must be <= 10^3 — " +
+          "rescale wider scores upstream (the bound keeps the moment " +
+          "products inside exact int64)")).isNull)
+    val per = r.groupBy(col("_u"))
+      .agg(count(lit(1)).as("_m"), sum(col("_v")).as("_s1"),
+        sum(col("_v") * col("_v")).as("_s2"))
+      .filter(col("_m") >= 2L)
+      .filter(assert_true(col("_m") <= lit(1000000L),
+        lit("krippendorffAlphaIntervalE6: a unit carries > 10^6 ratings " +
+          "— downsample the unit (the bound keeps S0*S2 inside exact " +
+          "int64)")).isNull)
+      .select(col("_u"), col("_m"), col("_s1"), col("_s2"),
+        expr("(2L * (_m * _s2 - _s1 * _s1) * 1000000L) div (_m - 1L)")
+          .as("_do"))
+      .localCheckpoint() // totals and the degenerate check read it
+    val tot = per.agg(count(lit(1)).as("_units"), sum(col("_m")).as("_n"),
+      sum(col("_s1").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+        .as("_t1"),
+      sum(col("_s2").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+        .as("_t2"),
+      sum(col("_do")).as("_doe6")).head()
+    if (tot.isNullAt(1) || tot.getLong(1) == 0L)
+      return Seq.empty[(Long, Long, Long, Long)]
+        .toDF("n_units", "n_ratings", "do_e6", "alpha_ppm")
+    val (nUnits, n, doE6) = (tot.getLong(0), tot.getLong(1), tot.getLong(4))
+    val t1 = BigInt(tot.getDecimal(2).toBigInteger)
+    val t2 = BigInt(tot.getDecimal(3).toBigInteger)
+    val bn = BigInt(n)
+    val denom = 2 * (bn * t2 - t1 * t1)
+    if (denom == 0)
+      return Seq.empty[(Long, Long, Long, Long)]
+        .toDF("n_units", "n_ratings", "do_e6", "alpha_ppm")
+    val alphaPpm = BigInt(1000000) - BigInt(doE6) * (bn - 1) / denom
+    Seq((nUnits, n, doE6, alphaPpm.toLong))
+      .toDF("n_units", "n_ratings", "do_e6", "alpha_ppm")
+  }
 }

@@ -54,4 +54,38 @@ class AnnotationSpec extends SparkSpec {
     assert(Annotation.krippendorffAlphaNominalE6(singles, "u", "l")
       .count() == 0L)
   }
+
+  test("krippendorffAlphaIntervalE6: near-misses score higher than the nominal form; hand-replayed; tripwires") {
+    // two units: (1,2) and (4,5) — nominal sees total disagreement,
+    // interval sees near-misses against a wide spread.
+    //   u1: m=2 S1=3  S2=5  → do6 = 2(10−9)·1e6 div 1 = 2e6
+    //   u2: m=2 S1=9  S2=41 → do6 = 2(82−81)·1e6 div 1 = 2e6
+    //   n=4 T1=12 T2=46, De-denom = 2(184−144) = 80
+    //   alpha_ppm = 1e6 − (4e6·3) div 80 = 1e6 − 150000 = 850000
+    val near = Seq(("u1", 1L), ("u1", 2L), ("u2", 4L), ("u2", 5L))
+      .toDF("u", "v")
+    val got = Annotation.krippendorffAlphaIntervalE6(near, "u", "v")
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(got == ((2L, 4L, 4000000L, 850000L)), got.toString)
+    val nom = Annotation.krippendorffAlphaNominalE6(near, "u", "v")
+      .select("alpha_ppm").as[Long].collect().head
+    // nominal: every within-unit pair disagrees → chance level (0);
+    // interval credits the near-misses → 850000
+    assert(nom == 0L && nom < got._4, s"nominal $nom vs interval ${got._4}")
+    // perfect agreement = 1e6; constant corpus (De = 0) emits nothing
+    val perfect = Seq(("u1", 3L), ("u1", 3L), ("u2", 7L), ("u2", 7L))
+      .toDF("u", "v")
+    assert(Annotation.krippendorffAlphaIntervalE6(perfect, "u", "v")
+      .select("alpha_ppm").as[Long].collect().head == 1000000L)
+    val const = Seq(("u1", 3L), ("u1", 3L)).toDF("u", "v")
+    assert(Annotation.krippendorffAlphaIntervalE6(const, "u", "v")
+      .count() == 0L)
+    // |v| > 1e3 refuses loudly
+    val wide = Seq(("u1", 5000L), ("u1", 2L)).toDF("u", "v")
+    val e = intercept[Exception](
+      Annotation.krippendorffAlphaIntervalE6(wide, "u", "v").collect())
+    val msg = Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+    assert(msg.contains("10^3"), e.toString)
+  }
 }
