@@ -101,6 +101,10 @@ object Annotation {
       .agg(sum(col("_c")).as("_m"),
         sum(col("_c") * col("_c")).as("_ss"))
       .filter(col("_m") >= 2L)
+      .filter(assert_true(col("_m") <= lit(3000000L),
+        lit("krippendorffAlphaNominalE6: a unit carries > 3*10^6 ratings " +
+          "— downsample the unit (the bound keeps (m^2 - ss)*10^6 inside " +
+          "exact int64)")).isNull)
       .select(col("_u"), col("_m"),
         expr("((_m * _m - _ss) * 1000000L) div (_m - 1L)").as("_do"))
       .localCheckpoint() // totals AND the kept-unit semi-join read it
@@ -136,8 +140,10 @@ object Annotation {
     * rational step — the nominal form's convention) and globally
     * (expected, normalized by n − 1, BigInt driver finish). Ratings
     * must be integers with |v| ≤ 10³ and units ≤ 10⁶ ratings (zero-
-    * action tripwires — keeps S0·S2 inside exact int64; rescale wider
-    * scores upstream). Units with < 2 ratings drop; a degenerate
+    * action tripwires — keeps the per-unit moment products m·S2 and
+    * S1² inside exact int64; the ·10⁶ e6 scaling widens to
+    * DECIMAL(38,0) first because it does NOT fit). Rescale wider
+    * scores upstream. Units with < 2 ratings drop; a degenerate
     * corpus (every kept rating equal — D_e = 0) emits nothing.
     * Output: `(n_units, n_ratings, do_e6, alpha_ppm)`.
     */
@@ -165,19 +171,29 @@ object Annotation {
           "— downsample the unit (the bound keeps S0*S2 inside exact " +
           "int64)")).isNull)
       .select(col("_u"), col("_m"), col("_s1"), col("_s2"),
-        expr("(2L * (_m * _s2 - _s1 * _s1) * 1000000L) div (_m - 1L)")
-          .as("_do"))
+        // m*S2 and S1^2 each fit int64 at the tripwired bounds, but the
+        // *10^6 e6 scaling does NOT — widen to DECIMAL(38,0) BEFORE the
+        // scaling (the same decimal handling as the global T1/T2 sums);
+        // IntegralDivide then lands back in int64: per-unit do_e6 is
+        // bounded by 2*m*10^12 <= 2*10^18 at m = 10^6.
+        expr("(cast(_m * _s2 - _s1 * _s1 as decimal(38,0)) * 2000000L)" +
+          " div (_m - 1L)").as("_do"))
       .localCheckpoint() // totals and the degenerate check read it
     val tot = per.agg(count(lit(1)).as("_units"), sum(col("_m")).as("_n"),
       sum(col("_s1").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
         .as("_t1"),
       sum(col("_s2").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
         .as("_t2"),
-      sum(col("_do")).as("_doe6")).head()
+      sum(col("_do").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+        .as("_doe6")).head()
     if (tot.isNullAt(1) || tot.getLong(1) == 0L)
       return Seq.empty[(Long, Long, Long, Long)]
         .toDF("n_units", "n_ratings", "do_e6", "alpha_ppm")
-    val (nUnits, n, doE6) = (tot.getLong(0), tot.getLong(1), tot.getLong(4))
+    val (nUnits, n) = (tot.getLong(0), tot.getLong(1))
+    val doE6 = BigInt(tot.getDecimal(4).toBigInteger)
+    require(doE6 <= BigInt(Long.MaxValue),
+      "krippendorffAlphaIntervalE6: total observed-disagreement mass " +
+        "exceeds int64 at e6 scale — rescale ratings upstream")
     val t1 = BigInt(tot.getDecimal(2).toBigInteger)
     val t2 = BigInt(tot.getDecimal(3).toBigInteger)
     val bn = BigInt(n)
@@ -185,8 +201,8 @@ object Annotation {
     if (denom == 0)
       return Seq.empty[(Long, Long, Long, Long)]
         .toDF("n_units", "n_ratings", "do_e6", "alpha_ppm")
-    val alphaPpm = BigInt(1000000) - BigInt(doE6) * (bn - 1) / denom
-    Seq((nUnits, n, doE6, alphaPpm.toLong))
+    val alphaPpm = BigInt(1000000) - doE6 * (bn - 1) / denom
+    Seq((nUnits, n, doE6.toLong, alphaPpm.toLong))
       .toDF("n_units", "n_ratings", "do_e6", "alpha_ppm")
   }
 }

@@ -159,13 +159,18 @@ object Preference {
       loserCol: String,
       rounds: Int = 8
   ): DataFrame = {
-    val ratings = bradleyTerryScaled(comparisons, winnerCol, loserCol, rounds)
-    val e = comparisons
+    // one checkpointed (winner, loser) slice feeds BOTH the fit and the
+    // component edges — a non-deterministic input (sampled log) must not
+    // yield component labels inconsistent with the ratings they decorate
+    // (the bradleyTerryScaledWithTies convention)
+    val slice = comparisons
       .select(col(winnerCol).cast("string").as("_a"),
         col(loserCol).cast("string").as("_b"))
       .filter(col("_a").isNotNull && col("_b").isNotNull &&
         col("_a") =!= col("_b"))
-      .distinct()
+      .localCheckpoint()
+    val ratings = bradleyTerryScaled(slice, "_a", "_b", rounds)
+    val e = slice.distinct()
     val comp = graft.operators.Graph.connectedComponentsMin(e, "_a", "_b")
       .select(col("node").as("item"), col("label").as("component"))
       .localCheckpoint() // sizes, total, and the rating join all read it

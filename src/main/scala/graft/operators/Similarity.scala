@@ -976,7 +976,14 @@ object Similarity {
       .localCheckpoint() // collected once (ids), joined once
     val probedIds = q.select(col("centroid_id")).distinct()
       .collect().map(_.getLong(0)).sorted
-    require(probedIds.nonEmpty, "ivfTopKExactE6Partitioned: empty probe set")
+    if (probedIds.isEmpty) {
+      // no queries survived the dim/null guards — the in-memory
+      // ivfTopKExactE6 returns empty here and the two paths are
+      // documented value-identical, so this one must too
+      import spark.implicits._
+      return Seq.empty[(Long, Long, Long, Int)]
+        .toDF("query_id", "neighbor_id", "dist_e12", "rank")
+    }
     val corpus = spark.read.parquet(assignedPath)
       // literal IN on the partition column → PartitionFilters → unprobed
       // directories are never listed, let alone read

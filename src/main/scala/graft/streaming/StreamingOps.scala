@@ -286,13 +286,22 @@ object StreamingOps {
         state.write.mode("overwrite").parquet(s"$statePath/$version")
     }
     commitVersion(spark, statePath, version, keepFrom = keepFrom)
-    // drop catalog entries for pruned versions (dirs already deleted)
+    // drop catalog entries for pruned versions (dirs already deleted) —
+    // enumerate the catalog for THIS store's prefix rather than sweeping
+    // a fixed window back from batchId: batch ids can jump by more than
+    // any fixed window (checkpoint reset, long no-op stretches) and a
+    // bounded sweep would leak the entries it skips permanently
     if (stateBuckets.isDefined) {
-      var g = math.max(0L, batchId - 8) // bounded sweep of stale entries
-      while (g < keepFrom) {
-        spark.sql(s"DROP TABLE IF EXISTS ${stateTableName(statePath, g)}")
-        g += 1
-      }
+      val prefix = stateTableName(statePath, 0L).dropRight(1) // "..._v"
+      spark.catalog.listTables().collect()
+        .map(_.name)
+        .filter(n => n.startsWith(prefix) &&
+          n.drop(prefix.length).nonEmpty &&
+          n.drop(prefix.length).forall(_.isDigit))
+        .map(n => n.drop(prefix.length).toLong)
+        .filter(_ < keepFrom)
+        .foreach(g =>
+          spark.sql(s"DROP TABLE IF EXISTS ${stateTableName(statePath, g)}"))
     }
   }
 

@@ -88,4 +88,29 @@ class AnnotationSpec extends SparkSpec {
       Option(e.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
     assert(msg.contains("10^3"), e.toString)
   }
+
+  test("krippendorffAlphaIntervalE6: max-spread wide unit inside the tripwire domain computes exactly (e6 scaling widened to decimal)") {
+    // one unit, 4000 ratings at the +/-10^3 boundary: the per-unit
+    // 2*(m*S2 - S1^2)*10^6 = 3.2e19 exceeds int64 — the pre-fix pure
+    // int64 expression died here under ANSI despite being inside the
+    // documented |v| <= 10^3, m <= 10^6 domain. Hand-replayed:
+    //   m=4000 S1=0 S2=4e9 → do6 = 3.2e19 div 3999 = 8002000500125031
+    //   denom = 2*(4000*4e9) = 3.2e13 → alpha_ppm = 1e6 - do6*3999 div denom = 1
+    val wideUnit = spark.range(4000)
+      .select(lit("u").as("u"),
+        (when(col("id") % 2 === 0, 1000L).otherwise(-1000L)).as("v"))
+    val got = Annotation.krippendorffAlphaIntervalE6(wideUnit, "u", "v")
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(got == ((1L, 4000L, 8002000500125031L, 1L)), got.toString)
+  }
+
+  test("krippendorffAlphaNominalE6: a unit past 3e6 ratings refuses loudly (the (m^2-ss)*1e6 int64 bound)") {
+    val huge = spark.range(3000001)
+      .select(lit("u").as("u"), (col("id") % 2).cast("string").as("l"))
+    val e = intercept[Exception](
+      Annotation.krippendorffAlphaNominalE6(huge, "u", "l").collect())
+    val msg = Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+    assert(msg.contains("3*10^6"), e.toString)
+  }
 }

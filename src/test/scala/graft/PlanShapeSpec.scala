@@ -313,6 +313,15 @@ class PlanShapeSpec extends SparkSpec {
     val msg = Option(hot.getMessage).getOrElse("") +
       Option(hot.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
     assert(msg.contains("maxCellSize"), hot.toString)
+    // empty/guard-filtered query set returns empty, matching the
+    // in-memory operator — not a require failure
+    val badDim = corp.filter(col("id") === 2L)
+      .select(col("id").as("qid"), array(lit(1L), lit(2L)).as("qv"))
+    val emptyOut = Similarity.ivfTopKExactE6Partitioned(out, "id", "v",
+      cells, badDim, "qid", "qv", k = 3, nprobe = 2)
+    assert(emptyOut.count() == 0L &&
+      emptyOut.columns.toSeq ==
+        Seq("query_id", "neighbor_id", "dist_e12", "rank"))
   }
 
   test("IVF-PQ probe: PartitionFilters on centroid_id; only probed cell dirs are read") {
