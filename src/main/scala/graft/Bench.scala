@@ -2,6 +2,49 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 object Bench {
+
+  /** The previous committed bench record, as far as cross-round
+    * comparison needs it: per-query min seconds, calibrated mins when
+    * the record carries them, its probe floor (box-speed unit), and
+    * the sf it ran at.
+    */
+  private case class PrevRecord(
+      sf: String,
+      mins: Map[String, Double],
+      minsCalibrated: Map[String, Double],
+      probeFloor: Option[Double])
+
+  private def parsePrev(path: String): Option[PrevRecord] =
+    scala.util.Try {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      val j = JsonMethods.parse(
+        java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
+      def numMap(field: String): Map[String, Double] = j \ field match {
+        case JObject(fs) => fs.collect {
+          case JField(k, JDouble(v)) => k -> v
+          case JField(k, JInt(v)) => k -> v.toDouble
+          case JField(k, JDecimal(v)) => k -> v.toDouble
+        }.toMap
+        case _ => Map.empty
+      }
+      val sf = j \ "sf" match { case JString(s) => s; case _ => "" }
+      val probes = j \ "probe_timeline" match {
+        case JArray(xs) => xs.collect {
+          case JArray(List(_, _, JDouble(t))) => t
+          case JArray(List(_, _, JInt(t))) => t.toDouble
+          case JArray(List(_, _, JDecimal(t))) => t.toDouble
+        }
+        case _ => Nil
+      }
+      val mins = numMap("queries_min")
+      val floor = (probes ++ mins.get("calibration_cpu")) match {
+        case Nil => None
+        case xs => Some(xs.min)
+      }
+      PrevRecord(sf, mins, numMap("queries_min_calibrated"), floor)
+    }.toOption
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -38,8 +81,6 @@ object Bench {
     spark.range(1000000L).selectExpr("sum(id)").collect()
     new java.io.File(sfDir).listFiles((_, n) => n.endsWith(".parquet"))
       .foreach(f => spark.read.parquet(f.getPath).count())
-    // sorted order: deterministic run sequence so per-query numbers are
-    // comparable across rounds (Map iteration order is arbitrary)
     // 5 runs by default: r4's noise adjudication leaned on queries_min,
     // and 3 runs can all land inside one co-tenant load burst (the r4
     // merge-family false alarm did exactly that)
@@ -59,9 +100,33 @@ object Bench {
       (s, _) => s.range(0L, 1L << 30, 1L, s.sparkContext.defaultParallelism)
         .select(xxhash64(col("id")).as("_h"))
         .select(expr("bit_xor(_h)").as("h")) // xor-fold: no ANSI overflow
-    val selected =
-      (Seq("calibration_cpu" -> calibration) ++ SparkEntry.queries.toSeq.sortBy(_._1))
-        .filter { case (n, _) => only.forall(_.contains(n)) }
+    // previous committed record: read BEFORE this run overwrites the
+    // default output path — feeds the cost-ordered schedule and the
+    // vs_prev comparison block
+    val prevPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV", "bench_out.json")
+    val prev = parsePrev(prevPath)
+    // RUN ORDER. "cost" (default, when a previous record exists): known
+    // queries by DESCENDING previous-round min, then name; queries the
+    // previous record does not know (new gates — often heavy end-to-end
+    // fixtures) run LAST. Measured rationale (r15): three new ~7-12 s
+    // fixtures landed alphabetically adjacent to the PQ family and
+    // inflated its numbers 1.25× via scheduling pressure, not code —
+    // cost ordering decouples every query from whatever happens to sit
+    // beside it alphabetically, and stays deterministic because it is a
+    // pure function of the committed previous record. "alpha" restores
+    // the legacy sorted order (and is the fallback with no record).
+    val order = sys.env.getOrElse("SPARK_GRAFT_BENCH_ORDER",
+      if (prev.isDefined) "cost" else "alpha")
+    val gateSeq = SparkEntry.queries.toSeq.sortBy(_._1)
+    val ordered = order match {
+      case "cost" =>
+        val cost = prev.map(_.mins).getOrElse(Map.empty)
+        val (known, unknown) = gateSeq.partition(q => cost.contains(q._1))
+        known.sortBy { case (n, _) => (-cost(n), n) } ++ unknown
+      case _ => gateSeq
+    }
+    val selected = (Seq("calibration_cpu" -> calibration) ++ ordered)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     // BLOCK-interleaved runs: each query runs in TWO separated
     // consecutive blocks (ceil(N/2) then floor(N/2) runs) rather than
     // one N-run burst or full per-run interleaving. Rationale, measured:
@@ -93,6 +158,9 @@ object Bench {
     // ~12 samples/block on the full suite ≈ +3 s — negligible.
     val probeEvery = sys.env.getOrElse("SPARK_GRAFT_BENCH_PROBE_EVERY", "25").toInt
     val probeTimeline = scala.collection.mutable.ListBuffer.empty[(Int, String, Double)]
+    // (block index 0/1, position in `selected`, probe seconds) — the
+    // calibration query's own runs double as position-0 samples
+    val probeAt = scala.collection.mutable.ListBuffer.empty[(Int, Int, Double)]
     for ((blockRuns, bi) <- blocks.zipWithIndex; i <- selected.indices) {
       for (_ <- 0 until blockRuns) {
         val (name, fn) = selected(i)
@@ -107,14 +175,18 @@ object Bench {
           failed(i) = true
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
-        times(i) :+= (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        times(i) :+= dt
         gcMs(i) :+= gcMillis() - g0
+        if (selected(i)._1 == "calibration_cpu") probeAt += ((bi, i, dt))
       }
       if (probeEvery > 0 && i % probeEvery == probeEvery - 1) {
         val t0 = System.nanoTime()
         try calibration(spark, sfDir).write.mode("overwrite").format("noop").save()
         catch { case _: Throwable => () }
-        probeTimeline += ((bi + 1, selected(i)._1, (System.nanoTime() - t0) / 1e9))
+        val dt = (System.nanoTime() - t0) / 1e9
+        probeTimeline += ((bi + 1, selected(i)._1, dt))
+        probeAt += ((bi, i, dt))
       }
     }
     // median of N runs: single-shot numbers carry JIT/GC noise that made
@@ -130,6 +202,44 @@ object Bench {
       (selected(i)._1, ts(ts.length / 2), ts.head, ts((ts.length - 1) / 4), failed(i))
     }
     val ok = results.filterNot(_._5)
+    // CALIBRATED MINS (r15 verdict ask): the probe timeline already
+    // attributes bursts; finish the job by dividing each query's min by
+    // its LOCAL box factor — nearest-in-sweep probe sample (in the block
+    // the min came from) over the sweep's probe floor — so a reader gets
+    // "seconds at this sweep's quiet-floor box speed" per query with no
+    // hand interpolation. Queries between two probe samples interpolate
+    // linearly by sweep position.
+    val probeFloorCur: Option[Double] =
+      if (probeAt.isEmpty) None else Some(probeAt.map(_._3).min)
+    def localProbe(block: Int, pos: Int): Option[Double] = {
+      val inBlock = probeAt.filter(_._1 == block).map(p => (p._2, p._3)).toSeq
+        .groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).min }.toSeq
+        .sortBy(_._1)
+      if (inBlock.isEmpty) None
+      else {
+        val before = inBlock.filter(_._1 <= pos)
+        val after = inBlock.filter(_._1 > pos)
+        (before.lastOption, after.headOption) match {
+          case (Some((p0, v0)), Some((p1, v1))) =>
+            Some(v0 + (v1 - v0) * (pos - p0).toDouble / (p1 - p0).toDouble)
+          case (Some((_, v0)), None) => Some(v0)
+          case (None, Some((_, v1))) => Some(v1)
+          case _ => None
+        }
+      }
+    }
+    val calibrated: Map[String, (Double, Double)] = selected.indices.flatMap { i =>
+      if (failed(i) || times(i).isEmpty) None
+      else {
+        val minIdx = times(i).indexOf(times(i).min)
+        val block = if (minIdx < blocks.head) 0 else 1
+        (localProbe(block, i), probeFloorCur) match {
+          case (Some(lp), Some(floor)) if lp > 0 =>
+            Some(selected(i)._1 -> ((times(i).min * floor / lp, lp)))
+          case _ => None
+        }
+      }
+    }.toMap
     def jmap(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     // failed queries report null (never a fake elapsed time) and are listed
@@ -139,6 +249,8 @@ object Bench {
     }.mkString("{", ",", "}")
     val mins = jmap(ok.map(r => r._1 -> r._3))
     val p25s = jmap(ok.map(r => r._1 -> r._4))
+    val minsCal = jmap(ok.flatMap(r => calibrated.get(r._1).map(c => r._1 -> c._1)))
+    val probeLocal = jmap(ok.flatMap(r => calibrated.get(r._1).map(c => r._1 -> c._2)))
     // raw per-run arrays IN RUN ORDER (block 1 then block 2), so a reader
     // can see whether a slow median is one covered block (co-tenant burst)
     // or spread across both (plan/heap); GC wall ms per run alongside
@@ -154,10 +266,54 @@ object Bench {
     val probeJson = probeTimeline.map { case (b, n, t) =>
       f"""[$b,"$n",$t%.3f]"""
     }.mkString("[", ",", "]")
+    // VS_PREV (r15 verdict ask): the cross-round comparison the judge
+    // previously did by hand, emitted machine-readable. Shared-query
+    // sums and median per-query ratio, raw AND calibrated (each side's
+    // numbers divided by its own probe floor — the box-speed unit — so
+    // a slower/faster box cancels out). Only computed when the previous
+    // record ran at the SAME sf; prev calibrated mins are used when the
+    // record carries them, raw mins otherwise.
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted; s(s.length / 2)
+    }
+    val vsPrev: String = prev match {
+      case Some(p) if p.sf == sfDir =>
+        val curMins = ok.filterNot(_._1 == "calibration_cpu")
+          .map(r => r._1 -> r._3).toMap
+        val shared = curMins.keySet.intersect(p.mins.keySet)
+          .filterNot(_ == "calibration_cpu").toSeq.sorted
+        if (shared.isEmpty) "null"
+        else {
+          val sumCur = shared.map(curMins).sum
+          val sumPrev = shared.map(p.mins).sum
+          val ratios = shared.map(n => curMins(n) / p.mins(n))
+          val calBlock = (probeFloorCur, p.probeFloor) match {
+            case (Some(fc), Some(fp)) if fc > 0 && fp > 0 =>
+              val curCal = shared.map(n =>
+                n -> (calibrated.get(n).map(_._1).getOrElse(curMins(n)) / fc)).toMap
+              val prevCal = shared.map(n =>
+                n -> (p.minsCalibrated.getOrElse(n, p.mins(n)) / fp)).toMap
+              val calRatios = shared.map(n => curCal(n) / prevCal(n))
+              f""","probe_floor_cur":$fc%.4f,"probe_floor_prev":$fp%.4f""" +
+                f""","ratio_calibrated":${curCal.values.sum / prevCal.values.sum}%.4f""" +
+                f""","median_ratio_calibrated":${median(calRatios)}%.4f"""
+            case _ => ""
+          }
+          f"""{"prev":"$prevPath","shared":${shared.length}""" +
+            f""","sum_min_cur":$sumCur%.3f,"sum_min_prev":$sumPrev%.3f""" +
+            f""","ratio_raw":${sumCur / sumPrev}%.4f""" +
+            f""","median_ratio_raw":${median(ratios)}%.4f""" + calBlock + "}"
+        }
+      case Some(p) =>
+        s"""{"prev":"$prevPath","skipped":"sf mismatch: prev ran at ${p.sf}"}"""
+      case None => "null"
+    }
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs""" +
       s""","queries_min":$mins,"queries_p25":$p25s,"queries_runs":$runsJson""" +
       s""","queries_gc_ms":$gcJson,"failed_queries":$failedNames""" +
       s""","probe_timeline":$probeJson""" +
+      s""","queries_min_calibrated":$minsCal,"queries_probe_local":$probeLocal""" +
+      s""","vs_prev":$vsPrev,"order":"$order"""" +
       s""","runs_per_query":$runsPerQuery,"stat":"median","interleaved":"two-block","sf":"$sfDir"}"""
     println(line)
     // belt-and-braces: also persist the JSON where the driver can read it
