@@ -5266,6 +5266,33 @@ object SparkEntry {
       Annotation.krippendorffAlphaIntervalE6(r, "unit", "score")
     }),
 
+    // ---- the ORDINAL form over the same rating table: Likert-style
+    //      ranks where distance is the squared coincidence-marginal
+    //      mass between the two ranks (Krippendorff 2004 §11.3) —
+    //      the ≤K² half-unit distance table is driver metadata, the
+    //      per-unit pair sums run in exact decimal
+    "annotation_alpha_ordinal" -> ((s, dir) => {
+      val r = t(s, dir, "documents")
+        .filter(col("doc_id") < 2000 && col("n_chars").isNotNull)
+        .select(expr("doc_id div 4").cast("string").as("unit"),
+          expr("(n_chars div 200) % 5").as("score"))
+      Annotation.krippendorffAlphaOrdinalE6(r, "unit", "score")
+    }),
+
+    // ---- per-RATER reliability over the same corpus: each doc slot
+    //      (doc_id % 4) acts as a rater; chance-corrected agreement
+    //      with the unit consensus flags the systematically-off slot
+    //      before its labels reach a reward model
+    "annotation_rater_reliability" -> ((s, dir) => {
+      val r = t(s, dir, "documents")
+        .filter(col("doc_id") < 2000 && col("n_chars").isNotNull)
+        .select(expr("doc_id div 4").cast("string").as("unit"),
+          expr("doc_id % 4").cast("string").as("rater"),
+          expr("(n_chars div 200) % 5").cast("string").as("label"))
+      Annotation.raterReliability(r, "unit", "rater", "label")
+        .orderBy("rater")
+    }),
+
     // ---- pairwise-preference aggregation (the RLHF preference-data
     //      step): Bradley–Terry strength ratings via 4 exact-integer MM
     //      rounds over comparisons derived deterministically from the
@@ -6250,6 +6277,29 @@ object SparkEntry {
             .as("centroid_e6"))
       graft.operators.Similarity.mutualKnnEdgesProbedE6(emb, "vec_id",
           "embedding", cells, k = 3, nprobe = 2)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ---- the 100 TB form of the probed graph: the corpus persisted
+    //      cell-partitioned (writeAssignedE6), the probe union pruning
+    //      the home-side scan as PartitionFilters, reciprocity as a
+    //      pair-count aggregate — value-identical to the in-memory
+    //      probed gate above (same oracle)
+    "embedding_mutual_knn_partitioned" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").filter(col("vec_id") < 200)
+        .select(col("vec_id"),
+          transform(col("embedding"),
+            v => floor(v.cast("double") * 1000000d).cast("long"))
+            .as("emb_e6"))
+      val cells = emb.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("centroid_id"),
+          col("emb_e6").as("centroid_e6"))
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-mknn-part").toString
+      graft.operators.Similarity.writeAssignedE6(emb, "vec_id", "emb_e6",
+        cells, work)
+      graft.operators.Similarity.mutualKnnEdgesPartitionedE6(s, work,
+          "vec_id", "emb_e6", cells, k = 3, nprobe = 2)
         .orderBy("id_a", "id_b")
     }),
 
@@ -11418,6 +11468,93 @@ object SparkEntry {
         |   AS BIGINT) AS alpha_ppm
         |FROM tot, den""".stripMargin,
 
+    // half-unit ordinal distances D(v,k) = 2*sum(n_g between) - n_v - n_k
+    // over the kept-unit marginals; observed = per-unit pair sums in
+    // HUGEINT, e6-floored by (m-1); expected = the same sum globally
+    "annotation_alpha_ordinal" ->
+      """WITH r AS (
+        | SELECT CAST(doc_id // 4 AS VARCHAR) AS u,
+        |  CAST((n_chars // 200) % 5 AS BIGINT) AS v
+        | FROM documents WHERE doc_id < 2000 AND n_chars IS NOT NULL
+        |), uc AS MATERIALIZED (
+        | SELECT u, v, CAST(count(*) AS BIGINT) AS c FROM r GROUP BY 1, 2
+        |), pu AS MATERIALIZED (
+        | SELECT u, CAST(sum(c) AS BIGINT) AS m FROM uc GROUP BY 1
+        | HAVING sum(c) >= 2
+        |), kuc AS MATERIALIZED (
+        | SELECT uc.u, uc.v, uc.c FROM uc JOIN pu ON pu.u = uc.u
+        |), nv AS MATERIALIZED (
+        | SELECT v, CAST(sum(c) AS BIGINT) AS nvv FROM kuc GROUP BY 1
+        |), dd AS MATERIALIZED (
+        | SELECT a.v AS v1, b.v AS v2,
+        |  CAST(2 * (SELECT sum(g.nvv) FROM nv g
+        |            WHERE g.v BETWEEN a.v AND b.v) - a.nvv - b.nvv
+        |   AS BIGINT) AS dh
+        | FROM nv a JOIN nv b ON a.v < b.v
+        |), obs AS (
+        | SELECT x.u,
+        |  sum(CAST(x.c AS HUGEINT) * y.c * dd.dh * dd.dh) AS s
+        | FROM kuc x JOIN kuc y ON y.u = x.u AND x.v < y.v
+        |  JOIN dd ON dd.v1 = x.v AND dd.v2 = y.v
+        | GROUP BY 1
+        |), per AS (
+        | SELECT pu.m,
+        |  (COALESCE(obs.s, 0) * 2000000) // (pu.m - 1) AS do6
+        | FROM pu LEFT JOIN obs ON obs.u = pu.u
+        |), tot AS (
+        | SELECT CAST(count(*) AS BIGINT) AS units,
+        |  CAST(sum(m) AS BIGINT) AS n, sum(do6) AS doe6 FROM per
+        |), den AS (
+        | SELECT sum(2 * CAST(a.nvv AS HUGEINT) * b.nvv * dd.dh * dd.dh) AS d
+        | FROM nv a JOIN nv b ON a.v < b.v
+        |  JOIN dd ON dd.v1 = a.v AND dd.v2 = b.v
+        |)
+        |SELECT tot.units AS n_units, tot.n AS n_ratings,
+        | CAST(tot.doe6 AS BIGINT) AS do_e6,
+        | CAST(1000000 - (tot.doe6 * (tot.n - 1)) // den.d AS BIGINT)
+        |  AS alpha_ppm
+        |FROM tot, den""".stripMargin,
+
+    // consensus replayed, then per-rater Cohen's kappa against it:
+    // kappa_ppm = 1e6 - n(n-a)*1e6 // (n^2 - S), S = sum(c_v * k_v);
+    // a chance-perfect rater (n^2 = S) reports NULL, never a fake 0
+    "annotation_rater_reliability" ->
+      """WITH r AS (
+        | SELECT CAST(doc_id // 4 AS VARCHAR) AS u,
+        |  CAST(doc_id % 4 AS VARCHAR) AS rr,
+        |  CAST((n_chars // 200) % 5 AS VARCHAR) AS l
+        | FROM documents WHERE doc_id < 2000 AND n_chars IS NOT NULL
+        |), uc AS (
+        | SELECT u, l, CAST(count(*) AS BIGINT) AS c FROM r GROUP BY 1, 2
+        |), w AS (
+        | SELECT u, l,
+        |  row_number() OVER (PARTITION BY u ORDER BY c DESC, l) AS rn
+        | FROM uc
+        |), cons AS MATERIALIZED (
+        | SELECT u, l AS cl FROM w WHERE rn = 1
+        |), j AS MATERIALIZED (
+        | SELECT r.u, r.rr, r.l, cons.cl FROM r JOIN cons ON cons.u = r.u
+        |), pr AS (
+        | SELECT rr, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN l = cl THEN 1 ELSE 0 END) AS BIGINT) AS a
+        | FROM j GROUP BY 1
+        |), crv AS (
+        | SELECT rr, l, CAST(count(*) AS BIGINT) AS c FROM r GROUP BY 1, 2
+        |), krv AS (
+        | SELECT rr, cl AS l, CAST(count(*) AS BIGINT) AS k
+        | FROM j GROUP BY 1, 2
+        |), sr AS (
+        | SELECT crv.rr, CAST(sum(crv.c * krv.k) AS BIGINT) AS s
+        | FROM crv JOIN krv ON krv.rr = crv.rr AND krv.l = crv.l GROUP BY 1
+        |)
+        |SELECT pr.rr AS rater, pr.n AS n_ratings, pr.a AS n_agree,
+        | (pr.a * 1000000) // pr.n AS po_ppm,
+        | CASE WHEN pr.n * pr.n = sr.s THEN NULL
+        |  ELSE 1000000 -
+        |   (pr.n * (pr.n - pr.a) * 1000000) // (pr.n * pr.n - sr.s)
+        |  END AS kappa_ppm
+        |FROM pr JOIN sr ON sr.rr = pr.rr ORDER BY rater""".stripMargin,
+
     "preference_bt" -> bradleyTerryOracleSql(rounds = 4),
 
     // half-unit counts through the same MM machinery
@@ -12601,6 +12738,12 @@ object SparkEntry {
     // cell (casg), query side on the 2 nearest cells (cprobe, the same
     // (dist, ccid) ladder cut at rn <= 2), same top-3 + reciprocity
     "embedding_mutual_knn_probed" ->
+      s"""WITH $mutualKnnProbedCteSql
+         |SELECT id_a, id_b FROM me ORDER BY 1, 2""".stripMargin,
+
+    // the partitioned-layout path is value-identical to the probed
+    // operator by construction — the same oracle replays it
+    "embedding_mutual_knn_partitioned" ->
       s"""WITH $mutualKnnProbedCteSql
          |SELECT id_a, id_b FROM me ORDER BY 1, 2""".stripMargin,
 

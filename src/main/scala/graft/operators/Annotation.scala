@@ -205,4 +205,194 @@ object Annotation {
     Seq((nUnits, n, doE6.toLong, alphaPpm.toLong))
       .toDF("n_units", "n_ratings", "do_e6", "alpha_ppm")
   }
+
+  /** Per-RATER reliability: chance-corrected agreement of each rater
+    * with the corpus [[consensusLabels]] — the annotator-quality grade
+    * that flags a low-quality (or adversarial) rater BEFORE their
+    * labels poison a reward model. Cohen's kappa of the rater against
+    * the consensus "rater", exact integers end to end:
+    *
+    *  - p_o = a/n  (a = the rater's ratings matching their unit's
+    *    consensus, n = the rater's rating count);
+    *  - p_e = S/n² with S = Σ_v c_v·k_v (c_v = times the rater said v,
+    *    k_v = units the rater rated whose consensus is v) — the two
+    *    marginal distributions' chance-match mass;
+    *  - kappa = 1 − (1−p_o)/(1−p_e), computed as
+    *    `kappa_ppm = 10⁶ − (n·(n−a)·10⁶) div (n²−S)` so both factors of
+    *    the one rational step are NON-NEGATIVE (floor = truncation,
+    *    shared with the oracle's `//`; the alpha-family convention).
+    *
+    * The consensus includes the rater's own vote (self-inclusion is
+    * deterministic, engine-replayable, and vanishes as unit rating
+    * counts grow; leave-one-out would re-vote every unit per rater —
+    * a per-rater shuffle multiplier with no gate-scale payoff). A
+    * degenerate rater (p_e = 1: they and the consensus are the same
+    * constant label — chance explains everything) emits a NULL kappa,
+    * never a fake 0. Raters past 3·10⁶ ratings refuse loudly (the
+    * n²·10⁶ int64 bound, the nominal-alpha convention).
+    *
+    * Output: `(rater, n_ratings, n_agree, po_ppm, kappa_ppm)`.
+    *
+    * Scale shape: one consensus pass (two map-side aggregates), one
+    * rating⋈consensus equi-join on unit, then everything reduces to
+    * per-(rater, label) counts before the final per-rater rows — no
+    * window, no driver loop, no all-pairs.
+    */
+  def raterReliability(
+      df: DataFrame,
+      unitCol: String,
+      raterCol: String,
+      labelCol: String
+  ): DataFrame = {
+    val r = df
+      .select(col(unitCol).cast(StringType).as("_u"),
+        col(raterCol).cast(StringType).as("_r"),
+        col(labelCol).cast(StringType).as("_l"))
+      .filter(col("_u").isNotNull && col("_r").isNotNull &&
+        col("_l").isNotNull)
+      .localCheckpoint() // consensus, the join, and c_rv all read it
+    val cons = consensusLabels(r, "_u", "_l")
+      .select(col("unit").as("_u"), col("label").as("_cl"))
+    val j = r.join(cons, Seq("_u"))
+    val perRater = j.groupBy(col("_r"))
+      .agg(count(lit(1)).as("_n"),
+        sum(when(col("_l") === col("_cl"), 1L).otherwise(0L)).as("_a"))
+      .filter(assert_true(col("_n") <= lit(3000000L),
+        lit("raterReliability: a rater carries > 3*10^6 ratings — " +
+          "downsample the rater (the bound keeps n^2*10^6 inside exact " +
+          "int64)")).isNull)
+    val crv = r.groupBy(col("_r"), col("_l")).agg(count(lit(1)).as("_c"))
+    val krv = j.groupBy(col("_r"), col("_cl").as("_l"))
+      .agg(count(lit(1)).as("_k"))
+    val s = crv.join(krv, Seq("_r", "_l"))
+      .groupBy(col("_r")).agg(sum(col("_c") * col("_k")).as("_s"))
+    perRater.join(s, Seq("_r"))
+      .select(col("_r").as("rater"), col("_n").as("n_ratings"),
+        col("_a").as("n_agree"),
+        expr("(_a * 1000000L) div _n").as("po_ppm"),
+        when(col("_n") * col("_n") === col("_s"), lit(null))
+          .otherwise(expr(
+            "1000000L - (_n * (_n - _a) * 1000000L) div (_n * _n - _s)"))
+          .cast(org.apache.spark.sql.types.LongType).as("kappa_ppm"))
+  }
+
+  /** Krippendorff's alpha for ORDINAL data (Krippendorff 2004 §11.3's
+    * rank-based metric): Likert-style labels where "4 vs 5" disagrees
+    * less than "1 vs 5" but the VALUES are ranks, not measurements —
+    * the case nominal (all disagreements equal) and interval
+    * (differences of the raw codes) bracket. The ordinal distance
+    * between ranks v < k is the squared sum of the coincidence
+    * marginals BETWEEN them:
+    *
+    *   δ(v,k) = (Σ_{g=v..k} n_g − (n_v + n_k)/2)²
+    *
+    * carried exactly in HALF-UNIT form D(v,k) = 2·Σ_{g=v..k} n_g −
+    * n_v − n_k (integer), δ = D²/4 — the ¼ cancels between observed
+    * and expected, so both sides use D² and no fraction ever forms.
+    *
+    * The marginals n_g (over kept units, m ≥ 2) collect driver-side —
+    * at most `maxDistinct` ranks (default 1024, loud refusal past it:
+    * an ordinal SCALE has a handful of levels; a thousand distinct
+    * values means the input is a measurement, use
+    * [[krippendorffAlphaIntervalE6]]) — and the ≤K² distance table
+    * broadcasts back as a literal frame (the GateTables discipline).
+    * Per unit, observed disagreement is the label-pair sum
+    * 2·Σ_{v<k} n_uv·n_uk·D(v,k)², accumulated in DECIMAL(38,0) (the
+    * products overflow int64 by construction — D grows with corpus
+    * coincidences), e6-floored per unit by (m_u − 1) via exact decimal
+    * floor-division, then summed in decimal; expected is the same sum
+    * over the global marginals, BigInt driver-side. alpha_ppm = 10⁶ −
+    * do_e6·(n−1) div Σ_{v≠k} n_v·n_k·D². Kept ratings past 10⁶
+    * refuse loudly — that bound keeps the pair arithmetic inside exact
+    * DECIMAL(38) at worst-case coincidence structure (ordinal
+    * annotation sets are human-sized; past it, downsample units or
+    * switch to the interval form whose moments never see n).
+    *
+    * Degenerate corpora (no kept units, or D_e = 0) emit nothing.
+    * Output: `(n_units, n_ratings, do_e6, alpha_ppm)` — `do_e6` is in
+    * D²-scale units (quarter-distances ×4), comparable only within
+    * this form.
+    */
+  def krippendorffAlphaOrdinalE6(
+      df: DataFrame,
+      unitCol: String,
+      valueCol: String,
+      maxDistinct: Int = 1024
+  ): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val uc = df
+      .select(col(unitCol).cast(StringType).as("_u"),
+        col(valueCol).cast(org.apache.spark.sql.types.LongType).as("_v"))
+      .filter(col("_u").isNotNull && col("_v").isNotNull)
+      .groupBy(col("_u"), col("_v")).agg(count(lit(1)).as("_c"))
+      .localCheckpoint() // per-unit sizes, marginals, pair sums read it
+    val pu = uc.groupBy(col("_u")).agg(sum(col("_c")).as("_m"))
+      .filter(col("_m") >= 2L)
+      .localCheckpoint() // kept-unit semi-joins and totals read it
+    val kuc = uc.join(pu.select(col("_u")), Seq("_u"), "left_semi")
+    val nvRows = kuc.groupBy(col("_v")).agg(sum(col("_c")).as("_nv"))
+      .orderBy(col("_v"))
+      .as[(Long, Long)].collect() // ≤maxDistinct rank marginals — metadata
+    require(nvRows.length <= maxDistinct,
+      s"krippendorffAlphaOrdinalE6: ${nvRows.length} distinct values — an " +
+        s"ordinal scale has a handful of levels (cap $maxDistinct); for " +
+        "numeric measurements use krippendorffAlphaIntervalE6")
+    if (nvRows.isEmpty)
+      return Seq.empty[(Long, Long, Long, Long)]
+        .toDF("n_units", "n_ratings", "do_e6", "alpha_ppm")
+    val n = nvRows.map(_._2).sum
+    require(n <= 1000000L,
+      s"krippendorffAlphaOrdinalE6: $n kept ratings > 10^6 — the ordinal " +
+        "distance grows with coincidence counts and the pair arithmetic " +
+        "would leave exact DECIMAL(38); downsample units or use the " +
+        "interval form (whose moments never see n)")
+    // half-unit distances D(v,k) = 2*sum(n_g, v<=g<=k) - n_v - n_k over the
+    // sorted ranks; the <=K^2 (v, k, D^2) table broadcasts as literals
+    val cum = nvRows.scanLeft(0L) { case (acc, (_, c)) => acc + c }.tail
+    val pairs = for {
+      i <- nvRows.indices; k <- (i + 1) until nvRows.length
+    } yield {
+      val between = cum(k) - (if (i == 0) 0L else cum(i - 1))
+      val dHalf = 2L * between - nvRows(i)._2 - nvRows(k)._2
+      (nvRows(i)._1, nvRows(k)._1, dHalf * dHalf) // D <= 2n <= 1e6: D^2 exact
+    }
+    val nvMap = nvRows.toMap
+    val deNum = pairs.map { case (v, k, d2) =>
+      BigInt(2) * nvMap(v) * nvMap(k) * d2
+    }.sum
+    if (deNum == 0)
+      return Seq.empty[(Long, Long, Long, Long)]
+        .toDF("n_units", "n_ratings", "do_e6", "alpha_ppm")
+    val d2t = broadcast(pairs.toDF("_v1", "_v2", "_d2"))
+    // per-unit observed: both orientations of each v<k pair (x2), the
+    // pair products in decimal, the one e6-floored rational per unit
+    val obs = kuc.select(col("_u"), col("_v").as("_v1"), col("_c").as("_c1"))
+      .join(kuc.select(col("_u"), col("_v").as("_v2"), col("_c").as("_c2")),
+        Seq("_u"))
+      .filter(col("_v1") < col("_v2"))
+      .join(d2t, Seq("_v1", "_v2"))
+      .groupBy(col("_u"))
+      .agg(sum((col("_c1") * col("_c2")).cast(d38) * col("_d2")).as("_s"))
+    // e6-floor per unit in DECIMAL: the quotient can exceed int64 for a
+    // big coincidence-heavy unit. floor(decimal division at scale 6) is
+    // the EXACT floor here: the fractional part is a multiple of
+    // 1/(m−1) with m−1 < 2·10⁶, so it can never land within the scale-6
+    // rounding half-step of the next integer.
+    val per = pu.join(obs, Seq("_u"), "left")
+      .select(col("_m"),
+        expr("floor((coalesce(_s, cast(0 as decimal(38,0))) * 2000000L)" +
+          " / cast(_m - 1L as decimal(38,0)))").as("_do"))
+    val tot = per.agg(count(lit(1)).as("_units"), sum(col("_m")).as("_n"),
+      sum(col("_do").cast(d38)).as("_doe6")).head()
+    val (nUnits, nTot) = (tot.getLong(0), tot.getLong(1))
+    val doE6 = BigInt(tot.getDecimal(2).toBigInteger)
+    require(doE6 <= BigInt(Long.MaxValue),
+      "krippendorffAlphaOrdinalE6: total observed-disagreement mass " +
+        "exceeds int64 at e6 scale — downsample units upstream")
+    val alphaPpm = BigInt(1000000) - doE6 * BigInt(nTot - 1) / deNum
+    Seq((nUnits, nTot, doE6.toLong, alphaPpm.toLong))
+      .toDF("n_units", "n_ratings", "do_e6", "alpha_ppm")
+  }
 }

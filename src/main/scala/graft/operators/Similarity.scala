@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types._
@@ -1630,6 +1630,102 @@ object Similarity {
         Seq("_x", "_y"), "left_semi")
       .filter(col("_x") < col("_y"))
       .select(col("_x").as("id_a"), col("_y").as("id_b"))
+  }
+
+  /** [[mutualKnnEdgesProbedE6]] over a [[writeAssignedE6]] layout —
+    * the 100 TB form: the home-cell (index) side is the PHYSICALLY
+    * partitioned corpus, filtered by the union of the query side's
+    * probe sets as a literal IN on the partition column, so the probe
+    * restriction prunes at the directory level (`PartitionFilters`,
+    * the [[ivfTopKExactE6Partitioned]] composition) instead of
+    * re-deriving home cells from an in-memory frame. The query side
+    * reads the SAME layout (one narrow id+vec scan) — the corpus never
+    * exchanges to learn its probe sets; probes come from the one
+    * codegen'd [[graft.plans.NearestCentroidsE6]] projection whose
+    * element 0 is the layout's own write-time home assignment.
+    *
+    * `querySubset` (an id frame) restricts the operation to a slice:
+    * both the query side and the candidate lists semi-join to it, so
+    * the result is VALUE-IDENTICAL to running the in-memory probed
+    * operator on that slice of the corpus — and the probe-set IN now
+    * prunes for real (a slice's probes touch only its own cells'
+    * directories). With `None`, every point is a query (full self
+    * mutual k-NN, value-identical to the in-memory operator on the
+    * whole corpus): each occupied cell is then probed by its own
+    * members, so the IN keeps every occupied directory — the plan
+    * shape is pinned either way, the file skipping is real exactly
+    * when the probe union is a strict subset.
+    *
+    * Occupancy is tripwired at WRITE time ([[writeAssignedE6]]); this
+    * read path adds none (the layout is the contract).
+    */
+  def mutualKnnEdgesPartitionedE6(
+      spark: SparkSession,
+      assignedPath: String,
+      idCol: String,
+      vecCol: String, // ARRAY<BIGINT>, e6-scaled (the layout's own column)
+      centroidsE6: DataFrame,
+      k: Int,
+      nprobe: Int,
+      querySubset: Option[DataFrame] = None // single id column
+  ): DataFrame = {
+    require(k > 0, s"mutualKnnEdgesPartitionedE6: k must be positive, got $k")
+    require(nprobe > 0,
+      s"mutualKnnEdgesPartitionedE6: nprobe must be positive, got $nprobe")
+    import org.apache.spark.sql.graft.ColumnBridge
+    val (cids, cmat, cdim) = collectE6Whole(centroidsE6)
+    val probeList = ColumnBridge.column(graft.plans.NearestCentroidsE6(
+      ColumnBridge.expression(col("_a")), cids, cmat, cdim, nprobe))
+    val l2 = (a: Column, b: Column) => aggregate(
+      zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, d) => acc + d)
+    val subsetIds = querySubset.map(q =>
+      q.select(q.columns.head).toDF("_sid").localCheckpoint())
+    def restrict(df: DataFrame, on: String): DataFrame = subsetIds match {
+      case Some(ids) => df.join(broadcast(ids),
+        df(on) === ids("_sid"), "left_semi")
+      case None => df
+    }
+    val q = restrict(
+        spark.read.parquet(assignedPath)
+          .select(col(idCol).cast(LongType).as("query_id"),
+            col(vecCol).as("_a"))
+          .filter(size(col("_a")) === cdim), "query_id")
+      .withColumn("_probes", probeList)
+      .filter(col("_probes").isNotNull)
+      .select(col("query_id"), col("_a").as("_qa"),
+        explode(col("_probes")).as("centroid_id"))
+      .localCheckpoint() // collected once (probe union), joined once
+    val probedIds = q.select(col("centroid_id")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    if (probedIds.isEmpty)
+      return spark.emptyDataFrame
+        .select(lit(0L).as("id_a"), lit(0L).as("id_b")).limit(0)
+    val home = restrict(
+      spark.read.parquet(assignedPath)
+        // literal IN on the partition column → PartitionFilters: cells no
+        // query probes are never listed, let alone read
+        .filter(col("centroid_id").isin(probedIds: _*))
+        .withColumn("centroid_id", col("centroid_id").cast(LongType))
+        .select(col("centroid_id"), col(idCol).cast(LongType).as("neighbor_id"),
+          col(vecCol).as("_na")), "neighbor_id")
+    // plain equi-join on cell id (the probed operator's join shape): the
+    // full self-kNN query side is corpus-sized, never broadcast
+    val scored = home.join(q, Seq("centroid_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (lit(0L) - l2(col("_qa"), col("_na"))).as("_negd"))
+    val kn = topKPerQuery(scored, "_negd", k)
+      .select(col("query_id").as("_x"), col("neighbor_id").as("_y"))
+    // each ordered pair appears at most once (a candidate lists only
+    // under its unique home cell), so reciprocity is a PAIR COUNT:
+    // both orientations present ⟺ count == 2 — one aggregate on the
+    // normalized pair, no checkpoint, no second read of the lists
+    kn.groupBy(least(col("_x"), col("_y")).as("id_a"),
+        greatest(col("_x"), col("_y")).as("id_b"))
+      .agg(count(lit(1)).as("_c"))
+      .filter(col("_c") === 2L)
+      .select(col("id_a"), col("id_b"))
   }
 
   def knnInDegreeE6(

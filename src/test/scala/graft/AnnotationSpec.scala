@@ -104,6 +104,73 @@ class AnnotationSpec extends SparkSpec {
     assert(got == ((1L, 4000L, 8002000500125031L, 1L)), got.toString)
   }
 
+  test("raterReliability: perfect rater = 1e6, planted bad rater surfaces with negative kappa, degenerate rater = null kappa") {
+    // u1: x,x,y(+bad y) → consensus x (tie x2/y2 → lexicographic x)
+    // u2: y,y,y,y(+bad x) → consensus y;  u3: x,y,x(+bad y) → x
+    // hand-replayed: r1 agrees everywhere (kappa 1e6); r2/r3 miss one
+    // each (po 666666, S=4, kappa = 1e6 − 3·1·1e6 div 5 = 400000);
+    // r4 rates one unit, label == consensus == their only label → p_e=1
+    // → kappa NULL; r5 (the planted bad rater) misses everything
+    // (po 0, kappa = 1e6 − 9e6 div 5 = −800000)
+    val r = Seq(
+      ("u1", "r1", "x"), ("u1", "r2", "x"), ("u1", "r3", "y"),
+      ("u2", "r1", "y"), ("u2", "r2", "y"), ("u2", "r3", "y"),
+      ("u3", "r1", "x"), ("u3", "r2", "y"), ("u3", "r3", "x"),
+      ("u2", "r4", "y"),
+      ("u1", "r5", "y"), ("u2", "r5", "x"), ("u3", "r5", "y")
+    ).toDF("unit", "rater", "label")
+    val got = Annotation.raterReliability(r, "unit", "rater", "label")
+      .collect().map(x => x.getString(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3),
+          if (x.isNullAt(4)) None else Some(x.getLong(4))))).toMap
+    assert(got == Map(
+      "r1" -> ((3L, 3L, 1000000L, Some(1000000L))),
+      "r2" -> ((3L, 2L, 666666L, Some(400000L))),
+      "r3" -> ((3L, 2L, 666666L, Some(400000L))),
+      "r4" -> ((1L, 1L, 1000000L, None)),
+      "r5" -> ((3L, 0L, 0L, Some(-800000L)))), got.toString)
+    // the planted bad rater is the unique minimum
+    assert(got.collect { case (k, (_, _, _, Some(v))) => k -> v }
+      .minBy(_._2)._1 == "r5")
+  }
+
+  test("krippendorffAlphaOrdinalE6: hand-replayed; near-miss corpus scores HIGHER than nominal; degenerates; distinct-value cap") {
+    // scale 1..3, disagreements all adjacent-rank near-misses:
+    //   u1 {1,2}, u2 {2,3}, u3 {2,2}
+    // marginals n1=1 n2=4 n3=1, D(1,2)=5 D(2,3)=5 D(1,3)=10
+    //   u1: do6 = 1·1·25·2e6 div 1 = 5e7; u2: 5e7; u3: 0 → doE6 = 1e8
+    //   deNum = 2(1·4·25 + 1·1·100 + 4·1·25) = 600
+    //   alpha = 1e6 − 1e8·5 div 600 = 166667
+    val near = Seq(("u1", 1L), ("u1", 2L), ("u2", 2L), ("u2", 3L),
+      ("u3", 2L), ("u3", 2L)).toDF("u", "v")
+    val ord = Annotation.krippendorffAlphaOrdinalE6(near, "u", "v")
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(ord == ((3L, 6L, 100000000L, 166667L)), ord.toString)
+    // nominal on the same data: do6 = 4e6, denom = 36−18 = 18
+    //   alpha = 1e6 − 4e6·5 div 18 = −111111 — the ordinal form
+    //   credits near-misses the nominal form cannot see
+    val nom = Annotation.krippendorffAlphaNominalE6(near, "u", "v")
+      .select("alpha_ppm").as[Long].collect().head
+    assert(nom == -111111L && ord._4 > nom, s"nominal $nom ordinal ${ord._4}")
+    // perfect agreement = 1e6; constant corpus emits nothing
+    val perfect = Seq(("u1", 2L), ("u1", 2L), ("u2", 3L), ("u2", 3L))
+      .toDF("u", "v")
+    assert(Annotation.krippendorffAlphaOrdinalE6(perfect, "u", "v")
+      .select("alpha_ppm").as[Long].collect().head == 1000000L)
+    val const = Seq(("u1", 3L), ("u1", 3L)).toDF("u", "v")
+    assert(Annotation.krippendorffAlphaOrdinalE6(const, "u", "v").count() == 0L)
+    // only singleton units → empty
+    val singles = Seq(("u1", 1L), ("u2", 2L)).toDF("u", "v")
+    assert(Annotation.krippendorffAlphaOrdinalE6(singles, "u", "v")
+      .count() == 0L)
+    // a measurement-like column (too many distinct ranks) refuses loudly
+    val wide = spark.range(40)
+      .select((col("id") % 20).cast("string").as("u"), col("id").as("v"))
+    val e = intercept[IllegalArgumentException](
+      Annotation.krippendorffAlphaOrdinalE6(wide, "u", "v", maxDistinct = 16))
+    assert(e.getMessage.contains("ordinal scale"), e.getMessage)
+  }
+
   test("krippendorffAlphaNominalE6: a unit past 3e6 ratings refuses loudly (the (m^2-ss)*1e6 int64 bound)") {
     val huge = spark.range(3000001)
       .select(lit("u").as("u"), (col("id") % 2).cast("string").as("l"))

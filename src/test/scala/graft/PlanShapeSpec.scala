@@ -324,6 +324,60 @@ class PlanShapeSpec extends SparkSpec {
         Seq("query_id", "neighbor_id", "dist_e12", "rank"))
   }
 
+  test("partitioned mutual kNN: value-identical to the in-memory probed operator; subset probes prune files physically") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    // 16 points on a line: the layout stores e6 arrays; the in-memory
+    // probed operator takes the float form and converts (toE6)
+    val corp = (0 until 16).map(i => (i.toLong, Seq(i * 1000000L)))
+      .toDF("id", "v")
+    val corpF = (0 until 16).map(i => (i.toLong, Seq(i.toDouble)))
+      .toDF("id", "v")
+    val cells = Seq((100L, Seq(1000000L)), (101L, Seq(5000000L)),
+        (102L, Seq(9000000L)), (103L, Seq(13000000L)))
+      .toDF("centroid_id", "centroid_e6")
+    val out = java.nio.file.Files.createTempDirectory("graft-mknnpart").toString
+    Similarity.writeAssignedE6(corp, "id", "v", cells, out)
+    // full self mutual kNN == the in-memory probed operator on the corpus
+    val part = Similarity.mutualKnnEdgesPartitionedE6(spark, out, "id", "v",
+      cells, k = 3, nprobe = 2)
+    assert(physical(part).contains("PartitionFilters: ["), physical(part))
+    val mem = Similarity.mutualKnnEdgesProbedE6(corpF, "id", "v", cells,
+      k = 3, nprobe = 2)
+    val partSet = part.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val memSet = mem.as[(Long, Long)].collect().toSet
+    assert(partSet == memSet && partSet.nonEmpty, s"part=$partSet mem=$memSet")
+    // a SLICE: ids 0..3 live in cell 100's neighborhood — their probe
+    // union misses the far cells, so the corpus scan must skip files
+    val slice = (0L to 3L).toDF("id")
+    val sub = Similarity.mutualKnnEdgesPartitionedE6(spark, out, "id", "v",
+      cells, k = 3, nprobe = 2, querySubset = Some(slice))
+    val subMem = Similarity.mutualKnnEdgesProbedE6(
+      corpF.filter(col("id") <= 3L), "id", "v", cells, k = 3, nprobe = 2)
+    assert(sub.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      subMem.as[(Long, Long)].collect().toSet)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case qs: QueryStageExec => scans(qs.plan)
+      case s: FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(scans)
+    }
+    // evaluating `sub` above populated the scan metrics; the home-side
+    // scan (the one carrying the IN filter) must have skipped the cells
+    // the slice never probes
+    val filesTotal = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("centroid_id="))
+      .map(_.listFiles().count(_.getName.endsWith(".parquet"))).sum
+    val filesRead = scans(sub.queryExecution.executedPlan)
+      .filter(_.partitionFilters.nonEmpty)
+      .map(_.metrics("numFiles").value).max
+    assert(filesRead > 0 && filesRead < filesTotal,
+      s"read $filesRead of $filesTotal files — subset probes did not prune")
+  }
+
   test("IVF-PQ probe: PartitionFilters on centroid_id; only probed cell dirs are read") {
     import graft.operators.Similarity
     import org.apache.spark.sql.functions._
