@@ -105,24 +105,39 @@ object Bench {
     // vs_prev comparison block
     val prevPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV", "bench_out.json")
     val prev = parsePrev(prevPath)
-    // RUN ORDER. "cost" (default, when a previous record exists): known
-    // queries by DESCENDING previous-round min, then name; queries the
-    // previous record does not know (new gates — often heavy end-to-end
-    // fixtures) run LAST. Measured rationale (r15): three new ~7-12 s
-    // fixtures landed alphabetically adjacent to the PQ family and
-    // inflated its numbers 1.25× via scheduling pressure, not code —
-    // cost ordering decouples every query from whatever happens to sit
-    // beside it alphabetically, and stays deterministic because it is a
-    // pure function of the committed previous record. "alpha" restores
-    // the legacy sorted order (and is the fallback with no record).
+    // RUN ORDER. "spread" (default, when a previous record exists):
+    // rank queries by DESCENDING previous-round min (unknown new gates
+    // — often heavy end-to-end fixtures — rank last), then place ranks
+    // into the sweep by BIT-REVERSAL, so expensive queries land
+    // maximally far apart, each surrounded by cheap ones. Measured
+    // rationale (the r16 schedule A/B at sf0.1, same box, minutes
+    // apart): with the three new ~7-12 s fixtures alphabetically
+    // adjacent, pq_retrain_epoch min = 12.8 s (replicating the r15
+    // record's 12.5); with only the schedule changed — the fixtures
+    // removed — the family recovered 10-28% (retrain_epoch 9.2 s).
+    // Heavy queries inflate their NEIGHBORS, so neither alphabetical
+    // (new fixtures cluster by prefix) nor plain descending cost
+    // (every heavy query clusters at the front) is safe — spreading
+    // is. Deterministic: a pure function of the committed previous
+    // record. "cost" = plain descending (the clustered variant, kept
+    // for A/Bs); "alpha" = legacy sorted order (fallback, no record).
     val order = sys.env.getOrElse("SPARK_GRAFT_BENCH_ORDER",
-      if (prev.isDefined) "cost" else "alpha")
+      if (prev.isDefined) "spread" else "alpha")
     val gateSeq = SparkEntry.queries.toSeq.sortBy(_._1)
     val ordered = order match {
-      case "cost" =>
+      case "cost" | "spread" =>
         val cost = prev.map(_.mins).getOrElse(Map.empty)
         val (known, unknown) = gateSeq.partition(q => cost.contains(q._1))
-        known.sortBy { case (n, _) => (-cost(n), n) } ++ unknown
+        val byCost = known.sortBy { case (n, _) => (-cost(n), n) } ++ unknown
+        if (order == "cost") byCost
+        else {
+          val m = byCost.length
+          var bits = 0
+          while ((1 << bits) < m) bits += 1
+          (0 until (1 << bits)).iterator
+            .map(p => if (bits == 0) 0 else Integer.reverse(p) >>> (32 - bits))
+            .filter(_ < m).map(byCost).toSeq
+        }
       case _ => gateSeq
     }
     val selected = (Seq("calibration_cpu" -> calibration) ++ ordered)
