@@ -185,7 +185,10 @@ object StreamingOps {
     * and replay semantics are unchanged — `_CURRENT` stays the single
     * commit marker; a crash between table write and commit leaves an
     * orphan table for the uncommitted version, which the replay simply
-    * overwrites.
+    * overwrites. When to bucket is a MEASURED contract, not a guess —
+    * see the crossover table on `writeVersionedState` (short form:
+    * `None` below a few million committed state rows, `Some(n)` once
+    * the state is a real corpus slice).
     */
   def applyMergeBatch(
       spark: SparkSession,
@@ -250,6 +253,23 @@ object StreamingOps {
     * unchanged — `_CURRENT` stays the single commit marker; a crash
     * between table write and commit leaves an orphan table for the
     * uncommitted version, which the replay simply overwrites.
+    *
+    * ==WHEN TO BUCKET (measured contract — do not guess)==
+    * The crossover is ABSOLUTE STATE SIZE, not the state:batch ratio:
+    * both the avoided exchange and the extra bucket-sort scale with
+    * state rows, but the per-version catalog round-trip is constant —
+    * so small states lose to churn and large states win on the
+    * exchange. Measured on [[graft.tools.StateBucketAb]] (local[8],
+    * 6-batch dedup-store lifecycles, min of 2, warmed):
+    * 100k state rows → plain 4.1 s vs bucketed 5.2 (bucketing LOSES
+    * 1.26×); 2M → 9.7 vs 10.8 (loses 1.11×); 8M → 22.3 vs 17.0
+    * (bucketing WINS 1.31×). Rule: keep `None` below a few million
+    * committed state rows (every gate-scale store — the measured r15
+    * `er_stream` negative is this regime); switch to `Some(n)` once
+    * the state is a real corpus slice (≳5M rows locally; LOWER on a
+    * real cluster, where the avoided exchange is network, not memory).
+    * Re-run the tool on your own hardware before flipping a
+    * production store.
     */
   private def writeVersionedState(
       spark: SparkSession,
