@@ -20,7 +20,7 @@ import graft.operators._
   */
 object SparkEntry {
 
-  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+  private[graft] def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
   /** Schema-adaptive events reader. The driver has regenerated
@@ -70,15 +70,15 @@ object SparkEntry {
   /** Deterministic synthetic lat/lon for the geo binner (events has no geo
     * columns) — integer-derived doubles, reproducible bit-for-bit in SQL.
     */
-  private def withGeo(ev: DataFrame): DataFrame =
+  private[graft] def withGeo(ev: DataFrame): DataFrame =
     ev.withColumn("lat", (col("user_id") * 7 % 160).cast(DoubleType) - 80.0 + 0.5)
       .withColumn("lon", (col("event_id") * 13 % 360).cast(DoubleType) - 180.0 + 0.5)
 
-  private val geoSqlLat = "(CAST((user_id * 7) % 160 AS DOUBLE) - 80.0 + 0.5)"
-  private val geoSqlLon = "(CAST((event_id * 13) % 360 AS DOUBLE) - 180.0 + 0.5)"
+  private[graft] val geoSqlLat = "(CAST((user_id * 7) % 160 AS DOUBLE) - 80.0 + 0.5)"
+  private[graft] val geoSqlLon = "(CAST((event_id * 13) % 360 AS DOUBLE) - 180.0 + 0.5)"
 
   /** Slippy-tile SQL for one zoom level, mirroring Binning.geoTileId. */
-  private def tileSql(z: Int): String = {
+  private[graft] def tileSql(z: Int): String = {
     val n = s"power(2.0, $z)"
     val latRad = s"($geoSqlLat * pi() / 180.0)"
     val x0 = s"floor(($geoSqlLon + 180.0) / 360.0 * $n)"
@@ -88,7 +88,7 @@ object SparkEntry {
     s"'$z/' || CAST($x AS VARCHAR) || '/' || CAST($y AS VARCHAR)"
   }
 
-  private val securityCfg = SecurityConfig(
+  private[graft] val securityCfg = SecurityConfig(
     levelsToConvertTo = Seq("ALPHA", "BRAVO", "CHARLIE"),
     levelsCanReceive = Seq("ALPHA", "BRAVO", "CHARLIE"),
     abbreviatedLevelsCanReceive = Seq("A", "B", "C"),
@@ -105,7 +105,7 @@ object SparkEntry {
   //      oracle builders below interpolate the identical rows — no
   //      engine-evaluated transcendental ever enters the hash compare.
 
-  private def bm25GateQueries3(s: SparkSession): DataFrame = {
+  private[graft] def bm25GateQueries3(s: SparkSession): DataFrame = {
     import s.implicits._
     Seq(
       (0L, "spark window merge"),
@@ -113,7 +113,7 @@ object SparkEntry {
       (2L, "hash join table scan")).toDF("query_id", "qtext")
   }
 
-  private def bm25GateQueries5(s: SparkSession): DataFrame = {
+  private[graft] def bm25GateQueries5(s: SparkSession): DataFrame = {
     import s.implicits._
     Seq(
       (0L, "spark window merge"),
@@ -127,7 +127,7 @@ object SparkEntry {
     * the exact-integer bm25 oracle arithmetic consumes these; no double
     * ever enters the compared surface.
     */
-  private def idfValuesRows(idf: Seq[(String, java.math.BigDecimal)]): String =
+  private[graft] def idfValuesRows(idf: Seq[(String, java.math.BigDecimal)]): String =
     idf.map { case (t, v) =>
       s"(${GateTables.sqlStr(t)}, ${Retrieval.idfScaled6(v)})"
     }.mkString(",\n   ")
@@ -137,15 +137,15 @@ object SparkEntry {
     * columns: the round-8 verdict isolated the driver's hash
     * divergence to DECIMAL-typed outputs alone).
     */
-  private def e6(w: java.math.BigDecimal): Long =
+  private[graft] def e6(w: java.math.BigDecimal): Long =
     w.setScale(6, java.math.RoundingMode.HALF_UP)
       .movePointRight(6).longValueExact()
 
-  private def dsirWeightRows(lits: IndexedSeq[java.math.BigDecimal]): String =
+  private[graft] def dsirWeightRows(lits: IndexedSeq[java.math.BigDecimal]): String =
     lits.zipWithIndex.map { case (w, b) => s"($b, ${e6(w)})" }
       .mkString(",\n   ")
 
-  private def lmWeightRows(wt: Seq[(Long, Long, java.math.BigDecimal)]): String =
+  private[graft] def lmWeightRows(wt: Seq[(Long, Long, java.math.BigDecimal)]): String =
     wt.map { case (a, b, w) => s"($a, $b, ${e6(w)})" }
       .mkString(",\n   ")
 
@@ -156,13 +156,13 @@ object SparkEntry {
     * mostly-zero under L2 on the tiny gate slice, leaving the join
     * surface untested); train→serve parity is spec-pinned instead.
     */
-  private lazy val qmGateWeights: IndexedSeq[java.math.BigDecimal] =
+  private[graft] lazy val qmGateWeights: IndexedSeq[java.math.BigDecimal] =
     (0 until QualityModel.DefaultBuckets).map { b =>
       java.math.BigDecimal.valueOf(b * 2654435761L % 2001L - 1000L, 3)
         .setScale(6)
     }
 
-  private val qmGateBias = new java.math.BigDecimal("0.250000")
+  private[graft] val qmGateBias = new java.math.BigDecimal("0.250000")
 
   /** WordPiece-style gate vocabulary over the synthetic corpus's
     * lexicon: multi-char start pieces, `##`-marked multi-char
@@ -172,7 +172,7 @@ object SparkEntry {
     * ASCII). Greedy longest-match makes e.g. "window" → wind + ##ow =
     * 2, "column" → co + ##l + ##umn = 3.
     */
-  private val subwordGateVocab: Seq[String] = Seq(
+  private[graft] val subwordGateVocab: Seq[String] = Seq(
     "scan", "wind", "sort", "str", "sp", "qu", "ba", "me", "fi", "gr",
     "ta", "co", "va", "key", "jo", "ha", "the", "ag", "or", "pa", "sl",
     "fa", "ve", "du", "ro", "da", "bi", "sm", "li", "wi",
@@ -186,7 +186,7 @@ object SparkEntry {
     * marker stripped into a boolean, the form the recursive oracle CTE
     * consumes.
     */
-  private def subwordVocabRows: String = subwordGateVocab.map { p =>
+  private[graft] def subwordVocabRows: String = subwordGateVocab.map { p =>
     if (p.startsWith("##")) s"('${p.substring(2)}', true)"
     else s"('$p', false)"
   }.mkString(",\n   ")
@@ -199,7 +199,7 @@ object SparkEntry {
     * subdomains, a trailing-dot host, a multi-label public suffix
     * (co.uk, github.io), and a suffix-less single-label host.
     */
-  private val domainGateUrlSql =
+  private[graft] val domainGateUrlSql =
     """CASE CAST(doc_id % 6 AS INT)
       | WHEN 0 THEN 'https://www.' || source || '.com/page/' || CAST(doc_id AS STRING)
       | WHEN 1 THEN 'http://blog.' || source || '.co.uk/' || CAST(doc_id AS STRING) || '?q=1'
@@ -212,10 +212,10 @@ object SparkEntry {
   /** Plain public-suffix rules for the domain gates (most-labels rule
     * wins: `co.uk` beats `uk`, `github.io` beats `io`).
     */
-  private val domainGateRules =
+  private[graft] val domainGateRules =
     Seq("com", "org", "co.uk", "uk", "io", "github.io")
 
-  private val domainGateBlocklist =
+  private[graft] val domainGateBlocklist =
     Seq("src3.com", "src7.co.uk", "src11.org")
 
   /** URL variants for the url_dedup gate: three raw spellings — scheme
@@ -224,7 +224,7 @@ object SparkEntry {
     * `ex<id%5>.com/p/<id%50>`, so every group of ids sharing id%50
     * collapses to its minimum regardless of spelling.
     */
-  private val urlDedupUrlSql =
+  private[graft] val urlDedupUrlSql =
     """CASE CAST(doc_id % 3 AS INT)
       | WHEN 0 THEN 'https://ex' || CAST(doc_id % 5 AS STRING) || '.com/p/' || CAST(doc_id % 50 AS STRING)
       | WHEN 1 THEN 'http://EX' || CAST(doc_id % 5 AS STRING) || '.COM/p/' || CAST(doc_id % 50 AS STRING) || '/'
@@ -239,7 +239,7 @@ object SparkEntry {
     * drop, a no-terminal-punctuation line, and the curly-brace doc
     * drop.
     */
-  private val c4GateTextSql =
+  private[graft] val c4GateTextSql =
     """CASE CAST(doc_id % 5 AS INT)
       | WHEN 0 THEN text || chr(10) || 'Tiny.'
       | WHEN 1 THEN text || chr(10) || 'This appended line ends well.'
@@ -255,7 +255,7 @@ object SparkEntry {
     * (phrase-suffix + phrase-prefix strings shared by every ≡2 doc),
     * and coverage merging of overlapping duplicated windows.
     */
-  private val dupRemovalTextSql = {
+  private[graft] val dupRemovalTextSql = {
     val p = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
     s"""CASE CAST(doc_id % 4 AS INT)
        | WHEN 1 THEN text || ' $p'
@@ -270,7 +270,7 @@ object SparkEntry {
     * BOTH sides (the qm_diag_weights discipline), so the oracle folds
     * the identical replace chain.
     */
-  private val bpeGateMerges: Seq[(String, String)] = Seq(
+  private[graft] val bpeGateMerges: Seq[(String, String)] = Seq(
     "e" -> "r",   // er: the corpus's top pair
     "o" -> "r",   // or
     "i" -> "n",   // in
@@ -285,7 +285,7 @@ object SparkEntry {
     * fold the same ranked replaces. `w` is the surrounding lambda's
     * variable.
     */
-  private val bpeEncodeChainSql: String =
+  private[graft] val bpeEncodeChainSql: String =
     bpeGateMerges.foldLeft(
       "list_aggregate(string_split(w, ''), 'string_agg', ' ')") {
       case (s, (a, b)) => s"replace($s, '$a $b', '$a$b')"
@@ -306,7 +306,7 @@ object SparkEntry {
     * against the trained codebooks (`ed`→`ew`→`pcodes`) — every value
     * exact BIGINT, (dist, cid) tie-breaks matching the Spark kernel.
     */
-  private def pqChainSqlTrainWhere(trainWhere: String): String =
+  private[graft] def pqChainSqlTrainWhere(trainWhere: String): String =
     s"""e AS (
       | SELECT vec_id,
       |  list_transform(embedding,
@@ -357,7 +357,7 @@ object SparkEntry {
       | SELECT vec_id, j, cid FROM ew WHERE rn = 1
       |)""".stripMargin
 
-  private val pqChainSql: String = pqChainSqlTrainWhere("TRUE")
+  private[graft] val pqChainSql: String = pqChainSqlTrainWhere("TRUE")
 
   /** IVF-PQ extension of [[pqChainSql]]: coarse cells = the raw e6
     * seeds (`cc`), full-dim coarse distances (`cd`), corpus cell
@@ -368,7 +368,7 @@ object SparkEntry {
     * [[graft.operators.Similarity.ivfPqTopKE6]], every value BIGINT
     * with (dist, id) ties.
     */
-  private def ivfPqChainSql(nprobe: Int, trainWhere: String = "TRUE"): String =
+  private[graft] def ivfPqChainSql(nprobe: Int, trainWhere: String = "TRUE"): String =
     pqChainSqlTrainWhere(trainWhere) + "," + s"""
       | cc AS (
       | SELECT vec_id AS ccid, a AS ccv FROM e WHERE vec_id < 4
@@ -413,7 +413,7 @@ object SparkEntry {
     * gate's frozen batch-0 artifacts); encode and probe still cover
     * everything.
     */
-  private def ivfPqResidualChainSql(trainWhere: String = "TRUE"): String =
+  private[graft] def ivfPqResidualChainSql(trainWhere: String = "TRUE"): String =
     s"""rres AS (
       | SELECT e.vec_id, casg.ccid,
       |  list_transform(range(1, 65), i -> e.a[i] - cc2.ccv[i]) AS ra
@@ -493,7 +493,7 @@ object SparkEntry {
     * encoding always covers the whole corpus CTE. Requires the shared
     * `js` subspace CTE (m = 4 × 16 dims).
     */
-  private def pqChainSqlOver(px: String, corpus: String, seedWhere: String,
+  private[graft] def pqChainSqlOver(px: String, corpus: String, seedWhere: String,
       trainWhere: String): String =
     s"""${px}sub AS (
       | SELECT c.vec_id, js.j, list_slice(c.a, js.j*16 + 1, js.j*16 + 16) AS sv
@@ -542,7 +542,7 @@ object SparkEntry {
     * `rank_correlation` and `rank_correlation_blocks` oracles (the
     * operator's seed-block size is invisible to the statistic).
     */
-  private val rankCorrelationOracle: String =
+  private[graft] val rankCorrelationOracle: String =
     """WITH b AS (
       | SELECT source AS g, doc_id AS id, CAST(n_chars AS BIGINT) AS x,
       |  CAST(len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS BIGINT) AS y
@@ -574,7 +574,7 @@ object SparkEntry {
       |FROM st LEFT JOIN di ON st.g = di.g
       |WHERE st.n >= 2 ORDER BY 1""".stripMargin
 
-  private val unimaxAllocSql: String =
+  private[graft] val unimaxAllocSql: String =
     """WITH RECURSIVE nt AS (
       | SELECT doc_id, source,
       |  CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''))
@@ -610,7 +610,7 @@ object SparkEntry {
     * nb)`, threshold-filtered at 0.5 — shared by the pair gate and the
     * entity-resolution pipeline gate.
     */
-  private val setsimChainSql: String =
+  private[graft] val setsimChainSql: String =
     """d0 AS (
       | SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents WHERE doc_id < 1000
       |), rawtk AS (
@@ -651,7 +651,7 @@ object SparkEntry {
     * tab/le split, win/dow) so the Viterbi minimum differs from a
     * greedy longest match on real corpus words.
     */
-  private val unigramGatePieces: Seq[(String, Long)] = Seq(
+  private[graft] val unigramGatePieces: Seq[(String, Long)] = Seq(
     "cust" -> 900L, "omer" -> 900L, "custom" -> 1500L, "er" -> 400L,
     "tab" -> 500L, "le" -> 300L, "the" -> 350L, "a" -> 700L,
     "win" -> 520L, "dow" -> 600L, "val" -> 550L, "ue" -> 380L,
@@ -663,7 +663,7 @@ object SparkEntry {
     * expression minimizes — lexicographic (cost, count) via plain
     * integer min.
     */
-  private def unigramOracleSql(
+  private[graft] def unigramOracleSql(
       pieces: Seq[(String, Long)], unkCost: Long, maxLen: Int): String = {
     val pieceRows = pieces
       .map { case (p, c) => s"(${GateTables.sqlStr(p)}, ${p.length}, $c)" }
@@ -717,7 +717,7 @@ object SparkEntry {
     * bit tests, d += s²·((3rx) XOR ry) spelled as a portable CASE, and
     * the s-local rotate/reflect.
     */
-  private def hilbertStepsSql(order: Int, carry: Seq[String]): String = {
+  private[graft] def hilbertStepsSql(order: Int, carry: Seq[String]): String = {
     val ccPrefix = if (carry.nonEmpty) carry.mkString(", ") + "," else ""
     (0 until order).map { i =>
       val s = 1L << (order - 1 - i)
@@ -740,7 +740,7 @@ object SparkEntry {
     * the source-chain graph: peel rounds unrolled as (keep-set, edge
     * filter) CTE pairs over the symmetric simple adjacency.
     */
-  private def kcoreOracleSql(k: Int, rounds: Int): String = {
+  private[graft] def kcoreOracleSql(k: Int, rounds: Int): String = {
     val steps = (1 to rounds).map { i =>
       val prev = if (i == 1) "e0" else s"e${i - 1}"
       s"""k$i AS (
@@ -771,7 +771,7 @@ object SparkEntry {
   /** [[pagerankOracleSql]] with the restart mass on one seed node — the
     * DuckDB replay of [[graft.operators.Graph.personalizedPageRankScaled]].
     */
-  private def pprOracleSql(iterations: Int, dampingPpm: Long, seed: String): String = {
+  private[graft] def pprOracleSql(iterations: Int, dampingPpm: Long, seed: String): String = {
     val base = 1000000000L * (1000000L - dampingPpm) / 1000000L
     val steps = (1 to iterations).map { i =>
       val prev = if (i == 1) "r0" else s"r${i - 1}"
@@ -801,7 +801,7 @@ object SparkEntry {
        |SELECT v AS node, r AS rank_ppb FROM r$iterations ORDER BY node""".stripMargin
   }
 
-  private def pagerankOracleSql(iterations: Int, dampingPpm: Long): String = {
+  private[graft] def pagerankOracleSql(iterations: Int, dampingPpm: Long): String = {
     val steps = (1 to iterations).map { i =>
       val prev = if (i == 1) "r0" else s"r${i - 1}"
       s"""c$i AS (
@@ -835,7 +835,7 @@ object SparkEntry {
     * depth-3 balls overlap and differ near the boundary, and a fixed
     * node count at every driver scale (the sweep-stability rule).
     */
-  private def anfLatticeEdges(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def anfLatticeEdges(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents").select(col("doc_id"))
       .filter(col("doc_id") < 3000)
     val ids = d.select(col("doc_id").as("b"))
@@ -860,7 +860,7 @@ object SparkEntry {
     * (`d`, `e0`, `e`, `nodes`) — used by the ANF and random-walk
     * replays.
     */
-  private val anfLatticeCteSql: String =
+  private[graft] val anfLatticeCteSql: String =
     """d AS (
       | SELECT doc_id FROM documents WHERE doc_id < 3000
       |), e0 AS (
@@ -886,7 +886,7 @@ object SparkEntry {
     * pipeline gate's oracle and the trainer oracle so the two can never
     * drift apart.
     */
-  private def graphEmbeddingPairsCteSql: String =
+  private[graft] def graphEmbeddingPairsCteSql: String =
     s"""wk AS (${node2vecOracleSql(steps = 4, walksPerNode = 1,
            pPpm = 4000000L, qPpm = 250000L, seed = "")}
        |), pos AS (
@@ -935,7 +935,7 @@ object SparkEntry {
     * the trainer gate's scoring tail and the train→serve pipeline's
     * retrieval tail.
     */
-  private def sgnsTrainCteSql(dims: Int, epochs: Int, lrPpm: Long,
+  private[graft] def sgnsTrainCteSql(dims: Int, epochs: Int, lrPpm: Long,
       seed: String): String = {
     val tbl = graft.operators.Graph.sigmoidTablePpm()
     val stVals = tbl.zipWithIndex
@@ -991,7 +991,7 @@ object SparkEntry {
        |), $epochCtes""".stripMargin
   }
 
-  private def sgnsOracleSql(dims: Int, epochs: Int, lrPpm: Long,
+  private[graft] def sgnsOracleSql(dims: Int, epochs: Int, lrPpm: Long,
       seed: String): String =
     s"""WITH ${sgnsTrainCteSql(dims, epochs, lrPpm, seed)}, f AS (
        | SELECT p.center, p.label,
@@ -1012,7 +1012,7 @@ object SparkEntry {
     * probe their 2 nearest cells, exact squared-L2 top-5 with ties to
     * the smaller neighbor id (the topKPerQuery heap rule).
     */
-  private def sgnsServeOracleSql(dims: Int, epochs: Int, lrPpm: Long,
+  private[graft] def sgnsServeOracleSql(dims: Int, epochs: Int, lrPpm: Long,
       seed: String, k: Int, nprobe: Int): String =
     s"""WITH ${sgnsTrainCteSql(dims, epochs, lrPpm, seed)}, cellt AS (
        | SELECT CAST(node AS BIGINT) AS ccid, emb AS ccv
@@ -1057,7 +1057,7 @@ object SparkEntry {
     * gate and the probed cluster pipeline. MATERIALIZED at the fan-out
     * points (cd feeds two ladders; kn self-joins).
     */
-  private val mutualKnnProbedCteSql: String =
+  private[graft] val mutualKnnProbedCteSql: String =
     """e AS (
       | SELECT CAST(vec_id AS BIGINT) AS id,
       |  list_transform(embedding,
@@ -1095,7 +1095,7 @@ object SparkEntry {
       | WHERE a.qid < a.nid
       |)""".stripMargin
 
-  private val mutualKnnCteSql: String =
+  private[graft] val mutualKnnCteSql: String =
     """e AS (
       | SELECT CAST(vec_id AS BIGINT) AS id,
       |  list_transform(embedding,
@@ -1119,7 +1119,7 @@ object SparkEntry {
     * stream state is additive sufficient stats, so the accumulated
     * result IS the batch result on the concatenated examples.
     */
-  private def qualityCalibrationOracleSql: String = {
+  private[graft] def qualityCalibrationOracleSql: String = {
     val st = graft.operators.Graph.sigmoidTablePpm()
       .zipWithIndex.map { case (v, i) => s"($i, $v)" }.mkString(", ")
     s"""WITH ${qualityMarginCteSql(
@@ -1159,7 +1159,7 @@ object SparkEntry {
     * the quantile_buckets oracle convention), membership = the same
     * Σ(p ≥ edge) fold as `Profile.quantileBuckets`.
     */
-  private def qualityCalibrationQuantileOracleSql(buckets: Int): String = {
+  private[graft] def qualityCalibrationQuantileOracleSql(buckets: Int): String = {
     val st = graft.operators.Graph.sigmoidTablePpm()
       .zipWithIndex.map { case (v, i) => s"($i, $v)" }.mkString(", ")
     val bcols = (1 until buckets)
@@ -1214,7 +1214,7 @@ object SparkEntry {
     * ties variant). Ends at `g$rounds(i, g)`; compose with
     * [[btMmFinalSelect]] or a custom tail.
     */
-  private def btMmCtes(rounds: Int, preludeCtes: String): String = {
+  private[graft] def btMmCtes(rounds: Int, preludeCtes: String): String = {
     val roundCtes = (1 to rounds).map { k =>
       s"""dk$k AS (
          | SELECT p.i, greatest(1, CAST(sum((p.nij * 1000000000000) // (gi.g + gj.g)) AS BIGINT)) AS D
@@ -1254,7 +1254,7 @@ object SparkEntry {
        |), $roundCtes""".stripMargin
   }
 
-  private def btMmFinalSelect(rounds: Int): String =
+  private[graft] def btMmFinalSelect(rounds: Int): String =
     s"""SELECT it.i AS item, g.g AS rating_e6, it.wi AS wins,
        | coalesce(cmps.c, 0) AS comparisons
        |FROM items it JOIN g$rounds g ON g.i = it.i
@@ -1262,7 +1262,7 @@ object SparkEntry {
        | ON cmps.i = it.i
        |ORDER BY item""".stripMargin
 
-  private val btPlainPreludeSql: String =
+  private[graft] val btPlainPreludeSql: String =
     """dd AS (
       | SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
       | FROM documents
@@ -1276,7 +1276,7 @@ object SparkEntry {
       | SELECT w AS i, l AS j, CAST(count(*) AS BIGINT) AS wn FROM cmp GROUP BY 1, 2
       |)""".stripMargin
 
-  private def bradleyTerryOracleSql(rounds: Int): String =
+  private[graft] def bradleyTerryOracleSql(rounds: Int): String =
     s"""WITH ${btMmCtes(rounds, btPlainPreludeSql)}
        |${btMmFinalSelect(rounds)}""".stripMargin
 
@@ -1284,7 +1284,7 @@ object SparkEntry {
     * outcome — equal buckets are DRAWS. Half-unit counts: decisive row
     * = 2 to its oriented pair, tie = 1 in each orientation.
     */
-  private val btTiesPreludeSql: String =
+  private[graft] val btTiesPreludeSql: String =
     """dd AS (
       | SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
       | FROM documents
@@ -1311,7 +1311,7 @@ object SparkEntry {
     * only between same-parity docs (d vs d+2) — the comparison graph
     * splits into two planted islands by construction.
     */
-  private val btIslandPreludeSql: String =
+  private[graft] val btIslandPreludeSql: String =
     """dd AS (
       | SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
       | FROM documents
@@ -1334,7 +1334,7 @@ object SparkEntry {
     * `ccRounds` ≥ the island diameter, converged well before that on
     * this dense fixture) + component sizes and the spans-all flag.
     */
-  private def btConnectivityOracleSql(rounds: Int, ccRounds: Int): String = {
+  private[graft] def btConnectivityOracleSql(rounds: Int, ccRounds: Int): String = {
     val ccCtes = (1 to ccRounds).map { k =>
       s"""c$k AS (
          | SELECT e._d AS v, min(p.l) AS ml
@@ -1368,7 +1368,7 @@ object SparkEntry {
        |ORDER BY item""".stripMargin
   }
 
-  private def fnvHugeSql(input: String): String =
+  private[graft] def fnvHugeSql(input: String): String =
     s"""list_reduce(
        |    list_prepend(CAST('14695981039346656037' AS HUGEINT),
        |      list_transform(range(1, length($input) + 1), i -> CAST(ascii(($input)[i]) AS HUGEINT))),
@@ -1385,7 +1385,7 @@ object SparkEntry {
     * neighbor rank. Dead ends terminate via the inner joins, exactly
     * like the operator.
     */
-  private def randomWalksOracleSql(steps: Int, walksPerNode: Int, seed: String): String = {
+  private[graft] def randomWalksOracleSql(steps: Int, walksPerNode: Int, seed: String): String = {
     val stepCtes = (1 to steps).map { tt =>
       val inp = s"w${tt - 1}.start || '#' || CAST(w${tt - 1}.k AS VARCHAR) || " +
         s"'#' || '$seed' || '#' || '$tt'"
@@ -1422,7 +1422,7 @@ object SparkEntry {
     * (FNV(start#k#seed#t) // 2) mod Σwt advances the walk — the
     * operator's exact integer arithmetic, step-unrolled.
     */
-  private def node2vecOracleSql(
+  private[graft] def node2vecOracleSql(
       steps: Int, walksPerNode: Int, pPpm: Long, qPpm: Long, seed: String): String = {
     val wRet = 1000000000000L / pPpm
     val wIn = 1000000L
@@ -1468,7 +1468,7 @@ object SparkEntry {
   /** Shared batch/stream structural-summary replay (see the
     * graph_profile map comment).
     */
-  private val graphProfileOracleSql: String =
+  private[graft] val graphProfileOracleSql: String =
     """WITH d AS (
         | SELECT doc_id FROM documents WHERE doc_id < 3000
         |), e0 AS (
@@ -1529,7 +1529,7 @@ object SparkEntry {
     * (doc % 5 == 0 → doc−1, nonzero reciprocity), numeric `(a, b)` so
     * the streaming gate can slice batches by source id.
     */
-  private def profileLatticeEdges(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def profileLatticeEdges(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents").select(col("doc_id"))
       .filter(col("doc_id") < 3000)
     val ids = d.select(col("doc_id").as("b"))
@@ -1548,7 +1548,7 @@ object SparkEntry {
     * x < y < z means all three edges are already canonical), the
     * `< k−2` filter, and one final support pass over the survivors.
     */
-  private def ktrussOracleSql(k: Int, rounds: Int): String = {
+  private[graft] def ktrussOracleSql(k: Int, rounds: Int): String = {
     def supCte(r: Int, src: String): String =
       s"""tri$r AS (
          | SELECT a._u AS x, a._v AS y, b._v AS z
@@ -1593,7 +1593,7 @@ object SparkEntry {
        |ORDER BY u, v""".stripMargin
   }
 
-  private def anfOracleChainSql(maxDepth: Int, m: Int): String = {
+  private[graft] def anfOracleChainSql(maxDepth: Int, m: Int): String = {
     val log2m = java.lang.Integer.numberOfTrailingZeros(m)
     val rhoCase = graft.operators.Profile.hllRhoCaseSql("rem", 64 - log2m)
     val num = graft.operators.Graph.anfNumLiteral(m)
@@ -1641,7 +1641,7 @@ object SparkEntry {
     * per level plus the clamped harmonic fold, the operator's exact
     * arithmetic in HUGEINT-safe BIGINT.
     */
-  private def anfHyperBallOracleSql(maxDepth: Int, m: Int): String = {
+  private[graft] def anfHyperBallOracleSql(maxDepth: Int, m: Int): String = {
     val joins = (1 to maxDepth)
       .map(tt => s"JOIN est$tt e$tt ON e$tt.u = n.v").mkString(" ")
     val ballCols = (1 to maxDepth)
@@ -1674,7 +1674,7 @@ object SparkEntry {
     * HUGEINT level sums N(t), ppm shares of N(maxDepth), min-t at the
     * 90% threshold.
     */
-  private def anfEffDiameterOracleSql(maxDepth: Int, m: Int): String = {
+  private[graft] def anfEffDiameterOracleSql(maxDepth: Int, m: Int): String = {
     val lv = (1 to maxDepth).map(tt =>
       s"SELECT $tt AS t, (SELECT CAST(sum(CAST(e AS HUGEINT)) AS HUGEINT) FROM est$tt) AS np")
       .mkString(" UNION ALL ")
@@ -1698,7 +1698,7 @@ object SparkEntry {
     * per-level counts × `10⁶ div d`, sums cast to BIGINT (the HUGEINT
     * lesson).
     */
-  private def harmonicOracleSql(maxDepth: Int): String = {
+  private[graft] def harmonicOracleSql(maxDepth: Int): String = {
     val levels = (2 to maxDepth).map { dd =>
       val anti = (1 until dd)
         .map(j => s"NOT EXISTS (SELECT 1 FROM p$j WHERE p$j.u = p.u AND p$j.v = e.dst)")
@@ -1734,7 +1734,7 @@ object SparkEntry {
     * shared by the batch gate and the streaming gate (whose final
     * accumulated state is the same full series).
     */
-  private val changepointDayOracleSql: String =
+  private[graft] val changepointDayOracleSql: String =
     """WITH c AS (
       | SELECT epoch_us(ts) // 86400000000 AS p, CAST(count(*) AS BIGINT) AS c
       | FROM events WHERE ts IS NOT NULL GROUP BY 1
@@ -1758,7 +1758,7 @@ object SparkEntry {
     * unrolled as CTEs, the same driver-side attenuation ladder folded in
     * as literals, sums through HUGEINT then cast BIGINT.
     */
-  private def katzOracleSql(rounds: Int, alphaPpm: Long): String = {
+  private[graft] def katzOracleSql(rounds: Int, alphaPpm: Long): String = {
     val atten = Iterator.iterate(alphaPpm)(a => a * alphaPpm / 1000000L)
       .take(rounds).toSeq
     val walks = (2 to rounds).map { k =>
@@ -1794,7 +1794,7 @@ object SparkEntry {
     * squared-L2 over the shared floor-e6 quantization, every list_sum
     * cast to BIGINT (the HUGEINT lesson).
     */
-  private def kcenterOracleSql(k: Int): String = {
+  private[graft] def kcenterOracleSql(k: Int): String = {
     require(k >= 2, s"kcenterOracleSql: k must be >= 2, got $k")
     def dist(a: String, b: String): String =
       s"CAST(list_sum(list_transform(list_zip($a, $b), z -> (z[1]-z[2])*(z[1]-z[2]))) AS BIGINT)"
@@ -1833,7 +1833,7 @@ object SparkEntry {
     * assignment `qasg`, exact and 1-probe top-10 sets, and per-query
     * hit counts `h(qid, n_hits)`.
     */
-  private val annRecallChainSql: String =
+  private[graft] val annRecallChainSql: String =
     """WITH e AS (
         | SELECT vec_id,
         |  list_transform(embedding,
@@ -1914,13 +1914,13 @@ object SparkEntry {
     * the same flat sum of shift/mask terms, generated from the same
     * (bits) parameter.
     */
-  private def zorderSqlExpr(x: String, y: String, bits: Int): String =
+  private[graft] def zorderSqlExpr(x: String, y: String, bits: Int): String =
     ((0 until bits).map(i => s"((($x >> $i) & 1) << ${2 * i})") ++
       (0 until bits).map(i => s"((($y >> $i) & 1) << ${2 * i + 1})"))
       .mkString(" + ")
 
   /** The 3-D sibling of [[zorderSqlExpr]] (stride-3 interleave). */
-  private def zorder3SqlExpr(x: String, y: String, z: String, bits: Int): String =
+  private[graft] def zorder3SqlExpr(x: String, y: String, z: String, bits: Int): String =
     ((0 until bits).map(i => s"((($x >> $i) & 1) << ${3 * i})") ++
       (0 until bits).map(i => s"((($y >> $i) & 1) << ${3 * i + 1})") ++
       (0 until bits).map(i => s"((($z >> $i) & 1) << ${3 * i + 2})"))
@@ -1933,7 +1933,7 @@ object SparkEntry {
     * via max(k), last-label default, suffix-only → NULL. Yields
     * `dom(doc_id, url, host, domain)`.
     */
-  private def domainChainSql(where: String): String =
+  private[graft] def domainChainSql(where: String): String =
     s"""d AS (
        | SELECT doc_id, source, $domainGateUrlSql AS url
        | FROM documents$where
@@ -1978,7 +1978,7 @@ object SparkEntry {
     * `ns` re-joins per-occurrence: `(doc_id, source, subword_tokens,
     * ws_tokens)`.
     */
-  private def subwordChainSql(where: String): String =
+  private[graft] def subwordChainSql(where: String): String =
     s"""v AS (
        | SELECT * FROM (VALUES
        |   $subwordVocabRows) AS t(piece, cont)
@@ -2016,7 +2016,7 @@ object SparkEntry {
     * o+DIAERESIS — NFC composes all three (" café ångström", 3 chars
     * shorter). Shared verbatim by the Spark query and the oracle SQL.
     */
-  private val nfcGateSuffix = " café ångström"
+  private[graft] val nfcGateSuffix = " café ångström"
 
   /** The EXACT set of gates expected RED at the driver — the two
     * permanent hash-divergence tripwires (round-8 DECIMAL class,
@@ -2036,5493 +2036,17 @@ object SparkEntry {
 
   // ------------------------------------------------------------------ queries
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-
-    // ---- relational headline (scan + hash agg, DECIMAL-exact sums)
-    "q1_agg" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-      li.filter(col("l_shipdate") <= lit("1998-09-02").cast(TimestampType))
-        .groupBy(col("l_returnflag"), col("l_linestatus"))
-        .agg(
-          // DECIMAL internally (order-independent exact sums); final outputs
-          // cast to DOUBLE — every value is an exact scaled integer < 2^53,
-          // so decimal→double is exact and bit-identical in Spark and DuckDB
-          sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_qty"),
-          sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_base_price"),
-          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(DecimalType(28, 4)))
-            .cast(DoubleType).as("sum_disc_price"),
-          count(lit(1)).as("count_order")
-        )
-        .orderBy("l_returnflag", "l_linestatus")
-    }),
-
-    // ---- join headline (broadcast dims, DECIMAL-exact revenue)
-    // ---- relational headline: 5-table join with two broadcast dims
-    //      and a shuffle pair — the multi-join reorder/broadcast shape
-    //      a warehouse query planner must get right
-    "q5_multi_join" -> ((s, dir) => {
-      val c = t(s, dir, "customer")
-      val o = t(s, dir, "orders")
-      val li = t(s, dir, "lineitem")
-      val n = t(s, dir, "nation")
-      val r = t(s, dir, "region")
-      li.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(c, col("o_custkey") === col("c_custkey"))
-        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
-        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
-        .groupBy(col("r_name"), col("n_name"))
-        .agg(
-          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-            .cast(DecimalType(28, 4))).cast(DoubleType).as("revenue"),
-          count(lit(1)).as("n_items"))
-        .orderBy("r_name", "n_name")
-    }),
-
-    "q3_join" -> ((s, dir) => {
-      val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
-      val o = t(s, dir, "orders")
-      val li = t(s, dir, "lineitem")
-      li.join(o, li("l_orderkey") === o("o_orderkey"))
-        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
-        .groupBy(col("l_orderkey"))
-        .agg(
-          // exact DECIMAL sum, DOUBLE on output (exact: scaled int < 2^53)
-          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(DecimalType(28, 4)))
-            .cast(DoubleType).as("revenue")
-        )
-        .orderBy(col("revenue").desc, col("l_orderkey"))
-        .limit(10)
-    }),
-
-    // ---- bulk path: JSON array column → one row per document with
-    //      _doc_idx (PartialUpdateMongo.java:210-239)
-    "json_bulk_explode" -> ((s, dir) => {
-      // a 1/5 sample keeps the full parse→explode path gated without the
-      // (Spark-builtin) Jackson loop dominating the bench
-      val li = t(s, dir, "lineitem").filter(col("l_orderkey") % 5 === 0)
-      val arr = concat(
-        lit("[{\"ln\":"), col("l_linenumber"),
-        lit(",\"f\":\""), col("l_returnflag"),
-        lit("\"},{\"ln\":"), col("l_linenumber") + 100,
-        lit(",\"f\":\""), col("l_linestatus"), lit("\"}]"))
-      val df = li.select(col("l_orderkey"), col("l_linenumber").as("seq"), arr.as("docs"))
-      graft.sources.SourcesSinks.explodeJsonArray(df, "docs", StructType(Seq(
-        StructField("ln", IntegerType), StructField("f", StringType))))
-        .select(col("l_orderkey"), col("seq"), col("_doc_idx"),
-          col("_doc.ln").as("ln"), col("_doc.f").as("f"))
-        .orderBy("l_orderkey", "seq", "_doc_idx")
-    }),
-
-    // ---- charset-aware whole-record text scan (SURVEY §2.2: configurable
-    //      decode charset): latin-1 bytes with a non-ASCII char round-trip.
-    //      Content carries spaces, commas, and double quotes to pin the
-    //      WHOLE-record contract (no delimiter split, no quote handling)
-    "text_scan_charset" -> ((s, dir) => {
-      val out = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"), "graft_latin1_scan.txt")
-      val lines = (0 until 200).map(i => s"""reg é "qu,ote" $i""")
-      java.nio.file.Files.write(out,
-        lines.mkString("\n").getBytes(java.nio.charset.Charset.forName("ISO-8859-1")))
-      graft.sources.SourcesSinks.readTextRecords(s, out.toString, "ISO-8859-1")
-        .orderBy("content")
-    }),
-
-    // ---- bin sink single-mode round-trip: bin-<name>.json filenames +
-    //      mime metadata (DataBinningProcessor.java:272-291), written and
-    //      read back through the JSON record sink
-    "bin_sink_roundtrip" -> ((s, dir) => {
-      val bins = Binning.binAndCount(events(s, dir), Seq(LiteralBinner("type", "event_type")))
-      val out = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"), "graft_bin_sink").toString
-      graft.sources.SourcesSinks.writeBinRecords(bins, out)
-      s.read.schema(StructType(Seq(
-          StructField("name", StringType), StructField("count", LongType),
-          StructField("filename", StringType), StructField("mime_type", StringType))))
-        .json(out)
-        .orderBy("name")
-    }),
-
-    // ---- tabular CSV sink → declared-schema source roundtrip: the
-    //      crawl-manifest interchange path; the label column embeds
-    //      delimiter and quote characters so RFC 4180 quoting is what
-    //      the gate actually exercises
-    "csv_roundtrip" -> ((s, dir) => {
-      val d = t(s, dir, "documents").filter(col("doc_id") < 300)
-        .select(col("doc_id"), col("source"),
-          concat(col("source"), lit(",\"tricky\" value")).as("label"),
-          TextFunctions.tokenCount(col("text")).as("n_tokens"))
-      val out = java.nio.file.Files
-        .createTempDirectory("graft-csv-gate").toString
-      graft.sources.SourcesSinks.writeCsvRecords(d, out)
-      graft.sources.SourcesSinks.readCsvRecords(s, out, StructType(Seq(
-          StructField("doc_id", LongType), StructField("source", StringType),
-          StructField("label", StringType), StructField("n_tokens", LongType))))
-        .orderBy("doc_id")
-    }),
-
-    // ---- ORC sink → source roundtrip: the second columnar
-    //      interchange format Spark ships natively (an exchange path
-    //      for engines that can't take parquet); the oracle recomputes
-    //      the written columns straight from the parquet source, so
-    //      the roundtrip must be value-exact
-    "orc_roundtrip" -> ((s, dir) => {
-      val d = t(s, dir, "documents").filter(col("doc_id") < 300)
-        .select(col("doc_id"), col("source"), col("n_chars"),
-          TextFunctions.tokenCount(col("text")).as("n_tokens"))
-      val out = java.nio.file.Files
-        .createTempDirectory("graft-orc-gate").toString
-      d.write.mode("overwrite").orc(out)
-      s.read.orc(out).orderBy("doc_id")
-    }),
-
-    // ---- single-doc JSON record read (Document.parse analogue,
-    //      PartialUpdateMongo.java:241): jsonl fixture → typed columns
-    "json_records_read" -> ((s, dir) => {
-      val out = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"), "graft_jsonl_read.jsonl")
-      val lines = (0 until 300).map(i => s"""{"i":$i,"name":"n-$i","score":$i.5}""")
-      java.nio.file.Files.write(out,
-        lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      graft.sources.SourcesSinks.readJsonRecords(s, out.toString, StructType(Seq(
-          StructField("i", LongType),
-          StructField("name", StringType),
-          StructField("score", DoubleType))))
-        .orderBy("i")
-    }),
-
-    // ---- select-all fallback: an EMPTY typed projection passes the whole
-    //      attribute map through (BetterAttributesToJSON.java:221-223);
-    //      serialized via to_json so both engines hash a plain string
-    "typed_projection_selectall" -> ((s, dir) => {
-      val c = t(s, dir, "customer")
-      val withAttrs = c.select(
-        col("c_custkey"),
-        map(lit("name"), col("c_name"),
-          lit("key"), col("c_custkey").cast(StringType)).as("attributes"))
-      TypedAttrs.project(withAttrs, "attributes", TypedProjection(),
-          passthrough = Seq("c_custkey"))
-        .select(col("c_custkey"), to_json(col("attributes")).as("attrs_json"),
-          col(Route.RouteCol), col(Route.ErrorCol))
-        .orderBy("c_custkey")
-    }),
-
-    // ---- typed projection (BetterAttributesToJSON, SURVEY §2 rows 6-10)
-    "typed_projection" -> ((s, dir) => {
-      val c = t(s, dir, "customer")
-      val withAttrs = c.select(
-        col("c_custkey"),
-        map(
-          lit("name"), col("c_name"),
-          lit("key"), col("c_custkey").cast(StringType),
-          lit("bal"), col("c_acctbal").cast(StringType),
-          lit("active"), when(col("c_custkey") % 2 === 0, "true").otherwise("no")
-        ).as("attributes")
-      )
-      TypedAttrs.project(
-        withAttrs,
-        "attributes",
-        TypedProjection(
-          strings = Seq("name", "nickname"),
-          booleans = Seq("active"),
-          ints = Seq("key"),
-          doubles = Seq("bal")
-        ),
-        passthrough = Seq("c_custkey")
-      ).orderBy("c_custkey")
-    }),
-
-    // ---- epoch-millis → ISO-8601 $date string (BetterAttributesToJSON.java:271-293)
-    "epoch_iso" -> ((s, dir) => {
-      val ev = events(s, dir)
-      ev.select(
-        col("event_id"),
-        unix_millis(col("ts")).as("epoch_ms"),
-        TypedAttrs.isoMillis(
-          TypedAttrs.epochMillisAttr(unix_millis(col("ts")).cast(StringType))
-        ).as("iso")
-      ).orderBy("event_id")
-    }),
-
-    // ---- array-sum folds (BetterAttributesToJSON.java:295-335).
-    //      BENCH NOTE: most of this gate's wall time is the FIXTURE — the
-    //      per-row concat() building the JSON array strings the operator
-    //      then parses (decimal→string casts dominate; measured by timing
-    //      the fixture select alone). The operator itself (native
-    //      JsonNumArraySum) is ~3× faster than the from_json form per its
-    //      introducing commit; the fixture is kept inline because the
-    //      driver tables carry no pre-built JSON attribute column.
-    "attr_array_sums" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-      val withAttrs = li.select(
-        col("l_orderkey"),
-        col("l_linenumber"),
-        map(
-          lit("readings"),
-          concat(lit("["), col("l_quantity").cast(StringType), lit(","),
-            col("l_tax").cast(StringType), lit("]")),
-          lit("hits"),
-          concat(lit("["), col("l_linenumber").cast(StringType), lit(",2]"))
-        ).as("attributes")
-      )
-      withAttrs.select(
-        col("l_orderkey"),
-        col("l_linenumber"),
-        TypedAttrs.doubleArraySum(element_at(col("attributes"), "readings")).as("rsum"),
-        TypedAttrs.intArraySum(element_at(col("attributes"), "hits")).as("hsum")
-      ).orderBy("l_orderkey", "l_linenumber")
-    }),
-
-    // ---- binning: literal (DataBinningProcessor.java:165-169 + count agg)
-    "bin_literal" -> ((s, dir) => {
-      Binning.binAndCount(events(s, dir), Seq(LiteralBinner("type", "event_type")))
-        .orderBy("name")
-    }),
-
-    // ---- binning: date hierarchy (DataBinningProcessor.java:151-164)
-    "bin_date" -> ((s, dir) => {
-      Binning.binAndCount(events(s, dir), Seq(DateBinner("time", "ts", DateGranularity.DAY)))
-        .orderBy("name")
-    }),
-
-    // ---- binning: full date hierarchy down to MIN (granularity default
-    //      for invalid configs, DataBinningProcessor.java:154-159)
-    "bin_date_min" -> ((s, dir) => {
-      Binning.binAndCount(events(s, dir), Seq(DateBinner("t", "ts", DateGranularity.MIN)))
-        .orderBy("name")
-    }),
-
-    // ---- binning: numeric hierarchy (DataBinningProcessor.java:170-178)
-    "bin_numeric" -> ((s, dir) => {
-      Binning.binAndCount(events(s, dir), Seq(NumericBinner("val", "value", 2)))
-        .orderBy("name")
-    }),
-
-    // ---- binning: geo tiles (DataBinningProcessor.java:179-197)
-    "bin_geotile" -> ((s, dir) => {
-      Binning.binAndCount(withGeo(events(s, dir)), Seq(GeoTileBinner("geo", "lat", "lon", 3)))
-        .orderBy("name")
-    }),
-
-    // ---- binning: merged cross-product (DataBinningProcessor.java:198-214)
-    "bin_merged" -> ((s, dir) => {
-      Binning.binAndCount(
-        events(s, dir),
-        Seq(
-          DateBinner("time", "ts", DateGranularity.DAY),
-          LiteralBinner("type", "event_type"),
-          MergedBinner("daytype", Seq("time", "type"))
-        )
-      ).orderBy("name")
-    }),
-
-    // ---- security marking parse (ConvertSecurityMarkingAndAttrListIntoJson.java:179-280)
-    "security_classification" -> ((s, dir) => {
-      val c = t(s, dir, "customer")
-      val marked = c.select(
-        col("c_custkey"),
-        when(col("c_custkey") % 4 === 0, "A_CMPA_XX")
-          .when(col("c_custkey") % 4 === 1, "BRAVO_CMPB")
-          .when(col("c_custkey") % 4 === 2, "C_DCA_YY")
-          .otherwise("JUNKX").as("marking")
-      )
-      val cls = SecurityMarking.classification(col("marking"), securityCfg)
-      marked.select(
-        col("c_custkey"),
-        col("marking"),
-        array_join(cls.getField("levels"), ",").as("levels"),
-        array_join(cls.getField("compartments"), ",").as("compartments"),
-        array_join(cls.getField("releasabilities"), ",").as("releasabilities"),
-        array_join(cls.getField("disseminationControls"), ",").as("dissem")
-      ).orderBy("c_custkey")
-    }),
-
-    // ---- merge: collapse batch per key ($set last-wins / $inc / $addToSet $each)
-    //      (PartialUpdateMongo.java:301-425)
-    "merge_collapse" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem").select(
-        col("l_orderkey"),
-        col("l_linenumber"),
-        col("l_returnflag").as("status"),
-        col("l_quantity").cast(DecimalType(18, 2)).as("qty"),
-        col("l_linestatus").as("tag")
-      )
-      val spec = MergeSpec(
-        keyFields = Seq("l_orderkey"),
-        fields = Seq(
-          MergeFieldSpec("status", MergeOp.Set),
-          MergeFieldSpec("qty", MergeOp.Inc),
-          MergeFieldSpec("tag", MergeOp.AddToSet)
-        )
-      )
-      Merge.collapseIncoming(li, spec, "l_linenumber")
-        .select(
-          col("l_orderkey"),
-          col("status"),
-          col("qty").cast(DoubleType).as("qty"),
-          array_join(array_sort(col("tag")), ",").as("tags")
-        )
-        .orderBy("l_orderkey")
-    }),
-
-    // ---- merge: full upsert into state (bulk unordered upsert,
-    //      PartialUpdateMongo.java:431-453)
-    "merge_upsert" -> ((s, dir) => {
-      val state = t(s, dir, "orders").select(
-        col("o_orderkey"),
-        col("o_orderstatus"),
-        lit(0).cast(DecimalType(18, 2)).as("qty")
-      )
-      val incoming = t(s, dir, "lineitem").select(
-        col("l_orderkey").as("o_orderkey"),
-        col("l_returnflag").as("o_orderstatus"),
-        col("l_quantity").cast(DecimalType(18, 2)).as("qty"),
-        col("l_linenumber").as("seq")
-      )
-      val spec = MergeSpec(
-        keyFields = Seq("o_orderkey"),
-        fields = Seq(
-          MergeFieldSpec("o_orderstatus", MergeOp.Set),
-          MergeFieldSpec("qty", MergeOp.Inc)
-        )
-      )
-      Merge.upsertBatch(state, incoming, spec, "seq").state
-        .select(
-          col("o_orderkey"),
-          col("o_orderstatus"),
-          col("qty").cast(DoubleType).as("qty")
-        )
-        .orderBy("o_orderkey")
-    }),
-
-    // ---- merge: modified-count routing (PartialUpdateMongo.java:253-275)
-    "merge_routes" -> ((s, dir) => {
-      val state = t(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus"))
-      val incoming = t(s, dir, "lineitem").select(
-        col("l_orderkey").as("o_orderkey"),
-        col("l_returnflag").as("o_orderstatus"),
-        col("l_linenumber").as("seq")
-      )
-      val spec = MergeSpec(
-        keyFields = Seq("o_orderkey"),
-        fields = Seq(MergeFieldSpec("o_orderstatus", MergeOp.Set))
-      )
-      Merge.upsertBatch(state, incoming, spec, "seq").routes
-        .orderBy("o_orderkey")
-    }),
-
-    // ---- duplicate-check routing (PutMongoWithDuplicateCheck.java:117-167)
-    "duplicate_check" -> ((s, dir) => {
-      val incoming = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"))
-      val existing = t(s, dir, "orders")
-        .filter(col("o_orderkey") % 3 === 0)
-        .select(col("o_orderkey").as("l_orderkey"))
-      DuplicateCheck.route(incoming, existing, Seq("l_orderkey"), "l_linenumber")
-        .orderBy("l_orderkey", "l_linenumber")
-    }),
-
-    // ---- dedup: exact (hash-groupBy on normalized text)
-    "dedup_exact" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-      Dedup.exact(d, "text", "doc_id")
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_docs"))
-        .orderBy("source")
-    }),
-
-    // ---- prefix-containment dedup: planted 12-token truncations
-    //      (doc_id ≡5 mod 37, id+3e6) must pair with their originals;
-    //      NATURAL first-8-token collisions are in-scope too — the
-    //      oracle replays the full contract (strict prefix, dup ≥ 8
-    //      tokens) via a hash join on the same prefix key
-    "prefix_dedup_pairs" -> ((s, dir) => {
-      val d = t(s, dir, "documents").filter(col("doc_id") < 2000)
-        .select(col("doc_id"), col("text"))
-      val planted = d.filter(col("doc_id") % 37 === 5)
-        .select((col("doc_id") + 3000000L).as("doc_id"),
-          array_join(slice(TextFunctions.tokens(col("text")), 1, 12), " ")
-            .as("text"))
-      Dedup.prefixDupPairs(d.unionByName(planted), "text", "doc_id", k = 8)
-        .orderBy("dup_id", "of_id")
-    }),
-
-    // ---- the suffix mirror: planted 12-token TAIL truncations
-    //      (doc_id ≡11 mod 37, id+4e6) pair with their originals on the
-    //      last-8-token key
-    "suffix_dedup_pairs" -> ((s, dir) => {
-      val d = t(s, dir, "documents").filter(col("doc_id") < 2000)
-        .select(col("doc_id"), col("text"))
-      val planted = d.filter(col("doc_id") % 37 === 11)
-        .select((col("doc_id") + 4000000L).as("doc_id"),
-          array_join(slice(TextFunctions.tokens(col("text")), -12, 12), " ")
-            .as("text"))
-      Dedup.suffixDupPairs(d.unionByName(planted), "text", "doc_id", k = 8)
-        .orderBy("dup_id", "of_id")
-    }),
-
-    // ---- text quality scoring
-    "text_quality" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-      d.select(
-        col("doc_id"),
-        TextFunctions.tokenCount(col("text")).as("n_tokens"),
-        round(TextFunctions.punctRatio(col("text")), 4).as("punct_ratio"),
-        round(TextFunctions.stopwordRatio(col("text")), 4).as("stopword_ratio"),
-        TextFunctions.qualityScore(col("text")).as("quality")
-      ).orderBy("doc_id")
-    }),
-
-    // ---- token counting (whitespace + BPE-ish)
-    // ---- deterministic stratified sampling: the training-mix step.
-    //      Membership is a pure function of (doc_id, salt) via FNV-1a —
-    //      the one hash here that is portable SQL, so the oracle
-    //      recomputes the EXACT sample (not a statistical check)
-    "stratified_sample" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-      Sampling.stratifiedSample(d, "doc_id", "lang",
-          Map("en" -> 1.0, "zh" -> 0.75), defaultFraction = 0.5)
-        .select(col("doc_id"), col("lang"), col("source"))
-        .orderBy("doc_id")
-    }),
-
-    // ---- quality-weighted sampling: keep probability = fraction ×
-    //      length weight (longer docs kept more) — per-row FNV threshold,
-    //      exact member set recomputed by the oracle
-    "weighted_sample" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"), col("source"),
-        TextFunctions.tokenCount(col("text")).as("n_tokens"))
-      Sampling.weightedSample(d, "doc_id",
-          least(col("n_tokens").cast(DoubleType) / lit(1000.0), lit(1.0)),
-          fraction = 0.5)
-        .orderBy("doc_id")
-    }),
-
-    // ---- exactly-N deterministic sample: the 200 docs with the
-    //      LARGEST full 64-bit FNV hash (signed order), reduced through
-    //      the bounded graft_topk heap — no global sort; the oracle
-    //      recomputes the hashes (signed reinterpretation of the
-    //      HUGEINT fold) and takes the same top 200
-    "sample_exact_n" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"), col("lang"), col("source"))
-      Sampling.sampleExactN(d, "doc_id", n = 200, salt = "exact")
-        .orderBy("doc_id")
-    }),
-
-    // ---- exactly-N PER GROUP (stratified fixed-size draw): the 5
-    //      largest-FNV keys per source via the per-group graft_topk
-    //      heap — no per-group window/sort; the oracle recomputes the
-    //      signed hashes and ranks (hash DESC, id DESC) per source
-    "sample_exact_n_per_group" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"), col("source"))
-      Sampling.sampleExactNPerGroup(d, "doc_id", "source", n = 5,
-          salt = "exactg")
-        .orderBy("source", "rank")
-    }),
-
-    // ---- domain-mixture resampling: keep the largest subcorpus whose
-    //      source shares match the 3:1:1 target. src0 binds (keeps all
-    //      of itself relative to its weight), src1/src2 thin to 1/3;
-    //      unlisted sources drop. Same per-doc FNV membership as the
-    //      other samplers, so the oracle recomputes the exact rows
-    "mix_to_target" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"), col("source"))
-      Sampling.mixToTarget(d, "doc_id", "source",
-          Map("src0" -> 3.0, "src1" -> 1.0, "src2" -> 1.0))
-        .orderBy("doc_id")
-    }),
-
-    // ---- DSIR-style importance scoring: per-doc target-vs-raw
-    //      log-likelihood ratio over FNV-hashed token buckets. The 1024
-    //      bucket weights are computed ONCE on the driver from exact
-    //      collected histograms and fed to BOTH engines as the same
-    //      ×10⁶ scaled-BIGINT literal table (no libm ln and no DECIMAL
-    //      in the compared surface — see bm25_topk / decimal_probe);
-    //      per-doc sums are order-independent exact integer adds, so
-    //      the oracle recomputes the EXACT scores
-    "dsir_scores" -> ((s, dir) => {
-      val d = t(s, dir, "documents").filter(col("doc_id") < 2000)
-      val target = d.filter(col("source") === "src0")
-      val lits = ImportanceScoring.importanceWeightLiterals(target, d, "text")
-      GateTables.put("dsir_w", dsirWeightRows(lits))
-      val w = ImportanceScoring.weightsTableFromLiterals(s, lits)
-      ImportanceScoring.scoreDocs(
-          d.filter(col("doc_id") < 500), "doc_id", "text", w)
-        .orderBy("doc_id")
-    }),
-
-    // ---- CCNet-style bigram-LM quality scoring: add-one-smoothed
-    //      bucket-bigram model trained on the src0 slice, docs scored by
-    //      mean transition log-prob. The (c2+1, c1+B) → weight table is
-    //      computed ONCE on the driver and fed to BOTH engines as the
-    //      same ×10⁶ scaled-BIGINT literal table (counts stay
-    //      engine-side and exact; no libm ln and no DECIMAL in the
-    //      compared surface — see bm25_topk / decimal_probe)
-    "lm_scores" -> ((s, dir) => {
-      val d = t(s, dir, "documents").filter(col("doc_id") < 2000)
-      val target = d.filter(col("source") === "src0")
-      val wt = ImportanceScoring.lmWeightLiterals(target, "text")
-      GateTables.put("lm_wt", lmWeightRows(wt))
-      ImportanceScoring.lmScoreDocsWithTable(
-          d.filter(col("doc_id") < 500), "doc_id", "text", target, "text", wt)
-        .orderBy("doc_id")
-    }),
-
-    // ---- streaming as-of enrichment, PINNED batch path: the merge
-    //      stream builds committed state v0 from the deduped views,
-    //      applyAsOfEnrichBatch enriches the clicks against it (run
-    //      TWICE — the replay must pin v0 and overwrite bit-identical
-    //      output), result read from the per-batch directory. Third
-    //      streaming family with a driver-gated read path; the oracle
-    //      is asof_join's proven DuckDB ASOF chain
-    "asof_enrich_stream" -> ((s, dir) => {
-      val ev = events(s, dir)
-      val views = ev.filter(col("event_type") === "view")
-        .groupBy(col("user_id"), col("ts"))
-        .agg(max(col("event_id")).as("view_id"),
-          max_by(col("value"), col("event_id")).as("view_value"))
-        .withColumn("_ord", col("view_id"))
-      val clicks = ev.filter(col("event_type") === "click")
-        .select(col("event_id"), col("user_id"), col("ts"))
-      val work = java.nio.file.Files
-        .createTempDirectory("graft-asof-gate").toString
-      graft.streaming.StreamingOps.applyMergeBatch(s, views, 0L,
-        MergeSpec(Seq("user_id", "ts"), Seq(MergeFieldSpec("*", MergeOp.Set))),
-        "_ord", s"$work/state")
-      graft.streaming.StreamingOps.applyAsOfEnrichBatch(s, clicks, 0L,
-        s"$work/state", Seq("user_id"), "ts", "ts", s"$work/out",
-        Seq("view_id", "view_value"))
-      graft.streaming.StreamingOps.applyAsOfEnrichBatch(s, clicks, 0L,
-        s"$work/state", Seq("user_id"), "ts", "ts", s"$work/out",
-        Seq("view_id", "view_value"))
-      s.read.parquet(s"$work/out/batch=0")
-        .select(col("event_id"), col("user_id"),
-          unix_micros(col("ts")).as("ts_us"),
-          col("matched.view_id").as("matched_view_id"),
-          col("matched.view_value").as("matched_value"),
-          unix_micros(col("matched._t")).as("matched_ts_us"))
-        .orderBy("event_id")
-    }),
-
-    // ---- streaming persistent dedup, REPLAYED batch path: two
-    //      micro-batches build the versioned fingerprint store (batch 1
-    //      then replays into the no-op guard in-gate), survivors read
-    //      from the partitioned output. The oracle recomputes the
-    //      batch-ordered keep rule (per-batch min-id per normalized
-    //      text, batch 1 anti-joined against batch 0's store) — the one
-    //      other streaming family whose read path is batch-gateable
-    //      (after bm25_topk_indexed)
-    "dedup_stream_replayed" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-        .select(col("doc_id"), col("source"), col("text"))
-        .filter(col("doc_id") < 2000)
-      val work = java.nio.file.Files
-        .createTempDirectory("graft-dedup-gate").toString
-      val b0 = d.filter(col("doc_id") < 1000)
-      val b1 = d.filter(col("doc_id") >= 1000)
-      // stateBuckets: the production path — the committed store reads
-      // back exchange-free under every batch's anti-join
-      graft.streaming.StreamingOps.applyDedupBatch(s, b0, 0L,
-        "text", "doc_id", s"$work/state", s"$work/out", Some(8))
-      graft.streaming.StreamingOps.applyDedupBatch(s, b1, 1L,
-        "text", "doc_id", s"$work/state", s"$work/out", Some(8))
-      // crash-window replay: the guard must no-op, survivors stand
-      graft.streaming.StreamingOps.applyDedupBatch(s, b1, 1L,
-        "text", "doc_id", s"$work/state", s"$work/out", Some(8))
-      s.read.parquet(s"$work/out")
-        .select(col("doc_id"), col("source"))
-        .orderBy("doc_id")
-    }),
-
-    // ---- streaming versioned merge, COMMITTED batch path (§2 row 46):
-    //      two micro-batch slices of lineitem upsert into the versioned
-    //      state store ($set last-wins, $inc, $addToSet $each), batch 1
-    //      then replays into the version guard's no-op branch, and the
-    //      result reads the committed v1 through _CURRENT. Because the
-    //      batches split on the order column itself (b1's seqs all past
-    //      b0's) and $addToSet membership is batch-order-free, the
-    //      two-step merge collapses to merge_collapse's one-shot oracle
-    //      — same SQL, entirely different (stateful) code path
-    "merge_stream_versioned" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem").select(
-        col("l_orderkey"),
-        col("l_linenumber"),
-        col("l_returnflag").as("status"),
-        col("l_quantity").cast(DecimalType(18, 2)).as("qty"),
-        array(col("l_linestatus")).as("tag"))
-      val spec = MergeSpec(
-        keyFields = Seq("l_orderkey"),
-        fields = Seq(
-          MergeFieldSpec("status", MergeOp.Set),
-          MergeFieldSpec("qty", MergeOp.Inc),
-          MergeFieldSpec("tag", MergeOp.AddToSet)))
-      val work = java.nio.file.Files
-        .createTempDirectory("graft-mergestream-gate").toString
-      val b0 = li.filter(col("l_linenumber") <= 2)
-      val b1 = li.filter(col("l_linenumber") > 2)
-      graft.streaming.StreamingOps.applyMergeBatch(s, b0, 0L, spec,
-        "l_linenumber", s"$work/state")
-      graft.streaming.StreamingOps.applyMergeBatch(s, b1, 1L, spec,
-        "l_linenumber", s"$work/state")
-      // crash-window replay: the version guard must no-op
-      graft.streaming.StreamingOps.applyMergeBatch(s, b1, 1L, spec,
-        "l_linenumber", s"$work/state")
-      graft.streaming.StreamingOps.readState(s, s"$work/state").get
-        .select(
-          col("l_orderkey"),
-          col("status"),
-          col("qty").cast(DoubleType).as("qty"),
-          array_join(array_sort(col("tag")), ",").as("tags"))
-        .orderBy("l_orderkey")
-    }),
-
-    // ---- streaming funnel progress, BATCH-MODE path:
-    //      flatMapGroupsWithState runs in batch mode with empty initial
-    //      state, so a single-batch feed of the whole history IS the
-    //      stream operator's exact fold (sorted within group, strict
-    //      min-chain) — per-user final depth; users that never reach
-    //      step 1 emit nothing. Cross-batch folding stays spec-pinned
-    "funnel_stream_depths" -> ((s, dir) => {
-      val ev = events(s, dir)
-      graft.streaming.FunnelStream.progressDF(ev, "user_id", "ts",
-          "event_type", Seq("view", "click", "purchase"))
-        .select(col("userId").as("user_id"), col("depth"),
-          col("lastTs").as("last_ts_us"))
-        .orderBy("user_id")
-    }),
-
-    // ---- temperature-scaled source mixing (mT5/XLM-R α-sampling):
-    //      p_s ∝ √n_s flattens the source skew; thresholds and FNV
-    //      membership are exactly mixToTarget's, and √ is IEEE-correct
-    //      in both engines so the oracle recomputes the same thresholds
-    "temperature_mix" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"), col("source"))
-      Sampling.temperatureMix(d, "doc_id", "source", alpha = 0.5)
-        .orderBy("doc_id")
-    }),
-
-    // ---- per-group quota cap: the 100 LONGEST docs per source
-    //      (n_chars desc, ties to the larger doc_id — the heap's
-    //      descending total order); a bounded heap per group, never a
-    //      per-group window over the corpus
-    "quota_per_source" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-      Sampling.quotaPerGroup(d, "doc_id", "source", "n_chars",
-          n = 100, keepSmallest = false)
-        .orderBy("source", "rank")
-    }),
-
-    // ---- deterministic proportional interleave (epoch schedule):
-    //      pos = (2r−1)/(2n_g) per source — within-group ranks via the
-    //      two-level bucketed prefix, pos one exact IEEE division
-    "epoch_schedule" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-      Sampling.epochSchedule(d, "doc_id", "source")
-        .orderBy("doc_id")
-    }),
-
-    // ---- key-concentration diagnostic: top-25 hottest user_ids with
-    //      exact counts and share/cum_share as exact-integer divisions
-    //      — the pre-join salting decision, reduced from the key
-    //      histogram with a TakeOrdered cut
-    "key_concentration" -> ((s, dir) => {
-      val ev = events(s, dir)
-      Profile.keyConcentration(ev, "user_id", k = 25)
-        .orderBy("rank")
-    }),
-
-    // ---- duplicated-substring mass: 40-char windows at stride 20
-    //      over normalized text; a window counts when its content
-    //      occurs in ≥2 distinct docs. Windows travel as xxhash64
-    //      fingerprints Spark-side; the oracle compares the exact
-    //      substr windows — equal modulo 64-bit collisions (~2⁻⁶⁵)
-    "dup_window_stats" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-      Dedup.duplicatedWindowStats(d, "doc_id", "text",
-          window = 40, stride = 20)
-        .orderBy("doc_id")
-    }),
-
-    // ---- vocabulary coverage: top-1000 vocab by corpus frequency
-    //      (boundary ties to ascending term), per-doc OOV rate as one
-    //      exact division; zero-token docs report a null rate
-    "vocab_oov" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-      Vocab.oovStats(d, "doc_id", "text", Vocab.topTerms(d, "text", 1000))
-        .orderBy("doc_id")
-    }),
-
-    // ---- language-agnostic stopword discovery: top-k terms by
-    //      DOCUMENT frequency (ties to the ascending term) — exact
-    //      integer histogram, TakeOrdered cut
-    "stopword_df_topk" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-      Vocab.topDocFrequencyTerms(d, "doc_id", "text", k = 30)
-        .orderBy(col("df").desc, col("term").asc)
-    }),
-
-    // ---- fastText-style linear quality classifier, SERVING path:
-    //      margin = bias + Σ cnt_b·w_b over hashed token buckets with a
-    //      deterministic literal weight table (Weyl-sequence pseudo
-    //      weights — the gate exercises featurize/join/sum/left-join
-    //      plumbing; trained-weight parity is spec-pinned). All
-    //      arithmetic is exact ×10⁶ scaled-BIGINT (margin_e6 — no
-    //      DECIMAL in the compared surface, round-8 verdict); the same
-    //      VALUES rows feed the oracle eagerly
-    "quality_margin" -> ((s, dir) => {
-      val d = t(s, dir, "documents").filter(col("doc_id") < 1000)
-      QualityModel.scoreMargin(d, "doc_id", "text",
-          qmGateWeights, qmGateBias)
-        .orderBy("doc_id")
-    }),
-
-    // ---- calibration eval of that classifier: margins → the shared
-    //      64-slot literal sigmoid → equal-width reliability buckets +
-    //      ECE against the n_chars >= 500 label — the check a pipeline
-    //      runs before trusting scores as probability thresholds
-    "quality_calibration" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-        .filter(col("doc_id") < 1000 && col("n_chars").isNotNull)
-      val m = QualityModel.scoreMargin(d, "doc_id", "text",
-        qmGateWeights, qmGateBias)
-      val tbl = graft.operators.Graph.sigmoidTablePpm()
-      val idx = expr("CASE WHEN margin_e6 <= -6000000 THEN 0L " +
-        "WHEN margin_e6 >= 6000000 THEN 63L " +
-        "ELSE ((margin_e6 + 6000000) * 64L) div 12000000L END")
-      val scored = m.join(d.select(col("doc_id"),
-          (col("n_chars") >= 500).cast("long").as("label")), Seq("doc_id"))
-        .select(element_at(typedLit(tbl), (idx + lit(1L)).cast("int"))
-          .as("prob_ppm"), col("label"))
-      QualityModel.calibrationBuckets(scored, "prob_ppm", "label",
-          buckets = 10)
-        .orderBy("bucket")
-    }),
-
-    // ---- the EQUAL-MASS variant: quantile bucket edges (the exact
-    //      two-level percentile machinery) instead of equal-width ones
-    //      — skewed score distributions pile most examples into 1-2
-    //      equal-width bins and blind the reliability diagram; deciles
-    //      spread the mass. Same reduction half, same ECE fold
-    "quality_calibration_quantile" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-        .filter(col("doc_id") < 1000 && col("n_chars").isNotNull)
-      val m = QualityModel.scoreMargin(d, "doc_id", "text",
-        qmGateWeights, qmGateBias)
-      val tbl = graft.operators.Graph.sigmoidTablePpm()
-      val idx = expr("CASE WHEN margin_e6 <= -6000000 THEN 0L " +
-        "WHEN margin_e6 >= 6000000 THEN 63L " +
-        "ELSE ((margin_e6 + 6000000) * 64L) div 12000000L END")
-      val scored = m.join(d.select(col("doc_id"),
-          (col("n_chars") >= 500).cast("long").as("label")), Seq("doc_id"))
-        .select(element_at(typedLit(tbl), (idx + lit(1L)).cast("int"))
-          .as("prob_ppm"), col("label"))
-      QualityModel.calibrationBucketsQuantile(scored, "prob_ppm", "label",
-          buckets = 10)
-        .orderBy("bucket")
-    }),
-
-    // ---- the STREAMING calibration monitor: the same scored examples
-    //      split across two batches through the ≤10-row additive
-    //      sufficient-stats state (merge = one sum; examples never
-    //      enter state), batch 1 replayed to prove the guard; the
-    //      final batch hashes against the BATCH oracle verbatim
-    "quality_calibration_stream" -> ((s, dir) => {
-      import graft.streaming.StreamingOps
-      val d = t(s, dir, "documents")
-        .filter(col("doc_id") < 1000 && col("n_chars").isNotNull)
-      val m = QualityModel.scoreMargin(d, "doc_id", "text",
-        qmGateWeights, qmGateBias)
-      val tbl = graft.operators.Graph.sigmoidTablePpm()
-      val idx = expr("CASE WHEN margin_e6 <= -6000000 THEN 0L " +
-        "WHEN margin_e6 >= 6000000 THEN 63L " +
-        "ELSE ((margin_e6 + 6000000) * 64L) div 12000000L END")
-      val scored = m.join(d.select(col("doc_id"),
-          (col("n_chars") >= 500).cast("long").as("label")), Seq("doc_id"))
-        .select(col("doc_id"),
-          element_at(typedLit(tbl), (idx + lit(1L)).cast("int"))
-            .as("prob_ppm"), col("label"))
-        .localCheckpoint()
-      val work = java.nio.file.Files
-        .createTempDirectory("graft-calib-stream").toString
-      def step(b: DataFrame, id: Long): Unit =
-        StreamingOps.applyCalibrationBatch(s, b, id, "prob_ppm", "label",
-          buckets = 10, s"$work/state", s"$work/out")
-      step(scored.filter(col("doc_id") < 500), 0L)
-      step(scored.filter(col("doc_id") >= 500), 1L)
-      step(scored.filter(col("doc_id") >= 500), 1L) // replay no-op
-      s.read.parquet(s"$work/out/batch=1")
-        .select(col("bucket"), col("n"), col("n_pos"), col("mean_prob_ppm"),
-          col("pos_rate_ppm"), col("gap_ppm"), col("ece_ppm"))
-        .orderBy("bucket")
-    }),
-
-    // ---- staged diagnostics for the retrieval/scoring hash divergence
-    //      (round-7 verdict #2; ANSWERED by CORRECTNESS_r08): tokens,
-    //      buckets, and the registered idf table all came back green —
-    //      only the stages whose COMPARED OUTPUT was DECIMAL-typed
-    //      (qm_diag_weights, quality_margin) stayed red, isolating the
-    //      divergence to the driver's hashing of DECIMAL output columns
-    //      alone. Round 9 therefore emits ×10⁶/10⁹/10¹² scaled BIGINT
-    //      in every compared surface; the stages stay as regression
-    //      tripwires and `decimal_probe` pins the type behavior:
-    //        qm_diag_tokens  — tokenization alone (regex split)
-    //        qm_diag_buckets — + the FNV-1a fold to buckets
-    //        qm_diag_weights — the weight VALUES literal table alone
-    //                          (data-independent; now weight_e6 BIGINT)
-    //        bm25_diag_idf   — a run-time-registered GateTables VALUES
-    //                          table alone (proves registered tables
-    //                          reach the driver's oracle)
-    //      quality_margin itself is the final stage (adds the weight
-    //      join + exact integer sums).
-    "qm_diag_tokens" -> ((s, dir) => {
-      val d = t(s, dir, "documents").filter(col("doc_id") < 1000)
-      val toks = TextFunctions.tokens(lower(col("text")))
-      d.select(col("doc_id"),
-          size(toks).cast(LongType).as("n_tokens"),
-          coalesce(aggregate(toks, lit(0L), (acc, x) => acc + length(x)),
-            lit(0L)).as("sum_len"))
-        .orderBy("doc_id")
-    }),
-
-    "qm_diag_buckets" -> ((s, dir) => {
-      val d = t(s, dir, "documents").filter(col("doc_id") < 1000)
-      d.select(explode(TextFunctions.tokens(lower(col("text")))).as("token"))
-        .select(ImportanceScoring.tokenBucket(col("token"),
-          QualityModel.DefaultBuckets, "qm").as("bucket"))
-        .groupBy("bucket").agg(count(lit(1)).as("cnt"))
-        .orderBy("bucket")
-    }),
-
-    "qm_diag_weights" -> ((s, dir) =>
-      ImportanceScoring.weightsTableFromLiterals(s, qmGateWeights)
-        .orderBy("bucket")),
-
-    "bm25_diag_idf" -> ((s, dir) => {
-      import s.implicits._
-      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val queries = bm25GateQueries3(s)
-      val idf = Retrieval.queryIdfLiterals(docs, "text", queries, "qtext")
-      GateTables.put("bm25_idf_q3", idfValuesRows(idf))
-      idf.map { case (tm, v) => (tm, Retrieval.idfScaled6(v)) }
-        .toDF("term", "idf_s").orderBy("term")
-    }),
-
-    // ---- driver-hash type probes (round-9 verdict #1): the round-8
-    //      3-in-1 probe proved the driver's hashing diverges on SOME of
-    //      {DECIMAL, DOUBLE, BIGINT} output columns but could not name
-    //      WHICH — split into one single-value-column probe per type so
-    //      a driver red names its column. Same literal rows on both
-    //      engines. Expected matrix given the round-8 diagnosis:
-    //      _dec red, _int green, _dbl green. See README "Driver
-    //      DECIMAL hashing".
-    "decimal_probe_dec" -> ((s, dir) =>
-      s.sql(
-        """SELECT i, dec_val FROM VALUES
-          | (0L, CAST('1.250000'   AS DECIMAL(38,6))),
-          | (1L, CAST('-0.333333'  AS DECIMAL(38,6))),
-          | (2L, CAST('100.000001' AS DECIMAL(38,6)))
-          | AS t(i, dec_val)
-          |ORDER BY i""".stripMargin)),
-    "decimal_probe_int" -> ((s, dir) =>
-      s.sql(
-        """SELECT i, int_e6 FROM VALUES
-          | (0L, 1250000L), (1L, -333333L), (2L, 100000001L)
-          | AS t(i, int_e6)
-          |ORDER BY i""".stripMargin)),
-    "decimal_probe_dbl" -> ((s, dir) =>
-      s.sql(
-        """SELECT i, dbl_val FROM VALUES
-          | (0L, CAST(1.25 AS DOUBLE)),
-          | (1L, CAST(-0.333333 AS DOUBLE)),
-          | (2L, CAST(100.000001 AS DOUBLE))
-          | AS t(i, dbl_val)
-          |ORDER BY i""".stripMargin)),
-
-    // ---- driver-hash HUGEINT probe (round-10): the round-9 reds
-    //      (domain_token_quota / token_quota_stream) emitted an uncast
-    //      DuckDB window `sum(...)` — HUGEINT (int128) — in the oracle
-    //      while the Spark side emitted BIGINT; the green sibling
-    //      unimax_quota_stream CAST the identical sum to BIGINT. The
-    //      local EXCEPT-ALL compare coerces HUGEINT = BIGINT (green
-    //      locally); the driver's hasher apparently does not (red at
-    //      the driver) — the round-8 DECIMAL class again. This probe
-    //      pins it: Spark emits BIGINT sums, the oracle emits the SAME
-    //      values as an uncast DuckDB sum() (HUGEINT). Expected driver
-    //      outcome: red, with the two (now CAST-fixed) production
-    //      gates green.
-    "hugeint_probe" -> ((s, dir) =>
-      s.sql(
-        """SELECT g, sum(v) AS sum_v FROM VALUES
-          | (0L, 10L), (0L, 32L), (1L, 7L), (1L, 600L), (2L, 1L)
-          | AS t(g, v)
-          |GROUP BY g ORDER BY g""".stripMargin)),
-
-    // ---- keyword extraction: top-3 distinctive terms per doc by
-    //      tf·(N/df) — the transcendental-free tf-idf rank (ln is
-    //      monotone, so the keyword ORDER is identical); score_e6 via
-    //      the exact integer rounding kernel, per-doc cut through the
-    //      bounded heap with score+term packed in the key
-    "distinctive_terms" -> ((s, dir) => {
-      val d = t(s, dir, "documents").filter(col("doc_id") < 500)
-        .select(col("doc_id"), col("text"))
-      Vocab.distinctiveTerms(d, "doc_id", "text", k = 3)
-        .orderBy("doc_id", "rank")
-    }),
-
-    // ---- collocation mining: top-k bigrams by LIFT (= exp(PMI), the
-    //      same ranking with no transcendental) — counts are exact
-    //      integers, the lift is the fixed operand tree
-    //      (c_xy·N)/(c_x·c_y) in doubles, ties total-ordered by the
-    //      bigram itself
-    "collocations_topk" -> ((s, dir) => {
-      val d = t(s, dir, "documents").filter(col("doc_id") < 2000)
-      Collocations.topBigramsByLift(d, "text", k = 50, minCount = 5L)
-    }),
-
-    // ---- quantized ANN: exact top-k by the QDot integer kernel over
-    //      8-bit codes (the bandwidth-saving candidate scan) — the
-    //      affine expansion is a fixed-order formula, so the oracle
-    //      recomputes the EXACT scores, not an approximation bound
-    "ann_topk_quantized" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val qemb = emb.select(col("vec_id"),
-        graft.functions.VectorFunctions.quantize8(col("embedding")).as("qv"))
-      val q = qemb.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("query_id"), col("qv").as("qqv"))
-      Similarity.bruteForceTopK(qemb, "vec_id", "qv", q, "query_id", "qqv",
-          k = 10, metric = graft.functions.VectorFunctions.quantizedDot,
-          scoreName = "qdot")
-        .orderBy("query_id", "rank")
-    }),
-
-    // ---- Dirichlet query-likelihood retrieval (round-9 verdict #6 /
-    //      builder backlog): per-term smoothed probability as ONE exact
-    //      integer rational (HALF_UP 9dp), document score = the QL
-    //      likelihood itself as a fixed-point e18 product folded in
-    //      lexicographic term order — no ln, no DECIMAL surface; the
-    //      oracle replays the identical integer fold
-    "dirichlet_topk" -> ((s, dir) => {
-      val d = t(s, dir, "documents").filter(col("doc_id") < 2000)
-        .select(col("doc_id"), col("text"))
-      Retrieval.dirichletTopK(d, "doc_id", "text", bm25GateQueries3(s),
-          "query_id", "qtext", k = 10, mu = 2000L)
-        .orderBy("query_id", "rank")
-    }),
-
-    // ---- product quantization, trained + served in e6 integer space
-    //      (round-9 verdict #5 / builder backlog): codebooks from one
-    //      exact k-means step per subspace (m=4 × 16 dims, seeds
-    //      vec_id < 4), every vector → 4 codes via the narrow per-row
-    //      argmin — the encode pass is join-free and shuffle-free
-    "pq_encode" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val seeds = emb.filter(col("vec_id") < 4)
-        .select(col("vec_id").as("centroid_id"),
-          col("embedding").as("centroid_vec"))
-      val cb = Similarity.pqCodebooksFromSums(
-        Similarity.pqTrainSumsE6(emb, "vec_id", "embedding", seeds, m = 4))
-      Similarity.pqEncodeE6(emb, "vec_id", "embedding", cb)
-        .select(col("vec_id"), posexplode(col("codes")).as(Seq("sub_id", "code")))
-        .select(col("vec_id"), col("sub_id").cast(IntegerType).as("sub_id"),
-          col("code"))
-        .orderBy("vec_id", "sub_id")
-    }),
-
-    // ---- ADC top-k over the PQ codes: per-query distance LUTs
-    //      (driver-computed exact BIGINT — queries and codebooks are
-    //      metadata), the scan is Σ_j lut_j(code_j) per row — m map
-    //      probes, no vector arithmetic — through the k-bounded heap;
-    //      the oracle replays the identical quantized distances, so
-    //      the approximation itself is hash-verified
-    "ann_topk_pq" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val seeds = emb.filter(col("vec_id") < 4)
-        .select(col("vec_id").as("centroid_id"),
-          col("embedding").as("centroid_vec"))
-      val cb = Similarity.pqCodebooksFromSums(
-        Similarity.pqTrainSumsE6(emb, "vec_id", "embedding", seeds, m = 4))
-      val codes = Similarity.pqEncodeE6(emb, "vec_id", "embedding", cb)
-      val q = emb.filter(col("vec_id") < 3)
-        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      Similarity.pqAdcTopKE6(codes, "vec_id", "codes", cb, q, "qid", "qvec",
-          k = 10)
-        .orderBy("query_id", "rank")
-    }),
-
-    // ---- IVF-PQ: the composed physical ANN index (round-10 verdict
-    //      #4) — coarse cells = the raw e6 seed vectors (vec_id < 4),
-    //      PQ codebooks from the same seeds, ONE narrow build pass
-    //      writes (id, codes, cell) partitioned by cell, queries probe
-    //      nprobe=2 of 4 cells, ADC-score only the probed partitions;
-    //      the oracle replays cells, codes, probe sets and LUT sums
-    //      exactly, so both approximation layers are hash-verified
-    "ann_ivfpq_topk" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val seeds = emb.filter(col("vec_id") < 4)
-        .select(col("vec_id").as("centroid_id"),
-          col("embedding").as("centroid_vec"))
-      val cb = Similarity.pqCodebooksFromSums(
-        Similarity.pqTrainSumsE6(emb, "vec_id", "embedding", seeds, m = 4))
-      val coarse = emb.filter(col("vec_id") < 4)
-        .select(col("vec_id").as("centroid_id"),
-          transform(col("embedding"),
-            v => floor(v.cast("double") * 1000000d).cast("long"))
-            .as("centroid_e6"))
-      val out = java.nio.file.Files.createTempDirectory("graft-ivfpq-gate").toString
-      Similarity.buildIvfPqIndex(emb, "vec_id", "embedding", coarse, cb, out)
-      val q = emb.filter(col("vec_id") < 3)
-        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      Similarity.ivfPqTopKE6(out, "vec_id", coarse, cb, q, "qid", "qvec",
-          k = 10, nprobe = 2)
-        .orderBy("query_id", "rank")
-    }),
-
-    // ---- IVF-PQ recall@10 at nprobe=1: the genuinely-approximate
-    //      setting — coarse pruning AND quantization both lose — and
-    //      the loss is a deterministic property of (corpus, cells,
-    //      codebooks, queries), so the oracle reproduces the recall
-    //      numbers exactly, measured loss included
-    "ann_ivfpq_recall" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val seeds = emb.filter(col("vec_id") < 4)
-        .select(col("vec_id").as("centroid_id"),
-          col("embedding").as("centroid_vec"))
-      val cb = Similarity.pqCodebooksFromSums(
-        Similarity.pqTrainSumsE6(emb, "vec_id", "embedding", seeds, m = 4))
-      val coarse = emb.filter(col("vec_id") < 4)
-        .select(col("vec_id").as("centroid_id"),
-          transform(col("embedding"),
-            v => floor(v.cast("double") * 1000000d).cast("long"))
-            .as("centroid_e6"))
-      val out = java.nio.file.Files.createTempDirectory("graft-ivfpqr-gate").toString
-      Similarity.buildIvfPqIndex(emb, "vec_id", "embedding", coarse, cb, out)
-      val q = emb.filter(col("vec_id") < 3)
-        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      Similarity.ivfPqRecallE6(emb, "vec_id", "embedding", out, coarse, cb,
-          q, "qid", "qvec", k = 10, nprobe = 1)
-        .orderBy("query_id")
-    }),
-
-    // ---- residual (IVFADC) vs raw IVF-PQ codes, recall@10 at
-    //      IDENTICAL (m = 4, nprobe = 4 — all cells probed, so the
-    //      comparison isolates pure code quality): codes quantize
-    //      x − coarse centroid instead of x. On clustered corpora the
-    //      residual distribution concentrates and recall rises
-    //      (SimilaritySpec pins 1/3 → 3/3 hits on a two-cluster
-    //      fixture); on THIS uniform-random synthetic table the
-    //      variants differ per query but tie in aggregate — exactly
-    //      what theory predicts with nothing to concentrate. Both
-    //      chains (training, encoding, per-probed-cell query LUTs) are
-    //      deterministic integer properties of (corpus, cells,
-    //      codebooks, queries) and hash-compare against the oracle's
-    //      full replay
-    "ann_ivfpq_residual_recall" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val coarse = emb.filter(col("vec_id") < 4)
-        .select(col("vec_id").as("centroid_id"),
-          transform(col("embedding"),
-            v => floor(v.cast("double") * 1000000d).cast("long"))
-            .as("centroid_e6"))
-      val q = emb.filter(col("vec_id") < 3)
-        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      // raw variant (the ann_ivfpq_recall construction)
-      val rawSeeds = emb.filter(col("vec_id") < 4)
-        .select(col("vec_id").as("centroid_id"),
-          col("embedding").as("centroid_vec"))
-      val cbRaw = Similarity.pqCodebooksFromSums(
-        Similarity.pqTrainSumsE6(emb, "vec_id", "embedding", rawSeeds, m = 4))
-      val outRaw = java.nio.file.Files
-        .createTempDirectory("graft-ivfpqrr-raw").toString
-      Similarity.buildIvfPqIndex(emb, "vec_id", "embedding", coarse, cbRaw, outRaw)
-      // residual variant: codebooks train on x − coarse(x); seeds are
-      // the residuals of vec_ids 4..7 (0..3 are the cells themselves —
-      // zero residuals would be degenerate seeds)
-      val resSeeds = Similarity.ivfResidualsE6(emb, "vec_id", "embedding", coarse)
-        .filter(col("vec_id") >= 4 && col("vec_id") < 8)
-        .select(col("vec_id").as("centroid_id"),
-          col("residual_e6").as("centroid_e6"))
-      val cbRes = Similarity.pqCodebooksFromSums(
-        Similarity.pqTrainSumsResidualE6(emb, "vec_id", "embedding",
-          coarse, resSeeds, m = 4))
-      val outRes = java.nio.file.Files
-        .createTempDirectory("graft-ivfpqrr-res").toString
-      Similarity.buildIvfPqIndex(emb, "vec_id", "embedding", coarse, cbRes,
-        outRes, residual = true)
-      val rawRec = Similarity.ivfPqRecallE6(emb, "vec_id", "embedding",
-          outRaw, coarse, cbRaw, q, "qid", "qvec", k = 10, nprobe = 4)
-        .withColumn("variant", lit("raw"))
-      val resRec = Similarity.ivfPqRecallE6(emb, "vec_id", "embedding",
-          outRes, coarse, cbRes, q, "qid", "qvec", k = 10, nprobe = 4,
-          residual = true)
-        .withColumn("variant", lit("residual"))
-      rawRec.unionByName(resRec).orderBy("variant", "query_id")
-    }),
-
-    // ---- 8-bit embedding quantization: affine per-vector codes +
-    //      (offset, scale); exact elementwise double arithmetic, so the
-    //      oracle reproduces every code. Flattened to (vec_id, pos, q)
-    //      scalars for the hash compare
-    "embedding_quantize" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      emb.select(col("vec_id"),
-          graft.functions.VectorFunctions.quantize8(col("embedding")).as("qv"))
-        .select(col("vec_id"), col("qv.offset").as("offset"),
-          col("qv.scale").as("scale"),
-          posexplode(col("qv.q")).as(Seq("pos", "q")))
-        .select(col("vec_id"), col("pos").cast(IntegerType).as("pos"),
-          col("q"), col("offset"), col("scale"))
-        .orderBy("vec_id", "pos")
-    }),
-
-    // ---- vocabulary growth curve (Heaps-law diagnostic): distinct
-    //      terms + total tokens after each id-prefix, in ONE tokenize
-    //      pass (terms reduce to first-seen id, checkpoints fold as
-    //      literals) — a flattening curve says the tail is re-crawls
-    "vocab_growth" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      Vocab.vocabGrowthCurve(d, "doc_id", "text",
-          Seq(50L, 100L, 200L, 400L))
-        .orderBy("prefix_lt")
-    }),
-
-    // ---- corpus token frequencies: the canonical wordcount with a
-    //      deterministic top-N cut (freq desc, token asc)
-    "token_frequencies" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-      TextFunctions.tokenFrequencies(d, "text", topN = 25)
-        .orderBy(col("freq").desc, col("token"))
-    }),
-
-    // ---- Gopher structural quality rules: the four published document
-    //      filters (symbol ratio, bullet lines, ellipsis lines, alpha
-    //      words), all narrow codegen'd builtins with RE2-compatible
-    //      patterns so the oracle reproduces exact counts
-    "text_gopher_quality" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-      d.select(
-        col("doc_id"),
-        round(TextFunctions.symbolToWordRatio(col("text")), 4).as("symbol_ratio"),
-        round(TextFunctions.bulletLineFraction(col("text")), 4).as("bullet_frac"),
-        round(TextFunctions.ellipsisLineFraction(col("text")), 4).as("ellipsis_frac"),
-        round(TextFunctions.alphaWordRatio(col("text")), 4).as("alpha_ratio"),
-        TextFunctions.gopherStructuralPass(col("text")).as("keep")
-      ).orderBy("doc_id")
-    }),
-
-    // ---- CJK-aware Gopher/quality rules: the word-based rules routed
-    //      through the CJK-robust counter + the stopword-free quality
-    //      score. The gate APPENDS a fixed mixed CJK/Latin suffix to
-    //      every doc (same splice as token_count_cjk) so the CJK
-    //      arithmetic is really exercised against the oracle's
-    //      explicit-range counts
-    "text_gopher_quality_cjk" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-      val mixed = concat(col("text"), lit(" 你好世界 abc漢字です test"))
-      d.select(
-        col("doc_id"),
-        TextFunctions.tokenCountCjk(mixed).as("cjk_tokens"),
-        round(TextFunctions.symbolToWordRatio(mixed, cjkAware = true), 4)
-          .as("symbol_ratio"),
-        round(TextFunctions.alphaWordRatio(mixed, cjkAware = true), 4)
-          .as("alpha_ratio"),
-        TextFunctions.gopherStructuralPass(mixed, cjkAware = true).as("keep"),
-        TextFunctions.qualityScore(mixed, cjkAware = true).as("quality")
-      ).orderBy("doc_id")
-    }),
-
-    "token_count" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-      d.select(
-        col("doc_id"),
-        TextFunctions.tokenCount(col("text")).as("ws_tokens"),
-        TextFunctions.bpeishTokenCount(col("text")).as("bpeish_tokens"),
-        TextFunctions.charCount(col("text")).as("n_chars")
-      ).orderBy("doc_id")
-    }),
-
-    // ---- vocabulary-driven SUBWORD token count (WordPiece greedy
-    //      longest-match, ##-marked continuations, per-codepoint UNK
-    //      fallback): pure deterministic string/integer work, so the
-    //      oracle replays the greedy loop as a recursive CTE over the
-    //      DISTINCT words (bounded: word length iterations per word)
-    "subword_count" -> ((s, dir) => {
-      val d = t(s, dir, "documents").filter(col("doc_id") < 1000)
-      d.select(col("doc_id"),
-          TextFunctions.tokenCountSubword(col("text"), subwordGateVocab)
-            .as("subword_tokens"),
-          TextFunctions.tokenCount(col("text")).as("ws_tokens"))
-        .orderBy("doc_id")
-    }),
-
-    // ---- packing under a SUBWORD budget: the pack_by_budget chain with
-    //      the model-vocab counter plugged in (the counter a training
-    //      pipeline actually budgets in — whitespace counts misprice
-    //      context windows); same concat-and-chunk rule per source
-    "pack_by_budget_subword" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"), col("source"),
-        TextFunctions.tokenCountSubword(col("text"), subwordGateVocab)
-          .as("n_sub"))
-      Packing.packByTokenBudget(d, col("n_sub"), "doc_id", budget = 512L,
-          strataCols = Seq("source"))
-        .select(col("doc_id"), col("source"), col("n_sub"),
-          col("pack_id"), col("pack_offset"))
-        .orderBy("doc_id")
-    }),
-
-    // ---- registered-domain extraction (public-suffix rules): host
-    //      parse + most-labels suffix resolution over deterministic
-    //      synthetic URLs both engines construct identically; pure
-    //      string work, oracle replays it with one regex + list slicing
-    "domain_extract" -> ((s, dir) => {
-      val d = t(s, dir, "documents").filter(col("doc_id") < 1000)
-        .withColumn("url", expr(domainGateUrlSql))
-      d.select(col("doc_id"), col("url"),
-          DomainFunctions.urlHost(col("url")).as("host"),
-          DomainFunctions.registeredDomain(col("url"), domainGateRules)
-            .as("domain"))
-        .orderBy("doc_id")
-    }),
-
-    // ---- per-domain curation: blocklist drop (unattributable hosts
-    //      conservatively dropped too) composed with the per-group
-    //      quota cap (graft_bottomk — k-bounded heap, no whole-domain
-    //      window)
-    "domain_filter" -> ((s, dir) => {
-      val d = t(s, dir, "documents").withColumn("url", expr(domainGateUrlSql))
-      val kept = DomainFunctions.dropBlockedDomains(
-        d, "url", domainGateRules, domainGateBlocklist)
-      Sampling.quotaPerGroup(kept, "doc_id", "domain", "doc_id", n = 10)
-        .orderBy("domain", "rank")
-    }),
-
-    // ---- URL-level exact dedup (the C4 dedup key): three raw
-    //      spellings per canonical URL collapse to the min doc_id;
-    //      canonicalization is pure string work the oracle replays with
-    //      two regexes
-    "url_dedup" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-        .withColumn("url", expr(urlDedupUrlSql))
-        .select(col("doc_id"), col("url"))
-      DomainFunctions.dedupByUrl(d, "url", "doc_id")
-        .select(col("doc_id"), col("canonical_url"))
-        .orderBy("doc_id")
-    }),
-
-    // ---- corpus composition by registered domain: per-domain doc and
-    //      token mass + exact ppm share (HALF_UP integer kernel); the
-    //      grand total rides a window over the ≤#domains histogram
-    //      rows, never a second corpus pass
-    "domain_composition" -> ((s, dir) => {
-      val d = t(s, dir, "documents").withColumn("url", expr(domainGateUrlSql))
-      DomainFunctions.domainComposition(
-        d, "url", TextFunctions.tokenCount(col("text")), domainGateRules)
-    }),
-
-    // ---- C4 line-level cleaning (the public C4 recipe): keep lines
-    //      with ≥3 words ending in terminal punctuation; doc drops on
-    //      lorem-ipsum / curly-brace / zero kept lines. The shared
-    //      c4GateTextSql fragment plants each rule's trigger
-    "c4_line_clean" -> ((s, dir) => {
-      val d = t(s, dir, "documents").filter(col("doc_id") < 2000)
-        .withColumn("_t", expr(c4GateTextSql))
-      val kept = TextFunctions.c4KeptLines(col("_t"), minWordsPerLine = 3)
-      d.select(
-          col("doc_id"),
-          array_join(kept, "\n").as("clean"),
-          size(kept).cast(LongType).as("kept_lines"),
-          size(split(col("_t"), "\n", -1)).cast(LongType).as("total_lines"),
-          TextFunctions.c4DocPass(col("_t"), kept, minKeptLines = 1)
-            .as("doc_pass"))
-        .orderBy("doc_id")
-    }),
-
-    // ---- BPE merge-candidate statistics: adjacent character pairs
-    //      weighted by the distinct-word histogram (the classic BPE
-    //      compression, distributed) — top-50 by (count desc, a, b)
-    //      through a TakeOrdered bounded heap
-    "bpe_pair_stats" -> ((s, dir) => {
-      val d = t(s, dir, "documents").filter(col("doc_id") < 2000)
-      Vocab.bpePairStats(d, "text", k = 50)
-    }),
-
-    // ---- one APPLIED BPE merge round: the winning pair merges
-    //      (leftmost-nonoverlapping substring replace — the BPE tie
-    //      rule, identical in both engines) and the NEXT round's pair
-    //      stats emit with the merged symbol spelled out
-    "bpe_merge_round2" -> ((s, dir) => {
-      val d = t(s, dir, "documents").filter(col("doc_id") < 2000)
-      Vocab.bpeNextPairStats(d, "text", k = 50)
-    }),
-
-    // ---- BPE ENCODE applied to the corpus: a frozen ranked merge
-    //      list (rank-order global replace — the trainer's own
-    //      leftmost-nonoverlapping tie rule) spells each word as
-    //      symbols and counts them. The serving-side closure of the
-    //      bpe_pair_stats / bpe_merge_round2 trainer loop: the merges
-    //      are the corpus's own top pairs, frozen as literals so both
-    //      engines fold the identical chain
-    "bpe_encode_count" -> ((s, dir) => {
-      val d = t(s, dir, "documents").filter(col("doc_id") < 2000)
-      d.select(col("doc_id"),
-          TextFunctions.tokenCount(col("text")).as("word_tokens"),
-          TextFunctions.bpeTokenCount(col("text"), bpeGateMerges)
-            .as("bpe_tokens"))
-        .orderBy("doc_id")
-    }),
-
-    // ---- tokenizer fertility per source: subword-to-word ratio (ppm)
-    //      under the frozen merge list — the "which domains does this
-    //      tokenizer tax" audit (multilingual pipelines balance budgets
-    //      in subwords, and fertility skew silently re-weights sources)
-    "tokenizer_fertility" -> ((s, dir) => {
-      val d = t(s, dir, "documents").filter(col("doc_id") < 2000)
-      d.select(col("source"),
-          TextFunctions.tokenCount(col("text")).as("_w"),
-          TextFunctions.bpeTokenCount(col("text"), bpeGateMerges).as("_b"))
-        .groupBy(col("source"))
-        .agg(sum(col("_w")).as("word_tokens"),
-          sum(col("_b")).as("bpe_tokens"))
-        .select(col("source"), col("word_tokens"), col("bpe_tokens"),
-          expr("CAST(bpe_tokens * 1000000 div greatest(word_tokens, 1L) AS BIGINT)")
-            .as("fertility_ppm"))
-        .orderBy("source")
-    }),
-
-    // ---- exact phrase search: rolling-fingerprint candidates (zero
-    //      corpus shuffle — the phrase hash is a driver-computed
-    //      literal) + collision-proof slice verify; the shared
-    //      dup-removal fragment plants the needle once on ≡1 docs and
-    //      twice on ≡2
-    "phrase_match" -> ((s, dir) => {
-      val d = t(s, dir, "documents").filter(col("doc_id") < 2000)
-        .select(col("doc_id"), expr(dupRemovalTextSql).as("_t"))
-      Retrieval.phraseMatch(d, "doc_id", "_t",
-          "gamma delta epsilon zeta eta theta")
-        .orderBy("doc_id")
-    }),
-
-    // ---- HLL distinct-count sketch per source over 3-gram shingles:
-    //      deterministic FNV registers (bucket = low 10 bits, ρ =
-    //      leading zeros + 1) replayable bit-for-bit by the oracle —
-    //      unlike approx_count_distinct's opaque sketch; raw estimate
-    //      in pure integers, exact distinct alongside for the audit
-    "hll_distinct" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-        .select(col("source"),
-          explode(array_distinct(TextFunctions.shingles(col("text"), 3))).as("_g"))
-      val est = Profile.hllEstimateRaw(d, "source", col("_g"))
-      val exact = d.select(col("source").as("group"), col("_g")).distinct()
-        .groupBy("group").agg(count(lit(1)).as("exact_distinct"))
-      est.join(exact, Seq("group"))
-        .select(col("group").as("source"), col("est_distinct"), col("exact_distinct"))
-        .orderBy("source")
-    }),
-
-    // ---- count-min sketch frequency audit: 4×1024 sum-merge cells
-    //      over corpus 3-gram counts; estimates for the top-10 exact
-    //      shingles carry the one-sided guarantee est ≥ exact — both
-    //      engines replay the cells from the shared FNV row-hashes
-    "cms_counts" -> ((s, dir) => {
-      val toks = t(s, dir, "documents")
-        .select(explode(TextFunctions.shingles(col("text"), 3)).as("_it"))
-      val sketch = Profile.cmsSketch(toks, col("_it"))
-      val exact = toks.groupBy(col("_it")).agg(count(lit(1)).as("exact_cnt"))
-      val top = exact.orderBy(col("exact_cnt").desc, col("_it")).limit(10)
-        .select(col("_it").as("item"), col("exact_cnt"))
-      Profile.cmsEstimates(sketch, top.select(col("item")))
-        .join(top, Seq("item"))
-        .select(col("item"), col("exact_cnt"), col("cms_est"))
-        .orderBy("item")
-    }),
-
-    // ---- count-min ON A STREAM: cells sum-merge across batches (NOT
-    //      idempotent — replay safety comes from the version guard
-    //      alone, the asymmetry vs hll_stream worth gating); final
-    //      state estimates equal the whole-corpus sketch, which the
-    //      batch oracle recomputes
-    "cms_stream" -> ((s, dir) => {
-      import graft.streaming.StreamingOps
-      val d = t(s, dir, "documents")
-        .select(col("doc_id"),
-          explode(TextFunctions.shingles(col("text"), 3)).as("_it"))
-      val work = java.nio.file.Files
-        .createTempDirectory("graft-cms-stream").toString
-      def step(pred: Column, b: Long): Unit =
-        StreamingOps.applyCmsBatch(s, d.filter(pred), b, col("_it"),
-          s"$work/state")
-      step(col("doc_id") < 200, 0L)
-      step(col("doc_id") >= 200, 1L)
-      step(col("doc_id") >= 200, 1L) // replay: the guard must no-op
-      val sketch = StreamingOps.readState(s, s"$work/state").get
-      val exact = d.groupBy(col("_it")).agg(count(lit(1)).as("exact_cnt"))
-      val top = exact.orderBy(col("exact_cnt").desc, col("_it")).limit(10)
-        .select(col("_it").as("item"), col("exact_cnt"))
-      Profile.cmsEstimates(sketch, top.select(col("item")))
-        .join(top, Seq("item"))
-        .select(col("item"), col("exact_cnt"), col("cms_est"))
-        .orderBy("item")
-    }),
-
-    // ---- MinHash/LSH near-dup index ON A STREAM: versioned signature
-    //      + band-posting state built over two batches (batch 1 replays
-    //      to prove the no-op guard), then queried with byte-identical
-    //      clones of 15 indexed docs, fingerprint-verified (full
-    //      signature overlap alone is not equality under containment —
-    //      the planted prefix fixtures collide at all 16 slots), which
-    //      is exactly the text-equality join the oracle recomputes
-    "minhash_index_stream" -> ((s, dir) => {
-      import graft.streaming.StreamingOps
-      val d = t(s, dir, "documents").filter(col("doc_id") < 500)
-        .select(col("doc_id"), col("text"))
-      val work = java.nio.file.Files
-        .createTempDirectory("graft-mh-index").toString
-      def step(pred: Column, b: Long): Unit =
-        StreamingOps.applyMinhashIndexBatch(s, d.filter(pred), b,
-          "doc_id", "text", numHashes = 16, bands = 4, s"$work/state")
-      step(col("doc_id") < 250, 0L)
-      step(col("doc_id") >= 250, 1L)
-      step(col("doc_id") >= 250, 1L)
-      val q = d.filter(col("doc_id") < 15)
-        .select((col("doc_id") + 1000000L).as("qid"), col("text"))
-      StreamingOps.queryMinhashIndex(s, s"$work/state", q, "qid", "text",
-          numHashes = 16, bands = 4, minOverlap = 16, exactVerify = true)
-        .orderBy("query_id", "id")
-    }),
-
-    // ---- streaming entity resolution (round-10 verdict #5): batch 0
-    //      commits the base corpus's gram store + canonical labels;
-    //      batch 1 streams in clones and 80%-truncations whose setsim
-    //      pairs (restricted to new-touching candidates) must merge
-    //      into the COMMITTED components via star-edge re-propagation;
-    //      batch 1 replays to prove the version guard. Emitted table =
-    //      full canonical map, oracled through the proven batch CTE
-    //      chain over the union. Convergence: the fixture's components
-    //      are stars/triangles around their minimum (measured max
-    //      eccentricity-of-min = 1 at sf0.001/0.01/0.1, incremental
-    //      star-compressed form ≤ 2), so 4 rounds is a ≥2x margin on
-    //      BOTH schedules and both engines agree at the fixpoint
-    "er_stream" -> ((s, dir) => {
-      import graft.streaming.StreamingOps
-      val base = t(s, dir, "documents").filter(col("doc_id") < 1000)
-        .select(col("doc_id"), col("text"))
-      val clones = base.filter(col("doc_id") < 20)
-        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
-      val trunc = base.filter(col("doc_id") < 20)
-        .withColumn("_ts", TextFunctions.tokens(col("text")))
-        .select((col("doc_id") + 2000000L).as("doc_id"),
-          array_join(slice(col("_ts"), lit(1),
-            greatest(expr("(size(_ts) * 4) div 5"), lit(1)).cast("int")), " ")
-            .as("text"))
-      def pad(df: DataFrame): DataFrame = df.select(
-        lpad(col("doc_id").cast("string"), 8, "0").as("doc_id"), col("text"))
-      val work = java.nio.file.Files
-        .createTempDirectory("graft-er-stream").toString
-      // NOT handle-threaded: at gate scale the committed state's parquet
-      // re-reads are page-cached and column-pruned, and threading the
-      // in-memory handle measured ~1.5 s SLOWER at matched calibration
-      // (README round-14 measurements) — the handle is the
-      // larger-than-page-cache path, spec-pinned, not a gate win.
-      // NOT bucketed either: stateBuckets = Some(8) measured 13.4 s vs
-      // 9.9 plain at matched probes (round-15 A/B) — nine bucketed
-      // catalog-table writes cost more than the avoided state-side
-      // exchanges at this state size; the option exists for states that
-      // outgrow a batch (same scale argument as the dedup stores)
-      def step(b: DataFrame, id: Long): Unit =
-        StreamingOps.applyErBatch(s, b, id, "doc_id", "text",
-          shingleSize = 3, thresholdPpm = 500000L, lpaRounds = 4,
-          s"$work/state", s"$work/out")
-      step(pad(base), 0L)
-      step(pad(clones.union(trunc)), 1L)
-      step(pad(clones.union(trunc)), 1L) // replay no-op
-      s.read.parquet(s"$work/out/batch=1")
-        .select(col("node"), col("label"), col("is_canonical"))
-        .orderBy("node")
-    }),
-
-    // ---- ER SERVING: read-only entity lookup of incoming docs
-    //      (clones + truncations) against the COMMITTED state — no
-    //      LPA, no state rewrite, no commit. The state build is keyed
-    //      on the corpus file's identity and guarded by the version
-    //      pointer, so bench re-runs measure the serving path alone
-    //      (the one-time build amortizes to the first run; min-of-runs
-    //      is serving cost, the bm25_topk_indexed discipline applied
-    //      to the lifecycle/serving split)
-    "er_serve" -> ((s, dir) => {
-      import graft.streaming.StreamingOps
-      val base = t(s, dir, "documents").filter(col("doc_id") < 1000)
-        .select(col("doc_id"), col("text"))
-      val clones = base.filter(col("doc_id") < 20)
-        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
-      val trunc = base.filter(col("doc_id") < 20)
-        .withColumn("_ts", TextFunctions.tokens(col("text")))
-        .select((col("doc_id") + 2000000L).as("doc_id"),
-          array_join(slice(col("_ts"), lit(1),
-            greatest(expr("(size(_ts) * 4) div 5"), lit(1)).cast("int")), " ")
-            .as("text"))
-      def pad(df: DataFrame): DataFrame = df.select(
-        lpad(col("doc_id").cast("string"), 8, "0").as("doc_id"), col("text"))
-      val src = new java.io.File(s"$dir/documents.parquet")
-      // cache key = corpus identity + EVERY gate parameter that shapes
-      // the committed state (shingle/threshold/lpa/filter/pad) — a
-      // parameter edit must invalidate the cache, or serving would be
-      // compared against a mismatched store
-      val work = new java.io.File(System.getProperty("java.io.tmpdir"),
-        s"graft_er_serve_${src.length}_${src.lastModified}" +
-          "_sh3_t500000_lpa4_f1000_p8").toString
-      if (StreamingOps.currentVersionId(s, s"$work/state").isEmpty)
-        StreamingOps.applyErBatch(s, pad(base), 0L, "doc_id", "text",
-          shingleSize = 3, thresholdPpm = 500000L, lpaRounds = 4,
-          s"$work/state", s"$work/out")
-      StreamingOps.erResolve(s, pad(clones.union(trunc)), "doc_id", "text",
-          shingleSize = 3, thresholdPpm = 500000L, s"$work/state")
-        .orderBy("node")
-    }),
-
-    // ---- streaming ER, EXACT components: sliding 8-token windows
-    //      (step 2) of each base doc form a J = 0.5 similarity CHAIN —
-    //      adjacent windows share 4 of 6 trigrams, non-adjacent fall
-    //      below threshold — split ACROSS the two batches (windows
-    //      0–2 then 3–5), so the cross-batch merge needs the
-    //      convergence-checked exact-components path (bounded 1-round
-    //      LPA would under-merge a diameter-5 chain; the spec pins
-    //      that). Labels are exact per-component minima, which the
-    //      oracle reproduces by min-propagating to a safe round bound
-    "er_stream_exact" -> ((s, dir) => {
-      import graft.streaming.StreamingOps
-      val base = t(s, dir, "documents").filter(col("doc_id") < 5)
-        .withColumn("_ts", TextFunctions.tokens(col("text")))
-      def win(kLo: Int, kHi: Int): DataFrame = base
-        .select(col("doc_id"),
-          explode(array((kLo to kHi).map(k => lit(k)): _*)).as("_k"),
-          col("_ts"))
-        .select(
-          lpad((col("doc_id") * lit(10) + col("_k")).cast("string"), 8, "0")
-            .as("doc_id"),
-          array_join(slice(col("_ts"), col("_k") * lit(2) + lit(1), lit(8)),
-            " ").as("text"))
-      val work = java.nio.file.Files
-        .createTempDirectory("graft-er-exact-stream").toString
-      def step(b: DataFrame, id: Long): Unit =
-        StreamingOps.applyErBatch(s, b, id, "doc_id", "text",
-          shingleSize = 3, thresholdPpm = 500000L, lpaRounds = 1,
-          s"$work/state", s"$work/out", exactComponents = true)
-      step(win(0, 2), 0L)
-      step(win(3, 5), 1L)
-      step(win(3, 5), 1L) // replay no-op
-      s.read.parquet(s"$work/out/batch=1")
-        .select(col("node"), col("label"), col("is_canonical"))
-        .orderBy("node")
-    }),
-
-    // ---- streaming IVF-PQ index: batch 0 trains + freezes cells (e6
-    //      of the 4 smallest-id vectors) and PQ codebooks (one exact
-    //      k-means step over batch 0 only); batch 1 encodes narrowly
-    //      and appends; batch 1 replays to prove the guard; the query
-    //      rides the committed cell-partitioned codes through the
-    //      physically-pruned probe. Oracle = the IVF-PQ CTE chain with
-    //      codebook training RESTRICTED to the batch-0 prefix
-    "ann_ivfpq_stream" -> ((s, dir) => {
-      import graft.streaming.StreamingOps
-      val emb = t(s, dir, "embeddings")
-      val work = java.nio.file.Files
-        .createTempDirectory("graft-ivfpq-stream-gate").toString
-      def step(pred: Column, b: Long): Unit =
-        StreamingOps.applyIvfPqIndexBatch(s, emb.filter(pred), b,
-          "vec_id", "embedding", c = 4, m = 4, s"$work/state")
-      step(col("vec_id") < 300, 0L)
-      step(col("vec_id") >= 300, 1L)
-      step(col("vec_id") >= 300, 1L)
-      val q = emb.filter(col("vec_id") < 3)
-        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      StreamingOps.queryIvfPqIndex(s, s"$work/state", q, "qid", "qvec",
-          "vec_id", k = 10, nprobe = 2)
-        .orderBy("query_id", "rank")
-    }),
-
-    // ---- streaming IVF-PQ index in RESIDUAL (IVFADC) space: batch 0
-    //      trains cells + residual-space codebooks (seeds = residuals
-    //      of rows c..2c−1 by id, the batch-gate convention) and
-    //      commits the space as the one-row `meta` artifact; batch 1
-    //      encodes residually against the frozen artifacts; the query
-    //      reads the space from `meta` — never from the caller — and
-    //      builds its LUTs per probed cell. Oracle = the residual CTE
-    //      chain with codebook training restricted to the batch-0
-    //      prefix
-    "ann_ivfpq_stream_residual" -> ((s, dir) => {
-      import graft.streaming.StreamingOps
-      val emb = t(s, dir, "embeddings")
-      val work = java.nio.file.Files
-        .createTempDirectory("graft-ivfpq-stream-res-gate").toString
-      def step(pred: Column, b: Long): Unit =
-        StreamingOps.applyIvfPqIndexBatch(s, emb.filter(pred), b,
-          "vec_id", "embedding", c = 4, m = 4, s"$work/state",
-          residual = true)
-      step(col("vec_id") < 300, 0L)
-      step(col("vec_id") >= 300, 1L)
-      step(col("vec_id") >= 300, 1L) // replay no-op
-      val q = emb.filter(col("vec_id") < 3)
-        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      StreamingOps.queryIvfPqIndex(s, s"$work/state", q, "qid", "qvec",
-          "vec_id", k = 10, nprobe = 2)
-        .orderBy("query_id", "rank")
-    }),
-
-    // ---- IVF-PQ codebook-drift monitor: cell-occupancy histograms vs
-    //      the batch-0 committed reference, exact scaled-L1 per batch.
-    //      Batch 1 (the corpus's natural second half) sits under the
-    //      re-train threshold; batch 2 plants a DRIFTED feed — 50
-    //      copies of vector 0, all funneling into one cell — and trips
-    //      the flag; batch 2 then replays to prove idempotence
-    "pq_drift_stream" -> ((s, dir) => {
-      import graft.streaming.StreamingOps
-      val emb = t(s, dir, "embeddings")
-      val work = java.nio.file.Files
-        .createTempDirectory("graft-pqdrift-gate").toString
-      StreamingOps.applyIvfPqIndexBatch(s, emb.filter(col("vec_id") < 300),
-        0L, "vec_id", "embedding", c = 4, m = 4, s"$work/index")
-      def step(b: DataFrame, id: Long): Unit =
-        StreamingOps.applyPqDriftBatch(s, b, id, "vec_id", "embedding",
-          s"$work/index", s"$work/drift", s"$work/out",
-          retrainThresholdE9 = 750000000L)
-      step(emb.filter(col("vec_id") < 300), 0L)       // reference commits
-      step(emb.filter(col("vec_id") >= 300), 1L)      // natural feed
-      val drifted = emb.filter(col("vec_id") < 50)
-        .select((col("vec_id") + 10000L).as("vec_id"))
-        .crossJoin(broadcast(emb.filter(col("vec_id") === 0L)
-          .select(col("embedding"))))
-      step(drifted, 2L)
-      step(drifted, 2L)                               // replay no-op
-      val b1 = s.read.parquet(s"$work/out/batch=1").withColumn("batch", lit(1L))
-      val b2 = s.read.parquet(s"$work/out/batch=2").withColumn("batch", lit(2L))
-      b1.unionByName(b2)
-        .select(col("batch"), col("n_ref"), col("n_cur"), col("l1_e9"),
-          col("retrain"))
-        .orderBy("batch")
-    }),
-
-    // ---- EPOCHED IVF-PQ index — the retrain flag's consumer: batch 0
-    //      opens epoch 0; batch 1 re-delivers the same vectors under
-    //      new ids (occupancy identical → l1 = 0 → appends); batch 2
-    //      plants the drifted feed (50 copies of vector 0, one cell
-    //      takes all the mass → l1 ≈ 1.5e9 ≥ 5e8) and OPENS epoch 1
-    //      trained on itself; batch 2 replays (no-op); batch 3 repeats
-    //      the new distribution — the retrained epoch's own reference
-    //      absorbs it (l1 = 0, no re-trip). Output = the timeline
-    "pq_retrain_epoch" -> ((s, dir) => {
-      import graft.streaming.StreamingOps
-      val emb = t(s, dir, "embeddings")
-      val work = java.nio.file.Files
-        .createTempDirectory("graft-pqepoch-gate").toString
-      def step(b: DataFrame, id: Long): Unit =
-        StreamingOps.applyIvfPqEpochBatch(s, b, id, "vec_id", "embedding",
-          c = 4, m = 4, s"$work/state", s"$work/out",
-          retrainThresholdE9 = 500000000L)
-      def plant(offset: Long): DataFrame = emb.filter(col("vec_id") < 50)
-        .select((col("vec_id") + offset).as("vec_id"))
-        .crossJoin(broadcast(emb.filter(col("vec_id") === 0L)
-          .select(col("embedding"))))
-      step(emb.filter(col("vec_id") < 300), 0L)            // epoch 0 opens
-      step(emb.filter(col("vec_id") < 300)                 // stable re-keyed feed
-        .select((col("vec_id") + 5000L).as("vec_id"), col("embedding")), 1L)
-      step(plant(10000L), 2L)                              // trips → epoch 1
-      step(plant(10000L), 2L)                              // replay no-op
-      step(plant(20000L), 3L)                              // new normal appends
-      (0 to 3).map(i => s.read.parquet(s"$work/out/batch=$i")
-          .withColumn("batch", lit(i.toLong)))
-        .reduce(_ unionByName _)
-        .select(col("batch"), col("epoch"), col("n_ref"), col("n_cur"),
-          col("l1_e9"), col("retrained"))
-        .orderBy("batch")
-    }),
-
-    // ---- the composed-recall RECOVERY eval for the epoch stream: the
-    //      drifted corpus (every vec_id >= 300 squeezed into the 0.9
-    //      corner — exact double arithmetic both engines replay) trips
-    //      a retrain at batch 1; recall@10 of drifted queries, ground
-    //      truth = exact top-10 within the drifted set, against (a) the
-    //      FROZEN stream (batch-0 artifacts, drifted batch appended —
-    //      its codes collapse toward one code word) and (b) the
-    //      RETRAINED epoch (cells + codebooks from the drifted batch).
-    //      nprobe = c isolates pure code quality (the residual_recall
-    //      convention); both chains replay value-for-value in the
-    //      oracle. Gate-scale recovery numbers are recorded in README
-    "pq_retrain_recall" -> ((s, dir) => {
-      import graft.streaming.StreamingOps
-      import graft.operators.Similarity
-      val emb = t(s, dir, "embeddings")
-      def driftVec(c: Column): Column =
-        transform(c, x => x.cast("double") / lit(8.0d) + lit(0.9d))
-      val raw0 = emb.filter(col("vec_id") < 300)
-      // fixed 200-vector drifted slice: the recovery margin is a
-      // corpus-density property (m = 4 quantization over a squeezed
-      // cloud), so the eval corpus stays scale-invariant
-      val drifted = emb.filter(col("vec_id") >= 300 && col("vec_id") < 500)
-        .select((col("vec_id") + 10000L).as("vec_id"),
-          driftVec(col("embedding")).as("embedding"))
-      val work = java.nio.file.Files
-        .createTempDirectory("graft-pqretrain-recall").toString
-      StreamingOps.applyIvfPqIndexBatch(s, raw0, 0L, "vec_id", "embedding",
-        c = 4, m = 4, s"$work/frozen")
-      StreamingOps.applyIvfPqIndexBatch(s, drifted, 1L, "vec_id", "embedding",
-        c = 4, m = 4, s"$work/frozen")
-      def step(b: DataFrame, id: Long): Unit =
-        StreamingOps.applyIvfPqEpochBatch(s, b, id, "vec_id", "embedding",
-          c = 4, m = 4, s"$work/state", s"$work/out",
-          retrainThresholdE9 = 500000000L)
-      step(raw0, 0L)
-      step(drifted, 1L) // measured l1 1.35–1.49e9 across SFs → epoch 1
-      val q = emb.filter(col("vec_id") < 3)
-        .select(col("vec_id").as("qid"), driftVec(col("embedding")).as("qvec"))
-      val frozen = Similarity.ivfPqRecallE6(drifted, "vec_id", "embedding",
-          s"$work/frozen/codes/v" +
-            StreamingOps.currentVersionId(s, s"$work/frozen/codes").get,
-          StreamingOps.readState(s, s"$work/frozen/cells").get,
-          StreamingOps.readState(s, s"$work/frozen/codebooks").get,
-          q, "qid", "qvec", k = 10, nprobe = 4)
-        .withColumn("variant", lit("frozen"))
-      val e1 = s"$work/state/e1"
-      val retrained = Similarity.ivfPqRecallE6(drifted, "vec_id", "embedding",
-          s"$e1/codes/v0",
-          StreamingOps.readState(s, s"$e1/cells").get,
-          StreamingOps.readState(s, s"$e1/codebooks").get,
-          q, "qid", "qvec", k = 10, nprobe = 4)
-        .withColumn("variant", lit("retrained"))
-      frozen.unionByName(retrained).orderBy("variant", "query_id")
-    }),
-
-    // ---- the epoch stream's documented OFFLINE step, exercised: a
-    //      retrained epoch's corpus is only the data since its birth —
-    //      pre-drift documents are invisible to it until the explicit
-    //      backfill re-encodes their ORIGINAL vectors into the epoch's
-    //      space (codes are stored, floats are not — history must come
-    //      from the caller's corpus). Top-3 ADC rows for 3 raw queries
-    //      against epoch 1 BEFORE the backfill (pinned codes v0 —
-    //      drifted docs only) and AFTER (pre-drift ids retrievable);
-    //      the second backfill call proves replay idempotence (0 rows).
-    //      nprobe = c so the oracle replays pure code arithmetic
-    "pq_epoch_backfill" -> ((s, dir) => {
-      import graft.streaming.StreamingOps
-      import graft.operators.Similarity
-      val emb = t(s, dir, "embeddings")
-      def driftVec(c: Column): Column =
-        transform(c, x => x.cast("double") / lit(8.0d) + lit(0.9d))
-      val raw0 = emb.filter(col("vec_id") < 300)
-      val drifted = emb.filter(col("vec_id") >= 300 && col("vec_id") < 500)
-        .select((col("vec_id") + 10000L).as("vec_id"),
-          driftVec(col("embedding")).as("embedding"))
-      val work = java.nio.file.Files
-        .createTempDirectory("graft-pqbackfill-gate").toString
-      def step(b: DataFrame, id: Long): Unit =
-        StreamingOps.applyIvfPqEpochBatch(s, b, id, "vec_id", "embedding",
-          c = 4, m = 4, s"$work/state", s"$work/out",
-          retrainThresholdE9 = 500000000L)
-      step(raw0, 0L)
-      step(drifted, 1L) // trips → epoch 1 (drift-trained artifacts)
-      val e1 = s"$work/state/e1"
-      val cells = StreamingOps.readState(s, s"$e1/cells").get
-      val cb = StreamingOps.readState(s, s"$e1/codebooks").get
-      val q = emb.filter(col("vec_id") < 3)
-        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      val before = Similarity.ivfPqTopKE6(s"$e1/codes/v0", "vec_id", cells,
-          cb, q, "qid", "qvec", k = 3, nprobe = 4)
-        .withColumn("variant", lit("unbackfilled"))
-      val n1 = StreamingOps.backfillIvfPqEpoch(s, raw0, "vec_id",
-        "embedding", s"$work/state")
-      val n2 = StreamingOps.backfillIvfPqEpoch(s, raw0, "vec_id",
-        "embedding", s"$work/state")
-      require(n1 > 0L && n2 == 0L,
-        s"pq_epoch_backfill: expected (n, 0) backfill counts, got ($n1, $n2)")
-      val vAfter = StreamingOps.currentVersionId(s, s"$e1/codes").get
-      val after = Similarity.ivfPqTopKE6(s"$e1/codes/v$vAfter", "vec_id",
-          cells, cb, q, "qid", "qvec", k = 3, nprobe = 4)
-        .withColumn("variant", lit("backfilled"))
-      before.unionByName(after).orderBy("variant", "query_id", "rank")
-    }),
-
-    // ---- backfill ↔ LIVE epoch stream composition: drift opens epoch
-    //      1 in-stream, history backfills into it (high bits → 1), a
-    //      NEW stream batch then appends (low bits → 1 under the mask),
-    //      its replay no-ops against the masked guard, and a repeated
-    //      backfill no-ops against the id anti-join — the version
-    //      counter and the stream's batch arithmetic interleaving
-    //      safely is the CONTRACT this gate pins; the final index holds
-    //      history + drift batch + late batch exactly once each, and
-    //      the oracle replays the whole ADC surface over that union
-    "pq_epoch_stream_backfill" -> ((s, dir) => {
-      import graft.streaming.StreamingOps
-      import graft.operators.Similarity
-      val emb = t(s, dir, "embeddings")
-      def driftVec(c: Column): Column =
-        transform(c, x => x.cast("double") / lit(8.0d) + lit(0.9d))
-      val raw0 = emb.filter(col("vec_id") < 300)
-      val drifted = emb.filter(col("vec_id") >= 300 && col("vec_id") < 500)
-        .select((col("vec_id") + 10000L).as("vec_id"),
-          driftVec(col("embedding")).as("embedding"))
-      // the post-backfill stream batch: the SAME drifted distribution
-      // (so the epoch-1 drift monitor appends instead of re-retraining)
-      // over a disjoint id slice
-      val late = emb.filter(col("vec_id") >= 100 && col("vec_id") < 300)
-        .select((col("vec_id") + 20000L).as("vec_id"),
-          driftVec(col("embedding")).as("embedding"))
-      val work = java.nio.file.Files
-        .createTempDirectory("graft-pqinterleave-gate").toString
-      def step(b: DataFrame, id: Long): Unit =
-        StreamingOps.applyIvfPqEpochBatch(s, b, id, "vec_id", "embedding",
-          c = 4, m = 4, s"$work/state", s"$work/out",
-          retrainThresholdE9 = 500000000L)
-      step(raw0, 0L)
-      step(drifted, 1L) // trips → epoch 1
-      val n1 = StreamingOps.backfillIvfPqEpoch(s, raw0, "vec_id",
-        "embedding", s"$work/state")
-      require(n1 > 0L, s"pq_epoch_stream_backfill: backfill added $n1 rows")
-      step(late, 2L) // appends into e1 AFTER the backfill bumped high bits
-      val tl = s.read.parquet(s"$work/out/batch=2")
-        .select(col("epoch"), col("retrained")).head()
-      require(tl.getLong(0) == 1L && !tl.getBoolean(1),
-        s"pq_epoch_stream_backfill: batch 2 must APPEND to epoch 1, got $tl")
-      step(late, 2L) // replay: the masked low-bits guard must no-op
-      val e1 = s"$work/state/e1"
-      val v = StreamingOps.currentVersionId(s, s"$e1/codes").get
-      require((v >> 40) == 1L && (v & ((1L << 40) - 1)) == 1L,
-        s"pq_epoch_stream_backfill: codes version must be (backfills=1 | " +
-          s"batch=1), got $v")
-      // completed-backfill replay stays a no-op even after the stream
-      // advanced past it
-      val n2 = StreamingOps.backfillIvfPqEpoch(s, raw0, "vec_id",
-        "embedding", s"$work/state")
-      require(n2 == 0L,
-        s"pq_epoch_stream_backfill: replayed backfill must no-op, got $n2")
-      val cells = StreamingOps.readState(s, s"$e1/cells").get
-      val cb = StreamingOps.readState(s, s"$e1/codebooks").get
-      val q = emb.filter(col("vec_id") < 3)
-        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      Similarity.ivfPqTopKE6(s"$e1/codes/v$v", "vec_id", cells, cb, q,
-          "qid", "qvec", k = 3, nprobe = 4)
-        .orderBy("query_id", "rank")
-    }),
-
-    // ---- streaming vocabulary growth: seen-term fingerprint store +
-    //      token-count sentinel; per batch one cumulative (distinct,
-    //      tokens) pair plus the batch's novel-term increment — the
-    //      continuous Heaps monitor (new_terms → 0 flags a re-crawl
-    //      tail); batch 1 replays to prove the guard
-    "vocab_growth_stream" -> ((s, dir) => {
-      import graft.streaming.StreamingOps
-      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val work = java.nio.file.Files
-        .createTempDirectory("graft-vg-stream").toString
-      def step(pred: Column, b: Long): Unit =
-        StreamingOps.applyVocabGrowthBatch(s, d.filter(pred), b, "text",
-          s"$work/state", s"$work/out")
-      step(col("doc_id") < 250, 0L)
-      step(col("doc_id") >= 250, 1L)
-      step(col("doc_id") >= 250, 1L)
-      s.read.parquet(s"$work/out/batch=1")
-        .select(col("distinct_terms"), col("total_tokens"), col("new_terms"))
-    }),
-
-    // ---- streaming exact quantiles: cumulative value-histogram state,
-    //      per-batch merge + distributed selection over histogram rows;
-    //      after the final batch the emitted percentiles equal the
-    //      batch operator (and DuckDB quantile_cont) over everything
-    //      ingested — batch 1 replays to prove the no-op guard
-    "quantile_stream" -> ((s, dir) => {
-      import graft.streaming.StreamingOps
-      val d = t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
-      val work = java.nio.file.Files
-        .createTempDirectory("graft-quant-stream").toString
-      def step(pred: Column, b: Long): Unit =
-        StreamingOps.applyQuantileBatch(s, d.filter(pred), b, "n_chars",
-          Seq(0.25, 0.5, 0.75, 0.9), s"$work/state", s"$work/out")
-      step(col("doc_id") < 300, 0L)
-      step(col("doc_id") >= 300, 1L)
-      step(col("doc_id") >= 300, 1L)
-      s.read.parquet(s"$work/out/batch=1")
-        .select(col("prob"), col("value"), col("n"))
-        .orderBy("prob")
-    }),
-
-    // ---- per-group exactly-N sampling ON A STREAM: the stratified
-    //      reservoir — per-group bottom-k-by-hash state re-sampled with
-    //      each batch; final state equals the batch per-group sample of
-    //      everything (batch 1 replays to prove the no-op guard)
-    "sample_group_stream" -> ((s, dir) => {
-      import graft.streaming.StreamingOps
-      val d = t(s, dir, "documents").select(col("doc_id"), col("source"))
-      val work = java.nio.file.Files
-        .createTempDirectory("graft-sampleg-stream").toString
-      def step(pred: Column, b: Long): Unit =
-        StreamingOps.applySampleExactNPerGroupBatch(s, d.filter(pred), b,
-          "doc_id", "source", n = 4, salt = "bkg", s"$work/state")
-      step(col("doc_id") < 200, 0L)
-      step(col("doc_id") >= 200 && col("doc_id") < 350, 1L)
-      step(col("doc_id") >= 200 && col("doc_id") < 350, 1L)
-      step(col("doc_id") >= 350, 2L)
-      StreamingOps.readState(s, s"$work/state").get
-        .orderBy("source", "rank")
-    }),
-
-    // ---- cross-source overlap by SKETCH ALGEBRA: inclusion–exclusion
-    //      over max-merged HLL registers — pairwise shared-content
-    //      estimates from ONE corpus pass and a driver fold, where the
-    //      exact source_overlap_matrix pays a shingle pair join; raw
-    //      est_inter keeps the estimator's error bar visible
-    "hll_overlap_matrix" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-        .select(col("source"),
-          explode(array_distinct(TextFunctions.shingles(col("text"), 3))).as("_g"))
-      Profile.hllOverlapMatrix(d, "source", col("_g"))
-        .orderBy("src_a", "src_b")
-    }),
-
-    // ---- HLL ON A STREAM: registers max-merge (associative,
-    //      commutative, idempotent), so the versioned state equals the
-    //      batch sketch of everything after every prefix — the oracle
-    //      recomputes the whole-corpus estimate; batch 1 replays to
-    //      prove the no-op guard
-    "hll_stream" -> ((s, dir) => {
-      import graft.streaming.StreamingOps
-      val d = t(s, dir, "documents")
-        .select(col("doc_id"), col("source"),
-          explode(array_distinct(TextFunctions.shingles(col("text"), 3))).as("_g"))
-      val work = java.nio.file.Files
-        .createTempDirectory("graft-hll-stream").toString
-      def step(pred: Column, b: Long): Unit =
-        StreamingOps.applyHllBatch(s, d.filter(pred), b, "source", col("_g"),
-          s"$work/state")
-      step(col("doc_id") < 200, 0L)
-      step(col("doc_id") >= 200 && col("doc_id") < 350, 1L)
-      step(col("doc_id") >= 200 && col("doc_id") < 350, 1L)
-      step(col("doc_id") >= 350, 2L)
-      Profile.hllEstimateFromRegisters(
-          StreamingOps.readState(s, s"$work/state").get)
-        .select(col("group").as("source"), col("est_distinct"))
-        .orderBy("source")
-    }),
-
-    // ---- leakage-safe temporal split: train < day 20, 3-day buffer,
-    //      test ≥ day 23 (relative to the corpus's first day) — the
-    //      gap is a first-class label so the audit can SEE the buffer;
-    //      per-split counts and day ranges as the boundary audit
-    "temporal_split" -> ((s, dir) => {
-      val ev = events(s, dir).filter(col("ts").isNotNull)
-        .select(expr("unix_micros(ts) div 86400000000").as("day"))
-      val minDay = ev.agg(min(col("day"))).head().getLong(0)
-      Sampling.temporalSplit(ev, col("day"), minDay + 20L, minDay + 23L)
-        .groupBy("split")
-        .agg(count(lit(1)).as("n_rows"), min(col("day")).as("min_day"),
-          max(col("day")).as("max_day"))
-        .orderBy("split")
-    }),
-
-    // ---- padding-optimal length buckets: exact 1-D DP (Jenks/Fisher
-    //      with the padding cost) over the token-length histogram —
-    //      corpus work is ONE histogram aggregate, the DP is driver
-    //      metadata; boundaries register as a gate table so the oracle
-    //      audits the SAME buckets (padding = GPU-hours at scale)
-    "optimal_length_buckets" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-        .select(TextFunctions.tokenCount(col("text")).as("_n"))
-      val bounds = Packing.optimalLengthBucketBounds(d, col("_n"), numBuckets = 4)
-      GateTables.put("len_buckets", bounds.zipWithIndex
-        .map { case ((lo, hi), i) => s"($i, $lo, $hi)" }.mkString(",\n   "))
-      Packing.paddingReport(d, col("_n"), bounds)
-        .orderBy("bucket")
-    }),
-
-    // ---- EXACT set-similarity join (AllPairs/PPJoin prefix filter):
-    //      every pair with distinct-3-gram Jaccard ≥ 0.5, guaranteed
-    //      recall — candidates from the rarest-first prefix inverted
-    //      index + length filter, exact intersection verify; planted
-    //      exact clones (J = 1) and 4/5-truncated copies (J ≈ 0.8)
-    "setsim_pairs" -> ((s, dir) => {
-      val d = t(s, dir, "documents").filter(col("doc_id") < 1000)
-        .select(col("doc_id"), col("text"))
-      val clones = d.filter(col("doc_id") < 20)
-        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
-      val trunc = d.filter(col("doc_id") < 20)
-        .withColumn("_ts", TextFunctions.tokens(col("text")))
-        .select((col("doc_id") + 2000000L).as("doc_id"),
-          array_join(slice(col("_ts"), lit(1),
-            greatest(expr("(size(_ts) * 4) div 5"), lit(1)).cast("int")), " ")
-            .as("text"))
-      Dedup.setSimilarityJoinPairs(d.union(clones).union(trunc),
-          "doc_id", "text", shingleSize = 3, thresholdPpm = 500000L)
-        .orderBy("id_a", "id_b")
-    }),
-
-    // ---- unigram-LM Viterbi segmentation (SentencePiece-unigram
-    //      inference): globally-cheapest per-word segmentation under
-    //      integer piece costs, vs WordPiece's greedy longest match —
-    //      completes the tokenizer family (BPE / WordPiece / unigram);
-    //      per-doc cost+token sums, oracle unrolls the DP positions
-    "unigram_segment" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"),
-          explode(TextFunctions.tokens(lower(col("text")))).as("_w"))
-        .filter(length(col("_w")) <= 12)
-        .withColumn("_st", TextFunctions.unigramSegmentStats(col("_w"),
-          unigramGatePieces, unkCost = 1000L, maxWordLen = 12))
-      d.groupBy("doc_id")
-        .agg(sum(element_at(col("_st"), 1)).as("total_cost"),
-          sum(element_at(col("_st"), 2)).as("total_tokens"))
-        .orderBy("doc_id")
-    }),
-
-    // ---- corpus size matrix: the per-source accounting every budget
-    //      decision starts from — docs, chars, BYTES (what storage
-    //      bills), whitespace tokens, and BPE-ish subword tokens (what
-    //      context windows bill) in one aggregate pass
-    "corpus_size_matrix" -> ((s, dir) => {
-      t(s, dir, "documents").filter(col("source").isNotNull)
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(length(col("text"))).as("n_chars"),
-          sum(octet_length(col("text"))).as("n_bytes"),
-          sum(TextFunctions.tokenCount(col("text"))).as("n_tokens"),
-          sum(TextFunctions.bpeishTokenCount(col("text"))).as("n_bpeish"))
-        .orderBy("source")
-    }),
-
-    // ---- deterministic negative sampling: 5 negatives per anchor
-    //      (docs 0..19) from the doc_id<500 pool by largest pair-FNV —
-    //      each anchor draws an independent set; anchors broadcast,
-    //      pool streams once through bounded per-anchor heaps
-    "negative_sampling" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"))
-      Sampling.negativeSamples(
-          d.filter(col("doc_id") < 20), "doc_id",
-          d.filter(col("doc_id") < 500), "doc_id",
-          k = 5, salt = "neg")
-        .orderBy("anchor", "rank")
-    }),
-
-    // ---- χ²-distinctive terms per source: group-vs-rest contingency
-    //      per term, staged floor rational (no logs), top-5 per source
-    //      by (χ² desc, term) — the classical feature-selection stat
-    //      next to the TF-IDF-flavored distinctive_terms
-    "chi2_terms" -> ((s, dir) => {
-      Vocab.chiSquareTerms(t(s, dir, "documents"), "source", "text", k = 5)
-        .select(col("group").as("source"), col("term"), col("chi2_e6"), col("rank"))
-        .orderBy("source", "rank")
-    }),
-
-    // ---- composed ENTITY RESOLUTION: exact set-similarity pairs →
-    //      depth-4 min-label propagation over the (zero-padded) pair
-    //      graph → canonical = label holder. Bounded rounds keep the
-    //      composition replayable (the organic near-dup pairs make the
-    //      component structure a real graph, not just planted triples)
-    "pipeline_entity_resolution" -> ((s, dir) => {
-      val d = t(s, dir, "documents").filter(col("doc_id") < 1000)
-        .select(col("doc_id"), col("text"))
-      val clones = d.filter(col("doc_id") < 20)
-        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
-      val trunc = d.filter(col("doc_id") < 20)
-        .withColumn("_ts", TextFunctions.tokens(col("text")))
-        .select((col("doc_id") + 2000000L).as("doc_id"),
-          array_join(slice(col("_ts"), lit(1),
-            greatest(expr("(size(_ts) * 4) div 5"), lit(1)).cast("int")), " ")
-            .as("text"))
-      val pairs = Dedup.setSimilarityJoinPairs(d.union(clones).union(trunc),
-          "doc_id", "text", shingleSize = 3, thresholdPpm = 500000L)
-        .select(lpad(col("id_a").cast("string"), 8, "0").as("a"),
-          lpad(col("id_b").cast("string"), 8, "0").as("b"))
-      graft.operators.Graph.labelPropagationMin(pairs, "a", "b", rounds = 4)
-        .select(col("node"), col("label"), (col("node") === col("label")).as("is_canonical"))
-        .orderBy("node")
-    }),
-
-    // ---- sorted-neighborhood blocking (Hernández–Stolfo): rank by a
-    //      24-char normalized sort key through the two-level prefix,
-    //      pair within a rank window of 4, verify by fingerprint — the
-    //      ORDER-based complement to LSH blocking; planted clones sort
-    //      adjacent to their sources and pair inside the window
-    "sorted_neighborhood" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val planted = d.filter(col("doc_id") < 20)
-        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
-      Dedup.sortedNeighborhoodPairs(d.union(planted), "doc_id", "text",
-          keyLen = 24, window = 4)
-        .orderBy("id_a", "id_b")
-    }),
-
-    // ---- Benford first-digit audit per source: leading-digit
-    //      histogram of doc sizes vs the log₁₀(1+1/d) expectation —
-    //      the fabricated/copy-amplified-feed tripwire; digits via
-    //      string heads, expectations as driver literals, deviations
-    //      exact ppm integers
-    "benford_digits" -> ((s, dir) => {
-      Profile.benfordDeviation(t(s, dir, "documents"), "source", col("n_chars"))
-        .select(col("group").as("source"), col("digit"), col("cnt"),
-          col("freq_ppm"), col("dev_ppm"))
-        .orderBy("source", "digit")
-    }),
-
-    // ---- homoglyph-evasion dedup: planted clones swap Latin for
-    //      Cyrillic lookalikes and sprinkle zero-width spaces (byte
-    //      fingerprints all miss them); the confusable skeleton maps
-    //      them back, so exact-dedup pairing works unchanged —
-    //      bytes_differ pins that each pair really crossed a byte
-    //      difference. Pairs join on 8-byte skeleton fingerprints (the
-    //      dedup_exact shuffle discipline), never on text
-    "homoglyph_dedup" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val spoofed = d.filter(col("doc_id") < 30).select(
-        (col("doc_id") + 1000000L).as("doc_id"),
-        regexp_replace(translate(col("text"), "aeopcxy",
-            "\u0430\u0435\u043E\u0440\u0441\u0445\u0443"),
-          " ", " \u200B").as("text"))
-      val all = d.union(spoofed)
-      val sk = all.select(col("doc_id"),
-        xxhash64(TextFunctions.confusableSkeleton(col("text"))).as("_fp"))
-      val pairs = sk.select(col("_fp"), col("doc_id").as("id_a"))
-        .join(sk.select(col("_fp"), col("doc_id").as("id_b")), Seq("_fp"))
-        .filter(col("id_a") < col("id_b"))
-      pairs
-        .join(all.select(col("doc_id").as("id_a"), col("text").as("_ta")), Seq("id_a"))
-        .join(all.select(col("doc_id").as("id_b"), col("text").as("_tb")), Seq("id_b"))
-        .select(col("id_a"), col("id_b"),
-          (col("_ta") =!= col("_tb")).as("bytes_differ"))
-        .orderBy("id_a", "id_b")
-    }),
-
-    // ---- bloom semi-join reduction: the fact side filters through a
-    //      deterministic Bloom filter of the dim keys BEFORE any
-    //      exchange (SplitMix64 + Kirsch–Mitzenmacher probes; build
-    //      collects ≤ mBits distinct positions, never dim rows); the
-    //      exact join removes false positives, so the oracle is the
-    //      plain join — the bloom stage buys only I/O
-    "bloom_join" -> ((s, dir) => {
-      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
-      val c = t(s, dir, "customer")
-        .filter(col("c_mktsegment") === "BUILDING")
-        .select(col("c_custkey"), col("c_name"))
-      graft.engine.Partitioning
-        .bloomSemiJoin(o, c, "o_custkey", "c_custkey", mBits = 1 << 16, k = 7)
-        .select(col("o_orderkey"), col("o_custkey"), col("c_name"))
-        .orderBy("o_orderkey")
-    }),
-
-    // ---- blocklist phrase tagging: total overlap-counted substring
-    //      hits + distinct rules fired per doc, ONE Aho–Corasick pass
-    //      per row (O(text) regardless of list size — the shape that
-    //      survives a 10k-phrase production blocklist); nested
-    //      ("table" ⊂ "table part") and self-overlapping ("a a")
-    //      patterns exercise the automaton's output inheritance
-    "blocklist_phrases" -> ((s, dir) => {
-      val pats = Seq("table", "table part", "scan slow", "a a", "merge batch")
-      t(s, dir, "documents").select(col("doc_id"),
-          TextFunctions.multiPatternHits(col("text"), pats).as("total_hits"),
-          TextFunctions.multiPatternDistinct(col("text"), pats).as("rules_fired"))
-        .orderBy("doc_id")
-    }),
-
-    // ---- QUALITY-priority token quota: keep the BEST docs within each
-    //      source's token budget, not the earliest — the same two-level
-    //      quota machinery fed a composite numeric order key
-    //      (quality desc, id asc) instead of crawl order; here quality
-    //      = token count (longer docs first), budget 500 tokens/source
-    "quality_token_quota" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-        .withColumn("_nt", TextFunctions.tokenCount(col("text")))
-        .withColumn("_ord", expr("(100000L - _nt) * 1099511627776L + doc_id"))
-      Sampling.tokenQuotaPerGroup(d, "_ord", "source", col("_nt"), budget = 500L)
-        .select(col("source"),
-          expr("_ord % 1099511627776L").as("doc_id"),
-          col("n_tokens"), col("cum_tokens"), col("keep"))
-        .orderBy("source", "doc_id")
-    }),
-
-    // ---- burstiness monitor: Fano factor (variance/mean) of the daily
-    //      count series per event type — Poisson-like feeds sit near
-    //      1e6, batchy/bursty feeds far above; exact integers via
-    //      (n·Σx² − (Σx)²) div (n·Σx)
-    "burstiness_by_type" -> ((s, dir) => {
-      val ev = events(s, dir).filter(col("ts").isNotNull)
-        .select(col("event_type"),
-          expr("unix_micros(ts) div 86400000000").as("day"))
-        .groupBy("event_type", "day").agg(count(lit(1)).as("x"))
-      ev.groupBy("event_type")
-        .agg(count(lit(1)).as("n_periods"), sum(col("x")).as("total"),
-          sum(col("x") * col("x")).as("_sx2"))
-        .select(col("event_type"), col("n_periods"), col("total"),
-          expr("CAST((n_periods * _sx2 - total * total) * 1000000L div (n_periods * total) AS BIGINT)")
-            .as("fano_e6"))
-        .orderBy("event_type")
-    }),
-
-    // ---- per-domain TOKEN budget: crawl-order (doc_id) retention
-    //      while the domain's running token total stays ≤ 200 — the
-    //      token-mass sibling of domain_filter's doc-count cap; the
-    //      within-group prefix sums ride the two-level bucketed
-    //      machinery, never a whole-domain window
-    "domain_token_quota" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-        .withColumn("url", expr(domainGateUrlSql))
-        .withColumn("domain",
-          DomainFunctions.registeredDomain(col("url"), domainGateRules))
-        .filter(col("domain").isNotNull)
-      Sampling.tokenQuotaPerGroup(d, "doc_id", "domain",
-          TextFunctions.tokenCount(col("text")), budget = 200L)
-        .orderBy("doc_id")
-    }),
-
-    // ---- UniMax budget allocation: per-source token totals waterfill
-    //      under a 2-epoch cap, smallest-first, integer floor division
-    //      throughout. Token mass is planted exponentially skewed
-    //      (×2^(source_suffix mod 5)) so SOME sources epoch-cap and the
-    //      rolled-forward budget share-limits the rest — both branches
-    //      of the allocation rule are in the compared surface; the
-    //      total budget is half the (weighted) corpus so the shape
-    //      holds at every scale factor
-    "unimax_budget" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("source"),
-        (TextFunctions.tokenCount(col("text")) *
-          expr("shiftleft(CAST(1 AS BIGINT), CAST(substring(source, 4) AS INT) % 5)"))
-          .as("_nt"))
-      val total = d.agg(sum(col("_nt"))).head().getLong(0)
-      Sampling.unimaxBudgets(d, "source", col("_nt"),
-          totalBudget = math.max(1L, total / 2), maxEpochs = 2L)
-        .orderBy("source")
-    }),
-
-    // ---- UniMax APPLIED: the allocated per-source budgets cut the
-    //      corpus in crawl (doc_id) order via the per-group quota CASE
-    //      chain — the end-to-end "assemble the mix" step; per-source
-    //      kept docs and token mass are the compared surface
-    "unimax_mix" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"), col("source"),
-        (TextFunctions.tokenCount(col("text")) *
-          expr("shiftleft(CAST(1 AS BIGINT), CAST(substring(source, 4) AS INT) % 5)"))
-          .as("_nt"))
-      val total = d.agg(sum(col("_nt"))).head().getLong(0)
-      val budgets = Sampling.unimaxBudgets(d, "source", col("_nt"),
-          totalBudget = math.max(1L, total / 2), maxEpochs = 2L)
-        .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
-      Sampling.tokenQuotaPerGroupBudgets(d, "doc_id", "source",
-          col("_nt"), budgets)
-        .filter(col("keep"))
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("kept_docs"),
-          sum(col("n_tokens")).as("kept_tokens"))
-        .orderBy("source")
-    }),
-
-    // ---- fuzzy cross-corpus decontamination: MinHash near-dup flags
-    //      against a probe corpus (docs ≡0 mod 41 donate themselves as
-    //      probes — exact copies, threshold 1.0), fingerprint-verified
-    //      so signature collisions stay out of the compared surface
-    //      (the dedup_minhash_pairs convention)
-    "neardup_decontam" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val probes = d.filter(col("doc_id") % 41 === 0).select(col("text"))
-      val flags = Decontamination.nearDupFlags(d, "text", "doc_id",
-        probes, "text", numHashes = 16, bands = 8, threshold = 1.0)
-      val probeFp = d.filter(col("doc_id") % 41 === 0)
-        .select(TextFunctions.fingerprintXx(col("text")).as("_fp")).distinct()
-      val fps = d.select(col("doc_id"),
-        TextFunctions.fingerprintXx(col("text")).as("_fp"))
-      flags.join(fps, Seq("doc_id"))
-        .join(probeFp, Seq("_fp"), "left_semi")
-        .select(col("doc_id"), col("max_overlap"))
-        .orderBy("doc_id")
-    }),
-
-    // ---- deterministic corpus shuffle: a total, engine-reproducible
-    //      training-order permutation — rank under (signed FNV, key)
-    //      via hash-bucketed two-level ranks (no global sort; the sort
-    //      key IS a hash, so buckets are balanced at any skew)
-    "corpus_shuffle" -> ((s, dir) => {
-      val d = t(s, dir, "documents").filter(col("doc_id") < 2000)
-        .select(col("doc_id"))
-      Sampling.deterministicShuffle(d, "doc_id", salt = "shuffle")
-        .select(col("doc_id"), col("pos"))
-        .orderBy("pos")
-    }),
-
-    // ---- curriculum schedule: four exact n_chars quantile bands train
-    //      easy→hard, deterministic FNV shuffle inside each band; pos
-    //      is the 1-based global training position
-    "curriculum_order" -> ((s, dir) => {
-      val d = t(s, dir, "documents").filter(col("doc_id") < 2000)
-      Sampling.curriculumOrder(d, "doc_id", "n_chars", nBands = 4)
-        .orderBy("pos")
-    }),
-
-    // ---- exact-substring removal (the Lee et al. windowed
-    //      approximation): duplicated 10-token windows cut from all
-    //      but the first (id, start) occurrence, overlaps merged by
-    //      position coverage; the shared fragment plants cross-doc and
-    //      within-doc duplicated phrases
-    "dup_window_removal" -> ((s, dir) => {
-      val d = t(s, dir, "documents").filter(col("doc_id") < 1000)
-        .select(col("doc_id"), expr(dupRemovalTextSql).as("_t"))
-      Dedup.removeDuplicatedWindows(d, "doc_id", "_t", window = 10)
-        .orderBy("doc_id")
-    }),
-
-    // ---- streaming exact-substring removal: batch 0 establishes the
-    //      window-fingerprint store, batch 1 cuts against store AND
-    //      in-batch keepers, then replays into the version guard's
-    //      no-op branch; the oracle replays the two-batch protocol on
-    //      window strings
-    "window_dedup_stream" -> ((s, dir) => {
-      val d = t(s, dir, "documents").filter(col("doc_id") < 1000)
-        .select(col("doc_id"), expr(dupRemovalTextSql).as("_t"))
-      val work = java.nio.file.Files
-        .createTempDirectory("graft-windedup-gate").toString
-      val b0 = d.filter(col("doc_id") < 500)
-      val b1 = d.filter(col("doc_id") >= 500)
-      // stateBuckets: the production path — both per-batch joins read
-      // the committed store exchange-free
-      graft.streaming.StreamingOps.applyWindowDedupBatch(s, b0, 0L,
-        "_t", "doc_id", s"$work/state", s"$work/out", 10, Some(8))
-      graft.streaming.StreamingOps.applyWindowDedupBatch(s, b1, 1L,
-        "_t", "doc_id", s"$work/state", s"$work/out", 10, Some(8))
-      // crash-window replay: the guard must no-op, survivors stand
-      graft.streaming.StreamingOps.applyWindowDedupBatch(s, b1, 1L,
-        "_t", "doc_id", s"$work/state", s"$work/out", 10, Some(8))
-      s.read.parquet(s"$work/out")
-        .select(col("doc_id"), col("clean"), col("n_removed"))
-        .orderBy("doc_id")
-    }),
-
-    // ---- streaming per-source token budget: batch 0 consumes, batch 1
-    //      keeps only what the carried per-group consumed-token state
-    //      still allows, then a replayed batch 1 hits the version
-    //      guard's no-op branch; keys ascend across batches, so the
-    //      stream must equal the single-pass quota over the union
-    "token_quota_stream" -> ((s, dir) => {
-      val d = t(s, dir, "documents").filter(col("doc_id") < 2000)
-        .select(col("doc_id"), col("source"), col("text"))
-      val work = java.nio.file.Files
-        .createTempDirectory("graft-tquota-gate").toString
-      val b0 = d.filter(col("doc_id") < 500)
-      val b1 = d.filter(col("doc_id") >= 500)
-      def step(b: DataFrame, id: Long): Unit =
-        graft.streaming.StreamingOps.applyTokenQuotaBatch(s, b, id,
-          "source", "doc_id", TextFunctions.tokenCount(col("text")),
-          600L, s"$work/state", s"$work/out")
-      step(b0, 0L); step(b1, 1L); step(b1, 1L) // replay must no-op
-      s.read.parquet(s"$work/out")
-        .select(col("source"), col("doc_id"), col("n_tokens"),
-          col("cum_tokens"))
-        .orderBy("doc_id")
-    }),
-
-    // ---- C4 policy filters: sentence counting (terminal-punct runs)
-    //      + exact-token badword blocking; the fragment plants a
-    //      blocked token on ≡0 docs and extra sentences on ≡1, and
-    //      "classify" proves substring non-matching
-    "c4_policy_filters" -> ((s, dir) => {
-      val d = t(s, dir, "documents").filter(col("doc_id") < 2000)
-        .withColumn("_t", expr(
-          """CASE CAST(doc_id % 3 AS INT)
-            | WHEN 0 THEN text || ' verboten classify.'
-            | WHEN 1 THEN text || ' One more sentence here. And another one.'
-            | ELSE text
-            |END""".stripMargin))
-      val blocked = Seq("VERBOTEN", "forbiddenterm")
-      val bad = TextFunctions.hasBlockedWord(col("_t"), blocked)
-      val ns = TextFunctions.sentenceCount(col("_t"))
-      d.select(col("doc_id"), ns.as("n_sentences"), bad.as("has_blocked"),
-          (!bad && (ns >= 2L)).as("keep"))
-        .orderBy("doc_id")
-    }),
-
-    // ---- deterministic balanced sharding: shuffle order + exact
-    //      token prefix sums → shard = tape_pos div budget; the
-    //      two-level prefix carries token sums, no global window
-    "shard_by_budget" -> ((s, dir) => {
-      val d = t(s, dir, "documents").filter(col("doc_id") < 2000)
-        .select(col("doc_id"), col("text"))
-      Packing.shardByTokenBudget(d, "doc_id",
-          TextFunctions.tokenCount(col("text")), budget = 2000L,
-          salt = "shard")
-        .select(col("doc_id"), col("tape_pos"), col("shard"))
-        .orderBy("doc_id")
-    }),
-
-    // ---- span-level decontamination: probe docs (≡0 mod 37) donate
-    //      their lowercased 8-token windows; matching spans cut from
-    //      every doc (the probes themselves empty out), punctuation
-    //      kept so match positions align with the original tokens
-    "probe_overlap_removal" -> ((s, dir) => {
-      val d = t(s, dir, "documents").filter(col("doc_id") < 1000)
-        .select(col("doc_id"), col("text"))
-      val probes = t(s, dir, "documents")
-        .filter(col("doc_id") % 37 === 0).select(col("text"))
-      Decontamination.removeProbeOverlaps(
-          d, "doc_id", "text", probes, "text", window = 8)
-        .orderBy("doc_id")
-    }),
-
-    // ---- corpus snapshot diff: added/removed/changed/unchanged by
-    //      normalized-content fingerprint across two snapshots built
-    //      from the same shared rules (≡0 removed, ≡1 edited, ≡2
-    //      cloned under shifted ids)
-    "corpus_diff" -> ((s, dir) => {
-      val old = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val neu = old.filter(col("doc_id") % 10 =!= 0)
-        .withColumn("text",
-          when(col("doc_id") % 10 === 1,
-            concat(col("text"), lit(" changed marker"))).otherwise(col("text")))
-        .unionByName(old.filter(col("doc_id") % 10 === 2)
-          .select((col("doc_id") + 1000000L).as("doc_id"),
-            concat(lit("brand new doc "), col("text")).as("text")))
-      Snapshot.diff(old, neu, "doc_id", "text").orderBy("doc_id")
-    }),
-
-    // ---- token-budget truncation: first 16 whitespace tokens,
-    //      re-joined with single spaces (documented normalization);
-    //      n_kept is the min of the token count and the budget
-    "truncate_tokens" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-      d.select(
-        col("doc_id"),
-        TextFunctions.truncateToTokens(col("text"), 16).as("head16"),
-        least(TextFunctions.tokenCount(col("text")), lit(16L)).as("n_kept")
-      ).orderBy("doc_id")
-    }),
-
-    // ---- within-doc duplicate-line removal: the gate doubles every
-    //      doc (text\ntext — the corpus has no natural intra-doc dup
-    //      lines) so the first-occurrence fold does real work; the
-    //      oracle keeps lines whose first list_position equals their
-    //      index — the same first-occurrence rule
-    "dedup_lines_in_doc" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-      val doubled = concat(col("text"), lit("\n"), col("text"))
-      d.select(
-        col("doc_id"),
-        TextFunctions.dedupLinesInDoc(doubled).as("clean")
-      ).orderBy("doc_id")
-    }),
-
-    // ---- CJK-robust token count: each CJK codepoint counts as one
-    //      token, Latin runs count once. The gate APPENDS a fixed mixed
-    //      CJK/Latin suffix to every doc (the synthetic corpus is
-    //      Latin-only), so the CJK arithmetic is really exercised; the
-    //      oracle mirrors the rule with explicit-range RE2 classes
-    "token_count_cjk" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-      val mixed = concat(col("text"), lit(" 你好世界 abc漢字です test"))
-      d.select(
-        col("doc_id"),
-        TextFunctions.tokenCountCjk(mixed).as("cjk_tokens"),
-        TextFunctions.tokenCountCjk(col("text")).as("plain_tokens"),
-        TextFunctions.tokenCount(col("text")).as("ws_tokens")
-      ).orderBy("doc_id")
-    }),
-
-    // ---- text shape: mean token length (fluency proxy) + character
-    //      5-gram shingle count/first over the normalized text — integer
-    //      sums divided in double, so both engines agree exactly
-    "text_shape" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-      val sh = TextFunctions.charShingles(col("text"), 5)
-      d.select(
-        col("doc_id"),
-        round(TextFunctions.meanTokenLen(col("text")), 4).as("mean_tok_len"),
-        size(sh).cast(LongType).as("n_5grams"),
-        element_at(sh, 1).as("first_5gram")
-      ).orderBy("doc_id")
-    }),
-
-    // ---- Flesch reading-ease as exact scaled integers: 206.835 −
-    //      1.015·(w/s) − 84.6·(syll/w), syllables ≈ vowel groups (the
-    //      standard countable approximation), each ratio a separate
-    //      trunc-div ×1000 — deterministic on both engines
-    "readability_scores" -> ((s, dir) => {
-      // the corpus is punctuation-free, so plant deterministic sentence
-      // breaks (every 7th token ends one) — the pii_redaction
-      // planted-span precedent
-      val planted = t(s, dir, "documents").select(col("doc_id"),
-        array_join(zip_with(
-          TextFunctions.tokens(col("text")),
-          sequence(lit(1), greatest(TextFunctions.tokenCount(col("text")).cast("int"), lit(1))),
-          (tok, i) => concat(tok, when(i % 7 === 0, lit(".")).otherwise(lit("")))
-        ), " ").as("text"))
-      val d = planted.select(col("doc_id"),
-        TextFunctions.tokenCount(col("text")).as("w"),
-        TextFunctions.sentenceCount(col("text")).as("sn"),
-        TextFunctions.patternCount(lower(col("text")), "[aeiouy]+").as("y"))
-      d.filter(col("w") > 0 && col("sn") > 0)
-        .select(col("doc_id"), col("w").as("words"),
-          col("sn").as("sentences"), col("y").as("syllables"),
-          expr("CAST(206835 - (1015 * w) div sn - (84600 * y) div w AS BIGINT)")
-            .as("flesch_e3"))
-        .orderBy("doc_id")
-    }),
-
-    // ---- repetition quality signals (the public Gopher/RefinedWeb rule
-    //      family): duplicate-line fraction + most-common token / 2-gram
-    //      dominance, all narrow one-pass per row
-    "text_repetition" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-      d.select(
-        col("doc_id"),
-        round(TextFunctions.duplicateLineFraction(col("text")), 4).as("dup_line_frac"),
-        TextFunctions.maxTokenFreq(col("text")).as("top_tok"),
-        round(TextFunctions.topTokenRatio(col("text")), 4).as("top_tok_ratio"),
-        round(TextFunctions.topNgramRatio(col("text"), 2), 4).as("top_2gram_ratio")
-      ).orderBy("doc_id")
-    }),
-
-    // ---- language-ID heuristic
-    "lang_id" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-      d.select(
-        col("doc_id"),
-        TextFunctions.langId(col("text")).as("pred_lang")
-      ).orderBy("doc_id")
-    }),
-
-    // ---- script-aware language ID: zh/ja/ko by codepoint class (marker
-    //      words can't see non-space-delimited languages), Latin falls
-    //      through to the marker heuristic. The gate splices CJK blocks
-    //      onto a short prefix of every 4th doc so each script branch is
-    //      really exercised against the oracle
-    "lang_id_script" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-      val zh = " 这是一段中文文本用于检测语言识别功能的正确性需要足够多的汉字"
-      val ja = " これはにほんごのテキストですかなもじがたくさんふくまれています"
-      val ko = " 이것은한국어텍스트입니다한글음절이충분히많이포함되어있습니다"
-      val mixed = when(col("doc_id") % 4 === 0, concat(substring(col("text"), 1, 20), lit(zh)))
-        .when(col("doc_id") % 4 === 1, concat(substring(col("text"), 1, 20), lit(ja)))
-        .when(col("doc_id") % 4 === 2, concat(substring(col("text"), 1, 20), lit(ko)))
-        .otherwise(col("text"))
-      d.select(col("doc_id"),
-        TextFunctions.langIdWithScript(mixed).as("pred_lang")).orderBy("doc_id")
-    }),
-
-    // ---- per-doc language purity: per-LINE langId majority + fraction.
-    //      The corpus is single-line, so the gate builds 3-line docs
-    //      (text, a French marker line, text) — non-fr docs land at
-    //      2/3 purity, fr docs at 1.0, and ties exercise the (cnt,
-    //      lang) struct-max tie-break the oracle mirrors
-    "lang_purity" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-      val mixed = concat(col("text"), lit("\nle la les des est\n"), col("text"))
-      TextFunctions.langPurity(
-          d.select(col("doc_id"), mixed.as("mix")), "doc_id", "mix")
-        .orderBy("doc_id")
-    }),
-
-    // ---- ANN: exact top-k by dot product, k-bounded two-stage reduction
-    //      (graft_topk aggregate — no all-rows window shuffle). Both
-    //      engines left-fold the elementwise double products (Spark
-    //      `aggregate`, DuckDB `list_sum`), so the doubles are bitwise-
-    //      reproducible.
-    "ann_topk_dot" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val q = emb.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-      Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, "query_id", "qv",
-          k = 10, metric = VectorFunctions.dot, scoreName = "dot")
-        .orderBy("query_id", "rank")
-    }),
-
-    // ---- partitioned sink roundtrip: Hive-style partition layout is the
-    //      at-scale routing sink (one directory per route/stratum, later
-    //      reads prune partitions — pruning plan-spec'd in PlanShapeSpec)
-    "partitioned_sink_roundtrip" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"), col("lang"))
-      val out = java.nio.file.Files.createTempDirectory("graft-partsink").toString
-      d.write.mode("overwrite").partitionBy("lang").parquet(out)
-      s.read.parquet(out)
-        .groupBy("lang")
-        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"))
-        .orderBy("lang")
-    }),
-
-    // ---- curation: top-k docs per stratum via the k-bounded graft_topk
-    //      aggregate (the shuffle carries ≤ k rows per source per
-    //      partition — a row_number window would shuffle every doc)
-    "top_docs_per_source" -> ((s, dir) => {
-      graft.plans.TopKAggregate.register(s)
-      val d = t(s, dir, "documents")
-      val scored = d.select(col("source"), col("doc_id"),
-        TextFunctions.tokenCount(col("text")).as("n_tokens"))
-      scored.groupBy("source")
-        .agg(call_function("graft_topk",
-          struct(col("n_tokens"), (-col("doc_id")).as("nid")), lit(3)).as("t"))
-        .select(col("source"), posexplode(col("t")).as(Seq("p", "e")))
-        .select(col("source"), (-col("e.nid")).as("doc_id"),
-          col("e.n_tokens").as("n_tokens"),
-          (col("p") + 1).cast(IntegerType).as("rank"))
-        .orderBy("source", "rank")
-    }),
-
-    // ---- sequence packing: concat-and-chunk token-budget packs per
-    //      source (window running sum — exact integer arithmetic, so the
-    //      DuckDB oracle reproduces every assignment)
-    "pack_by_budget" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"), col("source"),
-        TextFunctions.tokenCount(col("text")).as("n_tokens"))
-      Packing.packByTokenBudget(d, col("n_tokens"), "doc_id", budget = 512L,
-          strataCols = Seq("source"))
-        .select(col("doc_id"), col("source"), col("n_tokens"),
-          col("pack_id"), col("pack_offset"))
-        .orderBy("doc_id")
-    }),
-
-    // ---- length-bucketed batching (padding efficiency for UNPACKED
-    //      loaders): bucket by token-count range, batch bucket-mates in
-    //      deterministic id order — within-bucket ranks via the
-    //      two-level bucketed prefix (no whole-bucket window). Pure
-    //      integer assignment; the oracle recomputes it exactly
-    "length_bucket_batches" -> ((s, dir) => {
-      val d = t(s, dir, "documents").filter(col("doc_id") < 2000)
-      Packing.lengthBucketBatches(d, "doc_id", "text",
-          bucketWidth = 64, batchSize = 32)
-        .orderBy("doc_id")
-    }),
-
-    // ---- per-batch padding accounting over the same assignment:
-    //      pad_waste = max_tokens·n_docs − sum_tokens, all integers
-    "padding_waste" -> ((s, dir) => {
-      val d = t(s, dir, "documents").filter(col("doc_id") < 2000)
-      Packing.paddingWaste(
-          Packing.lengthBucketBatches(d, "doc_id", "text", 64, 32))
-        .orderBy("bucket", "batch_idx")
-    }),
-
-    // ---- outlier-length removal: keep docs inside the exact
-    //      [p5, p95] token-count band (Profile.bandFilter — the filter
-    //      twin of winsorize, riding the same distributed-selection
-    //      percentile machinery the profile gates prove)
-    "length_band_filter" -> ((s, dir) => {
-      val d = t(s, dir, "documents").filter(col("doc_id") < 2000)
-        .select(col("doc_id"),
-          TextFunctions.tokenCount(col("text")).as("n_tokens"))
-        .withColumn("_n", col("n_tokens").cast(DoubleType))
-      Profile.bandFilter(d, "_n", 0.05, 0.95)
-        .select(col("doc_id"), col("n_tokens"))
-        .orderBy("doc_id")
-    }),
-
-    // ---- corpus distribution drift (crawl-snapshot / source-mix shift
-    //      guard): per-bucket cross-normalized gap |a·N_b − c·N_a| over
-    //      the shared FNV bucket histograms — exact integers, no KL/ln;
-    //      top-20 divergent buckets, ties to the ascending bucket
-    "corpus_drift" -> ((s, dir) => {
-      val d = t(s, dir, "documents").filter(col("doc_id") < 2000)
-      ImportanceScoring.histogramDrift(
-          d.filter(col("source") === "src0"),
-          d.filter(col("source") =!= "src0"), "text")
-        .orderBy(col("gap").desc, col("bucket")).limit(20)
-    }),
-
-    // ---- corpus-level scaled L1 drift: Σgap/(N_a·N_b) ∈ [0,2] at 9dp
-    //      via the exact-integer HALF_UP division (retrieval convention)
-    "corpus_drift_l1" -> ((s, dir) => {
-      val d = t(s, dir, "documents").filter(col("doc_id") < 2000)
-      ImportanceScoring.l1Drift(ImportanceScoring.histogramDrift(
-        d.filter(col("source") === "src0"),
-        d.filter(col("source") =!= "src0"), "text"))
-    }),
-
-    // ---- STREAMING drift guard: batch 0 commits the src0 reference
-    //      histogram (versioned state, replayed as a no-op), batch 1
-    //      scores the rest against the COMMITTED reference (run TWICE —
-    //      the replay must pin v0 and overwrite bit-identically);
-    //      result read from the per-batch directory. Oracle is
-    //      corpus_drift's proven chain — the streaming path must equal
-    //      the batch operator exactly
-    "drift_stream" -> ((s, dir) => {
-      import graft.streaming.StreamingOps
-      val d = t(s, dir, "documents").filter(col("doc_id") < 2000)
-      val ref = d.filter(col("source") === "src0")
-      val nxt = d.filter(col("source") =!= "src0")
-      val work = java.nio.file.Files
-        .createTempDirectory("graft-drift-stream").toString
-      StreamingOps.applyDriftBatch(s, ref, 0L, "text", s"$work/state", s"$work/out")
-      StreamingOps.applyDriftBatch(s, ref, 0L, "text", s"$work/state", s"$work/out")
-      StreamingOps.applyDriftBatch(s, nxt, 1L, "text", s"$work/state", s"$work/out")
-      StreamingOps.applyDriftBatch(s, nxt, 1L, "text", s"$work/state", s"$work/out")
-      s.read.parquet(s"$work/out/batch=1")
-        .orderBy(col("gap").desc, col("bucket")).limit(20)
-    }),
-
-    // ---- streaming shift monitor: batch 0 commits the reference
-    //      n_chars histogram (replay no-ops), each later batch emits
-    //      exact KS + W1 against that frozen reference — the
-    //      "is today's feed still shaped like the reference" alert
-    "shift_stream" -> ((s, dir) => {
-      import graft.streaming.StreamingOps
-      val d = t(s, dir, "documents").filter(col("doc_id") < 2000)
-      val work = java.nio.file.Files
-        .createTempDirectory("graft-shift-stream").toString
-      StreamingOps.applyShiftBatch(s, d.filter(col("source") === "src0"), 0L,
-        "n_chars", s"$work/state", s"$work/out")
-      StreamingOps.applyShiftBatch(s, d.filter(col("source") === "src0"), 0L,
-        "n_chars", s"$work/state", s"$work/out")
-      StreamingOps.applyShiftBatch(s, d.filter(col("source") === "src1"), 1L,
-        "n_chars", s"$work/state", s"$work/out")
-      StreamingOps.applyShiftBatch(s, d.filter(col("source") === "src1"), 1L,
-        "n_chars", s"$work/state", s"$work/out")
-      StreamingOps.applyShiftBatch(s, d.filter(col("source") === "src2"), 2L,
-        "n_chars", s"$work/state", s"$work/out")
-      s.read.parquet(s"$work/out")
-        .select(col("batch").cast(LongType).as("batch"), col("n"),
-          col("n_ref"), col("ks_ppm"), col("w1_e6"))
-        .orderBy("batch")
-    }),
-
-    // ---- streaming IVF index: batch 0 trains + commits the quantizer
-    //      (replay no-ops), each batch appends assigned postings as a
-    //      committed version; the query runs against committed state
-    //      with nprobe = C so the result is EXACTLY brute force — the
-    //      oracle is the ann_ivf_topk brute-force cosine top-k
-    "ann_index_stream" -> ((s, dir) => {
-      import graft.streaming.StreamingOps
-      val emb = t(s, dir, "embeddings")
-        .select(col("vec_id").as("id"), col("embedding").as("vec"))
-      val work = java.nio.file.Files
-        .createTempDirectory("graft-ann-stream").toString
-      val even = emb.filter(col("id") % 2 === 0)
-      StreamingOps.applyAnnIndexBatch(s, even, 0L, "id", "vec", c = 4, s"$work/state")
-      StreamingOps.applyAnnIndexBatch(s, even, 0L, "id", "vec", c = 4, s"$work/state")
-      StreamingOps.applyAnnIndexBatch(s, emb.filter(col("id") % 2 === 1),
-        1L, "id", "vec", c = 4, s"$work/state")
-      val q = t(s, dir, "embeddings").filter(col("vec_id") < 3)
-        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      StreamingOps.queryAnnIndex(s, s"$work/state", q, "qid", "qvec",
-          "id", "vec", k = 10, nprobe = 4)
-        .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
-        .orderBy("query_id", "rank")
-    }),
-
-    // ---- UniMax ON A STREAM: the waterfill allocation enforced by the
-    //      per-group-budgets quota protocol over two crawl-order
-    //      batches (batch 1 replays to prove the no-op guard) — kept
-    //      rows across batches must equal the single-pass unimax_mix
-    //      cut, which is exactly what the oracle recomputes
-    "unimax_quota_stream" -> ((s, dir) => {
-      import graft.streaming.StreamingOps
-      val d = t(s, dir, "documents").select(col("doc_id"), col("source"),
-        (TextFunctions.tokenCount(col("text")) *
-          expr("shiftleft(CAST(1 AS BIGINT), CAST(substring(source, 4) AS INT) % 5)"))
-          .as("_nt"))
-      val total = d.agg(sum(col("_nt"))).head().getLong(0)
-      val budgets = Sampling.unimaxBudgets(d, "source", col("_nt"),
-          totalBudget = math.max(1L, total / 2), maxEpochs = 2L)
-        .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
-      val work = java.nio.file.Files
-        .createTempDirectory("graft-unimax-stream").toString
-      def step(pred: Column, b: Long): Unit =
-        StreamingOps.applyTokenQuotaBudgetsBatch(s, d.filter(pred), b,
-          "source", "doc_id", col("_nt"), budgets,
-          s"$work/state", s"$work/out")
-      step(col("doc_id") < 250, 0L)
-      step(col("doc_id") >= 250, 1L)
-      step(col("doc_id") >= 250, 1L)
-      s.read.parquet(s"$work/out")
-        .select(col("source"), col("doc_id"), col("n_tokens"), col("cum_tokens"))
-        .orderBy("doc_id")
-    }),
-
-    // ---- exactly-N sampling ON A STREAM: bottom-k-by-hash is a
-    //      mergeable summary (sample(A∪B) = sample(sample(A)∪B)), so
-    //      the versioned state — always ≤ n rows — re-samples
-    //      (state ∪ batch) each micro-batch; after the last batch the
-    //      state is bit-identical to the batch sampleExactN over
-    //      everything, which is exactly what the oracle recomputes
-    //      (batch 1 replays to prove the no-op guard)
-    "sample_stream" -> ((s, dir) => {
-      import graft.streaming.StreamingOps
-      val d = t(s, dir, "documents").select(col("doc_id"), col("lang"), col("source"))
-      val work = java.nio.file.Files
-        .createTempDirectory("graft-sample-stream").toString
-      def step(pred: Column, b: Long): Unit =
-        StreamingOps.applySampleExactNBatch(s, d.filter(pred), b, "doc_id",
-          n = 150, salt = "bk", s"$work/state")
-      step(col("doc_id") < 200, 0L)
-      step(col("doc_id") >= 200 && col("doc_id") < 350, 1L)
-      step(col("doc_id") >= 200 && col("doc_id") < 350, 1L)
-      step(col("doc_id") >= 350, 2L)
-      StreamingOps.readState(s, s"$work/state").get
-        .orderBy("doc_id")
-    }),
-
-    // ---- link-graph centrality: integer-scaled PageRank (3 rounds,
-    //      d=0.85) over the source-transition graph (edge per
-    //      consecutive doc_id pair) — the Common-Crawl-style domain
-    //      quality prior, exact BIGINT arithmetic end to end
-    "pagerank_sources" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"), col("source"))
-      val e = d.join(
-          d.select((col("doc_id") - 1).as("doc_id"), col("source").as("_dst")),
-          Seq("doc_id"))
-        .select(col("source").as("src"), col("_dst").as("dst"))
-      graft.operators.Graph.pageRankScaled(e, "src", "dst", iterations = 3)
-        .orderBy("node")
-    }),
-
-    // ---- depth-bounded k-core peeling, 3 rounds at k=2, over the
-    //      quadratic-residue doc-id graph (the source graph is a
-    //      2-regular ring — peeling there is all-or-nothing; the QR
-    //      graph's 1/2/3 degree mix gives a real peel cascade);
-    //      oracle unrolls the rounds
-    "kcore_peel" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"))
-      val e = d.select(
-          concat(lit("n"), (col("doc_id") % 41).cast("string")).as("src"),
-          concat(lit("n"),
-            ((col("doc_id") * col("doc_id") + 1) % 41).cast("string")).as("dst"))
-      graft.operators.Graph.kCoreBounded(e, "src", "dst", k = 2, rounds = 3)
-        .orderBy("node")
-    }),
-
-    // ---- personalized PageRank from src0 on the same graph: random
-    //      walk with restart — the "related domains" ranking relative
-    //      to a seed, exact ppb integers, oracle unrolls the rounds
-    "personalized_pagerank" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"), col("source"))
-      val e = d.join(
-          d.select((col("doc_id") - 1).as("doc_id"), col("source").as("_dst")),
-          Seq("doc_id"))
-        .select(col("source").as("src"), col("_dst").as("dst"))
-      graft.operators.Graph.personalizedPageRankScaled(e, "src", "dst",
-          seed = "src0", iterations = 3)
-        .orderBy("node")
-    }),
-
-    // ---- the OTHER Common-Crawl centrality on the same source graph:
-    //      depth-3 harmonic centrality, h(v) = Σ (1e6 div d) over nodes
-    //      reaching v within d ≤ 3 — exact BFS set algebra, pure
-    //      integers, oracle unrolls the levels
-    "harmonic_centrality" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"), col("source"))
-      val e = d.join(
-          d.select((col("doc_id") - 1).as("doc_id"), col("source").as("_dst")),
-          Seq("doc_id"))
-        .select(col("source").as("src"), col("_dst").as("dst"))
-      graft.operators.Graph.harmonicCentralityScaled(e, "src", "dst", maxDepth = 3)
-        .orderBy("node")
-    }),
-
-    // ---- composed centrality prior: all three link-quality signals on
-    //      the same source graph joined into one table, with an
-    //      equal-weight scale-aligned sum (rank_ppb div 1000 puts
-    //      PageRank on the ppm-ish scale of the other two) — the
-    //      quality-prior artifact a curation mixer consumes
-    "pipeline_centrality_prior" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"), col("source"))
-      val e = d.join(
-          d.select((col("doc_id") - 1).as("doc_id"), col("source").as("_dst")),
-          Seq("doc_id"))
-        .select(col("source").as("src"), col("_dst").as("dst"))
-        .localCheckpoint() // three consumers — compute the edge list once
-      val pr = graft.operators.Graph.pageRankScaled(e, "src", "dst", 3)
-      val hc = graft.operators.Graph.harmonicCentralityScaled(e, "src", "dst", 3)
-      val kz = graft.operators.Graph.katzCentralityScaled(e, "src", "dst", 3, 100000L)
-      pr.join(hc, Seq("node")).join(kz, Seq("node"))
-        .select(col("node"), col("rank_ppb"), col("harmonic_ppm"), col("katz_e6"),
-          expr("CAST(rank_ppb div 1000 + harmonic_ppm + katz_e6 AS BIGINT)")
-            .as("prior_e6"))
-        .orderBy("node")
-    }),
-
-    // ---- truncated Katz centrality on the same graph: every walk in,
-    //      attenuated a_k = (a_{k-1}·α) div 1e6 (driver-side exact
-    //      ladder, α = 0.1); multi-edges count as parallel walks
-    "katz_centrality" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"), col("source"))
-      val e = d.join(
-          d.select((col("doc_id") - 1).as("doc_id"), col("source").as("_dst")),
-          Seq("doc_id"))
-        .select(col("source").as("src"), col("_dst").as("dst"))
-      graft.operators.Graph.katzCentralityScaled(e, "src", "dst",
-          rounds = 3, alphaPpm = 100000L)
-        .orderBy("node")
-    }),
-
-    // ---- per-node triangle counts + local clustering coefficient on
-    //      the undirected simplification of the source graph — the
-    //      link-farm/mirror-ring signal next to the three centralities;
-    //      exact integers (coefficient = 2·t·1e6 div d(d−1))
-    "triangle_counts" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"), col("source"))
-      val e = d.join(
-          d.select((col("doc_id") - 1).as("doc_id"), col("source").as("_dst")),
-          Seq("doc_id"))
-        .select(col("source").as("src"), col("_dst").as("dst"))
-      graft.operators.Graph.triangleCountsScaled(e, "src", "dst")
-        .orderBy("node")
-    }),
-
-    // ---- depth-2 min-label propagation over the chain graph (edges
-    //      doc_id↔doc_id+1 where doc_id % 10 < 3, zero-padded ids so
-    //      string min = numeric min): after 2 rounds each node carries
-    //      the min id within distance 2, which the oracle states in
-    //      closed form — the bounded-rounds semantics that distinguish
-    //      LPA from full connected components
-    "label_propagation" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"))
-        .filter(col("doc_id") % 10 < 3)
-      // lpad 12, not 6: Spark's lpad TRUNCATES strings past the pad
-      // width, silently collapsing distinct ids >= 1e6 (sf1-sweep find)
-      val e = d.select(
-        lpad(col("doc_id").cast("string"), 12, "0").as("src"),
-        lpad((col("doc_id") + 1).cast("string"), 12, "0").as("dst"))
-      graft.operators.Graph.labelPropagationMin(e, "src", "dst", rounds = 2)
-        .orderBy("node")
-    }),
-
-    // ---- exact connected components: 16-node doc-id chains (diameter
-    //      15 — deep enough that the bounded-round LPA gate above could
-    //      not merge them) via convergence-checked min propagation with
-    //      pointer jumping; the converged labeling is the per-component
-    //      minimum, a pure graph property, so the oracle computes it in
-    //      closed form from the chain structure
-    "connected_components" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"))
-        .filter(col("doc_id") % 20 < 15)
-      // lpad 12, not 6: Spark's lpad TRUNCATES strings past the pad
-      // width, silently collapsing distinct ids >= 1e6 (sf1-sweep find)
-      val e = d.select(
-        lpad(col("doc_id").cast("string"), 12, "0").as("src"),
-        lpad((col("doc_id") + 1).cast("string"), 12, "0").as("dst"))
-      graft.operators.Graph.connectedComponentsMin(e, "src", "dst")
-        .orderBy("node")
-    }),
-
-    // ---- the SAME component query with the id dictionary FORCED
-    //      (dictThreshold = 1): every driver-scale graph is below the
-    //      2²¹ adaptive threshold, so without this gate the long-id
-    //      branch — the one every 100 TB run actually takes — would be
-    //      spec-pinned but never DuckDB-oracled. Identical oracle SQL;
-    //      value-identical to its string-branch twin by the
-    //      branch-equality contract
-    "connected_components_dict" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"))
-        .filter(col("doc_id") % 20 < 15)
-      val e = d.select(
-        lpad(col("doc_id").cast("string"), 12, "0").as("src"),
-        lpad((col("doc_id") + 1).cast("string"), 12, "0").as("dst"))
-      graft.operators.Graph.connectedComponentsMin(e, "src", "dst",
-          dictThreshold = 1L)
-        .orderBy("node")
-    }),
-
-    // ---- HyperBall ANF over a doc-id lattice (edges +1 and +3, ids
-    //      < 3000): per-node estimated out-ball sizes at depths 1..3
-    //      from propagated deterministic-FNV register banks, plus the
-    //      derived approximate harmonic — the SCALE PATH past exact
-    //      bounded BFS (state = one 64-byte bank per node at ANY depth,
-    //      never reachable pairs). Register merge ≡ ball union, so the
-    //      oracle replays every estimate bit-for-bit from unrolled
-    //      exact reachability
-    "anf_hyperball" -> ((s, dir) => {
-      graft.operators.Graph.anfHyperBall(anfLatticeEdges(s, dir), "src", "dst",
-          maxDepth = 3, m = 64)
-        .orderBy("node")
-    }),
-
-    // ---- the ANF headline reduction: estimated reachable-pair counts
-    //      N(t) per depth, each level's ppm share of N(3), and the 90%
-    //      effective diameter; everything after the per-node table is
-    //      metadata-sized (≤ maxDepth rows)
-    "anf_effective_diameter" -> ((s, dir) => {
-      val anf = graft.operators.Graph.anfHyperBall(anfLatticeEdges(s, dir),
-        "src", "dst", maxDepth = 3, m = 64)
-      graft.operators.Graph.effectiveDiameterFromAnf(anf, maxDepth = 3)
-    }),
-
-    // ---- deterministic uniform random walks on the same lattice: the
-    //      graph-embedding corpus generator (DeepWalk) — 2 walks × 4
-    //      steps per node, per-step entropy FNV-derived from (start,
-    //      walk, seed, step) so the oracle replays every pick; walks
-    //      terminate at dead ends (the lattice boundary)
-    "random_walks" -> ((s, dir) => {
-      graft.operators.Graph.randomWalks(anfLatticeEdges(s, dir), "src", "dst",
-          steps = 4, walksPerNode = 2)
-        .orderBy("start", "walk", "step")
-    }),
-
-    // ---- one-row structural profile of the lattice enriched with
-    //      backward edges (doc % 5 == 0 → doc−1, so reciprocity is
-    //      nonzero): size, reciprocity, dangling share, degree
-    //      extremes, and rank-based degree assortativity riding the
-    //      proven no-pair-join rank-correlation machinery
-    "graph_profile" -> ((s, dir) => {
-      val e = profileLatticeEdges(s, dir)
-        .select(col("a").cast("string").as("src"), col("b").cast("string").as("dst"))
-      graft.operators.Graph.graphProfile(e, "src", "dst")
-    }),
-
-    // ---- the STREAMING face of graph_profile: the versioned state is
-    //      the distinct directed edge set; three batches (one replayed
-    //      — the version guard must no-op) accumulate the same lattice
-    //      and the final batch's committed one-row profile equals the
-    //      batch operator on the full edge list, which the oracle
-    //      recomputes
-    "graph_profile_stream" -> ((s, dir) => {
-      import graft.streaming.StreamingOps
-      val e = profileLatticeEdges(s, dir).localCheckpoint()
-      val work = java.nio.file.Files
-        .createTempDirectory("graft-gprof-stream").toString
-      def step(pred: Column, b: Long): Unit =
-        StreamingOps.applyGraphProfileBatch(s, e.filter(pred), b, "a", "b",
-          s"$work/state", s"$work/out", Some(8)) // bucketed committed store
-      step(col("a") < 1000, 0L)
-      step(col("a") >= 1000 && col("a") < 2000, 1L)
-      step(col("a") >= 1000 && col("a") < 2000, 1L) // replay: must no-op
-      step(col("a") >= 2000, 2L)
-      s.read.parquet(s"$work/out/batch=2")
-    }),
-
-    // ---- second-order biased walks on the same lattice: node2vec
-    //      p = 4, q = 0.25 (the outward-exploring configuration) in
-    //      exact integer weights; every weighted pick replays in the
-    //      oracle's step-unrolled cumulative ladder
-    "node2vec_walks" -> ((s, dir) => {
-      graft.operators.Graph.node2vecWalks(anfLatticeEdges(s, dir), "src", "dst",
-          steps = 4, walksPerNode = 2, pPpm = 4000000L, qPpm = 250000L)
-        .orderBy("start", "walk", "step")
-    }),
-
-    // ---- bounded k-truss over the triangle-rich lattice (+1/+2/+3
-    //      edges): 3 peeling rounds at k = 4 drop every edge in fewer
-    //      than 2 triangles, recomputing support as the graph shrinks;
-    //      final support describes the OUTPUT subgraph
-    "ktruss_edges" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"))
-        .filter(col("doc_id") < 3000)
-      val ids = d.select(col("doc_id").as("b"))
-      val e = d.select(col("doc_id").as("a"), (col("doc_id") + 1).as("b"))
-        .unionByName(d.select(col("doc_id").as("a"), (col("doc_id") + 2).as("b")))
-        .unionByName(d.select(col("doc_id").as("a"), (col("doc_id") + 3).as("b")))
-        .join(ids, Seq("b"), "left_semi")
-        .select(col("a").cast("string").as("src"), col("b").cast("string").as("dst"))
-      graft.operators.Graph.kTrussBounded(e, "src", "dst", k = 4, rounds = 3)
-        .orderBy("u", "v")
-    }),
-
-    // ---- composed GRAPH-EMBEDDING PREP: node2vec walks → skip-gram
-    //      positives (weight = co-occurrence count) ∪ deterministic
-    //      FNV negatives (3 per sampled anchor, the negative_sampling
-    //      machinery) — the labeled training table an embedding run
-    //      consumes, end to end from the edge list
-    "pipeline_graph_embedding" -> ((s, dir) => {
-      val edges = anfLatticeEdges(s, dir).localCheckpoint()
-      val walks = graft.operators.Graph.node2vecWalks(edges, "src", "dst",
-        steps = 4, walksPerNode = 1, pPpm = 4000000L, qPpm = 250000L)
-      val pos = graft.operators.Graph.skipGramPairs(walks, window = 2)
-      val nodes = edges.select(col("src").as("node"))
-        .unionByName(edges.select(col("dst").as("node"))).distinct()
-      val anchors = nodes.filter(col("node").cast("long") % 7 === 0)
-      val neg = Sampling.negativeSamples(anchors, "node", nodes, "node",
-        k = 3, salt = "gemb")
-      pos.select(col("center"), col("context").as("other"),
-          lit(1L).as("label"), col("cnt").as("weight"))
-        .unionByName(neg.select(col("anchor").as("center"),
-          col("negative").as("other"), lit(0L).as("label"), lit(1L).as("weight")))
-        .orderBy("center", "label", "other")
-    }),
-
-    // ---- the trainer that CONSUMES that labeled table — the embedding
-    //      family's loop closed (walks → pairs → train → serve, the BPE
-    //      / k-means trainer-beside-serving convention): 2 full-batch
-    //      SGNS GD epochs in exact scaled integers (FNV init, word2vec
-    //      table sigmoid as a shared literal, native graft_elemsum
-    //      gradient merge), then per-anchor dot scores of the SAME
-    //      labeled pairs off the trained table — positives separate
-    //      from negatives, and every trained coordinate replays in the
-    //      oracle bit-for-bit
-    "embedding_train_sgns" -> ((s, dir) => {
-      val edges = anfLatticeEdges(s, dir).localCheckpoint()
-      val walks = graft.operators.Graph.node2vecWalks(edges, "src", "dst",
-        steps = 4, walksPerNode = 1, pPpm = 4000000L, qPpm = 250000L)
-      val pos = graft.operators.Graph.skipGramPairs(walks, window = 2)
-      val nodes = edges.select(col("src").as("node"))
-        .unionByName(edges.select(col("dst").as("node"))).distinct()
-      val anchors = nodes.filter(col("node").cast("long") % 7 === 0)
-      val neg = Sampling.negativeSamples(anchors, "node", nodes, "node",
-        k = 3, salt = "gemb")
-      val labeled = pos.select(col("center"), col("context").as("other"),
-          lit(1L).as("label"), least(col("cnt"), lit(1000L)).as("weight"))
-        .unionByName(neg.select(col("anchor").as("center"),
-          col("negative").as("other"), lit(0L).as("label"),
-          lit(1L).as("weight")))
-        .localCheckpoint() // trained on AND scored below
-      val emb = graft.operators.Graph.sgnsEpochs(labeled, dims = 8,
-        epochs = 2, lrPpm = 250000L, seed = "sg")
-      labeled.filter(col("center").cast("long") % 7 === 0)
-        .join(emb.select(col("node").as("center"), col("emb").as("_u")),
-          Seq("center"))
-        .join(emb.select(col("node").as("other"), col("emb").as("_v")),
-          Seq("other"))
-        .withColumn("_dot", aggregate(zip_with(col("_u"), col("_v"),
-          (a, b) => a * b), lit(0L), (acc, x) => acc + x))
-        .groupBy(col("center"), col("label"))
-        .agg(count(lit(1)).as("n_pairs"), sum(col("_dot")).as("sum_dot_e12"))
-        .orderBy("center", "label")
-    }),
-
-    // ---- the trained embeddings SERVED — the loop closed all the way
-    //      (walks → pairs → train → index → query): the sgnsEpochs
-    //      output (born e6 BIGINT, the IVF ops' native scale) feeds
-    //      ivfTopKExactE6 — cells = the 4 smallest nodes' trained
-    //      vectors, every vector home-assigned by the exact argmin,
-    //      anchor queries (node % 7 = 0) probe their 2 nearest cells,
-    //      exact squared-L2 top-5 — and DuckDB replays training AND
-    //      retrieval end to end
-    "pipeline_train_serve_embeddings" -> ((s, dir) => {
-      val edges = anfLatticeEdges(s, dir).localCheckpoint()
-      val walks = graft.operators.Graph.node2vecWalks(edges, "src", "dst",
-        steps = 4, walksPerNode = 1, pPpm = 4000000L, qPpm = 250000L)
-      val pos = graft.operators.Graph.skipGramPairs(walks, window = 2)
-      val nodes = edges.select(col("src").as("node"))
-        .unionByName(edges.select(col("dst").as("node"))).distinct()
-      val anchors = nodes.filter(col("node").cast("long") % 7 === 0)
-      val neg = Sampling.negativeSamples(anchors, "node", nodes, "node",
-        k = 3, salt = "gemb")
-      val labeled = pos.select(col("center"), col("context").as("other"),
-          lit(1L).as("label"), least(col("cnt"), lit(1000L)).as("weight"))
-        .unionByName(neg.select(col("anchor").as("center"),
-          col("negative").as("other"), lit(0L).as("label"),
-          lit(1L).as("weight")))
-      val emb = graft.operators.Graph.sgnsEpochs(labeled, dims = 8,
-          epochs = 2, lrPpm = 250000L, seed = "sg")
-        .localCheckpoint() // corpus, cells, and queries all read it
-      val cells = emb.orderBy(col("node").cast("long")).limit(4)
-        .select(col("node").cast("long").as("centroid_id"),
-          col("emb").as("centroid_e6"))
-      val queries = emb.filter(col("node").cast("long") % 7 === 0)
-      Similarity.ivfTopKExactE6(emb, "node", "emb", cells,
-          queries, "node", "emb", k = 5, nprobe = 2)
-        .orderBy("query_id", "rank")
-    }),
-
-    // ---- the same serve surface over the PHYSICAL layout: trained
-    //      vectors persisted partitionBy(centroid_id) (writeAssignedE6)
-    //      and queried through the literal-IN partition filter — value-
-    //      identical to the in-memory path (one oracle serves both, the
-    //      connected_components_dict convention); what changes is the
-    //      I/O: unprobed cell directories are never listed
-    "pipeline_train_serve_partitioned" -> ((s, dir) => {
-      val edges = anfLatticeEdges(s, dir).localCheckpoint()
-      val walks = graft.operators.Graph.node2vecWalks(edges, "src", "dst",
-        steps = 4, walksPerNode = 1, pPpm = 4000000L, qPpm = 250000L)
-      val pos = graft.operators.Graph.skipGramPairs(walks, window = 2)
-      val nodes = edges.select(col("src").as("node"))
-        .unionByName(edges.select(col("dst").as("node"))).distinct()
-      val anchors = nodes.filter(col("node").cast("long") % 7 === 0)
-      val neg = Sampling.negativeSamples(anchors, "node", nodes, "node",
-        k = 3, salt = "gemb")
-      val labeled = pos.select(col("center"), col("context").as("other"),
-          lit(1L).as("label"), least(col("cnt"), lit(1000L)).as("weight"))
-        .unionByName(neg.select(col("anchor").as("center"),
-          col("negative").as("other"), lit(0L).as("label"),
-          lit(1L).as("weight")))
-      val emb = graft.operators.Graph.sgnsEpochs(labeled, dims = 8,
-          epochs = 2, lrPpm = 250000L, seed = "sg")
-        .localCheckpoint()
-      val cells = emb.orderBy(col("node").cast("long")).limit(4)
-        .select(col("node").cast("long").as("centroid_id"),
-          col("emb").as("centroid_e6"))
-      val work = java.nio.file.Files
-        .createTempDirectory("graft-serve-part").toString
-      Similarity.writeAssignedE6(emb, "node", "emb", cells, work)
-      val queries = emb.filter(col("node").cast("long") % 7 === 0)
-      Similarity.ivfTopKExactE6Partitioned(work, "node", "emb", cells,
-          queries, "node", "emb", k = 5, nprobe = 2)
-        .orderBy("query_id", "rank")
-    }),
-
-    // ---- multi-rater consensus labeling: units = doc quartets, each
-    //      doc votes its length-bucket label — majority with ties to
-    //      the smallest label, vote share exact ppm; the annotation-QA
-    //      step that turns raw rating rows into trainable labels
-    "annotation_consensus" -> ((s, dir) => {
-      val r = t(s, dir, "documents")
-        .filter(col("doc_id") < 2000 && col("n_chars").isNotNull)
-        .select(expr("doc_id div 4").cast("string").as("unit"),
-          expr("(n_chars div 200) % 5").cast("string").as("label"))
-      Annotation.consensusLabels(r, "unit", "label").orderBy("unit")
-    }),
-
-    // ---- Krippendorff's alpha (nominal) over the same rating table:
-    //      chance-corrected agreement across variable rater counts —
-    //      exact integer marginals, the one rational step floored at e6
-    //      per unit, BigInt driver finish (the cohenKappa discipline)
-    "annotation_alpha" -> ((s, dir) => {
-      val r = t(s, dir, "documents")
-        .filter(col("doc_id") < 2000 && col("n_chars").isNotNull)
-        .select(expr("doc_id div 4").cast("string").as("unit"),
-          expr("(n_chars div 200) % 5").cast("string").as("label"))
-      Annotation.krippendorffAlphaNominalE6(r, "unit", "label")
-    }),
-
-    // ---- the INTERVAL form over numeric ratings (quality scores:
-    //      4-vs-5 disagrees far less than 1-vs-5, invisible to the
-    //      nominal form): moment arithmetic per unit, same e6-floored
-    //      normalization, BigInt driver finish
-    "annotation_alpha_interval" -> ((s, dir) => {
-      val r = t(s, dir, "documents")
-        .filter(col("doc_id") < 2000 && col("n_chars").isNotNull)
-        .select(expr("doc_id div 4").cast("string").as("unit"),
-          expr("(n_chars div 200) % 5").as("score"))
-      Annotation.krippendorffAlphaIntervalE6(r, "unit", "score")
-    }),
-
-    // ---- the ORDINAL form over the same rating table: Likert-style
-    //      ranks where distance is the squared coincidence-marginal
-    //      mass between the two ranks (Krippendorff 2004 §11.3) —
-    //      the ≤K² half-unit distance table is driver metadata, the
-    //      per-unit pair sums run in exact decimal
-    "annotation_alpha_ordinal" -> ((s, dir) => {
-      val r = t(s, dir, "documents")
-        .filter(col("doc_id") < 2000 && col("n_chars").isNotNull)
-        .select(expr("doc_id div 4").cast("string").as("unit"),
-          expr("(n_chars div 200) % 5").as("score"))
-      Annotation.krippendorffAlphaOrdinalE6(r, "unit", "score")
-    }),
-
-    // ---- per-RATER reliability over the same corpus: each doc slot
-    //      (doc_id % 4) acts as a rater; chance-corrected agreement
-    //      with the unit consensus flags the systematically-off slot
-    //      before its labels reach a reward model
-    "annotation_rater_reliability" -> ((s, dir) => {
-      val r = t(s, dir, "documents")
-        .filter(col("doc_id") < 2000 && col("n_chars").isNotNull)
-        .select(expr("doc_id div 4").cast("string").as("unit"),
-          expr("doc_id % 4").cast("string").as("rater"),
-          expr("(n_chars div 200) % 5").cast("string").as("label"))
-      Annotation.raterReliability(r, "unit", "rater", "label")
-        .orderBy("rater")
-    }),
-
-    // ---- pairwise-preference aggregation (the RLHF preference-data
-    //      step): Bradley–Terry strength ratings via 4 exact-integer MM
-    //      rounds over comparisons derived deterministically from the
-    //      corpus — consecutive docs compete, the longer text's SOURCE
-    //      wins — so the oracle replays every rating from the same log
-    "preference_bt" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-        .filter(col("doc_id") < 2000 && col("source").isNotNull &&
-          col("n_chars").isNotNull)
-        .select(col("doc_id"), col("source"), col("n_chars"))
-      val cmp = d.join(d.select((col("doc_id") - 1).as("doc_id"),
-          col("source").as("_s2"), col("n_chars").as("_n2")), Seq("doc_id"))
-        .filter(col("source") =!= col("_s2"))
-        .select(
-          when(col("n_chars") >= col("_n2"), col("source"))
-            .otherwise(col("_s2")).as("winner"),
-          when(col("n_chars") >= col("_n2"), col("_s2"))
-            .otherwise(col("source")).as("loser"))
-      Preference.bradleyTerryScaled(cmp, "winner", "loser", rounds = 4)
-        .orderBy("item")
-    }),
-
-    // ---- the DRAWS variant: length buckets (n_chars div 100) decide —
-    //      equal buckets are planted ties, credited half a win each way
-    //      in exact half-unit counts (decisive row = 2, tie = 1 per
-    //      orientation); the plain operator cannot express a draw at
-    //      all, and the oracle replays the half-unit MM verbatim
-    "preference_bt_ties" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-        .filter(col("doc_id") < 2000 && col("source").isNotNull &&
-          col("n_chars").isNotNull)
-        .select(col("doc_id"), col("source"),
-          col("n_chars").cast("long").as("n_chars"))
-      val cmp = d.join(d.select((col("doc_id") - 1).as("doc_id"),
-          col("source").as("_s2"), col("n_chars").as("_n2")), Seq("doc_id"))
-        .filter(col("source") =!= col("_s2"))
-        .select(expr("n_chars div 100").as("_ta"),
-          expr("_n2 div 100").as("_tb"), col("source"), col("_s2"))
-        .select(
-          when(col("_ta") >= col("_tb"), col("source"))
-            .otherwise(col("_s2")).as("winner"),
-          when(col("_ta") >= col("_tb"), col("_s2"))
-            .otherwise(col("source")).as("loser"),
-          (col("_ta") === col("_tb")).as("is_tie"))
-      Preference.bradleyTerryScaledWithTies(cmp, "winner", "loser",
-          "is_tie", rounds = 4)
-        .orderBy("item")
-    }),
-
-    // ---- the CONNECTIVITY diagnostic over PLANTED ISLANDS: items =
-    //      source + doc parity, comparisons only between same-parity
-    //      docs (d vs d+2) — the comparison graph splits in two by
-    //      construction, each island's ratings converge independently
-    //      under the clamp, and the per-item component id + spans_all
-    //      flag expose exactly which ratings are mutually comparable
-    "preference_bt_components" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-        .filter(col("doc_id") < 2000 && col("source").isNotNull &&
-          col("n_chars").isNotNull)
-        .select(col("doc_id"), col("source"),
-          col("n_chars").cast("long").as("n_chars"))
-      val cmp = d.join(d.select((col("doc_id") - 2).as("doc_id"),
-          col("source").as("_s2"), col("n_chars").as("_n2")), Seq("doc_id"))
-        .filter(col("source") =!= col("_s2"))
-        .withColumn("_p", (col("doc_id") % 2).cast("string"))
-        .select(
-          when(col("n_chars") >= col("_n2"),
-            concat(col("source"), lit("#"), col("_p")))
-            .otherwise(concat(col("_s2"), lit("#"), col("_p"))).as("winner"),
-          when(col("n_chars") >= col("_n2"),
-            concat(col("_s2"), lit("#"), col("_p")))
-            .otherwise(concat(col("source"), lit("#"), col("_p"))).as("loser"))
-      Preference.ratingsWithConnectivity(cmp, "winner", "loser", rounds = 4)
-        .orderBy("item")
-    }),
-
-    // ---- the STREAMING face of that aggregation: the same comparison
-    //      log split across two micro-batches through the versioned
-    //      oriented-count state (counts are additive — the merge is one
-    //      sum; raw comparisons never enter state), batch 1 replayed to
-    //      prove the guard; the final batch's ratings hash against the
-    //      BATCH oracle verbatim (the stream-vs-batch contract)
-    "preference_bt_stream" -> ((s, dir) => {
-      import graft.streaming.StreamingOps
-      val d = t(s, dir, "documents")
-        .filter(col("doc_id") < 2000 && col("source").isNotNull &&
-          col("n_chars").isNotNull)
-        .select(col("doc_id"), col("source"), col("n_chars"))
-      val cmp = d.join(d.select((col("doc_id") - 1).as("doc_id"),
-          col("source").as("_s2"), col("n_chars").as("_n2")), Seq("doc_id"))
-        .filter(col("source") =!= col("_s2"))
-        .select(col("doc_id"),
-          when(col("n_chars") >= col("_n2"), col("source"))
-            .otherwise(col("_s2")).as("winner"),
-          when(col("n_chars") >= col("_n2"), col("_s2"))
-            .otherwise(col("source")).as("loser"))
-        .localCheckpoint()
-      val work = java.nio.file.Files
-        .createTempDirectory("graft-bt-stream").toString
-      def step(b: DataFrame, id: Long): Unit =
-        StreamingOps.applyBtBatch(s, b, id, "winner", "loser", rounds = 4,
-          s"$work/state", s"$work/out")
-      step(cmp.filter(col("doc_id") < 1000), 0L)
-      step(cmp.filter(col("doc_id") >= 1000), 1L)
-      step(cmp.filter(col("doc_id") >= 1000), 1L) // replay no-op
-      s.read.parquet(s"$work/out/batch=1")
-        .select(col("item"), col("rating_e6"), col("wins"), col("comparisons"))
-        .orderBy("item")
-    }),
-
-    // ---- the STREAMING face of the ties variant: the same planted
-    //      length-bucket draws split across two batches — half-unit
-    //      counts stay additive, so the versioned state merge is
-    //      unchanged and the final ratings hash against the BATCH ties
-    //      oracle verbatim; batch 1 replays to prove the guard
-    "preference_bt_ties_stream" -> ((s, dir) => {
-      import graft.streaming.StreamingOps
-      val d = t(s, dir, "documents")
-        .filter(col("doc_id") < 2000 && col("source").isNotNull &&
-          col("n_chars").isNotNull)
-        .select(col("doc_id"), col("source"),
-          col("n_chars").cast("long").as("n_chars"))
-      val cmp = d.join(d.select((col("doc_id") - 1).as("doc_id"),
-          col("source").as("_s2"), col("n_chars").as("_n2")), Seq("doc_id"))
-        .filter(col("source") =!= col("_s2"))
-        .select(col("doc_id"), expr("n_chars div 100").as("_ta"),
-          expr("_n2 div 100").as("_tb"), col("source"), col("_s2"))
-        .select(col("doc_id"),
-          when(col("_ta") >= col("_tb"), col("source"))
-            .otherwise(col("_s2")).as("winner"),
-          when(col("_ta") >= col("_tb"), col("_s2"))
-            .otherwise(col("source")).as("loser"),
-          (col("_ta") === col("_tb")).as("is_tie"))
-        .localCheckpoint()
-      val work = java.nio.file.Files
-        .createTempDirectory("graft-bt-ties-stream").toString
-      def step(b: DataFrame, id: Long): Unit =
-        StreamingOps.applyBtBatch(s, b, id, "winner", "loser", rounds = 4,
-          s"$work/state", s"$work/out", tieCol = Some("is_tie"))
-      step(cmp.filter(col("doc_id") < 1000), 0L)
-      step(cmp.filter(col("doc_id") >= 1000), 1L)
-      step(cmp.filter(col("doc_id") >= 1000), 1L) // replay no-op
-      s.read.parquet(s"$work/out/batch=1")
-        .select(col("item"), col("rating_e6"), col("wins"), col("comparisons"))
-        .orderBy("item")
-    }),
-
-    // ---- the walk corpus reduced to what an embedding trainer eats:
-    //      skip-gram (center, context) co-occurrence counts within a
-    //      2-step window — one constant-fan-out self-join collapsing
-    //      straight into a map-side-combined count
-    "walk_skipgram_pairs" -> ((s, dir) => {
-      val walks = graft.operators.Graph.randomWalks(anfLatticeEdges(s, dir),
-        "src", "dst", steps = 4, walksPerNode = 2)
-      graft.operators.Graph.skipGramPairs(walks, window = 2)
-        .orderBy("center", "context")
-    }),
-
-    // ---- drift timeline: scaled-L1 distance between consecutive DAYS
-    //      of the event-type distribution — the monitoring series a
-    //      continuously-ingesting pipeline alerts on; pure integers
-    //      (the corpus_drift arithmetic per day pair)
-    "drift_timeline" -> ((s, dir) => {
-      val ev = events(s, dir).select(
-        expr("unix_micros(ts) div 86400000000").as("day"),
-        col("event_type"))
-      ImportanceScoring.driftTimeline(ev, "event_type", col("day"))
-        .orderBy("period")
-    }),
-
-    // ---- vocabulary churn timeline: exact Jaccard between consecutive
-    //      days' distinct prop-token sets — membership churn that a
-    //      frequency drift measure can't see
-    "vocab_churn_timeline" -> ((s, dir) => {
-      val ev = events(s, dir).select(
-        expr("unix_micros(ts) div 86400000000").as("day"), col("props"))
-      ImportanceScoring.vocabChurnTimeline(ev, "props", col("day"))
-        .orderBy("period")
-    }),
-
-    // ---- CUSUM changepoint on the daily event-count series: WHEN did
-    //      the feed change (driftTimeline says how much) — max
-    //      |T·S_i − i·S| over period ranks, exact integers
-    "changepoint_day" -> ((s, dir) => {
-      val ev = events(s, dir)
-        .select(expr("unix_micros(ts) div 86400000000").as("day"))
-      ImportanceScoring.cusumChangepoint(ev, col("day"))
-    }),
-
-    // ---- STREAMING changepoint monitor: per-period count state merges
-    //      per batch; the last batch's emitted estimate must equal the
-    //      batch operator on the full series (the replay of batch 1
-    //      must NOT double-count — the version guard is correctness)
-    "changepoint_stream" -> ((s, dir) => {
-      import graft.streaming.StreamingOps
-      val ev = events(s, dir)
-        .select(expr("unix_micros(ts) div 86400000000").as("day"))
-        .filter(col("day").isNotNull)
-      val work = java.nio.file.Files
-        .createTempDirectory("graft-changepoint-stream").toString
-      for (b <- 0L to 2L) {
-        val batch = ev.filter(col("day") % 3 === b)
-        StreamingOps.applyChangepointBatch(s, batch, b, "day",
-          s"$work/state", s"$work/out")
-        if (b == 1L)
-          StreamingOps.applyChangepointBatch(s, batch, b, "day",
-            s"$work/state", s"$work/out")
-      }
-      s.read.parquet(s"$work/out/batch=2")
-        .select(col("period"), col("d_stat"), col("n_periods"), col("total"))
-    }),
-
-    // ---- STREAMING n-gram novelty: persistent fingerprint store of
-    //      every 3-gram ever seen; per batch, the new-information rate
-    //      (re-crawls score near zero). Batch 1 replays to prove the
-    //      no-op guard; oracle = first-batch-wins over the same split
-    "novelty_stream" -> ((s, dir) => {
-      import graft.streaming.StreamingOps
-      val d = t(s, dir, "documents").filter(col("doc_id") < 1500)
-        .select(col("doc_id"), col("text"),
-          expr("doc_id % 3").as("_b"))
-      val work = java.nio.file.Files
-        .createTempDirectory("graft-novelty-stream").toString
-      for (b <- 0L to 2L) {
-        val batch = d.filter(col("_b") === b).select(col("doc_id"), col("text"))
-        StreamingOps.applyNoveltyBatch(s, batch, b, "text", n = 3,
-          s"$work/state", s"$work/out")
-        if (b == 1L)
-          StreamingOps.applyNoveltyBatch(s, batch, b, "text", n = 3,
-            s"$work/state", s"$work/out")
-      }
-      s.read.parquet(s"$work/out")
-        .select(col("batch_id"), col("novel_ngrams"),
-          col("distinct_ngrams"), col("novelty_ppm"))
-        .orderBy("batch_id")
-    }),
-
-    // ---- STREAMING drift timeline: the rolling-reference variant —
-    //      each day-batch scores against the PREVIOUS day's committed
-    //      histogram and then becomes the new reference; day 2 replays
-    //      to prove the no-op guard. First 4 days, exact integers; the
-    //      oracle rank-pairs the same days
-    "drift_timeline_stream" -> ((s, dir) => {
-      import graft.streaming.StreamingOps
-      val ev = events(s, dir).select(
-          expr("unix_micros(ts) div 86400000000").as("day"), col("event_type"))
-        .filter(col("day").isNotNull)
-      // ≤4 values — driver metadata (the batch-schedule convention)
-      val days = ev.select("day").distinct().orderBy("day").limit(4)
-        .collect().map(_.getLong(0)).toSeq
-      val work = java.nio.file.Files
-        .createTempDirectory("graft-drift-timeline-stream").toString
-      for (d <- days) {
-        val b = ev.filter(col("day") === d).select(col("event_type"))
-        StreamingOps.applyDriftTimelineBatch(s, b, d, "event_type",
-          s"$work/state", s"$work/out")
-        if (days.indexOf(d) == 1)
-          StreamingOps.applyDriftTimelineBatch(s, b, d, "event_type",
-            s"$work/state", s"$work/out")
-      }
-      s.read.parquet(s"$work/out")
-        .select(col("period"), col("n_prev"), col("n_cur"), col("l1_e9"))
-        .orderBy("period")
-    }),
-
-    // ---- event-time watermark + late-data drops, replayed as the
-    //      deterministic batch protocol: three time-ordered batches
-    //      (event_id ranges), with a planted subset (≡3 mod 97)
-    //      DELIVERED one batch late — rows older than the committed
-    //      watermark (max event time − 30 min) drop; hourly tumbling
-    //      counts accumulate in versioned state. Batch 1 replays to
-    //      prove the no-op guard
-    "late_data_stream" -> ((s, dir) => {
-      import graft.streaming.StreamingOps
-      val ev = events(s, dir).filter(col("event_id") < 900)
-        .select(col("event_id"), expr("unix_micros(ts)").as("us"),
-          expr("least(event_id div 300 + " +
-            "CASE WHEN event_id % 97 = 3 THEN 1 ELSE 0 END, 2)").as("b"))
-      val work = java.nio.file.Files
-        .createTempDirectory("graft-late-stream").toString
-      val (winUs, lagUs) = (3600000000L, 1800000000L)
-      for (b <- 0L to 2L) {
-        StreamingOps.applyLateWindowBatch(s, ev.filter(col("b") === b), b,
-          "us", winUs, lagUs, s"$work/state", s"$work/out")
-        if (b == 1L)
-          StreamingOps.applyLateWindowBatch(s, ev.filter(col("b") === b), b,
-            "us", winUs, lagUs, s"$work/state", s"$work/out")
-      }
-      StreamingOps.readState(s, s"$work/state").get
-        .filter(col("w_start").isNotNull)
-        .orderBy("w_start")
-    }),
-
-    // ---- MASS-weighted percentiles: doc-length percentiles weighted
-    //      by token count — "the median TOKEN lives in a doc of length
-    //      X", which under size skew sits far from the doc-weighted
-    //      median; exact data values at rank floor(q·(W−1)), no
-    //      interpolation, hash-safe integers
-    "weighted_percentiles" -> ((s, dir) => {
-      import s.implicits._
-      val d = t(s, dir, "documents")
-        .select(col("n_chars"),
-          TextFunctions.tokenCount(col("text")).as("_w"))
-      val probs = Seq(0.1, 0.5, 0.9, 0.99)
-      val vals = Profile.weightedPercentiles(d, "n_chars", col("_w"), probs)
-        .getOrElse(sys.error("weighted_percentiles: empty corpus"))
-      probs.map(p => math.round(p * 1000000))
-        .zip(vals.map(_.toLong))
-        .toDF("p_ppm", "value")
-        .orderBy("p_ppm")
-    }),
-
-    // ---- the same mass-weighted rank rule STRATIFIED by source
-    //      (round-9 verdict #7): per-source calibration — one global
-    //      percentile mis-prices every source whose length
-    //      distribution differs from the blend
-    "weighted_percentiles_by_source" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-        .select(col("source"), col("n_chars"),
-          TextFunctions.tokenCount(col("text")).as("_w"))
-      Profile.weightedPercentilesByGroup(d, "source", "n_chars", col("_w"),
-          Seq(0.1, 0.5, 0.9))
-        .select(col("source"), col("p_ppm"),
-          col("value").cast(LongType).as("value"))
-        .orderBy("source", "p_ppm")
-    }),
-
-    // ---- chance-corrected agreement between two quality raters
-    //      (char-length vs token-count keep rules): Cohen's kappa over
-    //      the confusion cells, exact integers, trunc-div pinned
-    "filter_agreement_kappa" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-      Profile.cohenKappaE6(d,
-        col("n_chars") >= 500,
-        TextFunctions.tokenCount(col("text")) >= 80)
-    }),
-
-    // ---- robust per-source length calibration: mean of n_chars inside
-    //      the per-source [p5, p95] band — the trimmed mean an outlier
-    //      page can't drag; exact rank thresholds, integer mean_e6
-    "trimmed_mean_by_source" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("source"), col("n_chars"))
-      Profile.trimmedMeanByGroup(d, "source", "n_chars", 0.05, 0.95)
-        .orderBy("source")
-    }),
-
-    // ---- ingest-gate expectation report: named range/null checks over
-    //      lineitem in ONE aggregate pass; null-valued rows FAIL their
-    //      rule (unassessable ≠ passing)
-    "expectation_report" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-      Profile.expectationReport(li, Seq(
-        "quantity_range" -> (col("l_quantity") >= 1 && col("l_quantity") <= 50),
-        "shipdate_not_null" -> col("l_shipdate").isNotNull,
-        "positive_price" -> (col("l_extendedprice") > 0),
-        "tax_low" -> (col("l_tax") <= 0.05)
-      )).orderBy("rule")
-    }),
-
-    // ---- the same expectation semantics per SOURCE: which feed ships
-    //      the violations — one aggregate pass, driver-side explode
-    "expectation_by_source" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-      Profile.expectationReportByGroup(d, "source", Seq(
-        "text_nonempty" -> (length(col("text")) > 0),
-        "chars_in_band" -> (col("n_chars") >= 10 && col("n_chars") <= 100000),
-        "id_present" -> col("doc_id").isNotNull
-      )).orderBy("source", "rule")
-    }),
-
-    // ---- Lorenz curve of the same concentration: cumulative share of
-    //      sources vs cumulative share of tokens, ascending by mass
-    "lorenz_curve" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-        .select(col("source"), TextFunctions.tokenCount(col("text")).as("_w"))
-      Profile.lorenzCurve(d, "source", col("_w"))
-        .orderBy("grp_rank")
-    }),
-
-    // ---- Gini of token-mass concentration across sources: the
-    //      "is one domain eating the token budget" composition
-    //      diagnostic — exact sorted-rank formula, pure integers
-    "token_gini" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-        .select(col("source"), TextFunctions.tokenCount(col("text")).as("_w"))
-      Profile.massGini(d, "source", col("_w"))
-    }),
-
-    // ---- nucleus score-mass cut: keep the docs carrying 80% of the
-    //      corpus's char mass (threshold = mass-weighted 20th
-    //      percentile with the score as its own weight); per-source
-    //      kept accounting is the compared surface
-    "score_mass_cut" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("source"), col("n_chars"))
-      Profile.scoreMassCut(d, "n_chars", keepMassPpm = 800000L)
-        .filter(col("keep"))
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("kept_docs"),
-          sum(col("n_chars")).as("kept_mass"))
-        .orderBy("source")
-    }),
-
-    // ---- ranker agreement per source: Spearman ρ + Kendall τ between
-    //      the char-length and token-count orderings — exact scaled
-    //      integers, ranks pinned by doc_id tiebreak, τ from the
-    //      discordant-pair count (bounded-list contract)
-    "rank_correlation" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-        .filter(col("doc_id") < 2000)
-        .select(col("source"), col("doc_id"), col("n_chars"),
-          TextFunctions.tokenCount(col("text")).as("_y"))
-      Profile.rankCorrelationByGroup(d, "source", "doc_id", "n_chars", "_y")
-        .orderBy("source")
-    }),
-
-    // ---- same statistic with the seed block FORCED below the group
-    //      size (8 << ~500-doc sources): the discordant count runs the
-    //      full distributed plan — ArrayInversions seed blocks PLUS ~6
-    //      windowed merge rounds — and must hash identically to the
-    //      quadratic SQL definition (rank_correlation's oracle shape)
-    "rank_correlation_blocks" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-        .filter(col("doc_id") < 2000)
-        .select(col("source"), col("doc_id"), col("n_chars"),
-          TextFunctions.tokenCount(col("text")).as("_y"))
-      Profile.rankCorrelationByGroup(d, "source", "doc_id", "n_chars", "_y",
-          seedBlockSize = 8)
-        .orderBy("source")
-    }),
-
-    // ---- exact ROC-AUC per source: does token count separate the
-    //      n_chars >= 500 keep class — Mann–Whitney from the score
-    //      histogram, ties at half weight, no pair join
-    "auc_by_source" -> ((s, dir) => {
-      val d = t(s, dir, "documents").filter(col("doc_id") < 2000)
-      Profile.aucByGroup(d, "source",
-          col("n_chars") >= 500,
-          TextFunctions.tokenCount(col("text")))
-        .orderBy("source")
-    }),
-
-    // ---- HTML stripping over a deterministically planted wrapper:
-    //      tags → spaces, entity decode (&amp; last), whitespace
-    //      collapse — the cleaned STRING is the compared surface
-    "strip_html" -> ((s, dir) => {
-      val d = t(s, dir, "documents").filter(col("doc_id") < 500)
-        .filter(col("text").isNotNull)
-      val html = concat(lit("<div id=\""), col("doc_id").cast(StringType),
-        lit("\"><p>"), col("text"), lit("</p>&amp; &lt;tail&gt;</div>"))
-      d.select(col("doc_id"), TextFunctions.stripHtml(html).as("clean"))
-        .withColumn("clean_nchars", length(col("clean")).cast(LongType))
-        .orderBy("doc_id")
-    }),
-
-    // ---- reliability diagram behind the AUC: per exact score-decile
-    //      bin — size, keep-class count and rate, mean score; AUC says
-    //      the order is right, this says the levels mean something
-    "calibration_table" -> ((s, dir) => {
-      val d = t(s, dir, "documents").filter(col("doc_id") < 2000)
-        .filter(col("n_chars").isNotNull && col("text").isNotNull)
-        .select((col("n_chars") >= 500).as("_y2"),
-          TextFunctions.tokenCount(col("text")).as("score"))
-      Profile.calibrationTable(d, col("_y2"), "score", nBins = 10)
-        .orderBy("bin")
-    }),
-
-    // ---- numeric drift vs the src0 reference: exact two-sample KS and
-    //      1-Wasserstein over the n_chars distribution, cross-normalized
-    //      integer CDFs (no division until the scaled output)
-    "distribution_shift" -> ((s, dir) => {
-      val d = t(s, dir, "documents").filter(col("doc_id") < 2000)
-      Profile.distributionShift(d, "source", "n_chars", "src0")
-        .orderBy("source")
-    }),
-
-    // ---- dataset profiling: one-scan numeric column stats with exact
-    //      (decimal-accumulated) means and exact interpolated quantiles —
-    //      both engines share the quantile definition, so the oracle is
-    //      value-exact
-    "profile_numeric" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-      Profile.numeric(li,
-          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
-        .orderBy("col_name")
-    }),
-
-    // ---- scale-path profiling: the partial-aggregable approx_percentile
-    //      form. Sketch percentiles can't be hash-compared across
-    //      engines, so the gate projects them OUT and oracles the exact
-    //      columns (counts/min/max/decimal-accumulated mean — identical
-    //      arithmetic in both forms); the sketch's accuracy bounds are
-    //      spec-pinned in ProfileSpec
-    "profile_numeric_approx" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-      Profile.numericApprox(li,
-          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
-        .select(col("col_name"), col("n"), col("nulls"),
-          col("min"), col("max"), col("mean"))
-        .orderBy("col_name")
-    }),
-
-    // ---- per-group numeric profile: the stratified twin of
-    //      profile_numeric — per (source, lang) value histograms, exact
-    //      percentiles via the histogram form (quantile_cont parity),
-    //      decimal-exact means
-    "profile_by_group" -> ((s, dir) => {
-      Profile.numericByGroup(t(s, dir, "documents"),
-          Seq("source", "lang"), "n_chars")
-        .orderBy("source", "lang")
-    }),
-
-    // ---- bucketed co-located join: both sides persisted bucketBy the
-    //      join key, so the shuffle was paid ONCE at write time — the
-    //      gate REQUIRES an Exchange-free join plan (a regression fails
-    //      loudly), and the compared surface is the join's values
-    "bucketed_join" -> ((s, dir) => {
-      val work = java.nio.file.Files
-        .createTempDirectory("graft-bucketed-gate").toString
-      val d = t(s, dir, "documents")
-        .select(col("doc_id"), col("source"), col("n_chars"))
-      val m = t(s, dir, "documents")
-        .select(col("doc_id"), TextFunctions.tokenCount(col("text")).as("n_tokens"))
-      s.sql("DROP TABLE IF EXISTS graft_bj_docs")
-      s.sql("DROP TABLE IF EXISTS graft_bj_meta")
-      graft.engine.Partitioning.writeBucketed(d, "graft_bj_docs", s"$work/d", Seq("doc_id"), 8)
-      graft.engine.Partitioning.writeBucketed(m, "graft_bj_meta", s"$work/m", Seq("doc_id"), 8)
-      val thr = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
-      try {
-        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        val j = s.table("graft_bj_docs").join(s.table("graft_bj_meta"), "doc_id")
-        val plan = j.queryExecution.executedPlan.toString
-        require(!plan.contains("Exchange"),
-          s"bucketed_join: the co-located join must be Exchange-free:\n$plan")
-        j.groupBy(col("source"))
-          .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
-          .orderBy("source")
-      } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
-    }),
-
-    // ---- salted skew join: result must be EXACTLY the plain join's
-    //      (salting redistributes work, never changes the multiset);
-    //      the oracle is the unsalted SQL join
-    "salted_join" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem").select(
-        col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
-      val o = t(s, dir, "orders").select(
-        col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
-      graft.engine.Partitioning.saltedJoin(li, o, Seq("l_orderkey"), salts = 8)
-        .groupBy(col("o_orderstatus"))
-        .agg(count(lit(1)).as("n"),
-          sum(col("l_quantity").cast(DecimalType(38, 2))).cast(DoubleType).as("qty"))
-        .orderBy("o_orderstatus")
-    }),
-
-    // ---- as-of join: each click matched to the user's latest preceding
-    //      view (point-in-time lookup). Right side pre-deduped to one row
-    //      per (user, ts) with a deterministic argmax so both engines
-    //      agree on duplicate timestamps; DuckDB's native ASOF JOIN is
-    //      the oracle
-    "asof_join" -> ((s, dir) => {
-      val ev = events(s, dir)
-      val clicks = ev.filter(col("event_type") === "click")
-        .select(col("event_id"), col("user_id"), col("ts"))
-      val views = ev.filter(col("event_type") === "view")
-        .groupBy(col("user_id"), col("ts"))
-        .agg(max(col("event_id")).as("view_id"),
-          max_by(col("value"), col("event_id")).as("view_value"))
-      AsOf.joinBackward(clicks, views, Seq("user_id"), "ts", "ts",
-          payloadCols = Seq("view_id", "view_value"))
-        .select(
-          col("event_id"), col("user_id"),
-          unix_micros(col("ts")).as("ts_us"),
-          col("matched.view_id").as("matched_view_id"),
-          col("matched.view_value").as("matched_value"),
-          unix_micros(col("matched._t")).as("matched_ts_us"))
-        .orderBy("event_id")
-    }),
-
-    // ---- as-of with a STALENESS BOUND (merge_asof's tolerance): the
-    //      latest preceding view still matches only while it is ≤ 30
-    //      minutes old — staler lookups null out, rows stay
-    "asof_join_tolerance" -> ((s, dir) => {
-      val ev = events(s, dir)
-      val clicks = ev.filter(col("event_type") === "click")
-        .select(col("event_id"), col("user_id"), col("ts"))
-      val views = ev.filter(col("event_type") === "view")
-        .groupBy(col("user_id"), col("ts"))
-        .agg(max(col("event_id")).as("view_id"))
-      AsOf.joinBackward(clicks, views, Seq("user_id"), "ts", "ts",
-          payloadCols = Seq("view_id"),
-          tolerance = Some(expr("INTERVAL 30 MINUTE")))
-        .select(
-          col("event_id"), col("user_id"),
-          unix_micros(col("ts")).as("ts_us"),
-          col("matched.view_id").as("matched_view_id"),
-          unix_micros(col("matched._t")).as("matched_ts_us"))
-        .orderBy("event_id")
-    }),
-
-    // ---- as-of join, FORWARD: each click's NEXT view at-or-after it
-    //      (attribution / time-to-next-event) — same tagged-union merge
-    //      run in descending ts order; DuckDB ASOF with l.ts <= r.ts
-    "asof_join_forward" -> ((s, dir) => {
-      val ev = events(s, dir)
-      val clicks = ev.filter(col("event_type") === "click")
-        .select(col("event_id"), col("user_id"), col("ts"))
-      val views = ev.filter(col("event_type") === "view")
-        .groupBy(col("user_id"), col("ts"))
-        .agg(max(col("event_id")).as("view_id"),
-          max_by(col("value"), col("event_id")).as("view_value"))
-      AsOf.joinForward(clicks, views, Seq("user_id"), "ts", "ts",
-          payloadCols = Seq("view_id", "view_value"))
-        .select(
-          col("event_id"), col("user_id"),
-          unix_micros(col("ts")).as("ts_us"),
-          col("matched.view_id").as("matched_view_id"),
-          col("matched.view_value").as("matched_value"),
-          unix_micros(col("matched._t")).as("matched_ts_us"))
-        .orderBy("event_id")
-    }),
-
-    // ---- as-of join, NEAREST: the view closest to each click in EITHER
-    //      direction, backward winning exact-distance ties — ONE key
-    //      shuffle (two windows over the same tagged union). The oracle
-    //      composes DuckDB's backward + forward ASOF with the same
-    //      arbitration rule in SQL
-    "asof_join_nearest" -> ((s, dir) => {
-      val ev = events(s, dir)
-      val clicks = ev.filter(col("event_type") === "click")
-        .select(col("event_id"), col("user_id"), col("ts"))
-      val views = ev.filter(col("event_type") === "view")
-        .groupBy(col("user_id"), col("ts"))
-        .agg(max(col("event_id")).as("view_id"),
-          max_by(col("value"), col("event_id")).as("view_value"))
-      AsOf.joinNearest(clicks, views, Seq("user_id"), "ts", "ts",
-          payloadCols = Seq("view_id", "view_value"))
-        .select(
-          col("event_id"), col("user_id"),
-          unix_micros(col("ts")).as("ts_us"),
-          col("matched.view_id").as("matched_view_id"),
-          col("matched.view_value").as("matched_value"),
-          unix_micros(col("matched._t")).as("matched_ts_us"))
-        .orderBy("event_id")
-    }),
-
-    // ---- point-in-time snapshot: latest event per user at or before
-    //      the Jan-15 cutoff — one partial-aggregable max(struct) per
-    //      key after the pushed ts filter; the oracle ranks by the same
-    //      (ts desc, event_id desc) total order
-    "snapshot_at" -> ((s, dir) => {
-      val ev = events(s, dir)
-        .withColumn("tsm", unix_micros(col("ts")))
-        .select(col("user_id"), col("tsm"), col("event_id"),
-          col("event_type"), col("value"))
-      AsOf.snapshotAt(ev, Seq("user_id"), "tsm", lit(1705276800000000L),
-          tieBreak = "event_id", payloadCols = Seq("event_type", "value"))
-        .orderBy("user_id")
-    }),
-
-    // ---- range join: the non-equi-join trap (p BETWEEN s AND e falls
-    //      back to a nested-loop join) rewritten as a bucketed EQUI-join;
-    //      order days vs lineitem ship windows [ship, ship + quantity days]
-    "range_join_points" -> ((s, dir) => {
-      val epoch = to_date(lit("1970-01-01"))
-      val pts = t(s, dir, "orders")
-        .select(datediff(to_date(col("o_orderdate")), epoch).cast(LongType).as("day"))
-        .distinct()
-      val iv = t(s, dir, "lineitem")
-        .select(datediff(to_date(col("l_shipdate")), epoch).cast(LongType).as("ship_day"),
-          col("l_quantity").cast(LongType).as("_q"))
-        .select(col("ship_day"), (col("ship_day") + col("_q")).as("end_day"))
-      RangeJoin.joinPointInterval(pts, "day", iv, "ship_day", "end_day",
-          bucketWidth = 32L)
-        .groupBy("day").agg(count(lit(1)).as("n"))
-        .orderBy("day")
-    }),
-
-    // ---- interval overlap join: keyed, each overlapping pair emitted
-    //      once via the first-common-bucket rule (no distinct pass)
-    "interval_overlap_join" -> ((s, dir) => {
-      val epoch = to_date(lit("1970-01-01"))
-      val iv = t(s, dir, "lineitem").filter(col("l_partkey") < 200)
-        .select(col("l_partkey").as("k"),
-          datediff(to_date(col("l_shipdate")), epoch).cast(LongType).as("s_day"),
-          col("l_quantity").cast(LongType).as("_q"))
-        .select(col("k"), col("s_day"), (col("s_day") + col("_q")).as("e_day"))
-      val b = iv.select(col("k"), col("s_day").as("bs"), col("e_day").as("be"))
-      RangeJoin.joinIntervalOverlap(iv, "s_day", "e_day", b, "bs", "be",
-          bucketWidth = 32L, keys = Seq("k"))
-        .groupBy("k").agg(count(lit(1)).as("n"))
-        .orderBy("k")
-    }),
-
-    // ---- sessionization (gap-based; streaming analogue in graft.streaming)
-    "sessionize" -> ((s, dir) => {
-      val ev = events(s, dir)
-      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-      val prev = lag(col("ts"), 1).over(w)
-      ev.select(
-        col("user_id"),
-        when(prev.isNull || unix_millis(col("ts")) - unix_millis(prev) > 1800000L, 1L)
-          .otherwise(0L).as("new_session")
-      ).groupBy("user_id")
-        .agg(sum(col("new_session")).as("sessions"))
-        .orderBy("user_id")
-    }),
-
-    // ---- funnel analysis: strict-progress min-chain over the event
-    //      log (view → click → purchase), ONE groupBy(user) + narrow
-    //      array fold; micros on both sides so ts comparisons agree
-    "funnel_reach" -> ((s, dir) => {
-      val ev = events(s, dir).withColumn("tsm", unix_micros(col("ts")))
-      Funnel.reach(ev, "user_id", "tsm", "event_type",
-          Seq("view", "click", "purchase"))
-        .orderBy("step")
-    }),
-
-    // ---- session-duration distribution: the 30-min-gap sessions'
-    //      exact micro-second duration percentiles (p50/p90/p99) via
-    //      the distributed-selection rank rule — sessionize × profile
-    //      composition, pure integers
-    "session_durations" -> ((s, dir) => {
-      import s.implicits._
-      import org.apache.spark.sql.expressions.Window
-      val ev = events(s, dir).select(col("user_id"),
-        unix_micros(col("ts")).as("us"), col("event_id"))
-      val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
-      val prev = lag(col("us"), 1).over(w)
-      val sess = ev
-        .withColumn("_ns",
-          when(prev.isNull || col("us") - prev > 1800000000L, 1L).otherwise(0L))
-        .withColumn("_sid", sum(col("_ns")).over(w))
-        .groupBy(col("user_id"), col("_sid"))
-        .agg((max(col("us")) - min(col("us"))).as("dur"))
-      val probs = Seq(0.5, 0.9, 0.99)
-      val vals = Profile.weightedPercentiles(sess, "dur", lit(1L), probs)
-        .getOrElse(sys.error("session_durations: no sessions"))
-      probs.map(p => math.round(p * 1000000))
-        .zip(vals.map(_.toLong))
-        .toDF("p_ppm", "dur_us")
-        .orderBy("p_ppm")
-    }),
-
-    // ---- first-order Markov transition matrix over per-user event
-    //      streams: "after a view, what fraction of next actions are
-    //      purchases" — exact counts + row-normalized ppm
-    "event_transitions" -> ((s, dir) => {
-      val ev = events(s, dir).withColumn("tsm", unix_micros(col("ts")))
-      Funnel.transitionMatrix(ev, "user_id", "tsm", "event_type", "event_id")
-        .orderBy("from_type", "to_type")
-    }),
-
-    // ---- JSON-path extraction over the event props column: codegen'd
-    //      get_json_object + grouped integer aggregates
-    "props_extract_agg" -> ((s, dir) => {
-      val ev = events(s, dir)
-      ev.select(col("event_type"),
-          get_json_object(col("props"), "$.k").cast(LongType).as("k"))
-        .groupBy("event_type")
-        .agg(count(col("k")).as("n"), sum(col("k")).as("k_sum"),
-          max(col("k")).as("k_max"))
-        .orderBy("event_type")
-    }),
-
-    // ---- hopping-window counts: 1h windows sliding every 30min via
-    //      Spark's native window(); each event lands in exactly
-    //      size/slide epoch-aligned windows, which the oracle explodes
-    //      arithmetically
-    "hopping_window_counts" -> ((s, dir) => {
-      val ev = events(s, dir)
-      ev.groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"),
-          col("event_type"))
-        .agg(count(lit(1)).as("cnt"))
-        .select(unix_micros(col("w.start")).as("w_start"),
-          col("event_type"), col("cnt"))
-        .orderBy("w_start", "event_type")
-    }),
-
-    // ---- Z-order layout key: interleave (user_id, epoch-minute) bits
-    //      — the multi-dimensional clustering key a 100 TB table sorts
-    //      or range-partitions its files by, so min/max file stats
-    //      prune user AND time predicates at once. Branch-free integer
-    //      bit arithmetic, bit-replayable by any engine
-    "zorder_layout" -> ((s, dir) => {
-      val ev = events(s, dir).filter(col("event_id") < 2000)
-        .select(col("event_id"), col("user_id"),
-          expr("unix_micros(ts) div 60000000").as("tmin"))
-      ev.select(col("event_id"),
-          graft.functions.LayoutFunctions
-            .zorderKey(col("user_id"), col("tmin"), bits = 31).as("zkey"))
-        .orderBy("event_id")
-    }),
-
-    // ---- the z-order "so what": per z-RANGE file stats. Group rows by
-    //      zkey div 2^20 (a simulated file of the z-sorted layout) and
-    //      emit each file's (user, minute) min/max — the bounds a scan
-    //      planner prunes with; the compared surface IS the locality
-    //      property (tight per-file ranges in BOTH dimensions)
-    "zorder_pruning" -> ((s, dir) => {
-      val ev = events(s, dir).filter(col("event_id") < 2000)
-        .select(col("event_id"), col("user_id"),
-          expr("unix_micros(ts) div 60000000").as("tmin"))
-      ev.select(col("user_id"), col("tmin"),
-          graft.functions.LayoutFunctions
-            .zorderKey(col("user_id"), col("tmin"), bits = 31).as("zkey"))
-        .groupBy(expr("zkey div 1048576").as("zfile"))
-        .agg(count(lit(1)).as("n_rows"),
-          min(col("user_id")).as("u_min"), max(col("user_id")).as("u_max"),
-          min(col("tmin")).as("t_min"), max(col("tmin")).as("t_max"))
-        .orderBy("zfile")
-    }),
-
-    // ---- Hilbert layout key on the same (user, minute) fixture: the
-    //      no-diagonal-jumps clustering curve — tighter per-file bounds
-    //      than Morton on box predicates; native loop expression,
-    //      oracle unrolls the 31 bit-steps as a CTE chain
-    "hilbert_layout" -> ((s, dir) => {
-      val ev = events(s, dir).filter(col("event_id") < 2000)
-        .select(col("event_id"), col("user_id"),
-          expr("unix_micros(ts) div 60000000").as("tmin"))
-      ev.select(col("event_id"),
-          graft.functions.LayoutFunctions
-            .hilbertKey(col("user_id"), col("tmin"), order = 31).as("hkey"))
-        .orderBy("event_id")
-    }),
-
-    // ---- 3-D Morton key over (user, minute, value-band): the layout
-    //      key when queries slice three dimensions at once; same
-    //      generated bit-interleave on both sides, low-20-bit
-    //      truncation contract
-    "zorder3_layout" -> ((s, dir) => {
-      val ev = events(s, dir).filter(col("event_id") < 2000)
-        .select(col("event_id"), col("user_id"),
-          expr("unix_micros(ts) div 60000000").as("tmin"),
-          pmod(floor(col("value")).cast("long"), lit(1024L)).as("vb"))
-      ev.select(col("event_id"),
-          graft.functions.LayoutFunctions
-            .zorderKey3(col("user_id"), col("tmin"), col("vb"), bits = 20)
-            .as("zkey3"))
-        .orderBy("event_id")
-    }),
-
-    // ---- the Hilbert "so what", mirroring zorder_pruning: per
-    //      key-range file stats — the compared surface IS the locality
-    //      property (tight per-file ranges in BOTH dimensions)
-    "hilbert_pruning" -> ((s, dir) => {
-      val ev = events(s, dir).filter(col("event_id") < 2000)
-        .select(col("event_id"), col("user_id"),
-          expr("unix_micros(ts) div 60000000").as("tmin"))
-      ev.select(col("user_id"), col("tmin"),
-          graft.functions.LayoutFunctions
-            .hilbertKey(col("user_id"), col("tmin"), order = 31).as("hkey"))
-        .groupBy(expr("hkey div 2097152").as("hfile")) // 2^21
-        .agg(count(lit(1)).as("n_rows"),
-          min(col("user_id")).as("u_min"), max(col("user_id")).as("u_max"),
-          min(col("tmin")).as("t_min"), max(col("tmin")).as("t_max"))
-        .orderBy("hfile")
-    }),
-
-    // ---- path analysis: top-10 3-step event-type sequences; order by
-    //      (ts, event_id) is total, so paths agree exactly
-    "event_paths" -> ((s, dir) => {
-      val ev = events(s, dir).withColumn("tsm", unix_micros(col("ts")))
-      Funnel.topPaths(ev, "user_id", "tsm", "event_type", "event_id", n = 3, k = 10)
-        .orderBy(col("cnt").desc, col("path"))
-    }),
-
-    // ---- per-user rolling 7-day activity: trailing RANGE-frame sums
-    //      over integer days so calendar gaps weigh correctly — the
-    //      burst/engagement series; the window runs over per-user-day
-    //      AGGREGATES, never raw events
-    "rolling_user_activity" -> ((s, dir) => {
-      val ev = events(s, dir).filter(col("ts").isNotNull)
-      Funnel.rollingUserActivity(ev, "user_id",
-          expr("unix_micros(ts) div 86400000000"), window = 7)
-        .filter(col("user") < 200)
-        .orderBy("user", "period")
-    }),
-
-    // ---- cohort retention: first-activity-week cohorts × activity
-    //      offsets, exact integer week arithmetic on micros
-    "cohort_retention" -> ((s, dir) => {
-      val ev = events(s, dir).withColumn("tsm", unix_micros(col("ts")))
-      Funnel.cohortRetention(ev, "user_id", "tsm", periodLength = 604800000000L)
-        .orderBy("cohort_period", "offset")
-    }),
-
-    // ---- binning: multiple-output mode — one row per record with its
-    //      bounded bin array (DataBinningProcessor.java:292-306)
-    "bins_per_record" -> ((s, dir) => {
-      val ev = events(s, dir)
-      Binning.binsPerRecord(ev, Seq(
-        DateBinner("time", "ts", DateGranularity.DAY),
-        LiteralBinner("type", "event_type")), "event_id")
-        .select(
-          col("event_id"),
-          array_join(transform(col("bins"), b => b.getField("name")), "|").as("bin_names"),
-          size(col("bins")).cast(LongType).as("n_bins"))
-        .orderBy("event_id")
-    }),
-
-    // ---- document fingerprinting: rolling 64-bit hash of normalized text;
-    //      dup-group size histogram (oracle groups by normalized text —
-    //      identical groups iff the fingerprint is collision-free)
-    "doc_fingerprint" -> ((s, dir) => {
-      val d = graft.engine.Partitioning.spreadByKey(
-        t(s, dir, "documents").select(col("doc_id"), col("text")), col("doc_id"))
-      d.select(TextFunctions.fingerprintXx(col("text")).as("fp"))
-        .groupBy("fp").agg(count(lit(1)).as("group_size"))
-        .groupBy("group_size").agg(count(lit(1)).as("n_groups"))
-        .orderBy("group_size")
-    }),
-
-    // ---- exact fixed-point k-means step (the IVF training pass, made
-    //      hash-verifiable): e6 floor-quantized components, integer L2
-    //      argmin with ties to the smallest centroid id, per-position
-    //      BIGINT sums + cluster sizes — every compared value integral
-    "kmeans_iter_exact" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val seeds = emb.filter(col("vec_id") < 4)
-        .select(col("vec_id").as("centroid_id"),
-          col("embedding").as("centroid_vec"))
-      Similarity.kmeansIterationExact(emb, "vec_id", "embedding", seeds)
-        .orderBy("centroid_id", "pos")
-    }),
-
-    // ---- k-center greedy diversity selection (Gonzalez farthest-point)
-    //      in the same e6 integer space: seed = smallest id, then 4
-    //      rounds of argmax running-min-distance with ties to the
-    //      smallest id — a deterministic diversity sample whose oracle
-    //      unrolls the rounds
-    "kcenter_diversity" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-      Similarity.kCenterGreedyE6(emb, "vec_id", "embedding", k = 5)
-        .orderBy("rank")
-    }),
-
-    // ---- hubness diagnostic: k-NN in-degree distribution over the
-    //      evaluation sample (vec_id < 128) — heavy right tail = hub
-    //      points distorting ANN recall; exact e6 integer k-NN graph
-    // ---- mutual k-NN graph over embeddings (brute-force sample tier):
-    //      directed 3-NN by exact e6 squared-L2, kept iff reciprocal —
-    //      the density-robust neighborhood graph an embedding-cluster
-    //      dedup builds on (mutuality strips hub spokes)
-    "embedding_mutual_knn" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings").filter(col("vec_id") < 200)
-      graft.operators.Similarity.mutualKnnEdgesE6(emb, "vec_id",
-          "embedding", k = 3)
-        .orderBy("id_a", "id_b")
-    }),
-
-    // ---- the PRODUCTION path of that graph: candidates blocked to
-    //      coarse IVF cells (the exact e6 argmin assignment, cells =
-    //      the 4 smallest-id vectors), within-cell scoring + the same
-    //      reciprocity filter — Σ|cell|² pair space with a hot-cell
-    //      tripwire, never n²; cross-cell neighbors invisible by the
-    //      documented nprobe=1 trade
-    "embedding_mutual_knn_blocked" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings").filter(col("vec_id") < 200)
-      val cells = emb.filter(col("vec_id") < 4)
-        .select(col("vec_id").as("centroid_id"),
-          transform(col("embedding"),
-            v => floor(v.cast("double") * 1000000d).cast("long"))
-            .as("centroid_e6"))
-      graft.operators.Similarity.mutualKnnEdgesBlockedE6(emb, "vec_id",
-          "embedding", cells, k = 3)
-        .orderBy("id_a", "id_b")
-    }),
-
-    // ---- the MULTI-PROBE variant: each point lists under its home
-    //      cell but queries its 2 nearest cells (the ivfTopKPartitioned
-    //      probe convention via one narrow codegen'd projection), so
-    //      cross-cell near-neighbors the nprobe=1 block cannot see
-    //      enter the candidate lists; same top-k + reciprocity filter,
-    //      nprobe=1 reduces bit-identically to the blocked gate
-    "embedding_mutual_knn_probed" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings").filter(col("vec_id") < 200)
-      val cells = emb.filter(col("vec_id") < 4)
-        .select(col("vec_id").as("centroid_id"),
-          transform(col("embedding"),
-            v => floor(v.cast("double") * 1000000d).cast("long"))
-            .as("centroid_e6"))
-      graft.operators.Similarity.mutualKnnEdgesProbedE6(emb, "vec_id",
-          "embedding", cells, k = 3, nprobe = 2)
-        .orderBy("id_a", "id_b")
-    }),
-
-    // ---- the 100 TB form of the probed graph: the corpus persisted
-    //      cell-partitioned (writeAssignedE6), the probe union pruning
-    //      the home-side scan as PartitionFilters, reciprocity as a
-    //      pair-count aggregate — value-identical to the in-memory
-    //      probed gate above (same oracle)
-    "embedding_mutual_knn_partitioned" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings").filter(col("vec_id") < 200)
-        .select(col("vec_id"),
-          transform(col("embedding"),
-            v => floor(v.cast("double") * 1000000d).cast("long"))
-            .as("emb_e6"))
-      val cells = emb.filter(col("vec_id") < 4)
-        .select(col("vec_id").as("centroid_id"),
-          col("emb_e6").as("centroid_e6"))
-      val work = java.nio.file.Files
-        .createTempDirectory("graft-mknn-part").toString
-      graft.operators.Similarity.writeAssignedE6(emb, "vec_id", "emb_e6",
-        cells, work)
-      graft.operators.Similarity.mutualKnnEdgesPartitionedE6(s, work,
-          "vec_id", "emb_e6", cells, k = 3, nprobe = 2)
-        .orderBy("id_a", "id_b")
-    }),
-
-    // ---- the composed embedding-cluster dedup pipeline: mutual 3-NN
-    //      edges → bounded min-label propagation → cluster labels (the
-    //      graph-first sibling of SemDeDup's within-cell pairs; nodes
-    //      with no mutual edge are implicitly their own singleton
-    //      cluster). Bounded rounds keep the schedule replayable; the
-    //      convergence-checked CC variant is one call away for unknown
-    //      diameters
-    "pipeline_embedding_clusters" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings").filter(col("vec_id") < 200)
-      val e = graft.operators.Similarity.mutualKnnEdgesE6(emb, "vec_id",
-          "embedding", k = 3)
-        .select(lpad(col("id_a").cast("string"), 12, "0").as("src"),
-          lpad(col("id_b").cast("string"), 12, "0").as("dst"))
-      graft.operators.Graph.labelPropagationMin(e, "src", "dst", rounds = 8)
-        .orderBy("node")
-    }),
-
-    // ---- the PRODUCTION-path cluster composition: the multi-probe
-    //      blocked graph (no all-pairs anywhere) feeding the same
-    //      bounded min-label propagation — the pipeline a 100 TB
-    //      embedding-dedup actually runs
-    "pipeline_embedding_clusters_probed" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings").filter(col("vec_id") < 200)
-      val cells = emb.filter(col("vec_id") < 4)
-        .select(col("vec_id").as("centroid_id"),
-          transform(col("embedding"),
-            v => floor(v.cast("double") * 1000000d).cast("long"))
-            .as("centroid_e6"))
-      val e = graft.operators.Similarity.mutualKnnEdgesProbedE6(emb,
-          "vec_id", "embedding", cells, k = 3, nprobe = 2)
-        .select(lpad(col("id_a").cast("string"), 12, "0").as("src"),
-          lpad(col("id_b").cast("string"), 12, "0").as("dst"))
-      graft.operators.Graph.labelPropagationMin(e, "src", "dst", rounds = 8)
-        .orderBy("node")
-    }),
-
-    "knn_hubness" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings").filter(col("vec_id") < 128)
-        .select(col("vec_id"), col("embedding"))
-      Similarity.knnInDegreeE6(emb, "vec_id", "embedding", k = 5)
-        .orderBy("in_degree")
-    }),
-
-    // ---- TWO chained exact k-means steps: iteration-1 sums → integer
-    //      centroids (sum div n, trunc-toward-zero on BOTH engines) →
-    //      iteration-2 sums — the training loop closes without ever
-    //      leaving exact arithmetic
-    "kmeans_two_iter" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val seeds = emb.filter(col("vec_id") < 4)
-        .select(col("vec_id").as("centroid_id"),
-          col("embedding").as("centroid_vec"))
-      val s1 = Similarity.kmeansIterationExact(emb, "vec_id", "embedding", seeds)
-      Similarity.kmeansIterationExactE6(emb, "vec_id", "embedding",
-          Similarity.kmeansCentroidsFromSums(s1))
-        .orderBy("centroid_id", "pos")
-    }),
-
-    // ---- ANN index-quality evaluation: recall@10 of a 1-probe IVF
-    //      scan vs the exhaustive neighbor set, all in e6 integer
-    //      space (trained centroids from one exact k-means step) — a
-    //      genuinely approximate scan whose recall loss is itself
-    //      deterministic and oracle-replayable
-    "ann_recall_ivf" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val seeds = emb.filter(col("vec_id") < 4)
-        .select(col("vec_id").as("centroid_id"),
-          col("embedding").as("centroid_vec"))
-      val s1 = Similarity.kmeansIterationExact(emb, "vec_id", "embedding", seeds)
-      val cents = Similarity.kmeansCentroidsFromSums(s1)
-      val q = emb.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      Similarity.ivfRecallExactE6(emb, "vec_id", "embedding", cents,
-          q, "qid", "qvec", k = 10)
-        .orderBy("query_id")
-    }),
-
-    // ---- the same recall measurement STRATIFIED by the query's
-    //      assigned coarse bucket (round-9 verdict #7's recall@k per
-    //      group): WHICH index partition bleeds neighbors — the global
-    //      average hides a boundary-straddling centroid
-    "ann_recall_by_bucket" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val seeds = emb.filter(col("vec_id") < 4)
-        .select(col("vec_id").as("centroid_id"),
-          col("embedding").as("centroid_vec"))
-      val s1 = Similarity.kmeansIterationExact(emb, "vec_id", "embedding", seeds)
-      val cents = Similarity.kmeansCentroidsFromSums(s1)
-      val q = emb.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      Similarity.ivfRecallByBucketE6(emb, "vec_id", "embedding", cents,
-          q, "qid", "qvec", k = 10)
-        .orderBy("centroid_id")
-    }),
-
-    // ---- ANN: IVF with nprobe = #centroids scans every partition, so it
-    //      must EXACTLY equal brute force — the oracle is the brute-force
-    //      cosine top-k (left-fold double arithmetic on both engines)
-    "ann_ivf_topk" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-        .select(col("vec_id").as("id"), col("embedding").as("vec"))
-      // seeded + one Lloyd refinement: exercises the trained-index path;
-      // nprobe = C keeps the result exact whatever the centroids are
-      val cents = Similarity.refineCentroids(emb, "id", "vec",
-        Similarity.seedCentroids(emb, "id", "vec", 4), iterations = 1)
-      val assigned = Similarity.assignToCentroids(emb, "id", "vec", cents)
-      val q = t(s, dir, "embeddings").filter(col("vec_id") < 3)
-        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      Similarity.ivfTopK(assigned, "id", "vec", cents, q, "qid", "qvec", k = 10, nprobe = 4)
-        .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
-        .orderBy("query_id", "rank")
-    }),
-
-    // ---- ANN: IVF with PHYSICAL partition pruning — the corpus is
-    //      persisted partitionBy(centroid_id) and the probe ids become a
-    //      literal IN on the partition column, so unprobed directories
-    //      are never read (PlanShapeSpec pins PartitionFilters + the
-    //      file-count reduction). Queries are exact copies of corpus
-    //      vectors: the twin's assigned centroid IS the query's rank-1
-    //      probe (bitwise-identical cosine arithmetic on both paths), so
-    //      the nprobe=2-of-8 pruned scan still finds the true top-1 and
-    //      the full-scan oracle agrees exactly
-    "ann_ivf_partitioned" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-        .select(col("vec_id").as("id"), col("embedding").as("vec"))
-      val cents = Similarity.seedCentroids(emb, "id", "vec", 8)
-      val assigned = Similarity.assignToCentroids(emb, "id", "vec", cents)
-      val out = java.nio.file.Files.createTempDirectory("graft-ivfpart").toString
-      Similarity.writeAssigned(assigned, out)
-      val q = emb.filter(col("id") < 5)
-        .select((col("id") + 1000000L).as("qid"), col("vec").as("qvec"))
-      Similarity.ivfTopKPartitioned(out, "id", "vec", cents, q, "qid", "qvec",
-          k = 1, nprobe = 2)
-        .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
-        .orderBy("query_id", "rank")
-    }),
-
-    // ---- ANN: LSH-bucketed top-k. Queries are exact copies of corpus
-    //      vectors (shifted ids): an identical vector lands in the SAME
-    //      SRP bucket by construction, and its cosine (≈1, computed with
-    //      the shared left-fold arithmetic) is the true top-1 — so the
-    //      pruned LSH scan and the oracle's full scan agree exactly
-    "ann_lsh_topk" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-        .select(col("vec_id").as("id"), col("embedding").as("vec"))
-      val q = emb.filter(col("id") < 5)
-        .select((col("id") + 1000000L).as("qid"), col("vec").as("qvec"))
-      Similarity.lshTopK(emb, "id", "vec", q, "qid", "qvec",
-          k = 1, bits = 8, seed = 42)
-        .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
-        .orderBy("query_id", "rank")
-    }),
-
-    // ---- merge: nested parent.child $set (PartialUpdateMongo.java:537-589)
-    "merge_nested" -> ((s, dir) => {
-      val state = t(s, dir, "orders").select(
-        col("o_orderkey"),
-        struct(col("o_orderstatus").as("status"), col("o_totalprice").as("total")).as("info"))
-      val incoming = t(s, dir, "lineitem").select(
-        col("l_orderkey").as("o_orderkey"),
-        col("l_returnflag").as("info.status"),
-        col("l_linenumber").as("seq"))
-      val spec = MergeSpec(Seq("o_orderkey"), Seq(MergeFieldSpec("info.status", MergeOp.Set)))
-      Merge.upsertBatch(state, incoming, spec, "seq").state
-        .select(
-          col("o_orderkey"),
-          col("info.status").as("status"),
-          col("info.total").as("total"))
-        .orderBy("o_orderkey")
-    }),
-
-    // ---- merge: $addToSet $each scalar-array union
-    //      (PartialUpdateMongo.java:331-340,399-409)
-    "merge_addtoset_each" -> ((s, dir) => {
-      val state = t(s, dir, "orders").select(
-        col("o_orderkey"), array(col("o_orderstatus")).as("codes"))
-      val incoming = t(s, dir, "lineitem").select(
-        col("l_orderkey").as("o_orderkey"),
-        array(col("l_returnflag"), col("l_linestatus")).as("codes"),
-        col("l_linenumber").as("seq"))
-      val spec = MergeSpec(Seq("o_orderkey"), Seq(MergeFieldSpec("codes", MergeOp.AddToSet)))
-      Merge.upsertBatch(state, incoming, spec, "seq").state
-        .select(col("o_orderkey"), array_join(array_sort(col("codes")), ",").as("codes"))
-        .orderBy("o_orderkey")
-    }),
-
-    // ---- merge: $addToSet $each object-array union with
-    //      fixTimestampsInside on *time* long keys
-    //      (PartialUpdateMongo.java:319-330,386-398,646-672)
-    "merge_addtoset_structs" -> ((s, dir) => {
-      val state = t(s, dir, "orders").select(
-        col("o_orderkey"),
-        array(struct(col("o_orderstatus").as("tag"),
-          timestamp_millis(col("o_orderkey") * 1000).as("etime"))).as("evts"))
-      val raw = t(s, dir, "lineitem").select(
-        col("l_orderkey").as("o_orderkey"),
-        array(struct(col("l_returnflag").as("tag"),
-          (col("l_linenumber") * 1000L).cast(LongType).as("etime"))).as("evts"),
-        col("l_linenumber").as("seq"))
-      // fixTimestampsInside: keys matched by the *time* heuristic get their
-      // epoch-millis longs normalized to timestamps before the set-union
-      val elemType = raw.schema("evts").dataType
-        .asInstanceOf[ArrayType].elementType.asInstanceOf[StructType]
-      val incoming = raw.withColumn("evts",
-        Merge.normalizeTimestamps(col("evts"), Merge.timeLikeKeys(elemType)))
-      val spec = MergeSpec(Seq("o_orderkey"), Seq(MergeFieldSpec("evts", MergeOp.AddToSet)))
-      Merge.upsertBatch(state, incoming, spec, "seq").state
-        .select(col("o_orderkey"),
-          array_join(array_sort(transform(col("evts"), x =>
-            concat_ws("@", x.getField("tag"),
-              unix_millis(x.getField("etime")).cast(StringType)))), ",").as("evts"))
-        .orderBy("o_orderkey")
-    }),
-
-    // ---- merge: $addToSet parent.child array via withField
-    //      (PartialUpdateMongo.java:604-636,710-734)
-    "merge_addtoset_nested" -> ((s, dir) => {
-      val state = t(s, dir, "orders").select(
-        col("o_orderkey"),
-        struct(array(col("o_orderstatus")).as("tags"),
-          col("o_totalprice").as("total")).as("info"))
-      val incoming = t(s, dir, "lineitem").select(
-        col("l_orderkey").as("o_orderkey"),
-        array(col("l_returnflag"), col("l_linestatus")).as("info.tags"),
-        col("l_linenumber").as("seq"))
-      val spec = MergeSpec(Seq("o_orderkey"), Seq(MergeFieldSpec("info.tags", MergeOp.AddToSet)))
-      Merge.upsertBatch(state, incoming, spec, "seq").state
-        .select(col("o_orderkey"),
-          array_join(array_sort(col("info.tags")), ",").as("tags"),
-          col("info.total").as("total"))
-        .orderBy("o_orderkey")
-    }),
-
-    // ---- merge: '*' whole-doc mode — the op applies to every non-key
-    //      incoming column (PartialUpdateMongo.java:304-305)
-    "merge_star" -> ((s, dir) => {
-      val state = t(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus"))
-      val incoming = t(s, dir, "lineitem").select(
-        col("l_orderkey").as("o_orderkey"),
-        col("l_returnflag").as("o_orderstatus"),
-        col("l_partkey").as("ref"),
-        col("l_linenumber").as("seq"))
-      val spec = MergeSpec(Seq("o_orderkey"), Seq(MergeFieldSpec("*", MergeOp.Set)))
-      Merge.upsertBatch(state, incoming, spec, "seq").state
-        .select(col("o_orderkey"), col("o_orderstatus"), col("ref"))
-        .orderBy("o_orderkey")
-    }),
-
-    // ---- merge: $currentDate through the time seam — matched/inserted
-    //      keys get "now" (a literal here, so the op is deterministic and
-    //      oracle-able), untouched state keeps its timestamp
-    //      (PartialUpdateMongo.java:313-314,378-381)
-    "merge_currentdate" -> ((s, dir) => {
-      val state = t(s, dir, "orders").select(
-        col("o_orderkey"), col("o_orderstatus"),
-        timestamp_millis(lit(0L)).as("touched"))
-      val incoming = t(s, dir, "lineitem").select(
-        col("l_orderkey").as("o_orderkey"),
-        col("l_returnflag").as("o_orderstatus"),
-        col("l_linenumber").as("seq"))
-      val spec = MergeSpec(Seq("o_orderkey"), Seq(
-        MergeFieldSpec("o_orderstatus", MergeOp.Set),
-        MergeFieldSpec("touched", MergeOp.CurrentDate)))
-      Merge.upsertBatch(state, incoming, spec, "seq",
-          now = lit("2026-01-02 03:04:05").cast(TimestampType)).state
-        .select(col("o_orderkey"), col("o_orderstatus"),
-          unix_millis(col("touched")).as("touched_ms"))
-        .orderBy("o_orderkey")
-    }),
-
-    // ---- merge: single-update mode — one state row per key is updated,
-    //      deterministically the lexicographic minimum over orderable
-    //      columns; content-identical copies of that row update together
-    //      (bag semantics — see Merge.markEligible)
-    //      (updateOne vs updateMany, PartialUpdateMongo.java:456-487)
-    "merge_single" -> ((s, dir) => {
-      val state = t(s, dir, "lineitem").select(
-        col("l_orderkey").as("k"),
-        col("l_linenumber").cast(LongType).as("line"),
-        col("l_returnflag").as("status"))
-      val incoming = t(s, dir, "orders")
-        .select(col("o_orderkey").as("k"), col("o_orderstatus").as("status"))
-        .withColumn("seq", lit(0))
-      val spec = MergeSpec(Seq("k"), Seq(MergeFieldSpec("status", MergeOp.Set)),
-        updateMany = false)
-      Merge.upsertBatch(state, incoming, spec, "seq").state
-        .select(col("k"), col("line"), col("status"))
-        .orderBy("k", "line", "status")
-    }),
-
-    // ---- dedup: embedding-cosine near-dup via SRP-LSH buckets. The
-    //      synthetic embeddings have no natural near-dups (max pair cosine
-    //      ~0.49), so exact duplicates are planted under shifted ids:
-    //      identical vectors land in the same SRP bucket with cosine 1.0,
-    //      making the planted pair set the exact, deterministic output —
-    //      the oracle is (id, id+1000000) for the planted ids.
-    "dedup_embedding_pairs" -> ((s, dir) => {
-      // corpus bounded to the base id domain: the planted-list oracle's
-      // premise is "no natural near-dups", and a key-shifted sweep table
-      // (sf1: ten identical copies at +k·10⁶) would violate it — the
-      // bound keeps the premise true at every scale (no-op at driver SFs)
-      val emb = t(s, dir, "embeddings")
-        .filter(col("vec_id") < 1000000L)
-        .select(col("vec_id"), col("embedding"))
-      val planted = emb.filter(col("vec_id") < 10)
-        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
-      Dedup.embeddingDupPairs(emb.union(planted), "embedding", "vec_id",
-          threshold = 0.999, bits = 8)
-        .select(col("id_a"), col("id_b"))
-        .orderBy("id_a", "id_b")
-    }),
-
-    // ---- winsorization: clip at exact 5th/95th percentiles (the same
-    //      histogram-percentile path as profile_numeric, already proven
-    //      value-identical to quantile_cont)
-    "winsorize" -> ((s, dir) => {
-      Profile.winsorize(
-          t(s, dir, "lineitem")
-            .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice")),
-          "l_extendedprice")
-        .orderBy("l_orderkey", "l_linenumber")
-    }),
-
-    // ---- quantile bucketing: exact-decile discretization (bounds as
-    //      driver metadata, narrow comparison fold — the winsorize
-    //      convention); occupancy counts per bucket
-    "quantile_buckets" -> ((s, dir) => {
-      Profile.quantileBuckets(
-          t(s, dir, "lineitem").select(col("l_extendedprice")),
-          "l_extendedprice", q = 10)
-        .filter(col("bucket").isNotNull)
-        .groupBy("bucket").agg(count(lit(1)).as("n"))
-        .orderBy("bucket")
-    }),
-
-    // ---- percent-rank / ECDF transform: below-count over the value
-    //      histogram, rank ratio = one exact-long division
-    "percent_rank" -> ((s, dir) => {
-      Profile.percentRank(
-          t(s, dir, "lineitem")
-            .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice")),
-          "l_extendedprice")
-        .orderBy("l_orderkey", "l_linenumber")
-    }),
-
-    // ---- per-group percent rank: within-source ECDF normalization;
-    //      the oracle spells the same rank()−1 over n−1 long division
-    //      per partition
-    "percent_rank_by_group" -> ((s, dir) => {
-      Profile.percentRankByGroup(
-          t(s, dir, "documents").select(col("doc_id"), col("source"), col("n_chars")),
-          Seq("source"), "n_chars")
-        .orderBy("doc_id")
-    }),
-
-    // ---- robust scaling: (x − median)/iqr with exact-percentile
-    //      driver-metadata bounds, narrow per-row division
-    "robust_scale" -> ((s, dir) => {
-      Profile.robustScale(
-          t(s, dir, "lineitem")
-            .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice")),
-          "l_extendedprice")
-        .orderBy("l_orderkey", "l_linenumber")
-    }),
-
-    // ---- outlier flagging: z-score (decimal-exact moments, 6 dp
-    //      quantized stats) + Tukey fences from exact quartiles;
-    //      flag counts per return flag
-    "outlier_flags" -> ((s, dir) => {
-      Profile.outlierFlags(
-          t(s, dir, "lineitem").select(col("l_returnflag"), col("l_extendedprice")),
-          "l_extendedprice")
-        .groupBy("l_returnflag")
-        .agg(sum(when(col("z_outlier"), 1L).otherwise(0L)).as("n_z"),
-          sum(when(col("iqr_outlier"), 1L).otherwise(0L)).as("n_iqr"),
-          count(lit(1)).as("n"))
-        .orderBy("l_returnflag")
-    }),
-
-    // ---- embedding standardization: per-dimension z-scores against
-    //      the vector profile (narrow literal-array transform, no join);
-    //      flattened to scalars for the hash compare
-    "embedding_standardize" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val prof = Profile.vector(emb, "embedding")
-      Profile.standardizeVectors(
-          emb.select(col("vec_id"), col("embedding")), "embedding", prof)
-        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "z")))
-        .orderBy("vec_id", "dim")
-    }),
-
-    // ---- vector-store QC: per-dimension embedding profile (dead dims,
-    //      scale drift). Decimal-accumulated first/second moments, std
-    //      derived in a fixed double order — exactly reproducible
-    "profile_vector" -> ((s, dir) => {
-      Profile.vector(t(s, dir, "embeddings"), "embedding")
-        .orderBy("dim")
-    }),
-
-    // ---- RAG chunking: sliding token windows (32-token chunks, 8
-    //      carried over, stride 24); last window is the first to reach
-    //      the doc end. Entirely narrow — the oracle replays the same
-    //      integer window arithmetic over the same tokenizer
-    "doc_chunks" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      Packing.chunkByTokens(d, "text", "doc_id",
-          chunkTokens = 32, overlapTokens = 8)
-        .orderBy("doc_id", "chunk_idx")
-    }),
-
-    // ---- sentence segmentation: the corpus text carries no
-    //      punctuation, so terminators are PLANTED by plain substring
-    //      replace (' value ' → ' value. ', ' query ' → ' query? ' —
-    //      leftmost-nonoverlapping, identical in both engines), then
-    //      the regex-portable boundary rule (terminator + spaces, no
-    //      lookbehind) explodes each doc into indexed sentences
-    "sentence_chunks" -> ((s, dir) => {
-      val d = t(s, dir, "documents").filter(col("doc_id") < 500)
-        .select(col("doc_id"),
-          replace(replace(col("text"), lit(" value "), lit(" value. ")),
-            lit(" query "), lit(" query? ")).as("_t"))
-      Packing.sentenceChunks(d, "doc_id", "_t")
-        .orderBy("doc_id", "sentence_idx")
-    }),
-
-    // ---- content-defined chunking: gear-rule boundaries from the FNV
-    //      of each local token bigram (mod 16) — insertion-resilient
-    //      chunks for chunk-level dedup, vs doc_chunks' fixed windows
-    "cdc_chunks" -> ((s, dir) => {
-      val d = t(s, dir, "documents").filter(col("doc_id") < 500)
-        .select(col("doc_id"), col("text"))
-      Packing.cdcChunks(d, "doc_id", "text", divisor = 16)
-        .orderBy("doc_id", "chunk_idx")
-    }),
-
-    // ---- CDC's payoff in the compared surface: docs ≡9 mod 31 gain a
-    //      3-token-prefixed VARIANT (id+5e6); chunk-level exact dedup
-    //      over the gear chunks still finds most of each variant's
-    //      token mass duplicated (fixed windows would find ~none after
-    //      the shift). Per-doc duplicated-chunk accounting
-    "pipeline_cdc_dedup" -> ((s, dir) => {
-      val d = t(s, dir, "documents").filter(col("doc_id") < 500)
-        .select(col("doc_id"), col("text"))
-      val variants = d.filter(col("doc_id") % 31 === 9)
-        .select((col("doc_id") + 5000000L).as("doc_id"),
-          concat(lit("zz yy xx "), col("text")).as("text"))
-      val chunks = Packing.cdcChunks(d.unionByName(variants), "doc_id", "text",
-        divisor = 16)
-      val shared = chunks
-        .groupBy(col("chunk_text"))
-        .agg(countDistinct(col("doc_id")).as("_nd"))
-        .filter(col("_nd") > 1)
-        .select(col("chunk_text"))
-      chunks.join(shared, Seq("chunk_text"), "left_semi")
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("dup_chunks"),
-          sum(col("n_tokens")).as("dup_tokens"))
-        .orderBy("doc_id")
-    }),
-
-    // ---- retrieval: BM25 top-k per query (lexical complement to the
-    //      ANN gates). The per-term idf is computed ONCE on the driver
-    //      from exact integer counts (N, df) and fed to BOTH engines as
-    //      the same ×10⁶ scaled-integer literal table (no libm ln in
-    //      the compared surface — a last-ulp ln difference between
-    //      DuckDB builds flipped the rounded digit in round 6); each
-    //      term contribution rounds HALF_UP at 9dp in pure integer
-    //      arithmetic and the per-doc score is the exact integer sum
-    //      emitted as score_e9 BIGINT (no DECIMAL output — round-8
-    //      verdict), so the oracle reproduces scores bit-for-bit;
-    //      (score_e9 DESC, doc_id ASC) totally orders ranks on both sides
-    "bm25_topk" -> ((s, dir) => {
-      import s.implicits._
-      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val queries = bm25GateQueries3(s)
-      val idf = Retrieval.queryIdfLiterals(docs, "text", queries, "qtext")
-      GateTables.put("bm25_idf_q3", idfValuesRows(idf))
-      Retrieval.bm25TopKWithIdf(docs, "doc_id", "text",
-          queries, "query_id", "qtext", idf, k = 10)
-        .orderBy("query_id", "rank")
-    }),
-
-    // ---- retrieval EVALUATION: MRR / hits@10 / precision@10 of the
-    //      BM25 top-10 against conjunctive-containment relevance (a
-    //      doc is relevant iff it contains EVERY query term) — the
-    //      rank-based metrics are exact scaled integers
-    "ranking_metrics" -> ((s, dir) => {
-      import s.implicits._
-      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val queries = bm25GateQueries3(s)
-      val idf = Retrieval.queryIdfLiterals(docs, "text", queries, "qtext")
-      GateTables.put("bm25_idf_rm", idfValuesRows(idf))
-      val ranked = Retrieval.bm25TopKWithIdf(docs, "doc_id", "text",
-        queries, "query_id", "qtext", idf, k = 10)
-      val qterms = queries.select(col("query_id"),
-        explode(array_distinct(split(col("qtext"), " "))).as("term"))
-      val nq = qterms.groupBy("query_id").agg(count(lit(1)).as("_nq"))
-      val dterms = docs.select(col("doc_id"),
-        explode(array_distinct(TextFunctions.tokens(lower(col("text"))))).as("term"))
-      val rel = qterms.join(dterms, Seq("term"))
-        .groupBy("query_id", "doc_id").agg(count(lit(1)).as("_m"))
-        .join(nq, Seq("query_id")).filter(col("_m") === col("_nq"))
-        .select(col("query_id"), col("doc_id"))
-      Retrieval.rankingMetrics(ranked, rel, k = 10)
-        .orderBy("query_id")
-    }),
-
-    // ---- NDCG@10 with the DCG position weights as driver-computed
-    //      ×10⁹ literals (the idf-literal discipline — no engine-side
-    //      log in the compared surface); binary conjunctive relevance
-    "ndcg_metrics" -> ((s, dir) => {
-      import s.implicits._
-      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val queries = bm25GateQueries3(s)
-      val idf = Retrieval.queryIdfLiterals(docs, "text", queries, "qtext")
-      GateTables.put("bm25_idf_ndcg", idfValuesRows(idf))
-      val ranked = Retrieval.bm25TopKWithIdf(docs, "doc_id", "text",
-        queries, "query_id", "qtext", idf, k = 10)
-      val qterms = queries.select(col("query_id"),
-        explode(array_distinct(split(col("qtext"), " "))).as("term"))
-      val nq = qterms.groupBy("query_id").agg(count(lit(1)).as("_nq"))
-      val dterms = docs.select(col("doc_id"),
-        explode(array_distinct(TextFunctions.tokens(lower(col("text"))))).as("term"))
-      val rel = qterms.join(dterms, Seq("term"))
-        .groupBy("query_id", "doc_id").agg(count(lit(1)).as("_m"))
-        .join(nq, Seq("query_id")).filter(col("_m") === col("_nq"))
-        .select(col("query_id"), col("doc_id"))
-      Retrieval.ndcgAtK(ranked, rel, k = 10)
-        .orderBy("query_id")
-    }),
-
-    // ---- hybrid retrieval: RRF fusion of a dense ANN list and a
-    //      lexical BM25 list over the SAME corpus id space (doc_id ==
-    //      vec_id in the testdata) — rank-based, so the incomparable
-    //      score scales never need calibration
-    "hybrid_rrf_topk" -> ((s, dir) => {
-      import s.implicits._
-      val emb = t(s, dir, "embeddings")
-      val q = emb.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-      val dense = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
-        q, "query_id", "qv", k = 10,
-        metric = VectorFunctions.dot, scoreName = "dot")
-      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val queries = bm25GateQueries5(s)
-      // driver-computed idf literals keep the lexical leg's ln out of
-      // the hash-compared surface (see bm25_topk)
-      val idf = Retrieval.queryIdfLiterals(docs, "text", queries, "qtext")
-      GateTables.put("bm25_idf_q5", idfValuesRows(idf))
-      val lexical = Retrieval.bm25TopKWithIdf(docs, "doc_id", "text",
-        queries, "query_id", "qtext", idf, k = 10)
-      Retrieval.rrfFuse(Seq(dense, lexical), k = 10)
-        .orderBy("query_id", "rank")
-    }),
-
-    // ---- MMR diversified re-rank: greedy λ·relevance − (1−λ)·max-sim
-    //      selection over the dense top-10 (candidates re-joined to
-    //      their vectors; λ = 0.5 — dyadic, so 1−λ is exact in any
-    //      engine's literal arithmetic)
-    "mmr_rerank" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val q = emb.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-      val dense = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
-        q, "query_id", "qv", k = 10,
-        metric = VectorFunctions.dot, scoreName = "dot")
-      val cands = dense.join(
-        emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("vec")),
-        Seq("neighbor_id"))
-      Similarity.mmrRerank(
-          cands.select(col("query_id"), col("neighbor_id"), col("dot"), col("vec")),
-          m = 5, lambda = 0.5, scoreCol = "dot")
-        .orderBy("query_id", "rank")
-    }),
-
-    // ---- dedup: edit-distance verification of candidate pairs (the
-    //      exact post-LSH arbiter). Planted tail-modified copies score
-    //      high, cross pairs low; the oracle recomputes the identical
-    //      levenshtein ratio, so the threshold cut agrees exactly
-    "edit_sim_pairs" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val modified = d.filter(col("doc_id") < 15)
-        .select((col("doc_id") + 1000000L).as("doc_id"),
-          concat(col("text"), lit(" some extra tail words")).as("text"))
-      val all = d.union(modified)
-      val cands = d.filter(col("doc_id") < 15)
-        .select(col("doc_id").as("id_a"), (col("doc_id") + 1000000L).as("id_b"))
-        .union(d.filter(col("doc_id") < 15)
-          .select(col("doc_id").as("id_a"),
-            ((col("doc_id") + 1L) % 15 + 1000000L).as("id_b")))
-      Dedup.editSimilarityPairs(cands, all, "text", "doc_id", threshold = 0.8)
-        .orderBy("id_a", "id_b")
-    }),
-
-    // ---- retrieval: conjunctive (AND) BM25 — docs must match EVERY
-    //      query term; the matched-term count falls out of the scoring
-    //      aggregate and compares against the per-query term total
-    "bm25_topk_all" -> ((s, dir) => {
-      import s.implicits._
-      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val queries = bm25GateQueries3(s)
-      // same driver-computed idf discipline as bm25_topk
-      val idf = Retrieval.queryIdfLiterals(docs, "text", queries, "qtext")
-      GateTables.put("bm25_idf_q3", idfValuesRows(idf))
-      Retrieval.bm25TopKWithIdf(docs, "doc_id", "text",
-          queries, "query_id", "qtext", idf, k = 10, requireAllTerms = true)
-        .orderBy("query_id", "rank")
-    }),
-
-    // ---- retrieval over the STREAMING-BUILT index: two micro-batch
-    //      slices flow through applyBm25IndexBatch (the bm25IndexStream
-    //      foreachBatch body — versioned state + _CURRENT commit), then
-    //      the committed postings are scored with bm25TopKFromPostings.
-    //      No zero-token docs exist in the corpus, so postings-derived
-    //      (N, avgdl) equal the corpus stats and the bm25_topk oracle
-    //      chain is the exact oracle; same literal-idf discipline
-    "bm25_topk_indexed" -> ((s, dir) => {
-      import graft.streaming.StreamingOps
-      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val queries = bm25GateQueries3(s)
-      val statePath = java.nio.file.Files
-        .createTempDirectory("graft_bm25idx").toString
-      StreamingOps.applyBm25IndexBatch(s,
-        docs.filter(col("doc_id") % 2 === 0), 0L, "text", "doc_id", statePath)
-      StreamingOps.applyBm25IndexBatch(s,
-        docs.filter(col("doc_id") % 2 =!= 0), 1L, "text", "doc_id", statePath)
-      val postings = StreamingOps.readState(s, statePath)
-        .getOrElse(sys.error(s"no committed bm25 index at $statePath"))
-      val idf = Retrieval.queryIdfLiterals(docs, "text", queries, "qtext")
-      GateTables.put("bm25_idf_q3i", idfValuesRows(idf))
-      Retrieval.bm25TopKFromPostingsWithIdf(postings,
-          queries, "query_id", "qtext", idf, k = 10)
-        .orderBy("query_id", "rank")
-    }),
-
-    // ---- dedup: SemDeDup — k-means clusters, within-cluster cosine
-    //      pairs. Planted exact copies share their argmax centroid, so
-    //      the within-cluster scan finds every planted pair; the corpus
-    //      max natural pairwise cosine is ~0.51 (measured), so at
-    //      threshold 0.999 the planted set IS the full answer and the
-    //      cluster-straddle recall trade can't bite
-    "semantic_dedup_pairs" -> ((s, dir) => {
-      // same corpus bound as dedup_embedding_pairs: the planted-list
-      // oracle's "no natural near-dups" premise must hold at sweep
-      // scales too (sf1 plants ten identical copies at +k·10⁶)
-      val emb = t(s, dir, "embeddings")
-        .filter(col("vec_id") < 1000000L)
-        .select(col("vec_id"), col("embedding"))
-      val planted = emb.filter(col("vec_id") < 10)
-        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
-      Dedup.semanticDupPairs(emb.union(planted), "embedding", "vec_id",
-          threshold = 0.999, numClusters = 8, iterations = 1)
-        .select(col("id_a"), col("id_b"))
-        .orderBy("id_a", "id_b")
-    }),
-
-    // ---- multimodal: partition-batched feature extraction over binary
-    //      media (stub decode kernel, real plumbing). The byte accounting
-    //      is closed-form (n_bytes = 64 + media_id % 64 by construction of
-    //      syntheticMedia), so the gate is a real DuckDB oracle; feature
-    //      values are JVM-hash-derived and covered by MultimodalSpec.
-    "media_features" -> ((s, dir) => {
-      val media = Multimodal.syntheticMedia(s, 500)
-      Multimodal.extractFeatures(media, dim = 8)
-        .select(col("media_id"), col("n_bytes"))
-        .orderBy("media_id")
-    }),
-
-    // ---- multimodal exact dedup: planted byte-identical copies
-    //      (media_id ≡4 mod 17, id+1e6) collapse to their originals;
-    //      the synthetic byte generator admits NO natural dups below
-    //      id stride 64·251 = 16064, so group structure is closed-form
-    //      and the oracle is analytic (the media_features convention)
-    "media_dedup" -> ((s, dir) => {
-      val media = Multimodal.syntheticMedia(s, 500)
-      val copies = media.filter(col("media_id") % 17 === 4)
-        .withColumn("media_id", col("media_id") + 1000000L)
-      Multimodal.dedupExactBinary(media.unionByName(copies),
-          "media_id", "content")
-        .orderBy("media_id")
-    }),
-
-    // ---- multimodal: bounded frame-sampling explode (stub slicer; the
-    //      slice boundaries are closed-form in (media_id, frame_idx), so
-    //      the explode shape and byte accounting get a real oracle)
-    "media_frames" -> ((s, dir) => {
-      val media = Multimodal.syntheticMedia(s, 500)
-      Multimodal.sampleFrames(media, 4)
-        .select(col("media_id"), col("frame_idx"),
-          length(col("frame_bytes")).cast(LongType).as("n_bytes"))
-        .orderBy("media_id", "frame_idx")
-    }),
-
-    // ---- multimodal: metadata-only resize — never touches the binary
-    //      column (plan-level proof in MultimodalSpec); pure arithmetic,
-    //      fully oracle-able
-    "media_resize" -> ((s, dir) => {
-      val media = Multimodal.syntheticMedia(s, 500)
-        .withColumn("meta", struct(
-          col("meta.mime").as("mime"),
-          (col("media_id") % 1000 + 100).cast(IntegerType).as("width"),
-          (col("media_id") % 700 + 50).cast(IntegerType).as("height"),
-          col("meta.durationMs").as("durationMs"),
-          col("meta.codec").as("codec")))
-      Multimodal.resizeMeta(media, 512)
-        .select(col("media_id"),
-          col("resized_meta.width").as("w"),
-          col("resized_meta.height").as("h"))
-        .orderBy("media_id")
-    }),
-
-    // ---- composite training-data pipeline: quality-filter documents then
-    //      aggregate per source (filter pushdown + hash agg)
-    "quality_filter" -> ((s, dir) => {
-      val d = graft.engine.Partitioning.spreadByKey(
-        t(s, dir, "documents").select(col("doc_id"), col("source"), col("text")), col("doc_id"))
-      d.withColumn("q", TextFunctions.qualityScore(col("text")))
-        .filter(col("q") >= 0.8)
-        .groupBy(col("source"))
-        .agg(
-          count(lit(1)).as("n_docs"),
-          sum(TextFunctions.tokenCount(col("text"))).as("total_tokens"))
-        .orderBy("source")
-    }),
-
-    // ---- the full training-data prep pipeline, composed through the
-    //      Pipeline/relationship-routing layer: exact dedup → quality
-    //      routing (success/failure) → success branch → per-source stats
-    "pipeline_train_prep" -> ((s, dir) => {
-      import graft.engine.{Partitioning, Pipeline}
-      val docs = Partitioning.spreadByKey(
-        t(s, dir, "documents").select(col("doc_id"), col("source"), col("text")),
-        col("doc_id"))
-      val dedup: DataFrame => DataFrame = d => Dedup.exact(d, "text", "doc_id")
-      val qualityRoute: DataFrame => DataFrame = d => d
-        .withColumn("q", TextFunctions.qualityScore(col("text")))
-        .withColumn(Route.RouteCol,
-          when(col("q") >= 0.8, Route.Success).otherwise(Route.Failure))
-        .withColumn(Route.ErrorCol, lit(null).cast(StringType))
-      val stats: DataFrame => DataFrame = d => d
-        .groupBy("source")
-        .agg(count(lit(1)).as("n_docs"),
-          sum(TextFunctions.tokenCount(col("text"))).as("total_tokens"))
-      Pipeline(dedup, qualityRoute, Pipeline.route(Route.Success), stats)
-        .run(docs)
-        .orderBy("source")
-    }),
-
-    // ---- dedup: MinHash+LSH candidate-recall gate. Exact duplicates are
-    //      planted under shifted ids: identical normalized text ⇒ identical
-    //      token stream ⇒ identical 16-hash signature ⇒ every LSH band
-    //      collides, so the planted pairs are GUARANTEED candidates with
-    //      est_jaccard = 1.0. The fingerprint-equality verify join filters
-    //      any hash-dependent borderline pair, making the result exactly
-    //      the exact-dup pair set — deterministic and oracle-able as a
-    //      DuckDB self-join on normalized text. Near-dup (J<1) recall is
-    //      covered by DedupSpec invariants.
-    "dedup_minhash_pairs" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val planted = d.filter(col("doc_id") < 20)
-        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
-      val all = d.union(planted)
-      val pairs = Dedup.minHashDupPairs(all, "text", "doc_id",
-        numHashes = 16, bands = 8, threshold = 1.0)
-      val fps = all.select(col("doc_id"),
-        xxhash64(TextFunctions.normalizeForFingerprint(col("text"))).as("fp"))
-      pairs
-        .join(fps.select(col("doc_id").as("id_a"), col("fp").as("fp_a")), Seq("id_a"))
-        .join(fps.select(col("doc_id").as("id_b"), col("fp").as("fp_b")), Seq("id_b"))
-        .filter(col("fp_a") === col("fp_b"))
-        .select(col("id_a"), col("id_b"))
-        .orderBy("id_a", "id_b")
-    }),
-
-    // ---- dedup: SimHash candidate-recall gate (same planted-dup scheme:
-    //      identical text ⇒ identical 64-bit signature ⇒ Hamming 0 and all
-    //      four pigeonhole blocks collide; fp-verify keeps signature
-    //      collisions between distinct texts out)
-    "dedup_simhash_pairs" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val planted = d.filter(col("doc_id") < 20)
-        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
-      val all = d.union(planted)
-      val pairs = Dedup.simHashDupPairs(all, "text", "doc_id", maxHamming = 0)
-      val fps = all.select(col("doc_id"),
-        xxhash64(TextFunctions.normalizeForFingerprint(col("text"))).as("fp"))
-      pairs
-        .join(fps.select(col("doc_id").as("id_a"), col("fp").as("fp_a")), Seq("id_a"))
-        .join(fps.select(col("doc_id").as("id_b"), col("fp").as("fp_b")), Seq("id_b"))
-        .filter(col("fp_a") === col("fp_b"))
-        .select(col("id_a"), col("id_b"))
-        .orderBy("id_a", "id_b")
-    }),
-
-    // ---- dedup: paragraph/span-level intra-corpus dedup (the C4/
-    //      RefinedWeb step document-level dedup can't see). A planted
-    //      boilerplate sentence heads every doc; only its global first
-    //      occurrence survives, and whatever sentences the corpus
-    //      naturally repeats dedup identically in both engines
-    "paragraph_dedup" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"),
-        concat(lit("shared boilerplate notice. "), col("text")).as("text"))
-      Dedup.paragraphDedup(d, "text", "doc_id", sep = ". ")
-        .orderBy("doc_id")
-    }),
-
-    // ---- dedup: corpus-wide boilerplate-line removal. The planted
-    //      sentence heads EVERY doc (⇒ > maxDocs distinct docs), so it
-    //      is stripped from all of them — plus any sentence the corpus
-    //      naturally repeats across more than maxDocs docs
-    "boilerplate_removal" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"),
-        concat(lit("shared boilerplate notice. "), col("text")).as("text"))
-      Dedup.boilerplateRemove(d, "text", "doc_id", maxDocs = 5, sep = ". ")
-        .orderBy("doc_id")
-    }),
-
-    // ---- dedup: winnowing partial-overlap pairs. Planted exact dups ⇒
-    //      identical normalized text ⇒ identical fingerprint sets ⇒
-    //      guaranteed ≥1 shared fingerprint for docs with ≥ k normalized
-    //      chars; fp-verify keeps chance 8-gram overlaps between distinct
-    //      texts out, so the result is the exact-dup pair set over docs
-    //      long enough to fingerprint
-    "winnow_overlap" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val planted = d.filter(col("doc_id") < 20)
-        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
-      val all = d.union(planted)
-      // k=12: chance 12-char normalized overlaps between unrelated docs
-      // are rare, keeping the (output-bound) pair space small; planted
-      // identical docs still share their whole fingerprint set
-      val pairs = Dedup.winnowOverlapPairs(all, "text", "doc_id",
-        k = 12, w = 8, minShared = 1)
-      val fps = all.select(col("doc_id"),
-        xxhash64(TextFunctions.normalizeForFingerprint(col("text"))).as("fp"))
-      pairs
-        .join(fps.select(col("doc_id").as("id_a"), col("fp").as("fp_a")), Seq("id_a"))
-        .join(fps.select(col("doc_id").as("id_b"), col("fp").as("fp_b")), Seq("id_b"))
-        .filter(col("fp_a") === col("fp_b"))
-        .select(col("id_a"), col("id_b"))
-        .orderBy("id_a", "id_b")
-    }),
-
-    // ---- winnowing containment fraction: identical normalized docs have
-    //      identical fingerprint SETS, so shared = |fps_a| = |fps_b| and
-    //      containment = shared / min(...) is exactly 1.0 — the oracle
-    //      pins the fraction plumbing on the deterministic planted pairs
-    "winnow_containment" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val planted = d.filter(col("doc_id") < 20)
-        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
-      val all = d.union(planted)
-      val pairs = Dedup.winnowOverlapPairs(all, "text", "doc_id",
-        k = 12, w = 8, minShared = 1)
-      val fps = all.select(col("doc_id"),
-        xxhash64(TextFunctions.normalizeForFingerprint(col("text"))).as("fp"))
-      pairs
-        .join(fps.select(col("doc_id").as("id_a"), col("fp").as("fp_a")), Seq("id_a"))
-        .join(fps.select(col("doc_id").as("id_b"), col("fp").as("fp_b")), Seq("id_b"))
-        .filter(col("fp_a") === col("fp_b"))
-        .select(col("id_a"), col("id_b"), col("containment"))
-        .orderBy("id_a", "id_b")
-    }),
-
-    // ---- dedup: connected components over exact-dup pairs — transitive
-    //      cluster labels (comp = min reachable id); planted dups give the
-    //      deterministic pair set, the oracle is the per-group min id
-    "dedup_components" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val planted = d.filter(col("doc_id") < 20)
-        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
-      val all = d.union(planted)
-      val fps = all.select(col("doc_id"),
-        xxhash64(TextFunctions.normalizeForFingerprint(col("text"))).as("fp"))
-      val pairs = fps.select(col("fp"), col("doc_id").as("id_a"))
-        .join(fps.select(col("fp"), col("doc_id").as("id_b")), Seq("fp"))
-        .filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"))
-      Dedup.connectedComponents(pairs)
-        .orderBy("id")
-    }),
-
-    // ---- cross-source overlap matrix: distinct 3-gram containment per
-    //      source pair — mirror/syndication detection at corpus
-    //      granularity before any doc-level pair mapping
-    "source_overlap_matrix" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("source"), col("text"))
-      Dedup.sourceOverlapMatrix(d, "source", "text", n = 3)
-        .orderBy("src_a", "src_b")
-    }),
-
-    // ---- capacity planning on the same planted-clone graph: docs and
-    //      chars that disappear if clusters collapse to their keeper
-    "dedup_savings" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val planted = d.filter(col("doc_id") < 20)
-        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
-      val all = d.union(planted)
-      val fps = all.select(col("doc_id"),
-        xxhash64(TextFunctions.normalizeForFingerprint(col("text"))).as("fp"))
-      val pairs = fps.select(col("fp"), col("doc_id").as("id_a"))
-        .join(fps.select(col("fp"), col("doc_id").as("id_b")), Seq("fp"))
-        .filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"))
-      Dedup.savingsReport(Dedup.connectedComponents(pairs),
-        all, "doc_id", length(col("text")).cast(LongType))
-    }),
-
-    // ---- soft dedup: near-dup clusters DOWN-WEIGHTED, not dropped —
-    //      weight_e6 = 10⁶ div cluster_size, so every cluster totals
-    //      ≈10⁶ gradient mass; same planted-copy input as
-    //      dedup_components, singletons keep weight 10⁶
-    "soft_dedup_weights" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val planted = d.filter(col("doc_id") < 20)
-        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
-      val all = d.union(planted)
-      val fps = all.select(col("doc_id"),
-        xxhash64(TextFunctions.normalizeForFingerprint(col("text"))).as("fp"))
-      val pairs = fps.select(col("fp"), col("doc_id").as("id_a"))
-        .join(fps.select(col("fp"), col("doc_id").as("id_b")), Seq("fp"))
-        .filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"))
-      Dedup.softDedupWeights(all, pairs, "doc_id")
-        .orderBy("doc_id")
-    }),
-
-    // ---- dedup health report: cluster-size histogram of the planted
-    //      dup graph (docs <5 appear in triplicate, 5..19 in duplicate)
-    "dup_cluster_sizes" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val c1 = d.filter(col("doc_id") < 20)
-        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
-      val c2 = d.filter(col("doc_id") < 5)
-        .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
-      val all = d.union(c1).union(c2)
-      val fps = all.select(col("doc_id"),
-        xxhash64(TextFunctions.normalizeForFingerprint(col("text"))).as("fp"))
-      val pairs = fps.select(col("fp"), col("doc_id").as("id_a"))
-        .join(fps.select(col("fp"), col("doc_id").as("id_b")), Seq("fp"))
-        .filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"))
-      Dedup.clusterSizeHistogram(pairs).orderBy("cluster_size")
-    }),
-
-    // ---- tokenizer sizing: corpus coverage of the top-k vocabularies
-    //      (count desc, term asc), exact integer ppm
-    "vocab_coverage" -> ((s, dir) => {
-      Vocab.coverageCurve(
-          t(s, dir, "documents").filter(col("doc_id") < 2000),
-          "text", Seq(5, 10, 20))
-        .orderBy("k")
-    }),
-
-    // ---- per-probe leakage report: probes are half-a-document plus a
-    //      novel tail, so each probe's 3-gram leak fraction sits
-    //      strictly between 0 and 1 — the graded "which eval items are
-    //      compromised" surface
-    "probe_leak_report" -> ((s, dir) => {
-      val d = t(s, dir, "documents").filter(col("doc_id") < 2000)
-        .select(col("doc_id"), col("text"))
-      val toks = TextFunctions.tokens(col("text"))
-      val half = slice(toks, lit(1),
-        greatest((size(toks) / 2).cast("int"), lit(1)))
-      val probes = d.filter(col("doc_id") % 23 === 0)
-        .select(col("doc_id").as("probe_id"),
-          concat(array_join(half, " "), lit(" zzzq1 zzzq2 zzzq3")).as("ptext"))
-      Decontamination.probeLeakReport(d, "text", probes,
-          "probe_id", "ptext", n = 3)
-        .orderBy("probe_id")
-    }),
-
-    // ---- per-group exact embedding centroids (e6 integer space):
-    //      the SemDeDup cluster-mean / drift-reference primitive
-    "group_centroids_e6" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-        .select((col("vec_id") % 5).as("grp"), col("embedding"))
-      Profile.groupCentroidsE6(emb, "grp", "embedding")
-        .orderBy("grp", "pos")
-    }),
-
-    // ---- deterministic train/val/test split: one portable FNV bucket
-    //      per key, disjoint CASE ranges (819/922/1024 = round(cum·1024))
-    "hash_split" -> ((s, dir) => {
-      Sampling.splitByHash(t(s, dir, "documents").select(col("doc_id")),
-          "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
-        .orderBy("doc_id")
-    }),
-
-    // ---- leakage-safe grouped split: the split KEY is the domain
-    //      (source), so near-dup docs inside one domain can never
-    //      straddle train/test — the standard guard against
-    //      split leakage that per-doc hashing cannot give
-    "grouped_split" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"), col("source"))
-      Sampling.splitByHash(d, "source",
-          Seq("train" -> 0.8, "test" -> 0.2), salt = "gsplit")
-        .orderBy("doc_id")
-    }),
-
-    // ---- materialized training sequences: pack assignment → the
-    //      actual concatenated sequence per pack (order-total via
-    //      sorted structs, EOS separator), each group ≈budget tokens
-    //      by construction
-    "pack_materialize" -> ((s, dir) => {
-      val d = t(s, dir, "documents").filter(col("doc_id") < 2000)
-        .select(col("doc_id"), col("source"), col("text"),
-          TextFunctions.tokenCount(col("text")).as("nt"))
-      val packed = Packing.packByTokenBudget(d, col("nt"), "doc_id",
-        budget = 500L, strataCols = Seq("source"))
-      Packing.materializePacks(packed, "text", col("nt"), "doc_id",
-          Seq("source"))
-        .orderBy("source", "pack_id")
-    }),
-
-    // ---- dedup APPLY with a quality policy: planted copies carry two
-    //      extra punctuation chars (same fingerprint after
-    //      normalization, LONGER raw text), so the quality argmax keeps
-    //      the planted copy over the original — min-id would not
-    "dedup_keep_best" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val planted = d.filter(col("doc_id") < 20)
-        .select((col("doc_id") + 1000000L).as("doc_id"),
-          concat(col("text"), lit("!!")).as("text"))
-      val all = d.union(planted)
-      val fps = all.select(col("doc_id"),
-        xxhash64(TextFunctions.normalizeForFingerprint(col("text"))).as("fp"))
-      val pairs = fps.select(col("fp"), col("doc_id").as("id_a"))
-        .join(fps.select(col("fp"), col("doc_id").as("id_b")), Seq("fp"))
-        .filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"))
-      val comps = Dedup.connectedComponents(pairs)
-      Dedup.keepClusterRepresentatives(
-          all.withColumn("q", length(col("text"))), "doc_id", comps, "q")
-        .select(col("doc_id"))
-        .orderBy("doc_id")
-    }),
-
-    // ---- composed batch-prep pipeline: outlier-length band filter →
-    //      length-bucketed batching — the unpacked-loader prep chain,
-    //      two round-8 operators composed as a user would compose them;
-    //      the oracle concatenates their two proven chains
-    // ---- composed C4-curation pipeline: line-level clean → page
-    //      gate → exact-substring removal → token accounting. After
-    //      the C4 pass, every ≡1 (mod 5) doc's clean text is the SAME
-    //      appended line, so the removal stage does real cross-doc
-    //      work on the pipeline's own output — the operators compose,
-    //      not just coexist
-    "pipeline_c4_dedup" -> ((s, dir) => {
-      val d = t(s, dir, "documents").filter(col("doc_id") < 1000)
-        .withColumn("_t", expr(c4GateTextSql))
-      val kept = TextFunctions.c4KeptLines(col("_t"), minWordsPerLine = 3)
-      val cleaned = d
-        .select(col("doc_id"), array_join(kept, "\n").as("_c"),
-          TextFunctions.c4DocPass(col("_t"), kept, minKeptLines = 1).as("_p"))
-        .filter(col("_p"))
-        .select(col("doc_id"), col("_c"))
-      Dedup.removeDuplicatedWindows(cleaned, "doc_id", "_c", window = 10)
-        .select(col("doc_id"), col("clean"), col("n_removed"),
-          TextFunctions.tokenCount(col("clean")).as("n_tokens"))
-        .orderBy("doc_id")
-    }),
-
-    // ---- composed training-mix manifest: per-source token budget →
-    //      soft dedup weighting over the kept set (planted dupsrc
-    //      clones form real 2-clusters) → deterministic training-order
-    //      position — the "build the mix" chain a pretraining run
-    //      consumes, each link individually gate-proven
-    "pipeline_mix_manifest" -> ((s, dir) => {
-      val d = t(s, dir, "documents").filter(col("doc_id") < 2000)
-        .select(col("doc_id"), col("source"), col("text"))
-      val clones = t(s, dir, "documents").filter(col("doc_id") < 30)
-        .select((col("doc_id") + 1000000L).as("doc_id"),
-          lit("dupsrc").as("source"), col("text"))
-      val all = d.union(clones)
-      val quota = Sampling.tokenQuotaPerGroup(all, "doc_id", "source",
-          TextFunctions.tokenCount(col("text")), budget = 600L)
-        .filter(col("keep"))
-        .select(col("doc_id"), col("source"), col("n_tokens"))
-      val kept = quota.join(all.select(col("doc_id"), col("text")), Seq("doc_id"))
-      val fps = kept.select(col("doc_id"),
-        xxhash64(TextFunctions.normalizeForFingerprint(col("text"))).as("fp"))
-      val pairs = fps.select(col("fp"), col("doc_id").as("id_a"))
-        .join(fps.select(col("fp"), col("doc_id").as("id_b")), Seq("fp"))
-        .filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"))
-      val weights = Dedup.softDedupWeights(kept.select(col("doc_id")), pairs, "doc_id")
-      val pos = Sampling.deterministicShuffle(
-        quota.select(col("doc_id")), "doc_id", salt = "mix")
-      quota.join(weights, Seq("doc_id")).join(pos, Seq("doc_id"))
-        .select(col("doc_id"), col("source"), col("n_tokens"),
-          col("cluster_size"), col("weight_e6"), col("pos"))
-        .orderBy("doc_id")
-    }),
-
-    "pipeline_batch_prep" -> ((s, dir) => {
-      val d = t(s, dir, "documents").filter(col("doc_id") < 2000)
-        .select(col("doc_id"), col("text"),
-          TextFunctions.tokenCount(col("text")).as("n_tokens"))
-        .withColumn("_n", col("n_tokens").cast(DoubleType))
-      val banded = Profile.bandFilter(d, "_n", 0.05, 0.95)
-        .select(col("doc_id"), col("text"))
-      Packing.lengthBucketBatches(banded, "doc_id", "text",
-          bucketWidth = 64, batchSize = 32)
-        .orderBy("doc_id")
-    }),
-
-    // ---- composed curation pipeline: quality-policy dedup → hash
-    //      split (train share) → per-source token packing — three
-    //      operators chained exactly as a user would chain them; the
-    //      oracle concatenates the three proven CTE chains
-    "pipeline_curation" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"), col("text"), col("source"))
-      val planted = d.filter(col("doc_id") < 20)
-        .select((col("doc_id") + 1000000L).as("doc_id"),
-          concat(col("text"), lit("!!")).as("text"), col("source"))
-      val all = d.union(planted)
-      val fps = all.select(col("doc_id"),
-        xxhash64(TextFunctions.normalizeForFingerprint(col("text"))).as("fp"))
-      val pairs = fps.select(col("fp"), col("doc_id").as("id_a"))
-        .join(fps.select(col("fp"), col("doc_id").as("id_b")), Seq("fp"))
-        .filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"))
-      val kept = Dedup.keepClusterRepresentatives(
-        all.withColumn("q", length(col("text"))), "doc_id",
-        Dedup.connectedComponents(pairs), "q")
-      val train = Sampling.splitByHash(kept, "doc_id",
-          Seq("train" -> 0.8, "holdout" -> 0.2))
-        .filter(col("split") === "train")
-      val staged = train.select(col("doc_id"), col("source"),
-        TextFunctions.tokenCount(col("text")).as("n_tokens"))
-      Packing.packByTokenBudget(staged, col("n_tokens"), "doc_id", budget = 512L,
-          strataCols = Seq("source"))
-        .select(col("doc_id"), col("source"), col("n_tokens"),
-          col("pack_id"), col("pack_offset"))
-        .orderBy("doc_id")
-    }),
-
-    // ---- decontamination: flag docs sharing any word n-gram with a
-    //      probe (benchmark) corpus — broadcast semi-join on shingle
-    //      hashes; probes = the first 10 docs, so overlap is deterministic
-    "decontamination" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val probes = d.filter(col("doc_id") < 10).select(col("text"))
-      Decontamination.contaminationFlags(d, "text", "doc_id", probes, "text", n = 3)
-        .select(col("doc_id"), col("contaminated"))
-        .orderBy("doc_id")
-    }),
-
-    // ---- Unicode NFC normalization (native NfcNormalize expression):
-    //      decomposed combining sequences (planted deterministically —
-    //      the driver corpus is ASCII) compose to their canonical
-    //      precomposed forms; DuckDB's nfc_normalize computes the
-    //      identical TR15 form, so lengths and tails compare exactly
-    "nfc_normalize" -> ((s, dir) => {
-      val d = t(s, dir, "documents").filter(col("doc_id") < 500)
-      val raw = concat(col("text"), lit(nfcGateSuffix))
-      d.select(col("doc_id"),
-          length(raw).cast(LongType).as("len_before"),
-          TextFunctions.nfcNormalize(raw).as("_norm"))
-        .select(col("doc_id"), col("len_before"),
-          length(col("_norm")).cast(LongType).as("len_after"),
-          expr("right(_norm, 10)").as("tail"))
-        .orderBy("doc_id")
-    }),
-
-    // ---- graded contamination: per-doc fraction of distinct n-grams
-    //      shared with the probe set (the threshold-able memorization
-    //      signal; contaminated == ratio > 0). Counts are exact longs,
-    //      the ratio one IEEE division — oracle recomputes exactly
-    "ngram_overlap_ratio" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val probes = d.filter(col("doc_id") < 10).select(col("text"))
-      Decontamination.overlapStats(d, "text", "doc_id", probes, "text", n = 3)
-        .orderBy("doc_id")
-    }),
-
-    // ---- n-gram novelty: the new-information rate per doc in crawl
-    //      order — distinct word trigrams first seen by this doc over
-    //      its total; re-crawls/boilerplate → 0, fresh content → high
-    "ngram_novelty" -> ((s, dir) => {
-      val d = t(s, dir, "documents").filter(col("doc_id") < 2000)
-        .select(col("doc_id"), col("text"))
-      Vocab.ngramNovelty(d, "doc_id", "text", n = 3)
-        .orderBy("doc_id")
-    }),
-
-    // ---- distinct-n corpus diversity per source (Li et al. 2016):
-    //      distinct n-gram instances over total — templated sources
-    //      score low; exact integers, fp-based distinct (2⁻⁶⁴ argument)
-    "distinct_ngram_ratio" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("source"), col("text"))
-      Vocab.distinctNgramRatio(d, "source", "text", ns = Seq(1, 2))
-        .orderBy("source", "n")
-    }),
-
-    // ---- PII redaction: plant deterministic email/phone/IP spans, then
-    //      count and redact them (patterns are RE2-compatible so DuckDB
-    //      computes the identical spans)
-    "pii_redaction" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val planted = d.withColumn("text", concat(col("text"),
-        lit(" contact user"), col("doc_id").cast(StringType), lit("@example.com or 555-123-4567 at 10.0.0."),
-        (col("doc_id") % 256).cast(StringType)))
-      planted.select(
-        col("doc_id"),
-        TextFunctions.patternCount(col("text"), TextFunctions.EmailPattern).as("n_email"),
-        TextFunctions.patternCount(col("text"), TextFunctions.PhonePattern).as("n_phone"),
-        length(TextFunctions.redact(col("text"))).cast(LongType).as("redacted_len")
-      ).orderBy("doc_id")
-    }),
-
-    // ---- dedup: exact n-gram Jaccard pairs (inverted-index join)
-    "ngram_jaccard_pairs" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-      Dedup.ngramJaccardPairs(d, "text", "doc_id", n = 3, threshold = 0.5)
-        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
-        .orderBy("id_a", "id_b")
-    })
-  )
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    graft.gates.CoreGates.queries ++
+      graft.gates.DedupGates.queries ++
+      graft.gates.GraphGates.queries ++
+      graft.gates.MixLayoutGates.queries ++
+      graft.gates.PreferenceAnnotationGates.queries ++
+      graft.gates.RefSurfaceGates.queries ++
+      graft.gates.SimilarityGates.queries ++
+      graft.gates.StatsGates.queries ++
+      graft.gates.StreamGates.queries ++
+      graft.gates.TextGates.queries
 
   // ------------------------------------------------------------------ oracles
 
@@ -7535,12 +2059,12 @@ object SparkEntry {
   //      difference can flip the 6dp-rounded digit across DuckDB
   //      builds, so the hardened path is the literal table.
 
-  private val bm25Q3Values =
+  private[graft] val bm25Q3Values =
     """(0, 'spark window merge'),
       |   (1, 'customer order batch stream'),
       |   (2, 'hash join table scan')""".stripMargin
 
-  private val bm25Q5Values =
+  private[graft] val bm25Q5Values =
     """(0, 'spark window merge'),
       |   (1, 'customer order batch stream'),
       |   (2, 'hash join table scan'),
@@ -7565,7 +2089,7 @@ object SparkEntry {
     * BIGINT. No double, no `round()`, and no DECIMAL anywhere in the
     * compared surface.
     */
-  private def bm25ChainSql(
+  private[graft] def bm25ChainSql(
       queryValues: String, idfRows: String, requireAll: Boolean): String = {
     val idfCte =
       s"""idft AS (
@@ -7624,7 +2148,7 @@ object SparkEntry {
     * the whole-corpus sketch).
     */
   /** The shared register chain (toks … reg) of the HLL oracles. */
-  private def hllRegChainSql: String = {
+  private[graft] def hllRegChainSql: String = {
     val rhoCase = Profile.hllRhoCaseSql("rem", 54)
     s"""toks AS (
        | SELECT source,
@@ -7657,7 +2181,7 @@ object SparkEntry {
        |)""".stripMargin
   }
 
-  private val hllNumLiteral: String =
+  private[graft] val hllNumLiteral: String =
     (BigInt(Profile.hllAlphaPpm1024) * BigInt(1024L * 1024L) *
       (BigInt(1) << 63)).toString
 
@@ -7665,7 +2189,7 @@ object SparkEntry {
     * union estimates, and inclusion–exclusion intersections — the same
     * BigInt folds the operator runs driver-side, in HUGEINT.
     */
-  private def hllOverlapOracleSql: String =
+  private[graft] def hllOverlapOracleSql: String =
     s"""WITH $hllRegChainSql, sv AS (
        | SELECT source,
        |  CAST(sum(CAST((CAST(1 AS BIGINT) << (63 - m)) AS HUGEINT)) AS HUGEINT)
@@ -7697,7 +2221,7 @@ object SparkEntry {
        |FROM uest u JOIN est ea ON ea.source = u.sa JOIN est eb ON eb.source = u.sb
        |ORDER BY 1, 2""".stripMargin
 
-  private def hllOracleSql(withExact: Boolean): String = {
+  private[graft] def hllOracleSql(withExact: Boolean): String = {
     val num = hllNumLiteral
     val exCte = if (withExact)
       """, ex AS (
@@ -7725,13 +2249,13 @@ object SparkEntry {
     * diverge on a re-derived (ln-based) surface — that exact silent
     * path is round 6/7's standing hash-red hypothesis (ii).
     */
-  private def gateTableOrError(key: String): Either[String, String] =
+  private[graft] def gateTableOrError(key: String): Either[String, String] =
     GateTables.get(key).toRight(
       s"SELECT error('gate table $key not registered: oracle_sql.json was " +
         "generated without running the gate queries first (Verify runs " +
         "queries, then dumps oracles)')")
 
-  private def bm25TopKOracle(
+  private[graft] def bm25TopKOracle(
       queryValues: String, idfKey: String, requireAll: Boolean): String = {
     val rows = gateTableOrError(idfKey) match {
       case Left(err) => return err
@@ -7761,7 +2285,7 @@ object SparkEntry {
     * conjunctive term containment as `rel`, then the exact rank
     * arithmetic (mrr_e6 = 10⁶ // first-relevant-rank, precision ppm).
     */
-  private def rankingMetricsOracle(): String = {
+  private[graft] def rankingMetricsOracle(): String = {
     val rows = gateTableOrError("bm25_idf_rm") match {
       case Left(err) => return err
       case Right(r) => r
@@ -7813,7 +2337,7 @@ object SparkEntry {
     * plus the driver-computed scaled DCG weight literals (both engines
     * fold the identical table — Retrieval.dcgWeightLiteralsE9).
     */
-  private def ndcgOracle(): String = {
+  private[graft] def ndcgOracle(): String = {
     val rows = gateTableOrError("bm25_idf_ndcg") match {
       case Left(err) => return err
       case Right(r) => r
@@ -7879,7 +2403,7 @@ object SparkEntry {
        |FROM withi ORDER BY query_id""".stripMargin
   }
 
-  private def hybridRrfOracle(): String = {
+  private[graft] def hybridRrfOracle(): String = {
     val rows = gateTableOrError("bm25_idf_q5") match {
       case Left(err) => return err
       case Right(r) => r
@@ -7925,7 +2449,7 @@ object SparkEntry {
     * the running chunk index as `c(doc_id, p, t, chunk)` — composed
     * with a gate-specific final SELECT.
     */
-  private def cdcChainSql(divisor: Long): String =
+  private[graft] def cdcChainSql(divisor: Long): String =
     s"""d AS (
        | SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS toks
        | FROM src
@@ -7949,7 +2473,7 @@ object SparkEntry {
        | FROM fl
        |)""".stripMargin
 
-  private val oracleSqlCmsCounts: String = {
+  private[graft] val oracleSqlCmsCounts: String = {
       val hm = fnvModSql("x.g || ':cms' || CAST(x.i AS VARCHAR)", 1024L)
       s"""WITH toks AS (
          | SELECT list_filter(string_split_regex(trim(regexp_replace(regexp_replace(lower(text), '[[:punct:]]', '', 'g'), '\\s+', ' ', 'g')), '\\s+'), x -> x <> '') AS ts
@@ -7985,7 +2509,7 @@ object SparkEntry {
     * caller-chosen input and modulus). `input` is inlined twice
     * (length + indexing), so keep it a cheap expression.
     */
-  private def fnvModSql(input: String, m: Long): String =
+  private[graft] def fnvModSql(input: String, m: Long): String =
     s"""(list_reduce(
        |    list_prepend(CAST('14695981039346656037' AS HUGEINT),
        |      list_transform(range(1, length($input) + 1), i -> CAST(ascii(($input)[i]) AS HUGEINT))),
@@ -7994,7 +2518,7 @@ object SparkEntry {
        |  ) % $m)""".stripMargin
 
   /** Shared FNV-1a bucket CTE fragment (per DISTINCT token). */
-  private val fnvBucketExpr =
+  private[graft] val fnvBucketExpr =
     """CAST(list_reduce(
       |    list_prepend(CAST('14695981039346656037' AS HUGEINT),
       |      list_transform(range(1, length(s) + 1), i -> CAST(ascii(s[i]) AS HUGEINT))),
@@ -8008,7 +2532,7 @@ object SparkEntry {
     * in HUGEINT as `g(bucket, cnt_a, cnt_b, gap)` — composed with a
     * gate-specific final SELECT (exact integers end to end).
     */
-  private def corpusDriftSql(finalSelect: String): String =
+  private[graft] def corpusDriftSql(finalSelect: String): String =
     s"""WITH da AS (
        | SELECT list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS toks
        | FROM documents WHERE doc_id < 2000 AND source = 'src0'
@@ -8046,7 +2570,7 @@ object SparkEntry {
        |)
        |$finalSelect""".stripMargin
 
-  private def dsirOracle(): String = {
+  private[graft] def dsirOracle(): String = {
     // no ln-based fallback (round-7 verdict #4): an unregistered weight
     // table fails by name, never silently re-derives the weights
     val wCte = gateTableOrError("dsir_w") match {
@@ -8085,7 +2609,7 @@ object SparkEntry {
     * and the calibration oracle. `docWhere` narrows the scored doc set
     * (both sides must filter identically or margins diverge).
     */
-  private def qualityMarginCteSql(docWhere: String = "doc_id < 1000"): String = {
+  private[graft] def qualityMarginCteSql(docWhere: String = "doc_id < 1000"): String = {
     // qmGateWeights is deterministic and data-independent, so the
     // literal table is computed EAGERLY here — no run-time registration,
     // no fallback branch (round-7 verdict #4)
@@ -8120,11 +2644,11 @@ object SparkEntry {
        |)""".stripMargin
   }
 
-  private def qualityMarginOracle(): String =
+  private[graft] def qualityMarginOracle(): String =
     s"""WITH ${qualityMarginCteSql()}
        |SELECT doc_id, margin_e6 FROM marg ORDER BY 1""".stripMargin
 
-  private def lmOracle(): String = {
+  private[graft] def lmOracle(): String = {
     // no ln-based fallback (round-7 verdict #4): an unregistered weight
     // table fails by name, never silently re-derives the weights
     val rows = gateTableOrError("lm_wt") match {
@@ -8173,5835 +2697,16 @@ object SparkEntry {
        |ORDER BY 1""".stripMargin
   }
 
-  def oracleSql: Map[String, String] = Map(
-    "q1_agg" ->
-      """SELECT l_returnflag, l_linestatus,
-        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-        | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS sum_disc_price,
-        | CAST(COUNT(*) AS BIGINT) AS count_order
-        |FROM lineitem
-        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-        |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
-
-    // same decimal-summed revenue expression as q3_join, grouped by
-    // region/nation over the full 5-table join
-    "q5_multi_join" ->
-      """SELECT r.r_name AS r_name, n.n_name AS n_name,
-        | CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS revenue,
-        | CAST(count(*) AS BIGINT) AS n_items
-        |FROM lineitem l
-        |JOIN orders o ON l.l_orderkey = o.o_orderkey
-        |JOIN customer c ON o.o_custkey = c.c_custkey
-        |JOIN nation n ON c.c_nationkey = n.n_nationkey
-        |JOIN region r ON n.n_regionkey = r.r_regionkey
-        |GROUP BY 1, 2
-        |ORDER BY 1, 2""".stripMargin,
-
-    "q3_join" ->
-      """SELECT l.l_orderkey AS l_orderkey,
-        | CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS revenue
-        |FROM lineitem l
-        |JOIN orders o ON l.l_orderkey = o.o_orderkey
-        |JOIN customer c ON o.o_custkey = c.c_custkey
-        |WHERE c.c_mktsegment = 'BUILDING'
-        |GROUP BY l.l_orderkey
-        |ORDER BY revenue DESC, l_orderkey
-        |LIMIT 10""".stripMargin,
-
-    "json_bulk_explode" ->
-      """SELECT l_orderkey, l_linenumber AS seq, CAST(0 AS INTEGER) AS _doc_idx,
-        | l_linenumber AS ln, l_returnflag AS f FROM lineitem WHERE l_orderkey % 5 = 0
-        |UNION ALL
-        |SELECT l_orderkey, l_linenumber, CAST(1 AS INTEGER),
-        | l_linenumber + 100, l_linestatus FROM lineitem WHERE l_orderkey % 5 = 0
-        |ORDER BY l_orderkey, seq, _doc_idx""".stripMargin,
-
-    "text_scan_charset" ->
-      """SELECT 'reg é "qu,ote" ' || CAST(range AS VARCHAR) AS content
-        |FROM range(200) ORDER BY content""".stripMargin,
-
-    "bin_sink_roundtrip" ->
-      """SELECT 'type.' || event_type AS name, CAST(COUNT(*) AS BIGINT) AS count,
-        | 'bin-type.' || event_type || '.json' AS filename,
-        | 'application/json' AS mime_type
-        |FROM events GROUP BY event_type ORDER BY name""".stripMargin,
-
-    "json_records_read" ->
-      """SELECT range AS i, 'n-' || CAST(range AS VARCHAR) AS name,
-        | range + 0.5 AS score
-        |FROM range(300) ORDER BY i""".stripMargin,
-
-    "typed_projection_selectall" ->
-      """SELECT c_custkey,
-        | '{"name":"' || c_name || '","key":"' || CAST(c_custkey AS VARCHAR) || '"}' AS attrs_json,
-        | 'success' AS _route,
-        | CAST(NULL AS VARCHAR) AS _error
-        |FROM customer
-        |ORDER BY c_custkey""".stripMargin,
-
-    "typed_projection" ->
-      """SELECT c_custkey,
-        | c_name AS name,
-        | '' AS nickname,
-        | (c_custkey % 2 = 0) AS active,
-        | CAST(c_custkey AS INTEGER) AS key,
-        | c_acctbal AS bal,
-        | 'success' AS _route,
-        | CAST(NULL AS VARCHAR) AS _error
-        |FROM customer
-        |ORDER BY c_custkey""".stripMargin,
-
-    "epoch_iso" ->
-      """SELECT event_id,
-        | epoch_ms(ts) AS epoch_ms,
-        | strftime(make_timestamp(epoch_ms(ts) * 1000), '%Y-%m-%dT%H:%M:%S.%g') || 'Z' AS iso
-        |FROM events
-        |ORDER BY event_id""".stripMargin,
-
-    "attr_array_sums" ->
-      """SELECT l_orderkey, l_linenumber,
-        | l_quantity + l_tax AS rsum,
-        | CAST(l_linenumber + 2 AS BIGINT) AS hsum
-        |FROM lineitem
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
-
-    "bin_literal" ->
-      """SELECT 'type.' || event_type AS name, CAST(COUNT(*) AS BIGINT) AS count
-        |FROM events GROUP BY 1 ORDER BY name""".stripMargin,
-
-    "bin_date" ->
-      """SELECT name, CAST(COUNT(*) AS BIGINT) AS count FROM (
-        | SELECT 'time.' || strftime(ts, '%Y') AS name FROM events
-        | UNION ALL SELECT 'time.' || strftime(ts, '%Y-%m') FROM events
-        | UNION ALL SELECT 'time.' || strftime(ts, '%Y-%m-%d') FROM events
-        |) GROUP BY name ORDER BY name""".stripMargin,
-
-    "bin_date_min" ->
-      """SELECT name, CAST(COUNT(*) AS BIGINT) AS count FROM (
-        | SELECT 't.' || strftime(ts, '%Y') AS name FROM events
-        | UNION ALL SELECT 't.' || strftime(ts, '%Y-%m') FROM events
-        | UNION ALL SELECT 't.' || strftime(ts, '%Y-%m-%d') FROM events
-        | UNION ALL SELECT 't.' || strftime(ts, '%Y-%m-%d-%H') FROM events
-        | UNION ALL SELECT 't.' || strftime(ts, '%Y-%m-%d-%H-%M') FROM events
-        |) GROUP BY name ORDER BY name""".stripMargin,
-
-    "bin_numeric" ->
-      """SELECT name, CAST(COUNT(*) AS BIGINT) AS count FROM (
-        | SELECT 'val.L0.' || CAST(CAST(FLOOR(value / 1) AS BIGINT) * 1 AS VARCHAR) AS name FROM events
-        | UNION ALL SELECT 'val.L1.' || CAST(CAST(FLOOR(value / 10) AS BIGINT) * 10 AS VARCHAR) FROM events
-        | UNION ALL SELECT 'val.L2.' || CAST(CAST(FLOOR(value / 100) AS BIGINT) * 100 AS VARCHAR) FROM events
-        |) GROUP BY name ORDER BY name""".stripMargin,
-
-    "bin_geotile" -> {
-      val arms = (0 to 3).map { z =>
-        s"SELECT 'geo.' || ${tileSql(z)} AS name FROM events"
-      }.mkString("\n UNION ALL ")
-      s"""SELECT name, CAST(COUNT(*) AS BIGINT) AS count FROM (
-         | $arms
-         |) GROUP BY name ORDER BY name""".stripMargin
-    },
-
-    "bin_merged" ->
-      """SELECT name, CAST(COUNT(*) AS BIGINT) AS count FROM (
-        | SELECT 'time.' || strftime(ts, '%Y') AS name FROM events
-        | UNION ALL SELECT 'time.' || strftime(ts, '%Y-%m') FROM events
-        | UNION ALL SELECT 'time.' || strftime(ts, '%Y-%m-%d') FROM events
-        | UNION ALL SELECT 'type.' || event_type FROM events
-        | UNION ALL SELECT 'daytype.time.' || strftime(ts, '%Y') || '|type.' || event_type FROM events
-        | UNION ALL SELECT 'daytype.time.' || strftime(ts, '%Y-%m') || '|type.' || event_type FROM events
-        | UNION ALL SELECT 'daytype.time.' || strftime(ts, '%Y-%m-%d') || '|type.' || event_type FROM events
-        |) GROUP BY name ORDER BY name""".stripMargin,
-
-    "security_classification" ->
-      """SELECT c_custkey,
-        | CASE c_custkey % 4 WHEN 0 THEN 'A_CMPA_XX' WHEN 1 THEN 'BRAVO_CMPB'
-        |                    WHEN 2 THEN 'C_DCA_YY' ELSE 'JUNKX' END AS marking,
-        | CASE c_custkey % 4 WHEN 0 THEN 'ALPHA' WHEN 1 THEN 'BRAVO'
-        |                    WHEN 2 THEN 'CHARLIE' ELSE '' END AS levels,
-        | CASE c_custkey % 4 WHEN 0 THEN 'CMPA' ELSE '' END AS compartments,
-        | CASE c_custkey % 4 WHEN 0 THEN 'XX' WHEN 2 THEN 'YY' ELSE '' END AS releasabilities,
-        | CASE c_custkey % 4 WHEN 0 THEN 'DCB' WHEN 2 THEN 'DCA' ELSE '' END AS dissem
-        |FROM customer
-        |ORDER BY c_custkey""".stripMargin,
-
-    "merge_collapse" ->
-      """SELECT l_orderkey,
-        | arg_max(l_returnflag, printf('%012d|%s', l_linenumber, l_returnflag)) AS status,
-        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
-        | array_to_string(list_sort(list_distinct(list(l_linestatus))), ',') AS tags
-        |FROM lineitem
-        |GROUP BY l_orderkey
-        |ORDER BY l_orderkey""".stripMargin,
-
-    "merge_upsert" ->
-      """SELECT COALESCE(o.o_orderkey, i.o_orderkey) AS o_orderkey,
-        | COALESCE(i.status, o.o_orderstatus) AS o_orderstatus,
-        | CAST(COALESCE(i.qty, 0) AS DOUBLE) AS qty
-        |FROM orders o
-        |FULL OUTER JOIN (
-        | SELECT l_orderkey AS o_orderkey,
-        |        arg_max(l_returnflag, printf('%012d|%s', l_linenumber, l_returnflag)) AS status,
-        |        SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
-        | FROM lineitem GROUP BY 1
-        |) i ON o.o_orderkey = i.o_orderkey
-        |ORDER BY o_orderkey""".stripMargin,
-
-    "merge_routes" ->
-      """SELECT i.o_orderkey AS o_orderkey,
-        | CASE WHEN o.o_orderkey IS NULL THEN 'success'
-        |      WHEN i.status IS DISTINCT FROM o.o_orderstatus THEN 'success'
-        |      ELSE 'success-unmodified' END AS _route
-        |FROM (
-        | SELECT l_orderkey AS o_orderkey, arg_max(l_returnflag, printf('%012d|%s', l_linenumber, l_returnflag)) AS status
-        | FROM lineitem GROUP BY 1
-        |) i
-        |LEFT JOIN orders o ON i.o_orderkey = o.o_orderkey
-        |ORDER BY o_orderkey""".stripMargin,
-
-    "duplicate_check" ->
-      """SELECT l.l_orderkey, l.l_linenumber,
-        | CASE WHEN e.ok IS NOT NULL OR l.rn > 1 THEN 'already-exists'
-        |      ELSE 'success' END AS _route
-        |FROM (
-        | SELECT l_orderkey, l_linenumber,
-        |        ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS rn
-        | FROM lineitem
-        |) l
-        |LEFT JOIN (SELECT DISTINCT o_orderkey AS ok FROM orders WHERE o_orderkey % 3 = 0) e
-        |  ON l.l_orderkey = e.ok
-        |ORDER BY l.l_orderkey, l.l_linenumber""".stripMargin,
-
-    "dedup_exact" ->
-      """WITH norm AS (
-        | SELECT doc_id, source,
-        |  trim(regexp_replace(regexp_replace(lower(text), '[[:punct:]]', '', 'g'), '\s+', ' ', 'g')) AS nt
-        | FROM documents
-        |), kept AS (
-        | SELECT doc_id, source, ROW_NUMBER() OVER (PARTITION BY nt ORDER BY doc_id) AS rn FROM norm
-        |)
-        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
-        |FROM kept WHERE rn = 1 GROUP BY source ORDER BY source""".stripMargin,
-
-    // the full prefix contract replayed: same planted truncations, a
-    // hash join on the first-8-token key (the operator's bucket), the
-    // same exact slice verify and strict length inequality
-    "prefix_dedup_pairs" ->
-      """WITH d AS (
-        | SELECT doc_id, text FROM documents WHERE doc_id < 2000
-        |), pt AS (
-        | SELECT doc_id + 3000000 AS doc_id,
-        |  array_to_string(list_slice(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), 1, 12), ' ') AS text
-        | FROM d WHERE doc_id % 37 = 5
-        |), al AS (
-        | SELECT * FROM d UNION ALL SELECT * FROM pt
-        |), tk AS (
-        | SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
-        | FROM al
-        |), keyed AS (
-        | SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n,
-        |  array_to_string(list_slice(toks, 1, 8), ' ') AS pfx
-        | FROM tk WHERE len(toks) >= 8
-        |)
-        |SELECT a.doc_id AS dup_id, b.doc_id AS of_id,
-        | a.n AS dup_tokens, b.n AS of_tokens
-        |FROM keyed a JOIN keyed b
-        |  ON a.pfx = b.pfx AND a.n < b.n
-        | AND array_to_string(a.toks, ' ') = array_to_string(list_slice(b.toks, 1, CAST(a.n AS INT)), ' ')
-        |ORDER BY dup_id, of_id""".stripMargin,
-
-    // the suffix mirror: anchor and verify slices taken from the END
-    "suffix_dedup_pairs" ->
-      """WITH d AS (
-        | SELECT doc_id, text FROM documents WHERE doc_id < 2000
-        |), pt AS (
-        | SELECT doc_id + 4000000 AS doc_id,
-        |  array_to_string(list_slice(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''),
-        |    greatest(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) - 11, 1),
-        |    len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''))), ' ') AS text
-        | FROM d WHERE doc_id % 37 = 11
-        |), al AS (
-        | SELECT * FROM d UNION ALL SELECT * FROM pt
-        |), tk AS (
-        | SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
-        | FROM al
-        |), keyed AS (
-        | SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n,
-        |  array_to_string(list_slice(toks, len(toks) - 7, len(toks)), ' ') AS sfx
-        | FROM tk WHERE len(toks) >= 8
-        |)
-        |SELECT a.doc_id AS dup_id, b.doc_id AS of_id,
-        | a.n AS dup_tokens, b.n AS of_tokens
-        |FROM keyed a JOIN keyed b
-        |  ON a.sfx = b.sfx AND a.n < b.n
-        | AND array_to_string(a.toks, ' ')
-        |     = array_to_string(list_slice(b.toks, CAST(b.n - a.n + 1 AS INT), CAST(b.n AS INT)), ' ')
-        |ORDER BY dup_id, of_id""".stripMargin,
-
-    "text_quality" ->
-      """WITH f AS (
-        | SELECT doc_id, text,
-        |  len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS n_tokens,
-        |  CASE WHEN length(text) > 0
-        |       THEN CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)
-        |       ELSE 0.0 END AS punct_ratio,
-        |  list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '') AS toks
-        | FROM documents
-        |), g AS (
-        | SELECT doc_id, n_tokens, punct_ratio,
-        |  CASE WHEN len(toks) > 0
-        |       THEN CAST(len(list_filter(toks, t -> t IN ('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','be','this','are','was','from'))) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
-        |       ELSE 0.0 END AS stopword_ratio
-        | FROM f
-        |)
-        |SELECT doc_id,
-        | CAST(n_tokens AS BIGINT) AS n_tokens,
-        | round(punct_ratio, 4) AS punct_ratio,
-        | round(stopword_ratio, 4) AS stopword_ratio,
-        | round((CASE WHEN n_tokens BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END) * 0.4
-        |     + (CASE WHEN stopword_ratio BETWEEN 0.01 AND 0.8 THEN 1.0 ELSE 0.0 END) * 0.4
-        |     + (CASE WHEN punct_ratio < 0.2 THEN 1.0 ELSE 0.0 END) * 0.2, 2) AS quality
-        |FROM g ORDER BY doc_id""".stripMargin,
-
-    // FNV-1a 64 reproduced in SQL: HUGEINT arithmetic mod 2^64; the XOR
-    // touches only the low byte, so it splits as (h//256)*256 + xor(h%256)
-    "stratified_sample" ->
-      """WITH h AS (
-        | SELECT doc_id, lang, source,
-        |  CAST(list_reduce(
-        |    list_prepend(CAST('14695981039346656037' AS HUGEINT),
-        |      list_transform(range(1, length(s) + 1), i -> CAST(ascii(s[i]) AS HUGEINT))),
-        |    (acc, b) -> ((acc // 256) * 256 + xor(CAST(acc % 256 AS BIGINT), CAST(b AS BIGINT)))
-        |                * 1099511628211 % CAST('18446744073709551616' AS HUGEINT)
-        |  ) % 1024 AS BIGINT) AS bucket
-        | FROM (SELECT doc_id, lang, source, doc_id::VARCHAR || ':graft' AS s FROM documents)
-        |)
-        |SELECT doc_id, lang, source FROM h
-        |WHERE bucket < CASE lang WHEN 'en' THEN 1024 WHEN 'zh' THEN 768 ELSE 512 END
-        |ORDER BY doc_id""".stripMargin,
-
-    // threshold arithmetic mirrored step for step: clamp(n_tok/1000) in
-    // double, × (0.5·1024), floor — identical elementwise ops ⇒ identical
-    // member set
-    "weighted_sample" ->
-      """WITH d AS (
-        | SELECT doc_id, source,
-        |  CAST(len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS BIGINT) AS n_tokens
-        | FROM documents
-        |), h AS (
-        | SELECT doc_id, source, n_tokens,
-        |  CAST(list_reduce(
-        |    list_prepend(CAST('14695981039346656037' AS HUGEINT),
-        |      list_transform(range(1, length(s) + 1), i -> CAST(ascii(s[i]) AS HUGEINT))),
-        |    (acc, b) -> ((acc // 256) * 256 + xor(CAST(acc % 256 AS BIGINT), CAST(b AS BIGINT)))
-        |                * 1099511628211 % CAST('18446744073709551616' AS HUGEINT)
-        |  ) % 1024 AS BIGINT) AS bucket
-        | FROM (SELECT doc_id, source, n_tokens, doc_id::VARCHAR || ':graft' AS s FROM d)
-        |)
-        |SELECT doc_id, source, n_tokens FROM h
-        |WHERE bucket < CAST(ROUND(LEAST(CAST(n_tokens AS DOUBLE) / 1000.0, 1.0) * 512.0) AS BIGINT)
-        |ORDER BY doc_id""".stripMargin,
-
-    // full 64-bit FNV fold (same HUGEINT fragment as the bucket
-    // samplers), reinterpreted as signed BIGINT — Spark's Long wrap —
-    // then top-200 by (hash desc, doc_id desc), the operator's exact
-    // total order
-    "sample_exact_n" ->
-      """WITH h AS (
-        | SELECT doc_id, lang, source,
-        |  list_reduce(
-        |    list_prepend(CAST('14695981039346656037' AS HUGEINT),
-        |      list_transform(range(1, length(s) + 1), i -> CAST(ascii(s[i]) AS HUGEINT))),
-        |    (acc, b) -> ((acc // 256) * 256 + xor(CAST(acc % 256 AS BIGINT), CAST(b AS BIGINT)))
-        |                * 1099511628211 % CAST('18446744073709551616' AS HUGEINT)
-        |  ) AS hh
-        | FROM (SELECT doc_id, lang, source, doc_id::VARCHAR || ':exact' AS s FROM documents)
-        |), sgn AS (
-        | SELECT doc_id, lang, source,
-        |  CAST(hh - CASE WHEN hh >= CAST('9223372036854775808' AS HUGEINT)
-        |            THEN CAST('18446744073709551616' AS HUGEINT)
-        |            ELSE CAST(0 AS HUGEINT) END AS BIGINT) AS hs
-        | FROM h
-        |)
-        |SELECT doc_id, lang, source FROM sgn
-        |QUALIFY row_number() OVER (ORDER BY hs DESC, doc_id DESC) <= 200
-        |ORDER BY doc_id""".stripMargin,
-
-    // the stream's final state IS the batch sample of everything seen —
-    // same signed-FNV top-150 as sample_exact_n, salt ':bk'
-    "sample_stream" ->
-      """WITH h AS (
-        | SELECT doc_id, lang, source,
-        |  list_reduce(
-        |    list_prepend(CAST('14695981039346656037' AS HUGEINT),
-        |      list_transform(range(1, length(s) + 1), i -> CAST(ascii(s[i]) AS HUGEINT))),
-        |    (acc, b) -> ((acc // 256) * 256 + xor(CAST(acc % 256 AS BIGINT), CAST(b AS BIGINT)))
-        |                * 1099511628211 % CAST('18446744073709551616' AS HUGEINT)
-        |  ) AS hh
-        | FROM (SELECT doc_id, lang, source, doc_id::VARCHAR || ':bk' AS s FROM documents)
-        |), sgn AS (
-        | SELECT doc_id, lang, source,
-        |  CAST(hh - CASE WHEN hh >= CAST('9223372036854775808' AS HUGEINT)
-        |            THEN CAST('18446744073709551616' AS HUGEINT)
-        |            ELSE CAST(0 AS HUGEINT) END AS BIGINT) AS hs
-        | FROM h
-        |)
-        |SELECT doc_id, lang, source FROM sgn
-        |QUALIFY row_number() OVER (ORDER BY hs DESC, doc_id DESC) <= 150
-        |ORDER BY doc_id""".stripMargin,
-
-    // the same composed chain with codebook training RESTRICTED to the
-    // batch-0 prefix (vec_id < 300) — frozen-artifact semantics replayed;
-    // coarse cells and the encode/probe stages still cover everything
-    "ann_ivfpq_stream" ->
-      s"""WITH ${ivfPqChainSql(2, "s.vec_id < 300")}
-         |SELECT qid AS query_id, nid AS neighbor_id, adist,
-         | CAST(row_number() OVER (PARTITION BY qid ORDER BY adist, nid) AS INT) AS rank
-         |FROM sc
-         |QUALIFY rank <= 10
-         |ORDER BY query_id, rank""".stripMargin,
-
-    // the residual (IVFADC) chain with codebook training restricted to
-    // the batch-0 prefix — frozen residual-space artifacts replayed;
-    // residual seeds (vec_ids 4..7) live inside the prefix
-    "ann_ivfpq_stream_residual" ->
-      s"""WITH ${ivfPqChainSql(2, "s.vec_id < 300")}, ${ivfPqResidualChainSql("vec_id < 300")}
-         |SELECT qid AS query_id, nid AS neighbor_id, adist,
-         | CAST(row_number() OVER (PARTITION BY qid ORDER BY adist, nid) AS INT) AS rank
-         |FROM rsc
-         |QUALIFY rank <= 10
-         |ORDER BY query_id, rank""".stripMargin,
-
-    // cumulative distinct/total over the union; the novel-term
-    // increment is the batch-1 term set anti-joined against batch 0's
-    "vocab_growth_stream" ->
-      """WITH tok AS (
-        | SELECT CAST(doc_id AS BIGINT) AS id,
-        |  unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '')) AS t
-        | FROM documents
-        |), a AS (
-        | SELECT DISTINCT t FROM tok WHERE id < 250
-        |), b AS (
-        | SELECT DISTINCT t FROM tok WHERE id >= 250
-        |)
-        |SELECT
-        | (SELECT CAST(count(DISTINCT t) AS BIGINT) FROM tok) AS distinct_terms,
-        | (SELECT CAST(count(*) AS BIGINT) FROM tok) AS total_tokens,
-        | (SELECT CAST(count(*) AS BIGINT) FROM b ANTI JOIN a USING (t)) AS new_terms""".stripMargin,
-
-    // quantile_cont over the full quantized prefix — the identical
-    // (n−1)·p interpolation the profile family already pins across
-    // engines; n rides every row
-    "quantile_stream" ->
-      """WITH v AS (
-        | SELECT CAST(n_chars AS BIGINT) AS x FROM documents
-        | WHERE n_chars IS NOT NULL
-        |), q AS (
-        | SELECT CAST(0.25 AS DOUBLE) AS prob, quantile_cont(x, 0.25) AS value FROM v
-        | UNION ALL SELECT CAST(0.5 AS DOUBLE), quantile_cont(x, 0.5) FROM v
-        | UNION ALL SELECT CAST(0.75 AS DOUBLE), quantile_cont(x, 0.75) FROM v
-        | UNION ALL SELECT CAST(0.9 AS DOUBLE), quantile_cont(x, 0.9) FROM v
-        |)
-        |SELECT q.prob, q.value, (SELECT CAST(count(*) AS BIGINT) FROM v) AS n
-        |FROM q ORDER BY prob""".stripMargin,
-
-    // full-overlap verification at identical signatures ⇔ identical
-    // normalized text (the dedup_minhash oracle convention): the index
-    // lookup reduces to the exact text-equality join
-    "minhash_index_stream" ->
-      """WITH norm AS (
-        | SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), '[[:punct:]]', '', 'g'), '\s+', ' ', 'g')) AS nt
-        | FROM documents WHERE doc_id < 500
-        |), q AS (
-        | SELECT CAST(doc_id + 1000000 AS BIGINT) AS query_id, nt FROM norm WHERE doc_id < 15
-        |)
-        |SELECT q.query_id, CAST(n.doc_id AS BIGINT) AS id, CAST(16 AS INTEGER) AS overlap
-        |FROM q JOIN norm n ON n.nt = q.nt
-        |ORDER BY query_id, id""".stripMargin,
-
-    // the stream's final state IS the per-group batch sample of
-    // everything seen — same signed-FNV top-4 per source, salt ':bkg'
-    "sample_group_stream" ->
-      """WITH h AS (
-        | SELECT doc_id, source,
-        |  list_reduce(
-        |    list_prepend(CAST('14695981039346656037' AS HUGEINT),
-        |      list_transform(range(1, length(s) + 1), i -> CAST(ascii(s[i]) AS HUGEINT))),
-        |    (acc, b) -> ((acc // 256) * 256 + xor(CAST(acc % 256 AS BIGINT), CAST(b AS BIGINT)))
-        |                * 1099511628211 % CAST('18446744073709551616' AS HUGEINT)
-        |  ) AS hh
-        | FROM (SELECT doc_id, source, doc_id::VARCHAR || ':bkg' AS s FROM documents)
-        |), sgn AS (
-        | SELECT doc_id, source,
-        |  CAST(hh - CASE WHEN hh >= CAST('9223372036854775808' AS HUGEINT)
-        |            THEN CAST('18446744073709551616' AS HUGEINT)
-        |            ELSE CAST(0 AS HUGEINT) END AS BIGINT) AS hs
-        | FROM h
-        |)
-        |SELECT source, doc_id,
-        | CAST(row_number() OVER (PARTITION BY source ORDER BY hs DESC, doc_id DESC) AS INTEGER) AS rank
-        |FROM sgn
-        |QUALIFY rank <= 4
-        |ORDER BY source, rank""".stripMargin,
-
-    // same signed-FNV recomputation, ranked per source (hash DESC,
-    // id DESC — the graft_topk struct order)
-    "sample_exact_n_per_group" ->
-      """WITH h AS (
-        | SELECT doc_id, source,
-        |  list_reduce(
-        |    list_prepend(CAST('14695981039346656037' AS HUGEINT),
-        |      list_transform(range(1, length(s) + 1), i -> CAST(ascii(s[i]) AS HUGEINT))),
-        |    (acc, b) -> ((acc // 256) * 256 + xor(CAST(acc % 256 AS BIGINT), CAST(b AS BIGINT)))
-        |                * 1099511628211 % CAST('18446744073709551616' AS HUGEINT)
-        |  ) AS hh
-        | FROM (SELECT doc_id, source, doc_id::VARCHAR || ':exactg' AS s FROM documents)
-        |), sgn AS (
-        | SELECT doc_id, source,
-        |  CAST(hh - CASE WHEN hh >= CAST('9223372036854775808' AS HUGEINT)
-        |            THEN CAST('18446744073709551616' AS HUGEINT)
-        |            ELSE CAST(0 AS HUGEINT) END AS BIGINT) AS hs
-        | FROM h
-        |)
-        |SELECT source, doc_id,
-        | CAST(row_number() OVER (PARTITION BY source ORDER BY hs DESC, doc_id DESC) AS INTEGER) AS rank
-        |FROM sgn
-        |QUALIFY rank <= 5
-        |ORDER BY source, rank""".stripMargin,
-
-    // T = min(n/p) over the target strata, threshold = round(p·T/n·1024)
-    // in the same written order; membership by the same FNV bucket
-    "mix_to_target" ->
-      """WITH d AS (
-        | SELECT doc_id, source FROM documents
-        |), p AS (
-        | SELECT * FROM (VALUES ('src0', 3.0), ('src1', 1.0), ('src2', 1.0)) AS v(source, p)
-        |), j AS (
-        | SELECT c.source, c.n, CAST(p.p AS DOUBLE) AS p
-        | FROM (SELECT source, count(*) AS n FROM d GROUP BY 1) c JOIN p USING (source)
-        |), t AS (
-        | SELECT min(CAST(n AS DOUBLE) / p) AS T FROM j
-        |), thr AS (
-        | SELECT source, CAST(ROUND(p * (SELECT T FROM t) / CAST(n AS DOUBLE) * 1024) AS BIGINT) AS thr
-        | FROM j
-        |), h AS (
-        | SELECT doc_id, source,
-        |  CAST(list_reduce(
-        |    list_prepend(CAST('14695981039346656037' AS HUGEINT),
-        |      list_transform(range(1, length(s) + 1), i -> CAST(ascii(s[i]) AS HUGEINT))),
-        |    (acc, b) -> ((acc // 256) * 256 + xor(CAST(acc % 256 AS BIGINT), CAST(b AS BIGINT)))
-        |                * 1099511628211 % CAST('18446744073709551616' AS HUGEINT)
-        |  ) % 1024 AS BIGINT) AS bucket
-        | FROM (SELECT doc_id, source, doc_id::VARCHAR || ':graft' AS s FROM d)
-        |)
-        |SELECT h.doc_id, h.source FROM h JOIN thr ON h.source = thr.source
-        |WHERE h.bucket < thr.thr
-        |ORDER BY doc_id""".stripMargin,
-
-    // same FNV-1a-per-token bucket (computed once per DISTINCT token —
-    // the synthetic vocabulary is small); the 1024-row weight table is
-    // the gate-registered driver-computed literal VALUES (identical
-    // rows feed the Spark plan); same decimal per-doc sums
-    "dsir_scores" -> dsirOracle(),
-
-    // same FNV-per-distinct-token buckets as dsir_scores; bigrams by
-    // adjacent positions; the (c2+1, c1+1024) → weight lookups are the
-    // gate-registered driver-computed literal VALUES (identical rows
-    // feed the Spark plan — counts stay engine-side and exact); summed
-    // exactly; mean = CAST(sum AS DOUBLE)/n
-    "lm_scores" -> lmOracle(),
-
-    // the streaming enrich applies the SAME backward as-of semantics
-    // against the committed state the merge batch built from the
-    // deduped views — so the oracle is asof_join's chain verbatim
-    "asof_enrich_stream" ->
-      """WITH l AS (
-        | SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
-        |), r AS (
-        | SELECT user_id, ts, max(event_id) AS view_id, arg_max(value, event_id) AS view_value
-        | FROM events WHERE event_type = 'view' GROUP BY 1, 2
-        |)
-        |SELECT l.event_id AS event_id, l.user_id AS user_id,
-        | epoch_us(l.ts) AS ts_us,
-        | r.view_id AS matched_view_id,
-        | r.view_value AS matched_value,
-        | epoch_us(r.ts) AS matched_ts_us
-        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
-        |ORDER BY 1""".stripMargin,
-
-    // dedup_exact's proven normalization, applied batch-ordered: batch
-    // 0 keeps min-id per normalized text; batch 1 keeps min-id per
-    // text among ids whose text is absent from batch 0's store (the
-    // replayed third apply is a no-op by the version guard, so the
-    // two-batch rule IS the final state)
-    "dedup_stream_replayed" ->
-      """WITH norm AS (
-        | SELECT doc_id, source,
-        |  trim(regexp_replace(regexp_replace(lower(text), '[[:punct:]]', '', 'g'), '\s+', ' ', 'g')) AS nt
-        | FROM documents WHERE doc_id < 2000
-        |), b0 AS (
-        | SELECT * FROM norm WHERE doc_id < 1000
-        |), b1 AS (
-        | SELECT * FROM norm WHERE doc_id >= 1000
-        |), k0 AS (
-        | SELECT doc_id, source FROM (
-        |  SELECT doc_id, source, ROW_NUMBER() OVER (PARTITION BY nt ORDER BY doc_id) AS rn
-        |  FROM b0) WHERE rn = 1
-        |), k1 AS (
-        | SELECT doc_id, source FROM (
-        |  SELECT doc_id, source, ROW_NUMBER() OVER (PARTITION BY nt ORDER BY doc_id) AS rn
-        |  FROM b1 WHERE nt NOT IN (SELECT nt FROM b0)) WHERE rn = 1
-        |)
-        |SELECT doc_id, source FROM k0
-        |UNION ALL
-        |SELECT doc_id, source FROM k1
-        |ORDER BY doc_id""".stripMargin,
-
-    // the two-batch versioned merge collapses to the one-shot collapse
-    // (batches split on the order column; $inc sums and $addToSet
-    // membership are batch-order-free) — merge_collapse's oracle, with
-    // the stateful store + replay guard exercised on the Spark side
-    "merge_stream_versioned" ->
-      """SELECT l_orderkey,
-        | arg_max(l_returnflag, printf('%012d|%s', l_linenumber, l_returnflag)) AS status,
-        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
-        | array_to_string(list_sort(list_distinct(list(l_linestatus))), ',') AS tags
-        |FROM lineitem
-        |GROUP BY l_orderkey
-        |ORDER BY l_orderkey""".stripMargin,
-
-    // per-user min-chain depths (funnel_reach's u1/u2/u3 chain, kept at
-    // user granularity): depth = furthest step reached, last_ts = the
-    // advancing event's timestamp; depth-0 users emit nothing
-    "funnel_stream_depths" ->
-      """WITH e AS (
-        | SELECT user_id, epoch_us(ts) AS m, event_type AS et FROM events
-        | WHERE event_type IN ('view', 'click', 'purchase')
-        |), u1 AS (
-        | SELECT user_id, min(m) AS t1 FROM e WHERE et = 'view' GROUP BY 1
-        |), u2 AS (
-        | SELECT e.user_id, min(e.m) AS t2 FROM e JOIN u1 ON e.user_id = u1.user_id
-        | WHERE e.et = 'click' AND e.m > u1.t1 GROUP BY 1
-        |), u3 AS (
-        | SELECT e.user_id, min(e.m) AS t3 FROM e JOIN u2 ON e.user_id = u2.user_id
-        | WHERE e.et = 'purchase' AND e.m > u2.t2 GROUP BY 1
-        |)
-        |SELECT u1.user_id,
-        | CAST(CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2 ELSE 1 END AS INTEGER) AS depth,
-        | COALESCE(t3, t2, t1) AS last_ts_us
-        |FROM u1 LEFT JOIN u2 ON u1.user_id = u2.user_id
-        |         LEFT JOIN u3 ON u1.user_id = u3.user_id
-        |ORDER BY u1.user_id""".stripMargin,
-
-    // mix_to_target's membership chain with p = sqrt(n) — sqrt is
-    // IEEE-correctly-rounded in both engines, every other op is the
-    // identical fixed-order double arithmetic
-    "temperature_mix" ->
-      """WITH d AS (
-        | SELECT doc_id, source FROM documents
-        |), j AS (
-        | SELECT c.source, c.n, sqrt(CAST(c.n AS DOUBLE)) AS p
-        | FROM (SELECT source, count(*) AS n FROM d GROUP BY 1) c
-        |), t AS (
-        | SELECT min(CAST(n AS DOUBLE) / p) AS T FROM j
-        |), thr AS (
-        | SELECT source, CAST(ROUND(p * (SELECT T FROM t) / CAST(n AS DOUBLE) * 1024) AS BIGINT) AS thr
-        | FROM j
-        |), h AS (
-        | SELECT doc_id, source,
-        |  CAST(list_reduce(
-        |    list_prepend(CAST('14695981039346656037' AS HUGEINT),
-        |      list_transform(range(1, length(s) + 1), i -> CAST(ascii(s[i]) AS HUGEINT))),
-        |    (acc, b) -> ((acc // 256) * 256 + xor(CAST(acc % 256 AS BIGINT), CAST(b AS BIGINT)))
-        |                * 1099511628211 % CAST('18446744073709551616' AS HUGEINT)
-        |  ) % 1024 AS BIGINT) AS bucket
-        | FROM (SELECT doc_id, source, doc_id::VARCHAR || ':graft' AS s FROM d)
-        |)
-        |SELECT h.doc_id, h.source FROM h JOIN thr ON h.source = thr.source
-        |WHERE h.bucket < thr.thr
-        |ORDER BY doc_id""".stripMargin,
-
-    // the quota heap's descending total order is (n_chars DESC,
-    // doc_id DESC) — a QUALIFY-style row_number cut on the same keys
-    "quota_per_source" ->
-      """SELECT source, doc_id, CAST(rn AS INTEGER) AS rank
-        |FROM (
-        | SELECT source, doc_id,
-        |  ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id DESC) AS rn
-        | FROM documents)
-        |WHERE rn <= 100
-        |ORDER BY source, rank""".stripMargin,
-
-    // per-source rank by ascending doc_id; pos = (2r−1)/(2n) as the
-    // identical exact-integer IEEE division
-    "epoch_schedule" ->
-      """SELECT source, doc_id, CAST(rn AS BIGINT) AS rank,
-        | CAST(2*rn - 1 AS DOUBLE) / CAST(2*cnt AS DOUBLE) AS pos
-        |FROM (
-        | SELECT source, doc_id,
-        |  ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn,
-        |  COUNT(*) OVER (PARTITION BY source) AS cnt
-        | FROM documents)
-        |ORDER BY doc_id""".stripMargin,
-
-    // (cnt DESC, key ASC) is a unique ordering, so the default RANGE
-    // running-sum frame equals Spark's explicit ROWS frame
-    "key_concentration" ->
-      """WITH h AS (
-        | SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS cnt
-        | FROM events WHERE user_id IS NOT NULL GROUP BY 1
-        |), tot AS (SELECT sum(cnt) AS t FROM h
-        |), top AS (
-        | SELECT key, cnt FROM h ORDER BY cnt DESC, key ASC LIMIT 25
-        |)
-        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, key ASC) AS INTEGER) AS rank,
-        | key, cnt,
-        | CAST(cnt AS DOUBLE) / CAST(t AS DOUBLE) AS share,
-        | CAST(SUM(cnt) OVER (ORDER BY cnt DESC, key ASC) AS DOUBLE) / CAST(t AS DOUBLE) AS cum_share
-        |FROM top, tot ORDER BY rank""".stripMargin,
-
-    // exact substr windows over the shared dedup normalization; 1-based
-    // positions 1, 21, 41… mirror the 0-based stride-20 filter; text at
-    // or under 40 chars is one whole-text window (range over
-    // greatest(len-38, 2) yields exactly [1] there, and the CASE keeps
-    // the window the full text)
-    "dup_window_stats" ->
-      """WITH norm AS (
-        | SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), '[[:punct:]]', '', 'g'), '\s+', ' ', 'g')) AS nt
-        | FROM documents
-        |), w AS (
-        | SELECT doc_id,
-        |  CASE WHEN length(nt) <= 40 THEN nt ELSE substr(nt, CAST(p AS INTEGER), 40) END AS win
-        | FROM norm, UNNEST(range(1, greatest(length(nt) - 38, 2), 20)) AS t(p)
-        |), pd AS (
-        | SELECT doc_id, win, count(*) AS c FROM w GROUP BY 1, 2
-        |), dup AS (
-        | SELECT win FROM pd GROUP BY win HAVING count(*) > 1
-        |), st AS (
-        | SELECT pd.doc_id, sum(pd.c) AS nw,
-        |  sum(CASE WHEN dup.win IS NOT NULL THEN pd.c ELSE 0 END) AS nd
-        | FROM pd LEFT JOIN dup ON pd.win = dup.win GROUP BY 1
-        |)
-        |SELECT d.doc_id,
-        | CAST(COALESCE(st.nw, 0) AS BIGINT) AS n_windows,
-        | CAST(COALESCE(st.nd, 0) AS BIGINT) AS n_dup_windows,
-        | CASE WHEN st.nw > 0 THEN CAST(st.nd AS DOUBLE) / CAST(st.nw AS DOUBLE) END AS dup_ratio
-        |FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id
-        |ORDER BY d.doc_id""".stripMargin,
-
-    // whitespace tokens of lowercased text (the library-wide rule);
-    // the vocab cut's boundary ties break to ascending term on both
-    // sides; zero-token docs restore via the left join with null rate
-    "vocab_oov" ->
-      """WITH d AS (
-        | SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS toks
-        | FROM documents
-        |), tok AS (
-        | SELECT doc_id, unnest(toks) AS term FROM d
-        |), vocab AS (
-        | SELECT term FROM (
-        |  SELECT term, count(*) AS cnt FROM tok GROUP BY 1
-        |  ORDER BY cnt DESC, term ASC LIMIT 1000)
-        |), pd AS (
-        | SELECT tok.doc_id, count(*) AS nt,
-        |  sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS n_o
-        | FROM tok LEFT JOIN vocab v ON tok.term = v.term
-        | GROUP BY 1
-        |)
-        |SELECT doc.doc_id,
-        | CAST(COALESCE(pd.nt, 0) AS BIGINT) AS n_tokens,
-        | CAST(COALESCE(pd.n_o, 0) AS BIGINT) AS n_oov,
-        | CASE WHEN pd.nt > 0 THEN CAST(pd.n_o AS DOUBLE) / CAST(pd.nt AS DOUBLE) END AS oov_rate
-        |FROM documents doc LEFT JOIN pd ON doc.doc_id = pd.doc_id
-        |ORDER BY doc.doc_id""".stripMargin,
-
-    "stopword_df_topk" ->
-      """WITH d AS (
-        | SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS toks
-        | FROM documents
-        |), tok AS (
-        | SELECT DISTINCT doc_id, unnest(toks) AS term FROM d
-        |)
-        |SELECT term, CAST(count(*) AS BIGINT) AS df
-        |FROM tok GROUP BY 1
-        |ORDER BY df DESC, term ASC LIMIT 30""".stripMargin,
-
-    // same FNV-per-distinct-token buckets as dsir_scores (salt ':qm');
-    // the 1024-row weight table is the gate-registered literal VALUES;
-    // margin = bias + exact decimal dot, zero-token docs keep the bias
-    // via the left join
-    "quality_margin" -> qualityMarginOracle(),
-
-    // the accumulated stream state IS the full example set's stats, so
-    // the final batch replays with the batch oracle verbatim
-    "quality_calibration_stream" -> qualityCalibrationOracleSql,
-
-    // margin chain (n_chars-filtered) → literal sigmoid → equal-width
-    // buckets; HUGEINT sums, // ≡ div on these non-negative operands
-    "quality_calibration" -> qualityCalibrationOracleSql,
-
-    // equal-mass edges via quantile_cont, same reduction + ECE fold
-    "quality_calibration_quantile" ->
-      qualityCalibrationQuantileOracleSql(buckets = 10),
-
-    // staged divergence diagnostics — see the matching `queries` block
-    "qm_diag_tokens" ->
-      s"""WITH base AS (
-         | SELECT doc_id,
-         |  list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS toks
-         | FROM documents WHERE doc_id < 1000
-         |)
-         |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
-         | CAST(COALESCE(list_sum(list_transform(toks, x -> length(x))), 0) AS BIGINT) AS sum_len
-         |FROM base ORDER BY 1""".stripMargin,
-
-    "qm_diag_buckets" ->
-      s"""WITH base AS (
-         | SELECT doc_id,
-         |  list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS toks
-         | FROM documents WHERE doc_id < 1000
-         |), tok AS (
-         | SELECT doc_id, unnest(toks) AS token FROM base
-         |), vb AS (
-         | SELECT token,
-         |  $fnvBucketExpr
-         | FROM (SELECT DISTINCT token, token || ':qm' AS s FROM tok)
-         |), tk AS (
-         | SELECT t.doc_id, v.bucket FROM tok t JOIN vb v ON t.token = v.token
-         |)
-         |SELECT bucket, CAST(count(*) AS BIGINT) AS cnt
-         |FROM tk GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "qm_diag_weights" ->
-      s"""SELECT CAST(bucket AS BIGINT) AS bucket,
-         | CAST(weight_e6 AS BIGINT) AS weight_e6
-         |FROM (VALUES
-         |   ${dsirWeightRows(qmGateWeights)}) AS v(bucket, weight_e6)
-         |ORDER BY 1""".stripMargin,
-
-    "bm25_diag_idf" -> (gateTableOrError("bm25_idf_q3") match {
-      case Left(err) => err
-      case Right(rows) =>
-        s"""SELECT term, CAST(idf_s AS BIGINT) AS idf_s
-           |FROM (VALUES
-           |   $rows) AS v(term, idf_s)
-           |ORDER BY 1""".stripMargin
-    }),
-
-    // the driver-hash type probes: identical literal rows on both
-    // sides, one value column per probe so a driver red names its type
-    "decimal_probe_dec" ->
-      """SELECT CAST(i AS BIGINT) AS i,
-        | CAST(dec_val AS DECIMAL(38,6)) AS dec_val
-        |FROM (VALUES
-        | (0, CAST('1.250000'   AS DECIMAL(38,6))),
-        | (1, CAST('-0.333333'  AS DECIMAL(38,6))),
-        | (2, CAST('100.000001' AS DECIMAL(38,6)))
-        |) AS v(i, dec_val)
-        |ORDER BY i""".stripMargin,
-    "decimal_probe_int" ->
-      """SELECT CAST(i AS BIGINT) AS i, CAST(int_e6 AS BIGINT) AS int_e6
-        |FROM (VALUES (0, 1250000), (1, -333333), (2, 100000001)
-        |) AS v(i, int_e6)
-        |ORDER BY i""".stripMargin,
-    "decimal_probe_dbl" ->
-      """SELECT CAST(i AS BIGINT) AS i, CAST(dbl_val AS DOUBLE) AS dbl_val
-        |FROM (VALUES
-        | (0, CAST(1.25 AS DOUBLE)),
-        | (1, CAST(-0.333333 AS DOUBLE)),
-        | (2, CAST(100.000001 AS DOUBLE))
-        |) AS v(i, dbl_val)
-        |ORDER BY i""".stripMargin,
-
-    // the driver-hash HUGEINT probe: Spark side emits BIGINT sums, this
-    // side the same values as DuckDB's native uncast sum() (HUGEINT) —
-    // red at the driver pins the round-9 token-quota divergence class
-    "hugeint_probe" ->
-      """SELECT CAST(g AS BIGINT) AS g, sum(v) AS sum_v
-        |FROM (VALUES (0, 10), (0, 32), (1, 7), (1, 600), (2, 1)
-        |) AS v(g, v)
-        |GROUP BY g ORDER BY g""".stripMargin,
-
-    // tf·(N/df) distinctive-term rank via the same HALF_UP integer
-    // kernel; (score DESC, term ASC) totally orders on both sides
-    "distinctive_terms" ->
-      """WITH d AS (
-        | SELECT doc_id,
-        |  list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS toks
-        | FROM documents WHERE doc_id < 500
-        |), tok AS (
-        | SELECT doc_id, unnest(toks) AS term FROM d
-        |), tf AS (
-        | SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
-        |), dft AS (
-        | SELECT term, count(*) AS df FROM tf GROUP BY 1
-        |), st AS (
-        | SELECT count(*) AS n FROM d
-        |), sc AS (
-        | SELECT tf.doc_id, tf.term,
-        |  CAST((2 * tf.tf * st.n * 1000000 + dft.df) // (2 * dft.df) AS BIGINT) AS score_e6
-        | FROM tf JOIN dft ON tf.term = dft.term, st
-        |)
-        |SELECT doc_id, term, score_e6,
-        | CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score_e6 DESC, term ASC) AS INTEGER) AS rank
-        |FROM sc QUALIFY rank <= 3
-        |ORDER BY doc_id, rank""".stripMargin,
-
-    // adjacent-position bigrams (lm_scores' bg pattern on raw tokens),
-    // marginals and total reduced from the bigram histogram, lift as
-    // the fixed operand tree (c_xy·N)/(c_x·c_y) in doubles — identical
-    // IEEE ops on identical integer operands; ties total-ordered by
-    // (w1, w2) on both sides
-    "collocations_topk" ->
-      """WITH base AS (
-        | SELECT doc_id,
-        |  list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS toks
-        | FROM documents WHERE doc_id < 2000
-        |), tok AS (
-        | SELECT doc_id, generate_subscripts(toks, 1) AS pos, unnest(toks) AS token
-        | FROM base
-        |), bg AS (
-        | SELECT a.token AS w1, b.token AS w2
-        | FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
-        |), hist AS (
-        | SELECT w1, w2, count(*) AS c_xy FROM bg GROUP BY 1, 2
-        |), fx AS (
-        | SELECT w1, CAST(sum(c_xy) AS BIGINT) AS c_x FROM hist GROUP BY 1
-        |), fy AS (
-        | SELECT w2, CAST(sum(c_xy) AS BIGINT) AS c_y FROM hist GROUP BY 1
-        |), tot AS (
-        | SELECT CAST(sum(c_xy) AS BIGINT) AS n FROM hist
-        |)
-        |SELECT h.w1, h.w2, h.c_xy, fx.c_x, fy.c_y,
-        | (CAST(h.c_xy AS DOUBLE) * CAST(tot.n AS DOUBLE))
-        |   / (CAST(fx.c_x AS DOUBLE) * CAST(fy.c_y AS DOUBLE)) AS lift
-        |FROM hist h
-        |JOIN fx USING (w1)
-        |JOIN fy USING (w2)
-        |CROSS JOIN tot
-        |WHERE h.c_xy >= 5
-        |ORDER BY lift DESC, w1, w2
-        |LIMIT 50""".stripMargin,
-
-    // same quantization arithmetic as embedding_quantize, then the QDot
-    // expansion MIRRORED term-for-term (sa·sb·Σqaqb + sa·ob·Σqa +
-    // sb·oa·Σqb + n·oa·ob, integer sums cast to DOUBLE) — fixed order,
-    // bitwise-reproducible
-    "ann_topk_quantized" ->
-      """WITH e AS (
-        | SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
-        |), m AS (
-        | SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx FROM e
-        |), q AS (
-        | SELECT vec_id,
-        |  CASE WHEN mx > mn
-        |       THEN list_transform(v, x -> CAST(round((x - mn) * 255.0 / (mx - mn)) AS BIGINT))
-        |       ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS qs,
-        |  mn AS o,
-        |  CASE WHEN mx > mn THEN (mx - mn) / 255.0 ELSE 0.0 END AS s,
-        |  len(v) AS n
-        | FROM m
-        |), sc AS (
-        | SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-        |  a.s * b.s * CAST(list_sum(list_transform(list_zip(a.qs, b.qs), p -> p[1] * p[2])) AS DOUBLE)
-        |  + a.s * b.o * CAST(list_sum(a.qs) AS DOUBLE)
-        |  + b.s * a.o * CAST(list_sum(b.qs) AS DOUBLE)
-        |  + a.n * a.o * b.o AS qdot
-        | FROM q a JOIN q b ON b.vec_id <> a.vec_id
-        | WHERE a.vec_id < 5
-        |)
-        |SELECT query_id, neighbor_id, CAST(qdot AS DOUBLE) AS qdot,
-        | CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY qdot DESC, neighbor_id) AS INTEGER) AS rank
-        |FROM sc
-        |QUALIFY rank <= 10
-        |ORDER BY query_id, rank""".stripMargin,
-
-    // the QL contract replayed in HUGEINT: tf/dl/|C| from one tokenize,
-    // query-term cf with absent terms at 0, the (doc × query-term)
-    // grid, r = (2a+d)//(2d), and the e18 fold via list_reduce over
-    // the lexicographic term order — (likelihood DESC, doc_id) rank
-    "dirichlet_topk" ->
-      """WITH tk AS (
-        | SELECT doc_id,
-        |  unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')) AS term
-        | FROM documents WHERE doc_id < 2000
-        |), tf AS (
-        | SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tk GROUP BY 1, 2
-        |), dl AS (
-        | SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1
-        |), cs AS (
-        | SELECT CAST(sum(tf) AS BIGINT) AS c FROM tf
-        |), qt(query_id, term) AS (
-        | SELECT * FROM (VALUES
-        |  (CAST(0 AS BIGINT), 'spark'), (CAST(0 AS BIGINT), 'window'), (CAST(0 AS BIGINT), 'merge'),
-        |  (CAST(1 AS BIGINT), 'customer'), (CAST(1 AS BIGINT), 'order'), (CAST(1 AS BIGINT), 'batch'), (CAST(1 AS BIGINT), 'stream'),
-        |  (CAST(2 AS BIGINT), 'hash'), (CAST(2 AS BIGINT), 'join'), (CAST(2 AS BIGINT), 'table'), (CAST(2 AS BIGINT), 'scan')) v
-        |), cf AS (
-        | SELECT q.term, CAST(coalesce(sum(tf.tf), 0) AS BIGINT) AS cf
-        | FROM (SELECT DISTINCT term FROM qt) q LEFT JOIN tf ON tf.term = q.term
-        | GROUP BY 1
-        |), grid AS (
-        | SELECT q.query_id, d.doc_id, d.dl, q.term, cf.cf,
-        |  CAST(coalesce(t.tf, 0) AS BIGINT) AS tf
-        | FROM dl d CROSS JOIN qt q
-        | JOIN cf ON cf.term = q.term
-        | LEFT JOIN tf t ON t.doc_id = d.doc_id AND t.term = q.term
-        |), r AS (
-        | SELECT query_id, doc_id, term,
-        |  (2 * ((tf * CAST(c AS HUGEINT) + 2000 * cf) * 1000000000)
-        |    + ((dl + 2000) * CAST(c AS HUGEINT)))
-        |   // (2 * ((dl + 2000) * CAST(c AS HUGEINT))) AS rr
-        | FROM grid, cs
-        |), fold AS (
-        | SELECT query_id, doc_id,
-        |  CAST(list_reduce(
-        |    list_prepend(CAST('1000000000000000000' AS HUGEINT),
-        |      list(CAST(rr AS HUGEINT) ORDER BY term)),
-        |    (acc, x) -> (2 * acc * x + 1000000000) // 2000000000) AS BIGINT)
-        |   AS likelihood_e18
-        | FROM r GROUP BY 1, 2
-        |)
-        |SELECT query_id, doc_id AS neighbor_id, likelihood_e18,
-        | CAST(row_number() OVER (PARTITION BY query_id
-        |   ORDER BY likelihood_e18 DESC, doc_id) AS INT) AS rank
-        |FROM fold
-        |QUALIFY rank <= 10
-        |ORDER BY query_id, rank""".stripMargin,
-
-    // the shared PQ chain (train per-subspace, trunc-div codebooks,
-    // encode argmin) — final surface is the flattened codes
-    "pq_encode" ->
-      s"""WITH $pqChainSql
-         |SELECT vec_id, CAST(j AS INT) AS sub_id, CAST(cid AS BIGINT) AS code
-         |FROM pcodes ORDER BY vec_id, sub_id""".stripMargin,
-
-    // same chain, then per-query LUT distances against the codebooks
-    // and the Σ_j lut_j(code_j) ADC score — (adist, nid) tie-break on
-    // both engines, self excluded
-    "ann_topk_pq" ->
-      s"""WITH $pqChainSql, qs AS (
-         | SELECT vec_id AS qid, j, sv FROM sub WHERE vec_id < 3
-         |), lut AS (
-         | SELECT qs.qid, qs.j, pcb.cid,
-         |  list_sum(list_transform(range(1, 17),
-         |    i -> (qs.sv[i] - pcb.cv[i]) * (qs.sv[i] - pcb.cv[i]))) AS dd
-         | FROM qs JOIN pcb ON pcb.j = qs.j
-         |), sc AS (
-         | SELECT l.qid, c.vec_id AS nid, CAST(sum(l.dd) AS BIGINT) AS adist
-         | FROM pcodes c JOIN lut l ON l.j = c.j AND l.cid = c.cid
-         | WHERE c.vec_id <> l.qid
-         | GROUP BY 1, 2
-         |)
-         |SELECT qid AS query_id, nid AS neighbor_id, adist,
-         | CAST(row_number() OVER (PARTITION BY qid ORDER BY adist, nid) AS INT) AS rank
-         |FROM sc
-         |QUALIFY rank <= 10
-         |ORDER BY query_id, rank""".stripMargin,
-
-    // the composed chain: coarse cells, probe depth 2, probed-cells-only
-    // ADC with (adist, nid) tie-break — both approximation layers replayed
-    "ann_ivfpq_topk" ->
-      s"""WITH ${ivfPqChainSql(2)}
-         |SELECT qid AS query_id, nid AS neighbor_id, adist,
-         | CAST(row_number() OVER (PARTITION BY qid ORDER BY adist, nid) AS INT) AS rank
-         |FROM sc
-         |QUALIFY rank <= 10
-         |ORDER BY query_id, rank""".stripMargin,
-
-    // recall@10 at nprobe=1 against the exact full-dim e6 top-10 — the
-    // measured loss itself is deterministic and hash-compared
-    "ann_ivfpq_recall" ->
-      s"""WITH ${ivfPqChainSql(1)}, ap AS (
-         | SELECT qid, nid FROM (
-         |  SELECT qid, nid,
-         |   row_number() OVER (PARTITION BY qid ORDER BY adist, nid) AS rn
-         |  FROM sc) WHERE rn <= 10
-         |), pdx AS (
-         | SELECT q.vec_id AS qid, e2.vec_id AS nid,
-         |  list_sum(list_transform(range(1, 65),
-         |    i -> (q.a[i] - e2.a[i]) * (q.a[i] - e2.a[i]))) AS dist
-         | FROM e q CROSS JOIN e e2
-         | WHERE q.vec_id < 3 AND e2.vec_id <> q.vec_id
-         |), exk AS (
-         | SELECT qid, nid FROM (
-         |  SELECT qid, nid,
-         |   row_number() OVER (PARTITION BY qid ORDER BY dist, nid) AS rn
-         |  FROM pdx) WHERE rn <= 10
-         |), h AS (
-         | SELECT ap.qid, CAST(count(*) AS BIGINT) AS n_hits
-         | FROM ap JOIN exk ON ap.qid = exk.qid AND ap.nid = exk.nid
-         | GROUP BY 1
-         |)
-         |SELECT q.vec_id AS query_id, COALESCE(h.n_hits, 0) AS n_hits,
-         | CAST(10 AS BIGINT) AS k,
-         | CAST(COALESCE(h.n_hits, 0) * 1000000 // 10 AS BIGINT) AS recall_ppm
-         |FROM (SELECT vec_id FROM e WHERE vec_id < 3) q
-         |LEFT JOIN h ON h.qid = q.vec_id
-         |ORDER BY query_id""".stripMargin,
-
-    // raw vs residual (IVFADC) codes at identical (m, nprobe): both
-    // recall chains replayed end to end — training, encoding, per-cell
-    // query LUTs — entirely in integer arithmetic
-    "ann_ivfpq_residual_recall" ->
-      s"""WITH ${ivfPqChainSql(4)}, ${ivfPqResidualChainSql()}, pdx AS (
-         | SELECT q.vec_id AS qid, e2.vec_id AS nid,
-         |  list_sum(list_transform(range(1, 65),
-         |    i -> (q.a[i] - e2.a[i]) * (q.a[i] - e2.a[i]))) AS dist
-         | FROM e q CROSS JOIN e e2
-         | WHERE q.vec_id < 3 AND e2.vec_id <> q.vec_id
-         |), exk AS (
-         | SELECT qid, nid FROM (
-         |  SELECT qid, nid,
-         |   row_number() OVER (PARTITION BY qid ORDER BY dist, nid) AS rn
-         |  FROM pdx) WHERE rn <= 10
-         |), ap_raw AS (
-         | SELECT qid, nid FROM (
-         |  SELECT qid, nid,
-         |   row_number() OVER (PARTITION BY qid ORDER BY adist, nid) AS rn
-         |  FROM sc) WHERE rn <= 10
-         |), ap_res AS (
-         | SELECT qid, nid FROM (
-         |  SELECT qid, nid,
-         |   row_number() OVER (PARTITION BY qid ORDER BY adist, nid) AS rn
-         |  FROM rsc) WHERE rn <= 10
-         |), h_raw AS (
-         | SELECT ap_raw.qid, CAST(count(*) AS BIGINT) AS n_hits
-         | FROM ap_raw JOIN exk ON ap_raw.qid = exk.qid AND ap_raw.nid = exk.nid
-         | GROUP BY 1
-         |), h_res AS (
-         | SELECT ap_res.qid, CAST(count(*) AS BIGINT) AS n_hits
-         | FROM ap_res JOIN exk ON ap_res.qid = exk.qid AND ap_res.nid = exk.nid
-         | GROUP BY 1
-         |), recs AS (
-         | SELECT q.vec_id AS query_id, COALESCE(h_raw.n_hits, 0) AS n_hits,
-         |  'raw' AS variant
-         | FROM (SELECT vec_id FROM e WHERE vec_id < 3) q
-         | LEFT JOIN h_raw ON h_raw.qid = q.vec_id
-         | UNION ALL
-         | SELECT q.vec_id AS query_id, COALESCE(h_res.n_hits, 0) AS n_hits,
-         |  'residual' AS variant
-         | FROM (SELECT vec_id FROM e WHERE vec_id < 3) q
-         | LEFT JOIN h_res ON h_res.qid = q.vec_id
-         |)
-         |SELECT query_id, n_hits, CAST(10 AS BIGINT) AS k,
-         | CAST(n_hits * 1000000 // 10 AS BIGINT) AS recall_ppm, variant
-         |FROM recs
-         |ORDER BY variant, query_id""".stripMargin,
-
-    // identical elementwise affine-code arithmetic; both engines round
-    // half away from zero on the (always nonnegative) scaled values
-    "embedding_quantize" ->
-      """WITH e AS (
-        | SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
-        |), m AS (
-        | SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx FROM e
-        |), q AS (
-        | SELECT vec_id,
-        |  CASE WHEN mx > mn
-        |       THEN list_transform(v, x -> CAST(round((x - mn) * 255.0 / (mx - mn)) AS INTEGER))
-        |       ELSE list_transform(v, x -> 0) END AS qs,
-        |  mn AS "offset",
-        |  CASE WHEN mx > mn THEN (mx - mn) / 255.0 ELSE 0.0 END AS scale
-        | FROM m
-        |), x AS (
-        | SELECT vec_id, qs, "offset", scale,
-        |        unnest(generate_series(1, len(qs))) AS p
-        | FROM q
-        |)
-        |SELECT vec_id, CAST(p - 1 AS INTEGER) AS pos, CAST(qs[p] AS INTEGER) AS q,
-        |       "offset", scale
-        |FROM x ORDER BY vec_id, pos""".stripMargin,
-
-    // correlated prefix counts over the same whitespace-token rule —
-    // the K-pass form the operator's first-seen reduction avoids
-    "vocab_growth" ->
-      """WITH tok AS (
-        | SELECT CAST(doc_id AS BIGINT) AS id,
-        |  unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '')) AS t
-        | FROM documents
-        |), cps AS (
-        | SELECT unnest([50, 100, 200, 400]) AS c
-        |)
-        |SELECT CAST(c AS BIGINT) AS prefix_lt,
-        | (SELECT CAST(count(DISTINCT t) AS BIGINT) FROM tok WHERE id < c) AS distinct_terms,
-        | (SELECT CAST(count(*) AS BIGINT) FROM tok WHERE id < c) AS total_tokens
-        |FROM cps ORDER BY prefix_lt""".stripMargin,
-
-    "token_frequencies" ->
-      """SELECT token, CAST(count(*) AS BIGINT) AS freq
-        |FROM (
-        | SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '')) AS token
-        | FROM documents
-        |)
-        |GROUP BY token
-        |ORDER BY freq DESC, token
-        |LIMIT 25""".stripMargin,
-
-    "text_gopher_quality" ->
-      """WITH m AS (
-        | SELECT doc_id,
-        |  CAST(len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS BIGINT) AS n_tok,
-        |  CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE) AS n_hash,
-        |  CAST(length(text) - length(replace(text, '...', '')) AS DOUBLE) / 3.0 AS n_ell,
-        |  CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
-        |  CAST(len(regexp_extract_all(text, '(?m)^[ \t]*[-*•]')) AS BIGINT) AS n_bullet,
-        |  CAST(len(regexp_extract_all(text, '(?m)(\.\.\.|…)[ \t]*$')) AS BIGINT) AS n_elline,
-        |  CAST(len(regexp_extract_all(text, '\S*[A-Za-z]\S*')) AS BIGINT) AS n_alpha
-        | FROM documents
-        |), r AS (
-        | SELECT doc_id,
-        |  CASE WHEN n_tok > 0 THEN (n_hash + n_ell) / CAST(n_tok AS DOUBLE) ELSE 0.0 END AS symbol_ratio,
-        |  CASE WHEN n_lines > 0 THEN CAST(n_bullet AS DOUBLE) / CAST(n_lines AS DOUBLE) ELSE 0.0 END AS bullet_frac,
-        |  CASE WHEN n_lines > 0 THEN CAST(n_elline AS DOUBLE) / CAST(n_lines AS DOUBLE) ELSE 0.0 END AS ellipsis_frac,
-        |  CASE WHEN n_tok > 0 THEN CAST(n_alpha AS DOUBLE) / CAST(n_tok AS DOUBLE) ELSE 0.0 END AS alpha_ratio
-        | FROM m
-        |)
-        |SELECT doc_id,
-        | ROUND(symbol_ratio, 4) AS symbol_ratio,
-        | ROUND(bullet_frac, 4) AS bullet_frac,
-        | ROUND(ellipsis_frac, 4) AS ellipsis_frac,
-        | ROUND(alpha_ratio, 4) AS alpha_ratio,
-        | (symbol_ratio <= 0.1 AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3
-        |   AND alpha_ratio >= 0.8) AS keep
-        |FROM r ORDER BY doc_id""".stripMargin,
-
-    // CJK-aware variants: token counts and alpha words mirrored with the
-    // same explicit codepoint ranges as graft.plans.CjkTokenCount (each
-    // CJK codepoint = one word, and alphabetic); quality drops the
-    // English-stopword component (weights 0.6 len / 0.4 punct)
-    "text_gopher_quality_cjk" ->
-      """WITH m AS (
-        | SELECT doc_id, text || ' 你好世界 abc漢字です test' AS t FROM documents
-        |), c AS (
-        | SELECT doc_id, t,
-        |  CAST(len(regexp_extract_all(t, '[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}\x{AC00}-\x{D7AF}\x{F900}-\x{FAFF}\x{20000}-\x{2FFFF}]'))
-        |     + len(regexp_extract_all(t, '[^ \t\n\x{0B}\f\r\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}\x{AC00}-\x{D7AF}\x{F900}-\x{FAFF}\x{20000}-\x{2FFFF}]+')) AS BIGINT) AS n_tok,
-        |  CAST(len(regexp_extract_all(t, '[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}\x{AC00}-\x{D7AF}\x{F900}-\x{FAFF}\x{20000}-\x{2FFFF}]'))
-        |     + len(regexp_extract_all(t, '[^ \t\n\x{0B}\f\r\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}\x{AC00}-\x{D7AF}\x{F900}-\x{FAFF}\x{20000}-\x{2FFFF}]*[A-Za-z][^ \t\n\x{0B}\f\r\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}\x{AC00}-\x{D7AF}\x{F900}-\x{FAFF}\x{20000}-\x{2FFFF}]*')) AS BIGINT) AS n_alpha,
-        |  CAST(length(t) - length(replace(t, '#', '')) AS DOUBLE) AS n_hash,
-        |  CAST(length(t) - length(replace(t, '...', '')) AS DOUBLE) / 3.0 AS n_ell,
-        |  CAST(len(string_split(t, chr(10))) AS BIGINT) AS n_lines,
-        |  CAST(len(regexp_extract_all(t, '(?m)^[ \t]*[-*•]')) AS BIGINT) AS n_bullet,
-        |  CAST(len(regexp_extract_all(t, '(?m)(\.\.\.|…)[ \t]*$')) AS BIGINT) AS n_elline,
-        |  CASE WHEN length(t) > 0
-        |       THEN CAST(length(regexp_replace(t, '[^[:punct:]]', '', 'g')) AS DOUBLE) / CAST(length(t) AS DOUBLE)
-        |       ELSE 0.0 END AS punct_ratio
-        | FROM m
-        |), r AS (
-        | SELECT doc_id, n_tok, punct_ratio,
-        |  CASE WHEN n_tok > 0 THEN (n_hash + n_ell) / CAST(n_tok AS DOUBLE) ELSE 0.0 END AS symbol_ratio,
-        |  CASE WHEN n_lines > 0 THEN CAST(n_bullet AS DOUBLE) / CAST(n_lines AS DOUBLE) ELSE 0.0 END AS bullet_frac,
-        |  CASE WHEN n_lines > 0 THEN CAST(n_elline AS DOUBLE) / CAST(n_lines AS DOUBLE) ELSE 0.0 END AS ellipsis_frac,
-        |  CASE WHEN n_tok > 0 THEN CAST(n_alpha AS DOUBLE) / CAST(n_tok AS DOUBLE) ELSE 0.0 END AS alpha_ratio
-        | FROM c
-        |)
-        |SELECT doc_id,
-        | n_tok AS cjk_tokens,
-        | ROUND(symbol_ratio, 4) AS symbol_ratio,
-        | ROUND(alpha_ratio, 4) AS alpha_ratio,
-        | (symbol_ratio <= 0.1 AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3
-        |   AND alpha_ratio >= 0.8) AS keep,
-        | ROUND((CASE WHEN n_tok BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END) * 0.6
-        |     + (CASE WHEN punct_ratio < 0.2 THEN 1.0 ELSE 0.0 END) * 0.4, 2) AS quality
-        |FROM r ORDER BY doc_id""".stripMargin,
-
-    "token_count" ->
-      """SELECT doc_id,
-        | CAST(len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS BIGINT) AS ws_tokens,
-        | CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpeish_tokens,
-        | CAST(length(text) AS BIGINT) AS n_chars
-        |FROM documents ORDER BY doc_id""".stripMargin,
-
-    // the recursive CTE replays SubwordCount's greedy loop exactly —
-    // see subwordChainSql
-    "subword_count" ->
-      s"""WITH RECURSIVE ${subwordChainSql(" WHERE doc_id < 1000")}
-         |SELECT doc_id, subword_tokens, ws_tokens
-         |FROM ns ORDER BY doc_id""".stripMargin,
-
-    // pack_by_budget's window chain with the subword counter plugged in
-    "pack_by_budget_subword" ->
-      s"""WITH RECURSIVE ${subwordChainSql("")}, c AS (
-         | SELECT doc_id, source, subword_tokens AS n_sub,
-         |  SUM(subword_tokens) OVER (PARTITION BY source ORDER BY doc_id
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-         |    - subword_tokens AS prev
-         | FROM ns
-         |)
-         |SELECT doc_id, source, n_sub,
-         | CAST(prev // 512 AS BIGINT) AS pack_id,
-         | CAST(prev % 512 AS BIGINT) AS pack_offset
-         |FROM c ORDER BY doc_id""".stripMargin,
-
-    // the regex + list-slicing replay of host parse + suffix rules
-    "domain_extract" ->
-      s"""WITH ${domainChainSql(" WHERE doc_id < 1000")}
-         |SELECT doc_id, url, host, domain
-         |FROM dom ORDER BY doc_id""".stripMargin,
-
-    // canonical = lowercased host (regex parse, trailing-dot strip) ||
-    // path (scheme/userinfo/port/query/fragment dropped, trailing
-    // slashes stripped); keeper = min doc_id per canonical
-    "url_dedup" ->
-      s"""WITH d AS (
-         | SELECT doc_id, $urlDedupUrlSql AS url FROM documents
-         |), c AS (
-         | SELECT doc_id,
-         |  regexp_replace(lower(regexp_extract(url,
-         |    '^(?:[A-Za-z][A-Za-z0-9+.-]*://)?(?:[^/?#]*@)?([^/?#:]+)', 1)), '\\.$$', '')
-         |  || regexp_replace(COALESCE(regexp_extract(url,
-         |    '^(?:[A-Za-z][A-Za-z0-9+.-]*://)?[^/?#]*(/[^?#]*)?', 1), ''), '/+$$', '')
-         |  AS canonical_url
-         | FROM d
-         |)
-         |SELECT min(doc_id) AS doc_id, canonical_url
-         |FROM c GROUP BY canonical_url
-         |ORDER BY doc_id""".stripMargin,
-
-    // per-domain histogram joined back for token mass; the ppm share is
-    // the same HALF_UP integer kernel ((2·s·10⁶ + t) // (2·t)); null
-    // domains fold into the '(none)' sentinel so row order never
-    // depends on an engine's null-placement default
-    "domain_composition" ->
-      s"""WITH ${domainChainSql("")}, j AS (
-         | SELECT COALESCE(dom.domain, '(none)') AS domain,
-         |  len(list_filter(string_split_regex(trim(d2.text), '\\s+'), x -> x <> '')) AS n_tokens
-         | FROM dom JOIN documents d2 ON dom.doc_id = d2.doc_id
-         |), per AS (
-         | SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
-         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens
-         | FROM j GROUP BY 1
-         |), tot AS (
-         | SELECT CAST(sum(n_tokens) AS BIGINT) AS t FROM per
-         |)
-         |SELECT domain, n_docs, n_tokens,
-         | CAST((2 * n_tokens * 1000000 + tot.t) // (2 * tot.t) AS BIGINT) AS share_ppm
-         |FROM per, tot
-         |ORDER BY n_tokens DESC, domain""".stripMargin,
-
-    // the C4 line rules replayed verbatim: ≥3 nonempty whitespace
-    // tokens AND a terminal-punctuation tail after rtrim; doc drops on
-    // case-insensitive 'lorem ipsum', a curly brace, or zero kept lines
-    "c4_line_clean" ->
-      s"""WITH d AS (
-         | SELECT doc_id, $c4GateTextSql AS t
-         | FROM documents WHERE doc_id < 2000
-         |), l AS (
-         | SELECT doc_id, t, string_split(t, chr(10)) AS lines FROM d
-         |), k AS (
-         | SELECT doc_id, t, lines,
-         |  list_filter(lines, x ->
-         |    len(list_filter(string_split_regex(trim(x), '\\s+'), w -> w <> '')) >= 3
-         |    AND regexp_matches(rtrim(x), '[.!?"]$$')) AS kept
-         | FROM l
-         |)
-         |SELECT doc_id,
-         | COALESCE(array_to_string(kept, chr(10)), '') AS clean,
-         | CAST(len(kept) AS BIGINT) AS kept_lines,
-         | CAST(len(lines) AS BIGINT) AS total_lines,
-         | ((NOT contains(lower(t), 'lorem ipsum'))
-         |   AND (NOT contains(t, '{')) AND len(kept) >= 1) AS doc_pass
-         |FROM k ORDER BY doc_id""".stripMargin,
-
-    // distinct-word histogram → character-pair explosion over the
-    // HISTOGRAM rows only (the BPE compression), weighted sums, same
-    // (count desc, a, b) cut; substr is char-based in both engines
-    "bpe_pair_stats" ->
-      """WITH d AS (
-        | SELECT list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS toks
-        | FROM documents WHERE doc_id < 2000
-        |), tok AS (
-        | SELECT unnest(toks) AS w FROM d
-        |), wc AS (
-        | SELECT w, count(*) AS wc FROM tok GROUP BY 1
-        |), p AS (
-        | SELECT wc,
-        |  unnest(list_transform(range(1, length(w)),
-        |    i -> [substr(w, i, 1), substr(w, i + 1, 1)])) AS pr
-        | FROM wc WHERE length(w) >= 2
-        |)
-        |SELECT pr[1] AS a, pr[2] AS b, CAST(sum(wc) AS BIGINT) AS pair_count
-        |FROM p GROUP BY 1, 2
-        |ORDER BY pair_count DESC, a, b
-        |LIMIT 50""".stripMargin,
-
-    // winning pair by (count desc, a, b); replace() is
-    // leftmost-nonoverlapping in both engines; chr(1) stands in for
-    // the merged symbol during the recount and translates back on emit
-    "bpe_merge_round2" ->
-      """WITH d AS (
-        | SELECT list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS toks
-        | FROM documents WHERE doc_id < 2000
-        |), tok AS (
-        | SELECT unnest(toks) AS w FROM d
-        |), wc AS (
-        | SELECT w, count(*) AS wc FROM tok GROUP BY 1
-        |), p1 AS (
-        | SELECT wc,
-        |  unnest(list_transform(range(1, length(w)),
-        |    i -> [substr(w, i, 1), substr(w, i + 1, 1)])) AS pr
-        | FROM wc WHERE length(w) >= 2
-        |), s1 AS (
-        | SELECT pr[1] AS a, pr[2] AS b, CAST(sum(wc) AS BIGINT) AS c
-        | FROM p1 GROUP BY 1, 2
-        |), win AS (
-        | SELECT a, b FROM s1 ORDER BY c DESC, a, b LIMIT 1
-        |), w2 AS (
-        | SELECT replace(wc.w, win.a || win.b, chr(1)) AS w, wc.wc,
-        |  win.a AS wa, win.b AS wb
-        | FROM wc, win
-        |), p2 AS (
-        | SELECT wc, wa, wb,
-        |  unnest(list_transform(range(1, length(w)),
-        |    i -> [substr(w, i, 1), substr(w, i + 1, 1)])) AS pr
-        | FROM w2 WHERE length(w) >= 2
-        |)
-        |SELECT
-        | CASE WHEN pr[1] = chr(1) THEN wa || wb ELSE pr[1] END AS a,
-        | CASE WHEN pr[2] = chr(1) THEN wa || wb ELSE pr[2] END AS b,
-        | CAST(sum(wc) AS BIGINT) AS pair_count
-        |FROM p2 GROUP BY 1, 2
-        |ORDER BY pair_count DESC, a, b
-        |LIMIT 50""".stripMargin,
-
-    // the encode chain folded verbatim (bpeEncodeChainSql — the same
-    // ranked literal merges as the Spark expression tree): symbols per
-    // word = spaces + 1 after the chain, summed per doc; word_tokens is
-    // the shared whitespace rule on the raw text
-    "bpe_encode_count" ->
-      s"""WITH d AS (
-         | SELECT doc_id,
-         |  list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS rawts,
-         |  list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS ws
-         | FROM documents WHERE doc_id < 2000
-         |)
-         |SELECT doc_id,
-         | CAST(len(rawts) AS BIGINT) AS word_tokens,
-         | CAST(coalesce(list_sum(list_transform(ws, w ->
-         |   1 + length($bpeEncodeChainSql)
-         |     - length(replace($bpeEncodeChainSql, ' ', '')))), 0) AS BIGINT) AS bpe_tokens
-         |FROM d ORDER BY doc_id""".stripMargin,
-
-    // per-doc counts as in bpe_encode_count, summed per source; the
-    // ratio is exact scaled-integer division
-    "tokenizer_fertility" ->
-      s"""WITH d AS (
-         | SELECT source,
-         |  list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS rawts,
-         |  list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS ws
-         | FROM documents WHERE doc_id < 2000
-         |), c AS (
-         | SELECT source,
-         |  CAST(len(rawts) AS BIGINT) AS w,
-         |  CAST(coalesce(list_sum(list_transform(ws, w ->
-         |    1 + length($bpeEncodeChainSql)
-         |      - length(replace($bpeEncodeChainSql, ' ', '')))), 0) AS BIGINT) AS b
-         | FROM d
-         |)
-         |SELECT source, CAST(sum(w) AS BIGINT) AS word_tokens,
-         | CAST(sum(b) AS BIGINT) AS bpe_tokens,
-         | CAST(CAST(sum(b) AS BIGINT) * 1000000 // greatest(CAST(sum(w) AS BIGINT), 1) AS BIGINT) AS fertility_ppm
-         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // phrase occurrences replayed on the window STRINGS (the
-    // dup_window_removal convention — join-by-space is injective over
-    // whitespace tokens): every 6-token window equal to the needle,
-    // counted and min-positioned per doc
-    "phrase_match" ->
-      s"""WITH d AS (
-         | SELECT doc_id, $dupRemovalTextSql AS t
-         | FROM documents WHERE doc_id < 2000
-         |), tk AS (
-         | SELECT doc_id, list_filter(string_split_regex(trim(t), '\\s+'), x -> x <> '') AS toks
-         | FROM d
-         |), w AS (
-         | SELECT doc_id, CAST(p AS BIGINT) AS s,
-         |  array_to_string(list_slice(toks, CAST(p + 1 AS BIGINT), CAST(p + 6 AS BIGINT)), ' ') AS win
-         | FROM tk, UNNEST(range(0, greatest(len(toks) - 6, 0) + 1)) AS u(p)
-         | WHERE len(toks) > 0
-         |)
-         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits, min(s) AS first_pos
-         |FROM w WHERE win = 'gamma delta epsilon zeta eta theta'
-         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-
-    // cells replayed from the same FNV row-hashes (fnvModSql over
-    // item ++ ':cms' ++ row); top-10 by (count desc, shingle) both sides
-    "cms_counts" -> oracleSqlCmsCounts,
-
-    // the sum-merged stream state equals the whole-corpus sketch
-    "cms_stream" -> oracleSqlCmsCounts,
-
-    // the same FNV fold, the same generated ρ CASE ladder (shared
-    // verbatim from Profile.hllRhoCaseSql), the same scaled-integer
-    // indicator — registers and estimate replay bit-for-bit in HUGEINT
-    "hll_distinct" -> hllOracleSql(withExact = true),
-
-    // the stream's max-merged state equals the whole-corpus sketch
-    "hll_stream" -> hllOracleSql(withExact = false),
-
-    // per-pair sketch algebra in HUGEINT; see hllOverlapOracleSql
-    "hll_overlap_matrix" -> hllOverlapOracleSql,
-
-    // same day arithmetic, same min-anchored boundaries
-    "temporal_split" ->
-      """WITH e AS (
-        | SELECT epoch_us(ts) // 86400000000 AS day FROM events WHERE ts IS NOT NULL
-        |), m AS (
-        | SELECT min(day) AS md FROM e
-        |), lab AS (
-        | SELECT CASE WHEN day < md + 20 THEN 'train'
-        |             WHEN day >= md + 23 THEN 'test'
-        |             ELSE 'gap' END AS split, day
-        | FROM e, m
-        |)
-        |SELECT split, CAST(count(*) AS BIGINT) AS n_rows,
-        | CAST(min(day) AS BIGINT) AS min_day, CAST(max(day) AS BIGINT) AS max_day
-        |FROM lab GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // the registered DP boundaries replayed as a BETWEEN join + exact
-    // integer padding accounting (the gate-table discipline: an oracle
-    // generated without running the gate fails by name)
-    "optimal_length_buckets" -> (gateTableOrError("len_buckets") match {
-      case Left(err) => err
-      case Right(rows) =>
-        s"""WITH b AS (
-           | SELECT * FROM (VALUES
-           |   $rows) AS v(bucket, lo, hi)
-           |), l AS (
-           | SELECT CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS BIGINT) AS n
-           | FROM documents
-           |)
-           |SELECT CAST(b.bucket AS BIGINT) AS bucket, CAST(b.lo AS BIGINT) AS lo,
-           | CAST(b.hi AS BIGINT) AS hi,
-           | CAST(count(*) AS BIGINT) AS n_rows,
-           | CAST(sum(l.n) AS BIGINT) AS sum_tokens,
-           | CAST(count(*) * b.hi AS BIGINT) AS padded_tokens,
-           | CAST(count(*) * b.hi - sum(l.n) AS BIGINT) AS waste_tokens
-           |FROM l JOIN b ON l.n >= b.lo AND l.n <= b.hi
-           |GROUP BY b.bucket, b.lo, b.hi
-           |ORDER BY 1""".stripMargin
-    }),
-
-    // the prefix filter is recall-lossless, so the oracle IS the
-    // quadratic join: distinct 3-gram sets (the shared shingle rule over
-    // normalized text), pairwise intersections, cross-multiplied
-    // threshold, floor-div ppm
-    "setsim_pairs" ->
-      s"""WITH $setsimChainSql
-         |SELECT ida AS id_a, idb AS id_b,
-         | CAST(pr.i * 1000000 // (pr.na + pr.nb - pr.i) AS BIGINT) AS jaccard_ppm
-         |FROM pr
-         |ORDER BY 1, 2""".stripMargin,
-
-    // Viterbi positions unrolled; see unigramOracleSql
-    "unigram_segment" -> unigramOracleSql(unigramGatePieces, 1000L, 12),
-
-    // chars vs bytes via length/strlen, tokens via the shared split,
-    // BPE-ish via the same RE2-safe pre-tokenizer pattern
-    "corpus_size_matrix" ->
-      """SELECT source,
-        | CAST(count(*) AS BIGINT) AS n_docs,
-        | CAST(sum(length(text)) AS BIGINT) AS n_chars,
-        | CAST(sum(strlen(text)) AS BIGINT) AS n_bytes,
-        | CAST(sum(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''))) AS BIGINT) AS n_tokens,
-        | CAST(sum(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS n_bpeish
-        |FROM documents WHERE source IS NOT NULL
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // pair-FNV recomputed per (anchor, cand), signed top-5 per anchor
-    // (hash DESC, cand DESC — the graft_topk struct order)
-    "negative_sampling" ->
-      """WITH a AS (
-        | SELECT DISTINCT CAST(doc_id AS VARCHAR) AS anchor
-        | FROM documents WHERE doc_id < 20
-        |), p AS (
-        | SELECT CAST(doc_id AS VARCHAR) AS cand FROM documents WHERE doc_id < 500
-        |), h AS (
-        | SELECT anchor, cand,
-        |  list_reduce(
-        |    list_prepend(CAST('14695981039346656037' AS HUGEINT),
-        |      list_transform(range(1, length(s) + 1), i -> CAST(ascii(s[i]) AS HUGEINT))),
-        |    (acc, b) -> ((acc // 256) * 256 + xor(CAST(acc % 256 AS BIGINT), CAST(b AS BIGINT)))
-        |                * 1099511628211 % CAST('18446744073709551616' AS HUGEINT)
-        |  ) AS hh
-        | FROM (SELECT a.anchor, p.cand, a.anchor || ':' || p.cand || ':neg' AS s
-        |       FROM a CROSS JOIN p WHERE a.anchor <> p.cand)
-        |), sgn AS (
-        | SELECT anchor, cand,
-        |  CAST(hh - CASE WHEN hh >= CAST('9223372036854775808' AS HUGEINT)
-        |            THEN CAST('18446744073709551616' AS HUGEINT)
-        |            ELSE CAST(0 AS HUGEINT) END AS BIGINT) AS hs
-        | FROM h
-        |)
-        |SELECT anchor, cand AS negative,
-        | CAST(row_number() OVER (PARTITION BY anchor ORDER BY hs DESC, cand DESC) AS INTEGER) AS rank
-        |FROM sgn
-        |QUALIFY rank <= 5
-        |ORDER BY anchor, rank""".stripMargin,
-
-    // same counts, same staged floors in HUGEINT, same rank tie-break
-    "chi2_terms" ->
-      """WITH tok AS (
-        | SELECT source AS grp,
-        |  unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')) AS term
-        | FROM documents WHERE source IS NOT NULL
-        |), gt AS (
-        | SELECT grp, term, CAST(count(*) AS BIGINT) AS a FROM tok GROUP BY 1, 2
-        |), tt AS (
-        | SELECT term, CAST(sum(a) AS BIGINT) AS t_all FROM gt GROUP BY 1 HAVING sum(a) >= 1
-        |), gg AS (
-        | SELECT grp, CAST(sum(a) AS BIGINT) AS g_all FROM gt GROUP BY 1
-        |), nn AS (
-        | SELECT CAST(sum(a) AS BIGINT) AS n FROM gt
-        |), cells AS (
-        | SELECT gt.grp, gt.term, gt.a, tt.t_all - gt.a AS b, gg.g_all - gt.a AS c,
-        |  nn.n - tt.t_all - gg.g_all + gt.a AS d, nn.n
-        | FROM gt JOIN tt ON tt.term = gt.term JOIN gg ON gg.grp = gt.grp, nn
-        |), staged AS (
-        | SELECT grp, term,
-        |  abs(CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c) AS m,
-        |  CAST((a + b) AS HUGEINT) * (c + d) AS den1,
-        |  CAST((a + c) AS HUGEINT) * (b + d) AS den2, n
-        | FROM cells
-        |), scored AS (
-        | SELECT grp, term,
-        |  CAST(((CAST(n AS HUGEINT) * m) // den1) * m * 1000000 // den2 AS BIGINT) AS chi2_e6
-        | FROM staged
-        |)
-        |SELECT grp AS source, term, chi2_e6,
-        | CAST(row_number() OVER (PARTITION BY grp ORDER BY chi2_e6 DESC, term) AS INTEGER) AS rank
-        |FROM scored
-        |QUALIFY rank <= 5
-        |ORDER BY source, rank""".stripMargin,
-
-    // the same quadratic pair chain feeding 4 unrolled min-label rounds
-    // over the (zero-padded) pair graph — the generic LPA replay, not
-    // the chain-graph closed form
-    "pipeline_entity_resolution" -> {
-      val rounds = (1 to 4).map { k =>
-        s"""c$k AS (
-           | SELECT e._d AS v, min(p.l) AS ml
-           | FROM sym e JOIN l${k - 1} p ON p.v = e._s GROUP BY 1
-           |), l$k AS (
-           | SELECT p.v, least(p.l, coalesce(c$k.ml, p.l)) AS l
-           | FROM l${k - 1} p LEFT JOIN c$k ON c$k.v = p.v
-           |)""".stripMargin
-      }.mkString(", ")
-      s"""WITH $setsimChainSql, pe AS (
-         | SELECT lpad(CAST(ida AS VARCHAR), 8, '0') AS a,
-         |        lpad(CAST(idb AS VARCHAR), 8, '0') AS b
-         | FROM pr
-         |), sym AS (
-         | SELECT a AS _s, b AS _d FROM pe UNION SELECT b, a FROM pe
-         |), nodes AS (
-         | SELECT DISTINCT _s AS v FROM sym
-         |), l0 AS (
-         | SELECT v, v AS l FROM nodes
-         |), $rounds
-         |SELECT v AS node, l AS label, (v = l) AS is_canonical
-         |FROM l4 ORDER BY node""".stripMargin
-    },
-
-    // the streaming twin replays through the SAME batch chain over the
-    // full union (incremental star-compressed propagation and the flat
-    // 4-round chain both fully converge on these star-shaped
-    // components — measured max eccentricity-of-min 1), with nodes =
-    // EVERY doc (singletons label themselves)
-    "er_stream" -> {
-      val rounds = (1 to 4).map { k =>
-        s"""c$k AS (
-           | SELECT e._d AS v, min(p.l) AS ml
-           | FROM sym e JOIN l${k - 1} p ON p.v = e._s GROUP BY 1
-           |), l$k AS (
-           | SELECT p.v, least(p.l, coalesce(c$k.ml, p.l)) AS l
-           | FROM l${k - 1} p LEFT JOIN c$k ON c$k.v = p.v
-           |)""".stripMargin
-      }.mkString(", ")
-      s"""WITH $setsimChainSql, pe AS (
-         | SELECT lpad(CAST(ida AS VARCHAR), 8, '0') AS a,
-         |        lpad(CAST(idb AS VARCHAR), 8, '0') AS b
-         | FROM pr
-         |), sym AS (
-         | SELECT a AS _s, b AS _d FROM pe UNION SELECT b, a FROM pe
-         |), nodes AS (
-         | SELECT lpad(CAST(doc_id AS VARCHAR), 8, '0') AS v FROM uni
-         |), l0 AS (
-         | SELECT v, v AS l FROM nodes
-         |), $rounds
-         |SELECT v AS node, l AS label, (v = l) AS is_canonical
-         |FROM l4 ORDER BY node""".stripMargin
-    },
-
-    // cell-occupancy histograms from the exact e6 nearest-cell argmin,
-    // then the l1Drift integer arithmetic (cross-normalized gap sum,
-    // half-up e9 scaling) per scoring batch
-    "pq_drift_stream" -> {
-      def driftRow(batch: Int, cur: String): String =
-        s"""SELECT $batch AS batch, CAST(t.na AS BIGINT) AS n_ref,
-           | CAST(t.nb AS BIGINT) AS n_cur,
-           | CAST((2 * (g.s * 1000000000) + CAST(t.na AS HUGEINT) * t.nb)
-           |   // (2 * (CAST(t.na AS HUGEINT) * t.nb)) AS BIGINT) AS l1_e9
-           |FROM (SELECT sum(ca) AS na, sum(cb) AS nb FROM d$cur) t,
-           | (SELECT sum(abs(CAST(ca AS HUGEINT) * t2.nb
-           |     - CAST(cb AS HUGEINT) * t2.na)) AS s
-           |  FROM d$cur, (SELECT sum(ca) AS na, sum(cb) AS nb FROM d$cur) t2) g""".stripMargin
-      s"""WITH e AS (
-         | SELECT vec_id,
-         |  list_transform(embedding,
-         |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS a
-         | FROM embeddings
-         |), cc AS (
-         | SELECT vec_id AS ccid, a AS ccv FROM e WHERE vec_id < 4
-         |), cd AS (
-         | SELECT e.vec_id, cc.ccid,
-         |  list_sum(list_transform(range(1, 65),
-         |    i -> (e.a[i] - cc.ccv[i]) * (e.a[i] - cc.ccv[i]))) AS dist
-         | FROM e, cc
-         |), casg AS (
-         | SELECT vec_id, ccid FROM (
-         |  SELECT vec_id, ccid,
-         |   row_number() OVER (PARTITION BY vec_id ORDER BY dist, ccid) AS rn
-         |  FROM cd) WHERE rn = 1
-         |), href AS (
-         | SELECT ccid, CAST(count(*) AS BIGINT) AS cnt FROM casg
-         | WHERE vec_id < 300 GROUP BY 1
-         |), h1 AS (
-         | SELECT ccid, CAST(count(*) AS BIGINT) AS cnt FROM casg
-         | WHERE vec_id >= 300 GROUP BY 1
-         |), h2 AS (
-         | SELECT casg.ccid, CAST(50 AS BIGINT) AS cnt FROM casg WHERE vec_id = 0
-         |), d1 AS (
-         | SELECT coalesce(a.cnt, 0) AS ca, coalesce(b.cnt, 0) AS cb
-         | FROM href a FULL JOIN h1 b ON b.ccid = a.ccid
-         |), d2 AS (
-         | SELECT coalesce(a.cnt, 0) AS ca, coalesce(b.cnt, 0) AS cb
-         | FROM href a FULL JOIN h2 b ON b.ccid = a.ccid
-         |), rows_ AS (
-         | ${driftRow(1, "1")}
-         | UNION ALL
-         | ${driftRow(2, "2")}
-         |)
-         |SELECT batch, n_ref, n_cur, l1_e9, (l1_e9 >= 750000000) AS retrain
-         |FROM rows_ ORDER BY batch""".stripMargin
-    },
-
-    // the epoch timeline replayed: occupancies against the epoch-0
-    // cells (vec_id < 4), the l1Drift integer arithmetic per batch, and
-    // `retrained` computed from the threshold exactly as the stream
-    // does. The epoch column is literal per row because the computed
-    // flags force the sequence (batch 2 is the only l1 ≥ 5e8 row, so it
-    // alone opens epoch 1); batch 0's birth row is literal zeros by the
-    // openEpoch contract. Batch 3 compares the planted 50-copy feed
-    // against epoch 1's reference — the SAME 50-copy occupancy (every
-    // copy of vector 0 assigns to one cell of the retrained index), a
-    // single-bucket 50/50 histogram
-    "pq_retrain_epoch" -> {
-      def driftRow(batch: Int, epoch: Int, cur: String): String =
-        s"""SELECT $batch AS batch, CAST($epoch AS BIGINT) AS epoch,
-           | CAST(t.na AS BIGINT) AS n_ref, CAST(t.nb AS BIGINT) AS n_cur,
-           | CAST((2 * (g.s * 1000000000) + CAST(t.na AS HUGEINT) * t.nb)
-           |   // (2 * (CAST(t.na AS HUGEINT) * t.nb)) AS BIGINT) AS l1_e9
-           |FROM (SELECT sum(ca) AS na, sum(cb) AS nb FROM d$cur) t,
-           | (SELECT sum(abs(CAST(ca AS HUGEINT) * t2.nb
-           |     - CAST(cb AS HUGEINT) * t2.na)) AS s
-           |  FROM d$cur, (SELECT sum(ca) AS na, sum(cb) AS nb FROM d$cur) t2) g""".stripMargin
-      s"""WITH e AS (
-         | SELECT vec_id,
-         |  list_transform(embedding,
-         |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS a
-         | FROM embeddings
-         |), cc AS (
-         | SELECT vec_id AS ccid, a AS ccv FROM e WHERE vec_id < 4
-         |), cd AS (
-         | SELECT e.vec_id, cc.ccid,
-         |  list_sum(list_transform(range(1, 65),
-         |    i -> (e.a[i] - cc.ccv[i]) * (e.a[i] - cc.ccv[i]))) AS dist
-         | FROM e, cc
-         |), casg AS (
-         | SELECT vec_id, ccid FROM (
-         |  SELECT vec_id, ccid,
-         |   row_number() OVER (PARTITION BY vec_id ORDER BY dist, ccid) AS rn
-         |  FROM cd) WHERE rn = 1
-         |), href AS (
-         | SELECT ccid, CAST(count(*) AS BIGINT) AS cnt FROM casg
-         | WHERE vec_id < 300 GROUP BY 1
-         |), h2 AS (
-         | SELECT casg.ccid, CAST(50 AS BIGINT) AS cnt FROM casg WHERE vec_id = 0
-         |), d1 AS (
-         | SELECT cnt AS ca, cnt AS cb FROM href
-         |), d2 AS (
-         | SELECT coalesce(a.cnt, 0) AS ca, coalesce(b.cnt, 0) AS cb
-         | FROM href a FULL JOIN h2 b ON b.ccid = a.ccid
-         |), d3 AS (
-         | SELECT CAST(50 AS BIGINT) AS ca, CAST(50 AS BIGINT) AS cb
-         |), rows_ AS (
-         | SELECT 0 AS batch, CAST(0 AS BIGINT) AS epoch, CAST(0 AS BIGINT) AS n_ref,
-         |  CAST(0 AS BIGINT) AS n_cur, CAST(0 AS BIGINT) AS l1_e9
-         | UNION ALL
-         | ${driftRow(1, 0, "1")}
-         | UNION ALL
-         | ${driftRow(2, 1, "2")}
-         | UNION ALL
-         | ${driftRow(3, 1, "3")}
-         |)
-         |SELECT CAST(batch AS BIGINT) AS batch, epoch, n_ref, n_cur, l1_e9,
-         | (batch > 0 AND l1_e9 >= 500000000) AS retrained
-         |FROM rows_ ORDER BY batch""".stripMargin
-    },
-
-    // both recall chains replayed end to end: the FROZEN chain trains
-    // codebooks on the batch-0 prefix of the union corpus and encodes
-    // everything (the ann_ivfpq_stream restriction), the RETRAINED
-    // chain trains and encodes on the drifted corpus alone (seeds = its
-    // 4 smallest ids — the applyIvfPqIndexBatch batch-0 contract at the
-    // epoch birth). nprobe = c probes every cell, so the coarse layer
-    // drops out of the replay and ADC is a pure function of
-    // (codes, codebooks, queries)
-    "pq_retrain_recall" ->
-      s"""WITH eall AS (
-         | SELECT vec_id,
-         |  list_transform(embedding,
-         |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS a
-         | FROM embeddings
-         |), re AS (
-         | SELECT vec_id, a FROM eall WHERE vec_id < 300
-         |), de AS (
-         | SELECT vec_id + 10000 AS vec_id,
-         |  list_transform(embedding,
-         |    x -> CAST(floor((CAST(x AS DOUBLE) / 8 + 0.9) * 1000000) AS BIGINT)) AS a
-         | FROM embeddings WHERE vec_id >= 300 AND vec_id < 500
-         |), ue AS (
-         | SELECT * FROM re UNION ALL SELECT * FROM de
-         |), qe AS (
-         | SELECT vec_id,
-         |  list_transform(embedding,
-         |    x -> CAST(floor((CAST(x AS DOUBLE) / 8 + 0.9) * 1000000) AS BIGINT)) AS a
-         | FROM embeddings WHERE vec_id < 3
-         |), js AS (
-         | SELECT unnest(generate_series(0, 3)) AS j
-         |), ${pqChainSqlOver("f", "ue", "vec_id < 4", "s.vec_id < 300")},
-         |${pqChainSqlOver("r", "de", "vec_id < 10304", "TRUE")},
-         |qsub AS (
-         | SELECT q.vec_id AS qid, js.j,
-         |  list_slice(q.a, js.j*16 + 1, js.j*16 + 16) AS sv
-         | FROM qe q, js
-         |), flut AS (
-         | SELECT s.qid, s.j, b.cid,
-         |  list_sum(list_transform(range(1, 17),
-         |    i -> (s.sv[i] - b.cv[i]) * (s.sv[i] - b.cv[i]))) AS dd
-         | FROM qsub s JOIN fpcb b ON b.j = s.j
-         |), fsc AS (
-         | SELECT l.qid, c.vec_id AS nid, CAST(sum(l.dd) AS BIGINT) AS adist
-         | FROM fcodes c JOIN flut l ON l.j = c.j AND l.cid = c.cid
-         | WHERE c.vec_id <> l.qid
-         | GROUP BY 1, 2
-         |), rlut AS (
-         | SELECT s.qid, s.j, b.cid,
-         |  list_sum(list_transform(range(1, 17),
-         |    i -> (s.sv[i] - b.cv[i]) * (s.sv[i] - b.cv[i]))) AS dd
-         | FROM qsub s JOIN rpcb b ON b.j = s.j
-         |), rsc AS (
-         | SELECT l.qid, c.vec_id AS nid, CAST(sum(l.dd) AS BIGINT) AS adist
-         | FROM rcodes c JOIN rlut l ON l.j = c.j AND l.cid = c.cid
-         | WHERE c.vec_id <> l.qid
-         | GROUP BY 1, 2
-         |), pdx AS (
-         | SELECT q.vec_id AS qid, d.vec_id AS nid,
-         |  list_sum(list_transform(range(1, 65),
-         |    i -> (q.a[i] - d.a[i]) * (q.a[i] - d.a[i]))) AS dist
-         | FROM qe q CROSS JOIN de d WHERE d.vec_id <> q.vec_id
-         |), exk AS (
-         | SELECT qid, nid FROM (
-         |  SELECT qid, nid,
-         |   row_number() OVER (PARTITION BY qid ORDER BY dist, nid) AS rn
-         |  FROM pdx) WHERE rn <= 10
-         |), ap_f AS (
-         | SELECT qid, nid FROM (
-         |  SELECT qid, nid,
-         |   row_number() OVER (PARTITION BY qid ORDER BY adist, nid) AS rn
-         |  FROM fsc) WHERE rn <= 10
-         |), ap_r AS (
-         | SELECT qid, nid FROM (
-         |  SELECT qid, nid,
-         |   row_number() OVER (PARTITION BY qid ORDER BY adist, nid) AS rn
-         |  FROM rsc) WHERE rn <= 10
-         |), h_f AS (
-         | SELECT ap_f.qid, CAST(count(*) AS BIGINT) AS n_hits
-         | FROM ap_f JOIN exk ON ap_f.qid = exk.qid AND ap_f.nid = exk.nid
-         | GROUP BY 1
-         |), h_r AS (
-         | SELECT ap_r.qid, CAST(count(*) AS BIGINT) AS n_hits
-         | FROM ap_r JOIN exk ON ap_r.qid = exk.qid AND ap_r.nid = exk.nid
-         | GROUP BY 1
-         |), recs AS (
-         | SELECT q.vec_id AS query_id, COALESCE(h_f.n_hits, 0) AS n_hits,
-         |  'frozen' AS variant
-         | FROM (SELECT vec_id FROM eall WHERE vec_id < 3) q
-         | LEFT JOIN h_f ON h_f.qid = q.vec_id
-         | UNION ALL
-         | SELECT q.vec_id AS query_id, COALESCE(h_r.n_hits, 0) AS n_hits,
-         |  'retrained' AS variant
-         | FROM (SELECT vec_id FROM eall WHERE vec_id < 3) q
-         | LEFT JOIN h_r ON h_r.qid = q.vec_id
-         |)
-         |SELECT query_id, n_hits, CAST(10 AS BIGINT) AS k,
-         | CAST(n_hits * 1000000 // 10 AS BIGINT) AS recall_ppm, variant
-         |FROM recs
-         |ORDER BY variant, query_id""".stripMargin,
-
-    // epoch-1 codebooks trained on the drifted batch; "backfilled"
-    // scores codes over raw0 ∪ drifted, "unbackfilled" restricts to
-    // drifted ids (= the pinned pre-backfill codes version). nprobe = c
-    // makes coarse cells score-irrelevant — pure ADC arithmetic replays
-    "pq_epoch_backfill" ->
-      s"""WITH eall AS (
-         | SELECT vec_id,
-         |  list_transform(embedding,
-         |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS a
-         | FROM embeddings
-         |), re AS (
-         | SELECT vec_id, a FROM eall WHERE vec_id < 300
-         |), de AS (
-         | SELECT vec_id + 10000 AS vec_id,
-         |  list_transform(embedding,
-         |    x -> CAST(floor((CAST(x AS DOUBLE) / 8 + 0.9) * 1000000) AS BIGINT)) AS a
-         | FROM embeddings WHERE vec_id >= 300 AND vec_id < 500
-         |), ue AS (
-         | SELECT * FROM re UNION ALL SELECT * FROM de
-         |), qe AS (
-         | SELECT vec_id, a FROM eall WHERE vec_id < 3
-         |), js AS (
-         | SELECT unnest(generate_series(0, 3)) AS j
-         |), ${pqChainSqlOver("b", "ue",
-             "vec_id >= 10300 AND vec_id < 10304", "s.vec_id >= 10300")},
-         |qsub AS (
-         | SELECT q.vec_id AS qid, js.j,
-         |  list_slice(q.a, js.j*16 + 1, js.j*16 + 16) AS sv
-         | FROM qe q, js
-         |), blut AS (
-         | SELECT s.qid, s.j, b.cid,
-         |  list_sum(list_transform(range(1, 17),
-         |    i -> (s.sv[i] - b.cv[i]) * (s.sv[i] - b.cv[i]))) AS dd
-         | FROM qsub s JOIN bpcb b ON b.j = s.j
-         |), sc AS (
-         | SELECT l.qid, c.vec_id AS nid, CAST(sum(l.dd) AS BIGINT) AS adist
-         | FROM bcodes c JOIN blut l ON l.j = c.j AND l.cid = c.cid
-         | WHERE c.vec_id <> l.qid
-         | GROUP BY 1, 2
-         |), rall AS (
-         | SELECT qid, nid, adist,
-         |  row_number() OVER (PARTITION BY qid ORDER BY adist, nid) AS rn
-         | FROM sc
-         |), run AS (
-         | SELECT qid, nid, adist,
-         |  row_number() OVER (PARTITION BY qid ORDER BY adist, nid) AS rn
-         | FROM sc WHERE nid >= 10300
-         |)
-         |SELECT qid AS query_id, nid AS neighbor_id, adist,
-         | CAST(rn AS INT) AS rank, 'backfilled' AS variant
-         |FROM rall WHERE rn <= 3
-         |UNION ALL
-         |SELECT qid, nid, adist, CAST(rn AS INT), 'unbackfilled'
-         |FROM run WHERE rn <= 3
-         |ORDER BY variant, query_id, rank""".stripMargin,
-
-    // the interleaved tree: epoch-1 artifacts (trained on the drifted
-    // batch), codes = history ∪ drifted ∪ late batch — encode + ADC
-    // replayed over the union exactly as the backfill oracle
-    "pq_epoch_stream_backfill" ->
-      s"""WITH eall AS (
-         | SELECT vec_id,
-         |  list_transform(embedding,
-         |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS a
-         | FROM embeddings
-         |), re AS (
-         | SELECT vec_id, a FROM eall WHERE vec_id < 300
-         |), de AS (
-         | SELECT vec_id + 10000 AS vec_id,
-         |  list_transform(embedding,
-         |    x -> CAST(floor((CAST(x AS DOUBLE) / 8 + 0.9) * 1000000) AS BIGINT)) AS a
-         | FROM embeddings WHERE vec_id >= 300 AND vec_id < 500
-         |), le AS (
-         | SELECT vec_id + 20000 AS vec_id,
-         |  list_transform(embedding,
-         |    x -> CAST(floor((CAST(x AS DOUBLE) / 8 + 0.9) * 1000000) AS BIGINT)) AS a
-         | FROM embeddings WHERE vec_id >= 100 AND vec_id < 300
-         |), ue AS (
-         | SELECT * FROM re UNION ALL SELECT * FROM de
-         | UNION ALL SELECT * FROM le
-         |), qe AS (
-         | SELECT vec_id, a FROM eall WHERE vec_id < 3
-         |), js AS (
-         | SELECT unnest(generate_series(0, 3)) AS j
-         |), ${pqChainSqlOver("b", "ue",
-             "vec_id >= 10300 AND vec_id < 10304",
-             "s.vec_id >= 10300 AND s.vec_id < 10500")},
-         |qsub AS (
-         | SELECT q.vec_id AS qid, js.j,
-         |  list_slice(q.a, js.j*16 + 1, js.j*16 + 16) AS sv
-         | FROM qe q, js
-         |), blut AS (
-         | SELECT s.qid, s.j, b.cid,
-         |  list_sum(list_transform(range(1, 17),
-         |    i -> (s.sv[i] - b.cv[i]) * (s.sv[i] - b.cv[i]))) AS dd
-         | FROM qsub s JOIN bpcb b ON b.j = s.j
-         |), sc AS (
-         | SELECT l.qid, c.vec_id AS nid, CAST(sum(l.dd) AS BIGINT) AS adist
-         | FROM bcodes c JOIN blut l ON l.j = c.j AND l.cid = c.cid
-         | WHERE c.vec_id <> l.qid
-         | GROUP BY 1, 2
-         |)
-         |SELECT qid AS query_id, nid AS neighbor_id, adist,
-         | CAST(rn AS INT) AS rank
-         |FROM (
-         | SELECT qid, nid, adist,
-         |  row_number() OVER (PARTITION BY qid ORDER BY adist, nid) AS rn
-         | FROM sc)
-         |WHERE rn <= 3 ORDER BY query_id, rank""".stripMargin,
-
-    // serving = min committed label among the query's >= 0.5-jaccard
-    // matches in the base corpus; committed labels are the 4-round LPA
-    // over base-only pairs (the er_stream chain restricted to batch 0)
-    "er_serve" -> {
-      val rounds = (1 to 4).map { k =>
-        s"""c$k AS (
-           | SELECT e._d AS v, min(p.l) AS ml
-           | FROM bsym e JOIN l${k - 1} p ON p.v = e._s GROUP BY 1
-           |), l$k AS (
-           | SELECT p.v, least(p.l, coalesce(c$k.ml, p.l)) AS l
-           | FROM l${k - 1} p LEFT JOIN c$k ON c$k.v = p.v
-           |)""".stripMargin
-      }.mkString(", ")
-      s"""WITH d0 AS (
-         | SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents WHERE doc_id < 1000
-         |), rawtk AS (
-         | SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS rts
-         | FROM d0
-         |), alltxt AS (
-         | SELECT doc_id, text, FALSE AS isq FROM d0
-         | UNION ALL SELECT doc_id + 1000000, text, TRUE FROM d0 WHERE doc_id < 20
-         | UNION ALL
-         |  SELECT doc_id + 2000000,
-         |   array_to_string(rts[1:greatest((len(rts) * 4) // 5, 1)], ' '), TRUE
-         |  FROM rawtk WHERE doc_id < 20
-         |), toks AS (
-         | SELECT doc_id,
-         |  list_filter(string_split_regex(trim(regexp_replace(regexp_replace(lower(text), '[[:punct:]]', '', 'g'), '\\s+', ' ', 'g')), '\\s+'), x -> x <> '') AS ts
-         | FROM alltxt
-         |), sh AS (
-         | SELECT doc_id, unnest(
-         |  CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
-         |       ELSE list_distinct(list_transform(range(1, len(ts) - 1), i -> array_to_string(ts[i:i+2], ' ')))
-         |  END) AS g
-         | FROM toks
-         |), ds AS (
-         | SELECT DISTINCT doc_id, g FROM sh
-         |), sz AS (
-         | SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM ds GROUP BY 1
-         |), ix AS (
-         | SELECT a.doc_id AS ida, b.doc_id AS idb, CAST(count(*) AS BIGINT) AS i
-         | FROM ds a JOIN ds b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2
-         |), pr AS (
-         | SELECT ix.ida, ix.idb
-         | FROM ix JOIN sz sa ON sa.doc_id = ix.ida JOIN sz sb ON sb.doc_id = ix.idb
-         | WHERE ix.i * 1000000 >= 500000 * (sa.n + sb.n - ix.i)
-         |), bpe AS (
-         | SELECT lpad(CAST(ida AS VARCHAR), 8, '0') AS a,
-         |        lpad(CAST(idb AS VARCHAR), 8, '0') AS b
-         | FROM pr WHERE ida < 1000000 AND idb < 1000000
-         |), bsym AS (
-         | SELECT a AS _s, b AS _d FROM bpe UNION SELECT b, a FROM bpe
-         |), l0 AS (
-         | SELECT lpad(CAST(doc_id AS VARCHAR), 8, '0') AS v,
-         |        lpad(CAST(doc_id AS VARCHAR), 8, '0') AS l
-         | FROM d0
-         |), $rounds, qm AS (
-         | SELECT lpad(CAST(idb AS VARCHAR), 8, '0') AS qnode,
-         |        lpad(CAST(ida AS VARCHAR), 8, '0') AS bnode
-         | FROM pr WHERE ida < 1000000 AND idb >= 1000000
-         |), res AS (
-         | SELECT qm.qnode, min(l4.l) AS ml
-         | FROM qm JOIN l4 ON l4.v = qm.bnode GROUP BY 1
-         |), qn AS (
-         | SELECT lpad(CAST(doc_id AS VARCHAR), 8, '0') AS node
-         | FROM alltxt WHERE isq
-         |)
-         |SELECT qn.node, coalesce(res.ml, qn.node) AS label,
-         | (res.ml IS NOT NULL) AS matched
-         |FROM qn LEFT JOIN res ON res.qnode = qn.node
-         |ORDER BY node""".stripMargin
-    },
-
-    // exact components over the FULL cross-batch pair graph: star edges
-    // preserve batch-0's (exact) merges, so the final labels equal the
-    // per-component minimum over all pairs — min-propagated to a round
-    // bound ≥ any possible diameter (30 nodes)
-    "er_stream_exact" -> {
-      // MATERIALIZED: 30 chained rounds would otherwise inline into an
-      // exponentially-expanded scan tree (the unigram-oracle precedent)
-      val rounds = (1 to 30).map { k =>
-        s"""c$k AS MATERIALIZED (
-           | SELECT e._d AS v, min(p.l) AS ml
-           | FROM sym e JOIN l${k - 1} p ON p.v = e._s GROUP BY 1
-           |), l$k AS MATERIALIZED (
-           | SELECT p.v, least(p.l, coalesce(c$k.ml, p.l)) AS l
-           | FROM l${k - 1} p LEFT JOIN c$k ON c$k.v = p.v
-           |)""".stripMargin
-      }.mkString(", ")
-      s"""WITH d0 AS (
-         | SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents WHERE doc_id < 5
-         |), rawtk AS (
-         | SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS rts
-         | FROM d0
-         |), kk AS (
-         | SELECT unnest(generate_series(0, 5)) AS k
-         |), uni AS (
-         | SELECT lpad(CAST(r.doc_id * 10 + kk.k AS VARCHAR), 8, '0') AS doc_id,
-         |  array_to_string(r.rts[kk.k*2 + 1 : kk.k*2 + 8], ' ') AS text
-         | FROM rawtk r, kk
-         |), toks AS (
-         | SELECT doc_id,
-         |  list_filter(string_split_regex(trim(regexp_replace(regexp_replace(lower(text), '[[:punct:]]', '', 'g'), '\\s+', ' ', 'g')), '\\s+'), x -> x <> '') AS ts
-         | FROM uni
-         |), sh AS (
-         | SELECT doc_id, unnest(
-         |  CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
-         |       ELSE list_distinct(list_transform(range(1, len(ts) - 1), i -> array_to_string(ts[i:i+2], ' ')))
-         |  END) AS g
-         | FROM toks
-         |), ds AS (
-         | SELECT DISTINCT doc_id, g FROM sh
-         |), sz AS (
-         | SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM ds GROUP BY 1
-         |), ix AS (
-         | SELECT a.doc_id AS ida, b.doc_id AS idb, CAST(count(*) AS BIGINT) AS i
-         | FROM ds a JOIN ds b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2
-         |), pr AS (
-         | SELECT ix.ida, ix.idb
-         | FROM ix JOIN sz sa ON sa.doc_id = ix.ida JOIN sz sb ON sb.doc_id = ix.idb
-         | WHERE ix.i * 1000000 >= 500000 * (sa.n + sb.n - ix.i)
-         |), sym AS MATERIALIZED (
-         | SELECT ida AS _s, idb AS _d FROM pr UNION SELECT idb, ida FROM pr
-         |), nodes AS (
-         | SELECT doc_id AS v FROM uni
-         |), l0 AS MATERIALIZED (
-         | SELECT v, v AS l FROM nodes
-         |), $rounds
-         |SELECT v AS node, l AS label, (v = l) AS is_canonical
-         |FROM l30 ORDER BY node""".stripMargin
-    },
-
-    // the same rank-window semantics replayed with a plain window rank
-    // (oracle scale permits the global sort the operator avoids); the
-    // fingerprint verify becomes exact normalized-text equality
-    "sorted_neighborhood" ->
-      """WITH norm AS (
-        | SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), '[[:punct:]]', '', 'g'), '\s+', ' ', 'g')) AS nt
-        | FROM documents
-        |), all_docs AS (
-        | SELECT CAST(doc_id AS BIGINT) AS doc_id, nt FROM norm
-        | UNION ALL SELECT CAST(doc_id + 1000000 AS BIGINT), nt FROM norm WHERE doc_id < 20
-        |), r AS (
-        | SELECT doc_id, nt,
-        |  row_number() OVER (ORDER BY substr(nt, 1, 24), doc_id) AS rk
-        | FROM all_docs
-        |)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |FROM r a JOIN r b
-        |  ON b.rk > a.rk AND b.rk <= a.rk + 3 AND a.nt = b.nt
-        |ORDER BY 1, 2""".stripMargin,
-
-    // same digit extraction (string head), same driver-side expectation
-    // literals (shared Seq — consistent by construction)
-    "benford_digits" -> {
-      val expCase = "CASE c.digit " + Profile.benfordExpectedPpm.zipWithIndex
-        .map { case (e, i) => s"WHEN ${i + 1} THEN $e" }.mkString(" ") + " END"
-      s"""WITH d AS (
-         | SELECT CAST(source AS VARCHAR) AS src,
-         |  CAST(substr(CAST(n_chars AS VARCHAR), 1, 1) AS BIGINT) AS digit
-         | FROM documents
-         | WHERE source IS NOT NULL AND n_chars IS NOT NULL AND n_chars > 0
-         |), c AS (
-         | SELECT src, digit, CAST(count(*) AS BIGINT) AS cnt FROM d GROUP BY 1, 2
-         |), t AS (
-         | SELECT src, CAST(sum(cnt) AS BIGINT) AS n FROM c GROUP BY 1
-         |)
-         |SELECT c.src AS source, c.digit, c.cnt,
-         | CAST(c.cnt * 1000000 // t.n AS BIGINT) AS freq_ppm,
-         | CAST(abs(c.cnt * 1000000 // t.n - $expCase) AS BIGINT) AS dev_ppm
-         |FROM c JOIN t ON t.src = c.src
-         |ORDER BY 1, 2""".stripMargin
-    },
-
-    // the skeleton maps every planted spoof BACK to its source text, so
-    // the oracle needs no confusable table: pairs are exact-text matches
-    // over originals ∪ clones, and bytes really differ exactly when the
-    // pair mixes a spoofed and an unspoofed doc
-    // the spoofed texts are CONSTRUCTED in SQL (same translate + the
-    // zero-width-space insertion) and bytes_differ compares the ACTUAL
-    // texts; skeleton equivalence is replayed as equality of the
-    // un-spoofed normalization (strip U+200B, map the seven planted
-    // confusables back) — faithful even when the corpus itself carries
-    // natural exact-duplicate texts (the sf1 sweep's key-shifted copies
-    // broke the old boundary-crossing bytes_differ model)
-    "homoglyph_dedup" ->
-      """WITH base AS (
-        | SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
-        |), all_docs AS (
-        | SELECT doc_id, text FROM base
-        | UNION ALL
-        | SELECT doc_id + 1000000,
-        |  replace(translate(text, 'aeopcxy', 'аеорсху'), ' ', ' ' || chr(8203))
-        | FROM base WHERE doc_id < 30
-        |), norm AS (
-        | SELECT doc_id, text,
-        |  translate(replace(text, chr(8203), ''), 'аеорсху', 'aeopcxy') AS sk
-        | FROM all_docs
-        |)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        | (a.text <> b.text) AS bytes_differ
-        |FROM norm a JOIN norm b
-        |  ON a.sk = b.sk AND a.doc_id < b.doc_id
-        |ORDER BY id_a, id_b""".stripMargin,
-
-    // the bloom filter is I/O avoidance only — the result IS the join
-    "bloom_join" ->
-      """SELECT o.o_orderkey, o.o_custkey, c.c_name
-        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-        |WHERE c.c_mktsegment = 'BUILDING'
-        |ORDER BY o_orderkey""".stripMargin,
-
-    // per-pattern overlap counts replayed as a position scan (every
-    // start index checked — the oracle pays O(patterns × text) to
-    // verify the automaton's O(text) answer); rules_fired is a plain
-    // contains per pattern
-    "blocklist_phrases" ->
-      """WITH pats(p) AS (
-        | VALUES ('table'), ('table part'), ('scan slow'), ('a a'), ('merge batch')
-        |), h AS (
-        | SELECT d.doc_id,
-        |  CAST(sum(CASE WHEN length(d.text) >= length(pats.p)
-        |   THEN coalesce(list_sum(list_transform(
-        |          range(1, length(d.text) - length(pats.p) + 2),
-        |          i -> CASE WHEN substr(d.text, i, length(pats.p)) = pats.p
-        |               THEN 1 ELSE 0 END)), 0)
-        |   ELSE 0 END) AS BIGINT) AS total_hits,
-        |  CAST(sum(CASE WHEN contains(d.text, pats.p) THEN 1 ELSE 0 END) AS BIGINT) AS rules_fired
-        | FROM documents d CROSS JOIN pats GROUP BY 1
-        |)
-        |SELECT doc_id, total_hits, rules_fired FROM h ORDER BY doc_id""".stripMargin,
-
-    // the same composite key, one ordered window sum per source
-    "quality_token_quota" ->
-      """WITH d AS (
-        | SELECT source, CAST(doc_id AS BIGINT) AS doc_id,
-        |  CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS nt
-        | FROM documents WHERE source IS NOT NULL AND doc_id IS NOT NULL
-        |), k AS (
-        | SELECT source, doc_id, nt,
-        |  (100000 - nt) * 1099511627776 + doc_id AS ok
-        | FROM d
-        |), c AS (
-        | SELECT source, doc_id, nt,
-        |  CAST(sum(nt) OVER (PARTITION BY source ORDER BY ok
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
-        | FROM k
-        |)
-        |SELECT source, doc_id, nt AS n_tokens, cum AS cum_tokens,
-        | (cum <= 500) AS keep
-        |FROM c ORDER BY source, doc_id""".stripMargin,
-
-    // per-type daily counts, then one exact rational per type
-    "burstiness_by_type" ->
-      """WITH pd AS (
-        | SELECT event_type, epoch_us(ts) // 86400000000 AS day,
-        |  CAST(count(*) AS BIGINT) AS x
-        | FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
-        |), agg AS (
-        | SELECT event_type, CAST(count(*) AS BIGINT) AS n_periods,
-        |  CAST(sum(x) AS BIGINT) AS total, CAST(sum(x * x) AS BIGINT) AS sx2
-        | FROM pd GROUP BY 1
-        |)
-        |SELECT event_type, n_periods, total,
-        | CAST((n_periods * sx2 - total * total) * 1000000 // (n_periods * total) AS BIGINT) AS fano_e6
-        |FROM agg ORDER BY 1""".stripMargin,
-
-    // same registered-domain chain as domain_extract, token counts by
-    // the shared whitespace rule, then ONE ordered window sum per
-    // domain — the budget rule is pure integer accounting
-    "domain_token_quota" ->
-      s"""WITH ${domainChainSql("")}, nt AS (
-         | SELECT doc_id,
-         |  CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
-         | FROM documents
-         |), j AS (
-         | SELECT dom.domain, dom.doc_id, nt.n_tokens,
-         |  CAST(sum(nt.n_tokens) OVER (PARTITION BY dom.domain ORDER BY dom.doc_id
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
-         | FROM dom JOIN nt ON dom.doc_id = nt.doc_id
-         | WHERE dom.domain IS NOT NULL
-         |)
-         |SELECT domain, doc_id, n_tokens, cum_tokens,
-         | (cum_tokens <= 200) AS keep
-         |FROM j ORDER BY doc_id""".stripMargin,
-
-    // the UniMax waterfill as a recursive CTE: groups ordered by
-    // (weighted token total asc, source asc), each step takes
-    // min(n·2, remaining // groups_left) in BIGINT floor division —
-    // the operator's exact sequential rule
-    "unimax_budget" ->
-      s"""$unimaxAllocSql
-         |SELECT source, n AS n_tokens, CAST(b AS BIGINT) AS budget
-         |FROM alloc ORDER BY source""".stripMargin,
-
-    // the same waterfill feeding a per-source cumulative cut in doc_id
-    // order — the quota CASE chain replayed as one ordered window sum
-    "unimax_mix" ->
-      s"""$unimaxAllocSql, c AS (
-         | SELECT source, doc_id, w,
-         |  sum(w) OVER (PARTITION BY source ORDER BY doc_id
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-         | FROM nt
-         |)
-         |SELECT c.source, CAST(count(*) AS BIGINT) AS kept_docs,
-         | CAST(sum(c.w) AS BIGINT) AS kept_tokens
-         |FROM c JOIN alloc a ON a.source = c.source
-         |WHERE c.cum <= a.b
-         |GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // planted exact-copy probes at threshold 1.0 + fp verification ⇒
-    // flagged docs = docs whose normalized text equals a probe's, each
-    // at full signature agreement (identical raw text ⇒ identical
-    // shingle set ⇒ identical signature)
-    "neardup_decontam" ->
-      """WITH norm AS (
-        | SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), '[[:punct:]]', '', 'g'), '\s+', ' ', 'g')) AS nt
-        | FROM documents
-        |), p AS (
-        | SELECT DISTINCT nt FROM norm WHERE doc_id % 41 = 0
-        |)
-        |SELECT n.doc_id, CAST(16 AS BIGINT) AS max_overlap
-        |FROM norm n JOIN p ON n.nt = p.nt
-        |ORDER BY doc_id""".stripMargin,
-
-    // same signed-FNV recomputation as the exact samplers, then the
-    // global rank under (hash asc, doc_id asc) — the operator's exact
-    // total order
-    "corpus_shuffle" ->
-      """WITH h AS (
-        | SELECT doc_id,
-        |  list_reduce(
-        |    list_prepend(CAST('14695981039346656037' AS HUGEINT),
-        |      list_transform(range(1, length(s) + 1), i -> CAST(ascii(s[i]) AS HUGEINT))),
-        |    (acc, b) -> ((acc // 256) * 256 + xor(CAST(acc % 256 AS BIGINT), CAST(b AS BIGINT)))
-        |                * 1099511628211 % CAST('18446744073709551616' AS HUGEINT)
-        |  ) AS hh
-        | FROM (SELECT doc_id, 'shuffle:' || doc_id::VARCHAR AS s
-        |       FROM documents WHERE doc_id < 2000)
-        |), sgn AS (
-        | SELECT doc_id,
-        |  CAST(hh - CASE WHEN hh >= CAST('9223372036854775808' AS HUGEINT)
-        |            THEN CAST('18446744073709551616' AS HUGEINT)
-        |            ELSE CAST(0 AS HUGEINT) END AS BIGINT) AS hs
-        | FROM h
-        |)
-        |SELECT doc_id, CAST(row_number() OVER (ORDER BY hs, doc_id) AS BIGINT) AS pos
-        |FROM sgn ORDER BY pos""".stripMargin,
-
-    // band = exact quantile cut (quantile_cont parity), within-band
-    // order = salted FNV shuffle: the full order is ONE window over
-    // (band, signed hash, id)
-    "curriculum_order" ->
-      """WITH b AS (
-        | SELECT doc_id, CAST(n_chars AS DOUBLE) AS x FROM documents
-        | WHERE doc_id < 2000 AND doc_id IS NOT NULL AND n_chars IS NOT NULL
-        |), q AS (
-        | SELECT quantile_cont(x, 0.25) AS b1, quantile_cont(x, 0.50) AS b2,
-        |        quantile_cont(x, 0.75) AS b3 FROM b
-        |), bd AS (
-        | SELECT doc_id,
-        |  CAST((CASE WHEN x >= q.b1 THEN 1 ELSE 0 END)
-        |     + (CASE WHEN x >= q.b2 THEN 1 ELSE 0 END)
-        |     + (CASE WHEN x >= q.b3 THEN 1 ELSE 0 END) AS BIGINT) AS band
-        | FROM b, q
-        |), hh AS (
-        | SELECT doc_id, band,
-        |  list_reduce(
-        |    list_prepend(CAST('14695981039346656037' AS HUGEINT),
-        |      list_transform(range(1, length(s) + 1), i -> CAST(ascii(s[i]) AS HUGEINT))),
-        |    (acc, bb) -> ((acc // 256) * 256 + xor(CAST(acc % 256 AS BIGINT), CAST(bb AS BIGINT)))
-        |                * 1099511628211 % CAST('18446744073709551616' AS HUGEINT)
-        |  ) AS hu
-        | FROM (SELECT doc_id, band, 'curr:' || doc_id::VARCHAR AS s FROM bd)
-        |), sgn AS (
-        | SELECT doc_id, band,
-        |  CAST(hu - CASE WHEN hu >= CAST('9223372036854775808' AS HUGEINT)
-        |            THEN CAST('18446744073709551616' AS HUGEINT)
-        |            ELSE CAST(0 AS HUGEINT) END AS BIGINT) AS hs
-        | FROM hh
-        |)
-        |SELECT doc_id, band,
-        | CAST(row_number() OVER (ORDER BY band, hs, doc_id) AS BIGINT) AS pos
-        |FROM sgn ORDER BY pos""".stripMargin,
-
-    // the removal replayed on window STRINGS (the operator's xxhash64
-    // is equality-of-content modulo 64-bit collisions): keeper = rn 1
-    // under (doc_id, start) per window, later occurrences become
-    // [s, min(s+10, n)) cuts, coverage positions anti-join the token
-    // positions, and the survivors re-join with single spaces
-    "dup_window_removal" ->
-      s"""WITH d AS (
-         | SELECT doc_id, $dupRemovalTextSql AS t
-         | FROM documents WHERE doc_id < 1000
-         |), tk AS (
-         | SELECT doc_id, list_filter(string_split_regex(trim(t), '\\s+'), x -> x <> '') AS toks
-         | FROM d
-         |), w AS (
-         | SELECT doc_id, len(toks) AS n, CAST(p AS BIGINT) AS s,
-         |  array_to_string(list_slice(toks, CAST(p + 1 AS BIGINT), CAST(p + 10 AS BIGINT)), ' ') AS win
-         | FROM tk, UNNEST(range(0, greatest(len(toks) - 10, 0) + 1)) AS u(p)
-         | WHERE len(toks) > 0
-         |), r AS (
-         | SELECT doc_id, n, s,
-         |  row_number() OVER (PARTITION BY win ORDER BY doc_id, s) AS rn,
-         |  count(*) OVER (PARTITION BY win) AS c
-         | FROM w
-         |), cuts AS (
-         | SELECT doc_id, s, least(s + 10, n) AS e FROM r WHERE c > 1 AND rn > 1
-         |), cov AS (
-         | SELECT DISTINCT doc_id, CAST(q AS BIGINT) AS pos
-         | FROM cuts, UNNEST(range(s, e)) AS v(q)
-         |), tokpos AS (
-         | SELECT doc_id, CAST(generate_subscripts(toks, 1) - 1 AS BIGINT) AS pos,
-         |  unnest(toks) AS tok
-         | FROM tk
-         |), keptt AS (
-         | SELECT tp.doc_id, tp.pos, tp.tok
-         | FROM tokpos tp LEFT JOIN cov
-         |   ON tp.doc_id = cov.doc_id AND tp.pos = cov.pos
-         | WHERE cov.pos IS NULL
-         |), agg AS (
-         | SELECT doc_id, array_to_string(list(tok ORDER BY pos), ' ') AS clean,
-         |  count(*) AS kept
-         | FROM keptt GROUP BY doc_id
-         |)
-         |SELECT tk.doc_id,
-         | COALESCE(agg.clean, '') AS clean,
-         | CAST(len(tk.toks) - COALESCE(agg.kept, 0) AS BIGINT) AS n_removed
-         |FROM tk LEFT JOIN agg ON tk.doc_id = agg.doc_id
-         |ORDER BY tk.doc_id""".stripMargin,
-
-    // batches ascend in doc_id, so the two-batch stream equals ONE
-    // single-pass per-source quota over the union — the same window
-    // sum as domain_token_quota, kept rows only
-    "token_quota_stream" ->
-      """WITH nt AS (
-        | SELECT doc_id, source,
-        |  CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
-        | FROM documents WHERE doc_id < 2000
-        |), q AS (
-        | SELECT source, doc_id, n_tokens,
-        |  CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
-        | FROM nt
-        |)
-        |SELECT source, doc_id, n_tokens, cum_tokens
-        |FROM q WHERE cum_tokens <= 600 ORDER BY doc_id""".stripMargin,
-
-    // same regex, same lowercase exact-token block list; 'classify.'
-    // strips to 'classify.' token — list_has_any is exact-element, so
-    // the planted near-miss never trips the block
-    "c4_policy_filters" ->
-      """WITH d AS (
-        | SELECT doc_id,
-        |  CASE CAST(doc_id % 3 AS INT)
-        |   WHEN 0 THEN text || ' verboten classify.'
-        |   WHEN 1 THEN text || ' One more sentence here. And another one.'
-        |   ELSE text
-        |  END AS t
-        | FROM documents WHERE doc_id < 2000
-        |), f AS (
-        | SELECT doc_id,
-        |  CAST(len(regexp_extract_all(t, '[^.!?]*[.!?]+')) AS BIGINT) AS n_sentences,
-        |  list_has_any(
-        |    list_filter(string_split_regex(trim(lower(t)), '\s+'), x -> x <> ''),
-        |    ['verboten', 'forbiddenterm']) AS has_blocked
-        | FROM d
-        |)
-        |SELECT doc_id, n_sentences, has_blocked,
-        | ((NOT has_blocked) AND n_sentences >= 2) AS keep
-        |FROM f ORDER BY doc_id""".stripMargin,
-
-    // same signed-FNV order as corpus_shuffle (prefix salt 'shard:'),
-    // exact token prefix sums via one window, integer div for shards
-    "shard_by_budget" ->
-      """WITH h AS (
-        | SELECT doc_id,
-        |  CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS nt,
-        |  list_reduce(
-        |    list_prepend(CAST('14695981039346656037' AS HUGEINT),
-        |      list_transform(range(1, length(s) + 1), i -> CAST(ascii(s[i]) AS HUGEINT))),
-        |    (acc, b) -> ((acc // 256) * 256 + xor(CAST(acc % 256 AS BIGINT), CAST(b AS BIGINT)))
-        |                * 1099511628211 % CAST('18446744073709551616' AS HUGEINT)
-        |  ) AS hh
-        | FROM (SELECT doc_id, text, 'shard:' || doc_id::VARCHAR AS s
-        |       FROM documents WHERE doc_id < 2000)
-        |), sgn AS (
-        | SELECT doc_id, nt,
-        |  CAST(hh - CASE WHEN hh >= CAST('9223372036854775808' AS HUGEINT)
-        |            THEN CAST('18446744073709551616' AS HUGEINT)
-        |            ELSE CAST(0 AS HUGEINT) END AS BIGINT) AS hs
-        | FROM h
-        |), tape AS (
-        | SELECT doc_id,
-        |  CAST(COALESCE(SUM(nt) OVER (ORDER BY hs, doc_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tape_pos
-        | FROM sgn
-        |)
-        |SELECT doc_id, tape_pos,
-        | CAST(tape_pos // 2000 AS BIGINT) AS shard
-        |FROM tape ORDER BY doc_id""".stripMargin,
-
-    // probe windows on LOWERCASED tokens (punctuation kept — position
-    // alignment), matches become cut spans, same coverage rebuild
-    "probe_overlap_removal" ->
-      """WITH d AS (
-        | SELECT doc_id, text FROM documents WHERE doc_id < 1000
-        |), tk AS (
-        | SELECT doc_id,
-        |  list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks,
-        |  list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS ltoks
-        | FROM d
-        |), pr AS (
-        | SELECT list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS lt
-        | FROM documents WHERE doc_id % 37 = 0
-        |), pw AS (
-        | SELECT DISTINCT
-        |  array_to_string(list_slice(lt, CAST(p + 1 AS BIGINT), CAST(p + 8 AS BIGINT)), ' ') AS win
-        | FROM pr, UNNEST(range(0, greatest(len(lt) - 8, 0) + 1)) AS u(p)
-        | WHERE len(lt) > 0
-        |), w AS (
-        | SELECT doc_id, len(ltoks) AS n, CAST(p AS BIGINT) AS s,
-        |  array_to_string(list_slice(ltoks, CAST(p + 1 AS BIGINT), CAST(p + 8 AS BIGINT)), ' ') AS win
-        | FROM tk, UNNEST(range(0, greatest(len(ltoks) - 8, 0) + 1)) AS u(p)
-        | WHERE len(ltoks) > 0
-        |), cuts AS (
-        | SELECT doc_id, s, least(s + 8, n) AS e FROM w JOIN pw USING (win)
-        |), cov AS (
-        | SELECT DISTINCT doc_id, CAST(q AS BIGINT) AS pos
-        | FROM cuts, UNNEST(range(s, e)) AS v(q)
-        |), tokpos AS (
-        | SELECT doc_id, CAST(generate_subscripts(toks, 1) - 1 AS BIGINT) AS pos,
-        |  unnest(toks) AS tok
-        | FROM tk
-        |), keptt AS (
-        | SELECT tp.doc_id, tp.pos, tp.tok
-        | FROM tokpos tp LEFT JOIN cov
-        |   ON tp.doc_id = cov.doc_id AND tp.pos = cov.pos
-        | WHERE cov.pos IS NULL
-        |), agg AS (
-        | SELECT doc_id, array_to_string(list(tok ORDER BY pos), ' ') AS clean,
-        |  count(*) AS kept
-        | FROM keptt GROUP BY doc_id
-        |)
-        |SELECT tk.doc_id,
-        | COALESCE(agg.clean, '') AS clean,
-        | CAST(len(tk.toks) - COALESCE(agg.kept, 0) AS BIGINT) AS n_removed
-        |FROM tk LEFT JOIN agg ON tk.doc_id = agg.doc_id
-        |ORDER BY tk.doc_id""".stripMargin,
-
-    // the two-batch streaming protocol replayed on window strings:
-    // batch 0 is the plain removal; batch 1 cuts both store matches
-    // (any batch-0 window, keeper or not) and in-batch non-keepers
-    "window_dedup_stream" ->
-      s"""WITH d AS (
-         | SELECT doc_id, $dupRemovalTextSql AS t
-         | FROM documents WHERE doc_id < 1000
-         |), tk AS (
-         | SELECT doc_id, list_filter(string_split_regex(trim(t), '\\s+'), x -> x <> '') AS toks
-         | FROM d
-         |), w AS (
-         | SELECT doc_id, len(toks) AS n, CAST(p AS BIGINT) AS s,
-         |  array_to_string(list_slice(toks, CAST(p + 1 AS BIGINT), CAST(p + 10 AS BIGINT)), ' ') AS win
-         | FROM tk, UNNEST(range(0, greatest(len(toks) - 10, 0) + 1)) AS u(p)
-         | WHERE len(toks) > 0
-         |), w0 AS (SELECT * FROM w WHERE doc_id < 500
-         |), w1 AS (SELECT * FROM w WHERE doc_id >= 500
-         |), r0 AS (
-         | SELECT doc_id, n, s,
-         |  row_number() OVER (PARTITION BY win ORDER BY doc_id, s) AS rn,
-         |  count(*) OVER (PARTITION BY win) AS c
-         | FROM w0
-         |), cuts0 AS (
-         | SELECT doc_id, s, least(s + 10, n) AS e FROM r0 WHERE c > 1 AND rn > 1
-         |), state0 AS (SELECT DISTINCT win FROM w0
-         |), r1 AS (
-         | SELECT doc_id, n, s, win,
-         |  row_number() OVER (PARTITION BY win ORDER BY doc_id, s) AS rn,
-         |  count(*) OVER (PARTITION BY win) AS c
-         | FROM w1
-         |), cuts1 AS (
-         | SELECT DISTINCT doc_id, s, least(s + 10, n) AS e FROM (
-         |  SELECT doc_id, s, n FROM r1 WHERE c > 1 AND rn > 1
-         |  UNION
-         |  SELECT r1.doc_id, r1.s, r1.n FROM r1 JOIN state0 USING (win)
-         | ) x
-         |), cuts AS (
-         | SELECT * FROM cuts0 UNION SELECT * FROM cuts1
-         |), cov AS (
-         | SELECT DISTINCT doc_id, CAST(q AS BIGINT) AS pos
-         | FROM cuts, UNNEST(range(s, e)) AS v(q)
-         |), tokpos AS (
-         | SELECT doc_id, CAST(generate_subscripts(toks, 1) - 1 AS BIGINT) AS pos,
-         |  unnest(toks) AS tok
-         | FROM tk
-         |), keptt AS (
-         | SELECT tp.doc_id, tp.pos, tp.tok
-         | FROM tokpos tp LEFT JOIN cov
-         |   ON tp.doc_id = cov.doc_id AND tp.pos = cov.pos
-         | WHERE cov.pos IS NULL
-         |), agg AS (
-         | SELECT doc_id, array_to_string(list(tok ORDER BY pos), ' ') AS clean,
-         |  count(*) AS kept
-         | FROM keptt GROUP BY doc_id
-         |)
-         |SELECT tk.doc_id,
-         | COALESCE(agg.clean, '') AS clean,
-         | CAST(len(tk.toks) - COALESCE(agg.kept, 0) AS BIGINT) AS n_removed
-         |FROM tk LEFT JOIN agg ON tk.doc_id = agg.doc_id
-         |ORDER BY tk.doc_id""".stripMargin,
-
-    // both snapshots rebuilt from the same modular rules; content
-    // identity compared on the NORMALIZED strings (the operator
-    // fingerprints the same normalization)
-    "corpus_diff" ->
-      """WITH oldd AS (
-        | SELECT doc_id, text FROM documents
-        |), newd AS (
-        | SELECT doc_id,
-        |  CASE WHEN doc_id % 10 = 1 THEN text || ' changed marker' ELSE text END AS text
-        | FROM documents WHERE doc_id % 10 <> 0
-        | UNION ALL
-        | SELECT doc_id + 1000000 AS doc_id, 'brand new doc ' || text AS text
-        | FROM documents WHERE doc_id % 10 = 2
-        |), onorm AS (
-        | SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), '[[:punct:]]', '', 'g'), '\s+', ' ', 'g')) AS nt
-        | FROM oldd
-        |), nnorm AS (
-        | SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), '[[:punct:]]', '', 'g'), '\s+', ' ', 'g')) AS nt
-        | FROM newd
-        |)
-        |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
-        | CASE WHEN n.doc_id IS NULL THEN 'removed'
-        |      WHEN o.doc_id IS NULL THEN 'added'
-        |      WHEN o.nt = n.nt THEN 'unchanged'
-        |      ELSE 'changed' END AS status
-        |FROM onorm o FULL OUTER JOIN nnorm n ON o.doc_id = n.doc_id
-        |ORDER BY doc_id""".stripMargin,
-
-    // blocklist drop (nulls dropped too) + smallest-10-per-domain quota
-    "domain_filter" ->
-      s"""WITH ${domainChainSql("")}, kept AS (
-         | SELECT doc_id, domain FROM dom
-         | WHERE domain IS NOT NULL
-         |  AND domain NOT IN (${domainGateBlocklist.map(b => s"'$b'").mkString(", ")})
-         |), r AS (
-         | SELECT domain, doc_id,
-         |  ROW_NUMBER() OVER (PARTITION BY domain ORDER BY doc_id) AS rk
-         | FROM kept
-         |)
-         |SELECT domain, doc_id, CAST(rk AS INTEGER) AS rank
-         |FROM r WHERE rk <= 10 ORDER BY domain, rank""".stripMargin,
-
-    // same whitespace tokenization, first 16 list elements re-joined
-    // with single spaces — identical normalization on both sides
-    "truncate_tokens" ->
-      """WITH tk AS (
-        | SELECT doc_id,
-        |  list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS ts
-        | FROM documents
-        |)
-        |SELECT doc_id,
-        | array_to_string(ts[1:16], ' ') AS head16,
-        | CAST(least(len(ts), 16) AS BIGINT) AS n_kept
-        |FROM tk ORDER BY doc_id""".stripMargin,
-
-    // keep lines whose FIRST occurrence index equals their own index
-    // (list_position returns the first 1-based match; the lambda index
-    // is 1-based) — the same first-occurrence-in-order rule as the
-    // operator's fold
-    "dedup_lines_in_doc" ->
-      """WITH d AS (
-        | SELECT doc_id, string_split(text || chr(10) || text, chr(10)) AS l
-        | FROM documents
-        |)
-        |SELECT doc_id,
-        | array_to_string(list_filter(l, (x, i) -> list_position(l, x) = i), chr(10)) AS clean
-        |FROM d ORDER BY doc_id""".stripMargin,
-
-    // rule mirrored with explicit codepoint ranges (same ranges as
-    // graft.plans.CjkTokenCount — NOT \p{Han}, whose script table could
-    // drift between engines): tokens = CJK codepoints, each counted
-    // once, + maximal runs of non-ws non-CJK codepoints
-    "token_count_cjk" ->
-      """WITH m AS (
-        | SELECT doc_id, text, text || ' 你好世界 abc漢字です test' AS mixed
-        | FROM documents
-        |)
-        |SELECT doc_id,
-        | CAST(len(regexp_extract_all(mixed, '[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}\x{AC00}-\x{D7AF}\x{F900}-\x{FAFF}\x{20000}-\x{2FFFF}]'))
-        |    + len(regexp_extract_all(mixed, '[^ \t\n\x{0B}\f\r\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}\x{AC00}-\x{D7AF}\x{F900}-\x{FAFF}\x{20000}-\x{2FFFF}]+')) AS BIGINT) AS cjk_tokens,
-        | CAST(len(regexp_extract_all(text, '[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}\x{AC00}-\x{D7AF}\x{F900}-\x{FAFF}\x{20000}-\x{2FFFF}]'))
-        |    + len(regexp_extract_all(text, '[^ \t\n\x{0B}\f\r\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}\x{AC00}-\x{D7AF}\x{F900}-\x{FAFF}\x{20000}-\x{2FFFF}]+')) AS BIGINT) AS plain_tokens,
-        | CAST(len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS BIGINT) AS ws_tokens
-        |FROM m ORDER BY doc_id""".stripMargin,
-
-    // integer length sums divided in double; shingles over the same
-    // normalize chain the fingerprint/dedup oracles use
-    "text_shape" ->
-      """WITH f AS (
-        | SELECT doc_id,
-        |  list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS toks,
-        |  trim(regexp_replace(regexp_replace(lower(text), '[[:punct:]]', '', 'g'), '\s+', ' ', 'g')) AS nt
-        | FROM documents
-        |)
-        |SELECT doc_id,
-        | CASE WHEN len(toks) > 0
-        |      THEN round(CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / CAST(len(toks) AS DOUBLE), 4)
-        |      ELSE 0.0 END AS mean_tok_len,
-        | CAST(CASE WHEN length(nt) <= 5 THEN 1 ELSE length(nt) - 4 END AS BIGINT) AS n_5grams,
-        | CASE WHEN length(nt) <= 5 THEN nt ELSE substr(nt, 1, 5) END AS first_5gram
-        |FROM f ORDER BY doc_id""".stripMargin,
-
-    // mode() count == max multiplicity regardless of which tied value
-    // mode picks; list_aggregate(NULL-safe: empty list -> NULL mode -> 0)
-    // words = the shared token rule, sentences = the terminal-punct
-    // spans, syllables = vowel groups of the lowercased text; both
-    // ratio divisions truncate on positive operands
-    "readability_scores" ->
-      """WITH toks AS (
-        | SELECT doc_id,
-        |  list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS ts
-        | FROM documents
-        |), p AS (
-        | SELECT doc_id, array_to_string(list_transform(range(1, len(ts) + 1),
-        |   i -> ts[i] || CASE WHEN i % 7 = 0 THEN '.' ELSE '' END), ' ') AS text
-        | FROM toks
-        |), f AS (
-        | SELECT doc_id,
-        |  CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS w,
-        |  CAST(len(regexp_extract_all(text, '[^.!?]*[.!?]+')) AS BIGINT) AS sn,
-        |  CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS y
-        | FROM p
-        |)
-        |SELECT doc_id, w AS words, sn AS sentences, y AS syllables,
-        | CAST(206835 - (1015 * w) // sn - (84600 * y) // w AS BIGINT) AS flesch_e3
-        |FROM f WHERE w > 0 AND sn > 0 ORDER BY doc_id""".stripMargin,
-
-    "text_repetition" ->
-      """WITH base AS (
-        | SELECT doc_id, string_split(text, chr(10)) AS ls,
-        |        list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '') AS ts
-        | FROM documents
-        |), g AS (
-        | SELECT doc_id, ls, ts,
-        |  CASE WHEN len(ts) < 2 THEN [array_to_string(ts, ' ')]
-        |       ELSE list_transform(range(1, len(ts)), i -> array_to_string(ts[i:i+1], ' ')) END AS gs
-        | FROM base
-        |)
-        |SELECT doc_id,
-        | round(CASE WHEN len(ls) > 0
-        |            THEN CAST(len(ls) - len(list_distinct(ls)) AS DOUBLE) / CAST(len(ls) AS DOUBLE)
-        |            ELSE 0.0 END, 4) AS dup_line_frac,
-        | CAST(len(list_filter(ts, x -> x = list_aggregate(ts, 'mode'))) AS INTEGER) AS top_tok,
-        | round(CASE WHEN len(ts) > 0
-        |            THEN CAST(len(list_filter(ts, x -> x = list_aggregate(ts, 'mode'))) AS DOUBLE) / CAST(len(ts) AS DOUBLE)
-        |            ELSE 0.0 END, 4) AS top_tok_ratio,
-        | round(CASE WHEN len(ts) >= 2
-        |            THEN CAST(len(list_filter(gs, x -> x = list_aggregate(gs, 'mode'))) AS DOUBLE) / CAST(len(gs) AS DOUBLE)
-        |            ELSE 0.0 END, 4) AS top_2gram_ratio
-        |FROM g ORDER BY doc_id""".stripMargin,
-
-    "lang_id" ->
-      """WITH f AS (
-        | SELECT doc_id,
-        |  list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '') AS toks
-        | FROM documents
-        |), sc AS (
-        | SELECT doc_id,
-        |  len(list_filter(toks, t -> t IN ('the','and','of','to','is'))) AS s_en,
-        |  len(list_filter(toks, t -> t IN ('el','la','de','que','los'))) AS s_es,
-        |  len(list_filter(toks, t -> t IN ('le','la','les','des','est'))) AS s_fr,
-        |  len(list_filter(toks, t -> t IN ('der','die','das','und','ist'))) AS s_de
-        | FROM f
-        |)
-        |SELECT doc_id,
-        | CASE WHEN s_en > 0 AND s_en = greatest(s_en, s_es, s_fr, s_de) THEN 'en'
-        |      WHEN s_es > 0 AND s_es = greatest(s_en, s_es, s_fr, s_de) THEN 'es'
-        |      WHEN s_fr > 0 AND s_fr = greatest(s_en, s_es, s_fr, s_de) THEN 'fr'
-        |      WHEN s_de > 0 AND s_de = greatest(s_en, s_es, s_fr, s_de) THEN 'de'
-        |      ELSE 'und' END AS pred_lang
-        |FROM sc ORDER BY doc_id""".stripMargin,
-
-    // script rules mirrored with the same explicit codepoint ranges and
-    // the same fraction arithmetic; the fall-through repeats the marker
-    // CASE of the lang_id oracle
-    "lang_id_script" ->
-      """WITH m AS (
-        | SELECT doc_id,
-        |  CASE CAST(doc_id % 4 AS INTEGER)
-        |   WHEN 0 THEN substr(text, 1, 20) || ' 这是一段中文文本用于检测语言识别功能的正确性需要足够多的汉字'
-        |   WHEN 1 THEN substr(text, 1, 20) || ' これはにほんごのテキストですかなもじがたくさんふくまれています'
-        |   WHEN 2 THEN substr(text, 1, 20) || ' 이것은한국어텍스트입니다한글음절이충분히많이포함되어있습니다'
-        |   ELSE text END AS t
-        | FROM documents
-        |), c AS (
-        | SELECT doc_id, t,
-        |  CAST(len(regexp_extract_all(t, '[^ \t\n\x{0B}\f\r]')) AS DOUBLE) AS nonws,
-        |  CAST(len(regexp_extract_all(t, '[\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}\x{F900}-\x{FAFF}\x{20000}-\x{2FFFF}]')) AS DOUBLE) AS han,
-        |  CAST(len(regexp_extract_all(t, '[\x{3040}-\x{30FF}]')) AS DOUBLE) AS kana,
-        |  CAST(len(regexp_extract_all(t, '[\x{AC00}-\x{D7AF}]')) AS DOUBLE) AS hangul
-        | FROM m
-        |), f AS (
-        | SELECT doc_id, nonws, han, kana, hangul,
-        |  list_filter(string_split_regex(trim(lower(t)), '\s+'), x -> x <> '') AS toks
-        | FROM c
-        |), sc AS (
-        | SELECT doc_id, nonws, han, kana, hangul,
-        |  len(list_filter(toks, x -> x IN ('the','and','of','to','is'))) AS s_en,
-        |  len(list_filter(toks, x -> x IN ('el','la','de','que','los'))) AS s_es,
-        |  len(list_filter(toks, x -> x IN ('le','la','les','des','est'))) AS s_fr,
-        |  len(list_filter(toks, x -> x IN ('der','die','das','und','ist'))) AS s_de
-        | FROM f
-        |)
-        |SELECT doc_id,
-        | CASE WHEN nonws > 0 AND kana / nonws > 0.05 AND (han + kana) / nonws >= 0.3 THEN 'ja'
-        |      WHEN nonws > 0 AND hangul / nonws >= 0.3 THEN 'ko'
-        |      WHEN nonws > 0 AND han / nonws >= 0.3 THEN 'zh'
-        |      WHEN s_en > 0 AND s_en = greatest(s_en, s_es, s_fr, s_de) THEN 'en'
-        |      WHEN s_es > 0 AND s_es = greatest(s_en, s_es, s_fr, s_de) THEN 'es'
-        |      WHEN s_fr > 0 AND s_fr = greatest(s_en, s_es, s_fr, s_de) THEN 'fr'
-        |      WHEN s_de > 0 AND s_de = greatest(s_en, s_es, s_fr, s_de) THEN 'de'
-        |      ELSE 'und' END AS pred_lang
-        |FROM sc ORDER BY doc_id""".stripMargin,
-
-    // per-line langId (same marker CASE as the lang_id oracle), majority
-    // by (cnt desc, lang desc) — the operator's struct-max tie-break;
-    // purity is the same long->double division order
-    "lang_purity" ->
-      """WITH l AS (
-        | SELECT doc_id, line FROM (
-        |  SELECT doc_id,
-        |   unnest(string_split(text || chr(10) || 'le la les des est' || chr(10) || text,
-        |     chr(10))) AS line
-        |  FROM documents)
-        | WHERE trim(line) <> ''
-        |), f AS (
-        | SELECT doc_id,
-        |  list_filter(string_split_regex(trim(lower(line)), '\s+'), t -> t <> '') AS toks
-        | FROM l
-        |), sc AS (
-        | SELECT doc_id,
-        |  len(list_filter(toks, t -> t IN ('the','and','of','to','is'))) AS s_en,
-        |  len(list_filter(toks, t -> t IN ('el','la','de','que','los'))) AS s_es,
-        |  len(list_filter(toks, t -> t IN ('le','la','les','des','est'))) AS s_fr,
-        |  len(list_filter(toks, t -> t IN ('der','die','das','und','ist'))) AS s_de
-        | FROM f
-        |), cl AS (
-        | SELECT doc_id,
-        |  CASE WHEN s_en > 0 AND s_en = greatest(s_en, s_es, s_fr, s_de) THEN 'en'
-        |       WHEN s_es > 0 AND s_es = greatest(s_en, s_es, s_fr, s_de) THEN 'es'
-        |       WHEN s_fr > 0 AND s_fr = greatest(s_en, s_es, s_fr, s_de) THEN 'fr'
-        |       WHEN s_de > 0 AND s_de = greatest(s_en, s_es, s_fr, s_de) THEN 'de'
-        |       ELSE 'und' END AS ll
-        | FROM sc
-        |), c AS (
-        | SELECT doc_id, ll, count(*) AS cnt FROM cl GROUP BY 1, 2
-        |), m AS (
-        | SELECT doc_id, ll, cnt, sum(cnt) OVER (PARTITION BY doc_id) AS total FROM c
-        |)
-        |SELECT doc_id, ll AS majority_lang,
-        | CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE) AS purity
-        |FROM m
-        |QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, ll DESC) = 1
-        |ORDER BY doc_id""".stripMargin,
-
-    "ann_topk_dot" ->
-      """WITH q AS (
-        | SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5
-        |), s AS (
-        | SELECT q.query_id, e.vec_id AS neighbor_id,
-        |  list_sum(list_transform(list_zip(q.qv, e.embedding),
-        |    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) AS dot
-        | FROM embeddings e, q WHERE e.vec_id <> q.query_id
-        |)
-        |SELECT query_id, neighbor_id, CAST(dot AS DOUBLE) AS dot,
-        | CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id) AS INTEGER) AS rank
-        |FROM s
-        |QUALIFY rank <= 10
-        |ORDER BY query_id, rank""".stripMargin,
-
-    "partitioned_sink_roundtrip" ->
-      """SELECT lang, CAST(count(*) AS BIGINT) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum
-        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "top_docs_per_source" ->
-      """SELECT source, doc_id, n_tokens, rank FROM (
-        | SELECT source, doc_id, n_tokens,
-        |  CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_tokens DESC, doc_id) AS INTEGER) AS rank
-        | FROM (
-        |  SELECT source, doc_id,
-        |   CAST(len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS BIGINT) AS n_tokens
-        |  FROM documents
-        | )
-        |)
-        |WHERE rank <= 3 ORDER BY source, rank""".stripMargin,
-
-    "pack_by_budget" ->
-      """WITH d AS (
-        | SELECT doc_id, source,
-        |  CAST(len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS BIGINT) AS n_tokens
-        | FROM documents
-        |), c AS (
-        | SELECT doc_id, source, n_tokens,
-        |  SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS prev
-        | FROM d
-        |)
-        |SELECT doc_id, source, n_tokens,
-        | CAST(prev // 512 AS BIGINT) AS pack_id,
-        | CAST(prev % 512 AS BIGINT) AS pack_offset
-        |FROM c ORDER BY doc_id""".stripMargin,
-
-    // the two proven CTE chains concatenated: c4 line/page rules into
-    // the window-removal replay (window STRINGS, hash-family-agnostic);
-    // n_tokens of the rebuilt clean text = surviving token count by
-    // construction (single-space re-join of nonempty tokens)
-    "pipeline_c4_dedup" ->
-      s"""WITH d AS (
-         | SELECT doc_id, $c4GateTextSql AS t
-         | FROM documents WHERE doc_id < 1000
-         |), k AS (
-         | SELECT doc_id, t,
-         |  list_filter(string_split(t, chr(10)), x ->
-         |    len(list_filter(string_split_regex(trim(x), '\\s+'), w -> w <> '')) >= 3
-         |    AND regexp_matches(rtrim(x), '[.!?"]$$')) AS kept
-         | FROM d
-         |), c AS (
-         | SELECT doc_id, COALESCE(array_to_string(kept, chr(10)), '') AS ct
-         | FROM k
-         | WHERE (NOT contains(lower(t), 'lorem ipsum'))
-         |   AND (NOT contains(t, '{')) AND len(kept) >= 1
-         |), tk AS (
-         | SELECT doc_id, list_filter(string_split_regex(trim(ct), '\\s+'), x -> x <> '') AS toks
-         | FROM c
-         |), w AS (
-         | SELECT doc_id, len(toks) AS n, CAST(p AS BIGINT) AS s,
-         |  array_to_string(list_slice(toks, CAST(p + 1 AS BIGINT), CAST(p + 10 AS BIGINT)), ' ') AS win
-         | FROM tk, UNNEST(range(0, greatest(len(toks) - 10, 0) + 1)) AS u(p)
-         | WHERE len(toks) > 0
-         |), r AS (
-         | SELECT doc_id, n, s,
-         |  row_number() OVER (PARTITION BY win ORDER BY doc_id, s) AS rn,
-         |  count(*) OVER (PARTITION BY win) AS c
-         | FROM w
-         |), cuts AS (
-         | SELECT doc_id, s, least(s + 10, n) AS e FROM r WHERE c > 1 AND rn > 1
-         |), cov AS (
-         | SELECT DISTINCT doc_id, CAST(q AS BIGINT) AS pos
-         | FROM cuts, UNNEST(range(s, e)) AS v(q)
-         |), tokpos AS (
-         | SELECT doc_id, CAST(generate_subscripts(toks, 1) - 1 AS BIGINT) AS pos,
-         |  unnest(toks) AS tok
-         | FROM tk
-         |), keptt AS (
-         | SELECT tp.doc_id, tp.pos, tp.tok
-         | FROM tokpos tp LEFT JOIN cov
-         |   ON tp.doc_id = cov.doc_id AND tp.pos = cov.pos
-         | WHERE cov.pos IS NULL
-         |), agg AS (
-         | SELECT doc_id, array_to_string(list(tok ORDER BY pos), ' ') AS clean,
-         |  count(*) AS kept
-         | FROM keptt GROUP BY doc_id
-         |)
-         |SELECT tk.doc_id,
-         | COALESCE(agg.clean, '') AS clean,
-         | CAST(len(tk.toks) - COALESCE(agg.kept, 0) AS BIGINT) AS n_removed,
-         | CAST(COALESCE(agg.kept, 0) AS BIGINT) AS n_tokens
-         |FROM tk LEFT JOIN agg ON tk.doc_id = agg.doc_id
-         |ORDER BY tk.doc_id""".stripMargin,
-
-    // the three proven chains concatenated: the per-source window-sum
-    // budget, kept-set cluster sizes by normalized text, and the
-    // signed-FNV order over the kept ids (prefix salt 'mix:')
-    "pipeline_mix_manifest" ->
-      """WITH d AS (
-        | SELECT CAST(doc_id AS BIGINT) AS doc_id, source, text
-        | FROM documents WHERE doc_id < 2000
-        | UNION ALL
-        | SELECT CAST(doc_id + 1000000 AS BIGINT), 'dupsrc', text
-        | FROM documents WHERE doc_id < 30
-        |), nt AS (
-        | SELECT doc_id, source,
-        |  CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
-        |  trim(regexp_replace(regexp_replace(lower(text), '[[:punct:]]', '', 'g'), '\s+', ' ', 'g')) AS ntext
-        | FROM d
-        |), q AS (
-        | SELECT doc_id, source, n_tokens, ntext,
-        |  sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-        | FROM nt
-        |), kept AS (
-        | SELECT doc_id, source, n_tokens, ntext FROM q WHERE cum <= 600
-        |), g AS (
-        | SELECT doc_id, source, n_tokens,
-        |  count(*) OVER (PARTITION BY ntext) AS cs
-        | FROM kept
-        |), h AS (
-        | SELECT doc_id,
-        |  list_reduce(
-        |    list_prepend(CAST('14695981039346656037' AS HUGEINT),
-        |      list_transform(range(1, length(s) + 1), i -> CAST(ascii(s[i]) AS HUGEINT))),
-        |    (acc, b) -> ((acc // 256) * 256 + xor(CAST(acc % 256 AS BIGINT), CAST(b AS BIGINT)))
-        |                * 1099511628211 % CAST('18446744073709551616' AS HUGEINT)
-        |  ) AS hh
-        | FROM (SELECT doc_id, 'mix:' || doc_id::VARCHAR AS s FROM kept)
-        |), sgn AS (
-        | SELECT doc_id,
-        |  CAST(hh - CASE WHEN hh >= CAST('9223372036854775808' AS HUGEINT)
-        |            THEN CAST('18446744073709551616' AS HUGEINT)
-        |            ELSE CAST(0 AS HUGEINT) END AS BIGINT) AS hs
-        | FROM h
-        |), p AS (
-        | SELECT doc_id, row_number() OVER (ORDER BY hs, doc_id) AS pos FROM sgn
-        |)
-        |SELECT g.doc_id, g.source, g.n_tokens,
-        | CAST(g.cs AS BIGINT) AS cluster_size,
-        | CAST(1000000 // g.cs AS BIGINT) AS weight_e6,
-        | CAST(p.pos AS BIGINT) AS pos
-        |FROM g JOIN p ON g.doc_id = p.doc_id
-        |ORDER BY g.doc_id""".stripMargin,
-
-    "pipeline_batch_prep" ->
-      """WITH d0 AS (
-        | SELECT doc_id,
-        |  CAST(len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS BIGINT) AS n
-        | FROM documents WHERE doc_id < 2000
-        |), b AS (
-        | SELECT quantile_cont(CAST(n AS DOUBLE), 0.05) AS lo,
-        |  quantile_cont(CAST(n AS DOUBLE), 0.95) AS hi
-        | FROM d0
-        |), d AS (
-        | SELECT doc_id, n FROM d0, b
-        | WHERE CAST(n AS DOUBLE) >= lo AND CAST(n AS DOUBLE) <= hi
-        |), r AS (
-        | SELECT doc_id, n, n // 64 AS bucket,
-        |  ROW_NUMBER() OVER (PARTITION BY n // 64 ORDER BY doc_id) - 1 AS rk
-        | FROM d
-        |)
-        |SELECT doc_id, n AS n_tokens, CAST(bucket AS BIGINT) AS bucket,
-        | CAST(rk // 32 AS BIGINT) AS batch_idx, CAST(rk % 32 AS BIGINT) AS slot
-        |FROM r ORDER BY doc_id""".stripMargin,
-
-    "length_bucket_batches" ->
-      """WITH d AS (
-        | SELECT doc_id,
-        |  CAST(len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS BIGINT) AS n
-        | FROM documents WHERE doc_id < 2000
-        |), r AS (
-        | SELECT doc_id, n, n // 64 AS bucket,
-        |  ROW_NUMBER() OVER (PARTITION BY n // 64 ORDER BY doc_id) - 1 AS rk
-        | FROM d
-        |)
-        |SELECT doc_id, n AS n_tokens, CAST(bucket AS BIGINT) AS bucket,
-        | CAST(rk // 32 AS BIGINT) AS batch_idx, CAST(rk % 32 AS BIGINT) AS slot
-        |FROM r ORDER BY doc_id""".stripMargin,
-
-    "padding_waste" ->
-      """WITH d AS (
-        | SELECT doc_id,
-        |  CAST(len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS BIGINT) AS n
-        | FROM documents WHERE doc_id < 2000
-        |), r AS (
-        | SELECT doc_id, n, n // 64 AS bucket,
-        |  ROW_NUMBER() OVER (PARTITION BY n // 64 ORDER BY doc_id) - 1 AS rk
-        | FROM d
-        |)
-        |SELECT CAST(bucket AS BIGINT) AS bucket,
-        | CAST(rk // 32 AS BIGINT) AS batch_idx,
-        | CAST(count(*) AS BIGINT) AS n_docs,
-        | CAST(max(n) AS BIGINT) AS max_tokens,
-        | CAST(sum(n) AS BIGINT) AS sum_tokens,
-        | CAST(max(n) * count(*) - sum(n) AS BIGINT) AS pad_waste
-        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-
-    "length_band_filter" ->
-      """WITH d AS (
-        | SELECT doc_id,
-        |  CAST(len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS BIGINT) AS n
-        | FROM documents WHERE doc_id < 2000
-        |), b AS (
-        | SELECT quantile_cont(CAST(n AS DOUBLE), 0.05) AS lo,
-        |  quantile_cont(CAST(n AS DOUBLE), 0.95) AS hi
-        | FROM d
-        |)
-        |SELECT doc_id, n AS n_tokens
-        |FROM d, b
-        |WHERE CAST(n AS DOUBLE) >= lo AND CAST(n AS DOUBLE) <= hi
-        |ORDER BY doc_id""".stripMargin,
-
-    "corpus_drift" -> corpusDriftSql(
-      """SELECT bucket, cnt_a, cnt_b, CAST(gap AS BIGINT) AS gap
-        |FROM g ORDER BY gap DESC, bucket LIMIT 20""".stripMargin),
-
-    // streaming drift equals the batch operator exactly — same oracle
-    "drift_stream" -> corpusDriftSql(
-      """SELECT bucket, cnt_a, cnt_b, CAST(gap AS BIGINT) AS gap
-        |FROM g ORDER BY gap DESC, bucket LIMIT 20""".stripMargin),
-
-    // 3 unrolled power-iteration rounds in pure BIGINT floor division
-    "pagerank_sources" -> pagerankOracleSql(iterations = 3, dampingPpm = 850000L),
-
-    // peel rounds unrolled; see kcoreOracleSql
-    "kcore_peel" -> kcoreOracleSql(k = 2, rounds = 3),
-
-    // seeded power iteration unrolled; see pprOracleSql
-    "personalized_pagerank" ->
-      pprOracleSql(iterations = 3, dampingPpm = 850000L, seed = "src0"),
-
-    // BFS levels unrolled; see harmonicOracleSql
-    "harmonic_centrality" -> harmonicOracleSql(maxDepth = 3),
-
-    // walk rounds unrolled; see katzOracleSql
-    "katz_centrality" -> katzOracleSql(rounds = 3, alphaPpm = 100000L),
-
-    // canonical undirected edges, node-ordered triple join counts each
-    // triangle once; per-node counts via the three-corner union
-    "triangle_counts" ->
-      """WITH d AS (
-        | SELECT doc_id, source FROM documents
-        |), e0 AS (
-        | SELECT a.source AS s1, b.source AS s2
-        | FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
-        | WHERE a.source <> b.source
-        |), ce AS (
-        | SELECT DISTINCT least(s1, s2) AS u, greatest(s1, s2) AS v FROM e0
-        |), nodes AS (
-        | SELECT DISTINCT n FROM (SELECT u AS n FROM ce UNION ALL SELECT v FROM ce)
-        |), deg AS (
-        | SELECT n, CAST(count(*) AS BIGINT) AS dg
-        | FROM (SELECT u AS n FROM ce UNION ALL SELECT v AS n FROM ce) GROUP BY 1
-        |), tri AS (
-        | SELECT a.u AS x, a.v AS y, b.v AS z
-        | FROM ce a JOIN ce b ON b.u = a.v JOIN ce c ON c.u = a.u AND c.v = b.v
-        |), pn AS (
-        | SELECT n, CAST(count(*) AS BIGINT) AS t
-        | FROM (SELECT x AS n FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
-        | GROUP BY 1
-        |)
-        |SELECT nodes.n AS node, deg.dg AS degree,
-        | CAST(coalesce(pn.t, 0) AS BIGINT) AS triangles,
-        | CASE WHEN deg.dg >= 2
-        |  THEN CAST(2 * coalesce(pn.t, 0) * 1000000 // (deg.dg * (deg.dg - 1)) AS BIGINT)
-        |  ELSE CAST(0 AS BIGINT) END AS clustering_ppm
-        |FROM nodes JOIN deg ON deg.n = nodes.n LEFT JOIN pn ON pn.n = nodes.n
-        |ORDER BY node""".stripMargin,
-
-    // chain graph ⇒ the min id within distance 2 has a closed form:
-    // label(v) = max(chain_start, v − 2); chain_start = v − (v % 10)
-    // (every chain runs k0..k0+3 off the doc_id % 10 < 3 edge rule)
-    "label_propagation" ->
-      """WITH ids AS (
-        | SELECT CAST(doc_id AS BIGINT) AS i FROM documents WHERE doc_id % 10 < 3
-        |), nodes AS (
-        | SELECT DISTINCT v FROM (SELECT i AS v FROM ids UNION ALL SELECT i + 1 FROM ids)
-        |)
-        |SELECT lpad(CAST(v AS VARCHAR), 12, '0') AS node,
-        | lpad(CAST(greatest(v - (v % 10), v - 2) AS VARCHAR), 12, '0') AS label
-        |FROM nodes ORDER BY node""".stripMargin,
-
-    // the converged labeling is the per-component minimum — a closed
-    // form on the 20-block chain fixture (block k = ids 20k..20k+15,
-    // min 20k); convergence makes the schedule irrelevant, so no
-    // round-unrolling is needed
-    "connected_components" ->
-      """WITH ids AS (
-        | SELECT CAST(doc_id AS BIGINT) AS i FROM documents WHERE doc_id % 20 < 15
-        |), nodes AS (
-        | SELECT DISTINCT v FROM (SELECT i AS v FROM ids UNION ALL SELECT i + 1 FROM ids)
-        |)
-        |SELECT lpad(CAST(v AS VARCHAR), 12, '0') AS node,
-        | lpad(CAST((v // 20) * 20 AS VARCHAR), 12, '0') AS label
-        |FROM nodes ORDER BY node""".stripMargin,
-
-    // the dict branch must be value-identical to the string branch —
-    // same oracle verbatim
-    "connected_components_dict" ->
-      """WITH ids AS (
-        | SELECT CAST(doc_id AS BIGINT) AS i FROM documents WHERE doc_id % 20 < 15
-        |), nodes AS (
-        | SELECT DISTINCT v FROM (SELECT i AS v FROM ids UNION ALL SELECT i + 1 FROM ids)
-        |)
-        |SELECT lpad(CAST(v AS VARCHAR), 12, '0') AS node,
-        | lpad(CAST((v // 20) * 20 AS VARCHAR), 12, '0') AS label
-        |FROM nodes ORDER BY node""".stripMargin,
-
-    // exact reachability unrolled, registers + estimate replayed
-    // bit-for-bit; see anfHyperBallOracleSql
-    "anf_hyperball" -> anfHyperBallOracleSql(maxDepth = 3, m = 64),
-
-    // level sums + shares + min-t over the same chain
-    "anf_effective_diameter" -> anfEffDiameterOracleSql(maxDepth = 3, m = 64),
-
-    // step-unrolled walk replay; see randomWalksOracleSql
-    "random_walks" -> randomWalksOracleSql(steps = 4, walksPerNode = 2, seed = ""),
-
-    // weighted-ladder walk replay; see node2vecOracleSql
-    "node2vec_walks" -> node2vecOracleSql(steps = 4, walksPerNode = 2,
-      pPpm = 4000000L, qPpm = 250000L, seed = ""),
-
-    // structural summary replay: degrees, reciprocity self-join, and a
-    // brute-force rank/inversion assortativity (oracle-scale only —
-    // the OPERATOR counts inversions without a pair join)
-    "graph_profile" -> graphProfileOracleSql,
-
-    // the accumulated stream state IS the full edge set, so the final
-    // batch's committed profile replays with the batch oracle verbatim
-    "graph_profile_stream" -> graphProfileOracleSql,
-
-    // peeling rounds unrolled; see ktrussOracleSql
-    "ktruss_edges" -> ktrussOracleSql(k = 4, rounds = 3),
-
-    // walks replay → pair join positives ∪ signed-FNV top-3 negatives
-    // (the negative_sampling oracle shape, salt 'gemb')
-    "pipeline_graph_embedding" ->
-      s"""WITH $graphEmbeddingPairsCteSql
-         |SELECT center, other, label, weight FROM lp
-         |ORDER BY center, label, other""".stripMargin,
-
-    // the trainer replayed end to end: FNV init, 2 unrolled full-batch
-    // GD epochs over the literal sigmoid table, then the anchor-pair
-    // dot scores off the trained table; see sgnsOracleSql
-    "pipeline_train_serve_embeddings" -> sgnsServeOracleSql(dims = 8,
-      epochs = 2, lrPpm = 250000L, seed = "sg", k = 5, nprobe = 2),
-
-    // the partitioned layout must be value-identical — same oracle
-    // verbatim (the connected_components_dict convention)
-    "pipeline_train_serve_partitioned" -> sgnsServeOracleSql(dims = 8,
-      epochs = 2, lrPpm = 250000L, seed = "sg", k = 5, nprobe = 2),
-
-    "embedding_train_sgns" -> sgnsOracleSql(dims = 8, epochs = 2,
-      lrPpm = 250000L, seed = "sg"),
-
-    // the Bradley–Terry MM rounds unrolled; see bradleyTerryOracleSql
-    // majority with ties to the smallest label; share = exact ppm
-    "annotation_consensus" ->
-      """WITH r AS (
-        | SELECT CAST(doc_id // 4 AS VARCHAR) AS u,
-        |  CAST((n_chars // 200) % 5 AS VARCHAR) AS l
-        | FROM documents WHERE doc_id < 2000 AND n_chars IS NOT NULL
-        |), uc AS (
-        | SELECT u, l, CAST(count(*) AS BIGINT) AS c FROM r GROUP BY 1, 2
-        |), w AS (
-        | SELECT u, l, c,
-        |  row_number() OVER (PARTITION BY u ORDER BY c DESC, l) AS rn
-        | FROM uc
-        |), t AS (
-        | SELECT u, CAST(sum(c) AS BIGINT) AS n FROM uc GROUP BY 1
-        |)
-        |SELECT w.u AS unit, w.l AS label, t.n AS n_ratings,
-        | (w.c * 1000000) // t.n AS support_ppm
-        |FROM w JOIN t ON t.u = w.u WHERE rn = 1 ORDER BY unit""".stripMargin,
-
-    // exact marginals, per-unit e6-floored disagreement, alpha in ppm
-    "annotation_alpha" ->
-      """WITH r AS (
-        | SELECT CAST(doc_id // 4 AS VARCHAR) AS u,
-        |  CAST((n_chars // 200) % 5 AS VARCHAR) AS l
-        | FROM documents WHERE doc_id < 2000 AND n_chars IS NOT NULL
-        |), uc AS MATERIALIZED (
-        | SELECT u, l, CAST(count(*) AS BIGINT) AS c FROM r GROUP BY 1, 2
-        |), kept AS MATERIALIZED (
-        | SELECT u, m, ((m * m - ss) * 1000000) // (m - 1) AS do6 FROM (
-        |  SELECT u, CAST(sum(c) AS BIGINT) AS m,
-        |   CAST(sum(c * c) AS BIGINT) AS ss
-        |  FROM uc GROUP BY 1) WHERE m >= 2
-        |), tot AS (
-        | SELECT CAST(count(*) AS BIGINT) AS units, CAST(sum(m) AS BIGINT) AS n,
-        |  CAST(sum(do6) AS BIGINT) AS doe6 FROM kept
-        |), nv AS (
-        | SELECT uc.l, CAST(sum(uc.c) AS BIGINT) AS nvv
-        | FROM uc JOIN kept ON kept.u = uc.u GROUP BY 1
-        |), den AS (
-        | SELECT CAST(tot.n AS HUGEINT) * tot.n -
-        |  (SELECT sum(CAST(nvv AS HUGEINT) * nvv) FROM nv) AS d
-        | FROM tot
-        |)
-        |SELECT tot.units AS n_units, tot.n AS n_ratings, tot.doe6 AS do_e6,
-        | CAST(1000000 - (CAST(tot.doe6 AS HUGEINT) * (tot.n - 1)) // den.d
-        |   AS BIGINT) AS alpha_ppm
-        |FROM tot, den""".stripMargin,
-
-    // interval distance via moments: do6 = 2(m*S2 - S1^2)*1e6 // (m-1)
-    // per unit; De = 2(n*T2 - T1^2)/(n-1) in HUGEINT
-    "annotation_alpha_interval" ->
-      """WITH r AS (
-        | SELECT CAST(doc_id // 4 AS VARCHAR) AS u,
-        |  CAST((n_chars // 200) % 5 AS BIGINT) AS v
-        | FROM documents WHERE doc_id < 2000 AND n_chars IS NOT NULL
-        |), kept AS MATERIALIZED (
-        | SELECT u, m, s1, s2,
-        |  (2 * (m * s2 - s1 * s1) * 1000000) // (m - 1) AS do6 FROM (
-        |  SELECT u, CAST(count(*) AS BIGINT) AS m, CAST(sum(v) AS BIGINT) AS s1,
-        |   CAST(sum(v * v) AS BIGINT) AS s2
-        |  FROM r GROUP BY 1) WHERE m >= 2
-        |), tot AS (
-        | SELECT CAST(count(*) AS BIGINT) AS units, CAST(sum(m) AS BIGINT) AS n,
-        |  CAST(sum(s1) AS HUGEINT) AS t1, CAST(sum(s2) AS HUGEINT) AS t2,
-        |  CAST(sum(do6) AS BIGINT) AS doe6 FROM kept
-        |), den AS (
-        | SELECT 2 * (CAST(n AS HUGEINT) * t2 - t1 * t1) AS d FROM tot
-        |)
-        |SELECT tot.units AS n_units, tot.n AS n_ratings, tot.doe6 AS do_e6,
-        | CAST(1000000 - (CAST(tot.doe6 AS HUGEINT) * (tot.n - 1)) // den.d
-        |   AS BIGINT) AS alpha_ppm
-        |FROM tot, den""".stripMargin,
-
-    // half-unit ordinal distances D(v,k) = 2*sum(n_g between) - n_v - n_k
-    // over the kept-unit marginals; observed = per-unit pair sums in
-    // HUGEINT, e6-floored by (m-1); expected = the same sum globally
-    "annotation_alpha_ordinal" ->
-      """WITH r AS (
-        | SELECT CAST(doc_id // 4 AS VARCHAR) AS u,
-        |  CAST((n_chars // 200) % 5 AS BIGINT) AS v
-        | FROM documents WHERE doc_id < 2000 AND n_chars IS NOT NULL
-        |), uc AS MATERIALIZED (
-        | SELECT u, v, CAST(count(*) AS BIGINT) AS c FROM r GROUP BY 1, 2
-        |), pu AS MATERIALIZED (
-        | SELECT u, CAST(sum(c) AS BIGINT) AS m FROM uc GROUP BY 1
-        | HAVING sum(c) >= 2
-        |), kuc AS MATERIALIZED (
-        | SELECT uc.u, uc.v, uc.c FROM uc JOIN pu ON pu.u = uc.u
-        |), nv AS MATERIALIZED (
-        | SELECT v, CAST(sum(c) AS BIGINT) AS nvv FROM kuc GROUP BY 1
-        |), dd AS MATERIALIZED (
-        | SELECT a.v AS v1, b.v AS v2,
-        |  CAST(2 * (SELECT sum(g.nvv) FROM nv g
-        |            WHERE g.v BETWEEN a.v AND b.v) - a.nvv - b.nvv
-        |   AS BIGINT) AS dh
-        | FROM nv a JOIN nv b ON a.v < b.v
-        |), obs AS (
-        | SELECT x.u,
-        |  sum(CAST(x.c AS HUGEINT) * y.c * dd.dh * dd.dh) AS s
-        | FROM kuc x JOIN kuc y ON y.u = x.u AND x.v < y.v
-        |  JOIN dd ON dd.v1 = x.v AND dd.v2 = y.v
-        | GROUP BY 1
-        |), per AS (
-        | SELECT pu.m,
-        |  (COALESCE(obs.s, 0) * 2000000) // (pu.m - 1) AS do6
-        | FROM pu LEFT JOIN obs ON obs.u = pu.u
-        |), tot AS (
-        | SELECT CAST(count(*) AS BIGINT) AS units,
-        |  CAST(sum(m) AS BIGINT) AS n, sum(do6) AS doe6 FROM per
-        |), den AS (
-        | SELECT sum(2 * CAST(a.nvv AS HUGEINT) * b.nvv * dd.dh * dd.dh) AS d
-        | FROM nv a JOIN nv b ON a.v < b.v
-        |  JOIN dd ON dd.v1 = a.v AND dd.v2 = b.v
-        |)
-        |SELECT tot.units AS n_units, tot.n AS n_ratings,
-        | CAST(tot.doe6 AS BIGINT) AS do_e6,
-        | CAST(1000000 - (tot.doe6 * (tot.n - 1)) // den.d AS BIGINT)
-        |  AS alpha_ppm
-        |FROM tot, den""".stripMargin,
-
-    // consensus replayed, then per-rater Cohen's kappa against it:
-    // kappa_ppm = 1e6 - n(n-a)*1e6 // (n^2 - S), S = sum(c_v * k_v);
-    // a chance-perfect rater (n^2 = S) reports NULL, never a fake 0
-    "annotation_rater_reliability" ->
-      """WITH r AS (
-        | SELECT CAST(doc_id // 4 AS VARCHAR) AS u,
-        |  CAST(doc_id % 4 AS VARCHAR) AS rr,
-        |  CAST((n_chars // 200) % 5 AS VARCHAR) AS l
-        | FROM documents WHERE doc_id < 2000 AND n_chars IS NOT NULL
-        |), uc AS (
-        | SELECT u, l, CAST(count(*) AS BIGINT) AS c FROM r GROUP BY 1, 2
-        |), w AS (
-        | SELECT u, l,
-        |  row_number() OVER (PARTITION BY u ORDER BY c DESC, l) AS rn
-        | FROM uc
-        |), cons AS MATERIALIZED (
-        | SELECT u, l AS cl FROM w WHERE rn = 1
-        |), j AS MATERIALIZED (
-        | SELECT r.u, r.rr, r.l, cons.cl FROM r JOIN cons ON cons.u = r.u
-        |), pr AS (
-        | SELECT rr, CAST(count(*) AS BIGINT) AS n,
-        |  CAST(sum(CASE WHEN l = cl THEN 1 ELSE 0 END) AS BIGINT) AS a
-        | FROM j GROUP BY 1
-        |), crv AS (
-        | SELECT rr, l, CAST(count(*) AS BIGINT) AS c FROM r GROUP BY 1, 2
-        |), krv AS (
-        | SELECT rr, cl AS l, CAST(count(*) AS BIGINT) AS k
-        | FROM j GROUP BY 1, 2
-        |), sr AS (
-        | SELECT crv.rr, CAST(sum(crv.c * krv.k) AS BIGINT) AS s
-        | FROM crv JOIN krv ON krv.rr = crv.rr AND krv.l = crv.l GROUP BY 1
-        |)
-        |SELECT pr.rr AS rater, pr.n AS n_ratings, pr.a AS n_agree,
-        | (pr.a * 1000000) // pr.n AS po_ppm,
-        | CASE WHEN pr.n * pr.n = sr.s THEN NULL
-        |  ELSE 1000000 -
-        |   (pr.n * (pr.n - pr.a) * 1000000) // (pr.n * pr.n - sr.s)
-        |  END AS kappa_ppm
-        |FROM pr JOIN sr ON sr.rr = pr.rr ORDER BY rater""".stripMargin,
-
-    "preference_bt" -> bradleyTerryOracleSql(rounds = 4),
-
-    // half-unit counts through the same MM machinery
-    "preference_bt_ties" ->
-      s"""WITH ${btMmCtes(4, btTiesPreludeSql)}
-         |${btMmFinalSelect(4)}""".stripMargin,
-
-    // planted same-parity islands: MM ratings + min-label components
-    // + sizes + the spans-all flag
-    "preference_bt_components" -> btConnectivityOracleSql(rounds = 4,
-      ccRounds = 12),
-
-    // the accumulated stream state IS the full comparison log's count
-    // table, so the final batch's ratings replay with the batch oracle
-    "preference_bt_stream" -> bradleyTerryOracleSql(rounds = 4),
-
-    // stream ≡ batch on the concatenated tied log — the ties oracle
-    // verbatim
-    "preference_bt_ties_stream" ->
-      s"""WITH ${btMmCtes(4, btTiesPreludeSql)}
-         |${btMmFinalSelect(4)}""".stripMargin,
-
-    // the walk replay piped through the window pair join
-    "walk_skipgram_pairs" ->
-      s"""WITH wk AS (${randomWalksOracleSql(steps = 4, walksPerNode = 2, seed = "")})
-         |SELECT a.node AS center, b.node AS context,
-         | CAST(count(*) AS BIGINT) AS cnt
-         |FROM wk a JOIN wk b ON b.start = a.start AND b.walk = a.walk
-         | AND b.step <> a.step AND abs(a.step - b.step) <= 2
-         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-
-    // the three proven centrality chains joined as subqueries
-    "pipeline_centrality_prior" ->
-      s"""SELECT pr.node, pr.rank_ppb, hc.harmonic_ppm, kz.katz_e6,
-         | CAST(pr.rank_ppb // 1000 + hc.harmonic_ppm + kz.katz_e6 AS BIGINT) AS prior_e6
-         |FROM (${pagerankOracleSql(iterations = 3, dampingPpm = 850000L)}) pr
-         |JOIN (${harmonicOracleSql(maxDepth = 3)}) hc ON hc.node = pr.node
-         |JOIN (${katzOracleSql(rounds = 3, alphaPpm = 100000L)}) kz ON kz.node = pr.node
-         |ORDER BY pr.node""".stripMargin,
-
-    // the stream equals the single pass when fed in key order: the same
-    // waterfill + per-source cumulative cut, emitting the kept rows
-    "unimax_quota_stream" ->
-      s"""$unimaxAllocSql, c AS (
-         | SELECT source, doc_id, w,
-         |  CAST(sum(w) OVER (PARTITION BY source ORDER BY doc_id
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
-         | FROM nt
-         |)
-         |SELECT c.source, c.doc_id, c.w AS n_tokens, c.cum AS cum_tokens
-         |FROM c JOIN alloc a ON a.source = c.source
-         |WHERE c.cum <= a.b
-         |ORDER BY doc_id""".stripMargin,
-
-    // threshold = mass-weighted (1−p) percentile with score as its own
-    // weight (the weighted_percentiles rank rule), then keep ⇔ score≥t
-    "score_mass_cut" ->
-      """WITH w AS (
-        | SELECT source, n_chars, CAST(n_chars AS DOUBLE) AS v,
-        |  CAST(n_chars AS BIGINT) AS wt
-        | FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
-        |), tot AS (
-        | SELECT CAST(sum(wt) AS BIGINT) AS W FROM w
-        |), c AS (
-        | SELECT v, CAST(sum(wt) AS BIGINT) AS cnt FROM w GROUP BY 1
-        |), r AS (
-        | SELECT v, sum(cnt) OVER (ORDER BY v
-        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-        | FROM c
-        |), thr AS (
-        | SELECT min(r.v) AS t FROM r, tot
-        | WHERE r.cum > floor(0.2 * (tot.W - 1))
-        |)
-        |SELECT source, CAST(count(*) AS BIGINT) AS kept_docs,
-        | CAST(sum(n_chars) AS BIGINT) AS kept_mass
-        |FROM w, thr WHERE w.v >= thr.t
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // kappa over the confusion cells of the two keep rules; n² and the
-    // chance term ride HUGEINT; // truncates toward zero like BigInt
-    "filter_agreement_kappa" ->
-      """WITH l AS (
-        | SELECT CASE WHEN n_chars >= 500 THEN 'T' ELSE 'F' END AS a,
-        |  CASE WHEN len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) >= 80 THEN 'T' ELSE 'F' END AS b
-        | FROM documents WHERE n_chars IS NOT NULL AND text IS NOT NULL
-        |), cell AS (
-        | SELECT a, b, CAST(count(*) AS BIGINT) AS c FROM l GROUP BY 1, 2
-        |), nn AS (
-        | SELECT CAST(sum(c) AS HUGEINT) AS n FROM cell
-        |), ag AS (
-        | SELECT CAST(coalesce(sum(CASE WHEN a = b THEN c ELSE 0 END), 0) AS HUGEINT) AS agree FROM cell
-        |), ma AS (
-        | SELECT a, CAST(sum(c) AS HUGEINT) AS ca FROM cell GROUP BY 1
-        |), mb AS (
-        | SELECT b, CAST(sum(c) AS HUGEINT) AS cb FROM cell GROUP BY 1
-        |), ch AS (
-        | SELECT CAST(coalesce(sum(ma.ca * mb.cb), 0) AS HUGEINT) AS s
-        | FROM ma JOIN mb ON ma.a = mb.b
-        |)
-        |SELECT CAST(nn.n AS BIGINT) AS n, CAST(ag.agree AS BIGINT) AS n_agree,
-        | CAST(((nn.n * ag.agree - ch.s) * 1000000) // (nn.n * nn.n - ch.s) AS BIGINT) AS kappa_e6
-        |FROM nn, ag, ch WHERE nn.n > 0 AND nn.n * nn.n <> ch.s""".stripMargin,
-
-    // per-source [p5, p95] thresholds by the same rank rule, then the
-    // exact integer mean of the surviving band
-    "trimmed_mean_by_source" ->
-      """WITH w2 AS (
-        | SELECT CAST(source AS VARCHAR) AS g, CAST(n_chars AS BIGINT) AS v
-        | FROM documents WHERE source IS NOT NULL AND n_chars IS NOT NULL
-        |), tot AS (
-        | SELECT g, CAST(count(*) AS BIGINT) AS n FROM w2 GROUP BY 1
-        |), c AS (
-        | SELECT g, v, CAST(count(*) AS BIGINT) AS cnt FROM w2 GROUP BY 1, 2
-        |), r AS (
-        | SELECT g, v, sum(cnt) OVER (PARTITION BY g ORDER BY v
-        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-        | FROM c
-        |), thr AS (
-        | SELECT tot.g,
-        |  (SELECT min(r.v) FROM r WHERE r.g = tot.g AND r.cum > floor(0.05 * (tot.n - 1))) AS lo,
-        |  (SELECT min(r.v) FROM r WHERE r.g = tot.g AND r.cum > floor(0.95 * (tot.n - 1))) AS hi
-        | FROM tot
-        |)
-        |SELECT w2.g AS source, CAST(count(*) AS BIGINT) AS n_kept,
-        | CAST(CAST(sum(w2.v) AS HUGEINT) * 1000000 // count(*) AS BIGINT) AS mean_e6
-        |FROM w2 JOIN thr ON thr.g = w2.g
-        |WHERE w2.v >= thr.lo AND w2.v <= thr.hi
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // Spearman from Σd² over row_number ranks (doc_id tiebreak), Kendall
-    // from the discordant pair count; trunc division pinned (// ≡ div)
-    "rank_correlation" -> rankCorrelationOracle,
-
-    // block size is invisible to the statistic: the multi-round
-    // distributed plan must reproduce the identical quadratic definition
-    "rank_correlation_blocks" -> rankCorrelationOracle,
-
-    // Mann–Whitney U₂ from the per-group score histogram: each pos·neg
-    // pair counted twice, ties once — every quantity non-negative
-    "auc_by_source" ->
-      """WITH b AS (
-        | SELECT source AS g, (n_chars >= 500) AS y,
-        |  CAST(len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS BIGINT) AS v
-        | FROM documents
-        | WHERE doc_id < 2000 AND source IS NOT NULL
-        |  AND n_chars IS NOT NULL AND text IS NOT NULL
-        |), h AS (
-        | SELECT g, v,
-        |  CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pos,
-        |  CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS neg
-        | FROM b GROUP BY 1, 2
-        |), c AS (
-        | SELECT g, pos, neg,
-        |  CAST(coalesce(sum(neg) OVER (PARTITION BY g ORDER BY v
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS HUGEINT) AS cumneg
-        | FROM h
-        |), a AS (
-        | SELECT g, CAST(sum(pos) AS HUGEINT) AS np, CAST(sum(neg) AS HUGEINT) AS nn,
-        |  CAST(sum(CAST(pos AS HUGEINT) * (2 * cumneg + neg)) AS HUGEINT) AS u2
-        | FROM c GROUP BY 1
-        |)
-        |SELECT g AS source, CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
-        | CAST((u2 * 1000000) // (2 * np * nn) AS BIGINT) AS auc_ppm
-        |FROM a WHERE np > 0 AND nn > 0 ORDER BY 1""".stripMargin,
-
-    // same replace chain: tags → spaces, literal entity decode with
-    // &amp; last, whitespace collapse, trim; the collapse class is
-    // the explicit [ \t\n\x0B\f\r] (== Java \s) because RE2's \s
-    // excludes U+000B — both engines pin the identical literal class
-    "strip_html" ->
-      """WITH b AS (
-        | SELECT doc_id,
-        |  '<div id="' || doc_id::VARCHAR || '"><p>' || text
-        |    || '</p>&amp; &lt;tail&gt;</div>' AS h
-        | FROM documents WHERE doc_id < 500 AND text IS NOT NULL
-        |), s1 AS (
-        | SELECT doc_id, trim(regexp_replace(
-        |   replace(replace(replace(replace(replace(
-        |     regexp_replace(h, '<[^>]*>', ' ', 'g'),
-        |     '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
-        |   '[ \t\n\x0B\f\r]+', ' ', 'g')) AS clean
-        | FROM b
-        |)
-        |SELECT doc_id, clean, CAST(length(clean) AS BIGINT) AS clean_nchars
-        |FROM s1 ORDER BY doc_id""".stripMargin,
-
-    // exact score-decile bins (quantile_cont parity with the
-    // quantileBuckets thresholds), then one grouped pass per bin
-    "calibration_table" ->
-      """WITH b AS (
-        | SELECT (n_chars >= 500) AS y,
-        |  CAST(len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS BIGINT) AS v
-        | FROM documents
-        | WHERE doc_id < 2000 AND n_chars IS NOT NULL AND text IS NOT NULL
-        |), q AS (
-        | SELECT quantile_cont(CAST(v AS DOUBLE), 0.1) AS q1,
-        |        quantile_cont(CAST(v AS DOUBLE), 0.2) AS q2,
-        |        quantile_cont(CAST(v AS DOUBLE), 0.3) AS q3,
-        |        quantile_cont(CAST(v AS DOUBLE), 0.4) AS q4,
-        |        quantile_cont(CAST(v AS DOUBLE), 0.5) AS q5,
-        |        quantile_cont(CAST(v AS DOUBLE), 0.6) AS q6,
-        |        quantile_cont(CAST(v AS DOUBLE), 0.7) AS q7,
-        |        quantile_cont(CAST(v AS DOUBLE), 0.8) AS q8,
-        |        quantile_cont(CAST(v AS DOUBLE), 0.9) AS q9
-        | FROM b
-        |), bd AS (
-        | SELECT y, v, CAST(
-        |   (CASE WHEN v >= q.q1 THEN 1 ELSE 0 END)
-        | + (CASE WHEN v >= q.q2 THEN 1 ELSE 0 END)
-        | + (CASE WHEN v >= q.q3 THEN 1 ELSE 0 END)
-        | + (CASE WHEN v >= q.q4 THEN 1 ELSE 0 END)
-        | + (CASE WHEN v >= q.q5 THEN 1 ELSE 0 END)
-        | + (CASE WHEN v >= q.q6 THEN 1 ELSE 0 END)
-        | + (CASE WHEN v >= q.q7 THEN 1 ELSE 0 END)
-        | + (CASE WHEN v >= q.q8 THEN 1 ELSE 0 END)
-        | + (CASE WHEN v >= q.q9 THEN 1 ELSE 0 END) AS BIGINT) AS bin
-        | FROM b, q
-        |)
-        |SELECT bin, CAST(count(*) AS BIGINT) AS n,
-        | CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
-        | CAST(CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS HUGEINT) * 1000000
-        |   // count(*) AS BIGINT) AS pos_rate_ppm,
-        | CAST(CAST(sum(v) AS HUGEINT) * 1000000 // count(*) AS BIGINT) AS mean_score_e6
-        |FROM bd GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // the distribution_shift chain with the streamed slices as the
-    // groups: src1 → batch 1, src2 → batch 2, reference = src0
-    "shift_stream" ->
-      """WITH b AS (
-        | SELECT source AS g, CAST(n_chars AS BIGINT) AS v FROM documents
-        | WHERE doc_id < 2000 AND source IS NOT NULL AND n_chars IS NOT NULL
-        |), h AS (
-        | SELECT g, v, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1, 2
-        |), ref AS (
-        | SELECT v, c AS cr FROM h WHERE g = 'src0'
-        |), oth AS (
-        | SELECT g, v, c FROM h WHERE g IN ('src1', 'src2')
-        |), gs AS (
-        | SELECT DISTINCT g FROM oth
-        |), refx AS (
-        | SELECT gs.g, ref.v, ref.cr FROM gs CROSS JOIN ref
-        |), m AS (
-        | SELECT coalesce(refx.g, oth.g) AS g, coalesce(refx.v, oth.v) AS v,
-        |  CAST(coalesce(oth.c, 0) AS BIGINT) AS cg,
-        |  CAST(coalesce(refx.cr, 0) AS BIGINT) AS cr
-        | FROM refx FULL OUTER JOIN oth ON refx.g = oth.g AND refx.v = oth.v
-        |), cw AS (
-        | SELECT g, v,
-        |  CAST(sum(cg) OVER (PARTITION BY g ORDER BY v) AS HUGEINT) AS cumg,
-        |  CAST(sum(cr) OVER (PARTITION BY g ORDER BY v) AS HUGEINT) AS cumr,
-        |  CAST(sum(cg) OVER (PARTITION BY g) AS HUGEINT) AS ng,
-        |  CAST(sum(cr) OVER (PARTITION BY g) AS HUGEINT) AS nr,
-        |  CAST(coalesce(lead(v) OVER (PARTITION BY g ORDER BY v) - v, 0) AS HUGEINT) AS gap
-        | FROM m
-        |), agg AS (
-        | SELECT g, max(ng) AS ng, max(nr) AS nr,
-        |  max(abs(cumg * nr - cumr * ng)) AS ksn,
-        |  CAST(coalesce(sum(abs(cumg * nr - cumr * ng) * gap), 0) AS HUGEINT) AS w1n
-        | FROM cw GROUP BY 1
-        |)
-        |SELECT CAST(CASE g WHEN 'src1' THEN 1 ELSE 2 END AS BIGINT) AS batch,
-        | CAST(ng AS BIGINT) AS n, CAST(nr AS BIGINT) AS n_ref,
-        | CAST((ksn * 1000000) // (ng * nr) AS BIGINT) AS ks_ppm,
-        | CAST((w1n * 1000000) // (ng * nr) AS BIGINT) AS w1_e6
-        |FROM agg WHERE ng > 0 AND nr > 0 ORDER BY 1""".stripMargin,
-
-    // exact KS max-gap and W1 integral over the merged value grid,
-    // cross-normalized integer CDFs |cum_g·n_ref − cum_ref·n_g|
-    "distribution_shift" ->
-      """WITH b AS (
-        | SELECT source AS g, CAST(n_chars AS BIGINT) AS v FROM documents
-        | WHERE doc_id < 2000 AND source IS NOT NULL AND n_chars IS NOT NULL
-        |), h AS (
-        | SELECT g, v, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1, 2
-        |), ref AS (
-        | SELECT v, c AS cr FROM h WHERE g = 'src0'
-        |), oth AS (
-        | SELECT g, v, c FROM h WHERE g <> 'src0'
-        |), gs AS (
-        | SELECT DISTINCT g FROM oth
-        |), refx AS (
-        | SELECT gs.g, ref.v, ref.cr FROM gs CROSS JOIN ref
-        |), m AS (
-        | SELECT coalesce(refx.g, oth.g) AS g, coalesce(refx.v, oth.v) AS v,
-        |  CAST(coalesce(oth.c, 0) AS BIGINT) AS cg,
-        |  CAST(coalesce(refx.cr, 0) AS BIGINT) AS cr
-        | FROM refx FULL OUTER JOIN oth ON refx.g = oth.g AND refx.v = oth.v
-        |), cw AS (
-        | SELECT g, v,
-        |  CAST(sum(cg) OVER (PARTITION BY g ORDER BY v) AS HUGEINT) AS cumg,
-        |  CAST(sum(cr) OVER (PARTITION BY g ORDER BY v) AS HUGEINT) AS cumr,
-        |  CAST(sum(cg) OVER (PARTITION BY g) AS HUGEINT) AS ng,
-        |  CAST(sum(cr) OVER (PARTITION BY g) AS HUGEINT) AS nr,
-        |  CAST(coalesce(lead(v) OVER (PARTITION BY g ORDER BY v) - v, 0) AS HUGEINT) AS gap
-        | FROM m
-        |), agg AS (
-        | SELECT g, max(ng) AS ng, max(nr) AS nr,
-        |  max(abs(cumg * nr - cumr * ng)) AS ksn,
-        |  CAST(coalesce(sum(abs(cumg * nr - cumr * ng) * gap), 0) AS HUGEINT) AS w1n
-        | FROM cw GROUP BY 1
-        |)
-        |SELECT g AS source, CAST(ng AS BIGINT) AS n, CAST(nr AS BIGINT) AS n_ref,
-        | CAST((ksn * 1000000) // (ng * nr) AS BIGINT) AS ks_ppm,
-        | CAST((w1n * 1000000) // (ng * nr) AS BIGINT) AS w1_e6
-        |FROM agg WHERE ng > 0 AND nr > 0 ORDER BY 1""".stripMargin,
-
-    // the same four pass predicates; violation = NOT coalesce(pass, false)
-    "expectation_report" -> {
-      val rules = Seq(
-        "quantity_range" -> "l_quantity >= 1 AND l_quantity <= 50",
-        "shipdate_not_null" -> "l_shipdate IS NOT NULL",
-        "positive_price" -> "l_extendedprice > 0",
-        "tax_low" -> "l_tax <= 0.05")
-      rules.map { case (name, pred) =>
-        s"""SELECT '$name' AS rule, CAST(count(*) AS BIGINT) AS n_rows,
-           | CAST(sum(CASE WHEN NOT coalesce($pred, false) THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
-           | CAST(CAST(sum(CASE WHEN NOT coalesce($pred, false) THEN 1 ELSE 0 END) AS BIGINT) * 1000000
-           |   // greatest(count(*), 1) AS BIGINT) AS violation_ppm
-           |FROM lineitem""".stripMargin
-      }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY rule")
-    },
-
-    // per-source rows for the same three pass predicates
-    "expectation_by_source" -> {
-      val rules = Seq(
-        "text_nonempty" -> "length(text) > 0",
-        "chars_in_band" -> "n_chars >= 10 AND n_chars <= 100000",
-        "id_present" -> "doc_id IS NOT NULL")
-      rules.map { case (name, pred) =>
-        s"""SELECT CAST(source AS VARCHAR) AS source, '$name' AS rule,
-           | CAST(count(*) AS BIGINT) AS n_rows,
-           | CAST(sum(CASE WHEN NOT coalesce($pred, false) THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
-           | CAST(CAST(sum(CASE WHEN NOT coalesce($pred, false) THEN 1 ELSE 0 END) AS BIGINT) * 1000000
-           |   // greatest(count(*), 1) AS BIGINT) AS violation_ppm
-           |FROM documents WHERE source IS NOT NULL GROUP BY 1""".stripMargin
-      }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY source, rule")
-    },
-
-    // the pointwise Lorenz companion: same masses, cumulative shares
-    "lorenz_curve" ->
-      """WITH m AS (
-        | SELECT CAST(source AS VARCHAR) AS g,
-        |  CAST(sum(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''))) AS BIGINT) AS m
-        | FROM documents WHERE source IS NOT NULL GROUP BY 1
-        |), r AS (
-        | SELECT g, m, row_number() OVER (ORDER BY m, g) AS i,
-        |  sum(m) OVER (ORDER BY m, g ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-        | FROM m
-        |), t AS (
-        | SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(m) AS BIGINT) AS s FROM m
-        |)
-        |SELECT r.g AS source, CAST(r.i AS BIGINT) AS grp_rank,
-        | CAST(r.i * 1000000 // t.n AS BIGINT) AS cum_groups_ppm,
-        | CAST(CAST(r.cum AS HUGEINT) * 1000000 // t.s AS BIGINT) AS cum_mass_ppm
-        |FROM r, t WHERE t.s > 0 ORDER BY 2""".stripMargin,
-
-    // the sorted-rank Gini over per-source token masses; numerator
-    // non-negative by the ascending sort so // and div agree
-    "token_gini" ->
-      """WITH m AS (
-        | SELECT CAST(source AS VARCHAR) AS g,
-        |  CAST(sum(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''))) AS BIGINT) AS m
-        | FROM documents WHERE source IS NOT NULL GROUP BY 1
-        |), r AS (
-        | SELECT m, row_number() OVER (ORDER BY m, g) AS i FROM m
-        |), t AS (
-        | SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(m) AS BIGINT) AS s,
-        |  sum(CAST(i AS HUGEINT) * m) AS w
-        | FROM r
-        |)
-        |SELECT n AS n_groups, s AS total_mass,
-        | CAST(((2 * w - (n + 1) * CAST(s AS HUGEINT)) * 1000000)
-        |   // (CAST(n AS HUGEINT) * s) AS BIGINT) AS gini_ppm
-        |FROM t WHERE s > 0""".stripMargin,
-
-    // the mass-weighted rank rule replayed: cumulative token weight
-    // over ascending value, smallest value whose cum exceeds
-    // floor(q·(W−1)) — same IEEE multiply+floor on a literal q
-    "weighted_percentiles" ->
-      """WITH w AS (
-        | SELECT CAST(n_chars AS DOUBLE) AS v,
-        |  CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS wt
-        | FROM documents
-        |), w2 AS (
-        | SELECT v, wt FROM w WHERE v IS NOT NULL AND wt > 0
-        |), tot AS (
-        | SELECT CAST(sum(wt) AS BIGINT) AS W FROM w2
-        |), c AS (
-        | SELECT v, CAST(sum(wt) AS BIGINT) AS cnt FROM w2 GROUP BY 1
-        |), r AS (
-        | SELECT v, sum(cnt) OVER (ORDER BY v
-        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-        | FROM c
-        |), probs(p_ppm, q) AS (
-        | SELECT * FROM (VALUES (100000, 0.1), (500000, 0.5), (900000, 0.9), (990000, 0.99)) x
-        |)
-        |SELECT CAST(p.p_ppm AS BIGINT) AS p_ppm,
-        | CAST((SELECT min(r.v) FROM r, tot WHERE r.cum > floor(p.q * (tot.W - 1))) AS BIGINT) AS value
-        |FROM probs p ORDER BY 1""".stripMargin,
-
-    // the same rank rule per source: per-group mass total W_g, per-group
-    // cumulative over ascending value, smallest value whose cum exceeds
-    // floor(q·(W_g−1)) — identical IEEE multiply+floor on literal q
-    "weighted_percentiles_by_source" ->
-      """WITH w AS (
-        | SELECT CAST(source AS VARCHAR) AS g, CAST(n_chars AS DOUBLE) AS v,
-        |  CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS wt
-        | FROM documents
-        |), w2 AS (
-        | SELECT g, v, wt FROM w WHERE g IS NOT NULL AND v IS NOT NULL AND wt > 0
-        |), tot AS (
-        | SELECT g, CAST(sum(wt) AS BIGINT) AS W FROM w2 GROUP BY 1
-        |), c AS (
-        | SELECT g, v, CAST(sum(wt) AS BIGINT) AS cnt FROM w2 GROUP BY 1, 2
-        |), r AS (
-        | SELECT g, v, sum(cnt) OVER (PARTITION BY g ORDER BY v
-        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-        | FROM c
-        |), probs(p_ppm, q) AS (
-        | SELECT * FROM (VALUES (100000, 0.1), (500000, 0.5), (900000, 0.9)) x
-        |)
-        |SELECT tot.g AS source, CAST(p.p_ppm AS BIGINT) AS p_ppm,
-        | CAST((SELECT min(r.v) FROM r
-        |        WHERE r.g = tot.g AND r.cum > floor(p.q * (tot.W - 1))) AS BIGINT) AS value
-        |FROM tot, probs p ORDER BY 1, 2""".stripMargin,
-
-    // the committed index holds the WHOLE corpus after both batches and
-    // nprobe = C disables pruning loss, so the streaming query equals
-    // the exhaustive scan — the ann_ivf_topk oracle verbatim
-    "ann_index_stream" ->
-      """WITH q AS (
-        | SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3
-        |), s AS (
-        | SELECT q.query_id, e.vec_id AS neighbor_id,
-        |  list_sum(list_transform(list_zip(q.qv, e.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) AS d,
-        |  list_sum(list_transform(list_zip(q.qv, q.qv), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) AS na,
-        |  list_sum(list_transform(list_zip(e.embedding, e.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) AS nb
-        | FROM embeddings e, q WHERE e.vec_id <> q.query_id
-        |), c AS (
-        | SELECT query_id, neighbor_id,
-        |  CASE WHEN sqrt(na) * sqrt(nb) > 0.0 THEN d / (sqrt(na) * sqrt(nb)) ELSE 0.0 END AS cosine
-        | FROM s
-        |)
-        |SELECT query_id, neighbor_id, cosine,
-        | CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
-        |FROM c
-        |QUALIFY rank <= 10
-        |ORDER BY query_id, rank""".stripMargin,
-
-    // per-day FNV-bucket histograms of the event-type token (the shared
-    // fnvBucketExpr), consecutive-day pairs, cross-normalized gaps
-    // summed and HALF_UP₉-scaled — all HUGEINT integers
-    "drift_timeline" ->
-      s"""WITH e AS (
-         | SELECT epoch_us(ts) // 86400000000 AS p, lower(event_type) AS token
-         | FROM events WHERE ts IS NOT NULL
-         |), vb AS (
-         | SELECT token,
-         |  $fnvBucketExpr
-         | FROM (SELECT DISTINCT token, token || ':drift' AS s FROM e)
-         |), h AS (
-         | SELECT e.p, vb.bucket, CAST(count(*) AS BIGINT) AS cnt
-         | FROM e JOIN vb ON e.token = vb.token GROUP BY 1, 2
-         |), tot AS (
-         | SELECT p, CAST(sum(cnt) AS BIGINT) AS n FROM h GROUP BY 1
-         |), pairs AS (
-         | SELECT c.p AS p, pr.n AS n_prev, c.n AS n_cur
-         | FROM tot c JOIN tot pr ON pr.p = c.p - 1
-         |), bk AS (
-         | SELECT DISTINCT pa.p, h.bucket FROM pairs pa
-         | JOIN h ON h.p = pa.p OR h.p = pa.p - 1
-         |), j AS (
-         | SELECT bk.p, bk.bucket,
-         |  coalesce(a.cnt, 0) AS ca, coalesce(b.cnt, 0) AS cb
-         | FROM bk
-         | LEFT JOIN h a ON a.p = bk.p - 1 AND a.bucket = bk.bucket
-         | LEFT JOIN h b ON b.p = bk.p AND b.bucket = bk.bucket
-         |), g AS (
-         | SELECT j.p, t.n_prev, t.n_cur,
-         |  sum(abs(CAST(j.ca AS HUGEINT) * t.n_cur - CAST(j.cb AS HUGEINT) * t.n_prev)) AS s
-         | FROM j JOIN pairs t ON t.p = j.p GROUP BY 1, 2, 3
-         |)
-         |SELECT p AS period, n_prev, n_cur,
-         | CAST((2 * (s * 1000000000) + CAST(n_prev AS HUGEINT) * n_cur)
-         |   // (2 * CAST(n_prev AS HUGEINT) * n_cur) AS BIGINT) AS l1_e9
-         |FROM g ORDER BY 1""".stripMargin,
-
-    // consecutive-day distinct-token Jaccard over the shared tokenize
-    // rule; exact strings on the oracle side (Spark: fps, 2⁻⁶⁴)
-    "vocab_churn_timeline" ->
-      """WITH e AS (
-        | SELECT epoch_us(ts) // 86400000000 AS p,
-        |  unnest(list_filter(string_split_regex(trim(regexp_replace(regexp_replace(lower(props), '[[:punct:]]', '', 'g'), '\s+', ' ', 'g')), '\s+'), t -> t <> '')) AS tok
-        | FROM events WHERE ts IS NOT NULL
-        |), pf AS (
-        | SELECT DISTINCT p, tok FROM e
-        |), sz AS (
-        | SELECT p, CAST(count(*) AS BIGINT) AS n FROM pf GROUP BY 1
-        |), pairs AS (
-        | SELECT c.p AS p, pr.n AS n_prev, c.n AS n_cur
-        | FROM sz c JOIN sz pr ON pr.p = c.p - 1
-        |), com AS (
-        | SELECT b.p, CAST(count(*) AS BIGINT) AS n_common
-        | FROM pf a JOIN pf b ON a.tok = b.tok AND b.p = a.p + 1
-        | GROUP BY 1
-        |)
-        |SELECT CAST(pairs.p AS BIGINT) AS period, n_prev, n_cur,
-        | CAST(coalesce(com.n_common, 0) AS BIGINT) AS n_common,
-        | CAST(coalesce(com.n_common, 0) * 1000000
-        |   // (n_prev + n_cur - coalesce(com.n_common, 0)) AS BIGINT) AS jaccard_ppm
-        |FROM pairs LEFT JOIN com ON com.p = pairs.p
-        |ORDER BY 1""".stripMargin,
-
-    // the same CUSUM statistic over day ranks; products in HUGEINT,
-    // argmax ties to the earliest day
-    "changepoint_day" -> changepointDayOracleSql,
-
-    // the accumulated state after the last batch IS the full series, so
-    // the streaming answer equals the batch oracle verbatim
-    "changepoint_stream" -> changepointDayOracleSql,
-
-    // first-batch-wins replay of the streaming novelty store over the
-    // same doc_id % 3 split; distinct by exact string on the oracle
-    // side (the Spark store is 8-byte fps, 2⁻⁶⁴ collision argument)
-    "novelty_stream" ->
-      """WITH toks AS (
-        | SELECT doc_id % 3 AS b,
-        |  list_filter(string_split_regex(trim(regexp_replace(regexp_replace(lower(text), '[[:punct:]]', '', 'g'), '\s+', ' ', 'g')), '\s+'), t -> t <> '') AS ts
-        | FROM documents WHERE doc_id < 1500
-        |), sh AS (
-        | SELECT b, unnest(
-        |  CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
-        |       ELSE list_distinct(list_transform(range(1, len(ts) - 1), i -> array_to_string(ts[i:i+2], ' ')))
-        |  END) AS g
-        | FROM toks
-        |), bg AS (
-        | SELECT DISTINCT b, g FROM sh
-        |), firsts AS (
-        | SELECT g, min(b) AS fb FROM bg GROUP BY 1
-        |)
-        |SELECT CAST(bg.b AS BIGINT) AS batch_id,
-        | CAST(sum(CASE WHEN f.fb = bg.b THEN 1 ELSE 0 END) AS BIGINT) AS novel_ngrams,
-        | CAST(count(*) AS BIGINT) AS distinct_ngrams,
-        | CAST(CAST(sum(CASE WHEN f.fb = bg.b THEN 1 ELSE 0 END) AS BIGINT) * 1000000
-        |   // greatest(count(*), 1) AS BIGINT) AS novelty_ppm
-        |FROM bg JOIN firsts f ON bg.g = f.g
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // the rolling-reference streaming timeline over the FIRST 4 days:
-    // batches pair by arrival RANK (the streaming semantics — equal to
-    // value-adjacency only when days are consecutive), same exact-L1
-    // arithmetic, every sum through HUGEINT then cast BIGINT
-    "drift_timeline_stream" ->
-      s"""WITH e0 AS (
-         | SELECT epoch_us(ts) // 86400000000 AS p, lower(event_type) AS token
-         | FROM events WHERE ts IS NOT NULL
-         |), days AS (
-         | SELECT p, row_number() OVER (ORDER BY p) AS rn
-         | FROM (SELECT DISTINCT p FROM e0 ORDER BY p LIMIT 4)
-         |), e AS (
-         | SELECT d.rn, e0.token FROM e0 JOIN days d ON d.p = e0.p
-         |), vb AS (
-         | SELECT token,
-         |  $fnvBucketExpr
-         | FROM (SELECT DISTINCT token, token || ':drift' AS s FROM e)
-         |), h AS (
-         | SELECT e.rn, vb.bucket, CAST(count(*) AS BIGINT) AS cnt
-         | FROM e JOIN vb ON e.token = vb.token GROUP BY 1, 2
-         |), tot AS (
-         | SELECT rn, CAST(sum(cnt) AS BIGINT) AS n FROM h GROUP BY 1
-         |), pairs AS (
-         | SELECT c.rn AS rn, pr.n AS n_prev, c.n AS n_cur
-         | FROM tot c JOIN tot pr ON pr.rn = c.rn - 1
-         |), bk AS (
-         | SELECT DISTINCT pa.rn, h.bucket FROM pairs pa
-         | JOIN h ON h.rn = pa.rn OR h.rn = pa.rn - 1
-         |), j AS (
-         | SELECT bk.rn, bk.bucket,
-         |  coalesce(a.cnt, 0) AS ca, coalesce(b.cnt, 0) AS cb
-         | FROM bk
-         | LEFT JOIN h a ON a.rn = bk.rn - 1 AND a.bucket = bk.bucket
-         | LEFT JOIN h b ON b.rn = bk.rn AND b.bucket = bk.bucket
-         |), g AS (
-         | SELECT j.rn, t.n_prev, t.n_cur,
-         |  sum(abs(CAST(j.ca AS HUGEINT) * t.n_cur - CAST(j.cb AS HUGEINT) * t.n_prev)) AS s
-         | FROM j JOIN pairs t ON t.rn = j.rn GROUP BY 1, 2, 3
-         |)
-         |SELECT d.p AS period, g.n_prev, g.n_cur,
-         | CAST((2 * (g.s * 1000000000) + CAST(g.n_prev AS HUGEINT) * g.n_cur)
-         |   // (2 * CAST(g.n_prev AS HUGEINT) * g.n_cur) AS BIGINT) AS l1_e9
-         |FROM g JOIN days d ON d.rn = g.rn ORDER BY 1""".stripMargin,
-
-    // the bucketed self-join is 1:1 on doc_id, so the compared surface
-    // is the per-source doc and token accounting
-    "bucketed_join" ->
-      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-        | CAST(sum(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''))) AS BIGINT) AS n_tokens
-        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // the watermark protocol replayed in closed form: wm after batch b =
-    // running max event time − 30 min over batches ≤ b; a row is kept
-    // iff it is not older than the wm committed BEFORE its batch; kept
-    // rows roll into hourly tumbling windows
-    "late_data_stream" ->
-      """WITH e AS (
-        | SELECT event_id, epoch_us(ts) AS us,
-        |  least(event_id // 300 + CASE WHEN event_id % 97 = 3 THEN 1 ELSE 0 END, 2) AS b
-        | FROM events WHERE event_id < 900 AND ts IS NOT NULL
-        |), bm AS (
-        | SELECT b, max(us) AS mx FROM e GROUP BY b
-        |), wm AS (
-        | SELECT b, max(mx) OVER (ORDER BY b
-        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1800000000 AS wm_after
-        | FROM bm
-        |), kept AS (
-        | SELECT e.us FROM e LEFT JOIN wm ON wm.b = e.b - 1
-        | WHERE wm.wm_after IS NULL OR e.us >= wm.wm_after
-        |)
-        |SELECT (us // 3600000000) * 3600000000 AS w_start,
-        | CAST(count(*) AS BIGINT) AS cnt
-        |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "corpus_drift_l1" -> corpusDriftSql(
-      """SELECT CAST(t.na AS BIGINT) AS n_a, CAST(t.nb AS BIGINT) AS n_b,
-        | CAST((2 * (sg.s * 1000000000) + CAST(t.na AS HUGEINT) * t.nb)
-        |        // (2 * (CAST(t.na AS HUGEINT) * t.nb)) AS BIGINT) AS l1_e9
-        |FROM t, (SELECT sum(gap) AS s FROM g) sg""".stripMargin),
-
-    "profile_numeric" ->
-      (Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax").map { c =>
-        s"""SELECT '$c' AS col_name,
-           | CAST(count($c) AS BIGINT) AS n,
-           | CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls,
-           | CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
-           | CAST(min($c) AS DOUBLE) AS min, CAST(max($c) AS DOUBLE) AS max,
-           | CASE WHEN count($c) > 0
-           |      THEN CAST(CAST(sum(CAST($c AS DECIMAL(38,2))) AS DOUBLE) AS DOUBLE) / count($c)
-           |      ELSE NULL END AS mean,
-           | quantile_cont($c, 0.25) AS p25, quantile_cont($c, 0.5) AS p50,
-           | quantile_cont($c, 0.75) AS p75, quantile_cont($c, 0.9) AS p90
-           |FROM lineitem""".stripMargin
-      }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")),
-
-    // exact columns of the sketch-path profile (percentiles projected out
-    // — a GK sketch is not hash-comparable across engines)
-    "profile_numeric_approx" ->
-      (Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax").map { c =>
-        s"""SELECT '$c' AS col_name,
-           | CAST(count($c) AS BIGINT) AS n,
-           | CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls,
-           | CAST(min($c) AS DOUBLE) AS min, CAST(max($c) AS DOUBLE) AS max,
-           | CASE WHEN count($c) > 0
-           |      THEN CAST(CAST(sum(CAST($c AS DECIMAL(38,2))) AS DOUBLE) AS DOUBLE) / count($c)
-           |      ELSE NULL END AS mean
-           |FROM lineitem""".stripMargin
-      }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")),
-
-    // per-group twin of the profile_numeric oracle: quantile_cont per
-    // (source, lang) == Spark's exact histogram percentile; the mean is
-    // the same decimal-sum / double-division written order
-    "profile_by_group" ->
-      """SELECT source, lang,
-        | CAST(count(n_chars) AS BIGINT) AS n,
-        | CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls,
-        | CAST(count(DISTINCT n_chars) AS BIGINT) AS n_distinct,
-        | CAST(min(n_chars) AS DOUBLE) AS min, CAST(max(n_chars) AS DOUBLE) AS max,
-        | CASE WHEN count(n_chars) > 0
-        |      THEN CAST(sum(CAST(n_chars AS DECIMAL(38,2))) AS DOUBLE) / count(n_chars)
-        |      ELSE NULL END AS mean,
-        | quantile_cont(CAST(n_chars AS DOUBLE), 0.25) AS p25,
-        | quantile_cont(CAST(n_chars AS DOUBLE), 0.5) AS p50,
-        | quantile_cont(CAST(n_chars AS DOUBLE), 0.75) AS p75,
-        | quantile_cont(CAST(n_chars AS DOUBLE), 0.9) AS p90
-        |FROM documents GROUP BY source, lang
-        |ORDER BY source, lang""".stripMargin,
-
-    "salted_join" ->
-      """SELECT o.o_orderstatus, CAST(count(*) AS BIGINT) AS n,
-        | CAST(CAST(sum(CAST(l.l_quantity AS DECIMAL(38,2))) AS DECIMAL(38,2)) AS DOUBLE) AS qty
-        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // DuckDB's native ASOF JOIN is the oracle; timestamps are micro-
-    // aligned in the data so nanos-vs-micros truncation cannot disagree
-    "asof_join" ->
-      """WITH l AS (
-        | SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
-        |), r AS (
-        | SELECT user_id, ts, max(event_id) AS view_id, arg_max(value, event_id) AS view_value
-        | FROM events WHERE event_type = 'view' GROUP BY 1, 2
-        |)
-        |SELECT l.event_id AS event_id, l.user_id AS user_id,
-        | epoch_us(l.ts) AS ts_us,
-        | r.view_id AS matched_view_id,
-        | r.view_value AS matched_value,
-        | epoch_us(r.ts) AS matched_ts_us
-        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
-        |ORDER BY 1""".stripMargin,
-
-    // the backward match is the LATEST preceding row, so a staleness
-    // bound is a post-filter: no closer match can exist behind it
-    "asof_join_tolerance" ->
-      """WITH l AS (
-        | SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
-        |), r AS (
-        | SELECT user_id, ts, max(event_id) AS view_id
-        | FROM events WHERE event_type = 'view' GROUP BY 1, 2
-        |)
-        |SELECT l.event_id AS event_id, l.user_id AS user_id,
-        | epoch_us(l.ts) AS ts_us,
-        | CASE WHEN r.ts IS NOT NULL AND l.ts - r.ts <= INTERVAL 30 MINUTE
-        |      THEN r.view_id END AS matched_view_id,
-        | CASE WHEN r.ts IS NOT NULL AND l.ts - r.ts <= INTERVAL 30 MINUTE
-        |      THEN epoch_us(r.ts) END AS matched_ts_us
-        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
-        |ORDER BY 1""".stripMargin,
-
-    // forward direction: DuckDB ASOF picks the NEAREST row satisfying the
-    // inequality, so l.ts <= r.ts is exactly earliest-at-or-after; the
-    // right side is pre-deduped per (user_id, ts) for determinism
-    "asof_join_forward" ->
-      """WITH l AS (
-        | SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
-        |), r AS (
-        | SELECT user_id, ts, max(event_id) AS view_id, arg_max(value, event_id) AS view_value
-        | FROM events WHERE event_type = 'view' GROUP BY 1, 2
-        |)
-        |SELECT l.event_id AS event_id, l.user_id AS user_id,
-        | epoch_us(l.ts) AS ts_us,
-        | r.view_id AS matched_view_id,
-        | r.view_value AS matched_value,
-        | epoch_us(r.ts) AS matched_ts_us
-        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts
-        |ORDER BY 1""".stripMargin,
-
-    // nearest = backward ASOF + forward ASOF + the engine's arbitration
-    // rule verbatim: forward wins iff strictly closer (backward wins
-    // ties); a missing side falls to the other; both missing -> NULLs.
-    // l.event_id is unique per click, so the b/f recombination join is
-    // exact (the engine needs no such join — one shuffle, two windows)
-    "asof_join_nearest" ->
-      """WITH l AS (
-        | SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
-        |), r AS (
-        | SELECT user_id, ts, max(event_id) AS view_id, arg_max(value, event_id) AS view_value
-        | FROM events WHERE event_type = 'view' GROUP BY 1, 2
-        |), b AS (
-        | SELECT l.event_id, l.user_id, l.ts,
-        |        r.view_id AS bid, r.view_value AS bval, r.ts AS bts
-        | FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
-        |), f AS (
-        | SELECT l.event_id, r.view_id AS fid, r.view_value AS fval, r.ts AS fts
-        | FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts
-        |)
-        |SELECT b.event_id AS event_id, b.user_id AS user_id,
-        | epoch_us(b.ts) AS ts_us,
-        | CASE WHEN b.bts IS NULL THEN f.fid
-        |      WHEN f.fts IS NULL THEN b.bid
-        |      WHEN epoch_us(f.fts) - epoch_us(b.ts) < epoch_us(b.ts) - epoch_us(b.bts) THEN f.fid
-        |      ELSE b.bid END AS matched_view_id,
-        | CASE WHEN b.bts IS NULL THEN f.fval
-        |      WHEN f.fts IS NULL THEN b.bval
-        |      WHEN epoch_us(f.fts) - epoch_us(b.ts) < epoch_us(b.ts) - epoch_us(b.bts) THEN f.fval
-        |      ELSE b.bval END AS matched_value,
-        | CASE WHEN b.bts IS NULL THEN epoch_us(f.fts)
-        |      WHEN f.fts IS NULL THEN epoch_us(b.bts)
-        |      WHEN epoch_us(f.fts) - epoch_us(b.ts) < epoch_us(b.ts) - epoch_us(b.bts) THEN epoch_us(f.fts)
-        |      ELSE epoch_us(b.bts) END AS matched_ts_us
-        |FROM b JOIN f ON b.event_id = f.event_id
-        |ORDER BY 1""".stripMargin,
-
-    // latest row per user at the cutoff, ranked by the operator's exact
-    // (ts desc, event_id desc) total order; value passes through
-    // untouched so doubles compare bitwise
-    "snapshot_at" ->
-      """WITH e AS (
-        | SELECT user_id, epoch_us(ts) AS tsm, event_id, event_type, value
-        | FROM events WHERE ts IS NOT NULL
-        |)
-        |SELECT user_id, tsm, event_id, event_type, value FROM e
-        |WHERE tsm <= 1705276800000000
-        |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY tsm DESC, event_id DESC) = 1
-        |ORDER BY user_id""".stripMargin,
-
-    // DuckDB plans the raw range predicate directly (IEJoin); the hash
-    // compare checks the bucketed equi-join rewrite against it.
-    "range_join_points" ->
-      """WITH p AS (
-        | SELECT DISTINCT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day
-        | FROM orders
-        |), iv AS (
-        | SELECT date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS ship_day,
-        |        CAST(l_quantity AS BIGINT) AS q
-        | FROM lineitem
-        |)
-        |SELECT p.day AS day, CAST(count(*) AS BIGINT) AS n
-        |FROM p JOIN iv ON p.day >= iv.ship_day AND p.day <= iv.ship_day + iv.q
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "interval_overlap_join" ->
-      """WITH iv AS (
-        | SELECT l_partkey AS k,
-        |        date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS s,
-        |        date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
-        |          + CAST(l_quantity AS BIGINT) AS e
-        | FROM lineitem WHERE l_partkey < 200
-        |)
-        |SELECT a.k AS k, CAST(count(*) AS BIGINT) AS n
-        |FROM iv a JOIN iv b ON a.k = b.k AND a.s <= b.e AND b.s <= a.e
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // json_extract mirrors get_json_object on plain integer fields;
-    // integer sums are exact in both engines
-    "props_extract_agg" ->
-      """WITH e AS (
-        | SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events
-        |)
-        |SELECT event_type, CAST(count(k) AS BIGINT) AS n,
-        | CAST(sum(k) AS BIGINT) AS k_sum, CAST(max(k) AS BIGINT) AS k_max
-        |FROM e GROUP BY 1
-        |ORDER BY 1""".stripMargin,
-
-    // every event belongs to the two slide-aligned window starts
-    // (m//slide - k)*slide for k in {0,1}; pure integer micros
-    "hopping_window_counts" ->
-      """WITH e AS (
-        | SELECT epoch_us(ts) AS m, event_type FROM events WHERE ts IS NOT NULL
-        |), w AS (
-        | SELECT (m // 1800000000 - k.k) * 1800000000 AS w_start, event_type
-        | FROM e, (SELECT unnest(range(2)) AS k) k
-        |)
-        |SELECT w_start, event_type, CAST(count(*) AS BIGINT) AS cnt
-        |FROM w GROUP BY 1, 2
-        |ORDER BY 1, 2""".stripMargin,
-
-    // the stride-3 interleave replayed from the shared generator; value
-    // band via floor + sign-safe modulo
-    "zorder3_layout" ->
-      s"""WITH e AS (
-         | SELECT event_id, user_id, (epoch_us(ts) // 60000000) AS tmin,
-         |  ((CAST(floor("value") AS BIGINT) % 1024) + 1024) % 1024 AS vb
-         | FROM events WHERE event_id < 2000
-         |)
-         |SELECT event_id,
-         | CAST(${zorder3SqlExpr("user_id", "tmin", "vb", 20)} AS BIGINT) AS zkey3
-         |FROM e ORDER BY event_id""".stripMargin,
-
-    // the Hilbert transform replayed as an unrolled 31-step CTE chain
-    // (hilbertStepsSql) — identical integer arithmetic per step
-    "hilbert_layout" -> {
-      val mask = (1L << 31) - 1L
-      s"""WITH h0 AS (
-         | SELECT event_id,
-         |  CAST(user_id & $mask AS BIGINT) AS hx,
-         |  CAST((epoch_us(ts) // 60000000) & $mask AS BIGINT) AS hy,
-         |  CAST(0 AS BIGINT) AS hd
-         | FROM events WHERE event_id < 2000
-         |), ${hilbertStepsSql(31, Seq("event_id"))}
-         |SELECT event_id, hd AS hkey FROM h31 ORDER BY event_id""".stripMargin
-    },
-
-    // same generated chain, grouped into simulated hilbert-sorted files
-    "hilbert_pruning" -> {
-      val mask = (1L << 31) - 1L
-      s"""WITH h0 AS (
-         | SELECT user_id, (epoch_us(ts) // 60000000) AS tmin,
-         |  CAST(user_id & $mask AS BIGINT) AS hx,
-         |  CAST((epoch_us(ts) // 60000000) & $mask AS BIGINT) AS hy,
-         |  CAST(0 AS BIGINT) AS hd
-         | FROM events WHERE event_id < 2000
-         |), ${hilbertStepsSql(31, Seq("user_id", "tmin"))}
-         |SELECT hd // 2097152 AS hfile, CAST(count(*) AS BIGINT) AS n_rows,
-         | min(user_id) AS u_min, max(user_id) AS u_max,
-         | min(tmin) AS t_min, max(tmin) AS t_max
-         |FROM h31 GROUP BY 1 ORDER BY 1""".stripMargin
-    },
-
-    // the Morton key replayed as the same generated shift/mask sum
-    // (zorderSqlExpr — one builder feeds both engines' expressions)
-    "zorder_layout" ->
-      s"""SELECT event_id,
-         | CAST(${zorderSqlExpr("user_id", "(epoch_us(ts) // 60000000)", 31)} AS BIGINT) AS zkey
-         |FROM events WHERE event_id < 2000
-         |ORDER BY event_id""".stripMargin,
-
-    // same generated key, grouped into simulated z-sorted files with
-    // per-file min/max bounds in both dimensions
-    "zorder_pruning" ->
-      s"""WITH z AS (
-         | SELECT user_id, (epoch_us(ts) // 60000000) AS tmin,
-         |  CAST(${zorderSqlExpr("user_id", "(epoch_us(ts) // 60000000)", 31)} AS BIGINT) AS zkey
-         | FROM events WHERE event_id < 2000
-         |)
-         |SELECT zkey // 1048576 AS zfile, CAST(count(*) AS BIGINT) AS n_rows,
-         | min(user_id) AS u_min, max(user_id) AS u_max,
-         | min(tmin) AS t_min, max(tmin) AS t_max
-         |FROM z GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // per-user type sequences ordered by (micros, event_id) — a total
-    // order — then 3-gram windows counted; (cnt DESC, path) totally
-    // orders the cut
-    "event_paths" ->
-      """WITH s AS (
-        | SELECT user_id, list(event_type ORDER BY epoch_us(ts), event_id) AS types
-        | FROM events GROUP BY 1
-        |), p AS (
-        | SELECT array_to_string(types[i:i+2], ' ') AS path
-        | FROM (SELECT types, unnest(range(1, len(types) - 1)) AS i
-        |       FROM s WHERE len(types) >= 3)
-        |), c AS (
-        | SELECT path, CAST(count(*) AS BIGINT) AS cnt FROM p GROUP BY 1
-        |)
-        |SELECT path, cnt FROM c ORDER BY cnt DESC, path LIMIT 10""".stripMargin,
-
-    // per-user-day counts, then the identical trailing RANGE frame
-    "rolling_user_activity" ->
-      """WITH pd AS (
-        | SELECT user_id AS "user", epoch_us(ts) // 86400000000 AS period,
-        |  CAST(count(*) AS BIGINT) AS n_events
-        | FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
-        | GROUP BY 1, 2
-        |)
-        |SELECT "user", period, n_events,
-        | CAST(sum(n_events) OVER (PARTITION BY "user" ORDER BY period
-        |   RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS rolling
-        |FROM pd WHERE "user" < 200
-        |ORDER BY 1, 2""".stripMargin,
-
-    // the (user, week) distinct matrix joined to each user's min week;
-    // floor-division weeks, so no calendar rules to disagree on
-    "cohort_retention" ->
-      """WITH uw AS (
-        | SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS w FROM events
-        |), c AS (
-        | SELECT user_id, min(w) AS cw FROM uw GROUP BY 1
-        |)
-        |SELECT c.cw AS cohort_period, uw.w - c.cw AS offset, CAST(count(*) AS BIGINT) AS users
-        |FROM uw JOIN c ON uw.user_id = c.user_id
-        |GROUP BY 1, 2
-        |ORDER BY 1, 2""".stripMargin,
-
-    // t1 = min view; t2 = min click after t1; t3 = min purchase after
-    // t2 — the same strict min-chain, counted per step
-    "funnel_reach" ->
-      """WITH e AS (
-        | SELECT user_id, epoch_us(ts) AS m, event_type AS et FROM events
-        | WHERE event_type IN ('view', 'click', 'purchase')
-        |), u1 AS (
-        | SELECT user_id, min(m) AS t1 FROM e WHERE et = 'view' GROUP BY 1
-        |), u2 AS (
-        | SELECT e.user_id, min(e.m) AS t2 FROM e JOIN u1 ON e.user_id = u1.user_id
-        | WHERE e.et = 'click' AND e.m > u1.t1 GROUP BY 1
-        |), u3 AS (
-        | SELECT e.user_id, min(e.m) AS t3 FROM e JOIN u2 ON e.user_id = u2.user_id
-        | WHERE e.et = 'purchase' AND e.m > u2.t2 GROUP BY 1
-        |)
-        |SELECT 1 AS step, 'view' AS step_name, (SELECT count(*) FROM u1) AS users
-        |UNION ALL SELECT 2, 'click', (SELECT count(*) FROM u2)
-        |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM u3)
-        |ORDER BY step""".stripMargin,
-
-    "sessionize" ->
-      """SELECT user_id,
-        | CAST(SUM(CASE WHEN prev IS NULL OR epoch_ms(ts) - epoch_ms(prev) > 1800000 THEN 1 ELSE 0 END) AS BIGINT) AS sessions
-        |FROM (
-        | SELECT user_id, ts, LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
-        | FROM events
-        |)
-        |GROUP BY user_id ORDER BY user_id""".stripMargin,
-
-    // the same gap rule and rank rule: sessions by 30-min cut over
-    // (us, event_id) order, then the mass-weighted percentile replay
-    // with weight ≡ 1
-    "session_durations" ->
-      """WITH e AS (
-        | SELECT user_id, epoch_us(ts) AS us, event_id FROM events WHERE ts IS NOT NULL
-        |), o AS (
-        | SELECT user_id, us, event_id,
-        |  CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
-        |       THEN 1 ELSE 0 END AS ns
-        | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
-        |), s AS (
-        | SELECT user_id, us,
-        |  sum(ns) OVER (PARTITION BY user_id ORDER BY us, event_id) AS sid
-        | FROM o
-        |), sess AS (
-        | SELECT user_id, sid, CAST(max(us) - min(us) AS BIGINT) AS dur
-        | FROM s GROUP BY 1, 2
-        |), c AS (
-        | SELECT CAST(dur AS DOUBLE) AS v, CAST(count(*) AS BIGINT) AS cnt FROM sess GROUP BY 1
-        |), tot AS (
-        | SELECT CAST(sum(cnt) AS BIGINT) AS W FROM c
-        |), r AS (
-        | SELECT v, sum(cnt) OVER (ORDER BY v
-        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-        | FROM c
-        |), probs(p_ppm, q) AS (
-        | SELECT * FROM (VALUES (500000, 0.5), (900000, 0.9), (990000, 0.99)) x
-        |)
-        |SELECT CAST(p.p_ppm AS BIGINT) AS p_ppm,
-        | CAST((SELECT min(r.v) FROM r, tot WHERE r.cum > floor(p.q * (tot.W - 1))) AS BIGINT) AS dur_us
-        |FROM probs p ORDER BY 1""".stripMargin,
-
-    // lead() over the same (ts, event_id) order; window sum through
-    // HUGEINT then cast (the row-normalizer)
-    "event_transitions" ->
-      """WITH o AS (
-        | SELECT user_id, event_type,
-        |  lead(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS nxt
-        | FROM events
-        |)
-        |SELECT event_type AS from_type, nxt AS to_type,
-        | CAST(count(*) AS BIGINT) AS n,
-        | CAST((CAST(count(*) AS HUGEINT) * 1000000)
-        |   // CAST(sum(count(*)) OVER (PARTITION BY event_type) AS HUGEINT) AS BIGINT) AS p_ppm
-        |FROM o WHERE nxt IS NOT NULL
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-
-    "quality_filter" ->
-      """WITH f AS (
-        | SELECT source,
-        |  len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS n_tokens,
-        |  CASE WHEN length(text) > 0
-        |       THEN CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)
-        |       ELSE 0.0 END AS punct_ratio,
-        |  list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '') AS toks
-        | FROM documents
-        |), g AS (
-        | SELECT source, n_tokens, punct_ratio,
-        |  CASE WHEN len(toks) > 0
-        |       THEN CAST(len(list_filter(toks, t -> t IN ('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','be','this','are','was','from'))) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
-        |       ELSE 0.0 END AS stopword_ratio
-        | FROM f
-        |), q AS (
-        | SELECT source, n_tokens,
-        |  round((CASE WHEN n_tokens BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END) * 0.4
-        |      + (CASE WHEN stopword_ratio BETWEEN 0.01 AND 0.8 THEN 1.0 ELSE 0.0 END) * 0.4
-        |      + (CASE WHEN punct_ratio < 0.2 THEN 1.0 ELSE 0.0 END) * 0.2, 2) AS quality
-        | FROM g
-        |)
-        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
-        |       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
-        |FROM q WHERE quality >= 0.8
-        |GROUP BY source ORDER BY source""".stripMargin,
-
-    "pipeline_train_prep" ->
-      """WITH norm AS (
-        | SELECT doc_id, source, text,
-        |  trim(regexp_replace(regexp_replace(lower(text), '[[:punct:]]', '', 'g'), '\s+', ' ', 'g')) AS nt
-        | FROM documents
-        |), kept AS (
-        | SELECT doc_id, source, text,
-        |        ROW_NUMBER() OVER (PARTITION BY nt ORDER BY doc_id) AS rn
-        | FROM norm
-        |), f AS (
-        | SELECT source,
-        |  len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS n_tokens,
-        |  CASE WHEN length(text) > 0
-        |       THEN CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)
-        |       ELSE 0.0 END AS punct_ratio,
-        |  list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '') AS toks
-        | FROM kept WHERE rn = 1
-        |), g AS (
-        | SELECT source, n_tokens, punct_ratio,
-        |  CASE WHEN len(toks) > 0
-        |       THEN CAST(len(list_filter(toks, t -> t IN ('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','be','this','are','was','from'))) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
-        |       ELSE 0.0 END AS stopword_ratio
-        | FROM f
-        |), q AS (
-        | SELECT source, n_tokens,
-        |  round((CASE WHEN n_tokens BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END) * 0.4
-        |      + (CASE WHEN stopword_ratio BETWEEN 0.01 AND 0.8 THEN 1.0 ELSE 0.0 END) * 0.4
-        |      + (CASE WHEN punct_ratio < 0.2 THEN 1.0 ELSE 0.0 END) * 0.2, 2) AS quality
-        | FROM g
-        |)
-        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
-        |       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
-        |FROM q WHERE quality >= 0.8
-        |GROUP BY source ORDER BY source""".stripMargin,
-
-    "bins_per_record" ->
-      """SELECT event_id,
-        | 'time.' || strftime(ts, '%Y') || '|time.' || strftime(ts, '%Y-%m')
-        |   || '|time.' || strftime(ts, '%Y-%m-%d') || '|type.' || event_type AS bin_names,
-        | CAST(4 AS BIGINT) AS n_bins
-        |FROM events
-        |ORDER BY event_id""".stripMargin,
-
-    "doc_fingerprint" ->
-      """WITH norm AS (
-        | SELECT trim(regexp_replace(regexp_replace(lower(text), '[[:punct:]]', '', 'g'), '\s+', ' ', 'g')) AS nt
-        | FROM documents
-        |), g AS (
-        | SELECT CAST(count(*) AS BIGINT) AS group_size FROM norm GROUP BY nt
-        |)
-        |SELECT group_size, CAST(count(*) AS BIGINT) AS n_groups
-        |FROM g GROUP BY group_size ORDER BY group_size""".stripMargin,
-
-    // identical floor-e6 quantization (one IEEE product then floor —
-    // no round-mode trap), exact integer distances, argmin by
-    // (dist, cid), integer sums — every value compared is a BIGINT/INT
-    "kmeans_iter_exact" ->
-      """WITH e AS (
-        | SELECT vec_id,
-        |  list_transform(embedding,
-        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS a
-        | FROM embeddings
-        |), c AS (
-        | SELECT vec_id AS cid, a AS cv FROM e WHERE vec_id < 4
-        |), d AS (
-        | SELECT e.vec_id, c.cid,
-        |  list_sum(list_transform(range(1, len(e.a) + 1),
-        |    i -> (e.a[i] - c.cv[i]) * (e.a[i] - c.cv[i]))) AS dist
-        | FROM e, c
-        |), w AS (
-        | SELECT vec_id, cid,
-        |  row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-        | FROM d
-        |), asg AS (
-        | SELECT e.vec_id, w.cid, e.a FROM w JOIN e USING (vec_id) WHERE rn = 1
-        |), ex AS (
-        | SELECT cid, CAST(generate_subscripts(a, 1) - 1 AS INT) AS pos,
-        |  unnest(a) AS x
-        | FROM asg
-        |)
-        |SELECT cid AS centroid_id, pos,
-        | CAST(sum(x) AS BIGINT) AS sum_e6,
-        | CAST(count(*) AS BIGINT) AS n_assigned
-        |FROM ex GROUP BY 1, 2
-        |ORDER BY centroid_id, pos""".stripMargin,
-
-    // farthest-point rounds unrolled; see kcenterOracleSql
-    "kcenter_diversity" -> kcenterOracleSql(k = 5),
-
-    // the exact k-NN graph over the sample, in-degrees, histogram;
-    // ties by (dist, nid) = the heap rule
-    // exact e6 L2 3-NN lists, reciprocity via self-join, canonical a<b
-    "embedding_mutual_knn" ->
-      s"""WITH $mutualKnnCteSql
-         |SELECT id_a, id_b FROM me ORDER BY 1, 2""".stripMargin,
-
-    // the blocked variant: exact-argmin cell assignment (ties to the
-    // smaller centroid id — the casg convention), within-cell lists,
-    // same reciprocity
-    "embedding_mutual_knn_blocked" ->
-      """WITH e AS (
-        | SELECT CAST(vec_id AS BIGINT) AS id,
-        |  list_transform(embedding,
-        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
-        | FROM embeddings WHERE vec_id < 200
-        |), cc AS (
-        | SELECT id AS ccid, v AS ccv FROM e WHERE id < 4
-        |), cd AS (
-        | SELECT e.id, cc.ccid,
-        |  list_sum(list_transform(range(1, 65),
-        |    i -> (e.v[i] - cc.ccv[i]) * (e.v[i] - cc.ccv[i]))) AS dist
-        | FROM e, cc
-        |), casg AS (
-        | SELECT id, ccid FROM (
-        |  SELECT id, ccid, row_number() OVER (PARTITION BY id ORDER BY dist, ccid) AS rn
-        |  FROM cd) WHERE rn = 1
-        |), pd AS (
-        | SELECT q.id AS qid, p.id AS nid,
-        |  CAST(list_sum(list_transform(list_zip(q.v, p.v), z -> (z[1]-z[2])*(z[1]-z[2]))) AS BIGINT) AS dist
-        | FROM e q JOIN casg cq ON cq.id = q.id
-        | JOIN casg cp ON cp.ccid = cq.ccid
-        | JOIN e p ON p.id = cp.id
-        | WHERE q.id <> p.id
-        |), kn AS (
-        | SELECT qid, nid FROM (
-        |  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY dist, nid) AS rn
-        |  FROM pd) WHERE rn <= 3
-        |), me AS (
-        | SELECT a.qid AS id_a, a.nid AS id_b
-        | FROM kn a JOIN kn b ON b.qid = a.nid AND b.nid = a.qid
-        | WHERE a.qid < a.nid
-        |)
-        |SELECT id_a, id_b FROM me ORDER BY 1, 2""".stripMargin,
-
-    // the multi-probe variant: index side keyed on the argmin home
-    // cell (casg), query side on the 2 nearest cells (cprobe, the same
-    // (dist, ccid) ladder cut at rn <= 2), same top-3 + reciprocity
-    "embedding_mutual_knn_probed" ->
-      s"""WITH $mutualKnnProbedCteSql
-         |SELECT id_a, id_b FROM me ORDER BY 1, 2""".stripMargin,
-
-    // the partitioned-layout path is value-identical to the probed
-    // operator by construction — the same oracle replays it
-    "embedding_mutual_knn_partitioned" ->
-      s"""WITH $mutualKnnProbedCteSql
-         |SELECT id_a, id_b FROM me ORDER BY 1, 2""".stripMargin,
-
-    // the PRODUCTION cluster composition: the probed edges lpad'd into
-    // the same min-propagation rounds as pipeline_embedding_clusters
-    "pipeline_embedding_clusters_probed" -> {
-      val rounds = (1 to 8).map { k =>
-        s"""c$k AS (
-           | SELECT e._d AS v, min(p.l) AS ml
-           | FROM bsym e JOIN l${k - 1} p ON p.v = e._s GROUP BY 1
-           |), l$k AS (
-           | SELECT p.v, least(p.l, coalesce(c$k.ml, p.l)) AS l
-           | FROM l${k - 1} p LEFT JOIN c$k ON c$k.v = p.v
-           |)""".stripMargin
-      }.mkString(", ")
-      s"""WITH $mutualKnnProbedCteSql, le AS (
-         | SELECT lpad(CAST(id_a AS VARCHAR), 12, '0') AS a,
-         |        lpad(CAST(id_b AS VARCHAR), 12, '0') AS b
-         | FROM me
-         |), bsym AS MATERIALIZED (
-         | SELECT a AS _s, b AS _d FROM le UNION SELECT b, a FROM le
-         |), l0 AS MATERIALIZED (
-         | SELECT v, v AS l FROM (SELECT DISTINCT _s AS v FROM bsym)
-         |), $rounds
-         |SELECT v AS node, l AS label FROM l8 ORDER BY node""".stripMargin
-    },
-
-    // the same edges lpad'd into the er_serve min-propagation rounds
-    "pipeline_embedding_clusters" -> {
-      val rounds = (1 to 8).map { k =>
-        s"""c$k AS (
-           | SELECT e._d AS v, min(p.l) AS ml
-           | FROM bsym e JOIN l${k - 1} p ON p.v = e._s GROUP BY 1
-           |), l$k AS (
-           | SELECT p.v, least(p.l, coalesce(c$k.ml, p.l)) AS l
-           | FROM l${k - 1} p LEFT JOIN c$k ON c$k.v = p.v
-           |)""".stripMargin
-      }.mkString(", ")
-      s"""WITH $mutualKnnCteSql, le AS (
-         | SELECT lpad(CAST(id_a AS VARCHAR), 12, '0') AS a,
-         |        lpad(CAST(id_b AS VARCHAR), 12, '0') AS b
-         | FROM me
-         |), bsym AS (
-         | SELECT a AS _s, b AS _d FROM le UNION SELECT b, a FROM le
-         |), l0 AS (
-         | SELECT v, v AS l FROM (SELECT DISTINCT _s AS v FROM bsym)
-         |), $rounds
-         |SELECT v AS node, l AS label FROM l8 ORDER BY node""".stripMargin
-    },
-
-    "knn_hubness" ->
-      """WITH e AS (
-        | SELECT CAST(vec_id AS BIGINT) AS id,
-        |  list_transform(embedding,
-        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
-        | FROM embeddings WHERE vec_id < 128
-        |), pd AS (
-        | SELECT q.id AS qid, p.id AS nid,
-        |  CAST(list_sum(list_transform(list_zip(q.v, p.v), z -> (z[1]-z[2])*(z[1]-z[2]))) AS BIGINT) AS dist
-        | FROM e q, e p WHERE q.id <> p.id
-        |), kn AS (
-        | SELECT qid, nid FROM (
-        |  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY dist, nid) AS rn
-        |  FROM pd) WHERE rn <= 5
-        |), ind AS (
-        | SELECT nid, CAST(count(*) AS BIGINT) AS c FROM kn GROUP BY 1
-        |), z AS (
-        | SELECT coalesce(ind.c, 0) AS in_degree FROM e LEFT JOIN ind ON ind.nid = e.id
-        |)
-        |SELECT CAST(in_degree AS BIGINT) AS in_degree,
-        | CAST(count(*) AS BIGINT) AS n_points
-        |FROM z GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // round 1 replayed, means by trunc-div (// truncates toward zero in
-    // DuckDB exactly like Spark's div — pinned for negative sums),
-    // round 2 against the integer centroids
-    "kmeans_two_iter" ->
-      """WITH e AS (
-        | SELECT vec_id,
-        |  list_transform(embedding,
-        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS a
-        | FROM embeddings
-        |), c1 AS (
-        | SELECT vec_id AS cid, a AS cv FROM e WHERE vec_id < 4
-        |), d1 AS (
-        | SELECT e.vec_id, c1.cid,
-        |  list_sum(list_transform(range(1, len(e.a) + 1),
-        |    i -> (e.a[i] - c1.cv[i]) * (e.a[i] - c1.cv[i]))) AS dist
-        | FROM e, c1
-        |), w1 AS (
-        | SELECT vec_id, cid,
-        |  row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-        | FROM d1
-        |), a1 AS (
-        | SELECT e.vec_id, w1.cid, e.a FROM w1 JOIN e USING (vec_id) WHERE rn = 1
-        |), ex1 AS (
-        | SELECT cid, CAST(generate_subscripts(a, 1) - 1 AS INT) AS pos,
-        |  unnest(a) AS x
-        | FROM a1
-        |), s1 AS (
-        | SELECT cid, pos, CAST(sum(x) AS BIGINT) AS sum_e6,
-        |  CAST(count(*) AS BIGINT) AS n
-        | FROM ex1 GROUP BY cid, pos
-        |), c2 AS (
-        | SELECT cid, list(CAST(sum_e6 // n AS BIGINT) ORDER BY pos) AS cv
-        | FROM s1 GROUP BY cid
-        |), d2 AS (
-        | SELECT e.vec_id, c2.cid,
-        |  list_sum(list_transform(range(1, len(e.a) + 1),
-        |    i -> (e.a[i] - c2.cv[i]) * (e.a[i] - c2.cv[i]))) AS dist
-        | FROM e, c2
-        |), w2 AS (
-        | SELECT vec_id, cid,
-        |  row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-        | FROM d2
-        |), a2 AS (
-        | SELECT e.vec_id, w2.cid, e.a FROM w2 JOIN e USING (vec_id) WHERE rn = 1
-        |), ex2 AS (
-        | SELECT cid, CAST(generate_subscripts(a, 1) - 1 AS INT) AS pos,
-        |  unnest(a) AS x
-        | FROM a2
-        |)
-        |SELECT cid AS centroid_id, pos,
-        | CAST(sum(x) AS BIGINT) AS sum_e6,
-        | CAST(count(*) AS BIGINT) AS n_assigned
-        |FROM ex2 GROUP BY 1, 2
-        |ORDER BY centroid_id, pos""".stripMargin,
-
-    // the kmeans_two_iter centroid chain (seeds < 4, one exact
-    // iteration, trunc-div means), then integer-L2 assignment, 1-probe
-    // candidate ranking, the exhaustive reference, and the per-query
-    // intersection count — every step exact BIGINT with (dist, id)
-    // tie-breaks on both engines
-    "ann_recall_ivf" -> (annRecallChainSql + "\n" +
-      """SELECT q.qid AS query_id,
-        | CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
-        | CAST(10 AS BIGINT) AS k,
-        | CAST(COALESCE(h.n_hits, 0) * 1000000 // 10 AS BIGINT) AS recall_ppm
-        |FROM q LEFT JOIN h ON q.qid = h.qid
-        |ORDER BY query_id""".stripMargin),
-
-    // the same chain grouped over the query's assigned bucket
-    "ann_recall_by_bucket" -> (annRecallChainSql + "\n" +
-      """SELECT qasg.qcid AS centroid_id,
-        | CAST(count(*) AS BIGINT) AS n_queries,
-        | CAST(sum(COALESCE(h.n_hits, 0)) AS BIGINT) AS total_hits,
-        | CAST(10 AS BIGINT) AS k,
-        | CAST(CAST(sum(COALESCE(h.n_hits, 0)) AS BIGINT) * 1000000
-        |   // (count(*) * 10) AS BIGINT) AS recall_ppm
-        |FROM q JOIN qasg ON q.qid = qasg.qid
-        |LEFT JOIN h ON q.qid = h.qid
-        |GROUP BY 1 ORDER BY 1""".stripMargin),
-
-    "ann_ivf_topk" ->
-      """WITH q AS (
-        | SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3
-        |), s AS (
-        | SELECT q.query_id, e.vec_id AS neighbor_id,
-        |  list_sum(list_transform(list_zip(q.qv, e.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) AS d,
-        |  list_sum(list_transform(list_zip(q.qv, q.qv), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) AS na,
-        |  list_sum(list_transform(list_zip(e.embedding, e.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) AS nb
-        | FROM embeddings e, q WHERE e.vec_id <> q.query_id
-        |), c AS (
-        | SELECT query_id, neighbor_id,
-        |  CASE WHEN sqrt(na) * sqrt(nb) > 0.0 THEN d / (sqrt(na) * sqrt(nb)) ELSE 0.0 END AS cosine
-        | FROM s
-        |)
-        |SELECT query_id, neighbor_id, cosine,
-        | CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
-        |FROM c
-        |QUALIFY rank <= 10
-        |ORDER BY query_id, rank""".stripMargin,
-
-    // full-scan top-1: the planted identical twin is the true nearest
-    // neighbor and its assigned centroid is always probed (bitwise-equal
-    // cosine on the assign and probe paths), so the partition-pruned
-    // result equals the exhaustive oracle
-    "ann_ivf_partitioned" ->
-      """WITH q AS (
-        | SELECT vec_id + 1000000 AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5
-        |), s AS (
-        | SELECT q.query_id, e.vec_id AS neighbor_id,
-        |  list_sum(list_transform(list_zip(q.qv, e.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) AS d,
-        |  list_sum(list_transform(list_zip(q.qv, q.qv), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) AS na,
-        |  list_sum(list_transform(list_zip(e.embedding, e.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) AS nb
-        | FROM embeddings e, q
-        |), c AS (
-        | SELECT query_id, neighbor_id,
-        |  CASE WHEN sqrt(na) * sqrt(nb) > 0.0 THEN d / (sqrt(na) * sqrt(nb)) ELSE 0.0 END AS cosine
-        | FROM s
-        |)
-        |SELECT query_id, neighbor_id, cosine,
-        | CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
-        |FROM c
-        |QUALIFY rank <= 1
-        |ORDER BY query_id, rank""".stripMargin,
-
-    // full-scan top-1: the planted identical twin is the true nearest
-    // neighbor, so the pruned LSH result equals the exhaustive oracle
-    "ann_lsh_topk" ->
-      """WITH q AS (
-        | SELECT vec_id + 1000000 AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5
-        |), s AS (
-        | SELECT q.query_id, e.vec_id AS neighbor_id,
-        |  list_sum(list_transform(list_zip(q.qv, e.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) AS d,
-        |  list_sum(list_transform(list_zip(q.qv, q.qv), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) AS na,
-        |  list_sum(list_transform(list_zip(e.embedding, e.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) AS nb
-        | FROM embeddings e, q
-        |), c AS (
-        | SELECT query_id, neighbor_id,
-        |  CASE WHEN sqrt(na) * sqrt(nb) > 0.0 THEN d / (sqrt(na) * sqrt(nb)) ELSE 0.0 END AS cosine
-        | FROM s
-        |)
-        |SELECT query_id, neighbor_id, cosine,
-        | CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
-        |FROM c
-        |QUALIFY rank <= 1
-        |ORDER BY query_id, rank""".stripMargin,
-
-    "merge_nested" ->
-      """SELECT COALESCE(o.o_orderkey, i.k) AS o_orderkey,
-        | COALESCE(i.status, o.o_orderstatus) AS status,
-        | o.o_totalprice AS total
-        |FROM orders o
-        |FULL OUTER JOIN (
-        | SELECT l_orderkey AS k,
-        |        arg_max(l_returnflag, printf('%012d|%s', l_linenumber, l_returnflag)) AS status
-        | FROM lineitem GROUP BY 1
-        |) i ON o.o_orderkey = i.k
-        |ORDER BY o_orderkey""".stripMargin,
-
-    "merge_addtoset_each" ->
-      """SELECT COALESCE(o.o_orderkey, i.k) AS o_orderkey,
-        | array_to_string(list_sort(list_distinct(list_concat(
-        |   CASE WHEN o.o_orderkey IS NOT NULL THEN [o.o_orderstatus] ELSE [] END,
-        |   CASE WHEN i.k IS NOT NULL THEN i.vals ELSE [] END))), ',') AS codes
-        |FROM orders o
-        |FULL OUTER JOIN (
-        | SELECT l_orderkey AS k,
-        |        list_distinct(flatten(list([l_returnflag, l_linestatus]))) AS vals
-        | FROM lineitem GROUP BY 1
-        |) i ON o.o_orderkey = i.k
-        |ORDER BY o_orderkey""".stripMargin,
-
-    "merge_addtoset_structs" ->
-      """SELECT COALESCE(o.o_orderkey, i.k) AS o_orderkey,
-        | array_to_string(list_sort(list_distinct(list_concat(
-        |   CASE WHEN o.o_orderkey IS NOT NULL
-        |        THEN [o.o_orderstatus || '@' || CAST(o.o_orderkey * 1000 AS VARCHAR)] ELSE [] END,
-        |   CASE WHEN i.k IS NOT NULL THEN i.vals ELSE [] END))), ',') AS evts
-        |FROM orders o
-        |FULL OUTER JOIN (
-        | SELECT l_orderkey AS k,
-        |        list_distinct(list(l_returnflag || '@' || CAST(l_linenumber * 1000 AS VARCHAR))) AS vals
-        | FROM lineitem GROUP BY 1
-        |) i ON o.o_orderkey = i.k
-        |ORDER BY o_orderkey""".stripMargin,
-
-    "merge_addtoset_nested" ->
-      """SELECT COALESCE(o.o_orderkey, i.k) AS o_orderkey,
-        | array_to_string(list_sort(list_distinct(list_concat(
-        |   CASE WHEN o.o_orderkey IS NOT NULL THEN [o.o_orderstatus] ELSE [] END,
-        |   CASE WHEN i.k IS NOT NULL THEN i.vals ELSE [] END))), ',') AS tags,
-        | o.o_totalprice AS total
-        |FROM orders o
-        |FULL OUTER JOIN (
-        | SELECT l_orderkey AS k,
-        |        list_distinct(flatten(list([l_returnflag, l_linestatus]))) AS vals
-        | FROM lineitem GROUP BY 1
-        |) i ON o.o_orderkey = i.k
-        |ORDER BY o_orderkey""".stripMargin,
-
-    "merge_star" ->
-      """SELECT COALESCE(o.o_orderkey, i.k) AS o_orderkey,
-        | COALESCE(i.status, o.o_orderstatus) AS o_orderstatus,
-        | i.ref AS ref
-        |FROM orders o
-        |FULL OUTER JOIN (
-        | SELECT l_orderkey AS k,
-        |        arg_max(l_returnflag, printf('%012d|%s', l_linenumber, l_returnflag)) AS status,
-        |        arg_max(l_partkey, printf('%012d|%020d', l_linenumber, l_partkey)) AS ref
-        | FROM lineitem GROUP BY 1
-        |) i ON o.o_orderkey = i.k
-        |ORDER BY o_orderkey""".stripMargin,
-
-    "merge_currentdate" ->
-      """SELECT o.o_orderkey AS o_orderkey,
-        | COALESCE(i.status, o.o_orderstatus) AS o_orderstatus,
-        | CASE WHEN i.k IS NOT NULL
-        |      THEN epoch_ms(TIMESTAMP '2026-01-02 03:04:05') ELSE 0 END AS touched_ms
-        |FROM orders o
-        |LEFT JOIN (
-        | SELECT l_orderkey AS k,
-        |        arg_max(l_returnflag, printf('%012d|%s', l_linenumber, l_returnflag)) AS status
-        | FROM lineitem GROUP BY 1
-        |) i ON o.o_orderkey = i.k
-        |ORDER BY o_orderkey""".stripMargin,
-
-    // eligibility = the lexicographic-minimum state row per key; rows
-    // FULLY identical to that minimum update together (a DataFrame is a
-    // bag — content-identical copies carry no identity to split a tie on,
-    // unlike Mongo documents with _id). tie key mirrors Spark's struct
-    // ordering via zero-padded printf
-    "merge_single" ->
-      """WITH st AS (
-        | SELECT l_orderkey AS k, CAST(l_linenumber AS BIGINT) AS line, l_returnflag AS status,
-        |        printf('%020d|%s', l_linenumber, l_returnflag) AS tie,
-        |        min(printf('%020d|%s', l_linenumber, l_returnflag))
-        |          OVER (PARTITION BY l_orderkey) AS mintie
-        | FROM lineitem
-        |), i AS (
-        | SELECT o_orderkey AS k, o_orderstatus AS status FROM orders
-        |)
-        |SELECT s.k AS k, s.line AS line,
-        | CASE WHEN s.tie = s.mintie THEN COALESCE(i.status, s.status) ELSE s.status END AS status
-        |FROM st s LEFT JOIN i ON s.k = i.k
-        |UNION ALL
-        |SELECT i.k, CAST(NULL AS BIGINT) AS line, i.status
-        |FROM i LEFT JOIN (SELECT DISTINCT l_orderkey FROM lineitem) l ON i.k = l.l_orderkey
-        |WHERE l.l_orderkey IS NULL
-        |ORDER BY k, line, status""".stripMargin,
-
-    // planted exact duplicates: identical normalized text ⇒ guaranteed
-    // LSH candidates + fp-verified ⇒ result = self-join on normalized text
-    "dedup_minhash_pairs" ->
-      """WITH norm AS (
-        | SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), '[[:punct:]]', '', 'g'), '\s+', ' ', 'g')) AS nt
-        | FROM documents
-        |), all_docs AS (
-        | SELECT CAST(doc_id AS BIGINT) AS doc_id, nt FROM norm
-        | UNION ALL SELECT CAST(doc_id + 1000000 AS BIGINT), nt FROM norm WHERE doc_id < 20
-        |)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |FROM all_docs a JOIN all_docs b ON a.nt = b.nt AND a.doc_id < b.doc_id
-        |ORDER BY id_a, id_b""".stripMargin,
-
-    "dedup_simhash_pairs" ->
-      """WITH norm AS (
-        | SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), '[[:punct:]]', '', 'g'), '\s+', ' ', 'g')) AS nt
-        | FROM documents
-        |), all_docs AS (
-        | SELECT CAST(doc_id AS BIGINT) AS doc_id, nt FROM norm
-        | UNION ALL SELECT CAST(doc_id + 1000000 AS BIGINT), nt FROM norm WHERE doc_id < 20
-        |)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |FROM all_docs a JOIN all_docs b ON a.nt = b.nt AND a.doc_id < b.doc_id
-        |ORDER BY id_a, id_b""".stripMargin,
-
-    // a non-blank normalized line in > 5 distinct docs is removed from
-    // every doc; blank (normalize to '') spans always kept
-    "boilerplate_removal" ->
-      """WITH d AS (
-        | SELECT doc_id, 'shared boilerplate notice. ' || text AS text FROM documents
-        |), p AS (
-        | SELECT doc_id, generate_subscripts(string_split(text, '. '), 1) AS pos,
-        |        unnest(string_split(text, '. ')) AS line
-        | FROM d
-        |), n AS (
-        | SELECT doc_id, pos, line,
-        |  trim(regexp_replace(regexp_replace(lower(line), '[[:punct:]]', '', 'g'), '\s+', ' ', 'g')) AS nt
-        | FROM p
-        |), banned AS (
-        | SELECT nt FROM n WHERE nt <> '' GROUP BY nt
-        | HAVING count(DISTINCT doc_id) > 5
-        |)
-        |SELECT d.doc_id AS doc_id, COALESCE(g.cleaned, '') AS cleaned
-        |FROM d LEFT JOIN (
-        | SELECT doc_id, string_agg(line, '. ' ORDER BY pos) AS cleaned
-        | FROM n WHERE nt = '' OR nt NOT IN (SELECT nt FROM banned)
-        | GROUP BY doc_id
-        |) g ON d.doc_id = g.doc_id
-        |ORDER BY 1""".stripMargin,
-
-    // first-occurrence-wins over normalized sentences; blank (normalize
-    // to '') spans are structural and always kept
-    "paragraph_dedup" ->
-      """WITH d AS (
-        | SELECT doc_id, 'shared boilerplate notice. ' || text AS text FROM documents
-        |), p AS (
-        | SELECT doc_id, generate_subscripts(string_split(text, '. '), 1) AS pos,
-        |        unnest(string_split(text, '. ')) AS para
-        | FROM d
-        |), n AS (
-        | SELECT doc_id, pos, para,
-        |  trim(regexp_replace(regexp_replace(lower(para), '[[:punct:]]', '', 'g'), '\s+', ' ', 'g')) AS nt
-        | FROM p
-        |), k AS (
-        | SELECT doc_id, pos, para, nt,
-        |  ROW_NUMBER() OVER (PARTITION BY nt ORDER BY doc_id, pos) AS rn
-        | FROM n
-        |)
-        |SELECT d.doc_id AS doc_id, COALESCE(g.cleaned, '') AS cleaned
-        |FROM d LEFT JOIN (
-        | SELECT doc_id, string_agg(para, '. ' ORDER BY pos) AS cleaned
-        | FROM k WHERE nt = '' OR rn = 1 GROUP BY doc_id
-        |) g ON d.doc_id = g.doc_id
-        |ORDER BY 1""".stripMargin,
-
-    // same exact-dup self-join as the minhash gate, restricted to docs
-    // with at least k=12 normalized chars (shorter docs have no k-grams,
-    // hence no fingerprints to share)
-    "winnow_overlap" ->
-      """WITH norm AS (
-        | SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), '[[:punct:]]', '', 'g'), '\s+', ' ', 'g')) AS nt
-        | FROM documents
-        |), all_docs AS (
-        | SELECT CAST(doc_id AS BIGINT) AS doc_id, nt FROM norm
-        | UNION ALL SELECT CAST(doc_id + 1000000 AS BIGINT), nt FROM norm WHERE doc_id < 20
-        |)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |FROM all_docs a JOIN all_docs b
-        |  ON a.nt = b.nt AND a.doc_id < b.doc_id AND length(a.nt) >= 12
-        |ORDER BY id_a, id_b""".stripMargin,
-
-    // identical normalized text ⇒ identical winnow fingerprint sets ⇒
-    // containment exactly 1.0 (shared = |fps| on both sides)
-    "winnow_containment" ->
-      """WITH norm AS (
-        | SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), '[[:punct:]]', '', 'g'), '\s+', ' ', 'g')) AS nt
-        | FROM documents
-        |), all_docs AS (
-        | SELECT CAST(doc_id AS BIGINT) AS doc_id, nt FROM norm
-        | UNION ALL SELECT CAST(doc_id + 1000000 AS BIGINT), nt FROM norm WHERE doc_id < 20
-        |)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(1.0 AS DOUBLE) AS containment
-        |FROM all_docs a JOIN all_docs b
-        |  ON a.nt = b.nt AND a.doc_id < b.doc_id AND length(a.nt) >= 12
-        |ORDER BY id_a, id_b""".stripMargin,
-
-    "dedup_components" ->
-      """WITH norm AS (
-        | SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), '[[:punct:]]', '', 'g'), '\s+', ' ', 'g')) AS nt
-        | FROM documents
-        |), all_docs AS (
-        | SELECT CAST(doc_id AS BIGINT) AS doc_id, nt FROM norm
-        | UNION ALL SELECT CAST(doc_id + 1000000 AS BIGINT), nt FROM norm WHERE doc_id < 20
-        |), g AS (
-        | SELECT doc_id, min(doc_id) OVER (PARTITION BY nt) AS comp,
-        |        count(*) OVER (PARTITION BY nt) AS n
-        | FROM all_docs
-        |)
-        |SELECT doc_id AS id, comp FROM g WHERE n > 1 ORDER BY id""".stripMargin,
-
-    // distinct 3-grams per source (the shared shingle rule), pairwise
-    // intersection, containment over the smaller side
-    "source_overlap_matrix" ->
-      """WITH toks AS (
-        | SELECT source,
-        |  list_filter(string_split_regex(trim(regexp_replace(regexp_replace(lower(text), '[[:punct:]]', '', 'g'), '\s+', ' ', 'g')), '\s+'), t -> t <> '') AS ts
-        | FROM documents WHERE source IS NOT NULL
-        |), sh AS (
-        | SELECT source, unnest(
-        |  CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
-        |       ELSE list_distinct(list_transform(range(1, len(ts) - 1), i -> array_to_string(ts[i:i+2], ' ')))
-        |  END) AS g
-        | FROM toks
-        |), pf AS (
-        | SELECT DISTINCT CAST(source AS VARCHAR) AS s, g FROM sh
-        |), sz AS (
-        | SELECT s, CAST(count(*) AS BIGINT) AS n FROM pf GROUP BY 1
-        |), i AS (
-        | SELECT a.s AS src_a, b.s AS src_b, CAST(count(*) AS BIGINT) AS n_common
-        | FROM pf a JOIN pf b ON a.g = b.g AND a.s < b.s GROUP BY 1, 2
-        |)
-        |SELECT i.src_a, i.src_b, sa.n AS n_a, sb.n AS n_b, i.n_common,
-        | CAST(i.n_common * 1000000 // least(sa.n, sb.n) AS BIGINT) AS containment_ppm
-        |FROM i JOIN sz sa ON sa.s = i.src_a JOIN sz sb ON sb.s = i.src_b
-        |ORDER BY 1, 2""".stripMargin,
-
-    // keeper = min id per normalized-content partition; non-keepers of
-    // multi-doc partitions are the savings
-    "dedup_savings" ->
-      """WITH norm AS (
-        | SELECT doc_id, length(text) AS b,
-        |  trim(regexp_replace(regexp_replace(lower(text), '[[:punct:]]', '', 'g'), '\s+', ' ', 'g')) AS nt
-        | FROM documents
-        |), all_docs AS (
-        | SELECT CAST(doc_id AS BIGINT) AS doc_id, b, nt FROM norm
-        | UNION ALL SELECT CAST(doc_id + 1000000 AS BIGINT), b, nt FROM norm WHERE doc_id < 20
-        |), g AS (
-        | SELECT doc_id, b, min(doc_id) OVER (PARTITION BY nt) AS comp,
-        |        count(*) OVER (PARTITION BY nt) AS n
-        | FROM all_docs
-        |)
-        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
-        | CAST(sum(b) AS BIGINT) AS chars_total,
-        | CAST(sum(CASE WHEN n > 1 AND doc_id <> comp THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
-        | CAST(sum(CASE WHEN n > 1 AND doc_id <> comp THEN b ELSE 0 END) AS BIGINT) AS chars_saved
-        |FROM g""".stripMargin,
-
-    // cluster sizes straight off the normalized-content partition
-    // (count includes singletons); 10⁶ // n is the exact weight
-    "soft_dedup_weights" ->
-      """WITH norm AS (
-        | SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), '[[:punct:]]', '', 'g'), '\s+', ' ', 'g')) AS nt
-        | FROM documents
-        |), all_docs AS (
-        | SELECT CAST(doc_id AS BIGINT) AS doc_id, nt FROM norm
-        | UNION ALL SELECT CAST(doc_id + 1000000 AS BIGINT), nt FROM norm WHERE doc_id < 20
-        |), g AS (
-        | SELECT doc_id, count(*) OVER (PARTITION BY nt) AS n FROM all_docs
-        |)
-        |SELECT doc_id,
-        | CAST(n AS BIGINT) AS cluster_size,
-        | CAST(1000000 // n AS BIGINT) AS weight_e6
-        |FROM g ORDER BY doc_id""".stripMargin,
-
-    // roundtrip identity straight from parquet (the csv_roundtrip
-    // convention): ORC carries the values losslessly or the hash reds
-    "orc_roundtrip" ->
-      """SELECT doc_id, source, n_chars,
-        | CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
-        |FROM documents WHERE doc_id < 300 ORDER BY doc_id""".stripMargin,
-
-    // roundtrip identity: the oracle recomputes the written columns
-    // straight from parquet
-    "csv_roundtrip" ->
-      """SELECT doc_id, source,
-        | source || ',"tricky" value' AS label,
-        | CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
-        |FROM documents WHERE doc_id < 300 ORDER BY doc_id""".stripMargin,
-
-    // planted multiplicities by normalized text: c>=2 groups are the
-    // clusters; histogram of their sizes
-    "dup_cluster_sizes" ->
-      """WITH norm AS (
-        | SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), '[[:punct:]]', '', 'g'), '\s+', ' ', 'g')) AS nt
-        | FROM documents
-        |), all_docs AS (
-        | SELECT CAST(doc_id AS BIGINT) AS doc_id, nt FROM norm
-        | UNION ALL SELECT CAST(doc_id + 1000000 AS BIGINT), nt FROM norm WHERE doc_id < 20
-        | UNION ALL SELECT CAST(doc_id + 2000000 AS BIGINT), nt FROM norm WHERE doc_id < 5
-        |), g AS (
-        | SELECT nt, count(*) AS c FROM all_docs GROUP BY nt HAVING count(*) >= 2
-        |)
-        |SELECT CAST(c AS BIGINT) AS cluster_size,
-        | CAST(count(*) AS BIGINT) AS n_clusters,
-        | CAST(c * count(*) AS BIGINT) AS n_docs
-        |FROM g GROUP BY c ORDER BY cluster_size""".stripMargin,
-
-    // same lowercased whitespace histogram as token_frequencies; the
-    // rank order (count desc, term asc) is total on both sides
-    "vocab_coverage" ->
-      """WITH h AS (
-        | SELECT t AS w, count(*) AS wc FROM (
-        |  SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')) AS t
-        |  FROM documents WHERE doc_id < 2000
-        | ) GROUP BY 1
-        |), r AS (
-        | SELECT w, wc, row_number() OVER (ORDER BY wc DESC, w) AS rn FROM h
-        |), tot AS (
-        | SELECT CAST(sum(wc) AS BIGINT) AS total FROM h
-        |), ks(k) AS (
-        | SELECT * FROM (VALUES (5), (10), (20)) v
-        |)
-        |SELECT CAST(ks.k AS BIGINT) AS k,
-        | CAST(COALESCE(sum(r.wc), 0) AS BIGINT) AS covered_tokens,
-        | CAST(any_value(tot.total) AS BIGINT) AS total_tokens,
-        | CAST(COALESCE(sum(r.wc), 0) * 1000000 // greatest(any_value(tot.total), 1) AS BIGINT) AS coverage_ppm
-        |FROM ks CROSS JOIN tot LEFT JOIN r ON r.rn <= ks.k
-        |GROUP BY ks.k ORDER BY k""".stripMargin,
-
-    // probes replayed as half-doc + novel tail; 3-gram leak counts on
-    // the window strings (whole-text shingle for <3-token inputs —
-    // the shingles() short contract)
-    "probe_leak_report" ->
-      """WITH tk AS (
-        | SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS ts
-        | FROM documents WHERE doc_id < 2000
-        |), p AS (
-        | SELECT doc_id AS probe_id,
-        |  list_filter(string_split_regex(
-        |    trim(array_to_string(ts[1:greatest(len(ts) // 2, 1)], ' ') || ' zzzq1 zzzq2 zzzq3'),
-        |    '\s+'), x -> x <> '') AS pts
-        | FROM tk WHERE doc_id % 23 = 0
-        |), pg AS (
-        | SELECT probe_id, unnest(list_distinct(
-        |   CASE WHEN len(pts) < 3 THEN [array_to_string(pts, ' ')]
-        |        ELSE list_transform(range(1, len(pts) - 1), i -> array_to_string(pts[i:i+2], ' '))
-        |   END)) AS g
-        | FROM p
-        |), cg AS (
-        | SELECT DISTINCT unnest(
-        |   CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
-        |        ELSE list_transform(range(1, len(ts) - 1), i -> array_to_string(ts[i:i+2], ' '))
-        |   END) AS g
-        | FROM tk
-        |), j AS (
-        | SELECT pg.probe_id, CASE WHEN cg.g IS NOT NULL THEN 1 ELSE 0 END AS hit
-        | FROM pg LEFT JOIN cg ON pg.g = cg.g
-        |)
-        |SELECT probe_id, CAST(count(*) AS BIGINT) AS n_ngrams,
-        | CAST(sum(hit) AS BIGINT) AS n_leaked,
-        | CAST(sum(hit) * 1000000 // count(*) AS BIGINT) AS leak_ppm
-        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // e6 floor quantization + exact integer sums; mean by trunc-div
-    // (// ≡ Spark div, pinned by the k-means family)
-    "group_centroids_e6" ->
-      """WITH e AS (
-        | SELECT vec_id % 5 AS grp,
-        |  list_transform(embedding,
-        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS a
-        | FROM embeddings
-        |), ex AS (
-        | SELECT grp, CAST(generate_subscripts(a, 1) - 1 AS INT) AS pos,
-        |  unnest(a) AS x
-        | FROM e
-        |)
-        |SELECT grp, pos, CAST(sum(x) AS BIGINT) AS sum_e6,
-        | CAST(count(*) AS BIGINT) AS n,
-        | CAST(sum(x) // count(*) AS BIGINT) AS mean_e6
-        |FROM ex GROUP BY 1, 2 ORDER BY grp, pos""".stripMargin,
-
-    // the weighted_sample FNV fragment; boundaries are the operator's
-    // round(cum·1024) values spelled as literals
-    "hash_split" ->
-      """WITH h AS (
-        | SELECT doc_id,
-        |  CAST(list_reduce(
-        |    list_prepend(CAST('14695981039346656037' AS HUGEINT),
-        |      list_transform(range(1, length(s) + 1), i -> CAST(ascii(s[i]) AS HUGEINT))),
-        |    (acc, b) -> ((acc // 256) * 256 + xor(CAST(acc % 256 AS BIGINT), CAST(b AS BIGINT)))
-        |                * 1099511628211 % CAST('18446744073709551616' AS HUGEINT)
-        |  ) % 1024 AS BIGINT) AS bucket
-        | FROM (SELECT doc_id, doc_id::VARCHAR || ':graft' AS s FROM documents)
-        |)
-        |SELECT doc_id,
-        | CASE WHEN bucket < 819 THEN 'train'
-        |      WHEN bucket < 922 THEN 'val'
-        |      WHEN bucket < 1024 THEN 'test' END AS split
-        |FROM h ORDER BY doc_id""".stripMargin,
-
-    // FNV of the SOURCE (not the doc id) — every doc of one source
-    // lands in one split; same bucket bounds as hash_split's 0.8 cut
-    "grouped_split" ->
-      """WITH h AS (
-        | SELECT doc_id, source,
-        |  CAST(list_reduce(
-        |    list_prepend(CAST('14695981039346656037' AS HUGEINT),
-        |      list_transform(range(1, length(s) + 1), i -> CAST(ascii(s[i]) AS HUGEINT))),
-        |    (acc, b) -> ((acc // 256) * 256 + xor(CAST(acc % 256 AS BIGINT), CAST(b AS BIGINT)))
-        |                * 1099511628211 % CAST('18446744073709551616' AS HUGEINT)
-        |  ) % 1024 AS BIGINT) AS bucket
-        | FROM (SELECT doc_id, source, source || ':gsplit' AS s FROM documents)
-        |)
-        |SELECT doc_id, source,
-        | CASE WHEN bucket < 819 THEN 'train'
-        |      WHEN bucket < 1024 THEN 'test' END AS split
-        |FROM h ORDER BY doc_id""".stripMargin,
-
-    // the pack_by_budget running-sum chain, then string_agg in doc_id
-    // order with the same EOS separator — n_tokens is the member sum
-    "pack_materialize" ->
-      """WITH d AS (
-        | SELECT doc_id, source, text,
-        |  CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS nt
-        | FROM documents WHERE doc_id < 2000
-        |), p AS (
-        | SELECT doc_id, source, text, nt,
-        |  CAST((SUM(nt) OVER (PARTITION BY source ORDER BY doc_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - nt) // 500 AS BIGINT) AS pack_id
-        | FROM d
-        |)
-        |SELECT source, pack_id,
-        | CAST(count(*) AS BIGINT) AS n_docs,
-        | CAST(sum(nt) AS BIGINT) AS n_tokens,
-        | string_agg(text, ' <eos> ' ORDER BY doc_id) AS seq
-        |FROM p GROUP BY 1, 2
-        |ORDER BY source, pack_id""".stripMargin,
-
-    // the dedup_keep_best chain → the hash_split FNV fragment (train
-    // bucket < 819) → the pack_by_budget running-sum chain, verbatim
-    "pipeline_curation" ->
-      """WITH all_docs AS (
-        | SELECT doc_id, text, source FROM documents
-        | UNION ALL
-        | SELECT CAST(doc_id + 1000000 AS BIGINT), text || '!!', source FROM documents WHERE doc_id < 20
-        |), g AS (
-        | SELECT doc_id, text, source,
-        |  count(*) OVER (PARTITION BY nt) AS n,
-        |  ROW_NUMBER() OVER (PARTITION BY nt ORDER BY length(text) DESC, doc_id) AS rn
-        | FROM (
-        |  SELECT doc_id, text, source,
-        |   trim(regexp_replace(regexp_replace(lower(text), '[[:punct:]]', '', 'g'), '\s+', ' ', 'g')) AS nt
-        |  FROM all_docs
-        | )
-        |), kept AS (
-        | SELECT doc_id, text, source FROM g WHERE n = 1 OR rn = 1
-        |), h AS (
-        | SELECT doc_id, text, source,
-        |  CAST(list_reduce(
-        |    list_prepend(CAST('14695981039346656037' AS HUGEINT),
-        |      list_transform(range(1, length(s) + 1), i -> CAST(ascii(s[i]) AS HUGEINT))),
-        |    (acc, b) -> ((acc // 256) * 256 + xor(CAST(acc % 256 AS BIGINT), CAST(b AS BIGINT)))
-        |                * 1099511628211 % CAST('18446744073709551616' AS HUGEINT)
-        |  ) % 1024 AS BIGINT) AS bucket
-        | FROM (SELECT doc_id, text, source, doc_id::VARCHAR || ':graft' AS s FROM kept)
-        |), train AS (
-        | SELECT doc_id, source,
-        |  CAST(len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS BIGINT) AS n_tokens
-        | FROM h WHERE bucket < 819
-        |), c AS (
-        | SELECT doc_id, source, n_tokens,
-        |  SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS prev
-        | FROM train
-        |)
-        |SELECT doc_id, source, n_tokens,
-        | CAST(prev // 512 AS BIGINT) AS pack_id,
-        | CAST(prev % 512 AS BIGINT) AS pack_offset
-        |FROM c ORDER BY doc_id""".stripMargin,
-
-    // exact-dup clusters = equal normalized text; the representative is
-    // the (length DESC, id ASC) argmax, singletons pass through
-    "dedup_keep_best" ->
-      """WITH norm AS (
-        | SELECT doc_id, text FROM documents
-        | UNION ALL
-        | SELECT CAST(doc_id + 1000000 AS BIGINT), text || '!!' FROM documents WHERE doc_id < 20
-        |), g AS (
-        | SELECT doc_id,
-        |  count(*) OVER (PARTITION BY nt) AS n,
-        |  ROW_NUMBER() OVER (PARTITION BY nt ORDER BY length(text) DESC, doc_id) AS rn
-        | FROM (
-        |  SELECT doc_id, text,
-        |   trim(regexp_replace(regexp_replace(lower(text), '[[:punct:]]', '', 'g'), '\s+', ' ', 'g')) AS nt
-        |  FROM norm
-        | )
-        |)
-        |SELECT CAST(doc_id AS BIGINT) AS doc_id FROM g WHERE n = 1 OR rn = 1
-        |ORDER BY doc_id""".stripMargin,
-
-    // planted identical vectors: cosine 1.0, same SRP bucket; natural max
-    // pair cosine ~0.49 ≪ 0.999 threshold ⇒ output = the planted pair set
-    "dedup_embedding_pairs" ->
-      """SELECT CAST(vec_id AS BIGINT) AS id_a, CAST(vec_id + 1000000 AS BIGINT) AS id_b
-        |FROM embeddings WHERE vec_id < 10
-        |ORDER BY id_a, id_b""".stripMargin,
-
-    // quantile_cont shares Spark percentile's linear interpolation
-    // (proven by profile_numeric); the clip compares the same doubles
-    "winsorize" ->
-      """WITH b AS (
-        | SELECT quantile_cont(l_extendedprice, 0.05) AS lo,
-        |        quantile_cont(l_extendedprice, 0.95) AS hi
-        | FROM lineitem
-        |)
-        |SELECT l_orderkey, l_linenumber,
-        | CASE WHEN l_extendedprice IS NULL THEN NULL
-        |      WHEN l_extendedprice < b.lo THEN b.lo
-        |      WHEN l_extendedprice > b.hi THEN b.hi
-        |      ELSE l_extendedprice END AS l_extendedprice
-        |FROM lineitem, b
-        |ORDER BY 1, 2""".stripMargin,
-
-    // decile bounds via quantile_cont (parity with Spark's exact
-    // percentile proven by the winsorize gate); bucket = Σ [x >= b_i]
-    "quantile_buckets" ->
-      """WITH b AS (
-        | SELECT quantile_cont(l_extendedprice, 0.1) AS b1,
-        |        quantile_cont(l_extendedprice, 0.2) AS b2,
-        |        quantile_cont(l_extendedprice, 0.3) AS b3,
-        |        quantile_cont(l_extendedprice, 0.4) AS b4,
-        |        quantile_cont(l_extendedprice, 0.5) AS b5,
-        |        quantile_cont(l_extendedprice, 0.6) AS b6,
-        |        quantile_cont(l_extendedprice, 0.7) AS b7,
-        |        quantile_cont(l_extendedprice, 0.8) AS b8,
-        |        quantile_cont(l_extendedprice, 0.9) AS b9
-        | FROM lineitem
-        |)
-        |SELECT bucket, CAST(count(*) AS BIGINT) AS n FROM (
-        | SELECT CAST(
-        |   (CASE WHEN l_extendedprice >= b.b1 THEN 1 ELSE 0 END)
-        | + (CASE WHEN l_extendedprice >= b.b2 THEN 1 ELSE 0 END)
-        | + (CASE WHEN l_extendedprice >= b.b3 THEN 1 ELSE 0 END)
-        | + (CASE WHEN l_extendedprice >= b.b4 THEN 1 ELSE 0 END)
-        | + (CASE WHEN l_extendedprice >= b.b5 THEN 1 ELSE 0 END)
-        | + (CASE WHEN l_extendedprice >= b.b6 THEN 1 ELSE 0 END)
-        | + (CASE WHEN l_extendedprice >= b.b7 THEN 1 ELSE 0 END)
-        | + (CASE WHEN l_extendedprice >= b.b8 THEN 1 ELSE 0 END)
-        | + (CASE WHEN l_extendedprice >= b.b9 THEN 1 ELSE 0 END) AS BIGINT) AS bucket
-        | FROM lineitem, b
-        | WHERE l_extendedprice IS NOT NULL
-        |)
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // rank() ties at the group minimum == the below-count + 1; the
-    // ratio is spelled as the same explicit long division the operator
-    // performs (not the percent_rank builtin, whose internal arithmetic
-    // is unspecified)
-    "percent_rank" ->
-      """SELECT l_orderkey, l_linenumber, l_extendedprice,
-        | CAST(rank() OVER (ORDER BY l_extendedprice) - 1 AS DOUBLE)
-        |   / CAST(count(*) OVER () - 1 AS DOUBLE) AS pct_rank
-        |FROM lineitem
-        |ORDER BY 1, 2""".stripMargin,
-
-    // within-partition twin: rank()−1 ties at the group minimum == the
-    // below-count; n−1 per source; same exact-long division
-    "percent_rank_by_group" ->
-      """SELECT doc_id, source, n_chars,
-        | CASE WHEN count(*) OVER (PARTITION BY source) > 1
-        |  THEN CAST(rank() OVER (PARTITION BY source ORDER BY CAST(n_chars AS DOUBLE)) - 1 AS DOUBLE)
-        |     / CAST(count(*) OVER (PARTITION BY source) - 1 AS DOUBLE)
-        |  ELSE 0.0 END AS pct_rank
-        |FROM documents
-        |ORDER BY doc_id""".stripMargin,
-
-    // quantile_cont == Spark exact percentile (winsorize-proven); the
-    // scale step is one fixed-order division, identical in any engine
-    "robust_scale" ->
-      """WITH b AS (
-        | SELECT quantile_cont(l_extendedprice, 0.25) AS q1,
-        |        quantile_cont(l_extendedprice, 0.5) AS med,
-        |        quantile_cont(l_extendedprice, 0.75) AS q3
-        | FROM lineitem
-        |)
-        |SELECT l_orderkey, l_linenumber, l_extendedprice,
-        | CASE WHEN l_extendedprice IS NULL THEN NULL
-        |      WHEN b.q3 - b.q1 = 0.0 THEN 0.0
-        |      ELSE (l_extendedprice - b.med) / (b.q3 - b.q1) END AS scaled
-        |FROM lineitem, b
-        |ORDER BY 1, 2""".stripMargin,
-
-    // the operator's exact arithmetic chain: decimal sums (doubles
-    // rounded before the cast), mean/std quantized to 6 dp, Tukey
-    // fences from quantile_cont quartiles in the same written order
-    "outlier_flags" ->
-      """WITH st AS (
-        | SELECT count(l_extendedprice) AS n,
-        |  CAST(sum(CAST(round(l_extendedprice, 4) AS DECIMAL(38,4))) AS DOUBLE) AS s,
-        |  CAST(sum(CAST(round(l_extendedprice * l_extendedprice, 8) AS DECIMAL(38,8))) AS DOUBLE) AS ss,
-        |  quantile_cont(l_extendedprice, 0.25) AS q1,
-        |  quantile_cont(l_extendedprice, 0.75) AS q3
-        | FROM lineitem
-        |), d AS (
-        | SELECT round(s / n, 6) AS mean,
-        |  round(sqrt(greatest(0.0, ss / n - (s / n) * (s / n))), 6) AS std,
-        |  q1 - 1.5 * (q3 - q1) AS lo, q3 + 1.5 * (q3 - q1) AS hi
-        | FROM st
-        |)
-        |SELECT l_returnflag,
-        | CAST(sum(CASE WHEN abs(l_extendedprice - d.mean) > 3.0 * d.std THEN 1 ELSE 0 END) AS BIGINT) AS n_z,
-        | CAST(sum(CASE WHEN l_extendedprice < d.lo OR l_extendedprice > d.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_iqr,
-        | CAST(count(*) AS BIGINT) AS n
-        |FROM lineitem, d GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // same profile arithmetic as profile_vector, then z = (x-mean)/std
-    // per element in the written order; dead dims (std=0) map to 0
-    "embedding_standardize" ->
-      """WITH x AS (
-        | SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
-        |        CAST(unnest(embedding) AS DOUBLE) AS x
-        | FROM embeddings
-        |), p AS (
-        | SELECT dim,
-        |  CAST(sum(CAST(round(x, 9) AS DECIMAL(38,9))) AS DOUBLE) / count(*) AS mean,
-        |  sqrt(GREATEST(
-        |    CAST(sum(CAST(round(x * x, 9) AS DECIMAL(38,9))) AS DOUBLE) / count(*)
-        |    - (CAST(sum(CAST(round(x, 9) AS DECIMAL(38,9))) AS DOUBLE) / count(*))
-        |      * (CAST(sum(CAST(round(x, 9) AS DECIMAL(38,9))) AS DOUBLE) / count(*)), 0.0)) AS std
-        | FROM x GROUP BY 1
-        |)
-        |SELECT x.vec_id, CAST(x.dim AS INTEGER) AS dim,
-        | CASE WHEN p.std = 0.0 THEN 0.0 ELSE (x.x - p.mean) / p.std END AS z
-        |FROM x JOIN p USING (dim)
-        |ORDER BY vec_id, dim""".stripMargin,
-
-    // float→double is exact, x and x² sum as DECIMAL(38,9), mean/std
-    // derive in the same written double order
-    "profile_vector" ->
-      """WITH x AS (
-        | SELECT generate_subscripts(embedding, 1) - 1 AS dim,
-        |        CAST(unnest(embedding) AS DOUBLE) AS x
-        | FROM embeddings
-        |)
-        |SELECT CAST(dim AS INTEGER) AS dim, CAST(count(x) AS BIGINT) AS n,
-        | CAST(count(*) - count(x) AS BIGINT) AS nulls,
-        | min(x) AS min, max(x) AS max,
-        | CAST(sum(CAST(round(x, 9) AS DECIMAL(38,9))) AS DOUBLE) / count(x) AS mean,
-        | sqrt(GREATEST(
-        |   CAST(sum(CAST(round(x * x, 9) AS DECIMAL(38,9))) AS DOUBLE) / count(x)
-        |   - (CAST(sum(CAST(round(x, 9) AS DECIMAL(38,9))) AS DOUBLE) / count(x))
-        |     * (CAST(sum(CAST(round(x, 9) AS DECIMAL(38,9))) AS DOUBLE) / count(x)), 0.0)) AS std
-        |FROM x GROUP BY 1
-        |ORDER BY 1""".stripMargin,
-
-    // nchunks = 1 + ceil(max(0, n-32)/24) in integer arithmetic; list
-    // slices clamp at the doc end on both engines
-    "doc_chunks" ->
-      """WITH d AS (
-        | SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
-        | FROM documents
-        |), n AS (
-        | SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM d WHERE len(toks) > 0
-        |), c AS (
-        | SELECT doc_id, toks, n, 1 + (GREATEST(n - 32, 0) + 23) // 24 AS nchunks FROM n
-        |), e AS (
-        | SELECT doc_id, toks, n, unnest(range(nchunks)) AS chunk_idx FROM c
-        |)
-        |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
-        | array_to_string(toks[(chunk_idx * 24 + 1):(LEAST(chunk_idx * 24 + 32, n))], ' ') AS chunk_text,
-        | CAST(LEAST(chunk_idx * 24 + 32, n) - chunk_idx * 24 AS BIGINT) AS n_tokens
-        |FROM e
-        |ORDER BY doc_id, chunk_idx""".stripMargin,
-
-    // same planted terminators (plain leftmost-nonoverlapping replace),
-    // same sentinel rewrite of `terminator + spaces` (chr(1) — no
-    // lookbehind, RE2-safe), blank fragments filtered BEFORE indexing
-    "sentence_chunks" ->
-      """WITH m AS (
-        | SELECT doc_id,
-        |  string_split(regexp_replace(
-        |    replace(replace(text, ' value ', ' value. '), ' query ', ' query? '),
-        |    '([.!?]) +', '\1' || chr(1), 'g'), chr(1)) AS raw
-        | FROM documents WHERE doc_id < 500
-        |), f AS (
-        | SELECT doc_id, list_filter(raw, s -> trim(s) <> '') AS ls FROM m
-        |), e AS (
-        | SELECT doc_id, ls, unnest(range(len(ls))) AS i FROM f
-        |)
-        |SELECT doc_id, CAST(i AS BIGINT) AS sentence_idx,
-        | ls[i + 1] AS sentence,
-        | CAST(len(list_filter(string_split_regex(trim(ls[i + 1]), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
-        |FROM e ORDER BY doc_id, sentence_idx""".stripMargin,
-
-    // the gear rule replayed per DISTINCT bigram (cdcChainSql), then
-    // the per-chunk reassembly in token order
-    "cdc_chunks" ->
-      s"""WITH src AS (
-         | SELECT doc_id, text FROM documents WHERE doc_id < 500
-         |), ${cdcChainSql(16L)}
-         |SELECT doc_id, CAST(chunk AS BIGINT) AS chunk_idx,
-         | string_agg(t, ' ' ORDER BY p) AS chunk_text,
-         | CAST(count(*) AS BIGINT) AS n_tokens
-         |FROM c GROUP BY 1, 2 ORDER BY doc_id, chunk_idx""".stripMargin,
-
-    // the same chain over corpus + shifted variants; chunk strings
-    // shared by >1 doc mark their member tokens as duplicated mass
-    "pipeline_cdc_dedup" ->
-      s"""WITH src AS (
-         | SELECT doc_id, text FROM documents WHERE doc_id < 500
-         | UNION ALL
-         | SELECT doc_id + 5000000, 'zz yy xx ' || text
-         | FROM documents WHERE doc_id < 500 AND doc_id % 31 = 9
-         |), ${cdcChainSql(16L)}, ch AS (
-         | SELECT doc_id, chunk, string_agg(t, ' ' ORDER BY p) AS chunk_text,
-         |  CAST(count(*) AS BIGINT) AS n_tokens
-         | FROM c GROUP BY 1, 2
-         |), shared AS (
-         | SELECT chunk_text FROM ch GROUP BY 1 HAVING count(DISTINCT doc_id) > 1
-         |)
-         |SELECT ch.doc_id, CAST(count(*) AS BIGINT) AS dup_chunks,
-         | CAST(sum(ch.n_tokens) AS BIGINT) AS dup_tokens
-         |FROM ch JOIN shared s ON ch.chunk_text = s.chunk_text
-         |GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // BM25 mirrored term-for-term: same tokenizer fragment as
-    // dsir_scores; the idf table is the gate-registered driver-computed
-    // literal VALUES (identical rows feed the Spark plan), tfnorm in
-    // the written operation order, contributions rounded to 9dp DECIMAL
-    // and summed exactly
-    "bm25_topk" -> bm25TopKOracle(bm25Q3Values, "bm25_idf_q3", requireAll = false),
-
-    // the bm25 chain as a CTE + conjunctive containment relevance +
-    // rank-based metric arithmetic (all exact scaled integers)
-    "ranking_metrics" -> rankingMetricsOracle(),
-
-    // same scaffold + the driver-computed scaled DCG weight literals
-    "ndcg_metrics" -> ndcgOracle(),
-
-    // The dense CTE is the ann_topk_dot oracle; the lexical chain is the
-    // bm25_topk oracle with the 5-query fusion query set (same
-    // gate-registered literal idf discipline); rrf fuses the two ranked
-    // lists with exact DECIMAL(38,12) contribution sums.
-    "hybrid_rrf_topk" -> hybridRrfOracle(),
-
-    // The greedy MMR selection unrolled as m=5 CTE steps: each step
-    // picks the per-query argmax of 0.5*score - 0.5*best (ties to the
-    // ascending id) and folds the new candidate-to-selected dot into
-    // `best` via GREATEST — exactly the kernel's incremental max.
-    "mmr_rerank" -> {
-      def ddot(a: String, b: String) =
-        s"list_sum(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
-      val m = 5
-      val steps = (1 to m).map { t =>
-        s""" s$t AS (
-           | SELECT * FROM r${t - 1}
-           | QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY 0.5*score - 0.5*best DESC, id) = 1
-           |), r$t AS (
-           | SELECT r.query_id, r.id, r.score, r.vec,
-           |  GREATEST(r.best, ${ddot("r.vec", "s.vec")}) AS best
-           | FROM r${t - 1} r JOIN s$t s ON r.query_id = s.query_id AND r.id <> s.id
-           |)""".stripMargin
-      }.mkString(",\n")
-      val finals = (1 to m).map { t =>
-        s"SELECT query_id, id AS neighbor_id, 0.5*score - 0.5*best AS mmr, $t AS rank FROM s$t"
-      }.mkString("\n UNION ALL\n")
-      s"""WITH q AS (
-         | SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5
-         |), sall AS (
-         | SELECT q.query_id, e.vec_id AS id,
-         |  ${ddot("q.qv", "e.embedding")} AS score, e.embedding AS vec
-         | FROM embeddings e, q WHERE e.vec_id <> q.query_id
-         |), cand AS (
-         | SELECT query_id, id, CAST(score AS DOUBLE) AS score, vec
-         | FROM sall
-         | QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, id) <= 10
-         |), r0 AS (
-         | SELECT query_id, id, score, vec, 0.0 AS best FROM cand
-         |),
-         |$steps
-         |SELECT query_id, neighbor_id, mmr, CAST(rank AS INTEGER) AS rank FROM (
-         |$finals
-         |) ORDER BY query_id, rank""".stripMargin
-    },
-
-    // the disjunctive bm25_topk oracle + a matched-term count compared
-    // against each query's distinct-term total (AND semantics)
-    "bm25_topk_all" -> bm25TopKOracle(bm25Q3Values, "bm25_idf_q3", requireAll = true),
-
-    // scoring the streaming-built committed index == scoring the corpus
-    // directly (append-only slices partition the corpus; no zero-token
-    // docs), so the oracle is the bm25_topk chain with this gate's own
-    // registered idf table
-    "bm25_topk_indexed" -> bm25TopKOracle(bm25Q3Values, "bm25_idf_q3i", requireAll = false),
-
-    // identical levenshtein + length arithmetic in the written order;
-    // the >= cut compares the same doubles on both engines
-    "edit_sim_pairs" ->
-      """WITH d AS (
-        | SELECT doc_id, text FROM documents
-        |), m AS (
-        | SELECT doc_id + 1000000 AS doc_id, text || ' some extra tail words' AS text
-        | FROM d WHERE doc_id < 15
-        |), a AS (
-        | SELECT * FROM d UNION ALL SELECT * FROM m
-        |), c AS (
-        | SELECT doc_id AS id_a, doc_id + 1000000 AS id_b FROM d WHERE doc_id < 15
-        | UNION ALL
-        | SELECT doc_id AS id_a, (doc_id + 1) % 15 + 1000000 AS id_b FROM d WHERE doc_id < 15
-        |), s AS (
-        | SELECT c.id_a, c.id_b,
-        |  CASE WHEN GREATEST(length(ta.text), length(tb.text)) = 0 THEN 1.0
-        |       ELSE 1.0 - CAST(levenshtein(ta.text, tb.text) AS DOUBLE)
-        |            / CAST(GREATEST(length(ta.text), length(tb.text)) AS DOUBLE) END AS edit_sim
-        | FROM c JOIN a ta ON c.id_a = ta.doc_id JOIN a tb ON c.id_b = tb.doc_id
-        |)
-        |SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b, edit_sim
-        |FROM s WHERE edit_sim >= 0.8
-        |ORDER BY id_a, id_b""".stripMargin,
-
-    // the planted exact copies are the only pairs at cosine >= 0.999
-    // (max natural pairwise cosine ~0.51); see the queries-side comment
-    "semantic_dedup_pairs" ->
-      """SELECT CAST(vec_id AS BIGINT) AS id_a, CAST(vec_id + 1000000 AS BIGINT) AS id_b
-        |FROM embeddings WHERE vec_id < 10
-        |ORDER BY id_a, id_b""".stripMargin,
-
-    // stub slicer copies [i*len/n, max((i+1)*len/n, i*len/n+1)); len ≥ 64
-    // and n = 4 keep the max() arm inactive, so frame sizes are the
-    // integer-division differences
-    "media_frames" ->
-      """WITH m AS (
-        | SELECT range AS media_id, 64 + (range % 64) AS len FROM range(500)
-        |)
-        |SELECT CAST(m.media_id AS BIGINT) AS media_id,
-        | CAST(f.range AS INTEGER) AS frame_idx,
-        | CAST((f.range + 1) * m.len // 4 - f.range * m.len // 4 AS BIGINT) AS n_bytes
-        |FROM m, range(4) f
-        |ORDER BY media_id, frame_idx""".stripMargin,
-
-    // Spark's double→int cast truncates; FLOOR matches for the positive
-    // dims here, and the double arithmetic is elementwise-identical
-    "media_resize" ->
-      """WITH m AS (
-        | SELECT range AS media_id,
-        |        CAST(range % 1000 + 100 AS INTEGER) AS w0,
-        |        CAST(range % 700 + 50 AS INTEGER) AS h0
-        | FROM range(500)
-        |)
-        |SELECT CAST(media_id AS BIGINT) AS media_id,
-        | CAST(FLOOR(w0 * (CASE WHEN greatest(w0, h0) > 512
-        |                       THEN 512.0 / greatest(w0, h0) ELSE 1.0 END)) AS INTEGER) AS w,
-        | CAST(FLOOR(h0 * (CASE WHEN greatest(w0, h0) > 512
-        |                       THEN 512.0 / greatest(w0, h0) ELSE 1.0 END)) AS INTEGER) AS h
-        |FROM m ORDER BY media_id""".stripMargin,
-
-    // syntheticMedia bytes are Array.tabulate(64 + id % 64) by construction
-    "media_features" ->
-      """SELECT CAST(range AS BIGINT) AS media_id,
-        | CAST(64 + (range % 64) AS BIGINT) AS n_bytes
-        |FROM range(500)
-        |ORDER BY media_id""".stripMargin,
-
-    // closed-form group structure: originals ≡4 mod 17 pair with their
-    // planted +1e6 copies (keeper = the original); everything else is
-    // a singleton — the generator admits no natural dups under id 16064
-    "media_dedup" ->
-      """WITH ids AS (
-        | SELECT CAST(range AS BIGINT) AS media_id, CAST(range AS BIGINT) AS orig
-        | FROM range(500)
-        | UNION ALL
-        | SELECT CAST(range + 1000000 AS BIGINT), CAST(range AS BIGINT)
-        | FROM range(500) WHERE range % 17 = 4
-        |)
-        |SELECT media_id,
-        | CASE WHEN orig % 17 = 4 THEN orig ELSE media_id END AS keeper_id,
-        | CAST(CASE WHEN orig % 17 = 4 THEN 2 ELSE 1 END AS BIGINT) AS group_size
-        |FROM ids ORDER BY media_id""".stripMargin,
-
-    "decontamination" ->
-      """WITH toks AS (
-        | SELECT doc_id,
-        |  list_filter(string_split_regex(trim(regexp_replace(regexp_replace(lower(text), '[[:punct:]]', '', 'g'), '\s+', ' ', 'g')), '\s+'), t -> t <> '') AS ts
-        | FROM documents
-        |), sh AS (
-        | SELECT doc_id,
-        |  CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
-        |       ELSE list_distinct(list_transform(range(1, len(ts) - 1), i -> array_to_string(ts[i:i+2], ' ')))
-        |  END AS grams
-        | FROM toks
-        |), probe AS (
-        | SELECT DISTINCT unnest(grams) AS g FROM sh WHERE doc_id < 10
-        |), docg AS (
-        | SELECT doc_id, unnest(grams) AS g FROM sh
-        |), hits AS (
-        | SELECT DISTINCT docg.doc_id FROM docg JOIN probe USING (g)
-        |)
-        |SELECT s.doc_id, (h.doc_id IS NOT NULL) AS contaminated
-        |FROM sh s LEFT JOIN hits h ON s.doc_id = h.doc_id
-        |ORDER BY s.doc_id""".stripMargin,
-
-    "nfc_normalize" ->
-      s"""WITH d AS (
-         | SELECT doc_id, text || '$nfcGateSuffix' AS s
-         | FROM documents WHERE doc_id < 500
-         |)
-         |SELECT doc_id,
-         | CAST(length(s) AS BIGINT) AS len_before,
-         | CAST(length(nfc_normalize(s)) AS BIGINT) AS len_after,
-         | right(nfc_normalize(s), 10) AS tail
-         |FROM d ORDER BY doc_id""".stripMargin,
-
-    "ngram_overlap_ratio" ->
-      """WITH toks AS (
-        | SELECT doc_id,
-        |  list_filter(string_split_regex(trim(regexp_replace(regexp_replace(lower(text), '[[:punct:]]', '', 'g'), '\s+', ' ', 'g')), '\s+'), t -> t <> '') AS ts
-        | FROM documents
-        |), sh AS (
-        | SELECT doc_id,
-        |  CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
-        |       ELSE list_distinct(list_transform(range(1, len(ts) - 1), i -> array_to_string(ts[i:i+2], ' ')))
-        |  END AS grams
-        | FROM toks
-        |), probe AS (
-        | SELECT DISTINCT unnest(grams) AS g FROM sh WHERE doc_id < 10
-        |), docg AS (
-        | SELECT doc_id, unnest(grams) AS g FROM sh
-        |)
-        |SELECT d.doc_id,
-        | CAST(count(*) AS BIGINT) AS n_ngrams,
-        | CAST(sum(CASE WHEN p.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
-        | CAST(sum(CASE WHEN p.g IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
-        |   / CAST(count(*) AS DOUBLE) AS overlap_ratio
-        |FROM docg d LEFT JOIN probe p ON d.g = p.g
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // the same normalized-trigram fragment as ngram_overlap_ratio;
-    // first-seen = min doc_id per gram STRING (the fingerprint join is
-    // collision-tolerant by the dedup-family convention)
-    "ngram_novelty" ->
-      """WITH toks AS (
-        | SELECT doc_id,
-        |  list_filter(string_split_regex(trim(regexp_replace(regexp_replace(lower(text), '[[:punct:]]', '', 'g'), '\s+', ' ', 'g')), '\s+'), t -> t <> '') AS ts
-        | FROM documents WHERE doc_id < 2000
-        |), sh AS (
-        | SELECT doc_id,
-        |  CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
-        |       ELSE list_distinct(list_transform(range(1, len(ts) - 1), i -> array_to_string(ts[i:i+2], ' ')))
-        |  END AS grams
-        | FROM toks
-        |), docg AS (
-        | SELECT doc_id, unnest(grams) AS g FROM sh
-        |), firsts AS (
-        | SELECT g, min(doc_id) AS fst FROM docg GROUP BY 1
-        |)
-        |SELECT d.doc_id,
-        | CAST(sum(CASE WHEN f.fst = d.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS novel_ngrams,
-        | CAST(count(*) AS BIGINT) AS total_ngrams,
-        | CAST(CAST(sum(CASE WHEN f.fst = d.doc_id THEN 1 ELSE 0 END) AS BIGINT) * 1000000
-        |   // greatest(count(*), 1) AS BIGINT) AS novelty_ppm
-        |FROM docg d JOIN firsts f ON d.g = f.g
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // per n: the shared shingle rule (short docs → one whole-run
-    // shingle), distinct by exact string on the oracle side (the Spark
-    // side's xxhash64 distinct is collision-tolerant by 2⁻⁶⁴)
-    "distinct_ngram_ratio" ->
-      Seq(1, 2).map { n =>
-        s"""SELECT source, CAST($n AS BIGINT) AS n,
-           | CAST(count(DISTINCT g) AS BIGINT) AS distinct_ngrams,
-           | CAST(count(*) AS BIGINT) AS total_ngrams,
-           | CAST(CAST(count(DISTINCT g) AS BIGINT) * 1000000
-           |   // greatest(count(*), 1) AS BIGINT) AS distinct_ppm
-           |FROM (
-           | SELECT source, unnest(
-           |  CASE WHEN len(ts) < $n THEN [array_to_string(ts, ' ')]
-           |       ELSE list_transform(range(1, len(ts) - $n + 2),
-           |              i -> array_to_string(ts[i:i+${n - 1}], ' '))
-           |  END) AS g
-           | FROM (
-           |  SELECT source,
-           |   list_filter(string_split_regex(trim(regexp_replace(regexp_replace(lower(text), '[[:punct:]]', '', 'g'), '\\s+', ' ', 'g')), '\\s+'), t -> t <> '') AS ts
-           |  FROM documents
-           | )
-           |) GROUP BY source""".stripMargin
-      }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY source, n"),
-
-    "pii_redaction" -> {
-      val em = TextFunctions.EmailPattern
-      val ph = TextFunctions.PhonePattern
-      val ip = TextFunctions.Ipv4Pattern
-      s"""WITH p AS (
-         | SELECT doc_id,
-         |  text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or 555-123-4567 at 10.0.0.' || CAST(doc_id % 256 AS VARCHAR) AS t
-         | FROM documents
-         |)
-         |SELECT doc_id,
-         | CAST(len(regexp_extract_all(t, '$em')) AS BIGINT) AS n_email,
-         | CAST(len(regexp_extract_all(t, '$ph')) AS BIGINT) AS n_phone,
-         | CAST(length(regexp_replace(regexp_replace(regexp_replace(t,
-         |   '$em', '[EMAIL]', 'g'), '$ph', '[PHONE]', 'g'), '$ip', '[IP]', 'g')) AS BIGINT) AS redacted_len
-         |FROM p ORDER BY doc_id""".stripMargin
-    },
-
-    "ngram_jaccard_pairs" ->
-      """WITH toks AS (
-        | SELECT doc_id,
-        |  list_filter(string_split_regex(trim(regexp_replace(regexp_replace(lower(text), '[[:punct:]]', '', 'g'), '\s+', ' ', 'g')), '\s+'), t -> t <> '') AS ts
-        | FROM documents
-        |), sh AS (
-        | SELECT doc_id,
-        |  CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
-        |       ELSE list_distinct(list_transform(range(1, len(ts) - 1), i -> array_to_string(ts[i:i+2], ' ')))
-        |  END AS grams
-        | FROM toks
-        |), inv AS (
-        | SELECT doc_id, grams, unnest(grams) AS g FROM sh
-        |), pairs AS (
-        | SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.grams AS ga, b.grams AS gb
-        | FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
-        |)
-        |SELECT id_a, id_b,
-        | round(CAST(len(list_intersect(ga, gb)) AS DOUBLE) / CAST(len(list_distinct(list_concat(ga, gb))) AS DOUBLE), 4) AS jaccard
-        |FROM pairs
-        |WHERE CAST(len(list_intersect(ga, gb)) AS DOUBLE) / CAST(len(list_distinct(list_concat(ga, gb))) AS DOUBLE) >= 0.5
-        |ORDER BY id_a, id_b""".stripMargin
-  )
+  def oracleSql: Map[String, String] =
+    graft.gates.CoreGates.oracles ++
+      graft.gates.DedupGates.oracles ++
+      graft.gates.GraphGates.oracles ++
+      graft.gates.MixLayoutGates.oracles ++
+      graft.gates.PreferenceAnnotationGates.oracles ++
+      graft.gates.RefSurfaceGates.oracles ++
+      graft.gates.SimilarityGates.oracles ++
+      graft.gates.StatsGates.oracles ++
+      graft.gates.StreamGates.oracles ++
+      graft.gates.TextGates.oracles
 }
+
