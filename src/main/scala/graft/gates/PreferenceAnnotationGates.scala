@@ -18,6 +18,56 @@ import graft.SparkEntry._
 // scalastyle:off
 private[graft] object PreferenceAnnotationGates {
 
+  // shared batch/stream oracle SQL: the stream gates accumulate the
+  // additive (unit, label) count state across batches and hash their
+  // final outputs against the BATCH SQL verbatim (the stream-vs-batch
+  // contract, the preference_bt_stream convention)
+  private val annotationConsensusOracleSql: String =
+    """WITH r AS (
+      | SELECT CAST(doc_id // 4 AS VARCHAR) AS u,
+      |  CAST((n_chars // 200) % 5 AS VARCHAR) AS l
+      | FROM documents WHERE doc_id < 2000 AND n_chars IS NOT NULL
+      |), uc AS (
+      | SELECT u, l, CAST(count(*) AS BIGINT) AS c FROM r GROUP BY 1, 2
+      |), w AS (
+      | SELECT u, l, c,
+      |  row_number() OVER (PARTITION BY u ORDER BY c DESC, l) AS rn
+      | FROM uc
+      |), t AS (
+      | SELECT u, CAST(sum(c) AS BIGINT) AS n FROM uc GROUP BY 1
+      |)
+      |SELECT w.u AS unit, w.l AS label, t.n AS n_ratings,
+      | (w.c * 1000000) // t.n AS support_ppm
+      |FROM w JOIN t ON t.u = w.u WHERE rn = 1 ORDER BY unit""".stripMargin
+
+  private val annotationAlphaOracleSql: String =
+    """WITH r AS (
+      | SELECT CAST(doc_id // 4 AS VARCHAR) AS u,
+      |  CAST((n_chars // 200) % 5 AS VARCHAR) AS l
+      | FROM documents WHERE doc_id < 2000 AND n_chars IS NOT NULL
+      |), uc AS MATERIALIZED (
+      | SELECT u, l, CAST(count(*) AS BIGINT) AS c FROM r GROUP BY 1, 2
+      |), kept AS MATERIALIZED (
+      | SELECT u, m, ((m * m - ss) * 1000000) // (m - 1) AS do6 FROM (
+      |  SELECT u, CAST(sum(c) AS BIGINT) AS m,
+      |   CAST(sum(c * c) AS BIGINT) AS ss
+      |  FROM uc GROUP BY 1) WHERE m >= 2
+      |), tot AS (
+      | SELECT CAST(count(*) AS BIGINT) AS units, CAST(sum(m) AS BIGINT) AS n,
+      |  CAST(sum(do6) AS BIGINT) AS doe6 FROM kept
+      |), nv AS (
+      | SELECT uc.l, CAST(sum(uc.c) AS BIGINT) AS nvv
+      | FROM uc JOIN kept ON kept.u = uc.u GROUP BY 1
+      |), den AS (
+      | SELECT CAST(tot.n AS HUGEINT) * tot.n -
+      |  (SELECT sum(CAST(nvv AS HUGEINT) * nvv) FROM nv) AS d
+      | FROM tot
+      |)
+      |SELECT tot.units AS n_units, tot.n AS n_ratings, tot.doe6 AS do_e6,
+      | CAST(1000000 - (CAST(tot.doe6 AS HUGEINT) * (tot.n - 1)) // den.d
+      |   AS BIGINT) AS alpha_ppm
+      |FROM tot, den""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- multi-rater consensus labeling: units = doc quartets, each
     //      doc votes its length-bucket label — majority with ties to
@@ -82,6 +132,49 @@ private[graft] object PreferenceAnnotationGates {
     //      rounds over comparisons derived deterministically from the
     //      corpus — consecutive docs compete, the longer text's SOURCE
     //      wins — so the oracle replays every rating from the same log
+    // ---- the STREAMING face of the annotation-QA family: rating rows
+    //      split across two batches into the additive (unit, label)
+    //      count state (one versioned store serves BOTH statistics);
+    //      batch 1 replayed to prove the guard; final consensus and
+    //      alpha hash against the BATCH oracles verbatim
+    "annotation_consensus_stream" -> ((s, dir) => {
+      import graft.streaming.StreamingOps
+      val r = t(s, dir, "documents")
+        .filter(col("doc_id") < 2000 && col("n_chars").isNotNull)
+        .select(col("doc_id"),
+          expr("doc_id div 4").cast("string").as("unit"),
+          expr("(n_chars div 200) % 5").cast("string").as("label"))
+        .localCheckpoint()
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-ann-stream").toString
+      def step(b: DataFrame, id: Long): Unit =
+        StreamingOps.applyAnnotationBatch(s, b, id, "unit", "label",
+          s"$work/state", s"$work/out")
+      step(r.filter(col("doc_id") < 1000), 0L)
+      step(r.filter(col("doc_id") >= 1000), 1L)
+      step(r.filter(col("doc_id") >= 1000), 1L) // replay no-op
+      s.read.parquet(s"$work/out/consensus/batch=1").orderBy("unit")
+    }),
+
+    "annotation_alpha_stream" -> ((s, dir) => {
+      import graft.streaming.StreamingOps
+      val r = t(s, dir, "documents")
+        .filter(col("doc_id") < 2000 && col("n_chars").isNotNull)
+        .select(col("doc_id"),
+          expr("doc_id div 4").cast("string").as("unit"),
+          expr("(n_chars div 200) % 5").cast("string").as("label"))
+        .localCheckpoint()
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-ann-astream").toString
+      def step(b: DataFrame, id: Long): Unit =
+        StreamingOps.applyAnnotationBatch(s, b, id, "unit", "label",
+          s"$work/state", s"$work/out")
+      step(r.filter(col("doc_id") < 1000), 0L)
+      step(r.filter(col("doc_id") >= 1000), 1L)
+      step(r.filter(col("doc_id") >= 1000), 1L) // replay no-op
+      s.read.parquet(s"$work/out/alpha/batch=1")
+    }),
+
     "preference_bt" -> ((s, dir) => {
       val d = t(s, dir, "documents")
         .filter(col("doc_id") < 2000 && col("source").isNotNull &&
@@ -224,51 +317,14 @@ private[graft] object PreferenceAnnotationGates {
   def oracles: Map[String, String] = Map(
     // the Bradley–Terry MM rounds unrolled; see bradleyTerryOracleSql
     // majority with ties to the smallest label; share = exact ppm
-    "annotation_consensus" ->
-      """WITH r AS (
-        | SELECT CAST(doc_id // 4 AS VARCHAR) AS u,
-        |  CAST((n_chars // 200) % 5 AS VARCHAR) AS l
-        | FROM documents WHERE doc_id < 2000 AND n_chars IS NOT NULL
-        |), uc AS (
-        | SELECT u, l, CAST(count(*) AS BIGINT) AS c FROM r GROUP BY 1, 2
-        |), w AS (
-        | SELECT u, l, c,
-        |  row_number() OVER (PARTITION BY u ORDER BY c DESC, l) AS rn
-        | FROM uc
-        |), t AS (
-        | SELECT u, CAST(sum(c) AS BIGINT) AS n FROM uc GROUP BY 1
-        |)
-        |SELECT w.u AS unit, w.l AS label, t.n AS n_ratings,
-        | (w.c * 1000000) // t.n AS support_ppm
-        |FROM w JOIN t ON t.u = w.u WHERE rn = 1 ORDER BY unit""".stripMargin,
+    "annotation_consensus" -> annotationConsensusOracleSql,
     // exact marginals, per-unit e6-floored disagreement, alpha in ppm
-    "annotation_alpha" ->
-      """WITH r AS (
-        | SELECT CAST(doc_id // 4 AS VARCHAR) AS u,
-        |  CAST((n_chars // 200) % 5 AS VARCHAR) AS l
-        | FROM documents WHERE doc_id < 2000 AND n_chars IS NOT NULL
-        |), uc AS MATERIALIZED (
-        | SELECT u, l, CAST(count(*) AS BIGINT) AS c FROM r GROUP BY 1, 2
-        |), kept AS MATERIALIZED (
-        | SELECT u, m, ((m * m - ss) * 1000000) // (m - 1) AS do6 FROM (
-        |  SELECT u, CAST(sum(c) AS BIGINT) AS m,
-        |   CAST(sum(c * c) AS BIGINT) AS ss
-        |  FROM uc GROUP BY 1) WHERE m >= 2
-        |), tot AS (
-        | SELECT CAST(count(*) AS BIGINT) AS units, CAST(sum(m) AS BIGINT) AS n,
-        |  CAST(sum(do6) AS BIGINT) AS doe6 FROM kept
-        |), nv AS (
-        | SELECT uc.l, CAST(sum(uc.c) AS BIGINT) AS nvv
-        | FROM uc JOIN kept ON kept.u = uc.u GROUP BY 1
-        |), den AS (
-        | SELECT CAST(tot.n AS HUGEINT) * tot.n -
-        |  (SELECT sum(CAST(nvv AS HUGEINT) * nvv) FROM nv) AS d
-        | FROM tot
-        |)
-        |SELECT tot.units AS n_units, tot.n AS n_ratings, tot.doe6 AS do_e6,
-        | CAST(1000000 - (CAST(tot.doe6 AS HUGEINT) * (tot.n - 1)) // den.d
-        |   AS BIGINT) AS alpha_ppm
-        |FROM tot, den""".stripMargin,
+    "annotation_alpha" -> annotationAlphaOracleSql,
+    // the accumulated (unit, label) count state IS the full log's
+    // count table, so the final batch's outputs replay with the batch
+    // oracles verbatim
+    "annotation_consensus_stream" -> annotationConsensusOracleSql,
+    "annotation_alpha_stream" -> annotationAlphaOracleSql,
     // interval distance via moments: do6 = 2(m*S2 - S1^2)*1e6 // (m-1)
     // per unit; De = 2(n*T2 - T1^2)/(n-1) in HUGEINT
     "annotation_alpha_interval" ->

@@ -33,12 +33,24 @@ object Annotation {
       df: DataFrame,
       unitCol: String,
       labelCol: String
-  ): DataFrame = {
-    val uc = df
-      .select(col(unitCol).cast(StringType).as("_u"),
-        col(labelCol).cast(StringType).as("_l"))
-      .filter(col("_u").isNotNull && col("_l").isNotNull)
-      .groupBy(col("_u"), col("_l")).agg(count(lit(1)).as("_c"))
+  ): DataFrame =
+    consensusFromCounts(ratingCounts(df, unitCol, labelCol))
+
+  /** The `(_u, _l, _c)` rating-count table every annotation statistic
+    * reduces to FIRST — counts are ADDITIVE, so a streaming
+    * accumulator ([[graft.streaming.StreamingOps.applyAnnotationBatch]])
+    * or a pre-sharded log can maintain this table incrementally and
+    * feed the `FromCounts` entry points directly.
+    */
+  private[graft] def ratingCounts(
+      df: DataFrame, unitCol: String, labelCol: String): DataFrame = df
+    .select(col(unitCol).cast(StringType).as("_u"),
+      col(labelCol).cast(StringType).as("_l"))
+    .filter(col("_u").isNotNull && col("_l").isNotNull)
+    .groupBy(col("_u"), col("_l")).agg(count(lit(1)).as("_c"))
+
+  /** [[consensusLabels]] off a pre-aggregated `(_u, _l, _c)` table. */
+  private[graft] def consensusFromCounts(uc: DataFrame): DataFrame =
     uc.groupBy(col("_u"))
       .agg(
         min_by(struct(col("_l"), col("_c")),
@@ -47,7 +59,6 @@ object Annotation {
       .select(col("_u").as("unit"), col("_w._l").as("label"),
         col("n_ratings"),
         expr("(_w._c * 1000000L) div n_ratings").as("support_ppm"))
-  }
 
   /** Krippendorff's alpha for NOMINAL data (Krippendorff 2004 §11;
     * the 1970 coincidence-matrix construction): chance-corrected
@@ -88,14 +99,17 @@ object Annotation {
       df: DataFrame,
       unitCol: String,
       labelCol: String
-  ): DataFrame = {
-    val spark = df.sparkSession
+  ): DataFrame =
+    alphaNominalFromCountsE6(ratingCounts(df, unitCol, labelCol))
+
+  /** [[krippendorffAlphaNominalE6]] off a pre-aggregated `(_u, _l, _c)`
+    * table (the [[ratingCounts]] shape — a streaming accumulator's
+    * committed state plugs in here).
+    */
+  private[graft] def alphaNominalFromCountsE6(ucRaw: DataFrame): DataFrame = {
+    val spark = ucRaw.sparkSession
     import spark.implicits._
-    val uc = df
-      .select(col(unitCol).cast(StringType).as("_u"),
-        col(labelCol).cast(StringType).as("_l"))
-      .filter(col("_u").isNotNull && col("_l").isNotNull)
-      .groupBy(col("_u"), col("_l")).agg(count(lit(1)).as("_c"))
+    val uc = ucRaw
       .localCheckpoint() // the per-unit reduction AND the marginals read it
     val per = uc.groupBy(col("_u"))
       .agg(sum(col("_c")).as("_m"),

@@ -1827,6 +1827,52 @@ object StreamingOps {
     * distinct compared pairs, not by log rows — and the bounded-round
     * MM refit over those stats. Raw comparison rows never enter state.
     */
+  /** One micro-batch of STREAMING annotation QA — the continuous face
+    * of [[graft.operators.Annotation]]: rating rows arrive
+    * continuously, the committed state is the `(_u, _l, _c)`
+    * rating-count table (counts are ADDITIVE, so the state merge is a
+    * union + re-count — the [[applyBtBatch]] convention), and after
+    * every batch the accumulated counts feed the UNCHANGED batch
+    * reductions: consensus labels to `outPath/consensus/batch=N`,
+    * nominal Krippendorff alpha to `outPath/alpha/batch=N`. Stream ≡
+    * batch by construction: the final outputs equal
+    * [[graft.operators.Annotation.consensusLabels]] /
+    * [[graft.operators.Annotation.krippendorffAlphaNominalE6]] on the
+    * concatenated log. Replay guard: `_CURRENT` at a version >= this
+    * batch id means the batch was already counted — skip instead of
+    * double-counting (outputs were written before the commit).
+    */
+  def applyAnnotationBatch(
+      spark: SparkSession,
+      batch: DataFrame,
+      batchId: Long,
+      unitCol: String,
+      labelCol: String,
+      statePath: String,
+      outPath: String
+  ): Unit = {
+    currentVersionId(spark, statePath) match {
+      case Some(cur) if cur >= batchId =>
+        log.warn(s"annotationStream: skipping batch $batchId — state at " +
+          s"v$cur already includes it")
+      case _ =>
+        val inBatch = graft.operators.Annotation
+          .ratingCounts(batch, unitCol, labelCol)
+        val merged = (readState(spark, statePath) match {
+          case Some(st) => st.unionByName(inBatch)
+            .groupBy("_u", "_l").agg(sum(col("_c")).as("_c"))
+          case None => inBatch
+        }).localCheckpoint()
+        graft.operators.Annotation.consensusFromCounts(merged)
+          .write.mode("overwrite").parquet(s"$outPath/consensus/batch=$batchId")
+        graft.operators.Annotation.alphaNominalFromCountsE6(merged)
+          .write.mode("overwrite").parquet(s"$outPath/alpha/batch=$batchId")
+        val version = s"v$batchId"
+        merged.write.mode("overwrite").parquet(s"$statePath/$version")
+        commitVersion(spark, statePath, version, keepFrom = batchId - 1)
+    }
+  }
+
   def applyBtBatch(
       spark: SparkSession,
       batch: DataFrame,

@@ -171,6 +171,50 @@ class AnnotationSpec extends SparkSpec {
     assert(e.getMessage.contains("ordinal scale"), e.getMessage)
   }
 
+  test("applyAnnotationBatch: stream ≡ batch on the concatenated log for consensus AND alpha; additive count state; replay + torn commit") {
+    import graft.streaming.StreamingOps
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).toSeq.sorted
+    val b0 = Seq(("u1", "x"), ("u1", "x"), ("u2", "y")).toDF("unit", "label")
+    val b1 = Seq(("u1", "y"), ("u2", "y"), ("u2", "x"), ("u3", "x"))
+      .toDF("unit", "label")
+    val all = b0.unionByName(b1)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ann-spec").toString
+    def step(b: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      StreamingOps.applyAnnotationBatch(spark, b, id, "unit", "label",
+        s"$dir/state", s"$dir/out")
+    step(b0, 0L)
+    assert(rows(spark.read.parquet(s"$dir/out/consensus/batch=0")) ==
+      rows(Annotation.consensusLabels(b0, "unit", "label")))
+    assert(rows(spark.read.parquet(s"$dir/out/alpha/batch=0")) ==
+      rows(Annotation.krippendorffAlphaNominalE6(b0, "unit", "label")))
+    step(b1, 1L)
+    val c1 = rows(spark.read.parquet(s"$dir/out/consensus/batch=1"))
+    val a1 = rows(spark.read.parquet(s"$dir/out/alpha/batch=1"))
+    // the accumulated outputs equal the batch operators on the full log
+    assert(c1 == rows(Annotation.consensusLabels(all, "unit", "label")))
+    assert(a1 == rows(
+      Annotation.krippendorffAlphaNominalE6(all, "unit", "label")))
+    // state holds additive (unit, label) counts, never raw rating rows
+    val st = StreamingOps.readState(spark, s"$dir/state").get
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(st(("u1", "x")) == 2L && st(("u1", "y")) == 1L &&
+      st(("u2", "y")) == 2L && st(("u2", "x")) == 1L && st(("u3", "x")) == 1L)
+    // replay no-ops; torn commit recomputes bit-identically
+    step(b1, 1L)
+    assert(StreamingOps.currentVersionId(spark, s"$dir/state").contains(1L))
+    assert(rows(spark.read.parquet(s"$dir/out/alpha/batch=1")) == a1)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(s"$dir/state/_CURRENT"), true)
+    try out.write("v0".getBytes("UTF-8")) finally out.close()
+    step(b1, 1L)
+    assert(StreamingOps.currentVersionId(spark, s"$dir/state").contains(1L))
+    assert(rows(spark.read.parquet(s"$dir/out/consensus/batch=1")) == c1)
+  }
+
   test("krippendorffAlphaNominalE6: a unit past 3e6 ratings refuses loudly (the (m^2-ss)*1e6 int64 bound)") {
     val huge = spark.range(3000001)
       .select(lit("u").as("u"), (col("id") % 2).cast("string").as("l"))
