@@ -2648,6 +2648,85 @@ object SparkEntry {
     s"""WITH ${qualityMarginCteSql()}
        |SELECT doc_id, margin_e6 FROM marg ORDER BY 1""".stripMargin
 
+  /** The quality-model TRAIN→SERVE closure unrolled
+    * ([[graft.operators.QualityModel.trainLogisticEpochsE6]]): labels
+    * from the length rule on doc_id < 1000, hashed-count features with
+    * the bias as pseudo-bucket −1 (count 1 per labeled doc), `epochs`
+    * full-batch fixed-point updates through the literal sigmoid table,
+    * then the final weight table serves margins over the whole
+    * doc_id < 2000 corpus — the sgnsTrainCteSql discipline applied to
+    * the logistic family. HUGEINT for every gradient product; `//`
+    * matches the trainer's BigInt truncation.
+    */
+  private[graft] def qualityTrainServeOracleSql(epochs: Int,
+      lrPpm: Long): String = {
+    val tbl = graft.operators.Graph.sigmoidTablePpm()
+    val stVals = tbl.zipWithIndex
+      .map { case (v, i) => s"($i, $v)" }.mkString(", ")
+    val epochCtes = (1 to epochs).map { k =>
+      s"""mg$k AS (
+         | SELECT f.doc_id, CAST(sum(f.cnt * w.w) AS BIGINT) AS m
+         | FROM fplus f JOIN w${k - 1} w ON w.bucket = f.bucket GROUP BY 1
+         |), rr$k AS MATERIALIZED (
+         | SELECT mg.doc_id, (lab.y * 1000000 - st.sppm) AS r
+         | FROM mg$k mg JOIN lab ON lab.doc_id = mg.doc_id
+         | JOIN st ON st.idx =
+         |  CASE WHEN mg.m <= -6000000 THEN 0 WHEN mg.m >= 6000000 THEN ${tbl.length - 1}
+         |       ELSE (mg.m + 6000000) * ${tbl.length} // 12000000 END
+         |), gr$k AS (
+         | SELECT f.bucket, CAST(sum(CAST(r.r AS HUGEINT) * f.cnt) AS HUGEINT) AS g
+         | FROM fplus f JOIN rr$k r ON r.doc_id = f.doc_id GROUP BY 1
+         |), w$k AS MATERIALIZED (
+         | SELECT w.bucket,
+         |  CAST(greatest(-10000000, least(10000000, w.w +
+         |    CAST(($lrPpm * COALESCE(g.g, 0)) //
+         |      (CAST(nn.n AS HUGEINT) * 1000000) AS BIGINT))) AS BIGINT) AS w
+         | FROM w${k - 1} w LEFT JOIN gr$k g ON g.bucket = w.bucket CROSS JOIN nn
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH base AS (
+       | SELECT doc_id,
+       |  list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS toks
+       | FROM documents
+       | WHERE doc_id < 2000 AND text IS NOT NULL AND n_chars IS NOT NULL
+       |), lab AS MATERIALIZED (
+       | SELECT doc_id, CASE WHEN n_chars >= 500 THEN 1 ELSE 0 END AS y
+       | FROM documents
+       | WHERE doc_id < 1000 AND text IS NOT NULL AND n_chars IS NOT NULL
+       |), tokall AS MATERIALIZED (
+       | SELECT doc_id, unnest(toks) AS token FROM base
+       |), vb AS MATERIALIZED (
+       | SELECT token,
+       |  $fnvBucketExpr
+       | FROM (SELECT DISTINCT token, token || ':qm' AS s FROM tokall)
+       |), fplus AS MATERIALIZED (
+       | SELECT t.doc_id, v.bucket, CAST(count(*) AS BIGINT) AS cnt
+       | FROM tokall t JOIN vb v ON v.token = t.token
+       | WHERE t.doc_id < 1000 GROUP BY 1, 2
+       | UNION ALL
+       | SELECT doc_id, -1, 1 FROM lab
+       |), nn AS (
+       | SELECT CAST(count(*) AS BIGINT) AS n FROM lab
+       |), st AS (
+       | SELECT * FROM (VALUES $stVals) AS t(idx, sppm)
+       |), w0 AS MATERIALIZED (
+       | SELECT CAST(unnest(range(-1, ${graft.operators.QualityModel.DefaultBuckets})) AS BIGINT) AS bucket,
+       |  CAST(0 AS BIGINT) AS w
+       |), $epochCtes, dotq AS (
+       | SELECT k.doc_id, sum(w.w) AS d
+       | FROM (SELECT t.doc_id, v.bucket FROM tokall t
+       |       JOIN vb v ON v.token = t.token) k
+       | JOIN w$epochs w ON w.bucket = k.bucket GROUP BY 1
+       |), bs AS (
+       | SELECT w FROM w$epochs WHERE bucket = -1
+       |)
+       |SELECT b.doc_id,
+       | CAST(COALESCE(dotq.d, 0) + bs.w AS BIGINT) AS margin_e6
+       |FROM (SELECT DISTINCT doc_id FROM base) b
+       |LEFT JOIN dotq ON dotq.doc_id = b.doc_id CROSS JOIN bs
+       |ORDER BY 1""".stripMargin
+  }
+
   private[graft] def lmOracle(): String = {
     // no ln-based fallback (round-7 verdict #4): an unregistered weight
     // table fails by name, never silently re-derives the weights

@@ -94,6 +94,29 @@ private[graft] object TextGates {
           qmGateWeights, qmGateBias)
         .orderBy("doc_id")
     }),
+    // ---- the TRAIN→SERVE closure for this family: the deterministic
+    //      fixed-point logistic trainer fits the n_chars >= 500 label
+    //      (the calibration gates' rule) on doc_id < 1000, then the
+    //      TRAINED weights serve margins over the whole < 2000 corpus
+    //      through the unchanged scoreMargin path — the sgns→IVF
+    //      closure pattern applied to the quality model; the oracle
+    //      unrolls every epoch (sigmoid table literal on both sides)
+    "quality_train_serve" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .filter(col("doc_id") < 2000 && col("text").isNotNull &&
+          col("n_chars").isNotNull)
+        .select(col("doc_id"), col("text"), col("n_chars"))
+        .localCheckpoint()
+      val train = d.filter(col("doc_id") < 1000)
+      val labels = train.select(col("doc_id"),
+        (col("n_chars") >= 500).cast("long").as("label"))
+      val (w, bias) = QualityModel.trainLogisticEpochsE6(train, "doc_id",
+        "text", labels, "label", epochs = 3, lrPpm = 200000L)
+      QualityModel.scoreMargin(d, "doc_id", "text",
+          w.map(v => java.math.BigDecimal.valueOf(v, 6)),
+          java.math.BigDecimal.valueOf(bias, 6))
+        .orderBy("doc_id")
+    }),
     // ---- calibration eval of that classifier: margins → the shared
     //      64-slot literal sigmoid → equal-width reliability buckets +
     //      ECE against the n_chars >= 500 label — the check a pipeline
@@ -881,6 +904,10 @@ private[graft] object TextGates {
     // margin = bias + exact decimal dot, zero-token docs keep the bias
     // via the left join
     "quality_margin" -> qualityMarginOracle(),
+    // every epoch of the fixed-point trainer unrolled, then the final
+    // weight table serves the full corpus — see qualityTrainServeOracleSql
+    "quality_train_serve" -> qualityTrainServeOracleSql(epochs = 3,
+      lrPpm = 200000L),
     // margin chain (n_chars-filtered) → literal sigmoid → equal-width
     // buckets; HUGEINT sums, // ≡ div on these non-negative operands
     "quality_calibration" -> qualityCalibrationOracleSql,

@@ -158,6 +158,109 @@ object QualityModel {
       .setScale(6, java.math.RoundingMode.HALF_UP))
   }
 
+  /** Deterministic FIXED-POINT logistic trainer — the train half of
+    * the quality-model train→serve closure, the [[graft.operators
+    * .Graph.sgnsEpochs]] discipline applied to this family: every
+    * quantity an exact scaled integer, so the whole run (and the gate
+    * that serves its weights) replays bit-for-bit on any engine —
+    * which the MLlib-backed [[trainLogistic]] cannot promise (its
+    * L-BFGS path is float iteration order all the way down; it stays
+    * for throwaway local fits).
+    *
+    * `epochs` rounds of FULL-BATCH gradient ascent on the logistic
+    * log-likelihood over [[hashedTokenFeatures]] counts:
+    *
+    *  - the BIAS is feature bucket −1 with count 1 on every labeled
+    *    doc, so one margin/gradient path serves weights and bias and
+    *    token-less docs still train the bias;
+    *  - margins are e6 longs; σ comes from
+    *    [[graft.operators.Graph.sigmoidTablePpm]] (the margin buckets
+    *    into 64 slots over ±6.0 — no engine-evaluated transcendental
+    *    anywhere near a compared surface);
+    *  - per-bucket gradient G_b = Σ_docs (y·10⁶ − σ_ppm)·cnt_b,
+    *    summed in DECIMAL(38,0) (no corpus size overflows it),
+    *    collected driver-side — the weight vector IS driver metadata
+    *    (≤ `buckets`+1 longs, the GateTables/centroid discipline);
+    *  - update w_b += (lrPpm · G_b) / (n · 10⁶) in BigInt (truncation
+    *    toward zero, the `div`/`//` convention), clamped to ±10.0 e6
+    *    (divergence impossible at any lr, converged runs unchanged).
+    *
+    * Labels must be 0/1 (zero-action tripwire). Returns
+    * `(weights, bias)` as e6 longs, directly convertible to the
+    * [[scoreMargin]] serving table via `BigDecimal.valueOf(_, 6)`.
+    *
+    * Scale shape per epoch: one broadcast of the ≤4097-row weight
+    * table, one map-side-combined margin aggregate, one gradient
+    * aggregate over ≤ buckets+1 groups — the corpus shuffles counts
+    * once at featurization and never again.
+    */
+  def trainLogisticEpochsE6(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      labels: DataFrame, // (idCol, 0/1 label)
+      labelCol: String,
+      epochs: Int,
+      lrPpm: Long,
+      buckets: Int = DefaultBuckets,
+      salt: String = "qm"
+  ): (IndexedSeq[Long], Long) = {
+    require(epochs >= 1 && epochs <= 8,
+      s"trainLogisticEpochsE6: epochs must be in [1, 8], got $epochs")
+    require(lrPpm >= 1L && lrPpm <= 500000L,
+      s"trainLogisticEpochsE6: lrPpm must be in [1, 500000], got $lrPpm")
+    require(buckets >= 1 && buckets <= 4096,
+      s"trainLogisticEpochsE6: buckets must be in [1, 4096], got $buckets")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val lab = labels
+      .select(col(idCol), col(labelCol).cast(LongType).as("_y"))
+      .filter(col(idCol).isNotNull && col("_y").isNotNull)
+      .filter(assert_true(col("_y").isin(0L, 1L),
+        lit("trainLogisticEpochsE6: label must be 0/1")).isNull)
+      .localCheckpoint()
+    val n = lab.count()
+    require(n > 0, "trainLogisticEpochsE6: no labeled docs")
+    val feats = hashedTokenFeatures(
+        docs.join(lab.select(col(idCol)), Seq(idCol), "left_semi"),
+        idCol, textCol, buckets, salt)
+      .unionByName(lab.select(col(idCol), lit(-1L).as("bucket"),
+        lit(1L).as("cnt")))
+      .localCheckpoint() // margins AND gradients read it, every epoch
+    val tbl = graft.operators.Graph.sigmoidTablePpm()
+    val hi = 6000000L // the table's ±6.0 range in the e6 margin scale
+    val idxSql = s"CASE WHEN _m <= ${-hi} THEN 0L " +
+      s"WHEN _m >= $hi THEN ${tbl.length - 1}L " +
+      s"ELSE ((_m + $hi) * ${tbl.length}L) div ${2 * hi} END"
+    // index 0 = bias (bucket -1), index i+1 = bucket i
+    var w = IndexedSeq.fill(buckets + 1)(0L)
+    val denom = BigInt(n) * 1000000L
+    for (_ <- 1 to epochs) {
+      val wDf = broadcast(w.zipWithIndex
+        .map { case (v, i) => (i - 1L, v) }.toDF("bucket", "_w"))
+      val resid = feats.join(wDf, Seq("bucket"))
+        .groupBy(col(idCol)).agg(sum(col("cnt") * col("_w")).as("_m"))
+        .join(lab, Seq(idCol))
+        .withColumn("_sig", element_at(typedLit(tbl),
+          (expr(idxSql) + lit(1L)).cast("int")))
+        .select(col(idCol),
+          (col("_y") * lit(1000000L) - col("_sig")).as("_r"))
+      val grads = feats.join(resid, Seq(idCol))
+        .groupBy(col("bucket"))
+        .agg(sum((col("_r") * col("cnt")).cast(d38)).as("_g"))
+        .collect()
+        .map(r => r.getLong(0) -> BigInt(r.getDecimal(1).toBigInteger))
+        .toMap
+      w = w.zipWithIndex.map { case (v, i) =>
+        val nv = BigInt(v) +
+          BigInt(lrPpm) * grads.getOrElse(i - 1L, BigInt(0)) / denom
+        nv.max(BigInt(-10000000L)).min(BigInt(10000000L)).toLong
+      }
+    }
+    (w.drop(1), w(0))
+  }
+
   /** Reliability buckets + ECE — the CALIBRATION eval a pipeline runs
     * before trusting a quality score as a probability threshold (the
     * standard reliability-diagram / expected-calibration-error

@@ -177,4 +177,44 @@ class QualityModelSpec extends SparkSpec {
     assert(StreamingOps.currentVersionId(spark, s"$dir/state").contains(1L))
     assert(rows(spark.read.parquet(s"$dir/out/batch=1")) == r1)
   }
+
+  test("trainLogisticEpochsE6: separates a planted vocabulary; deterministic across runs; bias learns a skewed base rate; label tripwire") {
+    // positive docs say "good", negative docs say "bad" — after a few
+    // epochs the trained weights must rank every positive above every
+    // negative through the UNCHANGED serving path
+    val docs = (0 until 24).map { i =>
+      if (i % 2 == 0) (i.toLong, "good text sample body")
+      else (i.toLong, "bad text sample body")
+    }.toDF("id", "text")
+    val labels = docs.select(col("id"), (col("id") % 2 === 0).cast("long").as("label"))
+    val (w, bias) = QualityModel.trainLogisticEpochsE6(docs, "id", "text",
+      labels, "label", epochs = 4, lrPpm = 300000L)
+    val margins = QualityModel.scoreMargin(docs, "id", "text",
+        w.map(v => java.math.BigDecimal.valueOf(v, 6)),
+        java.math.BigDecimal.valueOf(bias, 6))
+      .as[(Long, Long)].collect().toMap
+    val pos = (0 until 24 by 2).map(i => margins(i.toLong))
+    val neg = (1 until 24 by 2).map(i => margins(i.toLong))
+    assert(pos.min > neg.max,
+      s"positives ${pos.min} must outrank negatives ${neg.max}")
+    // bit-identical across runs (the whole point vs the MLlib path)
+    val (w2, bias2) = QualityModel.trainLogisticEpochsE6(docs, "id", "text",
+      labels, "label", epochs = 4, lrPpm = 300000L)
+    assert(w == w2 && bias == bias2)
+    // all-positive corpus: shared tokens and bias must drift positive
+    // (token-less docs would still train the bias through bucket -1)
+    val onesided = (0 until 8).map(i => (i.toLong, "steady words here"))
+      .toDF("id", "text")
+    val oneLab = onesided.select(col("id"), lit(1L).as("label"))
+    val (_, b1s) = QualityModel.trainLogisticEpochsE6(onesided, "id",
+      "text", oneLab, "label", epochs = 2, lrPpm = 300000L)
+    assert(b1s > 0L, s"bias should drift positive, got $b1s")
+    // a non-0/1 label refuses loudly
+    val badLab = onesided.select(col("id"), lit(2L).as("label"))
+    val e = intercept[Exception](QualityModel.trainLogisticEpochsE6(
+      onesided, "id", "text", badLab, "label", epochs = 1, lrPpm = 1000L))
+    val msg = Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+    assert(msg.contains("0/1"), e.toString)
+  }
 }
