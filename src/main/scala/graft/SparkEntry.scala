@@ -2648,6 +2648,48 @@ object SparkEntry {
     s"""WITH ${qualityMarginCteSql()}
        |SELECT doc_id, margin_e6 FROM marg ORDER BY 1""".stripMargin
 
+  /** Temperature-scaling grid search unrolled
+    * ([[graft.operators.QualityModel.temperatureScaleE6]]): the
+    * qm-gate margin chain, each grid temperature's rescaled margins
+    * through the literal sigmoid table, the equal-width reliability
+    * fold, argmin ECE with ties to the smallest temperature.
+    */
+  private[graft] def qualityTemperatureOracleSql(grid: Seq[Long]): String = {
+    val tbl = graft.operators.Graph.sigmoidTablePpm()
+    val stVals = tbl.zipWithIndex
+      .map { case (v, i) => s"($i, $v)" }.mkString(", ")
+    val gVals = grid.map(t => s"($t)").mkString(", ")
+    s"""WITH ${qualityMarginCteSql("doc_id < 1000 AND n_chars IS NOT NULL")},
+       |st AS (SELECT * FROM (VALUES $stVals) AS t(idx, sppm)),
+       |tg AS (SELECT CAST(t_e6 AS BIGINT) AS t_e6
+       |  FROM (VALUES $gVals) AS g(t_e6)),
+       |lb AS (SELECT doc_id, CASE WHEN n_chars >= 500 THEN 1 ELSE 0 END AS y
+       |  FROM documents WHERE doc_id < 1000 AND n_chars IS NOT NULL),
+       |sc AS (SELECT m.margin_e6, lb.y
+       |  FROM marg m JOIN lb ON lb.doc_id = m.doc_id),
+       |mt AS (SELECT tg.t_e6, sc.y,
+       |  (sc.margin_e6 * 1000000) // tg.t_e6 AS mtv FROM sc CROSS JOIN tg),
+       |pp AS (SELECT mt.t_e6, mt.y, st.sppm AS p FROM mt JOIN st ON st.idx =
+       |  CASE WHEN mt.mtv <= -6000000 THEN 0
+       |       WHEN mt.mtv >= 6000000 THEN ${tbl.length - 1}
+       |       ELSE (mt.mtv + 6000000) * ${tbl.length} // 12000000 END),
+       |bk AS (SELECT t_e6, least(9, (p * 10) // 1000000) AS b,
+       |  CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS np,
+       |  CAST(sum(CAST(p AS HUGEINT)) AS HUGEINT) AS sp
+       |  FROM pp GROUP BY 1, 2),
+       |gp AS (SELECT t_e6, n,
+       |  abs(CAST(sp // n AS BIGINT) -
+       |      CAST((CAST(np AS HUGEINT) * 1000000) // n AS BIGINT)) AS gap
+       |  FROM bk),
+       |ec AS MATERIALIZED (SELECT t_e6,
+       |  CAST(sum(CAST(n AS HUGEINT) * gap) // sum(n) AS BIGINT) AS ece_ppm
+       |  FROM gp GROUP BY 1),
+       |bst AS (SELECT ece_ppm, t_e6 FROM ec ORDER BY ece_ppm, t_e6 LIMIT 1)
+       |SELECT ec.t_e6, ec.ece_ppm,
+       | (ec.ece_ppm = bst.ece_ppm AND ec.t_e6 = bst.t_e6) AS chosen
+       |FROM ec CROSS JOIN bst ORDER BY 1""".stripMargin
+  }
+
   /** The quality-model TRAIN→SERVE closure unrolled
     * ([[graft.operators.QualityModel.trainLogisticEpochsE6]]): labels
     * from the length rule on doc_id < 1000, hashed-count features with

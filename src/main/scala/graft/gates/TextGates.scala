@@ -18,6 +18,10 @@ import graft.SparkEntry._
 // scalastyle:off
 private[graft] object TextGates {
 
+  // temperature candidates 0.25x..5x in e6 — literal on BOTH sides
+  private val qualityTemperatureGrid: Seq[Long] = Seq(250000L, 500000L,
+    750000L, 1000000L, 1500000L, 2000000L, 3000000L, 5000000L)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- text quality scoring
     "text_quality" -> ((s, dir) => {
@@ -93,6 +97,22 @@ private[graft] object TextGates {
       QualityModel.scoreMargin(d, "doc_id", "text",
           qmGateWeights, qmGateBias)
         .orderBy("doc_id")
+    }),
+    // ---- post-hoc temperature scaling of that classifier: each grid
+    //      temperature rescales the margins (exact e6 division), maps
+    //      through the shared literal sigmoid, folds to ECE — the
+    //      argmin (ties to the smallest T) is the deployable
+    //      calibration map, chosen without a transcendental anywhere
+    "quality_temperature" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .filter(col("doc_id") < 1000 && col("n_chars").isNotNull)
+      val m = QualityModel.scoreMargin(d, "doc_id", "text",
+        qmGateWeights, qmGateBias)
+      val sc = m.join(d.select(col("doc_id"),
+        (col("n_chars") >= 500).cast("long").as("label")), Seq("doc_id"))
+      QualityModel.temperatureScaleE6(sc, "margin_e6", "label",
+          qualityTemperatureGrid)
+        .orderBy("t_e6")
     }),
     // ---- the TRAIN→SERVE closure for this family: the deterministic
     //      fixed-point logistic trainer fits the n_chars >= 500 label
@@ -908,6 +928,10 @@ private[graft] object TextGates {
     // weight table serves the full corpus — see qualityTrainServeOracleSql
     "quality_train_serve" -> qualityTrainServeOracleSql(epochs = 3,
       lrPpm = 200000L),
+    // the grid x reliability fold + argmin, temperatures literal on
+    // both sides — see qualityTemperatureOracleSql
+    "quality_temperature" ->
+      qualityTemperatureOracleSql(qualityTemperatureGrid),
     // margin chain (n_chars-filtered) → literal sigmoid → equal-width
     // buckets; HUGEINT sums, // ≡ div on these non-negative operands
     "quality_calibration" -> qualityCalibrationOracleSql,

@@ -261,6 +261,84 @@ object QualityModel {
     (w.drop(1), w(0))
   }
 
+  /** Post-hoc TEMPERATURE scaling for the margin classifier (Guo et
+    * al. 2017 §4.2 — the one-parameter calibration map p = σ(m/T)),
+    * grid-searched to MINIMIZE ECE in exact integers: the NLL the
+    * paper optimizes needs a log, which never enters a compared
+    * surface here, and on a ≤64-candidate grid the ECE argmin is the
+    * deployable objective anyway (it is what the reliability gates
+    * measure). For each candidate temperature `t_e6`, margins rescale
+    * as `(margin_e6 · 10⁶) div t_e6`, map through the shared literal
+    * sigmoid table, bucket into `buckets` equal-width reliability
+    * bins, and fold to ECE with [[calibrationFromStats]]'s exact
+    * arithmetic. Output: one row per candidate
+    * `(t_e6, ece_ppm, chosen)` — `chosen` marks the minimum, ties to
+    * the smallest temperature (deterministic).
+    *
+    * Tripwires: labels 0/1; `|margin_e6| ≤ 10¹²` (keeps the ×10⁶
+    * rescale inside exact int64 — a margin beyond ±10⁶.0 is saturated
+    * anyway, clamp upstream); grid positive, ≤ 64 candidates.
+    *
+    * Scale shape: one grid × examples projection (grid broadcast as a
+    * ≤64-row literal), one map-side-combined (t, bucket) aggregate,
+    * one ≤64-group fold, one 1-row broadcast for the argmin — the
+    * example set shuffles ≤ grid × buckets stat rows, never examples.
+    */
+  def temperatureScaleE6(
+      scored: DataFrame,
+      marginCol: String,
+      labelCol: String,
+      gridE6: Seq[Long],
+      buckets: Int = 10
+  ): DataFrame = {
+    require(gridE6.nonEmpty && gridE6.length <= 64,
+      s"temperatureScaleE6: grid must have 1..64 candidates, got ${gridE6.length}")
+    require(gridE6.forall(_ > 0L),
+      "temperatureScaleE6: temperatures must be positive e6 longs")
+    require(gridE6.distinct.length == gridE6.length,
+      "temperatureScaleE6: duplicate grid temperatures")
+    require(buckets >= 2 && buckets <= 1000,
+      s"temperatureScaleE6: buckets must be in [2, 1000], got $buckets")
+    val spark = scored.sparkSession
+    import spark.implicits._
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val base = scored
+      .select(col(marginCol).cast(LongType).as("_m"),
+        col(labelCol).cast(LongType).as("_y"))
+      .filter(assert_true(col("_y").isin(0L, 1L) &&
+        abs(col("_m")) <= lit(1000000000000L),
+        lit("temperatureScaleE6: label must be 0/1 and |margin_e6| <= " +
+          "10^12 (the *10^6 rescale int64 bound — clamp saturated " +
+          "margins upstream)")).isNull)
+    val tbl = graft.operators.Graph.sigmoidTablePpm()
+    val hi = 6000000L
+    val idxSql = s"CASE WHEN _mt <= ${-hi} THEN 0L " +
+      s"WHEN _mt >= $hi THEN ${tbl.length - 1}L " +
+      s"ELSE ((_mt + $hi) * ${tbl.length}L) div ${2 * hi} END"
+    val grid = broadcast(gridE6.toDF("t_e6"))
+    val perBucket = base.crossJoin(grid)
+      .withColumn("_mt", expr("(_m * 1000000L) div t_e6"))
+      .withColumn("_p", element_at(typedLit(tbl),
+        (expr(idxSql) + lit(1L)).cast("int")))
+      .withColumn("_b", least(lit(buckets - 1L),
+        expr(s"(_p * ${buckets}L) div 1000000L")))
+      .groupBy(col("t_e6"), col("_b"))
+      .agg(count(lit(1)).as("n"), sum(col("_y")).as("n_pos"),
+        sum(col("_p").cast(d38)).as("sum_p"))
+      .withColumn("gap_ppm",
+        abs(expr("CAST(sum_p div n AS BIGINT)") -
+          expr("CAST((CAST(n_pos AS DECIMAL(38,0)) * 1000000) div n AS BIGINT)")))
+    val ece = perBucket.groupBy(col("t_e6"))
+      .agg(expr("CAST(sum(CAST(n AS DECIMAL(38,0)) * gap_ppm) div sum(n) AS BIGINT)")
+        .as("ece_ppm"))
+      .localCheckpoint() // rows AND the 1-row argmin fold read it
+    val best = ece.agg(min(struct(col("ece_ppm"), col("t_e6"))).as("_best"))
+    ece.crossJoin(broadcast(best))
+      .select(col("t_e6"), col("ece_ppm"),
+        (col("ece_ppm") === col("_best.ece_ppm") &&
+          col("t_e6") === col("_best.t_e6")).as("chosen"))
+  }
+
   /** Reliability buckets + ECE — the CALIBRATION eval a pipeline runs
     * before trusting a quality score as a probability threshold (the
     * standard reliability-diagram / expected-calibration-error

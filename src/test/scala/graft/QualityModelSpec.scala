@@ -178,6 +178,38 @@ class QualityModelSpec extends SparkSpec {
     assert(rows(spark.read.parquet(s"$dir/out/batch=1")) == r1)
   }
 
+  test("temperatureScaleE6: overconfident margins choose the largest T; exact ties fall to the smallest T; tripwires") {
+    val grid = Seq(250000L, 1000000L, 5000000L)
+    // overconfident: extreme margins, 50% actual rate on each side —
+    // flattening toward 0.5 strictly reduces ECE, so T = 5.0 must win
+    val over = ((0 until 20).map(i => (5000000L, (i % 2).toLong)) ++
+      (0 until 20).map(i => (-5000000L, (i % 2).toLong)))
+      .toDF("margin_e6", "label")
+    val got = QualityModel.temperatureScaleE6(over, "margin_e6", "label", grid)
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(got.count(_._3) == 1 && got.find(_._3).get._1 == 5000000L,
+      got.mkString(","))
+    // margin 0 everywhere: sigma(0/T) = 0.5 for every T — an exact ECE
+    // tie, which must fall DETERMINISTICALLY to the smallest T
+    val flat = (0 until 10).map(i => (0L, (i % 2).toLong))
+      .toDF("margin_e6", "label")
+    val tied = QualityModel.temperatureScaleE6(flat, "margin_e6", "label", grid)
+      .as[(Long, Long, Boolean)].collect()
+    assert(tied.map(_._2).distinct.length == 1 &&
+      tied.count(_._3) == 1 && tied.find(_._3).get._1 == 250000L,
+      tied.mkString(","))
+    // label outside 0/1 refuses loudly
+    val bad = Seq((0L, 2L)).toDF("margin_e6", "label")
+    val e = intercept[Exception](QualityModel.temperatureScaleE6(
+      bad, "margin_e6", "label", grid).collect())
+    val msg = Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+    assert(msg.contains("0/1"), e.toString)
+    // duplicate grid refuses
+    intercept[IllegalArgumentException](QualityModel.temperatureScaleE6(
+      flat, "margin_e6", "label", Seq(1L, 1L)))
+  }
+
   test("trainLogisticEpochsE6: separates a planted vocabulary; deterministic across runs; bias learns a skewed base rate; label tripwire") {
     // positive docs say "good", negative docs say "bad" — after a few
     // epochs the trained weights must rank every positive above every
