@@ -304,12 +304,21 @@ object Bench {
           val ratios = shared.map(n => curMins(n) / p.mins(n))
           val calBlock = (probeFloorCur, p.probeFloor) match {
             case (Some(fc), Some(fp)) if fc > 0 && fp > 0 =>
-              val curCal = shared.map(n =>
-                n -> (calibrated.get(n).map(_._1).getOrElse(curMins(n)) / fc)).toMap
+              // local (nearest-probe) calibration only when BOTH records
+              // carry it — calibrating one side of the ratio and not the
+              // other systematically discounts whichever sweep ran on
+              // the busier box (measured: 0.68× "calibrated" vs 0.96×
+              // floor-only on the first record with this field).
+              // Otherwise both sides divide by their probe FLOOR only.
+              val local = p.minsCalibrated.nonEmpty
+              val curCal = shared.map(n => n ->
+                ((if (local) calibrated.get(n).map(_._1).getOrElse(curMins(n))
+                  else curMins(n)) / fc)).toMap
               val prevCal = shared.map(n =>
                 n -> (p.minsCalibrated.getOrElse(n, p.mins(n)) / fp)).toMap
               val calRatios = shared.map(n => curCal(n) / prevCal(n))
               f""","probe_floor_cur":$fc%.4f,"probe_floor_prev":$fp%.4f""" +
+                s""","cal_mode":"${if (local) "local" else "floor-only"}"""" +
                 f""","ratio_calibrated":${curCal.values.sum / prevCal.values.sum}%.4f""" +
                 f""","median_ratio_calibrated":${median(calRatios)}%.4f"""
             case _ => ""

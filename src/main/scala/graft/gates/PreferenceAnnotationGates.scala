@@ -68,6 +68,44 @@ private[graft] object PreferenceAnnotationGates {
       |   AS BIGINT) AS alpha_ppm
       |FROM tot, den""".stripMargin
 
+  private val annotationRaterOracleSql: String =
+    """WITH r AS (
+      | SELECT CAST(doc_id // 4 AS VARCHAR) AS u,
+      |  CAST(doc_id % 4 AS VARCHAR) AS rr,
+      |  CAST((n_chars // 200) % 5 AS VARCHAR) AS l
+      | FROM documents WHERE doc_id < 2000 AND n_chars IS NOT NULL
+      |), uc AS (
+      | SELECT u, l, CAST(count(*) AS BIGINT) AS c FROM r GROUP BY 1, 2
+      |), w AS (
+      | SELECT u, l,
+      |  row_number() OVER (PARTITION BY u ORDER BY c DESC, l) AS rn
+      | FROM uc
+      |), cons AS MATERIALIZED (
+      | SELECT u, l AS cl FROM w WHERE rn = 1
+      |), j AS MATERIALIZED (
+      | SELECT r.u, r.rr, r.l, cons.cl FROM r JOIN cons ON cons.u = r.u
+      |), pr AS (
+      | SELECT rr, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CASE WHEN l = cl THEN 1 ELSE 0 END) AS BIGINT) AS a
+      | FROM j GROUP BY 1
+      |), crv AS (
+      | SELECT rr, l, CAST(count(*) AS BIGINT) AS c FROM r GROUP BY 1, 2
+      |), krv AS (
+      | SELECT rr, cl AS l, CAST(count(*) AS BIGINT) AS k
+      | FROM j GROUP BY 1, 2
+      |), sr AS (
+      | SELECT crv.rr, CAST(sum(crv.c * krv.k) AS BIGINT) AS s
+      | FROM crv JOIN krv ON krv.rr = crv.rr AND krv.l = crv.l GROUP BY 1
+      |)
+      |SELECT pr.rr AS rater, pr.n AS n_ratings, pr.a AS n_agree,
+      | (pr.a * 1000000) // pr.n AS po_ppm,
+      | CASE WHEN pr.n * pr.n = sr.s THEN NULL
+      |  ELSE 1000000 -
+      |   (pr.n * (pr.n - pr.a) * 1000000) // (pr.n * pr.n - sr.s)
+      |  END AS kappa_ppm
+      |FROM pr JOIN sr ON sr.rr = pr.rr ORDER BY rater""".stripMargin
+
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- multi-rater consensus labeling: units = doc quartets, each
     //      doc votes its length-bucket label — majority with ties to
@@ -154,6 +192,29 @@ private[graft] object PreferenceAnnotationGates {
       step(r.filter(col("doc_id") >= 1000), 1L)
       step(r.filter(col("doc_id") >= 1000), 1L) // replay no-op
       s.read.parquet(s"$work/out/consensus/batch=1").orderBy("unit")
+    }),
+
+    // ---- the STREAMING rater monitor: the same lifecycle one level
+    //      finer — (unit, rater, label) counts accumulate, the final
+    //      per-rater reliability hashes against the batch oracle
+    "annotation_rater_stream" -> ((s, dir) => {
+      import graft.streaming.StreamingOps
+      val r = t(s, dir, "documents")
+        .filter(col("doc_id") < 2000 && col("n_chars").isNotNull)
+        .select(col("doc_id"),
+          expr("doc_id div 4").cast("string").as("unit"),
+          expr("doc_id % 4").cast("string").as("rater"),
+          expr("(n_chars div 200) % 5").cast("string").as("label"))
+        .localCheckpoint()
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-rater-stream").toString
+      def step(b: DataFrame, id: Long): Unit =
+        StreamingOps.applyRaterBatch(s, b, id, "unit", "rater", "label",
+          s"$work/state", s"$work/out")
+      step(r.filter(col("doc_id") < 1000), 0L)
+      step(r.filter(col("doc_id") >= 1000), 1L)
+      step(r.filter(col("doc_id") >= 1000), 1L) // replay no-op
+      s.read.parquet(s"$work/out/batch=1").orderBy("rater")
     }),
 
     "annotation_alpha_stream" -> ((s, dir) => {
@@ -398,42 +459,10 @@ private[graft] object PreferenceAnnotationGates {
     // consensus replayed, then per-rater Cohen's kappa against it:
     // kappa_ppm = 1e6 - n(n-a)*1e6 // (n^2 - S), S = sum(c_v * k_v);
     // a chance-perfect rater (n^2 = S) reports NULL, never a fake 0
-    "annotation_rater_reliability" ->
-      """WITH r AS (
-        | SELECT CAST(doc_id // 4 AS VARCHAR) AS u,
-        |  CAST(doc_id % 4 AS VARCHAR) AS rr,
-        |  CAST((n_chars // 200) % 5 AS VARCHAR) AS l
-        | FROM documents WHERE doc_id < 2000 AND n_chars IS NOT NULL
-        |), uc AS (
-        | SELECT u, l, CAST(count(*) AS BIGINT) AS c FROM r GROUP BY 1, 2
-        |), w AS (
-        | SELECT u, l,
-        |  row_number() OVER (PARTITION BY u ORDER BY c DESC, l) AS rn
-        | FROM uc
-        |), cons AS MATERIALIZED (
-        | SELECT u, l AS cl FROM w WHERE rn = 1
-        |), j AS MATERIALIZED (
-        | SELECT r.u, r.rr, r.l, cons.cl FROM r JOIN cons ON cons.u = r.u
-        |), pr AS (
-        | SELECT rr, CAST(count(*) AS BIGINT) AS n,
-        |  CAST(sum(CASE WHEN l = cl THEN 1 ELSE 0 END) AS BIGINT) AS a
-        | FROM j GROUP BY 1
-        |), crv AS (
-        | SELECT rr, l, CAST(count(*) AS BIGINT) AS c FROM r GROUP BY 1, 2
-        |), krv AS (
-        | SELECT rr, cl AS l, CAST(count(*) AS BIGINT) AS k
-        | FROM j GROUP BY 1, 2
-        |), sr AS (
-        | SELECT crv.rr, CAST(sum(crv.c * krv.k) AS BIGINT) AS s
-        | FROM crv JOIN krv ON krv.rr = crv.rr AND krv.l = crv.l GROUP BY 1
-        |)
-        |SELECT pr.rr AS rater, pr.n AS n_ratings, pr.a AS n_agree,
-        | (pr.a * 1000000) // pr.n AS po_ppm,
-        | CASE WHEN pr.n * pr.n = sr.s THEN NULL
-        |  ELSE 1000000 -
-        |   (pr.n * (pr.n - pr.a) * 1000000) // (pr.n * pr.n - sr.s)
-        |  END AS kappa_ppm
-        |FROM pr JOIN sr ON sr.rr = pr.rr ORDER BY rater""".stripMargin,
+    "annotation_rater_reliability" -> annotationRaterOracleSql,
+    // the accumulated (unit, rater, label) count state IS the full
+    // log's count table — the stream gate replays the batch oracle
+    "annotation_rater_stream" -> annotationRaterOracleSql,
     "preference_bt" -> bradleyTerryOracleSql(rounds = 4),
     // half-unit counts through the same MM machinery
     "preference_bt_ties" ->

@@ -257,27 +257,39 @@ object Annotation {
       unitCol: String,
       raterCol: String,
       labelCol: String
-  ): DataFrame = {
-    val r = df
+  ): DataFrame =
+    raterReliabilityFromCounts(df
       .select(col(unitCol).cast(StringType).as("_u"),
         col(raterCol).cast(StringType).as("_r"),
         col(labelCol).cast(StringType).as("_l"))
       .filter(col("_u").isNotNull && col("_r").isNotNull &&
         col("_l").isNotNull)
-      .localCheckpoint() // consensus, the join, and c_rv all read it
-    val cons = consensusLabels(r, "_u", "_l")
+      .groupBy(col("_u"), col("_r"), col("_l"))
+      .agg(count(lit(1)).as("_c")))
+
+  /** [[raterReliability]] off a pre-aggregated `(_u, _r, _l, _c)`
+    * count table — like [[ratingCounts]] one level finer, and equally
+    * ADDITIVE, so a streaming accumulator
+    * ([[graft.streaming.StreamingOps.applyRaterBatch]]) plugs its
+    * committed state in here. The consensus reduces from the same
+    * table by summing out the rater.
+    */
+  private[graft] def raterReliabilityFromCounts(urlcRaw: DataFrame): DataFrame = {
+    val urlc = urlcRaw.localCheckpoint() // consensus, join, c_rv read it
+    val cons = consensusFromCounts(
+        urlc.groupBy(col("_u"), col("_l")).agg(sum(col("_c")).as("_c")))
       .select(col("unit").as("_u"), col("label").as("_cl"))
-    val j = r.join(cons, Seq("_u"))
+    val j = urlc.join(cons, Seq("_u"))
     val perRater = j.groupBy(col("_r"))
-      .agg(count(lit(1)).as("_n"),
-        sum(when(col("_l") === col("_cl"), 1L).otherwise(0L)).as("_a"))
+      .agg(sum(col("_c")).as("_n"),
+        sum(when(col("_l") === col("_cl"), col("_c")).otherwise(0L)).as("_a"))
       .filter(assert_true(col("_n") <= lit(3000000L),
         lit("raterReliability: a rater carries > 3*10^6 ratings — " +
           "downsample the rater (the bound keeps n^2*10^6 inside exact " +
           "int64)")).isNull)
-    val crv = r.groupBy(col("_r"), col("_l")).agg(count(lit(1)).as("_c"))
+    val crv = urlc.groupBy(col("_r"), col("_l")).agg(sum(col("_c")).as("_c"))
     val krv = j.groupBy(col("_r"), col("_cl").as("_l"))
-      .agg(count(lit(1)).as("_k"))
+      .agg(sum(col("_c")).as("_k"))
     val s = crv.join(krv, Seq("_r", "_l"))
       .groupBy(col("_r")).agg(sum(col("_c") * col("_k")).as("_s"))
     perRater.join(s, Seq("_r"))

@@ -1873,6 +1873,52 @@ object StreamingOps {
     }
   }
 
+  /** One micro-batch of STREAMING rater-reliability monitoring — the
+    * continuous face of
+    * [[graft.operators.Annotation.raterReliability]]: the committed
+    * state is the `(_u, _r, _l, _c)` rating-count table (one level
+    * finer than [[applyAnnotationBatch]]'s, equally additive), and
+    * after every batch the accumulated counts feed the unchanged
+    * reliability reduction to `outPath/batch=N` — so a
+    * systematically-off annotator surfaces while the annotation run is
+    * still in flight, not after their labels shipped. Stream ≡ batch
+    * on the concatenated log; the usual replay guard.
+    */
+  def applyRaterBatch(
+      spark: SparkSession,
+      batch: DataFrame,
+      batchId: Long,
+      unitCol: String,
+      raterCol: String,
+      labelCol: String,
+      statePath: String,
+      outPath: String
+  ): Unit = {
+    currentVersionId(spark, statePath) match {
+      case Some(cur) if cur >= batchId =>
+        log.warn(s"raterStream: skipping batch $batchId — state at " +
+          s"v$cur already includes it")
+      case _ =>
+        val inBatch = batch
+          .select(col(unitCol).cast("string").as("_u"),
+            col(raterCol).cast("string").as("_r"),
+            col(labelCol).cast("string").as("_l"))
+          .filter(col("_u").isNotNull && col("_r").isNotNull &&
+            col("_l").isNotNull)
+          .groupBy("_u", "_r", "_l").agg(count(lit(1)).as("_c"))
+        val merged = (readState(spark, statePath) match {
+          case Some(st) => st.unionByName(inBatch)
+            .groupBy("_u", "_r", "_l").agg(sum(col("_c")).as("_c"))
+          case None => inBatch
+        }).localCheckpoint()
+        graft.operators.Annotation.raterReliabilityFromCounts(merged)
+          .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+        val version = s"v$batchId"
+        merged.write.mode("overwrite").parquet(s"$statePath/$version")
+        commitVersion(spark, statePath, version, keepFrom = batchId - 1)
+    }
+  }
+
   def applyBtBatch(
       spark: SparkSession,
       batch: DataFrame,

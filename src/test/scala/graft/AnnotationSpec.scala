@@ -215,6 +215,39 @@ class AnnotationSpec extends SparkSpec {
     assert(rows(spark.read.parquet(s"$dir/out/consensus/batch=1")) == c1)
   }
 
+  test("applyRaterBatch: stream ≡ batch rater reliability on the concatenated log; additive (u,r,l) state; replay no-op") {
+    import graft.streaming.StreamingOps
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).toSeq.sorted
+    val b0 = Seq(("u1", "r1", "x"), ("u1", "r2", "x"), ("u2", "r1", "y"))
+      .toDF("unit", "rater", "label")
+    val b1 = Seq(("u1", "r3", "y"), ("u2", "r2", "y"), ("u2", "r3", "y"),
+      ("u3", "r1", "x"), ("u3", "r3", "x")).toDF("unit", "rater", "label")
+    val all = b0.unionByName(b1)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-rater-spec").toString
+    def step(b: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      StreamingOps.applyRaterBatch(spark, b, id, "unit", "rater", "label",
+        s"$dir/state", s"$dir/out")
+    step(b0, 0L)
+    assert(rows(spark.read.parquet(s"$dir/out/batch=0")) ==
+      rows(Annotation.raterReliability(b0, "unit", "rater", "label")))
+    step(b1, 1L)
+    val r1 = rows(spark.read.parquet(s"$dir/out/batch=1"))
+    assert(r1 ==
+      rows(Annotation.raterReliability(all, "unit", "rater", "label")))
+    // additive fine-grained counts, never raw rows
+    val st = StreamingOps.readState(spark, s"$dir/state").get
+      .as[(String, String, String, Long)].collect()
+      .map(r => (r._1, r._2, r._3) -> r._4).toMap
+    assert(st(("u1", "r1", "x")) == 1L && st(("u2", "r3", "y")) == 1L &&
+      st.size == 8)
+    // replay no-ops
+    step(b1, 1L)
+    assert(StreamingOps.currentVersionId(spark, s"$dir/state").contains(1L))
+    assert(rows(spark.read.parquet(s"$dir/out/batch=1")) == r1)
+  }
+
   test("krippendorffAlphaNominalE6: a unit past 3e6 ratings refuses loudly (the (m^2-ss)*1e6 int64 bound)") {
     val huge = spark.range(3000001)
       .select(lit("u").as("u"), (col("id") % 2).cast("string").as("l"))
