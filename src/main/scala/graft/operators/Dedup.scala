@@ -234,7 +234,8 @@ object Dedup {
   private[graft] def setSimPairsFromGrams(
       grams: DataFrame,
       thresholdPpm: Long,
-      maxPrefixGramDf: Long = 100000L
+      maxPrefixGramDf: Long = 100000L,
+      inputMaterialized: Boolean = false
   ): DataFrame = {
     require(thresholdPpm > 0L && thresholdPpm <= 1000000L,
       s"setSimPairsFromGrams: thresholdPpm must be in (0, 1e6], got $thresholdPpm")
@@ -242,9 +243,15 @@ object Dedup {
       s"setSimPairsFromGrams: maxPrefixGramDf must be >= 1, got $maxPrefixGramDf")
     val w = org.apache.spark.sql.expressions.Window
     val hasNew = grams.columns.contains("_new")
-    val ds = (if (hasNew) grams.select(col("_id"), col("_g"), col("_new"))
+    val dsRaw = (if (hasNew) grams.select(col("_id"), col("_g"), col("_new"))
               else grams.select(col("_id"), col("_g"), lit(true).as("_new")))
-      .localCheckpoint() // reused: sizes, frequencies, prefix, verify
+    // reused: sizes, frequencies, prefix, verify. When the CALLER already
+    // checkpointed the gram table (the ER batch op — its state union is
+    // read by three consumers of its own), re-checkpointing this trivial
+    // projection was one full extra materialization per batch; the
+    // consumers re-derive the projection from the caller's in-memory
+    // blocks instead.
+    val ds = if (inputMaterialized) dsRaw else dsRaw.localCheckpoint()
     val sizes = ds.groupBy("_id").agg(count(lit(1)).as("_sz"),
       max(col("_new")).as("_n"))
     val freq = ds.groupBy("_g").agg(count(lit(1)).as("_df"))

@@ -244,11 +244,22 @@ object Preference {
         .select(col("_i"),
           expr("(_n_ij * 1000000000000L) div (_gi + _gj)").as("_d"))
         .groupBy("_i").agg(greatest(lit(1L), sum(col("_d"))).as("_D"))
+      // checkpoint the PRE-normalize table as well as the post-normalize
+      // one: the `tot` broadcast aggregate and the normalize projection
+      // both read gRaw, and left lazy the two pair-table joins above
+      // would execute TWICE per round (once inside the broadcast
+      // subquery, once in the main plan — Spark dedups repeated
+      // exchanges, not arbitrary repeated subtrees). Post-checkpoint,
+      // `tot` and the normalize are passes over an n-row in-memory
+      // table; `g` keeps its own (now cheap) checkpoint because the next
+      // round reads it twice. Measured r16: the MM joins once per round
+      // instead of twice.
       val gRaw = items.join(d, Seq("_i"), "left")
         .select(col("_i"),
           least(lit(1000000000000L), greatest(lit(1L),
             expr("(_wins * 1000000000000L) div coalesce(_D, 1L)")))
             .as("_g"))
+        .localCheckpoint()
       val tot = gRaw.agg(sum(col("_g").cast(d38)).as("_tot"))
       // the 1-floor applies AFTER the normalize too — its truncation can
       // otherwise zero a floor-rating item and reintroduce the

@@ -572,10 +572,13 @@ object StreamingOps {
           .agg(min_by(struct(batch.columns.map(col): _*), col(idCol)).as("_r"))
           .select(col("_fp") +: batch.columns.map(c => col(s"_r.$c").as(c)): _*)
         val state = readVersionedState(spark, statePath, stateBuckets.isDefined)
-        val fresh = state match {
+        // checkpoint: the survivors write AND the state-union write both
+        // consume `fresh` — left lazy, the in-batch keep-one aggregate
+        // and the state anti-join executed TWICE per batch (r16 measure)
+        val fresh = (state match {
           case Some(st) => inBatch.join(st, Seq("_fp"), "left_anti")
           case None => inBatch
-        }
+        }).localCheckpoint()
         // survivors FIRST (so the replay-skip branch always has them),
         // then the fingerprint union as the next committed version.
         // No distinct() on the union: the store is distinct by induction
@@ -630,8 +633,12 @@ object StreamingOps {
           s"v$cur already includes it (kept rows were written before the commit)")
       case _ =>
         import org.apache.spark.sql.functions._
+        // checkpoint: the kept-rows write and the consumed-total state
+        // write both consume `q` — left lazy, the two-level prefix-sum
+        // machinery executed twice per batch (r16 measure)
         val q = graft.operators.Sampling.tokenQuotaPerGroup(
           batch, keyCol, groupCol, tokensCol, budget)
+          .localCheckpoint()
         val state = readState(spark, statePath) // (_g, consumed)
         val withOff = state match {
           case Some(st) =>
@@ -695,9 +702,12 @@ object StreamingOps {
             when(col(groupCol) === g, lit(b)).otherwise(els)
           }
         // the within-batch cumulative machinery (keep column recomputed
-        // below against the offset + per-group budget)
+        // below against the offset + per-group budget); checkpointed —
+        // the kept-rows write and the consumed-total state write both
+        // consume it (the applyTokenQuotaBatch rationale)
         val q = graft.operators.Sampling.tokenQuotaPerGroupBudgets(
           batch, keyCol, groupCol, tokensCol, budgets)
+          .localCheckpoint()
         val state = readState(spark, statePath) // (_g, consumed)
         val withOff = state match {
           case Some(st) =>
@@ -794,7 +804,12 @@ object StreamingOps {
         import graft.operators.Dedup
         val base = batch.select(col(idCol).as("_id"),
           graft.functions.TextFunctions.tokens(col(textCol)).as("_toks"))
+        // checkpoint the narrow (_id, _s, _h, _n) fingerprint table: the
+        // cleaned-output write (keeper spans + historical semi-join) and
+        // the state append both consume it — left lazy, the tokenize +
+        // window-fingerprint chain executed once per consumer (r16)
         val wins = Dedup.tokenWindowFingerprints(base, windowSize)
+          .localCheckpoint()
         val inBatch = Dedup.nonKeeperSpans(wins, windowSize)
         val state = readVersionedState(spark, statePath, stateBuckets.isDefined)
         val cuts = state match {
@@ -1292,8 +1307,11 @@ object StreamingOps {
           case Some(st) => st.unionByName(batch)
           case None => batch
         }
+        // no checkpoint: the write below is the winner set's only
+        // consumer (and it lands in a NEW version dir, so there is no
+        // read-overwrite hazard) — the eager materialization was one
+        // full extra pass per batch (r16 measure)
         val next = graft.operators.Sampling.sampleExactN(cand, keyCol, n, salt)
-          .localCheckpoint()
         val version = s"v$batchId"
         next.write.mode("overwrite").parquet(s"$statePath/$version")
         commitVersion(spark, statePath, version, keepFrom = batchId - 1)
@@ -1331,9 +1349,10 @@ object StreamingOps {
           case Some(st) => st.select(col(groupCol), col(keyCol)).unionByName(slim)
           case None => slim
         }
+        // no checkpoint — single consumer, new version dir (see
+        // applySampleExactNBatch)
         val next = graft.operators.Sampling
           .sampleExactNPerGroup(cand, keyCol, groupCol, n, salt)
-          .localCheckpoint()
         val version = s"v$batchId"
         next.write.mode("overwrite").parquet(s"$statePath/$version")
         commitVersion(spark, statePath, version, keepFrom = batchId - 1)
@@ -1363,11 +1382,13 @@ object StreamingOps {
           "already includes it")
       case _ =>
         val fresh = graft.operators.Profile.cmsSketch(batch, item, depth, width)
-        val merged = (readState(spark, statePath) match {
+        // no checkpoint — the version write below is the merge's only
+        // consumer, into a new version dir (r16: the eager pass was waste)
+        val merged = readState(spark, statePath) match {
           case Some(st) => st.unionByName(fresh)
             .groupBy("row", "col").agg(sum(col("cnt")).as("cnt"))
           case None => fresh
-        }).localCheckpoint()
+        }
         val version = s"v$batchId"
         merged.write.mode("overwrite").parquet(s"$statePath/$version")
         commitVersion(spark, statePath, version, keepFrom = batchId - 1)
@@ -1413,10 +1434,12 @@ object StreamingOps {
               .as("_bk"))
           .select(col("id"), col("sig"), col("fp"),
             col("_bk.band").as("band"), col("_bk.h").as("h"))
+        // no checkpoint — single consumer, new version dir (the
+        // applyCmsBatch rationale)
         val merged = (readState(spark, statePath) match {
           case Some(st) => st.unionByName(fresh)
           case None => fresh
-        }).dropDuplicates("id", "band").localCheckpoint()
+        }).dropDuplicates("id", "band")
         val version = s"v$batchId"
         merged.write.mode("overwrite").parquet(s"$statePath/$version")
         commitVersion(spark, statePath, version, keepFrom = batchId - 1)
@@ -1597,7 +1620,7 @@ object StreamingOps {
           case None => newGrams.withColumn("_new", lit(true))
         }).localCheckpoint()
         val pairs = Dedup.setSimPairsFromGrams(allGrams, thresholdPpm,
-            maxPrefixGramDf)
+            maxPrefixGramDf, inputMaterialized = true)
           .select(col("id_a").as("_a"), col("id_b").as("_b"))
         val starEdges = oldLabels.map(_.filter(col("node") =!= col("label"))
           .select(col("node").as("_a"), col("label").as("_b")))
@@ -1739,11 +1762,13 @@ object StreamingOps {
           "already includes it")
       case _ =>
         val fresh = graft.operators.Profile.hllRegisters(batch, groupCol, item)
-        val merged = (readState(spark, statePath) match {
+        // no checkpoint — single consumer, new version dir (the
+        // applyCmsBatch rationale)
+        val merged = readState(spark, statePath) match {
           case Some(st) => st.unionByName(fresh)
             .groupBy("group", "bucket").agg(max(col("m_rho")).as("m_rho"))
           case None => fresh
-        }).localCheckpoint()
+        }
         val version = s"v$batchId"
         merged.write.mode("overwrite").parquet(s"$statePath/$version")
         commitVersion(spark, statePath, version, keepFrom = batchId - 1)
@@ -1798,6 +1823,11 @@ object StreamingOps {
           .distinct()
         val state = readVersionedState(spark, statePath, stateBuckets.isDefined)
         val merged = graphProfileMergeState(state, inBatch).localCheckpoint()
+        // NOT the over-distinct seam: the state union's partitioning is the
+        // bucketed-store read ∪ the batch anti-join, and graphProfile's
+        // "redundant" distinct is ALSO the AQE coalesce that collapses that
+        // to one partition before the profile's ~10 downstream jobs —
+        // skipping it measured 8.75 → 9.91 s (matched-schedule A/B, r16)
         graft.operators.Graph.graphProfile(merged, "src", "dst")
           .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
         writeVersionedState(spark, statePath, batchId, merged,
@@ -2299,7 +2329,7 @@ object StreamingOps {
           batch.select(col(idCol), col(vecCol)), idCol, vecCol, cells, cb,
           residual)
         val curOpt = currentVersionId(spark, codesPath)
-        val merged = (curOpt match {
+        val merged = curOpt match {
           // partition-dir values read back as the inferred type;
           // normalize to the encoder's BIGINT before the union
           case Some(v) => spark.read.parquet(s"$codesPath/v$v")
@@ -2307,7 +2337,11 @@ object StreamingOps {
               col("centroid_id").cast(org.apache.spark.sql.types.LongType))
             .unionByName(encoded)
           case None => encoded
-        }).localCheckpoint()
+        }
+        // no checkpoint before the write: the union is consumed exactly
+        // once (by the write action below, into a DIFFERENT version dir
+        // than the one it reads), so an eager materialization here was a
+        // full extra pass over the codes per batch — measured r16
         val high = curOpt.map(_ >> IvfPqBackfillShift).getOrElse(0L)
         val newVer = (high << IvfPqBackfillShift) | batchId
         merged.write.mode("overwrite").partitionBy("centroid_id")
@@ -2580,7 +2614,10 @@ object StreamingOps {
         s"on $idCol cannot hold two vectors under one id")
     val encoded = Similarity.ivfPqEncode(missing, idCol, vecCol, cells, cb,
       ivfPqMetaResidual(spark, statePath))
-    val merged = cur.unionByName(encoded).localCheckpoint()
+    // no checkpoint: both union inputs are already materialized (cur is
+    // checkpointed, encoded is a narrow projection of the checkpointed
+    // missing slice) and the write below is the union's only consumer
+    val merged = cur.unionByName(encoded)
     val newVer =
       ((curVer >> IvfPqBackfillShift) + 1) << IvfPqBackfillShift |
         (curVer & IvfPqLocalMask)
@@ -2696,6 +2733,11 @@ object StreamingOps {
     val occ = Similarity.ivfResidualsE6(batch, idCol, vecCol, cells)
       .groupBy(col("centroid_id").as("bucket"))
       .agg(count(lit(1)).as("cnt"))
+      // LAZY checkpoint: the scoring branch reads occ twice (the
+      // empty-occupancy guard, then the drift compare) — left unchecked
+      // the narrow assignment + aggregate ran twice per batch; lazy so
+      // the replay-skip branch, which never touches occ, stays zero-job
+      .localCheckpoint(eager = false)
     currentVersionId(spark, statePath) match {
       case None =>
         // an empty reference would null every later compare (the
