@@ -412,15 +412,22 @@ private[graft] object StatsGates {
       import s.implicits._
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val queries = bm25GateQueries3(s)
-      val idf = Retrieval.queryIdfLiterals(docs, "text", queries, "qtext")
+      // ONE corpus tokenize pass: the checkpointed postings feed the idf
+      // table, the scorer, AND the relevance term set (postings keys ARE
+      // the distinct (doc, term) pairs) — was three private tokenize
+      // passes per run (r16)
+      val postings = Retrieval.buildPostings(docs, "doc_id", "text")
+        .localCheckpoint()
+      val idf = Retrieval.queryIdfLiteralsFromPostings(
+        docs.count(), postings, queries, "qtext")
       GateTables.put("bm25_idf_rm", idfValuesRows(idf))
       val ranked = Retrieval.bm25TopKWithIdf(docs, "doc_id", "text",
-        queries, "query_id", "qtext", idf, k = 10)
+        queries, "query_id", "qtext", idf, k = 10,
+        precomputedPostings = Some(postings))
       val qterms = queries.select(col("query_id"),
         explode(array_distinct(split(col("qtext"), " "))).as("term"))
       val nq = qterms.groupBy("query_id").agg(count(lit(1)).as("_nq"))
-      val dterms = docs.select(col("doc_id"),
-        explode(array_distinct(TextFunctions.tokens(lower(col("text"))))).as("term"))
+      val dterms = postings.select(col("id").as("doc_id"), col("term"))
       val rel = qterms.join(dterms, Seq("term"))
         .groupBy("query_id", "doc_id").agg(count(lit(1)).as("_m"))
         .join(nq, Seq("query_id")).filter(col("_m") === col("_nq"))
@@ -435,15 +442,19 @@ private[graft] object StatsGates {
       import s.implicits._
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val queries = bm25GateQueries3(s)
-      val idf = Retrieval.queryIdfLiterals(docs, "text", queries, "qtext")
+      // one shared tokenize pass (the ranking_metrics rationale, r16)
+      val postings = Retrieval.buildPostings(docs, "doc_id", "text")
+        .localCheckpoint()
+      val idf = Retrieval.queryIdfLiteralsFromPostings(
+        docs.count(), postings, queries, "qtext")
       GateTables.put("bm25_idf_ndcg", idfValuesRows(idf))
       val ranked = Retrieval.bm25TopKWithIdf(docs, "doc_id", "text",
-        queries, "query_id", "qtext", idf, k = 10)
+        queries, "query_id", "qtext", idf, k = 10,
+        precomputedPostings = Some(postings))
       val qterms = queries.select(col("query_id"),
         explode(array_distinct(split(col("qtext"), " "))).as("term"))
       val nq = qterms.groupBy("query_id").agg(count(lit(1)).as("_nq"))
-      val dterms = docs.select(col("doc_id"),
-        explode(array_distinct(TextFunctions.tokens(lower(col("text"))))).as("term"))
+      val dterms = postings.select(col("id").as("doc_id"), col("term"))
       val rel = qterms.join(dterms, Seq("term"))
         .groupBy("query_id", "doc_id").agg(count(lit(1)).as("_m"))
         .join(nq, Seq("query_id")).filter(col("_m") === col("_nq"))

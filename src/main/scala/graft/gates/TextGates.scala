@@ -689,10 +689,17 @@ private[graft] object TextGates {
       import s.implicits._
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val queries = bm25GateQueries3(s)
-      val idf = Retrieval.queryIdfLiterals(docs, "text", queries, "qtext")
+      // ONE corpus tokenize pass: the checkpointed postings feed the idf
+      // table AND the scorer (identical values — r16; was one private
+      // tokenize per consumer)
+      val postings = Retrieval.buildPostings(docs, "doc_id", "text")
+        .localCheckpoint()
+      val idf = Retrieval.queryIdfLiteralsFromPostings(
+        docs.count(), postings, queries, "qtext")
       GateTables.put("bm25_idf_q3", idfValuesRows(idf))
       Retrieval.bm25TopKWithIdf(docs, "doc_id", "text",
-          queries, "query_id", "qtext", idf, k = 10)
+          queries, "query_id", "qtext", idf, k = 10,
+          precomputedPostings = Some(postings))
         .orderBy("query_id", "rank")
     }),
     // ---- hybrid retrieval: RRF fusion of a dense ANN list and a
@@ -710,11 +717,16 @@ private[graft] object TextGates {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val queries = bm25GateQueries5(s)
       // driver-computed idf literals keep the lexical leg's ln out of
-      // the hash-compared surface (see bm25_topk)
-      val idf = Retrieval.queryIdfLiterals(docs, "text", queries, "qtext")
+      // the hash-compared surface (see bm25_topk); one shared tokenize
+      // pass via the checkpointed postings (r16)
+      val postings = Retrieval.buildPostings(docs, "doc_id", "text")
+        .localCheckpoint()
+      val idf = Retrieval.queryIdfLiteralsFromPostings(
+        docs.count(), postings, queries, "qtext")
       GateTables.put("bm25_idf_q5", idfValuesRows(idf))
       val lexical = Retrieval.bm25TopKWithIdf(docs, "doc_id", "text",
-        queries, "query_id", "qtext", idf, k = 10)
+        queries, "query_id", "qtext", idf, k = 10,
+        precomputedPostings = Some(postings))
       Retrieval.rrfFuse(Seq(dense, lexical), k = 10)
         .orderBy("query_id", "rank")
     }),
@@ -725,11 +737,16 @@ private[graft] object TextGates {
       import s.implicits._
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val queries = bm25GateQueries3(s)
-      // same driver-computed idf discipline as bm25_topk
-      val idf = Retrieval.queryIdfLiterals(docs, "text", queries, "qtext")
+      // same driver-computed idf discipline as bm25_topk (one shared
+      // tokenize pass, r16)
+      val postings = Retrieval.buildPostings(docs, "doc_id", "text")
+        .localCheckpoint()
+      val idf = Retrieval.queryIdfLiteralsFromPostings(
+        docs.count(), postings, queries, "qtext")
       GateTables.put("bm25_idf_q3", idfValuesRows(idf))
       Retrieval.bm25TopKWithIdf(docs, "doc_id", "text",
-          queries, "query_id", "qtext", idf, k = 10, requireAllTerms = true)
+          queries, "query_id", "qtext", idf, k = 10, requireAllTerms = true,
+          precomputedPostings = Some(postings))
         .orderBy("query_id", "rank")
     }),
     // ---- retrieval over the STREAMING-BUILT index: two micro-batch
@@ -751,7 +768,12 @@ private[graft] object TextGates {
         docs.filter(col("doc_id") % 2 =!= 0), 1L, "text", "doc_id", statePath)
       val postings = StreamingOps.readState(s, statePath)
         .getOrElse(sys.error(s"no committed bm25 index at $statePath"))
-      val idf = Retrieval.queryIdfLiterals(docs, "text", queries, "qtext")
+      // idf from the COMMITTED postings (identical values: the index's
+      // per-batch slices are disjoint by id, so per-term row counts ARE
+      // the corpus df) — the old form re-tokenized the whole corpus for
+      // the idf table on top of the index build (r16)
+      val idf = Retrieval.queryIdfLiteralsFromPostings(
+        docs.count(), postings, queries, "qtext")
       GateTables.put("bm25_idf_q3i", idfValuesRows(idf))
       Retrieval.bm25TopKFromPostingsWithIdf(postings,
           queries, "query_id", "qtext", idf, k = 10)

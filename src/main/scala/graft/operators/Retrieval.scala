@@ -122,10 +122,51 @@ object Retrieval {
     }
   }
 
+  /** [[queryIdfLiterals]] with the corpus side reduced to a PREBUILT
+    * distinct `(id, term, tf)` postings table (from [[buildPostings]],
+    * or a committed streaming index) plus the corpus doc count —
+    * VALUES are identical (postings rows are exactly the distinct
+    * doc-term pairs the df count needs; the query-term collect and the
+    * JVM `ln` are unchanged), but the corpus tokenizes ZERO extra
+    * times: the bm25-family gates previously paid one private
+    * full-corpus tokenize pass per idf table on top of the scorer's
+    * own (r16 measure).
+    */
+  def queryIdfLiteralsFromPostings(
+      nDocs: Long,
+      postings: DataFrame,
+      queries: DataFrame,
+      queryTextCol: String
+  ): Seq[(String, java.math.BigDecimal)] = {
+    val terms = queries
+      .select(explode(array_distinct(TextFunctions.tokens(lower(col(queryTextCol)))))
+        .as("term"))
+      .distinct().collect().map(_.getString(0)).toSeq.sorted
+    val dfMap = postings
+      .select(col("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    terms.map { t =>
+      val df = dfMap.getOrElse(t, 0L).toDouble
+      // operand order mirrors rankPostings' idf6 column exactly
+      val raw = math.log((nDocs.toDouble - df + 0.5) / (df + 0.5) + 1.0)
+      t -> java.math.BigDecimal.valueOf(raw)
+        .setScale(6, java.math.RoundingMode.HALF_UP)
+    }
+  }
+
   /** [[bm25TopK]] with the idf table supplied as driver-computed
     * literals (from [[queryIdfLiterals]]) instead of an engine-side
     * `ln` — the gate-portable form; scores are identical whenever the
     * literals were computed over the same corpus.
+    *
+    * `precomputedPostings`, when supplied, MUST equal
+    * `buildPostings(docs, idCol, textCol)` — the caller built (and
+    * typically checkpointed) it once to share the corpus tokenize pass
+    * with the idf table / relevance set; `docs` still supplies the
+    * corpus stats (N counts every doc, tokenized-empty ones included —
+    * the [[bm25TopKFromPostings]] divergence this form avoids).
     */
   def bm25TopKWithIdf(
       docs: DataFrame,
@@ -138,9 +179,10 @@ object Retrieval {
       k: Int,
       k1: Double = 1.2,
       b: Double = 0.75,
-      requireAllTerms: Boolean = false
+      requireAllTerms: Boolean = false,
+      precomputedPostings: Option[DataFrame] = None
   ): DataFrame = {
-    val tf = buildPostings(docs, idCol, textCol)
+    val tf = precomputedPostings.getOrElse(buildPostings(docs, idCol, textCol))
     val doclen = tf.groupBy("id").agg(sum(col("tf")).as("dl"))
     val stats = docs.agg(count(lit(1)).as("n_docs"))
       .crossJoin(tf.agg(coalesce(sum(col("tf")), lit(0L)).as("sum_dl")))
