@@ -1558,12 +1558,16 @@ object Graph {
       .filter(col("_s").isNotNull && col("_d").isNotNull && col("_s") =!= col("_d"))
       .distinct()
       .localCheckpoint()
-    // nodes is consumed exactly once (the basics broadcast below), so it
-    // rides the final job lazily — its old eager checkpoint was one full
-    // extra pass per profile call (r16 measure: graph_profile 0.85×)
+    // nodes LOOKS single-consumer (the basics broadcast below), but the
+    // isolated 7-run A/B kept the eager checkpoint: lazy measured 3.25 vs
+    // 2.89 s (batch) and 12.61 vs 11.35 s (stream) — the materialized
+    // one-partition node table beats re-deriving the union+distinct under
+    // the broadcast build (r16 adjudication; earlier "lazy wins" reads
+    // were confounded with other wave-1 changes)
     val nodes = e.select(col("_s").as("_v"))
       .unionByName(e.select(col("_d").as("_v")))
       .distinct()
+      .localCheckpoint()
     val outdeg = e.groupBy("_s").agg(count(lit(1)).as("_od")).localCheckpoint()
     val indeg = e.groupBy("_d").agg(count(lit(1)).as("_id")).localCheckpoint()
     val recip = e.join(
