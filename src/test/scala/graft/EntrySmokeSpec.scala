@@ -20,19 +20,25 @@ class EntrySmokeSpec extends SparkSpec {
         (SparkEntry.oracleSql.keySet diff SparkEntry.queries.keySet))
   }
 
-  test("expected-red probe contract: probes exist and still probe their divergence class") {
-    import org.apache.spark.sql.types.DecimalType
-    // the two tripwires are the ONLY expected driver reds — pin set + types
-    assert(SparkEntry.expectedRedProbes.keySet ==
+  test("canonicalized probe contract: probes exist and compare canonical surfaces (r16 verdict #1)") {
+    import org.apache.spark.sql.types.StringType
+    // the two former expected-red tripwires, canonicalized round 17 —
+    // pin set + canonical types (a drift back to raw DECIMAL / uncast
+    // HUGEINT would re-open the adjudicated driver reds)
+    assert(SparkEntry.canonicalizedProbes.keySet ==
       Set("decimal_probe_dec", "hugeint_probe"))
-    SparkEntry.expectedRedProbes.keys.foreach { name =>
+    SparkEntry.canonicalizedProbes.keys.foreach { name =>
       assert(SparkEntry.queries.contains(name), s"$name missing from queries")
       assert(SparkEntry.oracleSql.contains(name), s"$name missing from oracleSql")
     }
-    // dec probe must emit DECIMAL on the Spark side (the divergent type)
+    // dec probe emits the pinned scale-6 STRING rendering on both sides
     val dec = SparkEntry.queries("decimal_probe_dec")(spark, "unused")
-    assert(dec.schema("dec_val").dataType.isInstanceOf[DecimalType])
-    // hugeint probe's oracle must keep sum(v) UNCAST (DuckDB HUGEINT)
-    assert(SparkEntry.oracleSql("hugeint_probe").contains("sum(v) AS sum_v"))
+    assert(dec.schema("dec_val").dataType == StringType)
+    assert(dec.collect().map(_.getString(1)).toSeq ==
+      Seq("1.250000", "-0.333333", "100.000001"))
+    assert(SparkEntry.oracleSql("decimal_probe_dec").contains("AS VARCHAR"))
+    // hugeint probe's oracle sums carry the canonical BIGINT cast
+    assert(SparkEntry.oracleSql("hugeint_probe")
+      .contains("CAST(sum(v) AS BIGINT) AS sum_v"))
   }
 }
