@@ -245,26 +245,34 @@ object Dedup {
     val hasNew = grams.columns.contains("_new")
     val dsRaw = (if (hasNew) grams.select(col("_id"), col("_g"), col("_new"))
               else grams.select(col("_id"), col("_g"), lit(true).as("_new")))
-    // reused: sizes, frequencies, prefix, verify. When the CALLER already
+    // reused: prefix, verify. When the CALLER already
     // checkpointed the gram table (the ER batch op — its state union is
     // read by three consumers of its own), re-checkpointing this trivial
     // projection was one full extra materialization per batch; the
     // consumers re-derive the projection from the caller's in-memory
     // blocks instead.
     val ds = if (inputMaterialized) dsRaw else dsRaw.localCheckpoint()
-    val sizes = ds.groupBy("_id").agg(count(lit(1)).as("_sz"),
-      max(col("_new")).as("_n"))
-    val freq = ds.groupBy("_g").agg(count(lit(1)).as("_df"))
-    val pref = ds.join(freq, Seq("_g"))
+    // per-gram df, per-doc size and per-doc _new as WINDOW functions on
+    // the exchanges the prefix computation needs ANYWAY (hash by _g,
+    // then hash by _id for the row_number) — the former groupBy+join
+    // form paid two extra aggregate passes over ds and two joins for
+    // the identical values (r17; guide §2.4 "two operations keyed the
+    // same way share one exchange"). The unordered specs keep the
+    // whole-partition frame (an orderBy would silently turn count/max
+    // into running aggregates).
+    val widAgg = w.partitionBy("_id")
+    val pref = ds
+      .withColumn("_df", count(lit(1)).over(w.partitionBy("_g")))
+      .withColumn("_sz", count(lit(1)).over(widAgg))
+      .withColumn("_n", max(col("_new")).over(widAgg))
       .withColumn("_r", row_number().over(
         w.partitionBy("_id").orderBy(col("_df"), col("_g"))).cast(LongType))
-      .join(sizes, Seq("_id"))
       .filter(col("_r") <=
         col("_sz") - expr(s"(($thresholdPpm * _sz) + 999999L) div 1000000L") + lit(1L))
       .select(col("_id"), col("_g"), col("_sz"), col("_n"))
       .localCheckpoint() // both candidate-join sides read pref; its own
-                         // row_number window + two joins are too much
-                         // plan to compute twice (measured)
+                         // window chain is too much plan to compute
+                         // twice (measured)
     // HOT-GRAM TRIPWIRE (the chiSquareTerms refusal convention), in its
     // ZERO-ACTION form: the candidate join below produces Σ_g pdf(g)²
     // pairs, where pdf is the gram's PREFIX posting length. The prefix
@@ -297,15 +305,26 @@ object Dedup {
         (col("_na") || col("_nb")) &&
         lit(thresholdPpm) * greatest(col("_sza"), col("_szb")) <=
           lit(1000000L) * least(col("_sza"), col("_szb")))
-      .select("id_a", "id_b").distinct()
+      // sizes ride the candidate table (functionally dependent on the
+      // ids, so the distinct's cardinality is unchanged) — the former
+      // shape re-derived them at the end through a fresh aggregate over
+      // ds and two joins against the verified pairs (r17, guide §2.4)
+      .select("id_a", "id_b", "_sza", "_szb").distinct()
       .localCheckpoint()
-    val inter = cand
-      .join(ds.select(col("_id").as("id_a"), col("_g")), Seq("id_a"))
-      .join(ds.select(col("_id").as("id_b"), col("_g")), Seq("id_b", "_g"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("_i"))
-    inter
-      .join(sizes.select(col("_id").as("id_a"), col("_sz").as("_sza")), Seq("id_a"))
-      .join(sizes.select(col("_id").as("id_b"), col("_sz").as("_szb")), Seq("id_b"))
+    // verify-join §3.2 prefilter: only candidate ids can survive the
+    // equi-joins below, so the gram table entering them is semi-filtered
+    // to the candidate id set first — at corpus scale the second join's
+    // exchange then carries candidate grams, not the full gram table
+    // (cand is checkpointed and pair-bounded, so the semi-join's build
+    // side broadcasts at runtime)
+    val candIds = cand.select(col("id_a").as("_id"))
+      .unionByName(cand.select(col("id_b").as("_id")))
+      .distinct()
+    val dsCand = ds.join(candIds, Seq("_id"), "left_semi")
+    cand
+      .join(dsCand.select(col("_id").as("id_a"), col("_g")), Seq("id_a"))
+      .join(dsCand.select(col("_id").as("id_b"), col("_g")), Seq("id_b", "_g"))
+      .groupBy("id_a", "id_b", "_sza", "_szb").agg(count(lit(1)).as("_i"))
       .filter(col("_i") * lit(1000000L) >=
         lit(thresholdPpm) * (col("_sza") + col("_szb") - col("_i")))
       .select(col("id_a"), col("id_b"),

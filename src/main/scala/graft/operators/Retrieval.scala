@@ -142,10 +142,16 @@ object Retrieval {
       .select(explode(array_distinct(TextFunctions.tokens(lower(col(queryTextCol)))))
         .as("term"))
       .distinct().collect().map(_.getString(0)).toSeq.sorted
+    // df = DISTINCT docs per term (r16 advice): [[buildPostings]] output
+    // is distinct per (id, term) so this equals the raw row count there,
+    // but a committed streaming index built as an append-only union
+    // could in principle carry overlapping doc ids — count_distinct is
+    // defensive and costs nothing at query-term cardinality (the filter
+    // reduces the aggregate to the matched terms' postings)
     val dfMap = postings
-      .select(col("term"))
+      .select(col("term"), col("id"))
       .filter(col("term").isin(terms: _*))
-      .groupBy("term").agg(count(lit(1)).as("df"))
+      .groupBy("term").agg(count_distinct(col("id")).as("df"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     terms.map { t =>
       val df = dfMap.getOrElse(t, 0L).toDouble

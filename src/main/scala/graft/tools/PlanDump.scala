@@ -31,6 +31,10 @@ object PlanDump {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // failures are tracked and fail the RUN (r16 advice): an evidence
+    // dump that silently produced no files would let a plan claim go
+    // unchecked. NonFatal only — an OOM must not be swallowed.
+    var failures = 0
     names.foreach { name =>
       val fn = graft.SparkEntry.queries.getOrElse(name,
         sys.error(s"PlanDump: unknown query '$name'"))
@@ -41,10 +45,15 @@ object PlanDump {
         java.nio.file.Files.writeString(
           java.nio.file.Paths.get(s"$outDir/${name}_$suffix.txt"), plan)
         System.err.println(s"[plandump] wrote $name ($suffix)")
-      } catch { case e: Throwable =>
+      } catch { case scala.util.control.NonFatal(e) =>
+        failures += 1
         System.err.println(s"[plandump] $name failed: ${e.getMessage}")
       }
     }
     spark.stop()
+    if (failures > 0) {
+      System.err.println(s"[plandump] $failures of ${names.length} dumps FAILED")
+      sys.exit(1)
+    }
   }
 }
